@@ -1,0 +1,56 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.mql.{FilterCompiler, Mql, MqlException, PipelineCompiler}
+import org.json4s._
+
+/** Public entry points mirroring the reference's API surface
+  * (find_arrow_all / aggregate_arrow_all, bindings/python/pymongoarrow/
+  * api.py:129-256), returning DataFrames instead of Arrow tables.
+  */
+object Graft {
+  /** Table resolver over a fixture directory (one parquet per collection). */
+  def tables(spark: SparkSession, dir: String): PipelineCompiler.TableResolver =
+    name => spark.read.parquet(s"$dir/$name.parquet")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    tables(spark, dir)(name)
+
+  /** find(filter, projection, sort, limit, skip) ≈ find_arrow_all
+    * (reference api.py:129-207). Projection doc follows the same
+    * include/exclude rules as $project. */
+  def find(df: DataFrame,
+           filter: String = "{}",
+           projection: Option[String] = None,
+           sort: Option[String] = None,
+           limit: Option[Int] = None,
+           skip: Option[Int] = None): DataFrame = {
+    var out = df.where(FilterCompiler.compile(filter))
+    sort.foreach { s =>
+      val cols = Mql.asObj(Mql.parse(s), "sort").map {
+        case (k, JInt(d))  => if (d >= 0) col(k).asc else col(k).desc
+        case (k, JLong(d)) => if (d >= 0) col(k).asc else col(k).desc
+        case (k, o) => throw new MqlException(s"bad sort direction for $k: $o")
+      }
+      out = out.orderBy(cols: _*)
+    }
+    skip.foreach(n => out = out.offset(n))
+    limit.foreach(n => out = out.limit(n))
+    projection.foreach { p =>
+      out = PipelineCompiler.run(out, s"""[{"$$project": $p}]""")
+    }
+    out
+  }
+
+  /** aggregate(pipeline) ≈ aggregate_arrow_all (reference api.py:210-256);
+    * $out/$merge rejected exactly like api.py:235-240. */
+  def aggregate(df: DataFrame, pipelineJson: String): DataFrame =
+    PipelineCompiler.run(df, pipelineJson)
+
+  def aggregate(spark: SparkSession, dir: String, collection: String,
+                pipelineJson: String): DataFrame = {
+    val resolve = tables(spark, dir)
+    PipelineCompiler.run(resolve(collection), pipelineJson, resolve)
+  }
+}

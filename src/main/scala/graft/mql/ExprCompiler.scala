@@ -1,0 +1,317 @@
+package graft.mql
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.json4s._
+import Mql._
+
+/** Compiles MQL aggregation expressions — the computed-projection /
+  * $expr surface the reference forwards to the server (e.g. the
+  * `{"$multiply": [2, "$data"]}` projection exercised at
+  * bindings/python/test/test_arrow.py:140-156) — into Catalyst Columns.
+  *
+  * Everything maps to `org.apache.spark.sql.functions` builtins, so the
+  * result stays inside whole-stage codegen (no UDFs anywhere).
+  *
+  * `env` carries lambda variables ($$this / $$value / named `as` vars
+  * introduced by $filter/$map/$reduce).
+  */
+object ExprCompiler {
+  /** Decimal used by $toDecimal: wide enough for exact sums of the
+    * fixtures' 2-decimal monetary doubles; matches the oracle's
+    * CAST(x AS DECIMAL(38,10)) so double-summation order can't cause
+    * hash mismatches. */
+  val DecimalParity: DecimalType = DecimalType(38, 10)
+
+  def compile(v: JValue): Column = compile(v, Map.empty)
+
+  def compile(v: JValue, env: Map[String, Column]): Column = v match {
+    case JString(s) if s.startsWith("$$") => varRef(s.drop(2), env)
+    case JString(s) if s.startsWith("$")  => fieldCol(s.drop(1))
+    case JObject(List((op, args))) if op.startsWith("$") => compileOp(op, args, env)
+    case JObject(fields) if isOperatorDoc(fields) =>
+      throw new MqlException(s"multi-operator expression document: $fields")
+    case JObject(fields) => // document expression → struct
+      struct(fields.map { case (k, e) => compile(e, env).as(k) }: _*)
+    case JArray(es) => array(es.map(compile(_, env)): _*)
+    case other => literal(other)
+  }
+
+  private def varRef(name: String, env: Map[String, Column]): Column = {
+    val parts = name.split('.')
+    val base = env.getOrElse(parts.head,
+      throw new MqlException(s"unknown variable $$$$${parts.head}"))
+    parts.tail.foldLeft(base)(_.getField(_))
+  }
+
+  private def argList(v: JValue, env: Map[String, Column]): List[Column] = v match {
+    case JArray(es) => es.map(compile(_, env))
+    case single     => List(compile(single, env))
+  }
+
+  private def field(spec: List[(String, JValue)], key: String, ctx: String): JValue =
+    spec.collectFirst { case (`key`, x) => x }
+      .getOrElse(throw new MqlException(s"$ctx: missing '$key'"))
+
+  private def fieldOpt(spec: List[(String, JValue)], key: String): Option[JValue] =
+    spec.collectFirst { case (`key`, x) => x }
+
+  // MQL %-format → java.time format used by date_format
+  private[mql] def dateFormat(f: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < f.length) {
+      if (f.charAt(i) == '%' && i + 1 < f.length) {
+        sb.append(f.charAt(i + 1) match {
+          case 'Y' => "yyyy"; case 'm' => "MM";  case 'd' => "dd"
+          case 'H' => "HH";   case 'M' => "mm";  case 'S' => "ss"
+          case 'L' => "SSS";  case 'j' => "DDD"; case 'G' => "YYYY"
+          case 'u' => "e";    case '%' => "%"
+          case c   => throw new MqlException(s"unsupported date format %$c")
+        })
+        i += 2
+      } else { sb.append(f.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
+  private def compileOp(op: String, v: JValue, env: Map[String, Column]): Column = {
+    def c  = argList(v, env)
+    def c0 = c.head
+    op match {
+      // ---- arithmetic ----
+      case "$add"      => c.reduce(_ + _)
+      case "$subtract" => c(0) - c(1)
+      case "$multiply" => c.reduce(_ * _)
+      case "$divide"   => c(0) / c(1)
+      case "$mod"      => c(0) % c(1)
+      case "$abs"      => abs(c0)
+      case "$ceil"     => ceil(c0)
+      case "$floor"    => floor(c0)
+      case "$sqrt"     => sqrt(c0)
+      case "$exp"      => exp(c0)
+      case "$ln"       => log(c0)
+      case "$log10"    => log10(c0)
+      case "$log"      => log(c(0)) / log(c(1)) // [x, base]
+      case "$pow"      => pow(c(0), c(1))
+      case "$round" => v match {
+        case JArray(List(x, n)) => round(compile(x, env), intValue(n, "$round"))
+        case _ => round(c0, 0)
+      }
+      case "$trunc" => v match {
+        case JArray(List(x, n)) =>
+          val d = intValue(n, "$trunc"); val p = pow(lit(10.0), lit(d))
+          (compile(x, env) * p).cast(LongType) / p
+        case _ => c0.cast(LongType)
+      }
+      case "$sin" => sin(c0);   case "$cos" => cos(c0);   case "$tan" => tan(c0)
+      case "$asin" => asin(c0); case "$acos" => acos(c0); case "$atan" => atan(c0)
+      case "$atan2" => atan2(c(0), c(1))
+      case "$degreesToRadians" => radians(c0)
+      case "$radiansToDegrees" => degrees(c0)
+
+      // ---- comparison / boolean ----
+      case "$eq"  => c(0) <=> c(1)
+      case "$ne"  => !(c(0) <=> c(1))
+      case "$gt"  => c(0) > c(1)
+      case "$gte" => c(0) >= c(1)
+      case "$lt"  => c(0) < c(1)
+      case "$lte" => c(0) <= c(1)
+      case "$cmp" => when(c(0) < c(1), -1).when(c(0) > c(1), 1).otherwise(0)
+      case "$and" => c.reduce(_ && _)
+      case "$or"  => c.reduce(_ || _)
+      case "$not" => !c0
+
+      // ---- conditional ----
+      case "$cond" => v match {
+        case JArray(List(i, t, e)) =>
+          when(compile(i, env), compile(t, env)).otherwise(compile(e, env))
+        case JObject(spec) =>
+          when(compile(field(spec, "if", "$cond"), env),
+               compile(field(spec, "then", "$cond"), env))
+            .otherwise(compile(field(spec, "else", "$cond"), env))
+        case other => throw new MqlException(s"bad $$cond: $other")
+      }
+      case "$ifNull" => coalesce(c: _*)
+      case "$switch" => v match {
+        case JObject(spec) =>
+          val branches = field(spec, "branches", "$switch") match {
+            case JArray(bs) => bs.map(b => asObj(b, "$switch branch"))
+            case other => throw new MqlException(s"bad branches: $other")
+          }
+          val dflt = fieldOpt(spec, "default").map(compile(_, env)).getOrElse(lit(null))
+          branches.foldRight(dflt) { (b, acc) =>
+            when(compile(field(b, "case", "$switch"), env),
+                 compile(field(b, "then", "$switch"), env)).otherwise(acc)
+          }
+        case other => throw new MqlException(s"bad $$switch: $other")
+      }
+
+      // ---- strings ----
+      case "$concat"      => concat(c: _*)
+      case "$toUpper"     => upper(c0)
+      case "$toLower"     => lower(c0)
+      case "$strLenCP"    => length(c0)
+      case "$strLenBytes" => octet_length(c0)
+      case "$substrCP" | "$substrBytes" | "$substr" =>
+        c(0).substr(c(1) + lit(1), c(2)) // MQL is 0-indexed
+      case "$split" => v match {
+        case JArray(List(s, JString(delim))) =>
+          split(compile(s, env), java.util.regex.Pattern.quote(delim))
+        case other => throw new MqlException(s"bad $$split: $other")
+      }
+      case "$trim" | "$ltrim" | "$rtrim" => v match {
+        case JObject(spec) =>
+          val in = compile(field(spec, "input", op), env)
+          val chars = fieldOpt(spec, "chars").map(x => strValue(x, op))
+          (op, chars) match {
+            case ("$trim", None)     => trim(in)
+            case ("$trim", Some(ch)) => trim(in, ch)
+            case ("$ltrim", None)    => ltrim(in)
+            case ("$ltrim", Some(ch)) => ltrim(in, ch)
+            case ("$rtrim", None)    => rtrim(in)
+            case (_, Some(ch))       => rtrim(in, ch)
+            case _ => throw new MqlException(s"bad $op")
+          }
+        case other => throw new MqlException(s"bad $op: $other")
+      }
+      case "$toString" => c0.cast(StringType)
+      case "$regexMatch" => v match {
+        case JObject(spec) =>
+          val in = compile(field(spec, "input", op), env)
+          val re = strValue(field(spec, "regex", op), op)
+          val opts = fieldOpt(spec, "options").map(x => strValue(x, op)).getOrElse("")
+          in.rlike((if (opts.nonEmpty) s"(?$opts)" else "") + re)
+        case other => throw new MqlException(s"bad $$regexMatch: $other")
+      }
+      case "$replaceAll" => v match {
+        case JObject(spec) =>
+          regexp_replace(compile(field(spec, "input", op), env),
+            java.util.regex.Pattern.quote(strValue(field(spec, "find", op), op)),
+            java.util.regex.Matcher.quoteReplacement(
+              strValue(field(spec, "replacement", op), op)))
+        case other => throw new MqlException(s"bad $$replaceAll: $other")
+      }
+
+      // ---- dates ----
+      case "$year" => year(c0);           case "$month" => month(c0)
+      case "$dayOfMonth" => dayofmonth(c0); case "$hour" => hour(c0)
+      case "$minute" => minute(c0);       case "$second" => second(c0)
+      case "$millisecond" => date_format(c0, "SSS").cast(IntegerType)
+      case "$dayOfWeek" => dayofweek(c0)
+      case "$dayOfYear" => dayofyear(c0)
+      case "$week" | "$isoWeek" => weekofyear(c0)
+      case "$isoDayOfWeek" => weekday(c0) + lit(1)
+      case "$dateToString" => v match {
+        case JObject(spec) =>
+          val d = compile(field(spec, "date", op), env)
+          val f = fieldOpt(spec, "format").map(x => strValue(x, op))
+            .getOrElse("%Y-%m-%dT%H:%M:%S.%LZ")
+          date_format(d, dateFormat(f))
+        case other => throw new MqlException(s"bad $$dateToString: $other")
+      }
+      case "$dateTrunc" => v match {
+        case JObject(spec) =>
+          date_trunc(strValue(field(spec, "unit", op), op),
+                     compile(field(spec, "date", op), env))
+        case other => throw new MqlException(s"bad $$dateTrunc: $other")
+      }
+
+      // ---- type conversion ----
+      case "$toInt"     => c0.cast(IntegerType)
+      case "$toLong"    => c0.cast(LongType)
+      case "$toDouble"  => c0.cast(DoubleType)
+      case "$toBool"    => c0.cast(BooleanType)
+      case "$toDecimal" => c0.cast(DecimalParity)
+      case "$toDate"    => c0.cast(TimestampType)
+      case "$literal"   => literal(v)
+
+      // ---- arrays ----
+      case "$size" => size(c0)
+      case "$arrayElemAt" => v match {
+        case JArray(List(a, idx)) =>
+          val arr = compile(a, env)
+          idx match {
+            case JInt(i) if i >= 0 => element_at(arr, i.toInt + 1)
+            case JInt(i)           => element_at(arr, i.toInt)
+            case _ =>
+              val ic = compile(idx, env)
+              when(ic >= 0, get(arr, ic)).otherwise(element_at(arr, ic))
+          }
+        case other => throw new MqlException(s"bad $$arrayElemAt: $other")
+      }
+      case "$first" => element_at(c0, 1)
+      case "$last"  => element_at(c0, -1)
+      case "$concatArrays" => concat(c: _*)
+      case "$slice" => v match {
+        case JArray(List(a, n)) =>
+          val arr = compile(a, env); val k = intValue(n, "$slice")
+          if (k >= 0) slice(arr, 1, k) else slice(arr, k, -k)
+        case JArray(List(a, p, n)) =>
+          slice(compile(a, env), intValue(p, "$slice") + 1, intValue(n, "$slice"))
+        case other => throw new MqlException(s"bad $$slice: $other")
+      }
+      case "$in" => array_contains(c(1), c(0))
+      case "$indexOfArray" => array_position(c(0), c(1)) - lit(1)
+      case "$range" => v match {
+        case JArray(es) =>
+          val step = es.drop(2).headOption.map(intValue(_, "$range")).getOrElse(1)
+          val start = compile(es(0), env); val end = compile(es(1), env)
+          val stop = if (step > 0) end - lit(1) else end + lit(1)
+          sequence(start, stop, lit(step))
+        case other => throw new MqlException(s"bad $$range: $other")
+      }
+      case "$reverseArray" => reverse(c0)
+      case "$sortArray" => v match {
+        case JObject(spec) =>
+          val in = compile(field(spec, "input", op), env)
+          val ascending = field(spec, "sortBy", "$sortArray") match {
+            case JInt(d)  => d >= 0
+            case JLong(d) => d >= 0
+            case other => throw new MqlException(s"$$sortArray sortBy must be 1/-1: $other")
+          }
+          sort_array(in, asc = ascending)
+        case other => throw new MqlException(s"bad $$sortArray: $other")
+      }
+      case "$setUnion"     => array_distinct(concat(c: _*))
+      case "$setIntersect" => c.reduce(array_intersect)
+      case "$setDifference" => array_except(c(0), c(1))
+      case "$filter" => v match {
+        case JObject(spec) =>
+          val in = compile(field(spec, "input", op), env)
+          val as = fieldOpt(spec, "as").map(x => strValue(x, op)).getOrElse("this")
+          val cond = field(spec, "cond", op)
+          val out = filter(in, x => compile(cond, env + (as -> x) + ("this" -> x)))
+          fieldOpt(spec, "limit").map(l => slice(out, 1, intValue(l, op))).getOrElse(out)
+        case other => throw new MqlException(s"bad $$filter: $other")
+      }
+      case "$map" => v match {
+        case JObject(spec) =>
+          val in = compile(field(spec, "input", op), env)
+          val as = fieldOpt(spec, "as").map(x => strValue(x, op)).getOrElse("this")
+          val body = field(spec, "in", op)
+          transform(in, x => compile(body, env + (as -> x) + ("this" -> x)))
+        case other => throw new MqlException(s"bad $$map: $other")
+      }
+      case "$reduce" => v match {
+        case JObject(spec) =>
+          val in = compile(field(spec, "input", op), env)
+          val init = compile(field(spec, "initialValue", op), env)
+          val body = field(spec, "in", op)
+          aggregate(in, init,
+            (acc, x) => compile(body, env + ("value" -> acc) + ("this" -> x)))
+        case other => throw new MqlException(s"bad $$reduce: $other")
+      }
+      case "$getField" => v match {
+        case JObject(spec) =>
+          compile(field(spec, "input", op), env)
+            .getField(strValue(field(spec, "field", op), op))
+        case JString(f) => fieldCol(f)
+        case other => throw new MqlException(s"bad $$getField: $other")
+      }
+
+      case other => throw new MqlException(s"unsupported expression operator $other")
+    }
+  }
+}

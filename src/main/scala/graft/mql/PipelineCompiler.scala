@@ -1,0 +1,364 @@
+package graft.mql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.json4s._
+import Mql._
+
+/** Compiles MQL aggregation pipelines into DataFrame transformations.
+  *
+  * The reference forwards pipelines verbatim to the server
+  * (bindings/python/pymongoarrow/api.py:252) and only rejects
+  * $out/$merge tails (api.py:235-240) — that rejection is mirrored here.
+  * Every stage lowers to declarative Dataset ops so Catalyst keeps
+  * pushdown/pruning/join-selection; nothing drops to RDDs.
+  *
+  * Scale notes:
+  *  - $group/$lookup shuffle on their keys only; map-side partial
+  *    aggregation is automatic for all accumulators used here.
+  *  - $lookup packs the foreign table once (groupBy foreignField) and
+  *    lets AQE broadcast the packed side when small.
+  *  - $sort is only safe as a final presentation stage at 100 TB; the
+  *    compiler keeps it lazy so a following $limit becomes TakeOrdered.
+  */
+object PipelineCompiler {
+  /** Resolves a collection name ($lookup/$unionWith `from`) to a DataFrame. */
+  type TableResolver = String => DataFrame
+
+  private val noTables: TableResolver =
+    name => throw new MqlException(s"no table resolver provided for '$name'")
+
+  def run(df: DataFrame, pipelineJson: String): DataFrame =
+    run(df, pipelineJson, noTables)
+
+  def run(df: DataFrame, pipelineJson: String, resolve: TableResolver): DataFrame = {
+    val stages = parse(pipelineJson) match {
+      case JArray(ss) => ss
+      case other => throw new MqlException(s"pipeline must be an array, got $other")
+    }
+    // mirror reference api.py:235-240: refuse server-side-write tails
+    stages.foreach {
+      case JObject(List((op, _))) if op == "$out" || op == "$merge" =>
+        throw new MqlException(s"$op is not supported (reference rejects it too)")
+      case _ =>
+    }
+    stages.foldLeft(df) { (acc, s) =>
+      asObj(s, "stage") match {
+        case List((name, spec)) => applyStage(acc, name, spec, resolve)
+        case other => throw new MqlException(s"stage must have exactly one key: $other")
+      }
+    }
+  }
+
+  private[mql] def applyStage(df: DataFrame, name: String, spec: JValue,
+                              resolve: TableResolver): DataFrame = name match {
+    case "$match"   => df.where(FilterCompiler.compile(spec))
+    case "$limit"   => df.limit(intValue(spec, "$limit"))
+    case "$skip"    => df.offset(intValue(spec, "$skip"))
+    case "$sort"    => df.orderBy(sortCols(spec): _*)
+    case "$count"   =>
+      df.groupBy().agg(count(lit(1)).as(strValue(spec, "$count")))
+    case "$project" => project(df, asObj(spec, "$project"))
+    case "$addFields" | "$set" =>
+      asObj(spec, name).foldLeft(df) { case (acc, (k, e)) =>
+        if (k.contains(".")) throw new MqlException(s"$name: dotted target '$k' unsupported")
+        acc.withColumn(k, ExprCompiler.compile(e))
+      }
+    case "$unset" => spec match {
+      case JString(f)  => df.drop(f)
+      case JArray(fs)  => df.drop(fs.map(strValue(_, "$unset")): _*)
+      case other => throw new MqlException(s"bad $$unset: $other")
+    }
+    case "$group"          => group(df, asObj(spec, "$group"))
+    case "$unwind"         => unwind(df, spec)
+    case "$lookup"         => lookup(df, asObj(spec, "$lookup"), resolve)
+    case "$replaceRoot"    =>
+      val root = asObj(spec, "$replaceRoot")
+        .collectFirst { case ("newRoot", e) => e }
+        .getOrElse(throw new MqlException("$replaceRoot needs newRoot"))
+      df.select(ExprCompiler.compile(root).as("__root")).select("__root.*")
+    case "$replaceWith"    =>
+      df.select(ExprCompiler.compile(spec).as("__root")).select("__root.*")
+    case "$sample" =>
+      val n = asObj(spec, "$sample").collectFirst { case ("size", s) => intValue(s, "$sample") }
+        .getOrElse(throw new MqlException("$sample needs size"))
+      df.orderBy(rand(42)).limit(n) // deterministic sample (seeded)
+    case "$sortByCount" =>
+      df.groupBy(ExprCompiler.compile(spec).as("_id"))
+        .agg(count(lit(1)).as("count"))
+        .orderBy(desc("count"), asc("_id"))
+    case "$unionWith" => spec match {
+      case JString(coll) => df.unionByName(resolve(coll), allowMissingColumns = true)
+      case JObject(s) =>
+        val coll = strValue(s.collectFirst { case ("coll", c) => c }
+          .getOrElse(throw new MqlException("$unionWith needs coll")), "$unionWith")
+        val other = s.collectFirst { case ("pipeline", JArray(ps)) => ps }
+          .map(ps => ps.foldLeft(resolve(coll)) { (acc, st) =>
+            asObj(st, "stage") match {
+              case List((n2, sp2)) => applyStage(acc, n2, sp2, resolve)
+              case o => throw new MqlException(s"bad stage $o")
+            }
+          }).getOrElse(resolve(coll))
+        df.unionByName(other, allowMissingColumns = true)
+      case other => throw new MqlException(s"bad $$unionWith: $other")
+    }
+    case "$bucket"          => bucket(df, asObj(spec, "$bucket"))
+    case "$setWindowFields" => setWindowFields(df, asObj(spec, "$setWindowFields"))
+    case other => throw new MqlException(s"unsupported pipeline stage $other")
+  }
+
+  private def sortCols(spec: JValue): Seq[Column] =
+    asObj(spec, "$sort").map {
+      case (k, JInt(d))  => if (d >= 0) fieldCol(k).asc else fieldCol(k).desc
+      case (k, JLong(d)) => if (d >= 0) fieldCol(k).asc else fieldCol(k).desc
+      case (k, other)    => throw new MqlException(s"bad sort direction for $k: $other")
+    }
+
+  // ---- $project ----------------------------------------------------------
+  // Inclusion specs build a nested tree so dotted paths reconstruct structs
+  // (mirrors the reference's projection synthesis, schema.py:68-85, which
+  // recurses structs with dotted names).
+  private sealed trait ProjNode
+  private case class Leaf(c: Column) extends ProjNode
+  private case class Branch(children: scala.collection.mutable.LinkedHashMap[String, ProjNode]) extends ProjNode
+
+  private def isIncludeMarker(v: JValue): Boolean = v match {
+    case JBool(true) | JInt(_) | JLong(_) | JDouble(_) => v match {
+      case JBool(b) => b
+      case JInt(i) => i != 0
+      case JLong(l) => l != 0
+      case JDouble(d) => d != 0
+      case _ => false
+    }
+    case _ => false
+  }
+  private def isExcludeMarker(v: JValue): Boolean = v match {
+    case JBool(false) => true
+    case JInt(i) => i == 0
+    case JLong(l) => l == 0
+    case JDouble(d) => d == 0
+    case _ => false
+  }
+
+  private def project(df: DataFrame, fields: List[(String, JValue)]): DataFrame = {
+    val (idSpecs, rest) = fields.partition(_._1 == "_id")
+    val exclusionMode = rest.nonEmpty && rest.forall { case (_, v) => isExcludeMarker(v) }
+    if (exclusionMode) {
+      val dropId = idSpecs.exists { case (_, v) => isExcludeMarker(v) }
+      val toDrop = rest.map(_._1) ++ (if (dropId) Seq("_id") else Nil)
+      df.drop(toDrop: _*)
+    } else {
+      val root = Branch(scala.collection.mutable.LinkedHashMap.empty)
+      def insert(path: List[String], node: Branch, leaf: => Column): Unit = path match {
+        case last :: Nil => node.children(last) = Leaf(leaf)
+        case head :: tail =>
+          val child = node.children.getOrElseUpdate(head,
+            Branch(scala.collection.mutable.LinkedHashMap.empty)) match {
+            case b: Branch => b
+            case _ => throw new MqlException(s"projection path conflict at $head")
+          }
+          insert(tail, child, leaf)
+        case Nil => throw new MqlException("empty projection path")
+      }
+      // _id included by default when present and not excluded
+      val includeId = idSpecs.headOption match {
+        case Some((_, v)) => !isExcludeMarker(v)
+        case None => df.columns.contains("_id")
+      }
+      if (includeId && (df.columns.contains("_id") || idSpecs.exists(f => !isIncludeMarker(f._2) && !isExcludeMarker(f._2))))
+        idSpecs.headOption match {
+          case Some((_, v)) if !isIncludeMarker(v) && !isExcludeMarker(v) =>
+            insert(List("_id"), root, ExprCompiler.compile(v))
+          case _ => insert(List("_id"), root, fieldCol("_id"))
+        }
+      rest.foreach { case (path, v) =>
+        val segs = path.split('.').toList
+        if (isIncludeMarker(v)) insert(segs, root, fieldCol(path))
+        else if (isExcludeMarker(v))
+          throw new MqlException(s"cannot mix include and exclude: $path")
+        else insert(segs, root, ExprCompiler.compile(v))
+      }
+      def render(n: ProjNode): Column = n match {
+        case Leaf(c) => c
+        case Branch(ch) => struct(ch.map { case (k, sub) => render(sub).as(k) }.toSeq: _*)
+      }
+      val cols = root.children.map { case (k, sub) => render(sub).as(k) }.toSeq
+      df.select(cols: _*)
+    }
+  }
+
+  // ---- $group ------------------------------------------------------------
+  private def accumulator(op: String, arg: JValue): Column = {
+    def e = ExprCompiler.compile(arg)
+    op match {
+      case "$sum"       => sum(e)
+      case "$avg"       => avg(e)
+      case "$min"       => min(e)
+      case "$max"       => max(e)
+      case "$push"      => collect_list(e)
+      case "$addToSet"  => collect_set(e)
+      case "$first"     => first(e, ignoreNulls = false)
+      case "$last"      => last(e, ignoreNulls = false)
+      case "$count"     => count(lit(1))
+      case "$stdDevPop" => stddev_pop(e)
+      case "$stdDevSamp" => stddev_samp(e)
+      case "$median"    => median(e)
+      case other => throw new MqlException(s"unsupported accumulator $other")
+    }
+  }
+
+  private def group(df: DataFrame, fields: List[(String, JValue)]): DataFrame = {
+    val idExpr = fields.collectFirst { case ("_id", e) => e }
+      .getOrElse(throw new MqlException("$group requires _id"))
+    val accs = fields.filterNot(_._1 == "_id").map {
+      case (n, JObject(List((op, arg)))) => accumulator(op, arg).as(n)
+      case (n, other) => throw new MqlException(s"bad accumulator for $n: $other")
+    }
+    def agg(g: org.apache.spark.sql.RelationalGroupedDataset): DataFrame = accs match {
+      case head :: tail => g.agg(head, tail: _*)
+      case Nil => g.agg(count(lit(1)).as("__n")).drop("__n")
+    }
+    idExpr match {
+      case JNull =>
+        agg(df.groupBy()).select(lit(null).cast(IntegerType).as("_id"), col("*"))
+      case JObject(ks) if !isOperatorDoc(ks) =>
+        // compound key → struct-valued _id, so "$_id.k" refs resolve
+        val keyCols = ks.map { case (k, e) => ExprCompiler.compile(e).as(k) }
+        val grouped = df.groupBy(struct(keyCols: _*).as("_id"))
+        agg(grouped)
+      case e =>
+        agg(df.groupBy(ExprCompiler.compile(e).as("_id")))
+    }
+  }
+
+  // ---- $unwind -----------------------------------------------------------
+  private def unwind(df: DataFrame, spec: JValue): DataFrame = {
+    val (path, preserve, idxField) = spec match {
+      case JString(p) => (p, false, None)
+      case JObject(s) =>
+        val p = strValue(s.collectFirst { case ("path", x) => x }
+          .getOrElse(throw new MqlException("$unwind needs path")), "$unwind")
+        val pres = s.collectFirst { case ("preserveNullAndEmptyArrays", JBool(b)) => b }
+          .getOrElse(false)
+        val idx = s.collectFirst { case ("includeArrayIndex", JString(f)) => f }
+        (p, pres, idx)
+      case other => throw new MqlException(s"bad $$unwind: $other")
+    }
+    val fieldName = if (path.startsWith("$")) path.drop(1) else path
+    if (fieldName.contains("."))
+      throw new MqlException(s"$$unwind: nested path '$fieldName' unsupported")
+    val others = df.columns.filterNot(_ == fieldName).map(col)
+    idxField match {
+      case None =>
+        val gen = if (preserve) explode_outer(col(fieldName)) else explode(col(fieldName))
+        df.withColumn(fieldName, gen)
+      case Some(idx) =>
+        val gen = if (preserve) posexplode_outer(col(fieldName)) else posexplode(col(fieldName))
+        df.select((others :+ gen.as(Seq(idx, fieldName))): _*)
+          .withColumn(idx, col(idx).cast(LongType))
+    }
+  }
+
+  // ---- $lookup -----------------------------------------------------------
+  // Equality form: pack the foreign side per key (one shuffle on the
+  // foreign table, one on `df` unless co-partitioned), left join, missing
+  // match → empty array (Mongo semantics). AQE broadcasts small packed
+  // sides automatically.
+  private def lookup(df: DataFrame, spec: List[(String, JValue)],
+                     resolve: TableResolver): DataFrame = {
+    def get(k: String) = strValue(spec.collectFirst { case (`k`, x) => x }
+      .getOrElse(throw new MqlException(s"$$lookup needs $k")), "$lookup")
+    val from = get("from"); val local = get("localField")
+    val foreign = get("foreignField"); val as = get("as")
+    val fromDf = resolve(from)
+    val packed = fromDf
+      .groupBy(col(foreign).as("__graft_fk"))
+      .agg(collect_list(struct(fromDf.columns.map(col): _*)).as(as))
+    val joined = df.join(packed, col(local) === col("__graft_fk"), "left")
+      .drop("__graft_fk")
+    val elemType = packed.schema(as).dataType
+    joined.withColumn(as, coalesce(col(as), array().cast(elemType)))
+  }
+
+  // ---- $bucket -----------------------------------------------------------
+  private def bucket(df: DataFrame, spec: List[(String, JValue)]): DataFrame = {
+    val gb = ExprCompiler.compile(spec.collectFirst { case ("groupBy", e) => e }
+      .getOrElse(throw new MqlException("$bucket needs groupBy")))
+    val bounds = spec.collectFirst { case ("boundaries", JArray(bs)) => bs }
+      .getOrElse(throw new MqlException("$bucket needs boundaries"))
+      .map(literal)
+    val default = spec.collectFirst { case ("default", d) => literal(d) }
+    val bucketCol = bounds.sliding(2).toList.foldLeft(when(lit(false), lit(null))) {
+      case (acc, List(lo, hi)) => acc.when(gb >= lo && gb < hi, lo)
+      case (acc, _) => acc
+    }
+    val withDefault = default.map(bucketCol.otherwise).getOrElse(bucketCol)
+    val accs = spec.collectFirst { case ("output", JObject(out)) => out }
+      .getOrElse(List("count" -> JObject(List("$sum" -> JInt(1)))))
+      .map { case (n, JObject(List((op, arg)))) => accumulator(op, arg).as(n)
+             case (n, other) => throw new MqlException(s"bad output $n: $other") }
+    df.groupBy(withDefault.as("_id")).agg(accs.head, accs.tail: _*)
+  }
+
+  // ---- $setWindowFields --------------------------------------------------
+  private def setWindowFields(df: DataFrame, spec: List[(String, JValue)]): DataFrame = {
+    val partCols: Seq[Column] = spec.collectFirst { case ("partitionBy", e) => e } match {
+      case None | Some(JNull) => Seq.empty
+      case Some(e) => Seq(ExprCompiler.compile(e))
+    }
+    val sortBy = spec.collectFirst { case ("sortBy", s) => sortCols(s) }
+    val output = spec.collectFirst { case ("output", JObject(out)) => out }
+      .getOrElse(throw new MqlException("$setWindowFields needs output"))
+
+    def frameBound(v: JValue, default: Long): Long = v match {
+      case JString("unbounded") => default
+      case JString("current")   => 0L
+      case JInt(i)              => i.toLong
+      case JLong(l)             => l
+      case other => throw new MqlException(s"bad window bound: $other")
+    }
+
+    output.foldLeft(df) { case (acc, (name, JObject(fspec))) =>
+      val windowDoc = fspec.collectFirst { case ("window", JObject(w)) => w }
+      val opEntry = fspec.collectFirst {
+        case (op, arg) if op.startsWith("$") => (op, arg)
+      }.getOrElse(throw new MqlException(s"window output $name needs an operator"))
+      val (op, arg) = opEntry
+
+      val base: WindowSpec =
+        if (partCols.nonEmpty) Window.partitionBy(partCols: _*)
+        else Window.partitionBy(lit(0))
+      val ranked = op match {
+        case "$rank" | "$denseRank" | "$documentNumber" => true
+        case _ => false
+      }
+      val sorted = sortBy.map(sc => base.orderBy(sc: _*)).getOrElse(base)
+      val framed: WindowSpec = windowDoc.flatMap(_.collectFirst {
+        case ("documents", JArray(List(lo, hi))) =>
+          sorted.rowsBetween(
+            frameBound(lo, Window.unboundedPreceding),
+            frameBound(hi, Window.unboundedFollowing))
+      }).getOrElse {
+        if (ranked) sorted
+        else if (sortBy.isDefined)
+          sorted.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        else sorted.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      }
+      val wcol = op match {
+        case "$rank"           => rank().over(framed)
+        case "$denseRank"      => dense_rank().over(framed)
+        case "$documentNumber" => row_number().over(framed)
+        case "$sum"   => sum(ExprCompiler.compile(arg)).over(framed)
+        case "$avg"   => avg(ExprCompiler.compile(arg)).over(framed)
+        case "$min"   => min(ExprCompiler.compile(arg)).over(framed)
+        case "$max"   => max(ExprCompiler.compile(arg)).over(framed)
+        case "$count" => count(lit(1)).over(framed)
+        case "$push"  => collect_list(ExprCompiler.compile(arg)).over(framed)
+        case other => throw new MqlException(s"unsupported window operator $other")
+      }
+      acc.withColumn(name, wcol)
+    }
+  }
+}

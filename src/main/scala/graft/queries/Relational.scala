@@ -1,0 +1,284 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.api.Graft
+
+/** The MQL / relational operator battery (SURVEY.md §2.B–C): every entry
+  * runs through the engine's own compilers (FilterCompiler /
+  * PipelineCompiler), so the DuckDB oracle validates the compiler output,
+  * not hand-written DataFrame code.
+  */
+object Relational {
+  private def agg(coll: String, pipeline: String)(s: SparkSession, dir: String): DataFrame =
+    Graft.aggregate(s, dir, coll, pipeline)
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef("q_find_filter",
+      (s, dir) => Graft.find(Graft.table(s, dir, "lineitem"),
+        filter = """{"l_quantity": {"$gt": 45.0}, "l_returnflag": "R"}""",
+        projection = Some("""{"l_orderkey": 1, "l_linenumber": 1, "l_quantity": 1}"""),
+        sort = Some("""{"l_orderkey": 1, "l_linenumber": 1}""")),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+              WHERE l_quantity > 45.0 AND l_returnflag = 'R'
+              ORDER BY l_orderkey, l_linenumber""")),
+
+    QueryDef("q_find_in",
+      (s, dir) => Graft.find(Graft.table(s, dir, "orders"),
+        filter = """{"o_orderpriority": {"$in": ["1-URGENT", "2-HIGH"]},
+                     "o_orderstatus": {"$ne": "F"}}""",
+        projection = Some("""{"o_orderkey": 1, "o_orderpriority": 1, "o_orderstatus": 1}"""),
+        sort = Some("""{"o_orderkey": 1}""")),
+      Some("""SELECT o_orderkey, o_orderpriority, o_orderstatus FROM orders
+              WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+                AND (o_orderstatus IS NULL OR o_orderstatus <> 'F')
+              ORDER BY o_orderkey""")),
+
+    QueryDef("q_find_or_range",
+      (s, dir) => Graft.find(Graft.table(s, dir, "lineitem"),
+        filter = """{"$or": [{"l_discount": {"$gte": 0.09}}, {"l_quantity": {"$lt": 2.0}}],
+                     "l_shipdate": {"$gte": {"$date": "1995-01-01T00:00:00Z"}}}""",
+        projection = Some("""{"l_orderkey": 1, "l_linenumber": 1, "l_discount": 1, "l_quantity": 1}"""),
+        sort = Some("""{"l_orderkey": 1, "l_linenumber": 1}""")),
+      Some("""SELECT l_orderkey, l_linenumber, l_discount, l_quantity FROM lineitem
+              WHERE (l_discount >= 0.09 OR l_quantity < 2.0)
+                AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+              ORDER BY l_orderkey, l_linenumber""")),
+
+    QueryDef("q_find_regex",
+      (s, dir) => Graft.find(Graft.table(s, dir, "part"),
+        filter = """{"p_name": {"$regex": "^large", "$options": "i"}, "p_size": {"$gte": 10}}""",
+        projection = Some("""{"p_partkey": 1, "p_name": 1, "p_size": 1}"""),
+        sort = Some("""{"p_partkey": 1}""")),
+      Some("""SELECT p_partkey, p_name, p_size FROM part
+              WHERE regexp_matches(p_name, '(?i)^large') AND p_size >= 10
+              ORDER BY p_partkey""")),
+
+    QueryDef("q_find_mod_nin",
+      (s, dir) => Graft.find(Graft.table(s, dir, "lineitem"),
+        filter = """{"l_partkey": {"$mod": [7, 3]},
+                     "l_returnflag": {"$nin": ["N"]}}""",
+        projection = Some("""{"l_orderkey": 1, "l_linenumber": 1, "l_partkey": 1, "l_returnflag": 1}"""),
+        sort = Some("""{"l_orderkey": 1, "l_linenumber": 1}""")),
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_returnflag FROM lineitem
+              WHERE l_partkey % 7 = 3
+                AND NOT coalesce(l_returnflag IN ('N'), FALSE)
+              ORDER BY l_orderkey, l_linenumber""")),
+
+    QueryDef("q_match_expr",
+      (s, dir) => agg("lineitem", """[
+        {"$match": {"$expr": {"$gt": ["$l_extendedprice",
+                                      {"$multiply": [1500, "$l_quantity"]}]}}},
+        {"$project": {"l_orderkey": 1, "l_linenumber": 1,
+                      "l_extendedprice": 1, "l_quantity": 1}},
+        {"$sort": {"l_orderkey": 1, "l_linenumber": 1}}]""")(s, dir),
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity FROM lineitem
+              WHERE l_extendedprice > 1500 * l_quantity
+              ORDER BY l_orderkey, l_linenumber""")),
+
+    QueryDef("q_project_compute",
+      (s, dir) => agg("part", """[
+        {"$project": {
+           "p_partkey": 1,
+           "name_upper": {"$toUpper": "$p_name"},
+           "brand_type": {"$concat": ["$p_brand", "#", "$p_type"]},
+           "half_price": {"$multiply": [0.5, "$p_retailprice"]},
+           "size_class": {"$switch": {"branches": [
+              {"case": {"$lt": ["$p_size", 10]}, "then": "small"},
+              {"case": {"$lt": ["$p_size", 30]}, "then": "medium"}],
+              "default": "big"}}}},
+        {"$sort": {"p_partkey": 1}}]""")(s, dir),
+      Some("""SELECT p_partkey, upper(p_name) AS name_upper,
+                     p_brand || '#' || p_type AS brand_type,
+                     0.5 * p_retailprice AS half_price,
+                     CASE WHEN p_size < 10 THEN 'small'
+                          WHEN p_size < 30 THEN 'medium'
+                          ELSE 'big' END AS size_class
+              FROM part ORDER BY p_partkey""")),
+
+    QueryDef("q_project_date",
+      (s, dir) => agg("orders", """[
+        {"$project": {
+           "o_orderkey": 1,
+           "y":  {"$toLong": {"$year": "$o_orderdate"}},
+           "m":  {"$toLong": {"$month": "$o_orderdate"}},
+           "d":  {"$toLong": {"$dayOfMonth": "$o_orderdate"}},
+           "ds": {"$dateToString": {"date": "$o_orderdate", "format": "%Y-%m-%d"}}}},
+        {"$sort": {"o_orderkey": 1}}]""")(s, dir),
+      Some("""SELECT o_orderkey,
+                     CAST(year(o_orderdate) AS BIGINT) AS y,
+                     CAST(month(o_orderdate) AS BIGINT) AS m,
+                     CAST(day(o_orderdate) AS BIGINT) AS d,
+                     strftime(o_orderdate, '%Y-%m-%d') AS ds
+              FROM orders ORDER BY o_orderkey""")),
+
+    // TPC-H Q1 shape — the headline aggregation
+    QueryDef("q_group_pricing",
+      (s, dir) => agg("lineitem", """[
+        {"$match": {"l_shipdate": {"$lte": {"$date": "1998-09-01T00:00:00Z"}}}},
+        {"$group": {"_id": {"rf": "$l_returnflag", "ls": "$l_linestatus"},
+           "sum_qty":  {"$sum": {"$toDecimal": "$l_quantity"}},
+           "sum_base": {"$sum": {"$toDecimal": "$l_extendedprice"}},
+           "sum_disc_price": {"$sum": {"$multiply": [
+              {"$toDecimal": "$l_extendedprice"},
+              {"$toDecimal": {"$subtract": [1, "$l_discount"]}}]}},
+           "n": {"$count": {}}}},
+        {"$project": {"_id": 0,
+           "l_returnflag": "$_id.rf", "l_linestatus": "$_id.ls",
+           "sum_qty": {"$toDouble": "$sum_qty"},
+           "sum_base": {"$toDouble": "$sum_base"},
+           "sum_disc_price": {"$toDouble": "$sum_disc_price"},
+           "avg_qty": {"$divide": [{"$toDouble": "$sum_qty"}, "$n"]},
+           "n": 1}},
+        {"$sort": {"l_returnflag": 1, "l_linestatus": 1}}]""")(s, dir),
+      Some("""SELECT l_returnflag, l_linestatus,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                              * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+              GROUP BY l_returnflag, l_linestatus
+              ORDER BY l_returnflag, l_linestatus""")),
+
+    QueryDef("q_group_year",
+      (s, dir) => agg("orders", """[
+        {"$group": {"_id": {"$toLong": {"$year": "$o_orderdate"}},
+           "total": {"$sum": {"$toDecimal": "$o_totalprice"}},
+           "n": {"$count": {}}}},
+        {"$project": {"_id": 0, "y": "$_id",
+           "total": {"$toDouble": "$total"}, "n": 1}},
+        {"$sort": {"y": 1}}]""")(s, dir),
+      Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM orders GROUP BY 1 ORDER BY y""")),
+
+    QueryDef("q_group_set_join",
+      (s, dir) => agg("documents", """[
+        {"$group": {"_id": "$lang", "srcs": {"$addToSet": "$source"},
+                    "n": {"$count": {}}}},
+        {"$project": {"_id": 0, "lang": "$_id", "n": 1,
+           "sources": {"$reduce": {
+              "input": {"$sortArray": {"input": "$srcs", "sortBy": 1}},
+              "initialValue": "",
+              "in": {"$concat": ["$$value",
+                 {"$cond": [{"$eq": ["$$value", ""]}, "", "|"]}, "$$this"]}}}}},
+        {"$sort": {"lang": 1}}]""")(s, dir),
+      Some("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+                     array_to_string(list_sort(list(DISTINCT source)), '|') AS sources
+              FROM documents GROUP BY lang ORDER BY lang""")),
+
+    QueryDef("q_unwind_embed",
+      (s, dir) => agg("embeddings", """[
+        {"$match": {"vec_id": {"$lt": 100}}},
+        {"$unwind": {"path": "$embedding", "includeArrayIndex": "idx"}},
+        {"$project": {"vec_id": 1, "idx": 1, "embedding": 1}},
+        {"$sort": {"vec_id": 1, "idx": 1}}]""")(s, dir),
+      Some("""SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS idx,
+                     unnest(embedding) AS embedding
+              FROM embeddings WHERE vec_id < 100 ORDER BY vec_id, idx""")),
+
+    QueryDef("q_lookup_unwind",
+      (s, dir) => agg("orders", """[
+        {"$match": {"o_totalprice": {"$gt": 50000.0}}},
+        {"$lookup": {"from": "customer", "localField": "o_custkey",
+                     "foreignField": "c_custkey", "as": "c"}},
+        {"$unwind": "$c"},
+        {"$project": {"o_orderkey": 1, "o_custkey": 1,
+                      "c_name": "$c.c_name", "c_acctbal": "$c.c_acctbal"}},
+        {"$sort": {"o_orderkey": 1}}]""")(s, dir),
+      Some("""SELECT o_orderkey, o_custkey, c_name, c_acctbal
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              WHERE o_totalprice > 50000.0 ORDER BY o_orderkey""")),
+
+    QueryDef("q_lookup_size",
+      (s, dir) => agg("customer", """[
+        {"$lookup": {"from": "orders", "localField": "c_custkey",
+                     "foreignField": "o_custkey", "as": "o"}},
+        {"$project": {"c_custkey": 1, "n_orders": {"$toLong": {"$size": "$o"}}}},
+        {"$sort": {"c_custkey": 1}}]""")(s, dir),
+      Some("""SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey ORDER BY c_custkey""")),
+
+    QueryDef("q_sort_skip_limit",
+      (s, dir) => agg("orders", """[
+        {"$sort": {"o_totalprice": -1, "o_orderkey": 1}},
+        {"$skip": 100}, {"$limit": 50},
+        {"$project": {"o_orderkey": 1, "o_totalprice": 1}}]""")(s, dir),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 50 OFFSET 100""")),
+
+    QueryDef("q_count",
+      (s, dir) => agg("lineitem", """[
+        {"$match": {"l_returnflag": "A"}},
+        {"$count": "n"}]""")(s, dir),
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem
+              WHERE l_returnflag = 'A'""")),
+
+    QueryDef("q_distinct",
+      (s, dir) => agg("lineitem", """[
+        {"$group": {"_id": {"rf": "$l_returnflag", "ls": "$l_linestatus"}}},
+        {"$project": {"_id": 0, "l_returnflag": "$_id.rf", "l_linestatus": "$_id.ls"}},
+        {"$sort": {"l_returnflag": 1, "l_linestatus": 1}}]""")(s, dir),
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+              ORDER BY l_returnflag, l_linestatus""")),
+
+    QueryDef("q_bucket",
+      (s, dir) => agg("part", """[
+        {"$bucket": {"groupBy": "$p_size",
+           "boundaries": [1, 11, 21, 31, 41, 51],
+           "output": {"n": {"$sum": 1},
+                      "sum_price": {"$sum": {"$toDecimal": "$p_retailprice"}}}}},
+        {"$project": {"_id": 0, "bucket_lo": {"$toLong": "$_id"},
+           "n": {"$toLong": "$n"},
+           "sum_price": {"$toDouble": "$sum_price"}}},
+        {"$sort": {"bucket_lo": 1}}]""")(s, dir),
+      Some("""SELECT CAST(CASE WHEN p_size >= 1 AND p_size < 11 THEN 1
+                         WHEN p_size >= 11 AND p_size < 21 THEN 11
+                         WHEN p_size >= 21 AND p_size < 31 THEN 21
+                         WHEN p_size >= 31 AND p_size < 41 THEN 31
+                         WHEN p_size >= 41 AND p_size < 51 THEN 41 END AS BIGINT) AS bucket_lo,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+              FROM part GROUP BY 1 ORDER BY bucket_lo""")),
+
+    QueryDef("q_window_rank",
+      (s, dir) => agg("orders", """[
+        {"$setWindowFields": {
+           "partitionBy": "$o_orderpriority",
+           "sortBy": {"o_totalprice": -1, "o_orderkey": 1},
+           "output": {
+             "rnk": {"$documentNumber": {}},
+             "running": {"$sum": {"$toDecimal": "$o_totalprice"},
+                         "window": {"documents": ["unbounded", "current"]}}}}},
+        {"$match": {"rnk": {"$lte": 10}}},
+        {"$project": {"o_orderpriority": 1, "o_orderkey": 1,
+           "rnk": {"$toLong": "$rnk"},
+           "running": {"$toDouble": "$running"}}},
+        {"$sort": {"o_orderpriority": 1, "rnk": 1}}]""")(s, dir),
+      Some("""SELECT o_orderpriority, o_orderkey, rnk, running FROM (
+                SELECT o_orderpriority, o_orderkey,
+                       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rnk,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER
+                         (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice DESC, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+                FROM orders
+                WINDOW w AS (PARTITION BY o_orderpriority
+                             ORDER BY o_totalprice DESC, o_orderkey))
+              WHERE rnk <= 10 ORDER BY o_orderpriority, rnk""")),
+
+    QueryDef("q_union",
+      (s, dir) => agg("region", """[
+        {"$project": {"name": "$r_name", "src": "REGION"}},
+        {"$unionWith": {"coll": "nation",
+           "pipeline": [{"$project": {"name": "$n_name", "src": "NATION"}}]}},
+        {"$sort": {"name": 1, "src": 1}}]""")(s, dir),
+      Some("""SELECT r_name AS name, 'REGION' AS src FROM region
+              UNION ALL SELECT n_name, 'NATION' FROM nation
+              ORDER BY name, src"""))
+  )
+}
