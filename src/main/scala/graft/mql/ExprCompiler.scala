@@ -29,6 +29,7 @@ object ExprCompiler {
   def compile(v: JValue, env: Map[String, Column]): Column = v match {
     case JString(s) if s.startsWith("$$") => varRef(s.drop(2), env)
     case JString(s) if s.startsWith("$")  => fieldCol(s.drop(1))
+    case JObject(List(("$date", _))) => literal(v) // extended-JSON literal
     case JObject(List((op, args))) if op.startsWith("$") => compileOp(op, args, env)
     case JObject(fields) if isOperatorDoc(fields) =>
       throw new MqlException(s"multi-operator expression document: $fields")

@@ -1,0 +1,98 @@
+package graft.mql
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+
+class ExprCompilerSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private lazy val one = Seq((1)).toDF("x")
+
+  private def eval(expr: String): Any =
+    one.select(ExprCompiler.compile(Mql.parse(expr)).as("r")).head.get(0)
+
+  test("arithmetic") {
+    assert(eval("""{"$add": [1, 2, 3]}""") == 6)
+    assert(eval("""{"$subtract": [10, 4]}""") == 6)
+    assert(eval("""{"$multiply": [2, 3, 4]}""") == 24)
+    assert(eval("""{"$divide": [7, 2]}""") == 3.5)
+    assert(eval("""{"$mod": [7, 3]}""") == 1)
+    assert(eval("""{"$pow": [2, 10]}""") == 1024.0)
+    assert(eval("""{"$round": [2.567, 1]}""") == 2.6)
+    assert(eval("""{"$trunc": [2.98]}""") == 2L)
+  }
+
+  test("comparison null-safety: $eq treats null == null as true") {
+    assert(eval("""{"$eq": [null, null]}""") == true)
+    assert(eval("""{"$ne": [1, null]}""") == true)
+  }
+
+  test("$cond array and object forms, $switch, $ifNull") {
+    assert(eval("""{"$cond": [{"$gt": [2, 1]}, "yes", "no"]}""") == "yes")
+    assert(eval("""{"$cond": {"if": false, "then": 1, "else": 2}}""") == 2)
+    assert(eval("""{"$switch": {"branches": [
+      {"case": false, "then": "a"}, {"case": true, "then": "b"}],
+      "default": "c"}}""") == "b")
+    assert(eval("""{"$ifNull": [null, null, 9]}""") == 9)
+  }
+
+  test("strings") {
+    assert(eval("""{"$concat": ["a", "-", "b"]}""") == "a-b")
+    assert(eval("""{"$toUpper": "ab"}""") == "AB")
+    assert(eval("""{"$strLenCP": "héllo"}""") == 5)
+    assert(eval("""{"$substrCP": ["hello", 1, 3]}""") == "ell")
+    assert(eval("""{"$split": ["a.b.c", "."]}""") == Seq("a", "b", "c"))
+    assert(eval("""{"$trim": {"input": "  x  "}}""") == "x")
+    assert(eval("""{"$replaceAll": {"input": "a.b.a", "find": "a", "replacement": "z"}}""") == "z.b.z")
+    assert(eval("""{"$regexMatch": {"input": "Spark", "regex": "^sp", "options": "i"}}""") == true)
+  }
+
+  test("dates") {
+    val d = """{"$date": "2024-03-05T06:07:08Z"}"""
+    assert(eval(s"""{"$$year": $d}""") == 2024)
+    assert(eval(s"""{"$$month": $d}""") == 3)
+    assert(eval(s"""{"$$dayOfMonth": $d}""") == 5)
+    assert(eval(s"""{"$$hour": $d}""") == 6)
+    assert(eval(s"""{"$$dateToString": {"date": $d, "format": "%Y/%m/%d %H:%M:%S"}}""")
+      == "2024/03/05 06:07:08")
+  }
+
+  test("arrays: elemAt, slice, range, sort, set ops") {
+    assert(eval("""{"$arrayElemAt": [[10, 20, 30], 1]}""") == 20)
+    assert(eval("""{"$arrayElemAt": [[10, 20, 30], -1]}""") == 30)
+    assert(eval("""{"$first": [[7, 8]]}""") == 7)
+    assert(eval("""{"$slice": [[1, 2, 3, 4], 2]}""") == Seq(1, 2))
+    assert(eval("""{"$slice": [[1, 2, 3, 4], -2]}""") == Seq(3, 4))
+    assert(eval("""{"$range": [0, 10, 3]}""") == Seq(0, 3, 6, 9))
+    assert(eval("""{"$sortArray": {"input": [3, 1, 2], "sortBy": -1}}""") == Seq(3, 2, 1))
+    assert(eval("""{"$setUnion": [[1, 2], [2, 3]]}""")
+      .asInstanceOf[scala.collection.Seq[Int]].sorted == Seq(1, 2, 3))
+    assert(eval("""{"$in": [2, [1, 2, 3]]}""") == true)
+    assert(eval("""{"$indexOfArray": [[9, 8, 7], 8]}""") == 1L)
+  }
+
+  test("lambda ops: $filter/$map/$reduce with $$this/$$value and named as") {
+    assert(eval("""{"$filter": {"input": [1, 2, 3, 4], "cond": {"$gt": ["$$this", 2]}}}""")
+      == Seq(3, 4))
+    assert(eval("""{"$filter": {"input": [1, 2, 3], "as": "n",
+                   "cond": {"$eq": [{"$mod": ["$$n", 2]}, 1]}}}""") == Seq(1, 3))
+    assert(eval("""{"$map": {"input": [1, 2], "as": "v",
+                   "in": {"$multiply": ["$$v", 10]}}}""") == Seq(10, 20))
+    assert(eval("""{"$reduce": {"input": [1, 2, 3], "initialValue": 0,
+                   "in": {"$add": ["$$value", "$$this"]}}}""") == 6)
+  }
+
+  test("document expression builds struct") {
+    val r = one.select(ExprCompiler.compile(
+      Mql.parse("""{"a": {"$add": [1, 1]}, "b": "lit"}""")).as("r"))
+      .select("r.a", "r.b").head
+    assert(r.get(0) == 2 && r.get(1) == "lit")
+  }
+
+  test("type conversions") {
+    assert(eval("""{"$toInt": "42"}""") == 42)
+    assert(eval("""{"$toDouble": "2.5"}""") == 2.5)
+    assert(eval("""{"$toString": 7}""") == "7")
+  }
+}

@@ -1,0 +1,88 @@
+package graft.mql
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+
+/** Mongo filter semantics that the DuckDB oracle queries can't observe:
+  * null/missing handling, array operators, $not. Mirrors the matrix the
+  * reference's own tests delegate to the server (test_arrow.py:113-252). */
+class FilterCompilerSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  // id, a (nullable int), tags (nullable array)
+  private lazy val df = Seq(
+    (1, Some(5), Some(Seq(1, 2, 3))),
+    (2, Some(10), Some(Seq(2, 4))),
+    (3, None, Some(Seq.empty[Int])),
+    (4, Some(5), None)
+  ).toDF("id", "a", "tags")
+
+  private def ids(filter: String): Seq[Int] =
+    df.where(FilterCompiler.compile(filter))
+      .select("id").as[Int].collect().toSeq.sorted
+
+  test("equality and $eq") {
+    assert(ids("""{"a": 5}""") == Seq(1, 4))
+    assert(ids("""{"a": {"$eq": 5}}""") == Seq(1, 4))
+  }
+
+  test("$eq null matches missing") {
+    assert(ids("""{"a": null}""") == Seq(3))
+    assert(ids("""{"a": {"$eq": null}}""") == Seq(3))
+  }
+
+  test("$ne matches missing (Mongo semantics)") {
+    assert(ids("""{"a": {"$ne": 5}}""") == Seq(2, 3))
+    assert(ids("""{"a": {"$ne": null}}""") == Seq(1, 2, 4))
+  }
+
+  test("$gt/$lte ignore nulls") {
+    assert(ids("""{"a": {"$gt": 5}}""") == Seq(2))
+    assert(ids("""{"a": {"$lte": 5}}""") == Seq(1, 4))
+  }
+
+  test("$in / $nin with and without null") {
+    assert(ids("""{"a": {"$in": [5, 10]}}""") == Seq(1, 2, 4))
+    assert(ids("""{"a": {"$in": [5, null]}}""") == Seq(1, 3, 4))
+    assert(ids("""{"a": {"$nin": [5]}}""") == Seq(2, 3))
+  }
+
+  test("$exists maps to null checks") {
+    assert(ids("""{"a": {"$exists": true}}""") == Seq(1, 2, 4))
+    assert(ids("""{"a": {"$exists": false}}""") == Seq(3))
+  }
+
+  test("$not negates with missing matching") {
+    assert(ids("""{"a": {"$not": {"$gt": 5}}}""") == Seq(1, 3, 4))
+  }
+
+  test("$and / $or / $nor") {
+    assert(ids("""{"$and": [{"a": {"$gte": 5}}, {"a": {"$lt": 10}}]}""") == Seq(1, 4))
+    assert(ids("""{"$or": [{"a": 10}, {"id": 3}]}""") == Seq(2, 3))
+    assert(ids("""{"$nor": [{"a": 5}, {"a": 10}]}""") == Seq(3))
+  }
+
+  test("array ops: $size, $all, $elemMatch") {
+    assert(ids("""{"tags": {"$size": 2}}""") == Seq(2))
+    assert(ids("""{"tags": {"$all": [2, 3]}}""") == Seq(1))
+    assert(ids("""{"tags": {"$elemMatch": {"$gte": 4}}}""") == Seq(2))
+  }
+
+  test("$regex with $options") {
+    val words = Seq((1, "Alpha"), (2, "beta"), (3, "alphabet")).toDF("id", "w")
+    val got = words.where(FilterCompiler.compile(
+      """{"w": {"$regex": "^alpha", "$options": "i"}}"""))
+      .select("id").as[Int].collect().toSeq.sorted
+    assert(got == Seq(1, 3))
+  }
+
+  test("$mod") {
+    assert(ids("""{"a": {"$mod": [3, 1]}}""") == Seq(2))
+  }
+
+  test("unsupported operator raises MqlException") {
+    intercept[MqlException](ids("""{"a": {"$near": 1}}"""))
+  }
+}

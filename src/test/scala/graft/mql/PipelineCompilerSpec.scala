@@ -1,0 +1,114 @@
+package graft.mql
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+
+class PipelineCompilerSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private lazy val people = Seq(
+    (1, "ann", "eng", 10.0, Seq("a", "b")),
+    (2, "bob", "eng", 20.0, Seq("b")),
+    (3, "cat", "ops", 30.0, Seq.empty[String]),
+    (4, "dan", "ops", 40.0, null.asInstanceOf[Seq[String]])
+  ).toDF("id", "name", "dept", "score", "tags")
+
+  private def run(p: String) = PipelineCompiler.run(people, p)
+
+  test("$out and $merge rejected like the reference (api.py:235-240)") {
+    intercept[MqlException](run("""[{"$out": "x"}]"""))
+    intercept[MqlException](run("""[{"$match": {}}, {"$merge": {"into": "x"}}]"""))
+  }
+
+  test("$project exclusion mode drops columns") {
+    assert(run("""[{"$project": {"tags": 0, "score": 0}}]""").columns.toSeq
+      == Seq("id", "name", "dept"))
+  }
+
+  test("$project dotted inclusion rebuilds nested structs") {
+    val nested = people.selectExpr("id", "named_struct('x', name, 'y', score) AS s")
+    val out = PipelineCompiler.run(nested, """[{"$project": {"id": 1, "s.x": 1}}]""")
+    assert(out.schema.fieldNames.toSeq == Seq("id", "s"))
+    assert(out.select("s.x").as[String].collect().sorted.toSeq
+      == Seq("ann", "bob", "cat", "dan"))
+  }
+
+  test("$group with null _id aggregates globally") {
+    val r = run("""[{"$group": {"_id": null, "total": {"$sum": "$score"}, "n": {"$count": {}}}}]""")
+    val row = r.select("total", "n").head
+    assert(row.getDouble(0) == 100.0 && row.getLong(1) == 4L)
+  }
+
+  test("$group compound _id exposed as struct for $_id.k refs") {
+    val r = run("""[
+      {"$group": {"_id": {"d": "$dept"}, "mx": {"$max": "$score"}}},
+      {"$project": {"_id": 0, "dept": "$_id.d", "mx": 1}},
+      {"$sort": {"dept": 1}}]""")
+    assert(r.collect().map(x => (x.getString(0), x.getDouble(1))).toSeq
+      == Seq(("eng", 20.0), ("ops", 40.0)))
+  }
+
+  test("$unwind drops null/empty unless preserveNullAndEmptyArrays") {
+    assert(run("""[{"$unwind": "$tags"}]""").count() == 3)
+    val pres = run("""[{"$unwind": {"path": "$tags", "preserveNullAndEmptyArrays": true}}]""")
+    assert(pres.count() == 5) // 3 elements + id=3 (empty) + id=4 (null)
+    val idx = run("""[{"$unwind": {"path": "$tags", "includeArrayIndex": "i"}}]""")
+    assert(idx.where($"id" === 1).select("i").as[Long].collect().sorted.toSeq == Seq(0L, 1L))
+  }
+
+  test("$lookup fills non-matching rows with empty array") {
+    val depts = Seq(("eng", "Engineering")).toDF("code", "label")
+    val out = PipelineCompiler.run(people,
+      """[{"$lookup": {"from": "depts", "localField": "dept",
+                       "foreignField": "code", "as": "d"}}]""",
+      name => { assert(name == "depts"); depts })
+    val sizes = out.selectExpr("id", "size(d)").as[(Int, Int)].collect().toMap
+    assert(sizes == Map(1 -> 1, 2 -> 1, 3 -> 0, 4 -> 0))
+  }
+
+  test("$replaceRoot promotes struct fields") {
+    val out = run("""[
+      {"$addFields": {"wrap": {"n2": {"$toUpper": "$name"}, "s2": "$score"}}},
+      {"$replaceRoot": {"newRoot": "$wrap"}}]""")
+    assert(out.columns.toSeq == Seq("n2", "s2"))
+    assert(out.where($"n2" === "ANN").select("s2").as[Double].head() == 10.0)
+  }
+
+  test("$unionWith merges mismatched schemas by name") {
+    val other = Seq((9, "zed")).toDF("id", "name")
+    val out = PipelineCompiler.run(people, """[{"$unionWith": "more"}]""", _ => other)
+    assert(out.count() == 5)
+    assert(out.where($"id" === 9).select("dept").head.isNullAt(0))
+  }
+
+  test("$bucket routes out-of-range to default") {
+    val out = run("""[{"$bucket": {"groupBy": "$score",
+      "boundaries": [0.0, 15.0, 35.0], "default": -1.0}}]""")
+    val m = out.collect().map(r => (r.getDouble(0), r.getLong(1))).toMap
+    assert(m == Map(0.0 -> 1L, 15.0 -> 2L, -1.0 -> 1L))
+  }
+
+  test("$setWindowFields default frame is unbounded-to-current with sortBy") {
+    val out = run("""[
+      {"$setWindowFields": {"partitionBy": "$dept", "sortBy": {"id": 1},
+        "output": {"run": {"$sum": "$score"}, "rk": {"$rank": {}}}}},
+      {"$sort": {"id": 1}}]""")
+    assert(out.select("run").as[Double].collect().toSeq == Seq(10.0, 30.0, 30.0, 70.0))
+  }
+
+  test("filter pushdown reaches the parquet scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pd").toString
+    people.write.mode("overwrite").parquet(dir)
+    val scan = spark.read.parquet(dir)
+    val out = scan.where(FilterCompiler.compile("""{"score": {"$gt": 15.0}, "dept": "eng"}"""))
+      .select("id")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(score,15.0)"),
+      s"filter not pushed:\n$plan")
+    // column pruning: only the needed columns are read
+    assert(plan.contains("ReadSchema: struct<id:int,dept:string,score:double>"),
+      s"columns not pruned:\n$plan")
+  }
+}
