@@ -1,0 +1,135 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, designed for the
+  * 100 TB case:
+  *
+  *  - exact/normalized/fingerprint dedup: one hash-partitioned groupBy —
+  *    a single shuffle on the digest, map-side partial agg included.
+  *  - MinHash-LSH near-dedup: candidate generation is a self-join on
+  *    (band hash) — O(n·bands) rows instead of O(n²) pairs; only
+  *    candidates pay the exact-jaccard verification. AQE skew-join
+  *    handles hot buckets; `maxBucket` drops degenerate buckets (a
+  *    shingle shared by half the corpus generates no useful pairs).
+  *  - SimHash near-dedup: signature is a pure map (no shuffle); pairs
+  *    come from a 4×16-bit chunk self-join — pigeonhole-complete for
+  *    hamming distance ≤ 3.
+  *
+  * No UDFs: signatures are built from xxhash64/transform/aggregate
+  * builtins, so everything stays inside whole-stage codegen.
+  */
+object Dedup {
+  /** Word n-gram shingles (distinct), the unit of near-dup comparison. */
+  def shingles(text: Column, n: Int): Column = {
+    val t = TextAnalysis.tokens(text)
+    when(size(t) >= n,
+      array_distinct(transform(sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", slice(t, i + lit(1), lit(n))))))
+      .otherwise(array(concat_ws(" ", t)))
+  }
+
+  /** Exact dedup: representative (min id) + multiplicity per digest. */
+  def exact(df: DataFrame, idCol: String, textCol: String,
+            normalize: Boolean = false): DataFrame = {
+    val txt = if (normalize) regexp_replace(lower(col(textCol)), "\\s+", " ")
+              else col(textCol)
+    df.groupBy(md5(txt).as("digest"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+  }
+
+  /** k minhash values over the shingle set; hash family = xxhash64 with
+    * the family index as leading seed argument. */
+  def minhashSignature(sh: Column, k: Int): Column =
+    array((0 until k).map(i => array_min(transform(sh, s => xxhash64(lit(i), s)))): _*)
+
+  /** Exact jaccard between two distinct-element arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_distinct(concat(a, b))).cast("double")
+
+  /** Near-duplicate pairs via MinHash-LSH + exact-jaccard verification.
+    * Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold
+    * (rounded to 6 for oracle comparability). */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                   threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val base = df.select(col(idCol).as("__id"), shingles(col(textCol), shingleN).as("__sh"))
+    val sig = base.withColumn("__sig", minhashSignature(col("__sh"), numHashes))
+    // band hash folds the band index in, so one equality key suffices
+    val bandCols = (0 until bands).map { b =>
+      xxhash64(lit(b) +: (b * r until (b + 1) * r).map(j => col("__sig")(j)): _*)
+    }
+    val buckets = sig.select(col("__id"), explode(array(bandCols: _*)).as("__bucket"))
+    val pruned = buckets // drop degenerate buckets (skew guard at scale)
+      .withColumn("__bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("__bucket")))
+      .where(col("__bn") <= maxBucket).drop("__bn")
+    val cand = pruned.as("l").join(pruned.as("r"), Seq("__bucket"))
+      .where(col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
+      .distinct()
+    cand
+      .join(base.select(col("__id").as("id_a"), col("__sh").as("__sha")), "id_a")
+      .join(base.select(col("__id").as("id_b"), col("__sh").as("__shb")), "id_b")
+      .withColumn("jaccard", round(jaccard(col("__sha"), col("__shb")), 6))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Exact n-gram-jaccard pairs with min-k-shingle blocking: candidate
+    * pairs share one of each doc's `blockKeys` lexicographically smallest
+    * shingles (miss probability (1-j)^blockKeys — negligible for
+    * near-dup thresholds). Fully SQL-expressible → DuckDB-oracle-checked.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3, threshold: Double = 0.8,
+                   blockKeys: Int = 4): DataFrame = {
+    val base = df.select(col(idCol).as("__id"), shingles(col(textCol), shingleN).as("__sh"))
+    val keyed = base.select(col("__id"),
+      explode(slice(sort_array(col("__sh")), 1, blockKeys)).as("__key"))
+    val cand = keyed.as("l").join(keyed.as("r"), Seq("__key"))
+      .where(col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
+      .distinct()
+    cand
+      .join(base.select(col("__id").as("id_a"), col("__sh").as("__sha")), "id_a")
+      .join(base.select(col("__id").as("id_b"), col("__sh").as("__shb")), "id_b")
+      .withColumn("jaccard", round(jaccard(col("__sha"), col("__shb")), 6))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash of the token multiset: bit i set iff the sum of
+    * ±1 contributions (tokens whose xxhash64 has bit i set vote +1) is
+    * positive. Statically unrolled over 64 bits — large expression, but
+    * map-only and codegen'd. */
+  def simhash64(text: Column): Column = {
+    val toks = TextAnalysis.tokens(text)
+    (0 until 64).map { i =>
+      val vote = aggregate(toks, lit(0L), (acc, t) =>
+        acc + when(shiftright(xxhash64(t), i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Near-dup pairs by SimHash hamming distance ≤ maxDist (≤ 3 for
+    * completeness: 4 chunks, pigeonhole). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "4-chunk blocking is only complete for maxDist <= 3")
+    val sigs = df.select(col(idCol).as("__id"), simhash64(col(textCol)).as("__sig"))
+    val chunks = sigs.select(col("__id"), col("__sig"), explode(array(
+      (0 until 4).map(j => concat_ws(":", lit(j),
+        shiftright(col("__sig"), j * 16).bitwiseAND(lit(0xFFFFL)))): _*)).as("__chunk"))
+    chunks.as("l").join(chunks.as("r"), Seq("__chunk"))
+      .where(col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"),
+        bit_count(col("l.__sig").bitwiseXOR(col("r.__sig"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxDist)
+  }
+}

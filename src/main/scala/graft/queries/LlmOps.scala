@@ -1,0 +1,202 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.api.Graft
+import graft.llmops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data pipeline operators over the documents/embeddings
+  * fixtures: text analysis, dedup (exact → minhash/simhash near-dup),
+  * similarity search, multimodal plumbing.
+  *
+  * Oracle notes: where DuckDB can express the same computation
+  * (list_* functions + list comprehensions), the query is hash-checked;
+  * the xxhash64-based signatures (minhash/simhash/LSH buckets) have no
+  * DuckDB twin, so those entries are rows-only checked and instead
+  * pinned by ScalaTest against exact ground truth (LlmOpsSpec).
+  */
+object LlmOps {
+  // DuckDB-side token list, mirrored from TextAnalysis.tokens
+  private val duckToks =
+    """list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"""
+  private val duckToksLower =
+    """list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')"""
+  // DuckDB-side 3-gram shingle list, mirrored from Dedup.shingles
+  private val duckShingles =
+    s"""list_distinct([array_to_string(w[i:i+2], ' ')
+        for i in range(1, greatest(len(w) - 1, 1))])"""
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef("q_text_stats",
+      (s, dir) => {
+        val d = Graft.table(s, dir, "documents")
+        d.select(
+          col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.charCount(col("text")).as("n_chars"),
+          round(TextAnalysis.punctRatio(col("text")), 6).as("punct_ratio"),
+          round(TextAnalysis.avgWordLen(col("text")), 6).as("avg_word_len"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id,
+                 CAST(len($duckToks) AS BIGINT) AS n_tokens,
+                 CAST(length(text) AS BIGINT) AS n_chars,
+                 round((length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')))::DOUBLE
+                       / greatest(length(text), 1), 6) AS punct_ratio,
+                 round(list_aggregate(list_transform($duckToks, x -> length(x)), 'sum')::DOUBLE
+                       / greatest(len($duckToks), 1), 6) AS avg_word_len
+               FROM documents ORDER BY doc_id""")),
+
+    QueryDef("q_text_quality",
+      (s, dir) => {
+        val d = Graft.table(s, dir, "documents")
+        d.select(
+          col("doc_id"),
+          TextAnalysis.langId(col("text")).as("lang_guess"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val score = TextAnalysis.LangMarkers.map { case (lang, ms) =>
+          lang -> s"len(list_intersect(list_distinct($duckToksLower), [${ms.map("'" + _ + "'").mkString(",")}]))"
+        }.toMap
+        val sw = TextAnalysis.EnglishStopwords.map("'" + _ + "'").mkString(",")
+        s"""SELECT doc_id,
+              CASE WHEN ${score("es")} > ${score("en")}
+                        AND ${score("es")} >= ${score("de")} THEN 'es'
+                   WHEN ${score("de")} > ${score("en")}
+                        AND ${score("de")} > ${score("es")} THEN 'de'
+                   ELSE 'en' END AS lang_guess,
+              round(0.4 * least(len($duckToks)::DOUBLE / 100.0, 1.0)
+                  + 0.3 * (1.0 - (length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')))::DOUBLE
+                                 / greatest(length(text), 1))
+                  + 0.3 * least(5.0 * len(list_filter($duckToksLower, x -> x IN ($sw)))::DOUBLE
+                                / greatest(len($duckToks), 1), 1.0), 6) AS quality
+            FROM documents ORDER BY doc_id"""
+      }),
+
+    QueryDef("q_dedup_exact",
+      (s, dir) => Dedup.exact(Graft.table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("digest"),
+      Some("""SELECT md5(text) AS digest, min(doc_id) AS keep_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_copies
+              FROM documents GROUP BY md5(text) ORDER BY digest""")),
+
+    QueryDef("q_dedup_norm",
+      (s, dir) => Dedup.exact(Graft.table(s, dir, "documents"), "doc_id", "text",
+        normalize = true).orderBy("digest"),
+      Some("""SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS digest,
+                     min(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+              FROM documents GROUP BY 1 ORDER BY digest""")),
+
+    QueryDef("q_fingerprint_groups",
+      (s, dir) => Graft.table(s, dir, "documents")
+        .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+        .orderBy("fp"),
+      Some(s"""SELECT md5(array_to_string(list_sort(list_distinct($duckToksLower)), ' ')) AS fp,
+                      min(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY 1 ORDER BY fp""")),
+
+    // exact near-dup ground truth (min-4-shingle blocking, recall ~1 at j≥0.8)
+    QueryDef("q_jaccard_pairs",
+      (s, dir) => Dedup.jaccardPairs(Graft.table(s, dir, "documents"),
+        "doc_id", "text", shingleN = 3, threshold = 0.8, blockKeys = 4)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH t AS (
+                 SELECT doc_id, $duckShingles AS sh
+                 FROM (SELECT doc_id, $duckToks AS w FROM documents)),
+               k AS (SELECT doc_id, unnest(list_sort(sh)[1:4]) AS key FROM t),
+               c AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+                     FROM k a JOIN k b ON a.key = b.key AND a.doc_id < b.doc_id),
+               j AS (SELECT ia, ib,
+                       round(len(list_intersect(ta.sh, tb.sh))::DOUBLE
+                             / len(list_distinct(ta.sh || tb.sh)), 6) AS jac
+                     FROM c JOIN t ta ON ta.doc_id = c.ia
+                            JOIN t tb ON tb.doc_id = c.ib)
+               SELECT ia AS id_a, ib AS id_b, jac AS jaccard FROM j
+               WHERE jac >= 0.8 ORDER BY id_a, id_b""")),
+
+    // approximate variants: no DuckDB twin for xxhash64 signatures →
+    // rows-only here, pinned against q_jaccard_pairs in LlmOpsSpec
+    QueryDef("q_minhash_pairs",
+      (s, dir) => Dedup.minhashPairs(Graft.table(s, dir, "documents"),
+        "doc_id", "text", shingleN = 3, numHashes = 64, bands = 16, threshold = 0.8)
+        .orderBy("id_a", "id_b"),
+      None),
+
+    QueryDef("q_simhash_pairs",
+      (s, dir) => Dedup.simhashPairs(Graft.table(s, dir, "documents"),
+        "doc_id", "text", maxDist = 3).orderBy("id_a", "id_b"),
+      None),
+
+    QueryDef("q_knn_topk",
+      (s, dir) => {
+        val e = Graft.table(s, dir, "embeddings")
+        Similarity.bruteForceTopK(e.where(col("vec_id") < 5), e, k = 10)
+          .orderBy("query_id", "rnk")
+      },
+      Some("""WITH u AS (SELECT vec_id, unnest(embedding)::DOUBLE AS e,
+                                generate_subscripts(embedding, 1) AS i FROM embeddings),
+                n AS (SELECT vec_id, sqrt(sum(e*e)) AS nrm FROM u GROUP BY vec_id),
+                d AS (SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+                             sum(q.e * c.e) AS dt
+                      FROM u q JOIN u c ON q.i = c.i AND q.vec_id <> c.vec_id
+                      WHERE q.vec_id < 5 GROUP BY 1, 2),
+                sc AS (SELECT query_id, match_id,
+                              round(dt / (nq.nrm * nc.nrm), 6) AS cos
+                       FROM d JOIN n nq ON nq.vec_id = query_id
+                              JOIN n nc ON nc.vec_id = match_id),
+                r AS (SELECT query_id, match_id, cos,
+                             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, match_id) AS BIGINT) AS rnk
+                      FROM sc)
+              SELECT query_id, match_id, cos, rnk FROM r WHERE rnk <= 10
+              ORDER BY query_id, rnk""")),
+
+    QueryDef("q_cos_pairs",
+      (s, dir) => {
+        val e = Graft.table(s, dir, "embeddings")
+        Similarity.cosinePairs(e.where(col("vec_id") < 200), e, threshold = 0.4)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH u AS (SELECT vec_id, unnest(embedding)::DOUBLE AS e,
+                                generate_subscripts(embedding, 1) AS i FROM embeddings),
+                n AS (SELECT vec_id, sqrt(sum(e*e)) AS nrm FROM u GROUP BY vec_id),
+                d AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.e * b.e) AS dt
+                      FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id
+                      WHERE a.vec_id < 200 GROUP BY 1, 2)
+              SELECT id_a, id_b, round(dt / (na.nrm * nb.nrm), 6) AS cos
+              FROM d JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
+              WHERE round(dt / (na.nrm * nb.nrm), 6) >= 0.4
+              ORDER BY id_a, id_b""")),
+
+    QueryDef("q_lsh_cos_pairs",
+      (s, dir) => Similarity.lshCosinePairs(Graft.table(s, dir, "embeddings"),
+        "vec_id", "embedding", planes = 8, threshold = 0.4)
+        .orderBy("id_a", "id_b"),
+      None),
+
+    QueryDef("q_media_meta",
+      (s, dir) => Multimodal.asMediaTable(Graft.table(s, dir, "documents"),
+        "doc_id", "text")
+        .select(col("media_id"), col("meta.mime").as("mime"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.duration_ms").as("duration_ms"))
+        .orderBy("media_id"),
+      Some("""SELECT doc_id AS media_id, 'text/plain' AS mime,
+                     CAST(octet_length(CAST(text AS BLOB)) % 1920 AS INT) AS width,
+                     CAST(octet_length(CAST(text AS BLOB)) % 1080 AS INT) AS height,
+                     CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS duration_ms
+              FROM documents ORDER BY media_id""")),
+
+    QueryDef("q_media_features",
+      (s, dir) => Multimodal.extractFeatures(
+        Multimodal.asMediaTable(Graft.table(s, dir, "documents"), "doc_id", "text"),
+        dim = 8)
+        .select(col("media_id"),
+          round(Similarity.norm(col("features")), 6).as("feat_norm"))
+        .orderBy("media_id"),
+      None)
+  )
+}

@@ -1,0 +1,79 @@
+package graft.llmops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+
+/** Pins the operators the DuckDB oracle can't express (xxhash64-based
+  * signatures): minhash recall against exact jaccard ground truth on the
+  * fixtures' planted near-dups, simhash semantics on constructed docs,
+  * LSH precision, multimodal determinism. */
+class LlmOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$dir/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  test("minhash-LSH recovers exactly the planted near-dup pairs") {
+    val truth = Dedup.jaccardPairs(docs, "doc_id", "text", shingleN = 3,
+      threshold = 0.8).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val got = Dedup.minhashPairs(docs, "doc_id", "text", shingleN = 3,
+      numHashes = 64, bands = 16, threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "fixtures should contain planted near-dups")
+    assert(got == truth, s"minhash missed ${truth -- got}, extra ${got -- truth}")
+  }
+
+  test("simhash: identical docs distance 0, reordering small, disjoint large") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup
+      (3L, "theta eta zeta epsilon delta gamma beta alpha"), // same multiset
+      (4L, "totally different words entirely unrelated content here now")
+    ).toDF("id", "text")
+    val sigs = df.select(col("id"), Dedup.simhash64(col("text")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) == sigs(3L)) // simhash is order-insensitive
+    val ham14 = java.lang.Long.bitCount(sigs(1L) ^ sigs(4L))
+    assert(ham14 > 10, s"disjoint docs too close: $ham14")
+    val pairs = Dedup.simhashPairs(df, "id", "text", maxDist = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("sign-LSH cosine pairs are a subset of exact pairs (precision 1)") {
+    val exact = Similarity.cosinePairs(emb, emb, threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshCosinePairs(emb, "vec_id", "embedding",
+      planes = 8, threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(approx.subsetOf(exact), s"false positives: ${approx -- exact}")
+  }
+
+  test("brute-force top-k returns k deterministic neighbors per query") {
+    val out = Similarity.bruteForceTopK(emb.where(col("vec_id") < 3), emb, k = 5)
+    val counts = out.groupBy("query_id").count().as[(Long, Long)].collect().toMap
+    assert(counts == Map(0L -> 5L, 1L -> 5L, 2L -> 5L))
+    val again = Similarity.bruteForceTopK(emb.where(col("vec_id") < 3), emb, k = 5)
+    assert(out.collect().toSeq == again.collect().toSeq)
+  }
+
+  test("multimodal feature extraction is deterministic and batch-invariant") {
+    val media = Multimodal.asMediaTable(docs.limit(100), "doc_id", "text")
+    val a = Multimodal.extractFeatures(media, dim = 8, batchSize = 256)
+      .as[(Long, Array[Float])].collect().toMap
+    val b = Multimodal.extractFeatures(media, dim = 8, batchSize = 7)
+      .as[(Long, Array[Float])].collect().toMap
+    assert(a.keySet == b.keySet)
+    assert(a.forall { case (k, v) => v.toSeq == b(k).toSeq })
+    assert(a.values.forall(_.length == 8))
+  }
+
+  test("fingerprint groups docs sharing a vocabulary") {
+    val fp = docs.select(TextAnalysis.fingerprint(col("text")).as("fp"))
+    assert(fp.distinct().count() < docs.count()) // small vocab → collisions exist
+  }
+}
