@@ -10,9 +10,17 @@ import org.json4s._
   * api.py:129-256), returning DataFrames instead of Arrow tables.
   */
 object Graft {
-  /** Table resolver over a fixture directory (one parquet per collection). */
-  def tables(spark: SparkSession, dir: String): PipelineCompiler.TableResolver =
-    name => spark.read.parquet(s"$dir/$name.parquet")
+  /** Table resolver over a fixture directory (one parquet per collection).
+    * events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as a
+    * long — converted here to µs TimestampType with exact integer math
+    * (ns epoch exceeds double precision, so no `/` division). */
+  def tables(spark: SparkSession, dir: String): PipelineCompiler.TableResolver = {
+    case "events" =>
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case name => spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     tables(spark, dir)(name)
@@ -41,6 +49,20 @@ object Graft {
       out = PipelineCompiler.run(out, s"""[{"$$project": $p}]""")
     }
     out
+  }
+
+  /** find with a declared schema: the schema synthesizes the projection
+    * (reference api.py:172-173 — schema._get_projection()), so only the
+    * declared columns are read (column pruning reaches the scan). */
+  def findWithSchema(df: DataFrame, schema: graft.schema.MSchema,
+                     filter: String = "{}",
+                     sort: Option[String] = None,
+                     limit: Option[Int] = None): DataFrame = {
+    val base = find(df, filter, projection = None, sort = sort, limit = limit)
+    val cols = schema.projection.collect {
+      case (name, true) if df.columns.contains(name.split('.').head) => col(name)
+    }
+    base.select(cols: _*)
   }
 
   /** aggregate(pipeline) ≈ aggregate_arrow_all (reference api.py:210-256);

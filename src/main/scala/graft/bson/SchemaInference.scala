@@ -1,0 +1,92 @@
+package graft.bson
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.types._
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+/** One-pass schema inference with the reference's rules (SURVEY.md §1.3,
+  * lib.pyx:157-210,246-255):
+  *
+  *  - a field's type is fixed by the FIRST non-null value observed
+  *    (document order), later mismatches coerce-or-null at decode;
+  *  - the only promotion is int32 → int64 (a wider integer re-infers the
+  *    column);
+  *  - null/NaN leaves the field "missing until seen" (NullType
+  *    placeholder, replaced by the first concrete type);
+  *  - array element types infer from the first non-null element;
+  *  - field order is first-seen document order.
+  *
+  * Distributed shape: each partition folds its documents in order into a
+  * type tree; partition trees merge in partition order on the driver, so
+  * "first observed" is well-defined globally. One scan, no shuffle.
+  */
+object SchemaInference {
+
+  /** First-sight type of a single JSON value; NullType when unknowable. */
+  private def typeOf(node: JsonNode): DataType = {
+    if (node == null || node.isNull) NullType
+    else if (node.isBoolean) BooleanType
+    else if (node.isInt) IntegerType
+    else if (node.isLong) LongType
+    else if (node.isNumber) {
+      val d = node.asDouble
+      if (d.isNaN) NullType else DoubleType // NaN = missing (lib.pyx:163-166)
+    }
+    else if (node.isTextual) StringType
+    else if (node.isObject && node.size() == 1 && node.has("$date")) TimestampType
+    else if (node.isObject && node.size() == 1 && node.has("$numberLong")) LongType
+    else if (node.isObject && node.size() == 1 && node.has("$numberDecimal")) DecimalType(38, 10)
+    else if (node.isObject && node.size() == 1 && node.has("$oid")) BinaryType
+    else if (node.isObject && node.size() == 1 && node.has("$binary")) BinaryType
+    else if (node.isObject && node.size() == 1 && node.has("$code")) StringType
+    else if (node.isArray) {
+      // first non-null element types the list (test_arrow.py:726-739)
+      val elem = node.elements().asScala.map(typeOf).find(_ != NullType)
+      ArrayType(elem.getOrElse(NullType))
+    }
+    else if (node.isObject) StructType(
+      node.properties().asScala.toSeq.map(e =>
+        StructField(e.getKey, typeOf(e.getValue))))
+    else StringType
+  }
+
+  /** Merge an earlier-seen type with a later-seen one. */
+  private[bson] def merge(first: DataType, later: DataType): DataType =
+    (first, later) match {
+      case (NullType, t) => t
+      case (t, NullType) => t
+      // the single promotion rule: int32 → int64 (lib.pyx:246-255)
+      case (IntegerType, LongType) => LongType
+      case (LongType, IntegerType) => LongType
+      case (a: StructType, b: StructType) =>
+        val aNames = a.fieldNames.toSet
+        val mergedA = a.fields.map { f =>
+          b.find(_.name == f.name) match {
+            case Some(bf) => StructField(f.name, merge(f.dataType, bf.dataType))
+            case None => f
+          }
+        }
+        StructType(mergedA.toSeq ++ b.fields.filterNot(f => aNames(f.name)))
+      case (ArrayType(a, _), ArrayType(b, _)) => ArrayType(merge(a, b))
+      case (f, _) => f // first non-null wins; mismatches null at decode
+    }
+
+  def infer(docs: Dataset[String]): StructType = {
+    val partTrees: Array[(Int, DataType)] = docs.rdd.mapPartitionsWithIndex { (pi, it) =>
+      val mapper = DocDecoder.newMapper()
+      val acc = it.foldLeft(StructType(Nil): DataType) { (tree, line) =>
+        merge(tree, typeOf(mapper.readTree(line)))
+      }
+      Iterator.single(pi -> acc)
+    }.collect()
+    val merged = partTrees.sortBy(_._1).map(_._2)
+      .foldLeft(StructType(Nil): DataType)(merge)
+    merged match {
+      case st: StructType => st
+      case other => StructType(Seq(StructField("value", other)))
+    }
+  }
+}

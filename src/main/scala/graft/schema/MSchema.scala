@@ -1,0 +1,55 @@
+package graft.schema
+
+import org.apache.spark.sql.types._
+
+/** Declared schema — the Spark twin of the reference's `Schema`
+  * (bindings/python/pymongoarrow/schema.py:21-109). Wraps a StructType
+  * and adds the reference's projection synthesis and field-metadata
+  * conventions for the BSON extension types.
+  */
+final case class MSchema(struct: StructType) {
+
+  /** Projection document synthesis (schema.py:68-85 semantics):
+    * structs recurse with dotted names, arrays project their element
+    * fields, `_id` is excluded unless declared. Returned in declaration
+    * order, exclusion first — exactly the doc the reference sends as
+    * `projection=` / appended `$project` (api.py:172-173, 249-250). */
+  def projection: Seq[(String, Boolean)] = {
+    def walk(prefix: String, dt: DataType): Seq[String] = dt match {
+      case s: StructType =>
+        s.fields.toSeq.flatMap(f => walk(s"$prefix.${f.name}", f.dataType))
+      case ArrayType(et, _) => walk(prefix, et)
+      case _ => Seq(prefix)
+    }
+    val included = struct.fields.toSeq
+      .flatMap(f => walk(f.name, f.dataType)).map(_ -> true)
+    if (struct.fieldNames.contains("_id")) included
+    else ("_id" -> false) +: included
+  }
+
+  def fieldNames: Seq[String] = struct.fieldNames.toSeq
+}
+
+object MSchema {
+  /** Field metadata keys for BSON types Spark has no native twin for
+    * (SURVEY.md §1.2): ObjectId → 12-byte binary, Binary → subtype tag,
+    * Code → string. */
+  val BsonTypeKey = "graft.bson.type"
+  val BinarySubtypeKey = "graft.bson.binary.subtype"
+
+  def of(fields: (String, DataType)*): MSchema =
+    MSchema(StructType(fields.map { case (n, t) => StructField(n, t) }))
+
+  def objectIdField(name: String): StructField =
+    StructField(name, BinaryType,
+      metadata = new MetadataBuilder().putString(BsonTypeKey, "objectId").build())
+
+  def binaryField(name: String, subtype: Int): StructField =
+    StructField(name, BinaryType,
+      metadata = new MetadataBuilder()
+        .putString(BsonTypeKey, "binary").putLong(BinarySubtypeKey, subtype).build())
+
+  def codeField(name: String): StructField =
+    StructField(name, StringType,
+      metadata = new MetadataBuilder().putString(BsonTypeKey, "code").build())
+}
