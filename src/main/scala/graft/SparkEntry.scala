@@ -2,12 +2,13 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.api.Graft
-import graft.queries.{Decode, LlmOps, QueryDef, Relational}
+import graft.queries.{Decode, Headline, LlmOps, QueryDef, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** All declared operators, one QueryDef each (SURVEY.md §2 inventory). */
-  def defs: Seq[QueryDef] = Relational.all ++ LlmOps.all ++ Decode.all
+  def defs: Seq[QueryDef] =
+    Relational.all ++ LlmOps.all ++ Decode.all ++ Headline.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

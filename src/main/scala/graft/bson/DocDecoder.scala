@@ -114,6 +114,14 @@ object DocDecoder {
           if (d.isNumber) new Timestamp(d.asLong)
           else Timestamp.from(java.time.Instant.parse(d.asText))
         } else fail()
+      case TimestampNTZType => // tz-naive ms timestamps (§1.4 bare datetime)
+        if (isExtended(node, "$date")) {
+          val d = node.get("$date")
+          val ms = if (d.isNumber) d.asLong
+                   else java.time.Instant.parse(d.asText).toEpochMilli
+          java.time.LocalDateTime.ofInstant(
+            java.time.Instant.ofEpochMilli(ms), java.time.ZoneOffset.UTC)
+        } else fail()
       case DateType =>
         // ms → days floor (reference Date32Builder, lib.pyx:675-687)
         if (isExtended(node, "$date")) {

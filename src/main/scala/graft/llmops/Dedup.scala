@@ -39,10 +39,18 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
   }
 
-  /** k minhash values over the shingle set; hash family = xxhash64 with
-    * the family index as leading seed argument. */
+  /** k minhash values from a pre-hashed shingle array (`hs` =
+    * xxhash64 per shingle). Family member i re-hashes the 8-byte long
+    * with seed i — independent across i (a linear h1+i·h2 family
+    * correlates misses across bands and loses recall), but never
+    * re-traverses the shingle strings. */
+  def minhashFromHashes(hs: Column, k: Int): Column =
+    array((0 until k).map(i =>
+      array_min(transform(hs, h => xxhash64(lit(i), h)))): _*)
+
+  /** Convenience single-expression form (tests / small data). */
   def minhashSignature(sh: Column, k: Int): Column =
-    array((0 until k).map(i => array_min(transform(sh, s => xxhash64(lit(i), s)))): _*)
+    minhashFromHashes(transform(sh, s => xxhash64(s)), k)
 
   /** Exact jaccard between two distinct-element arrays. */
   def jaccard(a: Column, b: Column): Column =
@@ -58,7 +66,11 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val base = df.select(col(idCol).as("__id"), shingles(col(textCol), shingleN).as("__sh"))
-    val sig = base.withColumn("__sig", minhashSignature(col("__sh"), numHashes))
+    // staged projections: __hs is referenced `numHashes` times by __sig,
+    // so CollapseProject keeps it materialized (strings hashed once)
+    val sig = base
+      .withColumn("__hs", transform(col("__sh"), s => xxhash64(s)))
+      .withColumn("__sig", minhashFromHashes(col("__hs"), numHashes))
     // band hash folds the band index in, so one equality key suffices
     val bandCols = (0 until bands).map { b =>
       xxhash64(lit(b) +: (b * r until (b + 1) * r).map(j => col("__sig")(j)): _*)
@@ -107,21 +119,27 @@ object Dedup {
     * ±1 contributions (tokens whose xxhash64 has bit i set vote +1) is
     * positive. Statically unrolled over 64 bits — large expression, but
     * map-only and codegen'd. */
-  def simhash64(text: Column): Column = {
-    val toks = TextAnalysis.tokens(text)
+  /** 64 bit-votes folded over a pre-hashed token array. */
+  def simhashFromHashes(hashes: Column): Column =
     (0 until 64).map { i =>
-      val vote = aggregate(toks, lit(0L), (acc, t) =>
-        acc + when(shiftright(xxhash64(t), i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      val vote = aggregate(hashes, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
       when(vote > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
-  }
+
+  def simhash64(text: Column): Column =
+    simhashFromHashes(transform(TextAnalysis.tokens(text), t => xxhash64(t)))
 
   /** Near-dup pairs by SimHash hamming distance ≤ maxDist (≤ 3 for
     * completeness: 4 chunks, pigeonhole). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3, "4-chunk blocking is only complete for maxDist <= 3")
-    val sigs = df.select(col(idCol).as("__id"), simhash64(col(textCol)).as("__sig"))
+    // staged: token hashes materialized once, then 64 bit-vote folds
+    val sigs = df
+      .select(col(idCol).as("__id"),
+        transform(TextAnalysis.tokens(col(textCol)), t => xxhash64(t)).as("__th"))
+      .select(col("__id"), simhashFromHashes(col("__th")).as("__sig"))
     val chunks = sigs.select(col("__id"), col("__sig"), explode(array(
       (0 until 4).map(j => concat_ws(":", lit(j),
         shiftright(col("__sig"), j * 16).bitwiseAND(lit(0xFFFFL)))): _*)).as("__chunk"))

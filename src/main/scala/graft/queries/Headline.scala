@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.api.Graft
+import graft.streaming.EventStream
+
+/** Headline analytical queries: TPC-H-shaped multi-join aggregations
+  * composed with the native DataFrame API (the engine's "compiled
+  * pipeline" output shape), plus the streaming-window extension.
+  *
+  * Scale notes: join order leaves the big fact table (lineitem) on the
+  * probe side; dimension tables (region/nation/supplier/customer at
+  * TPC-H's 1:10:...:150k per SF) get explicit broadcast hints so no
+  * 100 TB shuffle forms on the build side; aggregates go through
+  * DECIMAL(18,4) for oracle-exact sums.
+  */
+object Headline {
+  private val dec = DecimalType(18, 4)
+
+  val all: Seq[QueryDef] = Seq(
+
+    // TPC-H Q6: pure scan+filter+agg — measures scan/pushdown throughput
+    QueryDef("q_tpch_q6",
+      (s, dir) => Graft.table(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")) &&
+               col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+               col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24.0)
+        .agg(sum((col("l_extendedprice").cast(dec)) * (col("l_discount").cast(dec)))
+          .cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n")),
+      Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                              * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+                AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24.0""")),
+
+    // TPC-H Q3 shape: customer ⨝ orders ⨝ lineitem, group, top-k
+    QueryDef("q_tpch_q3",
+      (s, dir) => {
+        val c = Graft.table(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+        val o = Graft.table(s, dir, "orders")
+          .where(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+        val l = Graft.table(s, dir, "lineitem")
+        l.join(broadcast(o.join(broadcast(c), o("o_custkey") === c("c_custkey"))),
+            l("l_orderkey") === o("o_orderkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(sum(col("l_extendedprice").cast(dec) *
+            (lit(1).cast(dec) - col("l_discount").cast(dec))).cast(DoubleType).as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey").asc)
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                              * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+              FROM customer JOIN orders ON c_custkey = o_custkey
+                            JOIN lineitem ON l_orderkey = o_orderkey
+              WHERE c_mktsegment = 'BUILDING'
+                AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+              GROUP BY l_orderkey, o_orderdate, o_orderpriority
+              ORDER BY revenue DESC, l_orderkey LIMIT 10""")),
+
+    // TPC-H Q5 shape: 6-way join through the dimension chain
+    QueryDef("q_tpch_q5",
+      (s, dir) => {
+        val l = Graft.table(s, dir, "lineitem")
+        val o = Graft.table(s, dir, "orders")
+          .where(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+                 col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+        val c = Graft.table(s, dir, "customer")
+        val sup = Graft.table(s, dir, "supplier")
+        val n = Graft.table(s, dir, "nation")
+        l.join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+          .join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey") &&
+            c("c_nationkey") === sup("s_nationkey"))
+          .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(sum(col("l_extendedprice").cast(dec) *
+            (lit(1).cast(dec) - col("l_discount").cast(dec))).cast(DoubleType).as("revenue"),
+            count(lit(1)).as("n"))
+          .orderBy(col("n_name"))
+      },
+      Some("""SELECT n_name,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                              * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                            JOIN orders ON l_orderkey = o_orderkey
+                            JOIN customer ON o_custkey = c_custkey
+                                         AND c_nationkey = s_nationkey
+                            JOIN nation ON s_nationkey = n_nationkey
+              WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+              GROUP BY n_name ORDER BY n_name""")),
+
+    // streaming extension: tumbling-window agg with watermark, verified
+    // against the batch-equivalent SQL (time_bucket)
+    QueryDef("q_events_window",
+      (s, dir) => EventStream.runOnFixture(s, dir, windowLen = "1 hour")
+        .orderBy("win_start", "event_type"),
+      Some("""SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS win_start,
+                     event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+              FROM events GROUP BY 1, 2 ORDER BY win_start, event_type"""))
+  )
+}

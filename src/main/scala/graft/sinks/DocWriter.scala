@@ -1,0 +1,172 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.util.LongAccumulator
+
+/** The write path — Spark twin of the reference's
+  * `write(collection, tabular)` (bindings/python/pymongoarrow/
+  * api.py:602-713): typed rows → extended-JSON documents → batched
+  * appends with the reference's byte/count limits, returning an
+  * inserted-count result and reference-shaped error provenance.
+  *
+  * Execution shape: each partition runs one DataWriter (the reference's
+  * single client loop becomes N parallel writers); batches flush at
+  * 48 MB − 16 KiB bytes or 100 000 docs (api.py:91-95,685-697). The
+  * sink target is a directory of JSON-lines batch files — swap
+  * `flushBatch` for a real insert_many and the batching/commit logic is
+  * unchanged.
+  */
+object DocWriter {
+  /** api.py:91-95: _MAX_MESSAGE_SIZE = 48MB - 16KiB, _MAX_WRITE_BATCH_SIZE ≥ 100k. */
+  val MaxBatchBytes: Long = 48L * 1000 * 1000 - 16 * 1024
+  val MaxBatchDocs: Int = 100000
+
+  final case class WriteResult(insertedCount: Long, batches: Long)
+
+  /** Raised with the reference's error shape: how many rows were already
+    * written plus the failing global row index (errors.py:24-47,
+    * _transform_bwe api.py:542-550). */
+  final class GraftWriteError(msg: String, val nInserted: Long, val index: Long)
+    extends RuntimeException(s"$msg (nInserted=$nInserted, index=$index)")
+
+  /** Auto-convert pre-pass (api.py:622-648): dates → ms timestamps,
+    * narrow ints → int32, float32 → float64. */
+  def autoConvert(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case DateType => col(f.name).cast(TimestampType).as(f.name)
+        case ByteType | ShortType => col(f.name).cast(IntegerType).as(f.name)
+        case FloatType => col(f.name).cast(DoubleType).as(f.name)
+        case _ => col(f.name)
+      }
+    }
+    df.select(cols.toSeq: _*)
+  }
+
+  /** Schema validation (types.py:345-358): reject types with no BSON twin. */
+  def validateSchema(schema: StructType): Unit = {
+    def check(dt: DataType, path: String): Unit = dt match {
+      case _: MapType => throw new IllegalArgumentException(
+        s"field '$path': MapType has no BSON document twin (enumerate fields)")
+      case CalendarIntervalType => throw new IllegalArgumentException(
+        s"field '$path': interval type is unsupported")
+      case s: StructType => s.fields.foreach(f => check(f.dataType, s"$path.${f.name}"))
+      case ArrayType(et, _) => check(et, s"$path[]")
+      case _ => ()
+    }
+    schema.fields.foreach(f => check(f.dataType, f.name))
+  }
+
+  /** One value → extended-JSON fragment (reverse of DocDecoder). */
+  private def jsonValue(v: Any, dt: DataType, sb: java.lang.StringBuilder): Unit = (v, dt) match {
+    case (null, _) => sb.append("null")
+    case (x: Int, _) => sb.append(x)
+    case (x: Long, _) => sb.append("{\"$numberLong\": \"").append(x).append("\"}")
+    case (x: Double, _) =>
+      if (x.isNaN || x.isInfinite) sb.append("{\"$numberDouble\": \"").append(x).append("\"}")
+      else sb.append(x)
+    case (x: Boolean, _) => sb.append(x)
+    case (x: String, _) => appendEscaped(x, sb)
+    case (x: java.sql.Timestamp, _) =>
+      sb.append("{\"$date\": ").append(x.getTime).append("}")
+    case (x: java.time.LocalDateTime, _) => // TimestampNTZ: treat as UTC ms
+      sb.append("{\"$date\": ")
+        .append(x.toInstant(java.time.ZoneOffset.UTC).toEpochMilli).append("}")
+    case (x: java.time.Instant, _) =>
+      sb.append("{\"$date\": ").append(x.toEpochMilli).append("}")
+    case (x: java.sql.Date, _) =>
+      sb.append("{\"$date\": ").append(x.getTime).append("}")
+    case (x: java.math.BigDecimal, _) =>
+      sb.append("{\"$numberDecimal\": \"").append(x.toPlainString).append("\"}")
+    case (x: Array[Byte], _) =>
+      sb.append("{\"$binary\": {\"base64\": \"")
+        .append(java.util.Base64.getEncoder.encodeToString(x))
+        .append("\", \"subType\": \"00\"}}")
+    case (x: Row, st: StructType) => encodeRow(x, st, sb)
+    case (x: scala.collection.Seq[_], ArrayType(et, _)) =>
+      sb.append('[')
+      var first = true
+      x.foreach { e =>
+        if (!first) sb.append(", "); first = false
+        jsonValue(e, et, sb)
+      }
+      sb.append(']')
+    case (other, t) => throw new IllegalArgumentException(
+      s"cannot encode $other of declared type $t")
+  }
+
+  private def appendEscaped(s: String, sb: java.lang.StringBuilder): Unit = {
+    sb.append('"')
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"')
+  }
+
+  private def encodeRow(r: Row, st: StructType, sb: java.lang.StringBuilder): Unit = {
+    sb.append('{')
+    var first = true
+    st.fields.zipWithIndex.foreach { case (f, i) =>
+      if (!first) sb.append(", "); first = false
+      appendEscaped(f.name, sb)
+      sb.append(": ")
+      jsonValue(if (r.isNullAt(i)) null else r.get(i), f.dataType, sb)
+    }
+    sb.append('}')
+  }
+
+  /** Write df as batched JSON-document files under `path`. One file per
+    * flushed batch (`part-<partition>-<batch>.jsonl`). */
+  def write(dfRaw: DataFrame, path: String,
+            maxBatchBytes: Long = MaxBatchBytes,
+            maxBatchDocs: Int = MaxBatchDocs): WriteResult = {
+    val df = autoConvert(dfRaw)
+    validateSchema(df.schema)
+    val schema = df.schema
+    val spark = df.sparkSession
+    new java.io.File(path).mkdirs()
+    val inserted: LongAccumulator = spark.sparkContext.longAccumulator("graft.inserted")
+    val batches: LongAccumulator = spark.sparkContext.longAccumulator("graft.batches")
+    df.foreachPartition { (it: Iterator[Row]) =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var batchIdx = 0
+      var written = 0L
+      var buf = new java.lang.StringBuilder()
+      var docsInBatch = 0
+      def flush(): Unit = if (docsInBatch > 0) {
+        val f = new java.io.File(path, f"part-$pid%05d-$batchIdx%05d.jsonl")
+        try {
+          val w = new java.io.BufferedWriter(new java.io.FileWriter(f))
+          try w.write(buf.toString) finally w.close()
+        } catch {
+          case e: java.io.IOException =>
+            // reference-shaped provenance: rows already inserted + global index
+            throw new GraftWriteError(e.getMessage, written, written)
+        }
+        inserted.add(docsInBatch); batches.add(1)
+        written += docsInBatch
+        batchIdx += 1; docsInBatch = 0; buf = new java.lang.StringBuilder()
+      }
+      it.foreach { row =>
+        val sb = new java.lang.StringBuilder()
+        encodeRow(row, schema, sb)
+        sb.append('\n')
+        if (docsInBatch > 0 &&
+            (buf.length() + sb.length() > maxBatchBytes || docsInBatch >= maxBatchDocs))
+          flush()
+        buf.append(sb)
+        docsInBatch += 1
+      }
+      flush()
+    }
+    WriteResult(inserted.value, batches.value)
+  }
+}

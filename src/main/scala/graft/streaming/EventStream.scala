@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming extension (the reference is batch-only — every
+  * entry point drains the cursor, api.py:204-207 — so this is the §7.6
+  * extension surface, not parity): windowed aggregation with watermark
+  * over the events table, runnable synchronously on the parquet fixture
+  * for verification.
+  */
+object EventStream {
+  /** events schema with ts as long nanos (parquet TIMESTAMP(NANOS)). */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Tumbling-window counts + decimal-exact value sums per event type.
+    * Watermark bounds state: at 100 TB/day the state store only holds
+    * windows newer than (max event time − delay). */
+  def windowedAgg(events: DataFrame, windowLen: String = "1 hour",
+                  watermarkDelay: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value").cast(DoubleType).as("sum_value"))
+
+  /** Run the streaming aggregation synchronously over the parquet
+    * fixture (memory sink, processAllAvailable) and return the final
+    * batch result. The same `windowedAgg` plan serves a real
+    * `readStream` source in production. */
+  def runOnFixture(spark: SparkSession, dir: String,
+                   windowLen: String = "1 hour"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val name = s"graft_events_${System.nanoTime()}"
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .where(col("ts").isNotNull)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = windowedAgg(stream, windowLen)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}

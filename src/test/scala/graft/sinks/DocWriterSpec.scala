@@ -1,0 +1,56 @@
+package graft.sinks
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+import graft.bson.DocDecoder
+
+class DocWriterSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_sink").toString
+
+  test("write → decode round-trip preserves values (test_arrow.py round_trip)") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").limit(500)
+    val path = tmpDir()
+    val res = DocWriter.write(df, path)
+    assert(res.insertedCount == 500)
+    val docs = spark.read.textFile(s"$path/*.jsonl")
+    val back = DocDecoder.decode(docs, df.schema)
+    val a = df.orderBy("o_orderkey").collect().toSeq
+    val b = back.orderBy("o_orderkey").collect().toSeq
+    assert(a == b)
+  }
+
+  test("batch flush at 100k docs: 100_040 rows → 2 batches (test_arrow.py:364-374)") {
+    val df = spark.range(100040).toDF("v").coalesce(1)
+    val res = DocWriter.write(df, tmpDir())
+    assert(res.insertedCount == 100040)
+    assert(res.batches == 2)
+  }
+
+  test("byte-limit flush splits large rows") {
+    val big = spark.range(100).select(col("id"),
+      lit("x" * 1000).as("pad")).coalesce(1)
+    val res = DocWriter.write(big, tmpDir(), maxBatchBytes = 10000)
+    assert(res.insertedCount == 100)
+    assert(res.batches > 5)
+  }
+
+  test("schema validation rejects MapType (types.py:345-358)") {
+    val df = spark.range(1).select(map(lit("k"), lit(1)).as("m"))
+    intercept[IllegalArgumentException](DocWriter.write(df, tmpDir()))
+  }
+
+  test("auto-convert pre-pass: date→timestamp, float→double (api.py:622-648)") {
+    val df = spark.range(3).select(
+      current_date().as("d"), lit(1.5f).as("f"), col("id").cast(ShortType).as("s"))
+    val out = DocWriter.autoConvert(df)
+    assert(out.schema("d").dataType == TimestampType)
+    assert(out.schema("f").dataType == DoubleType)
+    assert(out.schema("s").dataType == IntegerType)
+  }
+}
