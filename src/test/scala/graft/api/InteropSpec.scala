@@ -1,0 +1,83 @@
+package graft.api
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+import graft.functions.GraftFunctions
+
+/** Interop + extension surface: CSV/JSON round trips (reference
+  * test_arrow.py:474-496,1209-1236), permissive-union schema drift
+  * (api.py:114-123), patch_all-style implicits, custom Expression. */
+class InteropSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_io").toString
+
+  test("parquet round-trip preserves schema and values") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    val p = tmp(); df.write.mode("overwrite").parquet(p)
+    val back = spark.read.parquet(p)
+    assert(back.schema == df.schema)
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      df.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("CSV round-trip (flat columns, header+schema)") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    val p = tmp()
+    df.write.mode("overwrite").option("header", "true").csv(p)
+    val back = spark.read.option("header", "true").schema(df.schema).csv(p)
+    assert(back.orderBy("r_regionkey").collect().toSeq ==
+      df.orderBy("r_regionkey").collect().toSeq)
+  }
+
+  test("JSON-lines round-trip") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    val p = tmp(); df.write.mode("overwrite").json(p)
+    val back = spark.read.schema(df.schema).json(p)
+    assert(back.orderBy("c_custkey").collect().toSeq ==
+      df.orderBy("c_custkey").collect().toSeq)
+  }
+
+  test("permissive union reconciles drifted schemas (api.py:114-123 twin)") {
+    val a = Seq((1, "x")).toDF("id", "s")
+    val b = Seq((2, 3.5)).toDF("id", "d")
+    val u = a.unionByName(b, allowMissingColumns = true)
+    assert(u.columns.toSeq == Seq("id", "s", "d"))
+    assert(u.count() == 2)
+    assert(u.where($"id" === 2).head.isNullAt(1))
+  }
+
+  test("implicits expose the MQL surface on DataFrames (monkey.py twin)") {
+    import graft.api.implicits._
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val a = li.mqlFind("""{"l_quantity": {"$gt": 49.0}}""").count()
+    val b = li.where($"l_quantity" > 49.0).count()
+    assert(a == b && a > 0)
+    val g = li.mqlAggregate("""[{"$group": {"_id": "$l_returnflag",
+      "n": {"$count": {}}}}]""").count()
+    assert(g == 3)
+    assert(li.mqlWhere("""{"l_linenumber": 1}""").count() > 0)
+  }
+
+  test("objectid_to_timestamp custom expression (codegen + SQL registration)") {
+    GraftFunctions.register(spark)
+    // OID 65cf7cab... → epoch secs 0x65cf7cab = 1708096683
+    val hex = "65cf7cab" + "0000000000000000"
+    val bytes = hex.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
+    val df = Seq(Tuple1(bytes)).toDF("oid")
+    val got = df.select(GraftFunctions.objectIdToTimestamp($"oid").as("ts"))
+      .as[java.sql.Timestamp].head()
+    assert(got.toInstant.getEpochSecond == 1708096683L)
+    // also callable from SQL
+    df.createOrReplaceTempView("oids")
+    val viaSql = spark.sql("SELECT objectid_to_timestamp(oid) FROM oids")
+      .as[java.sql.Timestamp].head()
+    assert(viaSql == got)
+    // wrong length → null
+    val bad = Seq(Tuple1(Array[Byte](1, 2, 3))).toDF("oid")
+    assert(bad.select(GraftFunctions.objectIdToTimestamp($"oid")).head.isNullAt(0))
+  }
+}
