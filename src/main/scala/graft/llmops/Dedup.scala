@@ -92,17 +92,26 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Exact n-gram-jaccard pairs with min-k-shingle blocking: candidate
-    * pairs share one of each doc's `blockKeys` lexicographically smallest
-    * shingles (miss probability (1-j)^blockKeys — negligible for
-    * near-dup thresholds). Fully SQL-expressible → DuckDB-oracle-checked.
+  /** Exact n-gram-jaccard pairs with rarest-shingle blocking: candidate
+    * pairs share one of each doc's `blockKeys` globally rarest shingles
+    * (miss probability ≈ (1-j)^blockKeys — negligible for near-dup
+    * thresholds). Rarest keys keep buckets tiny and skew-free at 100 TB
+    * (lexicographic-min keys concentrate on corpus-common shingles and
+    * degenerate to O(n²) buckets); the global frequency count is one
+    * extra linear shuffle. Fully SQL-expressible → DuckDB-oracle-checked.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, threshold: Double = 0.8,
                    blockKeys: Int = 4): DataFrame = {
     val base = df.select(col(idCol).as("__id"), shingles(col(textCol), shingleN).as("__sh"))
-    val keyed = base.select(col("__id"),
-      explode(slice(sort_array(col("__sh")), 1, blockKeys)).as("__key"))
+    val exploded = base.select(col("__id"), explode(col("__sh")).as("__s"))
+    val freq = exploded.groupBy("__s").agg(count(lit(1)).as("__f"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__id").orderBy(col("__f"), col("__s"))
+    val keyed = exploded.join(freq, "__s")
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= blockKeys)
+      .select(col("__id"), col("__s").as("__key"))
     val cand = keyed.as("l").join(keyed.as("r"), Seq("__key"))
       .where(col("l.__id") < col("r.__id"))
       .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))

@@ -44,7 +44,9 @@ object Headline {
         val o = Graft.table(s, dir, "orders")
           .where(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
         val l = Graft.table(s, dir, "lineitem")
-        l.join(broadcast(o.join(broadcast(c), o("o_custkey") === c("c_custkey"))),
+        // no forced broadcast: customer/orders scale with SF — AQE
+        // broadcasts them while small and shuffle-joins at 100 TB
+        l.join(o.join(c, o("o_custkey") === c("c_custkey")),
             l("l_orderkey") === o("o_orderkey"))
           .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
           .agg(sum(col("l_extendedprice").cast(dec) *
@@ -72,9 +74,11 @@ object Headline {
         val c = Graft.table(s, dir, "customer")
         val sup = Graft.table(s, dir, "supplier")
         val n = Graft.table(s, dir, "nation")
-        l.join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+        // broadcast only the fixed-cardinality dim (nation: 25 rows at
+        // every SF); supplier/customer/orders scale with SF → AQE decides
+        l.join(sup, l("l_suppkey") === sup("s_suppkey"))
           .join(o, l("l_orderkey") === o("o_orderkey"))
-          .join(broadcast(c), o("o_custkey") === c("c_custkey") &&
+          .join(c, o("o_custkey") === c("c_custkey") &&
             c("c_nationkey") === sup("s_nationkey"))
           .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
           .groupBy(col("n_name"))

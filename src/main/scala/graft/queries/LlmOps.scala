@@ -106,7 +106,13 @@ object LlmOps {
       Some(s"""WITH t AS (
                  SELECT doc_id, $duckShingles AS sh
                  FROM (SELECT doc_id, $duckToks AS w FROM documents)),
-               k AS (SELECT doc_id, unnest(list_sort(sh)[1:4]) AS key FROM t),
+               e AS (SELECT doc_id, unnest(sh) AS s FROM t),
+               f AS (SELECT s, COUNT(*) AS fr FROM e GROUP BY s),
+               k AS (SELECT doc_id, s AS key FROM (
+                       SELECT e.doc_id, e.s,
+                              ROW_NUMBER() OVER (PARTITION BY e.doc_id
+                                                 ORDER BY f.fr, e.s) AS rn
+                       FROM e JOIN f ON e.s = f.s) WHERE rn <= 4),
                c AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
                      FROM k a JOIN k b ON a.key = b.key AND a.doc_id < b.doc_id),
                j AS (SELECT ia, ib,
