@@ -218,6 +218,40 @@ object ExprCompiler {
                      compile(field(spec, "date", op), env))
         case other => throw new MqlException(s"bad $$dateTrunc: $other")
       }
+      case "$dateAdd" => v match {
+        case JObject(spec) =>
+          val d = compile(field(spec, "startDate", op), env)
+          val unit = strValue(field(spec, "unit", op), op)
+          val amount = intValue(field(spec, "amount", op), op)
+          d + expr(s"INTERVAL $amount $unit")
+        case other => throw new MqlException(s"bad $$dateAdd: $other")
+      }
+      case "$dateDiff" => v match {
+        case JObject(spec) =>
+          val s0 = compile(field(spec, "startDate", op), env)
+          val e0 = compile(field(spec, "endDate", op), env)
+          strValue(field(spec, "unit", op), op) match {
+            case "year"  => (year(e0) - year(s0)).cast(LongType)
+            case "month" => ((year(e0) - year(s0)) * 12 + (month(e0) - month(s0))).cast(LongType)
+            // day/hour/…: boundary crossings == floored ms delta after
+            // truncating both ends to the unit (Mongo semantics)
+            case u @ ("day" | "hour" | "minute" | "second" | "week") =>
+              val msPer = Map("day" -> 86400000L, "hour" -> 3600000L,
+                "minute" -> 60000L, "second" -> 1000L, "week" -> 604800000L)(u)
+              val tu = if (u == "week") "week" else u
+              floor((unix_millis(date_trunc(tu, e0)) - unix_millis(date_trunc(tu, s0))) /
+                lit(msPer.toDouble)).cast(LongType)
+            case other => throw new MqlException(s"$$dateDiff unit $other unsupported")
+          }
+        case other => throw new MqlException(s"bad $$dateDiff: $other")
+      }
+      case "$let" => v match {
+        case JObject(spec) =>
+          val vars = asObj(field(spec, "vars", op), "$let vars")
+            .foldLeft(env) { case (e, (name, ve)) => e + (name -> compile(ve, e)) }
+          compile(field(spec, "in", op), vars)
+        case other => throw new MqlException(s"bad $$let: $other")
+      }
 
       // ---- type conversion ----
       case "$toInt"     => c0.cast(IntegerType)

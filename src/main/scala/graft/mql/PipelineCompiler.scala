@@ -106,6 +106,8 @@ object PipelineCompiler {
     }
     case "$bucket"          => bucket(df, asObj(spec, "$bucket"))
     case "$setWindowFields" => setWindowFields(df, asObj(spec, "$setWindowFields"))
+    case "$facet"           => facet(df, asObj(spec, "$facet"), resolve)
+    case "$fill"            => fill(df, asObj(spec, "$fill"))
     case other => throw new MqlException(s"unsupported pipeline stage $other")
   }
 
@@ -205,6 +207,16 @@ object PipelineCompiler {
       case "$stdDevPop" => stddev_pop(e)
       case "$stdDevSamp" => stddev_samp(e)
       case "$median"    => median(e)
+      case "$minN" | "$maxN" => arg match {
+        case JObject(spec) =>
+          val input = ExprCompiler.compile(spec.collectFirst { case ("input", x) => x }
+            .getOrElse(throw new MqlException(s"$op needs input")))
+          val n = spec.collectFirst { case ("n", x) => intValue(x, op) }
+            .getOrElse(throw new MqlException(s"$op needs n"))
+          val sorted = sort_array(collect_list(input), asc = op == "$minN")
+          slice(sorted, 1, n)
+        case other => throw new MqlException(s"bad $op: $other")
+      }
       case other => throw new MqlException(s"unsupported accumulator $other")
     }
   }
@@ -300,6 +312,51 @@ object PipelineCompiler {
       .map { case (n, JObject(List((op, arg)))) => accumulator(op, arg).as(n)
              case (n, other) => throw new MqlException(s"bad output $n: $other") }
     df.groupBy(withDefault.as("_id")).agg(accs.head, accs.tail: _*)
+  }
+
+  // ---- $facet ------------------------------------------------------------
+  // Each sub-pipeline runs on the same input; every branch reduces to one
+  // array-of-docs column, joined into a single row. Branches execute as
+  // independent Spark jobs (fan-out parallelism is free).
+  private def facet(df: DataFrame, spec: List[(String, JValue)],
+                    resolve: TableResolver): DataFrame = {
+    val branches = spec.map { case (name, stages) =>
+      val sub = stages match {
+        case JArray(ss) => ss.foldLeft(df) { (acc, st) =>
+          asObj(st, "facet stage") match {
+            case List((n2, sp2)) => applyStage(acc, n2, sp2, resolve)
+            case o => throw new MqlException(s"bad facet stage $o")
+          }
+        }
+        case other => throw new MqlException(s"$$facet branch $name: $other")
+      }
+      sub.agg(collect_list(struct(sub.columns.map(col): _*)).as(name))
+    }
+    branches.reduce(_.crossJoin(_))
+  }
+
+  // ---- $fill -------------------------------------------------------------
+  // output: {field: {value: expr}} → coalesce with the expression;
+  //         {field: {method: "locf"}} → last non-null over the sort order.
+  private def fill(df: DataFrame, spec: List[(String, JValue)]): DataFrame = {
+    val partCols: Seq[Column] = spec.collectFirst { case ("partitionBy", e) => e } match {
+      case None | Some(JNull) => Seq(lit(0))
+      case Some(e) => Seq(ExprCompiler.compile(e))
+    }
+    val sortBy = spec.collectFirst { case ("sortBy", s) => sortCols(s) }
+    val output = spec.collectFirst { case ("output", JObject(out)) => out }
+      .getOrElse(throw new MqlException("$fill needs output"))
+    output.foldLeft(df) {
+      case (acc, (name, JObject(List(("value", e))))) =>
+        acc.withColumn(name, coalesce(col(name), ExprCompiler.compile(e)))
+      case (acc, (name, JObject(List(("method", JString("locf")))))) =>
+        val sorts = sortBy.getOrElse(throw new MqlException("$fill locf needs sortBy"))
+        val w = Window.partitionBy(partCols: _*).orderBy(sorts: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        acc.withColumn(name, last(col(name), ignoreNulls = true).over(w))
+      case (_, (name, other)) =>
+        throw new MqlException(s"bad $$fill output for $name: $other")
+    }
   }
 
   // ---- $setWindowFields --------------------------------------------------

@@ -271,6 +271,22 @@ object Relational {
                              ORDER BY o_totalprice DESC, o_orderkey))
               WHERE rnk <= 10 ORDER BY o_orderpriority, rnk""")),
 
+    QueryDef("q_date_math",
+      (s, dir) => agg("orders", """[
+        {"$project": {
+           "o_orderkey": 1,
+           "ship_by": {"$dateAdd": {"startDate": "$o_orderdate", "unit": "day", "amount": 30}},
+           "days_since": {"$dateDiff": {"startDate": {"$date": "1995-01-01T00:00:00Z"},
+                                        "endDate": "$o_orderdate", "unit": "day"}},
+           "months_since": {"$dateDiff": {"startDate": {"$date": "1995-01-01T00:00:00Z"},
+                                          "endDate": "$o_orderdate", "unit": "month"}}}},
+        {"$sort": {"o_orderkey": 1}}]""")(s, dir),
+      Some("""SELECT o_orderkey,
+                     o_orderdate + INTERVAL 30 DAY AS ship_by,
+                     CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since,
+                     CAST(date_diff('month', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS months_since
+              FROM orders ORDER BY o_orderkey""")),
+
     QueryDef("q_union",
       (s, dir) => agg("region", """[
         {"$project": {"name": "$r_name", "src": "REGION"}},

@@ -1,0 +1,80 @@
+package graft.mql
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+
+/** Round-1 widening: $facet, $fill, $let, $dateAdd/$dateDiff, $minN/$maxN. */
+class PipelineExtraSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private lazy val sales = Seq(
+    (1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "b", 40.0), (5, "b", 50.0)
+  ).toDF("id", "grp", "amt")
+
+  test("$facet runs branches over the same input, one row out") {
+    val out = PipelineCompiler.run(sales, """[
+      {"$facet": {
+        "byGrp": [{"$group": {"_id": "$grp", "n": {"$count": {}}}},
+                  {"$sort": {"_id": 1}}],
+        "top":   [{"$sort": {"amt": -1}}, {"$limit": 2},
+                  {"$project": {"id": 1}}]}}]""")
+    assert(out.count() == 1)
+    val row = out.head
+    assert(row.getSeq[Row](out.columns.indexOf("byGrp")).map(r => (r.getString(0), r.getLong(1)))
+      == Seq(("a", 2L), ("b", 3L)))
+    assert(row.getSeq[Row](out.columns.indexOf("top")).map(_.getInt(0)) == Seq(5, 4))
+  }
+
+  test("$fill value and locf") {
+    val gaps = Seq[(Int, String, Option[Double])](
+      (1, "a", Some(1.0)), (2, "a", None), (3, "a", Some(3.0)),
+      (4, "b", None), (5, "b", Some(5.0)), (6, "b", None)
+    ).toDF("id", "grp", "v")
+    val locf = PipelineCompiler.run(gaps, """[
+      {"$fill": {"partitionBy": "$grp", "sortBy": {"id": 1},
+                 "output": {"v": {"method": "locf"}}}},
+      {"$sort": {"id": 1}}]""")
+    assert(locf.select("v").collect().map(r => if (r.isNullAt(0)) null else r.getDouble(0)).toSeq
+      == Seq(1.0, 1.0, 3.0, null, 5.0, 5.0))
+    val filled = PipelineCompiler.run(gaps, """[
+      {"$fill": {"output": {"v": {"value": -1}}}}, {"$sort": {"id": 1}}]""")
+    assert(filled.select("v").as[Double].collect().toSeq
+      == Seq(1.0, -1.0, 3.0, -1.0, 5.0, -1.0))
+  }
+
+  test("$let binds variables with shadowing env") {
+    val out = sales.select(ExprCompiler.compile(Mql.parse(
+      """{"$let": {"vars": {"half": {"$multiply": ["$amt", 0.5]}},
+                   "in": {"$add": ["$$half", 1]}}}""")).as("r"))
+      .orderBy("r").as[Double].collect()
+    assert(out.toSeq == Seq(6.0, 11.0, 16.0, 21.0, 26.0))
+  }
+
+  test("$dateAdd / $dateDiff") {
+    val one = Seq(1).toDF("x")
+    def eval(e: String) =
+      one.select(ExprCompiler.compile(Mql.parse(e)).as("r")).head.get(0)
+    val d = """{"$date": "2024-03-05T00:00:00Z"}"""
+    assert(eval(s"""{"$$dateAdd": {"startDate": $d, "unit": "day", "amount": 10}}""")
+      .asInstanceOf[java.sql.Timestamp].toInstant.toString == "2024-03-15T00:00:00Z")
+    assert(eval(s"""{"$$dateDiff": {"startDate": {"$$date": "2024-01-01T12:00:00Z"},
+      "endDate": {"$$date": "2024-01-03T00:30:00Z"}, "unit": "day"}}""") == 2L)
+    assert(eval(s"""{"$$dateDiff": {"startDate": {"$$date": "2024-01-01T00:00:00Z"},
+      "endDate": {"$$date": "2024-03-01T00:00:00Z"}, "unit": "month"}}""") == 2L)
+    assert(eval(s"""{"$$dateDiff": {"startDate": {"$$date": "2024-01-01T10:59:00Z"},
+      "endDate": {"$$date": "2024-01-01T12:01:00Z"}, "unit": "hour"}}""") == 2L)
+  }
+
+  test("$minN / $maxN accumulators") {
+    val out = PipelineCompiler.run(sales, """[
+      {"$group": {"_id": "$grp",
+        "lo2": {"$minN": {"input": "$amt", "n": 2}},
+        "hi2": {"$maxN": {"input": "$amt", "n": 2}}}},
+      {"$sort": {"_id": 1}}]""")
+    val rows = out.collect()
+    assert(rows.map(_.getSeq[Double](1)).toSeq == Seq(Seq(10.0, 20.0), Seq(30.0, 40.0)))
+    assert(rows.map(_.getSeq[Double](2)).toSeq == Seq(Seq(20.0, 10.0), Seq(50.0, 40.0)))
+  }
+}
