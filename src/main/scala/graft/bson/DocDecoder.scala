@@ -33,7 +33,7 @@ object DocDecoder {
 
   /** Mapper accepting NaN/Infinity literals (BSON doubles allow them;
     * the reference nulls NaN, lib.pyx:113-121). */
-  private[bson] def newMapper(): ObjectMapper = {
+  private[graft] def newMapper(): ObjectMapper = {
     val m = new ObjectMapper()
     m.configure(com.fasterxml.jackson.core.JsonParser.Feature.ALLOW_NON_NUMERIC_NUMBERS, true)
     m

@@ -38,6 +38,25 @@ object Decode {
       },
       Some("""SELECT CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                      CAST(COUNT(*) AS BIGINT) AS n
-              FROM events"""))
+              FROM events""")),
+
+    // full engine loop: typed table → DocWriter batched sink →
+    // graftdocs DSv2 source (pruned decode) → aggregation; the oracle
+    // sees only the original table, so any encode/decode drift fails.
+    QueryDef("q_connector_roundtrip",
+      (s, dir) => {
+        val df = Graft.table(s, dir, "customer")
+        val path = java.nio.file.Files.createTempDirectory("graft_conn").toString
+        graft.sinks.DocWriter.write(df, path)
+        s.read.format("graftdocs").schema(df.schema).load(path)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+              .cast(org.apache.spark.sql.types.DoubleType).as("sum_bal"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+              FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
   )
 }
