@@ -108,6 +108,7 @@ object PipelineCompiler {
     case "$setWindowFields" => setWindowFields(df, asObj(spec, "$setWindowFields"))
     case "$facet"           => facet(df, asObj(spec, "$facet"), resolve)
     case "$fill"            => fill(df, asObj(spec, "$fill"))
+    case "$densify"         => densify(df, asObj(spec, "$densify"))
     case other => throw new MqlException(s"unsupported pipeline stage $other")
   }
 
@@ -357,6 +358,50 @@ object PipelineCompiler {
       case (_, (name, other)) =>
         throw new MqlException(s"bad $$fill output for $name: $other")
     }
+  }
+
+  // ---- $densify ----------------------------------------------------------
+  // Missing grid points are generated with sequence()+explode per
+  // partition-combo (one small dimension join, no driver loop); generated
+  // rows carry nulls everywhere but the densified + partition fields,
+  // matching Mongo's output shape.
+  private def densify(df: DataFrame, spec: List[(String, JValue)]): DataFrame = {
+    val fieldName = strValue(spec.collectFirst { case ("field", f) => f }
+      .getOrElse(throw new MqlException("$densify needs field")), "$densify")
+    val range = spec.collectFirst { case ("range", JObject(r)) => r }
+      .getOrElse(throw new MqlException("$densify needs range"))
+    val partFields = spec.collectFirst { case ("partitionByFields", JArray(fs)) =>
+      fs.map(strValue(_, "$densify")) }.getOrElse(Nil)
+    val step = range.collectFirst { case ("step", s) => s }
+      .getOrElse(throw new MqlException("$densify range needs step"))
+    val unit = range.collectFirst { case ("unit", u) => strValue(u, "$densify") }
+    val stepCol: Column = unit match {
+      case Some(u) => expr(s"INTERVAL ${intValue(step, "$densify")} $u")
+      case None => literal(step)
+    }
+    val bounds = range.collectFirst { case ("bounds", b) => b }
+      .getOrElse(JString("full"))
+    val f = col(fieldName)
+    // Mongo: "full" densifies min..max inclusive; explicit [lo, hi) is
+    // half-open — filter the (inclusive) sequence below hi
+    val (lo, hi, hiExclusive) = bounds match {
+      case JString("full") =>
+        val r = df.agg(min(f), max(f)).head
+        (lit(r.get(0)), lit(r.get(1)), false)
+      case JString("partition") =>
+        throw new MqlException("$densify bounds: 'partition' not supported yet")
+      case JArray(List(l, h)) => (literal(l), literal(h), true)
+      case other => throw new MqlException(s"bad $$densify bounds: $other")
+    }
+    val partCols = partFields.map(col)
+    val combos = if (partCols.nonEmpty) df.select(partCols: _*).distinct()
+                 else df.sparkSession.range(1).select()
+    val seqCol = sequence(lo, hi, stepCol)
+    val gridVals = if (hiExclusive) filter(seqCol, x => x < hi) else seqCol
+    val grid = combos.withColumn(fieldName, explode(gridVals))
+    val keys = fieldName +: partFields
+    val missing = grid.join(df.select(keys.map(col): _*), keys, "left_anti")
+    df.unionByName(missing, allowMissingColumns = true)
   }
 
   // ---- $setWindowFields --------------------------------------------------

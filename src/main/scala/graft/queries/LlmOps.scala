@@ -25,6 +25,30 @@ object LlmOps {
     s"""list_distinct([array_to_string(w[i:i+2], ' ')
         for i in range(1, greatest(len(w) - 1, 1))])"""
 
+  /** Exact n-gram-jaccard near-dup pairs (the dedup ground truth):
+    * rarest-4-shingle blocking + exact verification, mirroring
+    * Dedup.jaccardPairs stage for stage. */
+  private val nearDupOracle: String =
+    s"""WITH t AS (
+         SELECT doc_id, $duckShingles AS sh
+         FROM (SELECT doc_id, $duckToks AS w FROM documents)),
+       e AS (SELECT doc_id, unnest(sh) AS s FROM t),
+       f AS (SELECT s, COUNT(*) AS fr FROM e GROUP BY s),
+       k AS (SELECT doc_id, s AS key FROM (
+               SELECT e.doc_id, e.s,
+                      ROW_NUMBER() OVER (PARTITION BY e.doc_id
+                                         ORDER BY f.fr, e.s) AS rn
+               FROM e JOIN f ON e.s = f.s) WHERE rn <= 4),
+       c AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+             FROM k a JOIN k b ON a.key = b.key AND a.doc_id < b.doc_id),
+       j AS (SELECT ia, ib,
+               round(len(list_intersect(ta.sh, tb.sh))::DOUBLE
+                     / len(list_distinct(ta.sh || tb.sh)), 6) AS jac
+             FROM c JOIN t ta ON ta.doc_id = c.ia
+                    JOIN t tb ON tb.doc_id = c.ib)
+       SELECT ia AS id_a, ib AS id_b, jac AS jaccard FROM j
+       WHERE jac >= 0.8 ORDER BY id_a, id_b"""
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef("q_text_stats",
@@ -98,38 +122,20 @@ object LlmOps {
                       min(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_docs
                FROM documents GROUP BY 1 ORDER BY fp""")),
 
-    // exact near-dup ground truth (min-4-shingle blocking, recall ~1 at j≥0.8)
+    // exact near-dup ground truth (rarest-4-shingle blocking, recall ~1 at j≥0.8)
     QueryDef("q_jaccard_pairs",
       (s, dir) => Dedup.jaccardPairs(Graft.table(s, dir, "documents"),
         "doc_id", "text", shingleN = 3, threshold = 0.8, blockKeys = 4)
         .orderBy("id_a", "id_b"),
-      Some(s"""WITH t AS (
-                 SELECT doc_id, $duckShingles AS sh
-                 FROM (SELECT doc_id, $duckToks AS w FROM documents)),
-               e AS (SELECT doc_id, unnest(sh) AS s FROM t),
-               f AS (SELECT s, COUNT(*) AS fr FROM e GROUP BY s),
-               k AS (SELECT doc_id, s AS key FROM (
-                       SELECT e.doc_id, e.s,
-                              ROW_NUMBER() OVER (PARTITION BY e.doc_id
-                                                 ORDER BY f.fr, e.s) AS rn
-                       FROM e JOIN f ON e.s = f.s) WHERE rn <= 4),
-               c AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
-                     FROM k a JOIN k b ON a.key = b.key AND a.doc_id < b.doc_id),
-               j AS (SELECT ia, ib,
-                       round(len(list_intersect(ta.sh, tb.sh))::DOUBLE
-                             / len(list_distinct(ta.sh || tb.sh)), 6) AS jac
-                     FROM c JOIN t ta ON ta.doc_id = c.ia
-                            JOIN t tb ON tb.doc_id = c.ib)
-               SELECT ia AS id_a, ib AS id_b, jac AS jaccard FROM j
-               WHERE jac >= 0.8 ORDER BY id_a, id_b""")),
-
-    // approximate variants: no DuckDB twin for xxhash64 signatures →
-    // rows-only here, pinned against q_jaccard_pairs in LlmOpsSpec
+      Some(nearDupOracle)),
+    // MinHash-LSH: output = exact-verified pairs, and recall on j≥0.8
+    // pairs is 1 − (1−j⁴)¹⁶ ≥ 1 − 2e-18 at the fixtures' j≈0.99, so the
+    // exact-jaccard ground truth doubles as its oracle.
     QueryDef("q_minhash_pairs",
       (s, dir) => Dedup.minhashPairs(Graft.table(s, dir, "documents"),
         "doc_id", "text", shingleN = 3, numHashes = 64, bands = 16, threshold = 0.8)
         .orderBy("id_a", "id_b"),
-      None),
+      Some(nearDupOracle)),
 
     QueryDef("q_simhash_pairs",
       (s, dir) => Dedup.simhashPairs(Graft.table(s, dir, "documents"),
