@@ -51,6 +51,23 @@ object Graft {
     out
   }
 
+  /** Materialize per-column display timezones (reference §1.4: a tz in
+    * the schema converts on read, test_datetime.py:89-168): every
+    * TimestampType column carrying tz metadata becomes the tz-local wall
+    * clock (TimestampNTZType). Instants without metadata pass through. */
+  def localize(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val cols = df.schema.fields.map { f =>
+      if (f.dataType == TimestampType &&
+          f.metadata.contains(graft.schema.MSchema.TimezoneKey)) {
+        val tz = f.metadata.getString(graft.schema.MSchema.TimezoneKey)
+        convert_timezone(lit("UTC"), lit(tz), col(f.name).cast(TimestampNTZType))
+          .as(f.name)
+      } else col(f.name)
+    }
+    df.select(cols.toSeq: _*)
+  }
+
   /** find with a declared schema: the schema synthesizes the projection
     * (reference api.py:172-173 — schema._get_projection()), so only the
     * declared columns are read (column pruning reaches the scan). */

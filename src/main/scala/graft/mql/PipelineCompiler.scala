@@ -44,12 +44,18 @@ object PipelineCompiler {
         throw new MqlException(s"$op is not supported (reference rejects it too)")
       case _ =>
     }
-    stages.foldLeft(df) { (acc, s) =>
+    // a $sort immediately before $group makes $first/$last deterministic
+    // (compiled to min_by/max_by over the sort key)
+    stages.foldLeft((df, Option.empty[JValue])) { case ((acc, prevSort), s) =>
       asObj(s, "stage") match {
-        case List((name, spec)) => applyStage(acc, name, spec, resolve)
+        case List(("$group", spec)) =>
+          (group(acc, asObj(spec, "$group"), prevSort), None)
+        case List((name, spec)) =>
+          (applyStage(acc, name, spec, resolve),
+            if (name == "$sort") Some(spec) else None)
         case other => throw new MqlException(s"stage must have exactly one key: $other")
       }
-    }
+    }._1
   }
 
   private[mql] def applyStage(df: DataFrame, name: String, spec: JValue,
@@ -71,7 +77,7 @@ object PipelineCompiler {
       case JArray(fs)  => df.drop(fs.map(strValue(_, "$unset")): _*)
       case other => throw new MqlException(s"bad $$unset: $other")
     }
-    case "$group"          => group(df, asObj(spec, "$group"))
+    case "$group"          => group(df, asObj(spec, "$group"), None)
     case "$unwind"         => unwind(df, spec)
     case "$lookup"         => lookup(df, asObj(spec, "$lookup"), resolve)
     case "$replaceRoot"    =>
@@ -193,7 +199,11 @@ object PipelineCompiler {
   }
 
   // ---- $group ------------------------------------------------------------
-  private def accumulator(op: String, arg: JValue): Column = {
+  /** `sortKey`: (struct-of-sort-columns, allAscending) when the group is
+    * preceded by a uniform-direction $sort — $first/$last then compile
+    * to min_by/max_by (deterministic under shuffle, unlike first/last). */
+  private def accumulator(op: String, arg: JValue,
+                          sortKey: Option[(Column, Boolean)]): Column = {
     def e = ExprCompiler.compile(arg)
     op match {
       case "$sum"       => sum(e)
@@ -202,8 +212,14 @@ object PipelineCompiler {
       case "$max"       => max(e)
       case "$push"      => collect_list(e)
       case "$addToSet"  => collect_set(e)
-      case "$first"     => first(e, ignoreNulls = false)
-      case "$last"      => last(e, ignoreNulls = false)
+      case "$first" => sortKey match {
+        case Some((k, asc)) => if (asc) min_by(e, k) else max_by(e, k)
+        case None => first(e, ignoreNulls = false)
+      }
+      case "$last" => sortKey match {
+        case Some((k, asc)) => if (asc) max_by(e, k) else min_by(e, k)
+        case None => last(e, ignoreNulls = false)
+      }
       case "$count"     => count(lit(1))
       case "$stdDevPop" => stddev_pop(e)
       case "$stdDevSamp" => stddev_samp(e)
@@ -222,11 +238,24 @@ object PipelineCompiler {
     }
   }
 
-  private def group(df: DataFrame, fields: List[(String, JValue)]): DataFrame = {
+  private def group(df: DataFrame, fields: List[(String, JValue)],
+                    precedingSort: Option[JValue]): DataFrame = {
+    // uniform-direction preceding $sort → deterministic $first/$last key
+    val sortKey: Option[(Column, Boolean)] = precedingSort.flatMap { s =>
+      val specs = asObj(s, "$sort").map {
+        case (k, JInt(d))  => (k, d >= 0)
+        case (k, JLong(d)) => (k, d >= 0)
+        case (k, o) => throw new MqlException(s"bad sort direction for $k: $o")
+      }
+      val dirs = specs.map(_._2).distinct
+      if (dirs.size == 1)
+        Some((struct(specs.map(x => fieldCol(x._1)): _*), dirs.head))
+      else None
+    }
     val idExpr = fields.collectFirst { case ("_id", e) => e }
       .getOrElse(throw new MqlException("$group requires _id"))
     val accs = fields.filterNot(_._1 == "_id").map {
-      case (n, JObject(List((op, arg)))) => accumulator(op, arg).as(n)
+      case (n, JObject(List((op, arg)))) => accumulator(op, arg, sortKey).as(n)
       case (n, other) => throw new MqlException(s"bad accumulator for $n: $other")
     }
     def agg(g: org.apache.spark.sql.RelationalGroupedDataset): DataFrame = accs match {
@@ -281,18 +310,34 @@ object PipelineCompiler {
   // sides automatically.
   private def lookup(df: DataFrame, spec: List[(String, JValue)],
                      resolve: TableResolver): DataFrame = {
-    def get(k: String) = strValue(spec.collectFirst { case (`k`, x) => x }
-      .getOrElse(throw new MqlException(s"$$lookup needs $k")), "$lookup")
-    val from = get("from"); val local = get("localField")
-    val foreign = get("foreignField"); val as = get("as")
-    val fromDf = resolve(from)
-    val packed = fromDf
-      .groupBy(col(foreign).as("__graft_fk"))
-      .agg(collect_list(struct(fromDf.columns.map(col): _*)).as(as))
-    val joined = df.join(packed, col(local) === col("__graft_fk"), "left")
-      .drop("__graft_fk")
-    val elemType = packed.schema(as).dataType
-    joined.withColumn(as, coalesce(col(as), array().cast(elemType)))
+    def getOpt(k: String) = spec.collectFirst { case (`k`, x) => x }
+      .map(strValue(_, "$lookup"))
+    def get(k: String) = getOpt(k)
+      .getOrElse(throw new MqlException(s"$$lookup needs $k"))
+    val from = get("from"); val as = get("as")
+    // optional uncorrelated sub-pipeline applied to the foreign table
+    val fromDf = spec.collectFirst { case ("pipeline", JArray(ps)) => ps }
+      .map(_.foldLeft(resolve(from)) { (acc, st) =>
+        asObj(st, "lookup pipeline stage") match {
+          case List((n2, sp2)) => applyStage(acc, n2, sp2, resolve)
+          case o => throw new MqlException(s"bad stage $o")
+        }
+      }).getOrElse(resolve(from))
+    (getOpt("localField"), getOpt("foreignField")) match {
+      case (Some(local), Some(foreign)) =>
+        val packed = fromDf
+          .groupBy(col(foreign).as("__graft_fk"))
+          .agg(collect_list(struct(fromDf.columns.map(col): _*)).as(as))
+        val joined = df.join(packed, col(local) === col("__graft_fk"), "left")
+          .drop("__graft_fk")
+        val elemType = packed.schema(as).dataType
+        joined.withColumn(as, coalesce(col(as), array().cast(elemType)))
+      case (None, None) => // whole pipeline result attached to every row
+        df.crossJoin(broadcast(
+          fromDf.agg(collect_list(struct(fromDf.columns.map(col): _*)).as(as))))
+      case _ => throw new MqlException(
+        "$lookup needs both localField and foreignField (or neither with pipeline)")
+    }
   }
 
   // ---- $bucket -----------------------------------------------------------
@@ -310,7 +355,7 @@ object PipelineCompiler {
     val withDefault = default.map(bucketCol.otherwise).getOrElse(bucketCol)
     val accs = spec.collectFirst { case ("output", JObject(out)) => out }
       .getOrElse(List("count" -> JObject(List("$sum" -> JInt(1)))))
-      .map { case (n, JObject(List((op, arg)))) => accumulator(op, arg).as(n)
+      .map { case (n, JObject(List((op, arg)))) => accumulator(op, arg, None).as(n)
              case (n, other) => throw new MqlException(s"bad output $n: $other") }
     df.groupBy(withDefault.as("_id")).agg(accs.head, accs.tail: _*)
   }

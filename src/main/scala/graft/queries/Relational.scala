@@ -271,6 +271,28 @@ object Relational {
                              ORDER BY o_totalprice DESC, o_orderkey))
               WHERE rnk <= 10 ORDER BY o_orderpriority, rnk""")),
 
+    // (l_orderkey, l_linenumber) is NOT unique in the fixtures, so the
+    // sort key gets a partkey tiebreak to stay total — compiled to
+    // min_by/max_by because the $sort immediately precedes the $group
+    QueryDef("q_group_firstlast",
+      (s, dir) => agg("lineitem", """[
+        {"$addFields": {"sk": {"$add": [
+           {"$multiply": [{"$toLong": "$l_linenumber"}, 1000000000]},
+           "$l_partkey"]}}},
+        {"$sort": {"sk": 1}},
+        {"$group": {"_id": "$l_orderkey",
+           "first_part": {"$first": "$l_partkey"},
+           "last_part": {"$last": "$l_partkey"},
+           "n": {"$count": {}}}},
+        {"$project": {"_id": 0, "l_orderkey": "$_id",
+           "first_part": 1, "last_part": 1, "n": 1}},
+        {"$sort": {"l_orderkey": 1}}]""")(s, dir),
+      Some("""SELECT l_orderkey,
+                     min_by(l_partkey, CAST(l_linenumber AS BIGINT)*1000000000 + l_partkey) AS first_part,
+                     max_by(l_partkey, CAST(l_linenumber AS BIGINT)*1000000000 + l_partkey) AS last_part,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""")),
+
     QueryDef("q_date_math",
       (s, dir) => agg("orders", """[
         {"$project": {

@@ -36,6 +36,7 @@ object MSchema {
     * Code → string. */
   val BsonTypeKey = "graft.bson.type"
   val BinarySubtypeKey = "graft.bson.binary.subtype"
+  val TimezoneKey = "graft.bson.tz"
 
   def of(fields: (String, DataType)*): MSchema =
     MSchema(StructType(fields.map { case (n, t) => StructField(n, t) }))
@@ -48,6 +49,16 @@ object MSchema {
     StructField(name, BinaryType,
       metadata = new MetadataBuilder()
         .putString(BsonTypeKey, "binary").putLong(BinarySubtypeKey, subtype).build())
+
+  /** Timestamp field with the reference's tz semantics (SURVEY.md §1.4):
+    * no tz → tz-naive ms wall clock (TimestampNTZType); tz given → the
+    * value is an absolute instant (TimestampType) carrying its display
+    * zone in metadata — `Graft.localize` materializes the wall clock. */
+  def timestampField(name: String, tz: Option[String] = None): StructField = tz match {
+    case None => StructField(name, TimestampNTZType)
+    case Some(z) => StructField(name, TimestampType,
+      metadata = new MetadataBuilder().putString(TimezoneKey, z).build())
+  }
 
   def codeField(name: String): StructField =
     StructField(name, StringType,

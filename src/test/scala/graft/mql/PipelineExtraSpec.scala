@@ -67,6 +67,43 @@ class PipelineExtraSpec extends AnyFunSuite {
       "endDate": {"$$date": "2024-01-01T12:01:00Z"}, "unit": "hour"}}""") == 2L)
   }
 
+  test("$sort before $group makes $first/$last deterministic (min_by/max_by)") {
+    val out = PipelineCompiler.run(sales, """[
+      {"$sort": {"amt": 1}},
+      {"$group": {"_id": "$grp", "cheapest": {"$first": "$id"},
+                  "dearest": {"$last": "$id"}}},
+      {"$sort": {"_id": 1}}]""")
+    assert(out.collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSeq
+      == Seq(("a", 1, 2), ("b", 3, 5)))
+    // desc sort flips the mapping
+    val desc = PipelineCompiler.run(sales, """[
+      {"$sort": {"amt": -1}},
+      {"$group": {"_id": "$grp", "top": {"$first": "$id"}}},
+      {"$sort": {"_id": 1}}]""")
+    assert(desc.collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+      == Seq(("a", 2), ("b", 5)))
+    // plan is an aggregate, not a window hack
+    assert(out.queryExecution.executedPlan.toString.contains("min_by"))
+  }
+
+  test("$lookup with uncorrelated pipeline attaches filtered array") {
+    val dims = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("code", "rank")
+    val out = PipelineCompiler.run(sales, """[
+      {"$lookup": {"from": "dims", "as": "d",
+        "pipeline": [{"$match": {"rank": {"$lte": 2}}}]}},
+      {"$project": {"id": 1, "n": {"$size": "$d"}}}]""",
+      _ => dims)
+    assert(out.select("n").distinct().head.getInt(0) == 2)
+    // correlated form with pipeline pre-filter
+    val out2 = PipelineCompiler.run(sales, """[
+      {"$lookup": {"from": "dims", "localField": "grp", "foreignField": "code",
+        "as": "d", "pipeline": [{"$match": {"rank": {"$gte": 2}}}]}},
+      {"$project": {"id": 1, "n": {"$size": "$d"}}},
+      {"$sort": {"id": 1}}]""",
+      _ => dims)
+    assert(out2.select("n").as[Int].collect().toSeq == Seq(0, 0, 1, 1, 1))
+  }
+
   test("$minN / $maxN accumulators") {
     val out = PipelineCompiler.run(sales, """[
       {"$group": {"_id": "$grp",
