@@ -100,6 +100,30 @@ object Headline {
                 AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
               GROUP BY n_name ORDER BY n_name""")),
 
+    // gap-based sessionization (batch twin of streaming session windows)
+    QueryDef("q_sessionize",
+      (s, dir) => graft.operators.Sessionize.byGap(
+        Graft.table(s, dir, "events"), "user_id", "ts", "event_id", "value",
+        gapMinutes = 30).orderBy("user_id", "session_idx"),
+      Some("""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+                         FROM events),
+                f AS (SELECT *, CASE WHEN prev IS NULL
+                                     OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                                THEN 1 ELSE 0 END AS nw
+                      FROM (SELECT *, lag(ts) OVER
+                              (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                            FROM e)),
+                g AS (SELECT *, SUM(nw) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+                      FROM f)
+              SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                     CAST(COUNT(*) AS BIGINT) AS n_events,
+                     min(ts) AS session_start, max(ts) AS session_end,
+                     CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+              FROM g GROUP BY user_id, session_idx
+              ORDER BY user_id, session_idx""")),
+
     // streaming extension: tumbling-window agg with watermark, verified
     // against the batch-equivalent SQL (time_bucket)
     QueryDef("q_events_window",
