@@ -115,6 +115,7 @@ object PipelineCompiler {
     case "$facet"           => facet(df, asObj(spec, "$facet"), resolve)
     case "$fill"            => fill(df, asObj(spec, "$fill"))
     case "$densify"         => densify(df, asObj(spec, "$densify"))
+    case "$graphLookup"     => graphLookup(df, asObj(spec, "$graphLookup"), resolve)
     case other => throw new MqlException(s"unsupported pipeline stage $other")
   }
 
@@ -338,6 +339,79 @@ object PipelineCompiler {
       case _ => throw new MqlException(
         "$lookup needs both localField and foreignField (or neither with pipeline)")
     }
+  }
+
+  // ---- $graphLookup ------------------------------------------------------
+  // Bounded BFS as maxDepth+1 rounds of equi-joins (the Spark-native
+  // shape for iterative graph expansion: each round is one shuffle join,
+  // the frontier shrinks as visited nodes are anti-joined away).
+  // maxDepth is required here — an unbounded traversal has no place in a
+  // declarative plan (Mongo's default is unbounded; callers pick the cap).
+  private def graphLookup(df: DataFrame, spec: List[(String, JValue)],
+                          resolve: TableResolver): DataFrame = {
+    def get(k: String) = strValue(spec.collectFirst { case (`k`, x) => x }
+      .getOrElse(throw new MqlException(s"$$graphLookup needs $k")), "$graphLookup")
+    val fromDf = resolve(get("from"))
+    val startWith = spec.collectFirst { case ("startWith", e) => e }
+      .getOrElse(throw new MqlException("$graphLookup needs startWith"))
+    val connectFrom = get("connectFromField"); val connectTo = get("connectToField")
+    val as = get("as")
+    val maxDepth = spec.collectFirst { case ("maxDepth", d) => intValue(d, "$graphLookup") }
+      .getOrElse(throw new MqlException(
+        "$graphLookup requires maxDepth (unbounded traversal is not plannable)"))
+    val depthField = spec.collectFirst { case ("depthField", JString(f)) => f }
+
+    val withRid = df.withColumn("__graft_rid", monotonically_increasing_id())
+    val doc = struct(fromDf.columns.map(col): _*)
+    val nodes = fromDf.select(col(connectTo).as("__to"),
+      col(connectFrom).as("__from"), doc.as("__doc"))
+
+    // each round is localCheckpoint'ed: truncates lineage (else the
+    // anti-join-against-union plan grows super-linearly in depth) and
+    // lets the empty-frontier early exit stop the traversal cheaply
+    var frontier = withRid.select(col("__graft_rid"),
+      ExprCompiler.compile(startWith).as("__v"))
+    var visited = nodes.sparkSession.emptyDataFrame
+    var first = true
+    var d = 0
+    var done = false
+    while (d <= maxDepth && !done) {
+      val matched = frontier.join(nodes, col("__v") === col("__to"))
+        .select(col("__graft_rid"), col("__doc"), col("__from"),
+          lit(d.toLong).as("__depth"))
+      val freshPlan =
+        if (first) matched.dropDuplicates("__graft_rid", "__doc")
+        else {
+          val seen = visited.select(col("__graft_rid").as("__vrid"),
+            col("__doc").as("__seen"))
+          matched.join(seen,
+            matched("__graft_rid") === seen("__vrid") &&
+              matched("__doc") === seen("__seen"), "left_anti")
+            .dropDuplicates("__graft_rid", "__doc")
+        }
+      val fresh = freshPlan.localCheckpoint(true)
+      if (fresh.isEmpty) done = true
+      else {
+        visited = if (first) fresh else visited.unionByName(fresh)
+        first = false
+        frontier = fresh.select(col("__graft_rid"), col("__from").as("__v"))
+      }
+      d += 1
+    }
+    if (first) // no matches at all → every row gets an empty array
+      visited = nodes.limit(0).select(lit(0L).as("__graft_rid"),
+        col("__doc"), col("__from"), lit(0L).as("__depth"))
+    val resultDoc = depthField match {
+      case Some(f) => col("__doc").withField(f, col("__depth"))
+      case None => col("__doc")
+    }
+    val packed = visited
+      .groupBy("__graft_rid")
+      .agg(collect_list(resultDoc).as(as))
+    val joined = withRid.join(packed, Seq("__graft_rid"), "left")
+    val elemType = packed.schema(as).dataType
+    joined.withColumn(as, coalesce(col(as), array().cast(elemType)))
+      .drop("__graft_rid")
   }
 
   // ---- $bucket -----------------------------------------------------------

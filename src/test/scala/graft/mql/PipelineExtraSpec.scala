@@ -104,6 +104,33 @@ class PipelineExtraSpec extends AnyFunSuite {
     assert(out2.select("n").as[Int].collect().toSeq == Seq(0, 0, 1, 1, 1))
   }
 
+  test("$graphLookup walks the hierarchy breadth-first with depth cap") {
+    val orgDf = Seq(
+      ("ceo", null.asInstanceOf[String]),
+      ("vp1", "ceo"), ("vp2", "ceo"),
+      ("mgr1", "vp1"), ("eng1", "mgr1"), ("eng2", "mgr1")
+    ).toDF("name", "boss")
+    val people = Seq(("eng1"), ("vp2")).toDF("who")
+    // walk up the management chain from each person
+    val out = PipelineCompiler.run(people, """[
+      {"$graphLookup": {"from": "org", "startWith": "$who",
+        "connectFromField": "boss", "connectToField": "name",
+        "as": "chain", "maxDepth": 10, "depthField": "d"}}]""",
+      _ => orgDf)
+    val chains = out.collect().map { r =>
+      r.getString(0) -> r.getSeq[Row](1)
+        .map(x => (x.getString(0), x.getLong(2))).sortBy(_._2).toList
+    }.toMap
+    assert(chains("eng1") == List(("eng1", 0L), ("mgr1", 1L), ("vp1", 2L), ("ceo", 3L)))
+    assert(chains("vp2") == List(("vp2", 0L), ("ceo", 1L)))
+    // depth cap truncates
+    val capped = PipelineCompiler.run(people, """[
+      {"$graphLookup": {"from": "org", "startWith": "$who",
+        "connectFromField": "boss", "connectToField": "name",
+        "as": "chain", "maxDepth": 1}}]""", _ => orgDf)
+    assert(capped.where($"who" === "eng1").head.getSeq[Any](1).size == 2)
+  }
+
   test("$minN / $maxN accumulators") {
     val out = PipelineCompiler.run(sales, """[
       {"$group": {"_id": "$grp",
