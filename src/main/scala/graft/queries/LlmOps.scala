@@ -142,6 +142,20 @@ object LlmOps {
         "doc_id", "text", maxDist = 3).orderBy("id_a", "id_b"),
       None),
 
+    // corpus-wide token frequency (the tokenizer-vocab building block):
+    // explode → two-level hash agg (map-side partial) → global top-k
+    QueryDef("q_tokens_topk",
+      (s, dir) => {
+        val d = Graft.table(s, dir, "documents")
+        d.select(explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token").asc)
+          .limit(100)
+      },
+      Some(s"""SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+               FROM (SELECT unnest($duckToksLower) AS token FROM documents)
+               GROUP BY token ORDER BY n DESC, token ASC LIMIT 100""")),
+
     QueryDef("q_knn_topk",
       (s, dir) => {
         val e = Graft.table(s, dir, "embeddings")

@@ -62,6 +62,22 @@ class InteropSpec extends AnyFunSuite {
     assert(li.mqlWhere("""{"l_linenumber": 1}""").count() > 0)
   }
 
+  test("findWithSchema: schema synthesizes the projection (api.py:172-173 twin)") {
+    import graft.schema.MSchema
+    import org.apache.spark.sql.types._
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val schema = MSchema.of("l_orderkey" -> LongType, "l_quantity" -> DoubleType)
+    val out = Graft.findWithSchema(li, schema,
+      filter = """{"l_quantity": {"$gt": 49.0}}""",
+      sort = Some("""{"l_orderkey": 1}"""))
+    assert(out.columns.toSeq == Seq("l_orderkey", "l_quantity"))
+    // pruning reaches the parquet scan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"not pruned:\n$plan")
+    assert(out.count() == li.where($"l_quantity" > 49.0).count())
+  }
+
   test("objectid_to_timestamp custom expression (codegen + SQL registration)") {
     GraftFunctions.register(spark)
     // OID 65cf7cab... → epoch secs 0x65cf7cab = 1708096683
