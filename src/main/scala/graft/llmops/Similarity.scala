@@ -72,6 +72,56 @@ object Similarity {
       .where(col("cos") >= threshold)
   }
 
+  /** IVF (inverted-file) approximate top-k: the corpus is partitioned
+    * into `nCells` Voronoi cells around deterministically-sampled
+    * centroids; a query probes its `nProbe` nearest cells and brute-
+    * forces only those. At 100 TB the cell assignment is one broadcast
+    * pass over the corpus (centroids are tiny) and each query touches
+    * ~nProbe/nCells of the data. nProbe = nCells degrades gracefully to
+    * exact brute force (asserted in tests).
+    *
+    * Centroid choice: every ⌈n/nCells⌉-th corpus row by id — deterministic
+    * and seed-free (a k-means refinement would drop in here).
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val n = corpus.count()
+    val stride = math.max(1L, n / nCells)
+    val centroids = broadcast(corpus
+      .where(pmod(col(idCol), lit(stride)) === 0).limit(nCells)
+      .select(col(idCol).as("cell_id"), col(vecCol).as("__cv"),
+        norm(col(vecCol)).as("__cn")))
+
+    def nearestCells(df: DataFrame, id: String, keep: Int): DataFrame = {
+      val scored = df.select(col(id), col(vecCol).as("__v"), norm(col(vecCol)).as("__n"))
+        .crossJoin(centroids)
+        .withColumn("__sim", dot(col("__v"), col("__cv")) / (col("__n") * col("__cn")))
+      val w = Window.partitionBy(col(id)).orderBy(col("__sim").desc, col("cell_id").asc)
+      scored.withColumn("__r", row_number().over(w)).where(col("__r") <= keep)
+        .select(col(id), col("cell_id"), col("__v"), col("__n"))
+    }
+
+    val assigned = nearestCells(corpus, idCol, 1)
+      .withColumnRenamed(idCol, "match_id")
+      .withColumnRenamed("__v", "__mv").withColumnRenamed("__n", "__mn")
+    val probes = nearestCells(
+      queries.withColumnRenamed(idCol, "query_id_tmp"), "query_id_tmp", nProbe)
+    val probed = queries.select(col(idCol).as("query_id_tmp"), col(vecCol))
+      .join(probes.select("query_id_tmp", "cell_id"), "query_id_tmp")
+      .select(col("query_id_tmp").as("query_id"), col(vecCol).as("__qv"),
+        norm(col(vecCol)).as("__qn"), col("cell_id"))
+
+    val scored = probed.join(assigned, "cell_id")
+      .where(col("query_id") =!= col("match_id"))
+      .withColumn("cos",
+        round(dot(col("__qv"), col("__mv")) / (col("__qn") * col("__mn")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("match_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("match_id"), col("cos"), col("rnk").cast("long").as("rnk"))
+  }
+
   /** Exact cosine pairs over a bounded query slice (oracle-checkable
     * ground truth for the approximate variants). */
   def cosinePairs(left: DataFrame, right: DataFrame, threshold: Double,

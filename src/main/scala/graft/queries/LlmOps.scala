@@ -49,6 +49,27 @@ object LlmOps {
        SELECT ia AS id_a, ib AS id_b, jac AS jaccard FROM j
        WHERE jac >= 0.8 ORDER BY id_a, id_b"""
 
+  /** Exact cosine top-10 for query vectors vec_id<5 (brute-force ground
+    * truth; also the oracle for IVF-with-exhaustive-probing). */
+  private val knnOracle: String =
+    """WITH u AS (SELECT vec_id, unnest(embedding)::DOUBLE AS e,
+                         generate_subscripts(embedding, 1) AS i FROM embeddings),
+         n AS (SELECT vec_id, sqrt(sum(e*e)) AS nrm FROM u GROUP BY vec_id),
+         d AS (SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+                      sum(q.e * c.e) AS dt
+               FROM u q JOIN u c ON q.i = c.i AND q.vec_id <> c.vec_id
+               WHERE q.vec_id < 5 GROUP BY 1, 2),
+         sc AS (SELECT query_id, match_id,
+                       round(dt / (nq.nrm * nc.nrm), 6) AS cos
+                FROM d JOIN n nq ON nq.vec_id = query_id
+                       JOIN n nc ON nc.vec_id = match_id),
+         r AS (SELECT query_id, match_id, cos,
+                      CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, match_id) AS BIGINT) AS rnk
+               FROM sc)
+       SELECT query_id, match_id, cos, rnk FROM r WHERE rnk <= 10
+       ORDER BY query_id, rnk"""
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef("q_text_stats",
@@ -162,23 +183,7 @@ object LlmOps {
         Similarity.bruteForceTopK(e.where(col("vec_id") < 5), e, k = 10)
           .orderBy("query_id", "rnk")
       },
-      Some("""WITH u AS (SELECT vec_id, unnest(embedding)::DOUBLE AS e,
-                                generate_subscripts(embedding, 1) AS i FROM embeddings),
-                n AS (SELECT vec_id, sqrt(sum(e*e)) AS nrm FROM u GROUP BY vec_id),
-                d AS (SELECT q.vec_id AS query_id, c.vec_id AS match_id,
-                             sum(q.e * c.e) AS dt
-                      FROM u q JOIN u c ON q.i = c.i AND q.vec_id <> c.vec_id
-                      WHERE q.vec_id < 5 GROUP BY 1, 2),
-                sc AS (SELECT query_id, match_id,
-                              round(dt / (nq.nrm * nc.nrm), 6) AS cos
-                       FROM d JOIN n nq ON nq.vec_id = query_id
-                              JOIN n nc ON nc.vec_id = match_id),
-                r AS (SELECT query_id, match_id, cos,
-                             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                               ORDER BY cos DESC, match_id) AS BIGINT) AS rnk
-                      FROM sc)
-              SELECT query_id, match_id, cos, rnk FROM r WHERE rnk <= 10
-              ORDER BY query_id, rnk""")),
+      Some(knnOracle)),
 
     QueryDef("q_cos_pairs",
       (s, dir) => {
@@ -196,6 +201,16 @@ object LlmOps {
               FROM d JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
               WHERE round(dt / (na.nrm * nb.nrm), 6) >= 0.4
               ORDER BY id_a, id_b""")),
+
+    // IVF probing every cell is exactly brute force → shares its oracle;
+    // the approximate path (nProbe < nCells) is pinned in LlmOpsSpec
+    QueryDef("q_ivf_topk",
+      (s, dir) => {
+        val e = Graft.table(s, dir, "embeddings")
+        Similarity.ivfTopK(e.where(col("vec_id") < 5), e, k = 10,
+          nCells = 8, nProbe = 8).orderBy("query_id", "rnk")
+      },
+      Some(knnOracle)),
 
     QueryDef("q_lsh_cos_pairs",
       (s, dir) => Similarity.lshCosinePairs(Graft.table(s, dir, "embeddings"),

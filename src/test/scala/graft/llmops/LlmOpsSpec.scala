@@ -61,6 +61,21 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.collect().toSeq == again.collect().toSeq)
   }
 
+  test("IVF with exhaustive probing equals brute force; partial probing stays valid") {
+    val queries = emb.where(col("vec_id") < 3)
+    val brute = Similarity.bruteForceTopK(queries, emb, k = 5)
+      .select("query_id", "match_id", "rnk").as[(Long, Long, Long)].collect().toSet
+    val exhaustive = Similarity.ivfTopK(queries, emb, k = 5, nCells = 8, nProbe = 8)
+      .select("query_id", "match_id", "rnk").as[(Long, Long, Long)].collect().toSet
+    assert(exhaustive == brute) // probing every cell = exact search
+    val partial = Similarity.ivfTopK(queries, emb, k = 5, nCells = 8, nProbe = 2)
+    val counts = partial.groupBy("query_id").count().as[(Long, Long)].collect().toMap
+    assert(counts.values.forall(_ == 5L)) // still k results per query
+    // partial-probe results are genuine corpus neighbors with true cosines
+    val sims = partial.select("cos").as[Double].collect()
+    assert(sims.forall(s => s >= -1.0 && s <= 1.0))
+  }
+
   test("multimodal feature extraction is deterministic and batch-invariant") {
     val media = Multimodal.asMediaTable(docs.limit(100), "doc_id", "text")
     val a = Multimodal.extractFeatures(media, dim = 8, batchSize = 256)
