@@ -225,6 +225,22 @@ object PipelineCompiler {
       case "$stdDevPop" => stddev_pop(e)
       case "$stdDevSamp" => stddev_samp(e)
       case "$median"    => median(e)
+      case "$percentile" => arg match {
+        case JObject(spec) =>
+          val input = ExprCompiler.compile(spec.collectFirst { case ("input", x) => x }
+            .getOrElse(throw new MqlException("$percentile needs input")))
+          val ps = spec.collectFirst { case ("p", JArray(vs)) => vs }
+            .getOrElse(throw new MqlException("$percentile needs p array"))
+            .map {
+              case JDouble(p) => p
+              case JInt(p) => p.toDouble
+              case o => throw new MqlException(s"bad percentile $o")
+            }
+          // exact interpolated percentile (Spark `percentile` ≡ DuckDB
+          // quantile_cont); $percentile always returns an array
+          percentile(input, array(ps.map(lit): _*))
+        case other => throw new MqlException(s"bad $$percentile: $other")
+      }
       case "$minN" | "$maxN" => arg match {
         case JObject(spec) =>
           val input = ExprCompiler.compile(spec.collectFirst { case ("input", x) => x }
@@ -559,6 +575,10 @@ object PipelineCompiler {
       val framed: WindowSpec = windowDoc.flatMap(_.collectFirst {
         case ("documents", JArray(List(lo, hi))) =>
           sorted.rowsBetween(
+            frameBound(lo, Window.unboundedPreceding),
+            frameBound(hi, Window.unboundedFollowing))
+        case ("range", JArray(List(lo, hi))) =>
+          sorted.rangeBetween(
             frameBound(lo, Window.unboundedPreceding),
             frameBound(hi, Window.unboundedFollowing))
       }).getOrElse {

@@ -271,6 +271,23 @@ object Relational {
                              ORDER BY o_totalprice DESC, o_orderkey))
               WHERE rnk <= 10 ORDER BY o_orderpriority, rnk""")),
 
+    QueryDef("q_percentiles",
+      (s, dir) => agg("lineitem", """[
+        {"$group": {"_id": "$l_returnflag",
+           "pcts": {"$percentile": {"input": "$l_quantity",
+                                    "p": [0.25, 0.5, 0.9], "method": "approximate"}},
+           "n": {"$count": {}}}},
+        {"$project": {"_id": 0, "l_returnflag": "$_id", "n": 1,
+           "p25": {"$round": [{"$arrayElemAt": ["$pcts", 0]}, 6]},
+           "p50": {"$round": [{"$arrayElemAt": ["$pcts", 1]}, 6]},
+           "p90": {"$round": [{"$arrayElemAt": ["$pcts", 2]}, 6]}}},
+        {"$sort": {"l_returnflag": 1}}]""")(s, dir),
+      Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+                     round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+                     round(quantile_cont(l_quantity, 0.50), 6) AS p50,
+                     round(quantile_cont(l_quantity, 0.90), 6) AS p90
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // (l_orderkey, l_linenumber) is NOT unique in the fixtures, so the
     // sort key gets a partkey tiebreak to stay total — compiled to
     // min_by/max_by because the $sort immediately precedes the $group
