@@ -65,7 +65,9 @@ object Dedup {
                    threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
+    // shingles feed signature building + both verification joins
     val base = df.select(col(idCol).as("__id"), shingles(col(textCol), shingleN).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // staged projections: __hs is referenced `numHashes` times by __sig,
     // so CollapseProject keeps it materialized (strings hashed once)
     val sig = base
@@ -103,7 +105,12 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, threshold: Double = 0.8,
                    blockKeys: Int = 4): DataFrame = {
+    // the shingle table feeds three consumers (frequency count, blocking
+    // keys, pair verification) — persist it instead of re-shingling the
+    // corpus thrice (at 100 TB this is a checkpoint of the shingled
+    // corpus; here MEMORY_AND_DISK, evicted LRU after the query)
     val base = df.select(col(idCol).as("__id"), shingles(col(textCol), shingleN).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exploded = base.select(col("__id"), explode(col("__sh")).as("__s"))
     val freq = exploded.groupBy("__s").agg(count(lit(1)).as("__f"))
     val w = org.apache.spark.sql.expressions.Window
