@@ -62,6 +62,32 @@ class InteropSpec extends AnyFunSuite {
     assert(li.mqlWhere("""{"l_linenumber": 1}""").count() > 0)
   }
 
+  test("concurrent query execution on one session (test_arrow.py:1238-1259 twin)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val futures = (1 to 4).map { i =>
+      Future {
+        import graft.api.implicits._
+        li.mqlFind(s"""{"l_linenumber": $i}""").count()
+      }
+    }
+    val counts = Await.result(Future.sequence(futures), 120.seconds)
+    assert(counts.sum == li.where($"l_linenumber".between(1, 4)).count())
+  }
+
+  test("decimal round-trip through sink and decoder") {
+    import graft.sinks.DocWriter
+    import graft.bson.DocDecoder
+    val df = spark.range(5).select($"id",
+      ($"id".cast("decimal(20,4)") / lit(3).cast("decimal(20,4)")).as("d"))
+    val p = java.nio.file.Files.createTempDirectory("graft_dec").toString
+    DocWriter.write(df, p)
+    val back = DocDecoder.decode(spark.read.textFile(s"$p/*.jsonl"), df.schema)
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+  }
+
   test("findWithSchema: schema synthesizes the projection (api.py:172-173 twin)") {
     import graft.schema.MSchema
     import org.apache.spark.sql.types._
