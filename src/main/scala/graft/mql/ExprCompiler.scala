@@ -260,6 +260,25 @@ object ExprCompiler {
       case "$toBool"    => c0.cast(BooleanType)
       case "$toDecimal" => c0.cast(DecimalParity)
       case "$toDate"    => c0.cast(TimestampType)
+      case "$convert" => v match {
+        case JObject(spec) =>
+          val in = compile(field(spec, "input", op), env)
+          val to = strValue(field(spec, "to", op), op) match {
+            case "int" => IntegerType;  case "long" => LongType
+            case "double" => DoubleType; case "decimal" => DecimalParity
+            case "string" => StringType; case "bool" => BooleanType
+            case "date" => TimestampType
+            case other => throw new MqlException(s"$$convert to $other unsupported")
+          }
+          val casted = in.try_cast(to) // null on parse failure (ANSI-safe)
+          val withErr = fieldOpt(spec, "onError")
+            .map(e => when(in.isNotNull && casted.isNull, compile(e, env)).otherwise(casted))
+            .getOrElse(casted)
+          fieldOpt(spec, "onNull")
+            .map(e => when(in.isNull, compile(e, env)).otherwise(withErr))
+            .getOrElse(withErr)
+        case other => throw new MqlException(s"bad $$convert: $other")
+      }
       case "$literal"   => literal(v)
 
       // ---- arrays ----

@@ -31,6 +31,18 @@ object EventStream {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("sum_value").cast(DoubleType).as("sum_value"))
 
+  /** Streaming gap-based sessions via the built-in session_window —
+    * stateful streaming with watermark-bounded state (the streaming twin
+    * of operators.Sessionize.byGap). */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes",
+                 watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+
   /** Run the streaming aggregation synchronously over the parquet
     * fixture (memory sink, processAllAvailable) and return the final
     * batch result. The same `windowedAgg` plan serves a real

@@ -95,4 +95,12 @@ class ExprCompilerSpec extends AnyFunSuite {
     assert(eval("""{"$toDouble": "2.5"}""") == 2.5)
     assert(eval("""{"$toString": 7}""") == "7")
   }
+
+  test("$convert with onError/onNull") {
+    assert(eval("""{"$convert": {"input": "12", "to": "int"}}""") == 12)
+    assert(eval("""{"$convert": {"input": "oops", "to": "int", "onError": -1}}""") == -1)
+    assert(eval("""{"$convert": {"input": null, "to": "int", "onNull": 0}}""") == 0)
+    assert(eval("""{"$convert": {"input": "oops", "to": "long"}}""") == null)
+    assert(eval("""{"$convert": {"input": 3.9, "to": "string"}}""") == "3.9")
+  }
 }
