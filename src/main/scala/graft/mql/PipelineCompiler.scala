@@ -111,6 +111,7 @@ object PipelineCompiler {
       case other => throw new MqlException(s"bad $$unionWith: $other")
     }
     case "$bucket"          => bucket(df, asObj(spec, "$bucket"))
+    case "$bucketAuto"      => bucketAuto(df, asObj(spec, "$bucketAuto"))
     case "$setWindowFields" => setWindowFields(df, asObj(spec, "$setWindowFields"))
     case "$facet"           => facet(df, asObj(spec, "$facet"), resolve)
     case "$fill"            => fill(df, asObj(spec, "$fill"))
@@ -355,6 +356,34 @@ object PipelineCompiler {
       case _ => throw new MqlException(
         "$lookup needs both localField and foreignField (or neither with pipeline)")
     }
+  }
+
+  // ---- $bucketAuto -------------------------------------------------------
+  // Equal-count buckets via ntile over the groupBy expression. NOTE: the
+  // unpartitioned sort funnels rows through one task — exact Mongo
+  // semantics are inherently global-sort; at 100 TB swap the ntile for
+  // approx-percentile boundaries + a when-chain (different tie behavior,
+  // same statistical intent). Ties in the groupBy expression straddle
+  // bucket borders nondeterministically — pick a unique expression.
+  private def bucketAuto(df: DataFrame, spec: List[(String, JValue)]): DataFrame = {
+    val gb = ExprCompiler.compile(spec.collectFirst { case ("groupBy", e) => e }
+      .getOrElse(throw new MqlException("$bucketAuto needs groupBy")))
+    val n = spec.collectFirst { case ("buckets", b) => intValue(b, "$bucketAuto") }
+      .getOrElse(throw new MqlException("$bucketAuto needs buckets"))
+    val accDefs = spec.collectFirst { case ("output", JObject(out)) => out }
+      .getOrElse(List("count" -> JObject(List("$sum" -> JInt(1)))))
+    val accCols = accDefs.map {
+      case (nm, JObject(List((op, arg)))) => accumulator(op, arg, None).as(nm)
+      case (nm, other) => throw new MqlException(s"bad output $nm: $other")
+    }
+    val w = Window.orderBy(gb.asc)
+    val aggCols = Seq(min(gb).as("__min"), max(gb).as("__max")) ++ accCols
+    df.withColumn("__graft_bucket", ntile(n).over(w))
+      .groupBy(col("__graft_bucket"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select(struct(col("__min").as("min"), col("__max").as("max")).as("_id")
+        +: accDefs.map(d => col(d._1)): _*)
+      .orderBy(col("_id.min"))
   }
 
   // ---- $graphLookup ------------------------------------------------------

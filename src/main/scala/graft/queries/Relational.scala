@@ -271,6 +271,22 @@ object Relational {
                              ORDER BY o_totalprice DESC, o_orderkey))
               WHERE rnk <= 10 ORDER BY o_orderpriority, rnk""")),
 
+    QueryDef("q_bucket_auto",
+      (s, dir) => agg("part", """[
+        {"$bucketAuto": {"groupBy": "$p_partkey", "buckets": 4,
+           "output": {"n": {"$sum": 1},
+                      "sum_price": {"$sum": {"$toDecimal": "$p_retailprice"}}}}},
+        {"$project": {"_id": 0, "lo": "$_id.min", "hi": "$_id.max",
+           "n": {"$toLong": "$n"}, "sum_price": {"$toDouble": "$sum_price"}}},
+        {"$sort": {"lo": 1}}]""")(s, dir),
+      Some("""WITH b AS (SELECT p_partkey, p_retailprice,
+                                ntile(4) OVER (ORDER BY p_partkey) AS bk
+                         FROM part)
+              SELECT min(p_partkey) AS lo, max(p_partkey) AS hi,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+              FROM b GROUP BY bk ORDER BY lo""")),
+
     QueryDef("q_percentiles",
       (s, dir) => agg("lineitem", """[
         {"$group": {"_id": "$l_returnflag",
