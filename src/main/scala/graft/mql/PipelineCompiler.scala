@@ -307,8 +307,23 @@ object PipelineCompiler {
       case other => throw new MqlException(s"bad $$unwind: $other")
     }
     val fieldName = if (path.startsWith("$")) path.drop(1) else path
-    if (fieldName.contains("."))
-      throw new MqlException(s"$$unwind: nested path '$fieldName' unsupported")
+    if (fieldName.contains(".")) {
+      // one struct level: explode the nested array, then rebuild the
+      // struct with the element in place (withField after the generator)
+      val segs = fieldName.split('.')
+      if (segs.length != 2)
+        throw new MqlException(s"$$unwind: path deeper than one struct level: $fieldName")
+      val (outer, inner) = (segs(0), segs(1))
+      val gen = if (preserve) explode_outer(col(fieldName)) else explode(col(fieldName))
+      val exploded = df.withColumn("__graft_unwind", gen)
+        .withColumn(outer, col(outer).withField(inner, col("__graft_unwind")))
+        .drop("__graft_unwind")
+      return idxField match {
+        case None => exploded
+        case Some(_) => throw new MqlException(
+          "$unwind: includeArrayIndex with nested path unsupported")
+      }
+    }
     val others = df.columns.filterNot(_ == fieldName).map(col)
     idxField match {
       case None =>
