@@ -242,6 +242,35 @@ object PipelineCompiler {
           percentile(input, array(ps.map(lit): _*))
         case other => throw new MqlException(s"bad $$percentile: $other")
       }
+      // $topN/$bottomN carry their own sortBy → deterministic by spec.
+      // Uniform-direction sortBy only (struct ordering is lexicographic).
+      case "$topN" | "$top" | "$bottomN" | "$bottom" => arg match {
+        case JObject(spec) =>
+          val output = ExprCompiler.compile(spec.collectFirst { case ("output", x) => x }
+            .getOrElse(throw new MqlException(s"$op needs output")))
+          val sortBy = spec.collectFirst { case ("sortBy", s) => s }
+            .getOrElse(throw new MqlException(s"$op needs sortBy"))
+          val specs = asObj(sortBy, s"$op sortBy").map {
+            case (k, JInt(d))  => (k, d >= 0)
+            case (k, JLong(d)) => (k, d >= 0)
+            case (k, o) => throw new MqlException(s"bad sort direction for $k: $o")
+          }
+          val dirs = specs.map(_._2).distinct
+          if (dirs.size != 1)
+            throw new MqlException(s"$op: mixed sort directions unsupported")
+          val n = spec.collectFirst { case ("n", x) => intValue(x, op) }
+            .getOrElse(1)
+          // $top/$topN want the FIRST rows of the sortBy order → ascending
+          // sort_array when sortBy ascending; $bottom* the reverse
+          val wantHead = op == "$topN" || op == "$top"
+          val asc = if (wantHead) dirs.head else !dirs.head
+          val packed = sort_array(
+            collect_list(struct((specs.map(x => fieldCol(x._1)) :+ output.as("__o")): _*)),
+            asc = asc)
+          val sliced = transform(slice(packed, 1, n), x => x.getField("__o"))
+          if (op == "$top" || op == "$bottom") element_at(sliced, 1) else sliced
+        case other => throw new MqlException(s"bad $op: $other")
+      }
       case "$minN" | "$maxN" => arg match {
         case JObject(spec) =>
           val input = ExprCompiler.compile(spec.collectFirst { case ("input", x) => x }
@@ -635,6 +664,17 @@ object PipelineCompiler {
         case "$rank"           => rank().over(framed)
         case "$denseRank"      => dense_rank().over(framed)
         case "$documentNumber" => row_number().over(framed)
+        case "$shift" => arg match { // lag/lead with default
+          case JObject(sspec) =>
+            val out = sspec.collectFirst { case ("output", x) => ExprCompiler.compile(x) }
+              .getOrElse(throw new MqlException("$shift needs output"))
+            val by = sspec.collectFirst { case ("by", x) => intValue(x, "$shift") }
+              .getOrElse(throw new MqlException("$shift needs by"))
+            val dflt = sspec.collectFirst { case ("default", x) => ExprCompiler.compile(x) }
+              .getOrElse(lit(null))
+            coalesce(lag(out, -by).over(sorted), dflt) // Mongo: by>0 looks FORWARD
+          case other => throw new MqlException(s"bad $$shift: $other")
+        }
         case "$sum"   => sum(ExprCompiler.compile(arg)).over(framed)
         case "$avg"   => avg(ExprCompiler.compile(arg)).over(framed)
         case "$min"   => min(ExprCompiler.compile(arg)).over(framed)

@@ -131,6 +131,30 @@ class PipelineExtraSpec extends AnyFunSuite {
     assert(capped.where($"who" === "eng1").head.getSeq[Any](1).size == 2)
   }
 
+  test("$topN/$bottomN carry their own deterministic sortBy") {
+    val out = PipelineCompiler.run(sales, """[
+      {"$group": {"_id": "$grp",
+        "top2": {"$topN": {"output": "$id", "sortBy": {"amt": -1}, "n": 2}},
+        "bot1": {"$bottom": {"output": "$id", "sortBy": {"amt": -1}}}}},
+      {"$sort": {"_id": 1}}]""")
+    val rows = out.collect()
+    assert(rows.map(_.getSeq[Int](1)).toSeq == Seq(Seq(2, 1), Seq(5, 4)))
+    assert(rows.map(_.getInt(2)).toSeq == Seq(1, 3))
+  }
+
+  test("$shift looks forward/backward with default") {
+    val out = PipelineCompiler.run(sales, """[
+      {"$setWindowFields": {"partitionBy": "$grp", "sortBy": {"id": 1},
+        "output": {
+          "next_amt": {"$shift": {"output": "$amt", "by": 1, "default": -1.0}},
+          "prev_amt": {"$shift": {"output": "$amt", "by": -1, "default": -1.0}}}}},
+      {"$sort": {"id": 1}}]""")
+    assert(out.select("next_amt").as[Double].collect().toSeq
+      == Seq(20.0, -1.0, 40.0, 50.0, -1.0))
+    assert(out.select("prev_amt").as[Double].collect().toSeq
+      == Seq(-1.0, 10.0, -1.0, 30.0, 40.0))
+  }
+
   test("$minN / $maxN accumulators") {
     val out = PipelineCompiler.run(sales, """[
       {"$group": {"_id": "$grp",
