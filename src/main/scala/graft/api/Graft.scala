@@ -10,6 +10,39 @@ import org.json4s._
   * api.py:129-256), returning DataFrames instead of Arrow tables.
   */
 object Graft {
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.api.Graft")
+
+  /** Options the reference warns about and drops (api.py:164-170 strips
+    * cursor_type from find; api.py:242-248 strips batchSize/useCursor
+    * from aggregate). Batching/cursor knobs are meaningless here —
+    * partitioning is Spark's — so the same warn-and-drop applies. */
+  private val StrippedFindOptions = Set("cursor_type")
+  private val StrippedAggOptions = Set("batchSize", "useCursor")
+
+  private[api] def stripOptions(options: Map[String, Any],
+                                stripped: Set[String], op: String): Map[String, Any] = {
+    options.keys.filter(stripped).foreach(k =>
+      log.warn(s"Ignoring the '$k' option as it is not supported by $op"))
+    val rest = options.view.filterKeys(!stripped(_)).toMap
+    rest.keys.headOption.foreach(k =>
+      throw new MqlException(s"unsupported $op option '$k'"))
+    rest
+  }
+
+  /** find with a pymongo-style options map: unsupported-but-harmless
+    * options are warned and dropped, anything else rejects. */
+  def findWithOptions(df: DataFrame, filter: String,
+                      options: Map[String, Any]): DataFrame = {
+    stripOptions(options, StrippedFindOptions, "find")
+    find(df, filter)
+  }
+
+  def aggregateWithOptions(df: DataFrame, pipelineJson: String,
+                           options: Map[String, Any]): DataFrame = {
+    stripOptions(options, StrippedAggOptions, "aggregate")
+    aggregate(df, pipelineJson)
+  }
+
   /** Table resolver over a fixture directory (one parquet per collection).
     * events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as a
     * long — converted here to µs TimestampType with exact integer math

@@ -62,6 +62,19 @@ class InteropSpec extends AnyFunSuite {
     assert(li.mqlWhere("""{"l_linenumber": 1}""").count() > 0)
   }
 
+  test("unsupported-option stripping (api.py:164-170,242-248 twin)") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    // warned-and-dropped options still run
+    assert(Graft.findWithOptions(li, """{"l_linenumber": 1}""",
+      Map("cursor_type" -> "tailable")).count() > 0)
+    assert(Graft.aggregateWithOptions(li, """[{"$count": "n"}]""",
+      Map("batchSize" -> 100, "useCursor" -> true)).count() == 1)
+    // unknown options reject
+    intercept[graft.mql.MqlException] {
+      Graft.findWithOptions(li, "{}", Map("hint" -> "idx"))
+    }
+  }
+
   test("concurrent query execution on one session (test_arrow.py:1238-1259 twin)") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
