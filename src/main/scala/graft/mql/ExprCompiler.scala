@@ -313,7 +313,11 @@ object ExprCompiler {
           val step = es.drop(2).headOption.map(intValue(_, "$range")).getOrElse(1)
           val start = compile(es(0), env); val end = compile(es(1), env)
           val stop = if (step > 0) end - lit(1) else end + lit(1)
-          sequence(start, stop, lit(step))
+          // MQL range is half-open and may be empty; sequence() rejects
+          // a start beyond stop, so guard the empty case explicitly
+          val nonEmpty = if (step > 0) start < end else start > end
+          when(nonEmpty, sequence(start, stop, lit(step)))
+            .otherwise(array().cast("array<int>"))
         case other => throw new MqlException(s"bad $$range: $other")
       }
       case "$reverseArray" => reverse(c0)

@@ -53,7 +53,6 @@ object EventStream {
     val name = s"graft_events_${System.nanoTime()}"
     val stream = spark.readStream
       .schema(rawSchema)
-      .option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
       .where(col("ts").isNotNull)
