@@ -69,8 +69,11 @@ object PipelineCompiler {
     case "$project" => project(df, asObj(spec, "$project"))
     case "$addFields" | "$set" =>
       asObj(spec, name).foldLeft(df) { case (acc, (k, e)) =>
-        if (k.contains(".")) throw new MqlException(s"$name: dotted target '$k' unsupported")
-        acc.withColumn(k, ExprCompiler.compile(e))
+        if (k.contains(".")) { // nested target: rebuild the struct in place
+          val head = k.substring(0, k.indexOf('.'))
+          val rest = k.substring(k.indexOf('.') + 1)
+          acc.withColumn(head, col(head).withField(rest, ExprCompiler.compile(e)))
+        } else acc.withColumn(k, ExprCompiler.compile(e))
       }
     case "$unset" => spec match {
       case JString(f)  => df.drop(f)
@@ -158,8 +161,13 @@ object PipelineCompiler {
     val exclusionMode = rest.nonEmpty && rest.forall { case (_, v) => isExcludeMarker(v) }
     if (exclusionMode) {
       val dropId = idSpecs.exists { case (_, v) => isExcludeMarker(v) }
-      val toDrop = rest.map(_._1) ++ (if (dropId) Seq("_id") else Nil)
-      df.drop(toDrop: _*)
+      val (nested, flat) = rest.map(_._1).partition(_.contains("."))
+      val dropped = df.drop(flat ++ (if (dropId) Seq("_id") else Nil): _*)
+      nested.foldLeft(dropped) { (acc, p) => // nested exclusion via dropFields
+        val head = p.substring(0, p.indexOf('.'))
+        val inner = p.substring(p.indexOf('.') + 1)
+        acc.withColumn(head, col(head).dropFields(inner))
+      }
     } else {
       val root = Branch(scala.collection.mutable.LinkedHashMap.empty)
       def insert(path: List[String], node: Branch, leaf: => Column): Unit = path match {

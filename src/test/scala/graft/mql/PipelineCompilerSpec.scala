@@ -35,6 +35,17 @@ class PipelineCompilerSpec extends AnyFunSuite {
       == Seq("ann", "bob", "cat", "dan"))
   }
 
+  test("nested targets: $addFields a.b and $project exclusion a.b") {
+    val nested = people.selectExpr("id", "named_struct('x', name, 'y', score) AS s")
+    val added = PipelineCompiler.run(nested,
+      """[{"$addFields": {"s.z": {"$multiply": ["$s.y", 2]}}}]""")
+    assert(added.select("s.z").as[Double].collect().sorted.toSeq
+      == Seq(20.0, 40.0, 60.0, 80.0))
+    val excluded = PipelineCompiler.run(nested, """[{"$project": {"s.y": 0}}]""")
+    assert(excluded.select("s.*").columns.toSeq == Seq("x"))
+    assert(excluded.columns.toSeq == Seq("id", "s"))
+  }
+
   test("$group with null _id aggregates globally") {
     val r = run("""[{"$group": {"_id": null, "total": {"$sum": "$score"}, "n": {"$count": {}}}}]""")
     val row = r.select("total", "n").head
