@@ -58,6 +58,12 @@ object ExprCompiler {
   private def fieldOpt(spec: List[(String, JValue)], key: String): Option[JValue] =
     spec.collectFirst { case (`key`, x) => x }
 
+  /** MQL $indexOfCP: 0-based first occurrence, -1 when absent. */
+  private def locate_as_index(haystack: Column, needle: Column): Column = {
+    val pos = call_function("locate", needle, haystack)
+    when(pos === 0, -1).otherwise(pos - 1)
+  }
+
   // MQL %-format → java.time format used by date_format
   private[mql] def dateFormat(f: String): String = {
     val sb = new StringBuilder
@@ -178,6 +184,11 @@ object ExprCompiler {
         case other => throw new MqlException(s"bad $op: $other")
       }
       case "$toString" => c0.cast(StringType)
+      case "$strcasecmp" =>
+        when(lower(c(0)) < lower(c(1)), -1)
+          .when(lower(c(0)) > lower(c(1)), 1).otherwise(0)
+      case "$indexOfCP" => // 0-based, -1 when absent (locate is 1-based)
+        locate_as_index(c(0), c(1))
       case "$regexMatch" => v match {
         case JObject(spec) =>
           val in = compile(field(spec, "input", op), env)
@@ -204,6 +215,22 @@ object ExprCompiler {
       case "$dayOfYear" => dayofyear(c0)
       case "$week" | "$isoWeek" => weekofyear(c0)
       case "$isoDayOfWeek" => weekday(c0) + lit(1)
+      case "$dateFromString" => v match {
+        case JObject(spec) =>
+          val ds = compile(field(spec, "dateString", op), env)
+          fieldOpt(spec, "format").map(f =>
+            to_timestamp(ds, dateFormat(strValue(f, op)))).getOrElse(to_timestamp(ds))
+        case other => throw new MqlException(s"bad $$dateFromString: $other")
+      }
+      case "$dateFromParts" => v match {
+        case JObject(spec) =>
+          def part(k: String, dflt: Int) =
+            fieldOpt(spec, k).map(compile(_, env)).getOrElse(lit(dflt))
+          make_timestamp(
+            compile(field(spec, "year", op), env), part("month", 1), part("day", 1),
+            part("hour", 0), part("minute", 0), part("second", 0))
+        case other => throw new MqlException(s"bad $$dateFromParts: $other")
+      }
       case "$dateToString" => v match {
         case JObject(spec) =>
           val d = compile(field(spec, "date", op), env)
@@ -280,6 +307,29 @@ object ExprCompiler {
         case other => throw new MqlException(s"bad $$convert: $other")
       }
       case "$literal"   => literal(v)
+
+      // ---- n-ary / array math (MQL reuses accumulator names in
+      // expression context: array form folds the array, list form is
+      // element-wise across operands) ----
+      case "$max" => v match {
+        case JArray(es) if es.length > 1 => greatest(c: _*)
+        case _ => array_max(c0)
+      }
+      case "$min" => v match {
+        case JArray(es) if es.length > 1 => least(c: _*)
+        case _ => array_min(c0)
+      }
+      case "$sum" => v match {
+        case JArray(es) if es.length > 1 => c.reduce(_ + _)
+        case _ => aggregate(c0, lit(0.0), (acc, x) => acc + x.cast(DoubleType))
+      }
+      case "$avg" => v match {
+        case JArray(es) if es.length > 1 =>
+          c.reduce(_ + _) / lit(c.length)
+        case _ =>
+          aggregate(c0, lit(0.0), (acc, x) => acc + x.cast(DoubleType)) /
+            greatest(size(c0), lit(1)).cast(DoubleType)
+      }
 
       // ---- arrays ----
       case "$size" => size(c0)

@@ -96,6 +96,26 @@ class ExprCompilerSpec extends AnyFunSuite {
     assert(eval("""{"$toString": 7}""") == "7")
   }
 
+  test("n-ary vs array forms of $max/$min/$sum/$avg") {
+    assert(eval("""{"$max": [3, 9, 1]}""") == 9)
+    assert(eval("""{"$min": [3, 9, 1]}""") == 1)
+    assert(eval("""{"$max": [[3, 9, 1]]}""") == 9) // array form
+    assert(eval("""{"$sum": [[1, 2, 3]]}""") == 6.0)
+    assert(eval("""{"$avg": [[2, 4]]}""") == 3.0)
+    assert(eval("""{"$sum": [1, 2, 10]}""") == 13)
+  }
+
+  test("$indexOfCP / $strcasecmp / $dateFromString / $dateFromParts") {
+    assert(eval("""{"$indexOfCP": ["abcba", "b"]}""") == 1)
+    assert(eval("""{"$indexOfCP": ["abc", "z"]}""") == -1)
+    assert(eval("""{"$strcasecmp": ["Hello", "hello"]}""") == 0)
+    assert(eval("""{"$strcasecmp": ["apple", "Banana"]}""") == -1)
+    assert(eval("""{"$dateFromString": {"dateString": "2024-03-05 06:07:08"}}""")
+      .asInstanceOf[java.sql.Timestamp].toInstant.toString == "2024-03-05T06:07:08Z")
+    assert(eval("""{"$dateFromParts": {"year": 2024, "month": 3, "day": 5, "hour": 6}}""")
+      .asInstanceOf[java.sql.Timestamp].toInstant.toString == "2024-03-05T06:00:00Z")
+  }
+
   test("$convert with onError/onNull") {
     assert(eval("""{"$convert": {"input": "12", "to": "int"}}""") == 12)
     assert(eval("""{"$convert": {"input": "oops", "to": "int", "onError": -1}}""") == -1)
