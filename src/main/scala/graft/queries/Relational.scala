@@ -271,6 +271,31 @@ object Relational {
                              ORDER BY o_totalprice DESC, o_orderkey))
               WHERE rnk <= 10 ORDER BY o_orderpriority, rnk""")),
 
+    QueryDef("q_addfields_replaceroot",
+      (s, dir) => agg("nation", """[
+        {"$addFields": {"wrap": {"name": {"$toUpper": "$n_name"},
+                                 "region": "$n_regionkey",
+                                 "key2": {"$multiply": ["$n_nationkey", 2]}}}},
+        {"$replaceWith": "$wrap"},
+        {"$sort": {"name": 1}}]""")(s, dir),
+      Some("""SELECT upper(n_name) AS name, n_regionkey AS region,
+                     n_nationkey * 2 AS key2
+              FROM nation ORDER BY name""")),
+
+    QueryDef("q_unset",
+      (s, dir) => agg("orders", """[
+        {"$unset": ["o_orderdate", "o_orderpriority", "o_orderstatus"]},
+        {"$sort": {"o_orderkey": 1}}]""")(s, dir),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice
+              FROM orders ORDER BY o_orderkey""")),
+
+    QueryDef("q_sortbycount",
+      (s, dir) => agg("documents", """[
+        {"$sortByCount": "$lang"}]""")(s, dir),
+      Some("""SELECT lang AS _id, CAST(COUNT(*) AS BIGINT) AS count
+              FROM documents GROUP BY lang
+              ORDER BY count DESC, _id""")),
+
     QueryDef("q_bucket_auto",
       (s, dir) => agg("part", """[
         {"$bucketAuto": {"groupBy": "$p_partkey", "buckets": 4,
