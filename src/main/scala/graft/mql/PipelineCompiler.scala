@@ -64,8 +64,9 @@ object PipelineCompiler {
     case "$limit"   => df.limit(intValue(spec, "$limit"))
     case "$skip"    => df.offset(intValue(spec, "$skip"))
     case "$sort"    => df.orderBy(sortCols(spec): _*)
-    case "$count"   =>
-      df.groupBy().agg(count(lit(1)).as(strValue(spec, "$count")))
+    case "$count"   => // Mongo emits NO doc for empty input
+      val n = strValue(spec, "$count")
+      df.groupBy().agg(count(lit(1)).as(n)).where(col(n) > 0)
     case "$project" => project(df, asObj(spec, "$project"))
     case "$addFields" | "$set" =>
       asObj(spec, name).foldLeft(df) { case (acc, (k, e)) =>
@@ -318,8 +319,11 @@ object PipelineCompiler {
       case Nil => g.agg(count(lit(1)).as("__n")).drop("__n")
     }
     idExpr match {
-      case JNull =>
-        agg(df.groupBy()).select(lit(null).cast(IntegerType).as("_id"), col("*"))
+      case JNull => // global group; Mongo emits NO doc for empty input
+        val all = count(lit(1)).as("__graft_n") +: accs
+        df.groupBy().agg(all.head, all.tail: _*)
+          .where(col("__graft_n") > 0).drop("__graft_n")
+          .select(lit(null).cast(IntegerType).as("_id"), col("*"))
       case JObject(ks) if !isOperatorDoc(ks) =>
         // compound key → struct-valued _id, so "$_id.k" refs resolve
         val keyCols = ks.map { case (k, e) => ExprCompiler.compile(e).as(k) }

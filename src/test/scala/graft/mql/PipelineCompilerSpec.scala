@@ -109,6 +109,31 @@ class PipelineCompilerSpec extends AnyFunSuite {
     assert(out.select("run").as[Double].collect().toSeq == Seq(10.0, 30.0, 30.0, 70.0))
   }
 
+  test("empty input: Mongo emits no documents for $count/global $group") {
+    val empty = people.where($"id" < 0)
+    assert(run("""[{"$match": {"id": -99}}, {"$count": "n"}]""").count() == 0)
+    val g = PipelineCompiler.run(empty,
+      """[{"$group": {"_id": null, "t": {"$sum": "$score"}}}]""")
+    assert(g.count() == 0)
+    // non-empty input still yields exactly one document
+    assert(run("""[{"$count": "n"}]""").as[Long].head() == 4L)
+    assert(run("""[{"$group": {"_id": null, "t": {"$sum": "$score"}}}]""").count() == 1)
+  }
+
+  test("empty input flows through transform stages without error") {
+    val empty = people.where($"id" < 0)
+    val stages = Seq(
+      """[{"$sort": {"id": 1}}, {"$limit": 3}]""",
+      """[{"$unwind": "$tags"}]""",
+      """[{"$group": {"_id": "$dept", "n": {"$count": {}}}}]""",
+      """[{"$project": {"id": 1, "up": {"$toUpper": "$name"}}}]""",
+      """[{"$setWindowFields": {"partitionBy": "$dept", "sortBy": {"id": 1},
+          "output": {"r": {"$rank": {}}}}}]""")
+    stages.foreach { p =>
+      assert(PipelineCompiler.run(empty, p).count() == 0, s"pipeline $p")
+    }
+  }
+
   test("filter pushdown reaches the parquet scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pd").toString
     people.write.mode("overwrite").parquet(dir)
