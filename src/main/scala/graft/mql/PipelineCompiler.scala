@@ -66,7 +66,12 @@ object PipelineCompiler {
     case "$sort"    => df.orderBy(sortCols(spec): _*)
     case "$count"   => // Mongo emits NO doc for empty input
       val n = strValue(spec, "$count")
-      df.groupBy().agg(count(lit(1)).as(n)).where(col(n) > 0)
+      val sentinel = freshName(Set(n))
+      // aggregate + filter under a safe internal name: user names may be
+      // anything Mongo allows ("*", backticks, dots) and must not go
+      // through Spark's column parser
+      df.groupBy().agg(count(lit(1)).as(sentinel)).where(col(sentinel) > 0)
+        .withColumnRenamed(sentinel, n)
     case "$project" => project(df, asObj(spec, "$project"))
     case "$addFields" | "$set" =>
       asObj(spec, name).foldLeft(df) { case (acc, (k, e)) =>
@@ -122,6 +127,13 @@ object PipelineCompiler {
     case "$densify"         => densify(df, asObj(spec, "$densify"))
     case "$graphLookup"     => graphLookup(df, asObj(spec, "$graphLookup"), resolve)
     case other => throw new MqlException(s"unsupported pipeline stage $other")
+  }
+
+  /** Internal column name guaranteed not to collide with user names. */
+  private def freshName(avoid: Set[String]): String = {
+    var s = "__graft_n"
+    while (avoid(s)) s += "_"
+    s
   }
 
   private def sortCols(spec: JValue): Seq[Column] =
@@ -320,9 +332,10 @@ object PipelineCompiler {
     }
     idExpr match {
       case JNull => // global group; Mongo emits NO doc for empty input
-        val all = count(lit(1)).as("__graft_n") +: accs
+        val sentinel = freshName(fields.map(_._1).toSet)
+        val all = count(lit(1)).as(sentinel) +: accs
         df.groupBy().agg(all.head, all.tail: _*)
-          .where(col("__graft_n") > 0).drop("__graft_n")
+          .where(col(sentinel) > 0).drop(sentinel)
           .select(lit(null).cast(IntegerType).as("_id"), col("*"))
       case JObject(ks) if !isOperatorDoc(ks) =>
         // compound key → struct-valued _id, so "$_id.k" refs resolve

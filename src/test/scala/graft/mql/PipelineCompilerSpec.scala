@@ -118,6 +118,12 @@ class PipelineCompilerSpec extends AnyFunSuite {
     // non-empty input still yields exactly one document
     assert(run("""[{"$count": "n"}]""").as[Long].head() == 4L)
     assert(run("""[{"$group": {"_id": null, "t": {"$sum": "$score"}}}]""").count() == 1)
+    // Mongo-legal names that Spark's column parser would choke on
+    val star = run("""[{"$count": "*"}]""")
+    assert(star.columns.toSeq == Seq("*") && star.head.getLong(0) == 4L)
+    // user accumulator shadowing the internal sentinel name
+    val shadow = run("""[{"$group": {"_id": null, "__graft_n": {"$sum": 1}}}]""")
+    assert(shadow.select("__graft_n").as[Long].head() == 4L)
   }
 
   test("empty input flows through transform stages without error") {
