@@ -59,33 +59,35 @@ object DocDecoder {
     else "unknown"
 
   /** Decode one value against a declared type. Returns null for absent /
-    * invalid-under-allowInvalid; throws GraftTypeError in strict mode. */
+    * invalid-under-allowInvalid; throws GraftTypeError in strict mode.
+    * Any malformed payload (bad $date text, non-numeric $numberLong,
+    * invalid base64/hex, overflow) follows the same rule: GraftTypeError
+    * when strict, null under allowInvalid. */
   def convert(node: JsonNode, field: StructField, strict: Boolean): Any = {
     def fail(): Any =
       if (strict) throw new GraftTypeError(
         s"field '${field.name}': got unexpected type ${bsonTypeName(node)} " +
           s"expecting ${field.dataType.simpleString}")
       else null
+    def overflow(what: Any): Any =
+      if (strict) throw new GraftTypeError(
+        s"field '${field.name}': ${field.dataType.simpleString} overflow: $what")
+      else null
 
     if (node == null || node.isNull) return null
-    field.dataType match {
+    try field.dataType match {
       case IntegerType =>
         if (node.isBoolean) { if (node.asBoolean) 1 else 0 }
         else if (node.isIntegralNumber || isExtended(node, "$numberLong")) {
           val l = if (node.isIntegralNumber) node.asLong
                   else node.get("$numberLong").asText.toLong
-          if (l < Int.MinValue || l > Int.MaxValue)
-            throw new GraftTypeError(s"field '${field.name}': int32 overflow: $l")
-          l.toInt
+          if (l < Int.MinValue || l > Int.MaxValue) overflow(l)
+          else l.toInt
         } else if (node.isDouble || node.isFloat || node.isBigDecimal) {
           val d = node.asDouble
           if (d.isNaN) null
-          else {
-            val t = d.toLong // truncate toward zero (lib.pyx:530-534)
-            if (t < Int.MinValue || t > Int.MaxValue)
-              throw new GraftTypeError(s"field '${field.name}': int32 overflow: $d")
-            t.toInt
-          }
+          else if (d < Int.MinValue.toDouble || d > Int.MaxValue.toDouble) overflow(d)
+          else d.toInt // truncate toward zero (lib.pyx:530-534)
         } else fail()
       case LongType =>
         if (node.isBoolean) { if (node.asBoolean) 1L else 0L }
@@ -93,7 +95,9 @@ object DocDecoder {
         else if (isExtended(node, "$numberLong")) node.get("$numberLong").asText.toLong
         else if (node.isDouble || node.isFloat || node.isBigDecimal) {
           val d = node.asDouble
-          if (d.isNaN) null else d.toLong
+          if (d.isNaN) null
+          else if (d < -9.223372036854776e18 || d >= 9.223372036854776e18) overflow(d)
+          else d.toLong
         } else fail()
       case DoubleType =>
         if (node.isBoolean) { if (node.asBoolean) 1.0 else 0.0 }
@@ -164,6 +168,13 @@ object DocDecoder {
         else fail()
       case NullType => null
       case other => throw new GraftTypeError(s"unsupported declared type $other")
+    } catch {
+      case e: GraftTypeError => throw e // produced in strict mode only
+      case scala.util.control.NonFatal(e) => // malformed payload
+        if (strict) throw new GraftTypeError(
+          s"field '${field.name}': malformed value for " +
+            s"${field.dataType.simpleString}: ${e.getMessage}")
+        else null
     }
   }
 

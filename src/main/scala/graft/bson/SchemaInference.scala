@@ -49,8 +49,30 @@ object SchemaInference {
     }
     else if (node.isObject) StructType(
       node.properties().asScala.toSeq.map(e =>
-        StructField(e.getKey, typeOf(e.getValue))))
+        StructField(e.getKey, typeOf(e.getValue), metadata = metaOf(e.getValue))))
     else StringType
+  }
+
+  /** Field metadata for extension-typed values ($oid/$code/$binary) so an
+    * inferred schema can decode the documents it was inferred from
+    * (DocDecoder dispatches on MSchema.BsonTypeKey). Arrays inherit the
+    * first non-null element's tag (the decoder passes field metadata down
+    * to elements). */
+  private def metaOf(node: JsonNode): Metadata = {
+    def tag(n: JsonNode): Option[Metadata] =
+      if (n == null || n.isNull || !n.isObject || n.size() != 1) None
+      else if (n.has("$oid")) Some(new MetadataBuilder()
+        .putString(graft.schema.MSchema.BsonTypeKey, "objectId").build())
+      else if (n.has("$code")) Some(new MetadataBuilder()
+        .putString(graft.schema.MSchema.BsonTypeKey, "code").build())
+      else if (n.has("$binary")) Some(new MetadataBuilder()
+        .putString(graft.schema.MSchema.BsonTypeKey, "binary").build())
+      else None
+    val target =
+      if (node != null && node.isArray)
+        node.elements().asScala.find(e => e != null && !e.isNull).orNull
+      else node
+    tag(target).getOrElse(Metadata.empty)
   }
 
   /** Merge an earlier-seen type with a later-seen one. */
@@ -65,7 +87,9 @@ object SchemaInference {
         val aNames = a.fieldNames.toSet
         val mergedA = a.fields.map { f =>
           b.find(_.name == f.name) match {
-            case Some(bf) => StructField(f.name, merge(f.dataType, bf.dataType))
+            case Some(bf) =>
+              val meta = if (f.metadata == Metadata.empty) bf.metadata else f.metadata
+              StructField(f.name, merge(f.dataType, bf.dataType), metadata = meta)
             case None => f
           }
         }
@@ -77,15 +101,18 @@ object SchemaInference {
   def infer(docs: Dataset[String]): StructType = {
     val partTrees: Array[(Int, DataType)] = docs.rdd.mapPartitionsWithIndex { (pi, it) =>
       val mapper = DocDecoder.newMapper()
-      val acc = it.foldLeft(StructType(Nil): DataType) { (tree, line) =>
+      // NullType seed: the first non-null-typed document wins (an empty
+      // StructType seed would swallow scalar top-level values)
+      val acc = it.foldLeft(NullType: DataType) { (tree, line) =>
         merge(tree, typeOf(mapper.readTree(line)))
       }
       Iterator.single(pi -> acc)
     }.collect()
     val merged = partTrees.sortBy(_._1).map(_._2)
-      .foldLeft(StructType(Nil): DataType)(merge)
+      .foldLeft(NullType: DataType)(merge)
     merged match {
       case st: StructType => st
+      case NullType => StructType(Nil)
       case other => StructType(Seq(StructField("value", other)))
     }
   }

@@ -53,8 +53,10 @@ object Multimodal {
   def extractFeatures(df: DataFrame, dim: Int = 8, batchSize: Int = 256): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val in: Dataset[(Long, Array[Byte])] =
-      df.select(col("media_id").cast(LongType), col("payload")).as[(Long, Array[Byte])]
+    val in: Dataset[(Long, Array[Byte])] = df
+      .select(col("media_id").cast(LongType), col("payload"))
+      .na.drop("any", Seq("media_id")) // non-numeric/null ids can't key features
+      .as[(Long, Array[Byte])]
     in.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         // batch boundary: a real impl hands `batch` to the codec/model at once

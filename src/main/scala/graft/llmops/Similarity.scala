@@ -48,8 +48,9 @@ object Similarity {
     when(xxhash64(lit(plane), dimIdx).bitwiseAND(lit(1L)) === 1L, lit(1.0)).otherwise(lit(-1.0))
 
   /** Sign-bit LSH bucket id from `planes` random hyperplanes. Vectors in
-    * the same bucket are likely neighbors; multi-probe = also search
-    * buckets at hamming distance 1 (probe=true). */
+    * the same bucket are likely neighbors. (Single-probe: neighbors
+    * landing across a hyperplane are missed — see measured recall in
+    * README; raise recall by lowering `planes` or via ivfTopK.) */
   def signBucket(vec: Column, planes: Int): Column =
     (0 until planes).map { p =>
       val s = aggregate(zip_with(vec.cast("array<double>"),
@@ -80,16 +81,16 @@ object Similarity {
     * ~nProbe/nCells of the data. nProbe = nCells degrades gracefully to
     * exact brute force (asserted in tests).
     *
-    * Centroid choice: every ⌈n/nCells⌉-th corpus row by id — deterministic
-    * and seed-free (a k-means refinement would drop in here).
+    * Centroid choice: the nCells corpus rows with the smallest xxhash64
+    * of their id — a deterministic, seed-free hash-ordered sample that
+    * exists for any id distribution, found in one TakeOrdered pass (no
+    * extra corpus count scan). A k-means refinement would drop in here.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nCells: Int = 16, nProbe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val n = corpus.count()
-    val stride = math.max(1L, n / nCells)
     val centroids = broadcast(corpus
-      .where(pmod(col(idCol), lit(stride)) === 0).limit(nCells)
+      .orderBy(xxhash64(col(idCol)).asc, col(idCol).asc).limit(nCells)
       .select(col(idCol).as("cell_id"), col(vecCol).as("__cv"),
         norm(col(vecCol)).as("__cn")))
 

@@ -57,6 +57,42 @@ class DocDecoderSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("overflow")))
   }
 
+  test("overflow and malformed payloads: strict raises, allowInvalid nulls") {
+    val schema = StructType(Seq(
+      StructField("i", IntegerType), StructField("l", LongType),
+      StructField("ts", TimestampType)))
+    val docs = Seq(
+      s"""{"i": ${2L << 34}, "l": 1e30, "ts": {"$$date": "not-a-date"}}""")
+    // strict: every one of these raises
+    intercept[org.apache.spark.SparkException] { decode(docs, schema).collect() }
+    // allowInvalid: all null, job survives
+    val r = decode(docs, schema, allowInvalid = true).head
+    assert((0 until 3).forall(r.isNullAt))
+    // heterogeneous inference path that hits allowInvalid overflow
+    val het = Seq("""{"a": [1, 9999999999]}""")
+    val s2 = SchemaInference.infer(het.toDS())
+    assert(s2("a").dataType == ArrayType(IntegerType))
+    val arr = DocDecoder.decode(het.toDS(), s2, allowInvalid = true)
+      .head.getSeq[Any](0)
+    assert(arr == Seq(1, null))
+  }
+
+  test("inferred schemas decode their own extension-typed documents") {
+    val docs = Seq(
+      """{"oid": {"$oid": "0123456789abcdef01234567"}, "code": {"$code": "x()"}}""")
+    val schema = SchemaInference.infer(docs.toDS())
+    assert(schema("oid").metadata.getString(MSchema.BsonTypeKey) == "objectId")
+    val r = DocDecoder.decode(docs.toDS(), schema).head
+    assert(r.getAs[Array[Byte]](0).length == 12)
+    assert(r.getString(1) == "x()")
+  }
+
+  test("inference of scalar top-level documents uses the value fallback") {
+    val schema = SchemaInference.infer(Seq("1", "2").toDS())
+    assert(schema.fieldNames.toSeq == Seq("value"))
+    assert(schema("value").dataType == IntegerType)
+  }
+
   test("strict mismatch raises GraftTypeError; allowInvalid nulls (test_arrow.py:555-569)") {
     val docs = Seq("""{"s": {"nested": 1}}""")
     val schema = StructType(Seq(StructField("s", StringType)))
