@@ -64,21 +64,29 @@ object ExprCompiler {
     when(pos === 0, -1).otherwise(pos - 1)
   }
 
-  // MQL %-format → java.time format used by date_format
+  // MQL %-format → java.time format used by date_format. Literal letters
+  // (e.g. the T/Z in ISO timestamps) must be quoted or Spark reads them
+  // as pattern fields; week-based %G/%u have no Spark 3+ equivalent.
   private[mql] def dateFormat(f: String): String = {
     val sb = new StringBuilder
     var i = 0
     while (i < f.length) {
-      if (f.charAt(i) == '%' && i + 1 < f.length) {
+      val ch = f.charAt(i)
+      if (ch == '%' && i + 1 < f.length) {
         sb.append(f.charAt(i + 1) match {
           case 'Y' => "yyyy"; case 'm' => "MM";  case 'd' => "dd"
           case 'H' => "HH";   case 'M' => "mm";  case 'S' => "ss"
-          case 'L' => "SSS";  case 'j' => "DDD"; case 'G' => "YYYY"
-          case 'u' => "e";    case '%' => "%"
-          case c   => throw new MqlException(s"unsupported date format %$c")
+          case 'L' => "SSS";  case 'j' => "DDD"; case '%' => "%"
+          case c   => throw new MqlException(
+            s"unsupported date format %$c (no Spark 3+ pattern equivalent)")
         })
         i += 2
-      } else { sb.append(f.charAt(i)); i += 1 }
+      } else {
+        if (ch.isLetter) sb.append('\'').append(ch).append('\'')
+        else if (ch == '\'') sb.append("''")
+        else sb.append(ch)
+        i += 1
+      }
     }
     sb.toString
   }
@@ -213,7 +221,11 @@ object ExprCompiler {
       case "$millisecond" => date_format(c0, "SSS").cast(IntegerType)
       case "$dayOfWeek" => dayofweek(c0)
       case "$dayOfYear" => dayofyear(c0)
-      case "$week" | "$isoWeek" => weekofyear(c0)
+      // MQL $week: zero-based Sunday-start weeks (week 0 before the
+      // first Sunday); Spark's weekofyear is ISO — derive directly
+      case "$week" =>
+        floor((dayofyear(c0) + lit(7) - dayofweek(c0)) / lit(7)).cast(IntegerType)
+      case "$isoWeek" => weekofyear(c0)
       case "$isoDayOfWeek" => weekday(c0) + lit(1)
       case "$dateFromString" => v match {
         case JObject(spec) =>
@@ -326,9 +338,10 @@ object ExprCompiler {
       case "$avg" => v match {
         case JArray(es) if es.length > 1 =>
           c.reduce(_ + _) / lit(c.length)
-        case _ =>
-          aggregate(c0, lit(0.0), (acc, x) => acc + x.cast(DoubleType)) /
-            greatest(size(c0), lit(1)).cast(DoubleType)
+        case _ => // Mongo: $avg over an empty array is null, not 0
+          when(size(c0) === 0, lit(null))
+            .otherwise(aggregate(c0, lit(0.0), (acc, x) => acc + x.cast(DoubleType)) /
+              size(c0).cast(DoubleType))
       }
 
       // ---- arrays ----
@@ -383,7 +396,7 @@ object ExprCompiler {
         case other => throw new MqlException(s"bad $$sortArray: $other")
       }
       case "$setUnion"     => array_distinct(concat(c: _*))
-      case "$setIntersect" => c.reduce(array_intersect)
+      case "$setIntersection" | "$setIntersect" => c.reduce(array_intersect)
       case "$setDifference" => array_except(c(0), c(1))
       case "$filter" => v match {
         case JObject(spec) =>

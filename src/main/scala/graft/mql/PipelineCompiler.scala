@@ -81,11 +81,17 @@ object PipelineCompiler {
           acc.withColumn(head, col(head).withField(rest, ExprCompiler.compile(e)))
         } else acc.withColumn(k, ExprCompiler.compile(e))
       }
-    case "$unset" => spec match {
-      case JString(f)  => df.drop(f)
-      case JArray(fs)  => df.drop(fs.map(strValue(_, "$unset")): _*)
-      case other => throw new MqlException(s"bad $$unset: $other")
-    }
+    case "$unset" =>
+      val paths = spec match {
+        case JString(f) => Seq(f)
+        case JArray(fs) => fs.map(strValue(_, "$unset"))
+        case other => throw new MqlException(s"bad $$unset: $other")
+      }
+      val (nested, flat) = paths.partition(_.contains("."))
+      nested.foldLeft(df.drop(flat: _*)) { (acc, p) => // nested via dropFields
+        val head = p.substring(0, p.indexOf('.'))
+        acc.withColumn(head, col(head).dropFields(p.substring(p.indexOf('.') + 1)))
+      }
     case "$group"          => group(df, asObj(spec, "$group"), None)
     case "$unwind"         => unwind(df, spec)
     case "$lookup"         => lookup(df, asObj(spec, "$lookup"), resolve)
@@ -171,7 +177,9 @@ object PipelineCompiler {
 
   private def project(df: DataFrame, fields: List[(String, JValue)]): DataFrame = {
     val (idSpecs, rest) = fields.partition(_._1 == "_id")
-    val exclusionMode = rest.nonEmpty && rest.forall { case (_, v) => isExcludeMarker(v) }
+    // {"_id": 0} alone is an exclusion projection (keep everything else)
+    val exclusionMode = rest.forall { case (_, v) => isExcludeMarker(v) } &&
+      (rest.nonEmpty || idSpecs.exists { case (_, v) => isExcludeMarker(v) })
     if (exclusionMode) {
       val dropId = idSpecs.exists { case (_, v) => isExcludeMarker(v) }
       val (nested, flat) = rest.map(_._1).partition(_.contains("."))
@@ -281,14 +289,16 @@ object PipelineCompiler {
             throw new MqlException(s"$op: mixed sort directions unsupported")
           val n = spec.collectFirst { case ("n", x) => intValue(x, op) }
             .getOrElse(1)
-          // $top/$topN want the FIRST rows of the sortBy order → ascending
-          // sort_array when sortBy ascending; $bottom* the reverse
+          // both families keep sortBy order in the output; $top* takes the
+          // head slice, $bottom* the tail slice of the same sorted array
           val wantHead = op == "$topN" || op == "$top"
-          val asc = if (wantHead) dirs.head else !dirs.head
           val packed = sort_array(
             collect_list(struct((specs.map(x => fieldCol(x._1)) :+ output.as("__o")): _*)),
-            asc = asc)
-          val sliced = transform(slice(packed, 1, n), x => x.getField("__o"))
+            asc = dirs.head)
+          val taken =
+            if (wantHead) slice(packed, 1, n)
+            else slice(packed, greatest(size(packed) - lit(n) + 1, lit(1)), lit(n))
+          val sliced = transform(taken, x => x.getField("__o"))
           if (op == "$top" || op == "$bottom") element_at(sliced, 1) else sliced
         case other => throw new MqlException(s"bad $op: $other")
       }
@@ -415,7 +425,9 @@ object PipelineCompiler {
         val packed = fromDf
           .groupBy(col(foreign).as("__graft_fk"))
           .agg(collect_list(struct(fromDf.columns.map(col): _*)).as(as))
-        val joined = df.join(packed, col(local) === col("__graft_fk"), "left")
+        // null-safe equality: Mongo joins null/missing localField to
+        // foreign docs whose foreignField is null/missing
+        val joined = df.join(packed, col(local) <=> col("__graft_fk"), "left")
           .drop("__graft_fk")
         val elemType = packed.schema(as).dataType
         joined.withColumn(as, coalesce(col(as), array().cast(elemType)))

@@ -68,6 +68,14 @@ object DocWriter {
       if (x.isNaN || x.isInfinite) sb.append("{\"$numberDouble\": \"").append(x).append("\"}")
       else sb.append(x)
     case (x: Boolean, _) => sb.append(x)
+    // narrow numerics may survive autoConvert inside structs/arrays;
+    // encode them as their widened BSON twins (api.py:622-648 semantics)
+    case (x: Float, _) =>
+      val d = x.toDouble
+      if (d.isNaN || d.isInfinite) sb.append("{\"$numberDouble\": \"").append(d).append("\"}")
+      else sb.append(d)
+    case (x: Short, _) => sb.append(x.toInt)
+    case (x: Byte, _) => sb.append(x.toInt)
     case (x: String, _) => appendEscaped(x, sb)
     case (x: java.sql.Timestamp, _) =>
       sb.append("{\"$date\": ").append(x.getTime).append("}")
@@ -140,11 +148,13 @@ object DocWriter {
       var batchIdx = 0
       var written = 0L
       var buf = new java.lang.StringBuilder()
+      var bufBytes = 0L // budget is wire BYTES (utf8), not UTF-16 chars
       var docsInBatch = 0
       def flush(): Unit = if (docsInBatch > 0) {
         val f = new java.io.File(path, f"part-$pid%05d-$batchIdx%05d.jsonl")
         try {
-          val w = new java.io.BufferedWriter(new java.io.FileWriter(f))
+          val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+            new java.io.FileOutputStream(f), java.nio.charset.StandardCharsets.UTF_8))
           try w.write(buf.toString) finally w.close()
         } catch {
           case e: java.io.IOException =>
@@ -153,16 +163,29 @@ object DocWriter {
         }
         inserted.add(docsInBatch); batches.add(1)
         written += docsInBatch
-        batchIdx += 1; docsInBatch = 0; buf = new java.lang.StringBuilder()
+        batchIdx += 1; docsInBatch = 0
+        buf = new java.lang.StringBuilder(); bufBytes = 0L
+      }
+      def utf8Len(s: CharSequence): Long = { // no intermediate byte[]
+        var i = 0; var bytes = 0L
+        while (i < s.length) {
+          val c = s.charAt(i)
+          bytes += (if (c < 0x80) 1 else if (c < 0x800) 2
+                    else if (Character.isHighSurrogate(c)) { i += 1; 4 } else 3)
+          i += 1
+        }
+        bytes
       }
       it.foreach { row =>
         val sb = new java.lang.StringBuilder()
         encodeRow(row, schema, sb)
         sb.append('\n')
+        val docBytes = utf8Len(sb)
         if (docsInBatch > 0 &&
-            (buf.length() + sb.length() > maxBatchBytes || docsInBatch >= maxBatchDocs))
+            (bufBytes + docBytes > maxBatchBytes || docsInBatch >= maxBatchDocs))
           flush()
         buf.append(sb)
+        bufBytes += docBytes
         docsInBatch += 1
       }
       flush()

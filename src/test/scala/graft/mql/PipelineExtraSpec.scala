@@ -155,6 +155,42 @@ class PipelineExtraSpec extends AnyFunSuite {
       == Seq(-1.0, 10.0, -1.0, 30.0, 40.0))
   }
 
+  test("review regressions: _id:0-only projection, bottomN order, null-safe lookup") {
+    // {"_id": 0} alone keeps all other fields
+    val withId = sales.withColumnRenamed("id", "_id")
+    val out = PipelineCompiler.run(withId, """[{"$project": {"_id": 0}}]""")
+    assert(out.columns.toSeq == Seq("grp", "amt"))
+    // $bottomN preserves sortBy order (ascending: [3,4] not [4,3])
+    val b = PipelineCompiler.run(sales, """[
+      {"$group": {"_id": "$grp",
+        "bot2": {"$bottomN": {"output": "$id", "sortBy": {"amt": 1}, "n": 2}}}},
+      {"$sort": {"_id": 1}}]""")
+    assert(b.collect().map(_.getSeq[Int](1)).toSeq == Seq(Seq(1, 2), Seq(4, 5)))
+    // null localField matches null foreignField (Mongo semantics)
+    val left = Seq((1, Some("a")), (2, None)).toDF("id", "k")
+    val right = Seq((Some("a"), 10), (None, 20)).toDF("k2", "v")
+    val j = PipelineCompiler.run(left,
+      """[{"$lookup": {"from": "r", "localField": "k", "foreignField": "k2",
+                       "as": "m"}}]""", _ => right)
+    val sizes = j.selectExpr("id", "size(m)").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toMap
+    assert(sizes == Map(1 -> 1, 2 -> 1)) // null key row matched too
+  }
+
+  test("review regressions: $week Sunday-zero-based, $dateToString default, $avg empty") {
+    val one = Seq(1).toDF("x")
+    def eval(e: String) =
+      one.select(ExprCompiler.compile(Mql.parse(e)).as("r")).head.get(0)
+    // 2026-01-01 is a Thursday → Mongo week 0
+    assert(eval("""{"$week": {"$date": "2026-01-01T00:00:00Z"}}""") == 0)
+    // first Sunday of 2026 is Jan 4 → week 1
+    assert(eval("""{"$week": {"$date": "2026-01-04T00:00:00Z"}}""") == 1)
+    assert(eval("""{"$dateToString": {"date": {"$date": "2024-03-05T06:07:08.120Z"}}}""")
+      == "2024-03-05T06:07:08.120Z")
+    assert(eval("""{"$avg": [[]]}""") == null)
+    assert(eval("""{"$setIntersection": [[1, 2], [2, 3]]}""") == Seq(2))
+  }
+
   test("$minN / $maxN accumulators") {
     val out = PipelineCompiler.run(sales, """[
       {"$group": {"_id": "$grp",
