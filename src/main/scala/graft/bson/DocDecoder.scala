@@ -24,7 +24,8 @@ final class GraftTypeError(msg: String) extends IllegalArgumentException(msg)
   *
   * Coercion matrix (lib.pyx:511-601,711-729):
   *  - int32/int64 accept bool/int/double-with-truncation; overflow raises
-  *    (strict) or nulls (allowInvalid); NaN → null
+  *    unconditionally (checked before allow_invalid, lib.pyx:511-577);
+  *    NaN → null
   *  - double accepts bool/int32/int64; NaN → null (lib.pyx:113-121)
   *  - string/bool strict; timestamps are epoch-millis ($date)
   *  - struct/array recurse; any mismatch → GraftTypeError or null
@@ -60,9 +61,12 @@ object DocDecoder {
 
   /** Decode one value against a declared type. Returns null for absent /
     * invalid-under-allowInvalid; throws GraftTypeError in strict mode.
-    * Any malformed payload (bad $date text, non-numeric $numberLong,
-    * invalid base64/hex, overflow) follows the same rule: GraftTypeError
-    * when strict, null under allowInvalid. */
+    * Malformed payloads (bad $date text, non-numeric $numberLong,
+    * invalid base64/hex) follow that rule — GraftTypeError when strict,
+    * null under allowInvalid — EXCEPT integer overflow, which throws
+    * unconditionally: the reference's Int32Builder/Int64Builder check
+    * overflow before the allow_invalid branch (lib.pyx:511-577), so an
+    * out-of-range integral is an error even in permissive mode. */
   def convert(node: JsonNode, field: StructField, strict: Boolean): Any = {
     def fail(): Any =
       if (strict) throw new GraftTypeError(
@@ -70,9 +74,8 @@ object DocDecoder {
           s"expecting ${field.dataType.simpleString}")
       else null
     def overflow(what: Any): Any =
-      if (strict) throw new GraftTypeError(
+      throw new GraftTypeError(
         s"field '${field.name}': ${field.dataType.simpleString} overflow: $what")
-      else null
 
     if (node == null || node.isNull) return null
     try field.dataType match {

@@ -43,9 +43,13 @@ object SchemaInference {
     else if (node.isObject && node.size() == 1 && node.has("$binary")) BinaryType
     else if (node.isObject && node.size() == 1 && node.has("$code")) StringType
     else if (node.isArray) {
-      // first non-null element types the list (test_arrow.py:726-739)
-      val elem = node.elements().asScala.map(typeOf).find(_ != NullType)
-      ArrayType(elem.getOrElse(NullType))
+      // First non-null element types the list (test_arrow.py:726-739);
+      // merging across elements applies the int32→int64 re-inference the
+      // reference's shared child builder performs mid-list
+      // (lib.pyx:246-255) while merge's first-wins fallback keeps
+      // heterogeneous mismatches on the first element's type.
+      val elem = node.elements().asScala.map(typeOf).foldLeft(NullType: DataType)(merge)
+      ArrayType(elem)
     }
     else if (node.isObject) StructType(
       node.properties().asScala.toSeq.map(e =>

@@ -169,8 +169,12 @@ object ExprCompiler {
       case "$toLower"     => lower(c0)
       case "$strLenCP"    => length(c0)
       case "$strLenBytes" => octet_length(c0)
-      case "$substrCP" | "$substrBytes" | "$substr" =>
+      case "$substrCP" =>
         c(0).substr(c(1) + lit(1), c(2)) // MQL is 0-indexed
+      case "$substrBytes" | "$substr" => // byte-indexed ($substr is the deprecated byte alias)
+        c(0).cast(BinaryType)
+          .substr(c(1).cast(IntegerType) + lit(1), c(2).cast(IntegerType))
+          .cast(StringType)
       case "$split" => v match {
         case JArray(List(s, JString(delim))) =>
           split(compile(s, env), java.util.regex.Pattern.quote(delim))

@@ -709,7 +709,10 @@ object PipelineCompiler {
               .getOrElse(throw new MqlException("$shift needs by"))
             val dflt = sspec.collectFirst { case ("default", x) => ExprCompiler.compile(x) }
               .getOrElse(lit(null))
-            coalesce(lag(out, -by).over(sorted), dflt) // Mongo: by>0 looks FORWARD
+            // Default applies only when the shifted position falls outside the
+            // partition (lag's out-of-bounds default); a stored null inside the
+            // window must surface as null, so no coalesce on the value.
+            lag(out, -by, dflt).over(sorted) // Mongo: by>0 looks FORWARD
           case other => throw new MqlException(s"bad $$shift: $other")
         }
         case "$sum"   => sum(ExprCompiler.compile(arg)).over(framed)

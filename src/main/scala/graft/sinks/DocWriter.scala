@@ -33,14 +33,22 @@ object DocWriter {
 
   /** Auto-convert pre-pass (api.py:622-648): dates → ms timestamps,
     * narrow ints → int32, float32 → float64. */
+  /** Recursive widening twin of the pre-pass (api.py:622-648): date→ts,
+    * narrow ints→int32, float32→f64 — at any nesting depth, since BSON
+    * has no narrow twins inside documents/arrays either. */
+  private def widen(dt: DataType): DataType = dt match {
+    case DateType => TimestampType
+    case ByteType | ShortType => IntegerType
+    case FloatType => DoubleType
+    case s: StructType => StructType(s.fields.map(f => f.copy(dataType = widen(f.dataType))))
+    case ArrayType(et, n) => ArrayType(widen(et), n)
+    case other => other
+  }
+
   def autoConvert(df: DataFrame): DataFrame = {
     val cols = df.schema.fields.map { f =>
-      f.dataType match {
-        case DateType => col(f.name).cast(TimestampType).as(f.name)
-        case ByteType | ShortType => col(f.name).cast(IntegerType).as(f.name)
-        case FloatType => col(f.name).cast(DoubleType).as(f.name)
-        case _ => col(f.name)
-      }
+      val w = widen(f.dataType)
+      if (w == f.dataType) col(f.name) else col(f.name).cast(w).as(f.name)
     }
     df.select(cols.toSeq: _*)
   }
@@ -84,8 +92,10 @@ object DocWriter {
         .append(x.toInstant(java.time.ZoneOffset.UTC).toEpochMilli).append("}")
     case (x: java.time.Instant, _) =>
       sb.append("{\"$date\": ").append(x.toEpochMilli).append("}")
-    case (x: java.sql.Date, _) =>
-      sb.append("{\"$date\": ").append(x.getTime).append("}")
+    case (x: java.sql.Date, _) => // UTC midnight, matching DocDecoder's
+      // UTC epoch-day floor — getTime would be JVM-local midnight
+      sb.append("{\"$date\": ")
+        .append(x.toLocalDate.toEpochDay * 86400000L).append("}")
     case (x: java.math.BigDecimal, _) =>
       sb.append("{\"$numberDecimal\": \"").append(x.toPlainString).append("\"}")
     case (x: Array[Byte], _) =>
@@ -135,8 +145,10 @@ object DocWriter {
     * flushed batch (`part-<partition>-<batch>.jsonl`). */
   def write(dfRaw: DataFrame, path: String,
             maxBatchBytes: Long = MaxBatchBytes,
-            maxBatchDocs: Int = MaxBatchDocs): WriteResult = {
-    val df = autoConvert(dfRaw)
+            maxBatchDocs: Int = MaxBatchDocs,
+            autoConvertTypes: Boolean = true): WriteResult = {
+    // autoConvertTypes mirrors the reference's auto_convert kwarg
+    val df = if (autoConvertTypes) autoConvert(dfRaw) else dfRaw
     validateSchema(df.schema)
     val schema = df.schema
     val spark = df.sparkSession

@@ -36,6 +36,31 @@ import scala.jdk.CollectionConverters._
   * Options: `allowInvalid` (default false) — the reference's
   * strict-vs-null coercion switch (api.py:148-149).
   */
+object GraftDocSource {
+  /** Single resolver for the input file list, honoring both 'path' and
+    * 'paths' (DataFrameReader.load(paths*) JSON-encodes the latter), so
+    * schema inference and the scan always agree on what gets read. */
+  private[sources] def resolveFiles(options: CaseInsensitiveStringMap): Seq[String] = {
+    val raw: Seq[String] =
+      Option(options.get("path")).map(Seq(_))
+        .orElse(Option(options.get("paths")).map(parsePaths))
+        .getOrElse(throw new IllegalArgumentException(
+          "graftdocs: 'path' or 'paths' required"))
+    raw.flatMap { p =>
+      val f = new java.io.File(p)
+      if (f.isDirectory)
+        f.listFiles((_, n) => n.endsWith(".jsonl")).map(_.getAbsolutePath).sorted.toSeq
+      else Seq(p)
+    }
+  }
+
+  private def parsePaths(s: String): Seq[String] =
+    if (s.trim.startsWith("[")) {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      m.readValue(s, classOf[Array[String]]).toSeq
+    } else s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+}
+
 class GraftDocSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graftdocs"
 
@@ -45,19 +70,13 @@ class GraftDocSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = org.apache.spark.sql.SparkSession.active
     import spark.implicits._
-    val docs = spark.read.textFile(pathsOf(options): _*)
+    val docs = spark.read.textFile(GraftDocSource.resolveFiles(options): _*)
     graft.bson.SchemaInference.infer(docs)
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     new GraftDocTable(schema, properties.asScala.toMap)
-
-  private def pathsOf(options: CaseInsensitiveStringMap): Seq[String] = {
-    val p = Option(options.get("path")).orElse(Option(options.get("paths")))
-      .getOrElse(throw new IllegalArgumentException("graftdocs: 'path' required"))
-    Seq(if (new java.io.File(p).isDirectory) s"$p/*.jsonl" else p)
-  }
 }
 
 private[sources] class GraftDocTable(schema: StructType, props: Map[String, String])
@@ -98,17 +117,8 @@ private[sources] class GraftScan(schema: StructType, options: CaseInsensitiveStr
 
   private val allowInvalid = options.getBoolean("allowinvalid", false)
 
-  private def files(): Array[String] = {
-    val p = Option(options.get("path")).getOrElse(
-      throw new IllegalArgumentException("graftdocs: 'path' required"))
-    val f = new java.io.File(p)
-    if (f.isDirectory)
-      f.listFiles((_, n) => n.endsWith(".jsonl")).map(_.getAbsolutePath).sorted
-    else Array(p)
-  }
-
   override def planInputPartitions(): Array[InputPartition] =
-    files().map(GraftFilePartition(_))
+    GraftDocSource.resolveFiles(options).toArray.map(GraftFilePartition(_))
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(schema, allowInvalid)

@@ -57,24 +57,29 @@ class DocDecoderSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("overflow")))
   }
 
-  test("overflow and malformed payloads: strict raises, allowInvalid nulls") {
-    val schema = StructType(Seq(
-      StructField("i", IntegerType), StructField("l", LongType),
-      StructField("ts", TimestampType)))
-    val docs = Seq(
-      s"""{"i": ${2L << 34}, "l": 1e30, "ts": {"$$date": "not-a-date"}}""")
-    // strict: every one of these raises
-    intercept[org.apache.spark.SparkException] { decode(docs, schema).collect() }
-    // allowInvalid: all null, job survives
-    val r = decode(docs, schema, allowInvalid = true).head
-    assert((0 until 3).forall(r.isNullAt))
-    // heterogeneous inference path that hits allowInvalid overflow
+  test("overflow raises even under allowInvalid; malformed payloads null") {
+    // Int32Builder/Int64Builder check overflow before the allow_invalid
+    // branch (lib.pyx:511-577) — overflow is unconditional.
+    val intS = StructType(Seq(StructField("i", IntegerType)))
+    val longS = StructType(Seq(StructField("l", LongType)))
+    intercept[org.apache.spark.SparkException] {
+      decode(Seq(s"""{"i": ${2L << 34}}"""), intS, allowInvalid = true).collect()
+    }
+    intercept[org.apache.spark.SparkException] {
+      decode(Seq("""{"l": 1e30}"""), longS, allowInvalid = true).collect()
+    }
+    // malformed (non-overflow) payloads: strict raises, allowInvalid nulls
+    val tsS = StructType(Seq(StructField("ts", TimestampType)))
+    val bad = Seq("""{"ts": {"$date": "not-a-date"}}""")
+    intercept[org.apache.spark.SparkException] { decode(bad, tsS).collect() }
+    assert(decode(bad, tsS, allowInvalid = true).head.isNullAt(0))
+    // a long arriving mid-list widens the inferred element type
+    // (shared child builder re-inference, lib.pyx:246-255)
     val het = Seq("""{"a": [1, 9999999999]}""")
     val s2 = SchemaInference.infer(het.toDS())
-    assert(s2("a").dataType == ArrayType(IntegerType))
-    val arr = DocDecoder.decode(het.toDS(), s2, allowInvalid = true)
-      .head.getSeq[Any](0)
-    assert(arr == Seq(1, null))
+    assert(s2("a").dataType == ArrayType(LongType))
+    val arr = DocDecoder.decode(het.toDS(), s2).head.getSeq[Any](0)
+    assert(arr == Seq(1L, 9999999999L))
   }
 
   test("inferred schemas decode their own extension-typed documents") {

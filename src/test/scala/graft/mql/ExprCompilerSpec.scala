@@ -42,6 +42,11 @@ class ExprCompilerSpec extends AnyFunSuite {
     assert(eval("""{"$toUpper": "ab"}""") == "AB")
     assert(eval("""{"$strLenCP": "héllo"}""") == 5)
     assert(eval("""{"$substrCP": ["hello", 1, 3]}""") == "ell")
+    // CP is code-point-indexed; Bytes (and deprecated $substr) are byte-indexed
+    assert(eval("""{"$substrCP": ["héllo", 1, 3]}""") == "éll")
+    assert(eval("""{"$substrBytes": ["héllo", 0, 3]}""") == "hé") // é = 2 bytes
+    assert(eval("""{"$substrBytes": ["héllo", 3, 3]}""") == "llo")
+    assert(eval("""{"$substr": ["héllo", 3, 3]}""") == "llo")
     assert(eval("""{"$split": ["a.b.c", "."]}""") == Seq("a", "b", "c"))
     assert(eval("""{"$trim": {"input": "  x  "}}""") == "x")
     assert(eval("""{"$replaceAll": {"input": "a.b.a", "find": "a", "replacement": "z"}}""") == "z.b.z")

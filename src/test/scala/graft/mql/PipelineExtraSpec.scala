@@ -155,6 +155,19 @@ class PipelineExtraSpec extends AnyFunSuite {
       == Seq(-1.0, 10.0, -1.0, 30.0, 40.0))
   }
 
+  test("$shift default applies only outside partition bounds, not on stored nulls") {
+    val withNull = Seq((1, "a", Some(10.0)), (2, "a", None), (3, "a", Some(30.0)))
+      .toDF("id", "grp", "amt")
+    val out = PipelineCompiler.run(withNull, """[
+      {"$setWindowFields": {"partitionBy": "$grp", "sortBy": {"id": 1},
+        "output": {
+          "next_amt": {"$shift": {"output": "$amt", "by": 1, "default": -1.0}}}}},
+      {"$sort": {"id": 1}}]""")
+    // id=1 shifts onto the stored null (stays null); id=3 falls off the end (default)
+    assert(out.select("next_amt").collect().map(r =>
+      if (r.isNullAt(0)) null else r.getDouble(0)).toSeq == Seq(null, 30.0, -1.0))
+  }
+
   test("review regressions: _id:0-only projection, bottomN order, null-safe lookup") {
     // {"_id": 0} alone keeps all other fields
     val withId = sales.withColumnRenamed("id", "_id")

@@ -53,4 +53,28 @@ class DocWriterSpec extends AnyFunSuite {
     assert(out.schema("f").dataType == DoubleType)
     assert(out.schema("s").dataType == IntegerType)
   }
+
+  test("auto-convert recurses into structs and arrays") {
+    val df = spark.range(2).select(
+      struct(current_date().as("d"), lit(1.5f).as("f")).as("s"),
+      array(current_date()).as("ad"))
+    val out = DocWriter.autoConvert(df)
+    val st = out.schema("s").dataType.asInstanceOf[StructType]
+    assert(st("d").dataType == TimestampType)
+    assert(st("f").dataType == DoubleType)
+    assert(out.schema("ad").dataType ==
+      ArrayType(TimestampType, containsNull = false))
+  }
+
+  test("date encodes as UTC midnight regardless of JVM zone") {
+    // 2024-03-10 → epoch-day 19792 → 19792*86400000 ms; round-trips through
+    // the decoder's UTC epoch-day floor without day shift
+    val df = spark.sql("SELECT DATE'2024-03-10' AS d")
+    val path = tmpDir()
+    DocWriter.write(df, path, autoConvertTypes = false)
+    val line = scala.io.Source.fromFile(
+      new java.io.File(path).listFiles((_, n) => n.endsWith(".jsonl")).head)
+      .getLines().next()
+    assert(line.contains(s""""$$date": ${19792L * 86400000L}"""))
+  }
 }

@@ -75,4 +75,19 @@ class GraftDocSourceSpec extends AnyFunSuite {
     assert(lax.collect().map(r => if (r.isNullAt(0)) null else r.get(0)).toSeq
       == Seq(1, null))
   }
+
+  test("multi-path load: inference and scan resolve the same file list") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2p")
+    val p1 = dir.resolve("a.jsonl"); val p2 = dir.resolve("b.jsonl")
+    java.nio.file.Files.writeString(p1, "{\"a\": 1}\n")
+    java.nio.file.Files.writeString(p2, "{\"a\": 2}\n")
+    // load(p1, p2) routes through the 'paths' option (JSON-array form);
+    // both inference and the scan must honor it
+    val two = spark.read.format("graftdocs").load(p1.toString, p2.toString)
+    assert(two.collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+    // explicit comma-separated 'paths' option works too
+    val opt = spark.read.format("graftdocs")
+      .option("paths", s"$p1,$p2").load()
+    assert(opt.count() == 2)
+  }
 }
