@@ -131,38 +131,63 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** 64-bit SimHash of the token multiset: bit i set iff the sum of
-    * ±1 contributions (tokens whose xxhash64 has bit i set vote +1) is
-    * positive. Statically unrolled over 64 bits — large expression, but
-    * map-only and codegen'd. */
-  /** 64 bit-votes folded over a pre-hashed token array. */
+  /** SimHash signature width. 60 bits — the widest that survives a
+    * portable hash: 15 hex chars of md5 parse losslessly into a signed
+    * 64-bit int in both Spark (conv) and DuckDB ('0x'-cast), making the
+    * whole simhash pipeline oracle-checkable. 4 chunks of 15 bits keep
+    * the pigeonhole blocking for hamming ≤ 3. */
+  val SimHashBits = 60
+
+  /** 60-bit token hash computable identically in Spark and DuckDB:
+    * first 15 hex chars of md5, parsed base-16
+    * (DuckDB: ('0x' || substr(md5(t), 1, 15))::BIGINT). */
+  def portableHash60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** SimHash of the token multiset: bit i set iff the sum of ±1
+    * contributions (tokens whose hash has bit i set vote +1) is
+    * positive. Statically unrolled bit-votes folded over a pre-hashed
+    * token array — large expression, but map-only and codegen'd. */
   def simhashFromHashes(hashes: Column): Column =
-    (0 until 64).map { i =>
+    (0 until SimHashBits).map { i =>
       val vote = aggregate(hashes, lit(0L), (acc, h) =>
         acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
       when(vote > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
 
-  def simhash64(text: Column): Column =
-    simhashFromHashes(transform(TextAnalysis.tokens(text), t => xxhash64(t)))
+  def simhash60(text: Column): Column =
+    simhashFromHashes(transform(TextAnalysis.tokens(text), t => portableHash60(t)))
 
   /** Near-dup pairs by SimHash hamming distance ≤ maxDist (≤ 3 for
-    * completeness: 4 chunks, pigeonhole). */
+    * completeness: 4 chunks of 15 bits, pigeonhole). Output
+    * (id_a, id_b, hamming), id_a < id_b.
+    *
+    * Signature build is explode → hash-partitioned groupBy with
+    * `SimHashBits` partial-aggregated vote sums (map-side combine keeps
+    * the shuffle at one row per doc) rather than per-row array folds —
+    * the per-token work is one md5, not 60 re-traversals. Docs with no
+    * tokens carry no signature (exact dedup already covers empty-text
+    * duplicates). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3, "4-chunk blocking is only complete for maxDist <= 3")
-    // staged: token hashes materialized once, then 64 bit-vote folds
-    val sigs = df
-      .select(col(idCol).as("__id"),
-        transform(TextAnalysis.tokens(col(textCol)), t => xxhash64(t)).as("__th"))
-      .select(col("__id"), simhashFromHashes(col("__th")).as("__sig"))
+    val toks = df.select(col(idCol).as("__id"),
+      explode(transform(TextAnalysis.tokens(col(textCol)),
+        t => portableHash60(t))).as("__h"))
+    val votes = (0 until SimHashBits).map(i =>
+      sum(when(shiftright(col("__h"), i).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"__v$i"))
+    val sigs = toks.groupBy("__id").agg(votes.head, votes.tail: _*)
+      .select(col("__id"), (0 until SimHashBits).map(i =>
+        when(col(s"__v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+        .reduce(_.bitwiseOR(_)).as("__sig"))
     val chunks = sigs.select(col("__id"), col("__sig"), explode(array(
       (0 until 4).map(j => concat_ws(":", lit(j),
-        shiftright(col("__sig"), j * 16).bitwiseAND(lit(0xFFFFL)))): _*)).as("__chunk"))
+        shiftright(col("__sig"), j * 15).bitwiseAND(lit(0x7FFFL)))): _*)).as("__chunk"))
     chunks.as("l").join(chunks.as("r"), Seq("__chunk"))
       .where(col("l.__id") < col("r.__id"))
       .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"),
-        bit_count(col("l.__sig").bitwiseXOR(col("r.__sig"))).as("hamming"))
+        bit_count(col("l.__sig").bitwiseXOR(col("r.__sig"))).cast("long").as("hamming"))
       .distinct()
       .where(col("hamming") <= maxDist)
   }

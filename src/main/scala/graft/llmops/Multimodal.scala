@@ -36,14 +36,22 @@ object Multimodal {
 
   /** STUB decode: deterministic pseudo-features from payload bytes.
     * Replace with a real codec; signature (bytes → fixed-dim floats) and
-    * batching are what a model-inference step contracts on. */
+    * batching are what a model-inference step contracts on.
+    *
+    * Feature i is the i-th 4-hex-char group of md5(payload) scaled to
+    * [0,1) — 16-bit ints over 2^16, so each value is float-exact and the
+    * first 8 dims are reproducible in DuckDB
+    * (('0x' || substr(md5(text), 1+4*i, 4))::BIGINT / 65536.0); dims
+    * beyond 8 chain md5 over the previous hex block. */
   private[llmops] def fakeDecode(bytes: Array[Byte], dim: Int): Array[Float] = {
-    val crc = new java.util.zip.CRC32()
-    crc.update(bytes)
-    val seed = crc.getValue
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hexOf(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+    var hex = hexOf(md.digest(bytes))
     Array.tabulate(dim) { i =>
-      val h = seed * 6364136223846793005L + i * 1442695040888963407L
-      ((h >>> 11).toDouble / (1L << 53).toDouble).toFloat
+      val g = i % 8
+      if (i > 0 && g == 0) // next 8 dims: re-hash the previous block
+        hex = hexOf(md.digest(hex.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      (java.lang.Integer.parseInt(hex.substring(4 * g, 4 * g + 4), 16) / 65536.0).toFloat
     }
   }
 

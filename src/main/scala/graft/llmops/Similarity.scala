@@ -42,20 +42,29 @@ object Similarity {
       .select(col("query_id"), col("match_id"), col("cos"), col("rnk").cast("long").as("rnk"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * xxhash64 folded to ±1. No RNG state → identical on every executor. */
-  private def planeComponent(plane: Int, dimIdx: Column): Column =
-    when(xxhash64(lit(plane), dimIdx).bitwiseAND(lit(1L)) === 1L, lit(1.0)).otherwise(lit(-1.0))
+  /** Deterministic ±1 hyperplane component for (plane, dim index): bit 0
+    * of the first 15 hex chars of md5("plane:i"). No RNG state —
+    * identical on every executor AND reproducible in DuckDB
+    * (('0x' || substr(md5(p || ':' || i), 1, 15))::BIGINT & 1), so
+    * LSH output is oracle-checkable. Evaluated on the driver into
+    * literal arrays (plane components are constants, not per-row work). */
+  private[llmops] def planeSign(plane: Int, dimIdx: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$plane:$dimIdx".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.substring(0, 15)
+    if ((java.lang.Long.parseLong(hex, 16) & 1L) == 1L) 1.0 else -1.0
+  }
 
-  /** Sign-bit LSH bucket id from `planes` random hyperplanes. Vectors in
-    * the same bucket are likely neighbors. (Single-probe: neighbors
-    * landing across a hyperplane are missed — see measured recall in
-    * README; raise recall by lowering `planes` or via ivfTopK.) */
-  def signBucket(vec: Column, planes: Int): Column =
+  /** Sign-bit LSH bucket id from `planes` random hyperplanes over
+    * `dim`-dimensional vectors. Vectors in the same bucket are likely
+    * neighbors. (Single-probe: neighbors landing across a hyperplane are
+    * missed — see measured recall in README; raise recall by lowering
+    * `planes` or via ivfTopK.) */
+  def signBucket(vec: Column, planes: Int, dim: Int): Column =
     (0 until planes).map { p =>
-      val s = aggregate(zip_with(vec.cast("array<double>"),
-        sequence(lit(0), size(vec) - 1), (x, i) => x * planeComponent(p, i)),
-        lit(0.0), (acc, v) => acc + v)
+      val comps = array((0 until dim).map(i => lit(planeSign(p, i))): _*)
+      val s = aggregate(zip_with(vec.cast("array<double>"), comps,
+        (x, c) => x * c), lit(0.0), (acc, v) => acc + v)
       when(s > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
 
@@ -63,9 +72,10 @@ object Similarity {
     * cosine ≥ threshold. The scale path: candidate join is equi-join on
     * the bucket id (n·1 rows), not O(n²). */
   def lshCosinePairs(df: DataFrame, idCol: String, vecCol: String,
-                     planes: Int = 8, threshold: Double = 0.4): DataFrame = {
+                     planes: Int = 8, threshold: Double = 0.4,
+                     dim: Int = 64): DataFrame = {
     val b = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
-      signBucket(col(vecCol), planes).as("__bucket"), norm(col(vecCol)).as("__n"))
+      signBucket(col(vecCol), planes, dim).as("__bucket"), norm(col(vecCol)).as("__n"))
     b.as("l").join(b.as("r"), Seq("__bucket"))
       .where(col("l.__id") < col("r.__id"))
       .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"),

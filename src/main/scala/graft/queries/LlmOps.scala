@@ -8,11 +8,12 @@ import graft.llmops.{Dedup, Multimodal, Similarity, TextAnalysis}
   * fixtures: text analysis, dedup (exact → minhash/simhash near-dup),
   * similarity search, multimodal plumbing.
   *
-  * Oracle notes: where DuckDB can express the same computation
-  * (list_* functions + list comprehensions), the query is hash-checked;
-  * the xxhash64-based signatures (minhash/simhash/LSH buckets) have no
-  * DuckDB twin, so those entries are rows-only checked and instead
-  * pinned by ScalaTest against exact ground truth (LlmOpsSpec).
+  * Oracle notes: every entry is hash-checked against DuckDB. Where a
+  * signature hash is involved, it is built from md5 (shared by both
+  * engines): simhash/media-features/LSH-planes use md5-derived values
+  * (see Dedup.portableHash60, Similarity.planeSign,
+  * Multimodal.fakeDecode); only minhash keeps xxhash64 — its output is
+  * exact-verified pairs, so the exact-jaccard oracle covers it.
   */
 object LlmOps {
   // DuckDB-side token list, mirrored from TextAnalysis.tokens
@@ -158,10 +159,26 @@ object LlmOps {
         .orderBy("id_a", "id_b"),
       Some(nearDupOracle)),
 
+    // simhash is md5-based (Dedup.portableHash60) so DuckDB rebuilds the
+    // identical 60-bit signatures; the oracle skips chunk blocking and
+    // compares all pairs (complete for hamming ≤ 3 by pigeonhole, so the
+    // outputs agree).
     QueryDef("q_simhash_pairs",
       (s, dir) => Dedup.simhashPairs(Graft.table(s, dir, "documents"),
         "doc_id", "text", maxDist = 3).orderBy("id_a", "id_b"),
-      None),
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($duckToks) AS t FROM documents),
+             h AS (SELECT doc_id, ('0x' || substr(md5(t),1,15))::BIGINT AS h FROM tok),
+             bits AS (SELECT doc_id, i,
+                        sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+                      FROM h, range(60) r(i) GROUP BY 1, 2),
+             sig AS (SELECT doc_id,
+                       sum(CASE WHEN vote > 0 THEN (1::BIGINT << i) ELSE 0 END) AS sig
+                     FROM bits GROUP BY 1),
+             p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                          CAST(bit_count(xor(a.sig::BIGINT, b.sig::BIGINT)) AS BIGINT) AS hamming
+                   FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+           SELECT id_a, id_b, hamming FROM p
+           WHERE hamming <= 3 ORDER BY id_a, id_b""")),
 
     // corpus-wide token frequency (the tokenizer-vocab building block):
     // explode → two-level hash agg (map-side partial) → global top-k
@@ -212,11 +229,35 @@ object LlmOps {
       },
       Some(knnOracle)),
 
+    // LSH planes are md5-derived ±1 components (Similarity.planeSign),
+    // so DuckDB recomputes the same sign buckets and verifies the same
+    // candidate pairs.
     QueryDef("q_lsh_cos_pairs",
       (s, dir) => Similarity.lshCosinePairs(Graft.table(s, dir, "embeddings"),
-        "vec_id", "embedding", planes = 8, threshold = 0.4)
+        "vec_id", "embedding", planes = 8, threshold = 0.4, dim = 64)
         .orderBy("id_a", "id_b"),
-      None),
+      Some("""WITH pl AS (SELECT p, i,
+                  CASE WHEN ('0x' || substr(md5(p || ':' || i),1,15))::BIGINT & 1 = 1
+                       THEN 1.0 ELSE -1.0 END AS c
+                FROM range(8) tp(p), range(64) ti(i)),
+              u AS (SELECT vec_id, unnest(embedding)::DOUBLE AS e,
+                           generate_subscripts(embedding, 1) - 1 AS i FROM embeddings),
+              proj AS (SELECT u.vec_id, pl.p, sum(u.e * pl.c) AS s
+                       FROM u JOIN pl ON u.i = pl.i GROUP BY 1, 2),
+              sig AS (SELECT vec_id,
+                        sum(CASE WHEN s > 0 THEN (1::BIGINT << p) ELSE 0 END) AS b
+                      FROM proj GROUP BY 1),
+              n AS (SELECT vec_id, sqrt(sum(e*e)) AS nrm FROM u GROUP BY vec_id),
+              c AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                    FROM sig a JOIN sig b ON a.b = b.b AND a.vec_id < b.vec_id),
+              d AS (SELECT id_a, id_b, sum(ua.e * ub.e) AS dt
+                    FROM c JOIN u ua ON ua.vec_id = id_a
+                           JOIN u ub ON ub.vec_id = id_b AND ua.i = ub.i
+                    GROUP BY 1, 2)
+            SELECT id_a, id_b, round(dt / (na.nrm * nb.nrm), 6) AS cos
+            FROM d JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
+            WHERE round(dt / (na.nrm * nb.nrm), 6) >= 0.4
+            ORDER BY id_a, id_b""")),
 
     QueryDef("q_media_meta",
       (s, dir) => Multimodal.asMediaTable(Graft.table(s, dir, "documents"),
@@ -231,6 +272,9 @@ object LlmOps {
                      CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS duration_ms
               FROM documents ORDER BY media_id""")),
 
+    // the stub decode is md5-based (Multimodal.fakeDecode), so DuckDB
+    // reproduces the features; values are 16-bit/2^16 → float-exact, so
+    // the norm is order-insensitive and engine-exact before rounding.
     QueryDef("q_media_features",
       (s, dir) => Multimodal.extractFeatures(
         Multimodal.asMediaTable(Graft.table(s, dir, "documents"), "doc_id", "text"),
@@ -238,6 +282,13 @@ object LlmOps {
         .select(col("media_id"),
           round(Similarity.norm(col("features")), 6).as("feat_norm"))
         .orderBy("media_id"),
-      None)
+      Some("""WITH f AS (SELECT doc_id AS media_id,
+                   [('0x' || substr(md5(text), 1+4*i, 4))::BIGINT / 65536.0
+                    for i in range(0, 8)] AS feats
+                 FROM documents)
+            SELECT media_id,
+                   round(sqrt(list_aggregate(list_transform(feats, x -> x*x),
+                                             'sum')), 6) AS feat_norm
+            FROM f ORDER BY media_id"""))
   )
 }

@@ -33,7 +33,7 @@ class LlmOpsSpec extends AnyFunSuite {
       (3L, "theta eta zeta epsilon delta gamma beta alpha"), // same multiset
       (4L, "totally different words entirely unrelated content here now")
     ).toDF("id", "text")
-    val sigs = df.select(col("id"), Dedup.simhash64(col("text")).as("s"))
+    val sigs = df.select(col("id"), Dedup.simhash60(col("text")).as("s"))
       .as[(Long, Long)].collect().toMap
     assert(sigs(1L) == sigs(2L))
     assert(sigs(1L) == sigs(3L)) // simhash is order-insensitive
