@@ -1,9 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** ObjectId scalar helpers as native Catalyst expressions (SURVEY.md
   * §7.3: the only custom-Expression surface parity needs). A BSON
@@ -36,11 +38,107 @@ case class ObjectIdToTimestamp(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): ObjectIdToTimestamp = copy(c)
 }
 
+/** Distinct word n-gram shingles of a token array, space-joined — one
+  * tight pass per document. Semantically identical to
+  * `array_distinct(transform(sequence(0, size(t)-n), i =>
+  * concat_ws(" ", slice(t, i+1, n))))` with the `size(t) < n` fallback
+  * of a single join-all shingle, but ~10× faster: the higher-order-
+  * function chain interprets four lambda expressions and allocates a
+  * slice array per shingle, which dominated the near-dup pipeline's
+  * runtime (the shingle stage is the whole-corpus scan; everything
+  * after it works on blocked candidates). Eval-based (CodegenFallback):
+  * one invocation per document is already off the per-element hot path.
+  */
+case class WordShingles(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = left.nullable
+
+  private lazy val n: Int = right.eval().asInstanceOf[Int]
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(toks: Any, nIgnored: Any): Any = {
+    val arr = toks.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    if (m < n) {
+      val parts = new Array[UTF8String](m)
+      var i = 0
+      while (i < m) { parts(i) = arr.getUTF8String(i); i += 1 }
+      new GenericArrayData(Array[Any](UTF8String.concatWs(space, parts: _*)))
+    } else {
+      val seen = new java.util.LinkedHashSet[UTF8String]()
+      val window = new Array[UTF8String](n)
+      var i = 0
+      while (i + n <= m) {
+        var j = 0
+        while (j < n) { window(j) = arr.getUTF8String(i + j); j += 1 }
+        seen.add(UTF8String.concatWs(space, window.toIndexedSeq: _*))
+        i += 1
+      }
+      new GenericArrayData(seen.toArray(new Array[AnyRef](seen.size)))
+    }
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): WordShingles =
+    copy(left = l, right = r)
+}
+
+/** Sequential-order dot product of two array<double> columns, fully
+  * codegen'd. Replaces `aggregate(zip_with(a, b, _*_), 0.0, _+_)` on the
+  * similarity hot path: the HOF pair interprets two lambdas and
+  * allocates an intermediate array per invocation, which dominated the
+  * brute-force cosine scans. Semantics mirror the HOF form exactly:
+  * null when lengths differ (zip_with pads, null poisons the fold) or
+  * any element is null; summation is left-to-right (IEEE-stable for the
+  * oracle). */
+case class DotDouble(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      sum += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val sum = ctx.freshName("sum")
+      s"""int $n = $a.numElements();
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; } else {
+         |  double $sum = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $sum += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $sum; }
+         |}""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotDouble =
+    copy(left = l, right = r)
+}
+
 object GraftFunctions {
   /** Register the engine's SQL functions on a session; idempotent. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "objectid_to_timestamp", exprs => ObjectIdToTimestamp(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_shingles", exprs => WordShingles(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_d", exprs => DotDouble(exprs.head, exprs(1)), "built-in")
   }
 
   /** Column-level form (requires register(spark) on the session). */

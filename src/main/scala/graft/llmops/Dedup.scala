@@ -21,13 +21,13 @@ import org.apache.spark.sql.functions._
   * builtins, so everything stays inside whole-stage codegen.
   */
 object Dedup {
-  /** Word n-gram shingles (distinct), the unit of near-dup comparison. */
+  /** Word n-gram shingles (distinct), the unit of near-dup comparison.
+    * Backed by the WordShingles native expression (one pass per doc;
+    * the HOF formulation it replaces dominated near-dup runtime). */
   def shingles(text: Column, n: Int): Column = {
-    val t = TextAnalysis.tokens(text)
-    when(size(t) >= n,
-      array_distinct(transform(sequence(lit(0), size(t) - n),
-        i => concat_ws(" ", slice(t, i + lit(1), lit(n))))))
-      .otherwise(array(concat_ws(" ", t)))
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("word_shingles", TextAnalysis.tokens(text), lit(n))
   }
 
   /** Exact dedup: representative (min id) + multiplicity per digest. */
@@ -68,14 +68,19 @@ object Dedup {
     // shingles feed signature building + both verification joins
     val base = df.select(col(idCol).as("__id"), shingles(col(textCol), shingleN).as("__sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // staged projections: __hs is referenced `numHashes` times by __sig,
-    // so CollapseProject keeps it materialized (strings hashed once)
+    // signature via explode → hash-partitioned min-aggregation: the same
+    // numHashes×shingles xxhash64 evaluations as an array fold, but
+    // vectorized in codegen'd partial aggregates (map-side combine ships
+    // one row per doc) instead of numHashes interpreted re-traversals of
+    // each hash array
+    val minCols = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("__h"))).as(s"__m$i"))
     val sig = base
-      .withColumn("__hs", transform(col("__sh"), s => xxhash64(s)))
-      .withColumn("__sig", minhashFromHashes(col("__hs"), numHashes))
+      .select(col("__id"), explode(transform(col("__sh"), s => xxhash64(s))).as("__h"))
+      .groupBy("__id").agg(minCols.head, minCols.tail: _*)
     // band hash folds the band index in, so one equality key suffices
     val bandCols = (0 until bands).map { b =>
-      xxhash64(lit(b) +: (b * r until (b + 1) * r).map(j => col("__sig")(j)): _*)
+      xxhash64(lit(b) +: (b * r until (b + 1) * r).map(j => col(s"__m$j")): _*)
     }
     val buckets = sig.select(col("__id"), explode(array(bandCols: _*)).as("__bucket"))
     val pruned = buckets // drop degenerate buckets (skew guard at scale)
@@ -113,12 +118,16 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exploded = base.select(col("__id"), explode(col("__sh")).as("__s"))
     val freq = exploded.groupBy("__s").agg(count(lit(1)).as("__f"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("__id").orderBy(col("__f"), col("__s"))
+    // per-doc rarest-k selection: aggregate + in-array sort of each doc's
+    // ~shingle-count entries (cheap, local) instead of a row_number()
+    // window, whose global shuffle-and-sort over every (doc, shingle)
+    // row dominated this query's runtime
     val keyed = exploded.join(freq, "__s")
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") <= blockKeys)
-      .select(col("__id"), col("__s").as("__key"))
+      .groupBy("__id")
+      .agg(slice(array_sort(collect_list(struct(col("__f"), col("__s")))),
+        1, blockKeys).as("__top"))
+      .select(col("__id"), explode(col("__top")).as("__t"))
+      .select(col("__id"), col("__t.__s").as("__key"))
     val cand = keyed.as("l").join(keyed.as("r"), Seq("__key"))
       .where(col("l.__id") < col("r.__id"))
       .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))

@@ -14,11 +14,23 @@ import org.apache.spark.sql.functions._
   * equi-join, not a cross product.
   */
 object Similarity {
+  /** Dot product of two array<double> columns that are ALREADY double —
+    * no per-call cast. Pair-generating operators cast each vector once
+    * per row and call this per pair (casting inside the pair loop
+    * re-allocates both arrays for every candidate). Backed by the
+    * DotDouble codegen expression: left-to-right summation, so the
+    * order-deterministic oracle contract of the old
+    * aggregate(zip_with(...)) fold is preserved. */
+  private[llmops] def rawDot(a: Column, b: Column): Column = {
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("dot_d", a, b)
+  }
+
   /** Elements cast to double before multiply (float*float loses bits the
     * oracle keeps). Sequential fold → deterministic sum order. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"),
-      (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    rawDot(a.cast("array<double>"), b.cast("array<double>"))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -30,12 +42,12 @@ object Similarity {
                      qId: String = "vec_id", cId: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
     val q = broadcast(queries.select(col(qId).as("query_id"),
-      col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn")))
+      col(vecCol).cast("array<double>").as("__qv"), norm(col(vecCol)).as("__qn")))
     val c = corpus.select(col(cId).as("match_id"),
-      col(vecCol).as("__cv"), norm(col(vecCol)).as("__cn"))
+      col(vecCol).cast("array<double>").as("__cv"), norm(col(vecCol)).as("__cn"))
     val scored = c.crossJoin(q)
       .where(col("query_id") =!= col("match_id"))
-      .withColumn("cos", round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6))
+      .withColumn("cos", round(rawDot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("match_id").asc)
     scored.withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
@@ -74,12 +86,13 @@ object Similarity {
   def lshCosinePairs(df: DataFrame, idCol: String, vecCol: String,
                      planes: Int = 8, threshold: Double = 0.4,
                      dim: Int = 64): DataFrame = {
-    val b = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+    val b = df.select(col(idCol).as("__id"),
+      col(vecCol).cast("array<double>").as("__v"),
       signBucket(col(vecCol), planes, dim).as("__bucket"), norm(col(vecCol)).as("__n"))
     b.as("l").join(b.as("r"), Seq("__bucket"))
       .where(col("l.__id") < col("r.__id"))
       .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"),
-        round(dot(col("l.__v"), col("r.__v")) / (col("l.__n") * col("r.__n")), 6).as("cos"))
+        round(rawDot(col("l.__v"), col("r.__v")) / (col("l.__n") * col("r.__n")), 6).as("cos"))
       .where(col("cos") >= threshold)
   }
 
@@ -101,13 +114,14 @@ object Similarity {
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val centroids = broadcast(corpus
       .orderBy(xxhash64(col(idCol)).asc, col(idCol).asc).limit(nCells)
-      .select(col(idCol).as("cell_id"), col(vecCol).as("__cv"),
+      .select(col(idCol).as("cell_id"), col(vecCol).cast("array<double>").as("__cv"),
         norm(col(vecCol)).as("__cn")))
 
     def nearestCells(df: DataFrame, id: String, keep: Int): DataFrame = {
-      val scored = df.select(col(id), col(vecCol).as("__v"), norm(col(vecCol)).as("__n"))
+      val scored = df.select(col(id), col(vecCol).cast("array<double>").as("__v"),
+          norm(col(vecCol)).as("__n"))
         .crossJoin(centroids)
-        .withColumn("__sim", dot(col("__v"), col("__cv")) / (col("__n") * col("__cn")))
+        .withColumn("__sim", rawDot(col("__v"), col("__cv")) / (col("__n") * col("__cn")))
       val w = Window.partitionBy(col(id)).orderBy(col("__sim").desc, col("cell_id").asc)
       scored.withColumn("__r", row_number().over(w)).where(col("__r") <= keep)
         .select(col(id), col("cell_id"), col("__v"), col("__n"))
@@ -120,13 +134,14 @@ object Similarity {
       queries.withColumnRenamed(idCol, "query_id_tmp"), "query_id_tmp", nProbe)
     val probed = queries.select(col(idCol).as("query_id_tmp"), col(vecCol))
       .join(probes.select("query_id_tmp", "cell_id"), "query_id_tmp")
-      .select(col("query_id_tmp").as("query_id"), col(vecCol).as("__qv"),
+      .select(col("query_id_tmp").as("query_id"),
+        col(vecCol).cast("array<double>").as("__qv"),
         norm(col(vecCol)).as("__qn"), col("cell_id"))
 
     val scored = probed.join(assigned, "cell_id")
       .where(col("query_id") =!= col("match_id"))
       .withColumn("cos",
-        round(dot(col("__qv"), col("__mv")) / (col("__qn") * col("__mn")), 6))
+        round(rawDot(col("__qv"), col("__mv")) / (col("__qn") * col("__mn")), 6))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("match_id").asc)
     scored.withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
@@ -137,12 +152,12 @@ object Similarity {
     * ground truth for the approximate variants). */
   def cosinePairs(left: DataFrame, right: DataFrame, threshold: Double,
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val l = broadcast(left.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
-      norm(col(vecCol)).as("__na")))
-    val r = right.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
-      norm(col(vecCol)).as("__nb"))
+    val l = broadcast(left.select(col(idCol).as("id_a"),
+      col(vecCol).cast("array<double>").as("__va"), norm(col(vecCol)).as("__na")))
+    val r = right.select(col(idCol).as("id_b"),
+      col(vecCol).cast("array<double>").as("__vb"), norm(col(vecCol)).as("__nb"))
     r.crossJoin(l).where(col("id_a") < col("id_b"))
-      .withColumn("cos", round(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 6))
+      .withColumn("cos", round(rawDot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 6))
       .where(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
