@@ -130,6 +130,46 @@ case class DotDouble(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Jaccard similarity of two string arrays in one hash-set pass —
+  * |distinct(a) ∩ distinct(b)| / |distinct(a ∪ b)|, the exact semantics
+  * of `size(array_intersect(a,b)) / size(array_distinct(concat(a,b)))`
+  * including null-element identity and 0/0 → NaN, without materializing
+  * the two intermediate arrays per candidate pair. */
+case class JaccardSim(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val setA = new java.util.HashSet[UTF8String]()
+    var nullA = false
+    var i = 0
+    while (i < a.numElements()) {
+      if (a.isNullAt(i)) nullA = true else setA.add(a.getUTF8String(i))
+      i += 1
+    }
+    val setB = new java.util.HashSet[UTF8String]()
+    var nullB = false
+    i = 0
+    while (i < b.numElements()) {
+      if (b.isNullAt(i)) nullB = true else setB.add(b.getUTF8String(i))
+      i += 1
+    }
+    var inter = 0
+    val it = setA.iterator()
+    while (it.hasNext) if (setB.contains(it.next())) inter += 1
+    if (nullA && nullB) inter += 1
+    val nA = setA.size + (if (nullA) 1 else 0)
+    val nB = setB.size + (if (nullB) 1 else 0)
+    val union = nA + nB - inter
+    inter.toDouble / union.toDouble // 0/0 → NaN, as the builtin form
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSim =
+    copy(left = l, right = r)
+}
+
 object GraftFunctions {
   /** Register the engine's SQL functions on a session; idempotent. */
   def register(spark: SparkSession): Unit = {
@@ -139,6 +179,8 @@ object GraftFunctions {
       "word_shingles", exprs => WordShingles(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_d", exprs => DotDouble(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaccard_sim", exprs => JaccardSim(exprs.head, exprs(1)), "built-in")
   }
 
   /** Column-level form (requires register(spark) on the session). */

@@ -52,10 +52,14 @@ object Dedup {
   def minhashSignature(sh: Column, k: Int): Column =
     minhashFromHashes(transform(sh, s => xxhash64(s)), k)
 
-  /** Exact jaccard between two distinct-element arrays. */
-  def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      size(array_distinct(concat(a, b))).cast("double")
+  /** Exact jaccard between two string arrays (JaccardSim native
+    * expression: one hash-set pass per pair, same semantics as
+    * size(array_intersect)/size(array_distinct(concat))). */
+  def jaccard(a: Column, b: Column): Column = {
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("jaccard_sim", a, b)
+  }
 
   /** Near-duplicate pairs via MinHash-LSH + exact-jaccard verification.
     * Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold
