@@ -272,7 +272,10 @@ object PipelineCompiler {
         case other => throw new MqlException(s"bad $$percentile: $other")
       }
       // $topN/$bottomN carry their own sortBy → deterministic by spec.
-      // Uniform-direction sortBy only (struct ordering is lexicographic).
+      // Uniform-direction sortBy uses sort_array on the key struct
+      // (codegen'd); mixed directions fall back to array_sort with a
+      // per-field comparator (Mongo null order: first ascending, last
+      // descending).
       case "$topN" | "$top" | "$bottomN" | "$bottom" => arg match {
         case JObject(spec) =>
           val output = ExprCompiler.compile(spec.collectFirst { case ("output", x) => x }
@@ -285,16 +288,27 @@ object PipelineCompiler {
             case (k, o) => throw new MqlException(s"bad sort direction for $k: $o")
           }
           val dirs = specs.map(_._2).distinct
-          if (dirs.size != 1)
-            throw new MqlException(s"$op: mixed sort directions unsupported")
           val n = spec.collectFirst { case ("n", x) => intValue(x, op) }
             .getOrElse(1)
           // both families keep sortBy order in the output; $top* takes the
           // head slice, $bottom* the tail slice of the same sorted array
           val wantHead = op == "$topN" || op == "$top"
-          val packed = sort_array(
-            collect_list(struct((specs.map(x => fieldCol(x._1)) :+ output.as("__o")): _*)),
-            asc = dirs.head)
+          val keyed = collect_list(struct(
+            (specs.zipWithIndex.map { case ((k, _), i) => fieldCol(k).as(s"__k$i") }
+              :+ output.as("__o")): _*))
+          val packed =
+            if (dirs.size == 1) sort_array(keyed, asc = dirs.head)
+            else array_sort(keyed, (l, r) =>
+              specs.zipWithIndex.foldRight(lit(0)) { case (((_, asc), i), acc) =>
+                val lk = l.getField(s"__k$i"); val rk = r.getField(s"__k$i")
+                val (lt, gt) = if (asc) (-1, 1) else (1, -1)
+                when(lk.isNull && rk.isNull, acc)
+                  .when(lk.isNull, lit(if (asc) -1 else 1))
+                  .when(rk.isNull, lit(if (asc) 1 else -1))
+                  .when(lk < rk, lit(lt))
+                  .when(lk > rk, lit(gt))
+                  .otherwise(acc)
+              })
           val taken =
             if (wantHead) slice(packed, 1, n)
             else slice(packed, greatest(size(packed) - lit(n) + 1, lit(1)), lit(n))

@@ -375,6 +375,104 @@ object Relational {
         {"$sort": {"name": 1, "src": 1}}]""")(s, dir),
       Some("""SELECT r_name AS name, 'REGION' AS src FROM region
               UNION ALL SELECT n_name, 'NATION' FROM nation
-              ORDER BY name, src"""))
+              ORDER BY name, src""")),
+
+    // $graphLookup ancestors over a derived binary-tree hierarchy
+    // (parent = user_id div 2): bounded BFS vs a recursive CTE. Depth d
+    // is the BFS round of first reach (0 = startWith match).
+    QueryDef("q_graphlookup",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, expr}
+        val users = Graft.table(s, dir, "events")
+          .where(col("user_id") >= 1)
+          .select(col("user_id")).distinct()
+          .withColumn("parent", expr("user_id div 2"))
+        graft.mql.PipelineCompiler.run(users, """[
+          {"$graphLookup": {"from": "users", "startWith": "$parent",
+            "connectFromField": "parent", "connectToField": "user_id",
+            "as": "anc", "maxDepth": 2, "depthField": "d"}},
+          {"$unwind": "$anc"},
+          {"$project": {"user_id": 1, "anc_id": "$anc.user_id", "depth": "$anc.d"}},
+          {"$sort": {"user_id": 1, "depth": 1}}]""", _ => users)
+      },
+      Some("""WITH RECURSIVE u AS (
+                SELECT DISTINCT user_id, user_id // 2 AS parent FROM events
+                WHERE user_id >= 1),
+              anc AS (
+                SELECT c.user_id AS user_id, p.user_id AS anc_id,
+                       p.parent AS nxt, 0 AS depth
+                FROM u c JOIN u p ON p.user_id = c.parent
+                UNION ALL
+                SELECT a.user_id, p.user_id, p.parent, a.depth + 1
+                FROM anc a JOIN u p ON p.user_id = a.nxt
+                WHERE a.depth < 2)
+              SELECT user_id, anc_id, CAST(depth AS BIGINT) AS depth
+              FROM anc ORDER BY user_id, depth""")),
+
+    // $topN accumulator + $unwind includeArrayIndex: per-group top-k in
+    // one grouped aggregation (no global sort)
+    QueryDef("q_topn_group",
+      (s, dir) => agg("lineitem", """[
+        {"$group": {"_id": "$l_returnflag",
+           "top3": {"$topN": {"output": "$l_orderkey",
+                    "sortBy": {"l_extendedprice": -1, "l_orderkey": 1}, "n": 3}}}},
+        {"$unwind": {"path": "$top3", "includeArrayIndex": "pos"}},
+        {"$project": {"_id": 0, "flag": "$_id", "pos": 1, "okey": "$top3"}},
+        {"$sort": {"flag": 1, "pos": 1}}]""")(s, dir),
+      Some("""SELECT flag, pos, okey FROM (
+                SELECT l_returnflag AS flag, l_orderkey AS okey,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                         ORDER BY l_extendedprice DESC, l_orderkey) - 1 AS BIGINT) AS pos
+                FROM lineitem)
+              WHERE pos <= 2 ORDER BY flag, pos""")),
+
+    // $fill locf + $shift with out-of-bounds default (nulls synthesized
+    // on every 7th event so locf has gaps to carry over)
+    QueryDef("q_fill_shift",
+      (s, dir) => agg("events", """[
+        {"$set": {"v": {"$cond": [{"$eq": [{"$mod": ["$event_id", 7]}, 0]},
+                                  null, "$value"]}}},
+        {"$fill": {"partitionBy": "$user_id", "sortBy": {"event_id": 1},
+                   "output": {"v": {"method": "locf"}}}},
+        {"$setWindowFields": {"partitionBy": "$user_id", "sortBy": {"event_id": 1},
+           "output": {"nxt": {"$shift": {"output": "$value", "by": 1,
+                                         "default": -1.0}}}}},
+        {"$project": {"_id": 0, "event_id": 1, "user_id": 1, "v": 1, "nxt": 1}},
+        {"$sort": {"event_id": 1}}]""")(s, dir),
+      Some("""SELECT event_id, user_id,
+                     last_value(CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END
+                                IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v,
+                     lead(value, 1, -1.0)
+                       OVER (PARTITION BY user_id ORDER BY event_id) AS nxt
+              FROM events ORDER BY event_id""")),
+
+    // $densify over a day-of-month grid per event_type ("full" bounds =
+    // global min..max for every partition); generated rows carry null
+    // event_id, so the post-group count distinguishes real from filled
+    QueryDef("q_densify_day",
+      (s, dir) => agg("events", """[
+        {"$set": {"day": {"$dayOfMonth": "$ts"}}},
+        {"$densify": {"field": "day", "partitionByFields": ["event_type"],
+                      "range": {"step": 1, "bounds": "full"}}},
+        {"$set": {"has": {"$cond": [{"$eq": ["$event_id", null]}, 0, 1]}}},
+        {"$group": {"_id": {"type": "$event_type", "day": "$day"},
+                    "n": {"$sum": "$has"}}},
+        {"$project": {"_id": 0, "event_type": "$_id.type",
+                      "day": {"$toLong": "$_id.day"}, "n": {"$toLong": "$n"}}},
+        {"$sort": {"event_type": 1, "day": 1}}]""")(s, dir),
+      Some("""WITH e AS (SELECT event_type,
+                       CAST(day(CAST(ts AS TIMESTAMP)) AS BIGINT) AS day FROM events),
+              b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+              t AS (SELECT DISTINCT event_type FROM e),
+              g AS (SELECT t.event_type, gs.day
+                    FROM t, (SELECT unnest(range((SELECT lo FROM b),
+                                                 (SELECT hi FROM b) + 1)) AS day) gs),
+              c AS (SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n
+                    FROM e GROUP BY 1, 2)
+              SELECT g.event_type, g.day, COALESCE(c.n, 0) AS n
+              FROM g LEFT JOIN c USING (event_type, day)
+              ORDER BY event_type, day"""))
   )
 }

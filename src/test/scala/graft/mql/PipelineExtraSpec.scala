@@ -155,6 +155,25 @@ class PipelineExtraSpec extends AnyFunSuite {
       == Seq(-1.0, 10.0, -1.0, 30.0, 40.0))
   }
 
+  test("$topN supports mixed sort directions (comparator path)") {
+    val df = Seq((1, "a", 10.0), (2, "a", 10.0), (3, "a", 5.0), (4, "b", 1.0))
+      .toDF("id", "grp", "amt")
+    // amt desc, id asc: group a → amt 10 ties broken by id asc → [1, 2]
+    val out = PipelineCompiler.run(df, """[
+      {"$group": {"_id": "$grp",
+        "top2": {"$topN": {"output": "$id",
+                 "sortBy": {"amt": -1, "id": 1}, "n": 2}}}},
+      {"$sort": {"_id": 1}}]""")
+    assert(out.collect().map(_.getSeq[Int](1)).toSeq == Seq(Seq(1, 2), Seq(4)))
+    // bottomN keeps sortBy order and takes the tail slice
+    val bot = PipelineCompiler.run(df, """[
+      {"$group": {"_id": "$grp",
+        "bot2": {"$bottomN": {"output": "$id",
+                 "sortBy": {"amt": -1, "id": 1}, "n": 2}}}},
+      {"$sort": {"_id": 1}}]""")
+    assert(bot.collect().map(_.getSeq[Int](1)).toSeq == Seq(Seq(2, 3), Seq(4)))
+  }
+
   test("$shift default applies only outside partition bounds, not on stored nulls") {
     val withNull = Seq((1, "a", Some(10.0)), (2, "a", None), (3, "a", Some(30.0)))
       .toDF("id", "grp", "amt")
