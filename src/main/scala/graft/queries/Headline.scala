@@ -132,6 +132,28 @@ object Headline {
       Some("""SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS win_start,
                      event_type, CAST(COUNT(*) AS BIGINT) AS n,
                      CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-              FROM events GROUP BY 1, 2 ORDER BY win_start, event_type"""))
+              FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""")),
+
+    // streaming gap sessions (session_window + watermark) vs the
+    // gaps-and-islands batch SQL. session_window opens a new session at
+    // diff >= gap (half-open [t, t+gap) merge intervals).
+    QueryDef("q_stream_sessions",
+      (s, dir) => EventStream.runSessionsOnFixture(s, dir, gap = "30 minutes")
+        .orderBy("user_id", "session_start"),
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+                         WHERE ts IS NOT NULL),
+                f AS (SELECT *, CASE WHEN prev IS NULL
+                                     OR epoch_us(ts) - epoch_us(prev) >= 1800000000
+                                THEN 1 ELSE 0 END AS nw
+                      FROM (SELECT *, lag(ts) OVER
+                              (PARTITION BY user_id ORDER BY ts) AS prev
+                            FROM e)),
+                g AS (SELECT *, SUM(nw) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+                      FROM f)
+              SELECT user_id, min(ts) AS session_start,
+                     CAST(COUNT(*) AS BIGINT) AS n_events
+              FROM g GROUP BY user_id, sid
+              ORDER BY user_id, session_start"""))
   )
 }

@@ -48,7 +48,21 @@ object EventStream {
     * batch result. The same `windowedAgg` plan serves a real
     * `readStream` source in production. */
   def runOnFixture(spark: SparkSession, dir: String,
-                   windowLen: String = "1 hour"): DataFrame = {
+                   windowLen: String = "1 hour"): DataFrame =
+    runStream(spark, dir, windowedAgg(_, windowLen))
+
+  /** Streaming gap-sessions over the fixture (sessionAgg run to
+    * completion) — the session_window twin of Sessionize.byGap. */
+  def runSessionsOnFixture(spark: SparkSession, dir: String,
+                           gap: String = "30 minutes"): DataFrame =
+    runStream(spark, dir, sessionAgg(_, gap))
+
+  /** Run a stateful streaming transform synchronously over the parquet
+    * fixture (memory sink, AvailableNow, processAllAvailable) and return
+    * the final result. The same plan serves a real readStream source in
+    * production. */
+  private def runStream(spark: SparkSession, dir: String,
+                        transform: DataFrame => DataFrame): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = s"graft_events_${System.nanoTime()}"
     val stream = spark.readStream
@@ -57,7 +71,7 @@ object EventStream {
       .parquet(dir)
       .where(col("ts").isNotNull)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    // checkpoint on tmpfs when available: the file-source log + 32 state
+    // checkpoint on tmpfs when available: the file-source log + state
     // stores fsync per micro-batch, which dominates (and jitters) this
     // fixture run on disk; a real deployment points this at durable
     // storage instead
@@ -72,7 +86,7 @@ object EventStream {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     val q = try {
-      val started = windowedAgg(stream, windowLen)
+      val started = transform(stream)
         .writeStream.outputMode("complete")
         .format("memory").queryName(name)
         .option("checkpointLocation", s"$ckptBase/ckpt_$name")
