@@ -68,24 +68,11 @@ object Profile {
       graft.streaming.EventStream.windowedAgg(ev).count())
     time("streaming run 1")(
       graft.streaming.EventStream.runOnFixture(spark, sfDir).count())
+    // (runStream pins its own state-store partitioning internally — a
+    // shuffle-partition sweep here would silently measure the same
+    // config under different labels)
     time("streaming run 2")(
       graft.streaming.EventStream.runOnFixture(spark, sfDir).count())
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    time("stream noDataBatch off")(
-      graft.streaming.EventStream.runOnFixture(spark, sfDir).count())
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    time("stream 8 partitions")(
-      graft.streaming.EventStream.runOnFixture(spark, sfDir).count())
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    time("stream 4 partitions")(
-      graft.streaming.EventStream.runOnFixture(spark, sfDir).count())
-    spark.conf.set("spark.sql.shuffle.partitions", "2")
-    time("stream 2 partitions")(
-      graft.streaming.EventStream.runOnFixture(spark, sfDir).count())
-    time("stream 2 partitions again")(
-      graft.streaming.EventStream.runOnFixture(spark, sfDir).count())
-    spark.conf.set("spark.sql.shuffle.partitions", cpus)
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     spark.stop()
   }
 }

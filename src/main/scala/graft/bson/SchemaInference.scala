@@ -16,7 +16,11 @@ import scala.jdk.CollectionConverters._
   *    column);
   *  - null/NaN leaves the field "missing until seen" (NullType
   *    placeholder, replaced by the first concrete type);
-  *  - array element types infer from the first non-null element;
+  *  - array element types MERGE across elements: the shared child
+  *    builder applies int32→int64 re-inference mid-list and a struct
+  *    child accumulates the union of field names (lib.pyx:212-294 adds
+  *    fields as they appear); scalar-type conflicts keep the first
+  *    non-null element's type (mismatches null at decode);
   *  - field order is first-seen document order.
   *
   * Distributed shape: each partition folds its documents in order into a

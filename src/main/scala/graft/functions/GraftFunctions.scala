@@ -52,10 +52,19 @@ case class ObjectIdToTimestamp(child: Expression) extends UnaryExpression {
 case class WordShingles(left: Expression, right: Expression)
   extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def nullable: Boolean = left.nullable
+  override def nullable: Boolean = false
 
   private lazy val n: Int = right.eval().asInstanceOf[Int]
   private val space = UTF8String.fromString(" ")
+
+  // null token array (null text) → array("") like the HOF fallback
+  // branch (concat_ws over a null array is ""), so null-text docs stay
+  // in the dedup pipelines instead of being dropped by explode
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val toks = left.eval(input)
+    if (toks == null) new GenericArrayData(Array[Any](UTF8String.EMPTY_UTF8))
+    else nullSafeEval(toks, null)
+  }
 
   override def nullSafeEval(toks: Any, nIgnored: Any): Any = {
     val arr = toks.asInstanceOf[ArrayData]

@@ -72,13 +72,19 @@ object Similarity {
     * neighbors. (Single-probe: neighbors landing across a hyperplane are
     * missed — see measured recall in README; raise recall by lowering
     * `planes` or via ivfTopK.) */
-  def signBucket(vec: Column, planes: Int, dim: Int): Column =
-    (0 until planes).map { p =>
+  def signBucket(vec: Column, planes: Int, dim: Int): Column = {
+    val bucket = (0 until planes).map { p =>
       val comps = array((0 until dim).map(i => lit(planeSign(p, i))): _*)
       val s = aggregate(zip_with(vec.cast("array<double>"), comps,
         (x, c) => x * c), lit(0.0), (acc, v) => acc + v)
       when(s > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
+    // wrong dim would null-poison every projection and silently send ALL
+    // vectors to bucket 0 (an O(n²) self-join) — fail loudly instead
+    when(size(vec) === dim, bucket).otherwise(raise_error(concat(
+      lit(s"signBucket: expected $dim-dim vector, got "),
+      size(vec).cast("string"))).cast("long"))
+  }
 
   /** Bucketed approximate neighbor pairs: same sign-bucket → verify
     * cosine ≥ threshold. The scale path: candidate join is equi-join on

@@ -85,22 +85,24 @@ object EventStream {
     // this knob grows with state volume.
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val q = try {
-      val started = transform(stream)
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      q = transform(stream)
         .writeStream.outputMode("complete")
         .format("memory").queryName(name)
         .option("checkpointLocation", s"$ckptBase/ckpt_$name")
         .trigger(Trigger.AvailableNow())
         .start()
-      started.processAllAvailable()
-      started
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    q.stop()
-    // the memory-sink table holds the result; the checkpoint is scratch
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      q.processAllAvailable()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      if (q != null) q.stop() // also on failure: no orphan query
+      // the memory-sink table holds the result; the checkpoint is scratch
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(s"$ckptBase/ckpt_$name"))
     }
-    rm(new java.io.File(s"$ckptBase/ckpt_$name"))
     spark.table(name)
   }
 }

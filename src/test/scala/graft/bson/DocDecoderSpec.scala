@@ -80,6 +80,13 @@ class DocDecoderSpec extends AnyFunSuite {
     assert(s2("a").dataType == ArrayType(LongType))
     val arr = DocDecoder.decode(het.toDS(), s2).head.getSeq[Any](0)
     assert(arr == Seq(1L, 9999999999L))
+    // struct list elements accumulate the union of field names (the
+    // shared DocumentBuilder adds fields as they appear, lib.pyx:212-294)
+    val structs = Seq("""{"a": [{"x": 1}, {"y": 2}]}""")
+    val s3 = SchemaInference.infer(structs.toDS())
+    assert(s3("a").dataType ==
+      ArrayType(StructType(Seq(StructField("x", IntegerType),
+        StructField("y", IntegerType)))))
   }
 
   test("inferred schemas decode their own extension-typed documents") {

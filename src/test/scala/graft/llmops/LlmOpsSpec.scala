@@ -44,6 +44,23 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("null-text docs shingle to [\"\"] (stay in dedup pipelines)") {
+    val df = Seq((1L, Some("a b c d")), (2L, None), (3L, None))
+      .toDF("id", "text")
+    val sh = df.select(Dedup.shingles(col("text"), 3).as("s"))
+      .collect().map(_.getSeq[String](0))
+    assert(sh(1) == Seq("") && sh(2) == Seq(""))
+  }
+
+  test("signBucket raises on dim mismatch instead of degenerating to one bucket") {
+    val bad = Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.lshCosinePairs(bad, "vec_id", "embedding", dim = 64).collect()
+    }
+    assert(e.getMessage.contains("signBucket") ||
+      Option(e.getCause).exists(_.getMessage.contains("signBucket")))
+  }
+
   test("sign-LSH cosine pairs are a subset of exact pairs (precision 1)") {
     val exact = Similarity.cosinePairs(emb, emb, threshold = 0.4)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
