@@ -64,6 +64,25 @@ object ExprCompiler {
     when(pos === 0, -1).otherwise(pos - 1)
   }
 
+  /** Runtime BSON type name of a value ($type / filter {$type}).
+    * typeof() resolves from the static plan type, so the mapping folds
+    * to a constant branch per column; only the null check is per-row. */
+  private[mql] def bsonTypeName(c: Column): Column = {
+    val t = call_function("typeof", c)
+    when(c.isNull, lit("null")).otherwise(
+      when(t === "tinyint" || t === "smallint" || t === "int", "int")
+        .when(t === "bigint", "long")
+        .when(t === "float" || t === "double", "double")
+        .when(t === "string", "string")
+        .when(t === "boolean", "bool")
+        .when(t.startsWith("timestamp") || t === "date", "date")
+        .when(t.startsWith("array"), "array")
+        .when(t.startsWith("struct"), "object")
+        .when(t.startsWith("decimal"), "decimal")
+        .when(t === "binary", "binData")
+        .otherwise(t))
+  }
+
   // MQL %-format → java.time format used by date_format. Literal letters
   // (e.g. the T/Z in ISO timestamps) must be quoted or Spark reads them
   // as pattern fields; week-based %G/%u have no Spark 3+ equivalent.
@@ -261,13 +280,14 @@ object ExprCompiler {
                      compile(field(spec, "date", op), env))
         case other => throw new MqlException(s"bad $$dateTrunc: $other")
       }
-      case "$dateAdd" => v match {
+      case "$dateAdd" | "$dateSubtract" => v match {
         case JObject(spec) =>
           val d = compile(field(spec, "startDate", op), env)
           val unit = strValue(field(spec, "unit", op), op)
-          val amount = intValue(field(spec, "amount", op), op)
+          val amount = intValue(field(spec, "amount", op), op) *
+            (if (op == "$dateSubtract") -1 else 1)
           d + expr(s"INTERVAL $amount $unit")
-        case other => throw new MqlException(s"bad $$dateAdd: $other")
+        case other => throw new MqlException(s"bad $op: $other")
       }
       case "$dateDiff" => v match {
         case JObject(spec) =>
@@ -402,6 +422,42 @@ object ExprCompiler {
       case "$setUnion"     => array_distinct(concat(c: _*))
       case "$setIntersection" | "$setIntersect" => c.reduce(array_intersect)
       case "$setDifference" => array_except(c(0), c(1))
+      case "$setIsSubset"  => size(array_except(c(0), c(1))) === 0
+      case "$setEquals" =>
+        c.sliding(2).map { case Seq(a, b) =>
+          size(array_except(a, b)) === 0 && size(array_except(b, a)) === 0
+        }.reduce(_ && _)
+      // MQL truthiness: null/false/0 are falsy, everything else truthy
+      case "$anyElementTrue" =>
+        exists(c0, e => coalesce(e.try_cast(BooleanType), lit(false)))
+      case "$allElementsTrue" =>
+        forall(c0, e => coalesce(e.try_cast(BooleanType), lit(false)))
+      // $zip shortest-length form: [[a0,b0],[a1,b1],...] (inputs must
+      // share a type — Spark arrays are homogeneous)
+      case "$zip" => v match {
+        case JObject(spec) =>
+          val inputs = field(spec, "inputs", op) match {
+            case JArray(as) => as.map(compile(_, env))
+            case other => throw new MqlException(s"bad $$zip inputs: $other")
+          }
+          if (inputs.size < 2) throw new MqlException("$zip needs >= 2 inputs")
+          val zipped = inputs.tail.foldLeft(transform(inputs.head, x => array(x))) {
+            (acc, nxt) => zip_with(acc, nxt, (xs, y) => concat(xs, array(y)))
+          }
+          // zip_with pads to the longest input; Mongo's default is the
+          // shortest — truncate
+          slice(zipped, lit(1), inputs.map(size).reduce(least(_, _)))
+        case other => throw new MqlException(s"bad $$zip: $other")
+      }
+      // runtime BSON type name (typeof() is resolved from the static
+      // plan type, so this folds to a constant branch per column)
+      case "$type" => bsonTypeName(c0)
+      case "$isNumber" =>
+        val t = call_function("typeof", c0)
+        c0.isNotNull && (t === "tinyint" || t === "smallint" || t === "int" ||
+          t === "bigint" || t === "float" || t === "double" ||
+          t.startsWith("decimal"))
+      case "$binarySize" => octet_length(c0)
       case "$filter" => v match {
         case JObject(spec) =>
           val in = compile(field(spec, "input", op), env)

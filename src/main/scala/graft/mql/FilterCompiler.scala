@@ -79,6 +79,11 @@ object FilterCompiler {
         c.rlike((if (regexOpts.nonEmpty) s"(?$regexOpts)" else "") + p)
       case ("$mod", JArray(List(d, r))) => c % literal(d) === literal(r)
       case ("$size", _) => size(c) === literal(v)
+      // $type matches the value's BSON type name ("number" is the
+      // numeric alias); Mongo's numeric type-ids are not supported here
+      case ("$type", JString(t)) => typeMatches(c, t)
+      case ("$type", JArray(ts)) =>
+        ts.map(x => typeMatches(c, strValue(x, "$type"))).reduce(_ || _)
       case ("$all", JArray(vs)) if vs.nonEmpty =>
         vs.map(x => array_contains(c, literal(x))).reduce(_ && _)
       case ("$elemMatch", JObject(ops)) if isOperatorDoc(ops) =>
@@ -90,4 +95,15 @@ object FilterCompiler {
         }.reduce(_ && _))
       case _ => throw new MqlException(s"unsupported filter operator $op with $v")
     }
+
+  private def typeMatches(c: Column, t: String): Column = t match {
+    case "null"   => c.isNull
+    case "number" => ExprCompiler.bsonTypeName(c).isin("int", "long", "double", "decimal")
+    case other    => ExprCompiler.bsonTypeName(c) === other
+  }
+
+  private def strValue(v: JValue, ctx: String): String = v match {
+    case JString(s) => s
+    case other => throw new MqlException(s"$ctx: expected string, got $other")
+  }
 }

@@ -696,15 +696,48 @@ object PipelineCompiler {
         case _ => false
       }
       val sorted = sortBy.map(sc => base.orderBy(sc: _*)).getOrElse(base)
+      // time-range windows: a "unit" key scales the range bounds and
+      // sorts on epoch micros of the (single, ascending) sortBy field
+      val unitScale: Option[Long] = windowDoc.flatMap(_.collectFirst {
+        case ("unit", JString(u)) => u match {
+          case "millisecond" => 1000L
+          case "second" => 1000000L
+          case "minute" => 60000000L
+          case "hour"   => 3600000000L
+          case "day"    => 86400000000L
+          case "week"   => 604800000000L
+          case other => throw new MqlException(
+            s"$$setWindowFields: calendar-variable unit '$other' unsupported")
+        }
+      })
       val framed: WindowSpec = windowDoc.flatMap(_.collectFirst {
         case ("documents", JArray(List(lo, hi))) =>
           sorted.rowsBetween(
             frameBound(lo, Window.unboundedPreceding),
             frameBound(hi, Window.unboundedFollowing))
-        case ("range", JArray(List(lo, hi))) =>
-          sorted.rangeBetween(
-            frameBound(lo, Window.unboundedPreceding),
-            frameBound(hi, Window.unboundedFollowing))
+        case ("range", JArray(List(lo, hi))) => unitScale match {
+          case None =>
+            sorted.rangeBetween(
+              frameBound(lo, Window.unboundedPreceding),
+              frameBound(hi, Window.unboundedFollowing))
+          case Some(micros) =>
+            val sortField = spec.collectFirst { case ("sortBy", s) => s } match {
+              case Some(JObject(List((f, dir))))
+                if frameBound(dir, 1L) == 1L => f
+              case _ => throw new MqlException(
+                "$setWindowFields: unit range window needs a single ascending sortBy")
+            }
+            def scaled(v: JValue, default: Long): Long = v match {
+              case JString("unbounded") => default // never scale the sentinels
+              case JString("current")   => 0L
+              case JInt(i)              => i.toLong * micros
+              case JLong(l)             => l * micros
+              case other => throw new MqlException(s"bad window bound: $other")
+            }
+            base.orderBy(unix_micros(fieldCol(sortField)))
+              .rangeBetween(scaled(lo, Window.unboundedPreceding),
+                scaled(hi, Window.unboundedFollowing))
+        }
       }).getOrElse {
         if (ranked) sorted
         else if (sortBy.isDefined)

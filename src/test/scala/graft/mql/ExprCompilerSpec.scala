@@ -77,6 +77,33 @@ class ExprCompilerSpec extends AnyFunSuite {
     assert(eval("""{"$indexOfArray": [[9, 8, 7], 8]}""") == 1L)
   }
 
+  test("set predicates, $zip, truthiness folds, $type/$isNumber/$binarySize") {
+    assert(eval("""{"$setIsSubset": [[1, 2], [1, 2, 3]]}""") == true)
+    assert(eval("""{"$setIsSubset": [[1, 4], [1, 2, 3]]}""") == false)
+    assert(eval("""{"$setEquals": [[1, 2, 2], [2, 1]]}""") == true)
+    assert(eval("""{"$setEquals": [[1, 2], [2, 3]]}""") == false)
+    assert(eval("""{"$zip": {"inputs": [[1, 2, 3], [10, 20]]}}""")
+      == Seq(Seq(1, 10), Seq(2, 20))) // shortest-length default
+    // truthiness: 0 and null are falsy, other numbers truthy
+    // (arrays are homogeneous in Spark — bool and numeric tested apart)
+    assert(eval("""{"$anyElementTrue": [[0, 3]]}""") == true)
+    assert(eval("""{"$anyElementTrue": [[0, 0]]}""") == false)
+    assert(eval("""{"$anyElementTrue": [[false, true]]}""") == true)
+    assert(eval("""{"$anyElementTrue": [[null, null]]}""") == false)
+    assert(eval("""{"$allElementsTrue": [[1, 7]]}""") == true)
+    assert(eval("""{"$allElementsTrue": [[true, false]]}""") == false)
+    assert(eval("""{"$allElementsTrue": [[1, 0]]}""") == false)
+    assert(eval("""{"$type": "abc"}""") == "string")
+    assert(eval("""{"$type": 5}""") == "int")
+    assert(eval("""{"$type": 5.5}""") == "double")
+    assert(eval("""{"$type": null}""") == "null")
+    assert(eval("""{"$isNumber": 3.2}""") == true)
+    assert(eval("""{"$isNumber": "x"}""") == false)
+    assert(eval("""{"$binarySize": "héllo"}""") == 6)
+    assert(eval("""{"$dateSubtract": {"startDate": {"$date": "2024-03-10T00:00:00Z"},
+      "unit": "day", "amount": 9}}""").toString.startsWith("2024-03-01"))
+  }
+
   test("lambda ops: $filter/$map/$reduce with $$this/$$value and named as") {
     assert(eval("""{"$filter": {"input": [1, 2, 3, 4], "cond": {"$gt": ["$$this", 2]}}}""")
       == Seq(3, 4))

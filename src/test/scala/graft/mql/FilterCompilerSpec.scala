@@ -85,4 +85,13 @@ class FilterCompilerSpec extends AnyFunSuite {
   test("unsupported operator raises MqlException") {
     intercept[MqlException](ids("""{"a": {"$near": 1}}"""))
   }
+
+  test("$type matches BSON type names, 'null', and the 'number' alias") {
+    assert(ids("""{"a": {"$type": "int"}}""") == Seq(1, 2, 4))
+    assert(ids("""{"a": {"$type": "null"}}""") == Seq(3))
+    assert(ids("""{"a": {"$type": "number"}}""") == Seq(1, 2, 4))
+    assert(ids("""{"a": {"$type": "string"}}""") == Seq())
+    assert(ids("""{"tags": {"$type": "array"}}""") == Seq(1, 2, 3))
+    assert(ids("""{"a": {"$type": ["string", "int"]}}""") == Seq(1, 2, 4))
+  }
 }

@@ -155,6 +155,24 @@ class PipelineExtraSpec extends AnyFunSuite {
       == Seq(-1.0, 10.0, -1.0, 30.0, 40.0))
   }
 
+  test("$setWindowFields time-range window (unit) scales bounds to the sort field") {
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val df = Seq(
+      (1, "u", ts("2024-01-01 10:00:00"), 1.0),
+      (2, "u", ts("2024-01-01 10:30:00"), 2.0),
+      (3, "u", ts("2024-01-01 11:15:00"), 4.0),
+      (4, "u", ts("2024-01-01 13:00:00"), 8.0)
+    ).toDF("id", "grp", "t", "v")
+    val out = PipelineCompiler.run(df, """[
+      {"$setWindowFields": {"partitionBy": "$grp", "sortBy": {"t": 1},
+        "output": {"hr_sum": {"$sum": "$v",
+          "window": {"range": [-1, 0], "unit": "hour"}}}}},
+      {"$sort": {"id": 1}}]""")
+    // trailing 1h (inclusive): 1 | 1+2 | 2+4 (10:30 within 1h of 11:15) | 8
+    assert(out.select("hr_sum").as[Double].collect().toSeq
+      == Seq(1.0, 3.0, 6.0, 8.0))
+  }
+
   test("$topN supports mixed sort directions (comparator path)") {
     val df = Seq((1, "a", 10.0), (2, "a", 10.0), (3, "a", 5.0), (4, "b", 1.0))
       .toDF("id", "grp", "amt")
