@@ -190,6 +190,9 @@ object GraftFunctions {
       "dot_d", exprs => DotDouble(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "jaccard_sim", exprs => JaccardSim(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_top_k",
+      exprs => BoundedTopK(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")
   }
 
   /** Column-level form (requires register(spark) on the session). */

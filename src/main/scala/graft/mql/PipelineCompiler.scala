@@ -272,10 +272,11 @@ object PipelineCompiler {
         case other => throw new MqlException(s"bad $$percentile: $other")
       }
       // $topN/$bottomN carry their own sortBy → deterministic by spec.
-      // Uniform-direction sortBy uses sort_array on the key struct
-      // (codegen'd); mixed directions fall back to array_sort with a
-      // per-field comparator (Mongo null order: first ascending, last
-      // descending).
+      // Backed by the BoundedTopK TypedImperativeAggregate: O(n) state
+      // per group regardless of group size (a collect_list+slice
+      // formulation buffers the whole group), map-side partials ship at
+      // most n rows per group, mixed sort directions supported (Mongo
+      // null order: first ascending, last descending).
       case "$topN" | "$top" | "$bottomN" | "$bottom" => arg match {
         case JObject(spec) =>
           val output = ExprCompiler.compile(spec.collectFirst { case ("output", x) => x }
@@ -287,32 +288,18 @@ object PipelineCompiler {
             case (k, JLong(d)) => (k, d >= 0)
             case (k, o) => throw new MqlException(s"bad sort direction for $k: $o")
           }
-          val dirs = specs.map(_._2).distinct
           val n = spec.collectFirst { case ("n", x) => intValue(x, op) }
             .getOrElse(1)
-          // both families keep sortBy order in the output; $top* takes the
-          // head slice, $bottom* the tail slice of the same sorted array
+          // both families keep sortBy order in the output; $top* keeps the
+          // head of that order, $bottom* the tail
           val wantHead = op == "$topN" || op == "$top"
-          val keyed = collect_list(struct(
+          graft.functions.GraftFunctions.register(
+            org.apache.spark.sql.SparkSession.active)
+          val keyed = struct(
             (specs.zipWithIndex.map { case ((k, _), i) => fieldCol(k).as(s"__k$i") }
-              :+ output.as("__o")): _*))
-          val packed =
-            if (dirs.size == 1) sort_array(keyed, asc = dirs.head)
-            else array_sort(keyed, (l, r) =>
-              specs.zipWithIndex.foldRight(lit(0)) { case (((_, asc), i), acc) =>
-                val lk = l.getField(s"__k$i"); val rk = r.getField(s"__k$i")
-                val (lt, gt) = if (asc) (-1, 1) else (1, -1)
-                when(lk.isNull && rk.isNull, acc)
-                  .when(lk.isNull, lit(if (asc) -1 else 1))
-                  .when(rk.isNull, lit(if (asc) 1 else -1))
-                  .when(lk < rk, lit(lt))
-                  .when(lk > rk, lit(gt))
-                  .otherwise(acc)
-              })
-          val taken =
-            if (wantHead) slice(packed, 1, n)
-            else slice(packed, greatest(size(packed) - lit(n) + 1, lit(1)), lit(n))
-          val sliced = transform(taken, x => x.getField("__o"))
+              :+ output.as("__o")): _*)
+          val sliced = call_function("graft_top_k", keyed, lit(n),
+            lit(wantHead), lit(specs.map(s => if (s._2) "1" else "0").mkString(",")))
           if (op == "$top" || op == "$bottom") element_at(sliced, 1) else sliced
         case other => throw new MqlException(s"bad $op: $other")
       }
