@@ -303,14 +303,21 @@ object PipelineCompiler {
           if (op == "$top" || op == "$bottom") element_at(sliced, 1) else sliced
         case other => throw new MqlException(s"bad $op: $other")
       }
+      // $minN ascending / $maxN descending output order (Mongo), via the
+      // same bounded heap as $topN — O(n) state per group
       case "$minN" | "$maxN" => arg match {
         case JObject(spec) =>
           val input = ExprCompiler.compile(spec.collectFirst { case ("input", x) => x }
             .getOrElse(throw new MqlException(s"$op needs input")))
           val n = spec.collectFirst { case ("n", x) => intValue(x, op) }
             .getOrElse(throw new MqlException(s"$op needs n"))
-          val sorted = sort_array(collect_list(input), asc = op == "$minN")
-          slice(sorted, 1, n)
+          graft.functions.GraftFunctions.register(
+            org.apache.spark.sql.SparkSession.active)
+          // null input → null struct → skipped by the aggregate, matching
+          // collect_list's null-dropping (Mongo ignores nulls here)
+          call_function("graft_top_k",
+            when(input.isNotNull, struct(input.as("__k0"), input.as("__o"))),
+            lit(n), lit(true), lit(if (op == "$minN") "1" else "0"))
         case other => throw new MqlException(s"bad $op: $other")
       }
       case other => throw new MqlException(s"unsupported accumulator $other")

@@ -250,5 +250,11 @@ class PipelineExtraSpec extends AnyFunSuite {
     val rows = out.collect()
     assert(rows.map(_.getSeq[Double](1)).toSeq == Seq(Seq(10.0, 20.0), Seq(30.0, 40.0)))
     assert(rows.map(_.getSeq[Double](2)).toSeq == Seq(Seq(20.0, 10.0), Seq(50.0, 40.0)))
+    // nulls are ignored, not sorted in (Mongo $minN/$maxN semantics)
+    val withNull = Seq((1, "a", Some(5.0)), (2, "a", None), (3, "a", Some(1.0)))
+      .toDF("id", "grp", "amt")
+    val nn = PipelineCompiler.run(withNull, """[
+      {"$group": {"_id": "$grp", "lo2": {"$minN": {"input": "$amt", "n": 2}}}}]""")
+    assert(nn.head.getSeq[Double](1) == Seq(1.0, 5.0))
   }
 }
