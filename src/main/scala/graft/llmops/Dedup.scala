@@ -144,6 +144,22 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Embedding-cosine near-dup dedup: a vector is dropped when a
+    * lower-id vector is within `threshold` cosine. `exact = true` scores
+    * every pair (ground truth / small slices); `exact = false` uses
+    * sign-LSH buckets for candidate generation — the 100 TB path (an
+    * equi-join on bucket ids instead of a cross product, trading recall
+    * for linearity; see Similarity.lshCosinePairs). */
+  def embeddingDedup(df: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double, exact: Boolean = true,
+                     dim: Int = 64): DataFrame = {
+    val pairs =
+      if (exact) Similarity.cosinePairs(df, df, threshold, idCol, vecCol)
+      else Similarity.lshCosinePairs(df, idCol, vecCol, threshold = threshold, dim = dim)
+    val dups = pairs.select(col("id_b")).distinct()
+    df.join(dups, df(idCol) === dups("id_b"), "left_anti")
+  }
+
   /** SimHash signature width. 60 bits — the widest that survives a
     * portable hash: 15 hex chars of md5 parse losslessly into a signed
     * 64-bit int in both Spark (conv) and DuckDB ('0x'-cast), making the

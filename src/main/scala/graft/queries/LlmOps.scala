@@ -259,6 +259,28 @@ object LlmOps {
             WHERE round(dt / (na.nrm * nb.nrm), 6) >= 0.4
             ORDER BY id_a, id_b""")),
 
+    // embedding-cosine near-dup dedup on a bounded slice (exact pair
+    // scoring = the oracle-checkable ground truth; the LSH-candidate
+    // variant is the corpus-scale path, spec-pinned for precision)
+    QueryDef("q_emb_dedup",
+      (s, dir) => {
+        val e = Graft.table(s, dir, "embeddings").where(col("vec_id") < 300)
+        Dedup.embeddingDedup(e, "vec_id", "embedding", threshold = 0.4)
+          .select("vec_id").orderBy("vec_id")
+      },
+      Some("""WITH s AS (SELECT * FROM embeddings WHERE vec_id < 300),
+              u AS (SELECT vec_id, unnest(embedding)::DOUBLE AS e,
+                           generate_subscripts(embedding, 1) AS i FROM s),
+              n AS (SELECT vec_id, sqrt(sum(e*e)) AS nrm FROM u GROUP BY vec_id),
+              d AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.e * b.e) AS dt
+                    FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id
+                    GROUP BY 1, 2),
+              dup AS (SELECT DISTINCT id_b FROM d
+                      JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
+                      WHERE round(dt / (na.nrm * nb.nrm), 6) >= 0.4)
+              SELECT vec_id FROM s WHERE vec_id NOT IN (SELECT id_b FROM dup)
+              ORDER BY vec_id""")),
+
     QueryDef("q_media_meta",
       (s, dir) => Multimodal.asMediaTable(Graft.table(s, dir, "documents"),
         "doc_id", "text")

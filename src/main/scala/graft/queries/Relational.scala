@@ -377,6 +377,23 @@ object Relational {
               UNION ALL SELECT n_name, 'NATION' FROM nation
               ORDER BY name, src""")),
 
+    // time-unit range window: trailing 1-hour decimal-exact sum per user
+    // (sortBy a timestamp + unit scales the range bounds to micros)
+    QueryDef("q_window_timerange",
+      (s, dir) => agg("events", """[
+        {"$setWindowFields": {"partitionBy": "$user_id", "sortBy": {"ts": 1},
+           "output": {"trail": {"$sum": {"$toDecimal": "$value"},
+             "window": {"range": [-1, 0], "unit": "hour"}}}}},
+        {"$project": {"_id": 0, "event_id": 1, "user_id": 1,
+                      "trail": {"$toDouble": "$trail"}}},
+        {"$sort": {"event_id": 1}}]""")(s, dir),
+      Some("""SELECT event_id, user_id,
+                     CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+                       PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                       AS DOUBLE) AS trail
+              FROM events ORDER BY event_id""")),
+
     // $graphLookup ancestors over a derived binary-tree hierarchy
     // (parent = user_id div 2): bounded BFS vs a recursive CTE. Depth d
     // is the BFS round of first reach (0 = startWith match).

@@ -61,6 +61,16 @@ class LlmOpsSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("signBucket")))
   }
 
+  test("embeddingDedup: LSH variant never drops more than exact") {
+    val slice = emb.where(col("vec_id") < 200)
+    val exact = Dedup.embeddingDedup(slice, "vec_id", "embedding", 0.4)
+      .select("vec_id").as[Long].collect().toSet
+    val approx = Dedup.embeddingDedup(slice, "vec_id", "embedding", 0.4,
+      exact = false).select("vec_id").as[Long].collect().toSet
+    // LSH candidates ⊆ all pairs → approx drops ⊆ exact drops
+    assert(exact.subsetOf(approx))
+  }
+
   test("sign-LSH cosine pairs are a subset of exact pairs (precision 1)") {
     val exact = Similarity.cosinePairs(emb, emb, threshold = 0.4)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
