@@ -102,18 +102,25 @@ private[sources] class GraftScanBuilder(fullSchema: StructType,
     required = StructType(requiredSchema.fields.map(f => byName.getOrElse(f.name, f)))
   }
 
-  // honest contract: nothing is skipped at the file level; Catalyst
-  // re-evaluates everything post-scan
+  // Filters are evaluated DURING decode (the Spark twin of the
+  // reference handing the filter doc to the server, api.py:175): rows
+  // failing a supported predicate never pay Catalyst conversion. All
+  // filters are also returned for post-scan evaluation, so unsupported
+  // shapes (nested paths, exotic types) stay correct.
   override def pushFilters(fs: Array[Filter]): Array[Filter] = { filters = fs; fs }
-  override def pushedFilters(): Array[Filter] = Array.empty
+  override def pushedFilters(): Array[Filter] =
+    filters.filter(DocFilterEval.supported(_, fullSchema))
 
-  override def build(): Scan = new GraftScan(required, options)
+  override def build(): Scan = new GraftScan(required, options, pushedFilters())
 }
 
-private[sources] class GraftScan(schema: StructType, options: CaseInsensitiveStringMap)
+private[sources] class GraftScan(schema: StructType, options: CaseInsensitiveStringMap,
+                                 filters: Array[Filter])
   extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
+  override def description(): String =
+    s"graftdocs PushedFilters: [${filters.mkString(", ")}]"
 
   private val allowInvalid = options.getBoolean("allowinvalid", false)
 
@@ -121,12 +128,77 @@ private[sources] class GraftScan(schema: StructType, options: CaseInsensitiveStr
     GraftDocSource.resolveFiles(options).toArray.map(GraftFilePartition(_))
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(schema, allowInvalid)
+    new GraftReaderFactory(schema, allowInvalid, filters)
 }
 
 private[sources] case class GraftFilePartition(path: String) extends InputPartition
 
-private[sources] class GraftReaderFactory(schema: StructType, allowInvalid: Boolean)
+/** Evaluates pushed source filters against decoded (pre-Catalyst) row
+  * values. Conservative: anything it can't prove unmatched keeps the
+  * row — Catalyst re-evaluates every filter post-scan. */
+private[sources] object DocFilterEval {
+  import org.apache.spark.sql.sources._
+
+  def supported(f: Filter, schema: StructType): Boolean = {
+    def topLevel(a: String): Boolean =
+      !a.contains(".") && schema.fieldNames.contains(a)
+    f match {
+      case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |
+           _: LessThan | _: LessThanOrEqual | _: IsNull | _: IsNotNull |
+           _: In =>
+        f.references.length == 1 && topLevel(f.references.head)
+      case And(l, r) => supported(l, schema) && supported(r, schema)
+      case Or(l, r)  => supported(l, schema) && supported(r, schema)
+      // Not is NOT supported: eval keeps rows it can't decide, and a
+      // negation would turn that conservative keep into a wrong drop
+      case _ => false
+    }
+  }
+
+  /** Some(ordering) when both sides are comparable same-kind values. */
+  private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (null, _) | (_, null) => None
+    case (x: java.lang.Number, y: java.lang.Number) =>
+      (x, y) match {
+        case (_: java.lang.Double, _) | (_, _: java.lang.Double) |
+             (_: java.lang.Float, _) | (_, _: java.lang.Float) =>
+          Some(java.lang.Double.compare(x.doubleValue(), y.doubleValue()))
+        case _ => Some(java.lang.Long.compare(x.longValue(), y.longValue()))
+      }
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: java.sql.Timestamp, y: java.sql.Timestamp) => Some(x.compareTo(y))
+    case (x: java.sql.Date, y: java.sql.Date) => Some(x.compareTo(y))
+    case (x: java.time.LocalDateTime, y: java.time.LocalDateTime) => Some(x.compareTo(y))
+    case (x: java.time.Instant, y: java.time.Instant) => Some(x.compareTo(y))
+    case (x: java.lang.Boolean, y: java.lang.Boolean) => Some(x.compareTo(y))
+    case _ => None
+  }
+
+  /** false ONLY when the row provably fails the filter. */
+  def eval(f: Filter, get: String => Any): Boolean = f match {
+    case EqualTo(a, v)            => cmp(get(a), v).forall(_ == 0)
+    case GreaterThan(a, v)        => cmp(get(a), v).forall(_ > 0)
+    case GreaterThanOrEqual(a, v) => cmp(get(a), v).forall(_ >= 0)
+    case LessThan(a, v)           => cmp(get(a), v).forall(_ < 0)
+    case LessThanOrEqual(a, v)    => cmp(get(a), v).forall(_ <= 0)
+    case IsNull(a)    => get(a) == null
+    case IsNotNull(a) => get(a) != null
+    case In(a, vs)    => get(a) == null || vs.exists(v => cmp(get(a), v).forall(_ == 0))
+    case And(l, r)    => eval(l, get) && eval(r, get)
+    case Or(l, r)     => eval(l, get) || eval(r, get)
+    case _ => true // unknown shape: keep, Catalyst decides
+  }
+}
+
+/** Test-visible decode counters (rows emitted vs rows skipped by
+  * decode-time filters). */
+private[sources] object GraftScanMetrics {
+  val emitted = new java.util.concurrent.atomic.LongAdder
+  val skipped = new java.util.concurrent.atomic.LongAdder
+}
+
+private[sources] class GraftReaderFactory(schema: StructType, allowInvalid: Boolean,
+                                          filters: Array[Filter])
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val path = partition.asInstanceOf[GraftFilePartition].path
@@ -136,15 +208,22 @@ private[sources] class GraftReaderFactory(schema: StructType, allowInvalid: Bool
       private val lines = source.getLines()
       private val toCatalyst = CatalystTypeConverters.createToCatalystConverter(schema)
       private var current: InternalRow = _
+      private val fieldIdx: Map[String, Int] =
+        schema.fieldNames.zipWithIndex.toMap
 
       override def next(): Boolean = {
-        if (!lines.hasNext) false
-        else {
+        while (lines.hasNext) {
           val row = DocDecoder.decodeStruct(mapper.readTree(lines.next()), schema,
             strict = !allowInvalid)
-          current = toCatalyst(row).asInstanceOf[InternalRow]
-          true
+          def get(name: String): Any =
+            fieldIdx.get(name).map(row.get).orNull
+          if (filters.forall(DocFilterEval.eval(_, get))) {
+            current = toCatalyst(row).asInstanceOf[InternalRow]
+            GraftScanMetrics.emitted.increment()
+            return true
+          } else GraftScanMetrics.skipped.increment()
         }
+        false
       }
       override def get(): InternalRow = current
       override def close(): Unit = source.close()

@@ -41,11 +41,21 @@ class GraftDocSourceSpec extends AnyFunSuite {
     assert(q.count() == df.count())
   }
 
-  test("filters evaluate post-scan, results correct") {
+  test("filters skip rows at decode time; results stay correct") {
     val (path, df) = writeDocs()
+    GraftScanMetrics.emitted.reset(); GraftScanMetrics.skipped.reset()
     val got = spark.read.format("graftdocs").schema(df.schema).load(path)
       .where($"c_acctbal" > 5000.0).count()
     assert(got == df.where($"c_acctbal" > 5000.0).count())
+    // the predicate reached the decoder: non-matching rows were skipped
+    // before Catalyst conversion, matching ones emitted
+    assert(GraftScanMetrics.skipped.sum() == df.count() - got)
+    assert(GraftScanMetrics.emitted.sum() == got)
+    // a Not-wrapped filter is not pushed (conservative-keep would
+    // invert into a wrong drop) but still evaluates correctly post-scan
+    val neq = spark.read.format("graftdocs").schema(df.schema).load(path)
+      .where(!($"c_mktsegment" === "BUILDING")).count()
+    assert(neq == df.where($"c_mktsegment" =!= "BUILDING").count())
   }
 
   test("schema inference over the files (inferred mode)") {
