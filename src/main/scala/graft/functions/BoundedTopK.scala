@@ -18,8 +18,10 @@ import org.apache.spark.sql.types._
   *
   * Sort semantics match Mongo's sortBy (dirs(i) = ascending for key i;
   * nulls first ascending, last descending); `wantHead` picks the head
-  * (top*) or tail (bottom*) slice of that order. Ties beyond the cap
-  * resolve by arrival order, exactly like the sliced sort it replaces.
+  * (top*) or tail (bottom*) slice of that order. When rows tie on the
+  * FULL key beyond the cap, which of the tied rows survive is
+  * unspecified (heap order among equals) — parity queries use a unique
+  * tiebreak key per the oracle conventions in QueryDef.
   */
 case class BoundedTopK(
     child: Expression,
@@ -78,7 +80,8 @@ case class BoundedTopK(
     new java.util.PriorityQueue[InternalRow](math.max(n, 1), worstFirst)
 
   private def add(buf: java.util.PriorityQueue[InternalRow], row: InternalRow): Unit = {
-    if (buf.size < n) buf.offer(row)
+    if (n <= 0) () // degenerate cap: keep nothing (callers validate n >= 1)
+    else if (buf.size < n) buf.offer(row)
     else if (beats(row, buf.peek())) { buf.poll(); buf.offer(row) }
   }
 
@@ -104,8 +107,11 @@ case class BoundedTopK(
       if (r.isNullAt(numKeys)) null else r.get(numKeys, outField.dataType)))
   }
 
+  // per-expression-instance: serialize runs once per group at map-output
+  // time, so projection creation must not be per-call
+  @transient private lazy val proj = UnsafeProjection.create(structType)
+
   override def serialize(buf: java.util.PriorityQueue[InternalRow]): Array[Byte] = {
-    val proj = UnsafeProjection.create(structType)
     val out = new java.io.ByteArrayOutputStream()
     val dos = new java.io.DataOutputStream(out)
     dos.writeInt(buf.size)

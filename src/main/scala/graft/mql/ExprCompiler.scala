@@ -64,6 +64,19 @@ object ExprCompiler {
     when(pos === 0, -1).otherwise(pos - 1)
   }
 
+  /** MQL truthiness: null, false, and numeric 0 are falsy; every other
+    * value — including the strings "false" and "0" — is truthy. Type
+    * dispatch via typeof (constant-folded per column). */
+  private def truthy(e: Column): Column = {
+    val t = call_function("typeof", e)
+    when(e.isNull, lit(false))
+      .when(t === "boolean", coalesce(e.try_cast(BooleanType), lit(false)))
+      .when(t.isin("tinyint", "smallint", "int", "bigint", "float", "double")
+        || t.startsWith("decimal"),
+        coalesce(e.try_cast(DoubleType) =!= 0.0, lit(false)))
+      .otherwise(lit(true))
+  }
+
   /** Runtime BSON type name of a value ($type / filter {$type}).
     * typeof() resolves from the static plan type, so the mapping folds
     * to a constant branch per column; only the null check is per-row. */
@@ -422,16 +435,19 @@ object ExprCompiler {
       case "$setUnion"     => array_distinct(concat(c: _*))
       case "$setIntersection" | "$setIntersect" => c.reduce(array_intersect)
       case "$setDifference" => array_except(c(0), c(1))
-      case "$setIsSubset"  => size(array_except(c(0), c(1))) === 0
+      case "$setIsSubset" =>
+        if (c.size != 2) throw new MqlException("$setIsSubset needs exactly 2 arrays")
+        size(array_except(c(0), c(1))) === 0
       case "$setEquals" =>
+        if (c.size < 2) throw new MqlException("$setEquals needs >= 2 arrays")
         c.sliding(2).map { case Seq(a, b) =>
           size(array_except(a, b)) === 0 && size(array_except(b, a)) === 0
         }.reduce(_ && _)
-      // MQL truthiness: null/false/0 are falsy, everything else truthy
-      case "$anyElementTrue" =>
-        exists(c0, e => coalesce(e.try_cast(BooleanType), lit(false)))
-      case "$allElementsTrue" =>
-        forall(c0, e => coalesce(e.try_cast(BooleanType), lit(false)))
+      // MQL truthiness: null/false/0 falsy; EVERY string (incl. "false",
+      // "0"), date, array, object truthy — so dispatch on the element's
+      // static type (typeof folds to a constant per column)
+      case "$anyElementTrue" => exists(c0, truthy)
+      case "$allElementsTrue" => forall(c0, truthy)
       // $zip shortest-length form: [[a0,b0],[a1,b1],...] (inputs must
       // share a type — Spark arrays are homogeneous)
       case "$zip" => v match {

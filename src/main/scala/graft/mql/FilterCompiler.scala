@@ -101,9 +101,4 @@ object FilterCompiler {
     case "number" => ExprCompiler.bsonTypeName(c).isin("int", "long", "double", "decimal")
     case other    => ExprCompiler.bsonTypeName(c) === other
   }
-
-  private def strValue(v: JValue, ctx: String): String = v match {
-    case JString(s) => s
-    case other => throw new MqlException(s"$ctx: expected string, got $other")
-  }
 }

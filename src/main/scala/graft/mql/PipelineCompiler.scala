@@ -290,6 +290,7 @@ object PipelineCompiler {
           }
           val n = spec.collectFirst { case ("n", x) => intValue(x, op) }
             .getOrElse(1)
+          if (n < 1) throw new MqlException(s"$op: n must be >= 1, got $n")
           // both families keep sortBy order in the output; $top* keeps the
           // head of that order, $bottom* the tail
           val wantHead = op == "$topN" || op == "$top"
@@ -311,6 +312,7 @@ object PipelineCompiler {
             .getOrElse(throw new MqlException(s"$op needs input")))
           val n = spec.collectFirst { case ("n", x) => intValue(x, op) }
             .getOrElse(throw new MqlException(s"$op needs n"))
+          if (n < 1) throw new MqlException(s"$op: n must be >= 1, got $n")
           graft.functions.GraftFunctions.register(
             org.apache.spark.sql.SparkSession.active)
           // null input → null struct → skipped by the aggregate, matching
@@ -706,6 +708,8 @@ object PipelineCompiler {
       })
       val framed: WindowSpec = windowDoc.flatMap(_.collectFirst {
         case ("documents", JArray(List(lo, hi))) =>
+          if (unitScale.isDefined) throw new MqlException(
+            "$setWindowFields: 'unit' is only valid with a range window")
           sorted.rowsBetween(
             frameBound(lo, Window.unboundedPreceding),
             frameBound(hi, Window.unboundedFollowing))

@@ -155,17 +155,31 @@ private[sources] object DocFilterEval {
     }
   }
 
+  private def toBD(n: java.lang.Number): java.math.BigDecimal = n match {
+    case d: java.math.BigDecimal => d
+    case i: java.math.BigInteger => new java.math.BigDecimal(i)
+    case o => new java.math.BigDecimal(o.toString)
+  }
+
   /** Some(ordering) when both sides are comparable same-kind values. */
   private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
     case (null, _) | (_, null) => None
     case (x: java.lang.Number, y: java.lang.Number) =>
       (x, y) match {
+        // exact decimal path first: longValue() would truncate fractions
+        // and WRONGLY DROP rows (unrecoverable post-scan)
+        case (_: java.math.BigDecimal, _) | (_, _: java.math.BigDecimal) |
+             (_: java.math.BigInteger, _) | (_, _: java.math.BigInteger) =>
+          Some(toBD(x).compareTo(toBD(y)))
         case (_: java.lang.Double, _) | (_, _: java.lang.Double) |
              (_: java.lang.Float, _) | (_, _: java.lang.Float) =>
           Some(java.lang.Double.compare(x.doubleValue(), y.doubleValue()))
         case _ => Some(java.lang.Long.compare(x.longValue(), y.longValue()))
       }
-    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: String, y: String) => // Spark's binary UTF8String order, not
+      // UTF-16 code-unit order (they diverge on supplementary planes)
+      Some(org.apache.spark.unsafe.types.UTF8String.fromString(x)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)))
     case (x: java.sql.Timestamp, y: java.sql.Timestamp) => Some(x.compareTo(y))
     case (x: java.sql.Date, y: java.sql.Date) => Some(x.compareTo(y))
     case (x: java.time.LocalDateTime, y: java.time.LocalDateTime) => Some(x.compareTo(y))

@@ -93,6 +93,10 @@ class ExprCompilerSpec extends AnyFunSuite {
     assert(eval("""{"$allElementsTrue": [[1, 7]]}""") == true)
     assert(eval("""{"$allElementsTrue": [[true, false]]}""") == false)
     assert(eval("""{"$allElementsTrue": [[1, 0]]}""") == false)
+    // EVERY string is truthy in MQL — including "false" and "0"
+    assert(eval("""{"$allElementsTrue": [["false", "0", ""]]}""") == true)
+    intercept[MqlException](eval("""{"$setEquals": [[1, 2]]}"""))
+    intercept[MqlException](eval("""{"$setIsSubset": [[1], [1], [1]]}"""))
     assert(eval("""{"$type": "abc"}""") == "string")
     assert(eval("""{"$type": 5}""") == "int")
     assert(eval("""{"$type": 5.5}""") == "double")
