@@ -766,6 +766,18 @@ object PipelineCompiler {
         case "$max"   => max(ExprCompiler.compile(arg)).over(framed)
         case "$count" => count(lit(1)).over(framed)
         case "$push"  => collect_list(ExprCompiler.compile(arg)).over(framed)
+        case "$addToSet" => collect_set(ExprCompiler.compile(arg)).over(framed)
+        case "$first" => first(ExprCompiler.compile(arg)).over(framed)
+        case "$last"  => last(ExprCompiler.compile(arg)).over(framed)
+        case "$stdDevPop"  => stddev_pop(ExprCompiler.compile(arg)).over(framed)
+        case "$stdDevSamp" => stddev_samp(ExprCompiler.compile(arg)).over(framed)
+        case "$covariancePop" | "$covarianceSamp" => arg match {
+          case JArray(List(a, b)) =>
+            val (x, y) = (ExprCompiler.compile(a), ExprCompiler.compile(b))
+            (if (op == "$covariancePop") covar_pop(x, y) else covar_samp(x, y))
+              .over(framed)
+          case other => throw new MqlException(s"bad $op: $other")
+        }
         case other => throw new MqlException(s"unsupported window operator $other")
       }
       acc.withColumn(name, wcol)

@@ -377,6 +377,34 @@ object Relational {
               UNION ALL SELECT n_name, 'NATION' FROM nation
               ORDER BY name, src""")),
 
+    // TPC-H Q18 shape end-to-end through the MQL compiler: grouped
+    // having-filter → two $lookup joins → top-100. The having $group is
+    // a map-side-combined aggregation; both lookups broadcast under AQE.
+    QueryDef("q_tpch_q18",
+      (s, dir) => agg("lineitem", """[
+        {"$group": {"_id": "$l_orderkey", "qty": {"$sum": {"$toDecimal": "$l_quantity"}}}},
+        {"$match": {"$expr": {"$gt": ["$qty", 250]}}},
+        {"$lookup": {"from": "orders", "localField": "_id",
+                     "foreignField": "o_orderkey", "as": "o"}},
+        {"$unwind": "$o"},
+        {"$lookup": {"from": "customer", "localField": "o.o_custkey",
+                     "foreignField": "c_custkey", "as": "c"}},
+        {"$unwind": "$c"},
+        {"$project": {"_id": 0, "c_name": "$c.c_name", "c_custkey": "$c.c_custkey",
+                      "o_orderkey": "$o.o_orderkey", "o_totalprice": "$o.o_totalprice",
+                      "qty": {"$toDouble": "$qty"}}},
+        {"$sort": {"o_totalprice": -1, "o_orderkey": 1}},
+        {"$limit": 100}]""")(s, dir),
+      Some("""WITH q AS (SELECT l_orderkey,
+                       SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty
+                     FROM lineitem GROUP BY l_orderkey
+                     HAVING qty > 250)
+              SELECT c_name, c_custkey, o_orderkey, o_totalprice,
+                     CAST(qty AS DOUBLE) AS qty
+              FROM q JOIN orders ON o_orderkey = l_orderkey
+                     JOIN customer ON c_custkey = o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")),
+
     // time-unit range window: trailing 1-hour decimal-exact sum per user
     // (sortBy a timestamp + unit scales the range bounds to micros)
     QueryDef("q_window_timerange",

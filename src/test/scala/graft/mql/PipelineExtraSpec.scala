@@ -155,6 +155,34 @@ class PipelineExtraSpec extends AnyFunSuite {
       == Seq(-1.0, 10.0, -1.0, 30.0, 40.0))
   }
 
+  test("window ops: $addToSet/$first/$last/$stdDevPop/$covariancePop") {
+    val out = PipelineCompiler.run(sales, """[
+      {"$setWindowFields": {"partitionBy": "$grp", "sortBy": {"id": 1},
+        "output": {
+          "seen": {"$addToSet": "$grp"},
+          "fst": {"$first": "$amt"},
+          "lst": {"$last": "$amt"},
+          "sd": {"$stdDevPop": "$amt",
+                 "window": {"documents": ["unbounded", "unbounded"]}},
+          "cv": {"$covariancePop": ["$id", "$amt"],
+                 "window": {"documents": ["unbounded", "unbounded"]}}}}},
+      {"$sort": {"id": 1}}]""")
+    val r = out.where($"id" === 1).head()
+    assert(r.getAs[scala.collection.Seq[String]]("seen").toSeq == Seq("a"))
+    assert(r.getAs[Double]("fst") == 10.0)
+    // default frame with sortBy is unbounded-to-current: last = current row
+    assert(r.getAs[Double]("lst") == 10.0)
+    assert(r.getAs[Double]("sd") == 5.0) // pop stddev of {10, 20}
+    assert(r.getAs[Double]("cv") == 2.5) // pop covariance of {(1,10),(2,20)}
+    val r3 = out.where($"id" === 3).head()
+    assert(r3.getAs[Double]("fst") == 30.0)
+    // documents window with unit is rejected
+    intercept[MqlException](PipelineCompiler.run(sales, """[
+      {"$setWindowFields": {"sortBy": {"id": 1},
+        "output": {"x": {"$sum": "$amt",
+          "window": {"documents": [-1, 0], "unit": "hour"}}}}}]"""))
+  }
+
   test("$setWindowFields time-range window (unit) scales bounds to the sort field") {
     val ts = java.sql.Timestamp.valueOf(_: String)
     val df = Seq(
