@@ -124,14 +124,27 @@ private[sources] class GraftScan(schema: StructType, options: CaseInsensitiveStr
 
   private val allowInvalid = options.getBoolean("allowinvalid", false)
 
+  // Large files split into newline-aligned byte ranges (0x0A never
+  // occurs inside a UTF-8 multibyte sequence): a split owns every line
+  // whose FIRST byte lies in [start, end). One 100 GB file is ~800
+  // tasks, not one.
+  private val maxSplitBytes =
+    options.getLong("maxsplitbytes", 128L * 1024 * 1024)
+
   override def planInputPartitions(): Array[InputPartition] =
-    GraftDocSource.resolveFiles(options).toArray.map(GraftFilePartition(_))
+    GraftDocSource.resolveFiles(options).toArray.flatMap { p =>
+      val len = new java.io.File(p).length()
+      if (len <= maxSplitBytes) Array(GraftFilePartition(p, 0L, math.max(len, 1L)))
+      else (0L until len by maxSplitBytes).map(s =>
+        GraftFilePartition(p, s, math.min(s + maxSplitBytes, len))).toArray
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(schema, allowInvalid, filters)
 }
 
-private[sources] case class GraftFilePartition(path: String) extends InputPartition
+private[sources] case class GraftFilePartition(path: String, start: Long, end: Long)
+  extends InputPartition
 
 /** Evaluates pushed source filters against decoded (pre-Catalyst) row
   * values. Conservative: anything it can't prove unmatched keeps the
@@ -215,32 +228,60 @@ private[sources] class GraftReaderFactory(schema: StructType, allowInvalid: Bool
                                           filters: Array[Filter])
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val path = partition.asInstanceOf[GraftFilePartition].path
+    val p = partition.asInstanceOf[GraftFilePartition]
     new PartitionReader[InternalRow] {
       private val mapper = DocDecoder.newMapper()
-      private val source = scala.io.Source.fromFile(path)("UTF-8")
-      private val lines = source.getLines()
+      private val fileIn = new java.io.FileInputStream(p.path)
+      private val in = {
+        var toSkip = p.start
+        while (toSkip > 0) toSkip -= fileIn.skip(toSkip)
+        new java.io.BufferedInputStream(fileIn, 1 << 16)
+      }
+      private var pos = p.start
+      // a split owns lines whose first byte is in [start, end); a
+      // non-zero start lands mid-line, and that line belongs to the
+      // previous split — discard through its newline
+      if (p.start > 0) {
+        var b = in.read()
+        while (b != -1 && b != '\n') { pos += 1; b = in.read() }
+        if (b != -1) pos += 1
+      }
+      private val lineBuf = new java.io.ByteArrayOutputStream(1 << 12)
+      /** Next line whose first byte precedes `end`; null when done. */
+      private def readLine(): String = {
+        if (pos >= p.end) return null
+        lineBuf.reset()
+        var b = in.read()
+        if (b == -1) return null
+        while (b != -1 && b != '\n') { lineBuf.write(b); pos += 1; b = in.read() }
+        if (b != -1) pos += 1
+        new String(lineBuf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+      }
       private val toCatalyst = CatalystTypeConverters.createToCatalystConverter(schema)
       private var current: InternalRow = _
       private val fieldIdx: Map[String, Int] =
         schema.fieldNames.zipWithIndex.toMap
 
       override def next(): Boolean = {
-        while (lines.hasNext) {
-          val row = DocDecoder.decodeStruct(mapper.readTree(lines.next()), schema,
-            strict = !allowInvalid)
-          def get(name: String): Any =
-            fieldIdx.get(name).map(row.get).orNull
-          if (filters.forall(DocFilterEval.eval(_, get))) {
-            current = toCatalyst(row).asInstanceOf[InternalRow]
-            GraftScanMetrics.emitted.increment()
-            return true
-          } else GraftScanMetrics.skipped.increment()
+        var line = readLine()
+        while (line != null) {
+          if (line.nonEmpty) {
+            val row = DocDecoder.decodeStruct(mapper.readTree(line), schema,
+              strict = !allowInvalid)
+            def get(name: String): Any =
+              fieldIdx.get(name).map(row.get).orNull
+            if (filters.forall(DocFilterEval.eval(_, get))) {
+              current = toCatalyst(row).asInstanceOf[InternalRow]
+              GraftScanMetrics.emitted.increment()
+              return true
+            } else GraftScanMetrics.skipped.increment()
+          }
+          line = readLine()
         }
         false
       }
       override def get(): InternalRow = current
-      override def close(): Unit = source.close()
+      override def close(): Unit = fileIn.close()
     }
   }
 }

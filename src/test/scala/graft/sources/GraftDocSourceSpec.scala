@@ -86,6 +86,16 @@ class GraftDocSourceSpec extends AnyFunSuite {
       == Seq(1, null))
   }
 
+  test("byte-range splits: tiny maxSplitBytes reads every row exactly once") {
+    val (path, df) = writeDocs()
+    val split = spark.read.format("graftdocs").schema(df.schema)
+      .option("maxSplitBytes", "512") // force many newline-aligned splits
+      .load(path)
+    assert(split.rdd.getNumPartitions > 4, "expected multiple splits")
+    assert(split.orderBy("c_custkey").collect().toSeq ==
+      df.orderBy("c_custkey").collect().toSeq)
+  }
+
   test("multi-path load: inference and scan resolve the same file list") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dsv2p")
     val p1 = dir.resolve("a.jsonl"); val p2 = dir.resolve("b.jsonl")
