@@ -771,6 +771,27 @@ object PipelineCompiler {
         case "$last"  => last(ExprCompiler.compile(arg)).over(framed)
         case "$stdDevPop"  => stddev_pop(ExprCompiler.compile(arg)).over(framed)
         case "$stdDevSamp" => stddev_samp(ExprCompiler.compile(arg)).over(framed)
+        // ema_1 = x_1; ema_i = a*x_i + (1-a)*ema_(i-1). Folded over the
+        // history prefix per row — O(rows²) per partition, the price of
+        // an order-dependent recurrence in a declarative plan; partition
+        // histories stay modest under date-bounded $match at scale.
+        case "$expMovingAvg" => arg match {
+          case JObject(espec) =>
+            val input = ExprCompiler.compile(
+              espec.collectFirst { case ("input", x) => x }
+                .getOrElse(throw new MqlException("$expMovingAvg needs input")))
+            val alpha: Double = espec.collectFirst {
+              case ("alpha", JDouble(a)) => a
+              case ("N", n) => 2.0 / (intValue(n, "$expMovingAvg") + 1)
+            }.getOrElse(throw new MqlException("$expMovingAvg needs alpha or N"))
+            if (sortBy.isEmpty)
+              throw new MqlException("$expMovingAvg requires sortBy")
+            val hist = collect_list(input.cast(DoubleType))
+              .over(sorted.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            aggregate(hist, lit(null).cast(DoubleType), (acc, x) =>
+              when(acc.isNull, x).otherwise(x * alpha + acc * (1 - alpha)))
+          case other => throw new MqlException(s"bad $$expMovingAvg: $other")
+        }
         case "$covariancePop" | "$covarianceSamp" => arg match {
           case JArray(List(a, b)) =>
             val (x, y) = (ExprCompiler.compile(a), ExprCompiler.compile(b))

@@ -183,6 +183,22 @@ class PipelineExtraSpec extends AnyFunSuite {
           "window": {"documents": [-1, 0], "unit": "hour"}}}}}]"""))
   }
 
+  test("$expMovingAvg follows the Mongo recurrence") {
+    val out = PipelineCompiler.run(sales, """[
+      {"$setWindowFields": {"partitionBy": "$grp", "sortBy": {"id": 1},
+        "output": {"ema": {"$expMovingAvg": {"input": "$amt", "alpha": 0.5}}}}},
+      {"$sort": {"id": 1}}]""")
+    val got = out.select("ema").as[Double].collect().toSeq
+    // grp a: 10; .5*20+.5*10=15 | grp b: 30; .5*40+.5*30=35; .5*50+.5*35=42.5
+    assert(got == Seq(10.0, 15.0, 30.0, 35.0, 42.5))
+    // N form: alpha = 2/(N+1)
+    val n3 = PipelineCompiler.run(sales, """[
+      {"$setWindowFields": {"partitionBy": "$grp", "sortBy": {"id": 1},
+        "output": {"ema": {"$expMovingAvg": {"input": "$amt", "N": 3}}}}},
+      {"$sort": {"id": 1}}]""").select("ema").as[Double].collect()
+    assert(math.abs(n3(1) - (0.5 * 20 + 0.5 * 10)) < 1e-9)
+  }
+
   test("$setWindowFields time-range window (unit) scales bounds to the sort field") {
     val ts = java.sql.Timestamp.valueOf(_: String)
     val df = Seq(
