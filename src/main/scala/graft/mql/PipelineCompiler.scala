@@ -241,8 +241,13 @@ object PipelineCompiler {
       case "$avg"       => avg(e)
       case "$min"       => min(e)
       case "$max"       => max(e)
-      case "$push"      => collect_list(e)
-      case "$addToSet"  => collect_set(e)
+      case "$push" => // Mongo keeps nulls in position (collect_list drops)
+        transform(collect_list(struct(e.isNull.as("n"), e.as("v"))),
+          x => when(x.getField("n"), lit(null)).otherwise(x.getField("v")))
+      case "$addToSet" => // Mongo's set includes an explicit null
+        when(max(when(e.isNull, 1).otherwise(0)) === 1,
+          array_append(collect_set(e), lit(null)))
+          .otherwise(collect_set(e))
       case "$first" => sortKey match {
         case Some((k, asc)) => if (asc) min_by(e, k) else max_by(e, k)
         case None => first(e, ignoreNulls = false)
@@ -737,9 +742,9 @@ object PipelineCompiler {
                 scaled(hi, Window.unboundedFollowing))
         }
       }).getOrElse {
+        // Mongo's default window is the WHOLE partition even when sortBy
+        // is present (SQL's order-by-implies-running-frame does not apply)
         if (ranked) sorted
-        else if (sortBy.isDefined)
-          sorted.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         else sorted.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       }
       val wcol = op match {
@@ -765,8 +770,17 @@ object PipelineCompiler {
         case "$min"   => min(ExprCompiler.compile(arg)).over(framed)
         case "$max"   => max(ExprCompiler.compile(arg)).over(framed)
         case "$count" => count(lit(1)).over(framed)
-        case "$push"  => collect_list(ExprCompiler.compile(arg)).over(framed)
-        case "$addToSet" => collect_set(ExprCompiler.compile(arg)).over(framed)
+        case "$push" => // Mongo keeps nulls in position; collect_list
+          // drops them — collect (isNull, value) structs instead
+          val v = ExprCompiler.compile(arg)
+          transform(
+            collect_list(struct(v.isNull.as("n"), v.as("v"))).over(framed),
+            e => when(e.getField("n"), lit(null)).otherwise(e.getField("v")))
+        case "$addToSet" => // Mongo's set includes an explicit null
+          val v = ExprCompiler.compile(arg)
+          val s = collect_set(v).over(framed)
+          val sawNull = max(when(v.isNull, 1).otherwise(0)).over(framed)
+          when(sawNull === 1, array_append(s, lit(null))).otherwise(s)
         case "$first" => first(ExprCompiler.compile(arg)).over(framed)
         case "$last"  => last(ExprCompiler.compile(arg)).over(framed)
         case "$stdDevPop"  => stddev_pop(ExprCompiler.compile(arg)).over(framed)
@@ -777,13 +791,18 @@ object PipelineCompiler {
         // histories stay modest under date-bounded $match at scale.
         case "$expMovingAvg" => arg match {
           case JObject(espec) =>
+            if (windowDoc.isDefined) throw new MqlException(
+              "$expMovingAvg does not accept a window")
             val input = ExprCompiler.compile(
               espec.collectFirst { case ("input", x) => x }
                 .getOrElse(throw new MqlException("$expMovingAvg needs input")))
-            val alpha: Double = espec.collectFirst {
-              case ("alpha", JDouble(a)) => a
-              case ("N", n) => 2.0 / (intValue(n, "$expMovingAvg") + 1)
-            }.getOrElse(throw new MqlException("$expMovingAvg needs alpha or N"))
+            val alphaOpt = espec.collectFirst { case ("alpha", JDouble(a)) => a }
+            val nOpt = espec.collectFirst { case ("N", n) =>
+              2.0 / (intValue(n, "$expMovingAvg") + 1) }
+            if (alphaOpt.isDefined && nOpt.isDefined) throw new MqlException(
+              "$expMovingAvg takes alpha or N, not both")
+            val alpha: Double = alphaOpt.orElse(nOpt)
+              .getOrElse(throw new MqlException("$expMovingAvg needs alpha or N"))
             if (sortBy.isEmpty)
               throw new MqlException("$expMovingAvg requires sortBy")
             val hist = collect_list(input.cast(DoubleType))

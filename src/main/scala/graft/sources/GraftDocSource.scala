@@ -128,8 +128,12 @@ private[sources] class GraftScan(schema: StructType, options: CaseInsensitiveStr
   // occurs inside a UTF-8 multibyte sequence): a split owns every line
   // whose FIRST byte lies in [start, end). One 100 GB file is ~800
   // tasks, not one.
-  private val maxSplitBytes =
-    options.getLong("maxsplitbytes", 128L * 1024 * 1024)
+  private val maxSplitBytes = {
+    val v = options.getLong("maxsplitbytes", 128L * 1024 * 1024)
+    if (v <= 0) throw new IllegalArgumentException(
+      s"graftdocs: maxSplitBytes must be positive, got $v")
+    v
+  }
 
   override def planInputPartitions(): Array[InputPartition] =
     GraftDocSource.resolveFiles(options).toArray.flatMap { p =>
@@ -232,20 +236,27 @@ private[sources] class GraftReaderFactory(schema: StructType, allowInvalid: Bool
     new PartitionReader[InternalRow] {
       private val mapper = DocDecoder.newMapper()
       private val fileIn = new java.io.FileInputStream(p.path)
-      private val in = {
-        var toSkip = p.start
-        while (toSkip > 0) toSkip -= fileIn.skip(toSkip)
-        new java.io.BufferedInputStream(fileIn, 1 << 16)
-      }
-      private var pos = p.start
-      // a split owns lines whose first byte is in [start, end); a
-      // non-zero start lands mid-line, and that line belongs to the
-      // previous split — discard through its newline
-      if (p.start > 0) {
-        var b = in.read()
-        while (b != -1 && b != '\n') { pos += 1; b = in.read() }
-        if (b != -1) pos += 1
-      }
+      private var pos = if (p.start > 0) p.start - 1 else 0L
+      private val in =
+        try {
+          var toSkip = pos
+          while (toSkip > 0) toSkip -= fileIn.skip(toSkip)
+          val buffered = new java.io.BufferedInputStream(fileIn, 1 << 16)
+          // A split owns lines whose first byte is in [start, end). Read
+          // from start-1 and discard through the first newline: when the
+          // byte at start-1 IS a newline, the line beginning exactly at
+          // start is preserved (reading from start would wrongly discard
+          // it — no split would ever emit it); otherwise start landed
+          // mid-line and that line belongs to the previous split.
+          if (p.start > 0) {
+            var b = buffered.read()
+            while (b != -1 && b != '\n') { pos += 1; b = buffered.read() }
+            if (b != -1) pos += 1
+          }
+          buffered
+        } catch {
+          case e: Throwable => fileIn.close(); throw e
+        }
       private val lineBuf = new java.io.ByteArrayOutputStream(1 << 12)
       /** Next line whose first byte precedes `end`; null when done. */
       private def readLine(): String = {

@@ -22,12 +22,14 @@ class TopKPropertySpec extends AnyFunSuite {
   test("topN/bottomN equal sort+slice on unique keys (all directions)") {
     val rnd = new scala.util.Random(42)
     for (trial <- 1 to 8) {
-      // unique (k1, k2) pairs via index mixing; groups of uneven size
+      // k1 intentionally collides so the k2 tiebreak direction matters;
+      // (k1, k2) stays unique via the index suffix. 4 groups of 15 rows
+      // with n up to 20 also exercises n > group size.
       val rows = (0 until 60).map { i =>
-        (i % 4, rnd.nextInt(1000) * 100 + i, rnd.nextDouble().toString.take(8), i.toLong)
+        (i % 4, rnd.nextInt(4), f"${rnd.nextInt(100)}%03d-$i%02d", i.toLong)
       }
       val df = rows.toDF("grp", "k1", "k2", "out").repartition(5)
-      val n = sample(Gen.choose(1, 7))
+      val n = sample(Gen.choose(1, 20))
       val (d1, d2) = (trial % 2 == 0, (trial / 2) % 2 == 0)
       def dir(b: Boolean) = if (b) 1 else -1
 
@@ -56,18 +58,23 @@ class TopKPropertySpec extends AnyFunSuite {
   test("decode-time filter never drops rows Catalyst keeps (decimal/string edges)") {
     import graft.sinks.DocWriter
     // decimal fractions + supplementary-plane strings — the two
-    // wrong-drop bugs found in review
-    val df = spark.sql("""SELECT * FROM VALUES
-      (CAST(5000.9 AS DECIMAL(18,4)), 'a'),
-      (CAST(5000.0 AS DECIMAL(18,4)), CONCAT('x', CHAR(128000))),
-      (CAST(4999.1 AS DECIMAL(18,4)), 'x�')
-      AS t(bal, name)""")
+    // wrong-drop bugs found in review. U+1F400 sorts BELOW U+FFFD in
+    // UTF-16 code units (surrogate 0xD83D < 0xFFFD) but ABOVE it in
+    // UTF-8 bytes (F0 > EF) — exactly the divergence being pinned.
+    val supp = "x🐀"
+    val df = Seq(
+      (new java.math.BigDecimal("5000.9000"), "a"),
+      (new java.math.BigDecimal("5000.0000"), supp),
+      (new java.math.BigDecimal("4999.1000"), "x�"))
+      .toDF("bal", "name")
+      .select(col("bal").cast("decimal(18,4)").as("bal"), col("name"))
     val path = java.nio.file.Files.createTempDirectory("graft_fprop").toString
     DocWriter.write(df, path)
     val back = spark.read.format("graftdocs").schema(df.schema).load(path)
     assert(back.where(col("bal") > 5000.0).count()
       == df.where(col("bal") > 5000.0).count())
-    assert(back.where(col("name") > "x").count()
-      == df.where(col("name") > "x").count())
+    val gotSup = back.where(col("name") > "x�").collect()
+    assert(df.where(col("name") > "x�").count() == 1) // supp row, UTF-8 order
+    assert(gotSup.map(_.getString(1)).toSeq == Seq(supp))
   }
 }

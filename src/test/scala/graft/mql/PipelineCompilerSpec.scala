@@ -101,11 +101,14 @@ class PipelineCompilerSpec extends AnyFunSuite {
     assert(m == Map(0.0 -> 1L, 15.0 -> 2L, -1.0 -> 1L))
   }
 
-  test("$setWindowFields default frame is unbounded-to-current with sortBy") {
+  test("$setWindowFields default window is the whole partition (Mongo), even with sortBy") {
     val out = run("""[
       {"$setWindowFields": {"partitionBy": "$dept", "sortBy": {"id": 1},
-        "output": {"run": {"$sum": "$score"}, "rk": {"$rank": {}}}}},
+        "output": {"tot": {"$sum": "$score"}, "rk": {"$rank": {}},
+                   "run": {"$sum": "$score",
+                           "window": {"documents": ["unbounded", "current"]}}}}},
       {"$sort": {"id": 1}}]""")
+    assert(out.select("tot").as[Double].collect().toSeq == Seq(30.0, 30.0, 70.0, 70.0))
     assert(out.select("run").as[Double].collect().toSeq == Seq(10.0, 30.0, 30.0, 70.0))
   }
 

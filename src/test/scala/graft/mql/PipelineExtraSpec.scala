@@ -170,12 +170,14 @@ class PipelineExtraSpec extends AnyFunSuite {
     val r = out.where($"id" === 1).head()
     assert(r.getAs[scala.collection.Seq[String]]("seen").toSeq == Seq("a"))
     assert(r.getAs[Double]("fst") == 10.0)
-    // default frame with sortBy is unbounded-to-current: last = current row
-    assert(r.getAs[Double]("lst") == 10.0)
+    // Mongo's default window is the WHOLE partition even with sortBy:
+    // $last sees the partition's last value, not the current row
+    assert(r.getAs[Double]("lst") == 20.0)
     assert(r.getAs[Double]("sd") == 5.0) // pop stddev of {10, 20}
     assert(r.getAs[Double]("cv") == 2.5) // pop covariance of {(1,10),(2,20)}
     val r3 = out.where($"id" === 3).head()
     assert(r3.getAs[Double]("fst") == 30.0)
+    assert(r3.getAs[Double]("lst") == 50.0)
     // documents window with unit is rejected
     intercept[MqlException](PipelineCompiler.run(sales, """[
       {"$setWindowFields": {"sortBy": {"id": 1},
