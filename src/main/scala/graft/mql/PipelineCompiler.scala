@@ -615,6 +615,28 @@ object PipelineCompiler {
         val w = Window.partitionBy(partCols: _*).orderBy(sorts: _*)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         acc.withColumn(name, last(col(name), ignoreNulls = true).over(w))
+      // linear: interpolate proportionally to the (numeric) sortBy field
+      // between the surrounding known points; nulls before the first or
+      // after the last known value stay null (Mongo semantics)
+      case (acc, (name, JObject(List(("method", JString("linear")))))) =>
+        val sortField = spec.collectFirst { case ("sortBy", s) => s } match {
+          case Some(JObject(List((f, _)))) => fieldCol(f).cast(DoubleType)
+          case _ => throw new MqlException("$fill linear needs a single sortBy field")
+        }
+        val sorts = sortBy.get
+        val v = col(name)
+        val before = Window.partitionBy(partCols: _*).orderBy(sorts: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val after = Window.partitionBy(partCols: _*).orderBy(sorts: _*)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val prevV = last(v, ignoreNulls = true).over(before)
+        val prevS = last(when(v.isNotNull, sortField), ignoreNulls = true).over(before)
+        val nextV = first(v, ignoreNulls = true).over(after)
+        val nextS = first(when(v.isNotNull, sortField), ignoreNulls = true).over(after)
+        acc.withColumn(name,
+          when(v.isNotNull, v).otherwise(
+            when(prevV.isNotNull && nextV.isNotNull,
+              prevV + (nextV - prevV) * (sortField - prevS) / (nextS - prevS))))
       case (_, (name, other)) =>
         throw new MqlException(s"bad $$fill output for $name: $other")
     }

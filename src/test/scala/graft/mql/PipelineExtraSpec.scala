@@ -185,6 +185,20 @@ class PipelineExtraSpec extends AnyFunSuite {
           "window": {"documents": [-1, 0], "unit": "hour"}}}}}]"""))
   }
 
+  test("$fill linear interpolates between known points only") {
+    val df = Seq(
+      (1, Some(10.0)), (2, None), (3, None), (4, Some(40.0)),
+      (5, None), // after last known → stays null
+      (0, None)  // before first known → stays null
+    ).toDF("t", "v")
+    val out = PipelineCompiler.run(df, """[
+      {"$fill": {"sortBy": {"t": 1}, "output": {"v": {"method": "linear"}}}},
+      {"$sort": {"t": 1}}]""")
+    val got = out.select("v").collect()
+      .map(r => if (r.isNullAt(0)) null else r.getDouble(0)).toSeq
+    assert(got == Seq(null, 10.0, 20.0, 30.0, 40.0, null))
+  }
+
   test("$expMovingAvg follows the Mongo recurrence") {
     val out = PipelineCompiler.run(sales, """[
       {"$setWindowFields": {"partitionBy": "$grp", "sortBy": {"id": 1},
