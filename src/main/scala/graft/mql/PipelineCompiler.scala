@@ -664,23 +664,32 @@ object PipelineCompiler {
     val bounds = range.collectFirst { case ("bounds", b) => b }
       .getOrElse(JString("full"))
     val f = col(fieldName)
-    // Mongo: "full" densifies min..max inclusive; explicit [lo, hi) is
-    // half-open — filter the (inclusive) sequence below hi
-    val (lo, hi, hiExclusive) = bounds match {
+    val partCols = partFields.map(col)
+    // Mongo: "full" densifies the GLOBAL min..max inclusive in every
+    // partition; "partition" uses each partition's own min..max;
+    // explicit [lo, hi) is half-open — filter the sequence below hi
+    val (combos, lo, hi, hiExclusive) = bounds match {
       case JString("full") =>
         val r = df.agg(min(f), max(f)).head
-        (lit(r.get(0)), lit(r.get(1)), false)
+        val c = if (partCols.nonEmpty) df.select(partCols: _*).distinct()
+                else df.sparkSession.range(1).select()
+        (c, lit(r.get(0)), lit(r.get(1)), false)
       case JString("partition") =>
-        throw new MqlException("$densify bounds: 'partition' not supported yet")
-      case JArray(List(l, h)) => (literal(l), literal(h), true)
+        if (partCols.isEmpty) throw new MqlException(
+          "$densify bounds 'partition' requires partitionByFields")
+        val c = df.groupBy(partCols: _*)
+          .agg(min(f).as("__lo"), max(f).as("__hi"))
+        (c, col("__lo"), col("__hi"), false)
+      case JArray(List(l, h)) =>
+        val c = if (partCols.nonEmpty) df.select(partCols: _*).distinct()
+                else df.sparkSession.range(1).select()
+        (c, literal(l), literal(h), true)
       case other => throw new MqlException(s"bad $$densify bounds: $other")
     }
-    val partCols = partFields.map(col)
-    val combos = if (partCols.nonEmpty) df.select(partCols: _*).distinct()
-                 else df.sparkSession.range(1).select()
     val seqCol = sequence(lo, hi, stepCol)
     val gridVals = if (hiExclusive) filter(seqCol, x => x < hi) else seqCol
     val grid = combos.withColumn(fieldName, explode(gridVals))
+      .drop("__lo", "__hi")
     val keys = fieldName +: partFields
     val missing = grid.join(df.select(keys.map(col): _*), keys, "left_anti")
     df.unionByName(missing, allowMissingColumns = true)

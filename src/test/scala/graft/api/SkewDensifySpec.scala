@@ -50,4 +50,15 @@ class SkewDensifySpec extends AnyFunSuite {
     assert(got.filter(_._1 == "a").map(_._2) == Seq(1, 2, 3))
     assert(got.filter(_._1 == "b").map(_._2) == Seq(1, 2, 3))
   }
+
+  test("$densify bounds 'partition' uses each partition's own min..max") {
+    val df = Seq(("a", 1), ("a", 4), ("b", 10), ("b", 12)).toDF("g", "x")
+    val out = PipelineCompiler.run(df, """[
+      {"$densify": {"field": "x", "partitionByFields": ["g"],
+                    "range": {"step": 1, "bounds": "partition"}}},
+      {"$sort": {"g": 1, "x": 1}}]""")
+    val got = out.select("g", "x").as[(String, Int)].collect().toSeq
+    assert(got.filter(_._1 == "a").map(_._2) == Seq(1, 2, 3, 4))
+    assert(got.filter(_._1 == "b").map(_._2) == Seq(10, 11, 12))
+  }
 }
