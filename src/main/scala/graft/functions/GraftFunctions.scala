@@ -179,6 +179,47 @@ case class JaccardSim(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Mongo $objectToArray: struct → array<struct<k: string, v: T>>.
+  * Spark arrays are homogeneous, so all struct fields must share one
+  * type (checked at analysis); Mongo's mixed-type documents have no
+  * DataFrame twin. Field order is struct order (= first-seen document
+  * order under this engine's schema inference, matching Mongo). */
+case class ObjectToArray(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+  private lazy val structType = child.dataType.asInstanceOf[StructType]
+  private lazy val valueType: DataType =
+    structType.fields.headOption.map(_.dataType).getOrElse(NullType)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case s: StructType if s.fields.map(_.dataType).distinct.length <= 1 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _: StructType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "$objectToArray requires uniform field types (Spark arrays are homogeneous)")
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$$objectToArray expects a document, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("k", StringType, nullable = false),
+      StructField("v", valueType, nullable = structType.fields.exists(_.nullable)))),
+    containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val row = input.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    new GenericArrayData(structType.fields.zipWithIndex.map { case (f, i) =>
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](UTF8String.fromString(f.name),
+          if (row.isNullAt(i)) null else row.get(i, f.dataType)))
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): ObjectToArray = copy(c)
+}
+
 object GraftFunctions {
   /** Register the engine's SQL functions on a session; idempotent. */
   def register(spark: SparkSession): Unit = {
@@ -193,6 +234,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_top_k",
       exprs => BoundedTopK(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_object_to_array", exprs => ObjectToArray(exprs.head), "built-in")
   }
 
   /** Column-level form (requires register(spark) on the session). */

@@ -108,6 +108,26 @@ class ExprCompilerSpec extends AnyFunSuite {
       "unit": "day", "amount": 9}}""").toString.startsWith("2024-03-01"))
   }
 
+  test("$setField/$unsetField/$objectToArray/$regexFind") {
+    assert(eval("""{"$getField": {"input": {"$setField":
+      {"field": "b", "input": {"a": 1}, "value": 9}}, "field": "b"}}""") == 9)
+    // $unsetField drops the field; reading a dropped field fails analysis,
+    // so observe via $objectToArray's element count
+    assert(eval("""{"$size": {"$objectToArray": {"$unsetField":
+      {"field": "b", "input": {"a": 1, "b": 2}}}}}""") == 1)
+    val kv = eval("""{"$objectToArray": {"a": 1, "b": 2}}""")
+      .asInstanceOf[scala.collection.Seq[org.apache.spark.sql.Row]]
+    assert(kv.map(r => (r.getString(0), r.getInt(1))) == Seq(("a", 1), ("b", 2)))
+    val m = eval("""{"$regexFind": {"input": "abc123def",
+      "regex": "([0-9])([0-9]+)"}}""").asInstanceOf[org.apache.spark.sql.Row]
+    assert(m.getString(0) == "123")
+    assert(m.getLong(1) == 3L) // 0-based index of the match
+    assert(m.getSeq[String](2).toSeq == Seq("1", "23"))
+    assert(eval("""{"$regexFind": {"input": "abc", "regex": "[0-9]+"}}""") == null)
+    assert(eval("""{"$regexFind": {"input": "ABC1", "regex": "c([0-9])",
+      "options": "i"}}""").asInstanceOf[org.apache.spark.sql.Row].getString(0) == "C1")
+  }
+
   test("lambda ops: $filter/$map/$reduce with $$this/$$value and named as") {
     assert(eval("""{"$filter": {"input": [1, 2, 3, 4], "cond": {"$gt": ["$$this", 2]}}}""")
       == Seq(3, 4))
