@@ -134,6 +134,25 @@ object Headline {
                      CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
               FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""")),
 
+    // salted skew join (manual fallback for power-law keys AQE can't
+    // split): result must equal the plain join, which the oracle computes
+    // directly — the salt only changes the physical shuffle layout
+    QueryDef("q_salted_join",
+      (s, dir) => {
+        val ev = Graft.table(s, dir, "events").where(col("user_id").isNotNull)
+        val dim = ev.select(col("user_id")).distinct()
+          .withColumn("cohort", (col("user_id") % 3).cast(LongType))
+        graft.api.Skew.saltedJoin(ev, dim, "user_id", salt = 8)
+          .groupBy("cohort")
+          .agg(count(lit(1)).as("n"), sum(col("value").cast(dec)).as("sv"))
+          .select(col("cohort"), col("n"), col("sv").cast(DoubleType).as("sum_value"))
+          .orderBy("cohort")
+      },
+      Some("""SELECT user_id % 3 AS cohort, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+              FROM events WHERE user_id IS NOT NULL
+              GROUP BY 1 ORDER BY cohort""")),
+
     // streaming gap sessions (session_window + watermark) vs the
     // gaps-and-islands batch SQL. session_window opens a new session at
     // diff >= gap (half-open [t, t+gap) merge intervals).
