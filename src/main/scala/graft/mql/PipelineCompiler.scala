@@ -60,6 +60,16 @@ object PipelineCompiler {
 
   private[mql] def applyStage(df: DataFrame, name: String, spec: JValue,
                               resolve: TableResolver): DataFrame = name match {
+    // literal-document input (Mongo: first stage of a db-level
+    // aggregate): replaces the incoming frame entirely
+    case "$documents" => spec match {
+      case JArray(docs) if docs.nonEmpty =>
+        val structs = docs.map(d => ExprCompiler.compile(d))
+        df.sparkSession.range(1)
+          .select(explode(array(structs: _*)).as("__doc"))
+          .select(col("__doc.*"))
+      case other => throw new MqlException(s"bad $$documents: $other")
+    }
     case "$match"   => df.where(FilterCompiler.compile(spec))
     case "$limit"   => df.limit(intValue(spec, "$limit"))
     case "$skip"    => df.offset(intValue(spec, "$skip"))

@@ -185,6 +185,15 @@ class PipelineExtraSpec extends AnyFunSuite {
           "window": {"documents": [-1, 0], "unit": "hour"}}}}}]"""))
   }
 
+  test("$documents replaces the input with literal docs") {
+    val out = PipelineCompiler.run(sales, """[
+      {"$documents": [{"x": 1, "y": "a"}, {"x": 2, "y": "b"}]},
+      {"$match": {"x": {"$gte": 2}}}]""")
+    assert(out.columns.toSeq == Seq("x", "y"))
+    assert(out.collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+      == Seq((2, "b")))
+  }
+
   test("$fill linear interpolates between known points only") {
     val df = Seq(
       (1, Some(10.0)), (2, None), (3, None), (4, Some(40.0)),
