@@ -220,6 +220,44 @@ case class ObjectToArray(child: Expression)
   override protected def withNewChildInternal(c: Expression): ObjectToArray = copy(c)
 }
 
+/** Mongo $regexFind: first match of a LITERAL pattern as
+  * {match, idx, captures}, null when no match. One Matcher evaluation
+  * per row (the composed regexp_extract/instr/rlike form re-ran the
+  * regex nGroups+3 times), and non-participating capture groups are
+  * null — Mongo's semantics — where regexp_extract returns "". */
+case class RegexFind(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+  private lazy val pattern =
+    java.util.regex.Pattern.compile(right.eval().toString)
+  private lazy val nGroups = pattern.matcher("").groupCount()
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("match", StringType, nullable = false),
+    StructField("idx", LongType, nullable = false),
+    StructField("captures", ArrayType(StringType, containsNull = true),
+      nullable = false)))
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any, p: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val m = pattern.matcher(s)
+    if (!m.find()) null
+    else {
+      // idx counts CODE POINTS, matching $indexOfCP / Mongo semantics
+      val idx = s.codePointCount(0, m.start()).toLong
+      val caps = new GenericArrayData((1 to nGroups).map { i =>
+        val g = m.group(i)
+        if (g == null) null else UTF8String.fromString(g)
+      }.toArray[Any])
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](UTF8String.fromString(m.group(0)), idx, caps))
+    }
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): RegexFind =
+    copy(left = l, right = r)
+}
+
 object GraftFunctions {
   /** Register the engine's SQL functions on a session; idempotent. */
   def register(spark: SparkSession): Unit = {
@@ -236,6 +274,8 @@ object GraftFunctions {
       exprs => BoundedTopK(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_object_to_array", exprs => ObjectToArray(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_regex_find", exprs => RegexFind(exprs(0), exprs(1)), "built-in")
   }
 
   /** Column-level form (requires register(spark) on the session). */

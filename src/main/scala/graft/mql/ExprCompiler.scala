@@ -58,6 +58,11 @@ object ExprCompiler {
   private def fieldOpt(spec: List[(String, JValue)], key: String): Option[JValue] =
     spec.collectFirst { case (`key`, x) => x }
 
+  /** Backtick-quote a LITERAL field name for withField/dropFields (which
+    * otherwise parse dots as nested paths); embedded backticks double. */
+  private def quoteIdent(name: String): String =
+    "`" + name.replace("`", "``") + "`"
+
   /** MQL $indexOfCP: 0-based first occurrence, -1 when absent. */
   private def locate_as_index(haystack: Column, needle: Column): Column = {
     val pos = call_function("locate", needle, haystack)
@@ -507,17 +512,19 @@ object ExprCompiler {
         case JString(f) => fieldCol(f)
         case other => throw new MqlException(s"bad $$getField: $other")
       }
+      // field names are LITERAL in Mongo — backtick-quote so dots don't
+      // parse as nested paths in withField/dropFields
       case "$setField" => v match {
         case JObject(spec) =>
           compile(field(spec, "input", op), env).withField(
-            strValue(field(spec, "field", op), op),
+            quoteIdent(strValue(field(spec, "field", op), op)),
             compile(field(spec, "value", op), env))
         case other => throw new MqlException(s"bad $$setField: $other")
       }
       case "$unsetField" => v match {
         case JObject(spec) =>
           compile(field(spec, "input", op), env)
-            .dropFields(strValue(field(spec, "field", op), op))
+            .dropFields(quoteIdent(strValue(field(spec, "field", op), op)))
         case other => throw new MqlException(s"bad $$unsetField: $other")
       }
       // struct → [{k, v}] — requires a common field type (Spark arrays
@@ -526,24 +533,18 @@ object ExprCompiler {
         graft.functions.GraftFunctions.register(
           org.apache.spark.sql.SparkSession.active)
         call_function("graft_object_to_array", c0)
-      // first regex match as {match, idx, captures}; null when no match.
-      // The regex must be a literal so the capture-group count is known
-      // at compile time (Pattern.compile on the driver).
+      // first regex match as {match, idx, captures}; null when no match;
+      // non-participating groups null (RegexFind native expression, one
+      // Matcher evaluation per row)
       case "$regexFind" => v match {
         case JObject(spec) =>
           val input = compile(field(spec, "input", op), env)
           val pattern = strValue(field(spec, "regex", op), op)
           val opts = fieldOpt(spec, "options").map(x => strValue(x, op)).getOrElse("")
           val p = (if (opts.nonEmpty) s"(?$opts)" else "") + pattern
-          val nGroups = java.util.regex.Pattern.compile(p).matcher("").groupCount()
-          val captures = (1 to nGroups).map(i =>
-            regexp_extract(input, p, i)).toSeq
-          when(input.rlike(p), struct(
-            regexp_extract(input, p, 0).as("match"),
-            (call_function("regexp_instr", input, lit(p)) - 1)
-              .cast(LongType).as("idx"),
-            (if (nGroups == 0) array().cast(ArrayType(StringType))
-             else array(captures: _*)).as("captures")))
+          graft.functions.GraftFunctions.register(
+            org.apache.spark.sql.SparkSession.active)
+          call_function("graft_regex_find", input, lit(p))
         case other => throw new MqlException(s"bad $$regexFind: $other")
       }
 

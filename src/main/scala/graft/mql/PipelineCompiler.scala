@@ -38,10 +38,14 @@ object PipelineCompiler {
       case JArray(ss) => ss
       case other => throw new MqlException(s"pipeline must be an array, got $other")
     }
-    // mirror reference api.py:235-240: refuse server-side-write tails
-    stages.foreach {
-      case JObject(List((op, _))) if op == "$out" || op == "$merge" =>
+    // mirror reference api.py:235-240: refuse server-side-write tails;
+    // $documents replaces the input wholesale, so Mongo (and we) only
+    // allow it first
+    stages.zipWithIndex.foreach {
+      case (JObject(List((op, _))), _) if op == "$out" || op == "$merge" =>
         throw new MqlException(s"$op is not supported (reference rejects it too)")
+      case (JObject(List(("$documents", _))), i) if i > 0 =>
+        throw new MqlException("$documents must be the first stage")
       case _ =>
     }
     // a $sort immediately before $group makes $first/$last deterministic
@@ -63,7 +67,9 @@ object PipelineCompiler {
     // literal-document input (Mongo: first stage of a db-level
     // aggregate): replaces the incoming frame entirely
     case "$documents" => spec match {
-      case JArray(docs) if docs.nonEmpty =>
+      case JArray(Nil) => // zero documents, zero columns (no schema to infer)
+        df.sparkSession.emptyDataFrame
+      case JArray(docs) =>
         val structs = docs.map(d => ExprCompiler.compile(d))
         df.sparkSession.range(1)
           .select(explode(array(structs: _*)).as("__doc"))
@@ -643,8 +649,16 @@ object PipelineCompiler {
         val prevS = last(when(v.isNotNull, sortField), ignoreNulls = true).over(before)
         val nextV = first(v, ignoreNulls = true).over(after)
         val nextS = first(when(v.isNotNull, sortField), ignoreNulls = true).over(after)
+        // Mongo rejects repeated sortBy values for linear (interpolation
+        // is ill-defined and window prev/next become order-dependent)
+        val dupes = count(lit(1)).over(
+          Window.partitionBy((partCols :+ sortField): _*))
         acc.withColumn(name,
-          when(v.isNotNull, v).otherwise(
+          when(dupes > 1, raise_error(concat(
+            lit("$fill linear: repeated sortBy value "),
+            sortField.cast(StringType))).cast(DoubleType))
+          .when(v.isNotNull, v)
+          .otherwise(
             when(prevV.isNotNull && nextV.isNotNull,
               prevV + (nextV - prevV) * (sortField - prevS) / (nextS - prevS))))
       case (_, (name, other)) =>
@@ -678,22 +692,19 @@ object PipelineCompiler {
     // Mongo: "full" densifies the GLOBAL min..max inclusive in every
     // partition; "partition" uses each partition's own min..max;
     // explicit [lo, hi) is half-open — filter the sequence below hi
+    val defaultCombos =
+      if (partCols.nonEmpty) df.select(partCols: _*).distinct()
+      else df.sparkSession.range(1).select()
     val (combos, lo, hi, hiExclusive) = bounds match {
       case JString("full") =>
         val r = df.agg(min(f), max(f)).head
-        val c = if (partCols.nonEmpty) df.select(partCols: _*).distinct()
-                else df.sparkSession.range(1).select()
-        (c, lit(r.get(0)), lit(r.get(1)), false)
+        (defaultCombos, lit(r.get(0)), lit(r.get(1)), false)
       case JString("partition") =>
         if (partCols.isEmpty) throw new MqlException(
           "$densify bounds 'partition' requires partitionByFields")
-        val c = df.groupBy(partCols: _*)
-          .agg(min(f).as("__lo"), max(f).as("__hi"))
-        (c, col("__lo"), col("__hi"), false)
-      case JArray(List(l, h)) =>
-        val c = if (partCols.nonEmpty) df.select(partCols: _*).distinct()
-                else df.sparkSession.range(1).select()
-        (c, literal(l), literal(h), true)
+        (df.groupBy(partCols: _*).agg(min(f).as("__lo"), max(f).as("__hi")),
+          col("__lo"), col("__hi"), false)
+      case JArray(List(l, h)) => (defaultCombos, literal(l), literal(h), true)
       case other => throw new MqlException(s"bad $$densify bounds: $other")
     }
     val seqCol = sequence(lo, hi, stepCol)
@@ -701,7 +712,13 @@ object PipelineCompiler {
     val grid = combos.withColumn(fieldName, explode(gridVals))
       .drop("__lo", "__hi")
     val keys = fieldName +: partFields
-    val missing = grid.join(df.select(keys.map(col): _*), keys, "left_anti")
+    // null-SAFE anti-join: a null partition-key group must still match
+    // its own grid rows (plain equality never matches null and would
+    // duplicate every existing point of that group)
+    val existing = df.select(keys.map(col): _*)
+    val missing = grid.as("g").join(existing.as("e"),
+      keys.map(k => col(s"g.$k") <=> col(s"e.$k")).reduce(_ && _),
+      "left_anti")
     df.unionByName(missing, allowMissingColumns = true)
   }
 

@@ -51,6 +51,15 @@ class SkewDensifySpec extends AnyFunSuite {
     assert(got.filter(_._1 == "b").map(_._2) == Seq(1, 2, 3))
   }
 
+  test("$densify does not duplicate rows of a null partition key") {
+    val df = Seq((Some("a"), 1), (None, 5), (None, 7)).toDF("g", "x")
+    val out = PipelineCompiler.run(df, """[
+      {"$densify": {"field": "x", "partitionByFields": ["g"],
+                    "range": {"step": 1, "bounds": "partition"}}}]""")
+    val nullG = out.where($"g".isNull).select("x").as[Int].collect().sorted
+    assert(nullG.toSeq == Seq(5, 6, 7)) // 6 generated; 5 and 7 NOT duplicated
+  }
+
   test("$densify bounds 'partition' uses each partition's own min..max") {
     val df = Seq(("a", 1), ("a", 4), ("b", 10), ("b", 12)).toDF("g", "x")
     val out = PipelineCompiler.run(df, """[

@@ -126,6 +126,13 @@ class ExprCompilerSpec extends AnyFunSuite {
     assert(eval("""{"$regexFind": {"input": "abc", "regex": "[0-9]+"}}""") == null)
     assert(eval("""{"$regexFind": {"input": "ABC1", "regex": "c([0-9])",
       "options": "i"}}""").asInstanceOf[org.apache.spark.sql.Row].getString(0) == "C1")
+    // non-participating capture groups are null, not "" (Mongo parity)
+    val alt = eval("""{"$regexFind": {"input": "b", "regex": "(a)|(b)"}}""")
+      .asInstanceOf[org.apache.spark.sql.Row]
+    assert(alt.getSeq[String](2).toSeq == Seq(null, "b"))
+    // $setField/$unsetField treat dotted names literally, not as paths
+    assert(eval("""{"$getField": {"input": {"$setField":
+      {"field": "a.b", "input": {"a": 1}, "value": 7}}, "field": "a.b"}}""") == 7)
   }
 
   test("lambda ops: $filter/$map/$reduce with $$this/$$value and named as") {

@@ -206,6 +206,20 @@ class PipelineExtraSpec extends AnyFunSuite {
     val got = out.select("v").collect()
       .map(r => if (r.isNullAt(0)) null else r.getDouble(0)).toSeq
     assert(got == Seq(null, 10.0, 20.0, 30.0, 40.0, null))
+    // repeated sortBy values are rejected (Mongo errors; interpolation
+    // would be ill-defined)
+    val dup = Seq((1, Some(1.0)), (1, None)).toDF("t", "v")
+    intercept[Exception] {
+      PipelineCompiler.run(dup, """[
+        {"$fill": {"sortBy": {"t": 1}, "output": {"v": {"method": "linear"}}}}]""")
+        .collect()
+    }
+  }
+
+  test("$documents: only first stage; empty array yields zero docs") {
+    intercept[MqlException](PipelineCompiler.run(sales, """[
+      {"$match": {}}, {"$documents": [{"x": 1}]}]"""))
+    assert(PipelineCompiler.run(sales, """[{"$documents": []}]""").count() == 0)
   }
 
   test("$expMovingAvg follows the Mongo recurrence") {
