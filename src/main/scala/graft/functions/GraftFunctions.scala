@@ -225,36 +225,59 @@ case class ObjectToArray(child: Expression)
   * per row (the composed regexp_extract/instr/rlike form re-ran the
   * regex nGroups+3 times), and non-participating capture groups are
   * null — Mongo's semantics — where regexp_extract returns "". */
-case class RegexFind(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
-  private lazy val pattern =
+sealed trait RegexMatchBase extends BinaryExpression with CodegenFallback {
+  protected lazy val pattern =
     java.util.regex.Pattern.compile(right.eval().toString)
-  private lazy val nGroups = pattern.matcher("").groupCount()
+  protected lazy val nGroups = pattern.matcher("").groupCount()
 
-  override def dataType: DataType = StructType(Seq(
+  protected val matchStruct: StructType = StructType(Seq(
     StructField("match", StringType, nullable = false),
     StructField("idx", LongType, nullable = false),
     StructField("captures", ArrayType(StringType, containsNull = true),
       nullable = false)))
+
+  protected def matchRow(s: String, m: java.util.regex.Matcher): Any = {
+    // idx counts CODE POINTS, matching $indexOfCP / Mongo semantics
+    val idx = s.codePointCount(0, m.start()).toLong
+    val caps = new GenericArrayData((1 to nGroups).map { i =>
+      val g = m.group(i)
+      if (g == null) null else UTF8String.fromString(g)
+    }.toArray[Any])
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(m.group(0)), idx, caps))
+  }
+}
+
+case class RegexFind(left: Expression, right: Expression) extends RegexMatchBase {
+  override def dataType: DataType = matchStruct
   override def nullable: Boolean = true
 
   override def nullSafeEval(input: Any, p: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
     val m = pattern.matcher(s)
-    if (!m.find()) null
-    else {
-      // idx counts CODE POINTS, matching $indexOfCP / Mongo semantics
-      val idx = s.codePointCount(0, m.start()).toLong
-      val caps = new GenericArrayData((1 to nGroups).map { i =>
-        val g = m.group(i)
-        if (g == null) null else UTF8String.fromString(g)
-      }.toArray[Any])
-      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-        Array[Any](UTF8String.fromString(m.group(0)), idx, caps))
-    }
+    if (!m.find()) null else matchRow(s, m)
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): RegexFind =
+    copy(left = l, right = r)
+}
+
+/** Mongo $regexFindAll: every match of the literal pattern, in order
+  * (empty array when none). Zero-length matches advance one code point,
+  * mirroring Matcher's own behavior under find(). */
+case class RegexFindAll(left: Expression, right: Expression) extends RegexMatchBase {
+  override def dataType: DataType = ArrayType(matchStruct, containsNull = false)
+  override def nullable: Boolean = left.nullable
+
+  override def nullSafeEval(input: Any, p: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val m = pattern.matcher(s)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    while (m.find()) out += matchRow(s, m)
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): RegexFindAll =
     copy(left = l, right = r)
 }
 
@@ -276,6 +299,8 @@ object GraftFunctions {
       "graft_object_to_array", exprs => ObjectToArray(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_regex_find", exprs => RegexFind(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_regex_find_all", exprs => RegexFindAll(exprs(0), exprs(1)), "built-in")
   }
 
   /** Column-level form (requires register(spark) on the session). */

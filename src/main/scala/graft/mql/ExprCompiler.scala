@@ -536,7 +536,7 @@ object ExprCompiler {
       // first regex match as {match, idx, captures}; null when no match;
       // non-participating groups null (RegexFind native expression, one
       // Matcher evaluation per row)
-      case "$regexFind" => v match {
+      case "$regexFind" | "$regexFindAll" => v match {
         case JObject(spec) =>
           val input = compile(field(spec, "input", op), env)
           val pattern = strValue(field(spec, "regex", op), op)
@@ -544,8 +544,10 @@ object ExprCompiler {
           val p = (if (opts.nonEmpty) s"(?$opts)" else "") + pattern
           graft.functions.GraftFunctions.register(
             org.apache.spark.sql.SparkSession.active)
-          call_function("graft_regex_find", input, lit(p))
-        case other => throw new MqlException(s"bad $$regexFind: $other")
+          call_function(
+            if (op == "$regexFind") "graft_regex_find" else "graft_regex_find_all",
+            input, lit(p))
+        case other => throw new MqlException(s"bad $op: $other")
       }
 
       case other => throw new MqlException(s"unsupported expression operator $other")

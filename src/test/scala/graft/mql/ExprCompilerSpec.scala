@@ -133,6 +133,13 @@ class ExprCompilerSpec extends AnyFunSuite {
     // $setField/$unsetField treat dotted names literally, not as paths
     assert(eval("""{"$getField": {"input": {"$setField":
       {"field": "a.b", "input": {"a": 1}, "value": 7}}, "field": "a.b"}}""") == 7)
+    // $regexFindAll: every match in order, per-match idx and captures
+    val all = eval("""{"$regexFindAll": {"input": "a1b22c", "regex": "([0-9]+)"}}""")
+      .asInstanceOf[scala.collection.Seq[org.apache.spark.sql.Row]]
+    assert(all.map(_.getString(0)) == Seq("1", "22"))
+    assert(all.map(_.getLong(1)) == Seq(1L, 3L))
+    assert(eval("""{"$regexFindAll": {"input": "xyz", "regex": "[0-9]"}}""")
+      .asInstanceOf[scala.collection.Seq[_]].isEmpty)
   }
 
   test("lambda ops: $filter/$map/$reduce with $$this/$$value and named as") {
