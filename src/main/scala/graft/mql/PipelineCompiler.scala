@@ -275,7 +275,16 @@ object PipelineCompiler {
       case "$count"     => count(lit(1))
       case "$stdDevPop" => stddev_pop(e)
       case "$stdDevSamp" => stddev_samp(e)
-      case "$median"    => median(e)
+      // Mongo's document form {input, method}; the bare-expression form
+      // is kept as a convenience. method: "approximate" (the only value
+      // Mongo accepts) gets EXACT results here — a strictly-more-precise
+      // deliberate deviation, same as $percentile below.
+      case "$median" => arg match {
+        case JObject(spec) if spec.exists(_._1 == "input") =>
+          median(ExprCompiler.compile(
+            spec.collectFirst { case ("input", x) => x }.get))
+        case _ => median(e)
+      }
       case "$percentile" => arg match {
         case JObject(spec) =>
           val input = ExprCompiler.compile(spec.collectFirst { case ("input", x) => x }

@@ -216,6 +216,13 @@ class PipelineExtraSpec extends AnyFunSuite {
     }
   }
 
+  test("$median accepts Mongo's {input, method} document form") {
+    val out = PipelineCompiler.run(sales, """[
+      {"$group": {"_id": null,
+        "m": {"$median": {"input": "$amt", "method": "approximate"}}}}]""")
+    assert(out.head.getDouble(1) == 30.0)
+  }
+
   test("$documents: only first stage; empty array yields zero docs") {
     intercept[MqlException](PipelineCompiler.run(sales, """[
       {"$match": {}}, {"$documents": [{"x": 1}]}]"""))
