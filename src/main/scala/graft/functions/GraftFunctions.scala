@@ -281,6 +281,60 @@ case class RegexFindAll(left: Expression, right: Expression) extends RegexMatchB
     copy(left = l, right = r)
 }
 
+/** Mongo $mergeObjects: union of document fields, later values win;
+  * null/missing documents are ignored. Field order is first-seen (a
+  * later duplicate keeps the original position, Mongo semantics).
+  * Colliding fields must share a type — Spark structs are static. */
+case class MergeObjects(children: Seq[Expression])
+  extends Expression with CodegenFallback {
+  private lazy val structTypes =
+    children.map(_.dataType.asInstanceOf[StructType])
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (!children.forall(_.dataType.isInstanceOf[StructType]))
+      return org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "$mergeObjects expects documents")
+    val byName = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
+    for (st <- children.map(_.dataType.asInstanceOf[StructType]); f <- st.fields) {
+      byName.get(f.name) match {
+        case Some(t) if t != f.dataType =>
+          return org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"$$mergeObjects: field '${f.name}' has conflicting types " +
+              s"${t.simpleString} and ${f.dataType.simpleString}")
+        case _ => byName.update(f.name, f.dataType)
+      }
+    }
+    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  override lazy val dataType: StructType = {
+    val byName = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
+    for (st <- structTypes; f <- st.fields)
+      if (!byName.contains(f.name)) byName.update(f.name, f.dataType)
+      else byName.update(f.name, f.dataType) // same type (checked); keep position
+    StructType(byName.map { case (n, t) => StructField(n, t) }.toSeq)
+  }
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val values = scala.collection.mutable.LinkedHashMap.empty[String, Any]
+    children.zip(structTypes).foreach { case (child, st) =>
+      val row = child.eval(input)
+      if (row != null) {
+        val r = row.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+        st.fields.zipWithIndex.foreach { case (f, i) =>
+          values.update(f.name, if (r.isNullAt(i)) null else r.get(i, f.dataType))
+        }
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      dataType.fieldNames.map(n => values.getOrElse(n, null)).toArray[Any])
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MergeObjects = copy(children = newChildren)
+}
+
 object GraftFunctions {
   /** Register the engine's SQL functions on a session; idempotent. */
   def register(spark: SparkSession): Unit = {
@@ -301,6 +355,8 @@ object GraftFunctions {
       "graft_regex_find", exprs => RegexFind(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_regex_find_all", exprs => RegexFindAll(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_merge_objects", exprs => MergeObjects(exprs), "built-in")
   }
 
   /** Column-level form (requires register(spark) on the session). */

@@ -440,6 +440,17 @@ object ExprCompiler {
       case "$setUnion"     => array_distinct(concat(c: _*))
       case "$setIntersection" | "$setIntersect" => c.reduce(array_intersect)
       case "$setDifference" => array_except(c(0), c(1))
+      // ---- bitwise (Mongo 6.3+) ----
+      case "$bitAnd" => c.reduce(_.bitwiseAND(_))
+      case "$bitOr"  => c.reduce(_.bitwiseOR(_))
+      case "$bitXor" => c.reduce(_.bitwiseXOR(_))
+      case "$bitNot" => bitwise_not(c0)
+      // document union, later fields win (colliding fields must share a
+      // type — Spark structs are statically typed)
+      case "$mergeObjects" =>
+        graft.functions.GraftFunctions.register(
+          org.apache.spark.sql.SparkSession.active)
+        call_function("graft_merge_objects", c: _*)
       case "$setIsSubset" =>
         if (c.size != 2) throw new MqlException("$setIsSubset needs exactly 2 arrays")
         size(array_except(c(0), c(1))) === 0

@@ -142,6 +142,18 @@ class ExprCompilerSpec extends AnyFunSuite {
       .asInstanceOf[scala.collection.Seq[_]].isEmpty)
   }
 
+  test("$bitAnd/$bitOr/$bitXor/$bitNot and $mergeObjects") {
+    assert(eval("""{"$bitAnd": [12, 10]}""") == 8)
+    assert(eval("""{"$bitOr": [12, 10]}""") == 14)
+    assert(eval("""{"$bitXor": [12, 10]}""") == 6)
+    assert(eval("""{"$bitNot": [0]}""") == -1)
+    val m = eval("""{"$mergeObjects": [{"a": 1, "b": 2}, {"b": 9, "c": 3}]}""")
+      .asInstanceOf[org.apache.spark.sql.Row]
+    // later value wins; field order is first-seen
+    assert(m.schema.fieldNames.toSeq == Seq("a", "b", "c"))
+    assert((m.getInt(0), m.getInt(1), m.getInt(2)) == ((1, 9, 3)))
+  }
+
   test("lambda ops: $filter/$map/$reduce with $$this/$$value and named as") {
     assert(eval("""{"$filter": {"input": [1, 2, 3, 4], "cond": {"$gt": ["$$this", 2]}}}""")
       == Seq(3, 4))
