@@ -58,6 +58,11 @@ object ExprCompiler {
   private def fieldOpt(spec: List[(String, JValue)], key: String): Option[JValue] =
     spec.collectFirst { case (`key`, x) => x }
 
+  /** date_part/extract by field name (e.g. YEAROFWEEK, the ISO
+    * week-numbering year). */
+  private def expr_extract(part: String, c: Column): Column =
+    call_function("date_part", lit(part), c)
+
   /** Backtick-quote a LITERAL field name for withField/dropFields (which
     * otherwise parse dots as nested paths); embedded backticks double. */
   private def quoteIdent(name: String): String =
@@ -267,6 +272,7 @@ object ExprCompiler {
       case "$week" =>
         floor((dayofyear(c0) + lit(7) - dayofweek(c0)) / lit(7)).cast(IntegerType)
       case "$isoWeek" => weekofyear(c0)
+      case "$isoWeekYear" => expr_extract("YEAROFWEEK", c0)
       case "$isoDayOfWeek" => weekday(c0) + lit(1)
       case "$dateFromString" => v match {
         case JObject(spec) =>

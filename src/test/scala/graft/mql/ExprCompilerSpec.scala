@@ -142,6 +142,12 @@ class ExprCompilerSpec extends AnyFunSuite {
       .asInstanceOf[scala.collection.Seq[_]].isEmpty)
   }
 
+  test("$isoWeekYear: ISO week-numbering year at year boundaries") {
+    // 2021-01-01 is a Friday of ISO week 53 of 2020
+    assert(eval("""{"$isoWeekYear": {"$toDate": "2021-01-01"}}""") == 2020)
+    assert(eval("""{"$isoWeekYear": {"$toDate": "2021-06-15"}}""") == 2021)
+  }
+
   test("$bitAnd/$bitOr/$bitXor/$bitNot and $mergeObjects") {
     assert(eval("""{"$bitAnd": [12, 10]}""") == 8)
     assert(eval("""{"$bitOr": [12, 10]}""") == 14)
