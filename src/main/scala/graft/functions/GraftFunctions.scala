@@ -1,8 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Coalesce, EqualTo, Expression, If, IsNotNull, IsNull, Literal, Not, RuntimeReplaceable, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -335,6 +336,66 @@ case class MergeObjects(children: Seq[Expression])
       newChildren: IndexedSeq[Expression]): MergeObjects = copy(children = newChildren)
 }
 
+/** BSON type name of a value ($type, {$type} filters), resolved
+  * STATICALLY from the child's plan type — a DataFrame column has one
+  * type, so only the null check is per-row. RuntimeReplaceable: the
+  * optimizer swaps in `if(isnull(c), 'null', <constant name>)` after
+  * analysis, keeping the plan fully codegen-native (the previous
+  * runtime typeof() call failed Janino compilation — "Expression 'int'
+  * is not an rvalue" — and silently de-optimized every $type-bearing
+  * plan to interpreted mode). */
+case class BsonTypeOf(child: Expression)
+  extends RuntimeReplaceable with UnaryLike[Expression] {
+  override lazy val replacement: Expression =
+    If(IsNull(child), Literal("null"), Literal(BsonTypeOf.nameOf(child.dataType)))
+  override protected def withNewChildInternal(c: Expression): BsonTypeOf = copy(c)
+}
+
+object BsonTypeOf {
+  /** Spark DataType → BSON type-name (mongo $type string aliases). */
+  def nameOf(t: DataType): String = t match {
+    case ByteType | ShortType | IntegerType => "int"
+    case LongType                           => "long"
+    case FloatType | DoubleType             => "double"
+    case StringType                         => "string"
+    case BooleanType                        => "bool"
+    case _: TimestampType | DateType | TimestampNTZType => "date"
+    case _: ArrayType                       => "array"
+    case _: StructType                      => "object"
+    case _: DecimalType                     => "decimal"
+    case BinaryType                         => "binData"
+    case NullType                           => "null"
+    case other                              => other.catalogString
+  }
+}
+
+/** $isNumber: statically numeric AND non-null. Non-numeric columns fold
+  * to literal false at analysis. */
+case class BsonIsNumber(child: Expression)
+  extends RuntimeReplaceable with UnaryLike[Expression] {
+  override lazy val replacement: Expression = child.dataType match {
+    case _: NumericType => IsNotNull(child)
+    case _              => Literal(false)
+  }
+  override protected def withNewChildInternal(c: Expression): BsonIsNumber = copy(c)
+}
+
+/** MQL truthiness: null, false, and numeric 0 are falsy; every other
+  * value — including the strings "false" and "0" — is truthy. Dispatch
+  * is on the child's STATIC type, so the replacement contains only the
+  * relevant branch (a non-numeric non-bool column is just isnotnull). */
+case class BsonTruthy(child: Expression)
+  extends RuntimeReplaceable with UnaryLike[Expression] {
+  override lazy val replacement: Expression = child.dataType match {
+    case BooleanType    => Coalesce(Seq(child, Literal(false)))
+    case _: NumericType =>
+      Coalesce(Seq(Not(EqualTo(Cast(child, DoubleType), Literal(0.0))), Literal(false)))
+    case NullType       => Literal(false)
+    case _              => IsNotNull(child)
+  }
+  override protected def withNewChildInternal(c: Expression): BsonTruthy = copy(c)
+}
+
 object GraftFunctions {
   /** Register the engine's SQL functions on a session; idempotent. */
   def register(spark: SparkSession): Unit = {
@@ -357,6 +418,12 @@ object GraftFunctions {
       "graft_regex_find_all", exprs => RegexFindAll(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_merge_objects", exprs => MergeObjects(exprs), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bson_type", exprs => BsonTypeOf(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_is_number", exprs => BsonIsNumber(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_truthy", exprs => BsonTruthy(exprs.head), "built-in")
   }
 
   /** Column-level form (requires register(spark) on the session). */

@@ -74,37 +74,24 @@ object ExprCompiler {
     when(pos === 0, -1).otherwise(pos - 1)
   }
 
-  /** MQL truthiness: null, false, and numeric 0 are falsy; every other
-    * value — including the strings "false" and "0" — is truthy. Type
-    * dispatch via typeof (constant-folded per column). */
-  private def truthy(e: Column): Column = {
-    val t = call_function("typeof", e)
-    when(e.isNull, lit(false))
-      .when(t === "boolean", coalesce(e.try_cast(BooleanType), lit(false)))
-      .when(t.isin("tinyint", "smallint", "int", "bigint", "float", "double")
-        || t.startsWith("decimal"),
-        coalesce(e.try_cast(DoubleType) =!= 0.0, lit(false)))
-      .otherwise(lit(true))
+  /** Call a graft-registered native function, registering the function
+    * set on the active session first (idempotent). */
+  private[mql] def graftFn(name: String, cols: Column*): Column = {
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function(name, cols: _*)
   }
 
-  /** Runtime BSON type name of a value ($type / filter {$type}).
-    * typeof() resolves from the static plan type, so the mapping folds
-    * to a constant branch per column; only the null check is per-row. */
-  private[mql] def bsonTypeName(c: Column): Column = {
-    val t = call_function("typeof", c)
-    when(c.isNull, lit("null")).otherwise(
-      when(t === "tinyint" || t === "smallint" || t === "int", "int")
-        .when(t === "bigint", "long")
-        .when(t === "float" || t === "double", "double")
-        .when(t === "string", "string")
-        .when(t === "boolean", "bool")
-        .when(t.startsWith("timestamp") || t === "date", "date")
-        .when(t.startsWith("array"), "array")
-        .when(t.startsWith("struct"), "object")
-        .when(t.startsWith("decimal"), "decimal")
-        .when(t === "binary", "binData")
-        .otherwise(t))
-  }
+  /** MQL truthiness: null, false, and numeric 0 are falsy; every other
+    * value — including the strings "false" and "0" — is truthy. Static
+    * type dispatch via the BsonTruthy RuntimeReplaceable (the optimizer
+    * swaps in only the branch matching the column's plan type). */
+  private def truthy(e: Column): Column = graftFn("graft_truthy", e)
+
+  /** BSON type name of a value ($type / filter {$type}), resolved
+    * statically from the column's plan type by the BsonTypeOf
+    * RuntimeReplaceable; only the null check is per-row. */
+  private[mql] def bsonTypeName(c: Column): Column = graftFn("graft_bson_type", c)
 
   // MQL %-format → java.time format used by date_format. Literal letters
   // (e.g. the T/Z in ISO timestamps) must be quoted or Spark reads them
@@ -453,10 +440,7 @@ object ExprCompiler {
       case "$bitNot" => bitwise_not(c0)
       // document union, later fields win (colliding fields must share a
       // type — Spark structs are statically typed)
-      case "$mergeObjects" =>
-        graft.functions.GraftFunctions.register(
-          org.apache.spark.sql.SparkSession.active)
-        call_function("graft_merge_objects", c: _*)
+      case "$mergeObjects" => graftFn("graft_merge_objects", c: _*)
       case "$setIsSubset" =>
         if (c.size != 2) throw new MqlException("$setIsSubset needs exactly 2 arrays")
         size(array_except(c(0), c(1))) === 0
@@ -487,14 +471,9 @@ object ExprCompiler {
           slice(zipped, lit(1), inputs.map(size).reduce(least(_, _)))
         case other => throw new MqlException(s"bad $$zip: $other")
       }
-      // runtime BSON type name (typeof() is resolved from the static
-      // plan type, so this folds to a constant branch per column)
+      // BSON type name, resolved from the static plan type at analysis
       case "$type" => bsonTypeName(c0)
-      case "$isNumber" =>
-        val t = call_function("typeof", c0)
-        c0.isNotNull && (t === "tinyint" || t === "smallint" || t === "int" ||
-          t === "bigint" || t === "float" || t === "double" ||
-          t.startsWith("decimal"))
+      case "$isNumber" => graftFn("graft_is_number", c0)
       case "$binarySize" => octet_length(c0)
       case "$filter" => v match {
         case JObject(spec) =>
@@ -546,10 +525,7 @@ object ExprCompiler {
       }
       // struct → [{k, v}] — requires a common field type (Spark arrays
       // are homogeneous; Mongo's mixed-type form has no DataFrame twin)
-      case "$objectToArray" =>
-        graft.functions.GraftFunctions.register(
-          org.apache.spark.sql.SparkSession.active)
-        call_function("graft_object_to_array", c0)
+      case "$objectToArray" => graftFn("graft_object_to_array", c0)
       // first regex match as {match, idx, captures}; null when no match;
       // non-participating groups null (RegexFind native expression, one
       // Matcher evaluation per row)
@@ -559,9 +535,7 @@ object ExprCompiler {
           val pattern = strValue(field(spec, "regex", op), op)
           val opts = fieldOpt(spec, "options").map(x => strValue(x, op)).getOrElse("")
           val p = (if (opts.nonEmpty) s"(?$opts)" else "") + pattern
-          graft.functions.GraftFunctions.register(
-            org.apache.spark.sql.SparkSession.active)
-          call_function(
+          graftFn(
             if (op == "$regexFind") "graft_regex_find" else "graft_regex_find_all",
             input, lit(p))
         case other => throw new MqlException(s"bad $op: $other")

@@ -480,12 +480,19 @@ object PipelineCompiler {
   }
 
   // ---- $bucketAuto -------------------------------------------------------
-  // Equal-count buckets via ntile over the groupBy expression. NOTE: the
-  // unpartitioned sort funnels rows through one task — exact Mongo
-  // semantics are inherently global-sort; at 100 TB swap the ntile for
-  // approx-percentile boundaries + a when-chain (different tie behavior,
-  // same statistical intent). Ties in the groupBy expression straddle
-  // bucket borders nondeterministically — pick a unique expression.
+  // Equal-count buckets. Two plans sharing one shape (assign bucket id →
+  // groupBy → min/max/accumulators):
+  //  * exact (≤ spark.graft.bucketAuto.exactThreshold rows, default 1M):
+  //    ntile over a global sort — exact Mongo semantics; the single-task
+  //    window is fine at this size by construction.
+  //  * scale (above threshold): approx_percentile boundaries + a
+  //    when-chain — fully distributed (one agg pass for boundaries, one
+  //    hash agg for output; no window, no global sort). Same statistical
+  //    intent, different tie behavior at bucket borders; duplicate
+  //    boundary values under heavy skew collapse to fewer buckets, which
+  //    matches Mongo's fewer-buckets-than-requested behavior.
+  // Ties in the groupBy expression straddle bucket borders
+  // nondeterministically on both paths — pick a unique expression.
   private def bucketAuto(df: DataFrame, spec: List[(String, JValue)]): DataFrame = {
     val gb = ExprCompiler.compile(spec.collectFirst { case ("groupBy", e) => e }
       .getOrElse(throw new MqlException("$bucketAuto needs groupBy")))
@@ -497,9 +504,23 @@ object PipelineCompiler {
       case (nm, JObject(List((op, arg)))) => accumulator(op, arg, None).as(nm)
       case (nm, other) => throw new MqlException(s"bad output $nm: $other")
     }
-    val w = Window.orderBy(gb.asc)
+    val threshold = df.sparkSession.conf
+      .get("spark.graft.bucketAuto.exactThreshold", "1000000").toLong
+    // count() is one column-pruned pass — cheap next to either plan, and
+    // the price of never letting a global sort touch large data
+    val bucketCol =
+      if (df.count() <= threshold) ntile(n).over(Window.orderBy(gb.asc))
+      else {
+        val probs = array((1 until n).map(i => lit(i.toDouble / n)): _*)
+        val bounds = df.select(percentile_approx(gb, probs, lit(10000))).first()
+          .getSeq[Any](0)
+        // nulls sort first (as in the ntile path's asc ordering) → bucket 1
+        bounds.zipWithIndex.foldLeft(when(gb.isNull, lit(1))) {
+          case (acc, (b, i)) => acc.when(gb < lit(b), lit(i + 1))
+        }.otherwise(lit(n))
+      }
     val aggCols = Seq(min(gb).as("__min"), max(gb).as("__max")) ++ accCols
-    df.withColumn("__graft_bucket", ntile(n).over(w))
+    df.withColumn("__graft_bucket", bucketCol)
       .groupBy(col("__graft_bucket"))
       .agg(aggCols.head, aggCols.tail: _*)
       .select(struct(col("__min").as("min"), col("__max").as("max")).as("_id")

@@ -94,4 +94,14 @@ class FilterCompilerSpec extends AnyFunSuite {
     assert(ids("""{"tags": {"$type": "array"}}""") == Seq(1, 2, 3))
     assert(ids("""{"a": {"$type": ["string", "int"]}}""") == Seq(1, 2, 4))
   }
+
+  test("$type resolves statically — no runtime typeof survives optimization") {
+    // BsonTypeOf is RuntimeReplaceable on the column's static plan type;
+    // the previous runtime typeof() call failed Janino compilation and
+    // silently fell back to interpreted execution
+    val plan = df.where(FilterCompiler.compile("""{"a": {"$type": "number"}}"""))
+      .queryExecution.optimizedPlan.toString.toLowerCase
+    assert(!plan.contains("typeof"))
+    assert(!plan.contains("bsontypeof"))
+  }
 }

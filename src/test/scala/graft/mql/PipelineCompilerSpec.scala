@@ -94,6 +94,28 @@ class PipelineCompilerSpec extends AnyFunSuite {
     assert(out.where($"id" === 9).select("dept").head.isNullAt(0))
   }
 
+  test("$bucketAuto above the exact threshold: no window, equal-ish buckets") {
+    // force the scale path (approx_percentile boundaries + when-chain)
+    spark.conf.set("spark.graft.bucketAuto.exactThreshold", "10")
+    try {
+      val big = spark.range(1, 1001).selectExpr("id AS v")
+      val out = PipelineCompiler.run(big,
+        """[{"$bucketAuto": {"groupBy": "$v", "buckets": 4}}]""")
+      val plan = out.queryExecution.optimizedPlan.toString.toLowerCase
+      assert(!plan.contains("window"), s"scale path must not plan a window:\n$plan")
+      val rows = out.collect()
+      assert(rows.length == 4)
+      // each bucket holds ~250 of 1000 (approx_percentile at accuracy
+      // 10000 is exact for 1000 distinct values)
+      assert(rows.map(_.getLong(1)).sum == 1000L)
+      rows.foreach(r => assert(math.abs(r.getLong(1) - 250L) <= 5,
+        s"bucket counts should be near-equal: ${rows.mkString(",")}"))
+      // buckets tile the domain in order
+      val mins = rows.map(_.getStruct(0).getLong(0))
+      assert(mins.sorted.sameElements(mins) && mins.head == 1L)
+    } finally spark.conf.unset("spark.graft.bucketAuto.exactThreshold")
+  }
+
   test("$bucket routes out-of-range to default") {
     val out = run("""[{"$bucket": {"groupBy": "$score",
       "boundaries": [0.0, 15.0, 35.0], "default": -1.0}}]""")
