@@ -518,6 +518,96 @@ object Relational {
                     FROM e GROUP BY 1, 2)
               SELECT g.event_type, g.day, COALESCE(c.n, 0) AS n
               FROM g LEFT JOIN c USING (event_type, day)
-              ORDER BY event_type, day"""))
+              ORDER BY event_type, day""")),
+
+    // $documents replaces the input with literal docs (first stage only)
+    QueryDef("q_documents",
+      (s, dir) => agg("region", """[
+        {"$documents": [
+          {"k": 1, "name": "alpha", "score": 1.5},
+          {"k": 2, "name": "beta",  "score": 2.5},
+          {"k": 3, "name": "gamma", "score": -1.0}]},
+        {"$project": {"k": {"$toLong": "$k"}, "name": 1, "score": 1}},
+        {"$sort": {"k": 1}}]""")(s, dir),
+      Some("""SELECT * FROM (VALUES
+                (CAST(1 AS BIGINT), 'alpha', CAST(1.5 AS DOUBLE)),
+                (CAST(2 AS BIGINT), 'beta',  CAST(2.5 AS DOUBLE)),
+                (CAST(3 AS BIGINT), 'gamma', CAST(-1.0 AS DOUBLE)))
+              AS t(k, name, score) ORDER BY k""")),
+
+    // $convert with onError fallback: "3-MEDIUM" fails int parse → -1,
+    // its leading digit parses → 3; round-trip long → string succeeds
+    QueryDef("q_convert",
+      (s, dir) => agg("orders", """[
+        {"$project": {"o_orderkey": 1,
+          "pri": {"$convert": {"input": "$o_orderpriority", "to": "int",
+                               "onError": -1}},
+          "key_str": {"$convert": {"input": "$o_orderkey", "to": "string"}},
+          "pri_digit": {"$convert": {"input": {"$substrCP": ["$o_orderpriority", 0, 1]},
+                                     "to": "long", "onError": -2}}}},
+        {"$project": {"o_orderkey": 1, "pri": {"$toLong": "$pri"},
+                      "key_str": 1, "pri_digit": 1}},
+        {"$sort": {"o_orderkey": 1}}]""")(s, dir),
+      Some("""SELECT o_orderkey,
+                     CAST(coalesce(TRY_CAST(o_orderpriority AS INTEGER), -1) AS BIGINT) AS pri,
+                     CAST(o_orderkey AS VARCHAR) AS key_str,
+                     coalesce(TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT), -2) AS pri_digit
+              FROM orders ORDER BY o_orderkey""")),
+
+    // correlated $lookup with a sub-pipeline pre-filter on the foreign side
+    QueryDef("q_lookup_pipeline",
+      (s, dir) => agg("orders", """[
+        {"$lookup": {"from": "lineitem", "localField": "o_orderkey",
+           "foreignField": "l_orderkey", "as": "big_items",
+           "pipeline": [{"$match": {"l_quantity": {"$gte": 30.0}}}]}},
+        {"$project": {"o_orderkey": 1,
+                      "n_big": {"$toLong": {"$size": "$big_items"}}}},
+        {"$sort": {"o_orderkey": 1}}]""")(s, dir),
+      Some("""SELECT o.o_orderkey, CAST(count(l.l_orderkey) AS BIGINT) AS n_big
+              FROM orders o LEFT JOIN lineitem l
+                ON l.l_orderkey = o.o_orderkey AND l.l_quantity >= 30.0
+              GROUP BY o.o_orderkey ORDER BY o.o_orderkey""")),
+
+    // $facet: two branches over the same input; the group branch is
+    // unwound back to rows, the top-N branch is folded to a scalar via
+    // $map/$sortArray/$reduce ($sortArray because collect_list order is
+    // partition-nondeterministic)
+    QueryDef("q_facet",
+      (s, dir) => agg("nation", """[
+        {"$facet": {
+           "byRegion": [{"$group": {"_id": "$n_regionkey", "n": {"$count": {}}}}],
+           "names":    [{"$sort": {"n_nationkey": 1}}, {"$limit": 3},
+                        {"$project": {"n_name": 1}}]}},
+        {"$project": {"byRegion": 1,
+           "nameList": {"$sortArray": {"input":
+             {"$map": {"input": "$names", "in": "$$this.n_name"}}, "sortBy": 1}}}},
+        {"$unwind": "$byRegion"},
+        {"$project": {"regionkey": "$byRegion._id", "n": "$byRegion.n",
+           "names_joined": {"$reduce": {"input": "$nameList", "initialValue": "",
+             "in": {"$concat": ["$$value", "|", "$$this"]}}}}},
+        {"$sort": {"regionkey": 1}}]""")(s, dir),
+      Some("""WITH br AS (SELECT n_regionkey AS regionkey,
+                                 CAST(count(*) AS BIGINT) AS n
+                          FROM nation GROUP BY n_regionkey),
+                   nm AS (SELECT '|' || string_agg(n_name, '|' ORDER BY n_name)
+                            AS names_joined
+                          FROM (SELECT n_name FROM nation
+                                ORDER BY n_nationkey LIMIT 3))
+              SELECT br.regionkey, br.n, nm.names_joined
+              FROM br, nm ORDER BY br.regionkey""")),
+
+    // nested-path $unwind: the array lives one struct level down and is
+    // replaced in place by each element (golden-twin of the reference's
+    // nested flow, test_arrow.py:586-599)
+    QueryDef("q_unwind_nested",
+      (s, dir) => agg("orders", """[
+        {"$project": {"o_orderkey": 1,
+           "wrap": {"parts": {"$split": ["$o_orderpriority", "-"]}}}},
+        {"$unwind": "$wrap.parts"},
+        {"$project": {"o_orderkey": 1, "word": "$wrap.parts"}},
+        {"$sort": {"o_orderkey": 1, "word": 1}}]""")(s, dir),
+      Some("""SELECT o_orderkey,
+                     unnest(string_split(o_orderpriority, '-')) AS word
+              FROM orders ORDER BY o_orderkey, word"""))
   )
 }
