@@ -106,13 +106,20 @@ object SchemaInference {
       case (f, _) => f // first non-null wins; mismatches null at decode
     }
 
-  def infer(docs: Dataset[String]): StructType = {
-    val partTrees: Array[(Int, DataType)] = docs.rdd.mapPartitionsWithIndex { (pi, it) =>
+  def infer(docs: Dataset[String]): StructType =
+    inferNodes(docs.rdd.mapPartitions { it =>
       val mapper = DocDecoder.newMapper()
+      it.map(mapper.readTree(_): JsonNode)
+    })
+
+  /** Inference over already-parsed document trees — the shared core for
+    * the text (.jsonl) and binary (.bson) input paths. */
+  def inferNodes(docs: org.apache.spark.rdd.RDD[JsonNode]): StructType = {
+    val partTrees: Array[(Int, DataType)] = docs.mapPartitionsWithIndex { (pi, it) =>
       // NullType seed: the first non-null-typed document wins (an empty
       // StructType seed would swallow scalar top-level values)
-      val acc = it.foldLeft(NullType: DataType) { (tree, line) =>
-        merge(tree, typeOf(mapper.readTree(line)))
+      val acc = it.foldLeft(NullType: DataType) { (tree, node) =>
+        merge(tree, typeOf(node))
       }
       Iterator.single(pi -> acc)
     }.collect()

@@ -40,14 +40,15 @@ object Decode {
                      CAST(COUNT(*) AS BIGINT) AS n
               FROM events""")),
 
-    // full engine loop: typed table → DocWriter batched sink →
-    // graftdocs DSv2 source (pruned decode) → aggregation; the oracle
-    // sees only the original table, so any encode/decode drift fails.
+    // full engine loop: typed table → graftdocs DSv2 write (batched
+    // extended-JSON sink) → graftdocs DSv2 source (pruned decode) →
+    // aggregation; the oracle sees only the original table, so any
+    // encode/decode drift fails.
     QueryDef("q_connector_roundtrip",
       (s, dir) => {
         val df = Graft.table(s, dir, "customer")
         val path = java.nio.file.Files.createTempDirectory("graft_conn").toString
-        graft.sinks.DocWriter.write(df, path)
+        df.write.format("graftdocs").mode("overwrite").save(path)
         s.read.format("graftdocs").schema(df.schema).load(path)
           .groupBy(col("c_mktsegment"))
           .agg(count(lit(1)).as("n"),
@@ -57,6 +58,28 @@ object Decode {
       },
       Some("""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
                      CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
-              FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+              FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // raw binary BSON loop (the reference's native format,
+    // process_bson_stream lib.pyx:296-311): typed table → .bson batch
+    // files → binary parse + schema-directed decode → aggregation
+    QueryDef("q_decode_bson",
+      (s, dir) => {
+        val df = Graft.table(s, dir, "orders")
+        val path = java.nio.file.Files.createTempDirectory("graft_bson_q").toString
+        df.write.format("graftdocs").option("format", "bson")
+          .mode("overwrite").save(path)
+        s.read.format("graftdocs").schema(df.schema).load(path)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+              .cast(org.apache.spark.sql.types.DoubleType).as("sum_price"),
+            max(col("o_orderdate")).as("last_date"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+                     max(o_orderdate) AS last_date
+              FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
   )
 }

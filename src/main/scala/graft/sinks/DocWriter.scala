@@ -129,6 +129,14 @@ object DocWriter {
     sb.append('"')
   }
 
+  /** One row → one extended-JSON document line (no trailing newline);
+    * shared with the DSv2 write path. */
+  private[graft] def encodeJsonLine(r: Row, st: StructType): String = {
+    val sb = new java.lang.StringBuilder()
+    encodeRow(r, st, sb)
+    sb.toString
+  }
+
   private def encodeRow(r: Row, st: StructType, sb: java.lang.StringBuilder): Unit = {
     sb.append('{')
     var first = true

@@ -2,23 +2,36 @@ package graft.sources
 
 import java.util
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
 
-import graft.bson.DocDecoder
+import graft.bson.{BsonBinary, DocDecoder}
 
 import scala.jdk.CollectionConverters._
 
-/** DataSource V2 connector for document batches (`*.jsonl` extended-JSON
-  * files, e.g. the output of `graft.sinks.DocWriter`) — the Spark twin of
-  * the reference's client: `find_arrow_all` becomes
-  * `spark.read.format("graftdocs").schema(s).load(path).where(...)`.
+/** DataSource V2 connector for document batches — the Spark twin of the
+  * reference's client: `find_arrow_all` becomes
+  * `spark.read.format("graftdocs").schema(s).load(path).where(...)`, and
+  * `write()` (reference api.py:602-713) becomes
+  * `df.write.format("graftdocs").mode("append").save(path)`.
+  *
+  * Two file formats share one decode path:
+  *  - `*.jsonl` — extended-JSON lines (one document per line);
+  *  - `*.bson`  — raw concatenated BSON documents (the mongodump layout,
+  *    the reference's native input: `process_bson_stream` over a
+  *    `bson_reader_t`, lib.pyx:296-311), parsed by [[BsonBinary]] into
+  *    the same canonical node shape, so coercion semantics are format-
+  *    independent by construction.
   *
   * Pushdown parity (reference api.py:172-175):
   *  - **column pruning IS the projection synthesis**: the decoder only
@@ -29,30 +42,58 @@ import scala.jdk.CollectionConverters._
   *    skip rows), mirroring a find against an unindexed collection —
   *    Catalyst evaluates them directly over the decoded batch.
   *
-  * Partitioning: one input split per file (file ≈ cursor batch, the
-  * reference's unit of parallel decode, api.py:181-199). At 100 TB the
-  * batches land as many files and decode embarrassingly parallel.
+  * Partitioning: `.jsonl` files split into newline-aligned byte ranges;
+  * `.bson` files are one split each (length-prefixed documents have no
+  * sync marker — batches should land as many files, the reference's unit
+  * of parallel decode, api.py:181-199). Paths resolve through the Hadoop
+  * FileSystem API (globs, `file:`/`hdfs:`/object-store URIs) — the 100 TB
+  * deployment does not keep batches on local disk.
   *
   * Options: `allowInvalid` (default false) — the reference's
-  * strict-vs-null coercion switch (api.py:148-149).
+  * strict-vs-null coercion switch (api.py:148-149); `maxSplitBytes`;
+  * write-side `format` = `jsonl` (default) | `bson`.
   */
 object GraftDocSource {
+  private[sources] case class FileRef(path: String, length: Long) {
+    def isBson: Boolean = path.endsWith(".bson")
+  }
+
+  private[sources] def activeHadoopConf(): Configuration =
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+
   /** Single resolver for the input file list, honoring both 'path' and
     * 'paths' (DataFrameReader.load(paths*) JSON-encodes the latter), so
-    * schema inference and the scan always agree on what gets read. */
-  private[sources] def resolveFiles(options: CaseInsensitiveStringMap): Seq[String] = {
+    * schema inference and the scan always agree on what gets read.
+    * Resolution goes through Hadoop FileSystem.globStatus: literal
+    * paths, directories (picking *.jsonl / *.bson), and glob patterns
+    * all work on any configured filesystem. */
+  private[sources] def resolveFiles(options: CaseInsensitiveStringMap): Seq[FileRef] = {
     val raw: Seq[String] =
       Option(options.get("path")).map(Seq(_))
         .orElse(Option(options.get("paths")).map(parsePaths))
         .getOrElse(throw new IllegalArgumentException(
           "graftdocs: 'path' or 'paths' required"))
+    val conf = activeHadoopConf()
     raw.flatMap { p =>
-      val f = new java.io.File(p)
-      if (f.isDirectory)
-        f.listFiles((_, n) => n.endsWith(".jsonl")).map(_.getAbsolutePath).sorted.toSeq
-      else Seq(p)
+      val path = new Path(p)
+      val fs = path.getFileSystem(conf)
+      val matched: Seq[FileStatus] =
+        Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Seq.empty)
+      if (matched.isEmpty) throw new IllegalArgumentException(
+        s"graftdocs: no files match $p")
+      matched.flatMap { st =>
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).toSeq
+            .filter(s => s.isFile && isDocFile(s.getPath.getName))
+            .sortBy(_.getPath.getName)
+        else Seq(st)
+      }.map(st => FileRef(st.getPath.toString, st.getLen))
     }
   }
+
+  private def isDocFile(name: String): Boolean =
+    (name.endsWith(".jsonl") || name.endsWith(".bson")) &&
+      !name.startsWith(".") && !name.startsWith("_") // Hadoop hidden files (.crc etc.)
 
   private def parsePaths(s: String): Seq[String] =
     if (s.trim.startsWith("[")) {
@@ -69,9 +110,27 @@ class GraftDocSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = org.apache.spark.sql.SparkSession.active
-    import spark.implicits._
-    val docs = spark.read.textFile(GraftDocSource.resolveFiles(options): _*)
-    graft.bson.SchemaInference.infer(docs)
+    val files = GraftDocSource.resolveFiles(options)
+    val conf = new SerializableConfiguration(GraftDocSource.activeHadoopConf())
+    // one task per file; partition order = file order, so the
+    // "first observed value wins" rule stays well-defined globally
+    val nodes = spark.sparkContext
+      .parallelize(files, math.max(files.size, 1))
+      .flatMap { ref =>
+        val in = new Path(ref.path).getFileSystem(conf.value)
+          .open(new Path(ref.path))
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
+        if (ref.isBson) BsonBinary.documents(in)
+        else {
+          val mapper = DocDecoder.newMapper()
+          val reader = new java.io.BufferedReader(
+            new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+          Iterator.continually(reader.readLine()).takeWhile(_ != null)
+            .filter(_.nonEmpty).map(mapper.readTree)
+        }
+      }
+    graft.bson.SchemaInference.inferNodes(nodes)
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -80,13 +139,16 @@ class GraftDocSource extends TableProvider with DataSourceRegister {
 }
 
 private[sources] class GraftDocTable(schema: StructType, props: Map[String, String])
-  extends Table with SupportsRead {
+  extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graftdocs(${props.getOrElse("path", "?")})"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(schema, options)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(info)
 }
 
 private[sources] class GraftScanBuilder(fullSchema: StructType,
@@ -124,10 +186,10 @@ private[sources] class GraftScan(schema: StructType, options: CaseInsensitiveStr
 
   private val allowInvalid = options.getBoolean("allowinvalid", false)
 
-  // Large files split into newline-aligned byte ranges (0x0A never
-  // occurs inside a UTF-8 multibyte sequence): a split owns every line
-  // whose FIRST byte lies in [start, end). One 100 GB file is ~800
-  // tasks, not one.
+  // Large .jsonl files split into newline-aligned byte ranges (0x0A
+  // never occurs inside a UTF-8 multibyte sequence): a split owns every
+  // line whose FIRST byte lies in [start, end). One 100 GB file is ~800
+  // tasks, not one. .bson files read whole (no sync marker to align on).
   private val maxSplitBytes = {
     val v = options.getLong("maxsplitbytes", 128L * 1024 * 1024)
     if (v <= 0) throw new IllegalArgumentException(
@@ -136,15 +198,16 @@ private[sources] class GraftScan(schema: StructType, options: CaseInsensitiveStr
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    GraftDocSource.resolveFiles(options).toArray.flatMap { p =>
-      val len = new java.io.File(p).length()
-      if (len <= maxSplitBytes) Array(GraftFilePartition(p, 0L, math.max(len, 1L)))
-      else (0L until len by maxSplitBytes).map(s =>
-        GraftFilePartition(p, s, math.min(s + maxSplitBytes, len))).toArray
+    GraftDocSource.resolveFiles(options).toArray.flatMap { ref =>
+      if (ref.isBson || ref.length <= maxSplitBytes)
+        Array(GraftFilePartition(ref.path, 0L, math.max(ref.length, 1L)))
+      else (0L until ref.length by maxSplitBytes).map(s =>
+        GraftFilePartition(ref.path, s, math.min(s + maxSplitBytes, ref.length))).toArray
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(schema, allowInvalid, filters)
+    new GraftReaderFactory(schema, allowInvalid, filters,
+      new SerializableConfiguration(GraftDocSource.activeHadoopConf()))
 }
 
 private[sources] case class GraftFilePartition(path: String, start: Long, end: Long)
@@ -229,70 +292,212 @@ private[sources] object GraftScanMetrics {
 }
 
 private[sources] class GraftReaderFactory(schema: StructType, allowInvalid: Boolean,
-                                          filters: Array[Filter])
+                                          filters: Array[Filter],
+                                          conf: SerializableConfiguration)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftFilePartition]
-    new PartitionReader[InternalRow] {
-      private val mapper = DocDecoder.newMapper()
-      private val fileIn = new java.io.FileInputStream(p.path)
-      private var pos = if (p.start > 0) p.start - 1 else 0L
-      private val in =
-        try {
-          var toSkip = pos
-          while (toSkip > 0) toSkip -= fileIn.skip(toSkip)
-          val buffered = new java.io.BufferedInputStream(fileIn, 1 << 16)
-          // A split owns lines whose first byte is in [start, end). Read
-          // from start-1 and discard through the first newline: when the
-          // byte at start-1 IS a newline, the line beginning exactly at
-          // start is preserved (reading from start would wrongly discard
-          // it — no split would ever emit it); otherwise start landed
-          // mid-line and that line belongs to the previous split.
-          if (p.start > 0) {
-            var b = buffered.read()
-            while (b != -1 && b != '\n') { pos += 1; b = buffered.read() }
-            if (b != -1) pos += 1
-          }
-          buffered
-        } catch {
-          case e: Throwable => fileIn.close(); throw e
-        }
-      private val lineBuf = new java.io.ByteArrayOutputStream(1 << 12)
-      /** Next line whose first byte precedes `end`; null when done. */
-      private def readLine(): String = {
-        if (pos >= p.end) return null
-        lineBuf.reset()
-        var b = in.read()
-        if (b == -1) return null
-        while (b != -1 && b != '\n') { lineBuf.write(b); pos += 1; b = in.read() }
-        if (b != -1) pos += 1
-        new String(lineBuf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
-      }
-      private val toCatalyst = CatalystTypeConverters.createToCatalystConverter(schema)
-      private var current: InternalRow = _
-      private val fieldIdx: Map[String, Int] =
-        schema.fieldNames.zipWithIndex.toMap
+    val strict = !allowInvalid
+    val toCatalyst = CatalystTypeConverters.createToCatalystConverter(schema)
+    val fieldIdx: Map[String, Int] = schema.fieldNames.zipWithIndex.toMap
+    val fsIn = {
+      val path = new Path(p.path)
+      path.getFileSystem(conf.value).open(path)
+    }
 
+    // format-specific document iterator; both yield canonical ext-JSON
+    // nodes, so decode below is shared
+    val docs: Iterator[com.fasterxml.jackson.databind.JsonNode] =
+      if (p.path.endsWith(".bson")) BsonBinary.documents(fsIn)
+      else new JsonlLineIterator(fsIn, p.start, p.end)
+
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
       override def next(): Boolean = {
-        var line = readLine()
-        while (line != null) {
-          if (line.nonEmpty) {
-            val row = DocDecoder.decodeStruct(mapper.readTree(line), schema,
-              strict = !allowInvalid)
-            def get(name: String): Any =
-              fieldIdx.get(name).map(row.get).orNull
-            if (filters.forall(DocFilterEval.eval(_, get))) {
-              current = toCatalyst(row).asInstanceOf[InternalRow]
-              GraftScanMetrics.emitted.increment()
-              return true
-            } else GraftScanMetrics.skipped.increment()
-          }
-          line = readLine()
+        while (docs.hasNext) {
+          val node = docs.next()
+          val row = DocDecoder.decodeStruct(node, schema, strict)
+          def get(name: String): Any = fieldIdx.get(name).map(row.get).orNull
+          if (filters.forall(DocFilterEval.eval(_, get))) {
+            current = toCatalyst(row).asInstanceOf[InternalRow]
+            GraftScanMetrics.emitted.increment()
+            return true
+          } else GraftScanMetrics.skipped.increment()
         }
         false
       }
       override def get(): InternalRow = current
-      override def close(): Unit = fileIn.close()
+      override def close(): Unit = fsIn.close()
     }
   }
+}
+
+/** Newline-aligned split reader over a seekable stream: owns every line
+  * whose FIRST byte lies in [start, end). Seeks to start-1 and discards
+  * through the first newline: when the byte at start-1 IS a newline, the
+  * line beginning exactly at start is preserved (reading from start
+  * would wrongly discard it — no split would ever emit it); otherwise
+  * start landed mid-line and that line belongs to the previous split. */
+private[sources] class JsonlLineIterator(
+    fsIn: org.apache.hadoop.fs.FSDataInputStream, start: Long, end: Long)
+  extends Iterator[com.fasterxml.jackson.databind.JsonNode] {
+  private val mapper = DocDecoder.newMapper()
+  private var pos = if (start > 0) start - 1 else 0L
+  private val in = {
+    if (pos > 0) fsIn.seek(pos)
+    val buffered = new java.io.BufferedInputStream(fsIn, 1 << 16)
+    if (start > 0) {
+      var b = buffered.read()
+      while (b != -1 && b != '\n') { pos += 1; b = buffered.read() }
+      if (b != -1) pos += 1
+    }
+    buffered
+  }
+  private val lineBuf = new java.io.ByteArrayOutputStream(1 << 12)
+  private var nextLine: String = _
+  private var done = false
+
+  /** Next line whose first byte precedes `end`; null when exhausted. */
+  private def readLine(): String = {
+    if (pos >= end) return null
+    lineBuf.reset()
+    var b = in.read()
+    if (b == -1) return null
+    while (b != -1 && b != '\n') { lineBuf.write(b); pos += 1; b = in.read() }
+    if (b != -1) pos += 1
+    new String(lineBuf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  override def hasNext: Boolean = {
+    while (!done && nextLine == null) {
+      val l = readLine()
+      if (l == null) done = true
+      else if (l.nonEmpty) nextLine = l
+    }
+    !done
+  }
+  override def next(): com.fasterxml.jackson.databind.JsonNode = {
+    if (!hasNext) throw new NoSuchElementException
+    val l = nextLine; nextLine = null
+    mapper.readTree(l)
+  }
+}
+
+// ---- write path ------------------------------------------------------------
+
+/** DSv2 write: `df.write.format("graftdocs").mode("append").save(path)`.
+  * Wraps the sink's batching/commit bookkeeping (DocWriter's 48 MB−16 KiB
+  * / 100k flush limits, reference api.py:91-95,685-697) in the connector
+  * contract; `format` option picks extended-JSON lines (default) or raw
+  * BSON batch files. Overwrite mode maps to TRUNCATE (existing batch
+  * files of either format are removed on job start). */
+private[sources] class GraftWriteBuilder(info: LogicalWriteInfo)
+  extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = {
+      graft.sinks.DocWriter.validateSchema(info.schema())
+      val options = info.options()
+      val path = Option(options.get("path")).getOrElse(
+        throw new IllegalArgumentException("graftdocs write: 'path' required"))
+      val format = Option(options.get("format")).getOrElse("jsonl")
+      if (format != "jsonl" && format != "bson")
+        throw new IllegalArgumentException(
+          s"graftdocs write: format must be jsonl|bson, got $format")
+      new GraftBatchWrite(info.schema(), path, format, doTruncate,
+        options.getLong("maxbatchbytes", graft.sinks.DocWriter.MaxBatchBytes),
+        options.getInt("maxbatchdocs", graft.sinks.DocWriter.MaxBatchDocs),
+        new SerializableConfiguration(GraftDocSource.activeHadoopConf()))
+    }
+  }
+}
+
+private[sources] case class GraftCommit(inserted: Long, batches: Long)
+  extends WriterCommitMessage
+
+private[sources] class GraftBatchWrite(schema: StructType, path: String,
+                                       format: String, truncate: Boolean,
+                                       maxBatchBytes: Long, maxBatchDocs: Int,
+                                       conf: SerializableConfiguration)
+  extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    // driver-side, before any task launches: prepare the target dir
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf.value)
+    if (truncate && fs.exists(dir))
+      fs.listStatus(dir).foreach { st =>
+        val n = st.getPath.getName
+        if (n.endsWith(".jsonl") || n.endsWith(".bson")) fs.delete(st.getPath, false)
+      }
+    fs.mkdirs(dir)
+    new GraftDataWriterFactory(schema, path, format, maxBatchBytes, maxBatchDocs, conf)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private[sources] class GraftDataWriterFactory(schema: StructType, path: String,
+                                              format: String, maxBatchBytes: Long,
+                                              maxBatchDocs: Int,
+                                              conf: SerializableConfiguration)
+  extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(schema, path, format, partitionId, taskId, maxBatchBytes,
+      maxBatchDocs, conf.value)
+}
+
+/** Per-partition writer: the reference's single client loop becomes N of
+  * these; each batches documents to the byte/count limits and flushes one
+  * file per batch (`part-<partition>-<batch>.<ext>`). */
+private[sources] class GraftDataWriter(schema: StructType, path: String,
+                                       format: String, partitionId: Int,
+                                       taskId: Long, maxBatchBytes: Long,
+                                       maxBatchDocs: Int, conf: Configuration)
+  extends DataWriter[InternalRow] {
+  private val toScala = CatalystTypeConverters.createToScalaConverter(schema)
+  private val fs = new Path(path).getFileSystem(conf)
+  private val isBson = format == "bson"
+
+  private var batchIdx = 0
+  private var inserted = 0L
+  private var batches = 0L
+  private var buf = new ByteBatch
+  private var docsInBatch = 0
+
+  private class ByteBatch {
+    val out = new java.io.ByteArrayOutputStream(1 << 16)
+    def size: Long = out.size().toLong
+  }
+
+  override def write(record: InternalRow): Unit = {
+    val row = toScala(record).asInstanceOf[org.apache.spark.sql.Row]
+    val bytes =
+      if (isBson) BsonBinary.encodeRow(row, schema)
+      else (graft.sinks.DocWriter.encodeJsonLine(row, schema) + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (docsInBatch > 0 &&
+        (buf.size + bytes.length > maxBatchBytes || docsInBatch >= maxBatchDocs))
+      flush()
+    buf.out.write(bytes, 0, bytes.length)
+    docsInBatch += 1
+  }
+
+  private def flush(): Unit = if (docsInBatch > 0) {
+    val ext = if (isBson) "bson" else "jsonl"
+    // taskId disambiguates across jobs (append-mode re-writes) and
+    // speculative/retried attempts of the same partition
+    val f = new Path(path, f"part-$partitionId%05d-$taskId%06d-$batchIdx%05d.$ext")
+    val out = fs.create(f, true)
+    try buf.out.writeTo(out) finally out.close()
+    inserted += docsInBatch; batches += 1
+    batchIdx += 1; docsInBatch = 0
+    buf = new ByteBatch
+  }
+
+  override def commit(): WriterCommitMessage = { flush(); GraftCommit(inserted, batches) }
+  override def abort(): Unit = ()
+  override def close(): Unit = ()
 }

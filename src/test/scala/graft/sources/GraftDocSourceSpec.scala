@@ -96,6 +96,52 @@ class GraftDocSourceSpec extends AnyFunSuite {
       df.orderBy("c_custkey").collect().toSeq)
   }
 
+  test("DSv2 write: df.write.format(graftdocs) round trips; overwrite truncates") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graft_dsv2w").toString
+    df.write.format("graftdocs").mode("append").save(path)
+    val back = spark.read.format("graftdocs").schema(df.schema).load(path)
+    assert(back.orderBy("c_custkey").collect().toSeq ==
+      df.orderBy("c_custkey").collect().toSeq)
+    // append adds; overwrite truncates back to one copy
+    df.limit(10).write.format("graftdocs").mode("append").save(path)
+    assert(spark.read.format("graftdocs").schema(df.schema).load(path).count()
+      == df.count() + 10)
+    df.write.format("graftdocs").mode("overwrite").save(path)
+    assert(spark.read.format("graftdocs").schema(df.schema).load(path).count()
+      == df.count())
+  }
+
+  test("binary BSON files: write format=bson, read back through the same scan") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graft_bson").toString
+    df.write.format("graftdocs").option("format", "bson").mode("append").save(path)
+    val files = new java.io.File(path).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")) // local-FS checksum shadows
+    assert(files.nonEmpty && files.forall(_.endsWith(".bson")), files.toSeq.toString)
+    val back = spark.read.format("graftdocs").schema(df.schema).load(path)
+    assert(back.orderBy("c_custkey").collect().toSeq ==
+      df.orderBy("c_custkey").collect().toSeq)
+    // inference works over binary documents too
+    val inferred = spark.read.format("graftdocs").load(path)
+    assert(inferred.schema("c_custkey").dataType == LongType)
+    assert(inferred.count() == df.count())
+  }
+
+  test("Hadoop path resolution: file: URIs and glob patterns") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_glob")
+    java.nio.file.Files.writeString(dir.resolve("a-1.jsonl"), "{\"a\": 1}\n")
+    java.nio.file.Files.writeString(dir.resolve("a-2.jsonl"), "{\"a\": 2}\n")
+    java.nio.file.Files.writeString(dir.resolve("b-1.jsonl"), "{\"a\": 3}\n")
+    val viaUri = spark.read.format("graftdocs").load(s"file:$dir")
+    assert(viaUri.collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3))
+    val viaGlob = spark.read.format("graftdocs").load(s"$dir/a-*.jsonl")
+    assert(viaGlob.collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+    intercept[IllegalArgumentException] {
+      spark.read.format("graftdocs").load(s"$dir/zzz-*.jsonl").collect()
+    }
+  }
+
   test("multi-path load: inference and scan resolve the same file list") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dsv2p")
     val p1 = dir.resolve("a.jsonl"); val p2 = dir.resolve("b.jsonl")
