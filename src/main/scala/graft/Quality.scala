@@ -36,18 +36,25 @@ object Quality {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     val (mhR, mhP) = prf(mh, truth)
 
-    // ANN: brute-force top-10 vs IVF (partial probe) per query
+    // ANN: brute-force top-10 vs IVF (partial probe) per query, with
+    // and without the spherical-k-means centroid refinement
     val queries = emb.where(col("vec_id") < 20)
     val bf = Similarity.bruteForceTopK(queries, emb, 10)
       .select("query_id", "match_id").as[(Long, Long)].collect().toSet
-    val ivf = Similarity.ivfTopK(queries, emb, 10, nCells = 16, nProbe = 4)
+    val ivf0 = Similarity.ivfTopK(queries, emb, 10, nCells = 16, nProbe = 4,
+        lloydIters = 0)
+      .select("query_id", "match_id").as[(Long, Long)].collect().toSet
+    val (ivf0R, ivf0P) = prf(ivf0, bf)
+    val ivf = Similarity.ivfTopK(queries, emb, 10, nCells = 16, nProbe = 4,
+        lloydIters = 1)
       .select("query_id", "match_id").as[(Long, Long)].collect().toSet
     val (ivfR, ivfP) = prf(ivf, bf)
 
     println(
       s"""{"sf":"$sfDir","near_dup_truth_pairs":${truth.size},""" +
       s""""minhash":{"recall":$mhR,"precision":$mhP},""" +
-      s""""ivf_top10_nprobe4of16":{"recall":$ivfR,"precision":$ivfP}}""")
+      s""""ivf_top10_nprobe4of16_hash_sample":{"recall":$ivf0R,"precision":$ivf0P},""" +
+      s""""ivf_top10_nprobe4of16_lloyd1":{"recall":$ivfR,"precision":$ivfP}}""")
     spark.stop()
   }
 }

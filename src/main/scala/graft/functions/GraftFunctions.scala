@@ -180,6 +180,77 @@ case class JaccardSim(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Sign-LSH bucket id of a double vector against a CONSTANT hyperplane
+  * matrix (array<array<double>>, foldable): bit p set iff plane p's
+  * projection is > 0. One fused pass per row with full codegen —
+  * replaces `planes` separate interpreted aggregate(zip_with(...))
+  * chains, which dominated the whole-corpus signature scan. The
+  * dimension guard lives inside the same pass (a wrong dim would
+  * null-poison every projection and silently send ALL vectors to
+  * bucket 0, turning the bucket self-join O(n²) — fail loudly).
+  * Null elements leave that plane's bit unset (the null-poisoned fold
+  * of the HOF form compared null > 0 → bit 0 — same result). */
+case class SignBucket(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable
+
+  private lazy val planes: Array[Array[Double]] = {
+    val ad = right.eval().asInstanceOf[ArrayData]
+    (0 until ad.numElements()).map(i => ad.getArray(i).toDoubleArray()).toArray
+  }
+
+  override def nullSafeEval(v: Any, pIgnored: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val dim = planes(0).length
+    if (arr.numElements() != dim) throw new IllegalArgumentException(
+      s"signBucket: expected $dim-dim vector, got ${arr.numElements()}")
+    var bucket = 0L
+    var p = 0
+    while (p < planes.length) {
+      val comps = planes(p)
+      var s = 0.0
+      var anyNull = false
+      var i = 0
+      while (i < dim) {
+        if (arr.isNullAt(i)) anyNull = true else s += arr.getDouble(i) * comps(i)
+        i += 1
+      }
+      if (!anyNull && s > 0) bucket |= 1L << p
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, _) => {
+      val mat = ctx.addReferenceObj("planes", planes, "double[][]")
+      val dim = ctx.freshName("dim")
+      val bucket = ctx.freshName("bucket")
+      val p = ctx.freshName("p")
+      val s = ctx.freshName("s")
+      val anyNull = ctx.freshName("anyNull")
+      val comps = ctx.freshName("comps")
+      val i = ctx.freshName("i")
+      s"""int $dim = $mat[0].length;
+         |if ($v.numElements() != $dim) throw new IllegalArgumentException(
+         |  "signBucket: expected " + $dim + "-dim vector, got " + $v.numElements());
+         |long $bucket = 0L;
+         |for (int $p = 0; $p < $mat.length; $p++) {
+         |  double[] $comps = $mat[$p];
+         |  double $s = 0.0;
+         |  boolean $anyNull = false;
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    if ($v.isNullAt($i)) $anyNull = true; else $s += $v.getDouble($i) * $comps[$i];
+         |  }
+         |  if (!$anyNull && $s > 0) $bucket |= 1L << $p;
+         |}
+         |${ev.value} = $bucket;""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SignBucket =
+    copy(left = l, right = r)
+}
+
 /** Mongo $objectToArray: struct → array<struct<k: string, v: T>>.
   * Spark arrays are homogeneous, so all struct fields must share one
   * type (checked at analysis); Mongo's mixed-type documents have no
@@ -418,6 +489,8 @@ object GraftFunctions {
       "graft_regex_find_all", exprs => RegexFindAll(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_merge_objects", exprs => MergeObjects(exprs), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sign_bucket", exprs => SignBucket(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bson_type", exprs => BsonTypeOf(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -71,19 +71,16 @@ object Similarity {
     * `dim`-dimensional vectors. Vectors in the same bucket are likely
     * neighbors. (Single-probe: neighbors landing across a hyperplane are
     * missed — see measured recall in README; raise recall by lowering
-    * `planes` or via ivfTopK.) */
+    * `planes` or via ivfTopK.) One fused codegen pass over the vector
+    * (the SignBucket native expression), with the dim guard inside it —
+    * the previous `planes`× interpreted aggregate(zip_with) chains plus
+    * a when/raise_error wrapper cost +55% on the whole-corpus scan. */
   def signBucket(vec: Column, planes: Int, dim: Int): Column = {
-    val bucket = (0 until planes).map { p =>
-      val comps = array((0 until dim).map(i => lit(planeSign(p, i))): _*)
-      val s = aggregate(zip_with(vec.cast("array<double>"), comps,
-        (x, c) => x * c), lit(0.0), (acc, v) => acc + v)
-      when(s > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
-    // wrong dim would null-poison every projection and silently send ALL
-    // vectors to bucket 0 (an O(n²) self-join) — fail loudly instead
-    when(size(vec) === dim, bucket).otherwise(raise_error(concat(
-      lit(s"signBucket: expected $dim-dim vector, got "),
-      size(vec).cast("string"))).cast("long"))
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    val matrix = array((0 until planes).map(p =>
+      array((0 until dim).map(i => lit(planeSign(p, i))): _*)): _*)
+    call_function("sign_bucket", vec.cast("array<double>"), matrix)
   }
 
   /** Bucketed approximate neighbor pairs: same sign-bucket → verify
@@ -102,41 +99,90 @@ object Similarity {
       .where(col("cos") >= threshold)
   }
 
+  /** Spherical k-means (Lloyd) refinement of IVF centroids: each
+    * iteration assigns every corpus vector to its nearest centroid (one
+    * broadcast pass, the same shape as the final IVF assignment) and
+    * re-centers each cell on the element-wise mean of its members. The
+    * means come back to the driver as nCells × dim tiny rows
+    * (posexplode → groupBy(cell, pos) → avg — never a whole-vector
+    * shuffle), so the refined centroids stay broadcastable by
+    * construction. Cosine similarity divides by the centroid norm, so
+    * the mean needs no explicit normalization (spherical k-means).
+    * Empty cells keep their previous centroid. */
+  private def lloydRefine(corpus: DataFrame, seed: DataFrame, iters: Int,
+                          idCol: String, vecCol: String): DataFrame = {
+    val spark = corpus.sparkSession
+    var current = seed
+    for (_ <- 1 to iters) {
+      val assigned = nearestCells(corpus, current, idCol, vecCol, keep = 1)
+      val means = assigned
+        .select(col("cell_id"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+        .groupBy("cell_id", "__pos").agg(avg(col("__x")).as("__m"))
+        .collect()
+        .groupBy(_.get(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      val rows = current.collect().map { r =>
+        means.get(r.get(0)) match {
+          case Some(vec) =>
+            org.apache.spark.sql.Row(r.get(0), vec, math.sqrt(vec.map(x => x * x).sum))
+          case None => r // empty cell: keep the previous centroid
+        }
+      }
+      current = spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), current.schema)
+    }
+    current
+  }
+
+  /** Score `df`'s vectors against broadcast centroids and keep each row's
+    * `keep` nearest cells. One linear pass; the corpus never shuffles. */
+  private def nearestCells(df: DataFrame, centroids: DataFrame, id: String,
+                           vecCol: String, keep: Int): DataFrame = {
+    val scored = df.select(col(id), col(vecCol).cast("array<double>").as("__v"),
+        norm(col(vecCol)).as("__n"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("__sim", rawDot(col("__v"), col("__cv")) / (col("__n") * col("__cn")))
+    val w = Window.partitionBy(col(id)).orderBy(col("__sim").desc, col("cell_id").asc)
+    scored.withColumn("__r", row_number().over(w)).where(col("__r") <= keep)
+      .select(col(id), col("cell_id"), col("__v"), col("__n"))
+  }
+
   /** IVF (inverted-file) approximate top-k: the corpus is partitioned
-    * into `nCells` Voronoi cells around deterministically-sampled
-    * centroids; a query probes its `nProbe` nearest cells and brute-
-    * forces only those. At 100 TB the cell assignment is one broadcast
-    * pass over the corpus (centroids are tiny) and each query touches
-    * ~nProbe/nCells of the data. nProbe = nCells degrades gracefully to
-    * exact brute force (asserted in tests).
+    * into `nCells` Voronoi cells around broadcast centroids; a query
+    * probes its `nProbe` nearest cells and brute-forces only those. At
+    * 100 TB the cell assignment is one broadcast pass over the corpus
+    * (centroids are tiny) and each query touches ~nProbe/nCells of the
+    * data. nProbe = nCells degrades gracefully to exact brute force
+    * (asserted in tests — and invariant to centroid placement, so the
+    * oracle entry stays exact under refinement).
     *
     * Centroid choice: the nCells corpus rows with the smallest xxhash64
     * of their id — a deterministic, seed-free hash-ordered sample that
     * exists for any id distribution, found in one TakeOrdered pass (no
-    * extra corpus count scan). A k-means refinement would drop in here.
+    * extra corpus count scan) — refined by `lloydIters` rounds of
+    * spherical k-means (measured recall gain in Quality/README).
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nCells: Int = 16, nProbe: Int = 4,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val centroids = broadcast(corpus
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              lloydIters: Int = 1): DataFrame = {
+    val seed = corpus
       .orderBy(xxhash64(col(idCol)).asc, col(idCol).asc).limit(nCells)
       .select(col(idCol).as("cell_id"), col(vecCol).cast("array<double>").as("__cv"),
-        norm(col(vecCol)).as("__cn")))
+        norm(col(vecCol)).as("__cn"))
+    val centroids = broadcast(
+      if (lloydIters <= 0) seed
+      else lloydRefine(corpus, seed, lloydIters, idCol, vecCol))
 
-    def nearestCells(df: DataFrame, id: String, keep: Int): DataFrame = {
-      val scored = df.select(col(id), col(vecCol).cast("array<double>").as("__v"),
-          norm(col(vecCol)).as("__n"))
-        .crossJoin(centroids)
-        .withColumn("__sim", rawDot(col("__v"), col("__cv")) / (col("__n") * col("__cn")))
-      val w = Window.partitionBy(col(id)).orderBy(col("__sim").desc, col("cell_id").asc)
-      scored.withColumn("__r", row_number().over(w)).where(col("__r") <= keep)
-        .select(col(id), col("cell_id"), col("__v"), col("__n"))
-    }
+    def nearest(df: DataFrame, id: String, keep: Int): DataFrame =
+      nearestCells(df, centroids, id, vecCol, keep)
 
-    val assigned = nearestCells(corpus, idCol, 1)
+    val assigned = nearest(corpus, idCol, 1)
       .withColumnRenamed(idCol, "match_id")
       .withColumnRenamed("__v", "__mv").withColumnRenamed("__n", "__mn")
-    val probes = nearestCells(
+    val probes = nearest(
       queries.withColumnRenamed(idCol, "query_id_tmp"), "query_id_tmp", nProbe)
     val probed = queries.select(col(idCol).as("query_id_tmp"), col(vecCol))
       .join(probes.select("query_id_tmp", "cell_id"), "query_id_tmp")
