@@ -30,6 +30,12 @@ object BsonBinary {
   /** BSON decimal128 exponent bias (IEEE 754-2008 BID). */
   private val DecimalBias = 6176
 
+  /** Per-document size cap, enforced symmetrically: the parser rejects
+    * larger length prefixes (corruption guard), so the encoder must
+    * refuse to produce them — a write the engine's own reader cannot
+    * parse would break the round-trip invariant silently. */
+  val MaxDocBytes: Int = 64 * 1024 * 1024
+
   // ---- parse -------------------------------------------------------------
 
   /** Iterate the documents of a BSON stream (concatenated length-prefixed
@@ -57,7 +63,7 @@ object BsonBinary {
       val b1 = in.read(); val b2 = in.read(); val b3 = in.read()
       if (b3 < 0) throw new EOFException("truncated BSON length prefix")
       val len = b0 | (b1 << 8) | (b2 << 16) | (b3 << 24)
-      if (len < 5 || len > 64 * 1024 * 1024) throw new GraftTypeError(
+      if (len < 5 || len > MaxDocBytes) throw new GraftTypeError(
         s"invalid BSON document length $len")
       val body = readFully(len - 4)
       val buf = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
@@ -211,6 +217,9 @@ object BsonBinary {
     writeDoc(out, schema.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
       (f.name, if (row.isNullAt(i)) null else row.get(i), f.dataType, f.metadata)
     })
+    if (out.size() > MaxDocBytes) throw new IllegalArgumentException(
+      s"BSON document exceeds the $MaxDocBytes-byte cap (${out.size()} bytes); " +
+        "split oversized rows before writing")
     out.toByteArray
   }
 

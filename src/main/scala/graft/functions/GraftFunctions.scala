@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Coalesce, EqualTo, Expression, If, IsNotNull, IsNull, Literal, Not, RuntimeReplaceable, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block.BlockHelper
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -192,11 +193,21 @@ case class JaccardSim(left: Expression, right: Expression)
   * of the HOF form compared null > 0 → bit 0 — same result). */
 case class SignBucket(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = LongType
-  override def nullable: Boolean = left.nullable
+  override def nullable: Boolean = false // null vector RAISES (see below)
 
   private lazy val planes: Array[Array[Double]] = {
     val ad = right.eval().asInstanceOf[ArrayData]
     (0 until ad.numElements()).map(i => ad.getArray(i).toDoubleArray()).toArray
+  }
+
+  // a NULL vector raises like a wrong-dim vector does (and like the
+  // when/raise_error form this expression replaced): a silently-null
+  // bucket would drop the row from the dedup equi-join unreported
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = left.eval(input)
+    if (v == null) throw new IllegalArgumentException(
+      "signBucket: null vector (dedup inputs must be non-null)")
+    nullSafeEval(v, null)
   }
 
   override def nullSafeEval(v: Any, pIgnored: Any): Any = {
@@ -221,33 +232,109 @@ case class SignBucket(left: Expression, right: Expression) extends BinaryExpress
     bucket
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (v, _) => {
-      val mat = ctx.addReferenceObj("planes", planes, "double[][]")
-      val dim = ctx.freshName("dim")
-      val bucket = ctx.freshName("bucket")
-      val p = ctx.freshName("p")
-      val s = ctx.freshName("s")
-      val anyNull = ctx.freshName("anyNull")
-      val comps = ctx.freshName("comps")
-      val i = ctx.freshName("i")
-      s"""int $dim = $mat[0].length;
-         |if ($v.numElements() != $dim) throw new IllegalArgumentException(
-         |  "signBucket: expected " + $dim + "-dim vector, got " + $v.numElements());
-         |long $bucket = 0L;
-         |for (int $p = 0; $p < $mat.length; $p++) {
-         |  double[] $comps = $mat[$p];
-         |  double $s = 0.0;
-         |  boolean $anyNull = false;
-         |  for (int $i = 0; $i < $dim; $i++) {
-         |    if ($v.isNullAt($i)) $anyNull = true; else $s += $v.getDouble($i) * $comps[$i];
-         |  }
-         |  if (!$anyNull && $s > 0) $bucket |= 1L << $p;
-         |}
-         |${ev.value} = $bucket;""".stripMargin
-    })
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vGen = left.genCode(ctx)
+    val mat = ctx.addReferenceObj("planes", planes, "double[][]")
+    val v = vGen.value
+    val dim = ctx.freshName("dim")
+    val bucket = ctx.freshName("bucket")
+    val p = ctx.freshName("p")
+    val s = ctx.freshName("s")
+    val anyNull = ctx.freshName("anyNull")
+    val comps = ctx.freshName("comps")
+    val i = ctx.freshName("i")
+    ev.copy(code = code"""
+      |${vGen.code}
+      |if (${vGen.isNull}) throw new IllegalArgumentException(
+      |  "signBucket: null vector (dedup inputs must be non-null)");
+      |int $dim = $mat[0].length;
+      |if ($v.numElements() != $dim) throw new IllegalArgumentException(
+      |  "signBucket: expected " + $dim + "-dim vector, got " + $v.numElements());
+      |long $bucket = 0L;
+      |for (int $p = 0; $p < $mat.length; $p++) {
+      |  double[] $comps = $mat[$p];
+      |  double $s = 0.0;
+      |  boolean $anyNull = false;
+      |  for (int $i = 0; $i < $dim; $i++) {
+      |    if ($v.isNullAt($i)) $anyNull = true; else $s += $v.getDouble($i) * $comps[$i];
+      |  }
+      |  if (!$anyNull && $s > 0) $bucket |= 1L << $p;
+      |}
+      |long ${ev.value} = $bucket;""".stripMargin, isNull = FalseLiteral)
+  }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): SignBucket =
+    copy(left = l, right = r)
+}
+
+/** Index (0-based) of the max-dot-product row of a CONSTANT
+  * pre-normalized centroid matrix — the map-only IVF cell assignment:
+  * `corpus.withColumn("cell", nearest_cell(vec, matrix))` touches each
+  * row once with NO crossJoin row explosion and NO window shuffle (the
+  * row's own norm is a positive constant across cells, so it cannot
+  * change the argmax). Ties keep the lowest index (matrix rows are
+  * ordered by cell id). Null/wrong-dim/null-element vectors return null
+  * (unindexable — callers drop them explicitly). */
+case class NearestCell(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  private lazy val cells: Array[Array[Double]] = {
+    val ad = right.eval().asInstanceOf[ArrayData]
+    (0 until ad.numElements()).map(i => ad.getArray(i).toDoubleArray()).toArray
+  }
+
+  override def nullSafeEval(v: Any, cIgnored: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val dim = cells(0).length
+    if (arr.numElements() != dim) return null
+    var best = -1
+    var bestSim = Double.NegativeInfinity
+    var p = 0
+    while (p < cells.length) {
+      val cv = cells(p)
+      var s = 0.0
+      var i = 0
+      var ok = true
+      while (i < dim && ok) {
+        if (arr.isNullAt(i)) ok = false else s += arr.getDouble(i) * cv(i)
+        i += 1
+      }
+      if (ok && s > bestSim) { best = p; bestSim = s }
+      p += 1
+    }
+    if (best < 0) null else best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, _) => {
+      val mat = ctx.addReferenceObj("cells", cells, "double[][]")
+      val dim = ctx.freshName("dim")
+      val best = ctx.freshName("best")
+      val bestSim = ctx.freshName("bestSim")
+      val p = ctx.freshName("p")
+      val s = ctx.freshName("s")
+      val ok = ctx.freshName("ok")
+      val cv = ctx.freshName("cv")
+      val i = ctx.freshName("i")
+      s"""int $dim = $mat[0].length;
+         |if ($v.numElements() != $dim) { ${ev.isNull} = true; } else {
+         |  int $best = -1;
+         |  double $bestSim = Double.NEGATIVE_INFINITY;
+         |  for (int $p = 0; $p < $mat.length; $p++) {
+         |    double[] $cv = $mat[$p];
+         |    double $s = 0.0;
+         |    boolean $ok = true;
+         |    for (int $i = 0; $i < $dim && $ok; $i++) {
+         |      if ($v.isNullAt($i)) $ok = false; else $s += $v.getDouble($i) * $cv[$i];
+         |    }
+         |    if ($ok && $s > $bestSim) { $best = $p; $bestSim = $s; }
+         |  }
+         |  if ($best < 0) { ${ev.isNull} = true; } else { ${ev.value} = $best; }
+         |}""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): NearestCell =
     copy(left = l, right = r)
 }
 
@@ -491,6 +578,8 @@ object GraftFunctions {
       "graft_merge_objects", exprs => MergeObjects(exprs), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sign_bucket", exprs => SignBucket(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nearest_cell", exprs => NearestCell(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bson_type", exprs => BsonTypeOf(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -99,64 +99,67 @@ object Similarity {
       .where(col("cos") >= threshold)
   }
 
+  /** Literal pre-normalized centroid matrix (rows ÷ their norms) for the
+    * map-only `nearest_cell` assignment. Rows are driver-side centroid
+    * Rows of (cell_id, __cv, __cn) — nCells of them, tiny by design. */
+  private def centroidMatrix(rows: Array[org.apache.spark.sql.Row]): Column =
+    array(rows.map { r =>
+      val cn = r.getDouble(2)
+      array(r.getSeq[Double](1).map(x => lit(x / cn)): _*)
+    }.toIndexedSeq: _*)
+
   /** Spherical k-means (Lloyd) refinement of IVF centroids: each
-    * iteration assigns every corpus vector to its nearest centroid (one
-    * broadcast pass, the same shape as the final IVF assignment) and
-    * re-centers each cell on the element-wise mean of its members. The
-    * means come back to the driver as nCells × dim tiny rows
-    * (posexplode → groupBy(cell, pos) → avg — never a whole-vector
-    * shuffle), so the refined centroids stay broadcastable by
-    * construction. Cosine similarity divides by the centroid norm, so
-    * the mean needs no explicit normalization (spherical k-means).
-    * Empty cells keep their previous centroid. */
-  private def lloydRefine(corpus: DataFrame, seed: DataFrame, iters: Int,
-                          idCol: String, vecCol: String): DataFrame = {
-    val spark = corpus.sparkSession
-    var current = seed
+    * iteration assigns every corpus vector to its nearest centroid —
+    * a MAP-ONLY pass (`nearest_cell` against the literal centroid
+    * matrix: no crossJoin row explosion, no window, the corpus never
+    * shuffles whole vectors) — and re-centers each cell on the
+    * element-wise mean of its members. The means shuffle as exploded
+    * (cell, dimension, value) scalars and come back to the driver as
+    * nCells × dim tiny rows. Cosine similarity divides by the centroid
+    * norm, so the mean needs no explicit normalization (spherical
+    * k-means). Empty cells keep their previous centroid. */
+  private def lloydRefine(corpus: DataFrame, seedRows: Array[org.apache.spark.sql.Row],
+                          iters: Int, vecCol: String): Array[org.apache.spark.sql.Row] = {
+    var current = seedRows
     for (_ <- 1 to iters) {
-      val assigned = nearestCells(corpus, current, idCol, vecCol, keep = 1)
+      val assigned = corpus
+        .select(col(vecCol).cast("array<double>").as("__v"))
+        .withColumn("__ci", graftFn("nearest_cell", col("__v"), centroidMatrix(current)))
+        .where(col("__ci").isNotNull)
       val means = assigned
-        .select(col("cell_id"), posexplode(col("__v")).as(Seq("__pos", "__x")))
-        .groupBy("cell_id", "__pos").agg(avg(col("__x")).as("__m"))
+        .select(col("__ci"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+        .groupBy("__ci", "__pos").agg(avg(col("__x")).as("__m"))
         .collect()
-        .groupBy(_.get(0))
-        .map { case (cell, rows) =>
-          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        .groupBy(_.getInt(0))
+        .map { case (ci, rows) =>
+          ci -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
         }
-      val rows = current.collect().map { r =>
-        means.get(r.get(0)) match {
+      current = current.zipWithIndex.map { case (r, ci) =>
+        means.get(ci) match {
           case Some(vec) =>
             org.apache.spark.sql.Row(r.get(0), vec, math.sqrt(vec.map(x => x * x).sum))
           case None => r // empty cell: keep the previous centroid
         }
       }
-      current = spark.createDataFrame(
-        java.util.Arrays.asList(rows: _*), current.schema)
     }
     current
   }
 
-  /** Score `df`'s vectors against broadcast centroids and keep each row's
-    * `keep` nearest cells. One linear pass; the corpus never shuffles. */
-  private def nearestCells(df: DataFrame, centroids: DataFrame, id: String,
-                           vecCol: String, keep: Int): DataFrame = {
-    val scored = df.select(col(id), col(vecCol).cast("array<double>").as("__v"),
-        norm(col(vecCol)).as("__n"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("__sim", rawDot(col("__v"), col("__cv")) / (col("__n") * col("__cn")))
-    val w = Window.partitionBy(col(id)).orderBy(col("__sim").desc, col("cell_id").asc)
-    scored.withColumn("__r", row_number().over(w)).where(col("__r") <= keep)
-      .select(col(id), col("cell_id"), col("__v"), col("__n"))
+  private def graftFn(name: String, cols: Column*): Column = {
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function(name, cols: _*)
   }
 
   /** IVF (inverted-file) approximate top-k: the corpus is partitioned
-    * into `nCells` Voronoi cells around broadcast centroids; a query
+    * into `nCells` Voronoi cells around the centroid matrix; a query
     * probes its `nProbe` nearest cells and brute-forces only those. At
-    * 100 TB the cell assignment is one broadcast pass over the corpus
-    * (centroids are tiny) and each query touches ~nProbe/nCells of the
-    * data. nProbe = nCells degrades gracefully to exact brute force
-    * (asserted in tests — and invariant to centroid placement, so the
-    * oracle entry stays exact under refinement).
+    * 100 TB the cell assignment is one MAP-ONLY pass over the corpus
+    * (`nearest_cell` against the literal matrix — no join, no shuffle)
+    * and each query touches ~nProbe/nCells of the data. nProbe = nCells
+    * degrades gracefully to exact brute force (asserted in tests — and
+    * invariant to centroid placement, so the oracle entry stays exact
+    * under refinement; refinement is skipped there as wasted work).
     *
     * Centroid choice: the nCells corpus rows with the smallest xxhash64
     * of their id — a deterministic, seed-free hash-ordered sample that
@@ -168,22 +171,42 @@ object Similarity {
               nCells: Int = 16, nProbe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding",
               lloydIters: Int = 1): DataFrame = {
-    val seed = corpus
+    val seedDf = corpus
       .orderBy(xxhash64(col(idCol)).asc, col(idCol).asc).limit(nCells)
       .select(col(idCol).as("cell_id"), col(vecCol).cast("array<double>").as("__cv"),
         norm(col(vecCol)).as("__cn"))
-    val centroids = broadcast(
-      if (lloydIters <= 0) seed
-      else lloydRefine(corpus, seed, lloydIters, idCol, vecCol))
+    val seedSchema = seedDf.schema
+    val seedRows = seedDf.collect()
+    val centroidRows = // exhaustive probing is invariant to placement
+      if (lloydIters <= 0 || nProbe >= nCells) seedRows
+      else lloydRefine(corpus, seedRows, lloydIters, vecCol)
+    val cellIds = array(centroidRows.map(r => lit(r.get(0))).toIndexedSeq: _*)
 
-    def nearest(df: DataFrame, id: String, keep: Int): DataFrame =
-      nearestCells(df, centroids, id, vecCol, keep)
+    // corpus side: MAP-ONLY assignment (rows with unindexable vectors —
+    // null/wrong-dim — are excluded from the index, like any ANN index)
+    val assigned = corpus
+      .select(col(idCol).as("match_id"),
+        col(vecCol).cast("array<double>").as("__mv"), norm(col(vecCol)).as("__mn"))
+      .withColumn("__ci", graftFn("nearest_cell", col("__mv"), centroidMatrix(centroidRows)))
+      .where(col("__ci").isNotNull)
+      .withColumn("cell_id", element_at(cellIds, col("__ci") + 1))
+      .drop("__ci")
 
-    val assigned = nearest(corpus, idCol, 1)
-      .withColumnRenamed(idCol, "match_id")
-      .withColumnRenamed("__v", "__mv").withColumnRenamed("__n", "__mn")
-    val probes = nearest(
-      queries.withColumnRenamed(idCol, "query_id_tmp"), "query_id_tmp", nProbe)
+    // query side is small: score against all broadcast centroids, keep
+    // the nProbe best cells per query (window over the query set only)
+    val probes = {
+      val centroids = broadcast(corpus.sparkSession.createDataFrame(
+        java.util.Arrays.asList(centroidRows: _*), seedSchema))
+      val scored = queries
+        .select(col(idCol).as("query_id_tmp"),
+          col(vecCol).cast("array<double>").as("__v"), norm(col(vecCol)).as("__n"))
+        .crossJoin(centroids)
+        .withColumn("__sim", rawDot(col("__v"), col("__cv")) / (col("__n") * col("__cn")))
+      val w = Window.partitionBy(col("query_id_tmp"))
+        .orderBy(col("__sim").desc, col("cell_id").asc)
+      scored.withColumn("__r", row_number().over(w)).where(col("__r") <= nProbe)
+        .select(col("query_id_tmp"), col("cell_id"))
+    }
     val probed = queries.select(col(idCol).as("query_id_tmp"), col(vecCol))
       .join(probes.select("query_id_tmp", "cell_id"), "query_id_tmp")
       .select(col("query_id_tmp").as("query_id"),

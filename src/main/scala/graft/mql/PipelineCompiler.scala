@@ -506,19 +506,31 @@ object PipelineCompiler {
     }
     val threshold = df.sparkSession.conf
       .get("spark.graft.bucketAuto.exactThreshold", "1000000").toLong
-    // count() is one column-pruned pass — cheap next to either plan, and
-    // the price of never letting a global sort touch large data
-    val bucketCol =
-      if (df.count() <= threshold) ntile(n).over(Window.orderBy(gb.asc))
-      else {
-        val probs = array((1 until n).map(i => lit(i.toDouble / n)): _*)
-        val bounds = df.select(percentile_approx(gb, probs, lit(10000))).first()
-          .getSeq[Any](0)
+    // percentile_approx sketches numerics only; other groupBy types
+    // (string/bool) keep the exact ntile plan at any size
+    val sketchable = df.select(gb.as("__gb")).schema.head.dataType match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case _ => false
+    }
+    // ONE stat pass decides the path AND fetches the boundary sketch
+    // (the upstream plan re-executes once here and once in the final
+    // agg — the price of never letting a global sort touch large data)
+    val probs = array((1 until n).map(i => lit(i.toDouble / n)): _*)
+    val stats =
+      if (sketchable)
+        df.agg(count(lit(1)), percentile_approx(gb, probs, lit(10000))).first()
+      else df.agg(count(lit(1))).first()
+    val bounds = if (sketchable && stats.getLong(0) > threshold)
+      Option(stats.getSeq[Any](1)) else None
+    val bucketCol = bounds match {
+      case None => ntile(n).over(Window.orderBy(gb.asc))
+      case Some(bs) if bs.isEmpty => lit(1) // single bucket (n == 1)
+      case Some(bs) =>
         // nulls sort first (as in the ntile path's asc ordering) → bucket 1
-        bounds.zipWithIndex.foldLeft(when(gb.isNull, lit(1))) {
+        bs.zipWithIndex.foldLeft(when(gb.isNull, lit(1))) {
           case (acc, (b, i)) => acc.when(gb < lit(b), lit(i + 1))
         }.otherwise(lit(n))
-      }
+    }
     val aggCols = Seq(min(gb).as("__min"), max(gb).as("__max")) ++ accCols
     df.withColumn("__graft_bucket", bucketCol)
       .groupBy(col("__graft_bucket"))

@@ -306,10 +306,15 @@ private[sources] class GraftReaderFactory(schema: StructType, allowInvalid: Bool
     }
 
     // format-specific document iterator; both yield canonical ext-JSON
-    // nodes, so decode below is shared
+    // nodes, so decode below is shared. Construction seeks/reads — close
+    // the handle if it throws (the reader's close() never runs then).
     val docs: Iterator[com.fasterxml.jackson.databind.JsonNode] =
-      if (p.path.endsWith(".bson")) BsonBinary.documents(fsIn)
-      else new JsonlLineIterator(fsIn, p.start, p.end)
+      try {
+        if (p.path.endsWith(".bson")) BsonBinary.documents(fsIn)
+        else new JsonlLineIterator(fsIn, p.start, p.end)
+      } catch {
+        case e: Throwable => fsIn.close(); throw e
+      }
 
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
@@ -389,8 +394,15 @@ private[sources] class JsonlLineIterator(
   * Wraps the sink's batching/commit bookkeeping (DocWriter's 48 MB−16 KiB
   * / 100k flush limits, reference api.py:91-95,685-697) in the connector
   * contract; `format` option picks extended-JSON lines (default) or raw
-  * BSON batch files. Overwrite mode maps to TRUNCATE (existing batch
-  * files of either format are removed on job start). */
+  * BSON batch files.
+  *
+  * Commit protocol: tasks stage batches as HIDDEN dot-files (readers
+  * filter them), so failed/speculative attempts never surface data —
+  * task abort deletes its own staged files, and the driver renames the
+  * winning attempts' files visible only at job commit. Overwrite mode
+  * maps to TRUNCATE: pre-existing batch files are recorded up front and
+  * deleted AFTER the new files commit (a failed overwrite keeps the old
+  * data). */
 private[sources] class GraftWriteBuilder(info: LogicalWriteInfo)
   extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
@@ -413,7 +425,9 @@ private[sources] class GraftWriteBuilder(info: LogicalWriteInfo)
   }
 }
 
-private[sources] case class GraftCommit(inserted: Long, batches: Long)
+/** Staged (hidden) batch-file names a task committed, plus counts. */
+private[sources] case class GraftCommit(inserted: Long, batches: Long,
+                                        stagedFiles: Seq[String])
   extends WriterCommitMessage
 
 private[sources] class GraftBatchWrite(schema: StructType, path: String,
@@ -421,41 +435,65 @@ private[sources] class GraftBatchWrite(schema: StructType, path: String,
                                        maxBatchBytes: Long, maxBatchDocs: Int,
                                        conf: SerializableConfiguration)
   extends BatchWrite {
+  // job-unique token: final names can never collide with a previous
+  // job's output (taskIds restart across applications)
+  private val jobToken = java.util.UUID.randomUUID().toString.take(8)
+  private var preExisting: Seq[Path] = Seq.empty
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    // driver-side, before any task launches: prepare the target dir
+    // driver-side, before any task launches: prepare the target dir and
+    // record what truncate must remove at commit time
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf.value)
     if (truncate && fs.exists(dir))
-      fs.listStatus(dir).foreach { st =>
-        val n = st.getPath.getName
-        if (n.endsWith(".jsonl") || n.endsWith(".bson")) fs.delete(st.getPath, false)
+      preExisting = fs.listStatus(dir).toSeq.map(_.getPath).filter { p =>
+        val n = p.getName
+        (n.endsWith(".jsonl") || n.endsWith(".bson")) && !n.startsWith(".")
       }
     fs.mkdirs(dir)
-    new GraftDataWriterFactory(schema, path, format, maxBatchBytes, maxBatchDocs, conf)
+    new GraftDataWriterFactory(schema, path, format, jobToken,
+      maxBatchBytes, maxBatchDocs, conf)
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(conf.value)
+    // winning attempts only (the commit coordinator arbitrates): unhide
+    messages.collect { case c: GraftCommit => c }.flatMap(_.stagedFiles)
+      .foreach { staged =>
+        val p = new Path(staged)
+        fs.rename(p, new Path(p.getParent, p.getName.stripPrefix(".")))
+      }
+    // truncate semantics: old data disappears only after the new commits
+    preExisting.foreach(fs.delete(_, false))
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(conf.value)
+    messages.collect { case c: GraftCommit => c }.flatMap(_.stagedFiles)
+      .foreach(s => fs.delete(new Path(s), false))
+  }
 }
 
 private[sources] class GraftDataWriterFactory(schema: StructType, path: String,
-                                              format: String, maxBatchBytes: Long,
-                                              maxBatchDocs: Int,
+                                              format: String, jobToken: String,
+                                              maxBatchBytes: Long, maxBatchDocs: Int,
                                               conf: SerializableConfiguration)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftDataWriter(schema, path, format, partitionId, taskId, maxBatchBytes,
-      maxBatchDocs, conf.value)
+    new GraftDataWriter(schema, path, format, jobToken, partitionId, taskId,
+      maxBatchBytes, maxBatchDocs, conf.value)
 }
 
 /** Per-partition writer: the reference's single client loop becomes N of
-  * these; each batches documents to the byte/count limits and flushes one
-  * file per batch (`part-<partition>-<batch>.<ext>`). */
+  * these; each batches documents to the byte/count limits and flushes
+  * one HIDDEN staged file per batch
+  * (`.part-<jobToken>-<partition>-<task>-<batch>.<ext>`), unhidden by
+  * the driver at job commit. */
 private[sources] class GraftDataWriter(schema: StructType, path: String,
-                                       format: String, partitionId: Int,
-                                       taskId: Long, maxBatchBytes: Long,
-                                       maxBatchDocs: Int, conf: Configuration)
+                                       format: String, jobToken: String,
+                                       partitionId: Int, taskId: Long,
+                                       maxBatchBytes: Long, maxBatchDocs: Int,
+                                       conf: Configuration)
   extends DataWriter[InternalRow] {
   private val toScala = CatalystTypeConverters.createToScalaConverter(schema)
   private val fs = new Path(path).getFileSystem(conf)
@@ -466,6 +504,7 @@ private[sources] class GraftDataWriter(schema: StructType, path: String,
   private var batches = 0L
   private var buf = new ByteBatch
   private var docsInBatch = 0
+  private val staged = scala.collection.mutable.ArrayBuffer.empty[Path]
 
   private class ByteBatch {
     val out = new java.io.ByteArrayOutputStream(1 << 16)
@@ -487,17 +526,20 @@ private[sources] class GraftDataWriter(schema: StructType, path: String,
 
   private def flush(): Unit = if (docsInBatch > 0) {
     val ext = if (isBson) "bson" else "jsonl"
-    // taskId disambiguates across jobs (append-mode re-writes) and
-    // speculative/retried attempts of the same partition
-    val f = new Path(path, f"part-$partitionId%05d-$taskId%06d-$batchIdx%05d.$ext")
+    val f = new Path(path,
+      f".part-$jobToken-$partitionId%05d-$taskId%06d-$batchIdx%05d.$ext")
     val out = fs.create(f, true)
     try buf.out.writeTo(out) finally out.close()
+    staged += f
     inserted += docsInBatch; batches += 1
     batchIdx += 1; docsInBatch = 0
     buf = new ByteBatch
   }
 
-  override def commit(): WriterCommitMessage = { flush(); GraftCommit(inserted, batches) }
-  override def abort(): Unit = ()
+  override def commit(): WriterCommitMessage = {
+    flush()
+    GraftCommit(inserted, batches, staged.map(_.toString).toSeq)
+  }
+  override def abort(): Unit = staged.foreach(fs.delete(_, false))
   override def close(): Unit = ()
 }
