@@ -21,11 +21,15 @@ object Similarity {
     * DotDouble codegen expression: left-to-right summation, so the
     * order-deterministic oracle contract of the old
     * aggregate(zip_with(...)) fold is preserved. */
-  private[llmops] def rawDot(a: Column, b: Column): Column = {
+  /** Call a graft-registered native function, registering the function
+    * set on the active session first (idempotent). */
+  private def graftFn(name: String, cols: Column*): Column = {
     graft.functions.GraftFunctions.register(
       org.apache.spark.sql.SparkSession.active)
-    call_function("dot_d", a, b)
+    call_function(name, cols: _*)
   }
+
+  private[llmops] def rawDot(a: Column, b: Column): Column = graftFn("dot_d", a, b)
 
   /** Elements cast to double before multiply (float*float loses bits the
     * oracle keeps). Sequential fold → deterministic sum order. */
@@ -76,11 +80,9 @@ object Similarity {
     * the previous `planes`× interpreted aggregate(zip_with) chains plus
     * a when/raise_error wrapper cost +55% on the whole-corpus scan. */
   def signBucket(vec: Column, planes: Int, dim: Int): Column = {
-    graft.functions.GraftFunctions.register(
-      org.apache.spark.sql.SparkSession.active)
-    val matrix = array((0 until planes).map(p =>
-      array((0 until dim).map(i => lit(planeSign(p, i))): _*)): _*)
-    call_function("sign_bucket", vec.cast("array<double>"), matrix)
+    val matrix = typedlit((0 until planes).map(p =>
+      (0 until dim).map(i => planeSign(p, i))))
+    graftFn("sign_bucket", vec.cast("array<double>"), matrix)
   }
 
   /** Bucketed approximate neighbor pairs: same sign-bucket → verify
@@ -100,13 +102,19 @@ object Similarity {
   }
 
   /** Literal pre-normalized centroid matrix (rows ÷ their norms) for the
-    * map-only `nearest_cell` assignment. Rows are driver-side centroid
-    * Rows of (cell_id, __cv, __cn) — nCells of them, tiny by design. */
+    * map-only `nearest_cell` assignment: ONE literal node (typedlit), not
+    * nCells × dim Literal/CreateArray nodes — at dim 1536 × 256 cells the
+    * per-element form puts ~400k nodes in every assignment plan. Rows are
+    * driver-side centroid Rows of (cell_id, __cv, __cn), ORDERED BY
+    * cell_id so matrix-index ties == cell_id ties (the query-side probe
+    * order). A zero-norm centroid maps to the zero vector (dot 0, never
+    * dominant) instead of NaN-poisoning its cell. */
   private def centroidMatrix(rows: Array[org.apache.spark.sql.Row]): Column =
-    array(rows.map { r =>
+    typedlit(rows.toIndexedSeq.map { r =>
       val cn = r.getDouble(2)
-      array(r.getSeq[Double](1).map(x => lit(x / cn)): _*)
-    }.toIndexedSeq: _*)
+      val d = if (cn == 0.0) 1.0 else cn
+      r.getSeq[Double](1).map(x => if (cn == 0.0) 0.0 else x / d)
+    })
 
   /** Spherical k-means (Lloyd) refinement of IVF centroids: each
     * iteration assigns every corpus vector to its nearest centroid —
@@ -145,12 +153,6 @@ object Similarity {
     current
   }
 
-  private def graftFn(name: String, cols: Column*): Column = {
-    graft.functions.GraftFunctions.register(
-      org.apache.spark.sql.SparkSession.active)
-    call_function(name, cols: _*)
-  }
-
   /** IVF (inverted-file) approximate top-k: the corpus is partitioned
     * into `nCells` Voronoi cells around the centroid matrix; a query
     * probes its `nProbe` nearest cells and brute-forces only those. At
@@ -171,10 +173,16 @@ object Similarity {
               nCells: Int = 16, nProbe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding",
               lloydIters: Int = 1): DataFrame = {
+    // re-sorted by cell_id after the hash-ordered sample, so matrix
+    // index order == cell_id order: nearest_cell's lowest-index tie
+    // break and the query window's cell_id-asc tie break agree (tied
+    // duplicate centroids would otherwise send corpus rows to a cell
+    // the query never probes)
     val seedDf = corpus
       .orderBy(xxhash64(col(idCol)).asc, col(idCol).asc).limit(nCells)
       .select(col(idCol).as("cell_id"), col(vecCol).cast("array<double>").as("__cv"),
         norm(col(vecCol)).as("__cn"))
+      .orderBy(col("cell_id").asc)
     val seedSchema = seedDf.schema
     val seedRows = seedDf.collect()
     val centroidRows = // exhaustive probing is invariant to placement

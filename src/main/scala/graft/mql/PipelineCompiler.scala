@@ -514,14 +514,17 @@ object PipelineCompiler {
     }
     // ONE stat pass decides the path AND fetches the boundary sketch
     // (the upstream plan re-executes once here and once in the final
-    // agg — the price of never letting a global sort touch large data)
+    // agg — the price of never letting a global sort touch large data).
+    // Skipped entirely for non-sketchable types: the count could not
+    // change the chosen plan, so the pass would be pure waste.
     val probs = array((1 until n).map(i => lit(i.toDouble / n)): _*)
-    val stats =
-      if (sketchable)
-        df.agg(count(lit(1)), percentile_approx(gb, probs, lit(10000))).first()
-      else df.agg(count(lit(1))).first()
-    val bounds = if (sketchable && stats.getLong(0) > threshold)
-      Option(stats.getSeq[Any](1)) else None
+    val bounds =
+      if (!sketchable) None
+      else {
+        val stats =
+          df.agg(count(lit(1)), percentile_approx(gb, probs, lit(10000))).first()
+        if (stats.getLong(0) > threshold) Option(stats.getSeq[Any](1)) else None
+      }
     val bucketCol = bounds match {
       case None => ntile(n).over(Window.orderBy(gb.asc))
       case Some(bs) if bs.isEmpty => lit(1) // single bucket (n == 1)

@@ -86,14 +86,18 @@ object GraftDocSource {
           fs.listStatus(st.getPath).toSeq
             .filter(s => s.isFile && isDocFile(s.getPath.getName))
             .sortBy(_.getPath.getName)
-        else Seq(st)
+        else Seq(st).filterNot(s => isHidden(s.getPath.getName))
+        // globs match dot-files ('*' is '[^/]*' — no shell hidden-file
+        // exclusion), which would surface uncommitted staged batches
       }.map(st => FileRef(st.getPath.toString, st.getLen))
     }
   }
 
+  private def isHidden(name: String): Boolean =
+    name.startsWith(".") || name.startsWith("_") // Hadoop convention (.crc, staged)
+
   private def isDocFile(name: String): Boolean =
-    (name.endsWith(".jsonl") || name.endsWith(".bson")) &&
-      !name.startsWith(".") && !name.startsWith("_") // Hadoop hidden files (.crc etc.)
+    (name.endsWith(".jsonl") || name.endsWith(".bson")) && !isHidden(name)
 
   private def parsePaths(s: String): Seq[String] =
     if (s.trim.startsWith("[")) {
@@ -445,11 +449,15 @@ private[sources] class GraftBatchWrite(schema: StructType, path: String,
     // record what truncate must remove at commit time
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf.value)
-    if (truncate && fs.exists(dir))
-      preExisting = fs.listStatus(dir).toSeq.map(_.getPath).filter { p =>
-        val n = p.getName
-        (n.endsWith(".jsonl") || n.endsWith(".bson")) && !n.startsWith(".")
-      }
+    if (truncate && fs.exists(dir)) {
+      val all = fs.listStatus(dir).toSeq.map(_.getPath)
+        .filter(p => p.getName.endsWith(".jsonl") || p.getName.endsWith(".bson"))
+      val (hidden, visible) = all.partition(_.getName.startsWith("."))
+      preExisting = visible // deleted only after the new data commits
+      // staged garbage from crashed writers (no abort ever ran for them)
+      // is reclaimed now, before this job stages anything
+      hidden.foreach(fs.delete(_, false))
+    }
     fs.mkdirs(dir)
     new GraftDataWriterFactory(schema, path, format, jobToken,
       maxBatchBytes, maxBatchDocs, conf)
@@ -457,12 +465,25 @@ private[sources] class GraftBatchWrite(schema: StructType, path: String,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(path).getFileSystem(conf.value)
-    // winning attempts only (the commit coordinator arbitrates): unhide
-    messages.collect { case c: GraftCommit => c }.flatMap(_.stagedFiles)
-      .foreach { staged =>
-        val p = new Path(staged)
-        fs.rename(p, new Path(p.getParent, p.getName.stripPrefix(".")))
-      }
+    // winning attempts only (the commit coordinator arbitrates): unhide.
+    // Hadoop rename signals most failures by returning FALSE — treat
+    // that as an error, and roll already-renamed files back to staged on
+    // any failure so a partial commit never leaves mixed old+new data.
+    val done = scala.collection.mutable.ArrayBuffer.empty[(Path, Path)]
+    try {
+      messages.collect { case c: GraftCommit => c }.flatMap(_.stagedFiles)
+        .foreach { staged =>
+          val p = new Path(staged)
+          val dest = new Path(p.getParent, p.getName.stripPrefix("."))
+          if (!fs.rename(p, dest)) throw new java.io.IOException(
+            s"graftdocs commit: rename $p -> $dest failed")
+          done += ((p, dest))
+        }
+    } catch {
+      case e: Throwable =>
+        done.foreach { case (staged, dest) => fs.rename(dest, staged) }
+        throw e
+    }
     // truncate semantics: old data disappears only after the new commits
     preExisting.foreach(fs.delete(_, false))
   }
