@@ -145,13 +145,16 @@ object Dedup {
   }
 
   /** Embedding-cosine near-dup dedup: a vector is dropped when a
-    * lower-id vector is within `threshold` cosine. `exact = true` scores
-    * every pair (ground truth / small slices); `exact = false` uses
-    * sign-LSH buckets for candidate generation — the 100 TB path (an
-    * equi-join on bucket ids instead of a cross product, trading recall
-    * for linearity; see Similarity.lshCosinePairs). */
+    * lower-id vector is within `threshold` cosine. The DEFAULT is the
+    * scale path (`exact = false`): sign-LSH buckets for candidate
+    * generation — an equi-join on bucket ids instead of a cross
+    * product, trading recall for linearity (see
+    * Similarity.lshCosinePairs). Opt IN to `exact = true` — an O(n²)
+    * all-pairs score — for ground truth on bounded slices only; it was
+    * previously the default, which handed an unwitting caller a cross
+    * product at corpus scale. */
   def embeddingDedup(df: DataFrame, idCol: String, vecCol: String,
-                     threshold: Double, exact: Boolean = true,
+                     threshold: Double, exact: Boolean = false,
                      dim: Int = 64): DataFrame = {
     val pairs =
       if (exact) Similarity.cosinePairs(df, df, threshold, idCol, vecCol)

@@ -265,7 +265,10 @@ object LlmOps {
     QueryDef("q_emb_dedup",
       (s, dir) => {
         val e = Graft.table(s, dir, "embeddings").where(col("vec_id") < 300)
-        Dedup.embeddingDedup(e, "vec_id", "embedding", threshold = 0.4)
+        // exact = true: this entry IS the oracle-checked ground truth
+        // over a bounded 300-row slice (the scale default is LSH)
+        Dedup.embeddingDedup(e, "vec_id", "embedding", threshold = 0.4,
+          exact = true)
           .select("vec_id").orderBy("vec_id")
       },
       Some("""WITH s AS (SELECT * FROM embeddings WHERE vec_id < 300),

@@ -61,14 +61,18 @@ class LlmOpsSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("signBucket")))
   }
 
-  test("embeddingDedup: LSH variant never drops more than exact") {
+  test("embeddingDedup: LSH variant never drops more than exact; LSH is the default") {
     val slice = emb.where(col("vec_id") < 200)
-    val exact = Dedup.embeddingDedup(slice, "vec_id", "embedding", 0.4)
-      .select("vec_id").as[Long].collect().toSet
+    val exact = Dedup.embeddingDedup(slice, "vec_id", "embedding", 0.4,
+      exact = true).select("vec_id").as[Long].collect().toSet
     val approx = Dedup.embeddingDedup(slice, "vec_id", "embedding", 0.4,
       exact = false).select("vec_id").as[Long].collect().toSet
     // LSH candidates ⊆ all pairs → approx drops ⊆ exact drops
     assert(exact.subsetOf(approx))
+    // the DEFAULT is the scale path: same result as exact=false
+    val dflt = Dedup.embeddingDedup(slice, "vec_id", "embedding", 0.4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(dflt == approx)
   }
 
   test("sign-LSH cosine pairs are a subset of exact pairs (precision 1)") {
