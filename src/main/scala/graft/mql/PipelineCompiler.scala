@@ -515,11 +515,18 @@ object PipelineCompiler {
     // ONE stat pass decides the path AND fetches the boundary sketch
     // (the upstream plan re-executes once here and once in the final
     // agg — the price of never letting a global sort touch large data).
-    // Skipped entirely for non-sketchable types: the count could not
-    // change the chosen plan, so the pass would be pure waste.
+    // Skipped entirely when the count could not change the chosen plan:
+    // non-sketchable types, and inputs whose Catalyst size estimate is
+    // far below the threshold (32 bytes/row nominal). The estimate is
+    // compressed bytes, so an extreme columnar compression ratio can
+    // understate rows — bounded consequence: the exact path sorts a few
+    // × threshold rows in one task instead of switching, slow but
+    // correct. Small inputs (the common case) pay zero extra actions.
+    val provablySmall =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes < threshold * 32
     val probs = array((1 until n).map(i => lit(i.toDouble / n)): _*)
     val bounds =
-      if (!sketchable) None
+      if (!sketchable || provablySmall) None
       else {
         val stats =
           df.agg(count(lit(1)), percentile_approx(gb, probs, lit(10000))).first()

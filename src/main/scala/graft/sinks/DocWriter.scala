@@ -160,21 +160,28 @@ object DocWriter {
     validateSchema(df.schema)
     val schema = df.schema
     val spark = df.sparkSession
-    new java.io.File(path).mkdirs()
+    // Hadoop FileSystem, not java.io: the sink target may be hdfs:// or
+    // an object store — batches do not live on local disk at scale
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val targetDir = new org.apache.hadoop.fs.Path(path)
+    targetDir.getFileSystem(hconf.value).mkdirs(targetDir)
     val inserted: LongAccumulator = spark.sparkContext.longAccumulator("graft.inserted")
     val batches: LongAccumulator = spark.sparkContext.longAccumulator("graft.batches")
     df.foreachPartition { (it: Iterator[Row]) =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hconf.value)
       var batchIdx = 0
       var written = 0L
       var buf = new java.lang.StringBuilder()
       var bufBytes = 0L // budget is wire BYTES (utf8), not UTF-16 chars
       var docsInBatch = 0
       def flush(): Unit = if (docsInBatch > 0) {
-        val f = new java.io.File(path, f"part-$pid%05d-$batchIdx%05d.jsonl")
+        val f = new org.apache.hadoop.fs.Path(path, f"part-$pid%05d-$batchIdx%05d.jsonl")
         try {
+          val out = fs.create(f, true)
           val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-            new java.io.FileOutputStream(f), java.nio.charset.StandardCharsets.UTF_8))
+            out, java.nio.charset.StandardCharsets.UTF_8))
           try w.write(buf.toString) finally w.close()
         } catch {
           case e: java.io.IOException =>
