@@ -230,6 +230,23 @@ object ExprCompiler {
           .when(lower(c(0)) > lower(c(1)), 1).otherwise(0)
       case "$indexOfCP" => // 0-based, -1 when absent (locate is 1-based)
         locate_as_index(c(0), c(1))
+      case "$indexOfBytes" => // byte offset of the first occurrence
+        val pos = call_function("locate", c(1), c(0))
+        when(pos === 0, -1)
+          .otherwise(octet_length(c(0).substr(lit(1), pos - 1)))
+      case "$replaceOne" => v match { // first occurrence only
+        case JObject(spec) =>
+          val in = compile(field(spec, "input", op), env)
+          val find = compile(field(spec, "find", op), env)
+          val repl = compile(field(spec, "replacement", op), env)
+          val pos = call_function("locate", find, in)
+          when(in.isNull || find.isNull || repl.isNull, lit(null))
+            .when(pos === 0, in)
+            .otherwise(concat(
+              in.substr(lit(1), pos - 1), repl,
+              in.substr(pos + length(find), length(in))))
+        case other => throw new MqlException(s"bad $$replaceOne: $other")
+      }
       case "$regexMatch" => v match {
         case JObject(spec) =>
           val in = compile(field(spec, "input", op), env)
@@ -474,6 +491,16 @@ object ExprCompiler {
       // BSON type name, resolved from the static plan type at analysis
       case "$type" => bsonTypeName(c0)
       case "$isNumber" => graftFn("graft_is_number", c0)
+      case "$isArray" => bsonTypeName(c0) === "array"
+      // [{k, v}, ...] → document. Dynamic keys have no static struct
+      // twin (Spark structs are compile-time typed), so the result is a
+      // map — the same homogeneity restriction documented on
+      // $objectToArray, in reverse.
+      case "$arrayToObject" => map_from_entries(c0)
+      case "$rand" => rand()
+      // hex string → 12-byte ObjectId binary (schema-level metadata
+      // tags the column; see MSchema.objectIdField)
+      case "$toObjectId" => unhex(c0)
       case "$binarySize" => octet_length(c0)
       case "$filter" => v match {
         case JObject(spec) =>

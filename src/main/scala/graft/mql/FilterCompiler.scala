@@ -29,6 +29,11 @@ object FilterCompiler {
     case "$or"      => subdocs(v, "$or").map(compileDoc).reduce(_ || _)
     case "$nor"     => !subdocs(v, "$nor").map(d => coalesce(compileDoc(d), lit(false))).reduce(_ || _)
     case "$expr"    => ExprCompiler.compile(v)
+    case "$sampleRate" => v match { // independent per-doc coin flip
+      case JDouble(r) if r >= 0 && r <= 1 => rand() < r
+      case JInt(r) if r == 0 || r == 1 => rand() < r.toDouble
+      case other => throw new MqlException(s"$$sampleRate needs 0..1, got $other")
+    }
     case "$comment" => lit(true)
     case op if op.startsWith("$") =>
       throw new MqlException(s"unsupported top-level operator $op")

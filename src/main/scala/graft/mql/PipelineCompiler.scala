@@ -352,6 +352,36 @@ object PipelineCompiler {
             lit(n), lit(true), lit(if (op == "$minN") "1" else "0"))
         case other => throw new MqlException(s"bad $op: $other")
       }
+      // $firstN/$lastN: first/last n values in document order, nulls
+      // KEPT (unlike $minN/$maxN). Deterministic via a preceding uniform
+      // $sort (same contract as $first/$last): BoundedTopK over the sort
+      // key — O(n) state per group; without a sort, partition order.
+      case "$firstN" | "$lastN" => arg match {
+        case JObject(spec) =>
+          val input = ExprCompiler.compile(spec.collectFirst { case ("input", x) => x }
+            .getOrElse(throw new MqlException(s"$op needs input")))
+          val n = spec.collectFirst { case ("n", x) => intValue(x, op) }
+            .getOrElse(throw new MqlException(s"$op needs n"))
+          if (n < 1) throw new MqlException(s"$op: n must be >= 1, got $n")
+          val packed = struct(input.isNull.as("n"), input.as("v"))
+          def unwrap(arr: Column): Column =
+            transform(arr, x =>
+              when(x.getField("n"), lit(null)).otherwise(x.getField("v")))
+          sortKey match {
+            case Some((k, asc)) =>
+              graft.functions.GraftFunctions.register(
+                org.apache.spark.sql.SparkSession.active)
+              val sliced = call_function("graft_top_k",
+                struct(k.as("__k0"), packed.as("__o")),
+                lit(n), lit(op == "$firstN"), lit(if (asc) "1" else "0"))
+              unwrap(sliced)
+            case None =>
+              val lst = unwrap(collect_list(packed))
+              if (op == "$firstN") slice(lst, 1, n)
+              else when(size(lst) <= n, lst).otherwise(slice(lst, -n, n))
+          }
+        case other => throw new MqlException(s"bad $op: $other")
+      }
       case other => throw new MqlException(s"unsupported accumulator $other")
     }
   }
@@ -792,6 +822,26 @@ object PipelineCompiler {
       case other => throw new MqlException(s"bad window bound: $other")
     }
 
+    def unitToMicros(u: String): Long = u match {
+      case "millisecond" => 1000L
+      case "second" => 1000000L
+      case "minute" => 60000000L
+      case "hour"   => 3600000000L
+      case "day"    => 86400000000L
+      case "week"   => 604800000000L
+      case other => throw new MqlException(
+        s"$$setWindowFields: calendar-variable unit '$other' unsupported")
+    }
+
+    /** The single-field sortBy these order-dependent operators need
+      * (unit range frames, $derivative, $integral). */
+    def singleAscSortField(ctx: String): String =
+      spec.collectFirst { case ("sortBy", s) => s } match {
+        case Some(JObject(List((f, dir)))) if frameBound(dir, 1L) == 1L => f
+        case _ => throw new MqlException(
+          s"$ctx needs a single ascending sortBy")
+      }
+
     output.foldLeft(df) { case (acc, (name, JObject(fspec))) =>
       val windowDoc = fspec.collectFirst { case ("window", JObject(w)) => w }
       val opEntry = fspec.collectFirst {
@@ -803,23 +853,14 @@ object PipelineCompiler {
         if (partCols.nonEmpty) Window.partitionBy(partCols: _*)
         else Window.partitionBy(lit(0))
       val ranked = op match {
-        case "$rank" | "$denseRank" | "$documentNumber" => true
+        case "$rank" | "$denseRank" | "$documentNumber" | "$percentRank" => true
         case _ => false
       }
       val sorted = sortBy.map(sc => base.orderBy(sc: _*)).getOrElse(base)
       // time-range windows: a "unit" key scales the range bounds and
       // sorts on epoch micros of the (single, ascending) sortBy field
       val unitScale: Option[Long] = windowDoc.flatMap(_.collectFirst {
-        case ("unit", JString(u)) => u match {
-          case "millisecond" => 1000L
-          case "second" => 1000000L
-          case "minute" => 60000000L
-          case "hour"   => 3600000000L
-          case "day"    => 86400000000L
-          case "week"   => 604800000000L
-          case other => throw new MqlException(
-            s"$$setWindowFields: calendar-variable unit '$other' unsupported")
-        }
+        case ("unit", JString(u)) => unitToMicros(u)
       })
       val framed: WindowSpec = windowDoc.flatMap(_.collectFirst {
         case ("documents", JArray(List(lo, hi))) =>
@@ -834,12 +875,7 @@ object PipelineCompiler {
               frameBound(lo, Window.unboundedPreceding),
               frameBound(hi, Window.unboundedFollowing))
           case Some(micros) =>
-            val sortField = spec.collectFirst { case ("sortBy", s) => s } match {
-              case Some(JObject(List((f, dir))))
-                if frameBound(dir, 1L) == 1L => f
-              case _ => throw new MqlException(
-                "$setWindowFields: unit range window needs a single ascending sortBy")
-            }
+            val sortField = singleAscSortField("$setWindowFields: unit range window")
             def scaled(v: JValue, default: Long): Long = v match {
               case JString("unbounded") => default // never scale the sentinels
               case JString("current")   => 0L
@@ -861,6 +897,7 @@ object PipelineCompiler {
         case "$rank"           => rank().over(framed)
         case "$denseRank"      => dense_rank().over(framed)
         case "$documentNumber" => row_number().over(framed)
+        case "$percentRank"    => percent_rank().over(framed)
         case "$shift" => arg match { // lag/lead with default
           case JObject(sspec) =>
             val out = sspec.collectFirst { case ("output", x) => ExprCompiler.compile(x) }
@@ -926,6 +963,40 @@ object PipelineCompiler {
             val (x, y) = (ExprCompiler.compile(a), ExprCompiler.compile(b))
             (if (op == "$covariancePop") covar_pop(x, y) else covar_samp(x, y))
               .over(framed)
+          case other => throw new MqlException(s"bad $op: $other")
+        }
+        // rate of change / trapezoidal area over the window, against the
+        // sortBy axis; `unit` (dates) scales the time delta
+        case "$derivative" | "$integral" => arg match {
+          case JObject(dspec) =>
+            val y = ExprCompiler.compile(
+              dspec.collectFirst { case ("input", x) => x }
+                .getOrElse(throw new MqlException(s"$op needs input")))
+              .cast(DoubleType)
+            val argUnit = dspec.collectFirst { case ("unit", JString(u)) =>
+              unitToMicros(u) }
+            val sf = fieldCol(singleAscSortField(op))
+            val t = argUnit match {
+              case Some(micros) => unix_micros(sf).cast(DoubleType) / lit(micros.toDouble)
+              case None => sf.cast(DoubleType)
+            }
+            if (op == "$derivative")
+              // single-point frame → Δt = 0 → null (not an ANSI error)
+              try_divide(last(y).over(framed) - first(y).over(framed),
+                last(t).over(framed) - first(t).over(framed))
+            else {
+              // trapezoid fold over the frame's (t, y) points in order;
+              // acc carries (prev t, prev y, running area)
+              val pts = collect_list(struct(t.as("t"), y.as("y"))).over(framed)
+              aggregate(pts,
+                struct(lit(null).cast(DoubleType).as("t"),
+                  lit(null).cast(DoubleType).as("y"), lit(0.0).as("s")),
+                (acc, p) => struct(p.getField("t").as("t"), p.getField("y").as("y"),
+                  (acc.getField("s") + when(acc.getField("t").isNull, lit(0.0))
+                    .otherwise((p.getField("y") + acc.getField("y")) / 2 *
+                      (p.getField("t") - acc.getField("t")))).as("s")),
+                acc => acc.getField("s"))
+            }
           case other => throw new MqlException(s"bad $op: $other")
         }
         case other => throw new MqlException(s"unsupported window operator $other")

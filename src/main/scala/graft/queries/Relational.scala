@@ -608,6 +608,78 @@ object Relational {
         {"$sort": {"o_orderkey": 1, "word": 1}}]""")(s, dir),
       Some("""SELECT o_orderkey,
                      unnest(string_split(o_orderpriority, '-')) AS word
-              FROM orders ORDER BY o_orderkey, word"""))
+              FROM orders ORDER BY o_orderkey, word""")),
+
+    // $firstN/$lastN: document order from the preceding uniform $sort;
+    // array elements projected out as scalars (driver compare is
+    // column-wise)
+    QueryDef("q_firstn_group",
+      (s, dir) => agg("orders", """[
+        {"$sort": {"o_orderkey": 1}},
+        {"$group": {"_id": "$o_orderstatus",
+           "first3": {"$firstN": {"input": "$o_totalprice", "n": 3}},
+           "last2":  {"$lastN":  {"input": "$o_totalprice", "n": 2}}}},
+        {"$project": {"_id": 0, "o_orderstatus": "$_id",
+           "f0": {"$arrayElemAt": ["$first3", 0]},
+           "f2": {"$arrayElemAt": ["$first3", 2]},
+           "l1": {"$arrayElemAt": ["$last2", -1]},
+           "nf": {"$toLong": {"$size": "$first3"}}}},
+        {"$sort": {"o_orderstatus": 1}}]""")(s, dir),
+      Some("""WITH l AS (SELECT o_orderstatus,
+                     list(o_totalprice ORDER BY o_orderkey) AS lst
+                   FROM orders GROUP BY o_orderstatus)
+              SELECT o_orderstatus, lst[1] AS f0, lst[3] AS f2,
+                     lst[-1] AS l1,
+                     CAST(least(len(lst), 3) AS BIGINT) AS nf
+              FROM l ORDER BY o_orderstatus""")),
+
+    // $percentRank / $derivative / $integral over the event_id axis
+    // (unique per user → fully deterministic ordering)
+    QueryDef("q_window_calculus",
+      (s, dir) => agg("events", """[
+        {"$setWindowFields": {"partitionBy": "$user_id",
+          "sortBy": {"event_id": 1},
+          "output": {
+            "pr": {"$percentRank": {}},
+            "dv": {"$derivative": {"input": "$value"},
+                   "window": {"documents": [-1, 0]}},
+            "ar": {"$integral": {"input": "$value"},
+                   "window": {"documents": ["unbounded", "current"]}}}}},
+        {"$project": {"_id": 0, "event_id": 1, "user_id": 1,
+           "pr": {"$round": ["$pr", 6]},
+           "dv": {"$cond": [{"$eq": ["$dv", null]}, -1.0, {"$round": ["$dv", 6]}]},
+           "ar": {"$round": ["$ar", 6]}}},
+        {"$sort": {"event_id": 1}}]""")(s, dir),
+      Some("""WITH w AS (
+                SELECT event_id, user_id, value,
+                       percent_rank() OVER (PARTITION BY user_id ORDER BY event_id) AS pr,
+                       lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS pv,
+                       lag(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS pid
+                FROM events),
+              t AS (SELECT event_id, user_id, pr,
+                       CASE WHEN pid IS NULL THEN NULL
+                            ELSE (value - pv) / (event_id - pid) END AS dv,
+                       CASE WHEN pid IS NULL THEN 0.0
+                            ELSE (value + pv) / 2 * (event_id - pid) END AS trap
+                    FROM w)
+              SELECT event_id, user_id, round(pr, 6) AS pr,
+                     coalesce(round(dv, 6), -1.0) AS dv,
+                     round(sum(trap) OVER (PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS ar
+              FROM t ORDER BY event_id""")),
+
+    // $replaceOne (first occurrence only — DuckDB regexp_replace is
+    // non-global by default) + byte-indexed $indexOfBytes
+    QueryDef("q_string_ops",
+      (s, dir) => agg("orders", """[
+        {"$project": {"o_orderkey": 1,
+          "pri2": {"$replaceOne": {"input": "$o_orderpriority",
+                                   "find": "-", "replacement": "_"}},
+          "dash_at": {"$toLong": {"$indexOfBytes": ["$o_orderpriority", "-"]}}}},
+        {"$sort": {"o_orderkey": 1}}]""")(s, dir),
+      Some("""SELECT o_orderkey,
+                     regexp_replace(o_orderpriority, '-', '_') AS pri2,
+                     CAST(strpos(o_orderpriority, '-') - 1 AS BIGINT) AS dash_at
+              FROM orders ORDER BY o_orderkey"""))
   )
 }

@@ -23,6 +23,26 @@ class ExprCompilerSpec extends AnyFunSuite {
     assert(eval("""{"$trunc": [2.98]}""") == 2L)
   }
 
+  test("$isArray/$arrayToObject/$replaceOne/$indexOfBytes/$toObjectId") {
+    assert(eval("""{"$isArray": [[1, 2]]}""") == true)
+    assert(eval("""{"$isArray": "nope"}""") == false)
+    assert(eval("""{"$isArray": null}""") == false)
+    val m = eval("""{"$arrayToObject": {"$objectToArray": {"a": 1, "b": 2}}}""")
+      .asInstanceOf[Map[String, Int]]
+    assert(m == Map("a" -> 1, "b" -> 2))
+    assert(eval("""{"$replaceOne": {"input": "aXbXc", "find": "X",
+      "replacement": "-"}}""") == "a-bXc") // FIRST occurrence only
+    assert(eval("""{"$replaceOne": {"input": "abc", "find": "z",
+      "replacement": "-"}}""") == "abc")
+    assert(eval("""{"$replaceOne": {"input": null, "find": "z",
+      "replacement": "-"}}""") == null)
+    // héllo: h=1 byte, é=2 bytes → "llo" begins at byte 3
+    assert(eval("""{"$indexOfBytes": ["héllo", "llo"]}""") == 3)
+    assert(eval("""{"$indexOfBytes": ["abc", "z"]}""") == -1)
+    assert(eval("""{"$toObjectId": "507f1f77bcf86cd799439011"}""")
+      .asInstanceOf[Array[Byte]].length == 12)
+  }
+
   test("comparison null-safety: $eq treats null == null as true") {
     assert(eval("""{"$eq": [null, null]}""") == true)
     assert(eval("""{"$ne": [1, null]}""") == true)

@@ -331,6 +331,58 @@ class PipelineExtraSpec extends AnyFunSuite {
     assert(eval("""{"$setIntersection": [[1, 2], [2, 3]]}""") == Seq(2))
   }
 
+  test("$firstN/$lastN keep document order and stored nulls") {
+    val withNull = Seq((1, "a", Some(10.0)), (2, "a", None), (3, "a", Some(30.0)),
+      (4, "a", Some(40.0)), (5, "b", Some(50.0)))
+      .toDF("id", "grp", "amt")
+    val out = PipelineCompiler.run(withNull, """[
+      {"$sort": {"id": 1}},
+      {"$group": {"_id": "$grp",
+        "f2": {"$firstN": {"input": "$amt", "n": 2}},
+        "l2": {"$lastN": {"input": "$amt", "n": 2}}}},
+      {"$sort": {"_id": 1}}]""")
+    val rows = out.collect()
+    def arr(r: org.apache.spark.sql.Row, i: Int) =
+      r.getSeq[Any](i).map(x => if (x == null) null else x).toList
+    // group a sorted by id: amts [10, null, 30, 40] → first 2 keeps the null
+    assert(arr(rows(0), 1) == List(10.0, null))
+    assert(arr(rows(0), 2) == List(30.0, 40.0))
+    // group b has fewer than n values
+    assert(arr(rows(1), 1) == List(50.0))
+    assert(arr(rows(1), 2) == List(50.0))
+    // desc sort flips which end is "first"
+    val desc = PipelineCompiler.run(withNull, """[
+      {"$sort": {"id": -1}},
+      {"$group": {"_id": "$grp", "f2": {"$firstN": {"input": "$amt", "n": 2}}}},
+      {"$sort": {"_id": 1}}]""")
+    assert(arr(desc.collect()(0), 1) == List(40.0, 30.0))
+  }
+
+  test("$percentRank/$derivative/$integral window operators") {
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val df = Seq(
+      (1, "u", ts("2024-01-01 10:00:00"), 0.0),
+      (2, "u", ts("2024-01-01 11:00:00"), 10.0),
+      (3, "u", ts("2024-01-01 13:00:00"), 30.0)
+    ).toDF("id", "grp", "t", "v")
+    val out = PipelineCompiler.run(df, """[
+      {"$setWindowFields": {"partitionBy": "$grp", "sortBy": {"t": 1},
+        "output": {
+          "pr": {"$percentRank": {}},
+          "dv": {"$derivative": {"input": "$v", "unit": "hour"},
+                 "window": {"documents": [-1, 0]}},
+          "ar": {"$integral": {"input": "$v", "unit": "hour"},
+                 "window": {"documents": ["unbounded", "current"]}}}}},
+      {"$sort": {"id": 1}}]""")
+    val rows = out.orderBy("id").collect()
+    def d(i: Int, c: String) = rows(i).getAs[Double](c)
+    assert(d(0, "pr") == 0.0 && d(1, "pr") == 0.5 && d(2, "pr") == 1.0)
+    // derivative over trailing pair: Δv/Δt(h) → (10-0)/1, (30-10)/2
+    assert(d(1, "dv") == 10.0 && d(2, "dv") == 10.0)
+    // trapezoid areas: 0 | (0+10)/2*1 = 5 | 5 + (10+30)/2*2 = 45
+    assert(d(0, "ar") == 0.0 && d(1, "ar") == 5.0 && d(2, "ar") == 45.0)
+  }
+
   test("$minN / $maxN accumulators") {
     val out = PipelineCompiler.run(sales, """[
       {"$group": {"_id": "$grp",
