@@ -74,4 +74,31 @@ object TextAnalysis {
     * token set. Groups docs that share vocabulary regardless of order. */
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", sort_array(array_distinct(tokens(lower(text))))))
+
+  /** Rule thresholds for `ruleFilter` (Gopher-style repetition/shape
+    * heuristics, rule set public via Rae et al. 2021, arXiv:2112.11446). */
+  final case class QualityRules(
+      minTokens: Long = 5, maxTokens: Long = 100000,
+      minAvgWordLen: Double = 2.0, maxAvgWordLen: Double = 12.0,
+      maxPunctRatio: Double = 0.2, minStopwordHits: Int = 1)
+
+  /** Gopher-style document filter: per-rule boolean flags plus the
+    * verdict. Everything is a codegen'd Column over one row — map-only
+    * at any scale. Ratios are rounded to 6 before thresholding so an
+    * oracle recomputing them compares bit-equal at the boundaries. */
+  def ruleFilter(text: Column, rules: QualityRules = QualityRules()): Column = {
+    val nTok = tokenCount(text)
+    val lenOk = nTok >= rules.minTokens && nTok <= rules.maxTokens
+    val awl = round(avgWordLen(text), 6)
+    val awlOk = awl >= rules.minAvgWordLen && awl <= rules.maxAvgWordLen
+    val punct = round(punctRatio(text), 6)
+    val punctOk = punct <= rules.maxPunctRatio
+    val sw = array(EnglishStopwords.map(lit): _*)
+    val stopHits = size(array_intersect(array_distinct(tokens(lower(text))), sw))
+    val stopOk = stopHits >= rules.minStopwordHits
+    struct(
+      lenOk.as("len_ok"), awlOk.as("word_len_ok"), punctOk.as("punct_ok"),
+      stopOk.as("stopword_ok"),
+      (lenOk && awlOk && punctOk && stopOk).as("keep"))
+  }
 }

@@ -151,6 +151,8 @@ object ExprCompiler {
       }
       case "$sin" => sin(c0);   case "$cos" => cos(c0);   case "$tan" => tan(c0)
       case "$asin" => asin(c0); case "$acos" => acos(c0); case "$atan" => atan(c0)
+      case "$sinh" => sinh(c0); case "$cosh" => cosh(c0); case "$tanh" => tanh(c0)
+      case "$asinh" => asinh(c0); case "$acosh" => acosh(c0); case "$atanh" => atanh(c0)
       case "$atan2" => atan2(c(0), c(1))
       case "$degreesToRadians" => radians(c0)
       case "$radiansToDegrees" => degrees(c0)
@@ -301,6 +303,29 @@ object ExprCompiler {
             .getOrElse("%Y-%m-%dT%H:%M:%S.%LZ")
           date_format(d, dateFormat(f))
         case other => throw new MqlException(s"bad $$dateToString: $other")
+      }
+      // Document of calendar parts; iso8601:true swaps in the ISO triple
+      // (isoWeekYear/isoWeek/isoDayOfWeek), mirroring MQL's two shapes.
+      case "$dateToParts" => v match {
+        case JObject(spec) =>
+          val d = compile(field(spec, "date", op), env)
+          val iso = fieldOpt(spec, "iso8601").exists {
+            case JBool(b) => b
+            case other    => throw new MqlException(s"bad iso8601: $other")
+          }
+          if (iso)
+            struct(
+              expr_extract("YEAROFWEEK", d).as("isoWeekYear"),
+              weekofyear(d).as("isoWeek"),
+              (weekday(d) + lit(1)).as("isoDayOfWeek"),
+              hour(d).as("hour"), minute(d).as("minute"), second(d).as("second"),
+              date_format(d, "SSS").cast(IntegerType).as("millisecond"))
+          else
+            struct(
+              year(d).as("year"), month(d).as("month"), dayofmonth(d).as("day"),
+              hour(d).as("hour"), minute(d).as("minute"), second(d).as("second"),
+              date_format(d, "SSS").cast(IntegerType).as("millisecond"))
+        case other => throw new MqlException(s"bad $$dateToParts: $other")
       }
       case "$dateTrunc" => v match {
         case JObject(spec) =>

@@ -999,6 +999,30 @@ object PipelineCompiler {
             }
           case other => throw new MqlException(s"bad $op: $other")
         }
+        // window-op twins of $fill's methods (Mongo 5.2): carry the last
+        // non-null forward / interpolate along the sortBy axis
+        case "$locf" =>
+          if (sortBy.isEmpty) throw new MqlException("$locf requires sortBy")
+          if (windowDoc.isDefined) throw new MqlException(
+            "$locf does not accept a window")
+          last(ExprCompiler.compile(arg), ignoreNulls = true)
+            .over(sorted.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        case "$linearFill" =>
+          if (windowDoc.isDefined) throw new MqlException(
+            "$linearFill does not accept a window")
+          // timestamps cast to double are epoch seconds — monotone, so
+          // interpolation is identical to micros up to a constant factor
+          val sf = fieldCol(singleAscSortField("$linearFill")).cast(DoubleType)
+          val v = ExprCompiler.compile(arg).cast(DoubleType)
+          val before = sorted.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val after = sorted.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+          val prevV = last(v, ignoreNulls = true).over(before)
+          val prevS = last(when(v.isNotNull, sf), ignoreNulls = true).over(before)
+          val nextV = first(v, ignoreNulls = true).over(after)
+          val nextS = first(when(v.isNotNull, sf), ignoreNulls = true).over(after)
+          when(v.isNotNull, v).otherwise(
+            when(prevV.isNotNull && nextV.isNotNull,
+              prevV + (nextV - prevV) * (sf - prevS) / (nextS - prevS)))
         case other => throw new MqlException(s"unsupported window operator $other")
       }
       acc.withColumn(name, wcol)

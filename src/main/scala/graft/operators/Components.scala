@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected pair list — the clustering
+  * step that turns near-duplicate PAIRS (minhash/simhash/jaccard output)
+  * into duplicate GROUPS, so a pipeline can keep one representative per
+  * cluster instead of dropping only directly-linked copies.
+  *
+  * Algorithm: hash-min label propagation. Each node starts labeled with
+  * its own id; every round each node takes the min label in its closed
+  * neighborhood. Converges in O(component diameter) rounds — near-dup
+  * clusters are dense and shallow (diameter ≤ ~3 in practice), so this
+  * terminates in a handful of rounds even when the corpus is 100 TB; the
+  * per-round cost is one equi-join + one groupBy on node id (both
+  * hash-partitioned, no broadcast of anything unbounded). Lineage is cut
+  * per round (localCheckpoint here; durable checkpoint on a cluster) so
+  * the plan does not grow with iteration count, same discipline as
+  * $graphLookup's BFS.
+  */
+object Components {
+  /** @return (id, cluster_id, cluster_size) for every node appearing in
+    * `pairs`; cluster_id = min node id in the component. */
+  def fromPairs(pairs: DataFrame, aCol: String, bCol: String,
+                maxIter: Int = 25): DataFrame = {
+    val spark = SparkSession.active
+    import spark.implicits._
+    // undirected edge list + self-loops (self-loop keeps a node's own
+    // label in the min() so labels never regress)
+    val e = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .union(pairs.select(col(aCol).as("src"), col(aCol).as("dst")))
+      .union(pairs.select(col(bCol).as("src"), col(bCol).as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = e.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val next = e.join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id")).agg(min("lbl").as("lbl"))
+        .localCheckpoint(true)
+      // hash-min labels are monotone non-increasing: total sum strictly
+      // drops until fixpoint, so one scalar aggregate detects it
+      val sumOld = labels.agg(sum("lbl")).as[Long].head()
+      val sumNew = next.agg(sum("lbl")).as[Long].head()
+      converged = sumOld == sumNew
+      labels = next
+      iter += 1
+    }
+    e.unpersist()
+    labels.select(col("id"), col("lbl").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
+  }
+}

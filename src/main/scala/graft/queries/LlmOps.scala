@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.api.Graft
-import graft.llmops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llmops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators over the documents/embeddings
   * fixtures: text analysis, dedup (exact → minhash/simhash near-dup),
@@ -314,6 +314,100 @@ object LlmOps {
             SELECT media_id,
                    round(sqrt(list_aggregate(list_transform(feats, x -> x*x),
                                              'sum')), 6) AS feat_norm
-            FROM f ORDER BY media_id"""))
+            FROM f ORDER BY media_id""")),
+
+    // near-dup pairs → duplicate CLUSTERS: hash-min connected components
+    // (oracle: recursive-CTE label propagation over the same pair set)
+    QueryDef("q_dup_clusters",
+      (s, dir) => {
+        val pairs = Dedup.jaccardPairs(Graft.table(s, dir, "documents"),
+          "doc_id", "text", shingleN = 3, threshold = 0.8, blockKeys = 4)
+        graft.operators.Components.fromPairs(pairs, "id_a", "id_b")
+          .select(col("id").as("doc_id"), col("cluster_id"),
+            col("cluster_size").cast("long").as("cluster_size"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE pairs AS ($nearDupOracle),
+             edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                       UNION SELECT id_b, id_a FROM pairs),
+             reach(id, lbl) AS (
+               SELECT DISTINCT src, src FROM edges
+               UNION
+               SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+             comp AS (SELECT id AS doc_id, min(lbl) AS cluster_id
+                      FROM reach GROUP BY id)
+           SELECT doc_id, cluster_id,
+                  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+                    AS cluster_size
+           FROM comp ORDER BY doc_id"""),
+    ),
+
+    // deterministic per-stratum sampling: seeded md5 bucket < per-lang
+    // rate — pure map work (no shuffle), reproducible by any engine
+    QueryDef("q_stratified_sample",
+      (s, dir) => Sampling.stratifiedSample(Graft.table(s, dir, "documents"),
+        "doc_id", "lang",
+        rates = Map("en" -> 0.1, "es" -> 0.5, "de" -> 1.0),
+        defaultRate = 0.25)
+        .select("doc_id", "lang").orderBy("doc_id"),
+      Some("""SELECT doc_id, lang FROM documents
+              WHERE ('0x' || substr(md5('strat:' || doc_id), 1, 8))::BIGINT
+                    % 1000000
+                    < CASE lang WHEN 'en' THEN 100000 WHEN 'es' THEN 500000
+                                WHEN 'de' THEN 1000000 ELSE 250000 END
+              ORDER BY doc_id""")),
+
+    // Gopher-style rule filter: per-rule flags + verdict, map-only
+    QueryDef("q_quality_filter",
+      (s, dir) => {
+        val f = TextAnalysis.ruleFilter(col("text"))
+        Graft.table(s, dir, "documents")
+          .select(col("doc_id"), f.getField("len_ok").as("len_ok"),
+            f.getField("word_len_ok").as("word_len_ok"),
+            f.getField("punct_ok").as("punct_ok"),
+            f.getField("stopword_ok").as("stopword_ok"),
+            f.getField("keep").as("keep"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val sw = TextAnalysis.EnglishStopwords.map("'" + _ + "'").mkString(",")
+        s"""WITH t AS (SELECT doc_id,
+              CAST(len($duckToks) AS BIGINT) AS n_tok,
+              round(list_aggregate(list_transform($duckToks, x -> length(x)), 'sum')::DOUBLE
+                    / greatest(len($duckToks), 1), 6) AS awl,
+              round((length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')))::DOUBLE
+                    / greatest(length(text), 1), 6) AS punct,
+              len(list_intersect(list_distinct($duckToksLower), [$sw])) AS stop_hits
+            FROM documents)
+          SELECT doc_id,
+            n_tok BETWEEN 5 AND 100000 AS len_ok,
+            awl BETWEEN 2.0 AND 12.0 AS word_len_ok,
+            punct <= 0.2 AS punct_ok,
+            stop_hits >= 1 AS stopword_ok,
+            (n_tok BETWEEN 5 AND 100000) AND (awl BETWEEN 2.0 AND 12.0)
+              AND punct <= 0.2 AND stop_hits >= 1 AS keep
+          FROM t ORDER BY doc_id"""
+      }),
+
+    // per-source token budget: deterministic hash order + running token
+    // total, cut at the budget — one keyed window pass
+    QueryDef("q_token_budget",
+      (s, dir) => Sampling.tokenBudget(Graft.table(s, dir, "documents"),
+        "doc_id", "source", TextAnalysis.tokenCount(col("text")), budget = 700L)
+        .select(col("source"), col("doc_id"), col("cum_tokens"))
+        .orderBy("source", "cum_tokens", "doc_id"),
+      Some(s"""WITH t AS (SELECT source, doc_id,
+                 CAST(len($duckToks) AS BIGINT) AS n_tok,
+                 ('0x' || substr(md5('budget:' || doc_id), 1, 8))::BIGINT
+                   % 1000000 AS hb
+               FROM documents),
+             c AS (SELECT source, doc_id,
+                     CAST(sum(n_tok) OVER (PARTITION BY source
+                       ORDER BY hb, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum_tokens
+                   FROM t)
+             SELECT source, doc_id, cum_tokens FROM c
+             WHERE cum_tokens <= 700 ORDER BY source, cum_tokens, doc_id"""))
   )
 }

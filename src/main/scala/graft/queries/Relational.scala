@@ -18,10 +18,12 @@ object Relational {
       (s, dir) => Graft.find(Graft.table(s, dir, "lineitem"),
         filter = """{"l_quantity": {"$gt": 45.0}, "l_returnflag": "R"}""",
         projection = Some("""{"l_orderkey": 1, "l_linenumber": 1, "l_quantity": 1}"""),
-        sort = Some("""{"l_orderkey": 1, "l_linenumber": 1}""")),
+        // (l_orderkey, l_linenumber) is not unique in the fixture — sort
+        // over every projected column for an engine-independent order
+        sort = Some("""{"l_orderkey": 1, "l_linenumber": 1, "l_quantity": 1}""")),
       Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
               WHERE l_quantity > 45.0 AND l_returnflag = 'R'
-              ORDER BY l_orderkey, l_linenumber""")),
+              ORDER BY l_orderkey, l_linenumber, l_quantity""")),
 
     QueryDef("q_find_in",
       (s, dir) => Graft.find(Graft.table(s, dir, "orders"),
@@ -39,11 +41,14 @@ object Relational {
         filter = """{"$or": [{"l_discount": {"$gte": 0.09}}, {"l_quantity": {"$lt": 2.0}}],
                      "l_shipdate": {"$gte": {"$date": "1995-01-01T00:00:00Z"}}}""",
         projection = Some("""{"l_orderkey": 1, "l_linenumber": 1, "l_discount": 1, "l_quantity": 1}"""),
-        sort = Some("""{"l_orderkey": 1, "l_linenumber": 1}""")),
+        // (l_orderkey, l_linenumber) is NOT unique in the fixture (dup at
+        // 5254/6) — tiebreak on the remaining projected columns so the
+        // order is total and engine-independent
+        sort = Some("""{"l_orderkey": 1, "l_linenumber": 1, "l_discount": 1, "l_quantity": 1}""")),
       Some("""SELECT l_orderkey, l_linenumber, l_discount, l_quantity FROM lineitem
               WHERE (l_discount >= 0.09 OR l_quantity < 2.0)
                 AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
-              ORDER BY l_orderkey, l_linenumber""")),
+              ORDER BY l_orderkey, l_linenumber, l_discount, l_quantity""")),
 
     QueryDef("q_find_regex",
       (s, dir) => Graft.find(Graft.table(s, dir, "part"),
@@ -59,11 +64,11 @@ object Relational {
         filter = """{"l_partkey": {"$mod": [7, 3]},
                      "l_returnflag": {"$nin": ["N"]}}""",
         projection = Some("""{"l_orderkey": 1, "l_linenumber": 1, "l_partkey": 1, "l_returnflag": 1}"""),
-        sort = Some("""{"l_orderkey": 1, "l_linenumber": 1}""")),
+        sort = Some("""{"l_orderkey": 1, "l_linenumber": 1, "l_partkey": 1, "l_returnflag": 1}""")),
       Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_returnflag FROM lineitem
               WHERE l_partkey % 7 = 3
                 AND NOT coalesce(l_returnflag IN ('N'), FALSE)
-              ORDER BY l_orderkey, l_linenumber""")),
+              ORDER BY l_orderkey, l_linenumber, l_partkey, l_returnflag""")),
 
     QueryDef("q_match_expr",
       (s, dir) => agg("lineitem", """[
@@ -71,10 +76,11 @@ object Relational {
                                       {"$multiply": [1500, "$l_quantity"]}]}}},
         {"$project": {"l_orderkey": 1, "l_linenumber": 1,
                       "l_extendedprice": 1, "l_quantity": 1}},
-        {"$sort": {"l_orderkey": 1, "l_linenumber": 1}}]""")(s, dir),
+        {"$sort": {"l_orderkey": 1, "l_linenumber": 1,
+                   "l_extendedprice": 1, "l_quantity": 1}}]""")(s, dir),
       Some("""SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity FROM lineitem
               WHERE l_extendedprice > 1500 * l_quantity
-              ORDER BY l_orderkey, l_linenumber""")),
+              ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_quantity""")),
 
     QueryDef("q_project_compute",
       (s, dir) => agg("part", """[
@@ -680,6 +686,54 @@ object Relational {
       Some("""SELECT o_orderkey,
                      regexp_replace(o_orderpriority, '-', '_') AS pri2,
                      CAST(strpos(o_orderpriority, '-') - 1 AS BIGINT) AS dash_at
-              FROM orders ORDER BY o_orderkey"""))
+              FROM orders ORDER BY o_orderkey""")),
+
+    // $dateToParts, both calendar and iso8601 shapes, flattened via
+    // nested-path refs (DuckDB: year/isoyear/isodow twins)
+    QueryDef("q_date_parts",
+      (s, dir) => agg("orders", """[
+        {"$project": {"_id": 0, "o_orderkey": 1,
+           "p": {"$dateToParts": {"date": "$o_orderdate"}},
+           "i": {"$dateToParts": {"date": "$o_orderdate", "iso8601": true}}}},
+        {"$project": {"o_orderkey": 1,
+           "y": "$p.year", "m": "$p.month", "d": "$p.day",
+           "iso_y": "$i.isoWeekYear", "iso_w": "$i.isoWeek",
+           "iso_d": "$i.isoDayOfWeek"}},
+        {"$sort": {"o_orderkey": 1}}]""")(s, dir),
+      Some("""SELECT o_orderkey,
+                CAST(year(o_orderdate) AS INT) AS y,
+                CAST(month(o_orderdate) AS INT) AS m,
+                CAST(day(o_orderdate) AS INT) AS d,
+                CAST(isoyear(o_orderdate) AS INT) AS iso_y,
+                CAST(weekofyear(o_orderdate) AS INT) AS iso_w,
+                CAST(isodow(o_orderdate) AS INT) AS iso_d
+              FROM orders ORDER BY o_orderkey""")),
+
+    // as-of join (latest order at or before each event, per user):
+    // union + one keyed window pass — single shuffle, no row explosion.
+    // The oracle is the rank-then-filter formulation it replaces.
+    QueryDef("q_asof_join",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val e = Graft.table(s, dir, "events")
+        val o = Graft.table(s, dir, "orders")
+        graft.operators.AsOfJoin.latestPrior(e, o,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTs = "ts", rightTs = "o_orderdate",
+          payload = Seq("o_orderkey", "o_totalprice"), tiebreak = "o_orderkey")
+          .select(col("event_id"), col("user_id"),
+            col("o_orderkey").as("order_key"),
+            col("o_totalprice").as("order_price"))
+          .orderBy("event_id")
+      },
+      Some("""WITH c AS (
+                SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+                       ROW_NUMBER() OVER (PARTITION BY e.event_id
+                         ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+                FROM events e LEFT JOIN orders o
+                  ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+              SELECT event_id, user_id, o_orderkey AS order_key,
+                     o_totalprice AS order_price
+              FROM c WHERE rn = 1 ORDER BY event_id"""))
   )
 }

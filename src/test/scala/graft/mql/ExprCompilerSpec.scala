@@ -83,6 +83,29 @@ class ExprCompilerSpec extends AnyFunSuite {
       == "2024/03/05 06:07:08")
   }
 
+  test("hyperbolic trig") {
+    assert(eval("""{"$sinh": 0}""") == 0.0)
+    assert(eval("""{"$cosh": 0}""") == 1.0)
+    assert(math.abs(eval("""{"$tanh": 1}""").asInstanceOf[Double] - math.tanh(1.0)) < 1e-12)
+    assert(math.abs(eval("""{"$asinh": 1}""").asInstanceOf[Double] - 0.8813735870195430) < 1e-12)
+    assert(eval("""{"$acosh": 1}""") == 0.0)
+    assert(math.abs(eval("""{"$atanh": 0.5}""").asInstanceOf[Double] - 0.5493061443340549) < 1e-12)
+  }
+
+  test("$dateToParts calendar and iso8601 forms") {
+    val d = """{"$date": "2024-03-05T06:07:08Z"}"""
+    val cal = eval(s"""{"$$dateToParts": {"date": $d}}""").asInstanceOf[org.apache.spark.sql.Row]
+    assert(cal.getAs[Int]("year") == 2024 && cal.getAs[Int]("month") == 3 &&
+      cal.getAs[Int]("day") == 5 && cal.getAs[Int]("hour") == 6 &&
+      cal.getAs[Int]("minute") == 7 && cal.getAs[Int]("second") == 8 &&
+      cal.getAs[Int]("millisecond") == 0)
+    val iso = eval(s"""{"$$dateToParts": {"date": $d, "iso8601": true}}""")
+      .asInstanceOf[org.apache.spark.sql.Row]
+    // 2024-03-05 is a Tuesday in ISO week 10
+    assert(iso.getAs[Int]("isoWeekYear") == 2024 && iso.getAs[Int]("isoWeek") == 10 &&
+      iso.getAs[Int]("isoDayOfWeek") == 2)
+  }
+
   test("arrays: elemAt, slice, range, sort, set ops") {
     assert(eval("""{"$arrayElemAt": [[10, 20, 30], 1]}""") == 20)
     assert(eval("""{"$arrayElemAt": [[10, 20, 30], -1]}""") == 30)

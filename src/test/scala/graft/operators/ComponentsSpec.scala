@@ -1,0 +1,32 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+
+class ComponentsSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private def clusters(pairs: Seq[(Long, Long)]): Map[Long, (Long, Long)] =
+    Components.fromPairs(pairs.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, c, n) => id -> (c, n) }.toMap
+
+  test("two separate components with correct labels and sizes") {
+    val m = clusters(Seq((1L, 2L), (2L, 3L), (10L, 11L)))
+    assert(m(1L) == (1L, 3L) && m(2L) == (1L, 3L) && m(3L) == (1L, 3L))
+    assert(m(10L) == (10L, 2L) && m(11L) == (10L, 2L))
+    assert(m.size == 5)
+  }
+
+  test("long chain converges past one propagation round") {
+    // path graph 9-8-7-...-1: min label must travel 8 hops
+    val m = clusters((1L to 8L).map(i => (i, i + 1)))
+    assert((1L to 9L).forall(i => m(i) == (1L, 9L)))
+  }
+
+  test("duplicate and reversed pairs do not inflate sizes") {
+    val m = clusters(Seq((5L, 6L), (6L, 5L), (5L, 6L)))
+    assert(m(5L) == (5L, 2L) && m(6L) == (5L, 2L))
+  }
+}
