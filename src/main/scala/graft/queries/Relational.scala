@@ -688,6 +688,48 @@ object Relational {
                      CAST(strpos(o_orderpriority, '-') - 1 AS BIGINT) AS dash_at
               FROM orders ORDER BY o_orderkey""")),
 
+    // $locf / $linearFill as $setWindowFields output operators (the
+    // window-op twins of $fill's methods); nulls planted every 5th event
+    QueryDef("q_window_fill",
+      (s, dir) => agg("events", """[
+        {"$set": {"v": {"$cond": [{"$eq": [{"$mod": ["$event_id", 5]}, 0]},
+                                  null, "$value"]}}},
+        {"$setWindowFields": {"partitionBy": "$user_id",
+           "sortBy": {"event_id": 1},
+           "output": {"v_locf": {"$locf": "$v"},
+                      "v_lin":  {"$linearFill": "$v"}}}},
+        {"$project": {"_id": 0, "event_id": 1, "user_id": 1,
+           "v_locf": {"$round": ["$v_locf", 6]},
+           "v_lin":  {"$round": ["$v_lin", 6]}}},
+        {"$sort": {"event_id": 1}}]""")(s, dir),
+      Some("""WITH t AS (SELECT event_id, user_id,
+                  CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v,
+                  CAST(event_id AS DOUBLE) AS s
+                FROM events),
+              w AS (SELECT event_id, user_id, v, s,
+                  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+                    ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) AS v_locf,
+                  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+                    ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) AS pv,
+                  last_value(CASE WHEN v IS NOT NULL THEN s END IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ps,
+                  first_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+                    ORDER BY event_id ROWS BETWEEN CURRENT ROW
+                    AND UNBOUNDED FOLLOWING) AS nv,
+                  first_value(CASE WHEN v IS NOT NULL THEN s END IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY event_id
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ns
+                FROM t)
+            SELECT event_id, user_id, round(v_locf, 6) AS v_locf,
+                   round(CASE WHEN v IS NOT NULL THEN v
+                              WHEN pv IS NOT NULL AND nv IS NOT NULL
+                              THEN pv + (nv - pv) * (s - ps) / (ns - ps)
+                         END, 6) AS v_lin
+            FROM w ORDER BY event_id""")),
+
     // $dateToParts, both calendar and iso8601 shapes, flattened via
     // nested-path refs (DuckDB: year/isoyear/isodow twins)
     QueryDef("q_date_parts",

@@ -399,4 +399,26 @@ class PipelineExtraSpec extends AnyFunSuite {
       {"$group": {"_id": "$grp", "lo2": {"$minN": {"input": "$amt", "n": 2}}}}]""")
     assert(nn.head.getSeq[Double](1) == Seq(1.0, 5.0))
   }
+
+  test("$locf and $linearFill window operators") {
+    val ts = Seq(
+      (1L, "g", Some(10.0)), (2L, "g", None), (3L, "g", None),
+      (4L, "g", Some(40.0)), (5L, "g", None),
+      (1L, "h", None), (2L, "h", Some(7.0))
+    ).toDF("t", "grp", "v")
+    val out = PipelineCompiler.run(ts, """[
+      {"$setWindowFields": {"partitionBy": "$grp", "sortBy": {"t": 1},
+         "output": {"lo": {"$locf": "$v"}, "li": {"$linearFill": "$v"}}}},
+      {"$sort": {"grp": 1, "t": 1}}]""")
+      .select("grp", "t", "lo", "li")
+      .as[(String, Long, Option[Double], Option[Double])].collect().toSeq
+    assert(out == Seq(
+      ("g", 1L, Some(10.0), Some(10.0)),
+      ("g", 2L, Some(10.0), Some(20.0)),  // interpolated on t axis
+      ("g", 3L, Some(10.0), Some(30.0)),
+      ("g", 4L, Some(40.0), Some(40.0)),
+      ("g", 5L, Some(40.0), None),        // after last known → null
+      ("h", 1L, None, None),              // before first known → null
+      ("h", 2L, Some(7.0), Some(7.0))))
+  }
 }
