@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Connected components over an undirected pair list — the clustering
@@ -24,29 +24,37 @@ object Components {
     * `pairs`; cluster_id = min node id in the component. */
   def fromPairs(pairs: DataFrame, aCol: String, bCol: String,
                 maxIter: Int = 25): DataFrame = {
-    val spark = SparkSession.active
-    import spark.implicits._
     // undirected edge list + self-loops (self-loop keeps a node's own
-    // label in the min() so labels never regress)
-    val e = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .union(pairs.select(col(aCol).as("src"), col(aCol).as("dst")))
-      .union(pairs.select(col(bCol).as("src"), col(bCol).as("dst")))
-      .distinct()
+    // label in the min() so labels never regress). Built with ONE scan
+    // of `pairs` — a 4-way union would re-evaluate the upstream pair
+    // plan (typically an expensive near-dup query) once per branch
+    // before the persist materializes.
+    val e = pairs.select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")),
+        struct(col(aCol).as("src"), col(aCol).as("dst")),
+        struct(col(bCol).as("src"), col(bCol).as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = e.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id")).localCheckpoint(true)
+    // hash-min labels are monotone non-increasing: the label total
+    // strictly drops until fixpoint, so one scalar aggregate per round
+    // (carried across rounds) detects convergence. Decimal(38) sum —
+    // a long would overflow at billions of rows × wide id ranges.
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .head.getDecimal(0)
+    var labelSum = lblSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val next = e.join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id")).agg(min("lbl").as("lbl"))
         .localCheckpoint(true)
-      // hash-min labels are monotone non-increasing: total sum strictly
-      // drops until fixpoint, so one scalar aggregate detects it
-      val sumOld = labels.agg(sum("lbl")).as[Long].head()
-      val sumNew = next.agg(sum("lbl")).as[Long].head()
-      converged = sumOld == sumNew
+      val sumNew = lblSum(next)
+      converged = labelSum.compareTo(sumNew) == 0
+      labelSum = sumNew
       labels = next
       iter += 1
     }

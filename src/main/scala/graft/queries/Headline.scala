@@ -173,6 +173,17 @@ object Headline {
               SELECT user_id, min(ts) AS session_start,
                      CAST(COUNT(*) AS BIGINT) AS n_events
               FROM g GROUP BY user_id, sid
-              ORDER BY user_id, session_start"""))
+              ORDER BY user_id, session_start""")),
+
+    // streaming exact dedup (dropDuplicatesWithinWatermark, append
+    // mode): the emitted key set equals batch DISTINCT — which row of
+    // each dup group survives is arrival-order-dependent, so only the
+    // keys are emitted/compared
+    QueryDef("q_stream_dedup",
+      (s, dir) => EventStream.runDedupOnFixture(s, dir)
+        .orderBy("user_id", "event_type"),
+      Some("""SELECT DISTINCT user_id, event_type FROM events
+              WHERE ts IS NOT NULL
+              ORDER BY user_id, event_type"""))
   )
 }

@@ -43,6 +43,18 @@ object EventStream {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"))
 
+  /** Streaming exact dedup — the streaming twin of `Dedup.exact`:
+    * `dropDuplicatesWithinWatermark` keeps one state entry per key only
+    * within the watermark horizon, so state stays bounded on an
+    * unbounded stream (a plain dropDuplicates would grow forever).
+    * Emits each distinct key once (append semantics). */
+  def dedupKeys(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("ts"), col("user_id"), col("event_type"))
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select("user_id", "event_type")
+
   /** Run the streaming aggregation synchronously over the parquet
     * fixture (memory sink, processAllAvailable) and return the final
     * batch result. The same `windowedAgg` plan serves a real
@@ -50,6 +62,11 @@ object EventStream {
   def runOnFixture(spark: SparkSession, dir: String,
                    windowLen: String = "1 hour"): DataFrame =
     runStream(spark, dir, windowedAgg(_, windowLen))
+
+  /** Streaming dedup over the fixture (append mode — dedup emits rows,
+    * not updating aggregates). */
+  def runDedupOnFixture(spark: SparkSession, dir: String): DataFrame =
+    runStream(spark, dir, dedupKeys(_), outputMode = "append")
 
   /** Streaming gap-sessions over the fixture (sessionAgg run to
     * completion) — the session_window twin of Sessionize.byGap. */
@@ -62,7 +79,8 @@ object EventStream {
     * the final result. The same plan serves a real readStream source in
     * production. */
   private def runStream(spark: SparkSession, dir: String,
-                        transform: DataFrame => DataFrame): DataFrame = {
+                        transform: DataFrame => DataFrame,
+                        outputMode: String = "complete"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = s"graft_events_${System.nanoTime()}"
     val stream = spark.readStream
@@ -88,7 +106,7 @@ object EventStream {
     var q: org.apache.spark.sql.streaming.StreamingQuery = null
     try {
       q = transform(stream)
-        .writeStream.outputMode("complete")
+        .writeStream.outputMode(outputMode)
         .format("memory").queryName(name)
         .option("checkpointLocation", s"$ckptBase/ckpt_$name")
         .trigger(Trigger.AvailableNow())
