@@ -249,41 +249,47 @@ object PipelineCompiler {
   /** `sortKey`: (struct-of-sort-columns, allAscending) when the group is
     * preceded by a uniform-direction $sort — $first/$last then compile
     * to min_by/max_by (deterministic under shuffle, unlike first/last). */
+  /** Accumulator compilation shared by $group and $setWindowFields.
+    * `w` attaches a window spec to each RAW aggregate expression (before
+    * any post-processing wrapper like transform/element_at — .over()
+    * applied to a wrapped Column never reaches the inner aggregate);
+    * the $group path passes identity. */
   private def accumulator(op: String, arg: JValue,
-                          sortKey: Option[(Column, Boolean)]): Column = {
+                          sortKey: Option[(Column, Boolean)],
+                          w: Column => Column = identity): Column = {
     def e = ExprCompiler.compile(arg)
     op match {
-      case "$sum"       => sum(e)
-      case "$avg"       => avg(e)
-      case "$min"       => min(e)
-      case "$max"       => max(e)
+      case "$sum"       => w(sum(e))
+      case "$avg"       => w(avg(e))
+      case "$min"       => w(min(e))
+      case "$max"       => w(max(e))
       case "$push" => // Mongo keeps nulls in position (collect_list drops)
-        transform(collect_list(struct(e.isNull.as("n"), e.as("v"))),
+        transform(w(collect_list(struct(e.isNull.as("n"), e.as("v")))),
           x => when(x.getField("n"), lit(null)).otherwise(x.getField("v")))
       case "$addToSet" => // Mongo's set includes an explicit null
-        when(max(when(e.isNull, 1).otherwise(0)) === 1,
-          array_append(collect_set(e), lit(null)))
-          .otherwise(collect_set(e))
+        when(w(max(when(e.isNull, 1).otherwise(0))) === 1,
+          array_append(w(collect_set(e)), lit(null)))
+          .otherwise(w(collect_set(e)))
       case "$first" => sortKey match {
-        case Some((k, asc)) => if (asc) min_by(e, k) else max_by(e, k)
-        case None => first(e, ignoreNulls = false)
+        case Some((k, asc)) => w(if (asc) min_by(e, k) else max_by(e, k))
+        case None => w(first(e, ignoreNulls = false))
       }
       case "$last" => sortKey match {
-        case Some((k, asc)) => if (asc) max_by(e, k) else min_by(e, k)
-        case None => last(e, ignoreNulls = false)
+        case Some((k, asc)) => w(if (asc) max_by(e, k) else min_by(e, k))
+        case None => w(last(e, ignoreNulls = false))
       }
-      case "$count"     => count(lit(1))
-      case "$stdDevPop" => stddev_pop(e)
-      case "$stdDevSamp" => stddev_samp(e)
+      case "$count"     => w(count(lit(1)))
+      case "$stdDevPop" => w(stddev_pop(e))
+      case "$stdDevSamp" => w(stddev_samp(e))
       // Mongo's document form {input, method}; the bare-expression form
       // is kept as a convenience. method: "approximate" (the only value
       // Mongo accepts) gets EXACT results here — a strictly-more-precise
       // deliberate deviation, same as $percentile below.
       case "$median" => arg match {
         case JObject(spec) if spec.exists(_._1 == "input") =>
-          median(ExprCompiler.compile(
-            spec.collectFirst { case ("input", x) => x }.get))
-        case _ => median(e)
+          w(median(ExprCompiler.compile(
+            spec.collectFirst { case ("input", x) => x }.get)))
+        case _ => w(median(e))
       }
       case "$percentile" => arg match {
         case JObject(spec) =>
@@ -298,7 +304,7 @@ object PipelineCompiler {
             }
           // exact interpolated percentile (Spark `percentile` ≡ DuckDB
           // quantile_cont); $percentile always returns an array
-          percentile(input, array(ps.map(lit): _*))
+          w(percentile(input, array(ps.map(lit): _*)))
         case other => throw new MqlException(s"bad $$percentile: $other")
       }
       // $topN/$bottomN carry their own sortBy → deterministic by spec.
@@ -329,8 +335,8 @@ object PipelineCompiler {
           val keyed = struct(
             (specs.zipWithIndex.map { case ((k, _), i) => fieldCol(k).as(s"__k$i") }
               :+ output.as("__o")): _*)
-          val sliced = call_function("graft_top_k", keyed, lit(n),
-            lit(wantHead), lit(specs.map(s => if (s._2) "1" else "0").mkString(",")))
+          val sliced = w(call_function("graft_top_k", keyed, lit(n),
+            lit(wantHead), lit(specs.map(s => if (s._2) "1" else "0").mkString(","))))
           if (op == "$top" || op == "$bottom") element_at(sliced, 1) else sliced
         case other => throw new MqlException(s"bad $op: $other")
       }
@@ -347,9 +353,9 @@ object PipelineCompiler {
             org.apache.spark.sql.SparkSession.active)
           // null input → null struct → skipped by the aggregate, matching
           // collect_list's null-dropping (Mongo ignores nulls here)
-          call_function("graft_top_k",
+          w(call_function("graft_top_k",
             when(input.isNotNull, struct(input.as("__k0"), input.as("__o"))),
-            lit(n), lit(true), lit(if (op == "$minN") "1" else "0"))
+            lit(n), lit(true), lit(if (op == "$minN") "1" else "0")))
         case other => throw new MqlException(s"bad $op: $other")
       }
       // $firstN/$lastN: first/last n values in document order, nulls
@@ -371,12 +377,12 @@ object PipelineCompiler {
             case Some((k, asc)) =>
               graft.functions.GraftFunctions.register(
                 org.apache.spark.sql.SparkSession.active)
-              val sliced = call_function("graft_top_k",
+              val sliced = w(call_function("graft_top_k",
                 struct(k.as("__k0"), packed.as("__o")),
-                lit(n), lit(op == "$firstN"), lit(if (asc) "1" else "0"))
+                lit(n), lit(op == "$firstN"), lit(if (asc) "1" else "0")))
               unwrap(sliced)
             case None =>
-              val lst = unwrap(collect_list(packed))
+              val lst = unwrap(w(collect_list(packed)))
               if (op == "$firstN") slice(lst, 1, n)
               else when(size(lst) <= n, lst).otherwise(slice(lst, -n, n))
           }
@@ -999,6 +1005,31 @@ object PipelineCompiler {
             }
           case other => throw new MqlException(s"bad $op: $other")
         }
+        // n-value / percentile accumulators are also window operators in
+        // Mongo: reuse the group-side accumulator Columns over the frame
+        // ($firstN/$lastN take the window's single sortBy as their
+        // deterministic key, same contract as the group form).
+        // Spark's median/percentile reject ordered/framed window specs —
+        // they get the bare partition window (Mongo's default window is
+        // the whole partition anyway).
+        case "$median" | "$percentile" =>
+          if (windowDoc.isDefined) throw new MqlException(
+            s"$op as a window operator supports only the default " +
+              "whole-partition window")
+          accumulator(op, arg, None, _.over(base))
+        case "$minN" | "$maxN" | "$firstN" | "$lastN" | "$topN" | "$top" |
+             "$bottomN" | "$bottom" =>
+          val wSortKey: Option[(Column, Boolean)] =
+            spec.collectFirst { case ("sortBy", s) => s } match {
+              case Some(JObject(List((f, JInt(d)))))  => Some((fieldCol(f), d >= 0))
+              case Some(JObject(List((f, JLong(d))))) => Some((fieldCol(f), d >= 0))
+              case _ => None
+            }
+          // key-driven, order-insensitive: the default window needs no
+          // sort; an explicit documents/range window uses the frame
+          val accWin = if (windowDoc.isDefined) framed
+            else base.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+          accumulator(op, arg, wSortKey, _.over(accWin))
         // window-op twins of $fill's methods (Mongo 5.2): carry the last
         // non-null forward / interpolate along the sortBy axis
         case "$locf" =>

@@ -730,6 +730,28 @@ object Relational {
                          END, 6) AS v_lin
             FROM w ORDER BY event_id""")),
 
+    // n-value / percentile accumulators as window operators: $median,
+    // $minN (ascending, null-skipping), $firstN (document order per the
+    // window sortBy) over the whole partition
+    QueryDef("q_window_acc",
+      (s, dir) => agg("events", """[
+        {"$setWindowFields": {"partitionBy": "$user_id",
+           "sortBy": {"event_id": 1},
+           "output": {
+             "med":    {"$median": {"input": "$value", "method": "approximate"}},
+             "low2":   {"$minN":   {"input": "$value", "n": 2}},
+             "first2": {"$firstN": {"input": "$event_id", "n": 2}}}}},
+        {"$project": {"_id": 0, "event_id": 1, "user_id": 1,
+           "med": {"$round": ["$med", 6]}, "low2": 1, "first2": 1}},
+        {"$sort": {"event_id": 1}}]""")(s, dir),
+      Some("""SELECT event_id, user_id,
+                round(median(value) OVER (PARTITION BY user_id), 6) AS med,
+                (list_sort(list(value) OVER (PARTITION BY user_id)))[1:2] AS low2,
+                (list(event_id) OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))[1:2]
+                  AS first2
+              FROM events ORDER BY event_id""")),
+
     // $dateToParts, both calendar and iso8601 shapes, flattened via
     // nested-path refs (DuckDB: year/isoyear/isodow twins)
     QueryDef("q_date_parts",
