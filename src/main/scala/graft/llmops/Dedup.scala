@@ -144,6 +144,24 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** End-to-end near-dedup: keep ONE representative (min id) per
+    * duplicate CLUSTER and drop the rest — the standard corpus-dedup
+    * contract (a connected family of near-dups is one content group).
+    * Naive pairwise dropping (remove id_b of every pair) has no such
+    * guarantee: depending on id orientation it can keep several members
+    * of one family ((1,3),(2,3) keeps both 1 and 2). Closing the pair
+    * set into components first makes the result orientation-independent
+    * and exactly one-per-family. Shape: the pair generator's cost +
+    * O(diameter) component rounds + one anti-join against the (small)
+    * duplicate-id set, which AQE broadcasts. */
+  def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                         shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val pairs = jaccardPairs(df, idCol, textCol, shingleN, threshold)
+    val clusters = graft.operators.Components.fromPairs(pairs, "id_a", "id_b")
+    val losers = clusters.where(col("id") =!= col("cluster_id")).select(col("id"))
+    df.join(losers, df(idCol) === losers("id"), "left_anti")
+  }
+
   /** Embedding-cosine near-dup dedup: a vector is dropped when a
     * lower-id vector is within `threshold` cosine. The DEFAULT is the
     * scale path (`exact = false`): sign-LSH buckets for candidate

@@ -342,6 +342,27 @@ object LlmOps {
            FROM comp ORDER BY doc_id"""),
     ),
 
+    // end-to-end near-dedup: transitive closure of the pair set, keep
+    // the min-id representative per cluster, anti-join the rest away
+    QueryDef("q_near_dedup",
+      (s, dir) => Dedup.dropNearDuplicates(Graft.table(s, dir, "documents"),
+        "doc_id", "text", shingleN = 3, threshold = 0.8)
+        .select("doc_id").orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE pairs AS ($nearDupOracle),
+             edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                       UNION SELECT id_b, id_a FROM pairs),
+             reach(id, lbl) AS (
+               SELECT DISTINCT src, src FROM edges
+               UNION
+               SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+             comp AS (SELECT id AS doc_id, min(lbl) AS cluster_id
+                      FROM reach GROUP BY id)
+           SELECT doc_id FROM documents
+           WHERE doc_id NOT IN
+             (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
+           ORDER BY doc_id"""),
+    ),
+
     // deterministic per-stratum sampling: seeded md5 bucket < per-lang
     // rate — pure map work (no shuffle), reproducible by any engine
     QueryDef("q_stratified_sample",

@@ -122,4 +122,24 @@ class LlmOpsSpec extends AnyFunSuite {
     val fp = docs.select(TextAnalysis.fingerprint(col("text")).as("fp"))
     assert(fp.distinct().count() < docs.count()) // small vocab → collisions exist
   }
+
+  test("dropNearDuplicates keeps exactly one representative per cluster") {
+    val survivors = Dedup.dropNearDuplicates(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text")
+    val clusters = graft.operators.Components.fromPairs(pairs, "id_a", "id_b")
+      .as[(Long, Long, Long)].collect()
+    assert(clusters.nonEmpty, "fixtures should contain planted near-dups")
+    // every cluster contributes exactly its min-id member
+    clusters.groupBy(_._2).foreach { case (rep, members) =>
+      assert(members.map(_._1).min == rep)
+      assert(survivors.contains(rep))
+      members.map(_._1).filterNot(_ == rep).foreach(m =>
+        assert(!survivors.contains(m), s"non-representative $m survived"))
+    }
+    // docs outside any cluster are untouched
+    val clustered = clusters.map(_._1).toSet
+    assert(survivors.size ==
+      docs.count().toInt - (clustered.size - clusters.map(_._2).distinct.length))
+  }
 }
