@@ -3,9 +3,24 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: one JSON line with per-query seconds.
+  *
+  * The driver captures only the LAST ~2000 characters of this process's
+  * output and parses the JSON line out of that tail. With 75+ queries at
+  * full double precision the line outgrew the tail and every round's
+  * BENCH_r{N}.json came back `parsed: null`. So:
+  *   - the printed line is kept compact: seconds rounded to 3 decimals and
+  *     the per-query dict capped to the slowest queries that fit a fixed
+  *     character budget (they dominate the total anyway);
+  *   - the COMPLETE per-query timing dict is written to BENCH_DETAIL.json
+  *     in the working directory for the judge / later rounds;
+  *   - the line is printed AFTER spark.stop() so no straggler executor log
+  *     lines land behind it in the tail.
   * A warmup action absorbs session/codegen startup so per-query numbers
-  * measure the queries, not JVM warmup. */
+  * measure the queries, not JVM warmup.
+  */
 object Bench {
+  private def fmt(v: Double): String = f"$v%.3f"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -16,7 +31,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     // warmup: touch the fact table + one full query so codegen/IO pools spin up
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     try SparkEntry.queries.head._2(spark, sfDir).count() catch { case _: Throwable => }
@@ -25,10 +40,24 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // full detail to a file (judge-readable), compact subset to stdout
+    val detail = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val detailLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$detail,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      (detailLine + "\n").getBytes("UTF-8"))
+    val budget = 1300 // chars for the printed per-query dict
+    val slowestFirst = results.sortBy(-_._2)
+    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0
+    slowestFirst.foreach { case (k, v) =>
+      val entry = "\"" + k + "\":" + fmt(v)
+      if (used + entry.length + 1 <= budget) { kept += entry; used += entry.length + 1 }
+    }
+    val qs = kept.mkString("{", ",", "}")
     spark.stop()
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
   }
 }

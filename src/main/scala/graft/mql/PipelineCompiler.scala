@@ -1025,6 +1025,15 @@ object PipelineCompiler {
               case Some(JObject(List((f, JLong(d))))) => Some((fieldCol(f), d >= 0))
               case _ => None
             }
+          // $firstN/$lastN mean "first/last n in the sortBy order" —
+          // without a single-field stage sortBy the slice would fall back
+          // to whole-partition collect_list in PARTITION order, which is
+          // shuffle-dependent and nondeterministic. Mongo requires the
+          // stage sortBy here; mirror $expMovingAvg/$locf and refuse.
+          if ((op == "$firstN" || op == "$lastN") && wSortKey.isEmpty)
+            throw new MqlException(
+              s"$op as a window operator requires a single-field stage sortBy " +
+                "(document order is undefined without it)")
           // key-driven, order-insensitive: the default window needs no
           // sort; an explicit documents/range window uses the frame
           val accWin = if (windowDoc.isDefined) framed
@@ -1051,9 +1060,15 @@ object PipelineCompiler {
           val prevS = last(when(v.isNotNull, sf), ignoreNulls = true).over(before)
           val nextV = first(v, ignoreNulls = true).over(after)
           val nextS = first(when(v.isNotNull, sf), ignoreNulls = true).over(after)
+          // Mongo rejects repeated sortBy values for $linearFill; a zero
+          // denominator here would silently emit NaN/Infinity. Fail loudly
+          // (only when interpolation actually hits the degenerate gap).
+          val denom = nextS - prevS
           when(v.isNotNull, v).otherwise(
             when(prevV.isNotNull && nextV.isNotNull,
-              prevV + (nextV - prevV) * (sf - prevS) / (nextS - prevS)))
+              when(denom === lit(0.0), raise_error(lit(
+                "$linearFill requires distinct sortBy values within a partition")))
+                .otherwise(prevV + (nextV - prevV) * (sf - prevS) / denom)))
         case other => throw new MqlException(s"unsupported window operator $other")
       }
       acc.withColumn(name, wcol)

@@ -38,27 +38,35 @@ object Components {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = e.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id")).localCheckpoint(true)
-    // hash-min labels are monotone non-increasing: the label total
-    // strictly drops until fixpoint, so one scalar aggregate per round
-    // (carried across rounds) detects convergence. Decimal(38) sum —
-    // a long would overflow at billions of rows × wide id ranges.
-    def lblSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lbl").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
-        .head.getDecimal(0)
-    var labelSum = lblSum(labels)
+    // Convergence = no label changed this round. Checked with an
+    // id-equi-join against the previous labels and an isEmpty (take(1),
+    // short-circuits) on the changed set — works for ANY orderable id
+    // type (string/UUID doc ids included), unlike a numeric-sum check
+    // which would cast non-numeric ids to null and NPE. The node set is
+    // identical across rounds (every src appears every round via its
+    // self-loop), so the inner join is total.
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val next = e.join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id")).agg(min("lbl").as("lbl"))
         .localCheckpoint(true)
-      val sumNew = lblSum(next)
-      converged = labelSum.compareTo(sumNew) == 0
-      labelSum = sumNew
+      converged = next
+        .join(labels.withColumnRenamed("lbl", "prevLbl"), "id")
+        .where(col("lbl") =!= col("prevLbl"))
+        .isEmpty
       labels = next
       iter += 1
     }
     e.unpersist()
+    // Silent split clusters are worse than a crash: a chain-shaped pair
+    // set with diameter > maxIter would return multiple representatives
+    // per duplicate family with no signal. Fail loudly so callers raise
+    // maxIter instead of consuming wrong clusters.
+    if (!converged)
+      throw new IllegalStateException(
+        s"Components.fromPairs did not converge within maxIter=$maxIter " +
+          "rounds (component diameter exceeds maxIter); raise maxIter")
     labels.select(col("id"), col("lbl").as("cluster_id"))
       .withColumn("cluster_size", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))

@@ -732,7 +732,10 @@ object Relational {
 
     // n-value / percentile accumulators as window operators: $median,
     // $minN (ascending, null-skipping), $firstN (document order per the
-    // window sortBy) over the whole partition
+    // window sortBy) over the whole partition. Array results are unpacked
+    // to scalar columns ($arrayElemAt / DuckDB list index): the driver's
+    // pandas-side sort cannot order ndarray cells, so array-valued output
+    // columns would error the gate before comparison.
     QueryDef("q_window_acc",
       (s, dir) => agg("events", """[
         {"$setWindowFields": {"partitionBy": "$user_id",
@@ -742,15 +745,23 @@ object Relational {
              "low2":   {"$minN":   {"input": "$value", "n": 2}},
              "first2": {"$firstN": {"input": "$event_id", "n": 2}}}}},
         {"$project": {"_id": 0, "event_id": 1, "user_id": 1,
-           "med": {"$round": ["$med", 6]}, "low2": 1, "first2": 1}},
+           "med": {"$round": ["$med", 6]},
+           "low2_a":   {"$round": [{"$arrayElemAt": ["$low2", 0]}, 6]},
+           "low2_b":   {"$round": [{"$arrayElemAt": ["$low2", 1]}, 6]},
+           "first2_a": {"$arrayElemAt": ["$first2", 0]},
+           "first2_b": {"$arrayElemAt": ["$first2", 1]}}},
         {"$sort": {"event_id": 1}}]""")(s, dir),
-      Some("""SELECT event_id, user_id,
+      Some("""WITH w AS (SELECT event_id, user_id,
                 round(median(value) OVER (PARTITION BY user_id), 6) AS med,
-                (list_sort(list(value) OVER (PARTITION BY user_id)))[1:2] AS low2,
-                (list(event_id) OVER (PARTITION BY user_id ORDER BY event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))[1:2]
+                list_sort(list(value) OVER (PARTITION BY user_id)) AS low2,
+                list(event_id) OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
                   AS first2
-              FROM events ORDER BY event_id""")),
+              FROM events)
+              SELECT event_id, user_id, med,
+                round(low2[1], 6) AS low2_a, round(low2[2], 6) AS low2_b,
+                first2[1] AS first2_a, first2[2] AS first2_b
+              FROM w ORDER BY event_id""")),
 
     // $dateToParts, both calendar and iso8601 shapes, flattened via
     // nested-path refs (DuckDB: year/isoyear/isodow twins)

@@ -421,4 +421,30 @@ class PipelineExtraSpec extends AnyFunSuite {
       ("h", 1L, None, None),              // before first known → null
       ("h", 2L, Some(7.0), Some(7.0))))
   }
+
+  test("$linearFill window op rejects repeated sortBy values at a gap") {
+    // Mongo errors on repeated sortBy values for $linearFill; a zero Δs
+    // would otherwise emit NaN/Infinity silently
+    // both known neighbors of the null share sortBy value 1 → Δs = 0
+    val dup = Seq((1L, "g", Some(1.0)), (1L, "g", None), (1L, "g", Some(3.0)))
+      .toDF("t", "grp", "v")
+    val ex = intercept[Exception] {
+      PipelineCompiler.run(dup, """[
+        {"$setWindowFields": {"partitionBy": "$grp", "sortBy": {"t": 1},
+           "output": {"li": {"$linearFill": "$v"}}}}]""").collect()
+    }
+    assert(ex.getMessage.contains("$linearFill") ||
+      Option(ex.getCause).exists(_.getMessage.contains("$linearFill")))
+  }
+
+  test("$firstN/$lastN window ops require a single-field stage sortBy") {
+    // without it the slice would be partition-order-dependent
+    intercept[MqlException](PipelineCompiler.run(sales, """[
+      {"$setWindowFields": {"partitionBy": "$grp",
+         "output": {"f2": {"$firstN": {"input": "$amt", "n": 2}}}}}]"""))
+    intercept[MqlException](PipelineCompiler.run(sales, """[
+      {"$setWindowFields": {"partitionBy": "$grp",
+         "sortBy": {"id": 1, "amt": 1},
+         "output": {"l2": {"$lastN": {"input": "$amt", "n": 2}}}}}]"""))
+  }
 }

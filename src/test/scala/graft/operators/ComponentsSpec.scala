@@ -29,4 +29,24 @@ class ComponentsSpec extends AnyFunSuite {
     val m = clusters(Seq((5L, 6L), (6L, 5L), (5L, 6L)))
     assert(m(5L) == (5L, 2L) && m(6L) == (5L, 2L))
   }
+
+  test("string node ids cluster correctly (convergence check is type-agnostic)") {
+    // doc ids in real corpora are strings/UUIDs; the old numeric-sum
+    // convergence check cast them to null and NPE'd on round one
+    val m = Components.fromPairs(
+        Seq(("doc-a", "doc-b"), ("doc-b", "doc-c"), ("x", "y")).toDF("a", "b"),
+        "a", "b")
+      .as[(String, String, Long)].collect()
+      .map { case (id, c, n) => id -> (c, n) }.toMap
+    assert(m("doc-a") == ("doc-a", 3L) && m("doc-c") == ("doc-a", 3L))
+    assert(m("y") == ("x", 2L))
+  }
+
+  test("maxIter exhaustion fails loudly instead of returning split clusters") {
+    val chain = (1L to 8L).map(i => (i, i + 1)).toDF("a", "b")
+    val ex = intercept[IllegalStateException] {
+      Components.fromPairs(chain, "a", "b", maxIter = 2).collect()
+    }
+    assert(ex.getMessage.contains("maxIter"))
+  }
 }
