@@ -45,8 +45,19 @@ class ComponentsSpec extends AnyFunSuite {
   test("maxIter exhaustion fails loudly instead of returning split clusters") {
     val chain = (1L to 8L).map(i => (i, i + 1)).toDF("a", "b")
     val ex = intercept[IllegalStateException] {
-      Components.fromPairs(chain, "a", "b", maxIter = 2).collect()
+      // localMax = 0 forces the distributed propagation path
+      Components.fromPairs(chain, "a", "b", maxIter = 2, localMax = 0L).collect()
     }
     assert(ex.getMessage.contains("maxIter"))
+  }
+
+  test("distributed propagation path matches the local union-find path") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (20L, 21L)).toDF("a", "b")
+    val local = Components.fromPairs(pairs, "a", "b")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val dist = Components.fromPairs(pairs, "a", "b", localMax = 0L)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(local == dist)
   }
 }
