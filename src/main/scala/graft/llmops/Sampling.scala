@@ -33,6 +33,45 @@ object Sampling {
     df.where(bucket < rate * 1000000L)
   }
 
+  /** Cap rows per group at k, ranked by `rankCol` descending with an
+    * ascending id tie-break (deterministic): the per-domain cap step of
+    * a web-corpus pipeline (keep the k best pages per domain). One keyed
+    * window pass — the shuffle is on the group key and each partition
+    * sorts only its groups' rows. For pathologically hot groups
+    * (a single domain holding a double-digit share of the corpus) the
+    * BoundedTopK aggregate (functions/BoundedTopK.scala) computes the
+    * same slice with an O(k) buffer; the window form is preferred while
+    * group sizes stay executor-sized because it keeps every input column
+    * without a struct round-trip. */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                  rankCol: Column, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(rankCol.desc, col(idCol).asc)
+    df.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+  }
+
+  /** Deterministic weighted resampling to a target mixture: every row of
+    * stratum s is repeated floor(w_s) times plus one more with
+    * probability frac(w_s), decided by the seeded md5 hash of the id —
+    * upsampling (w > 1) and downsampling (w < 1) in one map-only
+    * operator (explode of a per-row sequence; no shuffle), reproducible
+    * across runs, partitionings, and engines. Output carries
+    * `copy` (1-based repeat index); rows with zero copies disappear. */
+  def resampleMixture(df: DataFrame, idCol: String, stratumCol: String,
+                      weights: Map[String, Double], defaultWeight: Double = 1.0,
+                      seed: String = "mix"): DataFrame = {
+    val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (s, r)) =>
+      when(col(stratumCol) === s, lit(r)).otherwise(acc)
+    }
+    val copies = floor(w).cast("long") +
+      when(hashBucket(col(idCol), seed) < (w - floor(w)) * 1000000L, 1L)
+        .otherwise(0L)
+    // sequence(1, 0) would count DOWN in Spark; guard to null so explode
+    // drops zero-copy rows instead
+    df.withColumn("copy",
+      explode(when(copies >= 1L, sequence(lit(1L), copies))))
+  }
+
   /** Keep documents per group until a token budget is reached:
     * deterministic hash order within the group, running token total,
     * cut where the total exceeds the budget. One keyed window pass

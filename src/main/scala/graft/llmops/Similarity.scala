@@ -40,6 +40,38 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Int8 scalar quantization of an embedding vector — the standard 4×
+    * storage/bandwidth reduction for ANN indexes at corpus scale. Per
+    * vector: scale = (max − min)/255, code_i = round((v_i − min)/scale)
+    * ∈ [0, 255]; constant vectors (scale 0) encode as all-zero codes.
+    * Returns struct(minv, scale, codes array<int>). Pure map expression
+    * (HOF transform + array_min/max) — no shuffle, runs in the scan
+    * stage. */
+  def quantizeInt8(vec: Column): Column = {
+    val v = vec.cast("array<double>")
+    val minv = array_min(v)
+    val scale = (array_max(v) - minv) / lit(255.0)
+    struct(minv.as("minv"), scale.as("scale"),
+      when(scale === 0.0, transform(v, _ => lit(0)))
+        .otherwise(transform(v, x => round((x - minv) / scale, 0).cast("int")))
+        .as("codes"))
+  }
+
+  /** Reconstruction from quantizeInt8 output: v̂_i = minv + code_i·scale. */
+  def dequantizeInt8(q: Column): Column =
+    transform(q.getField("codes"),
+      c => q.getField("minv") + c.cast("double") * q.getField("scale"))
+
+  /** Mean squared reconstruction error of int8 quantization for a
+    * vector — the quality gauge for the storage/recall trade-off. */
+  def quantizationMse(vec: Column): Column = {
+    val v = vec.cast("array<double>")
+    val dq = dequantizeInt8(quantizeInt8(vec))
+    aggregate(zip_with(v, dq, (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x) /
+      greatest(size(v), lit(1)).cast("double")
+  }
+
   /** Brute-force cosine top-k: every query row against the whole corpus.
     * Rank by rounded similarity + id tiebreak → fully deterministic. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,

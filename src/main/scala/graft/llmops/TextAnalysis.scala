@@ -70,6 +70,18 @@ object TextAnalysis {
     }._2
   }
 
+  /** Gopher-style repetition metric: the fraction of a document's word
+    * n-gram occurrences that are repeats of an earlier occurrence —
+    * 1 − distinct/total (0 for docs shorter than n tokens). High values
+    * flag boilerplate/spam. Distinct count reuses the WordShingles
+    * native expression; total is derived from the token count, so the
+    * whole metric is one codegen'd map expression — no shuffle. */
+  def dupNgramFrac(text: Column, n: Int): Column = {
+    val total = greatest(size(tokens(text)) - lit(n - 1), lit(1))
+    round(lit(1.0) -
+      size(Dedup.shingles(text, n)).cast("double") / total.cast("double"), 6)
+  }
+
   /** Order-insensitive content fingerprint: md5 of the sorted distinct
     * token set. Groups docs that share vocabulary regardless of order. */
   def fingerprint(text: Column): Column =

@@ -184,6 +184,26 @@ object Headline {
         .orderBy("user_id", "event_type"),
       Some("""SELECT DISTINCT user_id, event_type FROM events
               WHERE ts IS NOT NULL
-              ORDER BY user_id, event_type"""))
+              ORDER BY user_id, event_type""")),
+
+    // stream-stream interval join (attribution): each purchase joined to
+    // the same user's clicks in the preceding 10 minutes. Inner-join
+    // matches emit as found; the watermarks + time band only bound the
+    // join state, so the append result equals the batch join.
+    QueryDef("q_stream_join",
+      (s, dir) => EventStream.runIntervalJoinOnFixture(s, dir,
+        leftType = "click", rightType = "purchase", within = "10 minutes")
+        .orderBy("l_id", "r_id"),
+      Some("""SELECT c.event_id AS l_id, p.event_id AS r_id, c.user_id,
+                     epoch_us(CAST(p.ts AS TIMESTAMP))
+                       - epoch_us(CAST(c.ts AS TIMESTAMP)) AS lag_us
+              FROM events c JOIN events p
+                ON p.user_id = c.user_id
+               AND c.event_type = 'click' AND p.event_type = 'purchase'
+               AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+               AND CAST(p.ts AS TIMESTAMP)
+                     <= CAST(c.ts AS TIMESTAMP) + INTERVAL 10 MINUTE
+              WHERE c.ts IS NOT NULL AND p.ts IS NOT NULL
+              ORDER BY l_id, r_id"""))
   )
 }

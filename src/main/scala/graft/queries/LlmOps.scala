@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.api.Graft
-import graft.llmops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.llmops.{Decontaminate, Dedup, Multimodal, Sampling, Similarity, TextAnalysis, TfIdf}
 
 /** Training-data pipeline operators over the documents/embeddings
   * fixtures: text analysis, dedup (exact → minhash/simhash near-dup),
@@ -429,6 +429,131 @@ object LlmOps {
                        AS BIGINT) AS cum_tokens
                    FROM t)
              SELECT source, doc_id, cum_tokens FROM c
-             WHERE cum_tokens <= 700 ORDER BY source, cum_tokens, doc_id"""))
+             WHERE cum_tokens <= 700 ORDER BY source, cum_tokens, doc_id""")),
+
+    // benchmark decontamination: training docs sharing any 3-gram with
+    // the (broadcast) benchmark slice; hits = distinct shared shingles
+    QueryDef("q_decontaminate",
+      (s, dir) => {
+        val d = Graft.table(s, dir, "documents")
+        Decontaminate.contaminationHits(
+          d.where(col("doc_id") % 20 =!= 0), "doc_id", "text",
+          d.where(col("doc_id") % 20 === 0), "text", shingleN = 3)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $duckShingles AS sh
+                 FROM (SELECT doc_id, $duckToks AS w FROM documents)),
+               b AS (SELECT DISTINCT unnest(sh) AS s FROM t WHERE doc_id % 20 = 0),
+               d AS (SELECT doc_id, unnest(sh) AS s FROM t WHERE doc_id % 20 <> 0)
+             SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS hits
+             FROM d JOIN b ON d.s = b.s
+             GROUP BY d.doc_id ORDER BY doc_id""")),
+
+    // tf-idf top terms per doc (smoothed idf, deterministic tie-break)
+    QueryDef("q_tfidf_top",
+      (s, dir) => TfIdf.topTerms(Graft.table(s, dir, "documents"),
+        "doc_id", "text", k = 3)
+        .withColumn("rnk", col("rnk").cast("long"))
+        .orderBy("doc_id", "rnk"),
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($duckToksLower) AS term
+                 FROM documents),
+               tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+               df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+               n AS (SELECT COUNT(*) AS n FROM documents),
+               sc AS (SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+                        round(tf * (ln((n + 1)::DOUBLE / (df + 1)) + 1), 6) AS score
+                      FROM tf JOIN df USING (term) CROSS JOIN n),
+               r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY score DESC, term) AS BIGINT) AS rnk FROM sc)
+             SELECT doc_id, term, tf, score, rnk FROM r
+             WHERE rnk <= 3 ORDER BY doc_id, rnk""")),
+
+    // Gopher-style repetition metric: duplicate 2-/3-gram fraction per
+    // doc, map-only (docs shorter than n tokens score 0)
+    QueryDef("q_repetition",
+      (s, dir) => Graft.table(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.dupNgramFrac(col("text"), 2).as("dup2"),
+          TextAnalysis.dupNgramFrac(col("text"), 3).as("dup3"))
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, $duckToks AS w FROM documents)
+             SELECT doc_id,
+               round(CASE WHEN len(w) < 2 THEN 0.0 ELSE
+                 1.0 - len(list_distinct([array_to_string(w[i:i+1], ' ')
+                             for i in range(1, len(w))]))::DOUBLE
+                     / (len(w) - 1) END, 6) AS dup2,
+               round(CASE WHEN len(w) < 3 THEN 0.0 ELSE
+                 1.0 - len(list_distinct([array_to_string(w[i:i+2], ' ')
+                             for i in range(1, len(w) - 1)]))::DOUBLE
+                     / (len(w) - 2) END, 6) AS dup3
+             FROM t ORDER BY doc_id""")),
+
+    // per-domain cap: keep the 5 largest docs per source (rank by
+    // n_chars desc, id tie-break) — the per-domain cap of a web pipeline
+    QueryDef("q_domain_cap",
+      (s, dir) => Sampling.capPerGroup(Graft.table(s, dir, "documents"),
+        "source", "doc_id", col("n_chars"), k = 5)
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          col("rnk").cast("long").as("rnk"))
+        .orderBy("source", "rnk"),
+      Some("""WITH r AS (SELECT source, doc_id, n_chars,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rnk
+               FROM documents)
+             SELECT source, doc_id, n_chars, rnk FROM r
+             WHERE rnk <= 5 ORDER BY source, rnk""")),
+
+    // deterministic mixture resampling: en upsampled 2.5x, es kept,
+    // de halved, other langs dropped; copy = 1-based repeat index
+    QueryDef("q_mixture",
+      (s, dir) => Sampling.resampleMixture(Graft.table(s, dir, "documents"),
+        "doc_id", "lang",
+        weights = Map("en" -> 2.5, "es" -> 1.0, "de" -> 0.5),
+        defaultWeight = 0.0)
+        .select("doc_id", "lang", "copy").orderBy("doc_id", "copy"),
+      Some("""WITH t AS (SELECT doc_id, lang,
+                 CASE lang WHEN 'en' THEN 2.5 WHEN 'es' THEN 1.0
+                           WHEN 'de' THEN 0.5 ELSE 0.0 END AS w,
+                 ('0x' || substr(md5('mix:' || doc_id), 1, 8))::BIGINT
+                   % 1000000 AS hb
+               FROM documents),
+             c AS (SELECT doc_id, lang,
+                     CAST(floor(w) AS BIGINT) +
+                     CASE WHEN hb < (w - floor(w)) * 1000000 THEN 1 ELSE 0 END
+                       AS n
+                   FROM t)
+             SELECT doc_id, lang, unnest(generate_series(1, n)) AS copy
+             FROM c WHERE n >= 1 ORDER BY doc_id, copy""")),
+
+    // int8 scalar quantization: per-vector params, code checksum, and
+    // mean squared reconstruction error — map-only over the embeddings
+    QueryDef("q_emb_quant",
+      (s, dir) => {
+        val qz = Similarity.quantizeInt8(col("embedding"))
+        Graft.table(s, dir, "embeddings")
+          .select(col("vec_id"),
+            round(qz.getField("minv"), 6).as("minv"),
+            round(qz.getField("scale"), 6).as("scale"),
+            aggregate(qz.getField("codes"), lit(0L),
+              (a, c) => a + c.cast("long")).as("code_sum"),
+            round(Similarity.quantizationMse(col("embedding")), 6).as("mse"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH u AS (SELECT vec_id, unnest(embedding)::DOUBLE AS e
+                 FROM embeddings),
+               s AS (SELECT vec_id, min(e) AS mn,
+                       (max(e) - min(e)) / 255.0 AS sc, COUNT(*) AS d
+                     FROM u GROUP BY 1),
+               c AS (SELECT u.vec_id,
+                       CASE WHEN sc = 0 THEN 0
+                            ELSE CAST(round((e - mn) / sc) AS INT) END AS code,
+                       e, mn, sc, d
+                     FROM u JOIN s USING (vec_id))
+             SELECT vec_id, round(any_value(mn), 6) AS minv,
+                    round(any_value(sc), 6) AS scale,
+                    CAST(SUM(code) AS BIGINT) AS code_sum,
+                    round(SUM((e - (mn + code * sc)) * (e - (mn + code * sc)))
+                          / any_value(d), 6) AS mse
+             FROM c GROUP BY vec_id ORDER BY vec_id"""))
   )
 }

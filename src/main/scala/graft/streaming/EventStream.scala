@@ -55,6 +55,41 @@ object EventStream {
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select("user_id", "event_type")
 
+  /** Stream-stream interval join — the streaming attribution/enrichment
+    * primitive (e.g. purchase events joined to the click that preceded
+    * them): two watermarked streams equi-joined on user with a bounded
+    * event-time band (right.ts ∈ [left.ts, left.ts + `within`]). The
+    * time bound plus both watermarks let Spark expire join state — an
+    * unbounded-state stream-stream join is refused by the engine, so
+    * this is THE scalable shape: state per side ≈ watermark horizon ×
+    * arrival rate, independent of stream length. */
+  def intervalJoin(events: DataFrame, leftType: String, rightType: String,
+                   within: String = "10 minutes",
+                   watermarkDelay: String = "30 minutes"): DataFrame = {
+    val l = events.where(col("event_type") === leftType)
+      .select(col("event_id").as("l_id"), col("user_id"), col("ts").as("l_ts"))
+      .withWatermark("l_ts", watermarkDelay)
+    val r = events.where(col("event_type") === rightType)
+      .select(col("event_id").as("r_id"), col("user_id").as("r_user"),
+        col("ts").as("r_ts"))
+      .withWatermark("r_ts", watermarkDelay)
+    l.join(r,
+      col("user_id") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"))
+      .select(col("l_id"), col("r_id"), col("user_id"),
+        (unix_micros(col("r_ts")) - unix_micros(col("l_ts"))).as("lag_us"))
+  }
+
+  /** Stream-stream interval join over the fixture (append mode — joins
+    * emit rows as watermarks close the band). */
+  def runIntervalJoinOnFixture(spark: SparkSession, dir: String,
+                               leftType: String = "click",
+                               rightType: String = "purchase",
+                               within: String = "10 minutes"): DataFrame =
+    runStream(spark, dir, intervalJoin(_, leftType, rightType, within),
+      outputMode = "append")
+
   /** Run the streaming aggregation synchronously over the parquet
     * fixture (memory sink, processAllAvailable) and return the final
     * batch result. The same `windowedAgg` plan serves a real

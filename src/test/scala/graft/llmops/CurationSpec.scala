@@ -1,0 +1,122 @@
+package graft.llmops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+
+/** Specs for the round-4 curation operators: decontamination, tf-idf,
+  * repetition metrics, per-group caps, mixture resampling, int8
+  * quantization. */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  test("contaminationHits flags exactly the docs sharing benchmark n-grams") {
+    val bench = Seq((1L, "the quick brown fox jumps high")).toDF("id", "text")
+    val docs = Seq(
+      (10L, "a lazy dog sleeps all day long"),          // clean
+      (11L, "look the quick brown fox runs here"),      // shares 2 shingles
+      (12L, "totally unrelated words only here now")    // clean
+    ).toDF("id", "text")
+    val hits = Decontaminate.contaminationHits(docs, "id", "text",
+      bench, "text", shingleN = 3)
+      .as[(Long, Long)].collect().toMap
+    // "the quick brown" and "quick brown fox" are shared; nothing else
+    assert(hits == Map(11L -> 2L))
+    val kept = Decontaminate.dropContaminated(docs, "id", "text",
+      bench, "text", shingleN = 3).select("id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(10L, 12L))
+  }
+
+  test("tf-idf ranks distinctive terms above corpus-common ones") {
+    val docs = Seq(
+      (1L, "shared shared zebra"),
+      (2L, "shared common words"),
+      (3L, "shared common other")
+    ).toDF("id", "text")
+    val top = TfIdf.topTerms(docs, "id", "text", k = 2)
+    val doc1 = top.where($"id" === 1).orderBy("rnk")
+      .select("term").as[String].collect()
+    // zebra (df=1) is distinctive, but tf=2 on shared (df=3) wins the
+    // smoothed formula: 2*(ln(4/4)+1)=2.0 vs 1*(ln(4/2)+1)≈1.69
+    assert(doc1.toSeq == Seq("shared", "zebra"))
+    // scores are deterministic and rounded
+    val z = top.where($"id" === 1 && $"term" === "zebra")
+      .select("score").as[Double].head()
+    assert(math.abs(z - (math.rint((math.log(2.0) + 1) * 1e6) / 1e6)) < 1e-9)
+  }
+
+  test("dupNgramFrac: repeats score high, unique text scores 0, short docs 0") {
+    val df = Seq(
+      (1L, "a b a b a b"),     // 2-grams: ab ba ab ba ab → 5 total, 2 distinct
+      (2L, "all words unique here"),
+      (3L, "one")              // shorter than n
+    ).toDF("id", "text")
+    val got = df.select($"id", TextAnalysis.dupNgramFrac($"text", 2).as("f"))
+      .as[(Long, Double)].collect().toMap
+    assert(got(1L) == 0.6)     // 1 - 2/5
+    assert(got(2L) == 0.0)
+    assert(got(3L) == 0.0)
+  }
+
+  test("capPerGroup keeps k rows per group in rank order") {
+    val df = Seq(
+      ("a", 1L, 10), ("a", 2L, 30), ("a", 3L, 20), ("a", 4L, 30),
+      ("b", 5L, 1)
+    ).toDF("grp", "id", "score")
+    val got = Sampling.capPerGroup(df, "grp", "id", col("score"), k = 2)
+      .select("grp", "id", "rnk").as[(String, Long, Int)].collect().toSet
+    // ties on score=30 break by id asc: id 2 then id 4
+    assert(got == Set(("a", 2L, 1), ("a", 4L, 2), ("b", 5L, 1)))
+  }
+
+  test("resampleMixture: integer weights repeat exactly, zero drops, " +
+       "fractional is deterministic") {
+    val df = Seq(
+      (1L, "en"), (2L, "en"), (3L, "fr"), (4L, "de")
+    ).toDF("id", "lang")
+    val out = Sampling.resampleMixture(df, "id", "lang",
+      Map("en" -> 2.0, "de" -> 0.5), defaultWeight = 0.0)
+      .select("id", "copy").as[(Long, Long)].collect().toSeq
+    // en rows appear exactly twice with copy 1,2; fr dropped
+    assert(out.filter(_._1 == 1L).map(_._2).sorted == Seq(1L, 2L))
+    assert(out.filter(_._1 == 2L).map(_._2).sorted == Seq(1L, 2L))
+    assert(!out.exists(_._1 == 3L))
+    // de (w=0.5): kept 0 or 1 times, and identically on re-run
+    val again = Sampling.resampleMixture(df, "id", "lang",
+      Map("en" -> 2.0, "de" -> 0.5), defaultWeight = 0.0)
+      .select("id", "copy").as[(Long, Long)].collect().toSeq
+    assert(out.sorted == again.sorted)
+    assert(out.count(_._1 == 4L) <= 1)
+  }
+
+  test("int8 quantization: codes in [0,255], reconstruction within scale/2") {
+    val df = Seq((1L, Array(0.0f, 0.5f, 1.0f, 0.25f)),
+                 (2L, Array(3.0f, 3.0f, 3.0f))) // constant → scale 0
+      .toDF("id", "vec")
+    val q = df.select($"id",
+      Similarity.quantizeInt8($"vec").as("q"),
+      Similarity.quantizationMse($"vec").as("mse"))
+    val r1 = q.where($"id" === 1).select("q.codes", "q.minv", "q.scale", "mse")
+      .as[(Seq[Int], Double, Double, Double)].head()
+    assert(r1._1.forall(c => c >= 0 && c <= 255))
+    assert(r1._1.head == 0 && r1._1(2) == 255) // min → 0, max → 255
+    assert(r1._4 <= r1._3 * r1._3 / 4 + 1e-12) // mse ≤ (scale/2)²
+    val r2 = q.where($"id" === 2).select("q.codes", "mse")
+      .as[(Seq[Int], Double)].head()
+    assert(r2._1.forall(_ == 0) && r2._2 == 0.0)
+  }
+
+  test("interval join plan works in batch (same plan as the stream)") {
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val ev = Seq(
+      (1L, 7L, "click", ts("2024-01-01 10:00:00")),
+      (2L, 7L, "purchase", ts("2024-01-01 10:05:00")),  // within 10 min
+      (3L, 7L, "purchase", ts("2024-01-01 10:20:00")),  // outside
+      (4L, 8L, "purchase", ts("2024-01-01 10:05:00"))   // other user
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val got = graft.streaming.EventStream.intervalJoin(ev, "click", "purchase")
+      .select("l_id", "r_id", "lag_us").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 300000000L)))
+  }
+}
