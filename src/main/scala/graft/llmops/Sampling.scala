@@ -72,6 +72,29 @@ object Sampling {
       explode(when(copies >= 1L, sequence(lit(1L), copies))))
   }
 
+  /** Concat-then-chunk sequence packing: documents are laid out in a
+    * deterministic order (seeded hash, id tie-break) per group and the
+    * concatenated token stream is cut into fixed `packTokens` blocks —
+    * the standard sample-packing layout for pre-training batches. Each
+    * doc gets its byte-exact placement: start offset in the group's
+    * stream and the first/last pack it lands in (a doc may straddle a
+    * boundary). Pure integer arithmetic over one keyed window pass —
+    * single shuffle on the group key, reproducible anywhere. */
+  def packSequences(df: DataFrame, idCol: String, groupCol: String,
+                    tokensCol: Column, packTokens: Long,
+                    seed: String = "pack"): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(hashBucket(col(idCol), seed).asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__tok", tokensCol.cast("long"))
+      .withColumn("__cum", sum(col("__tok")).over(w))
+      .withColumn("start_offset", col("__cum") - col("__tok"))
+      .withColumn("pack_first", floor(col("start_offset") / packTokens))
+      .withColumn("pack_last",
+        floor(greatest(col("__cum") - 1, col("start_offset")) / packTokens))
+      .drop("__tok", "__cum")
+  }
+
   /** Keep documents per group until a token budget is reached:
     * deterministic hash order within the group, running token total,
     * cut where the total exceeds the budget. One keyed window pass

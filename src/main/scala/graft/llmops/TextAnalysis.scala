@@ -82,6 +82,24 @@ object TextAnalysis {
       size(Dedup.shingles(text, n)).cast("double") / total.cast("double"), 6)
   }
 
+  /** PII redaction patterns: kept to syntax shared by Java regex and
+    * RE2 (no lookarounds/backrefs) so any engine — including the DuckDB
+    * oracle — applies the identical automaton. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("\\b\\d{3}[- ]\\d{4}\\b", "<PHONE>"))
+
+  /** Redact emails / IPv4s / phone-shaped numbers with typed
+    * placeholder tokens — the pre-training privacy scrub. Chained
+    * regexp_replace (global), pure map work inside the scan stage.
+    * Order matters: IP before PHONE so dotted quads never half-match
+    * the looser phone pattern. */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (acc, (pat, repl)) =>
+      regexp_replace(acc, pat, repl)
+    }
+
   /** Order-insensitive content fingerprint: md5 of the sorted distinct
     * token set. Groups docs that share vocabulary regardless of order. */
   def fingerprint(text: Column): Column =

@@ -24,6 +24,27 @@ object TfIdf {
   private def idf(n: Column, df: Column): Column =
     log((n + lit(1)).cast("double") / (df + lit(1)).cast("double")) + lit(1.0)
 
+  /** Per-document unigram surprisal: the mean −ln p(token) under the
+    * corpus's own unigram distribution — a model-free quality/outlier
+    * score (gibberish and boilerplate sit far from the corpus mean).
+    * Same scale shape as topTerms: corpus term counts are one
+    * vocab-sized aggregation, the total-token count is a broadcast
+    * 1-row aggregate, and the per-doc mean is a hash aggregation on doc
+    * id. Output: (id, n_tok, surprisal) rounded to 6. */
+  def unigramSurprisal(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(TextAnalysis.tokens(lower(col(textCol)))).as("term"))
+    val freq = toks.groupBy("term").agg(count(lit(1)).as("cf"))
+    val total = freq.agg(sum("cf").as("__tot"))
+    toks.join(freq, "term")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tok"),
+        round(avg(-log(col("cf").cast("double") / col("__tot"))), 6)
+          .as("surprisal"))
+  }
+
   /** Top-k terms per document by tf·idf. Output:
     * (id, term, tf, score, rnk) with rnk 1..k per doc; deterministic
     * tie-break on (score desc, term asc). Scores rounded to 6 for

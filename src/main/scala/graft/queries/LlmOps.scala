@@ -525,6 +525,74 @@ object LlmOps {
              SELECT doc_id, lang, unnest(generate_series(1, n)) AS copy
              FROM c WHERE n >= 1 ORDER BY doc_id, copy""")),
 
+    // PII redaction over deterministically doctored text (the fixture
+    // has no planted PII, so both engines inject the same synthetic
+    // email/phone/IP before scrubbing)
+    QueryDef("q_pii_redact",
+      (s, dir) => {
+        val doctored = concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com tel 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7"))
+        Graft.table(s, dir, "documents")
+          .select(col("doc_id"),
+            TextAnalysis.redactPii(doctored).as("clean"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@mail.example.com tel 555-'
+                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.7' AS txt
+               FROM documents)
+             SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(txt,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g'),
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                 '\b\d{3}[- ]\d{4}\b', '<PHONE>', 'g') AS clean
+             FROM t ORDER BY doc_id""")),
+
+    // unigram surprisal: mean -ln p(token) under the corpus's own
+    // unigram distribution — model-free quality/outlier score
+    QueryDef("q_surprisal",
+      (s, dir) => TfIdf.unigramSurprisal(Graft.table(s, dir, "documents"),
+        "doc_id", "text").orderBy("doc_id"),
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($duckToksLower) AS term
+                 FROM documents),
+               f AS (SELECT term, COUNT(*) AS cf FROM toks GROUP BY 1),
+               tot AS (SELECT SUM(cf) AS tot FROM f)
+             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+                    round(AVG(-ln(cf::DOUBLE / tot)), 6) AS surprisal
+             FROM toks JOIN f USING (term) CROSS JOIN tot
+             GROUP BY doc_id ORDER BY doc_id""")),
+
+    // concat-then-chunk sequence packing: deterministic per-source token
+    // stream cut into 512-token packs; docs may straddle pack bounds
+    QueryDef("q_packing",
+      (s, dir) => Sampling.packSequences(Graft.table(s, dir, "documents"),
+        "doc_id", "source", TextAnalysis.tokenCount(col("text")), 512L)
+        .select(col("source"), col("doc_id"), col("start_offset"),
+          col("pack_first"), col("pack_last"))
+        .orderBy("source", "start_offset", "doc_id"),
+      Some(s"""WITH t AS (SELECT source, doc_id,
+                 CAST(len($duckToks) AS BIGINT) AS n_tok,
+                 ('0x' || substr(md5('pack:' || doc_id), 1, 8))::BIGINT
+                   % 1000000 AS hb
+               FROM documents),
+               c AS (SELECT source, doc_id, n_tok,
+                       CAST(SUM(n_tok) OVER (PARTITION BY source
+                         ORDER BY hb, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS BIGINT) AS cum
+                     FROM t)
+             SELECT source, doc_id, cum - n_tok AS start_offset,
+                    CAST(floor((cum - n_tok) / 512) AS BIGINT) AS pack_first,
+                    CAST(floor(greatest(cum - 1, cum - n_tok) / 512)
+                         AS BIGINT) AS pack_last
+             FROM c ORDER BY source, start_offset, doc_id""")),
+
     // int8 scalar quantization: per-vector params, code checksum, and
     // mean squared reconstruction error — map-only over the embeddings
     QueryDef("q_emb_quant",

@@ -107,6 +107,58 @@ class CurationSpec extends AnyFunSuite {
     assert(r2._1.forall(_ == 0) && r2._2 == 0.0)
   }
 
+  test("redactPii scrubs emails, IPs, and phone-shaped numbers") {
+    val df = Seq(
+      "mail me at alice.smith+x@corp.example.org today",
+      "server 192.168.1.254 answered",
+      "call 555-0142 or 555 9913",
+      "clean text with no pii at all",
+      "version 1.2 is not an ip"
+    ).toDF("text")
+    val got = df.select(TextAnalysis.redactPii($"text").as("t"))
+      .as[String].collect().toSeq
+    assert(got == Seq(
+      "mail me at <EMAIL> today",
+      "server <IP> answered",
+      "call <PHONE> or <PHONE>",
+      "clean text with no pii at all",
+      "version 1.2 is not an ip"))
+  }
+
+  test("unigramSurprisal: rare-token docs score higher than common-token docs") {
+    val docs = Seq(
+      (1L, "common common common common"),
+      (2L, "common rareword")
+    ).toDF("id", "text")
+    val got = TfIdf.unigramSurprisal(docs, "id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // p(common)=5/6, p(rareword)=1/6
+    val pc = -math.log(5.0 / 6.0); val pr = -math.log(1.0 / 6.0)
+    assert(got(1L)._1 == 4L)
+    assert(math.abs(got(1L)._2 - math.rint(pc * 1e6) / 1e6) < 1e-9)
+    assert(math.abs(got(2L)._2 - math.rint((pc + pr) / 2 * 1e6) / 1e6) < 1e-9)
+    assert(got(2L)._2 > got(1L)._2)
+  }
+
+  test("packSequences: offsets are contiguous per group and packs chunk at L") {
+    val docs = Seq(
+      (1L, "g", 300L), (2L, "g", 300L), (3L, "g", 300L), (4L, "h", 10L)
+    ).toDF("id", "grp", "n_tok")
+    val got = Sampling.packSequences(docs, "id", "grp", col("n_tok"), 512L)
+      .select("grp", "id", "start_offset", "pack_first", "pack_last")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._3))
+    val g = got.filter(_._1 == "g")
+    // contiguous layout: offsets 0, 300, 600 in SOME deterministic order
+    assert(g.map(_._3).toSeq == Seq(0L, 300L, 600L))
+    // first doc spans [0,300) → pack 0; second [300,600) → straddles 512
+    assert(g(0)._4 == 0 && g(0)._5 == 0)
+    assert(g(1)._4 == 0 && g(1)._5 == 1)
+    assert(g(2)._4 == 1 && g(2)._5 == 1)
+    val h = got.filter(_._1 == "h").head
+    assert(h._3 == 0 && h._4 == 0 && h._5 == 0)
+  }
+
   test("interval join plan works in batch (same plan as the stream)") {
     val ts = java.sql.Timestamp.valueOf(_: String)
     val ev = Seq(
