@@ -53,8 +53,12 @@ object TfIdf {
                k: Int = 3): DataFrame = {
     val toks = docs.select(col(idCol),
       explode(TextAnalysis.tokens(lower(col(textCol)))).as("term"))
+    // persist the doc-term matrix: document frequencies re-aggregate it
+    // instead of re-scanning + re-exploding the corpus (plan-verified:
+    // without this the corpus is read twice)
     val tf = toks.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("__n"))
     val w = Window.partitionBy(col(idCol))

@@ -159,6 +159,21 @@ class CurationSpec extends AnyFunSuite {
     assert(h._3 == 0 && h._4 == 0 && h._5 == 0)
   }
 
+  test("packSequences and resampleMixture are partition-invariant") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def packed(df: org.apache.spark.sql.DataFrame) =
+      Sampling.packSequences(df, "doc_id", "source",
+        TextAnalysis.tokenCount(col("text")), 128L)
+        .select("source", "doc_id", "start_offset", "pack_first", "pack_last")
+        .as[(String, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(packed(docs.repartition(1)).toSeq == packed(docs.repartition(17)).toSeq)
+    def mixed(df: org.apache.spark.sql.DataFrame) =
+      Sampling.resampleMixture(df, "doc_id", "lang", Map("en" -> 1.5),
+        defaultWeight = 0.25)
+        .select("doc_id", "copy").as[(Long, Long)].collect().sorted
+    assert(mixed(docs.repartition(1)).toSeq == mixed(docs.repartition(17)).toSeq)
+  }
+
   test("interval join plan works in batch (same plan as the stream)") {
     val ts = java.sql.Timestamp.valueOf(_: String)
     val ev = Seq(
