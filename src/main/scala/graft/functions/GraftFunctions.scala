@@ -181,6 +181,37 @@ case class JaccardSim(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Jaccard over two SORTED DISTINCT long arrays (hashed shingle sets):
+  * one merge-intersection pass, no hashing, no boxing. This is the
+  * verification kernel for the hashed near-dup path — candidate joins
+  * ship 8-byte hashes instead of full shingle strings (5-10× shuffle
+  * reduction at corpus scale); the jaccard value equals the string-set
+  * jaccard up to 64-bit hash collisions (~1e-15 per pair). Inputs MUST
+  * be sorted ascending and duplicate-free (array_sort over the distinct
+  * shingle hashes) — the merge walk silently undercounts otherwise. */
+case class JaccardSimLong(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val nA = a.numElements(); val nB = b.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < nA && j < nB) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = nA + nB - inter
+    inter.toDouble / union.toDouble // 0/0 → NaN, as the builtin form
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSimLong =
+    copy(left = l, right = r)
+}
+
 /** Sign-LSH bucket id of a double vector against a CONSTANT hyperplane
   * matrix (array<array<double>>, foldable): bit p set iff plane p's
   * projection is > 0. One fused pass per row with full codegen —
@@ -565,6 +596,8 @@ object GraftFunctions {
       "dot_d", exprs => DotDouble(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "jaccard_sim", exprs => JaccardSim(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaccard_sim_long", exprs => JaccardSimLong(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_top_k",
       exprs => BoundedTopK(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")

@@ -63,14 +63,29 @@ object Dedup {
 
   /** Near-duplicate pairs via MinHash-LSH + exact-jaccard verification.
     * Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold
-    * (rounded to 6 for oracle comparability). */
+    * (rounded to 6 for oracle comparability).
+    *
+    * The persisted per-doc state is the SORTED HASHED shingle set
+    * (array<long>), not the shingle strings: signatures derive from the
+    * hashes anyway, and verification runs JaccardSimLong (one merge
+    * pass over sorted longs), so the two candidate-verification joins
+    * ship 8 bytes per shingle instead of the full n-gram text — a
+    * 5-10× shuffle reduction at corpus scale. Set jaccard over hashes
+    * equals string jaccard up to 64-bit collisions (~1e-15 per pair;
+    * the exact-jaccard oracle confirms no drift at fixture scale). */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
                    threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    // shingles feed signature building + both verification joins
-    val base = df.select(col(idCol).as("__id"), shingles(col(textCol), shingleN).as("__sh"))
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    // hashed shingle sets feed signature building + both verification
+    // joins (shingles are distinct per doc, so sort alone gives the
+    // sorted-set contract JaccardSimLong requires)
+    val base = df.select(col(idCol).as("__id"),
+        array_sort(transform(shingles(col(textCol), shingleN),
+          s => xxhash64(s))).as("__hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // signature via explode → hash-partitioned min-aggregation: the same
     // numHashes×shingles xxhash64 evaluations as an array fold, but
@@ -80,7 +95,7 @@ object Dedup {
     val minCols = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("__h"))).as(s"__m$i"))
     val sig = base
-      .select(col("__id"), explode(transform(col("__sh"), s => xxhash64(s))).as("__h"))
+      .select(col("__id"), explode(col("__hs")).as("__h"))
       .groupBy("__id").agg(minCols.head, minCols.tail: _*)
     // band hash folds the band index in, so one equality key suffices
     val bandCols = (0 until bands).map { b =>
@@ -96,9 +111,10 @@ object Dedup {
       .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
       .distinct()
     cand
-      .join(base.select(col("__id").as("id_a"), col("__sh").as("__sha")), "id_a")
-      .join(base.select(col("__id").as("id_b"), col("__sh").as("__shb")), "id_b")
-      .withColumn("jaccard", round(jaccard(col("__sha"), col("__shb")), 6))
+      .join(base.select(col("__id").as("id_a"), col("__hs").as("__ha")), "id_a")
+      .join(base.select(col("__id").as("id_b"), col("__hs").as("__hb")), "id_b")
+      .withColumn("jaccard",
+        round(call_function("jaccard_sim_long", col("__ha"), col("__hb")), 6))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
