@@ -90,6 +90,39 @@ object EventStream {
     runStream(spark, dir, intervalJoin(_, leftType, rightType, within),
       outputMode = "append")
 
+  /** Per-user running aggregates via flatMapGroupsWithState — the
+    * custom-state primitive for logic the built-in windowed/session
+    * aggregations can't express (arbitrary per-key accumulators,
+    * conditional emission). Update mode: each micro-batch emits the
+    * refreshed state for every key it touched, so the latest row per
+    * key is the cumulative view. State is one fixed-size row per key —
+    * at 100 TB/day the bound is key cardinality, not stream length;
+    * for unbounded key spaces pair with a GroupStateTimeout so idle
+    * keys expire. */
+  final case class UserEvent(user_id: Long, ts: java.sql.Timestamp,
+                             value: Double)
+  final case class UserState(user_id: Long, n: Long, sum_value: Double,
+                             last_ts: java.sql.Timestamp)
+
+  def runningUserStats(events: org.apache.spark.sql.Dataset[UserEvent])
+      : org.apache.spark.sql.Dataset[UserState] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: Long, it: Iterator[UserEvent], state: GroupState[UserState]) => {
+          val prev = state.getOption.getOrElse(UserState(key, 0L, 0.0, null))
+          var n = prev.n; var s = prev.sum_value; var last = prev.last_ts
+          it.foreach { e =>
+            n += 1; s += e.value
+            if (last == null || e.ts.after(last)) last = e.ts
+          }
+          val next = UserState(key, n, s, last)
+          state.update(next)
+          Iterator.single(next)
+        })
+  }
+
   /** Run the streaming aggregation synchronously over the parquet
     * fixture (memory sink, processAllAvailable) and return the final
     * batch result. The same `windowedAgg` plan serves a real

@@ -41,4 +41,35 @@ class EventStreamSpec extends AnyFunSuite {
       .as[(Long, java.sql.Timestamp, Long)].collect().toSet
     assert(streamed == batch)
   }
+
+  test("flatMapGroupsWithState carries per-key state across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStream.{UserEvent, UserState}
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val name = s"graft_state_${System.nanoTime()}"
+    val q = EventStream.runningUserStats(input.toDS())
+      .writeStream.outputMode("update").format("memory").queryName(name)
+      .start()
+    try {
+      // batch 1: two users (values chosen exactly representable)
+      input.addData(
+        UserEvent(1L, ts("2024-01-01 10:00:00"), 1.25),
+        UserEvent(1L, ts("2024-01-01 11:00:00"), 0.25),
+        UserEvent(2L, ts("2024-01-01 10:30:00"), 2.0))
+      q.processAllAvailable()
+      // batch 2: user 1 again — state must accumulate, not reset
+      input.addData(UserEvent(1L, ts("2024-01-01 09:00:00"), 0.5))
+      q.processAllAvailable()
+      val rows = spark.table(name).as[UserState].collect()
+      // latest emission per key is the cumulative view
+      val last1 = rows.filter(_.user_id == 1L).maxBy(_.n)
+      assert(last1 == UserState(1L, 3L, 2.0, ts("2024-01-01 11:00:00")))
+      val last2 = rows.filter(_.user_id == 2L).maxBy(_.n)
+      assert(last2 == UserState(2L, 1L, 2.0, ts("2024-01-01 10:30:00")))
+      // update mode emitted user 1 once per batch it appeared in
+      assert(rows.count(_.user_id == 1L) == 2)
+    } finally q.stop()
+  }
 }
