@@ -45,6 +45,9 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
+      // dead persisted intermediates (shingle/doc-term tables) would
+      // otherwise accumulate across all queries and drive eviction/GC
+      spark.catalog.clearCache()
       name -> times.min
     }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
