@@ -285,11 +285,15 @@ object PipelineCompiler {
       // is kept as a convenience. method: "approximate" (the only value
       // Mongo accepts) gets EXACT results here — a strictly-more-precise
       // deliberate deviation, same as $percentile below.
+      // percentile(0.5) rather than median(): identical exact
+      // interpolated semantics, but Spark's median rejects window
+      // frames while percentile accepts them — one code path serves
+      // the group form, the default window, and explicit frames
       case "$median" => arg match {
         case JObject(spec) if spec.exists(_._1 == "input") =>
-          w(median(ExprCompiler.compile(
-            spec.collectFirst { case ("input", x) => x }.get)))
-        case _ => w(median(e))
+          w(percentile(ExprCompiler.compile(
+            spec.collectFirst { case ("input", x) => x }.get), lit(0.5)))
+        case _ => w(percentile(e, lit(0.5)))
       }
       case "$percentile" => arg match {
         case JObject(spec) =>
@@ -1013,10 +1017,13 @@ object PipelineCompiler {
         // they get the bare partition window (Mongo's default window is
         // the whole partition anyway).
         case "$median" | "$percentile" =>
-          if (windowDoc.isDefined) throw new MqlException(
-            s"$op as a window operator supports only the default " +
-              "whole-partition window")
-          accumulator(op, arg, None, _.over(base))
+          // explicit documents/range windows run the exact interpolated
+          // percentile over the frame (Spark 4's percentile aggregate
+          // accepts ordered framed windows); the default stays the
+          // whole partition via the UNORDERED base spec — Mongo's
+          // default window ignores sortBy for these
+          val win = if (windowDoc.isDefined) framed else base
+          accumulator(op, arg, None, _.over(win))
         case "$minN" | "$maxN" | "$firstN" | "$lastN" | "$topN" | "$top" |
              "$bottomN" | "$bottom" =>
           val wSortKey: Option[(Column, Boolean)] =

@@ -742,10 +742,13 @@ object Relational {
            "sortBy": {"event_id": 1},
            "output": {
              "med":    {"$median": {"input": "$value", "method": "approximate"}},
+             "med3":   {"$median": {"input": "$value", "method": "approximate"},
+                        "window": {"documents": [-2, 0]}},
              "low2":   {"$minN":   {"input": "$value", "n": 2}},
              "first2": {"$firstN": {"input": "$event_id", "n": 2}}}}},
         {"$project": {"_id": 0, "event_id": 1, "user_id": 1,
            "med": {"$round": ["$med", 6]},
+           "med3": {"$round": ["$med3", 6]},
            "low2_a":   {"$round": [{"$arrayElemAt": ["$low2", 0]}, 6]},
            "low2_b":   {"$round": [{"$arrayElemAt": ["$low2", 1]}, 6]},
            "first2_a": {"$arrayElemAt": ["$first2", 0]},
@@ -753,12 +756,15 @@ object Relational {
         {"$sort": {"event_id": 1}}]""")(s, dir),
       Some("""WITH w AS (SELECT event_id, user_id,
                 round(median(value) OVER (PARTITION BY user_id), 6) AS med,
+                round(median(value) OVER (PARTITION BY user_id
+                   ORDER BY event_id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS med3,
                 list_sort(list(value) OVER (PARTITION BY user_id)) AS low2,
                 list(event_id) OVER (PARTITION BY user_id ORDER BY event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
                   AS first2
               FROM events)
-              SELECT event_id, user_id, med,
+              SELECT event_id, user_id, med, med3,
                 round(low2[1], 6) AS low2_a, round(low2[2], 6) AS low2_b,
                 first2[1] AS first2_a, first2[2] AS first2_b
               FROM w ORDER BY event_id""")),

@@ -437,6 +437,23 @@ class PipelineExtraSpec extends AnyFunSuite {
       Option(ex.getCause).exists(_.getMessage.contains("$linearFill")))
   }
 
+  test("$median/$percentile accept explicit documents windows") {
+    val out = PipelineCompiler.run(sales, """[
+      {"$setWindowFields": {"partitionBy": "$grp", "sortBy": {"id": 1},
+         "output": {
+           "m3": {"$median": {"input": "$amt", "method": "approximate"},
+                  "window": {"documents": [-1, 0]}},
+           "p":  {"$percentile": {"input": "$amt", "p": [0.5],
+                                  "method": "approximate"},
+                  "window": {"documents": ["unbounded", "current"]}}}}},
+      {"$sort": {"id": 1}}]""")
+    // sales: grp a → amts 10,20 by id; grp b → 30,40,50
+    assert(out.select("m3").as[Double].collect().toSeq
+      == Seq(10.0, 15.0, 30.0, 35.0, 45.0))
+    assert(out.select("p").collect().map(_.getSeq[Double](0).head).toSeq
+      == Seq(10.0, 15.0, 30.0, 35.0, 40.0))
+  }
+
   test("$firstN/$lastN window ops require a single-field stage sortBy") {
     // without it the slice would be partition-order-dependent
     intercept[MqlException](PipelineCompiler.run(sales, """[
