@@ -492,6 +492,15 @@ object PipelineCompiler {
     def get(k: String) = getOpt(k)
       .getOrElse(throw new MqlException(s"$$lookup needs $k"))
     val from = get("from"); val as = get("as")
+    // correlated form: let + pipeline whose join stage is $match($expr)
+    // over $$vars — takes priority over the uncorrelated pipeline fold
+    spec.collectFirst { case ("let", JObject(vars)) => vars } match {
+      case Some(vars) =>
+        val pipe = spec.collectFirst { case ("pipeline", JArray(ps)) => ps }
+          .getOrElse(throw new MqlException("$lookup with let needs pipeline"))
+        return correlatedLookup(df, resolve(from), as, vars, pipe, resolve)
+      case None =>
+    }
     // optional uncorrelated sub-pipeline applied to the foreign table
     val fromDf = spec.collectFirst { case ("pipeline", JArray(ps)) => ps }
       .map(_.foldLeft(resolve(from)) { (acc, st) =>
@@ -517,6 +526,80 @@ object PipelineCompiler {
       case _ => throw new MqlException(
         "$lookup needs both localField and foreignField (or neither with pipeline)")
     }
+  }
+
+  // ---- correlated $lookup (let + $expr) ----------------------------------
+  // Mongo's general correlated lookup: `let` binds left-side expressions,
+  // the sub-pipeline joins with {"$match": {"$expr": cond}} over $$vars.
+  // Supported shape: any var-free PREFIX stages (applied to the foreign
+  // table before the join — filters/projections Catalyst can push down),
+  // then exactly one $match($expr) join stage; stages after it are
+  // rejected (they would run per left row). Compilation:
+  //   - let values materialize as temp columns on the LEFT (so the join
+  //     condition never resolves a name ambiguously),
+  //   - foreign columns are renamed with a __r_ prefix and the $expr's
+  //     `$field` refs are rewritten to match ($$var refs resolve to the
+  //     let columns via the compiler env),
+  //   - the join runs on the compiled condition — Catalyst extracts any
+  //     equality conjuncts as hash-join keys, so the classic
+  //     foreign-key-plus-predicate lookup is a plain shuffled (or AQE
+  //     broadcast) hash join, not a nested loop,
+  //   - matches regroup to Mongo's per-row array on a synthetic row id;
+  //     the left side is localCheckpoint'd first so the id assignment is
+  //     frozen across the join and the regroup-join branches (on a
+  //     cluster: checkpoint, or pass a unique key column instead).
+  private def correlatedLookup(df: DataFrame, fromDf: DataFrame, as: String,
+                               vars: List[(String, JValue)],
+                               pipe: List[JValue],
+                               resolve: TableResolver): DataFrame = {
+    def usesVars(v: JValue): Boolean = v match {
+      case JString(s)  => s.startsWith("$$")
+      case JObject(fs) => fs.exists { case (_, x) => usesVars(x) }
+      case JArray(es)  => es.exists(usesVars)
+      case _           => false
+    }
+    val (prefix, rest) = pipe.span(st => !usesVars(st))
+    val joined = rest match {
+      case JObject(List(("$match", JObject(List(("$expr", cond)))))) :: Nil => cond
+      case JObject(List(("$match", _))) :: Nil => throw new MqlException(
+        "$lookup let: the correlated $match must use $expr")
+      case _ :: _ :: _ => throw new MqlException(
+        "$lookup let: stages after the correlated $match are unsupported")
+      case _ => throw new MqlException(
+        "$lookup let: pipeline needs a correlated {$match: {$expr: ...}} stage")
+    }
+    val pre = prefix.foldLeft(fromDf) { (acc, st) =>
+      asObj(st, "lookup pipeline stage") match {
+        case List((n2, sp2)) => applyStage(acc, n2, sp2, resolve)
+        case o => throw new MqlException(s"bad stage $o")
+      }
+    }
+    // rewrite right-side field refs to the prefixed names ($$vars stay)
+    def rewrite(v: JValue): JValue = v match {
+      case JString(s) if s.startsWith("$") && !s.startsWith("$$") =>
+        JString("$__r_" + s.drop(1))
+      case JObject(fs) => JObject(fs.map { case (k, x) => (k, rewrite(x)) })
+      case JArray(es)  => JArray(es.map(rewrite))
+      case other       => other
+    }
+    val rightCols = pre.columns.toSeq
+    val rightR = rightCols.foldLeft(pre) { (acc, c) =>
+      acc.withColumnRenamed(c, "__r_" + c)
+    }
+    val letCols = vars.map { case (n, e) => s"__let_$n" -> ExprCompiler.compile(e) }
+    val left2 = letCols.foldLeft(df) { case (acc, (n, c)) => acc.withColumn(n, c) }
+      .withColumn("__graft_rowid", monotonically_increasing_id())
+      .localCheckpoint(true)
+    val env = vars.map { case (n, _) => n -> col(s"__let_$n") }.toMap
+    val condCol = ExprCompiler.compile(rewrite(joined), env)
+    val matched = left2.join(rightR, condCol, "inner")
+      .groupBy(col("__graft_rowid"))
+      .agg(collect_list(struct(
+        rightCols.map(c => col("__r_" + c).as(c)): _*)).as(as))
+    val elemType = matched.schema(as).dataType
+    left2.join(matched, Seq("__graft_rowid"), "left")
+      .withColumn(as, coalesce(col(as), array().cast(elemType)))
+      .drop("__graft_rowid" +: letCols.map(_._1): _*)
   }
 
   // ---- $bucketAuto -------------------------------------------------------

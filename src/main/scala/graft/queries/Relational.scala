@@ -574,6 +574,26 @@ object Relational {
                 ON l.l_orderkey = o.o_orderkey AND l.l_quantity >= 30.0
               GROUP BY o.o_orderkey ORDER BY o.o_orderkey""")),
 
+    // correlated $lookup (let + $expr): per-event orders of the same
+    // user below an event-derived price cap — equality conjunct becomes
+    // the hash-join key, the inequality rides along as a join filter
+    QueryDef("q_lookup_let",
+      (s, dir) => agg("events", """[
+        {"$lookup": {"from": "orders", "as": "m",
+           "let": {"uid": "$user_id",
+                   "cap": {"$multiply": ["$value", 1000]}},
+           "pipeline": [
+             {"$match": {"$expr": {"$and": [
+               {"$eq": ["$o_custkey", "$$uid"]},
+               {"$lt": ["$o_totalprice", "$$cap"]}]}}}]}},
+        {"$project": {"_id": 0, "event_id": 1, "n": {"$size": "$m"}}},
+        {"$sort": {"event_id": 1}}]""")(s, dir),
+      Some("""SELECT e.event_id,
+                     CAST((SELECT COUNT(*) FROM orders o
+                           WHERE o.o_custkey = e.user_id
+                             AND o.o_totalprice < e.value * 1000) AS INT) AS n
+              FROM events e ORDER BY event_id""")),
+
     // $facet: two branches over the same input; the group branch is
     // unwound back to rows, the top-N branch is folded to a scalar via
     // $map/$sortArray/$reduce ($sortArray because collect_list order is

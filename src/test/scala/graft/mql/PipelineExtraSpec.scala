@@ -437,6 +437,34 @@ class PipelineExtraSpec extends AnyFunSuite {
       Option(ex.getCause).exists(_.getMessage.contains("$linearFill")))
   }
 
+  test("$lookup let + $expr: correlated join with prefix stage and empty match") {
+    val left = Seq((1L, 10.0), (2L, 35.0), (3L, 99.0)).toDF("id", "lim")
+    val right = Seq((1L, 5.0, "x"), (1L, 20.0, "y"), (2L, 30.0, "z"),
+      (2L, 40.0, "w")).toDF("fk", "amt", "tag")
+    val resolver: String => org.apache.spark.sql.DataFrame = {
+      case "r" => right
+      case o => fail(s"unexpected table $o")
+    }
+    val out = PipelineCompiler.run(left, """[
+      {"$lookup": {"from": "r", "as": "m",
+        "let": {"lid": "$id", "cap": "$lim"},
+        "pipeline": [
+          {"$match": {"amt": {"$gt": 0}}},
+          {"$match": {"$expr": {"$and": [
+            {"$eq": ["$fk", "$$lid"]},
+            {"$lt": ["$amt", "$$cap"]}]}}}]}},
+      {"$project": {"id": 1, "n": {"$size": "$m"}}},
+      {"$sort": {"id": 1}}]""", resolver)
+    assert(out.as[(Long, Int)].collect().toSeq
+      == Seq((1L, 1), (2L, 1), (3L, 0))) // 3 matches nothing → empty array
+    // stages after the correlated $match are rejected
+    intercept[MqlException](PipelineCompiler.run(left, """[
+      {"$lookup": {"from": "r", "as": "m", "let": {"lid": "$id"},
+        "pipeline": [
+          {"$match": {"$expr": {"$eq": ["$fk", "$$lid"]}}},
+          {"$limit": 1}]}}]""", resolver))
+  }
+
   test("$median/$percentile accept explicit documents windows") {
     val out = PipelineCompiler.run(sales, """[
       {"$setWindowFields": {"partitionBy": "$grp", "sortBy": {"id": 1},
