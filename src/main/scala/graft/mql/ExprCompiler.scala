@@ -472,6 +472,28 @@ object ExprCompiler {
           sort_array(in, asc = ascending)
         case other => throw new MqlException(s"bad $$sortArray: $other")
       }
+      // ---- n-value ARRAY-EXPRESSION forms (Mongo 5.2; the accumulator
+      // and window forms live in PipelineCompiler). $firstN/$lastN slice
+      // in stored order keeping nulls; $minN/$maxN drop nulls and sort.
+      case "$firstN" | "$lastN" | "$minN" | "$maxN" => v match {
+        case JObject(spec) =>
+          val in = compile(field(spec, "input", op), env)
+          val n = field(spec, "n", op) match {
+            case JInt(i)  => i.toInt
+            case JLong(l) => l.toInt
+            case other => throw new MqlException(s"$op n must be an int: $other")
+          }
+          op match {
+            case "$firstN" => slice(in, 1, n)
+            case "$lastN" => // keep stored order; short arrays pass whole
+              when(size(in) <= n, in).otherwise(slice(in, -n, n))
+            case "$minN" =>
+              slice(array_sort(filter(in, x => x.isNotNull)), 1, n)
+            case "$maxN" =>
+              slice(reverse(array_sort(filter(in, x => x.isNotNull))), 1, n)
+          }
+        case other => throw new MqlException(s"bad $op: $other")
+      }
       case "$setUnion"     => array_distinct(concat(c: _*))
       case "$setIntersection" | "$setIntersect" => c.reduce(array_intersect)
       case "$setDifference" => array_except(c(0), c(1))

@@ -120,6 +120,18 @@ class ExprCompilerSpec extends AnyFunSuite {
     assert(eval("""{"$indexOfArray": [[9, 8, 7], 8]}""") == 1L)
   }
 
+  test("n-value array-expression forms: $firstN/$lastN/$minN/$maxN") {
+    assert(eval("""{"$firstN": {"input": [5, null, 3, 9], "n": 2}}""")
+      == Seq(5, null, 3, 9).take(2)) // stored order, nulls kept
+    assert(eval("""{"$lastN": {"input": [5, null, 3, 9], "n": 2}}""")
+      == Seq(3, 9))
+    assert(eval("""{"$lastN": {"input": [7], "n": 3}}""") == Seq(7))
+    assert(eval("""{"$minN": {"input": [5, null, 3, 9], "n": 2}}""")
+      == Seq(3, 5)) // nulls dropped, ascending
+    assert(eval("""{"$maxN": {"input": [5, null, 3, 9], "n": 2}}""")
+      == Seq(9, 5)) // descending
+  }
+
   test("set predicates, $zip, truthiness folds, $type/$isNumber/$binarySize") {
     assert(eval("""{"$setIsSubset": [[1, 2], [1, 2, 3]]}""") == true)
     assert(eval("""{"$setIsSubset": [[1, 4], [1, 2, 3]]}""") == false)
