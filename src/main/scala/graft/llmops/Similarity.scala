@@ -205,6 +205,34 @@ object Similarity {
               nCells: Int = 16, nProbe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding",
               lloydIters: Int = 1): DataFrame = {
+    // exhaustive probing is invariant to centroid placement → skip the
+    // refinement passes as wasted work
+    val iters = if (nProbe >= nCells) 0 else lloydIters
+    val index = buildIvf(corpus, nCells, idCol, vecCol, iters,
+      persistIndex = false)
+    ivfQuery(index, queries, k, nProbe)
+  }
+
+  /** A built IVF index: broadcastable centroids + the cell-assigned
+    * corpus. `assigned` is persisted when built with
+    * `persistIndex = true` (the build-once / query-many workflow — at
+    * corpus scale this is the materialized index; on a cluster write it
+    * to storage instead and reload). */
+  final case class IvfIndex private[llmops] (
+      centroidRows: Array[org.apache.spark.sql.Row],
+      seedSchema: org.apache.spark.sql.types.StructType,
+      assigned: DataFrame, idCol: String, vecCol: String) {
+    def unpersist(): Unit = { assigned.unpersist(); () }
+  }
+
+  /** Build the IVF index: deterministic hash-ordered centroid sample,
+    * optional spherical-k-means refinement, then a MAP-ONLY cell
+    * assignment pass over the corpus (no join, no shuffle — rows with
+    * unindexable vectors are excluded, like any ANN index). */
+  def buildIvf(corpus: DataFrame, nCells: Int = 16,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               lloydIters: Int = 1,
+               persistIndex: Boolean = true): IvfIndex = {
     // re-sorted by cell_id after the hash-ordered sample, so matrix
     // index order == cell_id order: nearest_cell's lowest-index tie
     // break and the query window's cell_id-asc tie break agree (tied
@@ -217,26 +245,33 @@ object Similarity {
       .orderBy(col("cell_id").asc)
     val seedSchema = seedDf.schema
     val seedRows = seedDf.collect()
-    val centroidRows = // exhaustive probing is invariant to placement
-      if (lloydIters <= 0 || nProbe >= nCells) seedRows
+    val centroidRows =
+      if (lloydIters <= 0) seedRows
       else lloydRefine(corpus, seedRows, lloydIters, vecCol)
     val cellIds = array(centroidRows.map(r => lit(r.get(0))).toIndexedSeq: _*)
-
-    // corpus side: MAP-ONLY assignment (rows with unindexable vectors —
-    // null/wrong-dim — are excluded from the index, like any ANN index)
-    val assigned = corpus
+    val assigned0 = corpus
       .select(col(idCol).as("match_id"),
         col(vecCol).cast("array<double>").as("__mv"), norm(col(vecCol)).as("__mn"))
       .withColumn("__ci", graftFn("nearest_cell", col("__mv"), centroidMatrix(centroidRows)))
       .where(col("__ci").isNotNull)
       .withColumn("cell_id", element_at(cellIds, col("__ci") + 1))
       .drop("__ci")
+    val assigned = if (persistIndex)
+      assigned0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else assigned0
+    IvfIndex(centroidRows, seedSchema, assigned, idCol, vecCol)
+  }
 
+  /** Query a built IVF index: score queries against the broadcast
+    * centroids, probe the nProbe best cells, brute-force only those. */
+  def ivfQuery(index: IvfIndex, queries: DataFrame, k: Int,
+               nProbe: Int = 4): DataFrame = {
+    val idCol = index.idCol; val vecCol = index.vecCol
     // query side is small: score against all broadcast centroids, keep
     // the nProbe best cells per query (window over the query set only)
     val probes = {
-      val centroids = broadcast(corpus.sparkSession.createDataFrame(
-        java.util.Arrays.asList(centroidRows: _*), seedSchema))
+      val centroids = broadcast(queries.sparkSession.createDataFrame(
+        java.util.Arrays.asList(index.centroidRows: _*), index.seedSchema))
       val scored = queries
         .select(col(idCol).as("query_id_tmp"),
           col(vecCol).cast("array<double>").as("__v"), norm(col(vecCol)).as("__n"))
@@ -252,8 +287,7 @@ object Similarity {
       .select(col("query_id_tmp").as("query_id"),
         col(vecCol).cast("array<double>").as("__qv"),
         norm(col(vecCol)).as("__qn"), col("cell_id"))
-
-    val scored = probed.join(assigned, "cell_id")
+    val scored = probed.join(index.assigned, "cell_id")
       .where(col("query_id") =!= col("match_id"))
       .withColumn("cos",
         round(rawDot(col("__qv"), col("__mv")) / (col("__qn") * col("__mn")), 6))

@@ -123,6 +123,22 @@ object EventStream {
         })
   }
 
+  /** Streaming ingest into the document sink: each micro-batch appends
+    * to `path` through the graftdocs DSv2 write (staged-file commit, so
+    * a failed batch leaves no partial output; foreachBatch supplies the
+    * batch id for exactly-once bookkeeping downstream). This is the
+    * continuous-ingest loop of a document pipeline: readStream →
+    * transform → document sink, with the SAME write path (batching
+    * limits, auto-convert, schema validation) as the batch writer. */
+  def writeToDocSink(events: DataFrame, path: String,
+                     format: String = "jsonl")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        batch.write.format("graftdocs").option("format", format)
+          .mode("append").save(path)
+    }
+
   /** Run the streaming aggregation synchronously over the parquet
     * fixture (memory sink, processAllAvailable) and return the final
     * batch result. The same `windowedAgg` plan serves a real

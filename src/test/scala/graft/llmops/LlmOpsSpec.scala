@@ -107,6 +107,21 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(sims.forall(s => s >= -1.0 && s <= 1.0))
   }
 
+  test("IVF build-once/query-many equals the one-shot form") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val index = Similarity.buildIvf(emb, nCells = 8, lloydIters = 1)
+    try {
+      for (slice <- Seq(col("vec_id") < 3, col("vec_id").between(5, 7))) {
+        val q = emb.where(slice)
+        val viaIndex = Similarity.ivfQuery(index, q, k = 5, nProbe = 2)
+          .as[(Long, Long, Double, Long)].collect().toSet
+        val oneShot = Similarity.ivfTopK(q, emb, k = 5, nCells = 8, nProbe = 2)
+          .as[(Long, Long, Double, Long)].collect().toSet
+        assert(viaIndex == oneShot)
+      }
+    } finally index.unpersist()
+  }
+
   test("multimodal feature extraction is deterministic and batch-invariant") {
     val media = Multimodal.asMediaTable(docs.limit(100), "doc_id", "text")
     val a = Multimodal.extractFeatures(media, dim = 8, batchSize = 256)

@@ -42,6 +42,28 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming ingest into the graftdocs sink round-trips") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
+    val q = EventStream.writeToDocSink(
+        input.toDS().toDF("id", "name"), out)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      input.addData((3L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = spark.read.format("graftdocs")
+      .schema("id LONG, name STRING").load(out)
+    assert(back.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("flatMapGroupsWithState carries per-key state across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.EventStream.{UserEvent, UserState}
