@@ -181,6 +181,40 @@ case class JaccardSim(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Deflate compression ratio of a string's UTF-8 bytes (compressed ÷
+  * raw size, level 6): the classic model-free redundancy signal for
+  * corpus curation — boilerplate/spam compresses far below natural
+  * text. One Deflater pass per document (CodegenFallback is off the
+  * per-element hot path); empty input → 1.0. The exact ratio depends
+  * on the zlib build, so this is spec-pinned by ordering properties,
+  * not an engine-parity oracle. */
+case class DeflateRatio(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(input: Any): Any = {
+    val raw = input.asInstanceOf[UTF8String].getBytes
+    if (raw.isEmpty) 1.0
+    else {
+      val d = new java.util.zip.Deflater(6)
+      try {
+        d.setInput(raw); d.finish()
+        val buf = new Array[Byte](raw.length + 64)
+        var total = 0L
+        while (!d.finished()) {
+          val n = d.deflate(buf)
+          if (n == 0 && !d.finished()) return null // defensive: no progress
+          total += n
+        }
+        total.toDouble / raw.length
+      } finally d.end()
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): DeflateRatio =
+    copy(child = c)
+}
+
 /** Jaccard over two SORTED DISTINCT long arrays (hashed shingle sets):
   * one merge-intersection pass, no hashing, no boxing. This is the
   * verification kernel for the hashed near-dup path — candidate joins
@@ -598,6 +632,8 @@ object GraftFunctions {
       "jaccard_sim", exprs => JaccardSim(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "jaccard_sim_long", exprs => JaccardSimLong(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "deflate_ratio", exprs => DeflateRatio(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_top_k",
       exprs => BoundedTopK(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")

@@ -82,6 +82,16 @@ object TextAnalysis {
       size(Dedup.shingles(text, n)).cast("double") / total.cast("double"), 6)
   }
 
+  /** Deflate compression ratio (compressed/raw bytes): model-free
+    * redundancy signal — boilerplate compresses far below natural text.
+    * One pass per doc via the DeflateRatio expression; map-only.
+    * zlib-build-dependent, so spec-pinned (ordering), not oracled. */
+  def compressionRatio(text: Column): Column = {
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    round(call_function("deflate_ratio", text), 6)
+  }
+
   /** PII redaction patterns: kept to syntax shared by Java regex and
     * RE2 (no lookarounds/backrefs) so any engine — including the DuckDB
     * oracle — applies the identical automaton. */

@@ -593,6 +593,16 @@ object LlmOps {
                          AS BIGINT) AS pack_last
              FROM c ORDER BY source, start_offset, doc_id""")),
 
+    // deflate compressibility per doc — zlib-build-dependent values, so
+    // no DuckDB oracle (driver records the rows-only check); ordering
+    // properties are spec-pinned in CurationSpec
+    QueryDef("q_compress_ratio",
+      (s, dir) => Graft.table(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.compressionRatio(col("text")).as("ratio"))
+        .orderBy("doc_id"),
+      None),
+
     // int8 scalar quantization: per-vector params, code checksum, and
     // mean squared reconstruction error — map-only over the embeddings
     QueryDef("q_emb_quant",

@@ -174,6 +174,23 @@ class CurationSpec extends AnyFunSuite {
     assert(mixed(docs.repartition(1)).toSeq == mixed(docs.repartition(17)).toSeq)
   }
 
+  test("compressionRatio orders repetitive text below varied text") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam"),
+      (2L, "the quick brown fox jumps over a lazy dog tonight"),
+      (3L, "")
+    ).toDF("id", "text")
+    val got = df.select($"id", TextAnalysis.compressionRatio($"text").as("r"))
+      .as[(Long, Double)].collect().toMap
+    assert(got(1L) < got(2L)) // boilerplate compresses better
+    assert(got(3L) == 1.0)    // empty input → ratio 1
+    assert(got.values.forall(r => r > 0.0 && r < 2.0))
+    // null text → null ratio
+    val n = Seq((4L, null: String)).toDF("id", "text")
+      .select(TextAnalysis.compressionRatio($"text")).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
   test("interval join plan works in batch (same plan as the stream)") {
     val ts = java.sql.Timestamp.valueOf(_: String)
     val ev = Seq(
