@@ -55,6 +55,38 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: rewrites the metadata to the target box preserving
+    * aspect ratio (fit-inside); the payload passes through untouched —
+    * a real impl re-encodes pixels in the same batched decode step as
+    * extractFeatures. Pure map expression; the plumbing (schema shape,
+    * scale math, degenerate-dims guard) is the real part. */
+  def resize(df: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val w = col("meta.width").cast(DoubleType)
+    val h = col("meta.height").cast(DoubleType)
+    // scale ≤ 1 (never upscale); degenerate 0-dims keep their size
+    val scale = least(lit(1.0), lit(maxW) / greatest(w, lit(1.0)),
+      lit(maxH) / greatest(h, lit(1.0)))
+    df.withColumn("meta", struct(
+      col("meta.mime").as("mime"),
+      floor(w * scale).cast(IntegerType).as("width"),
+      floor(h * scale).cast(IntegerType).as("height"),
+      col("meta.duration_ms").as("duration_ms")))
+  }
+
+  /** Frame sampling: each media row expands to one row per sampled
+    * frame (`frame_idx`, `frame_ts_ms`) at a fixed interval over
+    * `meta.duration_ms` — the Spark-side shape of video frame
+    * extraction: a map-only explode, no shuffle, frame decode left to
+    * the batched stub step. Zero-duration media still yields frame 0
+    * (a poster frame). */
+  def sampleFrames(df: DataFrame, intervalMs: Long = 1000L): DataFrame =
+    df.select(col("media_id"),
+        explode(sequence(lit(0L),
+          (greatest(col("meta.duration_ms") - 1, lit(0L)) / intervalMs)
+            .cast(LongType))).as("frame_idx"))
+      .select(col("media_id"), col("frame_idx"),
+        (col("frame_idx") * intervalMs).as("frame_ts_ms"))
+
   /** Batched per-partition feature extraction. `batchSize` models the
     * accelerator micro-batch: rows are staged into fixed-size groups
     * before "decode" — identical plumbing to a mapInPandas/ONNX step. */

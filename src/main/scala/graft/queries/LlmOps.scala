@@ -316,6 +316,24 @@ object LlmOps {
                                              'sum')), 6) AS feat_norm
             FROM f ORDER BY media_id""")),
 
+    // frame sampling: map-only explode of (frame_idx, ts) per media row
+    // at a 250 ms interval; duration_ms = octet_length(text) in the
+    // synthesized media table, so DuckDB rebuilds the frame grid
+    QueryDef("q_frame_sample",
+      (s, dir) => Multimodal.sampleFrames(
+        Multimodal.asMediaTable(Graft.table(s, dir, "documents"),
+          "doc_id", "text"), intervalMs = 250L)
+        .orderBy("media_id", "frame_idx"),
+      Some("""WITH m AS (SELECT doc_id AS media_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS dur
+                 FROM documents)
+             SELECT media_id,
+                    unnest(generate_series(0,
+                      greatest(dur - 1, 0) // 250)) AS frame_idx,
+                    unnest(generate_series(0,
+                      greatest(dur - 1, 0) // 250)) * 250 AS frame_ts_ms
+             FROM m ORDER BY media_id, frame_idx""")),
+
     // near-dup pairs → duplicate CLUSTERS: hash-min connected components
     // (oracle: recursive-CTE label propagation over the same pair set)
     QueryDef("q_dup_clusters",

@@ -122,6 +122,23 @@ class LlmOpsSpec extends AnyFunSuite {
     } finally index.unpersist()
   }
 
+  test("multimodal resize fits inside the box; sampleFrames grids duration") {
+    import org.apache.spark.sql.Row
+    val media = Multimodal.asMediaTable(
+      Seq((1L, "x" * 4000), (2L, "")).toDF("doc_id", "text"), "doc_id", "text")
+    // doc 1: meta 4000%1920=160 wide, 4000%1080=760 high → scale 100/760
+    val r = Multimodal.resize(media, maxW = 200, maxH = 100)
+      .select("media_id", "meta.width", "meta.height")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(r(1L) == ((21, 100))) // floor(160*100/760)=21, fits both bounds
+    assert(r(2L) == ((0, 0)))    // degenerate dims unchanged
+    val f = Multimodal.sampleFrames(media, intervalMs = 1000L)
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    assert(f(1L).length == 4)    // 4000 ms → frames at 0,1000,2000,3000
+    assert(f(1L).map(_._3).sorted.toSeq == Seq(0L, 1000L, 2000L, 3000L))
+    assert(f(2L).toSeq == Seq((2L, 0L, 0L))) // zero duration → poster frame
+  }
+
   test("multimodal feature extraction is deterministic and batch-invariant") {
     val media = Multimodal.asMediaTable(docs.limit(100), "doc_id", "text")
     val a = Multimodal.extractFeatures(media, dim = 8, batchSize = 256)
