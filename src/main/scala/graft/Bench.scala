@@ -46,8 +46,14 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       // dead persisted intermediates (shingle/doc-term tables) would
-      // otherwise accumulate across all queries and drive eviction/GC
+      // otherwise accumulate across all queries and drive eviction/GC.
+      // clearCache() only drops DataFrame cache entries — localCheckpoint
+      // RDDs (graphLookup / Components / $lookup-let rounds) live in the
+      // block manager outside the cache manager and must be dropped
+      // explicitly, or 91 queries of leftovers build multi-second
+      // GC/eviction outliers into later queries' timings
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       name -> times.min
     }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

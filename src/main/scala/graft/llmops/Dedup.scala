@@ -234,6 +234,52 @@ object Dedup {
     * the per-token work is one md5, not 60 re-traversals. Docs with no
     * tokens carry no signature (exact dedup already covers empty-text
     * duplicates). */
+  /** Cross-document repeated n-gram SPAN detection — the exact-substring
+    * duplication signal of "Deduplicating Training Data Makes Language
+    * Models Better" (Lee et al., 2021), reshaped for Spark: instead of
+    * a suffix array over the concatenated corpus, every n-token window
+    * is hashed, and windows whose hash occurs in ≥ `minDocs` DISTINCT
+    * documents are flagged as duplicated spans. Returns, per document
+    * with at least one flagged span: the number of repeated windows and
+    * the fraction of its tokens covered by ≥1 repeated window — the
+    * "how much of this doc is boilerplate shared with others" number
+    * that drives span-level filtering decisions.
+    *
+    * Scale shape: the window table is the same explode the shingle
+    * pipelines pay (one row per corpus token); window-frequency counts
+    * are one hash-partitioned groupBy with map-side combine; flagged
+    * spans come back via one equi-join on the window hash; and only
+    * FLAGGED windows (rare by construction) explode into covered-token
+    * positions. All expressions are codegen'd builtins — no UDFs. */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                    n: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(n >= 2, "span length must be >= 2 tokens")
+    require(minDocs >= 2, "minDocs < 2 would flag every window")
+    val toks = TextAnalysis.tokens(col(textCol))
+    // sequence(1, 0) counts DOWN in Spark; guard short docs to null so
+    // explode drops them instead
+    val win = df
+      .select(col(idCol).as("__id"), toks.as("__w"))
+      .withColumn("__nt", size(col("__w")))
+      .withColumn("__i", explode(when(col("__nt") >= n,
+        sequence(lit(1), col("__nt") - (n - 1)))))
+      .select(col("__id"), col("__nt"), col("__i"),
+        md5(concat_ws(" ", slice(col("__w"), col("__i"), lit(n))).cast("binary"))
+          .as("__h"))
+    val flagged = win.groupBy("__h")
+      .agg(countDistinct(col("__id")).as("__nd"))
+      .where(col("__nd") >= minDocs)
+      .select("__h")
+    win.join(flagged, "__h")
+      .select(col("__id"), col("__nt"), col("__i"),
+        explode(sequence(col("__i"), col("__i") + (n - 1))).as("__p"))
+      .groupBy(col("__id"), col("__nt"))
+      .agg(countDistinct(col("__i")).as("n_spans"),
+        countDistinct(col("__p")).as("__cov"))
+      .select(col("__id").as(idCol), col("n_spans"),
+        round(col("__cov").cast("double") / col("__nt"), 6).as("dup_frac"))
+  }
+
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3, "4-chunk blocking is only complete for maxDist <= 3")

@@ -95,6 +95,63 @@ object Sampling {
       .drop("__tok", "__cum")
   }
 
+  /** Deterministic train/validation/test split: each row gets the first
+    * split label whose cumulative fraction bound exceeds its seeded hash
+    * bucket. Map-only — the label is a codegen'd expression inside the
+    * scan stage, no shuffle — and reproducible across runs,
+    * partitionings, and engines: re-running the pipeline never migrates
+    * a document between splits unless the seed changes, which is the
+    * property eval-contamination audits depend on (a doc that was ever
+    * in `test` stays there). Fractions must sum to 1 (±1e-6); bucket
+    * boundaries are rounded to integer millionths so the cut-points are
+    * exact on any engine. */
+  def hashSplit(df: DataFrame, idCol: String, splits: Seq[(String, Double)],
+                seed: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "at least one split required")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-6,
+      "split fractions must sum to 1")
+    val bucket = hashBucket(col(idCol), seed)
+    val cuts = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(c => math.round(c * 1000000L.toDouble))
+    val label = splits.init.zip(cuts.init).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), cut), acc) => when(bucket < cut, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", label)
+  }
+
+  /** Deterministic corpus shuffle layout: assigns every row a stable
+    * `global_pos` that is uniform-random with respect to the input
+    * order but fully reproducible — the pre-training shuffle, computed
+    * without the global single-partition sort a naive
+    * row_number()-over-ORDER-BY-hash would plan. Rows hash into
+    * `nChunks` chunks (map-only); position within a chunk is one KEYED
+    * window (shuffle and per-partition sort bounded by corpus/nChunks);
+    * chunk offsets are a prefix sum over the nChunks-row count table
+    * (the only unpartitioned window, bounded by nChunks, not corpus
+    * size) broadcast back onto the rows. At 100 TB: one keyed shuffle +
+    * one tiny aggregate; writers then emit files sorted by
+    * (chunk, pos). Use an `nChunks` that divides 1e6 (the hash-bucket
+    * modulus) so chunk assignment carries zero modulo bias. */
+  def shuffleChunks(df: DataFrame, idCol: String, nChunks: Int = 64,
+                    seed: String = "shuf"): DataFrame = {
+    require(nChunks > 0, "nChunks must be positive")
+    val chunk = hashBucket(col(idCol), seed) % nChunks
+    // full md5 as the within-chunk sort key: hex-string order is plain
+    // byte order on every engine (ASCII), and collisions fall back to id
+    val key = md5(concat(lit(seed + "#"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("chunk")).orderBy(col("__k").asc, col(idCol).asc)
+    val withPos = df.withColumn("chunk", chunk).withColumn("__k", key)
+      .withColumn("pos", row_number().over(w).cast("long") - 1L)
+      .drop("__k")
+    val offsets = withPos.groupBy("chunk").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off",
+        sum(col("__cnt")).over(Window.orderBy(col("chunk"))) - col("__cnt"))
+      .select(col("chunk"), col("__off"))
+    withPos.join(broadcast(offsets), "chunk")
+      .withColumn("global_pos", (col("pos") + col("__off")).cast("long"))
+      .drop("__off")
+  }
+
   /** Keep documents per group until a token budget is reached:
     * deterministic hash order within the group, running token total,
     * cut where the total exceeds the budget. One keyed window pass

@@ -396,6 +396,64 @@ object LlmOps {
                                 WHEN 'de' THEN 1000000 ELSE 250000 END
               ORDER BY doc_id""")),
 
+    // deterministic train/val/test split: map-only seeded-hash label,
+    // reproducible across engines (oracle rebuilds identical buckets)
+    QueryDef("q_hash_split",
+      (s, dir) => Sampling.hashSplit(Graft.table(s, dir, "documents"),
+        "doc_id", Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .select("doc_id", "split").orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                CASE WHEN ('0x' || substr(md5('split:' || doc_id), 1, 8))::BIGINT
+                          % 1000000 < 900000 THEN 'train'
+                     WHEN ('0x' || substr(md5('split:' || doc_id), 1, 8))::BIGINT
+                          % 1000000 < 950000 THEN 'val'
+                     ELSE 'test' END AS split
+              FROM documents ORDER BY doc_id""")),
+
+    // deterministic corpus shuffle layout: chunked positions, no global
+    // single-partition sort (keyed window + nChunks-row prefix sum)
+    QueryDef("q_corpus_shuffle",
+      (s, dir) => Sampling.shuffleChunks(Graft.table(s, dir, "documents"),
+        "doc_id", nChunks = 64)
+        .select("doc_id", "chunk", "pos", "global_pos").orderBy("doc_id"),
+      Some("""WITH h AS (SELECT doc_id,
+                ('0x' || substr(md5('shuf:' || doc_id), 1, 8))::BIGINT
+                  % 1000000 % 64 AS chunk,
+                md5('shuf#' || doc_id) AS k FROM documents),
+              p AS (SELECT doc_id, chunk,
+                CAST(ROW_NUMBER() OVER (PARTITION BY chunk
+                  ORDER BY k, doc_id) - 1 AS BIGINT) AS pos FROM h),
+              c AS (SELECT chunk, count(*) AS cnt FROM p GROUP BY chunk),
+              o AS (SELECT chunk, CAST(sum(cnt) OVER (ORDER BY chunk) - cnt
+                      AS BIGINT) AS offs FROM c)
+              SELECT p.doc_id, p.chunk, p.pos, p.pos + o.offs AS global_pos
+              FROM p JOIN o USING (chunk) ORDER BY p.doc_id""")),
+
+    // Lee-et-al exact-substring duplication signal: cross-doc repeated
+    // 8-token spans + per-doc covered-token fraction
+    QueryDef("q_repeated_spans",
+      (s, dir) => Dedup.repeatedSpans(Graft.table(s, dir, "documents"),
+        "doc_id", "text", n = 8, minDocs = 2)
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, $duckToks AS w FROM documents),
+              win AS (SELECT doc_id, nt, unnest(generate_series(1, nt - 7)) AS i, w
+                      FROM (SELECT doc_id, w, len(w) AS nt FROM t)
+                      WHERE nt >= 8),
+              winh AS (SELECT doc_id, nt, i,
+                        md5(array_to_string(w[i:i+7], ' ')) AS h FROM win),
+              d AS (SELECT h FROM winh GROUP BY h
+                    HAVING count(DISTINCT doc_id) >= 2),
+              f AS (SELECT winh.doc_id, winh.nt, winh.i
+                    FROM winh JOIN d USING (h)),
+              cov AS (SELECT doc_id, nt,
+                        count(DISTINCT i) AS n_spans, count(DISTINCT p) AS cv
+                      FROM (SELECT doc_id, nt, i,
+                              unnest(generate_series(i, i + 7)) AS p FROM f)
+                      GROUP BY doc_id, nt)
+              SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+                     round(cv::DOUBLE / nt, 6) AS dup_frac
+              FROM cov ORDER BY doc_id""")),
+
     // Gopher-style rule filter: per-rule flags + verdict, map-only
     QueryDef("q_quality_filter",
       (s, dir) => {

@@ -52,6 +52,56 @@ class SamplingSpec extends AnyFunSuite {
            out.select("doc_id").as[Long].collect().sorted.toSeq)
   }
 
+  test("hashSplit: partitions the corpus, near target fractions, stable") {
+    val out = Sampling.hashSplit(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = out.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    val total = docs.count().toDouble
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == total.toLong) // every row exactly one split
+    assert(math.abs(counts("train") / total - 0.8) < 0.1)
+    // stable across partitioning: same doc → same split
+    val again = Sampling.hashSplit(docs.repartition(11), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(out.select("doc_id", "split").as[(Long, String)].collect().sorted.toSeq
+      == again.select("doc_id", "split").as[(Long, String)].collect().sorted.toSeq)
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(docs, "doc_id", Seq("train" -> 0.5)) // sums to 0.5
+    }
+  }
+
+  test("shuffleChunks: global_pos is a permutation of 0..n-1, stable") {
+    val out = Sampling.shuffleChunks(docs, "doc_id", nChunks = 8)
+    val n = docs.count()
+    val pos = out.select("global_pos").as[Long].collect().sorted
+    assert(pos.toSeq == (0L until n).toSeq) // dense permutation, no gaps
+    // within a chunk, pos is dense from 0 too
+    val chunk0 = out.where($"chunk" === out.agg(min("chunk")).head().getLong(0))
+      .select("pos").as[Long].collect().sorted
+    assert(chunk0.toSeq == (0L until chunk0.length).toSeq)
+    // deterministic across input partitioning
+    val again = Sampling.shuffleChunks(docs.repartition(7), "doc_id", nChunks = 8)
+    assert(out.select("doc_id", "global_pos").as[(Long, Long)].collect().sorted.toSeq
+      == again.select("doc_id", "global_pos").as[(Long, Long)].collect().sorted.toSeq)
+  }
+
+  test("repeatedSpans: planted cross-doc span is found, unique text is not") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "PRE alpha beta gamma delta epsilon zeta eta theta iota kappa POST"),
+      (3L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val out = Dedup.repeatedSpans(df, "doc_id", "text", n = 8, minDocs = 2)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // docs 1+2 share a 10-token run → 3 repeated 8-windows each; doc 3 none
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L)._1 == 3L)
+    // doc 1: all 10 tokens covered → frac 1.0; doc 2: 10 of 12
+    assert(out(1L)._2 == 1.0)
+    assert(math.abs(out(2L)._2 - 10.0 / 12.0) < 1e-4)
+  }
+
   test("ruleFilter flags agree with hand-computed stats") {
     val df = Seq(
       (1L, "the cat sat on the mat today quite happily indeed"), // clean → keep
