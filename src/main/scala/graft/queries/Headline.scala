@@ -134,6 +134,27 @@ object Headline {
                      CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
               FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""")),
 
+    // the MQL pipeline surface ON A STREAM: same pipeline string as
+    // batch, compiled onto readStream, complete-mode materialized
+    // aggregate — hash-matched against the DuckDB batch twin
+    QueryDef("q_mql_stream",
+      (s, dir) => EventStream.mqlOnFixture(s, dir, """[
+          {"$match": {"value": {"$gt": 0}}},
+          {"$group": {"_id": {"h": {"$dateTrunc": {"date": "$ts", "unit": "hour"}},
+                              "t": "$event_type"},
+             "n": {"$count": {}},
+             "sv": {"$sum": {"$toDecimal": "$value"}}}},
+          {"$project": {"_id": 0, "hour": "$_id.h", "event_type": "$_id.t",
+             "n": 1, "sum_value": {"$round": [{"$toDouble": "$sv"}, 4]}}},
+          {"$sort": {"hour": 1, "event_type": 1}}]""")
+        .orderBy("hour", "event_type"),
+      Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+                     event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                     round(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 4)
+                       AS sum_value
+              FROM events WHERE value > 0
+              GROUP BY 1, 2 ORDER BY hour, event_type""")),
+
     // salted skew join (manual fallback for power-law keys AQE can't
     // split): result must equal the plain join, which the oracle computes
     // directly — the salt only changes the physical shuffle layout

@@ -139,6 +139,22 @@ object EventStream {
           .mode("append").save(path)
     }
 
+  /** Run an MQL aggregation pipeline ON A STREAM — the
+    * aggregate_arrow_all surface lifted to Structured Streaming: the
+    * SAME pipeline string a user runs in batch compiles (via
+    * PipelineCompiler) onto an unbounded source as a continuously
+    * updated materialized aggregate (complete mode). State is bounded
+    * by GROUP-KEY cardinality, not stream length — the right model for
+    * dashboard-style MQL aggregates over arbitrary keys; for event-time
+    * windows whose state the watermark can drop, use
+    * windowedAgg/sessionAgg (append mode) instead. Stages that need
+    * multiple passes over the input ($graphLookup, $facet, $bucketAuto)
+    * are refused by Spark's analyzer at start — by construction, not by
+    * a denylist here. */
+  def mqlOnFixture(spark: SparkSession, dir: String, pipeline: String): DataFrame =
+    runStream(spark, dir, ev => graft.mql.PipelineCompiler.run(ev, pipeline),
+      outputMode = "complete")
+
   /** Run the streaming aggregation synchronously over the parquet
     * fixture (memory sink, processAllAvailable) and return the final
     * batch result. The same `windowedAgg` plan serves a real

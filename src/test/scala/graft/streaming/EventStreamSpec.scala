@@ -42,6 +42,23 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("MQL pipeline on a stream equals the same pipeline in batch") {
+    val pipeline = """[
+      {"$match": {"value": {"$gt": 0}}},
+      {"$group": {"_id": "$event_type",
+         "n": {"$count": {}}, "sv": {"$sum": {"$toDecimal": "$value"}}}},
+      {"$project": {"_id": 0, "event_type": "$_id", "n": 1,
+         "sum_value": {"$round": [{"$toDouble": "$sv"}, 4]}}}]"""
+    val streamed = EventStream.mqlOnFixture(spark, dir, pipeline)
+      .orderBy("event_type")
+      .as[(String, Long, Double)].collect().toSeq
+    import graft.api.implicits._
+    val batch = Graft.table(spark, dir, "events").mqlAggregate(pipeline)
+      .orderBy("event_type")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming ingest into the graftdocs sink round-trips") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
