@@ -256,11 +256,17 @@ object Dedup {
     require(n >= 2, "span length must be >= 2 tokens")
     require(minDocs >= 2, "minDocs < 2 would flag every window")
     val toks = TextAnalysis.tokens(col(textCol))
+    // the tokenized corpus feeds two consumers (window-frequency count,
+    // flagged-span join) — persist it instead of re-scanning and
+    // re-tokenizing the corpus twice (the jaccardPairs pattern; at
+    // 100 TB this is a checkpoint of the tokenized corpus, and the
+    // explode+md5 recompute per consumer is cheap against the cache)
+    val base = df.select(col(idCol).as("__id"), toks.as("__w"))
+      .withColumn("__nt", size(col("__w")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // sequence(1, 0) counts DOWN in Spark; guard short docs to null so
     // explode drops them instead
-    val win = df
-      .select(col(idCol).as("__id"), toks.as("__w"))
-      .withColumn("__nt", size(col("__w")))
+    val win = base
       .withColumn("__i", explode(when(col("__nt") >= n,
         sequence(lit(1), col("__nt") - (n - 1)))))
       .select(col("__id"), col("__nt"), col("__i"),

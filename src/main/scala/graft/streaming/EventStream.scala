@@ -150,10 +150,24 @@ object EventStream {
     * windowedAgg/sessionAgg (append mode) instead. Stages that need
     * multiple passes over the input ($graphLookup, $facet, $bucketAuto)
     * are refused by Spark's analyzer at start — by construction, not by
-    * a denylist here. */
-  def mqlOnFixture(spark: SparkSession, dir: String, pipeline: String): DataFrame =
+    * a denylist here.
+    *
+    * Stateless pipelines ($match/$project/$addFields/$unwind — the
+    * continuous filter/transform case) run in APPEND mode instead:
+    * complete mode requires an aggregate, and append is the natural
+    * semantics for a row-wise stream transform. The mode is picked off
+    * the compiled plan (does it aggregate?), so the caller passes the
+    * same pipeline string either way. */
+  def mqlOnFixture(spark: SparkSession, dir: String, pipeline: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    // analyze (not run) the compiled plan once to pick the output mode
+    val probe = graft.mql.PipelineCompiler.run(eventsSource(spark, dir), pipeline)
+    val aggregates = probe.queryExecution.analyzed.collectFirst {
+      case a: Aggregate => a
+    }.nonEmpty
     runStream(spark, dir, ev => graft.mql.PipelineCompiler.run(ev, pipeline),
-      outputMode = "complete")
+      outputMode = if (aggregates) "complete" else "append")
+  }
 
   /** Run the streaming aggregation synchronously over the parquet
     * fixture (memory sink, processAllAvailable) and return the final
@@ -178,17 +192,23 @@ object EventStream {
     * fixture (memory sink, AvailableNow, processAllAvailable) and return
     * the final result. The same plan serves a real readStream source in
     * production. */
-  private def runStream(spark: SparkSession, dir: String,
-                        transform: DataFrame => DataFrame,
-                        outputMode: String = "complete"): DataFrame = {
+  /** The fixture readStream source (nanos → micros ts), shared by
+    * runStream and the mqlOnFixture mode probe. */
+  private def eventsSource(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val name = s"graft_events_${System.nanoTime()}"
-    val stream = spark.readStream
+    spark.readStream
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
       .where(col("ts").isNotNull)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private def runStream(spark: SparkSession, dir: String,
+                        transform: DataFrame => DataFrame,
+                        outputMode: String = "complete"): DataFrame = {
+    val name = s"graft_events_${System.nanoTime()}"
+    val stream = eventsSource(spark, dir)
     // checkpoint on tmpfs when available: the file-source log + state
     // stores fsync per micro-batch, which dominates (and jitters) this
     // fixture run on disk; a real deployment points this at durable

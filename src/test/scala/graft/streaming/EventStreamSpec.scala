@@ -59,6 +59,19 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("stateless MQL pipeline on a stream runs in append mode") {
+    val pipeline = """[
+      {"$match": {"event_type": "click", "value": {"$gt": 4.0}}},
+      {"$project": {"event_id": 1, "user_id": 1}}]"""
+    val streamed = EventStream.mqlOnFixture(spark, dir, pipeline)
+      .orderBy("event_id").as[(Long, Long)].collect().toSeq
+    import graft.api.implicits._
+    val batch = Graft.table(spark, dir, "events").mqlAggregate(pipeline)
+      .select("event_id", "user_id")
+      .orderBy("event_id").as[(Long, Long)].collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming ingest into the graftdocs sink round-trips") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
