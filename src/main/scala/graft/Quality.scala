@@ -50,11 +50,30 @@ object Quality {
       .select("query_id", "match_id").as[(Long, Long)].collect().toSet
     val (ivfR, ivfP) = prf(ivf, bf)
 
+    // PQ-ADC top-10 (m=8 × 16 codes = 8 bytes/vector) vs brute force
+    val pq = Similarity.pqTopK(queries, emb, 10)
+      .select("query_id", "match_id").as[(Long, Long)].collect().toSet
+    val (pqR, pqP) = prf(pq, bf)
+
+    // SemDeDup drop-set vs the exact-cosine dedup drop-set on the
+    // bounded ground-truth slice (vec_id < 300, as q_emb_dedup)
+    val slice = emb.where(col("vec_id") < 300)
+    val sliceIds = slice.select("vec_id").as[Long].collect().toSet
+    def drops(kept: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      (sliceIds -- kept.select("vec_id").as[Long].collect().toSet).map((_, 0L))
+    val exactDrops = drops(Dedup.embeddingDedup(slice, "vec_id", "embedding",
+      threshold = 0.4, exact = true))
+    val semDrops = drops(Dedup.semanticDedup(slice, "vec_id", "embedding",
+      threshold = 0.4, nCells = 8))
+    val (sdR, sdP) = prf(semDrops, exactDrops)
+
     println(
       s"""{"sf":"$sfDir","near_dup_truth_pairs":${truth.size},""" +
       s""""minhash":{"recall":$mhR,"precision":$mhP},""" +
       s""""ivf_top10_nprobe4of16_hash_sample":{"recall":$ivf0R,"precision":$ivf0P},""" +
-      s""""ivf_top10_nprobe4of16_lloyd1":{"recall":$ivfR,"precision":$ivfP}}""")
+      s""""ivf_top10_nprobe4of16_lloyd1":{"recall":$ivfR,"precision":$ivfP},""" +
+      s""""pq_top10_m8x16":{"recall":$pqR,"precision":$pqP},""" +
+      s""""semdedup_drops_8cells":{"recall":$sdR,"precision":$sdP}}""")
     spark.stop()
   }
 }

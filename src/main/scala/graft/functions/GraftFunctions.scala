@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Coalesce, EqualTo, Expression, If, IsNotNull, IsNull, Literal, Not, RuntimeReplaceable, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Coalesce, EqualTo, Expression, If, IsNotNull, IsNull, Literal, Not, RuntimeReplaceable, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block.BlockHelper
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -403,6 +403,179 @@ case class NearestCell(left: Expression, right: Expression) extends BinaryExpres
     copy(left = l, right = r)
 }
 
+/** Product-quantization encoder: argmin-L2 code per subspace against a
+  * CONSTANT codebook tensor (m subspaces × k codewords × dsub dims).
+  * `pq_encode(vec, books)` is the map-only PQ indexing pass — each
+  * corpus row is touched once, emits m small ints, and never joins or
+  * shuffles (the 100 TB contract: the encoded corpus is m bytes/vector
+  * instead of 4·dim — a 32× memory/shuffle reduction at dim 64, m 8).
+  * Ties keep the lowest codeword index (codebooks are deterministic
+  * hash-ordered samples, so ties only arise from duplicate seed rows
+  * and resolve identically in the DuckDB oracle). Null / wrong-dim /
+  * null-element vectors return null (unindexable). */
+case class PqEncode(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private lazy val books: Array[Array[Array[Double]]] = {
+    val ad = right.eval().asInstanceOf[ArrayData]
+    (0 until ad.numElements()).map { s =>
+      val sub = ad.getArray(s)
+      (0 until sub.numElements()).map(j => sub.getArray(j).toDoubleArray()).toArray
+    }.toArray
+  }
+
+  override def nullSafeEval(v: Any, bIgnored: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val m = books.length
+    val dsub = books(0)(0).length
+    if (arr.numElements() != m * dsub) return null
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val cb = books(s)
+      var best = -1
+      var bestD = Double.PositiveInfinity
+      var j = 0
+      while (j < cb.length) {
+        val cw = cb(j)
+        var d = 0.0
+        var t = 0
+        while (t < dsub) {
+          val idx = s * dsub + t
+          if (arr.isNullAt(idx)) return null
+          val diff = arr.getDouble(idx) - cw(t)
+          d += diff * diff
+          t += 1
+        }
+        if (d < bestD) { best = j; bestD = d }
+        j += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, _) => {
+      val bk = ctx.addReferenceObj("books", books, "double[][][]")
+      val m = ctx.freshName("m"); val dsub = ctx.freshName("dsub")
+      val codes = ctx.freshName("codes"); val bad = ctx.freshName("bad")
+      val s = ctx.freshName("s"); val j = ctx.freshName("j"); val t = ctx.freshName("t")
+      val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
+      val d = ctx.freshName("d"); val diff = ctx.freshName("diff"); val idx = ctx.freshName("idx")
+      s"""int $m = $bk.length;
+         |int $dsub = $bk[0][0].length;
+         |if ($v.numElements() != $m * $dsub) { ${ev.isNull} = true; } else {
+         |  int[] $codes = new int[$m];
+         |  boolean $bad = false;
+         |  for (int $s = 0; $s < $m && !$bad; $s++) {
+         |    int $best = -1;
+         |    double $bestD = Double.POSITIVE_INFINITY;
+         |    for (int $j = 0; $j < $bk[$s].length && !$bad; $j++) {
+         |      double $d = 0.0;
+         |      for (int $t = 0; $t < $dsub; $t++) {
+         |        int $idx = $s * $dsub + $t;
+         |        if ($v.isNullAt($idx)) { $bad = true; break; }
+         |        double $diff = $v.getDouble($idx) - $bk[$s][$j][$t];
+         |        $d += $diff * $diff;
+         |      }
+         |      if (!$bad && $d < $bestD) { $best = $j; $bestD = $d; }
+         |    }
+         |    $codes[$s] = $best;
+         |  }
+         |  if ($bad) { ${ev.isNull} = true; }
+         |  else { ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($codes); }
+         |}""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqEncode =
+    copy(left = l, right = r)
+}
+
+/** Asymmetric-distance (ADC) PQ scoring: squared L2 between a RAW query
+  * vector and a corpus row's RECONSTRUCTION from its PQ codes —
+  * `pq_adc(qvec, codes, books)` = Σ_s ‖q_s − books[s][codes[s]]‖².
+  * The query keeps full precision (asymmetric = no double quantization
+  * error); the corpus side only ships its m-byte code array. Per-pair
+  * cost is one pass over dim doubles — the same arithmetic as a dot
+  * product, but against 32× less corpus state. Null inputs, wrong
+  * dims, or out-of-range codes → null. */
+case class PqAdc(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private lazy val books: Array[Array[Array[Double]]] = {
+    val ad = third.eval().asInstanceOf[ArrayData]
+    (0 until ad.numElements()).map { s =>
+      val sub = ad.getArray(s)
+      (0 until sub.numElements()).map(j => sub.getArray(j).toDoubleArray()).toArray
+    }.toArray
+  }
+
+  override def nullSafeEval(q: Any, c: Any, bIgnored: Any): Any = {
+    val qa = q.asInstanceOf[ArrayData]
+    val ca = c.asInstanceOf[ArrayData]
+    val m = books.length
+    val dsub = books(0)(0).length
+    if (qa.numElements() != m * dsub || ca.numElements() != m) return null
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      if (ca.isNullAt(s)) return null
+      val code = ca.getInt(s)
+      if (code < 0 || code >= books(s).length) return null
+      val cw = books(s)(code)
+      var t = 0
+      while (t < dsub) {
+        val idx = s * dsub + t
+        if (qa.isNullAt(idx)) return null
+        val diff = qa.getDouble(idx) - cw(t)
+        acc += diff * diff
+        t += 1
+      }
+      s += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, c, _) => {
+      val bk = ctx.addReferenceObj("books", books, "double[][][]")
+      val m = ctx.freshName("m"); val dsub = ctx.freshName("dsub")
+      val acc = ctx.freshName("acc"); val bad = ctx.freshName("bad")
+      val s = ctx.freshName("s"); val t = ctx.freshName("t")
+      val code = ctx.freshName("code"); val diff = ctx.freshName("diff")
+      val idx = ctx.freshName("idx")
+      s"""int $m = $bk.length;
+         |int $dsub = $bk[0][0].length;
+         |if ($q.numElements() != $m * $dsub || $c.numElements() != $m) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  boolean $bad = false;
+         |  for (int $s = 0; $s < $m && !$bad; $s++) {
+         |    if ($c.isNullAt($s)) { $bad = true; break; }
+         |    int $code = $c.getInt($s);
+         |    if ($code < 0 || $code >= $bk[$s].length) { $bad = true; break; }
+         |    for (int $t = 0; $t < $dsub; $t++) {
+         |      int $idx = $s * $dsub + $t;
+         |      if ($q.isNullAt($idx)) { $bad = true; break; }
+         |      double $diff = $q.getDouble($idx) - $bk[$s][$code][$t];
+         |      $acc += $diff * $diff;
+         |    }
+         |  }
+         |  if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
+         |}""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, sec: Expression, th: Expression): PqAdc =
+    copy(first = f, second = sec, third = th)
+}
+
 /** Mongo $objectToArray: struct → array<struct<k: string, v: T>>.
   * Spark arrays are homogeneous, so all struct fields must share one
   * type (checked at analysis); Mongo's mixed-type documents have no
@@ -649,6 +822,10 @@ object GraftFunctions {
       "sign_bucket", exprs => SignBucket(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "nearest_cell", exprs => NearestCell(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pq_encode", exprs => PqEncode(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pq_adc", exprs => PqAdc(exprs(0), exprs(1), exprs(2)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bson_type", exprs => BsonTypeOf(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

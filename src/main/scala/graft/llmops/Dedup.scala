@@ -197,6 +197,36 @@ object Dedup {
     df.join(dups, df(idCol) === dups("id_b"), "left_anti")
   }
 
+  /** SemDeDup (Abbas et al., 2023, arXiv:2303.09540): semantic dedup by
+    * cluster-then-prune. Embeddings are assigned to `nCells` clusters
+    * (the IVF machinery: deterministic hash-ordered centroid sample +
+    * map-only `nearest_cell` pass — `portableSeed` so the DuckDB oracle
+    * rebuilds the identical clustering); within a cluster, a row is a
+    * duplicate when a LOWER-ID member sits within `threshold` cosine.
+    * Pairwise scoring is confined to clusters — the SemDeDup recipe's
+    * whole point: the candidate join is an equi-join on cell_id, so the
+    * pair count is Σ|cell|², not |corpus|². At 100 TB: raise nCells so
+    * cells stay bounded (the paper runs k≈11k on 1.3e9 embeddings);
+    * cell skew is AQE's skew-join case, and a degenerate cell is the
+    * same pathology (and fix) as a hot LSH bucket. `lloydIters` > 0
+    * buys better (tighter) clusters at the price of oracle parity —
+    * dedup quality only, never correctness of the within-cluster
+    * pruning itself. Survivors keep their full row. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, nCells: Int = 8,
+                    lloydIters: Int = 0): DataFrame = {
+    val index = Similarity.buildIvf(df, nCells, idCol, vecCol, lloydIters,
+      persistIndex = false, portableSeed = true)
+    val a = index.assigned.select(col("match_id"), col("__mv"), col("__mn"),
+      col("cell_id"))
+    val dups = a.as("l").join(a.as("r"), Seq("cell_id"))
+      .where(col("l.match_id") < col("r.match_id"))
+      .where(round(Similarity.rawDot(col("l.__mv"), col("r.__mv")) /
+        (col("l.__mn") * col("r.__mn")), 6) >= threshold)
+      .select(col("r.match_id").as("__dup")).distinct()
+    df.join(dups, df(idCol) === dups("__dup"), "left_anti")
+  }
+
   /** SimHash signature width. 60 bits — the widest that survives a
     * portable hash: 15 hex chars of md5 parse losslessly into a signed
     * 64-bit int in both Spark (conv) and DuckDB ('0x'-cast), making the

@@ -232,14 +232,21 @@ object Similarity {
   def buildIvf(corpus: DataFrame, nCells: Int = 16,
                idCol: String = "vec_id", vecCol: String = "embedding",
                lloydIters: Int = 1,
-               persistIndex: Boolean = true): IvfIndex = {
+               persistIndex: Boolean = true,
+               portableSeed: Boolean = false): IvfIndex = {
     // re-sorted by cell_id after the hash-ordered sample, so matrix
     // index order == cell_id order: nearest_cell's lowest-index tie
     // break and the query window's cell_id-asc tie break agree (tied
     // duplicate centroids would otherwise send corpus rows to a cell
     // the query never probes)
+    // portableSeed swaps xxhash64 for the md5-derived 60-bit hash of the
+    // id's STRING form — same hash-ordered-sample semantics, but DuckDB
+    // computes it too, so centroid-dependent results (semanticDedup)
+    // stay oracle-checkable. xxhash64 stays the default (cheaper).
+    val seedOrd = if (portableSeed) Dedup.portableHash60(col(idCol).cast("string"))
+                  else xxhash64(col(idCol))
     val seedDf = corpus
-      .orderBy(xxhash64(col(idCol)).asc, col(idCol).asc).limit(nCells)
+      .orderBy(seedOrd.asc, col(idCol).asc).limit(nCells)
       .select(col(idCol).as("cell_id"), col(vecCol).cast("array<double>").as("__cv"),
         norm(col(vecCol)).as("__cn"))
       .orderBy(col("cell_id").asc)
@@ -295,6 +302,128 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
       .select(col("query_id"), col("match_id"), col("cos"), col("rnk").cast("long").as("rnk"))
+  }
+
+  // ---- Product quantization (IVF-PQ's memory half) ---------------------
+
+  /** A trained PQ codebook: `books(s)(j)` is codeword j of subspace s
+    * (dsub doubles). m·k·dsub doubles total — a driver-side constant
+    * that ships to executors as one literal, like the IVF centroid
+    * matrix. */
+  final case class PqCodebook(books: Seq[Seq[Seq[Double]]]) {
+    val m: Int = books.length
+    val dsub: Int = books.head.head.length
+    require(books.forall(_.forall(_.length == dsub)),
+      "ragged codebook: all codewords must have dsub dims")
+  }
+
+  /** Train a PQ codebook from the corpus: the `codes` rows with the
+    * smallest portable hash of their id (the deterministic hash-ordered
+    * sample buildIvf uses, md5-based so the DuckDB oracle rebuilds the
+    * identical codebook), each split into `m` contiguous subvectors.
+    * One TakeOrdered pass over the corpus — no k-means iterations; like
+    * the IVF seeds, Lloyd refinement is a recall upgrade the caller can
+    * bolt on, at the price of oracle checkability. */
+  def pqTrain(corpus: DataFrame, m: Int = 8, codes: Int = 16,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              dim: Int = 64): PqCodebook = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    val seeds = corpus
+      .orderBy(Dedup.portableHash60(col(idCol).cast("string")).asc, col(idCol).asc)
+      .limit(codes)
+      .select(col(vecCol).cast("array<double>").as("__v"))
+      .collect().map(_.getSeq[Double](0))
+      .filter(_.length == dim)
+    require(seeds.nonEmpty, "no full-dimension seed vectors in corpus")
+    PqCodebook((0 until m).map(s =>
+      seeds.toIndexedSeq.map(v => v.slice(s * dsub, (s + 1) * dsub))))
+  }
+
+  /** PQ-encode the corpus: each vector → m small codeword indexes
+    * (`pq_encode` native expression against the literal codebook).
+    * MAP-ONLY — at 100 TB this pass writes the m-bytes-per-vector
+    * index (32× smaller than raw float vectors at dim 64 / m 8) that
+    * all downstream ANN queries read instead of the embeddings. Rows
+    * with unindexable vectors are dropped, like buildIvf. */
+  def pqEncode(corpus: DataFrame, cb: PqCodebook,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol),
+        graftFn("pq_encode", col(vecCol).cast("array<double>"),
+          typedlit(cb.books)).as("pq_codes"))
+      .where(col("pq_codes").isNotNull)
+
+  /** Approximate top-k by asymmetric PQ distance (ADC): full-precision
+    * query vs the corpus's PQ reconstruction. The corpus side of the
+    * broadcast-join carries ONLY (id, m codes) — the point of PQ: the
+    * scoring scan never touches raw corpus vectors. Ranked by rounded
+    * ADC asc (smaller = closer), id tiebreak — fully deterministic and
+    * DuckDB-checkable. Returns (query_id, match_id, adc, rnk). */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+             m: Int = 8, codes: Int = 16,
+             qId: String = "vec_id", cId: String = "vec_id",
+             vecCol: String = "embedding", dim: Int = 64): DataFrame = {
+    val cb = pqTrain(corpus, m, codes, cId, vecCol, dim)
+    val enc = pqEncode(corpus, cb, cId, vecCol)
+      .select(col(cId).as("match_id"), col("pq_codes"))
+    val q = broadcast(queries.select(col(qId).as("query_id"),
+      col(vecCol).cast("array<double>").as("__qv")))
+    val scored = enc.crossJoin(q)
+      .where(col("query_id") =!= col("match_id"))
+      .withColumn("adc", round(
+        graftFn("pq_adc", col("__qv"), col("pq_codes"), typedlit(cb.books)), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("adc").asc, col("match_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("match_id"), col("adc"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
+  /** IVF-PQ top-k (Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search", TPAMI 2011): the IVF half prunes WHICH rows are
+    * scored (each query touches ~nProbe/nCells of the corpus); the PQ
+    * half shrinks WHAT is scored (m codeword bytes per row instead of
+    * 4·dim). Query-time plans touch only (id, cell, codes) — raw corpus
+    * vectors appear in the build passes and nowhere else, which is what
+    * makes the index RAM-resident at billions of vectors. Exhaustive
+    * probing (nProbe ≥ nCells) reduces exactly to pqTopK (spec-pinned),
+    * mirroring ivfTopK's brute-force equivalence. Returns
+    * (query_id, match_id, adc, rnk) — adc ascending = nearest first. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                nCells: Int = 16, nProbe: Int = 4,
+                m: Int = 8, codes: Int = 16,
+                qId: String = "vec_id", cId: String = "vec_id",
+                vecCol: String = "embedding", dim: Int = 64): DataFrame = {
+    val cb = pqTrain(corpus, m, codes, cId, vecCol, dim)
+    val index = buildIvf(corpus, nCells, cId, vecCol, lloydIters = 0,
+      persistIndex = false)
+    // the stored index: cell assignment + PQ codes, one map-only pass
+    val enc = index.assigned.select(col("match_id"), col("cell_id"),
+        graftFn("pq_encode", col("__mv"), typedlit(cb.books)).as("pq_codes"))
+      .where(col("pq_codes").isNotNull)
+    // probe the nProbe best cells per query (window over the small
+    // query×centroid product only, as ivfQuery)
+    val centroids = broadcast(queries.sparkSession.createDataFrame(
+      java.util.Arrays.asList(index.centroidRows: _*), index.seedSchema))
+    val cellScores = queries
+      .select(col(qId).as("query_id"),
+        col(vecCol).cast("array<double>").as("__qv"), norm(col(vecCol)).as("__qn"))
+      .crossJoin(centroids)
+      .withColumn("__sim", rawDot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("__sim").desc, col("cell_id").asc)
+    val probes = cellScores.withColumn("__r", row_number().over(wp))
+      .where(col("__r") <= nProbe)
+      .select(col("query_id"), col("__qv"), col("cell_id"))
+    val scored = probes.join(enc, "cell_id")
+      .where(col("query_id") =!= col("match_id"))
+      .withColumn("adc", round(
+        graftFn("pq_adc", col("__qv"), col("pq_codes"), typedlit(cb.books)), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("adc").asc, col("match_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("match_id"), col("adc"),
+        col("rnk").cast("long").as("rnk"))
   }
 
   /** Exact cosine pairs over a bounded query slice (oracle-checkable

@@ -45,6 +45,53 @@ object TfIdf {
           .as("surprisal"))
   }
 
+  /** BM25 (Robertson/Spärck Jones) top-k document retrieval for a bag
+    * of query terms — the lexical ranking used for query-based corpus
+    * slicing and retrieval-style decontamination audits.
+    *
+    *   score(d) = Σ_t idf(t) · tf(d,t)·(k1+1) / (tf(d,t) + k1·(1−b+b·|d|/avg|d|))
+    *   idf(t)   = ln(1 + (N − df(t) + 0.5)/(df(t) + 0.5))
+    *
+    * Scale shape: the corpus scan tokenizes once; non-query terms are
+    * dropped BEFORE the (doc, term) aggregation (the filter is a literal
+    * array membership — map-side, so the shuffle carries only
+    * query-term hits, a tiny fraction of the corpus); doc lengths are a
+    * second map-side-combined aggregation; N/avgdl ride one broadcast
+    * 1-row aggregate; df(t) is a query-terms-sized aggregate. Final
+    * ranking is one global top-k over per-doc scores
+    * (TakeOrdered-sized, never a full sort). Scores round to 6 with
+    * (score desc, id asc) tie-break → engine-exact and deterministic.
+    * Output: (id, score, rnk). */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+    val qt = array(queryTerms.distinct.map(t => lit(t.toLowerCase)): _*)
+    val toks = docs.select(col(idCol),
+      explode(TextAnalysis.tokens(lower(col(textCol)))).as("term"))
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("__dl"))
+    val tf = toks.where(array_contains(qt, col("term")))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("__tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("__df"))
+    val stats = dl.agg(count(lit(1)).as("__n"), avg("__dl").as("__avgdl"))
+    val idf = log(lit(1.0) +
+      (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
+    val perTerm = tf.join(dfreq, "term").join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("__s", idf * col("__tf") * (lit(k1) + 1.0) /
+        (col("__tf") + lit(k1) * (lit(1.0) - lit(b) +
+          lit(b) * col("__dl") / col("__avgdl"))))
+    val scored = perTerm.groupBy(col(idCol))
+      .agg(round(sum("__s"), 6).as("score"))
+    // ORDER BY + LIMIT plans as TakeOrderedAndProject (per-partition
+    // top-k, tiny merge on the driver) — never a global sort; the
+    // unpartitioned rank window runs over the k survivors only
+    val top = scored.orderBy(col("score").desc, col(idCol).asc).limit(k)
+    val w = Window.orderBy(col("score").desc, col(idCol).asc)
+    top.withColumn("rnk", row_number().over(w))
+      .select(col(idCol), col("score"), col("rnk").cast("long").as("rnk"))
+  }
+
   /** Top-k terms per document by tf·idf. Output:
     * (id, term, tf, score, rnk) with rnk 1..k per doc; deterministic
     * tie-break on (score desc, term asc). Scores rounded to 6 for

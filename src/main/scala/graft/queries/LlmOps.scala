@@ -708,6 +708,100 @@ object LlmOps {
                     CAST(SUM(code) AS BIGINT) AS code_sum,
                     round(SUM((e - (mn + code * sc)) * (e - (mn + code * sc)))
                           / any_value(d), 6) AS mse
-             FROM c GROUP BY vec_id ORDER BY vec_id"""))
+             FROM c GROUP BY vec_id ORDER BY vec_id""")),
+
+    // SemDeDup: cluster around 8 md5-hash-sampled centroids (DuckDB
+    // rebuilds the identical assignment), prune within clusters only
+    QueryDef("q_semdedup",
+      (s, dir) => Dedup.semanticDedup(Graft.table(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.4, nCells = 8)
+        .select("vec_id").orderBy("vec_id"),
+      Some("""WITH u AS (SELECT vec_id, unnest(embedding)::DOUBLE AS e,
+                    generate_subscripts(embedding, 1) AS i FROM embeddings),
+              n AS (SELECT vec_id, sqrt(sum(e*e)) AS nrm FROM u GROUP BY vec_id),
+              seeds AS (SELECT vec_id AS cell FROM embeddings
+                        ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT,
+                                 vec_id LIMIT 8),
+              cells AS (SELECT cell, ROW_NUMBER() OVER (ORDER BY cell) - 1 AS ci
+                        FROM seeds),
+              cv AS (SELECT c.ci, u.i, u.e / n.nrm AS ce
+                     FROM cells c JOIN u ON u.vec_id = c.cell
+                                  JOIN n ON n.vec_id = c.cell),
+              sim AS (SELECT u.vec_id, cv.ci, SUM(u.e * cv.ce) AS s
+                      FROM u JOIN cv ON u.i = cv.i GROUP BY 1, 2),
+              asg AS (SELECT vec_id, ci FROM (
+                        SELECT vec_id, ci, ROW_NUMBER() OVER (
+                          PARTITION BY vec_id ORDER BY s DESC, ci) AS r
+                        FROM sim) WHERE r = 1),
+              p AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+                    FROM asg a JOIN asg b ON a.ci = b.ci AND a.vec_id < b.vec_id),
+              d AS (SELECT ia, ib, SUM(ua.e * ub.e) AS dt
+                    FROM p JOIN u ua ON ua.vec_id = ia
+                           JOIN u ub ON ub.vec_id = ib AND ua.i = ub.i
+                    GROUP BY 1, 2),
+              dup AS (SELECT DISTINCT ib FROM d
+                      JOIN n na ON na.vec_id = ia JOIN n nb ON nb.vec_id = ib
+                      WHERE round(dt / (na.nrm * nb.nrm), 6) >= 0.4)
+            SELECT vec_id FROM embeddings
+            WHERE vec_id NOT IN (SELECT ib FROM dup) ORDER BY vec_id""")),
+
+    // PQ-ADC approximate top-10: md5-hash-sampled codebooks (16 codes ×
+    // 8 subspaces), so DuckDB re-trains, re-encodes, and re-scores the
+    // identical index
+    QueryDef("q_pq_topk",
+      (s, dir) => {
+        val e = Graft.table(s, dir, "embeddings")
+        Similarity.pqTopK(e.where(col("vec_id") < 5), e, k = 10)
+          .orderBy("query_id", "rnk")
+      },
+      Some("""WITH u AS (SELECT vec_id, unnest(embedding)::DOUBLE AS e,
+                    generate_subscripts(embedding, 1) - 1 AS i FROM embeddings),
+              seeds AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS j
+                        FROM (SELECT vec_id,
+                                ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS h
+                              FROM embeddings ORDER BY h, vec_id LIMIT 16)),
+              cb AS (SELECT u.i // 8 AS s, seeds.j, u.i % 8 AS t, u.e AS v
+                     FROM u JOIN seeds ON u.vec_id = seeds.vec_id),
+              dist AS (SELECT u.vec_id, cb.s, cb.j,
+                              SUM((u.e - cb.v) * (u.e - cb.v)) AS d
+                       FROM u JOIN cb ON u.i // 8 = cb.s AND u.i % 8 = cb.t
+                       GROUP BY 1, 2, 3),
+              code AS (SELECT vec_id, s, j FROM (
+                         SELECT vec_id, s, j, ROW_NUMBER() OVER (
+                           PARTITION BY vec_id, s ORDER BY d, j) AS r
+                         FROM dist) WHERE r = 1),
+              adc AS (SELECT qd.vec_id AS query_id, c.vec_id AS match_id,
+                             round(SUM(qd.d), 6) AS adc
+                      FROM code c JOIN dist qd ON qd.s = c.s AND qd.j = c.j
+                      WHERE qd.vec_id < 5 AND qd.vec_id <> c.vec_id
+                      GROUP BY 1, 2)
+            SELECT query_id, match_id, adc,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY adc, match_id) AS BIGINT) AS rnk
+            FROM adc QUALIFY rnk <= 10 ORDER BY query_id, rnk""")),
+
+    // BM25 top-20 retrieval for a 3-term query over the corpus
+    QueryDef("q_bm25",
+      (s, dir) => TfIdf.bm25TopK(Graft.table(s, dir, "documents"),
+        "doc_id", "text", Seq("spark", "query", "window"), k = 20)
+        .orderBy("rnk"),
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($duckToksLower) AS term
+                 FROM documents),
+              dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+              st AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+              tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+                     WHERE term IN ('spark', 'query', 'window') GROUP BY 1, 2),
+              df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+              sc AS (SELECT tf.doc_id,
+                       round(SUM(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5)) *
+                         tf.tf * 2.2 / (tf.tf + 1.2 *
+                           (1 - 0.75 + 0.75 * dl.dl / st.avgdl))), 6) AS score
+                     FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+                          CROSS JOIN st
+                     GROUP BY 1)
+            SELECT doc_id, score,
+                   CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                        AS BIGINT) AS rnk
+            FROM sc QUALIFY rnk <= 20 ORDER BY rnk"""))
   )
 }

@@ -1,0 +1,121 @@
+package graft.llmops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+
+/** Specs for the round-4 ANN/dedup additions: SemDeDup cluster-then-
+  * prune, product quantization (encode + ADC top-k), and BM25
+  * retrieval. */
+class AnnDedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  // 4-dim toy embeddings: ids 1/2 nearly parallel (near-dups), 3
+  // orthogonal to them, 4 a near-dup of 3, 5 isolated
+  private def toyVecs = Seq(
+    (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+    (2L, Seq(0.99, 0.1, 0.0, 0.0)),
+    (3L, Seq(0.0, 0.0, 1.0, 0.0)),
+    (4L, Seq(0.0, 0.0, 0.98, 0.15)),
+    // not (0.5,-0.5,…): that vector PQ-collapses onto vec 1's codewords
+    // (each subspace quantizes to (1,0)/(0,0)), tying the ADC-0 twin
+    (5L, Seq(-1.0, -1.0, 1.0, 1.0))
+  ).toDF("vec_id", "embedding")
+
+  test("semanticDedup with nCells=1 equals exact embedding dedup") {
+    val sem = Dedup.semanticDedup(toyVecs, "vec_id", "embedding",
+      threshold = 0.9, nCells = 1)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    val exact = Dedup.embeddingDedup(toyVecs, "vec_id", "embedding",
+      threshold = 0.9, exact = true)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(sem == exact)
+    // both near-dup families lose their higher id
+    assert(!sem.contains(2L) && !sem.contains(4L))
+    assert(sem.contains(1L) && sem.contains(3L) && sem.contains(5L))
+  }
+
+  test("semanticDedup never drops more than the exact ground truth") {
+    val exact = Dedup.embeddingDedup(toyVecs, "vec_id", "embedding",
+      threshold = 0.9, exact = true)
+      .select("vec_id").as[Long].collect().toSet
+    for (cells <- Seq(2, 3)) {
+      val sem = Dedup.semanticDedup(toyVecs, "vec_id", "embedding",
+        threshold = 0.9, nCells = cells)
+        .select("vec_id").as[Long].collect().toSet
+      // clustering can only LOSE candidate pairs (cross-cluster dups
+      // survive) — survivors are a superset of the exact survivors
+      assert(exact.subsetOf(sem), s"nCells=$cells dropped a non-dup")
+    }
+  }
+
+  test("pqEncode emits one in-range code per subspace; twins share codes") {
+    val df = toyVecs.union(Seq((6L, Seq(1.0, 0.0, 0.0, 0.0))).toDF("a", "b"))
+    val cb = Similarity.pqTrain(df, m = 2, codes = 4, dim = 4)
+    assert(cb.m == 2 && cb.dsub == 2)
+    val enc = Similarity.pqEncode(df, cb)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(enc.size == 6)
+    assert(enc.values.forall(c => c.length == 2 && c.forall(j => j >= 0 && j < 4)))
+    // identical vectors quantize identically
+    assert(enc(1L) == enc(6L))
+  }
+
+  test("pqTopK: an exact twin is the rank-1 match at ADC 0") {
+    val df = toyVecs.union(Seq((6L, Seq(1.0, 0.0, 0.0, 0.0))).toDF("a", "b"))
+    val top = Similarity.pqTopK(df.where($"vec_id" === 1), df, k = 3,
+      m = 2, codes = 4, dim = 4)
+      .select("match_id", "adc", "rnk").as[(Long, Double, Long)]
+      .collect().sortBy(_._3)
+    assert(top.head._1 == 6L, "twin should rank first")
+    assert(top.head._2 == 0.0, "twin of an encodable vector scores ADC 0")
+    assert(top.map(_._3).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("ivfPqTopK with exhaustive probing equals pqTopK") {
+    val df = toyVecs
+    val q = df.where($"vec_id" <= 2)
+    val full = Similarity.pqTopK(q, df, k = 3, m = 2, codes = 4, dim = 4)
+      .select("query_id", "match_id", "adc", "rnk")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val ivfpq = Similarity.ivfPqTopK(q, df, k = 3, nCells = 2, nProbe = 2,
+      m = 2, codes = 4, dim = 4)
+      .select("query_id", "match_id", "adc", "rnk")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(ivfpq == full)
+    // partial probing: every returned (pair, adc) agrees with the
+    // exhaustive scorer — probing changes WHICH pairs are scored,
+    // never the score
+    val allAdc = Similarity.pqTopK(q, df, k = 4, m = 2, codes = 4, dim = 4)
+      .select("query_id", "match_id", "adc")
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val part = Similarity.ivfPqTopK(q, df, k = 3, nCells = 2, nProbe = 1,
+      m = 2, codes = 4, dim = 4)
+      .select("query_id", "match_id", "adc")
+      .as[(Long, Long, Double)].collect()
+    assert(part.nonEmpty)
+    part.foreach { case (qid, mid, adc) =>
+      assert(allAdc((qid, mid)) == adc, s"adc drift for ($qid,$mid)")
+    }
+  }
+
+  test("bm25TopK matches the hand-computed formula and honors k") {
+    val docs = Seq(
+      (1L, "spark spark fast"),
+      (2L, "slow database"),
+      (3L, "spark")
+    ).toDF("doc_id", "text")
+    val got = TfIdf.bm25TopK(docs, "doc_id", "text", Seq("spark"), k = 2)
+      .select("doc_id", "score", "rnk").as[(Long, Double, Long)]
+      .collect().sortBy(_._3)
+    // N=3, avgdl=2, df(spark)=2 → idf = ln(1 + 1.5/2.5)
+    val idf = math.log(1 + 1.5 / 2.5)
+    def s(tf: Double, dl: Double) =
+      math.rint(idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 2.0)) * 1e6) / 1e6
+    // length normalization puts the 1-token doc above the 3-token one
+    assert(got.map(_._1).toSeq == Seq(3L, 1L))
+    assert(got(0)._2 == s(1, 1) && got(1)._2 == s(2, 3))
+  }
+}
