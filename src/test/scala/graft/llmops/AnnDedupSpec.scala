@@ -101,6 +101,27 @@ class AnnDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("semanticDedup and pqTopK are invariant to partitioning") {
+    // the hash-ordered seed sample is a total order with id tiebreak —
+    // repartitioning must not move centroids/codebooks or results
+    val base = toyVecs.union(Seq(
+      (6L, Seq(0.3, 0.4, 0.5, 0.6)), (7L, Seq(0.31, 0.41, 0.5, 0.6))
+    ).toDF("a", "b"))
+    def sem(df: org.apache.spark.sql.DataFrame) =
+      Dedup.semanticDedup(df, "vec_id", "embedding", 0.9, nCells = 3)
+        .select("vec_id").as[Long].collect().sorted.toSeq
+    def pq(df: org.apache.spark.sql.DataFrame) =
+      Similarity.pqTopK(df.where($"vec_id" <= 2), df, k = 3,
+        m = 2, codes = 4, dim = 4)
+        .select("query_id", "match_id", "adc", "rnk")
+        .as[(Long, Long, Double, Long)].collect().sortBy(t => (t._1, t._4)).toSeq
+    val s1 = sem(base.repartition(1)); val p1 = pq(base.repartition(1))
+    for (n <- Seq(4, 32)) {
+      assert(sem(base.repartition(n)) == s1, s"semanticDedup drifted at $n")
+      assert(pq(base.repartition(n)) == p1, s"pqTopK drifted at $n")
+    }
+  }
+
   test("bm25TopK matches the hand-computed formula and honors k") {
     val docs = Seq(
       (1L, "spark spark fast"),
