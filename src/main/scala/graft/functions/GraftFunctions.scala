@@ -403,6 +403,37 @@ case class NearestCell(left: Expression, right: Expression) extends BinaryExpres
     copy(left = l, right = r)
 }
 
+/** Bloom-filter membership probe against a CONSTANT serialized
+  * `org.apache.spark.util.sketch.BloomFilter` (right operand: a binary
+  * literal, deserialized once per task). `bloom_contains(str, bloom)` is
+  * the map-side candidate filter for set-membership at scales where
+  * broadcasting the exact set strains memory: ~10 bits/item at 1% fpp
+  * versus the full string set. No false negatives — a miss is
+  * authoritative; hits are candidates (callers tolerate fpp or verify
+  * exactly). The probe hashes the string's UTF-8 bytes, identical to
+  * what `DataFrameStatFunctions.bloomFilter` put in. */
+case class BloomContains(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+
+  private lazy val bloom: org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(right.eval().asInstanceOf[Array[Byte]]))
+
+  override def nullSafeEval(s: Any, bIgnored: Any): Any =
+    bloom.mightContainBinary(s.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, _) => {
+      val bf = ctx.addReferenceObj("bloom", bloom,
+        "org.apache.spark.util.sketch.BloomFilter")
+      s"${ev.value} = $bf.mightContainBinary($s.getBytes());"
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BloomContains =
+    copy(left = l, right = r)
+}
+
 /** Product-quantization encoder: argmin-L2 code per subspace against a
   * CONSTANT codebook tensor (m subspaces × k codewords × dsub dims).
   * `pq_encode(vec, books)` is the map-only PQ indexing pass — each
@@ -793,46 +824,39 @@ case class BsonTruthy(child: Expression)
 }
 
 object GraftFunctions {
+  /** The engine's SQL function surface, name → expression builder —
+    * single source of truth for BOTH registration paths (the
+    * imperative per-session `register` the operators call lazily, and
+    * the `GraftExtensions` injector for
+    * `spark.sql.extensions=graft.functions.GraftExtensions`). */
+  val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "objectid_to_timestamp" -> ((e: Seq[Expression]) => ObjectIdToTimestamp(e.head)),
+    "word_shingles" -> ((e: Seq[Expression]) => WordShingles(e.head, e(1))),
+    "dot_d" -> ((e: Seq[Expression]) => DotDouble(e.head, e(1))),
+    "jaccard_sim" -> ((e: Seq[Expression]) => JaccardSim(e.head, e(1))),
+    "jaccard_sim_long" -> ((e: Seq[Expression]) => JaccardSimLong(e.head, e(1))),
+    "deflate_ratio" -> ((e: Seq[Expression]) => DeflateRatio(e.head)),
+    "graft_top_k" -> ((e: Seq[Expression]) => BoundedTopK(e(0), e(1), e(2), e(3))),
+    "graft_object_to_array" -> ((e: Seq[Expression]) => ObjectToArray(e.head)),
+    "graft_regex_find" -> ((e: Seq[Expression]) => RegexFind(e(0), e(1))),
+    "graft_regex_find_all" -> ((e: Seq[Expression]) => RegexFindAll(e(0), e(1))),
+    "graft_merge_objects" -> ((e: Seq[Expression]) => MergeObjects(e)),
+    "sign_bucket" -> ((e: Seq[Expression]) => SignBucket(e(0), e(1))),
+    "nearest_cell" -> ((e: Seq[Expression]) => NearestCell(e(0), e(1))),
+    "pq_encode" -> ((e: Seq[Expression]) => PqEncode(e(0), e(1))),
+    "pq_adc" -> ((e: Seq[Expression]) => PqAdc(e(0), e(1), e(2))),
+    "bloom_contains" -> ((e: Seq[Expression]) => BloomContains(e(0), e(1))),
+    "graft_bson_type" -> ((e: Seq[Expression]) => BsonTypeOf(e.head)),
+    "graft_is_number" -> ((e: Seq[Expression]) => BsonIsNumber(e.head)),
+    "graft_truthy" -> ((e: Seq[Expression]) => BsonTruthy(e.head)),
+  )
+
   /** Register the engine's SQL functions on a session; idempotent. */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "objectid_to_timestamp", exprs => ObjectIdToTimestamp(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "word_shingles", exprs => WordShingles(exprs.head, exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_d", exprs => DotDouble(exprs.head, exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "jaccard_sim", exprs => JaccardSim(exprs.head, exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "jaccard_sim_long", exprs => JaccardSimLong(exprs.head, exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "deflate_ratio", exprs => DeflateRatio(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_top_k",
-      exprs => BoundedTopK(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_object_to_array", exprs => ObjectToArray(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_regex_find", exprs => RegexFind(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_regex_find_all", exprs => RegexFindAll(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_merge_objects", exprs => MergeObjects(exprs), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "sign_bucket", exprs => SignBucket(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "nearest_cell", exprs => NearestCell(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "pq_encode", exprs => PqEncode(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "pq_adc", exprs => PqAdc(exprs(0), exprs(1), exprs(2)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_bson_type", exprs => BsonTypeOf(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_is_number", exprs => BsonIsNumber(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_truthy", exprs => BsonTruthy(exprs.head), "built-in")
-  }
+  def register(spark: SparkSession): Unit =
+    registrations.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
 
   /** Column-level form (requires register(spark) on the session). */
   def objectIdToTimestamp(c: Column): Column =

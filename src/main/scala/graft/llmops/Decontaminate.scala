@@ -43,4 +43,40 @@ object Decontaminate {
       shingleN, minHits).select(col(idCol))
     docs.join(bad, docs(idCol) === bad(idCol), "left_anti")
   }
+
+  /** Bloom-filter contamination flagging, for benchmark suites whose
+    * distinct shingle set strains an exact broadcast (a full eval-suite
+    * union can reach 10⁸+ shingles; at 1% fpp the filter is ~10 bits
+    * per shingle — 20-50× smaller than the strings, and constant-size
+    * per executor). Guarantees: NO false negatives (every truly
+    * contaminated doc is flagged), ~fpp false-positive shingle hits —
+    * the conservative direction for decontamination: a clean doc may be
+    * dropped at the configured rate, leakage is never missed. The probe
+    * (`bloom_contains` native expression) stays map-side inside the
+    * corpus scan; nothing shuffles but per-doc hit counts, exactly like
+    * the exact path. Callers needing exactness re-verify the flagged
+    * (small) candidate set with `contaminationHits` — corpus-scan cost
+    * is paid once either way. */
+  def contaminationHitsBloom(docs: DataFrame, idCol: String, textCol: String,
+                             bench: DataFrame, benchTextCol: String,
+                             shingleN: Int = 3, minHits: Int = 1,
+                             fpp: Double = 0.01): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val benchShingles = bench
+      .select(explode(Dedup.shingles(col(benchTextCol), shingleN)).as("__s"))
+      .distinct()
+    val n = benchShingles.count().max(1L)
+    val bloom = benchShingles.stat.bloomFilter("__s", n, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    docs
+      .select(col(idCol), explode(Dedup.shingles(col(textCol), shingleN)).as("__s"))
+      .where(call_function("bloom_contains", col("__s"), lit(bytes)))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("hits"))
+      .where(col("hits") >= minHits)
+  }
 }

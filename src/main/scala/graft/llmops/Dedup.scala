@@ -215,8 +215,11 @@ object Dedup {
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     threshold: Double, nCells: Int = 8,
                     lloydIters: Int = 0): DataFrame = {
+    // persist the assigned corpus: BOTH sides of the within-cell
+    // self-join consume it (the jaccardPairs checkpoint pattern —
+    // without this the corpus is scanned and re-assigned twice)
     val index = Similarity.buildIvf(df, nCells, idCol, vecCol, lloydIters,
-      persistIndex = false, portableSeed = true)
+      persistIndex = true, portableSeed = true)
     val a = index.assigned.select(col("match_id"), col("__mv"), col("__mn"),
       col("cell_id"))
     val dups = a.as("l").join(a.as("r"), Seq("cell_id"))

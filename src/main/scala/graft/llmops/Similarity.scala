@@ -304,6 +304,18 @@ object Similarity {
       .select(col("query_id"), col("match_id"), col("cos"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** Map-only nearest-centroid id (0-based index into `centroids`) for
+    * a vector column — the public face of the `nearest_cell` native
+    * expression for callers holding raw (unnormalized) centroid rows.
+    * Ties keep the lowest index; null/wrong-dim vectors → null. */
+  def nearestCell(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+    val normed = centroids.map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n == 0.0) c.map(_ => 0.0) else c.map(_ / n)
+    }
+    graftFn("nearest_cell", vec.cast("array<double>"), typedlit(normed))
+  }
+
   // ---- Product quantization (IVF-PQ's memory half) ---------------------
 
   /** A trained PQ codebook: `books(s)(j)` is codeword j of subspace s

@@ -124,6 +124,14 @@ object ExprCompiler {
     def c  = argList(v, env)
     def c0 = c.head
     op match {
+      // ---- metadata ----
+      // $vectorSearch appends its score as a real column (Spark has no
+      // out-of-band metadata channel), so the Mongo $meta idiom
+      // resolves to it directly
+      case "$meta" => v match {
+        case JString("vectorSearchScore") => col("vectorSearchScore")
+        case other => throw new MqlException(s"unsupported $$meta: $other")
+      }
       // ---- arithmetic ----
       case "$add"      => c.reduce(_ + _)
       case "$subtract" => c(0) - c(1)

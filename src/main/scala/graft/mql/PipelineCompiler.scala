@@ -148,6 +148,7 @@ object PipelineCompiler {
     case "$fill"            => fill(df, asObj(spec, "$fill"))
     case "$densify"         => densify(df, asObj(spec, "$densify"))
     case "$graphLookup"     => graphLookup(df, asObj(spec, "$graphLookup"), resolve)
+    case "$vectorSearch"    => vectorSearch(df, asObj(spec, "$vectorSearch"))
     case other => throw new MqlException(s"unsupported pipeline stage $other")
   }
 
@@ -614,6 +615,88 @@ object PipelineCompiler {
   //    intent, different tie behavior at bucket borders; duplicate
   //    boundary values under heavy skew collapse to fewer buckets, which
   //    matches Mongo's fewer-buckets-than-requested behavior.
+  // ---- $vectorSearch -----------------------------------------------------
+  // Atlas Search's ANN stage (public surface: path/queryVector/limit/
+  // numCandidates/exact/filter), lowered onto the engine's similarity
+  // machinery. Scoring follows Atlas's cosine normalization
+  // score = (1 + cos)/2 ∈ [0, 1], appended as a `vectorSearchScore`
+  // column ({"$meta": "vectorSearchScore"} resolves to it, so the
+  // standard $project idiom works verbatim).
+  //  * exact: true — full-scan scoring; ORDER BY + LIMIT plans as
+  //    TakeOrderedAndProject (per-partition top-k, no global sort).
+  //  * exact: false — IVF: deterministic hash-sampled centroids
+  //    (portable seeds), map-only cell assignment, and only the probed
+  //    cells are scored. numCandidates maps to the probe count the way
+  //    Atlas documents it (candidates considered ≈ numCandidates):
+  //    nProbe = ceil(numCandidates / (N / nCells)).
+  //  * tieBreaker (extension): a field that orders equal scores —
+  //    without one, rows tied at `limit`'s edge are engine-chosen
+  //    (Mongo makes the same non-guarantee).
+  private def vectorSearch(df: DataFrame, spec: List[(String, JValue)]): DataFrame = {
+    import graft.llmops.Similarity
+    val path = spec.collectFirst { case ("path", JString(p)) => p }
+      .getOrElse(throw new MqlException("$vectorSearch needs path"))
+    val qv: Seq[Double] = spec.collectFirst { case ("queryVector", JArray(xs)) =>
+      xs.map {
+        case JDouble(d) => d
+        case JInt(i)    => i.toDouble
+        case JLong(l)   => l.toDouble
+        case other => throw new MqlException(s"bad queryVector element: $other")
+      }
+    }.getOrElse(throw new MqlException("$vectorSearch needs queryVector"))
+    val limitN = spec.collectFirst { case ("limit", l) => intValue(l, "$vectorSearch") }
+      .getOrElse(throw new MqlException("$vectorSearch needs limit"))
+    val exact = spec.collectFirst { case ("exact", JBool(b)) => b }.getOrElse(false)
+    val filtered = spec.collectFirst { case ("filter", f) => f }
+      .map(f => df.where(FilterCompiler.compile(f))).getOrElse(df)
+    val qn = math.sqrt(qv.map(x => x * x).sum)
+    if (qn == 0.0) throw new MqlException("$vectorSearch: zero query vector")
+    val vcol = fieldCol(path).cast("array<double>")
+    val score = round((Similarity.dot(vcol, typedlit(qv)) /
+      (Similarity.norm(vcol) * lit(qn)) + 1.0) / 2.0, 6)
+    val tieCols = spec.collectFirst { case ("tieBreaker", JString(t)) => t }
+      .map(t => Seq(fieldCol(t).asc)).getOrElse(Seq.empty)
+    val candidates =
+      if (exact) filtered
+      else {
+        val nCells = spec.collectFirst { case ("nCells", c) => intValue(c, "$vectorSearch") }
+          .getOrElse(16)
+        val numCandidates = spec.collectFirst {
+          case ("numCandidates", c) => intValue(c, "$vectorSearch") }
+          .getOrElse(limitN * 10)
+        // IVF without any synthetic row id: centroid seeds are the
+        // nCells rows with the smallest hash OF THE VECTOR ITSELF (a
+        // deterministic sample needing no key column — duplicate
+        // vectors tie on the hash but contribute the identical
+        // centroid, so the seed SET is stable), and candidate
+        // selection is one map-only nearest-cell filter — no join, no
+        // id plumbing, the corpus is touched once
+        val seeds = filtered
+          .select(vcol.as("__v")).where(col("__v").isNotNull)
+          .orderBy(xxhash64(col("__v")).asc).limit(nCells)
+          .collect().map(_.getSeq[Double](0)).filter(_.nonEmpty).toIndexedSeq
+        if (seeds.isEmpty) filtered.limit(0)
+        else {
+          val n = filtered.count().max(1L)
+          val nProbe = math.min(seeds.length.toLong,
+            (numCandidates.toLong * seeds.length + n - 1) / n).toInt.max(1)
+          // probe on the driver: the query is a literal, centroids are
+          // seeds.length tiny rows; ties sort to the lowest index,
+          // matching nearest_cell's tie-break
+          val probed = seeds.zipWithIndex.map { case (c, i) =>
+            val cn = math.sqrt(c.map(x => x * x).sum)
+            (i, if (cn == 0.0) 0.0 else
+              qv.zip(c).map { case (a, b) => a * b }.sum / cn)
+          }.sortBy { case (i, s) => (-s, i) }.take(nProbe).map(_._1)
+          filtered.where(
+            Similarity.nearestCell(vcol, seeds).isInCollection(probed))
+        }
+      }
+    candidates.withColumn("vectorSearchScore", score)
+      .orderBy(col("vectorSearchScore").desc +: tieCols: _*)
+      .limit(limitN)
+  }
+
   // Ties in the groupBy expression straddle bucket borders
   // nondeterministically on both paths — pick a unique expression.
   private def bucketAuto(df: DataFrame, spec: List[(String, JValue)]): DataFrame = {

@@ -525,6 +525,21 @@ object LlmOps {
              FROM d JOIN b ON d.s = b.s
              GROUP BY d.doc_id ORDER BY doc_id""")),
 
+    // bloom-filter decontamination (the bench-set-too-big-to-broadcast
+    // path): probabilistic membership → no DuckDB twin (driver records
+    // the rows-only check); the no-false-negative superset contract vs
+    // the exact path is spec-pinned in CurationSpec
+    QueryDef("q_decontaminate_bloom",
+      (s, dir) => {
+        val d = Graft.table(s, dir, "documents")
+        Decontaminate.contaminationHitsBloom(
+          d.where(col("doc_id") % 20 =!= 0), "doc_id", "text",
+          d.where(col("doc_id") % 20 === 0), "text", shingleN = 3,
+          fpp = 0.001)
+          .orderBy("doc_id")
+      },
+      None),
+
     // tf-idf top terms per doc (smoothed idf, deterministic tie-break)
     QueryDef("q_tfidf_top",
       (s, dir) => TfIdf.topTerms(Graft.table(s, dir, "documents"),
@@ -779,6 +794,33 @@ object LlmOps {
                    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                      ORDER BY adc, match_id) AS BIGINT) AS rnk
             FROM adc QUALIFY rnk <= 10 ORDER BY query_id, rnk""")),
+
+    // Atlas-style $vectorSearch through the MQL pipeline compiler:
+    // exact scoring + pre-filter + $meta score projection. The query
+    // vector is the alternating unit pattern, so DuckDB rebuilds the
+    // identical scores
+    QueryDef("q_vector_search",
+      (s, dir) => {
+        val qvec = (0 until 64).map(i => if (i % 2 == 0) "1.0" else "0.0")
+          .mkString(", ")
+        Graft.aggregate(s, dir, "embeddings",
+          s"""[
+            {"$$vectorSearch": {"path": "embedding",
+              "queryVector": [$qvec], "limit": 10, "exact": true,
+              "tieBreaker": "vec_id",
+              "filter": {"vec_id": {"$$gte": 5}}}},
+            {"$$project": {"vec_id": 1,
+              "score": {"$$meta": "vectorSearchScore"}}},
+            {"$$sort": {"score": -1, "vec_id": 1}}]""")
+      },
+      Some("""WITH u AS (SELECT vec_id, unnest(embedding)::DOUBLE AS e,
+                    generate_subscripts(embedding, 1) AS i FROM embeddings),
+              s AS (SELECT vec_id,
+                      round((sum(e * CASE WHEN i % 2 = 1 THEN 1.0 ELSE 0.0 END)
+                             / (sqrt(sum(e * e)) * sqrt(32.0)) + 1) / 2, 6) AS score
+                    FROM u WHERE vec_id >= 5 GROUP BY vec_id)
+            SELECT vec_id, score FROM s
+            ORDER BY score DESC, vec_id LIMIT 10""")),
 
     // BM25 top-20 retrieval for a 3-term query over the corpus
     QueryDef("q_bm25",

@@ -8,6 +8,10 @@ object SparkFixture {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      // the whole test run exercises the extensions injection path:
+      // native functions resolve in every (new) session without an
+      // imperative GraftFunctions.register call
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -28,6 +28,30 @@ class CurationSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(10L, 12L))
   }
 
+  test("bloom contamination hits: no false negatives vs the exact path") {
+    val bench = Seq((1L, "the quick brown fox jumps high")).toDF("id", "text")
+    val docs = Seq(
+      (10L, "a lazy dog sleeps all day long"),
+      (11L, "look the quick brown fox runs here"),
+      (12L, "totally unrelated words only here now"),
+      (13L, "quick brown fox jumps high today ok")
+    ).toDF("id", "text")
+    val exact = Decontaminate.contaminationHits(docs, "id", "text",
+      bench, "text", shingleN = 3)
+      .as[(Long, Long)].collect().toMap
+    val bloomed = Decontaminate.contaminationHitsBloom(docs, "id", "text",
+      bench, "text", shingleN = 3, fpp = 0.001)
+      .as[(Long, Long)].collect().toMap
+    // the guarantee: NO false negatives — every exact hit is present
+    // with at least the exact count. (False positives are permitted at
+    // ~fpp and DO occur on a filter this tiny — 4 items — so exact
+    // equality is deliberately not asserted.)
+    exact.foreach { case (id, hits) =>
+      assert(bloomed.getOrElse(id, 0L) >= hits, s"false negative for doc $id")
+    }
+    assert(exact.keySet.subsetOf(bloomed.keySet))
+  }
+
   test("tf-idf ranks distinctive terms above corpus-common ones") {
     val docs = Seq(
       (1L, "shared shared zebra"),

@@ -482,6 +482,43 @@ class PipelineExtraSpec extends AnyFunSuite {
       == Seq(10.0, 15.0, 30.0, 35.0, 40.0))
   }
 
+  test("$vectorSearch: exact scoring, pre-filter, $meta projection") {
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.8, 0.6)), (3L, Seq(0.0, 1.0)),
+      (4L, Seq(-1.0, 0.0)), (5L, Seq(1.0, 0.1))
+    ).toDF("id", "v")
+    val out = PipelineCompiler.run(vecs, """[
+      {"$vectorSearch": {"path": "v", "queryVector": [1.0, 0.0],
+        "limit": 3, "exact": true, "tieBreaker": "id",
+        "filter": {"id": {"$ne": 5}}}},
+      {"$project": {"id": 1, "score": {"$meta": "vectorSearchScore"}}},
+      {"$sort": {"score": -1, "id": 1}}]""")
+      .as[(Long, Double)].collect().toSeq
+    def s(cos: Double) = math.rint((cos + 1) / 2 * 1e6) / 1e6
+    // id 5 filtered out pre-scoring; top-3 by cosine: 1 (1.0), 2 (0.8), 3 (0)
+    assert(out == Seq((1L, s(1.0)), (2L, s(0.8)), (3L, s(0.0))))
+  }
+
+  test("$vectorSearch ANN path scores a probed subset identically") {
+    val vecs = (1L to 40L).map(i =>
+      (i, Seq(math.cos(i.toDouble), math.sin(i.toDouble)))).toDF("id", "v")
+    val exact = PipelineCompiler.run(vecs, """[
+      {"$vectorSearch": {"path": "v", "queryVector": [1.0, 0.0],
+        "limit": 40, "exact": true, "tieBreaker": "id"}}]""")
+      .select("id", "vectorSearchScore").as[(Long, Double)].collect().toMap
+    val ann = PipelineCompiler.run(vecs, """[
+      {"$vectorSearch": {"path": "v", "queryVector": [1.0, 0.0],
+        "limit": 5, "nCells": 4, "numCandidates": 10,
+        "tieBreaker": "id"}}]""")
+      .select("id", "vectorSearchScore").as[(Long, Double)].collect()
+    assert(ann.nonEmpty && ann.length <= 5)
+    // probing narrows WHICH rows are scored, never the score
+    ann.foreach { case (id, sc) => assert(exact(id) == sc, s"score drift id=$id") }
+    // required fields are enforced
+    intercept[MqlException](PipelineCompiler.run(vecs,
+      """[{"$vectorSearch": {"path": "v", "limit": 3}}]"""))
+  }
+
   test("$firstN/$lastN window ops require a single-field stage sortBy") {
     // without it the slice would be partition-order-dependent
     intercept[MqlException](PipelineCompiler.run(sales, """[
