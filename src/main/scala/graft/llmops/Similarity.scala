@@ -438,6 +438,33 @@ object Similarity {
         col("rnk").cast("long").as("rnk"))
   }
 
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher, SIGIR 2009) —
+    * the standard hybrid-retrieval combiner (it is what Mongo's
+    * $rankFusion computes): fused(d) = Σ_systems 1/(k + rank_s(d)),
+    * summed over every ranking that returned d. Inputs are ranking
+    * frames shaped (queryCol, idCol, rankCol) — e.g. bruteForceTopK /
+    * pqTopK / bm25 output — already top-k-bounded per query, so the
+    * union + one keyed aggregation is trivially small at any corpus
+    * scale: fusion cost is a function of k·systems·queries, never of
+    * the corpus. Returns (queryCol, idCol, rrf, rnk ≤ topK), fully
+    * deterministic (rrf rounded to 6, id tiebreak). */
+  def rrfFuse(rankings: Seq[DataFrame], topK: Int, k: Int = 60,
+              queryCol: String = "query_id", idCol: String = "match_id",
+              rankCol: String = "rnk"): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val contribs = rankings.map(_.select(col(queryCol), col(idCol),
+      (lit(1.0) / (lit(k.toDouble) + col(rankCol).cast("double"))).as("__c")))
+    val fused = contribs.reduce(_.unionByName(_))
+      .groupBy(col(queryCol), col(idCol))
+      .agg(round(sum(col("__c")), 6).as("rrf"))
+    val w = Window.partitionBy(queryCol)
+      .orderBy(col("rrf").desc, col(idCol).asc)
+    fused.withColumn("__r", row_number().over(w))
+      .where(col("__r") <= topK)
+      .select(col(queryCol), col(idCol), col("rrf"),
+        col("__r").cast("long").as("rnk"))
+  }
+
   /** Exact cosine pairs over a bounded query slice (oracle-checkable
     * ground truth for the approximate variants). */
   def cosinePairs(left: DataFrame, right: DataFrame, threshold: Double,

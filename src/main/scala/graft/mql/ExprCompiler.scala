@@ -130,6 +130,7 @@ object ExprCompiler {
       // resolves to it directly
       case "$meta" => v match {
         case JString("vectorSearchScore") => col("vectorSearchScore")
+        case JString("searchScore")       => col("searchScore")
         case other => throw new MqlException(s"unsupported $$meta: $other")
       }
       // ---- arithmetic ----

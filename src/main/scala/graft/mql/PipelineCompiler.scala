@@ -149,6 +149,7 @@ object PipelineCompiler {
     case "$densify"         => densify(df, asObj(spec, "$densify"))
     case "$graphLookup"     => graphLookup(df, asObj(spec, "$graphLookup"), resolve)
     case "$vectorSearch"    => vectorSearch(df, asObj(spec, "$vectorSearch"))
+    case "$search"          => search(df, asObj(spec, "$search"))
     case other => throw new MqlException(s"unsupported pipeline stage $other")
   }
 
@@ -615,6 +616,70 @@ object PipelineCompiler {
   //    intent, different tie behavior at bucket borders; duplicate
   //    boundary values under heavy skew collapse to fewer buckets, which
   //    matches Mongo's fewer-buckets-than-requested behavior.
+  // ---- $search (text operator) --------------------------------------------
+  // Atlas Search's lexical stage, restricted to the `text` operator —
+  // the surface a data-pipeline actually queries with:
+  //   {"$search": {"text": {"query": "spark window", "path": "text"}}}
+  // Documents containing ≥1 query token rank by BM25 (k1=1.2, b=0.75,
+  // the Lucene defaults Atlas inherits), score appended as
+  // `searchScore` ({"$meta": "searchScore"} resolves to it). Optional
+  // `limit` bounds the result (ORDER BY + LIMIT → TakeOrdered);
+  // `tieBreaker` orders equal scores (same extension as $vectorSearch).
+  //
+  // Plan shape — deliberately JOIN-FREE on the document side: the three
+  // corpus statistics BM25 needs (N, avgdl, per-term df) are
+  // vocabulary-of-the-QUERY-sized, so they aggregate into ONE row
+  // (df packed as a term→count map) that broadcast-cross-joins back;
+  // per-document tf/length are pure Column expressions over the text.
+  // The corpus is scanned twice (stats, scoring) and shuffles nothing
+  // but the 1-row stats frame.
+  private def search(df: DataFrame, spec: List[(String, JValue)]): DataFrame = {
+    val textSpec = spec.collectFirst { case ("text", t) => asObj(t, "$search.text") }
+      .getOrElse(throw new MqlException(
+        "$search supports only the text operator: {\"text\": {\"query\": ..., \"path\": ...}}"))
+    val query = textSpec.collectFirst { case ("query", JString(q)) => q }
+      .getOrElse(throw new MqlException("$search.text needs query"))
+    val path = textSpec.collectFirst { case ("path", JString(p)) => p }
+      .getOrElse(throw new MqlException("$search.text needs path"))
+    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    if (terms.isEmpty) throw new MqlException("$search.text: empty query")
+    val (k1, b) = (1.2, 0.75)
+    val toks = graft.llmops.TextAnalysis.tokens(lower(fieldCol(path)))
+    // ONE corpus pass for every statistic BM25 needs: N, avgdl, and a
+    // per-query-term document-frequency column — a single partially-
+    // aggregated row, broadcast back by construction
+    val statCols =
+      avg(size(toks).cast("double")).as("__avgdl") +:
+        terms.map(t =>
+          sum(when(array_contains(toks, t), 1L).otherwise(0L)).as(s"__df_$t"))
+    val statsRow = broadcast(
+      df.agg(count(lit(1)).cast("double").as("__n_docs"), statCols: _*))
+    val dl = size(toks).cast("double")
+    def tf(t: String): Column =
+      size(filter(toks, x => x === lit(t))).cast("double")
+    val score = terms.map { t =>
+      val dfT = col(s"__df_$t").cast("double")
+      val idf = log(lit(1.0) +
+        (col("__n_docs") - dfT + lit(0.5)) / (dfT + lit(0.5)))
+      val tfC = tf(t)
+      when(tfC > 0,
+        idf * tfC * (lit(k1) + 1.0) /
+          (tfC + lit(k1) * (lit(1.0) - lit(b) + lit(b) * dl / col("__avgdl"))))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _)
+    val scored = df.crossJoin(statsRow)
+      .withColumn("searchScore", round(score, 6))
+      .where(col("searchScore") > 0.0)
+      .drop("__n_docs" +: "__avgdl" +: terms.map(t => s"__df_$t"): _*)
+    val tieCols = spec.collectFirst { case ("tieBreaker", JString(t)) => t }
+      .map(t => Seq(fieldCol(t).asc)).getOrElse(Seq.empty)
+    spec.collectFirst { case ("limit", l) => intValue(l, "$search") } match {
+      case Some(n) =>
+        scored.orderBy(col("searchScore").desc +: tieCols: _*).limit(n)
+      case None => scored
+    }
+  }
+
   // ---- $vectorSearch -----------------------------------------------------
   // Atlas Search's ANN stage (public surface: path/queryVector/limit/
   // numCandidates/exact/filter), lowered onto the engine's similarity

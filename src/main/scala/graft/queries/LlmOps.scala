@@ -822,6 +822,95 @@ object LlmOps {
             SELECT vec_id, score FROM s
             ORDER BY score DESC, vec_id LIMIT 10""")),
 
+    // hybrid-retrieval fusion: RRF over the exact cosine ranking and
+    // the PQ-ADC ranking for the same queries (DuckDB rebuilds both
+    // systems and the fusion)
+    QueryDef("q_rrf_fusion",
+      (s, dir) => {
+        val e = Graft.table(s, dir, "embeddings")
+        val q = e.where(col("vec_id") < 5)
+        val exact = Similarity.bruteForceTopK(q, e, 10)
+          .select("query_id", "match_id", "rnk")
+        val pq = Similarity.pqTopK(q, e, 10)
+          .select("query_id", "match_id", "rnk")
+        Similarity.rrfFuse(Seq(exact, pq), topK = 10)
+          .orderBy("query_id", "rnk")
+      },
+      Some("""WITH u AS (SELECT vec_id, unnest(embedding)::DOUBLE AS e,
+                    generate_subscripts(embedding, 1) - 1 AS i FROM embeddings),
+              n AS (SELECT vec_id, sqrt(sum(e*e)) AS nrm FROM u GROUP BY vec_id),
+              d AS (SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+                           SUM(q.e * c.e) AS dt
+                    FROM u q JOIN u c ON q.i = c.i AND c.vec_id <> q.vec_id
+                    WHERE q.vec_id < 5 GROUP BY 1, 2),
+              exk AS (SELECT query_id, match_id, rnk FROM (
+                        SELECT query_id, match_id, ROW_NUMBER() OVER (
+                          PARTITION BY query_id
+                          ORDER BY round(dt / (nq.nrm * nc.nrm), 6) DESC,
+                                   match_id) AS rnk
+                        FROM d JOIN n nq ON nq.vec_id = query_id
+                               JOIN n nc ON nc.vec_id = match_id)
+                      WHERE rnk <= 10),
+              seeds AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS j
+                        FROM (SELECT vec_id,
+                                ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS h
+                              FROM embeddings ORDER BY h, vec_id LIMIT 16)),
+              cb AS (SELECT u.i // 8 AS s, seeds.j, u.i % 8 AS t, u.e AS v
+                     FROM u JOIN seeds ON u.vec_id = seeds.vec_id),
+              dist AS (SELECT u.vec_id, cb.s, cb.j,
+                              SUM((u.e - cb.v) * (u.e - cb.v)) AS d
+                       FROM u JOIN cb ON u.i // 8 = cb.s AND u.i % 8 = cb.t
+                       GROUP BY 1, 2, 3),
+              code AS (SELECT vec_id, s, j FROM (
+                         SELECT vec_id, s, j, ROW_NUMBER() OVER (
+                           PARTITION BY vec_id, s ORDER BY d, j) AS r
+                         FROM dist) WHERE r = 1),
+              adc AS (SELECT qd.vec_id AS query_id, c.vec_id AS match_id,
+                             round(SUM(qd.d), 6) AS adc
+                      FROM code c JOIN dist qd ON qd.s = c.s AND qd.j = c.j
+                      WHERE qd.vec_id < 5 AND qd.vec_id <> c.vec_id
+                      GROUP BY 1, 2),
+              pqk AS (SELECT query_id, match_id, rnk FROM (
+                        SELECT query_id, match_id, ROW_NUMBER() OVER (
+                          PARTITION BY query_id ORDER BY adc, match_id) AS rnk
+                        FROM adc) WHERE rnk <= 10),
+              fused AS (SELECT query_id, match_id,
+                               round(SUM(1.0 / (60 + rnk)), 6) AS rrf
+                        FROM (SELECT * FROM exk UNION ALL SELECT * FROM pqk)
+                        GROUP BY 1, 2)
+            SELECT query_id, match_id, rrf,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY rrf DESC, match_id) AS BIGINT) AS rnk
+            FROM fused QUALIFY rnk <= 10 ORDER BY query_id, rnk""")),
+
+    // Atlas-style $search (text operator) through the pipeline
+    // compiler: same BM25 formula as q_bm25, so the oracle twin is the
+    // same statistics pipeline with the matching-docs semantics
+    QueryDef("q_search_text",
+      (s, dir) => Graft.aggregate(s, dir, "documents",
+        """[
+          {"$search": {"text": {"query": "spark query window",
+            "path": "text"}, "limit": 20, "tieBreaker": "doc_id"}},
+          {"$project": {"doc_id": 1,
+            "score": {"$meta": "searchScore"}}},
+          {"$sort": {"score": -1, "doc_id": 1}}]"""),
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($duckToksLower) AS term
+                 FROM documents),
+              dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+              st AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+              tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+                     WHERE term IN ('spark', 'query', 'window') GROUP BY 1, 2),
+              df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+              sc AS (SELECT tf.doc_id,
+                       round(SUM(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5)) *
+                         tf.tf * 2.2 / (tf.tf + 1.2 *
+                           (1 - 0.75 + 0.75 * dl.dl / st.avgdl))), 6) AS score
+                     FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+                          CROSS JOIN st
+                     GROUP BY 1)
+            SELECT doc_id, score FROM sc
+            ORDER BY score DESC, doc_id LIMIT 20""")),
+
     // BM25 top-20 retrieval for a 3-term query over the corpus
     QueryDef("q_bm25",
       (s, dir) => TfIdf.bm25TopK(Graft.table(s, dir, "documents"),

@@ -122,6 +122,21 @@ class AnnDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("rrfFuse: hand-computed fusion, topK bound, id tie-break") {
+    val sysA = Seq((0L, 10L, 1L), (0L, 11L, 2L), (0L, 12L, 3L))
+      .toDF("query_id", "match_id", "rnk")
+    val sysB = Seq((0L, 11L, 1L), (0L, 10L, 2L), (0L, 13L, 3L))
+      .toDF("query_id", "match_id", "rnk")
+    val fused = Similarity.rrfFuse(Seq(sysA, sysB), topK = 3)
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._4)
+    def r(rs: Long*) = math.rint(rs.map(x => 1.0 / (60 + x)).sum * 1e6) / 1e6
+    // 10 (ranks 1+2) and 11 (ranks 2+1) tie exactly → lower id first;
+    // 12 and 13 both carry a single rank-3 → lower id takes the last slot
+    assert(fused.map(t => (t._2, t._3)).toSeq ==
+      Seq((10L, r(1, 2)), (11L, r(2, 1)), (12L, r(3))))
+    assert(fused.map(_._4).toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("bm25TopK matches the hand-computed formula and honors k") {
     val docs = Seq(
       (1L, "spark spark fast"),

@@ -519,6 +519,31 @@ class PipelineExtraSpec extends AnyFunSuite {
       """[{"$vectorSearch": {"path": "v", "limit": 3}}]"""))
   }
 
+  test("$search text operator: BM25 scores, only matching docs, $meta") {
+    val docs = Seq(
+      (1L, "spark spark fast"), (2L, "slow database"), (3L, "spark")
+    ).toDF("id", "text")
+    val out = PipelineCompiler.run(docs, """[
+      {"$search": {"text": {"query": "spark", "path": "text"},
+        "limit": 5, "tieBreaker": "id"}},
+      {"$project": {"id": 1, "score": {"$meta": "searchScore"}}},
+      {"$sort": {"score": -1, "id": 1}}]""")
+      .as[(Long, Double)].collect().toSeq
+    // same corpus as the bm25TopK spec: N=3, avgdl=2, df(spark)=2;
+    // doc 2 matches nothing and must be absent
+    val idf = math.log(1 + 1.5 / 2.5)
+    def s(tf: Double, dl: Double) =
+      math.rint(idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 2.0)) * 1e6) / 1e6
+    assert(out == Seq((3L, s(1, 1)), (1L, s(2, 3))))
+    // multi-term query sums per-term contributions
+    val multi = PipelineCompiler.run(docs, """[
+      {"$search": {"text": {"query": "spark database", "path": "text"}}}]""")
+      .select("id").as[Long].collect().toSet
+    assert(multi == Set(1L, 2L, 3L))
+    intercept[MqlException](PipelineCompiler.run(docs,
+      """[{"$search": {"phrase": {"query": "x", "path": "text"}}}]"""))
+  }
+
   test("$firstN/$lastN window ops require a single-field stage sortBy") {
     // without it the slice would be partition-order-dependent
     intercept[MqlException](PipelineCompiler.run(sales, """[
