@@ -150,6 +150,7 @@ object PipelineCompiler {
     case "$graphLookup"     => graphLookup(df, asObj(spec, "$graphLookup"), resolve)
     case "$vectorSearch"    => vectorSearch(df, asObj(spec, "$vectorSearch"))
     case "$search"          => search(df, asObj(spec, "$search"))
+    case "$redact"          => redact(df, spec)
     case other => throw new MqlException(s"unsupported pipeline stage $other")
   }
 
@@ -616,6 +617,76 @@ object PipelineCompiler {
   //    intent, different tie behavior at bucket borders; duplicate
   //    boundary values under heavy skew collapse to fewer buckets, which
   //    matches Mongo's fewer-buckets-than-requested behavior.
+  // ---- $redact -------------------------------------------------------------
+  // Level-wise document redaction: the condition expression evaluates at
+  // the root and again at every STRUCT-typed field (recursively), with
+  // field paths rebinding to the level under inspection (Mongo's
+  // "$field" ≡ "$$CURRENT.field" contract, realized here as a JSON
+  // path-prefix rewrite before compilation — no new compiler mode).
+  // $$PRUNE drops the row (root) / nulls the subtree (nested); $$KEEP
+  // freezes the subtree verbatim; $$DESCEND keeps this level's scalars
+  // and recurses into its subdocuments. Restriction vs Mongo (and the
+  // reason this is documented, not silent): arrays of documents are
+  // treated as scalar values under $$DESCEND — kept or pruned with
+  // their parent, never element-wise redacted.
+  private def redact(df: DataFrame, cond: JValue): DataFrame = {
+    val P = "__graft_prune"; val D = "__graft_descend"; val K = "__graft_keep"
+    val sysEnv = Map("PRUNE" -> lit(P), "DESCEND" -> lit(D), "KEEP" -> lit(K))
+    // "$path" → "$prefix.path" (vars "$$..." and $literal bodies excluded)
+    def rewrite(v: JValue, prefix: String): JValue = v match {
+      case JString(s) if s.startsWith("$$") => v
+      case JString(s) if s.startsWith("$") => JString("$" + prefix + "." + s.drop(1))
+      case JObject(List(("$literal", _))) => v
+      case JObject(fields) => JObject(fields.map { case (k, x) => (k, rewrite(x, prefix)) })
+      case JArray(es) => JArray(es.map(rewrite(_, prefix)))
+      case other => other
+    }
+    def decision(prefix: Option[String], current: Column): Column = {
+      // compare as string: a non-string decision value must reach the
+      // $redact diagnostic below, not die in an isin type-coercion cast
+      val c = ExprCompiler.compile(
+        prefix.map(rewrite(cond, _)).getOrElse(cond),
+        sysEnv + ("CURRENT" -> current)).cast("string")
+      when(c.isin(P, D, K), c).otherwise(raise_error(concat(
+        lit("$redact expression must return $$PRUNE/$$DESCEND/$$KEEP, got "),
+        coalesce(c, lit("null")))))
+    }
+    // rebuild a struct level under a parent DESCEND: scalars pass, each
+    // sub-struct gets its own decision
+    def descend(structCol: Column, st: StructType, prefix: String): Column =
+      struct(st.fields.toIndexedSeq.map { f =>
+        val child = structCol.getField(f.name)
+        val childPrefix = s"$prefix.${f.name}"
+        (f.dataType match {
+          case cst: StructType =>
+            val d = decision(Some(childPrefix), child)
+            when(child.isNull, child) // a null subdoc stays null
+              .when(d === lit(P), lit(null).cast(f.dataType))
+              .when(d === lit(K), child)
+              .otherwise(descend(child, cst, childPrefix))
+          case _ => child
+        }).as(f.name)
+      }: _*)
+    val rootCurrent = struct(df.columns.toIndexedSeq.map(col): _*)
+    val d0 = decision(None, rootCurrent)
+    val kept = df.withColumn("__graft_d0", d0)
+      .where(col("__graft_d0") =!= lit(P))
+    val redacted = df.schema.fields.foldLeft(kept) { (acc, f) =>
+      f.dataType match {
+        case st: StructType =>
+          val d = decision(Some(f.name), col(f.name))
+          acc.withColumn(f.name,
+            when(col("__graft_d0") === lit(K) || col(f.name).isNull, col(f.name))
+              .otherwise(
+                when(d === lit(P), lit(null).cast(f.dataType))
+                  .when(d === lit(K), col(f.name))
+                  .otherwise(descend(col(f.name), st, f.name))))
+        case _ => acc
+      }
+    }
+    redacted.drop("__graft_d0")
+  }
+
   // ---- $search (text operator) --------------------------------------------
   // Atlas Search's lexical stage, restricted to the `text` operator —
   // the surface a data-pipeline actually queries with:

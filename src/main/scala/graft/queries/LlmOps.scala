@@ -822,6 +822,23 @@ object LlmOps {
             SELECT vec_id, score FROM s
             ORDER BY score DESC, vec_id LIMIT 10""")),
 
+    // $redact: level-wise prune/descend over a nested doc built by
+    // $project (root level = doc_id%5, subdoc level = doc_id%7; both
+    // redact at level > 3) — DuckDB twin is the equivalent CASE/WHERE
+    QueryDef("q_redact",
+      (s, dir) => Graft.aggregate(s, dir, "documents",
+        """[
+          {"$project": {"doc_id": 1, "lang": 1,
+            "level": {"$mod": ["$doc_id", 5]},
+            "meta": {"level": {"$mod": ["$doc_id", 7]}, "src": "$source"}}},
+          {"$redact": {"$cond": [{"$lte": ["$level", 3]},
+            "$$DESCEND", "$$PRUNE"]}},
+          {"$project": {"doc_id": 1, "lang": 1, "src": "$meta.src"}},
+          {"$sort": {"doc_id": 1}}]"""),
+      Some("""SELECT doc_id, lang,
+                     CASE WHEN doc_id % 7 <= 3 THEN source END AS src
+              FROM documents WHERE doc_id % 5 <= 3 ORDER BY doc_id""")),
+
     // hybrid-retrieval fusion: RRF over the exact cosine ranking and
     // the PQ-ADC ranking for the same queries (DuckDB rebuilds both
     // systems and the fusion)

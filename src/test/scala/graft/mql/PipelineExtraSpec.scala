@@ -519,6 +519,42 @@ class PipelineExtraSpec extends AnyFunSuite {
       """[{"$vectorSearch": {"path": "v", "limit": 3}}]"""))
   }
 
+  test("$redact: level-wise prune/descend/keep over nested structs") {
+    val docs = Seq(
+      (1L, 1, Some((5, "secret-a", Some((1, "note-a"))))),
+      (2L, 5, Some((1, "open-b", Some((1, "note-b"))))),
+      (3L, 1, Some((2, "open-c", Some((5, "secret-c"))))),
+      (4L, 1, None)
+    ).toDF("id", "level", "detail")
+      .withColumn("detail", org.apache.spark.sql.functions.col("detail").cast(
+        "struct<level:int, body:string, inner:struct<level:int, note:string>>"))
+    val cond = """{"$cond": [{"$lte": ["$level", 3]}, "$$DESCEND", "$$PRUNE"]}"""
+    val out = PipelineCompiler.run(docs, s"""[
+      {"$$redact": $cond}, {"$$sort": {"id": 1}}]""")
+    val rows = out.select("id", "detail.body", "detail.inner.note")
+      .as[(Long, Option[String], Option[String])].collect().toSeq
+    // doc 2 pruned at root; doc 1's detail pruned (level 5); doc 3
+    // descends into detail but prunes inner (level 5); doc 4's null
+    // detail passes through
+    assert(rows == Seq(
+      (1L, None, None), (3L, Some("open-c"), None), (4L, None, None)))
+
+    // $$KEEP freezes the subtree even where a deeper level would prune
+    val keepCond = """{"$cond": [{"$lte": ["$level", 3]}, "$$KEEP", "$$PRUNE"]}"""
+    val kept = PipelineCompiler.run(docs, s"""[
+      {"$$redact": $keepCond}, {"$$sort": {"id": 1}}]""")
+      .select("id", "detail.body").as[(Long, Option[String])].collect().toSeq
+    assert(kept == Seq((1L, Some("secret-a")), (3L, Some("open-c")), (4L, None)))
+
+    // a non-decision result raises
+    val bad = intercept[Exception](PipelineCompiler.run(docs,
+      """[{"$redact": "$level"}]""").collect())
+    val chain = Iterator.iterate[Throwable](bad)(_.getCause)
+      .takeWhile(_ != null).take(8)
+      .flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(chain.contains("$redact"), s"unexpected error chain: $chain")
+  }
+
   test("$search text operator: BM25 scores, only matching docs, $meta") {
     val docs = Seq(
       (1L, "spark spark fast"), (2L, "slow database"), (3L, "spark")
