@@ -725,9 +725,12 @@ object PipelineCompiler {
           sum(when(array_contains(toks, t), 1L).otherwise(0L)).as(s"__df_$t"))
     val statsRow = broadcast(
       df.agg(count(lit(1)).cast("double").as("__n_docs"), statCols: _*))
-    val dl = size(toks).cast("double")
+    // tokenize ONCE per row in the scoring scan — tf/dl below reference
+    // the materialized array, not a re-derivation per query term
+    val tokCol = col("__graft_toks")
+    val dl = size(tokCol).cast("double")
     def tf(t: String): Column =
-      size(filter(toks, x => x === lit(t))).cast("double")
+      size(filter(tokCol, x => x === lit(t))).cast("double")
     val score = terms.map { t =>
       val dfT = col(s"__df_$t").cast("double")
       val idf = log(lit(1.0) +
@@ -739,9 +742,11 @@ object PipelineCompiler {
         .otherwise(lit(0.0))
     }.reduce(_ + _)
     val scored = df.crossJoin(statsRow)
+      .withColumn("__graft_toks", toks)
       .withColumn("searchScore", round(score, 6))
       .where(col("searchScore") > 0.0)
-      .drop("__n_docs" +: "__avgdl" +: terms.map(t => s"__df_$t"): _*)
+      .drop("__graft_toks" +: "__n_docs" +: "__avgdl" +:
+        terms.map(t => s"__df_$t"): _*)
     val tieCols = spec.collectFirst { case ("tieBreaker", JString(t)) => t }
       .map(t => Seq(fieldCol(t).asc)).getOrElse(Seq.empty)
     spec.collectFirst { case ("limit", l) => intValue(l, "$search") } match {
