@@ -131,6 +131,7 @@ object ExprCompiler {
       case "$meta" => v match {
         case JString("vectorSearchScore") => col("vectorSearchScore")
         case JString("searchScore")       => col("searchScore")
+        case JString("score")             => col("score") // $rankFusion
         case other => throw new MqlException(s"unsupported $$meta: $other")
       }
       // ---- arithmetic ----

@@ -151,6 +151,7 @@ object PipelineCompiler {
     case "$vectorSearch"    => vectorSearch(df, asObj(spec, "$vectorSearch"))
     case "$search"          => search(df, asObj(spec, "$search"))
     case "$redact"          => redact(df, spec)
+    case "$rankFusion"      => rankFusion(df, asObj(spec, "$rankFusion"), resolve)
     case other => throw new MqlException(s"unsupported pipeline stage $other")
   }
 
@@ -617,70 +618,167 @@ object PipelineCompiler {
   //    intent, different tie behavior at bucket borders; duplicate
   //    boundary values under heavy skew collapse to fewer buckets, which
   //    matches Mongo's fewer-buckets-than-requested behavior.
+  // ---- $rankFusion ---------------------------------------------------------
+  // Hybrid search (Mongo 8.1 surface): N named RANKED sub-pipelines run
+  // against the same collection; documents fuse by weighted reciprocal
+  // rank — score(d) = Σ_p weight_p / (60 + rank_p(d)) — and come back
+  // ordered by the fused score ({"$meta": "score"} resolves to it).
+  // A sub-pipeline is "ranked" when its last non-$limit/$skip stage is
+  // $sort, $search, or $vectorSearch (their orderings define the rank).
+  // `idField` names the document identity (extension; Mongo assumes
+  // _id). Scale shape: each sub-pipeline is top-k-bounded by its own
+  // $limit (at 100 TB, ALWAYS bound them — the rank window is global
+  // by definition of "rank"); the fusion itself aggregates
+  // k·pipelines rows and joins back by id, which AQE broadcasts.
+  private def rankFusion(df: DataFrame, spec: List[(String, JValue)],
+                         resolve: TableResolver): DataFrame = {
+    val pipelines = spec.collectFirst { case ("input", i) =>
+      asObj(i, "$rankFusion.input").collectFirst {
+        case ("pipelines", JObject(ps)) => ps }
+        .getOrElse(throw new MqlException("$rankFusion.input needs pipelines"))
+    }.getOrElse(throw new MqlException("$rankFusion needs input.pipelines"))
+    if (pipelines.isEmpty)
+      throw new MqlException("$rankFusion needs at least one pipeline")
+    def numDouble(v: JValue): Double = v match {
+      case JInt(i) => i.toDouble
+      case JLong(l) => l.toDouble
+      case JDouble(d) => d
+      case other => throw new MqlException(s"bad $$rankFusion weight: $other")
+    }
+    val weights: Map[String, Double] = spec.collectFirst { case ("combination", c) =>
+      asObj(c, "$rankFusion.combination").collectFirst {
+        case ("weights", JObject(ws)) =>
+          ws.map { case (k, v) => k -> numDouble(v) }.toMap }
+        .getOrElse(Map.empty[String, Double])
+    }.getOrElse(Map.empty[String, Double])
+    weights.keys.find(k => !pipelines.exists(_._1 == k)).foreach(k =>
+      throw new MqlException(s"$$rankFusion weight for unknown pipeline '$k'"))
+    if (spec.exists { case ("scoreDetails", JBool(true)) => true; case _ => false })
+      throw new MqlException("$rankFusion scoreDetails is not supported")
+    val idField = spec.collectFirst { case ("idField", JString(f)) => f }
+      .getOrElse("_id")
+    // the ordering a ranked sub-pipeline ends with (skipping $limit/$skip)
+    def rankingKeys(stages: List[JValue]): Seq[Column] = {
+      val effective = stages.reverse.dropWhile {
+        case JObject(List((n, _))) => n == "$limit" || n == "$skip"
+        case _ => false
+      }
+      effective.headOption match {
+        case Some(JObject(List(("$sort", s)))) => sortCols(s)
+        case Some(JObject(List(("$search", s)))) =>
+          val tie = asObj(s, "$search").collectFirst {
+            case ("tieBreaker", JString(t)) => t }
+            .getOrElse(throw new MqlException(
+              "$rankFusion: $search sub-pipeline needs tieBreaker for deterministic ranks"))
+          Seq(col("searchScore").desc, fieldCol(tie).asc)
+        case Some(JObject(List(("$vectorSearch", s)))) =>
+          val tie = asObj(s, "$vectorSearch").collectFirst {
+            case ("tieBreaker", JString(t)) => t }
+            .getOrElse(throw new MqlException(
+              "$rankFusion: $vectorSearch sub-pipeline needs tieBreaker for deterministic ranks"))
+          Seq(col("vectorSearchScore").desc, fieldCol(tie).asc)
+        case other => throw new MqlException(
+          s"$$rankFusion sub-pipelines must end in $$sort/$$search/$$vectorSearch, got $other")
+      }
+    }
+    val contribs = pipelines.map {
+      case (name, JArray(stages)) =>
+        val out = stages.foldLeft(df) { (acc, st) =>
+          asObj(st, "stage") match {
+            case List((n2, sp2)) => applyStage(acc, n2, sp2, resolve)
+            case o => throw new MqlException(s"bad stage $o")
+          }
+        }
+        val w = weights.getOrElse(name, 1.0)
+        out.withColumn("__rf_r",
+            row_number().over(Window.orderBy(rankingKeys(stages): _*)))
+          .select(fieldCol(idField).as("__rf_id"),
+            (lit(w) / (lit(60.0) + col("__rf_r"))).as("__rf_c"))
+      case (name, other) =>
+        throw new MqlException(s"$$rankFusion pipeline '$name' must be an array, got $other")
+    }
+    val fused = contribs.reduce(_.unionByName(_))
+      .groupBy(col("__rf_id"))
+      .agg(round(sum(col("__rf_c")), 6).as("score"))
+    df.join(fused, df(idField) === fused("__rf_id"))
+      .drop("__rf_id")
+      .orderBy(col("score").desc, col(idField).asc)
+  }
+
   // ---- $redact -------------------------------------------------------------
   // Level-wise document redaction: the condition expression evaluates at
-  // the root and again at every STRUCT-typed field (recursively), with
-  // field paths rebinding to the level under inspection (Mongo's
-  // "$field" ≡ "$$CURRENT.field" contract, realized here as a JSON
-  // path-prefix rewrite before compilation — no new compiler mode).
-  // $$PRUNE drops the row (root) / nulls the subtree (nested); $$KEEP
+  // the root, at every STRUCT-typed field, and at every element of an
+  // array of documents (recursively), with field paths rebinding to the
+  // level under inspection — Mongo's "$field" ≡ "$$CURRENT.field"
+  // contract, realized by rewriting the condition ONCE to explicit
+  // $$CURRENT references and compiling it with CURRENT bound to the
+  // level's Column (which also works inside array-transform lambdas,
+  // where no field path could address the element). $$PRUNE drops the
+  // row (root) / nulls the subdoc / removes the array element; $$KEEP
   // freezes the subtree verbatim; $$DESCEND keeps this level's scalars
-  // and recurses into its subdocuments. Restriction vs Mongo (and the
-  // reason this is documented, not silent): arrays of documents are
-  // treated as scalar values under $$DESCEND — kept or pruned with
-  // their parent, never element-wise redacted.
+  // and recurses into its subdocuments. Everything is a pure Column
+  // expression — a row filter plus struct/array rebuilds, zero shuffles.
+  // Residual restrictions (documented): directly-nested arrays of
+  // arrays of documents are kept verbatim, and a literal null array
+  // ELEMENT is dropped like a pruned one (Spark's filter cannot
+  // distinguish them post-transform).
   private def redact(df: DataFrame, cond: JValue): DataFrame = {
     val P = "__graft_prune"; val D = "__graft_descend"; val K = "__graft_keep"
     val sysEnv = Map("PRUNE" -> lit(P), "DESCEND" -> lit(D), "KEEP" -> lit(K))
-    // "$path" → "$prefix.path" (vars "$$..." and $literal bodies excluded)
-    def rewrite(v: JValue, prefix: String): JValue = v match {
+    // "$path" → "$$CURRENT.path" (vars "$$..." and $literal bodies excluded)
+    def rewrite(v: JValue): JValue = v match {
       case JString(s) if s.startsWith("$$") => v
-      case JString(s) if s.startsWith("$") => JString("$" + prefix + "." + s.drop(1))
+      case JString(s) if s.startsWith("$") => JString("$$CURRENT." + s.drop(1))
       case JObject(List(("$literal", _))) => v
-      case JObject(fields) => JObject(fields.map { case (k, x) => (k, rewrite(x, prefix)) })
-      case JArray(es) => JArray(es.map(rewrite(_, prefix)))
+      case JObject(fields) => JObject(fields.map { case (k, x) => (k, rewrite(x)) })
+      case JArray(es) => JArray(es.map(rewrite(_)))
       case other => other
     }
-    def decision(prefix: Option[String], current: Column): Column = {
+    val condCur = rewrite(cond)
+    def guard(c0: Column): Column = {
       // compare as string: a non-string decision value must reach the
       // $redact diagnostic below, not die in an isin type-coercion cast
-      val c = ExprCompiler.compile(
-        prefix.map(rewrite(cond, _)).getOrElse(cond),
-        sysEnv + ("CURRENT" -> current)).cast("string")
+      val c = c0.cast("string")
       when(c.isin(P, D, K), c).otherwise(raise_error(concat(
         lit("$redact expression must return $$PRUNE/$$DESCEND/$$KEEP, got "),
         coalesce(c, lit("null")))))
     }
-    // rebuild a struct level under a parent DESCEND: scalars pass, each
-    // sub-struct gets its own decision
-    def descend(structCol: Column, st: StructType, prefix: String): Column =
-      struct(st.fields.toIndexedSeq.map { f =>
-        val child = structCol.getField(f.name)
-        val childPrefix = s"$prefix.${f.name}"
-        (f.dataType match {
-          case cst: StructType =>
-            val d = decision(Some(childPrefix), child)
-            when(child.isNull, child) // a null subdoc stays null
-              .when(d === lit(P), lit(null).cast(f.dataType))
-              .when(d === lit(K), child)
-              .otherwise(descend(child, cst, childPrefix))
-          case _ => child
-        }).as(f.name)
-      }: _*)
+    def decision(current: Column): Column =
+      guard(ExprCompiler.compile(condCur, sysEnv + ("CURRENT" -> current)))
+    // redact one value under a parent DESCEND
+    def redactValue(child: Column, dt: DataType): Column = dt match {
+      case cst: StructType =>
+        val d = decision(child)
+        when(child.isNull, child) // a null subdoc stays null
+          .when(d === lit(P), lit(null).cast(dt))
+          .when(d === lit(K), child)
+          .otherwise(descend(child, cst))
+      case ArrayType(est: StructType, _) =>
+        when(child.isNull, child).otherwise(
+          filter(transform(child, x => {
+            val d = decision(x)
+            when(x.isNull, lit(null).cast(est))
+              .when(d === lit(P), lit(null).cast(est))
+              .when(d === lit(K), x)
+              .otherwise(descend(x, est))
+          }), v => v.isNotNull))
+      case _ => child
+    }
+    def descend(structCol: Column, st: StructType): Column =
+      struct(st.fields.toIndexedSeq.map(f =>
+        redactValue(structCol.getField(f.name), f.dataType).as(f.name)): _*)
     val rootCurrent = struct(df.columns.toIndexedSeq.map(col): _*)
-    val d0 = decision(None, rootCurrent)
+    // the root condition keeps its original field paths (plus CURRENT,
+    // so explicit $$CURRENT works at the root too)
+    val d0 = guard(ExprCompiler.compile(cond, sysEnv + ("CURRENT" -> rootCurrent)))
     val kept = df.withColumn("__graft_d0", d0)
       .where(col("__graft_d0") =!= lit(P))
     val redacted = df.schema.fields.foldLeft(kept) { (acc, f) =>
       f.dataType match {
-        case st: StructType =>
-          val d = decision(Some(f.name), col(f.name))
+        case _: StructType | ArrayType(_: StructType, _) =>
           acc.withColumn(f.name,
-            when(col("__graft_d0") === lit(K) || col(f.name).isNull, col(f.name))
-              .otherwise(
-                when(d === lit(P), lit(null).cast(f.dataType))
-                  .when(d === lit(K), col(f.name))
-                  .otherwise(descend(col(f.name), st, f.name))))
+            when(col("__graft_d0") === lit(K), col(f.name))
+              .otherwise(redactValue(col(f.name), f.dataType)))
         case _ => acc
       }
     }

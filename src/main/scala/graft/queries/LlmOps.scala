@@ -822,6 +822,49 @@ object LlmOps {
             SELECT vec_id, score FROM s
             ORDER BY score DESC, vec_id LIMIT 10""")),
 
+    // $rankFusion: weighted RRF over a $search ranking and a length
+    // ranking of the same collection (DuckDB rebuilds both rankings
+    // and the fusion)
+    QueryDef("q_rank_fusion",
+      (s, dir) => Graft.aggregate(s, dir, "documents",
+        """[
+          {"$rankFusion": {"idField": "doc_id",
+            "input": {"pipelines": {
+              "lexical": [{"$search": {"text": {"query": "spark query window",
+                "path": "text"}, "limit": 20, "tieBreaker": "doc_id"}}],
+              "longest": [{"$sort": {"n_chars": -1, "doc_id": 1}},
+                          {"$limit": 20}]}},
+            "combination": {"weights": {"lexical": 2}}}},
+          {"$project": {"doc_id": 1, "score": {"$meta": "score"}}},
+          {"$sort": {"score": -1, "doc_id": 1}}]"""),
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($duckToksLower) AS term
+                 FROM documents),
+              dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+              st AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+              tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+                     WHERE term IN ('spark', 'query', 'window') GROUP BY 1, 2),
+              dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+              sc AS (SELECT tf.doc_id,
+                       round(SUM(ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                         tf.tf * 2.2 / (tf.tf + 1.2 *
+                           (1 - 0.75 + 0.75 * dl.dl / st.avgdl))), 6) AS score
+                     FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id)
+                          CROSS JOIN st
+                     GROUP BY 1),
+              lex AS (SELECT doc_id, ROW_NUMBER() OVER (
+                        ORDER BY score DESC, doc_id) AS rnk
+                      FROM sc QUALIFY rnk <= 20),
+              pop AS (SELECT doc_id, ROW_NUMBER() OVER (
+                        ORDER BY n_chars DESC, doc_id) AS rnk
+                      FROM documents QUALIFY rnk <= 20),
+              fused AS (SELECT doc_id, round(SUM(c), 6) AS score FROM (
+                          SELECT doc_id, 2.0 / (60 + rnk) AS c FROM lex
+                          UNION ALL
+                          SELECT doc_id, 1.0 / (60 + rnk) FROM pop)
+                        GROUP BY doc_id)
+            SELECT doc_id, score FROM fused
+            ORDER BY score DESC, doc_id""")),
+
     // $redact: level-wise prune/descend over a nested doc built by
     // $project (root level = doc_id%5, subdoc level = doc_id%7; both
     // redact at level > 3) — DuckDB twin is the equivalent CASE/WHERE

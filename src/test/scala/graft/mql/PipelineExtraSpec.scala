@@ -546,6 +546,20 @@ class PipelineExtraSpec extends AnyFunSuite {
       .select("id", "detail.body").as[(Long, Option[String])].collect().toSeq
     assert(kept == Seq((1L, Some("secret-a")), (3L, Some("open-c")), (4L, None)))
 
+    // arrays of documents redact element-wise: pruned elements drop,
+    // surviving elements descend into their own subdocs
+    val withArr = Seq(
+      (1L, 1, Seq((1, "a1"), (5, "a2"), (2, "a3"))),
+      (2L, 1, Seq.empty[(Int, String)])
+    ).toDF("id", "level", "items")
+      .withColumn("items", org.apache.spark.sql.functions.col("items")
+        .cast("array<struct<level:int, tag:string>>"))
+    val arrOut = PipelineCompiler.run(withArr, s"""[
+      {"$$redact": $cond}, {"$$sort": {"id": 1}}]""")
+      .select("id", "items.tag")
+      .as[(Long, Seq[String])].collect().toSeq
+    assert(arrOut == Seq((1L, Seq("a1", "a3")), (2L, Seq.empty)))
+
     // a non-decision result raises
     val bad = intercept[Exception](PipelineCompiler.run(docs,
       """[{"$redact": "$level"}]""").collect())
@@ -553,6 +567,39 @@ class PipelineExtraSpec extends AnyFunSuite {
       .takeWhile(_ != null).take(8)
       .flatMap(t => Option(t.getMessage)).mkString(" | ")
     assert(chain.contains("$redact"), s"unexpected error chain: $chain")
+  }
+
+  test("$rankFusion: weighted RRF over ranked sub-pipelines") {
+    val docs = Seq(
+      (1L, "spark spark fast", 10),
+      (2L, "slow database", 30),
+      (3L, "spark", 20)
+    ).toDF("id", "text", "views")
+    val out = PipelineCompiler.run(docs, """[
+      {"$rankFusion": {
+        "idField": "id",
+        "input": {"pipelines": {
+          "lexical": [{"$search": {"text": {"query": "spark", "path": "text"},
+                       "limit": 5, "tieBreaker": "id"}}],
+          "popular": [{"$sort": {"views": -1, "id": 1}}, {"$limit": 2}]}},
+        "combination": {"weights": {"lexical": 2}}}},
+      {"$project": {"id": 1, "score": {"$meta": "score"}}}]""")
+      .as[(Long, Double)].collect().toSeq
+    // lexical ranks (bm25): 3 then 1 (length norm); popular: 2 then 3.
+    // fused: id3 = 2/61+1/62, id1 = 2/62, id2 = 1/61
+    def r(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(out == Seq(
+      (3L, r(2.0 / 61 + 1.0 / 62)), (1L, r(2.0 / 62)), (2L, r(1.0 / 61))))
+
+    // a sub-pipeline without a ranking tail is rejected
+    intercept[MqlException](PipelineCompiler.run(docs, """[
+      {"$rankFusion": {"idField": "id", "input": {"pipelines": {
+        "bad": [{"$match": {"views": {"$gt": 0}}}]}}}}]"""))
+    // unknown weight name is rejected
+    intercept[MqlException](PipelineCompiler.run(docs, """[
+      {"$rankFusion": {"idField": "id",
+        "input": {"pipelines": {"a": [{"$sort": {"id": 1}}]}},
+        "combination": {"weights": {"zzz": 1}}}}]"""))
   }
 
   test("$search text operator: BM25 scores, only matching docs, $meta") {
