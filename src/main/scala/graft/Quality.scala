@@ -51,10 +51,14 @@ object Quality {
       .select("query_id", "match_id").as[(Long, Long)].collect().toSet
     val (ivfR, ivfP) = prf(ivf, bf)
 
-    // PQ-ADC top-10 (m=8 × 16 codes = 8 bytes/vector) vs brute force
+    // PQ-ADC top-10 (m=8 × 16 codes = 8 bytes/vector) vs brute force,
+    // hash-sampled codebooks and after one Lloyd refinement pass
     val pq = Similarity.pqTopK(queries, emb, 10)
       .select("query_id", "match_id").as[(Long, Long)].collect().toSet
     val (pqR, pqP) = prf(pq, bf)
+    val pqL = Similarity.pqTopK(queries, emb, 10, lloydIters = 1)
+      .select("query_id", "match_id").as[(Long, Long)].collect().toSet
+    val (pqLR, pqLP) = prf(pqL, bf)
 
     // SemDeDup drop-set vs the exact-cosine dedup drop-set on the
     // bounded ground-truth slice (vec_id < 300, as q_emb_dedup)
@@ -74,6 +78,7 @@ object Quality {
       s""""ivf_top10_nprobe4of16_hash_sample":{"recall":$ivf0R,"precision":$ivf0P},""" +
       s""""ivf_top10_nprobe4of16_lloyd1":{"recall":$ivfR,"precision":$ivfP},""" +
       s""""pq_top10_m8x16":{"recall":$pqR,"precision":$pqP},""" +
+      s""""pq_top10_m8x16_lloyd1":{"recall":$pqLR,"precision":$pqLP},""" +
       s""""semdedup_drops_8cells":{"recall":$sdR,"precision":$sdP}}""")
     spark.stop()
   }

@@ -352,6 +352,43 @@ object Similarity {
       seeds.toIndexedSeq.map(v => v.slice(s * dsub, (s + 1) * dsub))))
   }
 
+  /** Lloyd (k-means) refinement of a PQ codebook: each iteration
+    * PQ-encodes the corpus against the current books (map-only,
+    * `pq_encode`) and re-centers every codeword on the element-wise
+    * mean of the subvectors it captured — exactly `lloydRefine`'s
+    * shape, run per subspace. The means shuffle as exploded
+    * (subspace, code, dim, value) scalars and return as m·k·dsub tiny
+    * rows; empty codewords keep their previous value. Total squared
+    * distortion is non-increasing per iteration (standard k-means
+    * monotonicity — spec-pinned). Refined books trade away DuckDB
+    * oracle parity (the oracle can't iterate k-means), so the gate
+    * entry stays on the hash-sampled codebook; use this for recall. */
+  def pqRefine(corpus: DataFrame, cb: PqCodebook, iters: Int,
+               vecCol: String = "embedding"): PqCodebook = {
+    var books = cb.books
+    val dsub = cb.dsub
+    for (_ <- 1 to iters) {
+      val means = corpus
+        .select(col(vecCol).cast("array<double>").as("__v"))
+        .withColumn("__codes", graftFn("pq_encode", col("__v"), typedlit(books)))
+        .where(col("__codes").isNotNull)
+        .select(col("__v"), posexplode(col("__codes")).as(Seq("__s", "__j")))
+        .select(col("__s"), col("__j"),
+          posexplode(slice(col("__v"), col("__s") * dsub + 1, lit(dsub)))
+            .as(Seq("__t", "__x")))
+        .groupBy("__s", "__j", "__t").agg(avg(col("__x")).as("__m"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (k, rs) =>
+          k -> rs.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq
+        }
+      books = books.zipWithIndex.map { case (sub, s) =>
+        sub.zipWithIndex.map { case (cw, j) => means.getOrElse((s, j), cw) }
+      }
+    }
+    PqCodebook(books)
+  }
+
   /** PQ-encode the corpus: each vector → m small codeword indexes
     * (`pq_encode` native expression against the literal codebook).
     * MAP-ONLY — at 100 TB this pass writes the m-bytes-per-vector
@@ -374,8 +411,11 @@ object Similarity {
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
              m: Int = 8, codes: Int = 16,
              qId: String = "vec_id", cId: String = "vec_id",
-             vecCol: String = "embedding", dim: Int = 64): DataFrame = {
-    val cb = pqTrain(corpus, m, codes, cId, vecCol, dim)
+             vecCol: String = "embedding", dim: Int = 64,
+             lloydIters: Int = 0): DataFrame = {
+    val cb0 = pqTrain(corpus, m, codes, cId, vecCol, dim)
+    val cb = if (lloydIters <= 0) cb0
+             else pqRefine(corpus, cb0, lloydIters, vecCol)
     val enc = pqEncode(corpus, cb, cId, vecCol)
       .select(col(cId).as("match_id"), col("pq_codes"))
     val q = broadcast(queries.select(col(qId).as("query_id"),

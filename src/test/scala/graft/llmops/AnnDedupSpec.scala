@@ -122,6 +122,32 @@ class AnnDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("pqRefine: Lloyd iterations never increase quantization distortion") {
+    import org.apache.spark.sql.functions.{call_function, typedlit, avg, col}
+    graft.functions.GraftFunctions.register(spark)
+    // 24 vectors in R^4 with real cluster structure
+    val df = (1L to 24L).map { i =>
+      val base = (i % 3).toInt
+      (i, Seq(base * 2.0 + 0.01 * i, 1.0 - base, 0.5 * base, -base + 0.02 * i))
+    }.toDF("vec_id", "embedding")
+    def distortion(cb: Similarity.PqCodebook): Double = {
+      val v = col("embedding").cast("array<double>")
+      df.select(call_function("pq_adc", v,
+          call_function("pq_encode", v, typedlit(cb.books)),
+          typedlit(cb.books)).as("d"))
+        .agg(avg("d")).head.getDouble(0)
+    }
+    val cb0 = Similarity.pqTrain(df, m = 2, codes = 3, dim = 4)
+    val d0 = distortion(cb0)
+    val cb1 = Similarity.pqRefine(df, cb0, iters = 1)
+    val d1 = distortion(cb1)
+    val cb2 = Similarity.pqRefine(df, cb0, iters = 2)
+    val d2 = distortion(cb2)
+    assert(d1 <= d0 + 1e-12, s"one iteration worsened distortion: $d0 -> $d1")
+    assert(d2 <= d1 + 1e-12, s"second iteration worsened distortion: $d1 -> $d2")
+    assert(cb1.m == cb0.m && cb1.dsub == cb0.dsub)
+  }
+
   test("rrfFuse: hand-computed fusion, topK bound, id tie-break") {
     val sysA = Seq((0L, 10L, 1L), (0L, 11L, 2L), (0L, 12L, 3L))
       .toDF("query_id", "match_id", "rnk")
