@@ -785,66 +785,120 @@ object PipelineCompiler {
     redacted.drop("__graft_d0")
   }
 
-  // ---- $search (text operator) --------------------------------------------
-  // Atlas Search's lexical stage, restricted to the `text` operator —
-  // the surface a data-pipeline actually queries with:
+  // ---- $search (text + compound operators) ---------------------------------
+  // Atlas Search's lexical stage:
   //   {"$search": {"text": {"query": "spark window", "path": "text"}}}
-  // Documents containing ≥1 query token rank by BM25 (k1=1.2, b=0.75,
-  // the Lucene defaults Atlas inherits), score appended as
-  // `searchScore` ({"$meta": "searchScore"} resolves to it). Optional
-  // `limit` bounds the result (ORDER BY + LIMIT → TakeOrdered);
-  // `tieBreaker` orders equal scores (same extension as $vectorSearch).
+  //   {"$search": {"compound": {"must": [{"text": ...}], "should": [...],
+  //                             "mustNot": [...]}}}
+  // Text clauses match documents containing ≥1 query token and score by
+  // BM25 (k1=1.2, b=0.75, the Lucene defaults Atlas inherits). Compound
+  // semantics: every `must` clause matches, no `mustNot` clause matches,
+  // and with no `must` at least one `should` must; the score is the sum
+  // of matching must/should clause scores. Appended as `searchScore`
+  // ({"$meta": "searchScore"} resolves to it). Optional `limit` bounds
+  // the result (ORDER BY + LIMIT → TakeOrdered); `tieBreaker` orders
+  // equal scores (same extension as $vectorSearch).
   //
-  // Plan shape — deliberately JOIN-FREE on the document side: the three
-  // corpus statistics BM25 needs (N, avgdl, per-term df) are
-  // vocabulary-of-the-QUERY-sized, so they aggregate into ONE row
-  // (df packed as a term→count map) that broadcast-cross-joins back;
-  // per-document tf/length are pure Column expressions over the text.
-  // The corpus is scanned twice (stats, scoring) and shuffles nothing
-  // but the 1-row stats frame.
+  // Plan shape — deliberately JOIN-FREE on the document side: the corpus
+  // statistics BM25 needs (N, one avgdl per referenced path, one df per
+  // scored term) are query-sized, so they aggregate into ONE row in ONE
+  // corpus pass that broadcast-cross-joins back; per-document tf/length
+  // are pure Column expressions over per-path token arrays materialized
+  // once in the scoring scan. The corpus is scanned twice (stats,
+  // scoring) and shuffles nothing but the 1-row stats frame.
   private def search(df: DataFrame, spec: List[(String, JValue)]): DataFrame = {
-    val textSpec = spec.collectFirst { case ("text", t) => asObj(t, "$search.text") }
-      .getOrElse(throw new MqlException(
-        "$search supports only the text operator: {\"text\": {\"query\": ..., \"path\": ...}}"))
-    val query = textSpec.collectFirst { case ("query", JString(q)) => q }
-      .getOrElse(throw new MqlException("$search.text needs query"))
-    val path = textSpec.collectFirst { case ("path", JString(p)) => p }
-      .getOrElse(throw new MqlException("$search.text needs path"))
-    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
-    if (terms.isEmpty) throw new MqlException("$search.text: empty query")
     val (k1, b) = (1.2, 0.75)
-    val toks = graft.llmops.TextAnalysis.tokens(lower(fieldCol(path)))
-    // ONE corpus pass for every statistic BM25 needs: N, avgdl, and a
-    // per-query-term document-frequency column — a single partially-
-    // aggregated row, broadcast back by construction
-    val statCols =
-      avg(size(toks).cast("double")).as("__avgdl") +:
-        terms.map(t =>
-          sum(when(array_contains(toks, t), 1L).otherwise(0L)).as(s"__df_$t"))
-    val statsRow = broadcast(
-      df.agg(count(lit(1)).cast("double").as("__n_docs"), statCols: _*))
-    // tokenize ONCE per row in the scoring scan — tf/dl below reference
-    // the materialized array, not a re-derivation per query term
-    val tokCol = col("__graft_toks")
-    val dl = size(tokCol).cast("double")
-    def tf(t: String): Column =
-      size(filter(tokCol, x => x === lit(t))).cast("double")
-    val score = terms.map { t =>
-      val dfT = col(s"__df_$t").cast("double")
-      val idf = log(lit(1.0) +
-        (col("__n_docs") - dfT + lit(0.5)) / (dfT + lit(0.5)))
-      val tfC = tf(t)
-      when(tfC > 0,
-        idf * tfC * (lit(k1) + 1.0) /
-          (tfC + lit(k1) * (lit(1.0) - lit(b) + lit(b) * dl / col("__avgdl"))))
-        .otherwise(lit(0.0))
-    }.reduce(_ + _)
-    val scored = df.crossJoin(statsRow)
-      .withColumn("__graft_toks", toks)
-      .withColumn("searchScore", round(score, 6))
-      .where(col("searchScore") > 0.0)
-      .drop("__graft_toks" +: "__n_docs" +: "__avgdl" +:
-        terms.map(t => s"__df_$t"): _*)
+    def parseText(t: JValue): (Seq[String], String) = {
+      val o = asObj(t, "$search.text")
+      val q = o.collectFirst { case ("query", JString(x)) => x }
+        .getOrElse(throw new MqlException("$search.text needs query"))
+      val p = o.collectFirst { case ("path", JString(x)) => x }
+        .getOrElse(throw new MqlException("$search.text needs path"))
+      val terms = q.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+      if (terms.isEmpty) throw new MqlException("$search.text: empty query")
+      (terms, p)
+    }
+    def clauseList(v: JValue, ctx: String): Seq[(Seq[String], String)] = v match {
+      case JArray(cs) => cs.map {
+        case JObject(List(("text", t))) => parseText(t)
+        case other => throw new MqlException(s"$ctx supports only text clauses, got $other")
+      }
+      case other => throw new MqlException(s"$ctx must be an array, got $other")
+    }
+    val (must, should, mustNot) =
+      spec.collectFirst { case ("compound", c) => asObj(c, "$search.compound") } match {
+        case Some(comp) =>
+          comp.foreach { case (k, _) =>
+            if (!Set("must", "should", "mustNot").contains(k)) throw new MqlException(
+              s"$$search.compound: unsupported clause list '$k'") }
+          (comp.collectFirst { case ("must", v) =>
+             clauseList(v, "$search.compound.must") }.getOrElse(Nil),
+           comp.collectFirst { case ("should", v) =>
+             clauseList(v, "$search.compound.should") }.getOrElse(Nil),
+           comp.collectFirst { case ("mustNot", v) =>
+             clauseList(v, "$search.compound.mustNot") }.getOrElse(Nil))
+        case None =>
+          val t = spec.collectFirst { case ("text", t) => t }
+            .getOrElse(throw new MqlException(
+              "$search supports the text and compound operators"))
+          (Seq(parseText(t)), Nil, Nil)
+      }
+    if (must.isEmpty && should.isEmpty)
+      throw new MqlException("$search.compound needs must or should clauses")
+    val scoredClauses = must ++ should
+    val paths = (scoredClauses ++ mustNot).map(_._2).distinct
+    val pIdx = paths.zipWithIndex.toMap
+    def toksOf(p: String) = graft.llmops.TextAnalysis.tokens(lower(fieldCol(p)))
+    // ONE corpus pass for every statistic any clause needs
+    val scoredPaths = scoredClauses.map(_._2).distinct
+    val avgdlCols = scoredPaths.map(p =>
+      avg(size(toksOf(p)).cast("double")).as(s"__avgdl_${pIdx(p)}"))
+    val dfCols = scoredClauses.zipWithIndex.flatMap { case ((terms, p), ci) =>
+      terms.zipWithIndex.map { case (t, ti) =>
+        sum(when(array_contains(toksOf(p), t), 1L).otherwise(0L))
+          .as(s"__df_${ci}_$ti")
+      }
+    }
+    val statsRow = broadcast(df.agg(
+      count(lit(1)).cast("double").as("__n_docs"), (avgdlCols ++ dfCols): _*))
+    // per-path token arrays, materialized once in the scoring scan
+    def tokCol(p: String) = col(s"__graft_toks_${pIdx(p)}")
+    def clauseScore(ci: Int, terms: Seq[String], p: String): Column = {
+      val dl = size(tokCol(p)).cast("double")
+      terms.zipWithIndex.map { case (t, ti) =>
+        val dfT = col(s"__df_${ci}_$ti").cast("double")
+        val idf = log(lit(1.0) +
+          (col("__n_docs") - dfT + lit(0.5)) / (dfT + lit(0.5)))
+        val tfC = size(filter(tokCol(p), x => x === lit(t))).cast("double")
+        when(tfC > 0,
+          idf * tfC * (lit(k1) + 1.0) /
+            (tfC + lit(k1) * (lit(1.0) - lit(b) +
+              lit(b) * dl / col(s"__avgdl_${pIdx(p)}"))))
+          .otherwise(lit(0.0))
+      }.reduce(_ + _)
+    }
+    val clauseScores = scoredClauses.zipWithIndex.map { case ((terms, p), ci) =>
+      clauseScore(ci, terms, p)
+    }
+    val (mustScores, shouldScores) = clauseScores.splitAt(must.length)
+    def notMatches(terms: Seq[String], p: String): Column =
+      size(array_intersect(tokCol(p), array(terms.map(lit): _*))) > 0
+    val matched = (
+      mustScores.map(_ > 0.0) ++
+        mustNot.map { case (terms, p) => !notMatches(terms, p) } ++
+        (if (must.isEmpty) Seq(shouldScores.map(_ > 0.0).reduce(_ || _)) else Nil)
+      ).reduce(_ && _)
+    val withToks = paths.foldLeft(df.crossJoin(statsRow)) { (acc, p) =>
+      acc.withColumn(s"__graft_toks_${pIdx(p)}", toksOf(p))
+    }
+    val dropCols = paths.map(p => s"__graft_toks_${pIdx(p)}") ++
+      Seq("__n_docs") ++ scoredPaths.map(p => s"__avgdl_${pIdx(p)}") ++
+      scoredClauses.zipWithIndex.flatMap { case ((terms, _), ci) =>
+        terms.indices.map(ti => s"__df_${ci}_$ti") }
+    val scored = withToks
+      .withColumn("searchScore", round(clauseScores.reduce(_ + _), 6))
+      .where(matched)
+      .drop(dropCols: _*)
     val tieCols = spec.collectFirst { case ("tieBreaker", JString(t)) => t }
       .map(t => Seq(fieldCol(t).asc)).getOrElse(Seq.empty)
     spec.collectFirst { case ("limit", l) => intValue(l, "$search") } match {

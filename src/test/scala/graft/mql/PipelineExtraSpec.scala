@@ -625,6 +625,33 @@ class PipelineExtraSpec extends AnyFunSuite {
     assert(multi == Set(1L, 2L, 3L))
     intercept[MqlException](PipelineCompiler.run(docs,
       """[{"$search": {"phrase": {"query": "x", "path": "text"}}}]"""))
+
+    // compound: must + mustNot
+    val comp = PipelineCompiler.run(docs, """[
+      {"$search": {"compound": {
+        "must": [{"text": {"query": "spark", "path": "text"}}],
+        "mustNot": [{"text": {"query": "fast", "path": "text"}}]}}},
+      {"$project": {"id": 1, "score": {"$meta": "searchScore"}}},
+      {"$sort": {"id": 1}}]""").as[(Long, Double)].collect().toSeq
+    // doc1 contains "fast" → excluded; doc2 fails must; doc3 survives
+    assert(comp == Seq((3L, s(1, 1))))
+
+    // compound: should-only needs ≥1 matching clause; scores sum
+    val sh = PipelineCompiler.run(docs, """[
+      {"$search": {"compound": {"should": [
+        {"text": {"query": "spark", "path": "text"}},
+        {"text": {"query": "database", "path": "text"}}]}}},
+      {"$project": {"id": 1, "score": {"$meta": "searchScore"}}},
+      {"$sort": {"id": 1}}]""").as[(Long, Double)].collect().toSeq
+    // df(database)=1 → idf = ln(1 + 2.5/1.5); doc2 dl=2, tf=1 →
+    // denominator 2.2 cancels the k1+1 numerator: score = idf
+    val sDb = math.rint(math.log(1 + 2.5 / 1.5) * 1e6) / 1e6
+    assert(sh == Seq((1L, s(2, 3)), (2L, sDb), (3L, s(1, 1))))
+
+    // unsupported clause kinds are rejected
+    intercept[MqlException](PipelineCompiler.run(docs, """[
+      {"$search": {"compound": {"filter": [
+        {"text": {"query": "spark", "path": "text"}}]}}}]"""))
   }
 
   test("$firstN/$lastN window ops require a single-field stage sortBy") {
