@@ -227,6 +227,14 @@ object Dedup {
       .where(round(Similarity.rawDot(col("l.__mv"), col("r.__mv")) /
         (col("l.__mn") * col("r.__mn")), 6) >= threshold)
       .select(col("r.match_id").as("__dup")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the (id-only) dup set now, then DROP the cached
+    // assigned corpus — it carries full vectors, and leaking it across
+    // repeated calls (bench loops, Quality sweeps) accumulates blocks.
+    // What stays cached until the caller's action is ids only, orders
+    // of magnitude smaller than the index it replaces.
+    dups.count()
+    index.assigned.unpersist(blocking = false)
     df.join(dups, df(idCol) === dups("__dup"), "left_anti")
   }
 

@@ -341,12 +341,15 @@ object Similarity {
               dim: Int = 64): PqCodebook = {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val dsub = dim / m
+    // dimension filter BEFORE the hash-ordered limit: a malformed
+    // vector inside the sample window must not shrink the codebook and
+    // shift codeword indices out from under the oracle's re-derivation
     val seeds = corpus
+      .where(size(col(vecCol).cast("array<double>")) === dim)
       .orderBy(Dedup.portableHash60(col(idCol).cast("string")).asc, col(idCol).asc)
       .limit(codes)
       .select(col(vecCol).cast("array<double>").as("__v"))
       .collect().map(_.getSeq[Double](0))
-      .filter(_.length == dim)
     require(seeds.nonEmpty, "no full-dimension seed vectors in corpus")
     PqCodebook((0 until m).map(s =>
       seeds.toIndexedSeq.map(v => v.slice(s * dsub, (s + 1) * dsub))))
@@ -445,10 +448,11 @@ object Similarity {
                 nCells: Int = 16, nProbe: Int = 4,
                 m: Int = 8, codes: Int = 16,
                 qId: String = "vec_id", cId: String = "vec_id",
-                vecCol: String = "embedding", dim: Int = 64): DataFrame = {
+                vecCol: String = "embedding", dim: Int = 64,
+                portableSeed: Boolean = false): DataFrame = {
     val cb = pqTrain(corpus, m, codes, cId, vecCol, dim)
     val index = buildIvf(corpus, nCells, cId, vecCol, lloydIters = 0,
-      persistIndex = false)
+      persistIndex = false, portableSeed = portableSeed)
     // the stored index: cell assignment + PQ codes, one map-only pass
     val enc = index.assigned.select(col("match_id"), col("cell_id"),
         graftFn("pq_encode", col("__mv"), typedlit(cb.books)).as("pq_codes"))

@@ -653,25 +653,48 @@ object PipelineCompiler {
     }.getOrElse(Map.empty[String, Double])
     weights.keys.find(k => !pipelines.exists(_._1 == k)).foreach(k =>
       throw new MqlException(s"$$rankFusion weight for unknown pipeline '$k'"))
-    if (spec.exists { case ("scoreDetails", JBool(true)) => true; case _ => false })
-      throw new MqlException("$rankFusion scoreDetails is not supported")
+    val scoreDetails = spec.exists {
+      case ("scoreDetails", JBool(v)) => v; case _ => false }
     val idField = spec.collectFirst { case ("idField", JString(f)) => f }
       .getOrElse("_id")
+    // the fused score joins back as a REAL column named `score`
+    // ({"$meta": "score"} resolves to it) — refuse a collection that
+    // already carries one rather than silently shadowing it
+    ("score" +: (if (scoreDetails) Seq("scoreDetails") else Nil)).foreach { c =>
+      if (df.columns.contains(c)) throw new MqlException(
+        s"$$rankFusion: input already has a '$c' field")
+    }
     // the ordering a ranked sub-pipeline ends with (skipping $limit/$skip)
     def rankingKeys(stages: List[JValue]): Seq[Column] = {
-      val effective = stages.reverse.dropWhile {
+      val suffix = stages.reverse.takeWhile {
         case JObject(List((n, _))) => n == "$limit" || n == "$skip"
         case _ => false
       }
+      val effective = stages.reverse.drop(suffix.length)
+      def requireBounded(bounded: Boolean, what: String): Unit = {
+        val hasLimit = suffix.exists {
+          case JObject(List(("$limit", _))) => true; case _ => false }
+        // rank = row_number over ONE unpartitioned window — by
+        // definition of "rank". Safe only because the ranked input is
+        // top-k-bounded; an unbounded $sort would funnel the whole
+        // collection through a single task, so it is refused (the
+        // $bucketAuto/$firstN guard doctrine).
+        if (!bounded && !hasLimit) throw new MqlException(
+          s"$$rankFusion: $what sub-pipeline needs a bounding $$limit " +
+            "(the rank window is global)")
+      }
       effective.headOption match {
-        case Some(JObject(List(("$sort", s)))) => sortCols(s)
+        case Some(JObject(List(("$sort", s)))) =>
+          requireBounded(bounded = false, "$sort-ranked"); sortCols(s)
         case Some(JObject(List(("$search", s)))) =>
-          val tie = asObj(s, "$search").collectFirst {
-            case ("tieBreaker", JString(t)) => t }
+          val o = asObj(s, "$search")
+          val tie = o.collectFirst { case ("tieBreaker", JString(t)) => t }
             .getOrElse(throw new MqlException(
               "$rankFusion: $search sub-pipeline needs tieBreaker for deterministic ranks"))
+          requireBounded(o.exists(_._1 == "limit"), "$search")
           Seq(col("searchScore").desc, fieldCol(tie).asc)
         case Some(JObject(List(("$vectorSearch", s)))) =>
+          // $vectorSearch always top-k-bounds (limit is mandatory)
           val tie = asObj(s, "$vectorSearch").collectFirst {
             case ("tieBreaker", JString(t)) => t }
             .getOrElse(throw new MqlException(
@@ -693,16 +716,36 @@ object PipelineCompiler {
         out.withColumn("__rf_r",
             row_number().over(Window.orderBy(rankingKeys(stages): _*)))
           .select(fieldCol(idField).as("__rf_id"),
-            (lit(w) / (lit(60.0) + col("__rf_r"))).as("__rf_c"))
+            (lit(w) / (lit(60.0) + col("__rf_r"))).as("__rf_c"),
+            lit(name).as("__rf_p"), col("__rf_r").cast("long").as("__rf_rank"),
+            lit(w).as("__rf_w"))
       case (name, other) =>
         throw new MqlException(s"$$rankFusion pipeline '$name' must be an array, got $other")
     }
+    // Mongo's scoreDetails shape: {value, description, details:
+    // [{inputPipelineName, rank, weight, value}]}, details ordered by
+    // pipeline name (array_sort on the struct's leading field)
+    val detailAggs =
+      if (scoreDetails) Seq(array_sort(collect_list(struct(
+        col("__rf_p").as("inputPipelineName"), col("__rf_rank").as("rank"),
+        col("__rf_w").as("weight"), round(col("__rf_c"), 6).as("value"))))
+        .as("__rf_details"))
+      else Nil
     val fused = contribs.reduce(_.unionByName(_))
       .groupBy(col("__rf_id"))
-      .agg(round(sum(col("__rf_c")), 6).as("score"))
-    df.join(fused, df(idField) === fused("__rf_id"))
+      .agg(round(sum(col("__rf_c")), 6).as("__rf_score"), detailAggs: _*)
+    val joined = df.join(fused, fieldCol(idField) === fused("__rf_id"))
       .drop("__rf_id")
-      .orderBy(col("score").desc, col(idField).asc)
+      .withColumnRenamed("__rf_score", "score")
+    val out = if (!scoreDetails) joined
+      else joined.withColumn("scoreDetails", struct(
+          col("score").as("value"),
+          lit("value output by reciprocal rank fusion algorithm, computed as " +
+            "sum of (weight * (1 / (60 + rank))) across input pipelines")
+            .as("description"),
+          col("__rf_details").as("details")))
+        .drop("__rf_details")
+    out.orderBy(col("score").desc, fieldCol(idField).asc)
   }
 
   // ---- $redact -------------------------------------------------------------
@@ -785,118 +828,238 @@ object PipelineCompiler {
     redacted.drop("__graft_d0")
   }
 
-  // ---- $search (text + compound operators) ---------------------------------
+  // ---- $search (text/phrase/equals/range/wildcard + compound) --------------
   // Atlas Search's lexical stage:
   //   {"$search": {"text": {"query": "spark window", "path": "text"}}}
-  //   {"$search": {"compound": {"must": [{"text": ...}], "should": [...],
-  //                             "mustNot": [...]}}}
-  // Text clauses match documents containing ≥1 query token and score by
-  // BM25 (k1=1.2, b=0.75, the Lucene defaults Atlas inherits). Compound
-  // semantics: every `must` clause matches, no `mustNot` clause matches,
-  // and with no `must` at least one `should` must; the score is the sum
-  // of matching must/should clause scores. Appended as `searchScore`
-  // ({"$meta": "searchScore"} resolves to it). Optional `limit` bounds
-  // the result (ORDER BY + LIMIT → TakeOrdered); `tieBreaker` orders
-  // equal scores (same extension as $vectorSearch).
+  //   {"$search": {"phrase": {"query": "spark query", "path": "text"}}}
+  //   {"$search": {"compound": {"must": [...], "should": [...],
+  //                             "mustNot": [...], "filter": [...]}}}
+  // Operators:
+  //  * text — matches documents containing ≥1 query token, scored by
+  //    BM25 (k1=1.2, b=0.75, the Lucene defaults Atlas inherits).
+  //  * phrase — the query tokens as a CONSECUTIVE subsequence of the
+  //    path's token stream (Lucene PhraseQuery, slop 0), scored by BM25
+  //    with the phrase as one pseudo-term (tf = occurrence count,
+  //    df = docs containing the phrase).
+  //  * equals / range — null-safe field comparison / open-or-closed
+  //    numeric-string-date bounds; constant score 1 (Lucene's
+  //    constant-score rewrite for non-scoring predicates).
+  //  * wildcard — Lucene wildcard pattern (* = any run, ? = one char)
+  //    against ANALYZED terms (allowAnalyzedField semantics): matches
+  //    when any token matches the anchored pattern; constant score 1.
+  // Compound semantics (Lucene BooleanQuery): every `must` and every
+  // `filter` clause matches, no `mustNot` clause matches, and when
+  // there is no must/filter at least one `should` must; the score is
+  // the sum of matching must/should clause scores — `filter` never
+  // contributes score. Appended as `searchScore` ({"$meta":
+  // "searchScore"} resolves to it). Optional `limit` bounds the result
+  // (ORDER BY + LIMIT → TakeOrdered); `tieBreaker` orders equal scores
+  // (same extension as $vectorSearch).
   //
   // Plan shape — deliberately JOIN-FREE on the document side: the corpus
-  // statistics BM25 needs (N, one avgdl per referenced path, one df per
-  // scored term) are query-sized, so they aggregate into ONE row in ONE
-  // corpus pass that broadcast-cross-joins back; per-document tf/length
-  // are pure Column expressions over per-path token arrays materialized
-  // once in the scoring scan. The corpus is scanned twice (stats,
-  // scoring) and shuffles nothing but the 1-row stats frame.
+  // statistics BM25 needs (one N/avgdl pair per scored path, one df per
+  // scored term/phrase) are query-sized, so they aggregate into ONE row
+  // in ONE corpus pass that broadcast-cross-joins back; per-document
+  // tf/length are pure Column expressions over per-path token arrays
+  // materialized once in the scoring scan. The corpus is scanned twice
+  // (stats, scoring) and shuffles nothing but the 1-row stats frame.
+  // N and avgdl count only documents with ≥1 token on the path —
+  // matching bm25TopK, whose doc-length frame is built from exploded
+  // tokens (a zero-token doc contributes no rows there).
   private def search(df: DataFrame, spec: List[(String, JValue)]): DataFrame = {
     val (k1, b) = (1.2, 0.75)
-    def parseText(t: JValue): (Seq[String], String) = {
-      val o = asObj(t, "$search.text")
-      val q = o.collectFirst { case ("query", JString(x)) => x }
-        .getOrElse(throw new MqlException("$search.text needs query"))
-      val p = o.collectFirst { case ("path", JString(x)) => x }
-        .getOrElse(throw new MqlException("$search.text needs path"))
-      val terms = q.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
-      if (terms.isEmpty) throw new MqlException("$search.text: empty query")
-      (terms, p)
+    sealed trait SClause { def path: String }
+    case class TextCl(terms: Seq[String], path: String) extends SClause
+    case class PhraseCl(terms: Seq[String], path: String) extends SClause
+    case class EqualsCl(path: String, value: Column) extends SClause
+    case class RangeCl(path: String, bounds: Seq[(String, Column)]) extends SClause
+    case class WildcardCl(path: String, regex: String) extends SClause
+    def obj(v: JValue, ctx: String) = asObj(v, ctx)
+    def pathOf(o: List[(String, JValue)], ctx: String): String =
+      o.collectFirst { case ("path", JString(x)) => x }
+        .getOrElse(throw new MqlException(s"$ctx needs path"))
+    def queryOf(o: List[(String, JValue)], ctx: String): String =
+      o.collectFirst { case ("query", JString(x)) => x }
+        .getOrElse(throw new MqlException(s"$ctx needs query"))
+    // the same tokenizer the document side uses (TextAnalysis.tokens):
+    // lowercase whitespace split, empties dropped
+    def qTokens(q: String, ctx: String): Seq[String] = {
+      val t = q.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      if (t.isEmpty) throw new MqlException(s"$ctx: empty query")
+      t
     }
-    def clauseList(v: JValue, ctx: String): Seq[(Seq[String], String)] = v match {
-      case JArray(cs) => cs.map {
-        case JObject(List(("text", t))) => parseText(t)
-        case other => throw new MqlException(s"$ctx supports only text clauses, got $other")
-      }
+    def litOf(v: JValue, ctx: String): Column = v match {
+      case JString(s) => lit(s)
+      case JInt(i)    => lit(i.toLong)
+      case JLong(l)   => lit(l)
+      case JDouble(d) => lit(d)
+      case JBool(x)   => lit(x)
+      case JNull      => lit(null)
+      case other => throw new MqlException(s"$ctx: unsupported value $other")
+    }
+    def parseClause(v: JValue, ctx: String): SClause = obj(v, ctx) match {
+      case List(("text", t)) =>
+        val o = obj(t, "$search.text")
+        TextCl(qTokens(queryOf(o, "$search.text"), "$search.text").distinct,
+          pathOf(o, "$search.text"))
+      case List(("phrase", t)) =>
+        val o = obj(t, "$search.phrase")
+        // order matters and repeats are positions, so NOT distinct
+        PhraseCl(qTokens(queryOf(o, "$search.phrase"), "$search.phrase"),
+          pathOf(o, "$search.phrase"))
+      case List(("equals", t)) =>
+        val o = obj(t, "$search.equals")
+        val value = o.collectFirst { case ("value", x) => x }
+          .getOrElse(throw new MqlException("$search.equals needs value"))
+        EqualsCl(pathOf(o, "$search.equals"), litOf(value, "$search.equals"))
+      case List(("range", t)) =>
+        val o = obj(t, "$search.range")
+        val bounds = o.collect {
+          case (k @ ("gt" | "gte" | "lt" | "lte"), x) =>
+            k -> litOf(x, s"$$search.range.$k") }
+        if (bounds.isEmpty)
+          throw new MqlException("$search.range needs gt/gte/lt/lte")
+        RangeCl(pathOf(o, "$search.range"), bounds)
+      case List(("wildcard", t)) =>
+        val o = obj(t, "$search.wildcard")
+        val q = queryOf(o, "$search.wildcard").toLowerCase
+        val rx = "^" + q.flatMap {
+          case '*' => ".*"
+          case '?' => "."
+          case c if "\\.[]{}()<>+-=!$^|".contains(c) => "\\" + c
+          case c => c.toString
+        } + "$"
+        WildcardCl(pathOf(o, "$search.wildcard"), rx)
+      case other => throw new MqlException(
+        s"$ctx: unsupported operator ${other.map(_._1).mkString(",")}")
+    }
+    def clauseList(v: JValue, ctx: String): Seq[SClause] = v match {
+      case JArray(cs) => cs.map(parseClause(_, ctx))
       case other => throw new MqlException(s"$ctx must be an array, got $other")
     }
-    val (must, should, mustNot) =
-      spec.collectFirst { case ("compound", c) => asObj(c, "$search.compound") } match {
+    val topOps = Set("text", "phrase", "equals", "range", "wildcard")
+    val (must, should, mustNot, filterCls) =
+      spec.collectFirst { case ("compound", c) => obj(c, "$search.compound") } match {
         case Some(comp) =>
           comp.foreach { case (k, _) =>
-            if (!Set("must", "should", "mustNot").contains(k)) throw new MqlException(
-              s"$$search.compound: unsupported clause list '$k'") }
-          (comp.collectFirst { case ("must", v) =>
-             clauseList(v, "$search.compound.must") }.getOrElse(Nil),
-           comp.collectFirst { case ("should", v) =>
-             clauseList(v, "$search.compound.should") }.getOrElse(Nil),
-           comp.collectFirst { case ("mustNot", v) =>
-             clauseList(v, "$search.compound.mustNot") }.getOrElse(Nil))
+            if (!Set("must", "should", "mustNot", "filter").contains(k))
+              throw new MqlException(
+                s"$$search.compound: unsupported clause list '$k'") }
+          def cl(name: String) = comp.collectFirst { case (`name`, v) =>
+            clauseList(v, s"$$search.compound.$name") }.getOrElse(Nil)
+          (cl("must"), cl("should"), cl("mustNot"), cl("filter"))
         case None =>
-          val t = spec.collectFirst { case ("text", t) => t }
+          val c = spec.collectFirst { case (op, t) if topOps(op) =>
+            parseClause(JObject(List(op -> t)), "$search") }
             .getOrElse(throw new MqlException(
-              "$search supports the text and compound operators"))
-          (Seq(parseText(t)), Nil, Nil)
+              "$search supports the text/phrase/equals/range/wildcard/compound operators"))
+          (Seq(c), Nil, Nil, Nil)
       }
-    if (must.isEmpty && should.isEmpty)
-      throw new MqlException("$search.compound needs must or should clauses")
+    if (must.isEmpty && should.isEmpty && filterCls.isEmpty)
+      throw new MqlException("$search.compound needs must, should, or filter clauses")
     val scoredClauses = must ++ should
-    val paths = (scoredClauses ++ mustNot).map(_._2).distinct
-    val pIdx = paths.zipWithIndex.toMap
+    // paths whose token arrays any clause needs, materialized once
+    val tokPaths = (scoredClauses ++ mustNot ++ filterCls).collect {
+      case c: TextCl => c.path
+      case c: PhraseCl => c.path
+      case c: WildcardCl => c.path
+    }.distinct
+    val pIdx = tokPaths.zipWithIndex.toMap
     def toksOf(p: String) = graft.llmops.TextAnalysis.tokens(lower(fieldCol(p)))
-    // ONE corpus pass for every statistic any clause needs
-    val scoredPaths = scoredClauses.map(_._2).distinct
-    val avgdlCols = scoredPaths.map(p =>
-      avg(size(toksOf(p)).cast("double")).as(s"__avgdl_${pIdx(p)}"))
-    val dfCols = scoredClauses.zipWithIndex.flatMap { case ((terms, p), ci) =>
-      terms.zipWithIndex.map { case (t, ti) =>
-        sum(when(array_contains(toksOf(p), t), 1L).otherwise(0L))
-          .as(s"__df_${ci}_$ti")
-      }
-    }
-    val statsRow = broadcast(df.agg(
-      count(lit(1)).cast("double").as("__n_docs"), (avgdlCols ++ dfCols): _*))
-    // per-path token arrays, materialized once in the scoring scan
     def tokCol(p: String) = col(s"__graft_toks_${pIdx(p)}")
-    def clauseScore(ci: Int, terms: Seq[String], p: String): Column = {
+    // consecutive-subsequence occurrence count of `terms` in `toks`
+    def phraseTf(toks: Column, terms: Seq[String]): Column = {
+      val L = terms.length
+      when(size(toks) >= L,
+        size(filter(sequence(lit(1), size(toks) - lit(L) + lit(1)), i =>
+          terms.zipWithIndex.map { case (t, o) =>
+            element_at(toks, (i + lit(o)).cast("int")) === lit(t)
+          }.reduce(_ && _))).cast("double"))
+        .otherwise(lit(0.0))
+    }
+    // ONE corpus pass for every statistic any scored text/phrase clause
+    // needs: per-path N + avgdl over docs with ≥1 token, per-term df,
+    // per-phrase df
+    val statPaths = scoredClauses.collect {
+      case c: TextCl => c.path
+      case c: PhraseCl => c.path
+    }.distinct
+    val statCols: Seq[Column] =
+      statPaths.flatMap { p =>
+        Seq(sum(when(size(toksOf(p)) > 0, 1L).otherwise(0L)).cast("double")
+              .as(s"__n_${pIdx(p)}"),
+            avg(when(size(toksOf(p)) > 0, size(toksOf(p)).cast("double")))
+              .as(s"__avgdl_${pIdx(p)}"))
+      } ++
+      scoredClauses.zipWithIndex.flatMap {
+        case (TextCl(terms, p), ci) =>
+          terms.zipWithIndex.map { case (t, ti) =>
+            sum(when(array_contains(toksOf(p), t), 1L).otherwise(0L))
+              .as(s"__df_${ci}_$ti") }
+        case (PhraseCl(terms, p), ci) =>
+          Seq(sum(when(phraseTf(toksOf(p), terms) > 0, 1L).otherwise(0L))
+            .as(s"__pdf_$ci"))
+        case _ => Nil
+      }
+    def bm25(tf: Column, dfT: Column, p: String): Column = {
       val dl = size(tokCol(p)).cast("double")
-      terms.zipWithIndex.map { case (t, ti) =>
-        val dfT = col(s"__df_${ci}_$ti").cast("double")
-        val idf = log(lit(1.0) +
-          (col("__n_docs") - dfT + lit(0.5)) / (dfT + lit(0.5)))
-        val tfC = size(filter(tokCol(p), x => x === lit(t))).cast("double")
-        when(tfC > 0,
-          idf * tfC * (lit(k1) + 1.0) /
-            (tfC + lit(k1) * (lit(1.0) - lit(b) +
-              lit(b) * dl / col(s"__avgdl_${pIdx(p)}"))))
-          .otherwise(lit(0.0))
-      }.reduce(_ + _)
+      val idf = log(lit(1.0) +
+        (col(s"__n_${pIdx(p)}") - dfT + lit(0.5)) / (dfT + lit(0.5)))
+      when(tf > 0,
+        idf * tf * (lit(k1) + 1.0) /
+          (tf + lit(k1) * (lit(1.0) - lit(b) +
+            lit(b) * dl / col(s"__avgdl_${pIdx(p)}"))))
+        .otherwise(lit(0.0))
     }
-    val clauseScores = scoredClauses.zipWithIndex.map { case ((terms, p), ci) =>
-      clauseScore(ci, terms, p)
+    def matches(c: SClause): Column = c match {
+      // coalesce: a null path (missing field) matches nothing — in
+      // particular a mustNot over a missing path must NOT exclude the doc
+      case TextCl(terms, p) => coalesce(
+        size(array_intersect(tokCol(p), array(terms.map(lit): _*))) > 0, lit(false))
+      case PhraseCl(terms, p) => coalesce(phraseTf(tokCol(p), terms) > 0, lit(false))
+      case EqualsCl(p, v) => fieldCol(p) <=> v
+      case RangeCl(p, bounds) => coalesce(bounds.map {
+          case ("gt", v)  => fieldCol(p) > v
+          case ("gte", v) => fieldCol(p) >= v
+          case ("lt", v)  => fieldCol(p) < v
+          case (_, v)     => fieldCol(p) <= v
+        }.reduce(_ && _), lit(false))
+      case WildcardCl(p, rx) =>
+        coalesce(exists(tokCol(p), x => x.rlike(rx)), lit(false))
     }
-    val (mustScores, shouldScores) = clauseScores.splitAt(must.length)
-    def notMatches(terms: Seq[String], p: String): Column =
-      size(array_intersect(tokCol(p), array(terms.map(lit): _*))) > 0
+    def score(c: SClause, ci: Int): Column = c match {
+      case TextCl(terms, p) =>
+        terms.zipWithIndex.map { case (t, ti) =>
+          bm25(size(filter(tokCol(p), x => x === lit(t))).cast("double"),
+            col(s"__df_${ci}_$ti").cast("double"), p)
+        }.reduce(_ + _)
+      case PhraseCl(terms, p) =>
+        bm25(phraseTf(tokCol(p), terms), col(s"__pdf_$ci").cast("double"), p)
+      case c2 => when(matches(c2), lit(1.0)).otherwise(lit(0.0))
+    }
+    val clauseScores = scoredClauses.zipWithIndex.map { case (c, ci) => score(c, ci) }
     val matched = (
-      mustScores.map(_ > 0.0) ++
-        mustNot.map { case (terms, p) => !notMatches(terms, p) } ++
-        (if (must.isEmpty) Seq(shouldScores.map(_ > 0.0).reduce(_ || _)) else Nil)
+      (must ++ filterCls).map(matches) ++
+        mustNot.map(c => !matches(c)) ++
+        (if (must.isEmpty && filterCls.isEmpty)
+           Seq(should.map(matches).reduce(_ || _)) else Nil)
       ).reduce(_ && _)
-    val withToks = paths.foldLeft(df.crossJoin(statsRow)) { (acc, p) =>
+    val base = if (statCols.isEmpty) df
+      else df.crossJoin(broadcast(df.agg(statCols.head, statCols.tail: _*)))
+    val withToks = tokPaths.foldLeft(base) { (acc, p) =>
       acc.withColumn(s"__graft_toks_${pIdx(p)}", toksOf(p))
     }
-    val dropCols = paths.map(p => s"__graft_toks_${pIdx(p)}") ++
-      Seq("__n_docs") ++ scoredPaths.map(p => s"__avgdl_${pIdx(p)}") ++
-      scoredClauses.zipWithIndex.flatMap { case ((terms, _), ci) =>
-        terms.indices.map(ti => s"__df_${ci}_$ti") }
+    val dropCols = tokPaths.map(p => s"__graft_toks_${pIdx(p)}") ++
+      statPaths.flatMap(p => Seq(s"__n_${pIdx(p)}", s"__avgdl_${pIdx(p)}")) ++
+      scoredClauses.zipWithIndex.flatMap {
+        case (TextCl(terms, _), ci) => terms.indices.map(ti => s"__df_${ci}_$ti")
+        case (_: PhraseCl, ci) => Seq(s"__pdf_$ci")
+        case _ => Nil
+      }
+    val totalScore =
+      if (clauseScores.isEmpty) lit(0.0) else clauseScores.reduce(_ + _)
     val scored = withToks
-      .withColumn("searchScore", round(clauseScores.reduce(_ + _), 6))
+      .withColumn("searchScore", round(totalScore, 6))
       .where(matched)
       .drop(dropCols: _*)
     val tieCols = spec.collectFirst { case ("tieBreaker", JString(t)) => t }
@@ -963,14 +1126,26 @@ object PipelineCompiler {
         // vectors tie on the hash but contribute the identical
         // centroid, so the seed SET is stable), and candidate
         // selection is one map-only nearest-cell filter — no join, no
-        // id plumbing, the corpus is touched once
-        val seeds = filtered
-          .select(vcol.as("__v")).where(col("__v").isNotNull)
-          .orderBy(xxhash64(col("__v")).asc).limit(nCells)
-          .collect().map(_.getSeq[Double](0)).filter(_.nonEmpty).toIndexedSeq
+        // id plumbing. Seeds AND the corpus count come out of ONE
+        // treeAggregate pass (count + bounded top-nCells-by-hash per
+        // partition, log-depth merge) — the build prelude is a single
+        // job, not a TakeOrdered plus a separate count
+        val (n0, seedHeap) = filtered
+          .select(xxhash64(vcol).as("__h"), vcol.as("__v"))
+          .where(col("__v").isNotNull && size(col("__v")) > 0)
+          .rdd.treeAggregate(
+            (0L, Vector.empty[(Long, Seq[Double])]))(
+            { case ((cnt, top), r) =>
+              val cand = top :+ (r.getLong(0) -> r.getSeq[Double](1))
+              (cnt + 1,
+                if (cand.length <= nCells) cand
+                else cand.sortBy(_._1).take(nCells)) },
+            { case ((c1, t1), (c2, t2)) =>
+              (c1 + c2, (t1 ++ t2).sortBy(_._1).take(nCells)) })
+        val seeds = seedHeap.sortBy(_._1).take(nCells).map(_._2).toIndexedSeq
         if (seeds.isEmpty) filtered.limit(0)
         else {
-          val n = filtered.count().max(1L)
+          val n = n0.max(1L)
           val nProbe = math.min(seeds.length.toLong,
             (numCandidates.toLong * seeds.length + n - 1) / n).toInt.max(1)
           // probe on the driver: the query is a literal, centroids are

@@ -760,6 +760,72 @@ object LlmOps {
             SELECT vec_id FROM embeddings
             WHERE vec_id NOT IN (SELECT ib FROM dup) ORDER BY vec_id""")),
 
+    // IVF-PQ composite, NON-exhaustive (3 of 8 cells probed): the IVF
+    // half bounds WHICH rows are ADC-scored, the PQ half bounds WHAT
+    // ships — the billion-scale index layout, end to end. DuckDB
+    // re-derives the cells (portable md5 seeds + max-cosine assignment,
+    // the q_semdedup machinery), re-selects each query's probes, and
+    // re-trains/re-encodes/re-scores the PQ index (the q_pq_topk
+    // machinery) — the full composite, not just its exhaustive
+    // degenerate form (that reduction to pqTopK stays spec-pinned in
+    // AnnDedupSpec).
+    QueryDef("q_ivfpq_topk",
+      (s, dir) => {
+        val e = Graft.table(s, dir, "embeddings")
+        Similarity.ivfPqTopK(e.where(col("vec_id") < 5), e, k = 10,
+          nCells = 8, nProbe = 3, portableSeed = true)
+          .orderBy("query_id", "rnk")
+      },
+      Some("""WITH u AS (SELECT vec_id, unnest(embedding)::DOUBLE AS e,
+                    generate_subscripts(embedding, 1) - 1 AS i FROM embeddings),
+              n AS (SELECT vec_id, sqrt(sum(e*e)) AS nrm FROM u GROUP BY vec_id),
+              iseeds AS (SELECT vec_id AS cell,
+                           ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS rn
+                         FROM (SELECT vec_id,
+                                 ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS h
+                               FROM embeddings ORDER BY h, vec_id LIMIT 8)),
+              cells AS (SELECT cell, ROW_NUMBER() OVER (ORDER BY cell) - 1 AS ci
+                        FROM iseeds),
+              cv AS (SELECT c.ci, u.i, u.e / n.nrm AS ce
+                     FROM cells c JOIN u ON u.vec_id = c.cell
+                                  JOIN n ON n.vec_id = c.cell),
+              sim AS (SELECT u.vec_id, cv.ci, SUM(u.e * cv.ce) AS s
+                      FROM u JOIN cv ON u.i = cv.i GROUP BY 1, 2),
+              asg AS (SELECT vec_id, ci FROM (
+                        SELECT vec_id, ci, ROW_NUMBER() OVER (
+                          PARTITION BY vec_id ORDER BY s DESC, ci) AS r
+                        FROM sim) WHERE r = 1),
+              probes AS (SELECT vec_id AS query_id, ci FROM (
+                           SELECT vec_id, ci, ROW_NUMBER() OVER (
+                             PARTITION BY vec_id ORDER BY s DESC, ci) AS r
+                           FROM sim WHERE vec_id < 5) WHERE r <= 3),
+              pseeds AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS j
+                         FROM (SELECT vec_id,
+                                 ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS h
+                               FROM embeddings ORDER BY h, vec_id LIMIT 16)),
+              cb AS (SELECT u.i // 8 AS s, pseeds.j, u.i % 8 AS t, u.e AS v
+                     FROM u JOIN pseeds ON u.vec_id = pseeds.vec_id),
+              dist AS (SELECT u.vec_id, cb.s, cb.j,
+                              SUM((u.e - cb.v) * (u.e - cb.v)) AS d
+                       FROM u JOIN cb ON u.i // 8 = cb.s AND u.i % 8 = cb.t
+                       GROUP BY 1, 2, 3),
+              code AS (SELECT vec_id, s, j FROM (
+                         SELECT vec_id, s, j, ROW_NUMBER() OVER (
+                           PARTITION BY vec_id, s ORDER BY d, j) AS r
+                         FROM dist) WHERE r = 1),
+              adc AS (SELECT p.query_id, a.vec_id AS match_id,
+                             round(SUM(qd.d), 6) AS adc
+                      FROM probes p JOIN asg a ON a.ci = p.ci
+                           JOIN code c ON c.vec_id = a.vec_id
+                           JOIN dist qd ON qd.vec_id = p.query_id
+                                       AND qd.s = c.s AND qd.j = c.j
+                      WHERE a.vec_id <> p.query_id
+                      GROUP BY 1, 2)
+            SELECT query_id, match_id, adc,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY adc, match_id) AS BIGINT) AS rnk
+            FROM adc QUALIFY rnk <= 10 ORDER BY query_id, rnk""")),
+
     // PQ-ADC approximate top-10: md5-hash-sampled codebooks (16 codes ×
     // 8 subspaces), so DuckDB re-trains, re-encodes, and re-scores the
     // identical index
@@ -970,6 +1036,74 @@ object LlmOps {
                      GROUP BY 1)
             SELECT doc_id, score FROM sc
             ORDER BY score DESC, doc_id LIMIT 20""")),
+
+    // $search phrase operator: "spark query" as a CONSECUTIVE token
+    // subsequence, BM25-scored with the phrase as one pseudo-term —
+    // DuckDB rebuilds occurrence counts from positioned tokens
+    QueryDef("q_search_phrase",
+      (s, dir) => Graft.aggregate(s, dir, "documents",
+        """[
+          {"$search": {"phrase": {"query": "spark query",
+            "path": "text"}, "limit": 20, "tieBreaker": "doc_id"}},
+          {"$project": {"doc_id": 1,
+            "score": {"$meta": "searchScore"}}},
+          {"$sort": {"score": -1, "doc_id": 1}}]"""),
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($duckToksLower) AS term,
+                       generate_subscripts($duckToksLower, 1) AS pos
+                 FROM documents),
+              dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+              st AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+              ptf AS (SELECT a.doc_id, COUNT(*) AS tf
+                      FROM toks a JOIN toks b
+                        ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+                      WHERE a.term = 'spark' AND b.term = 'query' GROUP BY 1),
+              pdf AS (SELECT COUNT(*) AS df FROM ptf),
+              sc AS (SELECT ptf.doc_id,
+                       round(ln(1 + (st.n - pdf.df + 0.5) / (pdf.df + 0.5)) *
+                         ptf.tf * 2.2 / (ptf.tf + 1.2 *
+                           (1 - 0.75 + 0.75 * dl.dl / st.avgdl)), 6) AS score
+                     FROM ptf JOIN dl USING (doc_id)
+                          CROSS JOIN st CROSS JOIN pdf)
+            SELECT doc_id, score FROM sc
+            ORDER BY score DESC, doc_id LIMIT 20""")),
+
+    // $search compound: scored text must + zero-score range filter +
+    // phrase mustNot, all three clause lists in one query
+    QueryDef("q_search_compound",
+      (s, dir) => Graft.aggregate(s, dir, "documents",
+        """[
+          {"$search": {"compound": {
+            "must": [{"text": {"query": "spark window", "path": "text"}}],
+            "filter": [{"range": {"path": "n_chars", "gte": 100}}],
+            "mustNot": [{"phrase": {"query": "slow table", "path": "text"}}]},
+            "limit": 50, "tieBreaker": "doc_id"}},
+          {"$project": {"doc_id": 1,
+            "score": {"$meta": "searchScore"}}},
+          {"$sort": {"score": -1, "doc_id": 1}}]"""),
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($duckToksLower) AS term,
+                       generate_subscripts($duckToksLower, 1) AS pos
+                 FROM documents),
+              dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+              st AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+              tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+                     WHERE term IN ('spark', 'window') GROUP BY 1, 2),
+              dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+              mn AS (SELECT DISTINCT a.doc_id
+                     FROM toks a JOIN toks b
+                       ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+                     WHERE a.term = 'slow' AND b.term = 'table'),
+              sc AS (SELECT tf.doc_id,
+                       round(SUM(ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                         tf.tf * 2.2 / (tf.tf + 1.2 *
+                           (1 - 0.75 + 0.75 * dl.dl / st.avgdl))), 6) AS score
+                     FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id)
+                          CROSS JOIN st
+                     GROUP BY 1)
+            SELECT d.doc_id AS doc_id, sc.score
+            FROM documents d JOIN sc ON sc.doc_id = d.doc_id
+            WHERE d.n_chars >= 100
+              AND d.doc_id NOT IN (SELECT mn.doc_id FROM mn)
+            ORDER BY sc.score DESC, d.doc_id LIMIT 50""")),
 
     // BM25 top-20 retrieval for a 3-term query over the corpus
     QueryDef("q_bm25",

@@ -598,8 +598,60 @@ class PipelineExtraSpec extends AnyFunSuite {
     // unknown weight name is rejected
     intercept[MqlException](PipelineCompiler.run(docs, """[
       {"$rankFusion": {"idField": "id",
-        "input": {"pipelines": {"a": [{"$sort": {"id": 1}}]}},
+        "input": {"pipelines": {"a": [{"$sort": {"id": 1}},
+                                      {"$limit": 5}]}},
         "combination": {"weights": {"zzz": 1}}}}]"""))
+    // an UNBOUNDED $sort-ranked sub-pipeline is rejected: its rank is
+    // one global window, which would funnel the whole collection
+    // through a single task at scale
+    val unbounded = intercept[MqlException](PipelineCompiler.run(docs, """[
+      {"$rankFusion": {"idField": "id", "input": {"pipelines": {
+        "all": [{"$sort": {"views": -1, "id": 1}}]}}}}]"""))
+    assert(unbounded.getMessage.contains("bounding $limit"))
+    // same for a limit-less $search sub-pipeline
+    intercept[MqlException](PipelineCompiler.run(docs, """[
+      {"$rankFusion": {"idField": "id", "input": {"pipelines": {
+        "lex": [{"$search": {"text": {"query": "spark", "path": "text"},
+                 "tieBreaker": "id"}}]}}}}]"""))
+    // an input that already carries a `score` field is refused rather
+    // than silently shadowed
+    intercept[MqlException](PipelineCompiler.run(
+      docs.withColumnRenamed("views", "score"), """[
+      {"$rankFusion": {"idField": "id", "input": {"pipelines": {
+        "s": [{"$sort": {"score": -1, "id": 1}}, {"$limit": 2}]}}}}]"""))
+  }
+
+  test("$rankFusion scoreDetails: per-pipeline rank/weight/contribution") {
+    val docs = Seq(
+      (1L, "spark spark fast", 10),
+      (2L, "slow database", 30),
+      (3L, "spark", 20)
+    ).toDF("id", "text", "views")
+    val out = PipelineCompiler.run(docs, """[
+      {"$rankFusion": {
+        "idField": "id", "scoreDetails": true,
+        "input": {"pipelines": {
+          "lexical": [{"$search": {"text": {"query": "spark", "path": "text"},
+                       "limit": 5, "tieBreaker": "id"}}],
+          "popular": [{"$sort": {"views": -1, "id": 1}}, {"$limit": 2}]}},
+        "combination": {"weights": {"lexical": 2}}}},
+      {"$project": {"id": 1, "score": {"$meta": "score"},
+        "details": "$scoreDetails.details"}}]""")
+    val rows = out.selectExpr("id", "score",
+        "transform(details, d -> struct(d.inputPipelineName, d.rank, d.weight))")
+      .as[(Long, Double, Seq[(String, Long, Double)])].collect()
+      .map(r => r._1 -> r._3).toMap
+    // doc 3: lexical rank 1 (weight 2) + popular rank 2 (weight 1)
+    assert(rows(3L) == Seq(("lexical", 1L, 2.0), ("popular", 2L, 1.0)))
+    // doc 1: lexical rank 2 only
+    assert(rows(1L) == Seq(("lexical", 2L, 2.0)))
+    // doc 2: popular rank 1 only
+    assert(rows(2L) == Seq(("popular", 1L, 1.0)))
+    // the struct's value field sums to the fused score
+    val sums = out.selectExpr("id", "score",
+      "round(aggregate(details, 0.0d, (a, d) -> a + d.value), 6) AS s")
+      .where("score <> s").count()
+    assert(sums == 0L)
   }
 
   test("$search text operator: BM25 scores, only matching docs, $meta") {
@@ -623,8 +675,6 @@ class PipelineExtraSpec extends AnyFunSuite {
       {"$search": {"text": {"query": "spark database", "path": "text"}}}]""")
       .select("id").as[Long].collect().toSet
     assert(multi == Set(1L, 2L, 3L))
-    intercept[MqlException](PipelineCompiler.run(docs,
-      """[{"$search": {"phrase": {"query": "x", "path": "text"}}}]"""))
 
     // compound: must + mustNot
     val comp = PipelineCompiler.run(docs, """[
@@ -648,10 +698,107 @@ class PipelineExtraSpec extends AnyFunSuite {
     val sDb = math.rint(math.log(1 + 2.5 / 1.5) * 1e6) / 1e6
     assert(sh == Seq((1L, s(2, 3)), (2L, sDb), (3L, s(1, 1))))
 
-    // unsupported clause kinds are rejected
+    // unsupported compound clause lists / operators are rejected
     intercept[MqlException](PipelineCompiler.run(docs, """[
-      {"$search": {"compound": {"filter": [
+      {"$search": {"compound": {"minimumShouldMatch": 1, "should": [
         {"text": {"query": "spark", "path": "text"}}]}}}]"""))
+    intercept[MqlException](PipelineCompiler.run(docs, """[
+      {"$search": {"moreLikeThis": {"like": {"text": "spark"}}}}]"""))
+  }
+
+  test("$search phrase operator: consecutive-subsequence BM25") {
+    val docs = Seq(
+      (1L, "spark spark fast"), (2L, "slow database"), (3L, "spark")
+    ).toDF("id", "text")
+    // "spark fast" occurs only in doc 1 (positions 2-3); doc 3 has
+    // "spark" but no following "fast" → phrase does not match
+    val out = PipelineCompiler.run(docs, """[
+      {"$search": {"phrase": {"query": "spark fast", "path": "text"}}},
+      {"$project": {"id": 1, "score": {"$meta": "searchScore"}}}]""")
+      .as[(Long, Double)].collect().toSeq
+    // N=3, avgdl=2, phrase df=1, ptf=1, dl=3
+    val idf = math.log(1 + 2.5 / 1.5)
+    val exp = math.rint(idf * 2.2 / (1 + 1.2 * (0.25 + 0.75 * 3 / 2.0)) * 1e6) / 1e6
+    assert(out == Seq((1L, exp)))
+    // repeated occurrences count: "spark spark" in doc 1 has ptf 1,
+    // and "a a" in a doc "a a a" would have ptf 2 (overlapping)
+    val rep = PipelineCompiler.run(Seq((1L, "a a a")).toDF("id", "text"), """[
+      {"$search": {"phrase": {"query": "a a", "path": "text"}}},
+      {"$project": {"id": 1, "score": {"$meta": "searchScore"}}}]""")
+      .as[(Long, Double)].collect().toSeq
+    // N=1, df=1, ptf=2, dl=3, avgdl=3
+    val idf1 = math.log(1 + 0.5 / 1.5)
+    val exp2 = math.rint(idf1 * 2 * 2.2 / (2 + 1.2 * (0.25 + 0.75)) * 1e6) / 1e6
+    assert(rep == Seq((1L, exp2)))
+  }
+
+  test("$search equals/range/wildcard operators and compound filter") {
+    val docs = Seq(
+      (1L, "spark spark fast", "web", 10),
+      (2L, "slow database", "book", 30),
+      (3L, "spark", "web", 20)
+    ).toDF("id", "text", "source", "views")
+    // equals: constant score 1
+    val eq = PipelineCompiler.run(docs, """[
+      {"$search": {"equals": {"path": "source", "value": "web"}}},
+      {"$project": {"id": 1, "score": {"$meta": "searchScore"}}},
+      {"$sort": {"id": 1}}]""").as[(Long, Double)].collect().toSeq
+    assert(eq == Seq((1L, 1.0), (3L, 1.0)))
+    // range: half-open bounds
+    val rg = PipelineCompiler.run(docs, """[
+      {"$search": {"range": {"path": "views", "gte": 20, "lt": 30}}}]""")
+      .select("id").as[Long].collect().toSeq
+    assert(rg == Seq(3L))
+    // wildcard over analyzed terms
+    val wc = PipelineCompiler.run(docs, """[
+      {"$search": {"wildcard": {"path": "text", "query": "data*se"}}}]""")
+      .select("id").as[Long].collect().toSeq
+    assert(wc == Seq(2L))
+    // compound filter: must-semantics, zero score contribution
+    val fl = PipelineCompiler.run(docs, """[
+      {"$search": {"compound": {
+        "must": [{"text": {"query": "spark", "path": "text"}}],
+        "filter": [{"range": {"path": "views", "gte": 15}}]}}},
+      {"$project": {"id": 1, "score": {"$meta": "searchScore"}}}]""")
+      .as[(Long, Double)].collect().toSeq
+    // doc1 fails the filter; doc3 survives with its text score only
+    val idf = math.log(1 + 1.5 / 2.5)
+    val s3 = math.rint(idf * 2.2 / (1 + 1.2 * (0.25 + 0.75 * 1 / 2.0)) * 1e6) / 1e6
+    assert(fl == Seq((3L, s3)))
+    // filter-only compound: all filter-matching docs at score 0
+    val fo = PipelineCompiler.run(docs, """[
+      {"$search": {"compound": {
+        "filter": [{"equals": {"path": "source", "value": "web"}}]}}},
+      {"$project": {"id": 1, "score": {"$meta": "searchScore"}}},
+      {"$sort": {"id": 1}}]""").as[(Long, Double)].collect().toSeq
+    assert(fo == Seq((1L, 0.0), (3L, 0.0)))
+  }
+
+  test("$search: mustNot over a missing/null path keeps the doc") {
+    val docs = Seq(
+      (1L, "spark fast", Some("beta")), (2L, "spark slow", None)
+    ).toDF("id", "text", "tag")
+    // doc 2 has a null tag: the mustNot clause trivially holds there
+    val out = PipelineCompiler.run(docs, """[
+      {"$search": {"compound": {
+        "must": [{"text": {"query": "spark", "path": "text"}}],
+        "mustNot": [{"text": {"query": "beta", "path": "tag"}}]}}},
+      {"$sort": {"id": 1}}]""").select("id").as[Long].collect().toSeq
+    assert(out == Seq(2L))
+    // $search.text BM25 stats exclude zero-token docs from N/avgdl —
+    // bm25TopK parity (its doc-length frame is built from exploded
+    // tokens, where an empty doc contributes no rows)
+    val corpus = Seq((1L, "spark"), (2L, ""), (3L, "spark spark other"))
+      .toDF("doc_id", "text")
+    val viaSearch = PipelineCompiler.run(corpus, """[
+      {"$search": {"text": {"query": "spark", "path": "text"},
+        "limit": 5, "tieBreaker": "doc_id"}},
+      {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}}]""")
+      .as[(Long, Double)].collect().toMap
+    val viaBm25 = graft.llmops.TfIdf.bm25TopK(corpus, "doc_id", "text",
+      Seq("spark"), k = 5).select("doc_id", "score")
+      .as[(Long, Double)].collect().toMap
+    assert(viaSearch == viaBm25)
   }
 
   test("$firstN/$lastN window ops require a single-field stage sortBy") {
