@@ -207,6 +207,31 @@ object Headline {
               WHERE ts IS NOT NULL
               ORDER BY user_id, event_type""")),
 
+    // per-key custom state (flatMapGroupsWithState): the update-mode
+    // emission stream folded to its final row per user equals the batch
+    // cumulative GROUP BY — the custom-state twin of q_mql_stream's
+    // built-in-aggregate check
+    QueryDef("q_stream_state",
+      (s, dir) => EventStream.runRunningStatsOnFixture(s, dir)
+        .orderBy("user_id"),
+      Some("""SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+                     MAX(CAST(ts AS TIMESTAMP)) AS last_ts
+              FROM events
+              WHERE ts IS NOT NULL AND user_id IS NOT NULL
+                AND value IS NOT NULL
+              GROUP BY user_id ORDER BY user_id""")),
+
+    // continuous ingest through the graftdocs document sink: stream →
+    // foreachBatch DSv2 write (jsonl) → read back through the same
+    // source; the round trip must be value-exact (ts excluded: $date is
+    // ms-grained by design)
+    QueryDef("q_doc_sink",
+      (s, dir) => EventStream.runDocSinkOnFixture(s, dir)
+        .orderBy("event_id"),
+      Some("""SELECT event_id, user_id, event_type, value FROM events
+              WHERE ts IS NOT NULL ORDER BY event_id""")),
+
     // stream-stream interval join (attribution): each purchase joined to
     // the same user's clicks in the preceding 10 minutes. Inner-join
     // matches emit as found; the watermarks + time band only bound the

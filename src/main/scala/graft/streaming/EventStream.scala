@@ -98,10 +98,14 @@ object EventStream {
     * key is the cumulative view. State is one fixed-size row per key —
     * at 100 TB/day the bound is key cardinality, not stream length;
     * for unbounded key spaces pair with a GroupStateTimeout so idle
-    * keys expire. */
+    * keys expire. The value accumulator is decimal: the iterator order
+    * inside a group depends on shuffle arrival, so a double sum would
+    * be run-nondeterministic — decimal addition is order-exact (the
+    * same reason windowedAgg sums through DecimalType). */
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp,
-                             value: Double)
-  final case class UserState(user_id: Long, n: Long, sum_value: Double,
+                             value: java.math.BigDecimal)
+  final case class UserState(user_id: Long, n: Long,
+                             sum_value: java.math.BigDecimal,
                              last_ts: java.sql.Timestamp)
 
   def runningUserStats(events: org.apache.spark.sql.Dataset[UserEvent])
@@ -111,16 +115,73 @@ object EventStream {
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
         (key: Long, it: Iterator[UserEvent], state: GroupState[UserState]) => {
-          val prev = state.getOption.getOrElse(UserState(key, 0L, 0.0, null))
+          val prev = state.getOption.getOrElse(
+            UserState(key, 0L, java.math.BigDecimal.ZERO, null))
           var n = prev.n; var s = prev.sum_value; var last = prev.last_ts
           it.foreach { e =>
-            n += 1; s += e.value
+            n += 1
+            if (e.value != null) s = s.add(e.value)
             if (last == null || e.ts.after(last)) last = e.ts
           }
           val next = UserState(key, n, s, last)
           state.update(next)
           Iterator.single(next)
         })
+  }
+
+  /** Run the per-key running aggregate synchronously over the parquet
+    * fixture and fold the update-mode emissions to the final cumulative
+    * row per user (n is strictly increasing per key, so max-by-n IS the
+    * last emission). Values go through DECIMAL(18,4) before the state
+    * accumulator — the windowedAgg parity convention, so the result
+    * hash-matches a batch GROUP BY twin exactly. */
+  def runRunningStatsOnFixture(spark: SparkSession, dir: String): DataFrame = {
+    val updates = runStream(spark, dir, ev => {
+      import ev.sparkSession.implicits._
+      runningUserStats(ev
+        .where(col("user_id").isNotNull && col("value").isNotNull)
+        .select(col("user_id"), col("ts"),
+          col("value").cast(DecimalType(18, 4)).as("value"))
+        .as[UserEvent]).toDF()
+    }, outputMode = "update")
+    updates.groupBy("user_id")
+      .agg(max(struct(col("n"), col("sum_value"), col("last_ts"))).as("s"))
+      .select(col("user_id"), col("s.n").as("n"),
+        col("s.sum_value").cast(DoubleType).as("sum_value"),
+        col("s.last_ts").as("last_ts"))
+  }
+
+  /** Streaming ingest through the graftdocs document sink over the
+    * fixture, then read the sink back through the SAME DSv2 source —
+    * the write→read round trip of the continuous-ingest loop, runnable
+    * under the correctness gate (ts stays out of the projection: the
+    * extended-JSON $date encoding is millisecond-grained by design,
+    * DocWriter.jsonValue). The sink directory is per-run scratch under
+    * java.io.tmpdir. */
+  def runDocSinkOnFixture(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_docsink").toString
+    val ckptBase = if (new java.io.File("/dev/shm").canWrite) "/dev/shm" else
+      System.getProperty("java.io.tmpdir")
+    val name = s"graft_docsink_${System.nanoTime()}"
+    val ev = eventsSource(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      q = writeToDocSink(ev, out)
+        .option("checkpointLocation", s"$ckptBase/ckpt_$name")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+    } finally {
+      if (q != null) q.stop()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(s"$ckptBase/ckpt_$name"))
+    }
+    spark.read.format("graftdocs")
+      .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
+      .load(out)
   }
 
   /** Streaming ingest into the document sink: each micro-batch appends

@@ -104,22 +104,26 @@ class EventStreamSpec extends AnyFunSuite {
     val q = EventStream.runningUserStats(input.toDS())
       .writeStream.outputMode("update").format("memory").queryName(name)
       .start()
+    def dec(s: String) = new java.math.BigDecimal(s)
     try {
-      // batch 1: two users (values chosen exactly representable)
+      // batch 1: two users
       input.addData(
-        UserEvent(1L, ts("2024-01-01 10:00:00"), 1.25),
-        UserEvent(1L, ts("2024-01-01 11:00:00"), 0.25),
-        UserEvent(2L, ts("2024-01-01 10:30:00"), 2.0))
+        UserEvent(1L, ts("2024-01-01 10:00:00"), dec("1.25")),
+        UserEvent(1L, ts("2024-01-01 11:00:00"), dec("0.25")),
+        UserEvent(2L, ts("2024-01-01 10:30:00"), dec("2.0")))
       q.processAllAvailable()
       // batch 2: user 1 again — state must accumulate, not reset
-      input.addData(UserEvent(1L, ts("2024-01-01 09:00:00"), 0.5))
+      input.addData(UserEvent(1L, ts("2024-01-01 09:00:00"), dec("0.5")))
       q.processAllAvailable()
       val rows = spark.table(name).as[UserState].collect()
-      // latest emission per key is the cumulative view
+      // latest emission per key is the cumulative view (BigDecimal
+      // equality is scale-sensitive → compareTo)
       val last1 = rows.filter(_.user_id == 1L).maxBy(_.n)
-      assert(last1 == UserState(1L, 3L, 2.0, ts("2024-01-01 11:00:00")))
+      assert(last1.n == 3L && last1.sum_value.compareTo(dec("2.0")) == 0
+        && last1.last_ts == ts("2024-01-01 11:00:00"))
       val last2 = rows.filter(_.user_id == 2L).maxBy(_.n)
-      assert(last2 == UserState(2L, 1L, 2.0, ts("2024-01-01 10:30:00")))
+      assert(last2.n == 1L && last2.sum_value.compareTo(dec("2.0")) == 0
+        && last2.last_ts == ts("2024-01-01 10:30:00"))
       // update mode emitted user 1 once per batch it appeared in
       assert(rows.count(_.user_id == 1L) == 2)
     } finally q.stop()
