@@ -847,6 +847,12 @@ object PipelineCompiler {
   //  * wildcard — Lucene wildcard pattern (* = any run, ? = one char)
   //    against ANALYZED terms (allowAnalyzedField semantics): matches
   //    when any token matches the anchored pattern; constant score 1.
+  //  * autocomplete — search-as-you-type: the query's leading tokens as
+  //    an exact consecutive run with the last token a PREFIX of the
+  //    following doc token; constant score 1 (the edge-gram index is a
+  //    physical detail — prefix-on-analyzed-terms is its semantics).
+  //  * in / exists — set membership (null-safe) / field presence;
+  //    constant score 1.
   // Compound semantics (Lucene BooleanQuery): every `must` and every
   // `filter` clause matches, no `mustNot` clause matches, and when
   // there is no must/filter at least one `should` must; the score is
@@ -874,6 +880,9 @@ object PipelineCompiler {
     case class EqualsCl(path: String, value: Column) extends SClause
     case class RangeCl(path: String, bounds: Seq[(String, Column)]) extends SClause
     case class WildcardCl(path: String, regex: String) extends SClause
+    case class AutoCl(terms: Seq[String], path: String) extends SClause
+    case class InCl(path: String, values: Seq[Column]) extends SClause
+    case class ExistsCl(path: String) extends SClause
     def obj(v: JValue, ctx: String) = asObj(v, ctx)
     def pathOf(o: List[(String, JValue)], ctx: String): String =
       o.collectFirst { case ("path", JString(x)) => x }
@@ -930,6 +939,20 @@ object PipelineCompiler {
           case c => c.toString
         } + "$"
         WildcardCl(pathOf(o, "$search.wildcard"), rx)
+      case List(("autocomplete", t)) =>
+        val o = obj(t, "$search.autocomplete")
+        AutoCl(qTokens(queryOf(o, "$search.autocomplete"), "$search.autocomplete"),
+          pathOf(o, "$search.autocomplete"))
+      case List(("in", t)) =>
+        val o = obj(t, "$search.in")
+        val vs = o.collectFirst { case ("value", JArray(xs)) =>
+            xs.map(litOf(_, "$search.in")) }
+          .orElse(o.collectFirst { case ("value", x) =>
+            Seq(litOf(x, "$search.in")) })
+          .getOrElse(throw new MqlException("$search.in needs value"))
+        InCl(pathOf(o, "$search.in"), vs)
+      case List(("exists", t)) =>
+        ExistsCl(pathOf(obj(t, "$search.exists"), "$search.exists"))
       case other => throw new MqlException(
         s"$ctx: unsupported operator ${other.map(_._1).mkString(",")}")
     }
@@ -937,7 +960,8 @@ object PipelineCompiler {
       case JArray(cs) => cs.map(parseClause(_, ctx))
       case other => throw new MqlException(s"$ctx must be an array, got $other")
     }
-    val topOps = Set("text", "phrase", "equals", "range", "wildcard")
+    val topOps = Set("text", "phrase", "equals", "range", "wildcard",
+      "autocomplete", "in", "exists")
     val (must, should, mustNot, filterCls) =
       spec.collectFirst { case ("compound", c) => obj(c, "$search.compound") } match {
         case Some(comp) =>
@@ -952,7 +976,8 @@ object PipelineCompiler {
           val c = spec.collectFirst { case (op, t) if topOps(op) =>
             parseClause(JObject(List(op -> t)), "$search") }
             .getOrElse(throw new MqlException(
-              "$search supports the text/phrase/equals/range/wildcard/compound operators"))
+              "$search supports the text/phrase/equals/range/wildcard/" +
+                "autocomplete/in/exists/compound operators"))
           (Seq(c), Nil, Nil, Nil)
       }
     if (must.isEmpty && should.isEmpty && filterCls.isEmpty)
@@ -963,6 +988,7 @@ object PipelineCompiler {
       case c: TextCl => c.path
       case c: PhraseCl => c.path
       case c: WildcardCl => c.path
+      case c: AutoCl => c.path
     }.distinct
     val pIdx = tokPaths.zipWithIndex.toMap
     def toksOf(p: String) = graft.llmops.TextAnalysis.tokens(lower(fieldCol(p)))
@@ -1026,6 +1052,22 @@ object PipelineCompiler {
         }.reduce(_ && _), lit(false))
       case WildcardCl(p, rx) =>
         coalesce(exists(tokCol(p), x => x.rlike(rx)), lit(false))
+      // autocomplete: the query's leading tokens as an exact consecutive
+      // run with the LAST token a prefix of the next doc token — the
+      // search-as-you-type contract over analyzed terms
+      case AutoCl(terms, p) =>
+        val L = terms.length
+        val pre = terms.last
+        val m = if (L == 1) exists(tokCol(p), x => x.startsWith(pre))
+          else size(filter(sequence(lit(1), size(tokCol(p)) - lit(L) + lit(1)), i =>
+            (terms.init.zipWithIndex.map { case (t, o) =>
+              element_at(tokCol(p), (i + lit(o)).cast("int")) === lit(t)
+            } :+ element_at(tokCol(p), (i + lit(L - 1)).cast("int"))
+                  .startsWith(lit(pre)))
+              .reduce(_ && _))) > 0
+        coalesce(when(size(tokCol(p)) >= L, m), lit(false))
+      case InCl(p, vs) => vs.map(v => fieldCol(p) <=> v).reduce(_ || _)
+      case ExistsCl(p) => fieldCol(p).isNotNull
     }
     def score(c: SClause, ci: Int): Column = c match {
       case TextCl(terms, p) =>

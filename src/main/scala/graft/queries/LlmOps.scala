@@ -888,6 +888,36 @@ object LlmOps {
             SELECT vec_id, score FROM s
             ORDER BY score DESC, vec_id LIMIT 10""")),
 
+    // $vectorSearch ANN path (exact: false): treeAggregate seed build,
+    // driver-side probe selection, map-only nearest-cell candidate
+    // filter — exercised end to end with EXHAUSTIVE probes
+    // (numCandidates ≥ corpus), so candidates = everything and the
+    // oracle is the exact-scoring twin; non-exhaustive recall is
+    // spec-pinned (the IVF machinery is shared with ivfTopK)
+    QueryDef("q_vector_search_ann",
+      (s, dir) => {
+        val qvec = (0 until 64).map(i => if (i % 2 == 0) "1.0" else "0.0")
+          .mkString(", ")
+        Graft.aggregate(s, dir, "embeddings",
+          s"""[
+            {"$$vectorSearch": {"path": "embedding",
+              "queryVector": [$qvec], "limit": 10, "exact": false,
+              "nCells": 4, "numCandidates": 1000000,
+              "tieBreaker": "vec_id",
+              "filter": {"vec_id": {"$$gte": 5}}}},
+            {"$$project": {"vec_id": 1,
+              "score": {"$$meta": "vectorSearchScore"}}},
+            {"$$sort": {"score": -1, "vec_id": 1}}]""")
+      },
+      Some("""WITH u AS (SELECT vec_id, unnest(embedding)::DOUBLE AS e,
+                    generate_subscripts(embedding, 1) AS i FROM embeddings),
+              s AS (SELECT vec_id,
+                      round((sum(e * CASE WHEN i % 2 = 1 THEN 1.0 ELSE 0.0 END)
+                             / (sqrt(sum(e * e)) * sqrt(32.0)) + 1) / 2, 6) AS score
+                    FROM u WHERE vec_id >= 5 GROUP BY vec_id)
+            SELECT vec_id, score FROM s
+            ORDER BY score DESC, vec_id LIMIT 10""")),
+
     // $rankFusion: weighted RRF over a $search ranking and a length
     // ranking of the same collection (DuckDB rebuilds both rankings
     // and the fusion)
@@ -929,6 +959,56 @@ object LlmOps {
                           SELECT doc_id, 1.0 / (60 + rnk) FROM pop)
                         GROUP BY doc_id)
             SELECT doc_id, score FROM fused
+            ORDER BY score DESC, doc_id""")),
+
+    // $rankFusion scoreDetails: the per-pipeline contribution structs,
+    // checked through MQL expressions over the details array ($size +
+    // $reduce sum of per-pipeline values) — DuckDB re-derives the
+    // contributing-pipeline count and the rounded-contribution sum
+    QueryDef("q_rank_fusion_details",
+      (s, dir) => Graft.aggregate(s, dir, "documents",
+        """[
+          {"$rankFusion": {"idField": "doc_id", "scoreDetails": true,
+            "input": {"pipelines": {
+              "lexical": [{"$search": {"text": {"query": "spark query window",
+                "path": "text"}, "limit": 20, "tieBreaker": "doc_id"}}],
+              "longest": [{"$sort": {"n_chars": -1, "doc_id": 1}},
+                          {"$limit": 20}]}},
+            "combination": {"weights": {"lexical": 2}}}},
+          {"$project": {"doc_id": 1, "score": {"$meta": "score"},
+            "n_pipelines": {"$size": "$scoreDetails.details"},
+            "detail_sum": {"$round": [{"$reduce": {
+              "input": "$scoreDetails.details", "initialValue": 0.0,
+              "in": {"$add": ["$$value", "$$this.value"]}}}, 6]}}},
+          {"$sort": {"score": -1, "doc_id": 1}}]"""),
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($duckToksLower) AS term
+                 FROM documents),
+              dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+              st AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+              tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+                     WHERE term IN ('spark', 'query', 'window') GROUP BY 1, 2),
+              dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+              sc AS (SELECT tf.doc_id,
+                       round(SUM(ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                         tf.tf * 2.2 / (tf.tf + 1.2 *
+                           (1 - 0.75 + 0.75 * dl.dl / st.avgdl))), 6) AS score
+                     FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id)
+                          CROSS JOIN st
+                     GROUP BY 1),
+              lex AS (SELECT doc_id, ROW_NUMBER() OVER (
+                        ORDER BY score DESC, doc_id) AS rnk
+                      FROM sc QUALIFY rnk <= 20),
+              pop AS (SELECT doc_id, ROW_NUMBER() OVER (
+                        ORDER BY n_chars DESC, doc_id) AS rnk
+                      FROM documents QUALIFY rnk <= 20),
+              fused AS (SELECT doc_id, round(SUM(c), 6) AS score,
+                               CAST(COUNT(*) AS BIGINT) AS n_pipelines,
+                               round(SUM(round(c, 6)), 6) AS detail_sum
+                        FROM (SELECT doc_id, 2.0 / (60 + rnk) AS c FROM lex
+                              UNION ALL
+                              SELECT doc_id, 1.0 / (60 + rnk) FROM pop)
+                        GROUP BY doc_id)
+            SELECT doc_id, score, n_pipelines, detail_sum FROM fused
             ORDER BY score DESC, doc_id""")),
 
     // $redact: level-wise prune/descend over a nested doc built by

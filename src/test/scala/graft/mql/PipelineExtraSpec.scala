@@ -774,6 +774,36 @@ class PipelineExtraSpec extends AnyFunSuite {
     assert(fo == Seq((1L, 0.0), (3L, 0.0)))
   }
 
+  test("$search autocomplete/in/exists operators") {
+    val docs = Seq(
+      (1L, "spark sparkles fast", Some("web")), (2L, "slow database", Some("book")),
+      (3L, "sparse matrix", None)
+    ).toDF("id", "text", "source")
+    // single-token prefix: "spar" hits spark/sparkles/sparse
+    val ac1 = PipelineCompiler.run(docs, """[
+      {"$search": {"autocomplete": {"query": "spar", "path": "text"}}},
+      {"$sort": {"id": 1}}]""").select("id").as[Long].collect().toSeq
+    assert(ac1 == Seq(1L, 3L))
+    // multi-token: exact leading run + prefix last token
+    val ac2 = PipelineCompiler.run(docs, """[
+      {"$search": {"autocomplete": {"query": "spark spark", "path": "text"}}}]""")
+      .select("id").as[Long].collect().toSeq
+    assert(ac2 == Seq(1L))  // "spark sparkles"; doc 3 has no exact "spark"
+    // in: set membership, constant score
+    val in = PipelineCompiler.run(docs, """[
+      {"$search": {"in": {"path": "source", "value": ["web", "zine"]}}},
+      {"$project": {"id": 1, "score": {"$meta": "searchScore"}}}]""")
+      .as[(Long, Double)].collect().toSeq
+    assert(in == Seq((1L, 1.0)))
+    // exists: field presence
+    val ex = PipelineCompiler.run(docs, """[
+      {"$search": {"compound": {
+        "must": [{"text": {"query": "database matrix", "path": "text"}}],
+        "mustNot": [{"exists": {"path": "source"}}]}}}]""")
+      .select("id").as[Long].collect().toSeq
+    assert(ex == Seq(3L))
+  }
+
   test("$search: mustNot over a missing/null path keeps the doc") {
     val docs = Seq(
       (1L, "spark fast", Some("beta")), (2L, "spark slow", None)
