@@ -150,6 +150,7 @@ object PipelineCompiler {
     case "$graphLookup"     => graphLookup(df, asObj(spec, "$graphLookup"), resolve)
     case "$vectorSearch"    => vectorSearch(df, asObj(spec, "$vectorSearch"))
     case "$search"          => search(df, asObj(spec, "$search"))
+    case "$searchMeta"      => searchMeta(df, asObj(spec, "$searchMeta"))
     case "$redact"          => redact(df, spec)
     case "$rankFusion"      => rankFusion(df, asObj(spec, "$rankFusion"), resolve)
     case other => throw new MqlException(s"unsupported pipeline stage $other")
@@ -883,6 +884,7 @@ object PipelineCompiler {
     case class AutoCl(terms: Seq[String], path: String) extends SClause
     case class InCl(path: String, values: Seq[Column]) extends SClause
     case class ExistsCl(path: String) extends SClause
+    case class NearCl(path: String, origin: Double, pivot: Double) extends SClause
     def obj(v: JValue, ctx: String) = asObj(v, ctx)
     def pathOf(o: List[(String, JValue)], ctx: String): String =
       o.collectFirst { case ("path", JString(x)) => x }
@@ -906,21 +908,46 @@ object PipelineCompiler {
       case JNull      => lit(null)
       case other => throw new MqlException(s"$ctx: unsupported value $other")
     }
-    def parseClause(v: JValue, ctx: String): SClause = obj(v, ctx) match {
+    // per-clause score option: {"score": {"boost": {"value": w}}} scales
+    // the clause's BM25/constant score; {"constant": {"value": k}}
+    // replaces it with k for matching docs (Atlas's two modifiers)
+    case class Cl(c: SClause, boost: Double, constant: Option[Double])
+    def numOf(v: JValue, ctx: String): Double = v match {
+      case JInt(i) => i.toDouble
+      case JLong(l) => l.toDouble
+      case JDouble(d) => d
+      case other => throw new MqlException(s"$ctx: expected a number, got $other")
+    }
+    def scoreOpt(o: List[(String, JValue)], ctx: String): (Double, Option[Double]) =
+      o.collectFirst { case ("score", sv) => obj(sv, s"$ctx.score") match {
+        case List(("boost", b)) =>
+          (obj(b, s"$ctx.score.boost").collectFirst { case ("value", x) =>
+            numOf(x, s"$ctx.score.boost") }
+            .getOrElse(throw new MqlException(s"$ctx.score.boost needs value")), None)
+        case List(("constant", c)) =>
+          (1.0, Some(obj(c, s"$ctx.score.constant").collectFirst { case ("value", x) =>
+            numOf(x, s"$ctx.score.constant") }
+            .getOrElse(throw new MqlException(s"$ctx.score.constant needs value"))))
+        case _ => throw new MqlException(s"$ctx.score supports boost or constant")
+      }}.getOrElse((1.0, None))
+    def parseClause(v: JValue, ctx: String): Cl = obj(v, ctx) match {
       case List(("text", t)) =>
         val o = obj(t, "$search.text")
-        TextCl(qTokens(queryOf(o, "$search.text"), "$search.text").distinct,
-          pathOf(o, "$search.text"))
+        val (b, k) = scoreOpt(o, "$search.text")
+        Cl(TextCl(qTokens(queryOf(o, "$search.text"), "$search.text").distinct,
+          pathOf(o, "$search.text")), b, k)
       case List(("phrase", t)) =>
         val o = obj(t, "$search.phrase")
+        val (b, k) = scoreOpt(o, "$search.phrase")
         // order matters and repeats are positions, so NOT distinct
-        PhraseCl(qTokens(queryOf(o, "$search.phrase"), "$search.phrase"),
-          pathOf(o, "$search.phrase"))
+        Cl(PhraseCl(qTokens(queryOf(o, "$search.phrase"), "$search.phrase"),
+          pathOf(o, "$search.phrase")), b, k)
       case List(("equals", t)) =>
         val o = obj(t, "$search.equals")
         val value = o.collectFirst { case ("value", x) => x }
           .getOrElse(throw new MqlException("$search.equals needs value"))
-        EqualsCl(pathOf(o, "$search.equals"), litOf(value, "$search.equals"))
+        val (b, k) = scoreOpt(o, "$search.equals")
+        Cl(EqualsCl(pathOf(o, "$search.equals"), litOf(value, "$search.equals")), b, k)
       case List(("range", t)) =>
         val o = obj(t, "$search.range")
         val bounds = o.collect {
@@ -928,7 +955,8 @@ object PipelineCompiler {
             k -> litOf(x, s"$$search.range.$k") }
         if (bounds.isEmpty)
           throw new MqlException("$search.range needs gt/gte/lt/lte")
-        RangeCl(pathOf(o, "$search.range"), bounds)
+        val (b, k) = scoreOpt(o, "$search.range")
+        Cl(RangeCl(pathOf(o, "$search.range"), bounds), b, k)
       case List(("wildcard", t)) =>
         val o = obj(t, "$search.wildcard")
         val q = queryOf(o, "$search.wildcard").toLowerCase
@@ -938,11 +966,13 @@ object PipelineCompiler {
           case c if "\\.[]{}()<>+-=!$^|".contains(c) => "\\" + c
           case c => c.toString
         } + "$"
-        WildcardCl(pathOf(o, "$search.wildcard"), rx)
+        val (b, k) = scoreOpt(o, "$search.wildcard")
+        Cl(WildcardCl(pathOf(o, "$search.wildcard"), rx), b, k)
       case List(("autocomplete", t)) =>
         val o = obj(t, "$search.autocomplete")
-        AutoCl(qTokens(queryOf(o, "$search.autocomplete"), "$search.autocomplete"),
-          pathOf(o, "$search.autocomplete"))
+        val (b, k) = scoreOpt(o, "$search.autocomplete")
+        Cl(AutoCl(qTokens(queryOf(o, "$search.autocomplete"), "$search.autocomplete"),
+          pathOf(o, "$search.autocomplete")), b, k)
       case List(("in", t)) =>
         val o = obj(t, "$search.in")
         val vs = o.collectFirst { case ("value", JArray(xs)) =>
@@ -950,23 +980,41 @@ object PipelineCompiler {
           .orElse(o.collectFirst { case ("value", x) =>
             Seq(litOf(x, "$search.in")) })
           .getOrElse(throw new MqlException("$search.in needs value"))
-        InCl(pathOf(o, "$search.in"), vs)
+        val (b, k) = scoreOpt(o, "$search.in")
+        Cl(InCl(pathOf(o, "$search.in"), vs), b, k)
       case List(("exists", t)) =>
-        ExistsCl(pathOf(obj(t, "$search.exists"), "$search.exists"))
+        val o = obj(t, "$search.exists")
+        val (b, k) = scoreOpt(o, "$search.exists")
+        Cl(ExistsCl(pathOf(o, "$search.exists")), b, k)
+      case List(("near", t)) =>
+        // numeric proximity: score = pivot / (pivot + |value - origin|)
+        // (Atlas's distance-decay contract; numeric origins only — the
+        // date form is the same formula over epoch millis)
+        val o = obj(t, "$search.near")
+        val origin = o.collectFirst { case ("origin", x) =>
+          numOf(x, "$search.near.origin") }
+          .getOrElse(throw new MqlException("$search.near needs origin"))
+        val pivot = o.collectFirst { case ("pivot", x) =>
+          numOf(x, "$search.near.pivot") }
+          .getOrElse(throw new MqlException("$search.near needs pivot"))
+        if (pivot <= 0) throw new MqlException("$search.near: pivot must be > 0")
+        val (b, k) = scoreOpt(o, "$search.near")
+        Cl(NearCl(pathOf(o, "$search.near"), origin, pivot), b, k)
       case other => throw new MqlException(
         s"$ctx: unsupported operator ${other.map(_._1).mkString(",")}")
     }
-    def clauseList(v: JValue, ctx: String): Seq[SClause] = v match {
+    def clauseList(v: JValue, ctx: String): Seq[Cl] = v match {
       case JArray(cs) => cs.map(parseClause(_, ctx))
       case other => throw new MqlException(s"$ctx must be an array, got $other")
     }
     val topOps = Set("text", "phrase", "equals", "range", "wildcard",
-      "autocomplete", "in", "exists")
+      "autocomplete", "in", "exists", "near")
     val (must, should, mustNot, filterCls) =
       spec.collectFirst { case ("compound", c) => obj(c, "$search.compound") } match {
         case Some(comp) =>
           comp.foreach { case (k, _) =>
-            if (!Set("must", "should", "mustNot", "filter").contains(k))
+            if (!Set("must", "should", "mustNot", "filter",
+                     "minimumShouldMatch").contains(k))
               throw new MqlException(
                 s"$$search.compound: unsupported clause list '$k'") }
           def cl(name: String) = comp.collectFirst { case (`name`, v) =>
@@ -982,9 +1030,15 @@ object PipelineCompiler {
       }
     if (must.isEmpty && should.isEmpty && filterCls.isEmpty)
       throw new MqlException("$search.compound needs must, should, or filter clauses")
+    val minShould = spec.collectFirst { case ("compound", c) =>
+      obj(c, "$search.compound") }.flatMap(_.collectFirst {
+        case ("minimumShouldMatch", v) =>
+          intValue(v, "$search.compound.minimumShouldMatch") }).getOrElse(0)
+    if (minShould > should.length) throw new MqlException(
+      s"$$search.compound: minimumShouldMatch=$minShould exceeds ${should.length} should clauses")
     val scoredClauses = must ++ should
     // paths whose token arrays any clause needs, materialized once
-    val tokPaths = (scoredClauses ++ mustNot ++ filterCls).collect {
+    val tokPaths = (scoredClauses ++ mustNot ++ filterCls).map(_.c).collect {
       case c: TextCl => c.path
       case c: PhraseCl => c.path
       case c: WildcardCl => c.path
@@ -1006,7 +1060,8 @@ object PipelineCompiler {
     // ONE corpus pass for every statistic any scored text/phrase clause
     // needs: per-path N + avgdl over docs with ≥1 token, per-term df,
     // per-phrase df
-    val statPaths = scoredClauses.collect {
+    // constant-score clauses never touch BM25 stats
+    val statPaths = scoredClauses.filter(_.constant.isEmpty).map(_.c).collect {
       case c: TextCl => c.path
       case c: PhraseCl => c.path
     }.distinct
@@ -1018,11 +1073,11 @@ object PipelineCompiler {
               .as(s"__avgdl_${pIdx(p)}"))
       } ++
       scoredClauses.zipWithIndex.flatMap {
-        case (TextCl(terms, p), ci) =>
+        case (Cl(TextCl(terms, p), _, None), ci) =>
           terms.zipWithIndex.map { case (t, ti) =>
             sum(when(array_contains(toksOf(p), t), 1L).otherwise(0L))
               .as(s"__df_${ci}_$ti") }
-        case (PhraseCl(terms, p), ci) =>
+        case (Cl(PhraseCl(terms, p), _, None), ci) =>
           Seq(sum(when(phraseTf(toksOf(p), terms) > 0, 1L).otherwise(0L))
             .as(s"__pdf_$ci"))
         case _ => Nil
@@ -1068,23 +1123,39 @@ object PipelineCompiler {
         coalesce(when(size(tokCol(p)) >= L, m), lit(false))
       case InCl(p, vs) => vs.map(v => fieldCol(p) <=> v).reduce(_ || _)
       case ExistsCl(p) => fieldCol(p).isNotNull
+      case NearCl(p, _, _) => fieldCol(p).isNotNull
     }
-    def score(c: SClause, ci: Int): Column = c match {
-      case TextCl(terms, p) =>
-        terms.zipWithIndex.map { case (t, ti) =>
-          bm25(size(filter(tokCol(p), x => x === lit(t))).cast("double"),
-            col(s"__df_${ci}_$ti").cast("double"), p)
-        }.reduce(_ + _)
-      case PhraseCl(terms, p) =>
-        bm25(phraseTf(tokCol(p), terms), col(s"__pdf_$ci").cast("double"), p)
-      case c2 => when(matches(c2), lit(1.0)).otherwise(lit(0.0))
+    def score(cl: Cl, ci: Int): Column = cl match {
+      case Cl(c, _, Some(k)) => when(matches(c), lit(k)).otherwise(lit(0.0))
+      case Cl(c, boost, None) =>
+        val base = c match {
+          case TextCl(terms, p) =>
+            terms.zipWithIndex.map { case (t, ti) =>
+              bm25(size(filter(tokCol(p), x => x === lit(t))).cast("double"),
+                col(s"__df_${ci}_$ti").cast("double"), p)
+            }.reduce(_ + _)
+          case PhraseCl(terms, p) =>
+            bm25(phraseTf(tokCol(p), terms), col(s"__pdf_$ci").cast("double"), p)
+          case NearCl(p, origin, pivot) =>
+            when(fieldCol(p).isNotNull, lit(pivot) /
+              (lit(pivot) + abs(fieldCol(p).cast("double") - lit(origin))))
+              .otherwise(lit(0.0))
+          case c2 => when(matches(c2), lit(1.0)).otherwise(lit(0.0))
+        }
+        if (boost == 1.0) base else base * lit(boost)
     }
     val clauseScores = scoredClauses.zipWithIndex.map { case (c, ci) => score(c, ci) }
+    // Lucene BooleanQuery semantics: every must+filter clause holds, no
+    // mustNot holds, and at least max(minimumShouldMatch, 1-if-no-
+    // positive-clause) should clauses hold
+    val effMinShould = math.max(minShould,
+      if (must.isEmpty && filterCls.isEmpty && should.nonEmpty) 1 else 0)
     val matched = (
-      (must ++ filterCls).map(matches) ++
-        mustNot.map(c => !matches(c)) ++
-        (if (must.isEmpty && filterCls.isEmpty)
-           Seq(should.map(matches).reduce(_ || _)) else Nil)
+      (must ++ filterCls).map(cl => matches(cl.c)) ++
+        mustNot.map(cl => !matches(cl.c)) ++
+        (if (effMinShould > 0)
+           Seq(should.map(cl => when(matches(cl.c), 1).otherwise(0))
+             .reduce(_ + _) >= effMinShould) else Nil)
       ).reduce(_ && _)
     val base = if (statCols.isEmpty) df
       else df.crossJoin(broadcast(df.agg(statCols.head, statCols.tail: _*)))
@@ -1094,8 +1165,9 @@ object PipelineCompiler {
     val dropCols = tokPaths.map(p => s"__graft_toks_${pIdx(p)}") ++
       statPaths.flatMap(p => Seq(s"__n_${pIdx(p)}", s"__avgdl_${pIdx(p)}")) ++
       scoredClauses.zipWithIndex.flatMap {
-        case (TextCl(terms, _), ci) => terms.indices.map(ti => s"__df_${ci}_$ti")
-        case (_: PhraseCl, ci) => Seq(s"__pdf_$ci")
+        case (Cl(TextCl(terms, _), _, None), ci) =>
+          terms.indices.map(ti => s"__df_${ci}_$ti")
+        case (Cl(_: PhraseCl, _, None), ci) => Seq(s"__pdf_$ci")
         case _ => Nil
       }
     val totalScore =
@@ -1110,6 +1182,148 @@ object PipelineCompiler {
       case Some(n) =>
         scored.orderBy(col("searchScore").desc +: tieCols: _*).limit(n)
       case None => scored
+    }
+  }
+
+  // ---- $searchMeta ---------------------------------------------------------
+  // Atlas's metadata-only search entry point. Two collector forms:
+  //  * operator (+ optional {"count": {"type": "total"|"lowerBound"}}):
+  //    one row {"count": {<type>: n}} over the matched set. The engine
+  //    always counts exactly; `lowerBound` is the field NAME Atlas
+  //    defaults to, not an approximation here.
+  //  * {"facet": {"operator": ..., "facets": {...}}}: one row
+  //    {"count": {"lowerBound": n}, "facet": {<name>: {"buckets":
+  //    [{"_id", "count"}]}}}. String facets return the top `numBuckets`
+  //    (default 10) values by count desc then value asc; number facets
+  //    return one bucket per [b_i, b_i+1) interval of `boundaries` in
+  //    order (zero counts retained — deterministic, where Atlas may
+  //    elide empty buckets) plus the optional `default` bucket counting
+  //    non-null out-of-range values. Bucket `_id` is always a string
+  //    (Spark arrays are homogeneous; Mongo mixes the numeric lower
+  //    bound with the `default` name string in one buckets array).
+  //
+  // Plan shape: operator matching reuses $search (join-free, one
+  // broadcast stats row only if a text/phrase clause scores). On top of
+  // the matched set: ALL number facets + the total count aggregate in
+  // ONE full-agg pass (map-side partial sums, 1-row result), and ALL
+  // string facets share ONE explode→groupBy shuffle whose post-agg
+  // cardinality is the facets' distinct-value count, with per-facet
+  // top-k taken by a window over that already-aggregated frame. Two
+  // corpus passes total, independent of facet count.
+  private def searchMeta(df: DataFrame, spec: List[(String, JValue)]): DataFrame = {
+    def numOf(v: JValue, ctx: String): Double = v match {
+      case JInt(i)    => i.toDouble
+      case JLong(l)   => l.toDouble
+      case JDouble(d) => d
+      case other => throw new MqlException(s"$ctx: expected a number, got $other")
+    }
+    // integral boundaries render without the trailing ".0" ("100", not
+    // "100.0") so bucket ids read like the spec that declared them
+    def fmtNum(d: Double): String =
+      if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString else d.toString
+    spec.collectFirst { case ("facet", f) => asObj(f, "$searchMeta.facet") } match {
+      case None =>
+        val countType = spec.collectFirst { case ("count", c) =>
+          asObj(c, "$searchMeta.count").collectFirst {
+            case ("type", JString(t)) => t }.getOrElse("lowerBound") }
+          .getOrElse("lowerBound")
+        if (!Set("lowerBound", "total").contains(countType))
+          throw new MqlException(s"$$searchMeta.count: unsupported type '$countType'")
+        val opSpec = spec.filterNot(_._1 == "count")
+        if (opSpec.isEmpty)
+          throw new MqlException("$searchMeta needs an operator or a facet collector")
+        search(df, opSpec).drop("searchScore")
+          .agg(count(lit(1)).as("__c"))
+          .select(struct(col("__c").as(countType)).as("count"))
+      case Some(fs) =>
+        fs.foreach { case (k, _) =>
+          if (!Set("operator", "facets").contains(k))
+            throw new MqlException(s"$$searchMeta.facet: unsupported key '$k'") }
+        val matched = fs.collectFirst { case ("operator", o) =>
+          search(df, asObj(o, "$searchMeta.facet.operator")).drop("searchScore") }
+          .getOrElse(df)
+        val facetDefs = fs.collectFirst { case ("facets", v) =>
+          asObj(v, "$searchMeta.facet.facets") }
+          .getOrElse(throw new MqlException("$searchMeta.facet needs facets"))
+        if (facetDefs.isEmpty)
+          throw new MqlException("$searchMeta.facet: facets must be non-empty")
+        sealed trait FDef { def name: String; def path: String }
+        case class SFacet(name: String, path: String, numBuckets: Int) extends FDef
+        case class NFacet(name: String, path: String, boundaries: Seq[Double],
+                          default: Option[String]) extends FDef
+        val defs: Seq[FDef] = facetDefs.map { case (name, fv) =>
+          val ctx = s"$$searchMeta.facet.facets.$name"
+          val o = asObj(fv, ctx)
+          val path = o.collectFirst { case ("path", JString(p)) => p }
+            .getOrElse(throw new MqlException(s"$ctx needs path"))
+          o.collectFirst { case ("type", JString(t)) => t } match {
+            case Some("string") =>
+              SFacet(name, path, o.collectFirst { case ("numBuckets", v) =>
+                intValue(v, ctx) }.getOrElse(10))
+            case Some("number") =>
+              val bs = o.collectFirst { case ("boundaries", JArray(xs)) =>
+                xs.map(numOf(_, s"$ctx.boundaries")) }
+                .getOrElse(throw new MqlException(s"$ctx needs boundaries"))
+              if (bs.length < 2 || bs.sliding(2).exists { case Seq(a, b) => a >= b })
+                throw new MqlException(
+                  s"$ctx: boundaries must be ≥2 strictly increasing numbers")
+              NFacet(name, path, bs,
+                o.collectFirst { case ("default", JString(d)) => d })
+            case other => throw new MqlException(
+              s"$ctx: unsupported facet type ${other.getOrElse("<missing>")}")
+          }
+        }
+        // pass 1: total count + every number-facet interval, one full agg
+        val nDefs = defs.zipWithIndex.collect { case (n: NFacet, i) => (n, i) }
+        val aggCols: Seq[Column] = count(lit(1)).as("__total") +:
+          nDefs.flatMap { case (nf, fi) =>
+            val v = fieldCol(nf.path).cast("double")
+            nf.boundaries.sliding(2).toSeq.zipWithIndex.map { case (Seq(lo, hi), bi) =>
+              coalesce(sum(when(v >= lo && v < hi, 1L).otherwise(0L)), lit(0L))
+                .as(s"__nb_${fi}_$bi") } ++
+            nf.default.map(_ => coalesce(sum(when(v.isNotNull &&
+                (v < nf.boundaries.head || v >= nf.boundaries.last), 1L)
+              .otherwise(0L)), lit(0L)).as(s"__nd_$fi"))
+          }
+        val numRow = matched.agg(aggCols.head, aggCols.tail: _*)
+        // pass 2: every string facet through one explode→groupBy; facet
+        // index rides along so one shuffle serves them all
+        val sDefs = defs.zipWithIndex.collect { case (s: SFacet, i) => (s, i) }
+        val row = if (sDefs.isEmpty) numRow else {
+          val pairs = sDefs.map { case (sf, fi) =>
+            struct(lit(fi).as("fi"), fieldCol(sf.path).cast("string").as("v")) }
+          val nbByIdx = typedlit(sDefs.map { case (sf, _) => sf.numBuckets })
+          val posCol = sDefs.zipWithIndex.foldLeft(lit(0)) { case (acc, ((_, fi), pos)) =>
+            when(col("fi") === fi, lit(pos + 1)).otherwise(acc) }
+          val grouped = matched.select(explode(array(pairs: _*)).as("p"))
+            .where(col("p.v").isNotNull)
+            .groupBy(col("p.fi").as("fi"), col("p.v").as("v"))
+            .agg(count(lit(1)).as("cnt"))
+          val topK = grouped.withColumn("__rn", row_number().over(
+              Window.partitionBy(col("fi")).orderBy(col("cnt").desc, col("v").asc)))
+            .where(col("__rn") <= element_at(nbByIdx, posCol))
+          val sRow = topK.agg(collect_list(struct(col("fi"), col("v"), col("cnt")))
+            .as("__sb"))
+          numRow.crossJoin(sRow)
+        }
+        def buckets(d: FDef, fi: Int): Column = d match {
+          case nf: NFacet =>
+            val items = nf.boundaries.init.zipWithIndex.map { case (lo, bi) =>
+              struct(lit(fmtNum(lo)).as("_id"), col(s"__nb_${fi}_$bi").as("count")) } ++
+              nf.default.map(dn =>
+                struct(lit(dn).as("_id"), col(s"__nd_$fi").as("count")))
+            array(items: _*)
+          case _: SFacet =>
+            val mine = filter(col("__sb"), b => b("fi") === fi)
+            val sorted = array_sort(mine, (l, r) =>
+              when(l("cnt") > r("cnt"), -1).when(l("cnt") < r("cnt"), 1)
+                .when(l("v") < r("v"), -1).when(l("v") > r("v"), 1).otherwise(0))
+            transform(sorted, b => struct(b("v").as("_id"), b("cnt").as("count")))
+        }
+        row.select(
+          struct(col("__total").as("lowerBound")).as("count"),
+          struct(defs.zipWithIndex.map { case (d, fi) =>
+            struct(buckets(d, fi).as("buckets")).as(d.name) }: _*).as("facet"))
     }
   }
 

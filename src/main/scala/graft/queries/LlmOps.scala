@@ -1147,6 +1147,21 @@ object LlmOps {
             SELECT doc_id, score FROM sc
             ORDER BY score DESC, doc_id LIMIT 20""")),
 
+    // $search near operator: distance-decay proximity score
+    // pivot/(pivot+|v-origin|) over n_chars — a pure arithmetic twin
+    QueryDef("q_search_near",
+      (s, dir) => Graft.aggregate(s, dir, "documents",
+        """[
+          {"$search": {"near": {"path": "n_chars", "origin": 200,
+            "pivot": 50}, "limit": 30, "tieBreaker": "doc_id"}},
+          {"$project": {"doc_id": 1,
+            "score": {"$meta": "searchScore"}}},
+          {"$sort": {"score": -1, "doc_id": 1}}]"""),
+      Some("""SELECT doc_id,
+                     round(50.0 / (50.0 + abs(n_chars - 200.0)), 6) AS score
+              FROM documents WHERE n_chars IS NOT NULL
+              ORDER BY score DESC, doc_id LIMIT 30""")),
+
     // $search compound: scored text must + zero-score range filter +
     // phrase mustNot, all three clause lists in one query
     QueryDef("q_search_compound",

@@ -700,10 +700,45 @@ class PipelineExtraSpec extends AnyFunSuite {
 
     // unsupported compound clause lists / operators are rejected
     intercept[MqlException](PipelineCompiler.run(docs, """[
-      {"$search": {"compound": {"minimumShouldMatch": 1, "should": [
+      {"$search": {"compound": {"near": [], "should": [
         {"text": {"query": "spark", "path": "text"}}]}}}]"""))
     intercept[MqlException](PipelineCompiler.run(docs, """[
       {"$search": {"moreLikeThis": {"like": {"text": "spark"}}}}]"""))
+  }
+
+  test("$search compound minimumShouldMatch and score boost/constant") {
+    val docs = Seq(
+      (1L, "spark spark fast"), (2L, "slow database"), (3L, "spark")
+    ).toDF("id", "text")
+    // minimumShouldMatch 2: only docs matching BOTH should clauses
+    val msm = PipelineCompiler.run(docs, """[
+      {"$search": {"compound": {"minimumShouldMatch": 2, "should": [
+        {"text": {"query": "spark", "path": "text"}},
+        {"text": {"query": "fast", "path": "text"}}]}}}]""")
+      .select("id").as[Long].collect().toSeq
+    assert(msm == Seq(1L))
+    // exceeding the should count is rejected
+    intercept[MqlException](PipelineCompiler.run(docs, """[
+      {"$search": {"compound": {"minimumShouldMatch": 3, "should": [
+        {"text": {"query": "spark", "path": "text"}}]}}}]"""))
+    // constant score replaces BM25; boost scales it
+    val const = PipelineCompiler.run(docs, """[
+      {"$search": {"text": {"query": "spark", "path": "text",
+        "score": {"constant": {"value": 5}}}}},
+      {"$project": {"id": 1, "score": {"$meta": "searchScore"}}},
+      {"$sort": {"id": 1}}]""").as[(Long, Double)].collect().toSeq
+    assert(const == Seq((1L, 5.0), (3L, 5.0)))
+    val plain = PipelineCompiler.run(docs, """[
+      {"$search": {"text": {"query": "spark", "path": "text"}}},
+      {"$project": {"id": 1, "score": {"$meta": "searchScore"}}}]""")
+      .as[(Long, Double)].collect().toMap
+    val boosted = PipelineCompiler.run(docs, """[
+      {"$search": {"text": {"query": "spark", "path": "text",
+        "score": {"boost": {"value": 3}}}}},
+      {"$project": {"id": 1, "score": {"$meta": "searchScore"}}}]""")
+      .as[(Long, Double)].collect().toMap
+    boosted.foreach { case (id, sc) =>
+      assert(math.abs(sc - math.rint(plain(id) * 3 * 1e6) / 1e6) < 2e-6) }
   }
 
   test("$search phrase operator: consecutive-subsequence BM25") {
@@ -804,6 +839,18 @@ class PipelineExtraSpec extends AnyFunSuite {
     assert(ex == Seq(3L))
   }
 
+  test("$search near operator: distance-decay score") {
+    val docs = Seq((1L, 100), (2L, 150), (3L, 400))
+      .toDF("id", "views")
+    val out = PipelineCompiler.run(docs, """[
+      {"$search": {"near": {"path": "views", "origin": 150, "pivot": 50}}},
+      {"$project": {"id": 1, "score": {"$meta": "searchScore"}}},
+      {"$sort": {"id": 1}}]""").as[(Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 0.5), (2L, 1.0), (3L, 0.166667)))
+    intercept[MqlException](PipelineCompiler.run(docs, """[
+      {"$search": {"near": {"path": "views", "origin": 1, "pivot": 0}}}]"""))
+  }
+
   test("$search: mustNot over a missing/null path keeps the doc") {
     val docs = Seq(
       (1L, "spark fast", Some("beta")), (2L, "spark slow", None)
@@ -829,6 +876,67 @@ class PipelineExtraSpec extends AnyFunSuite {
       Seq("spark"), k = 5).select("doc_id", "score")
       .as[(Long, Double)].collect().toMap
     assert(viaSearch == viaBm25)
+  }
+
+  test("$searchMeta count collector: exact count over the matched set") {
+    val docs = Seq(
+      (1L, "spark fast", 120L), (2L, "slow db", 80L), (3L, "spark db", 300L)
+    ).toDF("id", "text", "n")
+    val total = PipelineCompiler.run(docs, """[
+      {"$searchMeta": {"text": {"query": "spark", "path": "text"},
+        "count": {"type": "total"}}}]""")
+    assert(total.columns.toSeq == Seq("count"))
+    assert(total.select("count.total").as[Long].head() == 2L)
+    // default field name is lowerBound (value still exact)
+    val lb = PipelineCompiler.run(docs, """[
+      {"$searchMeta": {"range": {"path": "n", "gte": 100}}}]""")
+    assert(lb.select("count.lowerBound").as[Long].head() == 2L)
+    intercept[MqlException](PipelineCompiler.run(docs, """[
+      {"$searchMeta": {"count": {"type": "total"}}}]"""))
+    intercept[MqlException](PipelineCompiler.run(docs, """[
+      {"$searchMeta": {"text": {"query": "spark", "path": "text"},
+        "count": {"type": "estimate"}}}]"""))
+  }
+
+  test("$searchMeta facet collector: string + number buckets") {
+    val docs = Seq(
+      (1L, "en", 120L), (2L, "en", 80L), (3L, "de", 300L),
+      (4L, "fr", 150L), (5L, "de", 500L), (6L, "en", 900L)
+    ).toDF("id", "lang", "n")
+    val out = PipelineCompiler.run(docs, """[
+      {"$searchMeta": {"facet": {
+        "operator": {"range": {"path": "n", "gte": 100}},
+        "facets": {
+          "byLang": {"type": "string", "path": "lang", "numBuckets": 2},
+          "bySize": {"type": "number", "path": "n",
+                     "boundaries": [100, 200, 400], "default": "other"}}}}}]""")
+    // matched: docs 1,3,4,5,6 (n>=100). byLang counts: en 2, de 2, fr 1 →
+    // top-2 by count desc then value asc = de, en
+    val row = out.head
+    assert(out.select("count.lowerBound").as[Long].head() == 5L)
+    val byLang = out.select("facet.byLang.buckets").head.getSeq[Row](0)
+      .map(b => (b.getString(0), b.getLong(1)))
+    assert(byLang == Seq(("de", 2L), ("en", 2L)))
+    // bySize over matched: [100,200): 120,150 → 2; [200,400): 300 → 1;
+    // default: 500, 900 → 2
+    val bySize = out.select("facet.bySize.buckets").head.getSeq[Row](0)
+      .map(b => (b.getString(0), b.getLong(1)))
+    assert(bySize == Seq(("100", 2L), ("200", 1L), ("other", 2L)))
+    assert(row.schema.fieldNames.toSeq == Seq("count", "facet"))
+    // no operator → facets over the whole collection
+    val all = PipelineCompiler.run(docs, """[
+      {"$searchMeta": {"facet": {"facets": {
+        "byLang": {"type": "string", "path": "lang"}}}}}]""")
+    assert(all.select("count.lowerBound").as[Long].head() == 6L)
+    // rejections: bad type, unsorted boundaries, missing facets
+    intercept[MqlException](PipelineCompiler.run(docs, """[
+      {"$searchMeta": {"facet": {"facets": {
+        "f": {"type": "date", "path": "n"}}}}}]"""))
+    intercept[MqlException](PipelineCompiler.run(docs, """[
+      {"$searchMeta": {"facet": {"facets": {
+        "f": {"type": "number", "path": "n", "boundaries": [200, 100]}}}}}]"""))
+    intercept[MqlException](PipelineCompiler.run(docs, """[
+      {"$searchMeta": {"facet": {}}}]"""))
   }
 
   test("$firstN/$lastN window ops require a single-field stage sortBy") {
