@@ -1200,6 +1200,65 @@ object LlmOps {
               AND d.doc_id NOT IN (SELECT mn.doc_id FROM mn)
             ORDER BY sc.score DESC, d.doc_id LIMIT 50""")),
 
+    // $searchMeta facet collector: string + number facets over the
+    // range-matched set, exploded to (facet, id, count) rows so the
+    // hash gate can compare (the stage's native output is ONE nested
+    // doc). String facet top-k is count-desc/value-asc deterministic;
+    // number facet keeps zero-count intervals.
+    QueryDef("q_searchmeta_facet",
+      (s, dir) => {
+        val meta = Graft.aggregate(s, dir, "documents",
+          """[
+            {"$searchMeta": {"facet": {
+              "operator": {"range": {"path": "n_chars", "gte": 100}},
+              "facets": {
+                "by_lang": {"type": "string", "path": "lang",
+                            "numBuckets": 4},
+                "by_size": {"type": "number", "path": "n_chars",
+                            "boundaries": [100, 200, 400, 800],
+                            "default": "other"}}}}}]""")
+        val lang = meta.select(explode(col("facet.by_lang.buckets")).as("b"))
+          .select(lit("by_lang").as("facet"), col("b._id").as("id"),
+            col("b.count").as("count"))
+        val size = meta.select(explode(col("facet.by_size.buckets")).as("b"))
+          .select(lit("by_size").as("facet"), col("b._id").as("id"),
+            col("b.count").as("count"))
+        lang.unionAll(size).orderBy("facet", "id")
+      },
+      Some("""WITH m AS (SELECT * FROM documents WHERE n_chars >= 100),
+              l AS (SELECT CAST(lang AS VARCHAR) AS id,
+                           CAST(count(*) AS BIGINT) AS count
+                    FROM m WHERE lang IS NOT NULL
+                    GROUP BY lang ORDER BY count DESC, id ASC LIMIT 4),
+              s AS (SELECT '100' AS id,
+                           CAST(sum(CASE WHEN n_chars >= 100 AND n_chars < 200
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS count FROM m
+                    UNION ALL
+                    SELECT '200', CAST(sum(CASE WHEN n_chars >= 200 AND n_chars < 400
+                                    THEN 1 ELSE 0 END) AS BIGINT) FROM m
+                    UNION ALL
+                    SELECT '400', CAST(sum(CASE WHEN n_chars >= 400 AND n_chars < 800
+                                    THEN 1 ELSE 0 END) AS BIGINT) FROM m
+                    UNION ALL
+                    SELECT 'other', CAST(sum(CASE WHEN n_chars IS NOT NULL
+                                    AND (n_chars < 100 OR n_chars >= 800)
+                                    THEN 1 ELSE 0 END) AS BIGINT) FROM m)
+            SELECT facet, id, count FROM (
+              SELECT 'by_lang' AS facet, id, count FROM l
+              UNION ALL SELECT 'by_size' AS facet, id, count FROM s)
+            ORDER BY facet, id""")),
+
+    // $searchMeta count collector: exact total over the text-matched
+    // set, unwrapped to a scalar via $project on the nested path
+    QueryDef("q_searchmeta_count",
+      (s, dir) => Graft.aggregate(s, dir, "documents",
+        """[
+          {"$searchMeta": {"text": {"query": "spark", "path": "text"},
+            "count": {"type": "total"}}},
+          {"$project": {"n": "$count.total"}}]"""),
+      Some(s"""SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+               WHERE list_contains($duckToksLower, 'spark')""")),
+
     // BM25 top-20 retrieval for a 3-term query over the corpus
     QueryDef("q_bm25",
       (s, dir) => TfIdf.bm25TopK(Graft.table(s, dir, "documents"),
