@@ -829,6 +829,168 @@ object PipelineCompiler {
     redacted.drop("__graft_d0")
   }
 
+  /** Lucene wildcard pattern → anchored Java regex (* = any run,
+    * ? = one char, everything else literal). */
+  private def wildRx(q: String): String =
+    "^" + q.flatMap {
+      case '*' => ".*"
+      case '?' => "."
+      case c if "\\.[]{}()<>+-=!$^|".contains(c) => "\\" + c
+      case c => c.toString
+    } + "$"
+
+  /** $search.queryString expression tree (Lucene query-string
+    * mini-grammar): terms, quoted phrases, optional `field:` prefixes,
+    * AND / OR / NOT (upper-case, Lucene's operators), parentheses.
+    * Semantics follow Lucene's classic QueryParser FLAT occurrence
+    * model, not a binary operator tree: each parenthesis level is a
+    * clause list where NOT marks its clause prohibited, AND marks BOTH
+    * its neighbors required, and everything else is optional (bare
+    * adjacency = OR, Lucene's default operator). A level matches when
+    * every required clause matches, no prohibited clause matches, and —
+    * if there are no required clauses — at least one optional does; a
+    * pure-negative level matches nothing (Lucene's contract). A term
+    * containing * or ? becomes a wildcard leaf (constant-score, like
+    * the wildcard operator). Field defaults resolve at compile time
+    * against `defaultPath`. */
+  private sealed trait QsNode
+  private object QsNode {
+    case class QLevel(required: Seq[QsNode], optional: Seq[QsNode],
+                      prohibited: Seq[QsNode]) extends QsNode
+    case class QTerm(field: Option[String], term: String) extends QsNode
+    case class QPhrase(field: Option[String], terms: Seq[String]) extends QsNode
+    case class QWild(field: Option[String], regex: String) extends QsNode
+  }
+
+  /** One positive-polarity enumeration pass: kind 0 = term (BM25),
+    * 1 = phrase (BM25), 2 = wildcard (constant score). Leaves under a
+    * NOT never score (Lucene: prohibited clauses contribute no score). */
+  private case class QsLeaf(idx: Int, path: String, terms: Seq[String],
+                            kind: Int, positive: Boolean)
+  private def qsLeaves(tree: QsNode, dp: String): IndexedSeq[QsLeaf] = {
+    val buf = scala.collection.mutable.ArrayBuffer[QsLeaf]()
+    def walk(n: QsNode, pos: Boolean): Unit = n match {
+      case QsNode.QLevel(req, opt, proh) =>
+        (req ++ opt).foreach(walk(_, pos))
+        proh.foreach(walk(_, pos = false))
+      case QsNode.QTerm(f, t)    =>
+        buf += QsLeaf(buf.length, f.getOrElse(dp), Seq(t), 0, pos)
+      case QsNode.QPhrase(f, ts) =>
+        buf += QsLeaf(buf.length, f.getOrElse(dp), ts, 1, pos)
+      case QsNode.QWild(f, rx)   =>
+        buf += QsLeaf(buf.length, f.getOrElse(dp), Seq(rx), 2, pos)
+    }
+    walk(tree, pos = true)
+    buf.toIndexedSeq
+  }
+
+  private def parseQueryString(q: String): QsNode = {
+    sealed trait Tok
+    case object LP extends Tok; case object RP extends Tok
+    case object TAnd extends Tok; case object TOr extends Tok
+    case object TNot extends Tok
+    case class TAtom(field: Option[String], text: String, phrase: Boolean) extends Tok
+    val toks = scala.collection.mutable.ArrayBuffer[Tok]()
+    val n = q.length
+    var i = 0
+    def quoted(ctx: String): String = {
+      i += 1; val s = i
+      while (i < n && q(i) != '"') i += 1
+      if (i >= n) throw new MqlException(s"$$search.queryString: unterminated phrase")
+      val body = q.substring(s, i); i += 1
+      body
+    }
+    def word(): String = {
+      val s = i
+      while (i < n && !q(i).isWhitespace && q(i) != '(' && q(i) != ')' &&
+             q(i) != ':' && q(i) != '"') i += 1
+      q.substring(s, i)
+    }
+    while (i < n) {
+      val c = q(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '(') { toks += LP; i += 1 }
+      else if (c == ')') { toks += RP; i += 1 }
+      else if (c == '"') toks += TAtom(None, quoted("phrase"), phrase = true)
+      else {
+        val w = word()
+        if (w.isEmpty) throw new MqlException(
+          s"$$search.queryString: unexpected '${q(i)}'")
+        if (w == "AND") toks += TAnd
+        else if (w == "OR") toks += TOr
+        else if (w == "NOT") toks += TNot
+        else if (i < n && q(i) == ':') {
+          i += 1
+          if (i < n && q(i) == '"') toks += TAtom(Some(w), quoted(w), phrase = true)
+          else {
+            val t = word()
+            if (t.isEmpty) throw new MqlException(
+              s"$$search.queryString: missing term after '$w:'")
+            toks += TAtom(Some(w), t, phrase = false)
+          }
+        } else toks += TAtom(None, w, phrase = false)
+      }
+    }
+    var p = 0
+    def peek: Option[Tok] = if (p < toks.length) Some(toks(p)) else None
+    def atomNode(a: TAtom): QsNode =
+      if (a.phrase) {
+        val ts = a.text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+        if (ts.isEmpty) throw new MqlException("$search.queryString: empty phrase")
+        QsNode.QPhrase(a.field, ts)
+      }
+      else if (a.text.exists(ch => ch == '*' || ch == '?'))
+        QsNode.QWild(a.field, wildRx(a.text.toLowerCase))
+      else QsNode.QTerm(a.field, a.text.toLowerCase)
+    // one parenthesis level = a clause list with occurrence flags
+    def level(): QsNode = {
+      case class Item(andBefore: Boolean, not: Boolean, node: QsNode)
+      val items = scala.collection.mutable.ArrayBuffer[Item]()
+      var go = true
+      while (go) {
+        var andBefore = false
+        peek match {
+          case Some(TAnd) if items.nonEmpty => andBefore = true; p += 1
+          case Some(TOr) if items.nonEmpty => p += 1
+          case _ =>
+        }
+        var not = false
+        while (peek.contains(TNot)) { not = !not; p += 1 }
+        peek match {
+          case Some(LP) =>
+            p += 1; val e = level()
+            if (!peek.contains(RP))
+              throw new MqlException("$search.queryString: expected ')'")
+            p += 1; items += Item(andBefore, not, e)
+          case Some(a: TAtom) =>
+            p += 1; items += Item(andBefore, not, atomNode(a))
+          case other =>
+            if (andBefore || not || peek.exists(t => t == TAnd || t == TOr))
+              throw new MqlException(
+                s"$$search.queryString: dangling operator before ${other.map(_.toString).getOrElse("end of query")}")
+            go = false
+        }
+      }
+      if (items.isEmpty)
+        throw new MqlException("$search.queryString: empty clause group")
+      // AND marks both neighbors required; NOT wins over required
+      val req = Array.fill(items.length)(false)
+      items.zipWithIndex.foreach { case (it, i) =>
+        if (it.andBefore) { req(i - 1) = true; req(i) = true } }
+      val grouped = items.zipWithIndex.map { case (it, i) =>
+        val occ = if (it.not) 2 else if (req(i)) 1 else 0
+        (occ, it.node) }
+      QsNode.QLevel(
+        grouped.collect { case (1, nd) => nd }.toSeq,
+        grouped.collect { case (0, nd) => nd }.toSeq,
+        grouped.collect { case (2, nd) => nd }.toSeq)
+    }
+    val tree = level()
+    if (p < toks.length)
+      throw new MqlException("$search.queryString: trailing tokens")
+    tree
+  }
+
   // ---- $search (text/phrase/equals/range/wildcard + compound) --------------
   // Atlas Search's lexical stage:
   //   {"$search": {"text": {"query": "spark window", "path": "text"}}}
@@ -885,6 +1047,12 @@ object PipelineCompiler {
     case class InCl(path: String, values: Seq[Column]) extends SClause
     case class ExistsCl(path: String) extends SClause
     case class NearCl(path: String, origin: Double, pivot: Double) extends SClause
+    case class RegexCl(path: String, regex: String) extends SClause
+    case class QsCl(path: String, tree: QsNode) extends SClause
+    // moreLikeThis: per like-doc field, the distinct analyzed terms
+    case class MltCl(fields: Seq[(String, Seq[String])]) extends SClause {
+      def path: String = fields.head._1
+    }
     def obj(v: JValue, ctx: String) = asObj(v, ctx)
     def pathOf(o: List[(String, JValue)], ctx: String): String =
       o.collectFirst { case ("path", JString(x)) => x }
@@ -959,15 +1127,53 @@ object PipelineCompiler {
         Cl(RangeCl(pathOf(o, "$search.range"), bounds), b, k)
       case List(("wildcard", t)) =>
         val o = obj(t, "$search.wildcard")
-        val q = queryOf(o, "$search.wildcard").toLowerCase
-        val rx = "^" + q.flatMap {
-          case '*' => ".*"
-          case '?' => "."
-          case c if "\\.[]{}()<>+-=!$^|".contains(c) => "\\" + c
-          case c => c.toString
-        } + "$"
         val (b, k) = scoreOpt(o, "$search.wildcard")
-        Cl(WildcardCl(pathOf(o, "$search.wildcard"), rx), b, k)
+        Cl(WildcardCl(pathOf(o, "$search.wildcard"),
+          wildRx(queryOf(o, "$search.wildcard").toLowerCase)), b, k)
+      case List(("regex", t)) =>
+        // Lucene regex against ANALYZED terms (allowAnalyzedField
+        // semantics, same stance as wildcard): matches when any token
+        // matches the anchored pattern, case-insensitively (tokens are
+        // lowercased by analysis); constant score 1
+        val o = obj(t, "$search.regex")
+        val q = queryOf(o, "$search.regex")
+        try java.util.regex.Pattern.compile(q)
+        catch { case e: java.util.regex.PatternSyntaxException =>
+          throw new MqlException(s"$$search.regex: bad pattern — ${e.getMessage}") }
+        val (b, k) = scoreOpt(o, "$search.regex")
+        Cl(RegexCl(pathOf(o, "$search.regex"), s"(?i)^(?:$q)$$"), b, k)
+      case List(("queryString", t)) =>
+        val o = obj(t, "$search.queryString")
+        val dp = o.collectFirst { case ("defaultPath", JString(x)) => x }
+          .getOrElse(throw new MqlException("$search.queryString needs defaultPath"))
+        val (b, k) = scoreOpt(o, "$search.queryString")
+        Cl(QsCl(dp, parseQueryString(queryOf(o, "$search.queryString"))), b, k)
+      case List(("moreLikeThis", t)) =>
+        // representative-terms extraction simplified to ALL analyzed
+        // terms of every string field in the like documents (Atlas
+        // selects a top subset; the full set is deterministic and
+        // errs toward recall) — scored as a text disjunction per field
+        val o = obj(t, "$search.moreLikeThis")
+        val likeDocs: Seq[JValue] = o.collectFirst {
+          case ("like", JArray(xs)) => xs }
+          .orElse(o.collectFirst { case ("like", jo: JObject) => Seq(jo: JValue) })
+          .getOrElse(throw new MqlException("$search.moreLikeThis needs like"))
+        val acc = scala.collection.mutable.LinkedHashMap[String, Vector[String]]()
+        likeDocs.foreach { d =>
+          asObj(d, "$search.moreLikeThis.like").foreach {
+            case (f, JString(text)) =>
+              acc(f) = acc.getOrElse(f, Vector()) ++
+                text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+            case (f, other) => throw new MqlException(
+              s"$$search.moreLikeThis.like.$f must be a string, got $other")
+          }
+        }
+        val fields = acc.toSeq.map { case (f, ts) => (f, ts.distinct.toSeq) }
+          .filter(_._2.nonEmpty)
+        if (fields.isEmpty)
+          throw new MqlException("$search.moreLikeThis: like documents have no terms")
+        val (b, k) = scoreOpt(o, "$search.moreLikeThis")
+        Cl(MltCl(fields), b, k)
       case List(("autocomplete", t)) =>
         val o = obj(t, "$search.autocomplete")
         val (b, k) = scoreOpt(o, "$search.autocomplete")
@@ -1008,7 +1214,8 @@ object PipelineCompiler {
       case other => throw new MqlException(s"$ctx must be an array, got $other")
     }
     val topOps = Set("text", "phrase", "equals", "range", "wildcard",
-      "autocomplete", "in", "exists", "near")
+      "autocomplete", "in", "exists", "near", "regex", "queryString",
+      "moreLikeThis")
     val (must, should, mustNot, filterCls) =
       spec.collectFirst { case ("compound", c) => obj(c, "$search.compound") } match {
         case Some(comp) =>
@@ -1025,7 +1232,8 @@ object PipelineCompiler {
             parseClause(JObject(List(op -> t)), "$search") }
             .getOrElse(throw new MqlException(
               "$search supports the text/phrase/equals/range/wildcard/" +
-                "autocomplete/in/exists/compound operators"))
+                "autocomplete/in/exists/near/regex/queryString/" +
+                "moreLikeThis/compound operators"))
           (Seq(c), Nil, Nil, Nil)
       }
     if (must.isEmpty && should.isEmpty && filterCls.isEmpty)
@@ -1038,11 +1246,15 @@ object PipelineCompiler {
       s"$$search.compound: minimumShouldMatch=$minShould exceeds ${should.length} should clauses")
     val scoredClauses = must ++ should
     // paths whose token arrays any clause needs, materialized once
-    val tokPaths = (scoredClauses ++ mustNot ++ filterCls).map(_.c).collect {
-      case c: TextCl => c.path
-      case c: PhraseCl => c.path
-      case c: WildcardCl => c.path
-      case c: AutoCl => c.path
+    val tokPaths = (scoredClauses ++ mustNot ++ filterCls).map(_.c).flatMap {
+      case c: TextCl => Seq(c.path)
+      case c: PhraseCl => Seq(c.path)
+      case c: WildcardCl => Seq(c.path)
+      case c: AutoCl => Seq(c.path)
+      case c: RegexCl => Seq(c.path)
+      case QsCl(dp, tree) => qsLeaves(tree, dp).map(_.path)
+      case MltCl(fields) => fields.map(_._1)
+      case _ => Nil
     }.distinct
     val pIdx = tokPaths.zipWithIndex.toMap
     def toksOf(p: String) = graft.llmops.TextAnalysis.tokens(lower(fieldCol(p)))
@@ -1061,9 +1273,13 @@ object PipelineCompiler {
     // needs: per-path N + avgdl over docs with ≥1 token, per-term df,
     // per-phrase df
     // constant-score clauses never touch BM25 stats
-    val statPaths = scoredClauses.filter(_.constant.isEmpty).map(_.c).collect {
-      case c: TextCl => c.path
-      case c: PhraseCl => c.path
+    val statPaths = scoredClauses.filter(_.constant.isEmpty).map(_.c).flatMap {
+      case c: TextCl => Seq(c.path)
+      case c: PhraseCl => Seq(c.path)
+      case QsCl(dp, tree) =>
+        qsLeaves(tree, dp).filter(l => l.positive && l.kind <= 1).map(_.path)
+      case MltCl(fields) => fields.map(_._1)
+      case _ => Nil
     }.distinct
     val statCols: Seq[Column] =
       statPaths.flatMap { p =>
@@ -1080,6 +1296,20 @@ object PipelineCompiler {
         case (Cl(PhraseCl(terms, p), _, None), ci) =>
           Seq(sum(when(phraseTf(toksOf(p), terms) > 0, 1L).otherwise(0L))
             .as(s"__pdf_$ci"))
+        case (Cl(QsCl(dp, tree), _, None), ci) =>
+          qsLeaves(tree, dp).filter(l => l.positive && l.kind <= 1).map { l =>
+            if (l.kind == 0)
+              sum(when(array_contains(toksOf(l.path), l.terms.head), 1L)
+                .otherwise(0L)).as(s"__qst_${ci}_${l.idx}")
+            else
+              sum(when(phraseTf(toksOf(l.path), l.terms) > 0, 1L)
+                .otherwise(0L)).as(s"__qsp_${ci}_${l.idx}")
+          }
+        case (Cl(MltCl(fields), _, None), ci) =>
+          fields.zipWithIndex.flatMap { case ((f, ts), fi) =>
+            ts.zipWithIndex.map { case (t, ti) =>
+              sum(when(array_contains(toksOf(f), t), 1L).otherwise(0L))
+                .as(s"__mlt_${ci}_${fi}_$ti") } }
         case _ => Nil
       }
     def bm25(tf: Column, dfT: Column, p: String): Column = {
@@ -1124,6 +1354,26 @@ object PipelineCompiler {
       case InCl(p, vs) => vs.map(v => fieldCol(p) <=> v).reduce(_ || _)
       case ExistsCl(p) => fieldCol(p).isNotNull
       case NearCl(p, _, _) => fieldCol(p).isNotNull
+      case RegexCl(p, rx) =>
+        coalesce(exists(tokCol(p), x => x.rlike(rx)), lit(false))
+      case QsCl(dp, tree) => evalQs(tree, dp)
+      case MltCl(fields) => fields.map { case (f, ts) =>
+        coalesce(size(array_intersect(tokCol(f), array(ts.map(lit): _*))) > 0,
+          lit(false)) }.reduce(_ || _)
+    }
+    def evalQs(n: QsNode, dp: String): Column = n match {
+      case QsNode.QLevel(req, opt, proh) =>
+        if (req.isEmpty && opt.isEmpty) lit(false) // pure-negative: Lucene matches nothing
+        else (req.map(evalQs(_, dp)) ++
+          proh.map(x => !coalesce(evalQs(x, dp), lit(false))) ++
+          (if (req.isEmpty) Seq(opt.map(evalQs(_, dp)).reduce(_ || _)) else Nil)
+          ).reduce(_ && _)
+      case QsNode.QTerm(f, t) =>
+        coalesce(array_contains(tokCol(f.getOrElse(dp)), t), lit(false))
+      case QsNode.QPhrase(f, ts) =>
+        coalesce(phraseTf(tokCol(f.getOrElse(dp)), ts) > 0, lit(false))
+      case QsNode.QWild(f, rx) =>
+        coalesce(exists(tokCol(f.getOrElse(dp)), x => x.rlike(rx)), lit(false))
     }
     def score(cl: Cl, ci: Int): Column = cl match {
       case Cl(c, _, Some(k)) => when(matches(c), lit(k)).otherwise(lit(0.0))
@@ -1140,6 +1390,30 @@ object PipelineCompiler {
             when(fieldCol(p).isNotNull, lit(pivot) /
               (lit(pivot) + abs(fieldCol(p).cast("double") - lit(origin))))
               .otherwise(lit(0.0))
+          // Lucene BooleanQuery scoring: sum over MATCHING positive
+          // leaves (a non-matching OR branch contributes 0; prohibited
+          // clauses never score); wildcard leaves are constant-score
+          case QsCl(dp, tree) =>
+            qsLeaves(tree, dp).map { l =>
+              if (!l.positive) lit(0.0)
+              else l.kind match {
+                case 0 => bm25(
+                  size(filter(tokCol(l.path), x => x === lit(l.terms.head)))
+                    .cast("double"),
+                  col(s"__qst_${ci}_${l.idx}").cast("double"), l.path)
+                case 1 => bm25(phraseTf(tokCol(l.path), l.terms),
+                  col(s"__qsp_${ci}_${l.idx}").cast("double"), l.path)
+                case _ => when(coalesce(
+                    exists(tokCol(l.path), x => x.rlike(l.terms.head)),
+                    lit(false)), lit(1.0)).otherwise(lit(0.0))
+              }
+            }.reduce(_ + _)
+          case MltCl(fields) =>
+            fields.zipWithIndex.flatMap { case ((f, ts), fi) =>
+              ts.zipWithIndex.map { case (t, ti) =>
+                bm25(size(filter(tokCol(f), x => x === lit(t))).cast("double"),
+                  col(s"__mlt_${ci}_${fi}_$ti").cast("double"), f) } }
+              .reduce(_ + _)
           case c2 => when(matches(c2), lit(1.0)).otherwise(lit(0.0))
         }
         if (boost == 1.0) base else base * lit(boost)
@@ -1168,6 +1442,12 @@ object PipelineCompiler {
         case (Cl(TextCl(terms, _), _, None), ci) =>
           terms.indices.map(ti => s"__df_${ci}_$ti")
         case (Cl(_: PhraseCl, _, None), ci) => Seq(s"__pdf_$ci")
+        case (Cl(QsCl(dp, tree), _, None), ci) =>
+          qsLeaves(tree, dp).filter(l => l.positive && l.kind <= 1).map { l =>
+            if (l.kind == 0) s"__qst_${ci}_${l.idx}" else s"__qsp_${ci}_${l.idx}" }
+        case (Cl(MltCl(fields), _, None), ci) =>
+          fields.zipWithIndex.flatMap { case ((_, ts), fi) =>
+            ts.indices.map(ti => s"__mlt_${ci}_${fi}_$ti") }
         case _ => Nil
       }
     val totalScore =

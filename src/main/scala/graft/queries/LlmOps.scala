@@ -1200,6 +1200,84 @@ object LlmOps {
               AND d.doc_id NOT IN (SELECT mn.doc_id FROM mn)
             ORDER BY sc.score DESC, d.doc_id LIMIT 50""")),
 
+    // $search regex operator: anchored pattern over analyzed terms,
+    // constant score — the filter semantics are the whole check
+    QueryDef("q_search_regex",
+      (s, dir) => Graft.aggregate(s, dir, "documents",
+        """[
+          {"$search": {"regex": {"query": "quer.*", "path": "text"}}},
+          {"$project": {"doc_id": 1}},
+          {"$sort": {"doc_id": 1}}]"""),
+      Some(s"""SELECT doc_id FROM documents
+               WHERE len(list_filter($duckToksLower,
+                     x -> regexp_matches(x, '^(?:quer.*)$$'))) > 0
+               ORDER BY doc_id""")),
+
+    // $search queryString: Lucene occurrence semantics (AND marks both
+    // neighbors required, NOT prohibits) with BM25 sum over the
+    // matching positive term leaves — DuckDB re-derives both the
+    // boolean match set and the score
+    QueryDef("q_search_querystring",
+      (s, dir) => Graft.aggregate(s, dir, "documents",
+        """[
+          {"$search": {"queryString": {"defaultPath": "text",
+            "query": "spark AND window NOT slow"}, "limit": 40,
+            "tieBreaker": "doc_id"}},
+          {"$project": {"doc_id": 1,
+            "score": {"$meta": "searchScore"}}},
+          {"$sort": {"score": -1, "doc_id": 1}}]"""),
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($duckToksLower) AS term
+                 FROM documents),
+              dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+              st AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+              tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+                     WHERE term IN ('spark', 'window') GROUP BY 1, 2),
+              dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+              m AS (SELECT a.doc_id
+                    FROM (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark') a
+                    JOIN (SELECT DISTINCT doc_id FROM toks WHERE term = 'window') b
+                      USING (doc_id)
+                    WHERE a.doc_id NOT IN
+                      (SELECT doc_id FROM toks WHERE term = 'slow')),
+              sc AS (SELECT tf.doc_id,
+                       round(SUM(ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                         tf.tf * 2.2 / (tf.tf + 1.2 *
+                           (1 - 0.75 + 0.75 * dl.dl / st.avgdl))), 6) AS score
+                     FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id)
+                          CROSS JOIN st
+                     GROUP BY 1)
+            SELECT sc.doc_id, sc.score FROM sc JOIN m USING (doc_id)
+            ORDER BY score DESC, doc_id LIMIT 40""")),
+
+    // $search moreLikeThis: like-document terms as a BM25-scored
+    // disjunction — the twin is the text-operator pipeline over the
+    // extracted terms
+    QueryDef("q_search_mlt",
+      (s, dir) => Graft.aggregate(s, dir, "documents",
+        """[
+          {"$search": {"moreLikeThis": {"like":
+            {"text": "vector stream merge"}}, "limit": 25,
+            "tieBreaker": "doc_id"}},
+          {"$project": {"doc_id": 1,
+            "score": {"$meta": "searchScore"}}},
+          {"$sort": {"score": -1, "doc_id": 1}}]"""),
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($duckToksLower) AS term
+                 FROM documents),
+              dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+              st AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+              tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+                     WHERE term IN ('vector', 'stream', 'merge') GROUP BY 1, 2),
+              dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+              sc AS (SELECT tf.doc_id,
+                       round(SUM(ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                         tf.tf * 2.2 / (tf.tf + 1.2 *
+                           (1 - 0.75 + 0.75 * dl.dl / st.avgdl))), 6) AS score
+                     FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id)
+                          CROSS JOIN st
+                     GROUP BY 1)
+            SELECT doc_id, score FROM sc
+            ORDER BY score DESC, doc_id LIMIT 25""")),
+
     // $searchMeta facet collector: string + number facets over the
     // range-matched set, exploded to (facet, id, count) rows so the
     // hash gate can compare (the stage's native output is ONE nested

@@ -703,7 +703,7 @@ class PipelineExtraSpec extends AnyFunSuite {
       {"$search": {"compound": {"near": [], "should": [
         {"text": {"query": "spark", "path": "text"}}]}}}]"""))
     intercept[MqlException](PipelineCompiler.run(docs, """[
-      {"$search": {"moreLikeThis": {"like": {"text": "spark"}}}}]"""))
+      {"$search": {"embeddedDocument": {"path": "items"}}}]"""))
   }
 
   test("$search compound minimumShouldMatch and score boost/constant") {
@@ -876,6 +876,79 @@ class PipelineExtraSpec extends AnyFunSuite {
       Seq("spark"), k = 5).select("doc_id", "score")
       .as[(Long, Double)].collect().toMap
     assert(viaSearch == viaBm25)
+  }
+
+  test("$search regex operator: anchored match over analyzed terms") {
+    val docs = Seq(
+      (1L, "spark fast"), (2L, "sparkle dust"), (3L, "slow db")
+    ).toDF("id", "text")
+    val out = PipelineCompiler.run(docs, """[
+      {"$search": {"regex": {"query": "sp.rk", "path": "text"}}},
+      {"$sort": {"id": 1}}]""").select("id").as[Long].collect().toSeq
+    assert(out == Seq(1L)) // anchored: 'sparkle' does not match
+    val runs = PipelineCompiler.run(docs, """[
+      {"$search": {"regex": {"query": "sp.*", "path": "text"}}},
+      {"$sort": {"id": 1}}]""").select("id").as[Long].collect().toSeq
+    assert(runs == Seq(1L, 2L))
+    intercept[MqlException](PipelineCompiler.run(docs, """[
+      {"$search": {"regex": {"query": "sp[", "path": "text"}}}]"""))
+  }
+
+  test("$search queryString: boolean grammar, Lucene-sum scoring") {
+    val docs = Seq(
+      (1L, "spark fast db", "alpha"), (2L, "slow db", "beta"),
+      (3L, "spark slow", "alpha")
+    ).toDF("id", "text", "tag")
+    // AND binds tighter than OR; NOT excludes; parens group
+    val out = PipelineCompiler.run(docs, """[
+      {"$search": {"queryString": {"defaultPath": "text",
+        "query": "spark AND (fast OR slow) NOT db"}}},
+      {"$sort": {"id": 1}}]""").select("id").as[Long].collect().toSeq
+    assert(out == Seq(3L))
+    // field:term prefix + quoted phrase + wildcard term
+    val fielded = PipelineCompiler.run(docs, """[
+      {"$search": {"queryString": {"defaultPath": "text",
+        "query": "tag:beta \"spark fast\" slo?"}}},
+      {"$sort": {"id": 1}}]""").select("id").as[Long].collect().toSeq
+    assert(fielded == Seq(1L, 2L, 3L)) // implicit OR of the three atoms
+    // single-term queryString scores exactly like the text operator
+    val viaQs = PipelineCompiler.run(docs, """[
+      {"$search": {"queryString": {"defaultPath": "text", "query": "spark"}}},
+      {"$project": {"id": 1, "score": {"$meta": "searchScore"}}}]""")
+      .as[(Long, Double)].collect().toMap
+    val viaText = PipelineCompiler.run(docs, """[
+      {"$search": {"text": {"query": "spark", "path": "text"}}},
+      {"$project": {"id": 1, "score": {"$meta": "searchScore"}}}]""")
+      .as[(Long, Double)].collect().toMap
+    assert(viaQs == viaText)
+    // parser rejections
+    intercept[MqlException](PipelineCompiler.run(docs, """[
+      {"$search": {"queryString": {"defaultPath": "text", "query": "(spark"}}}]"""))
+    intercept[MqlException](PipelineCompiler.run(docs, """[
+      {"$search": {"queryString": {"defaultPath": "text", "query": "\"open"}}}]"""))
+  }
+
+  test("$search moreLikeThis: like-doc terms as a scored disjunction") {
+    val docs = Seq(
+      (1L, "spark fast"), (2L, "slow db"), (3L, "spark slow")
+    ).toDF("id", "text")
+    val viaMlt = PipelineCompiler.run(docs, """[
+      {"$search": {"moreLikeThis": {"like": {"text": "spark fast"}}}},
+      {"$project": {"id": 1, "score": {"$meta": "searchScore"}}}]""")
+      .as[(Long, Double)].collect().toMap
+    val viaText = PipelineCompiler.run(docs, """[
+      {"$search": {"text": {"query": "spark fast", "path": "text"}}},
+      {"$project": {"id": 1, "score": {"$meta": "searchScore"}}}]""")
+      .as[(Long, Double)].collect().toMap
+    assert(viaMlt == viaText)
+    // multiple like docs merge their terms per field
+    val merged = PipelineCompiler.run(docs, """[
+      {"$search": {"moreLikeThis": {"like": [
+        {"text": "spark"}, {"text": "db"}]}}},
+      {"$sort": {"id": 1}}]""").select("id").as[Long].collect().toSeq
+    assert(merged == Seq(1L, 2L, 3L))
+    intercept[MqlException](PipelineCompiler.run(docs, """[
+      {"$search": {"moreLikeThis": {"like": {"text": ""}}}}]"""))
   }
 
   test("$searchMeta count collector: exact count over the matched set") {
