@@ -153,6 +153,7 @@ object PipelineCompiler {
     case "$searchMeta"      => searchMeta(df, asObj(spec, "$searchMeta"))
     case "$redact"          => redact(df, spec)
     case "$rankFusion"      => rankFusion(df, asObj(spec, "$rankFusion"), resolve)
+    case "$scoreFusion"     => scoreFusion(df, asObj(spec, "$scoreFusion"), resolve)
     case other => throw new MqlException(s"unsupported pipeline stage $other")
   }
 
@@ -746,6 +747,136 @@ object PipelineCompiler {
             .as("description"),
           col("__rf_details").as("details")))
         .drop("__rf_details")
+    out.orderBy(col("score").desc, fieldCol(idField).asc)
+  }
+
+  // ---- $scoreFusion --------------------------------------------------------
+  // Hybrid search on raw SCORES (Mongo 8.2 surface), the companion to
+  // $rankFusion's rank-based recipe: N named SCORED sub-pipelines
+  // (ending in $search or $vectorSearch, whose score columns define the
+  // input) normalize per pipeline — `none`, `sigmoid`
+  // (1/(1+e^-score)), or `minMaxScaler` (per-pipeline [0,1] rescale; a
+  // constant pipeline maps to 1) — then fuse as the weighted
+  // combination.method = "avg": score(d) = Σ_p w_p·norm_p(d) / P with
+  // P = pipeline count and a missing document contributing 0.
+  // Scale shape: better than $rankFusion — no rank window at all; each
+  // sub-pipeline is already top-k-bounded, minMaxScaler adds one 1-row
+  // min/max agg per pipeline (broadcast), fusion aggregates k·P rows
+  // and joins back by id (AQE broadcasts).
+  private def scoreFusion(df: DataFrame, spec: List[(String, JValue)],
+                          resolve: TableResolver): DataFrame = {
+    val inputSpec = spec.collectFirst { case ("input", i) =>
+      asObj(i, "$scoreFusion.input") }
+      .getOrElse(throw new MqlException("$scoreFusion needs input"))
+    val pipelines = inputSpec.collectFirst { case ("pipelines", JObject(ps)) => ps }
+      .getOrElse(throw new MqlException("$scoreFusion.input needs pipelines"))
+    if (pipelines.isEmpty)
+      throw new MqlException("$scoreFusion needs at least one pipeline")
+    val normalization = inputSpec.collectFirst {
+      case ("normalization", JString(n)) => n }.getOrElse("none")
+    if (!Set("none", "sigmoid", "minMaxScaler").contains(normalization))
+      throw new MqlException(
+        s"$$scoreFusion: unsupported normalization '$normalization'")
+    def numDouble(v: JValue): Double = v match {
+      case JInt(i) => i.toDouble
+      case JLong(l) => l.toDouble
+      case JDouble(d) => d
+      case other => throw new MqlException(s"bad $$scoreFusion weight: $other")
+    }
+    val combo = spec.collectFirst { case ("combination", c) =>
+      asObj(c, "$scoreFusion.combination") }.getOrElse(Nil)
+    combo.collectFirst { case ("method", JString(m)) => m }.foreach { m =>
+      if (m != "avg") throw new MqlException(
+        s"$$scoreFusion: unsupported combination.method '$m' (avg only)") }
+    val weights: Map[String, Double] = combo.collectFirst {
+      case ("weights", JObject(ws)) =>
+        ws.map { case (k, v) => k -> numDouble(v) }.toMap }
+      .getOrElse(Map.empty[String, Double])
+    weights.keys.find(k => !pipelines.exists(_._1 == k)).foreach(k =>
+      throw new MqlException(s"$$scoreFusion weight for unknown pipeline '$k'"))
+    val scoreDetails = spec.exists {
+      case ("scoreDetails", JBool(v)) => v; case _ => false }
+    val idField = spec.collectFirst { case ("idField", JString(f)) => f }
+      .getOrElse("_id")
+    ("score" +: (if (scoreDetails) Seq("scoreDetails") else Nil)).foreach { c =>
+      if (df.columns.contains(c)) throw new MqlException(
+        s"$$scoreFusion: input already has a '$c' field")
+    }
+    // the score column a scored sub-pipeline ends with ($limit/$skip
+    // tails allowed); $search must be bounded, $vectorSearch always is
+    def scoreColOf(stages: List[JValue]): String = {
+      val effective = stages.reverse.dropWhile {
+        case JObject(List((n, _))) => n == "$limit" || n == "$skip"
+        case _ => false
+      }
+      effective.headOption match {
+        case Some(JObject(List(("$search", s)))) =>
+          val bounded = asObj(s, "$search").exists(_._1 == "limit") ||
+            stages.exists { case JObject(List(("$limit", _))) => true; case _ => false }
+          if (!bounded) throw new MqlException(
+            "$scoreFusion: $search sub-pipeline needs a bounding limit")
+          "searchScore"
+        case Some(JObject(List(("$vectorSearch", _)))) => "vectorSearchScore"
+        case other => throw new MqlException(
+          s"$$scoreFusion sub-pipelines must end in $$search/$$vectorSearch " +
+            s"(scored), got $other")
+      }
+    }
+    val contribs = pipelines.map {
+      case (name, JArray(stages)) =>
+        val out = stages.foldLeft(df) { (acc, st) =>
+          asObj(st, "stage") match {
+            case List((n2, sp2)) => applyStage(acc, n2, sp2, resolve)
+            case o => throw new MqlException(s"bad stage $o")
+          }
+        }
+        val w = weights.getOrElse(name, 1.0)
+        val raw = out.select(fieldCol(idField).as("__sf_id"),
+          col(scoreColOf(stages)).cast("double").as("__sf_raw"))
+        val norm = normalization match {
+          case "none" => raw.withColumn("__sf_n", col("__sf_raw"))
+          case "sigmoid" => raw.withColumn("__sf_n",
+            lit(1.0) / (lit(1.0) + exp(-col("__sf_raw"))))
+          case _ => // minMaxScaler: 1-row min/max agg, broadcast back
+            raw.crossJoin(broadcast(raw.agg(
+                min(col("__sf_raw")).as("__sf_min"),
+                max(col("__sf_raw")).as("__sf_max"))))
+              .withColumn("__sf_n",
+                when(col("__sf_max") > col("__sf_min"),
+                  (col("__sf_raw") - col("__sf_min")) /
+                    (col("__sf_max") - col("__sf_min")))
+                  .otherwise(lit(1.0)))
+              .drop("__sf_min", "__sf_max")
+        }
+        norm.select(col("__sf_id"), (lit(w) * col("__sf_n")).as("__sf_c"),
+          lit(name).as("__sf_p"), round(col("__sf_raw"), 6).as("__sf_rawv"),
+          lit(w).as("__sf_w"), round(col("__sf_n"), 6).as("__sf_nv"))
+      case (name, other) =>
+        throw new MqlException(s"$$scoreFusion pipeline '$name' must be an array, got $other")
+    }
+    val nPipes = pipelines.length
+    val detailAggs =
+      if (scoreDetails) Seq(array_sort(collect_list(struct(
+        col("__sf_p").as("inputPipelineName"),
+        col("__sf_rawv").as("inputPipelineRawScore"),
+        col("__sf_w").as("weight"), col("__sf_nv").as("value"))))
+        .as("__sf_details"))
+      else Nil
+    val fused = contribs.reduce(_.unionByName(_))
+      .groupBy(col("__sf_id"))
+      .agg(round(sum(col("__sf_c")) / lit(nPipes.toDouble), 6).as("__sf_score"),
+        detailAggs: _*)
+    val joined = df.join(fused, fieldCol(idField) === fused("__sf_id"))
+      .drop("__sf_id")
+      .withColumnRenamed("__sf_score", "score")
+    val out = if (!scoreDetails) joined
+      else joined.withColumn("scoreDetails", struct(
+          col("score").as("value"),
+          lit("value output by score fusion algorithm, computed as the " +
+            "weighted average of normalized sub-pipeline scores")
+            .as("description"),
+          col("__sf_details").as("details")))
+        .drop("__sf_details")
     out.orderBy(col("score").desc, fieldCol(idField).asc)
   }
 

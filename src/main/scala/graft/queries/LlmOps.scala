@@ -1011,6 +1011,130 @@ object LlmOps {
             SELECT doc_id, score, n_pipelines, detail_sum FROM fused
             ORDER BY score DESC, doc_id""")),
 
+    // $scoreFusion: weighted average of per-pipeline minMax-normalized
+    // BM25 scores over two $search rankings of the same collection
+    // (DuckDB rebuilds both scored top-20 sets, normalizes each to
+    // [0,1], and fuses with the same weights)
+    QueryDef("q_score_fusion",
+      (s, dir) => Graft.aggregate(s, dir, "documents",
+        """[
+          {"$scoreFusion": {"idField": "doc_id",
+            "input": {"pipelines": {
+              "lex_a": [{"$search": {"text": {"query": "spark query window",
+                "path": "text"}, "limit": 20, "tieBreaker": "doc_id"}}],
+              "lex_b": [{"$search": {"text": {"query": "hash join merge",
+                "path": "text"}, "limit": 20, "tieBreaker": "doc_id"}}]},
+              "normalization": "minMaxScaler"},
+            "combination": {"weights": {"lex_a": 2}}}},
+          {"$project": {"doc_id": 1, "score": {"$meta": "score"}}},
+          {"$sort": {"score": -1, "doc_id": 1}}]"""),
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($duckToksLower) AS term
+                 FROM documents),
+              dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+              st AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+              tfa AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+                      WHERE term IN ('spark', 'query', 'window') GROUP BY 1, 2),
+              dfa AS (SELECT term, COUNT(*) AS df FROM tfa GROUP BY 1),
+              sca AS (SELECT tfa.doc_id,
+                        round(SUM(ln(1 + (st.n - dfa.df + 0.5) / (dfa.df + 0.5)) *
+                          tfa.tf * 2.2 / (tfa.tf + 1.2 *
+                            (1 - 0.75 + 0.75 * dl.dl / st.avgdl))), 6) AS score
+                      FROM tfa JOIN dfa USING (term) JOIN dl USING (doc_id)
+                           CROSS JOIN st
+                      GROUP BY 1),
+              lexa AS (SELECT doc_id, score FROM sca
+                       QUALIFY ROW_NUMBER() OVER (
+                         ORDER BY score DESC, doc_id) <= 20),
+              na AS (SELECT doc_id, CASE WHEN mx > mn
+                          THEN (score - mn) / (mx - mn) ELSE 1.0 END AS nv
+                     FROM lexa CROSS JOIN (SELECT MIN(score) AS mn,
+                          MAX(score) AS mx FROM lexa)),
+              tfb AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+                      WHERE term IN ('hash', 'join', 'merge') GROUP BY 1, 2),
+              dfb AS (SELECT term, COUNT(*) AS df FROM tfb GROUP BY 1),
+              scb AS (SELECT tfb.doc_id,
+                        round(SUM(ln(1 + (st.n - dfb.df + 0.5) / (dfb.df + 0.5)) *
+                          tfb.tf * 2.2 / (tfb.tf + 1.2 *
+                            (1 - 0.75 + 0.75 * dl.dl / st.avgdl))), 6) AS score
+                      FROM tfb JOIN dfb USING (term) JOIN dl USING (doc_id)
+                           CROSS JOIN st
+                      GROUP BY 1),
+              lexb AS (SELECT doc_id, score FROM scb
+                       QUALIFY ROW_NUMBER() OVER (
+                         ORDER BY score DESC, doc_id) <= 20),
+              nb AS (SELECT doc_id, CASE WHEN mx > mn
+                          THEN (score - mn) / (mx - mn) ELSE 1.0 END AS nv
+                     FROM lexb CROSS JOIN (SELECT MIN(score) AS mn,
+                          MAX(score) AS mx FROM lexb)),
+              fused AS (SELECT doc_id, round(SUM(c) / 2, 6) AS score FROM (
+                          SELECT doc_id, 2.0 * nv AS c FROM na
+                          UNION ALL
+                          SELECT doc_id, 1.0 * nv FROM nb)
+                        GROUP BY doc_id)
+            SELECT doc_id, score FROM fused
+            ORDER BY score DESC, doc_id""")),
+
+    // $scoreFusion scoreDetails under normalization "none": the
+    // per-pipeline raw/weight/value structs, checked via $size and the
+    // weighted $reduce sum (which must reproduce the fused score)
+    QueryDef("q_score_fusion_details",
+      (s, dir) => Graft.aggregate(s, dir, "documents",
+        """[
+          {"$scoreFusion": {"idField": "doc_id", "scoreDetails": true,
+            "input": {"pipelines": {
+              "lex_a": [{"$search": {"text": {"query": "spark query window",
+                "path": "text"}, "limit": 20, "tieBreaker": "doc_id"}}],
+              "lex_b": [{"$search": {"text": {"query": "hash join merge",
+                "path": "text"}, "limit": 20, "tieBreaker": "doc_id"}}]},
+              "normalization": "none"},
+            "combination": {"weights": {"lex_a": 2}}}},
+          {"$project": {"doc_id": 1, "score": {"$meta": "score"},
+            "n_pipelines": {"$size": "$scoreDetails.details"},
+            "detail_sum": {"$round": [{"$divide": [{"$reduce": {
+              "input": "$scoreDetails.details", "initialValue": 0.0,
+              "in": {"$add": ["$$value", {"$multiply":
+                ["$$this.weight", "$$this.value"]}]}}}, 2]}, 6]}}},
+          {"$sort": {"score": -1, "doc_id": 1}}]"""),
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($duckToksLower) AS term
+                 FROM documents),
+              dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+              st AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+              tfa AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+                      WHERE term IN ('spark', 'query', 'window') GROUP BY 1, 2),
+              dfa AS (SELECT term, COUNT(*) AS df FROM tfa GROUP BY 1),
+              sca AS (SELECT tfa.doc_id,
+                        round(SUM(ln(1 + (st.n - dfa.df + 0.5) / (dfa.df + 0.5)) *
+                          tfa.tf * 2.2 / (tfa.tf + 1.2 *
+                            (1 - 0.75 + 0.75 * dl.dl / st.avgdl))), 6) AS score
+                      FROM tfa JOIN dfa USING (term) JOIN dl USING (doc_id)
+                           CROSS JOIN st
+                      GROUP BY 1),
+              lexa AS (SELECT doc_id, score FROM sca
+                       QUALIFY ROW_NUMBER() OVER (
+                         ORDER BY score DESC, doc_id) <= 20),
+              tfb AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+                      WHERE term IN ('hash', 'join', 'merge') GROUP BY 1, 2),
+              dfb AS (SELECT term, COUNT(*) AS df FROM tfb GROUP BY 1),
+              scb AS (SELECT tfb.doc_id,
+                        round(SUM(ln(1 + (st.n - dfb.df + 0.5) / (dfb.df + 0.5)) *
+                          tfb.tf * 2.2 / (tfb.tf + 1.2 *
+                            (1 - 0.75 + 0.75 * dl.dl / st.avgdl))), 6) AS score
+                      FROM tfb JOIN dfb USING (term) JOIN dl USING (doc_id)
+                           CROSS JOIN st
+                      GROUP BY 1),
+              lexb AS (SELECT doc_id, score FROM scb
+                       QUALIFY ROW_NUMBER() OVER (
+                         ORDER BY score DESC, doc_id) <= 20),
+              fused AS (SELECT doc_id, round(SUM(c) / 2, 6) AS score,
+                               CAST(COUNT(*) AS BIGINT) AS n_pipelines,
+                               round(SUM(c) / 2, 6) AS detail_sum
+                        FROM (SELECT doc_id, 2.0 * score AS c FROM lexa
+                              UNION ALL
+                              SELECT doc_id, 1.0 * score FROM lexb)
+                        GROUP BY doc_id)
+            SELECT doc_id, score, n_pipelines, detail_sum FROM fused
+            ORDER BY score DESC, doc_id""")),
+
     // $redact: level-wise prune/descend over a nested doc built by
     // $project (root level = doc_id%5, subdoc level = doc_id%7; both
     // redact at level > 3) — DuckDB twin is the equivalent CASE/WHERE

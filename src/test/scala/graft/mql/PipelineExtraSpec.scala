@@ -654,6 +654,131 @@ class PipelineExtraSpec extends AnyFunSuite {
     assert(sums == 0L)
   }
 
+  test("$scoreFusion: weighted average of raw sub-pipeline scores") {
+    val docs = Seq(
+      (1L, "spark spark fast", Seq(1.0, 0.0)),
+      (2L, "slow database", Seq(0.8, 0.6)),
+      (3L, "spark", Seq(0.0, 1.0))
+    ).toDF("id", "text", "v")
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // lexical: bm25 over N=3, avgdl=2, df(spark)=2 (same corpus as the
+    // $search spec); vector: (cos+1)/2 against [1,0], top-2 = docs 1, 2
+    val idf = math.log(1 + 1.5 / 2.5)
+    def bm(tf: Double, dl: Double) =
+      r6(idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 2.0)))
+    val out = PipelineCompiler.run(docs, """[
+      {"$scoreFusion": {
+        "idField": "id",
+        "input": {"pipelines": {
+          "lexical": [{"$search": {"text": {"query": "spark", "path": "text"},
+                       "limit": 5, "tieBreaker": "id"}}],
+          "vector": [{"$vectorSearch": {"path": "v", "queryVector": [1.0, 0.0],
+                      "limit": 2, "exact": true, "tieBreaker": "id"}}]},
+          "normalization": "none"},
+        "combination": {"weights": {"vector": 2}}}},
+      {"$project": {"id": 1, "score": {"$meta": "score"}}}]""")
+      .as[(Long, Double)].collect().toSeq
+    // fused = Σ w·score / P with P = 2 pipelines, absent docs contribute 0
+    assert(out == Seq(
+      (1L, r6((bm(2, 3) + 2 * 1.0) / 2)),
+      (2L, r6(2 * 0.9 / 2)),
+      (3L, r6(bm(1, 1) / 2))))
+
+    // minMaxScaler rescales per pipeline to [0,1]: lexical has two docs
+    // (3 → 1, 1 → 0), vector has two (1 → 1, 2 → 0)
+    val mm = PipelineCompiler.run(docs, """[
+      {"$scoreFusion": {
+        "idField": "id",
+        "input": {"pipelines": {
+          "lexical": [{"$search": {"text": {"query": "spark", "path": "text"},
+                       "limit": 5, "tieBreaker": "id"}}],
+          "vector": [{"$vectorSearch": {"path": "v", "queryVector": [1.0, 0.0],
+                      "limit": 2, "exact": true, "tieBreaker": "id"}}]},
+          "normalization": "minMaxScaler"},
+        "combination": {"weights": {"vector": 2}}}},
+      {"$project": {"id": 1, "score": {"$meta": "score"}}}]""")
+      .as[(Long, Double)].collect().toSeq
+    assert(mm == Seq((1L, 1.0), (3L, 0.5), (2L, 0.0)))
+
+    // sigmoid squashes each raw score through 1/(1+e^-x)
+    val sg = PipelineCompiler.run(docs, """[
+      {"$scoreFusion": {
+        "idField": "id",
+        "input": {"pipelines": {
+          "vector": [{"$vectorSearch": {"path": "v", "queryVector": [1.0, 0.0],
+                      "limit": 2, "exact": true, "tieBreaker": "id"}}]},
+          "normalization": "sigmoid"}}},
+      {"$project": {"id": 1, "score": {"$meta": "score"}}}]""")
+      .as[(Long, Double)].collect().toSeq
+    def sig(x: Double) = 1.0 / (1.0 + math.exp(-x))
+    assert(sg == Seq((1L, r6(sig(1.0))), (2L, r6(sig(0.9)))))
+
+    // a sub-pipeline that is not scored ($sort is rank, not score) is rejected
+    intercept[MqlException](PipelineCompiler.run(docs, """[
+      {"$scoreFusion": {"idField": "id", "input": {"pipelines": {
+        "bad": [{"$sort": {"id": 1}}, {"$limit": 2}]}}}}]"""))
+    // a limit-less $search sub-pipeline is rejected
+    intercept[MqlException](PipelineCompiler.run(docs, """[
+      {"$scoreFusion": {"idField": "id", "input": {"pipelines": {
+        "lex": [{"$search": {"text": {"query": "spark", "path": "text"},
+                 "tieBreaker": "id"}}]}}}}]"""))
+    // unknown weight name / normalization / combination.method are rejected
+    intercept[MqlException](PipelineCompiler.run(docs, """[
+      {"$scoreFusion": {"idField": "id",
+        "input": {"pipelines": {"v": [{"$vectorSearch": {"path": "v",
+          "queryVector": [1.0, 0.0], "limit": 2, "exact": true,
+          "tieBreaker": "id"}}]}},
+        "combination": {"weights": {"zzz": 1}}}}]"""))
+    intercept[MqlException](PipelineCompiler.run(docs, """[
+      {"$scoreFusion": {"idField": "id",
+        "input": {"pipelines": {"v": [{"$vectorSearch": {"path": "v",
+          "queryVector": [1.0, 0.0], "limit": 2, "exact": true,
+          "tieBreaker": "id"}}]}, "normalization": "zscore"}}}]"""))
+    intercept[MqlException](PipelineCompiler.run(docs, """[
+      {"$scoreFusion": {"idField": "id",
+        "input": {"pipelines": {"v": [{"$vectorSearch": {"path": "v",
+          "queryVector": [1.0, 0.0], "limit": 2, "exact": true,
+          "tieBreaker": "id"}}]}},
+        "combination": {"method": "expression"}}}]"""))
+    // an input that already carries `score` is refused, not shadowed
+    intercept[MqlException](PipelineCompiler.run(
+      docs.withColumn("score", org.apache.spark.sql.functions.lit(1.0)), """[
+      {"$scoreFusion": {"idField": "id", "input": {"pipelines": {
+        "v": [{"$vectorSearch": {"path": "v", "queryVector": [1.0, 0.0],
+               "limit": 2, "exact": true, "tieBreaker": "id"}}]}}}}]"""))
+  }
+
+  test("$scoreFusion scoreDetails: per-pipeline raw/weight/normalized value") {
+    val docs = Seq(
+      (1L, "spark spark fast", Seq(1.0, 0.0)),
+      (2L, "slow database", Seq(0.8, 0.6)),
+      (3L, "spark", Seq(0.0, 1.0))
+    ).toDF("id", "text", "v")
+    val out = PipelineCompiler.run(docs, """[
+      {"$scoreFusion": {
+        "idField": "id", "scoreDetails": true,
+        "input": {"pipelines": {
+          "lexical": [{"$search": {"text": {"query": "spark", "path": "text"},
+                       "limit": 5, "tieBreaker": "id"}}],
+          "vector": [{"$vectorSearch": {"path": "v", "queryVector": [1.0, 0.0],
+                      "limit": 2, "exact": true, "tieBreaker": "id"}}]},
+          "normalization": "none"},
+        "combination": {"weights": {"vector": 2}}}},
+      {"$project": {"id": 1, "score": {"$meta": "score"},
+        "details": "$scoreDetails.details"}}]""")
+    val rows = out.selectExpr("id",
+        "transform(details, d -> struct(d.inputPipelineName, d.weight))")
+      .as[(Long, Seq[(String, Double)])].collect().toMap
+    assert(rows(1L) == Seq(("lexical", 1.0), ("vector", 2.0)))
+    assert(rows(2L) == Seq(("vector", 2.0)))
+    assert(rows(3L) == Seq(("lexical", 1.0)))
+    // weighted normalized values average back to the fused score
+    val bad = out.selectExpr("score",
+      "round(aggregate(details, 0.0d, (a, d) -> a + d.weight * d.value) / 2, 6) AS s")
+      .where("abs(score - s) > 1e-6").count()
+    assert(bad == 0L)
+  }
+
   test("$search text operator: BM25 scores, only matching docs, $meta") {
     val docs = Seq(
       (1L, "spark spark fast"), (2L, "slow database"), (3L, "spark")
