@@ -1169,8 +1169,11 @@ object PipelineCompiler {
   private def search(df: DataFrame, spec: List[(String, JValue)]): DataFrame = {
     val (k1, b) = (1.2, 0.75)
     sealed trait SClause { def path: String }
-    case class TextCl(terms: Seq[String], path: String) extends SClause
-    case class PhraseCl(terms: Seq[String], path: String) extends SClause
+    // fuzzy = (maxEdits, prefixLength): Lucene FuzzyQuery's two knobs
+    case class TextCl(terms: Seq[String], path: String,
+                      fuzzy: Option[(Int, Int)] = None) extends SClause
+    case class PhraseCl(terms: Seq[String], path: String,
+                        slop: Int = 0) extends SClause
     case class EqualsCl(path: String, value: Column) extends SClause
     case class RangeCl(path: String, bounds: Seq[(String, Column)]) extends SClause
     case class WildcardCl(path: String, regex: String) extends SClause
@@ -1233,14 +1236,39 @@ object PipelineCompiler {
       case List(("text", t)) =>
         val o = obj(t, "$search.text")
         val (b, k) = scoreOpt(o, "$search.text")
+        // fuzzy: a doc token matches a query term when their edit
+        // distance is ≤ maxEdits (default 2) and they share the first
+        // prefixLength chars (default 0). maxExpansions is accepted and
+        // ignored — it caps the candidate-term set Lucene expands the
+        // query into, an index-side physical detail; matching against
+        // analyzed terms directly is its semantics without the cap.
+        val fuzzy = o.collectFirst { case ("fuzzy", fv) =>
+          val fo = obj(fv, "$search.text.fuzzy")
+          fo.foreach { case (fk, _) =>
+            if (!Set("maxEdits", "prefixLength", "maxExpansions").contains(fk))
+              throw new MqlException(
+                s"$$search.text.fuzzy: unsupported option '$fk'") }
+          val me = fo.collectFirst { case ("maxEdits", x) =>
+            intValue(x, "$search.text.fuzzy.maxEdits") }.getOrElse(2)
+          if (me < 1 || me > 2)
+            throw new MqlException("$search.text.fuzzy.maxEdits must be 1 or 2")
+          val pl = fo.collectFirst { case ("prefixLength", x) =>
+            intValue(x, "$search.text.fuzzy.prefixLength") }.getOrElse(0)
+          if (pl < 0)
+            throw new MqlException("$search.text.fuzzy.prefixLength must be >= 0")
+          (me, pl)
+        }
         Cl(TextCl(qTokens(queryOf(o, "$search.text"), "$search.text").distinct,
-          pathOf(o, "$search.text")), b, k)
+          pathOf(o, "$search.text"), fuzzy), b, k)
       case List(("phrase", t)) =>
         val o = obj(t, "$search.phrase")
         val (b, k) = scoreOpt(o, "$search.phrase")
+        val slop = o.collectFirst { case ("slop", x) =>
+          intValue(x, "$search.phrase.slop") }.getOrElse(0)
+        if (slop < 0) throw new MqlException("$search.phrase.slop must be >= 0")
         // order matters and repeats are positions, so NOT distinct
         Cl(PhraseCl(qTokens(queryOf(o, "$search.phrase"), "$search.phrase"),
-          pathOf(o, "$search.phrase")), b, k)
+          pathOf(o, "$search.phrase"), slop), b, k)
       case List(("equals", t)) =>
         val o = obj(t, "$search.equals")
         val value = o.collectFirst { case ("value", x) => x }
@@ -1390,15 +1418,48 @@ object PipelineCompiler {
     val pIdx = tokPaths.zipWithIndex.toMap
     def toksOf(p: String) = graft.llmops.TextAnalysis.tokens(lower(fieldCol(p)))
     def tokCol(p: String) = col(s"__graft_toks_${pIdx(p)}")
-    // consecutive-subsequence occurrence count of `terms` in `toks`
-    def phraseTf(toks: Column, terms: Seq[String]): Column = {
+    // does doc token x count as an occurrence of query term t?
+    def tokPred(x: Column, t: String, fuzzy: Option[(Int, Int)]): Column =
+      fuzzy match {
+        case None => x === lit(t)
+        case Some((me, pl)) =>
+          val d = levenshtein(x, lit(t)) <= lit(me)
+          if (pl <= 0) d
+          else substring(x, 1, pl) === lit(t.take(pl)) && d
+      }
+    // occurrence count of `terms` in `toks`: slop 0 = consecutive
+    // subsequence; slop s = in-order subsequence whose span stretches at
+    // most s positions beyond consecutive (counted by start position,
+    // matching each start greedily — the earliest completion minimizes
+    // the span, so greedy is exact for existence). Lucene's sloppy
+    // PhraseQuery also admits out-of-order arrangements at slop ≥ 2
+    // (a transposition costs 2); the in-order contract is this engine's
+    // documented simplification.
+    def phraseTf(toks: Column, terms: Seq[String], slop: Int = 0): Column = {
       val L = terms.length
-      when(size(toks) >= L,
-        size(filter(sequence(lit(1), size(toks) - lit(L) + lit(1)), i =>
-          terms.zipWithIndex.map { case (t, o) =>
-            element_at(toks, (i + lit(o)).cast("int")) === lit(t)
-          }.reduce(_ && _))).cast("double"))
-        .otherwise(lit(0.0))
+      if (slop == 0)
+        when(size(toks) >= L,
+          size(filter(sequence(lit(1), size(toks) - lit(L) + lit(1)), i =>
+            terms.zipWithIndex.map { case (t, o) =>
+              element_at(toks, (i + lit(o)).cast("int")) === lit(t)
+            }.reduce(_ && _))).cast("double"))
+          .otherwise(lit(0.0))
+      else if (L == 1)
+        size(filter(toks, x => x === lit(terms.head))).cast("double")
+      else {
+        // earliest position of `t` strictly after `after` (null if none;
+        // null `after` propagates through the > comparison to null)
+        def nextPos(after: Column, t: String): Column =
+          get(filter(sequence(lit(1), size(toks)), j =>
+            j > after && element_at(toks, j.cast("int")) === lit(t)), lit(0))
+        when(size(toks) >= L,
+          size(filter(sequence(lit(1), size(toks) - lit(L) + lit(1)), i => {
+            val p1 = when(element_at(toks, i.cast("int")) === lit(terms.head), i)
+            val pL = terms.tail.foldLeft(p1)(nextPos)
+            pL.isNotNull && pL - i <= lit(L - 1 + slop)
+          })).cast("double"))
+          .otherwise(lit(0.0))
+      }
     }
     // ONE corpus pass for every statistic any scored text/phrase clause
     // needs: per-path N + avgdl over docs with ≥1 token, per-term df,
@@ -1420,12 +1481,13 @@ object PipelineCompiler {
               .as(s"__avgdl_${pIdx(p)}"))
       } ++
       scoredClauses.zipWithIndex.flatMap {
-        case (Cl(TextCl(terms, p), _, None), ci) =>
+        case (Cl(TextCl(terms, p, fz), _, None), ci) =>
           terms.zipWithIndex.map { case (t, ti) =>
-            sum(when(array_contains(toksOf(p), t), 1L).otherwise(0L))
-              .as(s"__df_${ci}_$ti") }
-        case (Cl(PhraseCl(terms, p), _, None), ci) =>
-          Seq(sum(when(phraseTf(toksOf(p), terms) > 0, 1L).otherwise(0L))
+            val hit = if (fz.isEmpty) array_contains(toksOf(p), t)
+              else coalesce(exists(toksOf(p), x => tokPred(x, t, fz)), lit(false))
+            sum(when(hit, 1L).otherwise(0L)).as(s"__df_${ci}_$ti") }
+        case (Cl(PhraseCl(terms, p, slop), _, None), ci) =>
+          Seq(sum(when(phraseTf(toksOf(p), terms, slop) > 0, 1L).otherwise(0L))
             .as(s"__pdf_$ci"))
         case (Cl(QsCl(dp, tree), _, None), ci) =>
           qsLeaves(tree, dp).filter(l => l.positive && l.kind <= 1).map { l =>
@@ -1456,9 +1518,13 @@ object PipelineCompiler {
     def matches(c: SClause): Column = c match {
       // coalesce: a null path (missing field) matches nothing — in
       // particular a mustNot over a missing path must NOT exclude the doc
-      case TextCl(terms, p) => coalesce(
+      case TextCl(terms, p, None) => coalesce(
         size(array_intersect(tokCol(p), array(terms.map(lit): _*))) > 0, lit(false))
-      case PhraseCl(terms, p) => coalesce(phraseTf(tokCol(p), terms) > 0, lit(false))
+      case TextCl(terms, p, fz) => coalesce(
+        terms.map(t => exists(tokCol(p), x => tokPred(x, t, fz))).reduce(_ || _),
+        lit(false))
+      case PhraseCl(terms, p, slop) =>
+        coalesce(phraseTf(tokCol(p), terms, slop) > 0, lit(false))
       case EqualsCl(p, v) => fieldCol(p) <=> v
       case RangeCl(p, bounds) => coalesce(bounds.map {
           case ("gt", v)  => fieldCol(p) > v
@@ -1510,13 +1576,14 @@ object PipelineCompiler {
       case Cl(c, _, Some(k)) => when(matches(c), lit(k)).otherwise(lit(0.0))
       case Cl(c, boost, None) =>
         val base = c match {
-          case TextCl(terms, p) =>
+          case TextCl(terms, p, fz) =>
             terms.zipWithIndex.map { case (t, ti) =>
-              bm25(size(filter(tokCol(p), x => x === lit(t))).cast("double"),
+              bm25(size(filter(tokCol(p), x => tokPred(x, t, fz))).cast("double"),
                 col(s"__df_${ci}_$ti").cast("double"), p)
             }.reduce(_ + _)
-          case PhraseCl(terms, p) =>
-            bm25(phraseTf(tokCol(p), terms), col(s"__pdf_$ci").cast("double"), p)
+          case PhraseCl(terms, p, slop) =>
+            bm25(phraseTf(tokCol(p), terms, slop),
+              col(s"__pdf_$ci").cast("double"), p)
           case NearCl(p, origin, pivot) =>
             when(fieldCol(p).isNotNull, lit(pivot) /
               (lit(pivot) + abs(fieldCol(p).cast("double") - lit(origin))))
@@ -1570,7 +1637,7 @@ object PipelineCompiler {
     val dropCols = tokPaths.map(p => s"__graft_toks_${pIdx(p)}") ++
       statPaths.flatMap(p => Seq(s"__n_${pIdx(p)}", s"__avgdl_${pIdx(p)}")) ++
       scoredClauses.zipWithIndex.flatMap {
-        case (Cl(TextCl(terms, _), _, None), ci) =>
+        case (Cl(TextCl(terms, _, _), _, None), ci) =>
           terms.indices.map(ti => s"__df_${ci}_$ti")
         case (Cl(_: PhraseCl, _, None), ci) => Seq(s"__pdf_$ci")
         case (Cl(QsCl(dp, tree), _, None), ci) =>
@@ -1589,10 +1656,26 @@ object PipelineCompiler {
       .drop(dropCols: _*)
     val tieCols = spec.collectFirst { case ("tieBreaker", JString(t)) => t }
       .map(t => Seq(fieldCol(t).asc)).getOrElse(Seq.empty)
+    // "sort": {field: 1|-1, ...} replaces relevance ordering with a
+    // field sort (Atlas's indexed-sort option); tieBreaker still breaks
+    // residual ties. With a limit it plans as TakeOrdered either way.
+    val userSort = spec.collectFirst { case ("sort", sv) =>
+      val entries = asObj(sv, "$search.sort")
+      if (entries.isEmpty) throw new MqlException("$search.sort is empty")
+      entries.map { case (f, d) =>
+        intValue(d, s"$$search.sort.$f") match {
+          case 1  => fieldCol(f).asc
+          case -1 => fieldCol(f).desc
+          case o => throw new MqlException(
+            s"$$search.sort.$f must be 1 or -1, got $o")
+        }
+      }
+    }
+    val ordering = userSort.getOrElse(Seq(col("searchScore").desc)) ++ tieCols
     spec.collectFirst { case ("limit", l) => intValue(l, "$search") } match {
-      case Some(n) =>
-        scored.orderBy(col("searchScore").desc +: tieCols: _*).limit(n)
-      case None => scored
+      case Some(n) => scored.orderBy(ordering: _*).limit(n)
+      case None =>
+        if (userSort.isDefined) scored.orderBy(ordering: _*) else scored
     }
   }
 

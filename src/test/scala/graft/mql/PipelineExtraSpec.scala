@@ -654,6 +654,84 @@ class PipelineExtraSpec extends AnyFunSuite {
     assert(sums == 0L)
   }
 
+  test("$search phrase slop: in-order subsequence within stretched span") {
+    val docs = Seq(
+      (1L, "spark runs fast queries"), (2L, "spark very fast"), (3L, "fast spark")
+    ).toDF("id", "text")
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // slop 0: no doc has the consecutive phrase
+    val strict = PipelineCompiler.run(docs, """[
+      {"$search": {"phrase": {"query": "spark fast", "path": "text"}}}]""")
+      .count()
+    assert(strict == 0L)
+    // slop 1: docs 1 and 2 fit (span 2 ≤ 1+1); doc 3 is out of order
+    // and in-order matching is the documented contract
+    val out = PipelineCompiler.run(docs, """[
+      {"$search": {"phrase": {"query": "spark fast", "path": "text",
+        "slop": 1}}},
+      {"$project": {"id": 1, "score": {"$meta": "searchScore"}}},
+      {"$sort": {"score": -1, "id": 1}}]""")
+      .as[(Long, Double)].collect().toSeq
+    // phrase pseudo-term: N=3, avgdl=3, df=2, tf=1 in both docs
+    val idf = math.log(1.6)
+    def s(dl: Double) = r6(idf * 2.2 / (1 + 1.2 * (0.25 + 0.75 * dl / 3)))
+    assert(out == Seq((2L, s(3)), (1L, s(4))))
+    // repeated starts each count: tf reflects every valid start position
+    val rep = Seq((1L, "a b a c b")).toDF("id", "text")
+    val tf2 = PipelineCompiler.run(rep, """[
+      {"$search": {"phrase": {"query": "a b", "path": "text", "slop": 1}}}]""")
+      .count()
+    assert(tf2 == 1L) // matches (both starts valid, one doc)
+    intercept[MqlException](PipelineCompiler.run(docs, """[
+      {"$search": {"phrase": {"query": "spark fast", "path": "text",
+        "slop": -1}}}]"""))
+  }
+
+  test("$search text fuzzy: edit-distance matching with prefixLength") {
+    val docs = Seq(
+      (1L, "spark"), (2L, "sprak"), (3L, "spork"), (4L, "xxxx")
+    ).toDF("id", "text")
+    def ids(pipe: String): Set[Long] =
+      PipelineCompiler.run(docs, pipe).select("id").as[Long].collect().toSet
+    // maxEdits 1: spark (0 edits) and spork (1); sprak is 2 plain edits
+    assert(ids("""[{"$search": {"text": {"query": "spark", "path": "text",
+      "fuzzy": {"maxEdits": 1}}}}]""") == Set(1L, 3L))
+    // maxEdits 2 (the default) also admits the transposition
+    assert(ids("""[{"$search": {"text": {"query": "spark", "path": "text",
+      "fuzzy": {}}}}]""") == Set(1L, 2L, 3L))
+    // prefixLength pins the leading chars exactly
+    assert(ids("""[{"$search": {"text": {"query": "spark", "path": "text",
+      "fuzzy": {"maxEdits": 2, "prefixLength": 3}}}}]""") == Set(1L, 3L))
+    // BM25 over fuzzy-expanded tf/df: N=4, avgdl=1, df=2 at maxEdits 1
+    val out = PipelineCompiler.run(docs, """[
+      {"$search": {"text": {"query": "spark", "path": "text",
+        "fuzzy": {"maxEdits": 1}}}},
+      {"$project": {"id": 1, "score": {"$meta": "searchScore"}}},
+      {"$sort": {"id": 1}}]""").as[(Long, Double)].collect().toSeq
+    val exp = math.rint(math.log(2.0) * 1e6) / 1e6
+    assert(out == Seq((1L, exp), (3L, exp)))
+    // maxEdits outside 1..2 and unknown fuzzy options are rejected
+    intercept[MqlException](ids("""[{"$search": {"text": {"query": "spark",
+      "path": "text", "fuzzy": {"maxEdits": 3}}}}]"""))
+    intercept[MqlException](ids("""[{"$search": {"text": {"query": "spark",
+      "path": "text", "fuzzy": {"transpositions": true}}}}]"""))
+  }
+
+  test("$search sort option: field ordering replaces relevance") {
+    val docs = Seq(
+      (1L, "spark spark fast", 10), (2L, "slow database", 30), (3L, "spark", 20)
+    ).toDF("id", "text", "views")
+    val out = PipelineCompiler.run(docs, """[
+      {"$search": {"text": {"query": "spark", "path": "text"},
+        "sort": {"views": -1}, "limit": 2}},
+      {"$project": {"id": 1}}]""").as[Long].collect().toSeq
+    // matches are docs 1 and 3; views desc puts 3 first
+    assert(out == Seq(3L, 1L))
+    intercept[MqlException](PipelineCompiler.run(docs, """[
+      {"$search": {"text": {"query": "spark", "path": "text"},
+        "sort": {"views": 0}}}]"""))
+  }
+
   test("$scoreFusion: weighted average of raw sub-pipeline scores") {
     val docs = Seq(
       (1L, "spark spark fast", Seq(1.0, 0.0)),
