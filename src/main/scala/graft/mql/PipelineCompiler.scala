@@ -1182,6 +1182,16 @@ object PipelineCompiler {
     case class ExistsCl(path: String) extends SClause
     case class NearCl(path: String, origin: Double, pivot: Double) extends SClause
     case class RegexCl(path: String, regex: String) extends SClause
+    // geo shapes are query-time constants; the doc path must resolve to
+    // a GeoJSON-style [lon, lat] point stored as array<numeric>
+    sealed trait GShape
+    case class GBox(x1: Double, y1: Double, x2: Double, y2: Double) extends GShape
+    case class GCircle(cx: Double, cy: Double, r: Double) extends GShape
+    case class GPolygon(vs: Seq[(Double, Double)]) extends GShape
+    // relation: "within" (geoWithin and geoShape within/intersects —
+    // identical for point fields) or "disjoint" (the complement over
+    // docs that HAVE the field)
+    case class GeoCl(path: String, shape: GShape, relation: String) extends SClause
     case class QsCl(path: String, tree: QsNode) extends SClause
     // moreLikeThis: per like-doc field, the distinct analyzed terms
     case class MltCl(fields: Seq[(String, Seq[String])]) extends SClause {
@@ -1365,8 +1375,91 @@ object PipelineCompiler {
         if (pivot <= 0) throw new MqlException("$search.near: pivot must be > 0")
         val (b, k) = scoreOpt(o, "$search.near")
         Cl(NearCl(pathOf(o, "$search.near"), origin, pivot), b, k)
+      case List(("geoWithin", t)) =>
+        val o = obj(t, "$search.geoWithin")
+        val (b, k) = scoreOpt(o, "$search.geoWithin")
+        Cl(GeoCl(pathOf(o, "$search.geoWithin"),
+          geoWithinShape(o, "$search.geoWithin"), "within"), b, k)
+      case List(("geoShape", t)) =>
+        // for point fields `within` and `intersects` coincide (a point
+        // intersects a polygon iff it lies inside it); `contains` would
+        // need the INDEXED side to be a polygon — rejected, the engine's
+        // geo fields are points
+        val o = obj(t, "$search.geoShape")
+        val rel = o.collectFirst { case ("relation", JString(r)) => r }
+          .getOrElse(throw new MqlException("$search.geoShape needs relation"))
+        val rel2 = rel match {
+          case "within" | "intersects" => "within"
+          case "disjoint" => "disjoint"
+          case other => throw new MqlException(
+            s"$$search.geoShape: unsupported relation '$other' (point fields " +
+              "support within/intersects/disjoint)")
+        }
+        val geom = o.collectFirst { case ("geometry", g) => g }
+          .getOrElse(throw new MqlException("$search.geoShape needs geometry"))
+        val (b, k) = scoreOpt(o, "$search.geoShape")
+        Cl(GeoCl(pathOf(o, "$search.geoShape"),
+          geoGeometry(geom, "$search.geoShape.geometry"), rel2), b, k)
       case other => throw new MqlException(
         s"$ctx: unsupported operator ${other.map(_._1).mkString(",")}")
+    }
+    def geoPoint(v: JValue, ctx: String): (Double, Double) = v match {
+      case JArray(List(x, y)) => (numOf(x, ctx), numOf(y, ctx))
+      case jo: JObject => obj(jo, ctx).collectFirst {
+          case ("coordinates", JArray(List(x, y))) =>
+            (numOf(x, ctx), numOf(y, ctx)) }
+        .getOrElse(throw new MqlException(
+          s"$ctx: expected a GeoJSON Point or [lon, lat]"))
+      case other => throw new MqlException(s"$ctx: expected a point, got $other")
+    }
+    def geoGeometry(v: JValue, ctx: String): GShape = {
+      val o = obj(v, ctx)
+      o.collectFirst { case ("type", JString(t)) => t } match {
+        case Some("Polygon") =>
+          val rings = o.collectFirst { case ("coordinates", JArray(rs)) => rs }
+            .getOrElse(throw new MqlException(s"$ctx: Polygon needs coordinates"))
+          if (rings.length != 1) throw new MqlException(
+            s"$ctx: only single-ring polygons (no holes) are supported")
+          val pts = rings.head match {
+            case JArray(ps) => ps.map(geoPoint(_, ctx))
+            case other => throw new MqlException(s"$ctx: bad ring $other")
+          }
+          // GeoJSON closes the ring (first == last); PNPOLY wants it open
+          val open = if (pts.length > 1 && pts.head == pts.last) pts.init else pts
+          if (open.length < 3)
+            throw new MqlException(s"$ctx: polygon needs >= 3 distinct vertices")
+          GPolygon(open)
+        case Some(other) => throw new MqlException(
+          s"$ctx: unsupported geometry type '$other' (Polygon only)")
+        case None => throw new MqlException(s"$ctx: geometry needs type")
+      }
+    }
+    def geoWithinShape(o: List[(String, JValue)], ctx: String): GShape = {
+      val shapes = o.collect {
+        case ("box", bv) =>
+          val bo = obj(bv, s"$ctx.box")
+          val (x1, y1) = bo.collectFirst { case ("bottomLeft", p) =>
+              geoPoint(p, s"$ctx.box.bottomLeft") }
+            .getOrElse(throw new MqlException(s"$ctx.box needs bottomLeft"))
+          val (x2, y2) = bo.collectFirst { case ("topRight", p) =>
+              geoPoint(p, s"$ctx.box.topRight") }
+            .getOrElse(throw new MqlException(s"$ctx.box needs topRight"))
+          GBox(x1, y1, x2, y2)
+        case ("circle", cv) =>
+          val co = obj(cv, s"$ctx.circle")
+          val (cx, cy) = co.collectFirst { case ("center", p) =>
+              geoPoint(p, s"$ctx.circle.center") }
+            .getOrElse(throw new MqlException(s"$ctx.circle needs center"))
+          val r = co.collectFirst { case ("radius", x) =>
+              numOf(x, s"$ctx.circle.radius") }
+            .getOrElse(throw new MqlException(s"$ctx.circle needs radius"))
+          if (r <= 0) throw new MqlException(s"$ctx.circle: radius must be > 0")
+          GCircle(cx, cy, r)
+        case ("geometry", gv) => geoGeometry(gv, s"$ctx.geometry")
+      }
+      if (shapes.length != 1) throw new MqlException(
+        s"$ctx needs exactly one of box, circle, geometry")
+      shapes.head
     }
     def clauseList(v: JValue, ctx: String): Seq[Cl] = v match {
       case JArray(cs) => cs.map(parseClause(_, ctx))
@@ -1374,7 +1467,7 @@ object PipelineCompiler {
     }
     val topOps = Set("text", "phrase", "equals", "range", "wildcard",
       "autocomplete", "in", "exists", "near", "regex", "queryString",
-      "moreLikeThis")
+      "moreLikeThis", "geoWithin", "geoShape")
     val (must, should, mustNot, filterCls) =
       spec.collectFirst { case ("compound", c) => obj(c, "$search.compound") } match {
         case Some(comp) =>
@@ -1392,7 +1485,7 @@ object PipelineCompiler {
             .getOrElse(throw new MqlException(
               "$search supports the text/phrase/equals/range/wildcard/" +
                 "autocomplete/in/exists/near/regex/queryString/" +
-                "moreLikeThis/compound operators"))
+                "moreLikeThis/geoWithin/geoShape/compound operators"))
           (Seq(c), Nil, Nil, Nil)
       }
     if (must.isEmpty && should.isEmpty && filterCls.isEmpty)
@@ -1550,6 +1643,37 @@ object PipelineCompiler {
         coalesce(when(size(tokCol(p)) >= L, m), lit(false))
       case InCl(p, vs) => vs.map(v => fieldCol(p) <=> v).reduce(_ || _)
       case ExistsCl(p) => fieldCol(p).isNotNull
+      // point-in-shape over a [lon, lat] array field — pure Column
+      // arithmetic, zero shuffle, codegen-friendly. Circle distance is
+      // haversine on a sphere of radius 6378100 m (MongoDB's Earth
+      // radius); polygon is PNPOLY ray casting with the query polygon
+      // unrolled into per-edge literals (horizontal edges contribute
+      // false via the parity conjunct, so the div-by-zero branch is
+      // never selected).
+      case GeoCl(p, shape, rel) =>
+        val pt = fieldCol(p)
+        val lon = element_at(pt, 1).cast("double")
+        val lat = element_at(pt, 2).cast("double")
+        val in = shape match {
+          case GBox(x1, y1, x2, y2) =>
+            lon >= lit(x1) && lon <= lit(x2) && lat >= lit(y1) && lat <= lit(y2)
+          case GCircle(cx, cy, r) =>
+            val a = pow(sin(radians(lat - lit(cy)) / 2), 2) +
+              cos(radians(lit(cy))) * cos(radians(lat)) *
+                pow(sin(radians(lon - lit(cx)) / 2), 2)
+            lit(2.0 * 6378100.0) * asin(sqrt(a)) <= lit(r)
+          case GPolygon(vs) =>
+            val crossings = vs.indices.map { i =>
+              val (xi, yi) = vs(i)
+              val (xj, yj) = vs((i + 1) % vs.length)
+              val c = (lit(yi) > lat) =!= (lit(yj) > lat) &&
+                lon < lit(xj - xi) * (lat - lit(yi)) / lit(yj - yi) + lit(xi)
+              when(c, 1).otherwise(0)
+            }
+            crossings.reduce(_ + _) % 2 === 1
+        }
+        val within = coalesce(in, lit(false))
+        if (rel == "disjoint") pt.isNotNull && !within else within
       case NearCl(p, _, _) => fieldCol(p).isNotNull
       case RegexCl(p, rx) =>
         coalesce(exists(tokCol(p), x => x.rlike(rx)), lit(false))

@@ -1271,6 +1271,133 @@ object LlmOps {
             SELECT doc_id, score FROM sc
             ORDER BY score DESC, doc_id LIMIT 20""")),
 
+    // $search text with fuzzy matching: a doc token counts for a query
+    // term at Levenshtein distance <= maxEdits ('spark' also collects
+    // 'part' at 2 edits in this corpus) — DuckDB's levenshtein()
+    // recomputes the expanded tf/df exactly
+    QueryDef("q_search_fuzzy",
+      (s, dir) => Graft.aggregate(s, dir, "documents",
+        """[
+          {"$search": {"text": {"query": "spark", "path": "text",
+            "fuzzy": {"maxEdits": 2}}, "limit": 25, "tieBreaker": "doc_id"}},
+          {"$project": {"doc_id": 1,
+            "score": {"$meta": "searchScore"}}},
+          {"$sort": {"score": -1, "doc_id": 1}}]"""),
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($duckToksLower) AS term
+                 FROM documents),
+              dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+              st AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+              tf AS (SELECT doc_id, COUNT(*) AS tf FROM toks
+                     WHERE levenshtein(term, 'spark') <= 2 GROUP BY 1),
+              df AS (SELECT COUNT(*) AS df FROM tf),
+              sc AS (SELECT tf.doc_id,
+                       round(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5)) *
+                         tf.tf * 2.2 / (tf.tf + 1.2 *
+                           (1 - 0.75 + 0.75 * dl.dl / st.avgdl)), 6) AS score
+                     FROM tf JOIN dl USING (doc_id)
+                          CROSS JOIN st CROSS JOIN df)
+            SELECT doc_id, score FROM sc
+            ORDER BY score DESC, doc_id LIMIT 25""")),
+
+    // $search phrase with slop: in-order token subsequence whose span
+    // stretches at most `slop` beyond consecutive; tf counts start
+    // positions with a completion in range (greedy-earliest == exists
+    // for the 2-term phrase, so the positioned-token join is exact)
+    QueryDef("q_search_slop",
+      (s, dir) => Graft.aggregate(s, dir, "documents",
+        """[
+          {"$search": {"phrase": {"query": "spark query", "path": "text",
+            "slop": 2}, "limit": 20, "tieBreaker": "doc_id"}},
+          {"$project": {"doc_id": 1,
+            "score": {"$meta": "searchScore"}}},
+          {"$sort": {"score": -1, "doc_id": 1}}]"""),
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($duckToksLower) AS term,
+                       generate_subscripts($duckToksLower, 1) AS pos
+                 FROM documents),
+              dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+              st AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+              ptf AS (SELECT a.doc_id, COUNT(DISTINCT a.pos) AS tf
+                      FROM toks a JOIN toks b
+                        ON b.doc_id = a.doc_id
+                       AND b.pos > a.pos AND b.pos <= a.pos + 3
+                      WHERE a.term = 'spark' AND b.term = 'query' GROUP BY 1),
+              pdf AS (SELECT COUNT(*) AS df FROM ptf),
+              sc AS (SELECT ptf.doc_id,
+                       round(ln(1 + (st.n - pdf.df + 0.5) / (pdf.df + 0.5)) *
+                         ptf.tf * 2.2 / (ptf.tf + 1.2 *
+                           (1 - 0.75 + 0.75 * dl.dl / st.avgdl)), 6) AS score
+                     FROM ptf JOIN dl USING (doc_id)
+                          CROSS JOIN st CROSS JOIN pdf)
+            SELECT doc_id, score FROM sc
+            ORDER BY score DESC, doc_id LIMIT 20""")),
+
+    // $search sort option: field ordering replaces relevance; the match
+    // set is still the text predicate, the cut is TakeOrdered on the
+    // user sort with the tieBreaker closing residual ties
+    QueryDef("q_search_sort",
+      (s, dir) => Graft.aggregate(s, dir, "documents",
+        """[
+          {"$search": {"text": {"query": "window", "path": "text"},
+            "sort": {"n_chars": -1}, "limit": 15, "tieBreaker": "doc_id"}},
+          {"$project": {"doc_id": 1, "n_chars": 1}}]"""),
+      Some(s"""SELECT doc_id, n_chars FROM documents
+               WHERE list_contains($duckToksLower, 'window')
+               ORDER BY n_chars DESC, doc_id LIMIT 15""")),
+
+    // $search geoWithin: haversine circle (R = 6378100 m) must-clause
+    // with a mustNot box carve-out, over a [lon, lat] point derived from
+    // events numerics — DuckDB re-derives the same trig row by row
+    QueryDef("q_search_geo",
+      (s, dir) => Graft.aggregate(s, dir, "events",
+        """[
+          {"$addFields": {"loc": [
+            {"$subtract": [{"$mod": ["$value", 180]}, 90]},
+            {"$subtract": [{"$mod": ["$user_id", 120]}, 60]}]}},
+          {"$search": {"compound": {
+            "must": [{"geoWithin": {"path": "loc",
+              "circle": {"center": [0, 0], "radius": 3000000}}}],
+            "mustNot": [{"geoWithin": {"path": "loc",
+              "box": {"bottomLeft": [-10, -10], "topRight": [10, 10]}}}]}}},
+          {"$project": {"event_id": 1}},
+          {"$sort": {"event_id": 1}}]"""),
+      Some("""WITH m AS (SELECT event_id, (value % 180) - 90 AS x,
+                     CAST((user_id % 120) - 60 AS DOUBLE) AS y FROM events)
+              SELECT event_id FROM m
+              WHERE 2 * 6378100 * asin(sqrt(
+                      pow(sin(radians(y - 0.0) / 2), 2) +
+                      cos(radians(0.0)) * cos(radians(y)) *
+                        pow(sin(radians(x - 0.0) / 2), 2))) <= 3000000
+                AND NOT (x >= -10 AND x <= 10 AND y >= -10 AND y <= 10)
+              ORDER BY event_id""")),
+
+    // $search geoShape within a triangle: PNPOLY ray casting unrolled
+    // per edge; the twin repeats the identical crossing tests (same
+    // operation order, so float decisions agree bit for bit)
+    QueryDef("q_search_geo_poly",
+      (s, dir) => Graft.aggregate(s, dir, "events",
+        """[
+          {"$addFields": {"loc": [
+            {"$subtract": [{"$mod": ["$value", 180]}, 90]},
+            {"$subtract": [{"$mod": ["$user_id", 120]}, 60]}]}},
+          {"$search": {"geoShape": {"path": "loc", "relation": "within",
+            "geometry": {"type": "Polygon", "coordinates":
+              [[[-40, -35], [45, -25], [10, 50], [-40, -35]]]}}}},
+          {"$project": {"event_id": 1}},
+          {"$sort": {"event_id": 1}}]"""),
+      Some("""WITH m AS (SELECT event_id, (value % 180) - 90 AS x,
+                     CAST((user_id % 120) - 60 AS DOUBLE) AS y FROM events)
+              SELECT event_id FROM m
+              WHERE ((CASE WHEN (-35.0 > y) <> (-25.0 > y)
+                       THEN CAST(x < 85.0 * (y - -35.0) / 10.0 + -40.0 AS INT)
+                       ELSE 0 END) +
+                     (CASE WHEN (-25.0 > y) <> (50.0 > y)
+                       THEN CAST(x < -35.0 * (y - -25.0) / 75.0 + 45.0 AS INT)
+                       ELSE 0 END) +
+                     (CASE WHEN (50.0 > y) <> (-35.0 > y)
+                       THEN CAST(x < -50.0 * (y - 50.0) / -85.0 + 10.0 AS INT)
+                       ELSE 0 END)) % 2 = 1
+              ORDER BY event_id""")),
+
     // $search near operator: distance-decay proximity score
     // pivot/(pivot+|v-origin|) over n_chars — a pure arithmetic twin
     QueryDef("q_search_near",

@@ -699,9 +699,12 @@ class PipelineExtraSpec extends AnyFunSuite {
     // maxEdits 2 (the default) also admits the transposition
     assert(ids("""[{"$search": {"text": {"query": "spark", "path": "text",
       "fuzzy": {}}}}]""") == Set(1L, 2L, 3L))
-    // prefixLength pins the leading chars exactly
+    // prefixLength pins the leading chars exactly: spork/sprak share
+    // only "sp" with the query, so prefixLength 3 leaves the exact term
     assert(ids("""[{"$search": {"text": {"query": "spark", "path": "text",
-      "fuzzy": {"maxEdits": 2, "prefixLength": 3}}}}]""") == Set(1L, 3L))
+      "fuzzy": {"maxEdits": 2, "prefixLength": 3}}}}]""") == Set(1L))
+    assert(ids("""[{"$search": {"text": {"query": "spark", "path": "text",
+      "fuzzy": {"maxEdits": 2, "prefixLength": 2}}}}]""") == Set(1L, 2L, 3L))
     // BM25 over fuzzy-expanded tf/df: N=4, avgdl=1, df=2 at maxEdits 1
     val out = PipelineCompiler.run(docs, """[
       {"$search": {"text": {"query": "spark", "path": "text",
@@ -1224,5 +1227,67 @@ class PipelineExtraSpec extends AnyFunSuite {
       {"$setWindowFields": {"partitionBy": "$grp",
          "sortBy": {"id": 1, "amt": 1},
          "output": {"l2": {"$lastN": {"input": "$amt", "n": 2}}}}}]"""))
+  }
+
+  test("$search geoWithin: box, circle, polygon over [lon, lat] points") {
+    val docs = Seq(
+      (1L, Some(Seq(0.0, 0.0))),    // origin
+      (2L, Some(Seq(5.0, 5.0))),    // inside box/triangle, ~786 km away
+      (3L, Some(Seq(50.0, 0.0))),   // far east
+      (4L, Some(Seq(-5.0, 20.0))),  // north, outside triangle
+      (5L, None)                    // missing point
+    ).toDF("id", "loc")
+    def ids(pipe: String): Set[Long] =
+      PipelineCompiler.run(docs, pipe).select("id").as[Long].collect().toSet
+    assert(ids("""[{"$search": {"geoWithin": {"path": "loc",
+      "box": {"bottomLeft": [-10, -10], "topRight": [10, 10]}}}}]""")
+      == Set(1L, 2L))
+    // 1000 km circle around the origin: doc 2 is ~786 km out, doc 4 is
+    // ~2,230 km; GeoJSON Point form for the center
+    assert(ids("""[{"$search": {"geoWithin": {"path": "loc",
+      "circle": {"center": {"type": "Point", "coordinates": [0, 0]},
+                 "radius": 1000000}}}}]""") == Set(1L, 2L))
+    // triangle (-10,-10) (20,-10)... no horizontal edges: use
+    // (-10,-8) (20,-10) (0,25); docs 1 and 2 inside, 4 outside
+    assert(ids("""[{"$search": {"geoWithin": {"path": "loc",
+      "geometry": {"type": "Polygon", "coordinates":
+        [[[-10, -8], [20, -10], [0, 25], [-10, -8]]]}}}}]""") == Set(1L, 2L))
+    intercept[MqlException](ids("""[{"$search": {"geoWithin":
+      {"path": "loc", "circle": {"center": [0, 0], "radius": -1}}}}]"""))
+    intercept[MqlException](ids("""[{"$search": {"geoWithin":
+      {"path": "loc"}}}]"""))
+  }
+
+  test("$search geoShape: within/intersects/disjoint for point fields") {
+    val docs = Seq(
+      (1L, Some(Seq(0.0, 0.0))), (2L, Some(Seq(50.0, 40.0))), (3L, None)
+    ).toDF("id", "loc")
+    def ids(pipe: String): Set[Long] =
+      PipelineCompiler.run(docs, pipe).select("id").as[Long].collect().toSet
+    val tri = """{"type": "Polygon", "coordinates":
+      [[[-10, -8], [20, -10], [0, 25], [-10, -8]]]}"""
+    assert(ids(s"""[{"$$search": {"geoShape": {"path": "loc",
+      "relation": "within", "geometry": $tri}}}]""") == Set(1L))
+    assert(ids(s"""[{"$$search": {"geoShape": {"path": "loc",
+      "relation": "intersects", "geometry": $tri}}}]""") == Set(1L))
+    // disjoint: has the field AND lies outside — the missing-point doc
+    // matches nothing, mirroring Lucene's missing-field contract
+    assert(ids(s"""[{"$$search": {"geoShape": {"path": "loc",
+      "relation": "disjoint", "geometry": $tri}}}]""") == Set(2L))
+    intercept[MqlException](ids(s"""[{"$$search": {"geoShape": {"path": "loc",
+      "relation": "contains", "geometry": $tri}}}]"""))
+    // compound: geo clauses compose with text scoring in clause lists
+    val mixed = Seq(
+      (1L, Some(Seq(0.0, 0.0)), "spark fast"),
+      (2L, Some(Seq(5.0, 5.0)), "slow database"),
+      (3L, Some(Seq(80.0, 0.0)), "spark query")
+    ).toDF("id", "loc", "text")
+    val out = PipelineCompiler.run(mixed, """[
+      {"$search": {"compound": {
+        "must": [{"text": {"query": "spark", "path": "text"}}],
+        "filter": [{"geoWithin": {"path": "loc",
+          "box": {"bottomLeft": [-10, -10], "topRight": [10, 10]}}}]}}},
+      {"$project": {"id": 1}}]""").as[Long].collect().toSet
+    assert(out == Set(1L))
   }
 }
