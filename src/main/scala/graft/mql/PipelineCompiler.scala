@@ -1192,6 +1192,14 @@ object PipelineCompiler {
     // identical for point fields) or "disjoint" (the complement over
     // docs that HAVE the field)
     case class GeoCl(path: String, shape: GShape, relation: String) extends SClause
+    // embeddedDocument: some element of the array-of-documents at
+    // `path` satisfies `pred`; score aggregates constant-1 element
+    // scores (`sum` = matching-element count, the Atlas default;
+    // maximum/minimum/mean collapse to 1 under constant element scores —
+    // the embedded-BM25 index statistics Atlas keeps per nested doc are
+    // an index-side artifact this engine does not reproduce)
+    case class EmbCl(path: String, pred: Column => Column,
+                     agg: String) extends SClause
     case class QsCl(path: String, tree: QsNode) extends SClause
     // moreLikeThis: per like-doc field, the distinct analyzed terms
     case class MltCl(fields: Seq[(String, Seq[String])]) extends SClause {
@@ -1400,8 +1408,103 @@ object PipelineCompiler {
         val (b, k) = scoreOpt(o, "$search.geoShape")
         Cl(GeoCl(pathOf(o, "$search.geoShape"),
           geoGeometry(geom, "$search.geoShape.geometry"), rel2), b, k)
+      case List(("embeddedDocument", t)) =>
+        val o = obj(t, "$search.embeddedDocument")
+        val p = pathOf(o, "$search.embeddedDocument")
+        val opSpec = o.collectFirst { case ("operator", x) => x }
+          .getOrElse(throw new MqlException(
+            "$search.embeddedDocument needs operator"))
+        // score.embedded.aggregate (sum|maximum|minimum|mean); boost/
+        // constant modifiers also accepted via the shared scoreOpt path
+        val agg = o.collectFirst { case ("score", sv) =>
+          obj(sv, "$search.embeddedDocument.score") }.flatMap(_.collectFirst {
+            case ("embedded", ev) =>
+              obj(ev, "$search.embeddedDocument.score.embedded").collectFirst {
+                case ("aggregate", JString(a)) => a }.getOrElse("sum") })
+        agg.foreach { a =>
+          if (!Set("sum", "maximum", "minimum", "mean").contains(a))
+            throw new MqlException(
+              s"$$search.embeddedDocument: unsupported aggregate '$a'") }
+        val (b, k) = if (agg.isDefined) (1.0, None)
+          else scoreOpt(o, "$search.embeddedDocument")
+        Cl(EmbCl(p, embPred(opSpec, p), agg.getOrElse("sum")), b, k)
       case other => throw new MqlException(
         s"$ctx: unsupported operator ${other.map(_._1).mkString(",")}")
+    }
+    // element-level predicate for embeddedDocument: sub-operator paths
+    // are full Atlas-style ("items.name") or relative ("name"); the
+    // element-scoped field is reached with getField, and the text
+    // sub-operator tokenizes the element's string field the same way
+    // the top-level analyzer does
+    def embField(x: Column, p: String, base: String): Column = {
+      val rel = if (p == base) ""
+        else if (p.startsWith(base + ".")) p.drop(base.length + 1) else p
+      rel.split('.').filter(_.nonEmpty).foldLeft(x)(_ getField _)
+    }
+    def embPred(v: JValue, base: String): Column => Column = {
+      val ctx = "$search.embeddedDocument.operator"
+      obj(v, ctx) match {
+        case List(("text", t)) =>
+          val o = obj(t, s"$ctx.text")
+          val terms = qTokens(queryOf(o, s"$ctx.text"), s"$ctx.text").distinct
+          val p = pathOf(o, s"$ctx.text")
+          x => coalesce(size(array_intersect(
+            graft.llmops.TextAnalysis.tokens(lower(embField(x, p, base))),
+            array(terms.map(lit): _*))) > 0, lit(false))
+        case List(("equals", t)) =>
+          val o = obj(t, s"$ctx.equals")
+          val value = o.collectFirst { case ("value", x) =>
+              litOf(x, s"$ctx.equals") }
+            .getOrElse(throw new MqlException(s"$ctx.equals needs value"))
+          val p = pathOf(o, s"$ctx.equals")
+          x => embField(x, p, base) <=> value
+        case List(("range", t)) =>
+          val o = obj(t, s"$ctx.range")
+          val p = pathOf(o, s"$ctx.range")
+          val bounds = o.collect {
+            case (op @ ("gt" | "gte" | "lt" | "lte"), x) =>
+              (op, litOf(x, s"$ctx.range.$op")) }
+          if (bounds.isEmpty)
+            throw new MqlException(s"$ctx.range needs gt/gte/lt/lte")
+          x => coalesce(bounds.map {
+              case ("gt", v)  => embField(x, p, base) > v
+              case ("gte", v) => embField(x, p, base) >= v
+              case ("lt", v)  => embField(x, p, base) < v
+              case (_, v)     => embField(x, p, base) <= v
+            }.reduce(_ && _), lit(false))
+        case List(("in", t)) =>
+          val o = obj(t, s"$ctx.in")
+          val vs = o.collectFirst { case ("value", JArray(xs)) =>
+              xs.map(litOf(_, s"$ctx.in")) }
+            .orElse(o.collectFirst { case ("value", x) =>
+              Seq(litOf(x, s"$ctx.in")) })
+            .getOrElse(throw new MqlException(s"$ctx.in needs value"))
+          val p = pathOf(o, s"$ctx.in")
+          x => vs.map(v => embField(x, p, base) <=> v).reduce(_ || _)
+        case List(("exists", t)) =>
+          val p = pathOf(obj(t, s"$ctx.exists"), s"$ctx.exists")
+          x => embField(x, p, base).isNotNull
+        case List(("compound", t)) =>
+          val comp = obj(t, s"$ctx.compound")
+          comp.foreach { case (key, _) =>
+            if (!Set("must", "should", "mustNot", "filter").contains(key))
+              throw new MqlException(
+                s"$ctx.compound: unsupported clause list '$key'") }
+          def preds(name: String): Seq[Column => Column] =
+            comp.collectFirst { case (`name`, JArray(cs)) =>
+              cs.map(embPred(_, base)) }.getOrElse(Nil)
+          val (m, s, n, f) =
+            (preds("must"), preds("should"), preds("mustNot"), preds("filter"))
+          if (m.isEmpty && s.isEmpty && f.isEmpty) throw new MqlException(
+            s"$ctx.compound needs must, should, or filter clauses")
+          x => ((m ++ f).map(_(x)) ++
+            n.map(q => !coalesce(q(x), lit(false))) ++
+            (if (m.isEmpty && f.isEmpty && s.nonEmpty)
+               Seq(s.map(_(x)).reduce(_ || _)) else Nil)
+            ).reduce(_ && _)
+        case other => throw new MqlException(
+          s"$ctx: unsupported embedded operator ${other.map(_._1).mkString(",")}")
+      }
     }
     def geoPoint(v: JValue, ctx: String): (Double, Double) = v match {
       case JArray(List(x, y)) => (numOf(x, ctx), numOf(y, ctx))
@@ -1467,7 +1570,7 @@ object PipelineCompiler {
     }
     val topOps = Set("text", "phrase", "equals", "range", "wildcard",
       "autocomplete", "in", "exists", "near", "regex", "queryString",
-      "moreLikeThis", "geoWithin", "geoShape")
+      "moreLikeThis", "geoWithin", "geoShape", "embeddedDocument")
     val (must, should, mustNot, filterCls) =
       spec.collectFirst { case ("compound", c) => obj(c, "$search.compound") } match {
         case Some(comp) =>
@@ -1485,7 +1588,8 @@ object PipelineCompiler {
             .getOrElse(throw new MqlException(
               "$search supports the text/phrase/equals/range/wildcard/" +
                 "autocomplete/in/exists/near/regex/queryString/" +
-                "moreLikeThis/geoWithin/geoShape/compound operators"))
+                "moreLikeThis/geoWithin/geoShape/embeddedDocument/" +
+                "compound operators"))
           (Seq(c), Nil, Nil, Nil)
       }
     if (must.isEmpty && should.isEmpty && filterCls.isEmpty)
@@ -1674,6 +1778,8 @@ object PipelineCompiler {
         }
         val within = coalesce(in, lit(false))
         if (rel == "disjoint") pt.isNotNull && !within else within
+      case EmbCl(p, pred, _) =>
+        coalesce(exists(fieldCol(p), pred), lit(false))
       case NearCl(p, _, _) => fieldCol(p).isNotNull
       case RegexCl(p, rx) =>
         coalesce(exists(tokCol(p), x => x.rlike(rx)), lit(false))
@@ -1712,6 +1818,12 @@ object PipelineCompiler {
             when(fieldCol(p).isNotNull, lit(pivot) /
               (lit(pivot) + abs(fieldCol(p).cast("double") - lit(origin))))
               .otherwise(lit(0.0))
+          // sum = matching-element count; the other aggregates collapse
+          // to 1 under constant element scores (see EmbCl note)
+          case EmbCl(p, pred, agg) =>
+            val cnt = coalesce(size(filter(fieldCol(p), pred)), lit(0))
+              .cast("double")
+            if (agg == "sum") cnt else when(cnt > 0, lit(1.0)).otherwise(lit(0.0))
           // Lucene BooleanQuery scoring: sum over MATCHING positive
           // leaves (a non-matching OR branch contributes 0; prohibited
           // clauses never score); wildcard leaves are constant-score

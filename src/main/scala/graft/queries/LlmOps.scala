@@ -1398,6 +1398,30 @@ object LlmOps {
                        ELSE 0 END)) % 2 = 1
               ORDER BY event_id""")),
 
+    // $search embeddedDocument: element-level compound (equals + range)
+    // over an array-of-documents built in-pipeline; sum aggregate means
+    // score = matching-element count, which DuckDB re-counts per row
+    QueryDef("q_search_embedded",
+      (s, dir) => Graft.aggregate(s, dir, "documents",
+        """[
+          {"$addFields": {"items": [
+            {"tag": "$lang", "n": "$n_chars"},
+            {"tag": "$lang", "n": {"$multiply": ["$n_chars", 2]}}]}},
+          {"$search": {"embeddedDocument": {"path": "items",
+            "operator": {"compound": {"must": [
+              {"equals": {"path": "items.tag", "value": "en"}},
+              {"range": {"path": "items.n", "gte": 300, "lt": 900}}]}}}}},
+          {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}},
+          {"$sort": {"doc_id": 1}}]"""),
+      Some("""WITH m AS (SELECT doc_id,
+                (CASE WHEN lang = 'en' AND n_chars >= 300 AND n_chars < 900
+                      THEN 1 ELSE 0 END) +
+                (CASE WHEN lang = 'en' AND n_chars * 2 >= 300
+                      AND n_chars * 2 < 900
+                      THEN 1 ELSE 0 END) AS c FROM documents)
+              SELECT doc_id, CAST(c AS DOUBLE) AS score FROM m
+              WHERE c > 0 ORDER BY doc_id""")),
+
     // $search near operator: distance-decay proximity score
     // pivot/(pivot+|v-origin|) over n_chars — a pure arithmetic twin
     QueryDef("q_search_near",

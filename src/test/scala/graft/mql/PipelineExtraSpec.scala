@@ -1290,4 +1290,42 @@ class PipelineExtraSpec extends AnyFunSuite {
       {"$project": {"id": 1}}]""").as[Long].collect().toSet
     assert(out == Set(1L))
   }
+
+  test("$search embeddedDocument: element-level compound, sum scoring") {
+    val docs = Seq(
+      (1L, Seq(("laptop bag", 5), ("usb cable", 2))),
+      (2L, Seq(("laptop stand", 20), ("laptop case", 9))),
+      (3L, Seq(("desk lamp", 7))),
+      (4L, Seq.empty[(String, Int)])
+    ).toDF("id", "items")
+      .selectExpr("id",
+        "transform(items, x -> named_struct('name', x._1, 'qty', x._2)) AS items")
+    def rows(pipe: String): Seq[(Long, Double)] =
+      PipelineCompiler.run(docs, pipe)
+        .selectExpr("id", "searchScore").as[(Long, Double)].collect().toSeq
+        .sortBy(_._1)
+    // sum aggregate (default): score = matching-element count
+    val out = rows("""[{"$search": {"embeddedDocument": {"path": "items",
+      "operator": {"compound": {"must": [
+        {"text": {"query": "laptop", "path": "items.name"}},
+        {"range": {"path": "items.qty", "lt": 25}}]}}}}}]""")
+    assert(out == Seq((1L, 1.0), (2L, 2.0)))
+    // maximum collapses to 1 under constant element scores
+    val mx = rows("""[{"$search": {"embeddedDocument": {"path": "items",
+      "operator": {"text": {"query": "laptop", "path": "items.name"}},
+      "score": {"embedded": {"aggregate": "maximum"}}}}}]""")
+    assert(mx == Seq((1L, 1.0), (2L, 1.0)))
+    // relative sub-paths resolve too; mustNot excludes within elements
+    val rel = rows("""[{"$search": {"embeddedDocument": {"path": "items",
+      "operator": {"compound": {
+        "must": [{"text": {"query": "laptop", "path": "name"}}],
+        "mustNot": [{"equals": {"path": "qty", "value": 20}}]}}}}}]""")
+    assert(rel == Seq((1L, 1.0), (2L, 1.0)))
+    intercept[MqlException](rows("""[{"$search": {"embeddedDocument":
+      {"path": "items", "operator": {"phrase": {"query": "laptop bag",
+        "path": "items.name"}}}}}]"""))
+    intercept[MqlException](rows("""[{"$search": {"embeddedDocument":
+      {"path": "items", "operator": {"text": {"query": "x", "path": "name"}},
+       "score": {"embedded": {"aggregate": "median"}}}}}]"""))
+  }
 }
