@@ -327,6 +327,51 @@ object Dedup {
         round(col("__cov").cast("double") / col("__nt"), 6).as("dup_frac"))
   }
 
+  /** Exact-substring dedup TRANSFORM (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499):
+    * where `repeatedSpans` only measures cross-doc repetition, this
+    * rewrites the corpus — every token covered by an n-token window
+    * that occurs in >= minDocs documents is removed, and survivors are
+    * re-joined with single spaces (tokenizer-normalized whitespace).
+    *
+    * Scale shape mirrors repeatedSpans: one persisted tokenized corpus,
+    * one hash-partitioned window-frequency groupBy, one equi-join on
+    * the window hash, and per-doc covered-position sets bounded by doc
+    * length. The rewrite itself is a higher-order array filter — no
+    * UDF, no extra shuffle beyond the flagged-span join. */
+  def dropRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(n >= 2, "span length must be >= 2 tokens")
+    require(minDocs >= 2, "minDocs < 2 would drop every window")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val base = df.select(col(idCol).as("__id"), toks.as("__w"))
+      .withColumn("__nt", size(col("__w")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val win = base
+      .withColumn("__i", explode(when(col("__nt") >= n,
+        sequence(lit(1), col("__nt") - (n - 1)))))
+      .select(col("__id"), col("__i"),
+        md5(concat_ws(" ", slice(col("__w"), col("__i"), lit(n))).cast("binary"))
+          .as("__h"))
+    val flagged = win.groupBy("__h")
+      .agg(countDistinct(col("__id")).as("__nd"))
+      .where(col("__nd") >= minDocs)
+      .select("__h")
+    val covered = win.join(flagged, "__h")
+      .select(col("__id"),
+        explode(sequence(col("__i"), col("__i") + (n - 1))).as("__p"))
+      .groupBy("__id").agg(collect_set(col("__p")).as("__cov"))
+    base.join(covered, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        // null text stays null (concat_ws would fold a null token array
+        // to the empty string and diverge from the source)
+        when(col("__w").isNull, lit(null).cast("string"))
+          .otherwise(concat_ws(" ", when(col("__cov").isNull, col("__w"))
+            .otherwise(filter(col("__w"), (_, i) =>
+              !array_contains(col("__cov"), i + 1))))).as(textCol),
+        coalesce(size(col("__cov")), lit(0)).cast("long").as("n_removed"))
+  }
+
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3, "4-chunk blocking is only complete for maxDist <= 3")

@@ -269,6 +269,22 @@ object Similarity {
     IvfIndex(centroidRows, seedSchema, assigned, idCol, vecCol)
   }
 
+  /** Document clustering as a first-class output: the IVF machinery's
+    * cell assignment IS a spherical k-means clustering of the corpus
+    * (deterministic hash-ordered seeds, optional Lloyd refinement), so
+    * expose it directly — (id, cluster_id) per indexable row, cluster_id
+    * being the seed row's id. Topic bucketing, per-cluster sampling
+    * caps, and SemDeDup all consume this shape. Map-only after the
+    * bounded seed collect; `portableSeed` keeps it oracle-checkable. */
+  def clusterAssignments(corpus: DataFrame, nCells: Int,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding",
+                         lloydIters: Int = 0,
+                         portableSeed: Boolean = false): DataFrame =
+    buildIvf(corpus, nCells, idCol, vecCol, lloydIters,
+      persistIndex = false, portableSeed = portableSeed)
+      .assigned.select(col("match_id").as(idCol), col("cell_id"))
+
   /** Query a built IVF index: score queries against the broadcast
     * centroids, probe the nProbe best cells, brute-force only those. */
   def ivfQuery(index: IvfIndex, queries: DataFrame, k: Int,

@@ -48,6 +48,27 @@ object TextAnalysis {
       lit(0.3) * least(stopwordRatio(text, EnglishStopwords) * lit(5.0), lit(1.0)),
       6)
 
+  /** fastText-shaped linear quality classifier: hashed bag-of-words
+    * features through a linear layer and a sigmoid, the architecture of
+    * the quality classifiers production curation pipelines run per doc
+    * (CCNet/GPT-3-style quality filtering). The weight table is a
+    * DETERMINISTIC STAND-IN for trained weights (no model ships here):
+    * w(t) = 2·(h60(t) mod B)/B − 1 over the portable 60-bit token hash,
+    * which the DuckDB oracle re-derives token for token. To
+    * productionize, replace `w` with a lookup into a broadcast weight
+    * array — the operator shape (a pure map over the corpus, one
+    * codegen'd expression, no shuffle) is identical and is what matters
+    * at 100 TB. */
+  def classifierScore(text: Column, buckets: Int = 1 << 20): Column = {
+    val toks = tokens(lower(text))
+    def w(t: Column): Column =
+      (Dedup.portableHash60(t) % buckets).cast("double") / buckets * 2.0 - 1.0
+    val z = when(size(toks) > 0,
+      aggregate(toks, lit(0.0), (acc, t) => acc + w(t)) / size(toks))
+      .otherwise(lit(0.0))
+    round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+  }
+
   /** Marker-word language ID. N-gram-free heuristic: score = number of
     * distinct marker tokens present; deterministic priority tie-break.
     * (Real pipelines swap in fastText etc. — the operator shape — a pure

@@ -454,6 +454,84 @@ object LlmOps {
                      round(cv::DOUBLE / nt, 6) AS dup_frac
               FROM cov ORDER BY doc_id""")),
 
+    // exact-substring dedup transform (Lee et al.): remove every token
+    // covered by a cross-doc repeated 8-gram, return the rewritten text
+    // — DuckDB rebuilds the surviving token list per doc
+    QueryDef("q_drop_spans",
+      (s, dir) => Dedup.dropRepeatedSpans(Graft.table(s, dir, "documents"),
+        "doc_id", "text", n = 8, minDocs = 2).orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, $duckToks AS w FROM documents),
+              win AS (SELECT doc_id, nt, unnest(generate_series(1, nt - 7)) AS i, w
+                      FROM (SELECT doc_id, w, len(w) AS nt FROM t)
+                      WHERE nt >= 8),
+              winh AS (SELECT doc_id, i,
+                        md5(array_to_string(w[i:i+7], ' ')) AS h FROM win),
+              d AS (SELECT h FROM winh GROUP BY h
+                    HAVING count(DISTINCT doc_id) >= 2),
+              cov AS (SELECT doc_id, count(DISTINCT p) AS nrem,
+                             list(DISTINCT p) AS ps
+                      FROM (SELECT winh.doc_id,
+                              unnest(generate_series(winh.i, winh.i + 7)) AS p
+                            FROM winh JOIN d USING (h))
+                      GROUP BY doc_id)
+              SELECT t.doc_id,
+                     CASE WHEN t.w IS NULL THEN NULL
+                          WHEN cov.doc_id IS NULL THEN array_to_string(t.w, ' ')
+                          ELSE coalesce(array_to_string(
+                            [t.w[j] for j in generate_series(1, len(t.w))
+                             if NOT list_contains(cov.ps, j)], ' '), '') END AS text,
+                     CAST(coalesce(cov.nrem, 0) AS BIGINT) AS n_removed
+              FROM t LEFT JOIN cov USING (doc_id) ORDER BY t.doc_id""")),
+
+    // fastText-shaped hashed-feature linear classifier (deterministic
+    // stand-in weights — see TextAnalysis.classifierScore); DuckDB
+    // re-derives weight, mean, and sigmoid token for token
+    QueryDef("q_classifier_score",
+      (s, dir) => Graft.table(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.classifierScore(col("text")).as("cls_score"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+                round(1.0 / (1.0 + exp(-(CASE WHEN len($duckToksLower) > 0
+                  THEN list_aggregate(list_transform($duckToksLower,
+                    t -> ((('0x' || substr(md5(t), 1, 15))::BIGINT % 1048576)::DOUBLE
+                          / 1048576 * 2.0 - 1.0)), 'sum') / len($duckToksLower)
+                  ELSE 0.0 END))), 6) AS cls_score
+              FROM documents ORDER BY doc_id""")),
+
+    // document clustering: the IVF cell assignment as a first-class
+    // clustering output, summarized as per-cluster sizes — the oracle
+    // re-derives seeds, centroids, and nearest-cell assignment
+    QueryDef("q_cluster_sizes",
+      (s, dir) => Similarity.clusterAssignments(
+          Graft.table(s, dir, "embeddings"), nCells = 8, portableSeed = true)
+        .groupBy("cell_id")
+        .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_vec"))
+        .orderBy("cell_id"),
+      Some("""WITH u AS (SELECT vec_id, unnest(embedding)::DOUBLE AS e,
+                    generate_subscripts(embedding, 1) - 1 AS i FROM embeddings),
+              nr AS (SELECT vec_id, sqrt(sum(e*e)) AS nrm FROM u GROUP BY vec_id),
+              iseeds AS (SELECT vec_id AS cell,
+                           ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS rn
+                         FROM (SELECT vec_id,
+                                 ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS h
+                               FROM embeddings ORDER BY h, vec_id LIMIT 8)),
+              cells AS (SELECT cell, ROW_NUMBER() OVER (ORDER BY cell) - 1 AS ci
+                        FROM iseeds),
+              cv AS (SELECT c.ci, u.i, u.e / nr.nrm AS ce
+                     FROM cells c JOIN u ON u.vec_id = c.cell
+                                  JOIN nr ON nr.vec_id = c.cell),
+              sim AS (SELECT u.vec_id, cv.ci, SUM(u.e * cv.ce) AS s
+                      FROM u JOIN cv ON u.i = cv.i GROUP BY 1, 2),
+              asg AS (SELECT vec_id, ci FROM (
+                        SELECT vec_id, ci, ROW_NUMBER() OVER (
+                          PARTITION BY vec_id ORDER BY s DESC, ci) AS r
+                        FROM sim) WHERE r = 1)
+              SELECT cells.cell AS cell_id, CAST(COUNT(*) AS BIGINT) AS n,
+                     MIN(asg.vec_id) AS min_vec
+              FROM asg JOIN cells USING (ci)
+              GROUP BY 1 ORDER BY 1""")),
+
     // Gopher-style rule filter: per-rule flags + verdict, map-only
     QueryDef("q_quality_filter",
       (s, dir) => {

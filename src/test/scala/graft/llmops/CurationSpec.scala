@@ -227,4 +227,41 @@ class CurationSpec extends AnyFunSuite {
       .select("l_id", "r_id", "lag_us").as[(Long, Long, Long)].collect().toSeq
     assert(got == Seq((1L, 2L, 300000000L)))
   }
+
+  test("dropRepeatedSpans removes cross-doc repeated windows, keeps the rest") {
+    val shared = (1 to 8).map(i => s"dup$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma"),
+      (2L, s"$shared delta epsilon"),
+      (3L, "unique tokens only here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dropRepeatedSpans(docs, "doc_id", "text", n = 8, minDocs = 2)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "alpha beta gamma", 8L),
+      (2L, "delta epsilon", 8L),
+      (3L, "unique tokens only here", 0L)))
+  }
+
+  test("classifierScore: sigmoid bounds, empty text is exactly 0.5, " +
+       "deterministic per token multiset") {
+    val docs = Seq((1L, "spark fast query"), (2L, ""), (3L, "spark fast query"))
+      .toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+      TextAnalysis.classifierScore(col("text")).as("s"))
+      .as[(Long, Double)].collect().toMap
+    assert(got(2L) == 0.5)
+    assert(got(1L) == got(3L))
+    assert(got(1L) > 0.0 && got(1L) < 1.0 && got(1L) != 0.5)
+  }
+
+  test("clusterAssignments: one cell groups everything; ids preserved") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)), (3L, Seq(-1.0f, 0.2f))
+    ).toDF("vec_id", "embedding")
+    val one = Similarity.clusterAssignments(vecs, nCells = 1)
+      .as[(Long, Long)].collect().toSeq
+    assert(one.map(_._1).sorted == Seq(1L, 2L, 3L))
+    assert(one.map(_._2).distinct.size == 1)
+  }
 }
