@@ -79,4 +79,45 @@ object Decontaminate {
       .agg(count(lit(1)).as("hits"))
       .where(col("hits") >= minHits)
   }
+
+  /** SEMANTIC decontamination: flag training rows whose embedding sits
+    * within `threshold` cosine of ANY benchmark embedding. N-gram
+    * decontamination misses paraphrased/translated leakage; embedding
+    * similarity is its complement, run over the same small benchmark
+    * side. Returns (id, hits, max_cos).
+    *
+    * Scale shape: the benchmark embedding table is broadcast (eval sets
+    * are thousands of rows) and the corpus is scanned once — a
+    * broadcast nested-loop with a map-side cosine per (row, bench)
+    * pair; nothing shuffles except the flagged per-doc aggregates. For
+    * benchmark sides too big to broadcast, pre-bucket both sides with
+    * the LSH machinery (Dedup.embeddingDedup's candidate generator)
+    * before scoring. */
+  def semanticContaminationHits(corpus: DataFrame, idCol: String,
+                                vecCol: String, bench: DataFrame,
+                                benchVecCol: String,
+                                threshold: Double): DataFrame = {
+    val b = broadcast(bench.select(
+      col(benchVecCol).cast("array<double>").as("__bv"),
+      Similarity.norm(col(benchVecCol)).as("__bn")))
+    val sim = round(Similarity.rawDot(col("__cv"), col("__bv")) /
+      (col("__cn") * col("__bn")), 6)
+    corpus
+      .select(col(idCol), col(vecCol).cast("array<double>").as("__cv"),
+        Similarity.norm(col(vecCol)).as("__cn"))
+      .join(b, sim >= lit(threshold))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("hits"), max(sim).as("max_cos"))
+  }
+
+  /** Drop semantically contaminated rows (anti-join against the flagged
+    * id set — small, AQE broadcasts it). */
+  def dropSemanticContaminated(corpus: DataFrame, idCol: String,
+                               vecCol: String, bench: DataFrame,
+                               benchVecCol: String,
+                               threshold: Double): DataFrame = {
+    val bad = semanticContaminationHits(corpus, idCol, vecCol, bench,
+      benchVecCol, threshold).select(col(idCol))
+    corpus.join(bad, corpus(idCol) === bad(idCol), "left_anti")
+  }
 }

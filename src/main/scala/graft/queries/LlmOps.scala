@@ -532,6 +532,30 @@ object LlmOps {
               FROM asg JOIN cells USING (ci)
               GROUP BY 1 ORDER BY 1""")),
 
+    // semantic decontamination: corpus rows within 0.25 cosine of any
+    // benchmark embedding (vec_id < 5 plays the benchmark) — catches
+    // the paraphrased leakage n-gram decontamination misses
+    QueryDef("q_semantic_decon",
+      (s, dir) => {
+        val e = Graft.table(s, dir, "embeddings")
+        Decontaminate.semanticContaminationHits(
+          e.where(col("vec_id") >= 5), "vec_id", "embedding",
+          e.where(col("vec_id") < 5), "embedding", threshold = 0.25)
+          .orderBy("vec_id")
+      },
+      Some("""WITH u AS (SELECT vec_id, unnest(embedding)::DOUBLE AS e,
+                                generate_subscripts(embedding, 1) AS i FROM embeddings),
+                n AS (SELECT vec_id, sqrt(sum(e*e)) AS nrm FROM u GROUP BY vec_id),
+                d AS (SELECT c.vec_id, b.vec_id AS bid, sum(c.e * b.e) AS dt
+                      FROM u c JOIN u b ON c.i = b.i
+                      WHERE c.vec_id >= 5 AND b.vec_id < 5 GROUP BY 1, 2),
+                sc AS (SELECT d.vec_id, round(dt / (nc.nrm * nb.nrm), 6) AS cos
+                       FROM d JOIN n nc ON nc.vec_id = d.vec_id
+                              JOIN n nb ON nb.vec_id = d.bid)
+              SELECT vec_id, CAST(count(*) AS BIGINT) AS hits,
+                     max(cos) AS max_cos
+              FROM sc WHERE cos >= 0.25 GROUP BY 1 ORDER BY 1""")),
+
     // Gopher-style rule filter: per-rule flags + verdict, map-only
     QueryDef("q_quality_filter",
       (s, dir) => {

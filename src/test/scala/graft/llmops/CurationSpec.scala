@@ -255,6 +255,24 @@ class CurationSpec extends AnyFunSuite {
     assert(got(1L) > 0.0 && got(1L) < 1.0 && got(1L) != 0.5)
   }
 
+  test("semanticContaminationHits flags near-benchmark vectors, drop removes them") {
+    val bench = Seq((100L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Seq(0.99f, 0.1f)),   // ~0.995 cosine — contaminated
+      (2L, Seq(0.0f, 1.0f)),    // orthogonal
+      (3L, Seq(-1.0f, 0.0f))    // opposite
+    ).toDF("vec_id", "embedding")
+    val hits = Decontaminate.semanticContaminationHits(
+      corpus, "vec_id", "embedding", bench, "embedding", threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(hits.map(_._1) == Seq(1L) && hits.head._2 == 1L)
+    assert(hits.head._3 > 0.99)
+    val kept = Decontaminate.dropSemanticContaminated(
+      corpus, "vec_id", "embedding", bench, "embedding", threshold = 0.9)
+      .select("vec_id").as[Long].collect().toSeq.sorted
+    assert(kept == Seq(2L, 3L))
+  }
+
   test("clusterAssignments: one cell groups everything; ids preserved") {
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)), (3L, Seq(-1.0f, 0.2f))
