@@ -41,8 +41,14 @@ object ExprCompiler {
 
   private def varRef(name: String, env: Map[String, Column]): Column = {
     val parts = name.split('.')
-    val base = env.getOrElse(parts.head,
-      throw new MqlException(s"unknown variable $$$$${parts.head}"))
+    val base = env.get(parts.head)
+      // $$SEARCH_META reads the carrier column a preceding $search with
+      // a "count" option attached (analysis fails with a missing-column
+      // error if no such stage ran — mirroring Mongo, where the
+      // variable is undefined outside that context)
+      .orElse(if (parts.head == "SEARCH_META")
+        Some(col("__graft_search_meta")) else None)
+      .getOrElse(throw new MqlException(s"unknown variable $$$$${parts.head}"))
     parts.tail.foldLeft(base)(_.getField(_))
   }
 

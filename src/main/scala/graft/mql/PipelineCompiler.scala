@@ -1908,10 +1908,31 @@ object PipelineCompiler {
       }
     }
     val ordering = userSort.getOrElse(Seq(col("searchScore").desc)) ++ tieCols
-    spec.collectFirst { case ("limit", l) => intValue(l, "$search") } match {
-      case Some(n) => scored.orderBy(ordering: _*).limit(n)
-      case None =>
-        if (userSort.isDefined) scored.orderBy(ordering: _*) else scored
+    val limited =
+      spec.collectFirst { case ("limit", l) => intValue(l, "$search") } match {
+        case Some(n) => scored.orderBy(ordering: _*).limit(n)
+        case None =>
+          if (userSort.isDefined) scored.orderBy(ordering: _*) else scored
+      }
+    // "count": {"type": "total"|"lowerBound"} — the matched-set size,
+    // exposed to later stages as $$SEARCH_META.count.<type> (the
+    // variable resolves to the carrier column, see ExprCompiler.varRef).
+    // The count is exact either way ('lowerBound' only names the field,
+    // as in $searchMeta); it costs one extra matched-set aggregation,
+    // joined back as a broadcast 1-row cross join onto the (bounded)
+    // result — the corpus itself is never re-shuffled.
+    spec.collectFirst { case ("count", cv) => obj(cv, "$search.count") } match {
+      case None => limited
+      case Some(co) =>
+        val ctype = co.collectFirst { case ("type", JString(t)) => t }
+          .getOrElse("lowerBound")
+        if (!Set("total", "lowerBound").contains(ctype))
+          throw new MqlException(
+            "$search.count.type must be total or lowerBound")
+        val total = withToks.where(matched).agg(count(lit(1)).as(ctype))
+        limited.crossJoin(broadcast(
+          total.select(struct(struct(col(ctype)).as("count"))
+            .as("__graft_search_meta"))))
     }
   }
 

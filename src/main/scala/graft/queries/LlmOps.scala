@@ -1524,6 +1524,36 @@ object LlmOps {
               SELECT doc_id, CAST(c AS DOUBLE) AS score FROM m
               WHERE c > 0 ORDER BY doc_id""")),
 
+    // $search count option + $$SEARCH_META: top-10 page plus the exact
+    // size of the FULL matched set, carried to later stages the way
+    // Atlas surfaces it
+    QueryDef("q_search_meta_var",
+      (s, dir) => Graft.aggregate(s, dir, "documents",
+        """[
+          {"$search": {"text": {"query": "spark", "path": "text"},
+            "count": {"type": "total"}, "limit": 10,
+            "tieBreaker": "doc_id"}},
+          {"$project": {"doc_id": 1,
+            "total": "$$SEARCH_META.count.total"}},
+          {"$sort": {"doc_id": 1}}]"""),
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($duckToksLower) AS term
+                 FROM documents),
+              dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+              st AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+              tf AS (SELECT doc_id, COUNT(*) AS tf FROM toks
+                     WHERE term = 'spark' GROUP BY 1),
+              df AS (SELECT COUNT(*) AS df FROM tf),
+              sc AS (SELECT tf.doc_id,
+                       round(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5)) *
+                         tf.tf * 2.2 / (tf.tf + 1.2 *
+                           (1 - 0.75 + 0.75 * dl.dl / st.avgdl)), 6) AS score
+                     FROM tf JOIN dl USING (doc_id)
+                          CROSS JOIN st CROSS JOIN df),
+              page AS (SELECT doc_id FROM sc
+                       ORDER BY score DESC, doc_id LIMIT 10)
+            SELECT doc_id, (SELECT CAST(count(*) AS BIGINT) FROM tf) AS total
+            FROM page ORDER BY doc_id""")),
+
     // $search near operator: distance-decay proximity score
     // pivot/(pivot+|v-origin|) over n_chars — a pure arithmetic twin
     QueryDef("q_search_near",

@@ -1291,6 +1291,30 @@ class PipelineExtraSpec extends AnyFunSuite {
     assert(out == Set(1L))
   }
 
+  test("$search count option: $$SEARCH_META.count over the full matched set") {
+    val docs = Seq(
+      (1L, "spark fast"), (2L, "spark slow"), (3L, "spark query"),
+      (4L, "database")
+    ).toDF("id", "text")
+    // limit 2 bounds the rows; the count sees all 3 matches
+    val out = PipelineCompiler.run(docs, """[
+      {"$search": {"text": {"query": "spark", "path": "text"},
+        "count": {"type": "total"}, "limit": 2, "tieBreaker": "id"}},
+      {"$project": {"id": 1, "total": "$$SEARCH_META.count.total"}},
+      {"$sort": {"id": 1}}]""").as[(Long, Long)].collect().toSeq
+    assert(out.map(_._2).distinct == Seq(3L) && out.length == 2)
+    // default type names the field lowerBound (still exact)
+    val lb = PipelineCompiler.run(docs, """[
+      {"$search": {"text": {"query": "spark", "path": "text"},
+        "count": {}, "limit": 1, "tieBreaker": "id"}},
+      {"$project": {"n": "$$SEARCH_META.count.lowerBound"}}]""")
+      .as[Long].collect().toSeq
+    assert(lb == Seq(3L))
+    intercept[MqlException](PipelineCompiler.run(docs, """[
+      {"$search": {"text": {"query": "spark", "path": "text"},
+        "count": {"type": "estimate"}}}]"""))
+  }
+
   test("$search embeddedDocument: element-level compound, sum scoring") {
     val docs = Seq(
       (1L, Seq(("laptop bag", 5), ("usb cable", 2))),
