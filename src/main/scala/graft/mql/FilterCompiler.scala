@@ -98,8 +98,112 @@ object FilterCompiler {
           case (k, JObject(ops)) if isOperatorDoc(ops) => compileOps(e.getField(k), ops)
           case (k, other) => e.getField(k) === literal(other)
         }.reduce(_ && _))
+      // $bits*: bitmask tests over integral values. Mask is a number or
+      // an array of bit positions (Mongo also accepts BinData — out of
+      // scope, the decoder keeps binary opaque). Mongo matches only
+      // values with an exact 64-bit integral representation: fractional
+      // doubles, strings, and nulls never match.
+      case ("$bitsAllSet", _)   => bitsTest(c, v, op)((f, m) => f.bitwiseAND(m) === m)
+      case ("$bitsAllClear", _) => bitsTest(c, v, op)((f, m) => f.bitwiseAND(m) === lit(0L))
+      case ("$bitsAnySet", _)   => bitsTest(c, v, op)((f, m) => f.bitwiseAND(m) =!= lit(0L))
+      case ("$bitsAnyClear", _) => bitsTest(c, v, op)((f, m) => f.bitwiseAND(m) =!= m)
+      case ("$geoWithin", JObject(shape)) => geoWithin(c, shape)
       case _ => throw new MqlException(s"unsupported filter operator $op with $v")
     }
+
+  private def bitsTest(c: Column, v: JValue, op: String)
+                      (test: (Column, Column) => Column): Column = {
+    val mask: Long = v match {
+      case JInt(i) if i >= 0  => i.toLong
+      case JLong(l) if l >= 0 => l
+      case JDouble(d) if d.isWhole && d >= 0 => d.toLong
+      case JArray(ps) => ps.map {
+          case JInt(p) if p >= 0 && p < 63 => 1L << p.toInt
+          case other => throw new MqlException(
+            s"$op: bit positions must be integers in [0, 62], got $other")
+        }.foldLeft(0L)(_ | _)
+      case other => throw new MqlException(
+        s"$op needs a non-negative bitmask or an array of bit positions, got $other")
+    }
+    val f = c.cast("long")
+    // exact-integral guard: casts of non-numeric values yield null →
+    // coalesce(false); fractional doubles fail the round-trip equality
+    coalesce(c.cast("double") === f.cast("double"), lit(false)) &&
+      test(f, lit(mask))
+  }
+
+  /** `$geoWithin` over a [lon, lat] array field. Same arithmetic (and the
+    * same operation ORDER, so DuckDB twins agree bit for bit) as the
+    * $search geo operators: $center/$polygon/$box are planar in
+    * coordinate units (Mongo's 2d flat semantics), $centerSphere compares
+    * the haversine central angle against a radius in radians, $geometry
+    * Polygon is PNPOLY ray casting. Zero shuffles — a pushable map-side
+    * predicate like any other filter. */
+  private def geoWithin(c: Column, shape: List[(String, JValue)]): Column = {
+    def num(v: JValue, ctx: String): Double = v match {
+      case JInt(i) => i.toDouble
+      case JLong(l) => l.toDouble
+      case JDouble(d) => d
+      case JDecimal(d) => d.toDouble
+      case other => throw new MqlException(s"$ctx: expected a number, got $other")
+    }
+    def point(v: JValue, ctx: String): (Double, Double) = v match {
+      case JArray(List(x, y)) => (num(x, ctx), num(y, ctx))
+      case other => throw new MqlException(s"$ctx: expected [x, y], got $other")
+    }
+    val lon = element_at(c, 1).cast("double")
+    val lat = element_at(c, 2).cast("double")
+    def pnpoly(vs: Seq[(Double, Double)]): Column = {
+      if (vs.length < 3)
+        throw new MqlException("$geoWithin: polygon needs >= 3 vertices")
+      vs.indices.map { i =>
+        val (xi, yi) = vs(i)
+        val (xj, yj) = vs((i + 1) % vs.length)
+        val cr = (lit(yi) > lat) =!= (lit(yj) > lat) &&
+          lon < lit(xj - xi) * (lat - lit(yi)) / lit(yj - yi) + lit(xi)
+        when(cr, 1).otherwise(0)
+      }.reduce(_ + _) % 2 === 1
+    }
+    val in = shape match {
+      case List(("$box", JArray(List(bl, tr)))) =>
+        val (x1, y1) = point(bl, "$geoWithin.$box")
+        val (x2, y2) = point(tr, "$geoWithin.$box")
+        lon >= lit(x1) && lon <= lit(x2) && lat >= lit(y1) && lat <= lit(y2)
+      case List(("$center", JArray(List(ctr, r)))) =>
+        val (cx, cy) = point(ctr, "$geoWithin.$center")
+        sqrt(pow(lon - lit(cx), 2) + pow(lat - lit(cy), 2)) <=
+          lit(num(r, "$geoWithin.$center radius"))
+      case List(("$centerSphere", JArray(List(ctr, r)))) =>
+        val (cx, cy) = point(ctr, "$geoWithin.$centerSphere")
+        val a = pow(sin(radians(lat - lit(cy)) / 2), 2) +
+          cos(radians(lit(cy))) * cos(radians(lat)) *
+            pow(sin(radians(lon - lit(cx)) / 2), 2)
+        lit(2.0) * asin(sqrt(a)) <= lit(num(r, "$geoWithin.$centerSphere radius"))
+      case List(("$polygon", JArray(vs))) =>
+        pnpoly(vs.map(point(_, "$geoWithin.$polygon")))
+      case List(("$geometry", g)) =>
+        val o = asObj(g, "$geoWithin.$geometry")
+        o.collectFirst { case ("type", JString(t)) => t } match {
+          case Some("Polygon") =>
+            val rings = o.collectFirst { case ("coordinates", JArray(rs)) => rs }
+              .getOrElse(throw new MqlException(
+                "$geoWithin.$geometry: Polygon needs coordinates"))
+            if (rings.length != 1) throw new MqlException(
+              "$geoWithin.$geometry: only single-ring polygons are supported")
+            val pts = rings.head match {
+              case JArray(ps) => ps.map(point(_, "$geoWithin.$geometry"))
+              case other => throw new MqlException(s"$$geoWithin: bad ring $other")
+            }
+            // GeoJSON closes the ring; PNPOLY wants it open
+            pnpoly(if (pts.length > 1 && pts.head == pts.last) pts.init else pts)
+          case other => throw new MqlException(
+            s"$$geoWithin.$$geometry: unsupported type $other (Polygon only)")
+        }
+      case other => throw new MqlException(
+        s"$$geoWithin needs one of $$box/$$center/$$centerSphere/$$polygon/$$geometry, got ${other.map(_._1).mkString(",")}")
+    }
+    coalesce(in, lit(false))
+  }
 
   private def typeMatches(c: Column, t: String): Column = t match {
     case "null"   => c.isNull

@@ -148,6 +148,7 @@ object PipelineCompiler {
     case "$fill"            => fill(df, asObj(spec, "$fill"))
     case "$densify"         => densify(df, asObj(spec, "$densify"))
     case "$graphLookup"     => graphLookup(df, asObj(spec, "$graphLookup"), resolve)
+    case "$geoNear"         => geoNear(df, asObj(spec, "$geoNear"))
     case "$vectorSearch"    => vectorSearch(df, asObj(spec, "$vectorSearch"))
     case "$search"          => search(df, asObj(spec, "$search"))
     case "$searchMeta"      => searchMeta(df, asObj(spec, "$searchMeta"))
@@ -606,6 +607,87 @@ object PipelineCompiler {
     left2.join(matched, Seq("__graft_rowid"), "left")
       .withColumn(as, coalesce(col(as), array().cast(elemType)))
       .drop("__graft_rowid" +: letCols.map(_._1): _*)
+  }
+
+  // ---- $geoNear ------------------------------------------------------------
+  // Geospatial proximity: adds `distanceField` (distance from `near` to
+  // the document's point in `key`) and returns documents nearest-first.
+  // Mongo resolves the point field from the collection's 2d/2dsphere
+  // index, so an index-free engine requires `key` spelled out. GeoJSON
+  // `near` (or `spherical: true`) measures meters on MongoDB's sphere
+  // (haversine, R = 6378100 m — the same constant as the $search geo
+  // operators); legacy [x, y] with `spherical: false` is planar
+  // Euclidean in coordinate units. `minDistance`/`maxDistance` bound the
+  // RAW distance; `distanceMultiplier` scales only the emitted value.
+  // Documents without a 2-element point are dropped (they would not be
+  // in the geo index). Mongo additionally requires $geoNear to be the
+  // pipeline's first stage — an index artifact this engine deliberately
+  // does not reproduce (points built by an earlier $addFields work).
+  // Scale shape: one map-side distance expression + bound filters, then
+  // ORDER BY distance — range-partitioned like any sort; a following
+  // $limit collapses it to TakeOrderedAndProject.
+  private def geoNear(df: DataFrame, spec: List[(String, JValue)]): DataFrame = {
+    def numOf(v: JValue, ctx: String): Double = v match {
+      case JInt(i)     => i.toDouble
+      case JLong(l)    => l.toDouble
+      case JDouble(d)  => d
+      case JDecimal(d) => d.toDouble
+      case other => throw new MqlException(s"$ctx: expected a number, got $other")
+    }
+    val known = Set("near", "distanceField", "key", "spherical",
+      "distanceMultiplier", "minDistance", "maxDistance", "includeLocs", "query")
+    spec.map(_._1).find(!known.contains(_)).foreach { k =>
+      throw new MqlException(s"$$geoNear: unsupported option '$k'") }
+    val nearJ = spec.collectFirst { case ("near", v) => v }
+      .getOrElse(throw new MqlException("$geoNear needs near"))
+    val isGeoJson = nearJ.isInstanceOf[JObject]
+    val (cx, cy) = nearJ match {
+      case JArray(List(x, y)) =>
+        (numOf(x, "$geoNear.near"), numOf(y, "$geoNear.near"))
+      case jo: JObject => asObj(jo, "$geoNear.near").collectFirst {
+          case ("coordinates", JArray(List(x, y))) =>
+            (numOf(x, "$geoNear.near"), numOf(y, "$geoNear.near")) }
+        .getOrElse(throw new MqlException(
+          "$geoNear.near: GeoJSON Point needs coordinates [lon, lat]"))
+      case other => throw new MqlException(
+        s"$$geoNear.near: expected [lon, lat] or a GeoJSON Point, got $other")
+    }
+    val distField = spec.collectFirst { case ("distanceField", JString(s)) => s }
+      .getOrElse(throw new MqlException("$geoNear needs distanceField"))
+    val key = spec.collectFirst { case ("key", JString(s)) => s }
+      .getOrElse(throw new MqlException(
+        "$geoNear needs key (no geo index exists to infer the point field)"))
+    val spherical = isGeoJson ||
+      spec.collectFirst { case ("spherical", JBool(b)) => b }.getOrElse(false)
+    val mult = spec.collectFirst { case ("distanceMultiplier", v) =>
+      numOf(v, "$geoNear.distanceMultiplier") }
+    val minD = spec.collectFirst { case ("minDistance", v) =>
+      numOf(v, "$geoNear.minDistance") }
+    val maxD = spec.collectFirst { case ("maxDistance", v) =>
+      numOf(v, "$geoNear.maxDistance") }
+    val includeLocs = spec.collectFirst { case ("includeLocs", JString(s)) => s }
+    if (distField.contains(".") || includeLocs.exists(_.contains(".")))
+      throw new MqlException(
+        "$geoNear: nested distanceField/includeLocs paths are not supported")
+    val pt  = fieldCol(key)
+    val lon = element_at(pt, 1).cast("double")
+    val lat = element_at(pt, 2).cast("double")
+    val rawDist =
+      if (spherical) {
+        val a = pow(sin(radians(lat - lit(cy)) / 2), 2) +
+          cos(radians(lit(cy))) * cos(radians(lat)) *
+            pow(sin(radians(lon - lit(cx)) / 2), 2)
+        lit(2.0 * 6378100.0) * asin(sqrt(a))
+      } else sqrt(pow(lon - lit(cx), 2) + pow(lat - lit(cy), 2))
+    var out = df.where(pt.isNotNull && size(pt) === 2)
+    spec.collectFirst { case ("query", q) => q }
+      .foreach(q => out = out.where(FilterCompiler.compile(q)))
+    minD.foreach(m => out = out.where(rawDist >= lit(m)))
+    maxD.foreach(m => out = out.where(rawDist <= lit(m)))
+    out = out.withColumn(distField,
+      mult.map(m => rawDist * lit(m)).getOrElse(rawDist))
+    includeLocs.foreach(f => out = out.withColumn(f, pt))
+    out.orderBy(col(distField).asc)
   }
 
   // ---- $bucketAuto -------------------------------------------------------

@@ -1500,6 +1500,35 @@ object LlmOps {
                        ELSE 0 END)) % 2 = 1
               ORDER BY event_id""")),
 
+    // $geoNear: spherical haversine distance (GeoJSON near => meters),
+    // query pre-filter, maxDistance on the raw meters, multiplier to km.
+    // The twin repeats the identical formula so doubles agree bit for
+    // bit; both sides round to mm and tie-break on event_id
+    QueryDef("q_geonear",
+      (s, dir) => Graft.aggregate(s, dir, "events",
+        """[
+          {"$addFields": {"loc": [
+            {"$subtract": [{"$mod": ["$value", 180]}, 90]},
+            {"$subtract": [{"$mod": ["$user_id", 120]}, 60]}]}},
+          {"$geoNear": {"near": {"type": "Point", "coordinates": [12.5, -7.25]},
+            "key": "loc", "distanceField": "dist_km",
+            "query": {"user_id": {"$lte": 400}},
+            "maxDistance": 2500000, "distanceMultiplier": 0.001}},
+          {"$project": {"event_id": 1, "dist_km": {"$round": ["$dist_km", 6]}}},
+          {"$sort": {"dist_km": 1, "event_id": 1}}]"""),
+      Some("""WITH m AS (SELECT event_id, (value % 180) - 90 AS x,
+                     CAST((user_id % 120) - 60 AS DOUBLE) AS y
+              FROM events WHERE user_id <= 400),
+              d AS (SELECT event_id,
+                     2 * 6378100 * asin(sqrt(
+                       pow(sin(radians(y - -7.25) / 2), 2) +
+                       cos(radians(-7.25)) * cos(radians(y)) *
+                         pow(sin(radians(x - 12.5) / 2), 2))) AS dist_m
+                    FROM m)
+              SELECT event_id, round(dist_m * 0.001, 6) AS dist_km
+              FROM d WHERE dist_m <= 2500000
+              ORDER BY dist_km, event_id""")),
+
     // $search embeddedDocument: element-level compound (equals + range)
     // over an array-of-documents built in-pipeline; sum aggregate means
     // score = matching-element count, which DuckDB re-counts per row

@@ -70,6 +70,50 @@ object Relational {
                 AND NOT coalesce(l_returnflag IN ('N'), FALSE)
               ORDER BY l_orderkey, l_linenumber, l_partkey, l_returnflag""")),
 
+    // $bits* bitmask query operators: mask-number and bit-position-array
+    // forms; the DuckDB twin repeats the & arithmetic on BIGINTs
+    QueryDef("q_find_bits",
+      (s, dir) => Graft.find(Graft.table(s, dir, "orders"),
+        filter = """{"o_custkey": {"$bitsAllSet": [0, 2], "$bitsAnyClear": 96},
+                     "o_orderkey": {"$bitsAnySet": 12}}""",
+        projection = Some("""{"o_orderkey": 1, "o_custkey": 1}"""),
+        sort = Some("""{"o_orderkey": 1}""")),
+      Some("""SELECT o_orderkey, o_custkey FROM orders
+              WHERE (o_custkey & 5) = 5 AND (o_custkey & 96) <> 96
+                AND (o_orderkey & 12) <> 0
+              ORDER BY o_orderkey""")),
+
+    // $geoWithin query operator inside $match ($centerSphere radians OR
+    // planar $polygon); the twin repeats the identical haversine/PNPOLY
+    // operation order so float decisions agree bit for bit
+    QueryDef("q_find_geowithin",
+      (s, dir) => Graft.aggregate(s, dir, "events", """[
+        {"$addFields": {"loc": [
+          {"$subtract": [{"$mod": ["$value", 180]}, 90]},
+          {"$subtract": [{"$mod": ["$user_id", 120]}, 60]}]}},
+        {"$match": {"$or": [
+          {"loc": {"$geoWithin": {"$centerSphere": [[-30, 20], 0.3]}}},
+          {"loc": {"$geoWithin": {"$polygon": [[-40, -35], [45, -25], [10, 50]]}}}]}},
+        {"$project": {"event_id": 1}},
+        {"$sort": {"event_id": 1}}]"""),
+      Some("""WITH m AS (SELECT event_id, (value % 180) - 90 AS x,
+                     CAST((user_id % 120) - 60 AS DOUBLE) AS y FROM events)
+              SELECT event_id FROM m
+              WHERE 2 * asin(sqrt(
+                      pow(sin(radians(y - 20.0) / 2), 2) +
+                      cos(radians(20.0)) * cos(radians(y)) *
+                        pow(sin(radians(x - -30.0) / 2), 2))) <= 0.3
+                 OR ((CASE WHEN (-35.0 > y) <> (-25.0 > y)
+                       THEN CAST(x < 85.0 * (y - -35.0) / 10.0 + -40.0 AS INT)
+                       ELSE 0 END) +
+                     (CASE WHEN (-25.0 > y) <> (50.0 > y)
+                       THEN CAST(x < -35.0 * (y - -25.0) / 75.0 + 45.0 AS INT)
+                       ELSE 0 END) +
+                     (CASE WHEN (50.0 > y) <> (-35.0 > y)
+                       THEN CAST(x < -50.0 * (y - 50.0) / -85.0 + 10.0 AS INT)
+                       ELSE 0 END)) % 2 = 1
+              ORDER BY event_id""")),
+
     QueryDef("q_match_expr",
       (s, dir) => agg("lineitem", """[
         {"$match": {"$expr": {"$gt": ["$l_extendedprice",

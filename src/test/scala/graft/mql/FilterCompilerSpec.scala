@@ -104,4 +104,52 @@ class FilterCompilerSpec extends AnyFunSuite {
     assert(!plan.contains("typeof"))
     assert(!plan.contains("bsontypeof"))
   }
+
+  test("$bits*: mask forms, integral guard, null/non-integral never match") {
+    // n: 0b0101=5, 0b0110=6, 0b1010=10, null, and a fractional double
+    val bitsDf = Seq(
+      (1, Some(5.0)), (2, Some(6.0)), (3, Some(10.0)),
+      (4, None), (5, Some(5.5))
+    ).toDF("id", "n")
+    def bids(filter: String): Seq[Int] =
+      bitsDf.where(FilterCompiler.compile(filter))
+        .select("id").as[Int].collect().toSeq.sorted
+    assert(bids("""{"n": {"$bitsAllSet": 5}}""") == Seq(1))       // 101
+    assert(bids("""{"n": {"$bitsAllSet": [0, 2]}}""") == Seq(1))  // same mask
+    assert(bids("""{"n": {"$bitsAnySet": 4}}""") == Seq(1, 2))
+    assert(bids("""{"n": {"$bitsAllClear": 1}}""") == Seq(2, 3))
+    assert(bids("""{"n": {"$bitsAnyClear": 5}}""") == Seq(2, 3))
+    // combined ops AND together like any field op doc
+    assert(bids("""{"n": {"$bitsAnySet": 2, "$bitsAllClear": 8}}""") == Seq(2))
+    intercept[MqlException](bids("""{"n": {"$bitsAllSet": -3}}"""))
+    intercept[MqlException](bids("""{"n": {"$bitsAllSet": [63]}}"""))
+  }
+
+  test("$geoWithin: box/center planar, centerSphere radians, polygon, geometry") {
+    val geoDf = Seq(
+      (1, Some(Seq(0.0, 0.0))),
+      (2, Some(Seq(3.0, 4.0))),    // planar dist 5 from origin
+      (3, Some(Seq(50.0, 0.0))),
+      (4, None)
+    ).toDF("id", "loc")
+    def gids(filter: String): Seq[Int] =
+      geoDf.where(FilterCompiler.compile(filter))
+        .select("id").as[Int].collect().toSeq.sorted
+    assert(gids("""{"loc": {"$geoWithin":
+      {"$box": [[-1, -1], [4, 5]]}}}""") == Seq(1, 2))
+    assert(gids("""{"loc": {"$geoWithin":
+      {"$center": [[0, 0], 5]}}}""") == Seq(1, 2))
+    // 10° central angle ≈ 0.1745 rad: (3,4)° is ~0.0873 rad out
+    assert(gids("""{"loc": {"$geoWithin":
+      {"$centerSphere": [[0, 0], 0.1]}}}""") == Seq(1, 2))
+    assert(gids("""{"loc": {"$geoWithin":
+      {"$centerSphere": [[0, 0], 0.05]}}}""") == Seq(1))
+    assert(gids("""{"loc": {"$geoWithin":
+      {"$polygon": [[-1, -2], [8, -1], [2, 8]]}}}""") == Seq(1, 2))
+    assert(gids("""{"loc": {"$geoWithin": {"$geometry": {"type": "Polygon",
+      "coordinates": [[[-1, -2], [8, -1], [2, 8], [-1, -2]]]}}}}""") == Seq(1, 2))
+    intercept[MqlException](gids("""{"loc": {"$geoWithin": {}}}"""))
+    intercept[MqlException](gids("""{"loc": {"$geoWithin":
+      {"$geometry": {"type": "MultiPolygon", "coordinates": []}}}}"""))
+  }
 }

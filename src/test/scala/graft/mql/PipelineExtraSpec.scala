@@ -1258,6 +1258,44 @@ class PipelineExtraSpec extends AnyFunSuite {
       {"path": "loc"}}}]"""))
   }
 
+  test("$geoNear: spherical/planar distance, bounds, query, includeLocs") {
+    val docs = Seq(
+      (1L, Some(Seq(0.0, 0.0)), "a"),
+      (2L, Some(Seq(3.0, 4.0)), "a"),   // planar distance 5 from origin
+      (3L, Some(Seq(10.0, 0.0)), "b"),
+      (4L, None, "a")                   // no point => not "indexed"
+    ).toDF("id", "loc", "grp")
+    // legacy [x, y] near without spherical => planar Euclidean units
+    val planar = PipelineCompiler.run(docs, """[
+      {"$geoNear": {"near": [0, 0], "key": "loc", "distanceField": "d"}}]""")
+      .select("id", "d").as[(Long, Double)].collect()
+    assert(planar.map(_._1).toSeq == Seq(1L, 2L, 3L)) // nearest first
+    assert(planar(1)._2 == 5.0)
+    // GeoJSON near => haversine meters; maxDistance bounds the raw
+    // meters; multiplier scales the output to km; query pre-filters;
+    // includeLocs copies the matched point
+    val sph = PipelineCompiler.run(docs, """[
+      {"$geoNear": {"near": {"type": "Point", "coordinates": [0, 0]},
+        "key": "loc", "distanceField": "dkm", "query": {"grp": "a"},
+        "maxDistance": 600000, "distanceMultiplier": 0.001,
+        "includeLocs": "where"}}]""")
+    val rows = sph.select("id", "dkm").as[(Long, Double)].collect()
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L))
+    assert(rows(0)._2 == 0.0)
+    assert(rows(1)._2 > 500 && rows(1)._2 < 600) // (3,4)° ~ 556 km
+    assert(sph.columns.contains("where"))
+    // rejections: missing key/distanceField/near, unknown option
+    intercept[MqlException](PipelineCompiler.run(docs, """[
+      {"$geoNear": {"near": [0, 0], "distanceField": "d"}}]"""))
+    intercept[MqlException](PipelineCompiler.run(docs, """[
+      {"$geoNear": {"near": [0, 0], "key": "loc"}}]"""))
+    intercept[MqlException](PipelineCompiler.run(docs, """[
+      {"$geoNear": {"key": "loc", "distanceField": "d"}}]"""))
+    intercept[MqlException](PipelineCompiler.run(docs, """[
+      {"$geoNear": {"near": [0, 0], "key": "loc", "distanceField": "d",
+        "num": 5}}]"""))
+  }
+
   test("$search geoShape: within/intersects/disjoint for point fields") {
     val docs = Seq(
       (1L, Some(Seq(0.0, 0.0))), (2L, Some(Seq(50.0, 40.0))), (3L, None)
