@@ -1294,6 +1294,12 @@ class PipelineExtraSpec extends AnyFunSuite {
     intercept[MqlException](PipelineCompiler.run(docs, """[
       {"$geoNear": {"near": [0, 0], "key": "loc", "distanceField": "d",
         "num": 5}}]"""))
+    // scale shape: a following $limit collapses the distance ordering
+    // to TakeOrderedAndProject — no global sort materializes
+    val plan = PipelineCompiler.run(docs, """[
+      {"$geoNear": {"near": [0, 0], "key": "loc", "distanceField": "d"}},
+      {"$limit": 2}]""").queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
   }
 
   test("$search geoShape: within/intersects/disjoint for point fields") {
