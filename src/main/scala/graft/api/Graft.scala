@@ -67,7 +67,12 @@ object Graft {
            sort: Option[String] = None,
            limit: Option[Int] = None,
            skip: Option[Int] = None): DataFrame = {
-    var out = df.where(FilterCompiler.compile(filter))
+    // find is the one surface where $near/$nearSphere are legal: the
+    // filter compiles to (predicate, implicit nearest-first sort key);
+    // an explicit sort() overrides the geo order, as in Mongo
+    val (pred, nearDist) = FilterCompiler.compileWithNear(filter)
+    var out = df.where(pred)
+    if (sort.isEmpty) nearDist.foreach(d => out = out.orderBy(d.asc))
     sort.foreach { s =>
       val cols = Mql.asObj(Mql.parse(s), "sort").map {
         case (k, JInt(d))  => if (d >= 0) col(k).asc else col(k).desc

@@ -20,6 +20,31 @@ object FilterCompiler {
 
   def compile(v: JValue): Column = compileDoc(asObj(v, "filter"))
 
+  /** find-path entry point: compiles the filter AND surfaces the implicit
+    * nearest-first sort key when the filter contains `$near`/`$nearSphere`.
+    * Mongo's find sorts $near results by distance as a side effect of the
+    * geo index walk; an index-free engine reproduces that as an explicit
+    * ORDER BY on the same distance expression the bounds test uses. The
+    * operators are only legal at the top level of the filter document
+    * (Mongo likewise rejects $near inside $or/$nor/$elemMatch), and only
+    * once per query (one geo index walk). `compile`/`$match` reject them
+    * outright — Mongo's error there is "use $geoNear". */
+  def compileWithNear(json: String): (Column, Option[Column]) = {
+    val fields = asObj(parse(json), "filter")
+    val nearDists = scala.collection.mutable.ArrayBuffer[Column]()
+    val preds = fields.map {
+      case (path, JObject(ops)) if !path.startsWith("$") && isOperatorDoc(ops) &&
+          ops.exists(o => o._1 == "$near" || o._1 == "$nearSphere") =>
+        val (pred, dist) = compileNear(fieldCol(path), ops)
+        nearDists += dist
+        pred
+      case (k, v) => compileField(k, v)
+    }
+    if (nearDists.length > 1)
+      throw new MqlException("only one $near/$nearSphere is allowed per query")
+    (preds.reduceOption(_ && _).getOrElse(lit(true)), nearDists.headOption)
+  }
+
   def compileDoc(fields: List[(String, JValue)]): Column =
     fields.map { case (k, v) => compileField(k, v) }
       .reduceOption(_ && _).getOrElse(lit(true))
@@ -35,6 +60,7 @@ object FilterCompiler {
       case other => throw new MqlException(s"$$sampleRate needs 0..1, got $other")
     }
     case "$comment" => lit(true)
+    case "$jsonSchema" => jsonSchemaRoot(asObj(v, "$jsonSchema"))
     case op if op.startsWith("$") =>
       throw new MqlException(s"unsupported top-level operator $op")
     case path => v match {
@@ -108,6 +134,11 @@ object FilterCompiler {
       case ("$bitsAnySet", _)   => bitsTest(c, v, op)((f, m) => f.bitwiseAND(m) =!= lit(0L))
       case ("$bitsAnyClear", _) => bitsTest(c, v, op)((f, m) => f.bitwiseAND(m) =!= m)
       case ("$geoWithin", JObject(shape)) => geoWithin(c, shape)
+      case ("$geoIntersects", JObject(shape)) => geoIntersects(c, shape)
+      case ("$near" | "$nearSphere" | "$minDistance" | "$maxDistance", _) =>
+        throw new MqlException(
+          s"$op is only valid at the top level of a find filter " +
+            "(aggregation $match requires $geoNear)")
       case _ => throw new MqlException(s"unsupported filter operator $op with $v")
     }
 
@@ -139,31 +170,67 @@ object FilterCompiler {
     * the haversine central angle against a radius in radians, $geometry
     * Polygon is PNPOLY ray casting. Zero shuffles — a pushable map-side
     * predicate like any other filter. */
+  private def num(v: JValue, ctx: String): Double = v match {
+    case JInt(i) => i.toDouble
+    case JLong(l) => l.toDouble
+    case JDouble(d) => d
+    case JDecimal(d) => d.toDouble
+    case other => throw new MqlException(s"$ctx: expected a number, got $other")
+  }
+
+  private def point(v: JValue, ctx: String): (Double, Double) = v match {
+    case JArray(List(x, y)) => (num(x, ctx), num(y, ctx))
+    case other => throw new MqlException(s"$ctx: expected [x, y], got $other")
+  }
+
+  /** PNPOLY ray casting (same operation order as the $search geo clauses
+    * so DuckDB twins agree bit for bit). */
+  private def pnpoly(lon: Column, lat: Column,
+                     vs: Seq[(Double, Double)], ctx: String): Column = {
+    if (vs.length < 3)
+      throw new MqlException(s"$ctx: polygon needs >= 3 vertices")
+    vs.indices.map { i =>
+      val (xi, yi) = vs(i)
+      val (xj, yj) = vs((i + 1) % vs.length)
+      val cr = (lit(yi) > lat) =!= (lit(yj) > lat) &&
+        lon < lit(xj - xi) * (lat - lit(yi)) / lit(yj - yi) + lit(xi)
+      when(cr, 1).otherwise(0)
+    }.reduce(_ + _) % 2 === 1
+  }
+
+  /** GeoJSON `$geometry` containment test for a point field: Polygon via
+    * PNPOLY (single ring), Point via coordinate equality. Shared by
+    * `$geoWithin.$geometry` and `$geoIntersects` — for point data the two
+    * predicates coincide (a point intersects a shape iff it lies in it). */
+  private def geometryContains(lon: Column, lat: Column, g: JValue,
+                               ctx: String): Column = {
+    val o = asObj(g, ctx)
+    o.collectFirst { case ("type", JString(t)) => t } match {
+      case Some("Polygon") =>
+        val rings = o.collectFirst { case ("coordinates", JArray(rs)) => rs }
+          .getOrElse(throw new MqlException(s"$ctx: Polygon needs coordinates"))
+        if (rings.length != 1) throw new MqlException(
+          s"$ctx: only single-ring polygons are supported")
+        val pts = rings.head match {
+          case JArray(ps) => ps.map(point(_, ctx))
+          case other => throw new MqlException(s"$ctx: bad ring $other")
+        }
+        // GeoJSON closes the ring; PNPOLY wants it open
+        pnpoly(lon, lat,
+          if (pts.length > 1 && pts.head == pts.last) pts.init else pts, ctx)
+      case Some("Point") =>
+        val (px, py) = o.collectFirst { case ("coordinates", cs) =>
+          point(cs, ctx) }.getOrElse(throw new MqlException(
+            s"$ctx: Point needs coordinates"))
+        lon === lit(px) && lat === lit(py)
+      case other => throw new MqlException(
+        s"$ctx: unsupported geometry type $other (Polygon/Point only)")
+    }
+  }
+
   private def geoWithin(c: Column, shape: List[(String, JValue)]): Column = {
-    def num(v: JValue, ctx: String): Double = v match {
-      case JInt(i) => i.toDouble
-      case JLong(l) => l.toDouble
-      case JDouble(d) => d
-      case JDecimal(d) => d.toDouble
-      case other => throw new MqlException(s"$ctx: expected a number, got $other")
-    }
-    def point(v: JValue, ctx: String): (Double, Double) = v match {
-      case JArray(List(x, y)) => (num(x, ctx), num(y, ctx))
-      case other => throw new MqlException(s"$ctx: expected [x, y], got $other")
-    }
     val lon = element_at(c, 1).cast("double")
     val lat = element_at(c, 2).cast("double")
-    def pnpoly(vs: Seq[(Double, Double)]): Column = {
-      if (vs.length < 3)
-        throw new MqlException("$geoWithin: polygon needs >= 3 vertices")
-      vs.indices.map { i =>
-        val (xi, yi) = vs(i)
-        val (xj, yj) = vs((i + 1) % vs.length)
-        val cr = (lit(yi) > lat) =!= (lit(yj) > lat) &&
-          lon < lit(xj - xi) * (lat - lit(yi)) / lit(yj - yi) + lit(xi)
-        when(cr, 1).otherwise(0)
-      }.reduce(_ + _) % 2 === 1
-    }
     val in = shape match {
       case List(("$box", JArray(List(bl, tr)))) =>
         val (x1, y1) = point(bl, "$geoWithin.$box")
@@ -180,29 +247,202 @@ object FilterCompiler {
             pow(sin(radians(lon - lit(cx)) / 2), 2)
         lit(2.0) * asin(sqrt(a)) <= lit(num(r, "$geoWithin.$centerSphere radius"))
       case List(("$polygon", JArray(vs))) =>
-        pnpoly(vs.map(point(_, "$geoWithin.$polygon")))
+        pnpoly(lon, lat, vs.map(point(_, "$geoWithin.$polygon")), "$geoWithin.$polygon")
       case List(("$geometry", g)) =>
-        val o = asObj(g, "$geoWithin.$geometry")
-        o.collectFirst { case ("type", JString(t)) => t } match {
-          case Some("Polygon") =>
-            val rings = o.collectFirst { case ("coordinates", JArray(rs)) => rs }
-              .getOrElse(throw new MqlException(
-                "$geoWithin.$geometry: Polygon needs coordinates"))
-            if (rings.length != 1) throw new MqlException(
-              "$geoWithin.$geometry: only single-ring polygons are supported")
-            val pts = rings.head match {
-              case JArray(ps) => ps.map(point(_, "$geoWithin.$geometry"))
-              case other => throw new MqlException(s"$$geoWithin: bad ring $other")
-            }
-            // GeoJSON closes the ring; PNPOLY wants it open
-            pnpoly(if (pts.length > 1 && pts.head == pts.last) pts.init else pts)
-          case other => throw new MqlException(
-            s"$$geoWithin.$$geometry: unsupported type $other (Polygon only)")
-        }
+        geometryContains(lon, lat, g, "$geoWithin.$geometry")
       case other => throw new MqlException(
         s"$$geoWithin needs one of $$box/$$center/$$centerSphere/$$polygon/$$geometry, got ${other.map(_._1).mkString(",")}")
     }
     coalesce(in, lit(false))
+  }
+
+  /** `$geoIntersects` for point fields: GeoJSON `$geometry` only (as in
+    * Mongo — legacy shapes are not accepted here). A point intersects a
+    * polygon iff it lies inside it, so this shares `geometryContains`
+    * with `$geoWithin` — the distinction only matters for non-point
+    * document geometries, which the data model does not carry. */
+  private def geoIntersects(c: Column, shape: List[(String, JValue)]): Column =
+    shape match {
+      case List(("$geometry", g)) =>
+        coalesce(geometryContains(element_at(c, 1).cast("double"),
+          element_at(c, 2).cast("double"), g, "$geoIntersects.$geometry"),
+          lit(false))
+      case other => throw new MqlException(
+        s"$$geoIntersects needs $$geometry, got ${other.map(_._1).mkString(",")}")
+    }
+
+  /** One `$near`/`$nearSphere` term → (bounds predicate, raw distance).
+    * Distance units follow Mongo's matrix: GeoJSON `$geometry` center →
+    * meters on the R=6378100 sphere (haversine, identical arithmetic to
+    * $geoNear); legacy [x, y] with `$near` → planar coordinate units;
+    * legacy [x, y] with `$nearSphere` → spherical central angle in
+    * RADIANS. `$minDistance`/`$maxDistance` ride either as sibling keys
+    * (legacy) or inside the operator document (GeoJSON form); both spots
+    * are accepted for both forms. Docs without a 2-element point never
+    * match (they would not be in the geo index). */
+  private def compileNear(c: Column, ops: List[(String, JValue)]): (Column, Column) = {
+    val nearOps = ops.filter(o => o._1 == "$near" || o._1 == "$nearSphere")
+    if (nearOps.length > 1)
+      throw new MqlException("only one $near/$nearSphere is allowed per field")
+    val (op, spec) = nearOps.head
+    val inner = spec match { case jo: JObject => asObj(jo, op); case _ => Nil }
+    def distOpt(key: String): Option[Double] =
+      inner.collectFirst { case (`key`, v) => num(v, s"$op.$key") }
+        .orElse(ops.collectFirst { case (`key`, v) => num(v, key) })
+    val (cx, cy, spherical, radians_) = spec match {
+      case JArray(List(x, y)) =>
+        (num(x, op), num(y, op), op == "$nearSphere", op == "$nearSphere")
+      case _: JObject =>
+        val g = inner.collectFirst { case ("$geometry", g) => g }
+          .getOrElse(throw new MqlException(s"$op: object form needs $$geometry"))
+        val o = asObj(g, s"$op.$$geometry")
+        if (!o.exists(_ == ("type", JString("Point"))))
+          throw new MqlException(s"$op.$$geometry must be a GeoJSON Point")
+        val (x, y) = o.collectFirst { case ("coordinates", cs) =>
+          point(cs, s"$op.$$geometry.coordinates") }
+          .getOrElse(throw new MqlException(s"$op.$$geometry needs coordinates"))
+        (x, y, true, false)
+      case other => throw new MqlException(
+        s"$op: expected [x, y] or {$$geometry: ...}, got $other")
+    }
+    val lon = element_at(c, 1).cast("double")
+    val lat = element_at(c, 2).cast("double")
+    val dist =
+      if (spherical) {
+        val a = pow(sin(radians(lat - lit(cy)) / 2), 2) +
+          cos(radians(lit(cy))) * cos(radians(lat)) *
+            pow(sin(radians(lon - lit(cx)) / 2), 2)
+        // same operation order as $geoNear so DuckDB twins agree exactly
+        if (radians_) lit(2.0) * asin(sqrt(a))
+        else lit(2.0 * 6378100.0) * asin(sqrt(a))
+      } else sqrt(pow(lon - lit(cx), 2) + pow(lat - lit(cy), 2))
+    // any non-near sibling operators still apply as ordinary predicates
+    val nearKeys = Set("$near", "$nearSphere", "$minDistance", "$maxDistance")
+    val rest = ops.filterNot(o => nearKeys(o._1))
+    var pred = c.isNotNull && size(c) === 2
+    distOpt("$minDistance").foreach(m => pred = pred && dist >= lit(m))
+    distOpt("$maxDistance").foreach(m => pred = pred && dist <= lit(m))
+    if (rest.nonEmpty) pred = pred && compileOps(c, rest)
+    (pred, dist)
+  }
+
+  // ---- $jsonSchema ---------------------------------------------------------
+  // Draft-4 subset + Mongo's bsonType extension, compiled to Column
+  // predicates. JSON Schema's applicability rule — a keyword constrains
+  // only values of its type (minimum ignores strings, minLength ignores
+  // numbers) — becomes a type gate per keyword; since BsonTypeOf resolves
+  // statically from the column's Spark type, Catalyst folds every gate to
+  // a constant and dead branches vanish from the plan. A missing property
+  // (NULL in the decode model, lib.pyx:326-353) passes every keyword
+  // except the parent's `required` — the same present≡non-null equation
+  // $exists uses; BSON-null-vs-missing is not distinguishable post-decode
+  // (documented with $exists). `properties` over a non-struct column is a
+  // schema-authoring error and fails analysis loudly rather than
+  // silently matching nothing.
+  private def jsonTypeNames(v: JValue, bson: Boolean, ctx: String): Seq[String] = {
+    val names = v match {
+      case JString(s) => Seq(s)
+      case JArray(ts) => ts.map(strValue(_, ctx))
+      case other => throw new MqlException(s"$ctx: expected type name(s), got $other")
+    }
+    val jsonOk = Set("object", "array", "string", "number", "boolean", "null")
+    if (!bson) names.find(!jsonOk(_)).foreach(t => throw new MqlException(
+      s"$ctx: '$t' is not a JSON Schema type (use bsonType for BSON names)"))
+    names.flatMap {
+      case "number"  => Seq("int", "long", "double", "decimal")
+      case "boolean" => Seq("bool")
+      case t => Seq(t)
+    }
+  }
+
+  private def jsonSchemaRoot(schema: List[(String, JValue)]): Column =
+    schema.map {
+      case ("properties", v) =>
+        asObj(v, "$jsonSchema.properties").map { case (name, sub) =>
+          jsonSchemaValue(asObj(sub, s"properties.$name"), fieldCol(name))
+        }.reduceOption(_ && _).getOrElse(lit(true))
+      case ("required", JArray(ns)) if ns.nonEmpty =>
+        ns.map(n => fieldCol(strValue(n, "required")).isNotNull).reduce(_ && _)
+      case (k @ ("bsonType" | "type"), v) =>
+        // the root value IS a document
+        if (jsonTypeNames(v, k == "bsonType", s"$$jsonSchema.$k").contains("object"))
+          lit(true) else lit(false)
+      case ("allOf", JArray(ss)) if ss.nonEmpty =>
+        ss.map(s => jsonSchemaRoot(asObj(s, "allOf"))).reduce(_ && _)
+      case ("anyOf", JArray(ss)) if ss.nonEmpty =>
+        ss.map(s => jsonSchemaRoot(asObj(s, "anyOf"))).reduce(_ || _)
+      case ("oneOf", JArray(ss)) if ss.nonEmpty =>
+        ss.map(s => when(coalesce(jsonSchemaRoot(asObj(s, "oneOf")), lit(false)), 1)
+          .otherwise(0)).reduce(_ + _) === 1
+      case ("not", s) =>
+        !coalesce(jsonSchemaRoot(asObj(s, "not")), lit(false))
+      case ("title" | "description", _) => lit(true)
+      case (k, _) => throw new MqlException(
+        s"$$jsonSchema: unsupported document-level keyword '$k'")
+    }.reduceOption(_ && _).getOrElse(lit(true))
+
+  /** One subschema applied to a value column. Missing (null) passes —
+    * presence is the parent `required`'s job. */
+  private def jsonSchemaValue(schema: List[(String, JValue)], c: Column): Column =
+    c.isNull || jsonSchemaPreds(schema, c)
+
+  private def jsonSchemaPreds(schema: List[(String, JValue)], c: Column): Column = {
+    val t = ExprCompiler.bsonTypeName(c)
+    val isNum = t.isin("int", "long", "double", "decimal")
+    val isStr = t === "string"
+    val isArr = t === "array"
+    val isObj = t === "object"
+    def numOf(v: JValue, ctx: String) = num(v, ctx)
+    val exclMin = schema.exists(_ == ("exclusiveMinimum", JBool(true)))
+    val exclMax = schema.exists(_ == ("exclusiveMaximum", JBool(true)))
+    def intOf(v: JValue, ctx: String): Int = v match {
+      case JInt(i) => i.toInt
+      case JLong(l) => l.toInt
+      case other => throw new MqlException(s"$ctx: expected an integer, got $other")
+    }
+    schema.map {
+      case (k @ ("bsonType" | "type"), v) =>
+        t.isin(jsonTypeNames(v, k == "bsonType", s"$$jsonSchema.$k"): _*)
+      case ("enum", JArray(vs)) if vs.nonEmpty =>
+        inList(c, vs)
+      case ("multipleOf", v) =>
+        !isNum || c.cast("double") % lit(numOf(v, "multipleOf")) === lit(0.0)
+      case ("minimum", v) =>
+        val b = lit(numOf(v, "minimum"))
+        !isNum || (if (exclMin) c > b else c >= b)
+      case ("maximum", v) =>
+        val b = lit(numOf(v, "maximum"))
+        !isNum || (if (exclMax) c < b else c <= b)
+      case ("exclusiveMinimum" | "exclusiveMaximum", JBool(_)) => lit(true)
+      case ("minLength", v) => !isStr || length(c) >= lit(intOf(v, "minLength"))
+      case ("maxLength", v) => !isStr || length(c) <= lit(intOf(v, "maxLength"))
+      case ("pattern", JString(p)) => !isStr || c.rlike(p)
+      case ("minItems", v) => !isArr || size(c) >= lit(intOf(v, "minItems"))
+      case ("maxItems", v) => !isArr || size(c) <= lit(intOf(v, "maxItems"))
+      case ("uniqueItems", JBool(u)) =>
+        if (!u) lit(true) else !isArr || size(array_distinct(c)) === size(c)
+      case ("items", s: JObject) =>
+        !isArr || forall(c, e => jsonSchemaPreds(asObj(s, "items"), e))
+      case ("properties", v) =>
+        !isObj || asObj(v, "properties").map { case (name, sub) =>
+          jsonSchemaValue(asObj(sub, s"properties.$name"), c.getField(name))
+        }.reduceOption(_ && _).getOrElse(lit(true))
+      case ("required", JArray(ns)) if ns.nonEmpty =>
+        !isObj || ns.map(n => c.getField(strValue(n, "required")).isNotNull)
+          .reduce(_ && _)
+      case ("allOf", JArray(ss)) if ss.nonEmpty =>
+        ss.map(s => jsonSchemaPreds(asObj(s, "allOf"), c)).reduce(_ && _)
+      case ("anyOf", JArray(ss)) if ss.nonEmpty =>
+        ss.map(s => jsonSchemaPreds(asObj(s, "anyOf"), c)).reduce(_ || _)
+      case ("oneOf", JArray(ss)) if ss.nonEmpty =>
+        ss.map(s => when(coalesce(jsonSchemaPreds(asObj(s, "oneOf"), c), lit(false)), 1)
+          .otherwise(0)).reduce(_ + _) === 1
+      case ("not", s) =>
+        !coalesce(jsonSchemaPreds(asObj(s, "not"), c), lit(false))
+      case ("title" | "description", _) => lit(true)
+      case (k, _) => throw new MqlException(
+        s"$$jsonSchema: unsupported keyword '$k'")
+    }.reduceOption(_ && _).getOrElse(lit(true))
   }
 
   private def typeMatches(c: Column, t: String): Column = t match {

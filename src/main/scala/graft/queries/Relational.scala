@@ -114,6 +114,83 @@ object Relational {
                        ELSE 0 END)) % 2 = 1
               ORDER BY event_id""")),
 
+    // find-only $near (GeoJSON form → meters on the R=6378100 sphere):
+    // bounds checked by the gate; the implicit nearest-first order is
+    // spec-pinned (an explicit sort overrides it here for determinism)
+    QueryDef("q_find_near",
+      (s, dir) => {
+        val docs = Graft.aggregate(s, dir, "events", """[
+          {"$addFields": {"loc": [
+            {"$subtract": [{"$mod": ["$value", 180]}, 90]},
+            {"$subtract": [{"$mod": ["$user_id", 120]}, 60]}]}}]""")
+        Graft.find(docs,
+          filter = """{"loc": {"$near": {"$geometry":
+            {"type": "Point", "coordinates": [10, -20]},
+            "$minDistance": 2000000, "$maxDistance": 7000000}}}""",
+          projection = Some("""{"event_id": 1}"""),
+          sort = Some("""{"event_id": 1}"""))
+      },
+      Some("""WITH m AS (SELECT event_id, (value % 180) - 90 AS x,
+                     CAST((user_id % 120) - 60 AS DOUBLE) AS y FROM events),
+                   d AS (SELECT event_id, 2 * 6378100 * asin(sqrt(
+                     pow(sin(radians(y - -20.0) / 2), 2) +
+                     cos(radians(-20.0)) * cos(radians(y)) *
+                       pow(sin(radians(x - 10.0) / 2), 2))) AS dist FROM m)
+              SELECT event_id FROM d
+              WHERE dist >= 2000000 AND dist <= 7000000
+              ORDER BY event_id""")),
+
+    // $geoIntersects in $match: for point fields the polygon test is the
+    // same PNPOLY arithmetic as $geoWithin.$geometry (twin repeats it)
+    QueryDef("q_find_geointersects",
+      (s, dir) => Graft.aggregate(s, dir, "events", """[
+        {"$addFields": {"loc": [
+          {"$subtract": [{"$mod": ["$value", 180]}, 90]},
+          {"$subtract": [{"$mod": ["$user_id", 120]}, 60]}]}},
+        {"$match": {"loc": {"$geoIntersects": {"$geometry": {"type": "Polygon",
+          "coordinates": [[[-40, -35], [45, -25], [10, 50], [-40, -35]]]}}}}},
+        {"$project": {"event_id": 1}},
+        {"$sort": {"event_id": 1}}]"""),
+      Some("""WITH m AS (SELECT event_id, (value % 180) - 90 AS x,
+                     CAST((user_id % 120) - 60 AS DOUBLE) AS y FROM events)
+              SELECT event_id FROM m
+              WHERE ((CASE WHEN (-35.0 > y) <> (-25.0 > y)
+                       THEN CAST(x < 85.0 * (y - -35.0) / 10.0 + -40.0 AS INT)
+                       ELSE 0 END) +
+                     (CASE WHEN (-25.0 > y) <> (50.0 > y)
+                       THEN CAST(x < -35.0 * (y - -25.0) / 75.0 + 45.0 AS INT)
+                       ELSE 0 END) +
+                     (CASE WHEN (50.0 > y) <> (-35.0 > y)
+                       THEN CAST(x < -50.0 * (y - 50.0) / -85.0 + 10.0 AS INT)
+                       ELSE 0 END)) % 2 = 1
+              ORDER BY event_id""")),
+
+    // $jsonSchema validation filter (draft-4 subset): required = present,
+    // missing properties pass, keyword type gates constant-fold. The twin
+    // spells each property as (col IS NULL OR <keyword predicates>).
+    QueryDef("q_find_jsonschema",
+      (s, dir) => Graft.find(Graft.table(s, dir, "part"),
+        filter = """{"$jsonSchema": {
+          "required": ["p_brand", "p_size"],
+          "properties": {
+            "p_size": {"minimum": 10, "maximum": 40, "multipleOf": 2},
+            "p_type": {"pattern": "^(ECONOMY|STANDARD)", "minLength": 5},
+            "p_name": {"minLength": 5}},
+          "anyOf": [{"properties": {"p_retailprice": {"maximum": 1500}}},
+                    {"properties": {"p_size": {"minimum": 30}}}]}}""",
+        projection = Some("""{"p_partkey": 1, "p_size": 1, "p_name": 1}"""),
+        sort = Some("""{"p_partkey": 1}""")),
+      Some("""SELECT p_partkey, p_size, p_name FROM part
+              WHERE p_brand IS NOT NULL AND p_size IS NOT NULL
+                AND (p_size IS NULL OR (p_size >= 10 AND p_size <= 40
+                     AND CAST(p_size AS DOUBLE) % 2 = 0))
+                AND (p_type IS NULL OR (regexp_matches(p_type, '^(ECONOMY|STANDARD)')
+                     AND length(p_type) >= 5))
+                AND (p_name IS NULL OR length(p_name) >= 5)
+                AND ((p_retailprice IS NULL OR p_retailprice <= 1500)
+                  OR (p_size IS NULL OR p_size >= 30))
+              ORDER BY p_partkey""")),
+
     QueryDef("q_match_expr",
       (s, dir) => agg("lineitem", """[
         {"$match": {"$expr": {"$gt": ["$l_extendedprice",

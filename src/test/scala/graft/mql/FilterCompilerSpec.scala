@@ -3,6 +3,7 @@ package graft.mql
 import org.apache.spark.sql.Row
 import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkFixture
+import graft.api.Graft
 
 /** Mongo filter semantics that the DuckDB oracle queries can't observe:
   * null/missing handling, array operators, $not. Mirrors the matrix the
@@ -151,5 +152,108 @@ class FilterCompilerSpec extends AnyFunSuite {
     intercept[MqlException](gids("""{"loc": {"$geoWithin": {}}}"""))
     intercept[MqlException](gids("""{"loc": {"$geoWithin":
       {"$geometry": {"type": "MultiPolygon", "coordinates": []}}}}"""))
+  }
+
+  test("$geoIntersects: polygon containment and point equality") {
+    val geoDf = Seq(
+      (1, Some(Seq(0.0, 0.0))),
+      (2, Some(Seq(3.0, 4.0))),
+      (3, Some(Seq(50.0, 0.0))),
+      (4, None)
+    ).toDF("id", "loc")
+    def gids(filter: String): Seq[Int] =
+      geoDf.where(FilterCompiler.compile(filter))
+        .select("id").as[Int].collect().toSeq.sorted
+    assert(gids("""{"loc": {"$geoIntersects": {"$geometry": {"type": "Polygon",
+      "coordinates": [[[-1, -2], [8, -1], [2, 8], [-1, -2]]]}}}}""") == Seq(1, 2))
+    assert(gids("""{"loc": {"$geoIntersects": {"$geometry": {"type": "Point",
+      "coordinates": [3, 4]}}}}""") == Seq(2))
+    intercept[MqlException](gids("""{"loc": {"$geoIntersects":
+      {"$box": [[0, 0], [1, 1]]}}}"""))
+  }
+
+  test("$near/$nearSphere: bounds, units matrix, nearest-first order") {
+    val geoDf = Seq(
+      (1, Some(Seq(0.0, 0.0))),
+      (2, Some(Seq(3.0, 4.0))),    // planar dist 5; central angle ~0.0873 rad
+      (3, Some(Seq(50.0, 0.0))),
+      (4, None)
+    ).toDF("id", "loc")
+    def fids(filter: String): Seq[Int] =
+      Graft.find(geoDf, filter).select("id").as[Int].collect().toSeq
+    // legacy $near: planar units, nearest first, null point never matches
+    assert(fids("""{"loc": {"$near": [1, 1], "$maxDistance": 10}}""") == Seq(1, 2))
+    assert(fids("""{"loc": {"$near": [1, 1], "$minDistance": 3,
+                            "$maxDistance": 10}}""") == Seq(2))
+    // nearest-first: (3,4) is closer to (4,4) than (0,0) is
+    assert(fids("""{"loc": {"$near": [4, 4], "$maxDistance": 10}}""") == Seq(2, 1))
+    // legacy $nearSphere: radians
+    assert(fids("""{"loc": {"$nearSphere": [0, 0], "$maxDistance": 0.1}}""") == Seq(1, 2))
+    assert(fids("""{"loc": {"$nearSphere": [0, 0], "$maxDistance": 0.05}}""") == Seq(1))
+    // GeoJSON form: meters on the R=6378100 sphere, bounds inside the op
+    assert(fids("""{"loc": {"$near": {"$geometry":
+      {"type": "Point", "coordinates": [0, 0]},
+      "$maxDistance": 600000}}}""") == Seq(1, 2))
+    assert(fids("""{"loc": {"$near": {"$geometry":
+      {"type": "Point", "coordinates": [0, 0]},
+      "$minDistance": 300000, "$maxDistance": 600000}}}""") == Seq(2))
+    // non-near sibling operators still AND in
+    assert(fids("""{"loc": {"$near": [1, 1], "$maxDistance": 10, "$size": 2}}""")
+      == Seq(1, 2))
+    // explicit sort() overrides the geo order
+    assert(Graft.find(geoDf, """{"loc": {"$near": [4, 4], "$maxDistance": 10}}""",
+      sort = Some("""{"id": 1}""")).select("id").as[Int].collect().toSeq == Seq(1, 2))
+    // $near is find-only: $match and nested contexts reject it
+    intercept[MqlException](geoDf.where(FilterCompiler.compile(
+      """{"loc": {"$near": [0, 0]}}""")))
+    intercept[MqlException](Graft.find(geoDf,
+      """{"$or": [{"loc": {"$near": [0, 0]}}, {"id": 1}]}"""))
+  }
+
+  test("$jsonSchema: required/properties/type gates/enum/combinators") {
+    val df = Seq(
+      (1, Some("alpha"), Some(10.0), Some(Seq(1, 2, 3))),
+      (2, Some("beta"),  Some(55.0), Some(Seq(1, 1))),
+      (3, None,          Some(30.0), Some(Seq.empty[Int])),
+      (4, Some("gamma"), None,       None)
+    ).toDF("id", "name", "score", "tags")
+    def jids(schema: String): Seq[Int] =
+      df.where(FilterCompiler.compile(s"""{"$$jsonSchema": $schema}"""))
+        .select("id").as[Int].collect().toSeq.sorted
+    // required = present (non-null); missing properties pass their schema
+    assert(jids("""{"required": ["name", "score"]}""") == Seq(1, 2))
+    assert(jids("""{"properties": {"score": {"minimum": 20}}}""")
+      == Seq(2, 3, 4)) // 4: score missing → passes
+    assert(jids("""{"required": ["score"],
+      "properties": {"score": {"minimum": 20, "maximum": 40}}}""") == Seq(3))
+    // exclusive bounds (draft-4 boolean form)
+    assert(jids("""{"properties": {"score": {"minimum": 30,
+      "exclusiveMinimum": true}}}""") == Seq(2, 4))
+    // string keywords gate on type; numbers pass pattern untouched
+    assert(jids("""{"properties": {"name": {"pattern": "^b"},
+      "score": {"pattern": "ignored"}}}""") == Seq(2, 3))
+    assert(jids("""{"properties": {"name": {"minLength": 5}}}""") == Seq(1, 3, 4))
+    // bsonType / type, "number" alias, array form
+    assert(jids("""{"properties": {"score": {"bsonType": "double"}}}""")
+      == Seq(1, 2, 3, 4))
+    assert(jids("""{"properties": {"score": {"type": "number"}}}""")
+      == Seq(1, 2, 3, 4))
+    intercept[MqlException](jids("""{"properties": {"score": {"type": "double"}}}"""))
+    // array keywords: minItems / uniqueItems / items
+    assert(jids("""{"properties": {"tags": {"minItems": 2}}}""") == Seq(1, 2, 4))
+    assert(jids("""{"properties": {"tags": {"uniqueItems": true}}}""")
+      == Seq(1, 3, 4))
+    assert(jids("""{"properties": {"tags": {"items": {"maximum": 2}}}}""")
+      == Seq(2, 3, 4))
+    // enum + combinators
+    assert(jids("""{"properties": {"name": {"enum": ["alpha", "gamma"]}}}""")
+      == Seq(1, 3, 4))
+    assert(jids("""{"anyOf": [{"required": ["name"], "properties":
+      {"name": {"enum": ["beta"]}}}, {"properties": {"score":
+      {"maximum": 15}}}]}""") == Seq(1, 2, 4))
+    assert(jids("""{"not": {"required": ["tags"]}}""") == Seq(4))
+    assert(jids("""{"oneOf": [{"properties": {"score": {"minimum": 25}}},
+      {"required": ["name"]}]}""") == Seq(1, 3))
+    intercept[MqlException](jids("""{"patternProperties": {}}"""))
   }
 }
