@@ -1726,16 +1726,23 @@ object PipelineCompiler {
       else if (L == 1)
         size(filter(toks, x => x === lit(terms.head))).cast("double")
       else {
-        // earliest position of `t` strictly after `after` (null if none;
-        // null `after` propagates through the > comparison to null)
-        def nextPos(after: Column, t: String): Column =
-          get(filter(sequence(lit(1), size(toks)), j =>
-            j > after && element_at(toks, j.cast("int")) === lit(t)), lit(0))
+        // any valid completion's span is bounded by L-1+slop positions
+        // beyond the start, so the per-term search scans only that
+        // window — O(n·L·(L+slop)) per doc, not the O(n²·L) a
+        // whole-array next-position scan would cost (measured 112 s on
+        // the sf0.001 corpus before the window bound)
+        val W = L - 1 + slop
         when(size(toks) >= L,
           size(filter(sequence(lit(1), size(toks) - lit(L) + lit(1)), i => {
+            val hi = least(i + lit(W), size(toks))
             val p1 = when(element_at(toks, i.cast("int")) === lit(terms.head), i)
-            val pL = terms.tail.foldLeft(p1)(nextPos)
-            pL.isNotNull && pL - i <= lit(L - 1 + slop)
+            // earliest position of `t` strictly after `after` within the
+            // window (null if none; null `after` short-circuits the when)
+            def nextPos(after: Column, t: String): Column =
+              when(after.isNotNull && after < hi,
+                get(filter(sequence(after + lit(1), hi), j =>
+                  element_at(toks, j.cast("int")) === lit(t)), lit(0)))
+            terms.tail.foldLeft(p1)(nextPos).isNotNull
           })).cast("double"))
           .otherwise(lit(0.0))
       }
