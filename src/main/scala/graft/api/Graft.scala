@@ -67,12 +67,15 @@ object Graft {
            sort: Option[String] = None,
            limit: Option[Int] = None,
            skip: Option[Int] = None): DataFrame = {
-    // find is the one surface where $near/$nearSphere are legal: the
-    // filter compiles to (predicate, implicit nearest-first sort key);
-    // an explicit sort() overrides the geo order, as in Mongo
-    val (pred, nearDist) = FilterCompiler.compileWithNear(filter)
-    var out = df.where(pred)
-    if (sort.isEmpty) nearDist.foreach(d => out = out.orderBy(d.asc))
+    // find is the one surface where $near/$nearSphere/$text are legal:
+    // the filter compiles to (predicate, implicit nearest-first sort key,
+    // text score); an explicit sort() overrides the geo order, as in
+    // Mongo, and $text's score lands as a real `textScore` column so the
+    // {$meta: "textScore"} projection idiom resolves to it
+    val fc = FilterCompiler.compileFind(filter)
+    var out = df.where(fc.pred)
+    fc.textScore.foreach(s => out = out.withColumn("textScore", s))
+    if (sort.isEmpty) fc.nearDist.foreach(d => out = out.orderBy(d.asc))
     sort.foreach { s =>
       val cols = Mql.asObj(Mql.parse(s), "sort").map {
         case (k, JInt(d))  => if (d >= 0) col(k).asc else col(k).desc

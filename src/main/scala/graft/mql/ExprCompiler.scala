@@ -138,6 +138,7 @@ object ExprCompiler {
         case JString("vectorSearchScore") => col("vectorSearchScore")
         case JString("searchScore")       => col("searchScore")
         case JString("score")             => col("score") // $rankFusion
+        case JString("textScore")         => col("textScore") // find $text
         case other => throw new MqlException(s"unsupported $$meta: $other")
       }
       // ---- arithmetic ----

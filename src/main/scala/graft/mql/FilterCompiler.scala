@@ -20,29 +20,51 @@ object FilterCompiler {
 
   def compile(v: JValue): Column = compileDoc(asObj(v, "filter"))
 
+  /** Extra results only the find path carries: the implicit nearest-first
+    * sort key of `$near`/`$nearSphere`, and the `textScore` column of
+    * `$text` (attached as a real column — Spark has no out-of-band
+    * metadata channel, the same convention $search/$vectorSearch use for
+    * their scores). */
+  final case class FindCompiled(pred: Column, nearDist: Option[Column],
+                                textScore: Option[Column])
+
   /** find-path entry point: compiles the filter AND surfaces the implicit
-    * nearest-first sort key when the filter contains `$near`/`$nearSphere`.
-    * Mongo's find sorts $near results by distance as a side effect of the
-    * geo index walk; an index-free engine reproduces that as an explicit
-    * ORDER BY on the same distance expression the bounds test uses. The
-    * operators are only legal at the top level of the filter document
-    * (Mongo likewise rejects $near inside $or/$nor/$elemMatch), and only
-    * once per query (one geo index walk). `compile`/`$match` reject them
-    * outright — Mongo's error there is "use $geoNear". */
-  def compileWithNear(json: String): (Column, Option[Column]) = {
+    * nearest-first sort key when the filter contains `$near`/`$nearSphere`,
+    * plus the `$text` relevance score. Mongo's find sorts $near results by
+    * distance as a side effect of the geo index walk; an index-free engine
+    * reproduces that as an explicit ORDER BY on the same distance
+    * expression the bounds test uses. These operators are only legal at
+    * the top level of the filter document (Mongo likewise rejects $near
+    * inside $or/$nor/$elemMatch), and only once per query (one index
+    * walk). `compile`/`$match` reject them outright — Mongo's errors
+    * there are "use $geoNear" / "use $search". */
+  def compileFind(json: String): FindCompiled = {
     val fields = asObj(parse(json), "filter")
     val nearDists = scala.collection.mutable.ArrayBuffer[Column]()
+    val textScores = scala.collection.mutable.ArrayBuffer[Column]()
     val preds = fields.map {
       case (path, JObject(ops)) if !path.startsWith("$") && isOperatorDoc(ops) &&
           ops.exists(o => o._1 == "$near" || o._1 == "$nearSphere") =>
         val (pred, dist) = compileNear(fieldCol(path), ops)
         nearDists += dist
         pred
+      case ("$text", v) =>
+        val (pred, score) = compileText(asObj(v, "$text"))
+        textScores += score
+        pred
       case (k, v) => compileField(k, v)
     }
     if (nearDists.length > 1)
       throw new MqlException("only one $near/$nearSphere is allowed per query")
-    (preds.reduceOption(_ && _).getOrElse(lit(true)), nearDists.headOption)
+    if (textScores.length > 1)
+      throw new MqlException("only one $text is allowed per query")
+    FindCompiled(preds.reduceOption(_ && _).getOrElse(lit(true)),
+      nearDists.headOption, textScores.headOption)
+  }
+
+  def compileWithNear(json: String): (Column, Option[Column]) = {
+    val fc = compileFind(json)
+    (fc.pred, fc.nearDist)
   }
 
   def compileDoc(fields: List[(String, JValue)]): Column =
@@ -61,6 +83,9 @@ object FilterCompiler {
     }
     case "$comment" => lit(true)
     case "$jsonSchema" => jsonSchemaRoot(asObj(v, "$jsonSchema"))
+    case "$text" => throw new MqlException(
+      "$text is only valid at the top level of a find filter " +
+        "(aggregation pipelines use $search)")
     case op if op.startsWith("$") =>
       throw new MqlException(s"unsupported top-level operator $op")
     case path => v match {
@@ -324,6 +349,88 @@ object FilterCompiler {
     distOpt("$maxDistance").foreach(m => pred = pred && dist <= lit(m))
     if (rest.nonEmpty) pred = pred && compileOps(c, rest)
     (pred, dist)
+  }
+
+  // ---- $text ---------------------------------------------------------------
+  // Legacy text search over a whitespace-tokenized field (the same
+  // tokenization as $search/bm25TopK, so the surfaces agree). Mongo
+  // resolves the field from the collection's text index; an index-free
+  // engine requires it spelled out as `$path` (the same deviation, for
+  // the same reason, as $geoNear's required `key`). Search-string
+  // grammar: bare terms OR together, "quoted phrases" are required,
+  // `-term` / `-"phrase"` exclude. No stemmer exists here, so only
+  // `$language: "none"` (or absence) is accepted — silent un-stemmed
+  // "english" matching would diverge from Mongo rather than error.
+  // textScore = Σ tf(term) + Σ tf(phrase) over the positive clauses — a
+  // documented simplification of Mongo's unpublished index weighting
+  // (deterministic, oracle-checkable). Map-only: predicate and score are
+  // pure Column logic over one tokens expression; no stats pass, no
+  // shuffle, pushdown-eligible like any predicate.
+  private def compileText(spec: List[(String, JValue)]): (Column, Column) = {
+    val known = Set("$search", "$path", "$caseSensitive", "$language",
+      "$diacriticSensitive")
+    spec.map(_._1).find(!known.contains(_)).foreach(k =>
+      throw new MqlException(s"$$text: unsupported option '$k'"))
+    val search = spec.collectFirst { case ("$search", JString(s)) => s }
+      .getOrElse(throw new MqlException("$text needs $search"))
+    val path = spec.collectFirst { case ("$path", JString(s)) => s }
+      .getOrElse(throw new MqlException(
+        "$text needs $path (no text index exists to infer the field)"))
+    val caseSensitive = spec.exists(_ == ("$caseSensitive", JBool(true)))
+    spec.collectFirst { case ("$language", JString(l)) if l != "none" =>
+      throw new MqlException(
+        s"$$text: only $$language 'none' is supported (no stemmer), got '$l'") }
+    if (spec.exists(_ == ("$diacriticSensitive", JBool(false))))
+      throw new MqlException(
+        "$text: diacritic folding is not supported ($diacriticSensitive: false)")
+    val norm: String => String = if (caseSensitive) identity else _.toLowerCase
+    // peel (possibly negated) quoted phrases, then split the rest
+    val phraseRe = "(-?)\"([^\"]*)\"".r
+    val phraseMatches = phraseRe.findAllMatchIn(search).toList
+    val rest = phraseRe.replaceAllIn(search, " ")
+    def phraseToks(s: String): Seq[String] =
+      norm(s).split("\\s+").filter(_.nonEmpty).toSeq
+    val posPhr = phraseMatches.filter(_.group(1).isEmpty)
+      .map(m => phraseToks(m.group(2))).filter(_.nonEmpty)
+    val negPhr = phraseMatches.filter(_.group(1).nonEmpty)
+      .map(m => phraseToks(m.group(2))).filter(_.nonEmpty)
+    val rawTerms = rest.split("\\s+").filter(_.nonEmpty).toList
+    val (negRaw, posRaw) = rawTerms.partition(_.startsWith("-"))
+    val pos = posRaw.map(norm).distinct
+    val neg = negRaw.map(t => norm(t.drop(1))).filter(_.nonEmpty).distinct
+    if (pos.isEmpty && posPhr.isEmpty)
+      throw new MqlException("$text needs at least one positive term or phrase")
+    val toks = graft.llmops.TextAnalysis.tokens(
+      if (caseSensitive) fieldCol(path) else lower(fieldCol(path)))
+    def tf(t: String): Column =
+      size(filter(toks, x => x === lit(t))).cast("double")
+    val posHit = pos.map(t => array_contains(toks, t))
+      .reduceOption(_ || _).getOrElse(lit(true))
+    val phrHit = posPhr.map(p => phraseTf0(toks, p) > 0)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val negHit = (neg.map(t => array_contains(toks, t)) ++
+        negPhr.map(p => phraseTf0(toks, p) > 0))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    // Mongo: when the search string carries a phrase, only the phrase
+    // gates matching — bare terms become score-only ("text search only
+    // matches documents that include the phrase")
+    val base = if (posPhr.nonEmpty) phrHit else posHit
+    val pred = coalesce(base && !negHit, lit(false))
+    val score = (pos.map(tf) ++ posPhr.map(p => phraseTf0(toks, p)))
+      .reduce(_ + _)
+    (pred, score)
+  }
+
+  /** Exact (slop-0) phrase occurrence count — consecutive-subsequence
+    * starts, the same contract as $search.phrase's zero-slop path. */
+  private def phraseTf0(toks: Column, terms: Seq[String]): Column = {
+    val L = terms.length
+    when(size(toks) >= L,
+      size(filter(sequence(lit(1), size(toks) - lit(L) + lit(1)), i =>
+        terms.zipWithIndex.map { case (t, o) =>
+          element_at(toks, (i + lit(o)).cast("int")) === lit(t)
+        }.reduce(_ && _))).cast("double"))
+      .otherwise(lit(0.0))
   }
 
   // ---- $jsonSchema ---------------------------------------------------------

@@ -191,6 +191,25 @@ object Relational {
                   OR (p_size IS NULL OR p_size >= 30))
               ORDER BY p_partkey""")),
 
+    // legacy $text find operator: OR terms, -term negation, textScore =
+    // Σ tf over positive clauses (the documented simplification); the
+    // twin repeats the whitespace-lowercase tokenization
+    QueryDef("q_find_text",
+      (s, dir) => Graft.find(Graft.table(s, dir, "documents"),
+        filter = """{"$text": {"$search": "spark -hive model", "$path": "text"}}""",
+        projection = Some("""{"doc_id": 1, "score": {"$meta": "textScore"}}"""),
+        sort = Some("""{"doc_id": 1}""")),
+      Some("""WITH toks AS (SELECT doc_id,
+                list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                            x -> x <> '') AS t FROM documents)
+              SELECT doc_id,
+                CAST(len(list_filter(t, x -> x = 'spark')) +
+                     len(list_filter(t, x -> x = 'model')) AS DOUBLE) AS score
+              FROM toks
+              WHERE (list_contains(t, 'spark') OR list_contains(t, 'model'))
+                AND NOT list_contains(t, 'hive')
+              ORDER BY doc_id""")),
+
     QueryDef("q_match_expr",
       (s, dir) => agg("lineitem", """[
         {"$match": {"$expr": {"$gt": ["$l_extendedprice",

@@ -210,6 +210,47 @@ class FilterCompilerSpec extends AnyFunSuite {
       """{"$or": [{"loc": {"$near": [0, 0]}}, {"id": 1}]}"""))
   }
 
+  test("$text: OR terms, required phrases, negation, textScore column") {
+    val df = Seq(
+      (1, "Spark query engine"),
+      (2, "the spark spark runtime"),
+      (3, "query planner"),
+      (4, "unrelated words"),
+      (5, "spark hive query")
+    ).toDF("id", "text")
+    def tids(filter: String): Seq[Int] =
+      Graft.find(df, filter).select("id").as[Int].collect().toSeq.sorted
+    // bare terms OR; matching is case-insensitive by default
+    assert(tids("""{"$text": {"$search": "spark planner", "$path": "text"}}""")
+      == Seq(1, 2, 3, 5))
+    // -term excludes
+    assert(tids("""{"$text": {"$search": "spark -hive", "$path": "text"}}""")
+      == Seq(1, 2))
+    // a phrase gates matching; bare terms become score-only
+    assert(tids("""{"$text": {"$search": "\"spark query\" planner",
+      "$path": "text"}}""") == Seq(1))
+    // negated phrase
+    assert(tids("""{"$text": {"$search": "spark -\"spark query\"",
+      "$path": "text"}}""") == Seq(2, 5))
+    // case-sensitive matching keeps the raw tokens
+    assert(tids("""{"$text": {"$search": "Spark",
+      "$path": "text", "$caseSensitive": true}}""") == Seq(1))
+    // textScore = sum of positive-clause tf, exposed via {$meta}
+    val scored = Graft.find(df,
+      """{"$text": {"$search": "spark query", "$path": "text"}}""",
+      projection = Some("""{"id": 1, "score": {"$meta": "textScore"}}"""))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(scored == Map(1 -> 2.0, 2 -> 2.0, 3 -> 1.0, 5 -> 2.0))
+    // $text is find-only and needs $path and a positive clause
+    intercept[MqlException](df.where(FilterCompiler.compile(
+      """{"$text": {"$search": "spark", "$path": "text"}}""")))
+    intercept[MqlException](tids("""{"$text": {"$search": "spark"}}"""))
+    intercept[MqlException](tids("""{"$text": {"$search": "-spark",
+      "$path": "text"}}"""))
+    intercept[MqlException](tids("""{"$text": {"$search": "spark",
+      "$path": "text", "$language": "english"}}"""))
+  }
+
   test("$jsonSchema: required/properties/type gates/enum/combinators") {
     val df = Seq(
       (1, Some("alpha"), Some(10.0), Some(Seq(1, 2, 3))),
