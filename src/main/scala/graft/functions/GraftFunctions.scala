@@ -332,6 +332,125 @@ case class SignBucket(left: Expression, right: Expression) extends BinaryExpress
     copy(left = l, right = r)
 }
 
+/** Occurrence count (by start position) of a CONSTANT phrase in a token
+  * array — the $search.phrase / find-$text hot path as one codegen'd
+  * loop. Replaces the HOF formulation (filter over a position sequence
+  * with per-position element_at lambdas), whose interpreted evaluation
+  * dominated the phrase bench queries. Semantics are bit-identical to
+  * the HOF form the DuckDB twins pin: slop 0 counts consecutive-run
+  * starts; slop s counts starts whose greedy in-order completion spans
+  * ≤ L-1+s positions (earliest completion minimizes the span, so greedy
+  * is exact); L = 1 counts plain occurrences; a null token array — a
+  * null document — yields 0.0, never null. */
+case class PhraseTf(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false
+
+  @transient private lazy val terms: Array[UTF8String] =
+    second.eval().asInstanceOf[ArrayData]
+      .toObjectArray(StringType).map(_.asInstanceOf[UTF8String])
+  @transient private lazy val slop: Int = third.eval().asInstanceOf[Int]
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val toks = first.eval(input)
+    if (toks == null) 0.0 else count(toks.asInstanceOf[ArrayData])
+  }
+
+  override def nullSafeEval(toks: Any, t2: Any, t3: Any): Any =
+    count(toks.asInstanceOf[ArrayData])
+
+  private def count(a: ArrayData): Double = {
+    val n = a.numElements()
+    val L = terms.length
+    if (n < L) return 0.0
+    var tf = 0
+    var i = 0
+    while (i <= n - L) {
+      if (!a.isNullAt(i) && a.getUTF8String(i).equals(terms(0))) {
+        var ok = true
+        if (L > 1) {
+          if (slop == 0) {
+            var k = 1
+            while (ok && k < L) {
+              ok = !a.isNullAt(i + k) && a.getUTF8String(i + k).equals(terms(k))
+              k += 1
+            }
+          } else {
+            var pos = i
+            val hi = math.min(i + L - 1 + slop, n - 1)
+            var k = 1
+            while (ok && k < L) {
+              var found = -1
+              var j = pos + 1
+              while (found < 0 && j <= hi) {
+                if (!a.isNullAt(j) && a.getUTF8String(j).equals(terms(k)))
+                  found = j
+                j += 1
+              }
+              if (found < 0) ok = false else pos = found
+              k += 1
+            }
+          }
+        }
+        if (ok) tf += 1
+      }
+      i += 1
+    }
+    tf.toDouble
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val toksGen = first.genCode(ctx)
+    val ts = ctx.addReferenceObj("phraseTerms", terms,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    val a = toksGen.value
+    val n = ctx.freshName("n"); val i = ctx.freshName("i")
+    val k = ctx.freshName("k"); val j = ctx.freshName("j")
+    val tf = ctx.freshName("tf"); val ok = ctx.freshName("ok")
+    val pos = ctx.freshName("pos"); val hi = ctx.freshName("hi")
+    val found = ctx.freshName("found")
+    val L = terms.length
+    val W = L - 1 + slop
+    val inner =
+      if (L == 1) ""
+      else if (slop == 0)
+        s"""for (int $k = 1; $ok && $k < $L; $k++)
+           |  $ok = !$a.isNullAt($i + $k) && $a.getUTF8String($i + $k).equals($ts[$k]);
+           |""".stripMargin
+      else
+        s"""int $pos = $i;
+           |int $hi = java.lang.Math.min($i + $W, $n - 1);
+           |for (int $k = 1; $ok && $k < $L; $k++) {
+           |  int $found = -1;
+           |  for (int $j = $pos + 1; $found < 0 && $j <= $hi; $j++)
+           |    if (!$a.isNullAt($j) && $a.getUTF8String($j).equals($ts[$k])) $found = $j;
+           |  if ($found < 0) $ok = false; else $pos = $found;
+           |}
+           |""".stripMargin
+    ev.copy(code = code"""
+      |${toksGen.code}
+      |double ${ev.value} = 0.0;
+      |if (!${toksGen.isNull}) {
+      |  int $n = $a.numElements();
+      |  if ($n >= $L) {
+      |    int $tf = 0;
+      |    for (int $i = 0; $i <= $n - $L; $i++) {
+      |      if (!$a.isNullAt($i) && $a.getUTF8String($i).equals($ts[0])) {
+      |        boolean $ok = true;
+      |        $inner
+      |        if ($ok) $tf++;
+      |      }
+      |    }
+      |    ${ev.value} = (double) $tf;
+      |  }
+      |}""".stripMargin, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): PhraseTf = copy(first = f, second = s, third = t)
+}
+
 /** Index (0-based) of the max-dot-product row of a CONSTANT
   * pre-normalized centroid matrix — the map-only IVF cell assignment:
   * `corpus.withColumn("cell", nearest_cell(vec, matrix))` touches each
@@ -841,6 +960,7 @@ object GraftFunctions {
     "graft_regex_find" -> ((e: Seq[Expression]) => RegexFind(e(0), e(1))),
     "graft_regex_find_all" -> ((e: Seq[Expression]) => RegexFindAll(e(0), e(1))),
     "graft_merge_objects" -> ((e: Seq[Expression]) => MergeObjects(e)),
+    "graft_phrase_tf" -> ((e: Seq[Expression]) => PhraseTf(e(0), e(1), e(2))),
     "sign_bucket" -> ((e: Seq[Expression]) => SignBucket(e(0), e(1))),
     "nearest_cell" -> ((e: Seq[Expression]) => NearestCell(e(0), e(1))),
     "pq_encode" -> ((e: Seq[Expression]) => PqEncode(e(0), e(1))),

@@ -45,6 +45,61 @@ object TfIdf {
           .as("surprisal"))
   }
 
+  /** Per-document bigram log-perplexity under a Jelinek–Mercer
+    * interpolated bigram LM trained on the corpus itself — the CCNet-
+    * style (Wenzek et al., arXiv:1911.00359) perplexity signal used to
+    * bucket pretraining data by fluency (boilerplate, gibberish, and
+    * template text score far from the corpus mean; unigramSurprisal is
+    * the order-0 version of the same idea).
+    *
+    *   P(w2|w1) = λ·c(w1,w2)/c(w1) + (1−λ)·c(w2)/T
+    *   logppl(d) = mean over d's bigram positions of −ln P
+    *
+    * c(w1) is the corpus unigram count (not the context count — one
+    * fewer aggregation, documented model choice), T the corpus token
+    * total. Self-trained, every token is in-vocab, so P > 0 without
+    * smoothing hyperparameters.
+    *
+    * Scale shape: tokenize once; bigram pairs are a map-only array zip
+    * (no self-join); LM training is two hash aggregations (bigram and
+    * unigram counts — the shuffles are linear in corpus size with
+    * map-side combine, the classic n-gram count job); scoring joins doc
+    * bigrams to the count tables on their natural keys and T rides a
+    * broadcast 1-row aggregate. Docs with <2 tokens surface with
+    * n_bigrams = 0 and null logppl rather than vanishing. Output:
+    * (id, n_bigrams, logppl) rounded to 6. */
+  def bigramLogPerplexity(docs: DataFrame, idCol: String, textCol: String,
+                          lambda: Double = 0.9): DataFrame = {
+    require(lambda > 0 && lambda < 1, "lambda must be in (0, 1)")
+    val toksOf = TextAnalysis.tokens(lower(col(textCol)))
+    val withToks = docs.select(col(idCol), toksOf.as("__t"))
+    val bigrams = withToks.select(col(idCol),
+      explode(when(size(col("__t")) >= 2,
+        transform(sequence(lit(1), size(col("__t")) - 1), i =>
+          struct(element_at(col("__t"), i.cast("int")).as("w1"),
+                 element_at(col("__t"), (i + lit(1)).cast("int")).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+        .as("__b"))
+      .select(col(idCol), col("__b.w1"), col("__b.w2"))
+    val uni = withToks.select(explode(col("__t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("__c"))
+    val tot = uni.agg(sum("__c").cast("double").as("__T"))
+    val bg = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("__c12"))
+    val p = lit(lambda) * col("__c12").cast("double") / col("__c1") +
+      lit(1.0 - lambda) * col("__c2").cast("double") / col("__T")
+    val scored = bigrams
+      .join(bg, Seq("w1", "w2"))
+      .join(uni.select(col("w").as("w1"), col("__c").cast("double").as("__c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("__c").cast("double").as("__c2")), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(-log(p)), 6).as("logppl"))
+    // left join back so short docs (<2 tokens) keep a row
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("logppl"))
+  }
+
   /** BM25 (Robertson/Spärck Jones) top-k document retrieval for a bag
     * of query terms — the lexical ranking used for query-based corpus
     * slicing and retrieval-style decontamination audits.

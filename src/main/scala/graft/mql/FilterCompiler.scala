@@ -423,15 +423,9 @@ object FilterCompiler {
 
   /** Exact (slop-0) phrase occurrence count — consecutive-subsequence
     * starts, the same contract as $search.phrase's zero-slop path. */
-  private def phraseTf0(toks: Column, terms: Seq[String]): Column = {
-    val L = terms.length
-    when(size(toks) >= L,
-      size(filter(sequence(lit(1), size(toks) - lit(L) + lit(1)), i =>
-        terms.zipWithIndex.map { case (t, o) =>
-          element_at(toks, (i + lit(o)).cast("int")) === lit(t)
-        }.reduce(_ && _))).cast("double"))
-      .otherwise(lit(0.0))
-  }
+  private def phraseTf0(toks: Column, terms: Seq[String]): Column =
+    ExprCompiler.graftFn("graft_phrase_tf", toks,
+      array(terms.map(lit): _*), lit(0))
 
   // ---- $jsonSchema ---------------------------------------------------------
   // Draft-4 subset + Mongo's bsonType extension, compiled to Column

@@ -1714,39 +1714,15 @@ object PipelineCompiler {
     // PhraseQuery also admits out-of-order arrangements at slop ≥ 2
     // (a transposition costs 2); the in-order contract is this engine's
     // documented simplification.
-    def phraseTf(toks: Column, terms: Seq[String], slop: Int = 0): Column = {
-      val L = terms.length
-      if (slop == 0)
-        when(size(toks) >= L,
-          size(filter(sequence(lit(1), size(toks) - lit(L) + lit(1)), i =>
-            terms.zipWithIndex.map { case (t, o) =>
-              element_at(toks, (i + lit(o)).cast("int")) === lit(t)
-            }.reduce(_ && _))).cast("double"))
-          .otherwise(lit(0.0))
-      else if (L == 1)
-        size(filter(toks, x => x === lit(terms.head))).cast("double")
-      else {
-        // any valid completion's span is bounded by L-1+slop positions
-        // beyond the start, so the per-term search scans only that
-        // window — O(n·L·(L+slop)) per doc, not the O(n²·L) a
-        // whole-array next-position scan would cost (measured 112 s on
-        // the sf0.001 corpus before the window bound)
-        val W = L - 1 + slop
-        when(size(toks) >= L,
-          size(filter(sequence(lit(1), size(toks) - lit(L) + lit(1)), i => {
-            val hi = least(i + lit(W), size(toks))
-            val p1 = when(element_at(toks, i.cast("int")) === lit(terms.head), i)
-            // earliest position of `t` strictly after `after` within the
-            // window (null if none; null `after` short-circuits the when)
-            def nextPos(after: Column, t: String): Column =
-              when(after.isNotNull && after < hi,
-                get(filter(sequence(after + lit(1), hi), j =>
-                  element_at(toks, j.cast("int")) === lit(t)), lit(0)))
-            terms.tail.foldLeft(p1)(nextPos).isNotNull
-          })).cast("double"))
-          .otherwise(lit(0.0))
-      }
-    }
+    // occurrence count of `terms` in `toks`: slop 0 = consecutive
+    // subsequence; slop s = in-order subsequence whose span stretches at
+    // most s beyond consecutive (greedy earliest completion — exact for
+    // existence). One codegen'd loop (PhraseTf expression): the HOF
+    // position-scan formulation this replaced evaluated interpreted
+    // lambdas per position per row and dominated the phrase bench.
+    def phraseTf(toks: Column, terms: Seq[String], slop: Int = 0): Column =
+      ExprCompiler.graftFn("graft_phrase_tf", toks,
+        array(terms.map(lit): _*), lit(slop))
     // ONE corpus pass for every statistic any scored text/phrase clause
     // needs: per-path N + avgdl over docs with ≥1 token, per-term df,
     // per-phrase df
@@ -1759,35 +1735,39 @@ object PipelineCompiler {
       case MltCl(fields) => fields.map(_._1)
       case _ => Nil
     }.distinct
+    // stat aggregates run over the token-materializing project (tokCol,
+    // not toksOf): the agg's child projects each path's tokens ONCE per
+    // row and every stat function references the attribute — previously
+    // each of the ~3 functions per clause re-ran the split per row
     val statCols: Seq[Column] =
       statPaths.flatMap { p =>
-        Seq(sum(when(size(toksOf(p)) > 0, 1L).otherwise(0L)).cast("double")
+        Seq(sum(when(size(tokCol(p)) > 0, 1L).otherwise(0L)).cast("double")
               .as(s"__n_${pIdx(p)}"),
-            avg(when(size(toksOf(p)) > 0, size(toksOf(p)).cast("double")))
+            avg(when(size(tokCol(p)) > 0, size(tokCol(p)).cast("double")))
               .as(s"__avgdl_${pIdx(p)}"))
       } ++
       scoredClauses.zipWithIndex.flatMap {
         case (Cl(TextCl(terms, p, fz), _, None), ci) =>
           terms.zipWithIndex.map { case (t, ti) =>
-            val hit = if (fz.isEmpty) array_contains(toksOf(p), t)
-              else coalesce(exists(toksOf(p), x => tokPred(x, t, fz)), lit(false))
+            val hit = if (fz.isEmpty) array_contains(tokCol(p), t)
+              else coalesce(exists(tokCol(p), x => tokPred(x, t, fz)), lit(false))
             sum(when(hit, 1L).otherwise(0L)).as(s"__df_${ci}_$ti") }
         case (Cl(PhraseCl(terms, p, slop), _, None), ci) =>
-          Seq(sum(when(phraseTf(toksOf(p), terms, slop) > 0, 1L).otherwise(0L))
+          Seq(sum(when(phraseTf(tokCol(p), terms, slop) > 0, 1L).otherwise(0L))
             .as(s"__pdf_$ci"))
         case (Cl(QsCl(dp, tree), _, None), ci) =>
           qsLeaves(tree, dp).filter(l => l.positive && l.kind <= 1).map { l =>
             if (l.kind == 0)
-              sum(when(array_contains(toksOf(l.path), l.terms.head), 1L)
+              sum(when(array_contains(tokCol(l.path), l.terms.head), 1L)
                 .otherwise(0L)).as(s"__qst_${ci}_${l.idx}")
             else
-              sum(when(phraseTf(toksOf(l.path), l.terms) > 0, 1L)
+              sum(when(phraseTf(tokCol(l.path), l.terms) > 0, 1L)
                 .otherwise(0L)).as(s"__qsp_${ci}_${l.idx}")
           }
         case (Cl(MltCl(fields), _, None), ci) =>
           fields.zipWithIndex.flatMap { case ((f, ts), fi) =>
             ts.zipWithIndex.map { case (t, ti) =>
-              sum(when(array_contains(toksOf(f), t), 1L).otherwise(0L))
+              sum(when(array_contains(tokCol(f), t), 1L).otherwise(0L))
                 .as(s"__mlt_${ci}_${fi}_$ti") } }
         case _ => Nil
       }
@@ -1891,17 +1871,43 @@ object PipelineCompiler {
       case QsNode.QWild(f, rx) =>
         coalesce(exists(tokCol(f.getOrElse(dp)), x => x.rlike(rx)), lit(false))
     }
+    // per-clause term frequencies, materialized as columns of their own
+    // project stage: bm25's saturation formula references tf THREE times,
+    // and a multiply-referenced non-cheap alias survives CollapseProject —
+    // so each interpreted position-scan/filter runs once per row, not 3×
+    // (measured 2.5× on the sf0.1 phrase bench queries)
+    val tfCols: Seq[(String, Column)] = scoredClauses.zipWithIndex.flatMap {
+      case (Cl(TextCl(terms, p, fz), _, None), ci) =>
+        terms.zipWithIndex.map { case (t, ti) =>
+          s"__tf_${ci}_$ti" ->
+            size(filter(tokCol(p), x => tokPred(x, t, fz))).cast("double") }
+      case (Cl(PhraseCl(terms, p, slop), _, None), ci) =>
+        Seq(s"__tf_$ci" -> phraseTf(tokCol(p), terms, slop))
+      case (Cl(QsCl(dp, tree), _, None), ci) =>
+        qsLeaves(tree, dp).filter(l => l.positive && l.kind <= 1).map { l =>
+          s"__tfq_${ci}_${l.idx}" -> (
+            if (l.kind == 0)
+              size(filter(tokCol(l.path), x => x === lit(l.terms.head)))
+                .cast("double")
+            else phraseTf(tokCol(l.path), l.terms)) }
+      case (Cl(MltCl(fields), _, None), ci) =>
+        fields.zipWithIndex.flatMap { case ((f, ts), fi) =>
+          ts.zipWithIndex.map { case (t, ti) =>
+            s"__tf_${ci}_${fi}_$ti" ->
+              size(filter(tokCol(f), x => x === lit(t))).cast("double") } }
+      case _ => Nil
+    }
     def score(cl: Cl, ci: Int): Column = cl match {
       case Cl(c, _, Some(k)) => when(matches(c), lit(k)).otherwise(lit(0.0))
       case Cl(c, boost, None) =>
         val base = c match {
           case TextCl(terms, p, fz) =>
             terms.zipWithIndex.map { case (t, ti) =>
-              bm25(size(filter(tokCol(p), x => tokPred(x, t, fz))).cast("double"),
+              bm25(col(s"__tf_${ci}_$ti"),
                 col(s"__df_${ci}_$ti").cast("double"), p)
             }.reduce(_ + _)
           case PhraseCl(terms, p, slop) =>
-            bm25(phraseTf(tokCol(p), terms, slop),
+            bm25(col(s"__tf_$ci"),
               col(s"__pdf_$ci").cast("double"), p)
           case NearCl(p, origin, pivot) =>
             when(fieldCol(p).isNotNull, lit(pivot) /
@@ -1920,11 +1926,9 @@ object PipelineCompiler {
             qsLeaves(tree, dp).map { l =>
               if (!l.positive) lit(0.0)
               else l.kind match {
-                case 0 => bm25(
-                  size(filter(tokCol(l.path), x => x === lit(l.terms.head)))
-                    .cast("double"),
+                case 0 => bm25(col(s"__tfq_${ci}_${l.idx}"),
                   col(s"__qst_${ci}_${l.idx}").cast("double"), l.path)
-                case 1 => bm25(phraseTf(tokCol(l.path), l.terms),
+                case 1 => bm25(col(s"__tfq_${ci}_${l.idx}"),
                   col(s"__qsp_${ci}_${l.idx}").cast("double"), l.path)
                 case _ => when(coalesce(
                     exists(tokCol(l.path), x => x.rlike(l.terms.head)),
@@ -1934,7 +1938,7 @@ object PipelineCompiler {
           case MltCl(fields) =>
             fields.zipWithIndex.flatMap { case ((f, ts), fi) =>
               ts.zipWithIndex.map { case (t, ti) =>
-                bm25(size(filter(tokCol(f), x => x === lit(t))).cast("double"),
+                bm25(col(s"__tf_${ci}_${fi}_$ti"),
                   col(s"__mlt_${ci}_${fi}_$ti").cast("double"), f) } }
               .reduce(_ + _)
           case c2 => when(matches(c2), lit(1.0)).otherwise(lit(0.0))
@@ -1954,12 +1958,19 @@ object PipelineCompiler {
            Seq(should.map(cl => when(matches(cl.c), 1).otherwise(0))
              .reduce(_ + _) >= effMinShould) else Nil)
       ).reduce(_ && _)
-    val base = if (statCols.isEmpty) df
-      else df.crossJoin(broadcast(df.agg(statCols.head, statCols.tail: _*)))
-    val withToks = tokPaths.foldLeft(base) { (acc, p) =>
+    // tokenize once: the token project feeds BOTH the stats aggregate
+    // (whose functions reference the token attributes) and the scoring
+    // side, then per-clause tf columns land in their own project
+    val tokDf = tokPaths.foldLeft(df) { (acc, p) =>
       acc.withColumn(s"__graft_toks_${pIdx(p)}", toksOf(p))
     }
+    val base = if (statCols.isEmpty) tokDf
+      else tokDf.crossJoin(broadcast(tokDf.agg(statCols.head, statCols.tail: _*)))
+    val withToks = tfCols.foldLeft(base) { (acc, nc) =>
+      acc.withColumn(nc._1, nc._2)
+    }
     val dropCols = tokPaths.map(p => s"__graft_toks_${pIdx(p)}") ++
+      tfCols.map(_._1) ++
       statPaths.flatMap(p => Seq(s"__n_${pIdx(p)}", s"__avgdl_${pIdx(p)}")) ++
       scoredClauses.zipWithIndex.flatMap {
         case (Cl(TextCl(terms, _, _), _, None), ci) =>

@@ -761,6 +761,34 @@ object LlmOps {
              FROM toks JOIN f USING (term) CROSS JOIN tot
              GROUP BY doc_id ORDER BY doc_id""")),
 
+    // CCNet-style bigram-LM log-perplexity (Jelinek–Mercer interpolation,
+    // λ=0.9): the twin re-trains the same counts and repeats the
+    // interpolation formula term for term
+    QueryDef("q_bigram_ppl",
+      (s, dir) => TfIdf.bigramLogPerplexity(Graft.table(s, dir, "documents"),
+        "doc_id", "text").orderBy("doc_id"),
+      Some(s"""WITH toks AS (SELECT doc_id, $duckToksLower AS t FROM documents),
+               big AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS w1,
+                              unnest(t[2:len(t)]) AS w2
+                       FROM toks WHERE len(t) >= 2),
+               uni AS (SELECT w, COUNT(*) AS c FROM
+                         (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+               tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS T FROM uni),
+               bg AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2),
+               sc AS (SELECT big.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                        round(AVG(-ln(
+                          0.9 * CAST(bg.c12 AS DOUBLE) / CAST(u1.c AS DOUBLE) +
+                          0.1 * CAST(u2.c AS DOUBLE) / tot.T)), 6) AS logppl
+                      FROM big
+                      JOIN bg ON big.w1 = bg.w1 AND big.w2 = bg.w2
+                      JOIN uni u1 ON big.w1 = u1.w
+                      JOIN uni u2 ON big.w2 = u2.w
+                      CROSS JOIN tot
+                      GROUP BY big.doc_id)
+             SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams, sc.logppl
+             FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+             ORDER BY d.doc_id""")),
+
     // concat-then-chunk sequence packing: deterministic per-source token
     // stream cut into 512-token packs; docs may straddle pack bounds
     QueryDef("q_packing",

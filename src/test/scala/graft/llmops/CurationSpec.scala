@@ -164,6 +164,35 @@ class CurationSpec extends AnyFunSuite {
     assert(got(2L)._2 > got(1L)._2)
   }
 
+  test("bigramLogPerplexity: hand-computed JM interpolation, short docs null") {
+    val docs = Seq(
+      (1L, "a b a b"),
+      (2L, "a b"),
+      (3L, "x")
+    ).toDF("doc_id", "text")
+    val out = TfIdf.bigramLogPerplexity(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))
+    // uni: a=3 b=3 x=1, T=7; bigrams: (a,b)x3 + (b,a)x1
+    val pab = 0.9 * 3.0 / 3.0 + 0.1 * 3.0 / 7.0
+    val pba = 0.9 * 1.0 / 3.0 + 0.1 * 3.0 / 7.0
+    def r6(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d1 = r6((-math.log(pab) - math.log(pba) - math.log(pab)) / 3.0)
+    val d2 = r6(-math.log(pab))
+    assert(out(0) == ((1L, 3L, Some(d1))))
+    assert(out(1) == ((2L, 1L, Some(d2))))
+    assert(out(2) == ((3L, 0L, None)))
+    // fluency ordering on a larger corpus: a doc of corpus-frequent
+    // bigrams scores lower (more fluent) than a shuffled-token doc
+    val corpus = (1L to 40L).map(i => (i, "the model reads the data well"))
+      .toDF("doc_id", "text")
+      .union(Seq((99L, "well the reads data model the")).toDF("doc_id", "text"))
+    val ppl = TfIdf.bigramLogPerplexity(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(ppl(1L) < ppl(99L))
+  }
+
   test("packSequences: offsets are contiguous per group and packs chunk at L") {
     val docs = Seq(
       (1L, "g", 300L), (2L, "g", 300L), (3L, "g", 300L), (4L, "h", 10L)
