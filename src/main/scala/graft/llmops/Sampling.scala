@@ -50,6 +50,28 @@ object Sampling {
     df.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    * Spirakis A-ES, Inf. Process. Lett. 97(5)): each row draws
+    * key = u^(1/w) with u a seeded md5 uniform in (0, 1), and the k
+    * largest keys win — inclusion probability proportional to weight,
+    * exactly one pass. The standard way to bias a pretraining subsample
+    * toward high-quality documents while keeping every selection
+    * reproducible and engine-recomputable (the oracle re-derives u and
+    * the keys). Map-only key computation; the global top-k plans as
+    * TakeOrdered (per-partition heads + a k-row driver merge — never a
+    * full sort). Rows with null or non-positive weight are excluded (a
+    * zero-weight row can never win under A-ES). Output: input columns +
+    * `wkey` rounded to 6, ordered (wkey desc, id asc). */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column, k: Int,
+                     seed: String = "wsamp"): DataFrame = {
+    val u = (hashBucket(col(idCol), seed).cast("double") + lit(0.5)) / lit(1000000.0)
+    val key = pow(u, lit(1.0) / weight.cast("double"))
+    df.where(weight.isNotNull && weight > 0)
+      .withColumn("wkey", round(key, 6))
+      .orderBy(col("wkey").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Deterministic weighted resampling to a target mixture: every row of
     * stratum s is repeated floor(w_s) times plus one more with
     * probability frac(w_s), decided by the seeded md5 hash of the id —

@@ -761,6 +761,22 @@ object LlmOps {
              FROM toks JOIN f USING (term) CROSS JOIN tot
              GROUP BY doc_id ORDER BY doc_id""")),
 
+    // A-ES weighted sampling without replacement: inclusion odds ∝
+    // n_chars, key = u^(1/w) from the seeded md5 uniform; the twin
+    // re-derives u and the keys and repeats the (wkey, id) ordering
+    QueryDef("q_weighted_sample",
+      (s, dir) => Sampling.weightedSample(Graft.table(s, dir, "documents"),
+        "doc_id", col("n_chars"), k = 50)
+        .select("doc_id", "n_chars", "wkey"),
+      Some("""SELECT doc_id, n_chars,
+                round(pow((('0x' || substr(md5('wsamp:' || doc_id), 1, 8))::BIGINT
+                           % 1000000 + 0.5) / 1000000.0,
+                          1.0 / CAST(n_chars AS DOUBLE)), 6) AS wkey
+              FROM documents
+              WHERE n_chars IS NOT NULL AND n_chars > 0
+              ORDER BY wkey DESC, doc_id ASC
+              LIMIT 50""")),
+
     // CCNet-style bigram-LM log-perplexity (Jelinek–Mercer interpolation,
     // λ=0.9): the twin re-trains the same counts and repeats the
     // interpolation formula term for term

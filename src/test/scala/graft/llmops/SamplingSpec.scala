@@ -19,6 +19,32 @@ class SamplingSpec extends AnyFunSuite {
     assert(kept.where($"lang" =!= "en").count() == 0)
   }
 
+  test("weightedSample: A-ES selection is weight-biased, deterministic, " +
+       "and excludes non-positive weights") {
+    val rows = Seq(
+      (1L, 10.0), (2L, 10.0), (3L, 10.0), (4L, 10.0),
+      (5L, 1e9),                     // u^(1/w) → ~1: always selected
+      (6L, 0.0), (7L, -3.0)          // never selectable
+    ).toDF("doc_id", "w")
+    val top3 = Sampling.weightedSample(rows, "doc_id", col("w"), 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(top3.contains(5L))
+    assert(!top3.contains(6L) && !top3.contains(7L))
+    // k beyond the positive-weight population returns exactly it
+    assert(Sampling.weightedSample(rows, "doc_id", col("w"), 100).count() == 5)
+    // deterministic and partition-invariant
+    val a = Sampling.weightedSample(docs, "doc_id", col("n_chars"), 20)
+      .select("doc_id").as[Long].collect().toSeq
+    val b = Sampling.weightedSample(docs.repartition(13), "doc_id",
+      col("n_chars"), 20).select("doc_id").as[Long].collect().toSeq
+    assert(a == b)
+    // weight bias: uniform-weight mean n_chars < weighted-sample mean
+    val wMean = Sampling.weightedSample(docs, "doc_id", col("n_chars"), 50)
+      .agg(avg("n_chars")).head.getDouble(0)
+    val uMean = docs.agg(avg("n_chars")).head.getDouble(0)
+    assert(wMean > uMean)
+  }
+
   test("stratified sample is deterministic and partition-invariant") {
     val a = Sampling.stratifiedSample(docs, "doc_id", "lang",
       Map("en" -> 0.3), defaultRate = 0.5).select("doc_id")
