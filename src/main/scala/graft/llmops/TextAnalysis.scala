@@ -16,6 +16,23 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** GPT-2-shaped pre-tokenization splitter: contractions, letter runs,
+    * digit runs, punctuation runs (each absorbing one leading space),
+    * residual whitespace runs. Deliberately RE2-safe (no lookahead, so
+    * the GPT-2 original's `\s+(?!\S)` trailing-space clause is folded
+    * into the plain `\s+` alternative) — any engine, including the
+    * DuckDB oracle, recomputes the identical token stream. A real BPE
+    * merge table changes token COUNTS, not this split boundary; this is
+    * the budget-estimation splitter, not a vocabulary. */
+  val BpeSplitPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+"
+
+  /** BPE-ish token count for training-budget estimation (the whitespace
+    * `tokenCount` undercounts punctuation-heavy and code-like text).
+    * Map-only, codegen'd; null text stays null. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeSplitPattern), lit(0))).cast("long")
+
   def charCount(text: Column): Column = length(text).cast("long")
 
   /** Fraction of characters that are sentence punctuation. */

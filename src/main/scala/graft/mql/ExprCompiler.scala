@@ -396,14 +396,37 @@ object ExprCompiler {
       case "$convert" => v match {
         case JObject(spec) =>
           val in = compile(field(spec, "input", op), env)
-          val to = strValue(field(spec, "to", op), op) match {
+          val format = spec.collectFirst { case ("format", JString(f)) => f }
+          val toName = strValue(field(spec, "to", op), op)
+          val to = toName match {
             case "int" => IntegerType;  case "long" => LongType
             case "double" => DoubleType; case "decimal" => DecimalParity
             case "string" => StringType; case "bool" => BooleanType
             case "date" => TimestampType
             case other => throw new MqlException(s"$$convert to $other unsupported")
           }
-          val casted = in.try_cast(to) // null on parse failure (ANSI-safe)
+          format.foreach { f =>
+            if (toName != "string") throw new MqlException(
+              "$convert: format is only supported with to: 'string'")
+            if (!Set("uuid", "hex", "base64").contains(f))
+              throw new MqlException(s"$$convert format '$f' unsupported")
+          }
+          // binData → string renderings (Mongo 8.0 format option): the
+          // engine models BinData as BinaryType, so these are pure
+          // byte-level formats; "uuid" additionally requires 16 bytes
+          // (null otherwise — the try_cast contract)
+          val casted = (toName, format) match {
+            case ("string", Some("uuid")) =>
+              val h = lower(hex(in.cast(BinaryType)))
+              when(org.apache.spark.sql.functions.length(in.cast(BinaryType)) === 16,
+                concat_ws("-", substring(h, 1, 8), substring(h, 9, 4),
+                  substring(h, 13, 4), substring(h, 17, 4), substring(h, 21, 12)))
+            case ("string", Some("hex")) => lower(hex(in.cast(BinaryType)))
+            case ("string", Some("base64")) => base64(in.cast(BinaryType))
+            case ("string", Some(f)) =>
+              throw new MqlException(s"$$convert format '$f' unsupported")
+            case _ => in.try_cast(to) // null on parse failure (ANSI-safe)
+          }
           val withErr = fieldOpt(spec, "onError")
             .map(e => when(in.isNotNull && casted.isNull, compile(e, env)).otherwise(casted))
             .getOrElse(casted)
@@ -565,6 +588,16 @@ object ExprCompiler {
       // hex string → 12-byte ObjectId binary (schema-level metadata
       // tags the column; see MSchema.objectIdField)
       case "$toObjectId" => unhex(c0)
+      // dashed/bare UUID string → 16-byte BinData(4) (Mongo 8.0
+      // $toUUID); null on malformed input like the try-converts. The
+      // reverse rendering is $convert {to: "string", format: "uuid"}.
+      case "$toUUID" =>
+        val bare = regexp_replace(c0, "-", "")
+        when(bare.rlike("^[0-9a-fA-F]{32}$"), unhex(bare))
+      // BSON internal replication timestamp decodes as {t: seconds,
+      // i: increment} (BsonBinary 0x11) — the accessors are field reads
+      case "$tsSecond"    => c0.getField("t")
+      case "$tsIncrement" => c0.getField("i")
       case "$binarySize" => octet_length(c0)
       case "$filter" => v match {
         case JObject(spec) =>

@@ -73,6 +73,46 @@ object LlmOps {
 
   val all: Seq[QueryDef] = Seq(
 
+    // BPE-ish pre-tokenization budget count vs the whitespace count;
+    // the pattern is RE2-safe so DuckDB re-tokenizes identically
+    QueryDef("q_bpe_tokens",
+      (s, dir) => Graft.table(s, dir, "documents").select(col("doc_id"),
+        graft.llmops.TextAnalysis.tokenCount(col("text")).as("ws_tokens"),
+        graft.llmops.TextAnalysis.bpeTokenCount(col("text")).as("bpe_tokens"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> '')) AS BIGINT) AS ws_tokens,
+                CAST(len(regexp_extract_all(text,
+                  '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+'))
+                  AS BIGINT) AS bpe_tokens
+              FROM documents ORDER BY doc_id""")),
+
+    // $toUUID + $convert(format "uuid") round trip over synthesized
+    // dashed UUID strings (md5-derived); $binarySize sees 16 bytes
+    QueryDef("q_to_uuid",
+      (s, dir) => {
+        val h = md5(concat(lit("uuid:"), col("doc_id").cast("string")))
+        val docs = Graft.table(s, dir, "documents")
+          .withColumn("u_str", concat_ws("-",
+            substring(h, 1, 8), substring(h, 9, 4), substring(h, 13, 4),
+            substring(h, 17, 4), substring(h, 21, 12)))
+        Graft.aggregate(docs, """[
+          {"$project": {"doc_id": 1,
+            "rt": {"$convert": {"input": {"$toUUID": "$u_str"},
+                                "to": "string", "format": "uuid"}},
+            "b_size": {"$binarySize": {"$toUUID": "$u_str"}}}},
+          {"$sort": {"doc_id": 1}}]""")
+      },
+      Some("""SELECT doc_id,
+                substr(md5('uuid:' || doc_id), 1, 8) || '-' ||
+                substr(md5('uuid:' || doc_id), 9, 4) || '-' ||
+                substr(md5('uuid:' || doc_id), 13, 4) || '-' ||
+                substr(md5('uuid:' || doc_id), 17, 4) || '-' ||
+                substr(md5('uuid:' || doc_id), 21, 12) AS rt,
+                16 AS b_size
+              FROM documents ORDER BY doc_id""")),
+
     QueryDef("q_text_stats",
       (s, dir) => {
         val d = Graft.table(s, dir, "documents")

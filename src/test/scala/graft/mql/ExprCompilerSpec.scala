@@ -43,6 +43,34 @@ class ExprCompilerSpec extends AnyFunSuite {
       .asInstanceOf[Array[Byte]].length == 12)
   }
 
+  test("$toUUID/$convert format renderings/$tsSecond/$tsIncrement") {
+    // dashed and bare forms both parse; malformed → null
+    val u = "3f2a1b4c-9d8e-4a5b-8c7d-112233445566"
+    assert(eval(s"""{"$$binarySize": {"$$toUUID": "$u"}}""") == 16)
+    assert(eval(s"""{"$$convert": {"input": {"$$toUUID": "$u"},
+      "to": "string", "format": "uuid"}}""") == u)
+    assert(eval(s"""{"$$convert": {"input": {"$$toUUID":
+      "${u.replace("-", "")}"}, "to": "string", "format": "uuid"}}""") == u)
+    assert(eval("""{"$toUUID": "not-a-uuid"}""") == null)
+    assert(eval(s"""{"$$convert": {"input": {"$$toUUID": "$u"},
+      "to": "string", "format": "hex"}}""") == u.replace("-", ""))
+    assert(eval(s"""{"$$convert": {"input": {"$$toUUID": "$u"},
+      "to": "string", "format": "base64"}}""") ==
+      java.util.Base64.getEncoder.encodeToString(
+        u.replace("-", "").grouped(2)
+          .map(Integer.parseInt(_, 16).toByte).toArray))
+    intercept[MqlException](eval("""{"$convert": {"input": "x",
+      "to": "int", "format": "uuid"}}"""))
+    // BSON replication timestamps decode as {t, i} structs
+    val ts = Seq(((1700000000L, 7L))).toDF("t", "i")
+      .select(org.apache.spark.sql.functions.struct("t", "i").as("ts"))
+    val r = ts.select(
+      ExprCompiler.compile(Mql.parse("""{"$tsSecond": "$ts"}""")).as("s"),
+      ExprCompiler.compile(Mql.parse("""{"$tsIncrement": "$ts"}""")).as("i"))
+      .head
+    assert(r.getLong(0) == 1700000000L && r.getLong(1) == 7L)
+  }
+
   test("comparison null-safety: $eq treats null == null as true") {
     assert(eval("""{"$eq": [null, null]}""") == true)
     assert(eval("""{"$ne": [1, null]}""") == true)
