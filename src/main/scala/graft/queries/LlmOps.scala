@@ -801,6 +801,60 @@ object LlmOps {
              FROM toks JOIN f USING (term) CROSS JOIN tot
              GROUP BY doc_id ORDER BY doc_id""")),
 
+    // Gopher within-doc repetition battery over synthesized multi-line
+    // text (the fixture is single-line; the concat plants duplicate
+    // lines deterministically in BOTH engines)
+    QueryDef("q_gopher_rep",
+      (s, dir) => {
+        val d = Graft.table(s, dir, "documents")
+          .withColumn("mtext", concat_ws("\n", col("text"),
+            substring(col("text"), 1, 40), substring(col("text"), 1, 40),
+            substring(col("text"), 41, 25)))
+        d.select(col("doc_id"),
+          graft.llmops.TextAnalysis.gopherRepetition(col("mtext")).as("g"))
+          .select(col("doc_id"), col("g.dup_line_frac"),
+            col("g.dup_line_char_frac"), col("g.top_ngram_char_frac"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH m AS (SELECT doc_id,
+                text || chr(10) || substr(text, 1, 40) || chr(10) ||
+                substr(text, 1, 40) || chr(10) || substr(text, 41, 25) AS mt
+              FROM documents),
+              L AS (SELECT doc_id,
+                list_filter(list_transform(string_split(mt, chr(10)),
+                  x -> trim(x)), x -> x <> '') AS ls FROM m),
+              la AS (SELECT doc_id, len(ls) AS nl, len(list_distinct(ls)) AS nd,
+                list_sum(list_transform(ls, x -> len(x))) AS lc,
+                list_sum(list_transform(list_distinct(ls), x ->
+                  CASE WHEN len(list_filter(ls, y -> y = x)) = 1
+                       THEN len(x) ELSE 0 END)) AS uc
+              FROM L),
+              toks AS (SELECT doc_id,
+                list_filter(string_split_regex(trim(lower(mt)), '\s+'),
+                  x -> x <> '') AS t FROM m),
+              bg AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS g1,
+                            unnest(t[2:len(t)]) AS g2
+                     FROM toks WHERE len(t) >= 2),
+              gc AS (SELECT doc_id, g1 || ' ' || g2 AS g, COUNT(*) AS c
+                     FROM bg GROUP BY 1, 2),
+              top AS (SELECT doc_id, c, len(g) AS lg FROM
+                       (SELECT *, row_number() OVER (PARTITION BY doc_id
+                          ORDER BY c DESC, len(g) DESC, g DESC) AS rn FROM gc)
+                      WHERE rn = 1),
+              tc AS (SELECT doc_id,
+                list_sum(list_transform(t, x -> len(x))) AS tchars FROM toks)
+              SELECT la.doc_id,
+                CASE WHEN la.nl > 1 THEN
+                  round((la.nl - la.nd)::DOUBLE / la.nl, 6) ELSE 0.0
+                END AS dup_line_frac,
+                CASE WHEN la.nl > 1 AND la.lc > 0 THEN
+                  round((la.lc - la.uc)::DOUBLE / la.lc, 6) ELSE 0.0
+                END AS dup_line_char_frac,
+                least(round(top.c * (top.lg - 1)::DOUBLE / tc.tchars, 6), 1.0)
+                  AS top_ngram_char_frac
+              FROM la JOIN top USING (doc_id) JOIN tc USING (doc_id)
+              ORDER BY la.doc_id""")),
+
     // A-ES weighted sampling without replacement: inclusion odds ∝
     // n_chars, key = u^(1/w) from the seeded md5 uniform; the twin
     // re-derives u and the keys and repeats the (wkey, id) ordering

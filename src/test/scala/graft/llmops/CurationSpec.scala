@@ -164,6 +164,27 @@ class CurationSpec extends AnyFunSuite {
     assert(got(2L)._2 > got(1L)._2)
   }
 
+  test("gopherRepetition: hand-computed line and top-ngram fractions") {
+    val docs = Seq(
+      (1L, "x y\nx y\nz w q"),      // dup lines present
+      (2L, "a b c"),                // single line → line fracs 0
+      (3L, "t t t t")               // degenerate top-gram
+    ).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+      TextAnalysis.gopherRepetition(col("text")).as("g"))
+      .select(col("doc_id"), col("g.dup_line_frac"),
+        col("g.dup_line_char_frac"), col("g.top_ngram_char_frac"))
+      .orderBy("doc_id").collect()
+    // doc 1: lines [x y, x y, z w q]: (3-2)/3; chars (11-5)/11;
+    // top 2-gram "x y" ×2, token chars 7 → 2*2/7
+    assert(out(0).getDouble(1) == 0.333333)
+    assert(out(0).getDouble(2) == 0.545455)
+    assert(out(0).getDouble(3) == 0.571429)
+    assert(out(1).getDouble(1) == 0.0 && out(1).getDouble(2) == 0.0)
+    // doc 3: "t t" ×3 (overlapping), token chars 4 → capped at 1.0
+    assert(out(2).getDouble(3) == 1.0)
+  }
+
   test("bigramLogPerplexity: hand-computed JM interpolation, short docs null") {
     val docs = Seq(
       (1L, "a b a b"),
