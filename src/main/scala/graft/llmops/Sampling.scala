@@ -50,6 +50,31 @@ object Sampling {
     df.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
   }
 
+  /** Sliding-window document chunking: each doc becomes ⌈(n−overlap)/
+    * (size−overlap)⌉ chunks of ≤ `size` tokens advancing by
+    * size−overlap — the context-window prep for RAG indexing and
+    * long-doc pretraining. Map-only: one tokenize + one posexplode of
+    * per-chunk slices, no shuffle, no window; chunk text re-joins with
+    * single spaces (the tokenizer's inverse up to whitespace runs,
+    * documented). Final partial chunks are kept (standard practice —
+    * dropping them loses document tails); docs with no tokens vanish.
+    * Output: (id, chunk_id 0-based, chunk_text, n_tokens). */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     chunkSize: Int, overlap: Int = 0): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got size=$chunkSize overlap=$overlap")
+    val stride = chunkSize - overlap
+    val toks = graft.llmops.TextAnalysis.tokens(col(textCol))
+    val nChunks = ceil((size(toks) - lit(overlap)).cast("double") / stride)
+      .cast("int")
+    val chunks = transform(sequence(lit(0), greatest(nChunks, lit(1)) - 1), i =>
+      slice(toks, i * stride + 1, lit(chunkSize)))
+    df.select(col(idCol), posexplode(when(size(toks) > 0, chunks)))
+      .select(col(idCol), col("pos").cast("long").as("chunk_id"),
+        concat_ws(" ", col("col")).as("chunk_text"),
+        size(col("col")).cast("long").as("n_tokens"))
+  }
+
   /** Deterministic weighted sampling WITHOUT replacement (Efraimidis–
     * Spirakis A-ES, Inf. Process. Lett. 97(5)): each row draws
     * key = u^(1/w) with u a seeded md5 uniform in (0, 1), and the k

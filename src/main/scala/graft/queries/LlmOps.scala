@@ -801,6 +801,24 @@ object LlmOps {
              FROM toks JOIN f USING (term) CROSS JOIN tot
              GROUP BY doc_id ORDER BY doc_id""")),
 
+    // sliding-window chunking (RAG/long-doc prep): 40-token windows,
+    // 10-token overlap; the twin re-derives the identical slice layout
+    QueryDef("q_chunk_docs",
+      (s, dir) => Sampling.chunkDocuments(Graft.table(s, dir, "documents"),
+        "doc_id", "text", chunkSize = 40, overlap = 10)
+        .orderBy("doc_id", "chunk_id"),
+      Some(s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+               n AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+               c AS (SELECT doc_id, t, n,
+                 greatest(CAST(ceil((n - 10)::DOUBLE / 30) AS INT), 1) AS nc
+                 FROM n),
+               e AS (SELECT doc_id, t, n,
+                 unnest(generate_series(0, nc - 1)) AS i FROM c)
+              SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+                array_to_string(t[i*30+1 : i*30+40], ' ') AS chunk_text,
+                CAST(len(t[i*30+1 : i*30+40]) AS BIGINT) AS n_tokens
+              FROM e ORDER BY doc_id, chunk_id""")),
+
     // Gopher within-doc repetition battery over synthesized multi-line
     // text (the fixture is single-line; the concat plants duplicate
     // lines deterministically in BOTH engines)

@@ -19,6 +19,30 @@ class SamplingSpec extends AnyFunSuite {
     assert(kept.where($"lang" =!= "en").count() == 0)
   }
 
+  test("chunkDocuments: window/stride layout, tails kept, short docs whole") {
+    val d = Seq(
+      (1L, (1 to 10).map("t" + _).mkString(" ")),  // 10 tokens
+      (2L, "a b"),                                 // shorter than overlap+1
+      (3L, "")                                     // no tokens → dropped
+    ).toDF("doc_id", "text")
+    val out = Sampling.chunkDocuments(d, "doc_id", "text", 8, 2)
+      .orderBy("doc_id", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, (1 to 8).map("t" + _).mkString(" "), 8L),
+      (1L, 1L, (7 to 10).map("t" + _).mkString(" "), 4L),  // 2-token overlap
+      (2L, 0L, "a b", 2L)))
+    // overlap >= size rejected
+    intercept[IllegalArgumentException](
+      Sampling.chunkDocuments(d, "doc_id", "text", 4, 4))
+    // full coverage: every token index lands in some chunk
+    val n = Sampling.chunkDocuments(docs, "doc_id", "text", 40, 10)
+    val tokTotal = docs.select(TextAnalysis.tokenCount(col("text"))).as[Long]
+      .collect().sum
+    val chunkTotal = n.agg(sum("n_tokens")).head.getLong(0)
+    assert(chunkTotal >= tokTotal) // overlap re-counts, never loses
+  }
+
   test("weightedSample: A-ES selection is weight-biased, deterministic, " +
        "and excludes non-positive weights") {
     val rows = Seq(
