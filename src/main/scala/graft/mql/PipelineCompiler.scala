@@ -2274,17 +2274,143 @@ object PipelineCompiler {
 
   // Ties in the groupBy expression straddle bucket borders
   // nondeterministically on both paths — pick a unique expression.
+  // Preferred-number series for $bucketAuto granularity (the tables
+  // Mongo hardcodes in granularity_rounder_preferred_numbers.cpp; all
+  // public standard Renard/E-series values). E48 and coarser carry the
+  // standard's historical irregularities, so they are spelled out;
+  // E96/E192 follow the 10^(k/N) significant-digit formula exactly.
+  private val GranularitySeries: Map[String, Seq[Double]] = {
+    def eSeries(n: Int, sig: Int): Seq[Double] =
+      (0 until n).map { k =>
+        val raw = math.pow(10, k.toDouble / n)
+        BigDecimal(raw).round(new java.math.MathContext(sig)).toDouble
+      }
+    Map(
+      "R5"  -> Seq(1.0, 1.6, 2.5, 4.0, 6.3),
+      "R10" -> Seq(1.0, 1.25, 1.6, 2.0, 2.5, 3.15, 4.0, 5.0, 6.3, 8.0),
+      "R20" -> Seq(1.0, 1.12, 1.25, 1.4, 1.6, 1.8, 2.0, 2.24, 2.5, 2.8,
+        3.15, 3.55, 4.0, 4.5, 5.0, 5.6, 6.3, 7.1, 8.0, 9.0),
+      "R40" -> Seq(1.0, 1.06, 1.12, 1.18, 1.25, 1.32, 1.4, 1.5, 1.6, 1.7,
+        1.8, 1.9, 2.0, 2.12, 2.24, 2.36, 2.5, 2.65, 2.8, 3.0, 3.15, 3.35,
+        3.55, 3.75, 4.0, 4.25, 4.5, 4.75, 5.0, 5.3, 5.6, 6.0, 6.3, 6.7,
+        7.1, 7.5, 8.0, 8.5, 9.0, 9.5),
+      "R80" -> Seq(1.0, 1.03, 1.06, 1.09, 1.12, 1.15, 1.18, 1.22, 1.25,
+        1.28, 1.32, 1.36, 1.4, 1.45, 1.5, 1.55, 1.6, 1.65, 1.7, 1.75, 1.8,
+        1.85, 1.9, 1.95, 2.0, 2.06, 2.12, 2.18, 2.24, 2.3, 2.36, 2.43,
+        2.5, 2.58, 2.65, 2.72, 2.8, 2.9, 3.0, 3.07, 3.15, 3.25, 3.35,
+        3.45, 3.55, 3.65, 3.75, 3.87, 4.0, 4.12, 4.25, 4.37, 4.5, 4.62,
+        4.75, 4.87, 5.0, 5.15, 5.3, 5.45, 5.6, 5.8, 6.0, 6.15, 6.3, 6.5,
+        6.7, 6.9, 7.1, 7.3, 7.5, 7.75, 8.0, 8.25, 8.5, 8.75, 9.0, 9.25,
+        9.5, 9.75),
+      "1-2-5" -> Seq(1.0, 2.0, 5.0),
+      "E6"  -> Seq(1.0, 1.5, 2.2, 3.3, 4.7, 6.8),
+      "E12" -> Seq(1.0, 1.2, 1.5, 1.8, 2.2, 2.7, 3.3, 3.9, 4.7, 5.6, 6.8, 8.2),
+      "E24" -> Seq(1.0, 1.1, 1.2, 1.3, 1.5, 1.6, 1.8, 2.0, 2.2, 2.4, 2.7,
+        3.0, 3.3, 3.6, 3.9, 4.3, 4.7, 5.1, 5.6, 6.2, 6.8, 7.5, 8.2, 9.1),
+      "E48" -> Seq(1.00, 1.05, 1.10, 1.15, 1.21, 1.27, 1.33, 1.40, 1.47,
+        1.54, 1.62, 1.69, 1.78, 1.87, 1.96, 2.05, 2.15, 2.26, 2.37, 2.49,
+        2.61, 2.74, 2.87, 3.01, 3.16, 3.32, 3.48, 3.65, 3.83, 4.02, 4.22,
+        4.42, 4.64, 4.87, 5.11, 5.36, 5.62, 5.90, 6.19, 6.49, 6.81, 7.15,
+        7.50, 7.87, 8.25, 8.66, 9.09, 9.53),
+      "E96"  -> eSeries(96, 3),
+      "E192" -> eSeries(192, 3))
+  }
+
+  /** Smallest value of the form series(i)·10^k that is ≥ x (roundUp) or
+    * the largest ≤ x (roundDown); 0 maps to 0, negatives reject (as in
+    * Mongo — preferred-number series are positive by construction). */
+  private[mql] def granularityRound(x: Double, series: String,
+                                    up: Boolean): Double = {
+    if (x < 0) throw new MqlException(
+      s"$$bucketAuto: granularity requires non-negative values, got $x")
+    if (x == 0) return 0.0
+    if (series == "POWERSOF2") {
+      val l = math.log(x) / math.log(2)
+      return math.pow(2, if (up) math.ceil(l) else math.floor(l))
+    }
+    val s = GranularitySeries.getOrElse(series, throw new MqlException(
+      s"$$bucketAuto: unknown granularity '$series'"))
+    val exp = math.floor(math.log10(x)).toInt
+    // scan the decade of x, falling over to the neighbor decade when x
+    // sits past the series' last value (or before its first)
+    val candidates = (exp - 1 to exp + 1).flatMap(e => s.map(v =>
+      BigDecimal(v) * BigDecimal(10).pow(e))).map(_.toDouble)
+    if (up) candidates.filter(_ >= x).min else candidates.filter(_ <= x).max
+  }
+
   private def bucketAuto(df: DataFrame, spec: List[(String, JValue)]): DataFrame = {
     val gb = ExprCompiler.compile(spec.collectFirst { case ("groupBy", e) => e }
       .getOrElse(throw new MqlException("$bucketAuto needs groupBy")))
     val n = spec.collectFirst { case ("buckets", b) => intValue(b, "$bucketAuto") }
       .getOrElse(throw new MqlException("$bucketAuto needs buckets"))
+    val granularity = spec.collectFirst { case ("granularity", JString(g)) => g }
     val accDefs = spec.collectFirst { case ("output", JObject(out)) => out }
       .getOrElse(List("count" -> JObject(List("$sum" -> JInt(1)))))
     val accCols = accDefs.map {
       case (nm, JObject(List((op, arg)))) => accumulator(op, arg, None).as(nm)
       case (nm, other) => throw new MqlException(s"bad output $nm: $other")
     }
+    granularity.foreach(g => return bucketAutoGranular(df, gb, n, g, accDefs, accCols))
+    bucketAutoPlain(df, gb, n, accDefs, accCols)
+  }
+
+  // $bucketAuto with granularity: equal-count raw boundaries (one
+  // percentile_approx sketch pass, accuracy 10000 — exact on small
+  // inputs) rounded onto the preferred-number series: first boundary
+  // roundDown(min), the rest roundUp, kept strictly increasing (Mongo's
+  // fewer-buckets-under-skew behavior). The rounded boundaries ARE the
+  // reported _id {min, max} (with granularity Mongo reports series
+  // values, not per-bucket data extremes). Assignment is a literal
+  // when-chain — map-only; the only shuffle is the final hash agg.
+  private def bucketAutoGranular(df: DataFrame, gb: Column, n: Int,
+      series: String, accDefs: List[(String, JValue)],
+      accCols: Seq[Column]): DataFrame = {
+    df.select(gb.as("__gb")).schema.head.dataType match {
+      case _: org.apache.spark.sql.types.NumericType => ()
+      case t => throw new MqlException(
+        s"$$bucketAuto: granularity needs a numeric groupBy, got ${t.simpleString}")
+    }
+    def strictUp(x: Double): Double =
+      granularityRound(math.nextUp(x), series, up = true) match {
+        case v if v > x => v
+        case _ => granularityRound(x * (1 + 1e-9), series, up = true)
+      }
+    // n == 1 still sketches one (ignored) percentile — an empty
+    // percentage array is an analysis error
+    val probs = array(((1 until n).map(i => lit(i.toDouble / n)) match {
+      case Seq() => Seq(lit(0.5)); case ps => ps }): _*)
+    val stats = df.agg(min(gb).cast("double").as("mn"),
+      max(gb).cast("double").as("mx"),
+      percentile_approx(gb.cast("double"), probs, lit(10000)).as("bs")).first()
+    val mn = if (stats.isNullAt(0)) 0.0 else stats.getDouble(0)
+    val mx = if (stats.isNullAt(1)) 0.0 else stats.getDouble(1)
+    val raws: Seq[Double] =
+      if (n <= 1 || stats.isNullAt(2)) Seq.empty else stats.getSeq[Double](2)
+    var bounds = Vector(granularityRound(mn, series, up = false))
+    raws.foreach { r =>
+      val v = granularityRound(r, series, up = true)
+      if (v > bounds.last) bounds :+= v
+    }
+    val top = granularityRound(mx, series, up = true)
+    bounds :+= (if (top > bounds.last) top else strictUp(bounds.last))
+    val nB = bounds.length - 1
+    // nulls sort first, as in the plain path → bucket 1
+    val bucketCol = bounds.slice(1, nB).zipWithIndex
+      .foldLeft(when(gb.isNull, lit(1))) { case (acc, (b, i)) =>
+        acc.when(gb.cast("double") < lit(b), lit(i + 1))
+      }.otherwise(lit(nB))
+    val bMin = element_at(array(bounds.init.map(lit): _*), col("__graft_bucket"))
+    val bMax = element_at(array(bounds.tail.map(lit): _*), col("__graft_bucket"))
+    df.withColumn("__graft_bucket", bucketCol)
+      .groupBy(col("__graft_bucket"))
+      .agg(accCols.head, accCols.tail: _*)
+      .select(struct(bMin.as("min"), bMax.as("max")).as("_id")
+        +: accDefs.map(d => col(d._1)): _*)
+      .orderBy(col("_id.min"))
+  }
+
+  private def bucketAutoPlain(df: DataFrame, gb: Column, n: Int,
+      accDefs: List[(String, JValue)], accCols: Seq[Column]): DataFrame = {
     val threshold = df.sparkSession.conf
       .get("spark.graft.bucketAuto.exactThreshold", "1000000").toLong
     // percentile_approx sketches numerics only; other groupBy types

@@ -116,6 +116,56 @@ class PipelineCompilerSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.bucketAuto.exactThreshold")
   }
 
+  test("$bucketAuto granularity: series-rounded boundaries, degenerate " +
+       "and error cases") {
+    // 1..100 into 4 buckets under R20: raw boundaries 25/50/75 round up
+    // to 28/56/80, min 1 down to 1, max 100 up to 100
+    val vals = spark.range(1, 101).selectExpr("CAST(id AS DOUBLE) AS v")
+    val out = PipelineCompiler.run(vals,
+      """[{"$bucketAuto": {"groupBy": "$v", "buckets": 4,
+           "granularity": "R20"}}]""").collect()
+    val ids = out.map(r => (r.getStruct(0).getDouble(0), r.getStruct(0).getDouble(1)))
+    // min 1 rounds down to 1; raw boundaries 25/50/75 round up onto the
+    // series (25 and 50 are series values, 75 → 80); max 100 rounds to 100
+    assert(ids.toSeq == Seq((1.0, 25.0), (25.0, 50.0), (50.0, 80.0), (80.0, 100.0)))
+    // boundaries tile: each max equals the next min, counts cover all
+    assert(ids.sliding(2).forall { case Array(a, b) => a._2 == b._1; case _ => true })
+    assert(out.map(_.getLong(1)).sum == 100L)
+    // POWERSOF2
+    val p2 = PipelineCompiler.run(vals,
+      """[{"$bucketAuto": {"groupBy": "$v", "buckets": 3,
+           "granularity": "POWERSOF2"}}]""").collect()
+    val p2ids = p2.map(r => (r.getStruct(0).getDouble(0), r.getStruct(0).getDouble(1)))
+    assert(p2ids.head._1 == 1.0 && p2ids.last._2 == 128.0)
+    p2ids.foreach { case (a, b) =>
+      def pow2(x: Double) = x == 0 || math.pow(2, math.round(math.log(x) / math.log(2)).toDouble) == x
+      assert(pow2(a) && pow2(b)) }
+    // identical values: one bucket [v, strictly-greater series value)
+    val same = Seq(5.0, 5.0, 5.0).toDF("v")
+    val one = PipelineCompiler.run(same,
+      """[{"$bucketAuto": {"groupBy": "$v", "buckets": 3,
+           "granularity": "R5"}}]""").collect()
+    assert(one.length == 1)
+    assert(one.head.getStruct(0).getDouble(0) == 4.0)   // roundDown(5) in R5
+    assert(one.head.getStruct(0).getDouble(1) == 6.3)
+    assert(one.head.getLong(1) == 3L)
+    // rejection matrix: negative values, non-numeric groupBy, bad series
+    intercept[MqlException](PipelineCompiler.run(Seq(-1.0).toDF("v"),
+      """[{"$bucketAuto": {"groupBy": "$v", "buckets": 2,
+           "granularity": "R5"}}]""").collect())
+    intercept[MqlException](PipelineCompiler.run(Seq("x").toDF("v"),
+      """[{"$bucketAuto": {"groupBy": "$v", "buckets": 2,
+           "granularity": "R5"}}]"""))
+    intercept[MqlException](PipelineCompiler.run(vals,
+      """[{"$bucketAuto": {"groupBy": "$v", "buckets": 2,
+           "granularity": "R7"}}]""").collect())
+    // series sanity: E96 formula values match the published table spots
+    assert(PipelineCompiler.granularityRound(1.01, "E96", up = true) == 1.02)
+    assert(PipelineCompiler.granularityRound(310.0, "E24", up = true) == 330.0)
+    assert(PipelineCompiler.granularityRound(0.97, "R10", up = true) == 1.0)
+    assert(PipelineCompiler.granularityRound(0.0, "R10", up = true) == 0.0)
+  }
+
   test("$bucket routes out-of-range to default") {
     val out = run("""[{"$bucket": {"groupBy": "$score",
       "boundaries": [0.0, 15.0, 35.0], "default": -1.0}}]""")
