@@ -30,11 +30,14 @@ object Graft {
   }
 
   /** find with a pymongo-style options map: unsupported-but-harmless
-    * options are warned and dropped, anything else rejects. */
+    * options are warned and dropped, collation (a JSON doc string) is
+    * honored, anything else rejects. */
   def findWithOptions(df: DataFrame, filter: String,
                       options: Map[String, Any]): DataFrame = {
-    stripOptions(options, StrippedFindOptions, "find")
-    find(df, filter)
+    val collation = options.get("collation").map(c =>
+      FilterCompiler.Collation.parse(c.toString))
+    stripOptions(options - "collation", StrippedFindOptions, "find")
+    find(df, filter, collation = collation)
   }
 
   def aggregateWithOptions(df: DataFrame, pipelineJson: String,
@@ -66,20 +69,31 @@ object Graft {
            projection: Option[String] = None,
            sort: Option[String] = None,
            limit: Option[Int] = None,
-           skip: Option[Int] = None): DataFrame = {
+           skip: Option[Int] = None,
+           collation: Option[FilterCompiler.Collation] = None): DataFrame = {
     // find is the one surface where $near/$nearSphere/$text are legal:
     // the filter compiles to (predicate, implicit nearest-first sort key,
     // text score); an explicit sort() overrides the geo order, as in
     // Mongo, and $text's score lands as a real `textScore` column so the
     // {$meta: "textScore"} projection idiom resolves to it
-    val fc = FilterCompiler.compileFind(filter)
+    val fc = FilterCompiler.compileFind(filter, collation)
     var out = df.where(fc.pred)
     fc.textScore.foreach(s => out = out.withColumn("textScore", s))
     if (sort.isEmpty) fc.nearDist.foreach(d => out = out.orderBy(d.asc))
+    // collation affects sort only on string-typed keys (fold through
+    // lower() with the untyped column as tiebreak for total order)
+    val fold = collation.exists(_.caseInsensitive)
+    def sortKey(k: String, asc: Boolean): Seq[org.apache.spark.sql.Column] = {
+      val isStr = out.schema.find(_.name == k.split('.').head)
+        .exists(f => k.indexOf('.') < 0 &&
+          f.dataType == org.apache.spark.sql.types.StringType)
+      val keys = if (fold && isStr) Seq(lower(col(k)), col(k)) else Seq(col(k))
+      keys.map(c => if (asc) c.asc else c.desc)
+    }
     sort.foreach { s =>
-      val cols = Mql.asObj(Mql.parse(s), "sort").map {
-        case (k, JInt(d))  => if (d >= 0) col(k).asc else col(k).desc
-        case (k, JLong(d)) => if (d >= 0) col(k).asc else col(k).desc
+      val cols = Mql.asObj(Mql.parse(s), "sort").flatMap {
+        case (k, JInt(d))  => sortKey(k, d >= 0)
+        case (k, JLong(d)) => sortKey(k, d >= 0)
         case (k, o) => throw new MqlException(s"bad sort direction for $k: $o")
       }
       out = out.orderBy(cols: _*)

@@ -16,6 +16,49 @@ import Mql._
   * codegen-able and pushdown-eligible (predicates reach the parquet scan).
   */
 object FilterCompiler {
+  /** Mongo collation document, reduced to what an engine without ICU
+    * tailoring can honor exactly: strength 1/2 → case-insensitive string
+    * comparison (both sides fold through lower()), strength 3+ (the
+    * default) → binary. Locale is accepted and ignored except that only
+    * untailored comparison is offered — a locale needing tailored order
+    * ("sv" and friends) still compares codepoint-wise, the documented
+    * deviation. Only comparisons whose LITERAL is a string collate
+    * (collation never touches numerics — same contract as Mongo). */
+  final case class Collation(caseInsensitive: Boolean)
+
+  object Collation {
+    def parse(json: String): Collation = {
+      val fields = asObj(Mql.parse(json), "collation")
+      fields.map(_._1).find(k => !Set("locale", "strength").contains(k))
+        .foreach(k => throw new MqlException(s"collation: unsupported field '$k'"))
+      val strength = fields.collectFirst { case ("strength", v) =>
+        v match {
+          case JInt(i) => i.toInt
+          case other => throw new MqlException(s"collation.strength: $other")
+        }
+      }.getOrElse(3)
+      if (strength < 1 || strength > 5)
+        throw new MqlException(s"collation.strength must be 1..5, got $strength")
+      Collation(caseInsensitive = strength <= 2)
+    }
+  }
+
+  // threaded via a DynamicVariable instead of a parameter on every
+  // compile method: the collation is a per-find ambient setting, and
+  // the call tree below (compileDoc → compileField → compileOps →
+  // compileOp, plus $elemMatch recursion) is pure within one call
+  private val activeCollation =
+    new scala.util.DynamicVariable[Option[Collation]](None)
+
+  private def ci: Boolean = activeCollation.value.exists(_.caseInsensitive)
+
+  /** Fold a comparison side for the active collation when the literal
+    * is a string (collation affects string comparison only). */
+  private def cmp(c: Column, v: JValue): (Column, Column) = v match {
+    case JString(s) if ci => (lower(c), lit(s.toLowerCase))
+    case _ => (c, literal(v))
+  }
+
   def compile(json: String): Column = compile(parse(json))
 
   def compile(v: JValue): Column = compileDoc(asObj(v, "filter"))
@@ -38,7 +81,11 @@ object FilterCompiler {
     * inside $or/$nor/$elemMatch), and only once per query (one index
     * walk). `compile`/`$match` reject them outright — Mongo's errors
     * there are "use $geoNear" / "use $search". */
-  def compileFind(json: String): FindCompiled = {
+  def compileFind(json: String,
+                  collation: Option[Collation] = None): FindCompiled =
+    activeCollation.withValue(collation)(compileFindInner(json))
+
+  private def compileFindInner(json: String): FindCompiled = {
     val fields = asObj(parse(json), "filter")
     val nearDists = scala.collection.mutable.ArrayBuffer[Column]()
     val textScores = scala.collection.mutable.ArrayBuffer[Column]()
@@ -91,7 +138,8 @@ object FilterCompiler {
     case path => v match {
       case JObject(ops) if isOperatorDoc(ops) => compileOps(fieldCol(path), ops)
       case JNull  => fieldCol(path).isNull
-      case other  => fieldCol(path) === literal(other)
+      case other  =>
+        val (l, r) = cmp(fieldCol(path), other); l === r
     }
   }
 
@@ -109,23 +157,34 @@ object FilterCompiler {
       .reduce(_ && _)
   }
 
-  /** $in with SQL-null semantics: a null in the list matches null fields. */
+  /** $in with SQL-null semantics: a null in the list matches null
+    * fields; under case-insensitive collation string members compare
+    * folded (non-string members stay binary — collation never touches
+    * numerics). */
   private def inList(c: Column, vs: List[JValue]): Column = {
     val (nulls, rest) = vs.partition(v => v == JNull || v == JNothing)
-    val base = if (rest.isEmpty) lit(false) else c.isin(rest.map(scalaValue): _*)
-    if (nulls.nonEmpty) base || c.isNull else base
+    val (strs, others) = rest.partition(_.isInstanceOf[JString])
+    val parts =
+      (if (strs.isEmpty) Nil
+       else if (ci) Seq(lower(c).isin(strs.map {
+         case JString(s) => s.toLowerCase; case _ => "" }: _*))
+       else Seq(c.isin(strs.map(scalaValue): _*))) ++
+      (if (others.isEmpty) Nil else Seq(c.isin(others.map(scalaValue): _*))) ++
+      (if (nulls.isEmpty) Nil else Seq(c.isNull))
+    parts.reduceOption(_ || _).getOrElse(lit(false))
   }
 
   private def compileOp(c: Column, op: String, v: JValue, regexOpts: String): Column =
     (op, v) match {
       case ("$eq", JNull)  => c.isNull
-      case ("$eq", _)      => c === literal(v)
+      case ("$eq", _)      => val (l, r) = cmp(c, v); l === r
       case ("$ne", JNull)  => c.isNotNull
-      case ("$ne", _)      => c.isNull || c =!= literal(v) // missing matches $ne
-      case ("$gt", _)      => c > literal(v)
-      case ("$gte", _)     => c >= literal(v)
-      case ("$lt", _)      => c < literal(v)
-      case ("$lte", _)     => c <= literal(v)
+      case ("$ne", _)      => // missing matches $ne
+        val (l, r) = cmp(c, v); c.isNull || l =!= r
+      case ("$gt", _)      => val (l, r) = cmp(c, v); l > r
+      case ("$gte", _)     => val (l, r) = cmp(c, v); l >= r
+      case ("$lt", _)      => val (l, r) = cmp(c, v); l < r
+      case ("$lte", _)     => val (l, r) = cmp(c, v); l <= r
       case ("$in", JArray(vs))  => inList(c, vs)
       case ("$nin", JArray(vs)) => !coalesce(inList(c, vs), lit(false))
       case ("$exists", JBool(b)) => if (b) c.isNotNull else c.isNull
@@ -141,7 +200,11 @@ object FilterCompiler {
       case ("$type", JArray(ts)) =>
         ts.map(x => typeMatches(c, strValue(x, "$type"))).reduce(_ || _)
       case ("$all", JArray(vs)) if vs.nonEmpty =>
-        vs.map(x => array_contains(c, literal(x))).reduce(_ && _)
+        vs.map {
+          case JString(s) if ci =>
+            array_contains(transform(c, e => lower(e)), lit(s.toLowerCase))
+          case x => array_contains(c, literal(x))
+        }.reduce(_ && _)
       case ("$elemMatch", JObject(ops)) if isOperatorDoc(ops) =>
         exists(c, e => compileOps(e, ops))
       case ("$elemMatch", JObject(fields)) =>

@@ -210,6 +210,21 @@ object Relational {
                 AND NOT list_contains(t, 'hive')
               ORDER BY doc_id""")),
 
+    // find collation (strength 2): string comparisons fold through
+    // lower() — the twin repeats the fold; numeric predicate untouched
+    QueryDef("q_find_collation",
+      (s, dir) => Graft.findWithOptions(Graft.table(s, dir, "part"),
+        filter = """{"p_type": {"$in": ["Economy", "STANDARD"]},
+                     "p_name": {"$gte": "RED"}, "p_size": {"$lt": 30}}""",
+        options = Map(
+          "collation" -> """{"locale": "en", "strength": 2}"""))
+        .select("p_partkey", "p_name", "p_type", "p_size")
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, p_name, p_type, p_size FROM part
+              WHERE lower(p_type) IN ('economy', 'standard')
+                AND lower(p_name) >= 'red' AND p_size < 30
+              ORDER BY p_partkey""")),
+
     QueryDef("q_match_expr",
       (s, dir) => agg("lineitem", """[
         {"$match": {"$expr": {"$gt": ["$l_extendedprice",

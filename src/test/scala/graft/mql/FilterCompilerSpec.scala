@@ -251,6 +251,33 @@ class FilterCompilerSpec extends AnyFunSuite {
       "$path": "text", "$language": "english"}}"""))
   }
 
+  test("collation: strength<=2 folds string comparisons, numerics untouched") {
+    val df = Seq(
+      (1, "Alpha", 10), (2, "ALPHA", 20), (3, "beta", 30), (4, "Beta", 5)
+    ).toDF("id", "name", "n")
+    def cids(filter: String, strength: Int): Seq[Int] =
+      Graft.findWithOptions(df, filter,
+        Map("collation" -> s"""{"locale": "en", "strength": $strength}"""))
+        .select("id").as[Int].collect().toSeq.sorted
+    // equality folds at strength 1/2, stays binary at 3
+    assert(cids("""{"name": "alpha"}""", 2) == Seq(1, 2))
+    assert(cids("""{"name": "alpha"}""", 3) == Seq())
+    assert(cids("""{"name": {"$ne": "beta"}}""", 2) == Seq(1, 2))
+    assert(cids("""{"name": {"$in": ["ALPHA", "BETA"]}}""", 1) == Seq(1, 2, 3, 4))
+    // range comparison on folded strings; numeric predicates untouched
+    assert(cids("""{"name": {"$gte": "b"}}""", 2) == Seq(3, 4))
+    assert(cids("""{"name": {"$gte": "b"}, "n": {"$gt": 10}}""", 2) == Seq(3))
+    // sort folds string keys (id tiebreak via the raw column)
+    val sorted = Graft.find(df, sort = Some("""{"name": 1, "id": 1}"""),
+      collation = Some(FilterCompiler.Collation(caseInsensitive = true)))
+      .select("id").as[Int].collect().toSeq
+    assert(sorted.take(2).toSet == Set(1, 2) && sorted.drop(2).toSet == Set(3, 4))
+    // unknown collation fields reject; strength domain checked
+    intercept[MqlException](cids("""{"name": "x"}""", 9))
+    intercept[MqlException](Graft.findWithOptions(df, "{}",
+      Map("collation" -> """{"locale": "en", "numericOrdering": true}""")))
+  }
+
   test("$jsonSchema: required/properties/type gates/enum/combinators") {
     val df = Seq(
       (1, Some("alpha"), Some(10.0), Some(Seq(1, 2, 3))),
