@@ -42,8 +42,9 @@ object Graft {
 
   def aggregateWithOptions(df: DataFrame, pipelineJson: String,
                            options: Map[String, Any]): DataFrame = {
-    stripOptions(options, StrippedAggOptions, "aggregate")
-    aggregate(df, pipelineJson)
+    val letJson = options.get("let").map(_.toString)
+    stripOptions(options - "let", StrippedAggOptions, "aggregate")
+    aggregate(df, pipelineJson, letJson)
   }
 
   /** Table resolver over a fixture directory (one parquet per collection).
@@ -138,9 +139,23 @@ object Graft {
   }
 
   /** aggregate(pipeline) ≈ aggregate_arrow_all (reference api.py:210-256);
-    * $out/$merge rejected exactly like api.py:235-240. */
-  def aggregate(df: DataFrame, pipelineJson: String): DataFrame =
-    PipelineCompiler.run(df, pipelineJson)
+    * $out/$merge rejected exactly like api.py:235-240. `let` is the
+    * command-level variable document: constant expressions (no field
+    * paths — they compile against no document, exactly Mongo's rule),
+    * referenced as $$name anywhere in the pipeline; lambda/`$let`
+    * variables shadow them. */
+  def aggregate(df: DataFrame, pipelineJson: String,
+                letJson: Option[String] = None): DataFrame = letJson match {
+    case None => PipelineCompiler.run(df, pipelineJson)
+    case Some(l) =>
+      val vars = Mql.asObj(Mql.parse(l), "let").map { case (k, v) =>
+        if (!k.matches("[a-z][A-Za-z0-9_]*")) throw new MqlException(
+          s"let: variable name '$k' must start with a lowercase letter")
+        k -> graft.mql.ExprCompiler.compile(v, Map.empty)
+      }.toMap
+      graft.mql.ExprCompiler.withLetVars(vars)(
+        PipelineCompiler.run(df, pipelineJson))
+  }
 
   def aggregate(spark: SparkSession, dir: String, collection: String,
                 pipelineJson: String): DataFrame = {

@@ -39,9 +39,19 @@ object ExprCompiler {
     case other => literal(other)
   }
 
+  // command-level `let` variables (aggregate(..., let={...})): ambient
+  // for the duration of one pipeline compilation — lambda/`$let` vars in
+  // `env` shadow them, as in Mongo
+  private val baseEnv =
+    new scala.util.DynamicVariable[Map[String, Column]](Map.empty)
+
+  def withLetVars[T](vars: Map[String, Column])(f: => T): T =
+    baseEnv.withValue(vars)(f)
+
   private def varRef(name: String, env: Map[String, Column]): Column = {
     val parts = name.split('.')
     val base = env.get(parts.head)
+      .orElse(baseEnv.value.get(parts.head))
       // $$SEARCH_META reads the carrier column a preceding $search with
       // a "count" option attached (analysis fails with a missing-column
       // error if no such stage ran — mirroring Mongo, where the
