@@ -62,9 +62,8 @@ object Profile {
 
     // streaming vs batch windowed agg
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      .where(col("ts").isNotNull)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = graft.api.Graft.normalizeEventTs(
+      spark.read.parquet(s"$sfDir/events.parquet").where(col("ts").isNotNull))
     time("batch windowed agg")(
       graft.streaming.EventStream.windowedAgg(ev).count())
     time("streaming run 1")(

@@ -47,15 +47,29 @@ object Graft {
     aggregate(df, pipelineJson, letJson)
   }
 
-  /** Table resolver over a fixture directory (one parquet per collection).
-    * events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as a
-    * long — converted here to µs TimestampType with exact integer math
-    * (ns epoch exceeds double precision, so no `/` division). */
+  /** events.ts normalization: fixture generations have shipped the
+    * column as TIMESTAMP(NANOS) (read by Spark only as a long — exact
+    * integer div, ns epoch exceeds double precision) and as
+    * timestamp[us] without tz (read as TIMESTAMP_NTZ). Both land on µs
+    * TimestampType; under the UTC session tz the NTZ cast is wall-clock
+    * identity, so the two fixture formats decode to the same instants. */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+  }
+
+  /** Table resolver over a fixture directory (one parquet per
+    * collection); events.ts normalized per [[normalizeEventTs]]. */
   def tables(spark: SparkSession, dir: String): PipelineCompiler.TableResolver = {
     case "events" =>
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
     case name => spark.read.parquet(s"$dir/$name.parquet")
   }
 

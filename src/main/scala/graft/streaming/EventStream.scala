@@ -12,12 +12,6 @@ import org.apache.spark.sql.types._
   * for verification.
   */
 object EventStream {
-  /** events schema with ts as long nanos (parquet TIMESTAMP(NANOS)). */
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
   /** Tumbling-window counts + decimal-exact value sums per event type.
     * Watermark bounds state: at 100 TB/day the state store only holds
     * windows newer than (max event time − delay). */
@@ -257,12 +251,16 @@ object EventStream {
     * runStream and the mqlOnFixture mode probe. */
   private def eventsSource(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .where(col("ts").isNotNull)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // streaming file sources need a declared schema; infer it from the
+    // parquet footer via a batch read so both fixture ts formats (long
+    // nanos / timestamp[us]) stream correctly, then normalize as batch
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    graft.api.Graft.normalizeEventTs(
+      spark.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .where(col("ts").isNotNull))
   }
 
   private def runStream(spark: SparkSession, dir: String,
