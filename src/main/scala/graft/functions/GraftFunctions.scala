@@ -942,6 +942,37 @@ case class BsonTruthy(child: Expression)
   override protected def withNewChildInternal(c: Expression): BsonTruthy = copy(c)
 }
 
+/** BSON-serialized byte size of a document column ($bsonSize). Reuses
+  * the sink encoder (`BsonBinary.encodeRow`) through a Catalyst→external
+  * converter, so the reported size is by construction the exact byte
+  * count the doc sink would write — extension-type tags, nested docs,
+  * array index keys, one code path, no drift. Eval-based
+  * (CodegenFallback): a metadata-grade operator invoked once per row,
+  * never inside a per-element hot loop. */
+case class BsonSize(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  private lazy val structType = child.dataType.asInstanceOf[StructType]
+  @transient private lazy val toExternal =
+    org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToScalaConverter(structType)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: StructType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$$bsonSize expects a document, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    graft.bson.BsonBinary.encodeRow(
+      toExternal(v).asInstanceOf[org.apache.spark.sql.Row], structType).length
+
+  override protected def withNewChildInternal(c: Expression): BsonSize = copy(c)
+}
+
 object GraftFunctions {
   /** The engine's SQL function surface, name → expression builder —
     * single source of truth for BOTH registration paths (the
@@ -957,6 +988,7 @@ object GraftFunctions {
     "deflate_ratio" -> ((e: Seq[Expression]) => DeflateRatio(e.head)),
     "graft_top_k" -> ((e: Seq[Expression]) => BoundedTopK(e(0), e(1), e(2), e(3))),
     "graft_object_to_array" -> ((e: Seq[Expression]) => ObjectToArray(e.head)),
+    "graft_bson_size" -> ((e: Seq[Expression]) => BsonSize(e.head)),
     "graft_regex_find" -> ((e: Seq[Expression]) => RegexFind(e(0), e(1))),
     "graft_regex_find_all" -> ((e: Seq[Expression]) => RegexFindAll(e(0), e(1))),
     "graft_merge_objects" -> ((e: Seq[Expression]) => MergeObjects(e)),

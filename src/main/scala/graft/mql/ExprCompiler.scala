@@ -470,6 +470,63 @@ object ExprCompiler {
             .otherwise(aggregate(c0, lit(0.0), (acc, x) => acc + x.cast(DoubleType)) /
               size(c0).cast(DoubleType))
       }
+      // expression forms folding one array argument (the group/window
+      // forms live in PipelineCompiler). Sum/sum-of-squares single pass;
+      // the DuckDB twins reproduce the same formula term-for-term so
+      // float decisions agree bit for bit.
+      case "$stdDevPop" | "$stdDevSamp" =>
+        val arr = v match {
+          case JArray(List(one)) => compile(one, env)
+          case JArray(_) => throw new MqlException(
+            s"$op expression form takes one array argument")
+          case _ => c0
+        }
+        val n  = size(arr).cast(DoubleType)
+        val s1 = aggregate(arr, lit(0.0), (a, x) => a + x.cast(DoubleType))
+        val s2 = aggregate(arr, lit(0.0),
+          (a, x) => a + x.cast(DoubleType) * x.cast(DoubleType))
+        if (op == "$stdDevPop")
+          when(size(arr) >= 1, sqrt((s2 - s1 * s1 / n) / n)).otherwise(lit(null))
+        else
+          when(size(arr) >= 2, sqrt((s2 - s1 * s1 / n) / (n - lit(1.0))))
+            .otherwise(lit(null))
+      // expression forms over an array input (Mongo 7.0 allows
+      // $median/$percentile in $project). Exact interpolated percentile
+      // — identical formula to DuckDB quantile_cont — computed on the
+      // sorted array: pos = p·(n−1), linear blend of the two bracketing
+      // elements. "approximate" input method gets exact results, the
+      // same documented strictly-more-precise deviation as the
+      // accumulator form (PipelineCompiler).
+      case "$median" | "$percentile" =>
+        val spec = v match {
+          case JObject(fs) => fs
+          case other => throw new MqlException(s"bad $op: $other")
+        }
+        val input  = compile(field(spec, "input", op), env)
+        val sorted = array_sort(transform(input, _.cast(DoubleType)))
+        val n      = size(sorted)
+        def interp(p: Double): Column = {
+          val pos  = lit(p) * (n.cast(DoubleType) - lit(1.0))
+          val lo   = floor(pos).cast(IntegerType)
+          val frac = pos - floor(pos)
+          val vlo  = element_at(sorted, lo + 1)
+          val vhi  = element_at(sorted, least(lo + lit(2), n))
+          when(n === 0, lit(null)).otherwise(vlo + (vhi - vlo) * frac)
+        }
+        if (op == "$median") interp(0.5)
+        else {
+          val ps = spec.collectFirst { case ("p", JArray(vs)) => vs }
+            .getOrElse(throw new MqlException("$percentile needs p array"))
+            .map {
+              case JDouble(p) => p
+              case JInt(p)    => p.toDouble
+              case o => throw new MqlException(s"bad percentile $o")
+            }
+          array(ps.map(interp): _*)
+        }
+      // BSON-serialized byte size via the sink encoder (exact bytes the
+      // doc sink writes); int32 like Mongo
+      case "$bsonSize" => graftFn("graft_bson_size", c0)
 
       // ---- arrays ----
       case "$size" => size(c0)

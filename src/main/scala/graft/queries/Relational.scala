@@ -990,6 +990,70 @@ object Relational {
                   ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
               SELECT event_id, user_id, o_orderkey AS order_key,
                      o_totalprice AS order_price
-              FROM c WHERE rn = 1 ORDER BY event_id"""))
+              FROM c WHERE rn = 1 ORDER BY event_id""")),
+
+    // $bsonSize over a projected document: the twin re-derives the BSON
+    // wire size arithmetically (4-byte length + per-element tag + cstring
+    // name + value + terminator), pinning the sink encoder's layout
+    QueryDef("q_bson_size",
+      (s, dir) => agg("nation", """[
+        {"$project": {"n_nationkey": 1,
+          "sz": {"$bsonSize": {"name": "$n_name", "rk": "$n_regionkey"}}}},
+        {"$sort": {"n_nationkey": 1}}]""")(s, dir),
+      Some("""SELECT n_nationkey, CAST(
+                4
+                + 1 + strlen('name') + 1 + 4 + strlen(n_name) + 1
+                + 1 + strlen('rk') + 1   + 4
+                + 1 AS INTEGER) AS sz
+              FROM nation ORDER BY n_nationkey""")),
+
+    // expression-context statistics over a pushed array ($stdDevPop/
+    // $stdDevSamp/$median/$percentile in $project, Mongo 7.0 surface):
+    // array sorted first so both engines fold identical element order
+    QueryDef("q_expr_stats",
+      (s, dir) => agg("orders", """[
+        {"$group": {"_id": "$o_custkey", "prices": {"$push": "$o_totalprice"}}},
+        {"$match": {"$expr": {"$gte": [{"$size": "$prices"}, 3]}}},
+        {"$project": {"_id": 0, "custkey": "$_id",
+          "prices": {"$sortArray": {"input": "$prices", "sortBy": 1}}}},
+        {"$project": {"custkey": 1,
+          "sd_pop":  {"$round": [{"$stdDevPop": "$prices"}, 6]},
+          "sd_samp": {"$round": [{"$stdDevSamp": "$prices"}, 6]},
+          "med":     {"$round": [{"$median": {"input": "$prices",
+                                              "method": "approximate"}}, 6]},
+          "p90":     {"$round": [{"$arrayElemAt": [
+                        {"$percentile": {"input": "$prices", "p": [0.9],
+                                         "method": "approximate"}}, 0]}, 6]}}},
+        {"$sort": {"custkey": 1}}]""")(s, dir),
+      Some("""WITH g AS (
+                SELECT o_custkey AS custkey,
+                       list_sort(list(o_totalprice)) AS prices
+                FROM orders GROUP BY o_custkey HAVING count(*) >= 3),
+              t AS (
+                SELECT custkey, prices,
+                       len(prices) AS n,
+                       -- sequential left-to-right folds (list_reduce), the
+                       -- exact IEEE op order of Spark's aggregate() fold —
+                       -- bit-identical, no rounding slack needed
+                       list_reduce(prices, (a, b) -> a + b) AS s1,
+                       list_reduce(list_transform(prices, x -> x * x),
+                                   (a, b) -> a + b) AS s2
+                FROM g),
+              q AS (
+                SELECT custkey, prices, n, s1, s2,
+                       0.5 * (n - 1) AS mpos, 0.9 * (n - 1) AS ppos
+                FROM t)
+              SELECT custkey,
+                round(sqrt((s2 - s1 * s1 / n) / n), 6) AS sd_pop,
+                round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS sd_samp,
+                round(prices[CAST(floor(mpos) AS INTEGER) + 1]
+                  + (prices[least(CAST(floor(mpos) AS INTEGER) + 2, n)]
+                     - prices[CAST(floor(mpos) AS INTEGER) + 1])
+                    * (mpos - floor(mpos)), 6) AS med,
+                round(prices[CAST(floor(ppos) AS INTEGER) + 1]
+                  + (prices[least(CAST(floor(ppos) AS INTEGER) + 2, n)]
+                     - prices[CAST(floor(ppos) AS INTEGER) + 1])
+                    * (ppos - floor(ppos)), 6) AS p90
+              FROM q ORDER BY custkey"""))
   )
 }

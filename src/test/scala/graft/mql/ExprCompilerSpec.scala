@@ -294,4 +294,37 @@ class ExprCompilerSpec extends AnyFunSuite {
     assert(eval("""{"$convert": {"input": "oops", "to": "long"}}""") == null)
     assert(eval("""{"$convert": {"input": 3.9, "to": "string"}}""") == "3.9")
   }
+
+  test("$stdDevPop/$stdDevSamp expression forms over arrays") {
+    // pop([2,4,4,4,5,5,7,9]) = 2 exactly; samp = sqrt(32/7)
+    val arr = """[2.0, 4.0, 4.0, 4.0, 5.0, 5.0, 7.0, 9.0]"""
+    assert(eval(s"""{"$$stdDevPop": [$arr]}""") == 2.0)
+    val samp = eval(s"""{"$$stdDevSamp": [$arr]}""").asInstanceOf[Double]
+    assert(math.abs(samp - math.sqrt(32.0 / 7.0)) < 1e-12)
+    // cardinality guards: pop needs >=1 element, samp >=2
+    assert(eval("""{"$stdDevPop": [[]]}""") == null)
+    assert(eval("""{"$stdDevSamp": [[3.0]]}""") == null)
+  }
+
+  test("$median/$percentile expression forms over arrays") {
+    // even count → interpolated midpoint; p=[0,1] hit the extremes
+    assert(eval("""{"$median": {"input": [1.0, 3.0, 5.0, 7.0],
+      "method": "approximate"}}""") == 4.0)
+    assert(eval("""{"$median": {"input": [9.0, 1.0, 5.0],
+      "method": "approximate"}}""") == 5.0) // unsorted input is sorted first
+    val ps = eval("""{"$percentile": {"input": [10.0, 20.0, 30.0, 40.0, 50.0],
+      "p": [0.0, 0.25, 0.5, 1.0], "method": "approximate"}}""")
+      .asInstanceOf[scala.collection.Seq[Double]]
+    assert(ps == Seq(10.0, 20.0, 30.0, 50.0))
+  }
+
+  test("$bsonSize: sink-encoder byte count") {
+    // {"a": int32 1, "b": "xy"} → 4 + (1+2+4) + (1+2+ 4+3) + 1 = 22
+    assert(eval("""{"$bsonSize": {"a": 1, "b": "xy"}}""") == 22)
+    // nested doc adds its own 4-byte length + terminator
+    assert(eval("""{"$bsonSize": {"d": {"a": 1}}}""") ==
+      4 + (1 + 2 + (4 + (1 + 2 + 4) + 1)) + 1)
+    // non-document input fails analysis loudly
+    assertThrows[Exception](eval("""{"$bsonSize": "not a doc"}"""))
+  }
 }
