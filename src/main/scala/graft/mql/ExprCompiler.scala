@@ -530,20 +530,22 @@ object ExprCompiler {
 
       // ---- arrays ----
       case "$size" => size(c0)
+      // try_element_at, not element_at: Mongo's out-of-range $arrayElemAt
+      // yields missing (null); ANSI-mode element_at would raise instead
       case "$arrayElemAt" => v match {
         case JArray(List(a, idx)) =>
           val arr = compile(a, env)
           idx match {
-            case JInt(i) if i >= 0 => element_at(arr, i.toInt + 1)
-            case JInt(i)           => element_at(arr, i.toInt)
+            case JInt(i) if i >= 0 => try_element_at(arr, lit(i.toInt + 1))
+            case JInt(i)           => try_element_at(arr, lit(i.toInt))
             case _ =>
               val ic = compile(idx, env)
-              when(ic >= 0, get(arr, ic)).otherwise(element_at(arr, ic))
+              when(ic >= 0, get(arr, ic)).otherwise(try_element_at(arr, ic))
           }
         case other => throw new MqlException(s"bad $$arrayElemAt: $other")
       }
-      case "$first" => element_at(c0, 1)
-      case "$last"  => element_at(c0, -1)
+      case "$first" => try_element_at(c0, lit(1))
+      case "$last"  => try_element_at(c0, lit(-1))
       case "$concatArrays" => concat(c: _*)
       case "$slice" => v match {
         case JArray(List(a, n)) =>

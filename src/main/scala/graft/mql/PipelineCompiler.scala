@@ -566,15 +566,21 @@ object PipelineCompiler {
       case _           => false
     }
     val (prefix, rest) = pipe.span(st => !usesVars(st))
-    val joined = rest match {
-      case JObject(List(("$match", JObject(List(("$expr", cond)))))) :: Nil => cond
-      case JObject(List(("$match", _))) :: Nil => throw new MqlException(
+    val (joined, suffix) = rest match {
+      case JObject(List(("$match", JObject(List(("$expr", cond)))))) :: tail =>
+        (cond, tail)
+      case JObject(List(("$match", _))) :: _ => throw new MqlException(
         "$lookup let: the correlated $match must use $expr")
-      case _ :: _ :: _ => throw new MqlException(
-        "$lookup let: stages after the correlated $match are unsupported")
       case _ => throw new MqlException(
         "$lookup let: pipeline needs a correlated {$match: {$expr: ...}} stage")
     }
+    // suffix stages run per left row over the matched set — they become
+    // array operations on the collected match array (no per-row
+    // re-execution): $sort → array_sort comparator, $limit/$skip →
+    // slice, $project/$unset → element struct rebuild. $$var refs past
+    // the join stage would need true per-row pipelines — rejected loudly.
+    suffix.find(usesVars).foreach { st => throw new MqlException(
+      s"$$lookup let: $$$$var references after the correlated $$match are unsupported: $st") }
     val pre = prefix.foldLeft(fromDf) { (acc, st) =>
       asObj(st, "lookup pipeline stage") match {
         case List((n2, sp2)) => applyStage(acc, n2, sp2, resolve)
@@ -599,10 +605,56 @@ object PipelineCompiler {
       .localCheckpoint(true)
     val env = vars.map { case (n, _) => n -> col(s"__let_$n") }.toMap
     val condCol = ExprCompiler.compile(rewrite(joined), env)
-    val matched = left2.join(rightR, condCol, "inner")
+    val matched0 = left2.join(rightR, condCol, "inner")
       .groupBy(col("__graft_rowid"))
       .agg(collect_list(struct(
         rightCols.map(c => col("__r_" + c).as(c)): _*)).as(as))
+    // apply the suffix stages to the match array (fields tracks the
+    // element struct shape across $project/$unset rebuilds)
+    val (suffixCol, _) = suffix.foldLeft((col(as), rightCols)) {
+      case ((arr, fields), st) => asObj(st, "lookup suffix stage") match {
+        case List(("$limit", n)) =>
+          (slice(arr, 1, intValue(n, "$limit")), fields)
+        case List(("$skip", n)) =>
+          val k = intValue(n, "$skip")
+          (slice(arr, lit(k + 1), greatest(size(arr) - lit(k), lit(0))), fields)
+        case List(("$sort", JObject(keys))) =>
+          // Mongo sort order: nulls lowest ascending; multi-key
+          // comparator folded right-to-left so the first key dominates
+          val cmp: (Column, Column) => Column = (l, r) =>
+            keys.foldRight(lit(0): Column) { case ((k, dv), acc) =>
+              val d = intValue(dv, "$sort direction") // 1 | -1
+              val lk = l.getField(k); val rk = r.getField(k)
+              when(lk <=> rk, acc)
+                .when(lk.isNull, lit(-d)).when(rk.isNull, lit(d))
+                .when(lk < rk, lit(-d)).otherwise(lit(d))
+            }
+          (array_sort(arr, cmp), fields)
+        case List(("$project", JObject(fs))) =>
+          val incl = fs.collect { case (k, v)
+            if k != "_id" && intValue(v, "$project") != 0 => k }
+          val kept =
+            if (incl.nonEmpty) incl
+            else { // exclusion form
+              val excl = fs.map(_._1).toSet
+              fields.filterNot(excl)
+            }
+          (transform(arr, e =>
+            struct(kept.map(k => e.getField(k).as(k)): _*)), kept)
+        case List(("$unset", u)) =>
+          val excl = (u match {
+            case JString(s)  => List(s)
+            case JArray(es)  => es.map(strValue(_, "$unset"))
+            case other => throw new MqlException(s"bad $$unset: $other")
+          }).toSet
+          val kept = fields.filterNot(excl)
+          (transform(arr, e =>
+            struct(kept.map(k => e.getField(k).as(k)): _*)), kept)
+        case o => throw new MqlException(
+          s"$$lookup let: unsupported stage after the correlated $$match: $o")
+      }
+    }
+    val matched = matched0.withColumn(as, suffixCol)
     val elemType = matched.schema(as).dataType
     left2.join(matched, Seq("__graft_rowid"), "left")
       .withColumn(as, coalesce(col(as), array().cast(elemType)))
@@ -867,13 +919,24 @@ object PipelineCompiler {
     }
     val combo = spec.collectFirst { case ("combination", c) =>
       asObj(c, "$scoreFusion.combination") }.getOrElse(Nil)
-    combo.collectFirst { case ("method", JString(m)) => m }.foreach { m =>
-      if (m != "avg") throw new MqlException(
-        s"$$scoreFusion: unsupported combination.method '$m' (avg only)") }
+    val method = combo.collectFirst { case ("method", JString(m)) => m }
+      .getOrElse("avg")
+    if (!Set("avg", "expression").contains(method)) throw new MqlException(
+      s"$$scoreFusion: unsupported combination.method '$method'")
+    // custom combination: scores referenced as $$<pipelineName> vars;
+    // a document absent from a pipeline contributes 0 (Mongo contract)
+    val comboExpr: Option[JValue] =
+      combo.collectFirst { case ("expression", e) => e }
+    if (method == "expression" && comboExpr.isEmpty) throw new MqlException(
+      "$scoreFusion: combination.method 'expression' needs combination.expression")
+    if (method != "expression" && comboExpr.nonEmpty) throw new MqlException(
+      "$scoreFusion: combination.expression requires method 'expression'")
     val weights: Map[String, Double] = combo.collectFirst {
       case ("weights", JObject(ws)) =>
         ws.map { case (k, v) => k -> numDouble(v) }.toMap }
       .getOrElse(Map.empty[String, Double])
+    if (method == "expression" && weights.nonEmpty) throw new MqlException(
+      "$scoreFusion: combination.weights cannot be used with method 'expression'")
     weights.keys.find(k => !pipelines.exists(_._1 == k)).foreach(k =>
       throw new MqlException(s"$$scoreFusion weight for unknown pipeline '$k'"))
     val scoreDetails = spec.exists {
@@ -944,18 +1007,38 @@ object PipelineCompiler {
         col("__sf_w").as("weight"), col("__sf_nv").as("value"))))
         .as("__sf_details"))
       else Nil
-    val fused = contribs.reduce(_.unionByName(_))
-      .groupBy(col("__sf_id"))
-      .agg(round(sum(col("__sf_c")) / lit(nPipes.toDouble), 6).as("__sf_score"),
-        detailAggs: _*)
+    val union = contribs.reduce(_.unionByName(_)).groupBy(col("__sf_id"))
+    val fused = method match {
+      case "avg" =>
+        union.agg(
+          round(sum(col("__sf_c")) / lit(nPipes.toDouble), 6).as("__sf_score"),
+          detailAggs: _*)
+      case _ => // expression: pivot per-pipeline normalized scores, then
+        // evaluate the user combination with $$<name> bound to each
+        // (absent pipeline → 0.0); one aggregate, no extra shuffle
+        val perPipe = pipelines.zipWithIndex.map { case ((name, _), i) =>
+          sum(when(col("__sf_p") === name, col("__sf_c"))).as(s"__sf_v_$i")
+        }
+        val agged = union.agg(perPipe.head, (perPipe.tail ++ detailAggs): _*)
+        val env = pipelines.zipWithIndex.map { case ((name, _), i) =>
+          name -> coalesce(col(s"__sf_v_$i"), lit(0.0))
+        }.toMap
+        agged.withColumn("__sf_score",
+            round(ExprCompiler.compile(comboExpr.get, env).cast("double"), 6))
+          .drop(pipelines.indices.map(i => s"__sf_v_$i"): _*)
+    }
     val joined = df.join(fused, fieldCol(idField) === fused("__sf_id"))
       .drop("__sf_id")
       .withColumnRenamed("__sf_score", "score")
     val out = if (!scoreDetails) joined
       else joined.withColumn("scoreDetails", struct(
           col("score").as("value"),
-          lit("value output by score fusion algorithm, computed as the " +
-            "weighted average of normalized sub-pipeline scores")
+          lit(if (method == "avg")
+            "value output by score fusion algorithm, computed as the " +
+              "weighted average of normalized sub-pipeline scores"
+          else
+            "value output by score fusion algorithm, computed by the " +
+              "custom combination.expression over normalized sub-pipeline scores")
             .as("description"),
           col("__sf_details").as("details")))
         .drop("__sf_details")

@@ -1332,6 +1332,60 @@ object LlmOps {
             SELECT doc_id, score FROM fused
             ORDER BY score DESC, doc_id""")),
 
+    // $scoreFusion combination.method "expression": the fused score is
+    // the user combination over $$<pipeline> normalized-score vars
+    // (absent pipeline → 0), not the weighted average
+    QueryDef("q_score_fusion_expr",
+      (s, dir) => Graft.aggregate(s, dir, "documents",
+        """[
+          {"$scoreFusion": {"idField": "doc_id",
+            "input": {"pipelines": {
+              "lex_a": [{"$search": {"text": {"query": "spark query window",
+                "path": "text"}, "limit": 20, "tieBreaker": "doc_id"}}],
+              "lex_b": [{"$search": {"text": {"query": "hash join merge",
+                "path": "text"}, "limit": 20, "tieBreaker": "doc_id"}}]},
+              "normalization": "none"},
+            "combination": {"method": "expression",
+              "expression": {"$add": [{"$multiply": [0.7, "$$lex_a"]},
+                                      "$$lex_b"]}}}},
+          {"$project": {"doc_id": 1, "score": {"$meta": "score"}}},
+          {"$sort": {"score": -1, "doc_id": 1}}]"""),
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($duckToksLower) AS term
+                 FROM documents),
+              dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+              st AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+              tfa AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+                      WHERE term IN ('spark', 'query', 'window') GROUP BY 1, 2),
+              dfa AS (SELECT term, COUNT(*) AS df FROM tfa GROUP BY 1),
+              sca AS (SELECT tfa.doc_id,
+                        round(SUM(ln(1 + (st.n - dfa.df + 0.5) / (dfa.df + 0.5)) *
+                          tfa.tf * 2.2 / (tfa.tf + 1.2 *
+                            (1 - 0.75 + 0.75 * dl.dl / st.avgdl))), 6) AS score
+                      FROM tfa JOIN dfa USING (term) JOIN dl USING (doc_id)
+                           CROSS JOIN st
+                      GROUP BY 1),
+              lexa AS (SELECT doc_id, score FROM sca
+                       QUALIFY ROW_NUMBER() OVER (
+                         ORDER BY score DESC, doc_id) <= 20),
+              tfb AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+                      WHERE term IN ('hash', 'join', 'merge') GROUP BY 1, 2),
+              dfb AS (SELECT term, COUNT(*) AS df FROM tfb GROUP BY 1),
+              scb AS (SELECT tfb.doc_id,
+                        round(SUM(ln(1 + (st.n - dfb.df + 0.5) / (dfb.df + 0.5)) *
+                          tfb.tf * 2.2 / (tfb.tf + 1.2 *
+                            (1 - 0.75 + 0.75 * dl.dl / st.avgdl))), 6) AS score
+                      FROM tfb JOIN dfb USING (term) JOIN dl USING (doc_id)
+                           CROSS JOIN st
+                      GROUP BY 1),
+              lexb AS (SELECT doc_id, score FROM scb
+                       QUALIFY ROW_NUMBER() OVER (
+                         ORDER BY score DESC, doc_id) <= 20)
+            SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                   round(0.7 * coalesce(a.score, 0) + coalesce(b.score, 0), 6)
+                     AS score
+            FROM lexa a FULL JOIN lexb b USING (doc_id)
+            ORDER BY score DESC, doc_id""")),
+
     // $scoreFusion scoreDetails under normalization "none": the
     // per-pipeline raw/weight/value structs, checked via $size and the
     // weighted $reduce sum (which must reproduce the fused score)

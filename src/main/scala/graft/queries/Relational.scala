@@ -749,6 +749,46 @@ object Relational {
                              AND o.o_totalprice < e.value * 1000) AS INT) AS n
               FROM events e ORDER BY event_id""")),
 
+    // correlated $lookup with SUFFIX stages after the join $match (the
+    // Mongo-docs canonical shape): $sort/$limit/$project compile to
+    // array ops on the collected match array — comparator array_sort,
+    // slice, element-struct rebuild — never a per-left-row re-execution
+    QueryDef("q_lookup_let_suffix",
+      (s, dir) => agg("events", """[
+        {"$lookup": {"from": "orders", "as": "m",
+           "let": {"uid": "$user_id",
+                   "cap": {"$multiply": ["$value", 1000]}},
+           "pipeline": [
+             {"$match": {"$expr": {"$and": [
+               {"$eq": ["$o_custkey", "$$uid"]},
+               {"$lt": ["$o_totalprice", "$$cap"]}]}}},
+             {"$sort": {"o_totalprice": -1, "o_orderkey": 1}},
+             {"$limit": 3},
+             {"$project": {"o_orderkey": 1, "o_totalprice": 1}}]}},
+        {"$project": {"_id": 0, "event_id": 1,
+           "n_top": {"$size": "$m"},
+           "best": {"$arrayElemAt": [
+             {"$map": {"input": "$m", "in": "$$this.o_orderkey"}}, 0]},
+           "top_sum": {"$round": [{"$sum":
+             {"$map": {"input": "$m", "in": "$$this.o_totalprice"}}}, 2]}}},
+        {"$sort": {"event_id": 1}}]""")(s, dir),
+      Some("""SELECT e.event_id,
+                (SELECT CAST(count(*) AS INT) FROM (
+                   SELECT 1 FROM orders o
+                   WHERE o.o_custkey = e.user_id
+                     AND o.o_totalprice < e.value * 1000
+                   ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 3) t) AS n_top,
+                (SELECT o.o_orderkey FROM orders o
+                   WHERE o.o_custkey = e.user_id
+                     AND o.o_totalprice < e.value * 1000
+                   ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 1) AS best,
+                (SELECT round(coalesce(sum(p), 0.0), 2) FROM (
+                   SELECT o.o_totalprice AS p FROM orders o
+                   WHERE o.o_custkey = e.user_id
+                     AND o.o_totalprice < e.value * 1000
+                   ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 3) t) AS top_sum
+              FROM events e ORDER BY event_id""")),
+
     // $facet: two branches over the same input; the group branch is
     // unwound back to rows, the top-N branch is folded to a scalar via
     // $map/$sortArray/$reduce ($sortArray because collect_list order is

@@ -457,12 +457,55 @@ class PipelineExtraSpec extends AnyFunSuite {
       {"$sort": {"id": 1}}]""", resolver)
     assert(out.as[(Long, Int)].collect().toSeq
       == Seq((1L, 1), (2L, 1), (3L, 0))) // 3 matches nothing → empty array
-    // stages after the correlated $match are rejected
+    // suffix stages after the correlated $match: array-op compilation
+    // ($sort comparator, $limit slice, $project element rebuild)
+    val suf = PipelineCompiler.run(left, """[
+      {"$lookup": {"from": "r", "as": "m", "let": {"lid": "$id"},
+        "pipeline": [
+          {"$match": {"$expr": {"$eq": ["$fk", "$$lid"]}}},
+          {"$sort": {"amt": -1}},
+          {"$limit": 1},
+          {"$project": {"tag": 1}}]}},
+      {"$project": {"id": 1,
+        "t": {"$ifNull": [{"$arrayElemAt": ["$m.tag", 0]}, "-"]}}},
+      {"$sort": {"id": 1}}]""", resolver)
+    assert(suf.as[(Long, String)].collect().toSeq
+      == Seq((1L, "y"), (2L, "w"), (3L, "-"))) // highest amt's tag
+    // $unset suffix drops a field from the match elements
+    val uns = PipelineCompiler.run(left, """[
+      {"$lookup": {"from": "r", "as": "m", "let": {"lid": "$id"},
+        "pipeline": [
+          {"$match": {"$expr": {"$eq": ["$fk", "$$lid"]}}},
+          {"$unset": ["fk", "amt"]}]}},
+      {"$sort": {"id": 1}}]""", resolver)
+    assert(uns.schema("m").dataType.asInstanceOf[
+      org.apache.spark.sql.types.ArrayType].elementType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("tag"))
+    // per-row pipeline shapes stay rejected: $group suffix, $$vars past
+    // the join stage
     intercept[MqlException](PipelineCompiler.run(left, """[
       {"$lookup": {"from": "r", "as": "m", "let": {"lid": "$id"},
         "pipeline": [
           {"$match": {"$expr": {"$eq": ["$fk", "$$lid"]}}},
-          {"$limit": 1}]}}]""", resolver))
+          {"$group": {"_id": null, "n": {"$count": {}}}}]}}]""", resolver))
+    intercept[MqlException](PipelineCompiler.run(left, """[
+      {"$lookup": {"from": "r", "as": "m", "let": {"lid": "$id"},
+        "pipeline": [
+          {"$match": {"$expr": {"$eq": ["$fk", "$$lid"]}}},
+          {"$addFields": {"z": "$$lid"}}]}}]""", resolver))
+  }
+
+  test("$arrayElemAt out of range yields missing (null), not an ANSI error") {
+    val df = Seq((1L, Seq("a", "b"))).toDF("id", "xs")
+    val out = PipelineCompiler.run(df, """[
+      {"$project": {"id": 1,
+        "oob":  {"$arrayElemAt": ["$xs", 9]},
+        "neg":  {"$arrayElemAt": ["$xs", -9]},
+        "f":    {"$first": [[]]},
+        "l":    {"$last": [[]]}}}]""")
+    val r = out.collect().head
+    assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4))
   }
 
   test("$median/$percentile accept explicit documents windows") {
@@ -827,6 +870,42 @@ class PipelineExtraSpec extends AnyFunSuite {
       {"$scoreFusion": {"idField": "id", "input": {"pipelines": {
         "v": [{"$vectorSearch": {"path": "v", "queryVector": [1.0, 0.0],
                "limit": 2, "exact": true, "tieBreaker": "id"}}]}}}}]"""))
+
+    // combination.method "expression": $$<pipelineName> vars over the
+    // normalized scores; a doc absent from a pipeline contributes 0
+    val ex = PipelineCompiler.run(docs, """[
+      {"$scoreFusion": {
+        "idField": "id",
+        "input": {"pipelines": {
+          "lexical": [{"$search": {"text": {"query": "spark", "path": "text"},
+                       "limit": 5, "tieBreaker": "id"}}],
+          "vector": [{"$vectorSearch": {"path": "v", "queryVector": [1.0, 0.0],
+                      "limit": 2, "exact": true, "tieBreaker": "id"}}]},
+          "normalization": "none"},
+        "combination": {"method": "expression",
+          "expression": {"$add": [{"$multiply": [0.7, "$$lexical"]},
+                                  "$$vector"]}}}},
+      {"$project": {"id": 1, "score": {"$meta": "score"}}}]""")
+      .as[(Long, Double)].collect().toSeq
+    assert(ex == Seq(
+      (1L, r6(0.7 * bm(2, 3) + 1.0)),
+      (2L, r6(0.9)),
+      (3L, r6(0.7 * bm(1, 1)))).sortBy { case (i, s) => (-s, i) })
+    // weights cannot ride with a custom expression
+    intercept[MqlException](PipelineCompiler.run(docs, """[
+      {"$scoreFusion": {"idField": "id",
+        "input": {"pipelines": {"v": [{"$vectorSearch": {"path": "v",
+          "queryVector": [1.0, 0.0], "limit": 2, "exact": true,
+          "tieBreaker": "id"}}]}},
+        "combination": {"method": "expression", "weights": {"v": 2},
+          "expression": "$$v"}}}]"""))
+    // expression without method "expression" is rejected
+    intercept[MqlException](PipelineCompiler.run(docs, """[
+      {"$scoreFusion": {"idField": "id",
+        "input": {"pipelines": {"v": [{"$vectorSearch": {"path": "v",
+          "queryVector": [1.0, 0.0], "limit": 2, "exact": true,
+          "tieBreaker": "id"}}]}},
+        "combination": {"expression": "$$v"}}}]"""))
   }
 
   test("$scoreFusion scoreDetails: per-pipeline raw/weight/normalized value") {
