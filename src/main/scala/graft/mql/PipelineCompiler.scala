@@ -465,14 +465,24 @@ object PipelineCompiler {
       if (segs.length != 2)
         throw new MqlException(s"$$unwind: path deeper than one struct level: $fieldName")
       val (outer, inner) = (segs(0), segs(1))
-      val gen = if (preserve) explode_outer(col(fieldName)) else explode(col(fieldName))
-      val exploded = df.withColumn("__graft_unwind", gen)
-        .withColumn(outer, col(outer).withField(inner, col("__graft_unwind")))
-        .drop("__graft_unwind")
       return idxField match {
-        case None => exploded
-        case Some(_) => throw new MqlException(
-          "$unwind: includeArrayIndex with nested path unsupported")
+        case None =>
+          val gen = if (preserve) explode_outer(col(fieldName)) else explode(col(fieldName))
+          df.withColumn("__graft_unwind", gen)
+            .withColumn(outer, col(outer).withField(inner, col("__graft_unwind")))
+            .drop("__graft_unwind")
+        case Some(ix) if !ix.contains(".") =>
+          // posexplode pairs the element with its position; null/empty
+          // arrays under preserveNull carry a null index (Mongo contract)
+          val gen = if (preserve) posexplode_outer(col(fieldName))
+                    else posexplode(col(fieldName))
+          df.select((df.columns.map(col) :+
+              gen.as(Seq("__graft_pos", "__graft_unwind"))): _*)
+            .withColumn(outer, col(outer).withField(inner, col("__graft_unwind")))
+            .withColumn(ix, col("__graft_pos").cast(LongType))
+            .drop("__graft_pos", "__graft_unwind")
+        case Some(ix) => throw new MqlException(
+          s"$$unwind: dotted includeArrayIndex target unsupported: $ix")
       }
     }
     val others = df.columns.filterNot(_ == fieldName).map(col)
@@ -718,9 +728,14 @@ object PipelineCompiler {
     val maxD = spec.collectFirst { case ("maxDistance", v) =>
       numOf(v, "$geoNear.maxDistance") }
     val includeLocs = spec.collectFirst { case ("includeLocs", JString(s)) => s }
-    if (distField.contains(".") || includeLocs.exists(_.contains(".")))
-      throw new MqlException(
-        "$geoNear: nested distanceField/includeLocs paths are not supported")
+    // nested output targets rebuild the enclosing struct in place, the
+    // same shape as $addFields' dotted-path branch
+    def setPath(d: DataFrame, path: String, value: Column): DataFrame =
+      if (path.contains(".")) {
+        val head = path.substring(0, path.indexOf('.'))
+        val rest = path.substring(path.indexOf('.') + 1)
+        d.withColumn(head, col(head).withField(rest, value))
+      } else d.withColumn(path, value)
     val pt  = fieldCol(key)
     val lon = element_at(pt, 1).cast("double")
     val lat = element_at(pt, 2).cast("double")
@@ -736,10 +751,10 @@ object PipelineCompiler {
       .foreach(q => out = out.where(FilterCompiler.compile(q)))
     minD.foreach(m => out = out.where(rawDist >= lit(m)))
     maxD.foreach(m => out = out.where(rawDist <= lit(m)))
-    out = out.withColumn(distField,
+    out = setPath(out, distField,
       mult.map(m => rawDist * lit(m)).getOrElse(rawDist))
-    includeLocs.foreach(f => out = out.withColumn(f, pt))
-    out.orderBy(col(distField).asc)
+    includeLocs.foreach(f => out = setPath(out, f, pt))
+    out.orderBy(fieldCol(distField).asc)
   }
 
   // ---- $bucketAuto -------------------------------------------------------

@@ -69,6 +69,24 @@ class PipelineCompilerSpec extends AnyFunSuite {
     assert(idx.where($"id" === 1).select("i").as[Long].collect().sorted.toSeq == Seq(0L, 1L))
   }
 
+  test("$unwind nested path with includeArrayIndex") {
+    val df = Seq((1L, ("a", Seq(10, 20))), (2L, ("b", Seq.empty[Int])))
+      .toDF("id", "s").withColumnRenamed("s", "doc")
+      .selectExpr("id", "named_struct('tag', doc._1, 'xs', doc._2) AS doc")
+    val out = PipelineCompiler.run(df, """[
+      {"$unwind": {"path": "$doc.xs", "includeArrayIndex": "i",
+                   "preserveNullAndEmptyArrays": true}},
+      {"$project": {"id": 1, "x": "$doc.xs", "i": 1}},
+      {"$sort": {"id": 1, "i": 1}}]""")
+    val rows = out.collect().map(r =>
+      (r.getLong(0), if (r.isNullAt(1)) -1 else r.getInt(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    // id=2's empty array survives with null element and null index
+    assert(rows == Seq((1L, 10, 0L), (1L, 20, 1L), (2L, -1, -1L)))
+    intercept[MqlException](PipelineCompiler.run(df, """[
+      {"$unwind": {"path": "$doc.xs", "includeArrayIndex": "a.b"}}]"""))
+  }
+
   test("$lookup fills non-matching rows with empty array") {
     val depts = Seq(("eng", "Engineering")).toDF("code", "label")
     val out = PipelineCompiler.run(people,

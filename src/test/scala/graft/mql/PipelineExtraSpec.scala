@@ -1379,6 +1379,17 @@ class PipelineExtraSpec extends AnyFunSuite {
       {"$geoNear": {"near": [0, 0], "key": "loc", "distanceField": "d"}},
       {"$limit": 2}]""").queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"))
+    // nested distanceField/includeLocs rebuild the enclosing struct
+    val nested = docs.selectExpr("id", "loc",
+      "named_struct('tag', grp) AS meta")
+    val nst = PipelineCompiler.run(nested, """[
+      {"$geoNear": {"near": [0, 0], "key": "loc",
+        "distanceField": "meta.dist", "includeLocs": "meta.pt"}},
+      {"$project": {"id": 1, "d": "$meta.dist",
+                    "px": {"$arrayElemAt": ["$meta.pt", 0]}}}]""")
+      .as[(Long, Double, Double)].collect()
+    assert(nst.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(nst(1)._2 == 5.0 && nst(1)._3 == 3.0)
   }
 
   test("$search geoShape: within/intersects/disjoint for point fields") {
