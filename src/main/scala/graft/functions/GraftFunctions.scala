@@ -942,6 +942,105 @@ case class BsonTruthy(child: Expression)
   override protected def withNewChildInternal(c: Expression): BsonTruthy = copy(c)
 }
 
+/** Gopher within-document repetition battery (Rae et al.
+  * arXiv:2112.11446 §A1.1) as ONE native pass: duplicate-line fraction,
+  * duplicate-line character fraction, and top-n-gram character
+  * fraction. Replaces a Column formulation whose per-distinct-element
+  * `filter()` lambdas re-evaluated the whole interpreted
+  * tokenize/ngram chain — O(distinct² ) regex work per document (the
+  * pathology class from the round-5 phrase-scorer postmortem, measured
+  * at minutes/corpus at sf0.01). Here: two splits, two hash maps, one
+  * n-gram walk — linear per document. Semantics are bit-identical to
+  * the Column form and the DuckDB twins: space-only trim, \s+
+  * tokenization of the lowercased text, code-point lengths, top gram
+  * chosen by (count, length, gram) descending, HALF_UP rounding to 6,
+  * null text → all-zero struct. Eval-based (CodegenFallback): one
+  * invocation per document, off the per-element hot path. */
+case class GopherRep(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("dup_line_frac", DoubleType, nullable = false),
+    StructField("dup_line_char_frac", DoubleType, nullable = false),
+    StructField("top_ngram_char_frac", DoubleType, nullable = false)))
+  override def nullable: Boolean = false
+
+  private lazy val n: Int = right.eval().asInstanceOf[Int]
+
+  private def r6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  private def trimSpaces(s: String): String = {
+    var b = 0; var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    s.substring(b, e)
+  }
+  private def nChars(s: String): Long = s.codePointCount(0, s.length).toLong
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val t = left.eval(input)
+    if (t == null)
+      return org.apache.spark.sql.catalyst.InternalRow(0.0, 0.0, 0.0)
+    val text = t.asInstanceOf[UTF8String]
+
+    // ---- line half ----
+    val lines = text.toString.split("\n", -1).iterator
+      .map(trimSpaces).filter(_.nonEmpty).toArray
+    val nLines = lines.length
+    val counts = new java.util.HashMap[String, Int]()
+    var lineChars = 0L
+    lines.foreach { l =>
+      counts.merge(l, 1, Integer.sum); lineChars += nChars(l)
+    }
+    var uniqOnceChars = 0L
+    counts.forEach { (l, c) => if (c == 1) uniqOnceChars += nChars(l) }
+    val dupLineFrac =
+      if (nLines > 1) r6((nLines - counts.size).toDouble / nLines) else 0.0
+    val dupLineCharFrac =
+      if (nLines > 1 && lineChars > 0)
+        r6((lineChars - uniqOnceChars).toDouble / lineChars)
+      else 0.0
+
+    // ---- n-gram half (tokens of the lowercased text) ----
+    val toks = trimSpaces(text.toLowerCase.toString)
+      .split("\\s+").iterator.filter(_.nonEmpty).toArray
+    var tokChars = 0L
+    toks.foreach(tokChars += nChars(_))
+    var topFrac = 0.0
+    if (toks.length >= n && tokChars > 0) {
+      val gramCounts = new java.util.HashMap[String, Int]()
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i + n <= toks.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1
+        }
+        gramCounts.merge(sb.toString, 1, Integer.sum)
+        i += 1
+      }
+      // max by (count, numChars, gram-bytes) — the array_max struct
+      // ordering of the Column form / the oracle's ORDER BY ... DESC
+      var bestCnt = -1; var bestLen = -1L; var bestG: UTF8String = null
+      gramCounts.forEach { (g, c) =>
+        val len = nChars(g); val gu = UTF8String.fromString(g)
+        if (c > bestCnt || (c == bestCnt && (len > bestLen ||
+            (len == bestLen && gu.compareTo(bestG) > 0)))) {
+          bestCnt = c; bestLen = len; bestG = gu
+        }
+      }
+      topFrac = math.min(1.0,
+        r6(bestCnt.toDouble * (bestLen - (n - 1)) / tokChars))
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      dupLineFrac, dupLineCharFrac, topFrac)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): GopherRep =
+    copy(left = l, right = r)
+}
+
 /** BSON-serialized byte size of a document column ($bsonSize). Reuses
   * the sink encoder (`BsonBinary.encodeRow`) through a Catalyst→external
   * converter, so the reported size is by construction the exact byte
@@ -989,6 +1088,7 @@ object GraftFunctions {
     "graft_top_k" -> ((e: Seq[Expression]) => BoundedTopK(e(0), e(1), e(2), e(3))),
     "graft_object_to_array" -> ((e: Seq[Expression]) => ObjectToArray(e.head)),
     "graft_bson_size" -> ((e: Seq[Expression]) => BsonSize(e.head)),
+    "gopher_rep" -> ((e: Seq[Expression]) => GopherRep(e(0), e(1))),
     "graft_regex_find" -> ((e: Seq[Expression]) => RegexFind(e(0), e(1))),
     "graft_regex_find_all" -> ((e: Seq[Expression]) => RegexFindAll(e(0), e(1))),
     "graft_merge_objects" -> ((e: Seq[Expression]) => MergeObjects(e)),

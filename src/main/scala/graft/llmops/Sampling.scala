@@ -64,12 +64,19 @@ object Sampling {
     require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
       s"need 0 <= overlap < chunkSize, got size=$chunkSize overlap=$overlap")
     val stride = chunkSize - overlap
-    val toks = graft.llmops.TextAnalysis.tokens(col(textCol))
-    val nChunks = ceil((size(toks) - lit(overlap)).cast("double") / stride)
+    // tokenize ONCE into a materialized column before the per-chunk
+    // lambda: a token expression captured inside transform() re-runs the
+    // interpreted split per CHUNK (O(chunks × tokens) regex work per
+    // doc) — the projection boundary is the let-binding Spark lacks
+    // (same lesson as the phrase-scorer postmortem, PLANS.md round 5)
+    val w = col("__w")
+    val nChunks = ceil((size(w) - lit(overlap)).cast("double") / stride)
       .cast("int")
     val chunks = transform(sequence(lit(0), greatest(nChunks, lit(1)) - 1), i =>
-      slice(toks, i * stride + 1, lit(chunkSize)))
-    df.select(col(idCol), posexplode(when(size(toks) > 0, chunks)))
+      slice(w, i * stride + 1, lit(chunkSize)))
+    df.select(col(idCol),
+        graft.llmops.TextAnalysis.tokens(col(textCol)).as("__w"))
+      .select(col(idCol), posexplode(when(size(w) > 0, chunks)))
       .select(col(idCol), col("pos").cast("long").as("chunk_id"),
         concat_ws(" ", col("col")).as("chunk_text"),
         size(col("col")).cast("long").as("n_tokens"))

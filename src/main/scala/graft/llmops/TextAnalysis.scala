@@ -129,41 +129,13 @@ object TextAnalysis {
     * DuckDB oracle recomputes the identical splits. Lines are
     * non-empty trimmed '\n' segments; a doc with ≤1 line scores 0. */
   def gopherRepetition(text: Column, topNgramN: Int = 2): Column = {
-    val lines = filter(transform(split(text, "\n"), l => trim(l)),
-      l => length(l) > 0)
-    val nLines = size(lines)
-    val distinctLines = array_distinct(lines)
-    val dupLineFrac = when(nLines > 1,
-      round((nLines - size(distinctLines)).cast("double") /
-        nLines.cast("double"), 6)).otherwise(lit(0.0))
-    // chars inside duplicate lines: total line chars minus the chars of
-    // lines occurring exactly once
-    val lineChars = aggregate(lines, lit(0L), (acc, l) => acc + length(l))
-    val uniqOnceChars = aggregate(distinctLines, lit(0L), (acc, l) =>
-      acc + when(size(filter(lines, x => x === l)) === 1, length(l))
-        .otherwise(lit(0L)))
-    val dupLineCharFrac = when(nLines > 1 && lineChars > 0,
-      round((lineChars - uniqOnceChars).cast("double") /
-        lineChars.cast("double"), 6)).otherwise(lit(0.0))
-    // top n-gram char fraction: chars of the most frequent n-gram times
-    // its count, over total token chars (Gopher's top-2/3/4-gram rule)
-    val toks = tokens(lower(text))
-    val grams = when(size(toks) >= topNgramN,
-      transform(sequence(lit(1), size(toks) - lit(topNgramN - 1)), i =>
-        concat_ws(" ", (0 until topNgramN).map(o =>
-          element_at(toks, (i + lit(o)).cast("int"))): _*)))
-      .otherwise(array().cast("array<string>"))
-    val topGram = array_max(transform(array_distinct(grams), g =>
-      struct(size(filter(grams, x => x === g)).as("cnt"),
-             length(g).as("len"), g.as("g"))))
-    val tokChars = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
-    val topGramCharFrac = when(size(grams) > 0 && tokChars > 0,
-      round((topGram.getField("cnt") *
-          (topGram.getField("len") - lit(topNgramN - 1))).cast("double") /
-        tokChars.cast("double"), 6)).otherwise(lit(0.0))
-    struct(dupLineFrac.as("dup_line_frac"),
-      dupLineCharFrac.as("dup_line_char_frac"),
-      least(topGramCharFrac, lit(1.0)).as("top_ngram_char_frac"))
+    // one-pass native expression (functions/GraftFunctions.GopherRep):
+    // the Column formulation's per-distinct-gram filter() re-evaluated
+    // the interpreted tokenize chain quadratically — see the expression
+    // Scaladoc for the semantics contract it preserves
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("gopher_rep", text, lit(topNgramN))
   }
 
   /** Deflate compression ratio (compressed/raw bytes): model-free
