@@ -43,7 +43,15 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // toRdd.count(), NOT DataFrame.count(): an Aggregate(count) on
+        // top lets Catalyst prune the query's own projections, so any
+        // map-only metric query (text analysis, scoring) was timed as a
+        // bare row-count over the scan — q_gopher_rep's pre-fix
+        // quadratic projection benched at 0.1 s while costing minutes
+        // in Verify. toRdd materializes the final UnsafeRows: every
+        // output column is computed, nothing ships to the driver.
+        try { fn(spark, sfDir).queryExecution.toRdd.count() }
+        catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
       // dead persisted intermediates (shingle/doc-term tables) would

@@ -47,14 +47,24 @@ object Similarity {
     * Returns struct(minv, scale, codes array<int>). Pure map expression
     * (HOF transform + array_min/max) — no shuffle, runs in the scan
     * stage. */
+  /** One-pass native quantizer (functions/GraftFunctions.QuantInt8):
+    * struct(minv, scale, codes, mse). The previous HOF formulation
+    * captured the min/max aggregates inside the per-element lambda —
+    * O(d²) per vector (see the expression Scaladoc). Callers that need
+    * several fields should materialize this struct into a column once
+    * and getField from it. */
+  def quantizeInt8Full(vec: Column): Column = {
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("quant_int8", vec)
+  }
+
+  /** Int8 quantization struct(minv, scale, codes) — the storage layout
+    * half of [[quantizeInt8Full]] (kept for the narrower contract). */
   def quantizeInt8(vec: Column): Column = {
-    val v = vec.cast("array<double>")
-    val minv = array_min(v)
-    val scale = (array_max(v) - minv) / lit(255.0)
-    struct(minv.as("minv"), scale.as("scale"),
-      when(scale === 0.0, transform(v, _ => lit(0)))
-        .otherwise(transform(v, x => round((x - minv) / scale, 0).cast("int")))
-        .as("codes"))
+    val q = quantizeInt8Full(vec)
+    struct(q.getField("minv").as("minv"), q.getField("scale").as("scale"),
+      q.getField("codes").as("codes"))
   }
 
   /** Reconstruction from quantizeInt8 output: v̂_i = minv + code_i·scale. */
@@ -64,13 +74,8 @@ object Similarity {
 
   /** Mean squared reconstruction error of int8 quantization for a
     * vector — the quality gauge for the storage/recall trade-off. */
-  def quantizationMse(vec: Column): Column = {
-    val v = vec.cast("array<double>")
-    val dq = dequantizeInt8(quantizeInt8(vec))
-    aggregate(zip_with(v, dq, (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, x) => acc + x) /
-      greatest(size(v), lit(1)).cast("double")
-  }
+  def quantizationMse(vec: Column): Column =
+    quantizeInt8Full(vec).getField("mse")
 
   /** Brute-force cosine top-k: every query row against the whole corpus.
     * Rank by rounded similarity + id tiebreak → fully deterministic. */

@@ -956,14 +956,17 @@ object LlmOps {
     // mean squared reconstruction error — map-only over the embeddings
     QueryDef("q_emb_quant",
       (s, dir) => {
-        val qz = Similarity.quantizeInt8(col("embedding"))
+        // materialize the one-pass quantizer struct ONCE, then getField
+        // — inline references would re-run the pass per field
         Graft.table(s, dir, "embeddings")
           .select(col("vec_id"),
-            round(qz.getField("minv"), 6).as("minv"),
-            round(qz.getField("scale"), 6).as("scale"),
-            aggregate(qz.getField("codes"), lit(0L),
+            Similarity.quantizeInt8Full(col("embedding")).as("__q"))
+          .select(col("vec_id"),
+            round(col("__q.minv"), 6).as("minv"),
+            round(col("__q.scale"), 6).as("scale"),
+            aggregate(col("__q.codes"), lit(0L),
               (a, c) => a + c.cast("long")).as("code_sum"),
-            round(Similarity.quantizationMse(col("embedding")), 6).as("mse"))
+            round(col("__q.mse"), 6).as("mse"))
           .orderBy("vec_id")
       },
       Some("""WITH u AS (SELECT vec_id, unnest(embedding)::DOUBLE AS e
