@@ -129,6 +129,41 @@ class CurationSpec extends AnyFunSuite {
     val r2 = q.where($"id" === 2).select("q.codes", "mse")
       .as[(Seq[Int], Double)].head()
     assert(r2._1.forall(_ == 0) && r2._2 == 0.0)
+    // native-pass edges: empty vector → (null, null, [], 0); null → null
+    val edge = Seq((1L, Some(Array.empty[Float])), (2L, None))
+      .toDF("id", "vec")
+      .select($"id", Similarity.quantizeInt8Full($"vec").as("q"))
+      .orderBy("id").collect()
+    val e1 = edge(0).getStruct(1)
+    assert(e1.isNullAt(0) && e1.isNullAt(1)
+      && e1.getSeq[Int](2).isEmpty && e1.getDouble(3) == 0.0)
+    assert(edge(1).isNullAt(1))
+    // double input accepted alongside float
+    val dv = Seq((1L, Array(0.0, 2.0))).toDF("id", "vec")
+      .select(Similarity.quantizeInt8Full($"vec").as("q"))
+      .select("q.codes").as[Seq[Int]].head()
+    assert(dv == Seq(0, 255))
+  }
+
+  test("gopherRepetition edges: null/empty text, tab lines, tie order") {
+    val docs = Seq(
+      (1L, None),                       // null text → zero struct
+      (2L, Some("")),                   // empty → zero struct
+      (3L, Some(" \t x\n \t x")),       // space-only trim keeps tabs:
+                                        // "\t x" duplicates → frac > 0
+      (4L, Some("b b a a b b"))         // ties: "b b"×2 beats "a a"/"a b"
+    ).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+      TextAnalysis.gopherRepetition(col("text")).as("g"))
+      .orderBy("doc_id").collect()
+    val g1 = out(0).getStruct(1); val g2 = out(1).getStruct(1)
+    assert(g1.getDouble(0) == 0.0 && g1.getDouble(2) == 0.0)
+    assert(g2.getDouble(0) == 0.0 && g2.getDouble(2) == 0.0)
+    assert(out(2).getStruct(1).getDouble(0) == 0.5) // 2 lines, 1 distinct
+    // doc 4 bigrams: [b b, b a, a a, a b, b b] → "b b" count 2, len 3,
+    // covered chars 2·(3−1)=4 over 6 token chars
+    assert(out(3).getStruct(1).getDouble(2) ==
+      BigDecimal(4.0 / 6.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
   test("redactPii scrubs emails, IPs, and phone-shaped numbers") {
