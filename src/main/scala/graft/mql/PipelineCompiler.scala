@@ -1411,7 +1411,8 @@ object PipelineCompiler {
     // per-clause score option: {"score": {"boost": {"value": w}}} scales
     // the clause's BM25/constant score; {"constant": {"value": k}}
     // replaces it with k for matching docs (Atlas's two modifiers)
-    case class Cl(c: SClause, boost: Double, constant: Option[Double])
+    case class Cl(c: SClause, boost: Double, constant: Option[Double],
+                  fn: Option[JValue] = None)
     def numOf(v: JValue, ctx: String): Double = v match {
       case JInt(i) => i.toDouble
       case JLong(l) => l.toDouble
@@ -1428,9 +1429,25 @@ object PipelineCompiler {
           (1.0, Some(obj(c, s"$ctx.score.constant").collectFirst { case ("value", x) =>
             numOf(x, s"$ctx.score.constant") }
             .getOrElse(throw new MqlException(s"$ctx.score.constant needs value"))))
-        case _ => throw new MqlException(s"$ctx.score supports boost or constant")
+        case List(("function", _)) => (1.0, None) // attached by parseClause
+        case _ => throw new MqlException(
+          s"$ctx.score supports boost, constant, or function")
       }}.getOrElse((1.0, None))
-    def parseClause(v: JValue, ctx: String): Cl = obj(v, ctx) match {
+    // score.function rides OUTSIDE the per-operator parse: extract it
+    // here once and attach to whatever clause the branch built
+    def parseClause(v: JValue, ctx: String): Cl = {
+      val cl = parseClause0(v, ctx)
+      val fn = v match {
+        case JObject(List((_, t))) => t match {
+          case JObject(fs) => fs.collectFirst { case ("score", JObject(ss)) =>
+            ss.collectFirst { case ("function", f) => f } }.flatten
+          case _ => None
+        }
+        case _ => None
+      }
+      fn.map(f => cl.copy(fn = Some(f))).getOrElse(cl)
+    }
+    def parseClause0(v: JValue, ctx: String): Cl = obj(v, ctx) match {
       case List(("text", t)) =>
         val o = obj(t, "$search.text")
         val (b, k) = scoreOpt(o, "$search.text")
@@ -1845,15 +1862,15 @@ object PipelineCompiler {
               .as(s"__avgdl_${pIdx(p)}"))
       } ++
       scoredClauses.zipWithIndex.flatMap {
-        case (Cl(TextCl(terms, p, fz), _, None), ci) =>
+        case (Cl(TextCl(terms, p, fz), _, None, _), ci) =>
           terms.zipWithIndex.map { case (t, ti) =>
             val hit = if (fz.isEmpty) array_contains(tokCol(p), t)
               else coalesce(exists(tokCol(p), x => tokPred(x, t, fz)), lit(false))
             sum(when(hit, 1L).otherwise(0L)).as(s"__df_${ci}_$ti") }
-        case (Cl(PhraseCl(terms, p, slop), _, None), ci) =>
+        case (Cl(PhraseCl(terms, p, slop), _, None, _), ci) =>
           Seq(sum(when(phraseTf(tokCol(p), terms, slop) > 0, 1L).otherwise(0L))
             .as(s"__pdf_$ci"))
-        case (Cl(QsCl(dp, tree), _, None), ci) =>
+        case (Cl(QsCl(dp, tree), _, None, _), ci) =>
           qsLeaves(tree, dp).filter(l => l.positive && l.kind <= 1).map { l =>
             if (l.kind == 0)
               sum(when(array_contains(tokCol(l.path), l.terms.head), 1L)
@@ -1862,7 +1879,7 @@ object PipelineCompiler {
               sum(when(phraseTf(tokCol(l.path), l.terms) > 0, 1L)
                 .otherwise(0L)).as(s"__qsp_${ci}_${l.idx}")
           }
-        case (Cl(MltCl(fields), _, None), ci) =>
+        case (Cl(MltCl(fields), _, None, _), ci) =>
           fields.zipWithIndex.flatMap { case ((f, ts), fi) =>
             ts.zipWithIndex.map { case (t, ti) =>
               sum(when(array_contains(tokCol(f), t), 1L).otherwise(0L))
@@ -1975,29 +1992,71 @@ object PipelineCompiler {
     // so each interpreted position-scan/filter runs once per row, not 3×
     // (measured 2.5× on the sf0.1 phrase bench queries)
     val tfCols: Seq[(String, Column)] = scoredClauses.zipWithIndex.flatMap {
-      case (Cl(TextCl(terms, p, fz), _, None), ci) =>
+      case (Cl(TextCl(terms, p, fz), _, None, _), ci) =>
         terms.zipWithIndex.map { case (t, ti) =>
           s"__tf_${ci}_$ti" ->
             size(filter(tokCol(p), x => tokPred(x, t, fz))).cast("double") }
-      case (Cl(PhraseCl(terms, p, slop), _, None), ci) =>
+      case (Cl(PhraseCl(terms, p, slop), _, None, _), ci) =>
         Seq(s"__tf_$ci" -> phraseTf(tokCol(p), terms, slop))
-      case (Cl(QsCl(dp, tree), _, None), ci) =>
+      case (Cl(QsCl(dp, tree), _, None, _), ci) =>
         qsLeaves(tree, dp).filter(l => l.positive && l.kind <= 1).map { l =>
           s"__tfq_${ci}_${l.idx}" -> (
             if (l.kind == 0)
               size(filter(tokCol(l.path), x => x === lit(l.terms.head)))
                 .cast("double")
             else phraseTf(tokCol(l.path), l.terms)) }
-      case (Cl(MltCl(fields), _, None), ci) =>
+      case (Cl(MltCl(fields), _, None, _), ci) =>
         fields.zipWithIndex.flatMap { case ((f, ts), fi) =>
           ts.zipWithIndex.map { case (t, ti) =>
             s"__tf_${ci}_${fi}_$ti" ->
               size(filter(tokCol(f), x => x === lit(t))).cast("double") } }
       case _ => Nil
     }
+    // Atlas score.function tree → Column, with {score: "relevance"}
+    // bound to the clause's base relevance score. Supported: score,
+    // constant, path (with undefined default), add, multiply, log
+    // (log10, per Atlas), log1p, gauss (Lucene decay:
+    // decay^(max(0, |v−origin|−offset)² / scale²) via σ² =
+    // −scale²/(2·ln decay)). All pure arithmetic — stays in codegen.
+    def fnScore(v: JValue, rel: Column): Column = v match {
+      case JObject(List(("score", JString("relevance")))) => rel
+      case JObject(List(("constant", n))) => lit(numOf(n, "score.function.constant"))
+      case JObject(List(("path", JString(p)))) => fieldCol(p).cast("double")
+      case JObject(List(("path", JObject(po)))) =>
+        val p = po.collectFirst { case ("value", JString(x)) => x }
+          .getOrElse(throw new MqlException("score.function.path needs value"))
+        po.collectFirst { case ("undefined", u) =>
+          coalesce(fieldCol(p).cast("double"),
+            lit(numOf(u, "score.function.path.undefined"))) }
+          .getOrElse(fieldCol(p).cast("double"))
+      case JObject(List(("add", JArray(es)))) =>
+        es.map(fnScore(_, rel)).reduce(_ + _)
+      case JObject(List(("multiply", JArray(es)))) =>
+        es.map(fnScore(_, rel)).reduce(_ * _)
+      case JObject(List(("log", e))) => log10(fnScore(e, rel))
+      case JObject(List(("log1p", e))) => log10(fnScore(e, rel) + lit(1.0))
+      case JObject(List(("gauss", JObject(gs)))) =>
+        def num(k: String, d: Option[Double] = None): Double =
+          gs.collectFirst { case (`k`, x) => numOf(x, s"gauss.$k") }
+            .orElse(d).getOrElse(
+              throw new MqlException(s"score.function.gauss needs $k"))
+        val p = gs.collectFirst { case ("path", JString(x)) => JString(x): JValue }
+          .orElse(gs.collectFirst { case ("path", o: JObject) => o: JValue })
+          .getOrElse(throw new MqlException("score.function.gauss needs path"))
+        val origin = num("origin"); val scale = num("scale")
+        val offset = num("offset", Some(0.0)); val decay = num("decay", Some(0.5))
+        if (decay <= 0 || decay >= 1)
+          throw new MqlException("gauss.decay must be in (0, 1)")
+        val v2 = fnScore(JObject(List("path" -> p)), rel)
+        val dist = greatest(abs(v2 - lit(origin)) - lit(offset), lit(0.0))
+        val sigma2 = -scale * scale / (2.0 * math.log(decay))
+        exp(dist * dist / lit(-2.0 * sigma2))
+      case other => throw new MqlException(
+        s"unsupported score.function expression: $other")
+    }
     def score(cl: Cl, ci: Int): Column = cl match {
-      case Cl(c, _, Some(k)) => when(matches(c), lit(k)).otherwise(lit(0.0))
-      case Cl(c, boost, None) =>
+      case Cl(c, _, Some(k), _) => when(matches(c), lit(k)).otherwise(lit(0.0))
+      case Cl(c, boost, None, fnOpt) =>
         val base = c match {
           case TextCl(terms, p, fz) =>
             terms.zipWithIndex.map { case (t, ti) =>
@@ -2041,7 +2100,12 @@ object PipelineCompiler {
               .reduce(_ + _)
           case c2 => when(matches(c2), lit(1.0)).otherwise(lit(0.0))
         }
-        if (boost == 1.0) base else base * lit(boost)
+        val boosted = if (boost == 1.0) base else base * lit(boost)
+        // a function REPLACES the relevance score, gated on the clause
+        // matching (a non-matching should clause must contribute 0 —
+        // an ungated {constant: 5} would score every document)
+        fnOpt.map(f => when(matches(c), fnScore(f, boosted))
+          .otherwise(lit(0.0))).getOrElse(boosted)
     }
     val clauseScores = scoredClauses.zipWithIndex.map { case (c, ci) => score(c, ci) }
     // Lucene BooleanQuery semantics: every must+filter clause holds, no
@@ -2071,13 +2135,13 @@ object PipelineCompiler {
       tfCols.map(_._1) ++
       statPaths.flatMap(p => Seq(s"__n_${pIdx(p)}", s"__avgdl_${pIdx(p)}")) ++
       scoredClauses.zipWithIndex.flatMap {
-        case (Cl(TextCl(terms, _, _), _, None), ci) =>
+        case (Cl(TextCl(terms, _, _), _, None, _), ci) =>
           terms.indices.map(ti => s"__df_${ci}_$ti")
-        case (Cl(_: PhraseCl, _, None), ci) => Seq(s"__pdf_$ci")
-        case (Cl(QsCl(dp, tree), _, None), ci) =>
+        case (Cl(_: PhraseCl, _, None, _), ci) => Seq(s"__pdf_$ci")
+        case (Cl(QsCl(dp, tree), _, None, _), ci) =>
           qsLeaves(tree, dp).filter(l => l.positive && l.kind <= 1).map { l =>
             if (l.kind == 0) s"__qst_${ci}_${l.idx}" else s"__qsp_${ci}_${l.idx}" }
-        case (Cl(MltCl(fields), _, None), ci) =>
+        case (Cl(MltCl(fields), _, None, _), ci) =>
           fields.zipWithIndex.flatMap { case ((_, ts), fi) =>
             ts.indices.map(ti => s"__mlt_${ci}_${fi}_$ti") }
         case _ => Nil

@@ -1556,6 +1556,40 @@ object LlmOps {
             SELECT doc_id, score FROM sc
             ORDER BY score DESC, doc_id LIMIT 20""")),
 
+    // $search score.function: the Atlas custom-score tree —
+    // relevance × log1p(n_chars), the standard length/recency-boost
+    // idiom; the twin re-derives raw BM25 and applies the identical
+    // arithmetic before the one final round
+    QueryDef("q_search_fn_score",
+      (s, dir) => Graft.aggregate(s, dir, "documents",
+        """[
+          {"$search": {"text": {"query": "spark query window",
+            "path": "text",
+            "score": {"function": {"multiply": [{"score": "relevance"},
+              {"log1p": {"path": "n_chars"}}]}}},
+            "limit": 20, "tieBreaker": "doc_id"}},
+          {"$project": {"doc_id": 1,
+            "score": {"$meta": "searchScore"}}},
+          {"$sort": {"score": -1, "doc_id": 1}}]"""),
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($duckToksLower) AS term
+                 FROM documents),
+              dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+              st AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+              tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+                     WHERE term IN ('spark', 'query', 'window') GROUP BY 1, 2),
+              df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+              sc AS (SELECT tf.doc_id,
+                       SUM(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5)) *
+                         tf.tf * 2.2 / (tf.tf + 1.2 *
+                           (1 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS raw
+                     FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+                          CROSS JOIN st
+                     GROUP BY 1)
+            SELECT sc.doc_id,
+                   round(raw * log10(d.n_chars + 1), 6) AS score
+            FROM sc JOIN documents d USING (doc_id)
+            ORDER BY score DESC, doc_id LIMIT 20""")),
+
     // $search phrase operator: "spark query" as a CONSECUTIVE token
     // subsequence, BM25-scored with the phrase as one pseudo-term —
     // DuckDB rebuilds occurrence counts from positioned tokens

@@ -1026,6 +1026,56 @@ class PipelineExtraSpec extends AnyFunSuite {
       assert(math.abs(sc - math.rint(plain(id) * 3 * 1e6) / 1e6) < 2e-6) }
   }
 
+  test("$search score.function: path/constant/multiply/log1p/gauss") {
+    val docs = Seq(
+      (1L, "spark fast", 2.0), (2L, "slow database", 9.0), (3L, "spark", 4.0)
+    ).toDF("id", "text", "quality")
+    // function replaces relevance: score = quality × 2
+    val fn = PipelineCompiler.run(docs, """[
+      {"$search": {"text": {"query": "spark", "path": "text",
+        "score": {"function": {"multiply": [
+          {"path": "quality"}, {"constant": 2}]}}}}},
+      {"$project": {"id": 1, "score": {"$meta": "searchScore"}}},
+      {"$sort": {"id": 1}}]""").as[(Long, Double)].collect().toSeq
+    assert(fn == Seq((1L, 4.0), (3L, 8.0))) // doc 2 doesn't match → absent
+    // relevance reference scales the BM25 base; log1p = log10(x+1)
+    val plain2 = PipelineCompiler.run(docs, """[
+      {"$search": {"text": {"query": "spark", "path": "text"}}},
+      {"$project": {"id": 1, "score": {"$meta": "searchScore"}}}]""")
+      .as[(Long, Double)].collect().toMap
+    val rel = PipelineCompiler.run(docs, """[
+      {"$search": {"text": {"query": "spark", "path": "text",
+        "score": {"function": {"log1p": {"multiply": [
+          {"score": "relevance"}, {"constant": 9}]}}}}}},
+      {"$project": {"id": 1, "score": {"$meta": "searchScore"}}}]""")
+      .as[(Long, Double)].collect().toMap
+    rel.foreach { case (id, sc) =>
+      assert(math.abs(sc -
+        math.rint(math.log10(plain2(id) * 9 + 1) * 1e6) / 1e6) < 2e-6) }
+    // gauss decay: exact at origin boundary (|v−origin| ≤ offset → 1),
+    // decay value at |v−origin| = offset + scale
+    val g = PipelineCompiler.run(docs, """[
+      {"$search": {"text": {"query": "spark", "path": "text",
+        "score": {"function": {"gauss": {"path": "quality",
+          "origin": 2.0, "scale": 2.0, "decay": 0.5}}}}}},
+      {"$project": {"id": 1, "score": {"$meta": "searchScore"}}},
+      {"$sort": {"id": 1}}]""").as[(Long, Double)].collect().toMap
+    assert(g(1L) == 1.0)           // quality 2 = origin
+    assert(math.abs(g(3L) - 0.5) < 1e-9) // |4−2| = scale → decay
+    // path.undefined default; unsupported function node rejected
+    val und = PipelineCompiler.run(docs.withColumn("quality",
+      org.apache.spark.sql.functions.when($"id" === 1, $"quality")), """[
+      {"$search": {"text": {"query": "spark", "path": "text",
+        "score": {"function": {"path": {"value": "quality",
+                                        "undefined": 7.0}}}}}},
+      {"$project": {"id": 1, "score": {"$meta": "searchScore"}}},
+      {"$sort": {"id": 1}}]""").as[(Long, Double)].collect().toSeq
+    assert(und == Seq((1L, 2.0), (3L, 7.0)))
+    intercept[MqlException](PipelineCompiler.run(docs, """[
+      {"$search": {"text": {"query": "spark", "path": "text",
+        "score": {"function": {"exp": {"constant": 1}}}}}}]"""))
+  }
+
   test("$search phrase operator: consecutive-subsequence BM25") {
     val docs = Seq(
       (1L, "spark spark fast"), (2L, "slow database"), (3L, "spark")
