@@ -43,8 +43,15 @@ object Graft {
   def aggregateWithOptions(df: DataFrame, pipelineJson: String,
                            options: Map[String, Any]): DataFrame = {
     val letJson = options.get("let").map(_.toString)
-    stripOptions(options - "let", StrippedAggOptions, "aggregate")
-    aggregate(df, pipelineJson, letJson)
+    // aggregate-level collation (forwarded verbatim by the reference,
+    // api.py:252): folds $match string comparisons and $sort ordering;
+    // stages whose string GROUPING/JOIN equality it would change are
+    // refused loudly inside the compiler
+    val collation = options.get("collation").map(c =>
+      FilterCompiler.Collation.parse(c.toString))
+    stripOptions(options - "let" - "collation", StrippedAggOptions, "aggregate")
+    FilterCompiler.withCollation(collation)(
+      aggregate(df, pipelineJson, letJson))
   }
 
   /** events.ts normalization: fixture generations have shipped the

@@ -85,6 +85,16 @@ object FilterCompiler {
                   collation: Option[Collation] = None): FindCompiled =
     activeCollation.withValue(collation)(compileFindInner(json))
 
+  /** Run `body` with `collation` active: every filter compiled inside
+    * folds string comparisons (the aggregate-level collation option —
+    * the reference forwards it verbatim in kwargs, api.py:252). */
+  def withCollation[T](collation: Option[Collation])(body: => T): T =
+    activeCollation.withValue(collation)(body)
+
+  /** Whether a case-insensitive collation is active (pipeline stages
+    * consult this to fold sort keys / reject unsupported stages). */
+  def collationCaseInsensitive: Boolean = ci
+
   private def compileFindInner(json: String): FindCompiled = {
     val fields = asObj(parse(json), "filter")
     val nearDists = scala.collection.mutable.ArrayBuffer[Column]()

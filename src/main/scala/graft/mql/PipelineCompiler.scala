@@ -53,6 +53,13 @@ object PipelineCompiler {
     stages.foldLeft((df, Option.empty[JValue])) { case ((acc, prevSort), s) =>
       asObj(s, "stage") match {
         case List(("$group", spec)) =>
+          // $group rides its own dispatch (prevSort threading) — apply
+          // the collation gate here too
+          if (FilterCompiler.collationCaseInsensitive)
+            throw new MqlException(
+              "collation: $group under a case-insensitive collation is " +
+                "unsupported (its string grouping equality would silently " +
+                "ignore the collation)")
           (group(acc, asObj(spec, "$group"), prevSort), None)
         case List((name, spec)) =>
           (applyStage(acc, name, spec, resolve),
@@ -62,8 +69,28 @@ object PipelineCompiler {
     }._1
   }
 
+  // stages whose STRING EQUALITY semantics a case-insensitive collation
+  // must change (grouping keys, join keys): a silently case-sensitive
+  // result would be wrong, so they are refused loudly rather than
+  // approximated. $match folding and $sort ordering ARE supported —
+  // the same contract as the find path.
+  private val CollationUnsupportedStages = Set(
+    "$group", "$bucket", "$bucketAuto", "$sortByCount",
+    "$lookup", "$graphLookup", "$unionWith", "$densify")
+
   private[mql] def applyStage(df: DataFrame, name: String, spec: JValue,
-                              resolve: TableResolver): DataFrame = name match {
+                              resolve: TableResolver): DataFrame = {
+    if (FilterCompiler.collationCaseInsensitive &&
+        CollationUnsupportedStages(name))
+      throw new MqlException(
+        s"collation: $name under a case-insensitive collation is " +
+          "unsupported (its string grouping/join equality would silently " +
+          "ignore the collation)")
+    applyStage0(df, name, spec, resolve)
+  }
+
+  private def applyStage0(df: DataFrame, name: String, spec: JValue,
+                          resolve: TableResolver): DataFrame = name match {
     // literal-document input (Mongo: first stage of a db-level
     // aggregate): replaces the incoming frame entirely
     case "$documents" => spec match {
@@ -79,7 +106,19 @@ object PipelineCompiler {
     case "$match"   => df.where(FilterCompiler.compile(spec))
     case "$limit"   => df.limit(intValue(spec, "$limit"))
     case "$skip"    => df.offset(intValue(spec, "$skip"))
-    case "$sort"    => df.orderBy(sortCols(spec): _*)
+    case "$sort"    =>
+      // under a case-insensitive collation, string sort keys fold
+      // through lower() with the raw column as tiebreak (the find-path
+      // contract); non-string keys are untouched (Mongo: collation
+      // never affects non-string comparison)
+      val cols =
+        if (!FilterCompiler.collationCaseInsensitive) sortCols(spec)
+        else asObj(spec, "$sort").flatMap {
+          case (k, JInt(d))  => foldedSortKey(df, k, d >= 0)
+          case (k, JLong(d)) => foldedSortKey(df, k, d >= 0)
+          case (k, o) => throw new MqlException(s"bad sort direction for $k: $o")
+        }
+      df.orderBy(cols: _*)
     case "$count"   => // Mongo emits NO doc for empty input
       val n = strValue(spec, "$count")
       val sentinel = freshName(Set(n))
@@ -171,6 +210,13 @@ object PipelineCompiler {
       case (k, JLong(d)) => if (d >= 0) fieldCol(k).asc else fieldCol(k).desc
       case (k, other)    => throw new MqlException(s"bad sort direction for $k: $other")
     }
+
+  private def foldedSortKey(df: DataFrame, k: String, asc: Boolean): Seq[Column] = {
+    val isStr = k.indexOf('.') < 0 && df.schema.find(_.name == k)
+      .exists(_.dataType == org.apache.spark.sql.types.StringType)
+    val keys = if (isStr) Seq(lower(fieldCol(k)), fieldCol(k)) else Seq(fieldCol(k))
+    keys.map(c => if (asc) c.asc else c.desc)
+  }
 
   // ---- $project ----------------------------------------------------------
   // Inclusion specs build a nested tree so dotted paths reconstruct structs

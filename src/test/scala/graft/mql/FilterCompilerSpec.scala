@@ -278,6 +278,32 @@ class FilterCompilerSpec extends AnyFunSuite {
       Map("collation" -> """{"locale": "en", "numericOrdering": true}""")))
   }
 
+  test("aggregate-level collation: $match/$sort fold; grouping stages refused") {
+    val df = Seq(
+      (1, "Alpha", 10), (2, "ALPHA", 20), (3, "beta", 30), (4, "Beta", 5)
+    ).toDF("id", "name", "n")
+    val ci = Map[String, Any](
+      "collation" -> """{"locale": "en", "strength": 2}""")
+    val out = Graft.aggregateWithOptions(df, """[
+      {"$match": {"name": "alpha"}},
+      {"$sort": {"name": 1, "id": 1}},
+      {"$project": {"id": 1}}]""", ci)
+      .as[Int].collect().toSeq
+    // folded keys tie → raw-column tiebreak ranks "ALPHA" before "Alpha"
+    assert(out == Seq(2, 1))
+    // strength 3 (binary) leaves equality untouched
+    assert(Graft.aggregateWithOptions(df, """[
+      {"$match": {"name": "alpha"}}]""",
+      Map[String, Any]("collation" -> """{"locale": "en", "strength": 3}"""))
+      .count() == 0)
+    // grouping/join equality under ci collation is refused, not silently
+    // case-sensitive
+    intercept[MqlException](Graft.aggregateWithOptions(df, """[
+      {"$group": {"_id": "$name", "n": {"$count": {}}}}]""", ci))
+    intercept[MqlException](Graft.aggregateWithOptions(df, """[
+      {"$sortByCount": "$name"}]""", ci))
+  }
+
   test("$jsonSchema: required/properties/type gates/enum/combinators") {
     val df = Seq(
       (1, Some("alpha"), Some(10.0), Some(Seq(1, 2, 3))),
