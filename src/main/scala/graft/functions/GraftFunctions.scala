@@ -1097,6 +1097,72 @@ case class QuantInt8(child: Expression)
   override protected def withNewChildInternal(c: Expression): QuantInt8 = copy(c)
 }
 
+/** $search `highlight` payload for one path: the Atlas
+  * `{$meta: "searchHighlights"}` shape — an array of passages, each
+  * `{score, path, texts: [{value, type: "hit"|"text"}]}`. Documented
+  * simplifications of the index-side Lucene highlighter: ONE passage
+  * spanning the whole field (Atlas segments into up to 5
+  * sentence-bounded passages — an analyzer artifact), values re-joined
+  * with single spaces (tokenizer-normalized whitespace, the corpus
+  * convention used across the text operators), and passage score =
+  * highlighted-term count (Lucene's unpublished passage weighting has
+  * no public contract to pin). Hit test = lowercased whitespace token ∈
+  * query terms, the engine's analyzer. No hits (or null text) → empty
+  * array. One native pass per row (split + run-walk); eval-based. */
+case class SearchHighlights(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression with CodegenFallback {
+  private val textsType = ArrayType(StructType(Seq(
+    StructField("value", StringType, nullable = false),
+    StructField("type", StringType, nullable = false))), containsNull = false)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("score", DoubleType, nullable = false),
+    StructField("path", StringType, nullable = false),
+    StructField("texts", textsType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+
+  private lazy val terms: Set[String] =
+    second.eval().asInstanceOf[ArrayData].toArray[UTF8String](StringType)
+      .map(_.toString).toSet
+  private lazy val pathName: UTF8String =
+    third.eval().asInstanceOf[UTF8String].clone()
+  private val hitT = UTF8String.fromString("hit")
+  private val textT = UTF8String.fromString("text")
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val t = first.eval(input)
+    if (t == null) return new GenericArrayData(Array.empty[Any])
+    val toks = t.asInstanceOf[UTF8String].toString.trim
+      .split("\\s+").iterator.filter(_.nonEmpty).toArray
+    var hits = 0
+    val texts = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val run = new java.lang.StringBuilder()
+    def flushRun(): Unit = if (run.length > 0) {
+      texts += org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(run.toString), textT)
+      run.setLength(0)
+    }
+    toks.foreach { tok =>
+      if (terms.contains(tok.toLowerCase(java.util.Locale.ROOT))) {
+        flushRun(); hits += 1
+        texts += org.apache.spark.sql.catalyst.InternalRow(
+          UTF8String.fromString(tok), hitT)
+      } else {
+        if (run.length > 0) run.append(' ')
+        run.append(tok)
+      }
+    }
+    flushRun()
+    if (hits == 0) new GenericArrayData(Array.empty[Any])
+    else new GenericArrayData(Array[Any](
+      org.apache.spark.sql.catalyst.InternalRow(hits.toDouble, pathName,
+        new GenericArrayData(texts.toArray))))
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): SearchHighlights =
+    copy(first = f, second = s, third = t)
+}
+
 /** BSON-serialized byte size of a document column ($bsonSize). Reuses
   * the sink encoder (`BsonBinary.encodeRow`) through a Catalyst→external
   * converter, so the reported size is by construction the exact byte
@@ -1146,6 +1212,7 @@ object GraftFunctions {
     "graft_bson_size" -> ((e: Seq[Expression]) => BsonSize(e.head)),
     "gopher_rep" -> ((e: Seq[Expression]) => GopherRep(e(0), e(1))),
     "quant_int8" -> ((e: Seq[Expression]) => QuantInt8(e.head)),
+    "search_highlights" -> ((e: Seq[Expression]) => SearchHighlights(e(0), e(1), e(2))),
     "graft_regex_find" -> ((e: Seq[Expression]) => RegexFind(e(0), e(1))),
     "graft_regex_find_all" -> ((e: Seq[Expression]) => RegexFindAll(e(0), e(1))),
     "graft_merge_objects" -> ((e: Seq[Expression]) => MergeObjects(e)),

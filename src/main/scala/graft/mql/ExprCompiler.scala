@@ -149,6 +149,7 @@ object ExprCompiler {
         case JString("searchScore")       => col("searchScore")
         case JString("score")             => col("score") // $rankFusion
         case JString("textScore")         => col("textScore") // find $text
+        case JString("searchHighlights")  => col("searchHighlights")
         case other => throw new MqlException(s"unsupported $$meta: $other")
       }
       // ---- arithmetic ----

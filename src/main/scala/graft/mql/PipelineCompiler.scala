@@ -2194,10 +2194,37 @@ object PipelineCompiler {
       }
     val totalScore =
       if (clauseScores.isEmpty) lit(0.0) else clauseScores.reduce(_ + _)
-    val scored = withToks
+    var scored = withToks
       .withColumn("searchScore", round(totalScore, 6))
       .where(matched)
       .drop(dropCols: _*)
+    // "highlight": {path} → the `searchHighlights` carrier column
+    // ({"$meta": "searchHighlights"} resolves to it). Hit terms = the
+    // analyzed terms of every positive text-ish clause targeting that
+    // path; the SearchHighlights expression documents the passage
+    // simplifications. maxCharsToExamine/maxNumPassages are accepted
+    // and ignored (index-side physical knobs).
+    spec.collectFirst { case ("highlight", hv) => obj(hv, "$search.highlight") }
+      .foreach { ho =>
+        ho.map(_._1).find(k =>
+            !Set("path", "maxCharsToExamine", "maxNumPassages").contains(k))
+          .foreach(k => throw new MqlException(
+            s"$$search.highlight: unsupported option '$k'"))
+        val hPath = ho.collectFirst { case ("path", JString(p)) => p }
+          .getOrElse(throw new MqlException("$search.highlight needs path"))
+        val hTerms = scoredClauses.map(_.c).collect {
+          case TextCl(ts, p, _) if p == hPath => ts
+          case PhraseCl(ts, p, _) if p == hPath => ts
+          case AutoCl(ts, p) if p == hPath => ts
+          case MltCl(fields) => fields.collect {
+            case (f, ts) if f == hPath => ts }.flatten
+        }.flatten.distinct
+        graft.functions.GraftFunctions.register(
+          org.apache.spark.sql.SparkSession.active)
+        scored = scored.withColumn("searchHighlights",
+          call_function("search_highlights", fieldCol(hPath),
+            array(hTerms.map(lit): _*), lit(hPath)))
+      }
     val tieCols = spec.collectFirst { case ("tieBreaker", JString(t)) => t }
       .map(t => Seq(fieldCol(t).asc)).getOrElse(Seq.empty)
     // "sort": {field: 1|-1, ...} replaces relevance ordering with a

@@ -1556,6 +1556,58 @@ object LlmOps {
             SELECT doc_id, score FROM sc
             ORDER BY score DESC, doc_id LIMIT 20""")),
 
+    // $search highlight: the searchHighlights payload flattened to a
+    // hashable rendering — hits bracketed, runs re-joined — which the
+    // twin reproduces token for token from the same analyzer
+    QueryDef("q_search_highlight",
+      (s, dir) => Graft.aggregate(s, dir, "documents",
+        """[
+          {"$search": {"text": {"query": "spark query window",
+            "path": "text"},
+            "highlight": {"path": "text"},
+            "limit": 20, "tieBreaker": "doc_id"}},
+          {"$project": {"doc_id": 1,
+            "hits": {"$toLong": {"$arrayElemAt": [
+              {"$map": {"input": {"$meta": "searchHighlights"},
+                        "in": "$$this.score"}}, 0]}},
+            "marked": {"$reduce": {
+              "input": {"$getField": {"field": "texts",
+                "input": {"$arrayElemAt": [{"$meta": "searchHighlights"}, 0]}}},
+              "initialValue": "",
+              "in": {"$concat": ["$$value",
+                {"$cond": [{"$eq": ["$$value", ""]}, "", " "]},
+                {"$cond": [{"$eq": ["$$this.type", "hit"]},
+                  {"$concat": ["[", "$$this.value", "]"]},
+                  "$$this.value"]}]}}}}},
+          {"$sort": {"doc_id": 1}}]"""),
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($duckToksLower) AS term
+                 FROM documents),
+              dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+              st AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+              tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+                     WHERE term IN ('spark', 'query', 'window') GROUP BY 1, 2),
+              df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+              sc AS (SELECT tf.doc_id,
+                       round(SUM(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5)) *
+                         tf.tf * 2.2 / (tf.tf + 1.2 *
+                           (1 - 0.75 + 0.75 * dl.dl / st.avgdl))), 6) AS score
+                     FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+                          CROSS JOIN st
+                     GROUP BY 1),
+              top AS (SELECT doc_id FROM sc
+                      ORDER BY score DESC, doc_id LIMIT 20),
+              raw AS (SELECT d.doc_id,
+                        list_filter(string_split_regex(trim(d.text), '\\s+'),
+                          x -> x <> '') AS w
+                      FROM documents d JOIN top USING (doc_id))
+              SELECT doc_id,
+                CAST(len(list_filter(w, x ->
+                  lower(x) IN ('spark', 'query', 'window'))) AS BIGINT) AS hits,
+                array_to_string(list_transform(w, x ->
+                  CASE WHEN lower(x) IN ('spark', 'query', 'window')
+                       THEN '[' || x || ']' ELSE x END), ' ') AS marked
+              FROM raw ORDER BY doc_id""")),
+
     // $search score.function: the Atlas custom-score tree —
     // relevance × log1p(n_chars), the standard length/recency-boost
     // idiom; the twin re-derives raw BM25 and applies the identical

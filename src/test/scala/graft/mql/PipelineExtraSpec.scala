@@ -1076,6 +1076,44 @@ class PipelineExtraSpec extends AnyFunSuite {
         "score": {"function": {"exp": {"constant": 1}}}}}}]"""))
   }
 
+  test("$search highlight: hit/text runs via $meta searchHighlights") {
+    val docs = Seq(
+      (1L, "Spark makes spark queries fast"),
+      (2L, "nothing relevant here"),
+      (3L, "spark")
+    ).toDF("id", "text")
+    val out = PipelineCompiler.run(docs, """[
+      {"$search": {"text": {"query": "spark fast", "path": "text"},
+        "highlight": {"path": "text"}}},
+      {"$project": {"id": 1, "h": {"$meta": "searchHighlights"}}},
+      {"$sort": {"id": 1}}]""")
+    val rows = out.collect()
+    // doc 1: hits Spark, spark, fast (case-folded) → one passage,
+    // score 3, alternating runs
+    val p1 = rows(0).getSeq[org.apache.spark.sql.Row](1).head
+    assert(p1.getDouble(0) == 3.0 && p1.getString(1) == "text")
+    val texts = p1.getSeq[org.apache.spark.sql.Row](2)
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(texts == Seq(("Spark", "hit"), ("makes", "text"),
+      ("spark", "hit"), ("queries", "text"), ("fast", "hit")))
+    // doc 3: single hit, no text runs
+    val p3 = rows(1).getSeq[org.apache.spark.sql.Row](1).head
+    assert(p3.getDouble(0) == 1.0)
+    // a doc matched by OTHER clauses but without hits on the highlight
+    // path gets an empty array (compound: match on id-ish equals)
+    val none = PipelineCompiler.run(docs, """[
+      {"$search": {"compound": {
+        "must": [{"exists": {"path": "text"}}],
+        "should": [{"text": {"query": "zebra", "path": "text"}}]},
+        "highlight": {"path": "text"}}},
+      {"$project": {"id": 1, "n": {"$size": {"$meta": "searchHighlights"}}}},
+      {"$sort": {"id": 1}}]""").as[(Long, Int)].collect().toSeq
+    assert(none.map(_._2).forall(_ == 0))
+    intercept[MqlException](PipelineCompiler.run(docs, """[
+      {"$search": {"text": {"query": "spark", "path": "text"},
+        "highlight": {"paths": "text"}}}]"""))
+  }
+
   test("$search phrase operator: consecutive-subsequence BM25") {
     val docs = Seq(
       (1L, "spark spark fast"), (2L, "slow database"), (3L, "spark")
