@@ -2337,6 +2337,9 @@ object PipelineCompiler {
         case class SFacet(name: String, path: String, numBuckets: Int) extends FDef
         case class NFacet(name: String, path: String, boundaries: Seq[Double],
                           default: Option[String]) extends FDef
+        case class DFacet(name: String, path: String,
+                          boundaries: Seq[java.time.Instant],
+                          default: Option[String]) extends FDef
         val defs: Seq[FDef] = facetDefs.map { case (name, fv) =>
           val ctx = s"$$searchMeta.facet.facets.$name"
           val o = asObj(fv, ctx)
@@ -2355,14 +2358,34 @@ object PipelineCompiler {
                   s"$ctx: boundaries must be ≥2 strictly increasing numbers")
               NFacet(name, path, bs,
                 o.collectFirst { case ("default", JString(d)) => d })
+            case Some("date") =>
+              // boundaries as extended-JSON {"$date": iso} (or bare iso
+              // strings); bucket _ids render as the ISO instant
+              val bs = o.collectFirst { case ("boundaries", JArray(xs)) =>
+                xs.map {
+                  case JObject(List(("$date", JString(s)))) =>
+                    java.time.Instant.parse(s)
+                  case JString(s) => java.time.Instant.parse(s)
+                  case other => throw new MqlException(
+                    s"$ctx.boundaries: expected dates, got $other")
+                } }
+                .getOrElse(throw new MqlException(s"$ctx needs boundaries"))
+              if (bs.length < 2 ||
+                  bs.sliding(2).exists { case Seq(a, b) => !a.isBefore(b) })
+                throw new MqlException(
+                  s"$ctx: boundaries must be ≥2 strictly increasing dates")
+              DFacet(name, path, bs,
+                o.collectFirst { case ("default", JString(d)) => d })
             case other => throw new MqlException(
               s"$ctx: unsupported facet type ${other.getOrElse("<missing>")}")
           }
         }
-        // pass 1: total count + every number-facet interval, one full agg
+        // pass 1: total count + every number/date-facet interval, one
+        // full agg (dates compare as timestamps, same interval shape)
         val nDefs = defs.zipWithIndex.collect { case (n: NFacet, i) => (n, i) }
+        val dDefs = defs.zipWithIndex.collect { case (d: DFacet, i) => (d, i) }
         val aggCols: Seq[Column] = count(lit(1)).as("__total") +:
-          nDefs.flatMap { case (nf, fi) =>
+          (nDefs.flatMap { case (nf, fi) =>
             val v = fieldCol(nf.path).cast("double")
             nf.boundaries.sliding(2).toSeq.zipWithIndex.map { case (Seq(lo, hi), bi) =>
               coalesce(sum(when(v >= lo && v < hi, 1L).otherwise(0L)), lit(0L))
@@ -2370,7 +2393,17 @@ object PipelineCompiler {
             nf.default.map(_ => coalesce(sum(when(v.isNotNull &&
                 (v < nf.boundaries.head || v >= nf.boundaries.last), 1L)
               .otherwise(0L)), lit(0L)).as(s"__nd_$fi"))
-          }
+          } ++
+          dDefs.flatMap { case (dfc, fi) =>
+            val v = fieldCol(dfc.path).cast("timestamp")
+            def ts(i: java.time.Instant) = lit(java.sql.Timestamp.from(i))
+            dfc.boundaries.sliding(2).toSeq.zipWithIndex.map { case (Seq(lo, hi), bi) =>
+              coalesce(sum(when(v >= ts(lo) && v < ts(hi), 1L).otherwise(0L)),
+                lit(0L)).as(s"__db_${fi}_$bi") } ++
+            dfc.default.map(_ => coalesce(sum(when(v.isNotNull &&
+                (v < ts(dfc.boundaries.head) || v >= ts(dfc.boundaries.last)), 1L)
+              .otherwise(0L)), lit(0L)).as(s"__dd_$fi"))
+          })
         val numRow = matched.agg(aggCols.head, aggCols.tail: _*)
         // pass 2: every string facet through one explode→groupBy; facet
         // index rides along so one shuffle serves them all
@@ -2398,6 +2431,13 @@ object PipelineCompiler {
               struct(lit(fmtNum(lo)).as("_id"), col(s"__nb_${fi}_$bi").as("count")) } ++
               nf.default.map(dn =>
                 struct(lit(dn).as("_id"), col(s"__nd_$fi").as("count")))
+            array(items: _*)
+          case dfc: DFacet =>
+            val items = dfc.boundaries.init.zipWithIndex.map { case (lo, bi) =>
+              struct(lit(lo.toString).as("_id"),
+                col(s"__db_${fi}_$bi").as("count")) } ++
+              dfc.default.map(dn =>
+                struct(lit(dn).as("_id"), col(s"__dd_$fi").as("count")))
             array(items: _*)
           case _: SFacet =>
             val mine = filter(col("__sb"), b => b("fi") === fi)

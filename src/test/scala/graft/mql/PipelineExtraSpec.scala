@@ -1374,7 +1374,25 @@ class PipelineExtraSpec extends AnyFunSuite {
       {"$searchMeta": {"facet": {"facets": {
         "byLang": {"type": "string", "path": "lang"}}}}}]""")
     assert(all.select("count.lowerBound").as[Long].head() == 6L)
-    // rejections: bad type, unsorted boundaries, missing facets
+    // date facet: interval counts over timestamp boundaries, ISO _ids
+    val dated = docs.withColumn("ts",
+      org.apache.spark.sql.functions.expr(
+        "timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0, CAST(id * 40 AS INT))"))
+    val dout = PipelineCompiler.run(dated, """[
+      {"$searchMeta": {"facet": {"facets": {
+        "byDay": {"type": "date", "path": "ts",
+          "boundaries": [{"$date": "2024-01-01T00:00:00Z"},
+                         {"$date": "2024-03-01T00:00:00Z"},
+                         {"$date": "2024-06-01T00:00:00Z"}],
+          "default": "other"}}}}}]""")
+    // ids 1..6 → +40d steps: Feb10, Mar21, Apr30, Jun09, Jul19, Aug28
+    // → [Jan,Mar): 1; [Mar,Jun): 2; other: 3
+    val byDay = dout.select("facet.byDay.buckets").head.getSeq[Row](0)
+      .map(b => (b.getString(0), b.getLong(1)))
+    assert(byDay == Seq(("2024-01-01T00:00:00Z", 1L),
+      ("2024-03-01T00:00:00Z", 2L), ("other", 3L)))
+    // rejections: date without boundaries, unsorted boundaries, missing
+    // facets
     intercept[MqlException](PipelineCompiler.run(docs, """[
       {"$searchMeta": {"facet": {"facets": {
         "f": {"type": "date", "path": "n"}}}}}]"""))
