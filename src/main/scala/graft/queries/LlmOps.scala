@@ -2018,6 +2018,39 @@ object LlmOps {
     // hash gate can compare (the stage's native output is ONE nested
     // doc). String facet top-k is count-desc/value-asc deterministic;
     // number facet keeps zero-count intervals.
+    // $searchMeta date facet over events.ts: interval counts between
+    // ISO boundaries, out-of-range into the default bucket
+    QueryDef("q_searchmeta_facet_date",
+      (s, dir) => {
+        val meta = Graft.aggregate(s, dir, "events",
+          """[
+            {"$searchMeta": {"facet": {"facets": {
+              "by_month": {"type": "date", "path": "ts",
+                "boundaries": [{"$date": "2024-02-01T00:00:00Z"},
+                               {"$date": "2024-04-01T00:00:00Z"},
+                               {"$date": "2024-06-01T00:00:00Z"}],
+                "default": "outside"}}}}}]""")
+        meta.select(explode(col("facet.by_month.buckets")).as("b"))
+          .select(col("b._id").as("id"), col("b.count").as("count"))
+          .orderBy("id")
+      },
+      Some("""SELECT '2024-02-01T00:00:00Z' AS id,
+                     CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-02-01'
+                              AND ts < TIMESTAMP '2024-04-01'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS count FROM events
+              UNION ALL
+              SELECT '2024-04-01T00:00:00Z',
+                     CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-04-01'
+                              AND ts < TIMESTAMP '2024-06-01'
+                              THEN 1 ELSE 0 END) AS BIGINT) FROM events
+              UNION ALL
+              SELECT 'outside',
+                     CAST(sum(CASE WHEN ts IS NOT NULL
+                              AND (ts < TIMESTAMP '2024-02-01'
+                                   OR ts >= TIMESTAMP '2024-06-01')
+                              THEN 1 ELSE 0 END) AS BIGINT) FROM events
+              ORDER BY id""")),
+
     QueryDef("q_searchmeta_facet",
       (s, dir) => {
         val meta = Graft.aggregate(s, dir, "documents",
