@@ -150,6 +150,7 @@ object ExprCompiler {
         case JString("score")             => col("score") // $rankFusion
         case JString("textScore")         => col("textScore") // find $text
         case JString("searchHighlights")  => col("searchHighlights")
+        case JString("searchScoreDetails") => col("searchScoreDetails")
         case other => throw new MqlException(s"unsupported $$meta: $other")
       }
       // ---- arithmetic ----

@@ -2194,8 +2194,34 @@ object PipelineCompiler {
       }
     val totalScore =
       if (clauseScores.isEmpty) lit(0.0) else clauseScores.reduce(_ + _)
+    // "scoreDetails": true → the per-clause contribution breakdown as
+    // `searchScoreDetails` ({"$meta": "searchScoreDetails"} resolves to
+    // it) — computed BEFORE the stat/tf columns drop, since the clause
+    // scores reference them
+    val wantDetails = spec.exists {
+      case ("scoreDetails", JBool(v)) => v; case _ => false }
+    def clauseDesc(cl: Cl): String = {
+      // local case classes carry a "$N" suffix on getSimpleName
+      val kind = cl.c.getClass.getSimpleName.takeWhile(_ != '$')
+        .stripSuffix("Cl").toLowerCase(java.util.Locale.ROOT)
+      val mod =
+        if (cl.constant.isDefined) " (constant)"
+        else if (cl.fn.isDefined) " (function)"
+        else if (cl.boost != 1.0) s" (boost ${cl.boost})"
+        else ""
+      s"$kind:${cl.c.path}$mod"
+    }
     var scored = withToks
       .withColumn("searchScore", round(totalScore, 6))
+    if (wantDetails)
+      scored = scored.withColumn("searchScoreDetails", struct(
+        col("searchScore").as("value"),
+        lit("sum of the matched clauses' contributions").as("description"),
+        array(scoredClauses.zipWithIndex.map { case (cl, ci) =>
+          struct(round(score(cl, ci), 6).as("value"),
+            lit(clauseDesc(cl)).as("description"))
+        }: _*).as("details")))
+    scored = scored
       .where(matched)
       .drop(dropCols: _*)
     // "highlight": {path} → the `searchHighlights` carrier column

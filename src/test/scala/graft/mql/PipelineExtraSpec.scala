@@ -1076,6 +1076,34 @@ class PipelineExtraSpec extends AnyFunSuite {
         "score": {"function": {"exp": {"constant": 1}}}}}}]"""))
   }
 
+  test("$search scoreDetails: per-clause contribution breakdown") {
+    val docs = Seq(
+      (1L, "spark spark fast", Seq(1.0, 0.0)),
+      (2L, "slow database", Seq(0.8, 0.6)),
+      (3L, "spark", Seq(0.0, 1.0))
+    ).toDF("id", "text", "v")
+    val out = PipelineCompiler.run(docs, """[
+      {"$search": {"compound": {
+         "must": [{"text": {"query": "spark", "path": "text"}}],
+         "should": [{"exists": {"path": "v",
+           "score": {"constant": {"value": 2}}}}]},
+        "scoreDetails": true}},
+      {"$project": {"id": 1,
+        "total": {"$meta": "searchScore"},
+        "d": {"$meta": "searchScoreDetails"}}},
+      {"$sort": {"id": 1}}]""")
+    val rows = out.collect()
+    rows.foreach { r =>
+      val d = r.getStruct(2)
+      // details sum to the total; descriptions name clause kind + path
+      val parts = d.getSeq[org.apache.spark.sql.Row](2)
+      assert(math.abs(parts.map(_.getDouble(0)).sum - r.getDouble(1)) < 2e-6)
+      assert(parts.map(_.getString(1)) ==
+        Seq("text:text", "exists:v (constant)"))
+      assert(d.getDouble(0) == r.getDouble(1))
+    }
+  }
+
   test("$search highlight: hit/text runs via $meta searchHighlights") {
     val docs = Seq(
       (1L, "Spark makes spark queries fast"),
