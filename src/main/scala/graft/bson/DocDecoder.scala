@@ -206,4 +206,20 @@ object DocDecoder {
     val schema = SchemaInference.infer(docs)
     decode(docs, schema, allowInvalid = true)
   }
+
+  /** Streaming-capable decode: identical semantics to [[decode]] but via
+    * `mapPartitions` under a row Encoder instead of `.rdd`, so the same
+    * schema-directed decode runs inside a Structured Streaming query
+    * (continuous document ingest — the streaming twin of
+    * find_arrow_all's batch decode). Works on batch Datasets too. */
+  def decodeStream(docs: Dataset[String], schema: StructType,
+                   allowInvalid: Boolean = false): DataFrame = {
+    val strict = !allowInvalid
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+    docs.mapPartitions { it =>
+      val mapper = newMapper()
+      it.map(line => decodeStruct(mapper.readTree(line), schema, strict))
+    }
+  }
 }

@@ -155,6 +155,18 @@ object Headline {
               FROM events WHERE value > 0
               GROUP BY 1, 2 ORDER BY hour, event_type""")),
 
+    // streaming schema-directed document decode: DocDecoder on a
+    // readStream source (the reference's decode loop with a cursor that
+    // never ends), complete-mode count per decoded key — must equal the
+    // batch decode the oracle computes from the same props column
+    QueryDef("q_stream_decode",
+      (s, dir) => EventStream.runDecodeStreamOnFixture(s, dir)
+        .select(col("k").cast(LongType).as("k"), col("n"))
+        .orderBy("k"),
+      Some("""SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM events WHERE ts IS NOT NULL GROUP BY 1 ORDER BY k""")),
+
     // salted skew join (manual fallback for power-law keys AQE can't
     // split): result must equal the plain join, which the oracle computes
     // directly — the salt only changes the physical shuffle layout

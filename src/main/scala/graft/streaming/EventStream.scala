@@ -243,6 +243,22 @@ object EventStream {
                            gap: String = "30 minutes"): DataFrame =
     runStream(spark, dir, sessionAgg(_, gap))
 
+  /** Streaming schema-directed document decode (DocDecoder.decodeStream
+    * on events.props) → typed aggregation: the continuous-ingest form of
+    * the reference's core decode loop (find_arrow_all drains a cursor;
+    * here the cursor never ends). Declared strict schema, complete-mode
+    * count per key. */
+  def runDecodeStreamOnFixture(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(StructField("k", LongType)))
+    runStream(spark, dir, ev => {
+      val docs = ev.select(col("props")).as[String](
+        org.apache.spark.sql.Encoders.STRING)
+      graft.bson.DocDecoder.decodeStream(docs, schema)
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+    })
+  }
+
   /** Run a stateful streaming transform synchronously over the parquet
     * fixture (memory sink, AvailableNow, processAllAvailable) and return
     * the final result. The same plan serves a real readStream source in
