@@ -1058,11 +1058,29 @@ case class QuantInt8(child: Expression)
     StructField("codes", ArrayType(IntegerType, containsNull = false)),
     StructField("mse", DoubleType, nullable = false)))
 
-  private lazy val elemAt: (ArrayData, Int) => Double =
-    child.dataType.asInstanceOf[ArrayType].elementType match {
-      case FloatType => (a, i) => a.getFloat(i).toDouble
-      case _         => (a, i) => a.getDouble(i)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(et, _) if elemReaders.isDefinedAt(et) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"quant_int8 requires array<numeric>, got ${other.simpleString(10)}")
     }
+
+  // Per-element readers for every numeric element type the analyzer can
+  // hand us — the reader MUST match the physical slot width (getDouble
+  // on a 4-byte int slot reads garbage from UnsafeArrayData).
+  private val elemReaders: PartialFunction[DataType, (ArrayData, Int) => Double] = {
+    case FloatType   => (a, i) => a.getFloat(i).toDouble
+    case DoubleType  => (a, i) => a.getDouble(i)
+    case IntegerType => (a, i) => a.getInt(i).toDouble
+    case LongType    => (a, i) => a.getLong(i).toDouble
+    case ShortType   => (a, i) => a.getShort(i).toDouble
+    case ByteType    => (a, i) => a.getByte(i).toDouble
+    case d: DecimalType => (a, i) => a.getDecimal(i, d.precision, d.scale).toDouble
+  }
+
+  private lazy val elemAt: (ArrayData, Int) => Double =
+    elemReaders(child.dataType.asInstanceOf[ArrayType].elementType)
 
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]

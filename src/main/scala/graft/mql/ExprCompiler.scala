@@ -187,6 +187,16 @@ object ExprCompiler {
       case "$radiansToDegrees" => degrees(c0)
 
       // ---- comparison / boolean ----
+      // Operand types are unresolved at compile time, so string operands
+      // under a case-insensitive collation can't be folded here — refuse
+      // loudly rather than compare silently case-sensitive (same contract
+      // as the stage-level collation gate).
+      case "$eq" | "$ne" | "$gt" | "$gte" | "$lt" | "$lte" | "$cmp"
+          if FilterCompiler.collationCaseInsensitive =>
+        throw new MqlException(
+          s"collation: $op inside $$expr under a case-insensitive " +
+            "collation is unsupported (string operands would silently " +
+            "compare case-sensitively)")
       case "$eq"  => c(0) <=> c(1)
       case "$ne"  => !(c(0) <=> c(1))
       case "$gt"  => c(0) > c(1)
@@ -487,10 +497,15 @@ object ExprCompiler {
         val s1 = aggregate(arr, lit(0.0), (a, x) => a + x.cast(DoubleType))
         val s2 = aggregate(arr, lit(0.0),
           (a, x) => a + x.cast(DoubleType) * x.cast(DoubleType))
+        // greatest(_, 0): catastrophic cancellation on near-constant
+        // large-magnitude arrays can push the radicand epsilon-negative
+        // → NaN where Mongo returns 0 (twins carry the same clamp)
         if (op == "$stdDevPop")
-          when(size(arr) >= 1, sqrt((s2 - s1 * s1 / n) / n)).otherwise(lit(null))
+          when(size(arr) >= 1,
+            sqrt(greatest((s2 - s1 * s1 / n) / n, lit(0.0)))).otherwise(lit(null))
         else
-          when(size(arr) >= 2, sqrt((s2 - s1 * s1 / n) / (n - lit(1.0))))
+          when(size(arr) >= 2,
+            sqrt(greatest((s2 - s1 * s1 / n) / (n - lit(1.0)), lit(0.0))))
             .otherwise(lit(null))
       // expression forms over an array input (Mongo 7.0 allows
       // $median/$percentile in $project). Exact interpolated percentile

@@ -76,7 +76,10 @@ object PipelineCompiler {
   // the same contract as the find path.
   private val CollationUnsupportedStages = Set(
     "$group", "$bucket", "$bucketAuto", "$sortByCount",
-    "$lookup", "$graphLookup", "$unionWith", "$densify")
+    "$lookup", "$graphLookup", "$unionWith", "$densify",
+    // partitionBy on a string key is grouping equality too — a ci
+    // collation would leave the partitions silently case-sensitive
+    "$setWindowFields", "$fill")
 
   private[mql] def applyStage(df: DataFrame, name: String, spec: JValue,
                               resolve: TableResolver): DataFrame = {
@@ -211,9 +214,22 @@ object PipelineCompiler {
       case (k, other)    => throw new MqlException(s"bad sort direction for $k: $other")
     }
 
+  /** Leaf type of a (possibly dotted) path through the frame's schema;
+    * None when any segment is missing or a non-struct is traversed. */
+  private[mql] def leafType(df: DataFrame, path: String)
+      : Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types.{DataType, StructType}
+    path.split('.').foldLeft(Option(df.schema: DataType)) {
+      case (Some(st: StructType), seg) => st.find(_.name == seg).map(_.dataType)
+      case _ => None
+    }
+  }
+
   private def foldedSortKey(df: DataFrame, k: String, asc: Boolean): Seq[Column] = {
-    val isStr = k.indexOf('.') < 0 && df.schema.find(_.name == k)
-      .exists(_.dataType == org.apache.spark.sql.types.StringType)
+    // Dotted paths resolve to their leaf type so nested string sort keys
+    // fold under the collation too (a top-level-only check left "a.b"
+    // silently case-sensitive).
+    val isStr = leafType(df, k).contains(org.apache.spark.sql.types.StringType)
     val keys = if (isStr) Seq(lower(fieldCol(k)), fieldCol(k)) else Seq(fieldCol(k))
     keys.map(c => if (asc) c.asc else c.desc)
   }

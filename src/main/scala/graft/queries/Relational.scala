@@ -1084,8 +1084,10 @@ object Relational {
                        0.5 * (n - 1) AS mpos, 0.9 * (n - 1) AS ppos
                 FROM t)
               SELECT custkey,
-                round(sqrt((s2 - s1 * s1 / n) / n), 6) AS sd_pop,
-                round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS sd_samp,
+                -- greatest-0 clamp mirrors the engine (cancellation can
+                -- push the radicand epsilon-negative on near-constant data)
+                round(sqrt(greatest((s2 - s1 * s1 / n) / n, 0.0)), 6) AS sd_pop,
+                round(sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0.0)), 6) AS sd_samp,
                 round(prices[CAST(floor(mpos) AS INTEGER) + 1]
                   + (prices[least(CAST(floor(mpos) AS INTEGER) + 2, n)]
                      - prices[CAST(floor(mpos) AS INTEGER) + 1])

@@ -185,8 +185,15 @@ private[sources] class GraftScan(schema: StructType, options: CaseInsensitiveStr
   extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
-  override def description(): String =
-    s"graftdocs PushedFilters: [${filters.mkString(", ")}]"
+  override def description(): String = {
+    // the MQL wire form of the pushed predicates — what a live-source
+    // connector would hand to find() verbatim (reference api.py:175);
+    // surfaced in explain so pushdown translation is plan-auditable
+    val (mqlDoc, residual) = graft.mql.FilterTranslator.translateAll(filters.toSeq)
+    s"graftdocs PushedFilters: [${filters.mkString(", ")}], " +
+      s"PushedMqlFilter: ${graft.mql.FilterTranslator.render(mqlDoc)}" +
+      (if (residual.nonEmpty) s", ResidualFilters: [${residual.mkString(", ")}]" else "")
+  }
 
   private val allowInvalid = options.getBoolean("allowinvalid", false)
 
@@ -211,7 +218,10 @@ private[sources] class GraftScan(schema: StructType, options: CaseInsensitiveStr
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(schema, allowInvalid, filters,
-      new SerializableConfiguration(GraftDocSource.activeHadoopConf()))
+      new SerializableConfiguration(GraftDocSource.activeHadoopConf()),
+      // `columnar=false` keeps the row path selectable for A/B and as the
+      // escape hatch for any type the builder layer doesn't cover
+      columnar = options.getBoolean("columnar", true))
 }
 
 private[sources] case class GraftFilePartition(path: String, start: Long, end: Long)
@@ -297,28 +307,54 @@ private[sources] object GraftScanMetrics {
 
 private[sources] class GraftReaderFactory(schema: StructType, allowInvalid: Boolean,
                                           filters: Array[Filter],
-                                          conf: SerializableConfiguration)
+                                          conf: SerializableConfiguration,
+                                          columnar: Boolean = true)
   extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[GraftFilePartition]
-    val strict = !allowInvalid
-    val toCatalyst = CatalystTypeConverters.createToCatalystConverter(schema)
-    val fieldIdx: Map[String, Int] = schema.fieldNames.zipWithIndex.toMap
-    val fsIn = {
-      val path = new Path(p.path)
-      path.getFileSystem(conf.value).open(path)
-    }
 
-    // format-specific document iterator; both yield canonical ext-JSON
-    // nodes, so decode below is shared. Construction seeks/reads — close
-    // the handle if it throws (the reader's close() never runs then).
-    val docs: Iterator[com.fasterxml.jackson.databind.JsonNode] =
+  /** Shared per-partition document iterator (both formats yield canonical
+    * ext-JSON nodes, so decode is format-independent). Construction
+    * seeks/reads — close the handle if it throws (the reader's close()
+    * never runs then). */
+  private def openDocs(p: GraftFilePartition)
+      : (org.apache.hadoop.fs.FSDataInputStream,
+         Iterator[com.fasterxml.jackson.databind.JsonNode]) = {
+    val path = new Path(p.path)
+    val fsIn = path.getFileSystem(conf.value).open(path)
+    val docs =
       try {
         if (p.path.endsWith(".bson")) BsonBinary.documents(fsIn)
         else new JsonlLineIterator(fsIn, p.start, p.end)
       } catch {
         case e: Throwable => fsIn.close(); throw e
       }
+    (fsIn, docs)
+  }
+
+  // ---- vectorized path -----------------------------------------------------
+  // The Spark twin of the reference's columnar builders (lib.pyx:436-870):
+  // one pass over the document stream appending straight into per-column
+  // vectors. Coercion semantics are THE SAME CODE as the row path
+  // (DocDecoder.convert — cross-acceptance matrix, NaN→null, overflow
+  // raises, missing-field null catch-up), so the two paths cannot drift;
+  // what the columnar path eliminates is the per-row Row allocation +
+  // CatalystTypeConverters deep-conversion + row-iterator virtual calls.
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    columnar && schema.fields.forall(f => ColumnarDocBuilder.supports(f.dataType))
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[GraftFilePartition]
+    val strict = !allowInvalid
+    val (fsIn, docs) = openDocs(p)
+    new ColumnarDocReader(docs, schema, strict, filters, () => fsIn.close())
+  }
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftFilePartition]
+    val strict = !allowInvalid
+    val toCatalyst = CatalystTypeConverters.createToCatalystConverter(schema)
+    val fieldIdx: Map[String, Int] = schema.fieldNames.zipWithIndex.toMap
+    val (fsIn, docs) = openDocs(p)
 
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
@@ -339,6 +375,148 @@ private[sources] class GraftReaderFactory(schema: StructType, allowInvalid: Bool
       override def close(): Unit = fsIn.close()
     }
   }
+}
+
+/** Per-column append functions from decoded document values into
+  * `WritableColumnVector`s — the builder layer of the vectorized scan.
+  * Values arrive from [[DocDecoder.convert]] (external JVM types) and are
+  * written in Catalyst-native form (UTF8String bytes, epoch micros/days,
+  * unscaled decimals) via the canonical `DateTimeUtils` conversions, so
+  * the columnar batch is bit-identical to what the row path's
+  * CatalystTypeConverters would have produced. */
+private[sources] object ColumnarDocBuilder {
+  import org.apache.spark.sql.execution.vectorized.WritableColumnVector
+  import org.apache.spark.sql.catalyst.util.DateTimeUtils
+  import org.apache.spark.sql.types._
+
+  def supports(dt: DataType): Boolean = dt match {
+    case IntegerType | LongType | DoubleType | StringType | BooleanType |
+         TimestampType | TimestampNTZType | DateType | BinaryType | NullType => true
+    case _: DecimalType => true
+    case st: StructType => st.fields.forall(f => supports(f.dataType))
+    case ArrayType(et, _) => supports(et)
+    case _ => false
+  }
+
+  /** Null append honoring the struct-vector contract (a null struct must
+    * null-pad its children to keep them row-aligned). */
+  def appendNull(v: WritableColumnVector, dt: DataType): Unit = dt match {
+    case _: StructType => v.appendStruct(true)
+    case _ => v.appendNull()
+  }
+
+  /** Appender for one non-null value of `dt`. */
+  def appender(dt: DataType): (WritableColumnVector, Any) => Unit = dt match {
+    case IntegerType => (v, x) => v.appendInt(x.asInstanceOf[Int])
+    case LongType    => (v, x) => v.appendLong(x.asInstanceOf[Long])
+    case DoubleType  => (v, x) => v.appendDouble(x.asInstanceOf[Double])
+    case BooleanType => (v, x) => v.appendBoolean(x.asInstanceOf[Boolean])
+    case StringType  => (v, x) => {
+      val b = x.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      v.appendByteArray(b, 0, b.length)
+    }
+    case BinaryType => (v, x) => {
+      val b = x.asInstanceOf[Array[Byte]]
+      v.appendByteArray(b, 0, b.length)
+    }
+    case TimestampType => (v, x) =>
+      v.appendLong(DateTimeUtils.fromJavaTimestamp(x.asInstanceOf[java.sql.Timestamp]))
+    case TimestampNTZType => (v, x) =>
+      v.appendLong(DateTimeUtils.localDateTimeToMicros(x.asInstanceOf[java.time.LocalDateTime]))
+    case DateType => (v, x) =>
+      v.appendInt(DateTimeUtils.fromJavaDate(x.asInstanceOf[java.sql.Date]))
+    case d: DecimalType =>
+      (v, x) => {
+        val dec = Decimal(x.asInstanceOf[java.math.BigDecimal])
+        if (d.precision <= Decimal.MAX_INT_DIGITS) v.appendInt(dec.toUnscaledLong.toInt)
+        else if (d.precision <= Decimal.MAX_LONG_DIGITS) v.appendLong(dec.toUnscaledLong)
+        else {
+          val b = dec.toJavaBigDecimal.unscaledValue.toByteArray
+          v.appendByteArray(b, 0, b.length)
+        }
+      }
+    case st: StructType =>
+      val subs = st.fields.map(f => appender(f.dataType))
+      (v, x) => {
+        val row = x.asInstanceOf[org.apache.spark.sql.Row]
+        v.appendStruct(false)
+        var i = 0
+        while (i < subs.length) {
+          val child = v.getChild(i)
+          val value = row.get(i)
+          if (value == null) appendNull(child, st.fields(i).dataType)
+          else subs(i)(child, value)
+          i += 1
+        }
+      }
+    case ArrayType(et, _) =>
+      val sub = appender(et)
+      (v, x) => {
+        val seq = x.asInstanceOf[Seq[Any]]
+        v.appendArray(seq.length)
+        val child = v.arrayData()
+        val it = seq.iterator
+        while (it.hasNext) {
+          val e = it.next()
+          if (e == null) appendNull(child, et) else sub(child, e)
+        }
+      }
+    case NullType => (v, _) => v.appendNull()
+    case other => throw new IllegalStateException(s"no columnar builder for $other")
+  }
+}
+
+/** Vectorized partition reader: decodes up to `capacity` documents per
+  * `ColumnarBatch`. Per row: extract every declared field ONCE through
+  * the shared coercion matrix, evaluate pushed filters on the extracted
+  * values (same order as the row path — the whole row decodes, including
+  * its strict-mode errors, before the filter verdict), then append into
+  * the column vectors. */
+private[sources] class ColumnarDocReader(
+    docs: Iterator[com.fasterxml.jackson.databind.JsonNode],
+    schema: StructType, strict: Boolean, filters: Array[Filter],
+    closeFn: () => Unit)
+  extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+
+  private val capacity = 4096
+  private val vectors = OnHeapColumnVector.allocateColumns(capacity, schema)
+  private val batch = new org.apache.spark.sql.vectorized.ColumnarBatch(
+    vectors.asInstanceOf[Array[org.apache.spark.sql.vectorized.ColumnVector]])
+  private val fields = schema.fields
+  private val appenders = fields.map(f => ColumnarDocBuilder.appender(f.dataType))
+  private val fieldIdx: Map[String, Int] = schema.fieldNames.zipWithIndex.toMap
+  private val values = new Array[Any](fields.length)
+
+  override def next(): Boolean = {
+    var i = 0
+    while (i < vectors.length) { vectors(i).reset(); i += 1 }
+    var n = 0
+    while (n < capacity && docs.hasNext) {
+      val node = docs.next()
+      var j = 0
+      while (j < fields.length) {
+        values(j) = DocDecoder.convert(node.get(fields(j).name), fields(j), strict)
+        j += 1
+      }
+      def get(name: String): Any = fieldIdx.get(name).map(values).orNull
+      if (filters.forall(DocFilterEval.eval(_, get))) {
+        j = 0
+        while (j < fields.length) {
+          if (values(j) == null) ColumnarDocBuilder.appendNull(vectors(j), fields(j).dataType)
+          else appenders(j)(vectors(j), values(j))
+          j += 1
+        }
+        GraftScanMetrics.emitted.increment()
+        n += 1
+      } else GraftScanMetrics.skipped.increment()
+    }
+    batch.setNumRows(n)
+    n > 0
+  }
+
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = batch
+  override def close(): Unit = { batch.close(); closeFn() }
 }
 
 /** Newline-aligned split reader over a seekable stream: owns every line

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale regression gate: sweeps EVERY declared gate query, builds its
+  * physical plan, and refuses the plan shapes that break at 100 TB —
+  * the automation of the per-round manual plan audits:
+  *
+  *  1. no `CartesianProductExec` anywhere (a broadcast nested-loop join
+  *     over a bounded side is fine and planned differently);
+  *  2. no unpartitioned `Window` fed by unbounded input — a global
+  *     window funnels the whole dataset through one task. The known
+  *     bounded sites (post-limit rank windows, size-gated ntile,
+  *     nChunks-row prefix sums) are whitelisted BY QUERY with the
+  *     justification recorded here; a new global window fails until a
+  *     justification is added;
+  *  3. single-partition shuffles only where the input is provably
+  *     small: below an aggregate (1 row per upstream partition), a
+  *     limit, or inside a whitelisted query.
+  *
+  * AQE is disabled for the lint session so the inspected plan is the
+  * concrete initial physical plan, not an adaptive wrapper (at run time
+  * AQE only improves on it).
+  */
+class PlanLintSpec extends AnyFunSuite {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val spark = {
+    SparkFixture.spark // ensure the shared context exists first
+    val s = SparkFixture.spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    org.apache.spark.sql.SparkSession.setActiveSession(s)
+    s
+  }
+
+  /** query → justification for an intentionally-global window. */
+  private val globalWindowAllowed: Map[String, String] = Map(
+    "q_bm25" -> "rank window runs AFTER the top-k limit (bounded rows)",
+    "q_rank_fusion" -> "rank windows guarded: every sub-pipeline carries $limit",
+    "q_rank_fusion_details" -> "same guard as q_rank_fusion",
+    "q_score_fusion" -> "sub-pipelines carry $limit before the window",
+    "q_score_fusion_details" -> "same guard as q_score_fusion",
+    "q_score_fusion_expr" -> "same guard as q_score_fusion",
+    "q_bucket_auto" -> "ntile over a size-gated input (bucketAuto refuses unbounded)",
+    "q_corpus_shuffle" -> "prefix-sum window over nChunks rows only",
+    "q_chunk_docs" -> "prefix-sum window over nChunks rows only",
+    "q_token_budget" -> "running-total cutoff over an already-sampled slice",
+    "q_packing" -> "bin offsets over nBins rows only")
+
+  /** query → justification for a known single-partition funnel that is
+    * not below an aggregate/limit in the same stage. */
+  private val singlePartitionAllowed: Map[String, String] = Map(
+    "q_bucket_auto" -> ("exact-mode ntile sorts through one task BELOW the " +
+      "exactThreshold row gate (PipelineCompiler $bucketAuto: >1M rows " +
+      "switches to the distributed approx_percentile plan, no window)"))
+
+  private def collectAll(p: SparkPlan): Seq[SparkPlan] =
+    (p +: p.children.flatMap(collectAll)) ++
+      p.subqueries.flatMap(collectAll)
+
+  /** true when the subtree below (stopping at nothing — conservative:
+    * any aggregate/limit/TakeOrdered below the exchange bounds what
+    * reaches the single partition). */
+  private def boundedBelow(p: SparkPlan): Boolean =
+    collectAll(p).exists {
+      case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+      case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+      case _: org.apache.spark.sql.execution.LocalLimitExec => true
+      case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+      case _ => false
+    }
+
+  private def lint(name: String, plan: SparkPlan): Seq[String] = {
+    val nodes = collectAll(plan)
+    val findings = scala.collection.mutable.ArrayBuffer.empty[String]
+    nodes.foreach {
+      case _: CartesianProductExec =>
+        findings += s"$name: CartesianProduct in plan"
+      case w: WindowExec if w.partitionSpec.isEmpty =>
+        if (!globalWindowAllowed.contains(name))
+          findings += s"$name: unpartitioned Window (add a justification " +
+            "to globalWindowAllowed if the input is provably bounded)"
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition =>
+        if (!boundedBelow(e.child) && !singlePartitionAllowed.contains(name))
+          findings += s"$name: single-partition Exchange over unbounded input"
+      case _ => ()
+    }
+    findings.toSeq
+  }
+
+  // Queries whose BUILDER executes side effects too heavy or stateful
+  // for a plan-only sweep (streaming checkpoints, sink writes). Their
+  // plans are still audited: the batch result frame they return is
+  // linted; these four are excluded only when construction itself
+  // cannot run twice in one JVM.
+  private val skip: Set[String] = Set.empty
+
+  test("every gate query plans clean at 100 TB shape rules") {
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (!skip(name)) {
+        try {
+          val df = fn(spark, sfDir)
+          failures ++= lint(name, df.queryExecution.executedPlan)
+        } catch {
+          case e: Throwable =>
+            failures += s"$name: failed to build plan: ${e.getMessage}"
+        }
+      }
+    }
+    assert(failures.isEmpty, s"\n${failures.mkString("\n")}")
+  }
+}

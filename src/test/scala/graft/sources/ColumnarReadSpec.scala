@@ -1,0 +1,123 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+import graft.schema.MSchema
+
+/** Vectorized scan path of the graftdocs source: the plan goes columnar,
+  * and the ColumnarBatch decode is value-identical to the row path over
+  * the full declared-type matrix (nested structs, arrays of structs,
+  * decimal128, binary/objectId, timestamps incl. NTZ, date32, code) —
+  * the Spark twin of the reference's columnar-builder equivalence
+  * (process_bson_stream builders, lib.pyx:436-870).
+  */
+class ColumnarReadSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private val fullSchema = StructType(Seq(
+    StructField("i", IntegerType),
+    StructField("l", LongType),
+    StructField("d", DoubleType),
+    StructField("s", StringType),
+    StructField("b", BooleanType),
+    MSchema.timestampField("ts"),
+    StructField("dt", DateType,
+      metadata = new MetadataBuilder()
+        .putString(MSchema.BsonTypeKey, "date32").build()),
+    StructField("dec", DecimalType(38, 10),
+      metadata = new MetadataBuilder()
+        .putString(MSchema.BsonTypeKey, "decimal128").build()),
+    MSchema.objectIdField("oid"),
+    MSchema.binaryField("bin", 0),
+    StructField("arr", ArrayType(LongType)),
+    StructField("nested", StructType(Seq(
+      StructField("x", DoubleType),
+      StructField("inner", StructType(Seq(StructField("y", StringType)))),
+      StructField("tags", ArrayType(StringType))))),
+    StructField("structs", ArrayType(StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType)))))))
+
+  private def writeFixture(): String = {
+    val docs = Seq(
+      """{"i": 1, "l": {"$numberLong": "9007199254740993"}, "d": 1.5, "s": "a b", "b": true,
+         "ts": {"$date": 1700000000123}, "dt": {"$date": 1700003600000},
+         "dec": {"$numberDecimal": "12345.6789012345"},
+         "oid": {"$oid": "5f0e3a2b1c9d440000abcdef"},
+         "bin": {"$binary": {"base64": "AQIDBA==", "subType": "00"}},
+         "arr": [1, 2, null, 4],
+         "nested": {"x": 2.25, "inner": {"y": "deep"}, "tags": ["t1", "t2"]},
+         "structs": [{"k": 1, "v": "one"}, {"k": 2, "v": null}]}""",
+      // missing-field null catch-up: most fields absent
+      """{"i": 2, "arr": [], "nested": {"x": null, "inner": null, "tags": null}}""",
+      // cross-acceptance: bool→int, int→double, double-truncate→long
+      """{"i": true, "l": 3.9, "d": 7, "s": "plain", "b": false,
+         "ts": {"$date": "2023-11-14T22:13:20.123Z"}, "dt": {"$date": -86400001},
+         "dec": 42.5, "arr": [9], "structs": []}""",
+      // NaN → null on numeric targets
+      """{"i": NaN, "l": NaN, "d": NaN}"""
+    ).map(_.replaceAll("\n\\s*", " "))
+    val dir = java.nio.file.Files.createTempDirectory("graft_columnar")
+    java.nio.file.Files.write(dir.resolve("docs.jsonl"),
+      docs.mkString("", "\n", "\n").getBytes("UTF-8"))
+    dir.toString
+  }
+
+  private def read(path: String, columnar: Boolean) =
+    spark.read.format("graftdocs").schema(fullSchema)
+      .option("columnar", columnar).option("allowInvalid", true).load(path)
+
+  test("plan reads columnar batches by default; row path behind the option") {
+    val path = writeFixture()
+    val colPlan = read(path, columnar = true).queryExecution.executedPlan.toString
+    assert(colPlan.contains("ColumnarToRow"), s"not columnar:\n$colPlan")
+    val rowPlan = read(path, columnar = false).queryExecution.executedPlan.toString
+    assert(!rowPlan.contains("ColumnarToRow"), s"row path lost:\n$rowPlan")
+  }
+
+  test("columnar decode ≡ row decode over the full type matrix") {
+    val path = writeFixture()
+    val colRows = read(path, columnar = true).orderBy("i").collect().toSeq
+    val rowRows = read(path, columnar = false).orderBy("i").collect().toSeq
+    assert(colRows.length == 4)
+    // Row.equals on binary columns compares array identity — compare a
+    // canonical rendering instead (json covers every nested field)
+    val canon = (r: Seq[org.apache.spark.sql.Row]) =>
+      r.map(_.json)
+    assert(canon(colRows) == canon(rowRows))
+  }
+
+  test("decode-time filter skip works on the columnar path") {
+    val path = writeFixture()
+    GraftScanMetrics.emitted.reset(); GraftScanMetrics.skipped.reset()
+    val got = read(path, columnar = true).where($"i" === 2).collect()
+    assert(got.length == 1)
+    assert(GraftScanMetrics.skipped.sum() > 0)
+  }
+
+  test("strict-mode type errors still raise on the columnar path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_columnar_strict")
+    java.nio.file.Files.write(dir.resolve("bad.jsonl"),
+      """{"i": "not-an-int"}""".getBytes("UTF-8"))
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format("graftdocs")
+        .schema(StructType(Seq(StructField("i", IntegerType))))
+        .load(dir.toString).collect()
+    }
+    assert(e.getMessage.contains("unexpected type") ||
+      Option(e.getCause).exists(_.getMessage.contains("unexpected type")))
+  }
+
+  test("multi-batch reads (capacity rollover) keep every row") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_columnar_big")
+    val sb = new StringBuilder
+    (1 to 10000).foreach(i => sb.append(s"""{"i": $i, "s": "row$i"}\n"""))
+    java.nio.file.Files.write(dir.resolve("big.jsonl"), sb.toString.getBytes("UTF-8"))
+    val schema = StructType(Seq(StructField("i", LongType), StructField("s", StringType)))
+    val df = spark.read.format("graftdocs").schema(schema).load(dir.toString)
+    assert(df.count() == 10000)
+    assert(df.agg(sum("i")).head.getLong(0) == 10000L * 10001 / 2)
+  }
+}
