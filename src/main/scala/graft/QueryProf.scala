@@ -21,7 +21,8 @@ object QueryProf {
     spark.sparkContext.setLogLevel("ERROR")
     for (r <- 1 to reps; name <- names) {
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, sfDir).count()
+      // toRdd.count like Bench: materialize every output column
+      val n = SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
       println(f"[qprof] $name%-24s #$r ${(System.nanoTime() - t0) / 1e9}%6.2f s rows=$n")
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))

@@ -16,7 +16,11 @@ object Graft {
     * cursor_type from find; api.py:242-248 strips batchSize/useCursor
     * from aggregate). Batching/cursor knobs are meaningless here —
     * partitioning is Spark's — so the same warn-and-drop applies. */
-  private val StrippedFindOptions = Set("cursor_type")
+  // warned-and-dropped: cursor/physical knobs with no analogue in a
+  // DataFrame engine (the reference forwards its kwargs verbatim to
+  // find(), api.py:175 — acceptance, not errors, is the parity contract)
+  private val StrippedFindOptions = Set("cursor_type", "batch_size",
+    "allow_disk_use", "max_time_ms", "no_cursor_timeout")
   private val StrippedAggOptions = Set("batchSize", "useCursor")
 
   private[api] def stripOptions(options: Map[String, Any],
@@ -31,13 +35,45 @@ object Graft {
 
   /** find with a pymongo-style options map: unsupported-but-harmless
     * options are warned and dropped, collation (a JSON doc string) is
-    * honored, anything else rejects. */
+    * honored, anything else rejects.
+    *
+    * The index-shaped tail (the reference forwards these verbatim,
+    * api.py:175):
+    *  - `hint`: a {field: dir} doc is accepted (its fields also feed
+    *    returnKey); a named-index string is accepted and ignored — an
+    *    index-free engine has no named access paths;
+    *  - `min`/`max`: the inclusive-lower / exclusive-upper index-scan
+    *    bounds become the equivalent range filters — the semantic
+    *    effect of bounding a single-field index walk;
+    *  - `returnKey`: only the hinted key fields come back (no hint →
+    *    zero columns, Mongo's empty-doc COLLSCAN behavior);
+    *  - `comment`: accepted, no result semantics. */
   def findWithOptions(df: DataFrame, filter: String,
                       options: Map[String, Any]): DataFrame = {
     val collation = options.get("collation").map(c =>
       FilterCompiler.Collation.parse(c.toString))
-    stripOptions(options - "collation", StrippedFindOptions, "find")
-    find(df, filter, collation = collation)
+    // hint arrives as either a {field: dir} doc (JSON text) or a named
+    // index (bare string — no field info in an index-free engine)
+    val hintFields: Seq[String] = options.get("hint") match {
+      case Some(h) if h.toString.trim.startsWith("{") =>
+        Mql.asObj(Mql.parse(h.toString), "hint").map(_._1)
+      case _ => Seq.empty
+    }
+    def boundPairs(key: String): Seq[(String, org.json4s.JValue)] =
+      options.get(key).map(d => Mql.asObj(Mql.parse(d.toString), key))
+        .getOrElse(Nil)
+    val returnKey = options.get("return_key").orElse(options.get("returnKey"))
+      .exists { case b: Boolean => b; case other => other.toString == "true" }
+    options.get("comment").foreach(_ => ()) // accepted, no semantics
+    stripOptions(options - "collation" - "hint" - "min" - "max"
+      - "return_key" - "returnKey" - "comment", StrippedFindOptions, "find")
+    var out = find(df, filter, collation = collation)
+    boundPairs("min").foreach { case (f, v) =>
+      out = out.where(Mql.fieldCol(f) >= Mql.literal(v)) }
+    boundPairs("max").foreach { case (f, v) =>
+      out = out.where(Mql.fieldCol(f) < Mql.literal(v)) }
+    if (returnKey) out = out.select(hintFields.map(col): _*)
+    out
   }
 
   def aggregateWithOptions(df: DataFrame, pipelineJson: String,

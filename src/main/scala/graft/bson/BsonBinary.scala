@@ -188,6 +188,34 @@ object BsonBinary {
     new java.math.BigDecimal(signed, -exp).toPlainString
   }
 
+  /** "$numberDecimal" string → 16-byte BID payload (low LE then high LE,
+    * the BSON element layout). NaN/±Infinity map to their canonical
+    * encodings — the full-domain passthrough behind
+    * [[graft.schema.MSchema.decimalRawField]], lifting the
+    * DecimalType(38,10) NaN/Inf/clamped→null restriction (SURVEY §7.4)
+    * for callers that opt in. */
+  private[graft] def decimal128Bid(s: String): Array[Byte] = {
+    val (high, low) = s match {
+      case "NaN"       => (0x7c00000000000000L, 0L)
+      case "Infinity"  => (0x7800000000000000L, 0L)
+      case "-Infinity" => (0xf800000000000000L, 0L)
+      case _ => decimal128Bits(new java.math.BigDecimal(s))
+    }
+    val b = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putLong(low); b.putLong(high)
+    b.array()
+  }
+
+  /** Inverse of [[decimal128Bid]]: BID payload → canonical string. */
+  private[graft] def decimal128BidToString(bytes: Array[Byte]): String = {
+    require(bytes.length == 16, s"BID payload must be 16 bytes, got ${bytes.length}")
+    val b = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val low = b.getLong(); val high = b.getLong()
+    decimal128ToString(high, low)
+  }
+
   // ---- encode ------------------------------------------------------------
 
   private def writeInt(out: ByteArrayOutputStream, v: Int): Unit = {

@@ -146,8 +146,20 @@ object DocDecoder {
         else fail()
       case BinaryType =>
         val meta = field.metadata
-        val isOid = meta.contains(graft.schema.MSchema.BsonTypeKey) &&
-          meta.getString(graft.schema.MSchema.BsonTypeKey) == "objectId"
+        val bsonType =
+          if (meta.contains(graft.schema.MSchema.BsonTypeKey))
+            meta.getString(graft.schema.MSchema.BsonTypeKey) else ""
+        // raw-BID decimal128 passthrough (MSchema.decimalRawField):
+        // NaN/±Infinity/clamped values keep their canonical payload
+        // instead of nulling under DecimalType(38,10)
+        if (bsonType == "decimal128") {
+          if (isExtended(node, "$numberDecimal"))
+            return BsonBinary.decimal128Bid(node.get("$numberDecimal").asText)
+          else if (node.isNumber)
+            return BsonBinary.decimal128Bid(node.asText)
+          else return fail()
+        }
+        val isOid = bsonType == "objectId"
         if (isOid) {
           if (isExtended(node, "$oid")) hexBytes(node.get("$oid").asText) else fail()
         } else if (isExtended(node, "$binary")) {

@@ -1041,6 +1041,112 @@ case class GopherRep(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Non-throwing string→integral parse: `UTF8String.toInt/toLong` with a
+  * reusable wrapper — the SAME parser Spark's ANSI cast delegates to
+  * (`UTF8StringUtils.toIntExact`), so the accept set is identical to
+  * `try_cast`, but failure returns null instead of raising and catching
+  * a per-row exception. That exception path made `$convert` with
+  * `onError` ~50× slower on columns where most rows DON'T parse (the
+  * common case: "1-URGENT" → onError fallback); measured 4.9 s vs
+  * 0.1 s per 2M rows. */
+case class TryParseIntegral(child: Expression, toLong: Boolean)
+  extends UnaryExpression {
+  override def dataType: DataType = if (toLong) LongType else IntegerType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"try_parse_integral requires string, got ${other.simpleString(10)}")
+    }
+
+  // The public wrapper parser is the LENIENT variant (truncates "5.7"
+  // to 5); the strict one the ANSI cast uses is private. Their accept
+  // sets differ exactly on '.'-bearing strings, so a contains-dot guard
+  // restores strictness (no exponent forms exist in either set).
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String]
+    if (s.contains(TryParseIntegral.Dot)) return null
+    if (toLong) {
+      val w = new UTF8String.LongWrapper
+      if (s.toLong(w)) w.value else null
+    } else {
+      val w = new UTF8String.IntWrapper
+      if (s.toInt(w)) w.value else null
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wCls =
+      if (toLong) "org.apache.spark.unsafe.types.UTF8String.LongWrapper"
+      else "org.apache.spark.unsafe.types.UTF8String.IntWrapper"
+    val w = ctx.addMutableState(wCls, "tpWrapper", v => s"$v = new $wCls();")
+    val dot = ctx.addReferenceObj("tpDot", TryParseIntegral.Dot,
+      "org.apache.spark.unsafe.types.UTF8String")
+    val parse = if (toLong) "toLong" else "toInt"
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |if (!$c.contains($dot) && $c.$parse($w)) {
+         |  ${ev.value} = $w.value;
+         |} else {
+         |  ${ev.isNull} = true;
+         |}
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(c: Expression): TryParseIntegral =
+    copy(child = c)
+}
+
+object TryParseIntegral {
+  val Dot: UTF8String = UTF8String.fromString(".")
+}
+
+/** Canonical string rendering of a raw-BID decimal128 payload (the
+  * 16-byte binary column [[graft.schema.MSchema.decimalRawField]]
+  * decodes to): finite values as plain decimal strings, plus the
+  * full-domain specials "NaN"/"Infinity"/"-Infinity" that
+  * DecimalType(38,10) cannot carry. */
+case class Decimal128Str(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"decimal128_str requires binary, got ${other.simpleString(10)}")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[Array[Byte]]
+    if (bytes.length != 16) null
+    else UTF8String.fromString(
+      graft.bson.BsonBinary.decimal128BidToString(bytes))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Decimal128Str =
+    copy(child = c)
+}
+
+/** try_cast to int/long that dispatches on the RESOLVED input type:
+  * strings go through the non-throwing [[TryParseIntegral]], everything
+  * else keeps Spark's TRY-mode Cast (whose non-string paths are
+  * arithmetic, not exception-driven). MQL `$convert` can't know its
+  * input type at compile time, so the dispatch happens here, after
+  * analysis. */
+case class TryToIntegral(child: Expression, toLong: Boolean)
+  extends RuntimeReplaceable with UnaryLike[Expression] {
+  override lazy val replacement: Expression = child.dataType match {
+    case StringType => TryParseIntegral(child, toLong)
+    case _ => Cast(child, if (toLong) LongType else IntegerType, None,
+      org.apache.spark.sql.catalyst.expressions.EvalMode.TRY)
+  }
+  override protected def withNewChildInternal(c: Expression): TryToIntegral =
+    copy(child = c)
+}
+
 /** Int8 scalar quantization + reconstruction MSE in ONE native pass:
   * struct(minv, scale, codes, mse). The Column formulation captured
   * `array_min`/`array_max` aggregates inside the per-element transform
@@ -1230,6 +1336,9 @@ object GraftFunctions {
     "graft_bson_size" -> ((e: Seq[Expression]) => BsonSize(e.head)),
     "gopher_rep" -> ((e: Seq[Expression]) => GopherRep(e(0), e(1))),
     "quant_int8" -> ((e: Seq[Expression]) => QuantInt8(e.head)),
+    "try_to_int" -> ((e: Seq[Expression]) => TryToIntegral(e.head, toLong = false)),
+    "try_to_long" -> ((e: Seq[Expression]) => TryToIntegral(e.head, toLong = true)),
+    "decimal128_str" -> ((e: Seq[Expression]) => Decimal128Str(e.head)),
     "search_highlights" -> ((e: Seq[Expression]) => SearchHighlights(e(0), e(1), e(2))),
     "graft_regex_find" -> ((e: Seq[Expression]) => RegexFind(e(0), e(1))),
     "graft_regex_find_all" -> ((e: Seq[Expression]) => RegexFindAll(e(0), e(1))),

@@ -150,6 +150,7 @@ object ExprCompiler {
         case JString("score")             => col("score") // $rankFusion
         case JString("textScore")         => col("textScore") // find $text
         case JString("searchHighlights")  => col("searchHighlights")
+        case JString("searchSequenceToken") => col("searchSequenceToken")
         case JString("searchScoreDetails") => col("searchScoreDetails")
         case other => throw new MqlException(s"unsupported $$meta: $other")
       }
@@ -447,6 +448,11 @@ object ExprCompiler {
             case ("string", Some("base64")) => base64(in.cast(BinaryType))
             case ("string", Some(f)) =>
               throw new MqlException(s"$$convert format '$f' unsupported")
+            // int/long: the resolve-time-dispatched non-throwing parser
+            // (try_cast's string branch raises+catches per failing row —
+            // ~50× slower when most rows hit onError)
+            case ("int", None)  => graftFn("try_to_int", in)
+            case ("long", None) => graftFn("try_to_long", in)
             case _ => in.try_cast(to) // null on parse failure (ANSI-safe)
           }
           val withErr = fieldOpt(spec, "onError")

@@ -192,7 +192,7 @@ object PipelineCompiler {
     case "$graphLookup"     => graphLookup(df, asObj(spec, "$graphLookup"), resolve)
     case "$geoNear"         => geoNear(df, asObj(spec, "$geoNear"))
     case "$vectorSearch"    => vectorSearch(df, asObj(spec, "$vectorSearch"))
-    case "$search"          => search(df, asObj(spec, "$search"))
+    case "$search"          => search(df, asObj(spec, "$search"), resolve)
     case "$searchMeta"      => searchMeta(df, asObj(spec, "$searchMeta"))
     case "$redact"          => redact(df, spec)
     case "$rankFusion"      => rankFusion(df, asObj(spec, "$rankFusion"), resolve)
@@ -1408,8 +1408,36 @@ object PipelineCompiler {
   // N and avgdl count only documents with ≥1 token on the path —
   // matching bm25TopK, whose doc-length frame is built from exploded
   // tokens (a zero-token doc contributes no rows there).
-  private def search(df: DataFrame, spec: List[(String, JValue)]): DataFrame = {
+  private def search(df: DataFrame, spec: List[(String, JValue)],
+                     resolve: TableResolver = noTables): DataFrame = {
     val (k1, b) = (1.2, 0.75)
+    // "synonyms": query-time term expansion through a synonym mapping
+    // collection (Atlas: {mappingType: equivalent|explicit, input?,
+    // synonyms}). The dictionary is a bounded driver-side constant —
+    // expansion is query REWRITING, not per-document work, exactly how a
+    // search engine applies synonym graphs at analysis time; the corpus
+    // never sees a join.
+    def expandSynonyms(terms: Seq[String], mapping: String, ctx: String): Seq[String] = {
+      val dict = resolve(mapping)
+      val rows = dict.limit(100001).collect()
+      if (rows.length > 100000) throw new MqlException(
+        s"$ctx.synonyms: mapping '$mapping' exceeds 100k entries")
+      def strSeq(r: org.apache.spark.sql.Row, f: String): Seq[String] =
+        if (r.schema.fieldNames.contains(f) && !r.isNullAt(r.fieldIndex(f)))
+          r.getSeq[String](r.fieldIndex(f)).map(_.toLowerCase)
+        else Seq.empty
+      terms.flatMap { t =>
+        t +: rows.toSeq.flatMap { r =>
+          val syns = strSeq(r, "synonyms")
+          r.getAs[String]("mappingType") match {
+            case "equivalent" => if (syns.contains(t)) syns else Nil
+            case "explicit" => if (strSeq(r, "input").contains(t)) syns else Nil
+            case other => throw new MqlException(
+              s"$ctx.synonyms: unsupported mappingType '$other'")
+          }
+        }
+      }.distinct
+    }
     sealed trait SClause { def path: String }
     // fuzzy = (maxEdits, prefixLength): Lucene FuzzyQuery's two knobs
     case class TextCl(terms: Seq[String], path: String,
@@ -1535,8 +1563,15 @@ object PipelineCompiler {
             throw new MqlException("$search.text.fuzzy.prefixLength must be >= 0")
           (me, pl)
         }
-        Cl(TextCl(qTokens(queryOf(o, "$search.text"), "$search.text").distinct,
-          pathOf(o, "$search.text"), fuzzy), b, k)
+        val baseTerms = qTokens(queryOf(o, "$search.text"), "$search.text").distinct
+        val terms = o.collectFirst { case ("synonyms", JString(m)) => m } match {
+          case Some(m) =>
+            if (fuzzy.isDefined) throw new MqlException(
+              "$search.text: synonyms cannot combine with fuzzy (Atlas rule)")
+            expandSynonyms(baseTerms, m, "$search.text")
+          case None => baseTerms
+        }
+        Cl(TextCl(terms, pathOf(o, "$search.text"), fuzzy), b, k)
       case List(("phrase", t)) =>
         val o = obj(t, "$search.phrase")
         val (b, k) = scoreOpt(o, "$search.phrase")
@@ -2267,24 +2302,85 @@ object PipelineCompiler {
           call_function("search_highlights", fieldCol(hPath),
             array(hTerms.map(lit): _*), lit(hPath)))
       }
-    val tieCols = spec.collectFirst { case ("tieBreaker", JString(t)) => t }
-      .map(t => Seq(fieldCol(t).asc)).getOrElse(Seq.empty)
+    val tieBreaker = spec.collectFirst { case ("tieBreaker", JString(t)) => t }
     // "sort": {field: 1|-1, ...} replaces relevance ordering with a
     // field sort (Atlas's indexed-sort option); tieBreaker still breaks
     // residual ties. With a limit it plans as TakeOrdered either way.
-    val userSort = spec.collectFirst { case ("sort", sv) =>
-      val entries = asObj(sv, "$search.sort")
-      if (entries.isEmpty) throw new MqlException("$search.sort is empty")
-      entries.map { case (f, d) =>
-        intValue(d, s"$$search.sort.$f") match {
-          case 1  => fieldCol(f).asc
-          case -1 => fieldCol(f).desc
-          case o => throw new MqlException(
-            s"$$search.sort.$f must be 1 or -1, got $o")
+    val userSortKeys: Option[Seq[(String, Boolean)]] =
+      spec.collectFirst { case ("sort", sv) =>
+        val entries = asObj(sv, "$search.sort")
+        if (entries.isEmpty) throw new MqlException("$search.sort is empty")
+        entries.map { case (f, d) =>
+          intValue(d, s"$$search.sort.$f") match {
+            case 1  => (f, true)
+            case -1 => (f, false)
+            case o => throw new MqlException(
+              s"$$search.sort.$f must be 1 or -1, got $o")
+          }
         }
       }
+    // "returnStoredSource" / "tracking": accepted and ignored — the
+    // first skips the post-search document fetch (this engine always has
+    // the full row in hand, so every field IS the stored source), the
+    // second is Atlas query-telemetry with no result semantics.
+    spec.collectFirst { case ("returnStoredSource", v) =>
+      if (!v.isInstanceOf[JBool]) throw new MqlException(
+        "$search.returnStoredSource must be a boolean") }
+    spec.collectFirst { case ("tracking", v) => obj(v, "$search.tracking") }
+
+    // ---- pagination: searchAfter / searchBefore ---------------------------
+    // The sequence token is the base64'd JSON of the row's sort-key
+    // values ({"k0": v0, "k1": v1, ...}) — engine-defined but stable,
+    // exposed per-row as {"$meta": "searchSequenceToken"}. Resuming is a
+    // MAP-ONLY lexicographic filter on the sort keys (the whole point of
+    // token pagination at scale: no skip-N scan, no state).
+    val afterTok = spec.collectFirst { case ("searchAfter", v) =>
+      strValue(v, "$search.searchAfter") }
+    val beforeTok = spec.collectFirst { case ("searchBefore", v) =>
+      strValue(v, "$search.searchBefore") }
+    if (afterTok.isDefined && beforeTok.isDefined)
+      throw new MqlException("$search: searchAfter and searchBefore are exclusive")
+    if ((afterTok.isDefined || beforeTok.isDefined) && userSortKeys.isEmpty)
+      throw new MqlException(
+        "$search: searchAfter/searchBefore require an explicit sort " +
+          "(the token encodes the sort-key position)")
+    userSortKeys.foreach { keys =>
+      val kvs = keys.zipWithIndex.map { case ((f, _), i) => fieldCol(f).as(s"k$i") }
+      scored = scored.withColumn("searchSequenceToken",
+        base64(to_json(struct(kvs: _*))))
     }
-    val ordering = userSort.getOrElse(Seq(col("searchScore").desc)) ++ tieCols
+    def tokenPredicate(tok: String, before: Boolean): Column = {
+      val keys = userSortKeys.get
+      val decoded = try new String(java.util.Base64.getDecoder.decode(tok),
+        java.nio.charset.StandardCharsets.UTF_8)
+      catch { case _: IllegalArgumentException =>
+        throw new MqlException("$search: malformed pagination token") }
+      val fields = Mql.parse(decoded) match {
+        case JObject(fs) => fs.toMap
+        case _ => throw new MqlException("$search: malformed pagination token")
+      }
+      val vals = keys.indices.map(i => fields.getOrElse(s"k$i",
+        throw new MqlException("$search: pagination token arity mismatch")))
+      // strictly-past-the-token lexicographic chain:
+      // gt1 || (eq1 && (gt2 || (eq2 && ... false)))
+      keys.zip(vals).foldRight(lit(false)) { case (((f, asc), v), rest) =>
+        val c = fieldCol(f); val l = Mql.literal(v)
+        val past = if (asc ^ before) c > l else c < l
+        past || (c === l && rest)
+      }
+    }
+    afterTok.foreach(t => scored = scored.where(tokenPredicate(t, before = false)))
+    beforeTok.foreach(t => scored = scored.where(tokenPredicate(t, before = true)))
+
+    // searchBefore presents results in reverse sort order (the page
+    // reads toward the reference point, nearest first — Atlas contract)
+    val flip = beforeTok.isDefined
+    def dir(c: Column, asc: Boolean): Column =
+      if (asc ^ flip) c.asc else c.desc
+    val tieCols = tieBreaker.map(t => Seq(dir(fieldCol(t), asc = true)))
+      .getOrElse(Seq.empty)
+    val userSort = userSortKeys.map(_.map { case (f, asc) => dir(fieldCol(f), asc) })
+    val ordering = userSort.getOrElse(Seq(dir(col("searchScore"), asc = false))) ++ tieCols
     val limited =
       spec.collectFirst { case ("limit", l) => intValue(l, "$search") } match {
         case Some(n) => scored.orderBy(ordering: _*).limit(n)

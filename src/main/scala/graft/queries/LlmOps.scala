@@ -1745,6 +1745,84 @@ object LlmOps {
                WHERE list_contains($duckToksLower, 'window')
                ORDER BY n_chars DESC, doc_id LIMIT 15""")),
 
+    // $search pagination: searchAfter resumes strictly past the token's
+    // sort position — a MAP-ONLY lexicographic filter on the sort keys
+    // (no skip-N scan; the scale-correct way to page). Token format:
+    // base64 JSON of the sort-key values; the per-row token surfaces as
+    // {"$meta": "searchSequenceToken"} and the oracle re-derives it.
+    // Token below = {"k0":300,"k1":250} (n_chars 300, doc_id 250).
+    QueryDef("q_search_after",
+      (s, dir) => Graft.aggregate(s, dir, "documents",
+        """[
+          {"$search": {"text": {"query": "window", "path": "text"},
+            "sort": {"n_chars": -1, "doc_id": 1}, "limit": 15,
+            "searchAfter": "eyJrMCI6MzAwLCJrMSI6MjUwfQ=="}},
+          {"$project": {"doc_id": 1, "n_chars": 1,
+            "tok": {"$meta": "searchSequenceToken"}}}]"""),
+      Some(s"""SELECT doc_id, n_chars,
+                      to_base64(encode('{"k0":' || n_chars || ',"k1":' || doc_id || '}')) AS tok
+               FROM documents
+               WHERE list_contains($duckToksLower, 'window')
+                 AND (n_chars < 300 OR (n_chars = 300 AND doc_id > 250))
+               ORDER BY n_chars DESC, doc_id LIMIT 15""")),
+
+    // searchBefore: strictly before the token position, presented in
+    // REVERSE sort order (the page reads toward the reference point)
+    QueryDef("q_search_before",
+      (s, dir) => Graft.aggregate(s, dir, "documents",
+        """[
+          {"$search": {"text": {"query": "window", "path": "text"},
+            "sort": {"n_chars": -1, "doc_id": 1}, "limit": 15,
+            "searchBefore": "eyJrMCI6MzAwLCJrMSI6MjUwfQ=="}},
+          {"$project": {"doc_id": 1, "n_chars": 1}}]"""),
+      Some(s"""SELECT doc_id, n_chars FROM documents
+               WHERE list_contains($duckToksLower, 'window')
+                 AND (n_chars > 300 OR (n_chars = 300 AND doc_id < 250))
+               ORDER BY n_chars ASC, doc_id DESC LIMIT 15""")),
+
+    // $search text with a synonyms mapping collection: query-time term
+    // expansion through an equivalent + explicit dictionary (a bounded
+    // driver-side constant — query rewriting, the corpus never joins).
+    // "spark" →(explicit) engine, cluster; "window" →(equivalent)
+    // window, query, table; oracle scores the expanded term set.
+    QueryDef("q_search_synonyms",
+      (s, dir) => {
+        import s.implicits._
+        val syn = Seq(
+          ("equivalent", Option.empty[Seq[String]], Seq("window", "query", "table")),
+          ("explicit", Some(Seq("spark")), Seq("engine", "cluster")))
+          .toDF("mappingType", "input", "synonyms")
+        val base = Graft.tables(s, dir)
+        val resolve: graft.mql.PipelineCompiler.TableResolver = {
+          case "eng_synonyms" => syn
+          case n => base(n)
+        }
+        graft.mql.PipelineCompiler.run(base("documents"), """[
+          {"$search": {"text": {"query": "spark window", "path": "text",
+            "synonyms": "eng_synonyms"}, "limit": 20, "tieBreaker": "doc_id"}},
+          {"$project": {"doc_id": 1,
+            "score": {"$meta": "searchScore"}}},
+          {"$sort": {"score": -1, "doc_id": 1}}]""", resolve)
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($duckToksLower) AS term
+                 FROM documents),
+              dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+              st AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+              tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+                     WHERE term IN ('spark', 'engine', 'cluster',
+                                    'window', 'query', 'table')
+                     GROUP BY 1, 2),
+              df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+              sc AS (SELECT tf.doc_id,
+                       round(SUM(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5)) *
+                         tf.tf * 2.2 / (tf.tf + 1.2 *
+                           (1 - 0.75 + 0.75 * dl.dl / st.avgdl))), 6) AS score
+                     FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+                          CROSS JOIN st
+                     GROUP BY 1)
+            SELECT doc_id, score FROM sc
+            ORDER BY score DESC, doc_id LIMIT 20""")),
+
     // $search geoWithin: haversine circle (R = 6378100 m) must-clause
     // with a mustNot box carve-out, over a [lon, lat] point derived from
     // events numerics — DuckDB re-derives the same trig row by row

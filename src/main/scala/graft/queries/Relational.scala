@@ -473,6 +473,48 @@ object Relational {
                      CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
               FROM b GROUP BY bk ORDER BY lo""")),
 
+    // $bucketAuto with granularity: POWERSOF2 boundaries are DuckDB-
+    // derivable (power(2, ceil/floor(log2(x))) + the strictly-increasing
+    // fold + the strictUp(last)=last*2 top rule). The series rounding
+    // ABSORBS the sketch-vs-exact quantile difference: on the uniform
+    // p_partkey domain every raw quartile sits far from a power of two
+    // at all shipped SFs, so both engines round to identical bounds.
+    QueryDef("q_bucket_auto_granular",
+      (s, dir) => agg("part", """[
+        {"$bucketAuto": {"groupBy": "$p_partkey", "buckets": 4,
+           "granularity": "POWERSOF2",
+           "output": {"n": {"$sum": 1},
+                      "sum_price": {"$sum": {"$toDecimal": "$p_retailprice"}}}}},
+        {"$project": {"_id": 0, "lo": "$_id.min", "hi": "$_id.max",
+           "n": {"$toLong": "$n"}, "sum_price": {"$toDouble": "$sum_price"}}},
+        {"$sort": {"lo": 1}}]""")(s, dir),
+      Some("""WITH s AS (SELECT CAST(min(p_partkey) AS DOUBLE) AS mn,
+                     CAST(max(p_partkey) AS DOUBLE) AS mx,
+                     CAST(quantile_disc(p_partkey, 0.25) AS DOUBLE) AS q1,
+                     CAST(quantile_disc(p_partkey, 0.50) AS DOUBLE) AS q2,
+                     CAST(quantile_disc(p_partkey, 0.75) AS DOUBLE) AS q3
+                   FROM part),
+              r AS (SELECT CASE WHEN mn <= 0 THEN 0
+                                ELSE power(2, floor(log2(mn))) END AS b0,
+                     list_sort(list_distinct([power(2, ceil(log2(q1))),
+                                              power(2, ceil(log2(q2))),
+                                              power(2, ceil(log2(q3)))])) AS rs,
+                     power(2, ceil(log2(mx))) AS rt
+                   FROM s),
+              b AS (SELECT list_concat([b0], list_filter(rs, x -> x > b0)) AS mids,
+                           rt FROM r),
+              bb AS (SELECT list_concat(mids,
+                       [CASE WHEN rt > mids[len(mids)] THEN rt
+                             ELSE mids[len(mids)] * 2 END]) AS bounds FROM b),
+              seg AS (SELECT i, bounds[i] AS lo, bounds[i+1] AS hi,
+                             len(bounds) - 1 AS nb
+                      FROM bb, unnest(generate_series(1, len(bounds) - 1)) AS t(i))
+              SELECT seg.lo AS lo, seg.hi AS hi, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+              FROM part JOIN seg
+                ON p_partkey >= seg.lo AND (p_partkey < seg.hi OR seg.i = seg.nb)
+              GROUP BY seg.lo, seg.hi ORDER BY lo""")),
+
     QueryDef("q_percentiles",
       (s, dir) => agg("lineitem", """[
         {"$group": {"_id": "$l_returnflag",
@@ -1046,6 +1088,39 @@ object Relational {
                 + 1 + strlen('rk') + 1   + 4
                 + 1 AS INTEGER) AS sz
               FROM nation ORDER BY n_nationkey""")),
+
+    // hyperbolic trig family ($sinh/$cosh/$tanh/$asinh/$acosh/$atanh):
+    // DuckDB 1.0 lacks the functions, so the oracle evaluates the
+    // textbook exp/ln forms. Inputs are COARSENED first (round-2 of a
+    // bounded mod) so the round-6 outputs sit far from rounding
+    // boundaries — the float-drift concern is testable, not assumed
+    // (grid-checked exp-form vs libm at every 0.01 step of [-1.4, 1.4]:
+    // zero round-6 disagreements).
+    QueryDef("q_hyperbolic",
+      (s, dir) => agg("orders", """[
+        {"$project": {"o_orderkey": 1,
+          "x": {"$round": [{"$subtract": [{"$mod": ["$o_totalprice", 2.8]}, 1.4]}, 2]}}},
+        {"$project": {"o_orderkey": 1, "x": 1,
+          "sh":  {"$round": [{"$sinh": "$x"}, 6]},
+          "ch":  {"$round": [{"$cosh": "$x"}, 6]},
+          "th":  {"$round": [{"$tanh": "$x"}, 6]},
+          "ash": {"$round": [{"$asinh": "$x"}, 6]},
+          "ach": {"$round": [{"$acosh": {"$add": [1.0, {"$abs": "$x"}]}}, 6]},
+          "ath": {"$round": [{"$atanh": {"$multiply": ["$x", 0.7]}}, 6]}}},
+        {"$sort": {"o_orderkey": 1}}]""")(s, dir),
+      Some("""WITH t AS (SELECT o_orderkey,
+                     round(mod(o_totalprice, 2.8) - 1.4, 2) AS x
+                   FROM orders),
+              u AS (SELECT o_orderkey, x,
+                     1.0 + abs(x) AS cx, x * 0.7 AS tx FROM t)
+              SELECT o_orderkey, x,
+                round((exp(x) - exp(-x)) / 2, 6) AS sh,
+                round((exp(x) + exp(-x)) / 2, 6) AS ch,
+                round((exp(2*x) - 1) / (exp(2*x) + 1), 6) AS th,
+                round(ln(x + sqrt(x*x + 1)), 6) AS ash,
+                round(ln(cx + sqrt(cx*cx - 1)), 6) AS ach,
+                round(0.5 * ln((1 + tx) / (1 - tx)), 6) AS ath
+              FROM u ORDER BY o_orderkey""")),
 
     // expression-context statistics over a pushed array ($stdDevPop/
     // $stdDevSamp/$median/$percentile in $project, Mongo 7.0 surface):

@@ -63,4 +63,14 @@ object MSchema {
   def codeField(name: String): StructField =
     StructField(name, StringType,
       metadata = new MetadataBuilder().putString(BsonTypeKey, "code").build())
+
+  /** Raw-BID decimal128 passthrough (opt-in): the field decodes to the
+    * 16-byte IEEE 754-2008 BID payload instead of DecimalType(38,10),
+    * so the FULL domain — NaN, ±Infinity, exponents past Spark's scale,
+    * clamped zeros — round-trips instead of nulling (lifts the SURVEY
+    * §7.4 restriction). Render with the `decimal128_str` native
+    * function. */
+  def decimalRawField(name: String): StructField =
+    StructField(name, BinaryType,
+      metadata = new MetadataBuilder().putString(BsonTypeKey, "decimal128").build())
 }

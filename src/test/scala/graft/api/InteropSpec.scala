@@ -71,8 +71,31 @@ class InteropSpec extends AnyFunSuite {
       Map("batchSize" -> 100, "useCursor" -> true)).count() == 1)
     // unknown options reject
     intercept[graft.mql.MqlException] {
-      Graft.findWithOptions(li, "{}", Map("hint" -> "idx"))
+      Graft.findWithOptions(li, "{}", Map("tailable" -> true))
     }
+  }
+
+  test("find-options tail: hint/min/max/returnKey/comment (api.py:175 kwargs)") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    // named-index hint + comment: accepted, no result change
+    assert(Graft.findWithOptions(li, """{"l_linenumber": 1}""",
+      Map("hint" -> "idx_x", "comment" -> "audit")).count() ==
+      Graft.find(li, """{"l_linenumber": 1}""").count())
+    // min/max = inclusive-lower / exclusive-upper index bounds → ranges
+    val bounded = Graft.findWithOptions(li, "{}",
+      Map("hint" -> """{"l_orderkey": 1}""",
+          "min" -> """{"l_orderkey": 100}""",
+          "max" -> """{"l_orderkey": 200}"""))
+    import org.apache.spark.sql.functions.{min => fmin, max => fmax}
+    val mm = bounded.agg(fmin("l_orderkey"), fmax("l_orderkey")).head
+    assert(mm.getLong(0) >= 100L && mm.getLong(1) < 200L)
+    // returnKey: only the hinted key fields come back
+    val keys = Graft.findWithOptions(li, """{"l_linenumber": 1}""",
+      Map("hint" -> """{"l_orderkey": 1}""", "return_key" -> true))
+    assert(keys.columns.toSeq == Seq("l_orderkey"))
+    // returnKey without a field hint: zero columns (Mongo's empty docs)
+    assert(Graft.findWithOptions(li, "{}", Map("return_key" -> true))
+      .columns.isEmpty)
   }
 
   test("concurrent query execution on one session (test_arrow.py:1238-1259 twin)") {

@@ -92,6 +92,58 @@ class BsonBinarySpec extends AnyFunSuite {
     assert(got.getDecimal(0).compareTo(bd) == 0)
   }
 
+  test("decimal128 raw-BID passthrough: full-domain matrix") {
+    // string → BID → string is identity over the WHOLE decimal128
+    // domain, including the values DecimalType(38,10) nulls out
+    val full = Seq("NaN", "Infinity", "-Infinity",
+      "0", "-0.001", "123456789.123456789",
+      "1E+10", "-2.5E-15", "9999999999999999999999999999999999",
+      "1E-6100", "1E+6100") // exponents far past Spark's decimal scale
+    full.foreach { s =>
+      val bid = BsonBinary.decimal128Bid(s)
+      assert(bid.length == 16)
+      val back = BsonBinary.decimal128BidToString(bid)
+      val eq = (s, back) match {
+        case ("NaN", b) => b == "NaN"
+        case (a, b) if a.contains("Infinity") => a == b
+        case (a, b) =>
+          new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b)) == 0
+      }
+      assert(eq, s"full-domain round trip of $s gave $back")
+    }
+    // decode path: MSchema.decimalRawField keeps NaN/Inf as payload...
+    val raw = graft.schema.MSchema.decimalRawField("v")
+    val schema = StructType(Seq(raw))
+    val mapper = DocDecoder.newMapper()
+    def decode(json: String) =
+      DocDecoder.decodeStruct(mapper.readTree(json), schema, strict = true)
+    val nanRow = decode("""{"v": {"$numberDecimal": "NaN"}}""")
+    assert(BsonBinary.decimal128BidToString(
+      nanRow.get(0).asInstanceOf[Array[Byte]]) == "NaN")
+    val infRow = decode("""{"v": {"$numberDecimal": "-Infinity"}}""")
+    assert(BsonBinary.decimal128BidToString(
+      infRow.get(0).asInstanceOf[Array[Byte]]) == "-Infinity")
+    // ...where the DecimalType(38,10) field nulls them (documented §7.4)
+    val decSchema = StructType(Seq(StructField("v", DecimalType(38, 10))))
+    assert(DocDecoder.decodeStruct(
+      mapper.readTree("""{"v": {"$numberDecimal": "NaN"}}"""),
+      decSchema, strict = false).isNullAt(0))
+
+    // the decimal128_str native function renders the payload in SQL
+    val spark = graft.SparkFixture.spark
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val vals = Seq("NaN", "Infinity", "42.5", "1E+6100")
+    val df = vals.map(BsonBinary.decimal128Bid).toDF("bid")
+    val out = df.select(org.apache.spark.sql.functions
+      .call_function("decimal128_str", $"bid")).collect().map(_.getString(0))
+    assert(out(0) == "NaN" && out(1) == "Infinity")
+    assert(new java.math.BigDecimal(out(2)).compareTo(
+      new java.math.BigDecimal("42.5")) == 0)
+    assert(new java.math.BigDecimal(out(3)).compareTo(
+      new java.math.BigDecimal("1E+6100")) == 0)
+  }
+
   test("stream of concatenated documents iterates in order") {
     val schema = StructType(Seq(StructField("i", IntegerType)))
     val out = new java.io.ByteArrayOutputStream()
