@@ -80,6 +80,30 @@ object Decode {
       Some("""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
                      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
                      max(o_orderdate) AS last_date
-              FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+              FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // continuous document ingest: typed table → DSv2 doc sink →
+    // `readStream.format("graftdocs")` micro-batch tail ((mtime, name)
+    // watermark offsets) → streaming aggregate — the streaming twin of
+    // the reference's cursor loop, closed against the batch oracle
+    QueryDef("q_stream_docs",
+      (s, dir) => {
+        val df = Graft.table(s, dir, "customer")
+        val path = java.nio.file.Files.createTempDirectory("graft_stream_q").toString
+        df.write.format("graftdocs").mode("overwrite").save(path)
+        val qName = "graft_stream_docs_sink"
+        val q = s.readStream.format("graftdocs").schema(df.schema).load(path)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+              .cast(org.apache.spark.sql.types.DoubleType).as("sum_bal"))
+          .writeStream.format("memory").queryName(qName)
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(qName).orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+              FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
   )
 }

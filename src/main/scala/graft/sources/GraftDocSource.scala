@@ -54,7 +54,8 @@ import scala.jdk.CollectionConverters._
   * write-side `format` = `jsonl` (default) | `bson`.
   */
 object GraftDocSource {
-  private[sources] case class FileRef(path: String, length: Long) {
+  private[sources] case class FileRef(path: String, length: Long,
+                                      mtime: Long = 0L) {
     def isBson: Boolean = path.endsWith(".bson")
   }
 
@@ -89,7 +90,7 @@ object GraftDocSource {
         else Seq(st).filterNot(s => isHidden(s.getPath.getName))
         // globs match dot-files ('*' is '[^/]*' — no shell hidden-file
         // exclusion), which would surface uncommitted staged batches
-      }.map(st => FileRef(st.getPath.toString, st.getLen))
+      }.map(st => FileRef(st.getPath.toString, st.getLen, st.getModificationTime))
     }
   }
 
@@ -148,7 +149,7 @@ private[sources] class GraftDocTable(schema: StructType, props: Map[String, Stri
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(schema, options)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -157,10 +158,19 @@ private[sources] class GraftDocTable(schema: StructType, props: Map[String, Stri
 
 private[sources] class GraftScanBuilder(fullSchema: StructType,
                                         options: CaseInsensitiveStringMap)
-  extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+  with SupportsPushDownLimit {
 
   private var required: StructType = fullSchema
   private var filters: Array[Filter] = Array.empty
+  private var limit: Option[Int] = None
+
+  // LIMIT n reaches the decoder: each partition stops decoding after n
+  // surviving rows (Spark still applies the global limit on top). A
+  // find(..., limit=n) then reads ~n documents per split instead of the
+  // whole file — at 100 TB the difference between a point lookup and a
+  // full scan.
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
 
   // projection synthesis: only the pruned columns are decoded
   override def pruneColumns(requiredSchema: StructType): Unit = {
@@ -177,11 +187,12 @@ private[sources] class GraftScanBuilder(fullSchema: StructType,
   override def pushedFilters(): Array[Filter] =
     filters.filter(DocFilterEval.supported(_, fullSchema))
 
-  override def build(): Scan = new GraftScan(required, options, pushedFilters())
+  override def build(): Scan = new GraftScan(required, options, pushedFilters(), limit)
 }
 
 private[sources] class GraftScan(schema: StructType, options: CaseInsensitiveStringMap,
-                                 filters: Array[Filter])
+                                 filters: Array[Filter],
+                                 limit: Option[Int] = None)
   extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
@@ -192,7 +203,8 @@ private[sources] class GraftScan(schema: StructType, options: CaseInsensitiveStr
     val (mqlDoc, residual) = graft.mql.FilterTranslator.translateAll(filters.toSeq)
     s"graftdocs PushedFilters: [${filters.mkString(", ")}], " +
       s"PushedMqlFilter: ${graft.mql.FilterTranslator.render(mqlDoc)}" +
-      (if (residual.nonEmpty) s", ResidualFilters: [${residual.mkString(", ")}]" else "")
+      (if (residual.nonEmpty) s", ResidualFilters: [${residual.mkString(", ")}]" else "") +
+      limit.map(n => s", PushedLimit: $n").getOrElse("")
   }
 
   private val allowInvalid = options.getBoolean("allowinvalid", false)
@@ -208,20 +220,94 @@ private[sources] class GraftScan(schema: StructType, options: CaseInsensitiveStr
     v
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
-    GraftDocSource.resolveFiles(options).toArray.flatMap { ref =>
+  private[sources] def splitFiles(files: Seq[GraftDocSource.FileRef])
+      : Array[InputPartition] =
+    files.toArray.flatMap { ref =>
       if (ref.isBson || ref.length <= maxSplitBytes)
         Array(GraftFilePartition(ref.path, 0L, math.max(ref.length, 1L)))
       else (0L until ref.length by maxSplitBytes).map(s =>
         GraftFilePartition(ref.path, s, math.min(s + maxSplitBytes, ref.length))).toArray
     }
 
+  override def planInputPartitions(): Array[InputPartition] =
+    splitFiles(GraftDocSource.resolveFiles(options))
+
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(schema, allowInvalid, filters,
       new SerializableConfiguration(GraftDocSource.activeHadoopConf()),
       // `columnar=false` keeps the row path selectable for A/B and as the
       // escape hatch for any type the builder layer doesn't cover
-      columnar = options.getBoolean("columnar", true))
+      columnar = options.getBoolean("columnar", true),
+      limit = limit)
+
+  // continuous document ingest: the streaming twin of the reference's
+  // cursor loop — tail the batch directory, each micro-batch decoding
+  // the files that arrived since the last watermark
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(this, options)
+}
+
+/** Micro-batch tail of a document-batch directory. Offsets are a
+  * COMPACT (mtime, name) watermark — a file is "new" when its
+  * (modification time, name) pair sorts strictly after the watermark —
+  * so the offset stays O(1) no matter how many batch files accumulate
+  * (a consumed-file-set offset would grow without bound at 100 TB).
+  * The commit protocol makes this safe here: the batch writer stages
+  * hidden dot-files and renames them visible at job commit, so a
+  * visible file's mtime is its PUBLICATION time — files cannot appear
+  * with an mtime behind an already-advanced watermark (the classic
+  * mtime-tailing hazard) unless an external writer bypasses the sink,
+  * which is out of contract. */
+private[sources] class GraftMicroBatchStream(scan: GraftScan,
+                                             options: CaseInsensitiveStringMap)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class Watermark(mtime: Long, name: String) extends Offset {
+    override def json(): String = {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val n = m.createObjectNode()
+      n.put("mtime", mtime); n.put("name", name)
+      m.writeValueAsString(n)
+    }
+  }
+
+  private def isAfter(f: GraftDocSource.FileRef, w: Watermark): Boolean =
+    f.mtime > w.mtime || (f.mtime == w.mtime && f.name > w.name)
+  private implicit class RefName(f: GraftDocSource.FileRef) {
+    def name: String = new Path(f.path).getName
+  }
+
+  override def initialOffset(): Offset = Watermark(-1L, "")
+
+  override def latestOffset(): Offset = {
+    val files = GraftDocSource.resolveFiles(options)
+    if (files.isEmpty) Watermark(-1L, "")
+    else {
+      val top = files.maxBy(f => (f.mtime, f.name))
+      Watermark(top.mtime, top.name)
+    }
+  }
+
+  override def deserializeOffset(json: String): Offset = {
+    val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    Watermark(n.get("mtime").asLong, n.get("name").asText)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[Watermark]
+    val e = end.asInstanceOf[Watermark]
+    val files = GraftDocSource.resolveFiles(options)
+      .filter(f => isAfter(f, s) && !isAfter(f, e))
+    scan.splitFiles(files)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    scan.createReaderFactory()
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[sources] case class GraftFilePartition(path: String, start: Long, end: Long)
@@ -308,8 +394,10 @@ private[sources] object GraftScanMetrics {
 private[sources] class GraftReaderFactory(schema: StructType, allowInvalid: Boolean,
                                           filters: Array[Filter],
                                           conf: SerializableConfiguration,
-                                          columnar: Boolean = true)
+                                          columnar: Boolean = true,
+                                          limit: Option[Int] = None)
   extends PartitionReaderFactory {
+  private val perPartitionLimit: Int = limit.getOrElse(Int.MaxValue)
 
   /** Shared per-partition document iterator (both formats yield canonical
     * ext-JSON nodes, so decode is format-independent). Construction
@@ -346,7 +434,8 @@ private[sources] class GraftReaderFactory(schema: StructType, allowInvalid: Bool
     val p = partition.asInstanceOf[GraftFilePartition]
     val strict = !allowInvalid
     val (fsIn, docs) = openDocs(p)
-    new ColumnarDocReader(docs, schema, strict, filters, () => fsIn.close())
+    new ColumnarDocReader(docs, schema, strict, filters, () => fsIn.close(),
+      perPartitionLimit)
   }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -358,7 +447,9 @@ private[sources] class GraftReaderFactory(schema: StructType, allowInvalid: Bool
 
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
+      private var emitted = 0
       override def next(): Boolean = {
+        if (emitted >= perPartitionLimit) return false // pushed LIMIT
         while (docs.hasNext) {
           val node = docs.next()
           val row = DocDecoder.decodeStruct(node, schema, strict)
@@ -366,6 +457,7 @@ private[sources] class GraftReaderFactory(schema: StructType, allowInvalid: Bool
           if (filters.forall(DocFilterEval.eval(_, get))) {
             current = toCatalyst(row).asInstanceOf[InternalRow]
             GraftScanMetrics.emitted.increment()
+            emitted += 1
             return true
           } else GraftScanMetrics.skipped.increment()
         }
@@ -475,10 +567,11 @@ private[sources] object ColumnarDocBuilder {
 private[sources] class ColumnarDocReader(
     docs: Iterator[com.fasterxml.jackson.databind.JsonNode],
     schema: StructType, strict: Boolean, filters: Array[Filter],
-    closeFn: () => Unit)
+    closeFn: () => Unit, limitRows: Int = Int.MaxValue)
   extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
 
+  private var remaining = limitRows
   private val capacity = 4096
   private val vectors = OnHeapColumnVector.allocateColumns(capacity, schema)
   private val batch = new org.apache.spark.sql.vectorized.ColumnarBatch(
@@ -492,7 +585,7 @@ private[sources] class ColumnarDocReader(
     var i = 0
     while (i < vectors.length) { vectors(i).reset(); i += 1 }
     var n = 0
-    while (n < capacity && docs.hasNext) {
+    while (n < capacity && n < remaining && docs.hasNext) {
       val node = docs.next()
       var j = 0
       while (j < fields.length) {
@@ -511,6 +604,7 @@ private[sources] class ColumnarDocReader(
         n += 1
       } else GraftScanMetrics.skipped.increment()
     }
+    remaining -= n
     batch.setNumRows(n)
     n > 0
   }

@@ -110,6 +110,25 @@ class ColumnarReadSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("unexpected type")))
   }
 
+  test("limit pushdown stops decode after n rows per partition") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_limit")
+    val sb = new StringBuilder
+    (1 to 20000).foreach(i => sb.append(s"""{"i": $i}\n"""))
+    java.nio.file.Files.write(dir.resolve("big.jsonl"), sb.toString.getBytes("UTF-8"))
+    val schema = StructType(Seq(StructField("i", LongType)))
+    for (columnar <- Seq(true, false)) {
+      GraftScanMetrics.emitted.reset()
+      val q = spark.read.format("graftdocs").schema(schema)
+        .option("columnar", columnar).load(dir.toString).limit(5)
+      assert(q.queryExecution.executedPlan.toString.contains("PushedLimit: 5"))
+      assert(q.collect().length == 5)
+      // one partition here: the decoder must have stopped at the limit,
+      // not decoded all 20000 documents
+      assert(GraftScanMetrics.emitted.sum() <= 5L,
+        s"columnar=$columnar decoded ${GraftScanMetrics.emitted.sum()} rows")
+    }
+  }
+
   test("multi-batch reads (capacity rollover) keep every row") {
     val dir = java.nio.file.Files.createTempDirectory("graft_columnar_big")
     val sb = new StringBuilder
