@@ -159,11 +159,29 @@ private[sources] class GraftDocTable(schema: StructType, props: Map[String, Stri
 private[sources] class GraftScanBuilder(fullSchema: StructType,
                                         options: CaseInsensitiveStringMap)
   extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-  with SupportsPushDownLimit {
+  with SupportsPushDownLimit with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var filters: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
+  private var countPushed = false
+
+  // COUNT(*) with no grouping and no filters never decodes a document:
+  // .bson partitions hop length prefixes, .jsonl partitions count line
+  // bytes — the document-source analogue of parquet's metadata count.
+  // Partial pushdown: each partition emits its count, Spark sums.
+  // (Spark only offers the aggregation when every filter was fully
+  // pushed; this source keeps filters post-scan, so a filtered count
+  // never reaches here.)
+  override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    val ok = agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions.head
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar] &&
+      filters.isEmpty && limit.isEmpty
+    if (ok) countPushed = true
+    ok
+  }
 
   // LIMIT n reaches the decoder: each partition stops decoding after n
   // surviving rows (Spark still applies the global limit on top). A
@@ -187,7 +205,117 @@ private[sources] class GraftScanBuilder(fullSchema: StructType,
   override def pushedFilters(): Array[Filter] =
     filters.filter(DocFilterEval.supported(_, fullSchema))
 
-  override def build(): Scan = new GraftScan(required, options, pushedFilters(), limit)
+  override def build(): Scan =
+    if (countPushed) new GraftCountScan(options)
+    else new GraftScan(required, options, pushedFilters(), limit)
+}
+
+/** COUNT(*)-pushdown scan: one long per partition, no decode. */
+private[sources] class GraftCountScan(options: CaseInsensitiveStringMap)
+  extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(Seq(org.apache.spark.sql.types.StructField("count(*)",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String = "graftdocs PushedAggregation: [COUNT(*)]"
+
+  private val maxSplitBytes = options.getLong("maxsplitbytes", 128L * 1024 * 1024)
+
+  override def planInputPartitions(): Array[InputPartition] =
+    GraftDocSource.resolveFiles(options).toArray.flatMap { ref =>
+      if (ref.isBson || ref.length <= maxSplitBytes)
+        Array(GraftFilePartition(ref.path, 0L, math.max(ref.length, 1L)))
+      else (0L until ref.length by maxSplitBytes).map(s =>
+        GraftFilePartition(ref.path, s, math.min(s + maxSplitBytes, ref.length))).toArray
+    }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftCountReaderFactory(
+      new SerializableConfiguration(GraftDocSource.activeHadoopConf()))
+}
+
+private[sources] class GraftCountReaderFactory(conf: SerializableConfiguration)
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftFilePartition]
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      private var row: InternalRow = _
+      override def next(): Boolean = {
+        if (emitted) return false
+        val path = new Path(p.path)
+        val fsIn = path.getFileSystem(conf.value).open(path)
+        val count =
+          try {
+            if (p.path.endsWith(".bson")) countBson(fsIn)
+            else countJsonlLines(fsIn, p.start, p.end)
+          } finally fsIn.close()
+        row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](count))
+        emitted = true
+        true
+      }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+  }
+
+  /** Count concatenated BSON documents by hopping length prefixes. */
+  private def countBson(fsIn: org.apache.hadoop.fs.FSDataInputStream): Long = {
+    val in = new java.io.BufferedInputStream(fsIn, 1 << 16)
+    var n = 0L
+    var done = false
+    while (!done) {
+      val b0 = in.read()
+      if (b0 < 0) done = true
+      else {
+        val b1 = in.read(); val b2 = in.read(); val b3 = in.read()
+        if (b3 < 0) throw new java.io.EOFException("truncated BSON length prefix")
+        val len = b0 | (b1 << 8) | (b2 << 16) | (b3 << 24)
+        if (len < 5 || len > graft.bson.BsonBinary.MaxDocBytes)
+          throw new graft.bson.GraftTypeError(s"invalid BSON document length $len")
+        var toSkip = (len - 4).toLong
+        while (toSkip > 0) {
+          val s = in.skip(toSkip)
+          if (s <= 0) {
+            if (in.read() < 0) throw new java.io.EOFException("truncated BSON document")
+            toSkip -= 1
+          } else toSkip -= s
+        }
+        n += 1
+      }
+    }
+    n
+  }
+
+  /** Count NON-EMPTY lines whose first byte lies in [start, end) —
+    * the exact row set JsonlLineIterator would decode. */
+  private def countJsonlLines(fsIn: org.apache.hadoop.fs.FSDataInputStream,
+                              start: Long, end: Long): Long = {
+    var pos = if (start > 0) start - 1 else 0L
+    if (pos > 0) fsIn.seek(pos)
+    val in = new java.io.BufferedInputStream(fsIn, 1 << 16)
+    if (start > 0) { // discard through the split-leading newline
+      var b = in.read()
+      while (b != -1 && b != '\n') { pos += 1; b = in.read() }
+      if (b != -1) pos += 1
+    }
+    var n = 0L
+    var lineHasBytes = false
+    var lineStart = pos
+    var b = in.read()
+    while (b != -1 && lineStart < end) {
+      if (b == '\n') {
+        if (lineHasBytes) n += 1
+        pos += 1; lineStart = pos; lineHasBytes = false
+      } else {
+        pos += 1; lineHasBytes = true
+      }
+      b = in.read()
+    }
+    if (lineHasBytes && lineStart < end) n += 1 // unterminated final line
+    n
+  }
 }
 
 private[sources] class GraftScan(schema: StructType, options: CaseInsensitiveStringMap,
@@ -433,6 +561,17 @@ private[sources] class GraftReaderFactory(schema: StructType, allowInvalid: Bool
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[GraftFilePartition]
     val strict = !allowInvalid
+    // .bson scans with no decode-time filters take the DIRECT path:
+    // stream bytes → per-column builders, no JsonNode tree (the
+    // reference's process_bson_stream architecture). With pushed
+    // filters the tree path keeps the decode-time skip optimization
+    // (Spark re-evaluates pushed filters post-scan either way).
+    if (p.path.endsWith(".bson") && filters.isEmpty &&
+        schema.fields.forall(f => graft.bson.BsonVectorDecoder.supports(f.dataType))) {
+      val path = new Path(p.path)
+      val fsIn = path.getFileSystem(conf.value).open(path)
+      return new BsonColumnarReader(fsIn, schema, strict, perPartitionLimit)
+    }
     val (fsIn, docs) = openDocs(p)
     new ColumnarDocReader(docs, schema, strict, filters, () => fsIn.close(),
       perPartitionLimit)
@@ -611,6 +750,77 @@ private[sources] class ColumnarDocReader(
 
   override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = batch
   override def close(): Unit = { batch.close(); closeFn() }
+}
+
+/** Direct BSON→ColumnarBatch partition reader: length-prefixed documents
+  * stream through [[graft.bson.BsonVectorDecoder]]'s per-column writers —
+  * no intermediate tree, undeclared fields skipped as byte ranges. */
+private[sources] class BsonColumnarReader(
+    fsIn: org.apache.hadoop.fs.FSDataInputStream,
+    schema: StructType, strict: Boolean, limitRows: Int = Int.MaxValue)
+  extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import graft.bson.BsonVectorDecoder
+
+  private val in = new java.io.BufferedInputStream(fsIn, 1 << 16)
+  private var remaining = limitRows
+  private val capacity = 4096
+  private val vectors = OnHeapColumnVector.allocateColumns(capacity, schema)
+  private val batch = new org.apache.spark.sql.vectorized.ColumnarBatch(
+    vectors.asInstanceOf[Array[org.apache.spark.sql.vectorized.ColumnVector]])
+  private val writers = schema.fields.map(BsonVectorDecoder.writerFor(_, strict))
+  private val fieldIdx = {
+    val m = new java.util.HashMap[String, Integer]()
+    schema.fieldNames.zipWithIndex.foreach { case (n, i) => m.put(n, i) }
+    m
+  }
+  private val seen = new Array[Boolean](schema.length)
+  private var body = new Array[Byte](1 << 12) // grows to the largest doc
+
+  /** Next document body length, or -1 at clean EOF. */
+  private def readDocInto(): Int = {
+    val b0 = in.read()
+    if (b0 < 0) return -1
+    val b1 = in.read(); val b2 = in.read(); val b3 = in.read()
+    if (b3 < 0) throw new java.io.EOFException("truncated BSON length prefix")
+    val len = b0 | (b1 << 8) | (b2 << 16) | (b3 << 24)
+    if (len < 5 || len > graft.bson.BsonBinary.MaxDocBytes)
+      throw new graft.bson.GraftTypeError(s"invalid BSON document length $len")
+    val n = len - 4
+    if (body.length < n) body = new Array[Byte](Integer.highestOneBit(n) * 2)
+    var off = 0
+    while (off < n) {
+      val r = in.read(body, off, n - off)
+      if (r < 0) throw new java.io.EOFException(
+        s"truncated BSON document: expected $n bytes, got $off")
+      off += r
+    }
+    n
+  }
+
+  override def next(): Boolean = {
+    var i = 0
+    while (i < vectors.length) { vectors(i).reset(); i += 1 }
+    var n = 0
+    var eof = false
+    while (n < capacity && n < remaining && !eof) {
+      val len = readDocInto()
+      if (len < 0) eof = true
+      else {
+        val buf = java.nio.ByteBuffer.wrap(body, 0, len)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        BsonVectorDecoder.walkDocument(buf, writers, fieldIdx, vectors, seen)
+        GraftScanMetrics.emitted.increment()
+        n += 1
+      }
+    }
+    remaining -= n
+    batch.setNumRows(n)
+    n > 0
+  }
+
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = batch
+  override def close(): Unit = { batch.close(); in.close() }
 }
 
 /** Newline-aligned split reader over a seekable stream: owns every line

@@ -129,6 +129,49 @@ class ColumnarReadSpec extends AnyFunSuite {
     }
   }
 
+  test("count(*) pushdown never decodes a document") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cnt")
+    val sb = new StringBuilder
+    (1 to 12345).foreach(i => sb.append(s"""{"i": $i, "s": "row$i"}\n"""))
+    sb.append("\n") // blank line: excluded from the row set, and from the count
+    java.nio.file.Files.write(dir.resolve("a.jsonl"), sb.toString.getBytes("UTF-8"))
+    val schema = StructType(Seq(StructField("i", LongType), StructField("s", StringType)))
+    val df = spark.read.format("graftdocs").schema(schema).load(dir.toString)
+    GraftScanMetrics.emitted.reset()
+    val q = df.groupBy().count()
+    assert(q.queryExecution.executedPlan.toString.contains("PushedAggregation"),
+      q.queryExecution.executedPlan.toString)
+    assert(q.head.getLong(0) == 12345)
+    assert(GraftScanMetrics.emitted.sum() == 0, "count decoded documents")
+    // bson format: length-prefix hops
+    val bdir = java.nio.file.Files.createTempDirectory("graft_cnt_b")
+    spark.range(777).selectExpr("id").write.format("graftdocs")
+      .option("format", "bson").mode("overwrite").save(bdir.toString)
+    val bs = StructType(Seq(StructField("id", LongType)))
+    val bq = spark.read.format("graftdocs").schema(bs).load(bdir.toString).groupBy().count()
+    assert(bq.queryExecution.executedPlan.toString.contains("PushedAggregation"))
+    assert(bq.head.getLong(0) == 777)
+    // a filtered count must NOT push (filters stay post-scan here)
+    val fq = df.where($"i" > 100).groupBy().count()
+    assert(!fq.queryExecution.executedPlan.toString.contains("PushedAggregation"))
+    assert(fq.head.getLong(0) == 12245)
+  }
+
+  test("count(*) pushdown is exact across byte-split boundaries") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cnt_split")
+    val sb = new StringBuilder
+    (1 to 5000).foreach(i => sb.append(s"""{"i": $i}\n"""))
+    java.nio.file.Files.write(dir.resolve("a.jsonl"), sb.toString.getBytes("UTF-8"))
+    val schema = StructType(Seq(StructField("i", LongType)))
+    // tiny splits: every boundary lands mid-line somewhere
+    for (split <- Seq(997L, 4096L, 64L * 1024)) {
+      val q = spark.read.format("graftdocs").schema(schema)
+        .option("maxSplitBytes", split).load(dir.toString).groupBy().count()
+      assert(q.queryExecution.executedPlan.toString.contains("PushedAggregation"))
+      assert(q.head.getLong(0) == 5000, s"split=$split")
+    }
+  }
+
   test("multi-batch reads (capacity rollover) keep every row") {
     val dir = java.nio.file.Files.createTempDirectory("graft_columnar_big")
     val sb = new StringBuilder
