@@ -135,8 +135,14 @@ object Graft {
     // Mongo, and $text's score lands as a real `textScore` column so the
     // {$meta: "textScore"} projection idiom resolves to it
     val fc = FilterCompiler.compileFind(filter, collation)
-    var out = df.where(fc.pred)
+    var out = df
+    // $text tokens materialize once (carrier column feeds predicate AND
+    // score, dropped below) — see FilterCompiler.TextToksCol
+    fc.textToks.foreach(t =>
+      out = out.withColumn(FilterCompiler.TextToksCol, t))
+    out = out.where(fc.pred)
     fc.textScore.foreach(s => out = out.withColumn("textScore", s))
+    if (fc.textToks.isDefined) out = out.drop(FilterCompiler.TextToksCol)
     if (sort.isEmpty) fc.nearDist.foreach(d => out = out.orderBy(d.asc))
     // collation affects sort only on string-typed keys (fold through
     // lower() with the untyped column as tiebreak for total order)

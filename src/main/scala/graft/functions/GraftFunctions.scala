@@ -1103,6 +1103,83 @@ object TryParseIntegral {
   val Dot: UTF8String = UTF8String.fromString(".")
 }
 
+/** All of TextAnalysis's per-document quality counters in ONE pass:
+  * struct(n_tok, sum_tok_chars, n_chars, punct_chars, stop_total,
+  * stop_distinct). The Column formulations re-ran the interpreted
+  * tokenize (split + filter HOF, CodegenFallback — no codegen CSE)
+  * once per metric occurrence: a ruleFilter struct re-inlined per
+  * output field cost ~12 tokenizations per row. Semantics mirror the
+  * Column forms exactly: tokens = java-regex `\s+` split of the
+  * space-trimmed text with empties dropped (boundary-equivalent to
+  * scanning for [ \t\n\f\r] runs); char counts are code points
+  * (Spark `length`); punct set [.!?,;:]; stopword comparison on the
+  * lowercased token (full-string lower never moves whitespace).
+  * Ratios/rounding stay OUTSIDE (plain Column arithmetic) so the
+  * DuckDB twins keep comparing the same rounded doubles. */
+case class TextStats(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tok", LongType, nullable = false),
+    StructField("sum_tok_chars", LongType, nullable = false),
+    StructField("n_chars", LongType, nullable = false),
+    StructField("punct_chars", LongType, nullable = false),
+    StructField("stop_total", LongType, nullable = false),
+    StructField("stop_distinct", LongType, nullable = false)))
+
+  // stopword list is a query constant (foldable literal array)
+  private lazy val stopwords: Array[String] = {
+    val arr = right.eval(null).asInstanceOf[ArrayData]
+    Array.tabulate(arr.numElements())(i => arr.getUTF8String(i).toString)
+  }
+
+  private def isWs(c: Char): Boolean = // java regex \s (ASCII-only)
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+  private def isPunct(c: Char): Boolean =
+    c == '.' || c == '!' || c == '?' || c == ',' || c == ';' || c == ':'
+
+  override def nullSafeEval(t: Any, sw: Any): Any = {
+    val s = t.asInstanceOf[UTF8String].toString
+    val seenStop = new Array[Boolean](stopwords.length)
+    var nTok = 0L; var sumTokChars = 0L; var nChars = 0L
+    var punct = 0L; var stopTotal = 0L
+    var tokStart = -1
+    var i = 0
+    def closeToken(end: Int): Unit = if (tokStart >= 0) {
+      nTok += 1
+      sumTokChars += s.codePointCount(tokStart, end).toLong
+      // stopwords are short ASCII — only cheap candidates compare
+      if (end - tokStart <= 8) {
+        val tok = s.substring(tokStart, end).toLowerCase(java.util.Locale.ROOT)
+        var k = 0
+        while (k < stopwords.length) {
+          if (stopwords(k) == tok) {
+            stopTotal += 1
+            seenStop(k) = true
+            k = stopwords.length
+          } else k += 1
+        }
+      }
+      tokStart = -1
+    }
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (!Character.isLowSurrogate(c)) nChars += 1
+      if (isPunct(c)) punct += 1
+      if (isWs(c)) closeToken(i)
+      else if (tokStart < 0) tokStart = i
+      i += 1
+    }
+    closeToken(s.length)
+    var distinct = 0L
+    seenStop.foreach(b => if (b) distinct += 1)
+    org.apache.spark.sql.catalyst.InternalRow(
+      nTok, sumTokChars, nChars, punct, stopTotal, distinct)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): TextStats =
+    copy(left = l, right = r)
+}
+
 /** Canonical string rendering of a raw-BID decimal128 payload (the
   * 16-byte binary column [[graft.schema.MSchema.decimalRawField]]
   * decodes to): finite values as plain decimal strings, plus the
@@ -1339,6 +1416,7 @@ object GraftFunctions {
     "try_to_int" -> ((e: Seq[Expression]) => TryToIntegral(e.head, toLong = false)),
     "try_to_long" -> ((e: Seq[Expression]) => TryToIntegral(e.head, toLong = true)),
     "decimal128_str" -> ((e: Seq[Expression]) => Decimal128Str(e.head)),
+    "text_stats" -> ((e: Seq[Expression]) => TextStats(e(0), e(1))),
     "search_highlights" -> ((e: Seq[Expression]) => SearchHighlights(e(0), e(1), e(2))),
     "graft_regex_find" -> ((e: Seq[Expression]) => RegexFind(e(0), e(1))),
     "graft_regex_find_all" -> ((e: Seq[Expression]) => RegexFindAll(e(0), e(1))),

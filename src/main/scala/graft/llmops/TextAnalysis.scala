@@ -14,6 +14,18 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(trim(text), "\\s+"), t => length(t) > 0)
 
+  /** Every per-document quality counter in ONE native pass:
+    * struct(n_tok, sum_tok_chars, n_chars, punct_chars, stop_total,
+    * stop_distinct) — see functions.TextStats. Materialize this into a
+    * column once and derive metrics from its fields; each interpreted
+    * HOF metric re-ran the tokenizer per occurrence. */
+  def textStats(text: Column,
+                stopwords: Seq[String] = EnglishStopwords): Column = {
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("text_stats", text, array(stopwords.map(lit): _*))
+  }
+
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
   /** GPT-2-shaped pre-tokenization splitter: contractions, letter runs,
@@ -182,16 +194,25 @@ object TextAnalysis {
     * verdict. Everything is a codegen'd Column over one row — map-only
     * at any scale. Ratios are rounded to 6 before thresholding so an
     * oracle recomputing them compares bit-equal at the boundaries. */
-  def ruleFilter(text: Column, rules: QualityRules = QualityRules()): Column = {
-    val nTok = tokenCount(text)
+  def ruleFilter(text: Column, rules: QualityRules = QualityRules()): Column =
+    ruleFilterFromStats(textStats(text), rules)
+
+  /** [[ruleFilter]] over an already-materialized [[textStats]] column —
+    * the scale-correct usage: `withColumn("s", textStats(text))` once,
+    * then every rule/metric is cheap field arithmetic (a ruleFilter
+    * struct re-inlined per output field otherwise re-runs its input
+    * expression per field). */
+  def ruleFilterFromStats(s: Column,
+                          rules: QualityRules = QualityRules()): Column = {
+    val nTok = s.getField("n_tok")
     val lenOk = nTok >= rules.minTokens && nTok <= rules.maxTokens
-    val awl = round(avgWordLen(text), 6)
+    val denom = greatest(nTok, lit(1L)).cast("double")
+    val awl = round(s.getField("sum_tok_chars").cast("double") / denom, 6)
     val awlOk = awl >= rules.minAvgWordLen && awl <= rules.maxAvgWordLen
-    val punct = round(punctRatio(text), 6)
+    val punct = round(s.getField("punct_chars").cast("double") /
+      greatest(s.getField("n_chars"), lit(1L)).cast("double"), 6)
     val punctOk = punct <= rules.maxPunctRatio
-    val sw = array(EnglishStopwords.map(lit): _*)
-    val stopHits = size(array_intersect(array_distinct(tokens(lower(text))), sw))
-    val stopOk = stopHits >= rules.minStopwordHits
+    val stopOk = s.getField("stop_distinct") >= rules.minStopwordHits
     struct(
       lenOk.as("len_ok"), awlOk.as("word_len_ok"), punctOk.as("punct_ok"),
       stopOk.as("stopword_ok"),

@@ -69,7 +69,8 @@ object FilterCompiler {
     * metadata channel, the same convention $search/$vectorSearch use for
     * their scores). */
   final case class FindCompiled(pred: Column, nearDist: Option[Column],
-                                textScore: Option[Column])
+                                textScore: Option[Column],
+                                textToks: Option[Column] = None)
 
   /** find-path entry point: compiles the filter AND surfaces the implicit
     * nearest-first sort key when the filter contains `$near`/`$nearSphere`,
@@ -99,6 +100,7 @@ object FilterCompiler {
     val fields = asObj(parse(json), "filter")
     val nearDists = scala.collection.mutable.ArrayBuffer[Column]()
     val textScores = scala.collection.mutable.ArrayBuffer[Column]()
+    val textToks = scala.collection.mutable.ArrayBuffer[Column]()
     val preds = fields.map {
       case (path, JObject(ops)) if !path.startsWith("$") && isOperatorDoc(ops) &&
           ops.exists(o => o._1 == "$near" || o._1 == "$nearSphere") =>
@@ -106,8 +108,9 @@ object FilterCompiler {
         nearDists += dist
         pred
       case ("$text", v) =>
-        val (pred, score) = compileText(asObj(v, "$text"))
+        val (pred, score, toks) = compileText(asObj(v, "$text"))
         textScores += score
+        textToks += toks
         pred
       case (k, v) => compileField(k, v)
     }
@@ -116,7 +119,7 @@ object FilterCompiler {
     if (textScores.length > 1)
       throw new MqlException("only one $text is allowed per query")
     FindCompiled(preds.reduceOption(_ && _).getOrElse(lit(true)),
-      nearDists.headOption, textScores.headOption)
+      nearDists.headOption, textScores.headOption, textToks.headOption)
   }
 
   def compileWithNear(json: String): (Column, Option[Column]) = {
@@ -439,7 +442,7 @@ object FilterCompiler {
   // (deterministic, oracle-checkable). Map-only: predicate and score are
   // pure Column logic over one tokens expression; no stats pass, no
   // shuffle, pushdown-eligible like any predicate.
-  private def compileText(spec: List[(String, JValue)]): (Column, Column) = {
+  private def compileText(spec: List[(String, JValue)]): (Column, Column, Column) = {
     val known = Set("$search", "$path", "$caseSensitive", "$language",
       "$diacriticSensitive")
     spec.map(_._1).find(!known.contains(_)).foreach(k =>
@@ -473,10 +476,15 @@ object FilterCompiler {
     val neg = negRaw.map(t => norm(t.drop(1))).filter(_.nonEmpty).distinct
     if (pos.isEmpty && posPhr.isEmpty)
       throw new MqlException("$text needs at least one positive term or phrase")
-    val toks = graft.llmops.TextAnalysis.tokens(
+    // tokens materialize ONCE into a carrier column (Graft.find projects
+    // it before the filter and drops it after) — referencing the
+    // tokenizer expression per term re-ran it N× per row (the same
+    // tokenize-once rule the $search stage applies); tf is the codegen'd
+    // PhraseTf on a 1-term phrase, not an interpreted filter() lambda
+    val toksExpr = graft.llmops.TextAnalysis.tokens(
       if (caseSensitive) fieldCol(path) else lower(fieldCol(path)))
-    def tf(t: String): Column =
-      size(filter(toks, x => x === lit(t))).cast("double")
+    val toks = col(TextToksCol)
+    def tf(t: String): Column = phraseTf0(toks, Seq(t)).cast("double")
     val posHit = pos.map(t => array_contains(toks, t))
       .reduceOption(_ || _).getOrElse(lit(true))
     val phrHit = posPhr.map(p => phraseTf0(toks, p) > 0)
@@ -491,8 +499,11 @@ object FilterCompiler {
     val pred = coalesce(base && !negHit, lit(false))
     val score = (pos.map(tf) ++ posPhr.map(p => phraseTf0(toks, p)))
       .reduce(_ + _)
-    (pred, score)
+    (pred, score, toksExpr)
   }
+
+  /** Carrier column name for the one-shot $text token materialization. */
+  val TextToksCol = "__graft_text_toks"
 
   /** Exact (slop-0) phrase occurrence count — consecutive-subsequence
     * starts, the same contract as $search.phrase's zero-slop path. */

@@ -104,6 +104,70 @@ object Decode {
       },
       Some("""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
                      CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
-              FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+              FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // COUNT(*) pushdown: the count comes from length-prefix hops (bson)
+    // + line-byte counts (jsonl) — no document ever decodes (plan-
+    // asserted in ColumnarReadSpec); the oracle checks the VALUE here
+    QueryDef("q_doc_count",
+      (s, dir) => {
+        val df = Graft.table(s, dir, "supplier")
+        val path = java.nio.file.Files.createTempDirectory("graft_cnt_q").toString
+        df.limit(1000).write.format("graftdocs").mode("overwrite").save(path)
+        df.limit(1000).write.format("graftdocs").option("format", "bson")
+          .mode("append").save(path) // mixed-format dir: both counters
+        s.read.format("graftdocs").schema(df.schema).load(path)
+          .groupBy().count().select(col("count").as("n"))
+      },
+      Some("""SELECT CAST(2 * least(COUNT(*), 1000) AS BIGINT) AS n
+              FROM supplier""")),
+
+    // tz-aware timestamp semantics (SURVEY §1.4): a tz-tagged field is
+    // an absolute instant carrying its display zone in metadata;
+    // Graft.localize materializes the zone's wall clock (incl. DST
+    // transitions — both engines consult the IANA tzdb). Previously
+    // spec-only (TimezoneSpec); the wall-clock hour histogram gives it
+    // an oracle row.
+    QueryDef("q_tz_localize",
+      (s, dir) => {
+        val ev = Graft.table(s, dir, "events").where(col("ts").isNotNull)
+        val meta = new org.apache.spark.sql.types.MetadataBuilder()
+          .putString(graft.schema.MSchema.TimezoneKey, "America/New_York").build()
+        val tagged = ev.select(col("event_id"), col("ts").as("ts", meta))
+        Graft.localize(tagged)
+          .groupBy(hour(col("ts")).as("h"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("h").cast(LongType).as("h"), col("n"))
+          .orderBy("h")
+      },
+      Some("""SELECT CAST(hour(timezone('America/New_York',
+                       timezone('UTC', CAST(ts AS TIMESTAMP)))) AS BIGINT) AS h,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM events WHERE ts IS NOT NULL
+              GROUP BY 1 ORDER BY h""")),
+
+    // tabular interop (reference §2.A: Arrow tables hand off to pandas/
+    // polars/parquet): typed frame → CSV → re-read with declared schema
+    // → MQL aggregate; any serialization drift breaks the oracle hash
+    QueryDef("q_interop_csv",
+      (s, dir) => {
+        import graft.api.implicits._
+        val df = Graft.table(s, dir, "nation")
+        val path = java.nio.file.Files.createTempDirectory("graft_csv").toString
+        df.write.mode("overwrite").option("header", "true").csv(path)
+        s.read.schema(df.schema).option("header", "true").csv(path)
+          .mqlAggregate("""[
+            {"$group": {"_id": "$n_regionkey",
+               "n": {"$count": {}},
+               "names": {"$push": "$n_name"}}},
+            {"$project": {"_id": 0, "n_regionkey": "$_id", "n": 1,
+               "first_name": {"$arrayElemAt": [
+                 {"$sortArray": {"input": "$names", "sortBy": 1}}, 0]}}},
+            {"$sort": {"n_regionkey": 1}}]""")
+      },
+      Some("""SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     min(n_name) AS first_name
+              FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""))
   )
 }

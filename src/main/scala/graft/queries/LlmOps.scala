@@ -115,13 +115,19 @@ object LlmOps {
 
     QueryDef("q_text_stats",
       (s, dir) => {
+        // one native text_stats pass; each metric a cheap field derive
         val d = Graft.table(s, dir, "documents")
+          .withColumn("__s", TextAnalysis.textStats(col("text")))
+        val nTok = col("__s.n_tok")
         d.select(
           col("doc_id"),
-          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-          TextAnalysis.charCount(col("text")).as("n_chars"),
-          round(TextAnalysis.punctRatio(col("text")), 6).as("punct_ratio"),
-          round(TextAnalysis.avgWordLen(col("text")), 6).as("avg_word_len"))
+          nTok.as("n_tokens"),
+          col("__s.n_chars").as("n_chars"),
+          round(col("__s.punct_chars").cast("double") /
+            greatest(col("__s.n_chars"), lit(1L)).cast("double"), 6)
+            .as("punct_ratio"),
+          round(col("__s.sum_tok_chars").cast("double") /
+            greatest(nTok, lit(1L)).cast("double"), 6).as("avg_word_len"))
           .orderBy("doc_id")
       },
       Some(s"""SELECT doc_id,
@@ -599,13 +605,18 @@ object LlmOps {
     // Gopher-style rule filter: per-rule flags + verdict, map-only
     QueryDef("q_quality_filter",
       (s, dir) => {
-        val f = TextAnalysis.ruleFilter(col("text"))
+        // the scale-correct shape: ONE native text_stats pass
+        // materialized, every rule a cheap field comparison (getField
+        // on a raw ruleFilter expression re-inlines the whole metric
+        // tree per output column — ~8 tokenizations per row)
         Graft.table(s, dir, "documents")
-          .select(col("doc_id"), f.getField("len_ok").as("len_ok"),
-            f.getField("word_len_ok").as("word_len_ok"),
-            f.getField("punct_ok").as("punct_ok"),
-            f.getField("stopword_ok").as("stopword_ok"),
-            f.getField("keep").as("keep"))
+          .withColumn("__s", TextAnalysis.textStats(col("text")))
+          .withColumn("__f", TextAnalysis.ruleFilterFromStats(col("__s")))
+          .select(col("doc_id"), col("__f.len_ok").as("len_ok"),
+            col("__f.word_len_ok").as("word_len_ok"),
+            col("__f.punct_ok").as("punct_ok"),
+            col("__f.stopword_ok").as("stopword_ok"),
+            col("__f.keep").as("keep"))
           .orderBy("doc_id")
       },
       Some {

@@ -167,4 +167,43 @@ class SamplingSpec extends AnyFunSuite {
     assert(m(2L)._2 == false && m(2L)._1 == false)
     assert(m(3L)._3 == false && m(3L)._1 == false)
   }
+
+  test("native text_stats counters equal the Column formulations") {
+    // edge zoo: tabs/newlines/VT/FF separators, unicode + surrogate
+    // pairs (emoji counts as ONE char), punct inside tokens, leading/
+    // trailing whitespace, empty and whitespace-only strings, stopword
+    // case folding, repeated stopwords (total vs distinct)
+    val texts = Seq(
+      "the cat sat on the mat",
+      "THE\tThe\nthe",
+      "  padded   withodd\fseparators  ",
+      "héllo wörld 🎉🎉 one.two,three!",
+      "a:b;c?d",
+      "", "   ", "\n\t",
+      "singleword",
+      "ends with punct...")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val sOld = df.select(col("id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tok"),
+      TextAnalysis.charCount(col("text")).as("n_chars"),
+      round(TextAnalysis.punctRatio(col("text")), 6).as("punct"),
+      round(TextAnalysis.avgWordLen(col("text")), 6).as("awl"),
+      round(TextAnalysis.stopwordRatio(col("text"),
+        TextAnalysis.EnglishStopwords), 6).as("swr"))
+      .orderBy("id").collect().map(_.toSeq)
+    val st = TextAnalysis.textStats(col("text"))
+    val sNew = df.withColumn("__s", st).select(col("id"),
+      col("__s.n_tok").as("n_tok"),
+      col("__s.n_chars").as("n_chars"),
+      round(col("__s.punct_chars").cast("double") /
+        greatest(col("__s.n_chars"), lit(1L)).cast("double"), 6).as("punct"),
+      round(col("__s.sum_tok_chars").cast("double") /
+        greatest(col("__s.n_tok"), lit(1L)).cast("double"), 6).as("awl"),
+      round(col("__s.stop_total").cast("double") /
+        greatest(col("__s.n_tok"), lit(1L)).cast("double"), 6).as("swr"))
+      .orderBy("id").collect().map(_.toSeq)
+    sOld.zip(sNew).foreach { case (o, n) =>
+      assert(o == n, s"text '${texts(o.head.toString.toInt)}': $o != $n")
+    }
+  }
 }
