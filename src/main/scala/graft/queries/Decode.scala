@@ -146,6 +146,32 @@ object Decode {
               FROM events WHERE ts IS NOT NULL
               GROUP BY 1 ORDER BY h""")),
 
+    // the complete reference loop: document batches → graftdocs source
+    // (columnar decode) → the SAME MQL pipeline surface a mongod user
+    // runs — find+aggregate against the connector frame, not parquet
+    QueryDef("q_mql_on_docs",
+      (s, dir) => {
+        val df = Graft.table(s, dir, "lineitem")
+          .select("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
+        val path = java.nio.file.Files.createTempDirectory("graft_mqldoc").toString
+        df.write.format("graftdocs").mode("overwrite").save(path)
+        val docs = s.read.format("graftdocs").schema(df.schema).load(path)
+        Graft.aggregate(docs, """[
+          {"$match": {"l_quantity": {"$gte": 30.0}}},
+          {"$group": {"_id": "$l_returnflag",
+             "n": {"$count": {}},
+             "sum_qty": {"$sum": {"$toDecimal": "$l_quantity"}},
+             "last_ship": {"$max": "$l_shipdate"}}},
+          {"$project": {"_id": 0, "l_returnflag": "$_id", "n": 1,
+             "sum_qty": {"$toDouble": "$sum_qty"}, "last_ship": 1}},
+          {"$sort": {"l_returnflag": 1}}]""")
+      },
+      Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS sum_qty,
+                     max(l_shipdate) AS last_ship
+              FROM lineitem WHERE l_quantity >= 30.0
+              GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // tabular interop (reference §2.A: Arrow tables hand off to pandas/
     // polars/parquet): typed frame → CSV → re-read with declared schema
     // → MQL aggregate; any serialization drift breaks the oracle hash

@@ -117,6 +117,16 @@ class GraftDocSource extends TableProvider with DataSourceRegister {
     val spark = org.apache.spark.sql.SparkSession.active
     val files = GraftDocSource.resolveFiles(options)
     val conf = new SerializableConfiguration(GraftDocSource.activeHadoopConf())
+    // inference bound: at 100 TB a full-corpus inference pass costs as
+    // much as the scan itself. `inferMaxDocs` (per file, default
+    // unlimited = the reference's whole-cursor inference) caps the
+    // sample — an explicit, documented trade: a type first observed
+    // past the cap (late int64 widening, late-appearing fields) is
+    // missed, exactly like every sampling inferrer (Spark JSON's
+    // samplingRatio). Declared schemas remain the scale-correct mode.
+    val maxDocs = options.getLong("infermaxdocs", Long.MaxValue)
+    if (maxDocs <= 0) throw new IllegalArgumentException(
+      s"graftdocs: inferMaxDocs must be positive, got $maxDocs")
     // one task per file; partition order = file order, so the
     // "first observed value wins" rule stays well-defined globally
     val nodes = spark.sparkContext
@@ -126,14 +136,17 @@ class GraftDocSource extends TableProvider with DataSourceRegister {
           .open(new Path(ref.path))
         Option(org.apache.spark.TaskContext.get())
           .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
-        if (ref.isBson) BsonBinary.documents(in)
-        else {
-          val mapper = DocDecoder.newMapper()
-          val reader = new java.io.BufferedReader(
-            new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
-          Iterator.continually(reader.readLine()).takeWhile(_ != null)
-            .filter(_.nonEmpty).map(mapper.readTree)
-        }
+        val docs =
+          if (ref.isBson) BsonBinary.documents(in)
+          else {
+            val mapper = DocDecoder.newMapper()
+            val reader = new java.io.BufferedReader(
+              new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+            Iterator.continually(reader.readLine()).takeWhile(_ != null)
+              .filter(_.nonEmpty).map(mapper.readTree)
+          }
+        if (maxDocs == Long.MaxValue) docs else docs.take(
+          math.min(maxDocs, Int.MaxValue.toLong).toInt)
       }
     graft.bson.SchemaInference.inferNodes(nodes)
   }

@@ -172,6 +172,21 @@ class ColumnarReadSpec extends AnyFunSuite {
     }
   }
 
+  test("inferMaxDocs bounds the inference sample per file") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_infer")
+    val sb = new StringBuilder
+    // field "late" appears only after the first 100 docs
+    (1 to 100).foreach(i => sb.append(s"""{"i": $i}\n"""))
+    (1 to 50).foreach(i => sb.append(s"""{"i": $i, "late": "x$i"}\n"""))
+    java.nio.file.Files.write(dir.resolve("a.jsonl"), sb.toString.getBytes("UTF-8"))
+    val full = spark.read.format("graftdocs").load(dir.toString).schema
+    assert(full.fieldNames.contains("late"))
+    val sampled = spark.read.format("graftdocs")
+      .option("inferMaxDocs", 100).load(dir.toString).schema
+    assert(!sampled.fieldNames.contains("late")) // documented trade
+    assert(sampled.fieldNames.contains("i"))
+  }
+
   test("multi-batch reads (capacity rollover) keep every row") {
     val dir = java.nio.file.Files.createTempDirectory("graft_columnar_big")
     val sb = new StringBuilder
