@@ -59,6 +59,38 @@ class PlanLintSpec extends AnyFunSuite {
       "exactThreshold row gate (PipelineCompiler $bucketAuto: >1M rows " +
       "switches to the distributed approx_percentile plan, no window)"))
 
+  /** query → justification for a BroadcastNestedLoopJoin whose broadcast
+    * side is NOT a 1-row stats frame. 1-row stats broadcasts (BM25
+    * corpus stats, $$SEARCH_META counts, tf-idf totals) are allowed
+    * everywhere — they are the join-free scalar-attach idiom; anything
+    * else is O(|corpus|·|broadcast|) per-row work and must carry a
+    * written bound here (the cosinePairs "bounded query slice" ground-
+    * truth contract, Similarity.scala). */
+  private val nestedLoopAllowed: Map[String, String] = Map(
+    "q_cos_pairs" -> "opt-in exact ground-truth tool; broadcast side is a bounded query slice by contract",
+    "q_knn_topk" -> "brute-force baseline; broadcast side is the bounded query set",
+    "q_semantic_decon" -> "broadcast side is the benchmark suite (bounded by definition)",
+    "q_decontaminate" -> "broadcast side is the benchmark n-gram set (bounded)",
+    "q_emb_dedup" -> "broadcast seed/codebook constants; pair work bounded per cell",
+    "q_semdedup" -> "broadcast centroid constants; pair work Σ|cell|² by construction",
+    "q_ivf_topk" -> "broadcast side is the QUERY vector set (bounded probe input); corpus side filtered by nearest-cell first",
+    "q_ivfpq_topk" -> "same bounded query-set broadcast; corpus ships 8-byte PQ codes only",
+    "q_pq_topk" -> "same bounded query-set broadcast over PQ codes",
+    "q_rrf_fusion" -> "joined sides are the per-list top-k results — each bounded by its $limit (rank-window guard enforces it)",
+    "q_score_fusion" -> "same: per-pipeline inputs carry $limit before fusion; stats sides are per-pipeline aggregates")
+
+  /** A plan subtree that provably emits ≤1 row (global aggregate with
+    * no grouping keys, or an explicit 1-row limit): broadcasting it is
+    * the scalar-attach idiom, never a scale hazard. */
+  private def oneRowSide(p: SparkPlan): Boolean =
+    collectAll(p).exists {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+        a.groupingExpressions.isEmpty
+      case l: org.apache.spark.sql.execution.GlobalLimitExec =>
+        l.limit <= 1
+      case _ => false
+    }
+
   private def collectAll(p: SparkPlan): Seq[SparkPlan] =
     (p +: p.children.flatMap(collectAll)) ++
       p.subqueries.flatMap(collectAll)
@@ -88,6 +120,15 @@ class PlanLintSpec extends AnyFunSuite {
       case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition =>
         if (!boundedBelow(e.child) && !singlePartitionAllowed.contains(name))
           findings += s"$name: single-partition Exchange over unbounded input"
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec =>
+        val broadcastSide = j.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+          case _ => j.right
+        }
+        if (!oneRowSide(broadcastSide) && !nestedLoopAllowed.contains(name))
+          findings += s"$name: nested-loop join with a non-1-row broadcast " +
+            "side (add a written bound to nestedLoopAllowed if the side is " +
+            "provably bounded)"
       case _ => ()
     }
     findings.toSeq

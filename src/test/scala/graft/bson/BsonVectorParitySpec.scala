@@ -136,6 +136,56 @@ class BsonVectorParitySpec extends AnyFunSuite {
     assert(direct == tree)
   }
 
+  test("fuzz: random schemas × random rows decode identically both ways") {
+    import org.scalacheck.Gen
+    def sample[A](g: Gen[A]): A =
+      Iterator.continually(g.sample).flatten.next()
+
+    val scalarTypes: Seq[DataType] = Seq(LongType, IntegerType, DoubleType,
+      StringType, BooleanType, DateType, DecimalType(18, 4))
+    def typeGen(depth: Int): Gen[DataType] =
+      if (depth == 0) Gen.oneOf(scalarTypes)
+      else Gen.frequency(
+        5 -> Gen.oneOf(scalarTypes),
+        1 -> Gen.listOfN(2, fieldGen(depth - 1)).map(fs =>
+          StructType(fs.zipWithIndex.map { case (f, i) => f.copy(name = s"f$i") })),
+        1 -> typeGen(depth - 1).map(t => ArrayType(t)))
+    def fieldGen(depth: Int): Gen[StructField] =
+      typeGen(depth).map(t => StructField("x", t))
+
+    val strGen = Gen.oneOf("", "a", "héllo", "with space", "🎉", "x" * 40)
+    def valueGen(dt: DataType): Gen[Any] = dt match {
+      case LongType => Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2)
+      case IntegerType => Gen.chooseNum(Int.MinValue, Int.MaxValue)
+      case DoubleType => Gen.oneOf(Gen.chooseNum(-1e12, 1e12), Gen.oneOf(
+        0.0, -0.0, Double.NaN, 1.5e-8))
+      case StringType => strGen
+      case BooleanType => Gen.oneOf(true, false)
+      case DateType => Gen.chooseNum(-30000, 30000)
+        .map(d => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d)))
+      case _: DecimalType => Gen.chooseNum(-999999999999L, 999999999999L)
+        .map(v => new java.math.BigDecimal(java.math.BigInteger.valueOf(v), 4))
+      case st: StructType => Gen.sequence[Seq[Any], Any](
+        st.fields.toSeq.map(f => nullableGen(f.dataType))).map(Row.fromSeq)
+      case ArrayType(et, _) =>
+        Gen.chooseNum(0, 4).flatMap(n =>
+          Gen.sequence[Seq[Any], Any](Seq.fill(n)(nullableGen(et))))
+      case other => throw new IllegalArgumentException(other.toString)
+    }
+    def nullableGen(dt: DataType): Gen[Any] =
+      Gen.frequency(6 -> valueGen(dt), 1 -> Gen.const(null))
+
+    for (round <- 1 to 25) {
+      val nCols = sample(Gen.chooseNum(1, 6))
+      val schema = StructType((0 until nCols).map(i =>
+        sample(fieldGen(2)) match { case f => f.copy(name = s"c$i") }))
+      val rows = (1 to 20).map(_ =>
+        Row.fromSeq(schema.fields.toSeq.map(f => sample(nullableGen(f.dataType)))))
+      val (direct, tree) = bothPaths(rows, schema, schema)
+      assert(direct == tree, s"round $round schema ${schema.simpleString}")
+    }
+  }
+
   test("decimal128 raw-BID passthrough parity on the direct path") {
     val w = StructType(Seq(StructField("v", DecimalType(18, 4))))
     val r = StructType(Seq(MSchema.decimalRawField("v")))

@@ -35,6 +35,29 @@ class TryParseSpec extends AnyFunSuite {
     }
   }
 
+  test("property: random strings agree with try_cast") {
+    import org.scalacheck.Gen
+    def sample[A](g: Gen[A]): A =
+      Iterator.continually(g.sample).flatten.next()
+    val piece = Gen.oneOf(
+      Gen.numStr.map(_.take(22)), Gen.const("+"), Gen.const("-"),
+      Gen.const("."), Gen.const(" "), Gen.const("\t"), Gen.const("e"),
+      Gen.const("٥"), Gen.const("x"), Gen.const(""))
+    val strGen = Gen.chooseNum(0, 5)
+      .flatMap(n => Gen.sequence[Seq[String], String](Seq.fill(n)(piece)))
+      .map(_.mkString)
+    val cases = (1 to 400).map(_ => sample(strGen)).distinct
+    val rows = cases.toDF("s").select($"s",
+      $"s".try_cast("int").as("tc_i"),
+      call_function("try_to_int", $"s").as("tp_i"),
+      $"s".try_cast("long").as("tc_l"),
+      call_function("try_to_long", $"s").as("tp_l")).collect()
+    rows.foreach { r =>
+      assert(r.get(1) == r.get(2) && r.get(3) == r.get(4),
+        s"parity break on '${r.get(0)}': ${r.toSeq}")
+    }
+  }
+
   test("non-string inputs dispatch to TRY-mode Cast") {
     val got = spark.range(3)
       .select(call_function("try_to_int", $"id" * 2000000000L))
