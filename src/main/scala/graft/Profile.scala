@@ -1,15 +1,15 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
-import graft.llmops.{Dedup, TextAnalysis}
 
-/** Dev tool: stage-by-stage timing of the near-dup pipeline
-  * (usage: runMain graft.Profile <sfDir>). Not part of the driver
-  * contract — a scratch bench for shuffle/codegen investigation. */
+/** Dev tool: time named queries in isolation under the bench method
+  * (usage: runMain graft.Profile <sfDir> <query> [query...]). Prints
+  * per-run seconds so warm-up vs steady-state is visible.
+  */
 object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = if (args.length > 1) args.tail.toSeq else SparkEntry.queries.keys.toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
@@ -20,59 +20,19 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-
-    def time[T](name: String)(f: => T): T = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    names.foreach { n =>
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(n)(spark, sfDir).queryExecution.toRdd.count()
+        catch { case t: Throwable => println(s"$n FAILED: ${t.getMessage}") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      println(f"$n%-28s min=${times.min}%.3f  runs=[${times.map(t => f"$t%.3f").mkString(", ")}]")
     }
-
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    docs.count() // warm IO
-
-    val base = docs.select(col("doc_id").as("__id"),
-      Dedup.shingles(col("text"), 3).as("__sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    time("shingle+persist")(base.count())
-    val exploded = base.select(col("__id"), explode(col("__sh")).as("__s"))
-    time("explode")(exploded.count())
-    val freq = exploded.groupBy("__s").agg(count(lit(1)).as("__f"))
-    time("freq groupBy")(freq.count())
-    val keyed = exploded.join(freq, "__s")
-      .groupBy("__id")
-      .agg(slice(array_sort(collect_list(struct(col("__f"), col("__s")))), 1, 4).as("__top"))
-      .select(col("__id"), explode(col("__top")).as("__t"))
-      .select(col("__id"), col("__t.__s").as("__key"))
-    time("rarest-4 keys")(keyed.count())
-    val cand = keyed.as("l").join(keyed.as("r"), Seq("__key"))
-      .where(col("l.__id") < col("r.__id"))
-      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
-      .distinct()
-    time("candidates")(cand.count())
-    val verified = cand
-      .join(base.select(col("__id").as("id_a"), col("__sh").as("__sha")), "id_a")
-      .join(base.select(col("__id").as("id_b"), col("__sh").as("__shb")), "id_b")
-      .withColumn("jaccard", round(Dedup.jaccard(col("__sha"), col("__shb")), 6))
-      .where(col("jaccard") >= 0.8)
-    time("verify")(verified.count())
-    time("end-to-end fresh")(
-      Dedup.jaccardPairs(docs, "doc_id", "text").count())
-
-    // token path cost for reference
-    time("tokens only")(docs.select(explode(TextAnalysis.tokens(col("text")))).count())
-
-    // streaming vs batch windowed agg
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = graft.api.Graft.normalizeEventTs(
-      spark.read.parquet(s"$sfDir/events.parquet").where(col("ts").isNotNull))
-    time("batch windowed agg")(
-      graft.streaming.EventStream.windowedAgg(ev).count())
-    time("streaming run 1")(
-      graft.streaming.EventStream.runOnFixture(spark, sfDir).count())
-    // (runStream pins its own state-store partitioning internally — a
-    // shuffle-partition sweep here would silently measure the same
-    // config under different labels)
-    time("streaming run 2")(
-      graft.streaming.EventStream.runOnFixture(spark, sfDir).count())
     spark.stop()
   }
 }

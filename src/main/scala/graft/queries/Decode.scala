@@ -172,6 +172,35 @@ object Decode {
               FROM lineitem WHERE l_quantity >= 30.0
               GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // hive-style partitioned document layout: partitioned write routes
+    // each doc into k=v directories; the partition-filtered read PRUNES
+    // the excluded directories at planning (exact three-valued verdict
+    // over the constant dir values — the filter is fully handled, no
+    // post-scan re-evaluation) and fills the partition column from a
+    // constant vector. At 100 TB this answers a tenant/date-filtered
+    // query by listing, never opening, the excluded directories.
+    QueryDef("q_doc_partition_prune",
+      (s, dir) => {
+        val df = Graft.table(s, dir, "customer")
+        val path = java.nio.file.Files.createTempDirectory("graft_part_q").toString
+        df.write.format("graftdocs").option("partitionBy", "c_mktsegment")
+          .mode("overwrite").save(path)
+        s.read.format("graftdocs").schema(df.schema).load(path)
+          .where(col("c_mktsegment") === "BUILDING")
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+              .cast(org.apache.spark.sql.types.DoubleType).as("sum_bal"))
+          .select(col("c_nationkey").cast(LongType).as("c_nationkey"),
+            col("n"), col("sum_bal"))
+          .orderBy("c_nationkey")
+      },
+      Some("""SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+              FROM customer WHERE c_mktsegment = 'BUILDING'
+              GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
     // tabular interop (reference §2.A: Arrow tables hand off to pandas/
     // polars/parquet): typed frame → CSV → re-read with declared schema
     // → MQL aggregate; any serialization drift breaks the oracle hash

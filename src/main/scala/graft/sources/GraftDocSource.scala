@@ -55,8 +55,71 @@ import scala.jdk.CollectionConverters._
   */
 object GraftDocSource {
   private[sources] case class FileRef(path: String, length: Long,
-                                      mtime: Long = 0L) {
+                                      mtime: Long = 0L,
+                                      partitionValues: Seq[(String, String)] = Seq.empty) {
     def isBson: Boolean = path.endsWith(".bson")
+  }
+
+  /** Hive's null-partition directory marker. */
+  private[sources] val NullPartitionValue = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Escape a partition value for use as a path segment: every byte of
+    * the UTF-8 encoding outside [A-Za-z0-9_.-] becomes %XX, so values
+    * containing '/', '=', '%', spaces, or multi-byte characters
+    * round-trip exactly through the directory name. */
+  private[sources] def escapePathValue(s: String): String = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new StringBuilder(bytes.length)
+    bytes.foreach { b =>
+      val c = (b & 0xFF).toChar
+      if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+          (c >= '0' && c <= '9') || c == '_' || c == '.' || c == '-') sb.append(c)
+      else sb.append(f"%%${b & 0xFF}%02X")
+    }
+    sb.toString
+  }
+
+  private[sources] def unescapePathValue(s: String): String = {
+    val out = new java.io.ByteArrayOutputStream(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16)); i += 3
+      } else { out.write(c.toInt); i += 1 }
+    }
+    new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** `k=v` directory-name parse (None for non-partition directories). */
+  private[sources] def partitionSegment(name: String): Option[(String, String)] = {
+    val i = name.indexOf('=')
+    if (i <= 0) None
+    else Some((name.substring(0, i), unescapePathValue(name.substring(i + 1))))
+  }
+
+  /** Recursive descent through a hive-style partitioned layout: files at
+    * each level plus `k=v` subdirectories (whose files inherit the
+    * accumulated partition values). Non-partition subdirectories are out
+    * of the layout contract and skipped. */
+  private def listPartitionedDir(fs: org.apache.hadoop.fs.FileSystem,
+                                 dir: Path,
+                                 pvals: Seq[(String, String)]): Seq[FileRef] = {
+    val entries = fs.listStatus(dir).toSeq
+    val files = entries
+      .filter(s => s.isFile && isDocFile(s.getPath.getName))
+      .sortBy(_.getPath.getName)
+      .map(st => FileRef(st.getPath.toString, st.getLen, st.getModificationTime, pvals))
+    val sub = entries
+      .filter(s => s.isDirectory && !isHidden(s.getPath.getName))
+      .sortBy(_.getPath.getName)
+      .flatMap { d =>
+        partitionSegment(d.getPath.getName) match {
+          case Some((k, v)) => listPartitionedDir(fs, d.getPath, pvals :+ (k -> v))
+          case None => Seq.empty
+        }
+      }
+    files ++ sub
   }
 
   private[sources] def activeHadoopConf(): Configuration =
@@ -83,14 +146,12 @@ object GraftDocSource {
       if (matched.isEmpty) throw new IllegalArgumentException(
         s"graftdocs: no files match $p")
       matched.flatMap { st =>
-        if (st.isDirectory)
-          fs.listStatus(st.getPath).toSeq
-            .filter(s => s.isFile && isDocFile(s.getPath.getName))
-            .sortBy(_.getPath.getName)
+        if (st.isDirectory) listPartitionedDir(fs, st.getPath, Seq.empty)
         else Seq(st).filterNot(s => isHidden(s.getPath.getName))
-        // globs match dot-files ('*' is '[^/]*' — no shell hidden-file
-        // exclusion), which would surface uncommitted staged batches
-      }.map(st => FileRef(st.getPath.toString, st.getLen, st.getModificationTime))
+          // globs match dot-files ('*' is '[^/]*' — no shell hidden-file
+          // exclusion), which would surface uncommitted staged batches
+          .map(s => FileRef(s.getPath.toString, s.getLen, s.getModificationTime))
+      }
     }
   }
 
@@ -148,7 +209,14 @@ class GraftDocSource extends TableProvider with DataSourceRegister {
         if (maxDocs == Long.MaxValue) docs else docs.take(
           math.min(maxDocs, Int.MaxValue.toLong).toInt)
       }
-    graft.bson.SchemaInference.inferNodes(nodes)
+    val base = graft.bson.SchemaInference.inferNodes(nodes)
+    // hive-layout partition columns live in directory names, not the
+    // documents: append them (string-typed — inference has no value
+    // stream to widen from; declare a schema to type them) in key order
+    val pcols = DocPartitions.partitionCols(files)
+      .filterNot(base.fieldNames.contains)
+    pcols.foldLeft(base)((s, c) =>
+      s.add(c, org.apache.spark.sql.types.StringType, nullable = true))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -176,22 +244,61 @@ private[sources] class GraftScanBuilder(fullSchema: StructType,
 
   private var required: StructType = fullSchema
   private var filters: Array[Filter] = Array.empty
+  private var partFilters: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
   private var countPushed = false
 
-  // COUNT(*) with no grouping and no filters never decodes a document:
-  // .bson partitions hop length prefixes, .jsonl partitions count line
-  // bytes — the document-source analogue of parquet's metadata count.
-  // Partial pushdown: each partition emits its count, Spark sums.
-  // (Spark only offers the aggregation when every filter was fully
-  // pushed; this source keeps filters post-scan, so a filtered count
-  // never reaches here.)
+  // resolved ONCE at planning; partition pruning and the scan share it
+  private lazy val allFiles = GraftDocSource.resolveFiles(options)
+  private lazy val partCols: Set[String] = DocPartitions.partitionCols(allFiles).toSet
+
+  /** Cast success of every file's directory value for `col` — a value the
+    * declared type can't parse disqualifies the column from exact pruning
+    * (the filter stays residual; the read itself will still error when
+    * the column is required). */
+  private lazy val castOk: Map[String, Boolean] =
+    partCols.iterator.map { c =>
+      val dt = fullSchema.fields.find(_.name == c).map(_.dataType)
+      c -> dt.exists(t => DocPartitions.castable(t) &&
+        (try { allFiles.foreach(f => f.partitionValues.collectFirst {
+           case (`c`, raw) => DocPartitions.cast(raw, t) }); true }
+         catch { case _: Exception => false }))
+    }.toMap
+
+  /** A filter the partition layout decides EXACTLY, file by file. */
+  private def claimable(f: Filter): Boolean =
+    f.references.nonEmpty && f.references.forall(r => partCols(r) && castOk(r)) &&
+      DocPartitions.exactShape(f)
+
+  private def typedPartitionValues(f: GraftDocSource.FileRef): String => Any = {
+    val m = f.partitionValues.toMap
+    name => m.get(name).map { raw =>
+      DocPartitions.cast(raw, fullSchema.fields.find(_.name == name).get.dataType)
+    }.orNull
+  }
+
+  private def prunedFiles: Seq[GraftDocSource.FileRef] =
+    if (partFilters.isEmpty) allFiles
+    else allFiles.filter { f =>
+      val get = typedPartitionValues(f)
+      partFilters.forall(pf => DocPartitions.eval3(pf, get).contains(true))
+    }
+
+  // COUNT(*) with no grouping and no residual filters never decodes a
+  // document: .bson partitions hop length prefixes, .jsonl partitions
+  // count line bytes — the document-source analogue of parquet's
+  // metadata count. Partition-only filters compose: they pruned the file
+  // list, so a partition-filtered COUNT(*) counts the surviving files
+  // without decoding either. Partial pushdown: each partition emits its
+  // count, Spark sums. (Spark only offers the aggregation when every
+  // filter was fully pushed; doc-field filters stay residual, so a
+  // doc-filtered count never reaches here.)
   override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     val ok = agg.groupByExpressions.isEmpty &&
       agg.aggregateExpressions.length == 1 &&
       agg.aggregateExpressions.head
         .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar] &&
-      filters.isEmpty && limit.isEmpty
+      filters.forall(claimable) && limit.isEmpty
     if (ok) countPushed = true
     ok
   }
@@ -209,33 +316,56 @@ private[sources] class GraftScanBuilder(fullSchema: StructType,
     required = StructType(requiredSchema.fields.map(f => byName.getOrElse(f.name, f)))
   }
 
-  // Filters are evaluated DURING decode (the Spark twin of the
+  // Doc-field filters are evaluated DURING decode (the Spark twin of the
   // reference handing the filter doc to the server, api.py:175): rows
-  // failing a supported predicate never pay Catalyst conversion. All
-  // filters are also returned for post-scan evaluation, so unsupported
-  // shapes (nested paths, exotic types) stay correct.
-  override def pushFilters(fs: Array[Filter]): Array[Filter] = { filters = fs; fs }
+  // failing a supported predicate never pay Catalyst conversion; they are
+  // returned for post-scan evaluation too, so unsupported shapes (nested
+  // paths, exotic types) stay correct. Partition-column filters are
+  // FULLY handled — exact three-valued pruning over the constant
+  // directory values — so they are NOT returned and Catalyst drops the
+  // post-scan Filter entirely.
+  override def pushFilters(fs: Array[Filter]): Array[Filter] = {
+    filters = fs
+    val (part, rest) = fs.partition(claimable)
+    partFilters = part
+    rest
+  }
   override def pushedFilters(): Array[Filter] =
-    filters.filter(DocFilterEval.supported(_, fullSchema))
+    partFilters ++ filters.filterNot(claimable)
+      .filter(DocFilterEval.supported(_, fullSchema))
 
-  override def build(): Scan =
-    if (countPushed) new GraftCountScan(options)
-    else new GraftScan(required, options, pushedFilters(), limit)
+  override def build(): Scan = {
+    if (countPushed) new GraftCountScan(options, prunedFiles, partFilters,
+      allFiles.size)
+    else new GraftScan(required, options,
+      filters.filterNot(claimable).filter(DocFilterEval.supported(_, fullSchema)),
+      limit, Some(prunedFiles), partFilters, allFiles.size,
+      partCols.iterator.flatMap(c =>
+        fullSchema.fields.find(_.name == c).map(f => c -> f.dataType)).toMap)
+  }
 }
 
 /** COUNT(*)-pushdown scan: one long per partition, no decode. */
-private[sources] class GraftCountScan(options: CaseInsensitiveStringMap)
+private[sources] class GraftCountScan(options: CaseInsensitiveStringMap,
+                                      files: Seq[GraftDocSource.FileRef],
+                                      partitionFilters: Array[Filter] = Array.empty,
+                                      totalFiles: Int = 0)
   extends Scan with Batch {
   override def readSchema(): StructType =
     StructType(Seq(org.apache.spark.sql.types.StructField("count(*)",
       org.apache.spark.sql.types.LongType, nullable = false)))
   override def toBatch: Batch = this
-  override def description(): String = "graftdocs PushedAggregation: [COUNT(*)]"
+  override def description(): String =
+    "graftdocs PushedAggregation: [COUNT(*)]" +
+      (if (partitionFilters.nonEmpty)
+        s", PartitionFilters: [${partitionFilters.mkString(", ")}]" +
+          s", PartitionPruned: ${files.size}/$totalFiles"
+       else "")
 
   private val maxSplitBytes = options.getLong("maxsplitbytes", 128L * 1024 * 1024)
 
   override def planInputPartitions(): Array[InputPartition] =
-    GraftDocSource.resolveFiles(options).toArray.flatMap { ref =>
+    files.toArray.flatMap { ref =>
       if (ref.isBson || ref.length <= maxSplitBytes)
         Array(GraftFilePartition(ref.path, 0L, math.max(ref.length, 1L)))
       else (0L until ref.length by maxSplitBytes).map(s =>
@@ -333,7 +463,14 @@ private[sources] class GraftCountReaderFactory(conf: SerializableConfiguration)
 
 private[sources] class GraftScan(schema: StructType, options: CaseInsensitiveStringMap,
                                  filters: Array[Filter],
-                                 limit: Option[Int] = None)
+                                 limit: Option[Int] = None,
+                                 resolved: Option[Seq[GraftDocSource.FileRef]] = None,
+                                 partitionFilters: Array[Filter] = Array.empty,
+                                 totalFiles: Int = 0,
+                                 // declared types of the partition columns, from the FULL
+                                 // schema (a fully-handled filter's column may be pruned
+                                 // out of `schema` when the query never projects it)
+                                 partitionTypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty)
   extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
@@ -345,8 +482,25 @@ private[sources] class GraftScan(schema: StructType, options: CaseInsensitiveStr
     s"graftdocs PushedFilters: [${filters.mkString(", ")}], " +
       s"PushedMqlFilter: ${graft.mql.FilterTranslator.render(mqlDoc)}" +
       (if (residual.nonEmpty) s", ResidualFilters: [${residual.mkString(", ")}]" else "") +
-      limit.map(n => s", PushedLimit: $n").getOrElse("")
+      limit.map(n => s", PushedLimit: $n").getOrElse("") +
+      (if (partitionFilters.nonEmpty)
+        s", PartitionFilters: [${partitionFilters.mkString(", ")}]" +
+          s", PartitionPruned: ${resolved.map(_.size).getOrElse(0)}/$totalFiles"
+       else "")
   }
+
+  /** Re-apply this scan's partition filters to a fresh file listing (the
+    * micro-batch stream re-lists per batch and must prune identically). */
+  private[sources] def pruneByPartition(files: Seq[GraftDocSource.FileRef])
+      : Seq[GraftDocSource.FileRef] =
+    if (partitionFilters.isEmpty) files
+    else files.filter { f =>
+      val m = f.partitionValues.toMap
+      val get: String => Any = name =>
+        (for { raw <- m.get(name); dt <- partitionTypes.get(name) }
+          yield DocPartitions.cast(raw, dt)).orNull
+      partitionFilters.forall(pf => DocPartitions.eval3(pf, get).contains(true))
+    }
 
   private val allowInvalid = options.getBoolean("allowinvalid", false)
 
@@ -365,13 +519,15 @@ private[sources] class GraftScan(schema: StructType, options: CaseInsensitiveStr
       : Array[InputPartition] =
     files.toArray.flatMap { ref =>
       if (ref.isBson || ref.length <= maxSplitBytes)
-        Array(GraftFilePartition(ref.path, 0L, math.max(ref.length, 1L)))
+        Array(GraftFilePartition(ref.path, 0L, math.max(ref.length, 1L),
+          ref.partitionValues))
       else (0L until ref.length by maxSplitBytes).map(s =>
-        GraftFilePartition(ref.path, s, math.min(s + maxSplitBytes, ref.length))).toArray
+        GraftFilePartition(ref.path, s, math.min(s + maxSplitBytes, ref.length),
+          ref.partitionValues)).toArray
     }
 
   override def planInputPartitions(): Array[InputPartition] =
-    splitFiles(GraftDocSource.resolveFiles(options))
+    splitFiles(resolved.getOrElse(GraftDocSource.resolveFiles(options)))
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(schema, allowInvalid, filters,
@@ -439,8 +595,8 @@ private[sources] class GraftMicroBatchStream(scan: GraftScan,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[Watermark]
     val e = end.asInstanceOf[Watermark]
-    val files = GraftDocSource.resolveFiles(options)
-      .filter(f => isAfter(f, s) && !isAfter(f, e))
+    val files = scan.pruneByPartition(GraftDocSource.resolveFiles(options)
+      .filter(f => isAfter(f, s) && !isAfter(f, e)))
     scan.splitFiles(files)
   }
 
@@ -451,7 +607,8 @@ private[sources] class GraftMicroBatchStream(scan: GraftScan,
   override def stop(): Unit = ()
 }
 
-private[sources] case class GraftFilePartition(path: String, start: Long, end: Long)
+private[sources] case class GraftFilePartition(path: String, start: Long, end: Long,
+                                               partitionValues: Seq[(String, String)] = Seq.empty)
   extends InputPartition
 
 /** Evaluates pushed source filters against decoded (pre-Catalyst) row
@@ -483,7 +640,7 @@ private[sources] object DocFilterEval {
   }
 
   /** Some(ordering) when both sides are comparable same-kind values. */
-  private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+  private[sources] def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
     case (null, _) | (_, null) => None
     case (x: java.lang.Number, y: java.lang.Number) =>
       (x, y) match {
@@ -525,6 +682,127 @@ private[sources] object DocFilterEval {
   }
 }
 
+/** Partition-column machinery for the hive-style `k=v` directory layout
+  * (the document-source analogue of parquet partition pruning: at 100 TB
+  * a date/tenant-partitioned corpus answers a partition-filtered query by
+  * LISTING, never opening, the excluded directories).
+  *
+  * Pruning uses exact SQL three-valued semantics — a file is kept only
+  * when its constant partition values make the predicate TRUE (unknown
+  * drops the file, because a row whose predicate is null is filtered
+  * out) — which is what lets the scan claim partition filters as FULLY
+  * handled instead of leaving them residual. */
+private[sources] object DocPartitions {
+  import org.apache.spark.sql.sources._
+  import org.apache.spark.sql.types._
+
+  /** The (ordered) partition columns of a resolved file list; every file
+    * must agree on the key sequence or the layout is malformed. */
+  def partitionCols(files: Seq[GraftDocSource.FileRef]): Seq[String] = {
+    val keySeqs = files.map(_.partitionValues.map(_._1)).distinct
+    keySeqs match {
+      case Seq() => Seq.empty
+      case Seq(one) => one
+      case many => throw new IllegalArgumentException(
+        "graftdocs: inconsistent partition layout across files: " +
+          many.take(3).map(_.mkString("/")).mkString(", "))
+    }
+  }
+
+  /** Partition-column types the directory string can round-trip. */
+  def castable(dt: DataType): Boolean = dt match {
+    case StringType | IntegerType | LongType | ShortType | ByteType |
+         DoubleType | FloatType | BooleanType | DateType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  /** Directory string → EXTERNAL JVM value of the declared type (null for
+    * the hive null marker). Throws on an unparseable value — a declared
+    * schema that disagrees with the on-disk layout is an error, not a
+    * silent null. */
+  def cast(raw: String, dt: DataType): Any =
+    if (raw == GraftDocSource.NullPartitionValue) null
+    else dt match {
+      case StringType  => raw
+      case IntegerType => raw.toInt
+      case LongType    => raw.toLong
+      case ShortType   => raw.toShort
+      case ByteType    => raw.toByte
+      case DoubleType  => raw.toDouble
+      case FloatType   => raw.toFloat
+      case BooleanType => raw.toBoolean
+      case DateType    => java.sql.Date.valueOf(raw)
+      case d: DecimalType =>
+        val bd = new java.math.BigDecimal(raw)
+        if (bd.precision - bd.scale > d.precision - d.scale)
+          throw new IllegalArgumentException(s"decimal $raw overflows ${d.simpleString}")
+        bd.setScale(d.scale, java.math.RoundingMode.UNNECESSARY)
+      case other => throw new IllegalArgumentException(
+        s"graftdocs: unsupported partition column type ${other.simpleString}")
+    }
+
+  /** EXTERNAL value → directory string (inverse of [[cast]]). */
+  def render(v: Any): String = v match {
+    case null => GraftDocSource.NullPartitionValue
+    case d: java.math.BigDecimal => d.toPlainString
+    case d: BigDecimal => d.bigDecimal.toPlainString
+    case other => other.toString // Date.toString = yyyy-mm-dd = Date.valueOf's parse
+  }
+
+  /** Filter shapes whose per-file verdict [[eval3]] decides exactly. */
+  def exactShape(f: Filter): Boolean = f match {
+    case _: EqualTo | _: EqualNullSafe | _: GreaterThan | _: GreaterThanOrEqual |
+         _: LessThan | _: LessThanOrEqual | _: In | _: IsNull | _: IsNotNull |
+         _: StringStartsWith | _: StringEndsWith | _: StringContains => true
+    case And(l, r) => exactShape(l) && exactShape(r)
+    case Or(l, r)  => exactShape(l) && exactShape(r)
+    case Not(c)    => exactShape(c)
+    case _ => false
+  }
+
+  /** SQL three-valued predicate verdict over constant partition values:
+    * Some(true)=every row of the file matches, Some(false)/None=no row
+    * does (a null verdict filters the row out). */
+  def eval3(f: Filter, get: String => Any): Option[Boolean] = f match {
+    case EqualTo(a, v)            => DocFilterEval.cmp(get(a), v).map(_ == 0)
+    case EqualNullSafe(a, v) =>
+      val x = get(a)
+      if (x == null || v == null) Some(x == null && v == null)
+      else Some(DocFilterEval.cmp(x, v).contains(0))
+    case GreaterThan(a, v)        => DocFilterEval.cmp(get(a), v).map(_ > 0)
+    case GreaterThanOrEqual(a, v) => DocFilterEval.cmp(get(a), v).map(_ >= 0)
+    case LessThan(a, v)           => DocFilterEval.cmp(get(a), v).map(_ < 0)
+    case LessThanOrEqual(a, v)    => DocFilterEval.cmp(get(a), v).map(_ <= 0)
+    case IsNull(a)    => Some(get(a) == null)
+    case IsNotNull(a) => Some(get(a) != null)
+    case In(a, vs) =>
+      val x = get(a)
+      if (x == null) None
+      else if (vs.exists(v => v != null && DocFilterEval.cmp(x, v).contains(0))) Some(true)
+      else if (vs.contains(null)) None
+      else Some(false)
+    case StringStartsWith(a, p) =>
+      Option(get(a)).collect { case s: String => s.startsWith(p) }
+    case StringEndsWith(a, p) =>
+      Option(get(a)).collect { case s: String => s.endsWith(p) }
+    case StringContains(a, p) =>
+      Option(get(a)).collect { case s: String => s.contains(p) }
+    case And(l, r) => (eval3(l, get), eval3(r, get)) match {
+      case (Some(false), _) | (_, Some(false)) => Some(false)
+      case (Some(true), Some(true)) => Some(true)
+      case _ => None
+    }
+    case Or(l, r) => (eval3(l, get), eval3(r, get)) match {
+      case (Some(true), _) | (_, Some(true)) => Some(true)
+      case (Some(false), Some(false)) => Some(false)
+      case _ => None
+    }
+    case Not(c) => eval3(c, get).map(!_)
+    case _ => None
+  }
+}
+
 /** Test-visible decode counters (rows emitted vs rows skipped by
   * decode-time filters). */
 private[sources] object GraftScanMetrics {
@@ -539,6 +817,24 @@ private[sources] class GraftReaderFactory(schema: StructType, allowInvalid: Bool
                                           limit: Option[Int] = None)
   extends PartitionReaderFactory {
   private val perPartitionLimit: Int = limit.getOrElse(Int.MaxValue)
+
+  /** Per-partition split of the output schema into document-decoded
+    * fields and partition-filled constants (hive layout: partition
+    * columns live in the directory name, not the documents; when a doc
+    * field shares a partition column's name the directory value wins —
+    * parquet's partition-column semantics). Returns (docSchema, out
+    * index → doc column index or -1, external constant per out index). */
+  private def fillPlan(p: GraftFilePartition): (StructType, Array[Int], Array[Any]) = {
+    val pm = p.partitionValues.toMap
+    val docFields = schema.fields.filterNot(f => pm.contains(f.name))
+    val docPos = docFields.map(_.name).zipWithIndex.toMap
+    val docIdx = schema.fields.map(f => docPos.getOrElse(f.name, -1))
+    val consts: Array[Any] = schema.fields.map { f =>
+      if (docPos.contains(f.name)) null
+      else DocPartitions.cast(pm(f.name), f.dataType)
+    }
+    (StructType(docFields), docIdx, consts)
+  }
 
   /** Shared per-partition document iterator (both formats yield canonical
     * ext-JSON nodes, so decode is format-independent). Construction
@@ -567,34 +863,56 @@ private[sources] class GraftReaderFactory(schema: StructType, allowInvalid: Bool
   // raises, missing-field null catch-up), so the two paths cannot drift;
   // what the columnar path eliminates is the per-row Row allocation +
   // CatalystTypeConverters deep-conversion + row-iterator virtual calls.
-  override def supportColumnarReads(partition: InputPartition): Boolean =
-    columnar && schema.fields.forall(f => ColumnarDocBuilder.supports(f.dataType))
+  override def supportColumnarReads(partition: InputPartition): Boolean = {
+    val pm = partition.asInstanceOf[GraftFilePartition].partitionValues.toMap
+    columnar && schema.fields.forall(f =>
+      if (pm.contains(f.name)) DocPartitions.castable(f.dataType)
+      else ColumnarDocBuilder.supports(f.dataType))
+  }
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[GraftFilePartition]
     val strict = !allowInvalid
-    // .bson scans with no decode-time filters take the DIRECT path:
-    // stream bytes → per-column builders, no JsonNode tree (the
-    // reference's process_bson_stream architecture). With pushed
-    // filters the tree path keeps the decode-time skip optimization
-    // (Spark re-evaluates pushed filters post-scan either way).
-    if (p.path.endsWith(".bson") && filters.isEmpty &&
-        schema.fields.forall(f => graft.bson.BsonVectorDecoder.supports(f.dataType))) {
-      val path = new Path(p.path)
-      val fsIn = path.getFileSystem(conf.value).open(path)
-      return new BsonColumnarReader(fsIn, schema, strict, perPartitionLimit)
-    }
-    val (fsIn, docs) = openDocs(p)
-    new ColumnarDocReader(docs, schema, strict, filters, () => fsIn.close(),
-      perPartitionLimit)
+    val (docSchema, docIdx, consts) = fillPlan(p)
+    val partExternal: Map[String, Any] = schema.fields.zipWithIndex.collect {
+      case (f, i) if docIdx(i) < 0 => f.name -> consts(i)
+    }.toMap
+    val inner: PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+      // .bson scans with no decode-time filters take the DIRECT path:
+      // stream bytes → per-column builders, no JsonNode tree (the
+      // reference's process_bson_stream architecture). With pushed
+      // filters the tree path keeps the decode-time skip optimization
+      // (Spark re-evaluates pushed filters post-scan either way).
+      if (p.path.endsWith(".bson") && filters.isEmpty &&
+          docSchema.fields.forall(f => graft.bson.BsonVectorDecoder.supports(f.dataType))) {
+        val path = new Path(p.path)
+        val fsIn = path.getFileSystem(conf.value).open(path)
+        new BsonColumnarReader(fsIn, docSchema, strict, perPartitionLimit)
+      } else {
+        val (fsIn, docs) = openDocs(p)
+        new ColumnarDocReader(docs, docSchema, strict, filters, () => fsIn.close(),
+          perPartitionLimit, partExternal)
+      }
+    if (docIdx.forall(_ >= 0)) inner
+    else new PartitionFilledBatchReader(inner, schema, docIdx, consts)
   }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftFilePartition]
     val strict = !allowInvalid
-    val toCatalyst = CatalystTypeConverters.createToCatalystConverter(schema)
-    val fieldIdx: Map[String, Int] = schema.fieldNames.zipWithIndex.toMap
+    val (docSchema, docIdx, consts) = fillPlan(p)
+    val hasPart = docIdx.exists(_ < 0)
+    val toCatalyst = CatalystTypeConverters.createToCatalystConverter(docSchema)
+    // partition constants pre-converted to Catalyst form once per split
+    val constCatalyst: Array[Any] = schema.fields.zipWithIndex.map { case (f, i) =>
+      if (docIdx(i) >= 0) null
+      else CatalystTypeConverters.createToCatalystConverter(f.dataType)(consts(i))
+    }
+    val fieldIdx: Map[String, Int] = docSchema.fieldNames.zipWithIndex.toMap
+    val partExternal: Map[String, Any] = schema.fields.zipWithIndex.collect {
+      case (f, i) if docIdx(i) < 0 => f.name -> consts(i)
+    }.toMap
     val (fsIn, docs) = openDocs(p)
 
     new PartitionReader[InternalRow] {
@@ -604,10 +922,25 @@ private[sources] class GraftReaderFactory(schema: StructType, allowInvalid: Bool
         if (emitted >= perPartitionLimit) return false // pushed LIMIT
         while (docs.hasNext) {
           val node = docs.next()
-          val row = DocDecoder.decodeStruct(node, schema, strict)
-          def get(name: String): Any = fieldIdx.get(name).map(row.get).orNull
+          val row = DocDecoder.decodeStruct(node, docSchema, strict)
+          def get(name: String): Any =
+            fieldIdx.get(name).map(row.get).getOrElse(partExternal.getOrElse(name, null))
           if (filters.forall(DocFilterEval.eval(_, get))) {
-            current = toCatalyst(row).asInstanceOf[InternalRow]
+            val inner = toCatalyst(row).asInstanceOf[InternalRow]
+            current =
+              if (!hasPart) inner
+              else {
+                val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+                  schema.length)
+                var i = 0
+                while (i < schema.length) {
+                  out.update(i,
+                    if (docIdx(i) >= 0) inner.get(docIdx(i), schema.fields(i).dataType)
+                    else constCatalyst(i))
+                  i += 1
+                }
+                out
+              }
             GraftScanMetrics.emitted.increment()
             emitted += 1
             return true
@@ -719,7 +1052,10 @@ private[sources] object ColumnarDocBuilder {
 private[sources] class ColumnarDocReader(
     docs: Iterator[com.fasterxml.jackson.databind.JsonNode],
     schema: StructType, strict: Boolean, filters: Array[Filter],
-    closeFn: () => Unit, limitRows: Int = Int.MaxValue)
+    closeFn: () => Unit, limitRows: Int = Int.MaxValue,
+    // constant partition-column values (external form) so decode-time
+    // filters mixing partition and doc columns keep their skip precision
+    partValues: Map[String, Any] = Map.empty)
   extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
 
@@ -744,7 +1080,8 @@ private[sources] class ColumnarDocReader(
         values(j) = DocDecoder.convert(node.get(fields(j).name), fields(j), strict)
         j += 1
       }
-      def get(name: String): Any = fieldIdx.get(name).map(values).orNull
+      def get(name: String): Any =
+        fieldIdx.get(name).map(values).getOrElse(partValues.getOrElse(name, null))
       if (filters.forall(DocFilterEval.eval(_, get))) {
         j = 0
         while (j < fields.length) {
@@ -836,6 +1173,68 @@ private[sources] class BsonColumnarReader(
   override def close(): Unit = { batch.close(); in.close() }
 }
 
+/** Wraps a doc-schema columnar reader, interleaving constant partition
+  * columns (hive layout) into the output batch — the same
+  * `ConstantColumnVector` mechanism parquet uses for its partition
+  * columns, so a partition column costs ZERO decode work per row. */
+private[sources] class PartitionFilledBatchReader(
+    inner: PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch],
+    outSchema: StructType, docIdx: Array[Int], consts: Array[Any])
+  extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.vectorized.ConstantColumnVector
+  import org.apache.spark.sql.catalyst.util.DateTimeUtils
+  import org.apache.spark.sql.types._
+
+  private val constVectors: Array[org.apache.spark.sql.vectorized.ColumnVector] =
+    outSchema.fields.zipWithIndex.map { case (f, i) =>
+      if (docIdx(i) >= 0) null
+      else {
+        val v = new ConstantColumnVector(4096, f.dataType)
+        consts(i) match {
+          case null => v.setNull()
+          case x => f.dataType match {
+            case StringType  => v.setUtf8String(
+              org.apache.spark.unsafe.types.UTF8String.fromString(x.asInstanceOf[String]))
+            case IntegerType => v.setInt(x.asInstanceOf[Int])
+            case LongType    => v.setLong(x.asInstanceOf[Long])
+            case ShortType   => v.setShort(x.asInstanceOf[Short])
+            case ByteType    => v.setByte(x.asInstanceOf[Byte])
+            case DoubleType  => v.setDouble(x.asInstanceOf[Double])
+            case FloatType   => v.setFloat(x.asInstanceOf[Float])
+            case BooleanType => v.setBoolean(x.asInstanceOf[Boolean])
+            case DateType    => v.setInt(
+              DateTimeUtils.fromJavaDate(x.asInstanceOf[java.sql.Date]))
+            case d: DecimalType => v.setDecimal(
+              org.apache.spark.sql.types.Decimal(x.asInstanceOf[java.math.BigDecimal]),
+              d.precision)
+            case other => throw new IllegalStateException(
+              s"no constant vector for partition type $other")
+          }
+        }
+        v
+      }
+    }
+  private var outBatch: org.apache.spark.sql.vectorized.ColumnarBatch = _
+
+  override def next(): Boolean = inner.next()
+
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = {
+    val b = inner.get()
+    if (outBatch == null) { // inner reuses its batch object: wire once
+      val cols = outSchema.fields.indices.map(i =>
+        if (docIdx(i) >= 0) b.column(docIdx(i)) else constVectors(i)).toArray
+      outBatch = new org.apache.spark.sql.vectorized.ColumnarBatch(cols)
+    }
+    outBatch.setNumRows(b.numRows())
+    outBatch
+  }
+
+  override def close(): Unit = {
+    inner.close()
+    constVectors.filter(_ != null).foreach(_.close())
+  }
+}
+
 /** Newline-aligned split reader over a seekable stream: owns every line
   * whose FIRST byte lies in [start, end). Seeks to start-1 and discards
   * through the first newline: when the byte at start-1 IS a newline, the
@@ -916,10 +1315,29 @@ private[sources] class GraftWriteBuilder(info: LogicalWriteInfo)
       if (format != "jsonl" && format != "bson")
         throw new IllegalArgumentException(
           s"graftdocs write: format must be jsonl|bson, got $format")
+      // hive-style partitioned layout: `partitionBy=col1,col2` routes each
+      // document into `col1=v1/col2=v2/` and drops the columns from the
+      // document body (they round-trip through the directory name)
+      val partitionBy: Seq[String] = Option(options.get("partitionby"))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq.empty)
+      partitionBy.foreach { c =>
+        val fd = info.schema().fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"graftdocs write: partitionBy column '$c' not in schema"))
+        if (!DocPartitions.castable(fd.dataType))
+          throw new IllegalArgumentException(
+            s"graftdocs write: partitionBy column '$c' has " +
+              s"non-partitionable type ${fd.dataType.simpleString}")
+      }
+      if (partitionBy.nonEmpty && partitionBy.length == info.schema().length)
+        throw new IllegalArgumentException(
+          "graftdocs write: all columns are partition columns")
       new GraftBatchWrite(info.schema(), path, format, doTruncate,
         options.getLong("maxbatchbytes", graft.sinks.DocWriter.MaxBatchBytes),
         options.getInt("maxbatchdocs", graft.sinks.DocWriter.MaxBatchDocs),
-        new SerializableConfiguration(GraftDocSource.activeHadoopConf()))
+        new SerializableConfiguration(GraftDocSource.activeHadoopConf()),
+        partitionBy)
     }
   }
 }
@@ -932,7 +1350,8 @@ private[sources] case class GraftCommit(inserted: Long, batches: Long,
 private[sources] class GraftBatchWrite(schema: StructType, path: String,
                                        format: String, truncate: Boolean,
                                        maxBatchBytes: Long, maxBatchDocs: Int,
-                                       conf: SerializableConfiguration)
+                                       conf: SerializableConfiguration,
+                                       partitionBy: Seq[String] = Seq.empty)
   extends BatchWrite {
   // job-unique token: final names can never collide with a previous
   // job's output (taskIds restart across applications)
@@ -945,9 +1364,14 @@ private[sources] class GraftBatchWrite(schema: StructType, path: String,
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf.value)
     if (truncate && fs.exists(dir)) {
-      val all = fs.listStatus(dir).toSeq.map(_.getPath)
-        .filter(p => p.getName.endsWith(".jsonl") || p.getName.endsWith(".bson"))
-      val (hidden, visible) = all.partition(_.getName.startsWith("."))
+      // recursive: a partitioned layout keeps its batch files in k=v subdirs
+      val it = fs.listFiles(dir, true)
+      val all = scala.collection.mutable.ArrayBuffer.empty[Path]
+      while (it.hasNext) {
+        val p = it.next().getPath
+        if (p.getName.endsWith(".jsonl") || p.getName.endsWith(".bson")) all += p
+      }
+      val (hidden, visible) = all.toSeq.partition(_.getName.startsWith("."))
       preExisting = visible // deleted only after the new data commits
       // staged garbage from crashed writers (no abort ever ran for them)
       // is reclaimed now, before this job stages anything
@@ -955,7 +1379,7 @@ private[sources] class GraftBatchWrite(schema: StructType, path: String,
     }
     fs.mkdirs(dir)
     new GraftDataWriterFactory(schema, path, format, jobToken,
-      maxBatchBytes, maxBatchDocs, conf)
+      maxBatchBytes, maxBatchDocs, conf, partitionBy)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -993,11 +1417,12 @@ private[sources] class GraftBatchWrite(schema: StructType, path: String,
 private[sources] class GraftDataWriterFactory(schema: StructType, path: String,
                                               format: String, jobToken: String,
                                               maxBatchBytes: Long, maxBatchDocs: Int,
-                                              conf: SerializableConfiguration)
+                                              conf: SerializableConfiguration,
+                                              partitionBy: Seq[String] = Seq.empty)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(schema, path, format, jobToken, partitionId, taskId,
-      maxBatchBytes, maxBatchDocs, conf.value)
+      maxBatchBytes, maxBatchDocs, conf.value, partitionBy)
 }
 
 /** Per-partition writer: the reference's single client loop becomes N of
@@ -1009,51 +1434,89 @@ private[sources] class GraftDataWriter(schema: StructType, path: String,
                                        format: String, jobToken: String,
                                        partitionId: Int, taskId: Long,
                                        maxBatchBytes: Long, maxBatchDocs: Int,
-                                       conf: Configuration)
+                                       conf: Configuration,
+                                       partitionBy: Seq[String] = Seq.empty)
   extends DataWriter[InternalRow] {
   private val toScala = CatalystTypeConverters.createToScalaConverter(schema)
   private val fs = new Path(path).getFileSystem(conf)
   private val isBson = format == "bson"
 
+  // partition routing: documents carry only the data columns; the
+  // partition columns round-trip through the k=v directory path
+  private val partIdx: Array[Int] = partitionBy.map(schema.fieldIndex).toArray
+  private val dataIdx: Array[Int] =
+    schema.fields.indices.filterNot(partIdx.contains).toArray
+  private val dataSchema =
+    if (partIdx.isEmpty) schema else StructType(dataIdx.map(schema.fields))
+
   private var batchIdx = 0
   private var inserted = 0L
   private var batches = 0L
-  private var buf = new ByteBatch
-  private var docsInBatch = 0
   private val staged = scala.collection.mutable.ArrayBuffer.empty[Path]
 
   private class ByteBatch {
     val out = new java.io.ByteArrayOutputStream(1 << 16)
+    var docs = 0
     def size: Long = out.size().toLong
   }
+  // one open batch per partition directory ("" when unpartitioned).
+  // Memory is bounded to ~maxBatchBytes TOTAL regardless of how many
+  // partition values a task sees: when the sum of open buffers exceeds
+  // the budget, the largest flushes early (smaller batch files, never
+  // OOM — the classic dynamic-partition writer hazard). Callers writing
+  // massively-partitioned data should still repartition by the partition
+  // columns first so each task sees few values.
+  private val open = scala.collection.mutable.LinkedHashMap.empty[String, ByteBatch]
+  private var totalBuffered = 0L
 
   override def write(record: InternalRow): Unit = {
     val row = toScala(record).asInstanceOf[org.apache.spark.sql.Row]
+    val (relDir, docRow) =
+      if (partIdx.isEmpty) ("", row)
+      else {
+        val rel = partitionBy.zip(partIdx).map { case (c, i) =>
+          c + "=" + GraftDocSource.escapePathValue(DocPartitions.render(row.get(i)))
+        }.mkString("/")
+        (rel, org.apache.spark.sql.Row.fromSeq(
+          dataIdx.toIndexedSeq.map(row.get)): org.apache.spark.sql.Row)
+      }
     val bytes =
-      if (isBson) BsonBinary.encodeRow(row, schema)
-      else (graft.sinks.DocWriter.encodeJsonLine(row, schema) + "\n")
+      if (isBson) BsonBinary.encodeRow(docRow, dataSchema)
+      else (graft.sinks.DocWriter.encodeJsonLine(docRow, dataSchema) + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    if (docsInBatch > 0 &&
-        (buf.size + bytes.length > maxBatchBytes || docsInBatch >= maxBatchDocs))
-      flush()
+    val cur = open.getOrElseUpdate(relDir, new ByteBatch)
+    if (cur.docs > 0 &&
+        (cur.size + bytes.length > maxBatchBytes || cur.docs >= maxBatchDocs))
+      flush(relDir) // removes the entry; reopen below
+    val buf = open.getOrElseUpdate(relDir, new ByteBatch)
     buf.out.write(bytes, 0, bytes.length)
-    docsInBatch += 1
+    buf.docs += 1
+    totalBuffered += bytes.length
+    while (totalBuffered > maxBatchBytes && open.size > 1) {
+      val largest = open.maxBy(_._2.size)._1
+      flush(largest)
+    }
   }
 
-  private def flush(): Unit = if (docsInBatch > 0) {
+  private def flush(relDir: String): Unit = {
+    val buf = open.getOrElse(relDir, null)
+    if (buf == null || buf.docs == 0) { open.remove(relDir); return }
     val ext = if (isBson) "bson" else "jsonl"
-    val f = new Path(path,
+    val dir = if (relDir.isEmpty) new Path(path) else new Path(path, relDir)
+    if (!relDir.isEmpty) fs.mkdirs(dir)
+    val f = new Path(dir,
       f".part-$jobToken-$partitionId%05d-$taskId%06d-$batchIdx%05d.$ext")
     val out = fs.create(f, true)
     try buf.out.writeTo(out) finally out.close()
     staged += f
-    inserted += docsInBatch; batches += 1
-    batchIdx += 1; docsInBatch = 0
-    buf = new ByteBatch
+    inserted += buf.docs; batches += 1
+    batchIdx += 1
+    totalBuffered -= buf.size
+    open.remove(relDir)
   }
 
   override def commit(): WriterCommitMessage = {
-    flush()
+    open.keys.toSeq.foreach(flush)
     GraftCommit(inserted, batches, staged.map(_.toString).toSeq)
   }
   override def abort(): Unit = staged.foreach(fs.delete(_, false))

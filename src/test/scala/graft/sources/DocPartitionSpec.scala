@@ -1,0 +1,212 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+
+/** Hive-style partitioned layout in the graftdocs connector: partitioned
+  * writes (`partitionBy` option), recursive `k=v` discovery, exact
+  * three-valued partition pruning at planning time, and constant-vector
+  * partition-column fill on both read paths. The scale claim under test:
+  * a partition-filtered query must DROP files from the plan, not filter
+  * rows after decode. */
+class DocPartitionSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_part").toString
+
+  private lazy val customer =
+    spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+
+  private def countVisibleFiles(path: String): Int = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else Seq(f)
+    walk(new java.io.File(path)).count(f =>
+      !f.getName.startsWith(".") &&
+        (f.getName.endsWith(".jsonl") || f.getName.endsWith(".bson")))
+  }
+
+  test("partitioned write → read round trip preserves all values") {
+    val path = tmp()
+    customer.write.format("graftdocs").option("partitionBy", "c_mktsegment")
+      .mode("overwrite").save(path)
+    // one subdir per segment, no files at the root
+    val segs = new java.io.File(path).listFiles().filter(_.isDirectory)
+    assert(segs.map(_.getName).forall(_.startsWith("c_mktsegment=")))
+    assert(segs.length == customer.select("c_mktsegment").distinct.count())
+    val back = spark.read.format("graftdocs").schema(customer.schema).load(path)
+    assert(back.orderBy("c_custkey").collect().toSeq ==
+      customer.orderBy("c_custkey").collect().toSeq)
+  }
+
+  test("partition filter prunes files at planning and is fully handled") {
+    val path = tmp()
+    customer.write.format("graftdocs").option("partitionBy", "c_mktsegment")
+      .mode("overwrite").save(path)
+    val nSegs = customer.select("c_mktsegment").distinct.count().toInt
+    val q = spark.read.format("graftdocs").schema(customer.schema).load(path)
+      .where($"c_mktsegment" === "BUILDING")
+    val plan = q.queryExecution.executedPlan
+    val desc = plan.toString
+    assert(desc.contains("PartitionFilters:"), s"no partition filters:\n$desc")
+    // fully handled: the EqualTo must NOT survive as a post-scan Filter
+    assert(!desc.contains("Filter ("), s"partition filter left residual:\n$desc")
+    // only the matching directory's files are planned
+    val scanned = plan.collectLeaves().head
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]
+      .inputRDD.getNumPartitions
+    val totalFiles = countVisibleFiles(path)
+    assert(scanned < totalFiles, s"no pruning: $scanned of $totalFiles planned")
+    assert(desc.contains(s"PartitionPruned:"), desc)
+    assert(q.count() == customer.where($"c_mktsegment" === "BUILDING").count())
+    assert(nSegs > 1)
+  }
+
+  test("typed (non-string) partition column round-trips and prunes on range") {
+    val path = tmp()
+    customer.write.format("graftdocs").option("partitionBy", "c_nationkey")
+      .mode("overwrite").save(path)
+    val back = spark.read.format("graftdocs").schema(customer.schema).load(path)
+    assert(back.schema("c_nationkey").dataType == customer.schema("c_nationkey").dataType)
+    assert(back.orderBy("c_custkey").collect().toSeq ==
+      customer.orderBy("c_custkey").collect().toSeq)
+    val q = back.where($"c_nationkey" >= 20)
+    assert(q.queryExecution.executedPlan.toString.contains("PartitionFilters:"))
+    assert(q.count() == customer.where($"c_nationkey" >= 20).count())
+  }
+
+  test("null and special-character partition values round-trip") {
+    val df = Seq(
+      (1L, "plain", 1.0), (2L, "a/b=c %d", 2.0), (3L, null, 3.0),
+      (4L, "ünïcode", 4.0), (5L, "plain", 5.0))
+      .toDF("id", "seg", "v")
+    val path = tmp()
+    df.write.format("graftdocs").option("partitionBy", "seg")
+      .mode("overwrite").save(path)
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(dirs.contains("seg=__HIVE_DEFAULT_PARTITION__"), dirs.toString)
+    assert(dirs.exists(_.contains("%2F")), dirs.toString) // '/' escaped
+    val back = spark.read.format("graftdocs").schema(df.schema).load(path)
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+    // SQL semantics at the pruner: = drops the null dir, IS NULL keeps only it
+    assert(back.where($"seg" === "plain").count() == 2)
+    assert(back.where($"seg".isNull).count() == 1)
+    assert(back.where($"seg".isNotNull).count() == 4)
+    // three-valued NOT: null seg is neither = nor != a value
+    assert(back.where(not($"seg" === "plain")).count() == 2)
+  }
+
+  test("partition-filtered COUNT(*) composes with the count pushdown") {
+    val path = tmp()
+    customer.write.format("graftdocs").option("partitionBy", "c_mktsegment")
+      .mode("overwrite").save(path)
+    val q = spark.read.format("graftdocs").schema(customer.schema).load(path)
+      .where($"c_mktsegment" === "BUILDING")
+      .groupBy().count()
+    val desc = q.queryExecution.executedPlan.toString
+    assert(desc.contains("PushedAggregation: [COUNT(*)]"), desc)
+    assert(desc.contains("PartitionPruned:"), desc)
+    assert(q.collect().head.getLong(0) ==
+      customer.where($"c_mktsegment" === "BUILDING").count())
+  }
+
+  test("bson format, mixed doc+partition filters, row and columnar paths agree") {
+    val path = tmp()
+    customer.write.format("graftdocs").option("partitionBy", "c_mktsegment")
+      .option("format", "bson").mode("overwrite").save(path)
+    val expect = customer
+      .where($"c_mktsegment" === "BUILDING" && $"c_acctbal" > 1000.0)
+      .orderBy("c_custkey").collect().toSeq
+    for (columnar <- Seq(true, false)) {
+      val got = spark.read.format("graftdocs").schema(customer.schema)
+        .option("columnar", columnar).load(path)
+        .where($"c_mktsegment" === "BUILDING" && $"c_acctbal" > 1000.0)
+        .orderBy("c_custkey").collect().toSeq
+      assert(got == expect, s"columnar=$columnar")
+    }
+  }
+
+  test("schema inference appends partition columns") {
+    val path = tmp()
+    customer.write.format("graftdocs").option("partitionBy", "c_mktsegment")
+      .mode("overwrite").save(path)
+    val inferred = spark.read.format("graftdocs").load(path).schema
+    assert(inferred.fieldNames.contains("c_mktsegment"))
+    assert(inferred("c_mktsegment").dataType == StringType)
+  }
+
+  test("writer memory bound: many partitions under a tiny batch budget") {
+    val df = spark.range(0, 1000).select(
+      $"id", ($"id" % 50).cast("int").as("p"), concat(lit("v"), $"id").as("s"))
+    val path = tmp()
+    df.coalesce(1).write.format("graftdocs")
+      .option("partitionBy", "p").option("maxBatchBytes", 4096)
+      .mode("overwrite").save(path)
+    val back = spark.read.format("graftdocs").schema(df.schema).load(path)
+    assert(back.count() == 1000)
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+    assert(countVisibleFiles(path) >= 50)
+  }
+
+  test("multi-level partitioning with pruning on either level") {
+    val df = spark.range(0, 200).select(
+      $"id", ($"id" % 4).cast("int").as("a"),
+      concat(lit("g"), ($"id" % 3)).as("b"), rand(7).as("v"))
+    val path = tmp()
+    df.write.format("graftdocs").option("partitionBy", "a,b")
+      .mode("overwrite").save(path)
+    val back = spark.read.format("graftdocs").schema(df.schema).load(path)
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+    val q = back.where($"b" === "g1")
+    assert(q.count() == df.where($"b" === "g1").count())
+    val q2 = back.where($"a" === 2 && $"b" =!= "g0")
+    assert(q2.count() == df.where($"a" === 2 && $"b" =!= "g0").count())
+  }
+
+  test("streaming tail over a partitioned directory prunes too") {
+    val df = customer.limit(500)
+    val path = tmp()
+    df.write.format("graftdocs").option("partitionBy", "c_mktsegment")
+      .mode("overwrite").save(path)
+    val qName = "part_stream_docs"
+    val q = spark.readStream.format("graftdocs").schema(df.schema).load(path)
+      .where($"c_mktsegment" === "BUILDING")
+      .groupBy().count()
+      .writeStream.format("memory").queryName(qName)
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table(qName).collect().head.getLong(0)
+    assert(got == df.where($"c_mktsegment" === "BUILDING").count())
+  }
+
+  test("invalid partitionBy configurations are refused") {
+    val path = tmp()
+    val e1 = intercept[IllegalArgumentException] {
+      customer.write.format("graftdocs").option("partitionBy", "nope")
+        .mode("overwrite").save(path)
+    }
+    assert(e1.getMessage.contains("not in schema"))
+    val df = Seq((1L, Array(1.0, 2.0))).toDF("id", "emb")
+    val e2 = intercept[IllegalArgumentException] {
+      df.write.format("graftdocs").option("partitionBy", "emb")
+        .mode("overwrite").save(path)
+    }
+    assert(e2.getMessage.contains("non-partitionable"))
+  }
+
+  test("overwrite of a partitioned layout truncates recursively") {
+    val path = tmp()
+    customer.write.format("graftdocs").option("partitionBy", "c_mktsegment")
+      .mode("overwrite").save(path)
+    val small = customer.limit(10)
+    small.write.format("graftdocs").option("partitionBy", "c_mktsegment")
+      .mode("overwrite").save(path)
+    val back = spark.read.format("graftdocs").schema(customer.schema).load(path)
+    assert(back.count() == 10)
+  }
+}
