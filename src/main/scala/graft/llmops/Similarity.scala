@@ -290,6 +290,63 @@ object Similarity {
       persistIndex = false, portableSeed = portableSeed)
       .assigned.select(col("match_id").as(idCol), col("cell_id"))
 
+  /** Euclidean k-means (Lloyd) over an embedding column — the corpus-
+    * bucketing workhorse (topic balancing, diversity sampling, cluster-
+    * then-curate pipelines) as a first-class, oracle-checkable operator
+    * alongside the spherical refinement the IVF index uses internally.
+    *
+    * Scale shape: assignment is MAP-ONLY via the same codegen'd
+    * `nearest_cell` argmax —
+    *
+    *   argmin_c ‖v−c‖² = argmax_c (v·c − ‖c‖²/2)
+    *
+    * realized by augmenting each centroid with a bias element −‖c‖²/2
+    * and each vector with a constant 1, so Euclidean nearest reuses the
+    * dot-product kernel unchanged. The centroid matrix ships as ONE
+    * literal; the corpus never shuffles whole vectors; per-iteration
+    * means travel as exploded (cluster, dim, value) scalars and collect
+    * k×dim bounded rows on the driver (centroids are driver constants,
+    * the same contract as the IVF codebooks). Seeds are the k lowest-id
+    * vectors (deterministic); empty clusters keep their previous
+    * centroid; nearest_cell's strict `>` breaks ties toward the lowest
+    * cluster index. Output: (cluster, n, c_norm) — final-assignment
+    * sizes plus updated-centroid norms rounded to 6. */
+  def kmeansLloyd(df: DataFrame, idCol: String, vecCol: String,
+                  k: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters > 0, s"kmeansLloyd: k=$k iters=$iters must be positive")
+    val corpus = df.where(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+    var centroids: Array[Array[Double]] = corpus.orderBy(col(idCol)).limit(k)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(centroids.length == k, s"kmeansLloyd: only ${centroids.length} seed rows for k=$k")
+    def augMatrix: Column = typedlit(centroids.toIndexedSeq.map(c =>
+      (c :+ (-0.5 * c.map(x => x * x).sum)).toIndexedSeq))
+    val augVec = concat(col("__v"), array(lit(1.0)))
+    var lastAssigned: DataFrame = null
+    for (_ <- 1 to iters) {
+      val assigned = corpus
+        .withColumn("__cl", graftFn("nearest_cell", augVec, augMatrix))
+        .where(col("__cl").isNotNull)
+      lastAssigned = assigned
+      val means = assigned
+        .select(col("__cl"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+        .groupBy("__cl", "__pos").agg(avg(col("__x")).as("__m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cl, rows) =>
+          cl -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+        }
+      centroids = centroids.zipWithIndex.map { case (c, j) => means.getOrElse(j, c) }
+    }
+    val normCol = typedlit(centroids.toIndexedSeq
+      .map(c => math.sqrt(c.map(x => x * x).sum)))
+    lastAssigned
+      .groupBy(col("__cl").cast("long").as("cluster"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("c_norm", round(element_at(normCol, (col("cluster") + 1).cast("int")), 6))
+      .orderBy("cluster")
+  }
+
   /** Query a built IVF index: score queries against the broadcast
     * centroids, probe the nProbe best cells, brute-force only those. */
   def ivfQuery(index: IvfIndex, queries: DataFrame, k: Int,

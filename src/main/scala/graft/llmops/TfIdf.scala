@@ -172,4 +172,46 @@ object TfIdf {
       .where(col("rnk") <= k)
       .select(col(idCol), col("term"), col("tf"), col("score"), col("rnk"))
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * each document's log importance ratio between a TARGET sample's
+    * feature distribution and the RAW corpus's,
+    *
+    *   log w(d) = Σ_{t ∈ d} [ ln p̂_target(t) − ln p̂_raw(t) ]
+    *
+    * with add-1 smoothing over the raw vocabulary on both sides.
+    * Resampling by these weights tilts the corpus toward the target
+    * domain. The published method buckets hashed n-grams before the
+    * ratio; this unigram-feature form keeps the same estimator shape
+    * with an exactly-verifiable oracle — bucket hashing is a drop-in
+    * swap of the feature key (`hash(term) % B`), not a different plan.
+    *
+    * Scale shape: feature counts for BOTH distributions come from ONE
+    * vocab-sized hash aggregation over the corpus (the target is a
+    * conditional sum riding the same pass, not a second scan); totals
+    * are a broadcast 1-row aggregate; the log-ratio table is
+    * vocabulary-sized (AQE broadcasts it); the per-doc sum is a hash
+    * aggregation on the doc id. The corpus never self-joins.
+    * Output: (id, n_tok, log_weight) rounded to 6. */
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+                        isTarget: Column): DataFrame = {
+    val toks = docs.select(col(idCol), isTarget.as("__t"),
+      explode(TextAnalysis.tokens(lower(col(textCol)))).as("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = toks.groupBy("term").agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("__t"), lit(1L)).otherwise(lit(0L))).as("ct"))
+    val totals = stats.agg(sum("cr").as("__tr"), sum("ct").as("__tt"),
+      count(lit(1)).as("__v"))
+    val ratio = stats.crossJoin(broadcast(totals))
+      .select(col("term"),
+        (log((col("ct") + lit(1)).cast("double") / (col("__tt") + col("__v"))) -
+          log((col("cr") + lit(1)).cast("double") / (col("__tr") + col("__v"))))
+          .as("lr"))
+    toks.join(ratio, "term")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tok"),
+        round(sum(col("lr")), 6).as("log_weight"))
+  }
 }

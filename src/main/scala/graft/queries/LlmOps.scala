@@ -248,6 +248,45 @@ object LlmOps {
       },
       Some(knnOracle)),
 
+    // Euclidean k-means, 2 Lloyd iterations from the 4 lowest-id seeds;
+    // the twin replays both iterations (assign → mean → assign → mean)
+    // in SQL, anchored on COALESCE for the empty-cluster rule
+    QueryDef("q_kmeans_lloyd",
+      (s, dir) => Similarity.kmeansLloyd(Graft.table(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 4, iters = 2),
+      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings
+                         WHERE embedding IS NOT NULL),
+               u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                       unnest(embedding)::DOUBLE AS x FROM e),
+               s AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cl
+                     FROM e ORDER BY vec_id LIMIT 4),
+               c0 AS (SELECT s.cl, u.i, u.x FROM s JOIN u USING (vec_id)),
+               d1 AS (SELECT u.vec_id, c.cl, SUM((u.x - c.x) * (u.x - c.x)) AS d
+                      FROM u JOIN c0 c ON u.i = c.i GROUP BY 1, 2),
+               a1 AS (SELECT vec_id, cl FROM (
+                        SELECT vec_id, cl, ROW_NUMBER() OVER (
+                          PARTITION BY vec_id ORDER BY d, cl) AS rn FROM d1)
+                      WHERE rn = 1),
+               m1 AS (SELECT a1.cl, u.i, AVG(u.x) AS x
+                      FROM a1 JOIN u USING (vec_id) GROUP BY 1, 2),
+               c1 AS (SELECT c0.cl, c0.i, COALESCE(m1.x, c0.x) AS x
+                      FROM c0 LEFT JOIN m1 ON m1.cl = c0.cl AND m1.i = c0.i),
+               d2 AS (SELECT u.vec_id, c.cl, SUM((u.x - c.x) * (u.x - c.x)) AS d
+                      FROM u JOIN c1 c ON u.i = c.i GROUP BY 1, 2),
+               a2 AS (SELECT vec_id, cl FROM (
+                        SELECT vec_id, cl, ROW_NUMBER() OVER (
+                          PARTITION BY vec_id ORDER BY d, cl) AS rn FROM d2)
+                      WHERE rn = 1),
+               m2 AS (SELECT a2.cl, u.i, AVG(u.x) AS x
+                      FROM a2 JOIN u USING (vec_id) GROUP BY 1, 2),
+               c2 AS (SELECT c1.cl, c1.i, COALESCE(m2.x, c1.x) AS x
+                      FROM c1 LEFT JOIN m2 ON m2.cl = c1.cl AND m2.i = c1.i),
+               nrm AS (SELECT cl, round(sqrt(SUM(x * x)), 6) AS c_norm
+                       FROM c2 GROUP BY cl)
+             SELECT a2.cl AS cluster, CAST(COUNT(*) AS BIGINT) AS n, nrm.c_norm
+             FROM a2 JOIN nrm ON nrm.cl = a2.cl
+             GROUP BY a2.cl, nrm.c_norm ORDER BY cluster""")),
+
     QueryDef("q_cos_pairs",
       (s, dir) => {
         val e = Graft.table(s, dir, "embeddings")
@@ -810,6 +849,28 @@ object LlmOps {
              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
                     round(AVG(-ln(cf::DOUBLE / tot)), 6) AS surprisal
              FROM toks JOIN f USING (term) CROSS JOIN tot
+             GROUP BY doc_id ORDER BY doc_id""")),
+
+    // DSIR-style importance weights (Xie et al. 2023): log ratio of a
+    // target sample's unigram distribution vs the raw corpus's, add-1
+    // smoothed — the importance-resampling selection signal; src0 docs
+    // stand in as the target domain sample
+    QueryDef("q_dsir_weights",
+      (s, dir) => TfIdf.importanceWeights(Graft.table(s, dir, "documents"),
+        "doc_id", "text", col("source") === "src0").orderBy("doc_id"),
+      Some(s"""WITH toks AS (SELECT doc_id, (source = 'src0') AS t,
+                        unnest($duckToksLower) AS term FROM documents),
+               st AS (SELECT term, COUNT(*) AS cr,
+                        SUM(CASE WHEN t THEN 1 ELSE 0 END) AS ct
+                      FROM toks GROUP BY 1),
+               tot AS (SELECT SUM(cr) AS tr, SUM(ct) AS tt, COUNT(*) AS v FROM st),
+               r AS (SELECT term,
+                       ln((ct + 1)::DOUBLE / (tt + v)) -
+                       ln((cr + 1)::DOUBLE / (tr + v)) AS lr
+                     FROM st CROSS JOIN tot)
+             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+                    round(SUM(lr), 6) AS log_weight
+             FROM toks JOIN r USING (term)
              GROUP BY doc_id ORDER BY doc_id""")),
 
     // sliding-window chunking (RAG/long-doc prep): 40-token windows,

@@ -180,4 +180,56 @@ class AnnDedupSpec extends AnyFunSuite {
     assert(got.map(_._1).toSeq == Seq(3L, 1L))
     assert(got(0)._2 == s(1, 1) && got(1)._2 == s(2, 3))
   }
+
+  test("kmeansLloyd: two clean clusters recover exactly; norms from updated centroids") {
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)),
+      (3L, Seq(0.9, 0.1)), (4L, Seq(0.1, 0.9)),
+      (5L, Seq(1.1, -0.1)), (6L, Seq(-0.1, 1.1))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.kmeansLloyd(vecs, "vec_id", "embedding", k = 2, iters = 2)
+      .as[(Long, Long, Double)].collect().toSeq
+    // seeds (1,0)/(0,1) pull {1,3,5} and {2,4,6}; both means land back on
+    // the seeds exactly, so the updated centroid norms are 1.0
+    assert(got == Seq((0L, 3L, 1.0), (1L, 3L, 1.0)))
+  }
+
+  test("kmeansLloyd: duplicate seeds tie to the lowest cluster; empty cluster vanishes") {
+    val vecs = Seq(
+      (1L, Seq(0.5, 0.5)), (2L, Seq(0.5, 0.5)), (3L, Seq(0.6, 0.4))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.kmeansLloyd(vecs, "vec_id", "embedding", k = 2, iters = 1)
+      .as[(Long, Long, Double)].collect().toSeq
+    // identical seeds: strict-> argmax keeps cluster 0 for every row;
+    // cluster 1 stays empty (keeps its seed centroid) and emits no row
+    assert(got.map(t => (t._1, t._2)) == Seq((0L, 3L)))
+  }
+
+  test("importanceWeights: hand-computed add-1 smoothed log ratios") {
+    val docs = Seq(
+      (1L, "a a b", "tgt"), (2L, "a c", "raw")
+    ).toDF("doc_id", "text", "source")
+    val got = TfIdf.importanceWeights(docs, "doc_id", "text",
+      col("source") === "tgt")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // corpus a:3 b:1 c:1 (tr=5, V=3); target a:2 b:1 c:0 (tt=3)
+    // lr(a)=ln(3/6)-ln(4/8)=0, lr(b)=ln(2/6)-ln(2/8)=ln(4/3),
+    // lr(c)=ln(1/6)-ln(2/8)=ln(2/3)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got == Seq(
+      (1L, 3L, r6(math.log(4.0 / 3.0))),
+      (2L, 2L, r6(math.log(2.0 / 3.0)))))
+  }
+
+  test("importanceWeights: target-domain docs score higher on the fixture") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val w = TfIdf.importanceWeights(docs, "doc_id", "text",
+      col("source") === "src0")
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy(col("source") === "src0")
+      .agg(avg(col("log_weight") / col("n_tok")).as("m"))
+      .as[(Boolean, Double)].collect().toMap
+    assert(w(true) > w(false),
+      s"target mean per-token weight ${w(true)} !> raw ${w(false)}")
+  }
 }
