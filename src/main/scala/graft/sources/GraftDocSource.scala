@@ -246,7 +246,7 @@ private[sources] class GraftScanBuilder(fullSchema: StructType,
   private var filters: Array[Filter] = Array.empty
   private var partFilters: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
-  private var countPushed = false
+  private var aggSpecs: Seq[PushedAgg] = Seq.empty
 
   // resolved ONCE at planning; partition pruning and the scan share it
   private lazy val allFiles = GraftDocSource.resolveFiles(options)
@@ -284,23 +284,37 @@ private[sources] class GraftScanBuilder(fullSchema: StructType,
       partFilters.forall(pf => DocPartitions.eval3(pf, get).contains(true))
     }
 
-  // COUNT(*) with no grouping and no residual filters never decodes a
-  // document: .bson partitions hop length prefixes, .jsonl partitions
-  // count line bytes — the document-source analogue of parquet's
-  // metadata count. Partition-only filters compose: they pruned the file
-  // list, so a partition-filtered COUNT(*) counts the surviving files
-  // without decoding either. Partial pushdown: each partition emits its
-  // count, Spark sums. (Spark only offers the aggregation when every
-  // filter was fully pushed; doc-field filters stay residual, so a
-  // doc-filtered count never reaches here.)
+  // Aggregations answerable without decoding a document (no grouping,
+  // no residual filters): COUNT(*) — .bson partitions hop length
+  // prefixes, .jsonl partitions count line bytes (parquet's metadata
+  // count, doc-source form) — and MIN/MAX of PARTITION columns, which
+  // come from the directory values alone (parquet's footer min/max,
+  // with zero bytes read). Partition-only filters compose: they pruned
+  // the file list first. Partial pushdown: each partition emits its
+  // piece, Spark's final aggregate combines. (Spark only offers the
+  // aggregation when every filter was fully pushed; doc-field filters
+  // stay residual, so a doc-filtered aggregate never reaches here.)
   override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    val ok = agg.groupByExpressions.isEmpty &&
-      agg.aggregateExpressions.length == 1 &&
-      agg.aggregateExpressions.head
-        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar] &&
-      filters.forall(claimable) && limit.isEmpty
-    if (ok) countPushed = true
-    ok
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    if (!(agg.groupByExpressions.isEmpty && filters.forall(claimable) &&
+          limit.isEmpty && agg.aggregateExpressions.nonEmpty)) return false
+    def partRef(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case nr: org.apache.spark.sql.connector.expressions.NamedReference
+          if nr.fieldNames.length == 1 =>
+          val c = nr.fieldNames.head
+          if (partCols(c) && castOk(c)) Some(c) else None
+        case _ => None
+      }
+    def typeOf(c: String) = fullSchema.fields.find(_.name == c).get.dataType
+    val parsed: Seq[Option[PushedAgg]] = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(AggCountStar)
+      case m: Min => partRef(m.column).map(c => AggMinPart(c, typeOf(c)))
+      case m: Max => partRef(m.column).map(c => AggMaxPart(c, typeOf(c)))
+      case _ => None
+    }
+    if (parsed.forall(_.isDefined)) { aggSpecs = parsed.flatten; true }
+    else false
   }
 
   // LIMIT n reaches the decoder: each partition stops decoding after n
@@ -335,8 +349,8 @@ private[sources] class GraftScanBuilder(fullSchema: StructType,
       .filter(DocFilterEval.supported(_, fullSchema))
 
   override def build(): Scan = {
-    if (countPushed) new GraftCountScan(options, prunedFiles, partFilters,
-      allFiles.size)
+    if (aggSpecs.nonEmpty) new GraftAggScan(options, prunedFiles, aggSpecs,
+      partFilters, allFiles.size)
     else new GraftScan(required, options,
       filters.filterNot(claimable).filter(DocFilterEval.supported(_, fullSchema)),
       limit, Some(prunedFiles), partFilters, allFiles.size,
@@ -346,55 +360,102 @@ private[sources] class GraftScanBuilder(fullSchema: StructType,
 }
 
 /** COUNT(*)-pushdown scan: one long per partition, no decode. */
-private[sources] class GraftCountScan(options: CaseInsensitiveStringMap,
-                                      files: Seq[GraftDocSource.FileRef],
-                                      partitionFilters: Array[Filter] = Array.empty,
-                                      totalFiles: Int = 0)
+/** Aggregates the scan can answer without decoding a document:
+  * COUNT(*) from length-prefix hops / line-byte counts, MIN/MAX of a
+  * partition column from the directory values alone (zero bytes read —
+  * the doc-source analogue of parquet's footer min/max). */
+private[sources] sealed trait PushedAgg
+private[sources] case object AggCountStar extends PushedAgg
+private[sources] case class AggMinPart(col: String, dt: org.apache.spark.sql.types.DataType)
+  extends PushedAgg
+private[sources] case class AggMaxPart(col: String, dt: org.apache.spark.sql.types.DataType)
+  extends PushedAgg
+
+private[sources] class GraftAggScan(options: CaseInsensitiveStringMap,
+                                    files: Seq[GraftDocSource.FileRef],
+                                    aggs: Seq[PushedAgg],
+                                    partitionFilters: Array[Filter] = Array.empty,
+                                    totalFiles: Int = 0)
   extends Scan with Batch {
   override def readSchema(): StructType =
-    StructType(Seq(org.apache.spark.sql.types.StructField("count(*)",
-      org.apache.spark.sql.types.LongType, nullable = false)))
+    StructType(aggs.map {
+      case AggCountStar => org.apache.spark.sql.types.StructField("count(*)",
+        org.apache.spark.sql.types.LongType, nullable = false)
+      case AggMinPart(c, dt) =>
+        org.apache.spark.sql.types.StructField(s"min($c)", dt, nullable = true)
+      case AggMaxPart(c, dt) =>
+        org.apache.spark.sql.types.StructField(s"max($c)", dt, nullable = true)
+    })
   override def toBatch: Batch = this
-  override def description(): String =
-    "graftdocs PushedAggregation: [COUNT(*)]" +
+  override def description(): String = {
+    val rendered = aggs.map {
+      case AggCountStar => "COUNT(*)"
+      case AggMinPart(c, _) => s"MIN($c)"
+      case AggMaxPart(c, _) => s"MAX($c)"
+    }
+    s"graftdocs PushedAggregation: [${rendered.mkString(", ")}]" +
+      (if (!needsCount) " (metadata-only)" else "") +
       (if (partitionFilters.nonEmpty)
         s", PartitionFilters: [${partitionFilters.mkString(", ")}]" +
           s", PartitionPruned: ${files.size}/$totalFiles"
        else "")
+  }
 
   private val maxSplitBytes = options.getLong("maxsplitbytes", 128L * 1024 * 1024)
+  private def needsCount: Boolean = aggs.contains(AggCountStar)
 
   override def planInputPartitions(): Array[InputPartition] =
-    files.toArray.flatMap { ref =>
+    if (!needsCount)
+      // pure partition-column min/max: one single-row partition per file,
+      // answered from its directory values — no file is ever opened
+      files.toArray.map(ref =>
+        GraftFilePartition(ref.path, 0L, 1L, ref.partitionValues))
+    else files.toArray.flatMap { ref =>
       if (ref.isBson || ref.length <= maxSplitBytes)
-        Array(GraftFilePartition(ref.path, 0L, math.max(ref.length, 1L)))
+        Array(GraftFilePartition(ref.path, 0L, math.max(ref.length, 1L),
+          ref.partitionValues))
       else (0L until ref.length by maxSplitBytes).map(s =>
-        GraftFilePartition(ref.path, s, math.min(s + maxSplitBytes, ref.length))).toArray
+        GraftFilePartition(ref.path, s, math.min(s + maxSplitBytes, ref.length),
+          ref.partitionValues)).toArray
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftCountReaderFactory(
+    new GraftAggReaderFactory(aggs,
       new SerializableConfiguration(GraftDocSource.activeHadoopConf()))
 }
 
-private[sources] class GraftCountReaderFactory(conf: SerializableConfiguration)
+private[sources] class GraftAggReaderFactory(aggs: Seq[PushedAgg],
+                                             conf: SerializableConfiguration)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftFilePartition]
+    val pm = p.partitionValues.toMap
     new PartitionReader[InternalRow] {
       private var emitted = false
       private var row: InternalRow = _
+      // a split's min/max IS its constant directory value (Catalyst
+      // form); Spark's final aggregate combines across splits
+      private def partValue(c: String, dt: org.apache.spark.sql.types.DataType): Any =
+        pm.get(c).map { raw =>
+          CatalystTypeConverters.createToCatalystConverter(dt)(
+            DocPartitions.cast(raw, dt))
+        }.orNull
       override def next(): Boolean = {
         if (emitted) return false
-        val path = new Path(p.path)
-        val fsIn = path.getFileSystem(conf.value).open(path)
-        val count =
+        lazy val count: Long = {
+          val path = new Path(p.path)
+          val fsIn = path.getFileSystem(conf.value).open(path)
           try {
             if (p.path.endsWith(".bson")) countBson(fsIn)
             else countJsonlLines(fsIn, p.start, p.end)
           } finally fsIn.close()
+        }
         row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          Array[Any](count))
+          aggs.map {
+            case AggCountStar => count: Any
+            case AggMinPart(c, dt) => partValue(c, dt)
+            case AggMaxPart(c, dt) => partValue(c, dt)
+          }.toArray)
         emitted = true
         true
       }
@@ -471,7 +532,8 @@ private[sources] class GraftScan(schema: StructType, options: CaseInsensitiveStr
                                  // schema (a fully-handled filter's column may be pruned
                                  // out of `schema` when the query never projects it)
                                  partitionTypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty)
-  extends Scan with Batch {
+  extends Scan with Batch
+  with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String = {
@@ -487,6 +549,37 @@ private[sources] class GraftScan(schema: StructType, options: CaseInsensitiveStr
         s", PartitionFilters: [${partitionFilters.mkString(", ")}]" +
           s", PartitionPruned: ${resolved.map(_.size).getOrElse(0)}/$totalFiles"
        else "")
+  }
+
+  // ---- runtime (dynamic) partition pruning --------------------------------
+  // The DSv2 runtime-filtering hook: joining this table against a
+  // filtered dimension on a partition column lets Spark push the build
+  // side's value set back into the scan AT EXECUTION TIME — the
+  // document-source twin of parquet's dynamic partition pruning. The
+  // verdict here is CONSERVATIVE (a file is dropped only when the
+  // runtime filter is provably false for its constant partition values;
+  // unknown keeps it) because Spark still applies the join itself —
+  // unlike the planning-time pruner, correctness never depends on the
+  // runtime drop.
+  private var runtimeFiltered: Option[Seq[GraftDocSource.FileRef]] = None
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    partitionTypes.keys.map(
+      org.apache.spark.sql.connector.expressions.Expressions.column).toArray
+
+  override def filter(runtimeFilters: Array[Filter]): Unit = {
+    val base = resolved.getOrElse(GraftDocSource.resolveFiles(options))
+    runtimeFiltered = Some(base.filter { f =>
+      val m = f.partitionValues.toMap
+      val get: String => Any = name =>
+        (for { raw <- m.get(name); dt <- partitionTypes.get(name) }
+          yield DocPartitions.cast(raw, dt)).orNull
+      !runtimeFilters.exists { rf =>
+        try DocPartitions.eval3(rf, get).contains(false)
+        catch { case _: Exception => false } // unparseable dir value: keep
+      }
+    })
   }
 
   /** Re-apply this scan's partition filters to a fresh file listing (the
@@ -527,7 +620,9 @@ private[sources] class GraftScan(schema: StructType, options: CaseInsensitiveStr
     }
 
   override def planInputPartitions(): Array[InputPartition] =
-    splitFiles(resolved.getOrElse(GraftDocSource.resolveFiles(options)))
+    splitFiles(runtimeFiltered
+      .orElse(resolved)
+      .getOrElse(GraftDocSource.resolveFiles(options)))
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(schema, allowInvalid, filters,
@@ -558,8 +653,9 @@ private[sources] class GraftScan(schema: StructType, options: CaseInsensitiveStr
   * which is out of contract. */
 private[sources] class GraftMicroBatchStream(scan: GraftScan,
                                              options: CaseInsensitiveStringMap)
-  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   private case class Watermark(mtime: Long, name: String) extends Offset {
     override def json(): String = {
@@ -586,6 +682,63 @@ private[sources] class GraftMicroBatchStream(scan: GraftScan,
       Watermark(top.mtime, top.name)
     }
   }
+
+  // ---- admission control ----------------------------------------------------
+  // `maxFilesPerTrigger` / `maxBytesPerTrigger` bound each micro-batch: a
+  // backfill over an existing 100 TB layout becomes a paced sequence of
+  // bounded batches instead of ONE batch owning the whole corpus (the
+  // all-available default's failure mode: a first trigger whose state,
+  // shuffle, and checkpoint all scale with history, not with arrival
+  // rate). The watermark offset supports it naturally — admit the next N
+  // files in (mtime, name) order and park the watermark on the last one.
+  override def getDefaultReadLimit: ReadLimit = {
+    val mf = options.getInt("maxfilespertrigger", 0)
+    val mb = options.getLong("maxbytespertrigger", 0L)
+    if (mf < 0 || mb < 0) throw new IllegalArgumentException(
+      s"graftdocs: maxFilesPerTrigger/maxBytesPerTrigger must be positive")
+    (mf, mb) match {
+      case (0, 0) => ReadLimit.allAvailable()
+      case (f, 0) => ReadLimit.maxFiles(f)
+      case (0, b) => ReadLimit.maxBytes(b)
+      case (f, b) => ReadLimit.compositeLimit(
+        Array(ReadLimit.maxFiles(f), ReadLimit.maxBytes(b)))
+    }
+  }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[Watermark]
+    val fresh = GraftDocSource.resolveFiles(options)
+      .filter(isAfter(_, s))
+      .sortBy(f => (f.mtime, f.name))
+    def admit(l: ReadLimit, fs: Seq[GraftDocSource.FileRef]): Seq[GraftDocSource.FileRef] =
+      l match {
+        case m: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+          fs.take(m.maxFiles())
+        case m: org.apache.spark.sql.connector.read.streaming.ReadMaxBytes =>
+          // contiguous (mtime, name)-ordered prefix within the byte
+          // budget; the first file is always admitted (an oversized
+          // single file must still drain) and admission stops at the
+          // first file over budget (a gap would break the watermark)
+          val contiguous = scala.collection.mutable.ArrayBuffer.empty[GraftDocSource.FileRef]
+          var bleft = m.maxBytes()
+          var done = false
+          val it = fs.iterator
+          while (it.hasNext && !done) {
+            val f = it.next()
+            if (contiguous.isEmpty || f.length <= bleft) { contiguous += f; bleft -= f.length }
+            else done = true
+          }
+          contiguous.toSeq
+        case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
+          c.getReadLimits.foldLeft(fs)((acc, sub) => admit(sub, acc))
+        case _ => fs // allAvailable
+      }
+    val taken = admit(limit, fresh)
+    if (taken.isEmpty) s
+    else { val top = taken.last; Watermark(top.mtime, top.name) }
+  }
+
+  override def reportLatestOffset(): Offset = latestOffset()
 
   override def deserializeOffset(json: String): Offset = {
     val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)

@@ -184,6 +184,79 @@ class DocPartitionSpec extends AnyFunSuite {
     assert(got == df.where($"c_mktsegment" === "BUILDING").count())
   }
 
+  test("runtime filtering: a broadcast join on the partition column prunes at execution") {
+    val path = tmp()
+    customer.write.format("graftdocs").option("partitionBy", "c_mktsegment")
+      .mode("overwrite").save(path)
+    val nSegs = customer.select("c_mktsegment").distinct.count().toInt
+    val docs = spark.read.format("graftdocs").schema(customer.schema).load(path)
+    // the dim's restriction rides a SECOND column, so constraint
+    // inference can't turn it into a literal partition predicate — the
+    // value set reaches the fact scan only through dynamic pruning
+    val dimPath = tmp()
+    Seq(("BUILDING", 1), ("MACHINERY", 0)).toDF("c_mktsegment", "keep")
+      .write.mode("overwrite").parquet(dimPath)
+    // file-backed: ConvertToLocalRelation can't fold the selective
+    // predicate away before the partition-pruning rule sees it
+    val dim = spark.read.parquet(dimPath).where($"keep" === 1)
+    val joined = docs.join(broadcast(dim), "c_mktsegment")
+    assert(joined.count() == customer.where($"c_mktsegment" === "BUILDING").count())
+    joined.collect() // materialize the adaptive final plan on THIS QueryExecution
+    val plan = joined.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    assert(plan.toString.contains("RuntimeFilters: [dynamicpruning"), plan.toString)
+    // query stages wrap their plan outside `children` — recurse into them
+    def findScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] =
+      p.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+          if b.scan.isInstanceOf[GraftScan] => b
+      } ++ p.collect {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q
+      }.flatMap(q => findScans(q.plan))
+    val scans = findScans(plan)
+    assert(scans.nonEmpty, plan.toString)
+    val planned = scans.head.inputRDD.getNumPartitions
+    assert(planned < nSegs,
+      s"runtime pruning did not fire: $planned partitions for $nSegs segments\n$plan")
+  }
+
+  test("MIN/MAX of a partition column push down metadata-only (zero decode)") {
+    val path = tmp()
+    customer.write.format("graftdocs").option("partitionBy", "c_nationkey")
+      .mode("overwrite").save(path)
+    val docs = spark.read.format("graftdocs").schema(customer.schema).load(path)
+    GraftScanMetrics.emitted.reset(); GraftScanMetrics.skipped.reset()
+    val q = docs.agg(min("c_nationkey").as("mn"), max("c_nationkey").as("mx"))
+    val desc = q.queryExecution.executedPlan.toString
+    assert(desc.contains("PushedAggregation: [MIN(c_nationkey), MAX(c_nationkey)] (metadata-only)"), desc)
+    val r = q.collect().head
+    val expect = customer.agg(min("c_nationkey"), max("c_nationkey")).collect().head
+    assert(r == expect)
+    // nothing decoded: the answer came from directory names alone
+    assert(GraftScanMetrics.emitted.sum() == 0)
+
+    // count(*) composes: counts hop prefixes, min/max ride the dir values
+    val q2 = docs.where($"c_nationkey" >= 10)
+      .agg(count(lit(1)).as("n"), max("c_nationkey").as("mx"))
+    val desc2 = q2.queryExecution.executedPlan.toString
+    assert(desc2.contains("PushedAggregation: [COUNT(*), MAX(c_nationkey)]"), desc2)
+    assert(desc2.contains("PartitionPruned:"), desc2)
+    val r2 = q2.collect().head
+    val e2 = customer.where($"c_nationkey" >= 10)
+      .agg(count(lit(1)), max("c_nationkey")).collect().head
+    assert(r2 == e2)
+
+    // a min/max over a DOC column must NOT push (needs real decode)
+    val q3 = docs.agg(min("c_acctbal"))
+    assert(!q3.queryExecution.executedPlan.toString.contains("PushedAggregation"),
+      q3.queryExecution.executedPlan.toString)
+    assert(q3.collect().head == customer.agg(min("c_acctbal")).collect().head)
+  }
+
   test("invalid partitionBy configurations are refused") {
     val path = tmp()
     val e1 = intercept[IllegalArgumentException] {

@@ -73,6 +73,47 @@ class StreamingDocSourceSpec extends AnyFunSuite {
     assert(counts == Map("a" -> 60L, "b" -> 25L), s"got $counts")
   }
 
+  test("maxFilesPerTrigger paces a backfill into bounded micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_paced")
+    // five pre-existing files: the all-available default would own them
+    // all in ONE first batch; the paced read admits one per trigger
+    (0 until 5).foreach(i => writeWave(dir, f"w$i.jsonl", i * 10 until (i + 1) * 10, s"g$i"))
+    val q = spark.readStream.format("graftdocs").schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .load(dir.toString)
+      .groupBy().agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("doc_paced")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("doc_paced").collect().head.getLong(0) == 50)
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches >= 5,
+        s"expected >=5 paced batches, got $dataBatches: " +
+          q.recentProgress.map(_.numInputRows).mkString(","))
+    } finally q.stop()
+  }
+
+  test("maxBytesPerTrigger admits a contiguous prefix and always drains") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_bytes")
+    writeWave(dir, "w1.jsonl", 0 until 300, "a")   // ~300 lines, > budget
+    writeWave(dir, "w2.jsonl", 0 until 10, "b")
+    writeWave(dir, "w3.jsonl", 0 until 10, "c")
+    val q = spark.readStream.format("graftdocs").schema(schema)
+      .option("maxBytesPerTrigger", 512) // smaller than w1 alone
+      .load(dir.toString)
+      .groupBy("grp").agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("doc_bytes")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable() // oversized first file must still be admitted
+      val got = spark.table("doc_bytes").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == Map("a" -> 300L, "b" -> 10L, "c" -> 10L), s"got $got")
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 2)
+    } finally q.stop()
+  }
+
   test("streamed decode equals batch decode over the same files") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_eq")
     writeWave(dir, "w1.jsonl", 0 until 500, "x")
