@@ -1,0 +1,53 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Physical-layout helpers for repeated large-scale joins.
+  *
+  * At 100 TB the dominant cost of a fact⋈fact equi-join is the shuffle
+  * of BOTH sides. Spark's answer is bucketing: write each side
+  * hash-bucketed (and sorted) by the join key once, and every
+  * subsequent equi-join on that key is EXCHANGE-FREE — the scan itself
+  * satisfies the join's required distribution, so the plan goes
+  * scan → (sort) → SortMergeJoin with no Exchange on either side. One
+  * write-time shuffle is amortized over every downstream join/agg on
+  * the key (the same trade the reference's server makes with indexes:
+  * pay at write, win at read).
+  *
+  * These helpers wrap the `bucketBy` path-based-table contract (Spark
+  * requires `saveAsTable` — a catalog entry — for bucketed writes; the
+  * in-memory/derby catalog works, no Hive needed).
+  */
+object Layout {
+  /** Write `df` as a bucketed, sorted table named `name`, bucketed by
+    * `key` into `buckets` files per partition. Overwrites an existing
+    * table of the same name. */
+  def writeBucketed(df: DataFrame, name: String, key: String,
+                    buckets: Int, sortCols: Seq[String] = Seq.empty): Unit = {
+    require(buckets > 0, s"writeBucketed: buckets=$buckets must be positive")
+    val sorts = if (sortCols.isEmpty) Seq(key) else sortCols
+    df.write
+      .bucketBy(buckets, key)
+      .sortBy(sorts.head, sorts.tail: _*)
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(name)
+  }
+
+  /** Read a bucketed table back (the bucket metadata rides the catalog
+    * entry, so joins on the bucket key skip their Exchange). */
+  def bucketedTable(spark: SparkSession, name: String): DataFrame =
+    spark.table(name)
+
+  /** True when `plan` contains no shuffle Exchange — the assertion a
+    * co-located join must pass (AQE query stages are traversed too). */
+  def isExchangeFree(plan: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p.collect { case n => n } ++ p.collect {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q
+      }.flatMap(q => nodes(q.plan))
+    !nodes(plan).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+  }
+}
