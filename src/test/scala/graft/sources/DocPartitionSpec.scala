@@ -272,6 +272,46 @@ class DocPartitionSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("non-partitionable"))
   }
 
+  test("path-value escaping round-trips arbitrary strings (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = Gen.frequency(
+      3 -> Gen.listOf(Gen.asciiPrintableChar).map(_.mkString),
+      2 -> Gen.listOf(Gen.oneOf('/', '=', '%', '.', ' ', 'a', 'ü', '中', '\n')).map(_.mkString),
+      1 -> Gen.listOf(Gen.choose(Char.MinValue, Char.MaxValue))
+        .map(_.mkString.filter(c => !Character.isSurrogate(c))))
+    val params = Gen.Parameters.default
+    (0 until 300).foreach { i =>
+      val s = gen.apply(params, Seed(i.toLong)).getOrElse("")
+      val esc = GraftDocSource.escapePathValue(s)
+      // a path segment must never contain a separator or an unescaped '='
+      assert(!esc.contains('/') && !esc.contains('=') && !esc.contains(' '))
+      assert(GraftDocSource.unescapePathValue(esc) == s,
+        s"round trip failed for ${s.map(_.toInt).mkString(",")}")
+    }
+  }
+
+  test("partition value render/cast round-trips every supported type") {
+    import org.apache.spark.sql.types._
+    val cases: Seq[(Any, DataType)] = Seq(
+      ("x y/z=1%", StringType), (42, IntegerType), (-7L, LongType),
+      (3.toShort, ShortType), (9.toByte, ByteType),
+      (2.5d, DoubleType), (1.5f, FloatType), (true, BooleanType),
+      (java.sql.Date.valueOf("1997-06-15"), DateType),
+      (new java.math.BigDecimal("12345.6700"), DecimalType(18, 4)),
+      (null, StringType), (null, IntegerType))
+    cases.foreach { case (v, dt) =>
+      val rendered = DocPartitions.render(v)
+      val back = DocPartitions.cast(
+        GraftDocSource.unescapePathValue(GraftDocSource.escapePathValue(rendered)), dt)
+      val expect = v match {
+        case d: java.math.BigDecimal => d.setScale(4)
+        case other => other
+      }
+      assert(back == expect, s"$v: $dt -> $rendered -> $back")
+    }
+  }
+
   test("overwrite of a partitioned layout truncates recursively") {
     val path = tmp()
     customer.write.format("graftdocs").option("partitionBy", "c_mktsegment")
