@@ -312,6 +312,47 @@ class DocPartitionSpec extends AnyFunSuite {
     }
   }
 
+  test("pruning equivalence fuzz: random partition predicates match the plain DataFrame") {
+    // the "fully handled" claim means Catalyst never re-checks these
+    // filters — a wrong drop would be silent, so sweep a predicate
+    // grammar over a layout with nulls and mixed-type partition keys
+    val df = spark.range(0, 120).select(
+      $"id",
+      when($"id" % 11 === 0, lit(null)).otherwise(($"id" % 5).cast("int")).as("p"),
+      when($"id" % 13 === 0, lit(null))
+        .otherwise(concat(lit("s"), ($"id" % 3))).as("q"),
+      rand(11).as("v"))
+    val path = tmp()
+    df.write.format("graftdocs").option("partitionBy", "p,q")
+      .mode("overwrite").save(path)
+    val back = spark.read.format("graftdocs").schema(df.schema).load(path)
+    val rnd = new scala.util.Random(7)
+    def leaf(): org.apache.spark.sql.Column = rnd.nextInt(8) match {
+      case 0 => $"p" === rnd.nextInt(6)
+      case 1 => $"p" >= rnd.nextInt(6)
+      case 2 => $"p" < rnd.nextInt(6)
+      case 3 => $"q" === s"s${rnd.nextInt(4)}"
+      case 4 => $"p".isNull
+      case 5 => $"q".isNotNull
+      case 6 => $"p".isin(rnd.nextInt(5), rnd.nextInt(5))
+      case 7 => $"q" > s"s${rnd.nextInt(3)}"
+    }
+    def pred(depth: Int): org.apache.spark.sql.Column =
+      if (depth == 0) leaf()
+      else rnd.nextInt(4) match {
+        case 0 => pred(depth - 1) && pred(depth - 1)
+        case 1 => pred(depth - 1) || pred(depth - 1)
+        case 2 => !pred(depth - 1)
+        case _ => leaf()
+      }
+    (0 until 60).foreach { i =>
+      val f = pred(2)
+      val got = back.where(f).select("id").as[Long].collect().sorted.toSeq
+      val expect = df.where(f).select("id").as[Long].collect().sorted.toSeq
+      assert(got == expect, s"iteration $i diverged on filter $f")
+    }
+  }
+
   test("overwrite of a partitioned layout truncates recursively") {
     val path = tmp()
     customer.write.format("graftdocs").option("partitionBy", "c_mktsegment")
