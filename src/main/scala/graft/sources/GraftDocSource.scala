@@ -406,10 +406,17 @@ private[sources] class GraftAggScan(options: CaseInsensitiveStringMap,
 
   override def planInputPartitions(): Array[InputPartition] =
     if (!needsCount)
-      // pure partition-column min/max: one single-row partition per file,
-      // answered from its directory values — no file is ever opened
-      files.toArray.map(ref =>
-        GraftFilePartition(ref.path, 0L, 1L, ref.partitionValues))
+      // pure partition-column min/max: directory values answer it, so
+      // a partition carries a GROUP of files (one trivial task per 512
+      // files, not per file — a million-file layout must not schedule a
+      // million tasks) and each file costs only an O(1) emptiness probe
+      // (an empty batch file's directory value is NOT a row and must
+      // not leak into min/max)
+      files.map(ref =>
+        GraftFilePartition(ref.path, 0L, math.max(ref.length, 1L),
+          ref.partitionValues))
+        .grouped(512).map(g => GraftAggGroupPartition(g.toSeq))
+        .toArray[InputPartition]
     else files.toArray.flatMap { ref =>
       if (ref.isBson || ref.length <= maxSplitBytes)
         Array(GraftFilePartition(ref.path, 0L, math.max(ref.length, 1L),
@@ -424,17 +431,80 @@ private[sources] class GraftAggScan(options: CaseInsensitiveStringMap,
       new SerializableConfiguration(GraftDocSource.activeHadoopConf()))
 }
 
+/** A bundle of files whose aggregate answer comes from their metadata
+  * alone — one task covers the whole group. */
+private[sources] case class GraftAggGroupPartition(entries: Seq[GraftFilePartition])
+  extends InputPartition
+
 private[sources] class GraftAggReaderFactory(aggs: Seq[PushedAgg],
                                              conf: SerializableConfiguration)
   extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[GraftFilePartition]
+
+  /** O(1) probe: does this file contain at least one document? (.bson: a
+    * length prefix needs ≥5 bytes; .jsonl: any byte besides newlines —
+    * the exact row criterion countJsonlLines uses.) An empty batch
+    * file's directory value is not a row and must not enter min/max. */
+  private def hasDocs(p: GraftFilePartition): Boolean = {
+    if (p.path.endsWith(".bson")) return p.end - p.start >= 5
+    val path = new Path(p.path)
+    val fsIn = path.getFileSystem(conf.value).open(path)
+    try {
+      val in = new java.io.BufferedInputStream(fsIn, 1 << 10)
+      var b = in.read()
+      while (b == '\n') b = in.read()
+      b != -1
+    } finally fsIn.close()
+  }
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case g: GraftAggGroupPartition => groupReader(g)
+      case p: GraftFilePartition => splitReader(p)
+      case other => throw new IllegalStateException(s"unexpected partition $other")
+    }
+
+  /** Metadata-only min/max over a file group: fold the directory values
+    * of the files that actually hold documents. */
+  private def groupReader(g: GraftAggGroupPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      private var row: InternalRow = _
+      override def next(): Boolean = {
+        if (emitted) return false
+        val live = g.entries.filter(hasDocs)
+        def fold(c: String, dt: org.apache.spark.sql.types.DataType,
+                 wantMin: Boolean): Any = {
+          val vals = live.flatMap(_.partitionValues.toMap.get(c))
+            .map(DocPartitions.cast(_, dt)).filter(_ != null)
+          if (vals.isEmpty) null
+          else {
+            val best = vals.reduce((a, b) =>
+              DocFilterEval.cmp(a, b) match {
+                case Some(ord) => if ((ord <= 0) == wantMin) a else b
+                case None => a
+              })
+            CatalystTypeConverters.createToCatalystConverter(dt)(best)
+          }
+        }
+        row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          aggs.map {
+            case AggCountStar => throw new IllegalStateException(
+              "COUNT(*) takes the split path")
+            case AggMinPart(c, dt) => fold(c, dt, wantMin = true)
+            case AggMaxPart(c, dt) => fold(c, dt, wantMin = false)
+          }.toArray)
+        emitted = true
+        true
+      }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+
+  private def splitReader(p: GraftFilePartition): PartitionReader[InternalRow] = {
     val pm = p.partitionValues.toMap
     new PartitionReader[InternalRow] {
       private var emitted = false
       private var row: InternalRow = _
-      // a split's min/max IS its constant directory value (Catalyst
-      // form); Spark's final aggregate combines across splits
       private def partValue(c: String, dt: org.apache.spark.sql.types.DataType): Any =
         pm.get(c).map { raw =>
           CatalystTypeConverters.createToCatalystConverter(dt)(
@@ -442,7 +512,7 @@ private[sources] class GraftAggReaderFactory(aggs: Seq[PushedAgg],
         }.orNull
       override def next(): Boolean = {
         if (emitted) return false
-        lazy val count: Long = {
+        val count: Long = {
           val path = new Path(p.path)
           val fsIn = path.getFileSystem(conf.value).open(path)
           try {
@@ -453,8 +523,9 @@ private[sources] class GraftAggReaderFactory(aggs: Seq[PushedAgg],
         row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
           aggs.map {
             case AggCountStar => count: Any
-            case AggMinPart(c, dt) => partValue(c, dt)
-            case AggMaxPart(c, dt) => partValue(c, dt)
+            // a zero-row split must not leak its directory value
+            case AggMinPart(c, dt) => if (count == 0) null else partValue(c, dt)
+            case AggMaxPart(c, dt) => if (count == 0) null else partValue(c, dt)
           }.toArray)
         emitted = true
         true

@@ -255,6 +255,47 @@ class DocPartitionSpec extends AnyFunSuite {
     assert(!q3.queryExecution.executedPlan.toString.contains("PushedAggregation"),
       q3.queryExecution.executedPlan.toString)
     assert(q3.collect().head == customer.agg(min("c_acctbal")).collect().head)
+
+    // the metadata-only plan bundles files into FEW tasks (not one per file)
+    val finalPlan = q.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    def leafScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] =
+      p.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      } ++ p.collect {
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec => qs
+      }.flatMap(qs => leafScans(qs.plan))
+    assert(leafScans(finalPlan).head.inputRDD.getNumPartitions == 1,
+      "files must group into one metadata task")
+  }
+
+  test("an empty batch file's directory value never leaks into MIN/MAX") {
+    val df = Seq((1L, 5), (2L, 7)).toDF("id", "p")
+    val path = tmp()
+    df.write.format("graftdocs").option("partitionBy", "p")
+      .mode("overwrite").save(path)
+    // an external writer leaves an empty visible batch file in a new
+    // partition dir whose value would win both min and max
+    val rogue = new java.io.File(path, "p=999")
+    rogue.mkdirs()
+    java.nio.file.Files.write(rogue.toPath.resolve("part-x.jsonl"), Array.empty[Byte])
+    val rogue2 = new java.io.File(path, "p=-999")
+    rogue2.mkdirs()
+    java.nio.file.Files.write(rogue2.toPath.resolve("part-y.jsonl"), "\n\n".getBytes)
+    val back = spark.read.format("graftdocs")
+      .schema(org.apache.spark.sql.types.StructType(df.schema.fields))
+      .load(path)
+    val r = back.agg(min("p"), max("p")).collect().head
+    assert(r.getInt(0) == 5 && r.getInt(1) == 7, r.toString)
+    // and with COUNT(*) riding along (the split path's zero-row guard)
+    val r2 = back.agg(count(lit(1)), min("p"), max("p")).collect().head
+    assert(r2.getLong(0) == 2 && r2.getInt(1) == 5 && r2.getInt(2) == 7, r2.toString)
+    // plain scans agree: the empty files contribute no rows
+    assert(back.count() == 2)
   }
 
   test("invalid partitionBy configurations are refused") {
