@@ -100,6 +100,37 @@ object TfIdf {
         col("logppl"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al., arXiv:1911.00359
+    * §4.3): rank the corpus by LM log-perplexity and cut it into
+    * `buckets` equal-mass quality tiers — the classic head/middle/tail
+    * split used to select or re-weight pretraining data by fluency.
+    * Docs too short to score (no bigram) land in bucket 0.
+    *
+    * Scale shape: the perplexity pass is [[bigramLogPerplexity]]'s
+    * count-aggregation plan; the tier boundaries are ONE 1-row corpus
+    * aggregate broadcast to a map-only assignment — no global sort, no
+    * window. Exact interpolated `percentile` keeps the DuckDB twin
+    * bit-replayable; at 100 TB swap in `approx_percentile` — same
+    * 1-row broadcast plan shape, boundary precision is the only trade.
+    * Output: (id, n_bigrams, logppl, bucket) with bucket 1..buckets
+    * ascending in perplexity (1 = most fluent). */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+                        buckets: Int = 3, lambda: Double = 0.9): DataFrame = {
+    require(buckets >= 2, s"perplexityBuckets: buckets=$buckets must be >= 2")
+    val ppl = bigramLogPerplexity(docs, idCol, textCol, lambda)
+    val fracs = (1 until buckets).map(i => i.toDouble / buckets)
+    val bounds = ppl.where(col("logppl").isNotNull)
+      .agg(percentile(col("logppl"),
+        typedlit(fracs)).as("__qs"))
+    val over = fracs.indices
+      .map(i => when(col("logppl") > element_at(col("__qs"), i + 1), 1).otherwise(0))
+      .reduce(_ + _)
+    ppl.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        when(col("logppl").isNull, lit(0)).otherwise(over + lit(1)))
+      .select(col(idCol), col("n_bigrams"), col("logppl"), col("bucket"))
+  }
+
   /** BM25 (Robertson/Spärck Jones) top-k document retrieval for a bag
     * of query terms — the lexical ranking used for query-based corpus
     * slicing and retrieval-style decontamination audits.

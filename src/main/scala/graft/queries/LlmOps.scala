@@ -989,6 +989,45 @@ object LlmOps {
              FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
              ORDER BY d.doc_id""")),
 
+    // CCNet head/middle/tail: equal-mass perplexity tiers from ONE
+    // 1-row percentile aggregate + map-only assignment (no global
+    // sort/window); short unscored docs land in bucket 0
+    QueryDef("q_ppl_buckets",
+      (s, dir) => TfIdf.perplexityBuckets(Graft.table(s, dir, "documents"),
+        "doc_id", "text", buckets = 3)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), round(avg("logppl"), 6).as("avg_ppl"))
+        .orderBy("bucket"),
+      Some(s"""WITH toks AS (SELECT doc_id, $duckToksLower AS t FROM documents),
+               big AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS w1,
+                              unnest(t[2:len(t)]) AS w2
+                       FROM toks WHERE len(t) >= 2),
+               uni AS (SELECT w, COUNT(*) AS c FROM
+                         (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+               tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS T FROM uni),
+               bg AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2),
+               sc AS (SELECT big.doc_id,
+                        round(AVG(-ln(
+                          0.9 * CAST(bg.c12 AS DOUBLE) / CAST(u1.c AS DOUBLE) +
+                          0.1 * CAST(u2.c AS DOUBLE) / tot.T)), 6) AS logppl
+                      FROM big
+                      JOIN bg ON big.w1 = bg.w1 AND big.w2 = bg.w2
+                      JOIN uni u1 ON big.w1 = u1.w
+                      JOIN uni u2 ON big.w2 = u2.w
+                      CROSS JOIN tot
+                      GROUP BY big.doc_id),
+               ppl AS (SELECT d.doc_id, sc.logppl
+                       FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id),
+               q AS (SELECT quantile_cont(logppl, [1.0/3, 2.0/3]) AS qs FROM ppl),
+               b AS (SELECT doc_id, logppl,
+                       CASE WHEN logppl IS NULL THEN 0 ELSE
+                         1 + (CASE WHEN logppl > qs[1] THEN 1 ELSE 0 END)
+                           + (CASE WHEN logppl > qs[2] THEN 1 ELSE 0 END) END AS bucket
+                     FROM ppl CROSS JOIN q)
+             SELECT CAST(bucket AS INT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+                    round(AVG(logppl), 6) AS avg_ppl
+             FROM b GROUP BY bucket ORDER BY bucket""")),
+
     // concat-then-chunk sequence packing: deterministic per-source token
     // stream cut into 512-token packs; docs may straddle pack bounds
     QueryDef("q_packing",

@@ -249,6 +249,28 @@ class CurationSpec extends AnyFunSuite {
     assert(ppl(1L) < ppl(99L))
   }
 
+  test("perplexityBuckets: equal-mass tiers, fluent docs in bucket 1, short docs in 0") {
+    // 40 fluent clones + 1 shuffled outlier + 1 unscorable single token
+    val corpus = (1L to 40L).map(i => (i, "the model reads the data well"))
+      .toDF("doc_id", "text")
+      .union(Seq((99L, "well the reads data model the"),
+                 (100L, "x")).toDF("doc_id", "text"))
+    val out = TfIdf.perplexityBuckets(corpus, "doc_id", "text", buckets = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(out(100L) == 0)            // no bigram → unscored bucket
+    assert(out(99L) == 3)             // the disfluent outlier is the tail
+    assert(out(1L) >= 1 && out(1L) <= 2) // clones share the low tiers
+    // every scored doc got a tier; tier ids stay within range
+    assert(out.values.forall(b => b >= 0 && b <= 3))
+    // equal-mass on distinct values: 4 quartile buckets over 1..8
+    val spread = (1L to 8L).map(i => (i, ("w " * i.toInt) + "end"))
+      .toDF("doc_id", "text")
+    val q4 = TfIdf.perplexityBuckets(spread, "doc_id", "text", buckets = 4)
+      .groupBy("bucket").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(q4.keys.toSet.subsetOf(Set(0, 1, 2, 3, 4)), q4.toString)
+  }
+
   test("packSequences: offsets are contiguous per group and packs chunk at L") {
     val docs = Seq(
       (1L, "g", 300L), (2L, "g", 300L), (3L, "g", 300L), (4L, "h", 10L)
