@@ -39,6 +39,32 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
   }
 
+  /** Incremental (cross-snapshot) dedup: drop from `fresh` every
+    * document whose (optionally normalized) content digest already
+    * exists in `reference` — the recurring crawl-pipeline shape, where
+    * each new snapshot dedups against the accumulated corpus without
+    * ever re-shuffling the old data's text.
+    *
+    * Scale shape: both sides reduce to vocab-of-digests aggregations
+    * (the reference side ships ONLY distinct 16-byte digests — at 100 TB
+    * the old corpus contributes its fingerprint set, not its text); the
+    * anti-join is digest-keyed, AQE-broadcast when the reference
+    * fingerprint set fits, shuffle-hash otherwise. Persisting the
+    * reference digests once amortizes across snapshots. */
+  def dedupAgainst(fresh: DataFrame, reference: DataFrame,
+                   idCol: String, textCol: String,
+                   normalize: Boolean = false): DataFrame = {
+    def digest(df: DataFrame): Column = {
+      val txt = if (normalize) regexp_replace(lower(df(textCol)), "\\s+", " ")
+                else df(textCol)
+      md5(txt)
+    }
+    val seen = reference.select(digest(reference).as("__digest")).distinct()
+    fresh.withColumn("__digest", digest(fresh))
+      .join(seen, Seq("__digest"), "left_anti")
+      .drop("__digest")
+  }
+
   /** k minhash values from a pre-hashed shingle array (`hs` =
     * xxhash64 per shingle). Family member i re-hashes the 8-byte long
     * with seed i — independent across i (a linear h1+i·h2 family

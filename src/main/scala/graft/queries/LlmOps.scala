@@ -989,6 +989,31 @@ object LlmOps {
              FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
              ORDER BY d.doc_id""")),
 
+    // incremental (cross-snapshot) dedup: the "new crawl" (doc_id >= 100)
+    // dedups against the accumulated corpus's DIGEST SET (doc_id < 100)
+    // — the old snapshot ships fingerprints, never text
+    QueryDef("q_dedup_incremental",
+      (s, dir) => {
+        val docs = Graft.table(s, dir, "documents")
+        Dedup.dedupAgainst(
+          docs.where(col("doc_id") >= 100),
+          docs.where(col("doc_id") < 100),
+          "doc_id", "text", normalize = true)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
+          .orderBy("source")
+      },
+      Some("""WITH ref AS (SELECT DISTINCT md5(regexp_replace(lower(text),
+                             '\s+', ' ', 'g')) AS d
+                           FROM documents WHERE doc_id < 100),
+               kept AS (SELECT * FROM documents f
+                        WHERE doc_id >= 100 AND NOT EXISTS (
+                          SELECT 1 FROM ref WHERE ref.d =
+                            md5(regexp_replace(lower(f.text), '\s+', ' ', 'g'))))
+             SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                    CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+             FROM kept GROUP BY source ORDER BY source""")),
+
     // CCNet head/middle/tail: equal-mass perplexity tiers from ONE
     // 1-row percentile aggregate + map-only assignment (no global
     // sort/window); short unscored docs land in bucket 0

@@ -249,6 +249,27 @@ class CurationSpec extends AnyFunSuite {
     assert(ppl(1L) < ppl(99L))
   }
 
+  test("dedupAgainst drops snapshot docs already fingerprinted, keeps the rest") {
+    val old = Seq((1L, "The quick brown fox"), (2L, "other old doc"))
+      .toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "the  quick\tbrown fox"), // normalized dup of doc 1
+      (11L, "The quick brown fox"),   // byte-exact dup of doc 1
+      (12L, "genuinely new content"),
+      (13L, "other old doc")          // dup of doc 2
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupAgainst(fresh, old, "doc_id", "text", normalize = true)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(12L))
+    // without normalization only byte-exact copies drop
+    val keptRaw = Dedup.dedupAgainst(fresh, old, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(keptRaw == Seq(10L, 12L))
+    // schema passes through untouched
+    assert(Dedup.dedupAgainst(fresh, old, "doc_id", "text").columns.toSeq ==
+      Seq("doc_id", "text"))
+  }
+
   test("perplexityBuckets: equal-mass tiers, fluent docs in bucket 1, short docs in 0") {
     // 40 fluent clones + 1 shuffled outlier + 1 unscorable single token
     val corpus = (1L to 40L).map(i => (i, "the model reads the data well"))
