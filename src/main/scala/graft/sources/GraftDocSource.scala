@@ -778,7 +778,13 @@ private[sources] class GraftMicroBatchStream(scan: GraftScan,
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[Watermark]
-    val fresh = GraftDocSource.resolveFiles(options)
+    // partition-pruned files never reach the batch, so they must not
+    // consume the trigger's admission budget either (an all-pruned
+    // prefix would otherwise produce empty paced batches); the
+    // watermark still advances past them via the admitted files around
+    // them, and a re-listed pruned file below the watermark just stays
+    // excluded
+    val fresh = scan.pruneByPartition(GraftDocSource.resolveFiles(options))
       .filter(isAfter(_, s))
       .sortBy(f => (f.mtime, f.name))
     def admit(l: ReadLimit, fs: Seq[GraftDocSource.FileRef]): Seq[GraftDocSource.FileRef] =
@@ -1545,7 +1551,17 @@ private[sources] class GraftWriteBuilder(info: LogicalWriteInfo)
       val partitionBy: Seq[String] = Option(options.get("partitionby"))
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Seq.empty)
+      if (partitionBy.distinct.length != partitionBy.length)
+        throw new IllegalArgumentException(
+          s"graftdocs write: duplicate partitionBy columns in " +
+            partitionBy.mkString(","))
       partitionBy.foreach { c =>
+        // the column name becomes the literal directory-segment key:
+        // '=' / '/' would corrupt the layout grammar, '.' would hide it
+        if (c.contains('=') || c.contains('/') || c.startsWith("."))
+          throw new IllegalArgumentException(
+            s"graftdocs write: partitionBy column name '$c' cannot " +
+              "contain '=' or '/' or start with '.'")
         val fd = info.schema().fields.find(_.name == c).getOrElse(
           throw new IllegalArgumentException(
             s"graftdocs write: partitionBy column '$c' not in schema"))

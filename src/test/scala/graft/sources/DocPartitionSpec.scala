@@ -311,6 +311,18 @@ class DocPartitionSpec extends AnyFunSuite {
         .mode("overwrite").save(path)
     }
     assert(e2.getMessage.contains("non-partitionable"))
+    val e3 = intercept[IllegalArgumentException] {
+      customer.write.format("graftdocs")
+        .option("partitionBy", "c_mktsegment,c_mktsegment")
+        .mode("overwrite").save(path)
+    }
+    assert(e3.getMessage.contains("duplicate"))
+    val weird = Seq((1L, "x")).toDF("id", "a=b")
+    val e4 = intercept[IllegalArgumentException] {
+      weird.write.format("graftdocs").option("partitionBy", "a=b")
+        .mode("overwrite").save(path)
+    }
+    assert(e4.getMessage.contains("cannot"))
   }
 
   test("path-value escaping round-trips arbitrary strings (property)") {
