@@ -117,7 +117,11 @@ object TfIdf {
   def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
                         buckets: Int = 3, lambda: Double = 0.9): DataFrame = {
     require(buckets >= 2, s"perplexityBuckets: buckets=$buckets must be >= 2")
+    // persisted: the boundary aggregate AND the assignment both read it —
+    // without this the whole bigram-LM lineage (a multi-join corpus
+    // pass) executes twice in one plan
     val ppl = bigramLogPerplexity(docs, idCol, textCol, lambda)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val fracs = (1 until buckets).map(i => i.toDouble / buckets)
     val bounds = ppl.where(col("logppl").isNotNull)
       .agg(percentile(col("logppl"),

@@ -205,6 +205,15 @@ class AnnDedupSpec extends AnyFunSuite {
     assert(got.map(t => (t._1, t._2)) == Seq((0L, 3L)))
   }
 
+  test("kmeansLloyd is invariant to input partitioning") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = Similarity.kmeansLloyd(e.repartition(1), "vec_id", "embedding",
+      k = 4, iters = 2).collect().toSeq
+    val alt = Similarity.kmeansLloyd(e.repartition(7), "vec_id", "embedding",
+      k = 4, iters = 2).collect().toSeq
+    assert(base == alt)
+  }
+
   test("importanceWeights: hand-computed add-1 smoothed log ratios") {
     val docs = Seq(
       (1L, "a a b", "tgt"), (2L, "a c", "raw")

@@ -129,6 +129,11 @@ class DocPartitionSpec extends AnyFunSuite {
         .orderBy("c_custkey").collect().toSeq
       assert(got == expect, s"columnar=$columnar")
     }
+    // filter-free full read exercises the DIRECT BSON→vector path under
+    // the partition-fill wrapper (no JsonNode tree, constants appended)
+    val full = spark.read.format("graftdocs").schema(customer.schema).load(path)
+      .orderBy("c_custkey").collect().toSeq
+    assert(full == customer.orderBy("c_custkey").collect().toSeq)
   }
 
   test("schema inference appends partition columns") {
