@@ -23,15 +23,26 @@ object Profile {
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     names.foreach { n =>
-      val times = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        try SparkEntry.queries(n)(spark, sfDir).queryExecution.toRdd.count()
-        catch { case t: Throwable => println(s"$n FAILED: ${t.getMessage}") }
-        (System.nanoTime() - t0) / 1e9
+      SparkEntry.queries.get(n) match {
+        case None =>
+          println(s"$n: unknown query (valid: " +
+            SparkEntry.queries.keys.toSeq.sorted.mkString(", ") + ")")
+        case Some(fn) =>
+          var failed: Option[String] = None
+          val times = (1 to runs).flatMap { _ =>
+            val t0 = System.nanoTime()
+            try { fn(spark, sfDir).queryExecution.toRdd.count()
+                  Some((System.nanoTime() - t0) / 1e9) }
+            catch { case t: Throwable => failed = Some(String.valueOf(t.getMessage)); None }
+          }
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+          // a failing query must not print a plausible timing line
+          if (times.isEmpty || failed.isDefined)
+            println(f"$n%-28s FAILED: ${failed.getOrElse("?")}")
+          else
+            println(f"$n%-28s min=${times.min}%.3f  runs=[${times.map(t => f"$t%.3f").mkString(", ")}]")
       }
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      println(f"$n%-28s min=${times.min}%.3f  runs=[${times.map(t => f"$t%.3f").mkString(", ")}]")
     }
     spark.stop()
   }

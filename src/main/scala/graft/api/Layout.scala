@@ -40,13 +40,22 @@ object Layout {
     spark.table(name)
 
   /** True when `plan` contains no shuffle Exchange — the assertion a
-    * co-located join must pass (AQE query stages are traversed too). */
+    * co-located join must pass. AdaptiveSparkPlanExec wrappers and AQE
+    * query stages are unwrapped/traversed (both hide their inner plan
+    * from a plain collect, which would otherwise return a vacuous
+    * true for any adaptive plan). */
   def isExchangeFree(plan: org.apache.spark.sql.execution.SparkPlan): Boolean = {
     def nodes(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[org.apache.spark.sql.execution.SparkPlan] =
-      p.collect { case n => n } ++ p.collect {
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q
-      }.flatMap(q => nodes(q.plan))
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        nodes(a.executedPlan)
+      case _ =>
+        p.collect { case n => n } ++ (p.collect {
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q
+        }.flatMap(q => nodes(q.plan)) ++ p.collect {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a
+        }.flatMap(a => nodes(a.executedPlan)))
+    }
     !nodes(plan).exists(
       _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
   }

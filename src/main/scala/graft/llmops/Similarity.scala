@@ -314,8 +314,13 @@ object Similarity {
   def kmeansLloyd(df: DataFrame, idCol: String, vecCol: String,
                   k: Int, iters: Int): DataFrame = {
     require(k > 0 && iters > 0, s"kmeansLloyd: k=$k iters=$iters must be positive")
+    // persisted: the seed collect, every iteration's means job, and the
+    // final assignment aggregate all read it — without this the source
+    // is re-scanned iters+2 times (the house pattern; the bench/verify
+    // harnesses drop persisted intermediates between queries)
     val corpus = df.where(col(vecCol).isNotNull)
       .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var centroids: Array[Array[Double]] = corpus.orderBy(col(idCol)).limit(k)
       .collect().map(_.getSeq[Double](1).toArray)
     require(centroids.length == k, s"kmeansLloyd: only ${centroids.length} seed rows for k=$k")

@@ -79,16 +79,29 @@ object GraftDocSource {
     sb.toString
   }
 
+  /** Inverse of [[escapePathValue]], tolerant of EXTERNAL layouts this
+    * connector didn't write: literal non-ASCII characters pass through
+    * untouched (Hive's own escaper leaves them unescaped), and a '%'
+    * not followed by two hex digits is a literal '%' rather than an
+    * error. Only %XX runs are byte-decoded (as UTF-8). */
   private[sources] def unescapePathValue(s: String): String = {
-    val out = new java.io.ByteArrayOutputStream(s.length)
+    def hex(c: Char): Boolean =
+      (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+    val sb = new StringBuilder(s.length)
+    val bytes = new java.io.ByteArrayOutputStream(8)
+    def flush(): Unit = if (bytes.size() > 0) {
+      sb.append(new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+      bytes.reset()
+    }
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length) {
-        out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16)); i += 3
-      } else { out.write(c.toInt); i += 1 }
+      if (c == '%' && i + 2 < s.length && hex(s.charAt(i + 1)) && hex(s.charAt(i + 2))) {
+        bytes.write(Integer.parseInt(s.substring(i + 1, i + 3), 16)); i += 3
+      } else { flush(); sb.append(c); i += 1 }
     }
-    new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    flush()
+    sb.toString
   }
 
   /** `k=v` directory-name parse (None for non-partition directories). */
@@ -145,8 +158,20 @@ object GraftDocSource {
         Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Seq.empty)
       if (matched.isEmpty) throw new IllegalArgumentException(
         s"graftdocs: no files match $p")
+      // `partitionDiscovery=false` restores the flat single-level
+      // listing — the escape hatch for layouts that happen to contain
+      // k=v-named subdirectories without being hive-partitioned (a
+      // mixed root-files + k=v-subdir tree is otherwise refused as
+      // inconsistent, matching Spark's own conflicting-layout error)
+      val discover = options.getBoolean("partitiondiscovery", true)
       matched.flatMap { st =>
-        if (st.isDirectory) listPartitionedDir(fs, st.getPath, Seq.empty)
+        if (st.isDirectory) {
+          if (discover) listPartitionedDir(fs, st.getPath, Seq.empty)
+          else fs.listStatus(st.getPath).toSeq
+            .filter(s => s.isFile && isDocFile(s.getPath.getName))
+            .sortBy(_.getPath.getName)
+            .map(s => FileRef(s.getPath.toString, s.getLen, s.getModificationTime))
+        }
         else Seq(st).filterNot(s => isHidden(s.getPath.getName))
           // globs match dot-files ('*' is '[^/]*' — no shell hidden-file
           // exclusion), which would surface uncommitted staged batches
@@ -888,10 +913,25 @@ private[sources] object DocFilterEval {
       // UTF-16 code-unit order (they diverge on supplementary planes)
       Some(org.apache.spark.unsafe.types.UTF8String.fromString(x)
         .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)))
+    // date/time values arrive in BOTH representations: decoded rows and
+    // DocPartitions.cast produce java.sql types, while Catalyst hands
+    // source filters java.time literals under
+    // spark.sql.datetime.java8API.enabled — cross-compare on the common
+    // epoch form or a date filter silently stops matching (and the
+    // partition pruner, which treats unknown as drop, loses EVERY file)
     case (x: java.sql.Timestamp, y: java.sql.Timestamp) => Some(x.compareTo(y))
     case (x: java.sql.Date, y: java.sql.Date) => Some(x.compareTo(y))
     case (x: java.time.LocalDateTime, y: java.time.LocalDateTime) => Some(x.compareTo(y))
     case (x: java.time.Instant, y: java.time.Instant) => Some(x.compareTo(y))
+    case (x: java.time.LocalDate, y: java.time.LocalDate) => Some(x.compareTo(y))
+    case (x: java.sql.Date, y: java.time.LocalDate) =>
+      Some(x.toLocalDate.compareTo(y))
+    case (x: java.time.LocalDate, y: java.sql.Date) =>
+      Some(x.compareTo(y.toLocalDate))
+    case (x: java.sql.Timestamp, y: java.time.Instant) =>
+      Some(x.toInstant.compareTo(y))
+    case (x: java.time.Instant, y: java.sql.Timestamp) =>
+      Some(x.compareTo(y.toInstant))
     case (x: java.lang.Boolean, y: java.lang.Boolean) => Some(x.compareTo(y))
     case _ => None
   }

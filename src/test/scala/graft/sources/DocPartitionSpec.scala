@@ -303,6 +303,75 @@ class DocPartitionSpec extends AnyFunSuite {
     assert(back.count() == 2)
   }
 
+  test("date partition filters prune correctly under java8 datetime API") {
+    val df = Seq(
+      (1L, java.sql.Date.valueOf("2024-01-01")),
+      (2L, java.sql.Date.valueOf("2024-01-02")),
+      (3L, java.sql.Date.valueOf("2024-01-02"))).toDF("id", "d")
+    val path = tmp()
+    df.write.format("graftdocs").option("partitionBy", "d")
+      .mode("overwrite").save(path)
+    val old = spark.conf.getOption("spark.sql.datetime.java8API.enabled")
+    try {
+      for (java8 <- Seq("true", "false")) {
+        spark.conf.set("spark.sql.datetime.java8API.enabled", java8)
+        val back = spark.read.format("graftdocs").schema(df.schema).load(path)
+        // equality and range filters must keep their files (the java8
+        // literal is a LocalDate; an unknown comparison would DROP them
+        // silently because the pruner treats unknown as no-row-matches)
+        assert(back.where($"d" === "2024-01-02").count() == 2, s"java8=$java8 eq")
+        assert(back.where($"d" >= "2024-01-02").count() == 2, s"java8=$java8 range")
+        assert(back.where($"d" < "2024-01-02").count() == 1, s"java8=$java8 lt")
+      }
+    } finally old match {
+      case Some(v) => spark.conf.set("spark.sql.datetime.java8API.enabled", v)
+      case None => spark.conf.unset("spark.sql.datetime.java8API.enabled")
+    }
+  }
+
+  test("external hive layouts: literal non-ASCII and stray % survive unescape") {
+    // Hive's own escaper leaves non-ASCII unescaped and may emit a bare
+    // '%' — a layout this connector didn't write must still read
+    assert(GraftDocSource.unescapePathValue("München") == "München")
+    assert(GraftDocSource.unescapePathValue("中文") == "中文")
+    assert(GraftDocSource.unescapePathValue("100%x") == "100%x")
+    assert(GraftDocSource.unescapePathValue("a%2Fb%") == "a/b%")
+    // on disk: a stray-'%' external dir name must read, not throw (the
+    // container's fs encoding can't create non-ASCII names, so unicode
+    // stays covered by the function-level assertions above)
+    val path = tmp()
+    val dir = new java.io.File(path, "pct=100%x")
+    dir.mkdirs()
+    java.nio.file.Files.write(dir.toPath.resolve("w.jsonl"),
+      "{\"id\": 1}\n".getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("pct", StringType)))
+    val got = spark.read.format("graftdocs").schema(schema).load(path)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "100%x")), got.toString)
+  }
+
+  test("partitionDiscovery=false restores the flat listing on mixed layouts") {
+    val path = tmp()
+    java.nio.file.Files.write(new java.io.File(path, "root.jsonl").toPath,
+      "{\"id\": 1}\n".getBytes("UTF-8"))
+    val sub = new java.io.File(path, "ver=2"); sub.mkdirs()
+    java.nio.file.Files.write(sub.toPath.resolve("old.jsonl"),
+      "{\"id\": 2}\n".getBytes("UTF-8"))
+    val schema = StructType(Seq(StructField("id", LongType)))
+    // mixed depth under discovery: refused loudly (Spark's own
+    // conflicting-layout behavior) — not silently half-read
+    val e = intercept[Exception] {
+      spark.read.format("graftdocs").schema(schema).load(path).collect()
+    }
+    assert(e.getMessage.contains("inconsistent partition layout"), e.getMessage)
+    // the escape hatch reads the flat level only, as before
+    val flat = spark.read.format("graftdocs").schema(schema)
+      .option("partitionDiscovery", "false").load(path)
+      .select("id").as[Long].collect().toSeq
+    assert(flat == Seq(1L))
+  }
+
   test("invalid partitionBy configurations are refused") {
     val path = tmp()
     val e1 = intercept[IllegalArgumentException] {
