@@ -593,12 +593,35 @@ object PipelineCompiler {
         val packed = fromDf
           .groupBy(col(foreign).as("__graft_fk"))
           .agg(collect_list(struct(fromDf.columns.map(col): _*)).as(as))
-        // null-safe equality: Mongo joins null/missing localField to
-        // foreign docs whose foreignField is null/missing
-        val joined = df.join(packed, col(local) <=> col("__graft_fk"), "left")
-          .drop("__graft_fk")
         val elemType = packed.schema(as).dataType
-        joined.withColumn(as, coalesce(col(as), array().cast(elemType)))
+        val localIsArray = df.select(col(local)).schema.head.dataType
+          .isInstanceOf[org.apache.spark.sql.types.ArrayType]
+        if (localIsArray) {
+          // Mongo semantics for an ARRAY localField: match foreign docs
+          // whose scalar foreignField equals ANY element (no $unwind
+          // needed), each matching doc appearing once. Compiled as
+          // explode(distinct elements) → hash join on the element →
+          // flatten+dedup the per-element match groups back onto the
+          // row. A null/empty local array behaves like a null scalar
+          // (joins the null-foreignField group), mirroring the
+          // null-safe scalar branch below.
+          val withId = df.withColumn("__graft_rid", monotonically_increasing_id())
+          val keys = withId.select(col("__graft_rid"),
+            explode_outer(array_distinct(col(local))).as("__graft_k"))
+          val matched = keys
+            .join(packed, col("__graft_k") <=> col("__graft_fk"), "inner")
+            .groupBy(col("__graft_rid"))
+            .agg(array_distinct(flatten(collect_list(col(as)))).as("__graft_m"))
+          withId.join(matched, Seq("__graft_rid"), "left")
+            .withColumn(as, coalesce(col("__graft_m"), array().cast(elemType)))
+            .drop("__graft_rid", "__graft_m")
+        } else {
+          // null-safe equality: Mongo joins null/missing localField to
+          // foreign docs whose foreignField is null/missing
+          val joined = df.join(packed, col(local) <=> col("__graft_fk"), "left")
+            .drop("__graft_fk")
+          joined.withColumn(as, coalesce(col(as), array().cast(elemType)))
+        }
       case (None, None) => // whole pipeline result attached to every row
         df.crossJoin(broadcast(
           fromDf.agg(collect_list(struct(fromDf.columns.map(col): _*)).as(as))))

@@ -791,6 +791,29 @@ object Relational {
                              AND o.o_totalprice < e.value * 1000) AS INT) AS n
               FROM events e ORDER BY event_id""")),
 
+    // ARRAY-valued localField (Mongo: matches foreign docs whose scalar
+    // foreignField equals ANY element, no $unwind needed) — compiled as
+    // explode(distinct) → hash join → flatten+dedup regroup
+    QueryDef("q_lookup_array",
+      (s, dir) => agg("events", """[
+        {"$project": {"event_id": 1,
+           "keys": ["$user_id", {"$add": ["$user_id", 1]}]}},
+        {"$lookup": {"from": "orders", "localField": "keys",
+           "foreignField": "o_custkey", "as": "m"}},
+        {"$project": {"event_id": 1, "n": {"$size": "$m"},
+           "tot": {"$round": [{"$sum":
+             {"$map": {"input": "$m", "in": "$$this.o_totalprice"}}}, 2]}}},
+        {"$sort": {"event_id": 1}}]""")(s, dir),
+      Some("""SELECT e.event_id,
+                CAST((SELECT COUNT(*) FROM orders o
+                      WHERE o.o_custkey = e.user_id
+                         OR o.o_custkey = e.user_id + 1) AS INT) AS n,
+                (SELECT round(coalesce(sum(o.o_totalprice), 0.0), 2)
+                 FROM orders o
+                 WHERE o.o_custkey = e.user_id
+                    OR o.o_custkey = e.user_id + 1) AS tot
+              FROM events e ORDER BY event_id""")),
+
     // correlated $lookup with SUFFIX stages after the join $match (the
     // Mongo-docs canonical shape): $sort/$limit/$project compile to
     // array ops on the collected match array — comparator array_sort,

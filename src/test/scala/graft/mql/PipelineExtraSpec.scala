@@ -437,6 +437,37 @@ class PipelineExtraSpec extends AnyFunSuite {
       Option(ex.getCause).exists(_.getMessage.contains("$linearFill")))
   }
 
+  test("$lookup with an ARRAY localField matches any element, once per doc") {
+    val left = Seq(
+      (1L, Seq(10L, 20L)),          // two elements, two distinct fk groups
+      (2L, Seq(10L, 10L)),          // duplicate elements: docs appear once
+      (3L, Seq(99L)),               // no match
+      (4L, Seq.empty[Long]),        // empty array ~ null scalar
+      (5L, null.asInstanceOf[Seq[Long]])
+    ).toDF("id", "keys")
+    val right = Seq((10L, "a"), (10L, "b"), (20L, "c"), (30L, "d"))
+      .toDF("fk", "tag")
+    val resolver: String => org.apache.spark.sql.DataFrame = {
+      case "r" => right
+      case o => fail(s"unexpected table $o")
+    }
+    val out = PipelineCompiler.run(left, """[
+      {"$lookup": {"from": "r", "as": "m", "localField": "keys",
+         "foreignField": "fk"}},
+      {"$project": {"id": 1, "n": {"$size": "$m"},
+        "tags": {"$sortArray": {"input":
+          {"$map": {"input": "$m", "in": "$$this.tag"}}, "sortBy": 1}}}},
+      {"$sort": {"id": 1}}]""", resolver)
+    val got = out.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getSeq[String](2))).toSeq
+    assert(got == Seq(
+      (1L, 3, Seq("a", "b", "c")),
+      (2L, 2, Seq("a", "b")),
+      (3L, 0, Seq.empty),
+      (4L, 0, Seq.empty),
+      (5L, 0, Seq.empty)))
+  }
+
   test("$lookup let + $expr: correlated join with prefix stage and empty match") {
     val left = Seq((1L, 10.0), (2L, 35.0), (3L, 99.0)).toDF("id", "lim")
     val right = Seq((1L, 5.0, "x"), (1L, 20.0, "y"), (2L, 30.0, "z"),
