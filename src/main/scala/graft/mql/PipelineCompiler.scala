@@ -590,8 +590,20 @@ object PipelineCompiler {
       }).getOrElse(resolve(from))
     (getOpt("localField"), getOpt("foreignField")) match {
       case (Some(local), Some(foreign)) =>
-        val packed = fromDf
-          .groupBy(col(foreign).as("__graft_fk"))
+        // an ARRAY foreignField also matches by element (Mongo equality
+        // over arrays): explode distinct elements into the join key so
+        // each foreign doc lands in every element's group; duplicate
+        // matches from a both-sides-array join are deduped in the
+        // array-local branch below
+        val foreignIsArray = fromDf.select(col(foreign)).schema.head.dataType
+          .isInstanceOf[org.apache.spark.sql.types.ArrayType]
+        val foreignKeyed =
+          if (foreignIsArray)
+            fromDf.withColumn("__graft_fk",
+              explode_outer(array_distinct(col(foreign))))
+          else fromDf.withColumn("__graft_fk", col(foreign))
+        val packed = foreignKeyed
+          .groupBy(col("__graft_fk"))
           .agg(collect_list(struct(fromDf.columns.map(col): _*)).as(as))
         val elemType = packed.schema(as).dataType
         val localIsArray = df.select(col(local)).schema.head.dataType

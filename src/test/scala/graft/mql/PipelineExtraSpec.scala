@@ -466,6 +466,35 @@ class PipelineExtraSpec extends AnyFunSuite {
       (3L, 0, Seq.empty),
       (4L, 0, Seq.empty),
       (5L, 0, Seq.empty)))
+
+    // ARRAY foreignField: scalar local matches any element of the
+    // foreign array; both-arrays matches on any common element, docs
+    // deduped even when two elements hit the same doc
+    val rightArr = Seq(
+      (Seq(10L, 20L), "a"), (Seq(20L), "b"), (Seq(30L, 30L), "c"))
+      .toDF("fks", "tag")
+    val resolver2: String => org.apache.spark.sql.DataFrame = {
+      case "ra" => rightArr
+      case o => fail(s"unexpected table $o")
+    }
+    val scalarLeft = Seq((1L, 20L), (2L, 30L), (3L, 99L)).toDF("id", "k")
+    val g2 = PipelineCompiler.run(scalarLeft, """[
+      {"$lookup": {"from": "ra", "as": "m", "localField": "k",
+         "foreignField": "fks"}},
+      {"$project": {"id": 1, "tags": {"$sortArray": {"input":
+        {"$map": {"input": "$m", "in": "$$this.tag"}}, "sortBy": 1}}}},
+      {"$sort": {"id": 1}}]""", resolver2)
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1))).toSeq
+    assert(g2 == Seq((1L, Seq("a", "b")), (2L, Seq("c")), (3L, Seq.empty)))
+    val bothLeft = Seq((1L, Seq(10L, 20L))).toDF("id", "keys")
+    val g3 = PipelineCompiler.run(bothLeft, """[
+      {"$lookup": {"from": "ra", "as": "m", "localField": "keys",
+         "foreignField": "fks"}},
+      {"$project": {"id": 1, "tags": {"$sortArray": {"input":
+        {"$map": {"input": "$m", "in": "$$this.tag"}}, "sortBy": 1}}}}]""", resolver2)
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1))).toSeq
+    // doc "a" matched via BOTH 10 and 20 → appears once
+    assert(g3 == Seq((1L, Seq("a", "b"))))
   }
 
   test("$lookup let + $expr: correlated join with prefix stage and empty match") {
