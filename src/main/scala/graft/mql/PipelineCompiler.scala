@@ -2927,14 +2927,29 @@ object PipelineCompiler {
 
     val withRid = df.withColumn("__graft_rid", monotonically_increasing_id())
     val doc = struct(fromDf.columns.map(col): _*)
-    val nodes = fromDf.select(col(connectTo).as("__to"),
+    // Mongo traverses ARRAY fields element-wise in all three positions
+    // (the adjacency-list graph encoding: children: ["a","b"]): an
+    // array connectToField matches any element, an array
+    // connectFromField fans the frontier out through each element, and
+    // an array startWith seeds one frontier entry per element. Each is
+    // an explode over distinct elements; (rid, doc) dedup below keeps
+    // multi-element hits single.
+    def isArray(dt: org.apache.spark.sql.types.DataType) =
+      dt.isInstanceOf[org.apache.spark.sql.types.ArrayType]
+    val toIsArray = isArray(fromDf.select(col(connectTo)).schema.head.dataType)
+    val fromIsArray = isArray(fromDf.select(col(connectFrom)).schema.head.dataType)
+    val nodes = fromDf.select(
+      (if (toIsArray) explode_outer(array_distinct(col(connectTo)))
+       else col(connectTo)).as("__to"),
       col(connectFrom).as("__from"), doc.as("__doc"))
 
     // each round is localCheckpoint'ed: truncates lineage (else the
     // anti-join-against-union plan grows super-linearly in depth) and
     // lets the empty-frontier early exit stop the traversal cheaply
+    val sw = ExprCompiler.compile(startWith)
+    val swIsArray = isArray(withRid.select(sw).schema.head.dataType)
     var frontier = withRid.select(col("__graft_rid"),
-      ExprCompiler.compile(startWith).as("__v"))
+      (if (swIsArray) explode(array_distinct(sw)) else sw).as("__v"))
     var visited = nodes.sparkSession.emptyDataFrame
     var first = true
     var d = 0
@@ -2958,7 +2973,9 @@ object PipelineCompiler {
       else {
         visited = if (first) fresh else visited.unionByName(fresh)
         first = false
-        frontier = fresh.select(col("__graft_rid"), col("__from").as("__v"))
+        frontier = fresh.select(col("__graft_rid"),
+          (if (fromIsArray) explode(array_distinct(col("__from")))
+           else col("__from")).as("__v"))
       }
       d += 1
     }

@@ -437,6 +437,44 @@ class PipelineExtraSpec extends AnyFunSuite {
       Option(ex.getCause).exists(_.getMessage.contains("$linearFill")))
   }
 
+  test("$graphLookup follows array fields in all three positions") {
+    val nodes = Seq(
+      ("root", Seq("a", "b")),
+      ("a", Seq("c")),
+      ("b", Seq.empty[String]),
+      ("c", Seq.empty[String]),
+      ("z", Seq("root"))).toDF("name", "children")
+    val resolver: String => org.apache.spark.sql.DataFrame = {
+      case "g" => nodes
+      case o => fail(s"unexpected table $o")
+    }
+    def names(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().head.getSeq[org.apache.spark.sql.Row](1)
+        .map(_.getAs[String]("name")).sorted
+    // descendants: array connectFromField fans the frontier out
+    val down = PipelineCompiler.run(Seq((1L, "root")).toDF("id", "top"), """[
+      {"$graphLookup": {"from": "g", "startWith": "$top",
+         "connectFromField": "children", "connectToField": "name",
+         "as": "m", "maxDepth": 5}},
+      {"$project": {"id": 1, "m": 1}}]""", resolver)
+    assert(names(down) == Seq("a", "b", "c", "root"))
+    // ancestors: array connectToField matches any element
+    val up = PipelineCompiler.run(Seq((1L, "c")).toDF("id", "leaf"), """[
+      {"$graphLookup": {"from": "g", "startWith": "$leaf",
+         "connectFromField": "name", "connectToField": "children",
+         "as": "m", "maxDepth": 5}},
+      {"$project": {"id": 1, "m": 1}}]""", resolver)
+    assert(names(up) == Seq("a", "root", "z"))
+    // array startWith seeds one frontier entry per element
+    val multi = PipelineCompiler.run(
+      Seq((1L, Seq("b", "c"))).toDF("id", "tops"), """[
+      {"$graphLookup": {"from": "g", "startWith": "$tops",
+         "connectFromField": "children", "connectToField": "name",
+         "as": "m", "maxDepth": 0}},
+      {"$project": {"id": 1, "m": 1}}]""", resolver)
+    assert(names(multi) == Seq("b", "c"))
+  }
+
   test("$lookup with an ARRAY localField matches any element, once per doc") {
     val left = Seq(
       (1L, Seq(10L, 20L)),          // two elements, two distinct fk groups
