@@ -134,7 +134,8 @@ object Graft {
     // text score); an explicit sort() overrides the geo order, as in
     // Mongo, and $text's score lands as a real `textScore` column so the
     // {$meta: "textScore"} projection idiom resolves to it
-    val fc = FilterCompiler.compileFind(filter, collation)
+    val fc = FilterCompiler.withSchema(Some(df.schema))(
+      FilterCompiler.compileFind(filter, collation))
     var out = df
     // $text tokens materialize once (carrier column feeds predicate AND
     // score, dropped below) — see FilterCompiler.TextToksCol

@@ -59,6 +59,70 @@ object FilterCompiler {
     case _ => (c, literal(v))
   }
 
+  // the input schema, threaded ambiently like the collation: equality
+  // needs the FIELD TYPE to honor Mongo's implicit array-traversal rule
+  // ({tags: v} matches arrays containing v), and a schema is only known
+  // at the sites that apply a filter to a concrete DataFrame. Without a
+  // schema every comparison compiles exactly as before (scalar
+  // semantics, full analyzer coercion, pushdown untouched).
+  private val activeSchema =
+    new scala.util.DynamicVariable[Option[org.apache.spark.sql.types.StructType]](None)
+
+  /** Run `body` with the input schema visible to equality compilation. */
+  def withSchema[T](schema: Option[org.apache.spark.sql.types.StructType])(body: => T): T =
+    activeSchema.withValue(schema)(body)
+
+  /** Leaf type of a (dotted) path under the ambient schema; a dotted
+    * step THROUGH an array of structs projects to an array of the
+    * member type (what `col("a.b")` yields — and exactly Mongo's
+    * array-of-docs dotted semantics). */
+  private def leafType(path: String): Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    activeSchema.value.flatMap { schema =>
+      path.split('.').foldLeft(Option(schema: DataType)) {
+        case (Some(st: StructType), name) =>
+          st.fields.find(_.name == name).map(_.dataType)
+        case (Some(ArrayType(st: StructType, _)), name) =>
+          st.fields.find(_.name == name)
+            .map(f => ArrayType(f.dataType, containsNull = true))
+        case _ => None
+      }
+    }
+  }
+
+  /** Mongo equality incl. the implicit array-traversal rule: on a field
+    * KNOWN to be an array, a scalar literal tests element containment
+    * (`exists` — each element comparison goes through the analyzer's
+    * ordinary coercion) and an array literal keeps whole-array equality;
+    * everywhere else the exact pre-existing scalar comparison compiles
+    * (identical plan and pushdown). The ci-collation string path stays
+    * on folded scalar equality. */
+  /** Can a literal of this JSON kind equal a value of `et`? Mongo's
+    * type bracketing makes cross-kind equality FALSE (a string never
+    * equals a number) — returning lit(false) instead of letting an ANSI
+    * cast throw at runtime. */
+  private def kindCompatible(v: JValue,
+                             et: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    v match {
+      case JString(_) => et == StringType
+      case JBool(_) => et == BooleanType
+      case _: JInt | _: JLong | _: JDouble | _: JDecimal => et.isInstanceOf[NumericType]
+      case _ => true // $date and friends: let the analyzer decide
+    }
+  }
+
+  private def mongoEq(c: Column, v: JValue,
+                      lt: Option[org.apache.spark.sql.types.DataType]): Column =
+    (v, lt) match {
+      case (JString(s), _) if ci => lower(c) === lit(s.toLowerCase)
+      case (JArray(es), Some(org.apache.spark.sql.types.ArrayType(et, _))) =>
+        if (es.forall(kindCompatible(_, et))) c === literal(v) else lit(false)
+      case (_, Some(org.apache.spark.sql.types.ArrayType(et, _))) =>
+        if (kindCompatible(v, et)) exists(c, e => e === literal(v)) else lit(false)
+      case _ => val (l, r) = cmp(c, v); l === r
+    }
+
   def compile(json: String): Column = compile(parse(json))
 
   def compile(v: JValue): Column = compileDoc(asObj(v, "filter"))
@@ -149,10 +213,10 @@ object FilterCompiler {
     case op if op.startsWith("$") =>
       throw new MqlException(s"unsupported top-level operator $op")
     case path => v match {
-      case JObject(ops) if isOperatorDoc(ops) => compileOps(fieldCol(path), ops)
+      case JObject(ops) if isOperatorDoc(ops) =>
+        compileOps(fieldCol(path), ops, leafType(path))
       case JNull  => fieldCol(path).isNull
-      case other  =>
-        val (l, r) = cmp(fieldCol(path), other); l === r
+      case other  => mongoEq(fieldCol(path), other, leafType(path))
     }
   }
 
@@ -163,10 +227,11 @@ object FilterCompiler {
 
   /** All operators applied to one field; $regex/$options pairing handled
     * here because they arrive as sibling keys. */
-  def compileOps(c: Column, ops: List[(String, JValue)]): Column = {
+  def compileOps(c: Column, ops: List[(String, JValue)],
+                 lt: Option[org.apache.spark.sql.types.DataType] = None): Column = {
     val regexOpts = ops.collectFirst { case ("$options", JString(o)) => o }.getOrElse("")
     ops.filterNot(_._1 == "$options")
-      .map { case (op, v) => compileOp(c, op, v, regexOpts) }
+      .map { case (op, v) => compileOp(c, op, v, regexOpts, lt) }
       .reduce(_ && _)
   }
 
@@ -187,11 +252,16 @@ object FilterCompiler {
     parts.reduceOption(_ || _).getOrElse(lit(false))
   }
 
-  private def compileOp(c: Column, op: String, v: JValue, regexOpts: String): Column =
+  private def compileOp(c: Column, op: String, v: JValue, regexOpts: String,
+                        lt: Option[org.apache.spark.sql.types.DataType] = None): Column =
     (op, v) match {
       case ("$eq", JNull)  => c.isNull
-      case ("$eq", _)      => val (l, r) = cmp(c, v); l === r
+      case ("$eq", _)      => mongoEq(c, v, lt)
       case ("$ne", JNull)  => c.isNotNull
+      case ("$ne", _) if lt.exists(_.isInstanceOf[org.apache.spark.sql.types.ArrayType]) =>
+        // on arrays: not-contains; the coalesce absorbs the null that
+        // `exists` yields when the array holds nulls but no match
+        c.isNull || !coalesce(mongoEq(c, v, lt), lit(false))
       case ("$ne", _)      => // missing matches $ne
         val (l, r) = cmp(c, v); c.isNull || l =!= r
       case ("$gt", _)      => val (l, r) = cmp(c, v); l > r
@@ -202,7 +272,7 @@ object FilterCompiler {
       case ("$nin", JArray(vs)) => !coalesce(inList(c, vs), lit(false))
       case ("$exists", JBool(b)) => if (b) c.isNotNull else c.isNull
       case ("$not", JObject(ops)) if isOperatorDoc(ops) =>
-        !coalesce(compileOps(c, ops), lit(false))
+        !coalesce(compileOps(c, ops, lt), lit(false))
       case ("$regex", JString(p)) =>
         c.rlike((if (regexOpts.nonEmpty) s"(?$regexOpts)" else "") + p)
       case ("$mod", JArray(List(d, r))) => c % literal(d) === literal(r)

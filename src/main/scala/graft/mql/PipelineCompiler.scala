@@ -106,7 +106,9 @@ object PipelineCompiler {
           .select(col("__doc.*"))
       case other => throw new MqlException(s"bad $$documents: $other")
     }
-    case "$match"   => df.where(FilterCompiler.compile(spec))
+    case "$match"   => df.where( // schema visible: array fields get
+      // Mongo's implicit array-traversal equality
+      FilterCompiler.withSchema(Some(df.schema))(FilterCompiler.compile(spec)))
     case "$limit"   => df.limit(intValue(spec, "$limit"))
     case "$skip"    => df.offset(intValue(spec, "$skip"))
     case "$sort"    =>
@@ -845,7 +847,8 @@ object PipelineCompiler {
       } else sqrt(pow(lon - lit(cx), 2) + pow(lat - lit(cy), 2))
     var out = df.where(pt.isNotNull && size(pt) === 2)
     spec.collectFirst { case ("query", q) => q }
-      .foreach(q => out = out.where(FilterCompiler.compile(q)))
+      .foreach(q => out = out.where(
+        FilterCompiler.withSchema(Some(out.schema))(FilterCompiler.compile(q))))
     minD.foreach(m => out = out.where(rawDist >= lit(m)))
     maxD.foreach(m => out = out.where(rawDist <= lit(m)))
     out = setPath(out, distField,
@@ -2659,7 +2662,9 @@ object PipelineCompiler {
       .getOrElse(throw new MqlException("$vectorSearch needs limit"))
     val exact = spec.collectFirst { case ("exact", JBool(b)) => b }.getOrElse(false)
     val filtered = spec.collectFirst { case ("filter", f) => f }
-      .map(f => df.where(FilterCompiler.compile(f))).getOrElse(df)
+      .map(f => df.where(
+        FilterCompiler.withSchema(Some(df.schema))(FilterCompiler.compile(f))))
+      .getOrElse(df)
     val qn = math.sqrt(qv.map(x => x * x).sum)
     if (qn == 0.0) throw new MqlException("$vectorSearch: zero query vector")
     val vcol = fieldCol(path).cast("array<double>")

@@ -21,7 +21,8 @@ class FilterCompilerSpec extends AnyFunSuite {
   ).toDF("id", "a", "tags")
 
   private def ids(filter: String): Seq[Int] =
-    df.where(FilterCompiler.compile(filter))
+    df.where(FilterCompiler.withSchema(Some(df.schema))(
+        FilterCompiler.compile(filter)))
       .select("id").as[Int].collect().toSeq.sorted
 
   test("equality and $eq") {
@@ -349,5 +350,33 @@ class FilterCompilerSpec extends AnyFunSuite {
     assert(jids("""{"oneOf": [{"properties": {"score": {"minimum": 25}}},
       {"required": ["name"]}]}""") == Seq(1, 3))
     intercept[MqlException](jids("""{"patternProperties": {}}"""))
+  }
+
+  test("implicit array-traversal equality: {field: v} matches containing arrays") {
+    // tags is array<int>: equality means "contains" (Mongo's tag idiom)
+    assert(ids("""{"tags": 2}""") == Seq(1, 2))
+    assert(ids("""{"tags": {"$eq": 4}}""") == Seq(2))
+    assert(ids("""{"tags": 99}""") == Seq())
+    // numeric cross-width: 2.0 matches int element 2; 2.5 matches nothing
+    assert(ids("""{"tags": 2.0}""") == Seq(1, 2))
+    assert(ids("""{"tags": 2.5}""") == Seq())
+    // whole-array equality
+    assert(ids("""{"tags": [2, 4]}""") == Seq(2))
+    assert(ids("""{"tags": []}""") == Seq(3))
+    // $ne on arrays: not-contains; missing field matches; an array
+    // containing ONLY other values matches even with a null around
+    assert(ids("""{"tags": {"$ne": 2}}""") == Seq(3, 4))
+    assert(ids("""{"tags": {"$ne": 99}}""") == Seq(1, 2, 3, 4))
+    // type-incompatible element value: never equal, loudly false not an error
+    assert(ids("""{"tags": "x"}""") == Seq())
+    // scalar equality is untouched (plan + semantics)
+    assert(ids("""{"a": 5}""") == Seq(1, 4))
+    assert(ids("""{"a": {"$ne": 5}}""") == Seq(2, 3))
+    // scalar $eq still reaches the parquet reader as a pushed filter
+    val dir = java.nio.file.Files.createTempDirectory("graft_meq").toString
+    df.select("id", "a").write.mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir).where(FilterCompiler.compile("""{"a": 5}"""))
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(a), EqualTo(a,5)]"), scan)
   }
 }
