@@ -90,13 +90,6 @@ object FilterCompiler {
     }
   }
 
-  /** Mongo equality incl. the implicit array-traversal rule: on a field
-    * KNOWN to be an array, a scalar literal tests element containment
-    * (`exists` — each element comparison goes through the analyzer's
-    * ordinary coercion) and an array literal keeps whole-array equality;
-    * everywhere else the exact pre-existing scalar comparison compiles
-    * (identical plan and pushdown). The ci-collation string path stays
-    * on folded scalar equality. */
   /** Can a literal of this JSON kind equal a value of `et`? Mongo's
     * type bracketing makes cross-kind equality FALSE (a string never
     * equals a number) — returning lit(false) instead of letting an ANSI
@@ -112,6 +105,13 @@ object FilterCompiler {
     }
   }
 
+  /** Mongo equality incl. the implicit array-traversal rule: on a field
+    * KNOWN to be an array, a scalar literal tests element containment
+    * (`exists` — each element comparison goes through the analyzer's
+    * ordinary coercion) and an array literal keeps whole-array equality;
+    * everywhere else the exact pre-existing scalar comparison compiles
+    * (identical plan and pushdown). The ci-collation string path stays
+    * on folded scalar equality. */
   private def mongoEq(c: Column, v: JValue,
                       lt: Option[org.apache.spark.sql.types.DataType]): Column =
     (v, lt) match {
@@ -239,7 +239,17 @@ object FilterCompiler {
     * fields; under case-insensitive collation string members compare
     * folded (non-string members stay binary — collation never touches
     * numerics). */
-  private def inList(c: Column, vs: List[JValue]): Column = {
+  private def inList(c: Column, vs: List[JValue],
+                     lt: Option[org.apache.spark.sql.types.DataType] = None): Column = {
+    // on an ARRAY field, $in is an OR of Mongo equalities over the list
+    // members (element containment for scalars, whole-array equality
+    // for array members, null members matching missing/null fields)
+    if (lt.exists(_.isInstanceOf[org.apache.spark.sql.types.ArrayType])) {
+      val (nulls0, rest0) = vs.partition(v => v == JNull || v == JNothing)
+      return (rest0.map(v => mongoEq(c, v, lt)) ++
+        (if (nulls0.isEmpty) Nil else Seq(c.isNull)))
+        .reduceOption(_ || _).getOrElse(lit(false))
+    }
     val (nulls, rest) = vs.partition(v => v == JNull || v == JNothing)
     val (strs, others) = rest.partition(_.isInstanceOf[JString])
     val parts =
@@ -268,8 +278,8 @@ object FilterCompiler {
       case ("$gte", _)     => val (l, r) = cmp(c, v); l >= r
       case ("$lt", _)      => val (l, r) = cmp(c, v); l < r
       case ("$lte", _)     => val (l, r) = cmp(c, v); l <= r
-      case ("$in", JArray(vs))  => inList(c, vs)
-      case ("$nin", JArray(vs)) => !coalesce(inList(c, vs), lit(false))
+      case ("$in", JArray(vs))  => inList(c, vs, lt)
+      case ("$nin", JArray(vs)) => !coalesce(inList(c, vs, lt), lit(false))
       case ("$exists", JBool(b)) => if (b) c.isNotNull else c.isNull
       case ("$not", JObject(ops)) if isOperatorDoc(ops) =>
         !coalesce(compileOps(c, ops, lt), lit(false))

@@ -372,6 +372,14 @@ class FilterCompilerSpec extends AnyFunSuite {
     // scalar equality is untouched (plan + semantics)
     assert(ids("""{"a": 5}""") == Seq(1, 4))
     assert(ids("""{"a": {"$ne": 5}}""") == Seq(2, 3))
+    // $in on arrays: list ∩ array nonempty; array members = whole-array eq
+    assert(ids("""{"tags": {"$in": [4, 99]}}""") == Seq(2))
+    assert(ids("""{"tags": {"$in": [[1, 2, 3], 4]}}""") == Seq(1, 2))
+    assert(ids("""{"tags": {"$in": [null]}}""") == Seq(4))
+    assert(ids("""{"tags": {"$in": ["x"]}}""") == Seq())
+    // $nin: no member matches; missing field matches
+    assert(ids("""{"tags": {"$nin": [2, 99]}}""") == Seq(3, 4))
+    assert(ids("""{"tags": {"$nin": [null]}}""") == Seq(1, 2, 3))
     // scalar $eq still reaches the parquet reader as a pushed filter
     val dir = java.nio.file.Files.createTempDirectory("graft_meq").toString
     df.select("id", "a").write.mode("overwrite").parquet(dir)
