@@ -226,4 +226,15 @@ object Graft {
     val resolve = tables(spark, dir)
     PipelineCompiler.run(resolve(collection), pipelineJson, resolve)
   }
+
+  /** aggregate with a `$out`/`$merge` tail — the server-side write the
+    * reference client rejects (api.py:235-240) and a standalone engine
+    * must supply. Source collections resolve from `dir` (read-only);
+    * the write target lives in `store`, which is also where a `$merge`
+    * target is read back from. Returns the target collection name. */
+  def aggregateTo(spark: SparkSession, dir: String, collection: String,
+                  pipelineJson: String, store: graft.sinks.DocStore): String = {
+    val resolve = tables(spark, dir)
+    PipelineCompiler.runWithWrites(resolve(collection), pipelineJson, resolve, store)
+  }
 }

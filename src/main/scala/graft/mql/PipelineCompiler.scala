@@ -34,16 +34,53 @@ object PipelineCompiler {
     run(df, pipelineJson, noTables)
 
   def run(df: DataFrame, pipelineJson: String, resolve: TableResolver): DataFrame = {
-    val stages = parse(pipelineJson) match {
+    val stages = parseStages(pipelineJson)
+    // mirror reference api.py:235-240: refuse server-side-write tails
+    // (runWithWrites is the explicit opt-in that executes them)
+    stages.foreach {
+      case JObject(List((op, _))) if WriteStages.WriteStageNames(op) =>
+        throw new MqlException(s"$op is not supported (reference rejects it too)")
+      case _ =>
+    }
+    runStages(df, stages, resolve)
+  }
+
+  /** Executes a pipeline ENDING in `$out`/`$merge`: the prefix compiles
+    * exactly like [[run]], the write tail executes against `store`
+    * ([[WriteStages]] — staged-swap replace / keyed merge). Returns the
+    * target collection name. The plain [[run]] keeps the reference
+    * client's rejection of these stages (api.py:235-240); this entry is
+    * the server-side behavior a standalone engine must supply. */
+  def runWithWrites(df: DataFrame, pipelineJson: String,
+                    resolve: TableResolver,
+                    store: graft.sinks.DocStore): String = {
+    val stages = parseStages(pipelineJson)
+    if (stages.isEmpty)
+      throw new MqlException("runWithWrites: empty pipeline")
+    stages.init.foreach {
+      case JObject(List((op, _))) if WriteStages.WriteStageNames(op) =>
+        throw new MqlException(s"$op must be the last pipeline stage")
+      case _ =>
+    }
+    stages.last match {
+      case JObject(List((op, spec))) if WriteStages.WriteStageNames(op) =>
+        WriteStages.execute(runStages(df, stages.init, resolve), op, spec, store)
+      case _ => throw new MqlException(
+        "runWithWrites: pipeline must end in $out or $merge")
+    }
+  }
+
+  private def parseStages(pipelineJson: String): List[JValue] =
+    parse(pipelineJson) match {
       case JArray(ss) => ss
       case other => throw new MqlException(s"pipeline must be an array, got $other")
     }
-    // mirror reference api.py:235-240: refuse server-side-write tails;
+
+  private def runStages(df: DataFrame, stages: List[JValue],
+                        resolve: TableResolver): DataFrame = {
     // $documents replaces the input wholesale, so Mongo (and we) only
     // allow it first
     stages.zipWithIndex.foreach {
-      case (JObject(List((op, _))), _) if op == "$out" || op == "$merge" =>
-        throw new MqlException(s"$op is not supported (reference rejects it too)")
       case (JObject(List(("$documents", _))), i) if i > 0 =>
         throw new MqlException("$documents must be the first stage")
       case _ =>

@@ -244,6 +244,89 @@ object Headline {
       Some("""SELECT event_id, user_id, event_type, value FROM events
               WHERE ts IS NOT NULL ORDER BY event_id""")),
 
+    // $out tail (server-side write the reference client rejects,
+    // api.py:235-240): pipeline result atomically replaces the target
+    // collection in a DocStore; the gate reads the collection back, so
+    // the staged-swap write path is hash-verified end to end
+    QueryDef("q_out_stage",
+      (s, dir) => {
+        val store = new graft.sinks.DocStore(s,
+          java.nio.file.Files.createTempDirectory("graft_out").toString)
+        Graft.aggregateTo(s, dir, "orders", """[
+          {"$group": {"_id": "$o_orderpriority",
+             "n": {"$count": {}},
+             "total": {"$sum": {"$toDecimal": "$o_totalprice"}}}},
+          {"$project": {"_id": 0, "priority": "$_id", "n": 1,
+             "total": {"$toDouble": "$total"}}},
+          {"$out": "order_summary"}]""", store)
+        store.read("order_summary").orderBy("priority")
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+                     o_orderpriority AS priority
+              FROM orders GROUP BY o_orderpriority ORDER BY priority""")),
+
+    // $merge upsert (default whenMatched merge / whenNotMatched insert):
+    // per-customer order stats merged into a seeded customer collection —
+    // matched rows overlay the stat columns and keep the target-only
+    // ones, unmatched sources insert, unmatched targets pass through ≡
+    // the FULL OUTER JOIN oracle
+    QueryDef("q_merge_upsert",
+      (s, dir) => {
+        val store = new graft.sinks.DocStore(s,
+          java.nio.file.Files.createTempDirectory("graft_merge").toString)
+        store.write(Graft.table(s, dir, "customer")
+          .where(col("c_custkey") <= 750)
+          .select(col("c_custkey").as("_id"), col("c_name"), col("c_acctbal")),
+          "cust_stats")
+        Graft.aggregateTo(s, dir, "orders", """[
+          {"$match": {"o_custkey": {"$lte": 1000}}},
+          {"$group": {"_id": "$o_custkey", "n_orders": {"$count": {}},
+             "spend": {"$sum": {"$toDecimal": "$o_totalprice"}}}},
+          {"$addFields": {"spend": {"$toDouble": "$spend"}}},
+          {"$merge": {"into": "cust_stats", "on": "_id"}}]""", store)
+        store.read("cust_stats").orderBy("_id")
+      },
+      Some("""WITH t AS (SELECT c_custkey AS _id, c_name, c_acctbal
+                         FROM customer WHERE c_custkey <= 750),
+                   s AS (SELECT o_custkey AS _id,
+                                CAST(COUNT(*) AS BIGINT) AS n_orders,
+                                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend
+                         FROM orders WHERE o_custkey <= 1000 GROUP BY 1)
+              SELECT COALESCE(t._id, s._id) AS _id, t.c_name, t.c_acctbal,
+                     s.n_orders, s.spend
+              FROM t FULL OUTER JOIN s ON t._id = s._id
+              ORDER BY _id""")),
+
+    // $merge whenMatched update-pipeline ($$new): incremental stats —
+    // first half of orders seeds the collection via $out, the second
+    // half folds in through {$set: {n: n + $$new.n, …}}; the final
+    // collection must equal the one-shot GROUP BY over ALL orders
+    // (associative-exact measures: count + max)
+    QueryDef("q_merge_pipeline",
+      (s, dir) => {
+        val store = new graft.sinks.DocStore(s,
+          java.nio.file.Files.createTempDirectory("graft_mergep").toString)
+        Graft.aggregateTo(s, dir, "orders", """[
+          {"$match": {"o_orderkey": {"$mod": [2, 0]}}},
+          {"$group": {"_id": "$o_custkey", "n": {"$count": {}},
+             "maxp": {"$max": "$o_totalprice"}}},
+          {"$out": "cust_inc"}]""", store)
+        Graft.aggregateTo(s, dir, "orders", """[
+          {"$match": {"o_orderkey": {"$mod": [2, 1]}}},
+          {"$group": {"_id": "$o_custkey", "n": {"$count": {}},
+             "maxp": {"$max": "$o_totalprice"}}},
+          {"$merge": {"into": "cust_inc", "on": "_id",
+            "whenMatched": [{"$set": {
+              "n": {"$add": ["$n", "$$new.n"]},
+              "maxp": {"$max": ["$maxp", "$$new.maxp"]}}}],
+            "whenNotMatched": "insert"}}]""", store)
+        store.read("cust_inc").orderBy("_id")
+      },
+      Some("""SELECT o_custkey AS _id, CAST(COUNT(*) AS BIGINT) AS n,
+                     MAX(o_totalprice) AS maxp
+              FROM orders GROUP BY 1 ORDER BY _id""")),
+
     // stream-stream interval join (attribution): each purchase joined to
     // the same user's clicks in the preceding 10 minutes. Inner-join
     // matches emit as found; the watermarks + time band only bound the
