@@ -327,6 +327,19 @@ object Headline {
                      MAX(o_totalprice) AS maxp
               FROM orders GROUP BY 1 ORDER BY _id""")),
 
+    // continuous materialized view: a $merge-tailed MQL pipeline run per
+    // micro-batch (4 admission-paced batches over a re-laid-out events
+    // feed) — the standing collection accumulates associative measures
+    // and must equal the one-shot batch GROUP BY
+    QueryDef("q_stream_merge",
+      (s, dir) => EventStream.runMergeStreamOnFixture(s, dir).orderBy("_id"),
+      Some("""SELECT user_id AS _id, CAST(COUNT(*) AS BIGINT) AS n,
+                     MAX(value) AS maxv
+              FROM events
+              WHERE ts IS NOT NULL AND user_id IS NOT NULL
+                AND value IS NOT NULL
+              GROUP BY 1 ORDER BY _id""")),
+
     // stream-stream interval join (attribution): each purchase joined to
     // the same user's clicks in the preceding 10 minutes. Inner-join
     // matches emit as found; the watermarks + time band only bound the

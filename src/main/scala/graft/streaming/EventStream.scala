@@ -194,6 +194,83 @@ object EventStream {
           .mode("append").save(path)
     }
 
+  /** Continuous materialized view: maintain a [[graft.sinks.DocStore]]
+    * collection by running an MQL pipeline ENDING IN `$merge` over each
+    * micro-batch (foreachBatch → PipelineCompiler.runWithWrites). The
+    * canonical shape is a per-batch `$group` whose whenMatched update
+    * pipeline folds the batch partial into the standing collection
+    * (`{$set: {n: {$add: ["$n", "$$new.n"]}, …}}`) — incremental
+    * aggregation whose state lives in the COLLECTION, not the state
+    * store, so it survives restarts, is queryable mid-stream, and its
+    * measures must be associative+commutative (count/sum/min/max) for
+    * batch-boundary independence. Each micro-batch costs one keyed
+    * merge join against the current target. */
+  def mergeStream(stream: DataFrame, pipeline: String,
+                  store: graft.sinks.DocStore)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      graft.mql.PipelineCompiler.runWithWrites(batch, pipeline,
+        n => throw new graft.mql.MqlException(
+          s"mergeStream pipeline cannot read collection '$n'"), store): Unit
+    }
+
+  /** mergeStream over the fixture: a batch `$out` backfills the standing
+    * collection from half the corpus, then the stream merges the other
+    * half into it — both the matched fold and the insert path execute,
+    * and the final collection must equal the one-shot GROUP BY over
+    * everything. (True multi-micro-batch pacing is pinned by the
+    * mergeStream spec; the fixture is a single file, so forcing >1
+    * batch here would mean re-laying the corpus out per run — harness
+    * cost, not operator cost.) */
+  def runMergeStreamOnFixture(spark: SparkSession, dir: String): DataFrame = {
+    val store = new graft.sinks.DocStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_mstore").toString)
+    // seed the standing collection from a disjoint half of the corpus
+    // (the backfill), then stream the OTHER half into it — so the
+    // streamed merge exercises both the matched fold and the insert
+    // path, and the final collection must equal the one-shot GROUP BY
+    // over everything
+    def grouped(rowFilter: String) = s"""[
+      {"$$match": {"ts": {"$$ne": null}, "user_id": {"$$ne": null},
+                   "value": {"$$ne": null},
+                   "event_id": {"$$mod": [2, $rowFilter]}}},
+      {"$$group": {"_id": "$$user_id", "n": {"$$count": {}},
+         "maxv": {"$$max": "$$value"}}}"""
+    graft.api.Graft.aggregateTo(spark, dir, "events",
+      grouped("0") + """, {"$out": "user_stats"}]""", store)
+    val stream = eventsSource(spark, dir)
+    val pipeline = grouped("1") + """,
+      {"$merge": {"into": "user_stats", "on": "_id",
+        "whenMatched": [{"$set": {
+          "n": {"$add": ["$n", "$$new.n"]},
+          "maxv": {"$max": ["$maxv", "$$new.maxv"]}}}],
+        "whenNotMatched": "insert"}}]"""
+    val name = s"graft_mergestream_${System.nanoTime()}"
+    val ckptBase = if (new java.io.File("/dev/shm").canWrite) "/dev/shm" else
+      System.getProperty("java.io.tmpdir")
+    // per-batch group + merge join are keyed by users (small): 32-way
+    // shuffles would be pure per-task overhead per batch (same
+    // reasoning as runStream's pin; grows with key volume at scale)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      q = mergeStream(stream, pipeline, store)
+        .option("checkpointLocation", s"$ckptBase/ckpt_$name")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      if (q != null) q.stop()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(s"$ckptBase/ckpt_$name"))
+    }
+    store.read("user_stats")
+  }
+
   /** Run an MQL aggregation pipeline ON A STREAM — the
     * aggregate_arrow_all surface lifted to Structured Streaming: the
     * SAME pipeline string a user runs in batch compiles (via

@@ -88,6 +88,40 @@ class EventStreamSpec extends AnyFunSuite {
       .toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("mergeStream folds multiple micro-batches into the standing collection") {
+    val feed = java.nio.file.Files.createTempDirectory("graft_msfeed").toString
+    // 2 files → 2 paced micro-batches; key "a" spans both (must fold),
+    // key "b" and "c" arrive in one batch each (insert path)
+    Seq(("a", 1.0), ("a", 5.0), ("b", 2.0)).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$feed/f1")
+    Seq(("a", 9.0), ("c", 3.0)).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$feed/f2")
+    val store = new graft.sinks.DocStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_msstore").toString)
+    val stream = spark.readStream
+      .schema("k string, v double")
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(feed)
+    val pipeline = """[
+      {"$group": {"_id": "$k", "n": {"$count": {}}, "maxv": {"$max": "$v"}}},
+      {"$merge": {"into": "t", "on": "_id",
+        "whenMatched": [{"$set": {"n": {"$add": ["$n", "$$new.n"]},
+                                  "maxv": {"$max": ["$maxv", "$$new.maxv"]}}}],
+        "whenNotMatched": "insert"}}]"""
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_msckpt").toString
+    val q = EventStream.mergeStream(stream, pipeline, store)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    assert(batches >= 2, s"expected >=2 non-empty micro-batches, saw $batches")
+    val rows = store.read("t").orderBy("_id")
+      .select("_id", "n", "maxv").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      == Seq(("a", 3L, 9.0), ("b", 1L, 2.0), ("c", 1L, 3.0)))
+  }
+
   test("flatMapGroupsWithState carries per-key state across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.EventStream.{UserEvent, UserState}
