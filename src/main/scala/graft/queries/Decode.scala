@@ -60,6 +60,29 @@ object Decode {
                      CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
               FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    // SQL-catalog loop: the same document collection resolved through
+    // the GraftCatalog TableCatalog (spark.sql over `<cat>.<coll>` —
+    // the session-catalog twin of the reference's database[collection]
+    // handle, api.py:129); filter + aggregation run through the DSv2
+    // pushdowns exactly like the format("graftdocs") path
+    QueryDef("q_sql_catalog",
+      (s, dir) => {
+        val root = java.nio.file.Files.createTempDirectory("graft_cat").toString
+        Graft.table(s, dir, "customer")
+          .write.format("graftdocs").mode("overwrite").save(s"$root/customer_docs")
+        val cat = s"graftcat${System.nanoTime()}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.dir", root)
+        s.sql(s"""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+                  FROM $cat.customer_docs WHERE c_custkey <= 1000
+                  GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+      },
+      Some("""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+              FROM customer WHERE c_custkey <= 1000
+              GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
     // raw binary BSON loop (the reference's native format,
     // process_bson_stream lib.pyx:296-311): typed table → .bson batch
     // files → binary parse + schema-directed decode → aggregation

@@ -256,10 +256,23 @@ private[sources] class GraftDocTable(schema: StructType, props: Map[String, Stri
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
+  // Provider-path reads/writes pass the load() options here verbatim
+  // (props == options); CATALOG-resolved tables arrive with empty or
+  // session-only options, so the table's own properties (path/format/
+  // partitionBy from the catalog + sidecar) are the routing source —
+  // merged underneath so explicit per-operation options still win.
+  private def merged(options: CaseInsensitiveStringMap): CaseInsensitiveStringMap =
+    if (props.isEmpty) options
+    else new CaseInsensitiveStringMap((props ++ options.asScala).asJava)
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(schema, options)
+    new GraftScanBuilder(schema, merged(options))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftWriteBuilder(info)
+    new GraftWriteBuilder(new LogicalWriteInfo {
+      override def queryId: String = info.queryId
+      override def schema: StructType = info.schema
+      override def options: CaseInsensitiveStringMap = merged(info.options)
+    })
 }
 
 private[sources] class GraftScanBuilder(fullSchema: StructType,

@@ -1,0 +1,94 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+
+/** GraftCatalog: document collections as SQL tables (TableCatalog). */
+class GraftCatalogSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  /** Fresh catalog over a fresh root dir (catalog instances cache per
+    * name, so every test registers its own). */
+  private def freshCatalog(): (String, String) = {
+    val root = java.nio.file.Files.createTempDirectory("graft_catspec").toString
+    val cat = s"gc${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.dir", root)
+    (cat, root)
+  }
+
+  private def seed(root: String, coll: String): Unit =
+    Seq((1L, "ann", 10.5), (2L, "bob", 20.0), (3L, "cat", 30.25))
+      .toDF("id", "name", "bal")
+      .write.format("graftdocs").mode("overwrite").save(s"$root/$coll")
+
+  test("SELECT over a catalog collection, with filter pushdown in the plan") {
+    val (cat, root) = freshCatalog()
+    seed(root, "people")
+    val df = spark.sql(s"SELECT name FROM $cat.people WHERE id >= 2 ORDER BY name")
+    assert(df.as[String].collect().toSeq == Seq("bob", "cat"))
+    val desc = df.queryExecution.executedPlan.toString
+    assert(desc.contains("graftdocs"), s"expected a graftdocs scan:\n$desc")
+    assert(desc.contains("GreaterThanOrEqual(id,2)") || desc.contains("id >= 2"),
+      s"expected the filter pushed to the scan:\n$desc")
+  }
+
+  test("SHOW TABLES lists collections; DROP TABLE removes one") {
+    val (cat, root) = freshCatalog()
+    seed(root, "aaa"); seed(root, "bbb")
+    val listed = spark.sql(s"SHOW TABLES IN $cat")
+      .select("tableName").as[String].collect().sorted.toSeq
+    assert(listed == Seq("aaa", "bbb"))
+    spark.sql(s"DROP TABLE $cat.aaa")
+    assert(spark.sql(s"SHOW TABLES IN $cat")
+      .select("tableName").as[String].collect().toSeq == Seq("bbb"))
+    assert(!new java.io.File(s"$root/aaa").exists())
+  }
+
+  test("CTAS writes documents + schema sidecar; read-back is type-exact") {
+    val (cat, root) = freshCatalog()
+    seed(root, "people")
+    spark.sql(s"CREATE TABLE $cat.rich AS SELECT * FROM $cat.people WHERE bal > 15")
+    assert(new java.io.File(s"$root/rich/_graft_schema.json").exists())
+    val back = spark.table(s"$cat.rich")
+    // sidecar beats inference: long stays long, double stays double
+    assert(back.schema.fields.map(f => (f.name, f.dataType.simpleString)).toSeq
+      == Seq(("id", "bigint"), ("name", "string"), ("bal", "double")))
+    assert(back.orderBy("id").select("id").as[Long].collect().toSeq == Seq(2L, 3L))
+  }
+
+  test("INSERT INTO appends through the document write path") {
+    val (cat, root) = freshCatalog()
+    seed(root, "people")
+    spark.sql(s"CREATE TABLE $cat.copy AS SELECT * FROM $cat.people")
+    spark.sql(s"INSERT INTO $cat.copy VALUES (9, 'zed', 1.25)")
+    assert(spark.table(s"$cat.copy").count() == 4)
+    assert(spark.sql(s"SELECT name FROM $cat.copy WHERE id = 9")
+      .as[String].collect().toSeq == Seq("zed"))
+  }
+
+  test("ALTER TABLE RENAME moves the collection directory") {
+    val (cat, root) = freshCatalog()
+    seed(root, "old_name")
+    spark.sql(s"ALTER TABLE $cat.old_name RENAME TO new_name")
+    assert(spark.table(s"$cat.new_name").count() == 3)
+    assert(!new java.io.File(s"$root/old_name").exists())
+    intercept[Exception](spark.table(s"$cat.old_name").count())
+  }
+
+  test("missing table and nested namespaces are refused") {
+    val (cat, _) = freshCatalog()
+    intercept[Exception](spark.table(s"$cat.nope").count())
+    intercept[Exception](spark.sql(s"SHOW TABLES IN $cat.sub").collect())
+  }
+
+  test("CREATE TABLE with PARTITIONED BY routes inserts into k=v dirs") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.part (id BIGINT, grp STRING) PARTITIONED BY (grp)")
+    spark.sql(s"INSERT INTO $cat.part VALUES (1, 'a'), (2, 'b'), (3, 'a')")
+    assert(new java.io.File(s"$root/part/grp=a").isDirectory)
+    val back = spark.sql(s"SELECT id FROM $cat.part WHERE grp = 'a' ORDER BY id")
+    assert(back.as[Long].collect().toSeq == Seq(1L, 3L))
+  }
+}
