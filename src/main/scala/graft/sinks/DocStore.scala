@@ -4,48 +4,92 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.mql.MqlException
 
-/** A flat collection store over a directory: one parquet dataset per
-  * collection name, the same `<dir>/<name>.parquet` convention the
-  * fixture resolver (`Graft.tables`) reads. This is the write target for
-  * the `$out`/`$merge` pipeline tails ([[graft.mql.WriteStages]]).
+/** A flat collection store over a directory — the write target for the
+  * `$out`/`$merge` pipeline tails ([[graft.mql.WriteStages]]) and the
+  * streaming merge sink.
   *
-  * Replacement is STAGED: the new dataset is fully written to a hidden
-  * sibling first, then swapped in with a delete + rename. Readers holding
-  * the old file handles finish against the old bytes; a crash mid-write
-  * leaves the old dataset intact (the orphaned stage dir is re-listable
-  * garbage, never a half-written collection). On HDFS-like filesystems
-  * the rename is atomic; on object stores it degrades to copy — the
-  * window is the rename, never the (long) write. This mirrors Mongo's
-  * `$out` contract: the target is replaced only after the new collection
-  * is completely built.
+  * Two layouts:
+  *  - `parquet` (default): one `<dir>/<name>.parquet` dataset per
+  *    collection — the fixture-resolver convention (`Graft.tables`).
+  *  - `graftdocs`: one `<dir>/<name>/` DOCUMENT collection per name
+  *    (jsonl files + a `_graft_schema.json` sidecar), which makes the
+  *    store directory a [[graft.sources.GraftCatalog]] database: a
+  *    pipeline's `$out` lands somewhere `spark.sql` and the MQL surface
+  *    can query as a first-class collection.
+  *
+  * Replacement is STAGED in both layouts: the new dataset is fully
+  * written to a hidden sibling first, then swapped in with a delete +
+  * rename. Readers holding the old file handles finish against the old
+  * bytes; a crash mid-write leaves the old dataset intact (the orphaned
+  * stage dir is re-listable garbage, never a half-written collection).
+  * On HDFS-like filesystems the rename is atomic; on object stores it
+  * degrades to copy — the window is the rename, never the (long) write.
+  * This mirrors Mongo's `$out` contract: the target is replaced only
+  * after the new collection is completely built.
   *
   * Scale note: the swap moves directory POINTERS, not data — the write
-  * itself is a plain distributed parquet write, partitioned like any
-  * other sink.
+  * itself is a plain distributed write, partitioned like any other sink.
   */
-final class DocStore(val spark: SparkSession, val dir: String) {
+final class DocStore(val spark: SparkSession, val dir: String,
+                     val format: String = "parquet") {
+  if (format != "parquet" && format != "graftdocs")
+    throw new MqlException(
+      s"DocStore format must be parquet|graftdocs, got '$format'")
+
   private def fs = new Path(dir)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def validName(name: String): String = {
     if (name.isEmpty || name.contains("/") || name.contains("..") ||
-        name.startsWith("."))
+        name.startsWith(".") || name.startsWith("_"))
       throw new MqlException(s"bad collection name '$name'")
     name
   }
 
-  def path(name: String): String = s"$dir/${validName(name)}.parquet"
+  def path(name: String): String =
+    if (format == "parquet") s"$dir/${validName(name)}.parquet"
+    else s"$dir/${validName(name)}"
 
   def exists(name: String): Boolean = fs.exists(new Path(path(name)))
 
-  def read(name: String): DataFrame = spark.read.parquet(path(name))
+  def read(name: String): DataFrame =
+    if (format == "parquet") spark.read.parquet(path(name))
+    else {
+      // the sidecar written below makes the read schema-exact (no
+      // inference drift on empty/partial collections)
+      val side = new Path(path(name), "_graft_schema.json")
+      val f = fs
+      val reader = spark.read.format("graftdocs")
+      val withSchema =
+        if (f.exists(side)) {
+          val in = f.open(side)
+          val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                     finally in.close()
+          val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+          reader.schema(org.apache.spark.sql.types.DataType
+            .fromJson(node.get("schema").toString)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+        } else reader
+      withSchema.load(path(name))
+    }
 
   /** Write `df` as collection `name`, replacing any prior contents via
     * the staged swap described above. */
   def write(df: DataFrame, name: String): Unit = {
     val target = new Path(path(name))
     val stage = new Path(s"$dir/.graft_stage_${validName(name)}_${System.nanoTime()}")
-    df.write.mode("overwrite").parquet(stage.toString)
+    if (format == "parquet")
+      df.write.mode("overwrite").parquet(stage.toString)
+    else {
+      df.write.format("graftdocs").mode("overwrite").save(stage.toString)
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.createObjectNode()
+      root.set[com.fasterxml.jackson.databind.JsonNode]("schema",
+        mapper.readTree(df.schema.json))
+      root.putObject("options")
+      val out = fs.create(new Path(stage, "_graft_schema.json"), true)
+      try out.write(mapper.writeValueAsBytes(root)) finally out.close()
+    }
     try {
       if (fs.exists(target) && !fs.delete(target, true))
         throw new MqlException(s"could not replace collection '$name'")

@@ -126,6 +126,25 @@ class WriteStagesSpec extends AnyFunSuite {
     intercept[MqlException](runW(s2, """[{"$merge": {}}]""", store))
   }
 
+  test("graftdocs-format store: $out lands as a SQL-queryable collection") {
+    val root = java.nio.file.Files.createTempDirectory("graft_dstore").toString
+    val store = new DocStore(spark, root, "graftdocs")
+    runW(src, """[{"$match": {"score": {"$gte": 20}}}, {"$out": "hot"}]""", store)
+    // schema-exact read-back through the sidecar
+    assert(store.read("hot").schema.fields.map(_.dataType.simpleString).toSeq
+      == Seq("int", "string", "double"))
+    assert(store.read("hot").count() == 2)
+    // the store dir IS a GraftCatalog database
+    val cat = s"gcw${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.dir", root)
+    assert(spark.sql(s"SELECT name FROM $cat.hot ORDER BY _id")
+      .collect().map(_.getString(0)).toSeq == Seq("bob", "cat"))
+    // $merge back into the doc collection works too
+    runW(src, """[{"$merge": {"into": "hot", "on": "_id"}}]""", store)
+    assert(store.read("hot").count() == 3)
+  }
+
   test("$merge whenMatched pipeline rejects non-whitelisted stages") {
     val store = freshStore()
     store.write(Seq((1, "x")).toDF("_id", "name"), "t")
