@@ -83,6 +83,22 @@ class GraftCatalogSpec extends AnyFunSuite {
     intercept[Exception](spark.sql(s"SHOW TABLES IN $cat.sub").collect())
   }
 
+  test("readStream.table tails a catalog collection (MICRO_BATCH_READ)") {
+    val (cat, root) = freshCatalog()
+    seed(root, "feed")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_catstream").toString
+    val name = s"catstream${System.nanoTime()}"
+    val q = spark.readStream.table(s"$cat.feed")
+      .groupBy().count()
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table(name).collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
   test("CREATE TABLE with PARTITIONED BY routes inserts into k=v dirs") {
     val (cat, root) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.part (id BIGINT, grp STRING) PARTITIONED BY (grp)")
