@@ -237,4 +237,30 @@ object Graft {
     val resolve = tables(spark, dir)
     PipelineCompiler.runWithWrites(resolve(collection), pipelineJson, resolve, store)
   }
+
+  /** A database handle over a GraftCatalog: the full reference loop —
+    * `db[coll].find(...)` / `db[coll].aggregate(...)` (api.py:129,210)
+    * — against one catalog database, with `$lookup`/`$unionWith`
+    * resolving sibling collections and `$out`/`$merge` writing back
+    * into the same database (graftdocs layout, so results are
+    * immediately listed/queryable as collections). `catalog` must be
+    * registered (`spark.sql.catalog.<name>` = GraftCatalog). */
+  final case class Db(spark: SparkSession, catalog: String) {
+    private def rootDir: String = spark.conf.get(s"spark.sql.catalog.$catalog.dir")
+    private val resolve: PipelineCompiler.TableResolver =
+      name => spark.table(s"$catalog.`$name`")
+    /** The database's write side (shared dir ⇒ `$out` results appear as
+      * catalog collections). */
+    def store: graft.sinks.DocStore =
+      new graft.sinks.DocStore(spark, rootDir, "graftdocs")
+
+    def collection(name: String): DataFrame = resolve(name)
+    def find(coll: String, filter: String = "{}"): DataFrame =
+      Graft.find(resolve(coll), filter)
+    def aggregate(coll: String, pipelineJson: String): DataFrame =
+      PipelineCompiler.run(resolve(coll), pipelineJson, resolve)
+    /** `$out`/`$merge`-tailed pipeline; returns the target collection name. */
+    def aggregateTo(coll: String, pipelineJson: String): String =
+      PipelineCompiler.runWithWrites(resolve(coll), pipelineJson, resolve, store)
+  }
 }

@@ -73,6 +73,20 @@ final class DocStore(val spark: SparkSession, val dir: String,
       withSchema.load(path(name))
     }
 
+  /** Remove orphaned stage directories (left only by a crash BETWEEN
+    * a completed stage write and its swap — the finally-block cleans
+    * the normal paths). Never touches live collections. Returns the
+    * number of stage dirs removed. */
+  def vacuum(): Int = {
+    val root = new Path(dir)
+    val f = fs
+    if (!f.exists(root)) return 0
+    f.listStatus(root).count { st =>
+      st.isDirectory && st.getPath.getName.startsWith(".graft_stage_") &&
+        f.delete(st.getPath, true)
+    }
+  }
+
   /** Write `df` as collection `name`, replacing any prior contents via
     * the staged swap described above. */
   def write(df: DataFrame, name: String): Unit = {

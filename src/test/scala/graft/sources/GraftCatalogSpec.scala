@@ -99,6 +99,41 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.table(name).collect().map(_.getLong(0)).toSeq == Seq(3L))
   }
 
+  test("Graft.Db: MQL against a catalog database, $lookup + $out inside it") {
+    val (cat, root) = freshCatalog()
+    seed(root, "people")
+    Seq((1L, "eng"), (2L, "ops"), (3L, "eng"))
+      .toDF("id", "dept")
+      .write.format("graftdocs").mode("overwrite").save(s"$root/depts")
+    val db = graft.api.Graft.Db(spark, cat)
+    assert(db.find("people", """{"bal": {"$gte": 15}}""").count() == 2)
+    val joined = db.aggregate("people", """[
+      {"$lookup": {"from": "depts", "localField": "id",
+                   "foreignField": "id", "as": "d"}},
+      {"$unwind": "$d"},
+      {"$project": {"name": 1, "dept": "$d.dept"}},
+      {"$sort": {"name": 1}}]""")
+    assert(joined.select("dept").collect().map(_.getString(0)).toSeq
+      == Seq("eng", "ops", "eng"))
+    val target = db.aggregateTo("people", """[
+      {"$group": {"_id": "$name", "n": {"$count": {}}}},
+      {"$out": "by_name"}]""")
+    assert(target == "by_name")
+    assert(spark.sql(s"SHOW TABLES IN $cat").select("tableName")
+      .as[String].collect().toSet.contains("by_name"))
+    assert(spark.table(s"$cat.by_name").count() == 3)
+  }
+
+  test("DocStore.vacuum removes orphaned stage dirs, never collections") {
+    val root = java.nio.file.Files.createTempDirectory("graft_vac").toString
+    val store = new graft.sinks.DocStore(spark, root)
+    store.write(Seq((1, "x")).toDF("_id", "v"), "keep")
+    new java.io.File(s"$root/.graft_stage_dead_123").mkdirs()
+    assert(store.vacuum() == 1)
+    assert(store.read("keep").count() == 1)
+    assert(store.vacuum() == 0)
+  }
+
   test("CREATE TABLE with PARTITIONED BY routes inserts into k=v dirs") {
     val (cat, root) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.part (id BIGINT, grp STRING) PARTITIONED BY (grp)")
