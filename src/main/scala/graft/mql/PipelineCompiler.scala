@@ -83,6 +83,8 @@ object PipelineCompiler {
     stages.zipWithIndex.foreach {
       case (JObject(List(("$documents", _))), i) if i > 0 =>
         throw new MqlException("$documents must be the first stage")
+      case (JObject(List(("$collStats", _))), i) if i > 0 =>
+        throw new MqlException("$collStats must be the first stage")
       case _ =>
     }
     // a $sort immediately before $group makes $first/$last deterministic
@@ -131,6 +133,22 @@ object PipelineCompiler {
 
   private def applyStage0(df: DataFrame, name: String, spec: JValue,
                           resolve: TableResolver): DataFrame = name match {
+    // collection statistics (Mongo: first stage only, like $documents —
+    // enforced in runStages). Only the `count` form has engine
+    // semantics here; latencyStats/storageStats/queryExecStats are
+    // server-process telemetry with no analogue, refused loudly. The
+    // count is a declarative 0-key aggregate, so over a graftdocs
+    // frame it rides the COUNT(*) metadata pushdown (zero decode).
+    case "$collStats" =>
+      val fields = asObj(spec, "$collStats")
+      fields.collectFirst {
+        case (k, _) if k != "count" => throw new MqlException(
+          s"$$collStats: only the 'count' form is supported, got '$k'")
+      }
+      if (!fields.exists(_._1 == "count"))
+        throw new MqlException("$collStats: missing 'count'")
+      df.groupBy().agg(count(lit(1)).as("count"))
+
     // literal-document input (Mongo: first stage of a db-level
     // aggregate): replaces the incoming frame entirely
     case "$documents" => spec match {

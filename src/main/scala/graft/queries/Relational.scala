@@ -379,6 +379,14 @@ object Relational {
       Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem
               WHERE l_returnflag = 'A'""")),
 
+    // $collStats count form (first-stage-only, like Mongo): a 0-key
+    // aggregate — over a graftdocs frame it rides the COUNT(*)
+    // metadata pushdown (zero documents decoded)
+    QueryDef("q_collstats",
+      (s, dir) => agg("lineitem", """[
+        {"$collStats": {"count": {}}}]""")(s, dir),
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS count FROM lineitem""")),
+
     QueryDef("q_distinct",
       (s, dir) => agg("lineitem", """[
         {"$group": {"_id": {"rf": "$l_returnflag", "ls": "$l_linestatus"}}},

@@ -22,6 +22,15 @@ class PipelineCompilerSpec extends AnyFunSuite {
     intercept[MqlException](run("""[{"$match": {}}, {"$merge": {"into": "x"}}]"""))
   }
 
+  test("$collStats: count form only, first stage only") {
+    val r = run("""[{"$collStats": {"count": {}}}]""").collect()
+    assert(r.length == 1 && r(0).getLong(0) == 4L)
+    intercept[MqlException](
+      run("""[{"$match": {}}, {"$collStats": {"count": {}}}]"""))
+    intercept[MqlException](
+      run("""[{"$collStats": {"storageStats": {}}}]"""))
+  }
+
   test("$project exclusion mode drops columns") {
     assert(run("""[{"$project": {"tags": 0, "score": 0}}]""").columns.toSeq
       == Seq("id", "name", "dept"))
