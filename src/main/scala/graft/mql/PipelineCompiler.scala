@@ -53,7 +53,8 @@ object PipelineCompiler {
     * the server-side behavior a standalone engine must supply. */
   def runWithWrites(df: DataFrame, pipelineJson: String,
                     resolve: TableResolver,
-                    store: graft.sinks.DocStore): String = {
+                    store: graft.sinks.DocStore,
+                    tags: Map[String, String] = Map.empty): String = {
     val stages = parseStages(pipelineJson)
     if (stages.isEmpty)
       throw new MqlException("runWithWrites: empty pipeline")
@@ -64,7 +65,8 @@ object PipelineCompiler {
     }
     stages.last match {
       case JObject(List((op, spec))) if WriteStages.WriteStageNames(op) =>
-        WriteStages.execute(runStages(df, stages.init, resolve), op, spec, store)
+        WriteStages.execute(runStages(df, stages.init, resolve), op, spec,
+          store, tags)
       case _ => throw new MqlException(
         "runWithWrites: pipeline must end in $out or $merge")
     }

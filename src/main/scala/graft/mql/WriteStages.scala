@@ -49,13 +49,34 @@ object WriteStages {
     Set("$addFields", "$set", "$project", "$unset", "$replaceRoot", "$replaceWith")
 
   /** Executes one write stage against `store`; returns the target
-    * collection name. `result` is the compiled pipeline prefix. */
+    * collection name. `result` is the compiled pipeline prefix. `tags`
+    * are committed atomically with the written collection
+    * (DocStore.write) — the exactly-once hook for streaming merges. */
   def execute(result: DataFrame, op: String, spec: JValue,
-              store: DocStore): String = op match {
-    case "$out"   => out(result, spec, store)
-    case "$merge" => merge(result, spec, store)
+              store: DocStore,
+              tags: Map[String, String] = Map.empty): String = op match {
+    case "$out"   => out(result, spec, store, tags)
+    case "$merge" => merge(result, spec, store, tags)
     case other    => throw new MqlException(s"not a write stage: $other")
   }
+
+  /** Target collection of a `$out`/`$merge`-tailed pipeline, without
+    * compiling it (pre-flight: replay checks, permissions). None when
+    * the pipeline has no write tail. */
+  def pipelineTarget(pipelineJson: String): Option[String] =
+    (parse(pipelineJson) match {
+      case JArray(ss) => ss.lastOption
+      case _ => None
+    }).collect {
+      case JObject(List(("$out", spec))) => collName(spec, "$out")
+      case JObject(List(("$merge", spec))) => spec match {
+        case JString(coll) => coll
+        case JObject(fields) => fields.collectFirst {
+          case ("into", v) => collName(v, "$merge.into")
+        }.getOrElse(throw new MqlException("$merge: missing 'into'"))
+        case other => throw new MqlException(s"$$merge: bad spec $other")
+      }
+    }
 
   // ---- $out ---------------------------------------------------------------
 
@@ -71,9 +92,10 @@ object WriteStages {
     case other => throw new MqlException(s"$ctx: bad target $other")
   }
 
-  private def out(result: DataFrame, spec: JValue, store: DocStore): String = {
+  private def out(result: DataFrame, spec: JValue, store: DocStore,
+                  tags: Map[String, String]): String = {
     val name = collName(spec, "$out")
-    store.write(result, name)
+    store.write(result, name, tags)
     name
   }
 
@@ -82,7 +104,8 @@ object WriteStages {
   private val SP = "__graft_s_"   // renamed source columns in the joined frame
   private val NewCol = "__graft_new"
 
-  private def merge(source: DataFrame, spec: JValue, store: DocStore): String = {
+  private def merge(source: DataFrame, spec: JValue, store: DocStore,
+                    tags: Map[String, String]): String = {
     // -- parse the spec ----------------------------------------------------
     val fields = spec match {
       case JString(coll)   => List(("into", JString(coll)))
@@ -128,7 +151,7 @@ object WriteStages {
             "$merge: whenNotMatched 'fail' and the target does not exist")
           source.limit(0)
       }
-      store.write(result, name)
+      store.write(result, name, tags)
       return name
     }
 
@@ -213,7 +236,7 @@ object WriteStages {
           (if (whenNotMatched == "insert") Seq(srcOnlyDf) else Nil)
         parts.reduce(_.unionByName(_, allowMissingColumns = true))
     }
-    store.write(result, name)
+    store.write(result, name, tags)
     name
   }
 }

@@ -87,9 +87,32 @@ final class DocStore(val spark: SparkSession, val dir: String,
     }
   }
 
+  /** Commit-tag carrier file inside a collection: `_`-prefixed, so both
+    * parquet and graftdocs readers skip it as data. Because it is
+    * written into the STAGE dir before the swap, a tag is atomic with
+    * the contents it describes — the exactly-once hook for
+    * [[graft.streaming.EventStream.mergeStream]] (a replayed micro-batch
+    * sees its own batchId already committed and skips). */
+  private def tagPath(name: String, key: String): Path =
+    new Path(path(name), s"_graft_tag_$key")
+
+  /** The tag value committed with the collection's current contents. */
+  def readTag(name: String, key: String): Option[String] = {
+    val p = tagPath(name, key)
+    val f = fs
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    }
+  }
+
   /** Write `df` as collection `name`, replacing any prior contents via
-    * the staged swap described above. */
-  def write(df: DataFrame, name: String): Unit = {
+    * the staged swap described above. `tags` are committed atomically
+    * with the contents (see [[readTag]]). */
+  def write(df: DataFrame, name: String,
+            tags: Map[String, String] = Map.empty): Unit = {
     val target = new Path(path(name))
     val stage = new Path(s"$dir/.graft_stage_${validName(name)}_${System.nanoTime()}")
     if (format == "parquet")
@@ -103,6 +126,12 @@ final class DocStore(val spark: SparkSession, val dir: String,
       root.putObject("options")
       val out = fs.create(new Path(stage, "_graft_schema.json"), true)
       try out.write(mapper.writeValueAsBytes(root)) finally out.close()
+    }
+    tags.foreach { case (k, v) =>
+      if (!k.matches("[A-Za-z0-9_-]+"))
+        throw new MqlException(s"bad tag key '$k'")
+      val out = fs.create(new Path(stage, s"_graft_tag_$k"), true)
+      try out.write(v.getBytes("UTF-8")) finally out.close()
     }
     try {
       if (fs.exists(target) && !fs.delete(target, true))

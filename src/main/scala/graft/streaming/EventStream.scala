@@ -207,12 +207,26 @@ object EventStream {
     * merge join against the current target. */
   def mergeStream(stream: DataFrame, pipeline: String,
                   store: graft.sinks.DocStore)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      graft.mql.PipelineCompiler.runWithWrites(batch, pipeline,
-        n => throw new graft.mql.MqlException(
-          s"mergeStream pipeline cannot read collection '$n'"), store): Unit
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val target = graft.mql.WriteStages.pipelineTarget(pipeline).getOrElse(
+      throw new graft.mql.MqlException(
+        "mergeStream: pipeline must end in $out or $merge"))
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      // foreachBatch is AT-LEAST-once: after a crash the engine replays
+      // the last batch, and replaying an incremental fold double-counts.
+      // The batchId is committed ATOMICALLY with the collection contents
+      // (a tag file written into the stage dir before the swap), so a
+      // replayed batch observes its own id and skips — exactly-once for
+      // the collection state. Single-writer per target, like any
+      // checkpointed streaming sink.
+      val committed = store.readTag(target, "batchId").map(_.toLong)
+      if (!committed.exists(_ >= batchId))
+        graft.mql.PipelineCompiler.runWithWrites(batch, pipeline,
+          n => throw new graft.mql.MqlException(
+            s"mergeStream pipeline cannot read collection '$n'"), store,
+          tags = Map("batchId" -> batchId.toString)): Unit
     }
+  }
 
   /** mergeStream over the fixture: a batch `$out` backfills the standing
     * collection from half the corpus, then the stream merges the other

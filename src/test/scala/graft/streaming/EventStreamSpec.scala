@@ -120,6 +120,20 @@ class EventStreamSpec extends AnyFunSuite {
       .select("_id", "n", "maxv").collect()
     assert(rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
       == Seq(("a", 3L, 9.0), ("b", 1L, 2.0), ("c", 1L, 3.0)))
+
+    // replay protection: a fresh checkpoint re-delivers the same files
+    // with batchIds starting at 0 — every batch id ≤ the committed tag
+    // must be skipped, leaving the fold unchanged (no double counting)
+    assert(store.readTag("t", "batchId").map(_.toLong).exists(_ >= 1))
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_msckpt2").toString
+    val q2 = EventStream.mergeStream(stream, pipeline, store)
+      .option("checkpointLocation", ckpt2)
+      .trigger(Trigger.AvailableNow()).start()
+    try q2.processAllAvailable() finally q2.stop()
+    val rows2 = store.read("t").orderBy("_id")
+      .select("_id", "n", "maxv").collect()
+    assert(rows2.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      == Seq(("a", 3L, 9.0), ("b", 1L, 2.0), ("c", 1L, 3.0)))
   }
 
   test("flatMapGroupsWithState carries per-key state across micro-batches") {
