@@ -262,5 +262,32 @@ object Graft {
     /** `$out`/`$merge`-tailed pipeline; returns the target collection name. */
     def aggregateTo(coll: String, pipelineJson: String): String =
       PipelineCompiler.runWithWrites(resolve(coll), pipelineJson, resolve, store)
+
+    /** Change-stream surface (`db[coll].watch(pipeline)` — the third
+      * Mongo query entry point after find/aggregate): an unbounded
+      * stream of change documents in the standard shape
+      * `{operationType, ns: {db, coll}, fullDocument}`, with the
+      * optional MQL `pipeline` applied to the change documents (the
+      * Mongo idiom: `$match` on `fullDocument.<field>`,
+      * `$project`, ...).
+      *
+      * Semantics: the backing store is an append-only collection of
+      * document files (the graftdocs micro-batch tail —
+      * O(1) (mtime,name) watermark offsets), so every change is an
+      * `insert` — the same contract as a change stream on an
+      * insert-only collection. Updates/deletes would require a
+      * replication log the file layout does not have; a pipeline
+      * `$match` on other operationTypes simply yields no rows rather
+      * than failing. Each micro-batch carries the newly arrived
+      * documents only; watermark/state bounds are the caller's choice
+      * of downstream operators. */
+    def watch(coll: String, pipelineJson: String = "[]"): DataFrame = {
+      val stream = spark.readStream.table(s"$catalog.`$coll`")
+      val changes = stream.select(
+        lit("insert").as("operationType"),
+        struct(lit(catalog).as("db"), lit(coll).as("coll")).as("ns"),
+        struct(stream.columns.map(col): _*).as("fullDocument"))
+      PipelineCompiler.run(changes, pipelineJson, resolve)
+    }
   }
 }

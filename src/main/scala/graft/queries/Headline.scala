@@ -340,6 +340,37 @@ object Headline {
                 AND value IS NOT NULL
               GROUP BY 1 ORDER BY _id""")),
 
+    // change-stream surface (db[coll].watch — the third Mongo query
+    // entry point): the events collection tailed as change documents
+    // {operationType, ns, fullDocument} with an MQL pipeline on top;
+    // the drained stream must equal the batch filter over the table
+    QueryDef("q_watch",
+      (s, dir) => {
+        val root = java.nio.file.Files.createTempDirectory("graft_watchq").toString
+        Graft.table(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"))
+          .write.format("graftdocs").mode("overwrite").save(s"$root/events_docs")
+        val cat = s"graftwatch${System.nanoTime()}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.dir", root)
+        val name = s"watchq${System.nanoTime()}"
+        val ckptBase = if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
+          else System.getProperty("java.io.tmpdir")
+        val q = Graft.Db(s, cat).watch("events_docs", """[
+            {"$match": {"fullDocument.event_type": "click"}},
+            {"$project": {"operationType": 1,
+               "event_id": "$fullDocument.event_id",
+               "user_id": "$fullDocument.user_id"}}]""")
+          .writeStream.outputMode("append")
+          .format("memory").queryName(name)
+          .option("checkpointLocation", s"$ckptBase/ckpt_$name")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(name).orderBy("event_id")
+      },
+      Some("""SELECT 'insert' AS operationType, event_id, user_id
+              FROM events WHERE event_type = 'click' ORDER BY event_id""")),
+
     // stream-stream interval join (attribution): each purchase joined to
     // the same user's clicks in the preceding 10 minutes. Inner-join
     // matches emit as found; the watermarks + time band only bound the

@@ -124,6 +124,41 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.table(s"$cat.by_name").count() == 3)
   }
 
+  test("Db.watch: change-stream shape, MQL pipeline, incremental tail") {
+    val (cat, root) = freshCatalog()
+    seed(root, "people")
+    val db = graft.api.Graft.Db(spark, cat)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_watch").toString
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, String)]()
+    def drain(): Unit = {
+      val q = db.watch("people", """[
+          {"$match": {"fullDocument.bal": {"$gte": 15}}},
+          {"$project": {"operationType": 1, "coll": "$ns.coll",
+             "name": "$fullDocument.name"}}]""")
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r =>
+            got.add((r.getString(0), r.getString(1), r.getString(2)))): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain()
+    val first = got.toArray(Array.empty[(String, String, String)])
+    assert(first.map(_._1).forall(_ == "insert"))
+    assert(first.map(_._2).forall(_ == "people"))
+    assert(first.map(_._3).sorted.toSeq == Seq("bob", "cat"))
+    // new arrivals only: the shared checkpoint makes the second drain a
+    // pure tail — just the appended document flows through
+    got.clear()
+    Seq((9L, "zed", 99.0)).toDF("id", "name", "bal")
+      .write.format("graftdocs").mode("append").save(s"$root/people")
+    drain()
+    assert(got.toArray(Array.empty[(String, String, String)]).map(_._3).toSeq
+      == Seq("zed"))
+  }
+
   test("DocStore.vacuum removes orphaned stage dirs, never collections") {
     val root = java.nio.file.Files.createTempDirectory("graft_vac").toString
     val store = new graft.sinks.DocStore(spark, root)
