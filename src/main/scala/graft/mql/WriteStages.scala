@@ -43,6 +43,11 @@ import graft.sinks.DocStore
 object WriteStages {
   private[mql] val WriteStageNames = Set("$out", "$merge")
 
+  /** Partition-scoped merge cap: beyond this many touched partitions
+    * the pruning predicate (an OR of per-tuple conjunctions) stops
+    * paying for itself and the full-collection path runs instead. */
+  private val MaxScopedPartitions = 256
+
   /** Pipeline-form whenMatched may use exactly these stages (Mongo's
     * documented whitelist for the `$merge` update pipeline). */
   private val MergePipelineStages =
@@ -155,10 +160,34 @@ object WriteStages {
       return name
     }
 
-    val target = store.read(name)
+    // -- partition-scoped merge: when the target is a PARTITIONED
+    // collection and the on-keys cover its partition columns, only the
+    // partitions the source touches are read (partition-pruned scan)
+    // and rewritten (per-partition swap) — a 100 TB collection is
+    // never rewritten for a merge that lands in one day's partitions.
+    // Falls back to the full-collection path beyond MaxScopedPartitions
+    // touched partitions (a huge OR defeats pruning and codegen) or
+    // when a fail-mode needs global visibility anyway.
+    val partCols = store.partitionColumnsOf(name)
+    val scopedTuples: Option[Seq[org.apache.spark.sql.Row]] =
+      if (partCols.nonEmpty && partCols.forall(on.contains)) {
+        val ts = source.select(partCols.map(col): _*).distinct()
+          .limit(MaxScopedPartitions + 1).collect().toSeq
+        if (ts.size <= MaxScopedPartitions) Some(ts) else None
+      } else None
+
+    val targetAll = store.read(name)
     on.foreach { k =>
-      if (!target.columns.contains(k))
+      if (!targetAll.columns.contains(k))
         throw new MqlException(s"$$merge: on-field '$k' missing from target '$name'")
+    }
+    val target = scopedTuples match {
+      case Some(tuples) if tuples.nonEmpty =>
+        targetAll.where(tuples.map(t =>
+          partCols.zipWithIndex.map { case (c, i) =>
+            col(c) <=> lit(t.get(i)) }.reduce(_ && _)).reduce(_ || _))
+      case Some(_) => targetAll.limit(0) // empty source: no partition touched
+      case None => targetAll
     }
     val tCols = target.columns.toSeq
     val sCols = source.columns.toSeq
@@ -236,7 +265,12 @@ object WriteStages {
           (if (whenNotMatched == "insert") Seq(srcOnlyDf) else Nil)
         parts.reduce(_.unionByName(_, allowMissingColumns = true))
     }
-    store.write(result, name, tags)
+    // a partitioned target is ALWAYS rewritten through the partitioned
+    // writer (a flat write would destroy the layout); merge never drops
+    // rows, so swapping every partition present in `result` IS the full
+    // rewrite when the scope didn't prune
+    if (partCols.nonEmpty) store.overwritePartitions(result, name, partCols, tags)
+    else store.write(result, name, tags)
     name
   }
 }

@@ -73,6 +73,87 @@ final class DocStore(val spark: SparkSession, val dir: String,
       withSchema.load(path(name))
     }
 
+  /** Partition columns a graftdocs collection was created with (the
+    * catalog sidecar's `partitionby` option); empty for parquet
+    * collections, unpartitioned collections, or external layouts
+    * without a sidecar. */
+  def partitionColumnsOf(name: String): Seq[String] = {
+    if (format != "graftdocs") return Seq.empty
+    val side = new Path(path(name), "_graft_schema.json")
+    val f = fs
+    if (!f.exists(side)) return Seq.empty
+    val in = f.open(side)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+               finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+    Option(node.get("options")).flatMap(o => Option(o.get("partitionby")))
+      .map(_.asText.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+  }
+
+  /** Overwrite ONLY the hive partitions present in `df`, leaving every
+    * other partition's files untouched — the scale path for `$merge`
+    * into a partitioned collection (a 100 TB collection is never
+    * rewritten for a merge that touches one day). The full `df` is
+    * staged partitioned first, then each staged `k=v` leaf directory
+    * is swapped in; atomicity is PER PARTITION (the hive
+    * dynamic-overwrite contract — a crash mid-swap leaves some
+    * partitions new and some old, each internally consistent). The
+    * sidecar is refreshed last so schema widening (new merge columns)
+    * is visible to readers. */
+  def overwritePartitions(df: DataFrame, name: String,
+                          partitionBy: Seq[String],
+                          tags: Map[String, String] = Map.empty): Unit = {
+    require(format == "graftdocs", "overwritePartitions needs graftdocs layout")
+    val target = new Path(path(name))
+    val stage = new Path(s"$dir/.graft_stage_${validName(name)}_${System.nanoTime()}")
+    df.write.format("graftdocs")
+      .option("partitionby", partitionBy.mkString(","))
+      .mode("overwrite").save(stage.toString)
+    val f = fs
+    try {
+      // leaf partition dirs sit exactly partitionBy.length levels deep
+      def leaves(p: Path, depth: Int): Seq[Path] =
+        if (depth == 0) Seq(p)
+        else f.listStatus(p).toSeq.filter(s => s.isDirectory &&
+          s.getPath.getName.contains("=")).flatMap(s => leaves(s.getPath, depth - 1))
+      leaves(stage, partitionBy.length).foreach { leaf =>
+        // relative k=v path = the last partitionBy.length segments
+        // (string-prefix stripping is scheme-fragile: Path.toString may
+        // or may not carry file:/hdfs: depending on how it was built)
+        val rel = Iterator.iterate(leaf)(_.getParent)
+          .take(partitionBy.length).map(_.getName).toSeq.reverse.mkString("/")
+        val dst = new Path(target, rel)
+        if (f.exists(dst) && !f.delete(dst, true))
+          throw new MqlException(s"could not replace partition $rel of '$name'")
+        f.mkdirs(dst.getParent)
+        if (!f.rename(leaf, dst))
+          throw new MqlException(s"could not commit partition $rel of '$name'")
+      }
+      // refreshed sidecar (schema may have widened through the merge);
+      // partitionby is preserved so later loads keep the layout contract
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.createObjectNode()
+      root.set[com.fasterxml.jackson.databind.JsonNode]("schema",
+        mapper.readTree(df.schema.json))
+      root.putObject("options").put("partitionby", partitionBy.mkString(","))
+      val out = f.create(new Path(target, "_graft_schema.json"), true)
+      try out.write(mapper.writeValueAsBytes(root)) finally out.close()
+      // tags land AFTER the per-partition swaps: replay protection for
+      // partitioned targets is at-least-once with the window narrowed
+      // to this write (the unpartitioned path is exactly-once — its tag
+      // rides the single atomic swap)
+      tags.foreach { case (k, v) =>
+        if (!k.matches("[A-Za-z0-9_-]+"))
+          throw new MqlException(s"bad tag key '$k'")
+        val o = f.create(tagPath(name, k), true)
+        try o.write(v.getBytes("UTF-8")) finally o.close()
+      }
+    } finally {
+      if (f.exists(stage)) f.delete(stage, true): Unit
+    }
+  }
+
   /** Remove orphaned stage directories (left only by a crash BETWEEN
     * a completed stage write and its swap — the finally-block cleans
     * the normal paths). Never touches live collections. Returns the

@@ -145,6 +145,32 @@ class WriteStagesSpec extends AnyFunSuite {
     assert(store.read("hot").count() == 3)
   }
 
+  test("partition-scoped $merge rewrites only the touched partitions") {
+    val root = java.nio.file.Files.createTempDirectory("graft_pmerge").toString
+    val store = new DocStore(spark, root, "graftdocs")
+    store.overwritePartitions(
+      Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("b", 3L, 30.0))
+        .toDF("grp", "id", "bal"), "t", Seq("grp"))
+    assert(store.partitionColumnsOf("t") == Seq("grp"))
+    def bFiles(): Map[String, Long] = {
+      val d = new java.io.File(s"$root/t/grp=b")
+      d.listFiles().filter(_.isFile).map(f => f.getName -> f.lastModified).toMap
+    }
+    val before = bFiles()
+    // touch grp=a (update id=1, insert id=9) and grp=c (new partition)
+    val src = Seq(("a", 1L, 11.0), ("a", 9L, 90.0), ("c", 7L, 70.0))
+      .toDF("grp", "id", "bal")
+    runW(src, """[{"$merge": {"into": "t", "on": ["grp", "id"]}}]""", store)
+    // untouched partition: exactly the same files (no rewrite)
+    assert(bFiles() == before)
+    assert(new java.io.File(s"$root/t/grp=c").isDirectory)
+    val rows = store.read("t").orderBy("grp", "id")
+      .select("grp", "id", "bal").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows == Seq(("a", 1L, 11.0), ("a", 2L, 20.0), ("a", 9L, 90.0),
+      ("b", 3L, 30.0), ("c", 7L, 70.0)))
+  }
+
   test("$merge whenMatched pipeline rejects non-whitelisted stages") {
     val store = freshStore()
     store.write(Seq((1, "x")).toDF("_id", "name"), "t")
