@@ -340,6 +340,37 @@ object Headline {
                 AND value IS NOT NULL
               GROUP BY 1 ORDER BY _id""")),
 
+    // partition-scoped $merge: the target is a PARTITIONED graftdocs
+    // collection and the on-keys cover the partition column, so the
+    // merge reads and rewrites only the partitions the source touches
+    // (per-partition staged renames); folding the second disjoint half
+    // into the first must equal the one-shot GROUP BY over all orders
+    QueryDef("q_merge_partitioned",
+      (s, dir) => {
+        val store = new graft.sinks.DocStore(s,
+          java.nio.file.Files.createTempDirectory("graft_pmq").toString,
+          "graftdocs")
+        def half(rem: Int) = s"""[
+          {"$$match": {"o_orderkey": {"$$mod": [2, $rem]}}},
+          {"$$group": {"_id": {"st": "$$o_orderstatus", "ck": "$$o_custkey"},
+             "n": {"$$count": {}}, "maxp": {"$$max": "$$o_totalprice"}}},
+          {"$$project": {"_id": 0, "status": "$$_id.st", "custkey": "$$_id.ck",
+             "n": 1, "maxp": 1}}"""
+        store.overwritePartitions(
+          Graft.aggregate(s, dir, "orders", half(0) + "]"),
+          "cust_part", Seq("status"))
+        Graft.aggregateTo(s, dir, "orders", half(1) + """,
+          {"$merge": {"into": "cust_part", "on": ["status", "custkey"],
+            "whenMatched": [{"$set": {
+              "n": {"$add": ["$n", "$$new.n"]},
+              "maxp": {"$max": ["$maxp", "$$new.maxp"]}}}],
+            "whenNotMatched": "insert"}}]""", store)
+        store.read("cust_part").orderBy("status", "custkey")
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n, MAX(o_totalprice) AS maxp,
+                     o_orderstatus AS status, o_custkey AS custkey
+              FROM orders GROUP BY 3, 4 ORDER BY status, custkey""")),
+
     // change-stream surface (db[coll].watch — the third Mongo query
     // entry point): the events collection tailed as change documents
     // {operationType, ns, fullDocument} with an MQL pipeline on top;
