@@ -1,6 +1,6 @@
 package graft.llmops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Benchmark decontamination: find (and drop) training documents that
@@ -57,6 +57,51 @@ object Decontaminate {
     * the exact path. Callers needing exactness re-verify the flagged
     * (small) candidate set with `contaminationHits` — corpus-scan cost
     * is paid once either way. */
+  /** Longest-contiguous-overlap contamination score: for each corpus
+    * document, the length (in shingles and in tokens) of the longest
+    * RUN of consecutive positions whose `shingleN`-gram also appears in
+    * the benchmark — the "13-gram overlap span" style check (GPT-3
+    * appendix C / PaLM) that distinguishes a verbatim quoted test item
+    * from scattered incidental n-gram hits, which plain hit-counting
+    * cannot. Output: (id, max_run, overlap_tokens = max_run+n−1,
+    * n_hits) for documents with ≥ 1 matching shingle.
+    *
+    * Scale shape: the benchmark shingle set broadcasts (small by
+    * construction, same contract as [[contaminationHits]]); matched
+    * positions — a tiny fraction of the corpus — shuffle once on doc
+    * id; the run detection is the classic islands trick (pos −
+    * row_number) under a window PARTITIONED by doc id, bounded by
+    * per-doc match counts. The corpus itself never shuffles. */
+  def overlapSpans(docs: DataFrame, idCol: String, textCol: String,
+                   bench: DataFrame, benchTextCol: String,
+                   shingleN: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def posShingles(text: Column): Column = {
+      val w = TextAnalysis.tokens(text)
+      // sequence(1, stop) DESCENDS when stop < 1 — guard short docs
+      when(size(w) >= shingleN,
+        transform(sequence(lit(1), size(w) - (shingleN - 1)), i =>
+          struct(i.as("pos"), concat_ws(" ", slice(w, i, lit(shingleN))).as("s"))))
+        .otherwise(array().cast("array<struct<pos:int,s:string>>"))
+    }
+    val benchShingles = bench
+      .select(explode(Dedup.shingles(col(benchTextCol), shingleN)).as("s"))
+      .distinct()
+    val matched = docs
+      .select(col(idCol), explode(posShingles(col(textCol))).as("ps"))
+      .select(col(idCol), col("ps.pos").as("pos"), col("ps.s").as("s"))
+      .join(broadcast(benchShingles), "s")
+    val isl = matched.withColumn("__isl",
+      col("pos") - row_number().over(
+        Window.partitionBy(idCol).orderBy(col("pos").asc)))
+    isl.groupBy(col(idCol), col("__isl"))
+      .agg(count(lit(1)).as("__run"))
+      .groupBy(idCol)
+      .agg(max("__run").as("max_run"), sum("__run").as("n_hits"))
+      .select(col(idCol), col("max_run"),
+        (col("max_run") + (shingleN - 1)).as("overlap_tokens"), col("n_hits"))
+  }
+
   def contaminationHitsBloom(docs: DataFrame, idCol: String, textCol: String,
                              bench: DataFrame, benchTextCol: String,
                              shingleN: Int = 3, minHits: Int = 1,

@@ -421,4 +421,47 @@ object Dedup {
       .distinct()
       .where(col("hamming") <= maxDist)
   }
+
+  /** Paragraph/chunk-level dedup with document reconstruction (the
+    * Dolma-style "dedupe paragraphs across the corpus, keep documents"
+    * pass; here the unit is a fixed `chunkSize`-token chunk because the
+    * fixtures carry no newlines). A chunk occurrence survives iff it is
+    * the globally FIRST occurrence of its text (ordered by doc id then
+    * chunk position); every document is then rebuilt from its surviving
+    * chunks in order. Output: (id, n_chunks, n_kept, text_dedup) for
+    * every input document — a fully-deduped doc comes back with
+    * n_kept = 0 and empty text.
+    *
+    * Scale shape: chunks shuffle ONCE on their md5 digest (never the
+    * chunk text itself — the join key is 32 bytes regardless of chunk
+    * length) for the first-occurrence window, then once on doc id for
+    * reconstruction. No self-join, no broadcast that grows with the
+    * corpus; both shuffles are linear in corpus size and AQE-skew-safe.
+    * Digest collisions (md5 over exact text) are the standard accepted
+    * risk of every hash-dedup pipeline. */
+  def dedupChunks(df: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chunks = Sampling.chunkDocuments(df, idCol, textCol, chunkSize)
+      .withColumn("__h", md5(col("chunk_text").cast("binary")))
+    // first occurrence per digest: rank within the digest's partition —
+    // partition count = distinct chunks, each group tiny (duplicate
+    // multiplicity), so the window is bounded per key
+    val rn = row_number().over(
+      Window.partitionBy("__h").orderBy(col(idCol).asc, col("chunk_id").asc))
+    val flagged = chunks.withColumn("__keep", rn === 1)
+    val rebuilt = flagged.groupBy(idCol).agg(
+      count(lit(1)).as("n_chunks"),
+      sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+      concat_ws(" ", transform(
+        array_sort(collect_list(when(col("__keep"),
+          struct(col("chunk_id"), col("chunk_text"))))),
+        s => s.getField("chunk_text"))).as("text_dedup"))
+    // docs with zero tokens produce no chunks — restore them empty
+    df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.api.Graft
-import graft.llmops.{Decontaminate, Dedup, Multimodal, Sampling, Similarity, TextAnalysis, TfIdf}
+import graft.llmops.{Decontaminate, Dedup, Dsir, Multimodal, Sampling, Similarity, TextAnalysis, TfIdf}
 
 /** Training-data pipeline operators over the documents/embeddings
   * fixtures: text analysis, dedup (exact → minhash/simhash near-dup),
@@ -2341,6 +2341,151 @@ object LlmOps {
             SELECT doc_id, score,
                    CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
                         AS BIGINT) AS rnk
-            FROM sc QUALIFY rnk <= 20 ORDER BY rnk"""))
+            FROM sc QUALIFY rnk <= 20 ORDER BY rnk""")),
+
+    // DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    // multinomials, target = every 10th doc, raw = the rest; weight =
+    // per-doc log-likelihood ratio. Broadcast 256-row ratio table; the
+    // corpus shuffles only (feature → doc id), like a word count.
+    QueryDef("q_dsir_weights",
+      (s, dir) => {
+        val d = Graft.table(s, dir, "documents")
+        Dsir.importanceWeights(
+          d.where(col("doc_id") % 10 =!= 0),
+          d.where(col("doc_id") % 10 === 0),
+          "doc_id", "text", buckets = 256, alpha = 0.5)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH w AS (SELECT doc_id, $duckToks AS w FROM documents),
+               f AS (SELECT doc_id, list_concat(w,
+                       [array_to_string(w[i:i+1], ' ')
+                        for i in range(1, greatest(len(w), 1))]) AS fs
+                     FROM w),
+               occ AS (SELECT doc_id,
+                         ('0x' || substr(md5(f), 1, 8))::BIGINT % 256 AS b
+                       FROM (SELECT doc_id, unnest(fs) AS f FROM f)),
+               tc AS (SELECT b, COUNT(*) AS nt FROM occ
+                      WHERE doc_id % 10 = 0 GROUP BY b),
+               rc AS (SELECT b, COUNT(*) AS nr FROM occ
+                      WHERE doc_id % 10 <> 0 GROUP BY b),
+               j AS (SELECT COALESCE(rc.b, tc.b) AS b,
+                       COALESCE(nt, 0) AS nt, COALESCE(nr, 0) AS nr
+                     FROM rc FULL OUTER JOIN tc ON rc.b = tc.b),
+               tot AS (SELECT SUM(nt) AS tt, SUM(nr) AS tr FROM j),
+               lr AS (SELECT b, ln((nt + 0.5) / (tt + 128.0)) -
+                        ln((nr + 0.5) / (tr + 128.0)) AS lr FROM j, tot),
+               s AS (SELECT o.doc_id, COUNT(*) AS n_feats, SUM(lr) AS w
+                     FROM occ o JOIN lr USING (b)
+                     WHERE o.doc_id % 10 <> 0 GROUP BY o.doc_id)
+             SELECT d.doc_id,
+                    CAST(COALESCE(n_feats, 0) AS BIGINT) AS n_feats,
+                    ROUND(COALESCE(w, 0.0), 6) AS weight
+             FROM documents d LEFT JOIN s USING (doc_id)
+             WHERE d.doc_id % 10 <> 0 ORDER BY d.doc_id""")),
+
+    // DSIR Gumbel-top-k resampling over those weights: deterministic
+    // "sample 50 without replacement ∝ exp(weight)" via seeded-md5
+    // Gumbel noise — plans as TakeOrdered, never a full sort
+    QueryDef("q_dsir_sample",
+      (s, dir) => {
+        val d = Graft.table(s, dir, "documents")
+        Dsir.resample(
+          Dsir.importanceWeights(
+            d.where(col("doc_id") % 10 =!= 0),
+            d.where(col("doc_id") % 10 === 0),
+            "doc_id", "text", buckets = 256, alpha = 0.5),
+          "doc_id", k = 50)
+      },
+      Some(s"""WITH w AS (SELECT doc_id, $duckToks AS w FROM documents),
+               f AS (SELECT doc_id, list_concat(w,
+                       [array_to_string(w[i:i+1], ' ')
+                        for i in range(1, greatest(len(w), 1))]) AS fs
+                     FROM w),
+               occ AS (SELECT doc_id,
+                         ('0x' || substr(md5(f), 1, 8))::BIGINT % 256 AS b
+                       FROM (SELECT doc_id, unnest(fs) AS f FROM f)),
+               tc AS (SELECT b, COUNT(*) AS nt FROM occ
+                      WHERE doc_id % 10 = 0 GROUP BY b),
+               rc AS (SELECT b, COUNT(*) AS nr FROM occ
+                      WHERE doc_id % 10 <> 0 GROUP BY b),
+               j AS (SELECT COALESCE(rc.b, tc.b) AS b,
+                       COALESCE(nt, 0) AS nt, COALESCE(nr, 0) AS nr
+                     FROM rc FULL OUTER JOIN tc ON rc.b = tc.b),
+               tot AS (SELECT SUM(nt) AS tt, SUM(nr) AS tr FROM j),
+               lr AS (SELECT b, ln((nt + 0.5) / (tt + 128.0)) -
+                        ln((nr + 0.5) / (tr + 128.0)) AS lr FROM j, tot),
+               s AS (SELECT o.doc_id, SUM(lr) AS w
+                     FROM occ o JOIN lr USING (b)
+                     WHERE o.doc_id % 10 <> 0 GROUP BY o.doc_id),
+               ws AS (SELECT d.doc_id, ROUND(COALESCE(w, 0.0), 6) AS weight
+                      FROM documents d LEFT JOIN s USING (doc_id)
+                      WHERE d.doc_id % 10 <> 0),
+               g AS (SELECT doc_id, weight,
+                       ROUND(weight - ln(-ln(
+                         (('0x' || substr(md5('dsir:' || doc_id), 1, 8))::BIGINT
+                          % 1000000 + 0.5) / 1000000.0)), 6) AS gkey
+                     FROM ws)
+             SELECT doc_id, weight, gkey FROM g
+             ORDER BY gkey DESC, doc_id LIMIT 50""")),
+
+    // chunk-level dedup with document reconstruction (Dolma-style
+    // paragraph dedup; fixed 10-token chunks stand in for paragraphs):
+    // keep the globally-first occurrence of every chunk, rebuild docs
+    QueryDef("q_chunk_dedup",
+      (s, dir) => Dedup.dedupChunks(Graft.table(s, dir, "documents"),
+        "doc_id", "text", chunkSize = 10)
+        .orderBy("doc_id"),
+      Some(s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+               n AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+               c AS (SELECT doc_id, t,
+                       greatest(CAST(ceil(n::DOUBLE / 10) AS INT), 1) AS nc
+                     FROM n),
+               e AS (SELECT doc_id, t,
+                       unnest(generate_series(0, nc - 1)) AS i FROM c),
+               ch AS (SELECT doc_id, CAST(i AS BIGINT) AS cid,
+                        array_to_string(t[i*10+1 : i*10+10], ' ') AS ct FROM e),
+               r AS (SELECT doc_id, cid, ct,
+                       ROW_NUMBER() OVER (PARTITION BY ct
+                         ORDER BY doc_id, cid) AS rn FROM ch),
+               g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+                       CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+                       COALESCE(string_agg(ct, ' ' ORDER BY cid)
+                         FILTER (WHERE rn = 1), '') AS text_dedup
+                     FROM r GROUP BY doc_id)
+             SELECT d.doc_id, COALESCE(n_chunks, 0) AS n_chunks,
+                    COALESCE(n_kept, 0) AS n_kept,
+                    COALESCE(text_dedup, '') AS text_dedup
+             FROM documents d LEFT JOIN g USING (doc_id)
+             ORDER BY d.doc_id""")),
+
+    // longest-contiguous-overlap decontamination (GPT-3-appendix-style
+    // span check): longest run of consecutive benchmark 3-gram hits per
+    // doc — distinguishes verbatim quotes from scattered hits
+    QueryDef("q_overlap_decon",
+      (s, dir) => {
+        val d = Graft.table(s, dir, "documents")
+        Decontaminate.overlapSpans(
+          d.where(col("doc_id") % 20 =!= 0), "doc_id", "text",
+          d.where(col("doc_id") % 20 === 0), "text", shingleN = 3)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $duckToks AS w FROM documents),
+               b AS (SELECT DISTINCT unnest($duckShingles) AS s
+                     FROM t WHERE doc_id % 20 = 0),
+               ps AS (SELECT doc_id,
+                        unnest(generate_series(1, len(w) - 2)) AS pos, w
+                      FROM t WHERE doc_id % 20 <> 0 AND len(w) >= 3),
+               pss AS (SELECT doc_id, pos,
+                         array_to_string(w[pos:pos+2], ' ') AS s FROM ps),
+               m AS (SELECT doc_id, pos FROM pss JOIN b USING (s)),
+               i AS (SELECT doc_id, pos,
+                       pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                         ORDER BY pos) AS isl FROM m),
+               r AS (SELECT doc_id, isl, COUNT(*) AS run
+                     FROM i GROUP BY doc_id, isl)
+             SELECT doc_id, CAST(MAX(run) AS BIGINT) AS max_run,
+                    CAST(MAX(run) + 2 AS BIGINT) AS overlap_tokens,
+                    CAST(SUM(run) AS BIGINT) AS n_hits
+             FROM r GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

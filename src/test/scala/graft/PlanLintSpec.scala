@@ -50,7 +50,9 @@ class PlanLintSpec extends AnyFunSuite {
     "q_corpus_shuffle" -> "prefix-sum window over nChunks rows only",
     "q_chunk_docs" -> "prefix-sum window over nChunks rows only",
     "q_token_budget" -> "running-total cutoff over an already-sampled slice",
-    "q_packing" -> "bin offsets over nBins rows only")
+    "q_packing" -> "bin offsets over nBins rows only",
+    "q_dsir_weights" -> "log-ratio totals window over the ≤buckets-row fitted-model table (Dsir.importanceWeights)",
+    "q_dsir_sample" -> "same bounded totals window as q_dsir_weights")
 
   /** query → justification for a known single-partition funnel that is
     * not below an aggregate/limit in the same stage. */

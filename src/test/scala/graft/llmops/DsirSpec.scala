@@ -1,0 +1,93 @@
+package graft.llmops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+
+/** Specs for the round-6 curation additions: DSIR importance
+  * resampling, chunk-level dedup with reconstruction, and the
+  * longest-contiguous-overlap decontamination score. */
+class DsirSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  test("featureBuckets emits unigrams + bigrams, one per occurrence") {
+    val df = Seq((1L, "a b a")).toDF("id", "text")
+    val n = df.select(size(Dsir.featureBuckets(
+      TextAnalysis.tokens(col("text")), 256)).as("n"))
+      .as[Int].head()
+    // 3 unigram occurrences + 2 bigrams ("a b", "b a")
+    assert(n == 5)
+    // single-token and empty docs: no bigrams, no stray null-padded one
+    val n1 = Seq((1L, "solo")).toDF("id", "text")
+      .select(size(Dsir.featureBuckets(TextAnalysis.tokens(col("text")), 256)))
+      .as[Int].head()
+    assert(n1 == 1)
+    val n0 = Seq((1L, "  ")).toDF("id", "text")
+      .select(size(Dsir.featureBuckets(TextAnalysis.tokens(col("text")), 256)))
+      .as[Int].head()
+    assert(n0 == 0)
+  }
+
+  test("importanceWeights ranks target-like docs above off-domain docs") {
+    val target = Seq(
+      (100L, "physics energy quantum field theory"),
+      (101L, "quantum field energy state physics")).toDF("id", "text")
+    val raw = Seq(
+      (1L, "quantum physics energy field notes"),   // target-like
+      (2L, "cheap shoes buy now sale discount"),    // off-domain
+      (3L, "energy drink sale")                     // mixed
+    ).toDF("id", "text")
+    val w = Dsir.importanceWeights(raw, target, "id", "text", buckets = 64)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(w(1L) > w(3L) && w(3L) > w(2L),
+      s"expected target-like > mixed > off-domain, got $w")
+    // every raw doc gets a row, even one with no tokens
+    val withEmpty = raw.union(Seq((4L, "   ")).toDF("id", "text"))
+    val w2 = Dsir.importanceWeights(withEmpty, target, "id", "text", buckets = 64)
+    assert(w2.count() == 4)
+    assert(w2.where(col("id") === 4L).select("weight").as[Double].head() == 0.0)
+  }
+
+  test("resample is a deterministic Gumbel top-k") {
+    val target = Seq((100L, "alpha beta gamma")).toDF("id", "text")
+    val raw = (1L to 20L).map(i => (i, s"alpha beta doc$i")).toDF("id", "text")
+    val w = Dsir.importanceWeights(raw, target, "id", "text", buckets = 64)
+    val a = Dsir.resample(w, "id", k = 5).as[(Long, Double, Double)].collect()
+    val b = Dsir.resample(w, "id", k = 5).as[(Long, Double, Double)].collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.length == 5)
+    // keys descend
+    assert(a.map(_._3).toSeq == a.map(_._3).sorted(Ordering[Double].reverse).toSeq)
+  }
+
+  test("dedupChunks keeps first occurrence and rebuilds documents") {
+    val df = Seq(
+      (1L, "a b c d e f"),   // chunks (size 3): "a b c", "d e f"
+      (2L, "a b c x y z"),   // "a b c" duplicates doc 1's first chunk
+      (3L, "d e f"),         // duplicates doc 1's second chunk
+      (4L, "   ")            // no tokens → zero chunks, empty text
+    ).toDF("id", "text")
+    val out = Dedup.dedupChunks(df, "id", "text", chunkSize = 3)
+      .orderBy("id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, 2L, "a b c d e f"),
+      (2L, 2L, 1L, "x y z"),
+      (3L, 1L, 0L, ""),
+      (4L, 0L, 0L, "")))
+  }
+
+  test("overlapSpans finds the longest consecutive-hit run, not just hits") {
+    val bench = Seq((1L, "q w e r t y")).toDF("id", "text")
+    // doc 10: "q w e r" → positional 3-grams "q w e","w e r" both hit,
+    // consecutive → run 2, overlap_tokens 4. doc 11 has two SEPARATED
+    // single hits → max_run 1 but n_hits 2.
+    val docs = Seq(
+      (10L, "q w e r zz zz"),
+      (11L, "q w e zz zz r t y zz"),
+      (12L, "no hits here at all")).toDF("id", "text")
+    val out = Decontaminate.overlapSpans(docs, "id", "text", bench, "text")
+      .orderBy("id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((10L, 2L, 4L, 2L), (11L, 1L, 3L, 2L)))
+  }
+}
