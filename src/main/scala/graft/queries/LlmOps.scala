@@ -2343,11 +2343,14 @@ object LlmOps {
                         AS BIGINT) AS rnk
             FROM sc QUALIFY rnk <= 20 ORDER BY rnk""")),
 
-    // DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
-    // multinomials, target = every 10th doc, raw = the rest; weight =
-    // per-doc log-likelihood ratio. Broadcast 256-row ratio table; the
-    // corpus shuffles only (feature → doc id), like a word count.
-    QueryDef("q_dsir_weights",
+    // DSIR, HASHED-feature variant (Xie et al. 2023 §2.2 — the paper's
+    // actual recipe, complementing q_dsir_weights' unigram-vocab form):
+    // unigram+bigram occurrences hashed into a FIXED 256-bucket space,
+    // so the fitted-model table is constant-size at any corpus scale;
+    // weight = per-doc log-likelihood ratio. Broadcast 256-row ratio
+    // table; the corpus shuffles only (feature → doc id), word-count
+    // shape. Target = every 10th doc, raw = the rest.
+    QueryDef("q_dsir_hashed",
       (s, dir) => {
         val d = Graft.table(s, dir, "documents")
         Dsir.importanceWeights(

@@ -51,8 +51,8 @@ class PlanLintSpec extends AnyFunSuite {
     "q_chunk_docs" -> "prefix-sum window over nChunks rows only",
     "q_token_budget" -> "running-total cutoff over an already-sampled slice",
     "q_packing" -> "bin offsets over nBins rows only",
-    "q_dsir_weights" -> "log-ratio totals window over the ≤buckets-row fitted-model table (Dsir.importanceWeights)",
-    "q_dsir_sample" -> "same bounded totals window as q_dsir_weights")
+    "q_dsir_hashed" -> "log-ratio totals window over the ≤buckets-row fitted-model table (Dsir.importanceWeights)",
+    "q_dsir_sample" -> "same bounded totals window as q_dsir_hashed")
 
   /** query → justification for a known single-partition funnel that is
     * not below an aggregate/limit in the same stage. */
@@ -142,6 +142,15 @@ class PlanLintSpec extends AnyFunSuite {
   // linted; these four are excluded only when construction itself
   // cannot run twice in one JVM.
   private val skip: Set[String] = Set.empty
+
+  test("gate query names are unique across defs") {
+    // SparkEntry.queries/oracleSql are name-keyed maps — a duplicate
+    // QueryDef name silently SHADOWS the earlier query and its oracle
+    // (this bit round 6: a second q_dsir_weights displaced the first)
+    val names = SparkEntry.defs.map(_.name)
+    val dups = names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    assert(dups.isEmpty, s"duplicate gate query names: ${dups.mkString(", ")}")
+  }
 
   test("every gate query plans clean at 100 TB shape rules") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
