@@ -76,19 +76,22 @@ object Decontaminate {
                    bench: DataFrame, benchTextCol: String,
                    shingleN: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def posShingles(text: Column): Column = {
-      val w = TextAnalysis.tokens(text)
+    // tokens materialize into a column BEFORE the per-position lambda —
+    // a tokenizer expression captured inside transform() re-runs the
+    // split per POSITION (O(positions × tokens) regex work per doc; the
+    // round-5 phrase-scorer lesson)
+    def posShingles(w: Column): Column =
       // sequence(1, stop) DESCENDS when stop < 1 — guard short docs
       when(size(w) >= shingleN,
         transform(sequence(lit(1), size(w) - (shingleN - 1)), i =>
           struct(i.as("pos"), concat_ws(" ", slice(w, i, lit(shingleN))).as("s"))))
         .otherwise(array().cast("array<struct<pos:int,s:string>>"))
-    }
     val benchShingles = bench
       .select(explode(Dedup.shingles(col(benchTextCol), shingleN)).as("s"))
       .distinct()
     val matched = docs
-      .select(col(idCol), explode(posShingles(col(textCol))).as("ps"))
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__w"))
+      .select(col(idCol), explode(posShingles(col("__w"))).as("ps"))
       .select(col(idCol), col("ps.pos").as("pos"), col("ps.s").as("s"))
       .join(broadcast(benchShingles), "s")
     val isl = matched.withColumn("__isl",

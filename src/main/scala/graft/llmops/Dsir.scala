@@ -47,10 +47,13 @@ object Dsir {
   }
 
   /** Per-bucket occurrence counts of a corpus: (b, n), ≤ `buckets`
-    * rows. One explode + one map-side-combined hash agg. */
+    * rows. One explode + one map-side-combined hash agg. Tokens
+    * materialize into a column first — featureBuckets references its
+    * token array several times (concat/zip_with/slice/size), and an
+    * inlined split expression would re-run per reference. */
   private def bucketCounts(df: DataFrame, textCol: String, buckets: Int): DataFrame =
-    df.select(explode(featureBuckets(TextAnalysis.tokens(col(textCol)), buckets))
-        .as("b"))
+    df.select(TextAnalysis.tokens(col(textCol)).as("__w"))
+      .select(explode(featureBuckets(col("__w"), buckets)).as("b"))
       .groupBy("b").agg(count(lit(1)).as("n"))
 
   /** Importance weights: for every raw-corpus document,
@@ -82,8 +85,9 @@ object Dsir {
       .select(col("b"),
         (log((col("nt") + alpha) / (sum("nt").over(tw) + denomB)) -
          log((col("nr") + alpha) / (sum("nr").over(tw) + denomB))).as("lr"))
-    val occ = raw.select(col(idCol),
-      explode(featureBuckets(TextAnalysis.tokens(col(textCol)), buckets)).as("b"))
+    val occ = raw
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__w"))
+      .select(col(idCol), explode(featureBuckets(col("__w"), buckets)).as("b"))
     val scored = occ.join(broadcast(ratio), Seq("b"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_feats"), sum("lr").as("w"))

@@ -91,7 +91,8 @@ object PipelineCompiler {
     }
     // a $sort immediately before $group makes $first/$last deterministic
     // (compiled to min_by/max_by over the sort key)
-    stages.foldLeft((df, Option.empty[JValue])) { case ((acc, prevSort), s) =>
+    stages.zipWithIndex.foldLeft((df, Option.empty[JValue])) {
+      case ((acc, prevSort), (s, i)) =>
       asObj(s, "stage") match {
         case List(("$group", spec)) =>
           // $group rides its own dispatch (prevSort threading) — apply
@@ -103,7 +104,9 @@ object PipelineCompiler {
                 "ignore the collation)")
           (group(acc, asObj(spec, "$group"), prevSort), None)
         case List((name, spec)) =>
-          (applyStage(acc, name, spec, resolve),
+          // remaining stages feed the $lookup foreign-side projection
+          // pushdown (LookupPrune); other stages ignore the lookahead
+          (applyStage(acc, name, spec, resolve, stages.drop(i + 1)),
             if (name == "$sort") Some(spec) else None)
         case other => throw new MqlException(s"stage must have exactly one key: $other")
       }
@@ -123,18 +126,20 @@ object PipelineCompiler {
     "$setWindowFields", "$fill")
 
   private[mql] def applyStage(df: DataFrame, name: String, spec: JValue,
-                              resolve: TableResolver): DataFrame = {
+                              resolve: TableResolver,
+                              rest: List[JValue] = Nil): DataFrame = {
     if (FilterCompiler.collationCaseInsensitive &&
         CollationUnsupportedStages(name))
       throw new MqlException(
         s"collation: $name under a case-insensitive collation is " +
           "unsupported (its string grouping/join equality would silently " +
           "ignore the collation)")
-    applyStage0(df, name, spec, resolve)
+    applyStage0(df, name, spec, resolve, rest)
   }
 
   private def applyStage0(df: DataFrame, name: String, spec: JValue,
-                          resolve: TableResolver): DataFrame = name match {
+                          resolve: TableResolver,
+                          rest: List[JValue] = Nil): DataFrame = name match {
     // collection statistics (Mongo: first stage only, like $documents —
     // enforced in runStages). Only the `count` form has engine
     // semantics here; latencyStats/storageStats/queryExecStats are
@@ -211,7 +216,7 @@ object PipelineCompiler {
       }
     case "$group"          => group(df, asObj(spec, "$group"), None)
     case "$unwind"         => unwind(df, spec)
-    case "$lookup"         => lookup(df, asObj(spec, "$lookup"), resolve)
+    case "$lookup"         => lookup(df, asObj(spec, "$lookup"), resolve, rest)
     case "$replaceRoot"    =>
       val root = asObj(spec, "$replaceRoot")
         .collectFirst { case ("newRoot", e) => e }
@@ -624,7 +629,8 @@ object PipelineCompiler {
   // match → empty array (Mongo semantics). AQE broadcasts small packed
   // sides automatically.
   private def lookup(df: DataFrame, spec: List[(String, JValue)],
-                     resolve: TableResolver): DataFrame = {
+                     resolve: TableResolver,
+                     rest: List[JValue] = Nil): DataFrame = {
     def getOpt(k: String) = spec.collectFirst { case (`k`, x) => x }
       .map(strValue(_, "$lookup"))
     def get(k: String) = getOpt(k)
@@ -647,6 +653,28 @@ object PipelineCompiler {
           case o => throw new MqlException(s"bad stage $o")
         }
       }).getOrElse(resolve(from))
+    // foreign-side projection pushdown: when the remaining stages prove
+    // that only SOME element fields of `as` are consumed (LookupPrune),
+    // pack just those columns — the group-by shuffle, the join, and the
+    // per-row arrays ship slim structs instead of whole foreign rows.
+    // Catalyst cannot prune through collect_list, so it happens here,
+    // where the struct is born. `None` keeps the exact previous shape.
+    def prunedCols(keyCol: Option[String]): Seq[String] = {
+      val avail = fromDf.columns.toSeq
+      val kept = for {
+        _ <- Option.when(rest.nonEmpty)(())
+        fs <- LookupPrune.usedFields(as, rest)
+        // every proven field must be a real foreign column (a nested or
+        // misattributed name means the proof doesn't apply — keep all)
+        if fs.forall(avail.contains)
+        keep0 = avail.filter(c => fs.contains(c) || keyCol.contains(c))
+        // only the array's LENGTH is consumed (e.g. a lone $size):
+        // elements still need one column to exist
+        keep = if (keep0.isEmpty) avail.take(1) else keep0
+        if keep.length < avail.length
+      } yield keep
+      kept.getOrElse(avail)
+    }
     (getOpt("localField"), getOpt("foreignField")) match {
       case (Some(local), Some(foreign)) =>
         // an ARRAY foreignField also matches by element (Mongo equality
@@ -661,10 +689,8 @@ object PipelineCompiler {
             fromDf.withColumn("__graft_fk",
               explode_outer(array_distinct(col(foreign))))
           else fromDf.withColumn("__graft_fk", col(foreign))
-        val packed = foreignKeyed
-          .groupBy(col("__graft_fk"))
-          .agg(collect_list(struct(fromDf.columns.map(col): _*)).as(as))
-        val elemType = packed.schema(as).dataType
+        val pcols = prunedCols(Some(foreign))
+        val pruning = pcols.length < fromDf.columns.length
         val localIsArray = df.select(col(local)).schema.head.dataType
           .isInstanceOf[org.apache.spark.sql.types.ArrayType]
         if (localIsArray) {
@@ -676,6 +702,22 @@ object PipelineCompiler {
           // row. A null/empty local array behaves like a null scalar
           // (joins the null-foreignField group), mirroring the
           // null-safe scalar branch below.
+          //
+          // Under pruning the dedup needs a per-foreign-row identity:
+          // array_distinct on projected structs would collapse two
+          // DIFFERENT foreign docs whose kept fields happen to be
+          // equal. A row id rides inside the struct through the dedup
+          // and is stripped from the final arrays.
+          val keyed =
+            if (pruning) foreignKeyed.withColumn("__graft_fid",
+              monotonically_increasing_id())
+            else foreignKeyed
+          val structCols =
+            if (pruning) pcols :+ "__graft_fid" else fromDf.columns.toSeq
+          val packed = keyed
+            .groupBy(col("__graft_fk"))
+            .agg(collect_list(struct(structCols.map(col): _*)).as(as))
+          val elemType = packed.schema(as).dataType
           val withId = df.withColumn("__graft_rid", monotonically_increasing_id())
           val keys = withId.select(col("__graft_rid"),
             explode_outer(array_distinct(col(local))).as("__graft_k"))
@@ -683,19 +725,28 @@ object PipelineCompiler {
             .join(packed, col("__graft_k") <=> col("__graft_fk"), "inner")
             .groupBy(col("__graft_rid"))
             .agg(array_distinct(flatten(collect_list(col(as)))).as("__graft_m"))
+          val full = coalesce(col("__graft_m"), array().cast(elemType))
+          val finalArr =
+            if (pruning) transform(full, e =>
+              struct(pcols.map(c => e.getField(c).as(c)): _*))
+            else full
           withId.join(matched, Seq("__graft_rid"), "left")
-            .withColumn(as, coalesce(col("__graft_m"), array().cast(elemType)))
+            .withColumn(as, finalArr)
             .drop("__graft_rid", "__graft_m")
         } else {
           // null-safe equality: Mongo joins null/missing localField to
           // foreign docs whose foreignField is null/missing
+          val packed = foreignKeyed
+            .groupBy(col("__graft_fk"))
+            .agg(collect_list(struct(pcols.map(col): _*)).as(as))
+          val elemType = packed.schema(as).dataType
           val joined = df.join(packed, col(local) <=> col("__graft_fk"), "left")
             .drop("__graft_fk")
           joined.withColumn(as, coalesce(col(as), array().cast(elemType)))
         }
       case (None, None) => // whole pipeline result attached to every row
         df.crossJoin(broadcast(
-          fromDf.agg(collect_list(struct(fromDf.columns.map(col): _*)).as(as))))
+          fromDf.agg(collect_list(struct(prunedCols(None).map(col): _*)).as(as))))
       case _ => throw new MqlException(
         "$lookup needs both localField and foreignField (or neither with pipeline)")
     }
