@@ -100,6 +100,218 @@ object Headline {
                 AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
               GROUP BY n_name ORDER BY n_name""")),
 
+    // TPC-H Q4 shape (semi-join: orders with ≥1 qualifying line; the
+    // fixture lacks commit/receipt dates, so "late" becomes "returned")
+    QueryDef("q_tpch_q4",
+      (s, dir) => {
+        val o = Graft.table(s, dir, "orders")
+          .where(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+                 col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+        val l = Graft.table(s, dir, "lineitem").where(col("l_returnflag") === "R")
+        o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+              FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+                AND EXISTS (SELECT 1 FROM lineitem
+                            WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+              GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // TPC-H Q10: returned-item revenue by customer, top 20
+    QueryDef("q_tpch_q10",
+      (s, dir) => {
+        val c = Graft.table(s, dir, "customer")
+        val o = Graft.table(s, dir, "orders")
+          .where(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+                 col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1996-07-01 00:00:00")))
+        val l = Graft.table(s, dir, "lineitem").where(col("l_returnflag") === "R")
+        val n = Graft.table(s, dir, "nation")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+          .agg(sum(col("l_extendedprice").cast(dec) *
+            (lit(1).cast(dec) - col("l_discount").cast(dec)))
+            .cast(DoubleType).as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey").asc)
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal, n_name,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                              * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                            JOIN customer ON o_custkey = c_custkey
+                            JOIN nation ON c_nationkey = n_nationkey
+              WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+                AND l_returnflag = 'R'
+              GROUP BY c_custkey, c_name, c_acctbal, n_name
+              ORDER BY revenue DESC, c_custkey LIMIT 20""")),
+
+    // TPC-H Q12 shape (conditional counts by priority class; the
+    // fixture lacks l_shipmode, so lines group by l_linestatus)
+    QueryDef("q_tpch_q12",
+      (s, dir) => {
+        val o = Graft.table(s, dir, "orders")
+        val l = Graft.table(s, dir, "lineitem")
+          .where(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+                 col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+        val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .groupBy(col("l_linestatus"))
+          .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+               sum(when(!hi, 1L).otherwise(0L)).as("low_line_count"))
+          .orderBy(col("l_linestatus"))
+      },
+      Some("""SELECT l_linestatus,
+                     CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                              THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                     CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                              THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+              GROUP BY l_linestatus ORDER BY l_linestatus""")),
+
+    // TPC-H Q13: customer order-count distribution (outer join → two
+    // stacked aggregations; the o_comment filter becomes o_orderstatus)
+    QueryDef("q_tpch_q13",
+      (s, dir) => {
+        val c = Graft.table(s, dir, "customer")
+        val o = Graft.table(s, dir, "orders").where(col("o_orderstatus") =!= "F")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+              FROM (SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+                    FROM customer LEFT OUTER JOIN orders
+                      ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+                    GROUP BY c_custkey)
+              GROUP BY c_count ORDER BY custdist DESC, c_count DESC""")),
+
+    // TPC-H Q14: promo revenue share (decimal-exact sums, double ratio)
+    QueryDef("q_tpch_q14",
+      (s, dir) => {
+        val p = Graft.table(s, dir, "part")
+        val l = Graft.table(s, dir, "lineitem")
+          .where(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-03-01 00:00:00")) &&
+                 col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00")))
+        val disc = col("l_extendedprice").cast(dec) *
+          (lit(1).cast(dec) - col("l_discount").cast(dec))
+        l.join(p, l("l_partkey") === p("p_partkey"))
+          .agg(round(lit(100.0) *
+            sum(when(col("p_type") === "PROMO", disc).otherwise(lit(0).cast(dec)))
+              .cast(DoubleType) /
+            sum(disc).cast(DoubleType), 6).as("promo_revenue"))
+      },
+      Some("""SELECT ROUND(100.0 *
+                     CAST(SUM(CASE WHEN p_type = 'PROMO'
+                              THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                                   * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                              ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                              * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE),
+                     6) AS promo_revenue
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""")),
+
+    // TPC-H Q17 shape: small-quantity orders below 20% of the per-part
+    // average (the correlated subquery is a broadcast per-part agg join;
+    // p_container becomes a p_size gate in this fixture)
+    QueryDef("q_tpch_q17",
+      (s, dir) => {
+        val p = Graft.table(s, dir, "part")
+          .where(col("p_brand") === "Brand#1" && col("p_size") < 10)
+        val l = Graft.table(s, dir, "lineitem")
+        val lim = Graft.table(s, dir, "lineitem")
+          .groupBy(col("l_partkey").as("a_pk"))
+          .agg((lit(0.2) * avg(col("l_quantity"))).as("qty_lim"))
+        l.join(p, l("l_partkey") === p("p_partkey"))
+          .join(lim, l("l_partkey") === col("a_pk"))
+          .where(col("l_quantity") < col("qty_lim"))
+          .agg(round(sum(col("l_extendedprice").cast(dec)).cast(DoubleType) /
+            lit(7.0), 6).as("avg_yearly"))
+      },
+      Some("""SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                           / 7.0, 6) AS avg_yearly
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+                            JOIN (SELECT l_partkey AS a_pk,
+                                         0.2 * AVG(l_quantity) AS qty_lim
+                                  FROM lineitem GROUP BY l_partkey)
+                              ON l_partkey = a_pk
+              WHERE p_brand = 'Brand#1' AND p_size < 10
+                AND l_quantity < qty_lim""")),
+
+    // TPC-H Q19: disjunctive brand/size/quantity predicate — the OR of
+    // ANDs Catalyst must keep pushable as one post-join filter
+    QueryDef("q_tpch_q19",
+      (s, dir) => {
+        val p = Graft.table(s, dir, "part")
+        val l = Graft.table(s, dir, "lineitem")
+        val cond =
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+            col("l_quantity").between(20, 30))
+        l.join(p, l("l_partkey") === p("p_partkey"))
+          .where(cond)
+          .agg(sum(col("l_extendedprice").cast(dec) *
+            (lit(1).cast(dec) - col("l_discount").cast(dec)))
+            .cast(DoubleType).as("revenue"),
+            count(lit(1)).as("n"))
+      },
+      Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                              * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                     AND l_quantity BETWEEN 1 AND 11)
+                 OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+                     AND l_quantity BETWEEN 10 AND 20)
+                 OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+                     AND l_quantity BETWEEN 20 AND 30)""")),
+
+    // TPC-H Q22 shape: rich idle customers — anti-join against orders +
+    // a 1-row decimal-exact average broadcast (country code = nation
+    // key; every fixture customer has SOME order, so "idle" means no
+    // order in the final year — same anti-join plan, nonempty result)
+    QueryDef("q_tpch_q22",
+      (s, dir) => {
+        val c = Graft.table(s, dir, "customer")
+        val avgBal = c.where(col("c_acctbal") > 0.0)
+          .agg(avg(col("c_acctbal").cast(dec)).as("a"))
+        val o = Graft.table(s, dir, "orders")
+          .where(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+        c.crossJoin(broadcast(avgBal))
+          .where(col("c_acctbal").cast(dec) > col("a"))
+          .join(o, col("c_custkey") === o("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey").as("cntrycode"))
+          .agg(count(lit(1)).as("numcust"),
+            sum(col("c_acctbal").cast(dec)).cast(DoubleType).as("totacctbal"))
+          .orderBy(col("cntrycode"))
+      },
+      Some("""SELECT c_nationkey AS cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+                     CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+              FROM customer,
+                   (SELECT AVG(CAST(c_acctbal AS DECIMAL(18,4))) AS a
+                    FROM customer WHERE c_acctbal > 0.0)
+              WHERE CAST(c_acctbal AS DECIMAL(18,4)) > a
+                AND NOT EXISTS (SELECT 1 FROM orders
+                                WHERE o_custkey = c_custkey
+                                  AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+              GROUP BY c_nationkey ORDER BY cntrycode""")),
+
     // gap-based sessionization (batch twin of streaming session windows)
     QueryDef("q_sessionize",
       (s, dir) => graft.operators.Sessionize.byGap(
