@@ -422,6 +422,36 @@ object Dedup {
       .where(col("hamming") <= maxDist)
   }
 
+  /** Quality-canonical near-dup resolution: cluster the corpus's
+    * near-duplicates (jaccard pairs → connected components) and pick
+    * each cluster's representative by QUALITY instead of min-id — the
+    * production dedup policy ("of these 5 crawls of the same page, keep
+    * the cleanest"), vs [[dropNearDuplicates]]' arbitrary-survivor
+    * policy. Singletons represent themselves. Output per input doc:
+    * (id, cluster_id, rep_id, keep, quality) with
+    * rep = argmax (quality, then min id) within the cluster.
+    *
+    * Scale shape: inherits jaccardPairs' blocked candidate generation
+    * and Components' bounded labeling; the rep choice is ONE hash agg
+    * on cluster id (max over a (quality, −id) struct — no window, no
+    * sort) plus id-keyed joins. */
+  def canonicalPick(df: DataFrame, idCol: String, textCol: String,
+                    quality: Column,
+                    shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val pairs = jaccardPairs(df, idCol, textCol, shingleN, threshold)
+    val clusters = graft.operators.Components.fromPairs(pairs, "id_a", "id_b")
+    val withCl = df.select(col(idCol), quality.as("quality"))
+      .join(clusters.select(col("id").as(idCol), col("cluster_id")),
+        Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+    val rep = withCl.groupBy("cluster_id")
+      .agg(max(struct(col("quality").as("q"), (-col(idCol)).as("nid"))).as("m"))
+      .select(col("cluster_id"), (-col("m.nid")).as("rep_id"))
+    withCl.join(rep, Seq("cluster_id"))
+      .select(col(idCol), col("cluster_id"), col("rep_id"),
+        (col(idCol) === col("rep_id")).as("keep"), col("quality"))
+  }
+
   /** Paragraph/chunk-level dedup with document reconstruction (the
     * Dolma-style "dedupe paragraphs across the corpus, keep documents"
     * pass; here the unit is a fixed `chunkSize`-token chunk because the

@@ -605,4 +605,32 @@ object Similarity {
       .where(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
+
+  /** Matryoshka-style embedding truncation (Kusupati et al. 2022,
+    * arXiv:2205.13147): keep the first `dim` components and L2-renorm —
+    * the standard way to trade recall for a `full/dim`× cut in vector
+    * storage and ANN cost when embeddings were trained nested.
+    * [[truncStats]] returns struct(norm_t, energy) where `energy` is
+    * the retained-variance ratio ‖v₁..d‖²/‖v‖² (the quality signal for
+    * choosing d); [[renorm]] divides the prefix by a PRE-MATERIALIZED
+    * norm column. Two steps on purpose: a norm expression captured
+    * inside the per-element lambda would re-run its O(d) fold per
+    * element (the quadratic-capture bug class QuantInt8's Scaladoc
+    * documents) — materialize truncStats into a column, then renorm
+    * against its field. Both are pure map work, rounded to 6 so an
+    * external engine recomputes bit-equal. */
+  def truncStats(vec: Column, dim: Int): Column = {
+    val sq = (x: Column) => x.cast("double") * x.cast("double")
+    val e2 = aggregate(slice(vec, 1, dim), lit(0.0), (acc, x) => acc + sq(x))
+    val f2 = aggregate(vec, lit(0.0), (acc, x) => acc + sq(x))
+    struct(
+      round(sqrt(e2), 6).as("norm_t"),
+      round(when(f2 > 0.0, e2 / f2).otherwise(lit(0.0)), 6).as("energy"))
+  }
+
+  /** Renormed `dim`-prefix against a pre-materialized norm column (see
+    * [[truncStats]]); zero norms renorm to zeros. */
+  def renorm(vec: Column, dim: Int, norm: Column): Column =
+    transform(slice(vec, 1, dim), x =>
+      round(when(norm > 0.0, x.cast("double") / norm).otherwise(lit(0.0)), 6))
 }

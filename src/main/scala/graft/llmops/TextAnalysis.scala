@@ -218,4 +218,36 @@ object TextAnalysis {
       stopOk.as("stopword_ok"),
       (lenOk && awlOk && punctOk && stopOk).as("keep"))
   }
+
+  /** Corpus curation report: per group (e.g. source × lang) — doc and
+    * token counts, mean quality, and how many docs are byte-duplicates
+    * of ANOTHER doc anywhere in the corpus (normalized digest). The
+    * one-page summary a mixing decision reads before setting per-source
+    * weights.
+    *
+    * Scale shape: one digest-keyed window for the global dup counts
+    * (partitioned by digest — groups are duplicate-multiplicity-sized)
+    * and one hash agg on the group keys. Two linear shuffles, no
+    * self-join, nothing driver-side. */
+  def curationReport(df: org.apache.spark.sql.DataFrame,
+                     textCol: String, groupCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val digest = md5(regexp_replace(lower(col(textCol)), "\\s+", " ")
+      .cast("binary"))
+    val flagged = df
+      .withColumn("__dup",
+        count(lit(1)).over(Window.partitionBy(digest)) > 1)
+      .withColumn("__q", qualityScore(col(textCol)))
+      .withColumn("__t", tokenCount(col(textCol)))
+    // mean over a DECIMAL-exact sum: a plain double avg is summation-
+    // order-dependent and flips the 6-dec rounding at group boundaries
+    // (the per-doc quality is already 6-dec, so decimal(18,6) is exact)
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    flagged.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__t")).as("n_tokens"),
+        round(sum(col("__q").cast(dec6)).cast("double") / count(lit(1)), 6)
+          .as("mean_quality"),
+        sum(when(col("__dup"), 1L).otherwise(0L)).as("dup_docs"))
+  }
 }

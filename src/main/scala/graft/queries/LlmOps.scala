@@ -25,6 +25,19 @@ object LlmOps {
   private val duckShingles =
     s"""list_distinct([array_to_string(w[i:i+2], ' ')
         for i in range(1, greatest(len(w) - 1, 1))])"""
+  // DuckDB-side composite quality score, mirrored from
+  // TextAnalysis.qualityScore (same formula as the q_text_quality twin)
+  private val duckQuality = {
+    val sw = TextAnalysis.EnglishStopwords.map("'" + _ + "'").mkString(",")
+    s"""round(0.4 * least(len($duckToks)::DOUBLE / 100.0, 1.0)
+        + 0.3 * (1.0 - (length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')))::DOUBLE
+                       / greatest(length(text), 1))
+        + 0.3 * least(5.0 * len(list_filter($duckToksLower, x -> x IN ($sw)))::DOUBLE
+                      / greatest(len($duckToks), 1), 1.0), 6)"""
+  }
+  // DuckDB-side normalized-text digest, mirrored from Dedup.exact
+  private val duckNormDigest =
+    """md5(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
 
   /** Exact n-gram-jaccard near-dup pairs (the dedup ground truth):
     * rarest-4-shingle blocking + exact verification, mirroring
@@ -2489,6 +2502,83 @@ object LlmOps {
              SELECT doc_id, CAST(MAX(run) AS BIGINT) AS max_run,
                     CAST(MAX(run) + 2 AS BIGINT) AS overlap_tokens,
                     CAST(SUM(run) AS BIGINT) AS n_hits
-             FROM r GROUP BY doc_id ORDER BY doc_id"""))
+             FROM r GROUP BY doc_id ORDER BY doc_id""")),
+
+    // quality-canonical near-dup resolution: per cluster keep the
+    // HIGHEST-QUALITY doc (production policy), not the min id
+    QueryDef("q_canonical_pick",
+      (s, dir) => Dedup.canonicalPick(Graft.table(s, dir, "documents"),
+        "doc_id", "text", TextAnalysis.qualityScore(col("text")))
+        .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE pairs AS ($nearDupOracle),
+               edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                         UNION SELECT id_b, id_a FROM pairs),
+               reach(id, lbl) AS (
+                 SELECT DISTINCT src, src FROM edges
+                 UNION
+                 SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+               comp AS (SELECT id AS doc_id, min(lbl) AS cluster_id
+                        FROM reach GROUP BY id),
+               q AS (SELECT doc_id, $duckQuality AS quality FROM documents),
+               cl AS (SELECT q.doc_id,
+                        COALESCE(comp.cluster_id, q.doc_id) AS cluster_id,
+                        quality
+                      FROM q LEFT JOIN comp USING (doc_id)),
+               rep AS (SELECT cluster_id, doc_id AS rep_id FROM
+                        (SELECT cluster_id, doc_id,
+                           ROW_NUMBER() OVER (PARTITION BY cluster_id
+                             ORDER BY quality DESC, doc_id ASC) AS rn FROM cl)
+                       WHERE rn = 1)
+             SELECT cl.doc_id, cl.cluster_id, rep.rep_id,
+                    cl.doc_id = rep.rep_id AS keep, cl.quality
+             FROM cl JOIN rep USING (cluster_id) ORDER BY cl.doc_id""")),
+
+    // matryoshka embedding truncation: 16-dim prefix, L2 renorm,
+    // retained-energy ratio — map-only, two-step to dodge the
+    // quadratic-capture bug class (truncStats materialized first)
+    QueryDef("q_emb_truncate",
+      (s, dir) => Graft.table(s, dir, "embeddings")
+        .select(col("vec_id"),
+          graft.llmops.Similarity.truncStats(col("embedding"), 16).as("__s"),
+          col("embedding"))
+        .select(col("vec_id"),
+          col("__s.norm_t").as("norm_t"), col("__s.energy").as("energy"),
+          graft.llmops.Similarity.renorm(col("embedding"), 16,
+            col("__s.norm_t")).as("v"))
+        .orderBy("vec_id"),
+      Some("""WITH t AS (SELECT vec_id, embedding AS e,
+                 list_sum(list_transform(embedding[1:16],
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS e2,
+                 list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS f2
+               FROM embeddings),
+               n AS (SELECT vec_id, e, ROUND(sqrt(e2), 6) AS norm_t,
+                       ROUND(CASE WHEN f2 > 0 THEN e2 / f2 ELSE 0.0 END, 6)
+                         AS energy
+                     FROM t)
+             SELECT vec_id, norm_t, energy,
+                    list_transform(e[1:16], x ->
+                      ROUND(CASE WHEN norm_t > 0
+                            THEN CAST(x AS DOUBLE) / norm_t
+                            ELSE 0.0 END, 6)) AS v
+             FROM n ORDER BY vec_id""")),
+
+    // per-(source,lang) curation report: doc/token counts, mean
+    // quality, global byte-dup incidence — the mixing-decision summary
+    QueryDef("q_curation_report",
+      (s, dir) => TextAnalysis.curationReport(
+        Graft.table(s, dir, "documents"), "text", Seq("source", "lang"))
+        .orderBy("source", "lang"),
+      Some(s"""WITH d AS (SELECT source, lang, text, $duckNormDigest AS dg,
+                 $duckQuality AS q, len($duckToks) AS t FROM documents),
+               f AS (SELECT source, lang, q, t,
+                       COUNT(*) OVER (PARTITION BY dg) > 1 AS dup FROM d)
+             SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                    CAST(SUM(t) AS BIGINT) AS n_tokens,
+                    ROUND(CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE)
+                          / COUNT(*), 6) AS mean_quality,
+                    CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+                      AS dup_docs
+             FROM f GROUP BY source, lang ORDER BY source, lang"""))
   )
 }

@@ -77,6 +77,52 @@ class DsirSpec extends AnyFunSuite {
       (4L, 0L, 0L, "")))
   }
 
+  test("canonicalPick keeps the highest-quality doc per near-dup cluster") {
+    // docs 1/2 are near-dups (doc 2 extends doc 1); doc 3 is a
+    // singleton. Doc 2 is longer and stopword-denser → higher quality
+    // score → cluster representative.
+    val df = Seq(
+      (1L, "the quick brown fox jumps over lazy dogs"),
+      (2L, "the quick brown fox jumps over lazy dogs it is the"),
+      (3L, "completely different content lives here now")).toDF("id", "text")
+    val out = Dedup.canonicalPick(df, "id", "text",
+      TextAnalysis.qualityScore(col("text")), threshold = 0.5)
+      .orderBy("id")
+      .select("id", "cluster_id", "rep_id", "keep")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(out.map(r => (r._1, r._2)) == Seq((1L, 1L), (2L, 1L), (3L, 3L)))
+    assert(out.map(_._3) == Seq(2L, 2L, 3L), s"doc 2 should represent: $out")
+    assert(out.map(_._4) == Seq(false, true, true))
+  }
+
+  test("truncStats/renorm: energy ratio and unit-norm prefix") {
+    val df = Seq((1L, Seq(3.0f, 4.0f, 0.0f, 0.0f)),
+                 (2L, Seq(0.0f, 0.0f, 5.0f, 5.0f))).toDF("id", "v")
+    val out = df.select(col("id"),
+        Similarity.truncStats(col("v"), 2).as("s"), col("v"))
+      .select(col("id"), col("s.norm_t"), col("s.energy"),
+        Similarity.renorm(col("v"), 2, col("s.norm_t")).as("r"))
+      .orderBy("id")
+      .as[(Long, Double, Double, Seq[Double])].collect().toSeq
+    assert(out(0) == (1L, 5.0, 1.0, Seq(0.6, 0.8)))
+    // doc 2: prefix is all-zero → norm 0, energy 0, zeros (no NaN)
+    assert(out(1) == (2L, 0.0, 0.0, Seq(0.0, 0.0)))
+  }
+
+  test("curationReport counts global dups against the right groups") {
+    val df = Seq(
+      (1L, "same text here", "a", "en"),
+      (2L, "SAME   text here", "b", "en"),   // normalized dup of doc 1
+      (3L, "unique snowflake content", "a", "en")
+    ).toDF("doc_id", "text", "source", "lang")
+    val out = TextAnalysis.curationReport(df, "text", Seq("source", "lang"))
+      .orderBy("source")
+      .select("source", "n_docs", "n_tokens", "dup_docs")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // the dup pair spans sources a and b — each group sees its own copy
+    assert(out == Seq(("a", 2L, 6L, 1L), ("b", 1L, 3L, 1L)))
+  }
+
   test("overlapSpans finds the longest consecutive-hit run, not just hits") {
     val bench = Seq((1L, "q w e r t y")).toDF("id", "text")
     // doc 10: "q w e r" → positional 3-grams "q w e","w e r" both hit,
