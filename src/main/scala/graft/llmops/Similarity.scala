@@ -274,6 +274,26 @@ object Similarity {
     IvfIndex(centroidRows, seedSchema, assigned, idCol, vecCol)
   }
 
+  /** Persistable face of a built IVF index: one row per cell —
+    * (cell_id, centroid, c_norm, n_members) — writable to any store
+    * (DocStore collection, parquet dir) and loadable by
+    * `$vectorSearch`'s `index` option, which collects the ≤nCells rows
+    * back and probes WITHOUT re-running the per-query corpus seeding
+    * pass. n_members rides along so the query side can turn
+    * numCandidates into a probe count with no extra corpus count job. */
+  def centroidFrame(index: IvfIndex): DataFrame = {
+    val spark = index.assigned.sparkSession
+    val counts = index.assigned.groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("n_members"))
+    val cents = spark.createDataFrame(
+      java.util.Arrays.asList(index.centroidRows: _*), index.seedSchema)
+      .select(col("cell_id"), col("__cv").as("centroid"))
+    cents.join(counts, Seq("cell_id"), "left")
+      .select(col("cell_id"), col("centroid"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"))
+      .orderBy(col("cell_id"))
+  }
+
   /** Document clustering as a first-class output: the IVF machinery's
     * cell assignment IS a spherical k-means clustering of the corpus
     * (deterministic hash-ordered seeds, optional Lloyd refinement), so

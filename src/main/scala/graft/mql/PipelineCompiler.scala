@@ -255,7 +255,7 @@ object PipelineCompiler {
     case "$densify"         => densify(df, asObj(spec, "$densify"))
     case "$graphLookup"     => graphLookup(df, asObj(spec, "$graphLookup"), resolve)
     case "$geoNear"         => geoNear(df, asObj(spec, "$geoNear"))
-    case "$vectorSearch"    => vectorSearch(df, asObj(spec, "$vectorSearch"))
+    case "$vectorSearch"    => vectorSearch(df, asObj(spec, "$vectorSearch"), resolve)
     case "$search"          => search(df, asObj(spec, "$search"), resolve)
     case "$searchMeta"      => searchMeta(df, asObj(spec, "$searchMeta"))
     case "$redact"          => redact(df, spec)
@@ -2754,7 +2754,8 @@ object PipelineCompiler {
   //  * tieBreaker (extension): a field that orders equal scores —
   //    without one, rows tied at `limit`'s edge are engine-chosen
   //    (Mongo makes the same non-guarantee).
-  private def vectorSearch(df: DataFrame, spec: List[(String, JValue)]): DataFrame = {
+  private def vectorSearch(df: DataFrame, spec: List[(String, JValue)],
+                           resolve: TableResolver = noTables): DataFrame = {
     import graft.llmops.Similarity
     val path = spec.collectFirst { case ("path", JString(p)) => p }
       .getOrElse(throw new MqlException("$vectorSearch needs path"))
@@ -2780,14 +2781,62 @@ object PipelineCompiler {
       (Similarity.norm(vcol) * lit(qn)) + 1.0) / 2.0, 6)
     val tieCols = spec.collectFirst { case ("tieBreaker", JString(t)) => t }
       .map(t => Seq(fieldCol(t).asc)).getOrElse(Seq.empty)
+    val numCandidates0 = spec.collectFirst {
+      case ("numCandidates", c) => intValue(c, "$vectorSearch") }
+      .getOrElse(limitN * 10)
+    // centroid→probe selection shared by the persisted-index and
+    // self-seeding ANN paths: driver-side scoring of the query vector
+    // against ≤nCells centroids, then one map-only cell filter
+    def probeCells(seeds: IndexedSeq[Seq[Double]], corpusN: Long): DataFrame = {
+      val n = corpusN.max(1L)
+      val nProbe = math.min(seeds.length.toLong,
+        (numCandidates0.toLong * seeds.length + n - 1) / n).toInt.max(1)
+      val probed = seeds.zipWithIndex.map { case (c, i) =>
+        val cn = math.sqrt(c.map(x => x * x).sum)
+        (i, if (cn == 0.0) 0.0 else
+          qv.zip(c).map { case (a, b) => a * b }.sum / cn)
+      }.sortBy { case (i, sc) => (-sc, i) }.take(nProbe).map(_._1)
+      filtered.where(
+        Similarity.nearestCell(vcol, seeds).isInCollection(probed))
+    }
+    // Atlas-style persisted index: `index` names a centroid collection
+    // (Similarity.centroidFrame written to a store) — the query then
+    // pays ONLY the bounded centroid collect + the map-only probe
+    // filter, never a per-query corpus seeding pass. An `index` naming
+    // no resolvable collection falls back to self-seeding (the Atlas
+    // default-index emulation — the reference client forwards index
+    // names without validating them, api.py:252); a collection that
+    // resolves but has no (cell_id, centroid) columns is refused
+    // loudly (a typo pointing at a DATA collection must not silently
+    // scan it as centroids).
+    val indexFrame: Option[DataFrame] =
+      spec.collectFirst { case ("index", JString(nm)) => nm }.flatMap { nm =>
+        (try Some(resolve(nm)) catch { case _: Exception => None }).map { idf =>
+          val cols = idf.columns.toSet
+          if (!cols.contains("cell_id") || !cols.contains("centroid"))
+            throw new MqlException(s"$$vectorSearch.index: '$nm' resolves " +
+              "to a collection without (cell_id, centroid) columns — not a vector index")
+          idf
+        }
+      }
     val candidates =
       if (exact) filtered
+      else if (indexFrame.isDefined) {
+        val idf = indexFrame.get
+        val hasN = idf.columns.contains("n_members")
+        val rows = idf.select(col("cell_id"),
+            col("centroid").cast("array<double>").as("centroid"),
+            (if (hasN) col("n_members").cast("long") else lit(0L)).as("n_members"))
+          .orderBy(col("cell_id")).limit(65537).collect()
+        if (rows.length > 65536)
+          throw new MqlException("$vectorSearch.index: more than 65536 cells")
+        if (rows.isEmpty) filtered.limit(0)
+        else probeCells(rows.map(_.getSeq[Double](1)).toIndexedSeq,
+          rows.map(_.getLong(2)).sum)
+      }
       else {
         val nCells = spec.collectFirst { case ("nCells", c) => intValue(c, "$vectorSearch") }
           .getOrElse(16)
-        val numCandidates = spec.collectFirst {
-          case ("numCandidates", c) => intValue(c, "$vectorSearch") }
-          .getOrElse(limitN * 10)
         // IVF without any synthetic row id: centroid seeds are the
         // nCells rows with the smallest hash OF THE VECTOR ITSELF (a
         // deterministic sample needing no key column — duplicate
@@ -2812,21 +2861,7 @@ object PipelineCompiler {
               (c1 + c2, (t1 ++ t2).sortBy(_._1).take(nCells)) })
         val seeds = seedHeap.sortBy(_._1).take(nCells).map(_._2).toIndexedSeq
         if (seeds.isEmpty) filtered.limit(0)
-        else {
-          val n = n0.max(1L)
-          val nProbe = math.min(seeds.length.toLong,
-            (numCandidates.toLong * seeds.length + n - 1) / n).toInt.max(1)
-          // probe on the driver: the query is a literal, centroids are
-          // seeds.length tiny rows; ties sort to the lowest index,
-          // matching nearest_cell's tie-break
-          val probed = seeds.zipWithIndex.map { case (c, i) =>
-            val cn = math.sqrt(c.map(x => x * x).sum)
-            (i, if (cn == 0.0) 0.0 else
-              qv.zip(c).map { case (a, b) => a * b }.sum / cn)
-          }.sortBy { case (i, s) => (-s, i) }.take(nProbe).map(_._1)
-          filtered.where(
-            Similarity.nearestCell(vcol, seeds).isInCollection(probed))
-        }
+        else probeCells(seeds, n0)
       }
     candidates.withColumn("vectorSearchScore", score)
       .orderBy(col("vectorSearchScore").desc +: tieCols: _*)

@@ -1328,6 +1328,44 @@ object LlmOps {
             SELECT vec_id, score FROM s
             ORDER BY score DESC, vec_id LIMIT 10""")),
 
+    // $vectorSearch against a PERSISTED index: buildIvf's centroid
+    // frame written to a DocStore collection, then the query resolves
+    // it by name — paying only the bounded centroid collect + map-only
+    // probe, never a per-query corpus seeding pass (the Atlas index
+    // lifecycle: build once, probe per query). numCandidates covers
+    // the corpus → all cells probed → exact oracle.
+    QueryDef("q_vector_index",
+      (s, dir) => {
+        val store = new graft.sinks.DocStore(s,
+          java.nio.file.Files.createTempDirectory("graft_vidx").toString)
+        val emb = Graft.table(s, dir, "embeddings")
+        val idx = graft.llmops.Similarity.buildIvf(emb, nCells = 4,
+          lloydIters = 0, persistIndex = false)
+        store.write(graft.llmops.Similarity.centroidFrame(idx), "emb_ivf")
+        val resolve: graft.mql.PipelineCompiler.TableResolver = {
+          case "emb_ivf" => store.read("emb_ivf")
+          case t => Graft.table(s, dir, t)
+        }
+        val qvec = (0 until 64).map(i => if (i % 2 == 0) "1.0" else "0.0")
+          .mkString(", ")
+        graft.mql.PipelineCompiler.run(emb,
+          s"""[
+            {"$$vectorSearch": {"index": "emb_ivf", "path": "embedding",
+              "queryVector": [$qvec], "limit": 10,
+              "numCandidates": 1000000, "tieBreaker": "vec_id"}},
+            {"$$project": {"vec_id": 1,
+              "score": {"$$meta": "vectorSearchScore"}}},
+            {"$$sort": {"score": -1, "vec_id": 1}}]""", resolve)
+      },
+      Some("""WITH u AS (SELECT vec_id, unnest(embedding)::DOUBLE AS e,
+                    generate_subscripts(embedding, 1) AS i FROM embeddings),
+              s AS (SELECT vec_id,
+                      round((sum(e * CASE WHEN i % 2 = 1 THEN 1.0 ELSE 0.0 END)
+                             / (sqrt(sum(e * e)) * sqrt(32.0)) + 1) / 2, 6) AS score
+                    FROM u GROUP BY vec_id)
+            SELECT vec_id, score FROM s
+            ORDER BY score DESC, vec_id LIMIT 10""")),
+
     // $rankFusion: weighted RRF over a $search ranking and a length
     // ranking of the same collection (DuckDB rebuilds both rankings
     // and the fusion)

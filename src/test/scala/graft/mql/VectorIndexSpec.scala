@@ -1,0 +1,95 @@
+package graft.mql
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+import graft.llmops.Similarity
+
+/** `$vectorSearch` persisted-index path: a centroidFrame collection
+  * resolved by name replaces the per-query corpus seeding pass. */
+class VectorIndexSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  // two tight clusters around e1 and e2
+  private lazy val emb = Seq(
+    (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.95f, 0.05f)),
+    (4L, Seq(0.0f, 1.0f)), (5L, Seq(0.1f, 0.9f)), (6L, Seq(0.05f, 0.95f))
+  ).toDF("vec_id", "embedding")
+
+  private def withStore[T](f: graft.sinks.DocStore => T): T =
+    f(new graft.sinks.DocStore(spark,
+      java.nio.file.Files.createTempDirectory("vidx_spec").toString))
+
+  test("centroidFrame round-trips through a store and answers queries") {
+    withStore { store =>
+      val idx = Similarity.buildIvf(emb, nCells = 2, lloydIters = 0,
+        persistIndex = false)
+      val cf = Similarity.centroidFrame(idx)
+      assert(cf.columns.toSeq == Seq("cell_id", "centroid", "n_members"))
+      assert(cf.agg(sum("n_members")).as[Long].head() == 6L)
+      store.write(cf, "idx")
+      val resolve: PipelineCompiler.TableResolver = {
+        case "idx" => store.read("idx")
+        case o => fail(s"unexpected $o")
+      }
+      // query near the e2 cluster with enough candidates for both cells
+      val full = PipelineCompiler.run(emb,
+        """[{"$vectorSearch": {"index": "idx", "path": "embedding",
+             "queryVector": [0.0, 1.0], "limit": 3,
+             "numCandidates": 100, "tieBreaker": "vec_id"}},
+            {"$project": {"vec_id": 1}}]""", resolve)
+        .as[Long].collect().toSet
+      assert(full == Set(4L, 5L, 6L))
+      // one-probe query: candidates are exactly the members the INDEX
+      // assigns to the cell whose centroid is nearest the query
+      // (hash-sampled seeds need not align with the true clusters, so
+      // the expectation derives from the index itself)
+      val cents = cf.orderBy("cell_id")
+        .select("cell_id", "centroid")
+        .as[(Long, Seq[Double])].collect()
+      val best = cents.maxBy { case (cid, c) =>
+        val n = math.sqrt(c.map(x => x * x).sum)
+        (if (n == 0) 0.0 else c(1) / n, -cid) }._1
+      val expected = idx.assigned
+        .where(col("cell_id") === best)
+        .select(col("match_id")).as[Long].collect().toSet
+      val probed = PipelineCompiler.run(emb,
+        """[{"$vectorSearch": {"index": "idx", "path": "embedding",
+             "queryVector": [0.0, 1.0], "limit": 6,
+             "numCandidates": 1, "tieBreaker": "vec_id"}},
+            {"$project": {"vec_id": 1}}]""", resolve)
+        .as[Long].collect().toSet
+      assert(probed == expected,
+        s"one-probe candidates $probed != index cell members $expected")
+    }
+  }
+
+  test("unknown index name falls back to self-seeding; equal results") {
+    val base = PipelineCompiler.run(emb,
+      """[{"$vectorSearch": {"path": "embedding", "queryVector": [1.0, 0.0],
+           "limit": 3, "numCandidates": 100, "nCells": 2,
+           "tieBreaker": "vec_id"}},
+          {"$project": {"vec_id": 1}}]""")
+      .as[Long].collect().toSeq
+    val fallback = PipelineCompiler.run(emb,
+      """[{"$vectorSearch": {"index": "no_such_index", "path": "embedding",
+           "queryVector": [1.0, 0.0], "limit": 3, "numCandidates": 100,
+           "nCells": 2, "tieBreaker": "vec_id"}},
+          {"$project": {"vec_id": 1}}]""",
+      (n: String) => throw new MqlException(s"no $n"))
+      .as[Long].collect().toSeq
+    assert(base == fallback)
+  }
+
+  test("index resolving to a non-index collection is refused loudly") {
+    val resolve: PipelineCompiler.TableResolver = { case _ => emb }
+    val e = intercept[MqlException] {
+      PipelineCompiler.run(emb,
+        """[{"$vectorSearch": {"index": "emb", "path": "embedding",
+             "queryVector": [1.0, 0.0], "limit": 3}}]""", resolve)
+        .collect()
+    }
+    assert(e.getMessage.contains("not a vector index"))
+  }
+}
