@@ -2369,8 +2369,90 @@ object PipelineCompiler {
     val tokDf = tokPaths.foldLeft(df) { (acc, p) =>
       acc.withColumn(s"__graft_toks_${pIdx(p)}", toksOf(p))
     }
-    val base = if (statCols.isEmpty) tokDf
-      else tokDf.crossJoin(broadcast(tokDf.agg(statCols.head, statCols.tail: _*)))
+    // ---- persisted text index (Atlas index lifecycle) ------------------
+    // When `index` resolves to a TextIndex.build collection AND every
+    // stats-consuming clause is term-derivable (exact-term text,
+    // queryString TERM leaves, moreLikeThis), the per-query corpus
+    // stats pass is replaced by a bounded lookup of the stored
+    // (term, df) rows + per-path summaries — the statistics become
+    // literals in the plan, so scoring is pure map work over the scan.
+    // Phrase/fuzzy statistics are positional/edit-distance-derived:
+    // those queries keep the corpus pass (results identical). Index
+    // stats are collection-level, like Lucene's — a `$search` applied
+    // mid-pipeline over a filtered frame intentionally still scores
+    // with whole-collection statistics when an index is named.
+    val indexStats: Option[Map[String, Column]] =
+      spec.collectFirst { case ("index", JString(nm)) => nm }.flatMap { nm =>
+        val loaded = try Some(resolve(nm)) catch { case _: Exception => None }
+        loaded.flatMap { idf =>
+          val have = idf.columns.toSet
+          if (!Set("kind", "path", "term", "df", "n_docs", "avgdl").subsetOf(have))
+            throw new MqlException(s"$$search.index: '$nm' resolves to a " +
+              "collection without text-index columns " +
+              "(kind/path/term/df/n_docs/avgdl) — not a text index")
+          val derivable = scoredClauses.filter(_.constant.isEmpty).map(_.c)
+            .forall {
+              case TextCl(_, _, fz) => fz.isEmpty
+              case _: PhraseCl => false
+              case QsCl(dp, tree) =>
+                qsLeaves(tree, dp).forall(l => !(l.positive && l.kind == 1))
+              case _ => true // no BM25 statistics consumed
+            }
+          if (!derivable) None
+          else {
+            val needs: Seq[(String, String, String)] = // (stat, path, term)
+              scoredClauses.zipWithIndex.flatMap {
+                case (Cl(TextCl(terms, p, fz), _, None, _), ci) if fz.isEmpty =>
+                  terms.zipWithIndex.map { case (t, ti) =>
+                    (s"__df_${ci}_$ti", p, t) }
+                case (Cl(QsCl(dp, tree), _, None, _), ci) =>
+                  qsLeaves(tree, dp).filter(l => l.positive && l.kind == 0)
+                    .map(l => (s"__qst_${ci}_${l.idx}", l.path, l.terms.head))
+                case (Cl(MltCl(fields), _, None, _), ci) =>
+                  fields.zipWithIndex.flatMap { case ((f, ts), fi) =>
+                    ts.zipWithIndex.map { case (t, ti) =>
+                      (s"__mlt_${ci}_${fi}_$ti", f, t) } }
+                case _ => Nil
+              }
+            val wantTerms = needs.map(_._3).distinct
+            val rows = idf.where(col("path").isin(statPaths: _*) &&
+                (col("kind") === "summary" ||
+                 (col("kind") === "term" && col("term").isin(wantTerms: _*))))
+              .select("kind", "path", "term", "df", "n_docs", "avgdl")
+              .limit(100001).collect()
+            if (rows.length > 100000) throw new MqlException(
+              s"$$search.index: '$nm' returned >100k rows for this query's terms")
+            val dfMap = rows.filter(_.getString(0) == "term")
+              .map(r => (r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+            val sums = rows.filter(_.getString(0) == "summary")
+              .map(r => r.getString(1) ->
+                ((r.getLong(4).toDouble,
+                  if (r.isNullAt(5)) 0.0 else r.getDouble(5)))).toMap
+            // a queried path absent from the index would silently score
+            // everything 0 (worse: a 0-doc idf turns negative) — refuse
+            statPaths.find(p => !sums.contains(p)).foreach { p =>
+              throw new MqlException(
+                s"$$search.index: '$nm' does not cover path '$p'") }
+            val m = Map.newBuilder[String, Column]
+            statPaths.foreach { p =>
+              val (n, ad) = sums(p)
+              m += (s"__n_${pIdx(p)}" -> lit(n))
+              m += (s"__avgdl_${pIdx(p)}" ->
+                (if (n == 0.0) lit(null).cast("double") else lit(ad)))
+            }
+            needs.foreach { case (stat, p, t) =>
+              m += (stat -> lit(dfMap.getOrElse((p, t), 0L))) }
+            Some(m.result())
+          }
+        }
+      }
+    val base = indexStats match {
+      case Some(m) =>
+        m.foldLeft(tokDf) { case (acc, (n, c)) => acc.withColumn(n, c) }
+      case None if statCols.isEmpty => tokDf
+      case None =>
+        tokDf.crossJoin(broadcast(tokDf.agg(statCols.head, statCols.tail: _*)))
+    }
     val withToks = tfCols.foldLeft(base) { (acc, nc) =>
       acc.withColumn(nc._1, nc._2)
     }

@@ -1743,6 +1743,48 @@ object LlmOps {
             SELECT doc_id, score FROM sc
             ORDER BY score DESC, doc_id LIMIT 20""")),
 
+    // $search against a PERSISTED text index (TextIndex.build stored in
+    // a DocStore, resolved by the `index` option): BM25 statistics come
+    // from a bounded lookup of stored (term, df) rows + the path
+    // summary — the stats become plan literals and the per-query corpus
+    // stats pass disappears. Same query and oracle as q_search_text:
+    // stored statistics are bit-identical to the computed ones.
+    QueryDef("q_search_index",
+      (s, dir) => {
+        val store = new graft.sinks.DocStore(s,
+          java.nio.file.Files.createTempDirectory("graft_tidx").toString)
+        val docs = Graft.table(s, dir, "documents")
+        store.write(graft.llmops.TextIndex.build(docs, Seq("text")), "docs_text")
+        val resolve: graft.mql.PipelineCompiler.TableResolver = {
+          case "docs_text" => store.read("docs_text")
+          case t => Graft.table(s, dir, t)
+        }
+        graft.mql.PipelineCompiler.run(docs,
+          """[
+            {"$search": {"index": "docs_text",
+              "text": {"query": "spark query window",
+              "path": "text"}, "limit": 20, "tieBreaker": "doc_id"}},
+            {"$project": {"doc_id": 1,
+              "score": {"$meta": "searchScore"}}},
+            {"$sort": {"score": -1, "doc_id": 1}}]""", resolve)
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($duckToksLower) AS term
+                 FROM documents),
+              dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+              st AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+              tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+                     WHERE term IN ('spark', 'query', 'window') GROUP BY 1, 2),
+              df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+              sc AS (SELECT tf.doc_id,
+                       round(SUM(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5)) *
+                         tf.tf * 2.2 / (tf.tf + 1.2 *
+                           (1 - 0.75 + 0.75 * dl.dl / st.avgdl))), 6) AS score
+                     FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+                          CROSS JOIN st
+                     GROUP BY 1)
+            SELECT doc_id, score FROM sc
+            ORDER BY score DESC, doc_id LIMIT 20""")),
+
     // $search highlight: the searchHighlights payload flattened to a
     // hashable rendering — hits bracketed, runs re-joined — which the
     // twin reproduces token for token from the same analyzer

@@ -1,0 +1,86 @@
+package graft.mql
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+import graft.llmops.TextIndex
+
+/** `$search` persisted-index path: stored (term, df) + path summaries
+  * replace the per-query corpus stats pass when derivable. */
+class TextIndexSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "spark makes big data simple"),
+    (2L, "spark query engines love columns"),
+    (3L, "window functions rank rows"),
+    (4L, "completely unrelated text here")).toDF("doc_id", "text")
+
+  private def runQ(pipeline: String,
+                   resolve: PipelineCompiler.TableResolver = _ =>
+                     throw new MqlException("no tables")) =
+    PipelineCompiler.run(docs, pipeline, resolve)
+      .as[(Long, Double)].collect().toSeq
+
+  private val project =
+    """{"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}},
+       {"$sort": {"score": -1, "doc_id": 1}}"""
+
+  test("indexed text search scores exactly like the corpus-stats pass") {
+    val idx = TextIndex.build(docs, Seq("text"))
+    val resolve: PipelineCompiler.TableResolver = {
+      case "tidx" => idx
+      case o => fail(s"unexpected $o")
+    }
+    val plain = runQ(s"""[
+      {"$$search": {"text": {"query": "spark query window", "path": "text"},
+        "limit": 10, "tieBreaker": "doc_id"}}, $project]""")
+    val indexed = runQ(s"""[
+      {"$$search": {"index": "tidx",
+        "text": {"query": "spark query window", "path": "text"},
+        "limit": 10, "tieBreaker": "doc_id"}}, $project]""", resolve)
+    assert(plain.nonEmpty && indexed == plain)
+  }
+
+  test("phrase queries keep the corpus pass (index not derivable)") {
+    val idx = TextIndex.build(docs, Seq("text"))
+    val resolve: PipelineCompiler.TableResolver = { case "tidx" => idx }
+    val plain = runQ(s"""[
+      {"$$search": {"phrase": {"query": "spark query", "path": "text"},
+        "limit": 10, "tieBreaker": "doc_id"}}, $project]""")
+    val indexed = runQ(s"""[
+      {"$$search": {"index": "tidx",
+        "phrase": {"query": "spark query", "path": "text"},
+        "limit": 10, "tieBreaker": "doc_id"}}, $project]""", resolve)
+    assert(indexed == plain)
+  }
+
+  test("non-index collection and uncovered paths are refused loudly") {
+    val resolve: PipelineCompiler.TableResolver = { case _ => docs }
+    val e = intercept[MqlException] { runQ(s"""[
+      {"$$search": {"index": "docs",
+        "text": {"query": "spark", "path": "text"}, "limit": 5}},
+      $project]""", resolve) }
+    assert(e.getMessage.contains("not a text index"))
+
+    val idxOther = TextIndex.build(docs.withColumnRenamed("text", "body"),
+      Seq("body"))
+    val resolve2: PipelineCompiler.TableResolver = { case _ => idxOther }
+    val e2 = intercept[MqlException] { runQ(s"""[
+      {"$$search": {"index": "other",
+        "text": {"query": "spark", "path": "text"}, "limit": 5}},
+      $project]""", resolve2) }
+    assert(e2.getMessage.contains("does not cover path"))
+  }
+
+  test("unknown index name falls back to self-computed stats") {
+    val plain = runQ(s"""[
+      {"$$search": {"text": {"query": "spark", "path": "text"},
+        "limit": 5, "tieBreaker": "doc_id"}}, $project]""")
+    val fallback = runQ(s"""[
+      {"$$search": {"index": "nope",
+        "text": {"query": "spark", "path": "text"},
+        "limit": 5, "tieBreaker": "doc_id"}}, $project]""")
+    assert(fallback == plain)
+  }
+}
