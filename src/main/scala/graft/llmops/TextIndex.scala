@@ -46,4 +46,31 @@ object TextIndex {
       summary.unionByName(terms)
     }.reduce(_ unionByName _)
   }
+
+  /** Incremental maintenance: fold a NEW batch of documents into an
+    * existing index without re-scanning the indexed corpus — the write
+    * path of a live search index (streaming ingest folds each
+    * micro-batch the same way). Exact, not approximate: term dfs ADD;
+    * the path summary merges as a weighted mean
+    * (avgdl' = (n₁·a₁ + n₂·a₂)/(n₁+n₂)), so update(build(A), B) ≡
+    * build(A ∪ B) up to float associativity. Cost: index-sized +
+    * batch-sized — the old CORPUS is never touched, only the old index
+    * rows reduce again. */
+  def update(index: DataFrame, newDocs: DataFrame, paths: Seq[String]): DataFrame = {
+    val delta = build(newDocs, paths)
+    val both = index.unionByName(delta)
+    val terms = both.where(col("kind") === "term")
+      .groupBy("path", "term").agg(sum("df").as("df"))
+      .select(lit("term").as("kind"), col("path"), col("term"), col("df"),
+        lit(0L).as("n_docs"), lit(null).cast("double").as("avgdl"))
+    val summaries = both.where(col("kind") === "summary")
+      .groupBy("path")
+      .agg(sum("n_docs").as("n_docs"),
+        (sum(col("avgdl") * col("n_docs")) /
+          when(sum("n_docs") > 0, sum("n_docs"))).as("avgdl"))
+      .select(lit("summary").as("kind"), col("path"),
+        lit(null).cast("string").as("term"), lit(0L).as("df"),
+        col("n_docs"), col("avgdl"))
+    summaries.unionByName(terms)
+  }
 }

@@ -1785,6 +1785,35 @@ object LlmOps {
             SELECT doc_id, score FROM sc
             ORDER BY score DESC, doc_id LIMIT 20""")),
 
+    // incremental text-index maintenance: build on half the corpus,
+    // fold the other half in WITHOUT rescanning the first (term dfs
+    // add, summaries weighted-merge) — gate checks the merged index
+    // equals the full-corpus index the oracle computes directly
+    QueryDef("q_index_merge",
+      (s, dir) => {
+        val d = Graft.table(s, dir, "documents")
+        val idx = graft.llmops.TextIndex.build(
+          d.where(col("doc_id") % 2 === 0), Seq("text"))
+        graft.llmops.TextIndex.update(idx,
+          d.where(col("doc_id") % 2 =!= 0), Seq("text"))
+          .select(col("kind"), col("path"), col("term"), col("df"),
+            col("n_docs"), round(col("avgdl"), 6).as("avgdl"))
+          .orderBy("kind", "term")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $duckToksLower AS w FROM documents),
+               n AS (SELECT doc_id, len(w) AS dl FROM t WHERE len(w) > 0),
+               su AS (SELECT 'summary' AS kind, 'text' AS path,
+                        NULL AS term, CAST(0 AS BIGINT) AS df,
+                        CAST(COUNT(*) AS BIGINT) AS n_docs,
+                        ROUND(AVG(dl::DOUBLE), 6) AS avgdl FROM n),
+               tm AS (SELECT 'term' AS kind, 'text' AS path, term,
+                        CAST(COUNT(*) AS BIGINT) AS df,
+                        CAST(0 AS BIGINT) AS n_docs, NULL::DOUBLE AS avgdl
+                      FROM (SELECT doc_id, unnest(list_distinct(w)) AS term
+                            FROM t) GROUP BY term)
+             SELECT * FROM su UNION ALL SELECT * FROM tm
+             ORDER BY kind, term""")),
+
     // $search highlight: the searchHighlights payload flattened to a
     // hashable rendering — hits bracketed, runs re-joined — which the
     // twin reproduces token for token from the same analyzer

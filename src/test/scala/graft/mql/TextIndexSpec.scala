@@ -73,6 +73,31 @@ class TextIndexSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("does not cover path"))
   }
 
+  test("update(build(A), B) equals build(A ∪ B)") {
+    val a = docs.where($"doc_id" <= 2)
+    val b = docs.where($"doc_id" > 2)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select($"kind", $"path", $"term", $"df", $"n_docs",
+        org.apache.spark.sql.functions.round($"avgdl", 9).as("avgdl"))
+      .orderBy("kind", "term").collect().toSeq
+    val merged = canon(TextIndex.update(
+      TextIndex.build(a, Seq("text")), b, Seq("text")))
+    val full = canon(TextIndex.build(docs, Seq("text")))
+    assert(merged == full)
+    // and an indexed query through the MERGED index matches plain
+    val resolve: PipelineCompiler.TableResolver = {
+      case "m" => TextIndex.update(TextIndex.build(a, Seq("text")), b, Seq("text"))
+    }
+    val plain = runQ(s"""[
+      {"$$search": {"text": {"query": "spark query window", "path": "text"},
+        "limit": 10, "tieBreaker": "doc_id"}}, $project]""")
+    val viaMerged = runQ(s"""[
+      {"$$search": {"index": "m",
+        "text": {"query": "spark query window", "path": "text"},
+        "limit": 10, "tieBreaker": "doc_id"}}, $project]""", resolve)
+    assert(viaMerged == plain)
+  }
+
   test("unknown index name falls back to self-computed stats") {
     val plain = runQ(s"""[
       {"$$search": {"text": {"query": "spark", "path": "text"},
