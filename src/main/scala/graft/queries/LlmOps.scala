@@ -1814,6 +1814,29 @@ object LlmOps {
              SELECT * FROM su UNION ALL SELECT * FROM tm
              ORDER BY kind, term""")),
 
+    // STREAMING index maintenance: the odd half of the corpus streams
+    // into the standing index built from the even half (foreachBatch →
+    // TextIndex.update, exactly-once batchId tag); the final index
+    // must equal the full-corpus build — same oracle as q_index_merge
+    QueryDef("q_stream_index",
+      (s, dir) => graft.streaming.EventStream.runIndexStreamOnFixture(s, dir)
+        .select(col("kind"), col("path"), col("term"), col("df"),
+          col("n_docs"), round(col("avgdl"), 6).as("avgdl"))
+        .orderBy("kind", "term"),
+      Some(s"""WITH t AS (SELECT doc_id, $duckToksLower AS w FROM documents),
+               n AS (SELECT doc_id, len(w) AS dl FROM t WHERE len(w) > 0),
+               su AS (SELECT 'summary' AS kind, 'text' AS path,
+                        NULL AS term, CAST(0 AS BIGINT) AS df,
+                        CAST(COUNT(*) AS BIGINT) AS n_docs,
+                        ROUND(AVG(dl::DOUBLE), 6) AS avgdl FROM n),
+               tm AS (SELECT 'term' AS kind, 'text' AS path, term,
+                        CAST(COUNT(*) AS BIGINT) AS df,
+                        CAST(0 AS BIGINT) AS n_docs, NULL::DOUBLE AS avgdl
+                      FROM (SELECT doc_id, unnest(list_distinct(w)) AS term
+                            FROM t) GROUP BY term)
+             SELECT * FROM su UNION ALL SELECT * FROM tm
+             ORDER BY kind, term""")),
+
     // $search highlight: the searchHighlights payload flattened to a
     // hashable rendering — hits bracketed, runs re-joined — which the
     // twin reproduces token for token from the same analyzer

@@ -228,6 +228,67 @@ object EventStream {
     }
   }
 
+  /** Streaming text-index maintenance: every micro-batch of documents
+    * folds into the stored index (`TextIndex.update` — term dfs add,
+    * summaries weighted-merge; the indexed corpus is never rescanned),
+    * exactly-once via the same batchId tag committed atomically with
+    * the collection swap as [[mergeStream]]. This is the live write
+    * path of a search index: ingest keeps the index current, and
+    * `$search`'s `index` option serves queries from it. */
+  def indexStream(stream: DataFrame, paths: Seq[String], indexName: String,
+                  store: graft.sinks.DocStore)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val committed = store.readTag(indexName, "batchId").map(_.toLong)
+      if (!committed.exists(_ >= batchId)) {
+        // reading the standing index while staging its replacement is
+        // safe: DocStore writes to a stage dir and swaps after
+        val next =
+          (try Some(store.read(indexName)) catch { case _: Exception => None })
+            .map(idx => graft.llmops.TextIndex.update(idx, batch, paths))
+            .getOrElse(graft.llmops.TextIndex.build(batch, paths))
+        store.write(next, indexName, tags = Map("batchId" -> batchId.toString))
+      }
+    }
+
+  /** indexStream over the fixture: the even half of `documents` seeds
+    * the standing index (the backfill build), the odd half streams in
+    * and folds batch by batch — the final index must equal the
+    * full-corpus build (q_index_merge's oracle). */
+  def runIndexStreamOnFixture(spark: SparkSession, dir: String): DataFrame = {
+    val store = new graft.sinks.DocStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_istore").toString)
+    val docs = graft.api.Graft.table(spark, dir, "documents")
+    store.write(graft.llmops.TextIndex.build(
+      docs.where(col("doc_id") % 2 === 0), Seq("text")), "docs_idx")
+    val odd = docs.where(col("doc_id") % 2 =!= 0)
+    val srcPath = java.nio.file.Files.createTempDirectory("graft_istream").toString
+    odd.write.format("graftdocs").mode("overwrite").save(srcPath)
+    val stream = spark.readStream.format("graftdocs")
+      .schema(odd.schema).load(srcPath)
+    val name = s"graft_indexstream_${System.nanoTime()}"
+    val ckptBase = if (new java.io.File("/dev/shm").canWrite) "/dev/shm" else
+      System.getProperty("java.io.tmpdir")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      q = indexStream(stream, Seq("text"), "docs_idx", store)
+        .option("checkpointLocation", s"$ckptBase/ckpt_$name")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      if (q != null) q.stop()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(s"$ckptBase/ckpt_$name"))
+    }
+    store.read("docs_idx")
+  }
+
   /** mergeStream over the fixture: a batch `$out` backfills the standing
     * collection from half the corpus, then the stream merges the other
     * half into it — both the matched fold and the insert path execute,

@@ -136,6 +136,46 @@ class EventStreamSpec extends AnyFunSuite {
       == Seq(("a", 3L, 9.0), ("b", 1L, 2.0), ("c", 1L, 3.0)))
   }
 
+  test("indexStream folds per-batch and skips replayed batches") {
+    import spark.implicits._
+    val feed = java.nio.file.Files.createTempDirectory("graft_isfeed").toString
+    Seq((1L, "spark rocks"), (2L, "spark queries"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$feed/f1")
+    Seq((3L, "window functions"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$feed/f2")
+    val store = new graft.sinks.DocStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_isstore").toString)
+    val stream = spark.readStream
+      .schema("doc_id long, text string")
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(feed)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_isckpt").toString
+    val q = EventStream.indexStream(stream, Seq("text"), "idx", store)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    assert(batches >= 2, s"expected >=2 non-empty micro-batches, saw $batches")
+    def dfOf(term: String): Long = store.read("idx")
+      .where($"kind" === "term" && $"term" === term)
+      .select("df").as[Long].head()
+    assert(dfOf("spark") == 2L && dfOf("window") == 1L)
+    assert(store.read("idx").where($"kind" === "summary")
+      .select("n_docs").as[Long].head() == 3L)
+    // fresh-checkpoint replay: batch ids restart at 0, every one is ≤
+    // the committed tag → skipped, dfs unchanged (no double counting)
+    assert(store.readTag("idx", "batchId").map(_.toLong).exists(_ >= 1))
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_isckpt2").toString
+    val q2 = EventStream.indexStream(stream, Seq("text"), "idx", store)
+      .option("checkpointLocation", ckpt2)
+      .trigger(Trigger.AvailableNow()).start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(dfOf("spark") == 2L)
+    assert(store.read("idx").where($"kind" === "summary")
+      .select("n_docs").as[Long].head() == 3L)
+  }
+
   test("flatMapGroupsWithState carries per-key state across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.EventStream.{UserEvent, UserState}
