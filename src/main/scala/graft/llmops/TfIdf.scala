@@ -249,4 +249,61 @@ object TfIdf {
       .agg(count(lit(1)).as("n_tok"),
         round(sum(col("lr")), 6).as("log_weight"))
   }
+
+  /** Per-document n-gram NOVELTY: the share of a doc's distinct
+    * shingles that appear in NO other document — the inverse signal of
+    * repeated-span detection, high for original content and low for
+    * boilerplate/templates. One distinct-shingle explode, one df hash
+    * agg, one rejoin keyed by shingle — word-count shape, no self-join.
+    * Output: (id, n_shingles, novel, novelty round 6); docs too short
+    * to shingle are absent (no shingles to judge). */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol),
+      explode(Dedup.shingles(col(textCol), shingleN)).as("__s"))
+    val df = sh.groupBy("__s").agg(countDistinct(col(idCol)).as("__df"))
+    sh.join(df, "__s")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__df") === 1, 1L).otherwise(0L)).as("novel"))
+      .withColumn("novelty",
+        round(col("novel").cast("double") / col("n_shingles"), 6))
+  }
+
+  /** Per-group token-distribution DRIFT: smoothed KL divergence of each
+    * group's unigram distribution from the whole-corpus distribution —
+    * the mixing-dashboard number that says which sources are
+    * linguistically far from the blend ("how much does adding more of
+    * source X move the mix"). Laplace-smoothed over the corpus
+    * vocabulary and TRUNCATED to each group's observed support (the
+    * standard practical estimator: terms the group never uses carry
+    * only the O(α·V/n_g) smoothing mass; an exact tail would need a
+    * group×vocabulary expansion for a correction far below the
+    * signal). Two hash aggs (group×term, term) + a term-keyed join —
+    * no self-join, the corpus never shuffles twice.
+    * Output: (group, n_tok, kl round 6). */
+  def distributionDrift(docs: DataFrame, groupCol: String, textCol: String,
+                        alpha: Double = 0.5): DataFrame = {
+    val toks = docs.select(col(groupCol).as("__g"),
+      explode(TextAnalysis.tokens(lower(col(textCol)))).as("term"))
+    val corpus = toks.groupBy("term").agg(count(lit(1)).as("cf"))
+    // corpus total + vocabulary size as a 1-row broadcast (NOT a global
+    // window over the vocab table — the vocabulary is corpus-dependent,
+    // so a single-task funnel over it does not bound at 100 TB)
+    val totals = corpus.agg(sum("cf").as("__tot"), count(lit(1)).as("__v"))
+    val group = toks.groupBy("__g", "term").agg(count(lit(1)).as("gf"))
+    // per-group totals: partitioned window over the group's vocab rows
+    val gw = org.apache.spark.sql.expressions.Window.partitionBy("__g")
+    group
+      .withColumn("__gtot", sum("gf").over(gw))
+      .join(corpus, "term")
+      .crossJoin(broadcast(totals))
+      .withColumn("__q", (col("cf") + alpha) /
+        (col("__tot") + lit(alpha) * col("__v")))
+      .withColumn("__p", (col("gf") + alpha) /
+        (col("__gtot") + lit(alpha) * col("__v")))
+      .groupBy(col("__g").as(groupCol))
+      .agg(sum("gf").as("n_tok"),
+        round(sum(col("__p") * log(col("__p") / col("__q"))), 6).as("kl"))
+  }
 }

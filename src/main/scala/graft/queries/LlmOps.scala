@@ -1837,6 +1837,42 @@ object LlmOps {
              SELECT * FROM su UNION ALL SELECT * FROM tm
              ORDER BY kind, term""")),
 
+    // per-doc n-gram novelty: share of shingles appearing in NO other
+    // doc — the inverse of repeated-span detection, word-count shape
+    QueryDef("q_novelty",
+      (s, dir) => graft.llmops.TfIdf.ngramNovelty(
+        Graft.table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, $duckShingles AS sh
+                 FROM (SELECT doc_id, $duckToks AS w FROM documents)),
+               e AS (SELECT doc_id, unnest(sh) AS s FROM t),
+               d AS (SELECT s, COUNT(DISTINCT doc_id) AS df FROM e GROUP BY s)
+             SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                    CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                      AS novel,
+                    ROUND(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END)::DOUBLE
+                          / COUNT(*), 6) AS novelty
+             FROM e JOIN d USING (s) GROUP BY e.doc_id ORDER BY doc_id""")),
+
+    // per-source distribution drift: truncated smoothed KL of each
+    // source's unigram distribution from the corpus blend
+    QueryDef("q_source_drift",
+      (s, dir) => graft.llmops.TfIdf.distributionDrift(
+        Graft.table(s, dir, "documents"), "source", "text")
+        .orderBy("source"),
+      Some(s"""WITH toks AS (SELECT source AS g, unnest($duckToksLower) AS term
+                 FROM documents),
+               corpus AS (SELECT term, COUNT(*) AS cf FROM toks GROUP BY term),
+               tot AS (SELECT SUM(cf) AS tot, COUNT(*) AS v FROM corpus),
+               grp AS (SELECT g, term, COUNT(*) AS gf FROM toks GROUP BY g, term),
+               gt AS (SELECT g, SUM(gf) AS gtot FROM grp GROUP BY g)
+             SELECT g AS source, CAST(SUM(gf) AS BIGINT) AS n_tok,
+                    ROUND(SUM(((gf + 0.5) / (gtot + 0.5 * v)) *
+                          ln(((gf + 0.5) / (gtot + 0.5 * v)) /
+                             ((cf + 0.5) / (tot + 0.5 * v)))), 6) AS kl
+             FROM grp JOIN corpus USING (term) JOIN gt USING (g) CROSS JOIN tot
+             GROUP BY g ORDER BY source""")),
+
     // $search highlight: the searchHighlights payload flattened to a
     // hashable rendering — hits bracketed, runs re-joined — which the
     // twin reproduces token for token from the same analyzer
