@@ -642,7 +642,8 @@ object PipelineCompiler {
       case Some(vars) =>
         val pipe = spec.collectFirst { case ("pipeline", JArray(ps)) => ps }
           .getOrElse(throw new MqlException("$lookup with let needs pipeline"))
-        return correlatedLookup(df, resolve(from), as, vars, pipe, resolve)
+        return correlatedLookup(df, resolve(from), as, vars, pipe, resolve,
+          rest)
       case None =>
     }
     // optional uncorrelated sub-pipeline applied to the foreign table
@@ -775,7 +776,8 @@ object PipelineCompiler {
   private def correlatedLookup(df: DataFrame, fromDf: DataFrame, as: String,
                                vars: List[(String, JValue)],
                                pipe: List[JValue],
-                               resolve: TableResolver): DataFrame = {
+                               resolve: TableResolver,
+                               outerRest: List[JValue] = Nil): DataFrame = {
     def usesVars(v: JValue): Boolean = v match {
       case JString(s)  => s.startsWith("$$")
       case JObject(fs) => fs.exists { case (_, x) => usesVars(x) }
@@ -822,13 +824,28 @@ object PipelineCompiler {
       .localCheckpoint(true)
     val env = vars.map { case (n, _) => n -> col(s"__let_$n") }.toMap
     val condCol = ExprCompiler.compile(rewrite(joined), env)
+    // foreign-side projection pushdown (same analysis as the
+    // uncorrelated path): when no suffix stages reshape the elements
+    // and the post-lookup stages prove a bounded field set, the
+    // collected struct is born slim — Catalyst then prunes the foreign
+    // scan to (join-condition fields ∪ kept fields) on its own. No
+    // dedup identity needed here: the inner join emits each matching
+    // foreign row once per left row.
+    val keepCols: Seq[String] =
+      if (suffix.nonEmpty || outerRest.isEmpty) rightCols
+      else LookupPrune.usedFields(as, outerRest) match {
+        case Some(fs) if fs.forall(rightCols.contains) =>
+          val k = rightCols.filter(fs.contains)
+          if (k.isEmpty) rightCols.take(1) else k
+        case _ => rightCols
+      }
     val matched0 = left2.join(rightR, condCol, "inner")
       .groupBy(col("__graft_rowid"))
       .agg(collect_list(struct(
-        rightCols.map(c => col("__r_" + c).as(c)): _*)).as(as))
+        keepCols.map(c => col("__r_" + c).as(c)): _*)).as(as))
     // apply the suffix stages to the match array (fields tracks the
     // element struct shape across $project/$unset rebuilds)
-    val (suffixCol, _) = suffix.foldLeft((col(as), rightCols)) {
+    val (suffixCol, _) = suffix.foldLeft((col(as), keepCols)) {
       case ((arr, fields), st) => asObj(st, "lookup suffix stage") match {
         case List(("$limit", n)) =>
           (slice(arr, 1, intValue(n, "$limit")), fields)

@@ -128,6 +128,31 @@ class LookupPruneSpec extends AnyFunSuite {
     val _ = schema
   }
 
+  test("correlated lookup prunes when suffix-free; keeps all with suffix") {
+    val pruned = run(
+      """[{"$lookup": {"from": "foreign", "let": {"lk": "$k"},
+            "pipeline": [{"$match": {"$expr": {"$eq": ["$fk", "$$lk"]}}}],
+            "as": "m"}},
+          {"$project": {"id": 1, "tot": {"$round": [{"$sum":
+            {"$map": {"input": "$m", "in": "$$this.price"}}}, 2]}}},
+          {"$sort": {"id": 1}}]""")
+    assert(!pruned.queryExecution.optimizedPlan.toString.contains("payload"))
+    assert(pruned.collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq ==
+      Seq((1, 4.0), (2, 3.5), (3, 0.0)))
+    // a suffix stage reshapes elements → pruning stays off (correct
+    // results, full columns)
+    val suffixed = run(
+      """[{"$lookup": {"from": "foreign", "let": {"lk": "$k"},
+            "pipeline": [{"$match": {"$expr": {"$eq": ["$fk", "$$lk"]}}},
+                         {"$sort": {"price": -1}}, {"$limit": 1}],
+            "as": "m"}},
+          {"$project": {"id": 1, "tot": {"$round": [{"$sum":
+            {"$map": {"input": "$m", "in": "$$this.price"}}}, 2]}}},
+          {"$sort": {"id": 1}}]""")
+    assert(suffixed.collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq ==
+      Seq((1, 2.5), (2, 3.5), (3, 0.0)))
+  }
+
   test("uncorrelated pipeline-attach lookup prunes too") {
     val q = run(
       """[{"$lookup": {"from": "foreign", "pipeline": [
