@@ -263,6 +263,35 @@ object Graft {
     def aggregateTo(coll: String, pipelineJson: String): String =
       PipelineCompiler.runWithWrites(resolve(coll), pipelineJson, resolve, store)
 
+    /** `db.createSearchIndex(coll, name, paths)` — Mongo's
+      * createSearchIndexes command for this engine: builds the BM25
+      * statistics index (TextIndex.build) over the collection and
+      * stores it AS a sibling collection, so `$search`'s `index`
+      * option (and the reference's `{"$search": {"index": name, ...}}`
+      * pass-through, api.py:252) resolves it through the same catalog.
+      * Rebuild-on-call, like running the command again; incremental
+      * upkeep is `TextIndex.update` / `EventStream.indexStream` over
+      * the same name. Returns the index name. */
+    def createSearchIndex(coll: String, name: String,
+                          paths: Seq[String]): String = {
+      store.write(graft.llmops.TextIndex.build(resolve(coll), paths), name)
+      name
+    }
+
+    /** `db.createVectorIndex(coll, name, vecCol, nCells)` — the
+      * `$vectorSearch` analogue: builds IVF centroids over the
+      * collection's vector column and stores the centroid frame as a
+      * sibling collection for `$vectorSearch`'s `index` option.
+      * Returns the index name. */
+    def createVectorIndex(coll: String, name: String, vecCol: String,
+                          nCells: Int = 16, lloydIters: Int = 1,
+                          idCol: String = "_id"): String = {
+      val idx = graft.llmops.Similarity.buildIvf(resolve(coll), nCells,
+        idCol, vecCol, lloydIters, persistIndex = false)
+      store.write(graft.llmops.Similarity.centroidFrame(idx), name)
+      name
+    }
+
     /** Change-stream surface (`db[coll].watch(pipeline)` — the third
       * Mongo query entry point after find/aggregate): an unbounded
       * stream of change documents in the standard shape

@@ -124,6 +124,41 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.table(s"$cat.by_name").count() == 3)
   }
 
+  test("Db.createSearchIndex / createVectorIndex: build, store, query through $search/$vectorSearch") {
+    val (cat, root) = freshCatalog()
+    Seq((1L, "spark makes data simple", Seq(1.0f, 0.0f)),
+        (2L, "spark query engines", Seq(0.9f, 0.1f)),
+        (3L, "window functions rank", Seq(0.0f, 1.0f)))
+      .toDF("id", "text", "vec")
+      .write.format("graftdocs").mode("overwrite").save(s"$root/docs")
+    val db = graft.api.Graft.Db(spark, cat)
+    assert(db.createSearchIndex("docs", "docs_text_idx", Seq("text"))
+      == "docs_text_idx")
+    // the index is a first-class sibling collection…
+    assert(spark.sql(s"SHOW TABLES IN $cat").select("tableName")
+      .as[String].collect().toSet.contains("docs_text_idx"))
+    // …and $search resolves it by name through the same Db resolver,
+    // scoring exactly like the corpus-stats pass
+    def searchWith(index: String) = db.aggregate("docs", s"""[
+      {"$$search": {$index"text": {"query": "spark query", "path": "text"},
+        "limit": 5, "tieBreaker": "id"}},
+      {"$$project": {"id": 1, "score": {"$$meta": "searchScore"}}},
+      {"$$sort": {"score": -1, "id": 1}}]""")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val indexed = searchWith(""""index": "docs_text_idx", """)
+    assert(indexed == searchWith("") && indexed.head._1 == 2L)
+
+    assert(db.createVectorIndex("docs", "docs_vec_idx", "vec",
+      nCells = 2, lloydIters = 0, idCol = "id") == "docs_vec_idx")
+    val ann = db.aggregate("docs", """[
+      {"$vectorSearch": {"index": "docs_vec_idx", "path": "vec",
+        "queryVector": [0.0, 1.0], "limit": 1, "numCandidates": 10,
+        "tieBreaker": "id"}},
+      {"$project": {"id": 1}}]""")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ann == Seq(3L))
+  }
+
   test("Db.watch: change-stream shape, MQL pipeline, incremental tail") {
     val (cat, root) = freshCatalog()
     seed(root, "people")
