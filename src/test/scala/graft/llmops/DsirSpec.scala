@@ -123,6 +123,28 @@ class DsirSpec extends AnyFunSuite {
     assert(out == Seq(("a", 2L, 6L, 1L), ("b", 1L, 3L, 1L)))
   }
 
+  test("ngramNovelty: unique shingles score 1, copied docs score 0") {
+    val df = Seq(
+      (1L, "a b c d e"),          // all 3 shingles unique → novelty 1
+      (2L, "x y z w q"),          // copied by doc 3 → novelty 0
+      (3L, "x y z w q")).toDF("id", "text")
+    val out = TfIdf.ngramNovelty(df, "id", "text").orderBy("id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 3L, 3L, 1.0), (2L, 3L, 0L, 0.0), (3L, 3L, 0L, 0.0)))
+  }
+
+  test("distributionDrift: an off-blend source drifts further") {
+    val df = Seq(
+      (1L, "the cat sat on the mat", "a"),
+      (2L, "the dog sat on the rug", "a"),
+      (3L, "quantum flux capacitors resonate", "b")).toDF("id", "text", "source")
+    val kl = TfIdf.distributionDrift(df, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // (truncated-support KL: individual values may dip below zero for
+    // a perfectly blend-like group — only the ORDERING is asserted)
+    assert(kl("b") > kl("a"), s"expected b to drift further: $kl")
+  }
+
   test("overlapSpans finds the longest consecutive-hit run, not just hits") {
     val bench = Seq((1L, "q w e r t y")).toDF("id", "text")
     // doc 10: "q w e r" → positional 3-grams "q w e","w e r" both hit,
