@@ -292,6 +292,42 @@ object Graft {
       name
     }
 
+    /** `$listSearchIndexes`-shaped listing: every sibling collection
+      * whose schema matches a stored index layout, with its type —
+      * 'search' (TextIndex.build) or 'vectorSearch' (centroidFrame).
+      * One catalog listing + a schema probe per collection (metadata
+      * only — no data reads). */
+    def listSearchIndexes(): Seq[(String, String)] = {
+      val names = spark.sql(s"SHOW TABLES IN $catalog")
+        .select("tableName").collect().map(_.getString(0)).toSeq
+      names.flatMap { n =>
+        val cols = (try resolve(n).columns.toSet
+                    catch { case _: Exception => Set.empty[String] })
+        if (Set("kind", "path", "term", "df", "n_docs", "avgdl").subsetOf(cols))
+          Some(n -> "search")
+        else if (Set("cell_id", "centroid").subsetOf(cols))
+          Some(n -> "vectorSearch")
+        else None
+      }
+    }
+
+    /** `dropSearchIndex(name)` — removes the stored index collection
+      * (refuses names that are not index-shaped, so a typo cannot drop
+      * a data collection). */
+    def dropSearchIndex(name: String): Unit = {
+      if (!listSearchIndexes().exists(_._1 == name))
+        throw new MqlException(
+          s"dropSearchIndex: '$name' is not a stored search index")
+      spark.sql(s"DROP TABLE $catalog.`$name`"): Unit
+    }
+
+    /** `updateSearchIndex` — Mongo's update command rebuilds the
+      * definition; here that is a fresh build over the collection
+      * (incremental upkeep is `TextIndex.update`/`indexStream`). */
+    def updateSearchIndex(coll: String, name: String,
+                          paths: Seq[String]): String =
+      createSearchIndex(coll, name, paths)
+
     /** Change-stream surface (`db[coll].watch(pipeline)` — the third
       * Mongo query entry point after find/aggregate): an unbounded
       * stream of change documents in the standard shape

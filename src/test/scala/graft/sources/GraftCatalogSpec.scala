@@ -157,6 +157,16 @@ class GraftCatalogSpec extends AnyFunSuite {
       {"$project": {"id": 1}}]""")
       .collect().map(_.getLong(0)).toSeq
     assert(ann == Seq(3L))
+
+    // listing reports both with their types; data collections excluded
+    assert(db.listSearchIndexes().toMap ==
+      Map("docs_text_idx" -> "search", "docs_vec_idx" -> "vectorSearch"))
+    // drop removes the index; a data collection is refused
+    db.dropSearchIndex("docs_vec_idx")
+    assert(db.listSearchIndexes().toMap == Map("docs_text_idx" -> "search"))
+    intercept[graft.mql.MqlException](db.dropSearchIndex("docs"))
+    assert(spark.sql(s"SHOW TABLES IN $cat").select("tableName")
+      .as[String].collect().toSet.contains("docs"))
   }
 
   test("Db.watch: change-stream shape, MQL pipeline, incremental tail") {
