@@ -55,6 +55,51 @@ object Multimodal {
     }
   }
 
+  /** Perceptual-hash-style near-dup pairs over BINARY payloads: a
+    * 60-bit simhash of the payload's fixed-size byte chunks, candidate
+    * pairs via 4×15-bit chunk blocking (pigeonhole-complete for
+    * hamming ≤ 3), exact hamming verification — the media analogue of
+    * the text simhash dedup (real pipelines pHash decoded pixels;
+    * the byte-chunk signature is the decode-free stand-in with the
+    * same operator shape, robust to partial payload edits the way
+    * word-simhash is robust to partial text edits). Output
+    * (id_a, id_b, hamming), id_a < id_b.
+    *
+    * Scale shape: identical to Dedup.simhashPairs — explode chunks →
+    * one map-side-combined vote aggregation (one 60-column row per
+    * payload shuffles, never the bytes), band equi-join on signature
+    * chunks, never all-pairs. */
+  def mediaNearDupPairs(df: DataFrame, idCol: String, payloadCol: String,
+                        chunkBytes: Int = 8, maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "4-chunk blocking is only complete for maxDist <= 3")
+    val nChunks = greatest(
+      ceil(octet_length(col(payloadCol)).cast("double") / chunkBytes).cast("int"),
+      lit(1))
+    val chunkHashes = transform(sequence(lit(0), nChunks - 1), i =>
+      Dedup.portableHash60(
+        col(payloadCol).substr(i * chunkBytes + 1, lit(chunkBytes))))
+    val toks = df.select(col(idCol).as("__id"),
+      explode(chunkHashes).as("__h"))
+    val votes = (0 until Dedup.SimHashBits).map(i =>
+      sum(when(shiftright(col("__h"), i).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"__v$i"))
+    val sigs = toks.groupBy("__id").agg(votes.head, votes.tail: _*)
+      .select(col("__id"), (0 until Dedup.SimHashBits).map(i =>
+        when(col(s"__v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+        .reduce(_.bitwiseOR(_)).as("__sig"))
+    val bands = sigs.select(col("__id"), col("__sig"), explode(array(
+      (0 until 4).map(j => concat_ws(":", lit(j),
+        shiftright(col("__sig"), j * 15).bitwiseAND(lit(0x7FFFL)))): _*))
+      .as("__band"))
+    bands.as("l").join(bands.as("r"), Seq("__band"))
+      .where(col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"),
+        bit_count(col("l.__sig").bitwiseXOR(col("r.__sig"))).cast("long")
+          .as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxDist)
+  }
+
   /** STUB resize: rewrites the metadata to the target box preserving
     * aspect ratio (fit-inside); the payload passes through untouched —
     * a real impl re-encodes pixels in the same batched decode step as

@@ -239,6 +239,40 @@ object LlmOps {
            SELECT id_a, id_b, hamming FROM p
            WHERE hamming <= 3 ORDER BY id_a, id_b""")),
 
+    // perceptual-hash-style media near-dup: 60-bit simhash over the
+    // binary payload's byte chunks, banded candidates, exact hamming —
+    // the decode-free multimodal analogue of q_simhash_pairs (payload
+    // is the fixture text's utf8 bytes, so the twin chunks the VARCHAR:
+    // byte == char for the ASCII fixture)
+    QueryDef("q_media_near_dup",
+      (s, dir) => Multimodal.mediaNearDupPairs(
+        Multimodal.asMediaTable(Graft.table(s, dir, "documents"),
+          "doc_id", "text"),
+        "media_id", "payload", chunkBytes = 8, maxDist = 3)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH n AS (SELECT doc_id, text,
+                 greatest(CAST(ceil(length(text)::DOUBLE / 8) AS INT), 1) AS nc
+               FROM documents),
+             e AS (SELECT doc_id, text,
+                     unnest(generate_series(0, nc - 1)) AS i FROM n),
+             ch AS (SELECT doc_id, substr(text, i*8 + 1, 8) AS c FROM e),
+             h AS (SELECT doc_id,
+                     ('0x' || substr(md5(c), 1, 15))::BIGINT AS h FROM ch),
+             bits AS (SELECT doc_id, i,
+                        sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)
+                          AS vote
+                      FROM h, range(60) r(i) GROUP BY 1, 2),
+             sig AS (SELECT doc_id,
+                       sum(CASE WHEN vote > 0 THEN (1::BIGINT << i) ELSE 0 END)
+                         AS sig
+                     FROM bits GROUP BY 1),
+             p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                          CAST(bit_count(xor(a.sig::BIGINT, b.sig::BIGINT))
+                               AS BIGINT) AS hamming
+                   FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+           SELECT id_a, id_b, hamming FROM p
+           WHERE hamming <= 3 ORDER BY id_a, id_b""")),
+
     // corpus-wide token frequency (the tokenizer-vocab building block):
     // explode → two-level hash agg (map-side partial) → global top-k
     QueryDef("q_tokens_topk",

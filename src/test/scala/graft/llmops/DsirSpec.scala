@@ -145,6 +145,17 @@ class DsirSpec extends AnyFunSuite {
     assert(kl("b") > kl("a"), s"expected b to drift further: $kl")
   }
 
+  test("mediaNearDupPairs: byte-identical payloads pair at hamming 0") {
+    val media = Seq(
+      (1L, "the same bytes exactly repeated here ok"),
+      (2L, "the same bytes exactly repeated here ok"),
+      (3L, "completely different payload content !!")).toDF("doc_id", "text")
+    val df = Multimodal.asMediaTable(media, "doc_id", "text")
+    val pairs = Multimodal.mediaNearDupPairs(df, "media_id", "payload")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L, 0L)))
+  }
+
   test("overlapSpans finds the longest consecutive-hit run, not just hits") {
     val bench = Seq((1L, "q w e r t y")).toDF("id", "text")
     // doc 10: "q w e r" → positional 3-grams "q w e","w e r" both hit,
