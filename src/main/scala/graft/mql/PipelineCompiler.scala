@@ -2909,7 +2909,9 @@ object PipelineCompiler {
     // loudly (a typo pointing at a DATA collection must not silently
     // scan it as centroids).
     val indexFrame: Option[DataFrame] =
-      spec.collectFirst { case ("index", JString(nm)) => nm }.flatMap { nm =>
+      // exact:true scans everything — don't resolve (or validate) an
+      // index the path will never read
+      spec.collectFirst { case ("index", JString(nm)) if !exact => nm }.flatMap { nm =>
         (try Some(resolve(nm)) catch { case _: Exception => None }).map { idf =>
           val cols = idf.columns.toSet
           if (!cols.contains("cell_id") || !cols.contains("centroid"))
