@@ -273,6 +273,66 @@ object LlmOps {
            SELECT id_a, id_b, hamming FROM p
            WHERE hamming <= 3 ORDER BY id_a, id_b""")),
 
+    // END-TO-END curation pipeline — the composition claim made real:
+    // normalized exact-dedup (keep representatives) → Gopher rule
+    // filter → deterministic train split → per-source token budget, as
+    // ONE lazy plan (each stage a library operator; the oracle chains
+    // the same four CTEs). Map-only filters ride the scan; the only
+    // shuffles are the dedup digest agg and the budget window.
+    QueryDef("q_curation_pipeline",
+      (s, dir) => {
+        val d = Graft.table(s, dir, "documents")
+        val reps = Dedup.exact(d, "doc_id", "text", normalize = true)
+          .select(col("keep_id").as("doc_id"))
+        val deduped = d.join(reps, Seq("doc_id"), "left_semi")
+        val kept = deduped
+          .withColumn("__s", TextAnalysis.textStats(col("text")))
+          .where(TextAnalysis.ruleFilterFromStats(col("__s")).getField("keep"))
+          .drop("__s")
+        val train = Sampling.hashSplit(kept, "doc_id",
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+          .where(col("split") === "train")
+        Sampling.tokenBudget(train, "doc_id", "source",
+          TextAnalysis.tokenCount(col("text")), budget = 600L)
+          .select(col("source"), col("doc_id"), col("cum_tokens"))
+          .orderBy("source", "cum_tokens", "doc_id")
+      },
+      Some {
+        val sw = TextAnalysis.EnglishStopwords.map("'" + _ + "'").mkString(",")
+        s"""WITH reps AS (
+              SELECT min(doc_id) AS doc_id FROM documents
+              GROUP BY $duckNormDigest),
+            dd AS (SELECT d.* FROM documents d
+                   JOIN reps USING (doc_id)),
+            q AS (SELECT doc_id, source, text,
+                    CAST(len($duckToks) AS BIGINT) AS n_tok,
+                    round(list_aggregate(list_transform($duckToks,
+                        x -> length(x)), 'sum')::DOUBLE
+                      / greatest(len($duckToks), 1), 6) AS awl,
+                    round((length(text) - length(regexp_replace(text,
+                        '[.!?,;:]', '', 'g')))::DOUBLE
+                      / greatest(length(text), 1), 6) AS punct,
+                    len(list_intersect(list_distinct($duckToksLower),
+                        [$sw])) AS stop_hits
+                  FROM dd),
+            kept AS (SELECT doc_id, source, n_tok FROM q
+                     WHERE n_tok BETWEEN 5 AND 100000
+                       AND awl BETWEEN 2.0 AND 12.0
+                       AND punct <= 0.2 AND stop_hits >= 1),
+            train AS (SELECT * FROM kept
+                      WHERE ('0x' || substr(md5('split:' || doc_id), 1, 8))::BIGINT
+                            % 1000000 < 900000),
+            c AS (SELECT source, doc_id,
+                    CAST(sum(n_tok) OVER (PARTITION BY source
+                      ORDER BY ('0x' || substr(md5('budget:' || doc_id), 1, 8))::BIGINT
+                               % 1000000, doc_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+                  FROM train)
+          SELECT source, doc_id, cum_tokens FROM c
+          WHERE cum_tokens <= 600
+          ORDER BY source, cum_tokens, doc_id"""
+      }),
+
     // corpus-wide token frequency (the tokenizer-vocab building block):
     // explode → two-level hash agg (map-side partial) → global top-k
     QueryDef("q_tokens_topk",
