@@ -27,10 +27,38 @@ object TextIndex {
   private def toks(path: String): Column =
     TextAnalysis.tokens(lower(col(path)))
 
-  def build(df: DataFrame, paths: Seq[String]): DataFrame = {
+  def build(df: DataFrame, paths: Seq[String]): DataFrame =
+    build(df, paths, None)
+
+  /** Statistics-only index (6 columns) when `postingsIdCol` is None;
+    * with `postingsIdCol = Some(id)` the index ALSO carries the full
+    * inverted structure (3 extra columns) and `$search` can run the
+    * postings-only query plan (score from the index, fetch only the
+    * winners):
+    *   - kind='posting': (path, term, doc_id, tf) — term frequency of
+    *     every (doc, term) pair;
+    *   - kind='doc':     (path, doc_id, dl) — per-doc token length;
+    *   - kind='meta':    (path, term=<id column name>) — which corpus
+    *     column the postings' doc_id joins back to. The id column must
+    *     be unique and castable to long (Mongo's `_id` contract —
+    *     duplicate ids would merge documents' postings).
+    * Postings are corpus-token-sized — the real storage cost of a real
+    * inverted index; build is one explode + one (doc, term) hash agg. */
+  def build(df: DataFrame, paths: Seq[String],
+            postingsIdCol: Option[String]): DataFrame = {
     require(paths.nonEmpty, "TextIndex.build: need at least one path")
+    val nullId = lit(null).cast("long")
+    def pad(d: DataFrame): DataFrame = postingsIdCol match {
+      case None => d
+      case Some(_) => d.withColumn("doc_id", nullId)
+        .withColumn("tf", nullId).withColumn("dl", nullId)
+    }
     paths.map { p =>
-      val t = df.select(toks(p).as("__w"))
+      val t = postingsIdCol match {
+        case Some(id) => df.select(col(id).cast("long").as("__did"),
+          toks(p).as("__w"))
+        case None => df.select(toks(p).as("__w"))
+      }
       val summary = t.where(size(col("__w")) > 0)
         .agg(count(lit(1)).as("n_docs"),
           avg(size(col("__w")).cast("double")).as("avgdl"))
@@ -43,7 +71,30 @@ object TextIndex {
         .select(lit("term").as("kind"), lit(p).as("path"), col("term"),
           col("df"), lit(0L).as("n_docs"),
           lit(null).cast("double").as("avgdl"))
-      summary.unionByName(terms)
+      val stats = pad(summary.unionByName(terms))
+      postingsIdCol match {
+        case None => stats
+        case Some(id) =>
+          val posts = t
+            .select(col("__did"), explode(col("__w")).as("term"))
+            .groupBy("__did", "term").agg(count(lit(1)).as("tf"))
+            .select(lit("posting").as("kind"), lit(p).as("path"),
+              col("term"), lit(0L).as("df"), lit(0L).as("n_docs"),
+              lit(null).cast("double").as("avgdl"),
+              col("__did").as("doc_id"), col("tf"), nullId.as("dl"))
+          val docs = t.where(size(col("__w")) > 0)
+            .select(lit("doc").as("kind"), lit(p).as("path"),
+              lit(null).cast("string").as("term"), lit(0L).as("df"),
+              lit(0L).as("n_docs"), lit(null).cast("double").as("avgdl"),
+              col("__did").as("doc_id"), nullId.as("tf"),
+              size(col("__w")).cast("long").as("dl"))
+          val meta = t.sparkSession.range(1)
+            .select(lit("meta").as("kind"), lit(p).as("path"),
+              lit(id).as("term"), lit(0L).as("df"), lit(0L).as("n_docs"),
+              lit(null).cast("double").as("avgdl"),
+              nullId.as("doc_id"), nullId.as("tf"), nullId.as("dl"))
+          stats.unionByName(posts).unionByName(docs).unionByName(meta)
+      }
     }.reduce(_ unionByName _)
   }
 
@@ -57,7 +108,15 @@ object TextIndex {
     * batch-sized — the old CORPUS is never touched, only the old index
     * rows reduce again. */
   def update(index: DataFrame, newDocs: DataFrame, paths: Seq[String]): DataFrame = {
-    val delta = build(newDocs, paths)
+    // postings-bearing indexes fold too: term dfs and summaries reduce
+    // as below; posting/doc rows are per-(doc, term) facts of DISJOINT
+    // batches, so they pass through as a union; the meta row dedupes
+    val hasPostings = index.columns.contains("doc_id")
+    val idColName: Option[String] =
+      if (!hasPostings) None
+      else index.where(col("kind") === "meta").select("term")
+        .collect().headOption.map(_.getString(0))
+    val delta = build(newDocs, paths, idColName)
     val both = index.unionByName(delta)
     val terms = both.where(col("kind") === "term")
       .groupBy("path", "term").agg(sum("df").as("df"))
@@ -71,6 +130,15 @@ object TextIndex {
       .select(lit("summary").as("kind"), col("path"),
         lit(null).cast("string").as("term"), lit(0L).as("df"),
         col("n_docs"), col("avgdl"))
-    summaries.unionByName(terms)
+    val stats = summaries.unionByName(terms)
+    if (!hasPostings) stats
+    else {
+      val nullId = lit(null).cast("long")
+      val padded = stats.withColumn("doc_id", nullId)
+        .withColumn("tf", nullId).withColumn("dl", nullId)
+      val carried = both.where(col("kind").isin("posting", "doc"))
+      val meta = both.where(col("kind") === "meta").distinct()
+      padded.unionByName(carried).unionByName(meta)
+    }
   }
 }

@@ -2383,30 +2383,23 @@ object PipelineCompiler {
     // tokenize once: the token project feeds BOTH the stats aggregate
     // (whose functions reference the token attributes) and the scoring
     // side, then per-clause tf columns land in their own project
-    val tokDf = tokPaths.foldLeft(df) { (acc, p) =>
-      acc.withColumn(s"__graft_toks_${pIdx(p)}", toksOf(p))
-    }
-    // ---- persisted text index (Atlas index lifecycle) ------------------
-    // When `index` resolves to a TextIndex.build collection AND every
-    // stats-consuming clause is term-derivable (exact-term text,
-    // queryString TERM leaves, moreLikeThis), the per-query corpus
-    // stats pass is replaced by a bounded lookup of the stored
-    // (term, df) rows + per-path summaries — the statistics become
-    // literals in the plan, so scoring is pure map work over the scan.
-    // Phrase/fuzzy statistics are positional/edit-distance-derived:
-    // those queries keep the corpus pass (results identical). Index
-    // stats are collection-level, like Lucene's — a `$search` applied
-    // mid-pipeline over a filtered frame intentionally still scores
-    // with whole-collection statistics when an index is named.
-    val indexStats: Option[Map[String, Column]] =
+    val loadedIndex: Option[(String, DataFrame)] =
       spec.collectFirst { case ("index", JString(nm)) => nm }.flatMap { nm =>
-        val loaded = try Some(resolve(nm)) catch { case _: Exception => None }
-        loaded.flatMap { idf =>
+        (try Some(resolve(nm)) catch { case _: Exception => None }).map { idf =>
           val have = idf.columns.toSet
           if (!Set("kind", "path", "term", "df", "n_docs", "avgdl").subsetOf(have))
             throw new MqlException(s"$$search.index: '$nm' resolves to a " +
               "collection without text-index columns " +
               "(kind/path/term/df/n_docs/avgdl) — not a text index")
+          (nm, idf)
+        }
+      }
+    // (stats-literal map, per-(path,term) dfs, per-path (n, avgdl))
+    val indexInfo: Option[(Map[String, Column],
+                           Map[(String, String), Long],
+                           Map[String, (Double, Double)])] =
+      loadedIndex.flatMap { case (nm, idf) =>
+        {
           val derivable = scoredClauses.filter(_.constant.isEmpty).map(_.c)
             .forall {
               case TextCl(_, _, fz) => fz.isEmpty
@@ -2459,10 +2452,97 @@ object PipelineCompiler {
             }
             needs.foreach { case (stat, p, t) =>
               m += (stat -> lit(dfMap.getOrElse((p, t), 0L))) }
-            Some(m.result())
+            Some((m.result(), dfMap, sums))
           }
         }
       }
+    val indexStats: Option[Map[String, Column]] = indexInfo.map(_._1)
+    // ---- postings-only candidate selection (inverted-index plan) -------
+    // With a postings-bearing index (TextIndex.build(postingsIdCol=…))
+    // and a single plain text clause, the winners are decided from the
+    // INDEX alone: per-doc tf columns from the query terms' posting
+    // rows, dl from the doc rows, the same BM25 formula with the same
+    // stats literals, a k-th-score threshold (ties kept), and ONE
+    // left-semi join fetches only the winning documents — the corpus
+    // is never scanned for scoring. Scoring then re-runs over the
+    // fetched handful through the ordinary expression path, so every
+    // output column (score, details, highlights) is byte-identical to
+    // the index-less plan. Pruning stays off for shapes whose result
+    // set is not the score top-k (user sort, count, pagination) or
+    // whose match semantics exceed the single clause.
+    val postingsCandidates: Option[DataFrame] = for {
+      (_, idf) <- loadedIndex
+      info <- indexInfo
+      if Seq("doc_id", "tf", "dl").forall(idf.columns.contains)
+      lim <- spec.collectFirst { case ("limit", l) => intValue(l, "$search") }
+      if !spec.exists { case (k, _) =>
+        Set("sort", "count", "searchAfter", "searchBefore").contains(k) }
+      tp <- scoredClauses match {
+        case Seq(Cl(TextCl(ts, p0, None), bo, None, None)) if bo == 1.0 =>
+          Some((ts, p0))
+        case _ => None
+      }
+      if mustNot.isEmpty && filterCls.isEmpty && (must ++ should).size == 1
+      idColName <- idf.where(col("kind") === "meta" && col("path") === tp._2)
+        .select("term").collect().headOption.map(_.getString(0))
+      if df.columns.contains(idColName)
+      na <- info._3.get(tp._2)
+      if na._1 > 0
+    } yield {
+      val (terms, p) = tp
+      val (n, ad) = na
+      val posts = idf.where(col("kind") === "posting" && col("path") === p &&
+          col("term").isin(terms: _*))
+        .select(col("doc_id"), col("term"), col("tf"))
+      val dls = idf.where(col("kind") === "doc" && col("path") === p)
+        .select(col("doc_id"), col("dl").cast("double").as("__dl"))
+      val tfAggs = terms.zipWithIndex.map { case (t, ti) =>
+        coalesce(sum(when(col("term") === t, col("tf"))), lit(0L))
+          .cast("double").as(s"__tf$ti") }
+      val perDoc = posts.groupBy("doc_id").agg(tfAggs.head, tfAggs.tail: _*)
+      // the EXACT expression-path formula, operand for operand, with
+      // the same literal stats — scores must round-compare equal
+      val scoreP = terms.zipWithIndex.map { case (t, ti) =>
+        val dfT = lit(info._2.getOrElse((p, t), 0L))
+        val tf = col(s"__tf$ti")
+        val idfT = log(lit(1.0) + (lit(n) - dfT + lit(0.5)) / (dfT + lit(0.5)))
+        when(tf > 0,
+          idfT * tf * (lit(k1) + 1.0) /
+            (tf + lit(k1) * (lit(1.0) - lit(b) +
+              lit(b) * col("__dl") / lit(ad))))
+          .otherwise(lit(0.0))
+      }.reduce(_ + _)
+      val scoredP = perDoc.join(dls, "doc_id")
+        .withColumn("__score", round(scoreP, 6))
+      val kth: Option[Double] = scoredP
+        .orderBy(col("__score").desc).limit(lim)
+        .agg(min(col("__score"))).collect().headOption
+        .flatMap(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+      kth match {
+        case None => df.limit(0) // no posting matched any term
+        case Some(th) =>
+          val winners = scoredP.where(col("__score") >= th)
+            .select(col("doc_id").as("__graft_win"))
+          df.join(winners,
+            df(idColName).cast("long") === col("__graft_win"), "left_semi")
+      }
+    }
+    val scanBase = postingsCandidates.getOrElse(df)
+    val tokDf = tokPaths.foldLeft(scanBase) { (acc, p) =>
+      acc.withColumn(s"__graft_toks_${pIdx(p)}", toksOf(p))
+    }
+    // ---- persisted text index (Atlas index lifecycle) ------------------
+    // When `index` resolves to a TextIndex.build collection AND every
+    // stats-consuming clause is term-derivable (exact-term text,
+    // queryString TERM leaves, moreLikeThis), the per-query corpus
+    // stats pass is replaced by a bounded lookup of the stored
+    // (term, df) rows + per-path summaries — the statistics become
+    // literals in the plan, so scoring is pure map work over the scan.
+    // Phrase/fuzzy statistics are positional/edit-distance-derived:
+    // those queries keep the corpus pass (results identical). Index
+    // stats are collection-level, like Lucene's — a `$search` applied
+    // mid-pipeline over a filtered frame intentionally still scores
+    // with whole-collection statistics when an index is named.
     val base = indexStats match {
       case Some(m) =>
         m.foldLeft(tokDf) { case (acc, (n, c)) => acc.withColumn(n, c) }

@@ -98,6 +98,43 @@ class TextIndexSpec extends AnyFunSuite {
     assert(viaMerged == plain)
   }
 
+  test("postings index: winners fetched via semi-join, scores identical") {
+    val idx = TextIndex.build(docs, Seq("text"), Some("doc_id"))
+    val resolve: PipelineCompiler.TableResolver = { case "inv" => idx }
+    val plain = runQ(s"""[
+      {"$$search": {"text": {"query": "spark query window", "path": "text"},
+        "limit": 2, "tieBreaker": "doc_id"}}, $project]""")
+    val indexed = PipelineCompiler.run(docs, s"""[
+      {"$$search": {"index": "inv",
+        "text": {"query": "spark query window", "path": "text"},
+        "limit": 2, "tieBreaker": "doc_id"}}, $project]""", resolve)
+    assert(indexed.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+      "postings plan should fetch winners via a left-semi join")
+    assert(indexed.as[(Long, Double)].collect().toSeq == plain)
+    // pruning bails out cleanly for shapes it cannot serve (user sort)
+    val sorted = PipelineCompiler.run(docs, s"""[
+      {"$$search": {"index": "inv",
+        "text": {"query": "spark", "path": "text"},
+        "sort": {"doc_id": -1}, "limit": 2, "tieBreaker": "doc_id"}},
+      {"$$project": {"doc_id": 1}}]""", resolve)
+    assert(!sorted.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+    assert(sorted.as[Long].collect().toSeq == Seq(2L, 1L))
+  }
+
+  test("update carries postings: fold equals full postings build") {
+    val a = docs.where($"doc_id" <= 2)
+    val b = docs.where($"doc_id" > 2)
+    def canonAll(df: org.apache.spark.sql.DataFrame) = df
+      .select($"kind", $"path", $"term", $"df", $"n_docs",
+        org.apache.spark.sql.functions.round($"avgdl", 9).as("avgdl"),
+        $"doc_id", $"tf", $"dl")
+      .orderBy("kind", "term", "doc_id").collect().toSeq
+    val merged = canonAll(TextIndex.update(
+      TextIndex.build(a, Seq("text"), Some("doc_id")), b, Seq("text")))
+    val full = canonAll(TextIndex.build(docs, Seq("text"), Some("doc_id")))
+    assert(merged == full)
+  }
+
   test("unknown index name falls back to self-computed stats") {
     val plain = runQ(s"""[
       {"$$search": {"text": {"query": "spark", "path": "text"},
