@@ -257,7 +257,7 @@ object PipelineCompiler {
     case "$geoNear"         => geoNear(df, asObj(spec, "$geoNear"))
     case "$vectorSearch"    => vectorSearch(df, asObj(spec, "$vectorSearch"), resolve)
     case "$search"          => search(df, asObj(spec, "$search"), resolve)
-    case "$searchMeta"      => searchMeta(df, asObj(spec, "$searchMeta"))
+    case "$searchMeta"      => searchMeta(df, asObj(spec, "$searchMeta"), resolve)
     case "$redact"          => redact(df, spec)
     case "$rankFusion"      => rankFusion(df, asObj(spec, "$rankFusion"), resolve)
     case "$scoreFusion"     => scoreFusion(df, asObj(spec, "$scoreFusion"), resolve)
@@ -2759,7 +2759,8 @@ object PipelineCompiler {
   // cardinality is the facets' distinct-value count, with per-facet
   // top-k taken by a window over that already-aggregated frame. Two
   // corpus passes total, independent of facet count.
-  private def searchMeta(df: DataFrame, spec: List[(String, JValue)]): DataFrame = {
+  private def searchMeta(df: DataFrame, spec: List[(String, JValue)],
+                         resolve: TableResolver = noTables): DataFrame = {
     def numOf(v: JValue, ctx: String): Double = v match {
       case JInt(i)    => i.toDouble
       case JLong(l)   => l.toDouble
@@ -2781,15 +2782,43 @@ object PipelineCompiler {
         val opSpec = spec.filterNot(_._1 == "count")
         if (opSpec.isEmpty)
           throw new MqlException("$searchMeta needs an operator or a facet collector")
-        search(df, opSpec).drop("searchScore")
-          .agg(count(lit(1)).as("__c"))
+        // index-ONLY count: with a postings-bearing index and a single
+        // plain text operator, the matched-set size is the number of
+        // DISTINCT doc ids across the query terms' posting rows — one
+        // filtered aggregate over the index, ZERO corpus I/O (the
+        // metadata entry point answered entirely from the index, as a
+        // real search engine does)
+        val indexOnly: Option[DataFrame] = for {
+          nm <- opSpec.collectFirst { case ("index", JString(n)) => n }
+          idf <- (try Some(resolve(nm)) catch { case _: Exception => None })
+          if Seq("kind", "path", "term", "doc_id").forall(idf.columns.contains)
+          tp <- opSpec.filterNot(_._1 == "index") match {
+            case List(("text", tv)) =>
+              val o = asObj(tv, "$searchMeta.text")
+              if (!o.map(_._1).toSet.subsetOf(Set("query", "path"))) None
+              else for {
+                q <- o.collectFirst { case ("query", JString(x)) => x }
+                p <- o.collectFirst { case ("path", JString(x)) => x }
+                ts = q.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+                if ts.nonEmpty
+              } yield (ts, p)
+            case _ => None
+          }
+        } yield idf.where(col("kind") === "posting" && col("path") === tp._2 &&
+            col("term").isin(tp._1: _*))
+          .agg(countDistinct(col("doc_id")).as("__c"))
           .select(struct(col("__c").as(countType)).as("count"))
+        indexOnly.getOrElse(
+          search(df, opSpec, resolve).drop("searchScore")
+            .agg(count(lit(1)).as("__c"))
+            .select(struct(col("__c").as(countType)).as("count")))
       case Some(fs) =>
         fs.foreach { case (k, _) =>
           if (!Set("operator", "facets").contains(k))
             throw new MqlException(s"$$searchMeta.facet: unsupported key '$k'") }
         val matched = fs.collectFirst { case ("operator", o) =>
-          search(df, asObj(o, "$searchMeta.facet.operator")).drop("searchScore") }
+          search(df, asObj(o, "$searchMeta.facet.operator"), resolve)
+            .drop("searchScore") }
           .getOrElse(df)
         val facetDefs = fs.collectFirst { case ("facets", v) =>
           asObj(v, "$searchMeta.facet.facets") }

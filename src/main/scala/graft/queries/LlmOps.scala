@@ -2637,6 +2637,32 @@ object LlmOps {
       Some(s"""SELECT CAST(count(*) AS BIGINT) AS n FROM documents
                WHERE list_contains($duckToksLower, 'spark')""")),
 
+    // $searchMeta count through the postings index: the matched-set
+    // size computed ENTIRELY from the stored posting rows (distinct doc
+    // ids across the query terms) — zero corpus I/O for the metadata
+    // entry point, as in a real search engine
+    QueryDef("q_searchmeta_index",
+      (s, dir) => {
+        val store = new graft.sinks.DocStore(s,
+          java.nio.file.Files.createTempDirectory("graft_smidx").toString)
+        val docs = Graft.table(s, dir, "documents")
+        store.write(graft.llmops.TextIndex.build(docs, Seq("text"),
+          Some("doc_id")), "docs_inv")
+        val resolve: graft.mql.PipelineCompiler.TableResolver = {
+          case "docs_inv" => store.read("docs_inv")
+          case t => Graft.table(s, dir, t)
+        }
+        graft.mql.PipelineCompiler.run(docs,
+          """[
+            {"$searchMeta": {"index": "docs_inv",
+              "text": {"query": "spark query window", "path": "text"},
+              "count": {"type": "total"}}},
+            {"$project": {"n": "$count.total"}}]""", resolve)
+      },
+      Some(s"""SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+               WHERE len(list_intersect($duckToksLower,
+                 ['spark', 'query', 'window'])) > 0""")),
+
     // BM25 top-20 retrieval for a 3-term query over the corpus
     QueryDef("q_bm25",
       (s, dir) => TfIdf.bm25TopK(Graft.table(s, dir, "documents"),

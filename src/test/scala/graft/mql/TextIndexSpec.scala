@@ -135,6 +135,23 @@ class TextIndexSpec extends AnyFunSuite {
     assert(merged == full)
   }
 
+  test("$searchMeta count answers from the postings index alone") {
+    val idx = TextIndex.build(docs, Seq("text"), Some("doc_id"))
+    val resolve: PipelineCompiler.TableResolver = { case "inv" => idx }
+    def count(pipeline: String,
+              r: PipelineCompiler.TableResolver = resolve): Long =
+      PipelineCompiler.run(docs, pipeline, r)
+        .select("count.total").collect().head.getLong(0)
+    val plain = count("""[{"$searchMeta": {
+      "text": {"query": "spark query window", "path": "text"},
+      "count": {"type": "total"}}}]""",
+      { case n => throw new MqlException(s"no $n") })
+    val indexed = count("""[{"$searchMeta": {"index": "inv",
+      "text": {"query": "spark query window", "path": "text"},
+      "count": {"type": "total"}}}]""")
+    assert(indexed == plain && plain == 3L)
+  }
+
   test("unknown index name falls back to self-computed stats") {
     val plain = runQ(s"""[
       {"$$search": {"text": {"query": "spark", "path": "text"},
