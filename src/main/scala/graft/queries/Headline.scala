@@ -121,6 +121,92 @@ object Headline {
                             WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
               GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // TPC-H Q7: volume shipping between two nations — the classic
+    // nation-PAIR join (supplier nation × customer nation) with a year
+    // breakdown; the OR of the two pair orientations must survive into
+    // one join, not a union of scans
+    QueryDef("q_tpch_q7",
+      (s, dir) => {
+        val l = Graft.table(s, dir, "lineitem")
+          .where(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")) &&
+                 col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+        val o = Graft.table(s, dir, "orders")
+        val c = Graft.table(s, dir, "customer")
+        val sup = Graft.table(s, dir, "supplier")
+        val n1 = Graft.table(s, dir, "nation")
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+        val n2 = Graft.table(s, dir, "nation")
+          .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+        l.join(sup, l("l_suppkey") === sup("s_suppkey"))
+          .join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n1), sup("s_nationkey") === col("s_nk"))
+          .join(broadcast(n2), c("c_nationkey") === col("c_nk"))
+          .where((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+                 (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg(sum(col("l_extendedprice").cast(dec) *
+            (lit(1).cast(dec) - col("l_discount").cast(dec)))
+            .cast(DoubleType).as("revenue"))
+          .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      },
+      Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                     CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                              * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+              FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                            JOIN orders ON l_orderkey = o_orderkey
+                            JOIN customer ON o_custkey = c_custkey
+                            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+                AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                  OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+              GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
+    // TPC-H Q8 shape: market share — a conditional-share ratio per year
+    // over a 6-way join (decimal-exact sums, double ratio)
+    QueryDef("q_tpch_q8",
+      (s, dir) => {
+        val l = Graft.table(s, dir, "lineitem")
+        val p = Graft.table(s, dir, "part").where(col("p_type") === "PROMO")
+        val o = Graft.table(s, dir, "orders")
+          .where(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")) &&
+                 col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+        val sup = Graft.table(s, dir, "supplier")
+        val n = Graft.table(s, dir, "nation")
+        val vol = col("l_extendedprice").cast(dec) *
+          (lit(1).cast(dec) - col("l_discount").cast(dec))
+        l.join(p, l("l_partkey") === p("p_partkey"))
+          .join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(sup, l("l_suppkey") === sup("s_suppkey"))
+          .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(round(
+            sum(when(col("n_name") === "NATION_3", vol).otherwise(lit(0).cast(dec)))
+              .cast(DoubleType) /
+            sum(vol).cast(DoubleType), 6).as("mkt_share"))
+          .orderBy(col("o_year"))
+      },
+      Some("""SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+                     ROUND(CAST(SUM(CASE WHEN n_name = 'NATION_3'
+                              THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                                   * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                              ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+                           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                              * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE),
+                           6) AS mkt_share
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+                            JOIN orders ON l_orderkey = o_orderkey
+                            JOIN supplier ON l_suppkey = s_suppkey
+                            JOIN nation ON s_nationkey = n_nationkey
+              WHERE p_type = 'PROMO'
+                AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+                AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+              GROUP BY 1 ORDER BY 1""")),
+
     // TPC-H Q10: returned-item revenue by customer, top 20
     QueryDef("q_tpch_q10",
       (s, dir) => {
