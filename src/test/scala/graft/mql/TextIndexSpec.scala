@@ -152,6 +152,24 @@ class TextIndexSpec extends AnyFunSuite {
     assert(indexed == plain && plain == 3L)
   }
 
+  test("postings plan property: 40 random term sets and limits agree with the corpus plan") {
+    val idx = TextIndex.build(docs, Seq("text"), Some("doc_id"))
+    val resolve: PipelineCompiler.TableResolver = { case "inv" => idx }
+    val vocab = Seq("spark", "query", "window", "simple", "rank", "columns",
+      "engines", "data", "unrelated", "nosuchterm", "rows")
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 40) {
+      val terms = rnd.shuffle(vocab).take(1 + rnd.nextInt(4)).mkString(" ")
+      val lim = 1 + rnd.nextInt(4)
+      val q = (idxOpt: String) => s"""[
+        {"$$search": {$idxOpt"text": {"query": "$terms", "path": "text"},
+          "limit": $lim, "tieBreaker": "doc_id"}}, $project]"""
+      val plain = runQ(q(""))
+      val viaIdx = runQ(q(""""index": "inv", """), resolve)
+      assert(viaIdx == plain, s"terms='$terms' limit=$lim")
+    }
+  }
+
   test("unknown index name falls back to self-computed stats") {
     val plain = runQ(s"""[
       {"$$search": {"text": {"query": "spark", "path": "text"},
