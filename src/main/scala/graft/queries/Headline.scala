@@ -207,6 +207,43 @@ object Headline {
                 AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
               GROUP BY 1 ORDER BY 1""")),
 
+    // TPC-H Q21 shape: the double correlation on one key — suppliers
+    // whose RETURNED line sits in a multi-supplier order where no OTHER
+    // supplier returned (semi-join + anti-join against the same
+    // fact-table self-reference, both on the order key; "late" becomes
+    // "returned" in this fixture)
+    QueryDef("q_tpch_q21",
+      (s, dir) => {
+        val l = Graft.table(s, dir, "lineitem")
+        val l1 = l.where(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("k1"), col("l_suppkey").as("s1"))
+        val l2 = l.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+        val l3 = l.where(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+        val sup = Graft.table(s, dir, "supplier")
+        l1.join(l2, col("k1") === col("k2") && col("s1") =!= col("s2"),
+            "left_semi")
+          .join(l3, col("k1") === col("k3") && col("s1") =!= col("s3"),
+            "left_anti")
+          .join(sup, col("s1") === sup("s_suppkey"))
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name").asc)
+          .limit(20)
+      },
+      Some("""SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+              FROM lineitem l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+              WHERE l1.l_returnflag = 'R'
+                AND EXISTS (SELECT 1 FROM lineitem l2
+                            WHERE l2.l_orderkey = l1.l_orderkey
+                              AND l2.l_suppkey <> l1.l_suppkey)
+                AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                                WHERE l3.l_orderkey = l1.l_orderkey
+                                  AND l3.l_suppkey <> l1.l_suppkey
+                                  AND l3.l_returnflag = 'R')
+              GROUP BY s_name
+              ORDER BY numwait DESC, s_name LIMIT 20""")),
+
     // TPC-H Q10: returned-item revenue by customer, top 20
     QueryDef("q_tpch_q10",
       (s, dir) => {
