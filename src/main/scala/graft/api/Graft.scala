@@ -313,9 +313,15 @@ object Graft {
 
     /** `dropSearchIndex(name)` — removes the stored index collection
       * (refuses names that are not index-shaped, so a typo cannot drop
-      * a data collection). */
+      * a data collection). Probes ONLY the named collection — not the
+      * whole catalog. */
     def dropSearchIndex(name: String): Unit = {
-      if (!listSearchIndexes().exists(_._1 == name))
+      val cols = (try resolve(name).columns.toSet
+                  catch { case _: Exception => Set.empty[String] })
+      val isIndex =
+        Set("kind", "path", "term", "df", "n_docs", "avgdl").subsetOf(cols) ||
+        Set("cell_id", "centroid").subsetOf(cols)
+      if (!isIndex)
         throw new MqlException(
           s"dropSearchIndex: '$name' is not a stored search index")
       spark.sql(s"DROP TABLE $catalog.`$name`"): Unit

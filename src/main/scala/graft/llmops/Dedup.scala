@@ -444,9 +444,12 @@ object Dedup {
       .join(clusters.select(col("id").as(idCol), col("cluster_id")),
         Seq(idCol), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+    // min_by over (−quality, id): highest quality wins, ties → min id.
+    // Only QUALITY is negated (always numeric) — negating the id would
+    // silently null out non-numeric id types
     val rep = withCl.groupBy("cluster_id")
-      .agg(max(struct(col("quality").as("q"), (-col(idCol)).as("nid"))).as("m"))
-      .select(col("cluster_id"), (-col("m.nid")).as("rep_id"))
+      .agg(min_by(col(idCol),
+        struct((-col("quality")).as("nq"), col(idCol).as("i"))).as("rep_id"))
     withCl.join(rep, Seq("cluster_id"))
       .select(col(idCol), col("cluster_id"), col("rep_id"),
         (col(idCol) === col("rep_id")).as("keep"), col("quality"))

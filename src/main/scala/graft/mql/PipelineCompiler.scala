@@ -27,6 +27,13 @@ object PipelineCompiler {
   /** Resolves a collection name ($lookup/$unionWith `from`) to a DataFrame. */
   type TableResolver = String => DataFrame
 
+  /** The query-side analyzer shared by `$search` clause parsing and the
+    * `$searchMeta` postings count — EXACTLY the document tokenizer
+    * (lowercase whitespace split, empties dropped). One definition so
+    * the two can never drift. */
+  private def queryTokens(q: String): Seq[String] =
+    q.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+
   private val noTables: TableResolver =
     name => throw new MqlException(s"no table resolver provided for '$name'")
 
@@ -685,13 +692,21 @@ object PipelineCompiler {
         // array-local branch below
         val foreignIsArray = fromDf.select(col(foreign)).schema.head.dataType
           .isInstanceOf[org.apache.spark.sql.types.ArrayType]
-        val foreignKeyed =
-          if (foreignIsArray)
-            fromDf.withColumn("__graft_fk",
-              explode_outer(array_distinct(col(foreign))))
-          else fromDf.withColumn("__graft_fk", col(foreign))
         val pcols = prunedCols(Some(foreign))
         val pruning = pcols.length < fromDf.columns.length
+        // the dedup identity must be assigned BEFORE the array-
+        // foreignField explode: copies of one foreign doc (one per
+        // matching element) must SHARE their id, or the post-join
+        // array_distinct keeps a doc once per matched element
+        val fidSource =
+          if (pruning) fromDf.withColumn("__graft_fid",
+            monotonically_increasing_id())
+          else fromDf
+        val foreignKeyed =
+          if (foreignIsArray)
+            fidSource.withColumn("__graft_fk",
+              explode_outer(array_distinct(col(foreign))))
+          else fidSource.withColumn("__graft_fk", col(foreign))
         val localIsArray = df.select(col(local)).schema.head.dataType
           .isInstanceOf[org.apache.spark.sql.types.ArrayType]
         if (localIsArray) {
@@ -707,15 +722,12 @@ object PipelineCompiler {
           // Under pruning the dedup needs a per-foreign-row identity:
           // array_distinct on projected structs would collapse two
           // DIFFERENT foreign docs whose kept fields happen to be
-          // equal. A row id rides inside the struct through the dedup
-          // and is stripped from the final arrays.
-          val keyed =
-            if (pruning) foreignKeyed.withColumn("__graft_fid",
-              monotonically_increasing_id())
-            else foreignKeyed
+          // equal. The row id (assigned pre-explode, see fidSource)
+          // rides inside the struct through the dedup and is stripped
+          // from the final arrays.
           val structCols =
             if (pruning) pcols :+ "__graft_fid" else fromDf.columns.toSeq
-          val packed = keyed
+          val packed = foreignKeyed
             .groupBy(col("__graft_fk"))
             .agg(collect_list(struct(structCols.map(col): _*)).as(as))
           val elemType = packed.schema(as).dataType
@@ -1648,7 +1660,7 @@ object PipelineCompiler {
     // the same tokenizer the document side uses (TextAnalysis.tokens):
     // lowercase whitespace split, empties dropped
     def qTokens(q: String, ctx: String): Seq[String] = {
-      val t = q.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      val t = queryTokens(q)
       if (t.isEmpty) throw new MqlException(s"$ctx: empty query")
       t
     }
@@ -2459,24 +2471,23 @@ object PipelineCompiler {
     val indexStats: Option[Map[String, Column]] = indexInfo.map(_._1)
     // ---- postings-only candidate selection (inverted-index plan) -------
     // With a postings-bearing index (TextIndex.build(postingsIdCol=…))
-    // and a single plain text clause, the winners are decided from the
-    // INDEX alone: per-doc tf columns from the query terms' posting
-    // rows, dl from the doc rows, the same BM25 formula with the same
-    // stats literals, a k-th-score threshold (ties kept), and ONE
-    // left-semi join fetches only the winning documents — the corpus
-    // is never scanned for scoring. Scoring then re-runs over the
-    // fetched handful through the ordinary expression path, so every
-    // output column (score, details, highlights) is byte-identical to
-    // the index-less plan. Pruning stays off for shapes whose result
-    // set is not the score top-k (user sort, count, pagination) or
-    // whose match semantics exceed the single clause.
+    // and a single plain text clause, the MATCHED doc ids come from the
+    // index alone — the distinct doc ids across the query terms'
+    // posting rows — and ONE left-semi join fetches only those
+    // documents: the corpus is never scanned for match/scoring work on
+    // non-matching rows (the overwhelming majority for selective
+    // terms). Scoring re-runs over the fetched candidates through the
+    // ordinary expression path with the same stats literals, so every
+    // output column (score, details, highlights) and the final top-k
+    // are byte-identical to the index-less plan — and because the
+    // candidate set is the full matched set (not a precomputed top-k),
+    // the plan stays correct when `$search` runs over an upstream-
+    // filtered frame: the semi-join only ever REMOVES rows the match
+    // filter would drop anyway.
     val postingsCandidates: Option[DataFrame] = for {
       (_, idf) <- loadedIndex
-      info <- indexInfo
+      _ <- indexInfo // stats must be index-derivable literals
       if Seq("doc_id", "tf", "dl").forall(idf.columns.contains)
-      lim <- spec.collectFirst { case ("limit", l) => intValue(l, "$search") }
-      if !spec.exists { case (k, _) =>
-        Set("sort", "count", "searchAfter", "searchBefore").contains(k) }
       tp <- scoredClauses match {
         case Seq(Cl(TextCl(ts, p0, None), bo, None, None)) if bo == 1.0 =>
           Some((ts, p0))
@@ -2486,46 +2497,13 @@ object PipelineCompiler {
       idColName <- idf.where(col("kind") === "meta" && col("path") === tp._2)
         .select("term").collect().headOption.map(_.getString(0))
       if df.columns.contains(idColName)
-      na <- info._3.get(tp._2)
-      if na._1 > 0
     } yield {
       val (terms, p) = tp
-      val (n, ad) = na
-      val posts = idf.where(col("kind") === "posting" && col("path") === p &&
-          col("term").isin(terms: _*))
-        .select(col("doc_id"), col("term"), col("tf"))
-      val dls = idf.where(col("kind") === "doc" && col("path") === p)
-        .select(col("doc_id"), col("dl").cast("double").as("__dl"))
-      val tfAggs = terms.zipWithIndex.map { case (t, ti) =>
-        coalesce(sum(when(col("term") === t, col("tf"))), lit(0L))
-          .cast("double").as(s"__tf$ti") }
-      val perDoc = posts.groupBy("doc_id").agg(tfAggs.head, tfAggs.tail: _*)
-      // the EXACT expression-path formula, operand for operand, with
-      // the same literal stats — scores must round-compare equal
-      val scoreP = terms.zipWithIndex.map { case (t, ti) =>
-        val dfT = lit(info._2.getOrElse((p, t), 0L))
-        val tf = col(s"__tf$ti")
-        val idfT = log(lit(1.0) + (lit(n) - dfT + lit(0.5)) / (dfT + lit(0.5)))
-        when(tf > 0,
-          idfT * tf * (lit(k1) + 1.0) /
-            (tf + lit(k1) * (lit(1.0) - lit(b) +
-              lit(b) * col("__dl") / lit(ad))))
-          .otherwise(lit(0.0))
-      }.reduce(_ + _)
-      val scoredP = perDoc.join(dls, "doc_id")
-        .withColumn("__score", round(scoreP, 6))
-      val kth: Option[Double] = scoredP
-        .orderBy(col("__score").desc).limit(lim)
-        .agg(min(col("__score"))).collect().headOption
-        .flatMap(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
-      kth match {
-        case None => df.limit(0) // no posting matched any term
-        case Some(th) =>
-          val winners = scoredP.where(col("__score") >= th)
-            .select(col("doc_id").as("__graft_win"))
-          df.join(winners,
-            df(idColName).cast("long") === col("__graft_win"), "left_semi")
-      }
+      val matchedIds = idf.where(col("kind") === "posting" &&
+          col("path") === p && col("term").isin(terms: _*))
+        .select(col("doc_id").as("__graft_win")).distinct()
+      df.join(matchedIds,
+        df(idColName).cast("long") === col("__graft_win"), "left_semi")
     }
     val scanBase = postingsCandidates.getOrElse(df)
     val tokDf = tokPaths.foldLeft(scanBase) { (acc, p) =>
@@ -2782,12 +2760,14 @@ object PipelineCompiler {
         val opSpec = spec.filterNot(_._1 == "count")
         if (opSpec.isEmpty)
           throw new MqlException("$searchMeta needs an operator or a facet collector")
-        // index-ONLY count: with a postings-bearing index and a single
-        // plain text operator, the matched-set size is the number of
-        // DISTINCT doc ids across the query terms' posting rows — one
-        // filtered aggregate over the index, ZERO corpus I/O (the
-        // metadata entry point answered entirely from the index, as a
-        // real search engine does)
+        // postings-index count: with a postings-bearing index and a
+        // single plain text operator, the matched set is the distinct
+        // doc ids across the query terms' posting rows; the count runs
+        // over the incoming frame SEMI-JOINED to those ids — one
+        // id-column pass instead of tokenizing and matching every
+        // document, and still correct when the frame was filtered
+        // upstream. An index not covering the queried path falls
+        // through to the $search path, which refuses loudly.
         val indexOnly: Option[DataFrame] = for {
           nm <- opSpec.collectFirst { case ("index", JString(n)) => n }
           idf <- (try Some(resolve(nm)) catch { case _: Exception => None })
@@ -2799,15 +2779,24 @@ object PipelineCompiler {
               else for {
                 q <- o.collectFirst { case ("query", JString(x)) => x }
                 p <- o.collectFirst { case ("path", JString(x)) => x }
-                ts = q.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+                ts = queryTokens(q)
                 if ts.nonEmpty
               } yield (ts, p)
             case _ => None
           }
-        } yield idf.where(col("kind") === "posting" && col("path") === tp._2 &&
-            col("term").isin(tp._1: _*))
-          .agg(countDistinct(col("doc_id")).as("__c"))
-          .select(struct(col("__c").as(countType)).as("count"))
+          idColName <- idf.where(col("kind") === "meta" &&
+              col("path") === tp._2)
+            .select("term").collect().headOption.map(_.getString(0))
+          if df.columns.contains(idColName)
+        } yield {
+          val matchedIds = idf.where(col("kind") === "posting" &&
+              col("path") === tp._2 && col("term").isin(tp._1: _*))
+            .select(col("doc_id").as("__graft_win")).distinct()
+          df.join(matchedIds,
+              df(idColName).cast("long") === col("__graft_win"), "left_semi")
+            .agg(count(lit(1)).as("__c"))
+            .select(struct(col("__c").as(countType)).as("count"))
+        }
         indexOnly.getOrElse(
           search(df, opSpec, resolve).drop("searchScore")
             .agg(count(lit(1)).as("__c"))

@@ -218,7 +218,11 @@ object EventStream {
       // (a tag file written into the stage dir before the swap), so a
       // replayed batch observes its own id and skips — exactly-once for
       // the collection state. Single-writer per target, like any
-      // checkpointed streaming sink.
+      // checkpointed streaming sink. Batch ids are per checkpoint
+      // LINEAGE: abandoning a checkpoint over a feed that has since
+      // grown means new data arrives under already-committed ids —
+      // reset the target collection together with the checkpoint (the
+      // normal restart path keeps both).
       val committed = store.readTag(target, "batchId").map(_.toLong)
       if (!committed.exists(_ >= batchId))
         graft.mql.PipelineCompiler.runWithWrites(batch, pipeline,
@@ -234,7 +238,16 @@ object EventStream {
     * exactly-once via the same batchId tag committed atomically with
     * the collection swap as [[mergeStream]]. This is the live write
     * path of a search index: ingest keeps the index current, and
-    * `$search`'s `index` option serves queries from it. */
+    * `$search`'s `index` option serves queries from it.
+    *
+    * LINEAGE CONTRACT (same as [[mergeStream]]): batch ids are
+    * meaningful only within one checkpoint lineage. The tag makes
+    * same-lineage replays (and fresh-checkpoint re-delivery of the
+    * SAME feed) exactly-once; starting a FRESH checkpoint over a feed
+    * that has since gained new files re-issues low batch ids for new
+    * data, which the tag would skip — when abandoning a checkpoint,
+    * reset the target collection too (or keep the checkpoint, which is
+    * the normal restart path). */
   def indexStream(stream: DataFrame, paths: Seq[String], indexName: String,
                   store: graft.sinks.DocStore)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =

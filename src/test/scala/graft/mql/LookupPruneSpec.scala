@@ -128,6 +128,30 @@ class LookupPruneSpec extends AnyFunSuite {
     val _ = schema
   }
 
+  test("array-foreignField under pruning: one doc matched via two elements counts once") {
+    // foreign doc 'a' carries fk [10, 20]; local [10, 20] matches it via
+    // BOTH elements — the identity must be assigned BEFORE the explode
+    // or the dedup sees two distinct (field, fid) structs for one doc
+    val foreignArr = Seq(
+      (Seq(10, 20), 5.0, "bulk-a"), (Seq(30), 7.0, "bulk-b"))
+      .toDF("fk", "price", "payload")
+    val leftArr = Seq((1, Seq(10, 20)), (2, Seq(30)), (3, Seq(99)))
+      .toDF("id", "ks")
+    val q = PipelineCompiler.run(leftArr,
+      """[{"$lookup": {"from": "fa", "localField": "ks",
+            "foreignField": "fk", "as": "m"}},
+          {"$project": {"id": 1, "n": {"$size": "$m"},
+            "tot": {"$round": [{"$sum": {"$map": {"input": "$m",
+              "in": "$$this.price"}}}, 2]}}},
+          {"$sort": {"id": 1}}]""",
+      { case "fa" => foreignArr })
+    assert(!q.queryExecution.optimizedPlan.toString.contains("payload"),
+      "pruning should engage")
+    val rows = q.collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    // doc 'a' matched via 10 AND 20 must appear ONCE for id=1
+    assert(rows.toSeq == Seq((1, 1, 5.0), (2, 1, 7.0), (3, 0, 0.0)))
+  }
+
   test("correlated lookup prunes when suffix-free; keeps all with suffix") {
     val pruned = run(
       """[{"$lookup": {"from": "foreign", "let": {"lk": "$k"},

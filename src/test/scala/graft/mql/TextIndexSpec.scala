@@ -111,14 +111,22 @@ class TextIndexSpec extends AnyFunSuite {
     assert(indexed.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
       "postings plan should fetch winners via a left-semi join")
     assert(indexed.as[(Long, Double)].collect().toSeq == plain)
-    // pruning bails out cleanly for shapes it cannot serve (user sort)
+    // the candidate set is the full MATCHED set (not a precomputed
+    // top-k), so the pruning also serves user-sort shapes correctly
     val sorted = PipelineCompiler.run(docs, s"""[
       {"$$search": {"index": "inv",
         "text": {"query": "spark", "path": "text"},
         "sort": {"doc_id": -1}, "limit": 2, "tieBreaker": "doc_id"}},
       {"$$project": {"doc_id": 1}}]""", resolve)
-    assert(!sorted.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
     assert(sorted.as[Long].collect().toSeq == Seq(2L, 1L))
+    // ...and a $search over an upstream-FILTERED frame: matched-ids
+    // pruning only removes rows the match filter would drop anyway
+    val filtered = PipelineCompiler.run(docs.where($"doc_id" >= 2), s"""[
+      {"$$search": {"index": "inv",
+        "text": {"query": "spark", "path": "text"},
+        "limit": 5, "tieBreaker": "doc_id"}},
+      {"$$project": {"doc_id": 1}}]""", resolve)
+    assert(filtered.as[Long].collect().toSeq == Seq(2L))
   }
 
   test("update carries postings: fold equals full postings build") {
