@@ -137,6 +137,15 @@ private[mql] object LookupPrune {
       case _ => false
     }
 
+    // Spark's ResolveMissingReferences lets a Filter/Sort AFTER an
+    // inclusion $project still resolve the dropped alias through the
+    // projection (engine behavior, property-spec-caught), so a
+    // $project is NOT a hard barrier: it only marks the alias as
+    // dropped-from-output while scanning continues and later stages'
+    // references keep collecting. Only shape-replacing aggregations
+    // terminate early; at pipeline end the proof holds iff some stage
+    // dropped the alias from the output.
+    var dropped = false
     val it = rest.iterator
     while (it.hasNext) {
       val stage = it.next() match {
@@ -161,15 +170,19 @@ private[mql] object LookupPrune {
             fields += firstSeg(k.drop(as.length + 1)) }
           // bare inclusion {as: 1} carries whole docs to the output
           if (fs.exists { case (k, v) => k == as && isInclude(v) }) return None
-          // excluded or redefined → the alias dies here
+          // excluded or redefined → the alias leaves the OUTPUT here
+          // (but later Filter/Sort stages may still resolve it through
+          // the projection — keep scanning)
           if (fs.exists { case (k, v) => k == as && !isInclude(v) })
-            return Some(fields.toSet)
-          // inclusion form: passthrough fields are dropped; subpath
-          // inclusions narrow elements to keys already collected above —
-          // either way nothing outside `fields` survives
-          val inclusionForm = fs.exists { case (k, v) =>
-            k != "_id" && (isInclude(v) || !marker(v)) }
-          if (inclusionForm) return Some(fields.toSet)
+            dropped = true
+          else {
+            // inclusion form: passthrough fields (incl. the alias) are
+            // dropped; subpath inclusions narrow elements to collected
+            // keys — either way the alias's full shape leaves the output
+            val inclusionForm = fs.exists { case (k, v) =>
+              k != "_id" && (isInclude(v) || !marker(v)) }
+            if (inclusionForm) dropped = true
+          }
           // pure exclusion not touching the alias: it survives unchanged
         case ("$unset", spec) =>
           val paths = spec match {
@@ -177,12 +190,12 @@ private[mql] object LookupPrune {
             case JArray(fsx) => fsx.collect { case JString(f) => f }
             case _ => return None
           }
-          if (paths.contains(as)) return Some(fields.toSet)
-          if (paths.exists(_.startsWith(as + "."))) return None // element dropFields
+          if (paths.contains(as)) dropped = true
+          else if (paths.exists(_.startsWith(as + "."))) return None // element dropFields
         case ("$addFields" | "$set", JObject(fs)) =>
           if (!fs.forall { case (_, v) => exprOk(v) }) return None
           if (fs.exists { case (k, _) => k.startsWith(as + ".") }) return None
-          if (fs.exists { case (k, _) => k == as }) return Some(fields.toSet)
+          if (fs.exists { case (k, _) => k == as }) dropped = true
         case ("$unwind", spec) =>
           val path = spec match {
             case JString(p) => p
@@ -206,7 +219,8 @@ private[mql] object LookupPrune {
           if (mentions(spec)) return None
       }
     }
-    None // alias survives to the output — keep every column
+    if (dropped) Some(fields.toSet)
+    else None // alias survives to the output — keep every column
   }
 
   private def isInclude(v: JValue): Boolean = v match {

@@ -694,13 +694,18 @@ object PipelineCompiler {
           .isInstanceOf[org.apache.spark.sql.types.ArrayType]
         val pcols = prunedCols(Some(foreign))
         val pruning = pcols.length < fromDf.columns.length
-        // the dedup identity must be assigned BEFORE the array-
-        // foreignField explode: copies of one foreign doc (one per
-        // matching element) must SHARE their id, or the post-join
-        // array_distinct keeps a doc once per matched element
+        // the dedup identity must (a) be assigned BEFORE the array-
+        // foreignField explode — copies of one foreign doc (one per
+        // matching element) must share it, or array_distinct keeps a
+        // doc once per matched element — and (b) be a CONTENT hash of
+        // the full row, not a unique row id: the unpruned baseline
+        // dedups on whole-row equality, so byte-identical foreign rows
+        // collapse to one entry there, and the pruned path must agree
+        // (64-bit hash collisions between different rows are the same
+        // accepted risk as every hash-dedup path here)
         val fidSource =
           if (pruning) fromDf.withColumn("__graft_fid",
-            monotonically_increasing_id())
+            xxhash64(fromDf.columns.map(col): _*))
           else fromDf
         val foreignKeyed =
           if (foreignIsArray)

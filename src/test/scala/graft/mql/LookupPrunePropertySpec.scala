@@ -66,6 +66,56 @@ class LookupPrunePropertySpec extends AnyFunSuite {
       .as[String].collect().sorted.toIndexedSeq
   }
 
+  // array-keyed variants: array localField (dedup-identity path) and
+  // array foreignField (pre-explode identity) — the review-era bug
+  // class the scalar grammar could not reach
+  private lazy val leftArr = Seq(
+    (1, Seq(10)), (2, Seq(10, 20)), (3, Seq(20, 99)), (4, Seq.empty[Int]))
+    .toDF("id", "k")
+  private lazy val foreignArr = Seq(
+    (Seq(10, 20), "x", 1.5, "p1", 7L), (Seq(10), "y", 2.5, "p2", 8L),
+    (Seq(20), "z", 3.5, "p3", 9L), (Seq(20), "z", 3.5, "p3", 9L))
+    .toDF("fk", "tag", "price", "payload", "wt")
+
+  private def check(tailCount: Int, seed: Int,
+                    leftDf: org.apache.spark.sql.DataFrame,
+                    resolver: PipelineCompiler.TableResolver): Unit = {
+    val rnd = new scala.util.Random(seed)
+    for (_ <- 1 to tailCount) {
+      val n = 1 + rnd.nextInt(3)
+      val tail = scala.collection.mutable.ArrayBuffer[String]()
+      var done = false
+      for (_ <- 1 to n if !done) {
+        val s = tails(rnd.nextInt(tails.length))
+        tail += s
+        if (terminal(s)) done = true
+      }
+      val json = (lookupStage +: tail).mkString("[", ", ", "]")
+      val pruned = scala.util.Try(
+        canon(PipelineCompiler.run(leftDf, json, resolver)))
+      val unpruned = scala.util.Try(canon(
+        Mql.parse(json).asInstanceOf[org.json4s.JArray].arr
+          .foldLeft(leftDf) { (acc, st) =>
+            Mql.asObj(st, "stage") match {
+              case List((name, spec)) =>
+                PipelineCompiler.applyStage(acc, name, spec, resolver)
+              case o => fail(s"bad stage $o")
+            }
+          }))
+      (pruned, unpruned) match {
+        case (scala.util.Success(p), scala.util.Success(u)) =>
+          assert(p == u, s"pipeline: $json")
+        case (scala.util.Failure(_), scala.util.Failure(_)) =>
+        case (p, u) => fail(s"pruned=$p unpruned=$u for: $json")
+      }
+    }
+  }
+
+  test("array-keyed pruned ≡ unpruned over 60 random tails each way") {
+    check(60, 11, leftArr, { case "foreign" => foreignArr })   // arr ⨝ arr
+    check(60, 13, leftArr, { case "foreign" => foreign })      // arr ⨝ scalar
+  }
+
   test("pruned ≡ unpruned over 120 random pipeline tails") {
     val rnd = new scala.util.Random(42)
     var checked = 0
