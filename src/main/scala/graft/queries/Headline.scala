@@ -435,6 +435,233 @@ object Headline {
                                   AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
               GROUP BY c_nationkey ORDER BY cntrycode""")),
 
+    // TPC-H Q2 shape: minimum-cost supplier per part, region-gated. The
+    // fixture has no partsupp table, so lineitem is the part↔supplier
+    // bridge and "supply cost" is the minimum observed unit price
+    // min(l_extendedprice / l_quantity) per (part, supplier). The
+    // correlated MIN subquery decorrelates into a per-part agg joined
+    // back on the part key (hash equi-join on (pk, cost) — never a
+    // nested loop); nation/region are fixed-cardinality broadcasts.
+    QueryDef("q_tpch_q2",
+      (s, dir) => {
+        val cost = Graft.table(s, dir, "lineitem")
+          .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+          .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+        val n = Graft.table(s, dir, "nation")
+        val r = Graft.table(s, dir, "region").where(col("r_name") === "EUROPE")
+        val qual = cost
+          .join(Graft.table(s, dir, "supplier"), col("sk") === col("s_suppkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .select(col("pk"), col("unit_cost"), col("s_acctbal"),
+            col("s_name"), col("n_name"))
+        val best = qual.groupBy(col("pk").as("bpk"))
+          .agg(min(col("unit_cost")).as("mc"))
+        val p = Graft.table(s, dir, "part")
+          .where(col("p_size") <= 10 && col("p_type") === "STANDARD")
+        qual.join(best, col("pk") === col("bpk") && col("unit_cost") === col("mc"))
+          .join(p, col("pk") === col("p_partkey"))
+          .select(col("s_acctbal"), col("s_name"), col("n_name"),
+            col("p_partkey"), col("p_name"),
+            round(col("unit_cost"), 6).as("unit_cost"))
+          .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+            col("p_partkey"))
+          .limit(100)
+      },
+      Some("""WITH cost AS (
+                SELECT l_partkey AS pk, l_suppkey AS sk,
+                       MIN(l_extendedprice / l_quantity) AS unit_cost
+                FROM lineitem GROUP BY 1, 2),
+               qual AS (
+                SELECT c.pk AS pk, c.unit_cost, s_acctbal, s_name, n_name
+                FROM cost c JOIN supplier ON sk = s_suppkey
+                            JOIN nation ON s_nationkey = n_nationkey
+                            JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'EUROPE'),
+               best AS (SELECT pk AS bpk, MIN(unit_cost) AS mc
+                        FROM qual GROUP BY 1)
+              SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+                     ROUND(unit_cost, 6) AS unit_cost
+              FROM qual JOIN best ON pk = bpk AND unit_cost = mc
+                        JOIN part ON pk = p_partkey
+              WHERE p_size <= 10 AND p_type = 'STANDARD'
+              ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+              LIMIT 100""")),
+
+    // TPC-H Q9 shape: profit by supplier nation and order year. Cost
+    // side proxied by 0.6 × p_retailprice (no ps_supplycost in the
+    // fixture). Each decimal product is re-cast to (18,4) immediately —
+    // exact for these domains — so Spark's and DuckDB's different
+    // intermediate-precision rules can never round differently.
+    QueryDef("q_tpch_q9",
+      (s, dir) => {
+        val l = Graft.table(s, dir, "lineitem")
+        val p = Graft.table(s, dir, "part").where(col("p_name").contains("gear"))
+        val o = Graft.table(s, dir, "orders")
+        val sup = Graft.table(s, dir, "supplier")
+        val n = Graft.table(s, dir, "nation")
+        val vol = col("l_extendedprice").cast(dec) *
+          (lit(1).cast(dec) - col("l_discount").cast(dec))
+        val cost = ((lit(0.6).cast(dec) * col("p_retailprice").cast(dec)).cast(dec) *
+          col("l_quantity").cast(dec)).cast(dec)
+        l.join(p, l("l_partkey") === p("p_partkey"))
+          .join(sup, l("l_suppkey") === sup("s_suppkey"))
+          .join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+          .groupBy(col("n_name").as("nation"),
+            year(col("o_orderdate")).as("o_year"))
+          .agg(sum(vol - cost).cast(DoubleType).as("sum_profit"))
+          .orderBy(col("nation"), col("o_year").desc)
+      },
+      Some("""SELECT n_name AS nation,
+                     CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                              * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                            - CAST(CAST(CAST(0.6 AS DECIMAL(18,4))
+                                        * CAST(p_retailprice AS DECIMAL(18,4)) AS DECIMAL(18,4))
+                                   * CAST(l_quantity AS DECIMAL(18,4)) AS DECIMAL(18,4)))
+                          AS DOUBLE) AS sum_profit
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+                            JOIN supplier ON l_suppkey = s_suppkey
+                            JOIN orders ON l_orderkey = o_orderkey
+                            JOIN nation ON s_nationkey = n_nationkey
+              WHERE p_name LIKE '%gear%'
+              GROUP BY 1, 2 ORDER BY nation, o_year DESC""")),
+
+    // TPC-H Q11 shape: important stock per part for one nation's
+    // suppliers — lineitem value stands in for availqty×supplycost; the
+    // HAVING threshold is a 1-row broadcast scalar (decimal-exact sum,
+    // double compare mirrored in the twin so both engines test the
+    // same IEEE boundary)
+    QueryDef("q_tpch_q11",
+      (s, dir) => {
+        val v = Graft.table(s, dir, "lineitem")
+          .join(Graft.table(s, dir, "supplier").where(col("s_nationkey") === 3),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("l_partkey").as("partkey"))
+          .agg(sum(col("l_extendedprice").cast(dec)).as("value"))
+        val thresh = v.agg((sum(col("value")).cast(DoubleType) * lit(0.001))
+          .as("thresh"))
+        v.crossJoin(broadcast(thresh))
+          .where(col("value").cast(DoubleType) > col("thresh"))
+          .select(col("partkey"), col("value").cast(DoubleType).as("value"))
+          .orderBy(col("value").desc, col("partkey"))
+      },
+      Some("""WITH v AS (
+                SELECT l_partkey AS partkey,
+                       SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS value
+                FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                WHERE s_nationkey = 3
+                GROUP BY 1)
+              SELECT partkey, CAST(value AS DOUBLE) AS value
+              FROM v WHERE CAST(value AS DOUBLE)
+                           > (SELECT CAST(SUM(value) AS DOUBLE) * 0.001 FROM v)
+              ORDER BY value DESC, partkey""")),
+
+    // TPC-H Q15: top supplier by 3-month revenue. The revenue "view" is
+    // one hash agg; the scalar MAX is a 1-row broadcast; the equality
+    // match is decimal-exact so ties reproduce identically.
+    QueryDef("q_tpch_q15",
+      (s, dir) => {
+        val rev = Graft.table(s, dir, "lineitem")
+          .where(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+                 col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00")))
+          .groupBy(col("l_suppkey").as("supplier_no"))
+          .agg(sum(col("l_extendedprice").cast(dec) *
+            (lit(1).cast(dec) - col("l_discount").cast(dec))).as("total_rev"))
+        val mx = rev.agg(max(col("total_rev")).as("mx"))
+        Graft.table(s, dir, "supplier")
+          .join(rev, col("s_suppkey") === col("supplier_no"))
+          .crossJoin(broadcast(mx))
+          .where(col("total_rev") === col("mx"))
+          .select(col("s_suppkey"), col("s_name"),
+            col("total_rev").cast(DoubleType).as("total_revenue"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""WITH rev AS (
+                SELECT l_suppkey AS supplier_no,
+                       SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                           * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS total_rev
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+                GROUP BY 1)
+              SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+              FROM supplier JOIN rev ON s_suppkey = supplier_no
+              WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+              ORDER BY s_suppkey""")),
+
+    // TPC-H Q16 shape: distinct-supplier count per part attribute.
+    // lineitem bridges part↔supplier; the complaints NOT IN becomes a
+    // broadcast anti-join against the (tiny) negative-balance supplier
+    // set; COUNT(DISTINCT) is Spark's two-phase distinct aggregate —
+    // partial per partition, merge on the group key, no row explosion.
+    QueryDef("q_tpch_q16",
+      (s, dir) => {
+        val p = Graft.table(s, dir, "part")
+          .where(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+            col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+        val bad = Graft.table(s, dir, "supplier")
+          .where(col("s_acctbal") < 0).select(col("s_suppkey"))
+        Graft.table(s, dir, "lineitem")
+          .join(p, col("l_partkey") === col("p_partkey"))
+          .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+            col("p_size"))
+      },
+      Some("""SELECT p_brand, p_type, p_size,
+                     CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+                AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+                AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                      WHERE s_acctbal < 0)
+              GROUP BY 1, 2, 3
+              ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")),
+
+    // TPC-H Q20 shape: suppliers of 'red' parts in one nation whose
+    // unshipped stock proxy (all-time minus 1996 shipments) exceeds
+    // half the 1996 volume. The EXISTS is a left-semi hash join on the
+    // supplier key; quantities are small integers in doubles, so the
+    // halving compare is exact in both engines.
+    QueryDef("q_tpch_q20",
+      (s, dir) => {
+        val in96 = col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))
+        val pq = Graft.table(s, dir, "lineitem")
+          .join(Graft.table(s, dir, "part").where(col("p_name").contains("red")),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+          .agg(sum(when(in96, col("l_quantity")).otherwise(lit(0.0))).as("qty_1996"),
+               sum(col("l_quantity")).as("qty_all"))
+          .where(col("qty_all") - col("qty_1996") > lit(0.5) * col("qty_1996") &&
+            col("qty_1996") > 0)
+        val n = Graft.table(s, dir, "nation").where(col("n_name") === "NATION_9")
+        Graft.table(s, dir, "supplier")
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(pq, col("s_suppkey") === col("sk"), "left_semi")
+          .select(col("s_name"), col("s_acctbal").cast(DoubleType).as("s_acctbal"))
+          .orderBy(col("s_name"))
+      },
+      Some("""WITH pq AS (
+                SELECT l_suppkey AS sk,
+                       SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                                 AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+                            THEN l_quantity ELSE 0 END) AS qty_1996,
+                       SUM(l_quantity) AS qty_all
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_name LIKE '%red%'
+                GROUP BY sk, l_partkey)
+              SELECT s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+              FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              WHERE n_name = 'NATION_9'
+                AND EXISTS (SELECT 1 FROM pq WHERE sk = s_suppkey
+                            AND qty_all - qty_1996 > 0.5 * qty_1996
+                            AND qty_1996 > 0)
+              ORDER BY s_name""")),
+
     // gap-based sessionization (batch twin of streaming session windows)
     QueryDef("q_sessionize",
       (s, dir) => graft.operators.Sessionize.byGap(
