@@ -497,4 +497,27 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("text_dedup"), lit("")).as("text_dedup"))
   }
+
+  /** Cross-source contamination matrix: for every ordered source pair
+    * (src_a < src_b), how many distinct content fingerprints both
+    * sources contain. The pivot is fingerprint → sorted distinct source
+    * list, so pair expansion is bounded by (sources sharing that
+    * fingerprint)² — sources are a catalog dimension (thousands at
+    * most), documents never self-join: the work is Σ_fp |srcs_fp|²,
+    * never corpus². */
+  def sourceOverlap(df: DataFrame, textCol: String,
+                    sourceCol: String): DataFrame = {
+    val d = df.select(TextAnalysis.fingerprint(col(textCol)).as("fp"),
+        col(sourceCol).as("__src")).distinct()
+    val shared = d.groupBy("fp")
+      .agg(sort_array(collect_set(col("__src"))).as("__srcs"))
+      .where(size(col("__srcs")) > 1)
+    shared
+      .select(posexplode(col("__srcs")).as(Seq("__i", "src_a")),
+        col("__srcs"))
+      .select(col("src_a"), explode(slice(col("__srcs"), col("__i") + 2,
+        size(col("__srcs")) - col("__i") - 1)).as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

@@ -222,4 +222,41 @@ object Sampling {
       .where(col("cum_tokens") <= budget)
       .drop("__tok")
   }
+
+  /** Deterministic training-shard manifest: every document lands in
+    * hash-shard `md5(seed:id) % nShards` (stable across runs, machines,
+    * and partition counts — the property that lets a 1000-executor
+    * re-run resume the same shard layout), and the manifest reports per
+    * shard what a data loader needs to size its plan: doc count, token
+    * total, id range. Map-only assignment + one hash aggregate. */
+  def shardManifest(df: DataFrame, idCol: String, tokensCol: Column,
+                    nShards: Int, seed: String = "shard"): DataFrame =
+    df.withColumn("shard", hashBucket(col(idCol), seed) % nShards)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokensCol.cast("long")).as("n_tokens"),
+        min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"))
+
+  /** Temperature-scaled mixture weights over strata (multilingual
+    * resampling à la XLM-R: q_s ∝ p_s^alpha flattens the head and
+    * boosts the tail). Two tiny aggregates (strata-cardinality rows)
+    * broadcast back — the corpus itself is touched once for the count.
+    * alpha = 0.5 routes through sqrt, which IEEE-754 requires to be
+    * correctly rounded (bit-identical in every engine); pow carries no
+    * such guarantee, so the exactly-representable case avoids it. */
+  def temperatureMixture(df: DataFrame, stratumCol: String,
+                         alpha: Double = 0.5): DataFrame = {
+    val c = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
+    val tot = c.agg(sum(col("n")).as("__N"))
+    val withP = c.crossJoin(broadcast(tot))
+      .withColumn("__p", col("n").cast("double") / col("__N"))
+      .withColumn("__pa",
+        if (alpha == 0.5) sqrt(col("__p")) else pow(col("__p"), alpha))
+    val z = withP.agg(sum(col("__pa")).as("__Z"))
+    withP.crossJoin(broadcast(z))
+      .select(col(stratumCol), col("n"),
+        round(col("__p"), 6).as("p"),
+        round(col("__pa") / col("__Z"), 6).as("q"),
+        round(col("__pa") / col("__Z") * col("__N"), 3).as("expected_n"))
+  }
 }

@@ -183,6 +183,32 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", sort_array(array_distinct(tokens(lower(text))))))
 
+  /** Word n-grams of a text column (lowercased whitespace tokens),
+    * generated inside codegen — no UDF, no explode until the caller
+    * asks for one. Docs shorter than n yield an empty array. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val t = tokens(lower(text))
+    when(size(t) >= n,
+      transform(sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", (0 until n).map(k => element_at(t, i + k + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Per-group n-gram type/token diversity (distinct n-grams over total
+    * n-grams — the corpus-diversity metric that catches template spam a
+    * per-document repetition score misses). One map-side n-gram explode
+    * + one two-phase distinct aggregate per group: no self-join, no
+    * window — linear at any corpus size. */
+  def ngramDiversity(df: org.apache.spark.sql.DataFrame, textCol: String,
+                     groupCol: String,
+                     n: Int = 2): org.apache.spark.sql.DataFrame =
+    df.select(col(groupCol), explode(wordNgrams(col(textCol), n)).as("__g"))
+      .groupBy(col(groupCol))
+      .agg(countDistinct(col("__g")).as("n_types"),
+        count(lit(1)).as("n_total"))
+      .withColumn("ttr",
+        round(col("n_types").cast("double") / col("n_total"), 6))
+
   /** Rule thresholds for `ruleFilter` (Gopher-style repetition/shape
     * heuristics, rule set public via Rae et al. 2021, arXiv:2112.11446). */
   final case class QualityRules(

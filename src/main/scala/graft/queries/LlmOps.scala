@@ -2010,6 +2010,67 @@ object LlmOps {
              FROM grp JOIN corpus USING (term) JOIN gt USING (g) CROSS JOIN tot
              GROUP BY g ORDER BY source""")),
 
+    // cross-source contamination matrix: distinct shared content
+    // fingerprints per source pair — the fp→sources pivot bounds the
+    // pair work by (sources per fingerprint)², never corpus²
+    QueryDef("q_source_overlap",
+      (s, dir) => Dedup.sourceOverlap(
+        Graft.table(s, dir, "documents"), "text", "source")
+        .orderBy("src_a", "src_b"),
+      Some(s"""WITH d AS (SELECT DISTINCT
+                 md5(array_to_string(list_sort(list_distinct($duckToksLower)), ' ')) AS fp,
+                 source
+               FROM documents)
+             SELECT a.source AS src_a, b.source AS src_b,
+                    CAST(COUNT(*) AS BIGINT) AS n_shared
+             FROM d a JOIN d b ON a.fp = b.fp AND a.source < b.source
+             GROUP BY 1, 2 ORDER BY src_a, src_b""")),
+
+    // per-source bigram type/token diversity: template-spam detector a
+    // per-doc repetition score can't see (one explode + one distinct agg)
+    QueryDef("q_ngram_diversity",
+      (s, dir) => TextAnalysis.ngramDiversity(
+        Graft.table(s, dir, "documents"), "text", "source", n = 2)
+        .orderBy("source"),
+      Some(s"""WITH g AS (SELECT source,
+                 unnest(list_transform(range(len(w) - 1),
+                   i -> w[i+1] || ' ' || w[i+2])) AS gram
+               FROM (SELECT source, $duckToksLower AS w FROM documents))
+             SELECT source, CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_types,
+                    CAST(COUNT(*) AS BIGINT) AS n_total,
+                    ROUND(COUNT(DISTINCT gram)::DOUBLE / COUNT(*), 6) AS ttr
+             FROM g GROUP BY 1 ORDER BY source""")),
+
+    // deterministic training-shard manifest: stable md5 shard keyed by
+    // doc id; per shard the loader-plan stats (docs, tokens, id range)
+    QueryDef("q_shard_manifest",
+      (s, dir) => Sampling.shardManifest(
+        Graft.table(s, dir, "documents"), "doc_id",
+        TextAnalysis.tokenCount(col("text")), nShards = 16)
+        .orderBy("shard"),
+      Some(s"""SELECT ('0x' || substr(md5('shard:' || doc_id), 1, 8))::BIGINT
+                        % 1000000 % 16 AS shard,
+                      CAST(COUNT(*) AS BIGINT) AS n_docs,
+                      CAST(SUM(len($duckToks)) AS BIGINT) AS n_tokens,
+                      MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+               FROM documents GROUP BY 1 ORDER BY shard""")),
+
+    // temperature-scaled multilingual mixture (q ∝ p^0.5): the XLM-R
+    // resampling table — alpha .5 rides sqrt, the correctly-rounded op
+    QueryDef("q_lang_mixture",
+      (s, dir) => Sampling.temperatureMixture(
+        Graft.table(s, dir, "documents"), "lang", alpha = 0.5)
+        .orderBy("lang"),
+      Some("""WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+                         FROM documents GROUP BY 1),
+                t AS (SELECT lang, n,
+                             n::DOUBLE / (SELECT SUM(n) FROM c) AS p FROM c),
+                z AS (SELECT lang, n, p, sqrt(p) AS pa,
+                             (SELECT SUM(sqrt(p)) FROM t) AS zz FROM t)
+              SELECT lang, n, ROUND(p, 6) AS p, ROUND(pa / zz, 6) AS q,
+                     ROUND(pa / zz * (SELECT SUM(n) FROM c), 3) AS expected_n
+              FROM z ORDER BY lang""")),
+
     // $search highlight: the searchHighlights payload flattened to a
     // hashable rendering — hits bracketed, runs re-joined — which the
     // twin reproduces token for token from the same analyzer

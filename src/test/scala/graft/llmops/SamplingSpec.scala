@@ -206,4 +206,61 @@ class SamplingSpec extends AnyFunSuite {
       assert(o == n, s"text '${texts(o.head.toString.toInt)}': $o != $n")
     }
   }
+
+  test("shardManifest: covers every doc, stable across partition counts") {
+    val m = Sampling.shardManifest(docs, "doc_id",
+      TextAnalysis.tokenCount(col("text")), nShards = 16)
+    val rows = m.collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    assert(rows.forall { r =>
+      val s = r.getAs[Long]("shard"); s >= 0 && s < 16 })
+    val m4 = Sampling.shardManifest(docs.repartition(4), "doc_id",
+      TextAnalysis.tokenCount(col("text")), nShards = 16)
+    assert(m.orderBy("shard").collect().toSeq ==
+      m4.orderBy("shard").collect().toSeq)
+  }
+
+  test("temperatureMixture: q sums to 1, flattens toward the tail") {
+    val out = Sampling.temperatureMixture(docs, "lang", alpha = 0.5)
+      .orderBy("lang").collect()
+    val qSum = out.map(_.getAs[Double]("q")).sum
+    assert(math.abs(qSum - 1.0) < 1e-4, s"q sum $qSum")
+    // temperature < 1 shrinks the head stratum's share and grows every
+    // tail stratum's: q < p on the largest, q > p on the smallest
+    val byN = out.sortBy(_.getAs[Long]("n"))
+    assert(byN.last.getAs[Double]("q") < byN.last.getAs[Double]("p"))
+    assert(byN.head.getAs[Double]("q") > byN.head.getAs[Double]("p"))
+    // alpha = 1 is the identity mixture
+    val id = Sampling.temperatureMixture(docs, "lang", alpha = 1.0).collect()
+    id.foreach(r => assert(
+      math.abs(r.getAs[Double]("q") - r.getAs[Double]("p")) < 1e-6))
+  }
+
+  test("wordNgrams + ngramDiversity: exact grams, short-doc edge") {
+    val d = Seq((1L, "a b c b c", "s1"), (2L, "x", "s1"), (3L, "", "s2"))
+      .toDF("doc_id", "text", "src")
+    val grams = d.select(col("doc_id"),
+      TextAnalysis.wordNgrams(col("text"), 2).as("g")).orderBy("doc_id")
+      .collect().map(_.getSeq[String](1))
+    assert(grams(0) == Seq("a b", "b c", "c b", "b c"))
+    assert(grams(1).isEmpty && grams(2).isEmpty)
+    val div = TextAnalysis.ngramDiversity(d, "text", "src", 2).collect()
+    assert(div.length == 1)  // s2/x contribute no grams
+    val r = div.head
+    assert(r.getAs[Long]("n_types") == 3 && r.getAs[Long]("n_total") == 4)
+    assert(r.getAs[Double]("ttr") == 0.75)
+  }
+
+  test("sourceOverlap: pair counts match a brute-force check") {
+    val d = Seq(
+      (1L, "alpha beta", "s1"), (2L, "beta alpha", "s2"),  // same fp
+      (3L, "alpha beta", "s3"), (4L, "gamma", "s1"),
+      (5L, "gamma", "s2"), (6L, "delta", "s3")).toDF("doc_id", "text", "src")
+    val got = Dedup.sourceOverlap(d, "text", "src")
+      .orderBy("src_a", "src_b")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      ("s1", "s2", 2L),  // alpha-beta + gamma
+      ("s1", "s3", 1L), ("s2", "s3", 1L)))
+  }
 }
