@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Coalesce, EqualTo, Expression, If, IsNotNull, IsNull, Literal, Not, RuntimeReplaceable, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Add, AggregateWindowFunction, AttributeReference, BinaryExpression, Cast, Coalesce, EqualTo, Expression, If, IsNotNull, IsNull, Literal, Multiply, Not, RuntimeReplaceable, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block.BlockHelper
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -1402,6 +1402,7 @@ object GraftFunctions {
     * the `GraftExtensions` injector for
     * `spark.sql.extensions=graft.functions.GraftExtensions`). */
   val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "exp_moving_avg" -> ((e: Seq[Expression]) => ExpMovingAvgWin(e(0), e(1))),
     "objectid_to_timestamp" -> ((e: Seq[Expression]) => ObjectIdToTimestamp(e.head)),
     "word_shingles" -> ((e: Seq[Expression]) => WordShingles(e.head, e(1))),
     "dot_d" -> ((e: Seq[Expression]) => DotDouble(e.head, e(1))),
@@ -1431,6 +1432,43 @@ object GraftFunctions {
     "graft_is_number" -> ((e: Seq[Expression]) => BsonIsNumber(e.head)),
     "graft_truthy" -> ((e: Seq[Expression]) => BsonTruthy(e.head)),
   )
+
+  /** Exponential moving average as a native running-frame window
+    * aggregate: ema_1 = x_1, ema_i = α·x_i + (1−α)·ema_{i−1} — Mongo's
+    * $expMovingAvg recurrence — evaluated incrementally by the window
+    * processor, O(1) per row over ONE partition sort. Replaces a
+    * collect_list-prefix + per-row fold that re-walked the history for
+    * every row: O(rows²) per partition, quadratic on long histories at
+    * scale. Null semantics match the fold it replaces: the buffer
+    * starts null and takes the first x as-is; a null x afterwards
+    * nulls the buffer (poisoning) and the next non-null x restarts.
+    */
+  case class ExpMovingAvgWin(child: Expression, alphaExpr: Expression)
+      extends AggregateWindowFunction {
+    private lazy val alpha: Double = alphaExpr.eval() match {
+      case d: java.lang.Double => d.doubleValue()
+      case other => throw new IllegalArgumentException(
+        s"exp_moving_avg alpha must be a double literal, got $other")
+    }
+    override def children: Seq[Expression] = Seq(child, alphaExpr)
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    private lazy val ema = AttributeReference("ema", DoubleType)()
+    override def aggBufferAttributes: Seq[AttributeReference] = Seq(ema)
+    override lazy val initialValues: Seq[Expression] =
+      Seq(Literal(null, DoubleType))
+    override lazy val updateExpressions: Seq[Expression] = {
+      val x = Cast(child, DoubleType)
+      Seq(If(IsNull(ema), x,
+        Add(Multiply(x, Literal(alpha, DoubleType)),
+          Multiply(ema, Literal(1 - alpha, DoubleType)))))
+    }
+    override lazy val evaluateExpression: Expression = ema
+    override def prettyName: String = "exp_moving_avg"
+    override protected def withNewChildrenInternal(
+        cs: IndexedSeq[Expression]): ExpMovingAvgWin =
+      copy(child = cs(0), alphaExpr = cs(1))
+  }
 
   /** Register the engine's SQL functions on a session; idempotent. */
   def register(spark: SparkSession): Unit =

@@ -3587,6 +3587,50 @@ object PipelineCompiler {
         if (ranked) sorted
         else sorted.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       }
+      // $integral decomposes into per-row trapezoid increments (lag
+      // against the partition predecessor) summed over the frame — two
+      // chained window projections over ONE sort, instead of the old
+      // collect_list+fold that re-walked the whole frame per row
+      // (O(frame²) per partition: quadratic on unbounded windows).
+      if (op == "$integral") arg match {
+        case JObject(dspec) =>
+          val y = ExprCompiler.compile(
+            dspec.collectFirst { case ("input", x) => x }
+              .getOrElse(throw new MqlException("$integral needs input")))
+            .cast(DoubleType)
+          val argUnit = dspec.collectFirst { case ("unit", JString(u)) =>
+            unitToMicros(u) }
+          val sf = fieldCol(singleAscSortField("$integral"))
+          val t = argUnit match {
+            case Some(micros) =>
+              unix_micros(sf).cast(DoubleType) / lit(micros.toDouble)
+            case None => sf.cast(DoubleType)
+          }
+          // inc_i = trapezoid between row i and its predecessor; 0 at
+          // the partition head. The frame's first row pairs with a point
+          // OUTSIDE the frame, so the frame aggregate subtracts it back
+          // out. Null semantics match the fold it replaces: any null
+          // trapezoid among the in-frame consecutive pairs nulls the
+          // result (poisoning), and a single-point frame is 0.0 even
+          // when its y is null.
+          val rn = row_number().over(sorted)
+          val inc = "__graft_itg_inc"
+          val bad = "__graft_itg_bad"
+          val staged = acc
+            .withColumn(inc, when(rn === 1, lit(0.0)).otherwise(
+              (y + lag(y, 1).over(sorted)) / 2 *
+                (t - lag(t, 1).over(sorted))))
+            .withColumn(bad, when(rn === 1, lit(0))
+              .otherwise(when(col(inc).isNull, lit(1)).otherwise(lit(0))))
+          val nn = sum(col(bad)).over(framed) - first(col(bad)).over(framed)
+          val ss = sum(col(inc)).over(framed) -
+            coalesce(first(col(inc)).over(framed), lit(0.0))
+          staged.withColumn(name,
+              when(nn > lit(0), lit(null).cast(DoubleType))
+                .otherwise(coalesce(ss, lit(0.0))))
+            .drop(inc, bad)
+        case other => throw new MqlException(s"bad $op: $other")
+      } else {
       val wcol = op match {
         case "$rank"           => rank().over(framed)
         case "$denseRank"      => dense_rank().over(framed)
@@ -3626,10 +3670,11 @@ object PipelineCompiler {
         case "$last"  => last(ExprCompiler.compile(arg)).over(framed)
         case "$stdDevPop"  => stddev_pop(ExprCompiler.compile(arg)).over(framed)
         case "$stdDevSamp" => stddev_samp(ExprCompiler.compile(arg)).over(framed)
-        // ema_1 = x_1; ema_i = a*x_i + (1-a)*ema_(i-1). Folded over the
-        // history prefix per row — O(rows²) per partition, the price of
-        // an order-dependent recurrence in a declarative plan; partition
-        // histories stay modest under date-bounded $match at scale.
+        // ema_1 = x_1; ema_i = a*x_i + (1-a)*ema_(i-1). A native
+        // running-frame window aggregate (ExpMovingAvgWin) evaluates
+        // the recurrence incrementally — O(1) per row over the one
+        // partition sort, where the previous collect_list+fold
+        // re-walked the history per row (O(rows²) per partition).
         case "$expMovingAvg" => arg match {
           case JObject(espec) =>
             if (windowDoc.isDefined) throw new MqlException(
@@ -3646,10 +3691,11 @@ object PipelineCompiler {
               .getOrElse(throw new MqlException("$expMovingAvg needs alpha or N"))
             if (sortBy.isEmpty)
               throw new MqlException("$expMovingAvg requires sortBy")
-            val hist = collect_list(input.cast(DoubleType))
-              .over(sorted.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-            aggregate(hist, lit(null).cast(DoubleType), (acc, x) =>
-              when(acc.isNull, x).otherwise(x * alpha + acc * (1 - alpha)))
+            graft.functions.GraftFunctions.register(
+              org.apache.spark.sql.SparkSession.active)
+            // no explicit frame: AggregateWindowFunction pins its own
+            // running frame (unbounded preceding .. current row)
+            call_function("exp_moving_avg", input, lit(alpha)).over(sorted)
           case other => throw new MqlException(s"bad $$expMovingAvg: $other")
         }
         case "$covariancePop" | "$covarianceSamp" => arg match {
@@ -3659,9 +3705,10 @@ object PipelineCompiler {
               .over(framed)
           case other => throw new MqlException(s"bad $op: $other")
         }
-        // rate of change / trapezoidal area over the window, against the
-        // sortBy axis; `unit` (dates) scales the time delta
-        case "$derivative" | "$integral" => arg match {
+        // rate of change over the window against the sortBy axis;
+        // `unit` (dates) scales the time delta ($integral is handled
+        // above the match: it needs a staged helper projection)
+        case "$derivative" => arg match {
           case JObject(dspec) =>
             val y = ExprCompiler.compile(
               dspec.collectFirst { case ("input", x) => x }
@@ -3674,23 +3721,9 @@ object PipelineCompiler {
               case Some(micros) => unix_micros(sf).cast(DoubleType) / lit(micros.toDouble)
               case None => sf.cast(DoubleType)
             }
-            if (op == "$derivative")
-              // single-point frame → Δt = 0 → null (not an ANSI error)
-              try_divide(last(y).over(framed) - first(y).over(framed),
-                last(t).over(framed) - first(t).over(framed))
-            else {
-              // trapezoid fold over the frame's (t, y) points in order;
-              // acc carries (prev t, prev y, running area)
-              val pts = collect_list(struct(t.as("t"), y.as("y"))).over(framed)
-              aggregate(pts,
-                struct(lit(null).cast(DoubleType).as("t"),
-                  lit(null).cast(DoubleType).as("y"), lit(0.0).as("s")),
-                (acc, p) => struct(p.getField("t").as("t"), p.getField("y").as("y"),
-                  (acc.getField("s") + when(acc.getField("t").isNull, lit(0.0))
-                    .otherwise((p.getField("y") + acc.getField("y")) / 2 *
-                      (p.getField("t") - acc.getField("t")))).as("s")),
-                acc => acc.getField("s"))
-            }
+            // single-point frame → Δt = 0 → null (not an ANSI error)
+            try_divide(last(y).over(framed) - first(y).over(framed),
+              last(t).over(framed) - first(t).over(framed))
           case other => throw new MqlException(s"bad $op: $other")
         }
         // n-value / percentile accumulators are also window operators in
@@ -3763,6 +3796,7 @@ object PipelineCompiler {
         case other => throw new MqlException(s"unsupported window operator $other")
       }
       acc.withColumn(name, wcol)
+      }
     }
   }
 }

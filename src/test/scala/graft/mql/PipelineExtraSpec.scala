@@ -243,6 +243,31 @@ class PipelineExtraSpec extends AnyFunSuite {
         "output": {"ema": {"$expMovingAvg": {"input": "$amt", "N": 3}}}}},
       {"$sort": {"id": 1}}]""").select("ema").as[Double].collect()
     assert(math.abs(n3(1) - (0.5 * 20 + 0.5 * 10)) < 1e-9)
+    // null handling: leading nulls leave the buffer null, a null after
+    // a value poisons it, the next non-null value restarts
+    val withNulls = Seq(
+      (1, "g", None: Option[Double]), (2, "g", Some(8.0)),
+      (3, "g", None: Option[Double]), (4, "g", Some(6.0))
+    ).toDF("id", "grp", "amt")
+    val nOut = PipelineCompiler.run(withNulls, """[
+      {"$setWindowFields": {"partitionBy": "$grp", "sortBy": {"id": 1},
+        "output": {"ema": {"$expMovingAvg": {"input": "$amt", "alpha": 0.5}}}}},
+      {"$sort": {"id": 1}}]""").select("ema").collect()
+      .map(r => if (r.isNullAt(0)) null else r.getDouble(0))
+    assert(nOut.toSeq == Seq(null, 8.0, null, 6.0))
+    // long-history sanity: the recurrence is one pass per partition —
+    // 50k rows in one partition completes in seconds, not the minutes
+    // the old per-row prefix fold would take
+    val big = (1 to 50000).map(i => (i, "g", i.toDouble)).toDF("id", "grp", "amt")
+    val t0 = System.nanoTime()
+    val last = PipelineCompiler.run(big, """[
+      {"$setWindowFields": {"partitionBy": "$grp", "sortBy": {"id": 1},
+        "output": {"ema": {"$expMovingAvg": {"input": "$amt", "alpha": 0.1}}}}},
+      {"$sort": {"id": -1}}, {"$limit": 1}]""")
+      .select("ema").as[Double].collect().head
+    assert((System.nanoTime() - t0) / 1e9 < 30.0)
+    // steady state: ema of a +1 ramp converges to x - (1-a)/a = x - 9
+    assert(math.abs(last - (50000 - 9)) < 1e-6)
   }
 
   test("$setWindowFields time-range window (unit) scales bounds to the sort field") {
@@ -381,6 +406,38 @@ class PipelineExtraSpec extends AnyFunSuite {
     assert(d(1, "dv") == 10.0 && d(2, "dv") == 10.0)
     // trapezoid areas: 0 | (0+10)/2*1 = 5 | 5 + (10+30)/2*2 = 45
     assert(d(0, "ar") == 0.0 && d(1, "ar") == 5.0 && d(2, "ar") == 45.0)
+  }
+
+  test("$integral null poisoning and bounded frames") {
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val df = Seq(
+      (1, "u", ts("2024-01-01 10:00:00"), Some(0.0)),
+      (2, "u", ts("2024-01-01 11:00:00"), None: Option[Double]),
+      (3, "u", ts("2024-01-01 12:00:00"), Some(20.0)),
+      (4, "u", ts("2024-01-01 13:00:00"), Some(40.0))
+    ).toDF("id", "grp", "t", "v")
+    val out = PipelineCompiler.run(df, """[
+      {"$setWindowFields": {"partitionBy": "$grp", "sortBy": {"t": 1},
+        "output": {
+          "run": {"$integral": {"input": "$v", "unit": "hour"},
+                  "window": {"documents": ["unbounded", "current"]}},
+          "tail": {"$integral": {"input": "$v", "unit": "hour"},
+                   "window": {"documents": [-1, 0]}}}}},
+      {"$sort": {"id": 1}}]""")
+    val rows = out.orderBy("id").collect()
+    def g(i: Int, c: String): Any =
+      if (rows(i).isNullAt(rows(i).fieldIndex(c))) null
+      else rows(i).getAs[Double](c)
+    // running: first point alone → 0; any frame containing the null
+    // pair → null (the fold's poisoning, preserved by decomposition)
+    assert(g(0, "run") == 0.0)
+    assert(g(1, "run") == null && g(2, "run") == null && g(3, "run") == null)
+    // trailing 2-point frame: frames touching the null point are null,
+    // the clean pair (20,40) integrates to 30; single-point frame at
+    // the partition head is 0 even though its predecessor is absent
+    assert(g(0, "tail") == 0.0)
+    assert(g(1, "tail") == null && g(2, "tail") == null)
+    assert(g(3, "tail") == 30.0)
   }
 
   test("$minN / $maxN accumulators") {
