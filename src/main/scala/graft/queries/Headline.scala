@@ -638,7 +638,7 @@ object Headline {
                sum(col("l_quantity")).as("qty_all"))
           .where(col("qty_all") - col("qty_1996") > lit(0.5) * col("qty_1996") &&
             col("qty_1996") > 0)
-        val n = Graft.table(s, dir, "nation").where(col("n_name") === "NATION_9")
+        val n = Graft.table(s, dir, "nation").where(col("n_name") === "NATION_18")
         Graft.table(s, dir, "supplier")
           .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
           .join(pq, col("s_suppkey") === col("sk"), "left_semi")
@@ -656,7 +656,7 @@ object Headline {
                 GROUP BY sk, l_partkey)
               SELECT s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
               FROM supplier JOIN nation ON s_nationkey = n_nationkey
-              WHERE n_name = 'NATION_9'
+              WHERE n_name = 'NATION_18'
                 AND EXISTS (SELECT 1 FROM pq WHERE sk = s_suppkey
                             AND qty_all - qty_1996 > 0.5 * qty_1996
                             AND qty_1996 > 0)

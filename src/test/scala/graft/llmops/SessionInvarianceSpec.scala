@@ -16,7 +16,13 @@ class SessionInvarianceSpec extends AnyFunSuite {
     "q_dsir_hashed", "q_dsir_sample", "q_chunk_dedup", "q_overlap_decon",
     "q_canonical_pick", "q_emb_truncate", "q_curation_report",
     "q_media_near_dup", "q_novelty", "q_source_drift",
-    "q_curation_pipeline", "q_index_merge", "q_lookup_array")
+    "q_curation_pipeline", "q_index_merge", "q_lookup_array",
+    // fourth session: the six lineitem-bridged TPC-H shapes, the four
+    // curation additions, and the rewritten window-calculus path
+    // ($integral decomposition + native $expMovingAvg)
+    "q_tpch_q2", "q_tpch_q9", "q_tpch_q11", "q_tpch_q15", "q_tpch_q16",
+    "q_tpch_q20", "q_source_overlap", "q_ngram_diversity",
+    "q_shard_manifest", "q_lang_mixture", "q_window_calculus")
 
   private def canon(name: String): Seq[String] = {
     import org.apache.spark.sql.functions._
