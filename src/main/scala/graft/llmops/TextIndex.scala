@@ -141,4 +141,51 @@ object TextIndex {
       padded.unionByName(carried).unionByName(meta)
     }
   }
+
+  /** The DELETE path of index maintenance: drop a set of document ids
+    * from a postings-bearing index using ONLY index rows — the removed
+    * docs' term sets come from their own posting rows, their lengths
+    * from their doc rows, so the corpus contributes zero I/O (it may
+    * already be gone — that is what deletion means). Exact
+    * rebuild-equivalence: remove(build(A), B) ≡ build(A \ B) —
+    * term dfs decrement by integer counts (terms reaching 0 drop out),
+    * and the path summary recomputes count/avg over the SURVIVING doc
+    * rows' integer lengths, not by algebra on the rounded stored mean.
+    * Scale shape: two hash joins of the posting/doc tables against the
+    * removed-id set (small → AQE broadcasts it) + one vocabulary-sized
+    * decrement agg; nothing touches the corpus. */
+  def remove(index: DataFrame, removedIds: DataFrame,
+             idCol: String): DataFrame = {
+    require(index.columns.contains("doc_id"),
+      "TextIndex.remove needs a postings-bearing index (built with " +
+        "postingsIdCol): a statistics-only index cannot know which " +
+        "terms the removed documents contained")
+    val ids = removedIds.select(col(idCol).cast("long").as("__rid")).distinct()
+    val posts = index.where(col("kind") === "posting")
+    val keptPosts = posts.join(ids, col("doc_id") === col("__rid"), "left_anti")
+    val remPosts = posts.join(ids, col("doc_id") === col("__rid"), "left_semi")
+    val keptDocs = index.where(col("kind") === "doc")
+      .join(ids, col("doc_id") === col("__rid"), "left_anti")
+    // postings are one row per (doc, term), so the df decrement per
+    // (path, term) is simply the removed-posting count
+    val dec = remPosts.groupBy("path", "term").agg(count(lit(1)).as("__ddf"))
+    val nullId = lit(null).cast("long")
+    val terms = index.where(col("kind") === "term")
+      .join(dec, Seq("path", "term"), "left")
+      .withColumn("df", col("df") - coalesce(col("__ddf"), lit(0L)))
+      .where(col("df") > 0)
+      .select(lit("term").as("kind"), col("path"), col("term"), col("df"),
+        lit(0L).as("n_docs"), lit(null).cast("double").as("avgdl"),
+        nullId.as("doc_id"), nullId.as("tf"), nullId.as("dl"))
+    val summaries = keptDocs.groupBy("path")
+      .agg(count(lit(1)).as("n_docs"),
+        avg(col("dl").cast("double")).as("avgdl"))
+      .select(lit("summary").as("kind"), col("path"),
+        lit(null).cast("string").as("term"), lit(0L).as("df"),
+        col("n_docs"), col("avgdl"),
+        nullId.as("doc_id"), nullId.as("tf"), nullId.as("dl"))
+    val meta = index.where(col("kind") === "meta").distinct()
+    summaries.unionByName(terms).unionByName(keptPosts)
+      .unionByName(keptDocs).unionByName(meta)
+  }
 }

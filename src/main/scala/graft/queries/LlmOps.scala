@@ -1974,6 +1974,52 @@ object LlmOps {
              SELECT * FROM su UNION ALL SELECT * FROM tm
              ORDER BY kind, term""")),
 
+    // the DELETE path of index maintenance: drop the odd docs from a
+    // postings-bearing index using only index rows (their term sets
+    // come from their own postings, lengths from their doc rows — the
+    // corpus contributes zero I/O); the result must equal the index
+    // BUILT from the surviving docs, row for row
+    QueryDef("q_index_remove",
+      (s, dir) => {
+        val d = Graft.table(s, dir, "documents")
+        val idx = graft.llmops.TextIndex.build(d, Seq("text"), Some("doc_id"))
+        graft.llmops.TextIndex.remove(idx,
+          d.where(col("doc_id") % 2 =!= 0).select("doc_id"), "doc_id")
+          .select(col("kind"), col("path"), col("term"), col("df"),
+            col("n_docs"), round(col("avgdl"), 6).as("avgdl"),
+            col("doc_id"), col("tf"), col("dl"))
+          .orderBy("kind", "term", "doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $duckToksLower AS w FROM documents
+                          WHERE doc_id % 2 = 0),
+               n AS (SELECT doc_id, len(w) AS dl FROM t WHERE len(w) > 0),
+               su AS (SELECT 'summary' AS kind, 'text' AS path,
+                        NULL AS term, CAST(0 AS BIGINT) AS df,
+                        CAST(COUNT(*) AS BIGINT) AS n_docs,
+                        ROUND(AVG(dl::DOUBLE), 6) AS avgdl,
+                        NULL::BIGINT AS doc_id, NULL::BIGINT AS tf,
+                        NULL::BIGINT AS dl FROM n),
+               tm AS (SELECT 'term', 'text', term, CAST(COUNT(*) AS BIGINT),
+                        CAST(0 AS BIGINT), NULL::DOUBLE, NULL::BIGINT,
+                        NULL::BIGINT, NULL::BIGINT
+                      FROM (SELECT doc_id, unnest(list_distinct(w)) AS term
+                            FROM t) GROUP BY term),
+               po AS (SELECT 'posting', 'text', term, CAST(0 AS BIGINT),
+                        CAST(0 AS BIGINT), NULL::DOUBLE, doc_id,
+                        CAST(COUNT(*) AS BIGINT), NULL::BIGINT
+                      FROM (SELECT doc_id, unnest(w) AS term FROM t)
+                      GROUP BY doc_id, term),
+               dc AS (SELECT 'doc', 'text', NULL, CAST(0 AS BIGINT),
+                        CAST(0 AS BIGINT), NULL::DOUBLE, doc_id,
+                        NULL::BIGINT, CAST(dl AS BIGINT) FROM n),
+               me AS (SELECT 'meta', 'text', 'doc_id', CAST(0 AS BIGINT),
+                        CAST(0 AS BIGINT), NULL::DOUBLE, NULL::BIGINT,
+                        NULL::BIGINT, NULL::BIGINT)
+             SELECT * FROM su UNION ALL SELECT * FROM tm
+             UNION ALL SELECT * FROM po UNION ALL SELECT * FROM dc
+             UNION ALL SELECT * FROM me
+             ORDER BY kind, term, doc_id""")),
+
     // per-doc n-gram novelty: share of shingles appearing in NO other
     // doc — the inverse of repeated-span detection, word-count shape
     QueryDef("q_novelty",

@@ -178,6 +178,38 @@ class TextIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("remove(build(A), B) equals build(A \\ B), corpus untouched") {
+    import org.apache.spark.sql.functions.round
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select($"kind", $"path", $"term", $"df", $"n_docs",
+        round($"avgdl", 9).as("avgdl"), $"doc_id", $"tf", $"dl")
+      .orderBy("kind", "term", "doc_id").collect().toSeq
+    val full = TextIndex.build(docs, Seq("text"), Some("doc_id"))
+    val removed = TextIndex.remove(full,
+      docs.where($"doc_id" >= 3).select("doc_id"), "doc_id")
+    val rebuilt = TextIndex.build(
+      docs.where($"doc_id" < 3), Seq("text"), Some("doc_id"))
+    assert(canon(removed) == canon(rebuilt))
+    // terms whose last document left drop out entirely
+    val gone = removed.where($"kind" === "term" && $"term" === "window").count()
+    assert(gone == 0)
+    // an indexed query through the SHRUNK index matches a plain query
+    // over the shrunk corpus
+    val small = docs.where($"doc_id" < 3)
+    val resolve: PipelineCompiler.TableResolver = { case "r" => removed }
+    val q = s"""{"$$search": {%s"text": {"query": "spark query", "path": "text"},
+        "limit": 10, "tieBreaker": "doc_id"}}, $project]"""
+    val plain = PipelineCompiler.run(small, "[" + q.format(""))
+      .as[(Long, Double)].collect().toSeq
+    val viaIdx = PipelineCompiler.run(small, "[" + q.format("\"index\": \"r\", "),
+      resolve).as[(Long, Double)].collect().toSeq
+    assert(viaIdx == plain)
+    // a statistics-only index cannot support deletion — refuse loudly
+    intercept[IllegalArgumentException](
+      TextIndex.remove(TextIndex.build(docs, Seq("text")),
+        docs.select("doc_id"), "doc_id"))
+  }
+
   test("unknown index name falls back to self-computed stats") {
     val plain = runQ(s"""[
       {"$$search": {"text": {"query": "spark", "path": "text"},
