@@ -98,6 +98,42 @@ object TextIndex {
     }.reduce(_ unionByName _)
   }
 
+  /** Postings index that ALSO stores source fields (Atlas
+    * `storedSource`): kind='stored' rows carry each document's selected
+    * columns as one JSON payload, kind='storedmeta' records their
+    * struct schema (DDL), so a `$search` with `returnStoredSource:
+    * true` can materialize its result — match, score, AND output —
+    * from the index alone: zero corpus I/O on the query path. The id
+    * column must be in `storedSource` if downstream stages reference
+    * it. Storage cost: one JSON row per document — the price Atlas
+    * charges for the same feature. */
+  def build(df: DataFrame, paths: Seq[String], postingsIdCol: Option[String],
+            storedSource: Seq[String]): DataFrame = {
+    val base = build(df, paths, postingsIdCol)
+    if (storedSource.isEmpty) base
+    else {
+      val id = postingsIdCol.getOrElse(throw new IllegalArgumentException(
+        "TextIndex.build: storedSource requires postingsIdCol (stored " +
+          "rows are keyed by document id)"))
+      val ddl = df.select(storedSource.map(col): _*).schema.toDDL
+      val nullId = lit(null).cast("long")
+      val stored = df.select(col(id).cast("long").as("doc_id"),
+          to_json(struct(storedSource.map(col): _*)).as("sval"))
+        .select(lit("stored").as("kind"), lit("__stored").as("path"),
+          lit(null).cast("string").as("term"), lit(0L).as("df"),
+          lit(0L).as("n_docs"), lit(null).cast("double").as("avgdl"),
+          col("doc_id"), nullId.as("tf"), nullId.as("dl"), col("sval"))
+      val storedMeta = df.sparkSession.range(1)
+        .select(lit("storedmeta").as("kind"), lit("__stored").as("path"),
+          lit(ddl).as("term"), lit(0L).as("df"), lit(0L).as("n_docs"),
+          lit(null).cast("double").as("avgdl"), nullId.as("doc_id"),
+          nullId.as("tf"), nullId.as("dl"),
+          lit(null).cast("string").as("sval"))
+      base.unionByName(stored, allowMissingColumns = true)
+        .unionByName(storedMeta, allowMissingColumns = true)
+    }
+  }
+
   /** Incremental maintenance: fold a NEW batch of documents into an
     * existing index without re-scanning the indexed corpus — the write
     * path of a live search index (streaming ingest folds each
@@ -116,8 +152,18 @@ object TextIndex {
       if (!hasPostings) None
       else index.where(col("kind") === "meta").select("term")
         .collect().headOption.map(_.getString(0))
-    val delta = build(newDocs, paths, idColName)
-    val both = index.unionByName(delta)
+    // a stored-source index folds the new batch's stored rows too —
+    // the column list comes from the recorded storedmeta schema
+    val storedCols: Seq[String] =
+      if (!index.columns.contains("sval")) Nil
+      else index.where(col("kind") === "storedmeta").select("term")
+        .collect().headOption.map(r =>
+          org.apache.spark.sql.types.StructType.fromDDL(r.getString(0))
+            .fieldNames.toSeq).getOrElse(Nil)
+    val delta =
+      if (storedCols.isEmpty) build(newDocs, paths, idColName)
+      else build(newDocs, paths, idColName, storedCols)
+    val both = index.unionByName(delta, allowMissingColumns = true)
     val terms = both.where(col("kind") === "term")
       .groupBy("path", "term").agg(sum("df").as("df"))
       .select(lit("term").as("kind"), col("path"), col("term"), col("df"),
@@ -136,9 +182,10 @@ object TextIndex {
       val nullId = lit(null).cast("long")
       val padded = stats.withColumn("doc_id", nullId)
         .withColumn("tf", nullId).withColumn("dl", nullId)
-      val carried = both.where(col("kind").isin("posting", "doc"))
-      val meta = both.where(col("kind") === "meta").distinct()
-      padded.unionByName(carried).unionByName(meta)
+      val carried = both.where(col("kind").isin("posting", "doc", "stored"))
+      val meta = both.where(col("kind").isin("meta", "storedmeta")).distinct()
+      padded.unionByName(carried, allowMissingColumns = true)
+        .unionByName(meta, allowMissingColumns = true)
     }
   }
 
@@ -184,8 +231,13 @@ object TextIndex {
         lit(null).cast("string").as("term"), lit(0L).as("df"),
         col("n_docs"), col("avgdl"),
         nullId.as("doc_id"), nullId.as("tf"), nullId.as("dl"))
-    val meta = index.where(col("kind") === "meta").distinct()
-    summaries.unionByName(terms).unionByName(keptPosts)
-      .unionByName(keptDocs).unionByName(meta)
+    val keptStored = index.where(col("kind") === "stored")
+      .join(ids, col("doc_id") === col("__rid"), "left_anti")
+    val meta = index.where(col("kind").isin("meta", "storedmeta")).distinct()
+    summaries.unionByName(terms)
+      .unionByName(keptPosts, allowMissingColumns = true)
+      .unionByName(keptDocs, allowMissingColumns = true)
+      .unionByName(keptStored, allowMissingColumns = true)
+      .unionByName(meta, allowMissingColumns = true)
   }
 }

@@ -2411,6 +2411,41 @@ object PipelineCompiler {
           (nm, idf)
         }
       }
+    // ---- stored source -------------------------------------------------
+    // `returnStoredSource: true` against an index that CARRIES stored
+    // rows (TextIndex.build(storedSource = …)) re-materializes the scan
+    // base from the index itself: each kind='stored' row's JSON payload
+    // parses through the recorded storedmeta schema, and match, score,
+    // and output all run over that frame — the corpus contributes zero
+    // I/O to the query. Every tokenized path must be among the stored
+    // fields (scoring runs off the stored copy; a silently missing
+    // column would score wrong — refuse instead). Without stored rows
+    // the option stays a no-op: the full row already IS the stored
+    // source in this engine.
+    val wantStoredSource = spec.exists {
+      case ("returnStoredSource", JBool(true)) => true; case _ => false }
+    val storedBase: Option[DataFrame] =
+      if (!wantStoredSource) None
+      else loadedIndex.flatMap { case (nm, idf) =>
+        if (!idf.columns.contains("sval")) None
+        else {
+          val ddl = idf.where(col("kind") === "storedmeta")
+            .select("term").collect().headOption.map(_.getString(0))
+            .getOrElse(throw new MqlException(
+              s"$$search.index '$nm': stored rows without a storedmeta schema"))
+          val fields = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+            .fieldNames.toSet
+          tokPaths.find(p => !fields.contains(p)).foreach(p =>
+            throw new MqlException(
+              s"$$search.returnStoredSource: index '$nm' does not store " +
+                s"path '$p' — scoring would read a missing column"))
+          Some(idf.where(col("kind") === "stored")
+            .select(from_json(col("sval"), ddl,
+              java.util.Collections.emptyMap[String, String]()).as("__s"))
+            .select(col("__s.*")))
+        }
+      }
+    val searchSrc = storedBase.getOrElse(df)
     // (stats-literal map, per-(path,term) dfs, per-path (n, avgdl))
     val indexInfo: Option[(Map[String, Column],
                            Map[(String, String), Long],
@@ -2501,16 +2536,16 @@ object PipelineCompiler {
       if mustNot.isEmpty && filterCls.isEmpty && (must ++ should).size == 1
       idColName <- idf.where(col("kind") === "meta" && col("path") === tp._2)
         .select("term").collect().headOption.map(_.getString(0))
-      if df.columns.contains(idColName)
+      if searchSrc.columns.contains(idColName)
     } yield {
       val (terms, p) = tp
       val matchedIds = idf.where(col("kind") === "posting" &&
           col("path") === p && col("term").isin(terms: _*))
         .select(col("doc_id").as("__graft_win")).distinct()
-      df.join(matchedIds,
-        df(idColName).cast("long") === col("__graft_win"), "left_semi")
+      searchSrc.join(matchedIds,
+        searchSrc(idColName).cast("long") === col("__graft_win"), "left_semi")
     }
-    val scanBase = postingsCandidates.getOrElse(df)
+    val scanBase = postingsCandidates.getOrElse(searchSrc)
     val tokDf = tokPaths.foldLeft(scanBase) { (acc, p) =>
       acc.withColumn(s"__graft_toks_${pIdx(p)}", toksOf(p))
     }
@@ -2627,10 +2662,11 @@ object PipelineCompiler {
           }
         }
       }
-    // "returnStoredSource" / "tracking": accepted and ignored — the
-    // first skips the post-search document fetch (this engine always has
-    // the full row in hand, so every field IS the stored source), the
-    // second is Atlas query-telemetry with no result semantics.
+    // "returnStoredSource": with a stored-source index it switched the
+    // scan base to the index's stored rows above (zero corpus I/O);
+    // without one it is a no-op — the full row already IS the stored
+    // source in this engine. "tracking" is Atlas query-telemetry with
+    // no result semantics; accepted and ignored.
     spec.collectFirst { case ("returnStoredSource", v) =>
       if (!v.isInstanceOf[JBool]) throw new MqlException(
         "$search.returnStoredSource must be a boolean") }

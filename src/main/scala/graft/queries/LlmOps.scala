@@ -1922,6 +1922,49 @@ object LlmOps {
             SELECT doc_id, score FROM sc
             ORDER BY score DESC, doc_id LIMIT 20""")),
 
+    // returnStoredSource over a stored-source index: match, score, AND
+    // output all come from index rows (the kind='stored' JSON payloads
+    // parsed through the recorded schema) — the corpus contributes
+    // zero I/O to the query path. Output includes a stored non-search
+    // field (source) to prove the stored fetch.
+    QueryDef("q_search_stored",
+      (s, dir) => {
+        val store = new graft.sinks.DocStore(s,
+          java.nio.file.Files.createTempDirectory("graft_sidx").toString)
+        val docs = Graft.table(s, dir, "documents")
+        store.write(graft.llmops.TextIndex.build(docs, Seq("text"),
+          Some("doc_id"), Seq("doc_id", "text", "source")), "docs_st")
+        val resolve: graft.mql.PipelineCompiler.TableResolver = {
+          case "docs_st" => store.read("docs_st")
+          case t => Graft.table(s, dir, t)
+        }
+        graft.mql.PipelineCompiler.run(docs,
+          """[
+            {"$search": {"index": "docs_st", "returnStoredSource": true,
+              "text": {"query": "spark query window",
+              "path": "text"}, "limit": 20, "tieBreaker": "doc_id"}},
+            {"$project": {"doc_id": 1, "source": 1,
+              "score": {"$meta": "searchScore"}}},
+            {"$sort": {"score": -1, "doc_id": 1}}]""", resolve)
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($duckToksLower) AS term
+                 FROM documents),
+              dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+              st AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+              tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+                     WHERE term IN ('spark', 'query', 'window') GROUP BY 1, 2),
+              df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+              sc AS (SELECT tf.doc_id,
+                       round(SUM(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5)) *
+                         tf.tf * 2.2 / (tf.tf + 1.2 *
+                           (1 - 0.75 + 0.75 * dl.dl / st.avgdl))), 6) AS score
+                     FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+                          CROSS JOIN st
+                     GROUP BY 1)
+            SELECT sc.doc_id, d.source, sc.score FROM sc
+            JOIN documents d USING (doc_id)
+            ORDER BY score DESC, doc_id LIMIT 20""")),
+
     // incremental text-index maintenance: build on half the corpus,
     // fold the other half in WITHOUT rescanning the first (term dfs
     // add, summaries weighted-merge) — gate checks the merged index

@@ -210,6 +210,43 @@ class TextIndexSpec extends AnyFunSuite {
         docs.select("doc_id"), "doc_id"))
   }
 
+  test("returnStoredSource: match, score, and output from the index alone") {
+    import org.apache.spark.sql.functions.lit
+    val idx = TextIndex.build(docs, Seq("text"), Some("doc_id"),
+      storedSource = Seq("doc_id", "text"))
+    val resolve: PipelineCompiler.TableResolver = { case "s" => idx }
+    // the source frame is a POISON corpus: if the stored path ever read
+    // from it, text would be empty and every score would change
+    val poisoned = docs.withColumn("text", lit(""))
+    val q = s"""[{"$$search": {"index": "s", %s
+        "text": {"query": "spark query", "path": "text"},
+        "limit": 10, "tieBreaker": "doc_id"}}, $project]"""
+    val viaStored = PipelineCompiler.run(poisoned,
+      q.format("\"returnStoredSource\": true,"), resolve)
+      .as[(Long, Double)].collect().toSeq
+    val plain = runQ(q.format(""), resolve)
+    assert(viaStored == plain && viaStored.nonEmpty)
+    // update folds the new batch's stored rows through the recorded
+    // schema; remove drops them — both keep the stored plan working
+    val grown = TextIndex.update(
+      TextIndex.build(docs.where($"doc_id" <= 2), Seq("text"),
+        Some("doc_id"), Seq("doc_id", "text")),
+      docs.where($"doc_id" > 2), Seq("text"))
+    assert(grown.where($"kind" === "stored").count() == 4)
+    val shrunk = TextIndex.remove(grown,
+      docs.where($"doc_id" >= 3).select("doc_id"), "doc_id")
+    assert(shrunk.where($"kind" === "stored").count() == 2)
+    // a query scoring a path the index does not store is refused
+    val noText = TextIndex.build(docs, Seq("text"), Some("doc_id"),
+      storedSource = Seq("doc_id"))
+    val r2: PipelineCompiler.TableResolver = { case "n" => noText }
+    val err = intercept[MqlException](PipelineCompiler.run(poisoned,
+      s"""[{"$$search": {"index": "n", "returnStoredSource": true,
+        "text": {"query": "spark", "path": "text"},
+        "limit": 5, "tieBreaker": "doc_id"}}, $project]""", r2))
+    assert(err.getMessage.contains("does not store"))
+  }
+
   test("unknown index name falls back to self-computed stats") {
     val plain = runQ(s"""[
       {"$$search": {"text": {"query": "spark", "path": "text"},
