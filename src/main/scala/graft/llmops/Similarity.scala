@@ -294,6 +294,53 @@ object Similarity {
       .orderBy(col("cell_id"))
   }
 
+  /** The on-disk IVF layout a 100 TB deployment actually uses: the
+    * corpus vectors PARTITIONED BY CELL in a graftdocs collection
+    * (centroids in a sibling collection), so an nProbe query OPENS only
+    * the probed cells' directories — partition pruning turns the probe
+    * bound from a filter into an I/O bound. Vector norms are
+    * precomputed into the layout: the query never re-reads a vector it
+    * does not score. */
+  def writeIvfPartitioned(store: graft.sinks.DocStore, index: IvfIndex,
+                          name: String): Unit = {
+    store.overwritePartitions(
+      index.assigned.select(col("cell_id").cast("string").as("cell"),
+        col("match_id").as(index.idCol),
+        col("__mv").as(index.vecCol), col("__mn").as("vnorm")),
+      name, Seq("cell"))
+    store.write(centroidFrame(index), name + "_centroids")
+  }
+
+  /** Probe-side of the partitioned layout: rank the stored centroids
+    * against the query vector (driver-side over ≤nCells rows), read
+    * ONLY the nProbe best cells' partitions, score, top-k. Same score
+    * convention as `$vectorSearch` ((cos+1)/2 rounded to 6). */
+  def ivfPartitionedTopK(store: graft.sinks.DocStore, name: String,
+                         qvec: Seq[Double], k: Int, nProbe: Int,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    val cents = store.read(name + "_centroids")
+      .select(col("cell_id").cast("string"), col("centroid")).limit(65537).collect()
+    require(cents.length <= 65536,
+      s"ivfPartitionedTopK: centroid collection '$name' exceeds 65536 cells")
+    val qn = math.sqrt(qvec.map(x => x * x).sum)
+    val ranked = cents.map { r =>
+      val c = r.getSeq[Double](1)
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      val cos = if (cn == 0.0 || qn == 0.0) -2.0
+                else c.zip(qvec).map { case (a, b) => a * b }.sum / (cn * qn)
+      (r.getString(0), cos)
+    }.sortBy { case (id, cos) => (-cos, id) }
+    val probed = ranked.take(nProbe).map(_._1)
+    val qArr = array(qvec.map(lit): _*)
+    store.read(name).where(col("cell").isin(probed: _*))
+      .select(col(idCol),
+        round((rawDot(col(vecCol).cast("array<double>"), qArr) /
+          (col("vnorm") * lit(qn)) + 1) / 2, 6).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Document clustering as a first-class output: the IVF machinery's
     * cell assignment IS a spherical k-means clustering of the corpus
     * (deterministic hash-ordered seeds, optional Lloyd refinement), so

@@ -1460,6 +1460,34 @@ object LlmOps {
             SELECT vec_id, score FROM s
             ORDER BY score DESC, vec_id LIMIT 10""")),
 
+    // the partitioned IVF layout: corpus vectors cell-partitioned in a
+    // graftdocs collection, centroids alongside; the probe reads ONLY
+    // the probed cells' directories (partition pruning — the 100 TB
+    // layout where nProbe is an I/O bound). All cells probed here →
+    // exact, so the brute-force oracle applies; the pruning itself is
+    // spec-proven by physically deleting unprobed partitions.
+    QueryDef("q_ivf_part",
+      (s, dir) => {
+        val store = new graft.sinks.DocStore(s,
+          java.nio.file.Files.createTempDirectory("graft_pivf").toString,
+          "graftdocs")
+        val emb = Graft.table(s, dir, "embeddings")
+        val idx = graft.llmops.Similarity.buildIvf(emb, nCells = 4,
+          lloydIters = 0, persistIndex = false)
+        graft.llmops.Similarity.writeIvfPartitioned(store, idx, "emb_part")
+        val qvec = (0 until 64).map(i => if (i % 2 == 0) 1.0 else 0.0)
+        graft.llmops.Similarity.ivfPartitionedTopK(store, "emb_part",
+          qvec, k = 10, nProbe = 4)
+      },
+      Some("""WITH u AS (SELECT vec_id, unnest(embedding)::DOUBLE AS e,
+                    generate_subscripts(embedding, 1) AS i FROM embeddings),
+              s AS (SELECT vec_id,
+                      round((sum(e * CASE WHEN i % 2 = 1 THEN 1.0 ELSE 0.0 END)
+                             / (sqrt(sum(e * e)) * sqrt(32.0)) + 1) / 2, 6) AS score
+                    FROM u GROUP BY vec_id)
+            SELECT vec_id, score FROM s
+            ORDER BY score DESC, vec_id LIMIT 10""")),
+
     // $rankFusion: weighted RRF over a $search ranking and a length
     // ranking of the same collection (DuckDB rebuilds both rankings
     // and the fusion)

@@ -65,6 +65,36 @@ class VectorIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("partitioned IVF: probed cells only — unprobed partitions never opened") {
+    val root = java.nio.file.Files.createTempDirectory("pivf_spec").toString
+    val store = new graft.sinks.DocStore(spark, root, "graftdocs")
+    val idx = Similarity.buildIvf(emb, nCells = 2, lloydIters = 0,
+      persistIndex = false)
+    Similarity.writeIvfPartitioned(store, idx, "vecs")
+    // all cells probed → exact: equals brute-force cosine top-k
+    val qvec = Seq(0.0, 1.0)
+    val got = Similarity.ivfPartitionedTopK(store, "vecs", qvec,
+      k = 3, nProbe = 2).select("vec_id").as[Long].collect().toSeq
+    assert(got == Seq(4L, 6L, 5L))
+    // nProbe=1: plan the query, then PHYSICALLY DELETE the unprobed
+    // cell's directory — if the scan pruned it, collect never notices;
+    // if pruning were broken this read would throw FileNotFound
+    val one = Similarity.ivfPartitionedTopK(store, "vecs", qvec,
+      k = 3, nProbe = 1)
+    val cellDirs = new java.io.File(s"$root/vecs").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.length == 2)
+    // the probed cell is the one whose centroid leans toward [0,1] —
+    // vec 4 = (0,1) always lives there; delete the OTHER directory
+    val probedCell = store.read("vecs").where($"vec_id" === 4L)
+      .select("cell").as[String].head()
+    val unprobed = cellDirs.find(_.getName != s"cell=$probedCell").get
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); () }
+    rm(unprobed)
+    assert(one.select("vec_id").as[Long].collect().toSeq == Seq(4L, 6L, 5L))
+  }
+
   test("unknown index name falls back to self-seeding; equal results") {
     val base = PipelineCompiler.run(emb,
       """[{"$vectorSearch": {"path": "embedding", "queryVector": [1.0, 0.0],
