@@ -95,7 +95,15 @@ class PlanLintSpec extends AnyFunSuite {
 
   private def collectAll(p: SparkPlan): Seq[SparkPlan] =
     (p +: p.children.flatMap(collectAll)) ++
-      p.subqueries.flatMap(collectAll)
+      p.subqueries.flatMap(collectAll) ++
+      // a ReusedExchange is a LEAF pointing at an earlier exchange —
+      // follow the pointer or a provably-1-row broadcast reused twice
+      // reads as an unbounded side (q_lang_mixture's Z reuse hit this)
+      (p match {
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          collectAll(r.child)
+        case _ => Nil
+      })
 
   /** true when the subtree below (stopping at nothing — conservative:
     * any aggregate/limit/TakeOrdered below the exchange bounds what
