@@ -311,6 +311,57 @@ object Similarity {
     store.write(centroidFrame(index), name + "_centroids")
   }
 
+  /** Ingest-side maintenance of the partitioned layout: fold one new
+    * batch of vectors in, REWRITING ONLY the partitions whose cells the
+    * batch hits (the overwritePartitions contract — a day's ingest
+    * never rewrites the year). Centroids stay fixed — the IVF
+    * maintenance contract: assignment is a snapshot of the trained
+    * quantizer, re-training is a rebuild — and the centroid
+    * collection's n_members refreshes afterwards so probe budgeting
+    * stays honest (advisory: a crash between the two writes
+    * undercounts members until the next fold; the data partitions are
+    * the exactly-once side, committed with `tags`). Batches are
+    * assumed disjoint from prior content, like TextIndex.update. */
+  def foldIvfPartitionedBatch(store: graft.sinks.DocStore, name: String,
+                              batch: DataFrame, idCol: String = "vec_id",
+                              vecCol: String = "embedding",
+                              tags: Map[String, String] = Map.empty): Unit = {
+    // cell_id-ascending order == centroid matrix index order: the
+    // nearest_cell lowest-index tie break must agree with buildIvf's
+    val centRows = store.read(name + "_centroids")
+      .orderBy("cell_id").select(col("cell_id"), col("centroid"))
+      .limit(65537).collect()
+    require(centRows.length <= 65536,
+      s"foldIvfPartitionedBatch: '$name' exceeds 65536 cells")
+    val cellIds = array(centRows.map(r => lit(r.get(0))).toIndexedSeq: _*)
+    val assigned = batch
+      .select(col(idCol), col(vecCol).cast("array<double>").as(vecCol),
+        norm(col(vecCol)).as("vnorm"))
+      .withColumn("__ci", nearestCell(col(vecCol),
+        centRows.map(_.getSeq[Double](1)).toIndexedSeq))
+      .where(col("__ci").isNotNull)
+      .withColumn("cell", element_at(cellIds, col("__ci") + 1).cast("string"))
+      .drop("__ci")
+    val perCell = assigned.groupBy("cell").agg(count(lit(1)).as("__add"))
+      .collect()
+    if (perCell.nonEmpty) {
+      val touched = perCell.map(_.getString(0))
+      val existing = store.read(name).where(col("cell").isin(touched: _*))
+      store.overwritePartitions(
+        existing.unionByName(assigned.select(existing.columns.map(col): _*)),
+        name, Seq("cell"), tags)
+      // n_members increments come from the batch's own per-cell counts
+      // (a bounded literal) — never a recount scan of the index
+      val addMap = perCell.map(r => r.getString(0) -> r.getLong(1)).toMap
+      store.write(store.read(name + "_centroids")
+        .withColumn("n_members", col("n_members") +
+          coalesce(element_at(typedlit(addMap), col("cell_id").cast("string")),
+            lit(0L)))
+        .select("cell_id", "centroid", "n_members"),
+        name + "_centroids")
+    }
+  }
+
   /** Probe-side of the partitioned layout: rank the stored centroids
     * against the query vector (driver-side over ≤nCells rows), read
     * ONLY the nProbe best cells' partitions, score, top-k. Same score

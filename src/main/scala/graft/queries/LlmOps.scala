@@ -1460,6 +1460,33 @@ object LlmOps {
             SELECT vec_id, score FROM s
             ORDER BY score DESC, vec_id LIMIT 10""")),
 
+    // streaming ingest into the partitioned IVF layout: even half
+    // seeds (portable-hash centroids), odd half streams in, each batch
+    // rewriting only its touched cell partitions; the final layout
+    // must equal assigning the whole corpus against the seed centroids
+    QueryDef("q_stream_vec_index",
+      (s, dir) => graft.streaming.EventStream.runVecIndexStreamOnFixture(s, dir)
+        .orderBy("vec_id"),
+      Some("""WITH u AS (SELECT vec_id, unnest(embedding)::DOUBLE AS e,
+                    generate_subscripts(embedding, 1) AS i FROM embeddings),
+              n AS (SELECT vec_id, sqrt(sum(e*e)) AS nrm FROM u GROUP BY vec_id),
+              seeds AS (SELECT vec_id AS cell FROM embeddings
+                        WHERE vec_id % 2 = 0
+                        ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT,
+                                 vec_id LIMIT 4),
+              cv AS (SELECT s.cell, u.i, u.e / n.nrm AS ce
+                     FROM seeds s JOIN u ON u.vec_id = s.cell
+                                  JOIN n ON n.vec_id = s.cell),
+              sim AS (SELECT u.vec_id, cv.cell, SUM(u.e * cv.ce) AS sc
+                      FROM u JOIN cv ON u.i = cv.i GROUP BY 1, 2),
+              asg AS (SELECT vec_id, cell FROM (
+                        SELECT vec_id, cell, ROW_NUMBER() OVER (
+                          PARTITION BY vec_id ORDER BY sc DESC, cell) AS r
+                        FROM sim) WHERE r = 1)
+            SELECT a.vec_id, a.cell, round(n.nrm, 6) AS vnorm
+            FROM asg a JOIN n ON n.vec_id = a.vec_id
+            ORDER BY a.vec_id""")),
+
     // the partitioned IVF layout: corpus vectors cell-partitioned in a
     // graftdocs collection, centroids alongside; the probe reads ONLY
     // the probed cells' directories (partition pruning — the 100 TB

@@ -302,6 +302,68 @@ object EventStream {
     store.read("docs_idx")
   }
 
+  /** Streaming ingest into the PARTITIONED vector index: each
+    * micro-batch assigns against the stored (fixed) centroids and
+    * rewrites only the cell partitions it touches. Exactly-once via the
+    * batchId tag committed atomically with the partition swap — same
+    * contract as indexStream. */
+  def vecIndexStream(stream: DataFrame, indexName: String,
+                     store: graft.sinks.DocStore)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val committed = store.readTag(indexName, "batchId").map(_.toLong)
+      if (!committed.exists(_ >= batchId)) {
+        graft.llmops.Similarity.foldIvfPartitionedBatch(store, indexName,
+          batch, tags = Map("batchId" -> batchId.toString))
+      }
+    }
+
+  /** vecIndexStream over the fixture: the even half of `embeddings`
+    * seeds the partitioned IVF layout (portable seeds, so the oracle
+    * can re-derive the centroids), the odd half streams in and folds
+    * cell-partition-scoped — the final layout must equal assigning the
+    * WHOLE corpus against the seed centroids. */
+  def runVecIndexStreamOnFixture(spark: SparkSession, dir: String): DataFrame = {
+    val store = new graft.sinks.DocStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_vstore").toString,
+      "graftdocs")
+    val emb = graft.api.Graft.table(spark, dir, "embeddings")
+    val idx = graft.llmops.Similarity.buildIvf(
+      emb.where(col("vec_id") % 2 === 0), nCells = 4, lloydIters = 0,
+      persistIndex = false, portableSeed = true)
+    graft.llmops.Similarity.writeIvfPartitioned(store, idx, "vecs")
+    // the doc codec carries doubles, not floats — widen before staging
+    val odd = emb.where(col("vec_id") % 2 =!= 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val srcPath = java.nio.file.Files.createTempDirectory("graft_vstream").toString
+    odd.write.format("graftdocs").mode("overwrite").save(srcPath)
+    val stream = spark.readStream.format("graftdocs")
+      .schema(odd.schema).load(srcPath)
+    val name = s"graft_vecstream_${System.nanoTime()}"
+    val ckptBase = if (new java.io.File("/dev/shm").canWrite) "/dev/shm" else
+      System.getProperty("java.io.tmpdir")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      q = vecIndexStream(stream, "vecs", store)
+        .option("checkpointLocation", s"$ckptBase/ckpt_$name")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      if (q != null) q.stop()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(s"$ckptBase/ckpt_$name"))
+    }
+    store.read("vecs")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        round(col("vnorm"), 6).as("vnorm"))
+  }
+
   /** mergeStream over the fixture: a batch `$out` backfills the standing
     * collection from half the corpus, then the stream merges the other
     * half into it — both the matched fold and the insert path execute,

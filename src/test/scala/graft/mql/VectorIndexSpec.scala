@@ -95,6 +95,40 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(one.select("vec_id").as[Long].collect().toSeq == Seq(4L, 6L, 5L))
   }
 
+  test("fold into partitioned IVF rewrites ONLY the touched cell") {
+    val root = java.nio.file.Files.createTempDirectory("pivf_fold").toString
+    val store = new graft.sinks.DocStore(spark, root, "graftdocs")
+    val idx = Similarity.buildIvf(emb, nCells = 2, lloydIters = 0,
+      persistIndex = false)
+    Similarity.writeIvfPartitioned(store, idx, "vecs")
+    val probedCell = store.read("vecs").where($"vec_id" === 4L)
+      .select("cell").as[String].head()
+    val otherDir = new java.io.File(s"$root/vecs").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      .find(_.getName != s"cell=$probedCell").get
+    def snapshot(d: java.io.File): Seq[(String, Long)] =
+      d.listFiles().filter(_.isFile).map(f => (f.getName, f.lastModified))
+        .sortBy(_._1).toSeq
+    val before = snapshot(otherDir)
+    val beforeMembers = store.read("vecs").where($"cell" === probedCell)
+      .select("vec_id").as[Long].collect().toSet
+    // two new vectors near the [0,1] cluster → only that cell rewrites
+    val batch = Seq((7L, Seq(0.02, 0.98)), (8L, Seq(0.03, 0.97)))
+      .toDF("vec_id", "embedding")
+    Similarity.foldIvfPartitionedBatch(store, "vecs", batch)
+    assert(snapshot(otherDir) == before,
+      "untouched cell partition was rewritten")
+    assert(store.read("vecs").count() == 8)
+    assert(store.read("vecs").where($"cell" === probedCell)
+      .select("vec_id").as[Long].collect().toSet == beforeMembers ++ Set(7L, 8L))
+    // n_members incremented from the batch's own counts, no recount
+    val members = store.read("vecs_centroids")
+      .select($"cell_id".cast("string"), $"n_members").as[(String, Long)]
+      .collect().toMap
+    assert(members(probedCell) == beforeMembers.size + 2L &&
+      members.values.sum == 8L)
+  }
+
   test("unknown index name falls back to self-seeding; equal results") {
     val base = PipelineCompiler.run(emb,
       """[{"$vectorSearch": {"path": "embedding", "queryVector": [1.0, 0.0],
