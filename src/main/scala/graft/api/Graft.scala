@@ -255,6 +255,12 @@ object Graft {
       new graft.sinks.DocStore(spark, rootDir, "graftdocs")
 
     def collection(name: String): DataFrame = resolve(name)
+    /** Mongo's `compact` command (reference clients forward it
+      * verbatim), file-layout edition: rewrite the collection's
+      * ingest-time file spray into few files; rows, schema, partition
+      * layout, and commit tags are preserved. */
+    def compact(coll: String, filesPerPartition: Int = 1): Unit =
+      store.compact(coll, filesPerPartition)
     def find(coll: String, filter: String = "{}"): DataFrame =
       Graft.find(resolve(coll), filter)
     def aggregate(coll: String, pipelineJson: String): DataFrame =

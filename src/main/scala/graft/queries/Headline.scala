@@ -828,6 +828,24 @@ object Headline {
                      o_orderpriority AS priority
               FROM orders GROUP BY o_orderpriority ORDER BY priority""")),
 
+    // Mongo `compact` in file-layout form: a deliberately sprayed
+    // ingest (16 files) compacts to one; rows, schema, partition
+    // layout, and commit tags survive — the read-back equals the source
+    QueryDef("q_compact",
+      (s, dir) => {
+        val store = new graft.sinks.DocStore(s,
+          java.nio.file.Files.createTempDirectory("graft_cpt").toString,
+          "graftdocs")
+        val ev = Graft.table(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"))
+        store.write(ev.repartition(16), "ev", tags = Map("batchId" -> "7"))
+        store.compact("ev")
+        store.read("ev").orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, event_type, value FROM events
+              ORDER BY event_id""")),
+
     // $merge upsert (default whenMatched merge / whenNotMatched insert):
     // per-customer order stats merged into a seeded customer collection —
     // matched rows overlay the stat columns and keep the target-only

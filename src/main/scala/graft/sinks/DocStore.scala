@@ -177,6 +177,43 @@ final class DocStore(val spark: SparkSession, val dir: String,
   private def tagPath(name: String, key: String): Path =
     new Path(path(name), s"_graft_tag_$key")
 
+  /** Every commit tag currently on the collection. */
+  def listTags(name: String): Map[String, String] = {
+    val p = new Path(path(name))
+    val f = fs
+    if (!f.exists(p)) Map.empty
+    else f.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("_graft_tag_"))
+      .map(_.stripPrefix("_graft_tag_"))
+      .flatMap(k => readTag(name, k).map(k -> _)).toMap
+  }
+
+  /** Small-file compaction — Mongo's `compact` command in file-layout
+    * form (and the OPTIMIZE verb every streaming-ingest table needs):
+    * rewrite the collection into `filesPerPartition` files per hive
+    * partition (total files for unpartitioned collections). Rows,
+    * schema, the partition layout, and existing commit tags (batchId…)
+    * all survive the rewrite — compaction must be invisible to readers
+    * and to the exactly-once replay protocol. Partitioned layouts
+    * hash-cluster on the partition columns so each partition's rows
+    * land in one task; both paths go through the staged swap, so a
+    * crash mid-compact leaves the old files intact. */
+  def compact(name: String, filesPerPartition: Int = 1): Unit = {
+    require(filesPerPartition >= 1, "filesPerPartition must be >= 1")
+    import org.apache.spark.sql.functions.{col, pmod, spark_partition_id}
+    val tags = listTags(name)
+    val df = read(name)
+    val parts = partitionColumnsOf(name)
+    if (parts.isEmpty) write(df.coalesce(filesPerPartition), name, tags)
+    else {
+      val keys =
+        if (filesPerPartition == 1) parts.map(col)
+        else parts.map(col) :+ pmod(spark_partition_id(),
+          org.apache.spark.sql.functions.lit(filesPerPartition))
+      overwritePartitions(df.repartition(keys: _*), name, parts, tags)
+    }
+  }
+
   /** The tag value committed with the collection's current contents. */
   def readTag(name: String, key: String): Option[String] = {
     val p = tagPath(name, key)
