@@ -39,6 +39,48 @@ object Layout {
   def bucketedTable(spark: SparkSession, name: String): DataFrame =
     spark.table(name)
 
+  /** N-dimensional Morton (Z-order) value of non-negative integer
+    * columns, `bits` bits each — pure codegen'd Column arithmetic, no
+    * UDF. Values clamp into [0, 2^bits); cols.size * bits must fit a
+    * signed long. Interleaving makes rows close in EVERY dimension
+    * close in z, which is what turns multi-dimensional range predicates
+    * into tight per-file/row-group min-max windows. */
+  def zorderValue(cols: Seq[org.apache.spark.sql.Column],
+                  bits: Int = 16): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    require(cols.nonEmpty, "zorderValue: need at least one column")
+    require(cols.size * bits <= 63,
+      s"zorderValue: ${cols.size} cols × $bits bits exceeds a long")
+    val top = (1L << bits) - 1
+    val clamped = cols.map(c =>
+      least(greatest(c.cast("long"), lit(0L)), lit(top)))
+    (0 until bits).flatMap { i =>
+      clamped.zipWithIndex.map { case (c, j) =>
+        shiftleft(shiftright(c, i).bitwiseAND(lit(1L)),
+          i * cols.size + j)
+      }
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Write `df` as parquet clustered along the Z-order curve of
+    * `zCols` — Delta's OPTIMIZE ZORDER as a plain write: range-
+    * partition on the z-value into `files` output files and sort
+    * within each, so every file and row group carries tight min/max
+    * stats on ALL the z columns at once. A query filtering any
+    * combination of those dimensions then skips most row groups via
+    * ordinary parquet predicate pushdown — data skipping without an
+    * index, the cheapest 100 TB scan lever after partition pruning. */
+  def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
+                    bits: Int = 16, files: Int = 8): Unit = {
+    import org.apache.spark.sql.functions._
+    val z = zorderValue(zCols.map(col), bits)
+    df.withColumn("__graft_z", z)
+      .repartitionByRange(files, col("__graft_z"))
+      .sortWithinPartitions("__graft_z")
+      .drop("__graft_z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** True when `plan` contains no shuffle Exchange — the assertion a
     * co-located join must pass. AdaptiveSparkPlanExec wrappers and AQE
     * query stages are unwrapped/traversed (both hide their inner plan

@@ -828,6 +828,28 @@ object Headline {
                      o_orderpriority AS priority
               FROM orders GROUP BY o_orderpriority ORDER BY priority""")),
 
+    // Z-order clustered layout (Delta OPTIMIZE ZORDER as a plain
+    // write): events re-laid along the (user_id, event_id) Morton
+    // curve, then a 2-D range filter reads back — values identical to
+    // the source table (layout is invisible to semantics; the skipping
+    // win is spec-proven in LayoutSpec with scan metrics)
+    QueryDef("q_zorder",
+      (s, dir) => {
+        val path = java.nio.file.Files.createTempDirectory("graft_zq").toString
+        graft.api.Layout.writeZOrdered(
+          Graft.table(s, dir, "events")
+            .select(col("event_id"), col("user_id"), col("value")),
+          path, Seq("user_id", "event_id"), bits = 16, files = 8)
+        s.read.parquet(path)
+          .where(col("user_id").between(10, 30) &&
+            col("event_id").between(1000, 5000))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, value FROM events
+              WHERE user_id BETWEEN 10 AND 30
+                AND event_id BETWEEN 1000 AND 5000
+              ORDER BY event_id""")),
+
     // Mongo `compact` in file-layout form: a deliberately sprayed
     // ingest (16 files) compacts to one; rows, schema, partition
     // layout, and commit tags survive — the read-back equals the source
