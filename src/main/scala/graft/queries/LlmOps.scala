@@ -2831,6 +2831,66 @@ object LlmOps {
               UNION ALL SELECT 'by_size' AS facet, id, count FROM s)
             ORDER BY facet, id""")),
 
+    // $searchMeta facets through a STORED-SOURCE index: the operator
+    // matches via postings, and the facet fields (lang, n_chars) come
+    // from the index's stored payload rows — the whole metadata query
+    // answers from index rows alone
+    QueryDef("q_searchmeta_stored",
+      (s, dir) => {
+        val store = new graft.sinks.DocStore(s,
+          java.nio.file.Files.createTempDirectory("graft_smst").toString)
+        val docs = Graft.table(s, dir, "documents")
+        store.write(graft.llmops.TextIndex.build(docs, Seq("text"),
+          Some("doc_id"), Seq("doc_id", "text", "lang", "n_chars")),
+          "docs_stm")
+        val resolve: graft.mql.PipelineCompiler.TableResolver = {
+          case "docs_stm" => store.read("docs_stm")
+          case t => Graft.table(s, dir, t)
+        }
+        val meta = graft.mql.PipelineCompiler.run(docs,
+          """[
+            {"$searchMeta": {"facet": {
+              "operator": {"index": "docs_stm", "returnStoredSource": true,
+                "text": {"query": "spark query window", "path": "text"}},
+              "facets": {
+                "by_lang": {"type": "string", "path": "lang",
+                            "numBuckets": 4},
+                "by_size": {"type": "number", "path": "n_chars",
+                            "boundaries": [100, 200, 400, 800],
+                            "default": "other"}}}}}]""", resolve)
+        val lang = meta.select(explode(col("facet.by_lang.buckets")).as("b"))
+          .select(lit("by_lang").as("facet"), col("b._id").as("id"),
+            col("b.count").as("count"))
+        val size = meta.select(explode(col("facet.by_size.buckets")).as("b"))
+          .select(lit("by_size").as("facet"), col("b._id").as("id"),
+            col("b.count").as("count"))
+        lang.unionAll(size).orderBy("facet", "id")
+      },
+      Some(s"""WITH m AS (SELECT * FROM documents
+                          WHERE len(list_intersect($duckToksLower,
+                                ['spark', 'query', 'window'])) > 0),
+              l AS (SELECT CAST(lang AS VARCHAR) AS id,
+                           CAST(count(*) AS BIGINT) AS count
+                    FROM m WHERE lang IS NOT NULL
+                    GROUP BY lang ORDER BY count DESC, id ASC LIMIT 4),
+              s AS (SELECT '100' AS id,
+                           CAST(sum(CASE WHEN n_chars >= 100 AND n_chars < 200
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS count FROM m
+                    UNION ALL
+                    SELECT '200', CAST(sum(CASE WHEN n_chars >= 200 AND n_chars < 400
+                                    THEN 1 ELSE 0 END) AS BIGINT) FROM m
+                    UNION ALL
+                    SELECT '400', CAST(sum(CASE WHEN n_chars >= 400 AND n_chars < 800
+                                    THEN 1 ELSE 0 END) AS BIGINT) FROM m
+                    UNION ALL
+                    SELECT 'other', CAST(sum(CASE WHEN n_chars IS NOT NULL
+                                    AND (n_chars < 100 OR n_chars >= 800)
+                                    THEN 1 ELSE 0 END) AS BIGINT) FROM m)
+            SELECT facet, id, count FROM (
+              SELECT 'by_lang' AS facet, id, count FROM l
+              UNION ALL SELECT 'by_size' AS facet, id, count FROM s)
+            ORDER BY facet, id""")),
+
     // $searchMeta count collector: exact total over the text-matched
     // set, unwrapped to a scalar via $project on the nested path
     QueryDef("q_searchmeta_count",
