@@ -261,6 +261,12 @@ object Graft {
       * layout, and commit tags are preserved. */
     def compact(coll: String, filesPerPartition: Int = 1): Unit =
       store.compact(coll, filesPerPartition)
+    /** Mongo `db.coll.drop()`. */
+    def dropCollection(coll: String): Boolean = store.drop(coll)
+    /** Mongo `renameCollection` (with its `dropTarget` option). */
+    def renameCollection(from: String, to: String,
+                         dropTarget: Boolean = false): Unit =
+      store.rename(from, to, dropTarget)
     def find(coll: String, filter: String = "{}"): DataFrame =
       Graft.find(resolve(coll), filter)
     def aggregate(coll: String, pipelineJson: String): DataFrame =

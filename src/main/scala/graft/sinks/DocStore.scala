@@ -177,6 +177,37 @@ final class DocStore(val spark: SparkSession, val dir: String,
   private def tagPath(name: String, key: String): Path =
     new Path(path(name), s"_graft_tag_$key")
 
+  /** Drop a collection (Mongo `db.coll.drop()`): data, sidecar, and
+    * tags go together. Returns false when it did not exist. */
+  def drop(name: String): Boolean = {
+    val p = new Path(path(name))
+    val f = fs
+    f.exists(p) && f.delete(p, true)
+  }
+
+  /** Rename a collection (Mongo `renameCollection`): one directory/file
+    * rename — atomic on HDFS-like filesystems, contents and tags ride
+    * along. `dropTarget` mirrors Mongo's option: without it an existing
+    * target is an error. */
+  def rename(oldName: String, newName: String,
+             dropTarget: Boolean = false): Unit = {
+    val src = new Path(path(oldName))
+    val dst = new Path(path(newName))
+    val f = fs
+    if (!f.exists(src))
+      throw new MqlException(s"renameCollection: no collection '$oldName'")
+    if (f.exists(dst)) {
+      if (!dropTarget)
+        throw new MqlException(
+          s"renameCollection: target '$newName' exists (pass dropTarget)")
+      if (!f.delete(dst, true))
+        throw new MqlException(s"renameCollection: could not drop '$newName'")
+    }
+    if (!f.rename(src, dst))
+      throw new MqlException(
+        s"renameCollection: could not rename '$oldName' to '$newName'")
+  }
+
   /** Every commit tag currently on the collection. */
   def listTags(name: String): Map[String, String] = {
     val p = new Path(path(name))

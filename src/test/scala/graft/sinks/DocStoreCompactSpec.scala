@@ -32,6 +32,27 @@ class DocStoreCompactSpec extends AnyFunSuite {
     assert(store.readTag("c", "batchId").contains("42"))
   }
 
+  test("drop and rename: Mongo admin-command semantics") {
+    val root = java.nio.file.Files.createTempDirectory("cpt_admin").toString
+    val store = new DocStore(spark, root, "graftdocs")
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    store.write(df, "x", tags = Map("batchId" -> "3"))
+    // rename carries contents and tags; the old name is gone
+    store.rename("x", "y")
+    assert(!store.exists("x") && store.exists("y"))
+    assert(store.read("y").count() == 2)
+    assert(store.readTag("y", "batchId").contains("3"))
+    // rename onto an existing target needs dropTarget, like Mongo
+    store.write(df, "z")
+    intercept[graft.mql.MqlException](store.rename("y", "z"))
+    store.rename("y", "z", dropTarget = true)
+    assert(!store.exists("y") && store.read("z").count() == 2)
+    // drop is idempotent-by-result
+    assert(store.drop("z"))
+    assert(!store.exists("z") && !store.drop("z"))
+    intercept[graft.mql.MqlException](store.rename("nope", "w"))
+  }
+
   test("partitioned: per-partition compaction keeps the hive layout") {
     val root = java.nio.file.Files.createTempDirectory("cpt_part").toString
     val store = new DocStore(spark, root, "graftdocs")
