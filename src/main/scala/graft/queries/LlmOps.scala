@@ -239,6 +239,55 @@ object LlmOps {
            SELECT id_a, id_b, hamming FROM p
            WHERE hamming <= 3 ORDER BY id_a, id_b""")),
 
+    // near-dup detector EVALUATION: simhash candidates scored against
+    // the exact-jaccard ground truth — the precision/recall report a
+    // curation team runs before trusting a cheap detector at corpus
+    // scale. Three bounded 1-row aggregates crossJoined; the pair sets
+    // themselves come from the existing blocked generators.
+    QueryDef("q_dedup_eval",
+      (s, dir) => {
+        val docs = Graft.table(s, dir, "documents")
+        val exact = Dedup.jaccardPairs(docs, "doc_id", "text",
+          shingleN = 3, threshold = 0.8, blockKeys = 4)
+          .select(col("id_a"), col("id_b"))
+        val cand = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
+          .select(col("id_a").as("ca"), col("id_b").as("cb"))
+        val hit = cand.join(exact,
+          col("ca") === col("id_a") && col("cb") === col("id_b"), "left_semi")
+        exact.agg(count(lit(1)).as("n_exact"))
+          .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+          .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+          .select(col("n_exact"), col("n_cand"), col("n_hit"),
+            round(col("n_hit").cast("double") / col("n_cand"), 6)
+              .as("precision"),
+            round(col("n_hit").cast("double") / col("n_exact"), 6)
+              .as("recall"))
+      },
+      Some(s"""WITH RECURSIVE pairs AS ($nearDupOracle),
+             cand AS (
+               WITH tok AS (SELECT doc_id, unnest($duckToks) AS t FROM documents),
+                 h AS (SELECT doc_id, ('0x' || substr(md5(t),1,15))::BIGINT AS h
+                       FROM tok),
+                 bits AS (SELECT doc_id, i,
+                            sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+                          FROM h, range(60) r(i) GROUP BY 1, 2),
+                 sig AS (SELECT doc_id,
+                           sum(CASE WHEN vote > 0 THEN (1::BIGINT << i) ELSE 0 END) AS sig
+                         FROM bits GROUP BY 1)
+               SELECT a.doc_id AS ca, b.doc_id AS cb
+               FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+               WHERE bit_count(xor(a.sig::BIGINT, b.sig::BIGINT)) <= 3),
+             hit AS (SELECT count(*) AS n FROM cand
+                     WHERE EXISTS (SELECT 1 FROM pairs
+                                   WHERE id_a = ca AND id_b = cb))
+           SELECT (SELECT count(*) FROM pairs) AS n_exact,
+                  (SELECT count(*) FROM cand) AS n_cand,
+                  (SELECT n FROM hit) AS n_hit,
+                  round((SELECT n FROM hit)::DOUBLE
+                        / (SELECT count(*) FROM cand), 6) AS precision,
+                  round((SELECT n FROM hit)::DOUBLE
+                        / (SELECT count(*) FROM pairs), 6) AS recall""")),
+
     // perceptual-hash-style media near-dup: 60-bit simhash over the
     // binary payload's byte chunks, banded candidates, exact hamming —
     // the decode-free multimodal analogue of q_simhash_pairs (payload
