@@ -841,13 +841,13 @@ object Headline {
             .select(col("event_id"), col("user_id"), col("value")),
           path, Seq("user_id", "event_id"), bits = 16, files = 8)
         s.read.parquet(path)
-          .where(col("user_id").between(10, 30) &&
-            col("event_id").between(1000, 5000))
+          .where(col("user_id").between(2, 9) &&
+            col("event_id").between(100, 800))
           .orderBy("event_id")
       },
       Some("""SELECT event_id, user_id, value FROM events
-              WHERE user_id BETWEEN 10 AND 30
-                AND event_id BETWEEN 1000 AND 5000
+              WHERE user_id BETWEEN 2 AND 9
+                AND event_id BETWEEN 100 AND 800
               ORDER BY event_id""")),
 
     // Mongo `compact` in file-layout form: a deliberately sprayed
