@@ -183,26 +183,37 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", sort_array(array_distinct(tokens(lower(text))))))
 
+  /** Word n-grams over an ALREADY-MATERIALIZED token array column.
+    * The token array must be a plain column reference, not a derived
+    * expression: HOF lambda bodies get no common-subexpression
+    * elimination, so a derived `toks` would re-run its whole pipeline
+    * (split+filter) once per `element_at` — O(len²) per row. */
+  def wordNgramsOf(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ",
+          (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+
   /** Word n-grams of a text column (lowercased whitespace tokens),
     * generated inside codegen — no UDF, no explode until the caller
-    * asks for one. Docs shorter than n yield an empty array. */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val t = tokens(lower(text))
-    when(size(t) >= n,
-      transform(sequence(lit(0), size(t) - n),
-        i => concat_ws(" ", (0 until n).map(k => element_at(t, i + k + 1)): _*)))
-      .otherwise(array().cast("array<string>"))
-  }
+    * asks for one. Docs shorter than n yield an empty array. For bulk
+    * use, materialize `tokens(lower(text))` into its own column and
+    * call [[wordNgramsOf]] — see its note on lambda re-evaluation. */
+  def wordNgrams(text: Column, n: Int): Column =
+    wordNgramsOf(tokens(lower(text)), n)
 
   /** Per-group n-gram type/token diversity (distinct n-grams over total
     * n-grams — the corpus-diversity metric that catches template spam a
     * per-document repetition score misses). One map-side n-gram explode
     * + one two-phase distinct aggregate per group: no self-join, no
-    * window — linear at any corpus size. */
+    * window — linear at any corpus size. Tokens materialize into a
+    * column BEFORE the gram lambda (see wordNgramsOf). */
   def ngramDiversity(df: org.apache.spark.sql.DataFrame, textCol: String,
                      groupCol: String,
                      n: Int = 2): org.apache.spark.sql.DataFrame =
-    df.select(col(groupCol), explode(wordNgrams(col(textCol), n)).as("__g"))
+    df.select(col(groupCol), tokens(lower(col(textCol))).as("__t"))
+      .select(col(groupCol), explode(wordNgramsOf(col("__t"), n)).as("__g"))
       .groupBy(col(groupCol))
       .agg(countDistinct(col("__g")).as("n_types"),
         count(lit(1)).as("n_total"))
