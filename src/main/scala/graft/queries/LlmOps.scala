@@ -239,6 +239,32 @@ object LlmOps {
            SELECT id_a, id_b, hamming FROM p
            WHERE hamming <= 3 ORDER BY id_a, id_b""")),
 
+    // per-language tokenizer fertility (BPE pieces per whitespace
+    // word): the multilingual-tokenizer audit every i18n pipeline runs
+    // — a language whose fertility balloons is being under-served by
+    // the vocab. Two map-side counters + one hash agg.
+    QueryDef("q_tokenizer_fertility",
+      (s, dir) => Graft.table(s, dir, "documents")
+        .select(col("lang"),
+          TextAnalysis.tokenCount(col("text")).as("__w"),
+          TextAnalysis.bpeTokenCount(col("text")).as("__b"))
+        .groupBy("lang")
+        .agg(sum(col("__w")).as("ws_tokens"), sum(col("__b")).as("bpe_tokens"),
+          round(sum(col("__b")).cast("double") / sum(col("__w")), 6)
+            .as("fertility"))
+        .orderBy("lang"),
+      Some("""SELECT lang,
+                CAST(SUM(len(list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> ''))) AS BIGINT) AS ws_tokens,
+                CAST(SUM(len(regexp_extract_all(text,
+                  '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+')))
+                  AS BIGINT) AS bpe_tokens,
+                ROUND(SUM(len(regexp_extract_all(text,
+                  '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+')))::DOUBLE
+                  / SUM(len(list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> ''))), 6) AS fertility
+              FROM documents GROUP BY lang ORDER BY lang""")),
+
     // near-dup detector EVALUATION: simhash candidates scored against
     // the exact-jaccard ground truth — the precision/recall report a
     // curation team runs before trusting a cheap detector at corpus

@@ -247,6 +247,32 @@ class TextIndexSpec extends AnyFunSuite {
     assert(err.getMessage.contains("does not store"))
   }
 
+  test("CRUD property: update/remove chains equal from-scratch builds") {
+    import org.apache.spark.sql.functions.{col, round}
+    val corpus = SparkFixture.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("kind"), col("path"), col("term"), col("df"),
+        col("n_docs"), round(col("avgdl"), 9).as("avgdl"),
+        col("doc_id"), col("tf"), col("dl"))
+      .orderBy("kind", "term", "doc_id").collect().toSeq
+    for (m <- 2 to 5; r <- 0 to 1) {
+      val a = corpus.where(col("doc_id") % m === r)
+      val b = corpus.where(col("doc_id") % m =!= r)
+      val full = TextIndex.build(corpus, Seq("text"), Some("doc_id"))
+      // fold B into A's index ≡ full build
+      val folded = TextIndex.update(
+        TextIndex.build(a, Seq("text"), Some("doc_id")), b, Seq("text"))
+      assert(canon(folded) == canon(full), s"update mismatch m=$m r=$r")
+      // remove B's ids from the full index ≡ A's build
+      val removed = TextIndex.remove(full, b.select("doc_id"), "doc_id")
+      assert(canon(removed) ==
+        canon(TextIndex.build(a, Seq("text"), Some("doc_id"))),
+        s"remove mismatch m=$m r=$r")
+    }
+  }
+
   test("unknown index name falls back to self-computed stats") {
     val plain = runQ(s"""[
       {"$$search": {"text": {"query": "spark", "path": "text"},
