@@ -261,6 +261,17 @@ object Graft {
       * layout, and commit tags are preserved. */
     def compact(coll: String, filesPerPartition: Int = 1): Unit =
       store.compact(coll, filesPerPartition)
+    /** Mongo's `explain` command for a find: the compiled physical
+      * plan at Spark's formatted verbosity. The engine's analogue of
+      * "queryPlanner" output — the honest verbosity here, since
+      * executionStats live in the Spark UI, not the plan. */
+    def explainFind(coll: String, filter: String = "{}"): String =
+      find(coll, filter).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    /** Mongo's `explain` for an aggregate pipeline. */
+    def explainAggregate(coll: String, pipelineJson: String): String =
+      aggregate(coll, pipelineJson).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
     /** Mongo `db.coll.drop()`. */
     def dropCollection(coll: String): Boolean = store.drop(coll)
     /** Mongo `renameCollection` (with its `dropTarget` option). */

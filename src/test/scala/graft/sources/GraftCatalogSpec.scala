@@ -124,6 +124,20 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.table(s"$cat.by_name").count() == 3)
   }
 
+  test("Db.explain: the explain command renders the compiled plan") {
+    val (cat, root) = freshCatalog()
+    seed(root, "people")
+    val db = graft.api.Graft.Db(spark, cat)
+    val fp = db.explainFind("people", """{"bal": {"$gte": 15}}""")
+    // a physical plan with the filter compiled in, over the doc source
+    assert(fp.contains("Physical Plan"))
+    assert(fp.contains("bal") && fp.contains("15"))
+    val ap = db.explainAggregate("people", """[
+      {"$group": {"_id": "$name", "n": {"$count": {}}}}]""")
+    assert(ap.contains("Physical Plan"))
+    assert(ap.toLowerCase.contains("hashaggregate"))
+  }
+
   test("Db.createSearchIndex / createVectorIndex: build, store, query through $search/$vectorSearch") {
     val (cat, root) = freshCatalog()
     Seq((1L, "spark makes data simple", Seq(1.0f, 0.0f)),
