@@ -24,7 +24,8 @@ class SessionInvarianceSpec extends AnyFunSuite {
     "q_tpch_q20", "q_source_overlap", "q_ngram_diversity",
     "q_shard_manifest", "q_lang_mixture", "q_window_calculus",
     "q_index_remove", "q_search_stored", "q_ivf_part", "q_stream_vec_index",
-    "q_searchmeta_stored", "q_compact", "q_zorder", "q_dedup_eval")
+    "q_searchmeta_stored", "q_compact", "q_zorder", "q_dedup_eval",
+    "q_tokenizer_fertility")
 
   private def canon(name: String): Seq[String] = {
     import org.apache.spark.sql.functions._
