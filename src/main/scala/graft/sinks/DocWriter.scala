@@ -137,14 +137,20 @@ object DocWriter {
     sb.toString
   }
 
-  private def encodeRow(r: Row, st: StructType, sb: java.lang.StringBuilder): Unit = {
+  private def encodeRow(r: Row, st: StructType, sb: java.lang.StringBuilder,
+                        excludeNone: Boolean = false): Unit = {
     sb.append('{')
     var first = true
     st.fields.zipWithIndex.foreach { case (f, i) =>
-      if (!first) sb.append(", "); first = false
-      appendEscaped(f.name, sb)
-      sb.append(": ")
-      jsonValue(if (r.isNullAt(i)) null else r.get(i), f.dataType, sb)
+      // exclude_none (api.py:553-558): null TOP-LEVEL fields are
+      // omitted from the document, not written as nulls — the
+      // reference filters the row dict, so nested nulls stay
+      if (!(excludeNone && r.isNullAt(i))) {
+        if (!first) sb.append(", "); first = false
+        appendEscaped(f.name, sb)
+        sb.append(": ")
+        jsonValue(if (r.isNullAt(i)) null else r.get(i), f.dataType, sb)
+      }
     }
     sb.append('}')
   }
@@ -154,8 +160,10 @@ object DocWriter {
   def write(dfRaw: DataFrame, path: String,
             maxBatchBytes: Long = MaxBatchBytes,
             maxBatchDocs: Int = MaxBatchDocs,
-            autoConvertTypes: Boolean = true): WriteResult = {
-    // autoConvertTypes mirrors the reference's auto_convert kwarg
+            autoConvertTypes: Boolean = true,
+            excludeNone: Boolean = false): WriteResult = {
+    // autoConvertTypes/excludeNone mirror the reference's
+    // auto_convert/exclude_none kwargs (api.py:602-610)
     val df = if (autoConvertTypes) autoConvert(dfRaw) else dfRaw
     validateSchema(df.schema)
     val schema = df.schema
@@ -205,7 +213,7 @@ object DocWriter {
       }
       it.foreach { row =>
         val sb = new java.lang.StringBuilder()
-        encodeRow(row, schema, sb)
+        encodeRow(row, schema, sb, excludeNone)
         sb.append('\n')
         val docBytes = utf8Len(sb)
         if (docsInBatch > 0 &&

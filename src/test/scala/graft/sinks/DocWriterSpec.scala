@@ -32,6 +32,32 @@ class DocWriterSpec extends AnyFunSuite {
     assert(res.batches == 2)
   }
 
+  test("exclude_none omits null TOP-LEVEL fields; nested nulls stay (api.py:553-558)") {
+    val df = Seq(
+      (1L, Some("a"), Some(Seq(Some(1.0), None: Option[Double]))),
+      (2L, None: Option[String], None: Option[Seq[Option[Double]]])
+    ).toDF("id", "s", "arr")
+    val path = tmpDir()
+    val res = DocWriter.write(df, path, excludeNone = true)
+    assert(res.insertedCount == 2)
+    val lines = spark.read.textFile(s"$path/*.jsonl").collect().sorted
+    // row 2: s and arr simply absent, not "null"
+    assert(lines(1).contains("\"id\"") && !lines(1).contains("\"s\"") &&
+      !lines(1).contains("\"arr\""))
+    // row 1: the nested null INSIDE arr is kept (reference filters the
+    // row dict only)
+    assert(lines(0).contains("null"))
+    // decode restores the omitted fields as nulls under the schema
+    val back = DocDecoder.decode(spark.read.textFile(s"$path/*.jsonl"), df.schema)
+      .orderBy("id").collect()
+    assert(back(1).isNullAt(1) && back(1).isNullAt(2))
+    // default keeps explicit nulls
+    val path2 = tmpDir()
+    DocWriter.write(df, path2)
+    val plain = spark.read.textFile(s"$path2/*.jsonl").collect().sorted
+    assert(plain(1).contains("\"s\": null"))
+  }
+
   test("byte-limit flush splits large rows") {
     val big = spark.range(100).select(col("id"),
       lit("x" * 1000).as("pad")).coalesce(1)
