@@ -399,7 +399,9 @@ object PipelineCompiler {
                           w: Column => Column = identity): Column = {
     def e = ExprCompiler.compile(arg)
     op match {
-      case "$sum"       => w(sum(e))
+      // Mongo $sum: 0 — not null — when no valid value contributes
+      // (all-null group, empty window frame)
+      case "$sum"       => coalesce(w(sum(e)), lit(0L))
       case "$avg"       => w(avg(e))
       case "$min"       => w(min(e))
       case "$max"       => w(max(e))
@@ -3686,7 +3688,10 @@ object PipelineCompiler {
             lag(out, -by, dflt).over(sorted) // Mongo: by>0 looks FORWARD
           case other => throw new MqlException(s"bad $$shift: $other")
         }
-        case "$sum"   => sum(ExprCompiler.compile(arg)).over(framed)
+        case "$sum"   => // Mongo: empty/all-null frame sums to 0
+          // (integer zero: coalesce coercion keeps the sum's own type
+          // — a double literal would break decimal-exact sums)
+          coalesce(sum(ExprCompiler.compile(arg)).over(framed), lit(0L))
         case "$avg"   => avg(ExprCompiler.compile(arg)).over(framed)
         case "$min"   => min(ExprCompiler.compile(arg)).over(framed)
         case "$max"   => max(ExprCompiler.compile(arg)).over(framed)

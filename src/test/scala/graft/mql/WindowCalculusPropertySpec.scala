@@ -49,6 +49,53 @@ class WindowCalculusPropertySpec extends AnyFunSuite {
     area
   }
 
+  test("standard window accumulators equal the Scala model on random frames") {
+    for (round <- 1 to 25) {
+      val series = sample(seriesGen)
+      val (lo, hi) = sample(boundGen)
+      val df = series.zipWithIndex
+        .map { case (y, i) => (i.toLong, "g", i.toDouble, y) }
+        .toDF("id", "grp", "t", "y")
+      val out = PipelineCompiler.run(df, s"""[
+        {"$$setWindowFields": {"partitionBy": "$$grp", "sortBy": {"t": 1},
+          "output": {
+            "s": {"$$sum": "$$y", "window": {"documents": [$lo, $hi]}},
+            "mn": {"$$min": "$$y", "window": {"documents": [$lo, $hi]}},
+            "mx": {"$$max": "$$y", "window": {"documents": [$lo, $hi]}},
+            "c": {"$$count": {}, "window": {"documents": [$lo, $hi]}},
+            "a": {"$$avg": "$$y", "window": {"documents": [$lo, $hi]}}}}},
+        {"$$sort": {"id": 1}}]""")
+        .select("s", "mn", "mx", "c", "a").collect()
+      val n = series.length
+      series.indices.foreach { i =>
+        val a = if (lo == "\"unbounded\"") 0 else math.max(0, i + lo.toInt)
+        val b = if (hi == "\"current\"") i else math.min(n - 1, i + hi.toInt)
+        val frame = if (a > b) Seq.empty
+          else (a to b).flatMap(j => series(j))
+        val r = out(i)
+        def d(k: Int): Option[Double] =
+          if (r.isNullAt(k)) None else Some(r.getDouble(k))
+        // Mongo $sum over an all-null/empty window is 0, not null
+        assert(math.abs(r.getDouble(0) - frame.sum) < 1e-9,
+          s"round $round row $i sum")
+        assert(d(1) == (if (frame.isEmpty) None else Some(frame.min)),
+          s"round $round row $i min")
+        assert(d(2) == (if (frame.isEmpty) None else Some(frame.max)),
+          s"round $round row $i max")
+        // $count counts DOCUMENTS in frame (nulls included)
+        val docs = if (a > b) 0 else b - a + 1
+        assert(r.getLong(3) == docs, s"round $round row $i count")
+        val avg = if (frame.isEmpty) None
+          else Some(frame.sum / frame.size)
+        assert((d(4), avg) match {
+          case (None, None) => true
+          case (Some(g), Some(w)) => math.abs(g - w) < 1e-9
+          case _ => false
+        }, s"round $round row $i avg: ${d(4)} vs $avg")
+      }
+    }
+  }
+
   test("$integral frame sums equal the trapezoid fold on random series") {
     for (round <- 1 to 40) {
       val series = sample(seriesGen)
