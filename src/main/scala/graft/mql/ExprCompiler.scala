@@ -163,12 +163,25 @@ object ExprCompiler {
       case "$abs"      => abs(c0)
       case "$ceil"     => ceil(c0)
       case "$floor"    => floor(c0)
-      case "$sqrt"     => sqrt(c0)
+      // Mongo raises on math-domain violations where IEEE yields
+      // NaN/±Inf silently; nulls pass through (missing → null result)
+      case "$sqrt" => when(c0 < 0, raise_error(lit(
+          "$sqrt's argument must be greater than or equal to 0")))
+        .otherwise(sqrt(c0))
       case "$exp"      => exp(c0)
-      case "$ln"       => log(c0)
-      case "$log10"    => log10(c0)
-      case "$log"      => log(c(0)) / log(c(1)) // [x, base]
-      case "$pow"      => pow(c(0), c(1))
+      case "$ln" => when(c0 <= 0, raise_error(lit(
+          "$ln's argument must be a positive number"))).otherwise(log(c0))
+      case "$log10" => when(c0 <= 0, raise_error(lit(
+          "$log10's argument must be a positive number"))).otherwise(log10(c0))
+      case "$log" => // [x, base]
+        when(c(0) <= 0, raise_error(lit(
+            "$log's argument must be a positive number")))
+          .when(c(1) <= 0 || c(1) === 1, raise_error(lit(
+            "$log's base must be a positive number not equal to 1")))
+          .otherwise(log(c(0)) / log(c(1)))
+      case "$pow" => when(c(0) === 0 && c(1) < 0, raise_error(lit(
+          "$pow cannot raise 0 to a negative exponent")))
+        .otherwise(pow(c(0), c(1)))
       case "$round" => v match {
         case JArray(List(x, n)) => round(compile(x, env), intValue(n, "$round"))
         case _ => round(c0, 0)
@@ -180,7 +193,11 @@ object ExprCompiler {
         case _ => c0.cast(LongType)
       }
       case "$sin" => sin(c0);   case "$cos" => cos(c0);   case "$tan" => tan(c0)
-      case "$asin" => asin(c0); case "$acos" => acos(c0); case "$atan" => atan(c0)
+      case "$asin" => when(c0 < -1 || c0 > 1, raise_error(lit(
+          "$asin's argument must be in [-1, 1]"))).otherwise(asin(c0))
+      case "$acos" => when(c0 < -1 || c0 > 1, raise_error(lit(
+          "$acos's argument must be in [-1, 1]"))).otherwise(acos(c0))
+      case "$atan" => atan(c0)
       case "$sinh" => sinh(c0); case "$cosh" => cosh(c0); case "$tanh" => tanh(c0)
       case "$asinh" => asinh(c0); case "$acosh" => acosh(c0); case "$atanh" => atanh(c0)
       case "$atan2" => atan2(c(0), c(1))

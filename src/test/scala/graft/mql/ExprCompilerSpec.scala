@@ -23,6 +23,27 @@ class ExprCompilerSpec extends AnyFunSuite {
     assert(eval("""{"$trunc": [2.98]}""") == 2L)
   }
 
+  test("math-domain violations raise like Mongo; nulls pass through") {
+    def raises(expr: String, frag: String): Unit = {
+      val e = intercept[Exception](eval(expr))
+      assert(e.getMessage.contains(frag), s"$expr: ${e.getMessage}")
+    }
+    raises("""{"$sqrt": -4}""", "$sqrt")
+    raises("""{"$ln": 0}""", "$ln")
+    raises("""{"$log10": -1}""", "$log10")
+    raises("""{"$log": [8, 1]}""", "base")
+    raises("""{"$log": [-8, 2]}""", "$log")
+    raises("""{"$pow": [0, -1]}""", "negative exponent")
+    raises("""{"$asin": 2}""", "$asin")
+    raises("""{"$acos": -1.5}""", "$acos")
+    // in-domain values and nulls are untouched
+    assert(eval("""{"$sqrt": 9}""") == 3.0)
+    assert(eval("""{"$log": [8, 2]}""") == 3.0)
+    assert(eval("""{"$asin": 1}""") == math.Pi / 2)
+    assert(eval("""{"$sqrt": null}""") == null)
+    assert(eval("""{"$ln": null}""") == null)
+  }
+
   test("$isArray/$arrayToObject/$replaceOne/$indexOfBytes/$toObjectId") {
     assert(eval("""{"$isArray": [[1, 2]]}""") == true)
     assert(eval("""{"$isArray": "nope"}""") == false)
