@@ -586,7 +586,17 @@ object ExprCompiler {
       }
       case "$first" => try_element_at(c0, lit(1))
       case "$last"  => try_element_at(c0, lit(-1))
-      case "$concatArrays" => concat(c: _*)
+      // Mongo: ANY null/missing operand nulls the result. Runtime nulls
+      // propagate through Spark's concat already; a LITERAL null has no
+      // array type and would fail analysis, so it short-circuits here
+      // (keeping the concat of the rest only to type the null).
+      case "$concatArrays" => v match {
+        case JArray(es) if es.contains(JNull) =>
+          val rest = es.filterNot(_ == JNull).map(compile(_, env))
+          if (rest.isEmpty) lit(null).cast("array<string>")
+          else when(lit(false), concat(rest: _*)).otherwise(lit(null))
+        case _ => concat(c: _*)
+      }
       case "$slice" => v match {
         case JArray(List(a, n)) =>
           val arr = compile(a, env); val k = intValue(n, "$slice")
@@ -596,10 +606,26 @@ object ExprCompiler {
         case other => throw new MqlException(s"bad $$slice: $other")
       }
       case "$in" => array_contains(c(1), c(0))
-      case "$indexOfArray" => array_position(c(0), c(1)) - lit(1)
+      // start/end restrict the SEARCH WINDOW, but the returned index is
+      // in the original array (Mongo contract); not-found → -1 (the
+      // 2-arg form gets that for free: array_position 0 − 1)
+      case "$indexOfArray" => v match {
+        case JArray(a :: t :: rest) if rest.nonEmpty =>
+          val arr = compile(a, env)
+          val tgt = compile(t, env)
+          val startC = compile(rest.head, env).cast(IntegerType)
+          val endC = rest.drop(1).headOption.map(compile(_, env).cast(IntegerType))
+            .getOrElse(size(arr))
+          val len = greatest(endC - startC, lit(0))
+          val pos = array_position(slice(arr, startC + 1, len), tgt)
+          when(pos > 0, pos - 1 + startC.cast(LongType)).otherwise(lit(-1L))
+        case _ => array_position(c(0), c(1)) - lit(1)
+      }
       case "$range" => v match {
         case JArray(es) =>
           val step = es.drop(2).headOption.map(intValue(_, "$range")).getOrElse(1)
+          if (step == 0) throw new MqlException(
+            "$range requires a non-zero step value")
           val start = compile(es(0), env); val end = compile(es(1), env)
           val stop = if (step > 0) end - lit(1) else end + lit(1)
           // MQL range is half-open and may be empty; sequence() rejects

@@ -169,6 +169,23 @@ class ExprCompilerSpec extends AnyFunSuite {
     assert(eval("""{"$indexOfArray": [[9, 8, 7], 8]}""") == 1L)
   }
 
+  test("array-parity corners: $indexOfArray window, $concatArrays null, $range step 0") {
+    // start/end restrict the search WINDOW but the index is in the
+    // original array; not-found inside the window is -1
+    assert(eval("""{"$indexOfArray": [[9, 8, 7, 8], 8, 2]}""") == 3L)
+    assert(eval("""{"$indexOfArray": [[9, 8, 7, 8], 8, 2, 3]}""") == -1L)
+    assert(eval("""{"$indexOfArray": [[9, 8, 7], 5, 1]}""") == -1L)
+    assert(eval("""{"$indexOfArray": [[9, 8, 7], 9, 50]}""") == -1L) // start past end
+    assert(eval("""{"$indexOfArray": [[9, 8, 7], 8, 0, 99]}""") == 1L) // end past len ok
+    // ANY literal-null operand nulls the whole result (Mongo contract)
+    assert(eval("""{"$concatArrays": [[1, 2], null, [3]]}""") == null)
+    assert(eval("""{"$concatArrays": [null]}""") == null)
+    assert(eval("""{"$concatArrays": [[1], [2, 3]]}""") == Seq(1, 2, 3))
+    // zero step raises like Mongo, not an infinite sequence()
+    assertThrows[MqlException](eval("""{"$range": [0, 5, 0]}"""))
+    assert(eval("""{"$range": [5, 0, -2]}""") == Seq(5, 3, 1))
+  }
+
   test("n-value array-expression forms: $firstN/$lastN/$minN/$maxN") {
     assert(eval("""{"$firstN": {"input": [5, null, 3, 9], "n": 2}}""")
       == Seq(5, null, 3, 9).take(2)) // stored order, nulls kept
