@@ -48,7 +48,7 @@ object DocDecoder {
     else if (node.isBoolean) "bool"
     else if (node.isInt) "int32"
     else if (node.isLong || isExtended(node, "$numberLong")) "int64"
-    else if (node.isNumber) "double"
+    else if (node.isNumber || isExtended(node, "$numberDouble")) "double"
     else if (node.isTextual) "string"
     else if (isExtended(node, "$date")) "datetime"
     else if (isExtended(node, "$oid")) "objectId"
@@ -86,8 +86,10 @@ object DocDecoder {
                   else node.get("$numberLong").asText.toLong
           if (l < Int.MinValue || l > Int.MaxValue) overflow(l)
           else l.toInt
-        } else if (node.isDouble || node.isFloat || node.isBigDecimal) {
-          val d = node.asDouble
+        } else if (node.isDouble || node.isFloat || node.isBigDecimal ||
+                   isExtended(node, "$numberDouble")) {
+          val d = if (node.isNumber) node.asDouble
+                  else java.lang.Double.parseDouble(node.get("$numberDouble").asText)
           if (d.isNaN) null
           else if (d < Int.MinValue.toDouble || d > Int.MaxValue.toDouble) overflow(d)
           else d.toInt // truncate toward zero (lib.pyx:530-534)
@@ -96,8 +98,10 @@ object DocDecoder {
         if (node.isBoolean) { if (node.asBoolean) 1L else 0L }
         else if (node.isIntegralNumber) node.asLong
         else if (isExtended(node, "$numberLong")) node.get("$numberLong").asText.toLong
-        else if (node.isDouble || node.isFloat || node.isBigDecimal) {
-          val d = node.asDouble
+        else if (node.isDouble || node.isFloat || node.isBigDecimal ||
+                 isExtended(node, "$numberDouble")) {
+          val d = if (node.isNumber) node.asDouble
+                  else java.lang.Double.parseDouble(node.get("$numberDouble").asText)
           if (d.isNaN) null
           else if (d < -9.223372036854776e18 || d >= 9.223372036854776e18) overflow(d)
           else d.toLong
@@ -106,6 +110,12 @@ object DocDecoder {
         if (node.isBoolean) { if (node.asBoolean) 1.0 else 0.0 }
         else if (node.isNumber) { val d = node.asDouble; if (d.isNaN) null else d }
         else if (isExtended(node, "$numberLong")) node.get("$numberLong").asText.toLong.toDouble
+        else if (isExtended(node, "$numberDouble")) {
+          // canonical ext-JSON double wrapper; the only legal relaxed form
+          // for non-finite values (our own writer emits it for NaN/±Inf)
+          val d = java.lang.Double.parseDouble(node.get("$numberDouble").asText)
+          if (d.isNaN) null else d
+        }
         else fail()
       case StringType =>
         val isCode = field.metadata.contains(graft.schema.MSchema.BsonTypeKey) &&

@@ -1,0 +1,149 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Persistable MinHash-LSH near-duplicate index: the band buckets and
+  * hashed shingle sets of an already-ingested corpus, stored as a
+  * collection so that each NEW batch can be near-dedup'd against the
+  * whole history WITHOUT rescanning it — the incremental-ingest twin of
+  * [[Dedup.minhashPairs]] (one-shot, corpus-vs-itself), and the
+  * near-dup member of the index-lifecycle family (TextIndex for
+  * `$search`, VectorIndex for `$vectorSearch`).
+  *
+  * Layout (single collection, one row per entry):
+  *   - kind='band': (doc_id, bucket) — the doc's `bands` LSH bucket
+  *     keys; the band index is folded into the bucket hash, so one
+  *     equality column joins all bands at once.
+  *   - kind='doc':  (doc_id, hs) — the SORTED HASHED shingle set
+  *     (array<long>), the verification payload: exact jaccard runs as
+  *     one merge pass over sorted longs, shipping 8 bytes per shingle
+  *     instead of n-gram text (same contract as minhashPairs).
+  *   - kind='meta': (param = "shingleN/numHashes/bands") — the LSH
+  *     geometry; a query/update with different parameters would
+  *     silently lose recall, so it REFUSES loudly instead.
+  *
+  * Scale shape: build is the per-doc signature job (explode + map-side
+  * combined min-agg — a word-count); `queryBatch` touches index rows
+  * matching the BATCH's buckets only (hash equi-join, never a corpus
+  * scan), so per-ingest cost is O(|batch|·bands + matched candidates);
+  * update is a pure union (per-doc rows of disjoint ids) — the index
+  * never rebuilds; remove is an anti-join. The skew guard drops
+  * degenerate buckets (> maxBucket members) exactly like the one-shot
+  * path — boilerplate-heavy corpora otherwise make one bucket
+  * quadratic. */
+object NearDupIndex {
+
+  private def param(shingleN: Int, numHashes: Int, bands: Int): String =
+    s"$shingleN/$numHashes/$bands"
+
+  /** Per-doc (doc_id, hs) with hs = sorted xxhash64 shingle set. */
+  private def hashedDocs(df: DataFrame, idCol: String, textCol: String,
+                         shingleN: Int): DataFrame =
+    df.select(col(idCol).cast("long").as("doc_id"),
+      array_sort(transform(Dedup.shingles(col(textCol), shingleN),
+        s => xxhash64(s))).as("hs"))
+
+  /** (doc_id, bucket) band rows from hashed docs; the same
+    * signature-by-aggregation build as minhashPairs (codegen'd partial
+    * min-aggregates, one output row per doc). */
+  private def bandRows(docs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val r = numHashes / bands
+    val minCols = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("__h"))).as(s"__m$i"))
+    val sig = docs.select(col("doc_id"), explode(col("hs")).as("__h"))
+      .groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      xxhash64(lit(b) +: (b * r until (b + 1) * r).map(j => col(s"__m$j")): _*)
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bucket"))
+  }
+
+  def build(df: DataFrame, idCol: String, textCol: String,
+            shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val docs = hashedDocs(df, idCol, textCol, shingleN)
+    val nullHs = lit(null).cast("array<long>")
+    val nullL = lit(null).cast("long")
+    val nullS = lit(null).cast("string")
+    val bandPart = bandRows(docs, numHashes, bands)
+      .select(lit("band").as("kind"), col("doc_id"), col("bucket"),
+        nullHs.as("hs"), nullS.as("param"))
+    val docPart = docs
+      .select(lit("doc").as("kind"), col("doc_id"), nullL.as("bucket"),
+        col("hs"), nullS.as("param"))
+    val meta = df.sparkSession.range(1)
+      .select(lit("meta").as("kind"), nullL.as("doc_id"), nullL.as("bucket"),
+        nullHs.as("hs"), lit(param(shingleN, numHashes, bands)).as("param"))
+    bandPart.unionByName(docPart).unionByName(meta)
+  }
+
+  /** The stored LSH geometry; refuses a geometry-free frame. */
+  private def geometry(index: DataFrame): (Int, Int, Int) = {
+    val p = index.where(col("kind") === "meta").select("param")
+      .collect().headOption.map(_.getString(0)).getOrElse(
+        throw new IllegalArgumentException(
+          "NearDupIndex: frame has no meta row — not a near-dup index"))
+    p.split("/") match {
+      case Array(a, b, c) => (a.toInt, b.toInt, c.toInt)
+      case _ => throw new IllegalArgumentException(
+        s"NearDupIndex: malformed geometry '$p'")
+    }
+  }
+
+  /** Near-duplicate pairs of a NEW batch against the indexed corpus:
+    * (fresh_id, index_id, jaccard) with jaccard ≥ threshold (rounded to
+    * 6). The corpus contributes only the index rows the batch's own
+    * buckets touch; it is never re-tokenized or rescanned. */
+  def queryBatch(index: DataFrame, fresh: DataFrame, idCol: String,
+                 textCol: String, threshold: Double = 0.8,
+                 maxBucket: Int = 1000): DataFrame = {
+    val (shingleN, numHashes, bands) = geometry(index)
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    val freshDocs = hashedDocs(fresh, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val freshBands = bandRows(freshDocs, numHashes, bands)
+      .select(col("doc_id").as("fresh_id"), col("bucket"))
+    // skew guard on the INDEX side: a bucket every boilerplate page
+    // shares would fan each batch doc out to the whole corpus
+    val idxBands = index.where(col("kind") === "band")
+      .select(col("doc_id").as("index_id"), col("bucket"))
+      .withColumn("__bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("bucket")))
+      .where(col("__bn") <= maxBucket).drop("__bn")
+    val cand = freshBands.join(idxBands, Seq("bucket"))
+      .where(col("fresh_id") =!= col("index_id"))
+      .select("fresh_id", "index_id").distinct()
+    cand
+      .join(freshDocs.select(col("doc_id").as("fresh_id"), col("hs").as("__hf")),
+        "fresh_id")
+      .join(index.where(col("kind") === "doc")
+          .select(col("doc_id").as("index_id"), col("hs").as("__hi")),
+        "index_id")
+      .withColumn("jaccard",
+        round(call_function("jaccard_sim_long", col("__hf"), col("__hi")), 6))
+      .where(col("jaccard") >= threshold)
+      .select("fresh_id", "index_id", "jaccard")
+  }
+
+  /** Fold a new batch in: per-doc rows are independent facts, so the
+    * union IS the rebuild (update(build(A), B) ≡ build(A ∪ B) row for
+    * row) — no stats to merge, nothing recomputes. Callers dedup ids
+    * upstream (re-ingesting an id would double its rows, same contract
+    * as the reference's insert path). */
+  def update(index: DataFrame, newDocs: DataFrame, idCol: String,
+             textCol: String): DataFrame = {
+    val (shingleN, numHashes, bands) = geometry(index)
+    val delta = build(newDocs, idCol, textCol, shingleN, numHashes, bands)
+    index.unionByName(delta.where(col("kind") =!= "meta"))
+  }
+
+  /** Drop documents from the index (corpus-free, like TextIndex.remove:
+    * the ids' own rows carry everything deletion needs). Exactly
+    * rebuild-equivalent: remove(build(A), B) ≡ build(A \ B). */
+  def remove(index: DataFrame, removedIds: DataFrame, idCol: String): DataFrame = {
+    val ids = removedIds.select(col(idCol).cast("long").as("__rid")).distinct()
+    index.join(ids, index("doc_id") === col("__rid"), "left_anti")
+  }
+}

@@ -224,6 +224,34 @@ object Decode {
               FROM customer WHERE c_mktsegment = 'BUILDING'
               GROUP BY c_nationkey ORDER BY c_nationkey""")),
 
+    // file-level zone maps: the batch writer stages per-column min/max/
+    // nulls sidecars (.zmap) through the same hidden-rename commit as
+    // each data file; a range-filtered read drops the files whose
+    // predicate is provably false — parquet row-group skipping, doc-
+    // source form. On this range-clustered layout the o_orderkey filter
+    // opens only the low-key files; at 100 TB a point/range query over
+    // a sorted corpus reads the intersecting files, not the table.
+    QueryDef("q_zonemap_prune",
+      (s, dir) => {
+        val df = Graft.table(s, dir, "orders")
+        val path = java.nio.file.Files.createTempDirectory("graft_zmap_q").toString
+        df.repartitionByRange(8, col("o_orderkey"))
+          .sortWithinPartitions(col("o_orderkey"))
+          .write.format("graftdocs").mode("overwrite").save(path)
+        s.read.format("graftdocs").schema(df.schema).load(path)
+          .where(col("o_orderkey") < 1000L) // nonempty at every fixture SF
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+              .cast(org.apache.spark.sql.types.DoubleType).as("sum_price"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+              FROM orders WHERE o_orderkey < 1000
+              GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // tabular interop (reference §2.A: Arrow tables hand off to pandas/
     // polars/parquet): typed frame → CSV → re-read with declared schema
     // → MQL aggregate; any serialization drift breaks the oracle hash

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.api.Graft
-import graft.llmops.{Decontaminate, Dedup, Dsir, Multimodal, Sampling, Similarity, TextAnalysis, TfIdf}
+import graft.llmops.{Decontaminate, Dedup, Dsir, Multimodal, NearDupIndex, Sampling, Similarity, TextAnalysis, TfIdf}
 
 /** Training-data pipeline operators over the documents/embeddings
   * fixtures: text analysis, dedup (exact → minhash/simhash near-dup),
@@ -1195,6 +1195,83 @@ object LlmOps {
              SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
                     CAST(SUM(n_chars) AS BIGINT) AS chars_kept
              FROM kept GROUP BY source ORDER BY source""")),
+
+    // incremental NEAR-dup ingest against a persisted MinHash-LSH band
+    // index: the new batch (doc_id % 5 = 0) probes history's band
+    // buckets — an equi-join on the batch's own bucket keys, never a
+    // corpus rescan — and verifies candidates by exact jaccard over the
+    // index's stored hash sets. The oracle is the exact cross-pair
+    // ground truth (rarest-shingle blocking, complete at this
+    // threshold), so LSH recall itself is under test.
+    QueryDef("q_neardup_index",
+      (s, dir) => {
+        val docs = Graft.table(s, dir, "documents")
+        val idx = NearDupIndex.build(docs.where(col("doc_id") % 5 =!= 0),
+          "doc_id", "text")
+        NearDupIndex.queryBatch(idx, docs.where(col("doc_id") % 5 === 0),
+          "doc_id", "text", threshold = 0.8)
+          .orderBy("fresh_id", "index_id")
+      },
+      Some(s"""WITH t AS (
+             SELECT doc_id, $duckShingles AS sh
+             FROM (SELECT doc_id, $duckToks AS w FROM documents)),
+           e AS (SELECT doc_id, unnest(sh) AS s FROM t),
+           f AS (SELECT s, COUNT(*) AS fr FROM e GROUP BY s),
+           k AS (SELECT doc_id, s AS key FROM (
+                   SELECT e.doc_id, e.s,
+                          ROW_NUMBER() OVER (PARTITION BY e.doc_id
+                                             ORDER BY f.fr, e.s) AS rn
+                   FROM e JOIN f ON e.s = f.s) WHERE rn <= 4),
+           c AS (SELECT DISTINCT a.doc_id AS fi, b.doc_id AS ii
+                 FROM k a JOIN k b ON a.key = b.key
+                 WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0),
+           j AS (SELECT fi, ii,
+                   round(len(list_intersect(ta.sh, tb.sh))::DOUBLE
+                         / len(list_distinct(ta.sh || tb.sh)), 6) AS jac
+                 FROM c JOIN t ta ON ta.doc_id = c.fi
+                        JOIN t tb ON tb.doc_id = c.ii)
+           SELECT fi AS fresh_id, ii AS index_id, jac AS jaccard FROM j
+           WHERE jac >= 0.8 ORDER BY fresh_id, index_id""")),
+
+    // the full ingest step on top of the index: near-dup'd batch docs
+    // are dropped, survivors summarized per source — what an arriving
+    // crawl shard actually does before folding into history
+    QueryDef("q_neardup_ingest",
+      (s, dir) => {
+        val docs = Graft.table(s, dir, "documents")
+        val batch = docs.where(col("doc_id") % 5 === 0)
+        val idx = NearDupIndex.build(docs.where(col("doc_id") % 5 =!= 0),
+          "doc_id", "text")
+        val dupIds = NearDupIndex.queryBatch(idx, batch, "doc_id", "text",
+          threshold = 0.8).select(col("fresh_id").as("doc_id")).distinct()
+        batch.join(dupIds, Seq("doc_id"), "left_anti")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("chars_kept"))
+          .orderBy("source")
+      },
+      Some(s"""WITH t AS (
+             SELECT doc_id, $duckShingles AS sh
+             FROM (SELECT doc_id, $duckToks AS w FROM documents)),
+           e AS (SELECT doc_id, unnest(sh) AS s FROM t),
+           f AS (SELECT s, COUNT(*) AS fr FROM e GROUP BY s),
+           k AS (SELECT doc_id, s AS key FROM (
+                   SELECT e.doc_id, e.s,
+                          ROW_NUMBER() OVER (PARTITION BY e.doc_id
+                                             ORDER BY f.fr, e.s) AS rn
+                   FROM e JOIN f ON e.s = f.s) WHERE rn <= 4),
+           c AS (SELECT DISTINCT a.doc_id AS fi, b.doc_id AS ii
+                 FROM k a JOIN k b ON a.key = b.key
+                 WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0),
+           dup AS (SELECT DISTINCT fi FROM c
+                   JOIN t ta ON ta.doc_id = c.fi
+                   JOIN t tb ON tb.doc_id = c.ii
+                   WHERE round(len(list_intersect(ta.sh, tb.sh))::DOUBLE
+                         / len(list_distinct(ta.sh || tb.sh)), 6) >= 0.8),
+           kept AS (SELECT * FROM documents
+                    WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT fi FROM dup))
+           SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                  CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+           FROM kept GROUP BY source ORDER BY source""")),
 
     // CCNet head/middle/tail: equal-mass perplexity tiers from ONE
     // 1-row percentile aggregate + map-only assignment (no global

@@ -657,8 +657,40 @@ private[sources] class GraftScan(schema: StructType, options: CaseInsensitiveStr
       (if (partitionFilters.nonEmpty)
         s", PartitionFilters: [${partitionFilters.mkString(", ")}]" +
           s", PartitionPruned: ${resolved.map(_.size).getOrElse(0)}/$totalFiles"
+       else "") +
+      (if (zoneMapsEnabled && filters.nonEmpty && resolved.nonEmpty)
+        s", ZoneMapPruned: ${zoneStatic.size}/${resolved.map(_.size).getOrElse(0)}"
        else "")
   }
+
+  // ---- zone-map data skipping ----------------------------------------------
+  // Pushed doc-field filters consult each file's `.zmap` sidecar (written
+  // by the batch writer: per-column min/max/nulls) and drop the files
+  // whose predicate is provably false for EVERY row — parquet row-group
+  // skipping, doc-source form. On a sorted/clustered 100 TB layout a
+  // range query opens only the files whose range intersects. Verdicts
+  // are sound-by-construction (see ZoneMaps); a missing or stale sidecar
+  // keeps the file, and the filters stay residual post-scan either way.
+  private val zoneMapsEnabled = options.getBoolean("zonemaps", true)
+
+  private def zonePrune(files: Seq[GraftDocSource.FileRef])
+      : Seq[GraftDocSource.FileRef] =
+    if (!zoneMapsEnabled || filters.isEmpty || files.isEmpty) files
+    else {
+      val fs = new Path(files.head.path)
+        .getFileSystem(GraftDocSource.activeHadoopConf())
+      files.filter { ref =>
+        ZoneMaps.load(fs, ref.path, ref.length) match {
+          case Some(st) => filters.forall(f => ZoneMaps.mayMatch(f, st.cols))
+          case None => true
+        }
+      }
+    }
+
+  /** Zone-pruned static file list (no runtime filters); shared by
+    * planInputPartitions and the explain description. */
+  private lazy val zoneStatic: Seq[GraftDocSource.FileRef] =
+    zonePrune(resolved.getOrElse(GraftDocSource.resolveFiles(options)))
 
   // ---- runtime (dynamic) partition pruning --------------------------------
   // The DSv2 runtime-filtering hook: joining this table against a
@@ -729,9 +761,7 @@ private[sources] class GraftScan(schema: StructType, options: CaseInsensitiveStr
     }
 
   override def planInputPartitions(): Array[InputPartition] =
-    splitFiles(runtimeFiltered
-      .orElse(resolved)
-      .getOrElse(GraftDocSource.resolveFiles(options)))
+    splitFiles(runtimeFiltered.map(zonePrune).getOrElse(zoneStatic))
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(schema, allowInvalid, filters,
@@ -1630,7 +1660,7 @@ private[sources] class GraftWriteBuilder(info: LogicalWriteInfo)
         options.getLong("maxbatchbytes", graft.sinks.DocWriter.MaxBatchBytes),
         options.getInt("maxbatchdocs", graft.sinks.DocWriter.MaxBatchDocs),
         new SerializableConfiguration(GraftDocSource.activeHadoopConf()),
-        partitionBy)
+        partitionBy, options.getBoolean("zonemaps", true))
     }
   }
 }
@@ -1644,7 +1674,8 @@ private[sources] class GraftBatchWrite(schema: StructType, path: String,
                                        format: String, truncate: Boolean,
                                        maxBatchBytes: Long, maxBatchDocs: Int,
                                        conf: SerializableConfiguration,
-                                       partitionBy: Seq[String] = Seq.empty)
+                                       partitionBy: Seq[String] = Seq.empty,
+                                       zoneMaps: Boolean = true)
   extends BatchWrite {
   // job-unique token: final names can never collide with a previous
   // job's output (taskIds restart across applications)
@@ -1662,7 +1693,8 @@ private[sources] class GraftBatchWrite(schema: StructType, path: String,
       val all = scala.collection.mutable.ArrayBuffer.empty[Path]
       while (it.hasNext) {
         val p = it.next().getPath
-        if (p.getName.endsWith(".jsonl") || p.getName.endsWith(".bson")) all += p
+        if (p.getName.endsWith(".jsonl") || p.getName.endsWith(".bson") ||
+            p.getName.endsWith(".zmap")) all += p
       }
       val (hidden, visible) = all.toSeq.partition(_.getName.startsWith("."))
       preExisting = visible // deleted only after the new data commits
@@ -1672,7 +1704,7 @@ private[sources] class GraftBatchWrite(schema: StructType, path: String,
     }
     fs.mkdirs(dir)
     new GraftDataWriterFactory(schema, path, format, jobToken,
-      maxBatchBytes, maxBatchDocs, conf, partitionBy)
+      maxBatchBytes, maxBatchDocs, conf, partitionBy, zoneMaps)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -1711,11 +1743,12 @@ private[sources] class GraftDataWriterFactory(schema: StructType, path: String,
                                               format: String, jobToken: String,
                                               maxBatchBytes: Long, maxBatchDocs: Int,
                                               conf: SerializableConfiguration,
-                                              partitionBy: Seq[String] = Seq.empty)
+                                              partitionBy: Seq[String] = Seq.empty,
+                                              zoneMaps: Boolean = true)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(schema, path, format, jobToken, partitionId, taskId,
-      maxBatchBytes, maxBatchDocs, conf.value, partitionBy)
+      maxBatchBytes, maxBatchDocs, conf.value, partitionBy, zoneMaps)
 }
 
 /** Per-partition writer: the reference's single client loop becomes N of
@@ -1728,7 +1761,8 @@ private[sources] class GraftDataWriter(schema: StructType, path: String,
                                        partitionId: Int, taskId: Long,
                                        maxBatchBytes: Long, maxBatchDocs: Int,
                                        conf: Configuration,
-                                       partitionBy: Seq[String] = Seq.empty)
+                                       partitionBy: Seq[String] = Seq.empty,
+                                       zoneMaps: Boolean = true)
   extends DataWriter[InternalRow] {
   private val toScala = CatalystTypeConverters.createToScalaConverter(schema)
   private val fs = new Path(path).getFileSystem(conf)
@@ -1751,6 +1785,10 @@ private[sources] class GraftDataWriter(schema: StructType, path: String,
     val out = new java.io.ByteArrayOutputStream(1 << 16)
     var docs = 0
     def size: Long = out.size().toLong
+    // zone-map stats ride the batch: min/max/nulls per stat-able data
+    // column, staged as a `.zmap` sidecar through the same hidden-rename
+    // commit as the data file (parquet footer min/max, doc-source form)
+    val stats = new ZoneMaps.Collector(dataSchema)
   }
   // one open batch per partition directory ("" when unpartitioned).
   // Memory is bounded to ~maxBatchBytes TOTAL regardless of how many
@@ -1784,6 +1822,7 @@ private[sources] class GraftDataWriter(schema: StructType, path: String,
     val buf = open.getOrElseUpdate(relDir, new ByteBatch)
     buf.out.write(bytes, 0, bytes.length)
     buf.docs += 1
+    buf.stats.update(docRow)
     totalBuffered += bytes.length
     while (totalBuffered > maxBatchBytes && open.size > 1) {
       val largest = open.maxBy(_._2.size)._1
@@ -1802,6 +1841,12 @@ private[sources] class GraftDataWriter(schema: StructType, path: String,
     val out = fs.create(f, true)
     try buf.out.writeTo(out) finally out.close()
     staged += f
+    if (zoneMaps && buf.stats.nonEmptySchema) {
+      val zf = new Path(dir, f.getName + ".zmap") // hidden: same dot prefix
+      val zout = fs.create(zf, true)
+      try zout.write(buf.stats.encode(buf.size)) finally zout.close()
+      staged += zf // unhidden by the same job commit as its data file
+    }
     inserted += buf.docs; batches += 1
     batchIdx += 1
     totalBuffered -= buf.size

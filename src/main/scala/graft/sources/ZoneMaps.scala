@@ -1,0 +1,254 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+
+/** File-level zone maps for the `graftdocs` source — the doc-source
+  * analogue of parquet's row-group min/max statistics (the reference's
+  * server delegates this to MongoDB's indexes; a file-based source gets
+  * data skipping instead).
+  *
+  * The batch writer computes per-column `min / max / nulls` for every
+  * top-level atomic column while it encodes a batch file and stages a
+  * tiny JSON sidecar (`<file>.zmap`) through the same hidden-rename
+  * commit protocol as the data file. At planning time, a scan with
+  * pushed document-field filters consults the sidecars and drops the
+  * files whose predicate is PROVABLY FALSE for every row — a point
+  * lookup or range query over a sorted/clustered 100 TB layout then
+  * opens only the files whose range intersects the predicate, exactly
+  * like parquet footer skipping.
+  *
+  * Soundness rules (a wrongly skipped file silently loses rows, so
+  * every verdict errs toward keeping):
+  *  - a missing/corrupt/stale sidecar, an unknown column, or an
+  *    incomparable value kind keeps the file;
+  *  - a sidecar is trusted only when its recorded data-file length
+  *    matches the listed file (files are immutable once committed, so a
+  *    length match identifies the commit that wrote both);
+  *  - string stats are dropped for a batch when any value exceeds
+  *    [[MaxStatString]] chars (truncated bounds would be unsound);
+  *  - doubles order NaN largest (Spark's ordering), so NaN rows are
+  *    representable as `max = NaN`, never silently outside the range;
+  *  - verdicts mirror SQL three-valued logic: only a definite
+  *    all-rows-false outcome skips (`And` needs one false side, `Or`
+  *    needs both).
+  */
+private[sources] object ZoneMaps {
+  /** Strings longer than this poison the column's stats for the batch. */
+  val MaxStatString = 256
+
+  /** min/max are canonical external JVM values (see [[canonical]]);
+    * null min/max means the file has no non-null value in the column. */
+  final case class ColStats(tag: String, min: Any, max: Any, nulls: Long)
+  final case class FileStats(rows: Long, dataLength: Long,
+                             cols: Map[String, ColStats])
+
+  private val mapper = new ObjectMapper()
+
+  // ---- type tags -----------------------------------------------------------
+
+  /** JSON type tag for a stat-able column; None = no stats collected. */
+  def tagOf(dt: DataType): Option[String] = dt match {
+    case IntegerType | LongType | ShortType | ByteType => Some("i64")
+    case DoubleType | FloatType                        => Some("f64")
+    case StringType                                    => Some("str")
+    case BooleanType                                   => Some("bool")
+    case DateType                                      => Some("date")
+    case TimestampType                                 => Some("ts")
+    case TimestampNTZType                              => Some("ntz")
+    case _: DecimalType                                => Some("dec")
+    case _                                             => None
+  }
+
+  /** External writer value → canonical comparable form for its tag.
+    * Conversions are exact and monotone, so comparing canonical stats
+    * against filter literals can never invert an ordering the read-side
+    * coercion preserves. */
+  private def canonical(tag: String, v: Any): Any = (tag, v) match {
+    case ("i64", n: java.lang.Number)  => java.lang.Long.valueOf(n.longValue())
+    case ("f64", n: java.lang.Number)  => java.lang.Double.valueOf(n.doubleValue())
+    case ("str", s: String)            => s
+    case ("bool", b: java.lang.Boolean) => b
+    case ("date", d: java.sql.Date)    => d.toLocalDate
+    case ("date", d: java.time.LocalDate) => d
+    case ("ts", t: java.sql.Timestamp) => t.toInstant
+    case ("ts", t: java.time.Instant)  => t
+    case ("ntz", t: java.time.LocalDateTime) => t
+    case ("dec", d: java.math.BigDecimal) => d
+    case ("dec", d: scala.math.BigDecimal) => d.bigDecimal
+    case _ => throw new IllegalArgumentException(
+      s"zonemap: unexpected $tag value ${v.getClass.getName}")
+  }
+
+  /** Ordering over canonical values of one tag (NaN largest for f64,
+    * binary UTF8 order for strings — both match Spark's semantics). */
+  private def cmpCanon(tag: String, a: Any, b: Any): Int = tag match {
+    case "i64"  => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    case "f64"  => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+    case "str"  => org.apache.spark.unsafe.types.UTF8String
+      .fromString(a.asInstanceOf[String])
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b.asInstanceOf[String]))
+    case "bool" => a.asInstanceOf[Boolean].compareTo(b.asInstanceOf[Boolean])
+    case "date" => a.asInstanceOf[java.time.LocalDate]
+      .compareTo(b.asInstanceOf[java.time.LocalDate])
+    case "ts"   => a.asInstanceOf[java.time.Instant]
+      .compareTo(b.asInstanceOf[java.time.Instant])
+    case "ntz"  => a.asInstanceOf[java.time.LocalDateTime]
+      .compareTo(b.asInstanceOf[java.time.LocalDateTime])
+    case "dec"  => a.asInstanceOf[java.math.BigDecimal]
+      .compareTo(b.asInstanceOf[java.math.BigDecimal])
+  }
+
+  // ---- writer side ---------------------------------------------------------
+
+  /** Per-batch stats accumulator over the data (non-partition) schema.
+    * One instance per open batch buffer; O(stat-able columns) state. */
+  final class Collector(schema: StructType) {
+    private case class Acc(name: String, tag: String) {
+      var min: Any = null
+      var max: Any = null
+      var nulls: Long = 0L
+      var poisoned: Boolean = false // oversized string: stats unsound, drop
+    }
+    private val accs: Array[(Int, Acc)] = schema.fields.zipWithIndex.flatMap {
+      case (f, i) => tagOf(f.dataType).map(t => i -> Acc(f.name, t))
+    }.toArray
+    private var rows = 0L
+
+    def nonEmptySchema: Boolean = accs.nonEmpty
+
+    def update(row: Row): Unit = {
+      rows += 1
+      var k = 0
+      while (k < accs.length) {
+        val (i, a) = accs(k)
+        val v = row.get(i)
+        // stats must describe what the READ side produces: the decode
+        // coercion matrix nulls NaN (reference lib.pyx:113-121), so a
+        // written NaN is a null to every future scan
+        val nullsOut = v == null ||
+          (a.tag == "f64" && v.asInstanceOf[java.lang.Number].doubleValue().isNaN)
+        if (nullsOut) a.nulls += 1
+        else if (!a.poisoned) {
+          if (a.tag == "str" && v.asInstanceOf[String].length > MaxStatString) {
+            a.poisoned = true; a.min = null; a.max = null
+          } else {
+            val c = canonical(a.tag, v)
+            if (a.min == null || cmpCanon(a.tag, c, a.min) < 0) a.min = c
+            if (a.max == null || cmpCanon(a.tag, c, a.max) > 0) a.max = c
+          }
+        }
+        k += 1
+      }
+    }
+
+    /** Sidecar JSON bytes; `dataLength` is the committed data file's
+      * byte length (the read side's integrity check). */
+    def encode(dataLength: Long): Array[Byte] = {
+      val root = mapper.createObjectNode()
+      root.put("rows", rows)
+      root.put("len", dataLength)
+      val cols = root.putObject("cols")
+      accs.foreach { case (_, a) =>
+        if (!a.poisoned) {
+          val o = cols.putObject(a.name)
+          o.put("t", a.tag)
+          o.put("nulls", a.nulls)
+          putValue(o, "min", a.tag, a.min)
+          putValue(o, "max", a.tag, a.max)
+        }
+      }
+      mapper.writeValueAsBytes(root)
+    }
+  }
+
+  private def putValue(o: ObjectNode, field: String, tag: String, v: Any): Unit =
+    if (v == null) o.putNull(field)
+    else tag match {
+      case "i64"  => o.put(field, v.asInstanceOf[Long])
+      case "f64"  => // Double.toString round-trips exactly (incl. NaN/Inf)
+        o.put(field, java.lang.Double.toString(v.asInstanceOf[Double]))
+      case "str"  => o.put(field, v.asInstanceOf[String])
+      case "bool" => o.put(field, v.asInstanceOf[Boolean])
+      case "date" => o.put(field, v.asInstanceOf[java.time.LocalDate].toString)
+      case "ts"   => o.put(field, org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .instantToMicros(v.asInstanceOf[java.time.Instant]))
+      case "ntz"  => o.put(field, org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .localDateTimeToMicros(v.asInstanceOf[java.time.LocalDateTime]))
+      case "dec"  => o.put(field, v.asInstanceOf[java.math.BigDecimal].toPlainString)
+    }
+
+  // ---- read side -----------------------------------------------------------
+
+  private def readValue(n: com.fasterxml.jackson.databind.JsonNode,
+                        tag: String): Any =
+    if (n == null || n.isNull) null
+    else tag match {
+      case "i64"  => java.lang.Long.valueOf(n.asLong())
+      case "f64"  => java.lang.Double.valueOf(java.lang.Double.parseDouble(n.asText()))
+      case "str"  => n.asText()
+      case "bool" => java.lang.Boolean.valueOf(n.asBoolean())
+      case "date" => java.time.LocalDate.parse(n.asText())
+      case "ts"   => org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .microsToInstant(n.asLong())
+      case "ntz"  => org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .microsToLocalDateTime(n.asLong())
+      case "dec"  => new java.math.BigDecimal(n.asText())
+    }
+
+  /** Load + integrity-check the sidecar of one data file. None = no
+    * usable stats (missing, unparseable, or length mismatch). */
+  def load(fs: FileSystem, dataPath: String, dataLength: Long): Option[FileStats] =
+    try {
+      val p = new Path(dataPath + ".zmap")
+      if (!fs.exists(p)) return None
+      val in = fs.open(p)
+      val root = try mapper.readTree(in) finally in.close()
+      val len = root.path("len").asLong(-1L)
+      if (len != dataLength) return None // stale sidecar: distrust
+      val cols = root.path("cols")
+      val b = Map.newBuilder[String, ColStats]
+      val it = cols.fields()
+      while (it.hasNext) {
+        val e = it.next()
+        val o = e.getValue
+        val tag = o.path("t").asText()
+        b += e.getKey -> ColStats(tag, readValue(o.get("min"), tag),
+          readValue(o.get("max"), tag), o.path("nulls").asLong(0L))
+      }
+      Some(FileStats(root.path("rows").asLong(0L), len, b.result()))
+    } catch { case _: Exception => None }
+
+  // ---- pruning verdict -----------------------------------------------------
+
+  /** May any row of a file with these stats satisfy the filter? False
+    * ONLY on proof; unknown columns / incomparable kinds keep the file.
+    * Comparisons go through [[DocFilterEval.cmp]], so filter literals in
+    * either datetime representation (java.sql vs java.time) compare. */
+  def mayMatch(f: Filter, cols: Map[String, ColStats]): Boolean = f match {
+    case And(l, r) => mayMatch(l, cols) && mayMatch(r, cols)
+    case Or(l, r)  => mayMatch(l, cols) || mayMatch(r, cols)
+    case IsNull(a) => cols.get(a).forall(_.nulls > 0)
+    case IsNotNull(a) => cols.get(a).forall(_.min != null)
+    case EqualTo(a, v) => v == null || cols.get(a).forall(s =>
+      s.min != null &&
+        DocFilterEval.cmp(s.min, v).forall(_ <= 0) &&
+        DocFilterEval.cmp(s.max, v).forall(_ >= 0))
+    case GreaterThan(a, v) => v == null || cols.get(a).forall(s =>
+      s.max != null && DocFilterEval.cmp(s.max, v).forall(_ > 0))
+    case GreaterThanOrEqual(a, v) => v == null || cols.get(a).forall(s =>
+      s.max != null && DocFilterEval.cmp(s.max, v).forall(_ >= 0))
+    case LessThan(a, v) => v == null || cols.get(a).forall(s =>
+      s.min != null && DocFilterEval.cmp(s.min, v).forall(_ < 0))
+    case LessThanOrEqual(a, v) => v == null || cols.get(a).forall(s =>
+      s.min != null && DocFilterEval.cmp(s.min, v).forall(_ <= 0))
+    case In(a, vs) =>
+      // null members never match (SQL IN null → unknown → filtered out)
+      vs.exists(v => v != null && mayMatch(EqualTo(a, v), cols))
+    case _ => true // unknown shape: no verdict
+  }
+}

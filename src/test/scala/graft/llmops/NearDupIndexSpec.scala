@@ -1,0 +1,71 @@
+package graft.llmops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+
+/** Incremental near-dup index lifecycle: batch-vs-corpus queries must
+  * agree with the one-shot corpus-vs-itself generator, and
+  * update/remove must be exactly rebuild-equivalent — the properties
+  * that let a 100 TB ingest pipeline near-dedup each arriving batch
+  * without ever rescanning history. */
+class NearDupIndexSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  private lazy val corpus = docs.where($"doc_id" % 5 =!= 0)
+  private lazy val fresh = docs.where($"doc_id" % 5 === 0)
+
+  test("batch query ≡ one-shot minhashPairs restricted to cross pairs") {
+    val idx = NearDupIndex.build(corpus, "doc_id", "text")
+    val got = NearDupIndex.queryBatch(idx, fresh, "doc_id", "text")
+      .select($"fresh_id", $"index_id", $"jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val oneShot = Dedup.minhashPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = oneShot.collect {
+      case (a, b, j) if a % 5 == 0 && b % 5 != 0 => (a, b, j)
+      case (a, b, j) if b % 5 == 0 && a % 5 != 0 => (b, a, j)
+    }.toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture has no cross near-dups: test is vacuous")
+  }
+
+  test("update is rebuild-equivalent, row for row") {
+    val folded = NearDupIndex.update(
+      NearDupIndex.build(corpus, "doc_id", "text"), fresh, "doc_id", "text")
+    val rebuilt = NearDupIndex.build(docs, "doc_id", "text")
+    assert(folded.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(folded).isEmpty)
+  }
+
+  test("remove is rebuild-equivalent and corpus-free") {
+    val idx = NearDupIndex.build(docs, "doc_id", "text")
+    val gone = docs.where($"doc_id" % 5 === 0).select("doc_id")
+    val removed = NearDupIndex.remove(idx, gone, "doc_id")
+    val rebuilt = NearDupIndex.build(corpus, "doc_id", "text")
+    assert(removed.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(removed).isEmpty)
+  }
+
+  test("a frame without the geometry row refuses loudly") {
+    val idx = NearDupIndex.build(corpus, "doc_id", "text")
+    val headless = idx.where($"kind" =!= "meta")
+    val e = intercept[IllegalArgumentException] {
+      NearDupIndex.queryBatch(headless, fresh, "doc_id", "text").collect()
+    }
+    assert(e.getMessage.contains("meta"))
+  }
+
+  test("index persists through a graftdocs store round-trip") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ndi").toString
+    val idx = NearDupIndex.build(corpus, "doc_id", "text")
+    idx.write.format("graftdocs").mode("overwrite").save(path)
+    val back = spark.read.format("graftdocs").schema(idx.schema).load(path)
+    val got = NearDupIndex.queryBatch(back, fresh, "doc_id", "text")
+      .orderBy("fresh_id", "index_id").collect().toSeq
+    val want = NearDupIndex.queryBatch(idx, fresh, "doc_id", "text")
+      .orderBy("fresh_id", "index_id").collect().toSeq
+    assert(got == want && got.nonEmpty)
+  }
+}

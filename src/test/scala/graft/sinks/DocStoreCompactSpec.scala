@@ -16,6 +16,7 @@ class DocStoreCompactSpec extends AnyFunSuite {
     walk(new java.io.File(s"$root/$rel"))
       .map(_.getName)
       .filterNot(n => n.startsWith("_") || n.startsWith("."))
+      .filter(n => n.endsWith(".jsonl") || n.endsWith(".bson")) // not .zmap sidecars
       .sorted
   }
 

@@ -118,6 +118,7 @@ class GraftDocSourceSpec extends AnyFunSuite {
     df.write.format("graftdocs").option("format", "bson").mode("append").save(path)
     val files = new java.io.File(path).listFiles().map(_.getName)
       .filterNot(_.startsWith(".")) // local-FS checksum shadows
+      .filterNot(_.endsWith(".zmap")) // zone-map sidecars ride along
     assert(files.nonEmpty && files.forall(_.endsWith(".bson")), files.toSeq.toString)
     val back = spark.read.format("graftdocs").schema(df.schema).load(path)
     assert(back.orderBy("c_custkey").collect().toSeq ==

@@ -1,0 +1,219 @@
+package graft.sources
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+
+/** File-level zone maps (`.zmap` sidecars) in the graftdocs connector:
+  * the writer stages per-column min/max/nulls alongside every batch
+  * file, and a scan with pushed doc-field filters drops the files whose
+  * predicate is provably false — parquet row-group skipping, doc-source
+  * form. The scale claim under test: a range query over a range-
+  * clustered layout must open only the intersecting files, and a
+  * skipped file must never change an answer (soundness). */
+class ZoneMapSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_zmap").toString
+
+  private lazy val orders =
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+
+  private def listFiles(path: String, suffix: String): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(path))
+      .filter(f => !f.getName.startsWith(".") && f.getName.endsWith(suffix))
+  }
+
+  private def plannedPartitions(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.executedPlan.collectLeaves().head
+      .asInstanceOf[BatchScanExec].inputRDD.getNumPartitions
+
+  /** Range-clustered layout: 8 files with disjoint o_orderkey ranges. */
+  private def writeClustered(path: String, format: String = "jsonl"): Unit =
+    orders.repartitionByRange(8, $"o_orderkey")
+      .sortWithinPartitions($"o_orderkey")
+      .write.format("graftdocs").option("format", format)
+      .mode("overwrite").save(path)
+
+  test("writer stages one committed .zmap sidecar per batch file") {
+    val path = tmp()
+    writeClustered(path)
+    val data = listFiles(path, ".jsonl")
+    val zmaps = listFiles(path, ".zmap")
+    assert(data.nonEmpty && zmaps.size == data.size,
+      s"${data.size} data files vs ${zmaps.size} sidecars")
+    // sidecar names its data file and records its exact length
+    data.foreach { f =>
+      val z = new java.io.File(f.getPath + ".zmap")
+      assert(z.exists(), s"missing sidecar for ${f.getName}")
+      val json = new String(java.nio.file.Files.readAllBytes(z.toPath))
+      assert(json.contains("\"len\":" + f.length()), s"stale len in $json")
+      assert(json.contains("o_orderkey") && json.contains("o_totalprice"))
+    }
+  }
+
+  test("range filter skips non-intersecting files at planning (jsonl + bson)") {
+    for (fmt <- Seq("jsonl", "bson")) {
+      val path = tmp()
+      writeClustered(path, fmt)
+      val total = listFiles(path, "." + fmt).size
+      assert(total >= 4, s"expected a multi-file layout, got $total")
+      val back = spark.read.format("graftdocs").schema(orders.schema).load(path)
+      val lo = orders.agg(min("o_orderkey")).head.getLong(0)
+      val q = back.where($"o_orderkey" <= lo + 5)
+      val planned = plannedPartitions(q)
+      assert(planned < total, s"[$fmt] no zone skipping: $planned of $total")
+      assert(q.queryExecution.executedPlan.toString.contains("ZoneMapPruned:"),
+        q.queryExecution.executedPlan.toString)
+      // answers are identical to the unclustered truth
+      assert(q.count() == orders.where($"o_orderkey" <= lo + 5).count())
+    }
+  }
+
+  test("soundness: skipped files are truly never opened, and kept rows are exact") {
+    val path = tmp()
+    writeClustered(path)
+    val back = spark.read.format("graftdocs").schema(orders.schema).load(path)
+    val hi = orders.agg(max("o_orderkey")).head.getLong(0)
+    val pred = $"o_orderkey" >= hi - 5
+    val expected = orders.where(pred).select(sum("o_totalprice")).head.getDouble(0)
+    // poison every file the zone maps exclude: if the scan opened one,
+    // the query would throw instead of answering
+    val q0 = back.where(pred)
+    val opened = q0.queryExecution.executedPlan.collectLeaves().head
+      .asInstanceOf[BatchScanExec].partitions.flatten
+      .map(_.asInstanceOf[GraftFilePartition].path).toSet
+    val all = listFiles(path, ".jsonl")
+    assert(opened.size < all.size)
+    // delete every excluded file outright (the IVF partitioned-layout
+    // spec's trick): if the answer needed any of them, it changes
+    all.filterNot(f => opened.contains("file:" + f.getPath) ||
+        opened.contains(f.getPath))
+      .foreach { f =>
+        assert(f.delete())
+        new java.io.File(f.getPath + ".zmap").delete()
+      }
+    val got = spark.read.format("graftdocs").schema(orders.schema).load(path)
+      .where(pred).select(sum("o_totalprice")).head.getDouble(0)
+    assert(got == expected)
+  }
+
+  test("stale sidecar (length mismatch) is distrusted: no skipping, still correct") {
+    val path = tmp()
+    writeClustered(path)
+    // grow every data file by one document: sidecar lengths now lie
+    // (drop the local-FS checksum shadows — out-of-band mutation)
+    val extra = orders.limit(1)
+    listFiles(path, ".jsonl").foreach { f =>
+      val line = graft.sinks.DocWriter.encodeJsonLine(extra.head, orders.schema) + "\n"
+      java.nio.file.Files.write(f.toPath, line.getBytes,
+        java.nio.file.StandardOpenOption.APPEND)
+      new java.io.File(f.getParent, "." + f.getName + ".crc").delete()
+    }
+    val back = spark.read.format("graftdocs").schema(orders.schema).load(path)
+    val lo = orders.agg(min("o_orderkey")).head.getLong(0)
+    val total = listFiles(path, ".jsonl").size
+    val q = back.where($"o_orderkey" === lo)
+    assert(plannedPartitions(q) == total, "stale sidecars must not prune")
+    assert(q.count() == orders.where($"o_orderkey" === lo).count() + total)
+  }
+
+  test("null semantics: IsNull keeps only files with nulls; IsNotNull skips all-null files") {
+    val path = tmp()
+    val df = Seq[(java.lang.Long, String)]((1L, "a"), (2L, "b")).toDF("k", "v")
+      .union(Seq[(java.lang.Long, String)]((3L, null), (4L, null)).toDF("k", "v"))
+      .repartitionByRange(2, $"k") // file 1: no nulls, file 2: all null v
+    df.write.format("graftdocs").mode("overwrite").save(path)
+    val total = listFiles(path, ".jsonl").size
+    assert(total == 2)
+    val back = spark.read.format("graftdocs").schema(df.schema).load(path)
+    assert(plannedPartitions(back.where($"v".isNull)) == 1)
+    assert(back.where($"v".isNull).count() == 2)
+    assert(plannedPartitions(back.where($"v".isNotNull)) == 1)
+    assert(back.where($"v".isNotNull).count() == 2)
+    // equality on v skips the all-null file too
+    assert(plannedPartitions(back.where($"v" === "a")) == 1)
+    assert(back.where($"v" === "a").count() == 1)
+  }
+
+  test("NaN/Infinity: stats stay sound under the NaN→null decode coercion") {
+    val path = tmp()
+    val df = Seq((1L, 1.0), (2L, Double.NaN)).toDF("k", "x")
+      .union(Seq((3L, Double.PositiveInfinity), (4L, 3.0)).toDF("k", "x"))
+      .repartitionByRange(2, $"k")
+    df.write.format("graftdocs").mode("overwrite").save(path)
+    // nullable read schema: NaN decodes to null (coercion matrix), so a
+    // non-nullable declaration would violate the source contract
+    val schema = org.apache.spark.sql.types.StructType(df.schema.map(_.copy(nullable = true)))
+    val back = spark.read.format("graftdocs").schema(schema).load(path)
+    // the decoder nulls NaN (reference coercion matrix), so the NaN row
+    // can never match a comparison — but its file's max=NaN stats must
+    // not break anything, and the small-x row in the SAME file must
+    // still be findable (a zone map that widened NaN into the range
+    // would be fine; one that dropped the file would be a wrong answer)
+    assert(back.where($"x" <= 1.0).select("k").as[Long].collect().toSet == Set(1L))
+    assert(back.where($"x" > 100.0).select("k").as[Long].collect().toSet == Set(3L))
+    assert(back.where($"x".isNull).select("k").as[Long].collect().toSet == Set(2L))
+  }
+
+  test("oversized strings poison the column's stats, never mis-prune") {
+    val path = tmp()
+    val big = "z" * 500 // > MaxStatString: stats for v must be dropped
+    val df = Seq((1L, big), (2L, "a" * 10)).toDF("k", "v").coalesce(1)
+    df.write.format("graftdocs").mode("overwrite").save(path)
+    val back = spark.read.format("graftdocs").schema(df.schema).load(path)
+    assert(back.where($"v" === big).count() == 1)
+    val json = new String(java.nio.file.Files.readAllBytes(
+      listFiles(path, ".zmap").head.toPath))
+    assert(!json.contains("\"v\""), s"oversized string column kept stats: $json")
+    assert(json.contains("\"k\""))
+  }
+
+  test("zonemaps=false disables writing and pruning") {
+    val path = tmp()
+    orders.repartitionByRange(4, $"o_orderkey").write.format("graftdocs")
+      .option("zonemaps", "false").mode("overwrite").save(path)
+    assert(listFiles(path, ".zmap").isEmpty)
+    writeClustered(path) // rewrite WITH zone maps
+    val back = spark.read.format("graftdocs").schema(orders.schema)
+      .option("zonemaps", "false").load(path)
+    val lo = orders.agg(min("o_orderkey")).head.getLong(0)
+    val total = listFiles(path, ".jsonl").size
+    assert(plannedPartitions(back.where($"o_orderkey" === lo)) == total)
+  }
+
+  test("truncate removes prior sidecars; abort stages nothing visible") {
+    val path = tmp()
+    writeClustered(path)
+    val before = listFiles(path, ".zmap").size
+    assert(before > 0)
+    orders.limit(10).write.format("graftdocs").mode("overwrite").save(path)
+    val zmaps = listFiles(path, ".zmap")
+    val data = listFiles(path, ".jsonl")
+    assert(zmaps.size == data.size, s"stale sidecars survive truncate: $zmaps")
+    // every surviving sidecar matches a surviving data file
+    assert(zmaps.map(_.getName.stripSuffix(".zmap")).toSet ==
+      data.map(_.getName).toSet)
+  }
+
+  test("composes with partition pruning and decode-time filters") {
+    val path = tmp()
+    orders.withColumn("bucket", ($"o_orderkey" % 2).cast("int"))
+      .repartitionByRange(4, $"o_orderkey")
+      .write.format("graftdocs").option("partitionBy", "bucket")
+      .mode("overwrite").save(path)
+    val schema = orders.withColumn("bucket", ($"o_orderkey" % 2).cast("int")).schema
+    val back = spark.read.format("graftdocs").schema(schema).load(path)
+    val lo = orders.agg(min("o_orderkey")).head.getLong(0)
+    val q = back.where($"bucket" === 0 && $"o_orderkey" <= lo + 3)
+    val expected = orders.where($"o_orderkey" % 2 === 0 && $"o_orderkey" <= lo + 3).count()
+    assert(q.count() == expected)
+    val desc = q.queryExecution.executedPlan.toString
+    assert(desc.contains("PartitionPruned:") && desc.contains("ZoneMapPruned:"), desc)
+  }
+}
