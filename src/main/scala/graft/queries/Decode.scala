@@ -252,6 +252,65 @@ object Decode {
               FROM orders WHERE o_orderkey < 1000
               GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // metadata-only MIN/MAX over DOCUMENT columns: the same .zmap
+    // sidecars that prune range scans also answer bare min/max
+    // aggregates with zero document decodes (parquet footer stats, doc-
+    // source form; the spec proves it by corrupting the data files).
+    // COUNT(*) composes on the split path. At 100 TB the answer costs
+    // one tiny sidecar read per file.
+    QueryDef("q_zonemap_minmax",
+      (s, dir) => {
+        val df = Graft.table(s, dir, "orders")
+        val path = java.nio.file.Files.createTempDirectory("graft_zmm_q").toString
+        df.repartitionByRange(8, col("o_orderkey"))
+          .sortWithinPartitions(col("o_orderkey"))
+          .write.format("graftdocs").mode("overwrite").save(path)
+        s.read.format("graftdocs").schema(df.schema).load(path)
+          .agg(min(col("o_totalprice")).as("lo_price"),
+            max(col("o_totalprice")).as("hi_price"),
+            min(col("o_orderkey")).as("lo_key"),
+            max(col("o_orderkey")).as("hi_key"),
+            min(col("o_orderstatus")).as("lo_status"),
+            count(lit(1)).as("n"))
+      },
+      Some("""SELECT MIN(o_totalprice) AS lo_price, MAX(o_totalprice) AS hi_price,
+                     MIN(o_orderkey) AS lo_key, MAX(o_orderkey) AS hi_key,
+                     MIN(o_orderstatus) AS lo_status, CAST(COUNT(*) AS BIGINT) AS n
+              FROM orders""")),
+
+    // storage-partitioned join: both sides hive-partitioned on the join
+    // key report KeyGroupedPartitioning, so the equi-join runs with NO
+    // shuffle on either side (spec-asserted plan; this row gates the
+    // RESULT end-to-end). At 100 TB: co-partitioned corpora join
+    // exchange-free — the directory layout is the shuffle.
+    QueryDef("q_spj_join",
+      (s, dir) => {
+        val df = Graft.table(s, dir, "orders")
+        val factPath = java.nio.file.Files.createTempDirectory("graft_spj_f").toString
+        val dimPath = java.nio.file.Files.createTempDirectory("graft_spj_d").toString
+        df.write.format("graftdocs").option("partitionBy", "o_orderstatus")
+          .mode("overwrite").save(factPath)
+        df.groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("status_n"))
+          .write.format("graftdocs").option("partitionBy", "o_orderstatus")
+          .mode("overwrite").save(dimPath)
+        val fact = s.read.format("graftdocs").schema(df.schema).load(factPath)
+        val dim = s.read.format("graftdocs")
+          .schema("status_n long, o_orderstatus string").load(dimPath)
+          .withColumnRenamed("o_orderstatus", "st")
+        fact.join(dim, col("o_orderstatus") === col("st"))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), max(col("status_n")).as("status_n"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""WITH d AS (SELECT o_orderstatus AS st,
+                                CAST(COUNT(*) AS BIGINT) AS status_n
+                         FROM orders GROUP BY 1)
+              SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+                     MAX(status_n) AS status_n
+              FROM orders JOIN d ON o_orderstatus = st
+              GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // tabular interop (reference §2.A: Arrow tables hand off to pandas/
     // polars/parquet): typed frame → CSV → re-read with declared schema
     // → MQL aggregate; any serialization drift breaks the oracle hash

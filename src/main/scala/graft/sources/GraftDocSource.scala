@@ -344,16 +344,69 @@ private[sources] class GraftScanBuilder(fullSchema: StructType,
           if (partCols(c) && castOk(c)) Some(c) else None
         case _ => None
       }
+    def colName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case nr: org.apache.spark.sql.connector.expressions.NamedReference
+          if nr.fieldNames.length == 1 => Some(nr.fieldNames.head)
+        case _ => None
+      }
     def typeOf(c: String) = fullSchema.fields.find(_.name == c).get.dataType
     val parsed: Seq[Option[PushedAgg]] = agg.aggregateExpressions.toSeq.map {
       case _: CountStar => Some(AggCountStar)
       case m: Min => partRef(m.column).map(c => AggMinPart(c, typeOf(c)))
+        .orElse(colName(m.column).flatMap(c =>
+          docStatRef(c).map { case (dt, tag) => AggMinDoc(c, dt, tag) }))
       case m: Max => partRef(m.column).map(c => AggMaxPart(c, typeOf(c)))
+        .orElse(colName(m.column).flatMap(c =>
+          docStatRef(c).map { case (dt, tag) => AggMaxDoc(c, dt, tag) }))
       case _ => None
     }
     if (parsed.forall(_.isDefined)) { aggSpecs = parsed.flatten; true }
     else false
   }
+
+  // MIN/MAX of a DOCUMENT column from `.zmap` sidecars alone — parquet
+  // footer statistics, doc-source form: on a 100 TB layout the answer
+  // costs one tiny metadata read per file, zero document decodes. The
+  // claim is sound only on PROOF that the sidecars describe exactly
+  // what a real scan would produce, so it requires:
+  //  - zone maps enabled, and EVERY planned file carrying a trusted
+  //    (length-matched) sidecar with stats for the column — a missing
+  //    entry is ambiguous between all-null and poisoned-by-an-oversized-
+  //    string, so it refuses;
+  //  - the sidecar tag matching the DECLARED read type's tag: cross-type
+  //    coercion (double file values truncating into an int read) stays
+  //    on the real scan path;
+  //  - no decimals: the read-side DecimalType clamp nulls out-of-range
+  //    values (documented §7.4 restriction), which stats can't see.
+  // Integral narrowing within the i64 tag raises on overflow at fold
+  // time — the same error a real scan of that file would raise.
+  private lazy val zoneStatsForAgg: Option[Map[String, ZoneMaps.FileStats]] =
+    if (!options.getBoolean("zonemaps", true)) None
+    else {
+      val files = prunedFiles
+      if (files.isEmpty) Some(Map.empty)
+      else {
+        val fs = new Path(files.head.path)
+          .getFileSystem(GraftDocSource.activeHadoopConf())
+        val loaded = files.map(f => f.path -> ZoneMaps.load(fs, f.path, f.length))
+        if (loaded.forall(_._2.isDefined))
+          Some(loaded.map { case (p, s) => p -> s.get }.toMap)
+        else None
+      }
+    }
+
+  private def docStatRef(c: String): Option[(org.apache.spark.sql.types.DataType, String)] =
+    if (partCols(c)) None
+    else fullSchema.fields.find(_.name == c).flatMap { f =>
+      ZoneMaps.tagOf(f.dataType).filter(_ != "dec").flatMap { tag =>
+        zoneStatsForAgg.flatMap { m =>
+          if (m.values.forall(st => st.cols.get(c).exists(_.tag == tag)))
+            Some((f.dataType, tag))
+          else None
+        }
+      }
+    }
 
   // LIMIT n reaches the decoder: each partition stops decoding after n
   // surviving rows (Spark still applies the global limit on top). A
@@ -388,7 +441,10 @@ private[sources] class GraftScanBuilder(fullSchema: StructType,
 
   override def build(): Scan = {
     if (aggSpecs.nonEmpty) new GraftAggScan(options, prunedFiles, aggSpecs,
-      partFilters, allFiles.size)
+      partFilters, allFiles.size,
+      if (aggSpecs.exists { case _: AggMinDoc | _: AggMaxDoc => true; case _ => false })
+        zoneStatsForAgg.getOrElse(Map.empty)
+      else Map.empty)
     else new GraftScan(required, options,
       filters.filterNot(claimable).filter(DocFilterEval.supported(_, fullSchema)),
       limit, Some(prunedFiles), partFilters, allFiles.size,
@@ -408,12 +464,21 @@ private[sources] case class AggMinPart(col: String, dt: org.apache.spark.sql.typ
   extends PushedAgg
 private[sources] case class AggMaxPart(col: String, dt: org.apache.spark.sql.types.DataType)
   extends PushedAgg
+/** MIN/MAX of a DOCUMENT column answered from `.zmap` sidecar stats —
+  * claimed only when EVERY planned file carries a trusted sidecar with
+  * matching-tag stats for the column (see GraftScanBuilder.docStatRef),
+  * so the answer is provably the scan's own. */
+private[sources] case class AggMinDoc(col: String, dt: org.apache.spark.sql.types.DataType,
+                                      tag: String) extends PushedAgg
+private[sources] case class AggMaxDoc(col: String, dt: org.apache.spark.sql.types.DataType,
+                                      tag: String) extends PushedAgg
 
 private[sources] class GraftAggScan(options: CaseInsensitiveStringMap,
                                     files: Seq[GraftDocSource.FileRef],
                                     aggs: Seq[PushedAgg],
                                     partitionFilters: Array[Filter] = Array.empty,
-                                    totalFiles: Int = 0)
+                                    totalFiles: Int = 0,
+                                    docStats: Map[String, ZoneMaps.FileStats] = Map.empty)
   extends Scan with Batch {
   override def readSchema(): StructType =
     StructType(aggs.map {
@@ -423,6 +488,10 @@ private[sources] class GraftAggScan(options: CaseInsensitiveStringMap,
         org.apache.spark.sql.types.StructField(s"min($c)", dt, nullable = true)
       case AggMaxPart(c, dt) =>
         org.apache.spark.sql.types.StructField(s"max($c)", dt, nullable = true)
+      case AggMinDoc(c, dt, _) =>
+        org.apache.spark.sql.types.StructField(s"min($c)", dt, nullable = true)
+      case AggMaxDoc(c, dt, _) =>
+        org.apache.spark.sql.types.StructField(s"max($c)", dt, nullable = true)
     })
   override def toBatch: Batch = this
   override def description(): String = {
@@ -430,6 +499,8 @@ private[sources] class GraftAggScan(options: CaseInsensitiveStringMap,
       case AggCountStar => "COUNT(*)"
       case AggMinPart(c, _) => s"MIN($c)"
       case AggMaxPart(c, _) => s"MAX($c)"
+      case AggMinDoc(c, _, _) => s"MIN($c) zmap"
+      case AggMaxDoc(c, _, _) => s"MAX($c) zmap"
     }
     s"graftdocs PushedAggregation: [${rendered.mkString(", ")}]" +
       (if (!needsCount) " (metadata-only)" else "") +
@@ -466,7 +537,7 @@ private[sources] class GraftAggScan(options: CaseInsensitiveStringMap,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftAggReaderFactory(aggs,
-      new SerializableConfiguration(GraftDocSource.activeHadoopConf()))
+      new SerializableConfiguration(GraftDocSource.activeHadoopConf()), docStats)
 }
 
 /** A bundle of files whose aggregate answer comes from their metadata
@@ -475,8 +546,29 @@ private[sources] case class GraftAggGroupPartition(entries: Seq[GraftFilePartiti
   extends InputPartition
 
 private[sources] class GraftAggReaderFactory(aggs: Seq[PushedAgg],
-                                             conf: SerializableConfiguration)
+                                             conf: SerializableConfiguration,
+                                             docStats: Map[String, ZoneMaps.FileStats]
+                                               = Map.empty)
   extends PartitionReaderFactory {
+
+  /** Sidecar min/max of one doc column for one file, as a canonical
+    * value (None = file has no non-null value). pushAggregation proved
+    * every planned file has matching-tag stats, so lookups can't miss. */
+  private def docStat(path: String, c: String, wantMin: Boolean): Option[Any] = {
+    val st = docStats(path).cols(c)
+    Option(if (wantMin) st.min else st.max)
+  }
+
+  private def foldDocStats(paths: Seq[String], c: String, dt: org.apache.spark.sql.types.DataType,
+                           tag: String, wantMin: Boolean): Any = {
+    val vals = paths.flatMap(docStat(_, c, wantMin))
+    if (vals.isEmpty) null
+    else {
+      val best = vals.reduce((a, b) =>
+        if ((ZoneMaps.cmpCanon(tag, a, b) <= 0) == wantMin) a else b)
+      ZoneMaps.toCatalyst(tag, best, dt)
+    }
+  }
 
   /** O(1) probe: does this file contain at least one document? (.bson: a
     * length prefix needs ≥5 bytes; .jsonl: any byte besides newlines —
@@ -509,7 +601,10 @@ private[sources] class GraftAggReaderFactory(aggs: Seq[PushedAgg],
       private var row: InternalRow = _
       override def next(): Boolean = {
         if (emitted) return false
-        val live = g.entries.filter(hasDocs)
+        // hasDocs probes (one tiny read per file) only pay when a
+        // PARTITION-column stat needs them; doc-column stats carry
+        // their own authoritative row counts in the sidecar
+        lazy val live = g.entries.filter(hasDocs)
         def fold(c: String, dt: org.apache.spark.sql.types.DataType,
                  wantMin: Boolean): Any = {
           val vals = live.flatMap(_.partitionValues.toMap.get(c))
@@ -530,6 +625,10 @@ private[sources] class GraftAggReaderFactory(aggs: Seq[PushedAgg],
               "COUNT(*) takes the split path")
             case AggMinPart(c, dt) => fold(c, dt, wantMin = true)
             case AggMaxPart(c, dt) => fold(c, dt, wantMin = false)
+            case AggMinDoc(c, dt, tag) =>
+              foldDocStats(g.entries.map(_.path), c, dt, tag, wantMin = true)
+            case AggMaxDoc(c, dt, tag) =>
+              foldDocStats(g.entries.map(_.path), c, dt, tag, wantMin = false)
           }.toArray)
         emitted = true
         true
@@ -564,6 +663,12 @@ private[sources] class GraftAggReaderFactory(aggs: Seq[PushedAgg],
             // a zero-row split must not leak its directory value
             case AggMinPart(c, dt) => if (count == 0) null else partValue(c, dt)
             case AggMaxPart(c, dt) => if (count == 0) null else partValue(c, dt)
+            // file-level stats: byte-range splits of one file each emit
+            // the same sidecar value — min/max folding is idempotent
+            case AggMinDoc(c, dt, tag) =>
+              foldDocStats(Seq(p.path), c, dt, tag, wantMin = true)
+            case AggMaxDoc(c, dt, tag) =>
+              foldDocStats(Seq(p.path), c, dt, tag, wantMin = false)
           }.toArray)
         emitted = true
         true
@@ -642,9 +747,83 @@ private[sources] class GraftScan(schema: StructType, options: CaseInsensitiveStr
                                  // out of `schema` when the query never projects it)
                                  partitionTypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty)
   extends Scan with Batch
-  with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+  with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+  with org.apache.spark.sql.connector.read.SupportsReportOrdering {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
+
+  // A KeyGrouped partition is CONSTANT in its partition key (every row of
+  // the group shares the directory value), so each partition is trivially
+  // sorted by the key in any direction — reporting that ordering lets
+  // Spark drop the per-partition Sort under a storage-partitioned
+  // sort-merge join (requires spark.sql.sources.v2.bucketing.sorting
+  // .enabled). Sound by construction: a constant sequence satisfies any
+  // monotone order on the constant.
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    spjKeys.map { case (c, _) =>
+      org.apache.spark.sql.connector.expressions.Expressions.sort(
+        org.apache.spark.sql.connector.expressions.Expressions.identity(c),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
+    }.toArray
+
+  // ---- storage-partitioned joins -------------------------------------------
+  // A hive-partitioned layout reports KeyGroupedPartitioning over its
+  // partition columns: two doc tables partitioned on the same key join
+  // EXCHANGE-FREE (Spark's storage-partitioned join groups splits by
+  // partitionKey() and aligns both sides) — the doc-source twin of the
+  // bucketed-layout story in api/Layout, with the partitioning coming
+  // from the directory structure instead of a catalog. At 100 TB this
+  // removes the fact⋈fact shuffle entirely for co-partitioned corpora.
+  // Claimed only when EVERY planned file carries a parseable value for
+  // every partition column (a mixed/flat layout reports unknown), and
+  // only under spark.sql.sources.v2.bucketing.enabled: once a scan
+  // reports keyed partitioning, Spark preserves the key groups through
+  // runtime filtering — which would neutralize this source's dynamic
+  // partition pruning in sessions that never join co-partitioned
+  // tables. The conf is the user's explicit trade (same as parquet
+  // bucketed tables: co-partitioning in, DPP partition-drop out).
+  private lazy val spjKeys: Seq[(String, org.apache.spark.sql.types.DataType)] = {
+    if (!options.getBoolean("spj", true) ||
+        !org.apache.spark.sql.internal.SQLConf.get.getConf(
+          org.apache.spark.sql.internal.SQLConf.V2_BUCKETING_ENABLED)
+          .asInstanceOf[Boolean]) Seq.empty
+    else {
+      val files = zoneStatic
+      try {
+        val cols = DocPartitions.partitionCols(files) // throws on mixed layouts
+        val ok = files.nonEmpty && cols.nonEmpty &&
+          cols.forall(partitionTypes.contains) &&
+          files.forall(f => cols.forall(c =>
+            f.partitionValues.collectFirst { case (`c`, raw) =>
+              DocPartitions.cast(raw, partitionTypes(c)) }.isDefined))
+        if (ok) cols.map(c => c -> partitionTypes(c)) else Seq.empty
+      } catch { case _: Exception => Seq.empty } // unknown partitioning, not an error
+    }
+  }
+
+  private def keyValsOf(ref: GraftDocSource.FileRef): Array[Any] =
+    if (spjKeys.isEmpty) null
+    else {
+      val m = ref.partitionValues.toMap
+      spjKeys.map { case (c, dt) =>
+        CatalystTypeConverters.createToCatalystConverter(dt)(
+          DocPartitions.cast(m(c), dt))
+      }.toArray
+    }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (spjKeys.isEmpty)
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    else new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+      spjKeys.map { case (c, _) =>
+        org.apache.spark.sql.connector.expressions.Expressions.identity(c)
+          : org.apache.spark.sql.connector.expressions.Expression
+      }.toArray,
+      zoneStatic.map(_.partitionValues.toMap.filter(kv => spjKeys.exists(_._1 == kv._1)))
+        .distinct.size)
   override def description(): String = {
     // the MQL wire form of the pushed predicates — what a live-source
     // connector would hand to find() verbatim (reference api.py:175);
@@ -752,12 +931,15 @@ private[sources] class GraftScan(schema: StructType, options: CaseInsensitiveStr
   private[sources] def splitFiles(files: Seq[GraftDocSource.FileRef])
       : Array[InputPartition] =
     files.toArray.flatMap { ref =>
+      // byte-range splits of one file share its partition key — Spark's
+      // SPJ grouping folds them back into one key group
+      val kv = keyValsOf(ref)
       if (ref.isBson || ref.length <= maxSplitBytes)
         Array(GraftFilePartition(ref.path, 0L, math.max(ref.length, 1L),
-          ref.partitionValues))
+          ref.partitionValues, kv))
       else (0L until ref.length by maxSplitBytes).map(s =>
         GraftFilePartition(ref.path, s, math.min(s + maxSplitBytes, ref.length),
-          ref.partitionValues)).toArray
+          ref.partitionValues, kv)).toArray
     }
 
   override def planInputPartitions(): Array[InputPartition] =
@@ -906,8 +1088,16 @@ private[sources] class GraftMicroBatchStream(scan: GraftScan,
 }
 
 private[sources] case class GraftFilePartition(path: String, start: Long, end: Long,
-                                               partitionValues: Seq[(String, String)] = Seq.empty)
-  extends InputPartition
+                                               partitionValues: Seq[(String, String)] = Seq.empty,
+                                               keyVals: Array[Any] = null)
+  extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
+  /** Catalyst partition-key row for storage-partitioned joins; set only
+    * when the scan reports KeyGroupedPartitioning (Spark consults
+    * partitionKey() only in that mode, and runtime filtering preserves
+    * it because the VALUES ride the partition, not the file list). */
+  override def partitionKey(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(keyVals)
+}
 
 /** Evaluates pushed source filters against decoded (pre-Catalyst) row
   * values. Conservative: anything it can't prove unmatched keeps the

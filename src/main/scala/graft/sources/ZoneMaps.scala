@@ -86,7 +86,7 @@ private[sources] object ZoneMaps {
 
   /** Ordering over canonical values of one tag (NaN largest for f64,
     * binary UTF8 order for strings — both match Spark's semantics). */
-  private def cmpCanon(tag: String, a: Any, b: Any): Int = tag match {
+  private[sources] def cmpCanon(tag: String, a: Any, b: Any): Int = tag match {
     case "i64"  => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
     case "f64"  => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
     case "str"  => org.apache.spark.unsafe.types.UTF8String
@@ -222,6 +222,42 @@ private[sources] object ZoneMaps {
       }
       Some(FileStats(root.path("rows").asLong(0L), len, b.result()))
     } catch { case _: Exception => None }
+
+  /** Canonical stat value → Catalyst value under the declared read type.
+    * Only legal when `tagOf(dt)` equals the stat's tag (the aggregate
+    * pushdown refuses mismatched tags — cross-type coercion corners stay
+    * on the real scan path). Integral narrowing RAISES on overflow,
+    * mirroring the decoder, which would raise on the same value during a
+    * real scan of that file. */
+  private[sources] def toCatalyst(tag: String, v: Any, dt: DataType): Any = {
+    def overflow(l: Long): Nothing = throw new IllegalArgumentException(
+      s"graftdocs: value $l overflows declared ${dt.simpleString} (zone-map aggregate)")
+    (tag, dt) match {
+      case ("i64", LongType) => v.asInstanceOf[Long]
+      case ("i64", IntegerType) =>
+        val l = v.asInstanceOf[Long]
+        if (l < Int.MinValue || l > Int.MaxValue) overflow(l) else l.toInt
+      case ("i64", ShortType) =>
+        val l = v.asInstanceOf[Long]
+        if (l < Short.MinValue || l > Short.MaxValue) overflow(l) else l.toShort
+      case ("i64", ByteType) =>
+        val l = v.asInstanceOf[Long]
+        if (l < Byte.MinValue || l > Byte.MaxValue) overflow(l) else l.toByte
+      case ("f64", DoubleType) => v.asInstanceOf[Double]
+      case ("f64", FloatType)  => v.asInstanceOf[Double].toFloat
+      case ("str", StringType) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(v.asInstanceOf[String])
+      case ("bool", BooleanType) => v.asInstanceOf[Boolean]
+      case ("date", DateType) => org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .localDateToDays(v.asInstanceOf[java.time.LocalDate])
+      case ("ts", TimestampType) => org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .instantToMicros(v.asInstanceOf[java.time.Instant])
+      case ("ntz", TimestampNTZType) => org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .localDateTimeToMicros(v.asInstanceOf[java.time.LocalDateTime])
+      case other => throw new IllegalStateException(
+        s"zonemap: unsupported stat conversion $other")
+    }
+  }
 
   // ---- pruning verdict -----------------------------------------------------
 

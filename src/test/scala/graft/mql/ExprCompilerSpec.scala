@@ -20,6 +20,13 @@ class ExprCompilerSpec extends AnyFunSuite {
     assert(eval("""{"$mod": [7, 3]}""") == 1)
     assert(eval("""{"$pow": [2, 10]}""") == 1024.0)
     assert(eval("""{"$round": [2.567, 1]}""") == 2.6)
+    // Pinned tie behavior — DOCUMENTED DEVIATION (ExprCompiler $round):
+    // exact rounding-digit ties go half-away-from-zero over the shortest
+    // decimal repr (the DuckDB-replayable pairing); Mongo documents
+    // half-even over the exact binary expansion. Off-tie values agree.
+    assert(eval("""{"$round": [2.5, 0]}""") == 3.0)
+    assert(eval("""{"$round": [-2.5, 0]}""") == -3.0)
+    assert(eval("""{"$round": [0.125, 2]}""") == 0.13)
     assert(eval("""{"$trunc": [2.98]}""") == 2L)
   }
 
@@ -184,6 +191,61 @@ class ExprCompilerSpec extends AnyFunSuite {
     // zero step raises like Mongo, not an infinite sequence()
     assertThrows[MqlException](eval("""{"$range": [0, 5, 0]}"""))
     assert(eval("""{"$range": [5, 0, -2]}""") == Seq(5, 3, 1))
+  }
+
+  test("$slice parity: negative positions clamp to the start like Mongo") {
+    // 2-arg negative with |k| ≥ len → the WHOLE array (Spark slice alone
+    // returns empty for an out-of-range negative start)
+    assert(eval("""{"$slice": [[1, 2], -3]}""") == Seq(1, 2))
+    assert(eval("""{"$slice": [[1, 2, 3, 4], -4]}""") == Seq(1, 2, 3, 4))
+    // 3-arg negative position counts from the end (no off-by-one)
+    assert(eval("""{"$slice": [[1, 2, 3, 4], -2, 3]}""") == Seq(3, 4))
+    assert(eval("""{"$slice": [[1, 2, 3, 4], -9, 2]}""") == Seq(1, 2)) // clamps to start
+    assert(eval("""{"$slice": [[1, 2, 3, 4], 1, 2]}""") == Seq(2, 3))
+    assert(eval("""{"$slice": [[1, 2, 3], 5, 2]}""") == Seq()) // past end: empty
+    // 3-arg n must be positive (server 28729)
+    assertThrows[MqlException](eval("""{"$slice": [[1, 2], 0, -1]}"""))
+    assertThrows[MqlException](eval("""{"$slice": [[1, 2], 0, 0]}"""))
+  }
+
+  test("$switch/$split/$substrCP raise like Mongo on the error corners") {
+    // no default + no matching branch raises (server 40066), not null
+    val e = intercept[Exception](eval(
+      """{"$switch": {"branches": [{"case": false, "then": 1}]}}"""))
+    assert(e.getMessage.contains("matching branch"))
+    // empty branches refuse at compile
+    assertThrows[MqlException](eval("""{"$switch": {"branches": []}}"""))
+    // empty separator refuses at compile (server 40087)
+    assertThrows[MqlException](eval("""{"$split": ["abc", ""]}"""))
+    // negative start/length raise (server 34455/34456) — Spark substr
+    // would silently count from the end
+    assert(intercept[Exception](eval("""{"$substrCP": ["hello", -1, 2]}"""))
+      .getMessage.contains("starting index"))
+    assert(intercept[Exception](eval("""{"$substrCP": ["hello", 0, -2]}"""))
+      .getMessage.contains("length"))
+  }
+
+  test("$zip useLongestLength + defaults") {
+    assert(eval(
+      """{"$zip": {"inputs": [[1, 2, 3], [10, 20]], "useLongestLength": true}}""")
+      == Seq(Seq(1, 10), Seq(2, 20), Seq(3, null)))
+    assert(eval("""{"$zip": {"inputs": [[1, 2, 3], [10, 20]],
+      "useLongestLength": true, "defaults": [0, -1]}}""")
+      == Seq(Seq(1, 10), Seq(2, 20), Seq(3, -1)))
+    // a real null ELEMENT is not a missing position: no default applies
+    assert(eval("""{"$zip": {"inputs": [[1, null], [10, 20, 30]],
+      "useLongestLength": true, "defaults": [0, -1]}}""")
+      == Seq(Seq(1, 10), Seq(null, 20), Seq(0, 30)))
+    // any null INPUT nulls the result, both forms
+    assert(eval("""{"$zip": {"inputs": [[1, 2], null]}}""") == null)
+    assert(eval(
+      """{"$zip": {"inputs": [[1, 2], null], "useLongestLength": true}}""") == null)
+    // both-empty inputs → empty result, not a sequence() error
+    assert(eval(
+      """{"$zip": {"inputs": [[], []], "useLongestLength": true}}""") == Seq())
+    // defaults without useLongestLength refuses (server 34514)
+    assertThrows[MqlException](eval(
+      """{"$zip": {"inputs": [[1], [2]], "defaults": [0, 0]}}"""))
   }
 
   test("n-value array-expression forms: $firstN/$lastN/$minN/$maxN") {

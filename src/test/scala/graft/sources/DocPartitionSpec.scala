@@ -224,9 +224,17 @@ class DocPartitionSpec extends AnyFunSuite {
       }.flatMap(q => findScans(q.plan))
     val scans = findScans(plan)
     assert(scans.nonEmpty, plan.toString)
-    val planned = scans.head.inputRDD.getNumPartitions
-    assert(planned < nSegs,
-      s"runtime pruning did not fire: $planned partitions for $nSegs segments\n$plan")
+    // count planned FILES, not RDD partitions: under v2 bucketing (on by
+    // default in Spark 4) the scan reports KeyGroupedPartitioning and
+    // pushPartValues pads filtered-out key groups with EMPTY partitions
+    // to keep SPJ alignment — the partition count stays constant while
+    // the pruned files are genuinely never scanned
+    val plannedFiles = scans.head.inputRDD.partitions.flatMap {
+      case d: org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition =>
+        d.inputPartitions
+    }.collect { case f: GraftFilePartition => f.path }.distinct.size
+    assert(plannedFiles < nSegs,
+      s"runtime pruning did not fire: $plannedFiles files for $nSegs segments\n$plan")
   }
 
   test("MIN/MAX of a partition column push down metadata-only (zero decode)") {
@@ -255,11 +263,14 @@ class DocPartitionSpec extends AnyFunSuite {
       .agg(count(lit(1)), max("c_nationkey")).collect().head
     assert(r2 == e2)
 
-    // a min/max over a DOC column must NOT push (needs real decode)
+    // a min/max over a DOC column pushes too — answered from the .zmap
+    // sidecars, still zero decodes (ZoneMapSpec proves the provenance)
+    GraftScanMetrics.emitted.reset()
     val q3 = docs.agg(min("c_acctbal"))
-    assert(!q3.queryExecution.executedPlan.toString.contains("PushedAggregation"),
+    assert(q3.queryExecution.executedPlan.toString.contains("MIN(c_acctbal) zmap"),
       q3.queryExecution.executedPlan.toString)
     assert(q3.collect().head == customer.agg(min("c_acctbal")).collect().head)
+    assert(GraftScanMetrics.emitted.sum() == 0)
 
     // the metadata-only plan bundles files into FEW tasks (not one per file)
     val finalPlan = q.queryExecution.executedPlan match {

@@ -201,6 +201,80 @@ class ZoneMapSpec extends AnyFunSuite {
       data.map(_.getName).toSet)
   }
 
+  test("doc-column MIN/MAX is answered from sidecars alone (metadata-only)") {
+    val path = tmp()
+    writeClustered(path)
+    val back = spark.read.format("graftdocs").schema(orders.schema).load(path)
+    val q = back.agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"),
+      max("o_orderkey").as("hik"), min("o_orderdate").as("lod"),
+      min("o_orderstatus").as("los"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("MIN(o_totalprice) zmap") && plan.contains("(metadata-only)"),
+      plan)
+    val truth = orders.agg(min("o_totalprice"), max("o_totalprice"),
+      max("o_orderkey"), min("o_orderdate"), min("o_orderstatus")).head
+    assert(q.head == truth)
+    // PROOF nothing reads a document: overwrite every data file with
+    // same-length garbage (sidecar trust is length-keyed, so stats stay
+    // trusted; a real scan would now throw or answer differently)
+    listFiles(path, ".jsonl").foreach { f =>
+      java.nio.file.Files.write(f.toPath,
+        Array.fill[Byte](f.length().toInt)('x'))
+      new java.io.File(f.getParent, "." + f.getName + ".crc").delete()
+    }
+    val again = spark.read.format("graftdocs").schema(orders.schema).load(path)
+      .agg(min("o_totalprice"), max("o_totalprice"),
+        max("o_orderkey"), min("o_orderdate"), min("o_orderstatus")).head
+    assert(again == truth)
+  }
+
+  test("doc MIN/MAX composes with COUNT(*) on the split path") {
+    val path = tmp()
+    writeClustered(path)
+    val back = spark.read.format("graftdocs").schema(orders.schema).load(path)
+    val q = back.agg(count(lit(1)).as("n"), min("o_totalprice").as("lo"),
+      max("o_orderkey").as("hik"))
+    assert(q.queryExecution.executedPlan.toString.contains("MIN(o_totalprice) zmap"))
+    val got = q.head
+    val truth = orders.agg(count(lit(1)), min("o_totalprice"), max("o_orderkey")).head
+    assert(got == truth)
+  }
+
+  test("doc MIN/MAX refuses without sidecars, on poisoned stats, and for all-null columns") {
+    // zonemaps=false write: no sidecars → aggregate falls back to a real scan
+    val p1 = tmp()
+    orders.coalesce(1).write.format("graftdocs").option("zonemaps", "false")
+      .mode("overwrite").save(p1)
+    val b1 = spark.read.format("graftdocs").schema(orders.schema).load(p1)
+    val q1 = b1.agg(min("o_totalprice"))
+    assert(!q1.queryExecution.executedPlan.toString.contains("PushedAggregation"))
+    assert(q1.head.getDouble(0) == orders.agg(min("o_totalprice")).head.getDouble(0))
+
+    // oversized string poisons v's stats → refuse v, but k still pushes
+    val p2 = tmp()
+    val big = "z" * 500
+    Seq((1L, big), (2L, "a")).toDF("k", "v").coalesce(1)
+      .write.format("graftdocs").mode("overwrite").save(p2)
+    val b2 = spark.read.format("graftdocs")
+      .schema("k long, v string").load(p2)
+    val q2 = b2.agg(max("v"))
+    assert(!q2.queryExecution.executedPlan.toString.contains("PushedAggregation"))
+    assert(q2.head.getString(0) == big)
+    val q2k = b2.agg(max("k"))
+    assert(q2k.queryExecution.executedPlan.toString.contains("MAX(k) zmap"))
+    assert(q2k.head.getLong(0) == 2L)
+
+    // all-null column: pushed, and the metadata answer is null
+    val p3 = tmp()
+    Seq[(java.lang.Long, String)]((1L, null), (2L, null)).toDF("k", "v")
+      .coalesce(1).write.format("graftdocs").mode("overwrite").save(p3)
+    val b3 = spark.read.format("graftdocs").schema("k long, v string").load(p3)
+    val q3 = b3.agg(min("v"), max("v"))
+    assert(q3.queryExecution.executedPlan.toString.contains("MIN(v) zmap"))
+    val r3 = q3.head
+    assert(r3.isNullAt(0) && r3.isNullAt(1))
+  }
+
   test("composes with partition pruning and decode-time filters") {
     val path = tmp()
     orders.withColumn("bucket", ($"o_orderkey" % 2).cast("int"))
