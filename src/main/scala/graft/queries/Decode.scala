@@ -271,11 +271,14 @@ object Decode {
             min(col("o_orderkey")).as("lo_key"),
             max(col("o_orderkey")).as("hi_key"),
             min(col("o_orderstatus")).as("lo_status"),
+            count(col("o_custkey")).as("n_cust"),
             count(lit(1)).as("n"))
       },
       Some("""SELECT MIN(o_totalprice) AS lo_price, MAX(o_totalprice) AS hi_price,
                      MIN(o_orderkey) AS lo_key, MAX(o_orderkey) AS hi_key,
-                     MIN(o_orderstatus) AS lo_status, CAST(COUNT(*) AS BIGINT) AS n
+                     MIN(o_orderstatus) AS lo_status,
+                     CAST(COUNT(o_custkey) AS BIGINT) AS n_cust,
+                     CAST(COUNT(*) AS BIGINT) AS n
               FROM orders""")),
 
     // storage-partitioned join: both sides hive-partitioned on the join

@@ -1273,6 +1273,39 @@ object LlmOps {
                   CAST(SUM(n_chars) AS BIGINT) AS chars_kept
            FROM kept GROUP BY source ORDER BY source""")),
 
+    // the STREAMING member of the near-dup index family (the trio with
+    // q_stream_index / q_stream_vec_index): history seeds the band
+    // index, an arriving shard streams in, near-dups drop against
+    // history (bucket equi-join, no corpus rescan), survivors fold
+    // under the batchId exactly-once tag. Gate = the final indexed id
+    // set per source; the oracle replays the exact-jaccard ground truth
+    // (so LSH recall is graded, same contract as q_neardup_index).
+    QueryDef("q_stream_neardup",
+      (s, dir) => graft.streaming.EventStream.runNearDupStreamOnFixture(s, dir),
+      Some(s"""WITH t AS (
+             SELECT doc_id, $duckShingles AS sh
+             FROM (SELECT doc_id, $duckToks AS w FROM documents)),
+           e AS (SELECT doc_id, unnest(sh) AS s FROM t),
+           f AS (SELECT s, COUNT(*) AS fr FROM e GROUP BY s),
+           k AS (SELECT doc_id, s AS key FROM (
+                   SELECT e.doc_id, e.s,
+                          ROW_NUMBER() OVER (PARTITION BY e.doc_id
+                                             ORDER BY f.fr, e.s) AS rn
+                   FROM e JOIN f ON e.s = f.s) WHERE rn <= 4),
+           c AS (SELECT DISTINCT a.doc_id AS fi, b.doc_id AS ii
+                 FROM k a JOIN k b ON a.key = b.key
+                 WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0),
+           dup AS (SELECT DISTINCT fi FROM c
+                   JOIN t ta ON ta.doc_id = c.fi
+                   JOIN t tb ON tb.doc_id = c.ii
+                   WHERE round(len(list_intersect(ta.sh, tb.sh))::DOUBLE
+                         / len(list_distinct(ta.sh || tb.sh)), 6) >= 0.8),
+           kept AS (SELECT doc_id, source FROM documents
+                    WHERE doc_id % 5 <> 0
+                       OR doc_id NOT IN (SELECT fi FROM dup))
+           SELECT source, CAST(COUNT(*) AS BIGINT) AS n_indexed
+           FROM kept GROUP BY source ORDER BY source""")),
+
     // CCNet head/middle/tail: equal-mass perplexity tiers from ONE
     // 1-row percentile aggregate + map-only assignment (no global
     // sort/window); short unscored docs land in bucket 0

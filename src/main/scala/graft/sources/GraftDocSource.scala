@@ -351,8 +351,14 @@ private[sources] class GraftScanBuilder(fullSchema: StructType,
         case _ => None
       }
     def typeOf(c: String) = fullSchema.fields.find(_.name == c).get.dataType
+    import org.apache.spark.sql.connector.expressions.aggregate.Count
     val parsed: Seq[Option[PushedAgg]] = agg.aggregateExpressions.toSeq.map {
       case _: CountStar => Some(AggCountStar)
+      case c: Count if !c.isDistinct =>
+        colName(c.column).filter(n => !partCols(n) &&
+            fullSchema.fieldNames.contains(n) &&
+            zoneStatsForAgg.exists(_.values.forall(_.cols.contains(n))))
+          .map(AggCountDoc(_))
       case m: Min => partRef(m.column).map(c => AggMinPart(c, typeOf(c)))
         .orElse(colName(m.column).flatMap(c =>
           docStatRef(c).map { case (dt, tag) => AggMinDoc(c, dt, tag) }))
@@ -442,7 +448,8 @@ private[sources] class GraftScanBuilder(fullSchema: StructType,
   override def build(): Scan = {
     if (aggSpecs.nonEmpty) new GraftAggScan(options, prunedFiles, aggSpecs,
       partFilters, allFiles.size,
-      if (aggSpecs.exists { case _: AggMinDoc | _: AggMaxDoc => true; case _ => false })
+      if (aggSpecs.exists {
+        case _: AggMinDoc | _: AggMaxDoc | _: AggCountDoc => true; case _ => false })
         zoneStatsForAgg.getOrElse(Map.empty)
       else Map.empty)
     else new GraftScan(required, options,
@@ -472,6 +479,11 @@ private[sources] case class AggMinDoc(col: String, dt: org.apache.spark.sql.type
                                       tag: String) extends PushedAgg
 private[sources] case class AggMaxDoc(col: String, dt: org.apache.spark.sql.types.DataType,
                                       tag: String) extends PushedAgg
+/** COUNT(col) — the non-null count — from sidecar `rows - nulls` alone;
+  * type-independent (null bookkeeping survives even where min/max
+  * can't, e.g. decimals), but a stats-poisoned column loses its whole
+  * entry, which correctly refuses the claim. */
+private[sources] case class AggCountDoc(col: String) extends PushedAgg
 
 private[sources] class GraftAggScan(options: CaseInsensitiveStringMap,
                                     files: Seq[GraftDocSource.FileRef],
@@ -492,6 +504,8 @@ private[sources] class GraftAggScan(options: CaseInsensitiveStringMap,
         org.apache.spark.sql.types.StructField(s"min($c)", dt, nullable = true)
       case AggMaxDoc(c, dt, _) =>
         org.apache.spark.sql.types.StructField(s"max($c)", dt, nullable = true)
+      case AggCountDoc(c) => org.apache.spark.sql.types.StructField(s"count($c)",
+        org.apache.spark.sql.types.LongType, nullable = false)
     })
   override def toBatch: Batch = this
   override def description(): String = {
@@ -501,6 +515,7 @@ private[sources] class GraftAggScan(options: CaseInsensitiveStringMap,
       case AggMaxPart(c, _) => s"MAX($c)"
       case AggMinDoc(c, _, _) => s"MIN($c) zmap"
       case AggMaxDoc(c, _, _) => s"MAX($c) zmap"
+      case AggCountDoc(c) => s"COUNT($c) zmap"
     }
     s"graftdocs PushedAggregation: [${rendered.mkString(", ")}]" +
       (if (!needsCount) " (metadata-only)" else "") +
@@ -629,6 +644,10 @@ private[sources] class GraftAggReaderFactory(aggs: Seq[PushedAgg],
               foldDocStats(g.entries.map(_.path), c, dt, tag, wantMin = true)
             case AggMaxDoc(c, dt, tag) =>
               foldDocStats(g.entries.map(_.path), c, dt, tag, wantMin = false)
+            case AggCountDoc(c) => (g.entries.map { e =>
+                val st = docStats(e.path)
+                st.rows - st.cols(c).nulls
+              }.sum): Any
           }.toArray)
         emitted = true
         true
@@ -669,6 +688,11 @@ private[sources] class GraftAggReaderFactory(aggs: Seq[PushedAgg],
               foldDocStats(Seq(p.path), c, dt, tag, wantMin = true)
             case AggMaxDoc(c, dt, tag) =>
               foldDocStats(Seq(p.path), c, dt, tag, wantMin = false)
+            // additive: the file total rides the FIRST split only
+            case AggCountDoc(c) =>
+              (if (p.start == 0L) {
+                val st = docStats(p.path); st.rows - st.cols(c).nulls
+              } else 0L): Any
           }.toArray)
         emitted = true
         true

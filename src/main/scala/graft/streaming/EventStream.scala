@@ -364,6 +364,76 @@ object EventStream {
         round(col("vnorm"), 6).as("vnorm"))
   }
 
+  /** Streaming near-dup ingest: each micro-batch is near-dedup'd against
+    * the STANDING NearDupIndex (equi-join on the batch's own band
+    * buckets — history never rescans), survivors fold into the index
+    * (`update(build(A), B) ≡ build(A ∪ B)`, so the index never
+    * rebuilds). Exactly-once via the batchId tag committed atomically
+    * with the DocStore swap — the contract shared with indexStream /
+    * vecIndexStream. This is the arriving-crawl-shard loop run
+    * continuously. */
+  def nearDupStream(stream: DataFrame, idCol: String, textCol: String,
+                    indexName: String, store: graft.sinks.DocStore,
+                    threshold: Double = 0.8)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val committed = store.readTag(indexName, "batchId").map(_.toLong)
+      if (!committed.exists(_ >= batchId)) {
+        val idx = store.read(indexName)
+        val dupIds = graft.llmops.NearDupIndex
+          .queryBatch(idx, batch, idCol, textCol, threshold)
+          .select(col("fresh_id").as(idCol)).distinct()
+        val keep = batch.join(dupIds, Seq(idCol), "left_anti")
+        store.write(graft.llmops.NearDupIndex.update(idx, keep, idCol, textCol),
+          indexName, tags = Map("batchId" -> batchId.toString))
+      }
+    }
+
+  /** nearDupStream over the fixture: history (doc_id % 5 ≠ 0) seeds the
+    * band index, the % 5 = 0 shard streams in, near-dups drop against
+    * history, survivors fold. Returns per-source counts of the FINAL
+    * indexed id set — history plus exactly the batch survivors (the
+    * oracle replays the exact-jaccard ground truth in SQL). */
+  def runNearDupStreamOnFixture(spark: SparkSession, dir: String): DataFrame = {
+    val store = new graft.sinks.DocStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_ndstore").toString)
+    val docs = graft.api.Graft.table(spark, dir, "documents")
+    store.write(graft.llmops.NearDupIndex.build(
+      docs.where(col("doc_id") % 5 =!= 0), "doc_id", "text"), "nd_idx")
+    val shard = docs.where(col("doc_id") % 5 === 0)
+      .select("doc_id", "text")
+    val srcPath = java.nio.file.Files.createTempDirectory("graft_ndstream").toString
+    shard.write.format("graftdocs").mode("overwrite").save(srcPath)
+    val stream = spark.readStream.format("graftdocs")
+      .schema(shard.schema).load(srcPath)
+    val name = s"graft_ndstream_${System.nanoTime()}"
+    val ckptBase = if (new java.io.File("/dev/shm").canWrite) "/dev/shm" else
+      System.getProperty("java.io.tmpdir")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      q = nearDupStream(stream, "doc_id", "text", "nd_idx", store)
+        .option("checkpointLocation", s"$ckptBase/ckpt_$name")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      if (q != null) q.stop()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(s"$ckptBase/ckpt_$name"))
+    }
+    store.read("nd_idx").where(col("kind") === "doc")
+      .select(col("doc_id"))
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_indexed"))
+      .orderBy("source")
+  }
+
   /** mergeStream over the fixture: a batch `$out` backfills the standing
     * collection from half the corpus, then the stream merges the other
     * half into it — both the matched fold and the insert path execute,

@@ -33,6 +33,43 @@ class NearDupIndexSpec extends AnyFunSuite {
     assert(got.nonEmpty, "fixture has no cross near-dups: test is vacuous")
   }
 
+  test("nearDupStream drops dups against the LIVE index (cross-batch) and skips replays") {
+    import org.apache.spark.sql.streaming.Trigger
+    val feed = java.nio.file.Files.createTempDirectory("graft_ndfeed").toString
+    val base = "the quick brown fox jumps over the lazy dog again and again tonight"
+    // batch 1: a near-dup of HISTORY (dropped) + a novel doc (folded)
+    Seq((10L, base + " ok"), (11L, "completely different text about spark shuffles and joins here"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$feed/f1")
+    // batch 2: a near-dup of BATCH 1's novel doc — only caught if the
+    // fold updated the standing index between micro-batches
+    Seq((12L, "completely different text about spark shuffles and joins here!"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$feed/f2")
+    val store = new graft.sinks.DocStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_ndsstore").toString)
+    store.write(NearDupIndex.build(
+      Seq((1L, base)).toDF("doc_id", "text"), "doc_id", "text"), "nd")
+    val stream = spark.readStream.schema("doc_id long, text string")
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(feed)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ndckpt").toString
+    val q = graft.streaming.EventStream
+      .nearDupStream(stream, "doc_id", "text", "nd", store, threshold = 0.7)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.processAllAvailable() finally q.stop()
+    def indexed(): Set[Long] = store.read("nd").where($"kind" === "doc")
+      .select("doc_id").as[Long].collect().toSet
+    assert(indexed() == Set(1L, 11L), s"got ${indexed()}") // 10 dup-of-1, 12 dup-of-11
+    // fresh-checkpoint replay: batch ids restart ≤ the committed tag → skipped
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_ndckpt2").toString
+    val q2 = graft.streaming.EventStream
+      .nearDupStream(stream, "doc_id", "text", "nd", store, threshold = 0.7)
+      .option("checkpointLocation", ckpt2)
+      .trigger(Trigger.AvailableNow()).start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(indexed() == Set(1L, 11L))
+  }
+
   test("update is rebuild-equivalent, row for row") {
     val folded = NearDupIndex.update(
       NearDupIndex.build(corpus, "doc_id", "text"), fresh, "doc_id", "text")

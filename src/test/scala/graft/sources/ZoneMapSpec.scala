@@ -240,6 +240,33 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(got == truth)
   }
 
+  test("COUNT(col) — the non-null count — is answered from sidecars alone") {
+    val path = tmp()
+    val df = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 1.5), (2L, null), (3L, Double.NaN), (4L, 4.0))
+      .toDF("k", "x").repartitionByRange(2, $"k")
+    df.write.format("graftdocs").mode("overwrite").save(path)
+    val schema = org.apache.spark.sql.types.StructType(df.schema.map(_.copy(nullable = true)))
+    val back = spark.read.format("graftdocs").schema(schema).load(path)
+    val q = back.agg(count($"x").as("nx"), count($"k").as("nk"),
+      count(lit(1)).as("n"))
+    assert(q.queryExecution.executedPlan.toString.contains("COUNT(x) zmap"),
+      q.queryExecution.executedPlan.toString)
+    // NaN decodes to null (coercion matrix), so COUNT(x) must be 2 — the
+    // sidecar counted the NaN row as a null at write time
+    assert(q.head == org.apache.spark.sql.Row(2L, 4L, 4L))
+    // provenance: corrupt the data files under the same length — the
+    // SIDECAR-answered counts must not change (COUNT(*) is deliberately
+    // excluded: it counts real line bytes, which we just destroyed)
+    listFiles(path, ".jsonl").foreach { f =>
+      java.nio.file.Files.write(f.toPath, Array.fill[Byte](f.length().toInt)('x'))
+      new java.io.File(f.getParent, "." + f.getName + ".crc").delete()
+    }
+    val again = spark.read.format("graftdocs").schema(schema).load(path)
+      .agg(count($"x"), count($"k")).head
+    assert(again == org.apache.spark.sql.Row(2L, 4L))
+  }
+
   test("doc MIN/MAX refuses without sidecars, on poisoned stats, and for all-null columns") {
     // zonemaps=false write: no sidecars → aggregate falls back to a real scan
     val p1 = tmp()
