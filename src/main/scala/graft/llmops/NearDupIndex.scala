@@ -78,7 +78,10 @@ object NearDupIndex {
     bandPart.unionByName(docPart).unionByName(meta)
   }
 
-  /** The stored LSH geometry; refuses a geometry-free frame. */
+  /** The stored LSH geometry; refuses a geometry-free frame. One
+    * filtered collect per call — over a stored graftdocs collection the
+    * kind='meta' predicate pushes to the scan, so this reads metadata,
+    * not the band table. */
   private def geometry(index: DataFrame): (Int, Int, Int) = {
     val p = index.where(col("kind") === "meta").select("param")
       .collect().headOption.map(_.getString(0)).getOrElse(
@@ -101,14 +104,24 @@ object NearDupIndex {
     val (shingleN, numHashes, bands) = geometry(index)
     graft.functions.GraftFunctions.register(
       org.apache.spark.sql.SparkSession.active)
+    // NOT persisted: the two consumers (band rows, verification join)
+    // re-shingle the BATCH once more instead — bounded by batch size,
+    // where a persist inside a per-micro-batch operator would pin cache
+    // entries the caller can never release (stream executors leak)
     val freshDocs = hashedDocs(fresh, idCol, textCol, shingleN)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val freshBands = bandRows(freshDocs, numHashes, bands)
       .select(col("doc_id").as("fresh_id"), col("bucket"))
     // skew guard on the INDEX side: a bucket every boilerplate page
-    // shares would fan each batch doc out to the whole corpus
+    // shares would fan each batch doc out to the whole corpus. The
+    // membership count runs over the TOUCHED buckets only (semi-join on
+    // the batch's own distinct bucket keys first — exact for those
+    // buckets, since the join keeps every index row of a touched
+    // bucket), so per-ingest window state is bounded by batch fan-out,
+    // never the index: the O(|batch|·bands + candidates) contract.
+    val touched = freshBands.select("bucket").distinct()
     val idxBands = index.where(col("kind") === "band")
       .select(col("doc_id").as("index_id"), col("bucket"))
+      .join(touched, Seq("bucket"))
       .withColumn("__bn", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("bucket")))
       .where(col("__bn") <= maxBucket).drop("__bn")

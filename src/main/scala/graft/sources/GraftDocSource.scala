@@ -354,10 +354,13 @@ private[sources] class GraftScanBuilder(fullSchema: StructType,
     import org.apache.spark.sql.connector.expressions.aggregate.Count
     val parsed: Seq[Option[PushedAgg]] = agg.aggregateExpressions.toSeq.map {
       case _: CountStar => Some(AggCountStar)
+      // same guard as MIN/MAX (docStatRef): sidecar tag must match the
+      // DECLARED read type and decimals refuse — cross-tag coercion
+      // (allowInvalid nulling) and the DecimalType clamp create read-time
+      // nulls the write-side null bookkeeping never saw, so rows−nulls
+      // would over-count what a real scan returns
       case c: Count if !c.isDistinct =>
-        colName(c.column).filter(n => !partCols(n) &&
-            fullSchema.fieldNames.contains(n) &&
-            zoneStatsForAgg.exists(_.values.forall(_.cols.contains(n))))
+        colName(c.column).filter(n => docStatRef(n).isDefined)
           .map(AggCountDoc(_))
       case m: Min => partRef(m.column).map(c => AggMinPart(c, typeOf(c)))
         .orElse(colName(m.column).flatMap(c =>
@@ -876,6 +879,30 @@ private[sources] class GraftScan(schema: StructType, options: CaseInsensitiveStr
   // keeps the file, and the filters stay residual post-scan either way.
   private val zoneMapsEnabled = options.getBoolean("zonemaps", true)
 
+  // Stats are only trustworthy for a column whose DECLARED read type has
+  // the same tag the writer recorded: cross-tag reads go through the
+  // coercion matrix (double→int truncation, allowInvalid nulling), so a
+  // write-time min/max can prove nothing about post-coercion values —
+  // a 2.7 written double reads as 2 under an int schema, and a skip
+  // based on min=2.7 would silently drop that row. Decimals are dropped
+  // even on tag match: the read-side DecimalType clamp nulls values the
+  // write-side null bookkeeping never saw (IsNull pruning would lie).
+  // Residual doc filters always reference read-schema columns (Spark
+  // keeps the post-scan Filter, so its inputs survive column pruning).
+  private lazy val trustedTag: Map[String, String] =
+    schema.fields.flatMap(f =>
+      ZoneMaps.tagOf(f.dataType).filter(_ != "dec").map(f.name -> _)).toMap
+
+  // one sidecar read per file per scan — zoneStatic, the runtime-filter
+  // re-prune, and explain all share it (object stores make the driver
+  // pay real latency per metadata round-trip)
+  private val zmapCache =
+    scala.collection.concurrent.TrieMap.empty[String, Option[ZoneMaps.FileStats]]
+
+  private def loadZmap(fs: org.apache.hadoop.fs.FileSystem,
+                       ref: GraftDocSource.FileRef): Option[ZoneMaps.FileStats] =
+    zmapCache.getOrElseUpdate(ref.path, ZoneMaps.load(fs, ref.path, ref.length))
+
   private def zonePrune(files: Seq[GraftDocSource.FileRef])
       : Seq[GraftDocSource.FileRef] =
     if (!zoneMapsEnabled || filters.isEmpty || files.isEmpty) files
@@ -883,8 +910,11 @@ private[sources] class GraftScan(schema: StructType, options: CaseInsensitiveStr
       val fs = new Path(files.head.path)
         .getFileSystem(GraftDocSource.activeHadoopConf())
       files.filter { ref =>
-        ZoneMaps.load(fs, ref.path, ref.length) match {
-          case Some(st) => filters.forall(f => ZoneMaps.mayMatch(f, st.cols))
+        loadZmap(fs, ref) match {
+          case Some(st) =>
+            val trusted = st.cols.filter { case (name, cs) =>
+              trustedTag.get(name).contains(cs.tag) }
+            filters.forall(f => ZoneMaps.mayMatch(f, trusted))
           case None => true
         }
       }

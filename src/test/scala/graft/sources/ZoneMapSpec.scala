@@ -267,6 +267,28 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(again == org.apache.spark.sql.Row(2L, 4L))
   }
 
+  test("cross-type reads distrust the stats: no mis-prune, no mis-count") {
+    // write DOUBLES; read the same column as LONG — the coercion matrix
+    // truncates 2.7 → 2 at decode, so write-time stats (min 2.7) must
+    // prove NOTHING about post-coercion values
+    val path = tmp()
+    val df = Seq((1L, 2.7), (2L, 5.9)).toDF("k", "x").coalesce(1)
+    df.write.format("graftdocs").mode("overwrite").save(path)
+    val back = spark.read.format("graftdocs").schema("k long, x long").load(path)
+    // pre-guard, min=2.7 "proved" x <= 2 impossible and dropped the file;
+    // the truncated row x=2 must survive
+    assert(back.where($"x" <= 2L).select("k").as[Long].collect().toSeq == Seq(1L))
+    // COUNT(x) under the mismatched tag must fall back to a real scan,
+    // not answer rows-nulls from a sidecar describing doubles
+    val q = back.agg(count($"x"))
+    assert(!q.queryExecution.executedPlan.toString.contains("COUNT(x) zmap"),
+      q.queryExecution.executedPlan.toString)
+    assert(q.head.getLong(0) == 2L)
+    // same-tag sibling still prunes: k is long on both sides
+    assert(plannedPartitions(back.where($"k" >= 100L)) == 0 ||
+      back.where($"k" >= 100L).count() == 0)
+  }
+
   test("doc MIN/MAX refuses without sidecars, on poisoned stats, and for all-null columns") {
     // zonemaps=false write: no sidecars → aggregate falls back to a real scan
     val p1 = tmp()
