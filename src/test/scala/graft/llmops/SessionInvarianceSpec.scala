@@ -25,7 +25,11 @@ class SessionInvarianceSpec extends AnyFunSuite {
     "q_shard_manifest", "q_lang_mixture", "q_window_calculus",
     "q_index_remove", "q_search_stored", "q_ivf_part", "q_stream_vec_index",
     "q_searchmeta_stored", "q_compact", "q_zorder", "q_dedup_eval",
-    "q_tokenizer_fertility")
+    "q_tokenizer_fertility",
+    // fifth session: zone-map gates, storage-partitioned join, the
+    // incremental/streaming near-dup index
+    "q_zonemap_prune", "q_zonemap_minmax", "q_spj_join",
+    "q_neardup_index", "q_neardup_ingest", "q_stream_neardup")
 
   private def canon(name: String): Seq[String] = {
     import org.apache.spark.sql.functions._
