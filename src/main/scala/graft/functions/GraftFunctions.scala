@@ -1402,6 +1402,8 @@ object GraftFunctions {
     * the `GraftExtensions` injector for
     * `spark.sql.extensions=graft.functions.GraftExtensions`). */
   val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "substr_bytes" -> ((e: Seq[Expression]) => SubstrBytes(e(0), e(1), e(2))),
+    "index_of_bytes" -> ((e: Seq[Expression]) => IndexOfBytes(e(0), e(1), e(2), e(3))),
     "exp_moving_avg" -> ((e: Seq[Expression]) => ExpMovingAvgWin(e(0), e(1))),
     "objectid_to_timestamp" -> ((e: Seq[Expression]) => ObjectIdToTimestamp(e.head)),
     "word_shingles" -> ((e: Seq[Expression]) => WordShingles(e.head, e(1))),
@@ -1480,4 +1482,88 @@ object GraftFunctions {
   /** Column-level form (requires register(spark) on the session). */
   def objectIdToTimestamp(c: Column): Column =
     org.apache.spark.sql.functions.call_function("objectid_to_timestamp", c)
+}
+
+/** `$substrBytes` with MongoDB's exact byte-range contract: zero-based
+  * byte indices, non-negative (server errors 50752/50753 equivalents
+  * raise here), start past the end → "", length clamps to the end —
+  * and a range boundary that lands INSIDE a multi-byte UTF-8 character
+  * RAISES (server errors 50714/50715) instead of silently emitting
+  * replacement characters, which is what a binary-slice-then-cast
+  * formulation does. Eval-based: byte inspection, off the hot path. */
+case class SubstrBytes(str: Expression, start: Expression, len: Expression)
+  extends TernaryExpression with CodegenFallback {
+  override def first: Expression = str
+  override def second: Expression = start
+  override def third: Expression = len
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(s: Any, st: Any, ln: Any): Any = {
+    val bytes = s.asInstanceOf[UTF8String].getBytes
+    val startI = st.asInstanceOf[Number].intValue()
+    val lenI = ln.asInstanceOf[Number].intValue()
+    if (startI < 0) throw new IllegalArgumentException(
+      "$substrBytes: the starting index must be a nonnegative integer")
+    if (lenI < 0) throw new IllegalArgumentException(
+      "$substrBytes: the length must be a nonnegative integer")
+    if (startI >= bytes.length) return UTF8String.EMPTY_UTF8
+    val endI = math.min(startI.toLong + lenI, bytes.length.toLong).toInt
+    def continuation(i: Int): Boolean = (bytes(i) & 0xC0) == 0x80
+    if (continuation(startI)) throw new IllegalArgumentException(
+      "$substrBytes: Invalid range, starting index is a UTF-8 continuation byte")
+    if (endI < bytes.length && continuation(endI)) throw new IllegalArgumentException(
+      "$substrBytes: Invalid range, ending index is in the middle of a UTF-8 character")
+    UTF8String.fromBytes(java.util.Arrays.copyOfRange(bytes, startI, endI))
+  }
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+                                                 t: Expression): SubstrBytes =
+    copy(f, s, t)
+}
+
+/** `$indexOfBytes` with the optional byte-unit search window: returns
+  * the byte offset (in the ORIGINAL string) of the first occurrence
+  * whose bytes lie fully inside [start, end); −1 when absent or when
+  * start exceeds the byte length; negative bounds raise. Byte-level
+  * search has no mid-character hazard — a match is a whole-bytes
+  * equality. Null string → null; null substring raises (server
+  * contract: the substring must be a string). */
+case class IndexOfBytes(str: Expression, sub: Expression,
+                        start: Expression, end: Expression)
+  extends Expression with CodegenFallback {
+  override def children: Seq[Expression] = Seq(str, sub, start, end)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val sv = str.eval(input)
+    if (sv == null) return null
+    val subv = sub.eval(input)
+    if (subv == null) throw new IllegalArgumentException(
+      "$indexOfBytes: the substring must be a string, not null")
+    val stv = start.eval(input); val env = end.eval(input)
+    val bytes = sv.asInstanceOf[UTF8String].getBytes
+    val needle = subv.asInstanceOf[UTF8String].getBytes
+    val startI = if (stv == null) 0 else stv.asInstanceOf[Number].intValue()
+    val endRaw = if (env == null) bytes.length else env.asInstanceOf[Number].intValue()
+    if (startI < 0 || endRaw < 0) throw new IllegalArgumentException(
+      "$indexOfBytes: the starting/ending index must be a nonnegative integer")
+    if (startI > bytes.length) return -1L
+    val endI = math.min(endRaw, bytes.length)
+    if (needle.isEmpty) return if (startI <= endI) startI.toLong else -1L
+    var i = startI
+    val last = endI - needle.length
+    while (i <= last) {
+      var j = 0
+      while (j < needle.length && bytes(i + j) == needle(j)) j += 1
+      if (j == needle.length) return i.toLong
+      i += 1
+    }
+    -1L
+  }
+
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): IndexOfBytes =
+    copy(c(0), c(1), c(2), c(3))
 }

@@ -283,9 +283,10 @@ object ExprCompiler {
             "$substrCP: the length must be a nonnegative integer")))
           .otherwise(c(0).substr(c(1) + lit(1), c(2)))
       case "$substrBytes" | "$substr" => // byte-indexed ($substr is the deprecated byte alias)
-        c(0).cast(BinaryType)
-          .substr(c(1).cast(IntegerType) + lit(1), c(2).cast(IntegerType))
-          .cast(StringType)
+        // native expression: Mongo RAISES when a byte boundary splits a
+        // multi-byte UTF-8 character (the binary-slice-then-cast form
+        // silently emitted replacement characters instead)
+        graftFn("substr_bytes", c(0), c(1).cast(IntegerType), c(2).cast(IntegerType))
       case "$split" => v match {
         case JArray(List(_, JString(""))) => throw new MqlException(
           "$split requires a non-empty separator") // server error 40087
@@ -312,12 +313,33 @@ object ExprCompiler {
       case "$strcasecmp" =>
         when(lower(c(0)) < lower(c(1)), -1)
           .when(lower(c(0)) > lower(c(1)), 1).otherwise(0)
-      case "$indexOfCP" => // 0-based, -1 when absent (locate is 1-based)
-        locate_as_index(c(0), c(1))
-      case "$indexOfBytes" => // byte offset of the first occurrence
-        val pos = call_function("locate", c(1), c(0))
-        when(pos === 0, -1)
-          .otherwise(octet_length(c(0).substr(lit(1), pos - 1)))
+      // 0-based, -1 when absent (locate is 1-based); optional start/end
+      // restrict the search WINDOW in code points — the occurrence must
+      // lie fully inside it, and the returned index is in the ORIGINAL
+      // string (the $indexOfArray contract, string form)
+      case "$indexOfCP" => v match {
+        case JArray(s :: t :: rest) if rest.nonEmpty =>
+          val str = compile(s, env); val sub = compile(t, env)
+          val startC = compile(rest.head, env).cast(IntegerType)
+          val endC = rest.drop(1).headOption.map(compile(_, env).cast(IntegerType))
+            .getOrElse(length(str))
+          val win = str.substr(startC + 1, greatest(endC - startC, lit(0)))
+          val pos = call_function("locate", sub, win)
+          when(pos === 0, lit(-1)).otherwise(startC + pos - 1)
+        case _ => locate_as_index(c(0), c(1))
+      }
+      // byte offset of the first occurrence; optional start/end are
+      // BYTE indices (native expression — byte-level search, so a
+      // window has no mid-character hazard)
+      case "$indexOfBytes" => v match {
+        case JArray(s :: t :: rest) if rest.nonEmpty =>
+          val startC = compile(rest.head, env).cast(IntegerType)
+          val endC = rest.drop(1).headOption.map(compile(_, env).cast(IntegerType))
+            .getOrElse(lit(null).cast(IntegerType))
+          graftFn("index_of_bytes", compile(s, env), compile(t, env), startC, endC)
+        case _ => graftFn("index_of_bytes", c(0), c(1),
+          lit(0), lit(null).cast(IntegerType))
+      }
       case "$replaceOne" => v match { // first occurrence only
         case JObject(spec) =>
           val in = compile(field(spec, "input", op), env)
@@ -362,11 +384,29 @@ object ExprCompiler {
       case "$isoWeek" => weekofyear(c0)
       case "$isoWeekYear" => expr_extract("YEAROFWEEK", c0)
       case "$isoDayOfWeek" => weekday(c0) + lit(1)
+      // onError: the value when parsing FAILS (default: raise, which is
+      // also Spark's ANSI to_timestamp); onNull: the value when the
+      // input is null/missing (default null)
       case "$dateFromString" => v match {
         case JObject(spec) =>
           val ds = compile(field(spec, "dateString", op), env)
-          fieldOpt(spec, "format").map(f =>
-            to_timestamp(ds, dateFormat(strValue(f, op)))).getOrElse(to_timestamp(ds))
+          def parse(strict: Boolean) = (fieldOpt(spec, "format"), strict) match {
+            case (Some(f), true)  => to_timestamp(ds, dateFormat(strValue(f, op)))
+            case (Some(f), false) => try_to_timestamp(ds, lit(dateFormat(strValue(f, op))))
+            case (None, true)     => to_timestamp(ds)
+            case (None, false)    => try_to_timestamp(ds)
+          }
+          val withErr = fieldOpt(spec, "onError") match {
+            case Some(oe) =>
+              // try-parse; a failing row yields onError instead of raising
+              coalesce(parse(strict = false),
+                compile(oe, env).cast(TimestampType))
+            case None => parse(strict = true)
+          }
+          // a null INPUT is the onNull case (default null), never onError
+          val onNull = fieldOpt(spec, "onNull")
+            .map(compile(_, env).cast(TimestampType)).getOrElse(lit(null))
+          when(ds.isNull, onNull).otherwise(withErr)
         case other => throw new MqlException(s"bad $$dateFromString: $other")
       }
       case "$dateFromParts" => v match {
@@ -409,10 +449,53 @@ object ExprCompiler {
               date_format(d, "SSS").cast(IntegerType).as("millisecond"))
         case other => throw new MqlException(s"bad $$dateToParts: $other")
       }
+      // binSize bins anchor at Mongo's documented reference point
+      // 2000-01-01T00:00:00Z (a Saturday); for week units the anchor
+      // moves to the first `startOfWeek` ON OR AFTER it (for binSize 1
+      // any 7-day-congruent anchor yields the same grid, so only
+      // multi-week bins depend on that direction — pinned in the spec).
+      // startOfWeek defaults to SUNDAY (Mongo), not Spark date_trunc's
+      // Monday — so week truncation always takes the arithmetic path.
       case "$dateTrunc" => v match {
         case JObject(spec) =>
-          date_trunc(strValue(field(spec, "unit", op), op),
-                     compile(field(spec, "date", op), env))
+          val d = compile(field(spec, "date", op), env)
+          val unit = strValue(field(spec, "unit", op), op)
+          val binSize = fieldOpt(spec, "binSize").map(x => intValue(x, op)).getOrElse(1)
+          if (binSize < 1) throw new MqlException(
+            "$dateTrunc: binSize must be a positive integer")
+          val refMs = 946684800000L // 2000-01-01T00:00:00Z
+          val unitMs = Map("millisecond" -> 1L, "second" -> 1000L,
+            "minute" -> 60000L, "hour" -> 3600000L, "day" -> 86400000L,
+            "week" -> 604800000L)
+          val unitMonths = Map("month" -> 1, "quarter" -> 3, "year" -> 12)
+          unit match {
+            case _ if unitMs.contains(unit) =>
+              val ref =
+                if (unit != "week") refMs
+                else {
+                  val sow = fieldOpt(spec, "startOfWeek")
+                    .map(x => strValue(x, op).toLowerCase).getOrElse("sunday")
+                  val idx = Seq("saturday", "sunday", "monday", "tuesday",
+                    "wednesday", "thursday", "friday").indexOf(sow)
+                  if (idx < 0) throw new MqlException(
+                    s"$$dateTrunc: unknown startOfWeek '$sow'")
+                  refMs + idx * 86400000L // first such weekday ≥ 2000-01-01
+                }
+              val per = unitMs(unit) * binSize
+              val ms = unix_millis(d)
+              timestamp_millis(ms - pmod(ms - lit(ref), lit(per)))
+            case _ if unitMonths.contains(unit) =>
+              if (binSize == 1 && unit != "quarter") date_trunc(unit, d)
+              else {
+                val m = (year(d) - lit(2000)) * 12 + (month(d) - 1)
+                val per = unitMonths(unit) * binSize
+                val mb = m - pmod(m, lit(per))
+                make_timestamp(
+                  lit(2000) + floor(mb / lit(12.0)).cast(IntegerType),
+                  pmod(mb, lit(12)) + 1, lit(1), lit(0), lit(0), lit(0))
+              }
+            case other => throw new MqlException(s"$$dateTrunc unit $other unsupported")
+          }
         case other => throw new MqlException(s"bad $$dateTrunc: $other")
       }
       case "$dateAdd" | "$dateSubtract" => v match {
@@ -432,12 +515,27 @@ object ExprCompiler {
             case "year"  => (year(e0) - year(s0)).cast(LongType)
             case "month" => ((year(e0) - year(s0)) * 12 + (month(e0) - month(s0))).cast(LongType)
             // day/hour/…: boundary crossings == floored ms delta after
-            // truncating both ends to the unit (Mongo semantics)
+            // truncating both ends to the unit (Mongo semantics). Week
+            // boundaries follow startOfWeek — default SUNDAY (Mongo),
+            // not Spark date_trunc's Monday — via the same
+            // 2000-01-01-anchored arithmetic as $dateTrunc.
             case u @ ("day" | "hour" | "minute" | "second" | "week") =>
               val msPer = Map("day" -> 86400000L, "hour" -> 3600000L,
                 "minute" -> 60000L, "second" -> 1000L, "week" -> 604800000L)(u)
-              val tu = if (u == "week") "week" else u
-              floor((unix_millis(date_trunc(tu, e0)) - unix_millis(date_trunc(tu, s0))) /
+              def truncU(d: Column): Column =
+                if (u != "week") date_trunc(u, d)
+                else {
+                  val sow = fieldOpt(spec, "startOfWeek")
+                    .map(x => strValue(x, op).toLowerCase).getOrElse("sunday")
+                  val idx = Seq("saturday", "sunday", "monday", "tuesday",
+                    "wednesday", "thursday", "friday").indexOf(sow)
+                  if (idx < 0) throw new MqlException(
+                    s"$$dateDiff: unknown startOfWeek '$sow'")
+                  val ref = 946684800000L + idx * 86400000L
+                  val ms = unix_millis(d)
+                  timestamp_millis(ms - pmod(ms - lit(ref), lit(604800000L)))
+                }
+              floor((unix_millis(truncU(e0)) - unix_millis(truncU(s0))) /
                 lit(msPer.toDouble)).cast(LongType)
             case other => throw new MqlException(s"$$dateDiff unit $other unsupported")
           }

@@ -696,6 +696,31 @@ object Headline {
                      CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
               FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""")),
 
+    // $dateTrunc binSize/startOfWeek: 14-day bins anchored on the first
+    // SUNDAY on/after Mongo's 2000-01-01 reference, plus 5-month bins —
+    // DuckDB's time_bucket(width, ts, origin) independently replays the
+    // identical anchoring (so the bin arithmetic is cross-checked by an
+    // engine that implements it natively, not by our own model)
+    QueryDef("q_date_bins",
+      (s, dir) => Graft.aggregate(s, dir, "events", """[
+        {"$group": {"_id": {
+            "w2": {"$dateTrunc": {"date": "$ts", "unit": "week",
+                                  "binSize": 2, "startOfWeek": "sunday"}},
+            "m5": {"$dateTrunc": {"date": "$ts", "unit": "month", "binSize": 5}}},
+           "n": {"$count": {}},
+           "sv": {"$sum": {"$toDecimal": "$value"}}}},
+        {"$project": {"_id": 0, "w2": "$_id.w2", "m5": "$_id.m5",
+           "n": 1, "sum_value": {"$round": [{"$toDouble": "$sv"}, 4]}}},
+        {"$sort": {"w2": 1, "m5": 1}}]"""),
+      Some("""SELECT time_bucket(INTERVAL '14 days', CAST(ts AS TIMESTAMP),
+                       TIMESTAMP '2000-01-02 00:00:00') AS w2,
+                     time_bucket(INTERVAL '5 months', CAST(ts AS TIMESTAMP),
+                       TIMESTAMP '2000-01-01 00:00:00') AS m5,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     round(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 4)
+                       AS sum_value
+              FROM events GROUP BY 1, 2 ORDER BY w2, m5""")),
+
     // the MQL pipeline surface ON A STREAM: same pipeline string as
     // batch, compiled onto readStream, complete-mode materialized
     // aggregate — hash-matched against the DuckDB batch twin

@@ -129,6 +129,62 @@ class ExprCompilerSpec extends AnyFunSuite {
     assert(eval("""{"$regexMatch": {"input": "Spark", "regex": "^sp", "options": "i"}}""") == true)
   }
 
+  test("$dateTrunc: startOfWeek (Sunday default, unlike Spark) + binSize bins") {
+    import java.time._
+    def trunc(dateIso: String, opts: String): Instant =
+      eval(s"""{"$$dateTrunc": {"date": {"$$date": "$dateIso"}, $opts}}""")
+        .asInstanceOf[java.sql.Timestamp].toInstant
+    def ist(s: String): Instant = Instant.parse(s)
+
+    // 2024-03-05 is a Tuesday: Mongo's default week start is SUNDAY
+    // (2024-03-03), not Spark date_trunc's Monday
+    assert(trunc("2024-03-05T06:07:08Z", """"unit": "week"""")
+      == ist("2024-03-03T00:00:00Z"))
+    assert(trunc("2024-03-05T06:07:08Z",
+      """"unit": "week", "startOfWeek": "monday"""")
+      == ist("2024-03-04T00:00:00Z"))
+    // a date ON the week start truncates to itself
+    assert(trunc("2024-03-03T00:00:00Z", """"unit": "week"""")
+      == ist("2024-03-03T00:00:00Z"))
+
+    // binSize day-bins anchor at 2000-01-01T00:00Z: 7-day bins starting
+    // Saturdays (2000-01-01 was a Saturday) — independently recomputed
+    val d0 = LocalDate.of(2000, 1, 1)
+    val x = LocalDate.of(2024, 3, 5)
+    val daysSince = java.time.temporal.ChronoUnit.DAYS.between(d0, x)
+    val binStart = d0.plusDays((daysSince / 7) * 7)
+    assert(trunc("2024-03-05T06:07:08Z", """"unit": "day", "binSize": 7""")
+      == binStart.atStartOfDay(ZoneOffset.UTC).toInstant)
+
+    // 2-week Monday bins: anchor = first Monday on/after 2000-01-01
+    // (2000-01-03); weeks floor-divide by 2
+    val anchor = LocalDate.of(2000, 1, 3)
+    val wks = java.time.temporal.ChronoUnit.WEEKS.between(anchor,
+      LocalDate.of(2024, 3, 4)) // the Monday of x's week
+    val w2 = anchor.plusWeeks((wks / 2) * 2)
+    assert(trunc("2024-03-05T06:07:08Z",
+      """"unit": "week", "binSize": 2, "startOfWeek": "monday"""")
+      == w2.atStartOfDay(ZoneOffset.UTC).toInstant)
+
+    // 5-month bins since 2000-01: month index 290 (2024-03) → 290 - 290%5
+    // = 290 → 2024-03-01; one month later still the same bin start
+    assert(trunc("2024-03-05T06:07:08Z", """"unit": "month", "binSize": 5""")
+      == ist("2024-03-01T00:00:00Z"))
+    assert(trunc("2024-04-20T00:00:00Z", """"unit": "month", "binSize": 5""")
+      == ist("2024-03-01T00:00:00Z"))
+    // quarter + pre-2000 (negative month index floor-division)
+    assert(trunc("2024-05-05T06:07:08Z", """"unit": "quarter"""")
+      == ist("2024-04-01T00:00:00Z"))
+    assert(trunc("1999-02-10T12:00:00Z", """"unit": "quarter"""")
+      == ist("1999-01-01T00:00:00Z"))
+    // month indices since 2000-01: 1999-02 = −11, bin starts at −15
+    // (5-month bins anchored at 0): 1998-10 .. 1999-02
+    assert(trunc("1999-02-10T12:00:00Z", """"unit": "month", "binSize": 5""")
+      == ist("1998-10-01T00:00:00Z"))
+    assertThrows[MqlException](trunc("2024-03-05T06:07:08Z",
+      """"unit": "day", "binSize": 0"""))
+  }
+
   test("dates") {
     val d = """{"$date": "2024-03-05T06:07:08Z"}"""
     assert(eval(s"""{"$$year": $d}""") == 2024)

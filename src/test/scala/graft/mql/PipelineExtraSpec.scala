@@ -65,6 +65,46 @@ class PipelineExtraSpec extends AnyFunSuite {
       "endDate": {"$$date": "2024-03-01T00:00:00Z"}, "unit": "month"}}""") == 2L)
     assert(eval(s"""{"$$dateDiff": {"startDate": {"$$date": "2024-01-01T10:59:00Z"},
       "endDate": {"$$date": "2024-01-01T12:01:00Z"}, "unit": "hour"}}""") == 2L)
+    // week boundaries follow startOfWeek, DEFAULT SUNDAY (not Spark's
+    // Monday): Sat 2024-03-02 → Sun 2024-03-03 crosses one Sunday
+    // boundary, but zero Monday boundaries
+    assert(eval(s"""{"$$dateDiff": {"startDate": {"$$date": "2024-03-02T00:00:00Z"},
+      "endDate": {"$$date": "2024-03-03T00:00:00Z"}, "unit": "week"}}""") == 1L)
+    assert(eval(s"""{"$$dateDiff": {"startDate": {"$$date": "2024-03-02T00:00:00Z"},
+      "endDate": {"$$date": "2024-03-03T00:00:00Z"}, "unit": "week",
+      "startOfWeek": "monday"}}""") == 0L)
+    // Sun → Mon under monday crosses one boundary
+    assert(eval(s"""{"$$dateDiff": {"startDate": {"$$date": "2024-03-03T00:00:00Z"},
+      "endDate": {"$$date": "2024-03-04T00:00:00Z"}, "unit": "week",
+      "startOfWeek": "monday"}}""") == 1L)
+  }
+
+  test("$dateFromString onError/onNull") {
+    val one = Seq(1).toDF("x")
+    def eval(e: String) =
+      one.select(ExprCompiler.compile(Mql.parse(e)).as("r")).head.get(0)
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    assert(eval("""{"$dateFromString": {"dateString": "2024-03-05T06:07:08Z"}}""")
+      == ts("2024-03-05T06:07:08Z"))
+    // parse failure: default raises (ANSI), onError substitutes
+    assertThrows[Exception](eval(
+      """{"$dateFromString": {"dateString": "not a date"}}"""))
+    assert(eval("""{"$dateFromString": {"dateString": "not a date",
+      "onError": {"$date": "1970-01-02T00:00:00Z"}}}""")
+      == ts("1970-01-02T00:00:00Z"))
+    // null input is the onNull case — NEVER onError
+    assert(eval("""{"$dateFromString": {"dateString": null,
+      "onError": {"$date": "1970-01-02T00:00:00Z"}}}""") == null)
+    assert(eval("""{"$dateFromString": {"dateString": null,
+      "onNull": {"$date": "1999-12-31T00:00:00Z"},
+      "onError": {"$date": "1970-01-02T00:00:00Z"}}}""")
+      == ts("1999-12-31T00:00:00Z"))
+    // format + onError together take the try-parse path
+    assert(eval("""{"$dateFromString": {"dateString": "05-03-2024",
+      "format": "%d-%m-%Y"}}""") == ts("2024-03-05T00:00:00Z"))
+    assert(eval("""{"$dateFromString": {"dateString": "XX-03-2024",
+      "format": "%d-%m-%Y", "onError": {"$date": "1970-01-02T00:00:00Z"}}}""")
+      == ts("1970-01-02T00:00:00Z"))
   }
 
   test("$sort before $group makes $first/$last deterministic (min_by/max_by)") {
