@@ -85,6 +85,18 @@ object ExprCompiler {
     "`" + name.replace("`", "``") + "`"
 
   /** MQL $indexOfCP: 0-based first occurrence, -1 when absent. */
+  /** Optional "timezone" option of an object-form date operator; shifts
+    * to that zone's wall clock (in) / back to the instant (out) under
+    * the session-UTC convention (SURVEY §1.4 — every entry point pins
+    * spark.sql.session.timeZone=UTC). from_utc_timestamp applies the
+    * zone offset AT the instant, so DST is honored. */
+  private def specTz(spec: List[(String, JValue)], op: String): Option[String] =
+    spec.collectFirst { case ("timezone", tz) => strValue(tz, op) }
+  private def tzIn(d: Column, tz: Option[String]): Column =
+    tz.map(z => from_utc_timestamp(d, z)).getOrElse(d)
+  private def tzOut(d: Column, tz: Option[String]): Column =
+    tz.map(z => to_utc_timestamp(d, z)).getOrElse(d)
+
   private def locate_as_index(haystack: Column, needle: Column): Column = {
     val pos = call_function("locate", needle, haystack)
     when(pos === 0, -1).otherwise(pos - 1)
@@ -139,6 +151,20 @@ object ExprCompiler {
   private def compileOp(op: String, v: JValue, env: Map[String, Column]): Column = {
     def c  = argList(v, env)
     def c0 = c.head
+    // Date-part operand: bare expression, [expr], or the documented
+    // {date, timezone} object form — the timezone renders the instant
+    // as that zone's wall clock (from_utc_timestamp applies the zone's
+    // offset AT the instant, so DST is honored). Relies on the engine's
+    // session-UTC convention (every entry point pins
+    // spark.sql.session.timeZone=UTC; SURVEY §1.4).
+    def dOp: Column = v match {
+      case JObject(spec) if spec.exists(_._1 == "date") =>
+        val d = compile(field(spec, "date", op), env)
+        spec.collectFirst { case ("timezone", tz) => strValue(tz, op) }
+          .map(tz => from_utc_timestamp(d, tz)).getOrElse(d)
+      case JArray(List(x)) => compile(x, env)
+      case other => compile(other, env)
+    }
     op match {
       // ---- metadata ----
       // $vectorSearch appends its score as a real column (Spark has no
@@ -371,19 +397,19 @@ object ExprCompiler {
       }
 
       // ---- dates ----
-      case "$year" => year(c0);           case "$month" => month(c0)
-      case "$dayOfMonth" => dayofmonth(c0); case "$hour" => hour(c0)
-      case "$minute" => minute(c0);       case "$second" => second(c0)
-      case "$millisecond" => date_format(c0, "SSS").cast(IntegerType)
-      case "$dayOfWeek" => dayofweek(c0)
-      case "$dayOfYear" => dayofyear(c0)
+      case "$year" => year(dOp);           case "$month" => month(dOp)
+      case "$dayOfMonth" => dayofmonth(dOp); case "$hour" => hour(dOp)
+      case "$minute" => minute(dOp);       case "$second" => second(dOp)
+      case "$millisecond" => date_format(dOp, "SSS").cast(IntegerType)
+      case "$dayOfWeek" => dayofweek(dOp)
+      case "$dayOfYear" => dayofyear(dOp)
       // MQL $week: zero-based Sunday-start weeks (week 0 before the
       // first Sunday); Spark's weekofyear is ISO — derive directly
       case "$week" =>
-        floor((dayofyear(c0) + lit(7) - dayofweek(c0)) / lit(7)).cast(IntegerType)
-      case "$isoWeek" => weekofyear(c0)
-      case "$isoWeekYear" => expr_extract("YEAROFWEEK", c0)
-      case "$isoDayOfWeek" => weekday(c0) + lit(1)
+        floor((dayofyear(dOp) + lit(7) - dayofweek(dOp)) / lit(7)).cast(IntegerType)
+      case "$isoWeek" => weekofyear(dOp)
+      case "$isoWeekYear" => expr_extract("YEAROFWEEK", dOp)
+      case "$isoDayOfWeek" => weekday(dOp) + lit(1)
       // onError: the value when parsing FAILS (default: raise, which is
       // also Spark's ANSI to_timestamp); onNull: the value when the
       // input is null/missing (default null)
@@ -406,16 +432,17 @@ object ExprCompiler {
           // a null INPUT is the onNull case (default null), never onError
           val onNull = fieldOpt(spec, "onNull")
             .map(compile(_, env).cast(TimestampType)).getOrElse(lit(null))
-          when(ds.isNull, onNull).otherwise(withErr)
+          when(ds.isNull, onNull).otherwise(tzOut(withErr, specTz(spec, op)))
         case other => throw new MqlException(s"bad $$dateFromString: $other")
       }
       case "$dateFromParts" => v match {
         case JObject(spec) =>
           def part(k: String, dflt: Int) =
             fieldOpt(spec, k).map(compile(_, env)).getOrElse(lit(dflt))
-          make_timestamp(
+          tzOut(make_timestamp(
             compile(field(spec, "year", op), env), part("month", 1), part("day", 1),
-            part("hour", 0), part("minute", 0), part("second", 0))
+            part("hour", 0), part("minute", 0), part("second", 0)),
+            specTz(spec, op))
         case other => throw new MqlException(s"bad $$dateFromParts: $other")
       }
       case "$dateToString" => v match {
@@ -423,14 +450,18 @@ object ExprCompiler {
           val d = compile(field(spec, "date", op), env)
           val f = fieldOpt(spec, "format").map(x => strValue(x, op))
             .getOrElse("%Y-%m-%dT%H:%M:%S.%LZ")
-          date_format(d, dateFormat(f))
+          val rendered = date_format(tzIn(d, specTz(spec, op)), dateFormat(f))
+          fieldOpt(spec, "onNull") match {
+            case Some(on) => when(d.isNull, compile(on, env)).otherwise(rendered)
+            case None => rendered
+          }
         case other => throw new MqlException(s"bad $$dateToString: $other")
       }
       // Document of calendar parts; iso8601:true swaps in the ISO triple
       // (isoWeekYear/isoWeek/isoDayOfWeek), mirroring MQL's two shapes.
       case "$dateToParts" => v match {
         case JObject(spec) =>
-          val d = compile(field(spec, "date", op), env)
+          val d = tzIn(compile(field(spec, "date", op), env), specTz(spec, op))
           val iso = fieldOpt(spec, "iso8601").exists {
             case JBool(b) => b
             case other    => throw new MqlException(s"bad iso8601: $other")
@@ -458,7 +489,8 @@ object ExprCompiler {
       // Monday — so week truncation always takes the arithmetic path.
       case "$dateTrunc" => v match {
         case JObject(spec) =>
-          val d = compile(field(spec, "date", op), env)
+          val tz = specTz(spec, op)
+          val d = tzIn(compile(field(spec, "date", op), env), tz)
           val unit = strValue(field(spec, "unit", op), op)
           val binSize = fieldOpt(spec, "binSize").map(x => intValue(x, op)).getOrElse(1)
           if (binSize < 1) throw new MqlException(
@@ -483,16 +515,16 @@ object ExprCompiler {
                 }
               val per = unitMs(unit) * binSize
               val ms = unix_millis(d)
-              timestamp_millis(ms - pmod(ms - lit(ref), lit(per)))
+              tzOut(timestamp_millis(ms - pmod(ms - lit(ref), lit(per))), tz)
             case _ if unitMonths.contains(unit) =>
-              if (binSize == 1 && unit != "quarter") date_trunc(unit, d)
+              if (binSize == 1 && unit != "quarter") tzOut(date_trunc(unit, d), tz)
               else {
                 val m = (year(d) - lit(2000)) * 12 + (month(d) - 1)
                 val per = unitMonths(unit) * binSize
                 val mb = m - pmod(m, lit(per))
-                make_timestamp(
+                tzOut(make_timestamp(
                   lit(2000) + floor(mb / lit(12.0)).cast(IntegerType),
-                  pmod(mb, lit(12)) + 1, lit(1), lit(0), lit(0), lit(0))
+                  pmod(mb, lit(12)) + 1, lit(1), lit(0), lit(0), lit(0)), tz)
               }
             case other => throw new MqlException(s"$$dateTrunc unit $other unsupported")
           }
@@ -500,17 +532,21 @@ object ExprCompiler {
       }
       case "$dateAdd" | "$dateSubtract" => v match {
         case JObject(spec) =>
-          val d = compile(field(spec, "startDate", op), env)
+          val tz = specTz(spec, op)
+          val d = tzIn(compile(field(spec, "startDate", op), env), tz)
           val unit = strValue(field(spec, "unit", op), op)
           val amount = intValue(field(spec, "amount", op), op) *
             (if (op == "$dateSubtract") -1 else 1)
-          d + expr(s"INTERVAL $amount $unit")
+          // calendar arithmetic happens in the zone's wall clock (a
+          // day added across a DST change is a calendar day, not 24 h)
+          tzOut(d + expr(s"INTERVAL $amount $unit"), tz)
         case other => throw new MqlException(s"bad $op: $other")
       }
       case "$dateDiff" => v match {
         case JObject(spec) =>
-          val s0 = compile(field(spec, "startDate", op), env)
-          val e0 = compile(field(spec, "endDate", op), env)
+          val tzd = specTz(spec, op)
+          val s0 = tzIn(compile(field(spec, "startDate", op), env), tzd)
+          val e0 = tzIn(compile(field(spec, "endDate", op), env), tzd)
           strValue(field(spec, "unit", op), op) match {
             case "year"  => (year(e0) - year(s0)).cast(LongType)
             case "month" => ((year(e0) - year(s0)) * 12 + (month(e0) - month(s0))).cast(LongType)

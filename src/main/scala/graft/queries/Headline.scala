@@ -721,6 +721,32 @@ object Headline {
                        AS sum_value
               FROM events GROUP BY 1, 2 ORDER BY w2, m5""")),
 
+    // timezone option end-to-end: events grouped by their
+    // America/New_York calendar day (DST-correct wall clock), hours
+    // extracted in the zone — DuckDB's ICU timezone() replays the
+    // conversion as the independent twin (composed session-tz-free:
+    // timezone('UTC', ts) pins the instant interpretation)
+    QueryDef("q_date_tz",
+      (s, dir) => Graft.aggregate(s, dir, "events", """[
+        {"$group": {"_id": {"$dateToString": {"date": "$ts",
+             "format": "%Y-%m-%d", "timezone": "America/New_York"}},
+           "n": {"$count": {}},
+           "hmin": {"$min": {"$hour": {"date": "$ts",
+             "timezone": "America/New_York"}}},
+           "hmax": {"$max": {"$hour": {"date": "$ts",
+             "timezone": "America/New_York"}}}}},
+        {"$project": {"_id": 0, "ny_day": "$_id", "n": 1,
+           "hmin": 1, "hmax": 1}},
+        {"$sort": {"ny_day": 1}}]"""),
+      Some("""WITH w AS (SELECT timezone('America/New_York',
+                           timezone('UTC', CAST(ts AS TIMESTAMP))) AS nyt
+                         FROM events)
+              SELECT strftime(nyt, '%Y-%m-%d') AS ny_day,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(MIN(extract(hour FROM nyt)) AS INT) AS hmin,
+                     CAST(MAX(extract(hour FROM nyt)) AS INT) AS hmax
+              FROM w GROUP BY 1 ORDER BY ny_day""")),
+
     // the MQL pipeline surface ON A STREAM: same pipeline string as
     // batch, compiled onto readStream, complete-mode materialized
     // aggregate — hash-matched against the DuckDB batch twin

@@ -185,6 +185,42 @@ class ExprCompilerSpec extends AnyFunSuite {
       """"unit": "day", "binSize": 0"""))
   }
 
+  test("timezone option across the date surface (DST honored)") {
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    // 2024-03-05T03:00Z in America/New_York is 22:00 the previous day
+    // (EST, UTC−5) — extraction follows the zone's wall clock
+    val d = """{"$date": "2024-03-05T03:00:00Z"}"""
+    val nyd = s"""{"date": $d, "timezone": "America/New_York"}"""
+    assert(eval(s"""{"$$hour": $nyd}""") == 22)
+    assert(eval(s"""{"$$dayOfMonth": $nyd}""") == 4)
+    // after the spring-forward the offset is −4 (EDT): DST, not a
+    // fixed offset
+    assert(eval("""{"$hour": {"date": {"$date": "2024-07-01T03:00:00Z"},
+      "timezone": "America/New_York"}}""") == 23)
+    // truncation to the ZONE's midnight, result still a UTC instant
+    assert(eval(s"""{"$$dateTrunc": {"date": $d, "unit": "day",
+      "timezone": "America/New_York"}}""") == ts("2024-03-04T05:00:00Z"))
+    // parts assemble in the zone's wall clock
+    assert(eval("""{"$dateFromParts": {"year": 2024, "month": 3, "day": 4,
+      "timezone": "America/New_York"}}""") == ts("2024-03-04T05:00:00Z"))
+    // a calendar day added across spring-forward is 23 real hours
+    assert(eval("""{"$dateAdd": {"startDate": {"$date": "2024-03-09T17:00:00Z"},
+      "unit": "day", "amount": 1, "timezone": "America/New_York"}}""")
+      == ts("2024-03-10T16:00:00Z"))
+    // rendering in the zone
+    assert(eval(s"""{"$$dateToString": {"date": $d,
+      "format": "%Y-%m-%d %H:%M", "timezone": "America/New_York"}}""")
+      == "2024-03-04 22:00")
+    // $dateToString onNull
+    assert(eval("""{"$dateToString": {"date": null, "onNull": "none"}}""")
+      == "none")
+    // $dateDiff day boundaries counted in the zone: both instants are
+    // 03-04 in NY (one day in UTC terms, zero NY midnights crossed)
+    assert(eval("""{"$dateDiff": {"startDate": {"$date": "2024-03-04T06:00:00Z"},
+      "endDate": {"$date": "2024-03-05T03:00:00Z"}, "unit": "day",
+      "timezone": "America/New_York"}}""") == 0L)
+  }
+
   test("dates") {
     val d = """{"$date": "2024-03-05T06:07:08Z"}"""
     assert(eval(s"""{"$$year": $d}""") == 2024)
