@@ -1433,6 +1433,7 @@ object GraftFunctions {
     "graft_bson_type" -> ((e: Seq[Expression]) => BsonTypeOf(e.head)),
     "graft_is_number" -> ((e: Seq[Expression]) => BsonIsNumber(e.head)),
     "graft_truthy" -> ((e: Seq[Expression]) => BsonTruthy(e.head)),
+    "unicode_normalize" -> ((e: Seq[Expression]) => UnicodeNormalize(e(0), e(1))),
   )
 
   /** Exponential moving average as a native running-frame window
@@ -1566,4 +1567,60 @@ case class IndexOfBytes(str: Expression, sub: Expression,
   override protected def withNewChildrenInternal(
       c: IndexedSeq[Expression]): IndexOfBytes =
     copy(c(0), c(1), c(2), c(3))
+}
+
+/** Unicode normalization (NFC/NFD/NFKC/NFKD) as a native codegen
+  * expression — the first step of corpus text curation (CCNet §3.1
+  * normalizes before hashing; C4 dedups on normalized text). A scan-
+  * stage map with an already-normalized fast path: `isNormalized` is a
+  * single forward pass with no allocation, and real-world corpora are
+  * overwhelmingly NFC already, so the common row costs one scan of the
+  * string and returns the INPUT UTF8String unchanged (no copy). The
+  * form argument must be a foldable string literal — it is baked into
+  * the generated code as the enum constant. */
+case class UnicodeNormalize(str: Expression, formExpr: Expression)
+  extends BinaryExpression {
+  override def left: Expression = str
+  override def right: Expression = formExpr
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = str.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (str.dataType != StringType)
+      TypeCheckFailure(s"unicode_normalize requires a string input, got ${str.dataType.simpleString}")
+    else if (formExpr.dataType != StringType || !formExpr.foldable)
+      TypeCheckFailure("unicode_normalize form must be a string literal")
+    else formExpr.eval() match {
+      case u: UTF8String if
+        scala.util.Try(java.text.Normalizer.Form.valueOf(u.toString.toUpperCase)).isSuccess =>
+        TypeCheckSuccess
+      case other => TypeCheckFailure(
+        s"unicode_normalize form must be one of NFC|NFD|NFKC|NFKD, got $other")
+    }
+  }
+
+  private lazy val form: java.text.Normalizer.Form =
+    java.text.Normalizer.Form.valueOf(
+      formExpr.eval().asInstanceOf[UTF8String].toString.toUpperCase)
+
+  override def nullSafeEval(v: Any, f: Any): Any = {
+    val u = v.asInstanceOf[UTF8String]
+    val s = u.toString
+    if (java.text.Normalizer.isNormalized(s, form)) u
+    else UTF8String.fromString(java.text.Normalizer.normalize(s, form))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, _) => {
+      val js = ctx.freshName("js")
+      val fc = s"java.text.Normalizer.Form.${form.name()}"
+      s"""String $js = $s.toString();
+         |${ev.value} = java.text.Normalizer.isNormalized($js, $fc) ? $s :
+         |  org.apache.spark.unsafe.types.UTF8String.fromString(
+         |    java.text.Normalizer.normalize($js, $fc));""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): UnicodeNormalize =
+    copy(l, r)
 }

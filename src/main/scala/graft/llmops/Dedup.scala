@@ -520,4 +520,66 @@ object Dedup {
       .groupBy(col("src_a"), col("src_b"))
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  // ---- line-level (segment) dedup — CCNet §3.1 / boilerplate removal ----
+
+  /** (doc, position, segment) exploded view; `sep` is a LITERAL
+    * separator (quoted before Spark's regex split). */
+  private def segments(df: DataFrame, idCol: String, textCol: String,
+                       sep: String): DataFrame =
+    df.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("__i", "line")))
+
+  /** Corpus-wide document frequency per line/segment: (line, n_docs).
+    * A line repeated within one doc counts that doc once. One shuffle
+    * on the line (map-side partial distinct via the two-level agg). */
+  def lineDocFreq(df: DataFrame, idCol: String, textCol: String,
+                  sep: String = "\n"): DataFrame =
+    segments(df, idCol, textCol, sep)
+      .select(col(idCol), col("line")).distinct()
+      .groupBy("line").agg(count(lit(1)).as("n_docs"))
+
+  /** Boilerplate report: lines/segments present in ≥ `minDocFrac` of
+    * all documents — the headers, footers, cookie banners and nav
+    * strings that repeat across a crawl. The total-count side is a
+    * 1-row broadcast. */
+  def boilerplateLines(df: DataFrame, idCol: String, textCol: String,
+                       sep: String = "\n",
+                       minDocFrac: Double = 0.5): DataFrame = {
+    val total = df.select(count(lit(1)).as("__total"))
+    lineDocFreq(df, idCol, textCol, sep).crossJoin(broadcast(total))
+      .where(col("n_docs") >= col("__total") * minDocFrac)
+      .drop("__total")
+  }
+
+  /** CCNet-style line-level dedup: rewrite each document keeping only
+    * the lines whose corpus-wide DOCUMENT frequency is ≤ `maxDocFrac`
+    * of all documents, preserving original line order. Documents whose
+    * every line is boilerplate drop out entirely (nothing left to
+    * train on).
+    *
+    * Scale shape: explode → one hash agg for the frequencies → one
+    * equi-join back on the line → one per-doc re-aggregation. The
+    * per-doc collect_list is bounded by single-document size; the
+    * frequency side never collects to the driver (frequent-line sets
+    * on a real crawl are NOT small — headers alone are millions of
+    * distinct strings — so a broadcast formulation would be wrong at
+    * 100 TB; the join stays a shuffle equi-join and AQE may still
+    * choose broadcast when the surviving-frequency side is tiny). */
+  def dropFrequentLines(df: DataFrame, idCol: String, textCol: String,
+                        sep: String = "\n",
+                        maxDocFrac: Double = 0.5): DataFrame = {
+    val total = df.select(count(lit(1)).as("__total"))
+    val keepable = lineDocFreq(df, idCol, textCol, sep)
+      .crossJoin(broadcast(total))
+      .where(col("n_docs") <= col("__total") * maxDocFrac)
+      .select("line")
+    segments(df, idCol, textCol, sep)
+      .join(keepable, "line")
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__i"), col("line")))),
+          x => x.getField("line")), sep).as(textCol))
+  }
 }

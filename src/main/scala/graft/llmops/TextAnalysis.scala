@@ -28,6 +28,28 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** Unicode normalization (default NFC) — native codegen expression
+    * ([[graft.functions.UnicodeNormalize]]) with a zero-copy fast path
+    * for already-normalized rows (the overwhelming case in real
+    * corpora). Form ∈ NFC|NFD|NFKC|NFKD. Map-only scan-stage work. */
+  def normalizeUnicode(text: Column, form: String = "NFC"): Column = {
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("unicode_normalize", text, lit(form))
+  }
+
+  /** Canonical curation cleanup (CCNet-style pre-hash normalization):
+    * Unicode-normalize (NFC by default), collapse all whitespace runs
+    * to single spaces, strip remaining control/format characters
+    * (zero-widths, BOMs, C0/C1 controls — the `[Cc][Cf]` categories),
+    * trim. Whitespace first so \n/\t (which are Cc) collapse into
+    * spaces rather than vanish and glue words together. Pure Column
+    * pipeline → whole-stage codegen, map-only at any scale. */
+  def cleanText(text: Column, form: String = "NFC"): Column =
+    trim(regexp_replace(
+      regexp_replace(normalizeUnicode(text, form), "\\s+", " "),
+      "[\\p{Cc}\\p{Cf}]", ""))
+
   /** GPT-2-shaped pre-tokenization splitter: contractions, letter runs,
     * digit runs, punctuation runs (each absorbing one leading space),
     * residual whitespace runs. Deliberately RE2-safe (no lookahead, so

@@ -180,6 +180,53 @@ object LlmOps {
             FROM documents ORDER BY doc_id"""
       }),
 
+    // Unicode/whitespace canonicalization (CCNet-style pre-hash cleanup).
+    // The fixture is ASCII-NFC, so `changed` is false throughout — the
+    // Unicode branches (composition, NFKC folding, zero-width strip) are
+    // pinned by UnicodeNormalizeSpec; this row pins the cleanup pipeline
+    // + oracle agreement (DuckDB's independent nfc_normalize + RE2).
+    QueryDef("q_text_normalize",
+      (s, dir) => Graft.table(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.cleanText(col("text")).as("clean"),
+          (TextAnalysis.cleanText(col("text")) =!= col("text")).as("changed"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, clean, (clean <> text) AS changed FROM (
+                SELECT doc_id, text,
+                  trim(regexp_replace(regexp_replace(nfc_normalize(text),
+                    '\s+', ' ', 'g'), '[\p{Cc}\p{Cf}]', '', 'g')) AS clean
+                FROM documents) ORDER BY doc_id""")),
+
+    // CCNet line-level dedup on the fixture's only segmentation (space-
+    // separated segments; real corpora use sep="\n"): drop segments in
+    // >78% of docs, rebuild docs in original order. The 0.78 threshold
+    // deliberately lands INSIDE the fixture's common-word band so both
+    // branches (kept / dropped) are exercised at every SF.
+    QueryDef("q_line_dedup",
+      (s, dir) => Dedup.dropFrequentLines(Graft.table(s, dir, "documents"),
+        "doc_id", "text", sep = " ", maxDocFrac = 0.78).orderBy("doc_id"),
+      Some("""WITH expl AS (SELECT doc_id, i, arr[i] AS line FROM
+                (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+                LATERAL (SELECT unnest(generate_series(1, len(arr))) AS i) g),
+              freq AS (SELECT line, COUNT(DISTINCT doc_id) AS n_docs
+                       FROM expl GROUP BY 1),
+              tot AS (SELECT COUNT(*) AS n FROM documents)
+              SELECT e.doc_id, string_agg(e.line, ' ' ORDER BY e.i) AS text
+              FROM expl e JOIN freq f ON e.line = f.line
+              WHERE f.n_docs <= 0.78 * (SELECT n FROM tot)
+              GROUP BY e.doc_id ORDER BY e.doc_id""")),
+
+    QueryDef("q_boilerplate",
+      (s, dir) => Dedup.boilerplateLines(Graft.table(s, dir, "documents"),
+        "doc_id", "text", sep = " ", minDocFrac = 0.78).orderBy("line"),
+      Some("""WITH expl AS (SELECT doc_id, unnest(string_split(text, ' ')) AS line
+                            FROM documents),
+              freq AS (SELECT line, COUNT(DISTINCT doc_id) AS n_docs
+                       FROM expl GROUP BY 1)
+              SELECT line, n_docs FROM freq
+              WHERE n_docs >= 0.78 * (SELECT COUNT(*) FROM documents)
+              ORDER BY line""")),
+
     QueryDef("q_dedup_exact",
       (s, dir) => Dedup.exact(Graft.table(s, dir, "documents"), "doc_id", "text")
         .orderBy("digest"),
