@@ -159,4 +159,74 @@ object NearDupIndex {
     val ids = removedIds.select(col(idCol).cast("long").as("__rid")).distinct()
     index.join(ids, index("doc_id") === col("__rid"), "left_anti")
   }
+
+  // ---- epoch-partitioned store layout (the at-scale fold) ----------------
+  //
+  // The single-collection fold above rewrites the whole collection per
+  // ingest (`store.write(update(...))`) — fine for a bounded index,
+  // wrong at crawl scale where a year of hourly folds would each
+  // rewrite the year. The partitioned layout stores the index as a
+  // graftdocs collection hive-partitioned by INGEST EPOCH: build lands
+  // in `epoch=0`, each fold writes ONLY its own `epoch=N` leaf via the
+  // per-partition staged swap (DocStore.overwritePartitions), so fold
+  // cost is O(|batch|) in data written and every prior epoch's files
+  // stay byte-identical. Reads union the partitions (hive discovery);
+  // queryBatch is unchanged — its probe is a bucket equi-join, which
+  // never cared how the rows were filed.
+
+  /** The epoch partition column (string-typed, like the IVF layout's
+    * `cell`: hive partition values are strings on disk). */
+  val EpochCol = "epoch"
+
+  /** Store a freshly built index epoch-partitioned (everything lands in
+    * `epoch=0`, including the meta row). */
+  def writePartitioned(store: graft.sinks.DocStore, index: DataFrame,
+                       name: String,
+                       tags: Map[String, String] = Map.empty): Unit =
+    store.overwritePartitions(index.withColumn(EpochCol, lit("0")),
+      name, Seq(EpochCol), tags)
+
+  /** Fold one ingest batch into an epoch-partitioned index: builds the
+    * batch's own band/doc rows and writes them as partition
+    * `epoch=<epoch>` ONLY — history partitions are never opened, read,
+    * or rewritten. Re-folding the SAME epoch replaces that partition
+    * wholesale (the staged-swap contract), which is what makes the
+    * streaming replay protocol idempotent. Batches are assumed
+    * id-disjoint from prior content, like [[update]]. `epoch` must be
+    * positive — 0 is the build partition. */
+  def foldPartitionedBatch(store: graft.sinks.DocStore, name: String,
+                           batch: DataFrame, epoch: Long,
+                           idCol: String, textCol: String,
+                           tags: Map[String, String] = Map.empty): Unit = {
+    require(epoch > 0, "epoch 0 is the build partition")
+    val (shingleN, numHashes, bands) = geometry(store.read(name))
+    val delta = build(batch, idCol, textCol, shingleN, numHashes, bands)
+      .where(col("kind") =!= "meta")
+      .withColumn(EpochCol, lit(epoch.toString))
+    store.overwritePartitions(delta, name, Seq(EpochCol), tags)
+  }
+
+  /** Drop documents from an epoch-partitioned index, rewriting ONLY the
+    * epochs that contain them: a driver-side epoch list (bounded by the
+    * number of ingests, never by data) routes the anti-join to the
+    * touched partitions; an epoch whose every row is removed has no
+    * staged leaf to swap, so its directory is dropped explicitly.
+    * Untouched epochs keep their exact files. */
+  def removePartitioned(store: graft.sinks.DocStore, name: String,
+                        removedIds: DataFrame, idCol: String): Unit = {
+    val idx = store.read(name)
+    val ids = removedIds.select(col(idCol).cast("long").as("__rid")).distinct()
+    val touched = idx.join(ids, idx("doc_id") === col("__rid"), "left_semi")
+      .select(EpochCol).distinct().collect().map(_.getString(0))
+    if (touched.isEmpty) return
+    val kept = idx.where(col(EpochCol).isin(touched.toIndexedSeq: _*))
+      .join(ids, idx("doc_id") === col("__rid"), "left_anti")
+    val survivors = kept.select(EpochCol).distinct()
+      .collect().map(_.getString(0)).toSet
+    if (survivors.nonEmpty)
+      store.overwritePartitions(kept, name, Seq(EpochCol))
+    touched.filterNot(survivors).foreach { e =>
+      store.dropPartition(name, s"$EpochCol=$e"): Unit
+    }
+  }
 }

@@ -183,7 +183,7 @@ object LlmOps {
     // Unicode/whitespace canonicalization (CCNet-style pre-hash cleanup).
     // The fixture is ASCII-NFC, so `changed` is false throughout — the
     // Unicode branches (composition, NFKC folding, zero-width strip) are
-    // pinned by UnicodeNormalizeSpec; this row pins the cleanup pipeline
+    // pinned by LineDedupSpec; this row pins the cleanup pipeline
     // + oracle agreement (DuckDB's independent nfc_normalize + RE2).
     QueryDef("q_text_normalize",
       (s, dir) => Graft.table(s, dir, "documents")
@@ -1319,6 +1319,71 @@ object LlmOps {
            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
                   CAST(SUM(n_chars) AS BIGINT) AS chars_kept
            FROM kept GROUP BY source ORDER BY source""")),
+
+    // the EPOCH-PARTITIONED fold — the at-scale form of the index
+    // lifecycle: two sequential crawl shards fold into an epoch-
+    // partitioned index (each fold writes ONLY its own epoch=N leaf;
+    // history partitions are never rewritten), and shard B dedups
+    // against history PLUS shard A's survivors — the sequential
+    // dependency the oracle replays step by step. Gate = final indexed
+    // id set per source against the exact-jaccard ground truth.
+    QueryDef("q_neardup_fold",
+      (s, dir) => {
+        val docs = Graft.table(s, dir, "documents")
+        val store = new graft.sinks.DocStore(s,
+          java.nio.file.Files.createTempDirectory("graft_ndfold").toString,
+          format = "graftdocs")
+        NearDupIndex.writePartitioned(store, NearDupIndex.build(
+          docs.where(col("doc_id") % 2 === 1), "doc_id", "text"), "nd")
+        Seq(0L, 2L).zipWithIndex.foreach { case (m, i) =>
+          val epoch = i + 1L
+          val batch = docs.where(col("doc_id") % 4 === m).select("doc_id", "text")
+          val idx = store.read("nd")
+            .where(col(NearDupIndex.EpochCol) =!= epoch.toString)
+          val dup = NearDupIndex.queryBatch(idx, batch, "doc_id", "text",
+              threshold = 0.8)
+            .select(col("fresh_id").as("doc_id")).distinct()
+          NearDupIndex.foldPartitionedBatch(store, "nd",
+            batch.join(dup, Seq("doc_id"), "left_anti"), epoch,
+            "doc_id", "text")
+        }
+        store.read("nd").where(col("kind") === "doc").select("doc_id")
+          .join(docs.select("doc_id", "source"), "doc_id")
+          .groupBy("source").agg(count(lit(1)).as("n_indexed"))
+          .orderBy("source")
+      },
+      Some(s"""WITH t AS (
+             SELECT doc_id, $duckShingles AS sh
+             FROM (SELECT doc_id, $duckToks AS w FROM documents)),
+           e AS (SELECT doc_id, unnest(sh) AS s FROM t),
+           f AS (SELECT s, COUNT(*) AS fr FROM e GROUP BY s),
+           k AS (SELECT doc_id, s AS key FROM (
+                   SELECT e.doc_id, e.s,
+                          ROW_NUMBER() OVER (PARTITION BY e.doc_id
+                                             ORDER BY f.fr, e.s) AS rn
+                   FROM e JOIN f ON e.s = f.s) WHERE rn <= 4),
+           p AS (SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
+                 FROM k a JOIN k b ON a.key = b.key
+                 WHERE a.doc_id <> b.doc_id),
+           d AS (SELECT x, y FROM p
+                 JOIN t ta ON ta.doc_id = p.x JOIN t tb ON tb.doc_id = p.y
+                 WHERE round(len(list_intersect(ta.sh, tb.sh))::DOUBLE
+                       / len(list_distinct(ta.sh || tb.sh)), 6) >= 0.8),
+           dup1 AS (SELECT DISTINCT x AS doc_id FROM d
+                    WHERE x % 4 = 0 AND y % 2 = 1),
+           s1 AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 0
+                  AND doc_id NOT IN (SELECT doc_id FROM dup1)),
+           dup2 AS (SELECT DISTINCT x AS doc_id FROM d
+                    WHERE x % 4 = 2 AND (y % 2 = 1
+                      OR y IN (SELECT doc_id FROM s1))),
+           kept AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 1
+                    UNION ALL SELECT doc_id FROM s1
+                    UNION ALL SELECT doc_id FROM documents
+                      WHERE doc_id % 4 = 2
+                        AND doc_id NOT IN (SELECT doc_id FROM dup2))
+           SELECT source, CAST(COUNT(*) AS BIGINT) AS n_indexed
+           FROM kept JOIN documents USING (doc_id)
+           GROUP BY source ORDER BY source""")),
 
     // the STREAMING member of the near-dup index family (the trio with
     // q_stream_index / q_stream_vec_index): history seeds the band

@@ -154,6 +154,22 @@ final class DocStore(val spark: SparkSession, val dir: String,
     }
   }
 
+  /** Delete one hive partition directory (`k=v` or `k=v/k2=v2`) of a
+    * partitioned graftdocs collection — the REMOVAL counterpart of
+    * [[overwritePartitions]], which can only replace a partition that
+    * still has rows (an emptied partition produces no staged leaf to
+    * swap in, so its old files would survive a pure-overwrite delete).
+    * Pointer delete, O(1) in data size. Returns false when the
+    * partition did not exist. */
+  def dropPartition(name: String, rel: String): Boolean = {
+    require(format == "graftdocs", "dropPartition needs graftdocs layout")
+    if (!rel.split("/").forall(_.matches("[A-Za-z0-9_.-]+=[^/]*")))
+      throw new MqlException(s"bad partition path '$rel'")
+    val p = new Path(new Path(path(name)), rel)
+    val f = fs
+    f.exists(p) && f.delete(p, true)
+  }
+
   /** Remove orphaned stage directories (left only by a crash BETWEEN
     * a completed stage write and its swap — the finally-block cleans
     * the normal paths). Never touches live collections. Returns the

@@ -937,9 +937,16 @@ private[sources] class GraftScan(schema: StructType, options: CaseInsensitiveStr
   // runtime drop.
   private var runtimeFiltered: Option[Seq[GraftDocSource.FileRef]] = None
 
+  // Only partition columns that SURVIVE in the scan output: Spark's
+  // PartitionPruning resolves these refs against the scan's (column-
+  // pruned) output and throws on a miss — a query that filters on the
+  // partition column but never projects it would fail ANALYSIS, not
+  // just skip the optimization. Nothing is lost by the intersection: a
+  // runtime filter's key is a join key, and a join key is always in
+  // the output.
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    partitionTypes.keys.map(
+    partitionTypes.keys.filter(schema.fieldNames.contains).map(
       org.apache.spark.sql.connector.expressions.Expressions.column).toArray
 
   override def filter(runtimeFilters: Array[Filter]): Unit = {

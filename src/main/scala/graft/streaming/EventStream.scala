@@ -389,6 +389,42 @@ object EventStream {
       }
     }
 
+  /** [[nearDupStream]] in the EPOCH-PARTITIONED index layout — the
+    * at-scale fold: per micro-batch the survivors' band/doc rows land
+    * as partition `epoch=batchId+1` ONLY (the per-partition staged
+    * swap), so a year of hourly crawl folds writes O(|batch|) each and
+    * every prior epoch's files stay byte-identical — where the
+    * single-collection form rewrites the whole index per batch.
+    *
+    * Replay protection is idempotence, not just the tag: the query
+    * side EXCLUDES the batch's own epoch partition, so a replay after
+    * a crash between the partition swap and the tag write sees exactly
+    * the pre-crash index, recomputes the identical survivor set, and
+    * replaces the partial commit with the same rows (at-least-once
+    * with deterministic content — the partitioned twin of the
+    * single-swap tag's exactly-once). The tag still short-circuits
+    * clean replays. */
+  def nearDupStreamPartitioned(stream: DataFrame, idCol: String,
+                               textCol: String, indexName: String,
+                               store: graft.sinks.DocStore,
+                               threshold: Double = 0.8)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val committed = store.readTag(indexName, "batchId").map(_.toLong)
+      if (!committed.exists(_ >= batchId)) {
+        val epoch = batchId + 1
+        val idx = store.read(indexName)
+          .where(col(graft.llmops.NearDupIndex.EpochCol) =!= epoch.toString)
+        val dupIds = graft.llmops.NearDupIndex
+          .queryBatch(idx, batch, idCol, textCol, threshold)
+          .select(col("fresh_id").as(idCol)).distinct()
+        val keep = batch.join(dupIds, Seq(idCol), "left_anti")
+        graft.llmops.NearDupIndex.foldPartitionedBatch(store, indexName,
+          keep, epoch, idCol, textCol,
+          tags = Map("batchId" -> batchId.toString))
+      }
+    }
+
   /** nearDupStream over the fixture: history (doc_id % 5 ≠ 0) seeds the
     * band index, the % 5 = 0 shard streams in, near-dups drop against
     * history, survivors fold. Returns per-source counts of the FINAL

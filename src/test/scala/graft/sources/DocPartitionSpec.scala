@@ -237,6 +237,23 @@ class DocPartitionSpec extends AnyFunSuite {
       s"runtime pruning did not fire: $plannedFiles files for $nSegs segments\n$plan")
   }
 
+  test("join on a non-partition column with the partition column pruned out analyzes") {
+    // regression: filterAttributes used to report every partition column
+    // unconditionally; PartitionPruning resolves those refs against the
+    // scan's COLUMN-PRUNED output and threw AnalysisException for any
+    // join whose projection dropped the partition column
+    val path = tmp()
+    customer.write.format("graftdocs").option("partitionBy", "c_mktsegment")
+      .mode("overwrite").save(path)
+    val docs = spark.read.format("graftdocs").schema(customer.schema).load(path)
+      .where($"c_mktsegment" =!= "BUILDING") // partition filter, then pruned away
+      .select("c_custkey", "c_acctbal")      // no partition column in output
+    val dim = customer.select($"c_custkey").limit(10)
+    val n = docs.join(dim, "c_custkey").count()
+    assert(n == customer.where($"c_mktsegment" =!= "BUILDING")
+      .join(dim, "c_custkey").count())
+  }
+
   test("MIN/MAX of a partition column push down metadata-only (zero decode)") {
     val path = tmp()
     customer.write.format("graftdocs").option("partitionBy", "c_nationkey")
