@@ -879,6 +879,42 @@ object Headline {
                      o_orderpriority AS priority
               FROM orders GROUP BY o_orderpriority ORDER BY priority""")),
 
+    // dataset versioning / time travel: three curation generations of
+    // the corpus land via writeVersioned (each replacement retires the
+    // prior contents by POINTER MOVE — O(1) in data, so snapshots stay
+    // free at 100 TB), then every generation is read back — v1 and v2
+    // through time travel, v3 live — and aggregated. The oracle replays
+    // the three curation filters directly.
+    QueryDef("q_doc_versions",
+      (s, dir) => {
+        val store = new graft.sinks.DocStore(s,
+          java.nio.file.Files.createTempDirectory("graft_vers").toString)
+        val docs = Graft.table(s, dir, "documents")
+          .select("doc_id", "source", "n_chars")
+        store.writeVersioned(docs, "corpus"): Unit
+        store.writeVersioned(docs.where(col("n_chars") >= 200), "corpus"): Unit
+        store.writeVersioned(docs.where(col("n_chars") >= 200)
+          .where(col("doc_id") % 3 =!= 0), "corpus"): Unit
+        Seq(store.readVersion("corpus", 1).withColumn("gen", lit(1L)),
+            store.readVersion("corpus", 2).withColumn("gen", lit(2L)),
+            store.read("corpus").withColumn("gen", lit(3L)))
+          .reduce(_ unionByName _)
+          .groupBy("gen", "source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"))
+          .orderBy("gen", "source")
+      },
+      Some("""SELECT gen, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(n_chars) AS BIGINT) AS chars
+              FROM (
+                SELECT CAST(1 AS BIGINT) AS gen, source, n_chars FROM documents
+                UNION ALL
+                SELECT CAST(2 AS BIGINT), source, n_chars FROM documents
+                WHERE n_chars >= 200
+                UNION ALL
+                SELECT CAST(3 AS BIGINT), source, n_chars FROM documents
+                WHERE n_chars >= 200 AND doc_id % 3 <> 0)
+              GROUP BY gen, source ORDER BY gen, source""")),
+
     // Z-order clustered layout (Delta OPTIMIZE ZORDER as a plain
     // write): events re-laid along the (user_id, event_id) Morton
     // curve, then a 2-D range filter reads back — values identical to

@@ -52,26 +52,10 @@ final class DocStore(val spark: SparkSession, val dir: String,
 
   def exists(name: String): Boolean = fs.exists(new Path(path(name)))
 
-  def read(name: String): DataFrame =
-    if (format == "parquet") spark.read.parquet(path(name))
-    else {
-      // the sidecar written below makes the read schema-exact (no
-      // inference drift on empty/partial collections)
-      val side = new Path(path(name), "_graft_schema.json")
-      val f = fs
-      val reader = spark.read.format("graftdocs")
-      val withSchema =
-        if (f.exists(side)) {
-          val in = f.open(side)
-          val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-                     finally in.close()
-          val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
-          reader.schema(org.apache.spark.sql.types.DataType
-            .fromJson(node.get("schema").toString)
-            .asInstanceOf[org.apache.spark.sql.types.StructType])
-        } else reader
-      withSchema.load(path(name))
-    }
+  /** Read a collection; graftdocs layouts use the `_graft_schema.json`
+    * sidecar written at commit time, so the read is schema-exact (no
+    * inference drift on empty/partial collections). */
+  def read(name: String): DataFrame = readAt(path(name))
 
   /** Partition columns a graftdocs collection was created with (the
     * catalog sidecar's `partitionby` option); empty for parquet
@@ -194,7 +178,10 @@ final class DocStore(val spark: SparkSession, val dir: String,
     new Path(path(name), s"_graft_tag_$key")
 
   /** Drop a collection (Mongo `db.coll.drop()`): data, sidecar, and
-    * tags go together. Returns false when it did not exist. */
+    * tags go together. RETIRED VERSIONS survive a drop — `restore(name,
+    * versions(name).last)` after an accidental drop is the undo; prune
+    * them explicitly when the history should go too. Returns false when
+    * it did not exist. */
   def drop(name: String): Boolean = {
     val p = new Path(path(name))
     val f = fs
@@ -212,16 +199,28 @@ final class DocStore(val spark: SparkSession, val dir: String,
     val f = fs
     if (!f.exists(src))
       throw new MqlException(s"renameCollection: no collection '$oldName'")
-    if (f.exists(dst)) {
-      if (!dropTarget)
-        throw new MqlException(
-          s"renameCollection: target '$newName' exists (pass dropTarget)")
-      if (!f.delete(dst, true))
-        throw new MqlException(s"renameCollection: could not drop '$newName'")
-    }
+    // retired versions follow the collection (time travel survives a
+    // rename). ALL conflicts are checked before anything moves, so a
+    // refusal never leaves the rename half-done.
+    val vSrc = versionsDir(oldName)
+    val vDst = versionsDir(newName)
+    if ((f.exists(dst) || (f.exists(vSrc) && f.exists(vDst))) && !dropTarget)
+      throw new MqlException(
+        s"renameCollection: target '$newName' exists (pass dropTarget)")
+    if (f.exists(dst) && !f.delete(dst, true))
+      throw new MqlException(s"renameCollection: could not drop '$newName'")
+    if (f.exists(vSrc) && f.exists(vDst) && !f.delete(vDst, true))
+      throw new MqlException(
+        s"renameCollection: could not drop versions of '$newName'")
     if (!f.rename(src, dst))
       throw new MqlException(
         s"renameCollection: could not rename '$oldName' to '$newName'")
+    if (f.exists(vSrc)) {
+      f.mkdirs(vDst.getParent)
+      if (!f.rename(vSrc, vDst))
+        throw new MqlException(
+          s"renameCollection: could not move versions of '$oldName'")
+    }
   }
 
   /** Every commit tag currently on the collection. */
@@ -272,6 +271,117 @@ final class DocStore(val spark: SparkSession, val dir: String,
       finally in.close()
     }
   }
+
+  // ---- versioning / time travel -------------------------------------------
+  // Dataset reproducibility for training pipelines: a curation run that
+  // replaced a collection can still be audited, diffed, and re-trained
+  // against. Versions are RETIRED snapshots: writeVersioned moves the
+  // current dataset (a directory POINTER rename, O(1) in data — never a
+  // copy, so it holds at 100 TB) into `.graft_versions/<name>/v<N>`
+  // before the staged swap brings the new contents in; commit tags ride
+  // inside the moved directory, so a version keeps the exact tag state
+  // it was committed with. Version ids are monotonically increasing and
+  // never reused (restore retires the current contents under a FRESH
+  // id). Crash window: between the retire-rename and the swap the
+  // collection is briefly absent while the newest version holds its
+  // contents — `restore(name, versions(name).last)` recovers; data is
+  // never in a half-written state (both moves are renames). In-place
+  // partition folds (overwritePartitions) deliberately do NOT
+  // auto-version: snapshots are a whole-collection-replacement concept,
+  // and moving the collection per partition fold would defeat the
+  // fold's O(batch) locality.
+
+  private def versionsDir(name: String): Path =
+    new Path(s"$dir/.graft_versions/${validName(name)}")
+
+  private def versionPath(name: String, v: Long): Path =
+    new Path(versionsDir(name),
+      if (format == "parquet") s"v$v.parquet" else s"v$v")
+
+  /** Retired version ids of a collection, ascending. */
+  def versions(name: String): Seq[Long] = {
+    val d = versionsDir(name)
+    val f = fs
+    if (!f.exists(d)) Seq.empty
+    else f.listStatus(d).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("v"))
+      .map(_.stripPrefix("v").stripSuffix(".parquet"))
+      .flatMap(_.toLongOption).sorted
+  }
+
+  /** Time travel: the collection's contents as of retired version `v`. */
+  def readVersion(name: String, v: Long): DataFrame = {
+    val p = versionPath(name, v)
+    if (!fs.exists(p))
+      throw new MqlException(s"no version $v of collection '$name'")
+    readAt(p.toString)
+  }
+
+  /** Move the live dataset into the version directory under a fresh id;
+    * returns that id (the caller then installs new contents). */
+  private def retire(name: String): Long = {
+    val v = versions(name).lastOption.getOrElse(0L) + 1
+    val f = fs
+    f.mkdirs(versionsDir(name))
+    if (!f.rename(new Path(path(name)), versionPath(name, v)))
+      throw new MqlException(s"could not retire version $v of '$name'")
+    v
+  }
+
+  /** [[write]] that RETAINS the replaced contents as a new retired
+    * version (pointer move, never a copy). Returns the retired
+    * version's id, or 0 when the collection did not exist yet. */
+  def writeVersioned(df: DataFrame, name: String,
+                     tags: Map[String, String] = Map.empty): Long = {
+    val retired = if (exists(name)) retire(name) else 0L
+    write(df, name, tags)
+    retired
+  }
+
+  /** Roll the collection back to retired version `v`: the current
+    * contents retire under a fresh id (nothing is lost — a bad restore
+    * is itself restorable), then `v`'s directory moves into place as
+    * the live dataset. Two pointer renames, O(1) in data. `v` leaves
+    * the retired list — it IS the collection now. */
+  def restore(name: String, v: Long): Long = {
+    val src = versionPath(name, v)
+    if (!fs.exists(src))
+      throw new MqlException(s"no version $v of collection '$name'")
+    val retired = if (exists(name)) retire(name) else 0L
+    if (!fs.rename(src, new Path(path(name))))
+      throw new MqlException(s"could not restore version $v of '$name'")
+    retired
+  }
+
+  /** Delete retired versions beyond the newest `keepLast` (the storage
+    * bound every snapshot scheme needs). Returns how many were
+    * deleted. */
+  def pruneVersions(name: String, keepLast: Int): Int = {
+    require(keepLast >= 0, "keepLast must be >= 0")
+    val drop = versions(name).dropRight(keepLast)
+    val f = fs
+    drop.count(v => f.delete(versionPath(name, v), true))
+  }
+
+  /** [[read]] generalized to any dataset directory (live or retired). */
+  private def readAt(p: String): DataFrame =
+    if (format == "parquet") spark.read.parquet(p)
+    else {
+      val side = new Path(p, "_graft_schema.json")
+      val f = fs
+      val reader = spark.read.format("graftdocs")
+      val withSchema =
+        if (f.exists(side)) {
+          val in = f.open(side)
+          val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                     finally in.close()
+          val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+          reader.schema(org.apache.spark.sql.types.DataType
+            .fromJson(node.get("schema").toString)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+        } else reader
+      withSchema.load(p)
+    }
 
   /** Write `df` as collection `name`, replacing any prior contents via
     * the staged swap described above. `tags` are committed atomically

@@ -1,0 +1,103 @@
+package graft.sinks
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+
+/** DocStore versioning / time travel: writeVersioned retires the
+  * replaced contents by POINTER MOVE (never a copy — the property that
+  * makes snapshots free at 100 TB), readVersion travels back, restore
+  * rolls forward/backward losslessly, prune bounds the history, and
+  * tags/history survive what they should (rename, drop). */
+class DocStoreVersionSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private def newStore(format: String) = new DocStore(spark,
+    java.nio.file.Files.createTempDirectory("graft_ver").toString, format)
+
+  private def df(xs: (Long, String)*) = xs.toDF("id", "v")
+
+  private def ids(d: org.apache.spark.sql.DataFrame): Set[Long] =
+    d.select("id").as[Long].collect().toSet
+
+  for (fmt <- Seq("parquet", "graftdocs")) {
+    test(s"[$fmt] writeVersioned retires, readVersion travels, ids never reuse") {
+      val s = newStore(fmt)
+      assert(s.writeVersioned(df(1L -> "a"), "c") == 0L) // nothing to retire
+      assert(s.versions("c").isEmpty)
+      assert(s.writeVersioned(df(2L -> "b"), "c") == 1L)
+      assert(s.writeVersioned(df(3L -> "c"), "c") == 2L)
+      assert(s.versions("c") == Seq(1L, 2L))
+      assert(ids(s.read("c")) == Set(3L))
+      assert(ids(s.readVersion("c", 1)) == Set(1L))
+      assert(ids(s.readVersion("c", 2)) == Set(2L))
+      intercept[graft.mql.MqlException](s.readVersion("c", 9))
+    }
+
+    test(s"[$fmt] restore swaps pointers; nothing is ever lost") {
+      val s = newStore(fmt)
+      s.writeVersioned(df(1L -> "a"), "c"): Unit
+      s.writeVersioned(df(2L -> "b"), "c"): Unit // retired: v1={1}
+      // roll back to v1: current {2} retires as v2, v1 becomes live
+      assert(s.restore("c", 1) == 2L)
+      assert(ids(s.read("c")) == Set(1L))
+      assert(s.versions("c") == Seq(2L))
+      // roll forward again: {1} retires as v3
+      assert(s.restore("c", 2) == 3L)
+      assert(ids(s.read("c")) == Set(2L))
+      assert(s.versions("c") == Seq(3L))
+    }
+
+    test(s"[$fmt] retirement is a pointer move: same files, same mtimes") {
+      val s = newStore(fmt)
+      s.writeVersioned(df(1L -> "a", 2L -> "b"), "c"): Unit
+      def sig(p: String): Set[(String, Long, Long)] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(walk)
+          else Seq(f)
+        walk(new java.io.File(p))
+          .map(f => (f.getName, f.length, f.lastModified)).toSet
+      }
+      val before = sig(s.path("c"))
+      s.writeVersioned(df(3L -> "z"), "c"): Unit
+      val vdir = s.dir + "/.graft_versions/c" +
+        (if (fmt == "parquet") "/v1.parquet" else "/v1")
+      assert(sig(vdir) == before) // byte-for-byte the same files
+    }
+  }
+
+  test("tags ride with their version; prune bounds the history") {
+    val s = newStore("graftdocs")
+    s.writeVersioned(df(1L -> "a"), "c", tags = Map("batchId" -> "7")): Unit
+    s.writeVersioned(df(2L -> "b"), "c", tags = Map("batchId" -> "8")): Unit
+    assert(s.readTag("c", "batchId").contains("8"))
+    s.restore("c", 1): Unit // v1 (tag 7) becomes live
+    assert(s.readTag("c", "batchId").contains("7"))
+    (3 to 6).foreach(i => s.writeVersioned(df(i.toLong -> "x"), "c"): Unit)
+    val vs = s.versions("c")
+    assert(s.pruneVersions("c", keepLast = 2) == vs.length - 2)
+    assert(s.versions("c") == vs.takeRight(2))
+  }
+
+  test("history follows rename; survives drop (drop+restore = undo)") {
+    val s = newStore("graftdocs")
+    s.writeVersioned(df(1L -> "a"), "c"): Unit
+    s.writeVersioned(df(2L -> "b"), "c"): Unit
+    s.rename("c", "d")
+    assert(s.versions("c").isEmpty && s.versions("d") == Seq(1L))
+    assert(ids(s.readVersion("d", 1)) == Set(1L))
+    // drop leaves history; restore resurrects the newest snapshot
+    s.writeVersioned(df(3L -> "z"), "d"): Unit
+    assert(s.drop("d"))
+    assert(!s.exists("d") && s.versions("d") == Seq(1L, 2L))
+    s.restore("d", 2): Unit
+    assert(ids(s.read("d")) == Set(2L))
+    // rename refuses to silently merge two histories
+    s.writeVersioned(df(4L -> "q"), "e"): Unit
+    s.writeVersioned(df(5L -> "r"), "e"): Unit
+    intercept[graft.mql.MqlException](s.rename("e", "d"))
+    s.rename("e", "d", dropTarget = true)
+    assert(ids(s.read("d")) == Set(5L) && s.versions("d") == Seq(1L))
+  }
+}
