@@ -1434,6 +1434,7 @@ object GraftFunctions {
     "graft_is_number" -> ((e: Seq[Expression]) => BsonIsNumber(e.head)),
     "graft_truthy" -> ((e: Seq[Expression]) => BsonTruthy(e.head)),
     "unicode_normalize" -> ((e: Seq[Expression]) => UnicodeNormalize(e(0), e(1))),
+    "bpe_encode" -> ((e: Seq[Expression]) => BpeEncode(e(0), e(1))),
   )
 
   /** Exponential moving average as a native running-frame window
@@ -1622,5 +1623,119 @@ case class UnicodeNormalize(str: Expression, formExpr: Expression)
     })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): UnicodeNormalize =
+    copy(l, r)
+}
+
+/** The BPE encode kernel, shared by [[BpeEncode]]'s interpreted and
+  * generated paths (the merge loop is real control flow — inlining it
+  * as codegen text would only duplicate it). Standard GPT-2-style
+  * byte-pair encoding: pre-tokenize, then per pre-token repeatedly
+  * merge the LOWEST-RANK adjacent symbol pair until none remains. */
+object BpeOps {
+  /** ranks key: length-prefixed concatenation — unambiguous for ANY
+    * symbol contents (GPT-2 symbols routinely contain spaces, and
+    * arbitrary corpus text can contain any separator byte we might
+    * pick). */
+  def key(p1: String, p2: String): String = p1.length + ":" + p1 + p2
+
+  def encode(text: UTF8String, pattern: java.util.regex.Pattern,
+             ranks: java.util.HashMap[String, Integer]): ArrayData = {
+    val out = new java.util.ArrayList[UTF8String]()
+    val m = pattern.matcher(text.toString)
+    while (m.find()) {
+      val tok = m.group()
+      // code-point segmentation (a surrogate pair is one symbol)
+      var syms = new java.util.ArrayList[String](tok.length)
+      var i = 0
+      while (i < tok.length) {
+        val n = Character.charCount(tok.codePointAt(i))
+        syms.add(tok.substring(i, i + n)); i += n
+      }
+      var done = syms.size < 2
+      while (!done) {
+        // lowest-rank pair present in this token
+        var bestRank = Int.MaxValue; var bestAt = -1
+        var j = 0
+        while (j < syms.size - 1) {
+          val r = ranks.get(key(syms.get(j), syms.get(j + 1)))
+          if (r != null && r < bestRank) { bestRank = r; bestAt = j }
+          j += 1
+        }
+        if (bestAt < 0) done = true
+        else {
+          // merge ALL occurrences of that pair, left to right
+          val p1 = syms.get(bestAt); val p2 = syms.get(bestAt + 1)
+          val next = new java.util.ArrayList[String](syms.size)
+          var k = 0
+          while (k < syms.size) {
+            if (k < syms.size - 1 && syms.get(k) == p1 && syms.get(k + 1) == p2) {
+              next.add(p1 + p2); k += 2
+            } else { next.add(syms.get(k)); k += 1 }
+          }
+          syms = next
+          done = syms.size < 2
+        }
+      }
+      var t = 0
+      while (t < syms.size) { out.add(UTF8String.fromString(syms.get(t))); t += 1 }
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** `bpe_encode(text, merges)` → array<string>: the trained-tokenizer
+  * application step ([[graft.llmops.Bpe.train]] learns the merges; this
+  * expression applies them corpus-wide, map-only). `merges` must be a
+  * FOLDABLE array<array<string>> of [p1,p2] pairs in rank order — a
+  * driver constant baked into the plan like the PQ codebooks, so the
+  * hot path never ships or hashes the vocabulary per row. */
+case class BpeEncode(str: Expression, mergesExpr: Expression)
+  extends BinaryExpression {
+  override def left: Expression = str
+  override def right: Expression = mergesExpr
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = str.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    val ok = mergesExpr.dataType match {
+      case ArrayType(ArrayType(StringType, _), _) => mergesExpr.foldable
+      case _ => false
+    }
+    if (str.dataType != StringType)
+      TypeCheckFailure(s"bpe_encode requires a string input, got ${str.dataType.simpleString}")
+    else if (!ok)
+      TypeCheckFailure("bpe_encode merges must be a foldable array<array<string>> of [p1,p2] pairs")
+    else TypeCheckSuccess
+  }
+
+  private lazy val ranks: java.util.HashMap[String, Integer] = {
+    val h = new java.util.HashMap[String, Integer]()
+    val ad = mergesExpr.eval().asInstanceOf[ArrayData]
+    (0 until ad.numElements()).foreach { i =>
+      val p = ad.getArray(i)
+      require(p.numElements() == 2, "each merge must be a [p1, p2] pair")
+      // first (lowest) rank wins on duplicates
+      h.putIfAbsent(BpeOps.key(p.getUTF8String(0).toString,
+        p.getUTF8String(1).toString), Int.box(i))
+    }
+    h
+  }
+
+  private lazy val pattern: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile(
+      graft.llmops.TextAnalysis.BpeSplitPattern)
+
+  override def nullSafeEval(v: Any, mIgnored: Any): Any =
+    BpeOps.encode(v.asInstanceOf[UTF8String], pattern, ranks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, _) => {
+      val rk = ctx.addReferenceObj("ranks", ranks, "java.util.HashMap")
+      val pat = ctx.addReferenceObj("pattern", pattern, "java.util.regex.Pattern")
+      s"${ev.value} = graft.functions.BpeOps.encode($t, $pat, $rk);"
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BpeEncode =
     copy(l, r)
 }

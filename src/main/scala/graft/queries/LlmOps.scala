@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.api.Graft
-import graft.llmops.{Decontaminate, Dedup, Dsir, Multimodal, NearDupIndex, Sampling, Similarity, TextAnalysis, TfIdf}
+import graft.llmops.{Bpe, Decontaminate, Dedup, Dsir, Multimodal, NearDupIndex, Sampling, Similarity, TextAnalysis, TfIdf}
 
 /** Training-data pipeline operators over the documents/embeddings
   * fixtures: text analysis, dedup (exact → minhash/simhash near-dup),
@@ -21,6 +21,11 @@ object LlmOps {
     """list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"""
   private val duckToksLower =
     """list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')"""
+  // DuckDB-side GPT-2 pre-tokenizer, mirrored from
+  // TextAnalysis.BpeSplitPattern (leading apostrophe doubled for the
+  // SQL string literal; the pattern itself is RE2-safe by design)
+  private val duckBpeSplit =
+    """''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"""
   // DuckDB-side 3-gram shingle list, mirrored from Dedup.shingles
   private val duckShingles =
     s"""list_distinct([array_to_string(w[i:i+2], ' ')
@@ -179,6 +184,58 @@ object LlmOps {
                                 / greatest(len($duckToks), 1), 1.0), 6) AS quality
             FROM documents ORDER BY doc_id"""
       }),
+
+    // distributed BPE tokenizer training, step 1: the corpus-wide word
+    // dictionary + first-iteration merge-pair frequencies (explode →
+    // two hash aggs, the word-count shape). The oracle recomputes the
+    // pair expansion directly in DuckDB; full ordering makes the top-25
+    // deterministic.
+    QueryDef("q_bpe_pairs",
+      (s, dir) => Bpe.pairCounts(Graft.table(s, dir, "documents"), "text")
+        .orderBy(desc("freq"), col("p1"), col("p2")).limit(25),
+      Some(s"""WITH w AS (SELECT unnest(regexp_extract_all(text,
+                 '$duckBpeSplit')) AS word FROM documents),
+               d AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY 1),
+               p AS (SELECT word[i:i] AS p1, word[i+1:i+1] AS p2, cnt
+                     FROM d, LATERAL (SELECT unnest(generate_series(1,
+                       len(word) - 1)) AS i) g)
+               SELECT p1, p2, CAST(SUM(cnt) AS BIGINT) AS freq
+               FROM p GROUP BY 1, 2
+               ORDER BY freq DESC, p1, p2 LIMIT 25""")),
+
+    // step 2, applying a trained vocabulary corpus-wide: train the
+    // single highest-frequency merge (one bounded argmax collect — the
+    // IVF-seed pattern), bake it into the codegen'd bpe_encode
+    // expression, and count tokens per document. The oracle exploits
+    // that a one-merge BPE pass over single-char symbols equals
+    // DuckDB's greedy leftmost replace: token count = len after
+    // replacing the pair with one sentinel char. Deeper merge tables
+    // have no SQL twin (rank-ordered symbol rewriting) — BpeSpec pins
+    // them against hand-worked merges and the trained-table invariant.
+    QueryDef("q_bpe_encode",
+      (s, dir) => {
+        val docs = Graft.table(s, dir, "documents")
+        val m = Bpe.train(docs, "text", nMerges = 1, minFreq = 1)
+          .map(x => (x._1, x._2))
+        docs.select(col("doc_id"),
+            size(Bpe.encode(col("text"), m)).cast("long").as("n_bpe"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH w AS (SELECT unnest(regexp_extract_all(text,
+                 '$duckBpeSplit')) AS word FROM documents),
+               d AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY 1),
+               p AS (SELECT word[i:i] AS p1, word[i+1:i+1] AS p2, cnt
+                     FROM d, LATERAL (SELECT unnest(generate_series(1,
+                       len(word) - 1)) AS i) g),
+               best AS (SELECT p1 || p2 AS pair FROM p GROUP BY p1, p2
+                        ORDER BY SUM(cnt) DESC, p1, p2 LIMIT 1),
+               toks AS (SELECT doc_id, unnest(regexp_extract_all(text,
+                 '$duckBpeSplit')) AS tok FROM documents)
+               SELECT doc_id, CAST(COALESCE(SUM(len(replace(tok,
+                        (SELECT pair FROM best), chr(1)))), 0) AS BIGINT)
+                        AS n_bpe
+               FROM documents LEFT JOIN toks USING (doc_id)
+               GROUP BY doc_id ORDER BY doc_id""")),
 
     // Unicode/whitespace canonicalization (CCNet-style pre-hash cleanup).
     // The fixture is ASCII-NFC, so `changed` is false throughout — the
