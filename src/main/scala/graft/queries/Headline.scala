@@ -915,6 +915,29 @@ object Headline {
                 WHERE n_chars >= 200 AND doc_id % 3 <> 0)
               GROUP BY gen, source ORDER BY gen, source""")),
 
+    // snapshot audit diff: what a curation run changed between two
+    // versions (multiset added/removed/kept) — schemas aligned by
+    // name, one hash-agg per side + one full-outer equi-join, no
+    // driver-side rows. The oracle replays the curation filter.
+    QueryDef("q_version_diff",
+      (s, dir) => {
+        val store = new graft.sinks.DocStore(s,
+          java.nio.file.Files.createTempDirectory("graft_vdiff").toString)
+        val docs = Graft.table(s, dir, "documents")
+          .select("doc_id", "source", "n_chars")
+        store.writeVersioned(docs, "corpus"): Unit
+        store.writeVersioned(docs.where(col("n_chars") >= 200), "corpus"): Unit
+        store.diffVersions("corpus", 1).orderBy("change")
+      },
+      Some("""SELECT 'added' AS change, CAST(0 AS BIGINT) AS n_rows
+              UNION ALL
+              SELECT 'kept', CAST(COUNT(*) AS BIGINT) FROM documents
+              WHERE n_chars >= 200
+              UNION ALL
+              SELECT 'removed', CAST(COUNT(*) AS BIGINT) FROM documents
+              WHERE n_chars < 200
+              ORDER BY change""")),
+
     // Z-order clustered layout (Delta OPTIMIZE ZORDER as a plain
     // write): events re-laid along the (user_id, event_id) Morton
     // curve, then a 2-D range filter reads back — values identical to

@@ -353,6 +353,43 @@ final class DocStore(val spark: SparkSession, val dir: String,
     retired
   }
 
+  /** Audit diff between two snapshots of a collection — what a curation
+    * run actually changed: multiset row counts added / removed / kept
+    * going from version `va` to `vb` (`vb = None` compares against the
+    * LIVE dataset). Distributed: schemas are aligned by name (a column
+    * only one side has reads as null on the other — schema widening
+    * diffs as a row change, honestly), each side is hash-aggregated to
+    * (row, multiplicity) once, and one equi-join on the full row
+    * computes the multiset difference — two shuffles, no driver-side
+    * row handling, no O(n²). */
+  def diffVersions(name: String, va: Long, vb: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val a = readVersion(name, va)
+    val b = vb.map(readVersion(name, _)).getOrElse(read(name))
+    val cols = (a.columns ++ b.columns).distinct.sorted
+    // canonical row key: JSON of the name-aligned struct. Null-SAFE by
+    // construction (a grouping/join on the raw columns would split
+    // null-valued rows across the full outer join, since null ≠ null
+    // in an equi-join) and consistent across both sides because both
+    // render through the same engine.
+    def keyed(df: DataFrame) = df.select(to_json(struct(cols.map(c =>
+      (if (df.columns.contains(c)) col(c) else lit(null)).as(c)): _*)).as("__row"))
+    val ka = keyed(a).groupBy("__row").agg(count(lit(1)).as("__na"))
+    val kb = keyed(b).groupBy("__row").agg(count(lit(1)).as("__nb"))
+    val j = ka.join(kb, Seq("__row"), "full_outer")
+      .select(coalesce(col("__na"), lit(0L)).as("na"),
+        coalesce(col("__nb"), lit(0L)).as("nb"))
+      .select(sum(when(col("nb") > col("na"), col("nb") - col("na"))
+          .otherwise(0L)).as("added"),
+        sum(when(col("na") > col("nb"), col("na") - col("nb"))
+          .otherwise(0L)).as("removed"),
+        sum(least(col("na"), col("nb"))).as("kept"))
+    j.select(explode(map(
+        lit("added"), col("added"), lit("removed"), col("removed"),
+        lit("kept"), col("kept"))).as(Seq("change", "n_rows")))
+      .select(col("change"), coalesce(col("n_rows"), lit(0L)).as("n_rows"))
+  }
+
   /** Delete retired versions beyond the newest `keepLast` (the storage
     * bound every snapshot scheme needs). Returns how many were
     * deleted. */

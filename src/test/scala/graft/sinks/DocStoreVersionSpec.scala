@@ -80,6 +80,35 @@ class DocStoreVersionSpec extends AnyFunSuite {
     assert(s.versions("c") == vs.takeRight(2))
   }
 
+  test("diffVersions: multiset semantics, schema widening, version-to-version") {
+    val s = newStore("graftdocs")
+    // duplicates matter: {1,1,2} → {1,2,2,3} is +2 (one extra 2, one 3),
+    // -1 (one of the 1s), kept 2
+    s.writeVersioned(Seq(1L -> "a", 1L -> "a", 2L -> "b").toDF("id", "v"), "c"): Unit
+    s.writeVersioned(Seq(1L -> "a", 2L -> "b", 2L -> "b", 3L -> "c").toDF("id", "v"), "c"): Unit
+    def m(d: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      d.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m(s.diffVersions("c", 1)) ==
+      Map("added" -> 2L, "removed" -> 1L, "kept" -> 2L))
+    // version-to-version (not just version-to-live): v1 vs v1 via a
+    // third write, then schema widening — the new column diffs as change
+    s.writeVersioned(Seq((1L, "a", true)).toDF("id", "v", "flag"), "c"): Unit
+    assert(m(s.diffVersions("c", 1, Some(2))) ==
+      Map("added" -> 2L, "removed" -> 1L, "kept" -> 2L))
+    assert(m(s.diffVersions("c", 2)) == // {1a,2b,2b,3c} → {(1,a,true)}
+      Map("added" -> 1L, "removed" -> 4L, "kept" -> 0L))
+    // identical snapshots: all kept
+    assert(m(s.diffVersions("c", 1, Some(1))) ==
+      Map("added" -> 0L, "removed" -> 0L, "kept" -> 3L))
+    // null-valued rows are matched null-SAFELY (an equi-join on the raw
+    // columns would split them into added+removed)
+    val s2 = newStore("graftdocs")
+    s2.writeVersioned(Seq((1L, null: String), (2L, "b")).toDF("id", "v"), "n"): Unit
+    s2.writeVersioned(Seq((1L, null: String), (3L, "c")).toDF("id", "v"), "n"): Unit
+    assert(m(s2.diffVersions("n", 1)) ==
+      Map("added" -> 1L, "removed" -> 1L, "kept" -> 1L))
+  }
+
   test("history follows rename; survives drop (drop+restore = undo)") {
     val s = newStore("graftdocs")
     s.writeVersioned(df(1L -> "a"), "c"): Unit
