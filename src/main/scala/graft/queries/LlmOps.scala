@@ -1395,14 +1395,17 @@ object LlmOps {
         Seq(0L, 2L).zipWithIndex.foreach { case (m, i) =>
           val epoch = i + 1L
           val batch = docs.where(col("doc_id") % 4 === m).select("doc_id", "text")
+          // persist-with-release: queryBatch reads the index three times
           val idx = store.read("nd")
-            .where(col(NearDupIndex.EpochCol) =!= epoch.toString)
-          val dup = NearDupIndex.queryBatch(idx, batch, "doc_id", "text",
-              threshold = 0.8)
-            .select(col("fresh_id").as("doc_id")).distinct()
-          NearDupIndex.foldPartitionedBatch(store, "nd",
-            batch.join(dup, Seq("doc_id"), "left_anti"), epoch,
-            "doc_id", "text")
+            .where(col(NearDupIndex.EpochCol) =!= epoch.toString).persist()
+          try {
+            val dup = NearDupIndex.queryBatch(idx, batch, "doc_id", "text",
+                threshold = 0.8)
+              .select(col("fresh_id").as("doc_id")).distinct()
+            NearDupIndex.foldPartitionedBatch(store, "nd",
+              batch.join(dup, Seq("doc_id"), "left_anti"), epoch,
+              "doc_id", "text")
+          } finally idx.unpersist(false): Unit
         }
         store.read("nd").where(col("kind") === "doc").select("doc_id")
           .join(docs.select("doc_id", "source"), "doc_id")

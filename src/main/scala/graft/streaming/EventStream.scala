@@ -379,13 +379,20 @@ object EventStream {
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val committed = store.readTag(indexName, "batchId").map(_.toLong)
       if (!committed.exists(_ >= batchId)) {
-        val idx = store.read(indexName)
-        val dupIds = graft.llmops.NearDupIndex
-          .queryBatch(idx, batch, idCol, textCol, threshold)
-          .select(col("fresh_id").as(idCol)).distinct()
-        val keep = batch.join(dupIds, Seq(idCol), "left_anti")
-        store.write(graft.llmops.NearDupIndex.update(idx, keep, idCol, textCol),
-          indexName, tags = Map("batchId" -> batchId.toString))
+        // caller-side persist with EXPLICIT release before the batch
+        // function returns (the leak the no-persist rule in queryBatch
+        // guards against): queryBatch consumes the index three times
+        // (geometry, band side, doc side) and update once more — one
+        // decode instead of four
+        val idx = store.read(indexName).persist()
+        try {
+          val dupIds = graft.llmops.NearDupIndex
+            .queryBatch(idx, batch, idCol, textCol, threshold)
+            .select(col("fresh_id").as(idCol)).distinct()
+          val keep = batch.join(dupIds, Seq(idCol), "left_anti")
+          store.write(graft.llmops.NearDupIndex.update(idx, keep, idCol, textCol),
+            indexName, tags = Map("batchId" -> batchId.toString))
+        } finally idx.unpersist(false)
       }
     }
 
@@ -413,15 +420,19 @@ object EventStream {
       val committed = store.readTag(indexName, "batchId").map(_.toLong)
       if (!committed.exists(_ >= batchId)) {
         val epoch = batchId + 1
+        // persist-with-release, same rationale as nearDupStream above
         val idx = store.read(indexName)
           .where(col(graft.llmops.NearDupIndex.EpochCol) =!= epoch.toString)
-        val dupIds = graft.llmops.NearDupIndex
-          .queryBatch(idx, batch, idCol, textCol, threshold)
-          .select(col("fresh_id").as(idCol)).distinct()
-        val keep = batch.join(dupIds, Seq(idCol), "left_anti")
-        graft.llmops.NearDupIndex.foldPartitionedBatch(store, indexName,
-          keep, epoch, idCol, textCol,
-          tags = Map("batchId" -> batchId.toString))
+          .persist()
+        try {
+          val dupIds = graft.llmops.NearDupIndex
+            .queryBatch(idx, batch, idCol, textCol, threshold)
+            .select(col("fresh_id").as(idCol)).distinct()
+          val keep = batch.join(dupIds, Seq(idCol), "left_anti")
+          graft.llmops.NearDupIndex.foldPartitionedBatch(store, indexName,
+            keep, epoch, idCol, textCol,
+            tags = Map("batchId" -> batchId.toString))
+        } finally idx.unpersist(false)
       }
     }
 
