@@ -600,6 +600,90 @@ object LlmOps {
       },
       Some(knnOracle)),
 
+    // ANN recall evaluation harness — the report a 100 TB deployment
+    // tunes nProbe with: recall@10 of IVF probing at 1/2/4 probes
+    // against the brute-force ground truth, one row per probe budget.
+    // Fully distributed (per-budget results union, hits counted by an
+    // equi-join on the exact pair set, total a 1-row broadcast); the
+    // oracle replays seed selection, cell assignment, probe ranking,
+    // in-cell top-k, AND the exact top-k in SQL — both engines run the
+    // identical deterministic algorithm, so recall matches bit-for-bit.
+    QueryDef("q_ann_recall",
+      (s, dir) => {
+        val e = Graft.table(s, dir, "embeddings")
+        val qs = e.where(col("vec_id") < 5)
+        val exact = Similarity.bruteForceTopK(qs, e, k = 10)
+          .select(col("query_id"), col("match_id"))
+        val idx = Similarity.buildIvf(e, nCells = 8, lloydIters = 0,
+          persistIndex = false, portableSeed = true)
+        val budgets = Seq(1L, 2L, 4L)
+        val approx = budgets.map(np =>
+          Similarity.ivfQuery(idx, qs, k = 10, nProbe = np.toInt)
+            .select(lit(np).as("nprobe"), col("query_id"), col("match_id")))
+          .reduce(_ unionByName _)
+        val hits = approx.join(exact, Seq("query_id", "match_id"))
+          .groupBy("nprobe").agg(count(lit(1)).as("hits"))
+        val total = exact.select(count(lit(1)).as("__t"))
+        import s.implicits._
+        budgets.toDF("nprobe")
+          .join(hits, Seq("nprobe"), "left")
+          .crossJoin(broadcast(total))
+          .select(col("nprobe"),
+            round(coalesce(col("hits"), lit(0L)) / col("__t"), 6).as("recall"))
+          .orderBy("nprobe")
+      },
+      Some("""WITH u AS (SELECT vec_id, unnest(embedding)::DOUBLE AS e,
+                    generate_subscripts(embedding, 1) AS i FROM embeddings),
+              n AS (SELECT vec_id, sqrt(sum(e*e)) AS nrm FROM u GROUP BY vec_id),
+              exd AS (SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+                             sum(q.e * c.e) AS dt
+                      FROM u q JOIN u c ON q.i = c.i AND q.vec_id <> c.vec_id
+                      WHERE q.vec_id < 5 GROUP BY 1, 2),
+              exr AS (SELECT query_id, match_id, ROW_NUMBER() OVER (
+                        PARTITION BY query_id ORDER BY
+                          round(dt / (nq.nrm * nc.nrm), 6) DESC, match_id) AS r
+                      FROM exd JOIN n nq ON nq.vec_id = query_id
+                               JOIN n nc ON nc.vec_id = match_id),
+              ex AS (SELECT query_id, match_id FROM exr WHERE r <= 10),
+              cells AS (SELECT cell, ROW_NUMBER() OVER (ORDER BY cell) - 1 AS ci
+                        FROM (SELECT vec_id AS cell FROM (SELECT vec_id,
+                                ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS h
+                              FROM embeddings ORDER BY h, vec_id LIMIT 8))),
+              cv AS (SELECT c.ci, c.cell, u.i, u.e, n.nrm
+                     FROM cells c JOIN u ON u.vec_id = c.cell
+                                  JOIN n ON n.vec_id = c.cell),
+              asg AS (SELECT vec_id, ci FROM (
+                        SELECT u.vec_id, cv.ci, ROW_NUMBER() OVER (
+                          PARTITION BY u.vec_id ORDER BY
+                            SUM(u.e * cv.e / cv.nrm) DESC, cv.ci) AS r
+                        FROM u JOIN cv ON u.i = cv.i GROUP BY u.vec_id, cv.ci) z
+                      WHERE r = 1),
+              pr AS (SELECT q.vec_id AS query_id, cv.ci, ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id ORDER BY
+                         SUM(q.e * cv.e) / (nq.nrm * MIN(cv.nrm)) DESC,
+                         MIN(cv.cell)) AS r
+                     FROM u q JOIN cv ON q.i = cv.i
+                              JOIN n nq ON nq.vec_id = q.vec_id
+                     WHERE q.vec_id < 5 GROUP BY q.vec_id, cv.ci, nq.nrm),
+              pv AS (SELECT * FROM (VALUES (1), (2), (4)) t(np)),
+              cand AS (SELECT pv.np, pr.query_id, a.vec_id AS match_id
+                       FROM pv JOIN pr ON pr.r <= pv.np
+                               JOIN asg a ON a.ci = pr.ci
+                       WHERE a.vec_id <> pr.query_id),
+              apr AS (SELECT np, query_id, match_id, ROW_NUMBER() OVER (
+                        PARTITION BY np, query_id ORDER BY
+                          round(dt / (nq.nrm * nc.nrm), 6) DESC, match_id) AS r
+                      FROM cand JOIN exd USING (query_id, match_id)
+                               JOIN n nq ON nq.vec_id = query_id
+                               JOIN n nc ON nc.vec_id = match_id),
+              hits AS (SELECT np, COUNT(*) AS h FROM apr
+                       JOIN ex USING (query_id, match_id)
+                       WHERE apr.r <= 10 GROUP BY np)
+              SELECT CAST(pv.np AS BIGINT) AS nprobe,
+                     round(COALESCE(h, 0)::DOUBLE
+                           / (SELECT COUNT(*) FROM ex), 6) AS recall
+              FROM pv LEFT JOIN hits USING (np) ORDER BY nprobe""")),
+
     // LSH planes are md5-derived ±1 components (Similarity.planeSign),
     // so DuckDB recomputes the same sign buckets and verifies the same
     // candidate pairs.
