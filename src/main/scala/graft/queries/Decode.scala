@@ -13,6 +13,49 @@ import graft.schema.MSchema
 object Decode {
   val all: Seq[QueryDef] = Seq(
 
+    // bulk decode THROUGHPUT — the reference's signature benchmark
+    // shape (its asv suite exists to showcase columnar-builder decode
+    // of large result sets): the whole orders table as a document
+    // collection, decoded back through the graftdocs columnar path
+    // into aggregates that consume EVERY column (so column pruning
+    // can't shrink the decode). The collection is a memoized one-time
+    // fixture (staged swap ⇒ existence = complete; a row-count tag
+    // revalidates against the source), so bench timings measure the
+    // DECODE, not the setup write.
+    QueryDef("q_decode_bulk",
+      (s, dir) => {
+        val store = new graft.sinks.DocStore(s,
+          System.getProperty("java.io.tmpdir") +
+            s"/graft_bulkdocs_${math.abs(dir.hashCode)}", "graftdocs")
+        val orders = Graft.table(s, dir, "orders")
+        // 8 files: a one-file collection decodes on one task under the
+        // default split size — the multi-file layout any real ingest
+        // produces is also what lets the scan parallelize
+        val n = orders.count()
+        if (!store.exists("orders_docs") ||
+            !store.readTag("orders_docs", "rows").contains(s"$n:8"))
+          store.write(orders.repartition(8), "orders_docs",
+            tags = Map("rows" -> s"$n:8"))
+        store.read("orders_docs")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,4)")).cast("double")
+              .as("total"),
+            countDistinct(col("o_custkey")).as("custs"),
+            sum(col("o_orderkey")).as("key_sum"),
+            min(col("o_orderstatus")).as("status_min"),
+            min(col("o_orderdate")).as("d_min"),
+            max(col("o_orderdate")).as("d_max"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+                     CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS custs,
+                     CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+                     MIN(o_orderstatus) AS status_min,
+                     MIN(o_orderdate) AS d_min, MAX(o_orderdate) AS d_max
+              FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // inferred-schema decode (reference inferred mode §1.3) → typed agg
     QueryDef("q_decode_infer",
       (s, dir) => {
