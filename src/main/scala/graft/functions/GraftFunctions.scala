@@ -1706,6 +1706,8 @@ case class BpeEncode(str: Expression, mergesExpr: Expression)
       TypeCheckFailure(s"bpe_encode requires a string input, got ${str.dataType.simpleString}")
     else if (!ok)
       TypeCheckFailure("bpe_encode merges must be a foldable array<array<string>> of [p1,p2] pairs")
+    else if (mergesExpr.eval() == null)
+      TypeCheckFailure("bpe_encode merges must not be null")
     else TypeCheckSuccess
   }
 
