@@ -78,6 +78,7 @@ class PlanLintSpec extends AnyFunSuite {
     "q_ivf_topk" -> "broadcast side is the QUERY vector set (bounded probe input); corpus side filtered by nearest-cell first",
     "q_ivfpq_topk" -> "same bounded query-set broadcast; corpus ships 8-byte PQ codes only",
     "q_pq_topk" -> "same bounded query-set broadcast over PQ codes",
+    "q_ann_recall" -> "recall harness: broadcast sides are the bounded query set (brute-force baseline) and the ≤nCells centroid constants (probe ranking), per budget",
     "q_rrf_fusion" -> "joined sides are the per-list top-k results — each bounded by its $limit (rank-window guard enforces it)",
     "q_score_fusion" -> "same: per-pipeline inputs carry $limit before fusion; stats sides are per-pipeline aggregates")
 
