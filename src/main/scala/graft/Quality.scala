@@ -72,6 +72,17 @@ object Quality {
       threshold = 0.4, nCells = 8))
     val (sdR, sdP) = prf(semDrops, exactDrops)
 
+    // BPE compression: corpus code points per token after 64 / 256
+    // trained merges (the curve a tokenizer-training run tracks —
+    // flat means the merge table stopped paying for itself)
+    val merges = graft.llmops.Bpe.train(docs, "text", nMerges = 256)
+    def totalToks(ms: Seq[(String, String)]): Double =
+      docs.select(sum(size(graft.llmops.Bpe.encode(col("text"), ms)))
+        .cast("double")).as[Double].head()
+    val cps = totalToks(Nil)
+    val cpt64 = cps / totalToks(merges.take(64).map(m => (m._1, m._2)))
+    val cpt256 = cps / totalToks(merges.map(m => (m._1, m._2)))
+
     println(
       s"""{"sf":"$sfDir","near_dup_truth_pairs":${truth.size},""" +
       s""""minhash":{"recall":$mhR,"precision":$mhP},""" +
@@ -79,7 +90,8 @@ object Quality {
       s""""ivf_top10_nprobe4of16_lloyd1":{"recall":$ivfR,"precision":$ivfP},""" +
       s""""pq_top10_m8x16":{"recall":$pqR,"precision":$pqP},""" +
       s""""pq_top10_m8x16_lloyd1":{"recall":$pqLR,"precision":$pqLP},""" +
-      s""""semdedup_drops_8cells":{"recall":$sdR,"precision":$sdP}}""")
+      s""""semdedup_drops_8cells":{"recall":$sdR,"precision":$sdP},""" +
+      s""""bpe_code_points_per_token":{"merges64":$cpt64,"merges256":$cpt256}}""")
     spark.stop()
   }
 }
