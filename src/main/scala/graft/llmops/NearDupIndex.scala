@@ -206,6 +206,25 @@ object NearDupIndex {
     store.overwritePartitions(delta, name, Seq(EpochCol), tags)
   }
 
+  /** Epoch compaction — the OPTIMIZE verb of the fold layout: a year of
+    * hourly folds leaves thousands of tiny epoch partitions, and every
+    * query pays their file-listing + small-file overhead. Rewrites the
+    * WHOLE index into `epoch=0` (one explicit full rewrite — exactly
+    * what incremental folds avoid paying per batch, scheduled here on
+    * the operator's terms) and drops the emptied epoch directories.
+    * Rows, geometry, and commit tags survive; folds continue from any
+    * later epoch. */
+  def compactEpochs(store: graft.sinks.DocStore, name: String): Unit = {
+    val tags = store.listTags(name)
+    // whole-collection staged swap (NOT per-leaf overwritePartitions):
+    // rows move between partitions here, so a per-leaf commit would
+    // expose a duplicated-rows window between the epoch=0 swap and the
+    // old-epoch deletes; the single swap keeps compaction atomic
+    store.write(
+      store.read(name).drop(EpochCol).withColumn(EpochCol, lit("0")),
+      name, tags, partitionBy = Seq(EpochCol))
+  }
+
   /** Drop documents from an epoch-partitioned index, rewriting ONLY the
     * epochs that contain them: a driver-side epoch list (bounded by the
     * number of ingests, never by data) routes the anti-join to the

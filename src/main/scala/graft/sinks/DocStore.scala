@@ -422,20 +422,30 @@ final class DocStore(val spark: SparkSession, val dir: String,
 
   /** Write `df` as collection `name`, replacing any prior contents via
     * the staged swap described above. `tags` are committed atomically
-    * with the contents (see [[readTag]]). */
+    * with the contents (see [[readTag]]). A non-empty `partitionBy`
+    * (graftdocs only) writes the hive layout INSIDE the single swap —
+    * the whole-collection-atomic counterpart of [[overwritePartitions]]
+    * for rewrites that move rows BETWEEN partitions (epoch compaction),
+    * where per-leaf swaps would expose a duplicated-rows crash window. */
   def write(df: DataFrame, name: String,
-            tags: Map[String, String] = Map.empty): Unit = {
+            tags: Map[String, String] = Map.empty,
+            partitionBy: Seq[String] = Seq.empty): Unit = {
     val target = new Path(path(name))
     val stage = new Path(s"$dir/.graft_stage_${validName(name)}_${System.nanoTime()}")
-    if (format == "parquet")
+    if (format == "parquet") {
+      require(partitionBy.isEmpty, "partitionBy needs graftdocs layout")
       df.write.mode("overwrite").parquet(stage.toString)
-    else {
-      df.write.format("graftdocs").mode("overwrite").save(stage.toString)
+    } else {
+      val w = df.write.format("graftdocs")
+      (if (partitionBy.isEmpty) w
+       else w.option("partitionby", partitionBy.mkString(",")))
+        .mode("overwrite").save(stage.toString)
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val root = mapper.createObjectNode()
       root.set[com.fasterxml.jackson.databind.JsonNode]("schema",
         mapper.readTree(df.schema.json))
-      root.putObject("options")
+      val opts = root.putObject("options")
+      if (partitionBy.nonEmpty) opts.put("partitionby", partitionBy.mkString(","))
       val out = fs.create(new Path(stage, "_graft_schema.json"), true)
       try out.write(mapper.writeValueAsBytes(root)) finally out.close()
     }

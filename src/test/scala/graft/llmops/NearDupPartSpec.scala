@@ -102,6 +102,29 @@ class NearDupPartSpec extends AnyFunSuite {
       rows(NearDupIndex.build(keptIds, "doc_id", "text")))
   }
 
+  test("compactEpochs: one epoch left, rows/geometry/tags intact, folds continue") {
+    val store = newStore()
+    val a = docs.where($"doc_id" % 3 === 0)
+    val b = docs.where($"doc_id" % 3 === 1)
+    val c = docs.where($"doc_id" % 3 === 2)
+    NearDupIndex.writePartitioned(store,
+      NearDupIndex.build(a, "doc_id", "text"), "nd",
+      tags = Map("batchId" -> "1"))
+    NearDupIndex.foldPartitionedBatch(store, "nd", b, 1, "doc_id", "text",
+      tags = Map("batchId" -> "2"))
+    val before = rows(store.read("nd"))
+    NearDupIndex.compactEpochs(store, "nd")
+    assert(rows(store.read("nd")) == before)
+    val epochs = new java.io.File(store.path("nd")).listFiles
+      .filter(_.isDirectory).map(_.getName).toSet.filter(_.startsWith("epoch="))
+    assert(epochs == Set("epoch=0"), s"got $epochs")
+    assert(store.readTag("nd", "batchId").contains("2")) // tags survive
+    // the compacted index still folds (geometry meta intact)
+    NearDupIndex.foldPartitionedBatch(store, "nd", c, 3, "doc_id", "text")
+    assert(rows(store.read("nd")) == rows(NearDupIndex.build(
+      docs, "doc_id", "text")))
+  }
+
   test("nearDupStreamPartitioned: cross-batch dedup, per-epoch layout, replay skip") {
     import org.apache.spark.sql.streaming.Trigger
     val feed = java.nio.file.Files.createTempDirectory("graft_ndpfeed").toString
