@@ -126,6 +126,42 @@ object Decode {
               FROM customer WHERE c_custkey <= 1000
               GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    // SQL time travel: two curation generations land via writeVersioned
+    // (pointer-rename snapshots), then ONE statement reads both — the
+    // retired generation through VERSION AS OF, the live one directly.
+    // The oracle replays the curation filter per branch.
+    QueryDef("q_sql_time_travel",
+      (s, dir) => {
+        val root = java.nio.file.Files.createTempDirectory("graft_tt").toString
+        val store = new graft.sinks.DocStore(s, root, "graftdocs")
+        val cust = Graft.table(s, dir, "customer")
+        store.writeVersioned(cust, "cust"): Unit
+        store.writeVersioned(cust.where(col("c_custkey") <= 1000), "cust"): Unit
+        val cat = s"grafttt${System.nanoTime()}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.dir", root)
+        s.sql(s"""SELECT snap, c_mktsegment, n, sum_bal FROM (
+                    SELECT 'v1' AS snap, c_mktsegment,
+                           CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+                    FROM $cat.cust VERSION AS OF 1 GROUP BY c_mktsegment
+                    UNION ALL
+                    SELECT 'live', c_mktsegment, CAST(count(*) AS BIGINT),
+                           CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                    FROM $cat.cust GROUP BY c_mktsegment)
+                  ORDER BY snap, c_mktsegment""")
+      },
+      Some("""SELECT snap, c_mktsegment, n, sum_bal FROM (
+                SELECT 'v1' AS snap, c_mktsegment,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+                FROM customer GROUP BY c_mktsegment
+                UNION ALL
+                SELECT 'live', c_mktsegment, CAST(COUNT(*) AS BIGINT),
+                       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                FROM customer WHERE c_custkey <= 1000 GROUP BY c_mktsegment)
+              ORDER BY snap, c_mktsegment""")),
+
     // raw binary BSON loop (the reference's native format,
     // process_bson_stream lib.pyx:296-311): typed table → .bson batch
     // files → binary parse + schema-directed decode → aggregation

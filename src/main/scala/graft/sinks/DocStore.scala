@@ -318,14 +318,36 @@ final class DocStore(val spark: SparkSession, val dir: String,
   }
 
   /** Move the live dataset into the version directory under a fresh id;
-    * returns that id (the caller then installs new contents). */
+    * returns that id (the caller then installs new contents). A
+    * `_graft_retired_at` marker (epoch ms; `_`-prefixed so both layouts
+    * skip it as data) records WHEN the snapshot stopped being live —
+    * the anchor `TIMESTAMP AS OF` resolution needs, since a rename
+    * preserves the directory's own mtime. Written after the rename: a
+    * crash in between leaves a version without a timestamp, which
+    * timestamp resolution reports loudly rather than guessing. */
   private def retire(name: String): Long = {
     val v = versions(name).lastOption.getOrElse(0L) + 1
     val f = fs
     f.mkdirs(versionsDir(name))
     if (!f.rename(new Path(path(name)), versionPath(name, v)))
       throw new MqlException(s"could not retire version $v of '$name'")
+    val out = f.create(new Path(versionPath(name, v), "_graft_retired_at"), true)
+    try out.write(System.currentTimeMillis().toString.getBytes("UTF-8"))
+    finally out.close()
     v
+  }
+
+  /** Epoch-ms instant at which version `v` stopped being live (None for
+    * versions retired by a pre-marker writer or a crash mid-retire). */
+  def retiredAt(name: String, v: Long): Option[Long] = {
+    val p = new Path(versionPath(name, v), "_graft_retired_at")
+    val f = fs
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.toLongOption
+      finally in.close()
+    }
   }
 
   /** [[write]] that RETAINS the replaced contents as a new retired

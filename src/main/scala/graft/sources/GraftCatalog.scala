@@ -90,8 +90,47 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def tableExists(ident: Identifier): Boolean =
     fs.exists(tableDir(ident))
 
-  override def loadTable(ident: Identifier): Table = {
-    val dir = tableDir(ident)
+  override def loadTable(ident: Identifier): Table =
+    loadFrom(ident, tableDir(ident))
+
+  /** SQL time travel over [[graft.sinks.DocStore]] snapshots:
+    * `SELECT … FROM cat.coll VERSION AS OF <v>` resolves the retired
+    * version's directory (its schema sidecar and files moved there by
+    * pointer rename, so the load path is identical to a live table). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val live = tableDir(ident) // validates the name
+    val v = version.toLongOption.getOrElse(throw new IllegalArgumentException(
+      s"catalog $catalogName: VERSION AS OF expects a numeric graft version id, got '$version'"))
+    val vdir = new Path(rootDir, s".graft_versions/${ident.name}/v$v")
+    if (!fs.exists(vdir)) {
+      if (!fs.exists(live)) throw new NoSuchTableException(ident)
+      throw new IllegalArgumentException(
+        s"catalog $catalogName: no version $v of '${ident.name}'")
+    }
+    loadFrom(ident, vdir)
+  }
+
+  /** `TIMESTAMP AS OF <t>`: the snapshot that was LIVE at instant `t`
+    * (micros from Spark) — the earliest retired version whose
+    * retired-at marker is after `t`; none ⇒ the live table. A version
+    * missing its marker (pre-marker writer, crash mid-retire) fails
+    * loudly rather than guessing. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val store = new graft.sinks.DocStore(
+      org.apache.spark.sql.SparkSession.active, rootDir, "graftdocs")
+    tableDir(ident): Unit // validates the name
+    val tMs = timestampMicros / 1000L
+    val hit = store.versions(ident.name).find { v =>
+      store.retiredAt(ident.name, v).getOrElse(throw new IllegalStateException(
+        s"catalog $catalogName: version $v of '${ident.name}' has no retired-at marker")) > tMs
+    }
+    hit match {
+      case Some(v) => loadTable(ident, v.toString)
+      case None => loadTable(ident)
+    }
+  }
+
+  private def loadFrom(ident: Identifier, dir: Path): Table = {
     val f = fs
     if (!f.exists(dir)) throw new NoSuchTableException(ident)
     val side = sidecar(dir)

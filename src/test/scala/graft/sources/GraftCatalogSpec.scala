@@ -34,6 +34,34 @@ class GraftCatalogSpec extends AnyFunSuite {
       s"expected the filter pushed to the scan:\n$desc")
   }
 
+  test("VERSION AS OF / TIMESTAMP AS OF time-travel over DocStore snapshots") {
+    val (cat, root) = freshCatalog()
+    val store = new graft.sinks.DocStore(spark, root, "graftdocs")
+    store.writeVersioned(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "c"): Unit
+    Thread.sleep(5)
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(5)
+    store.writeVersioned(Seq((3L, "z")).toDF("id", "v"), "c"): Unit
+    def ids(sql: String): Set[Long] =
+      spark.sql(sql).select("id").as[Long].collect().toSet
+    assert(ids(s"SELECT id FROM $cat.c") == Set(3L))
+    assert(ids(s"SELECT id FROM $cat.c VERSION AS OF 1") == Set(1L, 2L))
+    // v1 was live at betweenMs (retired by the second write, after it)
+    val iso = java.time.Instant.ofEpochMilli(betweenMs).toString
+    assert(ids(s"SELECT id FROM $cat.c TIMESTAMP AS OF '$iso'") == Set(1L, 2L))
+    // a timestamp after every retirement resolves to the live table
+    val future = java.time.Instant.ofEpochMilli(
+      System.currentTimeMillis() + 60000).toString
+    assert(ids(s"SELECT id FROM $cat.c TIMESTAMP AS OF '$future'") == Set(3L))
+    // unknown version / non-numeric version fail loudly
+    val e1 = intercept[Exception](
+      spark.sql(s"SELECT id FROM $cat.c VERSION AS OF 9").collect())
+    assert(e1.getMessage.contains("no version 9"))
+    val e2 = intercept[Exception](
+      spark.sql(s"SELECT id FROM $cat.c VERSION AS OF 'x1'").collect())
+    assert(e2.getMessage.contains("numeric graft version id"))
+  }
+
   test("SHOW TABLES lists collections; DROP TABLE removes one") {
     val (cat, root) = freshCatalog()
     seed(root, "aaa"); seed(root, "bbb")
