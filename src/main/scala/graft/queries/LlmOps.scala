@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.api.Graft
-import graft.llmops.{Bpe, Decontaminate, Dedup, Dsir, Multimodal, NearDupIndex, Sampling, Similarity, TextAnalysis, TfIdf}
+import graft.llmops.{Bpe, Decontaminate, Dedup, Dsir, LineFreqIndex, Multimodal, NearDupIndex, Sampling, Similarity, TextAnalysis, TfIdf}
 
 /** Training-data pipeline operators over the documents/embeddings
   * fixtures: text analysis, dedup (exact → minhash/simhash near-dup),
@@ -276,6 +276,34 @@ object LlmOps {
     QueryDef("q_boilerplate",
       (s, dir) => Dedup.boilerplateLines(Graft.table(s, dir, "documents"),
         "doc_id", "text", sep = " ", minDocFrac = 0.78).orderBy("line"),
+      Some("""WITH expl AS (SELECT doc_id, unnest(string_split(text, ' ')) AS line
+                            FROM documents),
+              freq AS (SELECT line, COUNT(DISTINCT doc_id) AS n_docs
+                       FROM expl GROUP BY 1)
+              SELECT line, n_docs FROM freq
+              WHERE n_docs >= 0.78 * (SELECT COUNT(*) FROM documents)
+              ORDER BY line""")),
+
+    // the line-frequency INDEX (merge-on-read): three crawl shards fold
+    // as per-epoch deltas (O(batch) writes, history files untouched —
+    // LineFreqIndexSpec pins that), then the boilerplate report runs
+    // against the ACCUMULATED corpus view (sum across epochs). The
+    // oracle is the one-shot frequency query — merged deltas must be
+    // indistinguishable from having scanned everything at once.
+    QueryDef("q_line_index",
+      (s, dir) => {
+        val docs = Graft.table(s, dir, "documents")
+        val store = new graft.sinks.DocStore(s,
+          java.nio.file.Files.createTempDirectory("graft_lfidx").toString,
+          format = "graftdocs")
+        LineFreqIndex.writePartitioned(store, LineFreqIndex.build(
+          docs.where(col("doc_id") % 3 === 0), "doc_id", "text", " "), "lf")
+        Seq(1L, 2L).foreach { m =>
+          LineFreqIndex.foldBatch(store, "lf",
+            docs.where(col("doc_id") % 3 === m), m, "doc_id", "text", " ")
+        }
+        LineFreqIndex.boilerplate(store, "lf", 0.78).orderBy("line")
+      },
       Some("""WITH expl AS (SELECT doc_id, unnest(string_split(text, ' ')) AS line
                             FROM documents),
               freq AS (SELECT line, COUNT(DISTINCT doc_id) AS n_docs
