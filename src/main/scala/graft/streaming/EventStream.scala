@@ -436,6 +436,26 @@ object EventStream {
       }
     }
 
+  /** Streaming maintenance of the merge-on-read line-frequency index
+    * ([[graft.llmops.LineFreqIndex]]): each micro-batch folds its own
+    * per-epoch delta partition — O(batch) written, history untouched,
+    * replay-idempotent by construction (re-folding an epoch replaces
+    * identical rows; the batchId tag short-circuits clean replays).
+    * The continuously-maintained boilerplate state behind line-level
+    * dedup of an arriving crawl. */
+  def lineFreqStream(stream: DataFrame, idCol: String, textCol: String,
+                     indexName: String, store: graft.sinks.DocStore,
+                     sep: String = "\n")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val committed = store.readTag(indexName, "batchId").map(_.toLong)
+      if (!committed.exists(_ >= batchId)) {
+        graft.llmops.LineFreqIndex.foldBatch(store, indexName, batch,
+          batchId + 1, idCol, textCol, sep,
+          tags = Map("batchId" -> batchId.toString))
+      }
+    }
+
   /** nearDupStream over the fixture: history (doc_id % 5 ≠ 0) seeds the
     * band index, the % 5 = 0 shard streams in, near-dups drop against
     * history, survivors fold. Returns per-source counts of the FINAL

@@ -90,6 +90,35 @@ class LineFreqIndexSpec extends AnyFunSuite {
     assert(out2 == Map(9002L -> "zzzunseen zzzunseen"))
   }
 
+  test("lineFreqStream: streamed folds ≡ one-shot; fresh-checkpoint replay skips") {
+    import org.apache.spark.sql.streaming.Trigger
+    val feed = java.nio.file.Files.createTempDirectory("graft_lffeed").toString
+    val odd = docs.where($"doc_id" % 2 === 1).select("doc_id", "text")
+    val even = docs.where($"doc_id" % 2 === 0).select("doc_id", "text")
+    odd.coalesce(1).write.parquet(s"$feed/f1")
+    even.coalesce(1).write.parquet(s"$feed/f2")
+    val store = newStore()
+    LineFreqIndex.writePartitioned(store,
+      LineFreqIndex.build(docs.limit(0), "doc_id", "text", " "), "lf")
+    val stream = spark.readStream.schema("doc_id long, text string")
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(feed)
+    def run(): Unit = {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_lfckpt").toString
+      val q = graft.streaming.EventStream
+        .lineFreqStream(stream, "doc_id", "text", "lf", store, sep = " ")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    val oneShot = Dedup.lineDocFreq(docs, "doc_id", "text", " ")
+      .as[(String, Long)].collect().toMap
+    assert(freqMap(store) == oneShot)
+    run() // fresh checkpoint: batch ids restart ≤ committed tag → skipped
+    assert(freqMap(store) == oneShot)
+  }
+
   test("compact: one merged epoch, identical view, folds continue") {
     val store = newStore()
     val a = docs.where($"doc_id" % 3 === 0)
