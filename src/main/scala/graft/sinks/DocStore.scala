@@ -337,6 +337,20 @@ final class DocStore(val spark: SparkSession, val dir: String,
     v
   }
 
+  /** The collection as of epoch-ms instant `tMs` — the Scala-API mirror
+    * of SQL `TIMESTAMP AS OF` (GraftCatalog.loadTable): the earliest
+    * retired version whose retired-at marker is after `tMs`, else the
+    * live dataset. A version missing its marker fails loudly rather
+    * than guessing. */
+  def readAsOf(name: String, tMs: Long): DataFrame =
+    versions(name).find { v =>
+      retiredAt(name, v).getOrElse(throw new MqlException(
+        s"version $v of '$name' has no retired-at marker")) > tMs
+    } match {
+      case Some(v) => readVersion(name, v)
+      case None => read(name)
+    }
+
   /** Epoch-ms instant at which version `v` stopped being live (None for
     * versions retired by a pre-marker writer or a crash mid-retire). */
   def retiredAt(name: String, v: Long): Option[Long] = {

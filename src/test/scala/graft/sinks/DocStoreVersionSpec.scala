@@ -57,6 +57,9 @@ class DocStoreVersionSpec extends AnyFunSuite {
           if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(walk)
           else Seq(f)
         walk(new java.io.File(p))
+          // the retired-at marker is metadata written INTO the version
+          // dir at retirement — the data files must still move untouched
+          .filterNot(_.getName.contains("_graft_retired_at")) // + its .crc
           .map(f => (f.getName, f.length, f.lastModified)).toSet
       }
       val before = sig(s.path("c"))
@@ -65,6 +68,18 @@ class DocStoreVersionSpec extends AnyFunSuite {
         (if (fmt == "parquet") "/v1.parquet" else "/v1")
       assert(sig(vdir) == before) // byte-for-byte the same files
     }
+  }
+
+  test("readAsOf resolves the snapshot live at the instant") {
+    val s = newStore("graftdocs")
+    s.writeVersioned(df(1L -> "a"), "c"): Unit
+    Thread.sleep(5); val t1 = System.currentTimeMillis(); Thread.sleep(5)
+    s.writeVersioned(df(2L -> "b"), "c"): Unit
+    Thread.sleep(5); val t2 = System.currentTimeMillis(); Thread.sleep(5)
+    s.writeVersioned(df(3L -> "z"), "c"): Unit
+    assert(ids(s.readAsOf("c", t1)) == Set(1L))
+    assert(ids(s.readAsOf("c", t2)) == Set(2L))
+    assert(ids(s.readAsOf("c", System.currentTimeMillis())) == Set(3L))
   }
 
   test("tags ride with their version; prune bounds the history") {
