@@ -237,6 +237,53 @@ object LlmOps {
                FROM documents LEFT JOIN toks USING (doc_id)
                GROUP BY doc_id ORDER BY doc_id""")),
 
+    // the end-to-end pretraining data shape: TRAIN the tokenizer on the
+    // corpus (one merge — the oracle-replayable depth), ENCODE every
+    // document with it (codegen'd, vocabulary a plan constant), PACK
+    // the real token counts into fixed-512-token sequences. Chains
+    // q_bpe_encode's replace identity into q_packing's cumsum replay.
+    QueryDef("q_bpe_pack",
+      (s, dir) => {
+        val docs = Graft.table(s, dir, "documents")
+        val m = Bpe.train(docs, "text", nMerges = 1, minFreq = 1)
+          .map(x => (x._1, x._2))
+        Sampling.packSequences(docs, "doc_id", "source",
+          size(Bpe.encode(col("text"), m)).cast("long"), 512L)
+          .select(col("source"), col("doc_id"), col("start_offset"),
+            col("pack_first"), col("pack_last"))
+          .orderBy("source", "start_offset", "doc_id")
+      },
+      Some(s"""WITH w AS (SELECT unnest(regexp_extract_all(text,
+                 '$duckBpeSplit')) AS word FROM documents),
+               d AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY 1),
+               p AS (SELECT word[i:i] AS p1, word[i+1:i+1] AS p2, cnt
+                     FROM d, LATERAL (SELECT unnest(generate_series(1,
+                       len(word) - 1)) AS i) g),
+               best AS (SELECT p1 || p2 AS pair FROM p GROUP BY p1, p2
+                        ORDER BY SUM(cnt) DESC, p1, p2 LIMIT 1),
+               toks AS (SELECT doc_id, unnest(regexp_extract_all(text,
+                 '$duckBpeSplit')) AS tok FROM documents),
+               bt AS (SELECT doc_id, CAST(COALESCE(SUM(len(replace(tok,
+                        (SELECT pair FROM best), chr(1)))), 0) AS BIGINT)
+                        AS n_tok
+                      FROM documents LEFT JOIN toks USING (doc_id)
+                      GROUP BY doc_id),
+               t AS (SELECT dd.source, dd.doc_id, bt.n_tok,
+                       ('0x' || substr(md5('pack:' || dd.doc_id), 1, 8))::BIGINT
+                         % 1000000 AS hb
+                     FROM documents dd JOIN bt USING (doc_id)),
+               c AS (SELECT source, doc_id, n_tok,
+                       CAST(SUM(n_tok) OVER (PARTITION BY source
+                         ORDER BY hb, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS BIGINT) AS cum
+                     FROM t)
+               SELECT source, doc_id, cum - n_tok AS start_offset,
+                      CAST(floor((cum - n_tok) / 512) AS BIGINT) AS pack_first,
+                      CAST(floor(greatest(cum - 1, cum - n_tok) / 512)
+                           AS BIGINT) AS pack_last
+               FROM c ORDER BY source, start_offset, doc_id""")),
+
     // Unicode/whitespace canonicalization (CCNet-style pre-hash cleanup).
     // The fixture is ASCII-NFC, so `changed` is false throughout — the
     // Unicode branches (composition, NFKC folding, zero-width strip) are
