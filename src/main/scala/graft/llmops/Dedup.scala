@@ -524,12 +524,23 @@ object Dedup {
   // ---- line-level (segment) dedup — CCNet §3.1 / boilerplate removal ----
 
   /** (doc, position, segment) exploded view; `sep` is a LITERAL
-    * separator (quoted before Spark's regex split). */
-  private def segments(df: DataFrame, idCol: String, textCol: String,
-                       sep: String): DataFrame =
+    * separator (quoted before Spark's regex split). Shared with
+    * [[LineFreqIndex]] so the two line-dedup implementations cannot
+    * drift on split/ordering semantics. */
+  private[llmops] def segments(df: DataFrame, idCol: String, textCol: String,
+                               sep: String): DataFrame =
     df.select(col(idCol),
       posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
         .as(Seq("__i", "line")))
+
+  /** Rebuild documents from surviving (idCol, __i, line) segments in
+    * original order; docs with no surviving segment drop out. */
+  private[llmops] def rebuildDocs(segs: DataFrame, idCol: String,
+                                  textCol: String, sep: String): DataFrame =
+    segs.groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__i"), col("line")))),
+          x => x.getField("line")), sep).as(textCol))
 
   /** Corpus-wide document frequency per line/segment: (line, n_docs).
     * A line repeated within one doc counts that doc once. One shuffle
@@ -575,11 +586,7 @@ object Dedup {
       .crossJoin(broadcast(total))
       .where(col("n_docs") <= col("__total") * maxDocFrac)
       .select("line")
-    segments(df, idCol, textCol, sep)
-      .join(keepable, "line")
-      .groupBy(col(idCol))
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("__i"), col("line")))),
-          x => x.getField("line")), sep).as(textCol))
+    rebuildDocs(segments(df, idCol, textCol, sep).join(keepable, "line"),
+      idCol, textCol, sep)
   }
 }

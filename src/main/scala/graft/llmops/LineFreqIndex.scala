@@ -45,19 +45,30 @@ object LineFreqIndex {
       df.sparkSession.range(1).select(lit("meta").as("kind"),
         lit(sep).as("line"), lit(null).cast("long").as("n_docs")))
 
-  /** Store the built index epoch-partitioned (everything in epoch=0). */
+  /** Store the built index epoch-partitioned (everything in epoch=0).
+    * The separator pin is ALSO committed as a tag so per-fold lookups
+    * are one O(1) tag read, not an index scan (the fold contract is
+    * O(batch); after a year of hourly folds the meta row hides behind
+    * thousands of epoch partitions). */
   def writePartitioned(store: graft.sinks.DocStore, index: DataFrame,
                        name: String,
                        tags: Map[String, String] = Map.empty): Unit =
     store.overwritePartitions(index.withColumn(EpochCol, lit("0")),
-      name, Seq(EpochCol), tags)
+      name, Seq(EpochCol), tags + ("linefreq-sep" -> sepOfFrame(index)))
 
-  /** The pinned separator; refuses a frame without one. */
-  private def sepOf(index: DataFrame): String =
+  /** The pinned separator from a frame's meta row (the 1-row union
+    * branch — constant-folded, never a corpus scan). */
+  private def sepOfFrame(index: DataFrame): String =
     index.where(col("kind") === "meta").select("line")
       .collect().headOption.map(_.getString(0)).getOrElse(
         throw new MqlException(
           "LineFreqIndex: frame has no meta row — not a line-frequency index"))
+
+  /** Stored-index separator: O(1) tag fast path, meta-row scan fallback
+    * for externally-written layouts. */
+  private def sepOf(store: graft.sinks.DocStore, name: String): String =
+    store.readTag(name, "linefreq-sep")
+      .getOrElse(sepOfFrame(store.read(name)))
 
   /** Fold one ingest batch: writes ONLY the `epoch=<epoch>` partition
     * (per-batch deltas; history files byte-identical). Replay-safe by
@@ -68,7 +79,7 @@ object LineFreqIndex {
                 sep: String = "\n",
                 tags: Map[String, String] = Map.empty): Unit = {
     require(epoch > 0, "epoch 0 is the build partition")
-    val pinned = sepOf(store.read(name))
+    val pinned = sepOf(store, name)
     if (pinned != sep) throw new MqlException(
       s"LineFreqIndex '$name' was built with separator ${render(pinned)}; " +
         s"folding with ${render(sep)} would corrupt every count")
@@ -110,23 +121,21 @@ object LineFreqIndex {
                                batch: DataFrame, idCol: String,
                                textCol: String, sep: String = "\n",
                                maxDocFrac: Double = 0.5): DataFrame = {
-    val pinned = sepOf(store.read(name))
+    val pinned = sepOf(store, name)
     if (pinned != sep) throw new MqlException(
       s"LineFreqIndex '$name' was built with separator ${render(pinned)}, not ${render(sep)}")
-    val segs = batch.select(col(idCol),
-      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
-        .as(Seq("__i", "line")))
     // a batch line HISTORY has never seen is trivially below any
-    // threshold — keep it (left join; unmatched = frequency 0)
+    // threshold — keep it (anti-join against the over-threshold set;
+    // unmatched = frequency 0). Explode/rebuild shared with the
+    // one-shot operator so split/ordering semantics cannot drift.
     val knownDrop = lineFreq(store, name)
       .crossJoin(broadcast(totalDocs(store, name)))
       .where(col("n_docs") > col("__total") * maxDocFrac)
       .select("line")
-    segs.join(knownDrop, Seq("line"), "left_anti")
-      .groupBy(col(idCol))
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("__i"), col("line")))),
-          x => x.getField("line")), sep).as(textCol))
+    Dedup.rebuildDocs(
+      Dedup.segments(batch, idCol, textCol, sep)
+        .join(knownDrop, Seq("line"), "left_anti"),
+      idCol, textCol, sep)
   }
 
   /** Compaction (merge-on-read's OPTIMIZE): sum-merge every epoch's
@@ -136,7 +145,7 @@ object LineFreqIndex {
     * separator pin survive; later folds continue from any epoch. */
   def compact(store: graft.sinks.DocStore, name: String): Unit = {
     val idx = store.read(name)
-    val sep = sepOf(idx)
+    val sep = sepOfFrame(idx)
     val merged = idx.where(col("kind") =!= "meta")
       .groupBy("kind", "line").agg(sum("n_docs").as("n_docs"))
       .unionByName(idx.sparkSession.range(1).select(lit("meta").as("kind"),

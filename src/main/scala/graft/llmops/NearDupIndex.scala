@@ -179,12 +179,27 @@ object NearDupIndex {
   val EpochCol = "epoch"
 
   /** Store a freshly built index epoch-partitioned (everything lands in
-    * `epoch=0`, including the meta row). */
+    * `epoch=0`, including the meta row). The LSH geometry is ALSO
+    * committed as a tag so per-fold lookups are one O(1) tag read, not
+    * an index scan over thousands of epoch partitions (the fold
+    * contract is O(batch)). */
   def writePartitioned(store: graft.sinks.DocStore, index: DataFrame,
                        name: String,
-                       tags: Map[String, String] = Map.empty): Unit =
+                       tags: Map[String, String] = Map.empty): Unit = {
+    val (a, b, c) = geometry(index) // 1-row meta branch, constant-folded
     store.overwritePartitions(index.withColumn(EpochCol, lit("0")),
-      name, Seq(EpochCol), tags)
+      name, Seq(EpochCol), tags + ("neardup-geometry" -> param(a, b, c)))
+  }
+
+  /** Stored-index geometry: O(1) tag fast path, meta-row scan fallback
+    * for externally-written layouts. */
+  private def geometryOf(store: graft.sinks.DocStore, name: String)
+      : (Int, Int, Int) =
+    store.readTag(name, "neardup-geometry").map(_.split("/") match {
+      case Array(a, b, c) => (a.toInt, b.toInt, c.toInt)
+      case _ => throw new IllegalArgumentException(
+        s"NearDupIndex: malformed geometry tag on '$name'")
+    }).getOrElse(geometry(store.read(name)))
 
   /** Fold one ingest batch into an epoch-partitioned index: builds the
     * batch's own band/doc rows and writes them as partition
@@ -199,7 +214,7 @@ object NearDupIndex {
                            idCol: String, textCol: String,
                            tags: Map[String, String] = Map.empty): Unit = {
     require(epoch > 0, "epoch 0 is the build partition")
-    val (shingleN, numHashes, bands) = geometry(store.read(name))
+    val (shingleN, numHashes, bands) = geometryOf(store, name)
     val delta = build(batch, idCol, textCol, shingleN, numHashes, bands)
       .where(col("kind") =!= "meta")
       .withColumn(EpochCol, lit(epoch.toString))

@@ -42,13 +42,17 @@ object TextAnalysis {
     * Unicode-normalize (NFC by default), collapse all whitespace runs
     * to single spaces, strip remaining control/format characters
     * (zero-widths, BOMs, C0/C1 controls — the `[Cc][Cf]` categories),
-    * trim. Whitespace first so \n/\t (which are Cc) collapse into
-    * spaces rather than vanish and glue words together. Pure Column
-    * pipeline → whole-stage codegen, map-only at any scale. */
+    * collapse AGAIN, trim. Whitespace first so \n/\t (which are Cc)
+    * collapse into spaces rather than vanish and glue words together;
+    * the second collapse makes the form canonical — a stripped
+    * invisible BETWEEN two whitespace runs ("a ​ b") would
+    * otherwise leave a double space, and two texts identical up to an
+    * invisible char would hash apart, defeating normalize-before-hash
+    * dedup. Pure Column pipeline → whole-stage codegen, map-only. */
   def cleanText(text: Column, form: String = "NFC"): Column =
-    trim(regexp_replace(
+    trim(regexp_replace(regexp_replace(
       regexp_replace(normalizeUnicode(text, form), "\\s+", " "),
-      "[\\p{Cc}\\p{Cf}]", ""))
+      "[\\p{Cc}\\p{Cf}]", ""), " +", " "))
 
   /** GPT-2-shaped pre-tokenization splitter: contractions, letter runs,
     * digit runs, punctuation runs (each absorbing one leading space),

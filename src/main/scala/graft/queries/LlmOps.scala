@@ -297,8 +297,10 @@ object LlmOps {
         .orderBy("doc_id"),
       Some("""SELECT doc_id, clean, (clean <> text) AS changed FROM (
                 SELECT doc_id, text,
-                  trim(regexp_replace(regexp_replace(nfc_normalize(text),
-                    '\s+', ' ', 'g'), '[\p{Cc}\p{Cf}]', '', 'g')) AS clean
+                  trim(regexp_replace(regexp_replace(regexp_replace(
+                    nfc_normalize(text),
+                    '\s+', ' ', 'g'), '[\p{Cc}\p{Cf}]', '', 'g'),
+                    ' +', ' ', 'g')) AS clean
                 FROM documents) ORDER BY doc_id""")),
 
     // CCNet line-level dedup on the fixture's only segmentation (space-

@@ -204,12 +204,16 @@ final class DocStore(val spark: SparkSession, val dir: String,
     // refusal never leaves the rename half-done.
     val vSrc = versionsDir(oldName)
     val vDst = versionsDir(newName)
-    if ((f.exists(dst) || (f.exists(vSrc) && f.exists(vDst))) && !dropTarget)
+    // a stale history at the target counts as "target exists" even when
+    // its live dataset was dropped — and it is removed UNCONDITIONALLY
+    // under dropTarget, or readVersion/restore on the renamed collection
+    // would serve the dead collection's snapshots as its own history
+    if ((f.exists(dst) || f.exists(vDst)) && !dropTarget)
       throw new MqlException(
         s"renameCollection: target '$newName' exists (pass dropTarget)")
     if (f.exists(dst) && !f.delete(dst, true))
       throw new MqlException(s"renameCollection: could not drop '$newName'")
-    if (f.exists(vSrc) && f.exists(vDst) && !f.delete(vDst, true))
+    if (f.exists(vDst) && !f.delete(vDst, true))
       throw new MqlException(
         s"renameCollection: could not drop versions of '$newName'")
     if (!f.rename(src, dst))
@@ -326,9 +330,22 @@ final class DocStore(val spark: SparkSession, val dir: String,
     * crash in between leaves a version without a timestamp, which
     * timestamp resolution reports loudly rather than guessing. */
   private def retire(name: String): Long = {
-    val v = versions(name).lastOption.getOrElse(0L) + 1
     val f = fs
     f.mkdirs(versionsDir(name))
+    // version ids never reuse even after pruning: a persisted
+    // high-water mark outlives deleted version dirs, so an externally
+    // recorded "run X trained on corpus v3" can never silently resolve
+    // to different data
+    val hwmPath = new Path(versionsDir(name), "_hwm")
+    val hwm = if (!f.exists(hwmPath)) 0L else {
+      val in = f.open(hwmPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        .trim.toLongOption.getOrElse(0L)
+      finally in.close()
+    }
+    val v = math.max(versions(name).lastOption.getOrElse(0L), hwm) + 1
+    val hOut = f.create(hwmPath, true)
+    try hOut.write(v.toString.getBytes("UTF-8")) finally hOut.close()
     if (!f.rename(new Path(path(name)), versionPath(name, v)))
       throw new MqlException(s"could not retire version $v of '$name'")
     val out = f.create(new Path(versionPath(name, v), "_graft_retired_at"), true)
@@ -366,12 +383,22 @@ final class DocStore(val spark: SparkSession, val dir: String,
 
   /** [[write]] that RETAINS the replaced contents as a new retired
     * version (pointer move, never a copy). Returns the retired
-    * version's id, or 0 when the collection did not exist yet. */
+    * version's id, or 0 when the collection did not exist yet.
+    *
+    * Order matters: the new contents are FULLY STAGED before the live
+    * dataset retires, so `df` may be derived from the collection being
+    * replaced (`writeVersioned(store.read(name).where(...), name)` —
+    * the natural curation-run pattern). Retiring first would yank the
+    * scan's input mid-write and leave the collection absent on
+    * failure. */
   def writeVersioned(df: DataFrame, name: String,
                      tags: Map[String, String] = Map.empty): Long = {
-    val retired = if (exists(name)) retire(name) else 0L
-    write(df, name, tags)
-    retired
+    val stage = stageContents(df, name, tags, Seq.empty)
+    try {
+      val retired = if (exists(name)) retire(name) else 0L
+      swapIn(stage, name)
+      retired
+    } finally { if (fs.exists(stage)) fs.delete(stage, true): Unit }
   }
 
   /** Roll the collection back to retired version `v`: the current
@@ -466,7 +493,18 @@ final class DocStore(val spark: SparkSession, val dir: String,
   def write(df: DataFrame, name: String,
             tags: Map[String, String] = Map.empty,
             partitionBy: Seq[String] = Seq.empty): Unit = {
-    val target = new Path(path(name))
+    val stage = stageContents(df, name, tags, partitionBy)
+    try swapIn(stage, name)
+    finally { if (fs.exists(stage)) fs.delete(stage, true): Unit }
+  }
+
+  /** Fully materialize `df` (data + sidecar + tags) into a hidden stage
+    * directory, ready for an atomic swap. Runs the whole scan while the
+    * LIVE dataset is untouched — which is what lets `df` be derived
+    * from the very collection being replaced. */
+  private def stageContents(df: DataFrame, name: String,
+                            tags: Map[String, String],
+                            partitionBy: Seq[String]): Path = {
     val stage = new Path(s"$dir/.graft_stage_${validName(name)}_${System.nanoTime()}")
     if (format == "parquet") {
       require(partitionBy.isEmpty, "partitionBy needs graftdocs layout")
@@ -491,13 +529,14 @@ final class DocStore(val spark: SparkSession, val dir: String,
       val out = fs.create(new Path(stage, s"_graft_tag_$k"), true)
       try out.write(v.getBytes("UTF-8")) finally out.close()
     }
-    try {
-      if (fs.exists(target) && !fs.delete(target, true))
-        throw new MqlException(s"could not replace collection '$name'")
-      if (!fs.rename(stage, target))
-        throw new MqlException(s"could not commit collection '$name'")
-    } finally {
-      if (fs.exists(stage)) fs.delete(stage, true): Unit
-    }
+    stage
+  }
+
+  private def swapIn(stage: Path, name: String): Unit = {
+    val target = new Path(path(name))
+    if (fs.exists(target) && !fs.delete(target, true))
+      throw new MqlException(s"could not replace collection '$name'")
+    if (!fs.rename(stage, target))
+      throw new MqlException(s"could not commit collection '$name'")
   }
 }

@@ -70,6 +70,40 @@ class DocStoreVersionSpec extends AnyFunSuite {
     }
   }
 
+  test("writeVersioned accepts a frame derived from the collection it replaces") {
+    // the natural curation-run pattern: stage must complete BEFORE the
+    // live dataset retires, or the scan loses its input mid-write and
+    // a failure leaves the collection absent
+    val s = newStore("graftdocs")
+    s.writeVersioned(df(1L -> "a", 2L -> "b", 3L -> "c"), "c"): Unit
+    s.writeVersioned(s.read("c").where($"id" =!= 2L), "c"): Unit
+    assert(ids(s.read("c")) == Set(1L, 3L))
+    assert(ids(s.readVersion("c", 1)) == Set(1L, 2L, 3L))
+  }
+
+  test("rename never adopts a stale target history; version ids never reuse") {
+    val s = newStore("graftdocs")
+    // stale history at "d": versioned twice, then dropped (history survives)
+    s.writeVersioned(df(1L -> "old"), "d"): Unit
+    s.writeVersioned(df(2L -> "old2"), "d"): Unit
+    assert(s.drop("d") && s.versions("d") == Seq(1L))
+    // an unversioned "e" renamed onto "d" must refuse without dropTarget
+    s.writeVersioned(df(5L -> "new"), "e"): Unit
+    intercept[graft.mql.MqlException](s.rename("e", "d"))
+    s.rename("e", "d", dropTarget = true)
+    // the dead collection's snapshots are gone, not adopted
+    assert(s.versions("d").isEmpty)
+    intercept[graft.mql.MqlException](s.readVersion("d", 1))
+    // id monotonicity across pruning: empty the history, retire again —
+    // the high-water mark forbids reusing v1 for different data
+    val s2 = newStore("graftdocs")
+    s2.writeVersioned(df(1L -> "a"), "c"): Unit
+    s2.writeVersioned(df(2L -> "b"), "c"): Unit // retired v1
+    assert(s2.pruneVersions("c", 0) == 1)
+    assert(s2.writeVersioned(df(3L -> "z"), "c") == 2L) // NOT 1
+    assert(s2.versions("c") == Seq(2L))
+  }
+
   test("readAsOf resolves the snapshot live at the instant") {
     val s = newStore("graftdocs")
     s.writeVersioned(df(1L -> "a"), "c"): Unit
