@@ -85,6 +85,33 @@ class CurationPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("cleanText canonicality: invisible-char injection never changes the clean form (80 draws)") {
+    // the property the review-pass bug violated: two texts identical up
+    // to non-whitespace Cc/Cf characters MUST clean to the same bytes,
+    // wherever the invisible lands (inside words, between words,
+    // between whitespace runs, at the ends)
+    val invisibles = Seq('\u0000', '\u0007', '\u001b', // Cc, non-\s
+      '\u200b', '\u200c', '\u200d', '\ufeff', '\u00ad') // Cf
+    val words = Seq("alpha", "beta", "g8", "x,y", "Ωmega")
+    def cleanOf(s: String): String =
+      Seq(Tuple1(s)).toDF("t")
+        .select(TextAnalysis.cleanText(col("t")).as("r")).as[String].head()
+    (1 to 80).foreach { draw =>
+      val base = (0 to 1 + rnd.nextInt(4))
+        .map(_ => words(rnd.nextInt(words.size)))
+        .mkString(Seq(" ", "  ", "\t", " \n ")(rnd.nextInt(4)))
+      val chars = base.toBuffer
+      (0 to rnd.nextInt(3)).foreach { _ =>
+        chars.insert(rnd.nextInt(chars.size + 1),
+          invisibles(rnd.nextInt(invisibles.size)))
+      }
+      val injected = chars.mkString
+      assert(cleanOf(injected) == cleanOf(base),
+        s"draw $draw base=${base.map(c => f"\\u${c.toInt}%04x").mkString} " +
+          s"injected=${injected.map(c => f"\\u${c.toInt}%04x").mkString}")
+    }
+  }
+
   test("diffVersions ≡ local multiset model over 25 random version pairs") {
     val store = new graft.sinks.DocStore(spark,
       java.nio.file.Files.createTempDirectory("graft_vprop").toString,
