@@ -879,6 +879,41 @@ object Headline {
                      o_orderpriority AS priority
               FROM orders GROUP BY o_orderpriority ORDER BY priority""")),
 
+    // versioned $out: the MQL write path composed with snapshot
+    // retention — a store opened with versioned=true retains every
+    // replaced collection, so two $out runs leave generation 1
+    // time-travelable while generation 2 is live. The oracle replays
+    // both aggregations.
+    QueryDef("q_out_versioned",
+      (s, dir) => {
+        val store = new graft.sinks.DocStore(s,
+          java.nio.file.Files.createTempDirectory("graft_outv").toString,
+          "graftdocs", versioned = true)
+        Graft.aggregateTo(s, dir, "orders", """[
+          {"$group": {"_id": "$o_orderpriority", "n": {"$count": {}}}},
+          {"$project": {"_id": 0, "priority": "$_id", "n": 1}},
+          {"$out": "summary"}]""", store)
+        Graft.aggregateTo(s, dir, "orders", """[
+          {"$match": {"o_totalprice": {"$lt": 100000.0}}},
+          {"$group": {"_id": "$o_orderpriority", "n": {"$count": {}}}},
+          {"$project": {"_id": 0, "priority": "$_id", "n": 1}},
+          {"$out": "summary"}]""", store)
+        store.readVersion("summary", 1).select(lit("v1").as("snap"),
+            col("priority"), col("n"))
+          .unionByName(store.read("summary").select(lit("live").as("snap"),
+            col("priority"), col("n")))
+          .orderBy("snap", "priority")
+      },
+      Some("""SELECT snap, priority, n FROM (
+                SELECT 'v1' AS snap, o_orderpriority AS priority,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM orders GROUP BY o_orderpriority
+                UNION ALL
+                SELECT 'live', o_orderpriority, CAST(COUNT(*) AS BIGINT)
+                FROM orders WHERE o_totalprice < 100000
+                GROUP BY o_orderpriority)
+              ORDER BY snap, priority""")),
+
     // dataset versioning / time travel: three curation generations of
     // the corpus land via writeVersioned (each replacement retires the
     // prior contents by POINTER MOVE — O(1) in data, so snapshots stay

@@ -31,7 +31,8 @@ import graft.mql.MqlException
   * itself is a plain distributed write, partitioned like any other sink.
   */
 final class DocStore(val spark: SparkSession, val dir: String,
-                     val format: String = "parquet") {
+                     val format: String = "parquet",
+                     val versioned: Boolean = false) {
   if (format != "parquet" && format != "graftdocs")
     throw new MqlException(
       s"DocStore format must be parquet|graftdocs, got '$format'")
@@ -494,8 +495,15 @@ final class DocStore(val spark: SparkSession, val dir: String,
             tags: Map[String, String] = Map.empty,
             partitionBy: Seq[String] = Seq.empty): Unit = {
     val stage = stageContents(df, name, tags, partitionBy)
-    try swapIn(stage, name)
-    finally { if (fs.exists(stage)) fs.delete(stage, true): Unit }
+    try {
+      // a `versioned` store retains every replaced collection as a
+      // retired snapshot — which makes EVERY write path history-keeping
+      // for free: an MQL `$out`, a `$merge` fold, a streaming
+      // micro-batch merge. Stage-first, so the frame may derive from
+      // the collection being replaced; retire is a pointer move.
+      if (versioned && exists(name)) retire(name): Unit
+      swapIn(stage, name)
+    } finally { if (fs.exists(stage)) fs.delete(stage, true): Unit }
   }
 
   /** Fully materialize `df` (data + sidecar + tags) into a hidden stage

@@ -70,6 +70,23 @@ class DocStoreVersionSpec extends AnyFunSuite {
     }
   }
 
+  test("a versioned store retains history through plain write (the $out path)") {
+    val s = new DocStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_verw").toString,
+      "graftdocs", versioned = true)
+    s.write(df(1L -> "a"), "c")
+    s.write(df(2L -> "b"), "c", tags = Map("batchId" -> "1"))
+    s.write(df(3L -> "z"), "c")
+    assert(ids(s.read("c")) == Set(3L))
+    assert(s.versions("c") == Seq(1L, 2L))
+    assert(ids(s.readVersion("c", 1)) == Set(1L))
+    // tags still commit atomically with the contents they describe —
+    // v2 carries batchId 1, the live collection does not
+    assert(new java.io.File(
+      s.dir + "/.graft_versions/c/v2/_graft_tag_batchId").exists)
+    assert(s.readTag("c", "batchId").isEmpty)
+  }
+
   test("writeVersioned accepts a frame derived from the collection it replaces") {
     // the natural curation-run pattern: stage must complete BEFORE the
     // live dataset retires, or the scan loses its input mid-write and
