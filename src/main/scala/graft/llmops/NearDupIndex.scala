@@ -37,12 +37,25 @@ object NearDupIndex {
   private def param(shingleN: Int, numHashes: Int, bands: Int): String =
     s"$shingleN/$numHashes/$bands"
 
-  /** Per-doc (doc_id, hs) with hs = sorted xxhash64 shingle set. */
+  /** Per-doc (doc_id, hs) with hs = sorted xxhash64 shingle set.
+    * Id contract (same as TextIndex.build): ids must cast losslessly to
+    * long. A silently-nulled cast (e.g. string oids) would collapse
+    * every such doc into one null signature group and drop them from
+    * the dedup joins — silent recall loss — so the cast fails loudly
+    * instead. */
   private def hashedDocs(df: DataFrame, idCol: String, textCol: String,
-                         shingleN: Int): DataFrame =
-    df.select(col(idCol).cast("long").as("doc_id"),
+                         shingleN: Int): DataFrame = {
+    val castId = col(idCol).cast("long")
+    val guarded = when(col(idCol).isNotNull && castId.isNull,
+      raise_error(concat(
+        lit(s"NearDupIndex: id column '$idCol' value '"),
+        col(idCol).cast("string"),
+        lit("' does not cast to long (ids must be integral)"))).cast("long"))
+      .otherwise(castId)
+    df.select(guarded.as("doc_id"),
       array_sort(transform(Dedup.shingles(col(textCol), shingleN),
         s => xxhash64(s))).as("hs"))
+  }
 
   /** (doc_id, bucket) band rows from hashed docs; the same
     * signature-by-aggregation build as minhashPairs (codegen'd partial

@@ -99,11 +99,16 @@ private[mql] object LookupPrune {
           // {"as": {"$size": n}} — array-level, no element fields
           case JObject(List(("$size", _))) => true
           case JObject(List(("$elemMatch", JObject(inner)))) =>
-            // element-level sub-filter: its keys are element fields
+            // element-level sub-filter: its keys are element fields.
+            // $-keyed entries ({$elemMatch: {$eq: …}} / {$in: […]})
+            // compare WHOLE elements, reading every field — pruning
+            // would be unsound, so refuse (conservative stance, same
+            // as the `case _ => false` arm below); field-keyed inner
+            // filters are the only prunable form.
             inner.forall {
               case (ik, iv) if !ik.startsWith("$") =>
                 fields += firstSeg(ik); exprOk(iv)
-              case (_, iv) => exprOk(iv)
+              case _ => false
             }
           case _ => false // comparisons against whole elements/arrays
         }

@@ -3649,7 +3649,12 @@ object LlmOps {
 
     // matryoshka embedding truncation: 16-dim prefix, L2 renorm,
     // retained-energy ratio — map-only, two-step to dodge the
-    // quadratic-capture bug class (truncStats materialized first)
+    // quadratic-capture bug class (truncStats materialized first).
+    // The renormed prefix is emitted as a comma-joined string of
+    // round-6-scaled integers (×1e6 → BIGINT), not a raw array: the
+    // driver's checker sorts gate outputs with pandas, which cannot
+    // hash array cells — gate outputs must be scalar (GateSchemaLint
+    // pins this for every query).
     QueryDef("q_emb_truncate",
       (s, dir) => Graft.table(s, dir, "embeddings")
         .select(col("vec_id"),
@@ -3657,8 +3662,11 @@ object LlmOps {
           col("embedding"))
         .select(col("vec_id"),
           col("__s.norm_t").as("norm_t"), col("__s.energy").as("energy"),
-          graft.llmops.Similarity.renorm(col("embedding"), 16,
-            col("__s.norm_t")).as("v"))
+          array_join(transform(
+            graft.llmops.Similarity.renorm(col("embedding"), 16,
+              col("__s.norm_t")),
+            x => round(x * lit(1000000.0)).cast("long").cast("string")),
+            ",").as("v"))
         .orderBy("vec_id"),
       Some("""WITH t AS (SELECT vec_id, embedding AS e,
                  list_sum(list_transform(embedding[1:16],
@@ -3671,10 +3679,10 @@ object LlmOps {
                          AS energy
                      FROM t)
              SELECT vec_id, norm_t, energy,
-                    list_transform(e[1:16], x ->
-                      ROUND(CASE WHEN norm_t > 0
+                    array_to_string(list_transform(e[1:16], x ->
+                      CAST(ROUND(ROUND(CASE WHEN norm_t > 0
                             THEN CAST(x AS DOUBLE) / norm_t
-                            ELSE 0.0 END, 6)) AS v
+                            ELSE 0.0 END, 6) * 1000000.0) AS BIGINT)), ',') AS v
              FROM n ORDER BY vec_id""")),
 
     // per-(source,lang) curation report: doc/token counts, mean

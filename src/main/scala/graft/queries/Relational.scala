@@ -1122,15 +1122,18 @@ object Relational {
 
     // hyperbolic trig family ($sinh/$cosh/$tanh/$asinh/$acosh/$atanh):
     // DuckDB 1.0 lacks the functions, so the oracle evaluates the
-    // textbook exp/ln forms. Inputs are COARSENED first (round-2 of a
-    // bounded mod) so the round-6 outputs sit far from rounding
-    // boundaries — the float-drift concern is testable, not assumed
-    // (grid-checked exp-form vs libm at every 0.01 step of [-1.4, 1.4]:
-    // zero round-6 disagreements).
+    // textbook exp/ln forms. `x` is keyed off an INTEGER grid
+    // (o_orderkey % 281 - 140)/100 ∈ [-1.40, 1.40]: integer mod and a
+    // single exactly-rounded IEEE divide are bit-identical across
+    // engines, unlike the previous round's fmod(double)+round(…,2)
+    // derivation whose last-bit drift the driver's oracle caught.
+    // Exhaustive sweep of all 281 grid points × 6 outputs: worst
+    // distance to a round-6 half-up boundary is 4.5e-11 while libm vs
+    // exp-form drift measures ≤ 5.2e-17 — four orders of safety margin.
     QueryDef("q_hyperbolic",
       (s, dir) => agg("orders", """[
         {"$project": {"o_orderkey": 1,
-          "x": {"$round": [{"$subtract": [{"$mod": ["$o_totalprice", 2.8]}, 1.4]}, 2]}}},
+          "x": {"$divide": [{"$subtract": [{"$mod": ["$o_orderkey", 281]}, 140]}, 100.0]}}},
         {"$project": {"o_orderkey": 1, "x": 1,
           "sh":  {"$round": [{"$sinh": "$x"}, 6]},
           "ch":  {"$round": [{"$cosh": "$x"}, 6]},
@@ -1140,7 +1143,7 @@ object Relational {
           "ath": {"$round": [{"$atanh": {"$multiply": ["$x", 0.7]}}, 6]}}},
         {"$sort": {"o_orderkey": 1}}]""")(s, dir),
       Some("""WITH t AS (SELECT o_orderkey,
-                     round(mod(o_totalprice, 2.8) - 1.4, 2) AS x
+                     (o_orderkey % 281 - 140) / 100.0 AS x
                    FROM orders),
               u AS (SELECT o_orderkey, x,
                      1.0 + abs(x) AS cx, x * 0.7 AS tx FROM t)

@@ -435,9 +435,42 @@ final class DocStore(val spark: SparkSession, val dir: String,
     // construction (a grouping/join on the raw columns would split
     // null-valued rows across the full outer join, since null ≠ null
     // in an equi-join) and consistent across both sides because both
-    // render through the same engine.
-    def keyed(df: DataFrame) = df.select(to_json(struct(cols.map(c =>
-      (if (df.columns.contains(c)) col(c) else lit(null)).as(c)): _*)).as("__row"))
+    // render through the same engine and the same aligned schema (null
+    // omission therefore cannot diverge between sides). Two JSON-text
+    // hazards are canonicalized per column first: top-level MAP columns
+    // sort their entries (semantically-equal maps otherwise render in
+    // different key order and misreport kept rows as added+removed) and
+    // top-level BINARY renders as hex. Supported diff column types:
+    // atomics, structs, arrays, top-level maps/binary — a map or binary
+    // NESTED inside a struct/array is outside the audit contract and
+    // refused loudly rather than silently misdiffed.
+    def hasNested(dt: org.apache.spark.sql.types.DataType, top: Boolean): Boolean = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case s: StructType  => s.fields.exists(f => hasNested(f.dataType, top = false))
+        case ar: ArrayType  => hasNested(ar.elementType, top = false)
+        case m: MapType     => !top || hasNested(m.keyType, top = false) ||
+                               hasNested(m.valueType, top = false)
+        case BinaryType     => !top
+        case _              => false
+      }
+    }
+    def keyed(df: DataFrame) = df.select(to_json(struct(cols.map { c =>
+      if (!df.columns.contains(c)) lit(null).as(c)
+      else {
+        val dt = df.schema(c).dataType
+        if (hasNested(dt, top = true))
+          throw new MqlException(s"diffVersions: column '$c' " +
+            s"(${dt.simpleString}) nests a map/binary — not canonicalizable " +
+            "for an exact multiset diff")
+        dt match {
+          case _: org.apache.spark.sql.types.MapType =>
+            array_sort(map_entries(col(c))).as(c)
+          case org.apache.spark.sql.types.BinaryType => hex(col(c)).as(c)
+          case _ => col(c).as(c)
+        }
+      }
+    }: _*)).as("__row"))
     val ka = keyed(a).groupBy("__row").agg(count(lit(1)).as("__na"))
     val kb = keyed(b).groupBy("__row").agg(count(lit(1)).as("__nb"))
     val j = ka.join(kb, Seq("__row"), "full_outer")

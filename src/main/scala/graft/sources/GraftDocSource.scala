@@ -410,7 +410,32 @@ private[sources] class GraftScanBuilder(fullSchema: StructType,
     else fullSchema.fields.find(_.name == c).flatMap { f =>
       ZoneMaps.tagOf(f.dataType).filter(_ != "dec").flatMap { tag =>
         zoneStatsForAgg.flatMap { m =>
-          if (m.values.forall(st => st.cols.get(c).exists(_.tag == tag)))
+          // Integral narrowing (i64 sidecar read as int/short/byte): a
+          // real scan RAISES on any overflowing row, but COUNT(col)
+          // never inspects values and MIN/MAX only raise when the
+          // overflowing value wins the cross-file fold — so the
+          // metadata answer could succeed where the scan errors. Claim
+          // the pushdown only when every file's min AND max fit the
+          // declared range (then no row can overflow and scan/stat
+          // error behavior provably agree); otherwise fall back to the
+          // real scan and its error.
+          val narrowOk: ZoneMaps.ColStats => Boolean =
+            if (tag != "i64" || f.dataType == org.apache.spark.sql.types.LongType)
+              _ => true
+            else {
+              val (lo, hi) = f.dataType match {
+                case org.apache.spark.sql.types.IntegerType => (Int.MinValue.toLong, Int.MaxValue.toLong)
+                case org.apache.spark.sql.types.ShortType   => (Short.MinValue.toLong, Short.MaxValue.toLong)
+                case _                                      => (Byte.MinValue.toLong, Byte.MaxValue.toLong)
+              }
+              st => (st.min, st.max) match {
+                case (null, null)           => true // all-null file
+                case (mn: Long, mx: Long)   => mn >= lo && mx <= hi
+                case _                      => false
+              }
+            }
+          if (m.values.forall(st =>
+              st.cols.get(c).exists(cs => cs.tag == tag && narrowOk(cs))))
             Some((f.dataType, tag))
           else None
         }

@@ -161,6 +161,32 @@ class PlanLintSpec extends AnyFunSuite {
     assert(dups.isEmpty, s"duplicate gate query names: ${dups.mkString(", ")}")
   }
 
+  test("every gate query output schema is driver-checker-sortable") {
+    // The driver's oracle compare loads each gate output with pandas and
+    // sorts rows by ALL columns — an array/struct/map-typed column makes
+    // that sort crash (numpy.ndarray is unhashable), leaving the row
+    // effectively untested (this bit round 6: q_emb_truncate). Gate
+    // outputs must therefore be scalar-only; emit vectors as joined
+    // strings (q_emb_truncate's ×1e6 BIGINT join) or exploded rows.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        fn(spark, sfDir).schema.fields.foreach { f =>
+          f.dataType match {
+            case _: ArrayType | _: MapType | _: StructType =>
+              failures += s"$name.${f.name}: ${f.dataType.simpleString} is " +
+                "not sortable by the driver's pandas checker"
+            case _ => ()
+          }
+        }
+      } catch {
+        case e: Throwable => failures += s"$name: failed to build: ${e.getMessage}"
+      }
+    }
+    assert(failures.isEmpty, s"\n${failures.mkString("\n")}")
+  }
+
   test("every gate query plans clean at 100 TB shape rules") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
