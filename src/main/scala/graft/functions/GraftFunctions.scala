@@ -1180,6 +1180,83 @@ case class TextStats(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Mean hashed-bag-of-words weight for the linear quality classifier
+  * (TextAnalysis.classifierScore): z = Σ w(t) / n over whitespace
+  * tokens of lower(text), w(t) = (h60(t) mod B)/B·2 − 1 with h60 the
+  * portable 60-bit md5 token hash (Dedup.portableHash60). One native
+  * pass replaces a Column chain that re-ran the interpreted
+  * tokenize+lower THREE times (size guard, HOF fold, divisor) and
+  * paid per-token interpreted md5/conv/substring plumbing — the same
+  * tokenize-once lever as TextStats. Bit-parity contract with the
+  * replaced Column form (the DuckDB oracle re-derives it token for
+  * token): full-string lower first (never moves whitespace), java
+  * `\s+` token boundaries, md5 of the token's UTF-8 bytes with the
+  * first 15 hex chars parsed base-16 (= big-endian first 8 digest
+  * bytes >>> 4), and the exact IEEE op order
+  * ((h mod B)/B)·2 − 1 summed left-to-right then divided by n.
+  * Null/empty text yields z = 0 (sigmoid 0.5), matching the Column
+  * form's otherwise(0.0). Sigmoid + round stay OUTSIDE in Column
+  * arithmetic, same split as TextStats. */
+case class HashWeightMean(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false
+
+  // bucket count is a query constant (foldable literal)
+  private lazy val buckets: Long = right.eval(null) match {
+    case i: Int => i.toLong
+    case l: Long => l
+  }
+
+  private def isWs(c: Char): Boolean = // java regex \s (ASCII-only)
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val raw = left.eval(input)
+    if (raw == null) return 0.0d
+    // exact `lower(text)` semantics: UTF8String.toLowerCase is what
+    // Spark's Lower expression calls
+    val s = raw.asInstanceOf[UTF8String].toLowerCase.toString
+    val md = HashWeightMean.digest.get()
+    val bDouble = buckets.toDouble
+    var sum = 0.0d
+    var n = 0L
+    var tokStart = -1
+    var i = 0
+    def closeToken(end: Int): Unit = if (tokStart >= 0) {
+      val bytes = s.substring(tokStart, end)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      md.reset()
+      val d = md.digest(bytes)
+      // first 15 hex chars of md5, parsed base-16
+      var h = 0L
+      var k = 0
+      while (k < 7) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
+      h = (h << 4) | ((d(7) & 0xffL) >>> 4)
+      sum += (h % buckets).toDouble / bDouble * 2.0 - 1.0
+      n += 1
+      tokStart = -1
+    }
+    while (i < s.length) {
+      if (isWs(s.charAt(i))) closeToken(i)
+      else if (tokStart < 0) tokStart = i
+      i += 1
+    }
+    closeToken(s.length)
+    if (n > 0) sum / n.toDouble else 0.0d
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HashWeightMean =
+    copy(left = l, right = r)
+}
+
+object HashWeightMean {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+}
+
 /** Canonical string rendering of a raw-BID decimal128 payload (the
   * 16-byte binary column [[graft.schema.MSchema.decimalRawField]]
   * decodes to): finite values as plain decimal strings, plus the
@@ -1420,6 +1497,7 @@ object GraftFunctions {
     "try_to_long" -> ((e: Seq[Expression]) => TryToIntegral(e.head, toLong = true)),
     "decimal128_str" -> ((e: Seq[Expression]) => Decimal128Str(e.head)),
     "text_stats" -> ((e: Seq[Expression]) => TextStats(e(0), e(1))),
+    "hash_weight_mean" -> ((e: Seq[Expression]) => HashWeightMean(e(0), e(1))),
     "search_highlights" -> ((e: Seq[Expression]) => SearchHighlights(e(0), e(1), e(2))),
     "graft_regex_find" -> ((e: Seq[Expression]) => RegexFind(e(0), e(1))),
     "graft_regex_find_all" -> ((e: Seq[Expression]) => RegexFindAll(e(0), e(1))),

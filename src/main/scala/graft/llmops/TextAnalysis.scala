@@ -115,12 +115,14 @@ object TextAnalysis {
     * codegen'd expression, no shuffle) is identical and is what matters
     * at 100 TB. */
   def classifierScore(text: Column, buckets: Int = 1 << 20): Column = {
-    val toks = tokens(lower(text))
-    def w(t: Column): Column =
-      (Dedup.portableHash60(t) % buckets).cast("double") / buckets * 2.0 - 1.0
-    val z = when(size(toks) > 0,
-      aggregate(toks, lit(0.0), (acc, t) => acc + w(t)) / size(toks))
-      .otherwise(lit(0.0))
+    // z in one native pass (functions.HashWeightMean — tokenize once,
+    // hash each token once); the Column-HOF form re-ran the interpreted
+    // tokenize 3× and the per-token md5 plumbing interpreted. Sigmoid +
+    // round stay out here so the DuckDB twin compares the same rounded
+    // doubles.
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    val z = call_function("hash_weight_mean", text, lit(buckets))
     round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
   }
 
