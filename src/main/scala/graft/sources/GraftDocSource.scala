@@ -1397,6 +1397,9 @@ private[sources] object DocPartitions {
 private[sources] object GraftScanMetrics {
   val emitted = new java.util.concurrent.atomic.LongAdder
   val skipped = new java.util.concurrent.atomic.LongAdder
+  /** Documents decoded by the DIRECT bytes→vector BSON path (no
+    * JsonNode tree) — lets specs assert which decode path engaged. */
+  val direct = new java.util.concurrent.atomic.LongAdder
 }
 
 private[sources] class GraftReaderFactory(schema: StructType, allowInvalid: Boolean,
@@ -1468,16 +1471,21 @@ private[sources] class GraftReaderFactory(schema: StructType, allowInvalid: Bool
       case (f, i) if docIdx(i) < 0 => f.name -> consts(i)
     }.toMap
     val inner: PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-      // .bson scans with no decode-time filters take the DIRECT path:
-      // stream bytes → per-column builders, no JsonNode tree (the
-      // reference's process_bson_stream architecture). With pushed
-      // filters the tree path keeps the decode-time skip optimization
-      // (Spark re-evaluates pushed filters post-scan either way).
-      if (p.path.endsWith(".bson") && filters.isEmpty &&
+      // .bson scans take the DIRECT path — stream bytes → per-column
+      // builders, no JsonNode tree (the reference's process_bson_stream
+      // architecture) — WITH or without pushed filters: real scans are
+      // filtered scans, so losing the 2.3× direct decode exactly when a
+      // filter is present would surrender the win where it matters.
+      // Pushed filters evaluate per row against the freshly decoded
+      // vectors (decode-before-filter, same error-parity contract as
+      // the tree path) and surviving rows compact into the output
+      // batch; Spark re-evaluates pushed filters post-scan either way.
+      if (p.path.endsWith(".bson") &&
           docSchema.fields.forall(f => graft.bson.BsonVectorDecoder.supports(f.dataType))) {
         val path = new Path(p.path)
         val fsIn = path.getFileSystem(conf.value).open(path)
-        new BsonColumnarReader(fsIn, docSchema, strict, perPartitionLimit)
+        new BsonColumnarReader(fsIn, docSchema, strict, perPartitionLimit,
+          filters, partExternal)
       } else {
         val (fsIn, docs) = openDocs(p)
         new ColumnarDocReader(docs, docSchema, strict, filters, () => fsIn.close(),
@@ -1691,12 +1699,117 @@ private[sources] class ColumnarDocReader(
   override def close(): Unit = { batch.close(); closeFn() }
 }
 
+/** Read-back and row-copy helpers for evaluating pushed filters against
+  * freshly decoded column vectors (the direct BSON path's filter step).
+  * Both operate through `SpecializedGetters` (`ColumnarBatch.getRow`
+  * hands one out per row), so one recursive implementation covers
+  * top-level columns, struct fields, and array elements alike. */
+private[sources] object VectorRead {
+  import org.apache.spark.sql.catalyst.expressions.SpecializedGetters
+  import org.apache.spark.sql.execution.vectorized.WritableColumnVector
+  import org.apache.spark.sql.catalyst.util.DateTimeUtils
+  import org.apache.spark.sql.types._
+
+  /** Non-null sentinel for types DocFilterEval.cmp can't order: keeps
+    * IsNull/IsNotNull exact while making every ordered comparison
+    * undecidable (cmp → None) → the row is conservatively kept and
+    * Catalyst's post-scan filter decides. */
+  private object Opaque
+
+  /** (row, ordinal) → external JVM value in the exact class
+    * DocDecoder.convert produces for `dt` — the forms DocFilterEval.cmp
+    * dispatches on (the row path's filter contract). */
+  def external(dt: DataType): (SpecializedGetters, Int) => Any = dt match {
+    case IntegerType => (g, o) => if (g.isNullAt(o)) null else Int.box(g.getInt(o))
+    case LongType    => (g, o) => if (g.isNullAt(o)) null else Long.box(g.getLong(o))
+    case DoubleType  => (g, o) => if (g.isNullAt(o)) null else Double.box(g.getDouble(o))
+    case BooleanType => (g, o) => if (g.isNullAt(o)) null else Boolean.box(g.getBoolean(o))
+    case StringType  => (g, o) => if (g.isNullAt(o)) null else g.getUTF8String(o).toString
+    case TimestampType => (g, o) =>
+      if (g.isNullAt(o)) null else DateTimeUtils.toJavaTimestamp(g.getLong(o))
+    case TimestampNTZType => (g, o) =>
+      if (g.isNullAt(o)) null else DateTimeUtils.microsToLocalDateTime(g.getLong(o))
+    case DateType => (g, o) =>
+      if (g.isNullAt(o)) null else DateTimeUtils.toJavaDate(g.getInt(o))
+    case d: DecimalType => (g, o) =>
+      if (g.isNullAt(o)) null else g.getDecimal(o, d.precision, d.scale).toJavaBigDecimal
+    case BinaryType => (g, o) => if (g.isNullAt(o)) null else g.getBinary(o)
+    case NullType   => (_, _) => null
+    case _ => (g, o) => if (g.isNullAt(o)) null else Opaque
+  }
+
+  /** (row, ordinal, dst) appender copying one value from a decoded row
+    * into a writable vector — the compaction step for rows surviving the
+    * decode-time filter. Covers exactly BsonVectorDecoder.supports. */
+  def copier(dt: DataType): (SpecializedGetters, Int, WritableColumnVector) => Unit = dt match {
+    case IntegerType | DateType => (g, o, d) =>
+      if (g.isNullAt(o)) d.appendNull() else d.appendInt(g.getInt(o))
+    case LongType | TimestampType | TimestampNTZType => (g, o, d) =>
+      if (g.isNullAt(o)) d.appendNull() else d.appendLong(g.getLong(o))
+    case DoubleType => (g, o, d) =>
+      if (g.isNullAt(o)) d.appendNull() else d.appendDouble(g.getDouble(o))
+    case BooleanType => (g, o, d) =>
+      if (g.isNullAt(o)) d.appendNull() else d.appendBoolean(g.getBoolean(o))
+    case StringType => (g, o, d) =>
+      if (g.isNullAt(o)) d.appendNull()
+      else { val b = g.getUTF8String(o).getBytes; d.appendByteArray(b, 0, b.length) }
+    case BinaryType => (g, o, d) =>
+      if (g.isNullAt(o)) d.appendNull()
+      else { val b = g.getBinary(o); d.appendByteArray(b, 0, b.length) }
+    case dec: DecimalType => (g, o, d) =>
+      if (g.isNullAt(o)) d.appendNull()
+      else {
+        val v = g.getDecimal(o, dec.precision, dec.scale)
+        if (dec.precision <= Decimal.MAX_INT_DIGITS) d.appendInt(v.toUnscaledLong.toInt)
+        else if (dec.precision <= Decimal.MAX_LONG_DIGITS) d.appendLong(v.toUnscaledLong)
+        else {
+          val b = v.toJavaBigDecimal.unscaledValue.toByteArray
+          d.appendByteArray(b, 0, b.length)
+        }
+      }
+    case st: StructType =>
+      val subs = st.fields.map(f => copier(f.dataType))
+      (g, o, d) =>
+        if (g.isNullAt(o)) d.appendStruct(true)
+        else {
+          val row = g.getStruct(o, subs.length)
+          d.appendStruct(false)
+          var i = 0
+          while (i < subs.length) { subs(i)(row, i, d.getChild(i)); i += 1 }
+        }
+    case ArrayType(et, _) =>
+      val sub = copier(et)
+      (g, o, d) =>
+        if (g.isNullAt(o)) d.appendNull()
+        else {
+          val arr = g.getArray(o)
+          val n = arr.numElements()
+          val rowId = d.getElementsAppended
+          val child = d.arrayData()
+          val startOff = child.getElementsAppended
+          var i = 0
+          while (i < n) { sub(arr, i, child); i += 1 }
+          d.reserve(rowId + 1)
+          d.putArray(rowId, startOff, n)
+          d.addElementsAppended(1)
+        }
+    case NullType => (_, _, d) => d.appendNull()
+    case other => throw new IllegalStateException(s"no vector copier for $other")
+  }
+}
+
 /** Direct BSON→ColumnarBatch partition reader: length-prefixed documents
   * stream through [[graft.bson.BsonVectorDecoder]]'s per-column writers —
-  * no intermediate tree, undeclared fields skipped as byte ranges. */
+  * no intermediate tree, undeclared fields skipped as byte ranges.
+  * Pushed filters (when present) evaluate per document against the
+  * just-decoded row — decode-BEFORE-filter, so strict-mode type errors
+  * raise exactly as on the tree path — and surviving rows compact into a
+  * second vector set that becomes the output batch. */
 private[sources] class BsonColumnarReader(
     fsIn: org.apache.hadoop.fs.FSDataInputStream,
-    schema: StructType, strict: Boolean, limitRows: Int = Int.MaxValue)
+    schema: StructType, strict: Boolean, limitRows: Int = Int.MaxValue,
+    filters: Array[Filter] = Array.empty,
+    partValues: Map[String, Any] = Map.empty)
   extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   import graft.bson.BsonVectorDecoder
@@ -1715,6 +1828,26 @@ private[sources] class BsonColumnarReader(
   }
   private val seen = new Array[Boolean](schema.length)
   private var body = new Array[Byte](1 << 12) // grows to the largest doc
+
+  // ---- decode-time filter machinery (allocated only when needed) ----
+  private val hasFilters = filters.nonEmpty
+  private val outVectors =
+    if (hasFilters) OnHeapColumnVector.allocateColumns(capacity, schema) else null
+  private val outBatch =
+    if (hasFilters) new org.apache.spark.sql.vectorized.ColumnarBatch(
+      outVectors.asInstanceOf[Array[org.apache.spark.sql.vectorized.ColumnVector]])
+    else null
+  private val copiers =
+    if (hasFilters) schema.fields.map(f => VectorRead.copier(f.dataType)) else null
+  // per filter-referenced doc column: ordinal + external-value reader
+  private val filterReaders: Map[String, (org.apache.spark.sql.catalyst.InternalRow => Any)] =
+    if (!hasFilters) Map.empty
+    else filters.flatMap(_.references).distinct.toSeq.flatMap { name =>
+      Option(fieldIdx.get(name)).map { j =>
+        val rd = VectorRead.external(schema.fields(j).dataType)
+        name -> ((row: org.apache.spark.sql.catalyst.InternalRow) => rd(row, j))
+      }
+    }.toMap
 
   /** Next document body length, or -1 at clean EOF. */
   private def readDocInto(): Int = {
@@ -1738,28 +1871,66 @@ private[sources] class BsonColumnarReader(
   }
 
   override def next(): Boolean = {
-    var i = 0
-    while (i < vectors.length) { vectors(i).reset(); i += 1 }
-    var n = 0
+    if (remaining <= 0) return false
+    var nOut = 0
     var eof = false
-    while (n < capacity && n < remaining && !eof) {
-      val len = readDocInto()
-      if (len < 0) eof = true
-      else {
-        val buf = java.nio.ByteBuffer.wrap(body, 0, len)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        BsonVectorDecoder.walkDocument(buf, writers, fieldIdx, vectors, seen)
-        GraftScanMetrics.emitted.increment()
-        n += 1
+    // with a selective filter a whole decode chunk can produce zero
+    // survivors — keep decoding chunks until rows surface or EOF
+    var continue = true
+    while (continue) {
+      var i = 0
+      while (i < vectors.length) { vectors(i).reset(); i += 1 }
+      if (hasFilters) {
+        var k = 0
+        while (k < outVectors.length) { outVectors(k).reset(); k += 1 }
       }
+      var nDec = 0
+      while (nDec < capacity && nOut < remaining && !eof) {
+        val len = readDocInto()
+        if (len < 0) eof = true
+        else {
+          val buf = java.nio.ByteBuffer.wrap(body, 0, len)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          BsonVectorDecoder.walkDocument(buf, writers, fieldIdx, vectors, seen)
+          GraftScanMetrics.direct.increment()
+          if (!hasFilters) {
+            GraftScanMetrics.emitted.increment()
+            nOut += 1
+          } else {
+            batch.setNumRows(nDec + 1)
+            val row = batch.getRow(nDec)
+            def get(name: String): Any = filterReaders.get(name) match {
+              case Some(rd) => rd(row)
+              case None => partValues.getOrElse(name, null)
+            }
+            if (filters.forall(DocFilterEval.eval(_, get))) {
+              var j = 0
+              while (j < copiers.length) {
+                copiers(j)(row, j, outVectors(j))
+                j += 1
+              }
+              GraftScanMetrics.emitted.increment()
+              nOut += 1
+            } else GraftScanMetrics.skipped.increment()
+          }
+          nDec += 1
+        }
+      }
+      continue = hasFilters && nOut == 0 && !eof
     }
-    remaining -= n
-    batch.setNumRows(n)
-    n > 0
+    remaining -= nOut
+    val out = if (hasFilters) outBatch else batch
+    out.setNumRows(nOut)
+    nOut > 0
   }
 
-  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = batch
-  override def close(): Unit = { batch.close(); in.close() }
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
+    if (hasFilters) outBatch else batch
+  override def close(): Unit = {
+    batch.close()
+    if (outBatch != null) outBatch.close()
+    in.close()
+  }
 }
 
 /** Wraps a doc-schema columnar reader, interleaving constant partition

@@ -97,6 +97,51 @@ class ColumnarReadSpec extends AnyFunSuite {
     assert(GraftScanMetrics.skipped.sum() > 0)
   }
 
+  test("direct BSON decode engages under pushed filters, with skips") {
+    // round-6 gap: any pushed filter used to force the JsonNode-tree
+    // path, surrendering the 2.3× direct decode exactly on the filtered
+    // scans real workloads run. Now the direct reader evaluates pushed
+    // filters against the decoded vectors and compacts survivors.
+    val dir = java.nio.file.Files.createTempDirectory("graft_direct_filter")
+    val n = 5000
+    spark.range(n).selectExpr("id", "cast(id % 7 as double) as d",
+        "concat('row', id) as s",
+        "timestamp_millis(1700000000000 + id * 1000) as ts",
+        "named_struct('x', cast(id as double), 'tags', array(concat('t', id % 3))) as nested",
+        "array(id, id + 1) as arr")
+      .repartition(1)
+      .write.format("graftdocs").option("format", "bson")
+      .mode("overwrite").save(dir.toString)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("d", DoubleType),
+      StructField("s", StringType), MSchema.timestampField("ts"),
+      StructField("nested", StructType(Seq(
+        StructField("x", DoubleType),
+        StructField("tags", ArrayType(StringType))))),
+      StructField("arr", ArrayType(LongType))))
+    def rd(columnar: Boolean) = spark.read.format("graftdocs").schema(schema)
+      .option("columnar", columnar).load(dir.toString)
+      .where($"d" === 3.0 && $"id" >= 100)
+
+    GraftScanMetrics.emitted.reset(); GraftScanMetrics.skipped.reset()
+    GraftScanMetrics.direct.reset()
+    // no orderBy here: a range sort samples the source in a second scan
+    // pass, which would double every counter — sort driver-side instead
+    val colRows = rd(columnar = true).collect().toSeq.sortBy(_.getLong(0))
+    assert(GraftScanMetrics.direct.sum() == n,
+      s"direct path did not engage: direct=${GraftScanMetrics.direct.sum()}")
+    assert(GraftScanMetrics.skipped.sum() > 0, "no decode-time skips counted")
+    assert(GraftScanMetrics.emitted.sum() == colRows.length.toLong)
+    // value parity with the row path under the same filter
+    val rowRows = rd(columnar = false).collect().toSeq.sortBy(_.getLong(0))
+    assert(colRows.nonEmpty && colRows.map(_.json) == rowRows.map(_.json))
+    // and with the no-filter direct read filtered post-hoc
+    val all = spark.read.format("graftdocs").schema(schema).load(dir.toString)
+      .collect().toSeq.filter(r => r.getDouble(1) == 3.0 && r.getLong(0) >= 100)
+      .sortBy(_.getLong(0))
+    assert(colRows.map(_.json) == all.map(_.json))
+  }
+
   test("strict-mode type errors still raise on the columnar path") {
     val dir = java.nio.file.Files.createTempDirectory("graft_columnar_strict")
     java.nio.file.Files.write(dir.resolve("bad.jsonl"),
