@@ -1037,7 +1037,10 @@ private[sources] class GraftScan(schema: StructType, options: CaseInsensitiveStr
       // `columnar=false` keeps the row path selectable for A/B and as the
       // escape hatch for any type the builder layer doesn't cover
       columnar = options.getBoolean("columnar", true),
-      limit = limit)
+      limit = limit,
+      // `direct=false` keeps the JsonNode-tree columnar path selectable
+      // for A/B decode benchmarking (see JsonVectorDecoder)
+      direct = options.getBoolean("direct", true))
 
   // continuous document ingest: the streaming twin of the reference's
   // cursor loop — tail the batch directory, each micro-batch decoding
@@ -1406,7 +1409,8 @@ private[sources] class GraftReaderFactory(schema: StructType, allowInvalid: Bool
                                           filters: Array[Filter],
                                           conf: SerializableConfiguration,
                                           columnar: Boolean = true,
-                                          limit: Option[Int] = None)
+                                          limit: Option[Int] = None,
+                                          direct: Boolean = true)
   extends PartitionReaderFactory {
   private val perPartitionLimit: Int = limit.getOrElse(Int.MaxValue)
 
@@ -1471,21 +1475,31 @@ private[sources] class GraftReaderFactory(schema: StructType, allowInvalid: Bool
       case (f, i) if docIdx(i) < 0 => f.name -> consts(i)
     }.toMap
     val inner: PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-      // .bson scans take the DIRECT path — stream bytes → per-column
-      // builders, no JsonNode tree (the reference's process_bson_stream
+      // Both formats take a DIRECT path when every declared type has a
+      // direct writer: .bson streams bytes and .jsonl streams Jackson
+      // tokens straight into per-column builders — no JsonNode tree (the
+      // reference's process_bson_stream / single-pass builder-walk
       // architecture) — WITH or without pushed filters: real scans are
-      // filtered scans, so losing the 2.3× direct decode exactly when a
+      // filtered scans, so losing the direct decode exactly when a
       // filter is present would surrender the win where it matters.
       // Pushed filters evaluate per row against the freshly decoded
       // vectors (decode-before-filter, same error-parity contract as
       // the tree path) and surviving rows compact into the output
       // batch; Spark re-evaluates pushed filters post-scan either way.
-      if (p.path.endsWith(".bson") &&
+      // The JsonNode-tree ColumnarDocReader remains the fallback for
+      // declared types without a direct writer.
+      if (direct && p.path.endsWith(".bson") &&
           docSchema.fields.forall(f => graft.bson.BsonVectorDecoder.supports(f.dataType))) {
         val path = new Path(p.path)
         val fsIn = path.getFileSystem(conf.value).open(path)
         new BsonColumnarReader(fsIn, docSchema, strict, perPartitionLimit,
           filters, partExternal)
+      } else if (direct && !p.path.endsWith(".bson") &&
+          docSchema.fields.forall(f => graft.bson.JsonVectorDecoder.supports(f.dataType))) {
+        val path = new Path(p.path)
+        val fsIn = path.getFileSystem(conf.value).open(path)
+        new JsonlColumnarReader(fsIn, p.start, p.end, docSchema, strict,
+          perPartitionLimit, filters, partExternal)
       } else {
         val (fsIn, docs) = openDocs(p)
         new ColumnarDocReader(docs, docSchema, strict, filters, () => fsIn.close(),
@@ -1798,36 +1812,26 @@ private[sources] object VectorRead {
   }
 }
 
-/** Direct BSON→ColumnarBatch partition reader: length-prefixed documents
-  * stream through [[graft.bson.BsonVectorDecoder]]'s per-column writers —
-  * no intermediate tree, undeclared fields skipped as byte ranges.
+/** Shared chassis for the DIRECT (tree-free) columnar partition readers:
+  * batch/vector lifecycle, pushed-LIMIT accounting, and decode-time
+  * filter evaluation with row compaction. Subclasses supply one-document
+  * decode ([[decodeOne]] appends exactly one row to every vector).
+  *
   * Pushed filters (when present) evaluate per document against the
   * just-decoded row — decode-BEFORE-filter, so strict-mode type errors
   * raise exactly as on the tree path — and surviving rows compact into a
   * second vector set that becomes the output batch. */
-private[sources] class BsonColumnarReader(
-    fsIn: org.apache.hadoop.fs.FSDataInputStream,
-    schema: StructType, strict: Boolean, limitRows: Int = Int.MaxValue,
-    filters: Array[Filter] = Array.empty,
-    partValues: Map[String, Any] = Map.empty)
+private[sources] abstract class DirectColumnarReaderBase(
+    schema: StructType, limitRows: Int,
+    filters: Array[Filter], partValues: Map[String, Any])
   extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
-  import graft.bson.BsonVectorDecoder
 
-  private val in = new java.io.BufferedInputStream(fsIn, 1 << 16)
   private var remaining = limitRows
-  private val capacity = 4096
-  private val vectors = OnHeapColumnVector.allocateColumns(capacity, schema)
+  protected val capacity = 4096
+  protected val vectors = OnHeapColumnVector.allocateColumns(capacity, schema)
   private val batch = new org.apache.spark.sql.vectorized.ColumnarBatch(
     vectors.asInstanceOf[Array[org.apache.spark.sql.vectorized.ColumnVector]])
-  private val writers = schema.fields.map(BsonVectorDecoder.writerFor(_, strict))
-  private val fieldIdx = {
-    val m = new java.util.HashMap[String, Integer]()
-    schema.fieldNames.zipWithIndex.foreach { case (n, i) => m.put(n, i) }
-    m
-  }
-  private val seen = new Array[Boolean](schema.length)
-  private var body = new Array[Byte](1 << 12) // grows to the largest doc
 
   // ---- decode-time filter machinery (allocated only when needed) ----
   private val hasFilters = filters.nonEmpty
@@ -1842,33 +1846,21 @@ private[sources] class BsonColumnarReader(
   // per filter-referenced doc column: ordinal + external-value reader
   private val filterReaders: Map[String, (org.apache.spark.sql.catalyst.InternalRow => Any)] =
     if (!hasFilters) Map.empty
-    else filters.flatMap(_.references).distinct.toSeq.flatMap { name =>
-      Option(fieldIdx.get(name)).map { j =>
-        val rd = VectorRead.external(schema.fields(j).dataType)
-        name -> ((row: org.apache.spark.sql.catalyst.InternalRow) => rd(row, j))
-      }
-    }.toMap
-
-  /** Next document body length, or -1 at clean EOF. */
-  private def readDocInto(): Int = {
-    val b0 = in.read()
-    if (b0 < 0) return -1
-    val b1 = in.read(); val b2 = in.read(); val b3 = in.read()
-    if (b3 < 0) throw new java.io.EOFException("truncated BSON length prefix")
-    val len = b0 | (b1 << 8) | (b2 << 16) | (b3 << 24)
-    if (len < 5 || len > graft.bson.BsonBinary.MaxDocBytes)
-      throw new graft.bson.GraftTypeError(s"invalid BSON document length $len")
-    val n = len - 4
-    if (body.length < n) body = new Array[Byte](Integer.highestOneBit(n) * 2)
-    var off = 0
-    while (off < n) {
-      val r = in.read(body, off, n - off)
-      if (r < 0) throw new java.io.EOFException(
-        s"truncated BSON document: expected $n bytes, got $off")
-      off += r
+    else {
+      val pos = schema.fieldNames.zipWithIndex.toMap
+      filters.flatMap(_.references).distinct.toSeq.flatMap { name =>
+        pos.get(name).map { j =>
+          val rd = VectorRead.external(schema.fields(j).dataType)
+          name -> ((row: org.apache.spark.sql.catalyst.InternalRow) => rd(row, j))
+        }
+      }.toMap
     }
-    n
-  }
+
+  /** Decode the next document, appending EXACTLY one row to every vector;
+    * false at end of input (nothing appended). */
+  protected def decodeOne(): Boolean
+
+  protected def closeInput(): Unit
 
   override def next(): Boolean = {
     if (remaining <= 0) return false
@@ -1886,12 +1878,8 @@ private[sources] class BsonColumnarReader(
       }
       var nDec = 0
       while (nDec < capacity && nOut < remaining && !eof) {
-        val len = readDocInto()
-        if (len < 0) eof = true
+        if (!decodeOne()) eof = true
         else {
-          val buf = java.nio.ByteBuffer.wrap(body, 0, len)
-            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          BsonVectorDecoder.walkDocument(buf, writers, fieldIdx, vectors, seen)
           GraftScanMetrics.direct.increment()
           if (!hasFilters) {
             GraftScanMetrics.emitted.increment()
@@ -1929,8 +1917,99 @@ private[sources] class BsonColumnarReader(
   override def close(): Unit = {
     batch.close()
     if (outBatch != null) outBatch.close()
-    in.close()
+    closeInput()
   }
+}
+
+/** Direct BSON→ColumnarBatch partition reader: length-prefixed documents
+  * stream through [[graft.bson.BsonVectorDecoder]]'s per-column writers —
+  * no intermediate tree, undeclared fields skipped as byte ranges. */
+private[sources] class BsonColumnarReader(
+    fsIn: org.apache.hadoop.fs.FSDataInputStream,
+    schema: StructType, strict: Boolean, limitRows: Int = Int.MaxValue,
+    filters: Array[Filter] = Array.empty,
+    partValues: Map[String, Any] = Map.empty)
+  extends DirectColumnarReaderBase(schema, limitRows, filters, partValues) {
+  import graft.bson.BsonVectorDecoder
+
+  private val in = new java.io.BufferedInputStream(fsIn, 1 << 16)
+  private val writers = schema.fields.map(BsonVectorDecoder.writerFor(_, strict))
+  private val fieldIdx = {
+    val m = new java.util.HashMap[String, Integer]()
+    schema.fieldNames.zipWithIndex.foreach { case (n, i) => m.put(n, i) }
+    m
+  }
+  private val seen = new Array[Boolean](schema.length)
+  private var body = new Array[Byte](1 << 12) // grows to the largest doc
+
+  /** Next document body length, or -1 at clean EOF. */
+  private def readDocInto(): Int = {
+    val b0 = in.read()
+    if (b0 < 0) return -1
+    val b1 = in.read(); val b2 = in.read(); val b3 = in.read()
+    if (b3 < 0) throw new java.io.EOFException("truncated BSON length prefix")
+    val len = b0 | (b1 << 8) | (b2 << 16) | (b3 << 24)
+    if (len < 5 || len > graft.bson.BsonBinary.MaxDocBytes)
+      throw new graft.bson.GraftTypeError(s"invalid BSON document length $len")
+    val n = len - 4
+    if (body.length < n) body = new Array[Byte](Integer.highestOneBit(n) * 2)
+    var off = 0
+    while (off < n) {
+      val r = in.read(body, off, n - off)
+      if (r < 0) throw new java.io.EOFException(
+        s"truncated BSON document: expected $n bytes, got $off")
+      off += r
+    }
+    n
+  }
+
+  override protected def decodeOne(): Boolean = {
+    val len = readDocInto()
+    if (len < 0) false
+    else {
+      val buf = java.nio.ByteBuffer.wrap(body, 0, len)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      BsonVectorDecoder.walkDocument(buf, writers, fieldIdx, vectors, seen)
+      true
+    }
+  }
+
+  override protected def closeInput(): Unit = in.close()
+}
+
+/** Direct ext-JSON→ColumnarBatch partition reader: each line streams
+  * through [[graft.bson.JsonVectorDecoder]]'s token writers — no JsonNode
+  * tree per document (the text-format twin of [[BsonColumnarReader]],
+  * reference lib.pyx:212-294 single-pass builder walk). */
+private[sources] class JsonlColumnarReader(
+    fsIn: org.apache.hadoop.fs.FSDataInputStream, start: Long, end: Long,
+    schema: StructType, strict: Boolean, limitRows: Int = Int.MaxValue,
+    filters: Array[Filter] = Array.empty,
+    partValues: Map[String, Any] = Map.empty)
+  extends DirectColumnarReaderBase(schema, limitRows, filters, partValues) {
+  import graft.bson.JsonVectorDecoder
+
+  private val lines = new JsonlRawLines(fsIn, start, end)
+  private val writers = schema.fields.map(JsonVectorDecoder.writerFor(_, strict))
+  private val fieldIdx = {
+    val m = new java.util.HashMap[String, Integer]()
+    schema.fieldNames.zipWithIndex.foreach { case (n, i) => m.put(n, i) }
+    m
+  }
+  private val seen = new Array[Boolean](schema.length)
+
+  override protected def decodeOne(): Boolean = {
+    val len = lines.nextNonEmpty()
+    if (len < 0) false
+    else {
+      val p = JsonVectorDecoder.factory.createParser(lines.buffer, 0, len)
+      try JsonVectorDecoder.walkDocument(p, writers, fieldIdx, vectors, seen)
+      finally p.close()
+      true
+    }
+  }
+
+  override protected def closeInput(): Unit = lines.close()
 }
 
 /** Wraps a doc-schema columnar reader, interleaving constant partition
@@ -2001,10 +2080,14 @@ private[sources] class PartitionFilledBatchReader(
   * line beginning exactly at start is preserved (reading from start
   * would wrongly discard it — no split would ever emit it); otherwise
   * start landed mid-line and that line belongs to the previous split. */
-private[sources] class JsonlLineIterator(
-    fsIn: org.apache.hadoop.fs.FSDataInputStream, start: Long, end: Long)
-  extends Iterator[com.fasterxml.jackson.databind.JsonNode] {
-  private val mapper = DocDecoder.newMapper()
+/** Byte-range line reader for split `.jsonl` files: the standard
+  * text-split contract (skip the partial first line unless at offset 0;
+  * own every line whose first byte precedes `end`, reading past `end` to
+  * finish the last owned line). Lines surface as raw UTF-8 bytes in a
+  * reused buffer — the direct token decoder parses them without a String
+  * alloc; the tree path wraps them into JsonNodes. */
+private[sources] final class JsonlRawLines(
+    fsIn: org.apache.hadoop.fs.FSDataInputStream, start: Long, end: Long) {
   private var pos = if (start > 0) start - 1 else 0L
   private val in = {
     if (pos > 0) fsIn.seek(pos)
@@ -2016,33 +2099,54 @@ private[sources] class JsonlLineIterator(
     }
     buffered
   }
-  private val lineBuf = new java.io.ByteArrayOutputStream(1 << 12)
-  private var nextLine: String = _
-  private var done = false
+  private var buf = new Array[Byte](1 << 12)
 
-  /** Next line whose first byte precedes `end`; null when exhausted. */
-  private def readLine(): String = {
-    if (pos >= end) return null
-    lineBuf.reset()
+  /** Reused line buffer; valid for the length the last next*() returned. */
+  def buffer: Array[Byte] = buf
+
+  /** Read the next owned line into [[buffer]]; returns its byte length,
+    * or -1 when the split is exhausted (empty lines return 0). */
+  def next(): Int = {
+    if (pos >= end) return -1
     var b = in.read()
-    if (b == -1) return null
-    while (b != -1 && b != '\n') { lineBuf.write(b); pos += 1; b = in.read() }
+    if (b == -1) return -1
+    var n = 0
+    while (b != -1 && b != '\n') {
+      if (n == buf.length) buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+      buf(n) = b.toByte
+      n += 1; pos += 1
+      b = in.read()
+    }
     if (b != -1) pos += 1
-    new String(lineBuf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    n
   }
 
+  /** [[next]], skipping empty lines; -1 when exhausted. */
+  def nextNonEmpty(): Int = {
+    var n = next()
+    while (n == 0) n = next()
+    n
+  }
+
+  def close(): Unit = in.close()
+}
+
+private[sources] class JsonlLineIterator(
+    fsIn: org.apache.hadoop.fs.FSDataInputStream, start: Long, end: Long)
+  extends Iterator[com.fasterxml.jackson.databind.JsonNode] {
+  private val mapper = DocDecoder.newMapper()
+  private val lines = new JsonlRawLines(fsIn, start, end)
+  private var nextLen = -2 // -2 = not fetched
+
   override def hasNext: Boolean = {
-    while (!done && nextLine == null) {
-      val l = readLine()
-      if (l == null) done = true
-      else if (l.nonEmpty) nextLine = l
-    }
-    !done
+    if (nextLen == -2) nextLen = lines.nextNonEmpty()
+    nextLen >= 0
   }
   override def next(): com.fasterxml.jackson.databind.JsonNode = {
     if (!hasNext) throw new NoSuchElementException
-    val l = nextLine; nextLine = null
-    mapper.readTree(l)
+    val n = nextLen; nextLen = -2
+    mapper.readTree(new String(lines.buffer, 0, n,
+      java.nio.charset.StandardCharsets.UTF_8))
   }
 }
 
