@@ -383,5 +383,26 @@ object Graft {
         struct(stream.columns.map(col): _*).as("fullDocument"))
       PipelineCompiler.run(changes, pipelineJson, resolve)
     }
+
+    /** Change-stream replay WITH update/delete operationTypes — the
+      * part of `watch`'s contract the append-only tail cannot carry.
+      * Works on VERSIONED collections (`writeVersioned` / a
+      * `versioned=true` store, where every `$out`/`$merge` rewrite
+      * retires the before-image): consecutive snapshots diff into
+      * Mongo-shaped change documents `{operationType: insert|update|
+      * delete, ns, documentKey, fullDocument, fullDocumentBeforeChange,
+      * updatedFields, txnVersion}` — `fullDocument` is the after-image
+      * (`fullDocument: updateLookup` comes free from snapshots),
+      * `fullDocumentBeforeChange` the 6.0 pre-image option, and the
+      * optional MQL `pipeline` applies to the change documents. Batch,
+      * not streaming: the replay is bounded by retained history
+      * ([[graft.sinks.DocStore.changeEvents]] for the diff shape). */
+    def watchOps(coll: String, idCol: String,
+                 pipelineJson: String = "[]"): DataFrame = {
+      val changes = store.changeEvents(coll, idCol)
+        .withColumn("ns",
+          struct(lit(catalog).as("db"), lit(coll).as("coll")))
+      PipelineCompiler.run(changes, pipelineJson, resolve)
+    }
   }
 }

@@ -487,6 +487,65 @@ final class DocStore(val spark: SparkSession, val dir: String,
       .select(col("change"), coalesce(col("n_rows"), lit(0L)).as("n_rows"))
   }
 
+  /** Replay a versioned collection's history as CHANGE DOCUMENTS — the
+    * update/delete/replace surface of a Mongo change stream, recovered
+    * from retained snapshots (`fullDocument: updateLookup` comes free:
+    * snapshots ARE after-images, and the before-image rides along as
+    * `fullDocumentBeforeChange`, Mongo 6.0's pre-image option).
+    *
+    * For each consecutive snapshot pair (v₁→v₂, …, v_k→live), rows are
+    * keyed by `idCol` (the `_id` contract: unique per snapshot) and
+    * diffed with one full-outer equi-join per transition:
+    *   - key only in the newer snapshot  → `insert`
+    *   - key only in the older snapshot  → `delete` (fullDocument null)
+    *   - key in both, any column differs → `update`, with
+    *     `updatedFields` naming the changed top-level columns
+    * Unchanged rows emit nothing. `txnVersion` orders transitions (the
+    * clusterTime analogue: the version id the transition produced, the
+    * live dataset being max+1). Distributed: k bounded equi-joins, no
+    * driver rows; snapshots must share one schema (schema evolution
+    * between snapshots refuses loudly — diff columns pairwise needs
+    * aligned types). */
+  def changeEvents(name: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val vs = versions(name)
+    val snaps: Seq[(Long, DataFrame)] =
+      vs.map(v => v -> readVersion(name, v)) :+ ((vs.lastOption.getOrElse(0L) + 1) -> read(name))
+    require(snaps.length >= 2, s"changeEvents: '$name' has no retired versions")
+    val schema0 = snaps.head._2.schema
+    snaps.tail.foreach { case (v, df) =>
+      if (df.schema.map(f => (f.name, f.dataType)) !=
+          schema0.map(f => (f.name, f.dataType)))
+        throw new MqlException(
+          s"changeEvents: schema of '$name' changed at version $v — " +
+            "pairwise column diff needs one schema across snapshots")
+    }
+    val dataCols = schema0.fieldNames.toSeq
+    require(dataCols.contains(idCol), s"changeEvents: no id column '$idCol'")
+    val steps = snaps.sliding(2).map { case Seq((_, a), (vb, b)) =>
+      val left = a.select(col(idCol).as("__id"), struct(dataCols.map(col): _*).as("__before"))
+      val right = b.select(col(idCol).as("__id"), struct(dataCols.map(col): _*).as("__after"))
+      val j = left.join(right, Seq("__id"), "full_outer")
+      val changed = dataCols.filter(_ != idCol).map(c =>
+        when(!(col(s"__before.$c") <=> col(s"__after.$c")), lit(c)))
+      val updatedFields =
+        if (changed.isEmpty) array().cast("array<string>")
+        else filter(array(changed: _*), x => x.isNotNull)
+      j.select(
+        when(col("__before").isNull, lit("insert"))
+          .when(col("__after").isNull, lit("delete"))
+          .otherwise(lit("update")).as("operationType"),
+        col("__id").as("documentKey"),
+        col("__after").as("fullDocument"),
+        col("__before").as("fullDocumentBeforeChange"),
+        when(col("__before").isNotNull && col("__after").isNotNull, updatedFields)
+          .as("updatedFields"),
+        lit(vb).as("txnVersion"))
+        .where(col("operationType") =!= "update" || size(col("updatedFields")) > 0)
+    }.toSeq
+    steps.reduce(_ unionByName _)
+  }
+
   /** Delete retired versions beyond the newest `keepLast` (the storage
     * bound every snapshot scheme needs). Returns how many were
     * deleted. */

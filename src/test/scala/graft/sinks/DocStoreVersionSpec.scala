@@ -175,6 +175,39 @@ class DocStoreVersionSpec extends AnyFunSuite {
       Map("added" -> 1L, "removed" -> 1L, "kept" -> 1L))
   }
 
+  test("changeEvents replays history as insert/update/delete change docs") {
+    val s = newStore("parquet")
+    s.writeVersioned(Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("id", "v", "n"), "c"): Unit
+    // v2: id 1 deleted, id 2 updated (two fields), id 4 inserted
+    s.writeVersioned(Seq((2L, "B", 21L), (3L, "c", 30L), (4L, "d", 40L))
+      .toDF("id", "v", "n"), "c"): Unit
+    // v3 (live): id 3 deleted
+    s.writeVersioned(Seq((2L, "B", 21L), (4L, "d", 40L))
+      .toDF("id", "v", "n"), "c"): Unit
+    val ev = s.changeEvents("c", "id")
+      .select($"operationType", $"documentKey".as[Long],
+        $"txnVersion".as[Long],
+        concat_ws(",", $"updatedFields").as[String])
+      .as[(String, Long, Long, String)].collect().toSet
+    assert(ev == Set(
+      ("delete", 1L, 2L, ""), ("update", 2L, 2L, "v,n"),
+      ("insert", 4L, 2L, ""), ("delete", 3L, 3L, "")))
+    // after/before images carried per-op
+    val up = s.changeEvents("c", "id").where($"operationType" === "update")
+      .select($"fullDocument.v", $"fullDocumentBeforeChange.v").head
+    assert(up.getString(0) == "B" && up.getString(1) == "b")
+    // unchanged rows emit nothing (id 3 in v1→v2 transition, id 2/4 in v2→v3)
+    assert(s.changeEvents("c", "id").count() == 4)
+    // schema evolution between snapshots refuses loudly
+    s.writeVersioned(Seq((2L, "B")).toDF("id", "v"), "c"): Unit
+    intercept[graft.mql.MqlException](s.changeEvents("c", "id").collect())
+    // a collection with no retired history has no transitions to replay
+    val s2 = newStore("parquet")
+    s2.writeVersioned(df(1L -> "a"), "c2"): Unit
+    intercept[IllegalArgumentException](s2.changeEvents("c2", "id"))
+  }
+
   test("history follows rename; survives drop (drop+restore = undo)") {
     val s = newStore("graftdocs")
     s.writeVersioned(df(1L -> "a"), "c"): Unit
