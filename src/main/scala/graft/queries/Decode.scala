@@ -103,6 +103,39 @@ object Decode {
                      CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
               FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    // fake-wire connector loop (LIVE_CONNECTOR.md): pushed Catalyst
+    // filters translate to the MQL wire document, a loopback server
+    // evaluates it and streams raw BSON batches, the client decodes
+    // them through the direct BSON→vector scan — the reference's
+    // find_raw_batches client shape (api.py:175) end-to-end without a
+    // mongod. The oracle replays the predicate on the source table.
+    QueryDef("q_wire_find",
+      (s, dir) => {
+        val store = new graft.sinks.DocStore(s,
+          java.nio.file.Files.createTempDirectory("graft_wireq").toString,
+          "graftdocs")
+        store.write(Graft.table(s, dir, "customer")
+          .select("c_custkey", "c_mktsegment", "c_acctbal"), "customer")
+        val server = new graft.sources.DocWire.Server(s, store)
+        try {
+          graft.sources.DocWire.find(s, "127.0.0.1", server.port, "customer",
+            Seq(org.apache.spark.sql.sources.EqualTo("c_mktsegment", "BUILDING"),
+              org.apache.spark.sql.sources.GreaterThan("c_acctbal", 1000.0)))
+            .groupBy(col("c_mktsegment"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+                .cast(org.apache.spark.sql.types.DoubleType).as("sum_bal"))
+            .orderBy("c_mktsegment")
+          // the socket interaction happens eagerly inside find() — the
+          // returned frame reads the landed batches, so the server can die
+        } finally server.stop()
+      },
+      Some("""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+              FROM customer
+              WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000.0
+              GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
     // SQL-catalog loop: the same document collection resolved through
     // the GraftCatalog TableCatalog (spark.sql over `<cat>.<coll>` —
     // the session-catalog twin of the reference's database[collection]

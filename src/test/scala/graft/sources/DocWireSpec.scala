@@ -1,0 +1,82 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+
+/** The fake-wire connector loop (DocWire): a loopback server accepts the
+  * translated MQL filter document and streams raw BSON batches; the
+  * client decodes them through the normal graftdocs scan. Pins:
+  *  - find through the wire ≡ the local scan with the same predicates;
+  *  - the request crossing the socket IS FilterTranslator's document
+  *    (the PushedMqlFilter the plan advertises);
+  *  - untranslatable filters stay client-side residuals and results are
+  *    still exact;
+  *  - limit rides the wire.
+  */
+class DocWireSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  private def fixture(): (graft.sinks.DocStore, DocWire.Server) = {
+    val store = new graft.sinks.DocStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_wire_srv").toString,
+      "graftdocs")
+    val ev = graft.api.Graft.table(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts"))
+    store.write(ev, "events")
+    (store, new DocWire.Server(spark, store))
+  }
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.orderBy("event_id").collect().toSeq.map(_.json)
+
+  test("find through the wire ≡ local scan; wire carries the MQL filter") {
+    val (store, server) = fixture()
+    try {
+      val filters: Seq[Filter] = Seq(
+        EqualTo("event_type", "click"), GreaterThan("value", 0.25))
+      val wire = DocWire.find(spark, "127.0.0.1", server.port, "events", filters)
+      val local = store.read("events")
+        .where(col("event_type") === "click" && col("value") > 0.25)
+      assert(canon(wire) == canon(local) && wire.count() > 0)
+      // the socket saw exactly the translated document
+      val (doc, residual) = graft.mql.FilterTranslator.translateAll(filters)
+      assert(residual.isEmpty)
+      assert(server.lastRequest.contains(graft.mql.FilterTranslator.render(doc)))
+      assert(server.lastRequest.contains("\"$eq\":\"click\""))
+      assert(server.lastRequest.contains("\"$gt\":0.25"))
+    } finally server.stop()
+  }
+
+  test("untranslatable filters stay client-side residuals, results exact") {
+    val (store, server) = fixture()
+    try {
+      // Not(EqualTo) has no faithful MQL form (Mongo $ne keeps missing
+      // fields) — it must NOT cross the wire, and must still apply
+      val filters: Seq[Filter] = Seq(
+        GreaterThanOrEqual("user_id", 10L), Not(EqualTo("event_type", "view")))
+      val wire = DocWire.find(spark, "127.0.0.1", server.port, "events", filters)
+      val local = store.read("events")
+        .where(col("user_id") >= 10L && !(col("event_type") === "view"))
+      assert(canon(wire) == canon(local) && wire.count() > 0)
+      assert(server.lastRequest.contains("\"$gte\":10"))
+      assert(!server.lastRequest.contains("view"),
+        s"residual leaked onto the wire: ${server.lastRequest}")
+    } finally server.stop()
+  }
+
+  test("limit rides the wire; decode runs the direct BSON path") {
+    val (_, server) = fixture()
+    try {
+      GraftScanMetrics.direct.reset()
+      val wire = DocWire.find(spark, "127.0.0.1", server.port, "events",
+        Seq(IsNotNull("value")), limit = Some(7))
+      assert(wire.count() == 7)
+      assert(GraftScanMetrics.direct.sum() > 0,
+        "wire batches did not decode through the direct BSON path")
+      assert(server.lastRequest.contains("\"limit\": 7"))
+    } finally server.stop()
+  }
+}
