@@ -227,7 +227,14 @@ private[graft] object BsonVectorDecoder {
         val strict0 = strict
         def write(t: Byte, buf: ByteBuffer, v: WritableColumnVector): Unit = t match {
           case TDate => // ms → days floor (reference Date32Builder)
-            v.appendInt(Math.floorDiv(buf.getLong(), 86400000L).toInt)
+            // int narrowing mirrors the tree path exactly: its appender's
+            // fromJavaDate ends in toIntExact, so a day count beyond int
+            // range raises a RAW ArithmeticException in both modes (a
+            // silent .toInt would decode garbage). LocalDate.ofEpochDay
+            // can never reject a long-ms day count (long ms caps at
+            // ~1.07e11 days, inside LocalDate's ±3.65e11), so there is
+            // no malformed branch on this cell.
+            v.appendInt(Math.toIntExact(Math.floorDiv(buf.getLong(), 86400000L)))
           case _ => fail(t, buf, v)
         }
       }

@@ -370,7 +370,12 @@ private[graft] object JsonVectorDecoder {
                 } catch { case scala.util.control.NonFatal(e) => malformed(e, v) }
                 if (ok) dt match {
                   case DateType =>
-                    v.appendInt(Math.floorDiv(ms, 86400000L).toInt)
+                    // toIntExact mirrors the tree appender's fromJavaDate
+                    // narrowing: beyond-int day counts raise a RAW
+                    // ArithmeticException in both modes (a silent .toInt
+                    // would decode garbage); LocalDate can never reject a
+                    // long-ms day count, so no malformed branch exists
+                    v.appendInt(Math.toIntExact(Math.floorDiv(ms, 86400000L)))
                   case _ =>
                     v.appendLong(DateTimeUtils.millisToMicros(ms))
                 }

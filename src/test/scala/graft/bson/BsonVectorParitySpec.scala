@@ -186,6 +186,36 @@ class BsonVectorParitySpec extends AnyFunSuite {
     }
   }
 
+  test("absurd datetime on a date32 target: raw overflow raise, not truncation") {
+    // a day count beyond int range raises the tree appender's RAW
+    // ArithmeticException (toIntExact) in BOTH modes; a silent .toInt
+    // truncation would decode garbage instead
+    val w = StructType(Seq(MSchema.timestampField("d")))
+    val r = StructType(Seq(StructField("d", DateType,
+      metadata = new MetadataBuilder()
+        .putString(MSchema.BsonTypeKey, "date32").build())))
+    def rootCause(ms: Long, columnar: Boolean): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_bvd_date")
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(BsonBinary.encodeRow(Row(new java.sql.Timestamp(ms)), w))
+      java.nio.file.Files.write(dir.resolve("d.bson"), out.toByteArray)
+      val e = intercept[org.apache.spark.SparkException] {
+        spark.read.format("graftdocs").schema(r)
+          .option("columnar", columnar).option("allowInvalid", true)
+          .load(dir.toString).collect()
+      }
+      Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .collectFirst { case a: ArithmeticException => a.getMessage }
+        .getOrElse(fail(s"no ArithmeticException in $e"))
+    }
+    for (ms <- Seq(4000000000000000000L, -4000000000000000000L))
+      assert(rootCause(ms, columnar = true) == rootCause(ms, columnar = false))
+    // sane values still decode identically
+    val (direct, tree) = bothPaths(
+      Seq(Row(java.sql.Timestamp.valueOf("2021-06-15 00:00:00"))), w, r)
+    assert(direct == tree && direct.length == 1)
+  }
+
   test("decimal128 raw-BID passthrough parity on the direct path") {
     val w = StructType(Seq(StructField("v", DecimalType(18, 4))))
     val r = StructType(Seq(MSchema.decimalRawField("v")))

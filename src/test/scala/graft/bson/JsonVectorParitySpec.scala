@@ -162,6 +162,34 @@ class JsonVectorParitySpec extends AnyFunSuite {
     assert(direct == tree && direct.length == 5)
   }
 
+  test("absurd $date on a date32 target: raw overflow raise, not truncation") {
+    // a day count beyond int range raises the tree appender's RAW
+    // ArithmeticException (toIntExact) in BOTH modes; a silent .toInt
+    // truncation would decode garbage instead
+    val schema = StructType(Seq(StructField("d", DateType,
+      metadata = new MetadataBuilder()
+        .putString(MSchema.BsonTypeKey, "date32").build())))
+    def rootCause(line: String, columnar: Boolean): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_jvd_date")
+      java.nio.file.Files.write(dir.resolve("d.jsonl"), (line + "\n").getBytes("UTF-8"))
+      val e = intercept[org.apache.spark.SparkException] {
+        spark.read.format("graftdocs").schema(schema)
+          .option("columnar", columnar).option("allowInvalid", true)
+          .load(dir.toString).collect()
+      }
+      Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .collectFirst { case a: ArithmeticException => a.getMessage }
+        .getOrElse(fail(s"no ArithmeticException in $e"))
+    }
+    for (line <- Seq("""{"d": {"$date": 4000000000000000000}}""",
+                     """{"d": {"$date": -4000000000000000000}}"""))
+      assert(rootCause(line, columnar = true) == rootCause(line, columnar = false))
+    // sane values still decode identically
+    val (direct, tree) =
+      bothPaths(Seq("""{"d": {"$date": 1623715200000}}"""), schema)
+    assert(direct == tree && direct.length == 1)
+  }
+
   test("number-classification edges: BigInteger / huge doubles / -0.0") {
     val schema = StructType(Seq(
       StructField("a", LongType), StructField("b", DoubleType),
