@@ -280,8 +280,34 @@ object Graft {
       store.rename(from, to, dropTarget)
     def find(coll: String, filter: String = "{}"): DataFrame =
       Graft.find(resolve(coll), filter)
-    def aggregate(coll: String, pipelineJson: String): DataFrame =
-      PipelineCompiler.run(resolve(coll), pipelineJson, resolve)
+    def aggregate(coll: String, pipelineJson: String): DataFrame = {
+      // Mongo's aggregate-form change stream: a pipeline whose FIRST
+      // stage is `$changeStream` returns the change-document stream
+      // (`watch`) with the remaining stages applied to change docs —
+      // the server routes `coll.aggregate([{$changeStream:{}}, ...])`
+      // to the same cursor `coll.watch(...)` opens. Options accepted:
+      // `fullDocument` (no-op here — the insert-only stream always
+      // carries the full after-image) and `fullDocumentBeforeChange`
+      // "off"/"whenAvailable"; anything else refuses loudly rather
+      // than silently ignoring a semantic knob (resumeAfter/startAt*
+      // need a wire resume token this engine does not have).
+      import org.json4s._
+      Mql.parse(pipelineJson) match {
+        case JArray(JObject(List(("$changeStream", spec))) :: rest) =>
+          val okKeys = Set("fullDocument", "fullDocumentBeforeChange")
+          spec match {
+            case JObject(fs) =>
+              val bad = fs.map(_._1).filterNot(okKeys)
+              if (bad.nonEmpty) throw new graft.mql.MqlException(
+                s"$$changeStream: unsupported option(s) ${bad.mkString(", ")}")
+            case _ => throw new graft.mql.MqlException(
+              "$changeStream: specification must be a document")
+          }
+          watch(coll, org.json4s.jackson.JsonMethods.compact(
+            org.json4s.jackson.JsonMethods.render(JArray(rest))))
+        case _ => PipelineCompiler.run(resolve(coll), pipelineJson, resolve)
+      }
+    }
     /** `$out`/`$merge`-tailed pipeline; returns the target collection name. */
     def aggregateTo(coll: String, pipelineJson: String): String =
       PipelineCompiler.runWithWrites(resolve(coll), pipelineJson, resolve, store)

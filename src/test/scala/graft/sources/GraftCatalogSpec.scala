@@ -246,6 +246,41 @@ class GraftCatalogSpec extends AnyFunSuite {
       == Seq("zed"))
   }
 
+  test("aggregate-form change stream: $changeStream first stage routes to watch") {
+    val (cat, root) = freshCatalog()
+    seed(root, "people")
+    val db = graft.api.Graft.Db(spark, cat)
+    // Mongo routes coll.aggregate([{$changeStream:{}}, ...]) to the same
+    // cursor coll.watch(...) opens — assert the routed frame IS a stream
+    // and drains to the same change docs
+    val agg = db.aggregate("people", """[
+        {"$changeStream": {"fullDocument": "updateLookup"}},
+        {"$match": {"fullDocument.bal": {"$gte": 15}}},
+        {"$project": {"operationType": 1, "name": "$fullDocument.name"}}]""")
+    assert(agg.isStreaming)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_aggcs").toString
+    val q = agg.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => got.add((r.getString(0), r.getString(1)))): Unit
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = got.toArray(Array.empty[(String, String)])
+    assert(rows.map(_._1).forall(_ == "insert"))
+    assert(rows.map(_._2).sorted.toSeq == Seq("bob", "cat"))
+    // semantic knobs this engine can't honor refuse loudly
+    intercept[graft.mql.MqlException](
+      db.aggregate("people", """[{"$changeStream": {"resumeAfter": {"x": 1}}}]"""))
+    intercept[graft.mql.MqlException](
+      db.aggregate("people", """[{"$changeStream": 5}]"""))
+    // a non-first $changeStream is not a change stream — normal pipeline
+    // compilation rejects the unknown stage
+    intercept[Exception](
+      db.aggregate("people", """[{"$match": {}}, {"$changeStream": {}}]"""))
+  }
+
   test("DocStore.vacuum removes orphaned stage dirs, never collections") {
     val root = java.nio.file.Files.createTempDirectory("graft_vac").toString
     val store = new graft.sinks.DocStore(spark, root)
