@@ -159,6 +159,36 @@ object Sampling {
     * in `test` stays there). Fractions must sum to 1 (±1e-6); bucket
     * boundaries are rounded to integer millionths so the cut-points are
     * exact on any engine. */
+  def fimTransform(df: DataFrame, idCol: String, textCol: String,
+                   rate: Double = 0.5, seed: String = "fim"): DataFrame = {
+    // Fill-in-the-middle transformation (Bavarian et al. 2022,
+    // arXiv:2207.14255 — the FIM pretraining objective for infilling):
+    // a seeded-deterministic `rate` fraction of documents rewrite into
+    // PSM form `<fim_prefix>P<fim_suffix>S<fim_middle>M`. The two
+    // character cut points derive from md5 hashes of (seed, id), so the
+    // transform is reproducible across runs, partitionings, and engines
+    // (the oracle recomputes every cut). Character-level cuts — the
+    // tokenizer-free formulation; the sentinel strings stand in for the
+    // tokenizer's special ids (swap at encode time). Map-only:
+    // codegen'd string slicing inside the scan stage, no shuffle — a
+    // free pass over a 100 TB corpus.
+    val len = length(col(textCol))
+    val sel = hashBucket(col(idCol), seed) <
+      lit(math.round(rate * 1000000L.toDouble))
+    val span = (len + lit(1)).cast("long")
+    val c1 = hashBucket(col(idCol), seed + "#a") % span
+    val c2 = hashBucket(col(idCol), seed + "#b") % span
+    val lo = least(c1, c2).cast("int")
+    val hi = greatest(c1, c2).cast("int")
+    val fim = concat(
+      lit("<fim_prefix>"), col(textCol).substr(lit(1), lo),
+      lit("<fim_suffix>"), col(textCol).substr(hi + lit(1), len - hi),
+      lit("<fim_middle>"), col(textCol).substr(lo + lit(1), hi - lo))
+    val applied = sel && col(textCol).isNotNull && len > 0
+    df.withColumn("fim_applied", applied)
+      .withColumn("fim_text", when(applied, fim).otherwise(col(textCol)))
+  }
+
   def hashSplit(df: DataFrame, idCol: String, splits: Seq[(String, Double)],
                 seed: String = "split"): DataFrame = {
     require(splits.nonEmpty, "at least one split required")

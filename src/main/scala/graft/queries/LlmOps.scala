@@ -942,6 +942,34 @@ object LlmOps {
                      ELSE 'test' END AS split
               FROM documents ORDER BY doc_id""")),
 
+    // fill-in-the-middle pretraining transform (Bavarian et al. 2022):
+    // seeded-deterministic half of the corpus rewrites into
+    // <fim_prefix>P<fim_suffix>S<fim_middle>M with md5-derived
+    // character cuts; the oracle recomputes every cut and slice
+    QueryDef("q_fim_split",
+      (s, dir) => Sampling.fimTransform(
+        Graft.table(s, dir, "documents"), "doc_id", "text", rate = 0.5)
+        .select("doc_id", "fim_applied", "fim_text").orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, text, length(text) AS n,
+                ('0x' || substr(md5('fim:' || doc_id), 1, 8))::BIGINT
+                  % 1000000 AS selb,
+                ('0x' || substr(md5('fim#a:' || doc_id), 1, 8))::BIGINT
+                  % 1000000 AS ha,
+                ('0x' || substr(md5('fim#b:' || doc_id), 1, 8))::BIGINT
+                  % 1000000 AS hb
+              FROM documents),
+              c AS (SELECT doc_id, text, n,
+                selb < 500000 AND n > 0 AS fim_applied,
+                LEAST(ha % (n + 1), hb % (n + 1)) AS lo,
+                GREATEST(ha % (n + 1), hb % (n + 1)) AS hi FROM t)
+              SELECT doc_id, fim_applied,
+                CASE WHEN fim_applied THEN
+                  '<fim_prefix>' || substr(text, 1, lo) ||
+                  '<fim_suffix>' || substr(text, hi + 1, n - hi) ||
+                  '<fim_middle>' || substr(text, lo + 1, hi - lo)
+                ELSE text END AS fim_text
+              FROM c ORDER BY doc_id""")),
+
     // deterministic corpus shuffle layout: chunked positions, no global
     // single-partition sort (keyed window + nChunks-row prefix sum)
     QueryDef("q_corpus_shuffle",

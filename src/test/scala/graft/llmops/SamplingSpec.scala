@@ -263,4 +263,38 @@ class SamplingSpec extends AnyFunSuite {
       ("s1", "s2", 2L),  // alpha-beta + gamma
       ("s1", "s3", 1L), ("s2", "s3", 1L)))
   }
+
+  test("fimTransform: PSM reconstruction, determinism, rate bounds") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a"), (3L, ""), (4L, "hello world again"),
+      (5L, "x" * 200), (6L, "unicode h\u00e9llo \ud83c\udf89 text"))
+      .toDF("doc_id", "text")
+    val out = Sampling.fimTransform(docs, "doc_id", "text", rate = 1.0)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[Boolean]("fim_applied"), r.getAs[String]("fim_text"))).toSeq
+    out.foreach { case (id, text, applied, fim) =>
+      if (text.isEmpty) {
+        assert(!applied && fim == text, s"doc $id")
+      } else {
+        assert(applied, s"doc $id should transform at rate=1.0")
+        // PSM reconstruction: prefix + middle + suffix == original
+        val m = "(?s)<fim_prefix>(.*)<fim_suffix>(.*)<fim_middle>(.*)".r
+        fim match {
+          case m(p, sfx, mid) => assert(p + mid + sfx == text, s"doc $id")
+          case _ => fail(s"doc $id: not PSM form: $fim")
+        }
+      }
+    }
+    // deterministic across invocations and partitionings
+    val again = Sampling.fimTransform(docs.repartition(3), "doc_id", "text",
+      rate = 1.0).select("doc_id", "fim_text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    out.foreach { case (id, _, _, fim) => assert(again(id) == fim) }
+    // rate 0 leaves everything untouched
+    val none = Sampling.fimTransform(docs, "doc_id", "text", rate = 0.0)
+    assert(none.where(col("fim_applied")).count() == 0)
+    assert(none.where(col("fim_text") =!= col("text")).count() == 0)
+  }
 }
