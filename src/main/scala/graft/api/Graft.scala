@@ -294,12 +294,30 @@ object Graft {
       import org.json4s._
       Mql.parse(pipelineJson) match {
         case JArray(JObject(List(("$changeStream", spec))) :: rest) =>
-          val okKeys = Set("fullDocument", "fullDocumentBeforeChange")
+          // value-level validation, not just keys: every fullDocument
+          // mode is satisfiable on an insert-only stream (inserts always
+          // carry the full after-image), but pre-images do not exist
+          // here, so fullDocumentBeforeChange "whenAvailable"/"off" are
+          // honest no-ops while "required" must refuse (Mongo errors
+          // whenever a required pre-image is unavailable — which would
+          // be always)
+          val okValues = Map(
+            "fullDocument" ->
+              Set("default", "updateLookup", "whenAvailable", "required"),
+            "fullDocumentBeforeChange" -> Set("off", "whenAvailable"))
           spec match {
-            case JObject(fs) =>
-              val bad = fs.map(_._1).filterNot(okKeys)
-              if (bad.nonEmpty) throw new graft.mql.MqlException(
-                s"$$changeStream: unsupported option(s) ${bad.mkString(", ")}")
+            case JObject(fs) => fs.foreach {
+              case (k, v) => okValues.get(k) match {
+                case None => throw new graft.mql.MqlException(
+                  s"$$changeStream: unsupported option $k")
+                case Some(ok) =>
+                  val s = v match { case JString(x) => x; case other => other.toString }
+                  if (!ok(s)) throw new graft.mql.MqlException(
+                    s"$$changeStream: unsupported $k value '$s'" +
+                      (if (k == "fullDocumentBeforeChange" && s == "required")
+                        " (this engine's streams carry no pre-images)" else ""))
+              }
+            }
             case _ => throw new graft.mql.MqlException(
               "$changeStream: specification must be a document")
           }

@@ -26,6 +26,22 @@ import java.nio.ByteBuffer
   * keep the FIRST value here (the tree's ObjectNode keeps the last);
   * BSON names are required unique by the spec.
   */
+/** The one shared unscaled-decimal vector append: precision decides the
+  * physical layout (int / long / byte-array unscaled), and every reader
+  * of those vectors assumes exactly this encoding — a single definition
+  * keeps the four call sites (both direct decoders, the tree-path
+  * builder, the filter-compaction copier) from ever drifting. */
+private[graft] object VectorAppend {
+  import org.apache.spark.sql.types.{Decimal, DecimalType}
+  def unscaled(d: DecimalType, dec: Decimal, v: WritableColumnVector): Unit =
+    if (d.precision <= Decimal.MAX_INT_DIGITS) v.appendInt(dec.toUnscaledLong.toInt)
+    else if (d.precision <= Decimal.MAX_LONG_DIGITS) v.appendLong(dec.toUnscaledLong)
+    else {
+      val b = dec.toJavaBigDecimal.unscaledValue.toByteArray
+      v.appendByteArray(b, 0, b.length)
+    }
+}
+
 private[graft] object BsonVectorDecoder {
 
   def supports(dt: DataType): Boolean = dt match {
@@ -241,15 +257,9 @@ private[graft] object BsonVectorDecoder {
 
       case d: DecimalType => new FieldWriter(field) {
         val strict0 = strict
-        private def appendBig(bd: java.math.BigDecimal, v: WritableColumnVector): Unit = {
-          val dec = Decimal(bd.setScale(d.scale, java.math.RoundingMode.HALF_UP))
-          if (d.precision <= Decimal.MAX_INT_DIGITS) v.appendInt(dec.toUnscaledLong.toInt)
-          else if (d.precision <= Decimal.MAX_LONG_DIGITS) v.appendLong(dec.toUnscaledLong)
-          else {
-            val b = dec.toJavaBigDecimal.unscaledValue.toByteArray
-            v.appendByteArray(b, 0, b.length)
-          }
-        }
+        private def appendBig(bd: java.math.BigDecimal, v: WritableColumnVector): Unit =
+          VectorAppend.unscaled(d,
+            Decimal(bd.setScale(d.scale, java.math.RoundingMode.HALF_UP)), v)
         private def malformed(e: Throwable, v: WritableColumnVector): Unit = {
           if (strict0) throw new GraftTypeError(
             s"field '${field.name}': malformed value for " +

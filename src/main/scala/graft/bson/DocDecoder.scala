@@ -203,7 +203,7 @@ object DocDecoder {
     }
   }
 
-  private def hexBytes(hex: String): Array[Byte] =
+  private[bson] def hexBytes(hex: String): Array[Byte] =
     hex.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
 
   def decodeStruct(node: JsonNode, st: StructType, strict: Boolean): Row =

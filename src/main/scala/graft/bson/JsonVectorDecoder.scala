@@ -38,14 +38,10 @@ import org.apache.spark.sql.types._
   */
 private[graft] object JsonVectorDecoder {
 
-  def supports(dt: DataType): Boolean = dt match {
-    case IntegerType | LongType | DoubleType | StringType | BooleanType |
-         TimestampType | TimestampNTZType | DateType | BinaryType | NullType => true
-    case _: DecimalType => true
-    case st: StructType => st.fields.forall(f => supports(f.dataType))
-    case ArrayType(et, _) => supports(et)
-    case _ => false
-  }
+  /** Same builder-layer coverage as the BSON direct path — one
+    * definition, so the two direct decoders can never drift apart in
+    * what they claim. */
+  def supports(dt: DataType): Boolean = BsonVectorDecoder.supports(dt)
 
   /** NaN/Infinity literals are legal BSON doubles (DocDecoder.newMapper
     * enables the same feature on the tree path). */
@@ -66,12 +62,20 @@ private[graft] object JsonVectorDecoder {
   final case class PTree(node: JsonNode) extends PreVal
 
   /** Capture the value the parser is positioned ON (containers consume
-    * through their END token, matching the write() contract). */
+    * through their END token, matching the write() contract). FLOAT
+    * payloads capture the DOUBLE's canonical rendering, not the raw
+    * lexeme: the tree path's DoubleNode.asText re-renders the parsed
+    * double (`1e999` → "Infinity", `4e5` → "400000.0"), and wrapper
+    * handlers ($numberDecimal's BigDecimal parse, $oid's hex parse)
+    * dispatch on that text — the literal would diverge. */
   private def readPre(p: JsonParser): PreVal = p.currentToken() match {
     case JsonToken.START_OBJECT | JsonToken.START_ARRAY =>
       PTree(mapper.readTree[JsonNode](p))
-    case t @ (JsonToken.VALUE_NUMBER_INT | JsonToken.VALUE_NUMBER_FLOAT) =>
+    case t @ JsonToken.VALUE_NUMBER_INT =>
+      // INT lexemes are already canonical (no exponent/point forms)
       PScalar(t, p.getText, p.getNumberType)
+    case t @ JsonToken.VALUE_NUMBER_FLOAT =>
+      PScalar(t, String.valueOf(p.getDoubleValue), p.getNumberType)
     case t => PScalar(t, p.getText, null)
   }
 
@@ -360,7 +364,20 @@ private[graft] object JsonVectorDecoder {
               case OWrap("$date", pre) =>
                 // parse under the malformed rule; the epoch conversion
                 // itself stays OUTSIDE it (the tree path's appender
-                // overflow surfaces raw, not as GraftTypeError)
+                // overflow surfaces raw, not as GraftTypeError).
+                // TimestampType keeps an ISO string's SUB-MILLISECOND
+                // precision (the tree path goes Timestamp.from(Instant)
+                // → fromJavaTimestamp, micros intact); NTZ/date32
+                // truncate to ms first, as the tree does.
+                if (dt == TimestampType && !preIsNumber(pre)) {
+                  var ts: java.sql.Timestamp = null
+                  try ts = java.sql.Timestamp.from(
+                    java.time.Instant.parse(preText(pre)))
+                  catch { case scala.util.control.NonFatal(e) => malformed(e, v) }
+                  if (ts != null)
+                    v.appendLong(DateTimeUtils.fromJavaTimestamp(ts))
+                  return
+                }
                 var ms = 0L
                 var ok = false
                 try {
@@ -388,15 +405,8 @@ private[graft] object JsonVectorDecoder {
 
       case d: DecimalType => new FieldWriter(field) {
         val strict0 = strict
-        private def appendBig(bd: java.math.BigDecimal, v: WritableColumnVector): Unit = {
-          val dec = Decimal(bd)
-          if (d.precision <= Decimal.MAX_INT_DIGITS) v.appendInt(dec.toUnscaledLong.toInt)
-          else if (d.precision <= Decimal.MAX_LONG_DIGITS) v.appendLong(dec.toUnscaledLong)
-          else {
-            val b = dec.toJavaBigDecimal.unscaledValue.toByteArray
-            v.appendByteArray(b, 0, b.length)
-          }
-        }
+        private def appendBig(bd: java.math.BigDecimal, v: WritableColumnVector): Unit =
+          VectorAppend.unscaled(d, Decimal(bd), v)
         private def parseScaled(text: String, v: WritableColumnVector): Unit = {
           var bd: java.math.BigDecimal = null
           try bd = new java.math.BigDecimal(text)
@@ -432,8 +442,9 @@ private[graft] object JsonVectorDecoder {
           val strict0 = strict
           private def putBytes(b: Array[Byte], v: WritableColumnVector): Unit =
             v.appendByteArray(b, 0, b.length)
+          // the tree path's own hex parser: one definition of oid-hex
           private def hexBytes(hex: String): Array[Byte] =
-            hex.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
+            DocDecoder.hexBytes(hex)
           def write(p: JsonParser, v: WritableColumnVector): Unit = p.currentToken() match {
             case JsonToken.VALUE_NULL => writeNull(v)
             case JsonToken.VALUE_NUMBER_INT | JsonToken.VALUE_NUMBER_FLOAT

@@ -46,11 +46,26 @@ object NearDupIndex {
   private def hashedDocs(df: DataFrame, idCol: String, textCol: String,
                          shingleN: Int): DataFrame = {
     val castId = col(idCol).cast("long")
-    val guarded = when(col(idCol).isNotNull && castId.isNull,
+    // two silent-loss shapes: a cast that NULLS (string oids → one null
+    // signature group) and a cast that TRUNCATES (12.5 and 12.4 both →
+    // 12, colliding distinct docs) — fractional id types get a
+    // round-trip value check on top of the null check
+    val fractional = df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.FloatType |
+           _: org.apache.spark.sql.types.DecimalType => true
+      case _ => false
+    }
+    val lossy =
+      if (fractional)
+        (col(idCol).isNotNull && castId.isNull) ||
+          !(castId.cast("double") <=> col(idCol).cast("double"))
+      else col(idCol).isNotNull && castId.isNull
+    val guarded = when(lossy,
       raise_error(concat(
         lit(s"NearDupIndex: id column '$idCol' value '"),
         col(idCol).cast("string"),
-        lit("' does not cast to long (ids must be integral)"))).cast("long"))
+        lit("' does not cast losslessly to long"))).cast("long"))
       .otherwise(castId)
     df.select(guarded.as("doc_id"),
       array_sort(transform(Dedup.shingles(col(textCol), shingleN),

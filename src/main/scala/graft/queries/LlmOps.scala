@@ -959,7 +959,9 @@ object LlmOps {
                   % 1000000 AS hb
               FROM documents),
               c AS (SELECT doc_id, text, n,
-                selb < 500000 AND n > 0 AS fim_applied,
+                -- COALESCE: a null text must read as applied=FALSE, not
+                -- NULL, matching the engine's isNotNull guard
+                selb < 500000 AND COALESCE(n, 0) > 0 AS fim_applied,
                 LEAST(ha % (n + 1), hb % (n + 1)) AS lo,
                 GREATEST(ha % (n + 1), hb % (n + 1)) AS hi FROM t)
               SELECT doc_id, fim_applied,

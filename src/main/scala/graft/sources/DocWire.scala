@@ -102,9 +102,15 @@ object DocWire {
            filters: Seq[Filter] = Seq.empty,
            limit: Option[Int] = None): DataFrame = {
     val (mqlDoc, residual) = FilterTranslator.translateAll(filters)
+    // limit rides the wire ONLY when the filter translated fully: with
+    // residuals the server would limit BEFORE the client-side filter
+    // ran, silently under-returning — the same rule a DSv2 scan applies
+    // (pushLimit is refused while filters stay residual); the limit
+    // then applies client-side after the residuals
+    val serverLimit = limit.filter(_ => residual.isEmpty)
     val req = {
       val f = FilterTranslator.render(mqlDoc)
-      val lim = limit.map(n => s""", "limit": $n""").getOrElse("")
+      val lim = serverLimit.map(n => s""", "limit": $n""").getOrElse("")
       s"""{"find": "$coll", "filter": $f$lim}"""
     }
     val conn = new java.net.Socket(host, port)
@@ -128,7 +134,9 @@ object DocWire {
       java.nio.file.Files.copy(in, f)
     } finally conn.close()
     val decoded = spark.read.format("graftdocs").schema(schema).load(dir)
-    residual.foldLeft(decoded)((df, f) => df.where(filterToColumn(f)))
+    val filtered = residual.foldLeft(decoded)((df, f) => df.where(filterToColumn(f)))
+    if (serverLimit.isEmpty) limit.map(filtered.limit).getOrElse(filtered)
+    else filtered
   }
 
   /** Residual Spark-side re-evaluation: source Filter → Column. Only the

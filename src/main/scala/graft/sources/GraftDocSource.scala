@@ -1614,15 +1614,8 @@ private[sources] object ColumnarDocBuilder {
     case DateType => (v, x) =>
       v.appendInt(DateTimeUtils.fromJavaDate(x.asInstanceOf[java.sql.Date]))
     case d: DecimalType =>
-      (v, x) => {
-        val dec = Decimal(x.asInstanceOf[java.math.BigDecimal])
-        if (d.precision <= Decimal.MAX_INT_DIGITS) v.appendInt(dec.toUnscaledLong.toInt)
-        else if (d.precision <= Decimal.MAX_LONG_DIGITS) v.appendLong(dec.toUnscaledLong)
-        else {
-          val b = dec.toJavaBigDecimal.unscaledValue.toByteArray
-          v.appendByteArray(b, 0, b.length)
-        }
-      }
+      (v, x) => graft.bson.VectorAppend.unscaled(d,
+        Decimal(x.asInstanceOf[java.math.BigDecimal]), v)
     case st: StructType =>
       val subs = st.fields.map(f => appender(f.dataType))
       (v, x) => {
@@ -1772,15 +1765,8 @@ private[sources] object VectorRead {
       else { val b = g.getBinary(o); d.appendByteArray(b, 0, b.length) }
     case dec: DecimalType => (g, o, d) =>
       if (g.isNullAt(o)) d.appendNull()
-      else {
-        val v = g.getDecimal(o, dec.precision, dec.scale)
-        if (dec.precision <= Decimal.MAX_INT_DIGITS) d.appendInt(v.toUnscaledLong.toInt)
-        else if (dec.precision <= Decimal.MAX_LONG_DIGITS) d.appendLong(v.toUnscaledLong)
-        else {
-          val b = v.toJavaBigDecimal.unscaledValue.toByteArray
-          d.appendByteArray(b, 0, b.length)
-        }
-      }
+      else graft.bson.VectorAppend.unscaled(dec,
+        g.getDecimal(o, dec.precision, dec.scale), d)
     case st: StructType =>
       val subs = st.fields.map(f => copier(f.dataType))
       (g, o, d) =>
@@ -1820,7 +1806,17 @@ private[sources] object VectorRead {
   * Pushed filters (when present) evaluate per document against the
   * just-decoded row — decode-BEFORE-filter, so strict-mode type errors
   * raise exactly as on the tree path — and surviving rows compact into a
-  * second vector set that becomes the output batch. */
+  * second vector set that becomes the output batch.
+  *
+  * Documented divergence: the direct decode writes straight into
+  * vectors, so APPENDER-stage narrowing (date32 day-count toIntExact,
+  * decimal precision, timestamp micros overflow) runs for every decoded
+  * row — including rows a decode-time filter then drops. The tree path
+  * converts to external values first and never appends dropped rows, so
+  * a poison value of that narrow class in a filtered-out row raises
+  * here but not there. Convert-stage errors (the whole coercion matrix)
+  * behave identically on both paths; replicating the tree's accidental
+  * leniency would need per-row vector rollback, rejected by design. */
 private[sources] abstract class DirectColumnarReaderBase(
     schema: StructType, limitRows: Int,
     filters: Array[Filter], partValues: Map[String, Any])

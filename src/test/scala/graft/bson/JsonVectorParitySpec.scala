@@ -190,6 +190,55 @@ class JsonVectorParitySpec extends AnyFunSuite {
     assert(direct == tree && direct.length == 1)
   }
 
+  test("ISO $date keeps sub-millisecond precision on TimestampType") {
+    // tree path: Timestamp.from(Instant) → fromJavaTimestamp keeps
+    // micros; a toEpochMilli shortcut would truncate to .000
+    val schema = StructType(Seq(
+      StructField("ltz", TimestampType),
+      MSchema.timestampField("ntz"), // NTZ truncates to ms, as the tree does
+      StructField("i", LongType)))
+    val lines = Seq(
+      """{"ltz": {"$date": "2024-01-01T00:00:00.000123Z"}, "ntz": {"$date": "2024-01-01T00:00:00.000123Z"}, "i": 1}""",
+      """{"ltz": {"$date": "2024-01-01T00:00:00.123456789Z"}, "ntz": {"$date": "2024-01-01T00:00:00.123456789Z"}, "i": 2}""",
+      """{"ltz": {"$date": 1700000000123}, "ntz": {"$date": 1700000000123}, "i": 3}""")
+    val (direct, tree) = bothPaths(lines, schema)
+    assert(direct == tree && direct.length == 3)
+    // and the sub-ms digits actually survived (Row.json renders without
+    // fractions — read the epoch micros directly)
+    val dir = java.nio.file.Files.createTempDirectory("graft_jvd_subms")
+    java.nio.file.Files.write(dir.resolve("docs.jsonl"),
+      lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    def micros(columnar: Boolean): Seq[Long] =
+      spark.read.format("graftdocs").schema(schema)
+        .option("columnar", columnar).load(dir.toString)
+        .orderBy("i")
+        .select(org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("ltz")))
+        .collect().toSeq.map(_.getLong(0))
+    val md = micros(columnar = true)
+    assert(md == micros(columnar = false))
+    assert(md(0) % 1000 == 123L, s"sub-ms truncated: $md")
+    assert(md(1) % 1000000 == 123456L, s"sub-ms truncated: $md")
+  }
+
+  test("FLOAT wrapper payloads follow the tree's canonical double render") {
+    // DoubleNode.asText re-renders the parsed double: 1e999 → "Infinity"
+    // (BigDecimal refuses → malformed/null), long literals shorten.
+    // Using the raw lexeme instead would accept 1e999 into a decimal
+    // column and keep literal digits the tree path never sees.
+    val schema = StructType(Seq(
+      StructField("d", DecimalType(38, 10)),
+      MSchema.objectIdField("o"), StructField("l", LongType)))
+    val lines = Seq(
+      """{"d": {"$numberDecimal": 1e999}}""",
+      """{"d": {"$numberDecimal": 0.1000000000000000055511151231257827}}""",
+      """{"d": {"$numberDecimal": 42.50}}""",
+      """{"o": {"$oid": 4e5}}""",
+      """{"l": {"$numberLong": 4.50}}""")
+    val (direct, tree) = bothPaths(lines, schema, allowInvalid = true)
+    assert(direct == tree && direct.length == 5)
+  }
+
   test("number-classification edges: BigInteger / huge doubles / -0.0") {
     val schema = StructType(Seq(
       StructField("a", LongType), StructField("b", DoubleType),

@@ -85,6 +85,31 @@ class NearDupIndexSpec extends AnyFunSuite {
     assert(removed.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(removed).isEmpty)
   }
 
+  test("non-castable and lossy ids refuse loudly, never silently collapse") {
+    // string oids null out under cast("long") → one null signature group
+    val oids = Seq(("5f0e3a2b", "alpha beta gamma"), ("5f0e3a2c", "delta"))
+      .toDF("doc_id", "text")
+    // under ANSI (Spark 4 default) the cast itself raises before the
+    // guard; with ANSI off the guard's raise_error fires — loud either way
+    val e1 = intercept[Exception] {
+      NearDupIndex.build(oids, "doc_id", "text").collect()
+    }
+    assert(e1.getMessage.contains("does not cast losslessly") ||
+      e1.getMessage.contains("CAST_INVALID_INPUT"), e1.getMessage)
+    // fractional ids truncate: 12.5 and 12.4 would both land on 12
+    val fracs = Seq((12.5, "aaa bbb ccc"), (12.4, "ddd eee fff"))
+      .toDF("doc_id", "text")
+    val e2 = intercept[Exception] {
+      NearDupIndex.build(fracs, "doc_id", "text").collect()
+    }
+    assert(e2.getMessage.contains("does not cast losslessly"))
+    // integral-valued doubles are lossless and pass
+    val whole = Seq((12.0, "aaa bbb ccc"), (13.0, "ddd eee fff"))
+      .toDF("doc_id", "text")
+    assert(NearDupIndex.build(whole, "doc_id", "text")
+      .where($"kind" === "doc").count() == 2)
+  }
+
   test("a frame without the geometry row refuses loudly") {
     val idx = NearDupIndex.build(corpus, "doc_id", "text")
     val headless = idx.where($"kind" =!= "meta")

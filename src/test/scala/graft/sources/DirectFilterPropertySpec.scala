@@ -95,7 +95,9 @@ class DirectFilterPropertySpec extends AnyFunSuite {
           .collect().toSeq.map(_.json).sorted
       GraftScanMetrics.direct.reset()
       val direct = run(columnar = true)
-      assert(GraftScanMetrics.direct.sum() > 0,
+      // zone maps may prune EVERY file for an always-false predicate —
+      // then no reader runs at all, which is the correct outcome
+      assert(GraftScanMetrics.direct.sum() > 0 || direct.isEmpty,
         s"round $round [$format]: direct path did not engage for `$pred`")
       val row = run(columnar = false)
       assert(direct == row,

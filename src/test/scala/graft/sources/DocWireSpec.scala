@@ -67,6 +67,25 @@ class DocWireSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("limit + residual filters: limit never reaches the server early") {
+    val (store, server) = fixture()
+    try {
+      // Not(EqualTo) stays a client-side residual; a server-side limit
+      // would truncate BEFORE the residual ran and under-return
+      val filters: Seq[Filter] = Seq(Not(EqualTo("event_type", "view")))
+      val n = 5
+      val wire = DocWire.find(spark, "127.0.0.1", server.port, "events",
+        filters, limit = Some(n))
+      assert(!server.lastRequest.contains("limit"),
+        s"limit leaked onto the wire with residuals: ${server.lastRequest}")
+      assert(wire.count() == n.toLong)
+      // every returned row satisfies the residual
+      assert(wire.where(col("event_type") === "view").count() == 0)
+      assert(store.read("events").where(!(col("event_type") === "view"))
+        .count() >= n.toLong)
+    } finally server.stop()
+  }
+
   test("limit rides the wire; decode runs the direct BSON path") {
     val (_, server) = fixture()
     try {

@@ -270,11 +270,21 @@ class GraftCatalogSpec extends AnyFunSuite {
     val rows = got.toArray(Array.empty[(String, String)])
     assert(rows.map(_._1).forall(_ == "insert"))
     assert(rows.map(_._2).sorted.toSeq == Seq("bob", "cat"))
-    // semantic knobs this engine can't honor refuse loudly
+    // semantic knobs this engine can't honor refuse loudly — keys AND
+    // values ("required" pre-images cannot exist here; garbage values
+    // must not read as "off")
     intercept[graft.mql.MqlException](
       db.aggregate("people", """[{"$changeStream": {"resumeAfter": {"x": 1}}}]"""))
     intercept[graft.mql.MqlException](
       db.aggregate("people", """[{"$changeStream": 5}]"""))
+    intercept[graft.mql.MqlException](
+      db.aggregate("people",
+        """[{"$changeStream": {"fullDocumentBeforeChange": "required"}}]"""))
+    intercept[graft.mql.MqlException](
+      db.aggregate("people", """[{"$changeStream": {"fullDocument": 42}}]"""))
+    // honest no-ops pass
+    assert(db.aggregate("people",
+      """[{"$changeStream": {"fullDocumentBeforeChange": "off"}}]""").isStreaming)
     // a non-first $changeStream is not a change stream — normal pipeline
     // compilation rejects the unknown stage
     intercept[Exception](
