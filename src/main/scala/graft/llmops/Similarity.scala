@@ -250,13 +250,24 @@ object Similarity {
     // stay oracle-checkable. xxhash64 stays the default (cheaper).
     val seedOrd = if (portableSeed) Dedup.portableHash60(col(idCol).cast("string"))
                   else xxhash64(col(idCol))
+    // cleanliness filter BEFORE the hash-ordered limit (pqTrain's
+    // guard, same rationale): a null or null-element vector inside the
+    // seed window would NPE the driver-side centroid matrix; a
+    // wrong-dimension one would build a ragged matrix that silently
+    // nulls every nearest_cell assignment (empty index)
     val seedDf = corpus
+      .where(col(vecCol).isNotNull &&
+        !exists(col(vecCol).cast("array<double>"), x => x.isNull))
       .orderBy(seedOrd.asc, col(idCol).asc).limit(nCells)
       .select(col(idCol).as("cell_id"), col(vecCol).cast("array<double>").as("__cv"),
         norm(col(vecCol)).as("__cn"))
       .orderBy(col("cell_id").asc)
     val seedSchema = seedDf.schema
     val seedRows = seedDf.collect()
+    require(seedRows.nonEmpty, "buildIvf: no usable seed vectors in corpus")
+    require(seedRows.map(_.getSeq[Double](1).length).distinct.length == 1,
+      "buildIvf: seed vectors disagree on dimension — mixed-dimension " +
+        "corpora cannot share one IVF quantizer")
     val centroidRows =
       if (lloydIters <= 0) seedRows
       else lloydRefine(corpus, seedRows, lloydIters, vecCol)
@@ -316,12 +327,13 @@ object Similarity {
     * batch hits (the overwritePartitions contract — a day's ingest
     * never rewrites the year). Centroids stay fixed — the IVF
     * maintenance contract: assignment is a snapshot of the trained
-    * quantizer, re-training is a rebuild — and the centroid
-    * collection's n_members refreshes afterwards so probe budgeting
-    * stays honest (advisory: a crash between the two writes
-    * undercounts members until the next fold; the data partitions are
-    * the exactly-once side, committed with `tags`). Batches are
-    * assumed disjoint from prior content, like TextIndex.update. */
+    * quantizer, re-training is a rebuild. REPLAY-SAFE: the rewrite
+    * anti-joins existing rows on the batch's ids first, so re-running
+    * the same batch (streaming replay after a crash mid-commit, or a
+    * batch overlapping prior content) converges to the same final
+    * state — upsert, not duplication; n_members recounts the touched
+    * cells from the folded data (partition-pruned), so it also
+    * self-heals on replay. */
   def foldIvfPartitionedBatch(store: graft.sinks.DocStore, name: String,
                               batch: DataFrame, idCol: String = "vec_id",
                               vecCol: String = "embedding",
@@ -346,17 +358,30 @@ object Similarity {
       .collect()
     if (perCell.nonEmpty) {
       val touched = perCell.map(_.getString(0))
+      // REPLAY-SAFE fold: overwritePartitions swaps touched leaves one
+      // by one (tags land last), so a crash mid-commit replays the
+      // batch against partially-folded cells. An anti-join on the
+      // batch's own ids makes the rewrite idempotent — whatever subset
+      // of leaves the crashed attempt swapped, re-running produces the
+      // identical final content (the NearDupIndex epoch-fold property,
+      // achieved here by id instead of by epoch because cells, not
+      // batches, are the partition key).
+      val batchIds = assigned.select(col(idCol)).distinct()
       val existing = store.read(name).where(col("cell").isin(touched: _*))
+        .join(batchIds, Seq(idCol), "left_anti")
       store.overwritePartitions(
         existing.unionByName(assigned.select(existing.columns.map(col): _*)),
         name, Seq("cell"), tags)
-      // n_members increments come from the batch's own per-cell counts
-      // (a bounded literal) — never a recount scan of the index
-      val addMap = perCell.map(r => r.getString(0) -> r.getLong(1)).toMap
+      // n_members for the touched cells recounts from the just-folded
+      // partitions (partition-pruned — O(touched), never a full index
+      // scan) so a replayed fold cannot double-increment
+      val recount = store.read(name).where(col("cell").isin(touched: _*))
+        .groupBy("cell").agg(count(lit(1)).as("__n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       store.write(store.read(name + "_centroids")
-        .withColumn("n_members", col("n_members") +
-          coalesce(element_at(typedlit(addMap), col("cell_id").cast("string")),
-            lit(0L)))
+        .withColumn("n_members",
+          coalesce(element_at(typedlit(recount), col("cell_id").cast("string")),
+            col("n_members")))
         .select("cell_id", "centroid", "n_members"),
         name + "_centroids")
     }
@@ -439,9 +464,16 @@ object Similarity {
     val corpus = df.where(col(vecCol).isNotNull)
       .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var centroids: Array[Array[Double]] = corpus.orderBy(col(idCol)).limit(k)
+    // seed guard (pqTrain's rationale): a null-element seed NPEs the
+    // driver building augMatrix; a wrong-dimension seed builds a ragged
+    // matrix that silently nulls every assignment → empty result
+    var centroids: Array[Array[Double]] = corpus
+      .where(!exists(col("__v"), x => x.isNull))
+      .orderBy(col(idCol)).limit(k)
       .collect().map(_.getSeq[Double](1).toArray)
     require(centroids.length == k, s"kmeansLloyd: only ${centroids.length} seed rows for k=$k")
+    require(centroids.map(_.length).distinct.length == 1,
+      "kmeansLloyd: seed vectors disagree on dimension")
     def augMatrix: Column = typedlit(centroids.toIndexedSeq.map(c =>
       (c :+ (-0.5 * c.map(x => x * x).sum)).toIndexedSeq))
     val augVec = concat(col("__v"), array(lit(1.0)))

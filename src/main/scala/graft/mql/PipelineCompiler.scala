@@ -61,7 +61,8 @@ object PipelineCompiler {
   def runWithWrites(df: DataFrame, pipelineJson: String,
                     resolve: TableResolver,
                     store: graft.sinks.DocStore,
-                    tags: Map[String, String] = Map.empty): String = {
+                    tags: Map[String, String] = Map.empty,
+                    atomicCommit: Boolean = false): String = {
     val stages = parseStages(pipelineJson)
     if (stages.isEmpty)
       throw new MqlException("runWithWrites: empty pipeline")
@@ -73,7 +74,7 @@ object PipelineCompiler {
     stages.last match {
       case JObject(List((op, spec))) if WriteStages.WriteStageNames(op) =>
         WriteStages.execute(runStages(df, stages.init, resolve), op, spec,
-          store, tags)
+          store, tags, atomicCommit)
       case _ => throw new MqlException(
         "runWithWrites: pipeline must end in $out or $merge")
     }

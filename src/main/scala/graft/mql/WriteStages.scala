@@ -59,9 +59,10 @@ object WriteStages {
     * (DocStore.write) — the exactly-once hook for streaming merges. */
   def execute(result: DataFrame, op: String, spec: JValue,
               store: DocStore,
-              tags: Map[String, String] = Map.empty): String = op match {
+              tags: Map[String, String] = Map.empty,
+              atomicCommit: Boolean = false): String = op match {
     case "$out"   => out(result, spec, store, tags)
-    case "$merge" => merge(result, spec, store, tags)
+    case "$merge" => merge(result, spec, store, tags, atomicCommit)
     case other    => throw new MqlException(s"not a write stage: $other")
   }
 
@@ -109,8 +110,18 @@ object WriteStages {
   private val SP = "__graft_s_"   // renamed source columns in the joined frame
   private val NewCol = "__graft_new"
 
+  /** `atomicCommit = true` (streaming merges): a PARTITIONED target
+    * commits through the single whole-collection staged swap instead of
+    * per-partition swaps — overwritePartitions writes its tags after
+    * the leaf swaps, so a crash mid-commit would replay a non-idempotent
+    * fold against partially-folded partitions and double-count. The
+    * single swap is tag-atomic; the cost is a full-collection rewrite
+    * per batch, which is the unpartitioned path's cost anyway. Batch
+    * (non-streaming) merges keep the partition-scoped fast path: they
+    * are not checkpoint-replayed. */
   private def merge(source: DataFrame, spec: JValue, store: DocStore,
-                    tags: Map[String, String]): String = {
+                    tags: Map[String, String],
+                    atomicCommit: Boolean = false): String = {
     // -- parse the spec ----------------------------------------------------
     val fields = spec match {
       case JString(coll)   => List(("into", JString(coll)))
@@ -166,11 +177,13 @@ object WriteStages {
     // and rewritten (per-partition swap) — a 100 TB collection is
     // never rewritten for a merge that lands in one day's partitions.
     // Falls back to the full-collection path beyond MaxScopedPartitions
-    // touched partitions (a huge OR defeats pruning and codegen) or
-    // when a fail-mode needs global visibility anyway.
+    // touched partitions (a huge OR defeats pruning and codegen). The
+    // fail modes stay correct under scoping: on-keys cover the
+    // partition columns, so a source row's match can only live in its
+    // own partition — which the scope always includes.
     val partCols = store.partitionColumnsOf(name)
     val scopedTuples: Option[Seq[org.apache.spark.sql.Row]] =
-      if (partCols.nonEmpty && partCols.forall(on.contains)) {
+      if (!atomicCommit && partCols.nonEmpty && partCols.forall(on.contains)) {
         val ts = source.select(partCols.map(col): _*).distinct()
           .limit(MaxScopedPartitions + 1).collect().toSeq
         if (ts.size <= MaxScopedPartitions) Some(ts) else None
@@ -269,8 +282,10 @@ object WriteStages {
     // writer (a flat write would destroy the layout); merge never drops
     // rows, so swapping every partition present in `result` IS the full
     // rewrite when the scope didn't prune
-    if (partCols.nonEmpty) store.overwritePartitions(result, name, partCols, tags)
-    else store.write(result, name, tags)
+    if (partCols.nonEmpty && !atomicCommit)
+      store.overwritePartitions(result, name, partCols, tags)
+    else store.write(result, name, tags,
+      partitionBy = if (partCols.nonEmpty) partCols else Seq.empty)
     name
   }
 }

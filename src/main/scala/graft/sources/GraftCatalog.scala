@@ -62,11 +62,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def requireFlat(namespace: Array[String]): Unit =
     if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
 
+  /** Names that can never be collections (reserved/path-hazard forms). */
+  private def invalidName(n: String): Boolean =
+    n.isEmpty || n.contains("/") || n.contains("..") || n.startsWith(".") ||
+      n.startsWith("_")
+
   private def tableDir(ident: Identifier): Path = {
     requireFlat(ident.namespace)
     val n = ident.name
-    if (n.isEmpty || n.contains("/") || n.contains("..") || n.startsWith(".") ||
-        n.startsWith("_"))
+    if (invalidName(n))
       throw new IllegalArgumentException(s"bad collection name '$n'")
     new Path(rootDir, n)
   }
@@ -87,8 +91,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       .toArray
   }
 
-  override def tableExists(ident: Identifier): Boolean =
-    fs.exists(tableDir(ident))
+  override def tableExists(ident: Identifier): Boolean = {
+    requireFlat(ident.namespace)
+    // a name that can never be a collection is ABSENT, not an error —
+    // IF EXISTS probes and tooling sweeps expect false here
+    !invalidName(ident.name) && fs.exists(tableDir(ident))
+  }
 
   override def loadTable(ident: Identifier): Table =
     loadFrom(ident, tableDir(ident))
@@ -162,6 +170,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val dir = tableDir(ident)
     val f = fs
     if (f.exists(dir)) throw new TableAlreadyExistsException(ident)
+    // a dropped table's retained snapshots: creating a NEW table under
+    // the name would hand it the dead table's history (VERSION/TIMESTAMP
+    // AS OF serving foreign data). History counts as existence — the
+    // DocStore rename stance — so refuse until it is restored or pruned.
+    // (versions(), not a directory probe: the id high-water marker
+    // rightly survives pruning and is not history.)
+    if (new graft.sinks.DocStore(
+        org.apache.spark.sql.SparkSession.active, rootDir, "graftdocs")
+        .versions(ident.name).nonEmpty)
+      throw new IllegalStateException(
+        s"catalog $catalogName: retired versions of '${ident.name}' exist " +
+          "(dropped table history); restore or prune them before re-creating")
     val partitionBy: Seq[String] = partitions.toSeq.map {
       case t if t.name == "identity" && t.references.length == 1 =>
         t.references.head.fieldNames.mkString(".")
@@ -172,8 +192,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       throw new IllegalStateException(s"could not create $dir")
     // persist the declared schema + write routing so loadTable (and
     // every later INSERT) sees exactly what CREATE TABLE declared
+    // OPTIONS(...) arrive as `option.`-prefixed properties (Spark's
+    // TableCatalog.OPTION_PREFIX) and TBLPROPERTIES keys are free-case:
+    // normalize both before whitelisting, or declared write routing is
+    // silently dropped (format 'bson' writing jsonl)
     val extra: Map[String, String] =
-      properties.asScala.toMap.filter { case (k, _) =>
+      properties.asScala.toMap.map { case (k, v) =>
+        k.stripPrefix("option.").toLowerCase(java.util.Locale.ROOT) -> v
+      }.filter { case (k, _) =>
         k == "format" || k == "allowinvalid" || k == "infermaxdocs"
       } ++
       (if (partitionBy.nonEmpty) Map("partitionby" -> partitionBy.mkString(","))
@@ -194,8 +220,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       s"catalog $catalogName: ALTER TABLE is not supported")
 
   override def dropTable(ident: Identifier): Boolean = {
+    requireFlat(ident.namespace)
+    if (invalidName(ident.name)) return false // can never exist
     val dir = tableDir(ident)
     val f = fs
+    // retired versions survive a drop on purpose (drop + restore = undo,
+    // the DocStore contract); re-CREATE over that history refuses in
+    // createTable so time travel can never serve a dead table's data
     f.exists(dir) && f.delete(dir, true)
   }
 
@@ -204,8 +235,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val from = tableDir(oldIdent); val to = tableDir(newIdent)
     if (!f.exists(from)) throw new NoSuchTableException(oldIdent)
     if (f.exists(to)) throw new TableAlreadyExistsException(newIdent)
-    if (!f.rename(from, to))
-      throw new IllegalStateException(s"could not rename $from to $to")
+    // route through DocStore.rename: version history FOLLOWS the
+    // collection, and a stale target history counts as "target exists"
+    // — a raw directory rename would leave the history behind for the
+    // next table under the old name to adopt (time-travel hijack)
+    new graft.sinks.DocStore(
+      org.apache.spark.sql.SparkSession.active, rootDir, "graftdocs")
+      .rename(oldIdent.name, newIdent.name)
   }
 
   // ---- namespaces (flat: the root is the single namespace) ---------------

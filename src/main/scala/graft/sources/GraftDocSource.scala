@@ -2203,11 +2203,21 @@ private[sources] class GraftWriteBuilder(info: LogicalWriteInfo)
       if (partitionBy.nonEmpty && partitionBy.length == info.schema().length)
         throw new IllegalArgumentException(
           "graftdocs write: all columns are partition columns")
+      // `jobtoken` pins the job-unique file-name token to a caller value:
+      // final file names become deterministic per token, which is what
+      // lets an idempotent streaming sink clean a crashed attempt's
+      // files by prefix before re-appending (EventStream.writeToDocSink)
+      val tokenOverride = Option(options.get("jobtoken")).map { t =>
+        if (t.isEmpty || !t.forall(c => c.isLetterOrDigit || c == '-'))
+          throw new IllegalArgumentException(
+            s"graftdocs write: jobtoken '$t' must be [A-Za-z0-9-]+")
+        t
+      }
       new GraftBatchWrite(info.schema(), path, format, doTruncate,
         options.getLong("maxbatchbytes", graft.sinks.DocWriter.MaxBatchBytes),
         options.getInt("maxbatchdocs", graft.sinks.DocWriter.MaxBatchDocs),
         new SerializableConfiguration(GraftDocSource.activeHadoopConf()),
-        partitionBy, options.getBoolean("zonemaps", true))
+        partitionBy, options.getBoolean("zonemaps", true), tokenOverride)
     }
   }
 }
@@ -2222,11 +2232,15 @@ private[sources] class GraftBatchWrite(schema: StructType, path: String,
                                        maxBatchBytes: Long, maxBatchDocs: Int,
                                        conf: SerializableConfiguration,
                                        partitionBy: Seq[String] = Seq.empty,
-                                       zoneMaps: Boolean = true)
+                                       zoneMaps: Boolean = true,
+                                       tokenOverride: Option[String] = None)
   extends BatchWrite {
   // job-unique token: final names can never collide with a previous
-  // job's output (taskIds restart across applications)
-  private val jobToken = java.util.UUID.randomUUID().toString.take(8)
+  // job's output (taskIds restart across applications). A caller-pinned
+  // override trades that isolation for deterministic names (idempotent
+  // streaming appends clean their own prefix before retrying).
+  private val jobToken =
+    tokenOverride.getOrElse(java.util.UUID.randomUUID().toString.take(8))
   private var preExisting: Seq[Path] = Seq.empty
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {

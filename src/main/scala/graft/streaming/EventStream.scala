@@ -157,6 +157,7 @@ object EventStream {
     val ckptBase = if (new java.io.File("/dev/shm").canWrite) "/dev/shm" else
       System.getProperty("java.io.tmpdir")
     val name = s"graft_docsink_${System.nanoTime()}"
+    val prevNanos = saveNanosFlag(spark)
     val ev = eventsSource(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
     var q: org.apache.spark.sql.streaming.StreamingQuery = null
@@ -167,6 +168,7 @@ object EventStream {
         .start()
       q.processAllAvailable()
     } finally {
+      restoreNanosFlag(spark, prevNanos)
       if (q != null) q.stop()
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
@@ -180,19 +182,52 @@ object EventStream {
 
   /** Streaming ingest into the document sink: each micro-batch appends
     * to `path` through the graftdocs DSv2 write (staged-file commit, so
-    * a failed batch leaves no partial output; foreachBatch supplies the
-    * batch id for exactly-once bookkeeping downstream). This is the
-    * continuous-ingest loop of a document pipeline: readStream →
-    * transform → document sink, with the SAME write path (batching
-    * limits, auto-convert, schema validation) as the batch writer. */
+    * a failed batch leaves no partial output) with EXACTLY-ONCE
+    * permanent state under foreachBatch's at-least-once replay:
+    *  - each batch writes under a deterministic per-batch file token
+    *    (`jobtoken`), so its final file names are replay-stable;
+    *  - a marker file commits the batch; a replay that sees the marker
+    *    skips, and a replay that does NOT first deletes the token's
+    *    files (a crashed attempt's partial commit) and rewrites them.
+    * The one transient window: data committed but the marker not yet
+    * written when the crash hit — readers see that batch's rows until
+    * the replay cleans and rewrites them (then state is exact). This is
+    * the standard file-sink guarantee when foreign readers don't honor
+    * a commit log. Same write path (batching limits, auto-convert,
+    * schema validation) as the batch writer. */
   def writeToDocSink(events: DataFrame, path: String,
                      format: String = "jsonl")
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream.foreachBatch {
-      (batch: DataFrame, _: Long) =>
-        batch.write.format("graftdocs").option("format", format)
-          .mode("append").save(path)
+      (batch: DataFrame, batchId: Long) => sinkBatch(batch, batchId, path, format)
     }
+
+  /** One idempotent doc-sink micro-batch (see [[writeToDocSink]]);
+    * package-visible so specs can replay it directly. */
+  private[streaming] def sinkBatch(batch: DataFrame, batchId: Long,
+                                   path: String, format: String): Unit = {
+    val token = f"sb$batchId%08d"
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(
+      batch.sparkSession.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(dir, s"._graft_sink_$token")
+    if (!fs.exists(marker)) {
+      if (fs.exists(dir)) {
+        // a crashed attempt's files (staged or committed) for THIS
+        // batch id — remove before rewriting, so replays converge
+        val it = fs.listFiles(dir, true)
+        while (it.hasNext) {
+          val p = it.next().getPath
+          val n = p.getName
+          if (n.startsWith(s"part-$token-") || n.startsWith(s".part-$token-"))
+            fs.delete(p, false): Unit
+        }
+      }
+      batch.write.format("graftdocs").option("format", format)
+        .option("jobtoken", token).mode("append").save(path)
+      fs.create(marker, true).close()
+    }
+  }
 
   /** Continuous materialized view: maintain a [[graft.sinks.DocStore]]
     * collection by running an MQL pipeline ENDING IN `$merge` over each
@@ -225,10 +260,15 @@ object EventStream {
       // normal restart path keeps both).
       val committed = store.readTag(target, "batchId").map(_.toLong)
       if (!committed.exists(_ >= batchId))
+        // atomicCommit: a partitioned target must commit via the single
+        // staged swap — per-partition swaps write their tag last, and a
+        // crash mid-commit would replay this non-idempotent fold against
+        // partially-folded partitions (double-count)
         graft.mql.PipelineCompiler.runWithWrites(batch, pipeline,
           n => throw new graft.mql.MqlException(
             s"mergeStream pipeline cannot read collection '$n'"), store,
-          tags = Map("batchId" -> batchId.toString)): Unit
+          tags = Map("batchId" -> batchId.toString),
+          atomicCommit = true): Unit
     }
   }
 
@@ -255,11 +295,14 @@ object EventStream {
       val committed = store.readTag(indexName, "batchId").map(_.toLong)
       if (!committed.exists(_ >= batchId)) {
         // reading the standing index while staging its replacement is
-        // safe: DocStore writes to a stage dir and swaps after
+        // safe: DocStore writes to a stage dir and swaps after.
+        // existence is checked EXPLICITLY — a catch-all around read()
+        // would turn a transient read failure into "no index" and
+        // silently replace the accumulated index with this one batch
         val next =
-          (try Some(store.read(indexName)) catch { case _: Exception => None })
-            .map(idx => graft.llmops.TextIndex.update(idx, batch, paths))
-            .getOrElse(graft.llmops.TextIndex.build(batch, paths))
+          if (store.exists(indexName))
+            graft.llmops.TextIndex.update(store.read(indexName), batch, paths)
+          else graft.llmops.TextIndex.build(batch, paths)
         store.write(next, indexName, tags = Map("batchId" -> batchId.toString))
       }
     }
@@ -539,6 +582,7 @@ object EventStream {
     // shuffles would be pure per-task overhead per batch (same
     // reasoning as runStream's pin; grows with key volume at scale)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevNanos = saveNanosFlag(spark)
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     var q: org.apache.spark.sql.streaming.StreamingQuery = null
     try {
@@ -549,6 +593,7 @@ object EventStream {
       q.processAllAvailable()
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      restoreNanosFlag(spark, prevNanos)
       if (q != null) q.stop()
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
@@ -579,13 +624,18 @@ object EventStream {
     * same pipeline string either way. */
   def mqlOnFixture(spark: SparkSession, dir: String, pipeline: String): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical.Aggregate
-    // analyze (not run) the compiled plan once to pick the output mode
-    val probe = graft.mql.PipelineCompiler.run(eventsSource(spark, dir), pipeline)
-    val aggregates = probe.queryExecution.analyzed.collectFirst {
-      case a: Aggregate => a
-    }.nonEmpty
-    runStream(spark, dir, ev => graft.mql.PipelineCompiler.run(ev, pipeline),
-      outputMode = if (aggregates) "complete" else "append")
+    // the mode probe's eventsSource mutates the nanos flag BEFORE
+    // runStream saves it — capture the true prior value out here
+    val prevNanos = saveNanosFlag(spark)
+    try {
+      // analyze (not run) the compiled plan once to pick the output mode
+      val probe = graft.mql.PipelineCompiler.run(eventsSource(spark, dir), pipeline)
+      val aggregates = probe.queryExecution.analyzed.collectFirst {
+        case a: Aggregate => a
+      }.nonEmpty
+      runStream(spark, dir, ev => graft.mql.PipelineCompiler.run(ev, pipeline),
+        outputMode = if (aggregates) "complete" else "append")
+    } finally restoreNanosFlag(spark, prevNanos)
   }
 
   /** Run the streaming aggregation synchronously over the parquet
@@ -628,9 +678,22 @@ object EventStream {
     * the final result. The same plan serves a real readStream source in
     * production. */
   /** The fixture readStream source (nanos → micros ts), shared by
-    * runStream and the mqlOnFixture mode probe. */
+    * runStream and the mqlOnFixture mode probe. The nanos flag must
+    * stay set for the QUERY's lifetime (parquet scan-time schema
+    * conversion reads it per file), so runners restore the prior value
+    * via [[restoreNanosFlag]] after their synchronous run — leaving it
+    * mutated would silently change parquet semantics for every later
+    * read on the shared session. */
+  private val NanosFlag = "spark.sql.legacy.parquet.nanosAsLong"
+  private def restoreNanosFlag(spark: SparkSession,
+                               prev: Option[String]): Unit = prev match {
+    case Some(v) => spark.conf.set(NanosFlag, v)
+    case None => spark.conf.unset(NanosFlag)
+  }
+  private def saveNanosFlag(spark: SparkSession): Option[String] =
+    spark.conf.getOption(NanosFlag)
   private def eventsSource(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set(NanosFlag, "true")
     // streaming file sources need a declared schema; infer it from the
     // parquet footer via a batch read so both fixture ts formats (long
     // nanos / timestamp[us]) stream correctly, then normalize as batch
@@ -647,6 +710,7 @@ object EventStream {
                         transform: DataFrame => DataFrame,
                         outputMode: String = "complete"): DataFrame = {
     val name = s"graft_events_${System.nanoTime()}"
+    val prevNanos = saveNanosFlag(spark)
     val stream = eventsSource(spark, dir)
     // checkpoint on tmpfs when available: the file-source log + state
     // stores fsync per micro-batch, which dominates (and jitters) this
@@ -673,6 +737,7 @@ object EventStream {
       q.processAllAvailable()
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      restoreNanosFlag(spark, prevNanos)
       if (q != null) q.stop() // also on failure: no orphan query
       // the memory-sink table holds the result; the checkpoint is scratch
       def rm(f: java.io.File): Unit = {

@@ -121,12 +121,55 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(store.read("vecs").count() == 8)
     assert(store.read("vecs").where($"cell" === probedCell)
       .select("vec_id").as[Long].collect().toSet == beforeMembers ++ Set(7L, 8L))
-    // n_members incremented from the batch's own counts, no recount
+    // n_members refreshed by a partition-pruned recount of the touched
+    // cells (replay-safe), untouched cells keep their stored count
     val members = store.read("vecs_centroids")
       .select($"cell_id".cast("string"), $"n_members").as[(String, Long)]
       .collect().toMap
     assert(members(probedCell) == beforeMembers.size + 2L &&
       members.values.sum == 8L)
+  }
+
+  test("fold replay converges: same batch twice = once (ids + members)") {
+    // foreachBatch replay after a crash mid-commit re-runs the fold; the
+    // anti-join on the batch's ids and the touched-cell recount must
+    // make the second run a no-op in final state
+    val root = java.nio.file.Files.createTempDirectory("pivf_replay").toString
+    val store = new graft.sinks.DocStore(spark, root, "graftdocs")
+    val idx = Similarity.buildIvf(emb, nCells = 2, lloydIters = 0,
+      persistIndex = false)
+    Similarity.writeIvfPartitioned(store, idx, "vecs")
+    val batch = Seq((7L, Seq(0.02, 0.98)), (8L, Seq(0.03, 0.97)))
+      .toDF("vec_id", "embedding")
+    Similarity.foldIvfPartitionedBatch(store, "vecs", batch)
+    val once = store.read("vecs").select("vec_id").as[Long].collect().sorted.toSeq
+    val onceMembers = store.read("vecs_centroids")
+      .select($"cell_id".cast("string"), $"n_members").as[(String, Long)]
+      .collect().toMap
+    Similarity.foldIvfPartitionedBatch(store, "vecs", batch) // replay
+    assert(store.read("vecs").select("vec_id").as[Long].collect().sorted.toSeq
+      == once, "replayed fold duplicated vectors")
+    assert(store.read("vecs_centroids")
+      .select($"cell_id".cast("string"), $"n_members").as[(String, Long)]
+      .collect().toMap == onceMembers, "replayed fold drifted n_members")
+  }
+
+  test("buildIvf seed guards: dirty seeds excluded, mixed dims refuse") {
+    // a null vector that would land in the seed window must not NPE the
+    // driver — it is excluded before the hash-ordered limit
+    val dirty = Seq((1L, Seq(1.0, 0.0)), (2L, null), (3L, Seq(0.0, 1.0)),
+      (4L, Seq(0.9, 0.1)))
+      .toDF("vec_id", "embedding")
+    val idx = Similarity.buildIvf(dirty, nCells = 4, lloydIters = 0,
+      persistIndex = false)
+    assert(idx.centroidRows.length == 3) // the 3 clean vectors
+    // mixed dimensions cannot share a quantizer: loud, not silently empty
+    val mixed = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](
+      Similarity.buildIvf(mixed, nCells = 2, lloydIters = 0,
+        persistIndex = false))
+    assert(e.getMessage.contains("dimension"))
   }
 
   test("unknown index name falls back to self-seeding; equal results") {

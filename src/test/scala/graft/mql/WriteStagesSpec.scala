@@ -171,6 +171,34 @@ class WriteStagesSpec extends AnyFunSuite {
       ("b", 3L, 30.0), ("c", 7L, 70.0)))
   }
 
+  test("atomicCommit $merge: partitioned target, single-swap commit, same result") {
+    // the streaming path (mergeStream) must not commit a partitioned
+    // target through per-partition swaps (tags land after the swaps →
+    // a replay against a partially-folded target double-counts); the
+    // atomic path rewrites through ONE staged swap, preserving both the
+    // result and the partition layout
+    val root = java.nio.file.Files.createTempDirectory("graft_amerge").toString
+    val store = new DocStore(spark, root, "graftdocs")
+    store.overwritePartitions(
+      Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("b", 3L, 30.0))
+        .toDF("grp", "id", "bal"), "t", Seq("grp"))
+    val src = Seq(("a", 1L, 11.0), ("c", 7L, 70.0)).toDF("grp", "id", "bal")
+    PipelineCompiler.runWithWrites(src,
+      """[{"$merge": {"into": "t", "on": ["grp", "id"]}}]""",
+      n => throw new MqlException(s"no $n"), store,
+      tags = Map("batchId" -> "5"), atomicCommit = true): Unit
+    // content identical to the scoped path's semantics
+    val rows = store.read("t").orderBy("grp", "id")
+      .select("grp", "id", "bal").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows == Seq(("a", 1L, 11.0), ("a", 2L, 20.0),
+      ("b", 3L, 30.0), ("c", 7L, 70.0)))
+    // layout preserved and the tag committed with the swap
+    assert(store.partitionColumnsOf("t") == Seq("grp"))
+    assert(new java.io.File(s"$root/t/grp=c").isDirectory)
+    assert(store.readTag("t", "batchId").contains("5"))
+  }
+
   test("$merge whenMatched pipeline rejects non-whitelisted stages") {
     val store = freshStore()
     store.write(Seq((1, "x")).toDF("_id", "name"), "t")

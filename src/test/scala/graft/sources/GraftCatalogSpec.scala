@@ -291,6 +291,47 @@ class GraftCatalogSpec extends AnyFunSuite {
       db.aggregate("people", """[{"$match": {}}, {"$changeStream": {}}]"""))
   }
 
+  test("version history cannot hijack across drop/rename through the catalog") {
+    val (cat, root) = freshCatalog()
+    val store = new graft.sinks.DocStore(spark, root, "graftdocs")
+    import spark.implicits._
+    store.writeVersioned(Seq((1L, "v1")).toDF("id", "v"), "c"): Unit
+    store.writeVersioned(Seq((2L, "v2")).toDF("id", "v"), "c"): Unit
+    // rename through SQL moves the history WITH the collection
+    spark.sql(s"ALTER TABLE $cat.c RENAME TO d")
+    assert(spark.sql(s"SELECT v FROM $cat.d VERSION AS OF 1")
+      .as[String].head() == "v1")
+    assert(!new java.io.File(s"$root/.graft_versions/c").exists)
+    // drop keeps history (drop+restore undo), but CREATE over that
+    // history refuses — a fresh table must not inherit dead snapshots
+    spark.sql(s"DROP TABLE $cat.d")
+    val e = intercept[Exception](
+      spark.sql(s"CREATE TABLE $cat.d (id BIGINT, v STRING)"))
+    assert(e.getMessage.contains("retired versions"), e.getMessage)
+    store.pruneVersions("d", 0)
+    spark.sql(s"CREATE TABLE $cat.d (id BIGINT, v STRING)")
+    assert(spark.table(s"$cat.d").count() == 0)
+  }
+
+  test("invalid names probe as absent; OPTIONS reach the write routing") {
+    val (cat, root) = freshCatalog()
+    // IF EXISTS over a never-valid name: false, not an error
+    spark.sql(s"DROP TABLE IF EXISTS $cat.`_tmp`")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.`.hidden`")
+    // OPTIONS arrive `option.`-prefixed from SQL: format must land in
+    // the sidecar and route every INSERT to bson
+    spark.sql(s"CREATE TABLE $cat.b (id BIGINT, v STRING) OPTIONS ('format'='bson')")
+    spark.sql(s"INSERT INTO $cat.b VALUES (1, 'x'), (2, 'y')")
+    val files = new java.io.File(s"$root/b").listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+    assert(files.nonEmpty &&
+      files.forall(f => f.getName.endsWith(".bson") ||
+        f.getName.endsWith(".bson.zmap")),
+      files.map(_.getName).mkString(", "))
+    assert(spark.table(s"$cat.b").count() == 2)
+  }
+
   test("DocStore.vacuum removes orphaned stage dirs, never collections") {
     val root = java.nio.file.Files.createTempDirectory("graft_vac").toString
     val store = new graft.sinks.DocStore(spark, root)

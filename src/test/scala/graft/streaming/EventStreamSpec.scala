@@ -88,6 +88,30 @@ class EventStreamSpec extends AnyFunSuite {
       .toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("doc-sink batches replay exactly-once: marker skip + crashed-attempt cleanup") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_sink_replay").toString
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    val b1 = Seq((3L, "c")).toDF("id", "name")
+    def count(): Long = spark.read.format("graftdocs")
+      .schema("id LONG, name STRING").load(out).count()
+    EventStream.sinkBatch(b0, 0L, out, "jsonl")
+    EventStream.sinkBatch(b1, 1L, out, "jsonl")
+    assert(count() == 3)
+    // committed replay (marker present): a re-delivered batch is a no-op
+    EventStream.sinkBatch(b0, 0L, out, "jsonl")
+    assert(count() == 3)
+    // crashed attempt: data committed but the marker never written —
+    // the replay must remove that attempt's files and converge exactly
+    val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(out, "._graft_sink_sb00000001"), false)
+    assert(count() == 3) // data still visible in the transient window
+    EventStream.sinkBatch(b1, 1L, out, "jsonl")
+    assert(count() == 3, "replay after simulated crash duplicated rows")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(out, "._graft_sink_sb00000001")))
+  }
+
   test("mergeStream folds multiple micro-batches into the standing collection") {
     val feed = java.nio.file.Files.createTempDirectory("graft_msfeed").toString
     // 2 files → 2 paced micro-batches; key "a" spans both (must fold),
