@@ -23,9 +23,12 @@ object Decontaminate {
   def contaminationHits(docs: DataFrame, idCol: String, textCol: String,
                         bench: DataFrame, benchTextCol: String,
                         shingleN: Int = 3, minHits: Int = 1): DataFrame = {
+    // degenerate guard: a null/empty-text benchmark row shingles to
+    // array("") (WordShingles' null contract), and the "" shingle would
+    // then flag EVERY null/empty corpus document as test-set leakage
     val benchShingles = bench
       .select(explode(Dedup.shingles(col(benchTextCol), shingleN)).as("__s"))
-      .distinct()
+      .where(col("__s") =!= "").distinct()
     docs
       .select(col(idCol), explode(Dedup.shingles(col(textCol), shingleN)).as("__s"))
       .join(broadcast(benchShingles), "__s")
@@ -88,7 +91,7 @@ object Decontaminate {
         .otherwise(array().cast("array<struct<pos:int,s:string>>"))
     val benchShingles = bench
       .select(explode(Dedup.shingles(col(benchTextCol), shingleN)).as("s"))
-      .distinct()
+      .where(col("s") =!= "").distinct() // "" = null/empty bench text (see contaminationHits)
     val matched = docs
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__w"))
       .select(col(idCol), explode(posShingles(col("__w"))).as("ps"))
@@ -110,11 +113,21 @@ object Decontaminate {
                              shingleN: Int = 3, minHits: Int = 1,
                              fpp: Double = 0.01): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
+    // persisted: the exact-count sizing pass and the filter build both
+    // consume the distinct set — unpersisted, the dominant distinct
+    // aggregation would run twice on exactly the large-bench path this
+    // function exists for. "" guard as in contaminationHits.
     val benchShingles = bench
       .select(explode(Dedup.shingles(col(benchTextCol), shingleN)).as("__s"))
-      .distinct()
-    val n = benchShingles.count().max(1L)
+      .where(col("__s") =!= "").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = benchShingles.count()
+    if (n == 0L) { // an all-blank benchmark: nothing can be contaminated
+      benchShingles.unpersist(blocking = false)
+      return docs.select(col(idCol), lit(0L).as("hits")).limit(0)
+    }
     val bloom = benchShingles.stat.bloomFilter("__s", n, fpp)
+    benchShingles.unpersist(blocking = false)
     val bytes = {
       val bos = new java.io.ByteArrayOutputStream()
       bloom.writeTo(bos)

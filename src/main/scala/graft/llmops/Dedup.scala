@@ -136,13 +136,20 @@ object Dedup {
       .where(col("l.__id") < col("r.__id"))
       .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
       .distinct()
-    cand
+    val out = cand
       .join(base.select(col("__id").as("id_a"), col("__hs").as("__ha")), "id_a")
       .join(base.select(col("__id").as("id_b"), col("__hs").as("__hb")), "id_b")
       .withColumn("jaccard",
         round(call_function("jaccard_sim_long", col("__ha"), col("__hb")), 6))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the (small) pair set, release the hashed-shingle
+    // corpus cache (the semanticDedup discipline — leaking it per call
+    // accumulates executor blocks forever)
+    out.count()
+    base.unpersist(blocking = false)
+    out
   }
 
   /** Exact n-gram-jaccard pairs with rarest-shingle blocking: candidate
@@ -178,12 +185,20 @@ object Dedup {
       .where(col("l.__id") < col("r.__id"))
       .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
       .distinct()
-    cand
+    val out = cand
       .join(base.select(col("__id").as("id_a"), col("__sh").as("__sha")), "id_a")
       .join(base.select(col("__id").as("id_b"), col("__sh").as("__shb")), "id_b")
       .withColumn("jaccard", round(jaccard(col("__sha"), col("__shb")), 6))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the (small) pair set, release the shingled-corpus
+    // cache (the semanticDedup discipline) — downstream consumers
+    // (Components' iterative labeling in canonicalPick) re-read the
+    // cached pairs, never the corpus
+    out.count()
+    base.unpersist(blocking = false)
+    out
   }
 
   /** End-to-end near-dedup: keep ONE representative (min id) per
@@ -318,17 +333,23 @@ object Dedup {
     * spans come back via one equi-join on the window hash; and only
     * FLAGGED windows (rare by construction) explode into covered-token
     * positions. All expressions are codegen'd builtins — no UDFs. */
-  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
-                    n: Int = 8, minDocs: Int = 2): DataFrame = {
+  /** Shared window machinery for [[repeatedSpans]] / [[dropRepeatedSpans]]:
+    * the persisted tokenized corpus plus its flagged (cross-doc
+    * duplicated) window hashes — ONE implementation, so the measure and
+    * the transform can never drift on tokenize/window/hash semantics
+    * (the lineDedup segments/rebuildDocs rationale). The caller must
+    * release `base` once its small derivative is materialized (the
+    * semanticDedup cache-release discipline — a persisted tokenized
+    * corpus leaked per call accumulates executor blocks forever:
+    * CacheManager holds strong references and the disk tier is not
+    * LRU-evicted). */
+  private def spanWindows(df: DataFrame, idCol: String, textCol: String,
+                          n: Int, minDocs: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     require(n >= 2, "span length must be >= 2 tokens")
     require(minDocs >= 2, "minDocs < 2 would flag every window")
-    val toks = TextAnalysis.tokens(col(textCol))
-    // the tokenized corpus feeds two consumers (window-frequency count,
-    // flagged-span join) — persist it instead of re-scanning and
-    // re-tokenizing the corpus twice (the jaccardPairs pattern; at
-    // 100 TB this is a checkpoint of the tokenized corpus, and the
-    // explode+md5 recompute per consumer is cheap against the cache)
-    val base = df.select(col(idCol).as("__id"), toks.as("__w"))
+    val base = df.select(col(idCol).as("__id"),
+        TextAnalysis.tokens(col(textCol)).as("__w"))
       .withColumn("__nt", size(col("__w")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // sequence(1, 0) counts DOWN in Spark; guard short docs to null so
@@ -343,7 +364,15 @@ object Dedup {
       .agg(countDistinct(col("__id")).as("__nd"))
       .where(col("__nd") >= minDocs)
       .select("__h")
-    win.join(flagged, "__h")
+    (base, win, flagged)
+  }
+
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                    n: Int = 8, minDocs: Int = 2): DataFrame = {
+    val (base, win, flagged) = spanWindows(df, idCol, textCol, n, minDocs)
+    // materialize the small per-doc measure, then release the cached
+    // tokenized corpus (what stays cached is three scalar columns)
+    val out = win.join(flagged, "__h")
       .select(col("__id"), col("__nt"), col("__i"),
         explode(sequence(col("__i"), col("__i") + (n - 1))).as("__p"))
       .groupBy(col("__id"), col("__nt"))
@@ -351,6 +380,10 @@ object Dedup {
         countDistinct(col("__p")).as("__cov"))
       .select(col("__id").as(idCol), col("n_spans"),
         round(col("__cov").cast("double") / col("__nt"), 6).as("dup_frac"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    base.unpersist(blocking = false)
+    out
   }
 
   /** Exact-substring dedup TRANSFORM (Lee et al. 2022, "Deduplicating
@@ -360,34 +393,25 @@ object Dedup {
     * that occurs in >= minDocs documents is removed, and survivors are
     * re-joined with single spaces (tokenizer-normalized whitespace).
     *
-    * Scale shape mirrors repeatedSpans: one persisted tokenized corpus,
-    * one hash-partitioned window-frequency groupBy, one equi-join on
-    * the window hash, and per-doc covered-position sets bounded by doc
-    * length. The rewrite itself is a higher-order array filter — no
-    * UDF, no extra shuffle beyond the flagged-span join. */
+    * Scale shape mirrors repeatedSpans (shared [[spanWindows]]): one
+    * window-frequency groupBy, one equi-join on the window hash, per-doc
+    * covered-position sets bounded by doc length. The covered-position
+    * sets are materialized small and the tokenized-corpus cache is
+    * released; the final rebuild re-tokenizes lazily (one extra linear
+    * pass instead of a corpus-sized cache leaked per call). */
   def dropRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 8, minDocs: Int = 2): DataFrame = {
-    require(n >= 2, "span length must be >= 2 tokens")
-    require(minDocs >= 2, "minDocs < 2 would drop every window")
-    val toks = TextAnalysis.tokens(col(textCol))
-    val base = df.select(col(idCol).as("__id"), toks.as("__w"))
-      .withColumn("__nt", size(col("__w")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val win = base
-      .withColumn("__i", explode(when(col("__nt") >= n,
-        sequence(lit(1), col("__nt") - (n - 1)))))
-      .select(col("__id"), col("__i"),
-        md5(concat_ws(" ", slice(col("__w"), col("__i"), lit(n))).cast("binary"))
-          .as("__h"))
-    val flagged = win.groupBy("__h")
-      .agg(countDistinct(col("__id")).as("__nd"))
-      .where(col("__nd") >= minDocs)
-      .select("__h")
+    val (base, win, flagged) = spanWindows(df, idCol, textCol, n, minDocs)
     val covered = win.join(flagged, "__h")
       .select(col("__id"),
         explode(sequence(col("__i"), col("__i") + (n - 1))).as("__p"))
       .groupBy("__id").agg(collect_set(col("__p")).as("__cov"))
-    base.join(covered, Seq("__id"), "left")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    covered.count()
+    base.unpersist(blocking = false)
+    val toks = TextAnalysis.tokens(col(textCol))
+    df.select(col(idCol).as("__id"), toks.as("__w"))
+      .join(covered, Seq("__id"), "left")
       .select(col("__id").as(idCol),
         // null text stays null (concat_ws would fold a null token array
         // to the empty string and diverge from the source)
@@ -446,10 +470,15 @@ object Dedup {
       .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
     // min_by over (−quality, id): highest quality wins, ties → min id.
     // Only QUALITY is negated (always numeric) — negating the id would
-    // silently null out non-numeric id types
+    // silently null out non-numeric id types. A NULL quality must rank
+    // LAST, not first: struct ordering sorts null fields first, so an
+    // unscored document would otherwise beat every scored one —
+    // coalesce to −∞ (negated: +∞ = worst).
     val rep = withCl.groupBy("cluster_id")
       .agg(min_by(col(idCol),
-        struct((-col("quality")).as("nq"), col(idCol).as("i"))).as("rep_id"))
+        struct((-coalesce(col("quality"),
+          lit(Double.NegativeInfinity))).as("nq"),
+          col(idCol).as("i"))).as("rep_id"))
     withCl.join(rep, Seq("cluster_id"))
       .select(col(idCol), col("cluster_id"), col("rep_id"),
         (col(idCol) === col("rep_id")).as("keep"), col("quality"))

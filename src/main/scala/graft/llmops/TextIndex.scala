@@ -224,12 +224,20 @@ object TextIndex {
       .select(lit("term").as("kind"), col("path"), col("term"), col("df"),
         lit(0L).as("n_docs"), lit(null).cast("double").as("avgdl"),
         nullId.as("doc_id"), nullId.as("tf"), nullId.as("dl"))
-    val summaries = keptDocs.groupBy("path")
+    // every path the index covered KEEPS its summary row even when the
+    // removal empties it (n_docs=0, avgdl=null — what build over an
+    // empty corpus emits): a groupBy over the kept docs alone would
+    // drop the row and later $search queries would refuse the index
+    // ("does not cover path ...") instead of returning zero matches
+    val origPaths = index.where(col("kind") === "summary")
+      .select("path").distinct()
+    val counts = keptDocs.groupBy("path")
       .agg(count(lit(1)).as("n_docs"),
         avg(col("dl").cast("double")).as("avgdl"))
+    val summaries = origPaths.join(counts, Seq("path"), "left")
       .select(lit("summary").as("kind"), col("path"),
         lit(null).cast("string").as("term"), lit(0L).as("df"),
-        col("n_docs"), col("avgdl"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"), col("avgdl"),
         nullId.as("doc_id"), nullId.as("tf"), nullId.as("dl"))
     val keptStored = index.where(col("kind") === "stored")
       .join(ids, col("doc_id") === col("__rid"), "left_anti")

@@ -90,6 +90,7 @@ final class DocStore(val spark: SparkSession, val dir: String,
                           partitionBy: Seq[String],
                           tags: Map[String, String] = Map.empty): Unit = {
     require(format == "graftdocs", "overwritePartitions needs graftdocs layout")
+    requireNoDeadHistory(name)
     val target = new Path(path(name))
     val stage = new Path(s"$dir/.graft_stage_${validName(name)}_${System.nanoTime()}")
     df.write.format("graftdocs")
@@ -157,15 +158,30 @@ final class DocStore(val spark: SparkSession, val dir: String,
 
   /** Remove orphaned stage directories (left only by a crash BETWEEN
     * a completed stage write and its swap — the finally-block cleans
-    * the normal paths). Never touches live collections. Returns the
-    * number of stage dirs removed. */
+    * the normal paths), and resolve orphaned `.graft_old_` aside dirs
+    * from a crash mid-swap: if the collection is live again the aside
+    * is superseded garbage (reaped); if the collection is ABSENT the
+    * aside is the only copy of the pre-write data and moves back live
+    * (recovery, not deletion). Never touches live collections. Returns
+    * the number of directories removed. */
   def vacuum(): Int = {
     val root = new Path(dir)
     val f = fs
     if (!f.exists(root)) return 0
     f.listStatus(root).count { st =>
-      st.isDirectory && st.getPath.getName.startsWith(".graft_stage_") &&
-        f.delete(st.getPath, true)
+      val n = st.getPath.getName
+      if (!st.isDirectory) false
+      else if (n.startsWith(".graft_stage_")) f.delete(st.getPath, true)
+      else if (n.startsWith(".graft_old_")) {
+        // `.graft_old_<name>_<nanos>`: the collection name may itself
+        // contain '_', so split on the LAST separator
+        val base = n.stripPrefix(".graft_old_")
+        val cut = base.lastIndexOf('_')
+        val coll = if (cut > 0) base.substring(0, cut) else base
+        val live = new Path(path(coll))
+        if (f.exists(live)) f.delete(st.getPath, true) // superseded copy
+        else { f.rename(st.getPath, live): Unit; false } // crash recovery
+      } else false
     }
   }
 
@@ -322,6 +338,19 @@ final class DocStore(val spark: SparkSession, val dir: String,
     readAt(p.toString)
   }
 
+  /** A write that would CREATE a collection over a dropped one's
+    * surviving snapshots would silently adopt that history — readAsOf/
+    * readVersion/restore then serve the dead collection's data as the
+    * new one's past (the hazard rename() already guards). Creating is
+    * only legal once the history is restored or pruned; REPLACING an
+    * existing collection with history is the normal versioned flow. */
+  private def requireNoDeadHistory(name: String): Unit =
+    if (!exists(name) && versions(name).nonEmpty)
+      throw new MqlException(
+        s"collection '$name' was dropped but retired versions survive; " +
+          "restore(...) or pruneVersions(...) before writing a new " +
+          "collection under this name")
+
   /** Move the live dataset into the version directory under a fresh id;
     * returns that id (the caller then installs new contents). A
     * `_graft_retired_at` marker (epoch ms; `_`-prefixed so both layouts
@@ -394,6 +423,7 @@ final class DocStore(val spark: SparkSession, val dir: String,
     * failure. */
   def writeVersioned(df: DataFrame, name: String,
                      tags: Map[String, String] = Map.empty): Long = {
+    requireNoDeadHistory(name)
     val stage = stageContents(df, name, tags, Seq.empty)
     try {
       val retired = if (exists(name)) retire(name) else 0L
@@ -414,6 +444,11 @@ final class DocStore(val spark: SparkSession, val dir: String,
     val retired = if (exists(name)) retire(name) else 0L
     if (!fs.rename(src, new Path(path(name))))
       throw new MqlException(s"could not restore version $v of '$name'")
+    // the restored dir carries the RETIRED-AT marker of its former life;
+    // a live dataset must not have one — a later crash mid-retire would
+    // otherwise leave the STALE timestamp looking authoritative where
+    // the missing-marker case is designed to fail loudly
+    fs.delete(new Path(path(name), "_graft_retired_at"), false): Unit
     retired
   }
 
@@ -586,6 +621,7 @@ final class DocStore(val spark: SparkSession, val dir: String,
   def write(df: DataFrame, name: String,
             tags: Map[String, String] = Map.empty,
             partitionBy: Seq[String] = Seq.empty): Unit = {
+    requireNoDeadHistory(name)
     val stage = stageContents(df, name, tags, partitionBy)
     try {
       // a `versioned` store retains every replaced collection as a
@@ -634,9 +670,23 @@ final class DocStore(val spark: SparkSession, val dir: String,
 
   private def swapIn(stage: Path, name: String): Unit = {
     val target = new Path(path(name))
-    if (fs.exists(target) && !fs.delete(target, true))
+    // crash-safe swap: the old dataset moves ASIDE (pointer rename),
+    // the stage moves live, only then does the old copy die. A
+    // delete-then-rename would leave a window where the stage dir is
+    // the ONLY copy — and vacuum() reclaims stage dirs, so a crash
+    // there plus the documented recovery step would destroy the data.
+    // At every instant at least one complete copy exists outside the
+    // stage namespace; vacuum() knows how to resolve an orphaned aside
+    // (live present → garbage; live absent → move it back).
+    val f = fs
+    val aside = new Path(s"$dir/.graft_old_${validName(name)}_${System.nanoTime()}")
+    val hadOld = f.exists(target)
+    if (hadOld && !f.rename(target, aside))
       throw new MqlException(s"could not replace collection '$name'")
-    if (!fs.rename(stage, target))
+    if (!f.rename(stage, target)) {
+      if (hadOld) f.rename(aside, target): Unit // roll back before failing
       throw new MqlException(s"could not commit collection '$name'")
+    }
+    if (hadOld) f.delete(aside, true): Unit
   }
 }

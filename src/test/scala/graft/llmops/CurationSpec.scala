@@ -410,4 +410,32 @@ class CurationSpec extends AnyFunSuite {
     assert(one.map(_._1).sorted == Seq(1L, 2L, 3L))
     assert(one.map(_._2).distinct.size == 1)
   }
+
+  test("canonicalPick: a null-quality doc never beats scored cluster members") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight ok"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight yes"))
+      .toDF("doc_id", "text")
+    // doc 1 unscored (null quality), doc 2 scored: the scored one wins
+    val q = when(col("doc_id") === 2L, lit(0.9)).otherwise(lit(null).cast("double"))
+    val picked = Dedup.canonicalPick(docs, "doc_id", "text", q, threshold = 0.5)
+      .select("doc_id", "rep_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(picked(1L) == 2L && picked(2L) == 2L,
+      s"null-quality doc elected representative: $picked")
+  }
+
+  test("a blank benchmark row cannot flag empty corpus docs as contaminated") {
+    val docs = Seq((1L, ""), (2L, null.asInstanceOf[String]),
+      (3L, "completely unrelated words here today"))
+      .toDF("doc_id", "text")
+    val bench = Seq((10L, ""), (11L, null.asInstanceOf[String]))
+      .toDF("bid", "btext")
+    assert(Decontaminate.contaminationHits(
+      docs, "doc_id", "text", bench, "btext").count() == 0)
+    assert(Decontaminate.dropContaminated(
+      docs, "doc_id", "text", bench, "btext").count() == 3)
+    assert(Decontaminate.contaminationHitsBloom(
+      docs, "doc_id", "text", bench, "btext").count() == 0)
+  }
 }

@@ -210,6 +210,21 @@ class TextIndexSpec extends AnyFunSuite {
         docs.select("doc_id"), "doc_id"))
   }
 
+  test("removing every doc of a path keeps its summary (empty-build shape)") {
+    import graft.llmops.TextIndex
+    val docs = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
+    val idx = TextIndex.build(docs, Seq("text"), postingsIdCol = Some("doc_id"))
+    val emptied = TextIndex.remove(idx,
+      Seq(1L, 2L).toDF("doc_id"), "doc_id")
+    // the summary row survives with the empty-corpus shape: a $search
+    // against this index must return zero matches, not refuse coverage
+    val sum = emptied.where($"kind" === "summary").select("path", "n_docs")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(sum == Seq(("text", 0L)))
+    assert(emptied.where($"kind" === "doc").count() == 0)
+    assert(emptied.where($"kind" === "term").count() == 0)
+  }
+
   test("returnStoredSource: match, score, and output from the index alone") {
     import org.apache.spark.sql.functions.lit
     val idx = TextIndex.build(docs, Seq("text"), Some("doc_id"),

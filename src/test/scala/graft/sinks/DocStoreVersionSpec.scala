@@ -228,4 +228,54 @@ class DocStoreVersionSpec extends AnyFunSuite {
     s.rename("e", "d", dropTarget = true)
     assert(ids(s.read("d")) == Set(5L) && s.versions("d") == Seq(1L))
   }
+
+  test("a write cannot adopt a dropped collection's surviving history") {
+    val s = newStore("parquet")
+    s.writeVersioned(df(1L -> "a"), "c"): Unit
+    s.writeVersioned(df(2L -> "b"), "c"): Unit
+    assert(s.drop("c") && s.versions("c").nonEmpty)
+    // creating a NEW collection under the name must refuse — readAsOf
+    // would otherwise serve the dead collection's snapshots as its past
+    intercept[graft.mql.MqlException](s.writeVersioned(df(9L -> "x"), "c"))
+    intercept[graft.mql.MqlException](s.write(df(9L -> "x"), "c"))
+    // restore is the sanctioned path; afterwards writes flow again
+    s.restore("c", s.versions("c").last): Unit
+    s.writeVersioned(df(9L -> "x"), "c"): Unit
+    assert(ids(s.read("c")) == Set(9L))
+  }
+
+  test("restore clears the inherited retired-at marker") {
+    val s = newStore("parquet")
+    s.writeVersioned(df(1L -> "a"), "c"): Unit
+    s.writeVersioned(df(2L -> "b"), "c"): Unit
+    s.restore("c", 1): Unit
+    // the restored live dir must NOT carry its former retired-at: a
+    // crash mid-retire later must leave a MISSING marker (loud), not a
+    // stale-but-plausible one
+    val marker = new java.io.File(s"${s.dir}/c/_graft_retired_at")
+    assert(!marker.exists, "stale retired-at marker survived restore")
+    // and the normal versioned flow still stamps fresh markers
+    s.writeVersioned(df(3L -> "z"), "c"): Unit
+    val v = s.versions("c").last
+    assert(s.retiredAt("c", v).nonEmpty)
+  }
+
+  test("vacuum resolves aside dirs: reaps superseded, recovers orphans") {
+    val s = newStore("parquet")
+    s.write(df(1L -> "a"), "c")
+    // simulate a crash window: live moved aside, stage never swapped in
+    val root = new java.io.File(s.dir)
+    val live = new java.io.File(s.path("c")) // parquet stores use c.parquet
+    val aside = new java.io.File(root, ".graft_old_c_123")
+    assert(live.renameTo(aside))
+    assert(!live.exists)
+    s.vacuum(): Unit
+    // recovery: the aside (only copy) moved back live, data intact
+    assert(live.exists && ids(s.read("c")) == Set(1L))
+    // superseded aside (live present) is reaped
+    val aside2 = new java.io.File(root, ".graft_old_c_456")
+    assert(aside2.mkdir())
+    s.vacuum(): Unit
+    assert(!aside2.exists && live.exists)
+  }
 }
