@@ -116,6 +116,31 @@ object ExprCompiler {
     * swaps in only the branch matching the column's plan type). */
   private def truthy(e: Column): Column = graftFn("graft_truthy", e)
 
+  /** Operators whose compiled form is already BooleanType — their
+    * results pass a truthiness context unwrapped, keeping the hot
+    * relational shapes ($expr comparisons in $match) inside whole-stage
+    * codegen (graft_truthy is an interpreted fallback expression). */
+  private val BoolYielding = Set(
+    "$eq", "$ne", "$gt", "$gte", "$lt", "$lte", "$and", "$or", "$not",
+    "$in", "$isArray", "$isNumber", "$anyElementTrue", "$allElementsTrue",
+    "$setIsSubset", "$setEquals", "$regexMatch")
+
+  /** Compile `v` as a CONDITION with Mongo truthiness: null/0/false are
+    * falsy, everything else (incl. "" and empty arrays) truthy. A bare
+    * field ref or numeric expression wraps in graft_truthy; shapes that
+    // already yield booleans skip the wrap (null → null, which every
+    // conditional context treats as the false branch — Mongo agrees,
+    // since its comparisons never return null).
+    */
+  private def asCond(v: JValue, env: Map[String, Column]): Column = {
+    val compiled = compile(v, env)
+    v match {
+      case JBool(_) => compiled
+      case JObject(List((op, _))) if BoolYielding(op) => compiled
+      case _ => truthy(compiled)
+    }
+  }
+
   /** BSON type name of a value ($type / filter {$type}), resolved
     * statically from the column's plan type by the BsonTypeOf
     * RuntimeReplaceable; only the null check is per-row. */
@@ -259,16 +284,28 @@ object ExprCompiler {
       case "$lt"  => c(0) < c(1)
       case "$lte" => c(0) <= c(1)
       case "$cmp" => when(c(0) < c(1), -1).when(c(0) > c(1), 1).otherwise(0)
-      case "$and" => c.reduce(_ && _)
-      case "$or"  => c.reduce(_ || _)
-      case "$not" => !c0
+      // Mongo truthiness over the operands: {"$and": [1, "$flag"]} and
+      // {"$not": ["$maybeMissing"]} evaluate numbers/strings/nulls as
+      // Mongo does instead of failing analysis or null-poisoning
+      case "$and" => v match {
+        case JArray(es) => es.map(asCond(_, env)).reduce(_ && _)
+        case _ => truthy(c0)
+      }
+      case "$or" => v match {
+        case JArray(es) => es.map(asCond(_, env)).reduce(_ || _)
+        case _ => truthy(c0)
+      }
+      case "$not" => v match {
+        case JArray(List(one)) => !coalesce(asCond(one, env), lit(false))
+        case _ => !coalesce(asCond(v, env), lit(false))
+      }
 
       // ---- conditional ----
       case "$cond" => v match {
         case JArray(List(i, t, e)) =>
-          when(compile(i, env), compile(t, env)).otherwise(compile(e, env))
+          when(asCond(i, env), compile(t, env)).otherwise(compile(e, env))
         case JObject(spec) =>
-          when(compile(field(spec, "if", "$cond"), env),
+          when(asCond(field(spec, "if", "$cond"), env),
                compile(field(spec, "then", "$cond"), env))
             .otherwise(compile(field(spec, "else", "$cond"), env))
         case other => throw new MqlException(s"bad $$cond: $other")
@@ -288,7 +325,7 @@ object ExprCompiler {
             raise_error(lit("$switch could not find a matching branch for an " +
               "input, and no default was specified.")))
           branches.foldRight(dflt) { (b, acc) =>
-            when(compile(field(b, "case", "$switch"), env),
+            when(asCond(field(b, "case", "$switch"), env),
                  compile(field(b, "then", "$switch"), env)).otherwise(acc)
           }
         case other => throw new MqlException(s"bad $$switch: $other")
@@ -422,17 +459,20 @@ object ExprCompiler {
             case (None, true)     => to_timestamp(ds)
             case (None, false)    => try_to_timestamp(ds)
           }
+          // the timezone shift applies to the PARSED wall-clock only —
+          // onError/onNull fallbacks are verbatim instants in Mongo,
+          // never re-interpreted in the spec's zone
           val withErr = fieldOpt(spec, "onError") match {
             case Some(oe) =>
               // try-parse; a failing row yields onError instead of raising
-              coalesce(parse(strict = false),
+              coalesce(tzOut(parse(strict = false), specTz(spec, op)),
                 compile(oe, env).cast(TimestampType))
-            case None => parse(strict = true)
+            case None => tzOut(parse(strict = true), specTz(spec, op))
           }
           // a null INPUT is the onNull case (default null), never onError
           val onNull = fieldOpt(spec, "onNull")
             .map(compile(_, env).cast(TimestampType)).getOrElse(lit(null))
-          when(ds.isNull, onNull).otherwise(tzOut(withErr, specTz(spec, op)))
+          when(ds.isNull, onNull).otherwise(withErr)
         case other => throw new MqlException(s"bad $$dateFromString: $other")
       }
       case "$dateFromParts" => v match {
@@ -652,29 +692,40 @@ object ExprCompiler {
         case JArray(es) if es.length > 1 => least(c: _*)
         case _ => array_min(c0)
       }
+      // Mongo's numeric folds IGNORE null/missing elements ($sum of
+      // [1, null, 2] is 3, $avg is 1.5 — divided by the numeric count):
+      // a raw fold would null-poison instead
       case "$sum" => v match {
-        case JArray(es) if es.length > 1 => c.reduce(_ + _)
-        case _ => aggregate(c0, lit(0.0), (acc, x) => acc + x.cast(DoubleType))
+        case JArray(es) if es.length > 1 =>
+          c.map(x => coalesce(x, lit(0))).reduce(_ + _)
+        case _ => aggregate(filter(c0, x => x.isNotNull), lit(0.0),
+          (acc, x) => acc + x.cast(DoubleType))
       }
       case "$avg" => v match {
         case JArray(es) if es.length > 1 =>
-          c.reduce(_ + _) / lit(c.length)
-        case _ => // Mongo: $avg over an empty array is null, not 0
-          when(size(c0) === 0, lit(null))
-            .otherwise(aggregate(c0, lit(0.0), (acc, x) => acc + x.cast(DoubleType)) /
-              size(c0).cast(DoubleType))
+          val nn = c.map(x => when(x.isNotNull, 1).otherwise(0)).reduce(_ + _)
+          when(nn === 0, lit(null))
+            .otherwise(c.map(x => coalesce(x.cast(DoubleType), lit(0.0)))
+              .reduce(_ + _) / nn.cast(DoubleType))
+        case _ => // Mongo: $avg over an empty/all-null array is null, not 0
+          val nums = filter(c0, x => x.isNotNull)
+          when(coalesce(size(nums), lit(0)) === 0, lit(null))
+            .otherwise(aggregate(nums, lit(0.0), (acc, x) => acc + x.cast(DoubleType)) /
+              size(nums).cast(DoubleType))
       }
       // expression forms folding one array argument (the group/window
       // forms live in PipelineCompiler). Sum/sum-of-squares single pass;
       // the DuckDB twins reproduce the same formula term-for-term so
       // float decisions agree bit for bit.
       case "$stdDevPop" | "$stdDevSamp" =>
-        val arr = v match {
+        val arr0 = v match {
           case JArray(List(one)) => compile(one, env)
           case JArray(_) => throw new MqlException(
             s"$op expression form takes one array argument")
           case _ => c0
         }
+        // numeric elements only (the Mongo fold contract — see $sum)
+        val arr = filter(arr0, x => x.isNotNull)
         val n  = size(arr).cast(DoubleType)
         val s1 = aggregate(arr, lit(0.0), (a, x) => a + x.cast(DoubleType))
         val s2 = aggregate(arr, lit(0.0),

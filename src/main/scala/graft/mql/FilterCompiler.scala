@@ -230,8 +230,10 @@ object FilterCompiler {
   def compileOps(c: Column, ops: List[(String, JValue)],
                  lt: Option[org.apache.spark.sql.types.DataType] = None): Column = {
     val regexOpts = ops.collectFirst { case ("$options", JString(o)) => o }.getOrElse("")
-    ops.filterNot(_._1 == "$options")
-      .map { case (op, v) => compileOp(c, op, v, regexOpts, lt) }
+    val rest = ops.filterNot(_._1 == "$options")
+    if (rest.isEmpty) // {"a": {"$options": "i"}} alone — Mongo's error, not
+      throw new MqlException("$options needs a $regex") // an empty reduce
+    rest.map { case (op, v) => compileOp(c, op, v, regexOpts, lt) }
       .reduce(_ && _)
   }
 
@@ -303,6 +305,10 @@ object FilterCompiler {
       case ("$elemMatch", JObject(fields)) =>
         exists(c, e => fields.map {
           case (k, JObject(ops)) if isOperatorDoc(ops) => compileOps(e.getField(k), ops)
+          // bare equality follows Mongo's null semantics: {qty: null}
+          // matches elements whose qty is null or missing (a raw ===
+          // would be null for every element and match nothing)
+          case (k, JNull) => e.getField(k).isNull
           case (k, other) => e.getField(k) === literal(other)
         }.reduce(_ && _))
       // $bits*: bitmask tests over integral values. Mask is a number or

@@ -711,10 +711,17 @@ object PipelineCompiler {
             xxhash64(fromDf.columns.map(col): _*))
           else fromDf
         val foreignKeyed =
-          if (foreignIsArray)
+          if (foreignIsArray) {
+            // a NULL/missing foreign array joins the null group (Mongo's
+            // null-equality), but an EMPTY array has no values and must
+            // match nothing — explode_outer would emit a null key for it
+            // and spuriously attach the doc to null-localField rows
+            val et = fromDf.select(col(foreign)).schema.head.dataType
+              .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
             fidSource.withColumn("__graft_fk",
-              explode_outer(array_distinct(col(foreign))))
-          else fidSource.withColumn("__graft_fk", col(foreign))
+              explode(when(col(foreign).isNull, array(lit(null).cast(et)))
+                .otherwise(array_distinct(col(foreign)))))
+          } else fidSource.withColumn("__graft_fk", col(foreign))
         val localIsArray = df.select(col(local)).schema.head.dataType
           .isInstanceOf[org.apache.spark.sql.types.ArrayType]
         if (localIsArray) {
@@ -739,7 +746,13 @@ object PipelineCompiler {
             .groupBy(col("__graft_fk"))
             .agg(collect_list(struct(structCols.map(col): _*)).as(as))
           val elemType = packed.schema(as).dataType
+          // the row id feeds BOTH the keys side and the final regroup
+          // join — freeze it (correlatedLookup's localCheckpoint
+          // rationale) or a nondeterministic upstream ($sample, unsorted
+          // $limit, AQE repartition) re-executes with different ids and
+          // match arrays attach to the wrong rows
           val withId = df.withColumn("__graft_rid", monotonically_increasing_id())
+            .localCheckpoint(true)
           val keys = withId.select(col("__graft_rid"),
             explode_outer(array_distinct(col(local))).as("__graft_k"))
           val matched = keys
@@ -826,8 +839,12 @@ object PipelineCompiler {
         case o => throw new MqlException(s"bad stage $o")
       }
     }
-    // rewrite right-side field refs to the prefixed names ($$vars stay)
+    // rewrite right-side field refs to the prefixed names ($$vars stay;
+    // $literal bodies are VERBATIM VALUES — a literal string starting
+    // with '$' must not be corrupted into a field reference, the same
+    // carve-out $redact's rewrite applies)
     def rewrite(v: JValue): JValue = v match {
+      case lit @ JObject(List(("$literal", _))) => lit
       case JString(s) if s.startsWith("$") && !s.startsWith("$$") =>
         JString("$__r_" + s.drop(1))
       case JObject(fs) => JObject(fs.map { case (k, x) => (k, rewrite(x)) })
@@ -885,11 +902,21 @@ object PipelineCompiler {
             }
           (array_sort(arr, cmp), fields)
         case List(("$project", JObject(fs))) =>
-          val incl = fs.collect { case (k, v)
-            if k != "_id" && intValue(v, "$project") != 0 => k }
+          // Mongo $project semantics: booleans accepted alongside 0/1;
+          // the inclusion form keeps _id by default when the element
+          // HAS one (exclude with {_id: 0})
+          def on(v: JValue): Boolean = v match {
+            case JBool(b) => b
+            case other => intValue(other, "$project") != 0
+          }
+          val inclNonId = fs.collect { case (k, v) if k != "_id" && on(v) => k }
+          val idOn = fs.collectFirst { case ("_id", v) => on(v) }
           val kept =
-            if (incl.nonEmpty) incl
-            else { // exclusion form
+            if (inclNonId.nonEmpty) {
+              if (idOn.getOrElse(true) && fields.contains("_id"))
+                "_id" +: inclNonId
+              else inclNonId
+            } else { // exclusion form
               val excl = fs.map(_._1).toSet
               fields.filterNot(excl)
             }
@@ -2732,7 +2759,12 @@ object PipelineCompiler {
       spec.collectFirst { case ("limit", l) => intValue(l, "$search") } match {
         case Some(n) => scored.orderBy(ordering: _*).limit(n)
         case None =>
-          if (userSort.isDefined) scored.orderBy(ordering: _*) else scored
+          // relevance order is part of $search's contract even without
+          // an inline limit: [{$search}, {$limit: 10}] must take the 10
+          // BEST-scored docs, not 10 arbitrary matches. The sort is
+          // lazy — a following $limit collapses it to TakeOrdered
+          // (top-k, never a global sort), the same doctrine as $sort.
+          scored.orderBy(ordering: _*)
       }
     // "count": {"type": "total"|"lowerBound"} — the matched-set size,
     // exposed to later stages as $$SEARCH_META.count.<type> (the
@@ -3316,7 +3348,11 @@ object PipelineCompiler {
         "$graphLookup requires maxDepth (unbounded traversal is not plannable)"))
     val depthField = spec.collectFirst { case ("depthField", JString(f)) => f }
 
+    // frozen (localCheckpoint) for the same reason as the lookup paths:
+    // the rid feeds the frontier seeding AND the final regroup join, and
+    // a nondeterministic upstream would re-execute with different ids
     val withRid = df.withColumn("__graft_rid", monotonically_increasing_id())
+      .localCheckpoint(true)
     val doc = struct(fromDf.columns.map(col): _*)
     // Mongo traverses ARRAY fields element-wise in all three positions
     // (the adjacency-list graph encoding: children: ["a","b"]): an
