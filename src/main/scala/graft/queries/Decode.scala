@@ -364,6 +364,29 @@ object Decode {
               FROM orders WHERE o_orderkey < 1000
               GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // per-file Bloom filters (bloomColumns write option): on a HASH-
+    // distributed layout every file spans the whole key range — min/max
+    // zone maps can prove nothing — yet a point lookup / $in probe
+    // opens only the files whose bloom admits the key (parquet's
+    // per-column bloom, doc-source form; ~10 bits per distinct key in
+    // the .zmap sidecar). ZoneMapSpec proves files are actually skipped
+    // and that a skip is sound; this row gates the RESULT end-to-end.
+    // At 100 TB: an id lookup costs sidecar reads + ONE file scan.
+    QueryDef("q_bloom_prune",
+      (s, dir) => {
+        val df = Graft.table(s, dir, "orders")
+        val path = java.nio.file.Files.createTempDirectory("graft_bloom_q").toString
+        df.repartition(8, col("o_orderkey"))
+          .write.format("graftdocs").option("bloomColumns", "o_orderkey")
+          .mode("overwrite").save(path)
+        s.read.format("graftdocs").schema(df.schema).load(path)
+          .where(col("o_orderkey").isin(1L, 7L, 33L))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+              WHERE o_orderkey IN (1, 7, 33) ORDER BY o_orderkey""")),
+
     // metadata-only MIN/MAX over DOCUMENT columns: the same .zmap
     // sidecars that prune range scans also answer bare min/max
     // aggregates with zero document decodes (parquet footer stats, doc-

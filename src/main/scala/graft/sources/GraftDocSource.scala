@@ -2213,11 +2213,40 @@ private[sources] class GraftWriteBuilder(info: LogicalWriteInfo)
             s"graftdocs write: jobtoken '$t' must be [A-Za-z0-9-]+")
         t
       }
+      // `bloomColumns=c1,c2`: per-file Bloom filters over the named
+      // columns ride the .zmap sidecar — the equality twin of min/max
+      // for hash-distributed layouts (point lookups / $in probes open
+      // only admitting files). Opt-in like parquet's per-column bloom
+      // enablement; only exact-hashable kinds qualify (integral,
+      // string — see ZoneMaps.bloomHash).
+      val bloomColumns: Set[String] = Option(options.get("bloomcolumns"))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+        .getOrElse(Set.empty)
+      bloomColumns.foreach { c =>
+        if (partitionBy.contains(c))
+          throw new IllegalArgumentException(
+            s"graftdocs write: bloomColumns column '$c' is a partition " +
+              "column (partition values prune by directory, not sidecar)")
+        val fd = info.schema().fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"graftdocs write: bloomColumns column '$c' not in schema"))
+        val tag = ZoneMaps.tagOf(fd.dataType)
+        if (!tag.exists(t => t == "i64" || t == "str"))
+          throw new IllegalArgumentException(
+            s"graftdocs write: bloomColumns column '$c' has " +
+              s"non-bloomable type ${fd.dataType.simpleString} " +
+              "(integral and string columns only)")
+      }
+      if (bloomColumns.nonEmpty && !options.getBoolean("zonemaps", true))
+        throw new IllegalArgumentException(
+          "graftdocs write: bloomColumns requires zoneMaps (the filters " +
+            "ride the .zmap sidecar)")
       new GraftBatchWrite(info.schema(), path, format, doTruncate,
         options.getLong("maxbatchbytes", graft.sinks.DocWriter.MaxBatchBytes),
         options.getInt("maxbatchdocs", graft.sinks.DocWriter.MaxBatchDocs),
         new SerializableConfiguration(GraftDocSource.activeHadoopConf()),
-        partitionBy, options.getBoolean("zonemaps", true), tokenOverride)
+        partitionBy, options.getBoolean("zonemaps", true), tokenOverride,
+        bloomColumns)
     }
   }
 }
@@ -2233,7 +2262,8 @@ private[sources] class GraftBatchWrite(schema: StructType, path: String,
                                        conf: SerializableConfiguration,
                                        partitionBy: Seq[String] = Seq.empty,
                                        zoneMaps: Boolean = true,
-                                       tokenOverride: Option[String] = None)
+                                       tokenOverride: Option[String] = None,
+                                       bloomColumns: Set[String] = Set.empty)
   extends BatchWrite {
   // job-unique token: final names can never collide with a previous
   // job's output (taskIds restart across applications). A caller-pinned
@@ -2265,7 +2295,7 @@ private[sources] class GraftBatchWrite(schema: StructType, path: String,
     }
     fs.mkdirs(dir)
     new GraftDataWriterFactory(schema, path, format, jobToken,
-      maxBatchBytes, maxBatchDocs, conf, partitionBy, zoneMaps)
+      maxBatchBytes, maxBatchDocs, conf, partitionBy, zoneMaps, bloomColumns)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -2305,11 +2335,12 @@ private[sources] class GraftDataWriterFactory(schema: StructType, path: String,
                                               maxBatchBytes: Long, maxBatchDocs: Int,
                                               conf: SerializableConfiguration,
                                               partitionBy: Seq[String] = Seq.empty,
-                                              zoneMaps: Boolean = true)
+                                              zoneMaps: Boolean = true,
+                                              bloomColumns: Set[String] = Set.empty)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(schema, path, format, jobToken, partitionId, taskId,
-      maxBatchBytes, maxBatchDocs, conf.value, partitionBy, zoneMaps)
+      maxBatchBytes, maxBatchDocs, conf.value, partitionBy, zoneMaps, bloomColumns)
 }
 
 /** Per-partition writer: the reference's single client loop becomes N of
@@ -2323,7 +2354,8 @@ private[sources] class GraftDataWriter(schema: StructType, path: String,
                                        maxBatchBytes: Long, maxBatchDocs: Int,
                                        conf: Configuration,
                                        partitionBy: Seq[String] = Seq.empty,
-                                       zoneMaps: Boolean = true)
+                                       zoneMaps: Boolean = true,
+                                       bloomColumns: Set[String] = Set.empty)
   extends DataWriter[InternalRow] {
   private val toScala = CatalystTypeConverters.createToScalaConverter(schema)
   private val fs = new Path(path).getFileSystem(conf)
@@ -2347,9 +2379,10 @@ private[sources] class GraftDataWriter(schema: StructType, path: String,
     var docs = 0
     def size: Long = out.size().toLong
     // zone-map stats ride the batch: min/max/nulls per stat-able data
-    // column, staged as a `.zmap` sidecar through the same hidden-rename
-    // commit as the data file (parquet footer min/max, doc-source form)
-    val stats = new ZoneMaps.Collector(dataSchema)
+    // column (plus per-column Bloom filters when asked), staged as a
+    // `.zmap` sidecar through the same hidden-rename commit as the data
+    // file (parquet footer min/max + bloom, doc-source form)
+    val stats = new ZoneMaps.Collector(dataSchema, bloomColumns)
   }
   // one open batch per partition directory ("" when unpartitioned).
   // Memory is bounded to ~maxBatchBytes TOTAL regardless of how many

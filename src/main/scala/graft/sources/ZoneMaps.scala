@@ -4,6 +4,7 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.databind.node.ObjectNode
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 
@@ -41,9 +42,61 @@ private[sources] object ZoneMaps {
   /** Strings longer than this poison the column's stats for the batch. */
   val MaxStatString = 256
 
+  /** Bits per distinct key for the optional per-file Bloom filter
+    * (~0.8% false-positive rate at k=7 — parquet's default ballpark). */
+  val BloomBitsPerKey = 10
+
+  /** Fixed seed: sidecars written anywhere verify on any reader. */
+  private val BloomSeed = 0x47524146L // "GRAF"
+
+  /** Per-file Bloom filter over a column's distinct values — the
+    * equality twin of min/max: on a hash-distributed 100 TB layout,
+    * where every file spans the whole key range and min/max can prove
+    * nothing, a point lookup (`_id = X`, `$in` probes) opens only the
+    * files whose filter admits the key. Guava-style double hashing over
+    * one xxhash64; `mightContain = false` is a PROOF of absence, so the
+    * same soundness contract as the range stats holds. */
+  final case class Bloom(bits: Array[Long], k: Int) {
+    private def m: Long = bits.length.toLong * 64L
+    def mightContain(hash: Long): Boolean = {
+      val h1 = hash.toInt
+      val h2 = (hash >>> 32).toInt
+      var i = 0
+      while (i < k) {
+        var combined = h1.toLong + i.toLong * h2.toLong
+        if (combined < 0) combined = ~combined
+        val bit = combined % m
+        if ((bits((bit >>> 6).toInt) & (1L << (bit & 63))) == 0L) return false
+        i += 1
+      }
+      true
+    }
+  }
+
+  /** xxhash64 of a value under its column tag — defined ONLY for kinds
+    * whose canonical form is unambiguous across writer and filter
+    * literal (integral i64, UTF-8 str). Everything else returns None
+    * and the Bloom verdict abstains (cross-type literals like 5.0
+    * against an i64 column must never hash-compare). */
+  private[sources] def bloomHash(tag: String, v: Any): Option[Long] =
+    (tag, v) match {
+      case ("i64", n: Byte)  => Some(XXH64.hashLong(n.toLong, BloomSeed))
+      case ("i64", n: Short) => Some(XXH64.hashLong(n.toLong, BloomSeed))
+      case ("i64", n: Int)   => Some(XXH64.hashLong(n.toLong, BloomSeed))
+      case ("i64", n: Long)  => Some(XXH64.hashLong(n, BloomSeed))
+      case ("str", s: String) =>
+        val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+        Some(XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes,
+          BloomSeed))
+      case _ => None
+    }
+
   /** min/max are canonical external JVM values (see [[canonical]]);
-    * null min/max means the file has no non-null value in the column. */
-  final case class ColStats(tag: String, min: Any, max: Any, nulls: Long)
+    * null min/max means the file has no non-null value in the column.
+    * `bloom` is present only for columns the writer was asked to index
+    * (write option `bloomColumns`). */
+  final case class ColStats(tag: String, min: Any, max: Any, nulls: Long,
+                            bloom: Option[Bloom] = None)
   final case class FileStats(rows: Long, dataLength: Long,
                              cols: Map[String, ColStats])
 
@@ -106,13 +159,21 @@ private[sources] object ZoneMaps {
   // ---- writer side ---------------------------------------------------------
 
   /** Per-batch stats accumulator over the data (non-partition) schema.
-    * One instance per open batch buffer; O(stat-able columns) state. */
-  final class Collector(schema: StructType) {
+    * One instance per open batch buffer; O(stat-able columns) min/max
+    * state plus, for `bloomCols` members, one hash set bounded by the
+    * batch's distinct values (batches flush at maxBatchDocs, so the
+    * set — 8 bytes/distinct — is a fraction of the buffered docs). */
+  final class Collector(schema: StructType, bloomCols: Set[String] = Set.empty) {
     private case class Acc(name: String, tag: String) {
       var min: Any = null
       var max: Any = null
       var nulls: Long = 0L
       var poisoned: Boolean = false // oversized string: stats unsound, drop
+      // distinct value hashes for the Bloom sidecar; null = not requested
+      val hashes: java.util.HashSet[java.lang.Long] =
+        if (bloomCols.contains(name) && (tag == "i64" || tag == "str"))
+          new java.util.HashSet[java.lang.Long]()
+        else null
     }
     private val accs: Array[(Int, Acc)] = schema.fields.zipWithIndex.flatMap {
       case (f, i) => tagOf(f.dataType).map(t => i -> Acc(f.name, t))
@@ -140,6 +201,8 @@ private[sources] object ZoneMaps {
             val c = canonical(a.tag, v)
             if (a.min == null || cmpCanon(a.tag, c, a.min) < 0) a.min = c
             if (a.max == null || cmpCanon(a.tag, c, a.max) > 0) a.max = c
+            if (a.hashes != null)
+              bloomHash(a.tag, c).foreach(h => a.hashes.add(h))
           }
         }
         k += 1
@@ -154,16 +217,62 @@ private[sources] object ZoneMaps {
       root.put("len", dataLength)
       val cols = root.putObject("cols")
       accs.foreach { case (_, a) =>
-        if (!a.poisoned) {
+        if (!a.poisoned) { // poisoning drops the column WITH its bloom:
+          // hashing stopped when collection stopped, so a partial set
+          // must never be trusted (missed hashes = unsound skips)
           val o = cols.putObject(a.name)
           o.put("t", a.tag)
           o.put("nulls", a.nulls)
           putValue(o, "min", a.tag, a.min)
           putValue(o, "max", a.tag, a.max)
+          if (a.hashes != null && !a.hashes.isEmpty) {
+            val b = buildBloom(a.hashes)
+            o.put("bf", java.util.Base64.getEncoder.encodeToString(
+              longsToBytes(b.bits)))
+            o.put("bk", b.k)
+          }
         }
       }
       mapper.writeValueAsBytes(root)
     }
+  }
+
+  /** Size to [[BloomBitsPerKey]] bits per DISTINCT key (k=7 ≈ optimal
+    * at 10 bits/key), built once at batch-flush time. */
+  private def buildBloom(hashes: java.util.HashSet[java.lang.Long]): Bloom = {
+    val n = math.max(hashes.size(), 1)
+    val words = math.max(1, ((n.toLong * BloomBitsPerKey + 63) / 64).toInt)
+    val bloom = Bloom(new Array[Long](words), 7)
+    val m = words.toLong * 64L
+    val it = hashes.iterator()
+    while (it.hasNext) {
+      val hash = it.next().longValue()
+      val h1 = hash.toInt
+      val h2 = (hash >>> 32).toInt
+      var i = 0
+      while (i < bloom.k) {
+        var combined = h1.toLong + i.toLong * h2.toLong
+        if (combined < 0) combined = ~combined
+        val bit = combined % m
+        bloom.bits((bit >>> 6).toInt) |= (1L << (bit & 63))
+        i += 1
+      }
+    }
+    bloom
+  }
+
+  private def longsToBytes(ls: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(ls.length * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.asLongBuffer().put(ls)
+    bb.array()
+  }
+
+  private def bytesToLongs(bs: Array[Byte]): Array[Long] = {
+    val out = new Array[Long]((bs.length + 7) / 8)
+    java.nio.ByteBuffer.wrap(bs).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .asLongBuffer().get(out, 0, bs.length / 8)
+    out
   }
 
   private def putValue(o: ObjectNode, field: String, tag: String, v: Any): Unit =
@@ -217,8 +326,14 @@ private[sources] object ZoneMaps {
         val e = it.next()
         val o = e.getValue
         val tag = o.path("t").asText()
+        val bloom = Option(o.get("bf")).filterNot(_.isNull).flatMap { bf =>
+          val k = o.path("bk").asInt(0)
+          val bits = bytesToLongs(java.util.Base64.getDecoder.decode(bf.asText()))
+          // a malformed filter must abstain, never skip
+          if (k <= 0 || k > 64 || bits.isEmpty) None else Some(Bloom(bits, k))
+        }
         b += e.getKey -> ColStats(tag, readValue(o.get("min"), tag),
-          readValue(o.get("max"), tag), o.path("nulls").asLong(0L))
+          readValue(o.get("max"), tag), o.path("nulls").asLong(0L), bloom)
       }
       Some(FileStats(root.path("rows").asLong(0L), len, b.result()))
     } catch { case _: Exception => None }
@@ -273,7 +388,13 @@ private[sources] object ZoneMaps {
     case EqualTo(a, v) => v == null || cols.get(a).forall(s =>
       s.min != null &&
         DocFilterEval.cmp(s.min, v).forall(_ <= 0) &&
-        DocFilterEval.cmp(s.max, v).forall(_ >= 0))
+        DocFilterEval.cmp(s.max, v).forall(_ >= 0) &&
+        bloomAdmits(s, v))
+    // null-safe equality: <=> null keeps only files with null rows;
+    // <=> v is EqualTo's verdict (both sides non-null there)
+    case EqualNullSafe(a, v) =>
+      if (v == null) cols.get(a).forall(_.nulls > 0)
+      else mayMatch(EqualTo(a, v), cols)
     case GreaterThan(a, v) => v == null || cols.get(a).forall(s =>
       s.max != null && DocFilterEval.cmp(s.max, v).forall(_ > 0))
     case GreaterThanOrEqual(a, v) => v == null || cols.get(a).forall(s =>
@@ -286,5 +407,18 @@ private[sources] object ZoneMaps {
       // null members never match (SQL IN null → unknown → filtered out)
       vs.exists(v => v != null && mayMatch(EqualTo(a, v), cols))
     case _ => true // unknown shape: no verdict
+  }
+
+  /** Bloom verdict for `col = v`: false ONLY on a proof of absence.
+    * Abstains (true) when no filter was written or when the literal's
+    * kind doesn't hash into the column's tag domain exactly (a Double
+    * 5.0 against an i64 bloom of 5 would hash differently — the range
+    * stats still judge those through DocFilterEval's cross-kind cmp). */
+  private def bloomAdmits(s: ColStats, v: Any): Boolean = s.bloom match {
+    case None => true
+    case Some(b) => bloomHash(s.tag, v) match {
+      case None => true
+      case Some(h) => b.mightContain(h)
+    }
   }
 }

@@ -339,4 +339,149 @@ class ZoneMapSpec extends AnyFunSuite {
     val desc = q.queryExecution.executedPlan.toString
     assert(desc.contains("PartitionPruned:") && desc.contains("ZoneMapPruned:"), desc)
   }
+
+  // ---- per-file Bloom filters (bloomColumns write option) ------------------
+
+  /** Hash-distributed layout: every file spans ~the whole key range, so
+    * min/max alone can prove nothing about a point lookup. */
+  private def writeHashed(path: String, bloomCols: String): Unit =
+    orders.repartition(8, $"o_orderkey")
+      .write.format("graftdocs").option("bloomColumns", bloomCols)
+      .mode("overwrite").save(path)
+
+  test("bloom: point lookup on a hash layout skips files min/max cannot") {
+    val path = tmp()
+    writeHashed(path, "o_orderkey")
+    val total = listFiles(path, ".jsonl").size
+    assert(total >= 4)
+    val back = spark.read.format("graftdocs").schema(orders.schema).load(path)
+    // a MID-RANGE key: every hash bucket's [min,max] contains it (edge
+    // keys would let plain min/max prune, hiding the bloom's work)
+    val r = orders.agg(min("o_orderkey"), max("o_orderkey")).head
+    val key = (r.getLong(0) + r.getLong(1)) / 2
+    // control: the same layout WITHOUT blooms cannot prune (every
+    // file's [min,max] contains the key)
+    val ctrlPath = tmp()
+    orders.repartition(8, $"o_orderkey")
+      .write.format("graftdocs").mode("overwrite").save(ctrlPath)
+    val ctrl = spark.read.format("graftdocs").schema(orders.schema).load(ctrlPath)
+    assert(plannedPartitions(ctrl.where($"o_orderkey" === key)) ==
+      listFiles(ctrlPath, ".jsonl").size, "control layout should not prune")
+    // bloom: only admitting files are planned (1 true + ~0.8% FP each)
+    val q = back.where($"o_orderkey" === key)
+    val planned = plannedPartitions(q)
+    assert(planned < total, s"no bloom skipping: $planned of $total")
+    assert(q.count() == 1 && q.head.getLong(0) == key)
+  }
+
+  test("bloom: $in probes and string columns; soundness via file deletion") {
+    val path = tmp()
+    val df = orders.withColumn("oid", concat(lit("id-"), $"o_orderkey".cast("string")))
+      .repartition(8, $"o_orderkey")
+    df.write.format("graftdocs").option("bloomColumns", "oid")
+      .mode("overwrite").save(path)
+    val total = listFiles(path, ".jsonl").size
+    val back = spark.read.format("graftdocs").schema(df.schema).load(path)
+    val rr = orders.agg(min("o_orderkey"), max("o_orderkey")).head
+    val lo = (rr.getLong(0) + rr.getLong(1)) / 2 // mid-range: min/max can't help
+    val q = back.where($"oid".isin(s"id-$lo", s"id-${lo + 1}", "id-nonexistent"))
+    assert(plannedPartitions(q) < total)
+    // the zone-map soundness trick: delete every file the plan excludes;
+    // if the answer needed one, it changes
+    val opened = q.queryExecution.executedPlan.collectLeaves().head
+      .asInstanceOf[BatchScanExec].partitions.flatten
+      .map(_.asInstanceOf[GraftFilePartition].path).toSet
+    listFiles(path, ".jsonl")
+      .filterNot(f => opened.contains("file:" + f.getPath) ||
+        opened.contains(f.getPath))
+      .foreach { f => assert(f.delete()); new java.io.File(f.getPath + ".zmap").delete() }
+    val got = spark.read.format("graftdocs").schema(df.schema).load(path)
+      .where($"oid".isin(s"id-$lo", s"id-${lo + 1}", "id-nonexistent"))
+      .select("o_orderkey").as[Long].collect().toSet
+    assert(got == Set(lo, lo + 1))
+  }
+
+  test("bloom: no false negatives over every written value (exhaustive)") {
+    // unit-level: every value that went into a Collector must be
+    // admitted by the loaded filter — a false negative is a lost row
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StringType)))
+    val coll = new ZoneMaps.Collector(schema, Set("k", "s"))
+    val rng = new scala.util.Random(42)
+    val rows = (0 until 5000).map { i =>
+      org.apache.spark.sql.Row(rng.nextLong(), s"v${rng.nextInt(100000)}-$i")
+    }
+    rows.foreach(coll.update)
+    val bytes = coll.encode(123L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom_u")
+    val dataF = dir.resolve("d.jsonl"); val zF = dir.resolve("d.jsonl.zmap")
+    java.nio.file.Files.write(dataF, Array.fill[Byte](123)('x'))
+    java.nio.file.Files.write(zF, bytes)
+    val fs = new org.apache.hadoop.fs.Path(dataF.toString)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val st = ZoneMaps.load(fs, dataF.toString, 123L).get
+    val kb = st.cols("k").bloom.get
+    val sb = st.cols("s").bloom.get
+    rows.foreach { r =>
+      assert(kb.mightContain(ZoneMaps.bloomHash("i64", r.getLong(0)).get),
+        s"false negative for k=${r.getLong(0)}")
+      assert(sb.mightContain(ZoneMaps.bloomHash("str", r.getString(1)).get),
+        s"false negative for s=${r.getString(1)}")
+    }
+    // and the FP rate is in the designed ballpark (10 bits/key ≈ 0.8%)
+    val misses = (0 until 5000).count(i =>
+      kb.mightContain(ZoneMaps.bloomHash("i64", rng.nextLong()).get))
+    assert(misses < 250, s"FP rate ${misses / 5000.0} far above design")
+  }
+
+  test("bloom: cross-kind literals abstain; min/max still judges them") {
+    // a Double literal against an i64 bloom must NOT hash-compare (5.0
+    // vs hash(5L) differs) — the verdict falls back to range stats only
+    import org.apache.spark.sql.sources.{EqualTo => Eq}
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))
+    val coll = new ZoneMaps.Collector(schema, Set("k"))
+    Seq(5L, 7L).foreach(v => coll.update(org.apache.spark.sql.Row(v))) // gap at 6
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom_x")
+    val dataF = dir.resolve("d.jsonl")
+    java.nio.file.Files.write(dataF, Array.fill[Byte](9)('x'))
+    java.nio.file.Files.write(dir.resolve("d.jsonl.zmap"), coll.encode(9L))
+    val fs = new org.apache.hadoop.fs.Path(dataF.toString)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val cols = ZoneMaps.load(fs, dataF.toString, 9L).get.cols
+    // in-range double: bloom abstains (no unsound hash compare), kept
+    assert(ZoneMaps.mayMatch(Eq("k", java.lang.Double.valueOf(6.0)), cols))
+    // exact integral kinds DO consult the bloom: the in-range gap —
+    // invisible to min/max — is a proof of absence to the bloom
+    assert(!ZoneMaps.mayMatch(Eq("k", java.lang.Long.valueOf(6L)), cols),
+      "in-range absent key must be skipped by the bloom")
+    assert(ZoneMaps.mayMatch(Eq("k", java.lang.Long.valueOf(5L)), cols))
+    assert(ZoneMaps.mayMatch(Eq("k", java.lang.Integer.valueOf(7)), cols),
+      "Integer literal must hash like the written Long")
+  }
+
+  test("bloom: option validation fails loudly") {
+    val df = orders.limit(10)
+    def expectBad(w: => Unit, frag: String): Unit = {
+      val e = intercept[Exception](w)
+      assert(e.getMessage != null && e.getMessage.contains(frag), e.getMessage)
+    }
+    expectBad(df.write.format("graftdocs")
+      .option("bloomColumns", "nope").mode("overwrite").save(tmp()),
+      "not in schema")
+    expectBad(df.write.format("graftdocs")
+      .option("bloomColumns", "o_totalprice").mode("overwrite").save(tmp()),
+      "non-bloomable")
+    expectBad(df.write.format("graftdocs")
+      .option("bloomColumns", "o_orderkey").option("zonemaps", "false")
+      .mode("overwrite").save(tmp()), "requires zoneMaps")
+    expectBad(df.write.format("graftdocs")
+      .option("partitionBy", "o_orderstatus")
+      .option("bloomColumns", "o_orderstatus")
+      .mode("overwrite").save(tmp()), "partition column")
+  }
 }
