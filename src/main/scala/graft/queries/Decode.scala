@@ -416,6 +416,29 @@ object Decode {
                      CAST(COUNT(*) AS BIGINT) AS n
               FROM orders""")),
 
+    // grouped aggregate pushdown: GROUP BY a partition column answers
+    // the whole query from metadata — groups ARE directories, counts
+    // hop bytes, min/max of doc columns come from the .zmap sidecars
+    // (DocPartitionSpec proves zero decodes). At 100 TB the per-source
+    // corpus dashboard costs metadata reads only.
+    QueryDef("q_group_pushdown",
+      (s, dir) => {
+        val df = Graft.table(s, dir, "documents").select(
+          col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        val path = java.nio.file.Files.createTempDirectory("graft_gagg_q").toString
+        df.write.format("graftdocs").option("partitionBy", "lang")
+          .mode("overwrite").save(path)
+        s.read.format("graftdocs").schema(df.schema).load(path)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"),
+            min(col("n_chars")).as("lo_chars"),
+            max(col("n_chars")).as("hi_chars"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+                     MIN(n_chars) AS lo_chars, MAX(n_chars) AS hi_chars
+              FROM documents GROUP BY lang ORDER BY lang""")),
+
     // storage-partitioned join: both sides hive-partitioned on the join
     // key report KeyGroupedPartitioning, so the equi-join runs with NO
     // shuffle on either side (spec-asserted plan; this row gates the

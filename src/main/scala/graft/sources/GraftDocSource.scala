@@ -285,6 +285,7 @@ private[sources] class GraftScanBuilder(fullSchema: StructType,
   private var partFilters: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
   private var aggSpecs: Seq[PushedAgg] = Seq.empty
+  private var groupBySpecs: Seq[(String, org.apache.spark.sql.types.DataType)] = Seq.empty
 
   // resolved ONCE at planning; partition pruning and the scan share it
   private lazy val allFiles = GraftDocSource.resolveFiles(options)
@@ -322,19 +323,23 @@ private[sources] class GraftScanBuilder(fullSchema: StructType,
       partFilters.forall(pf => DocPartitions.eval3(pf, get).contains(true))
     }
 
-  // Aggregations answerable without decoding a document (no grouping,
-  // no residual filters): COUNT(*) — .bson partitions hop length
-  // prefixes, .jsonl partitions count line bytes (parquet's metadata
-  // count, doc-source form) — and MIN/MAX of PARTITION columns, which
-  // come from the directory values alone (parquet's footer min/max,
-  // with zero bytes read). Partition-only filters compose: they pruned
-  // the file list first. Partial pushdown: each partition emits its
-  // piece, Spark's final aggregate combines. (Spark only offers the
-  // aggregation when every filter was fully pushed; doc-field filters
-  // stay residual, so a doc-filtered aggregate never reaches here.)
+  // Aggregations answerable without decoding a document (no residual
+  // filters): COUNT(*) — .bson partitions hop length prefixes, .jsonl
+  // partitions count line bytes (parquet's metadata count, doc-source
+  // form) — and MIN/MAX of PARTITION columns, which come from the
+  // directory values alone (parquet's footer min/max, with zero bytes
+  // read). GROUP BY composes when every grouping key is a partition
+  // column: groups ARE directories, so `SELECT source, count(*) ...
+  // GROUP BY source` over a 100 TB layout costs metadata reads only.
+  // Partition-only filters compose: they pruned the file list first.
+  // Partial pushdown: each partition emits its piece (one row per
+  // group it covers), Spark's final aggregate combines. (Spark only
+  // offers the aggregation when every filter was fully pushed;
+  // doc-field filters stay residual, so a doc-filtered aggregate never
+  // reaches here.)
   override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
-    if (!(agg.groupByExpressions.isEmpty && filters.forall(claimable) &&
+    if (!(filters.forall(claimable) &&
           limit.isEmpty && agg.aggregateExpressions.nonEmpty)) return false
     def partRef(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
@@ -344,6 +349,12 @@ private[sources] class GraftScanBuilder(fullSchema: StructType,
           if (partCols(c) && castOk(c)) Some(c) else None
         case _ => None
       }
+    // grouping keys must ALL be partition columns (the layout decides
+    // group membership file-by-file); anything else keeps the real scan
+    val groupRefs = agg.groupByExpressions.toSeq.map(partRef)
+    if (!groupRefs.forall(_.isDefined)) return false
+    groupBySpecs = groupRefs.flatten.map(c =>
+      c -> fullSchema.fields.find(_.name == c).get.dataType)
     def colName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case nr: org.apache.spark.sql.connector.expressions.NamedReference
@@ -371,7 +382,7 @@ private[sources] class GraftScanBuilder(fullSchema: StructType,
       case _ => None
     }
     if (parsed.forall(_.isDefined)) { aggSpecs = parsed.flatten; true }
-    else false
+    else { groupBySpecs = Seq.empty; false }
   }
 
   // MIN/MAX of a DOCUMENT column from `.zmap` sidecars alone — parquet
@@ -479,7 +490,8 @@ private[sources] class GraftScanBuilder(fullSchema: StructType,
       if (aggSpecs.exists {
         case _: AggMinDoc | _: AggMaxDoc | _: AggCountDoc => true; case _ => false })
         zoneStatsForAgg.getOrElse(Map.empty)
-      else Map.empty)
+      else Map.empty,
+      groupBySpecs)
     else new GraftScan(required, options,
       filters.filterNot(claimable).filter(DocFilterEval.supported(_, fullSchema)),
       limit, Some(prunedFiles), partFilters, allFiles.size,
@@ -518,10 +530,13 @@ private[sources] class GraftAggScan(options: CaseInsensitiveStringMap,
                                     aggs: Seq[PushedAgg],
                                     partitionFilters: Array[Filter] = Array.empty,
                                     totalFiles: Int = 0,
-                                    docStats: Map[String, ZoneMaps.FileStats] = Map.empty)
+                                    docStats: Map[String, ZoneMaps.FileStats] = Map.empty,
+                                    groupBy: Seq[(String, org.apache.spark.sql.types.DataType)] = Seq.empty)
   extends Scan with Batch {
   override def readSchema(): StructType =
-    StructType(aggs.map {
+    StructType(groupBy.map { case (c, dt) =>
+      org.apache.spark.sql.types.StructField(c, dt, nullable = true)
+    } ++ aggs.map {
       case AggCountStar => org.apache.spark.sql.types.StructField("count(*)",
         org.apache.spark.sql.types.LongType, nullable = false)
       case AggMinPart(c, dt) =>
@@ -546,6 +561,8 @@ private[sources] class GraftAggScan(options: CaseInsensitiveStringMap,
       case AggCountDoc(c) => s"COUNT($c) zmap"
     }
     s"graftdocs PushedAggregation: [${rendered.mkString(", ")}]" +
+      (if (groupBy.nonEmpty)
+        s", PushedGroupBy: [${groupBy.map(_._1).mkString(", ")}]" else "") +
       (if (!needsCount) " (metadata-only)" else "") +
       (if (partitionFilters.nonEmpty)
         s", PartitionFilters: [${partitionFilters.mkString(", ")}]" +
@@ -580,7 +597,8 @@ private[sources] class GraftAggScan(options: CaseInsensitiveStringMap,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftAggReaderFactory(aggs,
-      new SerializableConfiguration(GraftDocSource.activeHadoopConf()), docStats)
+      new SerializableConfiguration(GraftDocSource.activeHadoopConf()), docStats,
+      groupBy)
 }
 
 /** A bundle of files whose aggregate answer comes from their metadata
@@ -591,8 +609,26 @@ private[sources] case class GraftAggGroupPartition(entries: Seq[GraftFilePartiti
 private[sources] class GraftAggReaderFactory(aggs: Seq[PushedAgg],
                                              conf: SerializableConfiguration,
                                              docStats: Map[String, ZoneMaps.FileStats]
-                                               = Map.empty)
+                                               = Map.empty,
+                                             groupBy: Seq[(String, org.apache.spark.sql.types.DataType)]
+                                               = Seq.empty)
   extends PartitionReaderFactory {
+
+  /** Typed (cast) grouping-key values of one file — group identity is
+    * the CAST value, not the raw directory string, so layouts that
+    * spell one value two ways ("1" vs "01") land in one group. */
+  private def groupKey(partitionValues: Seq[(String, String)]): Seq[Any] = {
+    val m = partitionValues.toMap
+    groupBy.map { case (c, dt) =>
+      m.get(c).map(DocPartitions.cast(_, dt)).orNull
+    }
+  }
+
+  private def groupCatalyst(key: Seq[Any]): Seq[Any] =
+    groupBy.zip(key).map { case ((_, dt), v) =>
+      if (v == null) null
+      else CatalystTypeConverters.createToCatalystConverter(dt)(v)
+    }
 
   /** Sidecar min/max of one doc column for one file, as a canonical
     * value (None = file has no non-null value). pushAggregation proved
@@ -636,18 +672,23 @@ private[sources] class GraftAggReaderFactory(aggs: Seq[PushedAgg],
       case other => throw new IllegalStateException(s"unexpected partition $other")
     }
 
+  /** Does a file hold at least one document? Sidecar row counts answer
+    * for free when present (they're trusted — length-matched); a bare
+    * part-column-only aggregate pays the O(1) byte probe instead. */
+  private def isLive(e: GraftFilePartition): Boolean =
+    docStats.get(e.path).map(_.rows > 0).getOrElse(hasDocs(e))
+
   /** Metadata-only min/max over a file group: fold the directory values
-    * of the files that actually hold documents. */
+    * of the files that actually hold documents. With pushed GROUP BY,
+    * the bundle splits into its distinct grouping-key values first and
+    * emits one partial row per group that has any live file — an empty
+    * batch file's directory value is not a row and must not conjure a
+    * group into existence. */
   private def groupReader(g: GraftAggGroupPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      private var emitted = false
-      private var row: InternalRow = _
-      override def next(): Boolean = {
-        if (emitted) return false
-        // hasDocs probes (one tiny read per file) only pay when a
-        // PARTITION-column stat needs them; doc-column stats carry
-        // their own authoritative row counts in the sidecar
-        lazy val live = g.entries.filter(hasDocs)
+      private def foldRow(entries: Seq[GraftFilePartition],
+                          keyCatalyst: Seq[Any]): InternalRow = {
+        lazy val live = entries.filter(isLive)
         def fold(c: String, dt: org.apache.spark.sql.types.DataType,
                  wantMin: Boolean): Any = {
           val vals = live.flatMap(_.partitionValues.toMap.get(c))
@@ -662,24 +703,32 @@ private[sources] class GraftAggReaderFactory(aggs: Seq[PushedAgg],
             CatalystTypeConverters.createToCatalystConverter(dt)(best)
           }
         }
-        row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          aggs.map {
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          (keyCatalyst ++ aggs.map {
             case AggCountStar => throw new IllegalStateException(
               "COUNT(*) takes the split path")
             case AggMinPart(c, dt) => fold(c, dt, wantMin = true)
             case AggMaxPart(c, dt) => fold(c, dt, wantMin = false)
             case AggMinDoc(c, dt, tag) =>
-              foldDocStats(g.entries.map(_.path), c, dt, tag, wantMin = true)
+              foldDocStats(entries.map(_.path), c, dt, tag, wantMin = true)
             case AggMaxDoc(c, dt, tag) =>
-              foldDocStats(g.entries.map(_.path), c, dt, tag, wantMin = false)
-            case AggCountDoc(c) => (g.entries.map { e =>
+              foldDocStats(entries.map(_.path), c, dt, tag, wantMin = false)
+            case AggCountDoc(c) => (entries.map { e =>
                 val st = docStats(e.path)
                 st.rows - st.cols(c).nulls
               }.sum): Any
-          }.toArray)
-        emitted = true
-        true
+          }).toArray)
       }
+      private val rows: Iterator[InternalRow] =
+        if (groupBy.isEmpty) Iterator(foldRow(g.entries, Seq.empty))
+        else g.entries.groupBy(e => groupKey(e.partitionValues))
+          .iterator.collect {
+            case (key, entries) if entries.exists(isLive) =>
+              foldRow(entries, groupCatalyst(key))
+          }
+      private var row: InternalRow = _
+      override def next(): Boolean =
+        if (rows.hasNext) { row = rows.next(); true } else false
       override def get(): InternalRow = row
       override def close(): Unit = ()
     }
@@ -704,8 +753,24 @@ private[sources] class GraftAggReaderFactory(aggs: Seq[PushedAgg],
             else countJsonlLines(fsIn, p.start, p.end)
           } finally fsIn.close()
         }
+        // With pushed GROUP BY, a zero-row split must usually emit
+        // NOTHING (a partial row would conjure the group into
+        // existence) — UNLESS this is the first split of a file that
+        // HAS rows and carries file-level sidecar stats: those ride
+        // the first split only, and a jsonl file can open on a run of
+        // blank lines that leaves split 0 with zero documents.
+        val carriesFileStats = p.start == 0L &&
+          docStats.contains(p.path) && docStats(p.path).rows > 0 &&
+          aggs.exists {
+            case _: AggMinDoc | _: AggMaxDoc | _: AggCountDoc => true
+            case _ => false
+          }
+        if (groupBy.nonEmpty && count == 0 && !carriesFileStats) {
+          emitted = true
+          return false
+        }
         row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          aggs.map {
+          (groupCatalyst(groupKey(p.partitionValues)) ++ aggs.map {
             case AggCountStar => count: Any
             // a zero-row split must not leak its directory value
             case AggMinPart(c, dt) => if (count == 0) null else partValue(c, dt)
@@ -721,7 +786,7 @@ private[sources] class GraftAggReaderFactory(aggs: Seq[PushedAgg],
               (if (p.start == 0L) {
                 val st = docStats(p.path); st.rows - st.cols(c).nulls
               } else 0L): Any
-          }.toArray)
+          }).toArray)
         emitted = true
         true
       }

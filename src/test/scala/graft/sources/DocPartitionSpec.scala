@@ -331,6 +331,89 @@ class DocPartitionSpec extends AnyFunSuite {
     assert(back.count() == 2)
   }
 
+  test("GROUP BY a partition column pushes the whole aggregate to metadata") {
+    val path = tmp()
+    // several files per group: group folding must merge across files
+    customer.repartition(4)
+      .write.format("graftdocs").option("partitionBy", "c_mktsegment")
+      .mode("overwrite").save(path)
+    val docs = spark.read.format("graftdocs").schema(customer.schema).load(path)
+
+    // count(*) grouped: counts hop bytes, groups come from directories
+    val q = docs.groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+    val desc = q.queryExecution.executedPlan.toString
+    assert(desc.contains("PushedAggregation: [COUNT(*)]") &&
+      desc.contains("PushedGroupBy: [c_mktsegment]"), desc)
+    val got = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = customer.groupBy("c_mktsegment").agg(count(lit(1)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+
+    // metadata-only: MIN/MAX of a doc column per group from sidecars,
+    // zero documents decoded
+    GraftScanMetrics.emitted.reset(); GraftScanMetrics.skipped.reset()
+    val q2 = docs.groupBy("c_mktsegment")
+      .agg(min("c_acctbal").as("lo"), max("c_acctbal").as("hi"))
+    val desc2 = q2.queryExecution.executedPlan.toString
+    assert(desc2.contains("MIN(c_acctbal) zmap") &&
+      desc2.contains("PushedGroupBy: [c_mktsegment]") &&
+      desc2.contains("(metadata-only)"), desc2)
+    val got2 = q2.collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    val expect2 = customer.groupBy("c_mktsegment")
+      .agg(min("c_acctbal"), max("c_acctbal"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(got2 == expect2)
+    assert(GraftScanMetrics.emitted.sum() == 0, "grouped stats must not decode")
+
+    // partition filters compose with grouped pushdown
+    val q3 = docs.where($"c_mktsegment" =!= "BUILDING")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+    assert(q3.queryExecution.executedPlan.toString.contains("PushedGroupBy:"),
+      q3.queryExecution.executedPlan.toString)
+    assert(q3.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      customer.where($"c_mktsegment" =!= "BUILDING")
+        .groupBy("c_mktsegment").agg(count(lit(1)))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+
+    // grouping by a NON-partition column refuses: the real scan answers
+    val q4 = docs.groupBy("c_nationkey").agg(count(lit(1)).as("n"))
+    assert(!q4.queryExecution.executedPlan.toString.contains("PushedAggregation"),
+      q4.queryExecution.executedPlan.toString)
+    assert(q4.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap ==
+      customer.groupBy("c_nationkey").agg(count(lit(1)))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
+  }
+
+  test("grouped pushdown: an empty batch file never conjures a group") {
+    val df = Seq((1L, 5), (2L, 7)).toDF("id", "p")
+    val path = tmp()
+    df.write.format("graftdocs").option("partitionBy", "p")
+      .mode("overwrite").save(path)
+    val rogue = new java.io.File(path, "p=999")
+    rogue.mkdirs()
+    java.nio.file.Files.write(rogue.toPath.resolve("part-x.jsonl"), Array.empty[Byte])
+    val rogue2 = new java.io.File(path, "p=-999")
+    rogue2.mkdirs()
+    java.nio.file.Files.write(rogue2.toPath.resolve("part-y.jsonl"), "\n\n".getBytes)
+    val back = spark.read.format("graftdocs")
+      .schema(org.apache.spark.sql.types.StructType(df.schema.fields))
+      .load(path)
+    // count path: the zero-row splits of p=999/p=-999 emit no partial
+    val r = back.groupBy("p").agg(count(lit(1)).as("n"))
+    assert(r.queryExecution.executedPlan.toString.contains("PushedGroupBy: [p]"),
+      r.queryExecution.executedPlan.toString)
+    assert(r.collect().map(x => x.getInt(0) -> x.getLong(1)).toMap ==
+      Map(5 -> 1L, 7 -> 1L))
+    // metadata path (no byte counting): the liveness probe drops the
+    // dead files' groups. min(p) keeps the whole answer directory-borne
+    // (min(id) would refuse — the rogue files carry no sidecar).
+    val r2 = back.groupBy("p").agg(min("p").as("lo"))
+    assert(r2.queryExecution.executedPlan.toString.contains("(metadata-only)"),
+      r2.queryExecution.executedPlan.toString)
+    assert(r2.collect().map(x => x.getInt(0) -> x.getInt(1)).toMap ==
+      Map(5 -> 5, 7 -> 7))
+  }
+
   test("date partition filters prune correctly under java8 datetime API") {
     val df = Seq(
       (1L, java.sql.Date.valueOf("2024-01-01")),
