@@ -1217,6 +1217,41 @@ object Headline {
                AND CAST(p.ts AS TIMESTAMP)
                      <= CAST(c.ts AS TIMESTAMP) + INTERVAL 10 MINUTE
               WHERE c.ts IS NOT NULL AND p.ts IS NOT NULL
+              ORDER BY l_id, r_id""")),
+
+    // stream-stream LEFT OUTER interval join: matches emit as found; an
+    // unmatched click emits null-joined only when the global watermark
+    // (min of both sides' max event time − 30 min delay) proves no
+    // purchase can still arrive — Spark's state-eviction contract, made
+    // exact in the twin: unmatched rows appear iff l_ts + 10 min lies
+    // strictly below the final watermark (clicks nearer the stream's
+    // end stay in state — at stream scale that state is bounded by the
+    // watermark, which is the point). The AvailableNow no-data batch
+    // performs the final flush.
+    QueryDef("q_stream_outer_join",
+      (s, dir) => EventStream.runIntervalJoinOnFixture(s, dir,
+        leftType = "click", rightType = "purchase", within = "10 minutes",
+        joinType = "left_outer")
+        .orderBy("l_id", "r_id"),
+      Some("""WITH c AS (SELECT * FROM events
+                         WHERE event_type = 'click' AND ts IS NOT NULL),
+                   p AS (SELECT * FROM events
+                         WHERE event_type = 'purchase' AND ts IS NOT NULL),
+                   wm AS (SELECT least(
+                            (SELECT max(CAST(ts AS TIMESTAMP)) FROM c),
+                            (SELECT max(CAST(ts AS TIMESTAMP)) FROM p))
+                          - INTERVAL 30 MINUTE AS w)
+              SELECT c.event_id AS l_id, p.event_id AS r_id, c.user_id,
+                     epoch_us(CAST(p.ts AS TIMESTAMP))
+                       - epoch_us(CAST(c.ts AS TIMESTAMP)) AS lag_us
+              FROM c LEFT JOIN p
+                ON p.user_id = c.user_id
+               AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+               AND CAST(p.ts AS TIMESTAMP)
+                     <= CAST(c.ts AS TIMESTAMP) + INTERVAL 10 MINUTE
+              WHERE p.event_id IS NOT NULL
+                 OR CAST(c.ts AS TIMESTAMP) + INTERVAL 10 MINUTE
+                      < (SELECT w FROM wm)
               ORDER BY l_id, r_id"""))
   )
 }

@@ -59,7 +59,8 @@ object EventStream {
     * arrival rate, independent of stream length. */
   def intervalJoin(events: DataFrame, leftType: String, rightType: String,
                    within: String = "10 minutes",
-                   watermarkDelay: String = "30 minutes"): DataFrame = {
+                   watermarkDelay: String = "30 minutes",
+                   joinType: String = "inner"): DataFrame = {
     val l = events.where(col("event_type") === leftType)
       .select(col("event_id").as("l_id"), col("user_id"), col("ts").as("l_ts"))
       .withWatermark("l_ts", watermarkDelay)
@@ -67,10 +68,15 @@ object EventStream {
       .select(col("event_id").as("r_id"), col("user_id").as("r_user"),
         col("ts").as("r_ts"))
       .withWatermark("r_ts", watermarkDelay)
+    // left_outer: matches emit as found; an UNMATCHED left row emits
+    // null-joined only once the watermark proves no match can still
+    // arrive (global watermark > l_ts + within) — the state-eviction
+    // contract that keeps outer-join state bounded at stream scale
     l.join(r,
       col("user_id") === col("r_user") &&
         col("r_ts") >= col("l_ts") &&
-        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"))
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"),
+      joinType)
       .select(col("l_id"), col("r_id"), col("user_id"),
         (unix_micros(col("r_ts")) - unix_micros(col("l_ts"))).as("lag_us"))
   }
@@ -80,8 +86,10 @@ object EventStream {
   def runIntervalJoinOnFixture(spark: SparkSession, dir: String,
                                leftType: String = "click",
                                rightType: String = "purchase",
-                               within: String = "10 minutes"): DataFrame =
-    runStream(spark, dir, intervalJoin(_, leftType, rightType, within),
+                               within: String = "10 minutes",
+                               joinType: String = "inner"): DataFrame =
+    runStream(spark, dir,
+      intervalJoin(_, leftType, rightType, within, joinType = joinType),
       outputMode = "append")
 
   /** Per-user running aggregates via flatMapGroupsWithState — the

@@ -234,4 +234,52 @@ class EventStreamSpec extends AnyFunSuite {
       assert(rows.count(_.user_id == 1L) == 2)
     } finally q.stop()
   }
+
+  test("left-outer interval join: unmatched rows flush exactly at watermark eviction") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    // (event_id, user_id, event_type, ts)
+    val input = MemoryStream[(Long, Long, String, java.sql.Timestamp)]
+    val events = input.toDF()
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val name = s"graft_oj_${System.nanoTime()}"
+    val q = EventStream.intervalJoin(events, "click", "purchase",
+      within = "10 minutes", watermarkDelay = "30 minutes",
+      joinType = "left_outer")
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .start()
+    try {
+      // batch 1: click 1 matched by a purchase 5 min later; click 2
+      // unmatched; click 3 unmatched but NEAR the head of the stream
+      input.addData(
+        (1L, 10L, "click", ts("2024-01-01 10:00:00")),
+        (100L, 10L, "purchase", ts("2024-01-01 10:05:00")),
+        (2L, 20L, "click", ts("2024-01-01 10:00:00")),
+        (3L, 30L, "click", ts("2024-01-01 10:55:00")))
+      q.processAllAvailable()
+      val afterB1 = spark.table(name).collect()
+      // the match emits as found; neither unmatched click has flushed
+      // (watermark is still min(10:55, 10:05) - 30min = 9:35)
+      assert(afterB1.length == 1 && afterB1.head.getLong(0) == 1L)
+      // batch 2: late sentinels on BOTH sides push the global watermark
+      // to 11:20 — click 2 (10:00 + 10min < 11:20) must flush
+      // null-joined; click 3 (10:55 + 10min < 11:20) flushes too
+      input.addData(
+        (4L, 40L, "click", ts("2024-01-01 11:50:00")),
+        (101L, 41L, "purchase", ts("2024-01-01 11:50:00")))
+      q.processAllAvailable()
+      val rows = spark.table(name).collect()
+      val unmatched = rows.filter(_.isNullAt(1)).map(_.getLong(0)).toSet
+      assert(unmatched == Set(2L, 3L), rows.mkString("; "))
+      // the matched row carries its lag; unmatched rows carry null lag
+      val matched = rows.filter(!_.isNullAt(1))
+      assert(matched.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 100L)))
+      assert(matched.head.getLong(3) == 5L * 60 * 1000 * 1000)
+      assert(rows.filter(_.isNullAt(1)).forall(_.isNullAt(3)))
+      // click 4 (the sentinel) is NOT flushed — the watermark never
+      // passed it; bounded state, not a dropped row
+      assert(!rows.map(_.getLong(0)).contains(4L))
+    } finally q.stop()
+  }
 }
