@@ -416,6 +416,30 @@ object Decode {
                      CAST(COUNT(*) AS BIGINT) AS n
               FROM orders""")),
 
+    // persisted id→(file, offset) index + point fetch: the engine's
+    // `_id`-index twin (the reference delegates point lookups to the
+    // server's B-tree). An id lookup costs an index probe plus ONE
+    // ranged read per document — DocIdIndexSpec proves it by garbaging
+    // every non-target file; this row gates the fetched rows
+    // end-to-end against the oracle. At 100 TB: O(1) document fetch.
+    QueryDef("q_point_fetch",
+      (s, dir) => {
+        val df = Graft.table(s, dir, "orders")
+        val data = java.nio.file.Files.createTempDirectory("graft_pf_d").toString
+        val idx = java.nio.file.Files.createTempDirectory("graft_pf_i").toString
+        df.repartition(8).write.format("graftdocs").option("format", "bson")
+          .mode("overwrite").save(data)
+        graft.sources.DocIdIndex.build(s, data, "o_orderkey", df.schema, idx)
+        graft.sources.DocIdIndex.fetch(s, idx, df.schema,
+          Seq(1L, 7L, 33L, 250L))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("o_orderstatus"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+              FROM orders WHERE o_orderkey IN (1, 7, 33, 250)
+              ORDER BY o_orderkey""")),
+
     // grouped aggregate pushdown: GROUP BY a partition column answers
     // the whole query from metadata — groups ARE directories, counts
     // hop bytes, min/max of doc columns come from the .zmap sidecars

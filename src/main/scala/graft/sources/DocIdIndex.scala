@@ -1,0 +1,249 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.util.SerializableConfiguration
+
+/** Persisted id → (file, offset, length) index over a `graftdocs`
+  * layout — the engine's twin of MongoDB's `_id` index (the reference
+  * delegates point lookups to the server's B-tree; a file-based source
+  * gets a positional index instead).
+  *
+  * `build` walks every visible batch file once (one task per file,
+  * embarrassingly parallel) recording each document's byte position;
+  * `fetch(ids)` reads the index with parquet's own pushdown, groups the
+  * hits by file, and performs ONE ranged read per document — at 100 TB
+  * a point lookup costs an index probe plus `len` bytes, never a scan.
+  * `update` folds newly arrived files in without rescanning indexed
+  * history (the repo-wide index-lifecycle contract).
+  *
+  * Contracts, enforced loudly:
+  *  - ids render to strings (`CAST(id AS STRING)`), so integral and
+  *    string id columns both work; a null id refuses at build;
+  *  - partitioned (`k=v`) layouts refuse at build — the fetched
+  *    document body does not carry partition columns, so a fetch would
+  *    silently return half a row;
+  *  - files are immutable once committed: every entry records its
+  *    file's byte length and fetch re-verifies it before seeking (a
+  *    rewritten file fails loudly instead of returning garbage).
+  */
+object DocIdIndex {
+
+  private val IndexSchema = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("path", StringType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("length", IntegerType, nullable = false),
+    StructField("file_len", LongType, nullable = false)))
+
+  /** Visible batch files of an UNPARTITIONED graftdocs layout. */
+  private def listDataFiles(spark: SparkSession, dataPath: String): Seq[(String, Long)] = {
+    val root = new Path(dataPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) throw new IllegalArgumentException(
+      s"doc-id index: data path $dataPath does not exist")
+    val out = Seq.newBuilder[(String, Long)]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (!name.startsWith(".") &&
+          (name.endsWith(".jsonl") || name.endsWith(".bson"))) {
+        val rel = f.getPath.toString.stripPrefix(
+          fs.makeQualified(root).toString).stripPrefix("/")
+        if (rel.contains("="))
+          throw new IllegalArgumentException(
+            "doc-id index: partitioned layouts are not supported (the " +
+              s"document body at $rel does not carry its partition " +
+              "columns; fetch would return a partial row)")
+        out += f.getPath.toString -> f.getLen
+      }
+    }
+    out.result()
+  }
+
+  /** One file's (id, offset, length) walk. The id is REQUIRED non-null:
+    * a null id can never be fetched, so indexing it silently would
+    * lose the document from the index's point of view. */
+  private def walkFile(conf: SerializableConfiguration, idCol: String,
+                       schema: StructType, path: String, fileLen: Long): Iterator[Row] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf.value)
+    val idField = schema.fields.find(_.name == idCol).getOrElse(
+      throw new IllegalArgumentException(s"doc-id index: no column $idCol"))
+    def render(v: Any): String = {
+      if (v == null) throw new IllegalArgumentException(
+        s"doc-id index: null $idCol in $path (ids must be non-null)")
+      v.toString
+    }
+    val in = fs.open(p)
+    if (path.endsWith(".bson")) {
+      val buf = new java.io.BufferedInputStream(in, 1 << 16)
+      var offset = 0L
+      new Iterator[Row] {
+        private var nextDoc: Row = _
+        private def readFully(n: Int): Array[Byte] = {
+          val a = new Array[Byte](n)
+          var got = 0
+          while (got < n) {
+            val r = buf.read(a, got, n - got)
+            if (r < 0) throw new java.io.EOFException(
+              s"doc-id index: truncated BSON document in $path")
+            got += r
+          }
+          a
+        }
+        private def advance(): Unit = {
+          val b0 = buf.read()
+          if (b0 < 0) { nextDoc = null; in.close(); return }
+          val rest = readFully(3)
+          val len = b0 | ((rest(0) & 0xff) << 8) | ((rest(1) & 0xff) << 16) |
+            ((rest(2) & 0xff) << 24)
+          if (len < 5 || len > graft.bson.BsonBinary.MaxDocBytes)
+            throw new graft.bson.GraftTypeError(
+              s"doc-id index: invalid BSON document length $len in $path")
+          val body = readFully(len - 4)
+          val whole = new Array[Byte](len)
+          whole(0) = b0.toByte; whole(1) = rest(0); whole(2) = rest(1); whole(3) = rest(2)
+          System.arraycopy(body, 0, whole, 4, len - 4)
+          val node = graft.bson.BsonBinary.documents(
+            new java.io.ByteArrayInputStream(whole)).next()
+          val id = graft.bson.DocDecoder.convert(node.get(idCol), idField,
+            strict = true)
+          nextDoc = Row(render(id), path, offset, len, fileLen)
+          offset += len
+        }
+        advance()
+        override def hasNext: Boolean = nextDoc != null
+        override def next(): Row = { val r = nextDoc; advance(); r }
+      }
+    } else {
+      // jsonl: byte-accurate line offsets; a line of zero bytes is not
+      // a row (the same criterion the scan's line iterator applies)
+      val buf = new java.io.BufferedInputStream(in, 1 << 16)
+      val mapper = graft.bson.DocDecoder.newMapper()
+      var offset = 0L
+      new Iterator[Row] {
+        private var nextDoc: Row = _
+        private def advance(): Unit = {
+          var lineStart = offset
+          val bytes = new java.io.ByteArrayOutputStream(256)
+          var b = buf.read()
+          while (b == '\n') { lineStart += 1; b = buf.read() } // skip empties
+          if (b < 0) { nextDoc = null; in.close(); return }
+          while (b != -1 && b != '\n') { bytes.write(b); b = buf.read() }
+          val len = bytes.size()
+          val node = mapper.readTree(bytes.toByteArray)
+          val id = graft.bson.DocDecoder.convert(node.get(idCol), idField,
+            strict = true)
+          nextDoc = Row(render(id), path, lineStart, len, fileLen)
+          offset = lineStart + len + (if (b == '\n') 1 else 0)
+        }
+        advance()
+        override def hasNext: Boolean = nextDoc != null
+        override def next(): Row = { val r = nextDoc; advance(); r }
+      }
+    }
+  }
+
+  private def walkAll(spark: SparkSession, files: Seq[(String, Long)],
+                      idCol: String, schema: StructType): DataFrame = {
+    val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
+    val fileDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(files.map(Row.fromTuple),
+        math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism))),
+      StructType(Seq(StructField("path", StringType),
+        StructField("file_len", LongType))))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(IndexSchema)
+    fileDf.mapPartitions(_.flatMap(r =>
+      walkFile(conf, idCol, schema, r.getString(0), r.getLong(1))))(enc)
+  }
+
+  /** Build the index from scratch: one task per file, output small
+    * sorted-by-id parquet (min/max per file make the id probe cheap). */
+  def build(spark: SparkSession, dataPath: String, idCol: String,
+            schema: StructType, indexPath: String): Unit = {
+    val files = listDataFiles(spark, dataPath)
+    walkAll(spark, files, idCol, schema)
+      .repartitionByRange(math.max(1, files.size / 64 + 1), col("id"))
+      .sortWithinPartitions("id")
+      .write.mode("overwrite").parquet(indexPath)
+  }
+
+  /** Fold newly arrived files in — indexed history is never rescanned
+    * (`update(build(A), B) ≡ build(A ∪ B)` up to row order); entries of
+    * files that vanished (compaction, vacuum) are dropped. New entries
+    * land as appended parquet files, so the fold costs O(new files). */
+  def update(spark: SparkSession, dataPath: String, idCol: String,
+             schema: StructType, indexPath: String): Unit = {
+    val files = listDataFiles(spark, dataPath)
+    val have = spark.read.parquet(indexPath)
+      .select("path").distinct().collect().map(_.getString(0)).toSet
+    val gone = have -- files.map(_._1).toSet
+    val fresh = files.filterNot { case (p, _) => have.contains(p) }
+    if (gone.nonEmpty) {
+      // rewrite only the removal: drop vanished files' entries in place
+      val kept = spark.read.parquet(indexPath)
+        .where(!col("path").isin(gone.toSeq: _*)).cache()
+      kept.count()
+      kept.write.mode("overwrite").parquet(indexPath)
+      kept.unpersist()
+    }
+    if (fresh.nonEmpty)
+      walkAll(spark, fresh, idCol, schema)
+        .write.mode("append").parquet(indexPath)
+  }
+
+  /** Point fetch: index probe (parquet pushdown on the sorted id
+    * column) → one ranged read per hit. Duplicate ids return every
+    * match (the engine does not enforce uniqueness — document). */
+  def fetch(spark: SparkSession, indexPath: String, schema: StructType,
+            ids: Seq[Any]): DataFrame = {
+    val rendered = ids.map { v =>
+      if (v == null) throw new IllegalArgumentException(
+        "doc-id index: cannot fetch a null id")
+      v.toString
+    }
+    val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
+    val hits = spark.read.parquet(indexPath)
+      .where(col("id").isin(rendered: _*))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    hits.repartition(col("path")) // co-locate per-file reads
+      .mapPartitions { it =>
+        val cached = scala.collection.mutable.Map
+          .empty[String, org.apache.hadoop.fs.FSDataInputStream]
+        val mapper = graft.bson.DocDecoder.newMapper()
+        val rows = it.map { r =>
+          val (path, offset, len, fileLen) =
+            (r.getAs[String]("path"), r.getAs[Long]("offset"),
+              r.getAs[Int]("length"), r.getAs[Long]("file_len"))
+          val p = new Path(path)
+          val fs = p.getFileSystem(conf.value)
+          val actual = fs.getFileStatus(p).getLen
+          if (actual != fileLen) throw new IllegalStateException(
+            s"doc-id index: $path changed since indexing " +
+              s"($actual bytes, indexed $fileLen) — rebuild the index")
+          val in = cached.getOrElseUpdate(path, fs.open(p))
+          val bytes = new Array[Byte](len)
+          in.readFully(offset, bytes, 0, len)
+          val node =
+            if (path.endsWith(".bson"))
+              graft.bson.BsonBinary.documents(
+                new java.io.ByteArrayInputStream(bytes)).next()
+            else mapper.readTree(bytes)
+          graft.bson.DocDecoder.decodeStruct(node, schema, strict = true)
+        }
+        new Iterator[Row] {
+          override def hasNext: Boolean = {
+            val h = rows.hasNext
+            if (!h) { cached.values.foreach(_.close()); cached.clear() }
+            h
+          }
+          override def next(): Row = rows.next()
+        }
+      }(enc)
+  }
+}
