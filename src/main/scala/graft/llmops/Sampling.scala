@@ -126,6 +126,46 @@ object Sampling {
       explode(when(copies >= 1L, sequence(lit(1L), copies))))
   }
 
+  /** Temperature-scaled mixture RESAMPLING (the materialized half of
+    * [[temperatureMixture]], the multilingual-LM sampling rule of
+    * arXiv:1901.07291 §3.1): group g's target share is n_g^alpha
+    * renormalized, so alpha=1 keeps natural proportions, alpha→0
+    * approaches uniform, and low-resource groups upsample. Each group
+    * resamples at rate share_g · N / n_g through the same seeded
+    * fractional-copy rule as [[resampleMixture]] (copies ≥ 1 ⇒
+    * upsampling by repetition). Group stats are one hash agg bounded
+    * by group cardinality, broadcast back — no driver collect; the
+    * rate is rounded to 6 decimals so the copy decision is
+    * engine-reproducible despite summation-order float drift (and
+    * alpha = 0.5 routes through sqrt, which IEEE-754 requires to be
+    * correctly rounded — temperatureMixture's rationale). */
+  def temperatureResample(df: DataFrame, idCol: String, stratumCol: String,
+                          alpha: Double, seed: String = "temp"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha in (0, 1], got $alpha")
+    def powA(c: Column): Column = if (alpha == 0.5) sqrt(c) else pow(c, alpha)
+    val stats = df.groupBy(col(stratumCol).as("__s"))
+      .agg(count(lit(1)).cast("double").as("__n"))
+    val tot = stats.agg(sum(col("__n")).as("__N"),
+      sum(powA(col("__n"))).as("__Z"))
+    // fresh aliases: stats appears on both sides of the cross join
+    // (tot derives from it), so reusing its attribute ids is ambiguous
+    val statsL = stats.select(col("__s"), col("__n").as("__ng"))
+    val rates = statsL.crossJoin(broadcast(tot))
+      .select(col("__s"),
+        round(powA(col("__ng")) / col("__Z") * col("__N") / col("__ng"), 6)
+          .as("__w"))
+    // null-safe join: a null stratum is a group like any other
+    val withW = df.join(broadcast(rates), col(stratumCol) <=> col("__s"))
+      .drop("__s")
+    val copies = floor(col("__w")).cast("long") +
+      when(hashBucket(col(idCol), seed) <
+        (col("__w") - floor(col("__w"))) * 1000000L, 1L).otherwise(0L)
+    withW
+      .withColumn("copy",
+        explode(when(copies >= 1L, sequence(lit(1L), copies))))
+      .drop("__w")
+  }
+
   /** Concat-then-chunk sequence packing: documents are laid out in a
     * deterministic order (seeded hash, id tie-break) per group and the
     * concatenated token stream is cut into fixed `packTokens` blocks —

@@ -95,6 +95,43 @@ object Similarity {
       .select(col("query_id"), col("match_id"), col("cos"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** Hard-negative mining for contrastive training-pair prep: per
+    * query, the k most-similar corpus items that are NOT labeled
+    * positives — the negatives that actually move an embedding model.
+    * `positives` is an arbitrary-size (query, positive) pair table and
+    * stays on a left-anti join (never collected); `maxCos` optionally
+    * drops suspiciously-near items (cos ≥ maxCos) as probable
+    * UNLABELED positives — the standard false-negative guard. Scoring
+    * and ranking are [[bruteForceTopK]]'s (rounded cosine + id
+    * tiebreak, fully deterministic); at corpus scale swap the scoring
+    * leg for the IVF/PQ probes — the anti-join and window compose
+    * unchanged. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame,
+                    positives: DataFrame, k: Int,
+                    qId: String = "vec_id", cId: String = "vec_id",
+                    vecCol: String = "embedding",
+                    posQCol: String = "query_id", posCCol: String = "match_id",
+                    maxCos: Double = 1.0): DataFrame = {
+    val q = broadcast(queries.select(col(qId).as("query_id"),
+      col(vecCol).cast("array<double>").as("__qv"), norm(col(vecCol)).as("__qn")))
+    val c = corpus.select(col(cId).as("match_id"),
+      col(vecCol).cast("array<double>").as("__cv"), norm(col(vecCol)).as("__cn"))
+    val scored = c.crossJoin(q)
+      .where(col("query_id") =!= col("match_id"))
+      .withColumn("cos",
+        round(rawDot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6))
+      .where(col("cos") < maxCos)
+    val pos = positives.select(col(posQCol).as("__pq"), col(posCCol).as("__pc"))
+    val negs = scored.join(pos,
+      col("query_id") === col("__pq") && col("match_id") === col("__pc"),
+      "left_anti")
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("match_id").asc)
+    negs.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("match_id"), col("cos"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
   /** Deterministic ±1 hyperplane component for (plane, dim index): bit 0
     * of the first 15 hex chars of md5("plane:i"). No RNG state —
     * identical on every executor AND reproducible in DuckDB

@@ -611,6 +611,46 @@ object LlmOps {
       },
       Some(knnOracle)),
 
+    // hard-negative mining (contrastive pair prep): per query, the
+    // top-k most-similar vectors whose LABEL differs — same-label
+    // pairs are the positives (anti-joined out, never collected), and
+    // near-duplicates (cos ≥ 0.999) drop as probable unlabeled
+    // positives. The twin re-derives scoring, the label-pair
+    // exclusion, the cos ceiling, and the ranking.
+    QueryDef("q_hard_negatives",
+      (s, dir) => {
+        val e = Graft.table(s, dir, "embeddings")
+        val q = e.where(col("vec_id") < 5)
+        val positives = q.select(col("vec_id").as("query_id"), col("label"))
+          .join(e.select(col("vec_id").as("match_id"), col("label").as("cl")),
+            col("label") === col("cl"))
+          .select("query_id", "match_id")
+        Similarity.hardNegatives(q, e, positives, k = 10, maxCos = 0.999)
+          .orderBy("query_id", "rnk")
+      },
+      Some("""WITH u AS (SELECT vec_id, unnest(embedding)::DOUBLE AS e,
+                         generate_subscripts(embedding, 1) AS i FROM embeddings),
+                 n AS (SELECT vec_id, sqrt(sum(e*e)) AS nrm FROM u GROUP BY vec_id),
+                 d AS (SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+                              sum(q.e * c.e) AS dt
+                       FROM u q JOIN u c ON q.i = c.i AND q.vec_id <> c.vec_id
+                       WHERE q.vec_id < 5 GROUP BY 1, 2),
+                 sc AS (SELECT query_id, match_id,
+                               round(dt / (nq.nrm * nc.nrm), 6) AS cos
+                        FROM d JOIN n nq ON nq.vec_id = query_id
+                               JOIN n nc ON nc.vec_id = match_id),
+                 neg AS (SELECT s.query_id, s.match_id, s.cos
+                         FROM sc s
+                         JOIN embeddings eq ON eq.vec_id = s.query_id
+                         JOIN embeddings ec ON ec.vec_id = s.match_id
+                         WHERE eq.label <> ec.label AND s.cos < 0.999),
+                 r AS (SELECT query_id, match_id, cos,
+                              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, match_id) AS BIGINT) AS rnk
+                       FROM neg)
+             SELECT query_id, match_id, cos, rnk FROM r WHERE rnk <= 10
+             ORDER BY query_id, rnk""")),
+
     // Euclidean k-means, 2 Lloyd iterations from the 4 lowest-id seeds;
     // the twin replays both iterations (assign → mean → assign → mean)
     // in SQL, anchored on COALESCE for the empty-cluster rule
@@ -1284,6 +1324,34 @@ object LlmOps {
                    FROM t)
              SELECT doc_id, lang, unnest(generate_series(1, n)) AS copy
              FROM c WHERE n >= 1 ORDER BY doc_id, copy""")),
+
+    // temperature-scaled mixture (alpha-smoothed multilingual sampling,
+    // arXiv:1901.07291 §3.1): rates DERIVED from corpus counts —
+    // n^alpha shares renormalized, low-resource langs upsample. The
+    // twin re-derives counts, shares, the 6-decimal rate rounding, and
+    // the seeded fractional-copy rule.
+    QueryDef("q_temp_mixture",
+      (s, dir) => Sampling.temperatureResample(Graft.table(s, dir, "documents"),
+        "doc_id", "lang", alpha = 0.5)
+        .select("doc_id", "lang", "copy").orderBy("doc_id", "copy"),
+      Some("""WITH g AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS cnt
+                         FROM documents GROUP BY lang),
+                 tot AS (SELECT sum(cnt) AS N, sum(sqrt(cnt)) AS Z FROM g),
+                 r AS (SELECT lang,
+                         round(sqrt(cnt) / Z * N / cnt, 6) AS w
+                       FROM g, tot),
+                 t AS (SELECT d.doc_id, d.lang, r.w,
+                         ('0x' || substr(md5('temp:' || d.doc_id), 1, 8))::BIGINT
+                           % 1000000 AS hb
+                       FROM documents d
+                       JOIN r ON d.lang IS NOT DISTINCT FROM r.lang),
+                 c AS (SELECT doc_id, lang,
+                         CAST(floor(w) AS BIGINT) +
+                         CASE WHEN hb < (w - floor(w)) * 1000000
+                              THEN 1 ELSE 0 END AS nc
+                       FROM t)
+             SELECT doc_id, lang, unnest(generate_series(1, nc)) AS copy
+             FROM c WHERE nc >= 1 ORDER BY doc_id, copy""")),
 
     // PII redaction over deterministically doctored text (the fixture
     // has no planted PII, so both engines inject the same synthetic

@@ -181,6 +181,38 @@ class AnnDedupSpec extends AnyFunSuite {
     assert(got(0)._2 == s(1, 1) && got(1)._2 == s(2, 3))
   }
 
+  test("hardNegatives: positives anti-joined out, cos ceiling drops " +
+       "unlabeled near-dups, ranking matches bruteForceTopK residue") {
+    val vecs = toyVecs
+    // query = vec 1; positives say (1,2) is a labeled pair
+    val q = vecs.where($"vec_id" === 1L)
+    val pos = Seq((1L, 2L)).toDF("query_id", "match_id")
+    val negs = Similarity.hardNegatives(q, vecs, pos, k = 10)
+      .select("match_id").as[Long].collect().toSet
+    // 2 is a positive (excluded); self excluded; 3,4,5 remain
+    assert(negs == Set(3L, 4L, 5L))
+    // without the positives table, 2 is the hardest negative (rank 1)
+    val all = Similarity.hardNegatives(q, vecs,
+      Seq.empty[(Long, Long)].toDF("query_id", "match_id"), k = 10)
+      .orderBy("rnk").select("match_id").as[Long].collect()
+    assert(all.head == 2L)
+    // maxCos treats near-parallel vec 2 as an unlabeled positive
+    val guarded = Similarity.hardNegatives(q, vecs,
+      Seq.empty[(Long, Long)].toDF("query_id", "match_id"), k = 10,
+      maxCos = 0.9)
+      .select("match_id").as[Long].collect().toSet
+    assert(!guarded.contains(2L) && guarded.contains(3L))
+    // the surviving ranking is exactly bruteForceTopK's with the
+    // excluded ids removed and ranks recomputed
+    val brute = Similarity.bruteForceTopK(q, vecs, k = 10)
+      .where(!$"match_id".isin(2L))
+      .orderBy($"cos".desc, $"match_id".asc)
+      .select("match_id").as[Long].collect().toSeq
+    val mined = Similarity.hardNegatives(q, vecs, pos, k = 10)
+      .orderBy("rnk").select("match_id").as[Long].collect().toSeq
+    assert(mined == brute)
+  }
+
   test("kmeansLloyd: two clean clusters recover exactly; norms from updated centroids") {
     val vecs = Seq(
       (1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)),

@@ -114,6 +114,38 @@ class CurationSpec extends AnyFunSuite {
     assert(out.count(_._1 == 4L) <= 1)
   }
 
+  test("temperatureResample: alpha=1 is the identity mixture; alpha<1 " +
+       "upsamples low-resource groups deterministically") {
+    val df = ((0L until 90L).map(i => (i, "en")) ++
+      (100L until 110L).map(i => (i, "is"))).toDF("id", "lang")
+    // alpha=1: every group's rate is exactly n/N·N/n = 1.0 — each row
+    // appears exactly once
+    val id1 = Sampling.temperatureResample(df, "id", "lang", alpha = 1.0)
+      .select("id", "copy").as[(Long, Long)].collect().toSeq
+    assert(id1.map(_._1).sorted == (0L until 90L) ++ (100L until 110L))
+    assert(id1.forall(_._2 == 1L))
+    // alpha=0.5: shares √90:√10 ≈ 0.75:0.25 → rates ≈ 0.833 / 2.5 —
+    // the minority upsamples (≥2 copies each), the majority thins
+    val out = Sampling.temperatureResample(df, "id", "lang", alpha = 0.5)
+      .select("id", "lang", "copy").as[(Long, String, Long)].collect().toSeq
+    val nEn = out.count(_._2 == "en")
+    val nIs = out.count(_._2 == "is")
+    assert(nIs > 10 && nIs >= 20, s"minority must upsample, got $nIs")
+    assert(nEn < 90, s"majority must thin, got $nEn")
+    // every minority row appears at least floor(2.5)=2 times
+    assert((100L until 110L).forall(i => out.count(_._1 == i) >= 2))
+    // deterministic across runs
+    val again = Sampling.temperatureResample(df, "id", "lang", alpha = 0.5)
+      .select("id", "lang", "copy").as[(Long, String, Long)].collect().toSeq
+    assert(out.sorted == again.sorted)
+    // a null stratum is a group of its own, not an error
+    val withNull = (Seq((1L, "en"), (2L, null), (3L, null)))
+      .toDF("id", "lang")
+    val nn = Sampling.temperatureResample(withNull, "id", "lang", alpha = 0.5)
+      .select("id").as[Long].collect()
+    assert(nn.nonEmpty && nn.toSet.subsetOf(Set(1L, 2L, 3L)))
+  }
+
   test("int8 quantization: codes in [0,255], reconstruction within scale/2") {
     val df = Seq((1L, Array(0.0f, 0.5f, 1.0f, 0.25f)),
                  (2L, Array(3.0f, 3.0f, 3.0f))) // constant → scale 0
