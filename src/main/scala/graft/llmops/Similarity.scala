@@ -95,6 +95,49 @@ object Similarity {
       .select(col("query_id"), col("match_id"), col("cos"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** Pooling buffer: element-wise sum + contributing-vector count. */
+  final case class PoolBuf(sum: Array[Double], n: Long)
+
+  /** Element-wise mean pooling of grouped vectors — the chunk→document
+    * embedding fold (embed chunks, pool to one doc vector). A typed
+    * Aggregator: ONE shuffle whose partials are a single dim-length
+    * array + count per group (map-side combine collapses each
+    * partition's chunks before the exchange — at corpus scale the wire
+    * carries G·dim doubles, never the chunk vectors). Null vectors are
+    * skipped (the $avg contract); an all-null/empty group pools to
+    * null; a dimension mismatch inside a group raises rather than
+    * zero-padding silently. */
+  def meanPool(vec: Column): Column = {
+    val agg = new org.apache.spark.sql.expressions.Aggregator[
+        Seq[Double], PoolBuf, Option[Seq[Double]]] {
+      override def zero: PoolBuf = PoolBuf(Array.empty, 0L)
+      private def add(sum: Array[Double], v: Seq[Double]): Array[Double] = {
+        if (sum.isEmpty) v.toArray
+        else if (sum.length != v.length) throw new IllegalArgumentException(
+          s"meanPool: dimension mismatch (${sum.length} vs ${v.length})")
+        else {
+          var i = 0
+          while (i < sum.length) { sum(i) += v(i); i += 1 }
+          sum
+        }
+      }
+      override def reduce(b: PoolBuf, v: Seq[Double]): PoolBuf =
+        if (v == null) b else PoolBuf(add(b.sum, v), b.n + 1)
+      override def merge(a: PoolBuf, b: PoolBuf): PoolBuf =
+        if (a.n == 0) b
+        else if (b.n == 0) a
+        else PoolBuf(add(a.sum, b.sum.toSeq), a.n + b.n)
+      override def finish(r: PoolBuf): Option[Seq[Double]] =
+        if (r.n == 0) None else Some(r.sum.map(_ / r.n).toSeq)
+      override def bufferEncoder: org.apache.spark.sql.Encoder[PoolBuf] =
+        org.apache.spark.sql.Encoders.product[PoolBuf]
+      override def outputEncoder: org.apache.spark.sql.Encoder[Option[Seq[Double]]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    }
+    udaf(agg, org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]())
+      .apply(vec.cast("array<double>"))
+  }
+
   /** Hard-negative mining for contrastive training-pair prep: per
     * query, the k most-similar corpus items that are NOT labeled
     * positives — the negatives that actually move an embedding model.

@@ -651,6 +651,35 @@ object LlmOps {
              SELECT query_id, match_id, cos, rnk FROM r WHERE rnk <= 10
              ORDER BY query_id, rnk""")),
 
+    // chunk→document mean pooling: a typed Aggregator whose shuffle
+    // partials are one dim-length array + count per group (map-side
+    // combine collapses each partition's vectors first — the wire
+    // carries G·dim doubles, never the chunk embeddings). Exploded to
+    // scalar rows + 6-decimal rounding for the checker and to absorb
+    // summation-order drift between engines.
+    QueryDef("q_mean_pool",
+      (s, dir) => {
+        val e = Graft.table(s, dir, "embeddings")
+        e.groupBy(col("label"))
+          .agg(Similarity.meanPool(col("embedding")).as("pooled"),
+            count(lit(1)).as("n"))
+          .select(col("label"), col("n"),
+            posexplode(col("pooled")).as(Seq("i", "v")))
+          .select(col("label"), col("n"), col("i").cast("long").as("i"),
+            round(col("v"), 6).as("v"))
+          .orderBy("label", "i")
+      },
+      Some("""WITH u AS (SELECT label, vec_id,
+                                generate_subscripts(embedding, 1) - 1 AS i,
+                                unnest(embedding)::DOUBLE AS x
+                         FROM embeddings),
+                 c AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+                       FROM embeddings GROUP BY label)
+              SELECT u.label AS label, c.n, CAST(u.i AS BIGINT) AS i,
+                     round(avg(u.x), 6) AS v
+              FROM u JOIN c ON u.label = c.label
+              GROUP BY u.label, c.n, u.i ORDER BY u.label, i""")),
+
     // Euclidean k-means, 2 Lloyd iterations from the 4 lowest-id seeds;
     // the twin replays both iterations (assign → mean → assign → mean)
     // in SQL, anchored on COALESCE for the empty-cluster rule

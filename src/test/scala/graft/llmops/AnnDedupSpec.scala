@@ -181,6 +181,36 @@ class AnnDedupSpec extends AnyFunSuite {
     assert(got(0)._2 == s(1, 1) && got(1)._2 == s(2, 3))
   }
 
+  test("meanPool: hand-computed pooling, null vectors skipped, " +
+       "all-null group is null, dim mismatch raises") {
+    val df = Seq(
+      ("a", Seq(1.0, 3.0)), ("a", Seq(3.0, 5.0)),
+      ("b", Seq(10.0, 20.0)),
+      ("c", null)
+    ).toDF("g", "v")
+      .union(Seq(("a", null: Seq[Double])).toDF("g", "v")) // null skipped
+    val got = df.groupBy("g").agg(Similarity.meanPool($"v").as("p"))
+      .collect().map(r => r.getString(0) ->
+        Option(r.getSeq[Double](1)).map(_.toSeq)).toMap
+    assert(got("a").contains(Seq(2.0, 4.0)))
+    assert(got("b").contains(Seq(10.0, 20.0)))
+    assert(got("c").isEmpty) // all-null group pools to null, not zeros
+    // float input casts in; single global group works too
+    val one = Seq((1, Seq(1.0f, 2.0f)), (2, Seq(3.0f, 4.0f)))
+      .toDF("id", "v").agg(Similarity.meanPool($"v")).head.getSeq[Double](0)
+    assert(one.toSeq == Seq(2.0, 3.0))
+    // ragged dims refuse rather than zero-pad
+    val bad = Seq(("a", Seq(1.0, 2.0)), ("a", Seq(1.0, 2.0, 3.0)))
+      .toDF("g", "v")
+    val e = intercept[Exception] {
+      bad.groupBy("g").agg(Similarity.meanPool($"v")).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("dimension mismatch")), e.toString)
+  }
+
   test("hardNegatives: positives anti-joined out, cos ceiling drops " +
        "unlabeled near-dups, ranking matches bruteForceTopK residue") {
     val vecs = toyVecs
