@@ -185,12 +185,15 @@ object DocIdIndex {
     val gone = have -- files.map(_._1).toSet
     val fresh = files.filterNot { case (p, _) => have.contains(p) }
     if (gone.nonEmpty) {
-      // rewrite only the removal: drop vanished files' entries in place
+      // rewrite only the removal: drop vanished files' entries. The
+      // surviving rows are MATERIALIZED (eager local checkpoint, which
+      // also truncates lineage) before the overwrite deletes the very
+      // files they came from — a cache() here could silently recompute
+      // from deleted parquet on eviction; the checkpoint either holds
+      // the blocks or fails loudly.
       val kept = spark.read.parquet(indexPath)
-        .where(!col("path").isin(gone.toSeq: _*)).cache()
-      kept.count()
+        .where(!col("path").isin(gone.toSeq: _*)).localCheckpoint(true)
       kept.write.mode("overwrite").parquet(indexPath)
-      kept.unpersist()
     }
     if (fresh.nonEmpty)
       walkAll(spark, fresh, idCol, schema)
