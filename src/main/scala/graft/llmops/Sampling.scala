@@ -229,6 +229,44 @@ object Sampling {
       .withColumn("fim_text", when(applied, fim).otherwise(col(textCol)))
   }
 
+  /** T5-style span corruption (Raffel et al., arXiv:1910.10683 §3.1.4):
+    * a seeded `rate` fraction of documents mask two spans — input keeps
+    * the surrounding text with `<extra_id_k>` sentinels in place of the
+    * spans, target is the sentinels followed by the masked spans (plus
+    * the closing sentinel). The four span boundaries are the SORTED md5
+    * cut points of (seed#a..#d, id), so the transform is reproducible
+    * across runs, partitionings, and engines (the oracle re-sorts the
+    * same hashes). Character-level cuts — the tokenizer-free
+    * formulation, sentinels swapped for special ids at encode time.
+    * Map-only codegen string slicing inside the scan stage, no shuffle:
+    * a free pass over a 100 TB corpus. */
+  def spanCorrupt(df: DataFrame, idCol: String, textCol: String,
+                  rate: Double = 0.5, seed: String = "t5"): DataFrame = {
+    val len = length(col(textCol))
+    val sel = hashBucket(col(idCol), seed) <
+      lit(math.round(rate * 1000000L.toDouble))
+    val span = (len + lit(1)).cast("long")
+    val cuts = sort_array(array(
+      hashBucket(col(idCol), seed + "#a") % span,
+      hashBucket(col(idCol), seed + "#b") % span,
+      hashBucket(col(idCol), seed + "#c") % span,
+      hashBucket(col(idCol), seed + "#d") % span))
+    def cut(i: Int): Column = element_at(cuts, i).cast("int")
+    val (c1, c2, c3, c4) = (cut(1), cut(2), cut(3), cut(4))
+    val input = concat(
+      col(textCol).substr(lit(1), c1),
+      lit("<extra_id_0>"), col(textCol).substr(c2 + lit(1), c3 - c2),
+      lit("<extra_id_1>"), col(textCol).substr(c4 + lit(1), len - c4))
+    val target = concat(
+      lit("<extra_id_0>"), col(textCol).substr(c1 + lit(1), c2 - c1),
+      lit("<extra_id_1>"), col(textCol).substr(c3 + lit(1), c4 - c3),
+      lit("<extra_id_2>"))
+    val applied = sel && col(textCol).isNotNull && len > 0
+    df.withColumn("corrupt_applied", applied)
+      .withColumn("corrupt_input", when(applied, input).otherwise(col(textCol)))
+      .withColumn("corrupt_target", when(applied, target).otherwise(lit(null)))
+  }
+
   def hashSplit(df: DataFrame, idCol: String, splits: Seq[(String, Double)],
                 seed: String = "split"): DataFrame = {
     require(splits.nonEmpty, "at least one split required")

@@ -1041,6 +1041,41 @@ object LlmOps {
                 ELSE text END AS fim_text
               FROM c ORDER BY doc_id""")),
 
+    // T5 span corruption (arXiv:1910.10683 §3.1.4, char-level twin of
+    // q_fim_split): two seeded masked spans → sentinel-joined input +
+    // target. The twin re-derives all four sorted cut points.
+    QueryDef("q_span_corrupt",
+      (s, dir) => Sampling.spanCorrupt(
+        Graft.table(s, dir, "documents"), "doc_id", "text", rate = 0.5)
+        .select("doc_id", "corrupt_applied", "corrupt_input", "corrupt_target")
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, text, length(text) AS n,
+                ('0x' || substr(md5('t5:' || doc_id), 1, 8))::BIGINT
+                  % 1000000 AS selb,
+                list_sort([
+                  ('0x' || substr(md5('t5#a:' || doc_id), 1, 8))::BIGINT % 1000000 % (length(text) + 1),
+                  ('0x' || substr(md5('t5#b:' || doc_id), 1, 8))::BIGINT % 1000000 % (length(text) + 1),
+                  ('0x' || substr(md5('t5#c:' || doc_id), 1, 8))::BIGINT % 1000000 % (length(text) + 1),
+                  ('0x' || substr(md5('t5#d:' || doc_id), 1, 8))::BIGINT % 1000000 % (length(text) + 1)
+                ]) AS cuts
+              FROM documents),
+              c AS (SELECT doc_id, text, n,
+                selb < 500000 AND COALESCE(n, 0) > 0 AS corrupt_applied,
+                cuts[1] AS c1, cuts[2] AS c2, cuts[3] AS c3, cuts[4] AS c4
+              FROM t)
+              SELECT doc_id, corrupt_applied,
+                CASE WHEN corrupt_applied THEN
+                  substr(text, 1, c1) ||
+                  '<extra_id_0>' || substr(text, c2 + 1, c3 - c2) ||
+                  '<extra_id_1>' || substr(text, c4 + 1, n - c4)
+                ELSE text END AS corrupt_input,
+                CASE WHEN corrupt_applied THEN
+                  '<extra_id_0>' || substr(text, c1 + 1, c2 - c1) ||
+                  '<extra_id_1>' || substr(text, c3 + 1, c4 - c3) ||
+                  '<extra_id_2>'
+                ELSE NULL END AS corrupt_target
+              FROM c ORDER BY doc_id""")),
+
     // deterministic corpus shuffle layout: chunked positions, no global
     // single-partition sort (keyed window + nChunks-row prefix sum)
     QueryDef("q_corpus_shuffle",

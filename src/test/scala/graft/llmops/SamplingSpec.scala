@@ -297,4 +297,43 @@ class SamplingSpec extends AnyFunSuite {
     assert(none.where(col("fim_applied")).count() == 0)
     assert(none.where(col("fim_text") =!= col("text")).count() == 0)
   }
+
+  test("spanCorrupt: input+target reassemble the original, determinism, rate bounds") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a"), (3L, ""), (4L, "hello world again and again"),
+      (5L, "y" * 150), (6L, "unicode héllo text here"))
+      .toDF("doc_id", "text")
+    val out = Sampling.spanCorrupt(docs, "doc_id", "text", rate = 1.0)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[Boolean]("corrupt_applied"), r.getAs[String]("corrupt_input"),
+        r.getAs[String]("corrupt_target"))).toSeq
+    val inRe = "(?s)(.*)<extra_id_0>(.*)<extra_id_1>(.*)".r
+    val tgRe = "(?s)<extra_id_0>(.*)<extra_id_1>(.*)<extra_id_2>".r
+    out.foreach { case (id, text, applied, inp, tgt) =>
+      if (text.isEmpty) {
+        assert(!applied && inp == text && tgt == null, s"doc $id")
+      } else {
+        assert(applied, s"doc $id should transform at rate=1.0")
+        (inp, tgt) match {
+          case (inRe(i0, i1, i2), tgRe(t0, t1)) =>
+            // the denoising contract: interleaving input context with
+            // target spans reproduces the document exactly
+            assert(i0 + t0 + i1 + t1 + i2 == text, s"doc $id")
+          case other => fail(s"doc $id: not T5 form: $other")
+        }
+      }
+    }
+    // deterministic across partitionings
+    val again = Sampling.spanCorrupt(docs.repartition(3), "doc_id", "text",
+      rate = 1.0).select("doc_id", "corrupt_input").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    out.foreach { case (id, _, _, inp, _) => assert(again(id) == inp) }
+    // rate 0: untouched text, null targets
+    val none = Sampling.spanCorrupt(docs, "doc_id", "text", rate = 0.0)
+    assert(none.where(col("corrupt_applied")).count() == 0)
+    assert(none.where(col("corrupt_input") =!= col("text")).count() == 0)
+    assert(none.where(col("corrupt_target").isNotNull).count() == 0)
+  }
 }

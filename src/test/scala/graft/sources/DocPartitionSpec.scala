@@ -414,6 +414,22 @@ class DocPartitionSpec extends AnyFunSuite {
       Map(5 -> 5, 7 -> 7))
   }
 
+  test("grouped pushdown: the hive null sentinel groups as NULL, not a string") {
+    val df = Seq((1L, "a"), (2L, null), (3L, null), (4L, "b"))
+      .toDF("id", "seg")
+    val path = tmp()
+    df.write.format("graftdocs").option("partitionBy", "seg")
+      .mode("overwrite").save(path)
+    val back = spark.read.format("graftdocs")
+      .schema(org.apache.spark.sql.types.StructType(df.schema.fields))
+      .load(path)
+    val q = back.groupBy("seg").agg(count(lit(1)).as("n"))
+    assert(q.queryExecution.executedPlan.toString.contains("PushedGroupBy: [seg]"),
+      q.queryExecution.executedPlan.toString)
+    val got = q.collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(got == Map(Some("a") -> 1L, Some("b") -> 1L, None -> 2L), got.toString)
+  }
+
   test("date partition filters prune correctly under java8 datetime API") {
     val df = Seq(
       (1L, java.sql.Date.valueOf("2024-01-01")),
