@@ -22,9 +22,11 @@ import org.apache.spark.util.SerializableConfiguration
   * Contracts, enforced loudly:
   *  - ids render to strings (`CAST(id AS STRING)`), so integral and
   *    string id columns both work; a null id refuses at build;
-  *  - partitioned (`k=v`) layouts refuse at build — the fetched
-  *    document body does not carry partition columns, so a fetch would
-  *    silently return half a row;
+  *  - hive-partitioned (`k=v`) layouts work: the partition values ride
+  *    each index entry and fetch re-attaches them typed (the document
+  *    body does not carry them) — but the id column itself must be a
+  *    DOCUMENT column, not a partition column (a directory value is
+  *    constant per file, not an id);
   *  - files are immutable once committed: every entry records its
   *    file's byte length and fetch re-verifies it before seeking (a
   *    rewritten file fails loudly instead of returning garbage).
@@ -36,15 +38,20 @@ object DocIdIndex {
     StructField("path", StringType, nullable = false),
     StructField("offset", LongType, nullable = false),
     StructField("length", IntegerType, nullable = false),
-    StructField("file_len", LongType, nullable = false)))
+    StructField("file_len", LongType, nullable = false),
+    StructField("part", MapType(StringType, StringType), nullable = true)))
 
-  /** Visible batch files of an UNPARTITIONED graftdocs layout. */
-  private def listDataFiles(spark: SparkSession, dataPath: String): Seq[(String, Long)] = {
+  private case class DataFile(path: String, len: Long,
+                              part: Seq[(String, String)])
+
+  /** Visible batch files of a graftdocs layout, with any hive `k=v`
+    * partition values parsed from the directory segments. */
+  private def listDataFiles(spark: SparkSession, dataPath: String): Seq[DataFile] = {
     val root = new Path(dataPath)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) throw new IllegalArgumentException(
       s"doc-id index: data path $dataPath does not exist")
-    val out = Seq.newBuilder[(String, Long)]
+    val out = Seq.newBuilder[DataFile]
     val it = fs.listFiles(root, true)
     while (it.hasNext) {
       val f = it.next()
@@ -53,22 +60,39 @@ object DocIdIndex {
           (name.endsWith(".jsonl") || name.endsWith(".bson"))) {
         val rel = f.getPath.toString.stripPrefix(
           fs.makeQualified(root).toString).stripPrefix("/")
-        if (rel.contains("="))
-          throw new IllegalArgumentException(
-            "doc-id index: partitioned layouts are not supported (the " +
-              s"document body at $rel does not carry its partition " +
-              "columns; fetch would return a partial row)")
-        out += f.getPath.toString -> f.getLen
+        val part = rel.split("/").dropRight(1).toSeq
+          .flatMap(GraftDocSource.partitionSegment)
+        out += DataFile(f.getPath.toString, f.getLen, part)
       }
     }
     out.result()
+  }
+
+  /** Partition columns of the layout (must be consistent), and the
+    * document-body schema once they are carved out. */
+  private def splitSchema(files: Seq[DataFile], idCol: String,
+                          schema: StructType): (Seq[String], StructType) = {
+    val keySeqs = files.map(_.part.map(_._1)).distinct
+    if (keySeqs.size > 1) throw new IllegalArgumentException(
+      "doc-id index: inconsistent partition layout across files: " +
+        keySeqs.take(3).map(_.mkString("/")).mkString(", "))
+    val partCols = keySeqs.headOption.getOrElse(Seq.empty)
+    if (partCols.contains(idCol)) throw new IllegalArgumentException(
+      s"doc-id index: id column '$idCol' is a partition column (a " +
+        "directory value is constant per file, not a document id)")
+    partCols.foreach { c =>
+      if (!schema.fieldNames.contains(c)) throw new IllegalArgumentException(
+        s"doc-id index: partition column '$c' missing from the declared schema")
+    }
+    (partCols, StructType(schema.fields.filterNot(f => partCols.contains(f.name))))
   }
 
   /** One file's (id, offset, length) walk. The id is REQUIRED non-null:
     * a null id can never be fetched, so indexing it silently would
     * lose the document from the index's point of view. */
   private def walkFile(conf: SerializableConfiguration, idCol: String,
-                       schema: StructType, path: String, fileLen: Long): Iterator[Row] = {
+                       schema: StructType, path: String, fileLen: Long,
+                       part: Map[String, String]): Iterator[Row] = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf.value)
     val idField = schema.fields.find(_.name == idCol).getOrElse(
@@ -112,7 +136,7 @@ object DocIdIndex {
             new java.io.ByteArrayInputStream(whole)).next()
           val id = graft.bson.DocDecoder.convert(node.get(idCol), idField,
             strict = true)
-          nextDoc = Row(render(id), path, offset, len, fileLen)
+          nextDoc = Row(render(id), path, offset, len, fileLen, part)
           offset += len
         }
         advance()
@@ -138,7 +162,7 @@ object DocIdIndex {
           val node = mapper.readTree(bytes.toByteArray)
           val id = graft.bson.DocDecoder.convert(node.get(idCol), idField,
             strict = true)
-          nextDoc = Row(render(id), path, lineStart, len, fileLen)
+          nextDoc = Row(render(id), path, lineStart, len, fileLen, part)
           offset = lineStart + len + (if (b == '\n') 1 else 0)
         }
         advance()
@@ -148,18 +172,21 @@ object DocIdIndex {
     }
   }
 
-  private def walkAll(spark: SparkSession, files: Seq[(String, Long)],
-                      idCol: String, schema: StructType): DataFrame = {
+  private def walkAll(spark: SparkSession, files: Seq[DataFile],
+                      idCol: String, docSchema: StructType): DataFrame = {
     val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
     val fileDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(files.map(Row.fromTuple),
+      spark.sparkContext.parallelize(
+        files.map(f => Row(f.path, f.len, f.part.toMap)),
         math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism))),
       StructType(Seq(StructField("path", StringType),
-        StructField("file_len", LongType))))
+        StructField("file_len", LongType),
+        StructField("part", MapType(StringType, StringType)))))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(IndexSchema)
     fileDf.mapPartitions(_.flatMap(r =>
-      walkFile(conf, idCol, schema, r.getString(0), r.getLong(1))))(enc)
+      walkFile(conf, idCol, docSchema, r.getString(0), r.getLong(1),
+        r.getAs[Map[String, String]](2))))(enc)
   }
 
   /** Build the index from scratch: one task per file, output small
@@ -167,7 +194,8 @@ object DocIdIndex {
   def build(spark: SparkSession, dataPath: String, idCol: String,
             schema: StructType, indexPath: String): Unit = {
     val files = listDataFiles(spark, dataPath)
-    walkAll(spark, files, idCol, schema)
+    val (_, docSchema) = splitSchema(files, idCol, schema)
+    walkAll(spark, files, idCol, docSchema)
       .repartitionByRange(math.max(1, files.size / 64 + 1), col("id"))
       .sortWithinPartitions("id")
       .write.mode("overwrite").parquet(indexPath)
@@ -180,10 +208,11 @@ object DocIdIndex {
   def update(spark: SparkSession, dataPath: String, idCol: String,
              schema: StructType, indexPath: String): Unit = {
     val files = listDataFiles(spark, dataPath)
+    val (_, docSchema) = splitSchema(files, idCol, schema)
     val have = spark.read.parquet(indexPath)
       .select("path").distinct().collect().map(_.getString(0)).toSet
-    val gone = have -- files.map(_._1).toSet
-    val fresh = files.filterNot { case (p, _) => have.contains(p) }
+    val gone = have -- files.map(_.path).toSet
+    val fresh = files.filterNot(f => have.contains(f.path))
     if (gone.nonEmpty) {
       // rewrite only the removal: drop vanished files' entries. The
       // surviving rows are MATERIALIZED (eager local checkpoint, which
@@ -196,7 +225,7 @@ object DocIdIndex {
       kept.write.mode("overwrite").parquet(indexPath)
     }
     if (fresh.nonEmpty)
-      walkAll(spark, fresh, idCol, schema)
+      walkAll(spark, fresh, idCol, docSchema)
         .write.mode("append").parquet(indexPath)
   }
 
@@ -223,6 +252,8 @@ object DocIdIndex {
           val (path, offset, len, fileLen) =
             (r.getAs[String]("path"), r.getAs[Long]("offset"),
               r.getAs[Int]("length"), r.getAs[Long]("file_len"))
+          val part = Option(r.getAs[Map[String, String]]("part"))
+            .getOrElse(Map.empty[String, String])
           val p = new Path(path)
           val fs = p.getFileSystem(conf.value)
           val actual = fs.getFileStatus(p).getLen
@@ -237,7 +268,24 @@ object DocIdIndex {
               graft.bson.BsonBinary.documents(
                 new java.io.ByteArrayInputStream(bytes)).next()
             else mapper.readTree(bytes)
-          graft.bson.DocDecoder.decodeStruct(node, schema, strict = true)
+          if (part.isEmpty)
+            graft.bson.DocDecoder.decodeStruct(node, schema, strict = true)
+          else {
+            // partitioned layout: the body lacks the partition columns —
+            // decode the document fields, re-attach the typed directory
+            // values in declared-schema order
+            val docSchema = StructType(
+              schema.fields.filterNot(f => part.contains(f.name)))
+            val decoded = graft.bson.DocDecoder
+              .decodeStruct(node, docSchema, strict = true)
+            val byName = docSchema.fieldNames.zipWithIndex.toMap
+            Row.fromSeq(schema.fields.toSeq.map { f =>
+              part.get(f.name) match {
+                case Some(raw) => DocPartitions.cast(raw, f.dataType)
+                case None => decoded.get(byName(f.name))
+              }
+            })
+          }
         }
         new Iterator[Row] {
           override def hasNext: Boolean = {

@@ -162,18 +162,46 @@ class DocIdIndexSpec extends AnyFunSuite {
       if (t == null) Seq.empty else t +: causes(t.getCause)
     assert(causes(e).exists(c => c.getMessage != null &&
       c.getMessage.contains("ids must be non-null")), e.toString)
-    // partitioned layout
+    // the id column must be a DOCUMENT column, not a partition column
     val d3 = tmp()
     dup.write.format("graftdocs").option("partitionBy", "k")
       .mode("overwrite").save(d3)
     val e2 = intercept[IllegalArgumentException] {
-      DocIdIndex.build(spark, d3, "v", dup.schema, tmp())
+      DocIdIndex.build(spark, d3, "k", dup.schema, tmp())
     }
-    assert(e2.getMessage.contains("partitioned layouts"))
+    assert(e2.getMessage.contains("is a partition column"))
     // null fetch id
     val e3 = intercept[IllegalArgumentException] {
       DocIdIndex.fetch(spark, idx, dup.schema, Seq(null))
     }
     assert(e3.getMessage.contains("null id"))
+  }
+
+  test("partitioned layouts: fetch re-attaches typed partition values") {
+    val df = Seq(
+      (1L, 10, "x"), (2L, 10, "y"), (3L, 20, "z"),
+      (4L, 20, "w"))
+      .toDF("id", "bucket", "v")
+      .union(Seq((5L, null.asInstanceOf[java.lang.Integer], "n"))
+        .map(t => (t._1, t._2, t._3)).toDF("id", "bucket", "v"))
+    val data = tmp(); val idx = tmp()
+    df.write.format("graftdocs").option("partitionBy", "bucket")
+      .mode("overwrite").save(data)
+    val schema = org.apache.spark.sql.types.StructType(df.schema.fields)
+    DocIdIndex.build(spark, data, "id", schema, idx)
+    val got = DocIdIndex.fetch(spark, idx, schema, Seq(2L, 3L, 5L))
+      .orderBy("id").collect().toSeq
+    // full rows come back — bucket (a directory value) is typed INT,
+    // and the hive null sentinel is a real NULL
+    assert(got.map(r => (r.getLong(0),
+      if (r.isNullAt(1)) null else r.getInt(1), r.getString(2))) ==
+      Seq((2L, 10, "y"), (3L, 20, "z"), (5L, null, "n")))
+    // fold across partitions: new partition dir arrives, update indexes it
+    Seq((6L, 30, "q")).toDF("id", "bucket", "v")
+      .write.format("graftdocs").option("partitionBy", "bucket")
+      .mode("append").save(data)
+    DocIdIndex.update(spark, data, "id", schema, idx)
+    assert(DocIdIndex.fetch(spark, idx, schema, Seq(6L))
+      .head.getInt(1) == 30)
   }
 }
