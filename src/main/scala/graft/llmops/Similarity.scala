@@ -111,18 +111,22 @@ object Similarity {
     val agg = new org.apache.spark.sql.expressions.Aggregator[
         Seq[Double], PoolBuf, Option[Seq[Double]]] {
       override def zero: PoolBuf = PoolBuf(Array.empty, 0L)
-      private def add(sum: Array[Double], v: Seq[Double]): Array[Double] = {
-        if (sum.isEmpty) v.toArray
-        else if (sum.length != v.length) throw new IllegalArgumentException(
+      // `n == 0` is the only uninitialized marker: a zero-LENGTH vector
+      // is a legitimate dim-0 input, so an empty sum array with n > 0
+      // must still dimension-check (conflating the two would let
+      // [[], [2.0]] silently restart accumulation instead of raising)
+      private def add(sum: Array[Double], v: Seq[Double]): Array[Double] =
+        if (sum.length != v.length) throw new IllegalArgumentException(
           s"meanPool: dimension mismatch (${sum.length} vs ${v.length})")
         else {
           var i = 0
           while (i < sum.length) { sum(i) += v(i); i += 1 }
           sum
         }
-      }
       override def reduce(b: PoolBuf, v: Seq[Double]): PoolBuf =
-        if (v == null) b else PoolBuf(add(b.sum, v), b.n + 1)
+        if (v == null) b
+        else if (b.n == 0) PoolBuf(v.toArray, 1L)
+        else PoolBuf(add(b.sum, v), b.n + 1)
       override def merge(a: PoolBuf, b: PoolBuf): PoolBuf =
         if (a.n == 0) b
         else if (b.n == 0) a
@@ -154,16 +158,20 @@ object Similarity {
                     qId: String = "vec_id", cId: String = "vec_id",
                     vecCol: String = "embedding",
                     posQCol: String = "query_id", posCCol: String = "match_id",
-                    maxCos: Double = 1.0): DataFrame = {
+                    maxCos: Double = Double.PositiveInfinity): DataFrame = {
     val q = broadcast(queries.select(col(qId).as("query_id"),
       col(vecCol).cast("array<double>").as("__qv"), norm(col(vecCol)).as("__qn")))
     val c = corpus.select(col(cId).as("match_id"),
       col(vecCol).cast("array<double>").as("__cv"), norm(col(vecCol)).as("__cn"))
-    val scored = c.crossJoin(q)
+    val scored0 = c.crossJoin(q)
       .where(col("query_id") =!= col("match_id"))
       .withColumn("cos",
         round(rawDot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6))
-      .where(col("cos") < maxCos)
+    // the ceiling is OPT-IN: the default (+∞) never drops a candidate —
+    // a ceiling of 1.0 would silently exclude exact-duplicate vectors,
+    // which are the hardest negatives when they are not positives
+    val scored =
+      if (maxCos.isPosInfinity) scored0 else scored0.where(col("cos") < maxCos)
     val pos = positives.select(col(posQCol).as("__pq"), col(posCCol).as("__pc"))
     val negs = scored.join(pos,
       col("query_id") === col("__pq") && col("match_id") === col("__pc"),

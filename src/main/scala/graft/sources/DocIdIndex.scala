@@ -45,27 +45,36 @@ object DocIdIndex {
                               part: Seq[(String, String)])
 
   /** Visible batch files of a graftdocs layout, with any hive `k=v`
-    * partition values parsed from the directory segments. */
+    * partition values parsed from the directory segments. The walk
+    * applies the SCAN's visibility rules (hidden `.`/`_` names skipped,
+    * non-partition subdirectories out of the layout contract) so the
+    * index covers exactly the rows a table scan of the same path
+    * produces — an entry the scan can't see would make fetch invent
+    * rows, and a stray non-`k=v` subdir must not fail the layout. */
   private def listDataFiles(spark: SparkSession, dataPath: String): Seq[DataFile] = {
     val root = new Path(dataPath)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) throw new IllegalArgumentException(
       s"doc-id index: data path $dataPath does not exist")
-    val out = Seq.newBuilder[DataFile]
-    val it = fs.listFiles(root, true)
-    while (it.hasNext) {
-      val f = it.next()
-      val name = f.getPath.getName
-      if (!name.startsWith(".") &&
-          (name.endsWith(".jsonl") || name.endsWith(".bson"))) {
-        val rel = f.getPath.toString.stripPrefix(
-          fs.makeQualified(root).toString).stripPrefix("/")
-        val part = rel.split("/").dropRight(1).toSeq
-          .flatMap(GraftDocSource.partitionSegment)
-        out += DataFile(f.getPath.toString, f.getLen, part)
-      }
+    def hidden(name: String): Boolean =
+      name.startsWith(".") || name.startsWith("_")
+    def walk(dir: Path, part: Seq[(String, String)]): Seq[DataFile] = {
+      val entries = fs.listStatus(dir).toSeq
+      val files = entries.filter { s =>
+        val n = s.getPath.getName
+        s.isFile && !hidden(n) && (n.endsWith(".jsonl") || n.endsWith(".bson"))
+      }.map(s => DataFile(s.getPath.toString, s.getLen, part))
+      val sub = entries
+        .filter(s => s.isDirectory && !hidden(s.getPath.getName))
+        .flatMap { d =>
+          GraftDocSource.partitionSegment(d.getPath.getName) match {
+            case Some(kv) => walk(d.getPath, part :+ kv)
+            case None => Seq.empty // non-partition dir: outside the layout
+          }
+        }
+      files ++ sub
     }
-    out.result()
+    walk(root, Seq.empty)
   }
 
   /** Partition columns of the layout (must be consistent), and the
@@ -103,6 +112,12 @@ object DocIdIndex {
       v.toString
     }
     val in = fs.open(p)
+    // the iterator closes on clean exhaustion; a mid-walk decode error
+    // or task kill must not leak the stream for the executor's lifetime
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit] { _ =>
+        try in.close() catch { case _: Exception => () }
+      })
     if (path.endsWith(".bson")) {
       val buf = new java.io.BufferedInputStream(in, 1 << 16)
       var offset = 0L
@@ -247,6 +262,14 @@ object DocIdIndex {
       .mapPartitions { it =>
         val cached = scala.collection.mutable.Map
           .empty[String, org.apache.hadoop.fs.FSDataInputStream]
+        val verified = scala.collection.mutable.Map.empty[String, Long]
+        // streams must close on EVERY exit — exception, partial
+        // consumption (limit), or exhaustion — not just the happy path
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            cached.values.foreach(s => try s.close() catch { case _: Exception => () })
+            cached.clear()
+          })
         val mapper = graft.bson.DocDecoder.newMapper()
         val rows = it.map { r =>
           val (path, offset, len, fileLen) =
@@ -256,11 +279,18 @@ object DocIdIndex {
             .getOrElse(Map.empty[String, String])
           val p = new Path(path)
           val fs = p.getFileSystem(conf.value)
-          val actual = fs.getFileStatus(p).getLen
-          if (actual != fileLen) throw new IllegalStateException(
+          // one staleness probe + one open per FILE, not per document:
+          // the verified length is remembered so later hits of the same
+          // path compare locally (an index holding two generations of
+          // one path still fails loudly, without a second RPC)
+          val in = cached.getOrElseUpdate(path, {
+            val actual = fs.getFileStatus(p).getLen
+            verified(path) = actual
+            fs.open(p)
+          })
+          if (verified(path) != fileLen) throw new IllegalStateException(
             s"doc-id index: $path changed since indexing " +
-              s"($actual bytes, indexed $fileLen) — rebuild the index")
-          val in = cached.getOrElseUpdate(path, fs.open(p))
+              s"(${verified(path)} bytes, indexed $fileLen) — rebuild the index")
           val bytes = new Array[Byte](len)
           in.readFully(offset, bytes, 0, len)
           val node =

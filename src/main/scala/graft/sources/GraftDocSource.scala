@@ -687,8 +687,8 @@ private[sources] class GraftAggReaderFactory(aggs: Seq[PushedAgg],
   private def groupReader(g: GraftAggGroupPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
       private def foldRow(entries: Seq[GraftFilePartition],
+                          live: Seq[GraftFilePartition],
                           keyCatalyst: Seq[Any]): InternalRow = {
-        lazy val live = entries.filter(isLive)
         def fold(c: String, dt: org.apache.spark.sql.types.DataType,
                  wantMin: Boolean): Any = {
           val vals = live.flatMap(_.partitionValues.toMap.get(c))
@@ -720,11 +720,16 @@ private[sources] class GraftAggReaderFactory(aggs: Seq[PushedAgg],
           }).toArray)
       }
       private val rows: Iterator[InternalRow] =
-        if (groupBy.isEmpty) Iterator(foldRow(g.entries, Seq.empty))
+        if (groupBy.isEmpty)
+          Iterator(foldRow(g.entries, g.entries.filter(isLive), Seq.empty))
         else g.entries.groupBy(e => groupKey(e.partitionValues))
-          .iterator.collect {
-            case (key, entries) if entries.exists(isLive) =>
-              foldRow(entries, groupCatalyst(key))
+          .iterator.flatMap { case (key, entries) =>
+            // ONE liveness pass per group: it both admits the group and
+            // feeds the part-column fold (probing twice would double
+            // the per-file I/O when no sidecar stats exist)
+            val live = entries.filter(isLive)
+            if (live.isEmpty) Iterator.empty
+            else Iterator(foldRow(entries, live, groupCatalyst(key)))
           }
       private var row: InternalRow = _
       override def next(): Boolean =

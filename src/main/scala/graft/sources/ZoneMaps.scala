@@ -59,18 +59,26 @@ private[sources] object ZoneMaps {
   final case class Bloom(bits: Array[Long], k: Int) {
     private def m: Long = bits.length.toLong * 64L
     def mightContain(hash: Long): Boolean = {
-      val h1 = hash.toInt
-      val h2 = (hash >>> 32).toInt
       var i = 0
       while (i < k) {
-        var combined = h1.toLong + i.toLong * h2.toLong
-        if (combined < 0) combined = ~combined
-        val bit = combined % m
+        val bit = bloomBit(hash, i, m)
         if ((bits((bit >>> 6).toInt) & (1L << (bit & 63))) == 0L) return false
         i += 1
       }
       true
     }
+  }
+
+  /** The i-th probe's bit position for one xxhash64 value — Guava-style
+    * double hashing. ONE definition shared by writer and reader: any
+    * divergence between set-time and test-time positions would turn
+    * mightContain=false into a false negative (an unsound file skip). */
+  private def bloomBit(hash: Long, i: Int, m: Long): Long = {
+    val h1 = hash.toInt
+    val h2 = (hash >>> 32).toInt
+    var combined = h1.toLong + i.toLong * h2.toLong
+    if (combined < 0) combined = ~combined
+    combined % m
   }
 
   /** xxhash64 of a value under its column tag — defined ONLY for kinds
@@ -247,13 +255,9 @@ private[sources] object ZoneMaps {
     val it = hashes.iterator()
     while (it.hasNext) {
       val hash = it.next().longValue()
-      val h1 = hash.toInt
-      val h2 = (hash >>> 32).toInt
       var i = 0
       while (i < bloom.k) {
-        var combined = h1.toLong + i.toLong * h2.toLong
-        if (combined < 0) combined = ~combined
-        val bit = combined % m
+        val bit = bloomBit(hash, i, m)
         bloom.bits((bit >>> 6).toInt) |= (1L << (bit & 63))
         i += 1
       }
@@ -328,9 +332,12 @@ private[sources] object ZoneMaps {
         val tag = o.path("t").asText()
         val bloom = Option(o.get("bf")).filterNot(_.isNull).flatMap { bf =>
           val k = o.path("bk").asInt(0)
-          val bits = bytesToLongs(java.util.Base64.getDecoder.decode(bf.asText()))
-          // a malformed filter must abstain, never skip
-          if (k <= 0 || k > 64 || bits.isEmpty) None else Some(Bloom(bits, k))
+          val raw = java.util.Base64.getDecoder.decode(bf.asText())
+          // a malformed filter must abstain, never skip: a payload that
+          // is not whole 64-bit words would change the modulus (extra
+          // zero word) and shift every probe position — false negatives
+          if (k <= 0 || k > 64 || raw.isEmpty || raw.length % 8 != 0) None
+          else Some(Bloom(bytesToLongs(raw), k))
         }
         b += e.getKey -> ColStats(tag, readValue(o.get("min"), tag),
           readValue(o.get("max"), tag), o.path("nulls").asLong(0L), bloom)

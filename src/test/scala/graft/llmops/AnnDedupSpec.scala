@@ -202,13 +202,23 @@ class AnnDedupSpec extends AnyFunSuite {
     // ragged dims refuse rather than zero-pad
     val bad = Seq(("a", Seq(1.0, 2.0)), ("a", Seq(1.0, 2.0, 3.0)))
       .toDF("g", "v")
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
     val e = intercept[Exception] {
       bad.groupBy("g").agg(Similarity.meanPool($"v")).collect()
     }
-    def causes(t: Throwable): Seq[Throwable] =
-      if (t == null) Seq.empty else t +: causes(t.getCause)
     assert(causes(e).exists(c => c.getMessage != null &&
       c.getMessage.contains("dimension mismatch")), e.toString)
+    // a zero-LENGTH vector is a dim-0 input, not an uninitialized
+    // buffer: mixing it with dim-2 must raise, never silently restart
+    // accumulation (review-found: [[], [2,4]] used to pool to [1,2])
+    val emptyMix = Seq(("a", Seq.empty[Double]), ("a", Seq(2.0, 4.0)))
+      .toDF("g", "v")
+    val e2 = intercept[Exception] {
+      emptyMix.groupBy("g").agg(Similarity.meanPool($"v")).collect()
+    }
+    assert(causes(e2).exists(c => c.getMessage != null &&
+      c.getMessage.contains("dimension mismatch")), e2.toString)
   }
 
   test("hardNegatives: positives anti-joined out, cos ceiling drops " +
@@ -232,6 +242,16 @@ class AnnDedupSpec extends AnyFunSuite {
       maxCos = 0.9)
       .select("match_id").as[Long].collect().toSet
     assert(!guarded.contains(2L) && guarded.contains(3L))
+    // the DEFAULT ceiling is off: an exact duplicate of the query under
+    // another id (cos rounds to 1.0) is the hardest negative and must
+    // survive when nobody opted into the guard
+    val withDup = vecs.union(Seq((7L, Seq(1.0, 0.0, 0.0, 0.0)))
+      .toDF("vec_id", "embedding"))
+    val dflt = Similarity.hardNegatives(q, withDup,
+      Seq.empty[(Long, Long)].toDF("query_id", "match_id"), k = 10)
+      .orderBy("rnk")
+    assert(dflt.select("match_id").as[Long].collect().head == 7L)
+    assert(dflt.select("cos").as[Double].collect().head == 1.0)
     // the surviving ranking is exactly bruteForceTopK's with the
     // excluded ids removed and ranks recomputed
     val brute = Similarity.bruteForceTopK(q, vecs, k = 10)
