@@ -81,6 +81,73 @@ class ZoneMapPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bloom pruning never loses rows on 40 random hash-layout draws") {
+    // the bloom-specific adversarial sweep: HASH-distributed layouts
+    // (min/max can prove nothing, so the bloom is the only
+    // discriminator), equality-heavy random filters including $in
+    // probes, null-safe equality, absent keys, null literals, and
+    // CROSS-KIND literals (a Double against the i64 bloom must abstain,
+    // never hash-compare). A false negative here is a silently lost row.
+    val rnd = new scala.util.Random(20260815L)
+    for (round <- 1 to 40) {
+      val n = 20 + rnd.nextInt(80)
+      val rows = (0 until n).map { i =>
+        val l: java.lang.Long =
+          if (rnd.nextInt(10) == 0) null else java.lang.Long.valueOf(rnd.nextInt(50) - 25)
+        val s: String =
+          if (rnd.nextInt(10) == 0) null
+          else ("" + ('a' + rnd.nextInt(5)).toChar) * (1 + rnd.nextInt(3))
+        (i.toLong, l, s)
+      }
+      val df = rows.toDF("k", "l", "s").repartition(1 + rnd.nextInt(6), col("k"))
+      val path = tmp()
+      df.write.format("graftdocs")
+        .option("bloomColumns", Seq("l", "s", "l,s", "k,l,s")(rnd.nextInt(4)))
+        .mode("overwrite").save(path)
+      val schema = org.apache.spark.sql.types.StructType(
+        df.schema.map(_.copy(nullable = true)))
+
+      def longLit(): Column =
+        // half in-domain, half absent (absent keys exercise the skip)
+        if (rnd.nextBoolean()) lit((rnd.nextInt(50) - 25).toLong)
+        else lit((1000 + rnd.nextInt(50)).toLong)
+      def strLit(): Column =
+        if (rnd.nextBoolean())
+          lit(("" + ('a' + rnd.nextInt(5)).toChar) * (1 + rnd.nextInt(3)))
+        else lit("zz" + rnd.nextInt(10))
+      def onePred(): Column = rnd.nextInt(10) match {
+        case 0 => col("l") === longLit()
+        case 1 => col("s") === strLit()
+        case 2 => col("l").isin((0 until 1 + rnd.nextInt(4))
+          .map(_ => (rnd.nextInt(60) - 30).toLong): _*)
+        case 3 => col("s").isin("a", "zz9", "bb")
+        case 4 => col("l") <=> longLit()
+        case 5 => col("s") <=> lit(null)
+        case 6 => col("l") === lit(null)
+        // cross-kind: a DOUBLE literal on the i64-bloomed column — the
+        // bloom must abstain and the range stats must judge alone
+        case 7 => col("l") === lit((rnd.nextInt(50) - 25).toDouble)
+        case 8 => col("k") === lit(rnd.nextInt(n).toLong)
+        case _ => col("l").isNotNull
+      }
+      val pred = rnd.nextInt(3) match {
+        case 0 => onePred()
+        case 1 => onePred() && onePred()
+        case _ => onePred() || onePred()
+      }
+      def keys(zonemaps: Boolean): Set[Long] =
+        spark.read.format("graftdocs").schema(schema)
+          .option("zonemaps", zonemaps.toString).load(path)
+          .where(pred).select("k").as[Long].collect().toSet
+      val pruned = keys(zonemaps = true)
+      val full = keys(zonemaps = false)
+      assert(pruned == full,
+        s"round $round: pred=$pred → pruned ${pruned.size} vs full " +
+          s"${full.size}; missing=${(full -- pruned).take(5)} " +
+          s"extra=${(pruned -- full).take(5)}")
+    }
+  }
+
   test("cross-type declared schemas never lose rows to stale stats (20 draws)") {
     val rnd = new scala.util.Random(42L)
     for (round <- 1 to 20) {
