@@ -430,6 +430,56 @@ class DocPartitionSpec extends AnyFunSuite {
     assert(got == Map(Some("a") -> 1L, Some("b") -> 1L, None -> 2L), got.toString)
   }
 
+  test("grouped pushdown equivalence: 25 random layout × aggregate draws") {
+    // adversarial sweep for the metadata-answered GROUP BY: random
+    // corpora (null partition values, null/duplicate doc values, int
+    // and string grouping keys, multi-file groups) must aggregate
+    // identically through the pushdown and through the plain DataFrame
+    val rnd = new scala.util.Random(20260815L)
+    for (round <- 1 to 25) {
+      val n = 10 + rnd.nextInt(60)
+      val stringKey = rnd.nextBoolean()
+      val rows = (0 until n).map { i =>
+        val g: Any =
+          if (rnd.nextInt(8) == 0) null
+          else if (stringKey) "g" + rnd.nextInt(4)
+          else rnd.nextInt(4)
+        val v: java.lang.Long =
+          if (rnd.nextInt(8) == 0) null
+          else java.lang.Long.valueOf(rnd.nextInt(100) - 50)
+        (i.toLong, g, v)
+      }
+      val df =
+        if (stringKey) rows.map(r => (r._1, r._2.asInstanceOf[String], r._3))
+          .toDF("id", "p", "v")
+        else rows.map(r => (r._1,
+            Option(r._2).map(_.asInstanceOf[Int].toString).orNull, r._3))
+          .toDF("id", "p", "v")
+          .withColumn("p", col("p").cast("int"))
+      val path = tmp()
+      df.repartition(1 + rnd.nextInt(4))
+        .write.format("graftdocs").option("partitionBy", "p")
+        .mode("overwrite").save(path)
+      val schema = org.apache.spark.sql.types.StructType(
+        df.schema.map(_.copy(nullable = true)))
+      val back = spark.read.format("graftdocs").schema(schema).load(path)
+      val aggSet = rnd.nextInt(4) match {
+        case 0 => Seq(count(lit(1)).as("a"))
+        case 1 => Seq(min("v").as("a"), max("v").as("b"))
+        case 2 => Seq(count(lit(1)).as("a"), max("id").as("b"))
+        case _ => Seq(min("p").as("a"), count("v").as("b"))
+      }
+      def rowsOf(d: org.apache.spark.sql.DataFrame): Set[String] =
+        d.groupBy("p").agg(aggSet.head, aggSet.tail: _*)
+          .collect().map(_.toString).toSet
+      val got = rowsOf(back)
+      val expect = rowsOf(df)
+      assert(got == expect,
+        s"round $round (stringKey=$stringKey, aggs=${aggSet.size}): " +
+          s"missing=${(expect -- got).take(3)} extra=${(got -- expect).take(3)}")
+    }
+  }
+
   test("date partition filters prune correctly under java8 datetime API") {
     val df = Seq(
       (1L, java.sql.Date.valueOf("2024-01-01")),
