@@ -2288,7 +2288,7 @@ private[sources] class GraftWriteBuilder(info: LogicalWriteInfo)
       // for hash-distributed layouts (point lookups / $in probes open
       // only admitting files). Opt-in like parquet's per-column bloom
       // enablement; only exact-hashable kinds qualify (integral,
-      // string — see ZoneMaps.bloomHash).
+      // string, date, timestamp — see ZoneMaps.bloomHash).
       val bloomColumns: Set[String] = Option(options.get("bloomcolumns"))
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
         .getOrElse(Set.empty)
@@ -2301,11 +2301,11 @@ private[sources] class GraftWriteBuilder(info: LogicalWriteInfo)
           throw new IllegalArgumentException(
             s"graftdocs write: bloomColumns column '$c' not in schema"))
         val tag = ZoneMaps.tagOf(fd.dataType)
-        if (!tag.exists(t => t == "i64" || t == "str"))
+        if (!tag.exists(ZoneMaps.BloomableTags))
           throw new IllegalArgumentException(
             s"graftdocs write: bloomColumns column '$c' has " +
               s"non-bloomable type ${fd.dataType.simpleString} " +
-              "(integral and string columns only)")
+              "(integral, string, date, and timestamp columns only)")
       }
       if (bloomColumns.nonEmpty && !options.getBoolean("zonemaps", true))
         throw new IllegalArgumentException(

@@ -81,11 +81,18 @@ private[sources] object ZoneMaps {
     combined % m
   }
 
+  /** Column tags that may carry a Bloom filter: kinds whose canonical
+    * form hashes unambiguously (see [[bloomHash]]). */
+  private[sources] val BloomableTags = Set("i64", "str", "date", "ts", "ntz")
+
   /** xxhash64 of a value under its column tag — defined ONLY for kinds
     * whose canonical form is unambiguous across writer and filter
-    * literal (integral i64, UTF-8 str). Everything else returns None
-    * and the Bloom verdict abstains (cross-type literals like 5.0
-    * against an i64 column must never hash-compare). */
+    * literal: integral i64, UTF-8 str, and the datetime kinds through
+    * their EXACT integer forms (epoch day / epoch micros — the same
+    * integers Catalyst stores, in both java.sql and java.time literal
+    * spellings). Everything else returns None and the Bloom verdict
+    * abstains (cross-type literals like 5.0 against an i64 column must
+    * never hash-compare). */
   private[sources] def bloomHash(tag: String, v: Any): Option[Long] =
     (tag, v) match {
       case ("i64", n: Byte)  => Some(XXH64.hashLong(n.toLong, BloomSeed))
@@ -95,6 +102,23 @@ private[sources] object ZoneMaps {
       case ("str", s: String) =>
         val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
         Some(XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes,
+          BloomSeed))
+      case ("date", d: java.time.LocalDate) =>
+        Some(XXH64.hashLong(d.toEpochDay, BloomSeed))
+      case ("date", d: java.sql.Date) => // toLocalDate inverts the same
+        // default-TZ rendering Catalyst used to build the literal
+        Some(XXH64.hashLong(d.toLocalDate.toEpochDay, BloomSeed))
+      case ("ts", t: java.time.Instant) =>
+        Some(XXH64.hashLong(
+          org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(t),
+          BloomSeed))
+      case ("ts", t: java.sql.Timestamp) =>
+        Some(XXH64.hashLong(
+          org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t),
+          BloomSeed))
+      case ("ntz", t: java.time.LocalDateTime) =>
+        Some(XXH64.hashLong(
+          org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateTimeToMicros(t),
           BloomSeed))
       case _ => None
     }
@@ -179,7 +203,7 @@ private[sources] object ZoneMaps {
       var poisoned: Boolean = false // oversized string: stats unsound, drop
       // distinct value hashes for the Bloom sidecar; null = not requested
       val hashes: java.util.HashSet[java.lang.Long] =
-        if (bloomCols.contains(name) && (tag == "i64" || tag == "str"))
+        if (bloomCols.contains(name) && BloomableTags(tag))
           new java.util.HashSet[java.lang.Long]()
         else null
     }

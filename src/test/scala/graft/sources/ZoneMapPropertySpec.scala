@@ -97,12 +97,16 @@ class ZoneMapPropertySpec extends AnyFunSuite {
         val s: String =
           if (rnd.nextInt(10) == 0) null
           else ("" + ('a' + rnd.nextInt(5)).toChar) * (1 + rnd.nextInt(3))
-        (i.toLong, l, s)
+        val dt: java.sql.Date =
+          if (rnd.nextInt(10) == 0) null
+          else java.sql.Date.valueOf(f"2024-01-${1 + rnd.nextInt(20)}%02d")
+        (i.toLong, l, s, dt)
       }
-      val df = rows.toDF("k", "l", "s").repartition(1 + rnd.nextInt(6), col("k"))
+      val df = rows.toDF("k", "l", "s", "dt").repartition(1 + rnd.nextInt(6), col("k"))
       val path = tmp()
       df.write.format("graftdocs")
-        .option("bloomColumns", Seq("l", "s", "l,s", "k,l,s")(rnd.nextInt(4)))
+        .option("bloomColumns",
+          Seq("l", "s", "l,s", "k,l,s,dt", "dt")(rnd.nextInt(5)))
         .mode("overwrite").save(path)
       val schema = org.apache.spark.sql.types.StructType(
         df.schema.map(_.copy(nullable = true)))
@@ -115,7 +119,11 @@ class ZoneMapPropertySpec extends AnyFunSuite {
         if (rnd.nextBoolean())
           lit(("" + ('a' + rnd.nextInt(5)).toChar) * (1 + rnd.nextInt(3)))
         else lit("zz" + rnd.nextInt(10))
-      def onePred(): Column = rnd.nextInt(10) match {
+      def dateLit(): Column =
+        if (rnd.nextBoolean())
+          lit(java.sql.Date.valueOf(f"2024-01-${1 + rnd.nextInt(20)}%02d"))
+        else lit(java.sql.Date.valueOf("2030-06-15")) // absent
+      def onePred(): Column = rnd.nextInt(12) match {
         case 0 => col("l") === longLit()
         case 1 => col("s") === strLit()
         case 2 => col("l").isin((0 until 1 + rnd.nextInt(4))
@@ -128,6 +136,9 @@ class ZoneMapPropertySpec extends AnyFunSuite {
         // bloom must abstain and the range stats must judge alone
         case 7 => col("l") === lit((rnd.nextInt(50) - 25).toDouble)
         case 8 => col("k") === lit(rnd.nextInt(n).toLong)
+        case 9 => col("dt") === dateLit()
+        case 10 => col("dt").isin(
+          java.sql.Date.valueOf("2024-01-03"), java.sql.Date.valueOf("2024-01-11"))
         case _ => col("l").isNotNull
       }
       val pred = rnd.nextInt(3) match {

@@ -464,6 +464,41 @@ class ZoneMapSpec extends AnyFunSuite {
       "Integer literal must hash like the written Long")
   }
 
+  test("bloom: date and timestamp keys skip in-range gaps; both literal spellings consult") {
+    import org.apache.spark.sql.sources.{EqualTo => Eq}
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("d",
+        org.apache.spark.sql.types.DateType),
+      org.apache.spark.sql.types.StructField("t",
+        org.apache.spark.sql.types.TimestampType)))
+    val coll = new ZoneMaps.Collector(schema, Set("d", "t"))
+    // dates 2024-01-01 and 2024-01-03 (gap at -02); matching instants
+    Seq("2024-01-01", "2024-01-03").foreach { s =>
+      coll.update(org.apache.spark.sql.Row(
+        java.sql.Date.valueOf(s),
+        java.sql.Timestamp.valueOf(s + " 10:00:00")))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom_d")
+    val dataF = dir.resolve("d.jsonl")
+    java.nio.file.Files.write(dataF, Array.fill[Byte](9)('x'))
+    java.nio.file.Files.write(dir.resolve("d.jsonl.zmap"), coll.encode(9L))
+    val fs = new org.apache.hadoop.fs.Path(dataF.toString)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val cols = ZoneMaps.load(fs, dataF.toString, 9L).get.cols
+    // the in-range GAP date — invisible to min/max — is bloom-skipped,
+    // in BOTH the java.sql and java.time literal spellings
+    assert(!ZoneMaps.mayMatch(Eq("d", java.sql.Date.valueOf("2024-01-02")), cols))
+    assert(!ZoneMaps.mayMatch(Eq("d", java.time.LocalDate.parse("2024-01-02")), cols))
+    assert(ZoneMaps.mayMatch(Eq("d", java.sql.Date.valueOf("2024-01-03")), cols))
+    assert(ZoneMaps.mayMatch(Eq("d", java.time.LocalDate.parse("2024-01-01")), cols))
+    // timestamps: present instants admit in both spellings, gaps skip
+    val present = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    assert(ZoneMaps.mayMatch(Eq("t", present), cols))
+    assert(ZoneMaps.mayMatch(Eq("t", present.toInstant), cols))
+    assert(!ZoneMaps.mayMatch(
+      Eq("t", java.sql.Timestamp.valueOf("2024-01-02 10:00:00")), cols))
+  }
+
   test("bloom: option validation fails loudly") {
     val df = orders.limit(10)
     def expectBad(w: => Unit, frag: String): Unit = {
