@@ -31,9 +31,14 @@ import org.apache.spark.sql.types._
   * field IS a declared struct member (vanishingly rare), the captured
   * value replays through a fresh parser — same single coercion path.
   *
-  * Documented divergences from the tree path (same as BsonVectorDecoder):
-  * duplicate field names keep the FIRST value (ObjectNode keeps the
-  * last); a >64-bit integer literal inside `$date` follows BigInteger
+  * Duplicate field names keep the LAST value, exactly like the tree path
+  * (ObjectNode.set overwrites): the duplicate decodes through the normal
+  * writer — appending one slot past the row's value — and [[copyBackLast]]
+  * copies it back over the first occurrence and drops the extra slot.
+  * Duplicates are rare, so the hot path pays only the `seen` branch it
+  * already had. (BsonVectorDecoder stays first-wins: BSON field names are
+  * spec-unique, so no real stream hits the case.) Remaining documented
+  * divergence: a >64-bit integer literal inside `$date` follows BigInteger
   * semantics via explicit BigInteger parse, as the tree does.
   */
 private[graft] object JsonVectorDecoder {
@@ -520,9 +525,11 @@ private[graft] object JsonVectorDecoder {
                   val nm = p.currentName()
                   p.nextToken()
                   val j = subIdx.get(nm)
-                  if (j != null && !seen(j)) {
+                  if (j != null) {
                     subWriters(j).write(p, v.getChild(j))
-                    seen(j) = true
+                    if (seen(j))
+                      copyBackLast(v.getChild(j), subWriters(j).field.dataType)
+                    else seen(j) = true
                   } else p.skipChildren()
                   t = p.nextToken()
                 }
@@ -574,6 +581,60 @@ private[graft] object JsonVectorDecoder {
     }
   }
 
+  // ---- duplicate-key last-wins ---------------------------------------------
+
+  /** After a duplicate declared field decoded through its writer (landing
+    * at slot n-1, one past the row's first occurrence at n-2), copy the
+    * new element back over the old one and release the extra slot. Copies
+    * are pointer-level for variable-width data (`putArray` re-targets the
+    * row at the duplicate's bytes; the orphaned first-occurrence bytes in
+    * the child buffer are unreachable, same as any overwritten slot). */
+  private[bson] def copyBackLast(v: WritableColumnVector, dt: DataType): Unit = {
+    val n = v.getElementsAppended
+    copyElement(v, dt, n - 1, n - 2)
+    shrink(v, dt)
+  }
+
+  private def copyElement(v: WritableColumnVector, dt: DataType,
+                          from: Int, to: Int): Unit = {
+    if (v.isNullAt(from)) { v.putNull(to); return }
+    v.putNotNull(to)
+    dt match {
+      case BooleanType => v.putBoolean(to, v.getBoolean(from))
+      case IntegerType | DateType => v.putInt(to, v.getInt(from))
+      case LongType | TimestampType | TimestampNTZType =>
+        v.putLong(to, v.getLong(from))
+      case DoubleType => v.putDouble(to, v.getDouble(from))
+      case d: DecimalType => // mirrors VectorAppend.unscaled's layout
+        if (d.precision <= Decimal.MAX_INT_DIGITS) v.putInt(to, v.getInt(from))
+        else if (d.precision <= Decimal.MAX_LONG_DIGITS) v.putLong(to, v.getLong(from))
+        else v.putArray(to, v.getArrayOffset(from), v.getArrayLength(from))
+      case StringType | BinaryType | ArrayType(_, _) =>
+        v.putArray(to, v.getArrayOffset(from), v.getArrayLength(from))
+      case st: StructType =>
+        st.fields.zipWithIndex.foreach { case (f, i) =>
+          copyElement(v.getChild(i), f.dataType, from, to)
+        }
+      case NullType => () // NullType rows are always null; unreachable here
+      case other => throw new GraftTypeError(s"unsupported declared type $other")
+    }
+  }
+
+  /** Drop the last appended element. Struct children each carry one
+    * element per parent row (appendStruct(true) null-fills them), so the
+    * decrement recurses; array/string child buffers keep their bytes —
+    * only the row slot is released. */
+  private def shrink(v: WritableColumnVector, dt: DataType): Unit = {
+    v.addElementsAppended(-1)
+    dt match {
+      case st: StructType =>
+        st.fields.zipWithIndex.foreach { case (f, i) =>
+          shrink(v.getChild(i), f.dataType)
+        }
+      case _ => ()
+    }
+  }
+
   /** Walk one document line: parser freshly created over the line bytes.
     * A non-object root decodes as an all-null row (the tree path's
     * `node.get(name)` returns null for every field). */
@@ -589,9 +650,10 @@ private[graft] object JsonVectorDecoder {
         val name = p.currentName()
         p.nextToken()
         val j = fieldIdx.get(name)
-        if (j != null && !seen(j)) {
+        if (j != null) {
           writers(j).write(p, vectors(j))
-          seen(j) = true
+          if (seen(j)) copyBackLast(vectors(j), writers(j).field.dataType)
+          else seen(j) = true
         } else p.skipChildren()
         t = p.nextToken()
       }

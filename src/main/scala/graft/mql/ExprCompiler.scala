@@ -297,6 +297,11 @@ object ExprCompiler {
       }
       case "$not" => v match {
         case JArray(List(one)) => !coalesce(asCond(one, env), lit(false))
+        // Mongo: "Expression $not takes exactly 1 arguments" — without
+        // this arm a 2-element array would compile as an array literal,
+        // whose truthiness is constant-true, i.e. silently false
+        case JArray(es) => throw new MqlException(
+          s"Expression $$not takes exactly 1 arguments. ${es.length} were passed in.")
         case _ => !coalesce(asCond(v, env), lit(false))
       }
 

@@ -136,6 +136,38 @@ object Decode {
               WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000.0
               GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    // Parallel-cursor wire read (LIVE_CONNECTOR.md item 3, reference
+    // api.py:181-199 thread-pool cursors): the client plans key ranges
+    // from server-side quantiles, sends one find per range (the range
+    // rides as an $and conjunct), and decodes all landed batch files
+    // through ONE graftdocs scan — each cursor one Spark partition.
+    // Half-open ranges share endpoints, so the union is exactly the
+    // collection; the oracle replays the predicate on the source table.
+    QueryDef("q_wire_find_parallel",
+      (s, dir) => {
+        val store = new graft.sinks.DocStore(s,
+          java.nio.file.Files.createTempDirectory("graft_wirepq").toString,
+          "graftdocs")
+        store.write(Graft.table(s, dir, "customer")
+          .select("c_custkey", "c_mktsegment", "c_acctbal"), "customer")
+        val server = new graft.sources.DocWire.Server(s, store)
+        try {
+          graft.sources.DocWire.findParallel(s, "127.0.0.1", server.port,
+            "customer", splitKey = "c_custkey", numSplits = 4,
+            filters = Seq(org.apache.spark.sql.sources.GreaterThan("c_acctbal", 0.0)))
+            .groupBy(col("c_mktsegment"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+                .cast(org.apache.spark.sql.types.DoubleType).as("sum_bal"))
+            .orderBy("c_mktsegment")
+        } finally server.stop()
+      },
+      Some("""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+              FROM customer
+              WHERE c_acctbal > 0.0
+              GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
     // SQL-catalog loop: the same document collection resolved through
     // the GraftCatalog TableCatalog (spark.sql over `<cat>.<coll>` —
     // the session-catalog twin of the reference's database[collection]

@@ -168,21 +168,38 @@ final class DocStore(val spark: SparkSession, val dir: String,
     val root = new Path(dir)
     val f = fs
     if (!f.exists(root)) return 0
-    f.listStatus(root).count { st =>
-      val n = st.getPath.getName
-      if (!st.isDirectory) false
-      else if (n.startsWith(".graft_stage_")) f.delete(st.getPath, true)
-      else if (n.startsWith(".graft_old_")) {
-        // `.graft_old_<name>_<nanos>`: the collection name may itself
-        // contain '_', so split on the LAST separator
-        val base = n.stripPrefix(".graft_old_")
+    val entries = f.listStatus(root).filter(_.isDirectory)
+    val stages = entries.filter(_.getPath.getName.startsWith(".graft_stage_"))
+    var removed = stages.count(st => f.delete(st.getPath, true))
+    // `.graft_old_<name>_<nanos>`: the collection name may itself contain
+    // '_', so split on the LAST separator. Two crashes mid-swap with a
+    // successful write between can leave SEVERAL asides for one
+    // collection — when the live copy is absent, the aside with the
+    // LARGEST nanos suffix is the most recent committed data and is the
+    // one restored; only the older ones are superseded. (Restoring in
+    // listing order would resurrect the oldest and then delete the
+    // newest as "superseded" — deterministic data loss.)
+    val asides = entries
+      .filter(_.getPath.getName.startsWith(".graft_old_"))
+      .map { st =>
+        val base = st.getPath.getName.stripPrefix(".graft_old_")
         val cut = base.lastIndexOf('_')
         val coll = if (cut > 0) base.substring(0, cut) else base
-        val live = new Path(path(coll))
-        if (f.exists(live)) f.delete(st.getPath, true) // superseded copy
-        else { f.rename(st.getPath, live): Unit; false } // crash recovery
-      } else false
+        val nanos =
+          if (cut > 0) scala.util.Try(base.substring(cut + 1).toLong)
+            .getOrElse(Long.MinValue)
+          else Long.MinValue
+        (coll, nanos, st.getPath)
+      }
+    asides.groupBy(_._1).foreach { case (coll, group) =>
+      val live = new Path(path(coll))
+      val sorted = group.sortBy(-_._2)
+      val survivors =
+        if (f.exists(live)) sorted // all superseded
+        else { f.rename(sorted.head._3, live): Unit; sorted.tail }
+      removed += survivors.count(g => f.delete(g._3, true))
     }
+    removed
   }
 
   /** Commit-tag carrier file inside a collection: `_`-prefixed, so both

@@ -308,4 +308,41 @@ class JsonVectorParitySpec extends AnyFunSuite {
         s"round $round schema ${schema.simpleString}")
     }
   }
+
+  test("duplicate keys keep the LAST value, direct ≡ tree (top level + struct)") {
+    val schema = StructType(Seq(
+      StructField("i", IntegerType),
+      StructField("s", StringType),
+      StructField("d", DoubleType),
+      StructField("dec", DecimalType(38, 10)),
+      StructField("arr", ArrayType(LongType)),
+      StructField("st", StructType(Seq(
+        StructField("x", LongType), StructField("y", StringType))))))
+    val lines = Seq(
+      // scalar dups: last wins, including null-as-last and value-after-null
+      """{"i": 1, "i": 2, "s": "first", "s": "last", "d": 0.5, "d": null, "dec": 1.5, "dec": 2.5}""",
+      """{"i": null, "i": 7, "s": null, "s": "late", "d": null, "d": 9.75}""",
+      // triple dup; variable-width growth (longer string later)
+      """{"i": 1, "i": 2, "i": 3, "s": "a", "s": "a-much-longer-replacement-value"}""",
+      // container dups: whole array / whole struct replaced
+      """{"arr": [1, 2, 3], "arr": [9], "st": {"x": 1, "y": "old"}, "st": {"x": 2, "y": "new"}}""",
+      // dup INSIDE a struct; dup struct where the later one is null
+      """{"st": {"x": 1, "x": 5, "y": "k", "y": "kk"}, "arr": [1], "arr": null}""",
+      """{"st": {"x": 3, "y": "keep"}, "st": null, "i": 4, "i": 6}""",
+      // interleaved dups across two fields
+      """{"i": 1, "s": "p", "i": 2, "s": "q", "i": 3}""")
+    val (direct, tree) = bothPaths(lines, schema)
+    assert(direct == tree && direct.length == 7)
+    // pin the semantics, not just parity: spot-check last-wins values
+    val mapper = graft.bson.DocDecoder.newMapper()
+    val r0 = mapper.readTree(direct.head)
+    assert(r0.get("i").asInt == 2 && r0.get("s").asText == "last"
+      && r0.get("d").isNull && r0.get("dec").asDouble == 2.5)
+    val r3 = mapper.readTree(direct(3))
+    assert(r3.get("arr").size == 1 && r3.get("arr").get(0).asLong == 9L
+      && r3.get("st").get("x").asLong == 2L && r3.get("st").get("y").asText == "new")
+    val r4 = mapper.readTree(direct(4))
+    assert(r4.get("st").get("x").asLong == 5L
+      && r4.get("st").get("y").asText == "kk" && r4.get("arr").isNull)
+  }
 }

@@ -372,6 +372,11 @@ class ExprCompilerSpec extends AnyFunSuite {
     assert(eval("""{"$allElementsTrue": [["false", "0", ""]]}""") == true)
     intercept[MqlException](eval("""{"$setEquals": [[1, 2]]}"""))
     intercept[MqlException](eval("""{"$setIsSubset": [[1], [1], [1]]}"""))
+    // $not takes exactly 1 argument (server error 16020) — a 2-element
+    // array must raise, not compile to truthy(array-literal) = constant
+    assert(eval("""{"$not": [0]}""") == true)
+    intercept[MqlException](eval("""{"$not": [1, 1]}"""))
+    intercept[MqlException](eval("""{"$not": []}"""))
     assert(eval("""{"$type": "abc"}""") == "string")
     assert(eval("""{"$type": 5}""") == "int")
     assert(eval("""{"$type": 5.5}""") == "double")

@@ -278,4 +278,33 @@ class DocStoreVersionSpec extends AnyFunSuite {
     s.vacuum(): Unit
     assert(!aside2.exists && live.exists)
   }
+
+  test("vacuum with MULTIPLE asides recovers the NEWEST, reaps older ones") {
+    val s = newStore("parquet")
+    val root = new java.io.File(s.dir)
+    val live = new java.io.File(s.path("c"))
+    // two crashes mid-swap with a successful write between: two asides
+    // for the same collection, no live copy. The larger nanos suffix is
+    // the most recent committed data — IT must come back live; restoring
+    // in lexicographic listing order would resurrect the older one and
+    // delete the newer as "superseded" (deterministic data loss).
+    s.write(df(1L -> "old"), "c")
+    assert(live.renameTo(new java.io.File(root, ".graft_old_c_111")))
+    s.write(df(2L -> "new"), "c")
+    assert(live.renameTo(new java.io.File(root, ".graft_old_c_999")))
+    assert(!live.exists)
+    s.vacuum(): Unit
+    assert(live.exists && ids(s.read("c")) == Set(2L),
+      "vacuum restored a stale aside over the most recent committed data")
+    assert(!new java.io.File(root, ".graft_old_c_111").exists
+      && !new java.io.File(root, ".graft_old_c_999").exists)
+    // underscore-bearing collection names still split on the LAST '_'
+    s.write(df(3L -> "x"), "my_coll")
+    val liveU = new java.io.File(s.path("my_coll"))
+    assert(liveU.renameTo(new java.io.File(root, ".graft_old_my_coll_5")))
+    s.write(df(4L -> "y"), "my_coll")
+    assert(liveU.renameTo(new java.io.File(root, ".graft_old_my_coll_7")))
+    s.vacuum(): Unit
+    assert(liveU.exists && ids(s.read("my_coll")) == Set(4L))
+  }
 }

@@ -95,7 +95,70 @@ class DocWireSpec extends AnyFunSuite {
       assert(wire.count() == 7)
       assert(GraftScanMetrics.direct.sum() > 0,
         "wire batches did not decode through the direct BSON path")
-      assert(server.lastRequest.contains("\"limit\": 7"))
+      assert(server.lastRequest.contains("\"limit\":7"))
+    } finally server.stop()
+  }
+
+  test("parallel cursors: N range requests, union ≡ local scan, no row twice") {
+    val (store, server) = fixture()
+    try {
+      val before = server.requests.size
+      val filters: Seq[Filter] = Seq(GreaterThan("value", 0.1))
+      val wire = DocWire.findParallel(spark, "127.0.0.1", server.port,
+        "events", splitKey = "event_id", numSplits = 4, filters = filters)
+      val local = store.read("events").where(col("value") > 0.1)
+      assert(canon(wire) == canon(local) && wire.count() > 0)
+      val reqs = server.requests.drop(before)
+      // one splits-planning request + one find per range
+      val finds = reqs.filter(_.contains("\"find\""))
+      assert(reqs.exists(_.contains("\"splits\"")))
+      assert(finds.size == 4, s"expected 4 range cursors, got: $finds")
+      // every find carries BOTH the user filter and its range conjunct
+      assert(finds.forall(r => r.contains("\"$gt\":0.1") && r.contains("event_id")))
+      assert(finds.count(_.contains("\"$or\"")) == 1)   // null-absorbing first range
+      assert(finds.count(_.contains("\"$gte\"")) == 3)  // lower-bounded ranges
+      // each landed batch file is one partition of a single scan
+      assert(wire.rdd.getNumPartitions == 4)
+    } finally server.stop()
+  }
+
+  test("parallel cursors: residuals re-apply client-side after the union") {
+    val (store, server) = fixture()
+    try {
+      val filters: Seq[Filter] = Seq(Not(EqualTo("event_type", "view")))
+      val wire = DocWire.findParallel(spark, "127.0.0.1", server.port,
+        "events", splitKey = "user_id", numSplits = 3, filters = filters)
+      val local = store.read("events").where(!(col("event_type") === "view"))
+      assert(canon(wire) == canon(local) && wire.count() > 0)
+      assert(server.requests.filter(_.contains("\"find\""))
+        .forall(!_.contains("view")), "residual leaked onto the wire")
+    } finally server.stop()
+  }
+
+  test("server rejects a request missing 'find' with a clear error") {
+    val (_, server) = fixture()
+    try {
+      val conn = new java.net.Socket("127.0.0.1", server.port)
+      try {
+        conn.getOutputStream.write(
+          "{\"filter\":{}}\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        conn.getOutputStream.flush()
+        conn.shutdownOutput()
+        val line = new java.io.BufferedReader(new java.io.InputStreamReader(
+          conn.getInputStream)).readLine()
+        assert(line.contains("wireError") && line.contains("missing 'find'"))
+      } finally conn.close()
+    } finally server.stop()
+  }
+
+  test("collection names with quotes escape instead of corrupting the frame") {
+    val (store, server) = fixture()
+    try {
+      val weird = "ev\"ents"
+      store.write(store.read("events").limit(10), weird)
+      val wire = DocWire.find(spark, "127.0.0.1", server.port, weird)
+      assert(wire.count() == 10)
+      assert(server.lastRequest.contains("\"find\":\"ev\\\"ents\""))
     } finally server.stop()
   }
 }
