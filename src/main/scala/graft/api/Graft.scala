@@ -85,9 +85,12 @@ object Graft {
     // refused loudly inside the compiler
     val collation = options.get("collation").map(c =>
       FilterCompiler.Collation.parse(c.toString))
-    stripOptions(options - "let" - "collation", StrippedAggOptions, "aggregate")
+    // opt-in row-identity assertion (see aggregate's uniqueKey)
+    val uniqueKey = options.get("uniqueKey").map(_.toString)
+    stripOptions(options - "let" - "collation" - "uniqueKey",
+      StrippedAggOptions, "aggregate")
     FilterCompiler.withCollation(collation)(
-      aggregate(df, pipelineJson, letJson))
+      aggregate(df, pipelineJson, letJson, uniqueKey))
   }
 
   /** events.ts normalization: fixture generations have shipped the
@@ -209,22 +212,35 @@ object Graft {
     * referenced as $$name anywhere in the pipeline; lambda/`$let`
     * variables shadow them. */
   def aggregate(df: DataFrame, pipelineJson: String,
-                letJson: Option[String] = None): DataFrame = letJson match {
-    case None => PipelineCompiler.run(df, pipelineJson)
-    case Some(l) =>
-      val vars = Mql.asObj(Mql.parse(l), "let").map { case (k, v) =>
-        if (!k.matches("[a-z][A-Za-z0-9_]*")) throw new MqlException(
-          s"let: variable name '$k' must start with a lowercase letter")
-        k -> graft.mql.ExprCompiler.compile(v, Map.empty)
-      }.toMap
-      graft.mql.ExprCompiler.withLetVars(vars)(
-        PipelineCompiler.run(df, pipelineJson))
+                letJson: Option[String] = None,
+                uniqueKey: Option[String] = None): DataFrame = {
+    // `uniqueKey` asserts the named column is unique+non-null per input
+    // row (Mongo's `_id` contract) — $lookup/$graphLookup then use it as
+    // the regroup row identity instead of a frozen synthetic id, skipping
+    // the full-input localCheckpoint materialization (PipelineCompiler.run)
+    def run0 = PipelineCompiler.run(df, pipelineJson,
+      name => throw new MqlException(s"no table resolver provided for '$name'"),
+      uniqueKey)
+    letJson match {
+      case None => run0
+      case Some(l) =>
+        val vars = Mql.asObj(Mql.parse(l), "let").map { case (k, v) =>
+          if (!k.matches("[a-z][A-Za-z0-9_]*")) throw new MqlException(
+            s"let: variable name '$k' must start with a lowercase letter")
+          k -> graft.mql.ExprCompiler.compile(v, Map.empty)
+        }.toMap
+        graft.mql.ExprCompiler.withLetVars(vars)(run0)
+    }
   }
 
   def aggregate(spark: SparkSession, dir: String, collection: String,
-                pipelineJson: String): DataFrame = {
+                pipelineJson: String): DataFrame =
+    aggregate(spark, dir, collection, pipelineJson, None)
+
+  def aggregate(spark: SparkSession, dir: String, collection: String,
+                pipelineJson: String, uniqueKey: Option[String]): DataFrame = {
     val resolve = tables(spark, dir)
-    PipelineCompiler.run(resolve(collection), pipelineJson, resolve)
+    PipelineCompiler.run(resolve(collection), pipelineJson, resolve, uniqueKey)
   }
 
   /** aggregate with a `$out`/`$merge` tail — the server-side write the

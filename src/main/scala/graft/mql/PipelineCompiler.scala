@@ -40,7 +40,23 @@ object PipelineCompiler {
   def run(df: DataFrame, pipelineJson: String): DataFrame =
     run(df, pipelineJson, noTables)
 
-  def run(df: DataFrame, pipelineJson: String, resolve: TableResolver): DataFrame = {
+  def run(df: DataFrame, pipelineJson: String, resolve: TableResolver): DataFrame =
+    run(df, pipelineJson, resolve, None)
+
+  /** `uniqueKey` is the caller's assertion that the named input column is
+    * UNIQUE and NON-NULL per row (Mongo's `_id` collection contract).
+    * With it, `$lookup`/`$graphLookup` use the column itself as the
+    * regroup row identity instead of `monotonically_increasing_id` +
+    * eager `localCheckpoint(true)`: the identity is then stable by
+    * construction (pure data, no partition-dependent ids), so the
+    * full-input materialization the freeze costs at scale disappears.
+    * Uniqueness is tracked conservatively across stages ([[keyAfter]]);
+    * any stage that may duplicate rows or rewrite the column drops the
+    * assertion and the keyless freeze returns for later lookups.
+    * Supplying a column that is NOT unique+non-null attaches match
+    * arrays to the wrong rows — same as duplicate `_id`s in Mongo. */
+  def run(df: DataFrame, pipelineJson: String, resolve: TableResolver,
+          uniqueKey: Option[String]): DataFrame = {
     val stages = parseStages(pipelineJson)
     // mirror reference api.py:235-240: refuse server-side-write tails
     // (runWithWrites is the explicit opt-in that executes them)
@@ -49,7 +65,11 @@ object PipelineCompiler {
         throw new MqlException(s"$op is not supported (reference rejects it too)")
       case _ =>
     }
-    runStages(df, stages, resolve)
+    uniqueKey.foreach { k =>
+      if (!df.columns.contains(k))
+        throw new MqlException(s"uniqueKey: no input column '$k'")
+    }
+    runStages(df, stages, resolve, uniqueKey)
   }
 
   /** Executes a pipeline ENDING in `$out`/`$merge`: the prefix compiles
@@ -87,7 +107,8 @@ object PipelineCompiler {
     }
 
   private def runStages(df: DataFrame, stages: List[JValue],
-                        resolve: TableResolver): DataFrame = {
+                        resolve: TableResolver,
+                        uniqueKey0: Option[String] = None): DataFrame = {
     // $documents replaces the input wholesale, so Mongo (and we) only
     // allow it first
     stages.zipWithIndex.foreach {
@@ -98,9 +119,10 @@ object PipelineCompiler {
       case _ =>
     }
     // a $sort immediately before $group makes $first/$last deterministic
-    // (compiled to min_by/max_by over the sort key)
-    stages.zipWithIndex.foldLeft((df, Option.empty[JValue])) {
-      case ((acc, prevSort), (s, i)) =>
+    // (compiled to min_by/max_by over the sort key); the unique-key
+    // assertion survives only through stages keyAfter proves safe
+    stages.zipWithIndex.foldLeft((df, Option.empty[JValue], uniqueKey0)) {
+      case ((acc, prevSort, key), (s, i)) =>
       asObj(s, "stage") match {
         case List(("$group", spec)) =>
           // $group rides its own dispatch (prevSort threading) — apply
@@ -110,15 +132,86 @@ object PipelineCompiler {
               "collation: $group under a case-insensitive collation is " +
                 "unsupported (its string grouping equality would silently " +
                 "ignore the collation)")
-          (group(acc, asObj(spec, "$group"), prevSort), None)
+          (group(acc, asObj(spec, "$group"), prevSort), None, None)
         case List((name, spec)) =>
           // remaining stages feed the $lookup foreign-side projection
           // pushdown (LookupPrune); other stages ignore the lookahead
-          (applyStage(acc, name, spec, resolve, stages.drop(i + 1)),
-            if (name == "$sort") Some(spec) else None)
+          (applyStage(acc, name, spec, resolve, stages.drop(i + 1), key),
+            if (name == "$sort") Some(spec) else None,
+            keyAfter(name, spec, key))
         case other => throw new MqlException(s"stage must have exactly one key: $other")
       }
     }._1
+  }
+
+  /** Re-executing a plan yields the same ROW SET only when no operator
+    * picks an arbitrary subset (limit/offset/sample take whatever arrives
+    * first under scheduling) and every expression is deterministic. The
+    * unique-key fast path needs this on the id-bearing side — it executes
+    * twice (keys + regroup join), and a shifting row set would attach
+    * empty arrays to rows the other execution never saw. Checked
+    * dynamically at the freeze site, so it also covers nondeterminism in
+    * the caller's input plan that stage tracking can't see. */
+  private def stableRowSet(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      GlobalLimit, LocalLimit, Offset, Sample}
+    df.queryExecution.analyzed.collectFirst {
+      case _: GlobalLimit | _: LocalLimit | _: Sample | _: Offset => ()
+      case p if p.expressions.exists(e => !e.deterministic) => ()
+    }.isEmpty
+  }
+
+  /** Unique-key preservation across one stage: `Some(k)` survives only
+    * when the stage provably neither duplicates/creates rows nor
+    * rewrites column `k` (whole or a subfield — pruning a subfield of a
+    * struct key can collapse distinct values). Conservative: any stage
+    * or spec shape not proven safe drops to None, and the keyless
+    * localCheckpoint freeze returns for downstream lookups. */
+  private def keyAfter(name: String, spec: JValue,
+                       key: Option[String]): Option[String] = key.filter { k =>
+    def specObj: List[(String, JValue)] =
+      scala.util.Try(asObj(spec, name)).getOrElse(Nil)
+    def subpath(n: String): Boolean = n == k || n.startsWith(k + ".")
+    name match {
+      // row-preserving (filter/reorder/prefix), no column rewrites
+      case "$match" | "$sort" | "$limit" | "$skip" | "$sample" => true
+      case "$addFields" | "$set" => !specObj.exists { case (n, _) => subpath(n) }
+      case "$unset" =>
+        val paths = spec match {
+          case JString(f) => Seq(f)
+          case JArray(fs) => fs.collect { case JString(s) => s }
+          case _ => Seq(k) // unknown shape: assume it touches the key
+        }
+        !paths.exists(subpath)
+      case "$project" =>
+        val fs = specObj
+        def on(v: JValue): Option[Boolean] = v match {
+          case JBool(b)   => Some(b)
+          case JInt(i)    => Some(i != 0)
+          case JLong(l)   => Some(l != 0)
+          case JDouble(d) => Some(d != 0)
+          case _          => None // computed expression
+        }
+        if (fs.exists { case (n, _) => n != k && n.startsWith(k + ".") }) false
+        else {
+          // Mongo form detection: any non-_id inclusion/computed entry
+          // makes it an inclusion projection
+          val inclusion = fs.exists { case (n, v) =>
+            n != "_id" && !on(v).contains(false) }
+          if (inclusion)
+            fs.collectFirst { case (n, v) if n == k => v }.map(on) match {
+              case Some(Some(true)) => true // plain {k: 1} — value untouched
+              case Some(_) => false         // computed/excluded k
+              case None => k == "_id"       // _id rides inclusion by default
+            }
+          else !fs.exists(_._1 == k)        // exclusion form not naming k
+        }
+      // row-preserving stages that ADD one output column: safe while the
+      // output name is not the key (or a subfield of it)
+      case "$lookup" | "$graphLookup" =>
+        specObj.collectFirst { case ("as", JString(a)) => a }.exists(!subpath(_))
+      case _ => false
+    }
   }
 
   // stages whose STRING EQUALITY semantics a case-insensitive collation
@@ -135,19 +228,21 @@ object PipelineCompiler {
 
   private[mql] def applyStage(df: DataFrame, name: String, spec: JValue,
                               resolve: TableResolver,
-                              rest: List[JValue] = Nil): DataFrame = {
+                              rest: List[JValue] = Nil,
+                              uniqueKey: Option[String] = None): DataFrame = {
     if (FilterCompiler.collationCaseInsensitive &&
         CollationUnsupportedStages(name))
       throw new MqlException(
         s"collation: $name under a case-insensitive collation is " +
           "unsupported (its string grouping/join equality would silently " +
           "ignore the collation)")
-    applyStage0(df, name, spec, resolve, rest)
+    applyStage0(df, name, spec, resolve, rest, uniqueKey)
   }
 
   private def applyStage0(df: DataFrame, name: String, spec: JValue,
                           resolve: TableResolver,
-                          rest: List[JValue] = Nil): DataFrame = name match {
+                          rest: List[JValue] = Nil,
+                          uniqueKey: Option[String] = None): DataFrame = name match {
     // collection statistics (Mongo: first stage only, like $documents —
     // enforced in runStages). Only the `count` form has engine
     // semantics here; latencyStats/storageStats/queryExecStats are
@@ -224,7 +319,8 @@ object PipelineCompiler {
       }
     case "$group"          => group(df, asObj(spec, "$group"), None)
     case "$unwind"         => unwind(df, spec)
-    case "$lookup"         => lookup(df, asObj(spec, "$lookup"), resolve, rest)
+    case "$lookup"         => lookup(df, asObj(spec, "$lookup"), resolve, rest,
+                                     uniqueKey)
     case "$replaceRoot"    =>
       val root = asObj(spec, "$replaceRoot")
         .collectFirst { case ("newRoot", e) => e }
@@ -261,7 +357,8 @@ object PipelineCompiler {
     case "$facet"           => facet(df, asObj(spec, "$facet"), resolve)
     case "$fill"            => fill(df, asObj(spec, "$fill"))
     case "$densify"         => densify(df, asObj(spec, "$densify"))
-    case "$graphLookup"     => graphLookup(df, asObj(spec, "$graphLookup"), resolve)
+    case "$graphLookup"     => graphLookup(df, asObj(spec, "$graphLookup"), resolve,
+                                           uniqueKey)
     case "$geoNear"         => geoNear(df, asObj(spec, "$geoNear"))
     case "$vectorSearch"    => vectorSearch(df, asObj(spec, "$vectorSearch"), resolve)
     case "$search"          => search(df, asObj(spec, "$search"), resolve)
@@ -640,7 +737,8 @@ object PipelineCompiler {
   // sides automatically.
   private def lookup(df: DataFrame, spec: List[(String, JValue)],
                      resolve: TableResolver,
-                     rest: List[JValue] = Nil): DataFrame = {
+                     rest: List[JValue] = Nil,
+                     uniqueKey: Option[String] = None): DataFrame = {
     def getOpt(k: String) = spec.collectFirst { case (`k`, x) => x }
       .map(strValue(_, "$lookup"))
     def get(k: String) = getOpt(k)
@@ -653,7 +751,7 @@ object PipelineCompiler {
         val pipe = spec.collectFirst { case ("pipeline", JArray(ps)) => ps }
           .getOrElse(throw new MqlException("$lookup with let needs pipeline"))
         return correlatedLookup(df, resolve(from), as, vars, pipe, resolve,
-          rest)
+          rest, uniqueKey)
       case None =>
     }
     // optional uncorrelated sub-pipeline applied to the foreign table
@@ -747,12 +845,17 @@ object PipelineCompiler {
             .agg(collect_list(struct(structCols.map(col): _*)).as(as))
           val elemType = packed.schema(as).dataType
           // the row id feeds BOTH the keys side and the final regroup
-          // join — freeze it (correlatedLookup's localCheckpoint
-          // rationale) or a nondeterministic upstream ($sample, unsorted
-          // $limit, AQE repartition) re-executes with different ids and
-          // match arrays attach to the wrong rows
-          val withId = df.withColumn("__graft_rid", monotonically_increasing_id())
-            .localCheckpoint(true)
+          // join. With a caller-asserted unique key the id IS that
+          // column — pure data, stable across re-executions, no
+          // materialization. Keyless inputs freeze a synthetic id
+          // (localCheckpoint) or a nondeterministic upstream ($sample,
+          // unsorted $limit, AQE repartition) re-executes with different
+          // ids and match arrays attach to the wrong rows.
+          val withId = uniqueKey.filter(_ => stableRowSet(df)) match {
+            case Some(k) => df.withColumn("__graft_rid", col(k))
+            case None => df.withColumn("__graft_rid", monotonically_increasing_id())
+              .localCheckpoint(true)
+          }
           val keys = withId.select(col("__graft_rid"),
             explode_outer(array_distinct(col(local))).as("__graft_k"))
           val matched = keys
@@ -810,7 +913,8 @@ object PipelineCompiler {
                                vars: List[(String, JValue)],
                                pipe: List[JValue],
                                resolve: TableResolver,
-                               outerRest: List[JValue] = Nil): DataFrame = {
+                               outerRest: List[JValue] = Nil,
+                               uniqueKey: Option[String] = None): DataFrame = {
     def usesVars(v: JValue): Boolean = v match {
       case JString(s)  => s.startsWith("$$")
       case JObject(fs) => fs.exists { case (_, x) => usesVars(x) }
@@ -856,9 +960,15 @@ object PipelineCompiler {
       acc.withColumnRenamed(c, "__r_" + c)
     }
     val letCols = vars.map { case (n, e) => s"__let_$n" -> ExprCompiler.compile(e) }
-    val left2 = letCols.foldLeft(df) { case (acc, (n, c)) => acc.withColumn(n, c) }
-      .withColumn("__graft_rowid", monotonically_increasing_id())
-      .localCheckpoint(true)
+    val left2base = letCols.foldLeft(df) { case (acc, (n, c)) => acc.withColumn(n, c) }
+    // a caller-asserted unique key IS the row id (stable by construction,
+    // no materialization); keyless inputs freeze a synthetic id — see the
+    // array-localField branch for the full rationale
+    val left2 = uniqueKey.filter(_ => stableRowSet(left2base)) match {
+      case Some(k) => left2base.withColumn("__graft_rowid", col(k))
+      case None => left2base.withColumn("__graft_rowid", monotonically_increasing_id())
+        .localCheckpoint(true)
+    }
     val env = vars.map { case (n, _) => n -> col(s"__let_$n") }.toMap
     val condCol = ExprCompiler.compile(rewrite(joined), env)
     // foreign-side projection pushdown (same analysis as the
@@ -3335,7 +3445,8 @@ object PipelineCompiler {
   // maxDepth is required here — an unbounded traversal has no place in a
   // declarative plan (Mongo's default is unbounded; callers pick the cap).
   private def graphLookup(df: DataFrame, spec: List[(String, JValue)],
-                          resolve: TableResolver): DataFrame = {
+                          resolve: TableResolver,
+                          uniqueKey: Option[String] = None): DataFrame = {
     def get(k: String) = strValue(spec.collectFirst { case (`k`, x) => x }
       .getOrElse(throw new MqlException(s"$$graphLookup needs $k")), "$graphLookup")
     val fromDf = resolve(get("from"))
@@ -3348,11 +3459,15 @@ object PipelineCompiler {
         "$graphLookup requires maxDepth (unbounded traversal is not plannable)"))
     val depthField = spec.collectFirst { case ("depthField", JString(f)) => f }
 
-    // frozen (localCheckpoint) for the same reason as the lookup paths:
-    // the rid feeds the frontier seeding AND the final regroup join, and
-    // a nondeterministic upstream would re-execute with different ids
-    val withRid = df.withColumn("__graft_rid", monotonically_increasing_id())
-      .localCheckpoint(true)
+    // the rid feeds the frontier seeding AND the final regroup join: a
+    // caller-asserted unique key IS the rid (stable by construction);
+    // keyless inputs freeze a synthetic id (localCheckpoint) or a
+    // nondeterministic upstream would re-execute with different ids
+    val withRid = uniqueKey.filter(_ => stableRowSet(df)) match {
+      case Some(k) => df.withColumn("__graft_rid", col(k))
+      case None => df.withColumn("__graft_rid", monotonically_increasing_id())
+        .localCheckpoint(true)
+    }
     val doc = struct(fromDf.columns.map(col): _*)
     // Mongo traverses ARRAY fields element-wise in all three positions
     // (the adjacency-list graph encoding: children: ["a","b"]): an
@@ -3406,9 +3521,11 @@ object PipelineCompiler {
       }
       d += 1
     }
-    if (first) // no matches at all → every row gets an empty array
-      visited = nodes.limit(0).select(lit(0L).as("__graft_rid"),
+    if (first) { // no matches at all → every row gets an empty array
+      val ridType = withRid.schema("__graft_rid").dataType
+      visited = nodes.limit(0).select(lit(null).cast(ridType).as("__graft_rid"),
         col("__doc"), col("__from"), lit(0L).as("__depth"))
+    }
     val resultDoc = depthField match {
       case Some(f) => col("__doc").withField(f, col("__depth"))
       case None => col("__doc")

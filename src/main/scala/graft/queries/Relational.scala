@@ -822,6 +822,31 @@ object Relational {
                     OR o.o_custkey = e.user_id + 1) AS tot
               FROM events e ORDER BY event_id""")),
 
+    // the SAME array-localField lookup under the uniqueKey assertion
+    // (event_id is unique+non-null): the regroup row id is the key
+    // column itself, so the plan carries NO monotonically_increasing_id
+    // + localCheckpoint freeze — the 100×-scale fix; results must be
+    // byte-identical to the keyless twin (same oracle as q_lookup_array)
+    QueryDef("q_lookup_unique",
+      (s, dir) => Graft.aggregate(s, dir, "events", """[
+        {"$project": {"event_id": 1,
+           "keys": ["$user_id", {"$add": ["$user_id", 1]}]}},
+        {"$lookup": {"from": "orders", "localField": "keys",
+           "foreignField": "o_custkey", "as": "m"}},
+        {"$project": {"event_id": 1, "n": {"$size": "$m"},
+           "tot": {"$round": [{"$sum":
+             {"$map": {"input": "$m", "in": "$$this.o_totalprice"}}}, 2]}}},
+        {"$sort": {"event_id": 1}}]""", Some("event_id")),
+      Some("""SELECT e.event_id,
+                CAST((SELECT COUNT(*) FROM orders o
+                      WHERE o.o_custkey = e.user_id
+                         OR o.o_custkey = e.user_id + 1) AS INT) AS n,
+                (SELECT round(coalesce(sum(o.o_totalprice), 0.0), 2)
+                 FROM orders o
+                 WHERE o.o_custkey = e.user_id
+                    OR o.o_custkey = e.user_id + 1) AS tot
+              FROM events e ORDER BY event_id""")),
+
     // correlated $lookup with SUFFIX stages after the join $match (the
     // Mongo-docs canonical shape): $sort/$limit/$project compile to
     // array ops on the collected match array — comparator array_sort,
