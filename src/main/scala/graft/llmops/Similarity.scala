@@ -148,39 +148,79 @@ object Similarity {
     * `positives` is an arbitrary-size (query, positive) pair table and
     * stays on a left-anti join (never collected); `maxCos` optionally
     * drops suspiciously-near items (cos ≥ maxCos) as probable
-    * UNLABELED positives — the standard false-negative guard. Scoring
-    * and ranking are [[bruteForceTopK]]'s (rounded cosine + id
-    * tiebreak, fully deterministic); at corpus scale swap the scoring
-    * leg for the IVF/PQ probes — the anti-join and window compose
-    * unchanged. */
+    * UNLABELED positives — the standard false-negative guard.
+    *
+    * `scorer` picks the candidate-scoring leg:
+    *  - "exact": [[bruteForceTopK]]'s broadcast-queries × full-corpus
+    *    scan (linear in corpus, the oracle leg);
+    *  - "ivf": candidates from [[ivfQuery]] over a fresh IVF index
+    *    (each query scores ~nProbe/nCells of the corpus — the 100 TB
+    *    path); cosine scores, so maxCos still applies;
+    *  - "pq": candidates from [[pqTopK]] (ADC distances over m-byte
+    *    codes; score column is `adc` ascending; maxCos is a cosine and
+    *    is refused loudly here).
+    * ANN legs over-fetch `candidates` per query (default 4k) BEFORE the
+    * positives anti-join — a query whose top-candidates are mostly
+    * positives can under-fill its k (inherent to ANN mining; raise
+    * `candidates` to taste). The anti-join and final window compose
+    * identically across legs: rank by score (+ id tiebreak), take k. */
   def hardNegatives(queries: DataFrame, corpus: DataFrame,
                     positives: DataFrame, k: Int,
                     qId: String = "vec_id", cId: String = "vec_id",
                     vecCol: String = "embedding",
                     posQCol: String = "query_id", posCCol: String = "match_id",
-                    maxCos: Double = Double.PositiveInfinity): DataFrame = {
-    val q = broadcast(queries.select(col(qId).as("query_id"),
-      col(vecCol).cast("array<double>").as("__qv"), norm(col(vecCol)).as("__qn")))
-    val c = corpus.select(col(cId).as("match_id"),
-      col(vecCol).cast("array<double>").as("__cv"), norm(col(vecCol)).as("__cn"))
-    val scored0 = c.crossJoin(q)
-      .where(col("query_id") =!= col("match_id"))
-      .withColumn("cos",
-        round(rawDot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6))
-    // the ceiling is OPT-IN: the default (+∞) never drops a candidate —
-    // a ceiling of 1.0 would silently exclude exact-duplicate vectors,
-    // which are the hardest negatives when they are not positives
-    val scored =
-      if (maxCos.isPosInfinity) scored0 else scored0.where(col("cos") < maxCos)
+                    maxCos: Double = Double.PositiveInfinity,
+                    scorer: String = "exact",
+                    candidates: Int = 0,
+                    nCells: Int = 16, nProbe: Int = 4,
+                    m: Int = 8, codes: Int = 16, dim: Int = 64,
+                    portableSeed: Boolean = false): DataFrame = {
+    val kCand = if (candidates > 0) candidates else 4 * k
     val pos = positives.select(col(posQCol).as("__pq"), col(posCCol).as("__pc"))
-    val negs = scored.join(pos,
-      col("query_id") === col("__pq") && col("match_id") === col("__pc"),
-      "left_anti")
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("match_id").asc)
-    negs.withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= k)
-      .select(col("query_id"), col("match_id"), col("cos"),
-        col("rnk").cast("long").as("rnk"))
+    def finish(scored: DataFrame, scoreCol: String, asc: Boolean): DataFrame = {
+      val negs = scored.join(pos,
+        col("query_id") === col("__pq") && col("match_id") === col("__pc"),
+        "left_anti")
+      val ord = if (asc) col(scoreCol).asc else col(scoreCol).desc
+      val w = Window.partitionBy("query_id").orderBy(ord, col("match_id").asc)
+      negs.withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= k)
+        .select(col("query_id"), col("match_id"), col(scoreCol),
+          col("rnk").cast("long").as("rnk"))
+    }
+    scorer match {
+      case "exact" =>
+        val q = broadcast(queries.select(col(qId).as("query_id"),
+          col(vecCol).cast("array<double>").as("__qv"), norm(col(vecCol)).as("__qn")))
+        val c = corpus.select(col(cId).as("match_id"),
+          col(vecCol).cast("array<double>").as("__cv"), norm(col(vecCol)).as("__cn"))
+        val scored0 = c.crossJoin(q)
+          .where(col("query_id") =!= col("match_id"))
+          .withColumn("cos",
+            round(rawDot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 6))
+        // the ceiling is OPT-IN: the default (+∞) never drops a candidate —
+        // a ceiling of 1.0 would silently exclude exact-duplicate vectors,
+        // which are the hardest negatives when they are not positives
+        val scored =
+          if (maxCos.isPosInfinity) scored0 else scored0.where(col("cos") < maxCos)
+        finish(scored, "cos", asc = false)
+      case "ivf" =>
+        val index = buildIvf(corpus, nCells, cId, vecCol, lloydIters = 0,
+          persistIndex = false, portableSeed = portableSeed)
+        val q = queries.select(col(qId).as(cId), col(vecCol))
+        val cand = ivfQuery(index, q, kCand, nProbe)
+        val capped =
+          if (maxCos.isPosInfinity) cand else cand.where(col("cos") < maxCos)
+        finish(capped, "cos", asc = false)
+      case "pq" =>
+        require(maxCos.isPosInfinity,
+          "hardNegatives: maxCos is a cosine ceiling — it needs cosine " +
+            "scoring (exact|ivf); PQ scores are ADC distances")
+        val cand = pqTopK(queries, corpus, kCand, m, codes, qId, cId, vecCol, dim)
+        finish(cand, "adc", asc = true)
+      case other => throw new IllegalArgumentException(
+        s"hardNegatives: unknown scorer '$other' (exact|ivf|pq)")
+    }
   }
 
   /** Deterministic ±1 hyperplane component for (plane, dim index): bit 0

@@ -651,6 +651,72 @@ object LlmOps {
              SELECT query_id, match_id, cos, rnk FROM r WHERE rnk <= 10
              ORDER BY query_id, rnk""")),
 
+    // hard-negative mining on the ANN leg (the 100 TB path): candidates
+    // come from the IVF probe (8 md5-hash-seeded cells, 3 probed — each
+    // query scores ~3/8 of the corpus, never all of it), top-20
+    // over-fetch per query, THEN the cos ceiling, label anti-join, and
+    // final re-rank to k=10. The twin replays the identical index build
+    // (portable seed hash), probe selection, candidate cut, and filters.
+    QueryDef("q_hard_negatives_ann",
+      (s, dir) => {
+        val e = Graft.table(s, dir, "embeddings")
+        val q = e.where(col("vec_id") < 5)
+        val positives = q.select(col("vec_id").as("query_id"), col("label"))
+          .join(e.select(col("vec_id").as("match_id"), col("label").as("cl")),
+            col("label") === col("cl"))
+          .select("query_id", "match_id")
+        Similarity.hardNegatives(q, e, positives, k = 10, maxCos = 0.999,
+          scorer = "ivf", candidates = 20, nCells = 8, nProbe = 3,
+          portableSeed = true)
+          .orderBy("query_id", "rnk")
+      },
+      Some("""WITH u AS (SELECT vec_id, unnest(embedding)::DOUBLE AS e,
+                    generate_subscripts(embedding, 1) - 1 AS i FROM embeddings),
+              n AS (SELECT vec_id, sqrt(sum(e*e)) AS nrm FROM u GROUP BY vec_id),
+              iseeds AS (SELECT vec_id AS cell
+                         FROM (SELECT vec_id,
+                                 ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS h
+                               FROM embeddings ORDER BY h, vec_id LIMIT 8)),
+              cells AS (SELECT cell, ROW_NUMBER() OVER (ORDER BY cell) - 1 AS ci
+                        FROM iseeds),
+              cv AS (SELECT c.ci, u.i, u.e / n.nrm AS ce
+                     FROM cells c JOIN u ON u.vec_id = c.cell
+                                  JOIN n ON n.vec_id = c.cell),
+              sim AS (SELECT u.vec_id, cv.ci, SUM(u.e * cv.ce) AS s
+                      FROM u JOIN cv ON u.i = cv.i GROUP BY 1, 2),
+              asg AS (SELECT vec_id, ci FROM (
+                        SELECT vec_id, ci, ROW_NUMBER() OVER (
+                          PARTITION BY vec_id ORDER BY s DESC, ci) AS r
+                        FROM sim) WHERE r = 1),
+              probes AS (SELECT vec_id AS query_id, ci FROM (
+                           SELECT vec_id, ci, ROW_NUMBER() OVER (
+                             PARTITION BY vec_id ORDER BY s DESC, ci) AS r
+                           FROM sim WHERE vec_id < 5) WHERE r <= 3),
+              cand0 AS (SELECT DISTINCT p.query_id, a.vec_id AS match_id
+                        FROM probes p JOIN asg a ON a.ci = p.ci
+                        WHERE a.vec_id <> p.query_id),
+              sc AS (SELECT c0.query_id, c0.match_id,
+                            round(SUM(uq.e * um.e) / (nq.nrm * nm.nrm), 6) AS cos
+                     FROM cand0 c0
+                          JOIN u uq ON uq.vec_id = c0.query_id
+                          JOIN u um ON um.vec_id = c0.match_id AND um.i = uq.i
+                          JOIN n nq ON nq.vec_id = c0.query_id
+                          JOIN n nm ON nm.vec_id = c0.match_id
+                     GROUP BY 1, 2, nq.nrm, nm.nrm),
+              cand AS (SELECT query_id, match_id, cos FROM (
+                         SELECT query_id, match_id, cos, ROW_NUMBER() OVER (
+                           PARTITION BY query_id ORDER BY cos DESC, match_id) AS r
+                         FROM sc) WHERE r <= 20),
+              neg AS (SELECT c.query_id, c.match_id, c.cos
+                      FROM cand c
+                      JOIN embeddings eq ON eq.vec_id = c.query_id
+                      JOIN embeddings ec ON ec.vec_id = c.match_id
+                      WHERE eq.label <> ec.label AND c.cos < 0.999)
+            SELECT query_id, match_id, cos,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, match_id) AS BIGINT) AS rnk
+            FROM neg QUALIFY rnk <= 10 ORDER BY query_id, rnk""")),
+
     // chunk→document mean pooling: a typed Aggregator whose shuffle
     // partials are one dim-length array + count per group (map-side
     // combine collapses each partition's vectors first — the wire

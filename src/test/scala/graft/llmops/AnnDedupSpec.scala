@@ -263,6 +263,49 @@ class AnnDedupSpec extends AnyFunSuite {
     assert(mined == brute)
   }
 
+  test("hardNegatives ANN legs: ivf/pq candidates compose with the " +
+       "anti-join + window; ivf recall vs exact measured") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.where($"vec_id" < 8)
+    val pos = q.select($"vec_id".as("query_id"), $"label")
+      .join(e.select($"vec_id".as("match_id"), $"label".as("cl")),
+        $"label" === $"cl")
+      .select("query_id", "match_id")
+    val exact = Similarity.hardNegatives(q, e, pos, k = 10)
+    // exhaustive probing degrades IVF to exact — identical output when
+    // the candidate pool covers everything the exact leg ranked
+    val ivfExhaustive = Similarity.hardNegatives(q, e, pos, k = 10,
+      scorer = "ivf", candidates = 1000000, nCells = 4, nProbe = 4)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rnk").collect().toSeq.map(_.json)
+    assert(canon(ivfExhaustive) == canon(exact))
+    // partial probing: measure recall@10 of the ivf leg vs exact — the
+    // contract is "high but approximate", pinned as a floor so a broken
+    // probe (recall ~0) fails loudly without flaking on exact equality
+    val ivf = Similarity.hardNegatives(q, e, pos, k = 10,
+      scorer = "ivf", candidates = 40, nCells = 8, nProbe = 3)
+    val exactSet = exact.select("query_id", "match_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfSet = ivf.select("query_id", "match_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivfSet.count(exactSet.contains).toDouble / exactSet.size
+    assert(recall >= 0.3, f"ivf hard-negative recall@10 = $recall%.2f")
+    // every ANN-mined negative is a real non-positive
+    val posSet = pos.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivfSet.forall(p => !posSet.contains(p)))
+    // pq leg: ADC-ranked, composes with the anti-join; ceiling refused
+    val pq = Similarity.hardNegatives(q, e, pos, k = 10,
+      scorer = "pq", candidates = 40)
+    assert(pq.columns.toSeq == Seq("query_id", "match_id", "adc", "rnk"))
+    val pqSet = pq.select("query_id", "match_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pqSet.nonEmpty && pqSet.forall(p => !posSet.contains(p)))
+    intercept[IllegalArgumentException](Similarity.hardNegatives(
+      q, e, pos, k = 10, scorer = "pq", maxCos = 0.9))
+    intercept[IllegalArgumentException](Similarity.hardNegatives(
+      q, e, pos, k = 10, scorer = "nope"))
+  }
+
   test("kmeansLloyd: two clean clusters recover exactly; norms from updated centroids") {
     val vecs = Seq(
       (1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)),
