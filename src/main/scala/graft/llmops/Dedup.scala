@@ -112,7 +112,6 @@ object Dedup {
     val base = df.select(col(idCol).as("__id"),
         array_sort(transform(shingles(col(textCol), shingleN),
           s => xxhash64(s))).as("__hs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // signature via explode → hash-partitioned min-aggregation: the same
     // numHashes×shingles xxhash64 evaluations as an array fold, but
     // vectorized in codegen'd partial aggregates (map-side combine ships
@@ -143,12 +142,12 @@ object Dedup {
         round(call_function("jaccard_sim_long", col("__ha"), col("__hb")), 6))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // materialize the (small) pair set, release the hashed-shingle
-    // corpus cache (the semanticDedup discipline — leaking it per call
-    // accumulates executor blocks forever)
-    out.count()
-    base.unpersist(blocking = false)
+    // the hashed-shingle corpus is cached lazily and released right
+    // after the caller's FIRST action (CacheScope) — no dedicated
+    // materialization pass, no leaked blocks. Consumers that iterate
+    // over the pairs persist the small result themselves
+    // (Components.fromPairs does).
+    graft.operators.CacheScope.persistUntil(out, base)
     out
   }
 
@@ -168,7 +167,6 @@ object Dedup {
     // corpus thrice (at 100 TB this is a checkpoint of the shingled
     // corpus; here MEMORY_AND_DISK, evicted LRU after the query)
     val base = df.select(col(idCol).as("__id"), shingles(col(textCol), shingleN).as("__sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exploded = base.select(col("__id"), explode(col("__sh")).as("__s"))
     val freq = exploded.groupBy("__s").agg(count(lit(1)).as("__f"))
     // per-doc rarest-k selection: aggregate + in-array sort of each doc's
@@ -191,13 +189,10 @@ object Dedup {
       .withColumn("jaccard", round(jaccard(col("__sha"), col("__shb")), 6))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // materialize the (small) pair set, release the shingled-corpus
-    // cache (the semanticDedup discipline) — downstream consumers
-    // (Components' iterative labeling in canonicalPick) re-read the
-    // cached pairs, never the corpus
-    out.count()
-    base.unpersist(blocking = false)
+    // shingled corpus cached lazily, released after the caller's first
+    // action (CacheScope) — iterating consumers (Components' labeling in
+    // canonicalPick) persist the small pair set themselves
+    graft.operators.CacheScope.persistUntil(out, base)
     out
   }
 
@@ -268,15 +263,14 @@ object Dedup {
       .where(round(Similarity.rawDot(col("l.__mv"), col("r.__mv")) /
         (col("l.__mn") * col("r.__mn")), 6) >= threshold)
       .select(col("r.match_id").as("__dup")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // materialize the (id-only) dup set now, then DROP the cached
-    // assigned corpus — it carries full vectors, and leaking it across
-    // repeated calls (bench loops, Quality sweeps) accumulates blocks.
-    // What stays cached until the caller's action is ids only, orders
-    // of magnitude smaller than the index it replaces.
-    dups.count()
-    index.assigned.unpersist(blocking = false)
-    df.join(dups, df(idCol) === dups("__dup"), "left_anti")
+    // the assigned corpus (full vectors) is cached lazily and released
+    // right after the caller's first action (CacheScope): within that
+    // action the first self-join side populates it, the second reads it,
+    // and nothing leaks across repeated calls (bench loops, Quality
+    // sweeps). No dedicated materialization pass.
+    val out = df.join(dups, df(idCol) === dups("__dup"), "left_anti")
+    graft.operators.CacheScope.persistUntil(out, index.assigned)
+    out
   }
 
   /** SimHash signature width. 60 bits — the widest that survives a
@@ -338,11 +332,10 @@ object Dedup {
     * duplicated) window hashes — ONE implementation, so the measure and
     * the transform can never drift on tokenize/window/hash semantics
     * (the lineDedup segments/rebuildDocs rationale). The caller must
-    * release `base` once its small derivative is materialized (the
-    * semanticDedup cache-release discipline — a persisted tokenized
-    * corpus leaked per call accumulates executor blocks forever:
-    * CacheManager holds strong references and the disk tier is not
-    * LRU-evicted). */
+    * hand `base` to [[graft.operators.CacheScope.persistUntil]] with its
+    * own result frame — a persisted tokenized corpus leaked per call
+    * accumulates executor blocks forever (CacheManager holds strong
+    * references and the disk tier is not LRU-evicted). */
   private def spanWindows(df: DataFrame, idCol: String, textCol: String,
                           n: Int, minDocs: Int)
       : (DataFrame, DataFrame, DataFrame) = {
@@ -370,8 +363,8 @@ object Dedup {
   def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
                     n: Int = 8, minDocs: Int = 2): DataFrame = {
     val (base, win, flagged) = spanWindows(df, idCol, textCol, n, minDocs)
-    // materialize the small per-doc measure, then release the cached
-    // tokenized corpus (what stays cached is three scalar columns)
+    // tokenized corpus cached lazily, released after the caller's first
+    // action (CacheScope — no dedicated materialization pass)
     val out = win.join(flagged, "__h")
       .select(col("__id"), col("__nt"), col("__i"),
         explode(sequence(col("__i"), col("__i") + (n - 1))).as("__p"))
@@ -380,9 +373,7 @@ object Dedup {
         countDistinct(col("__p")).as("__cov"))
       .select(col("__id").as(idCol), col("n_spans"),
         round(col("__cov").cast("double") / col("__nt"), 6).as("dup_frac"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    base.unpersist(blocking = false)
+    graft.operators.CacheScope.persistUntil(out, base)
     out
   }
 
@@ -395,10 +386,10 @@ object Dedup {
     *
     * Scale shape mirrors repeatedSpans (shared [[spanWindows]]): one
     * window-frequency groupBy, one equi-join on the window hash, per-doc
-    * covered-position sets bounded by doc length. The covered-position
-    * sets are materialized small and the tokenized-corpus cache is
-    * released; the final rebuild re-tokenizes lazily (one extra linear
-    * pass instead of a corpus-sized cache leaked per call). */
+    * covered-position sets bounded by doc length. The tokenized-corpus
+    * cache releases after the caller's first action; the final rebuild
+    * re-tokenizes lazily (one extra linear pass instead of a corpus-sized
+    * cache leaked per call). */
   def dropRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 8, minDocs: Int = 2): DataFrame = {
     val (base, win, flagged) = spanWindows(df, idCol, textCol, n, minDocs)
@@ -406,11 +397,8 @@ object Dedup {
       .select(col("__id"),
         explode(sequence(col("__i"), col("__i") + (n - 1))).as("__p"))
       .groupBy("__id").agg(collect_set(col("__p")).as("__cov"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    covered.count()
-    base.unpersist(blocking = false)
     val toks = TextAnalysis.tokens(col(textCol))
-    df.select(col(idCol).as("__id"), toks.as("__w"))
+    val out = df.select(col(idCol).as("__id"), toks.as("__w"))
       .join(covered, Seq("__id"), "left")
       .select(col("__id").as(idCol),
         // null text stays null (concat_ws would fold a null token array
@@ -420,6 +408,11 @@ object Dedup {
             .otherwise(filter(col("__w"), (_, i) =>
               !array_contains(col("__cov"), i + 1))))).as(textCol),
         coalesce(size(col("__cov")), lit(0)).cast("long").as("n_removed"))
+    // the tokenized corpus cache releases after the caller's first
+    // action (CacheScope); the rebuild branch re-tokenizes lazily — one
+    // extra linear pass instead of a corpus-sized cache leaked per call
+    graft.operators.CacheScope.persistUntil(out, base)
+    out
   }
 
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,

@@ -37,6 +37,10 @@ object NearDupIndex {
   private def param(shingleN: Int, numHashes: Int, bands: Int): String =
     s"$shingleN/$numHashes/$bands"
 
+  /** Schema-metadata key carrying the LSH geometry on freshly-built
+    * frames (the jobless fast path of [[geometry]]). */
+  private val ParamMetaKey = "graft.neardup.param"
+
   /** Per-doc (doc_id, hs) with hs = sorted xxhash64 shingle set.
     * Id contract (same as TextIndex.build): ids must cast losslessly to
     * long. A silently-nulled cast (e.g. string oids) would collapse
@@ -103,16 +107,39 @@ object NearDupIndex {
     val meta = df.sparkSession.range(1)
       .select(lit("meta").as("kind"), nullL.as("doc_id"), nullL.as("bucket"),
         nullHs.as("hs"), lit(param(shingleN, numHashes, bands)).as("param"))
-    bandPart.unionByName(docPart).unionByName(meta)
+    val unioned = bandPart.unionByName(docPart).unionByName(meta)
+    // geometry rides the schema too (column metadata on `param`): a
+    // freshly-built frame answers `geometry` with ZERO jobs — the meta
+    // ROW stays the durable form (schema metadata does not survive a
+    // store round-trip; stored indexes fall back to the pruned collect)
+    val paramMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString(ParamMetaKey, param(shingleN, numHashes, bands)).build()
+    val out = unioned.select(col("kind"), col("doc_id"), col("bucket"),
+      col("hs"), col("param").as("param", paramMeta))
+    // the hashed corpus feeds BOTH union branches (band rows + stored
+    // doc rows): cache it lazily so the first action materializing the
+    // index (a store write, or cache population when the caller persists
+    // the index frame) tokenizes the corpus ONCE, and release it right
+    // after (CacheScope). A metadata-only probe (geometry) prunes the
+    // union branches and never populates — releasing there costs
+    // nothing, because nothing was built.
+    graft.operators.CacheScope.persistUntil(out, docs)
+    out
   }
 
-  /** The stored LSH geometry; refuses a geometry-free frame. One
-    * filtered collect per call — over a stored graftdocs collection the
+  /** The stored LSH geometry; refuses a geometry-free frame. A
+    * freshly-built frame answers from schema metadata with no job at
+    * all (so building a plan over an unmaterialized index triggers
+    * nothing); a store-loaded index pays one filtered collect — the
     * kind='meta' predicate pushes to the scan, so this reads metadata,
     * not the band table. */
   private def geometry(index: DataFrame): (Int, Int, Int) = {
-    val p = index.where(col("kind") === "meta").select("param")
-      .collect().headOption.map(_.getString(0)).getOrElse(
+    val fromSchema = index.schema.fields.find(_.name == "param")
+      .filter(_.metadata.contains(ParamMetaKey))
+      .map(_.metadata.getString(ParamMetaKey))
+    val p = fromSchema.orElse(
+      index.where(col("kind") === "meta").select("param")
+        .collect().headOption.map(_.getString(0))).getOrElse(
         throw new IllegalArgumentException(
           "NearDupIndex: frame has no meta row — not a near-dup index"))
     p.split("/") match {
@@ -132,10 +159,13 @@ object NearDupIndex {
     val (shingleN, numHashes, bands) = geometry(index)
     graft.functions.GraftFunctions.register(
       org.apache.spark.sql.SparkSession.active)
-    // NOT persisted: the two consumers (band rows, verification join)
-    // re-shingle the BATCH once more instead — bounded by batch size,
-    // where a persist inside a per-micro-batch operator would pin cache
-    // entries the caller can never release (stream executors leak)
+    // cached lazily with release after the caller's first action
+    // (CacheScope): the batch is tokenized ONCE and its band rows
+    // aggregated ONCE per call even though each has two consumers
+    // (touched-buckets probe + candidate join; signature agg +
+    // verification join). Inside foreachBatch the micro-batch's sink
+    // write is that first action, so per-batch entries release at batch
+    // end — no stream-executor pinning.
     val freshDocs = hashedDocs(fresh, idCol, textCol, shingleN)
     val freshBands = bandRows(freshDocs, numHashes, bands)
       .select(col("doc_id").as("fresh_id"), col("bucket"))
@@ -146,17 +176,16 @@ object NearDupIndex {
     // buckets, since the join keeps every index row of a touched
     // bucket), so per-ingest window state is bounded by batch fan-out,
     // never the index: the O(|batch|·bands + candidates) contract.
-    val touched = freshBands.select("bucket").distinct()
     val idxBands = index.where(col("kind") === "band")
       .select(col("doc_id").as("index_id"), col("bucket"))
-      .join(touched, Seq("bucket"))
+      .join(freshBands.select("bucket"), Seq("bucket"), "left_semi")
       .withColumn("__bn", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("bucket")))
       .where(col("__bn") <= maxBucket).drop("__bn")
     val cand = freshBands.join(idxBands, Seq("bucket"))
       .where(col("fresh_id") =!= col("index_id"))
       .select("fresh_id", "index_id").distinct()
-    cand
+    val out = cand
       .join(freshDocs.select(col("doc_id").as("fresh_id"), col("hs").as("__hf")),
         "fresh_id")
       .join(index.where(col("kind") === "doc")
@@ -166,6 +195,8 @@ object NearDupIndex {
         round(call_function("jaccard_sim_long", col("__hf"), col("__hi")), 6))
       .where(col("jaccard") >= threshold)
       .select("fresh_id", "index_id", "jaccard")
+    graft.operators.CacheScope.persistUntil(out, freshDocs, freshBands)
+    out
   }
 
   /** Fold a new batch in: per-doc rows are independent facts, so the

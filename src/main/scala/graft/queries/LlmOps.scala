@@ -1699,6 +1699,11 @@ object LlmOps {
     QueryDef("q_neardup_index",
       (s, dir) => {
         val docs = Graft.table(s, dir, "documents")
+        // no index-level persist: queryBatch's two index consumers hit
+        // DIFFERENT union branches (kind='band' / kind='doc'), which
+        // Catalyst prunes — the only shared subplan is the hashed corpus,
+        // and build's internal CacheScope bounds that to one tokenization.
+        // Caching the whole union would only add serialization cost.
         val idx = NearDupIndex.build(docs.where(col("doc_id") % 5 =!= 0),
           "doc_id", "text")
         NearDupIndex.queryBatch(idx, docs.where(col("doc_id") % 5 === 0),

@@ -72,6 +72,7 @@ class PlanLintSpec extends AnyFunSuite {
     "q_cos_pairs" -> "opt-in exact ground-truth tool; broadcast side is a bounded query slice by contract",
     "q_knn_topk" -> "brute-force baseline; broadcast side is the bounded query set",
     "q_hard_negatives" -> "same bounded query-set broadcast as q_knn_topk; the positives side is an equi anti-join, never broadcast-NLJ",
+    "q_hard_negatives_ann" -> "IVF scoring leg: broadcast sides are the bounded query set and the ≤nCells centroid constants (the q_ivf_topk shape); candidate pool capped at the over-fetch budget before the anti-join",
     "q_semantic_decon" -> "broadcast side is the benchmark suite (bounded by definition)",
     "q_decontaminate" -> "broadcast side is the benchmark n-gram set (bounded)",
     "q_emb_dedup" -> "broadcast seed/codebook constants; pair work bounded per cell",

@@ -112,7 +112,16 @@ class NearDupIndexSpec extends AnyFunSuite {
 
   test("a frame without the geometry row refuses loudly") {
     val idx = NearDupIndex.build(corpus, "doc_id", "text")
-    val headless = idx.where($"kind" =!= "meta")
+    // a freshly-BUILT frame carries the geometry in schema metadata, so
+    // dropping the meta row alone still answers (the jobless fast path)
+    val rowless = idx.where($"kind" =!= "meta")
+    assert(NearDupIndex.queryBatch(rowless, fresh, "doc_id", "text")
+      .columns.toSeq == Seq("fresh_id", "index_id", "jaccard"))
+    // a stored/foreign frame (no schema metadata — an alias with explicit
+    // empty metadata is what a store round-trip yields) with no meta row
+    // is not an index
+    val headless = rowless.withColumn("param",
+      $"param".as("param", org.apache.spark.sql.types.Metadata.empty))
     val e = intercept[IllegalArgumentException] {
       NearDupIndex.queryBatch(headless, fresh, "doc_id", "text").collect()
     }
