@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
   *   - kind='term':    (path, term, df) — document frequency of every
   *     distinct token under the path
   *
-  * The tokenizer is EXACTLY `$search`'s (TextAnalysis.tokens ∘ lower),
-  * so looked-up statistics are bit-identical to what the per-query
-  * aggregate would compute. Phrase and fuzzy statistics are positional
+  * The tokenizer is EXACTLY `$search`'s ([[Analyzers]]; default
+  * lowercase whitespace, per-path overrides declared at build and
+  * recorded as kind='analyzer' rows), so looked-up statistics are
+  * bit-identical to what the per-query aggregate would compute —
+  * `$search` refuses a query analyzer that disagrees with the index's. Phrase and fuzzy statistics are positional
   * or edit-distance-derived — not representable as term rows — so
   * queries using them keep the corpus pass (same results either way).
   *
@@ -24,11 +26,53 @@ import org.apache.spark.sql.functions._
   * explode + map-side-combined hash agg); the query side reads only
   * the rows matching its own terms (a bounded filtered collect). */
 object TextIndex {
-  private def toks(path: String): Column =
-    TextAnalysis.tokens(lower(col(path)))
+  private def toks(path: String, analyzers: Map[String, String]): Column =
+    Analyzers.docTokens(analyzers.getOrElse(path, Analyzers.Default), col(path))
+
+  /** Validates a per-path analyzer declaration: known names only, and
+    * every declared path must actually be indexed (a typo'd path would
+    * otherwise silently analyze with the default). */
+  private def checkAnalyzers(paths: Seq[String],
+                             analyzers: Map[String, String]): Unit =
+    analyzers.foreach { case (p, a) =>
+      Analyzers.validate(a, "TextIndex.build.analyzers")
+      if (!paths.contains(p)) throw new IllegalArgumentException(
+        s"TextIndex.build: analyzers declares path '$p' which is not indexed")
+    }
+
+  /** kind='analyzer' rows recording each NON-default per-path analyzer
+    * (absence = default), so a stored index carries its analysis
+    * contract and `$search` can refuse a mismatched query analyzer. */
+  private def analyzerRows(df: DataFrame, paths: Seq[String],
+                           analyzers: Map[String, String]): Option[DataFrame] = {
+    val declared = paths.flatMap(p => analyzers.get(p)
+      .filter(_ != Analyzers.Default).map(p -> _))
+    if (declared.isEmpty) None
+    else Some(declared.map { case (p, a) =>
+      df.sparkSession.range(1)
+        .select(lit("analyzer").as("kind"), lit(p).as("path"),
+          lit(a).as("term"), lit(0L).as("df"), lit(0L).as("n_docs"),
+          lit(null).cast("double").as("avgdl"))
+    }.reduce(_ unionByName _))
+  }
+
+  /** The per-path analyzers a stored index declares (one bounded
+    * collect; empty map = all-default, incl. pre-analyzer indexes). */
+  def indexAnalyzers(index: DataFrame): Map[String, String] =
+    index.where(col("kind") === "analyzer").select("path", "term")
+      .limit(1001).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
 
   def build(df: DataFrame, paths: Seq[String]): DataFrame =
     build(df, paths, None)
+
+  def build(df: DataFrame, paths: Seq[String],
+            analyzers: Map[String, String]): DataFrame =
+    build(df, paths, None, analyzers)
+
+  def build(df: DataFrame, paths: Seq[String],
+            postingsIdCol: Option[String]): DataFrame =
+    build(df, paths, postingsIdCol, Map.empty[String, String])
 
   /** Statistics-only index (6 columns) when `postingsIdCol` is None;
     * with `postingsIdCol = Some(id)` the index ALSO carries the full
@@ -44,20 +88,21 @@ object TextIndex {
     *     duplicate ids would merge documents' postings).
     * Postings are corpus-token-sized — the real storage cost of a real
     * inverted index; build is one explode + one (doc, term) hash agg. */
-  def build(df: DataFrame, paths: Seq[String],
-            postingsIdCol: Option[String]): DataFrame = {
+  def build(df: DataFrame, paths: Seq[String], postingsIdCol: Option[String],
+            analyzers: Map[String, String]): DataFrame = {
     require(paths.nonEmpty, "TextIndex.build: need at least one path")
+    checkAnalyzers(paths, analyzers)
     val nullId = lit(null).cast("long")
     def pad(d: DataFrame): DataFrame = postingsIdCol match {
       case None => d
       case Some(_) => d.withColumn("doc_id", nullId)
         .withColumn("tf", nullId).withColumn("dl", nullId)
     }
-    paths.map { p =>
+    val core = paths.map { p =>
       val t = postingsIdCol match {
         case Some(id) => df.select(col(id).cast("long").as("__did"),
-          toks(p).as("__w"))
-        case None => df.select(toks(p).as("__w"))
+          toks(p, analyzers).as("__w"))
+        case None => df.select(toks(p, analyzers).as("__w"))
       }
       val summary = t.where(size(col("__w")) > 0)
         .agg(count(lit(1)).as("n_docs"),
@@ -96,6 +141,8 @@ object TextIndex {
           stats.unionByName(posts).unionByName(docs).unionByName(meta)
       }
     }.reduce(_ unionByName _)
+    analyzerRows(df, paths, analyzers)
+      .map(a => core.unionByName(pad(a))).getOrElse(core)
   }
 
   /** Postings index that ALSO stores source fields (Atlas
@@ -108,8 +155,13 @@ object TextIndex {
     * it. Storage cost: one JSON row per document — the price Atlas
     * charges for the same feature. */
   def build(df: DataFrame, paths: Seq[String], postingsIdCol: Option[String],
-            storedSource: Seq[String]): DataFrame = {
-    val base = build(df, paths, postingsIdCol)
+            storedSource: Seq[String]): DataFrame =
+    build(df, paths, postingsIdCol, storedSource, Map.empty[String, String])
+
+  def build(df: DataFrame, paths: Seq[String], postingsIdCol: Option[String],
+            storedSource: Seq[String],
+            analyzers: Map[String, String]): DataFrame = {
+    val base = build(df, paths, postingsIdCol, analyzers)
     if (storedSource.isEmpty) base
     else {
       val id = postingsIdCol.getOrElse(throw new IllegalArgumentException(
@@ -160,9 +212,13 @@ object TextIndex {
         .collect().headOption.map(r =>
           org.apache.spark.sql.types.StructType.fromDDL(r.getString(0))
             .fieldNames.toSeq).getOrElse(Nil)
+    // the delta MUST analyze with the index's own declared analyzers —
+    // folding whitespace-analyzed terms into a standard-analyzed index
+    // would corrupt its statistics silently
+    val anas = indexAnalyzers(index)
     val delta =
-      if (storedCols.isEmpty) build(newDocs, paths, idColName)
-      else build(newDocs, paths, idColName, storedCols)
+      if (storedCols.isEmpty) build(newDocs, paths, idColName, anas)
+      else build(newDocs, paths, idColName, storedCols, anas)
     val both = index.unionByName(delta, allowMissingColumns = true)
     val terms = both.where(col("kind") === "term")
       .groupBy("path", "term").agg(sum("df").as("df"))
@@ -176,7 +232,11 @@ object TextIndex {
       .select(lit("summary").as("kind"), col("path"),
         lit(null).cast("string").as("term"), lit(0L).as("df"),
         col("n_docs"), col("avgdl"))
-    val stats = summaries.unionByName(terms)
+    // analyzer rows are per-path facts shared by index and delta —
+    // distinct() dedupes the identical copies
+    val anaRows = both.where(col("kind") === "analyzer")
+      .select("kind", "path", "term", "df", "n_docs", "avgdl").distinct()
+    val stats = summaries.unionByName(terms).unionByName(anaRows)
     if (!hasPostings) stats
     else {
       val nullId = lit(null).cast("long")
@@ -241,7 +301,8 @@ object TextIndex {
         nullId.as("doc_id"), nullId.as("tf"), nullId.as("dl"))
     val keptStored = index.where(col("kind") === "stored")
       .join(ids, col("doc_id") === col("__rid"), "left_anti")
-    val meta = index.where(col("kind").isin("meta", "storedmeta")).distinct()
+    val meta = index.where(col("kind").isin("meta", "storedmeta", "analyzer"))
+      .distinct()
     summaries.unionByName(terms)
       .unionByName(keptPosts, allowMissingColumns = true)
       .unionByName(keptDocs, allowMissingColumns = true)

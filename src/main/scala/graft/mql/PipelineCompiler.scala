@@ -1758,6 +1758,61 @@ object PipelineCompiler {
         }
       }.distinct
     }
+    // ---- analyzers ------------------------------------------------------
+    // Analysis is an INDEX-side contract in Atlas (per-field analyzers on
+    // the index definition; default lucene.standard). Engine surface:
+    //  - an index built with per-path analyzers (TextIndex.build) carries
+    //    them as kind='analyzer' rows; naming it via `index` applies them
+    //    to BOTH document tokenization and query analysis;
+    //  - the stage-level "analyzer" option mirrors the index-definition
+    //    default-analyzer slot for index-less corpus-pass queries;
+    //  - a stage analyzer that DISAGREES with a loaded index's declared
+    //    analyzer refuses — scoring standard-analyzed queries against
+    //    whitespace-analyzed statistics would silently mis-score.
+    // The engine default stays the historical lowercase whitespace
+    // tokenizer (graft.whitespace) so pre-analyzer indexes keep working.
+    val stageAnalyzer: Option[String] =
+      spec.collectFirst { case ("analyzer", JString(a)) => a }
+    stageAnalyzer.foreach(a =>
+      graft.llmops.Analyzers.validate(a, "$search.analyzer"))
+    val loadedIndex: Option[(String, DataFrame)] =
+      spec.collectFirst { case ("index", JString(nm)) => nm }.flatMap { nm =>
+        (try Some(resolve(nm)) catch { case _: Exception => None }).map { idf =>
+          val have = idf.columns.toSet
+          if (!Set("kind", "path", "term", "df", "n_docs", "avgdl").subsetOf(have))
+            throw new MqlException(s"$$search.index: '$nm' resolves to a " +
+              "collection without text-index columns " +
+              "(kind/path/term/df/n_docs/avgdl) — not a text index")
+          (nm, idf)
+        }
+      }
+    val indexAnalyzers: Map[String, String] = loadedIndex
+      .map { case (_, idf) => graft.llmops.TextIndex.indexAnalyzers(idf) }
+      .getOrElse(Map.empty)
+    def analyzerOf(path: String): String = {
+      val fromIdx = loadedIndex.map { case (nm, _) =>
+        (nm, indexAnalyzers.getOrElse(path, graft.llmops.Analyzers.Default)) }
+      (stageAnalyzer, fromIdx) match {
+        case (Some(s), Some((nm, i))) if s != i => throw new MqlException(
+          s"$$search.analyzer '$s' disagrees with index '$nm', which " +
+            s"declares analyzer '$i' for path '$path' — query and index " +
+            "analysis must agree (rebuild the index or drop the option)")
+        case (s, i) =>
+          s.orElse(i.map(_._2)).getOrElse(graft.llmops.Analyzers.Default)
+      }
+    }
+    def analyzerFolds(path: String): Boolean =
+      graft.llmops.Analyzers.lowercases(analyzerOf(path))
+    // operators whose analysis contract is their own (autocomplete's
+    // edge-grams, queryString's parser-lowercased terms, highlight's
+    // passage scan) run on the DEFAULT analyzer only — a non-default
+    // analyzer on their path refuses rather than silently mis-scoring
+    def requireDefaultAnalyzer(path: String, ctx: String): Unit = {
+      val a = analyzerOf(path)
+      if (a != graft.llmops.Analyzers.Default) throw new MqlException(
+        s"$ctx: path '$path' is analyzed with '$a'; this operator " +
+          "supports only the default analyzer (graft.whitespace)")
+    }
     sealed trait SClause { def path: String }
     // fuzzy = (maxEdits, prefixLength): Lucene FuzzyQuery's two knobs
     case class TextCl(terms: Seq[String], path: String,
@@ -1802,10 +1857,10 @@ object PipelineCompiler {
     def queryOf(o: List[(String, JValue)], ctx: String): String =
       o.collectFirst { case ("query", JString(x)) => x }
         .getOrElse(throw new MqlException(s"$ctx needs query"))
-    // the same tokenizer the document side uses (TextAnalysis.tokens):
-    // lowercase whitespace split, empties dropped
-    def qTokens(q: String, ctx: String): Seq[String] = {
-      val t = queryTokens(q)
+    // the same analyzer the document side uses for this path (default:
+    // lowercase whitespace split, empties dropped)
+    def qTokens(q: String, ctx: String, path: String): Seq[String] = {
+      val t = graft.llmops.Analyzers.queryTerms(analyzerOf(path), q)
       if (t.isEmpty) throw new MqlException(s"$ctx: empty query")
       t
     }
@@ -1883,15 +1938,20 @@ object PipelineCompiler {
             throw new MqlException("$search.text.fuzzy.prefixLength must be >= 0")
           (me, pl)
         }
-        val baseTerms = qTokens(queryOf(o, "$search.text"), "$search.text").distinct
+        val tPath = pathOf(o, "$search.text")
+        val baseTerms =
+          qTokens(queryOf(o, "$search.text"), "$search.text", tPath).distinct
         val terms = o.collectFirst { case ("synonyms", JString(m)) => m } match {
           case Some(m) =>
             if (fuzzy.isDefined) throw new MqlException(
               "$search.text: synonyms cannot combine with fuzzy (Atlas rule)")
+            if (!analyzerFolds(tPath)) throw new MqlException(
+              "$search.text: synonyms require a case-folding analyzer " +
+                s"(path '$tPath' uses '${analyzerOf(tPath)}')")
             expandSynonyms(baseTerms, m, "$search.text")
           case None => baseTerms
         }
-        Cl(TextCl(terms, pathOf(o, "$search.text"), fuzzy), b, k)
+        Cl(TextCl(terms, tPath, fuzzy), b, k)
       case List(("phrase", t)) =>
         val o = obj(t, "$search.phrase")
         val (b, k) = scoreOpt(o, "$search.phrase")
@@ -1899,8 +1959,9 @@ object PipelineCompiler {
           intValue(x, "$search.phrase.slop") }.getOrElse(0)
         if (slop < 0) throw new MqlException("$search.phrase.slop must be >= 0")
         // order matters and repeats are positions, so NOT distinct
-        Cl(PhraseCl(qTokens(queryOf(o, "$search.phrase"), "$search.phrase"),
-          pathOf(o, "$search.phrase"), slop), b, k)
+        val phPath = pathOf(o, "$search.phrase")
+        Cl(PhraseCl(qTokens(queryOf(o, "$search.phrase"), "$search.phrase",
+          phPath), phPath, slop), b, k)
       case List(("equals", t)) =>
         val o = obj(t, "$search.equals")
         val value = o.collectFirst { case ("value", x) => x }
@@ -1919,8 +1980,13 @@ object PipelineCompiler {
       case List(("wildcard", t)) =>
         val o = obj(t, "$search.wildcard")
         val (b, k) = scoreOpt(o, "$search.wildcard")
-        Cl(WildcardCl(pathOf(o, "$search.wildcard"),
-          wildRx(queryOf(o, "$search.wildcard").toLowerCase)), b, k)
+        // the pattern matches ANALYZED terms: fold it only when the
+        // path's analyzer folds (a case-preserving analyzer must match
+        // case-sensitively)
+        val wPath = pathOf(o, "$search.wildcard")
+        val wq = queryOf(o, "$search.wildcard")
+        Cl(WildcardCl(wPath,
+          wildRx(if (analyzerFolds(wPath)) wq.toLowerCase else wq)), b, k)
       case List(("regex", t)) =>
         // Lucene regex against ANALYZED terms (allowAnalyzedField
         // semantics, same stance as wildcard): matches when any token
@@ -1932,13 +1998,22 @@ object PipelineCompiler {
         catch { case e: java.util.regex.PatternSyntaxException =>
           throw new MqlException(s"$$search.regex: bad pattern — ${e.getMessage}") }
         val (b, k) = scoreOpt(o, "$search.regex")
-        Cl(RegexCl(pathOf(o, "$search.regex"), s"(?i)^(?:$q)$$"), b, k)
+        // (?i) only under a folding analyzer — case-preserving terms
+        // must match case-sensitively
+        val rPath = pathOf(o, "$search.regex")
+        val ci = if (analyzerFolds(rPath)) "(?i)" else ""
+        Cl(RegexCl(rPath, s"$ci^(?:$q)$$"), b, k)
       case List(("queryString", t)) =>
         val o = obj(t, "$search.queryString")
         val dp = o.collectFirst { case ("defaultPath", JString(x)) => x }
           .getOrElse(throw new MqlException("$search.queryString needs defaultPath"))
         val (b, k) = scoreOpt(o, "$search.queryString")
-        Cl(QsCl(dp, parseQueryString(queryOf(o, "$search.queryString"))), b, k)
+        // the queryString grammar lowercases its terms at parse time —
+        // its leaves run on the default analyzer only
+        val qsTree = parseQueryString(queryOf(o, "$search.queryString"))
+        qsLeaves(qsTree, dp).map(_.path).distinct.foreach(p =>
+          requireDefaultAnalyzer(p, "$search.queryString"))
+        Cl(QsCl(dp, qsTree), b, k)
       case List(("moreLikeThis", t)) =>
         // representative-terms extraction simplified to ALL analyzed
         // terms of every string field in the like documents (Atlas
@@ -1954,7 +2029,7 @@ object PipelineCompiler {
           asObj(d, "$search.moreLikeThis.like").foreach {
             case (f, JString(text)) =>
               acc(f) = acc.getOrElse(f, Vector()) ++
-                text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+                graft.llmops.Analyzers.queryTerms(analyzerOf(f), text)
             case (f, other) => throw new MqlException(
               s"$$search.moreLikeThis.like.$f must be a string, got $other")
           }
@@ -1968,8 +2043,13 @@ object PipelineCompiler {
       case List(("autocomplete", t)) =>
         val o = obj(t, "$search.autocomplete")
         val (b, k) = scoreOpt(o, "$search.autocomplete")
-        Cl(AutoCl(qTokens(queryOf(o, "$search.autocomplete"), "$search.autocomplete"),
-          pathOf(o, "$search.autocomplete")), b, k)
+        // Atlas autocomplete fields carry their own edge-gram analyzer —
+        // a custom per-path analyzer here would silently change prefix
+        // semantics, so only the default is supported
+        val aPath = pathOf(o, "$search.autocomplete")
+        requireDefaultAnalyzer(aPath, "$search.autocomplete")
+        Cl(AutoCl(qTokens(queryOf(o, "$search.autocomplete"),
+          "$search.autocomplete", aPath), aPath), b, k)
       case List(("in", t)) =>
         val o = obj(t, "$search.in")
         val vs = o.collectFirst { case ("value", JArray(xs)) =>
@@ -2060,10 +2140,11 @@ object PipelineCompiler {
       obj(v, ctx) match {
         case List(("text", t)) =>
           val o = obj(t, s"$ctx.text")
-          val terms = qTokens(queryOf(o, s"$ctx.text"), s"$ctx.text").distinct
           val p = pathOf(o, s"$ctx.text")
+          val terms = qTokens(queryOf(o, s"$ctx.text"), s"$ctx.text", p).distinct
           x => coalesce(size(array_intersect(
-            graft.llmops.TextAnalysis.tokens(lower(embField(x, p, base))),
+            graft.llmops.Analyzers.docTokens(analyzerOf(p),
+              embField(x, p, base)),
             array(terms.map(lit): _*))) > 0, lit(false))
         case List(("equals", t)) =>
           val o = obj(t, s"$ctx.equals")
@@ -2227,7 +2308,8 @@ object PipelineCompiler {
       case _ => Nil
     }.distinct
     val pIdx = tokPaths.zipWithIndex.toMap
-    def toksOf(p: String) = graft.llmops.TextAnalysis.tokens(lower(fieldCol(p)))
+    def toksOf(p: String) =
+      graft.llmops.Analyzers.docTokens(analyzerOf(p), fieldCol(p))
     def tokCol(p: String) = col(s"__graft_toks_${pIdx(p)}")
     // does doc token x count as an occurrence of query term t?
     def tokPred(x: Column, t: String, fuzzy: Option[(Int, Int)]): Column =
@@ -2540,17 +2622,8 @@ object PipelineCompiler {
     // tokenize once: the token project feeds BOTH the stats aggregate
     // (whose functions reference the token attributes) and the scoring
     // side, then per-clause tf columns land in their own project
-    val loadedIndex: Option[(String, DataFrame)] =
-      spec.collectFirst { case ("index", JString(nm)) => nm }.flatMap { nm =>
-        (try Some(resolve(nm)) catch { case _: Exception => None }).map { idf =>
-          val have = idf.columns.toSet
-          if (!Set("kind", "path", "term", "df", "n_docs", "avgdl").subsetOf(have))
-            throw new MqlException(s"$$search.index: '$nm' resolves to a " +
-              "collection without text-index columns " +
-              "(kind/path/term/df/n_docs/avgdl) — not a text index")
-          (nm, idf)
-        }
-      }
+    // (loadedIndex is resolved up top, before clause parsing — query
+    // analysis needs the index's declared analyzers)
     // ---- stored source -------------------------------------------------
     // `returnStoredSource: true` against an index that CARRIES stored
     // rows (TextIndex.build(storedSource = …)) re-materializes the scan
@@ -2772,6 +2845,8 @@ object PipelineCompiler {
             s"$$search.highlight: unsupported option '$k'"))
         val hPath = ho.collectFirst { case ("path", JString(p)) => p }
           .getOrElse(throw new MqlException("$search.highlight needs path"))
+        // the passage scanner tokenizes with the default analyzer
+        requireDefaultAnalyzer(hPath, "$search.highlight")
         val hTerms = scoredClauses.map(_.c).collect {
           case TextCl(ts, p, _) if p == hPath => ts
           case PhraseCl(ts, p, _) if p == hPath => ts
@@ -2965,7 +3040,11 @@ object PipelineCompiler {
               else for {
                 q <- o.collectFirst { case ("query", JString(x)) => x }
                 p <- o.collectFirst { case ("path", JString(x)) => x }
-                ts = queryTokens(q)
+                // posting terms were analyzed with the index's declared
+                // analyzer — the query must analyze the same way
+                ts = graft.llmops.Analyzers.queryTerms(
+                  graft.llmops.TextIndex.indexAnalyzers(idf)
+                    .getOrElse(p, graft.llmops.Analyzers.Default), q)
                 if ts.nonEmpty
               } yield (ts, p)
             case _ => None

@@ -2643,6 +2643,96 @@ object LlmOps {
             SELECT doc_id, score FROM sc
             ORDER BY score DESC, doc_id LIMIT 20""")),
 
+    // Atlas analyzer selection: lucene.standard (lowercase + Unicode
+    // word-break) over TPC-H customer names. The analyzer is
+    // load-bearing: "Customer#000000042" is ONE whitespace token but
+    // TWO standard tokens, so the must clause ("Customer") matches
+    // every row ONLY under lucene.standard, and the should clause lifts
+    // the two named keys to the top. The oracle replays the tokenizer
+    // with the same regex (letter/digit runs, apostrophe-joined) and
+    // the same BM25.
+    QueryDef("q_search_analyzer",
+      (s, dir) => Graft.aggregate(s, dir, "customer",
+        """[
+          {"$search": {"analyzer": "lucene.standard",
+            "compound": {
+              "must": [{"text": {"query": "Customer", "path": "c_name"}}],
+              "should": [{"text": {"query": "000000042 000000057",
+                "path": "c_name"}}]},
+            "limit": 10, "tieBreaker": "c_custkey"}},
+          {"$project": {"c_custkey": 1,
+            "score": {"$meta": "searchScore"}}},
+          {"$sort": {"score": -1, "c_custkey": 1}}]"""),
+      Some(s"""WITH toks AS (SELECT c_custkey,
+                 unnest(regexp_extract_all(lower(c_name),
+                   '[\\p{L}\\p{N}]+(?:''[\\p{L}\\p{N}]+)*')) AS term
+                 FROM customer),
+              dl AS (SELECT c_custkey, COUNT(*) AS dl FROM toks GROUP BY 1),
+              st AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+              tf AS (SELECT c_custkey, term, COUNT(*) AS tf FROM toks
+                     WHERE term IN ('customer', '000000042', '000000057')
+                     GROUP BY 1, 2),
+              df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+              sc AS (SELECT tf.c_custkey,
+                       round(SUM(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5)) *
+                         tf.tf * 2.2 / (tf.tf + 1.2 *
+                           (1 - 0.75 + 0.75 * dl.dl / st.avgdl))), 6) AS score
+                     FROM tf JOIN df USING (term) JOIN dl USING (c_custkey)
+                          CROSS JOIN st
+                     GROUP BY 1)
+            SELECT c_custkey, score FROM sc
+            ORDER BY score DESC, c_custkey LIMIT 10""")),
+
+    // the INDEX-declared form of the same analyzer: TextIndex built with
+    // analyzers = {c_name -> lucene.standard} records the analyzer as a
+    // kind='analyzer' row; naming the index applies it to BOTH document
+    // tokenization and query analysis with no stage-level option — and
+    // the looked-up statistics reproduce the corpus-pass scores exactly
+    // (same oracle as q_search_analyzer). A mismatched stage analyzer
+    // against this index refuses (spec-pinned in AnalyzerSpec).
+    QueryDef("q_search_analyzer_index",
+      (s, dir) => {
+        val store = new graft.sinks.DocStore(s,
+          java.nio.file.Files.createTempDirectory("graft_aidx").toString)
+        val cust = Graft.table(s, dir, "customer")
+        store.write(graft.llmops.TextIndex.build(cust, Seq("c_name"),
+          Map("c_name" -> "lucene.standard")), "cust_name")
+        val resolve: graft.mql.PipelineCompiler.TableResolver = {
+          case "cust_name" => store.read("cust_name")
+          case t => Graft.table(s, dir, t)
+        }
+        graft.mql.PipelineCompiler.run(cust,
+          """[
+            {"$search": {"index": "cust_name",
+              "compound": {
+                "must": [{"text": {"query": "Customer", "path": "c_name"}}],
+                "should": [{"text": {"query": "000000042 000000057",
+                  "path": "c_name"}}]},
+              "limit": 10, "tieBreaker": "c_custkey"}},
+            {"$project": {"c_custkey": 1,
+              "score": {"$meta": "searchScore"}}},
+            {"$sort": {"score": -1, "c_custkey": 1}}]""", resolve)
+      },
+      Some(s"""WITH toks AS (SELECT c_custkey,
+                 unnest(regexp_extract_all(lower(c_name),
+                   '[\\p{L}\\p{N}]+(?:''[\\p{L}\\p{N}]+)*')) AS term
+                 FROM customer),
+              dl AS (SELECT c_custkey, COUNT(*) AS dl FROM toks GROUP BY 1),
+              st AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+              tf AS (SELECT c_custkey, term, COUNT(*) AS tf FROM toks
+                     WHERE term IN ('customer', '000000042', '000000057')
+                     GROUP BY 1, 2),
+              df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+              sc AS (SELECT tf.c_custkey,
+                       round(SUM(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5)) *
+                         tf.tf * 2.2 / (tf.tf + 1.2 *
+                           (1 - 0.75 + 0.75 * dl.dl / st.avgdl))), 6) AS score
+                     FROM tf JOIN df USING (term) JOIN dl USING (c_custkey)
+                          CROSS JOIN st
+                     GROUP BY 1)
+            SELECT c_custkey, score FROM sc
+            ORDER BY score DESC, c_custkey LIMIT 10""")),
+
     // $search against a PERSISTED text index (TextIndex.build stored in
     // a DocStore, resolved by the `index` option): BM25 statistics come
     // from a bounded lookup of stored (term, df) rows + the path

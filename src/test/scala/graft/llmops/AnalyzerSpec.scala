@@ -1,0 +1,181 @@
+package graft.llmops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import graft.mql.{MqlException, PipelineCompiler}
+
+/** Atlas analyzer surface: doc-side / query-side tokenizer agreement
+  * per analyzer, index-declared per-path analyzers, and the refusal
+  * matrix (unknown names, index/query disagreement, operators whose own
+  * analysis contract admits only the default). */
+class AnalyzerSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  // punctuation, case, apostrophes, digits, unicode letters, empties
+  private val fixtures = Seq(
+    "Customer#000000042 paid $15.30",
+    "don't STOP the Café-au-lait",
+    "  spaced   out\ttabs ",
+    "", "2.5 x 10",
+    "ALLCAPS mixedCase lower")
+
+  test("query-side and document-side tokenization agree, per analyzer") {
+    val df = fixtures.toDF("t")
+    Analyzers.Names.foreach { name =>
+      val docSide = df.select(Analyzers.docTokens(name, col("t")).as("w"))
+        .collect().map(r => r.getSeq[String](0).toList).toList
+      val querySide = fixtures.map(Analyzers.queryTerms(name, _).toList)
+      assert(docSide == querySide, s"analyzer '$name' disagrees")
+    }
+  }
+
+  test("analyzer semantics: the documented contracts hold") {
+    def q(n: String, s: String) = Analyzers.queryTerms(n, s)
+    assert(q("graft.whitespace", "Customer#07 A b") ==
+      Seq("customer#07", "a", "b"))
+    assert(q("lucene.whitespace", "Customer#07 A b") ==
+      Seq("Customer#07", "A", "b"))
+    assert(q("lucene.standard", "Customer#000000042 don't 2.5") ==
+      Seq("customer", "000000042", "don't", "2", "5"))
+    assert(q("lucene.simple", "Customer#42 don't") ==
+      Seq("customer", "don", "t"))
+    assert(q("lucene.keyword", "One Exact Term") == Seq("One Exact Term"))
+    assert(q("lucene.keyword", "") == Nil)
+  }
+
+  test("unknown analyzer names refuse loudly everywhere") {
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    assert(intercept[MqlException] {
+      Analyzers.validate("lucene.english", "ctx")
+    }.getMessage.contains("unknown analyzer"))
+    assert(intercept[MqlException] {
+      TextIndex.build(docs, Seq("text"), Map("text" -> "lucene.bogus"))
+    }.getMessage.contains("unknown analyzer"))
+    assert(intercept[MqlException] {
+      PipelineCompiler.run(docs, """[
+        {"$search": {"analyzer": "lucene.bogus",
+          "text": {"query": "a", "path": "text"}}}]""")
+    }.getMessage.contains("unknown analyzer"))
+    // a declared path that is not indexed is a typo, not a no-op
+    assert(intercept[IllegalArgumentException] {
+      TextIndex.build(docs, Seq("text"), Map("txt" -> "lucene.standard"))
+    }.getMessage.contains("not indexed"))
+  }
+
+  private lazy val names = Seq(
+    (1L, "Customer#000000001"), (2L, "Customer#000000002"),
+    (3L, "Customer#000000003"), (4L, "Supplier#000000004"))
+    .toDF("id", "name")
+
+  test("stage analyzer changes matching: standard splits what whitespace keeps") {
+    def hits(spec: String): Seq[Long] =
+      PipelineCompiler.run(names, s"""[
+        {"$$search": $spec},
+        {"$$project": {"id": 1}}, {"$$sort": {"id": 1}}]""")
+        .as[Long].collect().toSeq
+    // default (lowercase whitespace): "customer" is not a token of
+    // "Customer#000000002" — no matches
+    assert(hits("""{"text": {"query": "Customer", "path": "name"}}""")
+      == Nil)
+    assert(hits("""{"analyzer": "lucene.standard",
+        "text": {"query": "Customer", "path": "name"}}""")
+      == Seq(1L, 2L, 3L))
+    // non-folding analyzer: case-sensitive terms
+    assert(hits("""{"analyzer": "lucene.whitespace",
+        "text": {"query": "customer#000000001", "path": "name"}}""")
+      == Nil)
+    assert(hits("""{"analyzer": "lucene.whitespace",
+        "text": {"query": "Customer#000000001", "path": "name"}}""")
+      == Seq(1L))
+    assert(hits("""{"analyzer": "lucene.keyword",
+        "text": {"query": "Customer#000000004", "path": "name"}}""")
+      == Nil)
+    assert(hits("""{"analyzer": "lucene.keyword",
+        "text": {"query": "Supplier#000000004", "path": "name"}}""")
+      == Seq(4L))
+  }
+
+  test("index-declared analyzer drives both sides; disagreement refuses") {
+    val idx = TextIndex.build(names, Seq("name"),
+      Map("name" -> "lucene.standard"))
+    assert(TextIndex.indexAnalyzers(idx) == Map("name" -> "lucene.standard"))
+    val resolve: PipelineCompiler.TableResolver = {
+      case "nidx" => idx
+      case o => fail(s"unexpected $o")
+    }
+    // no stage option: the index's analyzer applies
+    val scored = PipelineCompiler.run(names, """[
+      {"$search": {"index": "nidx",
+        "text": {"query": "Customer", "path": "name"},
+        "limit": 10, "tieBreaker": "id"}},
+      {"$project": {"id": 1}}, {"$sort": {"id": 1}}]""", resolve)
+      .as[Long].collect().toSeq
+    assert(scored == Seq(1L, 2L, 3L))
+    // a matching stage option is redundant but legal
+    PipelineCompiler.run(names, """[
+      {"$search": {"index": "nidx", "analyzer": "lucene.standard",
+        "text": {"query": "Customer", "path": "name"},
+        "limit": 10, "tieBreaker": "id"}},
+      {"$project": {"id": 1}}]""", resolve).collect()
+    // a disagreeing one must refuse, not silently mis-score —
+    // including the default-vs-declared direction
+    val e1 = intercept[MqlException] {
+      PipelineCompiler.run(names, """[
+        {"$search": {"index": "nidx", "analyzer": "graft.whitespace",
+          "text": {"query": "Customer", "path": "name"}}}]""", resolve)
+    }
+    assert(e1.getMessage.contains("must agree"))
+    val plain = TextIndex.build(names, Seq("name"))
+    val resolve2: PipelineCompiler.TableResolver = { case _ => plain }
+    val e2 = intercept[MqlException] {
+      PipelineCompiler.run(names, """[
+        {"$search": {"index": "pidx", "analyzer": "lucene.standard",
+          "text": {"query": "Customer", "path": "name"}}}]""", resolve2)
+    }
+    assert(e2.getMessage.contains("must agree"))
+  }
+
+  test("update folds new docs with the index's declared analyzer") {
+    val idx = TextIndex.build(names.where(col("id") <= 2), Seq("name"),
+      Map("name" -> "lucene.standard"))
+    val folded = TextIndex.update(idx, names.where(col("id") > 2), Seq("name"))
+    // analyzer row carried once
+    assert(TextIndex.indexAnalyzers(folded) ==
+      Map("name" -> "lucene.standard"))
+    // fold ≡ rebuild: the delta must have analyzed with lucene.standard
+    val rebuilt = TextIndex.build(names, Seq("name"),
+      Map("name" -> "lucene.standard"))
+    def termSet(ix: org.apache.spark.sql.DataFrame) =
+      ix.where(col("kind") === "term").select("term", "df")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(termSet(folded) == termSet(rebuilt))
+  }
+
+  test("operators with their own analysis contract refuse non-default analyzers") {
+    def run(spec: String) = PipelineCompiler.run(names, s"""[
+      {"$$search": $spec}, {"$$project": {"id": 1}}]""")
+    assert(intercept[MqlException] { run("""{"analyzer": "lucene.standard",
+      "autocomplete": {"query": "cust", "path": "name"}}""") }
+      .getMessage.contains("only the default analyzer"))
+    assert(intercept[MqlException] { run("""{"analyzer": "lucene.standard",
+      "queryString": {"defaultPath": "name", "query": "customer"}}""") }
+      .getMessage.contains("only the default analyzer"))
+    assert(intercept[MqlException] { run("""{"analyzer": "lucene.standard",
+      "text": {"query": "customer", "path": "name"},
+      "highlight": {"path": "name"}}""") }
+      .getMessage.contains("only the default analyzer"))
+    // synonyms need folding
+    val syn = Seq(("equivalent", Seq("customer", "client")))
+      .toDF("mappingType", "synonyms")
+    val resolve: PipelineCompiler.TableResolver = { case _ => syn }
+    assert(intercept[MqlException] {
+      PipelineCompiler.run(names, """[
+        {"$search": {"analyzer": "lucene.whitespace",
+          "text": {"query": "customer", "path": "name",
+            "synonyms": "syn"}}}]""", resolve)
+    }.getMessage.contains("case-folding"))
+  }
+}
