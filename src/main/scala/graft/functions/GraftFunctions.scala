@@ -956,6 +956,91 @@ case class BsonTruthy(child: Expression)
   * chosen by (count, length, gram) descending, HALF_UP rounding to 6,
   * null text → all-zero struct. Eval-based (CodegenFallback): one
   * invocation per document, off the per-element hot path. */
+/** Container-header parse of a media payload: (format, width, height)
+  * from bounded byte reads — PNG magic + IHDR, a real JPEG marker-
+  * segment walk to the first SOF frame header, GIF87a/89a logical
+  * screen. No pixel decode, no codec library: the header fields are
+  * spec-fixed offsets (PNG: big-endian u32 at IHDR+0/+4; JPEG SOF:
+  * big-endian u16 height/width after precision; GIF: little-endian
+  * u16 pair), so the parse reads at most a few hundred bytes wherever
+  * the payload itself is gigabytes — the metadata-extraction step of a
+  * multimodal pipeline stays scale-free. Unrecognized/truncated/
+  * malformed payloads yield NULL (callers coalesce to 'unknown').
+  * Eval-based (CodegenFallback): one bounded walk per payload, off the
+  * per-element hot path. */
+case class MediaHeader(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false)))
+  override def nullable: Boolean = true
+
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFFL) << 16) |
+      ((b(i + 2) & 0xFFL) << 8) | (b(i + 3) & 0xFFL)
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+  private def row(fmt: String, w: Long, h: Long): Any =
+    if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) null
+    else org.apache.spark.sql.catalyst.InternalRow(
+      UTF8String.fromString(fmt), w.toInt, h.toInt)
+
+  override def nullSafeEval(v: Any): Any = {
+    val b = v.asInstanceOf[Array[Byte]]
+    // PNG: 8-byte magic, IHDR must be the first chunk (spec-required)
+    if (b.length >= 24 &&
+        (b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+        b(4) == 0x0D && b(5) == 0x0A && b(6) == 0x1A && b(7) == 0x0A) {
+      if (b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+        row("png", be32(b, 16), be32(b, 20))
+      else null
+    }
+    // JPEG: FF D8 then a marker-segment walk to the first SOF header
+    else if (b.length >= 4 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) {
+      var i = 2
+      var guard = 0
+      while (i + 1 < b.length && guard < 256) {
+        guard += 1
+        if ((b(i) & 0xFF) != 0xFF) return null // lost sync — malformed
+        // fill bytes: FF may repeat before the marker code
+        var j = i
+        while (j + 1 < b.length && (b(j + 1) & 0xFF) == 0xFF) j += 1
+        if (j + 1 >= b.length) return null
+        val marker = b(j + 1) & 0xFF
+        // SOF0-15 minus DHT(C4)/JPG(C8)/DAC(CC)
+        if (marker >= 0xC0 && marker <= 0xCF &&
+            marker != 0xC4 && marker != 0xC8 && marker != 0xCC) {
+          // segment: len(2) precision(1) height(2) width(2)
+          if (j + 8 >= b.length) return null
+          return row("jpeg", be16(b, j + 7).toLong, be16(b, j + 5).toLong)
+        } else if (marker == 0xD8 || marker == 0x01 ||
+                   (marker >= 0xD0 && marker <= 0xD7)) {
+          i = j + 2 // standalone marker, no length field
+        } else if (marker == 0xD9) {
+          return null // EOI before any frame header
+        } else {
+          if (j + 3 >= b.length) return null
+          val len = be16(b, j + 2)
+          if (len < 2) return null
+          i = j + 2 + len
+        }
+      }
+      null
+    }
+    // GIF87a / GIF89a: logical screen descriptor
+    else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+             b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
+      row("gif", le16(b, 6).toLong, le16(b, 8).toLong)
+    } else null
+  }
+
+  override protected def withNewChildInternal(c: Expression): MediaHeader =
+    copy(c)
+}
+
 case class GopherRep(left: Expression, right: Expression)
   extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = StructType(Seq(
@@ -1492,6 +1577,7 @@ object GraftFunctions {
     "graft_object_to_array" -> ((e: Seq[Expression]) => ObjectToArray(e.head)),
     "graft_bson_size" -> ((e: Seq[Expression]) => BsonSize(e.head)),
     "gopher_rep" -> ((e: Seq[Expression]) => GopherRep(e(0), e(1))),
+    "media_header" -> ((e: Seq[Expression]) => MediaHeader(e.head)),
     "quant_int8" -> ((e: Seq[Expression]) => QuantInt8(e.head)),
     "try_to_int" -> ((e: Seq[Expression]) => TryToIntegral(e.head, toLong = false)),
     "try_to_long" -> ((e: Seq[Expression]) => TryToIntegral(e.head, toLong = true)),

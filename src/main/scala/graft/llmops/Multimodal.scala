@@ -10,9 +10,11 @@ import org.apache.spark.sql.types._
   * shape a real codec or model-inference step needs — batched input,
   * columnar output).
   *
+  * Container-HEADER decode is REAL ([[headerMeta]]: PNG/JPEG/GIF format
+  * + dimensions from bounded byte reads — the scale-free metadata step).
   * The byte→pixels/samples decode itself is STUBBED (`fakeDecode`): no
   * codec libraries ship in this container. The stub is deterministic
-  * (CRC-seeded), so tests pin real values; swap `fakeDecode` for a JNI
+  * (md5-seeded), so tests pin real values; swap `fakeDecode` for a JNI
   * codec / ONNX runtime call and nothing else changes.
   */
 object Multimodal {
@@ -33,6 +35,17 @@ object Multimodal {
         (octet_length(col(textCol)) % 1920).cast(IntegerType).as("width"),
         (octet_length(col(textCol)) % 1080).cast(IntegerType).as("height"),
         octet_length(col(textCol)).cast(LongType).as("duration_ms")).as("meta"))
+
+  /** REAL header-level decode: (format, width, height) parsed from the
+    * payload's container header — PNG magic + IHDR, a JPEG
+    * marker-segment walk to the first SOF frame, GIF logical screen
+    * (MediaHeader expression; bounded byte reads, no codec, no pixel
+    * decode — the only part of media metadata extraction that stays
+    * scale-free at 100 TB). Unrecognized payloads → null struct. */
+  def headerMeta(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    graft.functions.GraftFunctions.register(SparkSession.active)
+    call_function("media_header", payload)
+  }
 
   /** STUB decode: deterministic pseudo-features from payload bytes.
     * Replace with a real codec; signature (bytes → fixed-dim floats) and

@@ -964,6 +964,76 @@ object LlmOps {
                      CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS duration_ms
               FROM documents ORDER BY media_id""")),
 
+    // REAL container-header decode (MediaHeader expression): the gate
+    // synthesizes spec-correct PNG (magic+IHDR), JPEG (APP0 segment →
+    // SOF0, discovered by the marker walk, not a fixed offset), and GIF
+    // (little-endian logical screen) payloads from fixture columns,
+    // plus raw-text bytes as the unrecognized case. The oracle builds
+    // byte-identical blobs as hex strings and parses the same header
+    // fields back out of them. Unknowns coalesce to ('unknown', 0, 0)
+    // so every output column stays non-null (checker dtype stability).
+    QueryDef("q_media_decode",
+      (s, dir) => {
+        val docs = Graft.table(s, dir, "documents")
+        val w = (col("doc_id") % 640 + 1).cast("int")
+        val h = (col("n_chars") % 480 + 1).cast("int")
+        def hx(c: org.apache.spark.sql.Column, n: Int) =
+          lpad(hex(c), n, "0")
+        val png = concat(lit("89504E470D0A1A0A0000000D49484452"),
+          hx(w, 8), hx(h, 8), lit("0806000000"))
+        val jpg = concat(
+          lit("FFD8FFE000104A46494600010100000100010000FFC0001108"),
+          hx(h, 4), hx(w, 4), lit("03011100021101031101FFD9"))
+        val gif = concat(lit("474946383961"),
+          hx(w.bitwiseAND(lit(255)), 2), hx(shiftright(w, 8), 2),
+          hx(h.bitwiseAND(lit(255)), 2), hx(shiftright(h, 8), 2),
+          lit("F7000000"))
+        val payload = when(col("doc_id") % 4 === 0, unhex(png))
+          .when(col("doc_id") % 4 === 1, unhex(jpg))
+          .when(col("doc_id") % 4 === 2, unhex(gif))
+          .otherwise(col("text").cast("binary"))
+        docs.select(col("doc_id"),
+            Multimodal.headerMeta(payload).as("__h"))
+          .select(col("doc_id"),
+            coalesce(col("__h.format"), lit("unknown")).as("format"),
+            coalesce(col("__h.width"), lit(0)).as("width"),
+            coalesce(col("__h.height"), lit(0)).as("height"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH src AS (SELECT doc_id, doc_id % 4 AS m,
+                     CAST(doc_id % 640 + 1 AS INT) AS w,
+                     CAST(n_chars % 480 + 1 AS INT) AS h
+                   FROM documents),
+              hx AS (SELECT doc_id, m,
+                CASE WHEN m = 0 THEN '89504E470D0A1A0A0000000D49484452'
+                       || lpad(to_hex(w), 8, '0') || lpad(to_hex(h), 8, '0')
+                       || '0806000000'
+                     WHEN m = 1 THEN
+                       'FFD8FFE000104A46494600010100000100010000FFC0001108'
+                       || lpad(to_hex(h), 4, '0') || lpad(to_hex(w), 4, '0')
+                       || '03011100021101031101FFD9'
+                     WHEN m = 2 THEN '474946383961'
+                       || lpad(to_hex(w & 255), 2, '0')
+                       || lpad(to_hex(w >> 8), 2, '0')
+                       || lpad(to_hex(h & 255), 2, '0')
+                       || lpad(to_hex(h >> 8), 2, '0') || 'F7000000'
+                     ELSE NULL END AS b
+                FROM src)
+            SELECT doc_id,
+                   CASE WHEN m = 0 THEN 'png' WHEN m = 1 THEN 'jpeg'
+                        WHEN m = 2 THEN 'gif' ELSE 'unknown' END AS format,
+                   CAST(CASE WHEN m = 0 THEN ('0x' || substr(b, 33, 8))::BIGINT
+                        WHEN m = 1 THEN ('0x' || substr(b, 55, 4))::BIGINT
+                        WHEN m = 2 THEN ('0x' || substr(b, 15, 2)
+                                              || substr(b, 13, 2))::BIGINT
+                        ELSE 0 END AS INT) AS width,
+                   CAST(CASE WHEN m = 0 THEN ('0x' || substr(b, 41, 8))::BIGINT
+                        WHEN m = 1 THEN ('0x' || substr(b, 51, 4))::BIGINT
+                        WHEN m = 2 THEN ('0x' || substr(b, 19, 2)
+                                              || substr(b, 17, 2))::BIGINT
+                        ELSE 0 END AS INT) AS height
+            FROM hx ORDER BY doc_id""")),
+
     // the stub decode is md5-based (Multimodal.fakeDecode), so DuckDB
     // reproduces the features; values are 16-bit/2^16 → float-exact, so
     // the norm is order-insensitive and engine-exact before rounding.
