@@ -224,19 +224,30 @@ object DocIdIndex {
              schema: StructType, indexPath: String): Unit = {
     val files = listDataFiles(spark, dataPath)
     val (_, docSchema) = splitSchema(files, idCol, schema)
-    val have = spark.read.parquet(indexPath)
-      .select("path").distinct().collect().map(_.getString(0)).toSet
-    val gone = have -- files.map(_.path).toSet
-    val fresh = files.filterNot(f => have.contains(f.path))
-    if (gone.nonEmpty) {
-      // rewrite only the removal: drop vanished files' entries. The
-      // surviving rows are MATERIALIZED (eager local checkpoint, which
-      // also truncates lineage) before the overwrite deletes the very
-      // files they came from — a cache() here could silently recompute
-      // from deleted parquet on eviction; the checkpoint either holds
-      // the blocks or fails loudly.
-      val kept = spark.read.parquet(indexPath)
-        .where(!col("path").isin(gone.toSeq: _*)).localCheckpoint(true)
+    // membership is decided by JOINS against the listing — the index's
+    // path universe (every file ever indexed) is never collected to the
+    // driver. What does come back is O(new files): the listing's
+    // anti-join survivors.
+    import spark.implicits._
+    val listing = files.map(_.path).toDF("path")
+    val idx = spark.read.parquet(indexPath)
+    val freshPaths = listing
+      .join(idx.select("path"), Seq("path"), "left_anti")
+      .collect().map(_.getString(0)).toSet
+    val fresh = files.filter(f => freshPaths.contains(f.path))
+    // vanished files: any index entry whose path left the listing
+    // (isEmpty short-circuits at the first survivor)
+    val goneExists = !idx.select("path")
+      .join(listing, Seq("path"), "left_anti").isEmpty
+    if (goneExists) {
+      // rewrite only the removal: keep entries whose file still exists.
+      // The surviving rows are MATERIALIZED (eager local checkpoint,
+      // which also truncates lineage) before the overwrite deletes the
+      // very files they came from — a cache() here could silently
+      // recompute from deleted parquet on eviction; the checkpoint
+      // either holds the blocks or fails loudly.
+      val kept = idx.join(listing, Seq("path"), "left_semi")
+        .localCheckpoint(true)
       kept.write.mode("overwrite").parquet(indexPath)
     }
     if (fresh.nonEmpty)

@@ -127,6 +127,61 @@ class DocIdIndexSpec extends AnyFunSuite {
     assert(remaining.intersect(victimIds).isEmpty)
   }
 
+  test("update over a many-file layout never collects the indexed path " +
+       "universe — membership is join-decided") {
+    val data = tmp(); val idx = tmp()
+    // many small files: the indexed path universe is 64 files, the
+    // arriving batch is 1 — only the latter's paths may reach the driver
+    orders.limit(640).repartition(64).write.format("graftdocs")
+      .mode("overwrite").save(data)
+    DocIdIndex.build(spark, data, "o_orderkey", orders.schema, idx)
+    orders.where($"o_orderkey" >= 900 && $"o_orderkey" < 910)
+      .coalesce(1).write.format("graftdocs").mode("append").save(data)
+    // record every Dataset action's analyzed plan during the update
+    val plans = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]())
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = plans.add(qe.analyzed): Unit
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      DocIdIndex.update(spark, data, "o_orderkey", orders.schema, idx)
+      // listener bus is async — wait until the update's actions landed
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (plans.size() < 2 && System.nanoTime() < deadline) Thread.sleep(20)
+    } finally spark.listenerManager.unregister(listener)
+    import scala.jdk.CollectionConverters._
+    def scansIndex(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.exists {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.exists(_.toString.contains(idx))
+            case _ => false
+          }
+        case _ => false
+      }
+    val indexReads = plans.asScala.toList.filter(scansIndex)
+    assert(indexReads.nonEmpty, "update never read the index?")
+    // the old shape — a bare index.select(path).distinct().collect() —
+    // has no Join; every index read must decide membership via a join
+    // against the listing
+    indexReads.foreach { p =>
+      assert(p.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join]),
+        s"index scanned without a join (path-universe collect shape):\n$p")
+    }
+    // and the fold stayed correct: fresh file indexed, fetch works
+    val got = DocIdIndex.fetch(spark, idx, orders.schema, Seq(905L))
+      .collect()
+    assert(got.length == orders.where($"o_orderkey" === 905L).count())
+  }
+
   test("string ids and multi-byte text keep byte-accurate offsets") {
     val df = Seq(
       ("id-a", "plain"), ("id-ü", "ünïcode — ™ text"), ("id-c", "日本語テキスト"),
