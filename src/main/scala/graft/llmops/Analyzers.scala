@@ -33,6 +33,12 @@ import org.apache.spark.sql.functions._
   *  - `lucene.simple`: lowercase + maximal letter runs (digits split).
   *  - `lucene.keyword`: the whole field value as one exact term, no
   *    folding (empty string analyzes to no terms).
+  *  - CUSTOM definitions (Atlas custom analyzers): a
+  *    `{tokenizer, tokenFilters}` JSON document — tokenizers standard/
+  *    whitespace/keyword/letter, token filters lowercase/asciiFolding/
+  *    stopword/length applied in declared order. See the custom-
+  *    analyzer section below; [[normalize]] gives the canonical string
+  *    form under which index and query definitions compare.
   */
 object Analyzers {
   val Default = "graft.whitespace"
@@ -44,16 +50,175 @@ object Analyzers {
   val Names: Set[String] = Set(Default, "lucene.standard",
     "lucene.whitespace", "lucene.simple", "lucene.keyword")
 
+  // ---- custom analyzer definitions (Atlas "custom analyzers") ----------
+  //
+  // A JSON document — {"tokenizer": "standard"|"whitespace"|"keyword"|
+  // "letter", "tokenFilters": [{"type": "lowercase"} | {"type":
+  // "asciiFolding"} | {"type": "stopword", "tokens": [...],
+  // "ignoreCase": bool=true} | {"type": "length", "min": N=1,
+  // "max": M=255}, ...]} — is a valid analyzer name anywhere a plain
+  // name is: TextIndex.build analyzers values, the `$search` stage
+  // option (as a nested document), stored kind='analyzer' rows. Filters
+  // apply IN DECLARED ORDER on both sides (lowercase-then-stopword ≠
+  // stopword-then-lowercase when ignoreCase=false). Everything is
+  // replayable in DuckDB (regexp_extract_all + list_transform/
+  // list_filter + translate), so custom-analyzer gates keep full
+  // oracle twins. charFilters and the stemming/shingle/edge-gram filter
+  // families are NOT supported and refuse loudly.
+  private sealed trait TokFilter
+  private case object FLower extends TokFilter
+  private case object FFold extends TokFilter
+  private case class FStop(tokens: Seq[String], ignoreCase: Boolean)
+    extends TokFilter
+  private case class FLength(min: Int, max: Int) extends TokFilter
+  private case class Custom(tokenizer: String, filters: Seq[TokFilter])
+
+  /** ASCII-folding table — the documented Latin-1 accent subset (a real
+    * Lucene ASCIIFoldingFilter covers far more; this mapping is what
+    * both engines can replay with translate()). */
+  private[llmops] val FoldFrom =
+    "ÀÁÂÃÄÅàáâãäåÈÉÊËèéêëÌÍÎÏìíîïÒÓÔÕÖØòóôõöøÙÚÛÜùúûüÝýÿÑñÇç"
+  private[llmops] val FoldTo =
+    "AAAAAAaaaaaaEEEEeeeeIIIIiiiiOOOOOOooooooUUUUuuuuYyyNnCc"
+  private lazy val foldMap: Map[Char, Char] = FoldFrom.zip(FoldTo).toMap
+
+  private def isCustom(name: String): Boolean =
+    name.trim.startsWith("{")
+
+  private def parseCustom(name: String, ctx: String): Custom = {
+    import org.json4s._
+    val root = try org.json4s.jackson.JsonMethods.parse(name)
+      catch { case e: Exception => throw new graft.mql.MqlException(
+        s"$ctx: malformed custom analyzer JSON — ${e.getMessage}") }
+    val fields = root match {
+      case JObject(fs) => fs
+      case _ => throw new graft.mql.MqlException(
+        s"$ctx: custom analyzer must be a document")
+    }
+    fields.map(_._1).find(k => k != "tokenizer" && k != "tokenFilters")
+      .foreach(k => throw new graft.mql.MqlException(
+        s"$ctx: unsupported custom-analyzer field '$k' " +
+          "(supported: tokenizer, tokenFilters)"))
+    val tok = fields.collectFirst {
+      case ("tokenizer", JString(t)) => t
+      case ("tokenizer", JObject(to)) => to.collectFirst {
+        case ("type", JString(t)) => t
+      }.getOrElse(throw new graft.mql.MqlException(
+        s"$ctx: tokenizer document needs type"))
+    }.getOrElse(throw new graft.mql.MqlException(
+      s"$ctx: custom analyzer needs a tokenizer"))
+    if (!Set("standard", "whitespace", "keyword", "letter").contains(tok))
+      throw new graft.mql.MqlException(
+        s"$ctx: unsupported tokenizer '$tok' " +
+          "(supported: standard, whitespace, keyword, letter)")
+    def intOf(v: JValue, f: String): Int = v match {
+      case JInt(i) => i.toInt
+      case JLong(l) => l.toInt
+      case other => throw new graft.mql.MqlException(
+        s"$ctx.$f: expected an integer, got $other")
+    }
+    val filters = fields.collectFirst {
+      case ("tokenFilters", JArray(fs)) => fs.map {
+        case JString("lowercase") => FLower
+        case JString("asciiFolding") => FFold
+        case JObject(fo) =>
+          val t = fo.collectFirst { case ("type", JString(x)) => x }
+            .getOrElse(throw new graft.mql.MqlException(
+              s"$ctx: token filter needs type"))
+          t match {
+            case "lowercase" => FLower
+            case "asciiFolding" => FFold
+            case "stopword" =>
+              val toks = fo.collectFirst { case ("tokens", JArray(xs)) =>
+                xs.map {
+                  case JString(s) => s
+                  case other => throw new graft.mql.MqlException(
+                    s"$ctx: stopword tokens must be strings, got $other")
+                }
+              }.getOrElse(throw new graft.mql.MqlException(
+                s"$ctx: stopword filter needs tokens"))
+              if (toks.isEmpty) throw new graft.mql.MqlException(
+                s"$ctx: stopword filter needs a non-empty token list")
+              val ic = fo.collectFirst { case ("ignoreCase", JBool(b)) => b }
+                .getOrElse(true)
+              FStop(toks, ic)
+            case "length" =>
+              val mn = fo.collectFirst { case ("min", v) => intOf(v, "length.min") }
+                .getOrElse(1)
+              val mx = fo.collectFirst { case ("max", v) => intOf(v, "length.max") }
+                .getOrElse(255)
+              if (mn < 0 || mx < mn) throw new graft.mql.MqlException(
+                s"$ctx: length filter needs 0 <= min <= max (got $mn..$mx)")
+              FLength(mn, mx)
+            case other => throw new graft.mql.MqlException(
+              s"$ctx: unsupported token filter '$other' (supported: " +
+                "lowercase, asciiFolding, stopword, length)")
+          }
+        case other => throw new graft.mql.MqlException(
+          s"$ctx: token filter must be a name or a document, got $other")
+      }
+    }.getOrElse(Nil)
+    Custom(tok, filters)
+  }
+
+  /** Canonical string form: plain names pass through (after the known-
+    * set check); custom definitions re-serialize deterministically with
+    * defaults made explicit, so "the same analyzer spelled differently"
+    * (field order, whitespace, shorthand filters) compares equal between
+    * a stored index and a stage option. */
+  def normalize(name: String, ctx: String): String =
+    if (!isCustom(name)) { validate(name, ctx); name }
+    else {
+      val c = parseCustom(name, ctx)
+      val fs = c.filters.map {
+        case FLower => """{"type":"lowercase"}"""
+        case FFold => """{"type":"asciiFolding"}"""
+        case FStop(toks, ic) =>
+          val ts = toks.map(t => "\"" + t.replace("\\", "\\\\")
+            .replace("\"", "\\\"") + "\"").mkString(",")
+          s"""{"type":"stopword","tokens":[$ts],"ignoreCase":$ic}"""
+        case FLength(mn, mx) =>
+          s"""{"type":"length","min":$mn,"max":$mx}"""
+      }.mkString(",")
+      s"""{"tokenizer":"${c.tokenizer}","tokenFilters":[$fs]}"""
+    }
+
   /** Refuses unknown analyzer names (MQL-surface error). */
   def validate(name: String, ctx: String): Unit =
-    if (!Names(name)) throw new graft.mql.MqlException(
+    if (isCustom(name)) { parseCustom(name, ctx): Unit }
+    else if (!Names(name)) throw new graft.mql.MqlException(
       s"$ctx: unknown analyzer '$name' (supported: " +
-        Names.toSeq.sorted.mkString(", ") + ")")
+        Names.toSeq.sorted.mkString(", ") + ", or a custom " +
+        "{tokenizer, tokenFilters} document)")
 
   /** Whether analysis case-folds — decides if query-side constants
     * (wildcard/regex patterns, synonym entries) may be lowercased. */
   def lowercases(name: String): Boolean =
-    name != "lucene.whitespace" && name != "lucene.keyword"
+    if (isCustom(name))
+      parseCustom(name, "analyzer").filters.contains(FLower)
+    else name != "lucene.whitespace" && name != "lucene.keyword"
+
+  private def baseDocTokens(tokenizer: String, c: Column): Column =
+    tokenizer match {
+      case "standard" => regexp_extract_all(c, lit(StandardRx), lit(0))
+      case "whitespace" => TextAnalysis.tokens(c)
+      case "letter" => regexp_extract_all(c, lit(SimpleRx), lit(0))
+      case "keyword" =>
+        when(c.isNull, lit(null).cast("array<string>"))
+          .otherwise(when(c === "", array().cast("array<string>"))
+            .otherwise(array(c)))
+    }
+
+  private def applyDocFilter(arr: Column, f: TokFilter): Column = f match {
+    case FLower => transform(arr, x => lower(x))
+    case FFold => transform(arr, x => translate(x, FoldFrom, FoldTo))
+    case FStop(toks, true) =>
+      val low = toks.map(_.toLowerCase(Locale.ROOT))
+      filter(arr, x => !lower(x).isin(low: _*))
+    case FStop(toks, false) => filter(arr, x => !x.isin(toks: _*))
+    case FLength(mn, mx) =>
+      filter(arr, x => length(x) >= mn && length(x) <= mx)
+  }
 
   /** Document-side tokenizer: array<string> of analyzed terms (null
     * input stays null, matching TextAnalysis.tokens' convention). */
@@ -62,10 +227,10 @@ object Analyzers {
     case "lucene.whitespace" => TextAnalysis.tokens(c)
     case "lucene.standard"  => regexp_extract_all(lower(c), lit(StandardRx), lit(0))
     case "lucene.simple"    => regexp_extract_all(lower(c), lit(SimpleRx), lit(0))
-    case "lucene.keyword"   =>
-      when(c.isNull, lit(null).cast("array<string>"))
-        .otherwise(when(c === "", array().cast("array<string>"))
-          .otherwise(array(c)))
+    case "lucene.keyword"   => baseDocTokens("keyword", c)
+    case other if isCustom(other) =>
+      val cu = parseCustom(other, "analyzer")
+      cu.filters.foldLeft(baseDocTokens(cu.tokenizer, c))(applyDocFilter)
     case other =>
       validate(other, "analyzer"); throw new IllegalStateException(other)
   }
@@ -77,6 +242,25 @@ object Analyzers {
     b.result()
   }
 
+  private def baseQueryTerms(tokenizer: String, q: String): Seq[String] =
+    tokenizer match {
+      case "standard" => rxAll(StandardRx, q)
+      case "whitespace" => q.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      case "letter" => rxAll(SimpleRx, q)
+      case "keyword" => if (q.isEmpty) Nil else Seq(q)
+    }
+
+  private def applyQueryFilter(ts: Seq[String], f: TokFilter): Seq[String] =
+    f match {
+      case FLower => ts.map(_.toLowerCase(Locale.ROOT))
+      case FFold => ts.map(_.map(ch => foldMap.getOrElse(ch, ch)))
+      case FStop(toks, true) =>
+        val low = toks.map(_.toLowerCase(Locale.ROOT)).toSet
+        ts.filterNot(t => low(t.toLowerCase(Locale.ROOT)))
+      case FStop(toks, false) => val s = toks.toSet; ts.filterNot(s)
+      case FLength(mn, mx) => ts.filter(t => t.length >= mn && t.length <= mx)
+    }
+
   /** Query-side tokenizer — must agree with [[docTokens]] exactly. */
   def queryTerms(name: String, q: String): Seq[String] = name match {
     case Default =>
@@ -86,6 +270,9 @@ object Analyzers {
     case "lucene.standard" => rxAll(StandardRx, q.toLowerCase(Locale.ROOT))
     case "lucene.simple"   => rxAll(SimpleRx, q.toLowerCase(Locale.ROOT))
     case "lucene.keyword"  => if (q.isEmpty) Nil else Seq(q)
+    case other if isCustom(other) =>
+      val cu = parseCustom(other, "analyzer")
+      cu.filters.foldLeft(baseQueryTerms(cu.tokenizer, q))(applyQueryFilter)
     case other =>
       validate(other, "analyzer"); throw new IllegalStateException(other)
   }

@@ -45,7 +45,10 @@ object TextIndex {
     * contract and `$search` can refuse a mismatched query analyzer. */
   private def analyzerRows(df: DataFrame, paths: Seq[String],
                            analyzers: Map[String, String]): Option[DataFrame] = {
+    // stored in canonical form so a stage option normalizing to the
+    // same analyzer compares equal whatever its spelling
     val declared = paths.flatMap(p => analyzers.get(p)
+      .map(a => Analyzers.normalize(a, "TextIndex.build.analyzers"))
       .filter(_ != Analyzers.Default).map(p -> _))
     if (declared.isEmpty) None
     else Some(declared.map { case (p, a) =>

@@ -1771,10 +1771,17 @@ object PipelineCompiler {
     //    whitespace-analyzed statistics would silently mis-score.
     // The engine default stays the historical lowercase whitespace
     // tokenizer (graft.whitespace) so pre-analyzer indexes keep working.
+    // the option value is a plain name OR an inline custom-analyzer
+    // document ({tokenizer, tokenFilters}); both normalize to the
+    // canonical string form the index rows store, so equality between
+    // stage and index is spelling-independent
     val stageAnalyzer: Option[String] =
-      spec.collectFirst { case ("analyzer", JString(a)) => a }
-    stageAnalyzer.foreach(a =>
-      graft.llmops.Analyzers.validate(a, "$search.analyzer"))
+      spec.collectFirst {
+        case ("analyzer", JString(a)) => a
+        case ("analyzer", o: JObject) =>
+          org.json4s.jackson.JsonMethods.compact(
+            org.json4s.jackson.JsonMethods.render(o))
+      }.map(a => graft.llmops.Analyzers.normalize(a, "$search.analyzer"))
     val loadedIndex: Option[(String, DataFrame)] =
       spec.collectFirst { case ("index", JString(nm)) => nm }.flatMap { nm =>
         (try Some(resolve(nm)) catch { case _: Exception => None }).map { idf =>

@@ -2753,6 +2753,50 @@ object LlmOps {
             SELECT c_custkey, score FROM sc
             ORDER BY score DESC, c_custkey LIMIT 10""")),
 
+    // CUSTOM analyzer (Atlas custom-analyzer definition, inline): the
+    // standard tokenizer + an ordered token-filter chain — lowercase,
+    // a stopword list (drops the corpus-common 'data'/'the'/'a'),
+    // length 3..8. BM25 scores change because document lengths and the
+    // stats universe are computed over the FILTERED token stream; the
+    // oracle replays the same chain with list_transform/list_filter.
+    QueryDef("q_search_analyzer_custom",
+      (s, dir) => Graft.aggregate(s, dir, "documents",
+        """[
+          {"$search": {
+            "analyzer": {"tokenizer": "standard", "tokenFilters": [
+              {"type": "lowercase"},
+              {"type": "stopword", "tokens": ["the", "a", "data"]},
+              {"type": "length", "min": 3, "max": 8}]},
+            "text": {"query": "spark window merge", "path": "text"},
+            "limit": 20, "tieBreaker": "doc_id"}},
+          {"$project": {"doc_id": 1,
+            "score": {"$meta": "searchScore"}}},
+          {"$sort": {"score": -1, "doc_id": 1}}]"""),
+      Some(s"""WITH raw AS (SELECT doc_id,
+                 list_filter(list_transform(
+                     regexp_extract_all(text,
+                       '[\\p{L}\\p{N}]+(?:''[\\p{L}\\p{N}]+)*'),
+                     t -> lower(t)),
+                   t -> len(t) >= 3 AND len(t) <= 8
+                        AND t NOT IN ('the', 'a', 'data')) AS w
+                 FROM documents),
+              toks AS (SELECT doc_id, unnest(w) AS term FROM raw),
+              dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+              st AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+              tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+                     WHERE term IN ('spark', 'window', 'merge')
+                     GROUP BY 1, 2),
+              df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+              sc AS (SELECT tf.doc_id,
+                       round(SUM(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5)) *
+                         tf.tf * 2.2 / (tf.tf + 1.2 *
+                           (1 - 0.75 + 0.75 * dl.dl / st.avgdl))), 6) AS score
+                     FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+                          CROSS JOIN st
+                     GROUP BY 1)
+            SELECT doc_id, score FROM sc
+            ORDER BY score DESC, doc_id LIMIT 20""")),
+
     // the INDEX-declared form of the same analyzer: TextIndex built with
     // analyzers = {c_name -> lucene.standard} records the analyzer as a
     // kind='analyzer' row; naming the index applies it to BOTH document

@@ -154,6 +154,81 @@ class AnalyzerSpec extends AnyFunSuite {
     assert(termSet(folded) == termSet(rebuilt))
   }
 
+  private val customStd =
+    """{"tokenizer": "standard", "tokenFilters": [
+         {"type": "lowercase"},
+         {"type": "asciiFolding"},
+         {"type": "stopword", "tokens": ["the"]},
+         {"type": "length", "min": 2, "max": 10}]}"""
+
+  test("custom analyzers: doc/query agreement, declared filter order") {
+    val df = fixtures.toDF("t")
+    val docSide = df.select(Analyzers.docTokens(customStd, col("t")).as("w"))
+      .collect().map(r => r.getSeq[String](0).toList).toList
+    val querySide = fixtures.map(Analyzers.queryTerms(customStd, _).toList)
+    assert(docSide == querySide)
+    // the chain applied: lowercase → fold → stopword → length
+    assert(Analyzers.queryTerms(customStd, "The Café-au-lait is x big") ==
+      Seq("cafe", "au", "lait", "is", "big")) // 'the' stopped, 'x' too short
+    // ORDER matters: stopword(ignoreCase=false) before lowercase keeps
+    // the capitalized form that the stoplist no longer matches
+    val stopFirst = """{"tokenizer": "whitespace", "tokenFilters": [
+        {"type": "stopword", "tokens": ["the"], "ignoreCase": false},
+        {"type": "lowercase"}]}"""
+    val lowerFirst = """{"tokenizer": "whitespace", "tokenFilters": [
+        {"type": "lowercase"},
+        {"type": "stopword", "tokens": ["the"], "ignoreCase": false}]}"""
+    assert(Analyzers.queryTerms(stopFirst, "The the") == Seq("the"))
+    assert(Analyzers.queryTerms(lowerFirst, "The the") == Nil)
+  }
+
+  test("custom analyzers: normalization makes spelling-variant " +
+       "definitions compare equal") {
+    val variant = """{ "tokenFilters": [ "lowercase", "asciiFolding",
+        {"tokens": ["the"], "type": "stopword", "ignoreCase": true},
+        {"min": 2, "type": "length", "max": 10} ],
+        "tokenizer": {"type": "standard"} }"""
+    assert(Analyzers.normalize(customStd, "t") ==
+      Analyzers.normalize(variant, "t"))
+    // index built with one spelling, stage option with the other: agree
+    val idx = TextIndex.build(names, Seq("name"), Map("name" -> customStd))
+    val resolve: PipelineCompiler.TableResolver = { case _ => idx }
+    val out = PipelineCompiler.run(names, s"""[
+      {"$$search": {"index": "cidx",
+        "analyzer": ${variant},
+        "text": {"query": "customer", "path": "name"},
+        "limit": 10, "tieBreaker": "id"}},
+      {"$$project": {"id": 1}}, {"$$sort": {"id": 1}}]""", resolve)
+      .as[Long].collect().toSeq
+    assert(out == Seq(1L, 2L, 3L))
+    // a genuinely different definition refuses
+    assert(intercept[MqlException] {
+      PipelineCompiler.run(names, """[
+        {"$search": {"index": "cidx",
+          "analyzer": {"tokenizer": "whitespace"},
+          "text": {"query": "customer", "path": "name"}}}]""", resolve)
+    }.getMessage.contains("must agree"))
+  }
+
+  test("custom analyzers: refusal matrix") {
+    def bad(s: String): String =
+      intercept[MqlException](Analyzers.validate(s, "ctx")).getMessage
+    assert(bad("""{"tokenizer": "edgeGram"}""").contains("unsupported tokenizer"))
+    assert(bad("""{"tokenizer": "standard",
+        "tokenFilters": [{"type": "porterStemming"}]}""")
+      .contains("unsupported token filter"))
+    assert(bad("""{"tokenizer": "standard", "charFilters": []}""")
+      .contains("unsupported custom-analyzer field"))
+    assert(bad("""{"tokenFilters": []}""").contains("needs a tokenizer"))
+    assert(bad("""{"tokenizer": "standard",
+        "tokenFilters": [{"type": "length", "min": 5, "max": 2}]}""")
+      .contains("min <= max"))
+    assert(bad("""{"tokenizer": "standard",
+        "tokenFilters": [{"type": "stopword", "tokens": []}]}""")
+      .contains("non-empty"))
+    assert(bad("""not json {""").contains("unknown analyzer"))
+  }
+
   test("operators with their own analysis contract refuse non-default analyzers") {
     def run(spec: String) = PipelineCompiler.run(names, s"""[
       {"$$search": $spec}, {"$$project": {"id": 1}}]""")
