@@ -951,6 +951,58 @@ object LlmOps {
               SELECT vec_id FROM s WHERE vec_id NOT IN (SELECT id_b FROM dup)
               ORDER BY vec_id""")),
 
+    // Arrow IPC materialization (the reference's identity: results AS
+    // Arrow batches): orders slice + embeddings (list<float32>) write
+    // through the graftarrow sink and read back through its zero-copy
+    // columnar scan; the gate aggregates the round-tripped frames, the
+    // oracle the source parquet — any loss in the IPC encode/decode
+    // (values, nulls, list boundaries) breaks the hash
+    QueryDef("q_arrow_roundtrip",
+      (s, dir) => {
+        val tgt = java.nio.file.Files.createTempDirectory("graft_ipc").toString
+        Graft.table(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate")
+          .where(col("o_orderkey") % 3 === 0)
+          .write.format("graftarrow").option("batchRows", "512")
+          .mode("overwrite").save(s"$tgt/orders")
+        Graft.table(s, dir, "embeddings")
+          .write.format("graftarrow").mode("overwrite")
+          .save(s"$tgt/emb")
+        val o = s.read.format("graftarrow").load(s"$tgt/orders")
+        val e = s.read.format("graftarrow").load(s"$tgt/emb")
+        val byStatus = o.groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,4)")).cast("double")
+              .as("total"),
+            max("o_orderdate").as("last_date"))
+        val embAgg = e.select(explode(col("embedding")).as("x"),
+            col("vec_id") % 4 as "g")
+          .groupBy("g").agg(round(sum("x"), 4).as("esum"))
+          .agg(count(lit(1)).as("n"),
+            round(sum("esum"), 4).cast("double").as("total"),
+            lit(null).cast("string").as("last_date"))
+          .select(lit("__emb").as("o_orderstatus"), col("n"), col("total"),
+            col("last_date"))
+        byStatus.select(col("o_orderstatus"), col("n"), col("total"),
+            col("last_date").cast("string").as("last_date"))
+          .unionByName(embAgg).orderBy("o_orderstatus")
+      },
+      Some("""WITH o AS (SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                       AS total,
+                     CAST(MAX(o_orderdate) AS VARCHAR) AS last_date
+                   FROM orders WHERE o_orderkey % 3 = 0 GROUP BY 1),
+              g AS (SELECT vec_id % 4 AS g, round(SUM(x), 4) AS esum
+                    FROM (SELECT vec_id, unnest(embedding) AS x
+                          FROM embeddings) GROUP BY 1),
+              e AS (SELECT '__emb' AS o_orderstatus,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(round(SUM(esum), 4) AS DOUBLE) AS total,
+                     CAST(NULL AS VARCHAR) AS last_date FROM g)
+            SELECT * FROM o UNION ALL SELECT * FROM e
+            ORDER BY o_orderstatus""")),
+
     QueryDef("q_media_meta",
       (s, dir) => Multimodal.asMediaTable(Graft.table(s, dir, "documents"),
         "doc_id", "text")

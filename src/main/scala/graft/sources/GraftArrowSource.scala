@@ -1,0 +1,567 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FSDataInputStream, Path}
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector._
+import org.apache.arrow.vector.complex.ListVector
+import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter}
+import org.apache.arrow.vector.ipc.SeekableReadChannel
+import org.apache.arrow.vector.types.{DateUnit, FloatingPointPrecision, TimeUnit}
+import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.{ArrowColumnVector, ColumnarBatch, ColumnVector}
+import org.apache.spark.util.SerializableConfiguration
+
+/** `graftarrow`: Arrow IPC FILE format (the `ARROW1`-magic random-access
+  * form) as a first-class DSv2 batch source/sink — the engine's answer
+  * to the reference's identity (BSON → Arrow batches is mongo-arrow's
+  * whole product, P/api.py:80-175): any query result materializes as
+  * standard Arrow files that pyarrow / polars / pandas / DuckDB / a
+  * training-data loader memory-map directly, and Arrow files written by
+  * those tools read back as a DataFrame.
+  *
+  * Scale shape:
+  *  - READ is zero-copy columnar: each task opens its file, loads record
+  *    batches into arrow memory, and hands Spark `ColumnarBatch`es of
+  *    [[ArrowColumnVector]]s — no per-row materialization, vectors feed
+  *    whole-stage codegen's columnar scan path. Column pruning selects
+  *    vectors by name; unprojected columns are never copied (IPC batches
+  *    are read whole from disk — the format has no column offsets — but
+  *    conversion cost is pruned).
+  *  - WRITE streams fixed-size record batches (default 4096 rows) per
+  *    task into ONE staged hidden file, renamed visible at job commit —
+  *    the graftdocs hidden-rename protocol (task abort deletes its own
+  *    staging; truncate deletes old data only after the new commits).
+  *
+  * Type surface (refusals are loud): boolean, byte/short/int/long,
+  * float/double, decimal(p,s), string, binary, date, timestamp (UTC
+  * micros), and array<any of those except decimal>. Nested
+  * struct/map columns are out of scope for an interchange sink —
+  * flatten first. */
+class GraftArrowSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graftarrow"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = GraftArrowSource.pathOf(options)
+    val spark = org.apache.spark.sql.SparkSession.active
+    val conf = spark.sessionState.newHadoopConf()
+    val files = GraftArrowSource.listArrowFiles(path, conf)
+    if (files.isEmpty) throw new IllegalArgumentException(
+      s"graftarrow: no .arrow files under $path")
+    val fs = new Path(files.head).getFileSystem(conf)
+    val in = fs.open(new Path(files.head))
+    val alloc = new RootAllocator()
+    try {
+      val reader = new ArrowFileReader(
+        new SeekableReadChannel(new GraftArrowSource.HadoopSeekableChannel(
+          in, fs.getFileStatus(new Path(files.head)).getLen)), alloc)
+      try GraftArrowSource.toSparkSchema(
+        reader.getVectorSchemaRoot.getSchema)
+      finally reader.close()
+    } finally { in.close(); alloc.close() }
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new GraftArrowTable(schema, properties.asScala.toMap)
+}
+
+private[sources] object GraftArrowSource {
+  def pathOf(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("graftarrow: path is required"))
+
+  def listArrowFiles(path: String,
+                     conf: org.apache.hadoop.conf.Configuration): Seq[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return Seq.empty
+    val it = fs.listFiles(p, true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val f = it.next().getPath
+      val n = f.getName
+      if (n.endsWith(".arrow") && !n.startsWith(".") && !n.startsWith("_"))
+        out += f.toString
+    }
+    out.toSeq.sorted
+  }
+
+  /** Hadoop stream as a read-only SeekableByteChannel (what
+    * ArrowFileReader needs for footer-seeking random access). */
+  final class HadoopSeekableChannel(in: FSDataInputStream, len: Long)
+    extends java.nio.channels.SeekableByteChannel {
+    private var pos = 0L
+    private var open = true
+    override def read(dst: java.nio.ByteBuffer): Int = {
+      val want = dst.remaining()
+      if (want == 0) return 0
+      if (pos >= len) return -1
+      val buf = new Array[Byte](math.min(want.toLong, len - pos).toInt)
+      in.seek(pos)
+      in.readFully(buf, 0, buf.length)
+      dst.put(buf, 0, buf.length)
+      pos += buf.length
+      buf.length
+    }
+    override def position(): Long = pos
+    override def position(newPosition: Long): java.nio.channels.SeekableByteChannel = {
+      pos = newPosition; this
+    }
+    override def size(): Long = len
+    override def isOpen: Boolean = open
+    override def close(): Unit = { open = false }
+    override def write(src: java.nio.ByteBuffer): Int =
+      throw new UnsupportedOperationException("read-only channel")
+    override def truncate(size: Long): java.nio.channels.SeekableByteChannel =
+      throw new UnsupportedOperationException("read-only channel")
+  }
+
+  // ---- schema mapping (both directions, shared refusal text) -----------
+
+  private def unsupported(what: String): Nothing =
+    throw new IllegalArgumentException(
+      s"graftarrow: unsupported type $what (supported: boolean, " +
+        "byte/short/int/long, float/double, decimal, string, binary, " +
+        "date, timestamp, array of those except decimal)")
+
+  def toArrowField(name: String, dt: DataType, nullable: Boolean): Field = {
+    def prim(t: ArrowType): Field =
+      new Field(name, new FieldType(nullable, t, null), null)
+    dt match {
+      case BooleanType => prim(ArrowType.Bool.INSTANCE)
+      case ByteType => prim(new ArrowType.Int(8, true))
+      case ShortType => prim(new ArrowType.Int(16, true))
+      case IntegerType => prim(new ArrowType.Int(32, true))
+      case LongType => prim(new ArrowType.Int(64, true))
+      case FloatType =>
+        prim(new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE))
+      case DoubleType =>
+        prim(new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE))
+      case d: DecimalType =>
+        prim(new ArrowType.Decimal(d.precision, d.scale, 128))
+      case StringType => prim(ArrowType.Utf8.INSTANCE)
+      case BinaryType => prim(ArrowType.Binary.INSTANCE)
+      case DateType => prim(new ArrowType.Date(DateUnit.DAY))
+      case TimestampType =>
+        prim(new ArrowType.Timestamp(TimeUnit.MICROSECOND, "UTC"))
+      case ArrayType(el, elNullable) =>
+        el match {
+          case _: DecimalType | _: ArrayType | _: StructType | _: MapType =>
+            unsupported(s"array<$el>")
+          case _ => ()
+        }
+        new Field(name, new FieldType(nullable, ArrowType.List.INSTANCE, null),
+          java.util.List.of(toArrowField("element", el, elNullable)))
+      case other => unsupported(other.sql)
+    }
+  }
+
+  def toArrowSchema(schema: StructType): Schema =
+    new Schema(schema.fields.map(f =>
+      toArrowField(f.name, f.dataType, f.nullable)).toSeq.asJava)
+
+  def toSparkType(f: Field): DataType = f.getType match {
+    case _: ArrowType.Bool => BooleanType
+    case i: ArrowType.Int if i.getIsSigned => i.getBitWidth match {
+      case 8 => ByteType
+      case 16 => ShortType
+      case 32 => IntegerType
+      case 64 => LongType
+      case w => unsupported(s"int($w)")
+    }
+    case fp: ArrowType.FloatingPoint => fp.getPrecision match {
+      case FloatingPointPrecision.SINGLE => FloatType
+      case FloatingPointPrecision.DOUBLE => DoubleType
+      case p => unsupported(s"float($p)")
+    }
+    case d: ArrowType.Decimal => DecimalType(d.getPrecision, d.getScale)
+    case _: ArrowType.Utf8 => StringType
+    case _: ArrowType.Binary => BinaryType
+    case d: ArrowType.Date if d.getUnit == DateUnit.DAY => DateType
+    case t: ArrowType.Timestamp if t.getUnit == TimeUnit.MICROSECOND =>
+      TimestampType
+    case _: ArrowType.List =>
+      val el = f.getChildren.get(0)
+      ArrayType(toSparkType(el), el.isNullable)
+    case other => unsupported(other.toString)
+  }
+
+  def toSparkSchema(s: Schema): StructType =
+    StructType(s.getFields.asScala.map(f =>
+      StructField(f.getName, toSparkType(f), f.isNullable)).toSeq)
+}
+
+private[sources] class GraftArrowTable(schema: StructType,
+                                       props: Map[String, String])
+  extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = s"graftarrow(${props.getOrElse("path", "?")})"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftArrowScanBuilder(schema, options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftArrowWriteBuilder(info, props)
+}
+
+private[sources] class GraftArrowScanBuilder(fullSchema: StructType,
+                                             options: CaseInsensitiveStringMap)
+  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = fullSchema
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // preserve the source's field order; an empty projection (COUNT(*))
+    // keeps zero columns and the reader only counts batch rows
+    val names = requiredSchema.fieldNames.toSet
+    required = StructType(fullSchema.fields.filter(f => names(f.name)))
+  }
+  override def build(): Scan = new GraftArrowScan(fullSchema, required, options)
+}
+
+private[sources] class GraftArrowScan(fullSchema: StructType,
+                                      required: StructType,
+                                      options: CaseInsensitiveStringMap)
+  extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graftarrow(${GraftArrowSource.pathOf(options)})"
+
+  private val conf = new SerializableConfiguration(
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+
+  override def planInputPartitions(): Array[InputPartition] =
+    GraftArrowSource.listArrowFiles(GraftArrowSource.pathOf(options),
+        conf.value)
+      .map(f => GraftArrowPartition(f): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftArrowReaderFactory(required, conf)
+}
+
+private[sources] case class GraftArrowPartition(file: String)
+  extends InputPartition
+
+private[sources] class GraftArrowReaderFactory(
+    required: StructType, conf: SerializableConfiguration)
+  extends PartitionReaderFactory {
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = true
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[ColumnarBatch] = {
+    val file = partition.asInstanceOf[GraftArrowPartition].file
+    new PartitionReader[ColumnarBatch] {
+      private val p = new Path(file)
+      private val fs = p.getFileSystem(conf.value)
+      private val in = fs.open(p)
+      private val alloc = new RootAllocator()
+      private val reader = new ArrowFileReader(
+        new SeekableReadChannel(new GraftArrowSource.HadoopSeekableChannel(
+          in, fs.getFileStatus(p).getLen)), alloc)
+      private val root = reader.getVectorSchemaRoot
+      // required-column vector positions, resolved once (files written
+      // by foreign tools may order fields differently from inference)
+      private val idx: Array[Int] = required.fieldNames.map { n =>
+        val i = root.getSchema.getFields.asScala.indexWhere(_.getName == n)
+        if (i < 0) throw new IllegalArgumentException(
+          s"graftarrow: file $file lacks column '$n'")
+        i
+      }
+      private var current: ColumnarBatch = null
+
+      override def next(): Boolean = {
+        if (!reader.loadNextBatch()) return false
+        // vectors are reused by the reader across loadNextBatch calls —
+        // a fresh wrapper per batch, valid until the next call (the
+        // PartitionReader contract)
+        val cols: Array[ColumnVector] =
+          idx.map(i => new ArrowColumnVector(root.getVector(i)): ColumnVector)
+        current = new ColumnarBatch(cols, root.getRowCount)
+        true
+      }
+      override def get(): ColumnarBatch = current
+      override def close(): Unit = {
+        reader.close(); in.close(); alloc.close()
+      }
+    }
+  }
+
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    // row-based fallback (Spark uses the columnar path when offered; this
+    // keeps non-columnar consumers correct)
+    val inner = createColumnarReader(partition)
+    new PartitionReader[InternalRow] {
+      private var rows: java.util.Iterator[InternalRow] = null
+      override def next(): Boolean = {
+        while (rows == null || !rows.hasNext) {
+          if (!inner.next()) return false
+          rows = inner.get().rowIterator()
+        }
+        true
+      }
+      override def get(): InternalRow = rows.next().copy()
+      override def close(): Unit = inner.close()
+    }
+  }
+}
+
+// ---- write side ----------------------------------------------------------
+
+private[sources] class GraftArrowWriteBuilder(info: LogicalWriteInfo,
+                                              props: Map[String, String])
+  extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = {
+      val path = props.getOrElse("path", info.options.get("path"))
+      require(path != null, "graftarrow: path is required")
+      val batchRows = Option(info.options.get("batchRows"))
+        .map(_.toInt).getOrElse(4096)
+      require(batchRows > 0, "graftarrow: batchRows must be positive")
+      // validate the schema maps BEFORE launching tasks
+      GraftArrowSource.toArrowSchema(info.schema()): Unit
+      new GraftArrowBatchWrite(info.schema(), path, doTruncate, batchRows,
+        new SerializableConfiguration(org.apache.spark.sql.SparkSession
+          .active.sessionState.newHadoopConf()))
+    }
+  }
+}
+
+private[sources] case class GraftArrowCommit(staged: Seq[String])
+  extends WriterCommitMessage
+
+private[sources] class GraftArrowBatchWrite(schema: StructType, path: String,
+                                            truncate: Boolean, batchRows: Int,
+                                            conf: SerializableConfiguration)
+  extends BatchWrite {
+  private val jobToken = java.util.UUID.randomUUID().toString.take(8)
+  private var preExisting: Seq[Path] = Seq.empty
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf.value)
+    if (truncate && fs.exists(dir)) {
+      val all = GraftArrowSource.listArrowFiles(path, conf.value)
+        .map(new Path(_))
+      preExisting = all
+      // staged garbage from crashed writers (no abort ever ran)
+      val it = fs.listFiles(dir, true)
+      while (it.hasNext) {
+        val p = it.next().getPath
+        if (p.getName.startsWith(".") && p.getName.endsWith(".arrow"))
+          fs.delete(p, false): Unit
+      }
+    }
+    fs.mkdirs(dir)
+    new GraftArrowWriterFactory(schema, path, jobToken, batchRows, conf)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(conf.value)
+    val done = scala.collection.mutable.ArrayBuffer.empty[(Path, Path)]
+    try {
+      messages.collect { case c: GraftArrowCommit => c }.flatMap(_.staged)
+        .foreach { staged =>
+          val p = new Path(staged)
+          val dest = new Path(p.getParent, p.getName.stripPrefix("."))
+          if (!fs.rename(p, dest)) throw new java.io.IOException(
+            s"graftarrow commit: rename $p -> $dest failed")
+          done += ((p, dest))
+        }
+    } catch {
+      case e: Throwable =>
+        done.foreach { case (staged, dest) => fs.rename(dest, staged) }
+        throw e
+    }
+    preExisting.foreach(fs.delete(_, false))
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(conf.value)
+    messages.collect { case c: GraftArrowCommit => c }.flatMap(_.staged)
+      .foreach(s => fs.delete(new Path(s), false))
+  }
+}
+
+private[sources] class GraftArrowWriterFactory(schema: StructType, path: String,
+                                               jobToken: String, batchRows: Int,
+                                               conf: SerializableConfiguration)
+  extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftArrowDataWriter(schema, path, jobToken, partitionId, taskId,
+      batchRows, conf.value)
+}
+
+/** Per-task writer: one staged hidden `.arrow` file, record batches of
+  * `batchRows` rows, values copied straight from InternalRow into arrow
+  * memory (no Row conversion). */
+private[sources] class GraftArrowDataWriter(schema: StructType, path: String,
+                                            jobToken: String, partitionId: Int,
+                                            taskId: Long, batchRows: Int,
+                                            conf: org.apache.hadoop.conf.Configuration)
+  extends DataWriter[InternalRow] {
+  private val staged = new Path(path,
+    s".part-$jobToken-$partitionId-$taskId.arrow")
+  private val fs = staged.getFileSystem(conf)
+  private val out = fs.create(staged, true)
+  private val alloc = new RootAllocator()
+  private val arrowSchema = GraftArrowSource.toArrowSchema(schema)
+  private val root = VectorSchemaRoot.create(arrowSchema, alloc)
+  private val writer = new ArrowFileWriter(root, null,
+    java.nio.channels.Channels.newChannel(out))
+  writer.start()
+  root.allocateNew()
+
+  /** per-list-vector running child index (reset each batch) */
+  private val listChildIdx = new java.util.IdentityHashMap[ListVector, Integer]()
+
+  private def setScalar(v: FieldVector, dt: DataType,
+                        get: () => Any, i: Int): Unit = {
+    val value = get()
+    if (value == null) { setNull(v, i); return }
+    (v, dt) match {
+      case (b: BitVector, BooleanType) =>
+        b.setSafe(i, if (value.asInstanceOf[Boolean]) 1 else 0)
+      case (b: TinyIntVector, ByteType) => b.setSafe(i, value.asInstanceOf[Byte])
+      case (b: SmallIntVector, ShortType) => b.setSafe(i, value.asInstanceOf[Short])
+      case (b: IntVector, IntegerType) => b.setSafe(i, value.asInstanceOf[Int])
+      case (b: BigIntVector, LongType) => b.setSafe(i, value.asInstanceOf[Long])
+      case (b: Float4Vector, FloatType) => b.setSafe(i, value.asInstanceOf[Float])
+      case (b: Float8Vector, DoubleType) => b.setSafe(i, value.asInstanceOf[Double])
+      case (b: DecimalVector, _: DecimalType) =>
+        b.setSafe(i, value.asInstanceOf[org.apache.spark.sql.types.Decimal]
+          .toJavaBigDecimal)
+      case (b: VarCharVector, StringType) =>
+        b.setSafe(i, value.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+          .getBytes)
+      case (b: VarBinaryVector, BinaryType) =>
+        b.setSafe(i, value.asInstanceOf[Array[Byte]])
+      case (b: DateDayVector, DateType) => b.setSafe(i, value.asInstanceOf[Int])
+      case (b: TimeStampMicroTZVector, TimestampType) =>
+        b.setSafe(i, value.asInstanceOf[Long])
+      case (other, t) => throw new IllegalStateException(
+        s"graftarrow: vector/type mismatch ${other.getClass.getSimpleName}/$t")
+    }
+  }
+
+  private def setNull(v: FieldVector, i: Int): Unit = v match {
+    case b: BaseFixedWidthVector => b.setNull(i)
+    case b: BaseVariableWidthVector => b.setNull(i)
+    case b: ListVector => b.setNull(i)
+    case other => throw new IllegalStateException(
+      s"graftarrow: cannot null ${other.getClass.getSimpleName}")
+  }
+
+  private def extractor(dt: DataType, row: InternalRow, ord: Int): () => Any =
+    () => if (row.isNullAt(ord)) null else dt match {
+      case BooleanType => row.getBoolean(ord)
+      case ByteType => row.getByte(ord)
+      case ShortType => row.getShort(ord)
+      case IntegerType | DateType => row.getInt(ord)
+      case LongType | TimestampType => row.getLong(ord)
+      case FloatType => row.getFloat(ord)
+      case DoubleType => row.getDouble(ord)
+      case d: DecimalType => row.getDecimal(ord, d.precision, d.scale)
+      case StringType => row.getUTF8String(ord)
+      case BinaryType => row.getBinary(ord)
+      case other => throw new IllegalStateException(other.sql)
+    }
+
+  private var rowIdx = 0
+  private var batches = 0L
+  private var total = 0L
+
+  override def write(record: InternalRow): Unit = {
+    var f = 0
+    while (f < schema.fields.length) {
+      val field = schema.fields(f)
+      val v = root.getVector(f)
+      field.dataType match {
+        case ArrayType(el, _) =>
+          val list = v.asInstanceOf[ListVector]
+          if (record.isNullAt(f)) setNull(list, rowIdx)
+          else {
+            val arr = record.getArray(f)
+            val child = list.getDataVector.asInstanceOf[FieldVector]
+            var ci = Option(listChildIdx.get(list)).map(_.intValue).getOrElse(0)
+            list.startNewValue(rowIdx)
+            var e = 0
+            val n = arr.numElements()
+            while (e < n) {
+              if (arr.isNullAt(e)) setNull(child, ci)
+              else {
+                val elemVal: Any = el match {
+                  case BooleanType => arr.getBoolean(e)
+                  case ByteType => arr.getByte(e)
+                  case ShortType => arr.getShort(e)
+                  case IntegerType | DateType => arr.getInt(e)
+                  case LongType | TimestampType => arr.getLong(e)
+                  case FloatType => arr.getFloat(e)
+                  case DoubleType => arr.getDouble(e)
+                  case StringType => arr.getUTF8String(e)
+                  case BinaryType => arr.getBinary(e)
+                  case other => throw new IllegalStateException(other.sql)
+                }
+                setScalar(child, el, () => elemVal, ci)
+              }
+              ci += 1; e += 1
+            }
+            list.endValue(rowIdx, n)
+            listChildIdx.put(list, ci): Unit
+          }
+        case dt =>
+          setScalar(v, dt, extractor(dt, record, f), rowIdx)
+      }
+      f += 1
+    }
+    rowIdx += 1
+    total += 1
+    if (rowIdx >= batchRows) flush()
+  }
+
+  private def flush(): Unit = if (rowIdx > 0) {
+    // list child value counts ride setValueCount via the offset buffers
+    root.setRowCount(rowIdx)
+    writer.writeBatch()
+    batches += 1
+    root.allocateNew() // fresh zeroed buffers for the next batch
+    listChildIdx.clear()
+    rowIdx = 0
+  }
+
+  override def commit(): WriterCommitMessage = {
+    flush()
+    writer.end(); writer.close(); out.close()
+    root.close(); alloc.close()
+    // an all-empty task stages nothing (no empty files in the output)
+    if (total == 0) { fs.delete(staged, false); GraftArrowCommit(Seq.empty) }
+    else GraftArrowCommit(Seq(staged.toString))
+  }
+
+  override def abort(): Unit = {
+    try { writer.close(); out.close(); root.close(); alloc.close() }
+    catch { case _: Exception => () }
+    fs.delete(staged, false): Unit
+  }
+
+  override def close(): Unit = ()
+}
