@@ -136,7 +136,7 @@ private[sources] object GraftArrowSource {
     throw new IllegalArgumentException(
       s"graftarrow: unsupported type $what (supported: boolean, " +
         "byte/short/int/long, float/double, decimal, string, binary, " +
-        "date, timestamp, array of those except decimal)")
+        "date, timestamp, timestamp_ntz, array of those except decimal)")
 
   def toArrowField(name: String, dt: DataType, nullable: Boolean): Field = {
     def prim(t: ArrowType): Field =
@@ -158,6 +158,8 @@ private[sources] object GraftArrowSource {
       case DateType => prim(new ArrowType.Date(DateUnit.DAY))
       case TimestampType =>
         prim(new ArrowType.Timestamp(TimeUnit.MICROSECOND, "UTC"))
+      case TimestampNTZType =>
+        prim(new ArrowType.Timestamp(TimeUnit.MICROSECOND, null))
       case ArrayType(el, elNullable) =>
         el match {
           case _: DecimalType | _: ArrayType | _: StructType | _: MapType =>
@@ -193,7 +195,7 @@ private[sources] object GraftArrowSource {
     case _: ArrowType.Binary => BinaryType
     case d: ArrowType.Date if d.getUnit == DateUnit.DAY => DateType
     case t: ArrowType.Timestamp if t.getUnit == TimeUnit.MICROSECOND =>
-      TimestampType
+      if (t.getTimezone == null) TimestampNTZType else TimestampType
     case _: ArrowType.List =>
       val el = f.getChildren.get(0)
       ArrayType(toSparkType(el), el.isNullable)
@@ -458,6 +460,8 @@ private[sources] class GraftArrowDataWriter(schema: StructType, path: String,
       case (b: DateDayVector, DateType) => b.setSafe(i, value.asInstanceOf[Int])
       case (b: TimeStampMicroTZVector, TimestampType) =>
         b.setSafe(i, value.asInstanceOf[Long])
+      case (b: TimeStampMicroVector, TimestampNTZType) =>
+        b.setSafe(i, value.asInstanceOf[Long])
       case (other, t) => throw new IllegalStateException(
         s"graftarrow: vector/type mismatch ${other.getClass.getSimpleName}/$t")
     }
@@ -477,7 +481,7 @@ private[sources] class GraftArrowDataWriter(schema: StructType, path: String,
       case ByteType => row.getByte(ord)
       case ShortType => row.getShort(ord)
       case IntegerType | DateType => row.getInt(ord)
-      case LongType | TimestampType => row.getLong(ord)
+      case LongType | TimestampType | TimestampNTZType => row.getLong(ord)
       case FloatType => row.getFloat(ord)
       case DoubleType => row.getDouble(ord)
       case d: DecimalType => row.getDecimal(ord, d.precision, d.scale)
@@ -514,7 +518,8 @@ private[sources] class GraftArrowDataWriter(schema: StructType, path: String,
                   case ByteType => arr.getByte(e)
                   case ShortType => arr.getShort(e)
                   case IntegerType | DateType => arr.getInt(e)
-                  case LongType | TimestampType => arr.getLong(e)
+                  case LongType | TimestampType | TimestampNTZType =>
+                    arr.getLong(e)
                   case FloatType => arr.getFloat(e)
                   case DoubleType => arr.getDouble(e)
                   case StringType => arr.getUTF8String(e)

@@ -56,11 +56,9 @@ class GraftArrowSpec extends AnyFunSuite {
     df.write.format("graftarrow").mode("overwrite").save(dir)
     val back = spark.read.format("graftarrow").load(dir)
     assert(back.schema == schema)
-    def canon(r: Row): Seq[Any] = r.toSeq.map {
-      case b: Array[Byte] => b.toSeq
-      case x => x
-    }
-    assert(back.collect().map(canon).toSet == rows.map(canon).toSet)
+    // canonical-JSON comparison: value-exact, container-wrapper-agnostic
+    assert(back.toJSON.collect().sorted.toSeq ==
+      df.toJSON.collect().sorted.toSeq)
   }
 
   test("files are real Arrow IPC: ARROW1 magic, multiple record batches") {
@@ -123,9 +121,12 @@ class GraftArrowSpec extends AnyFunSuite {
     assert(spark.read.format("graftarrow").load(dir).count() == 15)
     spark.range(3).write.format("graftarrow").mode("overwrite").save(dir)
     assert(spark.read.format("graftarrow").load(dir).count() == 3)
-    // no staged leftovers
-    assert(new java.io.File(dir).listFiles()
-      .forall(f => !f.getName.startsWith(".part-")))
+    // no staged leftovers (.part-*.arrow; a visible file's Hadoop
+    // checksum twin is named .<name>.crc and is NOT staging)
+    val leftovers = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith(".part-") &&
+        f.getName.endsWith(".arrow"))
+    assert(leftovers.isEmpty, s"staged leftovers: ${leftovers.mkString(", ")}")
   }
 
   test("unsupported types refuse loudly") {
