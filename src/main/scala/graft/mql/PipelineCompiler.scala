@@ -1823,7 +1823,8 @@ object PipelineCompiler {
     sealed trait SClause { def path: String }
     // fuzzy = (maxEdits, prefixLength): Lucene FuzzyQuery's two knobs
     case class TextCl(terms: Seq[String], path: String,
-                      fuzzy: Option[(Int, Int)] = None) extends SClause
+                      fuzzy: Option[(Int, Int)] = None,
+                      matchAll: Boolean = false) extends SClause
     case class PhraseCl(terms: Seq[String], path: String,
                         slop: Int = 0) extends SClause
     case class EqualsCl(path: String, value: Column) extends SClause
@@ -1958,7 +1959,15 @@ object PipelineCompiler {
             expandSynonyms(baseTerms, m, "$search.text")
           case None => baseTerms
         }
-        Cl(TextCl(terms, tPath, fuzzy), b, k)
+        val matchAll = o.collectFirst { case ("matchCriteria", JString(m)) =>
+          m match {
+            case "any" => false
+            case "all" => true
+            case other => throw new MqlException(
+              s"$$search.text.matchCriteria must be 'any' or 'all', got '$other'")
+          }
+        }.getOrElse(false)
+        Cl(TextCl(terms, tPath, fuzzy, matchAll), b, k)
       case List(("phrase", t)) =>
         val o = obj(t, "$search.phrase")
         val (b, k) = scoreOpt(o, "$search.phrase")
@@ -2368,7 +2377,7 @@ object PipelineCompiler {
               .as(s"__avgdl_${pIdx(p)}"))
       } ++
       scoredClauses.zipWithIndex.flatMap {
-        case (Cl(TextCl(terms, p, fz), _, None, _), ci) =>
+        case (Cl(TextCl(terms, p, fz, _), _, None, _), ci) =>
           terms.zipWithIndex.map { case (t, ti) =>
             val hit = if (fz.isEmpty) array_contains(tokCol(p), t)
               else coalesce(exists(tokCol(p), x => tokPred(x, t, fz)), lit(false))
@@ -2405,10 +2414,15 @@ object PipelineCompiler {
     def matches(c: SClause): Column = c match {
       // coalesce: a null path (missing field) matches nothing — in
       // particular a mustNot over a missing path must NOT exclude the doc
-      case TextCl(terms, p, None) => coalesce(
+      case TextCl(terms, p, None, false) => coalesce(
         size(array_intersect(tokCol(p), array(terms.map(lit): _*))) > 0, lit(false))
-      case TextCl(terms, p, fz) => coalesce(
-        terms.map(t => exists(tokCol(p), x => tokPred(x, t, fz))).reduce(_ || _),
+      // matchCriteria "all": every analyzed query term must occur
+      case TextCl(terms, p, None, true) => coalesce(
+        size(array_intersect(tokCol(p), array(terms.map(lit): _*))) ===
+          terms.length, lit(false))
+      case TextCl(terms, p, fz, all) => coalesce(
+        terms.map(t => exists(tokCol(p), x => tokPred(x, t, fz)))
+          .reduce((a, b) => if (all) a && b else a || b),
         lit(false))
       case PhraseCl(terms, p, slop) =>
         coalesce(phraseTf(tokCol(p), terms, slop) > 0, lit(false))
@@ -2498,7 +2512,7 @@ object PipelineCompiler {
     // so each interpreted position-scan/filter runs once per row, not 3×
     // (measured 2.5× on the sf0.1 phrase bench queries)
     val tfCols: Seq[(String, Column)] = scoredClauses.zipWithIndex.flatMap {
-      case (Cl(TextCl(terms, p, fz), _, None, _), ci) =>
+      case (Cl(TextCl(terms, p, fz, _), _, None, _), ci) =>
         terms.zipWithIndex.map { case (t, ti) =>
           s"__tf_${ci}_$ti" ->
             size(filter(tokCol(p), x => tokPred(x, t, fz))).cast("double") }
@@ -2564,7 +2578,7 @@ object PipelineCompiler {
       case Cl(c, _, Some(k), _) => when(matches(c), lit(k)).otherwise(lit(0.0))
       case Cl(c, boost, None, fnOpt) =>
         val base = c match {
-          case TextCl(terms, p, fz) =>
+          case TextCl(terms, p, fz, _) =>
             terms.zipWithIndex.map { case (t, ti) =>
               bm25(col(s"__tf_${ci}_$ti"),
                 col(s"__df_${ci}_$ti").cast("double"), p)
@@ -2674,7 +2688,7 @@ object PipelineCompiler {
         {
           val derivable = scoredClauses.filter(_.constant.isEmpty).map(_.c)
             .forall {
-              case TextCl(_, _, fz) => fz.isEmpty
+              case TextCl(_, _, fz, _) => fz.isEmpty
               case _: PhraseCl => false
               case QsCl(dp, tree) =>
                 qsLeaves(tree, dp).forall(l => !(l.positive && l.kind == 1))
@@ -2684,7 +2698,7 @@ object PipelineCompiler {
           else {
             val needs: Seq[(String, String, String)] = // (stat, path, term)
               scoredClauses.zipWithIndex.flatMap {
-                case (Cl(TextCl(terms, p, fz), _, None, _), ci) if fz.isEmpty =>
+                case (Cl(TextCl(terms, p, fz, _), _, None, _), ci) if fz.isEmpty =>
                   terms.zipWithIndex.map { case (t, ti) =>
                     (s"__df_${ci}_$ti", p, t) }
                 case (Cl(QsCl(dp, tree), _, None, _), ci) =>
@@ -2749,7 +2763,9 @@ object PipelineCompiler {
       _ <- indexInfo // stats must be index-derivable literals
       if Seq("doc_id", "tf", "dl").forall(idf.columns.contains)
       tp <- scoredClauses match {
-        case Seq(Cl(TextCl(ts, p0, None), bo, None, None)) if bo == 1.0 =>
+        // matchCriteria 'all' needs a postings INTERSECTION - that
+        // query keeps the corpus pass (any = union of term postings)
+        case Seq(Cl(TextCl(ts, p0, None, false), bo, None, None)) if bo == 1.0 =>
           Some((ts, p0))
         case _ => None
       }
@@ -2795,7 +2811,7 @@ object PipelineCompiler {
       tfCols.map(_._1) ++
       statPaths.flatMap(p => Seq(s"__n_${pIdx(p)}", s"__avgdl_${pIdx(p)}")) ++
       scoredClauses.zipWithIndex.flatMap {
-        case (Cl(TextCl(terms, _, _), _, None, _), ci) =>
+        case (Cl(TextCl(terms, _, _, _), _, None, _), ci) =>
           terms.indices.map(ti => s"__df_${ci}_$ti")
         case (Cl(_: PhraseCl, _, None, _), ci) => Seq(s"__pdf_$ci")
         case (Cl(QsCl(dp, tree), _, None, _), ci) =>
@@ -2855,7 +2871,7 @@ object PipelineCompiler {
         // the passage scanner tokenizes with the default analyzer
         requireDefaultAnalyzer(hPath, "$search.highlight")
         val hTerms = scoredClauses.map(_.c).collect {
-          case TextCl(ts, p, _) if p == hPath => ts
+          case TextCl(ts, p, _, _) if p == hPath => ts
           case PhraseCl(ts, p, _) if p == hPath => ts
           case AutoCl(ts, p) if p == hPath => ts
           case MltCl(fields) => fields.collect {

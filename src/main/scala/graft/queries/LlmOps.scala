@@ -2765,6 +2765,39 @@ object LlmOps {
             SELECT doc_id, score FROM sc
             ORDER BY score DESC, doc_id LIMIT 20""")),
 
+    // text.matchCriteria "all" (Mongo 7.0+): every analyzed query term
+    // must occur — the match set is the INTERSECTION of term matches
+    // (default "any" = union); scoring stays the same BM25 sum
+    QueryDef("q_search_match_all",
+      (s, dir) => Graft.aggregate(s, dir, "documents",
+        """[
+          {"$search": {"text": {"query": "spark query window merge",
+            "path": "text", "matchCriteria": "all"},
+            "limit": 20, "tieBreaker": "doc_id"}},
+          {"$project": {"doc_id": 1,
+            "score": {"$meta": "searchScore"}}},
+          {"$sort": {"score": -1, "doc_id": 1}}]"""),
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($duckToksLower) AS term
+                 FROM documents),
+              dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+              st AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+              tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+                     WHERE term IN ('spark', 'query', 'window', 'merge')
+                     GROUP BY 1, 2),
+              hasall AS (SELECT doc_id FROM tf GROUP BY 1
+                         HAVING COUNT(DISTINCT term) = 4),
+              df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+              sc AS (SELECT tf.doc_id,
+                       round(SUM(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5)) *
+                         tf.tf * 2.2 / (tf.tf + 1.2 *
+                           (1 - 0.75 + 0.75 * dl.dl / st.avgdl))), 6) AS score
+                     FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+                          JOIN hasall USING (doc_id)
+                     CROSS JOIN st
+                     GROUP BY 1)
+            SELECT doc_id, score FROM sc
+            ORDER BY score DESC, doc_id LIMIT 20""")),
+
     // Atlas analyzer selection: lucene.standard (lowercase + Unicode
     // word-break) over TPC-H customer names. The analyzer is
     // load-bearing: "Customer#000000042" is ONE whitespace token but

@@ -1186,6 +1186,45 @@ class PipelineExtraSpec extends AnyFunSuite {
       {"$search": {"embeddedDocument": {"path": "items"}}}]"""))
   }
 
+  test("$search text matchCriteria: all requires every analyzed term") {
+    val docs = Seq(
+      (1L, "spark spark fast"), (2L, "slow database"), (3L, "spark"),
+      (4L, "spark database fast")
+    ).toDF("id", "text")
+    def ids(spec: String): Seq[Long] = PipelineCompiler.run(docs, s"""[
+      {"$$search": $spec}, {"$$project": {"id": 1}},
+      {"$$sort": {"id": 1}}]""").as[Long].collect().toSeq
+    // any (default): union of term matches
+    assert(ids("""{"text": {"query": "spark database", "path": "text"}}""")
+      == Seq(1L, 2L, 3L, 4L))
+    // all: intersection — only doc 4 carries both terms
+    assert(ids("""{"text": {"query": "spark database", "path": "text",
+        "matchCriteria": "all"}}""") == Seq(4L))
+    // all + fuzzy: every term needs an edit-distance match
+    assert(ids("""{"text": {"query": "spark databose", "path": "text",
+        "matchCriteria": "all", "fuzzy": {"maxEdits": 1}}}""") == Seq(4L))
+    // a repeated query term dedupes before the all-count (distinct
+    // terms, not occurrences)
+    assert(ids("""{"text": {"query": "spark spark", "path": "text",
+        "matchCriteria": "all"}}""") == Seq(1L, 3L, 4L))
+    // scoring is unchanged (BM25 sum over the terms) — matchCriteria
+    // only gates WHICH docs qualify
+    val scored = PipelineCompiler.run(docs, """[
+      {"$search": {"text": {"query": "spark database", "path": "text",
+        "matchCriteria": "all"}}},
+      {"$project": {"id": 1, "score": {"$meta": "searchScore"}}}]""")
+      .as[(Long, Double)].collect().toSeq
+    val any = PipelineCompiler.run(docs, """[
+      {"$search": {"text": {"query": "spark database", "path": "text"}}},
+      {"$project": {"id": 1, "score": {"$meta": "searchScore"}}}]""")
+      .as[(Long, Double)].collect().toMap
+    assert(scored == Seq((4L, any(4L))))
+    // bad value refuses
+    intercept[MqlException](ids(
+      """{"text": {"query": "x", "path": "text",
+          "matchCriteria": "most"}}"""))
+  }
+
   test("$search compound minimumShouldMatch and score boost/constant") {
     val docs = Seq(
       (1L, "spark spark fast"), (2L, "slow database"), (3L, "spark")
