@@ -103,6 +103,68 @@ class GraftArrowSpec extends AnyFunSuite {
       spark.read.format("graftarrow").load(dir).rdd.getNumPartitions)
   }
 
+  test("reads execute on the columnar path (ColumnarToRow above the scan)") {
+    val dir = tmp()
+    spark.range(100).select(col("id"), (col("id") * 1.5).as("x"))
+      .write.format("graftarrow").mode("overwrite").save(dir)
+    val q = spark.read.format("graftarrow").load(dir).where(col("id") > 10)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"arrow scan did not run columnar:\n$plan")
+    assert(q.count() == 89)
+  }
+
+  test("randomized round-trip property: 25 draws over the type surface") {
+    val rnd = new scala.util.Random(20260815)
+    val pool: Seq[DataType] = Seq(BooleanType, ByteType, ShortType,
+      IntegerType, LongType, FloatType, DoubleType, DecimalType(10, 2),
+      StringType, BinaryType, DateType, TimestampType,
+      ArrayType(LongType), ArrayType(FloatType), ArrayType(StringType))
+    def value(dt: DataType): Any =
+      if (rnd.nextInt(5) == 0) null
+      else dt match {
+        case BooleanType => rnd.nextBoolean()
+        case ByteType => rnd.nextInt().toByte
+        case ShortType => rnd.nextInt().toShort
+        case IntegerType => rnd.nextInt()
+        case LongType => rnd.nextLong()
+        case FloatType => rnd.nextFloat()
+        case DoubleType => rnd.nextDouble()
+        case _: DecimalType => BigDecimal(rnd.nextInt(100000000), 2)
+        case StringType => rnd.alphanumeric.take(rnd.nextInt(12)).mkString
+        case BinaryType => Array.fill[Byte](rnd.nextInt(8))(rnd.nextInt().toByte)
+        case DateType => new Date(rnd.nextInt(20000).toLong * 86400000L)
+        case TimestampType => new Timestamp(math.abs(rnd.nextLong()) % 4102444800000L)
+        case ArrayType(el, _) =>
+          Seq.fill(rnd.nextInt(5))(
+            if (rnd.nextInt(6) == 0) null
+            else el match {
+              case LongType => rnd.nextLong()
+              case FloatType => rnd.nextFloat()
+              case StringType => rnd.alphanumeric.take(rnd.nextInt(6)).mkString
+              case other => fail(s"unexpected $other")
+            })
+        case other => fail(s"unexpected $other")
+      }
+    for (draw <- 1 to 25) {
+      val fields = rnd.shuffle(pool).take(1 + rnd.nextInt(6)).zipWithIndex
+        .map { case (dt, i) => StructField(s"c$i", dt) }
+      val schema = StructType(fields)
+      val n = 1 + rnd.nextInt(200)
+      val rows = Seq.fill(n)(Row(fields.map(f => value(f.dataType)): _*))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1 + rnd.nextInt(3)), schema)
+      val dir = tmp()
+      df.write.format("graftarrow")
+        .option("batchRows", (1 + rnd.nextInt(64)).toString)
+        .mode("overwrite").save(dir)
+      val back = spark.read.format("graftarrow").load(dir)
+      assert(back.schema == schema, s"draw $draw schema")
+      assert(back.toJSON.collect().sorted.toSeq ==
+        df.toJSON.collect().sorted.toSeq, s"draw $draw values ($n rows)")
+    }
+  }
+
   test("foreign field order reads correctly (schema by name, not position)") {
     val dir = tmp()
     spark.range(100).select(col("id"), concat(lit("n"), col("id")).as("name"))
