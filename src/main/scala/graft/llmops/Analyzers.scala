@@ -62,16 +62,30 @@ object Analyzers {
   // apply IN DECLARED ORDER on both sides (lowercase-then-stopword ≠
   // stopword-then-lowercase when ignoreCase=false). Everything is
   // replayable in DuckDB (regexp_extract_all + list_transform/
-  // list_filter + translate), so custom-analyzer gates keep full
-  // oracle twins. charFilters and the stemming/shingle/edge-gram filter
-  // families are NOT supported and refuse loudly.
+  // list_filter + translate/replace), so custom-analyzer gates keep
+  // full oracle twins. charFilters htmlStrip/mapping ARE supported
+  // (applied to the raw text before tokenization, both sides); the
+  // stemming/shingle/edge-gram token-filter families are NOT and
+  // refuse loudly.
   private sealed trait TokFilter
   private case object FLower extends TokFilter
   private case object FFold extends TokFilter
   private case class FStop(tokens: Seq[String], ignoreCase: Boolean)
     extends TokFilter
   private case class FLength(min: Int, max: Int) extends TokFilter
-  private case class Custom(tokenizer: String, filters: Seq[TokFilter])
+  // charFilters run on the RAW text before tokenization:
+  //  - htmlStrip: tags (<...>) become spaces — Lucene's
+  //    HTMLStripCharFilter minus entity decoding (documented
+  //    simplification; both engines replay it as one regexp_replace)
+  //  - mapping: literal from→to replacements applied SEQUENTIALLY in
+  //    declared order (Lucene's is simultaneous-longest-match; the
+  //    sequential contract is deterministic and replayable — declare
+  //    non-overlapping mappings to avoid cascades)
+  private sealed trait CharFilter
+  private case object CHtmlStrip extends CharFilter
+  private case class CMapping(pairs: Seq[(String, String)]) extends CharFilter
+  private case class Custom(tokenizer: String, filters: Seq[TokFilter],
+                            charFilters: Seq[CharFilter])
 
   /** ASCII-folding table — the documented Latin-1 accent subset (a real
     * Lucene ASCIIFoldingFilter covers far more; this mapping is what
@@ -95,10 +109,11 @@ object Analyzers {
       case _ => throw new graft.mql.MqlException(
         s"$ctx: custom analyzer must be a document")
     }
-    fields.map(_._1).find(k => k != "tokenizer" && k != "tokenFilters")
+    fields.map(_._1).find(k =>
+        k != "tokenizer" && k != "tokenFilters" && k != "charFilters")
       .foreach(k => throw new graft.mql.MqlException(
         s"$ctx: unsupported custom-analyzer field '$k' " +
-          "(supported: tokenizer, tokenFilters)"))
+          "(supported: tokenizer, tokenFilters, charFilters)"))
     val tok = fields.collectFirst {
       case ("tokenizer", JString(t)) => t
       case ("tokenizer", JObject(to)) => to.collectFirst {
@@ -158,7 +173,39 @@ object Analyzers {
           s"$ctx: token filter must be a name or a document, got $other")
       }
     }.getOrElse(Nil)
-    Custom(tok, filters)
+    val charFilters = fields.collectFirst {
+      case ("charFilters", JArray(fs)) => fs.map {
+        case JString("htmlStrip") => CHtmlStrip
+        case JObject(fo) =>
+          val t = fo.collectFirst { case ("type", JString(x)) => x }
+            .getOrElse(throw new graft.mql.MqlException(
+              s"$ctx: char filter needs type"))
+          t match {
+            case "htmlStrip" => CHtmlStrip
+            case "mapping" =>
+              val pairs = fo.collectFirst { case ("mappings", JObject(ms)) =>
+                ms.map {
+                  case (from, JString(to)) =>
+                    if (from.isEmpty) throw new graft.mql.MqlException(
+                      s"$ctx: mapping from-string must be non-empty")
+                    (from, to)
+                  case (from, other) => throw new graft.mql.MqlException(
+                    s"$ctx: mapping '$from' must map to a string, got $other")
+                }
+              }.getOrElse(throw new graft.mql.MqlException(
+                s"$ctx: mapping char filter needs mappings"))
+              if (pairs.isEmpty) throw new graft.mql.MqlException(
+                s"$ctx: mapping char filter needs a non-empty mappings document")
+              CMapping(pairs)
+            case other => throw new graft.mql.MqlException(
+              s"$ctx: unsupported char filter '$other' " +
+                "(supported: htmlStrip, mapping)")
+          }
+        case other => throw new graft.mql.MqlException(
+          s"$ctx: char filter must be a name or a document, got $other")
+      }
+    }.getOrElse(Nil)
+    Custom(tok, filters, charFilters)
   }
 
   /** Canonical string form: plain names pass through (after the known-
@@ -170,17 +217,25 @@ object Analyzers {
     if (!isCustom(name)) { validate(name, ctx); name }
     else {
       val c = parseCustom(name, ctx)
+      def esc(s: String): String =
+        "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
       val fs = c.filters.map {
         case FLower => """{"type":"lowercase"}"""
         case FFold => """{"type":"asciiFolding"}"""
         case FStop(toks, ic) =>
-          val ts = toks.map(t => "\"" + t.replace("\\", "\\\\")
-            .replace("\"", "\\\"") + "\"").mkString(",")
-          s"""{"type":"stopword","tokens":[$ts],"ignoreCase":$ic}"""
+          s"""{"type":"stopword","tokens":[${toks.map(esc).mkString(",")}],"ignoreCase":$ic}"""
         case FLength(mn, mx) =>
           s"""{"type":"length","min":$mn,"max":$mx}"""
       }.mkString(",")
-      s"""{"tokenizer":"${c.tokenizer}","tokenFilters":[$fs]}"""
+      val cfs = c.charFilters.map {
+        case CHtmlStrip => """{"type":"htmlStrip"}"""
+        case CMapping(pairs) =>
+          s"""{"type":"mapping","mappings":{${pairs.map { case (f, t) =>
+            s"${esc(f)}:${esc(t)}" }.mkString(",")}}}"""
+      }.mkString(",")
+      val cfPart = if (c.charFilters.isEmpty) "" else
+        s""","charFilters":[$cfs]"""
+      s"""{"tokenizer":"${c.tokenizer}","tokenFilters":[$fs]$cfPart}"""
     }
 
   /** Refuses unknown analyzer names (MQL-surface error). */
@@ -230,7 +285,13 @@ object Analyzers {
     case "lucene.keyword"   => baseDocTokens("keyword", c)
     case other if isCustom(other) =>
       val cu = parseCustom(other, "analyzer")
-      cu.filters.foldLeft(baseDocTokens(cu.tokenizer, c))(applyDocFilter)
+      val filtered = cu.charFilters.foldLeft(c) {
+        case (acc, CHtmlStrip) =>
+          regexp_replace(acc, "<[^>]*>", " ")
+        case (acc, CMapping(pairs)) =>
+          pairs.foldLeft(acc) { case (a, (f, t)) => replace(a, lit(f), lit(t)) }
+      }
+      cu.filters.foldLeft(baseDocTokens(cu.tokenizer, filtered))(applyDocFilter)
     case other =>
       validate(other, "analyzer"); throw new IllegalStateException(other)
   }
@@ -272,7 +333,12 @@ object Analyzers {
     case "lucene.keyword"  => if (q.isEmpty) Nil else Seq(q)
     case other if isCustom(other) =>
       val cu = parseCustom(other, "analyzer")
-      cu.filters.foldLeft(baseQueryTerms(cu.tokenizer, q))(applyQueryFilter)
+      val filtered = cu.charFilters.foldLeft(q) {
+        case (acc, CHtmlStrip) => acc.replaceAll("<[^>]*>", " ")
+        case (acc, CMapping(pairs)) =>
+          pairs.foldLeft(acc) { case (a, (f, t)) => a.replace(f, t) }
+      }
+      cu.filters.foldLeft(baseQueryTerms(cu.tokenizer, filtered))(applyQueryFilter)
     case other =>
       validate(other, "analyzer"); throw new IllegalStateException(other)
   }

@@ -2882,6 +2882,48 @@ object LlmOps {
             SELECT doc_id, score FROM sc
             ORDER BY score DESC, doc_id LIMIT 20""")),
 
+    // charFilters: htmlStrip runs on the RAW text before tokenization —
+    // the gate wraps the corpus in markup mid-pipeline, and without the
+    // strip the tag fragments (p/class/x) would enter the token stream
+    // and shift every BM25 length statistic; the oracle replays the
+    // strip + tokenize + fold chain
+    QueryDef("q_search_charfilter",
+      (s, dir) => Graft.aggregate(s, dir, "documents",
+        """[
+          {"$addFields": {"html": {"$concat":
+            ["<p class='x'>", "$text", "</p>"]}}},
+          {"$search": {
+            "analyzer": {"tokenizer": "standard",
+              "charFilters": ["htmlStrip"],
+              "tokenFilters": [{"type": "lowercase"}]},
+            "text": {"query": "spark window", "path": "html"},
+            "limit": 20, "tieBreaker": "doc_id"}},
+          {"$project": {"doc_id": 1,
+            "score": {"$meta": "searchScore"}}},
+          {"$sort": {"score": -1, "doc_id": 1}}]"""),
+      Some(s"""WITH raw AS (SELECT doc_id,
+                 list_transform(regexp_extract_all(
+                     regexp_replace('<p class=''x''>' || text || '</p>',
+                       '<[^>]*>', ' ', 'g'),
+                     '[\\p{L}\\p{N}]+(?:''[\\p{L}\\p{N}]+)*'),
+                   t -> lower(t)) AS w
+                 FROM documents),
+              toks AS (SELECT doc_id, unnest(w) AS term FROM raw),
+              dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+              st AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+              tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+                     WHERE term IN ('spark', 'window') GROUP BY 1, 2),
+              df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+              sc AS (SELECT tf.doc_id,
+                       round(SUM(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5)) *
+                         tf.tf * 2.2 / (tf.tf + 1.2 *
+                           (1 - 0.75 + 0.75 * dl.dl / st.avgdl))), 6) AS score
+                     FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+                          CROSS JOIN st
+                     GROUP BY 1)
+            SELECT doc_id, score FROM sc
+            ORDER BY score DESC, doc_id LIMIT 20""")),
+
     // the INDEX-declared form of the same analyzer: TextIndex built with
     // analyzers = {c_name -> lucene.standard} records the analyzer as a
     // kind='analyzer' row; naming the index applies it to BOTH document

@@ -210,6 +210,34 @@ class AnalyzerSpec extends AnyFunSuite {
     }.getMessage.contains("must agree"))
   }
 
+  test("custom analyzers: charFilters htmlStrip + mapping, both sides agree") {
+    val html = """{"tokenizer": "standard",
+        "charFilters": ["htmlStrip"],
+        "tokenFilters": [{"type": "lowercase"}]}"""
+    assert(Analyzers.queryTerms(html,
+      "<p>Hello <b>World</b></p><br/>done") == Seq("hello", "world", "done"))
+    val mapped = """{"tokenizer": "whitespace",
+        "charFilters": [{"type": "mapping",
+          "mappings": {"-": " ", "&": " and "}}],
+        "tokenFilters": [{"type": "lowercase"}]}"""
+    assert(Analyzers.queryTerms(mapped, "data-driven R&D") ==
+      Seq("data", "driven", "r", "and", "d"))
+    // Column side agrees token for token on the shared fixture
+    val df = fixtures.toDF("t")
+    for (a <- Seq(html, mapped)) {
+      val docSide = df.select(Analyzers.docTokens(a, col("t")).as("w"))
+        .collect().map(r => r.getSeq[String](0).toList).toList
+      assert(docSide == fixtures.map(Analyzers.queryTerms(a, _).toList),
+        s"charFilter analyzer disagrees: $a")
+    }
+    // normalization covers charFilters (order + mappings canonicalized)
+    val variant = """{ "tokenFilters": ["lowercase"],
+        "charFilters": [ {"mappings": {"-": " ", "&": " and "},
+          "type": "mapping"} ], "tokenizer": "whitespace" }"""
+    assert(Analyzers.normalize(mapped, "t") ==
+      Analyzers.normalize(variant, "t"))
+  }
+
   test("custom analyzers: refusal matrix") {
     def bad(s: String): String =
       intercept[MqlException](Analyzers.validate(s, "ctx")).getMessage
@@ -217,8 +245,12 @@ class AnalyzerSpec extends AnyFunSuite {
     assert(bad("""{"tokenizer": "standard",
         "tokenFilters": [{"type": "porterStemming"}]}""")
       .contains("unsupported token filter"))
-    assert(bad("""{"tokenizer": "standard", "charFilters": []}""")
-      .contains("unsupported custom-analyzer field"))
+    assert(bad("""{"tokenizer": "standard",
+        "charFilters": [{"type": "icuNormalize"}]}""")
+      .contains("unsupported char filter"))
+    assert(bad("""{"tokenizer": "standard",
+        "charFilters": [{"type": "mapping", "mappings": {}}]}""")
+      .contains("non-empty mappings"))
     assert(bad("""{"tokenFilters": []}""").contains("needs a tokenizer"))
     assert(bad("""{"tokenizer": "standard",
         "tokenFilters": [{"type": "length", "min": 5, "max": 2}]}""")
