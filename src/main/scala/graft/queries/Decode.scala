@@ -136,6 +136,39 @@ object Decode {
               WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000.0
               GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    // OP_MSG wire read (LIVE_CONNECTOR.md item 1's framing, item 2's
+    // cursor loop): the same find as q_wire_find but over MongoDB's
+    // real message envelope — opcode 2013 header, kind-0 BSON command
+    // documents, and the full find → getMore → cursor.id=0 lifecycle
+    // (batchSize 64 forces multiple round trips at sf0.01). The oracle
+    // replays the predicate on the source table.
+    QueryDef("q_wire_opmsg",
+      (s, dir) => {
+        val store = new graft.sinks.DocStore(s,
+          java.nio.file.Files.createTempDirectory("graft_opmsgq").toString,
+          "graftdocs")
+        store.write(Graft.table(s, dir, "customer")
+          .select("c_custkey", "c_mktsegment", "c_acctbal"), "customer")
+        val server = new graft.sources.OpMsg.Server(s, store)
+        try {
+          graft.sources.OpMsg.find(s, "127.0.0.1", server.port, "graft",
+            "customer",
+            Seq(org.apache.spark.sql.sources.EqualTo("c_mktsegment", "BUILDING"),
+              org.apache.spark.sql.sources.GreaterThan("c_acctbal", 1000.0)),
+            batchSize = 64)
+            .groupBy(col("c_mktsegment"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+                .cast(org.apache.spark.sql.types.DoubleType).as("sum_bal"))
+            .orderBy("c_mktsegment")
+        } finally server.stop()
+      },
+      Some("""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+              FROM customer
+              WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000.0
+              GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
     // Parallel-cursor wire read (LIVE_CONNECTOR.md item 3, reference
     // api.py:181-199 thread-pool cursors): the client plans key ranges
     // from server-side quantiles, sends one find per range (the range

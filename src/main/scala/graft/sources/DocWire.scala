@@ -33,8 +33,10 @@ import graft.mql.{FilterCompiler, FilterTranslator}
   *     MongoSamplePartitioner shape), one wire request per range, each
   *     landed batch file becoming one Spark partition of a single scan.
   *
-  * What stays environment-blocked: mongod's actual wire handshake
-  * (OP_MSG framing, auth). See LIVE_CONNECTOR.md for the gap map.
+  * The REAL wire envelope lives next door: [[OpMsg]] speaks MongoDB's
+  * OP_MSG framing (opcode 2013) and the find/getMore cursor lifecycle
+  * over the same stand-in. What stays environment-blocked is auth
+  * (SCRAM-SHA-256/TLS); see LIVE_CONNECTOR.md for the gap map.
   */
 object DocWire {
 
@@ -301,7 +303,7 @@ object DocWire {
 
   /** Residual Spark-side re-evaluation: source Filter → Column. Only the
     * shapes [[FilterTranslator]] refuses can appear here. */
-  private def filterToColumn(f: Filter): org.apache.spark.sql.Column = {
+  private[sources] def filterToColumn(f: Filter): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.col
     f match {
       case EqualTo(a, v) => col(a) === v

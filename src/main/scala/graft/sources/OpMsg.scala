@@ -1,0 +1,505 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream, ByteArrayOutputStream, EOFException, InputStream, OutputStream}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.sources.Filter
+import org.json4s._
+import graft.mql.{FilterCompiler, FilterTranslator}
+
+/** MongoDB OP_MSG wire protocol (opcode 2013) over the loopback
+  * stand-in — the byte-level framing LIVE_CONNECTOR.md item 1 called
+  * out, built and tested for real: both ends of this module speak the
+  * documented envelope
+  * (`messageLength,requestID,responseTo,opCode` header, little-endian;
+  * `flagBits`; section kind 0 carrying one BSON command document), the
+  * real command documents (`find`/`filter`/`batchSize`/`$db`,
+  * `getMore`/`collection`), and the real cursor lifecycle (`firstBatch`
+  * → `getMore` → `nextBatch` until `cursor.id = 0`, reply documents
+  * `{cursor: {...}, ok: 1.0}`, errors `{ok: 0.0, errmsg}`). A real
+  * mongod would accept these bytes modulo auth — SCRAM-SHA-256 and TLS
+  * remain the only untestable pieces in this sandbox (zero egress, no
+  * mongod binary).
+  *
+  * Batch documents cross the wire as raw BSON and are NEVER tree-parsed
+  * client-side: [[parseCursorReply]] slices each `firstBatch`/
+  * `nextBatch` element out of the reply by length-walking, the slices
+  * land in a batch file, and the normal graftdocs scan decodes them on
+  * the direct bytes→vectors path — the `find_raw_batches →
+  * process_bson_stream` loop (reference api.py:175, lib.pyx:296-311)
+  * over authentic framing. */
+object OpMsg {
+  private val OpMsgCode = 2013
+  private val MaxMessage = 48 * 1024 * 1024 // mongod's maxMessageSizeBytes
+
+  // ---- little-endian primitives -----------------------------------------
+
+  private def writeInt(out: ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+    out.write((v >> 16) & 0xFF); out.write((v >> 24) & 0xFF)
+  }
+  private def writeLong(out: ByteArrayOutputStream, v: Long): Unit = {
+    writeInt(out, v.toInt); writeInt(out, (v >> 32).toInt)
+  }
+  private def readIntLE(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+      ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+  private def readLongLE(b: Array[Byte], o: Int): Long =
+    (readIntLE(b, o) & 0xFFFFFFFFL) | (readIntLE(b, o + 4).toLong << 32)
+  private def writeCString(out: ByteArrayOutputStream, s: String): Unit = {
+    val bytes = s.getBytes("UTF-8")
+    require(!bytes.contains(0.toByte), s"cstring with NUL: $s")
+    out.write(bytes, 0, bytes.length); out.write(0)
+  }
+  private def writeString(out: ByteArrayOutputStream, s: String): Unit = {
+    val bytes = s.getBytes("UTF-8")
+    writeInt(out, bytes.length + 1)
+    out.write(bytes, 0, bytes.length); out.write(0)
+  }
+
+  // ---- JValue command document <-> BSON ---------------------------------
+  //
+  // The bounded surface command documents need: strings, int32/int64,
+  // doubles, booleans, null, documents, arrays, and the extended-JSON
+  // `{"$date": ms}` form as BSON datetime — exactly what
+  // FilterTranslator emits. decode(encode(v)) round-trips structurally,
+  // so the server can re-render and compile the filter with the same
+  // semantics the line-JSON protocol has.
+
+  def encodeDoc(v: JValue): Array[Byte] = {
+    val out = new ByteArrayOutputStream(256)
+    v match {
+      case o: JObject => writeDocInto(out, o)
+      case other => throw new IllegalArgumentException(
+        s"OP_MSG: command must be a document, got $other")
+    }
+    out.toByteArray
+  }
+
+  private def isDate(fields: List[(String, JValue)]): Option[Long] =
+    fields match {
+      case List(("$date", JInt(ms))) => Some(ms.toLong)
+      case List(("$date", JLong(ms))) => Some(ms)
+      case _ => None
+    }
+
+  private def writeDocInto(out: ByteArrayOutputStream, o: JObject): Unit = {
+    val body = new ByteArrayOutputStream(256)
+    o.obj.foreach { case (name, v) => writeElement(body, name, v) }
+    writeInt(out, 4 + body.size + 1)
+    body.writeTo(out)
+    out.write(0)
+  }
+
+  private def writeElement(out: ByteArrayOutputStream, name: String,
+                           v: JValue): Unit = {
+    def header(t: Int): Unit = { out.write(t); writeCString(out, name) }
+    v match {
+      case JNull => header(0x0A)
+      case JBool(b) => header(0x08); out.write(if (b) 1 else 0)
+      case JString(s) => header(0x02); writeString(out, s)
+      case JDouble(d) =>
+        header(0x01); writeLong(out, java.lang.Double.doubleToLongBits(d))
+      case JInt(i) =>
+        if (i.isValidInt) { header(0x10); writeInt(out, i.toInt) }
+        else { header(0x12); writeLong(out, i.toLong) }
+      case JLong(l) =>
+        if (l >= Int.MinValue && l <= Int.MaxValue) {
+          header(0x10); writeInt(out, l.toInt)
+        } else { header(0x12); writeLong(out, l) }
+      case JDecimal(d) => header(0x01)
+        writeLong(out, java.lang.Double.doubleToLongBits(d.toDouble))
+      case o @ JObject(fields) => isDate(fields) match {
+        case Some(ms) => header(0x09); writeLong(out, ms)
+        case None => header(0x03); writeDocInto(out, o)
+      }
+      case JArray(es) =>
+        header(0x04)
+        writeDocInto(out, JObject(es.zipWithIndex.map { case (e, i) =>
+          (i.toString, e) }))
+      case other => throw new IllegalArgumentException(
+        s"OP_MSG: cannot BSON-encode $other")
+    }
+  }
+
+  /** Decode a BSON document back to the JValue surface [[encodeDoc]]
+    * writes (datetimes come back as `{"$date": ms}`). */
+  def decodeDoc(b: Array[Byte], off: Int = 0): JObject = {
+    val len = readIntLE(b, off)
+    require(off + len <= b.length && len >= 5, "truncated BSON document")
+    var p = off + 4
+    val fields = List.newBuilder[(String, JValue)]
+    while (b(p) != 0) {
+      val t = b(p) & 0xFF
+      p += 1
+      val nameStart = p
+      while (b(p) != 0) p += 1
+      val name = new String(b, nameStart, p - nameStart, "UTF-8")
+      p += 1
+      val (v, next) = decodeValue(b, p, t)
+      fields += ((name, v))
+      p = next
+    }
+    JObject(fields.result())
+  }
+
+  private def decodeValue(b: Array[Byte], p: Int, t: Int): (JValue, Int) =
+    t match {
+      case 0x0A => (JNull, p)
+      case 0x08 => (JBool(b(p) != 0), p + 1)
+      case 0x10 => (JInt(BigInt(readIntLE(b, p))), p + 4)
+      case 0x12 => (JLong(readLongLE(b, p)), p + 8)
+      case 0x01 =>
+        (JDouble(java.lang.Double.longBitsToDouble(readLongLE(b, p))), p + 8)
+      case 0x02 =>
+        val n = readIntLE(b, p)
+        (JString(new String(b, p + 4, n - 1, "UTF-8")), p + 4 + n)
+      case 0x09 =>
+        (JObject(List("$date" -> JLong(readLongLE(b, p)))), p + 8)
+      case 0x03 =>
+        val o = decodeDoc(b, p)
+        (o, p + readIntLE(b, p))
+      case 0x04 =>
+        val o = decodeDoc(b, p)
+        (JArray(o.obj.map(_._2)), p + readIntLE(b, p))
+      case other => throw new IllegalArgumentException(
+        f"OP_MSG: unsupported BSON element type 0x$other%02X in a command")
+    }
+
+  // ---- framing -----------------------------------------------------------
+
+  /** header(16) + flagBits(4) + one kind-0 section (0x00 + doc). */
+  def writeMessage(out: OutputStream, requestId: Int, responseTo: Int,
+                   doc: Array[Byte]): Unit = {
+    val msg = new ByteArrayOutputStream(doc.length + 32)
+    writeInt(msg, 16 + 4 + 1 + doc.length) // messageLength
+    writeInt(msg, requestId)
+    writeInt(msg, responseTo)
+    writeInt(msg, OpMsgCode)
+    writeInt(msg, 0) // flagBits: no checksum, no moreToCome, no exhaust
+    msg.write(0)     // section kind 0
+    msg.write(doc, 0, doc.length)
+    msg.writeTo(out)
+    out.flush()
+  }
+
+  /** Read one message; returns (requestId, responseTo, body document).
+    * Refuses non-OP_MSG opcodes, oversized frames, flag bits this
+    * implementation does not speak, and non-kind-0 sections. */
+  def readMessage(in: InputStream): Option[(Int, Int, Array[Byte])] = {
+    val head = new Array[Byte](16)
+    var got = 0
+    while (got < 16) {
+      val n = in.read(head, got, 16 - got)
+      if (n < 0) { if (got == 0) return None
+        else throw new EOFException("truncated OP_MSG header") }
+      got += n
+    }
+    val len = readIntLE(head, 0)
+    if (len < 21 || len > MaxMessage) throw new IllegalArgumentException(
+      s"OP_MSG: bad messageLength $len")
+    val op = readIntLE(head, 12)
+    if (op != OpMsgCode) throw new IllegalArgumentException(
+      s"OP_MSG: unsupported opCode $op (only 2013 is spoken)")
+    val body = new Array[Byte](len - 16)
+    got = 0
+    while (got < body.length) {
+      val n = in.read(body, got, body.length - got)
+      if (n < 0) throw new EOFException("truncated OP_MSG body")
+      got += n
+    }
+    val flags = readIntLE(body, 0)
+    if (flags != 0) throw new IllegalArgumentException(
+      s"OP_MSG: unsupported flagBits 0x${flags.toHexString} " +
+        "(checksum/moreToCome/exhaustAllowed are not spoken)")
+    if (body(4) != 0) throw new IllegalArgumentException(
+      s"OP_MSG: unsupported section kind ${body(4)} (only kind 0)")
+    val doc = java.util.Arrays.copyOfRange(body, 5, body.length)
+    Some((readIntLE(head, 4), readIntLE(head, 8), doc))
+  }
+
+  /** Walk a `{cursor: {id, ns, firstBatch|nextBatch: [...]}, ok}` reply,
+    * slicing the batch documents out as raw bytes (no tree). Raises on
+    * `ok != 1` with the reply's errmsg. */
+  def parseCursorReply(doc: Array[Byte]): (Long, Seq[Array[Byte]]) = {
+    var ok = 0.0
+    var errmsg = "unknown error"
+    var cursorId = 0L
+    var slices: Seq[Array[Byte]] = Seq.empty
+
+    def skip(b: Array[Byte], p: Int, t: Int): Int = t match {
+      case 0x0A => p
+      case 0x08 => p + 1
+      case 0x10 => p + 4
+      case 0x01 | 0x09 | 0x12 => p + 8
+      case 0x13 => p + 16
+      case 0x02 | 0x0D => p + 4 + readIntLE(b, p)
+      case 0x03 | 0x04 => p + readIntLE(b, p)
+      case 0x05 => p + 5 + readIntLE(b, p)
+      case 0x07 => p + 12
+      case other => throw new IllegalArgumentException(
+        f"OP_MSG reply: cannot skip BSON type 0x$other%02X")
+    }
+    def walk(b: Array[Byte], off: Int)(f: (String, Int, Int) => Unit): Unit = {
+      var p = off + 4
+      while (b(p) != 0) {
+        val t = b(p) & 0xFF
+        p += 1
+        val ns = p
+        while (b(p) != 0) p += 1
+        val name = new String(b, ns, p - ns, "UTF-8")
+        p += 1
+        f(name, t, p)
+        p = skip(b, p, t)
+      }
+    }
+    walk(doc, 0) {
+      case ("ok", 0x01, p) =>
+        ok = java.lang.Double.longBitsToDouble(readLongLE(doc, p))
+      case ("ok", 0x10, p) => ok = readIntLE(doc, p).toDouble
+      case ("errmsg", 0x02, p) =>
+        errmsg = new String(doc, p + 4, readIntLE(doc, p) - 1, "UTF-8")
+      case ("cursor", 0x03, p) =>
+        walk(doc, p) {
+          case ("id", 0x12, q) => cursorId = readLongLE(doc, q)
+          case (n, 0x04, q) if n == "firstBatch" || n == "nextBatch" =>
+            val out = Seq.newBuilder[Array[Byte]]
+            walk(doc, q) { case (_, 0x03, e) =>
+              out += java.util.Arrays.copyOfRange(doc, e, e + readIntLE(doc, e))
+            case (_, t, _) => throw new IllegalArgumentException(
+              f"OP_MSG reply: batch element of type 0x$t%02X")
+            }
+            slices = out.result()
+          case _ => ()
+        }
+      case _ => ()
+    }
+    if (ok != 1.0) throw new IllegalArgumentException(
+      s"OP_MSG command failed: $errmsg")
+    (cursorId, slices)
+  }
+
+  /** Reply builder: raw batch documents embed verbatim as array
+    * elements — the server never re-encodes what the sink wrote. */
+  private[sources] def buildCursorReply(cursorId: Long, ns: String,
+                                        batchField: String,
+                                        docs: Seq[Array[Byte]]): Array[Byte] = {
+    val arrBody = new ByteArrayOutputStream(docs.map(_.length + 8).sum + 16)
+    docs.zipWithIndex.foreach { case (d, i) =>
+      arrBody.write(0x03); writeCString(arrBody, i.toString)
+      arrBody.write(d, 0, d.length)
+    }
+    val cur = new ByteArrayOutputStream(arrBody.size + 96)
+    // cursor subdocument body
+    val curBody = new ByteArrayOutputStream(arrBody.size + 64)
+    curBody.write(0x12); writeCString(curBody, "id"); writeLong(curBody, cursorId)
+    curBody.write(0x02); writeCString(curBody, "ns"); writeString(curBody, ns)
+    curBody.write(0x04); writeCString(curBody, batchField)
+    writeInt(curBody, 4 + arrBody.size + 1)
+    arrBody.writeTo(curBody)
+    curBody.write(0)
+    // top-level: {cursor: {...}, ok: 1.0}
+    val top = new ByteArrayOutputStream(curBody.size + 32)
+    top.write(0x03); writeCString(top, "cursor")
+    writeInt(top, 4 + curBody.size + 1)
+    curBody.writeTo(top)
+    top.write(0)
+    top.write(0x01); writeCString(top, "ok")
+    writeLong(top, java.lang.Double.doubleToLongBits(1.0))
+    writeInt(cur, 4 + top.size + 1)
+    top.writeTo(cur)
+    cur.write(0)
+    cur.toByteArray
+  }
+
+  private[sources] def buildErrorReply(msg: String): Array[Byte] =
+    encodeDoc(JObject(List("ok" -> JDouble(0.0), "errmsg" -> JString(msg))))
+
+  // ---- server (mongod stand-in) ------------------------------------------
+
+  /** OP_MSG server over the engine's own MQL semantics: `find` opens a
+    * cursor (FilterCompiler evaluates the filter, rows encode through
+    * the BSON sink writer), `getMore` pages it, `cursor.id = 0` closes
+    * it. One message loop per connection (cursors are connection-
+    * agnostic here; a real driver pins them — both work). */
+  final class Server(spark: SparkSession, store: graft.sinks.DocStore,
+                     db: String = "graft") {
+    private val socket = new java.net.ServerSocket(0, 16,
+      java.net.InetAddress.getLoopbackAddress)
+    @volatile private var running = true
+    private val nextCursor = new java.util.concurrent.atomic.AtomicLong(1000)
+    private final class Cursor(val ns: String,
+                               val rows: Iterator[org.apache.spark.sql.Row],
+                               val schema: org.apache.spark.sql.types.StructType,
+                               val batchSize: Int)
+    private val cursors =
+      new java.util.concurrent.ConcurrentHashMap[Long, Cursor]()
+
+    def port: Int = socket.getLocalPort
+
+    private val acceptor = new Thread(() => {
+      while (running) {
+        try {
+          val conn = socket.accept()
+          val w = new Thread(() => {
+            try serve(conn)
+            catch { case scala.util.control.NonFatal(e) =>
+              if (running) System.err.println(s"[opmsg] connection failed: $e") }
+            finally conn.close()
+          }, "graft-opmsg-worker")
+          w.setDaemon(true); w.start()
+        } catch {
+          case _: java.net.SocketException => ()
+          case scala.util.control.NonFatal(e) =>
+            if (running) System.err.println(s"[opmsg] accept failed: $e")
+        }
+      }
+    }, "graft-opmsg-server")
+    acceptor.setDaemon(true)
+    acceptor.start()
+
+    private def pull(c: Cursor): Seq[Array[Byte]] = {
+      val out = Seq.newBuilder[Array[Byte]]
+      var n = 0
+      while (n < c.batchSize && c.rows.hasNext) {
+        out += graft.bson.BsonBinary.encodeRow(c.rows.next(), c.schema)
+        n += 1
+      }
+      out.result()
+    }
+
+    private def serve(conn: java.net.Socket): Unit = {
+      val in = new BufferedInputStream(conn.getInputStream, 1 << 16)
+      val out = new BufferedOutputStream(conn.getOutputStream, 1 << 16)
+      var next = readMessage(in)
+      while (next.isDefined) {
+        val (reqId, _, body) = next.get
+        val reply =
+          try handle(decodeDoc(body))
+          catch { case scala.util.control.NonFatal(e) =>
+            buildErrorReply(String.valueOf(e.getMessage)) }
+        writeMessage(out, reqId + 1000000, reqId, reply)
+        next = readMessage(in)
+      }
+    }
+
+    private def handle(cmd: JObject): Array[Byte] = {
+      val fields = cmd.obj.toMap
+      fields.get("find") match {
+        case Some(JString(coll)) =>
+          val filterJson = fields.get("filter")
+            .map(f => FilterTranslator.render(f)).getOrElse("{}")
+          val batchSize = fields.get("batchSize") match {
+            case Some(JInt(n)) => n.toInt
+            case Some(JLong(n)) => n.toInt
+            case _ => 101 // mongod's first-batch default
+          }
+          val limit = fields.get("limit") match {
+            case Some(JInt(n)) => Some(n.toInt)
+            case Some(JLong(n)) => Some(n.toInt)
+            case _ => None
+          }
+          val df0 = store.read(coll).where(FilterCompiler.compile(filterJson))
+          val df = limit.map(df0.limit).getOrElse(df0)
+          val ns = s"$db.$coll"
+          val jit = df.toLocalIterator()
+          val sit = new Iterator[org.apache.spark.sql.Row] {
+            def hasNext: Boolean = jit.hasNext
+            def next(): org.apache.spark.sql.Row = jit.next()
+          }
+          val c = new Cursor(ns, sit, df.schema, batchSize)
+          val first = pull(c)
+          val id = if (c.rows.hasNext) {
+            val i = nextCursor.incrementAndGet(); cursors.put(i, c); i
+          } else 0L
+          buildCursorReply(id, ns, "firstBatch", first)
+        case _ => fields.get("getMore") match {
+          case Some(idv) =>
+            val id = idv match {
+              case JLong(l) => l
+              case JInt(i) => i.toLong
+              case other => throw new IllegalArgumentException(
+                s"getMore id must be int64, got $other")
+            }
+            val c = cursors.get(id)
+            if (c == null) throw new IllegalArgumentException(
+              s"cursor $id not found")
+            val batch = pull(c)
+            val more = c.rows.hasNext
+            if (!more) cursors.remove(id): Unit
+            buildCursorReply(if (more) id else 0L, c.ns, "nextBatch", batch)
+          case None => throw new IllegalArgumentException(
+            s"unsupported command: ${cmd.obj.headOption.map(_._1)
+              .getOrElse("<empty>")}")
+        }
+      }
+    }
+
+    def stop(): Unit = { running = false; socket.close() }
+  }
+
+  // ---- client -------------------------------------------------------------
+
+  /** OP_MSG `find`: translate the pushed filters, drive the full
+    * find → getMore cursor loop on ONE connection, land every batch's
+    * raw documents in a batch file, decode through the normal graftdocs
+    * scan, re-apply residuals client-side. Same pushdown contract as
+    * [[DocWire.find]] (limit rides the wire only with zero residuals). */
+  def find(spark: SparkSession, host: String, port: Int, db: String,
+           coll: String, filters: Seq[Filter] = Seq.empty,
+           limit: Option[Int] = None, batchSize: Int = 101): DataFrame = {
+    require(batchSize > 0, "batchSize must be positive")
+    val (mqlDoc, residual) = FilterTranslator.translateAll(filters)
+    val serverLimit = limit.filter(_ => residual.isEmpty)
+    val findCmd = JObject(List(
+      "find" -> JString(coll),
+      "filter" -> mqlDoc,
+      "batchSize" -> JInt(batchSize)) ++
+      serverLimit.map(n => "limit" -> JInt(n)).toList ++
+      List("$db" -> JString(db)))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_opmsg")
+    val file = dir.resolve("batches.bson")
+    val os = java.nio.file.Files.newOutputStream(file)
+    val conn = new java.net.Socket(host, port)
+    var total = 0L
+    try {
+      val cin = new BufferedInputStream(conn.getInputStream, 1 << 16)
+      val cout = new BufferedOutputStream(conn.getOutputStream, 1 << 16)
+      var reqId = 1
+      writeMessage(cout, reqId, 0, encodeDoc(findCmd))
+      var (rid, rto, reply) = readMessage(cin).getOrElse(
+        throw new EOFException("server closed before replying"))
+      if (rto != reqId) throw new IllegalStateException(
+        s"responseTo $rto does not match requestID $reqId")
+      var (cursorId, docs) = parseCursorReply(reply)
+      docs.foreach(d => os.write(d)); total += docs.size
+      while (cursorId != 0L) {
+        reqId += 1
+        writeMessage(cout, reqId, 0, encodeDoc(JObject(List(
+          "getMore" -> JLong(cursorId),
+          "collection" -> JString(coll),
+          "batchSize" -> JInt(batchSize),
+          "$db" -> JString(db)))))
+        val (_, rto2, rep2) = readMessage(cin).getOrElse(
+          throw new EOFException("server closed mid-cursor"))
+        if (rto2 != reqId) throw new IllegalStateException(
+          s"responseTo $rto2 does not match requestID $reqId")
+        val (nid, more) = parseCursorReply(rep2)
+        more.foreach(d => os.write(d)); total += more.size
+        cursorId = nid
+      }
+    } finally { os.close(); conn.close() }
+
+    val decoded =
+      if (total == 0) {
+        // nothing to infer from: an empty frame with no columns (the
+        // caller filters produced no rows — same shape as an empty find)
+        spark.emptyDataFrame
+      } else spark.read.format("graftdocs").load(dir.toString)
+    val filtered = residual.foldLeft(decoded)((df, f) =>
+      df.where(DocWire.filterToColumn(f)))
+    if (serverLimit.isEmpty) limit.map(filtered.limit).getOrElse(filtered)
+    else filtered
+  }
+}

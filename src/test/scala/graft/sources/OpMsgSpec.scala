@@ -1,0 +1,163 @@
+package graft.sources
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+import org.json4s._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+/** OP_MSG framing + cursor lifecycle over the loopback stand-in. Pins:
+  *  - byte-level envelope conformance (little-endian header, opcode
+  *    2013 at offset 12, flagBits 0, section kind 0, exact
+  *    messageLength);
+  *  - command-document BSON round-trips (incl. the {"$date"} form);
+  *  - find → getMore → cursor.id=0 drives MULTIPLE round trips when
+  *    batchSize < result size, and the union equals the local scan;
+  *  - responseTo echoes the request id; errors come back as
+  *    {ok: 0, errmsg} and raise client-side;
+  *  - unsupported opcodes/flagBits/section kinds refuse. */
+class OpMsgSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  private def fixture(): (graft.sinks.DocStore, OpMsg.Server) = {
+    val store = new graft.sinks.DocStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_opmsg_srv").toString,
+      "graftdocs")
+    val ev = graft.api.Graft.table(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+    store.write(ev, "events")
+    (store, new OpMsg.Server(spark, store))
+  }
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.orderBy("event_id").collect().toSeq.map(_.json)
+
+  test("message bytes: exact little-endian envelope") {
+    val doc = OpMsg.encodeDoc(JObject(List("ping" -> JInt(1))))
+    val out = new ByteArrayOutputStream()
+    OpMsg.writeMessage(out, requestId = 7, responseTo = 3, doc)
+    val b = out.toByteArray
+    def le32(o: Int) = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+      ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+    assert(le32(0) == b.length)          // messageLength
+    assert(le32(4) == 7 && le32(8) == 3) // requestID / responseTo
+    assert(le32(12) == 2013)             // opCode OP_MSG
+    assert(le32(16) == 0)                // flagBits
+    assert(b(20) == 0)                   // section kind 0
+    assert(java.util.Arrays.equals(
+      java.util.Arrays.copyOfRange(b, 21, b.length), doc))
+    // and it reads back
+    val Some((rid, rto, body)) =
+      OpMsg.readMessage(new ByteArrayInputStream(b)): @unchecked
+    assert(rid == 7 && rto == 3 && java.util.Arrays.equals(body, doc))
+  }
+
+  test("framing refusals: wrong opcode, flag bits, section kind") {
+    val doc = OpMsg.encodeDoc(JObject(List("ping" -> JInt(1))))
+    val out = new ByteArrayOutputStream()
+    OpMsg.writeMessage(out, 1, 0, doc)
+    val good = out.toByteArray
+    def mutated(off: Int, v: Byte): Array[Byte] = {
+      val c = good.clone(); c(off) = v; c
+    }
+    // opcode 2012 (OP_COMPRESSED) refused
+    assert(intercept[IllegalArgumentException](OpMsg.readMessage(
+      new ByteArrayInputStream(mutated(12, (2012 & 0xFF).toByte))))
+      .getMessage.contains("opCode"))
+    // checksumPresent flag refused
+    assert(intercept[IllegalArgumentException](OpMsg.readMessage(
+      new ByteArrayInputStream(mutated(16, 1))))
+      .getMessage.contains("flagBits"))
+    // section kind 1 refused
+    assert(intercept[IllegalArgumentException](OpMsg.readMessage(
+      new ByteArrayInputStream(mutated(20, 1))))
+      .getMessage.contains("section kind"))
+  }
+
+  test("command BSON round-trips, including dates and nesting") {
+    val cmd = JObject(List(
+      "find" -> JString("events"),
+      "filter" -> JObject(List(
+        "$and" -> JArray(List(
+          JObject(List("event_type" -> JObject(List("$eq" -> JString("click"))))),
+          JObject(List("ts" -> JObject(List("$gte" ->
+            JObject(List("$date" -> JLong(1700000000000L))))))))))),
+      "batchSize" -> JInt(50),
+      "big" -> JLong(1L << 40),
+      "ok" -> JBool(true),
+      "nothing" -> JNull,
+      "pi" -> JDouble(3.5),
+      "$db" -> JString("graft")))
+    assert(OpMsg.decodeDoc(OpMsg.encodeDoc(cmd)) == cmd)
+  }
+
+  test("find → getMore loop: small batches, union equals the local scan") {
+    val (store, server) = fixture()
+    try {
+      val filters: Seq[Filter] = Seq(GreaterThan("value", 0.5))
+      // batchSize 40 over ~hundreds of hits forces several getMore trips
+      val wire = OpMsg.find(spark, "127.0.0.1", server.port, "graft",
+        "events", filters, batchSize = 40)
+      val local = store.read("events").where(col("value") > 0.5)
+      assert(local.count() > 40, "fixture too small to exercise getMore")
+      assert(canon(wire) == canon(local))
+    } finally server.stop()
+  }
+
+  test("residual filters stay client-side; limit rides only when full") {
+    val (store, server) = fixture()
+    try {
+      // StringContains is untranslatable → residual
+      val filters: Seq[Filter] =
+        Seq(StringContains("event_type", "lic"), GreaterThan("value", 0.2))
+      val wire = OpMsg.find(spark, "127.0.0.1", server.port, "graft",
+        "events", filters, limit = Some(10), batchSize = 64)
+      val local = store.read("events")
+        .where(col("event_type").contains("lic") && col("value") > 0.2)
+      assert(wire.count() == math.min(10, local.count()))
+      // fully-translated limit: results bounded server-side
+      val full = OpMsg.find(spark, "127.0.0.1", server.port, "graft",
+        "events", Seq(GreaterThan("value", 0.2)), limit = Some(7))
+      assert(full.count() == 7)
+    } finally server.stop()
+  }
+
+  test("unknown commands and bad cursors answer {ok: 0, errmsg} and raise") {
+    val (_, server) = fixture()
+    try {
+      val conn = new java.net.Socket("127.0.0.1", server.port)
+      try {
+        val out = conn.getOutputStream
+        OpMsg.writeMessage(out, 5, 0, OpMsg.encodeDoc(
+          JObject(List("drop" -> JString("events")))))
+        val Some((_, rto, reply)) =
+          OpMsg.readMessage(conn.getInputStream): @unchecked
+        assert(rto == 5)
+        val e = intercept[IllegalArgumentException](
+          OpMsg.parseCursorReply(reply))
+        assert(e.getMessage.contains("unsupported command"))
+        // getMore on a vanished cursor
+        OpMsg.writeMessage(out, 6, 0, OpMsg.encodeDoc(JObject(List(
+          "getMore" -> JLong(424242L), "collection" -> JString("events"),
+          "$db" -> JString("graft")))))
+        val Some((_, _, reply2)) =
+          OpMsg.readMessage(conn.getInputStream): @unchecked
+        assert(intercept[IllegalArgumentException](
+          OpMsg.parseCursorReply(reply2)).getMessage.contains("not found"))
+      } finally conn.close()
+    } finally server.stop()
+  }
+
+  test("empty result: zero batches, empty frame, cursor closed immediately") {
+    val (_, server) = fixture()
+    try {
+      val wire = OpMsg.find(spark, "127.0.0.1", server.port, "graft",
+        "events", Seq(EqualTo("event_type", "no_such_type")))
+      assert(wire.count() == 0)
+    } finally server.stop()
+  }
+}
