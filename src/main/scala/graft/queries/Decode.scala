@@ -169,6 +169,39 @@ object Decode {
               WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000.0
               GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    // the AUTHENTICATED form: the same find over a server requiring
+    // SCRAM-SHA-256 — the full RFC 7677 conversation (saslStart/
+    // saslContinue inside OP_MSG, mutual authentication: the client
+    // verifies the server signature back) precedes the cursor loop
+    QueryDef("q_wire_opmsg_auth",
+      (s, dir) => {
+        val store = new graft.sinks.DocStore(s,
+          java.nio.file.Files.createTempDirectory("graft_opmsga").toString,
+          "graftdocs")
+        store.write(Graft.table(s, dir, "customer")
+          .select("c_custkey", "c_mktsegment", "c_acctbal"), "customer")
+        val server = new graft.sources.OpMsg.Server(s, store,
+          auth = Some(("pipeline", "s3cr3t-pw")))
+        try {
+          graft.sources.OpMsg.find(s, "127.0.0.1", server.port, "graft",
+            "customer",
+            Seq(org.apache.spark.sql.sources.EqualTo("c_mktsegment", "AUTOMOBILE"),
+              org.apache.spark.sql.sources.LessThan("c_acctbal", 5000.0)),
+            batchSize = 64,
+            credentials = Some(("pipeline", "s3cr3t-pw")))
+            .groupBy(col("c_mktsegment"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+                .cast(org.apache.spark.sql.types.DoubleType).as("sum_bal"))
+            .orderBy("c_mktsegment")
+        } finally server.stop()
+      },
+      Some("""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+              FROM customer
+              WHERE c_mktsegment = 'AUTOMOBILE' AND c_acctbal < 5000.0
+              GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
     // Parallel-cursor wire read (LIVE_CONNECTOR.md item 3, reference
     // api.py:181-199 thread-pool cursors): the client plans key ranges
     // from server-side quantiles, sends one find per range (the range

@@ -111,7 +111,13 @@ object OpMsg {
         writeLong(out, java.lang.Double.doubleToLongBits(d.toDouble))
       case o @ JObject(fields) => isDate(fields) match {
         case Some(ms) => header(0x09); writeLong(out, ms)
-        case None => header(0x03); writeDocInto(out, o)
+        case None => fields match {
+          case List(("$binary", JString(b64))) =>
+            val bytes = java.util.Base64.getDecoder.decode(b64)
+            header(0x05); writeInt(out, bytes.length); out.write(0)
+            out.write(bytes, 0, bytes.length)
+          case _ => header(0x03); writeDocInto(out, o)
+        }
       }
       case JArray(es) =>
         header(0x04)
@@ -156,6 +162,12 @@ object OpMsg {
         (JString(new String(b, p + 4, n - 1, "UTF-8")), p + 4 + n)
       case 0x09 =>
         (JObject(List("$date" -> JLong(readLongLE(b, p)))), p + 8)
+      case 0x05 =>
+        val n = readIntLE(b, p) // subtype byte at p+4, payload after
+        val payload = java.util.Arrays.copyOfRange(b, p + 5, p + 5 + n)
+        (JObject(List("$binary" ->
+          JString(java.util.Base64.getEncoder.encodeToString(payload)))),
+          p + 5 + n)
       case 0x03 =>
         val o = decodeDoc(b, p)
         (o, p + readIntLE(b, p))
@@ -323,7 +335,16 @@ object OpMsg {
     * it. One message loop per connection (cursors are connection-
     * agnostic here; a real driver pins them — both work). */
   final class Server(spark: SparkSession, store: graft.sinks.DocStore,
-                     db: String = "graft") {
+                     db: String = "graft",
+                     auth: Option[(String, String)] = None) {
+    // mongod stores (salt, i, StoredKey, ServerKey) per user — so does
+    // this stand-in; the password is hashed once here and dropped
+    private val credential: Option[(String, Scram.Credential)] =
+      auth.map { case (u, pw) =>
+        val salt = new Array[Byte](16)
+        new java.security.SecureRandom().nextBytes(salt)
+        (u, Scram.credential(pw, salt, 15000))
+      }
     private val socket = new java.net.ServerSocket(0, 16,
       java.net.InetAddress.getLoopbackAddress)
     @volatile private var running = true
@@ -368,14 +389,20 @@ object OpMsg {
       out.result()
     }
 
+    private final class ConnState {
+      var authenticated: Boolean = credential.isEmpty
+      var sasl: Option[Scram.Server] = None
+    }
+
     private def serve(conn: java.net.Socket): Unit = {
       val in = new BufferedInputStream(conn.getInputStream, 1 << 16)
       val out = new BufferedOutputStream(conn.getOutputStream, 1 << 16)
+      val state = new ConnState
       var next = readMessage(in)
       while (next.isDefined) {
         val (reqId, _, body) = next.get
         val reply =
-          try handle(decodeDoc(body))
+          try handle(decodeDoc(body), state)
           catch { case scala.util.control.NonFatal(e) =>
             buildErrorReply(String.valueOf(e.getMessage)) }
         writeMessage(out, reqId + 1000000, reqId, reply)
@@ -383,8 +410,48 @@ object OpMsg {
       }
     }
 
-    private def handle(cmd: JObject): Array[Byte] = {
+    private def saslPayload(fields: Map[String, JValue]): String =
+      fields.get("payload") match {
+        case Some(JObject(List(("$binary", JString(b64))))) =>
+          new String(java.util.Base64.getDecoder.decode(b64), "UTF-8")
+        case Some(JString(s)) => s // driver convenience form
+        case other => throw new IllegalArgumentException(
+          s"sasl command needs a payload, got $other")
+      }
+    private def binPayload(s: String): JValue =
+      JObject(List("$binary" -> JString(
+        java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8")))))
+
+    private def handle(cmd: JObject, state: ConnState): Array[Byte] = {
       val fields = cmd.obj.toMap
+      // ---- SCRAM-SHA-256 conversation (saslStart/saslContinue) ----
+      if (fields.contains("saslStart")) {
+        val (u, cred) = credential.getOrElse(throw new IllegalArgumentException(
+          "authentication is not enabled on this server"))
+        fields.get("mechanism") match {
+          case Some(JString("SCRAM-SHA-256")) => ()
+          case other => throw new IllegalArgumentException(
+            s"unsupported mechanism $other (only SCRAM-SHA-256)")
+        }
+        val srv = new Scram.Server(u, cred)
+        state.sasl = Some(srv)
+        val first = srv.serverFirst(saslPayload(fields))
+        return encodeDoc(JObject(List(
+          "conversationId" -> JInt(1), "done" -> JBool(false),
+          "payload" -> binPayload(first), "ok" -> JDouble(1.0))))
+      }
+      if (fields.contains("saslContinue")) {
+        val srv = state.sasl.getOrElse(throw new IllegalArgumentException(
+          "saslContinue without saslStart"))
+        val fin = srv.serverFinal(saslPayload(fields))
+        state.authenticated = true
+        state.sasl = None
+        return encodeDoc(JObject(List(
+          "conversationId" -> JInt(1), "done" -> JBool(true),
+          "payload" -> binPayload(fin), "ok" -> JDouble(1.0))))
+      }
+      if (!state.authenticated) throw new IllegalArgumentException(
+        "command requires authentication (run SCRAM-SHA-256 saslStart first)")
       fields.get("find") match {
         case Some(JString(coll)) =>
           val filterJson = fields.get("filter")
@@ -447,7 +514,8 @@ object OpMsg {
     * [[DocWire.find]] (limit rides the wire only with zero residuals). */
   def find(spark: SparkSession, host: String, port: Int, db: String,
            coll: String, filters: Seq[Filter] = Seq.empty,
-           limit: Option[Int] = None, batchSize: Int = 101): DataFrame = {
+           limit: Option[Int] = None, batchSize: Int = 101,
+           credentials: Option[(String, String)] = None): DataFrame = {
     require(batchSize > 0, "batchSize must be positive")
     val (mqlDoc, residual) = FilterTranslator.translateAll(filters)
     val serverLimit = limit.filter(_ => residual.isEmpty)
@@ -466,25 +534,66 @@ object OpMsg {
     try {
       val cin = new BufferedInputStream(conn.getInputStream, 1 << 16)
       val cout = new BufferedOutputStream(conn.getOutputStream, 1 << 16)
-      var reqId = 1
-      writeMessage(cout, reqId, 0, encodeDoc(findCmd))
-      var (rid, rto, reply) = readMessage(cin).getOrElse(
-        throw new EOFException("server closed before replying"))
-      if (rto != reqId) throw new IllegalStateException(
-        s"responseTo $rto does not match requestID $reqId")
-      var (cursorId, docs) = parseCursorReply(reply)
+      var reqId = 0
+      def roundTrip(cmd: JObject): Array[Byte] = {
+        reqId += 1
+        writeMessage(cout, reqId, 0, encodeDoc(cmd))
+        val (_, rto, body) = readMessage(cin).getOrElse(
+          throw new EOFException("server closed the connection"))
+        if (rto != reqId) throw new IllegalStateException(
+          s"responseTo $rto does not match requestID $reqId")
+        body
+      }
+      // ---- SCRAM-SHA-256 handshake (mutual authentication) ----
+      credentials.foreach { case (user, password) =>
+        def bin(v: JValue): String = v match {
+          case JObject(List(("$binary", JString(b64)))) =>
+            new String(java.util.Base64.getDecoder.decode(b64), "UTF-8")
+          case other => throw new SecurityException(
+            s"sasl reply payload malformed: $other")
+        }
+        def field(o: JObject, n: String): JValue =
+          o.obj.find(_._1 == n).map(_._2).getOrElse(
+            throw new SecurityException(s"sasl reply missing '$n'"))
+        val cl = new Scram.Client(user, password)
+        val r1 = decodeDoc(roundTrip(JObject(List(
+          "saslStart" -> JInt(1),
+          "mechanism" -> JString("SCRAM-SHA-256"),
+          "payload" -> JObject(List("$binary" -> JString(
+            java.util.Base64.getEncoder.encodeToString(
+              cl.clientFirst.getBytes("UTF-8"))))),
+          "$db" -> JString(db)))))
+        field(r1, "ok") match {
+          case JDouble(1.0) => ()
+          case _ => throw new SecurityException(
+            s"authentication failed: ${r1.obj.toMap.get("errmsg")}")
+        }
+        val clientFinal = cl.clientFinal(bin(field(r1, "payload")))
+        val r2 = decodeDoc(roundTrip(JObject(List(
+          "saslContinue" -> JInt(1),
+          "conversationId" -> JInt(1),
+          "payload" -> JObject(List("$binary" -> JString(
+            java.util.Base64.getEncoder.encodeToString(
+              clientFinal.getBytes("UTF-8"))))),
+          "$db" -> JString(db)))))
+        field(r2, "ok") match {
+          case JDouble(1.0) => ()
+          case _ => throw new SecurityException(
+            s"authentication failed: ${r2.obj.toMap.get("errmsg")}")
+        }
+        // verify the SERVER's signature — a fake server without
+        // ServerKey fails here even if it accepted our proof
+        cl.verifyServerFinal(bin(field(r2, "payload")))
+      }
+      val reply0 = roundTrip(findCmd)
+      var (cursorId, docs) = parseCursorReply(reply0)
       docs.foreach(d => os.write(d)); total += docs.size
       while (cursorId != 0L) {
-        reqId += 1
-        writeMessage(cout, reqId, 0, encodeDoc(JObject(List(
+        val rep2 = roundTrip(JObject(List(
           "getMore" -> JLong(cursorId),
           "collection" -> JString(coll),
           "batchSize" -> JInt(batchSize),
-          "$db" -> JString(db)))))
-        val (_, rto2, rep2) = readMessage(cin).getOrElse(
-          throw new EOFException("server closed mid-cursor"))
-        if (rto2 != reqId) throw new IllegalStateException(
-          s"responseTo $rto2 does not match requestID $reqId")
+          "$db" -> JString(db))))
         val (nid, more) = parseCursorReply(rep2)
         more.foreach(d => os.write(d)); total += more.size
         cursorId = nid
