@@ -1003,6 +1003,31 @@ object LlmOps {
             SELECT * FROM o UNION ALL SELECT * FROM e
             ORDER BY o_orderstatus""")),
 
+    // zone-map pruning on the Arrow source: 8 range-disjoint files, a
+    // point range admits one — the skip must be invisible to results
+    // (sidecar soundness), which is exactly what the hash checks
+    QueryDef("q_arrow_prune",
+      (s, dir) => {
+        val tgt = java.nio.file.Files.createTempDirectory("graft_ipcz").toString
+        Graft.table(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .repartitionByRange(8, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey")
+          .write.format("graftarrow").mode("overwrite").save(tgt)
+        s.read.format("graftarrow").load(tgt)
+          .where(col("o_orderkey") >= 500 && col("o_orderkey") < 600)
+          .groupBy((col("o_orderkey") % 10).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,4)")).cast("double")
+              .as("total"))
+          .orderBy("bucket")
+      },
+      Some("""SELECT o_orderkey % 10 AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                       AS total
+              FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 600
+              GROUP BY 1 ORDER BY 1""")),
+
     QueryDef("q_media_meta",
       (s, dir) => Multimodal.asMediaTable(Graft.table(s, dir, "documents"),
         "doc_id", "text")

@@ -85,19 +85,26 @@ private[sources] object GraftArrowSource {
       throw new IllegalArgumentException("graftarrow: path is required"))
 
   def listArrowFiles(path: String,
-                     conf: org.apache.hadoop.conf.Configuration): Seq[String] = {
+                     conf: org.apache.hadoop.conf.Configuration): Seq[String] =
+    listArrowRefs(path, conf).map(_._1)
+
+  /** (path, byteLength) per visible .arrow file — the length doubles as
+    * the zone-map sidecar integrity check. */
+  def listArrowRefs(path: String,
+                    conf: org.apache.hadoop.conf.Configuration): Seq[(String, Long)] = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) return Seq.empty
     val it = fs.listFiles(p, true)
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     while (it.hasNext) {
-      val f = it.next().getPath
+      val st = it.next()
+      val f = st.getPath
       val n = f.getName
       if (n.endsWith(".arrow") && !n.startsWith(".") && !n.startsWith("_"))
-        out += f.toString
+        out += ((f.toString, st.getLen))
     }
-    out.toSeq.sorted
+    out.toSeq.sortBy(_._1)
   }
 
   /** Hadoop stream as a read-only SeekableByteChannel (what
@@ -225,33 +232,76 @@ private[sources] class GraftArrowTable(schema: StructType,
 
 private[sources] class GraftArrowScanBuilder(fullSchema: StructType,
                                              options: CaseInsensitiveStringMap)
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = fullSchema
+  private var pruneFilters: Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // preserve the source's field order; an empty projection (COUNT(*))
     // keeps zero columns and the reader only counts batch rows
     val names = requiredSchema.fieldNames.toSet
     required = StructType(fullSchema.fields.filter(f => names(f.name)))
   }
-  override def build(): Scan = new GraftArrowScan(fullSchema, required, options)
+  // filters are consumed for FILE SKIPPING only (zone-map sidecars);
+  // Spark keeps every filter post-scan, so a missing/stale sidecar can
+  // never lose rows — the parquet-footer-pruning posture, not
+  // row-level pushdown
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    pruneFilters = filters
+    filters // everything stays a Spark-side residual
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
+  override def build(): Scan =
+    new GraftArrowScan(fullSchema, required, options, pruneFilters.toSeq)
 }
 
 private[sources] class GraftArrowScan(fullSchema: StructType,
                                       required: StructType,
-                                      options: CaseInsensitiveStringMap)
+                                      options: CaseInsensitiveStringMap,
+                                      pruneFilters: Seq[org.apache.spark.sql.sources.Filter])
   extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def description(): String =
-    s"graftarrow(${GraftArrowSource.pathOf(options)})"
 
   private val conf = new SerializableConfiguration(
     org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
 
+  // stats are trusted only when the sidecar's recorded tag matches the
+  // declared read type — same rule as graftdocs
+  private lazy val trustedTag: Map[String, String] =
+    fullSchema.fields.flatMap(f =>
+      ZoneMaps.tagOf(f.dataType).filter(_ != "dec").map(f.name -> _)).toMap
+
+  private lazy val (kept, totalFiles): (Seq[(String, Long)], Int) = {
+    val all = GraftArrowSource.listArrowRefs(
+      GraftArrowSource.pathOf(options), conf.value)
+    if (pruneFilters.isEmpty || all.isEmpty) (all, all.size)
+    else {
+      val fs = new Path(all.head._1).getFileSystem(conf.value)
+      val surv = all.filter { case (path, len) =>
+        ZoneMaps.load(fs, path, len) match {
+          case Some(st) =>
+            val trusted = st.cols.filter { case (name, cs) =>
+              trustedTag.get(name).contains(cs.tag) }
+            pruneFilters.forall(f => ZoneMaps.mayMatch(f, trusted))
+          case None => true // no/stale sidecar: keep (soundness)
+        }
+      }
+      (surv, all.size)
+    }
+  }
+
+  override def description(): String = {
+    val prune = if (pruneFilters.isEmpty) ""
+      else s", ZoneMapPruned: ${totalFiles - kept.size}/$totalFiles"
+    s"graftarrow(${GraftArrowSource.pathOf(options)})$prune"
+  }
+
   override def planInputPartitions(): Array[InputPartition] =
-    GraftArrowSource.listArrowFiles(GraftArrowSource.pathOf(options),
-        conf.value)
-      .map(f => GraftArrowPartition(f): InputPartition).toArray
+    kept.map { case (f, _) => GraftArrowPartition(f): InputPartition }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftArrowReaderFactory(required, conf)
@@ -339,9 +389,12 @@ private[sources] class GraftArrowWriteBuilder(info: LogicalWriteInfo,
       val batchRows = Option(info.options.get("batchRows"))
         .map(_.toInt).getOrElse(4096)
       require(batchRows > 0, "graftarrow: batchRows must be positive")
+      val zoneMaps = Option(info.options.get("zoneMaps"))
+        .forall(_.toBoolean)
       // validate the schema maps BEFORE launching tasks
       GraftArrowSource.toArrowSchema(info.schema()): Unit
       new GraftArrowBatchWrite(info.schema(), path, doTruncate, batchRows,
+        zoneMaps,
         new SerializableConfiguration(org.apache.spark.sql.SparkSession
           .active.sessionState.newHadoopConf()))
     }
@@ -353,6 +406,7 @@ private[sources] case class GraftArrowCommit(staged: Seq[String])
 
 private[sources] class GraftArrowBatchWrite(schema: StructType, path: String,
                                             truncate: Boolean, batchRows: Int,
+                                            zoneMaps: Boolean,
                                             conf: SerializableConfiguration)
   extends BatchWrite {
   private val jobToken = java.util.UUID.randomUUID().toString.take(8)
@@ -362,19 +416,23 @@ private[sources] class GraftArrowBatchWrite(schema: StructType, path: String,
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf.value)
     if (truncate && fs.exists(dir)) {
-      val all = GraftArrowSource.listArrowFiles(path, conf.value)
-        .map(new Path(_))
-      preExisting = all
+      // old data + its sidecars go only after the new commit
+      preExisting = GraftArrowSource.listArrowRefs(path, conf.value)
+        .flatMap { case (f, _) =>
+          Seq(new Path(f), new Path(f + ".zmap")) }
       // staged garbage from crashed writers (no abort ever ran)
       val it = fs.listFiles(dir, true)
       while (it.hasNext) {
         val p = it.next().getPath
-        if (p.getName.startsWith(".") && p.getName.endsWith(".arrow"))
+        val n = p.getName
+        if (n.startsWith(".") &&
+            (n.endsWith(".arrow") || n.endsWith(".arrow.zmap")))
           fs.delete(p, false): Unit
       }
     }
     fs.mkdirs(dir)
-    new GraftArrowWriterFactory(schema, path, jobToken, batchRows, conf)
+    new GraftArrowWriterFactory(schema, path, jobToken, batchRows, zoneMaps,
+      conf)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -394,7 +452,7 @@ private[sources] class GraftArrowBatchWrite(schema: StructType, path: String,
         done.foreach { case (staged, dest) => fs.rename(dest, staged) }
         throw e
     }
-    preExisting.foreach(fs.delete(_, false))
+    preExisting.foreach(p => if (fs.exists(p)) fs.delete(p, false): Unit)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -406,11 +464,12 @@ private[sources] class GraftArrowBatchWrite(schema: StructType, path: String,
 
 private[sources] class GraftArrowWriterFactory(schema: StructType, path: String,
                                                jobToken: String, batchRows: Int,
+                                               zoneMaps: Boolean,
                                                conf: SerializableConfiguration)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftArrowDataWriter(schema, path, jobToken, partitionId, taskId,
-      batchRows, conf.value)
+      batchRows, zoneMaps, conf.value)
 }
 
 /** Per-task writer: one staged hidden `.arrow` file, record batches of
@@ -419,8 +478,16 @@ private[sources] class GraftArrowWriterFactory(schema: StructType, path: String,
 private[sources] class GraftArrowDataWriter(schema: StructType, path: String,
                                             jobToken: String, partitionId: Int,
                                             taskId: Long, batchRows: Int,
+                                            zoneMaps: Boolean,
                                             conf: org.apache.hadoop.conf.Configuration)
   extends DataWriter[InternalRow] {
+  // zone-map stats ride a .zmap sidecar through the same hidden-rename
+  // commit (the graftdocs discipline); stats collect over external Rows
+  private val stats =
+    if (zoneMaps) Some(new ZoneMaps.Collector(schema)).filter(_.nonEmptySchema)
+    else None
+  private val toScala = org.apache.spark.sql.catalyst.CatalystTypeConverters
+    .createToScalaConverter(schema)
   private val staged = new Path(path,
     s".part-$jobToken-$partitionId-$taskId.arrow")
   private val fs = staged.getFileSystem(conf)
@@ -538,6 +605,8 @@ private[sources] class GraftArrowDataWriter(schema: StructType, path: String,
       }
       f += 1
     }
+    stats.foreach(_.update(
+      toScala(record).asInstanceOf[org.apache.spark.sql.Row]))
     rowIdx += 1
     total += 1
     if (rowIdx >= batchRows) flush()
@@ -559,13 +628,25 @@ private[sources] class GraftArrowDataWriter(schema: StructType, path: String,
     root.close(); alloc.close()
     // an all-empty task stages nothing (no empty files in the output)
     if (total == 0) { fs.delete(staged, false); GraftArrowCommit(Seq.empty) }
-    else GraftArrowCommit(Seq(staged.toString))
+    else {
+      val names = Seq.newBuilder[String]
+      names += staged.toString
+      stats.foreach { st =>
+        val side = new Path(staged.toString + ".zmap")
+        val zout = fs.create(side, true)
+        try zout.write(st.encode(fs.getFileStatus(staged).getLen))
+        finally zout.close()
+        names += side.toString
+      }
+      GraftArrowCommit(names.result())
+    }
   }
 
   override def abort(): Unit = {
     try { writer.close(); out.close(); root.close(); alloc.close() }
     catch { case _: Exception => () }
     fs.delete(staged, false): Unit
+    fs.delete(new Path(staged.toString + ".zmap"), false): Unit
   }
 
   override def close(): Unit = ()

@@ -191,6 +191,39 @@ class GraftArrowSpec extends AnyFunSuite {
     assert(leftovers.isEmpty, s"staged leftovers: ${leftovers.mkString(", ")}")
   }
 
+  test("zone-map sidecars: pushed filters skip files; stale/missing " +
+       "sidecars keep them; results never change") {
+    val dir = tmp()
+    // 8 range-disjoint files over id — a point predicate admits one
+    spark.range(8000).select(col("id"), (col("id") % 13).as("v"))
+      .repartitionByRange(8, col("id")).sortWithinPartitions("id")
+      .write.format("graftarrow").mode("overwrite").save(dir)
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".arrow.zmap")) == 8)
+    def q() = spark.read.format("graftarrow").load(dir)
+      .where(col("id") >= 7100L && col("id") < 7200L)
+    val expect = (7100L until 7200L).toSet
+    assert(q().collect().map(_.getLong(0)).toSet == expect)
+    val desc = q().queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(desc.contains("ZoneMapPruned: 7/8"), desc)
+    // partition count matches the surviving file count
+    assert(q().rdd.getNumPartitions == 1)
+    // a deleted sidecar abstains (file kept, results identical)
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".zmap")).foreach(f => assert(f.delete()))
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".zmap.crc")).foreach(_.delete())
+    assert(q().collect().map(_.getLong(0)).toSet == expect)
+    assert(q().rdd.getNumPartitions == 8)
+    // zoneMaps=false writes no sidecars
+    val dir2 = tmp()
+    spark.range(10).write.format("graftarrow").option("zoneMaps", "false")
+      .mode("overwrite").save(dir2)
+    assert(!new java.io.File(dir2).listFiles()
+      .exists(_.getName.endsWith(".zmap")))
+  }
+
   test("unsupported types refuse loudly") {
     val dir = tmp()
     val nested = spark.range(3).select(struct(col("id")).as("st"))
