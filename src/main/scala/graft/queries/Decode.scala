@@ -202,6 +202,39 @@ object Decode {
               WHERE c_mktsegment = 'AUTOMOBILE' AND c_acctbal < 5000.0
               GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    // aggregate over OP_MSG — the reference's second entry point
+    // (aggregate_raw_batches, api.py:252): the pipeline document crosses
+    // as BSON inside the aggregate command, the server runs it through
+    // the engine's own PipelineCompiler, results page back through the
+    // cursor loop (batchSize 3 forces getMore) and the raw-batch decode
+    QueryDef("q_wire_opmsg_agg",
+      (s, dir) => {
+        val store = new graft.sinks.DocStore(s,
+          java.nio.file.Files.createTempDirectory("graft_opmsgg").toString,
+          "graftdocs")
+        store.write(Graft.table(s, dir, "customer")
+          .select("c_custkey", "c_mktsegment", "c_acctbal"), "customer")
+        val server = new graft.sources.OpMsg.Server(s, store)
+        try {
+          graft.sources.OpMsg.aggregate(s, "127.0.0.1", server.port, "graft",
+            "customer",
+            """[
+              {"$match": {"c_acctbal": {"$gt": 0}}},
+              {"$group": {"_id": "$c_mktsegment",
+                "n": {"$sum": 1},
+                "total": {"$sum": {"$toLong": {"$round": ["$c_acctbal", 0]}}}}},
+              {"$sort": {"_id": 1}}]""",
+            batchSize = 3)
+            .select(col("_id").as("seg"), col("n"), col("total"))
+            .orderBy("seg")
+        } finally server.stop()
+      },
+      Some("""SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(round(c_acctbal, 0) AS BIGINT)) AS BIGINT)
+                       AS total
+              FROM customer WHERE c_acctbal > 0
+              GROUP BY 1 ORDER BY 1""")),
+
     // Parallel-cursor wire read (LIVE_CONNECTOR.md item 3, reference
     // api.py:181-199 thread-pool cursors): the client plans key ranges
     // from server-side quantiles, sends one find per range (the range

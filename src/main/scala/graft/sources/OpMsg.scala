@@ -452,6 +452,47 @@ object OpMsg {
       }
       if (!state.authenticated) throw new IllegalArgumentException(
         "command requires authentication (run SCRAM-SHA-256 saslStart first)")
+      def openCursor(df: org.apache.spark.sql.DataFrame, coll: String,
+                     batchSize: Int): Array[Byte] = {
+        val ns = s"$db.$coll"
+        val jit = df.toLocalIterator()
+        val sit = new Iterator[org.apache.spark.sql.Row] {
+          def hasNext: Boolean = jit.hasNext
+          def next(): org.apache.spark.sql.Row = jit.next()
+        }
+        val c = new Cursor(ns, sit, df.schema, batchSize)
+        val first = pull(c)
+        val id = if (c.rows.hasNext) {
+          val i = nextCursor.incrementAndGet(); cursors.put(i, c); i
+        } else 0L
+        buildCursorReply(id, ns, "firstBatch", first)
+      }
+      def cursorBatchSize(fields: Map[String, JValue]): Int =
+        fields.get("cursor") match {
+          case Some(JObject(co)) => co.collectFirst {
+            case ("batchSize", JInt(n)) => n.toInt
+            case ("batchSize", JLong(n)) => n.toInt
+          }.getOrElse(101)
+          case _ => 101
+        }
+      // aggregate: the pipeline runs through the engine's own compiler,
+      // $lookup/$unionWith resolve against the store's collections
+      fields.get("aggregate") match {
+        case Some(JString(coll)) =>
+          val pipelineJson = fields.get("pipeline") match {
+            case Some(a: JArray) =>
+              org.json4s.jackson.JsonMethods.compact(
+                org.json4s.jackson.JsonMethods.render(a))
+            case other => throw new IllegalArgumentException(
+              s"aggregate needs a pipeline array, got $other")
+          }
+          val resolve: graft.mql.PipelineCompiler.TableResolver =
+            name => store.read(name)
+          val df = graft.mql.PipelineCompiler.run(
+            store.read(coll), pipelineJson, resolve)
+          return openCursor(df, coll, cursorBatchSize(fields))
+        case _ => ()
+      }
       fields.get("find") match {
         case Some(JString(coll)) =>
           val filterJson = fields.get("filter")
@@ -468,18 +509,7 @@ object OpMsg {
           }
           val df0 = store.read(coll).where(FilterCompiler.compile(filterJson))
           val df = limit.map(df0.limit).getOrElse(df0)
-          val ns = s"$db.$coll"
-          val jit = df.toLocalIterator()
-          val sit = new Iterator[org.apache.spark.sql.Row] {
-            def hasNext: Boolean = jit.hasNext
-            def next(): org.apache.spark.sql.Row = jit.next()
-          }
-          val c = new Cursor(ns, sit, df.schema, batchSize)
-          val first = pull(c)
-          val id = if (c.rows.hasNext) {
-            val i = nextCursor.incrementAndGet(); cursors.put(i, c); i
-          } else 0L
-          buildCursorReply(id, ns, "firstBatch", first)
+          openCursor(df, coll, batchSize)
         case _ => fields.get("getMore") match {
           case Some(idv) =>
             val id = idv match {
@@ -525,7 +555,52 @@ object OpMsg {
       "batchSize" -> JInt(batchSize)) ++
       serverLimit.map(n => "limit" -> JInt(n)).toList ++
       List("$db" -> JString(db)))
+    val (dir, total) =
+      cursorFetch(host, port, db, coll, findCmd, batchSize, credentials)
+    val decoded =
+      if (total == 0) {
+        // nothing to infer from: an empty frame with no columns (the
+        // caller filters produced no rows — same shape as an empty find)
+        spark.emptyDataFrame
+      } else spark.read.format("graftdocs").load(dir.toString)
+    val filtered = residual.foldLeft(decoded)((df, f) =>
+      df.where(DocWire.filterToColumn(f)))
+    if (serverLimit.isEmpty) limit.map(filtered.limit).getOrElse(filtered)
+    else filtered
+  }
 
+  /** `aggregate` over the wire — the reference's OTHER entry point
+    * (aggregate_raw_batches, api.py:252): the pipeline document crosses
+    * as BSON inside the aggregate command, the server runs it through
+    * the engine's own PipelineCompiler, and the result documents come
+    * back through the same cursor loop and raw-batch decode. */
+  def aggregate(spark: SparkSession, host: String, port: Int, db: String,
+                coll: String, pipelineJson: String, batchSize: Int = 101,
+                credentials: Option[(String, String)] = None): DataFrame = {
+    require(batchSize > 0, "batchSize must be positive")
+    val stages = graft.mql.Mql.parse(pipelineJson) match {
+      case a: JArray => a
+      case other => throw new IllegalArgumentException(
+        s"aggregate pipeline must be an array, got $other")
+    }
+    val cmd = JObject(List(
+      "aggregate" -> JString(coll),
+      "pipeline" -> stages,
+      "cursor" -> JObject(List("batchSize" -> JInt(batchSize))),
+      "$db" -> JString(db)))
+    val (dir, total) =
+      cursorFetch(host, port, db, coll, cmd, batchSize, credentials)
+    if (total == 0) spark.emptyDataFrame
+    else spark.read.format("graftdocs").load(dir.toString)
+  }
+
+  /** Drive one command's full cursor (handshake, first reply, getMore
+    * until id=0), landing every raw batch document in a batch file.
+    * Returns (directory, documents landed). */
+  private def cursorFetch(host: String, port: Int, db: String, coll: String,
+                          firstCmd: JObject, batchSize: Int,
+                          credentials: Option[(String, String)])
+      : (java.nio.file.Path, Long) = {
     val dir = java.nio.file.Files.createTempDirectory("graft_opmsg")
     val file = dir.resolve("batches.bson")
     val os = java.nio.file.Files.newOutputStream(file)
@@ -585,7 +660,7 @@ object OpMsg {
         // ServerKey fails here even if it accepted our proof
         cl.verifyServerFinal(bin(field(r2, "payload")))
       }
-      val reply0 = roundTrip(findCmd)
+      val reply0 = roundTrip(firstCmd)
       var (cursorId, docs) = parseCursorReply(reply0)
       docs.foreach(d => os.write(d)); total += docs.size
       while (cursorId != 0L) {
@@ -599,16 +674,6 @@ object OpMsg {
         cursorId = nid
       }
     } finally { os.close(); conn.close() }
-
-    val decoded =
-      if (total == 0) {
-        // nothing to infer from: an empty frame with no columns (the
-        // caller filters produced no rows — same shape as an empty find)
-        spark.emptyDataFrame
-      } else spark.read.format("graftdocs").load(dir.toString)
-    val filtered = residual.foldLeft(decoded)((df, f) =>
-      df.where(DocWire.filterToColumn(f)))
-    if (serverLimit.isEmpty) limit.map(filtered.limit).getOrElse(filtered)
-    else filtered
+    (dir, total)
   }
 }

@@ -152,6 +152,28 @@ class OpMsgSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("aggregate over the wire: pipeline crosses as BSON, results page " +
+       "through getMore, equals the local pipeline") {
+    val (store, server) = fixture()
+    try {
+      val pipeline = """[
+        {"$match": {"value": {"$gt": 0.3}}},
+        {"$group": {"_id": "$event_type",
+          "n": {"$sum": 1}, "avg_v": {"$avg": "$value"}}},
+        {"$sort": {"_id": 1}}]"""
+      val wire = OpMsg.aggregate(spark, "127.0.0.1", server.port, "graft",
+        "events", pipeline, batchSize = 2) // tiny batches: forces getMore
+      val local = graft.mql.PipelineCompiler.run(store.read("events"), pipeline)
+      assert(wire.orderBy("_id").collect().toSeq.map(_.json) ==
+        local.orderBy("_id").collect().toSeq.map(_.json))
+      // a malformed pipeline answers {ok: 0, errmsg} and raises
+      assert(intercept[Exception] {
+        OpMsg.aggregate(spark, "127.0.0.1", server.port, "graft", "events",
+          """[{"$bogusStage": {}}]""").count()
+      }.getMessage.nonEmpty)
+    } finally server.stop()
+  }
+
   test("empty result: zero batches, empty frame, cursor closed immediately") {
     val (_, server) = fixture()
     try {
