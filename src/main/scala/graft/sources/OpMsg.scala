@@ -327,6 +327,51 @@ object OpMsg {
   private[sources] def buildErrorReply(msg: String): Array[Byte] =
     encodeDoc(JObject(List("ok" -> JDouble(0.0), "errmsg" -> JString(msg))))
 
+  // ---- TLS ----------------------------------------------------------------
+  //
+  // The transport layer mongod terminates with --tlsMode: the stand-in
+  // server wraps its listener in an SSLServerSocket from a PKCS12
+  // keystore, and the client pins the same store as its TRUST store
+  // with endpoint identification ON (the certificate must carry a SAN
+  // for the host being dialed — no hostname-check shortcuts). A plain
+  // client against a TLS server fails the handshake, never hangs.
+
+  private def sslContext(storePath: String, password: String,
+                         forServer: Boolean): javax.net.ssl.SSLContext = {
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(storePath))
+    try ks.load(in, password.toCharArray) finally in.close()
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    if (forServer) {
+      val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+        javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+      kmf.init(ks, password.toCharArray)
+      ctx.init(kmf.getKeyManagers, null, null)
+    } else {
+      val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+        javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+      tmf.init(ks)
+      ctx.init(null, tmf.getTrustManagers, null)
+    }
+    ctx
+  }
+
+  private def clientSocket(host: String, port: Int,
+                           tls: Option[(String, String)]): java.net.Socket =
+    tls match {
+      case None => new java.net.Socket(host, port)
+      case Some((store, pw)) =>
+        val sock = sslContext(store, pw, forServer = false).getSocketFactory
+          .createSocket(host, port).asInstanceOf[javax.net.ssl.SSLSocket]
+        val params = sock.getSSLParameters
+        // real hostname verification — the cert must carry a SAN for
+        // `host` (dns or ip); a CN-only cert fails here by design
+        params.setEndpointIdentificationAlgorithm("HTTPS")
+        sock.setSSLParameters(params)
+        sock.startHandshake()
+        sock
+    }
+
   // ---- server (mongod stand-in) ------------------------------------------
 
   /** OP_MSG server over the engine's own MQL semantics: `find` opens a
@@ -336,7 +381,8 @@ object OpMsg {
     * agnostic here; a real driver pins them — both work). */
   final class Server(spark: SparkSession, store: graft.sinks.DocStore,
                      db: String = "graft",
-                     auth: Option[(String, String)] = None) {
+                     auth: Option[(String, String)] = None,
+                     tls: Option[(String, String)] = None) {
     // mongod stores (salt, i, StoredKey, ServerKey) per user — so does
     // this stand-in; the password is hashed once here and dropped
     private val credential: Option[(String, Scram.Credential)] =
@@ -345,8 +391,13 @@ object OpMsg {
         new java.security.SecureRandom().nextBytes(salt)
         (u, Scram.credential(pw, salt, 15000))
       }
-    private val socket = new java.net.ServerSocket(0, 16,
-      java.net.InetAddress.getLoopbackAddress)
+    private val socket: java.net.ServerSocket = tls match {
+      case None => new java.net.ServerSocket(0, 16,
+        java.net.InetAddress.getLoopbackAddress)
+      case Some((storePath, pw)) =>
+        sslContext(storePath, pw, forServer = true).getServerSocketFactory
+          .createServerSocket(0, 16, java.net.InetAddress.getLoopbackAddress)
+    }
     @volatile private var running = true
     private val nextCursor = new java.util.concurrent.atomic.AtomicLong(1000)
     private final class Cursor(val ns: String,
@@ -545,7 +596,8 @@ object OpMsg {
   def find(spark: SparkSession, host: String, port: Int, db: String,
            coll: String, filters: Seq[Filter] = Seq.empty,
            limit: Option[Int] = None, batchSize: Int = 101,
-           credentials: Option[(String, String)] = None): DataFrame = {
+           credentials: Option[(String, String)] = None,
+           tls: Option[(String, String)] = None): DataFrame = {
     require(batchSize > 0, "batchSize must be positive")
     val (mqlDoc, residual) = FilterTranslator.translateAll(filters)
     val serverLimit = limit.filter(_ => residual.isEmpty)
@@ -556,7 +608,7 @@ object OpMsg {
       serverLimit.map(n => "limit" -> JInt(n)).toList ++
       List("$db" -> JString(db)))
     val (dir, total) =
-      cursorFetch(host, port, db, coll, findCmd, batchSize, credentials)
+      cursorFetch(host, port, db, coll, findCmd, batchSize, credentials, tls)
     val decoded =
       if (total == 0) {
         // nothing to infer from: an empty frame with no columns (the
@@ -576,7 +628,8 @@ object OpMsg {
     * back through the same cursor loop and raw-batch decode. */
   def aggregate(spark: SparkSession, host: String, port: Int, db: String,
                 coll: String, pipelineJson: String, batchSize: Int = 101,
-                credentials: Option[(String, String)] = None): DataFrame = {
+                credentials: Option[(String, String)] = None,
+                tls: Option[(String, String)] = None): DataFrame = {
     require(batchSize > 0, "batchSize must be positive")
     val stages = graft.mql.Mql.parse(pipelineJson) match {
       case a: JArray => a
@@ -589,7 +642,7 @@ object OpMsg {
       "cursor" -> JObject(List("batchSize" -> JInt(batchSize))),
       "$db" -> JString(db)))
     val (dir, total) =
-      cursorFetch(host, port, db, coll, cmd, batchSize, credentials)
+      cursorFetch(host, port, db, coll, cmd, batchSize, credentials, tls)
     if (total == 0) spark.emptyDataFrame
     else spark.read.format("graftdocs").load(dir.toString)
   }
@@ -599,12 +652,13 @@ object OpMsg {
     * Returns (directory, documents landed). */
   private def cursorFetch(host: String, port: Int, db: String, coll: String,
                           firstCmd: JObject, batchSize: Int,
-                          credentials: Option[(String, String)])
+                          credentials: Option[(String, String)],
+                          tls: Option[(String, String)])
       : (java.nio.file.Path, Long) = {
     val dir = java.nio.file.Files.createTempDirectory("graft_opmsg")
     val file = dir.resolve("batches.bson")
     val os = java.nio.file.Files.newOutputStream(file)
-    val conn = new java.net.Socket(host, port)
+    val conn = clientSocket(host, port, tls)
     var total = 0L
     try {
       val cin = new BufferedInputStream(conn.getInputStream, 1 << 16)
