@@ -27,9 +27,11 @@ import javax.crypto.spec.{PBEKeySpec, SecretKeySpec}
   * test-vector conversation byte for byte plus the tamper/wrong-
   * password refusals.
   *
-  * Usernames/passwords are restricted to printable ASCII without ','
-  * or '=' (SASLprep normalization is out of scope — refused loudly,
-  * never silently skipped). */
+  * Usernames and passwords are prepared with SASLprep (RFC 4013, see
+  * [[SaslPrep]]) before hashing/comparison, and usernames are escaped
+  * per RFC 5802 ('=' → "=3D", ',' → "=2C") so the attribute framing
+  * can never be corrupted; the server unescapes and compares prepared
+  * forms. Prohibited/bidi-invalid strings refuse loudly. */
 object Scram {
   private val Mechanism = "SCRAM-SHA-256"
 
@@ -52,12 +54,20 @@ object Scram {
       .generateSecret(spec).getEncoded
   }
 
-  private def checkName(s: String, what: String): String = {
-    require(s.nonEmpty && s.forall(c => c >= 0x21 && c <= 0x7E) &&
-      !s.contains(',') && !s.contains('='),
-      s"SCRAM: $what must be printable ASCII without ',' or '=' " +
-        "(SASLprep is not implemented — refusing rather than mis-hashing)")
-    s
+  /** RFC 5802 saslname escaping, applied AFTER SASLprep: '=' and ','
+    * would corrupt the comma-separated attribute framing. */
+  private def escapeName(s: String): String =
+    s.replace("=", "=3D").replace(",", "=2C")
+  private def unescapeName(s: String): String = {
+    // reject any '=' not part of the two legal escape sequences
+    var i = s.indexOf('=')
+    while (i >= 0) {
+      val seq = s.slice(i, i + 3)
+      if (seq != "=2C" && seq != "=3D")
+        fail(s"malformed saslname escape in '$s'")
+      i = s.indexOf('=', i + 3)
+    }
+    s.replace("=2C", ",").replace("=3D", "=")
   }
 
   /** What a server stores per user (mongod's user credential document):
@@ -67,7 +77,8 @@ object Scram {
 
   def credential(password: String, salt: Array[Byte],
                  iterations: Int): Credential = {
-    val sp = saltedPassword(password, salt, iterations)
+    val sp = saltedPassword(SaslPrep.prepare(password, "password"),
+      salt, iterations)
     val clientKey = hmac(sp, "Client Key".getBytes(UTF_8))
     Credential(salt, iterations, h(clientKey),
       hmac(sp, "Server Key".getBytes(UTF_8)))
@@ -77,9 +88,10 @@ object Scram {
     * RFC test vector; production callers use the random default. */
   final class Client(user: String, password: String,
                      nonce: String = defaultNonce()) {
-    checkName(user, "username"): Unit
+    private val preparedPassword = SaslPrep.prepare(password, "password")
     private val gs2 = "n,,"
-    val clientFirstBare = s"n=$user,r=$nonce"
+    val clientFirstBare =
+      s"n=${escapeName(SaslPrep.prepare(user, "username"))},r=$nonce"
     def clientFirst: String = gs2 + clientFirstBare
 
     private var authMessage: String = _
@@ -95,7 +107,7 @@ object Scram {
       val salt = unb64(attrs.getOrElse("s", fail("server-first missing s")))
       val iters = attrs.getOrElse("i", fail("server-first missing i")).toInt
       if (iters < 4096) fail(s"iteration count $iters below the RFC floor")
-      salted = saltedPassword(password, salt, iters)
+      salted = saltedPassword(preparedPassword, salt, iters)
       val channel = "c=" + b64(gs2.getBytes(UTF_8))
       val withoutProof = s"$channel,r=$combined"
       authMessage = s"$clientFirstBare,$serverFirst,$withoutProof"
@@ -121,6 +133,7 @@ object Scram {
   /** Server side: holds credentials, never passwords. */
   final class Server(user: String, cred: Credential,
                      snonce: String = defaultNonce()) {
+    private val preparedUser = SaslPrep.prepare(user, "username")
     private var clientFirstBare: String = _
     private var combinedNonce: String = _
     private var authMessage: String = _
@@ -130,8 +143,11 @@ object Scram {
         fail("unsupported gs2 header (channel binding is not spoken)")
       val bare = clientFirst.drop(3)
       val attrs = parse(bare)
-      val u = attrs.getOrElse("n", fail("client-first missing n"))
-      if (u != user) fail(s"unknown user '$u'")
+      val u = unescapeName(attrs.getOrElse("n", fail("client-first missing n")))
+      // the client sends the PREPARED name; prepare the unescaped form
+      // anyway so a raw-sending client still matches (prep idempotent)
+      if (SaslPrep.prepare(u, "username") != preparedUser)
+        fail(s"unknown user '$u'")
       val cnonce = attrs.getOrElse("r", fail("client-first missing r"))
       clientFirstBare = bare
       combinedNonce = cnonce + snonce

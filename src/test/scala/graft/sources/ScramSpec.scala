@@ -66,8 +66,10 @@ class ScramSpec extends AnyFunSuite {
     assert(intercept[SecurityException](c2.clientFinal(
       s"r=${cNonce}xyz,s=$saltB64,i=100"))
       .getMessage.contains("iteration"))
-    assert(intercept[IllegalArgumentException](
-      new Scram.Client("na,me", pass)).getMessage.contains("SASLprep"))
+    // ',' in a username no longer refuses — it escapes per RFC 5802
+    // (the full escaping matrix lives in SaslPrepSpec)
+    assert(new Scram.Client("na,me", pass).clientFirstBare
+      .startsWith("n=na=2Cme,r="))
     // unknown user refused server-side
     val s = rfcServer()
     assert(intercept[SecurityException](
