@@ -235,6 +235,68 @@ object Decode {
               FROM customer WHERE c_acctbal > 0
               GROUP BY 1 ORDER BY 1""")),
 
+    // OP_COMPRESSED (opcode 2012, zlib): hello negotiates the
+    // compressor, then find + every getMore cross the wire deflated
+    // both ways — the optional transport feature production drivers
+    // enable with compressors=zlib. Same data contract as
+    // q_wire_opmsg; the oracle replays the predicate.
+    QueryDef("q_wire_opmsg_zlib",
+      (s, dir) => {
+        val store = new graft.sinks.DocStore(s,
+          java.nio.file.Files.createTempDirectory("graft_opmsgz").toString,
+          "graftdocs")
+        store.write(Graft.table(s, dir, "customer")
+          .select("c_custkey", "c_mktsegment", "c_acctbal"), "customer")
+        val server = new graft.sources.OpMsg.Server(s, store)
+        try {
+          graft.sources.OpMsg.find(s, "127.0.0.1", server.port, "graft",
+            "customer",
+            Seq(org.apache.spark.sql.sources.GreaterThan("c_acctbal", 500.0)),
+            batchSize = 64, compress = true)
+            .groupBy(col("c_mktsegment"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+                .cast(org.apache.spark.sql.types.DoubleType).as("sum_bal"))
+            .orderBy("c_mktsegment")
+        } finally server.stop()
+      },
+      Some("""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+              FROM customer
+              WHERE c_acctbal > 500.0
+              GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // Exhaust cursor streaming (exhaustAllowed → moreToCome): after the
+    // first batch, ONE getMore permits the server to stream every
+    // remaining batch without per-batch round trips — the wire shape
+    // MongoDB uses for change streams and bulk reads. batchSize 64 at
+    // sf0.01 forces a multi-reply stream.
+    QueryDef("q_wire_opmsg_exhaust",
+      (s, dir) => {
+        val store = new graft.sinks.DocStore(s,
+          java.nio.file.Files.createTempDirectory("graft_opmsgx").toString,
+          "graftdocs")
+        store.write(Graft.table(s, dir, "customer")
+          .select("c_custkey", "c_mktsegment", "c_acctbal"), "customer")
+        val server = new graft.sources.OpMsg.Server(s, store)
+        try {
+          graft.sources.OpMsg.find(s, "127.0.0.1", server.port, "graft",
+            "customer",
+            Seq(org.apache.spark.sql.sources.LessThan("c_acctbal", 9000.0)),
+            batchSize = 64, exhaust = true)
+            .groupBy(col("c_mktsegment"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+                .cast(org.apache.spark.sql.types.DoubleType).as("sum_bal"))
+            .orderBy("c_mktsegment")
+        } finally server.stop()
+      },
+      Some("""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+              FROM customer
+              WHERE c_acctbal < 9000.0
+              GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
     // Parallel-cursor wire read (LIVE_CONNECTOR.md item 3, reference
     // api.py:181-199 thread-pool cursors): the client plans key ranges
     // from server-side quantiles, sends one find per range (the range

@@ -16,10 +16,15 @@ import graft.mql.{FilterCompiler, FilterTranslator}
   * real command documents (`find`/`filter`/`batchSize`/`$db`,
   * `getMore`/`collection`), and the real cursor lifecycle (`firstBatch`
   * → `getMore` → `nextBatch` until `cursor.id = 0`, reply documents
-  * `{cursor: {...}, ok: 1.0}`, errors `{ok: 0.0, errmsg}`). A real
-  * mongod would accept these bytes modulo auth — SCRAM-SHA-256 and TLS
-  * remain the only untestable pieces in this sandbox (zero egress, no
-  * mongod binary).
+  * `{cursor: {...}, ok: 1.0}`, errors `{ok: 0.0, errmsg, code}`), plus
+  * the optional wire features a production driver negotiates: SCRAM-
+  * SHA-256 auth (with SASLprep), TLS with endpoint identification,
+  * OP_COMPRESSED zlib (negotiated via `hello`, handshake/auth commands
+  * never compressed), exhaust cursor streaming (`exhaustAllowed` /
+  * `moreToCome` flag bits), `killCursors` with CursorNotFound (code
+  * 43) semantics, and idle-cursor timeout eviction. The only thing
+  * this connector has never seen is an actual mongod (zero egress, no
+  * mongod binary in the sandbox).
   *
   * Batch documents cross the wire as raw BSON and are NEVER tree-parsed
   * client-side: [[parseCursorReply]] slices each `firstBatch`/
@@ -30,7 +35,34 @@ import graft.mql.{FilterCompiler, FilterTranslator}
   * over authentic framing. */
 object OpMsg {
   private val OpMsgCode = 2013
+  private val OpCompressedCode = 2012
   private val MaxMessage = 48 * 1024 * 1024 // mongod's maxMessageSizeBytes
+
+  // OP_MSG flagBits this implementation speaks (wire spec):
+  //   bit 0  checksumPresent — refused (CRC32C is not implemented;
+  //          mis-trusting an unchecked checksum would be worse)
+  //   bit 1  moreToCome      — exhaust replies (server streams)
+  //   bit 16 exhaustAllowed  — client permits an exhaust reply stream
+  private val FlagMoreToCome = 0x2
+  private val FlagExhaustAllowed = 0x10000
+  private val KnownFlags = FlagMoreToCome | FlagExhaustAllowed
+
+  // OP_COMPRESSED compressor ids (wire spec): 0 noop, 1 snappy,
+  // 2 zlib, 3 zstd. Only noop and zlib exist on this classpath (JDK
+  // Deflater); snappy/zstd refuse loudly instead of mis-parsing.
+  private[sources] val CompressorNoop = 0
+  private[sources] val CompressorZlib = 2
+
+  /** One decoded wire frame. `moreToCome` set means the peer will send
+    * further replies without another request (exhaust stream);
+    * `exhaustAllowed` set on a request permits the server to do so.
+    * `wasCompressed` records whether the frame arrived as
+    * OP_COMPRESSED (auth/hello commands must NOT — wire spec). */
+  final case class Frame(requestId: Int, responseTo: Int, flags: Int,
+                         doc: Array[Byte], wasCompressed: Boolean) {
+    def moreToCome: Boolean = (flags & FlagMoreToCome) != 0
+    def exhaustAllowed: Boolean = (flags & FlagExhaustAllowed) != 0
+  }
 
   // ---- little-endian primitives -----------------------------------------
 
@@ -103,10 +135,9 @@ object OpMsg {
       case JInt(i) =>
         if (i.isValidInt) { header(0x10); writeInt(out, i.toInt) }
         else { header(0x12); writeLong(out, i.toLong) }
-      case JLong(l) =>
-        if (l >= Int.MinValue && l <= Int.MaxValue) {
-          header(0x10); writeInt(out, l.toInt)
-        } else { header(0x12); writeLong(out, l) }
+      // JLong stays int64 regardless of magnitude: cursor ids and
+      // getMore targets are int64 on the real wire even when small
+      case JLong(l) => header(0x12); writeLong(out, l)
       case JDecimal(d) => header(0x01)
         writeLong(out, java.lang.Double.doubleToLongBits(d.toDouble))
       case o @ JObject(fields) => isDate(fields) match {
@@ -182,23 +213,65 @@ object OpMsg {
 
   /** header(16) + flagBits(4) + one kind-0 section (0x00 + doc). */
   def writeMessage(out: OutputStream, requestId: Int, responseTo: Int,
-                   doc: Array[Byte]): Unit = {
-    val msg = new ByteArrayOutputStream(doc.length + 32)
-    writeInt(msg, 16 + 4 + 1 + doc.length) // messageLength
-    writeInt(msg, requestId)
-    writeInt(msg, responseTo)
-    writeInt(msg, OpMsgCode)
-    writeInt(msg, 0) // flagBits: no checksum, no moreToCome, no exhaust
-    msg.write(0)     // section kind 0
-    msg.write(doc, 0, doc.length)
+                   doc: Array[Byte]): Unit =
+    writeFrame(out, requestId, responseTo, doc, flags = 0, compress = false)
+
+  /** Write one frame, optionally with flag bits and OP_COMPRESSED zlib
+    * envelope (originalOpcode + uncompressedSize + compressorId +
+    * deflated flagBits-and-sections — wire spec layout). */
+  def writeFrame(out: OutputStream, requestId: Int, responseTo: Int,
+                 doc: Array[Byte], flags: Int, compress: Boolean): Unit = {
+    require((flags & ~KnownFlags) == 0,
+      s"OP_MSG: cannot emit flagBits 0x${flags.toHexString}")
+    // the OP_MSG body a receiver sees after (optional) decompression
+    val inner = new ByteArrayOutputStream(doc.length + 8)
+    writeInt(inner, flags)
+    inner.write(0) // section kind 0
+    inner.write(doc, 0, doc.length)
+    val msg = new ByteArrayOutputStream(doc.length + 48)
+    if (!compress) {
+      writeInt(msg, 16 + inner.size)
+      writeInt(msg, requestId); writeInt(msg, responseTo)
+      writeInt(msg, OpMsgCode)
+      inner.writeTo(msg)
+    } else {
+      val raw = inner.toByteArray
+      val deflater = new java.util.zip.Deflater()
+      deflater.setInput(raw); deflater.finish()
+      val buf = new Array[Byte](raw.length + 64)
+      val packed = new ByteArrayOutputStream(raw.length / 2 + 64)
+      while (!deflater.finished())
+        packed.write(buf, 0, deflater.deflate(buf))
+      deflater.end()
+      writeInt(msg, 16 + 4 + 4 + 1 + packed.size)
+      writeInt(msg, requestId); writeInt(msg, responseTo)
+      writeInt(msg, OpCompressedCode)
+      writeInt(msg, OpMsgCode)    // originalOpcode
+      writeInt(msg, raw.length)   // uncompressedSize
+      msg.write(CompressorZlib)   // compressorId
+      packed.writeTo(msg)
+    }
     msg.writeTo(out)
     out.flush()
   }
 
   /** Read one message; returns (requestId, responseTo, body document).
-    * Refuses non-OP_MSG opcodes, oversized frames, flag bits this
-    * implementation does not speak, and non-kind-0 sections. */
-  def readMessage(in: InputStream): Option[(Int, Int, Array[Byte])] = {
+    * Refuses frames carrying flag bits (exhaust callers use
+    * [[readFrame]], which surfaces them). */
+  def readMessage(in: InputStream): Option[(Int, Int, Array[Byte])] =
+    readFrame(in).map { f =>
+      if (f.flags != 0) throw new IllegalArgumentException(
+        s"OP_MSG: unexpected flagBits 0x${f.flags.toHexString} " +
+          "on a non-exhaust exchange")
+      (f.requestId, f.responseTo, f.doc)
+    }
+
+  /** Read one frame. Accepts OP_MSG (2013) and OP_COMPRESSED (2012,
+    * noop or zlib — the inflated bytes must be an OP_MSG body of
+    * exactly the declared uncompressedSize). Refuses other opcodes,
+    * oversized frames, unknown flag bits, checksums, unknown
+    * compressors, and non-kind-0 sections. */
+  def readFrame(in: InputStream): Option[Frame] = {
     val head = new Array[Byte](16)
     var got = 0
     while (got < 16) {
@@ -211,23 +284,68 @@ object OpMsg {
     if (len < 21 || len > MaxMessage) throw new IllegalArgumentException(
       s"OP_MSG: bad messageLength $len")
     val op = readIntLE(head, 12)
-    if (op != OpMsgCode) throw new IllegalArgumentException(
-      s"OP_MSG: unsupported opCode $op (only 2013 is spoken)")
-    val body = new Array[Byte](len - 16)
+    if (op != OpMsgCode && op != OpCompressedCode)
+      throw new IllegalArgumentException(
+        s"OP_MSG: unsupported opCode $op (only 2013/2012 are spoken)")
+    var body = new Array[Byte](len - 16)
     got = 0
     while (got < body.length) {
       val n = in.read(body, got, body.length - got)
       if (n < 0) throw new EOFException("truncated OP_MSG body")
       got += n
     }
+    val wasCompressed = op == OpCompressedCode
+    if (wasCompressed) {
+      if (body.length < 9) throw new IllegalArgumentException(
+        "OP_COMPRESSED: truncated envelope")
+      val original = readIntLE(body, 0)
+      if (original != OpMsgCode) throw new IllegalArgumentException(
+        s"OP_COMPRESSED: originalOpcode $original (only 2013 is spoken)")
+      val uncompressedSize = readIntLE(body, 4)
+      if (uncompressedSize < 5 || uncompressedSize > MaxMessage)
+        throw new IllegalArgumentException(
+          s"OP_COMPRESSED: bad uncompressedSize $uncompressedSize")
+      val id = body(8) & 0xFF
+      val payload = java.util.Arrays.copyOfRange(body, 9, body.length)
+      body = id match {
+        case CompressorNoop =>
+          if (payload.length != uncompressedSize)
+            throw new IllegalArgumentException(
+              "OP_COMPRESSED: noop payload length does not match " +
+                s"uncompressedSize ($uncompressedSize)")
+          payload
+        case CompressorZlib =>
+          val inflater = new java.util.zip.Inflater()
+          inflater.setInput(payload)
+          val outBytes = new Array[Byte](uncompressedSize)
+          val n =
+            try inflater.inflate(outBytes)
+            catch { case e: java.util.zip.DataFormatException =>
+              throw new IllegalArgumentException(
+                s"OP_COMPRESSED: corrupt zlib payload: ${e.getMessage}") }
+          val leftover = !inflater.finished()
+          inflater.end()
+          if (n != uncompressedSize || leftover)
+            throw new IllegalArgumentException(
+              s"OP_COMPRESSED: inflated to $n bytes, " +
+                s"declared $uncompressedSize")
+          outBytes
+        case 1 | 3 => throw new IllegalArgumentException(
+          s"OP_COMPRESSED: compressor ${if (id == 1) "snappy" else "zstd"}" +
+            " is not on this classpath (only noop/zlib)")
+        case other => throw new IllegalArgumentException(
+          s"OP_COMPRESSED: unknown compressorId $other")
+      }
+    }
     val flags = readIntLE(body, 0)
-    if (flags != 0) throw new IllegalArgumentException(
+    if ((flags & ~KnownFlags) != 0) throw new IllegalArgumentException(
       s"OP_MSG: unsupported flagBits 0x${flags.toHexString} " +
-        "(checksum/moreToCome/exhaustAllowed are not spoken)")
+        "(checksumPresent is not spoken)")
     if (body(4) != 0) throw new IllegalArgumentException(
       s"OP_MSG: unsupported section kind ${body(4)} (only kind 0)")
     val doc = java.util.Arrays.copyOfRange(body, 5, body.length)
-    Some((readIntLE(head, 4), readIntLE(head, 8), doc))
+    Some(Frame(readIntLE(head, 4), readIntLE(head, 8), flags, doc,
+      wasCompressed))
   }
 
   /** Walk a `{cursor: {id, ns, firstBatch|nextBatch: [...]}, ok}` reply,
@@ -324,8 +442,12 @@ object OpMsg {
     cur.toByteArray
   }
 
-  private[sources] def buildErrorReply(msg: String): Array[Byte] =
-    encodeDoc(JObject(List("ok" -> JDouble(0.0), "errmsg" -> JString(msg))))
+  private[sources] def buildErrorReply(msg: String, code: Int = 0): Array[Byte] =
+    encodeDoc(JObject(List("ok" -> JDouble(0.0), "errmsg" -> JString(msg)) ++
+      (if (code != 0) List("code" -> JInt(code)) else Nil)))
+
+  /** mongod's CursorNotFound error code. */
+  private[sources] val CursorNotFound = 43
 
   // ---- TLS ----------------------------------------------------------------
   //
@@ -382,7 +504,8 @@ object OpMsg {
   final class Server(spark: SparkSession, store: graft.sinks.DocStore,
                      db: String = "graft",
                      auth: Option[(String, String)] = None,
-                     tls: Option[(String, String)] = None) {
+                     tls: Option[(String, String)] = None,
+                     cursorTimeoutMillis: Long = 600000L) {
     // mongod stores (salt, i, StoredKey, ServerKey) per user — so does
     // this stand-in; the password is hashed once here and dropped
     private val credential: Option[(String, Scram.Credential)] =
@@ -403,9 +526,24 @@ object OpMsg {
     private final class Cursor(val ns: String,
                                val rows: Iterator[org.apache.spark.sql.Row],
                                val schema: org.apache.spark.sql.types.StructType,
-                               val batchSize: Int)
+                               val batchSize: Int) {
+      @volatile var lastUsed: Long = System.nanoTime()
+    }
     private val cursors =
       new java.util.concurrent.ConcurrentHashMap[Long, Cursor]()
+
+    /** Open-cursor count — observability for specs (a real mongod
+      * reports this through serverStatus.metrics.cursor). */
+    def openCursors: Int = cursors.size
+
+    /** Evict cursors idle past the timeout — mongod's
+      * cursorTimeoutMillis reaper, run opportunistically per request
+      * (a map walk over the handful of live cursors, not a thread). */
+    private def sweepCursors(): Unit = {
+      val deadline = System.nanoTime() - cursorTimeoutMillis * 1000000L
+      val it = cursors.entrySet().iterator()
+      while (it.hasNext) if (it.next().getValue.lastUsed < deadline) it.remove()
+    }
 
     def port: Int = socket.getLocalPort
 
@@ -443,21 +581,77 @@ object OpMsg {
     private final class ConnState {
       var authenticated: Boolean = credential.isEmpty
       var sasl: Option[Scram.Server] = None
+      var zlibNegotiated: Boolean = false
     }
+
+    // commands the wire spec forbids compressing (handshake + auth)
+    private val uncompressible =
+      Set("hello", "isMaster", "ismaster", "saslStart", "saslContinue")
 
     private def serve(conn: java.net.Socket): Unit = {
       val in = new BufferedInputStream(conn.getInputStream, 1 << 16)
       val out = new BufferedOutputStream(conn.getOutputStream, 1 << 16)
       val state = new ConnState
-      var next = readMessage(in)
+      var next = readFrame(in)
       while (next.isDefined) {
-        val (reqId, _, body) = next.get
-        val reply =
-          try handle(decodeDoc(body), state)
-          catch { case scala.util.control.NonFatal(e) =>
-            buildErrorReply(String.valueOf(e.getMessage)) }
-        writeMessage(out, reqId + 1000000, reqId, reply)
-        next = readMessage(in)
+        val f = next.get
+        sweepCursors()
+        val handled =
+          try {
+            val cmd = decodeDoc(f.doc)
+            val name = cmd.obj.headOption.map(_._1).getOrElse("<empty>")
+            if (f.wasCompressed && uncompressible(name))
+              throw new IllegalArgumentException(
+                s"$name must not arrive compressed (wire spec)")
+            if (f.wasCompressed && !state.zlibNegotiated)
+              throw new IllegalArgumentException(
+                "OP_COMPRESSED before compression was negotiated via hello")
+            if (f.exhaustAllowed && cmd.obj.exists(_._1 == "getMore") &&
+                state.authenticated) {
+              serveExhaust(f, cmd, out); None // wrote its own replies
+            } else Some(handle(cmd, state))
+          } catch { case scala.util.control.NonFatal(e) =>
+            Some(buildErrorReply(String.valueOf(e.getMessage))) }
+        handled.foreach { reply =>
+          // mirror the request's compression (negotiation gates the
+          // client ever sending compressed in the first place)
+          writeFrame(out, f.requestId + 1000000, f.requestId, reply,
+            flags = 0, compress = f.wasCompressed)
+        }
+        next = readFrame(in)
+      }
+    }
+
+    /** Exhaust getMore (flag bit 16): stream every remaining batch as
+      * replies with moreToCome set, final reply (cursor drained)
+      * without it — all responding to the ONE exhaust request. */
+    private def serveExhaust(f: Frame, cmd: JObject,
+                             out: OutputStream): Unit = {
+      val fields = cmd.obj.toMap
+      val id = fields("getMore") match {
+        case JLong(l) => l
+        case JInt(i) => i.toLong
+        case other => throw new IllegalArgumentException(
+          s"getMore id must be int64, got $other")
+      }
+      val c = cursors.get(id)
+      if (c == null) {
+        writeFrame(out, f.requestId + 1000000, f.requestId,
+          buildErrorReply(s"cursor id $id not found", CursorNotFound),
+          flags = 0, compress = f.wasCompressed)
+        return
+      }
+      var rid = f.requestId + 1000000
+      var more = true
+      while (more) {
+        val batch = pull(c)
+        more = c.rows.hasNext
+        if (more) c.lastUsed = System.nanoTime() else cursors.remove(id): Unit
+        writeFrame(out, rid, f.requestId,
+          buildCursorReply(if (more) id else 0L, c.ns, "nextBatch", batch),
+          flags = if (more) FlagMoreToCome else 0,
+          compress = f.wasCompressed)
+        rid += 1
       }
     }
 
@@ -475,6 +669,27 @@ object OpMsg {
 
     private def handle(cmd: JObject, state: ConnState): Array[Byte] = {
       val fields = cmd.obj.toMap
+      // ---- hello: the handshake (pre-auth, never compressed); its
+      // compression array negotiates OP_COMPRESSED for this connection
+      if (fields.contains("hello") || fields.contains("isMaster") ||
+          fields.contains("ismaster")) {
+        val offered = fields.get("compression") match {
+          case Some(JArray(es)) => es.collect { case JString(s) => s }
+          case _ => Nil
+        }
+        val accepted = offered.filter(_ == "zlib") // all this JVM speaks
+        state.zlibNegotiated = accepted.nonEmpty
+        return encodeDoc(JObject(List(
+          "isWritablePrimary" -> JBool(true),
+          "maxBsonObjectSize" -> JInt(16777216),
+          "maxMessageSizeBytes" -> JInt(MaxMessage),
+          "maxWireVersion" -> JInt(17),
+          "minWireVersion" -> JInt(0)) ++
+          (if (accepted.nonEmpty)
+            List("compression" -> JArray(accepted.map(JString.apply)))
+          else Nil) ++
+          List("ok" -> JDouble(1.0))))
+      }
       // ---- SCRAM-SHA-256 conversation (saslStart/saslContinue) ----
       if (fields.contains("saslStart")) {
         val (u, cred) = credential.getOrElse(throw new IllegalArgumentException(
@@ -503,6 +718,29 @@ object OpMsg {
       }
       if (!state.authenticated) throw new IllegalArgumentException(
         "command requires authentication (run SCRAM-SHA-256 saslStart first)")
+      // ---- killCursors: client abandons cursors before exhaustion ----
+      fields.get("killCursors") match {
+        case Some(JString(_)) =>
+          val ids = fields.get("cursors") match {
+            case Some(JArray(es)) => es.map {
+              case JLong(l) => l
+              case JInt(i) => i.toLong
+              case other => throw new IllegalArgumentException(
+                s"killCursors ids must be int64, got $other")
+            }
+            case other => throw new IllegalArgumentException(
+              s"killCursors needs a cursors array, got $other")
+          }
+          val (killed, notFound) =
+            ids.partition(id => cursors.remove(id) != null)
+          return encodeDoc(JObject(List(
+            "cursorsKilled" -> JArray(killed.map(JLong.apply)),
+            "cursorsNotFound" -> JArray(notFound.map(JLong.apply)),
+            "cursorsAlive" -> JArray(Nil),
+            "cursorsUnknown" -> JArray(Nil),
+            "ok" -> JDouble(1.0))))
+        case _ => ()
+      }
       def openCursor(df: org.apache.spark.sql.DataFrame, coll: String,
                      batchSize: Int): Array[Byte] = {
         val ns = s"$db.$coll"
@@ -570,8 +808,12 @@ object OpMsg {
                 s"getMore id must be int64, got $other")
             }
             val c = cursors.get(id)
-            if (c == null) throw new IllegalArgumentException(
-              s"cursor $id not found")
+            if (c == null)
+              // mongod answers CursorNotFound (code 43), not a generic
+              // failure — killed/timed-out cursors surface distinctly
+              return buildErrorReply(s"cursor id $id not found",
+                CursorNotFound)
+            c.lastUsed = System.nanoTime()
             val batch = pull(c)
             val more = c.rows.hasNext
             if (!more) cursors.remove(id): Unit
@@ -597,7 +839,8 @@ object OpMsg {
            coll: String, filters: Seq[Filter] = Seq.empty,
            limit: Option[Int] = None, batchSize: Int = 101,
            credentials: Option[(String, String)] = None,
-           tls: Option[(String, String)] = None): DataFrame = {
+           tls: Option[(String, String)] = None,
+           compress: Boolean = false, exhaust: Boolean = false): DataFrame = {
     require(batchSize > 0, "batchSize must be positive")
     val (mqlDoc, residual) = FilterTranslator.translateAll(filters)
     val serverLimit = limit.filter(_ => residual.isEmpty)
@@ -608,7 +851,8 @@ object OpMsg {
       serverLimit.map(n => "limit" -> JInt(n)).toList ++
       List("$db" -> JString(db)))
     val (dir, total) =
-      cursorFetch(host, port, db, coll, findCmd, batchSize, credentials, tls)
+      cursorFetch(host, port, db, coll, findCmd, batchSize, credentials, tls,
+        compress = compress, exhaust = exhaust)
     val decoded =
       if (total == 0) {
         // nothing to infer from: an empty frame with no columns (the
@@ -629,7 +873,8 @@ object OpMsg {
   def aggregate(spark: SparkSession, host: String, port: Int, db: String,
                 coll: String, pipelineJson: String, batchSize: Int = 101,
                 credentials: Option[(String, String)] = None,
-                tls: Option[(String, String)] = None): DataFrame = {
+                tls: Option[(String, String)] = None,
+                compress: Boolean = false, exhaust: Boolean = false): DataFrame = {
     require(batchSize > 0, "batchSize must be positive")
     val stages = graft.mql.Mql.parse(pipelineJson) match {
       case a: JArray => a
@@ -642,18 +887,26 @@ object OpMsg {
       "cursor" -> JObject(List("batchSize" -> JInt(batchSize))),
       "$db" -> JString(db)))
     val (dir, total) =
-      cursorFetch(host, port, db, coll, cmd, batchSize, credentials, tls)
+      cursorFetch(host, port, db, coll, cmd, batchSize, credentials, tls,
+        compress = compress, exhaust = exhaust)
     if (total == 0) spark.emptyDataFrame
     else spark.read.format("graftdocs").load(dir.toString)
   }
 
   /** Drive one command's full cursor (handshake, first reply, getMore
-    * until id=0), landing every raw batch document in a batch file.
-    * Returns (directory, documents landed). */
+    * until id=0 — or ONE exhaust getMore whose reply stream runs until
+    * moreToCome clears), landing every raw batch document in a batch
+    * file. With `compress`, a `hello` negotiates zlib first and every
+    * subsequent non-auth message crosses as OP_COMPRESSED both ways.
+    * A failure mid-cursor best-effort kills the server cursor
+    * (killCursors) before rethrowing. Returns (directory, documents
+    * landed). */
   private def cursorFetch(host: String, port: Int, db: String, coll: String,
                           firstCmd: JObject, batchSize: Int,
                           credentials: Option[(String, String)],
-                          tls: Option[(String, String)])
+                          tls: Option[(String, String)],
+                          compress: Boolean = false,
+                          exhaust: Boolean = false)
       : (java.nio.file.Path, Long) = {
     val dir = java.nio.file.Files.createTempDirectory("graft_opmsg")
     val file = dir.resolve("batches.bson")
@@ -664,14 +917,30 @@ object OpMsg {
       val cin = new BufferedInputStream(conn.getInputStream, 1 << 16)
       val cout = new BufferedOutputStream(conn.getOutputStream, 1 << 16)
       var reqId = 0
-      def roundTrip(cmd: JObject): Array[Byte] = {
+      var compressOn = false
+      def roundTrip(cmd: JObject, mayCompress: Boolean = true): Array[Byte] = {
         reqId += 1
-        writeMessage(cout, reqId, 0, encodeDoc(cmd))
+        writeFrame(cout, reqId, 0, encodeDoc(cmd), flags = 0,
+          compress = compressOn && mayCompress)
         val (_, rto, body) = readMessage(cin).getOrElse(
           throw new EOFException("server closed the connection"))
         if (rto != reqId) throw new IllegalStateException(
           s"responseTo $rto does not match requestID $reqId")
         body
+      }
+      // ---- hello: negotiate OP_COMPRESSED zlib (never compressed) ----
+      if (compress) {
+        val hello = decodeDoc(roundTrip(JObject(List(
+          "hello" -> JInt(1),
+          "compression" -> JArray(List(JString("zlib"))),
+          "$db" -> JString(db))), mayCompress = false))
+        val granted = hello.obj.toMap.get("compression") match {
+          case Some(JArray(es)) => es.contains(JString("zlib"))
+          case _ => false
+        }
+        if (!granted) throw new IllegalArgumentException(
+          "server did not negotiate zlib compression")
+        compressOn = true
       }
       // ---- SCRAM-SHA-256 handshake (mutual authentication) ----
       credentials.foreach { case (user, password) =>
@@ -691,7 +960,7 @@ object OpMsg {
           "payload" -> JObject(List("$binary" -> JString(
             java.util.Base64.getEncoder.encodeToString(
               cl.clientFirst.getBytes("UTF-8"))))),
-          "$db" -> JString(db)))))
+          "$db" -> JString(db))), mayCompress = false))
         field(r1, "ok") match {
           case JDouble(1.0) => ()
           case _ => throw new SecurityException(
@@ -704,7 +973,7 @@ object OpMsg {
           "payload" -> JObject(List("$binary" -> JString(
             java.util.Base64.getEncoder.encodeToString(
               clientFinal.getBytes("UTF-8"))))),
-          "$db" -> JString(db)))))
+          "$db" -> JString(db))), mayCompress = false))
         field(r2, "ok") match {
           case JDouble(1.0) => ()
           case _ => throw new SecurityException(
@@ -717,15 +986,51 @@ object OpMsg {
       val reply0 = roundTrip(firstCmd)
       var (cursorId, docs) = parseCursorReply(reply0)
       docs.foreach(d => os.write(d)); total += docs.size
-      while (cursorId != 0L) {
-        val rep2 = roundTrip(JObject(List(
-          "getMore" -> JLong(cursorId),
-          "collection" -> JString(coll),
-          "batchSize" -> JInt(batchSize),
-          "$db" -> JString(db))))
-        val (nid, more) = parseCursorReply(rep2)
-        more.foreach(d => os.write(d)); total += more.size
-        cursorId = nid
+      try {
+        if (exhaust && cursorId != 0L) {
+          // ONE getMore with exhaustAllowed; the server streams every
+          // remaining batch (moreToCome set until the last)
+          reqId += 1
+          writeFrame(cout, reqId, 0, encodeDoc(JObject(List(
+            "getMore" -> JLong(cursorId),
+            "collection" -> JString(coll),
+            "batchSize" -> JInt(batchSize),
+            "$db" -> JString(db)))),
+            flags = FlagExhaustAllowed, compress = compressOn)
+          var streaming = true
+          while (streaming) {
+            val fr = readFrame(cin).getOrElse(
+              throw new EOFException("server closed mid-exhaust"))
+            if (fr.responseTo != reqId) throw new IllegalStateException(
+              s"exhaust reply responseTo ${fr.responseTo} != $reqId")
+            val (nid, more) = parseCursorReply(fr.doc)
+            more.foreach(d => os.write(d)); total += more.size
+            streaming = fr.moreToCome
+            if (!streaming && nid != 0L) throw new IllegalStateException(
+              "exhaust stream ended with a live cursor")
+          }
+          cursorId = 0L
+        }
+        while (cursorId != 0L) {
+          val rep2 = roundTrip(JObject(List(
+            "getMore" -> JLong(cursorId),
+            "collection" -> JString(coll),
+            "batchSize" -> JInt(batchSize),
+            "$db" -> JString(db))))
+          val (nid, more) = parseCursorReply(rep2)
+          more.foreach(d => os.write(d)); total += more.size
+          cursorId = nid
+        }
+      } catch { case scala.util.control.NonFatal(e) =>
+        // don't leak the server cursor on an aborted drive — a real
+        // driver sends killCursors before surfacing the failure
+        if (cursorId != 0L)
+          try roundTrip(JObject(List(
+            "killCursors" -> JString(coll),
+            "cursors" -> JArray(List(JLong(cursorId))),
+            "$db" -> JString(db)))): Unit
+          catch { case scala.util.control.NonFatal(_) => () }
+        throw e
       }
     } finally { os.close(); conn.close() }
     (dir, total)

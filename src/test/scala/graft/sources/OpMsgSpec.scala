@@ -64,9 +64,10 @@ class OpMsgSpec extends AnyFunSuite {
     def mutated(off: Int, v: Byte): Array[Byte] = {
       val c = good.clone(); c(off) = v; c
     }
-    // opcode 2012 (OP_COMPRESSED) refused
+    // unknown opcode refused (2010 = legacy OP_DELETE; 2012 is now
+    // spoken — its envelope rows live in OpMsgCompressSpec)
     assert(intercept[IllegalArgumentException](OpMsg.readMessage(
-      new ByteArrayInputStream(mutated(12, (2012 & 0xFF).toByte))))
+      new ByteArrayInputStream(mutated(12, (2010 & 0xFF).toByte))))
       .getMessage.contains("opCode"))
     // checksumPresent flag refused
     assert(intercept[IllegalArgumentException](OpMsg.readMessage(
