@@ -39,13 +39,32 @@ object OpMsg {
   private val MaxMessage = 48 * 1024 * 1024 // mongod's maxMessageSizeBytes
 
   // OP_MSG flagBits this implementation speaks (wire spec):
-  //   bit 0  checksumPresent — refused (CRC32C is not implemented;
-  //          mis-trusting an unchecked checksum would be worse)
+  //   bit 0  checksumPresent — message ends with a CRC-32C of the
+  //          whole message excluding the checksum itself (JDK CRC32C);
+  //          verified on read, stripped before the Frame surfaces
   //   bit 1  moreToCome      — exhaust replies (server streams)
   //   bit 16 exhaustAllowed  — client permits an exhaust reply stream
+  private val FlagChecksumPresent = 0x1
   private val FlagMoreToCome = 0x2
   private val FlagExhaustAllowed = 0x10000
-  private val KnownFlags = FlagMoreToCome | FlagExhaustAllowed
+  private val KnownFlags =
+    FlagChecksumPresent | FlagMoreToCome | FlagExhaustAllowed
+
+  /** CRC-32C over (reconstructed original OP_MSG header) ++ body-sans-
+    * checksum — the "message excluding the checksum itself". The
+    * header is reconstructed so the value is identical whether the
+    * frame crosses plain or inside an OP_COMPRESSED envelope. */
+  private def crc32c(requestId: Int, responseTo: Int,
+                     body: Array[Byte], bodyLen: Int): Int = {
+    val head = new ByteArrayOutputStream(16)
+    writeInt(head, 16 + bodyLen + 4) // original messageLength incl. crc
+    writeInt(head, requestId); writeInt(head, responseTo)
+    writeInt(head, OpMsgCode)
+    val c = new java.util.zip.CRC32C()
+    c.update(head.toByteArray)
+    c.update(body, 0, bodyLen)
+    c.getValue.toInt
+  }
 
   // OP_COMPRESSED compressor ids (wire spec): 0 noop, 1 snappy,
   // 2 zlib, 3 zstd. Only noop and zlib exist on this classpath (JDK
@@ -59,7 +78,8 @@ object OpMsg {
     * `wasCompressed` records whether the frame arrived as
     * OP_COMPRESSED (auth/hello commands must NOT — wire spec). */
   final case class Frame(requestId: Int, responseTo: Int, flags: Int,
-                         doc: Array[Byte], wasCompressed: Boolean) {
+                         doc: Array[Byte], wasCompressed: Boolean,
+                         wasChecksummed: Boolean = false) {
     def moreToCome: Boolean = (flags & FlagMoreToCome) != 0
     def exhaustAllowed: Boolean = (flags & FlagExhaustAllowed) != 0
   }
@@ -220,14 +240,19 @@ object OpMsg {
     * envelope (originalOpcode + uncompressedSize + compressorId +
     * deflated flagBits-and-sections — wire spec layout). */
   def writeFrame(out: OutputStream, requestId: Int, responseTo: Int,
-                 doc: Array[Byte], flags: Int, compress: Boolean): Unit = {
-    require((flags & ~KnownFlags) == 0,
+                 doc: Array[Byte], flags: Int, compress: Boolean,
+                 checksum: Boolean = false): Unit = {
+    require((flags & ~KnownFlags) == 0 && (flags & FlagChecksumPresent) == 0,
       s"OP_MSG: cannot emit flagBits 0x${flags.toHexString}")
     // the OP_MSG body a receiver sees after (optional) decompression
-    val inner = new ByteArrayOutputStream(doc.length + 8)
-    writeInt(inner, flags)
+    val inner = new ByteArrayOutputStream(doc.length + 12)
+    writeInt(inner, if (checksum) flags | FlagChecksumPresent else flags)
     inner.write(0) // section kind 0
     inner.write(doc, 0, doc.length)
+    if (checksum) {
+      val sansCrc = inner.toByteArray
+      writeInt(inner, crc32c(requestId, responseTo, sansCrc, sansCrc.length))
+    }
     val msg = new ByteArrayOutputStream(doc.length + 48)
     if (!compress) {
       writeInt(msg, 16 + inner.size)
@@ -337,15 +362,28 @@ object OpMsg {
           s"OP_COMPRESSED: unknown compressorId $other")
       }
     }
-    val flags = readIntLE(body, 0)
+    var flags = readIntLE(body, 0)
     if ((flags & ~KnownFlags) != 0) throw new IllegalArgumentException(
-      s"OP_MSG: unsupported flagBits 0x${flags.toHexString} " +
-        "(checksumPresent is not spoken)")
+      s"OP_MSG: unsupported flagBits 0x${flags.toHexString}")
+    val reqId = readIntLE(head, 4)
+    val respTo = readIntLE(head, 8)
+    val checksummed = (flags & FlagChecksumPresent) != 0
+    if (checksummed) {
+      if (body.length < 14) throw new IllegalArgumentException(
+        "OP_MSG: checksummed frame too short")
+      val dataLen = body.length - 4
+      val expect = crc32c(reqId, respTo, body, dataLen)
+      val got = readIntLE(body, dataLen)
+      if (got != expect) throw new IllegalArgumentException(
+        f"OP_MSG: CRC-32C mismatch (got 0x$got%08x, computed 0x$expect%08x)" +
+          " — corrupt frame")
+      body = java.util.Arrays.copyOfRange(body, 0, dataLen)
+      flags &= ~FlagChecksumPresent // transport detail, not surfaced
+    }
     if (body(4) != 0) throw new IllegalArgumentException(
       s"OP_MSG: unsupported section kind ${body(4)} (only kind 0)")
     val doc = java.util.Arrays.copyOfRange(body, 5, body.length)
-    Some(Frame(readIntLE(head, 4), readIntLE(head, 8), flags, doc,
-      wasCompressed))
+    Some(Frame(reqId, respTo, flags, doc, wasCompressed, checksummed))
   }
 
   /** Walk a `{cursor: {id, ns, firstBatch|nextBatch: [...]}, ok}` reply,
@@ -613,10 +651,11 @@ object OpMsg {
           } catch { case scala.util.control.NonFatal(e) =>
             Some(buildErrorReply(String.valueOf(e.getMessage))) }
         handled.foreach { reply =>
-          // mirror the request's compression (negotiation gates the
-          // client ever sending compressed in the first place)
+          // mirror the request's compression and checksumming
+          // (negotiation gates the client ever sending compressed)
           writeFrame(out, f.requestId + 1000000, f.requestId, reply,
-            flags = 0, compress = f.wasCompressed)
+            flags = 0, compress = f.wasCompressed,
+            checksum = f.wasChecksummed)
         }
         next = readFrame(in)
       }
@@ -638,7 +677,8 @@ object OpMsg {
       if (c == null) {
         writeFrame(out, f.requestId + 1000000, f.requestId,
           buildErrorReply(s"cursor id $id not found", CursorNotFound),
-          flags = 0, compress = f.wasCompressed)
+          flags = 0, compress = f.wasCompressed,
+          checksum = f.wasChecksummed)
         return
       }
       var rid = f.requestId + 1000000
@@ -650,7 +690,7 @@ object OpMsg {
         writeFrame(out, rid, f.requestId,
           buildCursorReply(if (more) id else 0L, c.ns, "nextBatch", batch),
           flags = if (more) FlagMoreToCome else 0,
-          compress = f.wasCompressed)
+          compress = f.wasCompressed, checksum = f.wasChecksummed)
         rid += 1
       }
     }
@@ -840,7 +880,8 @@ object OpMsg {
            limit: Option[Int] = None, batchSize: Int = 101,
            credentials: Option[(String, String)] = None,
            tls: Option[(String, String)] = None,
-           compress: Boolean = false, exhaust: Boolean = false): DataFrame = {
+           compress: Boolean = false, exhaust: Boolean = false,
+           checksum: Boolean = false): DataFrame = {
     require(batchSize > 0, "batchSize must be positive")
     val (mqlDoc, residual) = FilterTranslator.translateAll(filters)
     val serverLimit = limit.filter(_ => residual.isEmpty)
@@ -852,7 +893,7 @@ object OpMsg {
       List("$db" -> JString(db)))
     val (dir, total) =
       cursorFetch(host, port, db, coll, findCmd, batchSize, credentials, tls,
-        compress = compress, exhaust = exhaust)
+        compress = compress, exhaust = exhaust, checksum = checksum)
     val decoded =
       if (total == 0) {
         // nothing to infer from: an empty frame with no columns (the
@@ -874,7 +915,8 @@ object OpMsg {
                 coll: String, pipelineJson: String, batchSize: Int = 101,
                 credentials: Option[(String, String)] = None,
                 tls: Option[(String, String)] = None,
-                compress: Boolean = false, exhaust: Boolean = false): DataFrame = {
+                compress: Boolean = false, exhaust: Boolean = false,
+                checksum: Boolean = false): DataFrame = {
     require(batchSize > 0, "batchSize must be positive")
     val stages = graft.mql.Mql.parse(pipelineJson) match {
       case a: JArray => a
@@ -888,7 +930,7 @@ object OpMsg {
       "$db" -> JString(db)))
     val (dir, total) =
       cursorFetch(host, port, db, coll, cmd, batchSize, credentials, tls,
-        compress = compress, exhaust = exhaust)
+        compress = compress, exhaust = exhaust, checksum = checksum)
     if (total == 0) spark.emptyDataFrame
     else spark.read.format("graftdocs").load(dir.toString)
   }
@@ -906,7 +948,8 @@ object OpMsg {
                           credentials: Option[(String, String)],
                           tls: Option[(String, String)],
                           compress: Boolean = false,
-                          exhaust: Boolean = false)
+                          exhaust: Boolean = false,
+                          checksum: Boolean = false)
       : (java.nio.file.Path, Long) = {
     val dir = java.nio.file.Files.createTempDirectory("graft_opmsg")
     val file = dir.resolve("batches.bson")
@@ -921,7 +964,7 @@ object OpMsg {
       def roundTrip(cmd: JObject, mayCompress: Boolean = true): Array[Byte] = {
         reqId += 1
         writeFrame(cout, reqId, 0, encodeDoc(cmd), flags = 0,
-          compress = compressOn && mayCompress)
+          compress = compressOn && mayCompress, checksum = checksum)
         val (_, rto, body) = readMessage(cin).getOrElse(
           throw new EOFException("server closed the connection"))
         if (rto != reqId) throw new IllegalStateException(
@@ -996,7 +1039,8 @@ object OpMsg {
             "collection" -> JString(coll),
             "batchSize" -> JInt(batchSize),
             "$db" -> JString(db)))),
-            flags = FlagExhaustAllowed, compress = compressOn)
+            flags = FlagExhaustAllowed, compress = compressOn,
+            checksum = checksum)
           var streaming = true
           while (streaming) {
             val fr = readFrame(cin).getOrElse(

@@ -104,6 +104,58 @@ class OpMsgCompressSpec extends AnyFunSuite {
       .getMessage.contains("originalOpcode"))
   }
 
+  // ---- CRC-32C checksums (flag bit 0) ---------------------------------------
+
+  test("checksumPresent: round-trip, corruption detection, and the " +
+       "compressed form carries the same CRC") {
+    val doc = OpMsg.encodeDoc(JObject(List(
+      "find" -> JString("events"), "$db" -> JString("graft"))))
+    val out = new ByteArrayOutputStream()
+    OpMsg.writeFrame(out, 11, 2, doc, flags = 0, compress = false,
+      checksum = true)
+    val b = out.toByteArray
+    assert((le32(b, 16) & 1) == 1) // flagBits carry checksumPresent
+    val Some(f) = OpMsg.readFrame(new ByteArrayInputStream(b)): @unchecked
+    assert(f.wasChecksummed && f.flags == 0) // verified, then stripped
+    assert(java.util.Arrays.equals(f.doc, doc))
+    // corrupt a payload byte → CRC mismatch refuses
+    val c1 = b.clone(); c1(24) = (c1(24) ^ 0x40).toByte
+    assert(intercept[IllegalArgumentException](
+      OpMsg.readFrame(new ByteArrayInputStream(c1)))
+      .getMessage.contains("CRC-32C"))
+    // corrupt the trailing checksum itself → same refusal
+    val c2 = b.clone(); c2(b.length - 1) = (c2(b.length - 1) ^ 0x01).toByte
+    assert(intercept[IllegalArgumentException](
+      OpMsg.readFrame(new ByteArrayInputStream(c2)))
+      .getMessage.contains("CRC-32C"))
+    // checksummed + compressed: the CRC rides inside the envelope and
+    // verifies identically after inflation
+    val outZ = new ByteArrayOutputStream()
+    OpMsg.writeFrame(outZ, 11, 2, doc, flags = 0, compress = true,
+      checksum = true)
+    val Some(fz) =
+      OpMsg.readFrame(new ByteArrayInputStream(outZ.toByteArray)): @unchecked
+    assert(fz.wasChecksummed && fz.wasCompressed)
+    assert(java.util.Arrays.equals(fz.doc, doc))
+  }
+
+  test("checksummed find ≡ local scan, alone and stacked with " +
+       "compression + exhaust") {
+    val (store, server) = fixture()
+    try {
+      val local = store.read("events").where(col("value") > 0.45)
+      val wire = OpMsg.find(spark, "127.0.0.1", server.port, "graft",
+        "events", Seq(GreaterThan("value", 0.45)), batchSize = 50,
+        checksum = true)
+      assert(canon(wire) == canon(local))
+      val wireAll = OpMsg.find(spark, "127.0.0.1", server.port, "graft",
+        "events", Seq(GreaterThan("value", 0.45)), batchSize = 50,
+        compress = true, exhaust = true, checksum = true)
+      assert(canon(wireAll) == canon(local))
+      assert(server.openCursors == 0)
+    } finally server.stop()
+  }
+
   // ---- negotiation ---------------------------------------------------------
 
   test("compressed find ≡ local scan; compression is negotiated; " +

@@ -69,10 +69,15 @@ class OpMsgSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](OpMsg.readMessage(
       new ByteArrayInputStream(mutated(12, (2010 & 0xFF).toByte))))
       .getMessage.contains("opCode"))
-    // checksumPresent flag refused
+    // unknown flag bit refused (bit 2 is reserved; checksumPresent is
+    // now spoken — its rows live in OpMsgCompressSpec)
+    assert(intercept[IllegalArgumentException](OpMsg.readMessage(
+      new ByteArrayInputStream(mutated(16, 4))))
+      .getMessage.contains("flagBits"))
+    // checksumPresent set WITHOUT a valid trailing CRC refuses too
     assert(intercept[IllegalArgumentException](OpMsg.readMessage(
       new ByteArrayInputStream(mutated(16, 1))))
-      .getMessage.contains("flagBits"))
+      .getMessage.contains("CRC-32C"))
     // section kind 1 refused
     assert(intercept[IllegalArgumentException](OpMsg.readMessage(
       new ByteArrayInputStream(mutated(20, 1))))
