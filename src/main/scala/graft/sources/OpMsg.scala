@@ -67,10 +67,18 @@ object OpMsg {
   }
 
   // OP_COMPRESSED compressor ids (wire spec): 0 noop, 1 snappy,
-  // 2 zlib, 3 zstd. Only noop and zlib exist on this classpath (JDK
-  // Deflater); snappy/zstd refuse loudly instead of mis-parsing.
+  // 2 zlib, 3 zstd. noop and zlib (JDK Deflater) and snappy (the
+  // block-format codec in [[Snappy]] — mongod's DEFAULT compressor)
+  // are spoken; zstd refuses loudly instead of mis-parsing.
   private[sources] val CompressorNoop = 0
+  private[sources] val CompressorSnappy = 1
   private[sources] val CompressorZlib = 2
+  private[sources] def compressorId(name: String): Int = name match {
+    case "zlib" => CompressorZlib
+    case "snappy" => CompressorSnappy
+    case other => throw new IllegalArgumentException(
+      s"unsupported compressor '$other' (zlib/snappy are spoken)")
+  }
 
   /** One decoded wire frame. `moreToCome` set means the peer will send
     * further replies without another request (exhaust stream);
@@ -79,7 +87,8 @@ object OpMsg {
     * OP_COMPRESSED (auth/hello commands must NOT — wire spec). */
   final case class Frame(requestId: Int, responseTo: Int, flags: Int,
                          doc: Array[Byte], wasCompressed: Boolean,
-                         wasChecksummed: Boolean = false) {
+                         wasChecksummed: Boolean = false,
+                         compressorId: Int = -1) {
     def moreToCome: Boolean = (flags & FlagMoreToCome) != 0
     def exhaustAllowed: Boolean = (flags & FlagExhaustAllowed) != 0
   }
@@ -241,7 +250,8 @@ object OpMsg {
     * deflated flagBits-and-sections — wire spec layout). */
   def writeFrame(out: OutputStream, requestId: Int, responseTo: Int,
                  doc: Array[Byte], flags: Int, compress: Boolean,
-                 checksum: Boolean = false): Unit = {
+                 checksum: Boolean = false,
+                 compressor: Int = CompressorZlib): Unit = {
     require((flags & ~KnownFlags) == 0 && (flags & FlagChecksumPresent) == 0,
       s"OP_MSG: cannot emit flagBits 0x${flags.toHexString}")
     // the OP_MSG body a receiver sees after (optional) decompression
@@ -261,20 +271,28 @@ object OpMsg {
       inner.writeTo(msg)
     } else {
       val raw = inner.toByteArray
-      val deflater = new java.util.zip.Deflater()
-      deflater.setInput(raw); deflater.finish()
-      val buf = new Array[Byte](raw.length + 64)
-      val packed = new ByteArrayOutputStream(raw.length / 2 + 64)
-      while (!deflater.finished())
-        packed.write(buf, 0, deflater.deflate(buf))
-      deflater.end()
-      writeInt(msg, 16 + 4 + 4 + 1 + packed.size)
+      val packed: Array[Byte] = compressor match {
+        case CompressorZlib =>
+          val deflater = new java.util.zip.Deflater()
+          deflater.setInput(raw); deflater.finish()
+          val buf = new Array[Byte](raw.length + 64)
+          val acc = new ByteArrayOutputStream(raw.length / 2 + 64)
+          while (!deflater.finished())
+            acc.write(buf, 0, deflater.deflate(buf))
+          deflater.end()
+          acc.toByteArray
+        case CompressorSnappy => Snappy.compress(raw)
+        case CompressorNoop => raw
+        case other => throw new IllegalArgumentException(
+          s"OP_COMPRESSED: cannot emit compressorId $other")
+      }
+      writeInt(msg, 16 + 4 + 4 + 1 + packed.length)
       writeInt(msg, requestId); writeInt(msg, responseTo)
       writeInt(msg, OpCompressedCode)
       writeInt(msg, OpMsgCode)    // originalOpcode
       writeInt(msg, raw.length)   // uncompressedSize
-      msg.write(CompressorZlib)   // compressorId
-      packed.writeTo(msg)
+      msg.write(compressor)       // compressorId
+      msg.write(packed, 0, packed.length)
     }
     msg.writeTo(out)
     out.flush()
@@ -320,6 +338,7 @@ object OpMsg {
       got += n
     }
     val wasCompressed = op == OpCompressedCode
+    var arrivedCompressorId = -1
     if (wasCompressed) {
       if (body.length < 9) throw new IllegalArgumentException(
         "OP_COMPRESSED: truncated envelope")
@@ -331,6 +350,7 @@ object OpMsg {
         throw new IllegalArgumentException(
           s"OP_COMPRESSED: bad uncompressedSize $uncompressedSize")
       val id = body(8) & 0xFF
+      arrivedCompressorId = id
       val payload = java.util.Arrays.copyOfRange(body, 9, body.length)
       body = id match {
         case CompressorNoop =>
@@ -355,9 +375,20 @@ object OpMsg {
               s"OP_COMPRESSED: inflated to $n bytes, " +
                 s"declared $uncompressedSize")
           outBytes
-        case 1 | 3 => throw new IllegalArgumentException(
-          s"OP_COMPRESSED: compressor ${if (id == 1) "snappy" else "zstd"}" +
-            " is not on this classpath (only noop/zlib)")
+        case CompressorSnappy =>
+          val outBytes =
+            try Snappy.uncompress(payload)
+            catch { case e: IllegalArgumentException =>
+              throw new IllegalArgumentException(
+                s"OP_COMPRESSED: corrupt snappy payload: ${e.getMessage}") }
+          if (outBytes.length != uncompressedSize)
+            throw new IllegalArgumentException(
+              s"OP_COMPRESSED: snappy inflated to ${outBytes.length} " +
+                s"bytes, declared $uncompressedSize")
+          outBytes
+        case 3 => throw new IllegalArgumentException(
+          "OP_COMPRESSED: compressor zstd is not on this classpath " +
+            "(noop/snappy/zlib are spoken)")
         case other => throw new IllegalArgumentException(
           s"OP_COMPRESSED: unknown compressorId $other")
       }
@@ -383,7 +414,8 @@ object OpMsg {
     if (body(4) != 0) throw new IllegalArgumentException(
       s"OP_MSG: unsupported section kind ${body(4)} (only kind 0)")
     val doc = java.util.Arrays.copyOfRange(body, 5, body.length)
-    Some(Frame(reqId, respTo, flags, doc, wasCompressed, checksummed))
+    Some(Frame(reqId, respTo, flags, doc, wasCompressed, checksummed,
+      arrivedCompressorId))
   }
 
   /** Walk a `{cursor: {id, ns, firstBatch|nextBatch: [...]}, ok}` reply,
@@ -619,7 +651,7 @@ object OpMsg {
     private final class ConnState {
       var authenticated: Boolean = credential.isEmpty
       var sasl: Option[Scram.Server] = None
-      var zlibNegotiated: Boolean = false
+      var compressionNegotiated: Boolean = false
     }
 
     // commands the wire spec forbids compressing (handshake + auth)
@@ -641,7 +673,7 @@ object OpMsg {
             if (f.wasCompressed && uncompressible(name))
               throw new IllegalArgumentException(
                 s"$name must not arrive compressed (wire spec)")
-            if (f.wasCompressed && !state.zlibNegotiated)
+            if (f.wasCompressed && !state.compressionNegotiated)
               throw new IllegalArgumentException(
                 "OP_COMPRESSED before compression was negotiated via hello")
             if (f.exhaustAllowed && cmd.obj.exists(_._1 == "getMore") &&
@@ -651,11 +683,14 @@ object OpMsg {
           } catch { case scala.util.control.NonFatal(e) =>
             Some(buildErrorReply(String.valueOf(e.getMessage))) }
         handled.foreach { reply =>
-          // mirror the request's compression and checksumming
-          // (negotiation gates the client ever sending compressed)
+          // mirror the request's compression (same compressor) and
+          // checksumming (negotiation gates the client ever sending
+          // compressed in the first place)
           writeFrame(out, f.requestId + 1000000, f.requestId, reply,
             flags = 0, compress = f.wasCompressed,
-            checksum = f.wasChecksummed)
+            checksum = f.wasChecksummed,
+            compressor = if (f.wasCompressed) f.compressorId
+                         else CompressorZlib)
         }
         next = readFrame(in)
       }
@@ -678,7 +713,9 @@ object OpMsg {
         writeFrame(out, f.requestId + 1000000, f.requestId,
           buildErrorReply(s"cursor id $id not found", CursorNotFound),
           flags = 0, compress = f.wasCompressed,
-          checksum = f.wasChecksummed)
+          checksum = f.wasChecksummed,
+          compressor = if (f.wasCompressed) f.compressorId
+                       else CompressorZlib)
         return
       }
       var rid = f.requestId + 1000000
@@ -690,7 +727,9 @@ object OpMsg {
         writeFrame(out, rid, f.requestId,
           buildCursorReply(if (more) id else 0L, c.ns, "nextBatch", batch),
           flags = if (more) FlagMoreToCome else 0,
-          compress = f.wasCompressed, checksum = f.wasChecksummed)
+          compress = f.wasCompressed, checksum = f.wasChecksummed,
+          compressor = if (f.wasCompressed) f.compressorId
+                       else CompressorZlib)
         rid += 1
       }
     }
@@ -717,8 +756,8 @@ object OpMsg {
           case Some(JArray(es)) => es.collect { case JString(s) => s }
           case _ => Nil
         }
-        val accepted = offered.filter(_ == "zlib") // all this JVM speaks
-        state.zlibNegotiated = accepted.nonEmpty
+        val accepted = offered.filter(n => n == "zlib" || n == "snappy")
+        state.compressionNegotiated = accepted.nonEmpty
         return encodeDoc(JObject(List(
           "isWritablePrimary" -> JBool(true),
           "maxBsonObjectSize" -> JInt(16777216),
@@ -881,7 +920,8 @@ object OpMsg {
            credentials: Option[(String, String)] = None,
            tls: Option[(String, String)] = None,
            compress: Boolean = false, exhaust: Boolean = false,
-           checksum: Boolean = false): DataFrame = {
+           checksum: Boolean = false,
+           compressor: String = "zlib"): DataFrame = {
     require(batchSize > 0, "batchSize must be positive")
     val (mqlDoc, residual) = FilterTranslator.translateAll(filters)
     val serverLimit = limit.filter(_ => residual.isEmpty)
@@ -893,7 +933,8 @@ object OpMsg {
       List("$db" -> JString(db)))
     val (dir, total) =
       cursorFetch(host, port, db, coll, findCmd, batchSize, credentials, tls,
-        compress = compress, exhaust = exhaust, checksum = checksum)
+        compress = compress, exhaust = exhaust, checksum = checksum,
+        compressor = compressor)
     val decoded =
       if (total == 0) {
         // nothing to infer from: an empty frame with no columns (the
@@ -916,7 +957,8 @@ object OpMsg {
                 credentials: Option[(String, String)] = None,
                 tls: Option[(String, String)] = None,
                 compress: Boolean = false, exhaust: Boolean = false,
-                checksum: Boolean = false): DataFrame = {
+                checksum: Boolean = false,
+                compressor: String = "zlib"): DataFrame = {
     require(batchSize > 0, "batchSize must be positive")
     val stages = graft.mql.Mql.parse(pipelineJson) match {
       case a: JArray => a
@@ -930,7 +972,8 @@ object OpMsg {
       "$db" -> JString(db)))
     val (dir, total) =
       cursorFetch(host, port, db, coll, cmd, batchSize, credentials, tls,
-        compress = compress, exhaust = exhaust, checksum = checksum)
+        compress = compress, exhaust = exhaust, checksum = checksum,
+        compressor = compressor)
     if (total == 0) spark.emptyDataFrame
     else spark.read.format("graftdocs").load(dir.toString)
   }
@@ -949,7 +992,8 @@ object OpMsg {
                           tls: Option[(String, String)],
                           compress: Boolean = false,
                           exhaust: Boolean = false,
-                          checksum: Boolean = false)
+                          checksum: Boolean = false,
+                          compressor: String = "zlib")
       : (java.nio.file.Path, Long) = {
     val dir = java.nio.file.Files.createTempDirectory("graft_opmsg")
     val file = dir.resolve("batches.bson")
@@ -961,10 +1005,12 @@ object OpMsg {
       val cout = new BufferedOutputStream(conn.getOutputStream, 1 << 16)
       var reqId = 0
       var compressOn = false
+      val compId = compressorId(compressor)
       def roundTrip(cmd: JObject, mayCompress: Boolean = true): Array[Byte] = {
         reqId += 1
         writeFrame(cout, reqId, 0, encodeDoc(cmd), flags = 0,
-          compress = compressOn && mayCompress, checksum = checksum)
+          compress = compressOn && mayCompress, checksum = checksum,
+          compressor = compId)
         val (_, rto, body) = readMessage(cin).getOrElse(
           throw new EOFException("server closed the connection"))
         if (rto != reqId) throw new IllegalStateException(
@@ -975,14 +1021,14 @@ object OpMsg {
       if (compress) {
         val hello = decodeDoc(roundTrip(JObject(List(
           "hello" -> JInt(1),
-          "compression" -> JArray(List(JString("zlib"))),
+          "compression" -> JArray(List(JString(compressor))),
           "$db" -> JString(db))), mayCompress = false))
         val granted = hello.obj.toMap.get("compression") match {
-          case Some(JArray(es)) => es.contains(JString("zlib"))
+          case Some(JArray(es)) => es.contains(JString(compressor))
           case _ => false
         }
         if (!granted) throw new IllegalArgumentException(
-          "server did not negotiate zlib compression")
+          s"server did not negotiate $compressor compression")
         compressOn = true
       }
       // ---- SCRAM-SHA-256 handshake (mutual authentication) ----
@@ -1040,7 +1086,7 @@ object OpMsg {
             "batchSize" -> JInt(batchSize),
             "$db" -> JString(db)))),
             flags = FlagExhaustAllowed, compress = compressOn,
-            checksum = checksum)
+            checksum = checksum, compressor = compId)
           var streaming = true
           while (streaming) {
             val fr = readFrame(cin).getOrElse(

@@ -194,6 +194,23 @@ class OpMsgCompressSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("snappy-compressed find ≡ local scan (mongod's default " +
+       "compressor, negotiated end-to-end)") {
+    val (store, server) = fixture()
+    try {
+      val wire = OpMsg.find(spark, "127.0.0.1", server.port, "graft",
+        "events", Seq(GreaterThan("value", 0.55)), batchSize = 40,
+        compress = true, compressor = "snappy")
+      val local = store.read("events").where(col("value") > 0.55)
+      assert(canon(wire) == canon(local))
+      // unknown compressor names refuse client-side before dialing
+      assert(intercept[IllegalArgumentException](
+        OpMsg.find(spark, "127.0.0.1", server.port, "graft", "events",
+          Seq.empty, compress = true, compressor = "zstd"))
+        .getMessage.contains("zstd"))
+    } finally server.stop()
+  }
+
   test("compressed aggregate ≡ local pipeline") {
     val (store, server) = fixture()
     try {
