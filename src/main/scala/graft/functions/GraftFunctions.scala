@@ -1599,6 +1599,7 @@ object GraftFunctions {
     "graft_truthy" -> ((e: Seq[Expression]) => BsonTruthy(e.head)),
     "unicode_normalize" -> ((e: Seq[Expression]) => UnicodeNormalize(e(0), e(1))),
     "bpe_encode" -> ((e: Seq[Expression]) => BpeEncode(e(0), e(1))),
+    "porter_stem" -> ((e: Seq[Expression]) => PorterStem(e.head)),
   )
 
   /** Exponential moving average as a native running-frame window

@@ -33,6 +33,12 @@ import org.apache.spark.sql.functions._
   *  - `lucene.simple`: lowercase + maximal letter runs (digits split).
   *  - `lucene.keyword`: the whole field value as one exact term, no
   *    folding (empty string analyzes to no terms).
+  *  - `lucene.english`: Lucene's EnglishAnalyzer chain — standard
+  *    tokenizer, possessive-'s strip, lowercase, the classic 33-word
+  *    English stop list, Porter stemming ([[graft.functions.Porter]],
+  *    the original published algorithm). "Connections" and "connected"
+  *    both index as "connect". No DuckDB replay exists for stemming,
+  *    so english-analyzer gates are spec-pinned + rows-only.
   *  - CUSTOM definitions (Atlas custom analyzers): a
   *    `{tokenizer, tokenFilters}` JSON document — tokenizers standard/
   *    whitespace/keyword/letter, token filters lowercase/asciiFolding/
@@ -48,7 +54,16 @@ object Analyzers {
   private val SimpleRx = "\\p{L}+"
 
   val Names: Set[String] = Set(Default, "lucene.standard",
-    "lucene.whitespace", "lucene.simple", "lucene.keyword")
+    "lucene.whitespace", "lucene.simple", "lucene.keyword",
+    "lucene.english")
+
+  /** Lucene EnglishAnalyzer's classic stop set (the CharArraySet
+    * Lucene ships as ENGLISH_STOP_WORDS_SET — public, 33 words). */
+  private[llmops] val EnglishStops: Seq[String] = Seq(
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for",
+    "if", "in", "into", "is", "it", "no", "not", "of", "on", "or",
+    "such", "that", "the", "their", "then", "there", "these", "they",
+    "this", "to", "was", "will", "with")
 
   // ---- custom analyzer definitions (Atlas "custom analyzers") ----------
   //
@@ -64,12 +79,15 @@ object Analyzers {
   // replayable in DuckDB (regexp_extract_all + list_transform/
   // list_filter + translate/replace), so custom-analyzer gates keep
   // full oracle twins. charFilters htmlStrip/mapping ARE supported
-  // (applied to the raw text before tokenization, both sides); the
-  // stemming/shingle/edge-gram token-filter families are NOT and
-  // refuse loudly.
+  // (applied to the raw text before tokenization, both sides); porterStemming
+  // and englishPossessive ARE supported (spec-pinned — stemming has no
+  // DuckDB replay, so gates using them are rows-only); the snowball/
+  // kStemming/shingle/edge-gram families are NOT and refuse loudly.
   private sealed trait TokFilter
   private case object FLower extends TokFilter
   private case object FFold extends TokFilter
+  private case object FStem extends TokFilter       // porterStemming
+  private case object FPossessive extends TokFilter // englishPossessive
   private case class FStop(tokens: Seq[String], ignoreCase: Boolean)
     extends TokFilter
   private case class FLength(min: Int, max: Int) extends TokFilter
@@ -136,6 +154,8 @@ object Analyzers {
       case ("tokenFilters", JArray(fs)) => fs.map {
         case JString("lowercase") => FLower
         case JString("asciiFolding") => FFold
+        case JString("porterStemming") => FStem
+        case JString("englishPossessive") => FPossessive
         case JObject(fo) =>
           val t = fo.collectFirst { case ("type", JString(x)) => x }
             .getOrElse(throw new graft.mql.MqlException(
@@ -143,6 +163,8 @@ object Analyzers {
           t match {
             case "lowercase" => FLower
             case "asciiFolding" => FFold
+            case "porterStemming" => FStem
+            case "englishPossessive" => FPossessive
             case "stopword" =>
               val toks = fo.collectFirst { case ("tokens", JArray(xs)) =>
                 xs.map {
@@ -167,7 +189,8 @@ object Analyzers {
               FLength(mn, mx)
             case other => throw new graft.mql.MqlException(
               s"$ctx: unsupported token filter '$other' (supported: " +
-                "lowercase, asciiFolding, stopword, length)")
+                "lowercase, asciiFolding, porterStemming, " +
+                "englishPossessive, stopword, length)")
           }
         case other => throw new graft.mql.MqlException(
           s"$ctx: token filter must be a name or a document, got $other")
@@ -222,6 +245,8 @@ object Analyzers {
       val fs = c.filters.map {
         case FLower => """{"type":"lowercase"}"""
         case FFold => """{"type":"asciiFolding"}"""
+        case FStem => """{"type":"porterStemming"}"""
+        case FPossessive => """{"type":"englishPossessive"}"""
         case FStop(toks, ic) =>
           s"""{"type":"stopword","tokens":[${toks.map(esc).mkString(",")}],"ignoreCase":$ic}"""
         case FLength(mn, mx) =>
@@ -267,6 +292,14 @@ object Analyzers {
   private def applyDocFilter(arr: Column, f: TokFilter): Column = f match {
     case FLower => transform(arr, x => lower(x))
     case FFold => transform(arr, x => translate(x, FoldFrom, FoldTo))
+    case FStem =>
+      graft.functions.GraftFunctions.register(
+        org.apache.spark.sql.SparkSession.active)
+      transform(arr, x => call_function("porter_stem", x))
+    case FPossessive =>
+      // Lucene's EnglishPossessiveFilter: strip a trailing 's or
+      // (typographic) ’s — one quote form, token tail only
+      transform(arr, x => regexp_replace(x, "['\u2019][sS]$", ""))
     case FStop(toks, true) =>
       val low = toks.map(_.toLowerCase(Locale.ROOT))
       filter(arr, x => !lower(x).isin(low: _*))
@@ -275,9 +308,18 @@ object Analyzers {
       filter(arr, x => length(x) >= mn && length(x) <= mx)
   }
 
+  /** lucene.english as its equivalent custom chain — ONE definition
+    * both sides compile, so agreement is structural. */
+  private lazy val EnglishChain = Custom("standard",
+    Seq(FPossessive, FLower, FStop(EnglishStops, ignoreCase = false),
+      FStem), Nil)
+
   /** Document-side tokenizer: array<string> of analyzed terms (null
     * input stays null, matching TextAnalysis.tokens' convention). */
   def docTokens(name: String, c: Column): Column = name match {
+    case "lucene.english" =>
+      EnglishChain.filters.foldLeft(
+        baseDocTokens(EnglishChain.tokenizer, c))(applyDocFilter)
     case Default            => TextAnalysis.tokens(lower(c))
     case "lucene.whitespace" => TextAnalysis.tokens(c)
     case "lucene.standard"  => regexp_extract_all(lower(c), lit(StandardRx), lit(0))
@@ -315,6 +357,9 @@ object Analyzers {
     f match {
       case FLower => ts.map(_.toLowerCase(Locale.ROOT))
       case FFold => ts.map(_.map(ch => foldMap.getOrElse(ch, ch)))
+      case FStem => ts.map(graft.functions.Porter.stem)
+      case FPossessive =>
+        ts.map(_.replaceAll("['\u2019][sS]$", ""))
       case FStop(toks, true) =>
         val low = toks.map(_.toLowerCase(Locale.ROOT)).toSet
         ts.filterNot(t => low(t.toLowerCase(Locale.ROOT)))
@@ -324,6 +369,9 @@ object Analyzers {
 
   /** Query-side tokenizer — must agree with [[docTokens]] exactly. */
   def queryTerms(name: String, q: String): Seq[String] = name match {
+    case "lucene.english" =>
+      EnglishChain.filters.foldLeft(
+        baseQueryTerms(EnglishChain.tokenizer, q))(applyQueryFilter)
     case Default =>
       q.toLowerCase(Locale.ROOT).trim.split("\\s+").filter(_.nonEmpty).toSeq
     case "lucene.whitespace" =>

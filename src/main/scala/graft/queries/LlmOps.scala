@@ -2999,6 +2999,25 @@ object LlmOps {
             SELECT c_custkey, score FROM sc
             ORDER BY score DESC, c_custkey LIMIT 10""")),
 
+    // lucene.english (Lucene's EnglishAnalyzer chain: standard tokenizer
+    // → possessive strip → lowercase → 33-word stop list → Porter
+    // stemming): "merging"/"merged"/"merges" and "windows"/"window" all
+    // index under one stem, so the stemmed query recalls morphological
+    // variants a literal analyzer misses. Porter stemming has no DuckDB
+    // replay (no FTS extension offline), so this gate is rows-only; the
+    // algorithm itself is pinned against the Porter paper's example
+    // tables in PorterSpec, and the doc/query agreement in AnalyzerSpec.
+    QueryDef("q_search_english",
+      (s, dir) => Graft.aggregate(s, dir, "documents",
+        """[
+          {"$search": {"analyzer": "lucene.english",
+            "text": {"query": "merging windows", "path": "text"},
+            "limit": 20, "tieBreaker": "doc_id"}},
+          {"$project": {"doc_id": 1,
+            "score": {"$meta": "searchScore"}}},
+          {"$sort": {"score": -1, "doc_id": 1}}]"""),
+      None),
+
     // $search against a PERSISTED text index (TextIndex.build stored in
     // a DocStore, resolved by the `index` option): BM25 statistics come
     // from a bounded lookup of stored (term, df) rows + the path

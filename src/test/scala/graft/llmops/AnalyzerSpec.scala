@@ -44,12 +44,39 @@ class AnalyzerSpec extends AnyFunSuite {
       Seq("customer", "don", "t"))
     assert(q("lucene.keyword", "One Exact Term") == Seq("One Exact Term"))
     assert(q("lucene.keyword", "") == Nil)
+    // lucene.english: possessive strip → lowercase → stop list → Porter
+    assert(q("lucene.english", "The Dog's Connections are running") ==
+      Seq("dog", "connect", "run"))
+    assert(q("lucene.english", "generalizations of the oscillators") ==
+      Seq("gener", "oscil"))
+    // possessive strip happens before lowercase/stem (the typographic
+    // U+2019 form splits at the standard tokenizer — the documented
+    // lucene.standard divergence — so only ASCII ' reaches the filter)
+    assert(q("lucene.english", "Maria's thesis") ==
+      Seq("maria", "thesi"))
+    // the full 33-word stop list drops
+    assert(q("lucene.english",
+      "a an and are as at be but by for if in into is it no not of on " +
+        "or such that the their then there these they this to was will " +
+        "with") == Nil)
+  }
+
+  test("lucene.english custom-chain equivalence: the built-in name and " +
+       "its spelled-out custom definition tokenize identically") {
+    val custom = s"""{"tokenizer": "standard", "tokenFilters": [
+      {"type": "englishPossessive"}, {"type": "lowercase"},
+      {"type": "stopword", "tokens": [${Analyzers.EnglishStops
+        .map("\"" + _ + "\"").mkString(",")}], "ignoreCase": false},
+      {"type": "porterStemming"}]}"""
+    for (t <- fixtures :+ "The Dog's Connections are running wildly")
+      assert(Analyzers.queryTerms("lucene.english", t) ==
+        Analyzers.queryTerms(custom, t), s"disagree on '$t'")
   }
 
   test("unknown analyzer names refuse loudly everywhere") {
     val docs = Seq((1L, "a b")).toDF("doc_id", "text")
     assert(intercept[MqlException] {
-      Analyzers.validate("lucene.english", "ctx")
+      Analyzers.validate("lucene.french", "ctx")
     }.getMessage.contains("unknown analyzer"))
     assert(intercept[MqlException] {
       TextIndex.build(docs, Seq("text"), Map("text" -> "lucene.bogus"))
@@ -243,7 +270,7 @@ class AnalyzerSpec extends AnyFunSuite {
       intercept[MqlException](Analyzers.validate(s, "ctx")).getMessage
     assert(bad("""{"tokenizer": "edgeGram"}""").contains("unsupported tokenizer"))
     assert(bad("""{"tokenizer": "standard",
-        "tokenFilters": [{"type": "porterStemming"}]}""")
+        "tokenFilters": [{"type": "snowballStemming"}]}""")
       .contains("unsupported token filter"))
     assert(bad("""{"tokenizer": "standard",
         "charFilters": [{"type": "icuNormalize"}]}""")
