@@ -297,6 +297,39 @@ object Decode {
               WHERE c_acctbal < 9000.0
               GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    // insert over OP_MSG — the reference's WRITE path (write() →
+    // insert_many) over authentic framing: rows encode to raw BSON
+    // client-side and cross as kind-1 "documents" sequences (batched,
+    // here 64 docs per insert command to force several), the server
+    // appends through the graftdocs decode, and the collection read
+    // back equals the source — the oracle replays the predicate
+    // aggregate on the source table.
+    QueryDef("q_wire_opmsg_insert",
+      (s, dir) => {
+        val store = new graft.sinks.DocStore(s,
+          java.nio.file.Files.createTempDirectory("graft_opmsgi").toString,
+          "graftdocs")
+        val server = new graft.sources.OpMsg.Server(s, store)
+        try {
+          val src = Graft.table(s, dir, "customer")
+            .select("c_custkey", "c_mktsegment", "c_acctbal")
+            .where(col("c_acctbal") > 2000.0)
+          graft.sources.OpMsg.insert(s, "127.0.0.1", server.port, "graft",
+            "customer", src, maxBatchDocs = 64): Unit
+          store.read("customer")
+            .groupBy(col("c_mktsegment"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+                .cast(org.apache.spark.sql.types.DoubleType).as("sum_bal"))
+            .orderBy("c_mktsegment")
+        } finally server.stop()
+      },
+      Some("""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+              FROM customer
+              WHERE c_acctbal > 2000.0
+              GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
     // Parallel-cursor wire read (LIVE_CONNECTOR.md item 3, reference
     // api.py:181-199 thread-pool cursors): the client plans key ranges
     // from server-side quantiles, sends one find per range (the range

@@ -88,7 +88,8 @@ object OpMsg {
   final case class Frame(requestId: Int, responseTo: Int, flags: Int,
                          doc: Array[Byte], wasCompressed: Boolean,
                          wasChecksummed: Boolean = false,
-                         compressorId: Int = -1) {
+                         compressorId: Int = -1,
+                         sequences: Seq[(String, Seq[Array[Byte]])] = Nil) {
     def moreToCome: Boolean = (flags & FlagMoreToCome) != 0
     def exhaustAllowed: Boolean = (flags & FlagExhaustAllowed) != 0
   }
@@ -251,7 +252,8 @@ object OpMsg {
   def writeFrame(out: OutputStream, requestId: Int, responseTo: Int,
                  doc: Array[Byte], flags: Int, compress: Boolean,
                  checksum: Boolean = false,
-                 compressor: Int = CompressorZlib): Unit = {
+                 compressor: Int = CompressorZlib,
+                 sequences: Seq[(String, Seq[Array[Byte]])] = Nil): Unit = {
     require((flags & ~KnownFlags) == 0 && (flags & FlagChecksumPresent) == 0,
       s"OP_MSG: cannot emit flagBits 0x${flags.toHexString}")
     // the OP_MSG body a receiver sees after (optional) decompression
@@ -259,6 +261,19 @@ object OpMsg {
     writeInt(inner, if (checksum) flags | FlagChecksumPresent else flags)
     inner.write(0) // section kind 0
     inner.write(doc, 0, doc.length)
+    // kind-1 document-sequence sections (wire spec): 0x01, int32 size
+    // (includes itself, excludes the kind byte), cstring identifier,
+    // then back-to-back BSON documents — how drivers ship bulk-write
+    // payloads without embedding a giant BSON array in the command
+    sequences.foreach { case (ident, docs) =>
+      inner.write(1)
+      val identBytes = ident.getBytes("UTF-8")
+      require(!identBytes.contains(0.toByte), s"sequence id with NUL: $ident")
+      val size = 4 + identBytes.length + 1 + docs.map(_.length).sum
+      writeInt(inner, size)
+      inner.write(identBytes, 0, identBytes.length); inner.write(0)
+      docs.foreach(d => inner.write(d, 0, d.length))
+    }
     if (checksum) {
       val sansCrc = inner.toByteArray
       writeInt(inner, crc32c(requestId, responseTo, sansCrc, sansCrc.length))
@@ -411,11 +426,54 @@ object OpMsg {
       body = java.util.Arrays.copyOfRange(body, 0, dataLen)
       flags &= ~FlagChecksumPresent // transport detail, not surfaced
     }
-    if (body(4) != 0) throw new IllegalArgumentException(
-      s"OP_MSG: unsupported section kind ${body(4)} (only kind 0)")
-    val doc = java.util.Arrays.copyOfRange(body, 5, body.length)
+    // section walk: exactly one kind-0 body document, any number of
+    // kind-1 document sequences, in any order (wire spec)
+    var pos = 4
+    var doc: Array[Byte] = null
+    val seqs = Seq.newBuilder[(String, Seq[Array[Byte]])]
+    while (pos < body.length) {
+      body(pos) match {
+        case 0 =>
+          if (doc != null) throw new IllegalArgumentException(
+            "OP_MSG: more than one kind-0 section")
+          if (pos + 5 > body.length) throw new IllegalArgumentException(
+            "OP_MSG: truncated kind-0 section")
+          val dlen = readIntLE(body, pos + 1)
+          if (dlen < 5 || pos + 1 + dlen > body.length)
+            throw new IllegalArgumentException(
+              s"OP_MSG: kind-0 document length $dlen out of range")
+          doc = java.util.Arrays.copyOfRange(body, pos + 1, pos + 1 + dlen)
+          pos += 1 + dlen
+        case 1 =>
+          if (pos + 5 > body.length) throw new IllegalArgumentException(
+            "OP_MSG: truncated kind-1 section")
+          val size = readIntLE(body, pos + 1)
+          val end = pos + 1 + size
+          if (size < 5 || end > body.length)
+            throw new IllegalArgumentException(
+              s"OP_MSG: kind-1 section size $size out of range")
+          var q = pos + 5
+          while (body(q) != 0) q += 1
+          val ident = new String(body, pos + 5, q - (pos + 5), "UTF-8")
+          q += 1
+          val docsB = Seq.newBuilder[Array[Byte]]
+          while (q < end) {
+            val dl = readIntLE(body, q)
+            if (dl < 5 || q + dl > end) throw new IllegalArgumentException(
+              s"OP_MSG: kind-1 document length $dl overruns its section")
+            docsB += java.util.Arrays.copyOfRange(body, q, q + dl)
+            q += dl
+          }
+          seqs += ((ident, docsB.result()))
+          pos = end
+        case k => throw new IllegalArgumentException(
+          s"OP_MSG: unsupported section kind $k (only kinds 0/1)")
+      }
+    }
+    if (doc == null) throw new IllegalArgumentException(
+      "OP_MSG: message carries no kind-0 section")
     Some(Frame(reqId, respTo, flags, doc, wasCompressed, checksummed,
-      arrivedCompressorId))
+      arrivedCompressorId, seqs.result()))
   }
 
   /** Walk a `{cursor: {id, ns, firstBatch|nextBatch: [...]}, ok}` reply,
@@ -679,7 +737,7 @@ object OpMsg {
             if (f.exhaustAllowed && cmd.obj.exists(_._1 == "getMore") &&
                 state.authenticated) {
               serveExhaust(f, cmd, out); None // wrote its own replies
-            } else Some(handle(cmd, state))
+            } else Some(handle(cmd, state, f.sequences))
           } catch { case scala.util.control.NonFatal(e) =>
             Some(buildErrorReply(String.valueOf(e.getMessage))) }
         handled.foreach { reply =>
@@ -746,7 +804,9 @@ object OpMsg {
       JObject(List("$binary" -> JString(
         java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8")))))
 
-    private def handle(cmd: JObject, state: ConnState): Array[Byte] = {
+    private def handle(cmd: JObject, state: ConnState,
+                       sequences: Seq[(String, Seq[Array[Byte]])] = Nil)
+        : Array[Byte] = {
       val fields = cmd.obj.toMap
       // ---- hello: the handshake (pre-auth, never compressed); its
       // compression array negotiates OP_COMPRESSED for this connection
@@ -818,6 +878,40 @@ object OpMsg {
             "cursorsAlive" -> JArray(Nil),
             "cursorsUnknown" -> JArray(Nil),
             "ok" -> JDouble(1.0))))
+        case _ => ()
+      }
+      // ---- insert: the write path (reference write(), api.py) over the
+      // wire — documents arrive as a kind-1 "documents" sequence (how
+      // real drivers ship bulk writes), land raw in a batch file, decode
+      // through the normal graftdocs scan, and append to the collection
+      fields.get("insert") match {
+        case Some(JString(coll)) =>
+          val docs = sequences.collectFirst {
+            case ("documents", ds) => ds
+          }.getOrElse {
+            // legacy form: documents as a BSON array INSIDE the command
+            fields.get("documents") match {
+              case Some(JArray(es)) => es.map(e => encodeDoc(e))
+              case _ => throw new IllegalArgumentException(
+                "insert needs a 'documents' sequence (kind-1 section) " +
+                  "or array")
+            }
+          }
+          if (docs.isEmpty) throw new IllegalArgumentException(
+            "insert with an empty documents sequence")
+          val dir = java.nio.file.Files.createTempDirectory("graft_ins")
+          val file = dir.resolve("batch.bson")
+          val os = java.nio.file.Files.newOutputStream(file)
+          try docs.foreach(d => os.write(d)) finally os.close()
+          val incoming = spark.read.format("graftdocs").load(dir.toString)
+          val merged =
+            if (store.exists(coll))
+              store.read(coll).unionByName(incoming,
+                allowMissingColumns = true)
+            else incoming
+          store.write(merged, coll)
+          return encodeDoc(JObject(List(
+            "n" -> JInt(docs.size), "ok" -> JDouble(1.0))))
         case _ => ()
       }
       def openCursor(df: org.apache.spark.sql.DataFrame, coll: String,
@@ -978,6 +1072,150 @@ object OpMsg {
     else spark.read.format("graftdocs").load(dir.toString)
   }
 
+  /** `insert` over the wire — the reference's WRITE path (write() →
+    * insert_many, api.py) over authentic framing: rows encode to raw
+    * BSON client-side (the DocWriter sink encoder) and cross as a
+    * kind-1 "documents" sequence, batched under mongod's limits
+    * (maxWriteBatchSize docs, ~16 MB of document bytes per command).
+    * The server appends them to the collection through the normal
+    * graftdocs decode. Returns the number of documents the server
+    * acknowledged. */
+  def insert(spark: SparkSession, host: String, port: Int, db: String,
+             coll: String, df: DataFrame,
+             credentials: Option[(String, String)] = None,
+             tls: Option[(String, String)] = None,
+             compress: Boolean = false, checksum: Boolean = false,
+             compressor: String = "zlib",
+             maxBatchDocs: Int = 100000,
+             maxBatchBytes: Long = 16L * 1024 * 1024): Long = {
+    require(maxBatchDocs > 0 && maxBatchBytes > 0, "positive batch limits")
+    val schema = df.schema
+    val conn = clientSocket(host, port, tls)
+    var acknowledged = 0L
+    try {
+      val cin = new BufferedInputStream(conn.getInputStream, 1 << 16)
+      val cout = new BufferedOutputStream(conn.getOutputStream, 1 << 16)
+      var reqId = 0
+      var compressOn = false
+      val compId = compressorId(compressor)
+      def roundTrip(cmd: JObject, mayCompress: Boolean): Array[Byte] = {
+        reqId += 1
+        writeFrame(cout, reqId, 0, encodeDoc(cmd), flags = 0,
+          compress = compressOn && mayCompress, checksum = checksum,
+          compressor = compId)
+        val (_, rto, body) = readMessage(cin).getOrElse(
+          throw new EOFException("server closed the connection"))
+        if (rto != reqId) throw new IllegalStateException(
+          s"responseTo $rto does not match requestID $reqId")
+        body
+      }
+      handshake(roundTrip, db, credentials, compress, compressor)
+      compressOn = compress
+      def flush(batch: Seq[Array[Byte]]): Unit = {
+        if (batch.isEmpty) return
+        reqId += 1
+        writeFrame(cout, reqId, 0, encodeDoc(JObject(List(
+          "insert" -> JString(coll),
+          "ordered" -> JBool(true),
+          "$db" -> JString(db)))),
+          flags = 0, compress = compressOn, checksum = checksum,
+          compressor = compId, sequences = Seq("documents" -> batch))
+        val (_, rto, body) = readMessage(cin).getOrElse(
+          throw new EOFException("server closed during insert"))
+        if (rto != reqId) throw new IllegalStateException(
+          s"responseTo $rto does not match requestID $reqId")
+        val reply = decodeDoc(body).obj.toMap
+        reply.get("ok") match {
+          case Some(JDouble(1.0)) => ()
+          case _ => throw new IllegalArgumentException(
+            s"insert failed: ${reply.get("errmsg")}")
+        }
+        acknowledged += (reply.get("n") match {
+          case Some(JInt(n)) => n.toLong
+          case Some(JLong(n)) => n
+          case _ => 0L
+        })
+      }
+      val it = df.toLocalIterator()
+      val batch = Seq.newBuilder[Array[Byte]]
+      var nDocs = 0
+      var nBytes = 0L
+      while (it.hasNext) {
+        val doc = graft.bson.BsonBinary.encodeRow(it.next(), schema)
+        batch += doc
+        nDocs += 1; nBytes += doc.length
+        if (nDocs >= maxBatchDocs || nBytes >= maxBatchBytes) {
+          flush(batch.result()); batch.clear(); nDocs = 0; nBytes = 0L
+        }
+      }
+      flush(batch.result())
+    } finally conn.close()
+    acknowledged
+  }
+
+  /** `hello` compressor negotiation + SCRAM-SHA-256 mutual auth on a
+    * freshly dialed connection — shared by every client entry point.
+    * `roundTrip(cmd, mayCompress=false)` must send UNcompressed (the
+    * wire spec forbids compressing handshake/auth commands). Raises if
+    * the server refuses the compressor or the authentication. */
+  private def handshake(roundTrip: (JObject, Boolean) => Array[Byte],
+                        db: String,
+                        credentials: Option[(String, String)],
+                        compress: Boolean, compressor: String): Unit = {
+    if (compress) {
+      val hello = decodeDoc(roundTrip(JObject(List(
+        "hello" -> JInt(1),
+        "compression" -> JArray(List(JString(compressor))),
+        "$db" -> JString(db))), false))
+      val granted = hello.obj.toMap.get("compression") match {
+        case Some(JArray(es)) => es.contains(JString(compressor))
+        case _ => false
+      }
+      if (!granted) throw new IllegalArgumentException(
+        s"server did not negotiate $compressor compression")
+    }
+    credentials.foreach { case (user, password) =>
+      def bin(v: JValue): String = v match {
+        case JObject(List(("$binary", JString(b64)))) =>
+          new String(java.util.Base64.getDecoder.decode(b64), "UTF-8")
+        case other => throw new SecurityException(
+          s"sasl reply payload malformed: $other")
+      }
+      def field(o: JObject, n: String): JValue =
+        o.obj.find(_._1 == n).map(_._2).getOrElse(
+          throw new SecurityException(s"sasl reply missing '$n'"))
+      val cl = new Scram.Client(user, password)
+      val r1 = decodeDoc(roundTrip(JObject(List(
+        "saslStart" -> JInt(1),
+        "mechanism" -> JString("SCRAM-SHA-256"),
+        "payload" -> JObject(List("$binary" -> JString(
+          java.util.Base64.getEncoder.encodeToString(
+            cl.clientFirst.getBytes("UTF-8"))))),
+        "$db" -> JString(db))), false))
+      field(r1, "ok") match {
+        case JDouble(1.0) => ()
+        case _ => throw new SecurityException(
+          s"authentication failed: ${r1.obj.toMap.get("errmsg")}")
+      }
+      val clientFinal = cl.clientFinal(bin(field(r1, "payload")))
+      val r2 = decodeDoc(roundTrip(JObject(List(
+        "saslContinue" -> JInt(1),
+        "conversationId" -> JInt(1),
+        "payload" -> JObject(List("$binary" -> JString(
+          java.util.Base64.getEncoder.encodeToString(
+            clientFinal.getBytes("UTF-8"))))),
+        "$db" -> JString(db))), false))
+      field(r2, "ok") match {
+        case JDouble(1.0) => ()
+        case _ => throw new SecurityException(
+          s"authentication failed: ${r2.obj.toMap.get("errmsg")}")
+      }
+      // verify the SERVER's signature — a fake server without
+      // ServerKey fails here even if it accepted our proof
+      cl.verifyServerFinal(bin(field(r2, "payload")))
+    }
+  }
+
   /** Drive one command's full cursor (handshake, first reply, getMore
     * until id=0 — or ONE exhaust getMore whose reply stream runs until
     * moreToCome clears), landing every raw batch document in a batch
@@ -1017,61 +1255,8 @@ object OpMsg {
           s"responseTo $rto does not match requestID $reqId")
         body
       }
-      // ---- hello: negotiate OP_COMPRESSED zlib (never compressed) ----
-      if (compress) {
-        val hello = decodeDoc(roundTrip(JObject(List(
-          "hello" -> JInt(1),
-          "compression" -> JArray(List(JString(compressor))),
-          "$db" -> JString(db))), mayCompress = false))
-        val granted = hello.obj.toMap.get("compression") match {
-          case Some(JArray(es)) => es.contains(JString(compressor))
-          case _ => false
-        }
-        if (!granted) throw new IllegalArgumentException(
-          s"server did not negotiate $compressor compression")
-        compressOn = true
-      }
-      // ---- SCRAM-SHA-256 handshake (mutual authentication) ----
-      credentials.foreach { case (user, password) =>
-        def bin(v: JValue): String = v match {
-          case JObject(List(("$binary", JString(b64)))) =>
-            new String(java.util.Base64.getDecoder.decode(b64), "UTF-8")
-          case other => throw new SecurityException(
-            s"sasl reply payload malformed: $other")
-        }
-        def field(o: JObject, n: String): JValue =
-          o.obj.find(_._1 == n).map(_._2).getOrElse(
-            throw new SecurityException(s"sasl reply missing '$n'"))
-        val cl = new Scram.Client(user, password)
-        val r1 = decodeDoc(roundTrip(JObject(List(
-          "saslStart" -> JInt(1),
-          "mechanism" -> JString("SCRAM-SHA-256"),
-          "payload" -> JObject(List("$binary" -> JString(
-            java.util.Base64.getEncoder.encodeToString(
-              cl.clientFirst.getBytes("UTF-8"))))),
-          "$db" -> JString(db))), mayCompress = false))
-        field(r1, "ok") match {
-          case JDouble(1.0) => ()
-          case _ => throw new SecurityException(
-            s"authentication failed: ${r1.obj.toMap.get("errmsg")}")
-        }
-        val clientFinal = cl.clientFinal(bin(field(r1, "payload")))
-        val r2 = decodeDoc(roundTrip(JObject(List(
-          "saslContinue" -> JInt(1),
-          "conversationId" -> JInt(1),
-          "payload" -> JObject(List("$binary" -> JString(
-            java.util.Base64.getEncoder.encodeToString(
-              clientFinal.getBytes("UTF-8"))))),
-          "$db" -> JString(db))), mayCompress = false))
-        field(r2, "ok") match {
-          case JDouble(1.0) => ()
-          case _ => throw new SecurityException(
-            s"authentication failed: ${r2.obj.toMap.get("errmsg")}")
-        }
-        // verify the SERVER's signature — a fake server without
-        // ServerKey fails here even if it accepted our proof
-        cl.verifyServerFinal(bin(field(r2, "payload")))
-      }
+      handshake(roundTrip, db, credentials, compress, compressor)
+      compressOn = compress
       val reply0 = roundTrip(firstCmd)
       var (cursorId, docs) = parseCursorReply(reply0)
       docs.foreach(d => os.write(d)); total += docs.size

@@ -1,0 +1,153 @@
+package graft.sources
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+/** The write path over the wire: kind-1 document-sequence sections
+  * (byte-level framing + refusals) and the `insert` command loop —
+  * rows encode to raw BSON client-side, cross as a "documents"
+  * sequence, append server-side through the graftdocs decode. */
+class OpMsgInsertSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  private def emptyStore(): graft.sinks.DocStore =
+    new graft.sinks.DocStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_ins_srv").toString,
+      "graftdocs")
+
+  private def events(n: Int) =
+    graft.api.Graft.table(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .orderBy("event_id").limit(n)
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.orderBy("event_id").collect().toSeq.map(_.json)
+
+  // ---- kind-1 framing -------------------------------------------------------
+
+  test("kind-1 sections: byte layout, round-trip, refusals") {
+    val cmd = OpMsg.encodeDoc(JObject(List(
+      "insert" -> JString("events"), "$db" -> JString("graft"))))
+    val d1 = OpMsg.encodeDoc(JObject(List("a" -> JInt(1))))
+    val d2 = OpMsg.encodeDoc(JObject(List("b" -> JString("two"))))
+    val out = new ByteArrayOutputStream()
+    OpMsg.writeFrame(out, 4, 0, cmd, flags = 0, compress = false,
+      sequences = Seq("documents" -> Seq(d1, d2)))
+    val b = out.toByteArray
+    // the kind-1 section sits after the kind-0 section
+    val k1 = 16 + 4 + 1 + cmd.length
+    assert(b(k1) == 1) // section kind 1
+    def le32(o: Int) = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+      ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+    // size = int32 itself + cstring "documents\0" + the two documents
+    assert(le32(k1 + 1) == 4 + 10 + d1.length + d2.length)
+    val Some(f) = OpMsg.readFrame(new ByteArrayInputStream(b)): @unchecked
+    assert(java.util.Arrays.equals(f.doc, cmd))
+    assert(f.sequences.map(_._1) == Seq("documents"))
+    val docs = f.sequences.head._2
+    assert(docs.length == 2)
+    assert(java.util.Arrays.equals(docs(0), d1))
+    assert(java.util.Arrays.equals(docs(1), d2))
+    // a lying section size refuses
+    val c1 = b.clone(); c1(k1 + 1) = (c1(k1 + 1) + 7).toByte
+    assert(intercept[IllegalArgumentException](OpMsg.readFrame(
+      new ByteArrayInputStream(c1))).getMessage.contains("kind-1"))
+    // an unknown section kind refuses
+    val c2 = b.clone(); c2(k1) = 2
+    assert(intercept[IllegalArgumentException](OpMsg.readFrame(
+      new ByteArrayInputStream(c2))).getMessage.contains("section kind"))
+    // sections survive compression and checksumming
+    val outZ = new ByteArrayOutputStream()
+    OpMsg.writeFrame(outZ, 4, 0, cmd, flags = 0, compress = true,
+      checksum = true, sequences = Seq("documents" -> Seq(d1, d2)))
+    val Some(fz) =
+      OpMsg.readFrame(new ByteArrayInputStream(outZ.toByteArray)): @unchecked
+    assert(fz.wasCompressed && fz.wasChecksummed)
+    assert(fz.sequences.head._2.length == 2)
+  }
+
+  // ---- insert end-to-end ------------------------------------------------------
+
+  test("insert over the wire ≡ the source rows; a second insert appends") {
+    val store = emptyStore()
+    val server = new OpMsg.Server(spark, store)
+    try {
+      val src = events(120)
+      val n = OpMsg.insert(spark, "127.0.0.1", server.port, "graft",
+        "events", src)
+      assert(n == 120)
+      assert(canon(store.read("events")) == canon(src))
+      // append: the same rows again → count doubles
+      val n2 = OpMsg.insert(spark, "127.0.0.1", server.port, "graft",
+        "events", src)
+      assert(n2 == 120 && store.read("events").count() == 240)
+    } finally server.stop()
+  }
+
+  test("batching under maxBatchDocs still lands every row exactly once") {
+    val store = emptyStore()
+    val server = new OpMsg.Server(spark, store)
+    try {
+      val src = events(101)
+      val n = OpMsg.insert(spark, "127.0.0.1", server.port, "graft",
+        "events", src, maxBatchDocs = 17) // 6 insert commands
+      assert(n == 101)
+      assert(canon(store.read("events")) == canon(src))
+    } finally server.stop()
+  }
+
+  test("insert stacks with auth + compression + checksums") {
+    val store = emptyStore()
+    val server = new OpMsg.Server(spark, store,
+      auth = Some(("writer", "wr-pass")))
+    try {
+      val src = events(60)
+      val n = OpMsg.insert(spark, "127.0.0.1", server.port, "graft",
+        "events", src, credentials = Some(("writer", "wr-pass")),
+        compress = true, checksum = true, compressor = "snappy",
+        maxBatchDocs = 25)
+      assert(n == 60)
+      assert(canon(store.read("events")) == canon(src))
+      // and the round trip composes with a wire READ of what we wrote
+      val back = OpMsg.find(spark, "127.0.0.1", server.port, "graft",
+        "events", credentials = Some(("writer", "wr-pass")))
+      assert(canon(back) == canon(src))
+    } finally server.stop()
+  }
+
+  test("legacy documents-array form and refusals") {
+    val store = emptyStore()
+    val server = new OpMsg.Server(spark, store)
+    try {
+      val conn = new java.net.Socket("127.0.0.1", server.port)
+      try {
+        val out = conn.getOutputStream
+        // documents as a BSON array inside the command document
+        OpMsg.writeMessage(out, 1, 0, OpMsg.encodeDoc(JObject(List(
+          "insert" -> JString("tiny"),
+          "documents" -> JArray(List(
+            JObject(List("x" -> JInt(1), "s" -> JString("one"))),
+            JObject(List("x" -> JInt(2), "s" -> JString("two"))))),
+          "$db" -> JString("graft")))))
+        val Some((_, _, reply)) =
+          OpMsg.readMessage(conn.getInputStream): @unchecked
+        val r = OpMsg.decodeDoc(reply).obj.toMap
+        assert(r("ok") == JDouble(1.0) && r("n") == JInt(2))
+        assert(store.read("tiny").count() == 2)
+        // no documents at all → loud error
+        OpMsg.writeMessage(out, 2, 0, OpMsg.encodeDoc(JObject(List(
+          "insert" -> JString("tiny"), "$db" -> JString("graft")))))
+        val Some((_, _, reply2)) =
+          OpMsg.readMessage(conn.getInputStream): @unchecked
+        val r2 = OpMsg.decodeDoc(reply2).obj.toMap
+        assert(r2("ok") == JDouble(0.0))
+        assert(r2("errmsg").asInstanceOf[JString].s.contains("documents"))
+      } finally conn.close()
+    } finally server.stop()
+  }
+}
