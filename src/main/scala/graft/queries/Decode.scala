@@ -330,6 +330,38 @@ object Decode {
               WHERE c_acctbal > 2000.0
               GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    // Parallel cursors over OP_MSG (the reference's thread-pool
+    // raw-batch read on authentic framing): splitVector plans key
+    // ranges, one full find → getMore cursor per range runs
+    // concurrently, all landed batches decode through ONE graftdocs
+    // scan. Half-open ranges share endpoints, so the union is exactly
+    // the filtered collection; the oracle replays the predicate.
+    QueryDef("q_wire_opmsg_parallel",
+      (s, dir) => {
+        val store = new graft.sinks.DocStore(s,
+          java.nio.file.Files.createTempDirectory("graft_opmsgpq").toString,
+          "graftdocs")
+        store.write(Graft.table(s, dir, "customer")
+          .select("c_custkey", "c_mktsegment", "c_acctbal"), "customer")
+        val server = new graft.sources.OpMsg.Server(s, store)
+        try {
+          graft.sources.OpMsg.findParallel(s, "127.0.0.1", server.port,
+            "graft", "customer", splitKey = "c_custkey", numSplits = 4,
+            filters = Seq(org.apache.spark.sql.sources.GreaterThan("c_acctbal", 0.0)),
+            batchSize = 128)
+            .groupBy(col("c_mktsegment"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+                .cast(org.apache.spark.sql.types.DoubleType).as("sum_bal"))
+            .orderBy("c_mktsegment")
+        } finally server.stop()
+      },
+      Some("""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+              FROM customer
+              WHERE c_acctbal > 0.0
+              GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
     // Parallel-cursor wire read (LIVE_CONNECTOR.md item 3, reference
     // api.py:181-199 thread-pool cursors): the client plans key ranges
     // from server-side quantiles, sends one find per range (the range

@@ -628,6 +628,31 @@ final class DocStore(val spark: SparkSession, val dir: String,
       withSchema.load(p)
     }
 
+  /** Append a raw graftdocs batch file (concatenated BSON documents)
+    * to a collection IN PLACE — the mongod-append twin behind the wire
+    * `insert` command. NO Spark job runs here: the bytes land as one
+    * new batch file through a hidden-rename commit (readers never see
+    * a partial file), visible to the next read immediately. Collections
+    * with a declared `_graft_schema.json` decode the new file under
+    * that schema (unknown incoming fields are not projected — use
+    * [[write]] to widen a schema); append-created collections read by
+    * inference. graftdocs layouts only, and not for hive-partitioned
+    * collections (the file lands at the collection root). */
+  def appendRaw(name: String, docs: Array[Byte]): Unit = {
+    require(format != "parquet", "appendRaw needs a graftdocs layout")
+    require(docs.nonEmpty, "appendRaw with an empty batch")
+    requireNoDeadHistory(name)
+    val target = new Path(path(name))
+    val f = fs
+    if (!f.exists(target)) f.mkdirs(target): Unit
+    val nanos = System.nanoTime()
+    val tmp = new Path(target, s".graft_tmp_insert_$nanos")
+    val out = f.create(tmp, true)
+    try out.write(docs) finally out.close()
+    if (!f.rename(tmp, new Path(target, s"insert_$nanos.bson")))
+      throw new IllegalStateException(s"append commit failed for '$name'")
+  }
+
   /** Write `df` as collection `name`, replacing any prior contents via
     * the staged swap described above. `tags` are committed atomically
     * with the contents (see [[readTag]]). A non-empty `partitionBy`

@@ -899,17 +899,13 @@ object OpMsg {
           }
           if (docs.isEmpty) throw new IllegalArgumentException(
             "insert with an empty documents sequence")
-          val dir = java.nio.file.Files.createTempDirectory("graft_ins")
-          val file = dir.resolve("batch.bson")
-          val os = java.nio.file.Files.newOutputStream(file)
-          try docs.foreach(d => os.write(d)) finally os.close()
-          val incoming = spark.read.format("graftdocs").load(dir.toString)
-          val merged =
-            if (store.exists(coll))
-              store.read(coll).unionByName(incoming,
-                allowMissingColumns = true)
-            else incoming
-          store.write(merged, coll)
+          // mongod-append shape: the raw batch commits as ONE new
+          // graftdocs file (hidden rename) — no Spark job runs inside
+          // the handler, so concurrent per-partition inserts can never
+          // starve the scheduler, and appends are trivially lossless
+          val bytes = new ByteArrayOutputStream(docs.map(_.length).sum)
+          docs.foreach(d => bytes.write(d, 0, d.length))
+          store.appendRaw(coll, bytes.toByteArray)
           return encodeDoc(JObject(List(
             "n" -> JInt(docs.size), "ok" -> JDouble(1.0))))
         case _ => ()
@@ -939,6 +935,32 @@ object OpMsg {
         }
       // aggregate: the pipeline runs through the engine's own compiler,
       // $lookup/$unionWith resolve against the store's collections
+      // splitVector (the command a sharding-aware client uses to plan
+      // parallel cursors): quantile split points for a key, so the
+      // client can open one range-bounded cursor per partition
+      fields.get("splitVector") match {
+        case Some(JString(coll)) =>
+          val key = fields.get("key") match {
+            case Some(JString(k)) => k
+            case other => throw new IllegalArgumentException(
+              s"splitVector needs a string 'key', got $other")
+          }
+          val n = fields.get("n") match {
+            case Some(JInt(i)) => i.toInt
+            case Some(JLong(l)) => l.toInt
+            case _ => 0
+          }
+          if (n < 2) throw new IllegalArgumentException(
+            "splitVector needs n >= 2")
+          val bounds = store.read(coll).stat
+            .approxQuantile(key, (1 until n).map(_.toDouble / n).toArray,
+              0.001)
+            .distinct.sorted
+          return encodeDoc(JObject(List(
+            "splitKeys" -> JArray(bounds.toList.map(JDouble.apply)),
+            "ok" -> JDouble(1.0))))
+        case _ => ()
+      }
       fields.get("aggregate") match {
         case Some(JString(coll)) =>
           val pipelineJson = fields.get("pipeline") match {
@@ -1087,9 +1109,46 @@ object OpMsg {
              compress: Boolean = false, checksum: Boolean = false,
              compressor: String = "zlib",
              maxBatchDocs: Int = 100000,
-             maxBatchBytes: Long = 16L * 1024 * 1024): Long = {
+             maxBatchBytes: Long = 16L * 1024 * 1024,
+             perPartition: Boolean = false): Long = {
     require(maxBatchDocs > 0 && maxBatchBytes > 0, "positive batch limits")
     val schema = df.schema
+    if (perPartition) {
+      // the 100 TB shape: each Spark partition dials its OWN connection
+      // and streams its rows (the reference's thread-pool writes, but
+      // executor-distributed) — no driver-side row funnel
+      df.rdd.mapPartitions { rows =>
+        Iterator(if (rows.hasNext)
+          insertIterator(host, port, db, coll, rows, schema, credentials,
+            tls, compress, checksum, compressor, maxBatchDocs,
+            maxBatchBytes)
+        else 0L)
+      }.fold(0L)(_ + _)
+    } else {
+      // driver-side single connection: bounded memory via toLocalIterator
+      val jit = df.toLocalIterator()
+      val rows = new Iterator[org.apache.spark.sql.Row] {
+        def hasNext: Boolean = jit.hasNext
+        def next(): org.apache.spark.sql.Row = jit.next()
+      }
+      insertIterator(host, port, db, coll, rows, schema, credentials, tls,
+        compress, checksum, compressor, maxBatchDocs, maxBatchBytes)
+    }
+  }
+
+  /** One connection's insert loop: handshake, then batched insert
+    * commands with kind-1 "documents" sequences. Runs on the driver or
+    * inside an executor task (perPartition). */
+  private def insertIterator(host: String, port: Int, db: String,
+                             coll: String,
+                             rows: Iterator[org.apache.spark.sql.Row],
+                             schema: org.apache.spark.sql.types.StructType,
+                             credentials: Option[(String, String)],
+                             tls: Option[(String, String)],
+                             compress: Boolean, checksum: Boolean,
+                             compressor: String,
+                             maxBatchDocs: Int,
+                             maxBatchBytes: Long): Long = {
     val conn = clientSocket(host, port, tls)
     var acknowledged = 0L
     try {
@@ -1136,12 +1195,11 @@ object OpMsg {
           case _ => 0L
         })
       }
-      val it = df.toLocalIterator()
       val batch = Seq.newBuilder[Array[Byte]]
       var nDocs = 0
       var nBytes = 0L
-      while (it.hasNext) {
-        val doc = graft.bson.BsonBinary.encodeRow(it.next(), schema)
+      while (rows.hasNext) {
+        val doc = graft.bson.BsonBinary.encodeRow(rows.next(), schema)
         batch += doc
         nDocs += 1; nBytes += doc.length
         if (nDocs >= maxBatchDocs || nBytes >= maxBatchBytes) {
@@ -1151,6 +1209,127 @@ object OpMsg {
       flush(batch.result())
     } finally conn.close()
     acknowledged
+  }
+
+  /** splitVector over OP_MSG: quantile split points for `key`, the
+    * planning round trip behind [[findParallel]]. */
+  def splitBounds(host: String, port: Int, db: String, coll: String,
+                  key: String, numSplits: Int,
+                  credentials: Option[(String, String)] = None,
+                  tls: Option[(String, String)] = None): Seq[Double] = {
+    val conn = clientSocket(host, port, tls)
+    try {
+      val cin = new BufferedInputStream(conn.getInputStream, 1 << 16)
+      val cout = new BufferedOutputStream(conn.getOutputStream, 1 << 16)
+      var reqId = 0
+      def roundTrip(cmd: JObject, mayCompress: Boolean): Array[Byte] = {
+        reqId += 1
+        writeFrame(cout, reqId, 0, encodeDoc(cmd), flags = 0,
+          compress = false)
+        val (_, rto, body) = readMessage(cin).getOrElse(
+          throw new EOFException("server closed the connection"))
+        if (rto != reqId) throw new IllegalStateException(
+          s"responseTo $rto does not match requestID $reqId")
+        body
+      }
+      handshake(roundTrip, db, credentials, compress = false, "zlib")
+      val reply = decodeDoc(roundTrip(JObject(List(
+        "splitVector" -> JString(coll),
+        "key" -> JString(key),
+        "n" -> JInt(numSplits),
+        "$db" -> JString(db))), true)).obj.toMap
+      reply.get("ok") match {
+        case Some(JDouble(1.0)) => ()
+        case _ => throw new IllegalArgumentException(
+          s"splitVector failed: ${reply.get("errmsg")}")
+      }
+      reply.get("splitKeys") match {
+        case Some(JArray(es)) => es.map {
+          case JDouble(d) => d
+          case JInt(i) => i.toDouble
+          case JLong(l) => l.toDouble
+          case other => throw new IllegalArgumentException(
+            s"splitKeys carries a non-numeric bound: $other")
+        }
+        case other => throw new IllegalArgumentException(
+          s"splitVector reply missing splitKeys: $other")
+      }
+    } finally conn.close()
+  }
+
+  /** Parallel-cursor `find` over OP_MSG — the reference's thread-pool
+    * raw-batch read (api.py:181-199) on authentic framing: plan
+    * half-open key ranges from server-side quantiles (splitVector),
+    * drive ONE full find → getMore cursor per range concurrently, land
+    * every range's batches in one directory, decode through a single
+    * graftdocs scan (one Spark partition per landed batch file), and
+    * re-apply residuals client-side. Ranges share endpoints, so their
+    * union is exactly the filtered collection. */
+  def findParallel(spark: SparkSession, host: String, port: Int, db: String,
+                   coll: String, splitKey: String, numSplits: Int,
+                   filters: Seq[Filter] = Seq.empty,
+                   limit: Option[Int] = None, batchSize: Int = 101,
+                   credentials: Option[(String, String)] = None,
+                   tls: Option[(String, String)] = None,
+                   compress: Boolean = false, checksum: Boolean = false,
+                   compressor: String = "zlib"): DataFrame = {
+    require(numSplits >= 1, s"numSplits must be >= 1, got $numSplits")
+    val bounds =
+      if (numSplits == 1) Seq.empty
+      else splitBounds(host, port, db, coll, splitKey, numSplits,
+        credentials, tls)
+    if (bounds.isEmpty)
+      return find(spark, host, port, db, coll, filters, limit, batchSize,
+        credentials, tls, compress = compress, checksum = checksum,
+        compressor = compressor)
+    import org.apache.spark.sql.sources._
+    val ranges: Seq[Filter] = {
+      val first: Filter =
+        Or(IsNull(splitKey), LessThan(splitKey, bounds.head))
+      val mids = bounds.sliding(2).collect { case Seq(lo, hi) =>
+        And(GreaterThanOrEqual(splitKey, lo),
+          LessThan(splitKey, hi)): Filter
+      }.toSeq
+      val lastR: Filter = GreaterThanOrEqual(splitKey, bounds.last)
+      (first +: mids) :+ lastR
+    }
+    val (_, residual) = FilterTranslator.translateAll(filters)
+    val dir = java.nio.file.Files.createTempDirectory("graft_opmsgp")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(ranges.size, 8))
+    var total = 0L
+    try {
+      val futs = ranges.zipWithIndex.map { case (r, i) =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = {
+            // ranges are always translatable, so the residual set is
+            // identical across cursors — re-applied once, below
+            val (mqlDoc, _) = FilterTranslator.translateAll(filters :+ r)
+            val cmd = JObject(List(
+              "find" -> JString(coll),
+              "filter" -> mqlDoc,
+              "batchSize" -> JInt(batchSize),
+              "$db" -> JString(db)))
+            val (d, n) = cursorFetch(host, port, db, coll, cmd, batchSize,
+              credentials, tls, compress = compress, checksum = checksum,
+              compressor = compressor)
+            // move the landed batch file under the shared directory —
+            // one file per cursor, one Spark partition per file
+            if (n > 0)
+              java.nio.file.Files.move(d.resolve("batches.bson"),
+                dir.resolve(f"batch-$i%05d.bson")): Unit
+            n
+          }
+        })
+      }
+      total = futs.map(_.get()).sum
+    } finally pool.shutdown()
+    val decoded =
+      if (total == 0) spark.emptyDataFrame
+      else spark.read.format("graftdocs").load(dir.toString)
+    val filtered = residual.foldLeft(decoded)((df, f) =>
+      df.where(DocWire.filterToColumn(f)))
+    limit.map(filtered.limit).getOrElse(filtered)
   }
 
   /** `hello` compressor negotiation + SCRAM-SHA-256 mutual auth on a

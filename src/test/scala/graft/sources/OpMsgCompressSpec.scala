@@ -156,6 +156,48 @@ class OpMsgCompressSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("frame fuzz: 120 random (doc, sequences, compressor, checksum) " +
+       "frames round-trip bit-exactly") {
+    val rnd = new scala.util.Random(7)
+    def randDoc(depth: Int): JObject = JObject(
+      (0 until (1 + rnd.nextInt(5))).toList.map { i =>
+        val v: JValue = rnd.nextInt(if (depth > 0) 7 else 6) match {
+          case 0 => JInt(rnd.nextInt())
+          case 1 => JLong(rnd.nextLong())
+          case 2 => JDouble(rnd.nextInt(1000) / 8.0)
+          case 3 => JString(rnd.alphanumeric.take(rnd.nextInt(30)).mkString)
+          case 4 => JBool(rnd.nextBoolean())
+          case 5 => JNull
+          case _ => randDoc(depth - 1)
+        }
+        s"f$i" -> v
+      })
+    (1 to 120).foreach { n =>
+      val doc = OpMsg.encodeDoc(randDoc(2))
+      val seqs = (0 until rnd.nextInt(3)).map(j =>
+        s"seq$j" -> (0 until rnd.nextInt(4)).map(_ =>
+          OpMsg.encodeDoc(randDoc(1))))
+      val compress = rnd.nextBoolean()
+      val compressor = if (rnd.nextBoolean()) OpMsg.CompressorZlib
+                       else OpMsg.CompressorSnappy
+      val checksum = rnd.nextBoolean()
+      val out = new ByteArrayOutputStream()
+      OpMsg.writeFrame(out, n, n * 7, doc, flags = 0, compress = compress,
+        checksum = checksum, compressor = compressor, sequences = seqs)
+      val Some(f) = OpMsg.readFrame(
+        new ByteArrayInputStream(out.toByteArray)): @unchecked
+      assert(f.requestId == n && f.responseTo == n * 7)
+      assert(f.wasCompressed == compress && f.wasChecksummed == checksum)
+      assert(java.util.Arrays.equals(f.doc, doc), s"draw $n doc")
+      assert(f.sequences.map(_._1) == seqs.map(_._1), s"draw $n idents")
+      f.sequences.zip(seqs).foreach { case ((_, got), (_, want)) =>
+        assert(got.length == want.length)
+        got.zip(want).foreach { case (g, w) =>
+          assert(java.util.Arrays.equals(g, w), s"draw $n seq doc") }
+      }
+    }
+  }
+
   // ---- negotiation ---------------------------------------------------------
 
   test("compressed find ≡ local scan; compression is negotiated; " +

@@ -101,6 +101,21 @@ class OpMsgInsertSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("perPartition insert: one connection per Spark partition, " +
+       "concurrent appends never lose a batch") {
+    val store = emptyStore()
+    val server = new OpMsg.Server(spark, store)
+    try {
+      val src = events(150).repartition(5)
+      val n = OpMsg.insert(spark, "127.0.0.1", server.port, "graft",
+        "events", src, maxBatchDocs = 20, perPartition = true)
+      assert(n == 150)
+      // every row landed exactly once despite 5 concurrent writers
+      assert(canon(store.read("events")) ==
+        canon(events(150)))
+    } finally server.stop()
+  }
+
   test("insert stacks with auth + compression + checksums") {
     val store = emptyStore()
     val server = new OpMsg.Server(spark, store,
@@ -117,6 +132,60 @@ class OpMsgInsertSpec extends AnyFunSuite {
       val back = OpMsg.find(spark, "127.0.0.1", server.port, "graft",
         "events", credentials = Some(("writer", "wr-pass")))
       assert(canon(back) == canon(src))
+    } finally server.stop()
+  }
+
+  // ---- parallel cursors over OP_MSG -----------------------------------------
+
+  test("splitVector plans sorted interior bounds; findParallel over " +
+       "several cursors equals the local scan (with residuals + limit)") {
+    val store = emptyStore()
+    val full = graft.api.Graft.table(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    store.write(full, "events")
+    val server = new OpMsg.Server(spark, store)
+    try {
+      val bounds = OpMsg.splitBounds("127.0.0.1", server.port, "graft",
+        "events", "event_id", 4)
+      assert(bounds.length <= 3 && bounds.nonEmpty)
+      assert(bounds == bounds.sorted)
+      // parallel read, translatable filter only
+      val wire = OpMsg.findParallel(spark, "127.0.0.1", server.port,
+        "graft", "events", splitKey = "event_id", numSplits = 4,
+        filters = Seq(org.apache.spark.sql.sources.GreaterThan("value", 0.2)))
+      val local = store.read("events").where(col("value") > 0.2)
+      assert(canon(wire) == canon(local))
+      // several landed batch files → several Spark partitions
+      assert(wire.rdd.getNumPartitions >= 2)
+      // residual (untranslatable) filters re-apply client-side; limit
+      // stays client-side when residuals exist
+      val withResidual = OpMsg.findParallel(spark, "127.0.0.1", server.port,
+        "graft", "events", splitKey = "event_id", numSplits = 3,
+        filters = Seq(
+          org.apache.spark.sql.sources.StringContains("event_type", "ic"),
+          org.apache.spark.sql.sources.GreaterThan("value", 0.1)),
+        limit = Some(10))
+      val localR = store.read("events")
+        .where(col("event_type").contains("ic") && col("value") > 0.1)
+      assert(withResidual.count() == math.min(10, localR.count()))
+      // numSplits = 1 degrades to the single-cursor find
+      val one = OpMsg.findParallel(spark, "127.0.0.1", server.port,
+        "graft", "events", splitKey = "event_id", numSplits = 1)
+      assert(canon(one) == canon(store.read("events")))
+    } finally server.stop()
+  }
+
+  test("parallel cursors stack with auth + compression") {
+    val store = emptyStore()
+    store.write(events(200), "events")
+    val server = new OpMsg.Server(spark, store,
+      auth = Some(("reader", "rd-pass")))
+    try {
+      val wire = OpMsg.findParallel(spark, "127.0.0.1", server.port,
+        "graft", "events", splitKey = "event_id", numSplits = 3,
+        credentials = Some(("reader", "rd-pass")),
+        compress = true, compressor = "snappy", checksum = true)
+      assert(canon(wire) == canon(store.read("events")))
     } finally server.stop()
   }
 

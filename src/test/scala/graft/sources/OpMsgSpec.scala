@@ -78,10 +78,15 @@ class OpMsgSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](OpMsg.readMessage(
       new ByteArrayInputStream(mutated(16, 1))))
       .getMessage.contains("CRC-32C"))
-    // section kind 1 refused
+    // unknown section kind refused (kind 1 is now spoken — its rows
+    // live in OpMsgInsertSpec); a kind-1-only message refuses too,
+    // because a valid OP_MSG needs exactly one kind-0 body section
+    assert(intercept[IllegalArgumentException](OpMsg.readMessage(
+      new ByteArrayInputStream(mutated(20, 5))))
+      .getMessage.contains("section kind"))
     assert(intercept[IllegalArgumentException](OpMsg.readMessage(
       new ByteArrayInputStream(mutated(20, 1))))
-      .getMessage.contains("section kind"))
+      .getMessage.contains("kind-1"))
   }
 
   test("command BSON round-trips, including dates and nesting") {

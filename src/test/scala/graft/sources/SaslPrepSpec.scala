@@ -53,6 +53,27 @@ class SaslPrepSpec extends AnyFunSuite {
       .getMessage.contains("empty"))
   }
 
+  test("idempotence: prepare(prepare(x)) == prepare(x) over 400 draws") {
+    val rnd = new scala.util.Random(11)
+    // mixed alphabet: plain ASCII, mapped-to-nothing, non-ASCII space,
+    // NFKC-unstable compatibility chars, combining marks
+    val alphabet = ("abcXYZ09.,;!" + "\u00AD\u200B" + "\u00A0\u2000" +
+      "\u00AA\u2168\uFB01" + "\u0301\u0308").toCharArray
+    var prepared = 0
+    (1 to 400).foreach { _ =>
+      val s = Array.fill(1 + rnd.nextInt(12))(
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+      val once =
+        try Some(SaslPrep.prepare(s))
+        catch { case _: IllegalArgumentException => None }
+      once.foreach { p =>
+        prepared += 1
+        assert(SaslPrep.prepare(p) == p, s"not idempotent on '$s'")
+      }
+    }
+    assert(prepared > 100, s"fixture alphabet too hostile: $prepared")
+  }
+
   // ---- SCRAM integration ---------------------------------------------------
 
   private def converse(client: Scram.Client, server: Scram.Server): Unit = {
