@@ -394,6 +394,49 @@ object Decode {
               WHERE c_acctbal > 0.0
               GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    // the DSv2 wire connector (format "graftwire"): partition-per-
+    // cursor planning (splitVector quantiles → one find→getMore cursor
+    // PER SPARK TASK), Catalyst filters translated to one MQL document
+    // evaluated server-side, column pruning as the find projection,
+    // direct BSON→vector decode — the production Mongo↔Spark bridge
+    // shape end-to-end on authentic framing. Oracle replays the
+    // predicate aggregate on the source table.
+    QueryDef("q_wire_source",
+      (s, dir) => {
+        val store = new graft.sinks.DocStore(s,
+          java.nio.file.Files.createTempDirectory("graft_wsrcq").toString,
+          "graftdocs")
+        store.write(Graft.table(s, dir, "customer")
+          .select("c_custkey", "c_mktsegment", "c_acctbal"), "customer")
+        // preload: one cursor sits in EVERY Spark task; the same-JVM
+        // stand-in serves finds from LocalRelations, never a Spark job
+        val server = new graft.sources.OpMsg.Server(s, store, preload = true)
+        try {
+          val out = s.read.format("graftwire")
+            .option("host", "127.0.0.1").option("port", server.port)
+            .option("collection", "customer")
+            .option("splitKey", "c_custkey").option("numSplits", 4)
+            .load()
+            .where(col("c_acctbal") > 1000.0)
+            .groupBy(col("c_mktsegment"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+                .cast(org.apache.spark.sql.types.DoubleType).as("sum_bal"))
+            .orderBy("c_mktsegment")
+          // graftwire scans lazily (cursors open at execution) — run the
+          // wire interaction NOW so the server can die with the fixture
+          val rows = out.collect().toSeq
+          s.createDataFrame(
+            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava,
+            out.schema)
+        } finally server.stop()
+      },
+      Some("""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+              FROM customer
+              WHERE c_acctbal > 1000.0
+              GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
     // SQL-catalog loop: the same document collection resolved through
     // the GraftCatalog TableCatalog (spark.sql over `<cat>.<coll>` —
     // the session-catalog twin of the reference's database[collection]

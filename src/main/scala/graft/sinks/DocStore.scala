@@ -53,6 +53,19 @@ final class DocStore(val spark: SparkSession, val dir: String,
 
   def exists(name: String): Boolean = fs.exists(new Path(path(name)))
 
+  /** Names of the store's live collections (visible directories/files
+    * under the root; staging, aside, and version dirs excluded). */
+  def collections(): Seq[String] = {
+    val root = new Path(dir)
+    val f = fs
+    if (!f.exists(root)) return Seq.empty
+    f.listStatus(root).toSeq
+      .map(_.getPath.getName)
+      .filterNot(n => n.startsWith(".") || n.startsWith("_"))
+      .map(n => if (n.endsWith(".parquet")) n.dropRight(8) else n)
+      .sorted
+  }
+
   /** Read a collection; graftdocs layouts use the `_graft_schema.json`
     * sidecar written at commit time, so the read is schema-exact (no
     * inference drift on empty/partial collections). */

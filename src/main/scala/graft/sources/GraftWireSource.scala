@@ -1,0 +1,258 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.ColumnarBatch
+import org.json4s._
+
+import graft.mql.FilterTranslator
+
+/** `graftwire`: the live connector as a first-class DSv2 batch source —
+  * the shape a production MongoDB↔Spark bridge takes (the reference is
+  * that bridge's columnar core; its api.py client loop becomes a Spark
+  * scan here):
+  *
+  *   spark.read.format("graftwire")
+  *     .option("host", h).option("port", p).option("collection", c)
+  *     .option("splitKey", "key").option("numSplits", 8)
+  *     .load().where(...).select(...)
+  *
+  * Scale shape — this is the 1000-executor design, tested on loopback:
+  *  - PARTITION = CURSOR: the driver plans key ranges once (splitVector
+  *    quantiles), then EACH TASK dials its own connection and drives a
+  *    full find → getMore cursor for its range. No driver funnel, no
+  *    shared socket; adding executors adds cursors.
+  *  - FILTER PUSHDOWN over the wire: Catalyst filters translate to ONE
+  *    MQL document (FilterTranslator — kept-row-set equivalence is
+  *    property-pinned), evaluated server-side; untranslatable shapes
+  *    stay Spark-side residuals. The pushed document is visible in
+  *    `explain` as `PushedMqlFilter`.
+  *  - COLUMN PRUNING over the wire: the required schema becomes the
+  *    find command's include-projection, so unprojected columns never
+  *    cross the network (reference api.py:172-173's projection
+  *    synthesis, server side).
+  *  - COLUMNAR DECODE: each task lands its cursor's raw BSON batches
+  *    and streams them through the direct bytes→vectors reader
+  *    ([[BsonColumnarReader]]) — no row materialization, no tree.
+  *  - The transport options compose: SCRAM credentials, TLS, zlib or
+  *    snappy compression, CRC-32C checksums, exhaust streaming.
+  *
+  * Options: host (required), collection (required), port (required),
+  * database (default "graft"), batchSize (default 1000), splitKey +
+  * numSplits (parallel cursors; omit for one cursor), user + password,
+  * tlsKeystore + tlsPassword, compressor ("zlib"/"snappy" — enables
+  * compression), checksum (bool), exhaust (bool), inferDocs (schema
+  * sample size, default 500). */
+class GraftWireSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graftwire"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val c = GraftWireSource.connOf(options)
+    val sample = Option(options.get("inferDocs")).map(_.toInt).getOrElse(500)
+    require(sample > 0, "graftwire: inferDocs must be positive")
+    // one bounded cursor; the landed docs infer through the normal
+    // graftdocs machinery (first-non-null, int widening, null catch-up)
+    OpMsg.find(org.apache.spark.sql.SparkSession.active,
+      c.host, c.port, c.db, c.coll, limit = Some(sample),
+      batchSize = math.min(sample, c.batchSize),
+      credentials = c.credentials, tls = c.tls,
+      compress = c.compress, checksum = c.checksum,
+      compressor = c.compressor).schema
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new GraftWireTable(schema,
+      new CaseInsensitiveStringMap(properties))
+}
+
+private[sources] object GraftWireSource {
+  final case class Conn(host: String, port: Int, db: String, coll: String,
+                        batchSize: Int,
+                        credentials: Option[(String, String)],
+                        tls: Option[(String, String)],
+                        compress: Boolean, compressor: String,
+                        checksum: Boolean, exhaust: Boolean)
+    extends Serializable
+
+  def connOf(options: CaseInsensitiveStringMap): Conn = {
+    def req(k: String): String = Option(options.get(k)).getOrElse(
+      throw new IllegalArgumentException(s"graftwire: option '$k' is required"))
+    val user = Option(options.get("user"))
+    val password = Option(options.get("password"))
+    require(user.isDefined == password.isDefined,
+      "graftwire: user and password must be set together")
+    val store = Option(options.get("tlsKeystore"))
+    val storePw = Option(options.get("tlsPassword"))
+    require(store.isDefined == storePw.isDefined,
+      "graftwire: tlsKeystore and tlsPassword must be set together")
+    val compressor = Option(options.get("compressor"))
+    Conn(
+      host = req("host"),
+      port = req("port").toInt,
+      db = Option(options.get("database")).getOrElse("graft"),
+      coll = req("collection"),
+      batchSize = Option(options.get("batchSize")).map(_.toInt).getOrElse(1000),
+      credentials = user.zip(password),
+      tls = store.zip(storePw),
+      compress = compressor.isDefined,
+      compressor = compressor.getOrElse("zlib"),
+      checksum = Option(options.get("checksum")).exists(_.toBoolean),
+      exhaust = Option(options.get("exhaust")).exists(_.toBoolean))
+  }
+}
+
+private[sources] class GraftWireTable(tableSchema: StructType,
+                                      options: CaseInsensitiveStringMap)
+  extends Table with SupportsRead {
+  private val c = GraftWireSource.connOf(options)
+  override def name(): String = s"graftwire(${c.db}.${c.coll})"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftWireScanBuilder(tableSchema,
+      if (opts.isEmpty) options else opts)
+}
+
+private[sources] class GraftWireScanBuilder(fullSchema: StructType,
+                                            options: CaseInsensitiveStringMap)
+  extends ScanBuilder with SupportsPushDownFilters
+  with SupportsPushDownRequiredColumns {
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // translated conjuncts run server-side with the engine's own MQL
+    // semantics (kept-row-set ≡ Catalyst, FilterTranslatorSpec);
+    // untranslatable shapes return to Spark as residuals
+    val (_, residual) = FilterTranslator.translateAll(filters.toSeq)
+    pushed = filters.filterNot(residual.contains)
+    residual.toArray
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    val names = requiredSchema.fieldNames.toSet
+    required = StructType(fullSchema.fields.filter(f => names(f.name)))
+  }
+
+  override def build(): Scan =
+    new GraftWireScan(required, pushed.toSeq, options)
+}
+
+private[sources] class GraftWireScan(required: StructType,
+                                     pushed: Seq[Filter],
+                                     options: CaseInsensitiveStringMap)
+  extends Scan with Batch {
+  private val c = GraftWireSource.connOf(options)
+  private val splitKey = Option(options.get("splitKey"))
+  private val numSplits =
+    Option(options.get("numSplits")).map(_.toInt).getOrElse(4)
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  private lazy val pushedDoc: String =
+    FilterTranslator.render(FilterTranslator.translateAll(pushed)._1)
+
+  /** One rendered MQL filter document per planned cursor. */
+  private lazy val cursorDocs: Seq[String] = {
+    val bounds = splitKey match {
+      case Some(k) if numSplits > 1 =>
+        OpMsg.splitBounds(c.host, c.port, c.db, c.coll, k, numSplits,
+          c.credentials, c.tls)
+      case _ => Seq.empty
+    }
+    if (bounds.isEmpty) Seq(pushedDoc)
+    else {
+      import org.apache.spark.sql.sources._
+      val k = splitKey.get
+      val first: Filter = Or(IsNull(k), LessThan(k, bounds.head))
+      val mids = bounds.sliding(2).collect { case Seq(lo, hi) =>
+        And(GreaterThanOrEqual(k, lo), LessThan(k, hi)): Filter
+      }.toSeq
+      val lastR: Filter = GreaterThanOrEqual(k, bounds.last)
+      ((first +: mids) :+ lastR).map { r =>
+        FilterTranslator.render(
+          FilterTranslator.translateAll(pushed :+ r)._1)
+      }
+    }
+  }
+
+  override def description(): String = {
+    val proj = required.fieldNames.mkString(",")
+    s"graftwire(${c.db}.${c.coll}), PushedMqlFilter: $pushedDoc, " +
+      s"cursors: ${cursorDocs.size}, projection: [$proj]"
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    cursorDocs.map(doc =>
+      GraftWirePartition(c, doc, required.fieldNames.toSeq): InputPartition
+    ).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftWireReaderFactory(required)
+}
+
+private[sources] case class GraftWirePartition(
+    conn: GraftWireSource.Conn, filterJson: String,
+    projection: Seq[String]) extends InputPartition
+
+private[sources] class GraftWireReaderFactory(required: StructType)
+  extends PartitionReaderFactory {
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = true
+
+  override def createReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
+    throw new UnsupportedOperationException(
+      "graftwire reads are columnar")
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[ColumnarBatch] = {
+    val p = partition.asInstanceOf[GraftWirePartition]
+    val c = p.conn
+    // drive this partition's full cursor; batches land in a task-local
+    // file and stream through the direct BSON→vector decoder
+    val filterDoc = graft.mql.Mql.parse(p.filterJson) match {
+      case o: JObject => o
+      case other => throw new IllegalStateException(
+        s"graftwire partition filter is not a document: $other")
+    }
+    val cmd = JObject(List(
+      "find" -> JString(c.coll),
+      "filter" -> filterDoc) ++
+      (if (p.projection.nonEmpty)
+        List("projection" -> JObject(
+          p.projection.toList.map(_ -> JInt(1))))
+      else Nil) ++
+      List("batchSize" -> JInt(c.batchSize), "$db" -> JString(c.db)))
+    val (dir, total) = OpMsg.cursorFetch(c.host, c.port, c.db, c.coll, cmd,
+      c.batchSize, c.credentials, c.tls, compress = c.compress,
+      exhaust = c.exhaust, checksum = c.checksum, compressor = c.compressor)
+    if (total == 0) {
+      new PartitionReader[ColumnarBatch] {
+        override def next(): Boolean = false
+        override def get(): ColumnarBatch =
+          throw new IllegalStateException("empty partition")
+        override def close(): Unit = ()
+      }
+    } else {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(conf)
+      val fsIn = fs.open(new org.apache.hadoop.fs.Path(
+        dir.resolve("batches.bson").toString))
+      new BsonColumnarReader(fsIn, required, strict = false)
+    }
+  }
+}

@@ -633,7 +633,26 @@ object OpMsg {
                      db: String = "graft",
                      auth: Option[(String, String)] = None,
                      tls: Option[(String, String)] = None,
-                     cursorTimeoutMillis: Long = 600000L) {
+                     cursorTimeoutMillis: Long = 600000L,
+                     preload: Boolean = false) {
+    // preload: serve `find` cursors from materialized LocalRelations —
+    // filter/projection fold driver-side (ConvertToLocalRelation), so
+    // answering a cursor never schedules a Spark job. A real mongod is
+    // not a Spark program and cannot starve its own client's scheduler;
+    // a SAME-JVM loopback stand-in can, when every task slot sits
+    // blocked on a cursor it is serving (the DSv2 graftwire source puts
+    // one cursor in every task). Preloading at construction time (and
+    // after inserts, lazily on the next quiet find) removes the shared
+    // resource entirely for the find path.
+    private val localRel =
+      new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    private def materialize(coll: String): DataFrame = {
+      val df = store.read(coll)
+      val rows = java.util.Arrays.asList(df.collect(): _*)
+      spark.createDataFrame(rows, df.schema)
+    }
+    if (preload)
+      store.collections().foreach(c => localRel.put(c, materialize(c)): Unit)
     // mongod stores (salt, i, StoredKey, ServerKey) per user — so does
     // this stand-in; the password is hashed once here and dropped
     private val credential: Option[(String, Scram.Credential)] =
@@ -906,9 +925,23 @@ object OpMsg {
           val bytes = new ByteArrayOutputStream(docs.map(_.length).sum)
           docs.foreach(d => bytes.write(d, 0, d.length))
           store.appendRaw(coll, bytes.toByteArray)
+          // drop any stale preloaded copy; the next find re-materializes
+          // (re-materializing HERE would schedule a job from the handler
+          // while the inserting tasks still hold their slots)
+          localRel.remove(coll): Unit
           return encodeDoc(JObject(List(
             "n" -> JInt(docs.size), "ok" -> JDouble(1.0))))
         case _ => ()
+      }
+      def openRowCursor(rows: Iterator[org.apache.spark.sql.Row],
+                        schema: org.apache.spark.sql.types.StructType,
+                        coll: String, batchSize: Int): Array[Byte] = {
+        val c = new Cursor(s"$db.$coll", rows, schema, batchSize)
+        val first = pull(c)
+        val id = if (c.rows.hasNext) {
+          val i = nextCursor.incrementAndGet(); cursors.put(i, c); i
+        } else 0L
+        buildCursorReply(id, s"$db.$coll", "firstBatch", first)
       }
       def openCursor(df: org.apache.spark.sql.DataFrame, coll: String,
                      batchSize: Int): Array[Byte] = {
@@ -981,6 +1014,18 @@ object OpMsg {
         case Some(JString(coll)) =>
           val filterJson = fields.get("filter")
             .map(f => FilterTranslator.render(f)).getOrElse("{}")
+          // include-style projection: only the named fields come back —
+          // the server half of column pruning (reference api.py:172-173
+          // projection synthesis)
+          val projection: Seq[String] = fields.get("projection") match {
+            case Some(JObject(po)) => po.collect {
+              case (n, JInt(i)) if i == 1 => n
+              case (n, JBool(true)) => n
+            }
+            case Some(other) => throw new IllegalArgumentException(
+              s"find projection must be a document, got $other")
+            case None => Nil
+          }
           val batchSize = fields.get("batchSize") match {
             case Some(JInt(n)) => n.toInt
             case Some(JLong(n)) => n.toInt
@@ -991,9 +1036,21 @@ object OpMsg {
             case Some(JLong(n)) => Some(n.toInt)
             case _ => None
           }
-          val df0 = store.read(coll).where(FilterCompiler.compile(filterJson))
-          val df = limit.map(df0.limit).getOrElse(df0)
-          openCursor(df, coll, batchSize)
+          val preloaded = localRel.get(coll)
+          val base = if (preloaded != null) preloaded else store.read(coll)
+          val df0 = base.where(FilterCompiler.compile(filterJson))
+          val df1 =
+            if (projection.isEmpty) df0
+            else df0.select(projection.map(df0.col): _*)
+          if (preloaded != null) {
+            // folded LocalRelation: executeCollect is driver-side, no job
+            val all = df1.collect()
+            val rows = limit.map(all.take).getOrElse(all)
+            openRowCursor(rows.iterator, df1.schema, coll, batchSize)
+          } else {
+            val df = limit.map(df1.limit).getOrElse(df1)
+            openCursor(df, coll, batchSize)
+          }
         case _ => fields.get("getMore") match {
           case Some(idv) =>
             val id = idv match {
@@ -1403,7 +1460,7 @@ object OpMsg {
     * A failure mid-cursor best-effort kills the server cursor
     * (killCursors) before rethrowing. Returns (directory, documents
     * landed). */
-  private def cursorFetch(host: String, port: Int, db: String, coll: String,
+  private[sources] def cursorFetch(host: String, port: Int, db: String, coll: String,
                           firstCmd: JObject, batchSize: Int,
                           credentials: Option[(String, String)],
                           tls: Option[(String, String)],

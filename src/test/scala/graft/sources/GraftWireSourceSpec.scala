@@ -1,0 +1,127 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+/** The DSv2 wire connector: partition-per-cursor planning, MQL filter
+  * pushdown visible in the plan, projection over the wire, columnar
+  * decode, and transport-option composition. */
+class GraftWireSourceSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  private def fixture(auth: Option[(String, String)] = None)
+      : (graft.sinks.DocStore, OpMsg.Server) = {
+    val store = new graft.sinks.DocStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_wsrc").toString,
+      "graftdocs")
+    store.write(
+      graft.api.Graft.table(spark, "/root/testdata/sf0.001", "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value")),
+      "events")
+    // preload: the DSv2 source puts one cursor in EVERY task — the
+    // same-JVM stand-in must serve finds without scheduling Spark jobs
+    (store, new OpMsg.Server(spark, store, auth = auth, preload = true))
+  }
+
+  private def reader(server: OpMsg.Server) =
+    spark.read.format("graftwire")
+      .option("host", "127.0.0.1")
+      .option("port", server.port)
+      .option("collection", "events")
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.orderBy("event_id").collect().toSeq.map(_.json)
+
+  test("full read with inferred schema equals the collection") {
+    val (store, server) = fixture()
+    try {
+      val df = reader(server).load()
+      assert(df.schema.fieldNames.toSet ==
+        Set("event_id", "user_id", "event_type", "value"))
+      assert(canon(df) == canon(store.read("events")))
+    } finally server.stop()
+  }
+
+  test("filter pushdown: translated conjuncts ride the wire (visible " +
+       "as PushedMqlFilter), residuals stay Spark-side; results exact") {
+    val (store, server) = fixture()
+    try {
+      val df = reader(server).load()
+        .where(col("value") > 0.5 && col("event_type").contains("ic"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedMqlFilter"), plan)
+      assert(plan.contains("\"value\""), plan) // the translated conjunct
+      val local = store.read("events")
+        .where(col("value") > 0.5 && col("event_type").contains("ic"))
+      assert(canon(df) == canon(local))
+    } finally server.stop()
+  }
+
+  test("column pruning crosses the wire as an include-projection") {
+    val (store, server) = fixture()
+    try {
+      val df = reader(server).load().select("event_id", "value")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("projection: [event_id,value]"), plan)
+      assert(df.schema.fieldNames.toSeq == Seq("event_id", "value"))
+      assert(df.orderBy("event_id").collect().map(_.getDouble(1)).take(5)
+        .toSeq ==
+        store.read("events").select("event_id", "value")
+          .orderBy("event_id").collect().map(_.getDouble(1)).take(5).toSeq)
+      // COUNT(*) (empty projection) still counts every row
+      assert(reader(server).load().count() ==
+        store.read("events").count())
+    } finally server.stop()
+  }
+
+  test("splitKey planning: one cursor per partition, union exact") {
+    val (store, server) = fixture()
+    try {
+      val df = reader(server)
+        .option("splitKey", "event_id").option("numSplits", 4)
+        .load().where(col("value") > 0.2)
+      assert(df.rdd.getNumPartitions == 4)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("cursors: 4"), plan)
+      assert(canon(df) ==
+        canon(store.read("events").where(col("value") > 0.2)))
+    } finally server.stop()
+  }
+
+  test("transport options compose: SCRAM + snappy + checksums + exhaust") {
+    val (store, server) = fixture(auth = Some(("svc", "wire-pw")))
+    try {
+      val df = reader(server)
+        .option("user", "svc").option("password", "wire-pw")
+        .option("compressor", "snappy").option("checksum", "true")
+        .option("exhaust", "true")
+        .option("splitKey", "event_id").option("numSplits", 3)
+        .load()
+      assert(canon(df) == canon(store.read("events")))
+    } finally server.stop()
+  }
+
+  test("user-supplied schema skips inference and drives the projection") {
+    val (store, server) = fixture()
+    try {
+      val df = reader(server)
+        .schema("event_id BIGINT, value DOUBLE").load()
+      assert(canon(df) ==
+        canon(store.read("events").select("event_id", "value")))
+    } finally server.stop()
+  }
+
+  test("option validation refuses loudly") {
+    assert(intercept[IllegalArgumentException](
+      spark.read.format("graftwire").option("host", "x").load())
+      .getMessage.contains("required"))
+    assert(intercept[IllegalArgumentException](
+      spark.read.format("graftwire").option("host", "x")
+        .option("port", "1").option("collection", "c")
+        .option("user", "u").load())
+      .getMessage.contains("together"))
+  }
+}
