@@ -7,6 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -60,13 +61,18 @@ class GraftWireSource extends TableProvider with DataSourceRegister {
     val sample = Option(options.get("inferDocs")).map(_.toInt).getOrElse(500)
     require(sample > 0, "graftwire: inferDocs must be positive")
     // one bounded cursor; the landed docs infer through the normal
-    // graftdocs machinery (first-non-null, int widening, null catch-up)
-    OpMsg.find(org.apache.spark.sql.SparkSession.active,
+    // graftdocs machinery (first-non-null, int widening, null catch-up).
+    // A missing/empty collection infers as the EMPTY schema — the write
+    // path creates collections that don't exist yet (Spark asks the
+    // provider for a table before building the write), and a read of
+    // one still fails loudly at execution.
+    try OpMsg.find(org.apache.spark.sql.SparkSession.active,
       c.host, c.port, c.db, c.coll, limit = Some(sample),
       batchSize = math.min(sample, c.batchSize),
       credentials = c.credentials, tls = c.tls,
       compress = c.compress, checksum = c.checksum,
       compressor = c.compressor).schema
+    catch { case scala.util.control.NonFatal(_) => new StructType() }
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -113,16 +119,97 @@ private[sources] object GraftWireSource {
 
 private[sources] class GraftWireTable(tableSchema: StructType,
                                       options: CaseInsensitiveStringMap)
-  extends Table with SupportsRead {
+  extends Table with SupportsRead with SupportsWrite {
   private val c = GraftWireSource.connOf(options)
   override def name(): String = s"graftwire(${c.db}.${c.coll})"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new GraftWireScanBuilder(tableSchema,
       if (opts.isEmpty) options else opts)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWireWriteBuilder(info,
+      if (info.options.isEmpty) options else info.options)
 }
+
+/** The write side: df.write.format("graftwire").mode("append") sends
+  * each partition's rows over its OWN insert connection (kind-1
+  * document sequences, batched under mongod's limits) — the DSv2 twin
+  * of [[OpMsg.insert]](perPartition = true).
+  *
+  * Semantics are mongod's, stated honestly: inserts are acknowledged
+  * appends, NOT a staged transactional commit — a retried task re-sends
+  * its documents (at-least-once, like a driver bulk insert without
+  * retryable-write _id dedup). Pipelines needing exactly-once land in
+  * graftdocs/parquet and ship files instead. */
+private[sources] class GraftWireWriteBuilder(info: LogicalWriteInfo,
+                                             options: CaseInsensitiveStringMap)
+  extends WriteBuilder {
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new GraftWireBatchWrite(info.schema(), GraftWireSource.connOf(options))
+  }
+}
+
+private[sources] class GraftWireBatchWrite(schema: StructType,
+                                           conn: GraftWireSource.Conn)
+  extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory = new GraftWireWriterFactory(schema, conn)
+  // every document was individually acknowledged at send time; there is
+  // no staged state to publish or roll back (see the builder scaladoc)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private[sources] class GraftWireWriterFactory(schema: StructType,
+                                              conn: GraftWireSource.Conn)
+  extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DataWriter[org.apache.spark.sql.catalyst.InternalRow] =
+    new GraftWireDataWriter(schema, conn)
+}
+
+private[sources] class GraftWireDataWriter(schema: StructType,
+                                           conn: GraftWireSource.Conn)
+  extends DataWriter[org.apache.spark.sql.catalyst.InternalRow] {
+  private val toScala = org.apache.spark.sql.catalyst.CatalystTypeConverters
+    .createToScalaConverter(schema)
+  private val channel = new OpMsg.InsertChannel(conn.host, conn.port,
+    conn.db, conn.coll, conn.credentials, conn.tls, conn.compress,
+    conn.checksum, conn.compressor)
+  private val MaxDocs = 100000
+  private val MaxBytes = 16L * 1024 * 1024
+  private var batch = Seq.newBuilder[Array[Byte]]
+  private var nDocs = 0
+  private var nBytes = 0L
+  private var acknowledged = 0L
+
+  override def write(record: org.apache.spark.sql.catalyst.InternalRow)
+      : Unit = {
+    val row = toScala(record).asInstanceOf[org.apache.spark.sql.Row]
+    val doc = graft.bson.BsonBinary.encodeRow(row, schema)
+    batch += doc
+    nDocs += 1; nBytes += doc.length
+    if (nDocs >= MaxDocs || nBytes >= MaxBytes) flush()
+  }
+  private def flush(): Unit = {
+    acknowledged += channel.send(batch.result())
+    batch = Seq.newBuilder[Array[Byte]]
+    nDocs = 0; nBytes = 0L
+  }
+  override def commit(): WriterCommitMessage = {
+    flush()
+    channel.close()
+    GraftWireCommit(acknowledged)
+  }
+  override def abort(): Unit = channel.close()
+  override def close(): Unit = ()
+}
+
+private[sources] case class GraftWireCommit(acknowledged: Long)
+  extends WriterCommitMessage
 
 private[sources] class GraftWireScanBuilder(fullSchema: StructType,
                                             options: CaseInsensitiveStringMap)

@@ -1193,6 +1193,64 @@ object OpMsg {
     }
   }
 
+  /** One authenticated insert connection: constructor runs the
+    * hello/SCRAM handshake; [[send]] ships one batch as an insert
+    * command with a kind-1 "documents" sequence and returns the
+    * server-acknowledged count. Used by the imperative [[insert]] and
+    * the graftwire DSv2 writer (one channel per task). */
+  private[sources] final class InsertChannel(
+      host: String, port: Int, db: String, coll: String,
+      credentials: Option[(String, String)],
+      tls: Option[(String, String)],
+      compress: Boolean, checksum: Boolean, compressor: String) {
+    private val conn = clientSocket(host, port, tls)
+    private val cin = new BufferedInputStream(conn.getInputStream, 1 << 16)
+    private val cout = new BufferedOutputStream(conn.getOutputStream, 1 << 16)
+    private var reqId = 0
+    private var compressOn = false
+    private val compId = compressorId(compressor)
+    private def roundTrip(cmd: JObject, mayCompress: Boolean): Array[Byte] = {
+      reqId += 1
+      writeFrame(cout, reqId, 0, encodeDoc(cmd), flags = 0,
+        compress = compressOn && mayCompress, checksum = checksum,
+        compressor = compId)
+      val (_, rto, body) = readMessage(cin).getOrElse(
+        throw new EOFException("server closed the connection"))
+      if (rto != reqId) throw new IllegalStateException(
+        s"responseTo $rto does not match requestID $reqId")
+      body
+    }
+    handshake(roundTrip, db, credentials, compress, compressor)
+    compressOn = compress
+
+    def send(batch: Seq[Array[Byte]]): Long = {
+      if (batch.isEmpty) return 0L
+      reqId += 1
+      writeFrame(cout, reqId, 0, encodeDoc(JObject(List(
+        "insert" -> JString(coll),
+        "ordered" -> JBool(true),
+        "$db" -> JString(db)))),
+        flags = 0, compress = compressOn, checksum = checksum,
+        compressor = compId, sequences = Seq("documents" -> batch))
+      val (_, rto, body) = readMessage(cin).getOrElse(
+        throw new EOFException("server closed during insert"))
+      if (rto != reqId) throw new IllegalStateException(
+        s"responseTo $rto does not match requestID $reqId")
+      val reply = decodeDoc(body).obj.toMap
+      reply.get("ok") match {
+        case Some(JDouble(1.0)) => ()
+        case _ => throw new IllegalArgumentException(
+          s"insert failed: ${reply.get("errmsg")}")
+      }
+      reply.get("n") match {
+        case Some(JInt(n)) => n.toLong
+        case Some(JLong(n)) => n
+        case _ => 0L
+      }
+    }
+    def close(): Unit = conn.close()
+  }
+
   /** One connection's insert loop: handshake, then batched insert
     * commands with kind-1 "documents" sequences. Runs on the driver or
     * inside an executor task (perPartition). */
@@ -1206,52 +1264,10 @@ object OpMsg {
                              compressor: String,
                              maxBatchDocs: Int,
                              maxBatchBytes: Long): Long = {
-    val conn = clientSocket(host, port, tls)
+    val ch = new InsertChannel(host, port, db, coll, credentials, tls,
+      compress, checksum, compressor)
     var acknowledged = 0L
     try {
-      val cin = new BufferedInputStream(conn.getInputStream, 1 << 16)
-      val cout = new BufferedOutputStream(conn.getOutputStream, 1 << 16)
-      var reqId = 0
-      var compressOn = false
-      val compId = compressorId(compressor)
-      def roundTrip(cmd: JObject, mayCompress: Boolean): Array[Byte] = {
-        reqId += 1
-        writeFrame(cout, reqId, 0, encodeDoc(cmd), flags = 0,
-          compress = compressOn && mayCompress, checksum = checksum,
-          compressor = compId)
-        val (_, rto, body) = readMessage(cin).getOrElse(
-          throw new EOFException("server closed the connection"))
-        if (rto != reqId) throw new IllegalStateException(
-          s"responseTo $rto does not match requestID $reqId")
-        body
-      }
-      handshake(roundTrip, db, credentials, compress, compressor)
-      compressOn = compress
-      def flush(batch: Seq[Array[Byte]]): Unit = {
-        if (batch.isEmpty) return
-        reqId += 1
-        writeFrame(cout, reqId, 0, encodeDoc(JObject(List(
-          "insert" -> JString(coll),
-          "ordered" -> JBool(true),
-          "$db" -> JString(db)))),
-          flags = 0, compress = compressOn, checksum = checksum,
-          compressor = compId, sequences = Seq("documents" -> batch))
-        val (_, rto, body) = readMessage(cin).getOrElse(
-          throw new EOFException("server closed during insert"))
-        if (rto != reqId) throw new IllegalStateException(
-          s"responseTo $rto does not match requestID $reqId")
-        val reply = decodeDoc(body).obj.toMap
-        reply.get("ok") match {
-          case Some(JDouble(1.0)) => ()
-          case _ => throw new IllegalArgumentException(
-            s"insert failed: ${reply.get("errmsg")}")
-        }
-        acknowledged += (reply.get("n") match {
-          case Some(JInt(n)) => n.toLong
-          case Some(JLong(n)) => n
-          case _ => 0L
-        })
-      }
       val batch = Seq.newBuilder[Array[Byte]]
       var nDocs = 0
       var nBytes = 0L
@@ -1260,11 +1276,12 @@ object OpMsg {
         batch += doc
         nDocs += 1; nBytes += doc.length
         if (nDocs >= maxBatchDocs || nBytes >= maxBatchBytes) {
-          flush(batch.result()); batch.clear(); nDocs = 0; nBytes = 0L
+          acknowledged += ch.send(batch.result())
+          batch.clear(); nDocs = 0; nBytes = 0L
         }
       }
-      flush(batch.result())
-    } finally conn.close()
+      acknowledged += ch.send(batch.result())
+    } finally ch.close()
     acknowledged
   }
 

@@ -114,6 +114,34 @@ class GraftWireSourceSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("write side: df.write.format(graftwire) inserts per-partition; " +
+       "wire round trip equals the source") {
+    val (store, server) = fixture()
+    try {
+      val src = graft.api.Graft.table(spark, "/root/testdata/sf0.001",
+        "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+        .limit(200)
+      src.repartition(3).write.format("graftwire")
+        .option("host", "127.0.0.1").option("port", server.port)
+        .option("collection", "sink_events")
+        .mode("append").save()
+      assert(canon(store.read("sink_events")) == canon(src))
+      // append again through the same format → doubles
+      src.limit(50).write.format("graftwire")
+        .option("host", "127.0.0.1").option("port", server.port)
+        .option("collection", "sink_events")
+        .mode("append").save()
+      assert(store.read("sink_events").count() == 250)
+      // and the full loop: write over the wire, read back over the wire
+      val back = spark.read.format("graftwire")
+        .option("host", "127.0.0.1").option("port", server.port)
+        .option("collection", "sink_events")
+        .load()
+      assert(back.count() == 250)
+    } finally server.stop()
+  }
+
   test("option validation refuses loudly") {
     assert(intercept[IllegalArgumentException](
       spark.read.format("graftwire").option("host", "x").load())
