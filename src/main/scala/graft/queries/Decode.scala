@@ -437,6 +437,44 @@ object Decode {
               WHERE c_acctbal > 1000.0
               GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    // pipeline reads through the DSv2 connector: the `pipeline` option
+    // makes the scan the server's AGGREGATE output (the reference's
+    // aggregate_raw_batches as a DataFrame source) — $match/$group run
+    // server-side, results page back through the cursor loop and the
+    // raw-batch decode. Oracle replays the aggregation.
+    QueryDef("q_wire_source_agg",
+      (s, dir) => {
+        val store = new graft.sinks.DocStore(s,
+          java.nio.file.Files.createTempDirectory("graft_wsrca").toString,
+          "graftdocs")
+        store.write(Graft.table(s, dir, "customer")
+          .select("c_custkey", "c_mktsegment", "c_acctbal"), "customer")
+        val server = new graft.sources.OpMsg.Server(s, store, preload = true)
+        try {
+          val out = s.read.format("graftwire")
+            .option("host", "127.0.0.1").option("port", server.port)
+            .option("collection", "customer")
+            .option("pipeline", """[
+              {"$match": {"c_acctbal": {"$gt": 0}}},
+              {"$group": {"_id": "$c_mktsegment",
+                "n": {"$sum": 1},
+                "total": {"$sum": {"$toLong": {"$round": ["$c_acctbal", 0]}}}}},
+              {"$sort": {"_id": 1}}]""")
+            .load()
+            .select(col("_id").as("seg"), col("n"), col("total"))
+            .orderBy("seg")
+          val rows = out.collect().toSeq
+          s.createDataFrame(
+            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava,
+            out.schema)
+        } finally server.stop()
+      },
+      Some("""SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(round(c_acctbal, 0) AS BIGINT)) AS BIGINT)
+                       AS total
+              FROM customer WHERE c_acctbal > 0
+              GROUP BY 1 ORDER BY 1""")),
+
     // SQL-catalog loop: the same document collection resolved through
     // the GraftCatalog TableCatalog (spark.sql over `<cat>.<coll>` —
     // the session-catalog twin of the reference's database[collection]

@@ -51,7 +51,10 @@ import graft.mql.FilterTranslator
   * numSplits (parallel cursors; omit for one cursor), user + password,
   * tlsKeystore + tlsPassword, compressor ("zlib"/"snappy" — enables
   * compression), checksum (bool), exhaust (bool), inferDocs (schema
-  * sample size, default 500). */
+  * sample size, default 500), pipeline (a JSON aggregation pipeline —
+  * the server runs it and the scan reads its OUTPUT, the reference's
+  * aggregate_raw_batches as a DataFrame; no filter pushdown or
+  * splitKey in this mode — put $match in the pipeline). */
 class GraftWireSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graftwire"
   override def supportsExternalMetadata(): Boolean = true
@@ -66,13 +69,31 @@ class GraftWireSource extends TableProvider with DataSourceRegister {
     // path creates collections that don't exist yet (Spark asks the
     // provider for a table before building the write), and a read of
     // one still fails loudly at execution.
-    try OpMsg.find(org.apache.spark.sql.SparkSession.active,
-      c.host, c.port, c.db, c.coll, limit = Some(sample),
-      batchSize = math.min(sample, c.batchSize),
-      credentials = c.credentials, tls = c.tls,
-      compress = c.compress, checksum = c.checksum,
-      compressor = c.compressor).schema
-    catch { case scala.util.control.NonFatal(_) => new StructType() }
+    try c.pipeline match {
+      case Some(pl) =>
+        // a pipeline read samples the AGGREGATE's output shape (a
+        // $limit keeps the server-side sample bounded)
+        val stages = graft.mql.Mql.parse(pl) match {
+          case JArray(es) => JArray(es :+ JObject(List(
+            "$limit" -> JInt(sample))))
+          case other => throw new IllegalArgumentException(
+            s"graftwire: pipeline must be a JSON array, got $other")
+        }
+        OpMsg.aggregate(org.apache.spark.sql.SparkSession.active,
+          c.host, c.port, c.db, c.coll,
+          FilterTranslator.render(stages),
+          batchSize = math.min(sample, c.batchSize),
+          credentials = c.credentials, tls = c.tls,
+          compress = c.compress, checksum = c.checksum,
+          compressor = c.compressor).schema
+      case None =>
+        OpMsg.find(org.apache.spark.sql.SparkSession.active,
+          c.host, c.port, c.db, c.coll, limit = Some(sample),
+          batchSize = math.min(sample, c.batchSize),
+          credentials = c.credentials, tls = c.tls,
+          compress = c.compress, checksum = c.checksum,
+          compressor = c.compressor).schema
+    } catch { case scala.util.control.NonFatal(_) => new StructType() }
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -87,7 +108,8 @@ private[sources] object GraftWireSource {
                         credentials: Option[(String, String)],
                         tls: Option[(String, String)],
                         compress: Boolean, compressor: String,
-                        checksum: Boolean, exhaust: Boolean)
+                        checksum: Boolean, exhaust: Boolean,
+                        pipeline: Option[String] = None)
     extends Serializable
 
   def connOf(options: CaseInsensitiveStringMap): Conn = {
@@ -113,7 +135,8 @@ private[sources] object GraftWireSource {
       compress = compressor.isDefined,
       compressor = compressor.getOrElse("zlib"),
       checksum = Option(options.get("checksum")).exists(_.toBoolean),
-      exhaust = Option(options.get("exhaust")).exists(_.toBoolean))
+      exhaust = Option(options.get("exhaust")).exists(_.toBoolean),
+      pipeline = Option(options.get("pipeline")))
   }
 }
 
@@ -219,6 +242,10 @@ private[sources] class GraftWireScanBuilder(fullSchema: StructType,
   private var pushed: Array[Filter] = Array.empty
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // a pipeline read computes the server's aggregate verbatim —
+    // Catalyst filters cannot be folded into it soundly, so they all
+    // stay Spark-side ($match inside the pipeline is the user's tool)
+    if (Option(options.get("pipeline")).isDefined) return filters
     // translated conjuncts run server-side with the engine's own MQL
     // semantics (kept-row-set ≡ Catalyst, FilterTranslatorSpec);
     // untranslatable shapes return to Spark as residuals
@@ -253,7 +280,12 @@ private[sources] class GraftWireScan(required: StructType,
     FilterTranslator.render(FilterTranslator.translateAll(pushed)._1)
 
   /** One rendered MQL filter document per planned cursor. */
-  private lazy val cursorDocs: Seq[String] = {
+  private lazy val cursorDocs: Seq[String] = if (c.pipeline.isDefined) {
+    require(splitKey.isEmpty,
+      "graftwire: splitKey cannot combine with a pipeline read " +
+        "(the aggregate's output has no planned key ranges)")
+    Seq(pushedDoc) // unused by the aggregate partition
+  } else {
     val bounds = splitKey match {
       case Some(k) if numSplits > 1 =>
         OpMsg.splitBounds(c.host, c.port, c.db, c.coll, k, numSplits,
@@ -278,8 +310,13 @@ private[sources] class GraftWireScan(required: StructType,
 
   override def description(): String = {
     val proj = required.fieldNames.mkString(",")
-    s"graftwire(${c.db}.${c.coll}), PushedMqlFilter: $pushedDoc, " +
-      s"cursors: ${cursorDocs.size}, projection: [$proj]"
+    c.pipeline match {
+      case Some(pl) =>
+        s"graftwire(${c.db}.${c.coll}), pipeline: $pl, decode: [$proj]"
+      case None =>
+        s"graftwire(${c.db}.${c.coll}), PushedMqlFilter: $pushedDoc, " +
+          s"cursors: ${cursorDocs.size}, projection: [$proj]"
+    }
   }
 
   override def planInputPartitions(): Array[InputPartition] =
@@ -311,19 +348,35 @@ private[sources] class GraftWireReaderFactory(required: StructType)
     val c = p.conn
     // drive this partition's full cursor; batches land in a task-local
     // file and stream through the direct BSON→vector decoder
-    val filterDoc = graft.mql.Mql.parse(p.filterJson) match {
-      case o: JObject => o
-      case other => throw new IllegalStateException(
-        s"graftwire partition filter is not a document: $other")
+    val cmd = c.pipeline match {
+      case Some(pl) =>
+        // pipeline read: the server runs the aggregate; the pruned
+        // schema drops unneeded output columns at decode time
+        val stages = graft.mql.Mql.parse(pl) match {
+          case a: JArray => a
+          case other => throw new IllegalStateException(
+            s"graftwire pipeline is not an array: $other")
+        }
+        JObject(List(
+          "aggregate" -> JString(c.coll),
+          "pipeline" -> stages,
+          "cursor" -> JObject(List("batchSize" -> JInt(c.batchSize))),
+          "$db" -> JString(c.db)))
+      case None =>
+        val filterDoc = graft.mql.Mql.parse(p.filterJson) match {
+          case o: JObject => o
+          case other => throw new IllegalStateException(
+            s"graftwire partition filter is not a document: $other")
+        }
+        JObject(List(
+          "find" -> JString(c.coll),
+          "filter" -> filterDoc) ++
+          (if (p.projection.nonEmpty)
+            List("projection" -> JObject(
+              p.projection.toList.map(_ -> JInt(1))))
+          else Nil) ++
+          List("batchSize" -> JInt(c.batchSize), "$db" -> JString(c.db)))
     }
-    val cmd = JObject(List(
-      "find" -> JString(c.coll),
-      "filter" -> filterDoc) ++
-      (if (p.projection.nonEmpty)
-        List("projection" -> JObject(
-          p.projection.toList.map(_ -> JInt(1))))
-      else Nil) ++
-      List("batchSize" -> JInt(c.batchSize), "$db" -> JString(c.db)))
     val (dir, total) = OpMsg.cursorFetch(c.host, c.port, c.db, c.coll, cmd,
       c.batchSize, c.credentials, c.tls, compress = c.compress,
       exhaust = c.exhaust, checksum = c.checksum, compressor = c.compressor)

@@ -114,6 +114,38 @@ class GraftWireSourceSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("pipeline reads: the server's aggregate output IS the DataFrame " +
+       "(aggregate_raw_batches as a source); splitKey refuses") {
+    val (store, server) = fixture()
+    try {
+      val pl = """[
+        {"$match": {"value": {"$gt": 0.3}}},
+        {"$group": {"_id": "$event_type", "n": {"$sum": 1}}},
+        {"$sort": {"_id": 1}}]"""
+      val df = reader(server).option("pipeline", pl).load()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("pipeline:"), plan)
+      val local = graft.mql.PipelineCompiler.run(store.read("events"), pl)
+      assert(df.orderBy("_id").collect().toSeq.map(_.json) ==
+        local.orderBy("_id").collect().toSeq.map(_.json))
+      // pruning still applies at decode: selecting one output column
+      val one = reader(server).option("pipeline", pl).load().select("n")
+      assert(one.schema.fieldNames.toSeq == Seq("n"))
+      assert(one.collect().map(_.getLong(0)).sorted.toSeq ==
+        local.select("n").collect().map(_.getLong(0)).sorted.toSeq)
+      // Catalyst filters on the OUTPUT stay Spark-side and are exact
+      val filtered = reader(server).option("pipeline", pl).load()
+        .where(col("n") > 100)
+      assert(filtered.collect().map(_.getLong(1)).forall(_ > 100))
+      // splitKey cannot combine with a pipeline
+      val e = intercept[Exception](
+        reader(server).option("pipeline", pl)
+          .option("splitKey", "event_id").option("numSplits", 2)
+          .load().collect())
+      assert(e.getMessage.contains("splitKey"))
+    } finally server.stop()
+  }
+
   test("write side: df.write.format(graftwire) inserts per-partition; " +
        "wire round trip equals the source") {
     val (store, server) = fixture()
