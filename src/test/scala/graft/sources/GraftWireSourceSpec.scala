@@ -174,6 +174,68 @@ class GraftWireSourceSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("randomized wire round-trip property: 12 draws over the type " +
+       "surface (insert → append → declared-schema read)") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val rnd = new scala.util.Random(20260816)
+    val pool: Seq[DataType] = Seq(BooleanType, IntegerType, LongType,
+      DoubleType, StringType, BinaryType, DateType, TimestampType,
+      ArrayType(LongType), ArrayType(DoubleType), ArrayType(StringType))
+    def value(dt: DataType): Any =
+      if (rnd.nextInt(5) == 0) null
+      else dt match {
+        case BooleanType => rnd.nextBoolean()
+        case IntegerType => rnd.nextInt()
+        case LongType => rnd.nextLong()
+        case DoubleType => rnd.nextDouble()
+        case StringType => rnd.alphanumeric.take(rnd.nextInt(12)).mkString
+        case BinaryType =>
+          Array.fill[Byte](rnd.nextInt(8))(rnd.nextInt().toByte)
+        case DateType =>
+          new java.sql.Date(rnd.nextInt(20000).toLong * 86400000L)
+        case TimestampType => // BSON datetime is ms precision
+          new java.sql.Timestamp(math.abs(rnd.nextLong()) % 4102444800000L)
+        case ArrayType(el, _) =>
+          Seq.fill(rnd.nextInt(5))(
+            if (rnd.nextInt(6) == 0) null
+            else el match {
+              case LongType => rnd.nextLong()
+              case DoubleType => rnd.nextDouble()
+              case StringType =>
+                rnd.alphanumeric.take(rnd.nextInt(6)).mkString
+              case other => fail(s"unexpected $other")
+            })
+        case other => fail(s"unexpected $other")
+      }
+    val store = new graft.sinks.DocStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_wrt").toString,
+      "graftdocs")
+    val server = new OpMsg.Server(spark, store)
+    try {
+      for (draw <- 1 to 12) {
+        val fields = rnd.shuffle(pool).take(1 + rnd.nextInt(5)).zipWithIndex
+          .map { case (dt, i) => StructField(s"c$i", dt) }
+        val schema = StructType(fields)
+        val n = 1 + rnd.nextInt(120)
+        val rows = Seq.fill(n)(Row(fields.map(f => value(f.dataType)): _*))
+        val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1 + rnd.nextInt(2)), schema)
+        val coll = s"rt_$draw"
+        df.write.format("graftwire")
+          .option("host", "127.0.0.1").option("port", server.port)
+          .option("collection", coll).mode("append").save()
+        val back = spark.read.format("graftwire")
+          .option("host", "127.0.0.1").option("port", server.port)
+          .option("collection", coll)
+          .schema(schema).load()
+        assert(back.schema == schema, s"draw $draw schema")
+        assert(back.toJSON.collect().sorted.toSeq ==
+          df.toJSON.collect().sorted.toSeq, s"draw $draw values ($n rows)")
+      }
+    } finally server.stop()
+  }
+
   test("option validation refuses loudly") {
     assert(intercept[IllegalArgumentException](
       spark.read.format("graftwire").option("host", "x").load())
