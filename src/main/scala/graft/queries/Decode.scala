@@ -475,6 +475,42 @@ object Decode {
               FROM customer WHERE c_acctbal > 0
               GROUP BY 1 ORDER BY 1""")),
 
+    // streaming ingest over the wire: readStream.format("graftwire")
+    // tails the collection in offsetKey micro-batches (each batch ONE
+    // half-open key range riding the wire as a find filter) — the
+    // JDBC-style incremental twin of the continuous-cursor loop. The
+    // streamed rows land in a memory sink and aggregate against the
+    // batch oracle.
+    QueryDef("q_wire_stream",
+      (s, dir) => {
+        val store = new graft.sinks.DocStore(s,
+          java.nio.file.Files.createTempDirectory("graft_wstr").toString,
+          "graftdocs")
+        store.write(Graft.table(s, dir, "customer")
+          .select("c_custkey", "c_mktsegment", "c_acctbal"), "customer")
+        val server = new graft.sources.OpMsg.Server(s, store, preload = true)
+        try {
+          val qn = s"graft_wire_stream_${System.nanoTime()}"
+          val q = s.readStream.format("graftwire")
+            .option("host", "127.0.0.1").option("port", server.port)
+            .option("collection", "customer")
+            .option("offsetKey", "c_custkey")
+            .schema(store.read("customer").schema).load()
+            .writeStream.format("memory").queryName(qn)
+            .outputMode("append").start()
+          try q.processAllAvailable() finally q.stop()
+          s.table(qn)
+            .groupBy(col("c_mktsegment"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+                .cast(org.apache.spark.sql.types.DoubleType).as("sum_bal"))
+            .orderBy("c_mktsegment")
+        } finally server.stop()
+      },
+      Some("""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+              FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
     // SQL-catalog loop: the same document collection resolved through
     // the GraftCatalog TableCatalog (spark.sql over `<cat>.<coll>` —
     // the session-catalog twin of the reference's database[collection]

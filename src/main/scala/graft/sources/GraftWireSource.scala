@@ -147,7 +147,8 @@ private[sources] class GraftWireTable(tableSchema: StructType,
   override def name(): String = s"graftwire(${c.db}.${c.coll})"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new GraftWireScanBuilder(tableSchema,
       if (opts.isEmpty) options else opts)
@@ -323,6 +324,85 @@ private[sources] class GraftWireScan(required: StructType,
     cursorDocs.map(doc =>
       GraftWirePartition(c, doc, required.fieldNames.toSeq): InputPartition
     ).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftWireReaderFactory(required)
+
+  /** Streaming read: incremental wire ingest keyed on a monotonically
+    * increasing numeric column (`offsetKey`) — each micro-batch is the
+    * half-open key range (lastMax, currentMax], fetched as one cursor
+    * with the pushed filters AND the range riding the wire. The
+    * JDBC-style incremental pattern: exactly-once under an append-only
+    * collection whose new rows carry strictly larger keys (both
+    * documented requirements); true resume tokens are a replica-set
+    * oplog feature (LIVE_CONNECTOR.md item 1). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(c.pipeline.isEmpty,
+      "graftwire streaming cannot run a pipeline (stream the collection" +
+        " and aggregate in Spark)")
+    val offsetKey = Option(options.get("offsetKey")).getOrElse(
+      throw new IllegalArgumentException(
+        "graftwire streaming needs offsetKey (a monotonically " +
+          "increasing numeric column)"))
+    val start0 = Option(options.get("startOffset")).map(_.toLong)
+      .getOrElse(Long.MinValue)
+    new GraftWireMicroBatchStream(c, offsetKey, pushed, required, start0)
+  }
+}
+
+private[sources] case class WireOffset(max: Long)
+  extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = max.toString
+}
+
+private[sources] class GraftWireMicroBatchStream(
+    c: GraftWireSource.Conn, offsetKey: String, pushed: Seq[Filter],
+    required: StructType, start0: Long)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  /** Current high-water mark: one bounded server-side aggregate
+    * ($max of the offset key — a 1-row reply). */
+  private def queryMax(): Long = {
+    val pipeline =
+      "[{\"$group\": {\"_id\": null, \"m\": {\"$max\": \"$" +
+        offsetKey + "\"}}}]"
+    val rows = OpMsg.aggregate(org.apache.spark.sql.SparkSession.active,
+      c.host, c.port, c.db, c.coll, pipeline,
+      credentials = c.credentials, tls = c.tls,
+      compress = c.compress, checksum = c.checksum,
+      compressor = c.compressor).collect()
+    if (rows.isEmpty) start0
+    else rows(0).getAs[Any]("m") match {
+      case null => start0
+      case l: java.lang.Long => l.longValue()
+      case i: java.lang.Integer => i.longValue()
+      case other => throw new IllegalArgumentException(
+        s"graftwire: offsetKey '$offsetKey' must be integral, " +
+          s"got ${other.getClass.getSimpleName}")
+    }
+  }
+
+  override def initialOffset(): Offset = WireOffset(start0)
+  override def latestOffset(): Offset = WireOffset(queryMax())
+  override def deserializeOffset(json: String): Offset =
+    WireOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val lo = start.asInstanceOf[WireOffset].max
+    val hi = end.asInstanceOf[WireOffset].max
+    if (lo >= hi) return Array.empty
+    import org.apache.spark.sql.sources.{And, GreaterThan, LessThanOrEqual}
+    val range: Filter =
+      And(GreaterThan(offsetKey, lo), LessThanOrEqual(offsetKey, hi))
+    val doc = FilterTranslator.render(
+      FilterTranslator.translateAll(pushed :+ range)._1)
+    Array(GraftWirePartition(c, doc, required.fieldNames.toSeq))
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftWireReaderFactory(required)

@@ -174,6 +174,45 @@ class GraftWireSourceSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("streaming read: micro-batches are half-open offsetKey ranges; " +
+       "wire-appended rows arrive exactly once") {
+    val (store, server) = fixture()
+    try {
+      val schema = store.read("events").schema
+      val sink = s"wire_stream_${System.nanoTime()}"
+      val q = spark.readStream.format("graftwire")
+        .option("host", "127.0.0.1").option("port", server.port)
+        .option("collection", "events")
+        .option("offsetKey", "event_id")
+        .schema(schema).load()
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val base = store.read("events").count()
+        assert(spark.table(sink).count() == base)
+        // append rows with strictly larger keys over the wire; the next
+        // batch is exactly the new half-open range
+        val maxId = store.read("events")
+          .agg(max(col("event_id"))).head.getLong(0)
+        val extra = spark.range(1, 31).select(
+          (col("id") + maxId).as("event_id"),
+          (col("id") % 5).as("user_id"),
+          lit("synthetic").as("event_type"),
+          lit(0.25).as("value"))
+        OpMsg.insert(spark, "127.0.0.1", server.port, "graft", "events",
+          extra): Unit
+        q.processAllAvailable()
+        assert(spark.table(sink).count() == base + 30)
+        assert(spark.table(sink)
+          .where(col("event_type") === "synthetic").count() == 30)
+        // no duplicates across batches
+        assert(spark.table(sink).select("event_id").distinct().count() ==
+          base + 30)
+      } finally q.stop()
+    } finally server.stop()
+  }
+
   test("randomized wire round-trip property: 12 draws over the type " +
        "surface (insert → append → declared-schema read)") {
     import org.apache.spark.sql.types._
