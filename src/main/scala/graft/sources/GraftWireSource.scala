@@ -472,7 +472,17 @@ private[sources] class GraftWireReaderFactory(required: StructType)
       val fs = org.apache.hadoop.fs.FileSystem.getLocal(conf)
       val fsIn = fs.open(new org.apache.hadoop.fs.Path(
         dir.resolve("batches.bson").toString))
-      new BsonColumnarReader(fsIn, required, strict = false)
+      val inner = new BsonColumnarReader(fsIn, required, strict = false)
+      // the landed batch file is this task's private scratch — delete
+      // it when the scan closes, so long-lived jobs and streaming
+      // micro-batches don't accumulate executor temp dirs
+      new PartitionReader[ColumnarBatch] {
+        override def next(): Boolean = inner.next()
+        override def get(): ColumnarBatch = inner.get()
+        override def close(): Unit = {
+          try inner.close() finally OpMsg.deleteDir(dir)
+        }
+      }
     }
   }
 }

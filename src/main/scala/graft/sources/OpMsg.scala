@@ -453,7 +453,12 @@ object OpMsg {
             throw new IllegalArgumentException(
               s"OP_MSG: kind-1 section size $size out of range")
           var q = pos + 5
-          while (body(q) != 0) q += 1
+          // bound the identifier scan by the section end — a malformed
+          // frame whose identifier lacks a NUL must fail loudly, not
+          // walk past the section (desync) or the buffer (AIOOBE)
+          while (q < end && body(q) != 0) q += 1
+          if (q >= end) throw new IllegalArgumentException(
+            "OP_MSG: kind-1 identifier missing NUL terminator")
           val ident = new String(body, pos + 5, q - (pos + 5), "UTF-8")
           q += 1
           val docsB = Seq.newBuilder[Array[Byte]]
@@ -577,6 +582,14 @@ object OpMsg {
   /** mongod's CursorNotFound error code. */
   private[sources] val CursorNotFound = 43
 
+  /** mongod's CursorInUse error code — two connections driving the
+    * same cursor concurrently is rejected, never interleaved. */
+  private[sources] val CursorInUse = 281
+
+  /** Preload row ceiling per collection — preload is a same-JVM
+    * test-fixture affordance, never a serving strategy at scale. */
+  private[sources] val PreloadCap = 1000000
+
   // ---- TLS ----------------------------------------------------------------
   //
   // The transport layer mongod terminates with --tlsMode: the stand-in
@@ -634,7 +647,8 @@ object OpMsg {
                      auth: Option[(String, String)] = None,
                      tls: Option[(String, String)] = None,
                      cursorTimeoutMillis: Long = 600000L,
-                     preload: Boolean = false) {
+                     preload: Boolean = false,
+                     preloadCap: Int = OpMsg.PreloadCap) {
     // preload: serve `find` cursors from materialized LocalRelations —
     // filter/projection fold driver-side (ConvertToLocalRelation), so
     // answering a cursor never schedules a Spark job. A real mongod is
@@ -648,8 +662,16 @@ object OpMsg {
       new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
     private def materialize(coll: String): DataFrame = {
       val df = store.read(coll)
-      val rows = java.util.Arrays.asList(df.collect(): _*)
-      spark.createDataFrame(rows, df.schema)
+      // preload materializes whole collections onto the driver heap —
+      // a deliberate test-fixture affordance (see the preload comment
+      // above), not a serving strategy. Refuse loudly past 1 M rows
+      // rather than silently OOM the driver.
+      val rows = df.limit(preloadCap + 1).collect()
+      if (rows.length > preloadCap) throw new IllegalStateException(
+        s"preload refused: collection '$coll' exceeds $preloadCap rows — " +
+          "preload materializes collections driver-side and exists only " +
+          "for same-JVM loopback testing; run without preload")
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
     }
     if (preload)
       store.collections().foreach(c => localRel.put(c, materialize(c)): Unit)
@@ -675,6 +697,10 @@ object OpMsg {
                                val schema: org.apache.spark.sql.types.StructType,
                                val batchSize: Int) {
       @volatile var lastUsed: Long = System.nanoTime()
+      // pin: mongod rejects a getMore for a cursor another operation is
+      // already driving ("cursor in use", code 281) — the shared rows
+      // iterator must never be pulled from two connections at once
+      val pinned = new java.util.concurrent.atomic.AtomicBoolean(false)
     }
     private val cursors =
       new java.util.concurrent.ConcurrentHashMap[Long, Cursor]()
@@ -682,6 +708,13 @@ object OpMsg {
     /** Open-cursor count — observability for specs (a real mongod
       * reports this through serverStatus.metrics.cursor). */
     def openCursors: Int = cursors.size
+
+    /** Collections currently served from preloaded LocalRelations —
+      * observability for specs pinning the job-free insert refresh. */
+    private[sources] def preloadedCollections: Set[String] = {
+      import scala.jdk.CollectionConverters._
+      localRel.keySet().asScala.toSet
+    }
 
     /** Evict cursors idle past the timeout — mongod's
       * cursorTimeoutMillis reaper, run opportunistically per request
@@ -795,20 +828,32 @@ object OpMsg {
                        else CompressorZlib)
         return
       }
-      var rid = f.requestId + 1000000
-      var more = true
-      while (more) {
-        val batch = pull(c)
-        more = c.rows.hasNext
-        if (more) c.lastUsed = System.nanoTime() else cursors.remove(id): Unit
-        writeFrame(out, rid, f.requestId,
-          buildCursorReply(if (more) id else 0L, c.ns, "nextBatch", batch),
-          flags = if (more) FlagMoreToCome else 0,
-          compress = f.wasCompressed, checksum = f.wasChecksummed,
+      if (!c.pinned.compareAndSet(false, true)) {
+        writeFrame(out, f.requestId + 1000000, f.requestId,
+          buildErrorReply(s"cursor id $id is already in use", CursorInUse),
+          flags = 0, compress = f.wasCompressed,
+          checksum = f.wasChecksummed,
           compressor = if (f.wasCompressed) f.compressorId
                        else CompressorZlib)
-        rid += 1
+        return
       }
+      try {
+        var rid = f.requestId + 1000000
+        var more = true
+        while (more) {
+          val batch = pull(c)
+          more = c.rows.hasNext
+          if (more) c.lastUsed = System.nanoTime()
+          else cursors.remove(id): Unit
+          writeFrame(out, rid, f.requestId,
+            buildCursorReply(if (more) id else 0L, c.ns, "nextBatch", batch),
+            flags = if (more) FlagMoreToCome else 0,
+            compress = f.wasCompressed, checksum = f.wasChecksummed,
+            compressor = if (f.wasCompressed) f.compressorId
+                         else CompressorZlib)
+          rid += 1
+        }
+      } finally c.pinned.set(false)
     }
 
     private def saslPayload(fields: Map[String, JValue]): String =
@@ -925,10 +970,32 @@ object OpMsg {
           val bytes = new ByteArrayOutputStream(docs.map(_.length).sum)
           docs.foreach(d => bytes.write(d, 0, d.length))
           store.appendRaw(coll, bytes.toByteArray)
-          // drop any stale preloaded copy; the next find re-materializes
-          // (re-materializing HERE would schedule a job from the handler
-          // while the inserting tasks still hold their slots)
-          localRel.remove(coll): Unit
+          // keep the preloaded copy current WITHOUT a Spark job: decode
+          // the freshly-appended docs driver-side against the preloaded
+          // schema and extend the LocalRelation. Re-materializing via
+          // store.read().collect() — here or lazily on the next find —
+          // schedules a job, which deadlocks when every task slot is
+          // blocked on a wire cursor this server is serving (the exact
+          // hazard preload exists to remove). Falls back to dropping
+          // the entry (next find reads the store) if decode disagrees
+          // with the preloaded schema.
+          val prev = localRel.get(coll)
+          if (prev != null) {
+            try {
+              val schema = prev.schema
+              val fresh = graft.bson.BsonBinary
+                .documents(new java.io.ByteArrayInputStream(bytes.toByteArray))
+                .map(n => graft.bson.DocDecoder
+                  .decodeStruct(n, schema, strict = false): org.apache.spark.sql.Row)
+                .toSeq
+              val all = prev.collect().toSeq ++ fresh
+              if (all.length > preloadCap) localRel.remove(coll): Unit
+              else localRel.put(coll, spark.createDataFrame(
+                java.util.Arrays.asList(all: _*), schema)): Unit
+            } catch { case scala.util.control.NonFatal(_) =>
+              localRel.remove(coll): Unit
+            }
+          }
           return encodeDoc(JObject(List(
             "n" -> JInt(docs.size), "ok" -> JDouble(1.0))))
         case _ => ()
@@ -1065,11 +1132,16 @@ object OpMsg {
               // failure — killed/timed-out cursors surface distinctly
               return buildErrorReply(s"cursor id $id not found",
                 CursorNotFound)
-            c.lastUsed = System.nanoTime()
-            val batch = pull(c)
-            val more = c.rows.hasNext
-            if (!more) cursors.remove(id): Unit
-            buildCursorReply(if (more) id else 0L, c.ns, "nextBatch", batch)
+            if (!c.pinned.compareAndSet(false, true))
+              return buildErrorReply(s"cursor id $id is already in use",
+                CursorInUse)
+            try {
+              c.lastUsed = System.nanoTime()
+              val batch = pull(c)
+              val more = c.rows.hasNext
+              if (!more) cursors.remove(id): Unit
+              buildCursorReply(if (more) id else 0L, c.ns, "nextBatch", batch)
+            } finally c.pinned.set(false)
           case None => throw new IllegalArgumentException(
             s"unsupported command: ${cmd.obj.headOption.map(_._1)
               .getOrElse("<empty>")}")
@@ -1369,6 +1441,7 @@ object OpMsg {
     }
     val (_, residual) = FilterTranslator.translateAll(filters)
     val dir = java.nio.file.Files.createTempDirectory("graft_opmsgp")
+    dir.toFile.deleteOnExit() // registered FIRST → deleted last at exit
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(ranges.size, 8))
     var total = 0L
@@ -1388,10 +1461,16 @@ object OpMsg {
               credentials, tls, compress = compress, checksum = checksum,
               compressor = compressor)
             // move the landed batch file under the shared directory —
-            // one file per cursor, one Spark partition per file
-            if (n > 0)
-              java.nio.file.Files.move(d.resolve("batches.bson"),
-                dir.resolve(f"batch-$i%05d.bson")): Unit
+            // one file per cursor, one Spark partition per file; the
+            // now-empty per-range dir goes away (its deleteOnExit
+            // registration becomes a no-op), and the moved file is
+            // re-registered at its new path
+            if (n > 0) {
+              val moved = dir.resolve(f"batch-$i%05d.bson")
+              java.nio.file.Files.move(d.resolve("batches.bson"), moved): Unit
+              moved.toFile.deleteOnExit()
+              deleteDir(d)
+            }
             n
           }
         })
@@ -1488,6 +1567,13 @@ object OpMsg {
       : (java.nio.file.Path, Long) = {
     val dir = java.nio.file.Files.createTempDirectory("graft_opmsg")
     val file = dir.resolve("batches.bson")
+    // landed batches are read lazily by the graftdocs scan, so eager
+    // deletion is the consumer's job (the graftwire partition reader
+    // deletes in close()); the JVM-exit hook bounds leakage for
+    // driver-side lazy DataFrames whose lifetime we cannot observe.
+    // deleteOnExit runs in reverse registration order: dir last.
+    dir.toFile.deleteOnExit()
+    file.toFile.deleteOnExit()
     val os = java.nio.file.Files.newOutputStream(file)
     val conn = clientSocket(host, port, tls)
     var total = 0L
@@ -1561,6 +1647,17 @@ object OpMsg {
         throw e
       }
     } finally { os.close(); conn.close() }
+    if (total == 0) deleteDir(dir) // no caller reads an empty landing dir
     (dir, total)
   }
+
+  /** Best-effort recursive delete of a landed-batch directory (one
+    * level deep — batch landings never nest). */
+  private[sources] def deleteDir(dir: java.nio.file.Path): Unit =
+    try {
+      val f = dir.toFile
+      val children = f.listFiles()
+      if (children != null) children.foreach(_.delete(): Unit)
+      f.delete(): Unit
+    } catch { case scala.util.control.NonFatal(_) => () }
 }

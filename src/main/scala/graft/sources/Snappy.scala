@@ -121,15 +121,20 @@ object Snappy {
           if (len > 60) {
             val extra = len - 60
             if (p + extra > in.length) fail("truncated literal length")
-            var l = 0
+            // accumulate in a Long: 4 extra bytes can encode up to
+            // 2^32-1, which overflows Int and would slip past the
+            // bounds checks below as a negative sum
+            var l = 0L
             var i = 0
-            while (i < extra) { l |= (in(p + i) & 0xFF) << (8 * i); i += 1 }
+            while (i < extra) { l |= (in(p + i) & 0xFFL) << (8 * i); i += 1 }
             p += extra
-            len = l + 1
-            if (len <= 0) fail("bad literal length")
+            if (l + 1 > declared) fail("bad literal length")
+            len = (l + 1).toInt
           }
-          if (p + len > in.length) fail("literal past the input")
-          if (o + len > declared) fail("literal past the declared size")
+          // subtraction form: p/o are non-negative and bounded, so these
+          // cannot overflow the way `p + len` could
+          if (len > in.length - p) fail("literal past the input")
+          if (len > declared - o) fail("literal past the declared size")
           System.arraycopy(in, p, out, o, len)
           p += len; o += len
         case kind =>

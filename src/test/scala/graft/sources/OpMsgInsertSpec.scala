@@ -71,6 +71,57 @@ class OpMsgInsertSpec extends AnyFunSuite {
     assert(fz.sequences.head._2.length == 2)
   }
 
+  test("kind-1 identifier without a NUL terminator refuses (bounded scan)") {
+    // hand-build a frame whose ONLY kind-1 content is an identifier
+    // with no NUL before the section end — the scan must stop at the
+    // boundary and refuse, not walk into following bytes or off the
+    // buffer (pre-fix: AIOOBE / silent desync)
+    val cmd = OpMsg.encodeDoc(JObject(List(
+      "insert" -> JString("events"), "$db" -> JString("graft"))))
+    val ident = "docs".getBytes("UTF-8") // deliberately unterminated
+    val len = 16 + 4 + 1 + cmd.length + 1 + 4 + ident.length
+    val out = new ByteArrayOutputStream()
+    def le32(v: Int): Unit = {
+      out.write(v & 0xFF); out.write((v >>> 8) & 0xFF)
+      out.write((v >>> 16) & 0xFF); out.write((v >>> 24) & 0xFF)
+    }
+    le32(len); le32(9); le32(0); le32(2013); le32(0) // header + flagBits
+    out.write(0); out.write(cmd)                     // kind-0 section
+    out.write(1); le32(4 + ident.length); out.write(ident) // kind-1, no NUL
+    assert(intercept[IllegalArgumentException](OpMsg.readFrame(
+      new ByteArrayInputStream(out.toByteArray)))
+      .getMessage.contains("NUL"))
+  }
+
+  test("preload: refuses past the row cap; insert keeps the preloaded " +
+    "copy current without dropping to store reads") {
+    val store = emptyStore()
+    try {
+      store.write(events(200), "events")
+      // cap below the collection size → loud refusal at construction
+      val e = intercept[IllegalStateException](
+        new OpMsg.Server(spark, store, preload = true, preloadCap = 100))
+      assert(e.getMessage.contains("preload refused") &&
+        e.getMessage.contains("events"))
+      // cap above it → serves; an insert must surface in the NEXT find
+      // (the preloaded LocalRelation is extended driver-side, job-free)
+      val server = new OpMsg.Server(spark, store, preload = true)
+      try {
+        val extra = events(210).exceptAll(events(200))
+        val n = OpMsg.insert(spark, "127.0.0.1", server.port, "graft",
+          "events", extra)
+        assert(n == extra.count())
+        val wire = OpMsg.find(spark, "127.0.0.1", server.port, "graft",
+          "events")
+        assert(wire.count() == 200 + n)
+        // the insert must have EXTENDED the LocalRelation, not dropped
+        // it — a drop re-exposes store reads (and the scheduler
+        // deadlock preload exists to prevent)
+        assert(server.preloadedCollections.contains("events"))
+      } finally server.stop()
+    } finally { store.drop("events"): Unit }
+  }
+
   // ---- insert end-to-end ------------------------------------------------------
 
   test("insert over the wire ≡ the source rows; a second insert appends") {

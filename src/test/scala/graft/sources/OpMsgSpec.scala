@@ -193,4 +193,58 @@ class OpMsgSpec extends AnyFunSuite {
       assert(wire.count() == 0)
     } finally server.stop()
   }
+
+  test("cursor in use: a getMore while another connection drives the same " +
+    "cursor answers code 281, never interleaves") {
+    val (store, server) = fixture()
+    var a: java.net.Socket = null
+    var b: java.net.Socket = null
+    try {
+      // ~24k rows at batchSize 1 → several MB of one-doc reply frames:
+      // an exhaust stream whose client never reads MUST block on full
+      // socket buffers with the cursor pin held
+      store.write(Seq.fill(24)(store.read("events")).reduce(_ union _),
+        "big")
+      a = new java.net.Socket()
+      a.setReceiveBufferSize(4096)
+      a.connect(new java.net.InetSocketAddress("127.0.0.1", server.port))
+      val ain = new java.io.BufferedInputStream(a.getInputStream, 1 << 12)
+      val aout = new java.io.BufferedOutputStream(a.getOutputStream, 1 << 12)
+      OpMsg.writeFrame(aout, 1, 0, OpMsg.encodeDoc(JObject(List(
+        "find" -> JString("big"),
+        "filter" -> JObject(Nil),
+        "batchSize" -> JInt(1),
+        "$db" -> JString("graft")))), flags = 0, compress = false)
+      val Some(f1) = OpMsg.readFrame(ain): @unchecked
+      val (cursorId, _) = OpMsg.parseCursorReply(f1.doc)
+      assert(cursorId != 0L, "fixture too small to leave a live cursor")
+      // ONE exhaust getMore (exhaustAllowed = bit 16); then stop
+      // reading — the server streams until the buffers fill and blocks
+      OpMsg.writeFrame(aout, 2, 0, OpMsg.encodeDoc(JObject(List(
+        "getMore" -> JLong(cursorId),
+        "collection" -> JString("big"),
+        "batchSize" -> JInt(1),
+        "$db" -> JString("graft")))), flags = 0x10000, compress = false)
+      Thread.sleep(300) // let the stream start and wedge on the buffers
+      b = new java.net.Socket("127.0.0.1", server.port)
+      val bin = new java.io.BufferedInputStream(b.getInputStream, 1 << 14)
+      val bout = new java.io.BufferedOutputStream(b.getOutputStream, 1 << 14)
+      OpMsg.writeFrame(bout, 7, 0, OpMsg.encodeDoc(JObject(List(
+        "getMore" -> JLong(cursorId),
+        "collection" -> JString("big"),
+        "batchSize" -> JInt(1),
+        "$db" -> JString("graft")))), flags = 0, compress = false)
+      val Some(fb) = OpMsg.readFrame(bin): @unchecked
+      val err = OpMsg.decodeDoc(fb.doc).obj.toMap
+      assert(err.get("ok").contains(JDouble(0.0)), s"expected ok:0, got $err")
+      assert(err.get("code").contains(JInt(281)), s"expected code 281: $err")
+    } finally {
+      // closing A unblocks and then kills the server's exhaust writer;
+      // its worker thread logs and exits — by design for a dead client
+      if (a != null) a.close()
+      if (b != null) b.close()
+      server.stop()
+      store.drop("big"): Unit
+    }
+  }
 }

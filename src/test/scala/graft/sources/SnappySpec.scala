@@ -72,6 +72,19 @@ class SnappySpec extends AnyFunSuite {
       .getMessage.contains("preamble"))
   }
 
+  test("refusal: 4-extra-byte literal length near Int.MaxValue refuses " +
+    "cleanly (no Int-overflow escape to arraycopy)") {
+    // tag 0xFC: len field 63 → 64 > 60 → 4 extra LE bytes follow,
+    // here encoding l = 0x7FFFFF00, so the pre-fix Int math
+    // len = l + 1 stayed positive while p + len wrapped negative and
+    // slipped past both bounds checks, surfacing as an uncaught
+    // IndexOutOfBoundsException from System.arraycopy
+    val in = bytes(0x0A) /* declared 10 */ ++
+      bytes(0xFC, 0x00, 0xFF, 0xFF, 0x7F) ++ "abc".getBytes("UTF-8")
+    assert(intercept[IllegalArgumentException](Snappy.uncompress(in))
+      .getMessage.contains("literal length"))
+  }
+
   // ---- encoder round-trip properties ----------------------------------------
 
   test("round-trip: empty, tiny, repetitive, random, and BSON-shaped") {
