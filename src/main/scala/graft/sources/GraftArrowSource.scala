@@ -46,9 +46,11 @@ import org.apache.spark.util.SerializableConfiguration
   *
   * Type surface (refusals are loud): boolean, byte/short/int/long,
   * float/double, decimal(p,s), string, binary, date, timestamp (UTC
-  * micros), and array<any of those except decimal>. Nested
-  * struct/map columns are out of scope for an interchange sink —
-  * flatten first. */
+  * micros), and ARBITRARILY NESTED array/struct of those — the
+  * reference's product is a nested Arrow table (DocumentBuilder →
+  * StructArray, P/lib.pyx:813-839; nested matrices
+  * T/test_arrow.py:376-504), so documents-shaped data round-trips
+  * without flattening. Map columns are out of scope — flatten first. */
 class GraftArrowSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graftarrow"
 
@@ -143,7 +145,8 @@ private[sources] object GraftArrowSource {
     throw new IllegalArgumentException(
       s"graftarrow: unsupported type $what (supported: boolean, " +
         "byte/short/int/long, float/double, decimal, string, binary, " +
-        "date, timestamp, timestamp_ntz, array of those except decimal)")
+        "date, timestamp, timestamp_ntz, and arbitrarily nested " +
+        "array/struct of those; map is out of scope — flatten first)")
 
   def toArrowField(name: String, dt: DataType, nullable: Boolean): Field = {
     def prim(t: ArrowType): Field =
@@ -168,13 +171,15 @@ private[sources] object GraftArrowSource {
       case TimestampNTZType =>
         prim(new ArrowType.Timestamp(TimeUnit.MICROSECOND, null))
       case ArrayType(el, elNullable) =>
-        el match {
-          case _: DecimalType | _: ArrayType | _: StructType | _: MapType =>
-            unsupported(s"array<$el>")
-          case _ => ()
-        }
+        // fully recursive: array<struct>, array<array>, array<decimal>
+        // — the reference's defining artifact is a NESTED Arrow table
+        // (P/lib.pyx:813-839, T/test_arrow.py:376-504)
         new Field(name, new FieldType(nullable, ArrowType.List.INSTANCE, null),
           java.util.List.of(toArrowField("element", el, elNullable)))
+      case st: StructType =>
+        new Field(name, new FieldType(nullable, ArrowType.Struct.INSTANCE, null),
+          st.fields.map(f =>
+            toArrowField(f.name, f.dataType, f.nullable)).toSeq.asJava)
       case other => unsupported(other.sql)
     }
   }
@@ -206,6 +211,9 @@ private[sources] object GraftArrowSource {
     case _: ArrowType.List =>
       val el = f.getChildren.get(0)
       ArrayType(toSparkType(el), el.isNullable)
+    case _: ArrowType.Struct =>
+      StructType(f.getChildren.asScala.map(c =>
+        StructField(c.getName, toSparkType(c), c.isNullable)).toSeq)
     case other => unsupported(other.toString)
   }
 
@@ -310,6 +318,19 @@ private[sources] class GraftArrowScan(fullSchema: StructType,
 private[sources] case class GraftArrowPartition(file: String)
   extends InputPartition
 
+/** Reader-owned [[ArrowColumnVector]]: `ColumnarToRowExec` calls
+  * `closeIfFreeable()` on every batch after consuming it, and the
+  * default frees the column. These vectors are REUSED by the
+  * ArrowFileReader across `loadNextBatch` calls — and closing a
+  * StructVector removes its children, so the next load fails with
+  * "should have as many children as in the schema". Early free is a
+  * no-op here; the partition reader's close() releases everything. */
+private[sources] final class ReaderOwnedArrowVector(
+    v: org.apache.arrow.vector.ValueVector)
+  extends ArrowColumnVector(v) {
+  override def closeIfFreeable(): Unit = ()
+}
+
 private[sources] class GraftArrowReaderFactory(
     required: StructType, conf: SerializableConfiguration)
   extends PartitionReaderFactory {
@@ -344,7 +365,7 @@ private[sources] class GraftArrowReaderFactory(
         // a fresh wrapper per batch, valid until the next call (the
         // PartitionReader contract)
         val cols: Array[ColumnVector] =
-          idx.map(i => new ArrowColumnVector(root.getVector(i)): ColumnVector)
+          idx.map(i => new ReaderOwnedArrowVector(root.getVector(i)): ColumnVector)
         current = new ColumnarBatch(cols, root.getRowCount)
         true
       }
@@ -504,9 +525,7 @@ private[sources] class GraftArrowDataWriter(schema: StructType, path: String,
   private val listChildIdx = new java.util.IdentityHashMap[ListVector, Integer]()
 
   private def setScalar(v: FieldVector, dt: DataType,
-                        get: () => Any, i: Int): Unit = {
-    val value = get()
-    if (value == null) { setNull(v, i); return }
+                        value: Any, i: Int): Unit = {
     (v, dt) match {
       case (b: BitVector, BooleanType) =>
         b.setSafe(i, if (value.asInstanceOf[Boolean]) 1 else 0)
@@ -538,24 +557,69 @@ private[sources] class GraftArrowDataWriter(schema: StructType, path: String,
     case b: BaseFixedWidthVector => b.setNull(i)
     case b: BaseVariableWidthVector => b.setNull(i)
     case b: ListVector => b.setNull(i)
+    case b: org.apache.arrow.vector.complex.StructVector => b.setNull(i)
     case other => throw new IllegalStateException(
       s"graftarrow: cannot null ${other.getClass.getSimpleName}")
   }
 
-  private def extractor(dt: DataType, row: InternalRow, ord: Int): () => Any =
-    () => if (row.isNullAt(ord)) null else dt match {
-      case BooleanType => row.getBoolean(ord)
-      case ByteType => row.getByte(ord)
-      case ShortType => row.getShort(ord)
-      case IntegerType | DateType => row.getInt(ord)
-      case LongType | TimestampType | TimestampNTZType => row.getLong(ord)
-      case FloatType => row.getFloat(ord)
-      case DoubleType => row.getDouble(ord)
-      case d: DecimalType => row.getDecimal(ord, d.precision, d.scale)
-      case StringType => row.getUTF8String(ord)
-      case BinaryType => row.getBinary(ord)
+  /** Catalyst value at `ord` of any SpecializedGetters (an InternalRow
+    * or an ArrayData — rows and list elements share one access path). */
+  private def valueOf(
+      g: org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
+      ord: Int, dt: DataType): Any =
+    if (g.isNullAt(ord)) null else dt match {
+      case BooleanType => g.getBoolean(ord)
+      case ByteType => g.getByte(ord)
+      case ShortType => g.getShort(ord)
+      case IntegerType | DateType => g.getInt(ord)
+      case LongType | TimestampType | TimestampNTZType => g.getLong(ord)
+      case FloatType => g.getFloat(ord)
+      case DoubleType => g.getDouble(ord)
+      case d: DecimalType => g.getDecimal(ord, d.precision, d.scale)
+      case StringType => g.getUTF8String(ord)
+      case BinaryType => g.getBinary(ord)
+      case ArrayType(_, _) => g.getArray(ord)
+      case st: StructType => g.getStruct(ord, st.fields.length)
       case other => throw new IllegalStateException(other.sql)
     }
+
+  /** Recursive value writer: scalars via setScalar; lists append their
+    * elements at the list's running child index (per-vector, reset each
+    * batch); structs write each child at the SAME index i (struct
+    * children are parallel arrays in Arrow). A null struct leaves its
+    * child slots unset — setValueCount propagation nulls them. */
+  private def writeValue(v: FieldVector, dt: DataType, value: Any,
+                         i: Int): Unit = {
+    if (value == null) { setNull(v, i); return }
+    dt match {
+      case ArrayType(el, _) =>
+        val list = v.asInstanceOf[ListVector]
+        val arr = value.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val child = list.getDataVector.asInstanceOf[FieldVector]
+        var ci = Option(listChildIdx.get(list)).map(_.intValue).getOrElse(0)
+        list.startNewValue(i)
+        val n = arr.numElements()
+        var e = 0
+        while (e < n) {
+          writeValue(child, el, valueOf(arr, e, el), ci)
+          ci += 1; e += 1
+        }
+        list.endValue(i, n)
+        listChildIdx.put(list, ci): Unit
+      case st: StructType =>
+        val sv = v.asInstanceOf[org.apache.arrow.vector.complex.StructVector]
+        sv.setIndexDefined(i)
+        val row = value.asInstanceOf[InternalRow]
+        var f = 0
+        while (f < st.fields.length) {
+          writeValue(sv.getChildByOrdinal(f).asInstanceOf[FieldVector],
+            st.fields(f).dataType,
+            valueOf(row, f, st.fields(f).dataType), i)
+          f += 1
+        }
+      case _ => setScalar(v, dt, value, i)
+    }
+  }
 
   private var rowIdx = 0
   private var batches = 0L
@@ -565,44 +629,8 @@ private[sources] class GraftArrowDataWriter(schema: StructType, path: String,
     var f = 0
     while (f < schema.fields.length) {
       val field = schema.fields(f)
-      val v = root.getVector(f)
-      field.dataType match {
-        case ArrayType(el, _) =>
-          val list = v.asInstanceOf[ListVector]
-          if (record.isNullAt(f)) setNull(list, rowIdx)
-          else {
-            val arr = record.getArray(f)
-            val child = list.getDataVector.asInstanceOf[FieldVector]
-            var ci = Option(listChildIdx.get(list)).map(_.intValue).getOrElse(0)
-            list.startNewValue(rowIdx)
-            var e = 0
-            val n = arr.numElements()
-            while (e < n) {
-              if (arr.isNullAt(e)) setNull(child, ci)
-              else {
-                val elemVal: Any = el match {
-                  case BooleanType => arr.getBoolean(e)
-                  case ByteType => arr.getByte(e)
-                  case ShortType => arr.getShort(e)
-                  case IntegerType | DateType => arr.getInt(e)
-                  case LongType | TimestampType | TimestampNTZType =>
-                    arr.getLong(e)
-                  case FloatType => arr.getFloat(e)
-                  case DoubleType => arr.getDouble(e)
-                  case StringType => arr.getUTF8String(e)
-                  case BinaryType => arr.getBinary(e)
-                  case other => throw new IllegalStateException(other.sql)
-                }
-                setScalar(child, el, () => elemVal, ci)
-              }
-              ci += 1; e += 1
-            }
-            list.endValue(rowIdx, n)
-            listChildIdx.put(list, ci): Unit
-          }
-        case dt =>
-          setScalar(v, dt, extractor(dt, record, f), rowIdx)
-      }
+      writeValue(root.getVector(f), field.dataType,
+        valueOf(record, f, field.dataType), rowIdx)
       f += 1
     }
     stats.foreach(_.update(

@@ -119,7 +119,15 @@ class GraftArrowSpec extends AnyFunSuite {
     val pool: Seq[DataType] = Seq(BooleanType, ByteType, ShortType,
       IntegerType, LongType, FloatType, DoubleType, DecimalType(10, 2),
       StringType, BinaryType, DateType, TimestampType,
-      ArrayType(LongType), ArrayType(FloatType), ArrayType(StringType))
+      ArrayType(LongType), ArrayType(FloatType), ArrayType(StringType),
+      ArrayType(DecimalType(10, 2)),
+      StructType(Seq(StructField("u", LongType),
+        StructField("v", StringType))),
+      StructType(Seq(StructField("w", DoubleType),
+        StructField("xs", ArrayType(IntegerType)))),
+      ArrayType(StructType(Seq(StructField("p", FloatType),
+        StructField("q", BooleanType)))),
+      ArrayType(ArrayType(LongType)))
     def value(dt: DataType): Any =
       if (rnd.nextInt(5) == 0) null
       else dt match {
@@ -136,14 +144,11 @@ class GraftArrowSpec extends AnyFunSuite {
         case DateType => new Date(rnd.nextInt(20000).toLong * 86400000L)
         case TimestampType => new Timestamp(math.abs(rnd.nextLong()) % 4102444800000L)
         case ArrayType(el, _) =>
-          Seq.fill(rnd.nextInt(5))(
-            if (rnd.nextInt(6) == 0) null
-            else el match {
-              case LongType => rnd.nextLong()
-              case FloatType => rnd.nextFloat()
-              case StringType => rnd.alphanumeric.take(rnd.nextInt(6)).mkString
-              case other => fail(s"unexpected $other")
-            })
+          // elements recurse (and inherit the null chance) — covers
+          // array<decimal>, array<struct>, array<array>
+          Seq.fill(rnd.nextInt(5))(value(el))
+        case st: StructType =>
+          Row(st.fields.map(f => value(f.dataType)): _*)
         case other => fail(s"unexpected $other")
       }
     for (draw <- 1 to 25) {
@@ -224,17 +229,60 @@ class GraftArrowSpec extends AnyFunSuite {
       .exists(_.getName.endsWith(".zmap")))
   }
 
-  test("unsupported types refuse loudly") {
+  test("unsupported types refuse loudly (narrowed to map)") {
     val dir = tmp()
-    val nested = spark.range(3).select(struct(col("id")).as("st"))
-    val e = intercept[Exception] {
-      nested.write.format("graftarrow").mode("overwrite").save(dir)
-    }
-    assert(e.getMessage.contains("graftarrow: unsupported type"))
     val mapped = spark.range(3).select(map(lit("k"), col("id")).as("m"))
     assert(intercept[Exception] {
       mapped.write.format("graftarrow").mode("overwrite").save(dir)
     }.getMessage.contains("graftarrow: unsupported type"))
+    // map nested anywhere refuses too
+    val deep = spark.range(3)
+      .select(struct(map(lit("k"), col("id")).as("m")).as("st"))
+    assert(intercept[Exception] {
+      deep.write.format("graftarrow").mode("overwrite").save(dir)
+    }.getMessage.contains("graftarrow: unsupported type"))
+  }
+
+  test("nested matrix: struct / struct-of-list / list-of-struct / " +
+    "array-of-decimal / array-of-array, with null subdocuments") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("doc", StructType(Seq(
+        StructField("name", StringType),
+        StructField("score", DoubleType),
+        StructField("tags", ArrayType(StringType)),
+        StructField("inner", StructType(Seq(
+          StructField("a", IntegerType),
+          StructField("b", DecimalType(12, 3)))))))),
+      StructField("points", ArrayType(StructType(Seq(
+        StructField("x", DoubleType), StructField("y", DoubleType))))),
+      StructField("amounts", ArrayType(DecimalType(10, 2))),
+      StructField("grid", ArrayType(ArrayType(IntegerType)))))
+    val rows = Seq(
+      Row(1L,
+        Row("alpha", 0.5, Seq("t1", "t2"), Row(7, BigDecimal("1.250"))),
+        Seq(Row(1.0, 2.0), Row(-3.5, null)),
+        Seq(BigDecimal("10.25"), null, BigDecimal("0.00")),
+        Seq(Seq(1, 2), Seq.empty[Int], null)),
+      Row(2L, null, null, null, null), // null subdocument + null lists
+      Row(3L,
+        Row(null, null, Seq.empty[String], null), // nulls INSIDE the doc
+        Seq.empty[Row],
+        Seq.empty[BigDecimal],
+        Seq(Seq(9, null, 11))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => r: Row), 2), schema)
+    val dir = tmp()
+    df.write.format("graftarrow").option("batchRows", "2")
+      .mode("overwrite").save(dir)
+    val back = spark.read.format("graftarrow").load(dir)
+    assert(back.schema == schema)
+    assert(back.toJSON.collect().sorted.toSeq ==
+      df.toJSON.collect().sorted.toSeq)
+    // nested projection still reads (top-level pruning keeps the
+    // struct whole — sound, never lossy)
+    assert(back.select(col("doc.name")).collect().map(_.getString(0))
+      .toSet == Set("alpha", null))
   }
 
   test("empty result writes no files; reading an empty dir refuses with " +
