@@ -81,8 +81,11 @@ object Analyzers {
   // full oracle twins. charFilters htmlStrip/mapping ARE supported
   // (applied to the raw text before tokenization, both sides); porterStemming
   // and englishPossessive ARE supported (spec-pinned — stemming has no
-  // DuckDB replay, so gates using them are rows-only); the snowball/
-  // kStemming/shingle/edge-gram families are NOT and refuse loudly.
+  // DuckDB replay, so gates using them are rows-only); edgeGram/nGram/
+  // shingle ARE supported (pure Column expansions, DuckDB-replayable
+  // via generate_series + substr); the snowball/kStemming language-
+  // stemmer families are NOT and refuse loudly (Porter/English covers
+  // the stemming surface).
   private sealed trait TokFilter
   private case object FLower extends TokFilter
   private case object FFold extends TokFilter
@@ -91,6 +94,19 @@ object Analyzers {
   private case class FStop(tokens: Seq[String], ignoreCase: Boolean)
     extends TokFilter
   private case class FLength(min: Int, max: Int) extends TokFilter
+  // gram families (Atlas autocomplete is edgeGram-backed; shingle feeds
+  // phrase-ish scoring). All three are pure Column-form expansions —
+  // zero shuffle, fully DuckDB-replayable (generate_series + substr):
+  //  - edgeGram: each token → its prefixes of length min..max (tokens
+  //    shorter than min emit nothing — Lucene EdgeNGramTokenFilter
+  //    with preserveOriginal=false)
+  //  - nGram: each token → ALL substrings of length min..max
+  //  - shingle: the token stream → original tokens PLUS space-joined
+  //    windows of min..max adjacent tokens (Lucene ShingleFilter with
+  //    outputUnigrams=true, the default)
+  private case class FEdgeGram(min: Int, max: Int) extends TokFilter
+  private case class FNGram(min: Int, max: Int) extends TokFilter
+  private case class FShingle(min: Int, max: Int) extends TokFilter
   // charFilters run on the RAW text before tokenization:
   //  - htmlStrip: tags (<...>) become spaces — Lucene's
   //    HTMLStripCharFilter minus entity decoding (documented
@@ -187,10 +203,37 @@ object Analyzers {
               if (mn < 0 || mx < mn) throw new graft.mql.MqlException(
                 s"$ctx: length filter needs 0 <= min <= max (got $mn..$mx)")
               FLength(mn, mx)
+            case "edgeGram" | "nGram" =>
+              val mn = fo.collectFirst { case ("minGram", v) =>
+                intOf(v, s"$t.minGram") }.getOrElse(
+                throw new graft.mql.MqlException(
+                  s"$ctx: $t filter needs minGram"))
+              val mx = fo.collectFirst { case ("maxGram", v) =>
+                intOf(v, s"$t.maxGram") }.getOrElse(
+                throw new graft.mql.MqlException(
+                  s"$ctx: $t filter needs maxGram"))
+              if (mn < 1 || mx < mn) throw new graft.mql.MqlException(
+                s"$ctx: $t filter needs 1 <= minGram <= maxGram " +
+                  s"(got $mn..$mx)")
+              if (t == "edgeGram") FEdgeGram(mn, mx) else FNGram(mn, mx)
+            case "shingle" =>
+              val mn = fo.collectFirst { case ("minShingleSize", v) =>
+                intOf(v, "shingle.minShingleSize") }.getOrElse(
+                throw new graft.mql.MqlException(
+                  s"$ctx: shingle filter needs minShingleSize"))
+              val mx = fo.collectFirst { case ("maxShingleSize", v) =>
+                intOf(v, "shingle.maxShingleSize") }.getOrElse(
+                throw new graft.mql.MqlException(
+                  s"$ctx: shingle filter needs maxShingleSize"))
+              if (mn < 2 || mx < mn) throw new graft.mql.MqlException(
+                s"$ctx: shingle filter needs 2 <= minShingleSize <= " +
+                  s"maxShingleSize (got $mn..$mx)")
+              FShingle(mn, mx)
             case other => throw new graft.mql.MqlException(
               s"$ctx: unsupported token filter '$other' (supported: " +
                 "lowercase, asciiFolding, porterStemming, " +
-                "englishPossessive, stopword, length)")
+                "englishPossessive, stopword, length, edgeGram, " +
+                "nGram, shingle)")
           }
         case other => throw new graft.mql.MqlException(
           s"$ctx: token filter must be a name or a document, got $other")
@@ -251,6 +294,12 @@ object Analyzers {
           s"""{"type":"stopword","tokens":[${toks.map(esc).mkString(",")}],"ignoreCase":$ic}"""
         case FLength(mn, mx) =>
           s"""{"type":"length","min":$mn,"max":$mx}"""
+        case FEdgeGram(mn, mx) =>
+          s"""{"type":"edgeGram","minGram":$mn,"maxGram":$mx}"""
+        case FNGram(mn, mx) =>
+          s"""{"type":"nGram","minGram":$mn,"maxGram":$mx}"""
+        case FShingle(mn, mx) =>
+          s"""{"type":"shingle","minShingleSize":$mn,"maxShingleSize":$mx}"""
       }.mkString(",")
       val cfs = c.charFilters.map {
         case CHtmlStrip => """{"type":"htmlStrip"}"""
@@ -306,6 +355,25 @@ object Analyzers {
     case FStop(toks, false) => filter(arr, x => !x.isin(toks: _*))
     case FLength(mn, mx) =>
       filter(arr, x => length(x) >= mn && length(x) <= mx)
+    case FEdgeGram(mn, mx) =>
+      // tokens shorter than minGram are dropped FIRST — Spark's
+      // sequence(a, b) counts DOWN when b < a, which would fabricate
+      // grams; the filter keeps the sequence ascending by construction
+      flatten(transform(filter(arr, x => length(x) >= mn),
+        x => transform(sequence(lit(mn), least(lit(mx), length(x))),
+          g => x.substr(lit(1), g))))
+    case FNGram(mn, mx) =>
+      flatten(transform(filter(arr, x => length(x) >= mn), x =>
+        flatten(transform(sequence(lit(mn), least(lit(mx), length(x))),
+          g => transform(sequence(lit(1), length(x) - g + lit(1)),
+            p => x.substr(p, g))))))
+    case FShingle(mn, mx) =>
+      // original tokens + space-joined windows; sizes the stream is too
+      // short for contribute nothing (filter keeps size(arr) >= k)
+      concat(arr, flatten(transform(
+        filter(sequence(lit(mn), lit(mx)), k => size(arr) >= k),
+        k => transform(sequence(lit(1), size(arr) - k + lit(1)),
+          i => array_join(slice(arr, i, k), " ")))))
   }
 
   /** lucene.english as its equivalent custom chain — ONE definition
@@ -365,6 +433,16 @@ object Analyzers {
         ts.filterNot(t => low(t.toLowerCase(Locale.ROOT)))
       case FStop(toks, false) => val s = toks.toSet; ts.filterNot(s)
       case FLength(mn, mx) => ts.filter(t => t.length >= mn && t.length <= mx)
+      case FEdgeGram(mn, mx) =>
+        ts.filter(_.length >= mn).flatMap(t =>
+          (mn to math.min(mx, t.length)).map(g => t.substring(0, g)))
+      case FNGram(mn, mx) =>
+        ts.filter(_.length >= mn).flatMap(t =>
+          (mn to math.min(mx, t.length)).flatMap(g =>
+            (0 to t.length - g).map(p => t.substring(p, p + g))))
+      case FShingle(mn, mx) =>
+        ts ++ (mn to mx).filter(_ <= ts.length).flatMap(k =>
+          ts.sliding(k).map(_.mkString(" ")))
     }
 
   /** Query-side tokenizer — must agree with [[docTokens]] exactly. */

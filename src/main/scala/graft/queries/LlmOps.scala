@@ -1003,6 +1003,51 @@ object LlmOps {
             SELECT * FROM o UNION ALL SELECT * FROM e
             ORDER BY o_orderstatus""")),
 
+    // NESTED Arrow interchange — the reference's defining artifact is a
+    // nested Arrow table (DocumentBuilder → StructArray, P/lib.pyx:
+    // 813-839; nested matrices T/test_arrow.py:376-504): orders fold to
+    // a struct header (with a decimal leaf) + a sorted list<struct> of
+    // their lineitems, cross the IPC boundary as Arrow struct/list
+    // columns, and the gate re-derives scalar aggregates FROM the
+    // round-tripped nesting (struct field reads, list size, a lambda
+    // fold over list elements, last-element access) — any loss in
+    // struct validity, list boundaries, or nested decimal scale breaks
+    // the hash against the oracle's flat join
+    QueryDef("q_arrow_nested",
+      (s, dir) => {
+        val tgt = java.nio.file.Files.createTempDirectory("graft_ipcn").toString
+        val o = Graft.table(s, dir, "orders")
+        val li = Graft.table(s, dir, "lineitem")
+        o.where(col("o_orderkey") % 7 === 0)
+          .join(li, col("o_orderkey") === col("l_orderkey"))
+          .groupBy("o_orderkey")
+          .agg(
+            first(struct(col("o_custkey").as("cust"),
+              col("o_totalprice").cast("decimal(12,2)").as("total"))).as("hdr"),
+            sort_array(collect_list(struct(col("l_linenumber").as("ln"),
+              col("l_quantity").as("qty")))).as("lines"))
+          .write.format("graftarrow").option("batchRows", "64")
+          .mode("overwrite").save(tgt)
+        val back = s.read.format("graftarrow").load(tgt)
+        back.select(col("o_orderkey"),
+            col("hdr.cust").as("cust"),
+            col("hdr.total").cast("double").as("total"),
+            size(col("lines")).as("nlines"),
+            round(aggregate(col("lines"), lit(0.0d),
+              (acc, x) => acc + x.getField("qty")), 4).as("qty_sum"),
+            element_at(col("lines"), -1).getField("ln").as("last_ln"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o.o_orderkey, o.o_custkey AS cust,
+                     CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS DOUBLE)
+                       AS total,
+                     CAST(COUNT(*) AS INT) AS nlines,
+                     round(SUM(l.l_quantity), 4) AS qty_sum,
+                     MAX(l.l_linenumber) AS last_ln
+              FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+              WHERE o.o_orderkey % 7 = 0
+              GROUP BY 1, 2, 3 ORDER BY 1""")),
+
     // zone-map pruning on the Arrow source: 8 range-disjoint files, a
     // point range admits one — the skip must be invisible to results
     // (sidecar soundness), which is exactly what the hash checks
@@ -2938,6 +2983,100 @@ object LlmOps {
               st AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
               tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
                      WHERE term IN ('spark', 'window') GROUP BY 1, 2),
+              df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+              sc AS (SELECT tf.doc_id,
+                       round(SUM(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5)) *
+                         tf.tf * 2.2 / (tf.tf + 1.2 *
+                           (1 - 0.75 + 0.75 * dl.dl / st.avgdl))), 6) AS score
+                     FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+                          CROSS JOIN st
+                     GROUP BY 1)
+            SELECT doc_id, score FROM sc
+            ORDER BY score DESC, doc_id LIMIT 20""")),
+
+    // edgeGram (the Atlas-autocomplete gram family): the analyzer
+    // expands every token to its 3..5-char prefixes on BOTH sides —
+    // the query "spark merge" analyzes to 6 gram terms, so a partial
+    // prefix typed by a user matches the indexed grams; the oracle
+    // replays the expansion with generate_series + substr and re-scores
+    // BM25 over the gram stream (every length statistic shifts with
+    // the expansion — a one-gram divergence breaks the hash)
+    QueryDef("q_search_edgegram",
+      (s, dir) => Graft.aggregate(s, dir, "documents",
+        """[
+          {"$search": {
+            "analyzer": {"tokenizer": "standard", "tokenFilters": [
+              {"type": "lowercase"},
+              {"type": "edgeGram", "minGram": 3, "maxGram": 5}]},
+            "text": {"query": "spark merge", "path": "text"},
+            "limit": 20, "tieBreaker": "doc_id"}},
+          {"$project": {"doc_id": 1,
+            "score": {"$meta": "searchScore"}}},
+          {"$sort": {"score": -1, "doc_id": 1}}]"""),
+      Some(s"""WITH raw AS (SELECT doc_id,
+                 flatten(list_transform(
+                     list_filter(list_transform(
+                         regexp_extract_all(text,
+                           '[\\p{L}\\p{N}]+(?:''[\\p{L}\\p{N}]+)*'),
+                         t -> lower(t)),
+                       t -> len(t) >= 3),
+                     t -> list_transform(
+                       generate_series(3, least(5, len(t))),
+                       g -> substr(t, 1, CAST(g AS INT))))) AS w
+                 FROM documents),
+              toks AS (SELECT doc_id, unnest(w) AS term FROM raw),
+              dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+              st AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+              tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+                     WHERE term IN ('spa', 'spar', 'spark',
+                                    'mer', 'merg', 'merge')
+                     GROUP BY 1, 2),
+              df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+              sc AS (SELECT tf.doc_id,
+                       round(SUM(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5)) *
+                         tf.tf * 2.2 / (tf.tf + 1.2 *
+                           (1 - 0.75 + 0.75 * dl.dl / st.avgdl))), 6) AS score
+                     FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+                          CROSS JOIN st
+                     GROUP BY 1)
+            SELECT doc_id, score FROM sc
+            ORDER BY score DESC, doc_id LIMIT 20""")),
+
+    // shingle: the token stream gains its 2-token windows (unigrams
+    // kept — Lucene outputUnigrams default), so the adjacent pair
+    // "spark window" scores as ONE term with its own df/tf alongside
+    // the unigrams; the oracle rebuilds the windows with list slicing
+    QueryDef("q_search_shingle",
+      (s, dir) => Graft.aggregate(s, dir, "documents",
+        """[
+          {"$search": {
+            "analyzer": {"tokenizer": "standard", "tokenFilters": [
+              {"type": "lowercase"},
+              {"type": "shingle",
+               "minShingleSize": 2, "maxShingleSize": 2}]},
+            "text": {"query": "spark window merge", "path": "text"},
+            "limit": 20, "tieBreaker": "doc_id"}},
+          {"$project": {"doc_id": 1,
+            "score": {"$meta": "searchScore"}}},
+          {"$sort": {"score": -1, "doc_id": 1}}]"""),
+      Some(s"""WITH base AS (SELECT doc_id,
+                 list_transform(regexp_extract_all(text,
+                     '[\\p{L}\\p{N}]+(?:''[\\p{L}\\p{N}]+)*'),
+                   t -> lower(t)) AS w0
+                 FROM documents),
+              raw AS (SELECT doc_id,
+                 w0 || list_transform(
+                   generate_series(1, len(w0) - 1),
+                   i -> w0[CAST(i AS INT)] || ' ' ||
+                        w0[CAST(i AS INT) + 1]) AS w
+                 FROM base),
+              toks AS (SELECT doc_id, unnest(w) AS term FROM raw),
+              dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+              st AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+              tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+                     WHERE term IN ('spark', 'window', 'merge',
+                                    'spark window', 'window merge')
+                     GROUP BY 1, 2),
               df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
               sc AS (SELECT tf.doc_id,
                        round(SUM(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5)) *

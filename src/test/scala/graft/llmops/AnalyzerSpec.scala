@@ -265,6 +265,55 @@ class AnalyzerSpec extends AnyFunSuite {
       Analyzers.normalize(variant, "t"))
   }
 
+  test("gram families: edgeGram / nGram / shingle semantics and " +
+       "doc/query agreement") {
+    val edge = """{"tokenizer": "whitespace", "tokenFilters": [
+        {"type": "lowercase"},
+        {"type": "edgeGram", "minGram": 2, "maxGram": 4}]}"""
+    val ngram = """{"tokenizer": "whitespace", "tokenFilters": [
+        {"type": "lowercase"},
+        {"type": "nGram", "minGram": 2, "maxGram": 3}]}"""
+    val shingle = """{"tokenizer": "whitespace", "tokenFilters": [
+        {"type": "lowercase"},
+        {"type": "shingle", "minShingleSize": 2, "maxShingleSize": 3}]}"""
+    // edgeGram: prefixes of 2..4; 1-char tokens emit nothing
+    assert(Analyzers.queryTerms(edge, "Spark a go") ==
+      Seq("sp", "spa", "spar", "go"))
+    // nGram: every substring of 2..3
+    assert(Analyzers.queryTerms(ngram, "abcd x") ==
+      Seq("ab", "bc", "cd", "abc", "bcd"))
+    // shingle: unigrams + 2- and 3-token windows
+    assert(Analyzers.queryTerms(shingle, "a b c") ==
+      Seq("a", "b", "c", "a b", "b c", "a b c"))
+    // streams shorter than minShingleSize emit unigrams only
+    assert(Analyzers.queryTerms(shingle, "solo") == Seq("solo"))
+    // doc/query agreement, token for token, on the shared fixture
+    val df = fixtures.toDF("t")
+    Seq(edge, ngram, shingle).foreach { a =>
+      val docSide = df.select(Analyzers.docTokens(a, col("t")).as("w"))
+        .collect().map(r => r.getSeq[String](0).toList).toList
+      val querySide = fixtures.map(Analyzers.queryTerms(a, _).toList)
+      assert(docSide == querySide, s"gram analyzer disagrees: $a")
+    }
+    // normalization round-trips the gram parameters
+    assert(Analyzers.normalize(edge, "t").contains(
+      """{"type":"edgeGram","minGram":2,"maxGram":4}"""))
+    // parameter validation refuses
+    def bad(s: String): String =
+      intercept[MqlException](Analyzers.validate(s, "ctx")).getMessage
+    assert(bad("""{"tokenizer": "standard", "tokenFilters": [
+        {"type": "edgeGram", "minGram": 0, "maxGram": 3}]}""")
+      .contains("minGram <= maxGram"))
+    assert(bad("""{"tokenizer": "standard", "tokenFilters": [
+        {"type": "nGram", "minGram": 4, "maxGram": 2}]}""")
+      .contains("minGram <= maxGram"))
+    assert(bad("""{"tokenizer": "standard", "tokenFilters": [
+        {"type": "shingle", "minShingleSize": 1, "maxShingleSize": 2}]}""")
+      .contains("minShingleSize"))
+    assert(bad("""{"tokenizer": "standard", "tokenFilters": [
+        {"type": "edgeGram"}]}""").contains("needs minGram"))
+  }
+
   test("custom analyzers: refusal matrix") {
     def bad(s: String): String =
       intercept[MqlException](Analyzers.validate(s, "ctx")).getMessage
