@@ -103,12 +103,15 @@ object Decode {
                      CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
               FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
-    // fake-wire connector loop (LIVE_CONNECTOR.md): pushed Catalyst
-    // filters translate to the MQL wire document, a loopback server
-    // evaluates it and streams raw BSON batches, the client decodes
-    // them through the direct BSON→vector scan — the reference's
+    // wire connector loop over REAL OP_MSG framing: pushed Catalyst
+    // filters translate to the MQL wire document inside a `find`
+    // command, the loopback server evaluates it and streams raw BSON
+    // batches through the cursor lifecycle, the client decodes them
+    // through the direct BSON→vector scan — the reference's
     // find_raw_batches client shape (api.py:175) end-to-end without a
-    // mongod. The oracle replays the predicate on the source table.
+    // mongod. (The legacy length-prefixed DocWire protocol retired in
+    // round 9 — OpMsg.find subsumes it; the containment assertions
+    // moved to OpMsgSpec.) Oracle replays the predicate on the table.
     QueryDef("q_wire_find",
       (s, dir) => {
         val store = new graft.sinks.DocStore(s,
@@ -116,9 +119,10 @@ object Decode {
           "graftdocs")
         store.write(Graft.table(s, dir, "customer")
           .select("c_custkey", "c_mktsegment", "c_acctbal"), "customer")
-        val server = new graft.sources.DocWire.Server(s, store)
+        val server = new graft.sources.OpMsg.Server(s, store)
         try {
-          graft.sources.DocWire.find(s, "127.0.0.1", server.port, "customer",
+          graft.sources.OpMsg.find(s, "127.0.0.1", server.port, "graft",
+            "customer",
             Seq(org.apache.spark.sql.sources.EqualTo("c_mktsegment", "BUILDING"),
               org.apache.spark.sql.sources.GreaterThan("c_acctbal", 1000.0)))
             .groupBy(col("c_mktsegment"))
@@ -266,6 +270,39 @@ object Decode {
               WHERE c_acctbal > 500.0
               GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    // zstd OP_COMPRESSED (compressor id 3): the connection negotiates
+    // zstd via hello and every post-handshake message crosses as
+    // RFC 8878 STORE-MODE frames — legal zstd any conforming peer
+    // decodes (raw blocks; mongod's own fallback shape for
+    // incompressible data). A server offering ONLY zstd no longer
+    // drops to uncompressed; compressed-BLOCK frames still refuse
+    // loudly (spec-pinned). Oracle replays the predicate.
+    QueryDef("q_wire_opmsg_zstd",
+      (s, dir) => {
+        val store = new graft.sinks.DocStore(s,
+          java.nio.file.Files.createTempDirectory("graft_opmsgzs").toString,
+          "graftdocs")
+        store.write(Graft.table(s, dir, "customer")
+          .select("c_custkey", "c_mktsegment", "c_acctbal"), "customer")
+        val server = new graft.sources.OpMsg.Server(s, store)
+        try {
+          graft.sources.OpMsg.find(s, "127.0.0.1", server.port, "graft",
+            "customer",
+            Seq(org.apache.spark.sql.sources.GreaterThan("c_acctbal", 750.0)),
+            batchSize = 64, compress = true, compressor = "zstd")
+            .groupBy(col("c_mktsegment"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+                .cast(org.apache.spark.sql.types.DoubleType).as("sum_bal"))
+            .orderBy("c_mktsegment")
+        } finally server.stop()
+      },
+      Some("""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+              FROM customer
+              WHERE c_acctbal > 750.0
+              GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
     // Exhaust cursor streaming (exhaustAllowed → moreToCome): after the
     // first batch, ONE getMore permits the server to stream every
     // remaining batch without per-batch round trips — the wire shape
@@ -376,10 +413,10 @@ object Decode {
           "graftdocs")
         store.write(Graft.table(s, dir, "customer")
           .select("c_custkey", "c_mktsegment", "c_acctbal"), "customer")
-        val server = new graft.sources.DocWire.Server(s, store)
+        val server = new graft.sources.OpMsg.Server(s, store)
         try {
-          graft.sources.DocWire.findParallel(s, "127.0.0.1", server.port,
-            "customer", splitKey = "c_custkey", numSplits = 4,
+          graft.sources.OpMsg.findParallel(s, "127.0.0.1", server.port,
+            "graft", "customer", splitKey = "c_custkey", numSplits = 4,
             filters = Seq(org.apache.spark.sql.sources.GreaterThan("c_acctbal", 0.0)))
             .groupBy(col("c_mktsegment"))
             .agg(count(lit(1)).as("n"),
@@ -510,6 +547,57 @@ object Decode {
       Some("""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
                      CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
               FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // NATIVE streaming write over the wire: a micro-batch stream of
+    // half the customer table lands through writeStream.format(
+    // "graftwire") — per-partition insert connections, every command
+    // tagged {lsid, txnNumber} so a replayed micro-batch acknowledges
+    // from the server's retryable-write log instead of double-
+    // inserting (effectively-once). The read-back aggregate must
+    // equal a plain batch predicate on the source — any replay
+    // duplication or lost batch breaks the hash.
+    QueryDef("q_wire_stream_write",
+      (s, dir) => {
+        val store = new graft.sinks.DocStore(s,
+          java.nio.file.Files.createTempDirectory("graft_wsw").toString,
+          "graftdocs")
+        val server = new graft.sources.OpMsg.Server(s, store)
+        try {
+          import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+          implicit val sc: org.apache.spark.sql.SQLContext = s.sqlContext
+          val half = Graft.table(s, dir, "customer")
+            .select("c_custkey", "c_mktsegment", "c_acctbal")
+            .where(col("c_custkey") % 2 === 0)
+          val in = MemoryStream[org.apache.spark.sql.Row](
+            org.apache.spark.sql.Encoders.row(half.schema), sc)
+          val q = in.toDF()
+            .writeStream.format("graftwire")
+            .option("host", "127.0.0.1").option("port", server.port)
+            .option("collection", "cust_stream")
+            .option("streamId", "q-wire-stream-write")
+            .option("checkpointLocation", java.nio.file.Files
+              .createTempDirectory("graft_wsw_ck").toString)
+            .outputMode("append").start()
+          try {
+            val rows = half.collect()
+            val (a, b) = rows.splitAt(rows.length / 2)
+            in.addData(a.toIndexedSeq)
+            q.processAllAvailable()
+            in.addData(b.toIndexedSeq)
+            q.processAllAvailable()
+          } finally q.stop()
+          store.read("cust_stream")
+            .groupBy(col("c_mktsegment"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+                .cast(org.apache.spark.sql.types.DoubleType).as("sum_bal"))
+            .orderBy("c_mktsegment")
+        } finally server.stop()
+      },
+      Some("""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+              FROM customer WHERE c_custkey % 2 = 0
+              GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
     // SQL-catalog loop: the same document collection resolved through
     // the GraftCatalog TableCatalog (spark.sql over `<cat>.<coll>` —

@@ -1023,6 +1023,65 @@ object Headline {
                  OR a.n_chars <> b.n_chars OR a.source <> b.source
               ORDER BY doc_id, operationType""")),
 
+    // the SAME change history over the REAL wire: a $changeStream
+    // aggregate opens a tailable OP_MSG cursor server-side, change
+    // documents cross as raw BSON with (txnVersion/documentKey) resume
+    // tokens, the client drives getMore to caught-up and kills the
+    // cursor — the decoded events must equal the local watchOps replay
+    // (identical oracle as q_watch_ops, so any wire-side loss,
+    // duplication, or token misordering breaks the hash)
+    QueryDef("q_wire_watch",
+      (s, dir) => {
+        val store = new graft.sinks.DocStore(s,
+          java.nio.file.Files.createTempDirectory("graft_wwatch").toString)
+        val docs = Graft.table(s, dir, "documents")
+          .select("doc_id", "source", "n_chars")
+        store.writeVersioned(docs.where(col("doc_id") < 400), "coll"): Unit
+        store.writeVersioned(
+          docs.where(col("doc_id") >= 200 && col("doc_id") < 500)
+            .withColumn("n_chars",
+              when(col("doc_id") % 2 === 0, col("n_chars") + 1)
+                .otherwise(col("n_chars"))),
+          "coll"): Unit
+        val server = new graft.sources.OpMsg.Server(s, store)
+        try {
+          val (events, _) = graft.sources.OpMsg.watch(s, "127.0.0.1",
+            server.port, "graft", "coll", keyField = "doc_id",
+            batchSize = 64)
+          val out = events.select(col("operationType"),
+              col("documentKey").as("doc_id"),
+              col("fullDocument.source").as("after_source"),
+              col("fullDocument.n_chars").as("after_chars"),
+              array_join(col("updatedFields"), ",").as("updated"),
+              col("txnVersion").as("v"))
+            .orderBy("doc_id", "operationType")
+          // materialize inside the try: the scan is lazy and the
+          // loopback server dies in the finally
+          val rows = out.collect()
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+        } finally server.stop()
+      },
+      Some("""WITH v1 AS (SELECT doc_id, source, n_chars FROM documents
+                          WHERE doc_id < 400),
+                   v2 AS (SELECT doc_id, source,
+                            CASE WHEN doc_id % 2 = 0 THEN n_chars + 1
+                                 ELSE n_chars END AS n_chars
+                          FROM documents
+                          WHERE doc_id >= 200 AND doc_id < 500)
+              SELECT CASE WHEN a.doc_id IS NULL THEN 'insert'
+                          WHEN b.doc_id IS NULL THEN 'delete'
+                          ELSE 'update' END AS operationType,
+                     COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                     b.source AS after_source,
+                     b.n_chars AS after_chars,
+                     CASE WHEN a.doc_id IS NOT NULL AND b.doc_id IS NOT NULL
+                          THEN 'n_chars' END AS updated,
+                     CAST(2 AS BIGINT) AS v
+              FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+              WHERE a.doc_id IS NULL OR b.doc_id IS NULL
+                 OR a.n_chars <> b.n_chars OR a.source <> b.source
+              ORDER BY doc_id, operationType""")),
+
     // Z-order clustered layout (Delta OPTIMIZE ZORDER as a plain
     // write): events re-laid along the (user_id, event_id) Morton
     // curve, then a 2-D range filter reads back — values identical to

@@ -148,7 +148,7 @@ private[sources] class GraftWireTable(tableSchema: StructType,
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new GraftWireScanBuilder(tableSchema,
       if (opts.isEmpty) options else opts)
@@ -162,18 +162,61 @@ private[sources] class GraftWireTable(tableSchema: StructType,
   * document sequences, batched under mongod's limits) — the DSv2 twin
   * of [[OpMsg.insert]](perPartition = true).
   *
-  * Semantics are mongod's, stated honestly: inserts are acknowledged
-  * appends, NOT a staged transactional commit — a retried task re-sends
-  * its documents (at-least-once, like a driver bulk insert without
-  * retryable-write _id dedup). Pipelines needing exactly-once land in
-  * graftdocs/parquet and ship files instead. */
+  * Batch semantics are mongod's, stated honestly: inserts are
+  * acknowledged appends, NOT a staged transactional commit — a retried
+  * batch task re-sends its documents (at-least-once, like a driver
+  * bulk insert without retryable-write dedup). Pipelines needing
+  * staged commits land in graftdocs/parquet and ship files instead.
+  *
+  * STREAMING writes (`df.writeStream.format("graftwire")`) ride
+  * mongod's retryable-writes contract instead: every insert command
+  * carries `{lsid: "<streamId>/<partition>", txnNumber:
+  * (epochId << 20) | flushIndex}`, and the server acknowledges a
+  * replayed (lsid, txnNumber) from its transaction log WITHOUT
+  * re-applying — a restarted or retried micro-batch lands exactly
+  * once within the log's window. The `streamId` option defaults to
+  * the query id (per-run protection); pass a stable `streamId` to
+  * extend the dedup across query restarts from a checkpoint. */
 private[sources] class GraftWireWriteBuilder(info: LogicalWriteInfo,
                                              options: CaseInsensitiveStringMap)
   extends WriteBuilder {
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new GraftWireBatchWrite(info.schema(), GraftWireSource.connOf(options))
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      val streamId = Option(options.get("streamId")).getOrElse(info.queryId())
+      new GraftWireStreamingWrite(info.schema(),
+        GraftWireSource.connOf(options), streamId)
+    }
   }
+}
+
+private[sources] class GraftWireStreamingWrite(schema: StructType,
+                                               conn: GraftWireSource.Conn,
+                                               streamId: String)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new GraftWireStreamWriterFactory(schema, conn, streamId)
+  // each document was acknowledged (and replay-deduped) at send time
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private[sources] class GraftWireStreamWriterFactory(schema: StructType,
+                                                    conn: GraftWireSource.Conn,
+                                                    streamId: String)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : DataWriter[org.apache.spark.sql.catalyst.InternalRow] =
+    // lsid stable per (stream, partition); txnNumber stable per
+    // (epoch, flush) — a replayed task regenerates the SAME pairs,
+    // which is exactly what makes the server-side dedup land
+    new GraftWireDataWriter(schema, conn,
+      Some((s"$streamId/$partitionId", epochId << 20)))
 }
 
 private[sources] class GraftWireBatchWrite(schema: StructType,
@@ -196,8 +239,11 @@ private[sources] class GraftWireWriterFactory(schema: StructType,
 }
 
 private[sources] class GraftWireDataWriter(schema: StructType,
-                                           conn: GraftWireSource.Conn)
+                                           conn: GraftWireSource.Conn,
+                                           session: Option[(String, Long)]
+                                             = None)
   extends DataWriter[org.apache.spark.sql.catalyst.InternalRow] {
+  private var flushes = 0L
   private val toScala = org.apache.spark.sql.catalyst.CatalystTypeConverters
     .createToScalaConverter(schema)
   private val channel = new OpMsg.InsertChannel(conn.host, conn.port,
@@ -219,7 +265,9 @@ private[sources] class GraftWireDataWriter(schema: StructType,
     if (nDocs >= MaxDocs || nBytes >= MaxBytes) flush()
   }
   private def flush(): Unit = {
-    acknowledged += channel.send(batch.result())
+    acknowledged += channel.send(batch.result(),
+      session.map { case (sid, txnBase) => (sid, txnBase + flushes) })
+    flushes += 1
     batch = Seq.newBuilder[Array[Byte]]
     nDocs = 0; nBytes = 0L
   }

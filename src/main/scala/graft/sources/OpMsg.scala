@@ -67,17 +67,22 @@ object OpMsg {
   }
 
   // OP_COMPRESSED compressor ids (wire spec): 0 noop, 1 snappy,
-  // 2 zlib, 3 zstd. noop and zlib (JDK Deflater) and snappy (the
-  // block-format codec in [[Snappy]] — mongod's DEFAULT compressor)
-  // are spoken; zstd refuses loudly instead of mis-parsing.
+  // 2 zlib, 3 zstd. noop, zlib (JDK Deflater), snappy (the
+  // block-format codec in [[Snappy]] — mongod's DEFAULT compressor),
+  // and zstd ([[Zstd]] — RFC 8878 STORE-MODE frames: legal zstd any
+  // conforming peer decodes; Compressed blocks refuse loudly) are
+  // spoken, so a server offering only zstd no longer forces the
+  // connection back to uncompressed.
   private[sources] val CompressorNoop = 0
   private[sources] val CompressorSnappy = 1
   private[sources] val CompressorZlib = 2
+  private[sources] val CompressorZstd = 3
   private[sources] def compressorId(name: String): Int = name match {
     case "zlib" => CompressorZlib
     case "snappy" => CompressorSnappy
+    case "zstd" => CompressorZstd
     case other => throw new IllegalArgumentException(
-      s"unsupported compressor '$other' (zlib/snappy are spoken)")
+      s"unsupported compressor '$other' (zlib/snappy/zstd are spoken)")
   }
 
   /** One decoded wire frame. `moreToCome` set means the peer will send
@@ -297,6 +302,7 @@ object OpMsg {
           deflater.end()
           acc.toByteArray
         case CompressorSnappy => Snappy.compress(raw)
+        case CompressorZstd => Zstd.compress(raw)
         case CompressorNoop => raw
         case other => throw new IllegalArgumentException(
           s"OP_COMPRESSED: cannot emit compressorId $other")
@@ -401,9 +407,17 @@ object OpMsg {
               s"OP_COMPRESSED: snappy inflated to ${outBytes.length} " +
                 s"bytes, declared $uncompressedSize")
           outBytes
-        case 3 => throw new IllegalArgumentException(
-          "OP_COMPRESSED: compressor zstd is not on this classpath " +
-            "(noop/snappy/zlib are spoken)")
+        case CompressorZstd =>
+          val outBytes =
+            try Zstd.uncompress(payload)
+            catch { case e: IllegalArgumentException =>
+              throw new IllegalArgumentException(
+                s"OP_COMPRESSED: zstd payload: ${e.getMessage}") }
+          if (outBytes.length != uncompressedSize)
+            throw new IllegalArgumentException(
+              s"OP_COMPRESSED: zstd inflated to ${outBytes.length} " +
+                s"bytes, declared $uncompressedSize")
+          outBytes
         case other => throw new IllegalArgumentException(
           s"OP_COMPRESSED: unknown compressorId $other")
       }
@@ -542,11 +556,24 @@ object OpMsg {
     (cursorId, slices)
   }
 
+  /** Pull `cursor.postBatchResumeToken._data` out of a cursor reply —
+    * None when the reply carries no token (plain find/aggregate). */
+  private[sources] def parseResumeToken(doc: Array[Byte]): Option[String] = {
+    val tree = decodeDoc(doc)
+    tree.obj.collectFirst { case ("cursor", JObject(co)) =>
+      co.collectFirst { case ("postBatchResumeToken", JObject(po)) =>
+        po.collectFirst { case ("_data", JString(s)) => s }
+      }.flatten
+    }.flatten
+  }
+
   /** Reply builder: raw batch documents embed verbatim as array
     * elements — the server never re-encodes what the sink wrote. */
   private[sources] def buildCursorReply(cursorId: Long, ns: String,
                                         batchField: String,
-                                        docs: Seq[Array[Byte]]): Array[Byte] = {
+                                        docs: Seq[Array[Byte]],
+                                        postBatchResumeToken: Option[String]
+                                          = None): Array[Byte] = {
     val arrBody = new ByteArrayOutputStream(docs.map(_.length + 8).sum + 16)
     docs.zipWithIndex.foreach { case (d, i) =>
       arrBody.write(0x03); writeCString(arrBody, i.toString)
@@ -561,6 +588,17 @@ object OpMsg {
     writeInt(curBody, 4 + arrBody.size + 1)
     arrBody.writeTo(curBody)
     curBody.write(0)
+    // change streams: {postBatchResumeToken: {_data: "<token>"}} — the
+    // mongod field a driver persists to resume after THIS batch even
+    // when the batch itself is empty
+    postBatchResumeToken.foreach { tok =>
+      val inner = new ByteArrayOutputStream(tok.length + 16)
+      inner.write(0x02); writeCString(inner, "_data"); writeString(inner, tok)
+      curBody.write(0x03); writeCString(curBody, "postBatchResumeToken")
+      writeInt(curBody, 4 + inner.size + 1)
+      inner.writeTo(curBody)
+      curBody.write(0)
+    }
     // top-level: {cursor: {...}, ok: 1.0}
     val top = new ByteArrayOutputStream(curBody.size + 32)
     top.write(0x03); writeCString(top, "cursor")
@@ -692,10 +730,20 @@ object OpMsg {
     }
     @volatile private var running = true
     private val nextCursor = new java.util.concurrent.atomic.AtomicLong(1000)
+    /** Tailable change-stream state riding a cursor: enough to
+      * recompute the event stream past the last token served — the
+      * (mtime,name)/version offsets ARE the resume positions, encoded
+      * as `{_id: {_data: "<zero-padded txnVersion>/<documentKey>"}}`. */
+    private final class ChangeTail(val coll: String, val keyField: String,
+                                   val restJson: String) {
+      @volatile var lastToken: String = ""
+    }
+
     private final class Cursor(val ns: String,
-                               val rows: Iterator[org.apache.spark.sql.Row],
-                               val schema: org.apache.spark.sql.types.StructType,
-                               val batchSize: Int) {
+                               var rows: Iterator[org.apache.spark.sql.Row],
+                               var schema: org.apache.spark.sql.types.StructType,
+                               val batchSize: Int,
+                               val tail: Option[ChangeTail] = None) {
       @volatile var lastUsed: Long = System.nanoTime()
       // pin: mongod rejects a getMore for a cursor another operation is
       // already driving ("cursor in use", code 281) — the shared rows
@@ -705,9 +753,45 @@ object OpMsg {
     private val cursors =
       new java.util.concurrent.ConcurrentHashMap[Long, Cursor]()
 
+    /** Retryable-write transaction log: per session (lsid), the last
+      * 4096 (txnNumber → acknowledged n) — enough to absorb a whole
+      * replayed micro-batch (mongod keeps one record per session; the
+      * wider window is this stand-in's documented extension, because a
+      * Spark task replay re-sends EVERY command of the partition, not
+      * just the failed one). */
+    private final class TxnLog {
+      private val m =
+        new java.util.LinkedHashMap[java.lang.Long, java.lang.Long](
+          16, 0.75f, false) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[java.lang.Long, java.lang.Long])
+              : Boolean = size > 4096
+        }
+      def get(t: Long): Option[Long] =
+        m.synchronized(Option(m.get(t)).map(_.longValue))
+      def put(t: Long, n: Long): Unit =
+        m.synchronized { m.put(t, n): Unit }
+    }
+    private val txnLog =
+      new java.util.concurrent.ConcurrentHashMap[String, TxnLog]()
+
     /** Open-cursor count — observability for specs (a real mongod
       * reports this through serverStatus.metrics.cursor). */
     def openCursors: Int = cursors.size
+
+    // rendered command documents in arrival order — spec observability
+    // for containment contracts (did the residual/limit cross the
+    // wire?); capped so a long-lived stand-in cannot grow unbounded
+    private val reqLog =
+      new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    private[sources] def requests: Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      reqLog.asScala.toSeq
+    }
+    private def logRequest(cmd: JObject): Unit =
+      if (reqLog.size < 100000)
+        reqLog.add(org.json4s.jackson.JsonMethods.compact(
+          org.json4s.jackson.JsonMethods.render(cmd))): Unit
 
     /** Collections currently served from preloaded LocalRelations —
       * observability for specs pinning the job-free insert refresh. */
@@ -752,10 +836,120 @@ object OpMsg {
       val out = Seq.newBuilder[Array[Byte]]
       var n = 0
       while (n < c.batchSize && c.rows.hasNext) {
-        out += graft.bson.BsonBinary.encodeRow(c.rows.next(), c.schema)
+        val row = c.rows.next()
+        c.tail.foreach(_.lastToken = tokenOf(row, c.schema))
+        out += graft.bson.BsonBinary.encodeRow(row, c.schema)
         n += 1
       }
       out.result()
+    }
+
+    private def tokenOf(row: org.apache.spark.sql.Row,
+                        schema: org.apache.spark.sql.types.StructType): String = {
+      val idIdx = schema.fieldIndex("_id")
+      val idType = schema(idIdx).dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      row.getStruct(idIdx).getString(idType.fieldIndex("_data"))
+    }
+
+    /** `$changeStream` event frame: the versioned store's history past
+      * `after`, diffed into mongod-shaped change documents
+      * ([[graft.sinks.DocStore.changeEvents]]), each stamped with its
+      * resume token `{_id: {_data}}` and ordered BY token — the total
+      * order pagination and `resumeAfter` both filter on. The rest of
+      * the caller's pipeline applies to the change documents and must
+      * preserve `_id` (mongod's ChangeStreamFatalError contract —
+      * without the token the cursor cannot resume). */
+    private def changeStreamDf(coll: String, keyField: String,
+                               restJson: String, after: String): DataFrame = {
+      import org.apache.spark.sql.functions._
+      val ev = store.changeEvents(coll, keyField)
+      val tok = concat(
+        lpad(col("txnVersion").cast("string"), 19, "0"),
+        lit("/"), col("documentKey").cast("string"))
+      val shaped = ev
+        .withColumn("_id", struct(tok.as("_data")))
+        .withColumn("ns", struct(lit(db).as("db"), lit(coll).as("coll")))
+        .where(col("_id._data") > lit(after))
+        .select(Seq("_id", "operationType", "ns", "documentKey",
+          "fullDocument", "fullDocumentBeforeChange", "updatedFields",
+          "txnVersion").map(col): _*)
+      val resolve: graft.mql.PipelineCompiler.TableResolver =
+        n => store.read(n)
+      val out = graft.mql.PipelineCompiler.run(shaped, restJson, resolve)
+      val hasToken = out.schema.fields.find(_.name == "_id").exists(
+        _.dataType match {
+          case st: org.apache.spark.sql.types.StructType =>
+            st.fieldNames.contains("_data")
+          case _ => false
+        })
+      if (!hasToken) throw new IllegalArgumentException(
+        "$changeStream: the pipeline must preserve the _id resume " +
+          "token (mongod rejects change-stream pipelines that drop or " +
+          "reshape _id)")
+      out.orderBy(col("_id._data"))
+    }
+
+    /** Refresh a drained tailable cursor with events past its last
+      * token — the awaitData poll. Returns true when new events
+      * arrived. The store read schedules Spark jobs; a change-stream
+      * consumer drives from the driver (never from inside blocked scan
+      * tasks), same contract as the aggregate handler. */
+    private def repoll(c: Cursor): Boolean = c.tail.exists { t =>
+      val df = changeStreamDf(t.coll, t.keyField, t.restJson, t.lastToken)
+      val rows = df.collect()
+      if (rows.nonEmpty) {
+        c.schema = df.schema
+        c.rows = rows.iterator
+        true
+      } else false
+    }
+
+    /** Open a `$changeStream` cursor: parse the options document,
+      * replay retained history past `resumeAfter` (or all of it), and
+      * register a TAILABLE cursor — drained batches keep the cursor
+      * id live (empty `nextBatch` + `postBatchResumeToken`); only
+      * killCursors or the idle reaper closes it. `keyField` is the
+      * engine extension naming the document-key column (graftdocs
+      * collections have no implicit `_id`). */
+    private def openChangeCursor(coll: String, opts: JValue, rest: JArray,
+                                 batchSize: Int): Array[Byte] = {
+      val o = opts match {
+        case JObject(fs) => fs
+        case other => throw new IllegalArgumentException(
+          s"$$changeStream options must be a document, got $other")
+      }
+      var after = ""
+      var keyField = "_id"
+      o.foreach {
+        case (("resumeAfter" | "startAfter"), JObject(ro)) =>
+          after = ro.collectFirst { case ("_data", JString(s)) => s }
+            .getOrElse(throw new IllegalArgumentException(
+              "$changeStream: resumeAfter/startAfter needs a " +
+                "{_data: <token>} document"))
+        case ("keyField", JString(k)) => keyField = k
+        // every change document already carries the after-image
+        // (updateLookup comes free from snapshots) and the pre-image
+        case ("fullDocument", JString(_)) => ()
+        case ("fullDocumentBeforeChange", JString(_)) => ()
+        case (k, _) => throw new IllegalArgumentException(
+          s"$$changeStream: unsupported option '$k' (supported: " +
+            "resumeAfter, startAfter, keyField, fullDocument, " +
+            "fullDocumentBeforeChange)")
+      }
+      val restJson = org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(rest))
+      val df = changeStreamDf(coll, keyField, restJson, after)
+      val rowsArr = df.collect()
+      val t = new ChangeTail(coll, keyField, restJson)
+      t.lastToken = after
+      val c = new Cursor(s"$db.$coll", rowsArr.iterator, df.schema,
+        batchSize, Some(t))
+      val first = pull(c)
+      val id = nextCursor.incrementAndGet()
+      cursors.put(id, c): Unit
+      buildCursorReply(id, s"$db.$coll", "firstBatch", first,
+        postBatchResumeToken = Some(c.tail.get.lastToken))
     }
 
     private final class ConnState {
@@ -779,6 +973,7 @@ object OpMsg {
         val handled =
           try {
             val cmd = decodeDoc(f.doc)
+            logRequest(cmd)
             val name = cmd.obj.headOption.map(_._1).getOrElse("<empty>")
             if (f.wasCompressed && uncompressible(name))
               throw new IllegalArgumentException(
@@ -822,6 +1017,18 @@ object OpMsg {
       if (c == null) {
         writeFrame(out, f.requestId + 1000000, f.requestId,
           buildErrorReply(s"cursor id $id not found", CursorNotFound),
+          flags = 0, compress = f.wasCompressed,
+          checksum = f.wasChecksummed,
+          compressor = if (f.wasCompressed) f.compressorId
+                       else CompressorZlib)
+        return
+      }
+      if (c.tail.isDefined) {
+        // a tailable cursor never drains — an exhaust stream over it
+        // would never terminate; mongod drivers use awaitData getMore
+        writeFrame(out, f.requestId + 1000000, f.requestId,
+          buildErrorReply("exhaust is not supported on change streams " +
+            "(tailable cursors never drain; drive getMore instead)"),
           flags = 0, compress = f.wasCompressed,
           checksum = f.wasChecksummed,
           compressor = if (f.wasCompressed) f.compressorId
@@ -880,7 +1087,8 @@ object OpMsg {
           case Some(JArray(es)) => es.collect { case JString(s) => s }
           case _ => Nil
         }
-        val accepted = offered.filter(n => n == "zlib" || n == "snappy")
+        val accepted = offered.filter(n =>
+          n == "zlib" || n == "snappy" || n == "zstd")
         state.compressionNegotiated = accepted.nonEmpty
         return encodeDoc(JObject(List(
           "isWritablePrimary" -> JBool(true),
@@ -947,9 +1155,39 @@ object OpMsg {
       // ---- insert: the write path (reference write(), api.py) over the
       // wire — documents arrive as a kind-1 "documents" sequence (how
       // real drivers ship bulk writes), land raw in a batch file, decode
-      // through the normal graftdocs scan, and append to the collection
+      // through the normal graftdocs scan, and append to the collection.
+      // With {lsid, txnNumber} the write is RETRYABLE (mongod's
+      // retryable-writes contract): a replayed (lsid, txnNumber) is
+      // acknowledged from the transaction log WITHOUT re-applying —
+      // the dedup the graftwire streaming sink rides for effectively-
+      // once micro-batch replays.
       fields.get("insert") match {
         case Some(JString(coll)) =>
+          val session: Option[(String, Long)] = fields.get("lsid") match {
+            case Some(JObject(lo)) =>
+              val sid = lo.collectFirst { case ("id", JString(x)) => x }
+                .getOrElse(throw new IllegalArgumentException(
+                  "lsid needs an id"))
+              val txn = fields.get("txnNumber") match {
+                case Some(JLong(t)) => t
+                case Some(JInt(t)) => t.toLong
+                case _ => throw new IllegalArgumentException(
+                  "lsid without txnNumber (retryable writes need both)")
+              }
+              Some((sid, txn))
+            case None => None
+            case Some(other) => throw new IllegalArgumentException(
+              s"lsid must be a document, got $other")
+          }
+          session.flatMap { case (sid, txn) =>
+            txnLog.computeIfAbsent(sid, _ => new TxnLog).get(txn)
+          } match {
+            case Some(n) =>
+              // retried write: acknowledge from the log, never re-apply
+              return encodeDoc(JObject(List(
+                "n" -> JInt(n.toInt), "ok" -> JDouble(1.0))))
+            case None => ()
+          }
           val docs = sequences.collectFirst {
             case ("documents", ds) => ds
           }.getOrElse {
@@ -995,6 +1233,10 @@ object OpMsg {
             } catch { case scala.util.control.NonFatal(_) =>
               localRel.remove(coll): Unit
             }
+          }
+          session.foreach { case (sid, txn) =>
+            txnLog.computeIfAbsent(sid, _ => new TxnLog)
+              .put(txn, docs.size.toLong)
           }
           return encodeDoc(JObject(List(
             "n" -> JInt(docs.size), "ok" -> JDouble(1.0))))
@@ -1063,13 +1305,26 @@ object OpMsg {
       }
       fields.get("aggregate") match {
         case Some(JString(coll)) =>
-          val pipelineJson = fields.get("pipeline") match {
-            case Some(a: JArray) =>
-              org.json4s.jackson.JsonMethods.compact(
-                org.json4s.jackson.JsonMethods.render(a))
+          val stages = fields.get("pipeline") match {
+            case Some(JArray(ss)) => ss
             case other => throw new IllegalArgumentException(
               s"aggregate needs a pipeline array, got $other")
           }
+          // $changeStream must be the FIRST stage (mongod location 40602)
+          stages.headOption match {
+            case Some(JObject(List(("$changeStream", csOpts)))) =>
+              return openChangeCursor(coll, csOpts, JArray(stages.tail),
+                cursorBatchSize(fields))
+            case _ =>
+              if (stages.exists {
+                    case JObject(fs) => fs.exists(_._1 == "$changeStream")
+                    case _ => false
+                  })
+                throw new IllegalArgumentException(
+                  "$changeStream is only valid as the first pipeline stage")
+          }
+          val pipelineJson = org.json4s.jackson.JsonMethods.compact(
+            org.json4s.jackson.JsonMethods.render(JArray(stages)))
           val resolve: graft.mql.PipelineCompiler.TableResolver =
             name => store.read(name)
           val df = graft.mql.PipelineCompiler.run(
@@ -1137,10 +1392,19 @@ object OpMsg {
                 CursorInUse)
             try {
               c.lastUsed = System.nanoTime()
+              if (c.tail.isDefined && !c.rows.hasNext) repoll(c): Unit
               val batch = pull(c)
-              val more = c.rows.hasNext
-              if (!more) cursors.remove(id): Unit
-              buildCursorReply(if (more) id else 0L, c.ns, "nextBatch", batch)
+              if (c.tail.isDefined)
+                // tailable: an empty batch keeps the cursor id live;
+                // the token tells the driver where this batch ended
+                buildCursorReply(id, c.ns, "nextBatch", batch,
+                  postBatchResumeToken = Some(c.tail.get.lastToken))
+              else {
+                val more = c.rows.hasNext
+                if (!more) cursors.remove(id): Unit
+                buildCursorReply(if (more) id else 0L, c.ns, "nextBatch",
+                  batch)
+              }
             } finally c.pinned.set(false)
           case None => throw new IllegalArgumentException(
             s"unsupported command: ${cmd.obj.headOption.map(_._1)
@@ -1157,8 +1421,8 @@ object OpMsg {
   /** OP_MSG `find`: translate the pushed filters, drive the full
     * find → getMore cursor loop on ONE connection, land every batch's
     * raw documents in a batch file, decode through the normal graftdocs
-    * scan, re-apply residuals client-side. Same pushdown contract as
-    * [[DocWire.find]] (limit rides the wire only with zero residuals). */
+    * scan, re-apply residuals client-side (limit rides the wire only
+    * with zero residuals — the containment contract OpMsgSpec pins). */
   def find(spark: SparkSession, host: String, port: Int, db: String,
            coll: String, filters: Seq[Filter] = Seq.empty,
            limit: Option[Int] = None, batchSize: Int = 101,
@@ -1187,7 +1451,7 @@ object OpMsg {
         spark.emptyDataFrame
       } else spark.read.format("graftdocs").load(dir.toString)
     val filtered = residual.foldLeft(decoded)((df, f) =>
-      df.where(DocWire.filterToColumn(f)))
+      df.where(filterToColumn(f)))
     if (serverLimit.isEmpty) limit.map(filtered.limit).getOrElse(filtered)
     else filtered
   }
@@ -1221,6 +1485,97 @@ object OpMsg {
         compressor = compressor)
     if (total == 0) spark.emptyDataFrame
     else spark.read.format("graftdocs").load(dir.toString)
+  }
+
+  /** `$changeStream` over the wire — the watch entry point: opens a
+    * TAILABLE change cursor via `aggregate([{$changeStream: {...}},
+    * ...rest])`, drives getMore until the server reports caught-up (an
+    * empty `nextBatch`), kills the cursor, and decodes the landed
+    * change documents through the normal graftdocs scan. Returns the
+    * frame plus the final `postBatchResumeToken` — persist it and pass
+    * it back as `resumeAfter` to continue past this point with no loss
+    * or duplication (OpMsgWatchSpec pins the mid-stream-kill replay).
+    * `keyField` names the document-key column (the engine extension —
+    * graftdocs collections carry no implicit `_id`). */
+  def watch(spark: SparkSession, host: String, port: Int, db: String,
+            coll: String, pipelineJson: String = "[]",
+            keyField: String = "_id",
+            resumeAfter: Option[String] = None,
+            batchSize: Int = 101,
+            credentials: Option[(String, String)] = None,
+            tls: Option[(String, String)] = None): (DataFrame, String) = {
+    require(batchSize > 0, "batchSize must be positive")
+    val rest = graft.mql.Mql.parse(pipelineJson) match {
+      case JArray(ss) => ss
+      case other => throw new IllegalArgumentException(
+        s"watch pipeline must be an array, got $other")
+    }
+    val csOpts = JObject(List("keyField" -> JString(keyField)) ++
+      resumeAfter.map(t => "resumeAfter" ->
+        JObject(List("_data" -> JString(t)))).toList)
+    val cmd = JObject(List(
+      "aggregate" -> JString(coll),
+      "pipeline" -> JArray(
+        JObject(List("$changeStream" -> csOpts)) :: rest),
+      "cursor" -> JObject(List("batchSize" -> JInt(batchSize))),
+      "$db" -> JString(db)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_opmsgw")
+    dir.toFile.deleteOnExit()
+    val file = dir.resolve("batches.bson")
+    file.toFile.deleteOnExit()
+    val os = java.nio.file.Files.newOutputStream(file)
+    val conn = clientSocket(host, port, tls)
+    var total = 0L
+    var token = resumeAfter.getOrElse("")
+    try {
+      val cin = new BufferedInputStream(conn.getInputStream, 1 << 16)
+      val cout = new BufferedOutputStream(conn.getOutputStream, 1 << 16)
+      var reqId = 0
+      def roundTrip(c: JObject): Array[Byte] = {
+        reqId += 1
+        writeFrame(cout, reqId, 0, encodeDoc(c), flags = 0,
+          compress = false)
+        val (_, rto, body) = readMessage(cin).getOrElse(
+          throw new EOFException("server closed the connection"))
+        if (rto != reqId) throw new IllegalStateException(
+          s"responseTo $rto does not match requestID $reqId")
+        body
+      }
+      handshake((c, _) => roundTrip(c), db, credentials,
+        compress = false, compressor = "zlib")
+      var reply = roundTrip(cmd)
+      var (cursorId, docs) = parseCursorReply(reply)
+      parseResumeToken(reply).foreach(token = _)
+      docs.foreach(d => os.write(d)); total += docs.size
+      try {
+        // tailable loop: a NON-empty batch means more may follow; the
+        // first empty batch is the caught-up signal — stop and kill
+        while (docs.nonEmpty) {
+          reply = roundTrip(JObject(List(
+            "getMore" -> JLong(cursorId),
+            "collection" -> JString(coll),
+            "batchSize" -> JInt(batchSize),
+            "$db" -> JString(db))))
+          val (nid, more) = parseCursorReply(reply)
+          if (nid != cursorId) throw new IllegalStateException(
+            "tailable cursor id changed mid-stream")
+          parseResumeToken(reply).foreach(token = _)
+          more.foreach(d => os.write(d)); total += more.size
+          docs = more
+        }
+      } finally {
+        // change cursors never drain server-side: always kill
+        try roundTrip(JObject(List(
+          "killCursors" -> JString(coll),
+          "cursors" -> JArray(List(JLong(cursorId))),
+          "$db" -> JString(db)))): Unit
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+    } finally { os.close(); conn.close() }
+    val df =
+      if (total == 0) { deleteDir(dir); spark.emptyDataFrame }
+      else spark.read.format("graftdocs").load(dir.toString)
+    (df, token)
   }
 
   /** `insert` over the wire — the reference's WRITE path (write() →
@@ -1295,13 +1650,21 @@ object OpMsg {
     handshake(roundTrip, db, credentials, compress, compressor)
     compressOn = compress
 
-    def send(batch: Seq[Array[Byte]]): Long = {
+    /** Ship one batch as an insert command. With `session` the command
+      * carries {lsid, txnNumber} — the server acknowledges a replayed
+      * pair from its transaction log without re-applying (retryable
+      * writes; the streaming sink's effectively-once mechanism). */
+    def send(batch: Seq[Array[Byte]],
+             session: Option[(String, Long)] = None): Long = {
       if (batch.isEmpty) return 0L
       reqId += 1
       writeFrame(cout, reqId, 0, encodeDoc(JObject(List(
         "insert" -> JString(coll),
-        "ordered" -> JBool(true),
-        "$db" -> JString(db)))),
+        "ordered" -> JBool(true)) ++
+        session.toList.flatMap { case (sid, txn) => List(
+          "lsid" -> JObject(List("id" -> JString(sid))),
+          "txnNumber" -> JLong(txn)) } ++
+        List("$db" -> JString(db)))),
         flags = 0, compress = compressOn, checksum = checksum,
         compressor = compId, sequences = Seq("documents" -> batch))
       val (_, rto, body) = readMessage(cin).getOrElse(
@@ -1481,7 +1844,7 @@ object OpMsg {
       if (total == 0) spark.emptyDataFrame
       else spark.read.format("graftdocs").load(dir.toString)
     val filtered = residual.foldLeft(decoded)((df, f) =>
-      df.where(DocWire.filterToColumn(f)))
+      df.where(filterToColumn(f)))
     limit.map(filtered.limit).getOrElse(filtered)
   }
 
@@ -1649,6 +2012,33 @@ object OpMsg {
     } finally { os.close(); conn.close() }
     if (total == 0) deleteDir(dir) // no caller reads an empty landing dir
     (dir, total)
+  }
+
+  /** Residual-filter evaluation: the Spark Column form of a pushed
+    * Filter the wire could not translate — re-applied client-side
+    * after decode (the containment half of the pushdown contract). */
+  private[sources] def filterToColumn(f: Filter): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(a, v) => col(a) === v
+      case EqualNullSafe(a, v) => col(a) <=> v
+      case GreaterThan(a, v) => col(a) > v
+      case GreaterThanOrEqual(a, v) => col(a) >= v
+      case LessThan(a, v) => col(a) < v
+      case LessThanOrEqual(a, v) => col(a) <= v
+      case IsNull(a) => col(a).isNull
+      case IsNotNull(a) => col(a).isNotNull
+      case In(a, vs) => col(a).isin(vs.toIndexedSeq: _*)
+      case StringStartsWith(a, s) => col(a).startsWith(s)
+      case StringEndsWith(a, s) => col(a).endsWith(s)
+      case StringContains(a, s) => col(a).contains(s)
+      case And(l, r) => filterToColumn(l) && filterToColumn(r)
+      case Or(l, r) => filterToColumn(l) || filterToColumn(r)
+      case Not(inner) => !filterToColumn(inner)
+      case other => throw new IllegalArgumentException(
+        s"unsupported residual filter $other")
+    }
   }
 
   /** Best-effort recursive delete of a landed-batch directory (one

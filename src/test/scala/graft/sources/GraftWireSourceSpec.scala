@@ -174,6 +174,62 @@ class GraftWireSourceSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("streaming write: writeStream.format(graftwire) lands micro-" +
+       "batches over per-partition insert connections, effectively once") {
+    val (store, server) = fixture()
+    try {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val in = MemoryStream[Long]
+      val q = in.toDF().select(col("value").as("event_id"),
+          (col("value") % 7).as("user_id"))
+        .writeStream.format("graftwire")
+        .option("host", "127.0.0.1").option("port", server.port)
+        .option("collection", "stream_sink")
+        .option("streamId", "spec-stream")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_wsw").toString)
+        .outputMode("append").start()
+      try {
+        in.addData(1L to 100L: _*)
+        q.processAllAvailable()
+        assert(store.read("stream_sink").count() == 100)
+        in.addData(101L to 130L: _*)
+        q.processAllAvailable()
+        val got = store.read("stream_sink")
+        assert(got.count() == 130)
+        assert(got.select("event_id").distinct().count() == 130)
+      } finally q.stop()
+    } finally server.stop()
+  }
+
+  test("replay protection: a re-sent (lsid, txnNumber) insert is " +
+       "acknowledged from the transaction log, never re-applied") {
+    val (store, server) = fixture()
+    try {
+      val docs = (1 to 20).map(i => OpMsg.encodeDoc(
+        org.json4s.JObject(List(
+          "event_id" -> org.json4s.JInt(i),
+          "value" -> org.json4s.JDouble(i * 0.5)))))
+      val ch = new OpMsg.InsertChannel("127.0.0.1", server.port, "graft",
+        "replay_sink", None, None, compress = false, checksum = false,
+        compressor = "zlib")
+      try {
+        val sid = "replay-spec/0"
+        // first send applies; the replay (same lsid+txn) acks n=20
+        // WITHOUT appending — the Spark-task-retry shape
+        assert(ch.send(docs, Some((sid, 7L))) == 20L)
+        assert(ch.send(docs, Some((sid, 7L))) == 20L)
+        // a different txnNumber is a NEW write, not a replay
+        assert(ch.send(docs, Some((sid, 8L))) == 20L)
+        // sessionless sends never dedup (batch-write semantics)
+        assert(ch.send(docs) == 20L)
+      } finally ch.close()
+      assert(store.read("replay_sink").count() == 60)
+    } finally server.stop()
+  }
+
   test("streaming read: micro-batches are half-open offsetKey ranges; " +
        "wire-appended rows arrive exactly once") {
     val (store, server) = fixture()

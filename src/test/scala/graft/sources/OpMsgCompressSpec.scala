@@ -87,7 +87,8 @@ class OpMsgCompressSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](
       readOf(mutated(20, (le32(good, 20) + 1).toByte)))
       .getMessage.contains("inflated"))
-    // snappy (1) and zstd (3) are not on this classpath → loud refusal
+    // a zlib payload relabeled snappy (1) / zstd (3) must fail the
+    // respective codec's parse, never mis-decode
     assert(intercept[IllegalArgumentException](readOf(mutated(24, 1)))
       .getMessage.contains("snappy"))
     assert(intercept[IllegalArgumentException](readOf(mutated(24, 3)))
@@ -246,10 +247,11 @@ class OpMsgCompressSpec extends AnyFunSuite {
       val local = store.read("events").where(col("value") > 0.55)
       assert(canon(wire) == canon(local))
       // unknown compressor names refuse client-side before dialing
+      // (zstd graduated to a spoken compressor in round 9 — ZstdSpec)
       assert(intercept[IllegalArgumentException](
         OpMsg.find(spark, "127.0.0.1", server.port, "graft", "events",
-          Seq.empty, compress = true, compressor = "zstd"))
-        .getMessage.contains("zstd"))
+          Seq.empty, compress = true, compressor = "lz4"))
+        .getMessage.contains("lz4"))
     } finally server.stop()
   }
 

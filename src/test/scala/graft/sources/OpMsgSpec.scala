@@ -194,6 +194,99 @@ class OpMsgSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("wire containment (DocWireSpec heritage): the find carries EXACTLY " +
+       "the translated MQL; residuals and residual-gated limits never " +
+       "cross; a clean limit rides and decodes on the direct BSON path") {
+    val (store, server) = fixture()
+    try {
+      // translated filters cross verbatim as the find's filter document
+      val filters: Seq[Filter] =
+        Seq(EqualTo("event_type", "click"), GreaterThan("value", 0.25))
+      val wire = OpMsg.find(spark, "127.0.0.1", server.port, "graft",
+        "events", filters)
+      val local = store.read("events")
+        .where(col("event_type") === "click" && col("value") > 0.25)
+      assert(canon(wire) == canon(local) && wire.count() > 0)
+      val req1 = server.requests.filter(_.contains("\"find\"")).last
+      assert(req1.contains("\"$eq\":\"click\"") &&
+        req1.contains("\"$gt\":0.25"))
+      // Not(EqualTo) has no faithful MQL form (Mongo $ne keeps missing
+      // fields) — it must NOT cross the wire, and must still apply
+      val f2: Seq[Filter] = Seq(GreaterThanOrEqual("user_id", 10L),
+        Not(EqualTo("event_type", "view")))
+      val wire2 = OpMsg.find(spark, "127.0.0.1", server.port, "graft",
+        "events", f2)
+      val local2 = store.read("events")
+        .where(col("user_id") >= 10L && !(col("event_type") === "view"))
+      assert(canon(wire2) == canon(local2) && wire2.count() > 0)
+      val req2 = server.requests.filter(_.contains("\"find\"")).last
+      assert(req2.contains("\"$gte\":10"))
+      assert(!req2.contains("view"),
+        s"residual leaked onto the wire: $req2")
+      // a limit alongside residuals must NOT reach the server — a
+      // server-side truncation would run BEFORE the residual and
+      // under-return
+      val wire3 = OpMsg.find(spark, "127.0.0.1", server.port, "graft",
+        "events", Seq(Not(EqualTo("event_type", "view"))), limit = Some(5))
+      val req3 = server.requests.filter(_.contains("\"find\"")).last
+      assert(!req3.contains("limit"),
+        s"limit leaked onto the wire with residuals: $req3")
+      assert(wire3.count() == 5 &&
+        wire3.where(col("event_type") === "view").count() == 0)
+      // fully-translated limit rides; landed batches decode direct
+      GraftScanMetrics.direct.reset()
+      val wire4 = OpMsg.find(spark, "127.0.0.1", server.port, "graft",
+        "events", Seq(IsNotNull("value")), limit = Some(7))
+      assert(wire4.count() == 7)
+      assert(GraftScanMetrics.direct.sum() > 0,
+        "wire batches did not decode through the direct BSON path")
+      assert(server.requests.filter(_.contains("\"find\"")).last
+        .contains("\"limit\":7"))
+    } finally server.stop()
+  }
+
+  test("parallel cursors (DocWireSpec heritage): splitVector planning + " +
+       "one range-conjunct find per range, union ≡ local, residuals " +
+       "contained, one Spark partition per landed cursor file") {
+    val (store, server) = fixture()
+    try {
+      val wire = OpMsg.findParallel(spark, "127.0.0.1", server.port,
+        "graft", "events", splitKey = "event_id", numSplits = 4,
+        filters = Seq(GreaterThan("value", 0.1)))
+      val local = store.read("events").where(col("value") > 0.1)
+      assert(canon(wire) == canon(local) && wire.count() > 0)
+      val finds = server.requests.filter(_.contains("\"find\""))
+      assert(server.requests.exists(_.contains("splitVector")))
+      assert(finds.size == 4, s"expected 4 range cursors, got: $finds")
+      // every find carries BOTH the user filter and its range conjunct
+      assert(finds.forall(r =>
+        r.contains("\"$gt\":0.1") && r.contains("event_id")))
+      assert(finds.count(_.contains("\"$or\"")) == 1)  // null-absorbing first
+      assert(finds.count(_.contains("\"$gte\"")) == 3) // lower-bounded ranges
+      assert(wire.rdd.getNumPartitions == 4)
+      // residuals re-apply client-side AFTER the union
+      val wire2 = OpMsg.findParallel(spark, "127.0.0.1", server.port,
+        "graft", "events", splitKey = "user_id", numSplits = 3,
+        filters = Seq(Not(EqualTo("event_type", "view"))))
+      val local2 = store.read("events")
+        .where(!(col("event_type") === "view"))
+      assert(canon(wire2) == canon(local2) && wire2.count() > 0)
+      assert(server.requests.filter(_.contains("\"find\"")).drop(finds.size)
+        .forall(!_.contains("view")), "residual leaked onto the wire")
+    } finally server.stop()
+  }
+
+  test("collection names with quotes survive BSON framing verbatim " +
+       "(DocWireSpec heritage — no JSON-escaping hazard on the wire)") {
+    val (store, server) = fixture()
+    try {
+      val weird = "ev\"ents"
+      store.write(store.read("events").limit(10), weird)
+      val wire = OpMsg.find(spark, "127.0.0.1", server.port, "graft", weird)
+      assert(wire.count() == 10)
+    } finally server.stop()
+  }
+
   test("cursor in use: a getMore while another connection drives the same " +
     "cursor answers code 281, never interleaves") {
     val (store, server) = fixture()

@@ -1,0 +1,186 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+/** `$changeStream` over OP_MSG: the wire twin of `Db.watchOps` — a
+  * tailable cursor over the versioned store's change history, resume
+  * tokens from (txnVersion, documentKey) offsets, `resumeAfter`
+  * re-entry with no loss or duplication, and the refusal matrix
+  * (mid-pipeline stage, token-dropping projection, exhaust). */
+class OpMsgWatchSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  /** Versioned history: v1 = ids < 40; current = ids 20..49 with
+    * n_chars bumped on even ids → deletes (0..19), updates (evens in
+    * 20..39), inserts (40..49). */
+  private def fixture(): (graft.sinks.DocStore, OpMsg.Server) = {
+    val store = new graft.sinks.DocStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_watch_srv").toString)
+    val docs = graft.api.Graft.table(spark, "/root/testdata/sf0.001",
+        "documents")
+      .select("doc_id", "source", "n_chars")
+    store.writeVersioned(docs.where(col("doc_id") < 40), "coll"): Unit
+    store.writeVersioned(
+      docs.where(col("doc_id") >= 20 && col("doc_id") < 50)
+        .withColumn("n_chars",
+          when(col("doc_id") % 2 === 0, col("n_chars") + 1)
+            .otherwise(col("n_chars"))),
+      "coll"): Unit
+    (store, new OpMsg.Server(spark, store))
+  }
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.select(col("operationType"), col("documentKey").cast("long"),
+        col("fullDocument.n_chars").cast("long").as("after_chars"),
+        array_join(col("updatedFields"), ",").as("updated"),
+        col("txnVersion").cast("long").as("v"))
+      .orderBy("documentKey", "operationType")
+      .collect().toSeq.map(_.json)
+
+  test("wire watch ≡ local changeEvents on the same history; tokens " +
+       "are ordered and the batch loop pages through them") {
+    val (store, server) = fixture()
+    try {
+      val (wire, token) = OpMsg.watch(spark, "127.0.0.1", server.port,
+        "graft", "coll", keyField = "doc_id", batchSize = 7)
+      val local = store.changeEvents("coll", "doc_id")
+      assert(canon(wire) == canon(local))
+      assert(wire.count() > 7, "fixture too small to exercise getMore")
+      // the final postBatchResumeToken is the LAST event's token
+      val lastTok = wire.select(col("_id._data")).orderBy(col("_id._data"))
+        .collect().map(_.getString(0)).last
+      assert(token == lastTok)
+      // caught-up watch killed its cursor
+      assert(server.openCursors == 0)
+    } finally server.stop()
+  }
+
+  test("resumeAfter: a mid-stream kill + resume replays the remainder " +
+       "with no loss and no duplication; new history tails in") {
+    val (store, server) = fixture()
+    try {
+      val (all, _) = OpMsg.watch(spark, "127.0.0.1", server.port,
+        "graft", "coll", keyField = "doc_id")
+      val tokens = all.select(col("_id._data")).orderBy(col("_id._data"))
+        .collect().map(_.getString(0)).toSeq
+      // "kill mid-stream": pretend the driver persisted token #10 and
+      // died; resume must yield EXACTLY the events after it
+      val mid = tokens(10)
+      val (resumed, resumedTok) = OpMsg.watch(spark, "127.0.0.1",
+        server.port, "graft", "coll", keyField = "doc_id",
+        resumeAfter = Some(mid), batchSize = 5)
+      assert(resumed.count() == tokens.size - 11)
+      assert(resumed.select(col("_id._data")).orderBy(col("_id._data"))
+        .collect().map(_.getString(0)).toSeq == tokens.drop(11))
+      // new history after the resume point tails in on the next watch
+      val docs = graft.api.Graft.table(spark, "/root/testdata/sf0.001",
+          "documents").select("doc_id", "source", "n_chars")
+      store.writeVersioned(docs.where(col("doc_id") >= 30 &&
+        col("doc_id") < 55), "coll"): Unit
+      val (next, _) = OpMsg.watch(spark, "127.0.0.1", server.port,
+        "graft", "coll", keyField = "doc_id",
+        resumeAfter = Some(resumedTok))
+      assert(next.count() > 0)
+      // no event at or before the resume token leaks through
+      assert(next.where(col("_id._data") <= resumedTok).count() == 0)
+      // and the union of the two segments is loss- and dup-free: it
+      // equals a fresh full replay of the entire retained history
+      val (full, _) = OpMsg.watch(spark, "127.0.0.1", server.port,
+        "graft", "coll", keyField = "doc_id")
+      val seg = all.select(col("_id._data"))
+        .union(next.select(col("_id._data")))
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(seg == full.select(col("_id._data"))
+        .collect().map(_.getString(0)).sorted.toSeq)
+    } finally server.stop()
+  }
+
+  test("the rest of the pipeline applies to change documents; dropping " +
+       "the _id token refuses (mongod parity)") {
+    val (_, server) = fixture()
+    try {
+      val (upd, _) = OpMsg.watch(spark, "127.0.0.1", server.port,
+        "graft", "coll",
+        """[{"$match": {"operationType": "update"}}]""",
+        keyField = "doc_id")
+      assert(upd.count() > 0)
+      assert(upd.select("operationType").distinct()
+        .collect().map(_.getString(0)).toSeq == Seq("update"))
+      val e = intercept[IllegalArgumentException] {
+        OpMsg.watch(spark, "127.0.0.1", server.port, "graft", "coll",
+          """[{"$project": {"operationType": 1, "_id": 0}}]""",
+          keyField = "doc_id")
+      }
+      assert(e.getMessage.contains("resume"))
+    } finally server.stop()
+  }
+
+  test("tailable semantics on one raw cursor: drained batches keep the " +
+       "id live with a postBatchResumeToken; exhaust refuses; " +
+       "mid-pipeline $changeStream refuses") {
+    val (store, server) = fixture()
+    val conn = new java.net.Socket("127.0.0.1", server.port)
+    try {
+      val in = new java.io.BufferedInputStream(conn.getInputStream, 1 << 16)
+      val out = new java.io.BufferedOutputStream(conn.getOutputStream, 1 << 16)
+      var rid = 0
+      def roundTrip(cmd: JObject, flags: Int = 0): Array[Byte] = {
+        rid += 1
+        OpMsg.writeFrame(out, rid, 0, OpMsg.encodeDoc(cmd), flags = flags,
+          compress = false)
+        val (_, _, body) = OpMsg.readMessage(in).get
+        body
+      }
+      def getMore(id: Long, flags: Int = 0): Array[Byte] =
+        roundTrip(JObject(List(
+          "getMore" -> JLong(id), "collection" -> JString("coll"),
+          "batchSize" -> JInt(500), "$db" -> JString("graft"))), flags)
+      val open = roundTrip(JObject(List(
+        "aggregate" -> JString("coll"),
+        "pipeline" -> JArray(List(JObject(List("$changeStream" ->
+          JObject(List("keyField" -> JString("doc_id"))))))),
+        "cursor" -> JObject(List("batchSize" -> JInt(500))),
+        "$db" -> JString("graft"))))
+      val (id, first) = OpMsg.parseCursorReply(open)
+      assert(id != 0L && first.nonEmpty)
+      val tok0 = OpMsg.parseResumeToken(open).get
+      // drained: empty nextBatch, id STAYS live, token repeats
+      val drained = getMore(id)
+      val (id2, none) = OpMsg.parseCursorReply(drained)
+      assert(id2 == id && none.isEmpty)
+      assert(OpMsg.parseResumeToken(drained).contains(tok0))
+      assert(server.openCursors == 1)
+      // new history arrives → the SAME cursor tails it on the next pull
+      val docs = graft.api.Graft.table(spark, "/root/testdata/sf0.001",
+          "documents").select("doc_id", "source", "n_chars")
+      store.writeVersioned(docs.where(col("doc_id") < 45), "coll"): Unit
+      val tailed = getMore(id)
+      val (id3, fresh) = OpMsg.parseCursorReply(tailed)
+      assert(id3 == id && fresh.nonEmpty)
+      assert(OpMsg.parseResumeToken(tailed).exists(_ > tok0))
+      // exhaust on a change cursor refuses
+      assert(intercept[IllegalArgumentException](
+        OpMsg.parseCursorReply(getMore(id, flags = 0x10000)))
+        .getMessage.contains("exhaust"))
+      // $changeStream anywhere but first refuses
+      assert(intercept[IllegalArgumentException](
+        OpMsg.parseCursorReply(roundTrip(JObject(List(
+          "aggregate" -> JString("coll"),
+          "pipeline" -> JArray(List(
+            JObject(List("$match" -> JObject(Nil))),
+            JObject(List("$changeStream" -> JObject(Nil))))),
+          "cursor" -> JObject(Nil),
+          "$db" -> JString("graft"))))))
+        .getMessage.contains("first"))
+      roundTrip(JObject(List(
+        "killCursors" -> JString("coll"),
+        "cursors" -> JArray(List(JLong(id))),
+        "$db" -> JString("graft")))): Unit
+      assert(server.openCursors == 0)
+    } finally { conn.close(); server.stop() }
+  }
+}
