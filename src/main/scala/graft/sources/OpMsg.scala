@@ -1392,7 +1392,33 @@ object OpMsg {
                 CursorInUse)
             try {
               c.lastUsed = System.nanoTime()
-              if (c.tail.isDefined && !c.rows.hasNext) repoll(c): Unit
+              if (c.tail.isDefined && !c.rows.hasNext) {
+                // awaitData long-poll (mongod's tailable-awaitData
+                // getMore): with maxTimeMS the server holds the reply
+                // until new events arrive or the window closes —
+                // drivers long-poll change streams instead of
+                // busy-polling empty batches
+                val waitMs = fields.get("maxTimeMS") match {
+                  case Some(JInt(m)) => m.toLong
+                  case Some(JLong(m)) => m.longValue
+                  case _ => 0L
+                }
+                val deadline = System.nanoTime() + waitMs * 1000000L
+                // during an await window a WRITER may be mid-swap on
+                // the versioned store — a transient read failure is
+                // "no new events yet", not a dead cursor; the next
+                // poll sees the committed state. Without a window the
+                // failure propagates (plain getMore error semantics).
+                def poll(): Boolean =
+                  if (waitMs <= 0) repoll(c)
+                  else try repoll(c)
+                  catch { case scala.util.control.NonFatal(_) => false }
+                var got = poll()
+                while (!got && System.nanoTime() < deadline) {
+                  Thread.sleep(100)
+                  got = poll()
+                }
+              }
               val batch = pull(c)
               if (c.tail.isDefined)
                 // tailable: an empty batch keeps the cursor id live;
@@ -1502,6 +1528,7 @@ object OpMsg {
             keyField: String = "_id",
             resumeAfter: Option[String] = None,
             batchSize: Int = 101,
+            awaitMs: Long = 0L,
             credentials: Option[(String, String)] = None,
             tls: Option[(String, String)] = None): (DataFrame, String) = {
     require(batchSize > 0, "batchSize must be positive")
@@ -1550,12 +1577,16 @@ object OpMsg {
       try {
         // tailable loop: a NON-empty batch means more may follow; the
         // first empty batch is the caught-up signal — stop and kill
+        // with awaitMs the empty-batch stop signal only fires after
+        // the server's awaitData window stayed quiet — "follow until
+        // idle for awaitMs", the driver-side change-stream poll shape
         while (docs.nonEmpty) {
           reply = roundTrip(JObject(List(
             "getMore" -> JLong(cursorId),
             "collection" -> JString(coll),
-            "batchSize" -> JInt(batchSize),
-            "$db" -> JString(db))))
+            "batchSize" -> JInt(batchSize)) ++
+            (if (awaitMs > 0) List("maxTimeMS" -> JLong(awaitMs)) else Nil) ++
+            List("$db" -> JString(db))))
           val (nid, more) = parseCursorReply(reply)
           if (nid != cursorId) throw new IllegalStateException(
             "tailable cursor id changed mid-stream")

@@ -127,7 +127,9 @@ class GraftArrowSpec extends AnyFunSuite {
         StructField("xs", ArrayType(IntegerType)))),
       ArrayType(StructType(Seq(StructField("p", FloatType),
         StructField("q", BooleanType)))),
-      ArrayType(ArrayType(LongType)))
+      ArrayType(ArrayType(LongType)),
+      MapType(StringType, LongType),
+      MapType(StringType, ArrayType(DoubleType)))
     def value(dt: DataType): Any =
       if (rnd.nextInt(5) == 0) null
       else dt match {
@@ -149,6 +151,10 @@ class GraftArrowSpec extends AnyFunSuite {
           Seq.fill(rnd.nextInt(5))(value(el))
         case st: StructType =>
           Row(st.fields.map(f => value(f.dataType)): _*)
+        case MapType(_, vt, _) =>
+          Seq.fill(rnd.nextInt(4))(
+            rnd.alphanumeric.take(1 + rnd.nextInt(6)).mkString -> value(vt))
+            .toMap
         case other => fail(s"unexpected $other")
       }
     for (draw <- 1 to 25) {
@@ -229,17 +235,35 @@ class GraftArrowSpec extends AnyFunSuite {
       .exists(_.getName.endsWith(".zmap")))
   }
 
-  test("unsupported types refuse loudly (narrowed to map)") {
+  test("map columns round-trip (Arrow Map = list<struct<key, value>>), " +
+       "top-level and nested; intervals still refuse loudly") {
     val dir = tmp()
-    val mapped = spark.range(3).select(map(lit("k"), col("id")).as("m"))
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("m", MapType(StringType, LongType)),
+      StructField("deep", StructType(Seq(
+        StructField("inner", MapType(StringType, ArrayType(DoubleType))))))))
+    val rows = Seq(
+      Row(1L, Map("a" -> 1L, "b" -> 2L),
+        Row(Map("xs" -> Seq(1.5, null), "ys" -> Seq.empty[Double]))),
+      Row(2L, null, null),
+      Row(3L, Map.empty[String, Long], Row(null)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => r: Row), 2), schema)
+    df.write.format("graftarrow").option("batchRows", "2")
+      .mode("overwrite").save(dir)
+    val back = spark.read.format("graftarrow").load(dir)
+    assert(back.schema == schema)
+    assert(back.toJSON.collect().sorted.toSeq ==
+      df.toJSON.collect().sorted.toSeq)
+    // the file is REAL Arrow: pyarrow-compatible Map layout readable
+    // by arrow-java generic reader (covered by the roundtrip above,
+    // which reads through ArrowFileReader)
+    // intervals remain out of the surface and refuse loudly
+    val iv = spark.range(3)
+      .select(lit(java.time.Duration.ofDays(1)).as("d"))
     assert(intercept[Exception] {
-      mapped.write.format("graftarrow").mode("overwrite").save(dir)
-    }.getMessage.contains("graftarrow: unsupported type"))
-    // map nested anywhere refuses too
-    val deep = spark.range(3)
-      .select(struct(map(lit("k"), col("id")).as("m")).as("st"))
-    assert(intercept[Exception] {
-      deep.write.format("graftarrow").mode("overwrite").save(dir)
+      iv.write.format("graftarrow").mode("overwrite").save(tmp())
     }.getMessage.contains("graftarrow: unsupported type"))
   }
 

@@ -119,6 +119,57 @@ class OpMsgWatchSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("awaitData long-poll: a getMore with maxTimeMS holds the reply " +
+       "until new events arrive, returning early WITH the data") {
+    val (store, server) = fixture()
+    val conn = new java.net.Socket("127.0.0.1", server.port)
+    try {
+      val in = new java.io.BufferedInputStream(conn.getInputStream, 1 << 16)
+      val out = new java.io.BufferedOutputStream(conn.getOutputStream, 1 << 16)
+      var rid = 0
+      def roundTrip(cmd: JObject): Array[Byte] = {
+        rid += 1
+        OpMsg.writeFrame(out, rid, 0, OpMsg.encodeDoc(cmd), flags = 0,
+          compress = false)
+        OpMsg.readMessage(in).get._3
+      }
+      val open = roundTrip(JObject(List(
+        "aggregate" -> JString("coll"),
+        "pipeline" -> JArray(List(JObject(List("$changeStream" ->
+          JObject(List("keyField" -> JString("doc_id"))))))),
+        "cursor" -> JObject(List("batchSize" -> JInt(500))),
+        "$db" -> JString("graft"))))
+      val (id, first) = OpMsg.parseCursorReply(open)
+      assert(first.nonEmpty) // history drained by the big first batch
+      // a writer lands new history ~400 ms into the await window
+      val docs = graft.api.Graft.table(spark, "/root/testdata/sf0.001",
+        "documents").select("doc_id", "source", "n_chars")
+      val writer = new Thread(() => {
+        Thread.sleep(400)
+        store.writeVersioned(docs.where(col("doc_id") < 42), "coll"): Unit
+      })
+      writer.start()
+      val t0 = System.nanoTime()
+      val reply = roundTrip(JObject(List(
+        "getMore" -> JLong(id), "collection" -> JString("coll"),
+        "batchSize" -> JInt(500), "maxTimeMS" -> JInt(8000),
+        "$db" -> JString("graft"))))
+      val waitedMs = (System.nanoTime() - t0) / 1e6
+      writer.join()
+      val (id2, batch) = OpMsg.parseCursorReply(reply)
+      assert(id2 == id && batch.nonEmpty,
+        s"await returned empty after $waitedMs ms")
+      // early return with data: well inside the 8 s window, and not
+      // before the writer could possibly have committed
+      assert(waitedMs < 7000, s"await did not return early ($waitedMs ms)")
+      assert(waitedMs >= 300, s"no actual wait happened ($waitedMs ms)")
+      roundTrip(JObject(List(
+        "killCursors" -> JString("coll"),
+        "cursors" -> JArray(List(JLong(id))),
+        "$db" -> JString("graft")))): Unit
+    } finally { conn.close(); server.stop() }
+  }
+
   test("tailable semantics on one raw cursor: drained batches keep the " +
        "id live with a postBatchResumeToken; exhaust refuses; " +
        "mid-pipeline $changeStream refuses") {
