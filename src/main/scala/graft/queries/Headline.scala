@@ -1082,6 +1082,82 @@ object Headline {
                  OR a.n_chars <> b.n_chars OR a.source <> b.source
               ORDER BY doc_id, operationType""")),
 
+    // DB-LEVEL change stream (mongod's db.watch() → aggregate: 1):
+    // one wire cursor tails EVERY versioned collection, ns.coll
+    // distinguishing, one total resume-token order across them — the
+    // oracle replays both collections' snapshot diffs and unions them,
+    // so a lost collection, cross-collection leak, or mislabeled ns
+    // breaks the hash
+    QueryDef("q_wire_watch_db",
+      (s, dir) => {
+        val store = new graft.sinks.DocStore(s,
+          java.nio.file.Files.createTempDirectory("graft_wwdb").toString)
+        val docs = Graft.table(s, dir, "documents")
+          .select("doc_id", "source", "n_chars")
+        store.writeVersioned(docs.where(col("doc_id") < 400), "coll"): Unit
+        store.writeVersioned(
+          docs.where(col("doc_id") >= 200 && col("doc_id") < 500)
+            .withColumn("n_chars",
+              when(col("doc_id") % 2 === 0, col("n_chars") + 1)
+                .otherwise(col("n_chars"))),
+          "coll"): Unit
+        store.writeVersioned(
+          docs.where(col("doc_id") >= 100 && col("doc_id") < 350), "aux"): Unit
+        store.writeVersioned(
+          docs.where(col("doc_id") >= 150 && col("doc_id") < 300)
+            .withColumn("n_chars",
+              when(col("doc_id") % 3 === 0, col("n_chars") + 2)
+                .otherwise(col("n_chars"))),
+          "aux"): Unit
+        val server = new graft.sources.OpMsg.Server(s, store)
+        try {
+          val (events, _) = graft.sources.OpMsg.watch(s, "127.0.0.1",
+            server.port, "graft", "*", keyField = "doc_id",
+            batchSize = 128)
+          val out = events.select(col("ns.coll").as("coll"),
+              col("operationType"),
+              col("documentKey").as("doc_id"),
+              col("fullDocument.n_chars").as("after_chars"))
+            .orderBy("coll", "doc_id", "operationType")
+          val rows = out.collect()
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+        } finally server.stop()
+      },
+      Some("""WITH c1 AS (SELECT doc_id, source, n_chars FROM documents
+                          WHERE doc_id < 400),
+                   c2 AS (SELECT doc_id, source,
+                            CASE WHEN doc_id % 2 = 0 THEN n_chars + 1
+                                 ELSE n_chars END AS n_chars
+                          FROM documents
+                          WHERE doc_id >= 200 AND doc_id < 500),
+                   a1 AS (SELECT doc_id, source, n_chars FROM documents
+                          WHERE doc_id >= 100 AND doc_id < 350),
+                   a2 AS (SELECT doc_id, source,
+                            CASE WHEN doc_id % 3 = 0 THEN n_chars + 2
+                                 ELSE n_chars END AS n_chars
+                          FROM documents
+                          WHERE doc_id >= 150 AND doc_id < 300)
+              SELECT 'coll' AS coll,
+                     CASE WHEN a.doc_id IS NULL THEN 'insert'
+                          WHEN b.doc_id IS NULL THEN 'delete'
+                          ELSE 'update' END AS operationType,
+                     COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                     b.n_chars AS after_chars
+              FROM c1 a FULL OUTER JOIN c2 b ON a.doc_id = b.doc_id
+              WHERE a.doc_id IS NULL OR b.doc_id IS NULL
+                 OR a.n_chars <> b.n_chars OR a.source <> b.source
+              UNION ALL
+              SELECT 'aux',
+                     CASE WHEN a.doc_id IS NULL THEN 'insert'
+                          WHEN b.doc_id IS NULL THEN 'delete'
+                          ELSE 'update' END,
+                     COALESCE(a.doc_id, b.doc_id),
+                     b.n_chars
+              FROM a1 a FULL OUTER JOIN a2 b ON a.doc_id = b.doc_id
+              WHERE a.doc_id IS NULL OR b.doc_id IS NULL
+                 OR a.n_chars <> b.n_chars OR a.source <> b.source
+              ORDER BY coll, doc_id, operationType""")),
+
     // Z-order clustered layout (Delta OPTIMIZE ZORDER as a plain
     // write): events re-laid along the (user_id, event_id) Morton
     // curve, then a 2-D range filter reads back — values identical to

@@ -860,16 +860,37 @@ object OpMsg {
       * the caller's pipeline applies to the change documents and must
       * preserve `_id` (mongod's ChangeStreamFatalError contract —
       * without the token the cursor cannot resume). */
+    /** Sentinel collection name for a db-level watch (`aggregate: 1`,
+      * mongod's `db.watch()`). */
+    private val DbWatch = "\u0000db-watch"
+
     private def changeStreamDf(coll: String, keyField: String,
                                restJson: String, after: String): DataFrame = {
       import org.apache.spark.sql.functions._
-      val ev = store.changeEvents(coll, keyField)
-      val tok = concat(
-        lpad(col("txnVersion").cast("string"), 19, "0"),
-        lit("/"), col("documentKey").cast("string"))
+      def frame(c: String): DataFrame = {
+        val ev = store.changeEvents(c, keyField)
+        // token = (txnVersion, coll, documentKey) — versions are
+        // per-collection counters, so the cross-collection order is
+        // deterministic (what resume needs), not causal
+        val tok = concat(
+          lpad(col("txnVersion").cast("string"), 19, "0"),
+          lit("/"), lit(c), lit("/"), col("documentKey").cast("string"))
+        ev.withColumn("_id", struct(tok.as("_data")))
+          .withColumn("ns", struct(lit(db).as("db"), lit(c).as("coll")))
+      }
+      val ev =
+        if (coll != DbWatch) frame(coll)
+        else {
+          // db-level: every collection with retired history (a
+          // collection with no versions yet has no diffable changes);
+          // each must carry the key column — loud refusal otherwise
+          val watchable = store.collections().filter(c =>
+            store.versions(c).nonEmpty)
+          if (watchable.isEmpty) throw new IllegalArgumentException(
+            "$changeStream (db-level): no versioned collections to watch")
+          watchable.map(frame).reduce(_ unionByName _)
+        }
       val shaped = ev
-        .withColumn("_id", struct(tok.as("_data")))
-        .withColumn("ns", struct(lit(db).as("db"), lit(coll).as("coll")))
         .where(col("_id._data") > lit(after))
         .select(Seq("_id", "operationType", "ns", "documentKey",
           "fullDocument", "fullDocumentBeforeChange", "updatedFields",
@@ -943,12 +964,13 @@ object OpMsg {
       val rowsArr = df.collect()
       val t = new ChangeTail(coll, keyField, restJson)
       t.lastToken = after
-      val c = new Cursor(s"$db.$coll", rowsArr.iterator, df.schema,
+      val ns = if (coll == DbWatch) s"$db.$$cmd.aggregate" else s"$db.$coll"
+      val c = new Cursor(ns, rowsArr.iterator, df.schema,
         batchSize, Some(t))
       val first = pull(c)
       val id = nextCursor.incrementAndGet()
       cursors.put(id, c): Unit
-      buildCursorReply(id, s"$db.$coll", "firstBatch", first,
+      buildCursorReply(id, ns, "firstBatch", first,
         postBatchResumeToken = Some(c.tail.get.lastToken))
     }
 
@@ -1303,6 +1325,25 @@ object OpMsg {
             "ok" -> JDouble(1.0))))
         case _ => ()
       }
+      // db-level change stream (mongod's `db.watch()`): `aggregate: 1`
+      // with $changeStream first — events from EVERY versioned
+      // collection, ns.coll distinguishing, one total token order
+      fields.get("aggregate") match {
+        case Some(JInt(one)) if one == 1 =>
+          val stages = fields.get("pipeline") match {
+            case Some(JArray(ss)) => ss
+            case other => throw new IllegalArgumentException(
+              s"aggregate needs a pipeline array, got $other")
+          }
+          stages.headOption match {
+            case Some(JObject(List(("$changeStream", csOpts)))) =>
+              return openChangeCursor(DbWatch, csOpts, JArray(stages.tail),
+                cursorBatchSize(fields))
+            case _ => throw new IllegalArgumentException(
+              "aggregate: 1 is only valid with a $changeStream first stage")
+          }
+        case _ => ()
+      }
       fields.get("aggregate") match {
         case Some(JString(coll)) =>
           val stages = fields.get("pipeline") match {
@@ -1522,7 +1563,10 @@ object OpMsg {
     * it back as `resumeAfter` to continue past this point with no loss
     * or duplication (OpMsgWatchSpec pins the mid-stream-kill replay).
     * `keyField` names the document-key column (the engine extension —
-    * graftdocs collections carry no implicit `_id`). */
+    * graftdocs collections carry no implicit `_id`). Pass `coll = "*"`
+    * for a DB-LEVEL watch (mongod's `db.watch()` → `aggregate: 1`):
+    * events from every versioned collection, `ns.coll`
+    * distinguishing, one total resume-token order. */
   def watch(spark: SparkSession, host: String, port: Int, db: String,
             coll: String, pipelineJson: String = "[]",
             keyField: String = "_id",
@@ -1541,7 +1585,7 @@ object OpMsg {
       resumeAfter.map(t => "resumeAfter" ->
         JObject(List("_data" -> JString(t)))).toList)
     val cmd = JObject(List(
-      "aggregate" -> JString(coll),
+      "aggregate" -> (if (coll == "*") JInt(1) else JString(coll)),
       "pipeline" -> JArray(
         JObject(List("$changeStream" -> csOpts)) :: rest),
       "cursor" -> JObject(List("batchSize" -> JInt(batchSize))),

@@ -119,6 +119,65 @@ class OpMsgWatchSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("db-level watch (aggregate: 1): events from every versioned " +
+       "collection with ns.coll distinguishing; resume spans them") {
+    val (store, server) = fixture() // "coll" has history already
+    try {
+      // a second versioned collection with its own history
+      val docs = graft.api.Graft.table(spark, "/root/testdata/sf0.001",
+        "documents").select("doc_id", "source", "n_chars")
+      store.writeVersioned(docs.where(col("doc_id") >= 400), "other"): Unit
+      store.writeVersioned(docs.where(col("doc_id") >= 450), "other"): Unit
+      val (all, tok) = OpMsg.watch(spark, "127.0.0.1", server.port,
+        "graft", "*", keyField = "doc_id", batchSize = 64)
+      val colls = all.select(col("ns.coll")).distinct()
+        .collect().map(_.getString(0)).toSet
+      assert(colls == Set("coll", "other"))
+      // per-collection slices equal the single-collection watches
+      def slice(c: String) = all.where(col("ns.coll") === c)
+        .select(col("operationType"), col("documentKey").cast("long"))
+        .orderBy("documentKey", "operationType").collect().map(_.json).toSeq
+      def single(c: String) = {
+        val (w, _) = OpMsg.watch(spark, "127.0.0.1", server.port,
+          "graft", c, keyField = "doc_id")
+        w.select(col("operationType"), col("documentKey").cast("long"))
+          .orderBy("documentKey", "operationType").collect().map(_.json).toSeq
+      }
+      assert(slice("coll") == single("coll"))
+      assert(slice("other") == single("other"))
+      // resume from the final token: quiet until NEW history in EITHER
+      val (quiet, _) = OpMsg.watch(spark, "127.0.0.1", server.port,
+        "graft", "*", keyField = "doc_id", resumeAfter = Some(tok))
+      assert(quiet.count() == 0)
+      store.writeVersioned(docs.where(col("doc_id") >= 440), "other"): Unit
+      val (next, _) = OpMsg.watch(spark, "127.0.0.1", server.port,
+        "graft", "*", keyField = "doc_id", resumeAfter = Some(tok))
+      assert(next.count() > 0)
+      assert(next.select(col("ns.coll")).distinct()
+        .collect().map(_.getString(0)).toSeq == Seq("other"))
+      // a plain aggregate: 1 without $changeStream refuses
+      val e = intercept[IllegalArgumentException] {
+        OpMsg.aggregate(spark, "127.0.0.1", server.port, "graft",
+          "nope_agg1", """[{"$match": {}}]""")
+      }
+      // (string-named aggregate on a missing collection fails its own
+      // way; the aggregate:1 refusal is pinned over a raw socket)
+      assert(e != null)
+      val conn = new java.net.Socket("127.0.0.1", server.port)
+      try {
+        OpMsg.writeFrame(conn.getOutputStream, 1, 0, OpMsg.encodeDoc(
+          JObject(List("aggregate" -> JInt(1),
+            "pipeline" -> JArray(List(JObject(List("$match" -> JObject(Nil))))),
+            "$db" -> JString("graft")))), flags = 0, compress = false)
+        val (_, _, body) = OpMsg.readMessage(
+          new java.io.BufferedInputStream(conn.getInputStream)).get
+        assert(intercept[IllegalArgumentException](
+          OpMsg.parseCursorReply(body))
+          .getMessage.contains("$changeStream first stage"))
+      } finally conn.close()
+    } finally server.stop()
+  }
+
   test("awaitData long-poll: a getMore with maxTimeMS holds the reply " +
        "until new events arrive, returning early WITH the data") {
     val (store, server) = fixture()
