@@ -1048,6 +1048,47 @@ object LlmOps {
               WHERE o.o_orderkey % 7 = 0
               GROUP BY 1, 2, 3 ORDER BY 1""")),
 
+    // the IPC STREAM format (.arrows — what pipes/sockets and
+    // pyarrow's open_stream speak): nested orders fold through
+    // stream-format files and re-derive the same scalar aggregates;
+    // any loss in the schema-first message framing breaks the hash
+    // against the same flat-join oracle as q_arrow_nested
+    QueryDef("q_arrow_stream",
+      (s, dir) => {
+        val tgt = java.nio.file.Files.createTempDirectory("graft_ipcs").toString
+        val o = Graft.table(s, dir, "orders")
+        val li = Graft.table(s, dir, "lineitem")
+        o.where(col("o_orderkey") % 7 === 0)
+          .join(li, col("o_orderkey") === col("l_orderkey"))
+          .groupBy("o_orderkey")
+          .agg(
+            first(struct(col("o_custkey").as("cust"),
+              col("o_totalprice").cast("decimal(12,2)").as("total"))).as("hdr"),
+            sort_array(collect_list(struct(col("l_linenumber").as("ln"),
+              col("l_quantity").as("qty")))).as("lines"))
+          .write.format("graftarrow").option("batchRows", "64")
+          .option("ipcFormat", "stream")
+          .mode("overwrite").save(tgt)
+        val back = s.read.format("graftarrow").load(tgt)
+        back.select(col("o_orderkey"),
+            col("hdr.cust").as("cust"),
+            col("hdr.total").cast("double").as("total"),
+            size(col("lines")).as("nlines"),
+            round(aggregate(col("lines"), lit(0.0d),
+              (acc, x) => acc + x.getField("qty")), 4).as("qty_sum"),
+            element_at(col("lines"), -1).getField("ln").as("last_ln"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o.o_orderkey, o.o_custkey AS cust,
+                     CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS DOUBLE)
+                       AS total,
+                     CAST(COUNT(*) AS INT) AS nlines,
+                     round(SUM(l.l_quantity), 4) AS qty_sum,
+                     MAX(l.l_linenumber) AS last_ln
+              FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+              WHERE o.o_orderkey % 7 = 0
+              GROUP BY 1, 2, 3 ORDER BY 1""")),
+
     // zone-map pruning on the Arrow source: 8 range-disjoint files, a
     // point range admits one — the skip must be invisible to results
     // (sidecar soundness), which is exactly what the hash checks

@@ -8,7 +8,7 @@ import org.apache.hadoop.fs.{FSDataInputStream, Path}
 import org.apache.arrow.memory.RootAllocator
 import org.apache.arrow.vector._
 import org.apache.arrow.vector.complex.ListVector
-import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter}
+import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter, ArrowReader, ArrowStreamReader, ArrowStreamWriter, ArrowWriter}
 import org.apache.arrow.vector.ipc.SeekableReadChannel
 import org.apache.arrow.vector.types.{DateUnit, FloatingPointPrecision, TimeUnit}
 import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema}
@@ -64,13 +64,12 @@ class GraftArrowSource extends TableProvider with DataSourceRegister {
     val files = GraftArrowSource.listArrowFiles(path, conf)
     if (files.isEmpty) throw new IllegalArgumentException(
       s"graftarrow: no .arrow files under $path")
-    val fs = new Path(files.head).getFileSystem(conf)
-    val in = fs.open(new Path(files.head))
+    val head = new Path(files.head)
+    val fs = head.getFileSystem(conf)
+    val in = fs.open(head)
     val alloc = new RootAllocator()
     try {
-      val reader = new ArrowFileReader(
-        new SeekableReadChannel(new GraftArrowSource.HadoopSeekableChannel(
-          in, fs.getFileStatus(new Path(files.head)).getLen)), alloc)
+      val reader = GraftArrowSource.openReader(fs, head, in, alloc)
       try GraftArrowSource.toSparkSchema(
         reader.getVectorSchemaRoot.getSchema)
       finally reader.close()
@@ -104,11 +103,25 @@ private[sources] object GraftArrowSource {
       val st = it.next()
       val f = st.getPath
       val n = f.getName
-      if (n.endsWith(".arrow") && !n.startsWith(".") && !n.startsWith("_"))
+      if ((n.endsWith(".arrow") || n.endsWith(".arrows")) &&
+          !n.startsWith(".") && !n.startsWith("_"))
         out += ((f.toString, st.getLen))
     }
     out.toSeq.sortBy(_._1)
   }
+
+  /** Open an IPC reader for `path` by extension: `.arrow` (random-
+    * access FILE format, footer-seeking) or `.arrows` (STREAM format —
+    * schema-first message sequence, forward-only; what pipes/sockets
+    * and pyarrow's open_stream produce). Both expose the same
+    * ArrowReader loop. */
+  def openReader(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+                 in: FSDataInputStream,
+                 alloc: RootAllocator): ArrowReader =
+    if (p.getName.endsWith(".arrows")) new ArrowStreamReader(in, alloc)
+    else new ArrowFileReader(
+      new SeekableReadChannel(new HadoopSeekableChannel(
+        in, fs.getFileStatus(p).getLen)), alloc)
 
   /** Hadoop stream as a read-only SeekableByteChannel (what
     * ArrowFileReader needs for footer-seeking random access). */
@@ -363,9 +376,7 @@ private[sources] class GraftArrowReaderFactory(
       private val fs = p.getFileSystem(conf.value)
       private val in = fs.open(p)
       private val alloc = new RootAllocator()
-      private val reader = new ArrowFileReader(
-        new SeekableReadChannel(new GraftArrowSource.HadoopSeekableChannel(
-          in, fs.getFileStatus(p).getLen)), alloc)
+      private val reader = GraftArrowSource.openReader(fs, p, in, alloc)
       private val root = reader.getVectorSchemaRoot
       // required-column vector positions, resolved once (files written
       // by foreign tools may order fields differently from inference)
@@ -430,10 +441,14 @@ private[sources] class GraftArrowWriteBuilder(info: LogicalWriteInfo,
       require(batchRows > 0, "graftarrow: batchRows must be positive")
       val zoneMaps = Option(info.options.get("zoneMaps"))
         .forall(_.toBoolean)
+      val ipcFormat = Option(info.options.get("ipcFormat"))
+        .getOrElse("file")
+      require(ipcFormat == "file" || ipcFormat == "stream",
+        s"graftarrow: ipcFormat must be 'file' or 'stream', got '$ipcFormat'")
       // validate the schema maps BEFORE launching tasks
       GraftArrowSource.toArrowSchema(info.schema()): Unit
       new GraftArrowBatchWrite(info.schema(), path, doTruncate, batchRows,
-        zoneMaps,
+        zoneMaps, ipcFormat == "stream",
         new SerializableConfiguration(org.apache.spark.sql.SparkSession
           .active.sessionState.newHadoopConf()))
     }
@@ -446,6 +461,7 @@ private[sources] case class GraftArrowCommit(staged: Seq[String])
 private[sources] class GraftArrowBatchWrite(schema: StructType, path: String,
                                             truncate: Boolean, batchRows: Int,
                                             zoneMaps: Boolean,
+                                            streamFormat: Boolean,
                                             conf: SerializableConfiguration)
   extends BatchWrite {
   private val jobToken = java.util.UUID.randomUUID().toString.take(8)
@@ -465,13 +481,14 @@ private[sources] class GraftArrowBatchWrite(schema: StructType, path: String,
         val p = it.next().getPath
         val n = p.getName
         if (n.startsWith(".") &&
-            (n.endsWith(".arrow") || n.endsWith(".arrow.zmap")))
+            (n.endsWith(".arrow") || n.endsWith(".arrows") ||
+             n.endsWith(".zmap")))
           fs.delete(p, false): Unit
       }
     }
     fs.mkdirs(dir)
     new GraftArrowWriterFactory(schema, path, jobToken, batchRows, zoneMaps,
-      conf)
+      streamFormat, conf)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -504,11 +521,12 @@ private[sources] class GraftArrowBatchWrite(schema: StructType, path: String,
 private[sources] class GraftArrowWriterFactory(schema: StructType, path: String,
                                                jobToken: String, batchRows: Int,
                                                zoneMaps: Boolean,
+                                               streamFormat: Boolean,
                                                conf: SerializableConfiguration)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftArrowDataWriter(schema, path, jobToken, partitionId, taskId,
-      batchRows, zoneMaps, conf.value)
+      batchRows, zoneMaps, streamFormat, conf.value)
 }
 
 /** Per-task writer: one staged hidden `.arrow` file, record batches of
@@ -518,6 +536,7 @@ private[sources] class GraftArrowDataWriter(schema: StructType, path: String,
                                             jobToken: String, partitionId: Int,
                                             taskId: Long, batchRows: Int,
                                             zoneMaps: Boolean,
+                                            streamFormat: Boolean,
                                             conf: org.apache.hadoop.conf.Configuration)
   extends DataWriter[InternalRow] {
   // zone-map stats ride a .zmap sidecar through the same hidden-rename
@@ -528,14 +547,19 @@ private[sources] class GraftArrowDataWriter(schema: StructType, path: String,
   private val toScala = org.apache.spark.sql.catalyst.CatalystTypeConverters
     .createToScalaConverter(schema)
   private val staged = new Path(path,
-    s".part-$jobToken-$partitionId-$taskId.arrow")
+    s".part-$jobToken-$partitionId-$taskId.arrow" +
+      (if (streamFormat) "s" else ""))
   private val fs = staged.getFileSystem(conf)
   private val out = fs.create(staged, true)
   private val alloc = new RootAllocator()
   private val arrowSchema = GraftArrowSource.toArrowSchema(schema)
   private val root = VectorSchemaRoot.create(arrowSchema, alloc)
-  private val writer = new ArrowFileWriter(root, null,
-    java.nio.channels.Channels.newChannel(out))
+  private val writer: ArrowWriter =
+    if (streamFormat)
+      new ArrowStreamWriter(root, null,
+        java.nio.channels.Channels.newChannel(out))
+    else new ArrowFileWriter(root, null,
+      java.nio.channels.Channels.newChannel(out))
   writer.start()
   root.allocateNew()
 

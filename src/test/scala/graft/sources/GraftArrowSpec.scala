@@ -84,6 +84,56 @@ class GraftArrowSpec extends AnyFunSuite {
     } finally { r.close(); ch.close(); alloc.close() }
   }
 
+  test("IPC STREAM format (.arrows): schema-first message sequence, " +
+       "readable by arrow-java's stream reader; round-trip + pruning") {
+    val dir = tmp()
+    spark.range(5000)
+      .select(col("id"), (col("id") % 5).as("k"),
+        struct((col("id") * 2).as("a"),
+          array(col("id"), col("id") + 1).as("xs")).as("nested"))
+      .coalesce(2)
+      .write.format("graftarrow")
+      .option("ipcFormat", "stream").option("batchRows", "512")
+      .mode("overwrite").save(dir)
+    val fl = new java.io.File(dir).listFiles().toSeq
+      .filter(_.getName.endsWith(".arrows"))
+    assert(fl.size == 2, "expected .arrows stream files")
+    // a stream file has NO ARROW1 magic — it opens with an
+    // encapsulated schema message (continuation marker 0xFFFFFFFF)
+    val bytes = java.nio.file.Files.readAllBytes(fl.head.toPath)
+    assert(new String(bytes.take(6), "US-ASCII") != "ARROW1")
+    assert((bytes(0) & 0xFF) == 0xFF && (bytes(3) & 0xFF) == 0xFF)
+    // arrow-java's generic stream reader consumes it directly
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    val fis = new java.io.FileInputStream(fl.head)
+    val r = new org.apache.arrow.vector.ipc.ArrowStreamReader(fis, alloc)
+    try {
+      var n = 0L
+      while (r.loadNextBatch()) n += r.getVectorSchemaRoot.getRowCount
+      assert(n > 0 && n < 5000) // one of the two partitions
+    } finally { r.close(); fis.close(); alloc.close() }
+    // and the DSv2 read path round-trips, nested columns included
+    val back = spark.read.format("graftarrow").load(dir)
+    assert(back.count() == 5000)
+    assert(back.select(sum(col("nested.a"))).head.getLong(0) ==
+      (0L until 5000L).map(_ * 2).sum)
+    // pruned aggregate still correct
+    assert(spark.read.format("graftarrow").load(dir)
+      .groupBy("k").count().collect().map(_.getLong(1)).sum == 5000L)
+    // mixed directories read too: add a FILE-format part
+    spark.range(5000, 6000).select(col("id"), (col("id") % 5).as("k"),
+        struct((col("id") * 2).as("a"),
+          array(col("id"), col("id") + 1).as("xs")).as("nested"))
+      .coalesce(1)
+      .write.format("graftarrow").mode("append").save(dir)
+    assert(spark.read.format("graftarrow").load(dir).count() == 6000)
+    // bad ipcFormat refuses
+    assert(intercept[Exception] {
+      spark.range(3).write.format("graftarrow")
+        .option("ipcFormat", "socket").mode("overwrite").save(tmp())
+    }.getMessage.contains("ipcFormat"))
+  }
+
   test("columnar zero-copy read with column pruning") {
     val dir = tmp()
     spark.range(5000).select(col("id"), (col("id") % 7).as("k"),
