@@ -942,12 +942,23 @@ object OpMsg {
       }
       var after = ""
       var keyField = "_id"
+      var startAt: Option[Long] = None
       o.foreach {
         case (("resumeAfter" | "startAfter"), JObject(ro)) =>
           after = ro.collectFirst { case ("_data", JString(s)) => s }
             .getOrElse(throw new IllegalArgumentException(
               "$changeStream: resumeAfter/startAfter needs a " +
                 "{_data: <token>} document"))
+        case ("startAtOperationTime", v) =>
+          startAt = Some(v match {
+            case JInt(m) => m.toLong
+            case JLong(m) => m
+            case JObject(List(("$date", JLong(m)))) => m
+            case JObject(List(("$date", JInt(m)))) => m.toLong
+            case other => throw new IllegalArgumentException(
+              s"$$changeStream: startAtOperationTime must be epoch " +
+                s"millis or {$$date}, got $other")
+          })
         case ("keyField", JString(k)) => keyField = k
         // every change document already carries the after-image
         // (updateLookup comes free from snapshots) and the pre-image
@@ -955,8 +966,33 @@ object OpMsg {
         case ("fullDocumentBeforeChange", JString(_)) => ()
         case (k, _) => throw new IllegalArgumentException(
           s"$$changeStream: unsupported option '$k' (supported: " +
-            "resumeAfter, startAfter, keyField, fullDocument, " +
-            "fullDocumentBeforeChange)")
+            "resumeAfter, startAfter, startAtOperationTime, keyField, " +
+            "fullDocument, fullDocumentBeforeChange)")
+      }
+      startAt.foreach { t =>
+        // wall-clock → version offset: event txnVersion v committed
+        // when snapshot v-1 retired; the first v whose commit time is
+        // >= t becomes the floor, encoded as a token just below v's
+        // (retire times are monotone, so the find is exact)
+        if (after.nonEmpty) throw new IllegalArgumentException(
+          "$changeStream: startAtOperationTime cannot combine with " +
+            "resumeAfter/startAfter")
+        if (coll == DbWatch) throw new IllegalArgumentException(
+          "$changeStream: startAtOperationTime is not supported on " +
+            "db-level watches (collections retire independently — " +
+            "use resumeAfter)")
+        val vs = store.versions(coll)
+        // each retained step (a \u2192 b) carries txnVersion b and committed
+        // when a retired; pruned gaps leave retiredAt(a) defined for
+        // retained a, and an unknown commit time includes conservatively
+        // (replay-extra, never lose)
+        val steps = (vs :+ (vs.lastOption.getOrElse(0L) + 1))
+          .sliding(2).collect { case Seq(a, b) =>
+            (b, store.retiredAt(coll, a)) }.toSeq
+        after = steps.find { case (_, rt) => rt.forall(_ >= t) } match {
+          case Some((v, _)) => f"${v - 1}%019d" + "\uffff"
+          case None => f"${Long.MaxValue}%019d"
+        }
       }
       val restJson = org.json4s.jackson.JsonMethods.compact(
         org.json4s.jackson.JsonMethods.render(rest))
@@ -1149,8 +1185,35 @@ object OpMsg {
           "conversationId" -> JInt(1), "done" -> JBool(true),
           "payload" -> binPayload(fin), "ok" -> JDouble(1.0))))
       }
+      // ---- driver-compat commands mongod answers unauthenticated ----
+      if (fields.contains("ping"))
+        return encodeDoc(JObject(List("ok" -> JDouble(1.0))))
+      if (fields.contains("buildInfo") || fields.contains("buildinfo"))
+        return encodeDoc(JObject(List(
+          "version" -> JString("7.0.0-graft"),
+          "gitVersion" -> JString("graft-opmsg-standin"),
+          "maxBsonObjectSize" -> JInt(16777216),
+          "ok" -> JDouble(1.0))))
       if (!state.authenticated) throw new IllegalArgumentException(
         "command requires authentication (run SCRAM-SHA-256 saslStart first)")
+      // ---- endSessions: the driver retires its logical sessions — the
+      // retryable-write transaction logs for those lsids go with them
+      // (mongod expires session state the same way; this also bounds
+      // the stand-in's memory under long-lived clients)
+      fields.get("endSessions") match {
+        case Some(JArray(ss)) =>
+          ss.foreach {
+            case JObject(so) => so.collectFirst {
+              case ("id", JString(x)) => x
+            }.foreach(id => txnLog.remove(id): Unit)
+            case other => throw new IllegalArgumentException(
+              s"endSessions entries must be {id} documents, got $other")
+          }
+          return encodeDoc(JObject(List("ok" -> JDouble(1.0))))
+        case Some(other) => throw new IllegalArgumentException(
+          s"endSessions needs an array, got $other")
+        case None => ()
+      }
       // ---- killCursors: client abandons cursors before exhaustion ----
       fields.get("killCursors") match {
         case Some(JString(_)) =>

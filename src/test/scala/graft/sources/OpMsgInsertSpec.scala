@@ -122,6 +122,55 @@ class OpMsgInsertSpec extends AnyFunSuite {
     } finally { store.drop("events"): Unit }
   }
 
+  test("driver-compat commands: ping and buildInfo answer; endSessions " +
+       "retires a session's retryable-write transaction log") {
+    val store = emptyStore()
+    val server = new OpMsg.Server(spark, store)
+    try {
+      val conn = new java.net.Socket("127.0.0.1", server.port)
+      try {
+        val in = new java.io.BufferedInputStream(conn.getInputStream)
+        var rid = 0
+        def roundTrip(cmd: JObject): Map[String, JValue] = {
+          rid += 1
+          OpMsg.writeFrame(conn.getOutputStream, rid, 0,
+            OpMsg.encodeDoc(cmd), flags = 0, compress = false)
+          OpMsg.decodeDoc(OpMsg.readMessage(in).get._3).obj.toMap
+        }
+        assert(roundTrip(JObject(List("ping" -> JInt(1),
+          "$db" -> JString("graft")))).get("ok").contains(JDouble(1.0)))
+        val bi = roundTrip(JObject(List("buildInfo" -> JInt(1),
+          "$db" -> JString("graft"))))
+        assert(bi.get("ok").contains(JDouble(1.0)) &&
+          bi.contains("version"))
+      } finally conn.close()
+      // endSessions drops the session's txn log: the SAME (lsid, txn)
+      // applies again afterwards — no longer a replay
+      val docs = (1 to 15).map(i => OpMsg.encodeDoc(
+        JObject(List("event_id" -> JInt(i)))))
+      val ch = new OpMsg.InsertChannel("127.0.0.1", server.port, "graft",
+        "sess_sink", None, None, compress = false, checksum = false,
+        compressor = "zlib")
+      try {
+        val sid = "sess-spec/0"
+        assert(ch.send(docs, Some((sid, 3L))) == 15L)
+        assert(ch.send(docs, Some((sid, 3L))) == 15L) // replay: no apply
+        val conn2 = new java.net.Socket("127.0.0.1", server.port)
+        try {
+          OpMsg.writeFrame(conn2.getOutputStream, 1, 0, OpMsg.encodeDoc(
+            JObject(List("endSessions" -> JArray(List(JObject(List(
+              "id" -> JString(sid))))), "$db" -> JString("graft")))),
+            flags = 0, compress = false)
+          val rep = OpMsg.decodeDoc(OpMsg.readMessage(
+            new java.io.BufferedInputStream(conn2.getInputStream)).get._3)
+          assert(rep.obj.toMap.get("ok").contains(JDouble(1.0)))
+        } finally conn2.close()
+        assert(ch.send(docs, Some((sid, 3L))) == 15L) // log gone: applies
+      } finally ch.close()
+      assert(store.read("sess_sink").count() == 30)
+    } finally server.stop()
+  }
+
   // ---- insert end-to-end ------------------------------------------------------
 
   test("insert over the wire ≡ the source rows; a second insert appends") {

@@ -119,6 +119,73 @@ class OpMsgWatchSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("startAtOperationTime: wall-clock maps to version offsets — " +
+       "steps committed before the time are skipped, later ones replay") {
+    val (store, server) = fixture() // v1 retired already (txn-2 events)
+    try {
+      Thread.sleep(30)
+      val mid = System.currentTimeMillis()
+      Thread.sleep(30)
+      val docs = graft.api.Graft.table(spark, "/root/testdata/sf0.001",
+        "documents").select("doc_id", "source", "n_chars")
+      store.writeVersioned(docs.where(col("doc_id") < 35), "coll"): Unit
+      def watchFrom(t: Long) = {
+        val conn = new java.net.Socket("127.0.0.1", server.port)
+        try {
+          val in = new java.io.BufferedInputStream(conn.getInputStream)
+          OpMsg.writeFrame(conn.getOutputStream, 1, 0, OpMsg.encodeDoc(
+            JObject(List("aggregate" -> JString("coll"),
+              "pipeline" -> JArray(List(JObject(List("$changeStream" ->
+                JObject(List("keyField" -> JString("doc_id"),
+                  "startAtOperationTime" -> JLong(t))))))),
+              "cursor" -> JObject(List("batchSize" -> JInt(500))),
+              "$db" -> JString("graft")))), flags = 0, compress = false)
+          val (_, _, body) = OpMsg.readMessage(in).get
+          val (id, batch) = OpMsg.parseCursorReply(body)
+          OpMsg.writeFrame(conn.getOutputStream, 2, 0, OpMsg.encodeDoc(
+            JObject(List("killCursors" -> JString("coll"),
+              "cursors" -> JArray(List(JLong(id))),
+              "$db" -> JString("graft")))), flags = 0, compress = false)
+          OpMsg.readMessage(in): Unit
+          batch
+        } finally conn.close()
+      }
+      // from epoch 0: both steps replay (txn 2 and txn 3 events)
+      val all = watchFrom(0L)
+      // from mid: ONLY the step retired after mid (txn 3)
+      val late = watchFrom(mid)
+      assert(all.size > late.size && late.nonEmpty,
+        s"all=${all.size} late=${late.size}")
+      // from far future: nothing yet
+      assert(watchFrom(System.currentTimeMillis() + 3600000L).isEmpty)
+      // refusals: combining with resumeAfter; db-level watches
+      def openWith(agg: JValue, opts: List[(String, JValue)]): String = {
+        val conn2 = new java.net.Socket("127.0.0.1", server.port)
+        try {
+          OpMsg.writeFrame(conn2.getOutputStream, 1, 0, OpMsg.encodeDoc(
+            JObject(List("aggregate" -> agg,
+              "pipeline" -> JArray(List(JObject(List("$changeStream" ->
+                JObject(opts))))),
+              "cursor" -> JObject(Nil),
+              "$db" -> JString("graft")))), flags = 0, compress = false)
+          val (_, _, body) = OpMsg.readMessage(
+            new java.io.BufferedInputStream(conn2.getInputStream)).get
+          intercept[IllegalArgumentException](
+            OpMsg.parseCursorReply(body)).getMessage
+        } finally conn2.close()
+      }
+      assert(openWith(JString("coll"), List(
+        "keyField" -> JString("doc_id"),
+        "startAtOperationTime" -> JLong(5L),
+        "resumeAfter" -> JObject(List("_data" -> JString("z")))))
+        .contains("cannot combine"))
+      assert(openWith(JInt(1), List(
+        "keyField" -> JString("doc_id"),
+        "startAtOperationTime" -> JLong(5L)))
+        .contains("db-level"))
+    } finally server.stop()
+  }
+
   test("db-level watch (aggregate: 1): events from every versioned " +
        "collection with ns.coll distinguishing; resume spans them") {
     val (store, server) = fixture() // "coll" has history already
