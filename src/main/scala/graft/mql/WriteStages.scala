@@ -41,7 +41,7 @@ import graft.sinks.DocStore
   * re-unions — identical exchanges, so AQE reuses the shuffle.
   */
 object WriteStages {
-  private[mql] val WriteStageNames = Set("$out", "$merge")
+  private[graft] val WriteStageNames = Set("$out", "$merge")
 
   /** Partition-scoped merge cap: beyond this many touched partitions
     * the pruning predicate (an OR of per-tuple conjunctions) stops

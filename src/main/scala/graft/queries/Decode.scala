@@ -548,6 +548,43 @@ object Decode {
                      CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
               FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    // $out over the wire: mongod executes write stages SERVER-SIDE
+    // and answers an empty cursor — the aggregate ships as BSON, the
+    // server runs the engine's own pipeline + staged-swap write, and
+    // the materialized collection reads back through a second wire
+    // find; the oracle replays the transform on the source table
+    QueryDef("q_wire_out",
+      (s, dir) => {
+        val store = new graft.sinks.DocStore(s,
+          java.nio.file.Files.createTempDirectory("graft_wout").toString,
+          "graftdocs")
+        store.write(Graft.table(s, dir, "customer")
+          .select("c_custkey", "c_mktsegment", "c_acctbal"), "customer")
+        val server = new graft.sources.OpMsg.Server(s, store)
+        try {
+          // returns the empty cursor frame; the WRITE is the effect
+          graft.sources.OpMsg.aggregate(s, "127.0.0.1", server.port,
+            "graft", "customer",
+            """[
+              {"$match": {"c_acctbal": {"$gt": 2000.0}}},
+              {"$project": {"c_custkey": 1, "c_mktsegment": 1,
+                "c_acctbal": 1}},
+              {"$out": "rich_customers"}]"""): Unit
+          graft.sources.OpMsg.find(s, "127.0.0.1", server.port, "graft",
+            "rich_customers")
+            .groupBy(col("c_mktsegment"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+                .cast(org.apache.spark.sql.types.DoubleType).as("sum_bal"))
+            .orderBy("c_mktsegment")
+        } finally server.stop()
+      },
+      Some("""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+              FROM customer
+              WHERE c_acctbal > 2000.0
+              GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
     // NATIVE streaming write over the wire: a micro-batch stream of
     // half the customer table lands through writeStream.format(
     // "graftwire") — per-partition insert connections, every command

@@ -1431,6 +1431,29 @@ object OpMsg {
             org.json4s.jackson.JsonMethods.render(JArray(stages)))
           val resolve: graft.mql.PipelineCompiler.TableResolver =
             name => store.read(name)
+          // mongod executes $out/$merge SERVER-SIDE and answers an
+          // EMPTY cursor — here that is the engine role (runWithWrites),
+          // not the reference client's refusal (PipelineCompiler.run)
+          val writeAt = stages.indexWhere {
+            case JObject(List((op, _))) =>
+              graft.mql.WriteStages.WriteStageNames(op)
+            case _ => false
+          }
+          if (writeAt >= 0 && writeAt != stages.length - 1)
+            throw new IllegalArgumentException(
+              "$out/$merge must be the last pipeline stage (mongod " +
+                "location 40601)")
+          if (writeAt >= 0) {
+            graft.mql.PipelineCompiler.runWithWrites(store.read(coll),
+              pipelineJson, resolve, store): Unit
+            // any preloaded LocalRelation may now be stale (the write
+            // target is spec-shaped); re-materialize here — the
+            // aggregate handler already runs Spark jobs, so this is a
+            // driver-client context, never a saturated-scan one
+            val keys = localRel.keySet().toArray(Array.empty[String])
+            keys.foreach(k => localRel.put(k, materialize(k)): Unit)
+            return buildCursorReply(0L, s"$db.$coll", "firstBatch", Nil)
+          }
           val df = graft.mql.PipelineCompiler.run(
             store.read(coll), pipelineJson, resolve)
           return openCursor(df, coll, cursorBatchSize(fields))

@@ -287,6 +287,51 @@ class OpMsgSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("aggregate ending in \\$out/\\$merge executes SERVER-SIDE and " +
+       "answers mongod's empty cursor; mid-pipeline write stages refuse") {
+    val (store, server) = fixture()
+    try {
+      val conn = new java.net.Socket("127.0.0.1", server.port)
+      try {
+        val in = new java.io.BufferedInputStream(conn.getInputStream)
+        var rid = 0
+        def agg(pipeline: String): Array[Byte] = {
+          rid += 1
+          val stages = graft.mql.Mql.parse(pipeline).asInstanceOf[JArray]
+          OpMsg.writeFrame(conn.getOutputStream, rid, 0, OpMsg.encodeDoc(
+            JObject(List("aggregate" -> JString("events"),
+              "pipeline" -> stages, "cursor" -> JObject(Nil),
+              "$db" -> JString("graft")))), flags = 0, compress = false)
+          OpMsg.readMessage(in).get._3
+        }
+        // $out executes; the reply is an EMPTY closed cursor
+        val (id, batch) = OpMsg.parseCursorReply(agg(
+          """[{"$match": {"value": {"$gt": 0.5}}},
+              {"$project": {"event_id": 1, "value": 1}},
+              {"$out": "hot_events"}]"""))
+        assert(id == 0L && batch.isEmpty)
+        val expect = store.read("events").where(col("value") > 0.5).count()
+        assert(store.read("hot_events").count() == expect && expect > 0)
+        // and the written collection serves wire finds immediately
+        val back = OpMsg.find(spark, "127.0.0.1", server.port, "graft",
+          "hot_events")
+        assert(back.count() == expect)
+        // $merge upserts into it
+        OpMsg.parseCursorReply(agg(
+          """[{"$match": {"value": {"$lte": 0.5}}},
+              {"$project": {"event_id": 1, "value": 1}},
+              {"$merge": {"into": "hot_events", "on": "event_id",
+                "whenMatched": "replace", "whenNotMatched": "insert"}}]""")): Unit
+        assert(store.read("hot_events").count() ==
+          store.read("events").count())
+        // a write stage anywhere else refuses loudly
+        assert(intercept[IllegalArgumentException](OpMsg.parseCursorReply(
+          agg("""[{"$out": "x"}, {"$match": {}}]""")))
+          .getMessage.contains("last"))
+      } finally conn.close()
+    } finally server.stop()
+  }
+
   test("cursor in use: a getMore while another connection drives the same " +
     "cursor answers code 281, never interleaves") {
     val (store, server) = fixture()
