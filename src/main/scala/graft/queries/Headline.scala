@@ -1082,6 +1082,71 @@ object Headline {
                  OR a.n_chars <> b.n_chars OR a.source <> b.source
               ORDER BY doc_id, operationType""")),
 
+    // the change stream as a Structured Streaming SOURCE: resume
+    // tokens are the offsets — each trigger drives the tailable wire
+    // cursor to caught-up and spools raw change documents beside the
+    // checkpoint; micro-batches decode the spooled files. The streamed
+    // union must equal the same local replay (identical oracle as
+    // q_wire_watch), so any spool loss, duplication, or token
+    // misadvance breaks the hash.
+    QueryDef("q_wire_watch_stream",
+      (s, dir) => {
+        val store = new graft.sinks.DocStore(s,
+          java.nio.file.Files.createTempDirectory("graft_wwstr").toString)
+        val docs = Graft.table(s, dir, "documents")
+          .select("doc_id", "source", "n_chars")
+        store.writeVersioned(docs.where(col("doc_id") < 400), "coll"): Unit
+        store.writeVersioned(
+          docs.where(col("doc_id") >= 200 && col("doc_id") < 500)
+            .withColumn("n_chars",
+              when(col("doc_id") % 2 === 0, col("n_chars") + 1)
+                .otherwise(col("n_chars"))),
+          "coll"): Unit
+        val server = new graft.sources.OpMsg.Server(s, store)
+        try {
+          val qn = s"wire_cs_${System.nanoTime()}"
+          val q = s.readStream.format("graftwire")
+            .option("host", "127.0.0.1").option("port", server.port)
+            .option("collection", "coll")
+            .option("changeStream", "true").option("keyField", "doc_id")
+            .load()
+            .select(col("operationType"),
+              col("documentKey").as("doc_id"),
+              col("fullDocument.source").as("after_source"),
+              col("fullDocument.n_chars").as("after_chars"),
+              array_join(col("updatedFields"), ",").as("updated"),
+              col("txnVersion").as("v"))
+            .writeStream.format("memory").queryName(qn)
+            .option("checkpointLocation", java.nio.file.Files
+              .createTempDirectory("graft_wwstr_ck").toString)
+            .outputMode("append").start()
+          try q.processAllAvailable() finally q.stop()
+          val out = s.table(qn).orderBy("doc_id", "operationType")
+          val rows = out.collect()
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+        } finally server.stop()
+      },
+      Some("""WITH v1 AS (SELECT doc_id, source, n_chars FROM documents
+                          WHERE doc_id < 400),
+                   v2 AS (SELECT doc_id, source,
+                            CASE WHEN doc_id % 2 = 0 THEN n_chars + 1
+                                 ELSE n_chars END AS n_chars
+                          FROM documents
+                          WHERE doc_id >= 200 AND doc_id < 500)
+              SELECT CASE WHEN a.doc_id IS NULL THEN 'insert'
+                          WHEN b.doc_id IS NULL THEN 'delete'
+                          ELSE 'update' END AS operationType,
+                     COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                     b.source AS after_source,
+                     b.n_chars AS after_chars,
+                     CASE WHEN a.doc_id IS NOT NULL AND b.doc_id IS NOT NULL
+                          THEN 'n_chars' END AS updated,
+                     CAST(2 AS BIGINT) AS v
+              FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+              WHERE a.doc_id IS NULL OR b.doc_id IS NULL
+                 OR a.n_chars <> b.n_chars OR a.source <> b.source
+              ORDER BY doc_id, operationType""")),
+
     // DB-LEVEL change stream (mongod's db.watch() → aggregate: 1):
     // one wire cursor tails EVERY versioned collection, ns.coll
     // distinguishing, one total resume-token order across them — the

@@ -69,6 +69,15 @@ class GraftWireSource extends TableProvider with DataSourceRegister {
     // path creates collections that don't exist yet (Spark asks the
     // provider for a table before building the write), and a read of
     // one still fails loudly at execution.
+    if (Option(options.get("changeStream")).exists(_.toBoolean)) {
+      // change-doc shape: infer by replaying the retained history once
+      // (bounded); an empty history infers empty — supply .schema()
+      val keyField = Option(options.get("keyField")).getOrElse("_id")
+      return (try OpMsg.watch(org.apache.spark.sql.SparkSession.active,
+          c.host, c.port, c.db, c.coll, keyField = keyField,
+          credentials = c.credentials, tls = c.tls)._1.schema
+        catch { case scala.util.control.NonFatal(_) => new StructType() })
+    }
     try c.pipeline match {
       case Some(pl) =>
         // a pipeline read samples the AGGREGATE's output shape (a
@@ -295,6 +304,11 @@ private[sources] class GraftWireScanBuilder(fullSchema: StructType,
     // Catalyst filters cannot be folded into it soundly, so they all
     // stay Spark-side ($match inside the pipeline is the user's tool)
     if (Option(options.get("pipeline")).isDefined) return filters
+    // change-stream reads spool change DOCUMENTS — predicates over the
+    // nested event shape stay Spark-side (put $match in the watch
+    // pipeline server-side if needed)
+    if (Option(options.get("changeStream")).exists(_.toBoolean))
+      return filters
     // translated conjuncts run server-side with the engine's own MQL
     // semantics (kept-row-set ≡ Catalyst, FilterTranslatorSpec);
     // untranslatable shapes return to Spark as residuals
@@ -389,6 +403,21 @@ private[sources] class GraftWireScan(required: StructType,
     require(c.pipeline.isEmpty,
       "graftwire streaming cannot run a pipeline (stream the collection" +
         " and aggregate in Spark)")
+    // change-stream mode: resume tokens ARE the offsets — each trigger
+    // drives the tailable $changeStream cursor to caught-up, spools
+    // the landed raw change documents next to the checkpoint, and the
+    // batch reads the spooled files (token sidecars make the tail
+    // position recoverable across restarts)
+    if (Option(options.get("changeStream")).exists(_.toBoolean)) {
+      require(Option(options.get("offsetKey")).isEmpty &&
+        Option(options.get("splitKey")).isEmpty,
+        "graftwire changeStream streaming cannot combine with " +
+          "offsetKey/splitKey")
+      val keyField = Option(options.get("keyField")).getOrElse("_id")
+      val startTok = Option(options.get("startToken")).getOrElse("")
+      return new GraftWireChangeStream(c, keyField, required,
+        checkpointLocation, startTok)
+    }
     val offsetKey = Option(options.get("offsetKey")).getOrElse(
       throw new IllegalArgumentException(
         "graftwire streaming needs offsetKey (a monotonically " +
@@ -459,6 +488,150 @@ private[sources] class GraftWireMicroBatchStream(
 private[sources] case class GraftWirePartition(
     conn: GraftWireSource.Conn, filterJson: String,
     projection: Seq[String]) extends InputPartition
+
+/** Change-stream offsets: (spool sequence number, resume token). The
+  * token is authoritative for the WIRE position; the sequence number
+  * names the spooled batch files a (start, end] range covers. */
+private[sources] case class WireTokenOffset(n: Long, token: String)
+  extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String =
+    org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(JObject(List(
+        "n" -> JLong(n), "token" -> JString(token)))))
+}
+
+private[sources] object WireTokenOffset {
+  def fromJson(j: String): WireTokenOffset = {
+    val fields = graft.mql.Mql.parse(j) match {
+      case JObject(fs) => fs.toMap
+      case other => throw new IllegalArgumentException(
+        s"graftwire change offset must be a document, got $other")
+    }
+    val n = fields.get("n") match {
+      case Some(JLong(v)) => v
+      case Some(JInt(v)) => v.toLong
+      case other => throw new IllegalArgumentException(
+        s"graftwire change offset needs n, got $other")
+    }
+    val tok = fields.get("token") match {
+      case Some(JString(t)) => t
+      case other => throw new IllegalArgumentException(
+        s"graftwire change offset needs token, got $other")
+    }
+    WireTokenOffset(n, tok)
+  }
+}
+
+/** `$changeStream` as a Structured Streaming SOURCE: each trigger
+  * drives one tailable wire cursor from the last token to caught-up
+  * (`OpMsg.watchFetch`), spools the raw change documents as
+  * `spool-N.bson` + a `spool-N.token` sidecar under the CHECKPOINT
+  * location (shared storage on a real cluster — same durability
+  * domain as the offsets that reference it), and each micro-batch is
+  * the spooled files in its (start, end] sequence range, decoded by
+  * the direct BSON→vector reader one partition per file. Commit
+  * releases processed data files; token sidecars stay so a restarted
+  * driver recovers the wire tail position even past retention. */
+private[sources] class GraftWireChangeStream(
+    c: GraftWireSource.Conn, keyField: String, required: StructType,
+    checkpointLocation: String, startToken: String)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+  import org.apache.hadoop.fs.Path
+
+  private val conf = new org.apache.spark.util.SerializableConfiguration(
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+  private val spool = new Path(checkpointLocation, "graftwire-spool")
+  private val fs = spool.getFileSystem(conf.value)
+  fs.mkdirs(spool): Unit
+
+  private def dataFile(n: Long): Path = new Path(spool, f"spool-$n%010d.bson")
+  private def tokenFile(n: Long): Path = new Path(spool, f"spool-$n%010d.token")
+
+  private def readToken(p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](4096)
+      var r = in.read(chunk)
+      while (r > 0) { buf.write(chunk, 0, r); r = in.read(chunk) }
+      new String(buf.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+
+  /** Wire tail position, recovered from the newest token sidecar —
+    * the spool reflects every fetch, committed or not. */
+  @volatile private var cur: (Long, String) = {
+    val ns = fs.listStatus(spool).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("spool-") && n.endsWith(".token"))
+      .flatMap(n => scala.util.Try(
+        n.stripPrefix("spool-").stripSuffix(".token").toLong).toOption)
+    if (ns.isEmpty) (0L, startToken)
+    else { val m = ns.max; (m, readToken(tokenFile(m))) }
+  }
+
+  override def initialOffset(): Offset = WireTokenOffset(0L, startToken)
+  override def deserializeOffset(json: String): Offset =
+    WireTokenOffset.fromJson(json)
+
+  override def latestOffset(): Offset = {
+    val (dir, total, tok) = OpMsg.watchFetch(c.host, c.port, c.db, c.coll,
+      keyField = keyField,
+      resumeAfter = Some(cur._2).filter(_.nonEmpty),
+      batchSize = c.batchSize, credentials = c.credentials, tls = c.tls)
+    if (total == 0) { OpMsg.deleteDir(dir); WireTokenOffset(cur._1, cur._2) }
+    else {
+      val n = cur._1 + 1
+      val out = fs.create(dataFile(n), true)
+      try java.nio.file.Files.copy(dir.resolve("batches.bson"), out): Unit
+      finally out.close()
+      val tout = fs.create(tokenFile(n), true)
+      try tout.write(tok.getBytes("UTF-8")) finally tout.close()
+      OpMsg.deleteDir(dir)
+      cur = (n, tok)
+      WireTokenOffset(n, tok)
+    }
+  }
+
+  override def commit(end: Offset): Unit = {
+    // processed batches release their data; sidecars stay (recovery)
+    val n = end.asInstanceOf[WireTokenOffset].n
+    (1L to n).foreach(k => fs.delete(dataFile(k), false): Unit)
+  }
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val lo = start.asInstanceOf[WireTokenOffset].n
+    val hi = end.asInstanceOf[WireTokenOffset].n
+    ((lo + 1) to hi).map(k =>
+      GraftWireSpoolPartition(dataFile(k).toString): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftWireSpoolReaderFactory(required, conf)
+}
+
+private[sources] case class GraftWireSpoolPartition(file: String)
+  extends InputPartition
+
+private[sources] class GraftWireSpoolReaderFactory(
+    required: StructType,
+    conf: org.apache.spark.util.SerializableConfiguration)
+  extends PartitionReaderFactory {
+  override def supportColumnarReads(partition: InputPartition): Boolean = true
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[ColumnarBatch] = {
+    val hp = new org.apache.hadoop.fs.Path(
+      partition.asInstanceOf[GraftWireSpoolPartition].file)
+    val pfs = hp.getFileSystem(conf.value)
+    new BsonColumnarReader(pfs.open(hp), required, strict = false)
+  }
+  override def createReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
+    throw new UnsupportedOperationException(
+      "graftwire change-stream partitions read columnar")
+}
 
 private[sources] class GraftWireReaderFactory(required: StructType)
   extends PartitionReaderFactory {

@@ -1661,6 +1661,27 @@ object OpMsg {
             awaitMs: Long = 0L,
             credentials: Option[(String, String)] = None,
             tls: Option[(String, String)] = None): (DataFrame, String) = {
+    val (dir, total, token) = watchFetch(host, port, db, coll, pipelineJson,
+      keyField, resumeAfter, batchSize, awaitMs, credentials, tls)
+    val df =
+      if (total == 0) { deleteDir(dir); spark.emptyDataFrame }
+      else spark.read.format("graftdocs").load(dir.toString)
+    (df, token)
+  }
+
+  /** The raw half of [[watch]]: drive the change cursor to caught-up
+    * and land the raw BSON change documents, returning (landing dir,
+    * docs landed, final postBatchResumeToken). The graftwire
+    * change-stream SOURCE spools these files per micro-batch. */
+  private[sources] def watchFetch(host: String, port: Int, db: String,
+            coll: String, pipelineJson: String = "[]",
+            keyField: String = "_id",
+            resumeAfter: Option[String] = None,
+            batchSize: Int = 101,
+            awaitMs: Long = 0L,
+            credentials: Option[(String, String)] = None,
+            tls: Option[(String, String)] = None)
+      : (java.nio.file.Path, Long, String) = {
     require(batchSize > 0, "batchSize must be positive")
     val rest = graft.mql.Mql.parse(pipelineJson) match {
       case JArray(ss) => ss
@@ -1733,10 +1754,7 @@ object OpMsg {
         catch { case scala.util.control.NonFatal(_) => () }
       }
     } finally { os.close(); conn.close() }
-    val df =
-      if (total == 0) { deleteDir(dir); spark.emptyDataFrame }
-      else spark.read.format("graftdocs").load(dir.toString)
-    (df, token)
+    (dir, total, token)
   }
 
   /** `insert` over the wire — the reference's WRITE path (write() →

@@ -269,6 +269,78 @@ class GraftWireSourceSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("change-stream streaming source: resume tokens are offsets, new " +
+       "history tails in exactly once, a restarted query resumes from " +
+       "the spooled token") {
+    val (store, server) = fixture()
+    try {
+      val docs = graft.api.Graft.table(spark, "/root/testdata/sf0.001",
+        "documents").select("doc_id", "source", "n_chars")
+      store.writeVersioned(docs.where(col("doc_id") < 60), "vcoll"): Unit
+      store.writeVersioned(docs.where(col("doc_id") < 40), "vcoll"): Unit
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_csrc_ck").toString
+      def reader() = spark.readStream.format("graftwire")
+        .option("host", "127.0.0.1").option("port", server.port)
+        .option("collection", "vcoll")
+        .option("changeStream", "true").option("keyField", "doc_id")
+        .load()
+        .select(col("_id._data").as("tok"), col("operationType"),
+          col("documentKey").cast("long").as("doc_id"))
+      // foreachBatch sinks: checkpoint-recoverable (the memory sink
+      // refuses recovery), rows land in driver-side buffers
+      val buf1 = new java.util.concurrent.ConcurrentLinkedQueue[
+        org.apache.spark.sql.Row]()
+      val q1 = reader().writeStream
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => {
+          b.collect().foreach(buf1.add(_): Unit); () })
+        .option("checkpointLocation", ckpt).start()
+      try {
+        q1.processAllAvailable()
+        // initial replay: the 20 deletes (ids 40..59)
+        assert(buf1.size == 20)
+        import scala.jdk.CollectionConverters._
+        assert(buf1.asScala.map(_.getString(1)).toSet == Set("delete"))
+        // new history tails in, exactly once
+        store.writeVersioned(docs.where(col("doc_id") < 50), "vcoll"): Unit
+        q1.processAllAvailable()
+        assert(buf1.size == 30) // + inserts 40..49
+        assert(buf1.asScala.map(_.getString(0)).toSet.size == 30)
+      } finally q1.stop()
+      // a RESTARTED query on the same checkpoint resumes at the spooled
+      // token: only history written after the restart arrives
+      store.writeVersioned(docs.where(col("doc_id") < 45), "vcoll"): Unit
+      val buf2 = new java.util.concurrent.ConcurrentLinkedQueue[
+        org.apache.spark.sql.Row]()
+      val q2 = reader().writeStream
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => {
+          b.collect().foreach(buf2.add(_): Unit); () })
+        .option("checkpointLocation", ckpt).start()
+      try {
+        q2.processAllAvailable()
+        import scala.jdk.CollectionConverters._
+        val got = buf2.asScala.toSeq
+        assert(got.size == 5, s"expected 5 fresh deletes, got $got")
+        assert(got.map(_.getString(1)).toSet == Set("delete"))
+        assert(got.map(_.getLong(2)).sorted ==
+          Seq(45L, 46L, 47L, 48L, 49L))
+      } finally q2.stop()
+      // option validation: changeStream + offsetKey refuses
+      assert(intercept[Exception] {
+        spark.readStream.format("graftwire")
+          .option("host", "127.0.0.1").option("port", server.port)
+          .option("collection", "vcoll")
+          .option("changeStream", "true").option("offsetKey", "doc_id")
+          .schema(org.apache.spark.sql.types.StructType(Nil)).load()
+          .writeStream.format("memory")
+          .queryName(s"bad_${System.nanoTime()}")
+          .option("checkpointLocation", java.nio.file.Files
+            .createTempDirectory("graft_csrc_bad").toString)
+          .start().processAllAvailable()
+      }.getMessage != null)
+    } finally server.stop()
+  }
+
   test("randomized wire round-trip property: 12 draws over the type " +
        "surface (insert → append → declared-schema read)") {
     import org.apache.spark.sql.types._
