@@ -575,10 +575,20 @@ private[sources] class GraftWireChangeStream(
     WireTokenOffset.fromJson(json)
 
   override def latestOffset(): Offset = {
-    val (dir, total, tok) = OpMsg.watchFetch(c.host, c.port, c.db, c.coll,
-      keyField = keyField,
-      resumeAfter = Some(cur._2).filter(_.nonEmpty),
-      batchSize = c.batchSize, credentials = c.credentials, tls = c.tls)
+    // a concurrent writer's version swap can fail one poll transiently
+    // (the store's rename window); a couple of short retries absorb it
+    // — genuine errors (bad keyField, dead server) still surface fast,
+    // and a failed trigger must not kill a tailable source
+    def fetch(attempt: Int): (java.nio.file.Path, Long, String) =
+      try OpMsg.watchFetch(c.host, c.port, c.db, c.coll,
+        keyField = keyField,
+        resumeAfter = Some(cur._2).filter(_.nonEmpty),
+        batchSize = c.batchSize, credentials = c.credentials, tls = c.tls)
+      catch {
+        case scala.util.control.NonFatal(e) if attempt < 3 =>
+          Thread.sleep(200); fetch(attempt + 1)
+      }
+    val (dir, total, tok) = fetch(0)
     if (total == 0) { OpMsg.deleteDir(dir); WireTokenOffset(cur._1, cur._2) }
     else {
       val n = cur._1 + 1
@@ -593,10 +603,17 @@ private[sources] class GraftWireChangeStream(
     }
   }
 
+  @volatile private var lastCommitted = 0L
   override def commit(end: Offset): Unit = {
-    // processed batches release their data; sidecars stay (recovery)
+    // processed batches release their data files; token sidecars prune
+    // to the newest (the only one restart recovery reads) — both keep
+    // commit O(batches since last commit), never O(query lifetime)
     val n = end.asInstanceOf[WireTokenOffset].n
-    (1L to n).foreach(k => fs.delete(dataFile(k), false): Unit)
+    ((lastCommitted + 1) to n).foreach { k =>
+      fs.delete(dataFile(k), false): Unit
+      if (k < cur._1) fs.delete(tokenFile(k), false): Unit
+    }
+    lastCommitted = math.max(lastCommitted, n)
   }
   override def stop(): Unit = ()
 
