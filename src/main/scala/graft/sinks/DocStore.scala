@@ -574,9 +574,15 @@ final class DocStore(val spark: SparkSession, val dir: String,
   def changeEvents(name: String, idCol: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val vs = versions(name)
+    // a collection written once but never updated has no retired
+    // versions — a watch opened on it must IDLE (mongod semantics),
+    // not refuse: diff the live snapshot against itself (zero rows,
+    // correct change-document schema) so streaming triggers succeed
     val snaps: Seq[(Long, DataFrame)] =
-      vs.map(v => v -> readVersion(name, v)) :+ ((vs.lastOption.getOrElse(0L) + 1) -> read(name))
-    require(snaps.length >= 2, s"changeEvents: '$name' has no retired versions")
+      if (vs.isEmpty) { val live = read(name).limit(0)
+        Seq(0L -> live, 1L -> live) }
+      else vs.map(v => v -> readVersion(name, v)) :+
+        ((vs.last + 1) -> read(name))
     val schema0 = snaps.head._2.schema
     snaps.tail.foreach { case (v, df) =>
       if (df.schema.map(f => (f.name, f.dataType)) !=

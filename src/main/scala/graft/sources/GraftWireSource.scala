@@ -274,6 +274,22 @@ private[sources] class GraftWireDataWriter(schema: StructType,
     if (nDocs >= MaxDocs || nBytes >= MaxBytes) flush()
   }
   private def flush(): Unit = {
+    // txnNumber = (epochId << 20) + flushIndex: past 2^20 flushes in
+    // one epoch/partition the numbers would collide with epoch N+1's
+    // range and the server's retryable-write log would silently
+    // swallow genuinely new data — refuse loudly instead. 2^20 flushes
+    // × 100k docs = 10^11 docs per partition per micro-batch; a
+    // pipeline near that shape needs more partitions, not more bits.
+    // NOTE: server-side dedup assumes deterministic replay — a retried
+    // task re-batches identical rows in identical order. True for
+    // deterministic upstreams (file sources, this repo's gates); a
+    // nondeterministic shuffle upstream voids the effectively-once
+    // guarantee exactly as it does for every Spark sink.
+    if (session.isDefined)
+      require(flushes < (1L << 20),
+        s"graftwire streaming write: $flushes flushes in one epoch " +
+          "exhausts the per-epoch txnNumber space (2^20) — repartition " +
+          "the stream instead")
     acknowledged += channel.send(batch.result(),
       session.map { case (sid, txnBase) => (sid, txnBase + flushes) })
     flushes += 1
@@ -603,11 +619,24 @@ private[sources] class GraftWireChangeStream(
     }
   }
 
-  @volatile private var lastCommitted = 0L
+  // seed from the spool listing so the FIRST post-restart commit is
+  // O(uncommitted window) too: everything below the smallest surviving
+  // data file was already released by the previous incarnation —
+  // starting from 0 would walk 1..N issuing no-op deletes once per
+  // restart. No data files (all committed) → seed from the recovered
+  // sequence counter itself.
+  @volatile private var lastCommitted: Long = {
+    val ds = fs.listStatus(spool).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("spool-") && n.endsWith(".bson"))
+      .flatMap(n => scala.util.Try(
+        n.stripPrefix("spool-").stripSuffix(".bson").toLong).toOption)
+    if (ds.isEmpty) cur._1 else ds.min - 1
+  }
   override def commit(end: Offset): Unit = {
     // processed batches release their data files; token sidecars prune
     // to the newest (the only one restart recovery reads) — both keep
-    // commit O(batches since last commit), never O(query lifetime)
+    // commit O(batches since last commit), never O(query lifetime),
+    // including the first commit after a restart (seed above)
     val n = end.asInstanceOf[WireTokenOffset].n
     ((lastCommitted + 1) to n).foreach { k =>
       fs.delete(dataFile(k), false): Unit

@@ -69,10 +69,12 @@ object OpMsg {
   // OP_COMPRESSED compressor ids (wire spec): 0 noop, 1 snappy,
   // 2 zlib, 3 zstd. noop, zlib (JDK Deflater), snappy (the
   // block-format codec in [[Snappy]] — mongod's DEFAULT compressor),
-  // and zstd ([[Zstd]] — RFC 8878 STORE-MODE frames: legal zstd any
-  // conforming peer decodes; Compressed blocks refuse loudly) are
-  // spoken, so a server offering only zstd no longer forces the
-  // connection back to uncompressed.
+  // and zstd ([[Zstd]] — a COMPLETE RFC 8878 decoder: Huffman
+  // literals, FSE sequences, repeat offsets, checksum verification,
+  // so frames from a real mongod/driver decode; outbound prefers the
+  // native encoder on the Spark classpath and falls back to
+  // store-mode frames, both legal zstd) are spoken, so zstd-only
+  // peers interoperate in both directions.
   private[sources] val CompressorNoop = 0
   private[sources] val CompressorSnappy = 1
   private[sources] val CompressorZlib = 2
@@ -302,7 +304,7 @@ object OpMsg {
           deflater.end()
           acc.toByteArray
         case CompressorSnappy => Snappy.compress(raw)
-        case CompressorZstd => Zstd.compress(raw)
+        case CompressorZstd => Zstd.encodeWire(raw)
         case CompressorNoop => raw
         case other => throw new IllegalArgumentException(
           s"OP_COMPRESSED: cannot emit compressorId $other")
@@ -1302,9 +1304,15 @@ object OpMsg {
           // hazard preload exists to remove). Falls back to dropping
           // the entry (next find reads the store) if decode disagrees
           // with the preloaded schema.
-          val prev = localRel.get(coll)
-          if (prev != null) {
-            try {
+          // ConcurrentHashMap.compute serializes the read-modify-write
+          // per collection — two connections inserting concurrently
+          // (one InsertChannel per partition in a graftwire write) must
+          // not both read the same prev and last-put-wins away the
+          // other's rows. Returning null drops the entry (next find
+          // reads the store) when decode disagrees or the cap trips.
+          localRel.compute(coll, (_, prev) =>
+            if (prev == null) null
+            else try {
               val schema = prev.schema
               val fresh = graft.bson.BsonBinary
                 .documents(new java.io.ByteArrayInputStream(bytes.toByteArray))
@@ -1312,13 +1320,11 @@ object OpMsg {
                   .decodeStruct(n, schema, strict = false): org.apache.spark.sql.Row)
                 .toSeq
               val all = prev.collect().toSeq ++ fresh
-              if (all.length > preloadCap) localRel.remove(coll): Unit
-              else localRel.put(coll, spark.createDataFrame(
-                java.util.Arrays.asList(all: _*), schema)): Unit
-            } catch { case scala.util.control.NonFatal(_) =>
-              localRel.remove(coll): Unit
-            }
-          }
+              if (all.length > preloadCap) null
+              else spark.createDataFrame(
+                java.util.Arrays.asList(all: _*), schema)
+            } catch { case scala.util.control.NonFatal(_) => null }
+          ): Unit
           session.foreach { case (sid, txn) =>
             txnLog.computeIfAbsent(sid, _ => new TxnLog)
               .put(txn, docs.size.toLong)

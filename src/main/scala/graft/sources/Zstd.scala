@@ -1,37 +1,41 @@
 package graft.sources
 
-/** RFC 8878 zstd frames in STORE MODE — raw (uncompressed) blocks
-  * only, built from the published spec (no codebase consulted).
+/** RFC 8878 zstd — a complete from-scratch frame decoder plus a
+  * store-mode encoder, built from the published spec (RFC 8878; no
+  * codebase consulted).
   *
-  * Why this exists: mongod negotiates `snappy|zlib|zstd`, and a
-  * deployment that offers ONLY zstd used to force this stack back to
-  * uncompressed. A store-mode frame is *legal zstd* — any conforming
-  * decoder (including mongod's) decompresses it — so emitting
-  * store-mode makes this a correct OP_COMPRESSED id-3 peer; it is
-  * also exactly what zstd itself emits for incompressible data (raw
-  * blocks). On decode, Raw and RLE blocks are handled and Compressed
-  * blocks refuse LOUDLY with a message naming the limitation — full
-  * zstd decompression is FSE + Huffman (RFC 8878 §4) and out of
-  * scope; a silent mis-parse is the one unacceptable outcome.
+  * Why this exists: mongod negotiates `snappy|zlib|zstd` and, when
+  * zstd is selected, sends OP_COMPRESSED id-3 payloads whose frames
+  * carry genuinely *compressed* blocks — Huffman-coded literals and
+  * FSE-coded sequences — never store-mode. A peer that can only parse
+  * Raw/RLE blocks dies on the first real reply, so [[uncompress]]
+  * implements the whole decode surface:
   *
-  * Frame layout spoken here (RFC 8878 §3.1.1):
-  * {{{
-  *   magic 0xFD2FB528 (LE)
-  *   Frame_Header_Descriptor:
-  *     bits 7-6 Frame_Content_Size_flag   bits 1-0 Dictionary_ID_flag
-  *     bit 5    Single_Segment_flag       bit 2    Content_Checksum_flag
-  *     bit 4    Unused / bit 3 Reserved (must be 0)
-  *   [Window_Descriptor]   — absent when Single_Segment
-  *   [Frame_Content_Size]  — 1/2/4/8 bytes LE per the flag
-  *                           (2-byte form stores size - 256)
-  *   blocks: 3-byte LE header — bit 0 Last_Block, bits 1-2 Block_Type
-  *           (0 Raw, 1 RLE, 2 Compressed, 3 Reserved), bits 3+ size
-  * }}}
-  * Emitted frames are single-segment, explicit content size, no
-  * dictionary, no checksum, Raw blocks of ≤ 128 KiB
-  * (Block_Maximum_Size). Decoded frames may carry a window descriptor
-  * (ignored — store mode needs no window) and RLE blocks; dictionary,
-  * checksum, Compressed, and Reserved refuse. */
+  *   - frame header (single-segment or windowed, 1/2/4/8-byte
+  *     content size, content checksum — verified with a from-scratch
+  *     XXH64),
+  *   - Raw / RLE / Compressed blocks,
+  *   - literals: Raw, RLE, Huffman-compressed (direct or
+  *     FSE-compressed weight description; 1-stream and 4-stream
+  *     framing), and Treeless (previous block's table),
+  *   - sequences: Predefined / RLE / FSE_Compressed / Repeat modes
+  *     for each of the literals-length, offset and match-length
+  *     channels, the three-slot repeat-offset history (including the
+  *     litLen==0 shift and the `rep1 - 1` corner), and overlapping
+  *     match copies.
+  *
+  * The only frames refused are dictionary frames (Dictionary_ID != 0
+  * — mongod never uses wire dictionaries) and checksum MISMATCHES;
+  * both refuse loudly naming the cause. Decoding is validated
+  * property-style against real frames produced by zstd-jni and the
+  * zstd CLI across levels and block shapes (ZstdSpec).
+  *
+  * [[compress]] stays store-mode (Raw blocks ≤ 128 KiB): a legal
+  * zstd frame any conforming decoder inflates — exactly what zstd
+  * itself emits for incompressible input — chosen because the wire
+  * path values a predictable, allocation-light encode over ratio
+  * (OP_COMPRESSED peers that want ratio negotiate zlib).
+  */
 object Zstd {
   private val Magic = 0xFD2FB528
   private val MaxBlock = 128 * 1024
@@ -39,6 +43,8 @@ object Zstd {
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"zstd: $msg")
+
+  // ---------------------------------------------------------------- encode
 
   def compress(in: Array[Byte]): Array[Byte] = {
     require(in.length <= MaxLen, s"input too large (${in.length})")
@@ -73,6 +79,631 @@ object Zstd {
     out.toByteArray
   }
 
+  // ----------------------------------------------------------- bit streams
+
+  /** Backward bitstream (§3.1.1.4): bytes are consumed last-to-first;
+    * the final byte carries a sentinel 1 above the payload bits. Reads
+    * return the next `n` bits MSB-first; reads past the start zero-fill
+    * the LOW bits and mark the stream overflowed (the FSE termination
+    * signal). */
+  private final class BackBits(buf: Array[Byte], from: Int, until: Int) {
+    private var r: Int = {
+      if (until <= from) fail("empty bitstream")
+      val lastB = buf(until - 1) & 0xFF
+      if (lastB == 0) fail("bitstream missing its sentinel bit")
+      8 * (until - 1 - from) + (31 - Integer.numberOfLeadingZeros(lastB))
+    }
+    def remaining: Int = r
+    def overflowed: Boolean = r < 0
+    def read(n: Int): Int = { val v = peek(n); r -= n; v }
+    def skip(n: Int): Unit = r -= n
+    def peek(n: Int): Int = {
+      if (n == 0) 0
+      else {
+        val lo = r - n
+        if (lo >= 0) extract(lo, n)
+        else if (r <= 0) 0
+        else extract(0, r) << (n - r)
+      }
+    }
+    private def extract(pos: Int, n: Int): Int = {
+      var v = 0L
+      val first = pos >>> 3
+      var i = (pos + n - 1) >>> 3
+      while (i >= first) { v = (v << 8) | (buf(from + i) & 0xFFL); i -= 1 }
+      ((v >>> (pos & 7)) & ((1L << n) - 1)).toInt
+    }
+  }
+
+  /** Forward LSB-first bitstream — only the FSE table description
+    * (§4.1.1) reads this way. Reads past `until` zero-fill (the
+    * description is byte-padded; sum checks catch real corruption). */
+  private final class FwdBits(buf: Array[Byte], from: Int, until: Int) {
+    private var pos = 0
+    def read(n: Int): Int = { val v = peek(n); pos += n; v }
+    def skip(n: Int): Unit = pos += n
+    def peek(n: Int): Int = {
+      if (n == 0) return 0
+      var v = 0L
+      val first = from + (pos >>> 3)
+      var i = from + ((pos + n - 1) >>> 3)
+      while (i >= first) {
+        v = (v << 8) | (if (i < until) buf(i) & 0xFFL else 0L); i -= 1
+      }
+      ((v >>> (pos & 7)) & ((1L << n) - 1)).toInt
+    }
+    def bytesConsumed: Int = (pos + 7) >>> 3
+  }
+
+  // ------------------------------------------------------------------- FSE
+
+  /** A built FSE decoding table: `state` indexes all three arrays. */
+  private final class FseTable(val accuracyLog: Int, val symbol: Array[Int],
+                               val nbBits: Array[Int], val newState: Array[Int])
+
+  /** Single-symbol table (RLE mode / accuracy log 0): state is always
+    * 0 and updates read no bits. */
+  private def rleFse(sym: Int): FseTable =
+    new FseTable(0, Array(sym), Array(0), Array(0))
+
+  private def highBit(v: Int): Int = 31 - Integer.numberOfLeadingZeros(v)
+
+  /** Parse an FSE distribution (§4.1.1) and build its decoding table.
+    * Returns the table and the byte length of the description. */
+  private def readFseTable(buf: Array[Byte], from: Int, until: Int,
+                           maxSymbol: Int, maxLog: Int): (FseTable, Int) = {
+    val fb = new FwdBits(buf, from, until)
+    val al = 5 + fb.read(4)
+    if (al > maxLog) fail(s"FSE accuracy log $al exceeds the channel max $maxLog")
+    var remaining = (1 << al) + 1
+    var threshold = 1 << al
+    var nb = al + 1
+    val counts = new Array[Int](maxSymbol + 1)
+    var charnum = 0
+    var previous0 = false
+    while (remaining > 1) {
+      if (charnum > maxSymbol) fail("FSE distribution has too many symbols")
+      if (previous0) {
+        var f = fb.read(2)
+        while (f == 3) {
+          charnum += 3
+          if (charnum > maxSymbol) fail("FSE zero-run past the symbol range")
+          f = fb.read(2)
+        }
+        charnum += f
+        if (charnum > maxSymbol) fail("FSE zero-run past the symbol range")
+      }
+      // value coding: small values use nbBits-1; the fold constant is
+      // max = (2*threshold - 1) - remaining
+      val max = (2 * threshold - 1) - remaining
+      val low = fb.peek(nb - 1)
+      var count =
+        if (low < max) { fb.skip(nb - 1); low }
+        else {
+          var c = fb.peek(nb)
+          if (c >= threshold) c -= max
+          fb.skip(nb); c
+        }
+      count -= 1 // stored +1; -1 encodes the "less than 1" probability
+      remaining -= math.abs(count)
+      if (remaining < 1) fail("FSE distribution exceeds the table size")
+      counts(charnum) = count
+      charnum += 1
+      previous0 = count == 0
+      while (remaining < threshold) { nb -= 1; threshold >>>= 1 }
+    }
+    if (remaining != 1) fail("FSE distribution does not sum to the table size")
+    (buildFse(counts, al), fb.bytesConsumed)
+  }
+
+  /** Normalized counts → decoding table (§4.1.1: low-probability cells
+    * at the tail, spread step (size/2 + size/8 + 3)). */
+  private def buildFse(counts: Array[Int], al: Int): FseTable = {
+    val size = 1 << al
+    val symbols = new Array[Int](size)
+    val nbBits = new Array[Int](size)
+    val newState = new Array[Int](size)
+    val symbolNext = new Array[Int](counts.length)
+    var highThreshold = size - 1
+    var s = 0
+    while (s < counts.length) {
+      if (counts(s) == -1) {
+        symbols(highThreshold) = s; highThreshold -= 1; symbolNext(s) = 1
+      } else symbolNext(s) = counts(s)
+      s += 1
+    }
+    val step = (size >>> 1) + (size >>> 3) + 3
+    var pos = 0
+    s = 0
+    while (s < counts.length) {
+      var i = 0
+      while (i < counts(s)) {
+        symbols(pos) = s
+        pos = (pos + step) & (size - 1)
+        while (pos > highThreshold) pos = (pos + step) & (size - 1)
+        i += 1
+      }
+      s += 1
+    }
+    if (pos != 0) fail("FSE table spread did not close")
+    var u = 0
+    while (u < size) {
+      val sym = symbols(u)
+      val next = symbolNext(sym); symbolNext(sym) += 1
+      val nbb = al - highBit(next)
+      nbBits(u) = nbb
+      newState(u) = (next << nbb) - size
+      u += 1
+    }
+    new FseTable(al, symbols, nbBits, newState)
+  }
+
+  // --------------------------------------------------------------- Huffman
+
+  private final class HufTable(val tableLog: Int, val symbol: Array[Int],
+                               val nbBits: Array[Int])
+
+  /** Explicit weights (last symbol's weight implicit) → decode table
+    * (§4.2.1): each symbol of weight w fills 2^(w-1) consecutive cells,
+    * longest codes first, ascending symbol within a weight. */
+  private def hufFromWeights(explicit: Array[Int]): HufTable = {
+    var sum = 0L
+    var i = 0
+    while (i < explicit.length) {
+      val w = explicit(i)
+      if (w > 11) fail(s"huffman weight $w exceeds the 11-bit code cap")
+      if (w > 0) sum += 1L << (w - 1)
+      i += 1
+    }
+    if (sum == 0) fail("huffman weights are all zero")
+    val tableLog = 64 - java.lang.Long.numberOfLeadingZeros(sum) // highBit+1
+    if (tableLog > 11) fail("huffman table log exceeds 11")
+    val missing = (1L << tableLog) - sum
+    if (missing <= 0 || (missing & (missing - 1)) != 0)
+      fail("huffman weights do not complete to a power of two")
+    val lastW = 64 - java.lang.Long.numberOfLeadingZeros(missing) // log2+1
+    val weights = explicit :+ lastW.toInt
+    val size = 1 << tableLog
+    val symbols = new Array[Int](size)
+    val nbBits = new Array[Int](size)
+    // rank starts: weight-1 (longest codes) fill from index 0
+    val rankCount = new Array[Int](tableLog.toInt + 2)
+    weights.foreach(w => if (w > 0) rankCount(w) += 1)
+    val rankStart = new Array[Int](tableLog.toInt + 2)
+    var cur = 0
+    var w = 1
+    while (w <= tableLog) {
+      rankStart(w) = cur; cur += rankCount(w) << (w - 1); w += 1
+    }
+    var sym = 0
+    while (sym < weights.length) {
+      val wt = weights(sym)
+      if (wt > 0) {
+        val len = 1 << (wt - 1)
+        val start = rankStart(wt)
+        var k = 0
+        while (k < len) {
+          symbols(start + k) = sym
+          nbBits(start + k) = tableLog.toInt + 1 - wt
+          k += 1
+        }
+        rankStart(wt) += len
+      }
+      sym += 1
+    }
+    new HufTable(tableLog.toInt, symbols, nbBits)
+  }
+
+  /** Huffman tree description (§4.2.1.1): direct 4-bit weights when
+    * headerByte ≥ 128, otherwise an FSE-compressed weight stream (two
+    * interleaved states, accuracy ≤ 6). Returns (table, bytes read). */
+  private def readHuffmanTree(buf: Array[Byte], from: Int, until: Int)
+      : (HufTable, Int) = {
+    if (from >= until) fail("truncated huffman tree description")
+    val hb = buf(from) & 0xFF
+    if (hb >= 128) {
+      val n = hb - 127
+      val bytes = (n + 1) / 2
+      if (from + 1 + bytes > until) fail("truncated direct huffman weights")
+      val ws = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        val b = buf(from + 1 + (i >> 1)) & 0xFF
+        ws(i) = if ((i & 1) == 0) (b >>> 4) & 0xF else b & 0xF
+        i += 1
+      }
+      (hufFromWeights(ws), 1 + bytes)
+    } else {
+      val cSize = hb
+      if (cSize == 0 || from + 1 + cSize > until)
+        fail("truncated FSE-compressed huffman weights")
+      val (tab, descBytes) =
+        readFseTable(buf, from + 1, from + 1 + cSize, maxSymbol = 255,
+          maxLog = 6)
+      if (descBytes >= cSize) fail("huffman weight description ate its bitstream")
+      val bits = new BackBits(buf, from + 1 + descBytes, from + 1 + cSize)
+      var s1 = bits.read(tab.accuracyLog)
+      var s2 = bits.read(tab.accuracyLog)
+      if (bits.overflowed) fail("huffman weight bitstream too short")
+      val ws = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var done = false
+      while (!done) {
+        if (ws.length > 253) fail("more than 255 huffman weights")
+        ws += tab.symbol(s1)
+        s1 = tab.newState(s1) + bits.read(tab.nbBits(s1))
+        if (bits.overflowed) { ws += tab.symbol(s2); done = true }
+        else {
+          ws += tab.symbol(s2)
+          s2 = tab.newState(s2) + bits.read(tab.nbBits(s2))
+          if (bits.overflowed) { ws += tab.symbol(s1); done = true }
+        }
+      }
+      (hufFromWeights(ws.toArray), 1 + cSize)
+    }
+  }
+
+  /** Decode exactly `n` bytes from one Huffman stream; the stream must
+    * be consumed to the bit. */
+  private def hufDecodeStream(tab: HufTable, buf: Array[Byte], from: Int,
+                              until: Int, out: Array[Byte], outOff: Int,
+                              n: Int): Unit = {
+    val bits = new BackBits(buf, from, until)
+    var i = 0
+    while (i < n) {
+      val idx = bits.peek(tab.tableLog)
+      out(outOff + i) = tab.symbol(idx).toByte
+      bits.skip(tab.nbBits(idx))
+      i += 1
+    }
+    if (bits.remaining != 0)
+      fail(s"huffman stream not fully consumed (${bits.remaining} bits left)")
+  }
+
+  // --------------------------------------------- sequence code tables (§3.1.1.3.2.1)
+
+  private val LlBase = Array(
+    0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
+    16, 18, 20, 22, 24, 28, 32, 40, 48, 64, 128, 256, 512, 1024, 2048,
+    4096, 8192, 16384, 32768, 65536)
+  private val LlExtra = Array(
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    1, 1, 1, 1, 2, 2, 3, 3, 4, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+  private val MlBase = Array(
+    3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18,
+    19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33, 34,
+    35, 37, 39, 41, 43, 47, 51, 59, 67, 83, 99, 131, 259, 515, 1027,
+    2051, 4099, 8195, 16387, 32771, 65539)
+  private val MlExtra = Array(
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+
+  // predefined distributions (§3.1.1.3.2.2)
+  private lazy val PredefLl = buildFse(Array(
+    4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1,
+    2, 2, 2, 2, 2, 2, 2, 2, 2, 3, 2, 1, 1, 1, 1, 1,
+    -1, -1, -1, -1), 6)
+  private lazy val PredefMl = buildFse(Array(
+    1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, -1, -1,
+    -1, -1, -1, -1, -1), 6)
+  private lazy val PredefOf = buildFse(Array(
+    1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1), 5)
+
+  // ------------------------------------------------------------ frame state
+
+  /** Cross-block decode state within one frame: the previous Huffman
+    * table (Treeless literals), the previous FSE table per sequence
+    * channel (Repeat mode), and the repeat-offset history. */
+  private final class FrameState {
+    var huf: HufTable = null
+    var ll: FseTable = null
+    var of: FseTable = null
+    var ml: FseTable = null
+    var rep1 = 1L; var rep2 = 4L; var rep3 = 8L
+  }
+
+  /** Growable output that exposes its backing array — sequence match
+    * copies need random access to earlier output. */
+  private final class Out(hint: Int) {
+    var buf = new Array[Byte](math.max(math.min(hint, MaxLen), 64))
+    var n = 0
+    def ensure(extra: Int): Unit = {
+      if (n.toLong + extra > MaxLen) fail("output exceeds bound")
+      if (n + extra > buf.length) {
+        var cap = buf.length.toLong * 2
+        while (cap < n.toLong + extra) cap *= 2
+        buf = java.util.Arrays.copyOf(buf, math.min(cap, MaxLen.toLong).toInt)
+      }
+    }
+    def append(src: Array[Byte], off: Int, len: Int): Unit = {
+      ensure(len); System.arraycopy(src, off, buf, n, len); n += len
+    }
+    def result: Array[Byte] =
+      if (n == buf.length) buf else java.util.Arrays.copyOf(buf, n)
+  }
+
+  // ------------------------------------------------------------ literals
+
+  /** Decode a block's literals section. Returns (literals, bytes read
+    * from the block). */
+  private def decodeLiterals(in: Array[Byte], p0: Int, blockEnd: Int,
+                             st: FrameState): (Array[Byte], Int) = {
+    def le(o: Int, bytes: Int): Long = {
+      if (o + bytes > blockEnd) fail("truncated literals header")
+      var v = 0L; var i = 0
+      while (i < bytes) { v |= (in(o + i) & 0xFFL) << (8 * i); i += 1 }
+      v
+    }
+    if (p0 >= blockEnd) fail("missing literals section")
+    val b0 = in(p0) & 0xFF
+    val btype = b0 & 3
+    val sizeFormat = (b0 >>> 2) & 3
+    btype match {
+      case 0 | 1 => // Raw | RLE
+        val (regen, hdr) = sizeFormat match {
+          case 0 | 2 => (b0 >>> 3, 1)
+          case 1     => ((le(p0, 2) >>> 4).toInt, 2)
+          case _     => ((le(p0, 3) >>> 4).toInt, 3)
+        }
+        if (regen > MaxBlock) fail("literals exceed the block maximum")
+        if (btype == 0) {
+          if (p0 + hdr + regen > blockEnd) fail("raw literals past the block")
+          val lits = java.util.Arrays.copyOfRange(in, p0 + hdr, p0 + hdr + regen)
+          (lits, hdr + regen)
+        } else {
+          if (p0 + hdr >= blockEnd) fail("truncated RLE literals")
+          val lits = new Array[Byte](regen)
+          java.util.Arrays.fill(lits, in(p0 + hdr))
+          (lits, hdr + 1)
+        }
+      case _ => // Compressed | Treeless
+        val (hdr, streams, szBits) = sizeFormat match {
+          case 0 => (3, 1, 10)
+          case 1 => (3, 4, 10)
+          case 2 => (4, 4, 14)
+          case _ => (5, 4, 18)
+        }
+        val h = le(p0, hdr)
+        val mask = (1 << szBits) - 1
+        val regen = ((h >>> 4) & mask).toInt
+        val cSize = ((h >>> (4 + szBits)) & mask).toInt
+        if (regen > MaxBlock) fail("literals exceed the block maximum")
+        var p = p0 + hdr
+        val end = p + cSize
+        if (end > blockEnd) fail("compressed literals past the block")
+        val huf =
+          if (btype == 2) {
+            val (t, treeBytes) = readHuffmanTree(in, p, end)
+            p += treeBytes; st.huf = t; t
+          } else {
+            if (st.huf == null)
+              fail("treeless literals with no previous huffman table")
+            st.huf
+          }
+        val lits = new Array[Byte](regen)
+        if (streams == 1) hufDecodeStream(huf, in, p, end, lits, 0, regen)
+        else {
+          if (p + 6 > end) fail("truncated 4-stream jump table")
+          val s1 = (le(p, 2)).toInt; val s2 = (le(p + 2, 2)).toInt
+          val s3 = (le(p + 4, 2)).toInt
+          p += 6
+          val s4 = (end - p) - s1 - s2 - s3
+          if (s4 <= 0) fail("4-stream sizes exceed the section")
+          val part = (regen + 3) / 4
+          val last = regen - 3 * part
+          if (last < 0) fail("4-stream regenerated sizes are inconsistent")
+          hufDecodeStream(huf, in, p, p + s1, lits, 0, part)
+          hufDecodeStream(huf, in, p + s1, p + s1 + s2, lits, part, part)
+          hufDecodeStream(huf, in, p + s1 + s2, p + s1 + s2 + s3, lits,
+            2 * part, part)
+          hufDecodeStream(huf, in, p + s1 + s2 + s3, end, lits, 3 * part, last)
+        }
+        (lits, hdr + cSize)
+    }
+  }
+
+  // ------------------------------------------------------------ sequences
+
+  /** Decode and execute a compressed block (§3.1.1.3). */
+  private def decodeCompressedBlock(in: Array[Byte], from: Int, until: Int,
+                                    out: Out, st: FrameState): Unit = {
+    val (lits, litBytes) = decodeLiterals(in, from, until, st)
+    var p = from + litBytes
+    if (p >= until) fail("missing sequences section")
+    val b0 = in(p) & 0xFF
+    var nbSeq = 0
+    if (b0 == 0) { nbSeq = 0; p += 1 }
+    else if (b0 < 128) { nbSeq = b0; p += 1 }
+    else if (b0 < 255) {
+      if (p + 2 > until) fail("truncated sequence count")
+      nbSeq = ((b0 - 128) << 8) + (in(p + 1) & 0xFF); p += 2
+    } else {
+      if (p + 3 > until) fail("truncated sequence count")
+      nbSeq = (in(p + 1) & 0xFF) + ((in(p + 2) & 0xFF) << 8) + 0x7F00; p += 3
+    }
+    if (nbSeq == 0) {
+      if (p != until) fail("trailing bytes after an all-literals block")
+      out.append(lits, 0, lits.length)
+      return
+    }
+    if (p >= until) fail("missing compression modes byte")
+    val modes = in(p) & 0xFF; p += 1
+    if ((modes & 3) != 0) fail("reserved compression-mode bits set")
+    def channel(mode: Int, prev: FseTable, predef: FseTable, maxSym: Int,
+                maxLog: Int): FseTable = mode match {
+      case 0 => predef
+      case 1 =>
+        if (p >= until) fail("truncated RLE sequence symbol")
+        val sym = in(p) & 0xFF; p += 1
+        if (sym > maxSym) fail(s"RLE sequence symbol $sym out of range")
+        rleFse(sym)
+      case 2 =>
+        val (t, bytes) = readFseTable(in, p, until, maxSym, maxLog)
+        p += bytes; t
+      case _ =>
+        if (prev == null) fail("Repeat sequence mode with no previous table")
+        prev
+    }
+    // descriptions appear in LL, OF, ML order
+    val llTab = channel((modes >>> 6) & 3, st.ll, PredefLl, 35, 9)
+    val ofTab = channel((modes >>> 4) & 3, st.of, PredefOf, 31, 8)
+    val mlTab = channel((modes >>> 2) & 3, st.ml, PredefMl, 52, 9)
+    st.ll = llTab; st.of = ofTab; st.ml = mlTab
+    val bits = new BackBits(in, p, until)
+    var llState = bits.read(llTab.accuracyLog)
+    var ofState = bits.read(ofTab.accuracyLog)
+    var mlState = bits.read(mlTab.accuracyLog)
+    if (bits.overflowed) fail("sequence bitstream too short for its states")
+    var litPos = 0
+    var i = 0
+    while (i < nbSeq) {
+      // extra bits read in OF, ML, LL order; states update LL, ML, OF
+      val ofCode = ofTab.symbol(ofState)
+      if (ofCode > 31) fail(s"offset code $ofCode out of range")
+      val ofValue = (1L << ofCode) + (
+        if (ofCode > 0) bits.read(ofCode).toLong & 0xFFFFFFFFL else 0L)
+      val mlCode = mlTab.symbol(mlState)
+      val ml = MlBase(mlCode) + bits.read(MlExtra(mlCode))
+      val llCode = llTab.symbol(llState)
+      val ll = LlBase(llCode) + bits.read(LlExtra(llCode))
+      if (bits.overflowed) fail("sequence bitstream exhausted mid-sequence")
+      // repeat-offset resolution (§3.1.1.5)
+      var offset = 0L
+      if (ofValue > 3) {
+        offset = ofValue - 3
+        st.rep3 = st.rep2; st.rep2 = st.rep1; st.rep1 = offset
+      } else if (ll != 0) {
+        ofValue.toInt match {
+          case 1 => offset = st.rep1
+          case 2 =>
+            offset = st.rep2; st.rep2 = st.rep1; st.rep1 = offset
+          case _ =>
+            offset = st.rep3; st.rep3 = st.rep2; st.rep2 = st.rep1
+            st.rep1 = offset
+        }
+      } else {
+        ofValue.toInt match {
+          case 1 =>
+            offset = st.rep2; st.rep2 = st.rep1; st.rep1 = offset
+          case 2 =>
+            offset = st.rep3; st.rep3 = st.rep2; st.rep2 = st.rep1
+            st.rep1 = offset
+          case _ =>
+            offset = st.rep1 - 1
+            if (offset <= 0) fail("repeat offset underflowed to zero")
+            st.rep3 = st.rep2; st.rep2 = st.rep1; st.rep1 = offset
+        }
+      }
+      if (i < nbSeq - 1) {
+        llState = llTab.newState(llState) + bits.read(llTab.nbBits(llState))
+        mlState = mlTab.newState(mlState) + bits.read(mlTab.nbBits(mlState))
+        ofState = ofTab.newState(ofState) + bits.read(ofTab.nbBits(ofState))
+        if (bits.overflowed) fail("sequence bitstream exhausted mid-update")
+      }
+      // execute: literals run, then the (possibly overlapping) match
+      if (litPos + ll > lits.length) fail("sequence literals overrun")
+      out.append(lits, litPos, ll)
+      litPos += ll
+      if (offset > out.n) fail(
+        "match offset reaches before the frame (dictionary frames are " +
+          "not supported)")
+      out.ensure(ml)
+      var k = 0
+      val src = out.n - offset.toInt
+      while (k < ml) { out.buf(out.n + k) = out.buf(src + k); k += 1 }
+      out.n += ml
+      i += 1
+    }
+    if (bits.remaining != 0)
+      fail(s"sequence bitstream not fully consumed (${bits.remaining} bits)")
+    out.append(lits, litPos, lits.length - litPos)
+  }
+
+  // ---------------------------------------------------------------- XXH64
+
+  /** xxHash64 (public algorithm, Yann Collet) — the frame content
+    * checksum is its low 32 bits. Implemented from the published
+    * description; pinned against the spec's own vectors in ZstdSpec. */
+  private[sources] def xxh64(buf: Array[Byte], len: Int, seed: Long): Long = {
+    val P1 = -7046029288634856825L // 0x9E3779B185EBCA87
+    val P2 = -4417276706812531889L // 0xC2B2AE3D27D4EB4F
+    val P3 = 1609587929392839161L  // 0x165667B19E3779F9
+    val P4 = -8796714831421723037L // 0x85EBCA77C2B2AE63
+    val P5 = 2870177450012600261L  // 0x27D4EB2F165667C5
+    def le64(o: Int): Long = {
+      var v = 0L; var i = 7
+      while (i >= 0) { v = (v << 8) | (buf(o + i) & 0xFFL); i -= 1 }
+      v
+    }
+    def le32(o: Int): Long = {
+      var v = 0L; var i = 3
+      while (i >= 0) { v = (v << 8) | (buf(o + i) & 0xFFL); i -= 1 }
+      v
+    }
+    def round(acc: Long, lane: Long): Long =
+      java.lang.Long.rotateLeft(acc + lane * P2, 31) * P1
+    var p = 0
+    var h = 0L
+    if (len >= 32) {
+      var v1 = seed + P1 + P2; var v2 = seed + P2; var v3 = seed
+      var v4 = seed - P1
+      while (p + 32 <= len) {
+        v1 = round(v1, le64(p)); v2 = round(v2, le64(p + 8))
+        v3 = round(v3, le64(p + 16)); v4 = round(v4, le64(p + 24))
+        p += 32
+      }
+      h = java.lang.Long.rotateLeft(v1, 1) + java.lang.Long.rotateLeft(v2, 7) +
+        java.lang.Long.rotateLeft(v3, 12) + java.lang.Long.rotateLeft(v4, 18)
+      h = (h ^ round(0L, v1)) * P1 + P4
+      h = (h ^ round(0L, v2)) * P1 + P4
+      h = (h ^ round(0L, v3)) * P1 + P4
+      h = (h ^ round(0L, v4)) * P1 + P4
+    } else h = seed + P5
+    h += len
+    while (p + 8 <= len) {
+      h = java.lang.Long.rotateLeft(h ^ round(0L, le64(p)), 27) * P1 + P4
+      p += 8
+    }
+    if (p + 4 <= len) {
+      h = java.lang.Long.rotateLeft(h ^ (le32(p) * P1), 23) * P2 + P3
+      p += 4
+    }
+    while (p < len) {
+      h = java.lang.Long.rotateLeft(h ^ ((buf(p) & 0xFFL) * P5), 11) * P1
+      p += 1
+    }
+    h ^= h >>> 33; h *= P2; h ^= h >>> 29; h *= P3; h ^= h >>> 32
+    h
+  }
+
+  // ------------------------------------------------------------- wire encode
+
+  /** Native zstd encoder when the JVM can load one (zstd-jni rides on
+    * the Spark classpath — Spark uses it for shuffle/parquet codecs).
+    * The wire path prefers it outbound: real compressed blocks, real
+    * ratio, and every loopback hop then drives [[uncompress]] — the
+    * from-scratch decoder — against frames a real peer would send.
+    * Falls back to [[compress]] (store-mode, pure JVM) where the
+    * native library can't load; both are legal zstd to any decoder. */
+  private lazy val nativeEncoder: Option[Array[Byte] => Array[Byte]] =
+    try {
+      val f = (in: Array[Byte]) =>
+        com.github.luben.zstd.Zstd.compress(in, 3)
+      require(java.util.Arrays.equals(uncompress(f("probe".getBytes("UTF-8"))),
+        "probe".getBytes("UTF-8")))
+      Some(f)
+    } catch { case _: Throwable => None }
+
+  /** Encode for OP_COMPRESSED id 3: native compressed-block frames
+    * when available, store-mode otherwise. */
+  def encodeWire(in: Array[Byte]): Array[Byte] =
+    nativeEncoder.map(_(in)).getOrElse(compress(in))
+
+  // ---------------------------------------------------------------- decode
+
   def uncompress(in: Array[Byte]): Array[Byte] = {
     def le(o: Int, bytes: Int): Long = {
       if (o + bytes > in.length) fail("truncated frame")
@@ -84,14 +715,21 @@ object Zstd {
     if (le(0, 4).toInt != Magic) fail(f"bad magic 0x${le(0, 4)}%08X")
     val desc = in(4) & 0xFF
     if ((desc & 0x08) != 0) fail("reserved descriptor bit set")
-    if ((desc & 0x04) != 0) fail(
-      "content-checksum frames not supported (store-mode decoder)")
-    if ((desc & 0x03) != 0) fail(
-      "dictionary frames not supported (store-mode decoder)")
+    val hasChecksum = (desc & 0x04) != 0
+    val dictIdBytes = (desc & 0x03) match {
+      case 0 => 0; case 1 => 1; case 2 => 2; case _ => 4
+    }
     val single = (desc & 0x20) != 0
     val fcsFlag = (desc >>> 6) & 3
     var p = 5
-    if (!single) p += 1 // Window_Descriptor — store mode needs no window
+    if (!single) p += 1 // Window_Descriptor: full frames fit in memory here
+    if (dictIdBytes > 0) {
+      val dictId = le(p, dictIdBytes)
+      p += dictIdBytes
+      if (dictId != 0) fail(
+        s"dictionary frames are not supported (dictionary id $dictId — " +
+          "OP_COMPRESSED peers never negotiate wire dictionaries)")
+    }
     val fcsSize = fcsFlag match {
       case 0 => if (single) 1 else 0
       case 1 => 2
@@ -105,36 +743,52 @@ object Zstd {
         p += fcsSize
         if (fcsFlag == 1) raw + 256 else raw
       }
+    // an 8-byte FCS with the top bit set reads negative in a Long —
+    // it must FAIL the size gate, not sneak past '> MaxLen' and
+    // disable the final declared-size verification
+    if (fcsSize > 0 && declared < 0) fail("declared size out of range")
     if (declared > MaxLen) fail(s"declared size $declared too large")
-    val out = new java.io.ByteArrayOutputStream(
-      if (declared >= 0) declared.toInt else math.min(in.length * 4, MaxLen))
+    val out = new Out(if (declared >= 0) declared.toInt
+                      else math.min(in.length * 4, MaxLen))
+    val st = new FrameState
     var last = false
     while (!last) {
       val h = le(p, 3).toInt; p += 3
       last = (h & 1) != 0
       val btype = (h >>> 1) & 3
       val size = h >>> 3
-      if (out.size.toLong + size > MaxLen) fail("output exceeds bound")
       btype match {
         case 0 => // Raw: verbatim bytes
+          if (size > MaxBlock) fail("raw block exceeds the block maximum")
           if (p + size > in.length) fail("raw block past the input")
-          out.write(in, p, size); p += size
+          out.append(in, p, size); p += size
         case 1 => // RLE: one byte repeated size times
+          if (size > MaxBlock) fail("RLE block exceeds the block maximum")
           if (p >= in.length) fail("truncated RLE block")
-          val b = in(p); p += 1
-          var i = 0
-          while (i < size) { out.write(b); i += 1 }
-        case 2 => fail(
-          "compressed blocks are not supported (store-mode decoder — " +
-            "FSE/Huffman out of scope; negotiate snappy or zlib for " +
-            "actual compression)")
+          out.ensure(size)
+          java.util.Arrays.fill(out.buf, out.n, out.n + size, in(p))
+          out.n += size; p += 1
+        case 2 => // Compressed: Huffman literals + FSE sequences
+          if (size > MaxBlock) fail("compressed block exceeds the block maximum")
+          if (p + size > in.length) fail("compressed block past the input")
+          val before = out.n
+          decodeCompressedBlock(in, p, p + size, out, st)
+          if (out.n - before > MaxBlock)
+            fail("compressed block regenerated past the block maximum")
+          p += size
         case _ => fail("reserved block type")
       }
     }
+    if (hasChecksum) {
+      val stored = le(p, 4); p += 4
+      val computed = xxh64(out.buf, out.n, 0L) & 0xFFFFFFFFL
+      if (stored != computed) fail(
+        f"content checksum mismatch (stored 0x$stored%08X, " +
+          f"computed 0x$computed%08X)")
+    }
     if (p != in.length) fail(s"${in.length - p} trailing bytes after the frame")
-    val res = out.toByteArray
-    if (declared >= 0 && res.length != declared)
-      fail(s"content size ${res.length} != declared $declared")
-    res
+    if (declared >= 0 && out.n != declared)
+      fail(s"content size ${out.n} != declared $declared")
+    out.result
   }
 }

@@ -202,10 +202,17 @@ class DocStoreVersionSpec extends AnyFunSuite {
     // schema evolution between snapshots refuses loudly
     s.writeVersioned(Seq((2L, "B")).toDF("id", "v"), "c"): Unit
     intercept[graft.mql.MqlException](s.changeEvents("c", "id").collect())
-    // a collection with no retired history has no transitions to replay
+    // a collection written once but never updated has no transitions —
+    // a watch opened on it IDLES (zero rows, correct change-doc
+    // schema; mongod semantics) instead of refusing, so streaming
+    // triggers opened before the first update succeed
     val s2 = newStore("parquet")
     s2.writeVersioned(df(1L -> "a"), "c2"): Unit
-    intercept[IllegalArgumentException](s2.changeEvents("c2", "id"))
+    val idle = s2.changeEvents("c2", "id")
+    assert(idle.count() == 0)
+    assert(idle.columns.toSeq == Seq("operationType", "documentKey",
+      "fullDocument", "fullDocumentBeforeChange", "updatedFields",
+      "txnVersion"))
   }
 
   test("history follows rename; survives drop (drop+restore = undo)") {
