@@ -339,9 +339,24 @@ object Graft {
           }
           watch(coll, org.json4s.jackson.JsonMethods.compact(
             org.json4s.jackson.JsonMethods.render(JArray(rest))))
-        case _ => PipelineCompiler.run(resolve(coll), pipelineJson, resolve)
+        case _ =>
+          // a catalog-persisted unique-key declaration auto-engages the
+          // keyless-freeze-free $lookup/$graphLookup path (the sidecar
+          // hint is the stored form of aggregate's uniqueKey assertion);
+          // a stale hint (column gone after evolution) is ignored, not
+          // fatal
+          val df = resolve(coll)
+          val hint = store.uniqueKeyOf(coll).filter(df.columns.contains)
+          PipelineCompiler.run(df, pipelineJson, resolve, hint)
       }
     }
+    /** Declare `key` unique+non-null for `coll` (persisted in the
+      * catalog sidecar): every later [[aggregate]] on the collection
+      * runs `$lookup`/`$graphLookup` with the key column as row
+      * identity — no `monotonically_increasing_id` +
+      * `localCheckpoint` freeze in the plan. */
+    def setUniqueKey(coll: String, key: String): Unit =
+      store.setUniqueKey(coll, key)
     /** `$out`/`$merge`-tailed pipeline; returns the target collection name. */
     def aggregateTo(coll: String, pipelineJson: String): String =
       PipelineCompiler.runWithWrites(resolve(coll), pipelineJson, resolve, store)

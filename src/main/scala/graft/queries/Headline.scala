@@ -1223,6 +1223,62 @@ object Headline {
                  OR a.n_chars <> b.n_chars OR a.source <> b.source
               ORDER BY coll, doc_id, operationType""")),
 
+    // DDL through the change stream (mongod semantics): a drop mid-
+    // watch surfaces as a `drop` event then a terminal `invalidate`,
+    // the server closes the cursor WITH the invalidate batch (id 0),
+    // resuming past it needs startAfter (resumeAfter refuses — spec-
+    // pinned in OpMsgWatchSpec), and the startAfter stream opens and
+    // idles. All three phases cross the real wire; the oracle replays
+    // the data diff plus the two journaled DDL rows.
+    QueryDef("q_watch_invalidate",
+      (s, dir) => {
+        val store = new graft.sinks.DocStore(s,
+          java.nio.file.Files.createTempDirectory("graft_winv").toString)
+        val docs = Graft.table(s, dir, "documents").select("doc_id", "n_chars")
+        store.writeVersioned(docs.where(col("doc_id") < 300), "coll"): Unit
+        store.writeVersioned(docs.where(col("doc_id") < 400), "coll"): Unit
+        val server = new graft.sources.OpMsg.Server(s, store)
+        try {
+          // phase 1: watch to caught-up — the v1→live inserts (txn 2)
+          val (ev1, tok1) = graft.sources.OpMsg.watch(s, "127.0.0.1",
+            server.port, "graft", "coll", keyField = "doc_id",
+            batchSize = 64)
+          // phase 2: drop mid-watch, resume → drop(3) + invalidate(4),
+          // cursor closed by the server with the batch
+          store.drop("coll"): Unit
+          val (ev2, tok2) = graft.sources.OpMsg.watch(s, "127.0.0.1",
+            server.port, "graft", "coll", keyField = "doc_id",
+            resumeAfter = Some(tok1), batchSize = 64)
+          // phase 3: startAfter the invalidate token survives (opens
+          // and idles; resumeAfter on the same token refuses)
+          val (ev3, _) = graft.sources.OpMsg.watch(s, "127.0.0.1",
+            server.port, "graft", "coll", keyField = "doc_id",
+            startAfter = Some(tok2), batchSize = 64)
+          val shape = (df: org.apache.spark.sql.DataFrame) => df.select(
+            col("operationType"),
+            col("documentKey").cast("bigint").as("doc_id"),
+            col("txnVersion").cast("bigint").as("v"))
+          val out = shape(ev1).unionByName(shape(ev2))
+            .unionByName(s.range(1).select(
+              lit("startafter_survives").as("operationType"),
+              lit(null).cast("bigint").as("doc_id"),
+              lit(ev3.count()).cast("bigint").as("v")))
+            .orderBy("v", "operationType", "doc_id")
+          val rows = out.collect()
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+        } finally server.stop()
+      },
+      Some("""WITH v1 AS (SELECT doc_id FROM documents WHERE doc_id < 300),
+                   lv AS (SELECT doc_id FROM documents WHERE doc_id < 400)
+              SELECT 'insert' AS operationType, b.doc_id AS doc_id,
+                     CAST(2 AS BIGINT) AS v
+              FROM lv b LEFT JOIN v1 a ON a.doc_id = b.doc_id
+              WHERE a.doc_id IS NULL
+              UNION ALL SELECT 'drop', NULL, 3
+              UNION ALL SELECT 'invalidate', NULL, 4
+              UNION ALL SELECT 'startafter_survives', NULL, 0
+              ORDER BY v, operationType, doc_id""")),
+
     // Z-order clustered layout (Delta OPTIMIZE ZORDER as a plain
     // write): events re-laid along the (user_id, event_id) Morton
     // curve, then a 2-D range filter reads back — values identical to

@@ -847,6 +847,46 @@ object Relational {
                     OR o.o_custkey = e.user_id + 1) AS tot
               FROM events e ORDER BY event_id""")),
 
+    // the SAME lookup through a CATALOG collection carrying a
+    // PERSISTED unique-key declaration (setUniqueKey → the sidecar's
+    // `uniquekey` option): Db.aggregate auto-engages the keyless-
+    // freeze-free path — no uniqueKey argument at the call site, no
+    // monotonically_increasing_id/localCheckpoint in the plan
+    // (plan-asserted in GraftCatalogSpec); same oracle as the twins
+    QueryDef("q_lookup_catalog",
+      (s, dir) => {
+        val root = java.nio.file.Files.createTempDirectory("graft_lkcat")
+          .toString
+        val st = new graft.sinks.DocStore(s, root, "graftdocs")
+        st.write(Graft.table(s, dir, "events")
+          .select("event_id", "user_id"), "events")
+        st.write(Graft.table(s, dir, "orders")
+          .select("o_custkey", "o_totalprice"), "orders")
+        val cat = s"graftlk${System.nanoTime()}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.dir", root)
+        val db = Graft.Db(s, cat)
+        db.setUniqueKey("events", "event_id")
+        db.aggregate("events", """[
+          {"$project": {"event_id": 1,
+             "keys": ["$user_id", {"$add": ["$user_id", 1]}]}},
+          {"$lookup": {"from": "orders", "localField": "keys",
+             "foreignField": "o_custkey", "as": "m"}},
+          {"$project": {"event_id": 1, "n": {"$size": "$m"},
+             "tot": {"$round": [{"$sum":
+               {"$map": {"input": "$m", "in": "$$this.o_totalprice"}}}, 2]}}},
+          {"$sort": {"event_id": 1}}]""")
+      },
+      Some("""SELECT e.event_id,
+                CAST((SELECT COUNT(*) FROM orders o
+                      WHERE o.o_custkey = e.user_id
+                         OR o.o_custkey = e.user_id + 1) AS INT) AS n,
+                (SELECT round(coalesce(sum(o.o_totalprice), 0.0), 2)
+                 FROM orders o
+                 WHERE o.o_custkey = e.user_id
+                    OR o.o_custkey = e.user_id + 1) AS tot
+              FROM events e ORDER BY event_id""")),
+
     // correlated $lookup with SUFFIX stages after the join $match (the
     // Mongo-docs canonical shape): $sort/$limit/$project compile to
     // array ops on the collected match array — comparator array_sort,

@@ -71,6 +71,59 @@ final class DocStore(val spark: SparkSession, val dir: String,
     * inference drift on empty/partial collections). */
   def read(name: String): DataFrame = readAt(path(name))
 
+  /** The collection's declared unique-key column (`uniquekey` in the
+    * `_graft_schema.json` sidecar), if any — the catalog-persisted form
+    * of the `uniqueKey` pipeline assertion: `$lookup`/`$graphLookup`
+    * over a catalog-resolved collection carrying this hint use the key
+    * column itself as the regroup row identity, so the keyless
+    * `monotonically_increasing_id` + `localCheckpoint` freeze never
+    * forms. Declared via [[setUniqueKey]]; like Mongo's `_id` contract
+    * it is the caller's assertion — a non-unique/nullable column here
+    * attaches match arrays to the wrong rows. */
+  def uniqueKeyOf(name: String): Option[String] = {
+    if (format != "graftdocs") return None
+    val side = new Path(path(name), "_graft_schema.json")
+    val f = fs
+    if (!f.exists(side)) return None
+    val in = f.open(side)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+               finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+    Option(node.get("options")).flatMap(o => Option(o.get("uniquekey")))
+      .map(_.asText).filter(_.nonEmpty)
+  }
+
+  /** Declare `key` as the collection's unique+non-null row identity
+    * (see [[uniqueKeyOf]]). Patches the sidecar in place; the column
+    * must exist in the declared schema. A full `$out`-style rewrite
+    * replaces the sidecar and therefore drops the declaration (new
+    * collection, new contract); partition-scoped merges preserve it. */
+  def setUniqueKey(name: String, key: String): Unit = {
+    require(format == "graftdocs", "setUniqueKey needs graftdocs layout")
+    val side = new Path(path(name), "_graft_schema.json")
+    val f = fs
+    if (!f.exists(side))
+      throw new MqlException(s"setUniqueKey: no sidecar for '$name'")
+    val in = f.open(side)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+               finally in.close()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(text)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val cols = org.apache.spark.sql.types.DataType
+      .fromJson(root.get("schema").toString)
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
+    if (!cols.contains(key) && !partitionColumnsOf(name).contains(key))
+      throw new MqlException(
+        s"setUniqueKey: no column '$key' in collection '$name'")
+    val opts = Option(root.get("options"))
+      .collect { case o: com.fasterxml.jackson.databind.node.ObjectNode => o }
+      .getOrElse(root.putObject("options"))
+    opts.put("uniquekey", key): Unit
+    val out = f.create(side, true)
+    try out.write(mapper.writeValueAsBytes(root)) finally out.close()
+  }
+
   /** Partition columns a graftdocs collection was created with (the
     * catalog sidecar's `partitionby` option); empty for parquet
     * collections, unpartitioned collections, or external layouts
@@ -130,12 +183,16 @@ final class DocStore(val spark: SparkSession, val dir: String,
           throw new MqlException(s"could not commit partition $rel of '$name'")
       }
       // refreshed sidecar (schema may have widened through the merge);
-      // partitionby is preserved so later loads keep the layout contract
+      // partitionby and the unique-key declaration are preserved so
+      // later loads keep the layout + row-identity contracts
+      val prevUnique = uniqueKeyOf(name)
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val root = mapper.createObjectNode()
       root.set[com.fasterxml.jackson.databind.JsonNode]("schema",
         mapper.readTree(df.schema.json))
-      root.putObject("options").put("partitionby", partitionBy.mkString(","))
+      val opts = root.putObject("options")
+      opts.put("partitionby", partitionBy.mkString(","))
+      prevUnique.foreach(k => opts.put("uniquekey", k): Unit)
       val out = f.create(new Path(target, "_graft_schema.json"), true)
       try out.write(mapper.writeValueAsBytes(root)) finally out.close()
       // tags land AFTER the per-partition swaps: replay protection for
@@ -232,7 +289,16 @@ final class DocStore(val spark: SparkSession, val dir: String,
   def drop(name: String): Boolean = {
     val p = new Path(path(name))
     val f = fs
-    f.exists(p) && f.delete(p, true)
+    val dropped = f.exists(p) && f.delete(p, true)
+    // DDL is part of the change history (mongod emits drop +
+    // invalidate on the collection's change streams): journal the
+    // event at a txnVersion past every data event the stream could
+    // have served (retained transitions reach vs.last, the live diff
+    // vs.last + 1)
+    if (dropped) journalDdl(DocStore.DdlEvent("drop", name, None,
+      versions(name).lastOption.getOrElse(0L) + 2,
+      System.currentTimeMillis()))
+    dropped
   }
 
   /** Rename a collection (Mongo `renameCollection`): one directory/file
@@ -272,6 +338,57 @@ final class DocStore(val spark: SparkSession, val dir: String,
         throw new MqlException(
           s"renameCollection: could not move versions of '$oldName'")
     }
+    // mongod emits rename (with the `to` namespace) + invalidate on
+    // the OLD name's change streams; txn past every data event the
+    // old-name stream could have served. The versions moved with the
+    // collection, so read the counter from the NEW name.
+    journalDdl(DocStore.DdlEvent("rename", oldName, Some(newName),
+      versions(newName).lastOption.getOrElse(0L) + 2,
+      System.currentTimeMillis()))
+  }
+
+  // ---- DDL journal: the change-history side of drop/rename ----------
+
+  private def ddlDir = new Path(dir, "_graft_ddl")
+
+  private def journalDdl(e: DocStore.DdlEvent): Unit = {
+    val f = fs
+    f.mkdirs(ddlDir): Unit
+    val p = new Path(ddlDir,
+      s"ddl-${System.currentTimeMillis()}-${System.nanoTime()}.json")
+    val json = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(
+        org.json4s.JObject(List(
+          "op" -> org.json4s.JString(e.op),
+          "coll" -> org.json4s.JString(e.coll)) ++
+          e.to.map(t => "to" -> (org.json4s.JString(t): org.json4s.JValue))
+            .toList ++ List(
+          "txn" -> org.json4s.JLong(e.txnVersion),
+          "at" -> org.json4s.JLong(e.at)))))
+    val out = f.create(p, false)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Journaled DDL for one collection, txnVersion-ordered. */
+  def ddlEvents(name: String): Seq[DocStore.DdlEvent] =
+    ddlAll().filter(_.coll == name)
+
+  /** Every journaled DDL event in the store, txnVersion-then-time
+    * ordered. O(DDL count) — drop/rename are rare, the journal is one
+    * tiny file per event, and no data is read. */
+  def ddlAll(): Seq[DocStore.DdlEvent] = {
+    val f = fs
+    if (!f.exists(ddlDir)) return Seq.empty
+    f.listStatus(ddlDir).toSeq.filter(_.getPath.getName.startsWith("ddl-"))
+      .map { st =>
+        val in = f.open(st.getPath)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                   finally in.close()
+        val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+        DocStore.DdlEvent(n.get("op").asText(), n.get("coll").asText(),
+          Option(n.get("to")).filterNot(_.isNull).map(_.asText()),
+          n.get("txn").asLong(), n.get("at").asLong())
+      }.sortBy(e => (e.txnVersion, e.at))
   }
 
   /** Every commit tag currently on the collection. */
@@ -577,12 +694,21 @@ final class DocStore(val spark: SparkSession, val dir: String,
     // a collection written once but never updated has no retired
     // versions — a watch opened on it must IDLE (mongod semantics),
     // not refuse: diff the live snapshot against itself (zero rows,
-    // correct change-document schema) so streaming triggers succeed
+    // correct change-document schema) so streaming triggers succeed.
+    // A DROPPED collection (live gone, history retained) replays the
+    // retained transitions only — its terminal drop/invalidate events
+    // come from the DDL journal, not a per-document delete storm.
+    val live = this.exists(name)
     val snaps: Seq[(Long, DataFrame)] =
-      if (vs.isEmpty) { val live = read(name).limit(0)
-        Seq(0L -> live, 1L -> live) }
-      else vs.map(v => v -> readVersion(name, v)) :+
+      if (vs.isEmpty && live) { val l = read(name).limit(0)
+        Seq(0L -> l, 1L -> l) }
+      else if (vs.isEmpty) throw new MqlException(
+        s"changeEvents: no collection '$name'")
+      else if (live) vs.map(v => v -> readVersion(name, v)) :+
         ((vs.last + 1) -> read(name))
+      else if (vs.length == 1) { val s = readVersion(name, vs.head).limit(0)
+        Seq(0L -> s, 1L -> s) }
+      else vs.map(v => v -> readVersion(name, v))
     val schema0 = snaps.head._2.schema
     snaps.tail.foreach { case (v, df) =>
       if (df.schema.map(f => (f.name, f.dataType)) !=
@@ -750,4 +876,13 @@ final class DocStore(val spark: SparkSession, val dir: String,
     }
     if (hadOld) f.delete(aside, true): Unit
   }
+}
+
+object DocStore {
+  /** One journaled DDL event: `drop` or `rename` (with the target
+    * name), positioned in the collection's change history at
+    * `txnVersion` — past every data event the stream could have
+    * served at journal time. */
+  final case class DdlEvent(op: String, coll: String, to: Option[String],
+                            txnVersion: Long, at: Long)
 }

@@ -739,6 +739,9 @@ object OpMsg {
     private final class ChangeTail(val coll: String, val keyField: String,
                                    val restJson: String) {
       @volatile var lastToken: String = ""
+      // an invalidate event is terminal: the serving batch is the
+      // cursor's last (mongod closes the cursor with it)
+      @volatile var invalidated: Boolean = false
     }
 
     private final class Cursor(val ns: String,
@@ -837,9 +840,17 @@ object OpMsg {
     private def pull(c: Cursor): Seq[Array[Byte]] = {
       val out = Seq.newBuilder[Array[Byte]]
       var n = 0
-      while (n < c.batchSize && c.rows.hasNext) {
+      while (n < c.batchSize && c.rows.hasNext &&
+             !c.tail.exists(_.invalidated)) {
         val row = c.rows.next()
-        c.tail.foreach(_.lastToken = tokenOf(row, c.schema))
+        c.tail.foreach { t =>
+          t.lastToken = tokenOf(row, c.schema)
+          // invalidate is terminal — serve it, then stop (nothing may
+          // follow it in a change stream; the reply closes the cursor)
+          val oi = c.schema.fieldNames.indexOf("operationType")
+          if (oi >= 0 && !row.isNullAt(oi) && row.get(oi) == "invalidate")
+            t.invalidated = true
+        }
         out += graft.bson.BsonBinary.encodeRow(row, c.schema)
         n += 1
       }
@@ -869,34 +880,87 @@ object OpMsg {
     private def changeStreamDf(coll: String, keyField: String,
                                restJson: String, after: String): DataFrame = {
       import org.apache.spark.sql.functions._
-      def frame(c: String): DataFrame = {
-        val ev = store.changeEvents(c, keyField)
+      import org.apache.spark.sql.types.{StructType, StructField,
+        StringType, ArrayType, LongType}
+      val toType = StructType(Seq(StructField("db", StringType),
+        StructField("coll", StringType)))
+      def frame(c: String, dbLevel: Boolean): DataFrame = {
+        val ddl = store.ddlEvents(c)
+        // a dropped/renamed collection may have no data frame at all
+        // (rename moves the history with it) — its change stream is
+        // then the journaled DDL alone, on a stub change-doc schema
+        val ev =
+          (try Some(store.changeEvents(c, keyField)) catch {
+            case scala.util.control.NonFatal(_) if ddl.nonEmpty => None
+          }).map(_.withColumn("to", lit(null).cast(toType)))
+            .getOrElse(spark.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+              StructType(Seq(
+                StructField("operationType", StringType),
+                StructField("documentKey", StringType),
+                StructField("fullDocument",
+                  StructType(Seq(StructField("_", StringType)))),
+                StructField("fullDocumentBeforeChange",
+                  StructType(Seq(StructField("_", StringType)))),
+                StructField("updatedFields", ArrayType(StringType)),
+                StructField("txnVersion", LongType),
+                StructField("to", toType)))))
+        val all =
+          if (ddl.isEmpty) ev
+          else {
+            // DDL rows in the data frame's column order. A collection
+            // watch also carries the terminal invalidate (mongod
+            // closes the cursor there); db-level watches survive
+            // collection DDL — drop/rename events only, no invalidate
+            val rows = ddl.flatMap { e =>
+              def mk(op: String, txn: Long, to: Option[String]) =
+                org.apache.spark.sql.Row(ev.schema.fieldNames.map {
+                  case "operationType" => op
+                  case "txnVersion" => txn
+                  case "to" =>
+                    to.map(t => org.apache.spark.sql.Row(db, t)).orNull
+                  case _ => null
+                }.toSeq: _*)
+              mk(e.op, e.txnVersion, e.to) ::
+                (if (dbLevel) Nil
+                 else List(mk("invalidate", e.txnVersion + 1, None)))
+            }
+            ev.unionByName(spark.createDataFrame(
+              java.util.Arrays.asList(rows: _*), ev.schema))
+          }
         // token = (txnVersion, coll, documentKey) — versions are
         // per-collection counters, so the cross-collection order is
-        // deterministic (what resume needs), not causal
+        // deterministic (what resume needs), not causal; DDL events
+        // have no documentKey (empty suffix keeps the token total)
         val tok = concat(
           lpad(col("txnVersion").cast("string"), 19, "0"),
-          lit("/"), lit(c), lit("/"), col("documentKey").cast("string"))
-        ev.withColumn("_id", struct(tok.as("_data")))
+          lit("/"), lit(c), lit("/"),
+          coalesce(col("documentKey").cast("string"), lit("")))
+        all.withColumn("_id", struct(tok.as("_data")))
           .withColumn("ns", struct(lit(db).as("db"), lit(c).as("coll")))
       }
       val ev =
-        if (coll != DbWatch) frame(coll)
+        if (coll != DbWatch) frame(coll, dbLevel = false)
         else {
           // db-level: every collection with retired history (a
           // collection with no versions yet has no diffable changes);
-          // each must carry the key column — loud refusal otherwise
-          val watchable = store.collections().filter(c =>
-            store.versions(c).nonEmpty)
+          // each must carry the key column — loud refusal otherwise.
+          // Dropped collections keep their versions, so their retained
+          // transitions + drop event stay visible; a rename moves the
+          // history to the new name (the old name's rename event is
+          // visible on a collection-level watch of the old name).
+          val watchable =
+            (store.collections() ++ store.ddlAll().map(_.coll))
+              .distinct.sorted.filter(c => store.versions(c).nonEmpty)
           if (watchable.isEmpty) throw new IllegalArgumentException(
             "$changeStream (db-level): no versioned collections to watch")
-          watchable.map(frame).reduce(_ unionByName _)
+          watchable.map(frame(_, dbLevel = true)).reduce(_ unionByName _)
         }
       val shaped = ev
         .where(col("_id._data") > lit(after))
         .select(Seq("_id", "operationType", "ns", "documentKey",
           "fullDocument", "fullDocumentBeforeChange", "updatedFields",
-          "txnVersion").map(col): _*)
+          "txnVersion", "to").map(col): _*)
       val resolve: graft.mql.PipelineCompiler.TableResolver =
         n => store.read(n)
       val out = graft.mql.PipelineCompiler.run(shaped, restJson, resolve)
@@ -943,10 +1007,12 @@ object OpMsg {
           s"$$changeStream options must be a document, got $other")
       }
       var after = ""
+      var resumeMode = ""
       var keyField = "_id"
       var startAt: Option[Long] = None
       o.foreach {
-        case (("resumeAfter" | "startAfter"), JObject(ro)) =>
+        case (mode @ ("resumeAfter" | "startAfter"), JObject(ro)) =>
+          resumeMode = mode
           after = ro.collectFirst { case ("_data", JString(s)) => s }
             .getOrElse(throw new IllegalArgumentException(
               "$changeStream: resumeAfter/startAfter needs a " +
@@ -996,6 +1062,17 @@ object OpMsg {
           case None => f"${Long.MaxValue}%019d"
         }
       }
+      // resumeAfter at/past an invalidate notification is a dead end
+      // (mongod's ChangeStreamHistoryLost shape) — the stream was
+      // invalidated; only startAfter may cross that token
+      if (resumeMode == "resumeAfter" && coll != DbWatch &&
+          after.nonEmpty) {
+        val crossed = store.ddlEvents(coll).exists(e =>
+          f"${e.txnVersion + 1}%019d/$coll/" <= after)
+        if (crossed) throw new IllegalArgumentException(
+          "$changeStream: cannot resume with resumeAfter from an " +
+            "invalidate notification — use startAfter")
+      }
       val restJson = org.json4s.jackson.JsonMethods.compact(
         org.json4s.jackson.JsonMethods.render(rest))
       val df = changeStreamDf(coll, keyField, restJson, after)
@@ -1006,8 +1083,11 @@ object OpMsg {
       val c = new Cursor(ns, rowsArr.iterator, df.schema,
         batchSize, Some(t))
       val first = pull(c)
-      val id = nextCursor.incrementAndGet()
-      cursors.put(id, c): Unit
+      // an invalidate in the first batch closes the cursor with it
+      // (mongod: nothing follows an invalidate)
+      val id =
+        if (t.invalidated) 0L
+        else { val i = nextCursor.incrementAndGet(); cursors.put(i, c); i }
       buildCursorReply(id, ns, "firstBatch", first,
         postBatchResumeToken = Some(c.tail.get.lastToken))
     }
@@ -1553,7 +1633,13 @@ object OpMsg {
                 }
               }
               val batch = pull(c)
-              if (c.tail.isDefined)
+              if (c.tail.exists(_.invalidated)) {
+                // the invalidate event closed the stream: this batch
+                // is the cursor's last (id 0) and the cursor is gone
+                cursors.remove(id): Unit
+                buildCursorReply(0L, c.ns, "nextBatch", batch,
+                  postBatchResumeToken = Some(c.tail.get.lastToken))
+              } else if (c.tail.isDefined)
                 // tailable: an empty batch keeps the cursor id live;
                 // the token tells the driver where this batch ended
                 buildCursorReply(id, c.ns, "nextBatch", batch,
@@ -1666,9 +1752,11 @@ object OpMsg {
             batchSize: Int = 101,
             awaitMs: Long = 0L,
             credentials: Option[(String, String)] = None,
-            tls: Option[(String, String)] = None): (DataFrame, String) = {
+            tls: Option[(String, String)] = None,
+            startAfter: Option[String] = None): (DataFrame, String) = {
     val (dir, total, token) = watchFetch(host, port, db, coll, pipelineJson,
-      keyField, resumeAfter, batchSize, awaitMs, credentials, tls)
+      keyField, resumeAfter, batchSize, awaitMs, credentials, tls,
+      startAfter)
     val df =
       if (total == 0) { deleteDir(dir); spark.emptyDataFrame }
       else spark.read.format("graftdocs").load(dir.toString)
@@ -1686,9 +1774,12 @@ object OpMsg {
             batchSize: Int = 101,
             awaitMs: Long = 0L,
             credentials: Option[(String, String)] = None,
-            tls: Option[(String, String)] = None)
+            tls: Option[(String, String)] = None,
+            startAfter: Option[String] = None)
       : (java.nio.file.Path, Long, String) = {
     require(batchSize > 0, "batchSize must be positive")
+    require(resumeAfter.isEmpty || startAfter.isEmpty,
+      "resumeAfter and startAfter are mutually exclusive")
     val rest = graft.mql.Mql.parse(pipelineJson) match {
       case JArray(ss) => ss
       case other => throw new IllegalArgumentException(
@@ -1696,6 +1787,8 @@ object OpMsg {
     }
     val csOpts = JObject(List("keyField" -> JString(keyField)) ++
       resumeAfter.map(t => "resumeAfter" ->
+        JObject(List("_data" -> JString(t)))).toList ++
+      startAfter.map(t => "startAfter" ->
         JObject(List("_data" -> JString(t)))).toList)
     val cmd = JObject(List(
       "aggregate" -> (if (coll == "*") JInt(1) else JString(coll)),
@@ -1731,13 +1824,16 @@ object OpMsg {
       var (cursorId, docs) = parseCursorReply(reply)
       parseResumeToken(reply).foreach(token = _)
       docs.foreach(d => os.write(d)); total += docs.size
-      try {
+      // cursor id 0 on ANY reply means the server closed the stream
+      // with that batch (an invalidate event is terminal) — nothing to
+      // drive or kill past it
+      if (cursorId != 0L) try {
         // tailable loop: a NON-empty batch means more may follow; the
         // first empty batch is the caught-up signal — stop and kill
         // with awaitMs the empty-batch stop signal only fires after
         // the server's awaitData window stayed quiet — "follow until
         // idle for awaitMs", the driver-side change-stream poll shape
-        while (docs.nonEmpty) {
+        while (docs.nonEmpty && cursorId != 0L) {
           reply = roundTrip(JObject(List(
             "getMore" -> JLong(cursorId),
             "collection" -> JString(coll),
@@ -1745,13 +1841,14 @@ object OpMsg {
             (if (awaitMs > 0) List("maxTimeMS" -> JLong(awaitMs)) else Nil) ++
             List("$db" -> JString(db))))
           val (nid, more) = parseCursorReply(reply)
-          if (nid != cursorId) throw new IllegalStateException(
+          if (nid != 0L && nid != cursorId) throw new IllegalStateException(
             "tailable cursor id changed mid-stream")
           parseResumeToken(reply).foreach(token = _)
           more.foreach(d => os.write(d)); total += more.size
           docs = more
+          cursorId = nid
         }
-      } finally {
+      } finally if (cursorId != 0L) {
         // change cursors never drain server-side: always kill
         try roundTrip(JObject(List(
           "killCursors" -> JString(coll),

@@ -350,4 +350,49 @@ class GraftCatalogSpec extends AnyFunSuite {
     val back = spark.sql(s"SELECT id FROM $cat.part WHERE grp = 'a' ORDER BY id")
     assert(back.as[Long].collect().toSeq == Seq(1L, 3L))
   }
+
+  test("persisted unique-key hint: Db.aggregate auto-engages the " +
+       "freeze-free $lookup path (no localCheckpoint / " +
+       "monotonically_increasing_id in the plan), results ≡ keyless") {
+    val (cat, root) = freshCatalog()
+    val st = new graft.sinks.DocStore(spark, root, "graftdocs")
+    st.write(Seq((1L, 10L), (2L, 20L), (3L, 10L))
+      .toDF("event_id", "user_id"), "ev")
+    st.write(Seq((10L, 5.0), (10L, 7.0), (20L, 1.0))
+      .toDF("o_custkey", "o_totalprice"), "ord")
+    val db = graft.api.Graft.Db(spark, cat)
+    // ARRAY localField: the shape whose keyless fallback freezes row
+    // identity (scalar equi-key lookups never need it)
+    val pipeline = """[
+      {"$project": {"event_id": 1, "keys": ["$user_id"]}},
+      {"$lookup": {"from": "ord", "localField": "keys",
+         "foreignField": "o_custkey", "as": "m"}},
+      {"$project": {"event_id": 1, "n": {"$size": "$m"}}},
+      {"$sort": {"event_id": 1}}]"""
+    // keyless baseline: the correlated/array fallback freezes row ids
+    // (the eager localCheckpoint shows as a LogicalRDD — the
+    // monotonically_increasing_id is already materialized away)
+    val before = db.aggregate("ev", pipeline)
+    assert(before.queryExecution.analyzed.toString.contains("LogicalRDD"))
+    db.setUniqueKey("ev", "event_id")
+    assert(db.store.uniqueKeyOf("ev").contains("event_id"))
+    val after = db.aggregate("ev", pipeline)
+    // the row identity is now the KEY COLUMN (event_id AS __graft_rid):
+    // no checkpoint-materialized LogicalRDD, no synthetic id
+    val plan = after.queryExecution.analyzed.toString
+    assert(plan.contains("event_id#") && plan.contains("AS __graft_rid"))
+    assert(!plan.contains("monotonically_increasing_id") &&
+      !plan.contains("LogicalRDD"))
+    assert(after.collect().map(_.toSeq).toSeq ==
+      before.collect().map(_.toSeq).toSeq)
+    assert(after.select("event_id", "n").as[(Long, Int)].collect().toSeq ==
+      Seq((1L, 2), (2L, 1), (3L, 2)))
+    // a stale hint (column renamed away) is ignored, never fatal
+    db.setUniqueKey("ev", "user_id")
+    val renamed = db.aggregate("ev",
+      """[{"$project": {"eid": "$event_id"}}, {"$sort": {"eid": 1}}]""")
+    assert(renamed.count() == 3)
+    // setUniqueKey validates the column exists
+    assertThrows[graft.mql.MqlException](db.setUniqueKey("ev", "nope"))
+  }
 }

@@ -360,4 +360,96 @@ class OpMsgWatchSpec extends AnyFunSuite {
       assert(server.openCursors == 0)
     } finally { conn.close(); server.stop() }
   }
+
+  test("drop mid-watch: drop + terminal invalidate cross the wire, the " +
+       "server closes the cursor with the batch, resumeAfter past the " +
+       "invalidate refuses, startAfter survives") {
+    val (store, server) = fixture()
+    try {
+      val (_, tok1) = OpMsg.watch(spark, "127.0.0.1", server.port,
+        "graft", "coll", keyField = "doc_id")
+      store.drop("coll"): Unit
+      val (ddl, tok2) = OpMsg.watch(spark, "127.0.0.1", server.port,
+        "graft", "coll", keyField = "doc_id", resumeAfter = Some(tok1))
+      val ops = ddl.select("operationType").orderBy(col("_id._data"))
+        .collect().map(_.getString(0)).toSeq
+      assert(ops == Seq("drop", "invalidate"))
+      // documentKey/fullDocument are null on DDL events; txn past data
+      val txns = ddl.select(col("txnVersion").cast("long"))
+        .orderBy(col("_id._data")).collect().map(_.getLong(0)).toSeq
+      assert(txns == Seq(3L, 4L))
+      // the server closed the cursor WITH the invalidate batch — the
+      // client never sent killCursors (watchFetch skips it on id 0)
+      assert(server.openCursors == 0)
+      // resumeAfter at the invalidate token is a dead end naming the
+      // way out; startAfter on the same token opens and idles
+      val e = intercept[Exception](OpMsg.watch(spark, "127.0.0.1",
+        server.port, "graft", "coll", keyField = "doc_id",
+        resumeAfter = Some(tok2)))
+      assert(e.getMessage.contains("startAfter"))
+      val (idle, _) = OpMsg.watch(spark, "127.0.0.1", server.port,
+        "graft", "coll", keyField = "doc_id", startAfter = Some(tok2))
+      assert(idle.count() == 0)
+    } finally server.stop()
+  }
+
+  test("rename mid-watch: rename event carries the `to` namespace, then " +
+       "invalidate; the old name's stream replays DDL even though its " +
+       "history moved with the collection") {
+    val (store, server) = fixture()
+    try {
+      val (_, tok1) = OpMsg.watch(spark, "127.0.0.1", server.port,
+        "graft", "coll", keyField = "doc_id")
+      store.rename("coll", "coll2")
+      val (ddl, _) = OpMsg.watch(spark, "127.0.0.1", server.port,
+        "graft", "coll", keyField = "doc_id", resumeAfter = Some(tok1))
+      val rows = ddl.select(col("operationType"), col("to.coll"))
+        .orderBy(col("_id._data")).collect()
+      assert(rows.map(_.getString(0)).toSeq == Seq("rename", "invalidate"))
+      assert(rows.head.getString(1) == "coll2")
+      // the renamed collection watches under its NEW name with the
+      // full moved history
+      val (moved, _) = OpMsg.watch(spark, "127.0.0.1", server.port,
+        "graft", "coll2", keyField = "doc_id")
+      assert(moved.where(col("operationType").isin("insert", "update",
+        "delete")).count() > 0)
+      assert(moved.select(col("ns.coll")).distinct().collect()
+        .map(_.getString(0)).toSeq == Seq("coll2"))
+    } finally server.stop()
+  }
+
+  test("db-level watch survives collection DDL: the drop event is " +
+       "visible, no invalidate (mongod invalidates db watches only on " +
+       "dropDatabase)") {
+    val (store, server) = fixture()
+    try {
+      val docs = graft.api.Graft.table(spark, "/root/testdata/sf0.001",
+          "documents").select("doc_id", "source", "n_chars")
+      store.writeVersioned(docs.where(col("doc_id") < 10), "aux"): Unit
+      store.writeVersioned(docs.where(col("doc_id") < 15), "aux"): Unit
+      store.drop("coll"): Unit
+      val (ev, _) = OpMsg.watch(spark, "127.0.0.1", server.port,
+        "graft", "*", keyField = "doc_id")
+      val byOp = ev.groupBy("operationType").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byOp.contains("drop"))
+      assert(!byOp.contains("invalidate"))
+      // the dropped collection's RETAINED transitions stay visible
+      assert(ev.where(col("ns.coll") === "coll").count() >= 1)
+      assert(ev.where(col("ns.coll") === "aux" &&
+        col("operationType") === "insert").count() > 0)
+    } finally server.stop()
+  }
+
+  test("local changeEvents on a dropped collection replays retained " +
+       "transitions only (the terminal events come from the journal, " +
+       "never a per-document delete storm)") {
+    val (store, server) = fixture()
+    server.stop()
+    // 2 writes -> versions [1] + live; drop removes live
+    store.drop("coll"): Unit
+    assert(store.changeEvents("coll", "doc_id").count() == 0)
+    val ddl = store.ddlEvents("coll")
+    assert(ddl.map(e => (e.op, e.txnVersion)) == Seq(("drop", 3L)))
+  }
 }
