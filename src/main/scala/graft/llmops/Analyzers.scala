@@ -312,6 +312,20 @@ object Analyzers {
       s"""{"tokenizer":"${c.tokenizer}","tokenFilters":[$fs]$cfPart}"""
     }
 
+  /** Atlas's autocomplete FIELD shape: the default analysis chain
+    * (whitespace tokenizer + lowercase — identical token stream to
+    * [[Default]], which lowercases before splitting) terminated by ONE
+    * edgeGram filter. An index path analyzed this way stores the
+    * edge-grams of the default tokens, so `$search.autocomplete` can
+    * take its candidates from the gram postings while matching/scoring
+    * keep the default-token semantics. Returns (minGram, maxGram). */
+  def autocompleteGrams(name: String): Option[(Int, Int)] =
+    if (!isCustom(name)) None
+    else scala.util.Try(parseCustom(name, "analyzer")).toOption.collect {
+      case Custom("whitespace", Seq(FLower, FEdgeGram(mn, mx)), Nil) =>
+        (mn, mx)
+    }
+
   /** Refuses unknown analyzer names (MQL-surface error). */
   def validate(name: String, ctx: String): Unit =
     if (isCustom(name)) { parseCustom(name, ctx): Unit }

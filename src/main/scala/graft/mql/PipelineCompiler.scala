@@ -2059,13 +2059,24 @@ object PipelineCompiler {
       case List(("autocomplete", t)) =>
         val o = obj(t, "$search.autocomplete")
         val (b, k) = scoreOpt(o, "$search.autocomplete")
-        // Atlas autocomplete fields carry their own edge-gram analyzer —
-        // a custom per-path analyzer here would silently change prefix
-        // semantics, so only the default is supported
+        // Atlas autocomplete fields carry their own edge-gram analyzer:
+        // an index path analyzed with the autocomplete shape (default
+        // chain + edgeGram, Analyzers.autocompleteGrams) is the
+        // accelerated form — candidates come from the gram postings
+        // while match/score keep default-token semantics, so results
+        // are identical to the corpus pass. Any OTHER non-default
+        // analyzer would silently change prefix semantics — refuse.
         val aPath = pathOf(o, "$search.autocomplete")
-        requireDefaultAnalyzer(aPath, "$search.autocomplete")
-        Cl(AutoCl(qTokens(queryOf(o, "$search.autocomplete"),
-          "$search.autocomplete", aPath), aPath), b, k)
+        if (graft.llmops.Analyzers.autocompleteGrams(analyzerOf(aPath))
+              .isEmpty)
+          requireDefaultAnalyzer(aPath, "$search.autocomplete")
+        // the query analyzes with the DEFAULT chain in both forms (the
+        // gram expansion belongs to the index side only)
+        val qts = graft.llmops.Analyzers.queryTerms(
+          graft.llmops.Analyzers.Default, queryOf(o, "$search.autocomplete"))
+        if (qts.isEmpty)
+          throw new MqlException("$search.autocomplete: empty query")
+        Cl(AutoCl(qts, aPath), b, k)
       case List(("in", t)) =>
         val o = obj(t, "$search.in")
         val vs = o.collectFirst { case ("value", JArray(xs)) =>
@@ -2324,8 +2335,27 @@ object PipelineCompiler {
       case _ => Nil
     }.distinct
     val pIdx = tokPaths.zipWithIndex.toMap
+    // autocomplete over a gram-analyzed index path: doc tokens for the
+    // match are the DEFAULT-chain tokens (the index's grams serve only
+    // candidate selection). Mixing another clause kind on the same path
+    // would need the gram tokens in the same column — refuse loudly.
+    val autoGramPaths: Set[String] =
+      (scoredClauses ++ mustNot ++ filterCls).map(_.c).collect {
+        case AutoCl(_, p) if graft.llmops.Analyzers
+          .autocompleteGrams(analyzerOf(p)).isDefined => p
+      }.toSet
+    (scoredClauses ++ mustNot ++ filterCls).map(_.c).foreach {
+      case _: AutoCl => ()
+      case c if autoGramPaths.contains(c.path) => throw new MqlException(
+        s"$$search: path '${c.path}' is an autocomplete (edgeGram) " +
+          "index field — only the autocomplete operator can query it " +
+          "in the same stage as an autocomplete clause")
+      case _ => ()
+    }
     def toksOf(p: String) =
-      graft.llmops.Analyzers.docTokens(analyzerOf(p), fieldCol(p))
+      graft.llmops.Analyzers.docTokens(
+        if (autoGramPaths.contains(p)) graft.llmops.Analyzers.Default
+        else analyzerOf(p), fieldCol(p))
     def tokCol(p: String) = col(s"__graft_toks_${pIdx(p)}")
     // does doc token x count as an occurrence of query term t?
     def tokPred(x: Column, t: String, fuzzy: Option[(Int, Int)]): Column =
@@ -2762,11 +2792,25 @@ object PipelineCompiler {
       (_, idf) <- loadedIndex
       _ <- indexInfo // stats must be index-derivable literals
       if Seq("doc_id", "tf", "dl").forall(idf.columns.contains)
+      // (gram terms to INTERSECT, path). Text: the query terms verbatim
+      // (any = union ⇒ intersect-count 1 per term — handled by the
+      // distinct union below). Autocomplete over a gram-analyzed path:
+      // each query term truncated to maxGram is one of the index's
+      // edge-grams whenever it is at least minGram long — a doc whose
+      // tokens satisfy the autocomplete run necessarily carries ALL of
+      // them, so the intersection is a superset of the matched set and
+      // the re-run match predicate keeps results byte-identical.
       tp <- scoredClauses match {
         // matchCriteria 'all' needs a postings INTERSECTION - that
         // query keeps the corpus pass (any = union of term postings)
         case Seq(Cl(TextCl(ts, p0, None, false), bo, None, None)) if bo == 1.0 =>
-          Some((ts, p0))
+          Some((ts, p0, false))
+        case Seq(Cl(AutoCl(ts, p0), _, _, _))
+            if autoGramPaths.contains(p0) =>
+          graft.llmops.Analyzers.autocompleteGrams(analyzerOf(p0))
+            .map { case (mn, mx) =>
+              (ts.map(_.take(mx)).filter(_.length >= mn).distinct, p0, true) }
+            .filter(_._1.nonEmpty) // no usable gram → corpus pass
         case _ => None
       }
       if mustNot.isEmpty && filterCls.isEmpty && (must ++ should).size == 1
@@ -2774,10 +2818,16 @@ object PipelineCompiler {
         .select("term").collect().headOption.map(_.getString(0))
       if searchSrc.columns.contains(idColName)
     } yield {
-      val (terms, p) = tp
-      val matchedIds = idf.where(col("kind") === "posting" &&
-          col("path") === p && col("term").isin(terms: _*))
-        .select(col("doc_id").as("__graft_win")).distinct()
+      val (terms, p, intersect) = tp
+      val postings = idf.where(col("kind") === "posting" &&
+        col("path") === p && col("term").isin(terms: _*))
+      val matchedIds =
+        if (!intersect)
+          postings.select(col("doc_id").as("__graft_win")).distinct()
+        else postings.groupBy(col("doc_id"))
+          .agg(countDistinct(col("term")).as("__graft_k"))
+          .where(col("__graft_k") === terms.length)
+          .select(col("doc_id").as("__graft_win"))
       searchSrc.join(matchedIds,
         searchSrc(idColName).cast("long") === col("__graft_win"), "left_semi")
     }

@@ -1089,6 +1089,48 @@ object LlmOps {
               WHERE o.o_orderkey % 7 = 0
               GROUP BY 1, 2, 3 ORDER BY 1""")),
 
+    // FOREIGN Arrow files (what pyarrow emits, our sink never writes):
+    // a dictionary-encoded string column + zstd-compressed record-batch
+    // bodies, written with arrow-java directly. The reader must report
+    // the dictionary's VALUE type, decode against the dictionary batch,
+    // inflate the bodies, and produce exactly what the parquet replay
+    // gives — plus a compressed twin of our own sink (codec=zstd) read
+    // through the same path.
+    QueryDef("q_arrow_dict",
+      (s, dir) => {
+        val docs = Graft.table(s, dir, "documents")
+          .select("doc_id", "source").where(col("doc_id") < 2000)
+        // bounded fixture sample (≤2000 rows) — foreign-file generation
+        // is driver-side by nature (pyarrow stand-in), not a data path
+        val rows = docs.orderBy("doc_id").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSeq
+        val foreignDir = java.nio.file.Files
+          .createTempDirectory("graft_dict").toString
+        graft.sources.ArrowForeign.write(foreignDir, rows,
+          Some(org.apache.arrow.vector.compression
+            .CompressionUtil.CodecType.ZSTD), batches = 4)
+        val ownDir = java.nio.file.Files
+          .createTempDirectory("graft_dictown").toString
+        docs.write.format("graftarrow").option("codec", "zstd")
+          .mode("overwrite").save(ownDir)
+        val foreign = s.read.format("graftarrow").load(foreignDir)
+        val own = s.read.format("graftarrow").load(ownDir)
+        foreign.groupBy("source")
+          .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"))
+          .join(own.groupBy("source")
+            .agg(count(lit(1)).as("n2"), sum("doc_id").as("id_sum2")),
+            Seq("source"))
+          .select(col("source"), col("n"), col("id_sum"),
+            (col("n") === col("n2") &&
+             col("id_sum") === col("id_sum2")).as("twin_match"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+                     TRUE AS twin_match
+              FROM documents WHERE doc_id < 2000
+              GROUP BY source ORDER BY source""")),
+
     // zone-map pruning on the Arrow source: 8 range-disjoint files, a
     // point range admits one — the skip must be invisible to results
     // (sidecar soundness), which is exactly what the hash checks
@@ -3282,6 +3324,56 @@ object LlmOps {
                      GROUP BY 1)
             SELECT doc_id, score FROM sc
             ORDER BY score DESC, doc_id LIMIT 20""")),
+
+    // search-as-you-type (Atlas autocomplete), corpus pass: the query's
+    // leading tokens as an exact consecutive run with the last token a
+    // PREFIX of the next doc token. Oracle: the normalized lowercased
+    // token stream as one spaced string, matched with a plain LIKE.
+    QueryDef("q_autocomplete",
+      (s, dir) => graft.mql.PipelineCompiler.run(
+        Graft.table(s, dir, "documents"),
+        """[
+          {"$search": {"autocomplete": {"query": "the qu", "path": "text"}}},
+          {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}},
+          {"$sort": {"doc_id": 1}}]""",
+        Graft.tables(s, dir)),
+      Some("""SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM documents
+              WHERE ' ' || regexp_replace(trim(lower(text)), '\s+', ' ', 'g')
+                    || ' ' LIKE '% the qu%'
+              ORDER BY doc_id""")),
+
+    // the SAME autocomplete served from a PERSISTED edgeGram index (the
+    // Atlas autocomplete field type): the query terms truncate to
+    // maxGram, their gram postings INTERSECT into the candidate ids,
+    // one left-semi join fetches only those documents (plan-asserted in
+    // TextIndexSpec), and the consecutive-run match re-runs over the
+    // fetched rows — identical oracle to the corpus pass, corpus never
+    // scanned for non-candidates.
+    QueryDef("q_autocomplete_index",
+      (s, dir) => {
+        val store = new graft.sinks.DocStore(s,
+          java.nio.file.Files.createTempDirectory("graft_acidx").toString)
+        val docs = Graft.table(s, dir, "documents")
+        val auto = """{"tokenizer": "whitespace", "tokenFilters": [
+          {"type": "lowercase"},
+          {"type": "edgeGram", "minGram": 2, "maxGram": 6}]}"""
+        store.write(graft.llmops.TextIndex.build(docs, Seq("text"),
+          Some("doc_id"), Map("text" -> auto)), "docs_ac")
+        val resolve: graft.mql.PipelineCompiler.TableResolver = {
+          case "docs_ac" => store.read("docs_ac")
+          case t => Graft.table(s, dir, t)
+        }
+        graft.mql.PipelineCompiler.run(docs,
+          """[
+            {"$search": {"index": "docs_ac",
+              "autocomplete": {"query": "the qu", "path": "text"}}},
+            {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}},
+            {"$sort": {"doc_id": 1}}]""", resolve)
+      },
+      Some("""SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM documents
+              WHERE ' ' || regexp_replace(trim(lower(text)), '\s+', ' ', 'g')
+                    || ' ' LIKE '% the qu%'
+              ORDER BY doc_id""")),
 
     // returnStoredSource over a stored-source index: match, score, AND
     // output all come from index rows (the kind='stored' JSON payloads

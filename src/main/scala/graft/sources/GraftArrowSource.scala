@@ -70,8 +70,7 @@ class GraftArrowSource extends TableProvider with DataSourceRegister {
     val alloc = new RootAllocator()
     try {
       val reader = GraftArrowSource.openReader(fs, head, in, alloc)
-      try GraftArrowSource.toSparkSchema(
-        reader.getVectorSchemaRoot.getSchema)
+      try GraftArrowSource.toSparkSchema(reader)
       finally reader.close()
     } finally { in.close(); alloc.close() }
   }
@@ -118,10 +117,16 @@ private[sources] object GraftArrowSource {
   def openReader(fs: org.apache.hadoop.fs.FileSystem, p: Path,
                  in: FSDataInputStream,
                  alloc: RootAllocator): ArrowReader =
-    if (p.getName.endsWith(".arrows")) new ArrowStreamReader(in, alloc)
+    // CommonsCompressionFactory: record batches with LZ4_FRAME/ZSTD
+    // body compression (pyarrow writes both routinely) inflate
+    // transparently; uncompressed bodies pass through untouched
+    if (p.getName.endsWith(".arrows"))
+      new ArrowStreamReader(in, alloc,
+        org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE)
     else new ArrowFileReader(
       new SeekableReadChannel(new HadoopSeekableChannel(
-        in, fs.getFileStatus(p).getLen)), alloc)
+        in, fs.getFileStatus(p).getLen)), alloc,
+      org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE)
 
   /** Hadoop stream as a read-only SeekableByteChannel (what
     * ArrowFileReader needs for footer-seeking random access). */
@@ -251,6 +256,44 @@ private[sources] object GraftArrowSource {
   def toSparkSchema(s: Schema): StructType =
     StructType(s.getFields.asScala.map(f =>
       StructField(f.getName, toSparkType(f), f.isNullable)).toSeq)
+
+  /** The field whose TYPE the column logically carries: a dictionary-
+    * encoded field's root vector is the index vector (int) — the value
+    * type lives on the dictionary vector the reader materialized from
+    * the schema. Nested dictionary encodings (inside list/struct/map)
+    * refuse loudly — decode would have to rebuild the enclosing
+    * composite. */
+  def valueField(f: Field,
+                 dicts: java.util.Map[java.lang.Long,
+                   org.apache.arrow.vector.dictionary.Dictionary]): Field =
+    if (f.getDictionary == null) f
+    else {
+      val d = dicts.get(f.getDictionary.getId)
+      if (d == null) unsupported(
+        s"dictionary id ${f.getDictionary.getId} missing from the file")
+      d.getVector.getField
+    }
+
+  /** Reader-aware schema: dictionary-encoded top-level columns report
+    * their VALUE type (the read path decodes them); nested dictionary
+    * encodings refuse. */
+  def toSparkSchema(reader: ArrowReader): StructType = {
+    val dicts = reader.getDictionaryVectors
+    StructType(reader.getVectorSchemaRoot.getSchema.getFields.asScala.map {
+      f =>
+        val vf = valueField(f, dicts)
+        vf.getChildren.asScala.foreach(assertNoNestedDict)
+        StructField(f.getName, toSparkType(vf), f.isNullable)
+    }.toSeq)
+  }
+
+  private def assertNoNestedDict(f: Field): Unit = {
+    if (f.getDictionary != null) unsupported(
+      s"nested dictionary-encoded field '${f.getName}' (top-level " +
+        "dictionary columns decode; nested ones would need composite " +
+        "rebuilds)")
+    f.getChildren.asScala.foreach(assertNoNestedDict)
+  }
 }
 
 private[sources] class GraftArrowTable(schema: StructType,
@@ -387,19 +430,47 @@ private[sources] class GraftArrowReaderFactory(
         i
       }
       private var current: ColumnarBatch = null
+      // dictionary-encoded columns decode to fresh value vectors per
+      // batch — owned HERE (reader-reused vectors are not), released
+      // before the next load and at close
+      private val decoded =
+        scala.collection.mutable.ArrayBuffer
+          .empty[org.apache.arrow.vector.ValueVector]
+      private def releaseDecoded(): Unit = {
+        decoded.foreach(_.close()); decoded.clear()
+      }
 
       override def next(): Boolean = {
+        releaseDecoded()
         if (!reader.loadNextBatch()) return false
         // vectors are reused by the reader across loadNextBatch calls —
         // a fresh wrapper per batch, valid until the next call (the
         // PartitionReader contract)
-        val cols: Array[ColumnVector] =
-          idx.map(i => new ReaderOwnedArrowVector(root.getVector(i)): ColumnVector)
+        val cols: Array[ColumnVector] = idx.map { i =>
+          val v = root.getVector(i)
+          val enc = v.getField.getDictionary
+          val out =
+            if (enc == null) v
+            else {
+              // dictionaries may be replaced mid-stream (stream-format
+              // replacement messages): decode against the CURRENT state
+              val d = reader.getDictionaryVectors.get(enc.getId)
+              if (d == null) throw new IllegalArgumentException(
+                s"graftarrow: file $file references dictionary " +
+                  s"${enc.getId} it never defined")
+              val dv = org.apache.arrow.vector.dictionary.DictionaryEncoder
+                .decode(v, d)
+              decoded += dv
+              dv
+            }
+          new ReaderOwnedArrowVector(out): ColumnVector
+        }
         current = new ColumnarBatch(cols, root.getRowCount)
         true
       }
       override def get(): ColumnarBatch = current
       override def close(): Unit = {
+        releaseDecoded()
         reader.close(); in.close(); alloc.close()
       }
     }
@@ -445,10 +516,22 @@ private[sources] class GraftArrowWriteBuilder(info: LogicalWriteInfo,
         .getOrElse("file")
       require(ipcFormat == "file" || ipcFormat == "stream",
         s"graftarrow: ipcFormat must be 'file' or 'stream', got '$ipcFormat'")
+      // record-batch BODY compression (what pyarrow's compression=
+      // writes): zstd or lz4 frames inside the IPC envelope — the
+      // interchange files shrink, every conforming reader (incl. this
+      // source) inflates transparently
+      val codec = Option(info.options.get("codec")).map {
+        case "zstd" => org.apache.arrow.vector.compression
+          .CompressionUtil.CodecType.ZSTD
+        case "lz4" => org.apache.arrow.vector.compression
+          .CompressionUtil.CodecType.LZ4_FRAME
+        case other => throw new IllegalArgumentException(
+          s"graftarrow: codec must be zstd|lz4, got '$other'")
+      }
       // validate the schema maps BEFORE launching tasks
       GraftArrowSource.toArrowSchema(info.schema()): Unit
       new GraftArrowBatchWrite(info.schema(), path, doTruncate, batchRows,
-        zoneMaps, ipcFormat == "stream",
+        zoneMaps, ipcFormat == "stream", codec,
         new SerializableConfiguration(org.apache.spark.sql.SparkSession
           .active.sessionState.newHadoopConf()))
     }
@@ -462,6 +545,9 @@ private[sources] class GraftArrowBatchWrite(schema: StructType, path: String,
                                             truncate: Boolean, batchRows: Int,
                                             zoneMaps: Boolean,
                                             streamFormat: Boolean,
+                                            codec: Option[org.apache.arrow
+                                              .vector.compression
+                                              .CompressionUtil.CodecType],
                                             conf: SerializableConfiguration)
   extends BatchWrite {
   private val jobToken = java.util.UUID.randomUUID().toString.take(8)
@@ -488,7 +574,7 @@ private[sources] class GraftArrowBatchWrite(schema: StructType, path: String,
     }
     fs.mkdirs(dir)
     new GraftArrowWriterFactory(schema, path, jobToken, batchRows, zoneMaps,
-      streamFormat, conf)
+      streamFormat, codec, conf)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -522,11 +608,14 @@ private[sources] class GraftArrowWriterFactory(schema: StructType, path: String,
                                                jobToken: String, batchRows: Int,
                                                zoneMaps: Boolean,
                                                streamFormat: Boolean,
+                                               codec: Option[org.apache.arrow
+                                                 .vector.compression
+                                                 .CompressionUtil.CodecType],
                                                conf: SerializableConfiguration)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftArrowDataWriter(schema, path, jobToken, partitionId, taskId,
-      batchRows, zoneMaps, streamFormat, conf.value)
+      batchRows, zoneMaps, streamFormat, codec, conf.value)
 }
 
 /** Per-task writer: one staged hidden `.arrow` file, record batches of
@@ -537,6 +626,9 @@ private[sources] class GraftArrowDataWriter(schema: StructType, path: String,
                                             taskId: Long, batchRows: Int,
                                             zoneMaps: Boolean,
                                             streamFormat: Boolean,
+                                            codec: Option[org.apache.arrow
+                                              .vector.compression
+                                              .CompressionUtil.CodecType],
                                             conf: org.apache.hadoop.conf.Configuration)
   extends DataWriter[InternalRow] {
   // zone-map stats ride a .zmap sidecar through the same hidden-rename
@@ -554,12 +646,19 @@ private[sources] class GraftArrowDataWriter(schema: StructType, path: String,
   private val alloc = new RootAllocator()
   private val arrowSchema = GraftArrowSource.toArrowSchema(schema)
   private val root = VectorSchemaRoot.create(arrowSchema, alloc)
-  private val writer: ArrowWriter =
-    if (streamFormat)
-      new ArrowStreamWriter(root, null,
-        java.nio.channels.Channels.newChannel(out))
-    else new ArrowFileWriter(root, null,
-      java.nio.channels.Channels.newChannel(out))
+  private val writer: ArrowWriter = {
+    val ch = java.nio.channels.Channels.newChannel(out)
+    val fac = org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE
+    val opt = org.apache.arrow.vector.ipc.message.IpcOption.DEFAULT
+    (streamFormat, codec) match {
+      case (true, Some(ct)) => new ArrowStreamWriter(root, null, ch, opt,
+        fac, ct)
+      case (true, None) => new ArrowStreamWriter(root, null, ch)
+      case (false, Some(ct)) => new ArrowFileWriter(root, null, ch,
+        new java.util.HashMap[String, String](), opt, fac, ct)
+      case (false, None) => new ArrowFileWriter(root, null, ch)
+    }
+  }
   writer.start()
   root.allocateNew()
 

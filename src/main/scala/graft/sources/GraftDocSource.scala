@@ -1991,7 +1991,7 @@ private[sources] abstract class DirectColumnarReaderBase(
   * stream through [[graft.bson.BsonVectorDecoder]]'s per-column writers —
   * no intermediate tree, undeclared fields skipped as byte ranges. */
 private[sources] class BsonColumnarReader(
-    fsIn: org.apache.hadoop.fs.FSDataInputStream,
+    fsIn: java.io.InputStream,
     schema: StructType, strict: Boolean, limitRows: Int = Int.MaxValue,
     filters: Array[Filter] = Array.empty,
     partValues: Map[String, Any] = Map.empty)

@@ -431,8 +431,11 @@ private[sources] class GraftWireScan(required: StructType,
           "offsetKey/splitKey")
       val keyField = Option(options.get("keyField")).getOrElse("_id")
       val startTok = Option(options.get("startToken")).getOrElse("")
+      val compactAt = Option(options.get("spoolCompact")).map(_.toInt)
+        .getOrElse(64)
+      require(compactAt >= 2, "graftwire: spoolCompact must be >= 2")
       return new GraftWireChangeStream(c, keyField, required,
-        checkpointLocation, startTok)
+        checkpointLocation, startTok, compactAt)
     }
     val offsetKey = Option(options.get("offsetKey")).getOrElse(
       throw new IllegalArgumentException(
@@ -550,7 +553,8 @@ private[sources] object WireTokenOffset {
   * driver recovers the wire tail position even past retention. */
 private[sources] class GraftWireChangeStream(
     c: GraftWireSource.Conn, keyField: String, required: StructType,
-    checkpointLocation: String, startToken: String)
+    checkpointLocation: String, startToken: String,
+    compactThreshold: Int = 64)
   extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
   import org.apache.hadoop.fs.Path
@@ -563,6 +567,18 @@ private[sources] class GraftWireChangeStream(
 
   private def dataFile(n: Long): Path = new Path(spool, f"spool-$n%010d.bson")
   private def tokenFile(n: Long): Path = new Path(spool, f"spool-$n%010d.token")
+  // a compacted run of plain spool files: one concatenated .bson plus a
+  // tiny index sidecar mapping each sequence to its (offset, length)
+  // byte slice, so ANY (start, end] batch range stays servable exactly
+  private def mergedFile(k1: Long, k2: Long): Path =
+    new Path(spool, f"spool-$k1%010d-$k2%010d.bson")
+  private def mergedIdx(k1: Long, k2: Long): Path =
+    new Path(spool, f"spool-$k1%010d-$k2%010d.idx")
+  private val MergedRe = """spool-(\d{10})-(\d{10})\.bson""".r
+  private val PlainRe = """spool-(\d{10})\.bson""".r
+  private def listDataNames(): Seq[String] =
+    fs.listStatus(spool).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("spool-") && n.endsWith(".bson"))
 
   private def readToken(p: Path): String = {
     val in = fs.open(p)
@@ -615,6 +631,7 @@ private[sources] class GraftWireChangeStream(
       try tout.write(tok.getBytes("UTF-8")) finally tout.close()
       OpMsg.deleteDir(dir)
       cur = (n, tok)
+      compactSpool()
       WireTokenOffset(n, tok)
     }
   }
@@ -625,12 +642,84 @@ private[sources] class GraftWireChangeStream(
   // starting from 0 would walk 1..N issuing no-op deletes once per
   // restart. No data files (all committed) → seed from the recovered
   // sequence counter itself.
-  @volatile private var lastCommitted: Long = {
-    val ds = fs.listStatus(spool).toSeq.map(_.getPath.getName)
-      .filter(n => n.startsWith("spool-") && n.endsWith(".bson"))
-      .flatMap(n => scala.util.Try(
-        n.stripPrefix("spool-").stripSuffix(".bson").toLong).toOption)
+  // private[sources]: specs pin the post-restart seeding contract
+  @volatile private[sources] var lastCommitted: Long = {
+    val ds = listDataNames().flatMap {
+      case PlainRe(k) => Some(k.toLong)
+      case MergedRe(k1, _) => Some(k1.toLong)
+      case _ => None
+    }
     if (ds.isEmpty) cur._1 else ds.min - 1
+  }
+  // highest sequence any PLANNED batch may be reading: plain files at or
+  // below it can be mid-read by executing tasks, so compaction only
+  // folds files strictly above (freshly spooled, not yet referenced)
+  @volatile private var lastPlannedHi: Long = cur._1
+
+  /** Fold the uncommitted, not-yet-planned plain spool files into one
+    * merged file + slice index when their count crosses the threshold —
+    * a long-lived query behind a stalled/slow downstream keeps a
+    * BOUNDED spool file count instead of one file per non-empty
+    * trigger. Offsets are untouched (the index preserves every
+    * sequence boundary); plain files delete only after the merged file
+    * + index are durably in place, so a crash mid-compaction leaves a
+    * readable spool (plain files win on overlap). */
+  private def compactSpool(): Unit = {
+    val floor = math.max(lastCommitted, lastPlannedHi)
+    val plains = listDataNames().flatMap {
+      case PlainRe(k) => Some(k.toLong).filter(_ > floor)
+      case _ => None
+    }.sorted
+    // only a CONTIGUOUS tail run folds (gaps mean already-merged spans)
+    if (plains.length < compactThreshold) return
+    val runs = plains.foldLeft(List.empty[List[Long]]) {
+      case (acc, k) if acc.nonEmpty && acc.head.head == k - 1 =>
+        (k :: acc.head) :: acc.tail
+      case (acc, k) => List(k) :: acc
+    }.map(_.reverse).reverse
+    runs.filter(_.length >= 2).foreach { run =>
+      val (k1, k2) = (run.head, run.last)
+      val idx = new StringBuilder
+      val out = fs.create(mergedFile(k1, k2), true)
+      try {
+        var off = 0L
+        run.foreach { k =>
+          val st = fs.getFileStatus(dataFile(k))
+          val in = fs.open(dataFile(k))
+          try {
+            val buf = new Array[Byte](1 << 16)
+            var r = in.read(buf)
+            while (r > 0) { out.write(buf, 0, r); r = in.read(buf) }
+          } finally in.close()
+          idx.append(s"$k $off ${st.getLen}\n"): Unit
+          off += st.getLen
+        }
+      } finally out.close()
+      val iout = fs.create(mergedIdx(k1, k2), true)
+      try iout.write(idx.toString.getBytes("UTF-8")) finally iout.close()
+      run.foreach(k => fs.delete(dataFile(k), false): Unit)
+    }
+  }
+
+  /** (file, offset, length) serving sequence `k`: the plain file when
+    * present, else the covering merged file's slice. */
+  private def sliceOf(k: Long): (String, Long, Long) = {
+    if (fs.exists(dataFile(k)))
+      return (dataFile(k).toString, 0L, fs.getFileStatus(dataFile(k)).getLen)
+    listDataNames().collectFirst {
+      case n @ MergedRe(a, b) if a.toLong <= k && k <= b.toLong =>
+        val ip = new Path(spool, n.stripSuffix(".bson") + ".idx")
+        val in = fs.open(ip)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                   finally in.close()
+        text.linesIterator.map(_.split(' ')).collectFirst {
+          case Array(kk, off, len) if kk.toLong == k =>
+            (new Path(spool, n).toString, off.toLong, len.toLong)
+        }.getOrElse(throw new IllegalStateException(
+          s"graftwire spool: merged index $ip lacks sequence $k"))
+    }.getOrElse(throw new IllegalStateException(
+      s"graftwire spool: no data for sequence $k (over-aggressive " +
+        "cleanup or foreign deletion)"))
   }
   override def commit(end: Offset): Unit = {
     // processed batches release their data files; token sidecars prune
@@ -642,6 +731,14 @@ private[sources] class GraftWireChangeStream(
       fs.delete(dataFile(k), false): Unit
       if (k < cur._1) fs.delete(tokenFile(k), false): Unit
     }
+    // merged files release once their whole span is processed
+    listDataNames().foreach {
+      case f @ MergedRe(_, b) if b.toLong <= n =>
+        fs.delete(new Path(spool, f), false): Unit
+        fs.delete(new Path(spool, f.stripSuffix(".bson") + ".idx"),
+          false): Unit
+      case _ => ()
+    }
     lastCommitted = math.max(lastCommitted, n)
   }
   override def stop(): Unit = ()
@@ -650,15 +747,20 @@ private[sources] class GraftWireChangeStream(
       : Array[InputPartition] = {
     val lo = start.asInstanceOf[WireTokenOffset].n
     val hi = end.asInstanceOf[WireTokenOffset].n
-    ((lo + 1) to hi).map(k =>
-      GraftWireSpoolPartition(dataFile(k).toString): InputPartition).toArray
+    lastPlannedHi = math.max(lastPlannedHi, hi)
+    ((lo + 1) to hi).map { k =>
+      val (f, off, len) = sliceOf(k)
+      GraftWireSpoolPartition(f, off, len): InputPartition
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftWireSpoolReaderFactory(required, conf)
 }
 
-private[sources] case class GraftWireSpoolPartition(file: String)
+private[sources] case class GraftWireSpoolPartition(file: String,
+                                                    offset: Long = 0L,
+                                                    length: Long = -1L)
   extends InputPartition
 
 private[sources] class GraftWireSpoolReaderFactory(
@@ -668,10 +770,29 @@ private[sources] class GraftWireSpoolReaderFactory(
   override def supportColumnarReads(partition: InputPartition): Boolean = true
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[ColumnarBatch] = {
-    val hp = new org.apache.hadoop.fs.Path(
-      partition.asInstanceOf[GraftWireSpoolPartition].file)
+    val part = partition.asInstanceOf[GraftWireSpoolPartition]
+    val hp = new org.apache.hadoop.fs.Path(part.file)
     val pfs = hp.getFileSystem(conf.value)
-    new BsonColumnarReader(pfs.open(hp), required, strict = false)
+    val in = pfs.open(hp)
+    val stream: java.io.InputStream =
+      if (part.length < 0) in
+      else { // a merged-file slice: seek + bounded read
+        in.seek(part.offset)
+        new java.io.InputStream {
+          private var left = part.length
+          override def read(): Int =
+            if (left <= 0) -1
+            else { val b = in.read(); if (b >= 0) left -= 1; b }
+          override def read(b: Array[Byte], o: Int, l: Int): Int = {
+            if (left <= 0) return -1
+            val r = in.read(b, o, math.min(l.toLong, left).toInt)
+            if (r > 0) left -= r
+            r
+          }
+          override def close(): Unit = in.close()
+        }
+      }
+    new BsonColumnarReader(stream, required, strict = false)
   }
   override def createReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =

@@ -298,4 +298,67 @@ class TextIndexSpec extends AnyFunSuite {
         "limit": 5, "tieBreaker": "doc_id"}}, $project]""")
     assert(fallback == plain)
   }
+
+  test("autocomplete from the edgeGram index: candidates via LeftSemi " +
+       "gram-postings intersection, results ≡ the corpus pass, no " +
+       "corpus scan feeding the match") {
+    val auto = """{"tokenizer": "whitespace", "tokenFilters": [
+      {"type": "lowercase"},
+      {"type": "edgeGram", "minGram": 2, "maxGram": 6}]}"""
+    val idx = TextIndex.build(docs, Seq("text"), Some("doc_id"),
+      Map("text" -> auto))
+    val resolve: PipelineCompiler.TableResolver = { case "ac" => idx }
+    // corpus-pass twin (no index): default-analyzer autocomplete
+    val plain = runQ(s"""[
+      {"$$search": {"autocomplete": {"query": "spark qu", "path": "text"}}},
+      $project]""")
+    assert(plain.map(_._1) == Seq(2L)) // "spark query engines..."
+    val indexed = PipelineCompiler.run(docs, s"""[
+      {"$$search": {"index": "ac",
+        "autocomplete": {"query": "spark qu", "path": "text"}}},
+      $project]""", resolve)
+    assert(indexed.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+      "autocomplete-over-index should fetch candidates via left-semi join")
+    assert(indexed.as[(Long, Double)].collect().toSeq == plain)
+    // single-token prefix form; gram intersection is the superset, the
+    // re-run match predicate enforces the consecutive-run contract
+    val one = PipelineCompiler.run(docs, s"""[
+      {"$$search": {"index": "ac",
+        "autocomplete": {"query": "spar", "path": "text"}}},
+      {"$$project": {"doc_id": 1}}, {"$$sort": {"doc_id": 1}}]""", resolve)
+    assert(one.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+    assert(one.as[Long].collect().toSeq == Seq(1L, 2L))
+    // prefix LONGER than maxGram: truncated gram is still a superset
+    val long = PipelineCompiler.run(docs, s"""[
+      {"$$search": {"index": "ac",
+        "autocomplete": {"query": "complete", "path": "text"}}},
+      {"$$project": {"doc_id": 1}}]""", resolve)
+    assert(long.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+    assert(long.as[Long].collect().toSeq == Seq(4L))
+    // prefix SHORTER than minGram: no usable gram — silent corpus pass,
+    // same results, no semi-join
+    val short = PipelineCompiler.run(docs, s"""[
+      {"$$search": {"index": "ac",
+        "autocomplete": {"query": "s", "path": "text"}}},
+      {"$$project": {"doc_id": 1}}, {"$$sort": {"doc_id": 1}}]""", resolve)
+    assert(!short.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+    assert(short.as[Long].collect().toSeq == Seq(1L, 2L))
+    // a non-autocomplete clause on the gram-analyzed path refuses (its
+    // token column would need the gram stream in the same stage)
+    val e = intercept[MqlException] { PipelineCompiler.run(docs, s"""[
+      {"$$search": {"index": "ac", "compound": {"must": [
+        {"autocomplete": {"query": "spark qu", "path": "text"}},
+        {"text": {"query": "engines", "path": "text"}}]}}},
+      {"$$project": {"doc_id": 1}}]""", resolve).collect() }
+    assert(e.getMessage.contains("autocomplete"))
+    // and any OTHER non-default analyzer still refuses autocomplete
+    val idx2 = TextIndex.build(docs, Seq("text"),
+      Map("text" -> "lucene.standard"))
+    val r2: PipelineCompiler.TableResolver = { case "std" => idx2 }
+    val e2 = intercept[MqlException] { PipelineCompiler.run(docs, s"""[
+      {"$$search": {"index": "std",
+        "autocomplete": {"query": "spark qu", "path": "text"}}},
+      {"$$project": {"doc_id": 1}}]""", r2).collect() }
+    assert(e2.getMessage.contains("only the default analyzer"))
+  }
 }

@@ -413,4 +413,81 @@ class GraftWireSourceSpec extends AnyFunSuite {
         .option("user", "u").load())
       .getMessage.contains("together"))
   }
+
+  test("spool compaction: a stalled downstream keeps the spool file " +
+       "count bounded; merged-slice partitions serve every (start,end] " +
+       "range exactly; restart recovery + commit release unchanged") {
+    import org.apache.spark.sql.types.{StructType, StructField,
+      StringType, LongType}
+    val (store, server) = fixture()
+    try {
+      val docs = graft.api.Graft.table(spark, "/root/testdata/sf0.001",
+        "documents").select("doc_id", "source", "n_chars")
+      store.writeVersioned(docs.where(col("doc_id") < 5), "ccoll"): Unit
+      store.writeVersioned(docs.where(col("doc_id") < 10), "ccoll"): Unit
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_spoolc").toString
+      val conn = GraftWireSource.Conn("127.0.0.1", server.port, "graft",
+        "ccoll", batchSize = 1000, None, None, false, "zlib", false, false)
+      val required = StructType(Seq(
+        StructField("operationType", StringType),
+        StructField("documentKey", LongType)))
+      val cs = new GraftWireChangeStream(conn, "doc_id", required, ckpt,
+        "", compactThreshold = 4)
+      val offsets = scala.collection.mutable.ArrayBuffer(cs.latestOffset())
+      // STALLED commit: 11 more non-empty triggers, never committing
+      (1 to 11).foreach { i =>
+        store.writeVersioned(docs.where(col("doc_id") < 10 + i),
+          "ccoll"): Unit
+        offsets += cs.latestOffset()
+      }
+      val spoolDir = new java.io.File(ckpt, "graftwire-spool")
+      def bsons() = spoolDir.listFiles().toSeq
+        .filter(_.getName.endsWith(".bson"))
+      assert(bsons().size <= 5,
+        s"expected a compacted spool, got ${bsons().map(_.getName)}")
+      assert(bsons().exists(
+        _.getName.matches("""spool-\d{10}-\d{10}\.bson""")),
+        "expected merged spool files")
+      val factory = cs.createReaderFactory()
+      def rows(parts: Array[org.apache.spark.sql.connector.read
+          .InputPartition]): Long = parts.map { pt =>
+        val r = factory.createColumnarReader(pt)
+        try { var n = 0L; while (r.next()) n += r.get().numRows(); n }
+        finally r.close()
+      }.sum
+      // whole range: 5 initial inserts + 11 single-insert triggers
+      assert(rows(cs.planInputPartitions(
+        WireTokenOffset(0L, ""), offsets.last)) == 16)
+      // an INTERIOR single-trigger range served from a merged slice
+      assert(rows(cs.planInputPartitions(offsets(3), offsets(4))) == 1)
+      assert(rows(cs.planInputPartitions(offsets(7), offsets(10))) == 3)
+      // restart: a fresh instance recovers the tail and serves the same
+      // ranges from the compacted spool
+      val cs2 = new GraftWireChangeStream(conn, "doc_id", required, ckpt,
+        "", compactThreshold = 4)
+      val factory2 = cs2.createReaderFactory()
+      def rows2(parts: Array[org.apache.spark.sql.connector.read
+          .InputPartition]): Long = parts.map { pt =>
+        val r = factory2.createColumnarReader(pt)
+        try { var n = 0L; while (r.next()) n += r.get().numRows(); n }
+        finally r.close()
+      }.sum
+      assert(rows2(cs2.planInputPartitions(
+        WireTokenOffset(0L, ""), offsets.last)) == 16)
+      // commit releases plain AND merged files
+      cs2.commit(offsets.last)
+      assert(bsons().isEmpty, s"spool not released: ${bsons()}")
+      // post-restart seeding: with everything committed, a third
+      // incarnation seeds lastCommitted at the recovered counter — its
+      // first commit walks the EMPTY window, never 1..N (the O(query
+      // lifetime) regression this seed exists to prevent)
+      val cs3 = new GraftWireChangeStream(conn, "doc_id", required, ckpt,
+        "", compactThreshold = 4)
+      assert(cs3.lastCommitted == 12L)
+      cs3.commit(offsets.last) // no-op window
+      assert(spoolDir.listFiles().toSeq
+        .count(_.getName.endsWith(".token")) >= 1) // newest sidecar stays
+    } finally server.stop()
+  }
 }
