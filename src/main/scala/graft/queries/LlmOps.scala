@@ -3356,7 +3356,7 @@ object LlmOps {
         val docs = Graft.table(s, dir, "documents")
         val auto = """{"tokenizer": "whitespace", "tokenFilters": [
           {"type": "lowercase"},
-          {"type": "edgeGram", "minGram": 2, "maxGram": 6}]}"""
+          {"type": "edgeGram", "minGram": 2, "maxGram": 4}]}"""
         store.write(graft.llmops.TextIndex.build(docs, Seq("text"),
           Some("doc_id"), Map("text" -> auto)), "docs_ac")
         val resolve: graft.mql.PipelineCompiler.TableResolver = {
