@@ -1,8 +1,8 @@
 package graft.sources
 
-/** RFC 8878 zstd — a complete from-scratch frame decoder plus a
-  * store-mode encoder, built from the published spec (RFC 8878; no
-  * codebase consulted).
+/** RFC 8878 zstd — a complete from-scratch frame decoder AND a real
+  * compressed-block encoder, built from the published spec (RFC 8878;
+  * no codebase consulted).
   *
   * Why this exists: mongod negotiates `snappy|zlib|zstd` and, when
   * zstd is selected, sends OP_COMPRESSED id-3 payloads whose frames
@@ -30,11 +30,17 @@ package graft.sources
   * property-style against real frames produced by zstd-jni and the
   * zstd CLI across levels and block shapes (ZstdSpec).
   *
-  * [[compress]] stays store-mode (Raw blocks ≤ 128 KiB): a legal
-  * zstd frame any conforming decoder inflates — exactly what zstd
-  * itself emits for incompressible input — chosen because the wire
-  * path values a predictable, allocation-light encode over ratio
-  * (OP_COMPRESSED peers that want ratio negotiate zlib).
+  * Encoding comes in two shapes:
+  *   - [[compress]]: store-mode (Raw blocks ≤ 128 KiB) — a legal zstd
+  *     frame any conforming decoder inflates, exactly what zstd itself
+  *     emits for incompressible input; the predictable allocation-light
+  *     form.
+  *   - [[compressFrame]]: REAL compression — greedy LZ77 sequences
+  *     coded with the predefined FSE distributions over Raw literals,
+  *     per-block Raw fallback when a block does not shrink. Frames are
+  *     round-tripped against the real libzstd (zstd-jni + the zstd
+  *     CLI) in ZstdSpec; the OP_COMPRESSED wire path sends these, so
+  *     BOTH directions of the wire run on this file alone.
   */
 object Zstd {
   private val Magic = 0xFD2FB528
@@ -378,19 +384,23 @@ object Zstd {
     0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
     1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
 
-  // predefined distributions (§3.1.1.3.2.2)
-  private lazy val PredefLl = buildFse(Array(
+  // predefined distributions (§3.1.1.3.2.2) — shared by the decode
+  // tables and the encoder's CTables (identical spread ⇒ states align)
+  private val LlDist = Array(
     4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1,
     2, 2, 2, 2, 2, 2, 2, 2, 2, 3, 2, 1, 1, 1, 1, 1,
-    -1, -1, -1, -1), 6)
-  private lazy val PredefMl = buildFse(Array(
+    -1, -1, -1, -1)
+  private val MlDist = Array(
     1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
     1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
     1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, -1, -1,
-    -1, -1, -1, -1, -1), 6)
-  private lazy val PredefOf = buildFse(Array(
+    -1, -1, -1, -1, -1)
+  private val OfDist = Array(
     1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
-    1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1), 5)
+    1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1)
+  private lazy val PredefLl = buildFse(LlDist, 6)
+  private lazy val PredefMl = buildFse(MlDist, 6)
+  private lazy val PredefOf = buildFse(OfDist, 5)
 
   // ------------------------------------------------------------ frame state
 
@@ -679,28 +689,267 @@ object Zstd {
     h
   }
 
+  // --------------------------------------------------- compressed-block encode
+
+  /** Forward little-endian bit writer (§3.1.1.4's write side): values
+    * append at the low end; close() adds the sentinel 1 the backward
+    * reader anchors on. */
+  private final class FwdBitWriter(hint: Int) {
+    private var buf = new Array[Byte](math.max(hint, 64))
+    private var acc = 0L
+    private var nbits = 0
+    private var n = 0
+    def add(value: Long, bits: Int): Unit = {
+      acc |= (value & ((1L << bits) - 1)) << nbits
+      nbits += bits
+      while (nbits >= 8) {
+        if (n == buf.length) buf = java.util.Arrays.copyOf(buf, n * 2)
+        buf(n) = acc.toByte; n += 1; acc >>>= 8; nbits -= 8
+      }
+    }
+    def close(): Array[Byte] = {
+      add(1L, 1)
+      if (nbits > 0) {
+        if (n == buf.length) buf = java.util.Arrays.copyOf(buf, n + 1)
+        buf(n) = acc.toByte; n += 1; acc = 0; nbits = 0
+      }
+      java.util.Arrays.copyOf(buf, n)
+    }
+  }
+
+  /** FSE ENCODING table for a normalized distribution — the write-side
+    * twin of [[buildFse]] (same spread, so decoder states line up).
+    * State values live in [tableSize, 2·tableSize): flushing writes the
+    * low accuracyLog bits, which is the decoder's init read. */
+  private final class FseEnc(counts: Array[Int], al: Int) {
+    private val tableSize = 1 << al
+    private val stateTable = new Array[Int](tableSize)
+    private val deltaNbBits = new Array[Int](counts.length)
+    private val deltaFindState = new Array[Int](counts.length)
+    locally {
+      // spread identical to the decoder's
+      val symbols = new Array[Int](tableSize)
+      var highThreshold = tableSize - 1
+      var s = 0
+      while (s < counts.length) {
+        if (counts(s) == -1) { symbols(highThreshold) = s; highThreshold -= 1 }
+        s += 1
+      }
+      val step = (tableSize >>> 1) + (tableSize >>> 3) + 3
+      var pos = 0
+      s = 0
+      while (s < counts.length) {
+        var i = 0
+        while (i < counts(s)) {
+          symbols(pos) = s
+          pos = (pos + step) & (tableSize - 1)
+          while (pos > highThreshold) pos = (pos + step) & (tableSize - 1)
+          i += 1
+        }
+        s += 1
+      }
+      val cumul = new Array[Int](counts.length)
+      var c = 0
+      s = 0
+      while (s < counts.length) {
+        cumul(s) = c; c += math.abs(counts(s)); s += 1
+      }
+      var u = 0
+      while (u < tableSize) {
+        val sym = symbols(u)
+        stateTable(cumul(sym)) = tableSize + u
+        cumul(sym) += 1
+        u += 1
+      }
+      var total = 0
+      s = 0
+      while (s < counts.length) {
+        counts(s) match {
+          case 0 => ()
+          case -1 | 1 =>
+            deltaNbBits(s) = (al << 16) - tableSize
+            deltaFindState(s) = total - 1
+            total += 1
+          case cnt =>
+            val maxBitsOut = al - highBit(cnt - 1)
+            deltaNbBits(s) = (maxBitsOut << 16) - (cnt << maxBitsOut)
+            deltaFindState(s) = total - cnt
+            total += cnt
+        }
+        s += 1
+      }
+    }
+    def init(s: Int): Int = {
+      val nbBitsOut = (deltaNbBits(s) + (1 << 15)) >>> 16
+      val v = (nbBitsOut << 16) - deltaNbBits(s)
+      stateTable((v >>> nbBitsOut) + deltaFindState(s))
+    }
+    def encode(w: FwdBitWriter, state: Int, s: Int): Int = {
+      val nbBits = (state + deltaNbBits(s)) >>> 16
+      w.add(state.toLong, nbBits)
+      stateTable((state >>> nbBits) + deltaFindState(s))
+    }
+    def flush(w: FwdBitWriter, state: Int): Unit = w.add(state.toLong, al)
+  }
+
+  private lazy val EncLl = new FseEnc(LlDist, 6)
+  private lazy val EncMl = new FseEnc(MlDist, 6)
+  private lazy val EncOf = new FseEnc(OfDist, 5)
+
+  private def llCodeOf(v: Int): Int =
+    if (v < 16) v else { var c = 35; while (LlBase(c) > v) c -= 1; c }
+  private def mlCodeOf(v: Int): Int =
+    if (v <= 34) v - 3 else { var c = 52; while (MlBase(c) > v) c -= 1; c }
+
+  /** One compressed block over in[from, from+len): greedy LZ77 (4-byte
+    * hash heads, in-block matches) → Raw literals + sequences coded
+    * with the PREDEFINED FSE distributions (compression-modes byte 0 —
+    * no table descriptions, no cross-block table state, and offsets
+    * are always literal values so the repeat-offset history is never
+    * consulted). Returns None when the block does not shrink. */
+  private def compressBlock(in: Array[Byte], from: Int,
+                            len: Int): Option[Array[Byte]] = {
+    if (len < 32) return None
+    val end = from + len
+    val HashLog = 16
+    val table = new Array[Int](1 << HashLog) // pos+1; 0 = empty
+    def hash(p: Int): Int = {
+      val v = (in(p) & 0xFF) | ((in(p + 1) & 0xFF) << 8) |
+        ((in(p + 2) & 0xFF) << 16) | ((in(p + 3) & 0xFF) << 24)
+      (v * -1640531535) >>> (32 - HashLog)
+    }
+    val MaxMl = 131074 // ML code 52's ceiling (65539 + 16 extra bits)
+    val seqLl = new scala.collection.mutable.ArrayBuffer[Int]
+    val seqMl = new scala.collection.mutable.ArrayBuffer[Int]
+    val seqOf = new scala.collection.mutable.ArrayBuffer[Int]
+    val lits = new java.io.ByteArrayOutputStream(len / 2)
+    var anchor = from
+    var p = from
+    val limit = end - 8
+    while (p < limit) {
+      val hv = hash(p)
+      val cand = table(hv) - 1
+      table(hv) = p + 1
+      if (cand >= from && cand < p &&
+          in(cand) == in(p) && in(cand + 1) == in(p + 1) &&
+          in(cand + 2) == in(p + 2) && in(cand + 3) == in(p + 3)) {
+        var ml = 4
+        while (p + ml < end && ml < MaxMl && in(cand + ml) == in(p + ml))
+          ml += 1
+        lits.write(in, anchor, p - anchor)
+        seqLl += p - anchor
+        seqMl += ml
+        seqOf += p - cand
+        p += ml
+        anchor = p
+      } else p += 1
+    }
+    val nbSeq = seqLl.length
+    if (nbSeq == 0) return None
+    lits.write(in, anchor, end - anchor)
+    val litBytes = lits.toByteArray
+    // sequence bitstream: written in REVERSE read order (decoder reads
+    // backward) — init states from the LAST sequence, then extras
+    // LL,ML,OF per sequence, updates OF,ML,LL walking backward, final
+    // state flushes ML,OF,LL
+    val w = new FwdBitWriter(len / 4)
+    val lastI = nbSeq - 1
+    var stMl = EncMl.init(mlCodeOf(seqMl(lastI)))
+    var stOf = EncOf.init(highBit(seqOf(lastI) + 3))
+    var stLl = EncLl.init(llCodeOf(seqLl(lastI)))
+    def addExtras(i: Int): Unit = {
+      val llc = llCodeOf(seqLl(i))
+      w.add((seqLl(i) - LlBase(llc)).toLong, LlExtra(llc))
+      val mlc = mlCodeOf(seqMl(i))
+      w.add((seqMl(i) - MlBase(mlc)).toLong, MlExtra(mlc))
+      val ofv = seqOf(i) + 3L
+      val ofc = highBit(ofv.toInt)
+      w.add(ofv - (1L << ofc), ofc)
+    }
+    addExtras(lastI)
+    var i = lastI - 1
+    while (i >= 0) {
+      stOf = EncOf.encode(w, stOf, highBit(seqOf(i) + 3))
+      stMl = EncMl.encode(w, stMl, mlCodeOf(seqMl(i)))
+      stLl = EncLl.encode(w, stLl, llCodeOf(seqLl(i)))
+      addExtras(i)
+      i -= 1
+    }
+    EncMl.flush(w, stMl)
+    EncOf.flush(w, stOf)
+    EncLl.flush(w, stLl)
+    val stream = w.close()
+    val out = new java.io.ByteArrayOutputStream(
+      litBytes.length + stream.length + 16)
+    // Raw literals, 3-byte header (Size_Format 11: 20-bit size)
+    val lh = (litBytes.length << 4) | (3 << 2) // btype 0 = Raw
+    out.write(lh & 0xFF); out.write((lh >>> 8) & 0xFF)
+    out.write((lh >>> 16) & 0xFF)
+    out.write(litBytes, 0, litBytes.length)
+    // sequence count
+    if (nbSeq < 128) out.write(nbSeq)
+    else if (nbSeq < 0x7F00) {
+      out.write((nbSeq >>> 8) + 128); out.write(nbSeq & 0xFF)
+    } else {
+      out.write(255)
+      out.write((nbSeq - 0x7F00) & 0xFF)
+      out.write(((nbSeq - 0x7F00) >>> 8) & 0xFF)
+    }
+    out.write(0) // compression modes: Predefined × 3
+    out.write(stream, 0, stream.length)
+    Some(out.toByteArray).filter(_.length < len)
+  }
+
+  /** REAL zstd compression, from scratch: Compressed blocks (greedy
+    * LZ77 sequences over predefined FSE tables, raw literals) with a
+    * per-block fallback to Raw when a block does not shrink — a legal
+    * frame for any conforming decoder (round-tripped against zstd-jni
+    * and the zstd CLI in ZstdSpec). The OP_COMPRESSED path sends
+    * these, so both wire directions run entirely on this file's
+    * encoder + decoder. */
+  def compressFrame(in: Array[Byte]): Array[Byte] = {
+    require(in.length <= MaxLen, s"input too large (${in.length})")
+    val n = in.length
+    val (fcsFlag, _) =
+      if (n <= 0xFF) (0, 1) else if (n - 256 <= 0xFFFF) (1, 2) else (2, 4)
+    val out = new java.io.ByteArrayOutputStream(n / 2 + 64)
+    def le(v: Int, bytes: Int): Unit = {
+      var i = 0
+      while (i < bytes) { out.write((v >>> (8 * i)) & 0xFF); i += 1 }
+    }
+    le(Magic, 4)
+    out.write((fcsFlag << 6) | 0x20) // Single_Segment, no dict/checksum
+    fcsFlag match {
+      case 0 => le(n, 1)
+      case 1 => le(n - 256, 2)
+      case _ => le(n, 4)
+    }
+    var p = 0
+    var emitted = 0
+    while (p < n || emitted == 0) {
+      val len = math.min(MaxBlock, n - p)
+      val last = if (p + len >= n) 1 else 0
+      compressBlock(in, p, len) match {
+        case Some(cb) =>
+          le(last | (2 << 1) | (cb.length << 3), 3)
+          out.write(cb, 0, cb.length)
+        case None =>
+          le(last | (len << 3), 3) // Raw
+          out.write(in, p, len)
+      }
+      p += len
+      emitted += 1
+    }
+    out.toByteArray
+  }
+
   // ------------------------------------------------------------- wire encode
 
-  /** Native zstd encoder when the JVM can load one (zstd-jni rides on
-    * the Spark classpath — Spark uses it for shuffle/parquet codecs).
-    * The wire path prefers it outbound: real compressed blocks, real
-    * ratio, and every loopback hop then drives [[uncompress]] — the
-    * from-scratch decoder — against frames a real peer would send.
-    * Falls back to [[compress]] (store-mode, pure JVM) where the
-    * native library can't load; both are legal zstd to any decoder. */
-  private lazy val nativeEncoder: Option[Array[Byte] => Array[Byte]] =
-    try {
-      val f = (in: Array[Byte]) =>
-        com.github.luben.zstd.Zstd.compress(in, 3)
-      require(java.util.Arrays.equals(uncompress(f("probe".getBytes("UTF-8"))),
-        "probe".getBytes("UTF-8")))
-      Some(f)
-    } catch { case _: Throwable => None }
-
-  /** Encode for OP_COMPRESSED id 3: native compressed-block frames
-    * when available, store-mode otherwise. */
-  def encodeWire(in: Array[Byte]): Array[Byte] =
-    nativeEncoder.map(_(in)).getOrElse(compress(in))
+  /** Encode for OP_COMPRESSED id 3: [[compressFrame]] — the from-
+    * scratch compressed-block encoder — so both wire directions run on
+    * this file alone (no native library in the data path; zstd-jni and
+    * the zstd CLI serve only as ZstdSpec's interop oracles). */
+  def encodeWire(in: Array[Byte]): Array[Byte] = compressFrame(in)
 
   // ---------------------------------------------------------------- decode
 

@@ -106,6 +106,75 @@ class ZstdSpec extends AnyFunSuite {
     assert(covered == 180)
   }
 
+  test("from-scratch ENCODER: compressFrame round-trips through our " +
+       "decoder AND the real libzstd (jni + CLI), emits Compressed " +
+       "blocks that genuinely shrink, falls back to Raw when not") {
+    val words = Array("the", "of", "and", "zstd", "compression", "entropy",
+      "a", "data", "block", "sequence", "offset", "match")
+    val sizes = Array(0, 1, 31, 32, 100, 1000, 5000, 40000, 131072,
+      131073, 300000, 17)
+    for (seed <- 0 until 30) {
+      val rnd = new scala.util.Random(seed)
+      val n = sizes(seed % sizes.length)
+      val d = new Array[Byte](n)
+      (seed % 5) match {
+        case 0 => rnd.nextBytes(d)
+        case 1 =>
+          val sb = new StringBuilder
+          while (sb.length < n) {
+            sb.append(words(rnd.nextInt(words.length))).append(' '): Unit
+          }
+          System.arraycopy(sb.toString.getBytes("UTF-8"), 0, d, 0, n)
+        case 2 =>
+          var i = 0
+          while (i < n) { d(i) = (i / (1 + rnd.nextInt(300))).toByte; i += 1 }
+        case 3 =>
+          var i = 0
+          while (i < n) { d(i) = rnd.nextInt(4).toByte; i += 1 }
+        case _ =>
+          var i = 0
+          while (i < n) { d(i) = (i % 251).toByte; i += 1 }
+      }
+      val frame = Zstd.compressFrame(d)
+      assert(java.util.Arrays.equals(Zstd.uncompress(frame), d),
+        s"self round-trip seed=$seed n=$n")
+      // the REAL decoder accepts our frames (interop, outbound side)
+      if (n > 0)
+        assert(java.util.Arrays.equals(
+          com.github.luben.zstd.Zstd.decompress(frame, n), d),
+          s"libzstd round-trip seed=$seed n=$n")
+    }
+    // compressible text shrinks through Compressed (type-2) blocks;
+    // random bytes fall back to Raw blocks and never inflate past the
+    // store-mode envelope
+    val text = ("FSE and Huffman walk into a bitstream. " * 3000)
+      .getBytes("UTF-8")
+    val cf = Zstd.compressFrame(text)
+    assert(cf.length < text.length / 3, s"ratio ${cf.length}/${text.length}")
+    val fcsBytes = ((cf(4) & 0xFF) >>> 6) match {
+      case 0 => 1; case 1 => 2; case 2 => 4; case _ => 8
+    }
+    val bh = 5 + fcsBytes
+    val bt = (((cf(bh) & 0xFF) | ((cf(bh + 1) & 0xFF) << 8) |
+      ((cf(bh + 2) & 0xFF) << 16)) >>> 1) & 3
+    assert(bt == 2, "expected a Compressed block")
+    val rndb = new Array[Byte](50000)
+    new scala.util.Random(3).nextBytes(rndb)
+    assert(Zstd.compressFrame(rndb).length <= rndb.length + 16)
+    // the zstd CLI decodes our frames byte-exactly
+    val cli = new java.io.File("/root/miniconda/bin/zstd")
+    assume(cli.canExecute, "zstd CLI not present")
+    val src = java.nio.file.Files.createTempFile("graft_enc", ".zst")
+    val dst = java.nio.file.Files.createTempFile("graft_enc", ".out")
+    java.nio.file.Files.write(src, cf)
+    val pr = new ProcessBuilder(cli.getAbsolutePath, "-d", "-f",
+      "-o", dst.toString, src.toString).redirectErrorStream(true).start()
+    assert(pr.waitFor() == 0)
+    assert(java.util.Arrays.equals(java.nio.file.Files.readAllBytes(dst),
+      text))
+    java.nio.file.Files.delete(src); java.nio.file.Files.delete(dst)
+  }
+
   test("zstd CLI frames decode (including --long window frames)") {
     val cli = new java.io.File("/root/miniconda/bin/zstd")
     assume(cli.canExecute, "zstd CLI not present")
