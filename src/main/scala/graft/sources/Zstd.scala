@@ -801,9 +801,145 @@ object Zstd {
   private def mlCodeOf(v: Int): Int =
     if (v <= 34) v - 3 else { var c = 52; while (MlBase(c) > v) c -= 1; c }
 
+  /** Huffman-encode a block's literals (§4.2.1 write side): canonical
+    * length-limited (≤11) code from byte frequencies, the DIRECT
+    * 4-bit-weight tree description, and 1- or 4-stream framing by
+    * size. Returns the full literals section (header + tree + streams)
+    * or None when Huffman would not beat Raw literals (tiny inputs,
+    * flat distributions, a last-present-byte ≥ 128 — the direct weight
+    * form carries at most 127 explicit weights). */
+  private def huffLiterals(lits: Array[Byte]): Option[Array[Byte]] = {
+    val n = lits.length
+    if (n < 64 || n > MaxBlock) return None
+    val freq = new Array[Int](256)
+    var i = 0
+    while (i < n) { freq(lits(i) & 0xFF) += 1; i += 1 }
+    var last = 255
+    while (last >= 0 && freq(last) == 0) last -= 1
+    if (last > 127) return None // direct tree form: ≤127 explicit weights
+    val present = (0 to last).filter(freq(_) > 0)
+    if (present.length < 2) return None // single symbol → RLE literals
+    // ---- code lengths: standard Huffman, then Kraft repair to ≤11 ----
+    val MaxBits = 11
+    val nbBits = new Array[Int](last + 1)
+    locally {
+      // heap-free Huffman over ≤128 symbols: repeatedly merge the two
+      // smallest trees (O(D²) is fine at D ≤ 128)
+      case class T(w: Long, syms: List[Int])
+      var trees = present.map(s => T(freq(s).toLong, List(s))).toBuffer
+      while (trees.length > 1) {
+        val a = trees.minBy(_.w); trees -= a
+        val b = trees.minBy(_.w); trees -= b
+        (a.syms ++ b.syms).foreach(s => nbBits(s) += 1)
+        trees += T(a.w + b.w, a.syms ++ b.syms)
+      }
+      // limit depth, then repair the Kraft sum to EXACTLY one (the
+      // format needs a full tree); scale 2^-d by K = 2^MaxBits
+      present.foreach(s => nbBits(s) = math.min(nbBits(s), MaxBits))
+      val unit = 1 << MaxBits
+      def kraft = present.map(s => unit >> nbBits(s)).sum
+      val byFreqAsc = present.sortBy(freq(_))
+      var k = kraft
+      while (k > unit) { // over-full: lengthen the cheapest codes
+        val s = byFreqAsc.find(nbBits(_) < MaxBits).getOrElse(return None)
+        nbBits(s) += 1
+        k -= unit >> nbBits(s)
+      }
+      // under-full: shorten the most frequent codes while room remains
+      var j = byFreqAsc.length - 1
+      while (k < unit && j >= 0) {
+        val s = byFreqAsc(j)
+        while (nbBits(s) > 1 && k + (unit >> nbBits(s)) <= unit) {
+          k += unit >> nbBits(s)
+          nbBits(s) -= 1
+        }
+        j -= 1
+      }
+      if (k != unit) return None // could not complete the tree
+    }
+    val maxBits = present.map(nbBits(_)).max
+    // weights (0 for absent symbols); the LAST present symbol's weight
+    // is implicit in the description
+    val weights = (0 to last).map(s =>
+      if (freq(s) == 0) 0 else maxBits + 1 - nbBits(s))
+    // canonical codes exactly as the decode table fills: weight
+    // ascending, symbol ascending within a weight; each symbol owns an
+    // aligned slice of the 2^maxBits index space
+    val codes = new Array[Int](last + 1)
+    locally {
+      var start = 0
+      (1 to maxBits).foreach { w =>
+        (0 to last).foreach { s =>
+          if (weights(s) == w) {
+            codes(s) = start >> (maxBits - nbBits(s))
+            start += 1 << (w - 1)
+          }
+        }
+      }
+    }
+    def encStream(fromI: Int, untilI: Int): Array[Byte] = {
+      val w = new FwdBitWriter((untilI - fromI) / 2 + 8)
+      var i = untilI - 1 // reversed: the decoder reads first-to-last
+      while (i >= fromI) {
+        val s = lits(i) & 0xFF
+        w.add(codes(s).toLong, nbBits(s))
+        i -= 1
+      }
+      w.close()
+    }
+    // tree description: direct nibble weights (explicit = all but last)
+    val explicit = weights.take(last) // symbols 0..last-1
+    val tree = new java.io.ByteArrayOutputStream(1 + explicit.length / 2 + 1)
+    tree.write(127 + explicit.length)
+    var b = 0
+    explicit.zipWithIndex.foreach { case (wt, idx) =>
+      if (idx % 2 == 0) b = wt << 4
+      else { tree.write(b | wt); b = 0 }
+    }
+    if (explicit.length % 2 == 1) tree.write(b)
+    val treeBytes = tree.toByteArray
+    val single = encStream(0, n)
+    val oneStream = treeBytes.length + single.length
+    val out = new java.io.ByteArrayOutputStream(oneStream + 8)
+    if (n <= 1023 && oneStream <= 1023) {
+      // Size_Format 00: 1 stream, 10-bit sizes, 3-byte header
+      val h = 2 | (0 << 2) | (n << 4) | (oneStream << 14)
+      out.write(h & 0xFF); out.write((h >>> 8) & 0xFF)
+      out.write((h >>> 16) & 0xFF)
+      out.write(treeBytes, 0, treeBytes.length)
+      out.write(single, 0, single.length)
+    } else {
+      // 4 streams + jump table; header format by the larger size field
+      val part = (n + 3) / 4
+      val lastLen = n - 3 * part
+      if (lastLen <= 0) return None
+      val s1 = encStream(0, part)
+      val s2 = encStream(part, 2 * part)
+      val s3 = encStream(2 * part, 3 * part)
+      val s4 = encStream(3 * part, n)
+      if (s1.length > 0xFFFF || s2.length > 0xFFFF || s3.length > 0xFFFF)
+        return None // jump-table entries are uint16
+      val cSize = treeBytes.length + 6 +
+        s1.length + s2.length + s3.length + s4.length
+      val (fmt, hdr) =
+        if (n <= 16383 && cSize <= 16383) (2, 4) else (3, 5)
+      val h = 2L | (fmt.toLong << 2) | (n.toLong << 4) |
+        (cSize.toLong << (4 + (if (fmt == 2) 14 else 18)))
+      var k = 0
+      while (k < hdr) { out.write(((h >>> (8 * k)) & 0xFF).toInt); k += 1 }
+      out.write(treeBytes, 0, treeBytes.length)
+      Seq(s1, s2, s3).foreach { s =>
+        out.write(s.length & 0xFF); out.write((s.length >>> 8) & 0xFF)
+      }
+      Seq(s1, s2, s3, s4).foreach(s => out.write(s, 0, s.length))
+    }
+    Some(out.toByteArray).filter(_.length < n + 3) // beat Raw literals
+  }
+
   /** One compressed block over in[from, from+len): greedy LZ77 (4-byte
-    * hash heads, in-block matches) → Raw literals + sequences coded
-    * with the PREDEFINED FSE distributions (compression-modes byte 0 —
+    * hash heads, in-block matches) → literals (Huffman when it wins,
+    * RLE for single-byte runs, Raw otherwise) + sequences coded with
+    * the PREDEFINED FSE distributions (compression-modes byte 0 —
     * no table descriptions, no cross-block table state, and offsets
     * are always literal values so the repeat-offset history is never
     * consulted). Returns None when the block does not shrink. */
@@ -823,6 +959,7 @@ object Zstd {
     val seqMl = new scala.collection.mutable.ArrayBuffer[Int]
     val seqOf = new scala.collection.mutable.ArrayBuffer[Int]
     val lits = new java.io.ByteArrayOutputStream(len / 2)
+    var mlFound = 0
     var anchor = from
     var p = from
     val limit = end - 8
@@ -832,10 +969,19 @@ object Zstd {
       table(hv) = p + 1
       if (cand >= from && cand < p &&
           in(cand) == in(p) && in(cand + 1) == in(p + 1) &&
-          in(cand + 2) == in(p + 2) && in(cand + 3) == in(p + 3)) {
-        var ml = 4
-        while (p + ml < end && ml < MaxMl && in(cand + ml) == in(p + ml))
-          ml += 1
+          in(cand + 2) == in(p + 2) && in(cand + 3) == in(p + 3) && {
+            var ml0 = 4
+            while (p + ml0 < end && ml0 < MaxMl && in(cand + ml0) == in(p + ml0))
+              ml0 += 1
+            // distance-aware acceptance: a far offset costs ~highBit
+            // extra bits per sequence — spurious 4-byte matches in
+            // skewed data would otherwise beat entropy coding down
+            ml0 >= (if (p - cand < 1024) 4
+                    else if (p - cand < 65536) 5 else 6) && {
+              mlFound = ml0; true
+            }
+          }) {
+        val ml = mlFound
         lits.write(in, anchor, p - anchor)
         seqLl += p - anchor
         seqMl += ml
@@ -845,7 +991,17 @@ object Zstd {
       } else p += 1
     }
     val nbSeq = seqLl.length
-    if (nbSeq == 0) return None
+    if (nbSeq == 0) {
+      // no matches: an all-literals compressed block still wins when
+      // the byte distribution is skewed — Huffman literals + nbSeq 0
+      return huffLiterals(java.util.Arrays.copyOfRange(in, from, end))
+        .map { sec =>
+          val o = new java.io.ByteArrayOutputStream(sec.length + 1)
+          o.write(sec, 0, sec.length)
+          o.write(0) // Number_of_Sequences = 0
+          o.toByteArray
+        }.filter(_.length < len)
+    }
     lits.write(in, anchor, end - anchor)
     val litBytes = lits.toByteArray
     // sequence bitstream: written in REVERSE read order (decoder reads
@@ -881,11 +1037,23 @@ object Zstd {
     val stream = w.close()
     val out = new java.io.ByteArrayOutputStream(
       litBytes.length + stream.length + 16)
-    // Raw literals, 3-byte header (Size_Format 11: 20-bit size)
-    val lh = (litBytes.length << 4) | (3 << 2) // btype 0 = Raw
-    out.write(lh & 0xFF); out.write((lh >>> 8) & 0xFF)
-    out.write((lh >>> 16) & 0xFF)
-    out.write(litBytes, 0, litBytes.length)
+    val allSame = litBytes.length > 1 &&
+      litBytes.forall(_ == litBytes(0))
+    if (allSame) {
+      // RLE literals: one byte, 3-byte header (Size_Format 11)
+      val lh = (litBytes.length << 4) | (3 << 2) | 1
+      out.write(lh & 0xFF); out.write((lh >>> 8) & 0xFF)
+      out.write((lh >>> 16) & 0xFF)
+      out.write(litBytes(0).toInt)
+    } else huffLiterals(litBytes) match {
+      case Some(section) => out.write(section, 0, section.length)
+      case None =>
+        // Raw literals, 3-byte header (Size_Format 11: 20-bit size)
+        val lh = (litBytes.length << 4) | (3 << 2) // btype 0 = Raw
+        out.write(lh & 0xFF); out.write((lh >>> 8) & 0xFF)
+        out.write((lh >>> 16) & 0xFF)
+        out.write(litBytes, 0, litBytes.length)
+    }
     // sequence count
     if (nbSeq < 128) out.write(nbSeq)
     else if (nbSeq < 0x7F00) {
@@ -897,7 +1065,16 @@ object Zstd {
     }
     out.write(0) // compression modes: Predefined × 3
     out.write(stream, 0, stream.length)
-    Some(out.toByteArray).filter(_.length < len)
+    val seqBlock = out.toByteArray
+    // an all-literals Huffman block can still beat a sequence-heavy
+    // encoding when matches were short and far (skewed-byte inputs)
+    val litOnly = huffLiterals(java.util.Arrays.copyOfRange(in, from, end))
+      .map { sec =>
+        val o = new java.io.ByteArrayOutputStream(sec.length + 1)
+        o.write(sec, 0, sec.length); o.write(0)
+        o.toByteArray
+      }
+    (Seq(seqBlock) ++ litOnly).minByOption(_.length).filter(_.length < len)
   }
 
   /** REAL zstd compression, from scratch: Compressed blocks (greedy
