@@ -701,25 +701,42 @@ private[sources] class GraftWireChangeStream(
     }
   }
 
-  /** (file, offset, length) serving sequence `k`: the plain file when
-    * present, else the covering merged file's slice. */
-  private def sliceOf(k: Long): (String, Long, Long) = {
-    if (fs.exists(dataFile(k)))
-      return (dataFile(k).toString, 0L, fs.getFileStatus(dataFile(k)).getLen)
-    listDataNames().collectFirst {
-      case n @ MergedRe(a, b) if a.toLong <= k && k <= b.toLong =>
-        val ip = new Path(spool, n.stripSuffix(".bson") + ".idx")
-        val in = fs.open(ip)
-        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-                   finally in.close()
-        text.linesIterator.map(_.split(' ')).collectFirst {
-          case Array(kk, off, len) if kk.toLong == k =>
-            (new Path(spool, n).toString, off.toLong, len.toLong)
-        }.getOrElse(throw new IllegalStateException(
-          s"graftwire spool: merged index $ip lacks sequence $k"))
-    }.getOrElse(throw new IllegalStateException(
-      s"graftwire spool: no data for sequence $k (over-aggressive " +
-        "cleanup or foreign deletion)"))
+  /** (file, offset, length) per sequence in `ks`: the plain file when
+    * present, else the covering merged file's slice — one directory
+    * listing and one index read per merged file for the WHOLE range
+    * (planInputPartitions calls this once per batch). */
+  private def slicesOf(ks: Seq[Long]): Map[Long, (String, Long, Long)] = {
+    val names = listDataNames()
+    val plain = names.collect { case n @ PlainRe(k) => k.toLong -> n }.toMap
+    val merged = names.collect {
+      case n @ MergedRe(a, b) => (a.toLong, b.toLong, n) }
+    val idxCache =
+      scala.collection.mutable.Map.empty[String, Map[Long, (Long, Long)]]
+    ks.map { k =>
+      plain.get(k) match {
+        case Some(n) =>
+          val p = new Path(spool, n)
+          k -> ((p.toString, 0L, fs.getFileStatus(p).getLen))
+        case None =>
+          val (_, _, n) = merged.find { case (a, b, _) => a <= k && k <= b }
+            .getOrElse(throw new IllegalStateException(
+              s"graftwire spool: no data for sequence $k (over-aggressive " +
+                "cleanup or foreign deletion)"))
+          val idx = idxCache.getOrElseUpdate(n, {
+            val ip = new Path(spool, n.stripSuffix(".bson") + ".idx")
+            val in = fs.open(ip)
+            val text = try scala.io.Source.fromInputStream(in, "UTF-8")
+              .mkString finally in.close()
+            text.linesIterator.map(_.split(' ')).collect {
+              case Array(kk, off, len) =>
+                kk.toLong -> ((off.toLong, len.toLong))
+            }.toMap
+          })
+          val (off, len) = idx.getOrElse(k, throw new IllegalStateException(
+            s"graftwire spool: merged index for $n lacks sequence $k"))
+          k -> ((new Path(spool, n).toString, off, len))
+      }
+    }.toMap
   }
   override def commit(end: Offset): Unit = {
     // processed batches release their data files; token sidecars prune
@@ -748,8 +765,9 @@ private[sources] class GraftWireChangeStream(
     val lo = start.asInstanceOf[WireTokenOffset].n
     val hi = end.asInstanceOf[WireTokenOffset].n
     lastPlannedHi = math.max(lastPlannedHi, hi)
+    val slices = slicesOf((lo + 1) to hi)
     ((lo + 1) to hi).map { k =>
-      val (f, off, len) = sliceOf(k)
+      val (f, off, len) = slices(k)
       GraftWireSpoolPartition(f, off, len): InputPartition
     }.toArray
   }

@@ -886,12 +886,18 @@ object OpMsg {
         StructField("coll", StringType)))
       def frame(c: String, dbLevel: Boolean): DataFrame = {
         val ddl = store.ddlEvents(c)
-        // a dropped/renamed collection may have no data frame at all
-        // (rename moves the history with it) — its change stream is
-        // then the journaled DDL alone, on a stub change-doc schema
+        // a renamed-away collection may have no data frame at all (the
+        // history moved with it) — its change stream is then the
+        // journaled DDL alone, on a stub change-doc schema. The
+        // fallback fires ONLY when the collection is truly gone
+        // (neither live nor retained): a genuine changeEvents error on
+        // a live collection must surface, even when an old journal
+        // entry shares the name (drop + recreate reuses names)
+        val gone = !store.exists(c) && store.versions(c).isEmpty
         val ev =
           (try Some(store.changeEvents(c, keyField)) catch {
-            case scala.util.control.NonFatal(_) if ddl.nonEmpty => None
+            case scala.util.control.NonFatal(_) if ddl.nonEmpty && gone =>
+              None
           }).map(_.withColumn("to", lit(null).cast(toType)))
             .getOrElse(spark.createDataFrame(
               java.util.Collections.emptyList[org.apache.spark.sql.Row](),
