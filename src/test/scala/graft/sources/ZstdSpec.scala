@@ -195,6 +195,34 @@ class ZstdSpec extends AnyFunSuite {
     java.nio.file.Files.delete(src)
   }
 
+  test("fuzz: 2000 bit-flipped real frames either refuse with the " +
+       "decoder's own error or decode — never a raw runtime exception, " +
+       "hang, or unbounded allocation") {
+    val rnd = new scala.util.Random(77)
+    val words = Array("the", "of", "and", "zstd", "compression",
+      "entropy", "a", "data", "block", "sequence")
+    val sb = new StringBuilder
+    while (sb.length < 200000) {
+      sb.append(words(rnd.nextInt(words.length))).append(' '): Unit
+    }
+    val base = jni(sb.toString.take(200000).getBytes("UTF-8"), 19)
+    var refused = 0
+    var decoded = 0
+    for (_ <- 0 until 2000) {
+      val m = base.clone()
+      (0 to rnd.nextInt(3)).foreach { _ =>
+        val i = rnd.nextInt(m.length)
+        m(i) = (m(i) ^ (1 << rnd.nextInt(8))).toByte
+      }
+      try { Zstd.uncompress(m): Unit; decoded += 1 }
+      catch { case _: IllegalArgumentException => refused += 1 }
+      // any OTHER throwable (AIOOBE, NegativeArraySize, OOM...) fails
+      // the test by escaping the catch
+    }
+    assert(refused + decoded == 2000)
+    assert(refused > 0, "mutations never tripped a check?")
+  }
+
   test("XXH64: spec vector + cross-check against Spark's implementation") {
     // the published xxHash64 vector: empty input, seed 0
     assert(Zstd.xxh64(Array.empty[Byte], 0, 0L) == 0xEF46DB3751D8E999L)
