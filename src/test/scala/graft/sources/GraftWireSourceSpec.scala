@@ -490,4 +490,51 @@ class GraftWireSourceSpec extends AnyFunSuite {
         .count(_.getName.endsWith(".token")) >= 1) // newest sidecar stays
     } finally server.stop()
   }
+
+  test("change-stream streaming source vs DDL: the drop's terminal " +
+       "events arrive through the stream, then the query dies with the " +
+       "startAfter guidance (mongod kills invalidated streams)") {
+    val (store, server) = fixture()
+    try {
+      val docs = graft.api.Graft.table(spark, "/root/testdata/sf0.001",
+        "documents").select("doc_id", "source", "n_chars")
+      store.writeVersioned(docs.where(col("doc_id") < 8), "dcoll"): Unit
+      store.writeVersioned(docs.where(col("doc_id") < 12), "dcoll"): Unit
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_csinv").toString
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[
+        org.apache.spark.sql.Row]()
+      val q = spark.readStream.format("graftwire")
+        .option("host", "127.0.0.1").option("port", server.port)
+        .option("collection", "dcoll")
+        .option("changeStream", "true").option("keyField", "doc_id")
+        .load()
+        .select(col("operationType"), col("txnVersion").cast("long"))
+        .writeStream
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => {
+          b.collect().foreach(buf.add(_): Unit); () })
+        .option("checkpointLocation", ckpt).start()
+      try {
+        q.processAllAvailable()
+        assert(buf.size == 4) // initial replay: inserts 8..11
+        store.drop("dcoll"): Unit
+        val e = intercept[Exception] {
+          q.processAllAvailable()
+          // the terminal batch may land before the poll that dies —
+          // drive one more round if the query is still alive
+          q.processAllAvailable()
+        }
+        // the failure names the way out
+        def msgs(t: Throwable): Seq[String] =
+          if (t == null) Nil
+          else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+        assert(msgs(e).exists(_.contains("startAfter")), msgs(e).toString)
+        import scala.jdk.CollectionConverters._
+        val ops = buf.asScala.map(_.getString(0)).toSeq
+        // drop + invalidate crossed the stream before the death
+        assert(ops.count(_ == "drop") == 1 &&
+          ops.count(_ == "invalidate") == 1, ops.toString)
+      } finally q.stop()
+    } finally server.stop()
+  }
 }
