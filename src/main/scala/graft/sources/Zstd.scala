@@ -940,9 +940,10 @@ object Zstd {
     * hash heads, in-block matches) → literals (Huffman when it wins,
     * RLE for single-byte runs, Raw otherwise) + sequences coded with
     * the PREDEFINED FSE distributions (compression-modes byte 0 —
-    * no table descriptions, no cross-block table state, and offsets
-    * are always literal values so the repeat-offset history is never
-    * consulted). Returns None when the block does not shrink. */
+    * no table descriptions, no cross-block table state; repeat-offset
+    * codes are used only for slots THIS block's sequences established,
+    * so the decoder's inherited history is never consulted). Returns
+    * None when the block does not shrink. */
   private def compressBlock(in: Array[Byte], from: Int,
                             len: Int): Option[Array[Byte]] = {
     if (len < 32) return None
@@ -959,36 +960,54 @@ object Zstd {
     val seqMl = new scala.collection.mutable.ArrayBuffer[Int]
     val seqOf = new scala.collection.mutable.ArrayBuffer[Int]
     val lits = new java.io.ByteArrayOutputStream(len / 2)
-    var mlFound = 0
     var anchor = from
     var p = from
     val limit = end - 8
+    // (offset, length) of the acceptable match at q, or null — 4-byte
+    // hash probe, extension, distance-aware acceptance (a far offset
+    // costs ~highBit extra bits per sequence; spurious 4-byte matches
+    // in skewed data would otherwise beat entropy coding down)
+    def matchAt(q: Int): (Int, Int) = {
+      val cand = table(hash(q)) - 1
+      if (cand >= from && cand < q &&
+          in(cand) == in(q) && in(cand + 1) == in(q + 1) &&
+          in(cand + 2) == in(q + 2) && in(cand + 3) == in(q + 3)) {
+        var ml0 = 4
+        while (q + ml0 < end && ml0 < MaxMl && in(cand + ml0) == in(q + ml0))
+          ml0 += 1
+        if (ml0 >= (if (q - cand < 1024) 4
+                    else if (q - cand < 65536) 5 else 6))
+          (q - cand, ml0)
+        else null
+      } else null
+    }
     while (p < limit) {
-      val hv = hash(p)
-      val cand = table(hv) - 1
-      table(hv) = p + 1
-      if (cand >= from && cand < p &&
-          in(cand) == in(p) && in(cand + 1) == in(p + 1) &&
-          in(cand + 2) == in(p + 2) && in(cand + 3) == in(p + 3) && {
-            var ml0 = 4
-            while (p + ml0 < end && ml0 < MaxMl && in(cand + ml0) == in(p + ml0))
-              ml0 += 1
-            // distance-aware acceptance: a far offset costs ~highBit
-            // extra bits per sequence — spurious 4-byte matches in
-            // skewed data would otherwise beat entropy coding down
-            ml0 >= (if (p - cand < 1024) 4
-                    else if (p - cand < 65536) 5 else 6) && {
-              mlFound = ml0; true
-            }
-          }) {
-        val ml = mlFound
-        lits.write(in, anchor, p - anchor)
-        seqLl += p - anchor
-        seqMl += ml
-        seqOf += p - cand
-        p += ml
-        anchor = p
-      } else p += 1
+      val m = matchAt(p)
+      table(hash(p)) = p + 1
+      if (m == null) p += 1
+      else {
+        // 1-step lazy: a clearly longer match one byte later wins; the
+        // current byte becomes a literal and the loop retries at p+1
+        val defer = p + 1 < limit && {
+          val m2 = matchAt(p + 1)
+          m2 != null && m2._2 >= m._2 + 2
+        }
+        if (defer) p += 1
+        else {
+          val (off, ml) = m
+          lits.write(in, anchor, p - anchor)
+          seqLl += p - anchor
+          seqMl += ml
+          seqOf += off
+          // seed hash heads inside the match region so later data can
+          // match into it (cheap positions: one near each end)
+          if (p + 1 + 4 <= end) table(hash(p + 1)) = p + 2
+          if (ml > 3 && p + ml - 2 + 4 <= end)
+            table(hash(p + ml - 2)) = p + ml - 1
+          p += ml
+          anchor = p
+        }
+      }
     }
     val nbSeq = seqLl.length
     if (nbSeq == 0) {
@@ -1004,6 +1023,29 @@ object Zstd {
     }
     lits.write(in, anchor, end - anchor)
     val litBytes = lits.toByteArray
+    // repeat-offset codes, FORWARD pass (execution order — the decoder
+    // replays these updates): a slot is usable only once THIS block's
+    // own sequences established it, so the encoder never depends on
+    // the decoder's inherited cross-block history. litLen==0 sequences
+    // always take the literal form (the decoder's repcode mapping
+    // shifts at ll==0; the >3 path updates identically either way).
+    val ofValue = new Array[Int](nbSeq)
+    locally {
+      var r1 = 0; var r2 = 0; var r3 = 0
+      var i = 0
+      while (i < nbSeq) {
+        val o = seqOf(i)
+        val ll = seqLl(i)
+        if (ll != 0 && o == r1 && r1 != 0) ofValue(i) = 1
+        else {
+          if (ll != 0 && o == r2 && r2 != 0) { ofValue(i) = 2 }
+          else if (ll != 0 && o == r3 && r3 != 0) { ofValue(i) = 3 }
+          else ofValue(i) = o + 3
+          r3 = r2; r2 = r1; r1 = o
+        }
+        i += 1
+      }
+    }
     // sequence bitstream: written in REVERSE read order (decoder reads
     // backward) — init states from the LAST sequence, then extras
     // LL,ML,OF per sequence, updates OF,ML,LL walking backward, final
@@ -1011,21 +1053,20 @@ object Zstd {
     val w = new FwdBitWriter(len / 4)
     val lastI = nbSeq - 1
     var stMl = EncMl.init(mlCodeOf(seqMl(lastI)))
-    var stOf = EncOf.init(highBit(seqOf(lastI) + 3))
+    var stOf = EncOf.init(highBit(ofValue(lastI)))
     var stLl = EncLl.init(llCodeOf(seqLl(lastI)))
     def addExtras(i: Int): Unit = {
       val llc = llCodeOf(seqLl(i))
       w.add((seqLl(i) - LlBase(llc)).toLong, LlExtra(llc))
       val mlc = mlCodeOf(seqMl(i))
       w.add((seqMl(i) - MlBase(mlc)).toLong, MlExtra(mlc))
-      val ofv = seqOf(i) + 3L
-      val ofc = highBit(ofv.toInt)
-      w.add(ofv - (1L << ofc), ofc)
+      val ofc = highBit(ofValue(i))
+      w.add(ofValue(i).toLong - (1L << ofc), ofc)
     }
     addExtras(lastI)
     var i = lastI - 1
     while (i >= 0) {
-      stOf = EncOf.encode(w, stOf, highBit(seqOf(i) + 3))
+      stOf = EncOf.encode(w, stOf, highBit(ofValue(i)))
       stMl = EncMl.encode(w, stMl, mlCodeOf(seqMl(i)))
       stLl = EncLl.encode(w, stLl, llCodeOf(seqLl(i)))
       addExtras(i)
