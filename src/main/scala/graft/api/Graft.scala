@@ -290,6 +290,11 @@ object Graft {
         org.apache.spark.sql.execution.FormattedMode)
     /** Mongo `db.coll.drop()`. */
     def dropCollection(coll: String): Boolean = store.drop(coll)
+    /** Mongo `db.dropDatabase()`: every live collection drops (each
+      * collection-level watch sees drop + invalidate), and db-LEVEL
+      * watches get their one terminal invalidate — the only
+      * invalidation path a db watch has. Returns the dropped names. */
+    def dropDatabase(): Seq[String] = store.dropDatabase()
     /** Mongo `renameCollection` (with its `dropTarget` option). */
     def renameCollection(from: String, to: String,
                          dropTarget: Boolean = false): Unit =

@@ -1557,6 +1557,104 @@ case class BsonSize(child: Expression)
   override protected def withNewChildInternal(c: Expression): BsonSize = copy(c)
 }
 
+/** Binary-comparable collation keys for the find `collation` document's
+  * untailored depth beyond case folding (mongod options this engine can
+  * honor WITHOUT ICU tailoring):
+  *
+  *   - `numericOrdering: true` — contiguous digit runs compare as
+  *     numbers ("doc10" > "doc9", "007" == "7"): each run is replaced
+  *     by 0x01 + 4-hex magnitude length + the zero-stripped digits, so
+  *     lexicographic key order IS numeric order (shorter magnitude <
+  *     longer; equal length falls through to the digits).
+  *   - `caseFirst: "upper" | "lower"` — a secondary case level after
+  *     the case-folded primary: 0x01 + one bit per cased letter ('0'
+  *     for the preferred case), so "Apple" vs "apple" order by the
+  *     option while "apple" < "banana" stays primary.
+  *   - `alternate: "shifted"` — whitespace and punctuation are
+  *     ignorable at the primary level ("hello-world" == "helloworld").
+  *
+  * Keys of collation-equal strings are EQUAL (the $eq contract);
+  * comparisons use plain binary order on the keys. Strength ≤ 2 folds
+  * case into the primary; caseFirst is only meaningful case-sensitive
+  * (mongod's own rule). */
+object CollationKeys {
+  def key(s: String, ci: Boolean, numeric: Boolean,
+          caseFirst: String, shifted: Boolean): String = {
+    val sb = new java.lang.StringBuilder(s.length + 8)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (numeric && c >= '0' && c <= '9') {
+        var j = i
+        while (j < s.length && s.charAt(j) >= '0' && s.charAt(j) <= '9') j += 1
+        var k = i
+        while (k < j - 1 && s.charAt(k) == '0') k += 1 // strip leading 0s
+        val mag = j - k
+        sb.append('')
+        sb.append(f"$mag%04x")
+        sb.append(s, k, j)
+        i = j
+      } else {
+        val ignorable = shifted &&
+          (Character.isWhitespace(c) || isPunct(c))
+        if (!ignorable) sb.append(if (ci || caseFirst != "off")
+          Character.toLowerCase(c) else c)
+        i += 1
+      }
+    }
+    if (!ci && caseFirst != "off") {
+      sb.append('')
+      var k = 0
+      while (k < s.length) {
+        val c = s.charAt(k)
+        if (Character.isLetter(c)) {
+          val upper = Character.isUpperCase(c)
+          sb.append(if (upper == (caseFirst == "upper")) '0' else '1')
+        }
+        k += 1
+      }
+    }
+    sb.toString
+  }
+
+  private def isPunct(c: Char): Boolean = Character.getType(c) match {
+    case Character.CONNECTOR_PUNCTUATION | Character.DASH_PUNCTUATION |
+         Character.START_PUNCTUATION | Character.END_PUNCTUATION |
+         Character.INITIAL_QUOTE_PUNCTUATION |
+         Character.FINAL_QUOTE_PUNCTUATION |
+         Character.OTHER_PUNCTUATION => true
+    case _ => false
+  }
+
+  /** Parse the spec string ("ci=1;num=1;caseFirst=upper;shifted=1"). */
+  def keyFromSpec(s: String, spec: String): String = {
+    val m = spec.split(';').iterator.map(_.split("=", 2))
+      .collect { case Array(k, v) => k -> v }.toMap
+    key(s, m.get("ci").contains("1"), m.get("num").contains("1"),
+      m.getOrElse("caseFirst", "off"), m.get("shifted").contains("1"))
+  }
+}
+
+/** `collation_key(str, spec)` — the expression form of
+  * [[CollationKeys]]; spec must be a foldable string. Eval-based
+  * (CodegenFallback): collation finds are a per-query option, not the
+  * 100 TB scan hot path. */
+case class CollationKeyExpr(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = left.nullable
+  private lazy val spec = right.eval() match {
+    case s: UTF8String => s.toString
+    case other => throw new IllegalArgumentException(
+      s"collation_key spec must be a string literal, got $other")
+  }
+  override def nullSafeEval(s: Any, specIgnored: Any): Any =
+    UTF8String.fromString(
+      CollationKeys.keyFromSpec(s.asInstanceOf[UTF8String].toString, spec))
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): CollationKeyExpr = copy(l, r)
+}
+
 object GraftFunctions {
   /** The engine's SQL function surface, name → expression builder —
     * single source of truth for BOTH registration paths (the
@@ -1600,6 +1698,7 @@ object GraftFunctions {
     "unicode_normalize" -> ((e: Seq[Expression]) => UnicodeNormalize(e(0), e(1))),
     "bpe_encode" -> ((e: Seq[Expression]) => BpeEncode(e(0), e(1))),
     "porter_stem" -> ((e: Seq[Expression]) => PorterStem(e.head)),
+    "collation_key" -> ((e: Seq[Expression]) => CollationKeyExpr(e(0), e(1))),
   )
 
   /** Exponential moving average as a native running-frame window

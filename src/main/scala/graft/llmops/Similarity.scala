@@ -286,30 +286,26 @@ object Similarity {
     * a MAP-ONLY pass (`nearest_cell` against the literal centroid
     * matrix: no crossJoin row explosion, no window, the corpus never
     * shuffles whole vectors) — and re-centers each cell on the
-    * element-wise mean of its members. The means shuffle as exploded
-    * (cell, dimension, value) scalars and come back to the driver as
-    * nCells × dim tiny rows. Cosine similarity divides by the centroid
+    * element-wise mean of its members. The means come back to the
+    * driver as nCells single rows (one mean ARRAY per cell — dim
+    * column-wise partial sums, no exploded scalars, see
+    * [[clusterMeans]]). Cosine similarity divides by the centroid
     * norm, so the mean needs no explicit normalization (spherical
     * k-means). Empty cells keep their previous centroid. */
   private def lloydRefine(corpus: DataFrame, seedRows: Array[org.apache.spark.sql.Row],
                           iters: Int, vecCol: String): Array[org.apache.spark.sql.Row] = {
     var current = seedRows
+    val dim = seedRows.headOption.map(_.getSeq[Double](1).length).getOrElse(0)
     for (_ <- 1 to iters) {
       val assigned = corpus
         .select(col(vecCol).cast("array<double>").as("__v"))
         .withColumn("__ci", graftFn("nearest_cell", col("__v"), centroidMatrix(current)))
         .where(col("__ci").isNotNull)
-      val means = assigned
-        .select(col("__ci"), posexplode(col("__v")).as(Seq("__pos", "__x")))
-        .groupBy("__ci", "__pos").agg(avg(col("__x")).as("__m"))
-        .collect()
-        .groupBy(_.getInt(0))
-        .map { case (ci, rows) =>
-          ci -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
-        }
+      val means = clusterMeans(assigned, "__ci", dim)
       current = current.zipWithIndex.map { case (r, ci) =>
         means.get(ci) match {
-          case Some(vec) =>
+          case Some(vec0) =>
+            val vec = vec0.toSeq
             org.apache.spark.sql.Row(r.get(0), vec, math.sqrt(vec.map(x => x * x).sum))
           case None => r // empty cell: keep the previous centroid
         }
@@ -317,6 +313,23 @@ object Similarity {
     }
     current
   }
+
+  /** Per-cluster mean vectors in ONE aggregate pass, ONE ROW PER
+    * CLUSTER: `dim` column-wise sums + a count build the mean array
+    * map-side (partial aggregation), so the driver receives k rows of
+    * (cluster, n, sums[dim]) instead of k×dim scalar rows — the Lloyd
+    * loop's per-iteration round trip shrinks ~dim×. */
+  private def clusterMeans(assigned: DataFrame, clCol: String,
+                           dim: Int): Map[Int, Array[Double]] =
+    assigned.groupBy(col(clCol))
+      .agg(count(lit(1)).as("__n"),
+        array((0 until dim).map(i =>
+          sum(element_at(col("__v"), i + 1))): _*).as("__sums"))
+      .collect()
+      .map { r =>
+        val n = r.getLong(1).toDouble
+        r.getInt(0) -> r.getSeq[Double](2).map(_ / n).toArray
+      }.toMap
 
   /** IVF (inverted-file) approximate top-k: the corpus is partitioned
     * into `nCells` Voronoi cells around the centroid matrix; a query
@@ -575,9 +588,9 @@ object Similarity {
     * and each vector with a constant 1, so Euclidean nearest reuses the
     * dot-product kernel unchanged. The centroid matrix ships as ONE
     * literal; the corpus never shuffles whole vectors; per-iteration
-    * means travel as exploded (cluster, dim, value) scalars and collect
-    * k×dim bounded rows on the driver (centroids are driver constants,
-    * the same contract as the IVF codebooks). Seeds are the k lowest-id
+    * means collect as k single rows (one mean array per cluster — dim
+    * column-wise partial sums, [[clusterMeans]]; centroids are driver
+    * constants, the same contract as the IVF codebooks). Seeds are the k lowest-id
     * vectors (deterministic); empty clusters keep their previous
     * centroid; nearest_cell's strict `>` breaks ties toward the lowest
     * cluster index. Output: (cluster, n, c_norm) — final-assignment
@@ -606,19 +619,13 @@ object Similarity {
       (c :+ (-0.5 * c.map(x => x * x).sum)).toIndexedSeq))
     val augVec = concat(col("__v"), array(lit(1.0)))
     var lastAssigned: DataFrame = null
+    val dim = centroids(0).length
     for (_ <- 1 to iters) {
       val assigned = corpus
         .withColumn("__cl", graftFn("nearest_cell", augVec, augMatrix))
         .where(col("__cl").isNotNull)
       lastAssigned = assigned
-      val means = assigned
-        .select(col("__cl"), posexplode(col("__v")).as(Seq("__pos", "__x")))
-        .groupBy("__cl", "__pos").agg(avg(col("__x")).as("__m"))
-        .collect()
-        .groupBy(_.getInt(0))
-        .map { case (cl, rows) =>
-          cl -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
-        }
+      val means = clusterMeans(assigned, "__cl", dim)
       centroids = centroids.zipWithIndex.map { case (c, j) => means.getOrElse(j, c) }
     }
     val normCol = typedlit(centroids.toIndexedSeq

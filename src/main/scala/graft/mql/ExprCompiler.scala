@@ -1060,6 +1060,10 @@ object ExprCompiler {
         case other => throw new MqlException(s"bad $op: $other")
       }
 
+      case "$function" => throw new MqlException(
+        s"$$function: ${PipelineCompiler.JsOutOfScope}")
+      case "$where" => throw new MqlException(
+        s"$$where: ${PipelineCompiler.JsOutOfScope} ($$expr takes its place)")
       case other => throw new MqlException(s"unsupported expression operator $other")
     }
   }

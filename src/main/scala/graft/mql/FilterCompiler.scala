@@ -19,17 +19,37 @@ object FilterCompiler {
   /** Mongo collation document, reduced to what an engine without ICU
     * tailoring can honor exactly: strength 1/2 → case-insensitive string
     * comparison (both sides fold through lower()), strength 3+ (the
-    * default) → binary. Locale is accepted and ignored except that only
-    * untailored comparison is offered — a locale needing tailored order
-    * ("sv" and friends) still compares codepoint-wise, the documented
-    * deviation. Only comparisons whose LITERAL is a string collate
-    * (collation never touches numerics — same contract as Mongo). */
-  final case class Collation(caseInsensitive: Boolean)
+    * default) → binary; `numericOrdering: true` (digit runs compare as
+    * numbers), `caseFirst: upper|lower` (case variants order by the
+    * option at the secondary level), and `alternate: "shifted"`
+    * (whitespace/punctuation ignorable) compile through binary-
+    * comparable collation KEYS ([[graft.functions.CollationKeys]]).
+    * Locale is accepted and ignored except that only untailored
+    * comparison is offered — a locale needing tailored order ("sv" and
+    * friends) still compares codepoint-wise, the documented deviation.
+    * Only comparisons whose LITERAL is a string collate (collation
+    * never touches numerics — same contract as Mongo). */
+  final case class Collation(caseInsensitive: Boolean,
+                             numericOrdering: Boolean = false,
+                             caseFirst: String = "off",
+                             shifted: Boolean = false) {
+    /** Needs the full collation-KEY comparison path (beyond the plain
+      * lower()-fold ci offers) — numericOrdering / caseFirst /
+      * alternate engage [[graft.functions.CollationKeys]]. */
+    def keyed: Boolean = numericOrdering || caseFirst != "off" || shifted
+    def spec: String =
+      s"ci=${if (caseInsensitive) 1 else 0};" +
+        s"num=${if (numericOrdering) 1 else 0};" +
+        s"caseFirst=$caseFirst;shifted=${if (shifted) 1 else 0}"
+    def keyOf(s: String): String = graft.functions.CollationKeys.key(
+      s, caseInsensitive, numericOrdering, caseFirst, shifted)
+  }
 
   object Collation {
     def parse(json: String): Collation = {
       val fields = asObj(Mql.parse(json), "collation")
-      fields.map(_._1).find(k => !Set("locale", "strength").contains(k))
+      fields.map(_._1).find(k => !Set("locale", "strength",
+          "numericOrdering", "caseFirst", "alternate").contains(k))
         .foreach(k => throw new MqlException(s"collation: unsupported field '$k'"))
       val strength = fields.collectFirst { case ("strength", v) =>
         v match {
@@ -39,7 +59,34 @@ object FilterCompiler {
       }.getOrElse(3)
       if (strength < 1 || strength > 5)
         throw new MqlException(s"collation.strength must be 1..5, got $strength")
-      Collation(caseInsensitive = strength <= 2)
+      val numeric = fields.collectFirst { case ("numericOrdering", v) =>
+        v match {
+          case JBool(b) => b
+          case other => throw new MqlException(s"collation.numericOrdering: $other")
+        }
+      }.getOrElse(false)
+      val caseFirst = fields.collectFirst { case ("caseFirst", v) =>
+        v match {
+          case JString(cf @ ("upper" | "lower" | "off")) => cf
+          case other => throw new MqlException(
+            s"collation.caseFirst must be upper|lower|off, got $other")
+        }
+      }.getOrElse("off")
+      val shifted = fields.collectFirst { case ("alternate", v) =>
+        v match {
+          case JString("shifted") => true
+          case JString("non-ignorable") => false
+          case other => throw new MqlException(
+            s"collation.alternate must be non-ignorable|shifted, got $other")
+        }
+      }.getOrElse(false)
+      // mongod: caseFirst orders case VARIANTS, which only exist when
+      // the comparison is case-sensitive (strength 3+)
+      if (strength <= 2 && caseFirst != "off")
+        throw new MqlException(
+          "collation: caseFirst needs a case-sensitive strength (3+)")
+      Collation(caseInsensitive = strength <= 2,
+        numericOrdering = numeric, caseFirst = caseFirst, shifted = shifted)
     }
   }
 
@@ -52,9 +99,26 @@ object FilterCompiler {
 
   private def ci: Boolean = activeCollation.value.exists(_.caseInsensitive)
 
+  private def keyedColl: Option[Collation] =
+    activeCollation.value.filter(_.keyed)
+
+  /** Column side of a collation-KEY comparison (see
+    * [[graft.functions.CollationKeys]]); the literal side keys
+    * driver-side through the same function. */
+  private def keyCol(c: Column, k: Collation): Column = {
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("collation_key", c, lit(k.spec))
+  }
+
   /** Fold a comparison side for the active collation when the literal
-    * is a string (collation affects string comparison only). */
+    * is a string (collation affects string comparison only): the
+    * key path for numericOrdering/caseFirst/alternate, the plain
+    * lower() fold (pushdown-friendlier) when only ci is on. */
   private def cmp(c: Column, v: JValue): (Column, Column) = v match {
+    case JString(s) if keyedColl.isDefined =>
+      val k = keyedColl.get
+      (keyCol(c, k), lit(k.keyOf(s)))
     case JString(s) if ci => (lower(c), lit(s.toLowerCase))
     case _ => (c, literal(v))
   }
@@ -115,6 +179,9 @@ object FilterCompiler {
   private def mongoEq(c: Column, v: JValue,
                       lt: Option[org.apache.spark.sql.types.DataType]): Column =
     (v, lt) match {
+      case (JString(s), _) if keyedColl.isDefined =>
+        val k = keyedColl.get
+        keyCol(c, k) === lit(k.keyOf(s))
       case (JString(s), _) if ci => lower(c) === lit(s.toLowerCase)
       case (JArray(es), Some(org.apache.spark.sql.types.ArrayType(et, _))) =>
         if (es.forall(kindCompatible(_, et))) c === literal(v) else lit(false)
@@ -210,6 +277,8 @@ object FilterCompiler {
     case "$text" => throw new MqlException(
       "$text is only valid at the top level of a find filter " +
         "(aggregation pipelines use $search)")
+    case "$where" => throw new MqlException(
+      s"$$where: ${PipelineCompiler.JsOutOfScope} (use $$expr)")
     case op if op.startsWith("$") =>
       throw new MqlException(s"unsupported top-level operator $op")
     case path => v match {
@@ -256,7 +325,11 @@ object FilterCompiler {
     val (strs, others) = rest.partition(_.isInstanceOf[JString])
     val parts =
       (if (strs.isEmpty) Nil
-       else if (ci) Seq(lower(c).isin(strs.map {
+       else if (keyedColl.isDefined) {
+         val k = keyedColl.get
+         Seq(keyCol(c, k).isin(strs.map {
+           case JString(s) => k.keyOf(s); case _ => "" }: _*))
+       } else if (ci) Seq(lower(c).isin(strs.map {
          case JString(s) => s.toLowerCase; case _ => "" }: _*))
        else Seq(c.isin(strs.map(scalaValue): _*))) ++
       (if (others.isEmpty) Nil else Seq(c.isin(others.map(scalaValue): _*))) ++

@@ -369,6 +369,15 @@ object PipelineCompiler {
     case other => throw new MqlException(s"unsupported pipeline stage $other")
   }
 
+  /** The one refusal message for mongod's server-side-JavaScript
+    * surface (`$where` / `$function` / `$accumulator`) — named per
+    * operator at each site so a user hitting it knows exactly what is
+    * excluded and why (SURVEY §2.C lists it as a conscious exclusion:
+    * this engine ships no JS runtime). */
+  private[mql] val JsOutOfScope =
+    "server-side JavaScript is out of scope for this engine (no JS " +
+      "runtime) — express the logic with standard MQL operators"
+
   /** Internal column name guaranteed not to collide with user names. */
   private def freshName(avoid: Set[String]): String = {
     var s = "__graft_n"
@@ -632,6 +641,10 @@ object PipelineCompiler {
           }
         case other => throw new MqlException(s"bad $op: $other")
       }
+      case "$accumulator" => throw new MqlException(
+        s"$$accumulator: $JsOutOfScope (use the built-in accumulators)")
+      case "$function" => throw new MqlException(
+        s"$$function: $JsOutOfScope")
       case other => throw new MqlException(s"unsupported accumulator $other")
     }
   }

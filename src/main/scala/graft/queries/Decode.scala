@@ -585,6 +585,117 @@ object Decode {
               WHERE c_acctbal > 2000.0
               GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    // mongod's `update` command over the wire (the CRUD write a real
+    // driver issues on update_many/replace_one — the reference client
+    // itself writes via insert_many only, api.py:602-713): one
+    // multi:true operator update ($inc + $set lowers to a single CASE
+    // projection + staged-swap write server-side) plus one upsert with
+    // every column pinned (deterministic insert image). The oracle
+    // replays the update as SQL — the CASE projection IS the update
+    // semantics — and the upsert as a UNION ALL literal row.
+    QueryDef("q_wire_update",
+      (s, dir) => {
+        val store = new graft.sinks.DocStore(s,
+          java.nio.file.Files.createTempDirectory("graft_wupd").toString,
+          "graftdocs")
+        store.write(Graft.table(s, dir, "supplier")
+          .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+          "supplier")
+        val server = new graft.sources.OpMsg.Server(s, store)
+        try {
+          graft.sources.OpMsg.update(
+            "127.0.0.1", server.port, "graft", "supplier", Seq(
+              graft.sources.OpMsg.UpdateSpec(
+                """{"s_acctbal": {"$lt": 0}}""",
+                """{"$inc": {"s_acctbal": 1000}, "$set": {"s_name": "RESCUED"}}""",
+                multi = true),
+              graft.sources.OpMsg.UpdateSpec(
+                """{"s_suppkey": -1}""",
+                """{"$set": {"s_name": "UPSERTED", "s_nationkey": 0,
+                             "s_acctbal": 0.0}}""",
+                upsert = true))): Unit
+          store.read("supplier")
+            .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+              col("s_acctbal"))
+            .orderBy("s_suppkey")
+        } finally server.stop()
+      },
+      Some("""SELECT s_suppkey,
+                     CASE WHEN s_acctbal < 0 THEN 'RESCUED' ELSE s_name END
+                       AS s_name,
+                     s_nationkey,
+                     CASE WHEN s_acctbal < 0
+                          THEN CAST(s_acctbal + 1000 AS DOUBLE)
+                          ELSE s_acctbal END AS s_acctbal
+              FROM supplier
+              UNION ALL
+              SELECT CAST(-1 AS BIGINT), 'UPSERTED', 0, 0.0
+              ORDER BY s_suppkey""")),
+
+    // mongod's `delete` command over the wire: two set-based deletes
+    // (limit 0) in one command — each an anti-filter + staged swap
+    // server-side. The oracle keeps the complement.
+    QueryDef("q_wire_delete",
+      (s, dir) => {
+        val store = new graft.sinks.DocStore(s,
+          java.nio.file.Files.createTempDirectory("graft_wdel").toString,
+          "graftdocs")
+        store.write(Graft.table(s, dir, "customer")
+          .select("c_custkey", "c_mktsegment", "c_acctbal"), "customer")
+        val server = new graft.sources.OpMsg.Server(s, store)
+        try {
+          graft.sources.OpMsg.delete(
+            "127.0.0.1", server.port, "graft", "customer", Seq(
+              ("""{"c_mktsegment": "MACHINERY"}""", 0),
+              ("""{"c_acctbal": {"$lt": 0}}""", 0))): Unit
+          store.read("customer")
+            .groupBy(col("c_mktsegment"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+                .cast(org.apache.spark.sql.types.DoubleType).as("sum_bal"))
+            .orderBy("c_mktsegment")
+        } finally server.stop()
+      },
+      Some("""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+              FROM customer
+              WHERE c_mktsegment <> 'MACHINERY' AND c_acctbal >= 0
+              GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // mongod's `findAndModify` over the wire: query + sort select ONE
+    // document (the lowest nationkey in region 2), a $set applies, the
+    // post-image collection reads back. The oracle replays "first by
+    // sort order" as a scalar subquery.
+    QueryDef("q_wire_find_modify",
+      (s, dir) => {
+        val store = new graft.sinks.DocStore(s,
+          java.nio.file.Files.createTempDirectory("graft_wfam").toString,
+          "graftdocs")
+        store.write(Graft.table(s, dir, "nation")
+          .select(col("n_nationkey").as("_id"), col("n_name"),
+            col("n_regionkey")), "nation")
+        val server = new graft.sources.OpMsg.Server(s, store)
+        try {
+          graft.sources.OpMsg.findAndModify(
+            "127.0.0.1", server.port, "graft", "nation",
+            query = """{"n_regionkey": 2}""",
+            sort = Some("""{"_id": 1}"""),
+            update = Some("""{"$set": {"n_name": "MODIFIED"}}"""),
+            returnNew = true): Unit
+          store.read("nation")
+            .select(col("_id").as("n_nationkey"), col("n_name"),
+              col("n_regionkey"))
+            .orderBy("n_nationkey")
+        } finally server.stop()
+      },
+      Some("""SELECT n_nationkey,
+                     CASE WHEN n_nationkey = (SELECT min(n_nationkey)
+                                              FROM nation
+                                              WHERE n_regionkey = 2)
+                          THEN 'MODIFIED' ELSE n_name END AS n_name,
+                     n_regionkey
+              FROM nation ORDER BY n_nationkey""")),
+
     // NATIVE streaming write over the wire: a micro-batch stream of
     // half the customer table lands through writeStream.format(
     // "graftwire") — per-partition insert connections, every command

@@ -1279,6 +1279,62 @@ object Headline {
               UNION ALL SELECT 'startafter_survives', NULL, 0
               ORDER BY v, operationType, doc_id""")),
 
+    // dropDatabase through a DB-LEVEL change stream (mongod semantics):
+    // collection DDL never invalidates a db watch — dropDatabase is its
+    // ONE invalidation path. The wire command drops every collection
+    // (each journaling its drop), then the db watch resumed past the
+    // caught-up token serves each collection's `drop`, the db-level
+    // `dropDatabase`, and the terminal `invalidate`, closing the cursor
+    // with the batch. The oracle replays the data diff plus the four
+    // journaled DDL rows at their deterministic txnVersions.
+    QueryDef("q_watch_dropdb",
+      (s, dir) => {
+        val store = new graft.sinks.DocStore(s,
+          java.nio.file.Files.createTempDirectory("graft_wdd").toString)
+        val docs = Graft.table(s, dir, "documents").select("doc_id", "n_chars")
+        store.writeVersioned(docs.where(col("doc_id") < 200), "c1"): Unit
+        store.writeVersioned(docs.where(col("doc_id") < 250), "c1"): Unit
+        store.writeVersioned(docs.where(col("doc_id") >= 300 &&
+          col("doc_id") < 400), "c2"): Unit
+        store.writeVersioned(docs.where(col("doc_id") >= 300 &&
+          col("doc_id") < 450), "c2"): Unit
+        val server = new graft.sources.OpMsg.Server(s, store)
+        try {
+          // phase 1: db watch to caught-up (both collections' inserts)
+          val (ev1, tok1) = graft.sources.OpMsg.watch(s, "127.0.0.1",
+            server.port, "graft", "*", keyField = "doc_id",
+            batchSize = 128)
+          // phase 2: dropDatabase over the wire, resume → per-
+          // collection drops + dropDatabase + terminal invalidate
+          graft.sources.OpMsg.command("127.0.0.1", server.port, "graft",
+            org.json4s.JObject(List(
+              "dropDatabase" -> org.json4s.JInt(1)))): Unit
+          val (ev2, _) = graft.sources.OpMsg.watch(s, "127.0.0.1",
+            server.port, "graft", "*", keyField = "doc_id",
+            resumeAfter = Some(tok1), batchSize = 128)
+          val shape = (df: org.apache.spark.sql.DataFrame) => df.select(
+            col("ns.coll").as("coll"),
+            col("operationType"),
+            col("documentKey").cast("bigint").as("doc_id"),
+            col("txnVersion").cast("bigint").as("v"))
+          val out = shape(ev1).unionByName(shape(ev2))
+            .orderBy("v", "coll", "operationType", "doc_id")
+          val rows = out.collect()
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+        } finally server.stop()
+      },
+      Some("""SELECT 'c1' AS coll, 'insert' AS operationType,
+                     CAST(doc_id AS BIGINT) AS doc_id, CAST(2 AS BIGINT) AS v
+              FROM documents WHERE doc_id >= 200 AND doc_id < 250
+              UNION ALL
+              SELECT 'c2', 'insert', CAST(doc_id AS BIGINT), 2
+              FROM documents WHERE doc_id >= 400 AND doc_id < 450
+              UNION ALL SELECT 'c1', 'drop', NULL, 3
+              UNION ALL SELECT 'c2', 'drop', NULL, 3
+              UNION ALL SELECT NULL, 'dropDatabase', NULL, 5
+              UNION ALL SELECT NULL, 'invalidate', NULL, 6
+              ORDER BY v, coll, operationType, doc_id""")),
+
     // Z-order clustered layout (Delta OPTIMIZE ZORDER as a plain
     // write): events re-laid along the (user_id, event_id) Morton
     // curve, then a 2-D range filter reads back — values identical to

@@ -1131,6 +1131,39 @@ object LlmOps {
               FROM documents WHERE doc_id < 2000
               GROUP BY source ORDER BY source""")),
 
+    // NESTED dictionary-encoded Arrow columns (pyarrow: a categorical
+    // inside a struct, a list of categoricals) — the reader resolves
+    // dictionary fields at ANY depth to their value types and decodes
+    // through composite wrappers; values must equal the parquet replay.
+    QueryDef("q_arrow_dict_nested",
+      (s, dir) => {
+        val docs = Graft.table(s, dir, "documents")
+          .select("doc_id", "source", "n_chars", "lang")
+          .where(col("doc_id") < 2000)
+        // bounded fixture sample — foreign-file generation is driver-
+        // side by nature (pyarrow stand-in), not a data path
+        val rows = docs.orderBy("doc_id").collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getLong(2),
+            Seq(r.getString(3), r.getString(1)))).toSeq
+        val foreignDir = java.nio.file.Files
+          .createTempDirectory("graft_dictn").toString
+        graft.sources.ArrowForeign.writeNested(foreignDir, rows)
+        s.read.format("graftarrow").load(foreignDir)
+          .select(col("doc_id"), col("meta.source").as("source"),
+            col("meta.rank").as("rank"), col("tags"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n"), sum("rank").as("rank_sum"),
+            sum(size(col("tags"))).cast("bigint").as("n_tags"),
+            min(element_at(col("tags"), 1)).as("first_tag"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(n_chars) AS BIGINT) AS rank_sum,
+                     CAST(2 * COUNT(*) AS BIGINT) AS n_tags,
+                     MIN(lang) AS first_tag
+              FROM documents WHERE doc_id < 2000
+              GROUP BY source ORDER BY source""")),
+
     // zone-map pruning on the Arrow source: 8 range-disjoint files, a
     // point range admits one — the skip must be invisible to results
     // (sidecar soundness), which is exactly what the hash checks
@@ -2056,25 +2089,25 @@ object LlmOps {
     QueryDef("q_neardup_fold",
       (s, dir) => {
         val docs = Graft.table(s, dir, "documents")
-        val store = new graft.sinks.DocStore(s,
-          java.nio.file.Files.createTempDirectory("graft_ndfold").toString,
-          format = "graftdocs")
-        NearDupIndex.writePartitioned(store, NearDupIndex.build(
-          docs.where(col("doc_id") % 2 === 1), "doc_id", "text"), "nd")
-        Seq(0L, 2L).zipWithIndex.foreach { case (m, i) =>
-          val epoch = i + 1L
-          val batch = docs.where(col("doc_id") % 4 === m).select("doc_id", "text")
-          // persist-with-release: queryBatch reads the index three times
-          val idx = store.read("nd")
-            .where(col(NearDupIndex.EpochCol) =!= epoch.toString).persist()
-          try {
-            val dup = NearDupIndex.queryBatch(idx, batch, "doc_id", "text",
-                threshold = 0.8)
-              .select(col("fresh_id").as("doc_id")).distinct()
-            NearDupIndex.foldPartitionedBatch(store, "nd",
-              batch.join(dup, Seq("doc_id"), "left_anti"), epoch,
-              "doc_id", "text")
-          } finally idx.unpersist(false): Unit
+        val store = Staging.store(s, "q_neardup_fold", dir, "graftdocs")
+        Staging.memo(store, "nd", s"v1:${docs.count()}") {
+          NearDupIndex.writePartitioned(store, NearDupIndex.build(
+            docs.where(col("doc_id") % 2 === 1), "doc_id", "text"), "nd")
+          Seq(0L, 2L).zipWithIndex.foreach { case (m, i) =>
+            val epoch = i + 1L
+            val batch = docs.where(col("doc_id") % 4 === m).select("doc_id", "text")
+            // persist-with-release: queryBatch reads the index three times
+            val idx = store.read("nd")
+              .where(col(NearDupIndex.EpochCol) =!= epoch.toString).persist()
+            try {
+              val dup = NearDupIndex.queryBatch(idx, batch, "doc_id", "text",
+                  threshold = 0.8)
+                .select(col("fresh_id").as("doc_id")).distinct()
+              NearDupIndex.foldPartitionedBatch(store, "nd",
+                batch.join(dup, Seq("doc_id"), "left_anti"), epoch,
+                "doc_id", "text")
+            } finally idx.unpersist(false): Unit
+          }
         }
         store.read("nd").where(col("kind") === "doc").select("doc_id")
           .join(docs.select("doc_id", "source"), "doc_id")
@@ -2456,12 +2489,13 @@ object LlmOps {
     // the corpus → all cells probed → exact oracle.
     QueryDef("q_vector_index",
       (s, dir) => {
-        val store = new graft.sinks.DocStore(s,
-          java.nio.file.Files.createTempDirectory("graft_vidx").toString)
+        val store = Staging.store(s, "q_vector_index", dir)
         val emb = Graft.table(s, dir, "embeddings")
-        val idx = graft.llmops.Similarity.buildIvf(emb, nCells = 4,
-          lloydIters = 0, persistIndex = false)
-        store.write(graft.llmops.Similarity.centroidFrame(idx), "emb_ivf")
+        Staging.memo(store, "emb_ivf", s"v1:${emb.count()}") {
+          val idx = graft.llmops.Similarity.buildIvf(emb, nCells = 4,
+            lloydIters = 0, persistIndex = false)
+          store.write(graft.llmops.Similarity.centroidFrame(idx), "emb_ivf")
+        }
         val resolve: graft.mql.PipelineCompiler.TableResolver = {
           case "emb_ivf" => store.read("emb_ivf")
           case t => Graft.table(s, dir, t)
@@ -2491,8 +2525,18 @@ object LlmOps {
     // rewriting only its touched cell partitions; the final layout
     // must equal assigning the whole corpus against the seed centroids
     QueryDef("q_stream_vec_index",
-      (s, dir) => graft.streaming.EventStream.runVecIndexStreamOnFixture(s, dir)
-        .orderBy("vec_id"),
+      (s, dir) => {
+        val store = Staging.store(s, "q_stream_vec_index", dir, "graftdocs")
+        val emb = Graft.table(s, dir, "embeddings")
+        Staging.memo(store, "vecs", s"v1:${emb.count()}") {
+          graft.streaming.EventStream
+            .runVecIndexStreamOnFixture(s, dir, Some(store)): Unit
+        }
+        store.read("vecs")
+          .select(col("vec_id"), col("cell").cast("long").as("cell"),
+            round(col("vnorm"), 6).as("vnorm"))
+          .orderBy("vec_id")
+      },
       Some("""WITH u AS (SELECT vec_id, unnest(embedding)::DOUBLE AS e,
                     generate_subscripts(embedding, 1) AS i FROM embeddings),
               n AS (SELECT vec_id, sqrt(sum(e*e)) AS nrm FROM u GROUP BY vec_id),
@@ -2521,13 +2565,13 @@ object LlmOps {
     // spec-proven by physically deleting unprobed partitions.
     QueryDef("q_ivf_part",
       (s, dir) => {
-        val store = new graft.sinks.DocStore(s,
-          java.nio.file.Files.createTempDirectory("graft_pivf").toString,
-          "graftdocs")
+        val store = Staging.store(s, "q_ivf_part", dir, "graftdocs")
         val emb = Graft.table(s, dir, "embeddings")
-        val idx = graft.llmops.Similarity.buildIvf(emb, nCells = 4,
-          lloydIters = 0, persistIndex = false)
-        graft.llmops.Similarity.writeIvfPartitioned(store, idx, "emb_part")
+        Staging.memo(store, "emb_part", s"v1:${emb.count()}") {
+          val idx = graft.llmops.Similarity.buildIvf(emb, nCells = 4,
+            lloydIters = 0, persistIndex = false)
+          graft.llmops.Similarity.writeIvfPartitioned(store, idx, "emb_part")
+        }
         val qvec = (0 until 64).map(i => if (i % 2 == 0) 1.0 else 0.0)
         graft.llmops.Similarity.ivfPartitionedTopK(store, "emb_part",
           qvec, k = 10, nProbe = 4)
@@ -3248,10 +3292,12 @@ object LlmOps {
     // stored statistics are bit-identical to the computed ones.
     QueryDef("q_search_index",
       (s, dir) => {
-        val store = new graft.sinks.DocStore(s,
-          java.nio.file.Files.createTempDirectory("graft_tidx").toString)
+        val store = Staging.store(s, "q_search_index", dir)
         val docs = Graft.table(s, dir, "documents")
-        store.write(graft.llmops.TextIndex.build(docs, Seq("text")), "docs_text")
+        Staging.memo(store, "docs_text", s"v1:${docs.count()}") {
+          store.write(graft.llmops.TextIndex.build(docs, Seq("text")),
+            "docs_text")
+        }
         val resolve: graft.mql.PipelineCompiler.TableResolver = {
           case "docs_text" => store.read("docs_text")
           case t => Graft.table(s, dir, t)
@@ -3290,11 +3336,12 @@ object LlmOps {
     // q_search_text: the plan changes, the answer cannot.
     QueryDef("q_search_postings",
       (s, dir) => {
-        val store = new graft.sinks.DocStore(s,
-          java.nio.file.Files.createTempDirectory("graft_pidx").toString)
+        val store = Staging.store(s, "q_search_postings", dir)
         val docs = Graft.table(s, dir, "documents")
-        store.write(graft.llmops.TextIndex.build(docs, Seq("text"),
-          Some("doc_id")), "docs_inv")
+        Staging.memo(store, "docs_inv", s"v1:${docs.count()}") {
+          store.write(graft.llmops.TextIndex.build(docs, Seq("text"),
+            Some("doc_id")), "docs_inv")
+        }
         val resolve: graft.mql.PipelineCompiler.TableResolver = {
           case "docs_inv" => store.read("docs_inv")
           case t => Graft.table(s, dir, t)
@@ -3351,14 +3398,15 @@ object LlmOps {
     // scanned for non-candidates.
     QueryDef("q_autocomplete_index",
       (s, dir) => {
-        val store = new graft.sinks.DocStore(s,
-          java.nio.file.Files.createTempDirectory("graft_acidx").toString)
+        val store = Staging.store(s, "q_autocomplete_index", dir)
         val docs = Graft.table(s, dir, "documents")
         val auto = """{"tokenizer": "whitespace", "tokenFilters": [
           {"type": "lowercase"},
           {"type": "edgeGram", "minGram": 2, "maxGram": 4}]}"""
-        store.write(graft.llmops.TextIndex.build(docs, Seq("text"),
-          Some("doc_id"), Map("text" -> auto)), "docs_ac")
+        Staging.memo(store, "docs_ac", s"v1:${docs.count()}") {
+          store.write(graft.llmops.TextIndex.build(docs, Seq("text"),
+            Some("doc_id"), Map("text" -> auto)), "docs_ac")
+        }
         val resolve: graft.mql.PipelineCompiler.TableResolver = {
           case "docs_ac" => store.read("docs_ac")
           case t => Graft.table(s, dir, t)
@@ -3382,11 +3430,12 @@ object LlmOps {
     // field (source) to prove the stored fetch.
     QueryDef("q_search_stored",
       (s, dir) => {
-        val store = new graft.sinks.DocStore(s,
-          java.nio.file.Files.createTempDirectory("graft_sidx").toString)
+        val store = Staging.store(s, "q_search_stored", dir)
         val docs = Graft.table(s, dir, "documents")
-        store.write(graft.llmops.TextIndex.build(docs, Seq("text"),
-          Some("doc_id"), Seq("doc_id", "text", "source")), "docs_st")
+        Staging.memo(store, "docs_st", s"v1:${docs.count()}") {
+          store.write(graft.llmops.TextIndex.build(docs, Seq("text"),
+            Some("doc_id"), Seq("doc_id", "text", "source")), "docs_st")
+        }
         val resolve: graft.mql.PipelineCompiler.TableResolver = {
           case "docs_st" => store.read("docs_st")
           case t => Graft.table(s, dir, t)
@@ -4235,12 +4284,13 @@ object LlmOps {
     // answers from index rows alone
     QueryDef("q_searchmeta_stored",
       (s, dir) => {
-        val store = new graft.sinks.DocStore(s,
-          java.nio.file.Files.createTempDirectory("graft_smst").toString)
+        val store = Staging.store(s, "q_searchmeta_stored", dir)
         val docs = Graft.table(s, dir, "documents")
-        store.write(graft.llmops.TextIndex.build(docs, Seq("text"),
-          Some("doc_id"), Seq("doc_id", "text", "lang", "n_chars")),
-          "docs_stm")
+        Staging.memo(store, "docs_stm", s"v1:${docs.count()}") {
+          store.write(graft.llmops.TextIndex.build(docs, Seq("text"),
+            Some("doc_id"), Seq("doc_id", "text", "lang", "n_chars")),
+            "docs_stm")
+        }
         val resolve: graft.mql.PipelineCompiler.TableResolver = {
           case "docs_stm" => store.read("docs_stm")
           case t => Graft.table(s, dir, t)
@@ -4306,11 +4356,12 @@ object LlmOps {
     // entry point, as in a real search engine
     QueryDef("q_searchmeta_index",
       (s, dir) => {
-        val store = new graft.sinks.DocStore(s,
-          java.nio.file.Files.createTempDirectory("graft_smidx").toString)
+        val store = Staging.store(s, "q_searchmeta_index", dir)
         val docs = Graft.table(s, dir, "documents")
-        store.write(graft.llmops.TextIndex.build(docs, Seq("text"),
-          Some("doc_id")), "docs_inv")
+        Staging.memo(store, "docs_inv", s"v1:${docs.count()}") {
+          store.write(graft.llmops.TextIndex.build(docs, Seq("text"),
+            Some("doc_id")), "docs_inv")
+        }
         val resolve: graft.mql.PipelineCompiler.TableResolver = {
           case "docs_inv" => store.read("docs_inv")
           case t => Graft.table(s, dir, t)

@@ -369,9 +369,54 @@ final class DocStore(val spark: SparkSession, val dir: String,
     try out.write(json.getBytes("UTF-8")) finally out.close()
   }
 
-  /** Journaled DDL for one collection, txnVersion-ordered. */
-  def ddlEvents(name: String): Seq[DocStore.DdlEvent] =
-    ddlAll().filter(_.coll == name)
+  /** Journaled DDL for one collection, txnVersion-ordered — SCOPED TO
+    * THE CURRENT INCARNATION. A drop → pruneVersions → recreate flow
+    * reuses the name: without scoping, a fresh watch on the healthy
+    * recreated collection would replay the OLD incarnation's journaled
+    * drop + invalidate (a spurious terminal event), and the
+    * resumeAfter-past-invalidate guard would refuse the new
+    * incarnation's valid tokens. [[swapIn]]/[[appendRaw]] journal a
+    * `create` epoch marker whenever a collection is (re)created over a
+    * journaled past; events at or before the newest marker belong to
+    * the previous life and are not served. The marker itself is never
+    * a change event (mongod's default streams do not surface create). */
+  def ddlEvents(name: String): Seq[DocStore.DdlEvent] = {
+    val all = ddlAll().filter(_.coll == name)
+    all.filter(_.op == "create").map(_.at).maxOption match {
+      case Some(epoch) => all.filter(e => e.op != "create" && e.at >= epoch)
+      case None => all.filterNot(_.op == "create")
+    }
+  }
+
+  /** Journal a `create` epoch marker when `name` is being created anew
+    * over a journaled past (see [[ddlEvents]]). The marker's timestamp
+    * is strictly greater than every prior event's, so the epoch slice
+    * is exact even within one wall-clock millisecond. */
+  private def journalCreateEpoch(name: String): Unit = {
+    if (!fs.exists(ddlDir)) return
+    val prior = ddlAll().filter(_.coll == name)
+    if (prior.isEmpty) return
+    val at = math.max(System.currentTimeMillis(), prior.map(_.at).max + 1)
+    journalDdl(DocStore.DdlEvent("create", name, None, 0L, at))
+  }
+
+  /** Drop EVERY live collection plus a terminal db-level event —
+    * mongod's `dropDatabase`. Each collection journals its own `drop`
+    * (collection-level watches see drop + invalidate as usual); the
+    * `dropDatabase` journal row is what db-LEVEL watches translate to
+    * their one terminal invalidate — the only invalidation a db watch
+    * has (collection DDL never invalidates it). Returns the dropped
+    * collection names. */
+  def dropDatabase(): Seq[String] = {
+    val cols = collections()
+    cols.foreach(c => drop(c): Unit)
+    // past every per-collection event any db-watch token could carry
+    val maxTxn = (ddlAll().map(_.txnVersion) ++
+      cols.flatMap(c => versions(c).lastOption) :+ 0L).max
+    journalDdl(DocStore.DdlEvent("dropDatabase", "*", None, maxTxn + 2,
+      System.currentTimeMillis()))
+    cols
+  }
 
   /** Every journaled DDL event in the store, txnVersion-then-time
     * ordered. O(DDL count) — drop/rename are rare, the journal is one
@@ -429,6 +474,17 @@ final class DocStore(val spark: SparkSession, val dir: String,
   }
 
   /** The tag value committed with the collection's current contents. */
+  /** Write or overwrite ONE commit tag after the fact — the staging /
+    * memoization protocol ([[graft.queries.Staging]]): written only
+    * after a successful build, so tag presence certifies a COMPLETE
+    * memoized artifact (a crash mid-build leaves no tag and the next
+    * run rebuilds). Normal data writes should pass `tags` to [[write]]
+    * for the atomic commit instead. */
+  def writeTag(name: String, key: String, value: String): Unit = {
+    val out = fs.create(tagPath(name, key), true)
+    try out.write(value.getBytes("UTF-8")) finally out.close()
+  }
+
   def readTag(name: String, key: String): Option[String] = {
     val p = tagPath(name, key)
     val f = fs
@@ -789,7 +845,11 @@ final class DocStore(val spark: SparkSession, val dir: String,
     requireNoDeadHistory(name)
     val target = new Path(path(name))
     val f = fs
-    if (!f.exists(target)) f.mkdirs(target): Unit
+    if (!f.exists(target)) {
+      // append-created collection over a journaled past: fresh epoch
+      journalCreateEpoch(name)
+      f.mkdirs(target): Unit
+    }
     val nanos = System.nanoTime()
     val tmp = new Path(target, s".graft_tmp_insert_$nanos")
     val out = f.create(tmp, true)
@@ -868,6 +928,9 @@ final class DocStore(val spark: SparkSession, val dir: String,
     val f = fs
     val aside = new Path(s"$dir/.graft_old_${validName(name)}_${System.nanoTime()}")
     val hadOld = f.exists(target)
+    // a brand-new collection over a journaled past starts a fresh
+    // change-history epoch (see ddlEvents)
+    if (!hadOld) journalCreateEpoch(name)
     if (hadOld && !f.rename(target, aside))
       throw new MqlException(s"could not replace collection '$name'")
     if (!f.rename(stage, target)) {

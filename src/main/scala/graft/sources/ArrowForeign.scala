@@ -23,6 +23,9 @@ object ArrowForeign {
       DictionaryEncoder, DictionaryProvider}
     import org.apache.arrow.memory.RootAllocator
     import scala.jdk.CollectionConverters._
+    // a fixture generator refuses loudly on nothing-to-write (the
+    // writer/root below would otherwise NPE at writer.end())
+    require(rows.nonEmpty, "ArrowForeign.write: empty rows")
     val alloc = new RootAllocator()
     try {
       // dictionary: the distinct source values
@@ -94,6 +97,88 @@ object ArrowForeign {
         if (root != null) root.close()
         raw.close()
         dictVec.close()
+      }
+    } finally alloc.close()
+  }
+
+  /** NESTED dictionary shapes (what pyarrow writes for a categorical
+    * inside a struct, or a list of categoricals): one `.arrow` file
+    * with `doc_id: int64`, `meta: struct<source: dict<int32→utf8>,
+    * rank: int64>`, and `tags: list<dict<int32→utf8>>` — two distinct
+    * dictionaries (ids 9, 10) riding dictionary batches. Exercises the
+    * reader's recursive decode (composite wrappers). */
+  def writeNested(dir: String,
+                  rows: Seq[(Long, String, Long, Seq[String])]): Unit = {
+    import org.apache.arrow.vector._
+    import org.apache.arrow.vector.complex.{ListVector, StructVector}
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType,
+      Schema, DictionaryEncoding}
+    import org.apache.arrow.vector.dictionary.{Dictionary, DictionaryProvider}
+    import org.apache.arrow.memory.RootAllocator
+    import scala.jdk.CollectionConverters._
+    require(rows.nonEmpty, "ArrowForeign.writeNested: empty rows")
+    val alloc = new RootAllocator()
+    try {
+      val srcValues = rows.map(_._2).distinct.sorted
+      val tagValues = rows.flatMap(_._4).distinct.sorted
+      val srcIdx = srcValues.zipWithIndex.toMap
+      val tagIdx = tagValues.zipWithIndex.toMap
+      val srcDictVec = new VarCharVector("src_dict", alloc)
+      srcDictVec.allocateNew()
+      srcValues.zipWithIndex.foreach { case (v, i) =>
+        srcDictVec.setSafe(i, v.getBytes("UTF-8")) }
+      srcDictVec.setValueCount(srcValues.length)
+      val tagDictVec = new VarCharVector("tag_dict", alloc)
+      tagDictVec.allocateNew()
+      tagValues.zipWithIndex.foreach { case (v, i) =>
+        tagDictVec.setSafe(i, v.getBytes("UTF-8")) }
+      tagDictVec.setValueCount(tagValues.length)
+      val encSrc = new DictionaryEncoding(9L, false,
+        new ArrowType.Int(32, true))
+      val encTag = new DictionaryEncoding(10L, false,
+        new ArrowType.Int(32, true))
+      val provider = new DictionaryProvider.MapDictionaryProvider(
+        new Dictionary(srcDictVec, encSrc), new Dictionary(tagDictVec, encTag))
+      val schema = new Schema(Seq(
+        new Field("doc_id",
+          FieldType.nullable(new ArrowType.Int(64, true)), null),
+        new Field("meta", FieldType.nullable(ArrowType.Struct.INSTANCE), Seq(
+          new Field("source",
+            new FieldType(true, new ArrowType.Int(32, true), encSrc), null),
+          new Field("rank",
+            FieldType.nullable(new ArrowType.Int(64, true)), null)).asJava),
+        new Field("tags", FieldType.nullable(new ArrowType.List()), Seq(
+          new Field("item",
+            new FieldType(true, new ArrowType.Int(32, true), encTag),
+            null)).asJava)).asJava)
+      val root = VectorSchemaRoot.create(schema, alloc)
+      try {
+        root.allocateNew()
+        val id = root.getVector("doc_id").asInstanceOf[BigIntVector]
+        val meta = root.getVector("meta").asInstanceOf[StructVector]
+        val srcV = meta.getChild("source").asInstanceOf[IntVector]
+        val rankV = meta.getChild("rank").asInstanceOf[BigIntVector]
+        val tags = root.getVector("tags").asInstanceOf[ListVector]
+        val tagData = tags.getDataVector.asInstanceOf[IntVector]
+        var off = 0
+        rows.zipWithIndex.foreach { case ((d, sv, rk, tg), i) =>
+          id.setSafe(i, d)
+          meta.setIndexDefined(i)
+          srcV.setSafe(i, srcIdx(sv))
+          rankV.setSafe(i, rk)
+          tags.startNewValue(i): Unit
+          tg.foreach { t => tagData.setSafe(off, tagIdx(t)); off += 1 }
+          tags.endValue(i, tg.length)
+        }
+        root.setRowCount(rows.length)
+        val file = new java.io.File(dir, "foreign_nested.arrow")
+        val ch = new java.io.FileOutputStream(file).getChannel
+        val writer = new org.apache.arrow.vector.ipc.ArrowFileWriter(
+          root, provider, ch)
+        try { writer.start(); writer.writeBatch(); writer.end() }
+        finally { writer.close(); ch.close() }
+      } finally {
+        root.close(); srcDictVec.close(); tagDictVec.close()
       }
     } finally alloc.close()
   }

@@ -257,43 +257,44 @@ private[sources] object GraftArrowSource {
     StructType(s.getFields.asScala.map(f =>
       StructField(f.getName, toSparkType(f), f.isNullable)).toSeq)
 
-  /** The field whose TYPE the column logically carries: a dictionary-
-    * encoded field's root vector is the index vector (int) — the value
-    * type lives on the dictionary vector the reader materialized from
-    * the schema. Nested dictionary encodings (inside list/struct/map)
-    * refuse loudly — decode would have to rebuild the enclosing
-    * composite. */
-  def valueField(f: Field,
-                 dicts: java.util.Map[java.lang.Long,
-                   org.apache.arrow.vector.dictionary.Dictionary]): Field =
-    if (f.getDictionary == null) f
-    else {
-      val d = dicts.get(f.getDictionary.getId)
-      if (d == null) unsupported(
-        s"dictionary id ${f.getDictionary.getId} missing from the file")
-      d.getVector.getField
-    }
-
-  /** Reader-aware schema: dictionary-encoded top-level columns report
-    * their VALUE type (the read path decodes them); nested dictionary
-    * encodings refuse. */
+  /** Reader-aware schema: dictionary-encoded columns — top-level OR
+    * nested inside struct/list (pyarrow writes both) — report their
+    * VALUE type; the read path decodes top-level vectors wholesale and
+    * nested ones through per-child decode + composite wrappers
+    * ([[DictAwareVectors]]). */
   def toSparkSchema(reader: ArrowReader): StructType = {
     val dicts = reader.getDictionaryVectors
     StructType(reader.getVectorSchemaRoot.getSchema.getFields.asScala.map {
       f =>
-        val vf = valueField(f, dicts)
-        vf.getChildren.asScala.foreach(assertNoNestedDict)
+        val vf = resolveDictField(f, dicts)
         StructField(f.getName, toSparkType(vf), f.isNullable)
     }.toSeq)
   }
 
-  private def assertNoNestedDict(f: Field): Unit = {
-    if (f.getDictionary != null) unsupported(
-      s"nested dictionary-encoded field '${f.getName}' (top-level " +
-        "dictionary columns decode; nested ones would need composite " +
-        "rebuilds)")
-    f.getChildren.asScala.foreach(assertNoNestedDict)
+  /** Recursively replace every dictionary-encoded field (at any depth)
+    * with its dictionary's VALUE field, keeping the outer field's name
+    * and nullability — the schema the decoded read path serves. */
+  def resolveDictField(f: Field,
+                       dicts: java.util.Map[java.lang.Long,
+                         org.apache.arrow.vector.dictionary.Dictionary])
+      : Field = {
+    if (f.getDictionary != null) {
+      val d = dicts.get(f.getDictionary.getId)
+      if (d == null) unsupported(
+        s"dictionary id ${f.getDictionary.getId} missing from the file")
+      val vf = d.getVector.getField
+      new Field(f.getName,
+        new org.apache.arrow.vector.types.pojo.FieldType(
+          f.isNullable, vf.getType, null, vf.getMetadata),
+        vf.getChildren.asScala.map(resolveDictField(_, dicts)).asJava)
+    } else if (f.getChildren.isEmpty) f
+    else new Field(f.getName, f.getFieldType,
+      f.getChildren.asScala.map(resolveDictField(_, dicts)).asJava)
   }
+
+  /** Whether any field in the subtree is dictionary-encoded. */
+  def hasDict(f: Field): Boolean =
+    f.getDictionary != null || f.getChildren.asScala.exists(hasDict)
 }
 
 private[sources] class GraftArrowTable(schema: StructType,
@@ -405,6 +406,75 @@ private[sources] final class ReaderOwnedArrowVector(
   override def closeIfFreeable(): Unit = ()
 }
 
+/** Struct column whose encoded children were dictionary-decoded: the
+  * struct's own validity reads from the reader-owned vector, children
+  * are the (possibly decoded) wrapped vectors. Scalar accessors never
+  * apply to a struct column; lifecycle is reader-owned (the decode
+  * buffers release per batch). */
+private[sources] final class GraftStructVector(
+    v: org.apache.arrow.vector.complex.StructVector,
+    children: Array[ColumnVector],
+    dt: DataType) extends ColumnVector(dt) {
+  override def close(): Unit = ()
+  override def closeIfFreeable(): Unit = ()
+  override def hasNull: Boolean = v.getNullCount > 0
+  override def numNulls(): Int = v.getNullCount
+  override def isNullAt(rowId: Int): Boolean = v.isNull(rowId)
+  override def getChild(ordinal: Int): ColumnVector = children(ordinal)
+  private def no: Nothing =
+    throw new UnsupportedOperationException("struct column")
+  override def getBoolean(rowId: Int): Boolean = no
+  override def getByte(rowId: Int): Byte = no
+  override def getShort(rowId: Int): Short = no
+  override def getInt(rowId: Int): Int = no
+  override def getLong(rowId: Int): Long = no
+  override def getFloat(rowId: Int): Float = no
+  override def getDouble(rowId: Int): Double = no
+  override def getArray(rowId: Int): org.apache.spark.sql.vectorized.ColumnarArray = no
+  override def getMap(ordinal: Int): org.apache.spark.sql.vectorized.ColumnarMap = no
+  override def getDecimal(rowId: Int, precision: Int, scale: Int)
+      : org.apache.spark.sql.types.Decimal = no
+  override def getUTF8String(rowId: Int)
+      : org.apache.spark.unsafe.types.UTF8String = no
+  override def getBinary(rowId: Int): Array[Byte] = no
+}
+
+/** List column whose element vector was dictionary-decoded: offsets and
+  * validity read from the reader-owned list vector, elements from the
+  * wrapped (decoded) data vector. */
+private[sources] final class GraftListVector(
+    v: ListVector, element: ColumnVector,
+    dt: DataType) extends ColumnVector(dt) {
+  override def close(): Unit = ()
+  override def closeIfFreeable(): Unit = ()
+  override def hasNull: Boolean = v.getNullCount > 0
+  override def numNulls(): Int = v.getNullCount
+  override def isNullAt(rowId: Int): Boolean = v.isNull(rowId)
+  override def getArray(rowId: Int)
+      : org.apache.spark.sql.vectorized.ColumnarArray = {
+    val start = v.getElementStartIndex(rowId)
+    val end = v.getElementEndIndex(rowId)
+    new org.apache.spark.sql.vectorized.ColumnarArray(element, start,
+      end - start)
+  }
+  override def getChild(ordinal: Int): ColumnVector = element
+  private def no: Nothing =
+    throw new UnsupportedOperationException("list column")
+  override def getBoolean(rowId: Int): Boolean = no
+  override def getByte(rowId: Int): Byte = no
+  override def getShort(rowId: Int): Short = no
+  override def getInt(rowId: Int): Int = no
+  override def getLong(rowId: Int): Long = no
+  override def getFloat(rowId: Int): Float = no
+  override def getDouble(rowId: Int): Double = no
+  override def getMap(ordinal: Int): org.apache.spark.sql.vectorized.ColumnarMap = no
+  override def getDecimal(rowId: Int, precision: Int, scale: Int)
+      : org.apache.spark.sql.types.Decimal = no
+  override def getUTF8String(rowId: Int)
+      : org.apache.spark.unsafe.types.UTF8String = no
+  override def getBinary(rowId: Int): Array[Byte] = no
+}
+
 private[sources] class GraftArrowReaderFactory(
     required: StructType, conf: SerializableConfiguration)
   extends PartitionReaderFactory {
@@ -445,26 +515,43 @@ private[sources] class GraftArrowReaderFactory(
         if (!reader.loadNextBatch()) return false
         // vectors are reused by the reader across loadNextBatch calls —
         // a fresh wrapper per batch, valid until the next call (the
-        // PartitionReader contract)
-        val cols: Array[ColumnVector] = idx.map { i =>
-          val v = root.getVector(i)
+        // PartitionReader contract). Dictionary-encoded vectors (top-
+        // level OR nested in struct/list — pyarrow writes both) decode
+        // against the CURRENT dictionary state (stream-format
+        // replacement messages); a composite containing one wraps its
+        // children so only the encoded subtree pays the decode.
+        def decodeVec(v: org.apache.arrow.vector.ValueVector)
+            : org.apache.arrow.vector.ValueVector = {
           val enc = v.getField.getDictionary
-          val out =
-            if (enc == null) v
-            else {
-              // dictionaries may be replaced mid-stream (stream-format
-              // replacement messages): decode against the CURRENT state
-              val d = reader.getDictionaryVectors.get(enc.getId)
-              if (d == null) throw new IllegalArgumentException(
-                s"graftarrow: file $file references dictionary " +
-                  s"${enc.getId} it never defined")
-              val dv = org.apache.arrow.vector.dictionary.DictionaryEncoder
-                .decode(v, d)
-              decoded += dv
-              dv
-            }
-          new ReaderOwnedArrowVector(out): ColumnVector
+          val d = reader.getDictionaryVectors.get(enc.getId)
+          if (d == null) throw new IllegalArgumentException(
+            s"graftarrow: file $file references dictionary " +
+              s"${enc.getId} it never defined")
+          val dv = org.apache.arrow.vector.dictionary.DictionaryEncoder
+            .decode(v, d)
+          decoded += dv
+          dv
         }
+        def wrap(v: org.apache.arrow.vector.ValueVector): ColumnVector = {
+          if (v.getField.getDictionary != null) return wrap(decodeVec(v))
+          if (!GraftArrowSource.hasDict(v.getField))
+            return new ReaderOwnedArrowVector(v)
+          val dt = GraftArrowSource.toSparkType(GraftArrowSource
+            .resolveDictField(v.getField, reader.getDictionaryVectors))
+          v match {
+            case s: org.apache.arrow.vector.complex.StructVector =>
+              new GraftStructVector(s,
+                (0 until s.size()).map(ci =>
+                  wrap(s.getChildByOrdinal(ci))).toArray, dt)
+            case l: ListVector =>
+              new GraftListVector(l, wrap(l.getDataVector), dt)
+            case other => throw new IllegalArgumentException(
+              "graftarrow: dictionary-encoded field nested inside " +
+                s"${other.getField.getType} is unsupported (struct/" +
+                "list parents decode)")
+          }
+        }
+        val cols: Array[ColumnVector] = idx.map(i => wrap(root.getVector(i)))
         current = new ColumnarBatch(cols, root.getRowCount)
         true
       }

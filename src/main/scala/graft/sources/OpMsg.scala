@@ -69,12 +69,14 @@ object OpMsg {
   // OP_COMPRESSED compressor ids (wire spec): 0 noop, 1 snappy,
   // 2 zlib, 3 zstd. noop, zlib (JDK Deflater), snappy (the
   // block-format codec in [[Snappy]] — mongod's DEFAULT compressor),
-  // and zstd ([[Zstd]] — a COMPLETE RFC 8878 decoder: Huffman
-  // literals, FSE sequences, repeat offsets, checksum verification,
-  // so frames from a real mongod/driver decode; outbound prefers the
-  // native encoder on the Spark classpath and falls back to
-  // store-mode frames, both legal zstd) are spoken, so zstd-only
-  // peers interoperate in both directions.
+  // and zstd ([[Zstd]] — a COMPLETE RFC 8878 codec: the decoder covers
+  // Huffman literals, FSE sequences, repeat offsets and checksum
+  // verification, so frames from a real mongod/driver decode; outbound
+  // runs the from-scratch compressed-block encoder (Zstd.compressFrame:
+  // LZ77 + predefined-FSE sequences + canonical Huffman literals, with
+  // a per-block Raw fallback for incompressible data) — every emitted
+  // frame is legal zstd) are spoken, so zstd-only peers interoperate
+  // in both directions.
   private[sources] val CompressorNoop = 0
   private[sources] val CompressorSnappy = 1
   private[sources] val CompressorZlib = 2
@@ -737,7 +739,8 @@ object OpMsg {
       * (mtime,name)/version offsets ARE the resume positions, encoded
       * as `{_id: {_data: "<zero-padded txnVersion>/<documentKey>"}}`. */
     private final class ChangeTail(val coll: String, val keyField: String,
-                                   val restJson: String) {
+                                   val restJson: String,
+                                   val mongodTokens: Boolean = false) {
       @volatile var lastToken: String = ""
       // an invalidate event is terminal: the serving batch is the
       // cursor's last (mongod closes the cursor with it)
@@ -759,26 +762,300 @@ object OpMsg {
       new java.util.concurrent.ConcurrentHashMap[Long, Cursor]()
 
     /** Retryable-write transaction log: per session (lsid), the last
-      * 4096 (txnNumber → acknowledged n) — enough to absorb a whole
-      * replayed micro-batch (mongod keeps one record per session; the
-      * wider window is this stand-in's documented extension, because a
-      * Spark task replay re-sends EVERY command of the partition, not
-      * just the failed one). */
+      * 4096 (txnNumber → the acknowledged REPLY, byte-exact) — enough
+      * to absorb a whole replayed micro-batch (mongod keeps one record
+      * per session; the wider window is this stand-in's documented
+      * extension, because a Spark task replay re-sends EVERY command of
+      * the partition, not just the failed one). Storing the full reply
+      * (not just n) lets update/delete replays return their original
+      * nModified/upserted shape without re-applying. */
     private final class TxnLog {
       private val m =
-        new java.util.LinkedHashMap[java.lang.Long, java.lang.Long](
+        new java.util.LinkedHashMap[java.lang.Long, Array[Byte]](
           16, 0.75f, false) {
           override def removeEldestEntry(
-              e: java.util.Map.Entry[java.lang.Long, java.lang.Long])
+              e: java.util.Map.Entry[java.lang.Long, Array[Byte]])
               : Boolean = size > 4096
         }
-      def get(t: Long): Option[Long] =
-        m.synchronized(Option(m.get(t)).map(_.longValue))
-      def put(t: Long, n: Long): Unit =
-        m.synchronized { m.put(t, n): Unit }
+      def get(t: Long): Option[Array[Byte]] =
+        m.synchronized(Option(m.get(t)))
+      def put(t: Long, reply: Array[Byte]): Unit =
+        m.synchronized { m.put(t, reply): Unit }
     }
     private val txnLog =
       new java.util.concurrent.ConcurrentHashMap[String, TxnLog]()
+
+    // per-collection monitors: serialize preload refreshes and CRUD
+    // writes per collection WITHOUT holding any ConcurrentHashMap bin
+    // lock across Spark calls (monitors are tiny and never collected —
+    // the store has a bounded set of collection names)
+    private val collMonitors =
+      new java.util.concurrent.ConcurrentHashMap[String, Object]()
+    private def collMonitor(coll: String): Object =
+      collMonitors.computeIfAbsent(coll, _ => new Object)
+
+    /** {lsid, txnNumber} of a retryable write, when the command carries
+      * one (mongod: both or neither). */
+    private def sessionOf(fields: Map[String, JValue])
+        : Option[(String, Long)] = fields.get("lsid") match {
+      case Some(JObject(lo)) =>
+        val sid = lo.collectFirst { case ("id", JString(x)) => x }
+          .getOrElse(throw new IllegalArgumentException("lsid needs an id"))
+        val txn = fields.get("txnNumber") match {
+          case Some(JLong(t)) => t
+          case Some(JInt(t)) => t.toLong
+          case _ => throw new IllegalArgumentException(
+            "lsid without txnNumber (retryable writes need both)")
+        }
+        Some((sid, txn))
+      case None => None
+      case Some(other) => throw new IllegalArgumentException(
+        s"lsid must be a document, got $other")
+    }
+
+    /** The logged reply for a replayed (lsid, txnNumber), if any. */
+    private def sessionReplay(session: Option[(String, Long)])
+        : Option[Array[Byte]] =
+      session.flatMap { case (sid, txn) =>
+        txnLog.computeIfAbsent(sid, _ => new TxnLog).get(txn)
+      }
+
+    /** Log the reply under the session's (lsid, txnNumber) and return
+      * it — the write side of the retryable contract. */
+    private def sessionAck(session: Option[(String, Long)],
+                           reply: Array[Byte]): Array[Byte] = {
+      session.foreach { case (sid, txn) =>
+        txnLog.computeIfAbsent(sid, _ => new TxnLog).put(txn, reply)
+      }
+      reply
+    }
+
+    /** After a CRUD write: a preloaded LocalRelation for the collection
+      * is stale — re-materialize (CRUD handlers already run Spark jobs,
+      * so this is a driver-client context; see the preload comment). */
+    private def refreshPreload(coll: String): Unit =
+      collMonitor(coll).synchronized {
+        if (localRel.containsKey(coll))
+          localRel.put(coll, materialize(coll)): Unit
+      }
+
+    /** One `updates` array entry: returns (nMatched, nModified,
+      * upserted _id if an upsert-insert ran). The update lowers to a
+      * single CASE projection (UpdateOps) over one scan; matched /
+      * modified counts price as one aggregate over the same scan. */
+    private def applyUpdateSpec(coll: String, q: JValue, u: JValue,
+                                multi: Boolean, upsert: Boolean)
+        : (Long, Long, Option[JValue]) = {
+      import org.apache.spark.sql.functions.{col, count, lit, when}
+      if (!store.exists(coll)) {
+        if (!upsert) return (0L, 0L, None)
+        throw new IllegalArgumentException(
+          s"upsert into missing collection '$coll': the fixed-schema " +
+            "engine cannot infer a schema from the update document — " +
+            "create the collection first (insert or DocStore.write)")
+      }
+      val base = store.read(coll)
+      val compiled = graft.mql.UpdateOps.compile(u, base.schema)
+      // MQL match semantics: a null/UNKNOWN predicate is "does not
+      // match" — never let SQL three-valued logic leak a null cond;
+      // withSchema gives the filter its implicit array-traversal
+      // semantics ({tags: "x"} is containment on an array column)
+      val cond0 = org.apache.spark.sql.functions.coalesce(
+        FilterCompiler.withSchema(Some(base.schema))(
+          FilterCompiler.compile(q)), lit(false))
+      val cond =
+        if (multi) cond0
+        else {
+          // single-doc update: with ≤1 match the filter itself targets
+          // the document (and an upsert miss needs no _id at all)
+          if (base.where(cond0).limit(2).count() <= 1) cond0
+          else {
+            // several matches: narrow to the first matching _id (the
+            // engine's row-identity contract; mongod picks one doc the
+            // same unordered way)
+            if (!base.columns.contains("_id"))
+              throw new IllegalArgumentException(
+                "update with multi:false over several matching " +
+                  "documents needs an _id column to target one (use " +
+                  "multi:true for set-based updates)")
+            val one = base.where(cond0).select(col("_id")).limit(1)
+              .collect()
+            col("_id") === lit(one(0).get(0))
+          }
+        }
+      val (updated, modifiedPred) =
+        graft.mql.UpdateOps.applyTo(base, cond, compiled)
+      val counts = base.select(
+        count(when(cond, lit(1))).as("m"),
+        count(when(modifiedPred, lit(1))).as("mod")).head()
+      val (m, mod) = (counts.getLong(0), counts.getLong(1))
+      if (m == 0 && upsert) {
+        val row = graft.mql.UpdateOps.upsertRow(spark, base.schema, q,
+          compiled)
+        val idVal: JValue =
+          if (base.columns.contains("_id"))
+            decodeDoc(graft.bson.BsonBinary.encodeRow(
+              row.collect()(0), row.schema)).obj.toMap
+              .getOrElse("_id", JNull)
+          else JNull
+        collMonitor(coll).synchronized {
+          store.write(store.read(coll).unionByName(row), coll)
+        }
+        (0L, 0L, Some(idVal))
+      } else {
+        if (mod > 0) collMonitor(coll).synchronized {
+          store.write(updated, coll)
+        }
+        (m, mod, None)
+      }
+    }
+
+    /** One `deletes` array entry: returns how many documents went. */
+    private def applyDeleteSpec(coll: String, q: JValue, limit: Int): Long = {
+      import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+      if (!store.exists(coll)) return 0L
+      val base = store.read(coll)
+      val cond = coalesce(FilterCompiler.withSchema(Some(base.schema))(
+        FilterCompiler.compile(q)), lit(false))
+      if (limit == 0) {
+        val m = base.where(cond).count()
+        if (m > 0) collMonitor(coll).synchronized {
+          store.write(base.where(not(cond)), coll)
+        }
+        m
+      } else {
+        if (!base.columns.contains("_id"))
+          throw new IllegalArgumentException(
+            "delete with limit:1 needs an _id column to target one " +
+              "document (use limit:0 for set-based deletes)")
+        val one = base.where(cond).select(col("_id")).limit(1).collect()
+        if (one.isEmpty) 0L
+        else {
+          collMonitor(coll).synchronized {
+            store.write(
+              base.where(not(col("_id") <=> lit(one(0).get(0)))), coll)
+          }
+          1L
+        }
+      }
+    }
+
+    /** mongod's findAndModify: select ONE document (query + sort),
+      * remove it or apply an update, return the pre-image (default) or
+      * post-image (`new: true`), optionally projected through `fields`.
+      * Reply: `{value, lastErrorObject: {n, updatedExisting[, upserted]},
+      * ok}`. */
+    private def runFindAndModify(coll: String,
+                                 fields: Map[String, JValue]): Array[Byte] = {
+      import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+      val q = fields.getOrElse("query", JObject(Nil))
+      val remove = fields.get("remove").contains(JBool(true))
+      val update = fields.get("update")
+      val returnNew = fields.get("new").contains(JBool(true))
+      val upsert = fields.get("upsert").contains(JBool(true))
+      if (remove == update.isDefined) throw new IllegalArgumentException(
+        "findAndModify needs exactly one of 'remove' or 'update'")
+      if (remove && returnNew) throw new IllegalArgumentException(
+        "findAndModify: 'new: true' with 'remove' has no post-image")
+      // include-style projection: named fields come back, _id rides
+      // along unless explicitly excluded ({_id: 0}) — find's contract
+      val (projection, idExcluded): (Option[List[String]], Boolean) =
+        fields.get("fields") match {
+          case Some(JObject(po)) =>
+            val keep = po.collect {
+              case (n, JInt(i)) if i == 1 => n
+              case (n, JBool(true)) => n
+            }
+            val noId = po.exists {
+              case ("_id", JInt(z)) => z == 0
+              case ("_id", JBool(false)) => true
+              case _ => false
+            }
+            (Some(keep), noId)
+          case Some(other) => throw new IllegalArgumentException(
+            s"findAndModify fields must be a document, got $other")
+          case None => (None, false)
+        }
+      def docReply(doc: JValue, n: Int, updatedExisting: Boolean,
+                   upsertedId: Option[JValue] = None): Array[Byte] = {
+        val value = (doc, projection) match {
+          case (JObject(fs), Some(keep)) =>
+            JObject(fs.filter { case (k, _) =>
+              keep.contains(k) || (k == "_id" && !idExcluded) })
+          case (v, _) => v
+        }
+        encodeDoc(JObject(List(
+          "value" -> value,
+          "lastErrorObject" -> JObject(List(
+            "n" -> JInt(n),
+            "updatedExisting" -> JBool(updatedExisting)) ++
+            upsertedId.map(id => "upserted" -> id).toList),
+          "ok" -> JDouble(1.0))))
+      }
+      if (!store.exists(coll)) {
+        if (!(upsert && update.isDefined))
+          return docReply(JNull, 0, updatedExisting = false)
+        throw new IllegalArgumentException(
+          s"upsert into missing collection '$coll': create it first " +
+            "(fixed-schema engine)")
+      }
+      val base = store.read(coll)
+      val cond = coalesce(FilterCompiler.withSchema(Some(base.schema))(
+        FilterCompiler.compile(q)), lit(false))
+      val sorted = fields.get("sort") match {
+        case Some(JObject(ss)) =>
+          base.where(cond).orderBy(ss.map {
+            case (f, JInt(d)) if d == 1 => col(f).asc
+            case (f, JInt(d)) if d == -1 => col(f).desc
+            case (f, other) => throw new IllegalArgumentException(
+              s"findAndModify sort.$f must be 1 or -1, got $other")
+          }: _*)
+        case None => base.where(cond)
+        case Some(other) => throw new IllegalArgumentException(
+          s"findAndModify sort must be a document, got $other")
+      }
+      val one = sorted.limit(1).collect()
+      if (one.isEmpty) {
+        if (upsert && update.isDefined) {
+          val compiled = graft.mql.UpdateOps.compile(update.get, base.schema)
+          val row = graft.mql.UpdateOps.upsertRow(spark, base.schema, q,
+            compiled)
+          val inserted = row.collect()(0)
+          collMonitor(coll).synchronized {
+            store.write(store.read(coll).unionByName(row), coll)
+          }
+          val doc = decodeDoc(
+            graft.bson.BsonBinary.encodeRow(inserted, row.schema))
+          val idVal = doc.obj.toMap.getOrElse("_id", JNull)
+          return docReply(if (returnNew) doc else JNull, 1,
+            updatedExisting = false, upsertedId = Some(idVal))
+        }
+        return docReply(JNull, 0, updatedExisting = false)
+      }
+      val pre = one(0)
+      if (!base.columns.contains("_id")) throw new IllegalArgumentException(
+        "findAndModify needs an _id column to target one document")
+      val idv = pre.get(pre.fieldIndex("_id"))
+      val target = col("_id") <=> lit(idv)
+      val preDoc = decodeDoc(graft.bson.BsonBinary.encodeRow(pre, base.schema))
+      if (remove) {
+        collMonitor(coll).synchronized {
+          store.write(base.where(not(target)), coll)
+        }
+        docReply(preDoc, 1, updatedExisting = false)
+      } else {
+        val compiled = graft.mql.UpdateOps.compile(update.get, base.schema)
+        val (updated, _) = graft.mql.UpdateOps.applyTo(base, target, compiled)
+        val postRows = updated.where(col("_id") <=> lit(idv)).collect()
+        collMonitor(coll).synchronized { store.write(updated, coll) }
+        val doc =
+          if (returnNew)
+            decodeDoc(graft.bson.BsonBinary.encodeRow(
+              postRows(0), updated.schema))
+          else preDoc
+        docReply(doc, 1, updatedExisting = true)
+      }
+    }
 
     /** Open-cursor count — observability for specs (a real mongod
       * reports this through serverStatus.metrics.cursor). */
@@ -837,12 +1114,19 @@ object OpMsg {
     acceptor.setDaemon(true)
     acceptor.start()
 
+    /** Outbound form of a change tail's token: engine format, or the
+      * mongod KeyString hex when the cursor opened with
+      * `tokenFormat: "mongod"`. */
+    private def outToken(t: ChangeTail): String =
+      if (t.mongodTokens) KeyString.fromEngine(t.lastToken, t.coll)
+      else t.lastToken
+
     private def pull(c: Cursor): Seq[Array[Byte]] = {
       val out = Seq.newBuilder[Array[Byte]]
       var n = 0
       while (n < c.batchSize && c.rows.hasNext &&
              !c.tail.exists(_.invalidated)) {
-        val row = c.rows.next()
+        var row = c.rows.next()
         c.tail.foreach { t =>
           t.lastToken = tokenOf(row, c.schema)
           // invalidate is terminal — serve it, then stop (nothing may
@@ -850,6 +1134,15 @@ object OpMsg {
           val oi = c.schema.fieldNames.indexOf("operationType")
           if (oi >= 0 && !row.isNullAt(oi) && row.get(oi) == "invalidate")
             t.invalidated = true
+          // mongod token format: rewrite the served document's
+          // _id._data (internal plans keep engine tokens — the
+          // conversion happens only at the reply boundary)
+          if (t.mongodTokens) {
+            val ii = c.schema.fieldNames.indexOf("_id")
+            if (ii >= 0) row = org.apache.spark.sql.Row(
+              row.toSeq.updated(ii, org.apache.spark.sql.Row(
+                KeyString.fromEngine(t.lastToken, t.coll))): _*)
+          }
         }
         out += graft.bson.BsonBinary.encodeRow(row, c.schema)
         n += 1
@@ -960,7 +1253,48 @@ object OpMsg {
               .distinct.sorted.filter(c => store.versions(c).nonEmpty)
           if (watchable.isEmpty) throw new IllegalArgumentException(
             "$changeStream (db-level): no versioned collections to watch")
-          watchable.map(frame(_, dbLevel = true)).reduce(_ unionByName _)
+          val base =
+            watchable.map(frame(_, dbLevel = true)).reduce(_ unionByName _)
+          // dropDatabase is THE db-level invalidation (collection DDL
+          // never invalidates a db watch): the journaled db event
+          // surfaces as dropDatabase + terminal invalidate, tokens past
+          // every per-collection event (mongod's event order: each
+          // collection's drop, then dropDatabase, then invalidate)
+          val dbDdl = store.ddlAll().filter(_.op == "dropDatabase")
+          if (dbDdl.isEmpty) base
+          else {
+            val rows = dbDdl.flatMap { e =>
+              def mk(op: String, txn: Long) =
+                org.apache.spark.sql.Row(base.schema.fieldNames.map {
+                  case "operationType" => op
+                  case "txnVersion" => txn
+                  case "_id" => org.apache.spark.sql.Row(f"$txn%019d/*/")
+                  case "ns" => org.apache.spark.sql.Row(db, null)
+                  case _ => null
+                }.toSeq: _*)
+              List(mk("dropDatabase", e.txnVersion),
+                mk("invalidate", e.txnVersion + 1))
+            }
+            // the data frames' _id/ns structs are built from lit()
+            // (non-nullable); the db rows carry nulls (no coll, no
+            // documentKey) — a deep-nullable schema copy keeps the
+            // LocalRelation honest, and the union widens nullability
+            def deepNullable(dt: org.apache.spark.sql.types.DataType)
+                : org.apache.spark.sql.types.DataType = dt match {
+              case st: org.apache.spark.sql.types.StructType =>
+                org.apache.spark.sql.types.StructType(st.fields.map(f =>
+                  f.copy(dataType = deepNullable(f.dataType),
+                    nullable = true)))
+              case at: org.apache.spark.sql.types.ArrayType =>
+                at.copy(elementType = deepNullable(at.elementType),
+                  containsNull = true)
+              case other => other
+            }
+            val nullableSchema = deepNullable(base.schema)
+              .asInstanceOf[org.apache.spark.sql.types.StructType]
+            base.unionByName(spark.createDataFrame(
+              java.util.Arrays.asList(rows: _*), nullableSchema))
+          }
         }
       val shaped = ev
         .where(col("_id._data") > lit(after))
@@ -990,13 +1324,24 @@ object OpMsg {
       * tasks), same contract as the aggregate handler. */
     private def repoll(c: Cursor): Boolean = c.tail.exists { t =>
       val df = changeStreamDf(t.coll, t.keyField, t.restJson, t.lastToken)
-      val rows = df.collect()
+      // BOUNDED: materialize at most one reply batch (token-ordered
+      // limit → TakeOrderedAndProject), never the whole pending delta —
+      // a watch resumed against a huge retained backlog pages through
+      // getMores, each continuing from lastToken, instead of pulling
+      // every event into the server's heap at once
+      val rows = df.limit(c.batchSize).collect()
+      maxCollectedOnce.accumulateAndGet(rows.length, math.max): Unit
       if (rows.nonEmpty) {
         c.schema = df.schema
         c.rows = rows.iterator
         true
       } else false
     }
+
+    /** Largest single change-event materialization (rows) — spec
+      * observability for the bounded-repoll contract. */
+    private[sources] val maxCollectedOnce =
+      new java.util.concurrent.atomic.AtomicInteger(0)
 
     /** Open a `$changeStream` cursor: parse the options document,
       * replay retained history past `resumeAfter` (or all of it), and
@@ -1016,6 +1361,7 @@ object OpMsg {
       var resumeMode = ""
       var keyField = "_id"
       var startAt: Option[Long] = None
+      var mongodTokens = false
       o.foreach {
         case (mode @ ("resumeAfter" | "startAfter"), JObject(ro)) =>
           resumeMode = mode
@@ -1034,6 +1380,15 @@ object OpMsg {
                 s"millis or {$$date}, got $other")
           })
         case ("keyField", JString(k)) => keyField = k
+        // tokenFormat: "mongod" — resume tokens cross the wire as
+        // KeyString hex (graft.sources.KeyString), the format a real
+        // driver-side token consumer parses; "engine" (default) keeps
+        // the native "%019d/coll/key" form
+        case ("tokenFormat", JString("mongod")) => mongodTokens = true
+        case ("tokenFormat", JString("engine")) => mongodTokens = false
+        case ("tokenFormat", other) => throw new IllegalArgumentException(
+          s"$$changeStream: tokenFormat must be 'engine' or 'mongod', " +
+            s"got $other")
         // every change document already carries the after-image
         // (updateLookup comes free from snapshots) and the pre-image
         case ("fullDocument", JString(_)) => ()
@@ -1043,6 +1398,8 @@ object OpMsg {
             "resumeAfter, startAfter, startAtOperationTime, keyField, " +
             "fullDocument, fullDocumentBeforeChange)")
       }
+      if (mongodTokens && after.nonEmpty)
+        after = KeyString.toEngine(after)
       startAt.foreach { t =>
         // wall-clock → version offset: event txnVersion v committed
         // when snapshot v-1 retired; the first v whose commit time is
@@ -1079,11 +1436,24 @@ object OpMsg {
           "$changeStream: cannot resume with resumeAfter from an " +
             "invalidate notification — use startAfter")
       }
+      // the db-level twin: resumeAfter at/past the dropDatabase
+      // invalidate is equally dead (only startAfter may cross it)
+      if (resumeMode == "resumeAfter" && coll == DbWatch &&
+          after.nonEmpty) {
+        val crossed = store.ddlAll().exists(e => e.op == "dropDatabase" &&
+          f"${e.txnVersion + 1}%019d/*/" <= after)
+        if (crossed) throw new IllegalArgumentException(
+          "$changeStream: cannot resume with resumeAfter from an " +
+            "invalidate notification — use startAfter")
+      }
       val restJson = org.json4s.jackson.JsonMethods.compact(
         org.json4s.jackson.JsonMethods.render(rest))
       val df = changeStreamDf(coll, keyField, restJson, after)
-      val rowsArr = df.collect()
-      val t = new ChangeTail(coll, keyField, restJson)
+      // same bound as repoll: ONE reply batch; the rest pages through
+      // getMores from the tail's advancing lastToken
+      val rowsArr = df.limit(batchSize).collect()
+      maxCollectedOnce.accumulateAndGet(rowsArr.length, math.max): Unit
+      val t = new ChangeTail(coll, keyField, restJson, mongodTokens)
       t.lastToken = after
       val ns = if (coll == DbWatch) s"$db.$$cmd.aggregate" else s"$db.$coll"
       val c = new Cursor(ns, rowsArr.iterator, df.schema,
@@ -1095,7 +1465,7 @@ object OpMsg {
         if (t.invalidated) 0L
         else { val i = nextCursor.incrementAndGet(); cursors.put(i, c); i }
       buildCursorReply(id, ns, "firstBatch", first,
-        postBatchResumeToken = Some(c.tail.get.lastToken))
+        postBatchResumeToken = Some(outToken(c.tail.get)))
     }
 
     private final class ConnState {
@@ -1132,6 +1502,7 @@ object OpMsg {
               serveExhaust(f, cmd, out); None // wrote its own replies
             } else Some(handle(cmd, state, f.sequences))
           } catch { case scala.util.control.NonFatal(e) =>
+            if (sys.env.contains("GRAFT_OPMSG_DEBUG")) e.printStackTrace()
             Some(buildErrorReply(String.valueOf(e.getMessage))) }
         handled.foreach { reply =>
           // mirror the request's compression (same compressor) and
@@ -1325,6 +1696,27 @@ object OpMsg {
             "ok" -> JDouble(1.0))))
         case _ => ()
       }
+      // ---- dropDatabase: every live collection drops (each journaling
+      // its own drop for collection-level watches) plus the ONE
+      // db-level terminal event a db watch translates to its
+      // invalidate — the only invalidation path a db-level change
+      // stream has (mongod contract; collection DDL never ends it)
+      fields.get("dropDatabase") match {
+        case Some(v) =>
+          val one = v match {
+            case JInt(i) => i == 1
+            case JLong(l) => l == 1L
+            case JDouble(d) => d == 1.0
+            case _ => false
+          }
+          if (!one) throw new IllegalArgumentException(
+            s"dropDatabase must be 1, got $v")
+          store.dropDatabase(): Unit
+          localRel.clear()
+          return encodeDoc(JObject(List(
+            "dropped" -> JString(db), "ok" -> JDouble(1.0))))
+        case None => ()
+      }
       // ---- insert: the write path (reference write(), api.py) over the
       // wire — documents arrive as a kind-1 "documents" sequence (how
       // real drivers ship bulk writes), land raw in a batch file, decode
@@ -1336,29 +1728,11 @@ object OpMsg {
       // once micro-batch replays.
       fields.get("insert") match {
         case Some(JString(coll)) =>
-          val session: Option[(String, Long)] = fields.get("lsid") match {
-            case Some(JObject(lo)) =>
-              val sid = lo.collectFirst { case ("id", JString(x)) => x }
-                .getOrElse(throw new IllegalArgumentException(
-                  "lsid needs an id"))
-              val txn = fields.get("txnNumber") match {
-                case Some(JLong(t)) => t
-                case Some(JInt(t)) => t.toLong
-                case _ => throw new IllegalArgumentException(
-                  "lsid without txnNumber (retryable writes need both)")
-              }
-              Some((sid, txn))
-            case None => None
-            case Some(other) => throw new IllegalArgumentException(
-              s"lsid must be a document, got $other")
-          }
-          session.flatMap { case (sid, txn) =>
-            txnLog.computeIfAbsent(sid, _ => new TxnLog).get(txn)
-          } match {
-            case Some(n) =>
+          val session = sessionOf(fields)
+          sessionReplay(session) match {
+            case Some(reply) =>
               // retried write: acknowledge from the log, never re-apply
-              return encodeDoc(JObject(List(
-                "n" -> JInt(n.toInt), "ok" -> JDouble(1.0))))
+              return reply
             case None => ()
           }
           val docs = sequences.collectFirst {
@@ -1390,33 +1764,147 @@ object OpMsg {
           // hazard preload exists to remove). Falls back to dropping
           // the entry (next find reads the store) if decode disagrees
           // with the preloaded schema.
-          // ConcurrentHashMap.compute serializes the read-modify-write
-          // per collection — two connections inserting concurrently
-          // (one InsertChannel per partition in a graftwire write) must
-          // not both read the same prev and last-put-wins away the
-          // other's rows. Returning null drops the entry (next find
-          // reads the store) when decode disagrees or the cap trips.
-          localRel.compute(coll, (_, prev) =>
-            if (prev == null) null
-            else try {
-              val schema = prev.schema
-              val fresh = graft.bson.BsonBinary
-                .documents(new java.io.ByteArrayInputStream(bytes.toByteArray))
-                .map(n => graft.bson.DocDecoder
-                  .decodeStruct(n, schema, strict = false): org.apache.spark.sql.Row)
-                .toSeq
-              val all = prev.collect().toSeq ++ fresh
-              if (all.length > preloadCap) null
-              else spark.createDataFrame(
-                java.util.Arrays.asList(all: _*), schema)
-            } catch { case scala.util.control.NonFatal(_) => null }
-          ): Unit
-          session.foreach { case (sid, txn) =>
-            txnLog.computeIfAbsent(sid, _ => new TxnLog)
-              .put(txn, docs.size.toLong)
+          // Per-collection monitor serializes the read-modify-write —
+          // two connections inserting concurrently (one InsertChannel
+          // per partition in a graftwire write) must not both read the
+          // same prev and last-put-wins away the other's rows. The
+          // collect/createDataFrame runs OUTSIDE any ConcurrentHashMap
+          // remapping function (CHM callbacks hold the bin lock and
+          // must be short — a slow collect there would stall every
+          // insert hashing to that bin); the dedicated monitor costs
+          // nothing and cannot block unrelated collections. Dropping
+          // the entry (next find reads the store) remains the fallback
+          // when decode disagrees or the cap trips.
+          collMonitor(coll).synchronized {
+            val prev = localRel.get(coll)
+            if (prev != null) {
+              val next = try {
+                val schema = prev.schema
+                val fresh = graft.bson.BsonBinary
+                  .documents(new java.io.ByteArrayInputStream(bytes.toByteArray))
+                  .map(n => graft.bson.DocDecoder
+                    .decodeStruct(n, schema, strict = false): org.apache.spark.sql.Row)
+                  .toSeq
+                val all = prev.collect().toSeq ++ fresh
+                if (all.length > preloadCap) null
+                else spark.createDataFrame(
+                  java.util.Arrays.asList(all: _*), schema)
+              } catch { case scala.util.control.NonFatal(_) => null }
+              if (next == null) localRel.remove(coll): Unit
+              else localRel.put(coll, next): Unit
+            }
           }
-          return encodeDoc(JObject(List(
-            "n" -> JInt(docs.size), "ok" -> JDouble(1.0))))
+          return sessionAck(session, encodeDoc(JObject(List(
+            "n" -> JInt(docs.size), "ok" -> JDouble(1.0)))))
+        case _ => ()
+      }
+      // ---- update / delete / findAndModify: the CRUD write surface a
+      // real driver issues the moment an application calls update_one/
+      // replace_one/delete_many (the reference client itself writes via
+      // insert_many only, api.py:602-713). Each update lowers through
+      // UpdateOps to ONE CASE projection over the collection + a
+      // staged-swap write; delete is one anti-filter + swap. These
+      // handlers RUN SPARK JOBS — safe in a driver-client context (the
+      // $out/$merge aggregate path already does); the saturated-scan
+      // preload path exists for find/insert, which stay job-free.
+      // All three ride the {lsid, txnNumber} retryable-write log: a
+      // replayed command is acknowledged byte-identically from the log
+      // WITHOUT re-applying (mongod's retryable-writes contract —
+      // without it a Spark task retry would double-apply an $inc).
+      fields.get("update") match {
+        case Some(JString(coll)) =>
+          val session = sessionOf(fields)
+          sessionReplay(session) match {
+            case Some(reply) => return reply
+            case None => ()
+          }
+          val specs = fields.get("updates") match {
+            case Some(JArray(us)) => us
+            case other => throw new IllegalArgumentException(
+              s"update needs an 'updates' array, got $other")
+          }
+          var nMatched = 0L
+          var nModified = 0L
+          val upserted = List.newBuilder[(Int, JValue)]
+          specs.zipWithIndex.foreach { case (spec, idx) =>
+            val so = spec match {
+              case JObject(fs) => fs.toMap
+              case other => throw new IllegalArgumentException(
+                s"updates entries must be documents, got $other")
+            }
+            so.keys.filterNot(Set("q", "u", "multi", "upsert", "hint"))
+              .foreach(k => throw new IllegalArgumentException(
+                s"update: unsupported option '$k'"))
+            val q = so.getOrElse("q", JObject(Nil))
+            val u = so.getOrElse("u", throw new IllegalArgumentException(
+              "updates entry missing 'u'"))
+            val multi = so.get("multi").contains(JBool(true))
+            val upsert = so.get("upsert").contains(JBool(true))
+            val (m, mod, up) = applyUpdateSpec(coll, q, u, multi, upsert)
+            nMatched += m; nModified += mod
+            up.foreach(id => upserted += ((idx, id)))
+          }
+          refreshPreload(coll)
+          val ups = upserted.result()
+          return sessionAck(session, encodeDoc(JObject(List(
+            "n" -> JLong(nMatched + ups.size),
+            "nModified" -> JLong(nModified)) ++
+            (if (ups.isEmpty) Nil else List("upserted" -> JArray(
+              ups.map { case (i, id) => JObject(List(
+                "index" -> JInt(i), "_id" -> id)) }))) ++
+            List("ok" -> JDouble(1.0)))))
+        case _ => ()
+      }
+      fields.get("delete") match {
+        case Some(JString(coll)) =>
+          val session = sessionOf(fields)
+          sessionReplay(session) match {
+            case Some(reply) => return reply
+            case None => ()
+          }
+          val specs = fields.get("deletes") match {
+            case Some(JArray(ds)) => ds
+            case other => throw new IllegalArgumentException(
+              s"delete needs a 'deletes' array, got $other")
+          }
+          var n = 0L
+          specs.foreach { spec =>
+            val so = spec match {
+              case JObject(fs) => fs.toMap
+              case other => throw new IllegalArgumentException(
+                s"deletes entries must be documents, got $other")
+            }
+            so.keys.filterNot(Set("q", "limit", "hint"))
+              .foreach(k => throw new IllegalArgumentException(
+                s"delete: unsupported option '$k'"))
+            val q = so.getOrElse("q", JObject(Nil))
+            val limit = so.get("limit") match {
+              case Some(JInt(l)) => l.toInt
+              case Some(JLong(l)) => l.toInt
+              case None => throw new IllegalArgumentException(
+                "deletes entry missing 'limit' (0 = all matching, 1 = one)")
+              case Some(other) => throw new IllegalArgumentException(
+                s"delete limit must be 0 or 1, got $other")
+            }
+            if (limit != 0 && limit != 1) throw new IllegalArgumentException(
+              s"delete limit must be 0 or 1, got $limit")
+            n += applyDeleteSpec(coll, q, limit)
+          }
+          refreshPreload(coll)
+          return sessionAck(session, encodeDoc(JObject(List(
+            "n" -> JLong(n), "ok" -> JDouble(1.0)))))
+        case _ => ()
+      }
+      fields.get("findAndModify") match {
+        case Some(JString(coll)) =>
+          val session = sessionOf(fields)
+          sessionReplay(session) match {
+            case Some(reply) => return reply
+            case None => ()
+          }
+          val reply = runFindAndModify(coll, fields)
+          refreshPreload(coll)
+          return sessionAck(session, reply)
         case _ => ()
       }
       def openRowCursor(rows: Iterator[org.apache.spark.sql.Row],
@@ -1644,12 +2132,12 @@ object OpMsg {
                 // is the cursor's last (id 0) and the cursor is gone
                 cursors.remove(id): Unit
                 buildCursorReply(0L, c.ns, "nextBatch", batch,
-                  postBatchResumeToken = Some(c.tail.get.lastToken))
+                  postBatchResumeToken = Some(outToken(c.tail.get)))
               } else if (c.tail.isDefined)
                 // tailable: an empty batch keeps the cursor id live;
                 // the token tells the driver where this batch ended
                 buildCursorReply(id, c.ns, "nextBatch", batch,
-                  postBatchResumeToken = Some(c.tail.get.lastToken))
+                  postBatchResumeToken = Some(outToken(c.tail.get)))
               else {
                 val more = c.rows.hasNext
                 if (!more) cursors.remove(id): Unit
@@ -1759,10 +2247,11 @@ object OpMsg {
             awaitMs: Long = 0L,
             credentials: Option[(String, String)] = None,
             tls: Option[(String, String)] = None,
-            startAfter: Option[String] = None): (DataFrame, String) = {
+            startAfter: Option[String] = None,
+            tokenFormat: String = "engine"): (DataFrame, String) = {
     val (dir, total, token) = watchFetch(host, port, db, coll, pipelineJson,
       keyField, resumeAfter, batchSize, awaitMs, credentials, tls,
-      startAfter)
+      startAfter, tokenFormat)
     val df =
       if (total == 0) { deleteDir(dir); spark.emptyDataFrame }
       else spark.read.format("graftdocs").load(dir.toString)
@@ -1781,7 +2270,8 @@ object OpMsg {
             awaitMs: Long = 0L,
             credentials: Option[(String, String)] = None,
             tls: Option[(String, String)] = None,
-            startAfter: Option[String] = None)
+            startAfter: Option[String] = None,
+            tokenFormat: String = "engine")
       : (java.nio.file.Path, Long, String) = {
     require(batchSize > 0, "batchSize must be positive")
     require(resumeAfter.isEmpty || startAfter.isEmpty,
@@ -1792,6 +2282,8 @@ object OpMsg {
         s"watch pipeline must be an array, got $other")
     }
     val csOpts = JObject(List("keyField" -> JString(keyField)) ++
+      (if (tokenFormat == "engine") Nil
+       else List("tokenFormat" -> JString(tokenFormat))) ++
       resumeAfter.map(t => "resumeAfter" ->
         JObject(List("_data" -> JString(t)))).toList ++
       startAfter.map(t => "startAfter" ->
@@ -2006,6 +2498,148 @@ object OpMsg {
       acknowledged += ch.send(batch.result())
     } finally ch.close()
     acknowledged
+  }
+
+  /** One update of mongod's `updates` array: `q`/`u` as MQL JSON text,
+    * `multi` (all matching docs vs the first), `upsert`. */
+  final case class UpdateSpec(q: String, u: String,
+                              multi: Boolean = false,
+                              upsert: Boolean = false)
+
+  /** Acknowledged counts of one `update` command. */
+  final case class UpdateResult(nMatched: Long, nModified: Long,
+                                upsertedIds: Seq[JValue])
+
+  /** One-shot authenticated command round trip on its own connection:
+    * hello (+SCRAM when credentialed), ONE command, decoded reply.
+    * Throws on `ok != 1`. The driver-compat surface behind [[update]] /
+    * [[delete]] / [[findAndModify]]. */
+  def command(host: String, port: Int, db: String, cmd: JObject,
+              credentials: Option[(String, String)] = None,
+              tls: Option[(String, String)] = None,
+              compress: Boolean = false, checksum: Boolean = false,
+              compressor: String = "zlib",
+              session: Option[(String, Long)] = None): Map[String, JValue] = {
+    val conn = clientSocket(host, port, tls)
+    try {
+      val cin = new BufferedInputStream(conn.getInputStream, 1 << 16)
+      val cout = new BufferedOutputStream(conn.getOutputStream, 1 << 16)
+      var reqId = 0
+      var compressOn = false
+      val compId = compressorId(compressor)
+      def roundTrip(c: JObject, mayCompress: Boolean): Array[Byte] = {
+        reqId += 1
+        writeFrame(cout, reqId, 0, encodeDoc(c), flags = 0,
+          compress = compressOn && mayCompress, checksum = checksum,
+          compressor = compId)
+        val (_, rto, body) = readMessage(cin).getOrElse(
+          throw new EOFException("server closed the connection"))
+        if (rto != reqId) throw new IllegalStateException(
+          s"responseTo $rto does not match requestID $reqId")
+        body
+      }
+      handshake(roundTrip, db, credentials, compress, compressor)
+      compressOn = compress
+      val full = JObject(cmd.obj ++
+        session.toList.flatMap { case (sid, txn) => List(
+          "lsid" -> JObject(List("id" -> JString(sid))),
+          "txnNumber" -> JLong(txn)) } ++
+        List("$db" -> JString(db)))
+      val reply = decodeDoc(roundTrip(full, true)).obj.toMap
+      reply.get("ok") match {
+        case Some(JDouble(ok)) if ok == 1.0 => reply
+        case _ => throw new IllegalArgumentException(
+          s"command failed: ${reply.get("errmsg").getOrElse(reply)}")
+      }
+    } finally conn.close()
+  }
+
+  private def replyLong(reply: Map[String, JValue], key: String): Long =
+    reply.get(key) match {
+      case Some(JLong(n)) => n
+      case Some(JInt(n)) => n.toLong
+      case Some(JDouble(n)) => n.toLong
+      case _ => 0L
+    }
+
+  /** mongod's `update` command over the wire: each spec's `q` matches,
+    * `u` applies ($-operator doc, replacement doc, or aggregation
+    * pipeline), `multi`/`upsert` as documented. With `session` the
+    * write is retryable ({lsid, txnNumber} — a replay acknowledges from
+    * the server's transaction log without re-applying). */
+  def update(host: String, port: Int, db: String, coll: String,
+             updates: Seq[UpdateSpec],
+             credentials: Option[(String, String)] = None,
+             tls: Option[(String, String)] = None,
+             compress: Boolean = false, checksum: Boolean = false,
+             compressor: String = "zlib",
+             session: Option[(String, Long)] = None): UpdateResult = {
+    require(updates.nonEmpty, "update needs at least one spec")
+    val cmd = JObject(List(
+      "update" -> JString(coll),
+      "updates" -> JArray(updates.toList.map(s => JObject(List(
+        "q" -> graft.mql.Mql.parse(s.q),
+        "u" -> graft.mql.Mql.parse(s.u),
+        "multi" -> JBool(s.multi),
+        "upsert" -> JBool(s.upsert)))))))
+    val reply = command(host, port, db, cmd, credentials, tls, compress,
+      checksum, compressor, session)
+    val upserted = reply.get("upserted") match {
+      case Some(JArray(es)) => es.flatMap {
+        case JObject(eo) => eo.collectFirst { case ("_id", v) => v }
+        case _ => None
+      }
+      case _ => Nil
+    }
+    UpdateResult(replyLong(reply, "n") - upserted.size,
+      replyLong(reply, "nModified"), upserted)
+  }
+
+  /** mongod's `delete` command: each spec is (q JSON, limit) with
+    * limit 0 = every matching document, 1 = one. Returns n deleted. */
+  def delete(host: String, port: Int, db: String, coll: String,
+             deletes: Seq[(String, Int)],
+             credentials: Option[(String, String)] = None,
+             tls: Option[(String, String)] = None,
+             compress: Boolean = false, checksum: Boolean = false,
+             compressor: String = "zlib",
+             session: Option[(String, Long)] = None): Long = {
+    require(deletes.nonEmpty, "delete needs at least one spec")
+    val cmd = JObject(List(
+      "delete" -> JString(coll),
+      "deletes" -> JArray(deletes.toList.map { case (q, limit) =>
+        JObject(List("q" -> graft.mql.Mql.parse(q),
+          "limit" -> JInt(limit))) })))
+    replyLong(command(host, port, db, cmd, credentials, tls, compress,
+      checksum, compressor, session), "n")
+  }
+
+  /** mongod's `findAndModify`: one document selected by query + sort,
+    * removed or updated, pre-image (default) or post-image (`returnNew`)
+    * returned as a decoded BSON document (None when nothing matched). */
+  def findAndModify(host: String, port: Int, db: String, coll: String,
+                    query: String, sort: Option[String] = None,
+                    update: Option[String] = None, remove: Boolean = false,
+                    returnNew: Boolean = false, upsert: Boolean = false,
+                    fields: Option[String] = None,
+                    credentials: Option[(String, String)] = None,
+                    tls: Option[(String, String)] = None,
+                    session: Option[(String, Long)] = None)
+      : Option[JObject] = {
+    val cmd = JObject(List(
+      "findAndModify" -> JString(coll),
+      "query" -> graft.mql.Mql.parse(query)) ++
+      sort.map(s => "sort" -> graft.mql.Mql.parse(s)).toList ++
+      update.map(u => "update" -> graft.mql.Mql.parse(u)).toList ++
+      (if (remove) List("remove" -> JBool(true)) else Nil) ++
+      (if (returnNew) List("new" -> JBool(true)) else Nil) ++
+      (if (upsert) List("upsert" -> JBool(true)) else Nil) ++
+      fields.map(f => "fields" -> graft.mql.Mql.parse(f)).toList)
+    command(host, port, db, cmd, credentials, tls,
+      session = session).get("value") match {
+      case Some(o: JObject) => Some(o)
+      case _ => None
+    }
   }
 
   /** splitVector over OP_MSG: quantile split points for `key`, the

@@ -323,29 +323,38 @@ object Zstd {
       val cSize = hb
       if (cSize == 0 || from + 1 + cSize > until)
         fail("truncated FSE-compressed huffman weights")
-      val (tab, descBytes) =
-        readFseTable(buf, from + 1, from + 1 + cSize, maxSymbol = 255,
-          maxLog = 6)
-      if (descBytes >= cSize) fail("huffman weight description ate its bitstream")
-      val bits = new BackBits(buf, from + 1 + descBytes, from + 1 + cSize)
-      var s1 = bits.read(tab.accuracyLog)
-      var s2 = bits.read(tab.accuracyLog)
-      if (bits.overflowed) fail("huffman weight bitstream too short")
-      val ws = scala.collection.mutable.ArrayBuffer.empty[Int]
-      var done = false
-      while (!done) {
-        if (ws.length > 253) fail("more than 255 huffman weights")
-        ws += tab.symbol(s1)
-        s1 = tab.newState(s1) + bits.read(tab.nbBits(s1))
-        if (bits.overflowed) { ws += tab.symbol(s2); done = true }
-        else {
-          ws += tab.symbol(s2)
-          s2 = tab.newState(s2) + bits.read(tab.nbBits(s2))
-          if (bits.overflowed) { ws += tab.symbol(s1); done = true }
-        }
-      }
-      (hufFromWeights(ws.toArray), 1 + cSize)
+      val ws = readFseWeights(buf, from + 1, from + 1 + cSize)
+      (hufFromWeights(ws), 1 + cSize)
     }
+  }
+
+  /** The FSE-compressed weight stream of one tree description (two
+    * interleaved states, accuracy ≤ 6) — factored out so the encoder's
+    * [[fseWeightsDesc]] can SELF-VERIFY its output byte-for-byte. */
+  private def readFseWeights(buf: Array[Byte], from: Int,
+                             until: Int): Array[Int] = {
+    val (tab, descBytes) =
+      readFseTable(buf, from, until, maxSymbol = 255, maxLog = 6)
+    if (from + descBytes >= until)
+      fail("huffman weight description ate its bitstream")
+    val bits = new BackBits(buf, from + descBytes, until)
+    var s1 = bits.read(tab.accuracyLog)
+    var s2 = bits.read(tab.accuracyLog)
+    if (bits.overflowed) fail("huffman weight bitstream too short")
+    val ws = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var done = false
+    while (!done) {
+      if (ws.length > 253) fail("more than 255 huffman weights")
+      ws += tab.symbol(s1)
+      s1 = tab.newState(s1) + bits.read(tab.nbBits(s1))
+      if (bits.overflowed) { ws += tab.symbol(s2); done = true }
+      else {
+        ws += tab.symbol(s2)
+        s2 = tab.newState(s2) + bits.read(tab.nbBits(s2))
+        if (bits.overflowed) { ws += tab.symbol(s1); done = true }
+      }
+    }
+    ws.toArray
   }
 
   /** Decode exactly `n` bytes from one Huffman stream; the stream must
@@ -709,6 +718,12 @@ object Zstd {
     }
     def close(): Array[Byte] = {
       add(1L, 1)
+      closeRaw()
+    }
+    /** No sentinel bit, zero-padded to a byte — FORWARD-read payloads
+      * (the FSE normalized-count header), where close()'s backward
+      * sentinel would corrupt the stream. */
+    def closeRaw(): Array[Byte] = {
       if (nbits > 0) {
         if (n == buf.length) buf = java.util.Arrays.copyOf(buf, n + 1)
         buf(n) = acc.toByte; n += 1; acc = 0; nbits = 0
@@ -717,11 +732,26 @@ object Zstd {
     }
   }
 
+  /** One sequence channel's encoder: FSE states or the RLE no-op. */
+  private trait SeqEnc {
+    def init(s: Int): Int
+    def encode(w: FwdBitWriter, state: Int, s: Int): Int
+    def flush(w: FwdBitWriter, state: Int): Unit
+  }
+
+  /** RLE-mode channel (one byte names the symbol): the decoder reads
+    * ZERO bits for init and updates, so the encoder writes none. */
+  private object RleEnc extends SeqEnc {
+    def init(s: Int): Int = 0
+    def encode(w: FwdBitWriter, state: Int, s: Int): Int = 0
+    def flush(w: FwdBitWriter, state: Int): Unit = ()
+  }
+
   /** FSE ENCODING table for a normalized distribution — the write-side
     * twin of [[buildFse]] (same spread, so decoder states line up).
     * State values live in [tableSize, 2·tableSize): flushing writes the
     * low accuracyLog bits, which is the decoder's init read. */
-  private final class FseEnc(counts: Array[Int], al: Int) {
+  private final class FseEnc(counts: Array[Int], al: Int) extends SeqEnc {
     private val tableSize = 1 << al
     private val stateTable = new Array[Int](tableSize)
     private val deltaNbBits = new Array[Int](counts.length)
@@ -816,15 +846,14 @@ object Zstd {
     while (i < n) { freq(lits(i) & 0xFF) += 1; i += 1 }
     var last = 255
     while (last >= 0 && freq(last) == 0) last -= 1
-    if (last > 127) return None // direct tree form: ≤127 explicit weights
     val present = (0 to last).filter(freq(_) > 0)
     if (present.length < 2) return None // single symbol → RLE literals
     // ---- code lengths: standard Huffman, then Kraft repair to ≤11 ----
     val MaxBits = 11
     val nbBits = new Array[Int](last + 1)
     locally {
-      // heap-free Huffman over ≤128 symbols: repeatedly merge the two
-      // smallest trees (O(D²) is fine at D ≤ 128)
+      // heap-free Huffman over ≤256 symbols: repeatedly merge the two
+      // smallest trees (O(D²) is fine at D ≤ 256)
       case class T(w: Long, syms: List[Int])
       var trees = present.map(s => T(freq(s).toLong, List(s))).toBuffer
       while (trees.length > 1) {
@@ -887,17 +916,26 @@ object Zstd {
       }
       w.close()
     }
-    // tree description: direct nibble weights (explicit = all but last)
-    val explicit = weights.take(last) // symbols 0..last-1
-    val tree = new java.io.ByteArrayOutputStream(1 + explicit.length / 2 + 1)
-    tree.write(127 + explicit.length)
-    var b = 0
-    explicit.zipWithIndex.foreach { case (wt, idx) =>
-      if (idx % 2 == 0) b = wt << 4
-      else { tree.write(b | wt); b = 0 }
-    }
-    if (explicit.length % 2 == 1) tree.write(b)
-    val treeBytes = tree.toByteArray
+    // tree description: the SHORTER of the direct nibble form (only
+    // expressible for ≤127 explicit weights) and the FSE-compressed
+    // form (any alphabet — lifts the 127-symbol ceiling binary inputs
+    // hit constantly: BSON wire bodies use bytes above 0x7F)
+    val explicit = weights.take(last).toArray // symbols 0..last-1
+    val direct: Option[Array[Byte]] =
+      if (last > 127) None
+      else {
+        val tree = new java.io.ByteArrayOutputStream(1 + explicit.length / 2 + 1)
+        tree.write(127 + explicit.length)
+        var b = 0
+        explicit.zipWithIndex.foreach { case (wt, idx) =>
+          if (idx % 2 == 0) b = wt << 4
+          else { tree.write(b | wt); b = 0 }
+        }
+        if (explicit.length % 2 == 1) tree.write(b)
+        Some(tree.toByteArray)
+      }
+    val treeBytes = (direct.toSeq ++ fseWeightsDesc(explicit).toSeq)
+      .minByOption(_.length).getOrElse(return None)
     val single = encStream(0, n)
     val oneStream = treeBytes.length + single.length
     val out = new java.io.ByteArrayOutputStream(oneStream + 8)
@@ -936,6 +974,115 @@ object Zstd {
     Some(out.toByteArray).filter(_.length < n + 3) // beat Raw literals
   }
 
+  /** Largest-remainder normalization of `freq` (sum `total`) to EXACTLY
+    * `size` with every present symbol ≥ 1 — the count table an FSE
+    * description needs. */
+  private def normalizeCounts(freq: Array[Int], total: Int,
+                              size: Int): Option[Array[Int]] = {
+    if (freq.count(_ > 0) > size) return None
+    val counts = new Array[Int](freq.length)
+    var used = 0
+    freq.indices.foreach { s =>
+      if (freq(s) > 0) {
+        counts(s) = math.max(1,
+          math.round(freq(s).toDouble * size / total).toInt)
+        used += counts(s)
+      }
+    }
+    var guard = 4 * size
+    while (used != size && guard > 0) {
+      if (used > size) {
+        val s = counts.indices.filter(counts(_) > 1)
+          .maxByOption(counts(_)).getOrElse(return None)
+        counts(s) -= 1; used -= 1
+      } else {
+        val s = counts.indices.maxBy(counts(_))
+        counts(s) += 1; used += 1
+      }
+      guard -= 1
+    }
+    if (used == size) Some(counts) else None
+  }
+
+  /** Write an FSE normalized-count header (§4.1.1) — the byte-exact
+    * inverse of [[readFseTable]]'s parser (same threshold walk, same
+    * short-form rule, same 2-bit zero runs). */
+  private def writeNcount(counts: Array[Int], al: Int): Array[Byte] = {
+    val w = new FwdBitWriter(8)
+    w.add((al - 5).toLong, 4)
+    var remaining = (1 << al) + 1
+    var threshold = 1 << al
+    var nb = al + 1
+    var charnum = 0
+    var previous0 = false
+    while (remaining > 1) {
+      if (previous0) {
+        var zeros = 0
+        while (counts(charnum + zeros) == 0) zeros += 1
+        while (zeros >= 3) { w.add(3L, 2); zeros -= 3; charnum += 3 }
+        w.add(zeros.toLong, 2); charnum += zeros
+      }
+      val count = counts(charnum)
+      val max = 2 * threshold - 1 - remaining
+      var stored = count + 1
+      if (stored >= threshold) stored += max
+      if (stored < max) w.add(stored.toLong, nb - 1)
+      else w.add(stored.toLong, nb)
+      remaining -= math.abs(count)
+      previous0 = count == 0
+      charnum += 1
+      while (remaining < threshold) { nb -= 1; threshold >>>= 1 }
+    }
+    w.closeRaw()
+  }
+
+  /** FSE-compressed tree description (§4.2.1.1, headerByte < 128):
+    * the explicit weights entropy-coded with TWO interleaved FSE
+    * states over a written normalized-count header. Decoder mapping:
+    * state-1 carries the even weight positions, state-2 the odd ones;
+    * transition bits are written in descending position order so the
+    * backward reader consumes them ascending; state-2 then state-1
+    * flush last (the decoder's two init reads). SELF-VERIFIED: the
+    * section must re-decode through [[readFseWeights]] to the exact
+    * weights (catches the 0-bit-update termination corner) or the
+    * caller falls back to the direct/Raw forms. */
+  private def fseWeightsDesc(explicit: Array[Int]): Option[Array[Byte]] = {
+    val n = explicit.length
+    if (n < 2) return None
+    val freq = new Array[Int](explicit.max + 1)
+    explicit.foreach(wt => freq(wt) += 1)
+    if (freq.count(_ > 0) < 2) return None // degenerate: one weight value
+    val al = 5
+    val counts = normalizeCounts(freq, n, 1 << al).getOrElse(return None)
+    val hdr = writeNcount(counts, al)
+    val enc = new FseEnc(counts, al)
+    val w = new FwdBitWriter(n / 2 + 8)
+    val lastEven = if ((n - 1) % 2 == 0) n - 1 else n - 2
+    val lastOdd = if ((n - 1) % 2 == 1) n - 1 else n - 2
+    var stE = enc.init(explicit(lastEven))
+    var stO = enc.init(explicit(lastOdd))
+    var i = n - 3
+    while (i >= 0) {
+      if (i % 2 == 0) stE = enc.encode(w, stE, explicit(i))
+      else stO = enc.encode(w, stO, explicit(i))
+      i -= 1
+    }
+    enc.flush(w, stO)
+    enc.flush(w, stE) // read first by the decoder (even chain = state 1)
+    val stream = w.close()
+    val cSize = hdr.length + stream.length
+    if (cSize >= 128) return None
+    val out = new Array[Byte](1 + cSize)
+    out(0) = cSize.toByte
+    System.arraycopy(hdr, 0, out, 1, hdr.length)
+    System.arraycopy(stream, 0, out, 1 + hdr.length, stream.length)
+    try {
+      val back = readFseWeights(out, 1, out.length)
+      if (back.length == n && back.sameElements(explicit)) Some(out)
+      else None
+    } catch { case _: IllegalArgumentException => None }
+  }
+
   /** One compressed block over in[from, from+len): greedy LZ77 (4-byte
     * hash heads, in-block matches) → literals (Huffman when it wins,
     * RLE for single-byte runs, Raw otherwise) + sequences coded with
@@ -945,11 +1092,10 @@ object Zstd {
     * so the decoder's inherited history is never consulted). Returns
     * None when the block does not shrink. */
   private def compressBlock(in: Array[Byte], from: Int,
-                            len: Int): Option[Array[Byte]] = {
+                            len: Int,
+                            table: Array[Int]): Option[Array[Byte]] = {
     if (len < 32) return None
     val end = from + len
-    val HashLog = 16
-    val table = new Array[Int](1 << HashLog) // pos+1; 0 = empty
     def hash(p: Int): Int = {
       val v = (in(p) & 0xFF) | ((in(p + 1) & 0xFF) << 8) |
         ((in(p + 2) & 0xFF) << 16) | ((in(p + 3) & 0xFF) << 24)
@@ -968,8 +1114,14 @@ object Zstd {
     // costs ~highBit extra bits per sequence; spurious 4-byte matches
     // in skewed data would otherwise beat entropy coding down)
     def matchAt(q: Int): (Int, Int) = {
+      // cross-block window: the frame is Single_Segment, so every
+      // earlier position of the INPUT is in the decoder's window —
+      // matches reach back through prior blocks (incl. Raw-emitted
+      // ones), exactly what the decoder's threaded history replays
       val cand = table(hash(q)) - 1
-      if (cand >= from && cand < q &&
+      // offset ceiling: the predefined OF table's last code is 28, so
+      // ofValue (= offset + 3) must stay below 2^29
+      if (cand >= 0 && cand < q && q - cand <= (1 << 29) - 4 &&
           in(cand) == in(q) && in(cand + 1) == in(q + 1) &&
           in(cand + 2) == in(q + 2) && in(cand + 3) == in(q + 3)) {
         var ml0 = 4
@@ -999,11 +1151,13 @@ object Zstd {
           seqLl += p - anchor
           seqMl += ml
           seqOf += off
-          // seed hash heads inside the match region so later data can
-          // match into it (cheap positions: one near each end)
-          if (p + 1 + 4 <= end) table(hash(p + 1)) = p + 2
-          if (ml > 3 && p + ml - 2 + 4 <= end)
-            table(hash(p + ml - 2)) = p + ml - 1
+          // seed hash heads THROUGHOUT the match region so later data
+          // can match into it (every other position: ~half the insert
+          // cost of the literal path for materially better candidates
+          // than end-only seeding — measured 1.22→ on text)
+          var sp = p + 1
+          val seedEnd = math.min(p + ml, end - 4)
+          while (sp < seedEnd) { table(hash(sp)) = sp + 1; sp += 2 }
           p += ml
           anchor = p
         }
@@ -1049,33 +1203,70 @@ object Zstd {
     // sequence bitstream: written in REVERSE read order (decoder reads
     // backward) — init states from the LAST sequence, then extras
     // LL,ML,OF per sequence, updates OF,ML,LL walking backward, final
-    // state flushes ML,OF,LL
-    val w = new FwdBitWriter(len / 4)
-    val lastI = nbSeq - 1
-    var stMl = EncMl.init(mlCodeOf(seqMl(lastI)))
-    var stOf = EncOf.init(highBit(ofValue(lastI)))
-    var stLl = EncLl.init(llCodeOf(seqLl(lastI)))
-    def addExtras(i: Int): Unit = {
-      val llc = llCodeOf(seqLl(i))
-      w.add((seqLl(i) - LlBase(llc)).toLong, LlExtra(llc))
-      val mlc = mlCodeOf(seqMl(i))
-      w.add((seqMl(i) - MlBase(mlc)).toLong, MlExtra(mlc))
-      val ofc = highBit(ofValue(i))
-      w.add(ofValue(i).toLong - (1L << ofc), ofc)
+    // state flushes ML,OF,LL. Emitted TWICE when the block is big
+    // enough to fit its own tables: once over the predefined
+    // distributions (mode byte 0, no headers) and once over
+    // block-FITTED FSE tables / RLE channels (FSE_Compressed mode,
+    // written ncount headers) — the smaller section wins, which is how
+    // text closes most of the gap to libzstd's entropy stage.
+    val llCodes = Array.tabulate(nbSeq)(i => llCodeOf(seqLl(i)))
+    val mlCodes = Array.tabulate(nbSeq)(i => mlCodeOf(seqMl(i)))
+    val ofCodes = Array.tabulate(nbSeq)(i => highBit(ofValue(i)))
+    def bitstream(eLl: SeqEnc, eMl: SeqEnc, eOf: SeqEnc): Array[Byte] = {
+      val w = new FwdBitWriter(len / 4)
+      val lastI = nbSeq - 1
+      var stMl = eMl.init(mlCodes(lastI))
+      var stOf = eOf.init(ofCodes(lastI))
+      var stLl = eLl.init(llCodes(lastI))
+      def addExtras(i: Int): Unit = {
+        val llc = llCodes(i)
+        w.add((seqLl(i) - LlBase(llc)).toLong, LlExtra(llc))
+        val mlc = mlCodes(i)
+        w.add((seqMl(i) - MlBase(mlc)).toLong, MlExtra(mlc))
+        val ofc = ofCodes(i)
+        w.add(ofValue(i).toLong - (1L << ofc), ofc)
+      }
+      addExtras(lastI)
+      var i = lastI - 1
+      while (i >= 0) {
+        stOf = eOf.encode(w, stOf, ofCodes(i))
+        stMl = eMl.encode(w, stMl, mlCodes(i))
+        stLl = eLl.encode(w, stLl, llCodes(i))
+        addExtras(i)
+        i -= 1
+      }
+      eMl.flush(w, stMl)
+      eOf.flush(w, stOf)
+      eLl.flush(w, stLl)
+      w.close()
     }
-    addExtras(lastI)
-    var i = lastI - 1
-    while (i >= 0) {
-      stOf = EncOf.encode(w, stOf, highBit(ofValue(i)))
-      stMl = EncMl.encode(w, stMl, mlCodeOf(seqMl(i)))
-      stLl = EncLl.encode(w, stLl, llCodeOf(seqLl(i)))
-      addExtras(i)
-      i -= 1
+    // one channel's fitted form: RLE when a single code repeats,
+    // otherwise a normalized table + written header; None when the
+    // channel cannot normalize (falls back to predefined)
+    def fitted(codes: Array[Int],
+               alMax: Int): Option[(Int, Array[Byte], SeqEnc)] = {
+      val maxC = codes.max
+      val freq = new Array[Int](maxC + 1)
+      codes.foreach(c => freq(c) += 1)
+      if (freq.count(_ > 0) == 1) Some((1, Array(maxC.toByte), RleEnc))
+      else {
+        val al = math.min(alMax, math.max(5, highBit(nbSeq - 1)))
+        normalizeCounts(freq, nbSeq, 1 << al)
+          .map(counts => (2, writeNcount(counts, al), new FseEnc(counts, al)))
+      }
     }
-    EncMl.flush(w, stMl)
-    EncOf.flush(w, stOf)
-    EncLl.flush(w, stLl)
-    val stream = w.close()
+    val candPre = (0, Array.empty[Byte],
+      bitstream(EncLl, EncMl, EncOf))
+    val candFit: Option[(Int, Array[Byte], Array[Byte])] =
+      if (nbSeq < 32) None
+      else for {
+        (mLl, hLl, eLl) <- fitted(llCodes, 9)
+        (mOf, hOf, eOf) <- fitted(ofCodes, 8)
+        (mMl, hMl, eMl) <- fitted(mlCodes, 9)
+      } yield ((mLl << 6) | (mOf << 4) | (mMl << 2),
+        hLl ++ hOf ++ hMl, bitstream(eLl, eMl, eOf))
+    val (modeByte, seqHeaders, stream) =
+      (Seq(candPre) ++ candFit).minBy(c => c._2.length + c._3.length)
     val out = new java.io.ByteArrayOutputStream(
       litBytes.length + stream.length + 16)
     val allSame = litBytes.length > 1 &&
@@ -1104,7 +1295,8 @@ object Zstd {
       out.write((nbSeq - 0x7F00) & 0xFF)
       out.write(((nbSeq - 0x7F00) >>> 8) & 0xFF)
     }
-    out.write(0) // compression modes: Predefined × 3
+    out.write(modeByte) // compression modes per channel
+    out.write(seqHeaders, 0, seqHeaders.length)
     out.write(stream, 0, stream.length)
     val seqBlock = out.toByteArray
     // an all-literals Huffman block can still beat a sequence-heavy
@@ -1125,9 +1317,13 @@ object Zstd {
     * and the zstd CLI in ZstdSpec). The OP_COMPRESSED path sends
     * these, so both wire directions run entirely on this file's
     * encoder + decoder. */
+  private val HashLog = 16
+
   def compressFrame(in: Array[Byte]): Array[Byte] = {
     require(in.length <= MaxLen, s"input too large (${in.length})")
     val n = in.length
+    // match-candidate heads SHARED ACROSS BLOCKS (cross-block window)
+    val heads = new Array[Int](1 << HashLog) // pos+1; 0 = empty
     val (fcsFlag, _) =
       if (n <= 0xFF) (0, 1) else if (n - 256 <= 0xFFFF) (1, 2) else (2, 4)
     val out = new java.io.ByteArrayOutputStream(n / 2 + 64)
@@ -1147,7 +1343,7 @@ object Zstd {
     while (p < n || emitted == 0) {
       val len = math.min(MaxBlock, n - p)
       val last = if (p + len >= n) 1 else 0
-      compressBlock(in, p, len) match {
+      compressBlock(in, p, len, heads) match {
         case Some(cb) =>
           le(last | (2 << 1) | (cb.length << 3), 3)
           out.write(cb, 0, cb.length)

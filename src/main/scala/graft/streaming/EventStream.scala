@@ -374,10 +374,14 @@ object EventStream {
     * can re-derive the centroids), the odd half streams in and folds
     * cell-partition-scoped — the final layout must equal assigning the
     * WHOLE corpus against the seed centroids. */
-  def runVecIndexStreamOnFixture(spark: SparkSession, dir: String): DataFrame = {
-    val store = new graft.sinks.DocStore(spark,
+  def runVecIndexStreamOnFixture(spark: SparkSession, dir: String,
+                                 into: Option[graft.sinks.DocStore] = None)
+      : DataFrame = {
+    // `into`: a caller-provided (memoized) store — the gate's staging
+    // protocol; default stays a throwaway temp store
+    val store = into.getOrElse(new graft.sinks.DocStore(spark,
       java.nio.file.Files.createTempDirectory("graft_vstore").toString,
-      "graftdocs")
+      "graftdocs"))
     val emb = graft.api.Graft.table(spark, dir, "embeddings")
     val idx = graft.llmops.Similarity.buildIvf(
       emb.where(col("vec_id") % 2 === 0), nCells = 4, lloydIters = 0,

@@ -275,8 +275,10 @@ class FilterCompilerSpec extends AnyFunSuite {
     assert(sorted.take(2).toSet == Set(1, 2) && sorted.drop(2).toSet == Set(3, 4))
     // unknown collation fields reject; strength domain checked
     intercept[MqlException](cids("""{"name": "x"}""", 9))
+    // numericOrdering is now a supported field (round 11) — a truly
+    // unknown field still rejects
     intercept[MqlException](Graft.findWithOptions(df, "{}",
-      Map("collation" -> """{"locale": "en", "numericOrdering": true}""")))
+      Map("collation" -> """{"locale": "en", "backwards": true}""")))
   }
 
   test("aggregate-level collation: $match/$sort fold; grouping stages refused") {
@@ -386,5 +388,69 @@ class FilterCompilerSpec extends AnyFunSuite {
     val q = spark.read.parquet(dir).where(FilterCompiler.compile("""{"a": 5}"""))
     val scan = q.queryExecution.executedPlan.toString
     assert(scan.contains("PushedFilters: [IsNotNull(a), EqualTo(a,5)]"), scan)
+  }
+
+  test("collation depth: numericOrdering / caseFirst / alternate " +
+       "shifted — each field's semantics pinned (no DuckDB ICU twin)") {
+    import FilterCompiler.Collation
+    val df = spark.createDataFrame(Seq(
+      (1, "doc9"), (2, "doc10"), (3, "doc007"), (4, "doc7"),
+      (5, "Apple"), (6, "apple"), (7, "hello-world"), (8, "helloworld"),
+      (9, "hello world"))).toDF("id", "s")
+    def ids(filter: String, c: Collation): Seq[Int] =
+      FilterCompiler.withCollation(Some(c))(
+        df.where(FilterCompiler.compile(filter)))
+        .select("id").orderBy("id").collect().map(_.getInt(0)).toSeq
+    val num = Collation(caseInsensitive = false, numericOrdering = true)
+    // digit runs compare as NUMBERS: doc9 < doc10 under numericOrdering
+    // (hello*/apple order by their letters as usual)
+    assert(ids("""{"s": {"$gt": "doc9"}}""", num) == Seq(2, 7, 8, 9))
+    assert(ids("""{"s": {"$lt": "doc9"}}""", num) == Seq(3, 4, 5, 6))
+    // leading zeros are insignificant: doc007 == doc7
+    assert(ids("""{"s": "doc7"}""", num) == Seq(3, 4))
+    assert(ids("""{"s": {"$in": ["doc007", "doc10"]}}""", num) ==
+      Seq(2, 3, 4))
+    // binary (no collation twin): doc10 < doc9, doc007 != doc7
+    assert(ids("""{"s": {"$gt": "doc9"}}""",
+      Collation(caseInsensitive = false)) == Seq(7, 8, 9))
+    assert(ids("""{"s": "doc7"}""",
+      Collation(caseInsensitive = false)) == Seq(4))
+    // caseFirst orders case variants at the SECONDARY level: the
+    // primary (case-folded) order is untouched — Apple/apple both sit
+    // strictly below "banana" — while equal-primary strings order by
+    // the preferred case
+    val upper = Collation(caseInsensitive = false, caseFirst = "upper")
+    val lower = Collation(caseInsensitive = false, caseFirst = "lower")
+    assert(ids("""{"s": {"$lt": "apple"}}""", upper) == Seq(5))
+    assert(ids("""{"s": {"$lt": "Apple"}}""", lower) == Seq(6))
+    // both case variants stay < "banana" for either option
+    assert(ids("""{"s": {"$lt": "banana"}}""", upper)
+      .intersect(Seq(5, 6)) == Seq(5, 6))
+    // alternate shifted: whitespace + punctuation are ignorable
+    val shifted = Collation(caseInsensitive = false, shifted = true)
+    assert(ids("""{"s": "helloworld"}""", shifted) == Seq(7, 8, 9))
+    assert(ids("""{"s": "hello-world"}""", shifted) == Seq(7, 8, 9))
+    // ...and composable with ci (strength <= 2)
+    val ciShift = Collation(caseInsensitive = true, shifted = true)
+    assert(ids("""{"s": "HELLO WORLD"}""", ciShift) == Seq(7, 8, 9))
+    // parse surface: every field validates; caseFirst needs strength 3+
+    assert(Collation.parse(
+      """{"locale": "en", "numericOrdering": true,
+         "caseFirst": "upper", "alternate": "shifted"}""") ==
+      Collation(caseInsensitive = false, numericOrdering = true,
+        caseFirst = "upper", shifted = true))
+    val e = intercept[MqlException](Collation.parse(
+      """{"strength": 1, "caseFirst": "upper"}"""))
+    assert(e.getMessage.contains("case-sensitive"), e.getMessage)
+    intercept[MqlException](Collation.parse("""{"alternate": "odd"}"""))
+    intercept[MqlException](Collation.parse("""{"backwards": true}"""))
+  }
+
+  test("$where refuses NAMING the operator and the JS exclusion") {
+    val e = intercept[MqlException](
+      FilterCompiler.compile("""{"$where": "this.a > 1"}"""))
+    assert(e.getMessage.contains("$where"), e.getMessage)
+    assert(e.getMessage.contains("JavaScript is out of scope"), e.getMessage)
+    assert(e.getMessage.contains("$expr"), e.getMessage)
   }
 }

@@ -255,4 +255,23 @@ class PipelineCompilerSpec extends AnyFunSuite {
     assert(plan.contains("ReadSchema: struct<id:int,dept:string,score:double>"),
       s"columns not pruned:\n$plan")
   }
+
+  test("the server-side-JavaScript surface refuses NAMING each operator " +
+       "($function / $accumulator / $where) and the exclusion reason") {
+    val df = spark.range(3).toDF("id")
+    def msg(body: => Any): String =
+      intercept[MqlException](body).getMessage
+    val f = msg(PipelineCompiler.run(df,
+      """[{"$project": {"x": {"$function": {"body": "f", "args": [],
+         "lang": "js"}}}}]"""))
+    assert(f.contains("$function") && f.contains("JavaScript is out of scope"), f)
+    val a = msg(PipelineCompiler.run(df,
+      """[{"$group": {"_id": null, "x": {"$accumulator": {"init": "i",
+         "accumulate": "a", "merge": "m", "lang": "js"}}}}]"""))
+    assert(a.contains("$accumulator") &&
+      a.contains("JavaScript is out of scope"), a)
+    val w = msg(PipelineCompiler.run(df,
+      """[{"$match": {"$expr": {"$where": "x"}}}]"""))
+    assert(w.contains("$where") && w.contains("JavaScript is out of scope"), w)
+  }
 }

@@ -452,4 +452,93 @@ class OpMsgWatchSpec extends AnyFunSuite {
     val ddl = store.ddlEvents("coll")
     assert(ddl.map(e => (e.op, e.txnVersion)) == Seq(("drop", 3L)))
   }
+
+  test("bounded materialization: a large pending delta pages through " +
+       "getMores — the server never collects more than one reply batch " +
+       "at once (row-count-asserted), with no loss or duplication") {
+    val store = new graft.sinks.DocStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_watch_big").toString)
+    val docs = spark.range(0, 3000).selectExpr("id AS doc_id",
+      "id * 3 AS n_chars")
+    store.writeVersioned(docs.where(col("doc_id") < 100), "big"): Unit
+    store.writeVersioned(docs, "big"): Unit // 2900-event backlog
+    val server = new OpMsg.Server(spark, store)
+    try {
+      val (ev, _) = OpMsg.watch(spark, "127.0.0.1", server.port,
+        "graft", "big", keyField = "doc_id", batchSize = 64)
+      assert(ev.count() == 2900)
+      assert(ev.select("documentKey").distinct().count() == 2900)
+      assert(server.maxCollectedOnce.get() <= 64,
+        s"server materialized ${server.maxCollectedOnce.get()} rows at once")
+    } finally server.stop()
+  }
+
+  test("dropDatabase invalidates the DB-LEVEL watch: per-collection " +
+       "drops, then dropDatabase + terminal invalidate close the " +
+       "cursor; resumeAfter past it refuses, startAfter survives") {
+    val (store, server) = fixture()
+    try {
+      val docs = graft.api.Graft.table(spark, "/root/testdata/sf0.001",
+          "documents").select("doc_id", "source", "n_chars")
+      store.writeVersioned(docs.where(col("doc_id") < 10), "aux"): Unit
+      store.writeVersioned(docs.where(col("doc_id") < 15), "aux"): Unit
+      val (_, tok1) = OpMsg.watch(spark, "127.0.0.1", server.port,
+        "graft", "*", keyField = "doc_id")
+      // the wire command drops everything
+      OpMsg.command("127.0.0.1", server.port, "graft",
+        JObject(List("dropDatabase" -> JInt(1)))): Unit
+      assert(store.collections().isEmpty)
+      val (ev, tok2) = OpMsg.watch(spark, "127.0.0.1", server.port,
+        "graft", "*", keyField = "doc_id", resumeAfter = Some(tok1))
+      val ops = ev.select("operationType").orderBy(col("_id._data"))
+        .collect().map(_.getString(0)).toSeq
+      assert(ops == Seq("drop", "drop", "dropDatabase", "invalidate"))
+      // server closed the cursor WITH the invalidate batch
+      assert(server.openCursors == 0)
+      // the dropDatabase/invalidate rows carry a db-only namespace
+      assert(ev.where(col("operationType") === "dropDatabase")
+        .select(col("ns.db"), col("ns.coll")).collect().map(r =>
+          (r.getString(0), r.isNullAt(1))).toSeq == Seq(("graft", true)))
+      val e = intercept[Exception](OpMsg.watch(spark, "127.0.0.1",
+        server.port, "graft", "*", keyField = "doc_id",
+        resumeAfter = Some(tok2)))
+      assert(e.getMessage.contains("startAfter"))
+      val (idle, _) = OpMsg.watch(spark, "127.0.0.1", server.port,
+        "graft", "*", keyField = "doc_id", startAfter = Some(tok2))
+      assert(idle.count() == 0)
+    } finally server.stop()
+  }
+
+  test("DDL epoch: drop → pruneVersions → recreate starts a FRESH " +
+       "change history — no spurious invalidate from the old " +
+       "incarnation, and resumeAfter works on new tokens") {
+    val (store, server) = fixture()
+    try {
+      store.drop("coll"): Unit
+      store.pruneVersions("coll", 0): Unit
+      // old incarnation's journal still exists on disk, but the
+      // recreated collection is scoped to its own epoch
+      val docs = graft.api.Graft.table(spark, "/root/testdata/sf0.001",
+          "documents").select("doc_id", "source", "n_chars")
+      store.writeVersioned(docs.where(col("doc_id") < 5), "coll"): Unit
+      store.writeVersioned(docs.where(col("doc_id") < 8), "coll"): Unit
+      assert(store.ddlEvents("coll").isEmpty)
+      val (ev, tok) = OpMsg.watch(spark, "127.0.0.1", server.port,
+        "graft", "coll", keyField = "doc_id")
+      // only the new incarnation's inserts — NO drop, NO invalidate
+      val ops = ev.select("operationType").distinct().collect()
+        .map(_.getString(0)).toSet
+      assert(ops == Set("insert"))
+      // the old invalidate no longer poisons resumeAfter below it
+      val (again, _) = OpMsg.watch(spark, "127.0.0.1", server.port,
+        "graft", "coll", keyField = "doc_id", resumeAfter = Some(tok))
+      assert(again.count() == 0)
+      // a drop in the NEW epoch journals and invalidates normally
+      store.drop("coll"): Unit
+      val (ddl, _) = OpMsg.watch(spark, "127.0.0.1", server.port,
+        "graft", "coll", keyField = "doc_id", resumeAfter = Some(tok))
+      assert(ddl.select("operationType").collect().map(_.getString(0))
+        .toSeq.sorted == Seq("drop", "invalidate"))
+    } finally server.stop()
+  }
 }
