@@ -46,26 +46,70 @@ object UpdateOps {
                             insertValues: Seq[(String, JValue)],
                             fromPipeline: Boolean = false)
 
-  def compile(u: JValue, schema: StructType): Compiled = u match {
-    case JArray(stages) => compilePipeline(stages, schema)
+  def compile(u: JValue, schema: StructType,
+              arrayFilters: JValue = JNothing): Compiled = u match {
+    case JArray(stages) =>
+      requireNoFilters(arrayFilters, "pipeline updates")
+      compilePipeline(stages, schema)
     case JObject(fields) if fields.nonEmpty && fields.forall(_._1.startsWith("$")) =>
-      compileOperators(fields, schema)
+      compileOperators(fields, schema, parseArrayFilters(arrayFilters))
     case JObject(fields) if fields.exists(_._1.startsWith("$")) =>
       throw new MqlException(
         "update document mixes operators and plain fields")
-    case JObject(fields) => compileReplacement(fields, schema)
+    case JObject(fields) =>
+      requireNoFilters(arrayFilters, "replacement updates")
+      compileReplacement(fields, schema)
     case other => throw new MqlException(s"bad update document: $other")
   }
+
+  private def requireNoFilters(v: JValue, ctx: String): Unit = v match {
+    case JNothing | JNull | JArray(Nil) => ()
+    case _ => throw new MqlException(s"arrayFilters: not applicable to $ctx")
+  }
+
+  /** `arrayFilters` entries → (identifier → element predicate). Each
+    * entry names exactly ONE identifier (mongod's rule); dotted keys
+    * descend into struct elements; conditions compile through the
+    * normal filter-operator surface. */
+  private def parseArrayFilters(v: JValue): Map[String, Column => Column] =
+    v match {
+      case JNothing | JNull => Map.empty
+      case JArray(docs) => docs.map {
+        case JObject(fields) if fields.nonEmpty =>
+          val idents = fields.map(_._1.takeWhile(_ != '.')).distinct
+          if (idents.length != 1) throw new MqlException(
+            "arrayFilters: each entry must name exactly one identifier")
+          val id = idents.head
+          val fn: Column => Column = x => fields.map { case (k, cond) =>
+            val target =
+              if (!k.contains('.')) x
+              else k.dropWhile(_ != '.').drop(1).split('.')
+                .foldLeft(x)(_.getField(_))
+            cond match {
+              case JObject(ops) if isOperatorDoc(ops) =>
+                FilterCompiler.compileOps(target, ops)
+              case other => target <=> literal(other)
+            }
+          }.reduce(_ && _)
+          id -> fn
+        case other => throw new MqlException(
+          s"arrayFilters entries must be non-empty documents, got $other")
+      }.toMap
+      case other => throw new MqlException(s"bad arrayFilters: $other")
+    }
 
   // ---- operator form --------------------------------------------------
 
   private def compileOperators(ops: List[(String, JValue)],
-                               schema: StructType): Compiled = {
+                               schema: StructType,
+                               filters: Map[String, Column => Column])
+      : Compiled = {
     // assignments thread: a later operator on the same column sees the
     // earlier one's expression (mongod applies operators to one doc in
     // sequence; conflicting paths are a mongod error we inherit by
     // last-wins composition)
     var assigns = scala.collection.mutable.LinkedHashMap.empty[String, Column]
+    val usedFilters = scala.collection.mutable.Set.empty[String]
     val inserts = List.newBuilder[(String, JValue)]
     def baseOf(path: String): Column = {
       val top = path.takeWhile(_ != '.')
@@ -75,20 +119,71 @@ object UpdateOps {
         case None => fieldCol(path)
       }
     }
-    def assign(path: String, value: Column): Unit = {
+    /** The positional segment of a path, if any: ("arr", ident, sub)
+      * for "arr.$[]" / "arr.$[g]" / "arr.$[g].score" — one positional
+      * step directly under a top-level array column (mongod allows
+      * deeper forms; this engine's fixed schemas make the one-level
+      * form the meaningful one, deeper refuses loudly). */
+    def positional(path: String): Option[(String, String, Option[String])] = {
+      if (!path.contains(".$[")) return None
+      val parts = path.split('.')
+      val i = parts.indexWhere(p => p.startsWith("$[") && p.endsWith("]"))
+      if (i != 1) throw new MqlException(
+        s"positional update: '$path' — only <arrayCol>.$$[...] (one " +
+          "level under a top-level array column) is supported")
+      if (parts.drop(2).exists(p => p.startsWith("$[")))
+        throw new MqlException(
+          s"positional update: nested $$[...] segments in '$path' are " +
+            "unsupported")
+      val ident = parts(1).drop(2).dropRight(1)
+      val sub = if (parts.length > 2) Some(parts.drop(2).mkString(".")) else None
+      Some((parts(0), ident, sub))
+    }
+    /** Set `path` to mk(old value) for matched rows — the general form
+      * every operator lowers through. Positional paths ($[] / $[id])
+      * become ONE `transform` lambda over the array column: gated
+      * elements take mk(element-target), others pass through. */
+    def assignWith(path: String, mk: Column => Column): Unit = {
       if (path == "_id" || path.startsWith("_id."))
         throw new MqlException("update: the _id field is immutable")
-      val top = path.takeWhile(_ != '.')
-      if (!path.contains('.')) { assigns(top) = value; return }
-      // dotted path: rebuild the top-level struct via withField — the
-      // schema must already carry the struct (fixed-schema engine)
-      val rest = path.dropWhile(_ != '.').drop(1)
-      val cur = assigns.getOrElse(top, col(quote(top)))
-      if (!schema.fieldNames.contains(top))
-        throw new MqlException(
-          s"update: dotted path '$path' needs existing struct column '$top'")
-      assigns(top) = cur.withField(rest, value)
+      positional(path) match {
+        case Some((top, ident, sub)) =>
+          if (!schema.fieldNames.contains(top)) throw new MqlException(
+            s"positional update: no array column '$top'")
+          val gate: Column => Column =
+            if (ident.isEmpty) _ => lit(true)
+            else {
+              usedFilters += ident
+              filters.getOrElse(ident, throw new MqlException(
+                s"positional update: no arrayFilters entry for " +
+                  s"identifier '$ident'"))
+            }
+          val cur = assigns.getOrElse(top, col(quote(top)))
+          assigns(top) = transform(cur, e => {
+            val target = sub.fold(e)(s => nestedGet(e, s))
+            val updated = mk(target)
+            when(coalesce(gate(e), lit(false)),
+              sub.fold(updated)(s => e.withField(s, updated)))
+              .otherwise(e)
+          })
+        case None =>
+          val top = path.takeWhile(_ != '.')
+          if (!path.contains('.')) {
+            assigns(top) = mk(baseOf(path)); return
+          }
+          // dotted path: rebuild the top-level struct via withField —
+          // the schema must already carry the struct (fixed-schema
+          // engine)
+          val rest = path.dropWhile(_ != '.').drop(1)
+          val cur = assigns.getOrElse(top, col(quote(top)))
+          if (!schema.fieldNames.contains(top))
+            throw new MqlException(
+              s"update: dotted path '$path' needs existing struct column '$top'")
+          assigns(top) = cur.withField(rest, mk(baseOf(path)))
+      }
     }
+    def assign(path: String, value: Column): Unit =
+      assignWith(path, _ => value)
     ops.foreach {
       case ("$set", v) => asObj(v, "$set").foreach { case (p, x) =>
         assign(p, literal(x)); inserts += ((p, x)) }
@@ -99,18 +194,18 @@ object UpdateOps {
         // the key — the relational twin of a missing field IS null)
         assign(p, lit(null)) }
       case ("$inc", v) => asObj(v, "$inc").foreach { case (p, x) =>
-        assign(p, coalesce(baseOf(p), lit(0)) + literal(x))
+        assignWith(p, old => coalesce(old, lit(0)) + literal(x))
         inserts += ((p, x)) }
       case ("$mul", v) => asObj(v, "$mul").foreach { case (p, x) =>
         // mongod: $mul on a missing field creates it as 0
-        assign(p, coalesce(baseOf(p), lit(0)) * literal(x))
+        assignWith(p, old => coalesce(old, lit(0)) * literal(x))
         inserts += ((p, JInt(0))) }
       case ("$min", v) => asObj(v, "$min").foreach { case (p, x) =>
         // Spark's least/greatest skip nulls — exactly mongod's
         // "missing field takes the operand" rule
-        assign(p, least(baseOf(p), literal(x))); inserts += ((p, x)) }
+        assignWith(p, old => least(old, literal(x))); inserts += ((p, x)) }
       case ("$max", v) => asObj(v, "$max").foreach { case (p, x) =>
-        assign(p, greatest(baseOf(p), literal(x))); inserts += ((p, x)) }
+        assignWith(p, old => greatest(old, literal(x))); inserts += ((p, x)) }
       case ("$rename", v) => asObj(v, "$rename").foreach {
         case (from, JString(to)) =>
           if (from.contains('.') || to.contains('.'))
@@ -163,6 +258,10 @@ object UpdateOps {
           "standard operators or an aggregation-pipeline update")
       case (op, _) => throw new MqlException(s"unsupported update operator $op")
     }
+    val unused = filters.keySet -- usedFilters
+    if (unused.nonEmpty) throw new MqlException(
+      s"arrayFilters: identifier(s) ${unused.mkString(", ")} not used " +
+        "in the update document (mongod errors the same way)")
     Compiled(assigns.toSeq, inserts.result())
   }
 

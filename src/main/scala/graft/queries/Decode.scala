@@ -585,6 +585,173 @@ object Decode {
               WHERE c_acctbal > 2000.0
               GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    // mongod 8.0's `bulkWrite` over the wire: ONE command carrying a
+    // mixed ordered batch — a multi update ($inc on small parts), a
+    // multi delete (oversized parts), and one pinned insert — against
+    // nsInfo-indexed collections. The oracle replays the batch as SQL:
+    // CASE for the update, complement for the delete, UNION ALL for
+    // the insert.
+    QueryDef("q_wire_bulk",
+      (s, dir) => {
+        val store = new graft.sinks.DocStore(s,
+          java.nio.file.Files.createTempDirectory("graft_wblk").toString,
+          "graftdocs")
+        store.write(Graft.table(s, dir, "part")
+          .select("p_partkey", "p_size", "p_retailprice"), "part")
+        val server = new graft.sources.OpMsg.Server(s, store)
+        try {
+          import org.json4s._
+          graft.sources.OpMsg.command("127.0.0.1", server.port, "graft",
+            JObject(List(
+              "bulkWrite" -> JInt(1),
+              "ops" -> JArray(List(
+                JObject(List("update" -> JInt(0),
+                  "filter" -> graft.mql.Mql.parse("""{"p_size": {"$lte": 10}}"""),
+                  "updateMods" -> graft.mql.Mql.parse(
+                    """{"$inc": {"p_retailprice": 50}}"""),
+                  "multi" -> JBool(true))),
+                JObject(List("delete" -> JInt(0),
+                  "filter" -> graft.mql.Mql.parse("""{"p_size": {"$gt": 45}}"""),
+                  "multi" -> JBool(true))),
+                JObject(List("insert" -> JInt(0),
+                  "document" -> JObject(List(
+                    "p_partkey" -> JLong(-1L),
+                    "p_size" -> JInt(0),
+                    "p_retailprice" -> JDouble(1.0))))))),
+              "nsInfo" -> JArray(List(
+                JObject(List("ns" -> JString("graft.part")))))))): Unit
+          store.read("part")
+            .groupBy(col("p_size"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("p_retailprice").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+                .cast(org.apache.spark.sql.types.DoubleType).as("price_sum"))
+            .orderBy("p_size")
+        } finally server.stop()
+      },
+      Some("""WITH after AS (
+                SELECT p_size,
+                       CASE WHEN p_size <= 10 THEN p_retailprice + 50
+                            ELSE p_retailprice END AS pr
+                FROM part WHERE p_size <= 45
+                UNION ALL SELECT 0, 1.0)
+              SELECT p_size, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(pr AS DECIMAL(18,4))) AS DOUBLE)
+                       AS price_sum
+              FROM after GROUP BY p_size ORDER BY p_size""")),
+
+    // POSITIONAL update over the wire ($[identifier] + arrayFilters —
+    // mongod's per-element update surface): each order's quantities
+    // live as ONE array column, the update $incs only the elements the
+    // arrayFilters condition admits (one `transform` lambda per row,
+    // no unwind/regroup), and the read-back re-aggregates. The oracle
+    // replays the element CASE on the flat source table.
+    QueryDef("q_wire_update_positional",
+      (s, dir) => {
+        val store = new graft.sinks.DocStore(s,
+          java.nio.file.Files.createTempDirectory("graft_wupp").toString,
+          "graftdocs")
+        store.write(Graft.table(s, dir, "lineitem")
+          .where(col("l_orderkey") < 2000)
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_list(col("l_quantity"))).as("qtys")),
+          "orders_q")
+        val server = new graft.sources.OpMsg.Server(s, store)
+        try {
+          graft.sources.OpMsg.update(
+            "127.0.0.1", server.port, "graft", "orders_q", Seq(
+              graft.sources.OpMsg.UpdateSpec("{}",
+                """{"$inc": {"qtys.$[big]": 100}}""", multi = true,
+                arrayFilters = Some("""[{"big": {"$gte": 30}}]""")))): Unit
+          store.read("orders_q")
+            .select(col("l_orderkey"), explode(col("qtys")).as("q"))
+            .groupBy("l_orderkey")
+            .agg(sum(col("q").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+              .cast(org.apache.spark.sql.types.DoubleType).as("qty_sum"))
+            .orderBy("l_orderkey")
+        } finally server.stop()
+      },
+      Some("""SELECT l_orderkey,
+                     CAST(SUM(CAST(CASE WHEN l_quantity >= 30
+                                   THEN l_quantity + 100
+                                   ELSE l_quantity END
+                              AS DECIMAL(18,4))) AS DOUBLE) AS qty_sum
+              FROM lineitem WHERE l_orderkey < 2000
+              GROUP BY l_orderkey ORDER BY l_orderkey""")),
+
+    // mongod's `distinct` command over the wire (the classic read
+    // helper every driver exposes as collection.distinct): key +
+    // query evaluate server-side, the sorted distinct values cross as
+    // one reply. The oracle is SELECT DISTINCT with the same filter.
+    QueryDef("q_wire_distinct",
+      (s, dir) => {
+        val store = new graft.sinks.DocStore(s,
+          java.nio.file.Files.createTempDirectory("graft_wdst").toString,
+          "graftdocs")
+        store.write(Graft.table(s, dir, "orders")
+          .select("o_orderkey", "o_orderpriority", "o_totalprice"),
+          "orders")
+        val server = new graft.sources.OpMsg.Server(s, store)
+        try {
+          val reply = graft.sources.OpMsg.command(
+            "127.0.0.1", server.port, "graft",
+            org.json4s.JObject(List(
+              "distinct" -> org.json4s.JString("orders"),
+              "key" -> org.json4s.JString("o_orderpriority"),
+              "query" -> graft.mql.Mql.parse(
+                """{"o_totalprice": {"$gt": 150000.0}}"""))))
+          val values = reply("values") match {
+            case org.json4s.JArray(vs) => vs.collect {
+              case org.json4s.JString(v) => v }
+            case other => throw new IllegalStateException(s"bad $other")
+          }
+          import s.implicits._
+          values.toDF("o_orderpriority").orderBy("o_orderpriority")
+        } finally server.stop()
+      },
+      Some("""SELECT DISTINCT o_orderpriority FROM orders
+              WHERE o_totalprice > 150000.0
+              ORDER BY o_orderpriority""")),
+
+    // mongod's `count` command over the wire: query + skip + limit
+    // arithmetic server-side. The oracle replays it as bounded COUNT.
+    QueryDef("q_wire_count",
+      (s, dir) => {
+        val store = new graft.sinks.DocStore(s,
+          java.nio.file.Files.createTempDirectory("graft_wcnt").toString,
+          "graftdocs")
+        store.write(Graft.table(s, dir, "customer")
+          .select("c_custkey", "c_mktsegment", "c_acctbal"), "customer")
+        val server = new graft.sources.OpMsg.Server(s, store)
+        try {
+          def n(doc: (String, org.json4s.JValue)*): Long =
+            graft.sources.OpMsg.command("127.0.0.1", server.port, "graft",
+              org.json4s.JObject(List("count" ->
+                (org.json4s.JString("customer"): org.json4s.JValue)) ++
+                doc.toList))("n") match {
+              case org.json4s.JLong(v) => v
+              case org.json4s.JInt(v) => v.toLong
+              case other => throw new IllegalStateException(s"bad $other")
+            }
+          val filtered = n("query" -> graft.mql.Mql.parse(
+            """{"c_mktsegment": "BUILDING", "c_acctbal": {"$gt": 0}}"""))
+          val skipped = n("query" -> graft.mql.Mql.parse(
+            """{"c_acctbal": {"$gt": 0}}"""),
+            "skip" -> org.json4s.JInt(100),
+            "limit" -> org.json4s.JInt(500))
+          import s.implicits._
+          Seq(("filtered", filtered), ("skip_limit", skipped))
+            .toDF("which", "n").orderBy("which")
+        } finally server.stop()
+      },
+      Some("""SELECT 'filtered' AS which, CAST(COUNT(*) AS BIGINT) AS n
+              FROM customer
+              WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 0
+              UNION ALL
+              SELECT 'skip_limit',
+                     LEAST(GREATEST(CAST(COUNT(*) AS BIGINT) - 100, 0), 500)
+              FROM customer WHERE c_acctbal > 0
+              ORDER BY which""")),
+
     // mongod's `update` command over the wire (the CRUD write a real
     // driver issues on update_many/replace_one — the reference client
     // itself writes via insert_many only, api.py:602-713): one

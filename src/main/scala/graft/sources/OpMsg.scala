@@ -577,7 +577,9 @@ object OpMsg {
                                         batchField: String,
                                         docs: Seq[Array[Byte]],
                                         postBatchResumeToken: Option[String]
-                                          = None): Array[Byte] = {
+                                          = None,
+                                        extraTop: List[(String, JValue)]
+                                          = Nil): Array[Byte] = {
     val arrBody = new ByteArrayOutputStream(docs.map(_.length + 8).sum + 16)
     docs.zipWithIndex.foreach { case (d, i) =>
       arrBody.write(0x03); writeCString(arrBody, i.toString)
@@ -603,12 +605,14 @@ object OpMsg {
       inner.writeTo(curBody)
       curBody.write(0)
     }
-    // top-level: {cursor: {...}, ok: 1.0}
+    // top-level: {cursor: {...}[, extras], ok: 1.0} — extras carry a
+    // command's summary fields beside the cursor (bulkWrite's counts)
     val top = new ByteArrayOutputStream(curBody.size + 32)
     top.write(0x03); writeCString(top, "cursor")
     writeInt(top, 4 + curBody.size + 1)
     curBody.writeTo(top)
     top.write(0)
+    extraTop.foreach { case (k, v) => writeElement(top, k, v) }
     top.write(0x01); writeCString(top, "ok")
     writeLong(top, java.lang.Double.doubleToLongBits(1.0))
     writeInt(cur, 4 + top.size + 1)
@@ -844,7 +848,8 @@ object OpMsg {
       * single CASE projection (UpdateOps) over one scan; matched /
       * modified counts price as one aggregate over the same scan. */
     private def applyUpdateSpec(coll: String, q: JValue, u: JValue,
-                                multi: Boolean, upsert: Boolean)
+                                multi: Boolean, upsert: Boolean,
+                                arrayFilters: JValue = JNothing)
         : (Long, Long, Option[JValue]) = {
       import org.apache.spark.sql.functions.{col, count, lit, when}
       if (!store.exists(coll)) {
@@ -855,7 +860,7 @@ object OpMsg {
             "create the collection first (insert or DocStore.write)")
       }
       val base = store.read(coll)
-      val compiled = graft.mql.UpdateOps.compile(u, base.schema)
+      val compiled = graft.mql.UpdateOps.compile(u, base.schema, arrayFilters)
       // MQL match semantics: a null/UNKNOWN predicate is "does not
       // match" — never let SQL three-valued logic leak a null cond;
       // withSchema gives the filter its implicit array-traversal
@@ -1044,7 +1049,8 @@ object OpMsg {
         }
         docReply(preDoc, 1, updatedExisting = false)
       } else {
-        val compiled = graft.mql.UpdateOps.compile(update.get, base.schema)
+        val compiled = graft.mql.UpdateOps.compile(update.get, base.schema,
+          fields.getOrElse("arrayFilters", JNothing))
         val (updated, _) = graft.mql.UpdateOps.applyTo(base, target, compiled)
         val postRows = updated.where(col("_id") <=> lit(idv)).collect()
         collMonitor(coll).synchronized { store.write(updated, coll) }
@@ -1696,6 +1702,189 @@ object OpMsg {
             "ok" -> JDouble(1.0))))
         case _ => ()
       }
+      // ---- driver-compat read/discovery commands: the first things a
+      // real driver or shell issues after the handshake — collection
+      // discovery (listCollections/listDatabases/listIndexes) and the
+      // classic read helpers (distinct, count). All answer from the
+      // store's metadata or one bounded aggregate.
+      fields.get("listCollections") match {
+        case Some(_) =>
+          val names = store.collections()
+          val docs = names.map(n => encodeDoc(JObject(List(
+            "name" -> JString(n),
+            "type" -> JString("collection"),
+            "options" -> JObject(Nil),
+            "info" -> JObject(List("readOnly" -> JBool(false)))))))
+          return buildCursorReply(0L, s"$db.$$cmd.listCollections",
+            "firstBatch", docs)
+        case None => ()
+      }
+      fields.get("listDatabases") match {
+        case Some(_) =>
+          return encodeDoc(JObject(List(
+            "databases" -> JArray(List(JObject(List(
+              "name" -> JString(db),
+              "empty" -> JBool(store.collections().isEmpty))))),
+            "ok" -> JDouble(1.0))))
+        case None => ()
+      }
+      fields.get("listIndexes") match {
+        case Some(JString(coll)) =>
+          if (!store.exists(coll))
+            return buildErrorReply(s"ns does not exist: $db.$coll", 26)
+          // the implicit _id index every mongod collection has, plus
+          // the catalog's declared unique key (the engine's index-ish
+          // metadata)
+          val docs = List(encodeDoc(JObject(List(
+            "v" -> JInt(2),
+            "key" -> JObject(List("_id" -> JInt(1))),
+            "name" -> JString("_id_"))))) ++
+            store.uniqueKeyOf(coll).map(k => encodeDoc(JObject(List(
+              "v" -> JInt(2),
+              "key" -> JObject(List(k -> JInt(1))),
+              "name" -> JString(s"${k}_1"),
+              "unique" -> JBool(true)))))
+          return buildCursorReply(0L, s"$db.$coll", "firstBatch", docs)
+        case _ => ()
+      }
+      fields.get("distinct") match {
+        case Some(JString(coll)) =>
+          import org.apache.spark.sql.functions.{coalesce, col, explode, lit}
+          val key = fields.get("key") match {
+            case Some(JString(k)) => k
+            case other => throw new IllegalArgumentException(
+              s"distinct needs a string 'key', got $other")
+          }
+          val base = store.read(coll)
+          val q = fields.getOrElse("query", JObject(Nil))
+          val cond = coalesce(FilterCompiler.withSchema(Some(base.schema))(
+            FilterCompiler.compile(q)), lit(false))
+          val proj = base.where(cond).select(col(key).as("__v"))
+          // mongod's distinct UNWINDS array fields — distinct elements,
+          // not distinct arrays
+          val flat = proj.schema.head.dataType match {
+            case _: org.apache.spark.sql.types.ArrayType =>
+              proj.select(explode(col("__v")).as("__v"))
+            case _ => proj
+          }
+          val vals = flat.where(col("__v").isNotNull).distinct()
+            .orderBy(col("__v")).collect().map(_.get(0))
+          val out = vals.toList.map {
+            case s: String => JString(s)
+            case i: Int => JInt(i)
+            case l: Long => JLong(l)
+            case d: Double => JDouble(d)
+            case b: Boolean => JBool(b)
+            case other => throw new IllegalArgumentException(
+              s"distinct: unsupported value type " +
+                s"${other.getClass.getSimpleName} for key '$key'")
+          }
+          return encodeDoc(JObject(List(
+            "values" -> JArray(out), "ok" -> JDouble(1.0))))
+        case _ => ()
+      }
+      fields.get("count") match {
+        case Some(JString(coll)) =>
+          import org.apache.spark.sql.functions.{coalesce, lit}
+          if (!store.exists(coll))
+            return encodeDoc(JObject(List(
+              "n" -> JLong(0L), "ok" -> JDouble(1.0))))
+          val base = store.read(coll)
+          val q = fields.getOrElse("query", JObject(Nil))
+          val cond = coalesce(FilterCompiler.withSchema(Some(base.schema))(
+            FilterCompiler.compile(q)), lit(false))
+          def intOpt(k: String): Option[Long] = fields.get(k) match {
+            case Some(JInt(v)) => Some(v.toLong)
+            case Some(JLong(v)) => Some(v)
+            case _ => None
+          }
+          val raw = base.where(cond).count()
+          // mongod: skip subtracts, limit caps (0 = no limit)
+          val afterSkip = math.max(0L, raw - intOpt("skip").getOrElse(0L))
+          val n = intOpt("limit").filter(_ > 0)
+            .map(l => math.min(afterSkip, l)).getOrElse(afterSkip)
+          return encodeDoc(JObject(List(
+            "n" -> JLong(n), "ok" -> JDouble(1.0))))
+        case _ => ()
+      }
+      // ---- explain: mongod's plan-inspection command — wraps a find
+      // or aggregate and answers the compiled plan instead of running
+      // a cursor. queryPlanner verbosity is the honest one here (the
+      // engine's formatted physical plan IS the planner output;
+      // executionStats live in the Spark UI, not the plan).
+      fields.get("explain") match {
+        case Some(JObject(inner)) =>
+          val im = inner.toMap
+          val plan = im.get("find") match {
+            case Some(JString(coll)) =>
+              val filterJson = im.get("filter")
+                .map(f => FilterTranslator.render(f)).getOrElse("{}")
+              val base = store.read(coll)
+              base.where(FilterCompiler.withSchema(Some(base.schema))(
+                FilterCompiler.compile(filterJson)))
+                .queryExecution.explainString(
+                  org.apache.spark.sql.execution.FormattedMode)
+            case None => im.get("aggregate") match {
+              case Some(JString(coll)) =>
+                val stages = im.get("pipeline") match {
+                  case Some(p) => org.json4s.jackson.JsonMethods.compact(
+                    org.json4s.jackson.JsonMethods.render(p))
+                  case None => "[]"
+                }
+                val resolve: graft.mql.PipelineCompiler.TableResolver =
+                  name => store.read(name)
+                graft.mql.PipelineCompiler.run(store.read(coll), stages,
+                  resolve).queryExecution.explainString(
+                    org.apache.spark.sql.execution.FormattedMode)
+              case _ => throw new IllegalArgumentException(
+                "explain wraps a find or aggregate command")
+            }
+          }
+          return encodeDoc(JObject(List(
+            "queryPlanner" -> JObject(List(
+              "plannerVersion" -> JInt(1),
+              "namespace" -> JString(s"$db.${im.get("find").orElse(
+                im.get("aggregate")).collect { case JString(c) => c }
+                .getOrElse("?")}"),
+              "winningPlan" -> JObject(List(
+                "stage" -> JString("GRAFT_SPARK_PLAN"),
+                "plan" -> JString(plan))))),
+            "ok" -> JDouble(1.0))))
+        case Some(other) => throw new IllegalArgumentException(
+          s"explain needs a command document, got $other")
+        case None => ()
+      }
+      // ---- drop / renameCollection: collection DDL over the wire —
+      // both ride the store's DDL journal, so change streams see the
+      // drop/rename + terminal invalidate exactly as local DDL does
+      fields.get("drop") match {
+        case Some(JString(coll)) =>
+          if (!store.exists(coll))
+            return buildErrorReply(s"ns not found: $db.$coll", 26)
+          store.drop(coll): Unit
+          localRel.remove(coll): Unit
+          return encodeDoc(JObject(List(
+            "ns" -> JString(s"$db.$coll"), "ok" -> JDouble(1.0))))
+        case _ => ()
+      }
+      fields.get("renameCollection") match {
+        case Some(JString(fromNs)) =>
+          val toNs = fields.get("to") match {
+            case Some(JString(t)) => t
+            case other => throw new IllegalArgumentException(
+              s"renameCollection needs a string 'to', got $other")
+          }
+          def collOf(ns: String): String = ns.dropWhile(_ != '.').drop(1) match {
+            case "" => ns
+            case c => c
+          }
+          val dropTarget = fields.get("dropTarget").contains(JBool(true))
+          store.rename(collOf(fromNs), collOf(toNs), dropTarget)
+          localRel.remove(collOf(fromNs)): Unit
+          localRel.remove(collOf(toNs)): Unit
+          return encodeDoc(JObject(List("ok" -> JDouble(1.0))))
+        case _ => ()
+      }
       // ---- dropDatabase: every live collection drops (each journaling
       // its own drop for collection-level watches) plus the ONE
       // db-level terminal event a db watch translates to its
@@ -1832,7 +2021,8 @@ object OpMsg {
               case other => throw new IllegalArgumentException(
                 s"updates entries must be documents, got $other")
             }
-            so.keys.filterNot(Set("q", "u", "multi", "upsert", "hint"))
+            so.keys.filterNot(Set("q", "u", "multi", "upsert", "hint",
+                "arrayFilters"))
               .foreach(k => throw new IllegalArgumentException(
                 s"update: unsupported option '$k'"))
             val q = so.getOrElse("q", JObject(Nil))
@@ -1840,7 +2030,8 @@ object OpMsg {
               "updates entry missing 'u'"))
             val multi = so.get("multi").contains(JBool(true))
             val upsert = so.get("upsert").contains(JBool(true))
-            val (m, mod, up) = applyUpdateSpec(coll, q, u, multi, upsert)
+            val af = so.getOrElse("arrayFilters", JNothing)
+            val (m, mod, up) = applyUpdateSpec(coll, q, u, multi, upsert, af)
             nMatched += m; nModified += mod
             up.foreach(id => upserted += ((idx, id)))
           }
@@ -1906,6 +2097,139 @@ object OpMsg {
           refreshPreload(coll)
           return sessionAck(session, reply)
         case _ => ()
+      }
+      // ---- bulkWrite (mongod 8.0's unified write command — the entry
+      // point modern drivers migrate bulk_write() onto): a single `ops`
+      // array mixing insert/update/delete entries, each naming its
+      // collection through the nsInfo table; ORDERED execution (the
+      // default) stops at the first error and reports results-so-far.
+      // Every op dispatches to the same machinery the single commands
+      // use; the whole command rides ONE retryable-write log entry.
+      fields.get("bulkWrite") match {
+        case Some(_) =>
+          val session = sessionOf(fields)
+          sessionReplay(session) match {
+            case Some(reply) => return reply
+            case None => ()
+          }
+          val nsInfo: IndexedSeq[String] = fields.get("nsInfo") match {
+            case Some(JArray(es)) => es.toIndexedSeq.map {
+              case JObject(no) => no.collectFirst {
+                case ("ns", JString(ns)) =>
+                  // "db.coll" — this server is single-db; take the coll
+                  ns.dropWhile(_ != '.').drop(1) match {
+                    case "" => ns
+                    case c => c
+                  }
+              }.getOrElse(throw new IllegalArgumentException(
+                "nsInfo entries need an 'ns' string"))
+              case other => throw new IllegalArgumentException(
+                s"nsInfo entries must be documents, got $other")
+            }
+            case _ => throw new IllegalArgumentException(
+              "bulkWrite needs an 'nsInfo' array")
+          }
+          val ops: List[JValue] = fields.get("ops") match {
+            case Some(JArray(es)) => es
+            case _ => sequences.collectFirst { case ("ops", ds) =>
+              ds.toList.map(d => decodeDoc(d): JValue)
+            }.getOrElse(throw new IllegalArgumentException(
+              "bulkWrite needs an 'ops' array (inline or kind-1 section)"))
+          }
+          val ordered = !fields.get("ordered").contains(JBool(false))
+          if (!ordered) throw new IllegalArgumentException(
+            "bulkWrite: only ordered execution is supported")
+          var nInserted = 0L; var nMatched = 0L; var nModified = 0L
+          var nUpserted = 0L; var nDeleted = 0L; var nErrors = 0L
+          val results = List.newBuilder[JObject]
+          val touched = scala.collection.mutable.Set.empty[String]
+          var halted = false
+          ops.zipWithIndex.foreach { case (op, idx) =>
+            if (!halted) {
+              val oo = op match {
+                case JObject(fs) => fs
+                case other => throw new IllegalArgumentException(
+                  s"ops entries must be documents, got $other")
+              }
+              def nsAt(v: JValue): String = v match {
+                case JInt(i) if i >= 0 && i < nsInfo.length => nsInfo(i.toInt)
+                case other => throw new IllegalArgumentException(
+                  s"op names nsInfo index $other outside 0..${nsInfo.length - 1}")
+              }
+              try {
+                oo.toMap.get("insert") match {
+                  case Some(nsIdx) =>
+                    val coll = nsAt(nsIdx)
+                    val doc = oo.collectFirst { case ("document", d) => d }
+                      .getOrElse(throw new IllegalArgumentException(
+                        "insert op needs a 'document'"))
+                    store.appendRaw(coll, encodeDoc(doc))
+                    touched += coll
+                    nInserted += 1
+                    results += JObject(List("ok" -> JDouble(1.0),
+                      "idx" -> JInt(idx), "n" -> JInt(1)))
+                  case None => oo.toMap.get("update") match {
+                    case Some(nsIdx) =>
+                      val coll = nsAt(nsIdx)
+                      val m = oo.toMap
+                      val q = m.getOrElse("filter", JObject(Nil))
+                      val u = m.getOrElse("updateMods",
+                        throw new IllegalArgumentException(
+                          "update op needs 'updateMods'"))
+                      val multi = m.get("multi").contains(JBool(true))
+                      val upsert = m.get("upsert").contains(JBool(true))
+                      val af = m.getOrElse("arrayFilters", JNothing)
+                      val (mm, mod, up) =
+                        applyUpdateSpec(coll, q, u, multi, upsert, af)
+                      touched += coll
+                      nMatched += mm; nModified += mod
+                      nUpserted += up.size
+                      results += JObject(List("ok" -> JDouble(1.0),
+                        "idx" -> JInt(idx),
+                        "n" -> JLong(mm + up.size),
+                        "nModified" -> JLong(mod)) ++
+                        up.map(id => "upserted" ->
+                          (JObject(List("_id" -> id)): JValue)).toList)
+                    case None => oo.toMap.get("delete") match {
+                      case Some(nsIdx) =>
+                        val coll = nsAt(nsIdx)
+                        val m = oo.toMap
+                        val q = m.getOrElse("filter", JObject(Nil))
+                        val limit =
+                          if (m.get("multi").contains(JBool(true))) 0 else 1
+                        val n = applyDeleteSpec(coll, q, limit)
+                        touched += coll
+                        nDeleted += n
+                        results += JObject(List("ok" -> JDouble(1.0),
+                          "idx" -> JInt(idx), "n" -> JLong(n)))
+                      case None => throw new IllegalArgumentException(
+                        s"ops entry $idx is not insert/update/delete")
+                    }
+                  }
+                }
+              } catch {
+                case scala.util.control.NonFatal(e) =>
+                  nErrors += 1
+                  halted = true // ordered: stop at the first error
+                  results += JObject(List("ok" -> JDouble(0.0),
+                    "idx" -> JInt(idx), "code" -> JInt(8),
+                    "errmsg" -> JString(String.valueOf(e.getMessage))))
+              }
+            }
+          }
+          touched.foreach(refreshPreload)
+          val resultDocs = results.result().map(r => encodeDoc(r))
+          val summary = JObject(List(
+            "nErrors" -> JLong(nErrors),
+            "nInserted" -> JLong(nInserted),
+            "nMatched" -> JLong(nMatched),
+            "nModified" -> JLong(nModified),
+            "nUpserted" -> JLong(nUpserted),
+            "nDeleted" -> JLong(nDeleted)))
+          return sessionAck(session, buildCursorReply(0L,
+            s"admin.$$cmd.bulkWrite", "firstBatch", resultDocs,
+            extraTop = summary.obj))
+        case None => ()
       }
       def openRowCursor(rows: Iterator[org.apache.spark.sql.Row],
                         schema: org.apache.spark.sql.types.StructType,
@@ -2504,7 +2828,8 @@ object OpMsg {
     * `multi` (all matching docs vs the first), `upsert`. */
   final case class UpdateSpec(q: String, u: String,
                               multi: Boolean = false,
-                              upsert: Boolean = false)
+                              upsert: Boolean = false,
+                              arrayFilters: Option[String] = None)
 
   /** Acknowledged counts of one `update` command. */
   final case class UpdateResult(nMatched: Long, nModified: Long,
@@ -2581,7 +2906,9 @@ object OpMsg {
         "q" -> graft.mql.Mql.parse(s.q),
         "u" -> graft.mql.Mql.parse(s.u),
         "multi" -> JBool(s.multi),
-        "upsert" -> JBool(s.upsert)))))))
+        "upsert" -> JBool(s.upsert)) ++
+        s.arrayFilters.map(a =>
+          "arrayFilters" -> graft.mql.Mql.parse(a)).toList)))))
     val reply = command(host, port, db, cmd, credentials, tls, compress,
       checksum, compressor, session)
     val upserted = reply.get("upserted") match {

@@ -1,0 +1,237 @@
+package graft.sources
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+/** Driver-compat read/discovery commands over OP_MSG — the first
+  * things a real driver or shell issues: listCollections /
+  * listDatabases / listIndexes, and the classic read helpers
+  * `distinct` (with mongod's array-unwinding semantics) and `count`
+  * (skip subtracts, limit caps). */
+class OpMsgCommandSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  private val schema = StructType(Seq(
+    StructField("_id", IntegerType),
+    StructField("kind", StringType),
+    StructField("n", LongType),
+    StructField("tags", ArrayType(StringType))))
+
+  private def fixture(): (graft.sinks.DocStore, OpMsg.Server) = {
+    val store = new graft.sinks.DocStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_opmsg_cmd").toString,
+      "graftdocs")
+    val items = Seq(
+      Row(1, "a", 10L, Seq("x", "y")),
+      Row(2, "b", 20L, Seq("y", "z")),
+      Row(3, "a", 30L, Seq("z")),
+      Row(4, "c", 40L, null),
+      Row(5, "a", 50L, Seq("x")))
+    store.write(spark.createDataFrame(
+      java.util.Arrays.asList(items: _*), schema), "items")
+    store.write(spark.createDataFrame(
+      java.util.Arrays.asList(Row(9, "q", 1L, null)), schema), "aux")
+    (store, new OpMsg.Server(spark, store))
+  }
+
+  private def cmd(srv: OpMsg.Server, doc: (String, JValue)*)
+      : Map[String, JValue] =
+    OpMsg.command("127.0.0.1", srv.port, "graft", JObject(doc.toList))
+
+  test("listCollections: every live collection, cursor shape, id 0") {
+    val (_, srv) = fixture()
+    try {
+      val reply = cmd(srv, "listCollections" -> JInt(1))
+      val cursor = reply("cursor").asInstanceOf[JObject].obj.toMap
+      assert(cursor("id") == JLong(0L))
+      val names = cursor("firstBatch") match {
+        case JArray(ds) => ds.map(_.asInstanceOf[JObject].obj.toMap)
+          .map(d => (d("name"), d("type")))
+        case other => fail(s"bad firstBatch $other")
+      }
+      assert(names.toSet ==
+        Set((JString("aux"), JString("collection")),
+          (JString("items"), JString("collection"))))
+    } finally srv.stop()
+  }
+
+  test("listDatabases / listIndexes: the one-db reply; _id index stub " +
+       "plus the declared unique key; missing ns = code 26") {
+    val (store, srv) = fixture()
+    try {
+      val dbs = cmd(srv, "listDatabases" -> JInt(1))("databases")
+      assert(dbs == JArray(List(JObject(List(
+        "name" -> JString("graft"), "empty" -> JBool(false))))))
+      val idx0 = cmd(srv, "listIndexes" -> JString("items"))("cursor")
+        .asInstanceOf[JObject].obj.toMap.apply("firstBatch")
+      assert(idx0 == JArray(List(JObject(List(
+        "v" -> JInt(2),
+        "key" -> JObject(List("_id" -> JInt(1))),
+        "name" -> JString("_id_"))))))
+      store.setUniqueKey("items", "_id")
+      val idx1 = cmd(srv, "listIndexes" -> JString("items"))("cursor")
+        .asInstanceOf[JObject].obj.toMap.apply("firstBatch") match {
+        case JArray(ds) => ds.map(_.asInstanceOf[JObject].obj.toMap)
+        case other => fail(s"bad firstBatch $other")
+      }
+      assert(idx1.length == 2 && idx1(1)("unique") == JBool(true))
+      val e = intercept[IllegalArgumentException](
+        cmd(srv, "listIndexes" -> JString("nope")))
+      assert(e.getMessage.contains("ns does not exist"))
+    } finally srv.stop()
+  }
+
+  test("distinct: scalar keys, filtered, sorted; ARRAY keys unwind to " +
+       "distinct elements (mongod semantics)") {
+    val (_, srv) = fixture()
+    try {
+      assert(cmd(srv, "distinct" -> JString("items"),
+        "key" -> JString("kind"))("values") ==
+        JArray(List(JString("a"), JString("b"), JString("c"))))
+      assert(cmd(srv, "distinct" -> JString("items"),
+        "key" -> JString("kind"),
+        "query" -> JObject(List("n" -> JObject(List(
+          "$gte" -> JInt(30))))))("values") ==
+        JArray(List(JString("a"), JString("c"))))
+      // array field: distinct ELEMENTS, null rows contribute nothing
+      assert(cmd(srv, "distinct" -> JString("items"),
+        "key" -> JString("tags"))("values") ==
+        JArray(List(JString("x"), JString("y"), JString("z"))))
+    } finally srv.stop()
+  }
+
+  test("bulkWrite (mongod 8.0): mixed insert/update/delete ops against " +
+       "nsInfo-indexed collections, ordered halt-on-error, summary " +
+       "counts + per-op results cursor; retryable as ONE log entry") {
+    val (store, srv) = fixture()
+    try {
+      def bulk(session: Option[(String, Long)] = None)
+          : Map[String, JValue] =
+        OpMsg.command("127.0.0.1", srv.port, "graft", JObject(List(
+          "bulkWrite" -> JInt(1),
+          "ops" -> JArray(List(
+            JObject(List("insert" -> JInt(0), "document" -> JObject(List(
+              "_id" -> JInt(6), "kind" -> JString("d"), "n" -> JLong(60L))))),
+            JObject(List("update" -> JInt(0),
+              "filter" -> JObject(List("kind" -> JString("a"))),
+              "updateMods" -> JObject(List("$inc" -> JObject(List(
+                "n" -> JInt(1))))),
+              "multi" -> JBool(true))),
+            JObject(List("delete" -> JInt(1),
+              "filter" -> JObject(Nil), "multi" -> JBool(true))))),
+          "nsInfo" -> JArray(List(
+            JObject(List("ns" -> JString("graft.items"))),
+            JObject(List("ns" -> JString("graft.aux"))))))),
+          session = session)
+      val r = bulk(Some(("bulk-sess", 3L)))
+      assert(r("nInserted") == JLong(1L))
+      assert(r("nMatched") == JLong(3L) && r("nModified") == JLong(3L))
+      assert(r("nDeleted") == JLong(1L) && r("nErrors") == JLong(0L))
+      val batch = r("cursor").asInstanceOf[JObject].obj.toMap
+        .apply("firstBatch") match {
+        case JArray(ds) => ds.map(_.asInstanceOf[JObject].obj.toMap)
+        case other => fail(s"bad firstBatch $other")
+      }
+      assert(batch.length == 3 && batch.forall(_("ok") == JDouble(1.0)))
+      assert(store.read("items").count() == 6)
+      assert(store.read("aux").count() == 0)
+      // replay: byte-identical ack, NO re-application
+      val again = bulk(Some(("bulk-sess", 3L)))
+      assert(again == r)
+      assert(store.read("items").count() == 6)
+      // ordered halt-on-error: a bad op stops the batch, results-so-far
+      val err = OpMsg.command("127.0.0.1", srv.port, "graft", JObject(List(
+        "bulkWrite" -> JInt(1),
+        "ops" -> JArray(List(
+          JObject(List("update" -> JInt(0),
+            "filter" -> JObject(Nil),
+            "updateMods" -> JObject(List("$set" -> JObject(List(
+              "_id" -> JInt(0))))), "multi" -> JBool(true))),
+          JObject(List("insert" -> JInt(0), "document" -> JObject(List(
+            "_id" -> JInt(7), "kind" -> JString("x"))))))),
+        "nsInfo" -> JArray(List(
+          JObject(List("ns" -> JString("graft.items"))))))))
+      assert(err("nErrors") == JLong(1L) && err("nInserted") == JLong(0L))
+      assert(store.read("items").where(
+        org.apache.spark.sql.functions.col("_id") === 7).count() == 0)
+    } finally srv.stop()
+  }
+
+  test("explain wraps find/aggregate and answers the compiled plan " +
+       "(queryPlanner shape) instead of a cursor") {
+    val (_, srv) = fixture()
+    try {
+      val r = cmd(srv, "explain" -> JObject(List(
+        "find" -> JString("items"),
+        "filter" -> JObject(List("kind" -> JString("a"))))))
+      val qp = r("queryPlanner").asInstanceOf[JObject].obj.toMap
+      assert(qp("namespace") == JString("graft.items"))
+      val plan = qp("winningPlan").asInstanceOf[JObject].obj.toMap
+        .apply("plan") match {
+        case JString(p) => p
+        case other => fail(s"bad plan $other")
+      }
+      // the compiled filter reached the physical plan
+      assert(plan.contains("Filter") || plan.contains("PushedFilters"), plan)
+      val agg = cmd(srv, "explain" -> JObject(List(
+        "aggregate" -> JString("items"),
+        "pipeline" -> JArray(List(JObject(List("$group" -> JObject(List(
+          "_id" -> JString("$kind"),
+          "n" -> JObject(List("$sum" -> JInt(1))))))))))))
+      val ap = agg("queryPlanner").asInstanceOf[JObject].obj.toMap
+        .apply("winningPlan").asInstanceOf[JObject].obj.toMap
+        .apply("plan") match {
+        case JString(p) => p
+        case other => fail(s"bad plan $other")
+      }
+      assert(ap.contains("HashAggregate"), ap)
+      intercept[IllegalArgumentException](
+        cmd(srv, "explain" -> JObject(List("ping" -> JInt(1)))))
+    } finally srv.stop()
+  }
+
+  test("drop / renameCollection over the wire ride the DDL journal: " +
+       "change streams see the events; missing ns = code 26") {
+    val (store, srv) = fixture()
+    try {
+      // caught-up watch, then wire DDL, then resume sees the journal
+      val (_, tok) = OpMsg.watch(spark, "127.0.0.1", srv.port, "graft",
+        "items", keyField = "_id")
+      cmd(srv, "renameCollection" -> JString("graft.items"),
+        "to" -> JString("graft.items2")): Unit
+      assert(store.exists("items2") && !store.exists("items"))
+      val (ddl, _) = OpMsg.watch(spark, "127.0.0.1", srv.port, "graft",
+        "items", keyField = "_id", resumeAfter = Some(tok))
+      assert(ddl.select("operationType").collect().map(_.getString(0))
+        .toSeq.sorted == Seq("invalidate", "rename"))
+      val dropped = cmd(srv, "drop" -> JString("items2"))
+      assert(dropped("ns") == JString("graft.items2"))
+      assert(!store.exists("items2"))
+      val e = intercept[IllegalArgumentException](
+        cmd(srv, "drop" -> JString("items2")))
+      assert(e.getMessage.contains("ns not found"))
+    } finally srv.stop()
+  }
+
+  test("count: query + skip subtracts + limit caps (0 = unlimited)") {
+    val (_, srv) = fixture()
+    try {
+      def n(doc: (String, JValue)*): JValue =
+        cmd(srv, (Seq("count" -> (JString("items"): JValue)) ++ doc): _*)("n")
+      assert(n() == JLong(5L))
+      assert(n("query" -> JObject(List("kind" -> JString("a")))) == JLong(3L))
+      assert(n("skip" -> JInt(2)) == JLong(3L))
+      assert(n("skip" -> JInt(9)) == JLong(0L))
+      assert(n("limit" -> JInt(2)) == JLong(2L))
+      assert(n("limit" -> JInt(0)) == JLong(5L))
+      assert(n("query" -> JObject(List("kind" -> JString("a"))),
+        "skip" -> JInt(1), "limit" -> JInt(1)) == JLong(1L))
+      // a missing collection counts zero (mongod's shape)
+      assert(cmd(srv, "count" -> JString("nope"))("n") == JLong(0L))
+    } finally srv.stop()
+  }
+}

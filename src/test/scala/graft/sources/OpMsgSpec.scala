@@ -143,8 +143,10 @@ class OpMsgSpec extends AnyFunSuite {
       val conn = new java.net.Socket("127.0.0.1", server.port)
       try {
         val out = conn.getOutputStream
+        // (`drop` graduated to a real command in round 11 — use a name
+        // no mongod version defines)
         OpMsg.writeMessage(out, 5, 0, OpMsg.encodeDoc(
-          JObject(List("drop" -> JString("events")))))
+          JObject(List("frobnicate" -> JString("events")))))
         val Some((_, rto, reply)) =
           OpMsg.readMessage(conn.getInputStream): @unchecked
         assert(rto == 5)

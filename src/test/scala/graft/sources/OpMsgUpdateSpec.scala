@@ -263,6 +263,71 @@ class OpMsgUpdateSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("positional updates: $[] hits every element, $[id] + " +
+       "arrayFilters gates by element condition, struct sub-paths " +
+       "update through withField; refusal matrix") {
+    val gradesSchema = StructType(Seq(
+      StructField("_id", IntegerType),
+      StructField("grades", ArrayType(LongType)),
+      StructField("items", ArrayType(StructType(Seq(
+        StructField("sku", StringType),
+        StructField("qty", LongType)))))))
+    val store = new graft.sinks.DocStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_opmsg_pos").toString,
+      "graftdocs")
+    store.write(spark.createDataFrame(java.util.Arrays.asList(
+      Row(1, Seq(95L, 92L, 60L), Seq(Row("a", 1L), Row("b", 5L))),
+      Row(2, Seq(55L, 100L), Seq(Row("a", 9L)))), gradesSchema), "g")
+    val srv = new OpMsg.Server(spark, store)
+    try {
+      def rows(): Map[Int, Row] = store.read("g").collect()
+        .map(r => r.getAs[Int]("_id") -> r).toMap
+      // $[] — every element
+      OpMsg.update("127.0.0.1", srv.port, "graft", "g", Seq(
+        OpMsg.UpdateSpec("""{"_id": 1}""",
+          """{"$inc": {"grades.$[]": 1}}"""))): Unit
+      assert(rows()(1).getAs[scala.collection.Seq[Long]]("grades").toList ==
+        List(96L, 93L, 61L))
+      // $[low] + arrayFilters: only elements under 70
+      val res = OpMsg.update("127.0.0.1", srv.port, "graft", "g", Seq(
+        OpMsg.UpdateSpec("""{}""",
+          """{"$set": {"grades.$[low]": 0}}""", multi = true,
+          arrayFilters = Some("""[{"low": {"$lt": 70}}]"""))))
+      assert(res.nMatched == 2 && res.nModified == 2)
+      assert(rows()(1).getAs[scala.collection.Seq[Long]]("grades").toList ==
+        List(96L, 93L, 0L))
+      assert(rows()(2).getAs[scala.collection.Seq[Long]]("grades").toList ==
+        List(0L, 100L))
+      // struct sub-path: items.$[it].qty with a dotted filter key
+      OpMsg.update("127.0.0.1", srv.port, "graft", "g", Seq(
+        OpMsg.UpdateSpec("""{"_id": 1}""",
+          """{"$set": {"items.$[it].qty": 99}}""",
+          arrayFilters = Some("""[{"it.sku": "b"}]""")))): Unit
+      val items = rows()(1).getAs[scala.collection.Seq[Row]]("items")
+      assert(items.map(r => (r.getString(0), r.getLong(1))).toList ==
+        List(("a", 1L), ("b", 99L)))
+      // nModified: a $set to the same values changes nothing
+      val noop = OpMsg.update("127.0.0.1", srv.port, "graft", "g", Seq(
+        OpMsg.UpdateSpec("""{"_id": 1}""",
+          """{"$set": {"items.$[it].qty": 99}}""",
+          arrayFilters = Some("""[{"it.sku": "b"}]"""))))
+      assert(noop.nMatched == 1 && noop.nModified == 0)
+      // refusals: unknown identifier, unused filter, deep positional
+      def fails(u: String, af: Option[String], needle: String): Unit = {
+        val e = intercept[IllegalArgumentException] {
+          OpMsg.update("127.0.0.1", srv.port, "graft", "g", Seq(
+            OpMsg.UpdateSpec("""{"_id": 1}""", u, arrayFilters = af)))
+        }
+        assert(e.getMessage.contains(needle), e.getMessage)
+      }
+      fails("""{"$set": {"grades.$[zz]": 1}}""", None, "zz")
+      fails("""{"$set": {"grades.$[]": 1}}""",
+        Some("""[{"low": {"$lt": 70}}]"""), "not used")
+      fails("""{"$set": {"items.$[it].sub.$[]": 1}}""",
+        Some("""[{"it.sku": "a"}]"""), "nested")
+    } finally srv.stop()
+  }
+
   test("refusals: _id immutable, mixed update doc, JS surface named") {
     val (_, srv) = fixture()
     try {
