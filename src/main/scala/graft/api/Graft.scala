@@ -148,14 +148,24 @@ object Graft {
     fc.textScore.foreach(s => out = out.withColumn("textScore", s))
     if (fc.textToks.isDefined) out = out.drop(FilterCompiler.TextToksCol)
     if (sort.isEmpty) fc.nearDist.foreach(d => out = out.orderBy(d.asc))
-    // collation affects sort only on string-typed keys (fold through
-    // lower() with the untyped column as tiebreak for total order)
+    // collation affects sort only on string-typed keys: plain ci folds
+    // through lower(); the round-11 depth fields (numericOrdering /
+    // caseFirst / alternate) sort by the binary-comparable collation
+    // KEY (functions/CollationKeys). The untyped column rides as the
+    // tiebreak for total order either way.
     val fold = collation.exists(_.caseInsensitive)
+    val keyed = collation.filter(_.keyed)
     def sortKey(k: String, asc: Boolean): Seq[org.apache.spark.sql.Column] = {
       val isStr = out.schema.find(_.name == k.split('.').head)
         .exists(f => k.indexOf('.') < 0 &&
           f.dataType == org.apache.spark.sql.types.StringType)
-      val keys = if (fold && isStr) Seq(lower(col(k)), col(k)) else Seq(col(k))
+      val keys =
+        if (isStr && keyed.isDefined) {
+          graft.functions.GraftFunctions.register(df.sparkSession)
+          Seq(org.apache.spark.sql.functions.call_function(
+            "collation_key", col(k), lit(keyed.get.spec)), col(k))
+        } else if (fold && isStr) Seq(lower(col(k)), col(k))
+        else Seq(col(k))
       keys.map(c => if (asc) c.asc else c.desc)
     }
     sort.foreach { s =>
@@ -299,6 +309,15 @@ object Graft {
     def renameCollection(from: String, to: String,
                          dropTarget: Boolean = false): Unit =
       store.rename(from, to, dropTarget)
+    /** Mongo `db.createView(name, viewOn, pipeline)`: a stored
+      * aggregation pipeline resolved on every read — wire find/
+      * aggregate and `DocStore.readOrView` see through it, filters on
+      * the view prune into the underlying scan (the whole plan is
+      * declarative), and writes refuse (views are read-only). */
+    def createView(name: String, viewOn: String,
+                   pipelineJson: String): Unit =
+      store.createView(name, viewOn, pipelineJson)
+    def dropView(name: String): Boolean = store.dropView(name)
     def find(coll: String, filter: String = "{}"): DataFrame =
       Graft.find(resolve(coll), filter)
     def aggregate(coll: String, pipelineJson: String): DataFrame = {

@@ -585,6 +585,47 @@ object Decode {
               WHERE c_acctbal > 2000.0
               GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    // VIEWS over the wire (mongod `create` with viewOn + pipeline): a
+    // stored aggregation pipeline resolves on every read — the wire
+    // find on the view applies a FURTHER filter that prunes into the
+    // underlying scan (the plan is fully declarative end to end). The
+    // oracle composes both layers as nested SELECTs.
+    QueryDef("q_wire_view",
+      (s, dir) => {
+        val store = new graft.sinks.DocStore(s,
+          java.nio.file.Files.createTempDirectory("graft_wview").toString,
+          "graftdocs")
+        store.write(Graft.table(s, dir, "customer")
+          .select("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"),
+          "customer")
+        val server = new graft.sources.OpMsg.Server(s, store)
+        try {
+          graft.sources.OpMsg.command("127.0.0.1", server.port, "graft",
+            org.json4s.JObject(List(
+              "create" -> org.json4s.JString("building_rich"),
+              "viewOn" -> org.json4s.JString("customer"),
+              "pipeline" -> graft.mql.Mql.parse(
+                """[{"$match": {"c_mktsegment": "BUILDING",
+                                "c_acctbal": {"$gt": 1000.0}}},
+                    {"$project": {"c_custkey": 1, "c_nationkey": 1,
+                                  "c_acctbal": 1}}]""")))): Unit
+          graft.sources.OpMsg.find(s, "127.0.0.1", server.port, "graft",
+            "building_rich",
+            Seq(org.apache.spark.sql.sources.LessThan("c_nationkey", 13)))
+            .groupBy(col("c_nationkey"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+                .cast(org.apache.spark.sql.types.DoubleType).as("sum_bal"))
+            .orderBy("c_nationkey")
+        } finally server.stop()
+      },
+      Some("""SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+              FROM (SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+                    WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000.0)
+              WHERE c_nationkey < 13
+              GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
     // mongod 8.0's `bulkWrite` over the wire: ONE command carrying a
     // mixed ordered batch — a multi update ($inc on small parts), a
     // multi delete (oversized parts), and one pinned insert — against

@@ -347,6 +347,79 @@ final class DocStore(val spark: SparkSession, val dir: String,
       System.currentTimeMillis()))
   }
 
+  // ---- views: stored aggregation pipelines (mongod `create` with
+  // `viewOn`) -----------------------------------------------------------
+
+  private def viewsDir = new Path(dir, "_graft_views")
+  private def viewPath(name: String): Path =
+    new Path(viewsDir, s"${validName(name)}.json")
+
+  /** Create a read-only view: `name` resolves as `pipeline` applied to
+    * `viewOn` (itself a collection OR another view — mongod allows
+    * chaining; a depth cap refuses cycles). The definition is one tiny
+    * json file; no data is copied. Refuses when a collection or view
+    * already holds the name (mongod's NamespaceExists). */
+  def createView(name: String, viewOn: String, pipelineJson: String): Unit = {
+    if (exists(name)) throw new MqlException(
+      s"createView: a collection named '$name' exists")
+    if (isView(name)) throw new MqlException(
+      s"createView: a view named '$name' exists")
+    // parse now: a broken pipeline should refuse at create time, not
+    // at first read (mongod validates the same way)
+    graft.mql.Mql.parse(pipelineJson) match {
+      case org.json4s.JArray(_) => ()
+      case other => throw new MqlException(
+        s"createView: pipeline must be an array, got $other")
+    }
+    val f = fs
+    f.mkdirs(viewsDir): Unit
+    val json = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(org.json4s.JObject(List(
+        "viewOn" -> org.json4s.JString(viewOn),
+        "pipeline" -> graft.mql.Mql.parse(pipelineJson)))))
+    val out = f.create(viewPath(name), false)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  def isView(name: String): Boolean =
+    try fs.exists(viewPath(name)) catch { case _: MqlException => false }
+
+  def dropView(name: String): Boolean = fs.delete(viewPath(name), false)
+
+  /** (viewOn, pipeline json) of a view, if `name` is one. */
+  def viewDef(name: String): Option[(String, String)] = {
+    val p = viewPath(name)
+    val f = fs
+    if (!f.exists(p)) return None
+    val in = f.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+               finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+    Some((node.get("viewOn").asText(), node.get("pipeline").toString))
+  }
+
+  def views(): Seq[String] = {
+    val f = fs
+    if (!f.exists(viewsDir)) return Seq.empty
+    f.listStatus(viewsDir).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".json")).map(_.dropRight(5)).sorted
+  }
+
+  /** [[read]] with view resolution: a view name compiles its stored
+    * pipeline over (recursively resolved) `viewOn`. The plan is fully
+    * declarative — Catalyst sees the whole pipeline, so filters pushed
+    * onto the view prune into the underlying scan. */
+  def readOrView(name: String, depth: Int = 0): DataFrame = {
+    if (depth > 10) throw new MqlException(
+      s"view resolution too deep at '$name' (cycle?)")
+    viewDef(name) match {
+      case Some((on, pipe)) =>
+        graft.mql.PipelineCompiler.run(readOrView(on, depth + 1), pipe,
+          n => readOrView(n, depth + 1))
+      case None => read(name)
+    }
+  }
+
   // ---- DDL journal: the change-history side of drop/rename ----------
 
   private def ddlDir = new Path(dir, "_graft_ddl")

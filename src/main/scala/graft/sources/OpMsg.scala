@@ -834,6 +834,11 @@ object OpMsg {
       reply
     }
 
+    /** Views are read-only (mongod's CommandNotSupportedOnView). */
+    private def requireNotView(coll: String, op: String): Unit =
+      if (store.isView(coll)) throw new IllegalArgumentException(
+        s"$op: '$coll' is a view — views are read-only")
+
     /** After a CRUD write: a preloaded LocalRelation for the collection
       * is stale — re-materialize (CRUD handlers already run Spark jobs,
       * so this is a driver-client context; see the preload comment). */
@@ -852,6 +857,7 @@ object OpMsg {
                                 arrayFilters: JValue = JNothing)
         : (Long, Long, Option[JValue]) = {
       import org.apache.spark.sql.functions.{col, count, lit, when}
+      requireNotView(coll, "update")
       if (!store.exists(coll)) {
         if (!upsert) return (0L, 0L, None)
         throw new IllegalArgumentException(
@@ -918,6 +924,7 @@ object OpMsg {
     /** One `deletes` array entry: returns how many documents went. */
     private def applyDeleteSpec(coll: String, q: JValue, limit: Int): Long = {
       import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+      requireNotView(coll, "delete")
       if (!store.exists(coll)) return 0L
       val base = store.read(coll)
       val cond = coalesce(FilterCompiler.withSchema(Some(base.schema))(
@@ -953,6 +960,7 @@ object OpMsg {
     private def runFindAndModify(coll: String,
                                  fields: Map[String, JValue]): Array[Byte] = {
       import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+      requireNotView(coll, "findAndModify")
       val q = fields.getOrElse("query", JObject(Nil))
       val remove = fields.get("remove").contains(JBool(true))
       val update = fields.get("update")
@@ -1709,15 +1717,47 @@ object OpMsg {
       // store's metadata or one bounded aggregate.
       fields.get("listCollections") match {
         case Some(_) =>
-          val names = store.collections()
-          val docs = names.map(n => encodeDoc(JObject(List(
+          val docs = store.collections().map(n => encodeDoc(JObject(List(
             "name" -> JString(n),
             "type" -> JString("collection"),
             "options" -> JObject(Nil),
-            "info" -> JObject(List("readOnly" -> JBool(false)))))))
+            "info" -> JObject(List("readOnly" -> JBool(false))))))) ++
+            store.views().map { n =>
+              val (on, pipe) = store.viewDef(n).get
+              encodeDoc(JObject(List(
+                "name" -> JString(n),
+                "type" -> JString("view"),
+                "options" -> JObject(List(
+                  "viewOn" -> JString(on),
+                  "pipeline" -> graft.mql.Mql.parse(pipe))),
+                "info" -> JObject(List("readOnly" -> JBool(true))))))
+            }
           return buildCursorReply(0L, s"$db.$$cmd.listCollections",
             "firstBatch", docs)
         case None => ()
+      }
+      // ---- create: mongod's collection/view creation — only the VIEW
+      // form is meaningful here (a plain create cannot pre-declare a
+      // schema in a fixed-schema engine; the first insert creates the
+      // collection, mongod-style)
+      fields.get("create") match {
+        case Some(JString(name)) =>
+          (fields.get("viewOn"), fields.get("pipeline")) match {
+            case (Some(JString(on)), pipeOpt) =>
+              val pipe = pipeOpt.map(p =>
+                org.json4s.jackson.JsonMethods.compact(
+                  org.json4s.jackson.JsonMethods.render(p)))
+                .getOrElse("[]")
+              store.createView(name, on, pipe)
+              return encodeDoc(JObject(List("ok" -> JDouble(1.0))))
+            case (None, _) => throw new IllegalArgumentException(
+              "create: only the view form (viewOn + pipeline) is " +
+                "supported — plain collections are created by their " +
+                "first insert (fixed-schema engine)")
+            case (Some(other), _) => throw new IllegalArgumentException(
+              s"create: viewOn must be a string, got $other")
+          }
+        case _ => ()
       }
       fields.get("listDatabases") match {
         case Some(_) =>
@@ -1755,7 +1795,7 @@ object OpMsg {
             case other => throw new IllegalArgumentException(
               s"distinct needs a string 'key', got $other")
           }
-          val base = store.read(coll)
+          val base = store.readOrView(coll)
           val q = fields.getOrElse("query", JObject(Nil))
           val cond = coalesce(FilterCompiler.withSchema(Some(base.schema))(
             FilterCompiler.compile(q)), lit(false))
@@ -1786,10 +1826,10 @@ object OpMsg {
       fields.get("count") match {
         case Some(JString(coll)) =>
           import org.apache.spark.sql.functions.{coalesce, lit}
-          if (!store.exists(coll))
+          if (!store.exists(coll) && !store.isView(coll))
             return encodeDoc(JObject(List(
               "n" -> JLong(0L), "ok" -> JDouble(1.0))))
-          val base = store.read(coll)
+          val base = store.readOrView(coll)
           val q = fields.getOrElse("query", JObject(Nil))
           val cond = coalesce(FilterCompiler.withSchema(Some(base.schema))(
             FilterCompiler.compile(q)), lit(false))
@@ -1819,7 +1859,7 @@ object OpMsg {
             case Some(JString(coll)) =>
               val filterJson = im.get("filter")
                 .map(f => FilterTranslator.render(f)).getOrElse("{}")
-              val base = store.read(coll)
+              val base = store.readOrView(coll)
               base.where(FilterCompiler.withSchema(Some(base.schema))(
                 FilterCompiler.compile(filterJson)))
                 .queryExecution.explainString(
@@ -1832,8 +1872,8 @@ object OpMsg {
                   case None => "[]"
                 }
                 val resolve: graft.mql.PipelineCompiler.TableResolver =
-                  name => store.read(name)
-                graft.mql.PipelineCompiler.run(store.read(coll), stages,
+                  name => store.readOrView(name)
+                graft.mql.PipelineCompiler.run(store.readOrView(coll), stages,
                   resolve).queryExecution.explainString(
                     org.apache.spark.sql.execution.FormattedMode)
               case _ => throw new IllegalArgumentException(
@@ -1859,6 +1899,11 @@ object OpMsg {
       // drop/rename + terminal invalidate exactly as local DDL does
       fields.get("drop") match {
         case Some(JString(coll)) =>
+          if (store.isView(coll)) {
+            store.dropView(coll): Unit
+            return encodeDoc(JObject(List(
+              "ns" -> JString(s"$db.$coll"), "ok" -> JDouble(1.0))))
+          }
           if (!store.exists(coll))
             return buildErrorReply(s"ns not found: $db.$coll", 26)
           store.drop(coll): Unit
@@ -1917,6 +1962,7 @@ object OpMsg {
       // once micro-batch replays.
       fields.get("insert") match {
         case Some(JString(coll)) =>
+          requireNotView(coll, "insert")
           val session = sessionOf(fields)
           sessionReplay(session) match {
             case Some(reply) =>
@@ -2160,6 +2206,7 @@ object OpMsg {
                 oo.toMap.get("insert") match {
                   case Some(nsIdx) =>
                     val coll = nsAt(nsIdx)
+                    requireNotView(coll, "insert")
                     val doc = oo.collectFirst { case ("document", d) => d }
                       .getOrElse(throw new IllegalArgumentException(
                         "insert op needs a 'document'"))
@@ -2334,7 +2381,7 @@ object OpMsg {
           val pipelineJson = org.json4s.jackson.JsonMethods.compact(
             org.json4s.jackson.JsonMethods.render(JArray(stages)))
           val resolve: graft.mql.PipelineCompiler.TableResolver =
-            name => store.read(name)
+            name => store.readOrView(name)
           // mongod executes $out/$merge SERVER-SIDE and answers an
           // EMPTY cursor — here that is the engine role (runWithWrites),
           // not the reference client's refusal (PipelineCompiler.run)
@@ -2348,7 +2395,7 @@ object OpMsg {
               "$out/$merge must be the last pipeline stage (mongod " +
                 "location 40601)")
           if (writeAt >= 0) {
-            graft.mql.PipelineCompiler.runWithWrites(store.read(coll),
+            graft.mql.PipelineCompiler.runWithWrites(store.readOrView(coll),
               pipelineJson, resolve, store): Unit
             // any preloaded LocalRelation may now be stale (the write
             // target is spec-shaped); re-materialize here — the
@@ -2359,7 +2406,7 @@ object OpMsg {
             return buildCursorReply(0L, s"$db.$coll", "firstBatch", Nil)
           }
           val df = graft.mql.PipelineCompiler.run(
-            store.read(coll), pipelineJson, resolve)
+            store.readOrView(coll), pipelineJson, resolve)
           return openCursor(df, coll, cursorBatchSize(fields))
         case _ => ()
       }
@@ -2390,7 +2437,8 @@ object OpMsg {
             case _ => None
           }
           val preloaded = localRel.get(coll)
-          val base = if (preloaded != null) preloaded else store.read(coll)
+          val base =
+            if (preloaded != null) preloaded else store.readOrView(coll)
           val df0 = base.where(FilterCompiler.compile(filterJson))
           val df1 =
             if (projection.isEmpty) df0

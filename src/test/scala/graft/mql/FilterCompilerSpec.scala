@@ -433,6 +433,18 @@ class FilterCompilerSpec extends AnyFunSuite {
     // ...and composable with ci (strength <= 2)
     val ciShift = Collation(caseInsensitive = true, shifted = true)
     assert(ids("""{"s": "HELLO WORLD"}""", ciShift) == Seq(7, 8, 9))
+    // SORT under keyed collations: numericOrdering orders doc7 < doc9
+    // < doc10 (binary would put doc10 first); caseFirst=lower puts
+    // apple before Apple
+    def sortIds(sortJson: String, c: Collation): Seq[Int] =
+      graft.api.Graft.find(df.where(org.apache.spark.sql.functions.col("id") <= 4), sort = Some(sortJson),
+        collation = Some(c)).select("id").collect().map(_.getInt(0)).toSeq
+    assert(sortIds("""{"s": 1, "id": 1}""", num) == Seq(3, 4, 1, 2))
+    assert(sortIds("""{"s": 1, "id": 1}""",
+      Collation(caseInsensitive = false)) == Seq(3, 2, 4, 1))
+    assert(graft.api.Graft.find(df.where(org.apache.spark.sql.functions.col("id").isin(5, 6)),
+      sort = Some("""{"s": 1}"""), collation = Some(lower))
+      .select("id").collect().map(_.getInt(0)).toSeq == Seq(6, 5))
     // parse surface: every field validates; caseFirst needs strength 3+
     assert(Collation.parse(
       """{"locale": "en", "numericOrdering": true,

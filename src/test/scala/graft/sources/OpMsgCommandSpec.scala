@@ -217,6 +217,62 @@ class OpMsgCommandSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("views: create(viewOn, pipeline) resolves on find/aggregate/" +
+       "count/distinct, chains, lists as type 'view', refuses writes, " +
+       "drops; plain create refuses naming the fixed-schema reason") {
+    val (store, srv) = fixture()
+    try {
+      cmd(srv, "create" -> JString("a_items"),
+        "viewOn" -> JString("items"),
+        "pipeline" -> JArray(List(
+          JObject(List("$match" -> JObject(List("kind" -> JString("a"))))),
+          JObject(List("$project" -> JObject(List(
+            "_id" -> JInt(1), "n" -> JInt(1)))))))): Unit
+      // find on the view (plus an extra filter pushed through it)
+      val viaFind = OpMsg.find(spark, "127.0.0.1", srv.port, "graft",
+        "a_items",
+        Seq(org.apache.spark.sql.sources.GreaterThan("n", 10L)))
+      assert(viaFind.select("_id").collect().map(_.getInt(0)).sorted
+        .toSeq == Seq(3, 5))
+      // aggregate + count + distinct see through it
+      assert(cmd(srv, "count" -> JString("a_items"))("n") == JLong(3L))
+      assert(cmd(srv, "distinct" -> JString("a_items"),
+        "key" -> JString("n"))("values") ==
+        JArray(List(JLong(10L), JLong(30L), JLong(50L))))
+      // a view OVER the view (chaining)
+      cmd(srv, "create" -> JString("big_a"),
+        "viewOn" -> JString("a_items"),
+        "pipeline" -> JArray(List(JObject(List("$match" ->
+          JObject(List("n" -> JObject(List("$gte" -> JInt(30)))))))))): Unit
+      assert(cmd(srv, "count" -> JString("big_a"))("n") == JLong(2L))
+      // listCollections reports the views with their definitions
+      val listed = cmd(srv, "listCollections" -> JInt(1))("cursor")
+        .asInstanceOf[JObject].obj.toMap.apply("firstBatch") match {
+        case JArray(ds) => ds.map(_.asInstanceOf[JObject].obj.toMap)
+        case other => fail(s"bad firstBatch $other")
+      }
+      val views = listed.filter(_("type") == JString("view"))
+      assert(views.map(_("name")).toSet ==
+        Set(JString("a_items"), JString("big_a")))
+      // writes refuse naming the view
+      val e = intercept[IllegalArgumentException] {
+        OpMsg.update("127.0.0.1", srv.port, "graft", "a_items", Seq(
+          OpMsg.UpdateSpec("""{}""", """{"$set": {"n": 0}}""",
+            multi = true)))
+      }
+      assert(e.getMessage.contains("read-only"), e.getMessage)
+      // name collisions + plain create refuse
+      intercept[IllegalArgumentException](cmd(srv,
+        "create" -> JString("items"), "viewOn" -> JString("aux")))
+      val p = intercept[IllegalArgumentException](
+        cmd(srv, "create" -> JString("plain")))
+      assert(p.getMessage.contains("fixed-schema"), p.getMessage)
+      // drop removes the view, not the base
+      assert(cmd(srv, "drop" -> JString("big_a"))("ok") == JDouble(1.0))
+      assert(store.exists("items") && !store.isView("big_a"))
+    } finally srv.stop()
+  }
+
   test("count: query + skip subtracts + limit caps (0 = unlimited)") {
     val (_, srv) = fixture()
     try {
