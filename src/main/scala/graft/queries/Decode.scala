@@ -585,6 +585,63 @@ object Decode {
               WHERE c_acctbal > 2000.0
               GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    // find OPTIONS over the wire: sort + skip + limit compose
+    // server-side (mongod's paging trio) and an exclusion projection
+    // drops columns. Oracle = ORDER BY ... OFFSET ... LIMIT on a
+    // unique key, so the page is deterministic.
+    QueryDef("q_wire_find_page",
+      (s, dir) => {
+        val store = new graft.sinks.DocStore(s,
+          java.nio.file.Files.createTempDirectory("graft_wpag").toString,
+          "graftdocs")
+        store.write(Graft.table(s, dir, "customer")
+          .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal"),
+          "customer")
+        val server = new graft.sources.OpMsg.Server(s, store)
+        try {
+          import org.json4s._
+          val reply = graft.sources.OpMsg.command(
+            "127.0.0.1", server.port, "graft", JObject(List(
+              "find" -> JString("customer"),
+              "filter" -> graft.mql.Mql.parse(
+                """{"c_acctbal": {"$gt": 0}}"""),
+              "sort" -> JObject(List("c_acctbal" -> JInt(-1),
+                "c_custkey" -> JInt(1))),
+              "skip" -> JInt(25),
+              "limit" -> JInt(50),
+              "projection" -> JObject(List("c_name" -> JInt(0))),
+              "batchSize" -> JInt(1000))))
+          val rows = reply("cursor").asInstanceOf[JObject].obj.toMap
+            .apply("firstBatch") match {
+            case JArray(ds) => ds.map(_.asInstanceOf[JObject].obj.toMap)
+            case other => throw new IllegalStateException(s"bad $other")
+          }
+          import s.implicits._
+          rows.map { d =>
+            val key = d("c_custkey") match {
+              case JLong(k) => k; case JInt(k) => k.toLong
+              case other => throw new IllegalStateException(s"bad $other")
+            }
+            val seg = d("c_mktsegment") match {
+              case JString(x) => x
+              case other => throw new IllegalStateException(s"bad $other")
+            }
+            val bal = d("c_acctbal") match {
+              case JDouble(b) => b
+              case other => throw new IllegalStateException(s"bad $other")
+            }
+            (key, seg, bal, d.contains("c_name"))
+          }.toDF("c_custkey", "c_mktsegment", "c_acctbal", "leaked_name")
+            .orderBy("c_custkey")
+        } finally server.stop()
+      },
+      Some("""SELECT c_custkey, c_mktsegment, c_acctbal,
+                     FALSE AS leaked_name
+              FROM (SELECT * FROM customer WHERE c_acctbal > 0
+                    ORDER BY c_acctbal DESC, c_custkey
+                    OFFSET 25 LIMIT 50)
+              ORDER BY c_custkey""")),
+
     // VIEWS over the wire (mongod `create` with viewOn + pipeline): a
     // stored aggregation pipeline resolves on every read — the wire
     // find on the view applies a FURTHER filter that prunes into the

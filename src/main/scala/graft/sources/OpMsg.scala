@@ -2405,51 +2405,97 @@ object OpMsg {
             keys.foreach(k => localRel.put(k, materialize(k)): Unit)
             return buildCursorReply(0L, s"$db.$coll", "firstBatch", Nil)
           }
-          val df = graft.mql.PipelineCompiler.run(
+          // the command-level `let` option: ambient variables every
+          // $$var reference in the pipeline resolves against (the
+          // reference forwards it verbatim in kwargs, api.py:252)
+          def runPipeline() = graft.mql.PipelineCompiler.run(
             store.readOrView(coll), pipelineJson, resolve)
+          val df = fields.get("let") match {
+            case Some(JObject(ls)) =>
+              val vars = ls.map { case (k, v) =>
+                if (!k.matches("[a-z][A-Za-z0-9_]*"))
+                  throw new IllegalArgumentException(
+                    s"let: variable name '$k' must start with a " +
+                      "lowercase letter")
+                k -> graft.mql.ExprCompiler.compile(v, Map.empty)
+              }.toMap
+              graft.mql.ExprCompiler.withLetVars(vars)(runPipeline())
+            case Some(other) => throw new IllegalArgumentException(
+              s"aggregate let must be a document, got $other")
+            case None => runPipeline()
+          }
           return openCursor(df, coll, cursorBatchSize(fields))
         case _ => ()
       }
       fields.get("find") match {
         case Some(JString(coll)) =>
+          import org.apache.spark.sql.functions.{col => fcol}
           val filterJson = fields.get("filter")
             .map(f => FilterTranslator.render(f)).getOrElse("{}")
-          // include-style projection: only the named fields come back —
-          // the server half of column pruning (reference api.py:172-173
-          // projection synthesis)
-          val projection: Seq[String] = fields.get("projection") match {
-            case Some(JObject(po)) => po.collect {
-              case (n, JInt(i)) if i == 1 => n
-              case (n, JBool(true)) => n
-            }
+          // projection: include-style names the kept fields (the server
+          // half of column pruning, reference api.py:172-173);
+          // EXCLUSION-style ({f: 0}) drops the named columns — mongod
+          // forbids mixing the two (the _id special case aside)
+          val (includes, excludes) = fields.get("projection") match {
+            case Some(JObject(po)) =>
+              val inc = po.collect {
+                case (n, JInt(i)) if i == 1 => n
+                case (n, JBool(true)) => n
+              }
+              val exc = po.collect {
+                case (n, JInt(i)) if i == 0 => n
+                case (n, JBool(false)) => n
+              }
+              if (inc.nonEmpty && exc.exists(_ != "_id"))
+                throw new IllegalArgumentException(
+                  "find projection cannot mix inclusion and exclusion")
+              (inc, exc)
             case Some(other) => throw new IllegalArgumentException(
               s"find projection must be a document, got $other")
-            case None => Nil
+            case None => (Nil, Nil)
           }
           val batchSize = fields.get("batchSize") match {
             case Some(JInt(n)) => n.toInt
             case Some(JLong(n)) => n.toInt
             case _ => 101 // mongod's first-batch default
           }
-          val limit = fields.get("limit") match {
+          def intField(k: String): Option[Int] = fields.get(k) match {
             case Some(JInt(n)) => Some(n.toInt)
             case Some(JLong(n)) => Some(n.toInt)
             case _ => None
           }
+          val limit = intField("limit")
+          val skip = intField("skip")
+          val sortCols = fields.get("sort") match {
+            case Some(JObject(ss)) => ss.map {
+              case (f, JInt(d)) if d == 1 => fcol(f).asc
+              case (f, JInt(d)) if d == -1 => fcol(f).desc
+              case (f, other) => throw new IllegalArgumentException(
+                s"find sort.$f must be 1 or -1, got $other")
+            }
+            case Some(other) => throw new IllegalArgumentException(
+              s"find sort must be a document, got $other")
+            case None => Nil
+          }
           val preloaded = localRel.get(coll)
           val base =
             if (preloaded != null) preloaded else store.readOrView(coll)
-          val df0 = base.where(FilterCompiler.compile(filterJson))
+          val df0 = base.where(FilterCompiler.withSchema(Some(base.schema))(
+            FilterCompiler.compile(filterJson)))
+          val dfS = if (sortCols.isEmpty) df0 else df0.orderBy(sortCols: _*)
           val df1 =
-            if (projection.isEmpty) df0
-            else df0.select(projection.map(df0.col): _*)
+            if (includes.nonEmpty) dfS.select(includes.map(dfS.col): _*)
+            else if (excludes.nonEmpty) dfS.drop(excludes: _*)
+            else dfS
           if (preloaded != null) {
             // folded LocalRelation: executeCollect is driver-side, no job
             val all = df1.collect()
-            val rows = limit.map(all.take).getOrElse(all)
+            val afterSkip = skip.map(all.drop).getOrElse(all)
+            val rows = limit.map(afterSkip.take).getOrElse(afterSkip)
             openRowCursor(rows.iterator, df1.schema, coll, batchSize)
           } else {
-            val df = limit.map(df1.limit).getOrElse(df1)
+            val df2 = skip.map(df1.offset).getOrElse(df1)
+            val df = limit.map(df2.limit).getOrElse(df2)
             openCursor(df, coll, batchSize)
           }
         case _ => fields.get("getMore") match {

@@ -273,6 +273,51 @@ class OpMsgCommandSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("find options over the wire: sort orders the cursor, skip " +
+       "offsets, exclusion projection drops columns (mixing refuses); " +
+       "aggregate honors the command-level let") {
+    val (_, srv) = fixture()
+    try {
+      def findCmd(doc: (String, JValue)*): List[Map[String, JValue]] = {
+        val reply = cmd(srv,
+          (Seq("find" -> (JString("items"): JValue)) ++ doc): _*)
+        reply("cursor").asInstanceOf[JObject].obj.toMap
+          .apply("firstBatch") match {
+          case JArray(ds) => ds.map(_.asInstanceOf[JObject].obj.toMap)
+          case other => fail(s"bad firstBatch $other")
+        }
+      }
+      // sort desc + skip + limit compose mongod-style
+      val page = findCmd("sort" -> JObject(List("n" -> JInt(-1))),
+        "skip" -> JInt(1), "limit" -> JInt(2))
+      assert(page.map(_("_id")) == List(JInt(4), JInt(3)))
+      // exclusion projection drops the named columns, keeps the rest
+      val excl = findCmd("projection" -> JObject(List(
+        "tags" -> JInt(0), "kind" -> JInt(0))),
+        "sort" -> JObject(List("_id" -> JInt(1))), "limit" -> JInt(1))
+      assert(excl.head.keySet == Set("_id", "n"))
+      // mixing include and exclude refuses (the _id exception aside)
+      intercept[IllegalArgumentException](findCmd(
+        "projection" -> JObject(List("kind" -> JInt(1), "n" -> JInt(0)))))
+      // aggregate let: $$minQty resolves inside $match's $expr
+      val agg = cmd(srv, "aggregate" -> JString("items"),
+        "pipeline" -> JArray(List(
+          JObject(List("$match" -> JObject(List("$expr" -> JObject(List(
+            "$gte" -> JArray(List(JString("$n"), JString("$$minQty"))))))))),
+          JObject(List("$project" -> JObject(List("_id" -> JInt(1))))),
+          JObject(List("$sort" -> JObject(List("_id" -> JInt(1))))))),
+        "let" -> JObject(List("minQty" -> JInt(30))),
+        "cursor" -> JObject(Nil))
+      val ids = agg("cursor").asInstanceOf[JObject].obj.toMap
+        .apply("firstBatch") match {
+        case JArray(ds) => ds.map(_.asInstanceOf[JObject].obj.toMap
+          .apply("_id"))
+        case other => fail(s"bad firstBatch $other")
+      }
+      assert(ids == List(JInt(3), JInt(4), JInt(5)))
+    } finally srv.stop()
+  }
+
   test("count: query + skip subtracts + limit caps (0 = unlimited)") {
     val (_, srv) = fixture()
     try {
