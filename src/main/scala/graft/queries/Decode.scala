@@ -642,6 +642,93 @@ object Decode {
                     OFFSET 25 LIMIT 50)
               ORDER BY c_custkey""")),
 
+    // multi-document TRANSACTIONS over the wire (mongod's
+    // startTransaction / autocommit:false / commitTransaction): a
+    // committed transaction's update + delete + insert land together
+    // atomically; an aborted one leaves no trace. Oracle replays the
+    // committed ops as SQL (CASE projection, anti-filter, UNION ALL
+    // literal) — the aborted zero-out must NOT appear.
+    QueryDef("q_wire_txn",
+      (s, dir) => {
+        val store = new graft.sinks.DocStore(s,
+          java.nio.file.Files.createTempDirectory("graft_wtxn").toString,
+          "graftdocs")
+        store.write(Graft.table(s, dir, "customer")
+          .select("c_custkey", "c_mktsegment", "c_acctbal"), "customer")
+        val server = new graft.sources.OpMsg.Server(s, store)
+        try {
+          import org.json4s._
+          def tx(start: Boolean, txn: Long, doc: (String, JValue)*)
+              : Map[String, JValue] =
+            graft.sources.OpMsg.command("127.0.0.1", server.port, "graft",
+              JObject(doc.toList ++
+                (if (start) List(
+                  "startTransaction" -> (JBool(true): JValue)) else Nil) :+
+                ("autocommit" -> (JBool(false): JValue))),
+              session = Some(("gate-txn", txn)))
+          // committed: +100 on BUILDING, drop negatives, one marker row
+          tx(start = true, 1L, "update" -> JString("customer"),
+            "updates" -> JArray(List(JObject(List(
+              "q" -> graft.mql.Mql.parse("""{"c_mktsegment": "BUILDING"}"""),
+              "u" -> graft.mql.Mql.parse("""{"$inc": {"c_acctbal": 100}}"""),
+              "multi" -> JBool(true))))))
+          tx(start = false, 1L, "delete" -> JString("customer"),
+            "deletes" -> JArray(List(JObject(List(
+              "q" -> graft.mql.Mql.parse("""{"c_acctbal": {"$lt": 0}}"""),
+              "limit" -> JInt(0))))))
+          tx(start = false, 1L, "insert" -> JString("customer"),
+            "documents" -> JArray(List(JObject(List(
+              "c_custkey" -> JLong(-1L), "c_mktsegment" -> JString("TXN"),
+              "c_acctbal" -> JDouble(42.5))))))
+          tx(start = false, 1L, "commitTransaction" -> JInt(1))
+          // aborted: a zero-out that must leave no trace
+          tx(start = true, 2L, "update" -> JString("customer"),
+            "updates" -> JArray(List(JObject(List(
+              "q" -> JObject(Nil),
+              "u" -> graft.mql.Mql.parse("""{"$set": {"c_acctbal": 0}}"""),
+              "multi" -> JBool(true))))))
+          tx(start = false, 2L, "abortTransaction" -> JInt(1))
+          val reply = graft.sources.OpMsg.command(
+            "127.0.0.1", server.port, "graft", JObject(List(
+              "find" -> JString("customer"),
+              "batchSize" -> JInt(1 << 20))))
+          val rows = reply("cursor").asInstanceOf[JObject].obj.toMap
+            .apply("firstBatch") match {
+            case JArray(ds) => ds.map(_.asInstanceOf[JObject].obj.toMap)
+            case other => throw new IllegalStateException(s"bad $other")
+          }
+          import s.implicits._
+          rows.map { d =>
+            val key = d("c_custkey") match {
+              case JLong(k) => k; case JInt(k) => k.toLong
+              case other => throw new IllegalStateException(s"bad $other")
+            }
+            val seg = d("c_mktsegment") match {
+              case JString(x) => x
+              case other => throw new IllegalStateException(s"bad $other")
+            }
+            val bal = d("c_acctbal") match {
+              case JDouble(b) => b
+              case other => throw new IllegalStateException(s"bad $other")
+            }
+            (key, seg, bal)
+          }.toDF("c_custkey", "c_mktsegment", "c_acctbal")
+            .orderBy("c_custkey")
+        } finally server.stop()
+      },
+      Some("""SELECT * FROM (
+                SELECT c_custkey, c_mktsegment,
+                       CASE WHEN c_mktsegment = 'BUILDING'
+                            THEN c_acctbal + 100.0
+                            ELSE c_acctbal END AS c_acctbal
+                FROM customer
+                WHERE NOT (CASE WHEN c_mktsegment = 'BUILDING'
+                                THEN c_acctbal + 100.0
+                                ELSE c_acctbal END < 0.0)
+                UNION ALL
+                SELECT CAST(-1 AS BIGINT), 'TXN', 42.5
+              ) ORDER BY c_custkey""")),
+
     // VIEWS over the wire (mongod `create` with viewOn + pipeline): a
     // stored aggregation pipeline resolves on every read — the wire
     // find on the view applies a FURTHER filter that prunes into the

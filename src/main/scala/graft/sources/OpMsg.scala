@@ -621,9 +621,23 @@ object OpMsg {
     cur.toByteArray
   }
 
-  private[sources] def buildErrorReply(msg: String, code: Int = 0): Array[Byte] =
+  private[sources] def buildErrorReply(msg: String, code: Int = 0,
+      codeName: String = null,
+      labels: Seq[String] = Nil): Array[Byte] =
     encodeDoc(JObject(List("ok" -> JDouble(0.0), "errmsg" -> JString(msg)) ++
-      (if (code != 0) List("code" -> JInt(code)) else Nil)))
+      (if (code != 0) List("code" -> JInt(code)) else Nil) ++
+      (if (codeName != null) List("codeName" -> JString(codeName)) else Nil) ++
+      (if (labels.nonEmpty)
+        List("errorLabels" -> JArray(labels.toList.map(JString(_))))
+      else Nil)))
+
+  /** A command failure carrying mongod's full error shape: numeric
+    * code, codeName, and errorLabels (the transaction machinery's
+    * TransientTransactionError is what driver retry loops key on). */
+  final class CommandError(msg: String, val code: Int,
+                           val codeName: String,
+                           val labels: Seq[String] = Nil)
+    extends RuntimeException(msg)
 
   /** mongod's CursorNotFound error code. */
   private[sources] val CursorNotFound = 43
@@ -839,6 +853,132 @@ object OpMsg {
       if (store.isView(coll)) throw new IllegalArgumentException(
         s"$op: '$coll' is a view — views are read-only")
 
+    // ==== multi-document transactions (startTransaction /
+    // autocommit:false / commitTransaction — the session-spanning
+    // protocol every driver's withTransaction() speaks) ====
+    //
+    // Isolation is OPTIMISTIC (commit-time backward validation), the
+    // natural fit for an engine whose every commit is already an
+    // atomic staged swap: reads inside the transaction see the live
+    // collection composed with this transaction's own staged writes
+    // (read-your-writes) as ONE lazy plan per collection; nothing
+    // lands in the store until commitTransaction, which re-stamps
+    // every touched collection under the write monitors and refuses
+    // with WriteConflict + TransientTransactionError (the label
+    // driver retry loops key on) if any other writer committed in
+    // between — first committer wins. A validated commit applies each
+    // written collection's overlay as one staged swap, so change
+    // streams observe the transaction's effects at commit time in
+    // commit order (mongod semantics) and a crash mid-commit leaves
+    // every collection wholly pre- or post-image. Validation reads
+    // file-listing metadata only (DocStore.contentStamp), never data
+    // bytes — a 100 TB collection validates in milliseconds.
+    //
+    // State is keyed by lsid and spans connections (drivers may send
+    // each op of one transaction on a different socket; mongod's
+    // contract is session-scoped). One transaction per session; a new
+    // txnNumber supersedes the last.
+    private final class TxnState(val lsid: String, val txnNumber: Long) {
+      var status: String = "active" // active | committed | aborted
+      // collection -> contentStamp at FIRST touch; reads validate too,
+      // so a validated transaction is serializable, not merely
+      // write-write safe (Kung–Robinson backward validation)
+      val stamps = scala.collection.mutable.LinkedHashMap[String, String]()
+      // collection -> composed overlay plan (written collections only)
+      val overlays =
+        scala.collection.mutable.LinkedHashMap[String, DataFrame]()
+    }
+    private val activeTxns =
+      new java.util.concurrent.ConcurrentHashMap[String, TxnState]()
+
+    private def transientErr(msg: String, code: Int,
+                             codeName: String): CommandError =
+      new CommandError(msg, code, codeName,
+        Seq("TransientTransactionError"))
+
+    /** Resolve (or open) the transaction a command carrying
+      * `autocommit: false` runs inside. Commands that never execute
+      * inside a transaction (DDL, admin) refuse with mongod's
+      * OperationNotSupportedInTransaction. */
+    private def txnFor(fields: Map[String, JValue],
+                       cmdName: String): Option[TxnState] = {
+      val start = fields.get("startTransaction").contains(JBool(true))
+      if (!fields.get("autocommit").contains(JBool(false))) {
+        if (start) throw new IllegalArgumentException(
+          "startTransaction requires autocommit: false")
+        return None
+      }
+      // commit/abort/getMore manage their own state lookup (a getMore
+      // may legally drain a cursor after its transaction finished)
+      if (Set("commitTransaction", "abortTransaction",
+              "getMore")(cmdName)) return None
+      if (!Set("find", "aggregate", "insert", "update", "delete",
+               "findAndModify", "distinct", "count")(cmdName))
+        throw new CommandError(
+          s"cannot run '$cmdName' inside a multi-document transaction",
+          263, "OperationNotSupportedInTransaction")
+      val (sid, txn) = sessionOf(fields).getOrElse(
+        throw new IllegalArgumentException(
+          "autocommit: false requires lsid + txnNumber"))
+      val cur = activeTxns.get(sid)
+      if (start) {
+        if (cur != null && cur.txnNumber == txn)
+          throw (cur.status match {
+            case "active" => new CommandError(
+              s"transaction $txn is already in progress on this session",
+              117, "ConflictingOperationInProgress")
+            case s => transientErr(
+              s"cannot restart transaction $txn: it has been $s " +
+                "(transaction numbers are single-use; start a new one)",
+              225, "TransactionTooOld")
+          })
+        if (cur != null && cur.txnNumber > txn)
+          throw transientErr(
+            s"transaction number $txn is older than this session's " +
+              s"latest (${cur.txnNumber})", 225, "TransactionTooOld")
+        val t = new TxnState(sid, txn)
+        activeTxns.put(sid, t): Unit
+        Some(t)
+      } else {
+        if (cur == null || cur.txnNumber != txn || cur.status != "active")
+          throw transientErr(
+            s"no transaction $txn in progress on this session " +
+              "(commands after the first need autocommit: false " +
+              "WITHOUT startTransaction)", 251, "NoSuchTransaction")
+        Some(cur)
+      }
+    }
+
+    /** The transaction's view of a collection: its own staged overlay
+      * if it wrote, else the live collection — STAMPED at first touch
+      * so commit validation covers reads as well as writes. */
+    private def txnRead(txn: TxnState, coll: String): DataFrame =
+      txn.overlays.getOrElse(coll, {
+        if (store.isView(coll)) throw new CommandError(
+          s"cannot read view '$coll' inside a multi-document " +
+            "transaction (resolve the view outside, or query its base)",
+          263, "OperationNotSupportedInTransaction")
+        if (!txn.stamps.contains(coll))
+          txn.stamps(coll) = store.contentStamp(coll)
+        store.read(coll)
+      })
+
+    /** An op failing inside a transaction aborts it (mongod contract:
+      * the driver must not try to commit a broken transaction). */
+    private def inTxn[T](txn: Option[TxnState])(f: => T): T =
+      try f catch {
+        case scala.util.control.NonFatal(e) =>
+          txn.foreach(_.status = "aborted"); throw e
+      }
+
+    /** Nested per-collection monitors in sorted order (deadlock-free:
+      * every committer acquires in the same order). */
+    private def withMonitors[T](colls: List[String])(f: => T): T =
+      colls match {
+        case Nil => f
+        case c :: rest => collMonitor(c).synchronized(withMonitors(rest)(f))
+      }
+
     /** After a CRUD write: a preloaded LocalRelation for the collection
       * is stale — re-materialize (CRUD handlers already run Spark jobs,
       * so this is a driver-client context; see the preload comment). */
@@ -854,7 +994,8 @@ object OpMsg {
       * modified counts price as one aggregate over the same scan. */
     private def applyUpdateSpec(coll: String, q: JValue, u: JValue,
                                 multi: Boolean, upsert: Boolean,
-                                arrayFilters: JValue = JNothing)
+                                arrayFilters: JValue = JNothing,
+                                txn: Option[TxnState] = None)
         : (Long, Long, Option[JValue]) = {
       import org.apache.spark.sql.functions.{col, count, lit, when}
       requireNotView(coll, "update")
@@ -865,7 +1006,15 @@ object OpMsg {
             "engine cannot infer a schema from the update document — " +
             "create the collection first (insert or DocStore.write)")
       }
-      val base = store.read(coll)
+      // inside a transaction reads see the overlay and writes stage a
+      // new overlay (nothing lands until commitTransaction)
+      def readColl(c: String): DataFrame =
+        txn.map(txnRead(_, c)).getOrElse(store.read(c))
+      def writeColl(df: DataFrame, c: String): Unit = txn match {
+        case Some(t) => t.overlays(c) = df
+        case None => collMonitor(c).synchronized { store.write(df, c) }
+      }
+      val base = readColl(coll)
       val compiled = graft.mql.UpdateOps.compile(u, base.schema, arrayFilters)
       // MQL match semantics: a null/UNKNOWN predicate is "does not
       // match" — never let SQL three-valued logic leak a null cond;
@@ -909,31 +1058,30 @@ object OpMsg {
               row.collect()(0), row.schema)).obj.toMap
               .getOrElse("_id", JNull)
           else JNull
-        collMonitor(coll).synchronized {
-          store.write(store.read(coll).unionByName(row), coll)
-        }
+        writeColl(readColl(coll).unionByName(row), coll)
         (0L, 0L, Some(idVal))
       } else {
-        if (mod > 0) collMonitor(coll).synchronized {
-          store.write(updated, coll)
-        }
+        if (mod > 0) writeColl(updated, coll)
         (m, mod, None)
       }
     }
 
     /** One `deletes` array entry: returns how many documents went. */
-    private def applyDeleteSpec(coll: String, q: JValue, limit: Int): Long = {
+    private def applyDeleteSpec(coll: String, q: JValue, limit: Int,
+                                txn: Option[TxnState] = None): Long = {
       import org.apache.spark.sql.functions.{coalesce, col, lit, not}
       requireNotView(coll, "delete")
       if (!store.exists(coll)) return 0L
-      val base = store.read(coll)
+      def writeColl(df: DataFrame): Unit = txn match {
+        case Some(t) => t.overlays(coll) = df
+        case None => collMonitor(coll).synchronized { store.write(df, coll) }
+      }
+      val base = txn.map(txnRead(_, coll)).getOrElse(store.read(coll))
       val cond = coalesce(FilterCompiler.withSchema(Some(base.schema))(
         FilterCompiler.compile(q)), lit(false))
       if (limit == 0) {
         val m = base.where(cond).count()
-        if (m > 0) collMonitor(coll).synchronized {
-          store.write(base.where(not(cond)), coll)
-        }
+        if (m > 0) writeColl(base.where(not(cond)))
         m
       } else {
         if (!base.columns.contains("_id"))
@@ -943,10 +1091,7 @@ object OpMsg {
         val one = base.where(cond).select(col("_id")).limit(1).collect()
         if (one.isEmpty) 0L
         else {
-          collMonitor(coll).synchronized {
-            store.write(
-              base.where(not(col("_id") <=> lit(one(0).get(0)))), coll)
-          }
+          writeColl(base.where(not(col("_id") <=> lit(one(0).get(0)))))
           1L
         }
       }
@@ -958,9 +1103,16 @@ object OpMsg {
       * Reply: `{value, lastErrorObject: {n, updatedExisting[, upserted]},
       * ok}`. */
     private def runFindAndModify(coll: String,
-                                 fields: Map[String, JValue]): Array[Byte] = {
+                                 fields: Map[String, JValue],
+                                 txn: Option[TxnState] = None): Array[Byte] = {
       import org.apache.spark.sql.functions.{coalesce, col, lit, not}
       requireNotView(coll, "findAndModify")
+      def readColl(): DataFrame =
+        txn.map(txnRead(_, coll)).getOrElse(store.read(coll))
+      def writeColl(df: DataFrame): Unit = txn match {
+        case Some(t) => t.overlays(coll) = df
+        case None => collMonitor(coll).synchronized { store.write(df, coll) }
+      }
       val q = fields.getOrElse("query", JObject(Nil))
       val remove = fields.get("remove").contains(JBool(true))
       val update = fields.get("update")
@@ -1012,7 +1164,7 @@ object OpMsg {
           s"upsert into missing collection '$coll': create it first " +
             "(fixed-schema engine)")
       }
-      val base = store.read(coll)
+      val base = readColl()
       val cond = coalesce(FilterCompiler.withSchema(Some(base.schema))(
         FilterCompiler.compile(q)), lit(false))
       val sorted = fields.get("sort") match {
@@ -1034,9 +1186,7 @@ object OpMsg {
           val row = graft.mql.UpdateOps.upsertRow(spark, base.schema, q,
             compiled)
           val inserted = row.collect()(0)
-          collMonitor(coll).synchronized {
-            store.write(store.read(coll).unionByName(row), coll)
-          }
+          writeColl(readColl().unionByName(row))
           val doc = decodeDoc(
             graft.bson.BsonBinary.encodeRow(inserted, row.schema))
           val idVal = doc.obj.toMap.getOrElse("_id", JNull)
@@ -1052,16 +1202,14 @@ object OpMsg {
       val target = col("_id") <=> lit(idv)
       val preDoc = decodeDoc(graft.bson.BsonBinary.encodeRow(pre, base.schema))
       if (remove) {
-        collMonitor(coll).synchronized {
-          store.write(base.where(not(target)), coll)
-        }
+        writeColl(base.where(not(target)))
         docReply(preDoc, 1, updatedExisting = false)
       } else {
         val compiled = graft.mql.UpdateOps.compile(update.get, base.schema,
           fields.getOrElse("arrayFilters", JNothing))
         val (updated, _) = graft.mql.UpdateOps.applyTo(base, target, compiled)
         val postRows = updated.where(col("_id") <=> lit(idv)).collect()
-        collMonitor(coll).synchronized { store.write(updated, coll) }
+        writeColl(updated)
         val doc =
           if (returnNew)
             decodeDoc(graft.bson.BsonBinary.encodeRow(
@@ -1515,9 +1663,15 @@ object OpMsg {
                 state.authenticated) {
               serveExhaust(f, cmd, out); None // wrote its own replies
             } else Some(handle(cmd, state, f.sequences))
-          } catch { case scala.util.control.NonFatal(e) =>
-            if (sys.env.contains("GRAFT_OPMSG_DEBUG")) e.printStackTrace()
-            Some(buildErrorReply(String.valueOf(e.getMessage))) }
+          } catch {
+            case ce: CommandError =>
+              if (sys.env.contains("GRAFT_OPMSG_DEBUG")) ce.printStackTrace()
+              Some(buildErrorReply(ce.getMessage, ce.code, ce.codeName,
+                ce.labels))
+            case scala.util.control.NonFatal(e) =>
+              if (sys.env.contains("GRAFT_OPMSG_DEBUG")) e.printStackTrace()
+              Some(buildErrorReply(String.valueOf(e.getMessage)))
+          }
         handled.foreach { reply =>
           // mirror the request's compression (same compressor) and
           // checksumming (negotiation gates the client ever sending
@@ -1678,7 +1832,11 @@ object OpMsg {
           ss.foreach {
             case JObject(so) => so.collectFirst {
               case ("id", JString(x)) => x
-            }.foreach(id => txnLog.remove(id): Unit)
+            }.foreach { id =>
+              txnLog.remove(id): Unit
+              // an unfinished transaction dies with its session
+              activeTxns.remove(id): Unit
+            }
             case other => throw new IllegalArgumentException(
               s"endSessions entries must be {id} documents, got $other")
           }
@@ -1787,6 +1945,60 @@ object OpMsg {
           return buildCursorReply(0L, s"$db.$coll", "firstBatch", docs)
         case _ => ()
       }
+      // ---- multi-document transactions: commit applies every staged
+      // overlay after optimistic validation (first committer wins);
+      // abort just drops the state. Both are session-addressed
+      // (lsid + txnNumber) and idempotent where mongod's are: a
+      // retried commitTransaction of a committed transaction
+      // re-acknowledges ok.
+      if (fields.contains("commitTransaction") ||
+          fields.contains("abortTransaction")) {
+        val commit = fields.contains("commitTransaction")
+        val op = if (commit) "commitTransaction" else "abortTransaction"
+        if (!fields.get("autocommit").contains(JBool(false)))
+          throw new IllegalArgumentException(
+            s"$op requires autocommit: false")
+        val (sid, txn) = sessionOf(fields).getOrElse(
+          throw new IllegalArgumentException(s"$op requires lsid + txnNumber"))
+        val cur = activeTxns.get(sid)
+        if (cur == null || cur.txnNumber != txn)
+          throw transientErr(
+            s"no transaction $txn on this session to $op",
+            251, "NoSuchTransaction")
+        if (commit) cur.status match {
+          case "committed" => // retried commit: idempotent re-ack
+            return encodeDoc(JObject(List("ok" -> JDouble(1.0))))
+          case "aborted" => throw transientErr(
+            s"transaction $txn has been aborted and cannot commit",
+            251, "NoSuchTransaction")
+          case _ =>
+            val touched = cur.stamps.keys.toList.sorted
+            withMonitors(touched) {
+              cur.stamps.find { case (c, s) =>
+                store.contentStamp(c) != s
+              }.foreach { case (c, _) =>
+                cur.status = "aborted"
+                throw transientErr(
+                  s"write conflict on '$c': another writer committed " +
+                    "since this transaction started — retry the " +
+                    "transaction", 112, "WriteConflict")
+              }
+              cur.overlays.foreach { case (c, df) => store.write(df, c) }
+              cur.status = "committed"
+            }
+            cur.overlays.keys.foreach(refreshPreload)
+            return encodeDoc(JObject(List("ok" -> JDouble(1.0))))
+        } else cur.status match {
+          case "committed" => throw new CommandError(
+            s"transaction $txn has been committed and cannot abort",
+            256, "TransactionCommitted")
+          case _ => // aborting an aborted transaction is a no-op ack
+            cur.status = "aborted"
+            return encodeDoc(JObject(List("ok" -> JDouble(1.0))))
+        }
+      }
+      val txnCtx: Option[TxnState] =
+        txnFor(fields, cmd.obj.headOption.map(_._1).getOrElse(""))
       fields.get("distinct") match {
         case Some(JString(coll)) =>
           import org.apache.spark.sql.functions.{coalesce, col, explode, lit}
@@ -1795,7 +2007,8 @@ object OpMsg {
             case other => throw new IllegalArgumentException(
               s"distinct needs a string 'key', got $other")
           }
-          val base = store.readOrView(coll)
+          val base = txnCtx.map(txnRead(_, coll))
+            .getOrElse(store.readOrView(coll))
           val q = fields.getOrElse("query", JObject(Nil))
           val cond = coalesce(FilterCompiler.withSchema(Some(base.schema))(
             FilterCompiler.compile(q)), lit(false))
@@ -1829,7 +2042,8 @@ object OpMsg {
           if (!store.exists(coll) && !store.isView(coll))
             return encodeDoc(JObject(List(
               "n" -> JLong(0L), "ok" -> JDouble(1.0))))
-          val base = store.readOrView(coll)
+          val base = txnCtx.map(txnRead(_, coll))
+            .getOrElse(store.readOrView(coll))
           val q = fields.getOrElse("query", JObject(Nil))
           val cond = coalesce(FilterCompiler.withSchema(Some(base.schema))(
             FilterCompiler.compile(q)), lit(false))
@@ -1963,7 +2177,9 @@ object OpMsg {
       fields.get("insert") match {
         case Some(JString(coll)) =>
           requireNotView(coll, "insert")
-          val session = sessionOf(fields)
+          // inside a transaction the retryable-write log does not
+          // apply per-op (commitTransaction is the retryable unit)
+          val session = if (txnCtx.isDefined) None else sessionOf(fields)
           sessionReplay(session) match {
             case Some(reply) =>
               // retried write: acknowledge from the log, never re-apply
@@ -1983,6 +2199,35 @@ object OpMsg {
           }
           if (docs.isEmpty) throw new IllegalArgumentException(
             "insert with an empty documents sequence")
+          // transactional insert: decode against the overlay schema and
+          // stage the union — nothing lands until commitTransaction
+          // (and nothing may implicitly CREATE a collection in a
+          // transaction: there is no base schema to stamp or decode
+          // against, mongod-pre-4.4 contract)
+          txnCtx.foreach { t =>
+            inTxn(txnCtx) {
+              if (!store.exists(coll)) throw new CommandError(
+                s"cannot implicitly create collection '$coll' inside " +
+                  "a multi-document transaction — create it first",
+                263, "OperationNotSupportedInTransaction")
+              val base = txnRead(t, coll)
+              val schema = base.schema
+              val fresh = graft.bson.BsonBinary
+                .documents(new java.io.ByteArrayInputStream(
+                  docs.foldLeft(new ByteArrayOutputStream(
+                    docs.map(_.length).sum)) { (b, d) =>
+                    b.write(d, 0, d.length); b
+                  }.toByteArray))
+                .map(n => graft.bson.DocDecoder
+                  .decodeStruct(n, schema, strict = false)
+                  : org.apache.spark.sql.Row)
+                .toSeq
+              t.overlays(coll) = base.unionByName(spark.createDataFrame(
+                java.util.Arrays.asList(fresh: _*), schema))
+            }
+            return encodeDoc(JObject(List(
+              "n" -> JInt(docs.size), "ok" -> JDouble(1.0))))
+          }
           // mongod-append shape: the raw batch commits as ONE new
           // graftdocs file (hidden rename) — no Spark job runs inside
           // the handler, so concurrent per-partition inserts can never
@@ -2048,7 +2293,7 @@ object OpMsg {
       // without it a Spark task retry would double-apply an $inc).
       fields.get("update") match {
         case Some(JString(coll)) =>
-          val session = sessionOf(fields)
+          val session = if (txnCtx.isDefined) None else sessionOf(fields)
           sessionReplay(session) match {
             case Some(reply) => return reply
             case None => ()
@@ -2077,11 +2322,12 @@ object OpMsg {
             val multi = so.get("multi").contains(JBool(true))
             val upsert = so.get("upsert").contains(JBool(true))
             val af = so.getOrElse("arrayFilters", JNothing)
-            val (m, mod, up) = applyUpdateSpec(coll, q, u, multi, upsert, af)
+            val (m, mod, up) = inTxn(txnCtx)(
+              applyUpdateSpec(coll, q, u, multi, upsert, af, txnCtx))
             nMatched += m; nModified += mod
             up.foreach(id => upserted += ((idx, id)))
           }
-          refreshPreload(coll)
+          if (txnCtx.isEmpty) refreshPreload(coll)
           val ups = upserted.result()
           return sessionAck(session, encodeDoc(JObject(List(
             "n" -> JLong(nMatched + ups.size),
@@ -2094,7 +2340,7 @@ object OpMsg {
       }
       fields.get("delete") match {
         case Some(JString(coll)) =>
-          val session = sessionOf(fields)
+          val session = if (txnCtx.isDefined) None else sessionOf(fields)
           sessionReplay(session) match {
             case Some(reply) => return reply
             case None => ()
@@ -2125,22 +2371,22 @@ object OpMsg {
             }
             if (limit != 0 && limit != 1) throw new IllegalArgumentException(
               s"delete limit must be 0 or 1, got $limit")
-            n += applyDeleteSpec(coll, q, limit)
+            n += inTxn(txnCtx)(applyDeleteSpec(coll, q, limit, txnCtx))
           }
-          refreshPreload(coll)
+          if (txnCtx.isEmpty) refreshPreload(coll)
           return sessionAck(session, encodeDoc(JObject(List(
             "n" -> JLong(n), "ok" -> JDouble(1.0)))))
         case _ => ()
       }
       fields.get("findAndModify") match {
         case Some(JString(coll)) =>
-          val session = sessionOf(fields)
+          val session = if (txnCtx.isDefined) None else sessionOf(fields)
           sessionReplay(session) match {
             case Some(reply) => return reply
             case None => ()
           }
-          val reply = runFindAndModify(coll, fields)
-          refreshPreload(coll)
+          val reply = inTxn(txnCtx)(runFindAndModify(coll, fields, txnCtx))
+          if (txnCtx.isEmpty) refreshPreload(coll)
           return sessionAck(session, reply)
         case _ => ()
       }
@@ -2380,8 +2626,11 @@ object OpMsg {
           }
           val pipelineJson = org.json4s.jackson.JsonMethods.compact(
             org.json4s.jackson.JsonMethods.render(JArray(stages)))
+          // in a transaction, $lookup/$unionWith resolve against the
+          // transaction's own overlays too (read-your-writes)
           val resolve: graft.mql.PipelineCompiler.TableResolver =
-            name => store.readOrView(name)
+            name => txnCtx.map(txnRead(_, name))
+              .getOrElse(store.readOrView(name))
           // mongod executes $out/$merge SERVER-SIDE and answers an
           // EMPTY cursor — here that is the engine role (runWithWrites),
           // not the reference client's refusal (PipelineCompiler.run)
@@ -2394,6 +2643,11 @@ object OpMsg {
             throw new IllegalArgumentException(
               "$out/$merge must be the last pipeline stage (mongod " +
                 "location 40601)")
+          if (writeAt >= 0 && txnCtx.isDefined)
+            throw new CommandError(
+              "$out/$merge cannot run inside a multi-document " +
+                "transaction (mongod contract)",
+              263, "OperationNotSupportedInTransaction")
           if (writeAt >= 0) {
             graft.mql.PipelineCompiler.runWithWrites(store.readOrView(coll),
               pipelineJson, resolve, store): Unit
@@ -2409,7 +2663,8 @@ object OpMsg {
           // $$var reference in the pipeline resolves against (the
           // reference forwards it verbatim in kwargs, api.py:252)
           def runPipeline() = graft.mql.PipelineCompiler.run(
-            store.readOrView(coll), pipelineJson, resolve)
+            inTxn(txnCtx)(txnCtx.map(txnRead(_, coll))
+              .getOrElse(store.readOrView(coll))), pipelineJson, resolve)
           val df = fields.get("let") match {
             case Some(JObject(ls)) =>
               val vars = ls.map { case (k, v) =>
@@ -2477,9 +2732,12 @@ object OpMsg {
               s"find sort must be a document, got $other")
             case None => Nil
           }
-          val preloaded = localRel.get(coll)
-          val base =
-            if (preloaded != null) preloaded else store.readOrView(coll)
+          // a transactional find bypasses the preload (the overlay is
+          // the truth inside the transaction, the preload is not)
+          val preloaded = if (txnCtx.isDefined) null else localRel.get(coll)
+          val base = txnCtx.map(t => inTxn(txnCtx)(txnRead(t, coll)))
+            .getOrElse(
+              if (preloaded != null) preloaded else store.readOrView(coll))
           val df0 = base.where(FilterCompiler.withSchema(Some(base.schema))(
             FilterCompiler.compile(filterJson)))
           val dfS = if (sortCols.isEmpty) df0 else df0.orderBy(sortCols: _*)
@@ -2967,8 +3225,17 @@ object OpMsg {
       val reply = decodeDoc(roundTrip(full, true)).obj.toMap
       reply.get("ok") match {
         case Some(JDouble(ok)) if ok == 1.0 => reply
-        case _ => throw new IllegalArgumentException(
-          s"command failed: ${reply.get("errmsg").getOrElse(reply)}")
+        case _ =>
+          val cn = reply.get("codeName")
+            .collect { case JString(s) => s"[$s] " }.getOrElse("")
+          val labels = reply.get("errorLabels") match {
+            case Some(JArray(ls)) => ls.collect { case JString(s) => s }
+            case _ => Nil
+          }
+          throw new IllegalArgumentException(
+            s"command failed: $cn${reply.get("errmsg").getOrElse(reply)}" +
+              (if (labels.isEmpty) ""
+               else labels.mkString(" labels=", ",", "")))
       }
     } finally conn.close()
   }
