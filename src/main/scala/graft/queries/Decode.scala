@@ -729,6 +729,134 @@ object Decode {
                 SELECT CAST(-1 AS BIGINT), 'TXN', 42.5
               ) ORDER BY c_custkey""")),
 
+    // CAPPED collections over the wire (mongod `create` with
+    // capped:true): a 20-doc budget over 30 inserts (12+12+6 batches)
+    // evicts the oldest 10 exactly — one whole-file drop never fires
+    // here, both evictions are straddling-file head rewrites. Oracle =
+    // the same last-20 window in SQL (OFFSET past the evicted head).
+    QueryDef("q_wire_capped",
+      (s, dir) => {
+        val store = new graft.sinks.DocStore(s,
+          java.nio.file.Files.createTempDirectory("graft_wcap").toString,
+          "graftdocs")
+        val server = new graft.sources.OpMsg.Server(s, store)
+        try {
+          import org.json4s._
+          val seed = Graft.table(s, dir, "orders")
+            .select("o_orderkey", "o_totalprice")
+            .orderBy("o_orderkey").limit(30).collect()
+            .map(r => JObject(List(
+              "o_orderkey" -> JLong(r.getLong(0)),
+              "o_totalprice" -> JDouble(r.getDouble(1)))))
+          graft.sources.OpMsg.command("127.0.0.1", server.port, "graft",
+            JObject(List("create" -> JString("cap"),
+              "capped" -> JBool(true), "max" -> JInt(20))))
+          Seq(seed.slice(0, 12), seed.slice(12, 24), seed.slice(24, 30))
+            .foreach { chunk =>
+              graft.sources.OpMsg.command("127.0.0.1", server.port,
+                "graft", JObject(List("insert" -> JString("cap"),
+                  "documents" -> JArray(chunk.toList))))
+            }
+          val reply = graft.sources.OpMsg.command(
+            "127.0.0.1", server.port, "graft", JObject(List(
+              "find" -> JString("cap"),
+              "sort" -> JObject(List("o_orderkey" -> JInt(1))),
+              "batchSize" -> JInt(1000))))
+          val rows = reply("cursor").asInstanceOf[JObject].obj.toMap
+            .apply("firstBatch") match {
+            case JArray(ds) => ds.map(_.asInstanceOf[JObject].obj.toMap)
+            case other => throw new IllegalStateException(s"bad $other")
+          }
+          import s.implicits._
+          rows.map { d =>
+            val k = d("o_orderkey") match {
+              case JLong(x) => x; case JInt(x) => x.toLong
+              case other => throw new IllegalStateException(s"bad $other")
+            }
+            val p = d("o_totalprice") match {
+              case JDouble(x) => x
+              case other => throw new IllegalStateException(s"bad $other")
+            }
+            (k, p)
+          }.toDF("o_orderkey", "o_totalprice").orderBy("o_orderkey")
+        } finally server.stop()
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM (
+                SELECT o_orderkey, o_totalprice FROM orders
+                ORDER BY o_orderkey LIMIT 30)
+              ORDER BY o_orderkey OFFSET 10""")),
+
+    // TAILABLE cursor over the wire (mongod's oplog-follow shape): a
+    // tailable find drains the capped collection's existing docs
+    // (phase 1), the cursor survives the drain, and a later getMore
+    // serves exactly the docs appended in between (phase 2) in
+    // insertion order. Oracle = the two insert windows tagged by
+    // phase.
+    QueryDef("q_wire_tail",
+      (s, dir) => {
+        val store = new graft.sinks.DocStore(s,
+          java.nio.file.Files.createTempDirectory("graft_wtail").toString,
+          "graftdocs")
+        val server = new graft.sources.OpMsg.Server(s, store)
+        try {
+          import org.json4s._
+          val seed = Graft.table(s, dir, "orders")
+            .select("o_orderkey").orderBy("o_orderkey").limit(25)
+            .collect().map(r => JObject(List(
+              "o_orderkey" -> JLong(r.getLong(0)))))
+          def insert(chunk: Seq[JObject]): Unit =
+            graft.sources.OpMsg.command("127.0.0.1", server.port,
+              "graft", JObject(List("insert" -> JString("tail"),
+                "documents" -> JArray(chunk.toList)))): Unit
+          graft.sources.OpMsg.command("127.0.0.1", server.port, "graft",
+            JObject(List("create" -> JString("tail"),
+              "capped" -> JBool(true), "max" -> JInt(1000))))
+          insert(seed.slice(0, 15))
+          val open = graft.sources.OpMsg.command(
+            "127.0.0.1", server.port, "graft", JObject(List(
+              "find" -> JString("tail"), "tailable" -> JBool(true),
+              "awaitData" -> JBool(true), "batchSize" -> JInt(1000))))
+          def rowsOf(reply: Map[String, JValue], key: String)
+              : List[Long] = {
+            val cur = reply("cursor").asInstanceOf[JObject].obj.toMap
+            cur(key) match {
+              case JArray(ds) => ds.map(_.asInstanceOf[JObject].obj.toMap
+                .apply("o_orderkey") match {
+                case JLong(x) => x; case JInt(x) => x.toLong
+                case other =>
+                  throw new IllegalStateException(s"bad $other")
+              })
+              case other => throw new IllegalStateException(s"bad $other")
+            }
+          }
+          val cursorId = open("cursor").asInstanceOf[JObject].obj.toMap
+            .apply("id") match {
+            case JLong(x) => x; case JInt(x) => x.toLong
+            case other => throw new IllegalStateException(s"bad $other")
+          }
+          val phase1 = rowsOf(open, "firstBatch")
+          insert(seed.slice(15, 25))
+          val more = graft.sources.OpMsg.command(
+            "127.0.0.1", server.port, "graft", JObject(List(
+              "getMore" -> JLong(cursorId),
+              "collection" -> JString("tail"))))
+          val phase2 = rowsOf(more, "nextBatch")
+          import s.implicits._
+          (phase1.map((_, 1)) ++ phase2.map((_, 2)))
+            .toDF("o_orderkey", "phase")
+            .orderBy("o_orderkey")
+        } finally server.stop()
+      },
+      Some("""SELECT * FROM (
+                SELECT o_orderkey, 1 AS phase FROM (
+                  SELECT o_orderkey FROM orders
+                  ORDER BY o_orderkey LIMIT 15)
+                UNION ALL
+                SELECT o_orderkey, 2 AS phase FROM (
+                  SELECT o_orderkey FROM orders
+                  ORDER BY o_orderkey LIMIT 10 OFFSET 15)
+              ) ORDER BY o_orderkey""")),
+
     // VIEWS over the wire (mongod `create` with viewOn + pipeline): a
     // stored aggregation pipeline resolves on every read — the wire
     // find on the view applies a FURTHER filter that prunes into the

@@ -325,6 +325,9 @@ final class DocStore(val spark: SparkSession, val dir: String,
     if (dropped) journalDdl(DocStore.DdlEvent("drop", name, None,
       versions(name).lastOption.getOrElse(0L) + 2,
       System.currentTimeMillis()))
+    // the capped declaration dies with the collection (a later plain
+    // collection under the same name must not inherit the cap)
+    if (dropped) dropCapped(name): Unit
     dropped
   }
 
@@ -376,6 +379,141 @@ final class DocStore(val spark: SparkSession, val dir: String,
 
   // ---- views: stored aggregation pipelines (mongod `create` with
   // `viewOn`) -----------------------------------------------------------
+
+  // ---- capped collections --------------------------------------------------
+  // mongod's FIFO collections: a fixed budget of documents (max) and
+  // bytes (size); inserts past the budget evict the OLDEST documents.
+  // The declaration is one json file (like views); the collection
+  // itself is built by the wire-insert append path ONLY — every data
+  // file is an `insert_<nanos>_<count>.bson` batch, so insertion order
+  // IS the (nanos, in-file) order, doc counts ride in the file name
+  // (enforcement never re-parses history), and eviction is dropping
+  // whole head files plus at most ONE head-of-file rewrite for the
+  // straddling batch — O(overflow), not O(collection). Updates,
+  // deletes and whole-collection rewrites refuse (mongod's own capped
+  // restrictions), which is exactly what keeps the append-only file
+  // layout the single source of truth for natural order.
+
+  private def cappedDir = new Path(dir, "_graft_capped")
+  private def cappedPath(name: String): Path =
+    new Path(cappedDir, s"${validName(name)}.json")
+
+  /** Declare `name` capped BEFORE its first insert: at most `max`
+    * documents (0 = unbounded) and `size` bytes (0 = unbounded,
+    * whole-file granularity like mongod's block-granular size cap). */
+  def declareCapped(name: String, max: Long, size: Long = 0L): Unit = {
+    if (exists(name)) throw new MqlException(
+      s"declareCapped: collection '$name' already exists — capped " +
+        "collections are declared before their first insert")
+    if (isView(name)) throw new MqlException(
+      s"declareCapped: a view named '$name' exists")
+    if (max <= 0 && size <= 0) throw new MqlException(
+      "declareCapped needs max docs > 0 or size bytes > 0")
+    val f = fs
+    f.mkdirs(cappedDir): Unit
+    val out = f.create(cappedPath(name), false)
+    try out.write(s"""{"max": $max, "size": $size}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** (max docs, size bytes) of a capped collection, 0 = unbounded. */
+  def cappedSpec(name: String): Option[(Long, Long)] = {
+    val p = cappedPath(name)
+    val f = fs
+    if (!f.exists(p)) return None
+    val in = f.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+               finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+    Some((node.get("max").asLong(), node.get("size").asLong()))
+  }
+
+  def dropCapped(name: String): Boolean = fs.delete(cappedPath(name), false)
+
+  /** Every declared capped collection (inserted into yet or not). */
+  def cappedNames(): Seq[String] = {
+    val f = fs
+    if (!f.exists(cappedDir)) return Seq.empty
+    f.listStatus(cappedDir).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".json")).map(_.dropRight(5)).sorted
+  }
+
+  /** A capped collection's batch files in insertion order:
+    * (file name, nanos, doc count, byte length). */
+  def cappedFiles(name: String): Seq[(String, Long, Int, Long)] = {
+    val target = new Path(path(name))
+    val f = fs
+    if (!f.exists(target)) return Seq.empty
+    f.listStatus(target).toSeq.map(_.getPath.getName)
+      .flatMap {
+        case n @ CappedFileName(nanos, count) =>
+          Some((n, nanos.toLong, count.toInt,
+            f.getFileStatus(new Path(target, n)).getLen))
+        case _ => None
+      }.sortBy(_._2)
+  }
+  private val CappedFileName = """insert_(\d+)_(\d+)\.bson""".r
+
+  /** Enforce the cap after an append: drop whole head files while they
+    * are fully past-budget, then rewrite at most one straddling file
+    * without its evicted head docs. Exact for the doc cap; the byte
+    * cap evicts at whole-file granularity (mongod's size cap is
+    * block-granular the same way). Readers never see a partial state:
+    * the rewrite commits via hidden-tmp rename before the old file
+    * goes. */
+  private def enforceCap(name: String, max: Long, size: Long): Unit = {
+    val target = new Path(path(name))
+    val f = fs
+    var files = cappedFiles(name)
+    def totalDocs = files.map(_._3.toLong).sum
+    def totalBytes = files.map(_._4).sum
+    // whole-file drops: the head file goes when removing it still
+    // leaves the doc budget full, or while bytes overflow
+    var dropping = true
+    while (dropping && files.nonEmpty) {
+      val (head, _, headCount, _) = files.head
+      val dropForDocs = max > 0 && totalDocs - headCount >= max
+      val dropForBytes = size > 0 && totalBytes > size
+      if (dropForDocs || dropForBytes) {
+        f.delete(new Path(target, head), false): Unit
+        files = files.tail
+      } else dropping = false
+    }
+    // straddling head file: rewrite without its first (over-budget)
+    // docs — parse ONE file, slice by the BSON length prefixes
+    if (max > 0 && totalDocs > max && files.nonEmpty) {
+      val overflow = (totalDocs - max).toInt
+      val (head, nanos, headCount, _) = files.head
+      val in = f.open(new Path(target, head))
+      val bytes = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](1 << 16)
+        var n = in.read(tmp)
+        while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        buf.toByteArray
+      } finally in.close()
+      var off = 0
+      var skipped = 0
+      while (skipped < overflow && off + 4 <= bytes.length) {
+        val len = java.nio.ByteBuffer.wrap(bytes, off, 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+        off += len; skipped += 1
+      }
+      val keep = headCount - overflow
+      val tmp = new Path(target, s".graft_tmp_cap_$nanos")
+      val out = f.create(tmp, true)
+      try out.write(bytes, off, bytes.length - off) finally out.close()
+      // same nanos keeps the file's slot in insertion order; the new
+      // count makes the name distinct. Rename-before-delete: the
+      // alternative (delete first) opens a window with NO copy of the
+      // surviving docs visible; this order's window shows old+new
+      // together — benign for tailing (positions key on nanos+count)
+      // and momentary for scans, the lesser hazard
+      if (!f.rename(tmp, new Path(target, s"insert_${nanos}_$keep.bson")))
+        throw new MqlException(s"cap rewrite commit failed for '$name'")
+      f.delete(new Path(target, head), false): Unit
+    }
+  }
 
   private def viewsDir = new Path(dir, "_graft_views")
   private def viewPath(name: String): Path =
@@ -954,9 +1092,35 @@ final class DocStore(val spark: SparkSession, val dir: String,
     val tmp = new Path(target, s".graft_tmp_insert_$nanos")
     val out = f.create(tmp, true)
     try out.write(docs) finally out.close()
-    if (!f.rename(tmp, new Path(target, s"insert_$nanos.bson")))
-      throw new IllegalStateException(s"append commit failed for '$name'")
+    cappedSpec(name) match {
+      case Some((max, size)) =>
+        // capped: the doc count rides in the file name (enforcement
+        // and tail positions never re-parse history), counted here by
+        // walking the in-memory batch's BSON length prefixes
+        var off = 0; var count = 0
+        while (off + 4 <= docs.length) {
+          val len = java.nio.ByteBuffer.wrap(docs, off, 4)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+          require(len > 4 && off + len <= docs.length,
+            s"appendRaw: corrupt BSON batch at offset $off")
+          off += len; count += 1
+        }
+        if (!f.rename(tmp, new Path(target, s"insert_${nanos}_$count.bson")))
+          throw new IllegalStateException(s"append commit failed for '$name'")
+        capMonitor(name).synchronized { enforceCap(name, max, size) }
+      case None =>
+        if (!f.rename(tmp, new Path(target, s"insert_$nanos.bson")))
+          throw new IllegalStateException(s"append commit failed for '$name'")
+    }
   }
+
+  // eviction is read-modify-write over the head file: serialize per
+  // collection within this JVM (the wire server is the store's single
+  // writer; two servers on one dir is outside the contract)
+  private val capMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def capMonitor(name: String): Object =
+    capMonitors.computeIfAbsent(name, _ => new Object)
 
   /** Write `df` as collection `name`, replacing any prior contents via
     * the staged swap described above. `tags` are committed atomically
@@ -968,6 +1132,9 @@ final class DocStore(val spark: SparkSession, val dir: String,
   def write(df: DataFrame, name: String,
             tags: Map[String, String] = Map.empty,
             partitionBy: Seq[String] = Seq.empty): Unit = {
+    if (cappedSpec(name).isDefined) throw new MqlException(
+      s"cannot rewrite capped collection '$name' (mongod capped " +
+        "collections refuse updates/deletes/replacement; drop it first)")
     requireNoDeadHistory(name)
     val stage = stageContents(df, name, tags, partitionBy)
     try {

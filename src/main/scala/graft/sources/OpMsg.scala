@@ -769,7 +769,8 @@ object OpMsg {
                                var rows: Iterator[org.apache.spark.sql.Row],
                                var schema: org.apache.spark.sql.types.StructType,
                                val batchSize: Int,
-                               val tail: Option[ChangeTail] = None) {
+                               val tail: Option[ChangeTail] = None,
+                               val capTail: Option[CapTail] = None) {
       @volatile var lastUsed: Long = System.nanoTime()
       // pin: mongod rejects a getMore for a cursor another operation is
       // already driving ("cursor in use", code 281) — the shared rows
@@ -1505,6 +1506,115 @@ object OpMsg {
     private[sources] val maxCollectedOnce =
       new java.util.concurrent.atomic.AtomicInteger(0)
 
+    /** Tailable-cursor position over a capped collection's append-only
+      * batch files: (file nanos, docs consumed of it), plus the file's
+      * doc count AT CONSUMPTION TIME — eviction only ever drops head
+      * files whole or rewrites the straddling head file in place (same
+      * nanos, fewer docs), so the count delta is exactly how many head
+      * docs vanished. That maps an old offset into the rewritten file,
+      * or proves the position itself was overwritten — mongod's
+      * CappedPositionLost (code 136), the contract for a tailer that
+      * fell behind the eviction frontier. */
+    private final class CapTail(val coll: String,
+                                var schema: org.apache.spark.sql.types.StructType,
+                                val cond: Option[JValue],
+                                val includes: Seq[String],
+                                val excludes: Seq[String]) {
+      var nanos: Long = -1L   // -1 = before the first file
+      var offset: Int = 0     // docs consumed of that file
+      var posCount: Int = 0   // that file's doc count when consumed
+      var lost: Boolean = false
+    }
+
+    /** Advance a tailable cursor: serve up to ~batchSize NEW raw docs
+      * past the position, decoded driver-side and run through the
+      * find's filter/projection as a LocalRelation (Catalyst folds
+      * filter+project into the local rows — executeCollect, no job:
+      * the same saturated-scan-safe contract as the insert preload).
+      * Returns true when rows were queued; `lost` marks an evicted
+      * position (the caller answers CappedPositionLost). */
+    private def capPoll(c: Cursor): Boolean = c.capTail.exists { t =>
+      // a tailable cursor opened on a declared-but-empty capped
+      // collection resolves its schema at the first insert it sees
+      if (t.schema == null && store.exists(t.coll))
+        t.schema = store.read(t.coll).schema
+      if (t.lost || t.schema == null) false
+      else {
+        val files = store.cappedFiles(t.coll) // (name, nanos, count, len)
+        // resolve the start point against the possibly-evicted head
+        var startIdx = 0
+        var startOff = 0
+        var ok = true
+        if (t.nanos >= 0) files.indexWhere(_._2 == t.nanos) match {
+          case -1 =>
+            if (t.offset < t.posCount) { t.lost = true; ok = false }
+            else {
+              startIdx = files.indexWhere(_._2 > t.nanos)
+              if (startIdx < 0) { startIdx = files.length } // no new data
+            }
+          case i =>
+            val droppedHead = t.posCount - files(i)._3
+            if (t.offset < droppedHead) { t.lost = true; ok = false }
+            else { startIdx = i; startOff = t.offset - droppedHead }
+        }
+        if (!ok) false
+        else {
+          val rows = Vector.newBuilder[org.apache.spark.sql.Row]
+          var taken = 0
+          var idx = startIdx
+          var off = startOff
+          try {
+            while (taken < c.batchSize && idx < files.length) {
+              val (name, nanos, count, _) = files(idx)
+              if (off < count) {
+                val docs = {
+                  val p = new org.apache.hadoop.fs.Path(
+                    store.path(t.coll), name)
+                  val in = p.getFileSystem(
+                    spark.sparkContext.hadoopConfiguration).open(p)
+                  try graft.bson.BsonBinary.documents(in).toVector
+                  finally in.close()
+                }
+                val want = math.min(count - off, c.batchSize - taken)
+                docs.slice(off, off + want).foreach { n =>
+                  rows += graft.bson.DocDecoder
+                    .decodeStruct(n, t.schema, strict = false)
+                  taken += 1
+                }
+                t.nanos = nanos; t.posCount = count; t.offset = off + want
+                off = if (want == count - off) { idx += 1; 0 }
+                      else off + want
+              } else { idx += 1; off = 0 }
+            }
+          } catch {
+            // a file evicted between listing and reading: the position
+            // is behind the frontier — same verdict as a missing file
+            case _: java.io.FileNotFoundException => t.lost = true
+          }
+          val raw = rows.result()
+          if (t.lost || raw.isEmpty) false
+          else {
+            var df: org.apache.spark.sql.DataFrame =
+              spark.createDataFrame(
+                java.util.Arrays.asList(raw: _*), t.schema)
+            t.cond.foreach { q =>
+              df = df.where(org.apache.spark.sql.functions.coalesce(
+                FilterCompiler.withSchema(Some(t.schema))(
+                  FilterCompiler.compile(q)),
+                org.apache.spark.sql.functions.lit(false)))
+            }
+            if (t.includes.nonEmpty)
+              df = df.select(t.includes.map(df.col): _*)
+            else if (t.excludes.nonEmpty) df = df.drop(t.excludes: _*)
+            val out = df.collect()
+            c.schema = df.schema
+            c.rows = out.iterator
+            out.nonEmpty
+          }
+        }
+      }
+    }
+
     /** Open a `$changeStream` cursor: parse the options document,
       * replay retained history past `resumeAfter` (or all of it), and
       * register a TAILABLE cursor — drained batches keep the cursor
@@ -1708,7 +1818,7 @@ object OpMsg {
                        else CompressorZlib)
         return
       }
-      if (c.tail.isDefined) {
+      if (c.tail.isDefined || c.capTail.isDefined) {
         // a tailable cursor never drains — an exhaust stream over it
         // would never terminate; mongod drivers use awaitData getMore
         writeFrame(out, f.requestId + 1000000, f.requestId,
@@ -1875,11 +1985,24 @@ object OpMsg {
       // store's metadata or one bounded aggregate.
       fields.get("listCollections") match {
         case Some(_) =>
-          val docs = store.collections().map(n => encodeDoc(JObject(List(
-            "name" -> JString(n),
-            "type" -> JString("collection"),
-            "options" -> JObject(Nil),
-            "info" -> JObject(List("readOnly" -> JBool(false))))))) ++
+          // declared-but-empty capped collections list too (mongod
+          // creates them at `create` time; ours fill on first insert)
+          val collNames = (store.collections() ++
+            store.cappedNames()).distinct.sorted
+          val docs = collNames.map { n =>
+            val opts = store.cappedSpec(n) match {
+              case Some((max, size)) => JObject(List(
+                "capped" -> JBool(true)) ++
+                (if (max > 0) List("max" -> JLong(max)) else Nil) ++
+                (if (size > 0) List("size" -> JLong(size)) else Nil))
+              case None => JObject(Nil)
+            }
+            encodeDoc(JObject(List(
+              "name" -> JString(n),
+              "type" -> JString("collection"),
+              "options" -> opts,
+              "info" -> JObject(List("readOnly" -> JBool(false))))))
+          } ++
             store.views().map { n =>
               val (on, pipe) = store.viewDef(n).get
               encodeDoc(JObject(List(
@@ -1908,8 +2031,23 @@ object OpMsg {
                 .getOrElse("[]")
               store.createView(name, on, pipe)
               return encodeDoc(JObject(List("ok" -> JDouble(1.0))))
+            case (None, _) if fields.get("capped")
+                .contains(JBool(true)) =>
+              // mongod's capped form: FIFO budget of `max` docs and/or
+              // `size` bytes, declared now, built by the first insert
+              def num(k: String): Long = fields.get(k) match {
+                case Some(JInt(n)) => n.toLong
+                case Some(JLong(n)) => n
+                case Some(JDouble(n)) => n.toLong
+                case None => 0L
+                case Some(other) => throw new IllegalArgumentException(
+                  s"create: $k must be a number, got $other")
+              }
+              store.declareCapped(name, num("max"), num("size"))
+              return encodeDoc(JObject(List("ok" -> JDouble(1.0))))
             case (None, _) => throw new IllegalArgumentException(
-              "create: only the view form (viewOn + pipeline) is " +
+              "create: only the view form (viewOn + pipeline) and the " +
+                "capped form (capped: true with max/size) are " +
                 "supported — plain collections are created by their " +
                 "first insert (fixed-schema engine)")
             case (Some(other), _) => throw new IllegalArgumentException(
@@ -2256,6 +2394,10 @@ object OpMsg {
           // the entry (next find reads the store) remains the fallback
           // when decode disagrees or the cap trips.
           collMonitor(coll).synchronized {
+            // capped collections evict on append — extending a
+            // preloaded copy would keep ghosts of evicted docs; drop
+            // the entry and let the next find re-scan
+            if (store.cappedSpec(coll).isDefined) localRel.remove(coll): Unit
             val prev = localRel.get(coll)
             if (prev != null) {
               val next = try {
@@ -2732,6 +2874,35 @@ object OpMsg {
               s"find sort must be a document, got $other")
             case None => Nil
           }
+          // ---- tailable find on a capped collection (mongod's oplog-
+          // follow shape): natural order only, cursor survives drains,
+          // getMore + maxTimeMS long-polls new appends
+          if (fields.get("tailable").contains(JBool(true))) {
+            if (txnCtx.isDefined) throw new CommandError(
+              "tailable cursors cannot run inside a multi-document " +
+                "transaction", 263, "OperationNotSupportedInTransaction")
+            if (store.cappedSpec(coll).isEmpty) throw new CommandError(
+              s"tailable cursor requested on non-capped collection " +
+                s"'$coll'", 2, "BadValue")
+            if (sortCols.nonEmpty || skip.isDefined || limit.isDefined)
+              throw new IllegalArgumentException(
+                "tailable find serves natural (insertion) order only — " +
+                  "sort/skip/limit do not apply")
+            val schema0 =
+              if (store.exists(coll)) store.read(coll).schema else null
+            val t = new CapTail(coll, schema0, fields.get("filter"),
+              includes, excludes)
+            val c = new Cursor(s"$db.$coll", Iterator.empty,
+              if (schema0 == null)
+                new org.apache.spark.sql.types.StructType()
+              else schema0,
+              batchSize, capTail = Some(t))
+            capPoll(c): Unit
+            val first = pull(c)
+            val id = nextCursor.incrementAndGet()
+            cursors.put(id, c): Unit
+            return buildCursorReply(id, s"$db.$coll", "firstBatch", first)
+          }
           // a transactional find bypasses the preload (the overlay is
           // the truth inside the transaction, the preload is not)
           val preloaded = if (txnCtx.isDefined) null else localRel.get(coll)
@@ -2775,7 +2946,8 @@ object OpMsg {
                 CursorInUse)
             try {
               c.lastUsed = System.nanoTime()
-              if (c.tail.isDefined && !c.rows.hasNext) {
+              if ((c.tail.isDefined || c.capTail.isDefined) &&
+                  !c.rows.hasNext) {
                 // awaitData long-poll (mongod's tailable-awaitData
                 // getMore): with maxTimeMS the server holds the reply
                 // until new events arrive or the window closes —
@@ -2792,15 +2964,27 @@ object OpMsg {
                 // "no new events yet", not a dead cursor; the next
                 // poll sees the committed state. Without a window the
                 // failure propagates (plain getMore error semantics).
+                def pollOnce(): Boolean =
+                  if (c.capTail.isDefined) capPoll(c) else repoll(c)
                 def poll(): Boolean =
-                  if (waitMs <= 0) repoll(c)
-                  else try repoll(c)
+                  if (waitMs <= 0) pollOnce()
+                  else try pollOnce()
                   catch { case scala.util.control.NonFatal(_) => false }
                 var got = poll()
-                while (!got && System.nanoTime() < deadline) {
+                while (!got && !c.capTail.exists(_.lost) &&
+                       System.nanoTime() < deadline) {
                   Thread.sleep(100)
                   got = poll()
                 }
+              }
+              if (c.capTail.exists(_.lost)) {
+                // the cap's eviction frontier overtook this cursor's
+                // position — mongod kills the tailer (code 136)
+                cursors.remove(id): Unit
+                return buildErrorReply(
+                  s"tailable cursor $id position was overwritten by " +
+                    "the capped collection's eviction",
+                  136, "CappedPositionLost")
               }
               val batch = pull(c)
               if (c.tail.exists(_.invalidated)) {
@@ -2814,6 +2998,9 @@ object OpMsg {
                 // the token tells the driver where this batch ended
                 buildCursorReply(id, c.ns, "nextBatch", batch,
                   postBatchResumeToken = Some(outToken(c.tail.get)))
+              else if (c.capTail.isDefined)
+                // capped tailer: the cursor outlives every drain
+                buildCursorReply(id, c.ns, "nextBatch", batch)
               else {
                 val more = c.rows.hasNext
                 if (!more) cursors.remove(id): Unit
