@@ -653,8 +653,12 @@ object Decode {
         val store = new graft.sinks.DocStore(s,
           java.nio.file.Files.createTempDirectory("graft_wtxn").toString,
           "graftdocs")
+        // bounded seed (ORDER BY + LIMIT): the gate measures the
+        // transaction protocol, not rewrite throughput — its cost
+        // stays constant across scale factors (bench-signal hygiene)
         store.write(Graft.table(s, dir, "customer")
-          .select("c_custkey", "c_mktsegment", "c_acctbal"), "customer")
+          .select("c_custkey", "c_mktsegment", "c_acctbal")
+          .orderBy("c_custkey").limit(1000), "customer")
         val server = new graft.sources.OpMsg.Server(s, store)
         try {
           import org.json4s._
@@ -721,7 +725,8 @@ object Decode {
                        CASE WHEN c_mktsegment = 'BUILDING'
                             THEN c_acctbal + 100.0
                             ELSE c_acctbal END AS c_acctbal
-                FROM customer
+                FROM (SELECT c_custkey, c_mktsegment, c_acctbal
+                      FROM customer ORDER BY c_custkey LIMIT 1000)
                 WHERE NOT (CASE WHEN c_mktsegment = 'BUILDING'
                                 THEN c_acctbal + 100.0
                                 ELSE c_acctbal END < 0.0)
