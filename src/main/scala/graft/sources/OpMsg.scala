@@ -1519,7 +1519,9 @@ object OpMsg {
                                 var schema: org.apache.spark.sql.types.StructType,
                                 val cond: Option[JValue],
                                 val includes: Seq[String],
-                                val excludes: Seq[String]) {
+                                val excludes: Seq[String],
+                                val coll8n: Option[FilterCompiler.Collation]
+                                  = None) {
       var nanos: Long = -1L   // -1 = before the first file
       var offset: Int = 0     // docs consumed of that file
       var posCount: Int = 0   // that file's doc count when consumed
@@ -1599,8 +1601,9 @@ object OpMsg {
                 java.util.Arrays.asList(raw: _*), t.schema)
             t.cond.foreach { q =>
               df = df.where(org.apache.spark.sql.functions.coalesce(
-                FilterCompiler.withSchema(Some(t.schema))(
-                  FilterCompiler.compile(q)),
+                FilterCompiler.withCollation(t.coll8n)(
+                  FilterCompiler.withSchema(Some(t.schema))(
+                    FilterCompiler.compile(q))),
                 org.apache.spark.sql.functions.lit(false)))
             }
             if (t.includes.nonEmpty)
@@ -2148,8 +2151,14 @@ object OpMsg {
           val base = txnCtx.map(txnRead(_, coll))
             .getOrElse(store.readOrView(coll))
           val q = fields.getOrElse("query", JObject(Nil))
-          val cond = coalesce(FilterCompiler.withSchema(Some(base.schema))(
-            FilterCompiler.compile(q)), lit(false))
+          val dColl8n = fields.get("collation").map { c =>
+            FilterCompiler.Collation.parse(
+              org.json4s.jackson.JsonMethods.compact(
+                org.json4s.jackson.JsonMethods.render(c)))
+          }
+          val cond = coalesce(FilterCompiler.withCollation(dColl8n)(
+            FilterCompiler.withSchema(Some(base.schema))(
+              FilterCompiler.compile(q))), lit(false))
           val proj = base.where(cond).select(col(key).as("__v"))
           // mongod's distinct UNWINDS array fields — distinct elements,
           // not distinct arrays
@@ -2183,8 +2192,14 @@ object OpMsg {
           val base = txnCtx.map(txnRead(_, coll))
             .getOrElse(store.readOrView(coll))
           val q = fields.getOrElse("query", JObject(Nil))
-          val cond = coalesce(FilterCompiler.withSchema(Some(base.schema))(
-            FilterCompiler.compile(q)), lit(false))
+          val cColl8n = fields.get("collation").map { c =>
+            FilterCompiler.Collation.parse(
+              org.json4s.jackson.JsonMethods.compact(
+                org.json4s.jackson.JsonMethods.render(c)))
+          }
+          val cond = coalesce(FilterCompiler.withCollation(cColl8n)(
+            FilterCompiler.withSchema(Some(base.schema))(
+              FilterCompiler.compile(q))), lit(false))
           def intOpt(k: String): Option[Long] = fields.get(k) match {
             case Some(JInt(v)) => Some(v.toLong)
             case Some(JLong(v)) => Some(v)
@@ -2807,19 +2822,29 @@ object OpMsg {
           def runPipeline() = graft.mql.PipelineCompiler.run(
             inTxn(txnCtx)(txnCtx.map(txnRead(_, coll))
               .getOrElse(store.readOrView(coll))), pipelineJson, resolve)
-          val df = fields.get("let") match {
-            case Some(JObject(ls)) =>
-              val vars = ls.map { case (k, v) =>
-                if (!k.matches("[a-z][A-Za-z0-9_]*"))
-                  throw new IllegalArgumentException(
-                    s"let: variable name '$k' must start with a " +
-                      "lowercase letter")
-                k -> graft.mql.ExprCompiler.compile(v, Map.empty)
-              }.toMap
-              graft.mql.ExprCompiler.withLetVars(vars)(runPipeline())
-            case Some(other) => throw new IllegalArgumentException(
-              s"aggregate let must be a document, got $other")
-            case None => runPipeline()
+          // aggregate-level collation (the reference forwards it
+          // verbatim in kwargs, api.py:252) — same fold/refuse rules
+          // as the API-level Db.aggregate
+          val aggColl8n = fields.get("collation").map { c =>
+            FilterCompiler.Collation.parse(
+              org.json4s.jackson.JsonMethods.compact(
+                org.json4s.jackson.JsonMethods.render(c)))
+          }
+          val df = FilterCompiler.withCollation(aggColl8n) {
+            fields.get("let") match {
+              case Some(JObject(ls)) =>
+                val vars = ls.map { case (k, v) =>
+                  if (!k.matches("[a-z][A-Za-z0-9_]*"))
+                    throw new IllegalArgumentException(
+                      s"let: variable name '$k' must start with a " +
+                        "lowercase letter")
+                  k -> graft.mql.ExprCompiler.compile(v, Map.empty)
+                }.toMap
+                graft.mql.ExprCompiler.withLetVars(vars)(runPipeline())
+              case Some(other) => throw new IllegalArgumentException(
+                s"aggregate let must be a document, got $other")
+              case None => runPipeline()
+            }
           }
           return openCursor(df, coll, cursorBatchSize(fields))
         case _ => ()
@@ -2863,16 +2888,25 @@ object OpMsg {
           }
           val limit = intField("limit")
           val skip = intField("skip")
-          val sortCols = fields.get("sort") match {
+          val sortSpec: Seq[(String, Boolean)] = fields.get("sort") match {
             case Some(JObject(ss)) => ss.map {
-              case (f, JInt(d)) if d == 1 => fcol(f).asc
-              case (f, JInt(d)) if d == -1 => fcol(f).desc
+              case (f, JInt(d)) if d == 1 => (f, true)
+              case (f, JInt(d)) if d == -1 => (f, false)
               case (f, other) => throw new IllegalArgumentException(
                 s"find sort.$f must be 1 or -1, got $other")
             }
             case Some(other) => throw new IllegalArgumentException(
               s"find sort must be a document, got $other")
             case None => Nil
+          }
+          // find-level collation (mongod forwards it per-operation):
+          // folds the filter's string comparisons and the sort order —
+          // silently ignoring it would return WRONG results to a real
+          // driver, the one thing worse than refusing
+          val coll8n = fields.get("collation").map { c =>
+            FilterCompiler.Collation.parse(
+              org.json4s.jackson.JsonMethods.compact(
+                org.json4s.jackson.JsonMethods.render(c)))
           }
           // ---- tailable find on a capped collection (mongod's oplog-
           // follow shape): natural order only, cursor survives drains,
@@ -2884,14 +2918,14 @@ object OpMsg {
             if (store.cappedSpec(coll).isEmpty) throw new CommandError(
               s"tailable cursor requested on non-capped collection " +
                 s"'$coll'", 2, "BadValue")
-            if (sortCols.nonEmpty || skip.isDefined || limit.isDefined)
+            if (sortSpec.nonEmpty || skip.isDefined || limit.isDefined)
               throw new IllegalArgumentException(
                 "tailable find serves natural (insertion) order only — " +
                   "sort/skip/limit do not apply")
             val schema0 =
               if (store.exists(coll)) store.read(coll).schema else null
             val t = new CapTail(coll, schema0, fields.get("filter"),
-              includes, excludes)
+              includes, excludes, coll8n)
             val c = new Cursor(s"$db.$coll", Iterator.empty,
               if (schema0 == null)
                 new org.apache.spark.sql.types.StructType()
@@ -2909,9 +2943,34 @@ object OpMsg {
           val base = txnCtx.map(t => inTxn(txnCtx)(txnRead(t, coll)))
             .getOrElse(
               if (preloaded != null) preloaded else store.readOrView(coll))
-          val df0 = base.where(FilterCompiler.withSchema(Some(base.schema))(
-            FilterCompiler.compile(filterJson)))
-          val dfS = if (sortCols.isEmpty) df0 else df0.orderBy(sortCols: _*)
+          val df0 = base.where(FilterCompiler.withCollation(coll8n)(
+            FilterCompiler.withSchema(Some(base.schema))(
+              FilterCompiler.compile(filterJson))))
+          // collation folds sort only on string-typed keys (the
+          // Graft.find contract): keyed fields sort by the binary-
+          // comparable collation KEY, plain ci by lower(); the raw
+          // column rides as the total-order tiebreak either way
+          def sortKeys(k: String, asc: Boolean)
+              : Seq[org.apache.spark.sql.Column] = {
+            import org.apache.spark.sql.functions.{call_function, lit, lower}
+            val isStr = !k.contains('.') &&
+              base.schema.find(_.name == k)
+                .exists(_.dataType ==
+                  org.apache.spark.sql.types.StringType)
+            val keys =
+              if (isStr && coll8n.exists(_.keyed)) {
+                graft.functions.GraftFunctions.register(spark)
+                Seq(call_function("collation_key", fcol(k),
+                  lit(coll8n.get.spec)), fcol(k))
+              } else if (isStr && coll8n.exists(_.caseInsensitive))
+                Seq(lower(fcol(k)), fcol(k))
+              else Seq(fcol(k))
+            keys.map(c => if (asc) c.asc else c.desc)
+          }
+          val dfS =
+            if (sortSpec.isEmpty) df0
+            else df0.orderBy(sortSpec.flatMap {
+              case (k, a) => sortKeys(k, a) }: _*)
           val df1 =
             if (includes.nonEmpty) dfS.select(includes.map(dfS.col): _*)
             else if (excludes.nonEmpty) dfS.drop(excludes: _*)

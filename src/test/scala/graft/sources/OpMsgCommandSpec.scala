@@ -318,6 +318,61 @@ class OpMsgCommandSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("per-operation collation on the wire: a strength-2 find filter " +
+       "matches case-insensitively and folds the sort; count and " +
+       "aggregate $match honor it; numericOrdering sorts digit " +
+       "strings numerically (collation-KEY path)") {
+    val (_, srv) = fixture()
+    try {
+      val ci = JObject(List("locale" -> JString("simple"),
+        "strength" -> JInt(2)))
+      val got = cmd(srv, "find" -> JString("items"),
+        "filter" -> JObject(List("kind" -> JString("A"))),
+        "collation" -> ci,
+        "sort" -> JObject(List("_id" -> JInt(1))))
+      val gotIds = got("cursor").asInstanceOf[JObject].obj.toMap
+        .apply("firstBatch") match {
+        case JArray(ds) => ds.map(_.asInstanceOf[JObject].obj.toMap
+          .apply("_id"))
+        case other => fail(s"bad firstBatch $other")
+      }
+      assert(gotIds == List(JInt(1), JInt(3), JInt(5)))
+      assert(cmd(srv, "count" -> JString("items"),
+        "query" -> JObject(List("kind" -> JString("B"))),
+        "collation" -> ci)("n") == JLong(1L))
+      val agg = cmd(srv, "aggregate" -> JString("items"),
+        "pipeline" -> JArray(List(
+          JObject(List("$match" -> JObject(List(
+            "kind" -> JString("C"))))),
+          JObject(List("$project" -> JObject(List("_id" -> JInt(1))))))),
+        "collation" -> ci, "cursor" -> JObject(Nil))
+      val aggIds = agg("cursor").asInstanceOf[JObject].obj.toMap
+        .apply("firstBatch") match {
+        case JArray(ds) => ds.map(_.asInstanceOf[JObject].obj.toMap
+          .apply("_id"))
+        case other => fail(s"bad firstBatch $other")
+      }
+      assert(aggIds == List(JInt(4)))
+      // numericOrdering: "2" < "9" < "10" under the collation KEY
+      cmd(srv, "insert" -> JString("nums"),
+        "documents" -> JArray(List(
+          JObject(List("_id" -> JInt(1), "s" -> JString("9"))),
+          JObject(List("_id" -> JInt(2), "s" -> JString("10"))),
+          JObject(List("_id" -> JInt(3), "s" -> JString("2"))))))
+      val numSorted = cmd(srv, "find" -> JString("nums"),
+        "sort" -> JObject(List("s" -> JInt(1))),
+        "collation" -> JObject(List("locale" -> JString("simple"),
+          "numericOrdering" -> JBool(true))))
+      val order = numSorted("cursor").asInstanceOf[JObject].obj.toMap
+        .apply("firstBatch") match {
+        case JArray(ds) => ds.map(_.asInstanceOf[JObject].obj.toMap
+          .apply("s"))
+        case other => fail(s"bad firstBatch $other")
+      }
+      assert(order == List(JString("2"), JString("9"), JString("10")))
+    } finally srv.stop()
+  }
+
   test("count: query + skip subtracts + limit caps (0 = unlimited)") {
     val (_, srv) = fixture()
     try {
