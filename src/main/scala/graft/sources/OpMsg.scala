@@ -768,7 +768,7 @@ object OpMsg {
     private final class Cursor(val ns: String,
                                var rows: Iterator[org.apache.spark.sql.Row],
                                var schema: org.apache.spark.sql.types.StructType,
-                               val batchSize: Int,
+                               var batchSize: Int,
                                val tail: Option[ChangeTail] = None,
                                val capTail: Option[CapTail] = None) {
       @volatile var lastUsed: Long = System.nanoTime()
@@ -1256,15 +1256,34 @@ object OpMsg {
 
     def port: Int = socket.getLocalPort
 
+    // serverStatus observability: real counters, not stubs — every
+    // handled command ticks its opcounter, every live connection is in
+    // `current`
+    private val serverStartNanos = System.nanoTime()
+    private val liveConnections =
+      new java.util.concurrent.atomic.AtomicInteger(0)
+    private val totalConnections =
+      new java.util.concurrent.atomic.AtomicLong(0L)
+    private val opcounters =
+      new java.util.concurrent.ConcurrentHashMap[
+        String, java.util.concurrent.atomic.AtomicLong]()
+    private def countOp(k: String): Unit = {
+      opcounters.computeIfAbsent(k,
+        _ => new java.util.concurrent.atomic.AtomicLong())
+        .incrementAndGet(): Unit
+    }
+
     private val acceptor = new Thread(() => {
       while (running) {
         try {
           val conn = socket.accept()
           val w = new Thread(() => {
+            liveConnections.incrementAndGet(): Unit
+            totalConnections.incrementAndGet(): Unit
             try serve(conn)
             catch { case scala.util.control.NonFatal(e) =>
               if (running) System.err.println(s"[opmsg] connection failed: $e") }
-            finally conn.close()
+            finally { liveConnections.decrementAndGet(); conn.close() }
           }, "graft-opmsg-worker")
           w.setDaemon(true); w.start()
         } catch {
@@ -1877,6 +1896,14 @@ object OpMsg {
                        sequences: Seq[(String, Seq[Array[Byte]])] = Nil)
         : Array[Byte] = {
       val fields = cmd.obj.toMap
+      countOp(cmd.obj.headOption.map(_._1).getOrElse("") match {
+        case "insert" => "insert"
+        case "find" => "query"
+        case "update" => "update"
+        case "delete" => "delete"
+        case "getMore" => "getmore"
+        case _ => "command"
+      })
       // ---- hello: the handshake (pre-auth, never compressed); its
       // compression array negotiates OP_COMPRESSED for this connection
       if (fields.contains("hello") || fields.contains("isMaster") ||
@@ -2140,6 +2167,72 @@ object OpMsg {
       }
       val txnCtx: Option[TxnState] =
         txnFor(fields, cmd.obj.headOption.map(_._1).getOrElse(""))
+      // ---- monitoring surface: collStats / dbStats / serverStatus —
+      // the commands mongosh's db.coll.stats()/db.stats() and every
+      // monitoring agent issue. Sizes are file-listing metadata
+      // (O(files)); counts are one aggregate (driver-client context).
+      def collBytes(coll: String): Long = {
+        val p = new org.apache.hadoop.fs.Path(store.path(coll))
+        val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!f.exists(p)) 0L else f.getContentSummary(p).getLength
+      }
+      fields.get("collStats") match {
+        case Some(JString(coll)) =>
+          if (!store.exists(coll) && store.cappedSpec(coll).isEmpty)
+            return buildErrorReply(s"ns does not exist: $db.$coll", 26)
+          val count = if (store.exists(coll)) store.read(coll).count()
+                      else 0L
+          val bytes = collBytes(coll)
+          val capped = store.cappedSpec(coll)
+          return encodeDoc(JObject(List(
+            "ns" -> JString(s"$db.$coll"),
+            "count" -> JLong(count),
+            "size" -> JLong(bytes),
+            "storageSize" -> JLong(bytes),
+            "avgObjSize" ->
+              (if (count > 0) JLong(bytes / count) else JLong(0L)),
+            "capped" -> JBool(capped.isDefined)) ++
+            capped.toList.flatMap { case (max, size) =>
+              (if (max > 0) List("max" -> JLong(max)) else Nil) ++
+                (if (size > 0) List("maxSize" -> JLong(size)) else Nil)
+            } ++ List(
+            "nindexes" -> JInt(1 + store.uniqueKeyOf(coll).size),
+            "ok" -> JDouble(1.0))))
+        case _ => ()
+      }
+      fields.get("dbStats") match {
+        case Some(_) =>
+          val colls = store.collections()
+          return encodeDoc(JObject(List(
+            "db" -> JString(db),
+            "collections" -> JInt(colls.size),
+            "views" -> JInt(store.views().size),
+            "objects" -> JLong(
+              colls.map(c => store.read(c).count()).sum),
+            "dataSize" -> JLong(colls.map(collBytes).sum),
+            "ok" -> JDouble(1.0))))
+        case _ => ()
+      }
+      fields.get("serverStatus") match {
+        case Some(_) =>
+          def opc(k: String): JValue = JLong(
+            Option(opcounters.get(k)).map(_.get()).getOrElse(0L))
+          return encodeDoc(JObject(List(
+            "host" -> JString(s"127.0.0.1:$port"),
+            "process" -> JString("graft"),
+            "uptime" -> JDouble(
+              (System.nanoTime() - serverStartNanos) / 1e9),
+            "connections" -> JObject(List(
+              "current" -> JInt(liveConnections.get()),
+              "totalCreated" -> JLong(totalConnections.get()))),
+            "opcounters" -> JObject(List(
+              "insert" -> opc("insert"), "query" -> opc("query"),
+              "update" -> opc("update"), "delete" -> opc("delete"),
+              "getmore" -> opc("getmore"),
+              "command" -> opc("command"))),
+            "ok" -> JDouble(1.0))))
+        case _ => ()
+      }
       fields.get("distinct") match {
         case Some(JString(coll)) =>
           import org.apache.spark.sql.functions.{coalesce, col, explode, lit}
@@ -2781,6 +2874,46 @@ object OpMsg {
                 throw new IllegalArgumentException(
                   "$changeStream is only valid as the first pipeline stage")
           }
+          // $collStats / $indexStats: the stats stages mongosh and
+          // monitoring shells open pipelines with (must lead; served
+          // here where the store metadata lives, only-stage form)
+          stages.headOption match {
+            case Some(JObject(List(("$collStats", opts)))) =>
+              if (stages.length > 1) throw new IllegalArgumentException(
+                "$collStats supports only the single-stage form here " +
+                  "(append stages client-side)")
+              val sub = opts match {
+                case JObject(fs2) => fs2.map(_._1).toSet
+                case _ => Set.empty[String]
+              }
+              val count =
+                if (store.exists(coll)) store.read(coll).count() else 0L
+              val doc = JObject(List(
+                "ns" -> JString(s"$db.$coll")) ++
+                (if (sub.isEmpty || sub("count"))
+                  List("count" -> JLong(count)) else Nil) ++
+                (if (sub("storageStats")) List("storageStats" ->
+                  JObject(List(
+                    "size" -> JLong(collBytes(coll)),
+                    "count" -> JLong(count),
+                    "capped" -> JBool(store.cappedSpec(coll).isDefined))))
+                 else Nil))
+              return buildCursorReply(0L, s"$db.$coll", "firstBatch",
+                List(encodeDoc(doc)))
+            case Some(JObject(List(("$indexStats", _)))) =>
+              if (stages.length > 1) throw new IllegalArgumentException(
+                "$indexStats supports only the single-stage form here")
+              val docs = List(encodeDoc(JObject(List(
+                "name" -> JString("_id_"),
+                "key" -> JObject(List("_id" -> JInt(1))),
+                "accesses" -> JObject(List("ops" -> JLong(0L))))))) ++
+                store.uniqueKeyOf(coll).map(k => encodeDoc(JObject(List(
+                  "name" -> JString(s"${k}_1"),
+                  "key" -> JObject(List(k -> JInt(1))),
+                  "accesses" -> JObject(List("ops" -> JLong(0L)))))))
+              return buildCursorReply(0L, s"$db.$coll", "firstBatch", docs)
+            case _ => ()
+          }
           val pipelineJson = org.json4s.jackson.JsonMethods.compact(
             org.json4s.jackson.JsonMethods.render(JArray(stages)))
           // in a transaction, $lookup/$unionWith resolve against the
@@ -2908,6 +3041,18 @@ object OpMsg {
               org.json4s.jackson.JsonMethods.compact(
                 org.json4s.jackson.JsonMethods.render(c)))
           }
+          // {$natural: ±1}: insertion order. Exact (either direction)
+          // on capped collections, whose append-only file layout IS
+          // the order; on ordinary collections +1 degrades to scan
+          // order (mongod leaves it undefined there too) and -1
+          // refuses rather than fake a reverse
+          val naturalSort: Option[Boolean] = sortSpec match {
+            case Seq(("$natural", asc)) => Some(asc)
+            case _ if sortSpec.exists(_._1 == "$natural") =>
+              throw new IllegalArgumentException(
+                "$natural cannot combine with other sort keys")
+            case _ => None
+          }
           // ---- tailable find on a capped collection (mongod's oplog-
           // follow shape): natural order only, cursor survives drains,
           // getMore + maxTimeMS long-polls new appends
@@ -2918,7 +3063,8 @@ object OpMsg {
             if (store.cappedSpec(coll).isEmpty) throw new CommandError(
               s"tailable cursor requested on non-capped collection " +
                 s"'$coll'", 2, "BadValue")
-            if (sortSpec.nonEmpty || skip.isDefined || limit.isDefined)
+            if ((sortSpec.nonEmpty && !naturalSort.contains(true)) ||
+                skip.isDefined || limit.isDefined)
               throw new IllegalArgumentException(
                 "tailable find serves natural (insertion) order only — " +
                   "sort/skip/limit do not apply")
@@ -2937,6 +3083,52 @@ object OpMsg {
             cursors.put(id, c): Unit
             return buildCursorReply(id, s"$db.$coll", "firstBatch", first)
           }
+          naturalSort.foreach { asc =>
+            if (store.cappedSpec(coll).isDefined && txnCtx.isEmpty) {
+              // exact natural order: decode the append-only batch
+              // files in insertion sequence driver-side (capped
+              // collections are budget-bounded by construction)
+              val schema =
+                if (store.exists(coll)) store.read(coll).schema else null
+              if (schema == null)
+                return buildCursorReply(0L, s"$db.$coll", "firstBatch",
+                  Nil)
+              var rows: Seq[org.apache.spark.sql.Row] =
+                store.cappedFiles(coll).flatMap { case (name, _, _, _) =>
+                  val p = new org.apache.hadoop.fs.Path(
+                    store.path(coll), name)
+                  val in = p.getFileSystem(
+                    spark.sparkContext.hadoopConfiguration).open(p)
+                  try graft.bson.BsonBinary.documents(in)
+                    .map(n => graft.bson.DocDecoder
+                      .decodeStruct(n, schema, strict = false)
+                      : org.apache.spark.sql.Row).toVector
+                  finally in.close()
+                }
+              if (!asc) rows = rows.reverse
+              // filter + projection over a LocalRelation preserve row
+              // order (no shuffle); skip/limit slice the ordered tail
+              var ndf: org.apache.spark.sql.DataFrame =
+                spark.createDataFrame(
+                  java.util.Arrays.asList(rows: _*), schema)
+              ndf = ndf.where(FilterCompiler.withCollation(coll8n)(
+                FilterCompiler.withSchema(Some(schema))(
+                  FilterCompiler.compile(filterJson))))
+              if (includes.nonEmpty)
+                ndf = ndf.select(includes.map(ndf.col): _*)
+              else if (excludes.nonEmpty) ndf = ndf.drop(excludes: _*)
+              val all = ndf.collect()
+              val afterSkip = skip.map(all.drop).getOrElse(all)
+              val out = limit.map(afterSkip.take).getOrElse(afterSkip)
+              return openRowCursor(out.iterator, ndf.schema, coll,
+                batchSize)
+            } else if (!asc) throw new IllegalArgumentException(
+              "$natural: -1 is only supported on capped collections " +
+                "(ordinary collections have no defined natural order)")
+            // $natural: 1 on an ordinary collection = scan order (no
+            // explicit sort), mongod's own non-guarantee
+          }
+          val orderSpec = if (naturalSort.isDefined) Nil else sortSpec
           // a transactional find bypasses the preload (the overlay is
           // the truth inside the transaction, the preload is not)
           val preloaded = if (txnCtx.isDefined) null else localRel.get(coll)
@@ -2968,8 +3160,8 @@ object OpMsg {
             keys.map(c => if (asc) c.asc else c.desc)
           }
           val dfS =
-            if (sortSpec.isEmpty) df0
-            else df0.orderBy(sortSpec.flatMap {
+            if (orderSpec.isEmpty) df0
+            else df0.orderBy(orderSpec.flatMap {
               case (k, a) => sortKeys(k, a) }: _*)
           val df1 =
             if (includes.nonEmpty) dfS.select(includes.map(dfS.col): _*)
@@ -3005,6 +3197,12 @@ object OpMsg {
                 CursorInUse)
             try {
               c.lastUsed = System.nanoTime()
+              // mongod: a getMore may resize the cursor's batches
+              fields.get("batchSize") match {
+                case Some(JInt(n)) if n > 0 => c.batchSize = n.toInt
+                case Some(JLong(n)) if n > 0L => c.batchSize = n.toInt
+                case _ => ()
+              }
               if ((c.tail.isDefined || c.capTail.isDefined) &&
                   !c.rows.hasNext) {
                 // awaitData long-poll (mongod's tailable-awaitData

@@ -185,6 +185,52 @@ class OpMsgCappedSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("$natural sort: exact insertion order both directions on a " +
+       "capped collection (filter/skip/limit slice the ordered tail), " +
+       "+1 degrades to scan order on ordinary collections, -1 refuses " +
+       "there; tailable accepts {$natural: 1}") {
+    val (_, srv) = fixture()
+    try {
+      cmd(srv, "create" -> JString("nat"), "capped" -> JBool(true),
+        "max" -> JInt(100))
+      insertRange(srv, "nat", 1, 6)
+      insertRange(srv, "nat", 7, 9)
+      val desc = ids(batch(cmd(srv, "find" -> JString("nat"),
+        "sort" -> JObject(List("$natural" -> JInt(-1))),
+        "batchSize" -> JInt(1000))))
+      assert(desc == (9 to 1 by -1).map(BigInt(_)).toList)
+      // mongosh's "last 3, newest first" idiom
+      val last3 = ids(batch(cmd(srv, "find" -> JString("nat"),
+        "sort" -> JObject(List("$natural" -> JInt(-1))),
+        "limit" -> JInt(3))))
+      assert(last3 == List(BigInt(9), BigInt(8), BigInt(7)))
+      // filter + skip compose over the natural order
+      val evens = ids(batch(cmd(srv, "find" -> JString("nat"),
+        "filter" -> JObject(List("_id" -> JObject(List(
+          "$mod" -> JArray(List(JInt(2), JInt(0))))))),
+        "sort" -> JObject(List("$natural" -> JInt(1))),
+        "skip" -> JInt(1), "batchSize" -> JInt(1000))))
+      assert(evens == List(BigInt(4), BigInt(6), BigInt(8)))
+      // ordinary collections: +1 is scan order (rows come back), -1
+      // refuses instead of faking a reverse
+      insertRange(srv, "plain_nat", 1, 4)
+      assert(batch(cmd(srv, "find" -> JString("plain_nat"),
+        "sort" -> JObject(List("$natural" -> JInt(1))),
+        "batchSize" -> JInt(1000))).size == 4)
+      val e = intercept[IllegalArgumentException](cmd(srv,
+        "find" -> JString("plain_nat"),
+        "sort" -> JObject(List("$natural" -> JInt(-1)))))
+      assert(e.getMessage.contains("capped"))
+      // tailable + {$natural: 1} (the explicit spelling of its only
+      // order) opens fine
+      val (tid, tfirst) = nextBatch(cmd(srv, "find" -> JString("nat"),
+        "tailable" -> JBool(true),
+        "sort" -> JObject(List("$natural" -> JInt(1))),
+        "batchSize" -> JInt(1000)))
+      assert(tid != 0L && ids(tfirst) == (1 to 9).map(BigInt(_)).toList)
+    } finally srv.stop()
+  }
+
   test("CappedPositionLost: a tailer whose position file was evicted " +
        "under it dies with code 136; a fully-consumed evicted file is " +
        "NOT a loss (the cursor resumes at the next surviving file); a " +

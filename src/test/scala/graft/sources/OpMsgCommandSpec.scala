@@ -373,6 +373,68 @@ class OpMsgCommandSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("monitoring surface: collStats/dbStats answer real counts and " +
+       "byte sizes, serverStatus ticks live opcounters and connection " +
+       "gauges, $collStats/$indexStats stages serve store metadata, " +
+       "and a getMore can resize the cursor's batches") {
+    val (store, srv) = fixture()
+    try {
+      val cs = cmd(srv, "collStats" -> JString("items"))
+      assert(cs("count") == JLong(5L))
+      assert(cs("capped") == JBool(false))
+      assert(cs("size").asInstanceOf[JLong].num > 0)
+      assert(cs("nindexes") == JInt(1))
+      intercept[IllegalArgumentException](
+        cmd(srv, "collStats" -> JString("nope")))
+      val ds = cmd(srv, "dbStats" -> JInt(1))
+      assert(ds("collections") == JInt(2) && ds("objects") == JLong(6L))
+      // serverStatus: the find below must tick opcounters.query, and
+      // each one-shot command connection counts as created
+      val before = cmd(srv, "serverStatus" -> JInt(1))
+      cmd(srv, "find" -> JString("items"), "batchSize" -> JInt(1000))
+      val after = cmd(srv, "serverStatus" -> JInt(1))
+      def q(r: Map[String, JValue]): BigInt =
+        r("opcounters").asInstanceOf[JObject].obj.toMap
+          .apply("query").asInstanceOf[JLong].num
+      assert(q(after) == q(before) + 1)
+      assert(after("connections").asInstanceOf[JObject].obj.toMap
+        .apply("totalCreated").asInstanceOf[JLong].num >= 3)
+      // $collStats / $indexStats stages
+      val cstage = cmd(srv, "aggregate" -> JString("items"),
+        "pipeline" -> JArray(List(JObject(List("$collStats" ->
+          JObject(List("count" -> JObject(Nil),
+            "storageStats" -> JObject(Nil))))))),
+        "cursor" -> JObject(Nil))
+      val cdoc = cstage("cursor").asInstanceOf[JObject].obj.toMap
+        .apply("firstBatch").asInstanceOf[JArray].arr.head
+        .asInstanceOf[JObject].obj.toMap
+      assert(cdoc("count") == JLong(5L))
+      assert(cdoc("storageStats").asInstanceOf[JObject].obj.toMap
+        .apply("size").asInstanceOf[JLong].num > 0)
+      store.setUniqueKey("items", "_id")
+      val istage = cmd(srv, "aggregate" -> JString("items"),
+        "pipeline" -> JArray(List(JObject(List(
+          "$indexStats" -> JObject(Nil))))),
+        "cursor" -> JObject(Nil))
+      val inames = istage("cursor").asInstanceOf[JObject].obj.toMap
+        .apply("firstBatch").asInstanceOf[JArray].arr
+        .map(_.asInstanceOf[JObject].obj.toMap.apply("name"))
+      assert(inames == List(JString("_id_"), JString("_id_1")))
+      // getMore batchSize resize: 2 + 3 across two pulls
+      val open = cmd(srv, "find" -> JString("items"),
+        "sort" -> JObject(List("_id" -> JInt(1))),
+        "batchSize" -> JInt(2))
+      val cur = open("cursor").asInstanceOf[JObject].obj.toMap
+      assert(cur("firstBatch").asInstanceOf[JArray].arr.size == 2)
+      val id = cur("id").asInstanceOf[JLong].num.toLong
+      assert(id != 0L)
+      val more = cmd(srv, "getMore" -> JLong(id),
+        "collection" -> JString("items"), "batchSize" -> JInt(100))
+      assert(more("cursor").asInstanceOf[JObject].obj.toMap
+        .apply("nextBatch").asInstanceOf[JArray].arr.size == 3)
+    } finally srv.stop()
+  }
+
   test("count: query + skip subtracts + limit caps (0 = unlimited)") {
     val (_, srv) = fixture()
     try {
