@@ -430,6 +430,49 @@ final class DocStore(val spark: SparkSession, val dir: String,
 
   def dropCapped(name: String): Boolean = fs.delete(cappedPath(name), false)
 
+  /** mongod's convertToCapped: rebuild an ordinary collection as a
+    * capped one under the same name, keeping the NEWEST budget-ful of
+    * documents in scan order. Memory is bounded by the CAP BUDGET, not
+    * the collection: the scan streams through a deque that drops head
+    * docs the moment the budget overflows — converting a 100 TB
+    * collection to a 1 GB cap holds 1 GB. The rebuilt data is one
+    * insert-batch file, so natural order and tailing work exactly as
+    * for insert-built capped collections. (The drop→rebuild sequence
+    * has a crash window between the two commits — mongod's own
+    * convertToCapped is likewise not crash-atomic.) */
+  def convertToCapped(name: String, max: Long, size: Long = 0L): Unit = {
+    if (isView(name)) throw new MqlException(
+      s"convertToCapped: '$name' is a view")
+    if (cappedSpec(name).isDefined) throw new MqlException(
+      s"convertToCapped: '$name' is already capped")
+    if (!exists(name)) throw new MqlException(
+      s"convertToCapped: no collection '$name'")
+    if (max <= 0 && size <= 0) throw new MqlException(
+      "convertToCapped needs max docs > 0 or size bytes > 0")
+    // retained snapshots would become dead history under the rebuilt
+    // name — make their destruction the CALLER's explicit decision
+    if (versions(name).nonEmpty) throw new MqlException(
+      s"convertToCapped: '$name' has retired versions; " +
+        "pruneVersions(...) first (the conversion cannot keep them)")
+    val df = read(name)
+    val schema = df.schema
+    val keep = new java.util.ArrayDeque[Array[Byte]]()
+    var bytes = 0L
+    val it = df.toLocalIterator()
+    while (it.hasNext) {
+      val doc = graft.bson.BsonBinary.encodeRow(it.next(), schema)
+      keep.addLast(doc); bytes += doc.length
+      while ((max > 0 && keep.size > max) ||
+             (size > 0 && bytes > size && keep.size > 1))
+        bytes -= keep.removeFirst().length
+    }
+    val out = new java.io.ByteArrayOutputStream(bytes.toInt)
+    keep.forEach(d => out.write(d, 0, d.length))
+    drop(name): Unit
+    declareCapped(name, max, size)
+    if (out.size > 0) appendRaw(name, out.toByteArray)
+  }
+
   /** Every declared capped collection (inserted into yet or not). */
   def cappedNames(): Seq[String] = {
     val f = fs

@@ -2233,6 +2233,63 @@ object OpMsg {
             "ok" -> JDouble(1.0))))
         case _ => ()
       }
+      // ---- convertToCapped: rebuild an ordinary collection as capped
+      // in place (newest budget-ful survives; DocStore streams the
+      // scan through a cap-bounded deque — O(budget) memory)
+      fields.get("convertToCapped") match {
+        case Some(JString(coll)) =>
+          requireNotView(coll, "convertToCapped")
+          def num(k: String): Long = fields.get(k) match {
+            case Some(JInt(n)) => n.toLong
+            case Some(JLong(n)) => n
+            case Some(JDouble(n)) => n.toLong
+            case None => 0L
+            case Some(other) => throw new IllegalArgumentException(
+              s"convertToCapped: $k must be a number, got $other")
+          }
+          store.convertToCapped(coll, num("max"), num("size"))
+          localRel.remove(coll): Unit
+          return encodeDoc(JObject(List("ok" -> JDouble(1.0))))
+        case _ => ()
+      }
+      // ---- validate: real structural checks, not a stub — the scan
+      // must count, and a capped collection's batch files must parse
+      // to exactly the doc counts their names declare
+      fields.get("validate") match {
+        case Some(JString(coll)) =>
+          if (!store.exists(coll))
+            return buildErrorReply(s"ns does not exist: $db.$coll", 26)
+          val errors = List.newBuilder[String]
+          val nrecords =
+            try store.read(coll).count()
+            catch { case scala.util.control.NonFatal(e) =>
+              errors += s"scan failed: ${e.getMessage}"; -1L }
+          if (store.cappedSpec(coll).isDefined)
+            store.cappedFiles(coll).foreach { case (name, _, count, _) =>
+              val parsed =
+                try {
+                  val p = new org.apache.hadoop.fs.Path(
+                    store.path(coll), name)
+                  val in = p.getFileSystem(
+                    spark.sparkContext.hadoopConfiguration).open(p)
+                  try graft.bson.BsonBinary.documents(in).size
+                  finally in.close()
+                } catch { case scala.util.control.NonFatal(e) =>
+                  errors += s"$name: unparseable (${e.getMessage})"; -1
+                }
+              if (parsed >= 0 && parsed != count)
+                errors += s"$name: declares $count docs, parses $parsed"
+            }
+          val errs = errors.result()
+          return encodeDoc(JObject(List(
+            "ns" -> JString(s"$db.$coll"),
+            "nrecords" -> JLong(nrecords),
+            "nIndexes" -> JInt(1 + store.uniqueKeyOf(coll).size),
+            "valid" -> JBool(errs.isEmpty),
+            "errors" -> JArray(errs.map(JString(_))),
+            "ok" -> JDouble(1.0))))
+        case _ => ()
+      }
       fields.get("distinct") match {
         case Some(JString(coll)) =>
           import org.apache.spark.sql.functions.{coalesce, col, explode, lit}
@@ -2849,8 +2906,21 @@ object OpMsg {
             case Some(JObject(List(("$changeStream", csOpts)))) =>
               return openChangeCursor(DbWatch, csOpts, JArray(stages.tail),
                 cursorBatchSize(fields))
+            case Some(JObject(List(("$documents", _)))) =>
+              // db-level literal-documents aggregate (mongosh's
+              // db.aggregate([{$documents: [...]}, ...])): $documents
+              // replaces the frame, so the base is only a session
+              // carrier
+              val df = graft.mql.PipelineCompiler.run(
+                spark.emptyDataFrame,
+                org.json4s.jackson.JsonMethods.compact(
+                  org.json4s.jackson.JsonMethods.render(JArray(stages))),
+                name => store.readOrView(name))
+              return openCursor(df, "$cmd.aggregate",
+                cursorBatchSize(fields))
             case _ => throw new IllegalArgumentException(
-              "aggregate: 1 is only valid with a $changeStream first stage")
+              "aggregate: 1 needs a $changeStream or $documents first " +
+                "stage")
           }
         case _ => ()
       }

@@ -185,6 +185,72 @@ class OpMsgCappedSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("convertToCapped rebuilds an ordinary collection in place " +
+       "keeping the newest budget-ful (natural order and tailing work " +
+       "after); validate reports real structural checks incl. a " +
+       "corrupted capped batch file") {
+    val (store, srv) = fixture()
+    try {
+      insertRange(srv, "conv", 1, 30)
+      cmd(srv, "convertToCapped" -> JString("conv"), "max" -> JInt(12))
+      assert(ids(batch(cmd(srv, "find" -> JString("conv"),
+        "sort" -> JObject(List("$natural" -> JInt(1))),
+        "batchSize" -> JInt(1000))))
+        == (19 to 30).map(BigInt(_)).toList)
+      // the rebuilt collection caps like any insert-built one
+      insertRange(srv, "conv", 31, 34)
+      assert(ids(batch(cmd(srv, "find" -> JString("conv"),
+        "sort" -> JObject(List("$natural" -> JInt(1))),
+        "batchSize" -> JInt(1000))))
+        == (23 to 34).map(BigInt(_)).toList)
+      // listCollections reflects the new shape
+      val opts = batch(cmd(srv, "listCollections" -> JInt(1)))
+        .map(d => (d("name"), d("options"))).toMap
+      assert(opts(JString("conv")) == JObject(List(
+        "capped" -> JBool(true), "max" -> JLong(12L))))
+      // validate: green on the healthy collection...
+      val ok = cmd(srv, "validate" -> JString("conv"))
+      assert(ok("valid") == JBool(true) &&
+        ok("errors") == JArray(Nil))
+      // ...red with the exact complaint when a batch file lies about
+      // its count (truncate one doc off the end)
+      val files = store.cappedFiles("conv")
+      val victim = new org.apache.hadoop.fs.Path(
+        store.path("conv"), files.last._1)
+      val fs = victim.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val bytes = {
+        val in = fs.open(victim)
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](1 << 16)
+          var n = in.read(tmp)
+          while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+          buf.toByteArray
+        } finally in.close()
+      }
+      val lastLen = java.nio.ByteBuffer
+        .wrap(bytes, bytes.length - 25, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      assert(lastLen == 25) // {_id: int32, n: int64}
+      val out = fs.create(victim, true)
+      try out.write(bytes, 0, bytes.length - 25) finally out.close()
+      val bad = cmd(srv, "validate" -> JString("conv"))
+      assert(bad("valid") == JBool(false))
+      assert(bad("errors").asInstanceOf[JArray].arr.exists {
+        case JString(m) => m.contains("declares") && m.contains("parses")
+        case _ => false
+      })
+      // refusal matrix
+      val e1 = intercept[IllegalArgumentException](cmd(srv,
+        "convertToCapped" -> JString("conv"), "max" -> JInt(5)))
+      assert(e1.getMessage.contains("already capped"))
+      val e2 = intercept[IllegalArgumentException](cmd(srv,
+        "convertToCapped" -> JString("ghost"), "max" -> JInt(5)))
+      assert(e2.getMessage.contains("no collection"))
+    } finally srv.stop()
+  }
+
   test("$natural sort: exact insertion order both directions on a " +
        "capped collection (filter/skip/limit slice the ordered tail), " +
        "+1 degrades to scan order on ordinary collections, -1 refuses " +

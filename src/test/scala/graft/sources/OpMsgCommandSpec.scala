@@ -435,6 +435,36 @@ class OpMsgCommandSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("db-level aggregate (aggregate: 1) with a $documents first " +
+       "stage runs the literal table through the full pipeline") {
+    val (_, srv) = fixture()
+    try {
+      val reply = cmd(srv, "aggregate" -> JInt(1),
+        "pipeline" -> JArray(List(
+          JObject(List("$documents" -> JArray(List(
+            JObject(List("x" -> JInt(3))),
+            JObject(List("x" -> JInt(1))),
+            JObject(List("x" -> JInt(2))))))),
+          JObject(List("$match" -> JObject(List("x" -> JObject(List(
+            "$gte" -> JInt(2))))))),
+          JObject(List("$sort" -> JObject(List("x" -> JInt(1))))))),
+        "cursor" -> JObject(Nil))
+      val xs = reply("cursor").asInstanceOf[JObject].obj.toMap
+        .apply("firstBatch") match {
+        case JArray(ds) => ds.map(_.asInstanceOf[JObject].obj.toMap
+          .apply("x"))
+        case other => fail(s"bad firstBatch $other")
+      }
+      assert(xs == List(JInt(2), JInt(3)))
+      val e = intercept[IllegalArgumentException](cmd(srv,
+        "aggregate" -> JInt(1),
+        "pipeline" -> JArray(List(JObject(List(
+          "$match" -> JObject(Nil))))),
+        "cursor" -> JObject(Nil)))
+      assert(e.getMessage.contains("$documents"))
+    } finally srv.stop()
+  }
+
   test("count: query + skip subtracts + limit caps (0 = unlimited)") {
     val (_, srv) = fixture()
     try {
