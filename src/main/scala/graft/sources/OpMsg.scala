@@ -186,6 +186,16 @@ object OpMsg {
             val bytes = java.util.Base64.getDecoder.decode(b64)
             header(0x05); writeInt(out, bytes.length); out.write(0)
             out.write(bytes, 0, bytes.length)
+          case List(("$timestamp", JObject(ts))) =>
+            // BSON internal timestamp (0x11): increment low, seconds
+            // high — the $clusterTime/operationTime gossip currency
+            def tsField(k: String): Long = ts.collectFirst {
+              case (`k`, JInt(x)) => x.toLong
+              case (`k`, JLong(x)) => x
+            }.getOrElse(0L)
+            header(0x11)
+            writeLong(out, (tsField("t") << 32) |
+              (tsField("i") & 0xFFFFFFFFL))
           case _ => header(0x03); writeDocInto(out, o)
         }
       }
@@ -244,6 +254,11 @@ object OpMsg {
       case 0x04 =>
         val o = decodeDoc(b, p)
         (JArray(o.obj.map(_._2)), p + readIntLE(b, p))
+      case 0x11 =>
+        val v = readLongLE(b, p)
+        (JObject(List("$timestamp" -> JObject(List(
+          "t" -> JLong(v >>> 32), "i" -> JLong(v & 0xFFFFFFFFL))))),
+          p + 8)
       case other => throw new IllegalArgumentException(
         f"OP_MSG: unsupported BSON element type 0x$other%02X in a command")
     }
@@ -512,7 +527,7 @@ object OpMsg {
       case 0x0A => p
       case 0x08 => p + 1
       case 0x10 => p + 4
-      case 0x01 | 0x09 | 0x12 => p + 8
+      case 0x01 | 0x09 | 0x11 | 0x12 => p + 8
       case 0x13 => p + 16
       case 0x02 | 0x0D => p + 4 + readIntLE(b, p)
       case 0x03 | 0x04 => p + readIntLE(b, p)
@@ -1273,6 +1288,50 @@ object OpMsg {
         .incrementAndGet(): Unit
     }
 
+    // ---- logical cluster time (causal-consistency gossip) ----
+    // One packed (seconds << 32 | increment) counter, advanced on
+    // every write command; every reply carries it as operationTime +
+    // $clusterTime (zero-signature — the keyless single-member form),
+    // which is what lets a driver's causally-consistent session chain
+    // afterClusterTime reads across connections.
+    private val clusterClock =
+      new java.util.concurrent.atomic.AtomicLong(0L)
+    private def tickClusterTime(): Unit = {
+      clusterClock.updateAndGet { cur =>
+        val now = System.currentTimeMillis() / 1000L
+        if (now > (cur >>> 32)) (now << 32) | 1L else cur + 1L
+      }: Unit
+    }
+    private def clusterTs(): JValue = {
+      val cur = clusterClock.updateAndGet(c =>
+        if (c == 0L) (System.currentTimeMillis() / 1000L) << 32 | 1L
+        else c)
+      JObject(List("$timestamp" -> JObject(List(
+        "t" -> JLong(cur >>> 32), "i" -> JLong(cur & 0xFFFFFFFFL)))))
+    }
+
+    /** Splice operationTime + $clusterTime into a reply document
+      * (byte-level: grow the length prefix, insert the elements before
+      * the terminator — no decode/re-encode of the reply). */
+    private def gossip(reply: Array[Byte]): Array[Byte] = {
+      val ts = clusterTs()
+      val extra = new ByteArrayOutputStream(96)
+      writeElement(extra, "operationTime", ts)
+      writeElement(extra, "$clusterTime", JObject(List(
+        "clusterTime" -> ts,
+        "signature" -> JObject(List(
+          "hash" -> JObject(List("$binary" -> JString(
+            java.util.Base64.getEncoder.encodeToString(
+              new Array[Byte](20))))),
+          "keyId" -> JLong(0L))))))
+      val out = new ByteArrayOutputStream(reply.length + extra.size)
+      writeInt(out, reply.length + extra.size)
+      out.write(reply, 4, reply.length - 5)
+      extra.writeTo(out)
+      out.write(0)
+      out.toByteArray
+    }
+
     private val acceptor = new Thread(() => {
       while (running) {
         try {
@@ -1807,8 +1866,10 @@ object OpMsg {
         handled.foreach { reply =>
           // mirror the request's compression (same compressor) and
           // checksumming (negotiation gates the client ever sending
-          // compressed in the first place)
-          writeFrame(out, f.requestId + 1000000, f.requestId, reply,
+          // compressed in the first place); every reply — success or
+          // error — carries the cluster-time gossip, mongod-style
+          writeFrame(out, f.requestId + 1000000, f.requestId,
+            gossip(reply),
             flags = 0, compress = f.wasCompressed,
             checksum = f.wasChecksummed,
             compressor = if (f.wasCompressed) f.compressorId
@@ -1896,7 +1957,8 @@ object OpMsg {
                        sequences: Seq[(String, Seq[Array[Byte]])] = Nil)
         : Array[Byte] = {
       val fields = cmd.obj.toMap
-      countOp(cmd.obj.headOption.map(_._1).getOrElse("") match {
+      val cmdName = cmd.obj.headOption.map(_._1).getOrElse("")
+      countOp(cmdName match {
         case "insert" => "insert"
         case "find" => "query"
         case "update" => "update"
@@ -1904,6 +1966,11 @@ object OpMsg {
         case "getMore" => "getmore"
         case _ => "command"
       })
+      if (Set("insert", "update", "delete", "findAndModify",
+              "bulkWrite", "commitTransaction", "create", "drop",
+              "renameCollection", "dropDatabase",
+              "convertToCapped")(cmdName))
+        tickClusterTime()
       // ---- hello: the handshake (pre-auth, never compressed); its
       // compression array negotiates OP_COMPRESSED for this connection
       if (fields.contains("hello") || fields.contains("isMaster") ||
@@ -1915,8 +1982,22 @@ object OpMsg {
         val accepted = offered.filter(n =>
           n == "zlib" || n == "snappy" || n == "zstd")
         state.compressionNegotiated = accepted.nonEmpty
+        // single-member replica-set shape: real drivers gate sessions,
+        // retryable writes and TRANSACTIONS on setName + primary-ness
+        // (a bare standalone would make them refuse withTransaction)
+        val me = s"127.0.0.1:$port"
         return encodeDoc(JObject(List(
           "isWritablePrimary" -> JBool(true),
+          "helloOk" -> JBool(true),
+          "setName" -> JString("graft"),
+          "setVersion" -> JInt(1),
+          "secondary" -> JBool(false),
+          "hosts" -> JArray(List(JString(me))),
+          "me" -> JString(me),
+          "primary" -> JString(me),
+          "logicalSessionTimeoutMinutes" -> JInt(30),
+          "localTime" -> JObject(List(
+            "$date" -> JLong(System.currentTimeMillis()))),
           "maxBsonObjectSize" -> JInt(16777216),
           "maxMessageSizeBytes" -> JInt(MaxMessage),
           "maxWireVersion" -> JInt(17),

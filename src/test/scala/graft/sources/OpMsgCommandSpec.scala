@@ -139,9 +139,13 @@ class OpMsgCommandSpec extends AnyFunSuite {
       assert(batch.length == 3 && batch.forall(_("ok") == JDouble(1.0)))
       assert(store.read("items").count() == 6)
       assert(store.read("aux").count() == 0)
-      // replay: byte-identical ack, NO re-application
+      // replay: identical ack modulo the cluster-time gossip (the
+      // envelope is stamped fresh per reply, mongod-style; the logged
+      // COMMAND RESULT must not re-apply), NO re-application
+      def core(m: Map[String, JValue]): Map[String, JValue] =
+        m -- Seq("operationTime", "$clusterTime")
       val again = bulk(Some(("bulk-sess", 3L)))
-      assert(again == r)
+      assert(core(again) == core(r))
       assert(store.read("items").count() == 6)
       // ordered halt-on-error: a bad op stops the batch, results-so-far
       val err = OpMsg.command("127.0.0.1", srv.port, "graft", JObject(List(
@@ -462,6 +466,48 @@ class OpMsgCommandSpec extends AnyFunSuite {
           "$match" -> JObject(Nil))))),
         "cursor" -> JObject(Nil)))
       assert(e.getMessage.contains("$documents"))
+    } finally srv.stop()
+  }
+
+  test("replica-set hello + cluster-time gossip: hello advertises a " +
+       "single-member set (drivers gate sessions/transactions on " +
+       "setName + primary), every reply carries operationTime and " +
+       "$clusterTime, and writes advance the logical clock") {
+    val (_, srv) = fixture()
+    try {
+      val conn = new java.net.Socket("127.0.0.1", srv.port)
+      try {
+        val out = new java.io.BufferedOutputStream(conn.getOutputStream)
+        OpMsg.writeFrame(out, 1, 0, OpMsg.encodeDoc(JObject(List(
+          "hello" -> JInt(1), "$db" -> JString("graft")))),
+          flags = 0, compress = false)
+        val (_, _, body) = OpMsg.readMessage(
+          new java.io.BufferedInputStream(conn.getInputStream)).get
+        val hello = OpMsg.decodeDoc(body).obj.toMap
+        assert(hello("setName") == JString("graft"))
+        assert(hello("isWritablePrimary") == JBool(true))
+        val me = hello("me").asInstanceOf[JString].s
+        assert(hello("hosts") == JArray(List(JString(me))) &&
+          hello("primary") == JString(me))
+        assert(hello("logicalSessionTimeoutMinutes") == JInt(30))
+      } finally conn.close()
+      def packed(r: Map[String, JValue]): Long = {
+        val ts = r("operationTime").asInstanceOf[JObject].obj.toMap
+          .apply("$timestamp").asInstanceOf[JObject].obj.toMap
+        (ts("t").asInstanceOf[JLong].num << 32) |
+          ts("i").asInstanceOf[JLong].num
+      }
+      val p1 = cmd(srv, "ping" -> JInt(1))
+      val ct = p1("$clusterTime").asInstanceOf[JObject].obj.toMap
+      assert(ct.contains("clusterTime") &&
+        ct("signature").asInstanceOf[JObject].obj.toMap
+          .apply("keyId") == JLong(0L))
+      val t1 = packed(p1)
+      cmd(srv, "insert" -> JString("items"),
+        "documents" -> JArray(List(JObject(List("_id" -> JInt(99),
+          "kind" -> JString("z"), "n" -> JLong(0L))))))
+      val t2 = packed(cmd(srv, "ping" -> JInt(1)))
+      assert(t2 > t1, s"write must advance the cluster clock ($t1 -> $t2)")
     } finally srv.stop()
   }
 

@@ -240,7 +240,7 @@ class OpMsgWatchSpec extends AnyFunSuite {
           new java.io.BufferedInputStream(conn.getInputStream)).get
         assert(intercept[IllegalArgumentException](
           OpMsg.parseCursorReply(body))
-          .getMessage.contains("$changeStream first stage"))
+          .getMessage.contains("$changeStream or $documents first stage"))
       } finally conn.close()
     } finally server.stop()
   }
