@@ -24,11 +24,17 @@ package graft.sources
   *     litLen==0 shift and the `rep1 - 1` corner), and overlapping
   *     match copies.
   *
-  * The only frames refused are dictionary frames (Dictionary_ID != 0
-  * — mongod never uses wire dictionaries) and checksum MISMATCHES;
-  * both refuse loudly naming the cause. Decoding is validated
-  * property-style against real frames produced by zstd-jni and the
-  * zstd CLI across levels and block shapes (ZstdSpec).
+  * Dictionary frames decode too (round 11): [[parseDictionary]] reads
+  * the RFC 8878 §5 format — magic, id, the four entropy tables in
+  * their fixed order, the three recent offsets, content — and
+  * [[uncompress]] with a [[Dict]] preloads the window, the
+  * Treeless/Repeat table seeds and the rep offsets; raw-content blobs
+  * (no magic) window-prefix, libzstd's own fallback rule. The only
+  * refusals left are checksum MISMATCHES and a dictionary frame
+  * without (or with the wrong) dictionary; both name the cause and
+  * the ids. Decoding is validated property-style against real frames
+  * produced by zstd-jni and the zstd CLI across levels and block
+  * shapes, including trained-dictionary frames (ZstdSpec).
   *
   * Encoding comes in two shapes:
   *   - [[compress]]: store-mode (Raw blocks ≤ 128 KiB) — a legal zstd
@@ -357,6 +363,59 @@ object Zstd {
     ws.toArray
   }
 
+  // ------------------------------------------------------------ dictionary
+
+  private val DictMagic = 0xEC30A437
+
+  /** A parsed zstd dictionary (RFC 8878 §5): its content preloads the
+    * decoder window / encoder history, its entropy tables seed the
+    * first block's Treeless-literals and Repeat-sequence modes, and
+    * its three recent offsets replace the {1,4,8} defaults. A blob
+    * without the dictionary magic is a RAW CONTENT dictionary (id 0,
+    * window prefix only — libzstd's own fallback rule). */
+  final class Dict private[Zstd] (
+      val id: Long,
+      private[Zstd] val huf: HufTable,
+      private[Zstd] val ll: FseTable,
+      private[Zstd] val of: FseTable,
+      private[Zstd] val ml: FseTable,
+      private[Zstd] val reps: Array[Long],
+      private[Zstd] val content: Array[Byte]) {
+    def contentLength: Int = content.length
+  }
+
+  def parseDictionary(d: Array[Byte]): Dict = {
+    def le(o: Int, n: Int): Long = {
+      if (o + n > d.length) fail("truncated dictionary")
+      var v = 0L; var i = 0
+      while (i < n) { v |= (d(o + i) & 0xFFL) << (8 * i); i += 1 }
+      v
+    }
+    if (d.length < 8 || le(0, 4).toInt != DictMagic)
+      return new Dict(0L, null, null, null, null,
+        Array(1L, 4L, 8L), d.clone())
+    val id = le(4, 4)
+    if (id == 0) fail("dictionary id 0 is reserved")
+    var p = 8
+    // entropy tables, in the format's fixed order: Huffman (literals),
+    // then FSE for offsets, match lengths, literal lengths
+    val (huf, hb) = readHuffmanTree(d, p, d.length); p += hb
+    val (of, ob) = readFseTable(d, p, d.length, maxSymbol = 31,
+      maxLog = 8); p += ob
+    val (ml, mb) = readFseTable(d, p, d.length, maxSymbol = 52,
+      maxLog = 9); p += mb
+    val (ll, lb) = readFseTable(d, p, d.length, maxSymbol = 35,
+      maxLog = 9); p += lb
+    val reps = Array(le(p, 4), le(p + 4, 4), le(p + 8, 4)); p += 12
+    val content = java.util.Arrays.copyOfRange(d, p, d.length)
+    reps.foreach { r =>
+      if (r == 0 || r > content.length) fail(
+        s"dictionary recent offset $r out of range " +
+          s"(content is ${content.length} bytes)")
+    }
+    new Dict(id, huf, ll, of, ml, reps, content)
+  }
+
   /** Decode exactly `n` bytes from one Huffman stream; the stream must
     * be consumed to the bit. */
   private def hufDecodeStream(tab: HufTable, buf: Array[Byte], from: Int,
@@ -627,8 +686,8 @@ object Zstd {
       out.append(lits, litPos, ll)
       litPos += ll
       if (offset > out.n) fail(
-        "match offset reaches before the frame (dictionary frames are " +
-          "not supported)")
+        "match offset reaches before the window (frame content plus " +
+          "any dictionary prefix)")
       out.ensure(ml)
       var k = 0
       val src = out.n - offset.toInt
@@ -1319,11 +1378,38 @@ object Zstd {
     * encoder + decoder. */
   private val HashLog = 16
 
-  def compressFrame(in: Array[Byte]): Array[Byte] = {
+  def compressFrame(in: Array[Byte]): Array[Byte] = compressFrame(in, null)
+
+  /** [[compressFrame]] with a dictionary: its content becomes the
+    * match window's PREFIX (hash heads seeded over it, offsets may
+    * reach into it — where the ratio win on short similar inputs
+    * lives) and the frame header carries the Dictionary_ID so any
+    * decoder demands the same dictionary back. Entropy tables still
+    * emit per-block (always legal; a decoder never needs the
+    * dictionary's tables for our frames). */
+  def compressFrame(in: Array[Byte], dict: Dict): Array[Byte] = {
     require(in.length <= MaxLen, s"input too large (${in.length})")
     val n = in.length
-    // match-candidate heads SHARED ACROSS BLOCKS (cross-block window)
+    val prefix = if (dict == null) 0 else dict.content.length
+    val buf =
+      if (prefix == 0) in
+      else {
+        val b = new Array[Byte](prefix + n)
+        System.arraycopy(dict.content, 0, b, 0, prefix)
+        System.arraycopy(in, 0, b, prefix, n)
+        b
+      }
+    // match-candidate heads SHARED ACROSS BLOCKS (cross-block window),
+    // seeded over the dictionary prefix so the very first bytes of the
+    // input can match into it
     val heads = new Array[Int](1 << HashLog) // pos+1; 0 = empty
+    var s = 0
+    while (s + 4 <= prefix) {
+      val v = (buf(s) & 0xFF) | ((buf(s + 1) & 0xFF) << 8) |
+        ((buf(s + 2) & 0xFF) << 16) | ((buf(s + 3) & 0xFF) << 24)
+      heads((v * -1640531535) >>> (32 - HashLog)) = s + 1
+      s += 1
+    }
     val (fcsFlag, _) =
       if (n <= 0xFF) (0, 1) else if (n - 256 <= 0xFFFF) (1, 2) else (2, 4)
     val out = new java.io.ByteArrayOutputStream(n / 2 + 64)
@@ -1331,25 +1417,28 @@ object Zstd {
       var i = 0
       while (i < bytes) { out.write((v >>> (8 * i)) & 0xFF); i += 1 }
     }
+    val withId = dict != null && dict.id != 0
     le(Magic, 4)
-    out.write((fcsFlag << 6) | 0x20) // Single_Segment, no dict/checksum
+    // Single_Segment; Dictionary_ID in the 4-byte form when present
+    out.write((fcsFlag << 6) | 0x20 | (if (withId) 0x03 else 0x00))
+    if (withId) le(dict.id.toInt, 4)
     fcsFlag match {
       case 0 => le(n, 1)
       case 1 => le(n - 256, 2)
       case _ => le(n, 4)
     }
-    var p = 0
+    var p = prefix
     var emitted = 0
-    while (p < n || emitted == 0) {
-      val len = math.min(MaxBlock, n - p)
-      val last = if (p + len >= n) 1 else 0
-      compressBlock(in, p, len, heads) match {
+    while (p < prefix + n || emitted == 0) {
+      val len = math.min(MaxBlock, prefix + n - p)
+      val last = if (p + len >= prefix + n) 1 else 0
+      compressBlock(buf, p, len, heads) match {
         case Some(cb) =>
           le(last | (2 << 1) | (cb.length << 3), 3)
           out.write(cb, 0, cb.length)
         case None =>
           le(last | (len << 3), 3) // Raw
-          out.write(in, p, len)
+          out.write(buf, p, len)
       }
       p += len
       emitted += 1
@@ -1367,7 +1456,12 @@ object Zstd {
 
   // ---------------------------------------------------------------- decode
 
-  def uncompress(in: Array[Byte]): Array[Byte] = {
+  def uncompress(in: Array[Byte]): Array[Byte] = uncompress(in, null)
+
+  /** [[uncompress]] with a dictionary: required when the frame header
+    * carries a Dictionary_ID (it must match `dict.id`); a raw-content
+    * dictionary applies as window prefix regardless of the header. */
+  def uncompress(in: Array[Byte], dict: Dict): Array[Byte] = {
     def le(o: Int, bytes: Int): Long = {
       if (o + bytes > in.length) fail("truncated frame")
       var v = 0L; var i = 0
@@ -1389,9 +1483,10 @@ object Zstd {
     if (dictIdBytes > 0) {
       val dictId = le(p, dictIdBytes)
       p += dictIdBytes
-      if (dictId != 0) fail(
-        s"dictionary frames are not supported (dictionary id $dictId — " +
-          "OP_COMPRESSED peers never negotiate wire dictionaries)")
+      if (dictId != 0 && (dict == null || dict.id != dictId)) fail(
+        s"frame needs dictionary id $dictId" +
+          (if (dict == null) " and none was provided"
+           else s" but dictionary ${dict.id} was provided"))
     }
     val fcsSize = fcsFlag match {
       case 0 => if (single) 1 else 0
@@ -1411,9 +1506,20 @@ object Zstd {
     // disable the final declared-size verification
     if (fcsSize > 0 && declared < 0) fail("declared size out of range")
     if (declared > MaxLen) fail(s"declared size $declared too large")
-    val out = new Out(if (declared >= 0) declared.toInt
-                      else math.min(in.length * 4, MaxLen))
+    val prefix = if (dict == null) 0 else dict.content.length
+    val out = new Out(prefix + (if (declared >= 0) declared.toInt
+                                else math.min(in.length * 4, MaxLen)))
     val st = new FrameState
+    if (dict != null) {
+      // window prefix + entropy/rep-offset seeds: the first block may
+      // open in Treeless-literals or Repeat-sequence mode, and matches
+      // may reach into the dictionary's content
+      out.append(dict.content, 0, prefix)
+      st.huf = dict.huf
+      st.ll = dict.ll; st.of = dict.of; st.ml = dict.ml
+      st.rep1 = dict.reps(0); st.rep2 = dict.reps(1)
+      st.rep3 = dict.reps(2)
+    }
     var last = false
     while (!last) {
       val h = le(p, 3).toInt; p += 3
@@ -1442,16 +1548,21 @@ object Zstd {
         case _ => fail("reserved block type")
       }
     }
+    // the checksum and the declared size cover the frame's CONTENT
+    // only — never the dictionary prefix preloading the window
+    val content =
+      if (prefix == 0) out.result
+      else java.util.Arrays.copyOfRange(out.buf, prefix, out.n)
     if (hasChecksum) {
       val stored = le(p, 4); p += 4
-      val computed = xxh64(out.buf, out.n, 0L) & 0xFFFFFFFFL
+      val computed = xxh64(content, content.length, 0L) & 0xFFFFFFFFL
       if (stored != computed) fail(
         f"content checksum mismatch (stored 0x$stored%08X, " +
           f"computed 0x$computed%08X)")
     }
     if (p != in.length) fail(s"${in.length - p} trailing bytes after the frame")
-    if (declared >= 0 && out.n != declared)
-      fail(s"content size ${out.n} != declared $declared")
-    out.result
+    if (declared >= 0 && content.length != declared)
+      fail(s"content size ${content.length} != declared $declared")
+    content
   }
 }
