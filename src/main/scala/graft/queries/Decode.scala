@@ -734,6 +734,106 @@ object Decode {
                 SELECT CAST(-1 AS BIGINT), 'TXN', 42.5
               ) ORDER BY c_custkey""")),
 
+    // per-operation COLLATION over the wire: a strength-1 find filter
+    // matches case-insensitively server-side. Oracle = the lower()
+    // fold in SQL.
+    QueryDef("q_wire_collation",
+      (s, dir) => {
+        val store = new graft.sinks.DocStore(s,
+          java.nio.file.Files.createTempDirectory("graft_wcoll").toString,
+          "graftdocs")
+        store.write(Graft.table(s, dir, "customer")
+          .select("c_custkey", "c_mktsegment", "c_acctbal"), "customer")
+        val server = new graft.sources.OpMsg.Server(s, store)
+        try {
+          import org.json4s._
+          val reply = graft.sources.OpMsg.command(
+            "127.0.0.1", server.port, "graft", JObject(List(
+              "find" -> JString("customer"),
+              "filter" -> graft.mql.Mql.parse(
+                """{"c_mktsegment": "building",
+                    "c_acctbal": {"$gt": 5000}}"""),
+              "collation" -> JObject(List(
+                "locale" -> JString("simple"), "strength" -> JInt(1))),
+              "sort" -> JObject(List("c_custkey" -> JInt(1))),
+              "limit" -> JInt(200),
+              "batchSize" -> JInt(1000))))
+          val rows = reply("cursor").asInstanceOf[JObject].obj.toMap
+            .apply("firstBatch") match {
+            case JArray(ds) => ds.map(_.asInstanceOf[JObject].obj.toMap)
+            case other => throw new IllegalStateException(s"bad $other")
+          }
+          import s.implicits._
+          rows.map { d =>
+            val k = d("c_custkey") match {
+              case JLong(x) => x; case JInt(x) => x.toLong
+              case other => throw new IllegalStateException(s"bad $other")
+            }
+            val b = d("c_acctbal") match {
+              case JDouble(x) => x
+              case other => throw new IllegalStateException(s"bad $other")
+            }
+            (k, b)
+          }.toDF("c_custkey", "c_acctbal").orderBy("c_custkey")
+        } finally server.stop()
+      },
+      Some("""SELECT c_custkey, c_acctbal FROM customer
+              WHERE lower(c_mktsegment) = 'building' AND c_acctbal > 5000
+              ORDER BY c_custkey LIMIT 200""")),
+
+    // db-level aggregate (aggregate: 1, $documents first): the literal
+    // table runs the full pipeline server-side. Oracle = the same
+    // literals in SQL.
+    QueryDef("q_wire_docs_agg",
+      (s, dir) => {
+        val store = new graft.sinks.DocStore(s,
+          java.nio.file.Files.createTempDirectory("graft_wdocs").toString,
+          "graftdocs")
+        val server = new graft.sources.OpMsg.Server(s, store)
+        try {
+          import org.json4s._
+          val reply = graft.sources.OpMsg.command(
+            "127.0.0.1", server.port, "graft", JObject(List(
+              "aggregate" -> JInt(1),
+              "pipeline" -> JArray(List(
+                JObject(List("$documents" -> JArray(List(
+                  JObject(List("k" -> JString("a"), "v" -> JInt(3))),
+                  JObject(List("k" -> JString("b"), "v" -> JInt(1))),
+                  JObject(List("k" -> JString("c"), "v" -> JInt(7))),
+                  JObject(List("k" -> JString("d"), "v" -> JInt(5))))))),
+                JObject(List("$match" -> JObject(List("v" -> JObject(List(
+                  "$gte" -> JInt(3))))))),
+                JObject(List("$addFields" -> JObject(List(
+                  "doubled" -> JObject(List("$multiply" -> JArray(List(
+                    JString("$v"), JInt(2))))))))),
+                JObject(List("$sort" -> JObject(List("k" -> JInt(1))))))),
+              "cursor" -> JObject(Nil))))
+          val rows = reply("cursor").asInstanceOf[JObject].obj.toMap
+            .apply("firstBatch") match {
+            case JArray(ds) => ds.map(_.asInstanceOf[JObject].obj.toMap)
+            case other => throw new IllegalStateException(s"bad $other")
+          }
+          import s.implicits._
+          rows.map { d =>
+            val k = d("k") match {
+              case JString(x) => x
+              case other => throw new IllegalStateException(s"bad $other")
+            }
+            def num(n: String): Long = d(n) match {
+              case JInt(x) => x.toLong; case JLong(x) => x
+              case other => throw new IllegalStateException(s"bad $other")
+            }
+            (k, num("v"), num("doubled"))
+          }.toDF("k", "v", "doubled").orderBy("k")
+        } finally server.stop()
+      },
+      Some("""SELECT k, v, v * 2 AS doubled FROM (
+                SELECT 'a' AS k, CAST(3 AS BIGINT) AS v
+                UNION ALL SELECT 'b', 1
+                UNION ALL SELECT 'c', 7
+                UNION ALL SELECT 'd', 5)
+              WHERE v >= 3 ORDER BY k""")),
+
     // CAPPED collections over the wire (mongod `create` with
     // capped:true): a 20-doc budget over 30 inserts (12+12+6 batches)
     // evicts the oldest 10 exactly — one whole-file drop never fires
