@@ -723,7 +723,8 @@ object OpMsg {
                      tls: Option[(String, String)] = None,
                      cursorTimeoutMillis: Long = 600000L,
                      preload: Boolean = false,
-                     preloadCap: Int = OpMsg.PreloadCap) {
+                     preloadCap: Int = OpMsg.PreloadCap,
+                     txnLifetimeSeconds: Long = 60L) {
     // preload: serve `find` cursors from materialized LocalRelations —
     // filter/projection fold driver-side (ConvertToLocalRelation), so
     // answering a cursor never schedules a Spark job. A real mongod is
@@ -895,6 +896,7 @@ object OpMsg {
     // contract is session-scoped). One transaction per session; a new
     // txnNumber supersedes the last.
     private final class TxnState(val lsid: String, val txnNumber: Long) {
+      val startNanos: Long = System.nanoTime()
       var status: String = "active" // active | committed | aborted
       // collection -> contentStamp at FIRST touch; reads validate too,
       // so a validated transaction is serializable, not merely
@@ -1267,6 +1269,20 @@ object OpMsg {
       val deadline = System.nanoTime() - cursorTimeoutMillis * 1000000L
       val it = cursors.entrySet().iterator()
       while (it.hasNext) if (it.next().getValue.lastUsed < deadline) it.remove()
+      // mongod's transactionLifetimeLimitSeconds (default 60): an
+      // active transaction left open past the limit aborts server-side
+      // — its staged overlays drop, and the session's next touch or
+      // commit answers NoSuchTransaction (the driver's retry loop
+      // starts over). Bounds both orphaned-lock risk and the memory of
+      // abandoned overlays.
+      val txnDeadline =
+        System.nanoTime() - txnLifetimeSeconds * 1000000000L
+      val ti = activeTxns.values().iterator()
+      while (ti.hasNext) {
+        val t = ti.next()
+        if (t.status == "active" && t.startNanos < txnDeadline)
+          t.status = "aborted"
+      }
     }
 
     def port: Int = socket.getLocalPort
@@ -1825,6 +1841,7 @@ object OpMsg {
       var authenticated: Boolean = credential.isEmpty
       var sasl: Option[Scram.Server] = None
       var compressionNegotiated: Boolean = false
+      var remote: String = "" // client address, for whatsmyuri
     }
 
     // commands the wire spec forbids compressing (handshake + auth)
@@ -1835,6 +1852,8 @@ object OpMsg {
       val in = new BufferedInputStream(conn.getInputStream, 1 << 16)
       val out = new BufferedOutputStream(conn.getOutputStream, 1 << 16)
       val state = new ConnState
+      state.remote = String.valueOf(conn.getRemoteSocketAddress)
+        .stripPrefix("/")
       var next = readFrame(in)
       while (next.isDefined) {
         val f = next.get
@@ -2041,6 +2060,48 @@ object OpMsg {
           "version" -> JString("7.0.0-graft"),
           "gitVersion" -> JString("graft-opmsg-standin"),
           "maxBsonObjectSize" -> JInt(16777216),
+          "ok" -> JDouble(1.0))))
+      // mongosh's connect-time chatter: whatsmyuri / connectionStatus /
+      // getParameter / getLog — answered with the stand-in's real
+      // state (client address, authenticated user, actual parameter
+      // values), not canned shapes
+      if (fields.contains("whatsmyuri"))
+        return encodeDoc(JObject(List(
+          "you" -> JString(state.remote), "ok" -> JDouble(1.0))))
+      if (fields.contains("connectionStatus")) {
+        val users =
+          if (state.authenticated) credential.toList.map { case (u, _) =>
+            JObject(List("user" -> JString(u), "db" -> JString(db)))
+          } else Nil
+        return encodeDoc(JObject(List(
+          "authInfo" -> JObject(List(
+            "authenticatedUsers" -> JArray(users),
+            "authenticatedUserRoles" -> JArray(Nil))),
+          "ok" -> JDouble(1.0))))
+      }
+      fields.get("getParameter") match {
+        case Some(sel) =>
+          val params: List[(String, JValue)] = List(
+            "featureCompatibilityVersion" -> JObject(List(
+              "version" -> JString("7.0"))),
+            "transactionLifetimeLimitSeconds" ->
+              JLong(txnLifetimeSeconds),
+            "cursorTimeoutMillis" -> JLong(cursorTimeoutMillis),
+            "maxTransactionLockRequestTimeoutMillis" -> JLong(5L))
+          val all = sel == JString("*")
+          val picked =
+            if (all) params
+            else params.filter { case (k, _) => fields.contains(k) }
+          if (picked.isEmpty) throw new IllegalArgumentException(
+            "getParameter: no option found to get")
+          return encodeDoc(JObject(picked :+
+            ("ok" -> (JDouble(1.0): JValue))))
+        case None => ()
+      }
+      if (fields.contains("getLog"))
+        return encodeDoc(JObject(List(
+          "totalLinesWritten" -> JInt(0),
+          "log" -> JArray(Nil),
           "ok" -> JDouble(1.0))))
       if (!state.authenticated) throw new IllegalArgumentException(
         "command requires authentication (run SCRAM-SHA-256 saslStart first)")

@@ -511,6 +511,30 @@ class OpMsgCommandSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("mongosh connect chatter: whatsmyuri answers the client's real " +
+       "address, connectionStatus the authenticated user, getParameter " +
+       "real values (named and * forms), getLog an empty log") {
+    val (_, srv) = fixture()
+    try {
+      val you = cmd(srv, "whatsmyuri" -> JInt(1))("you")
+        .asInstanceOf[JString].s
+      assert(you.startsWith("127.0.0.1:"))
+      val cs = cmd(srv, "connectionStatus" -> JInt(1))("authInfo")
+        .asInstanceOf[JObject].obj.toMap
+      assert(cs("authenticatedUsers") == JArray(Nil)) // no-auth server
+      val one = cmd(srv, "getParameter" -> JInt(1),
+        "transactionLifetimeLimitSeconds" -> JInt(1))
+      assert(one("transactionLifetimeLimitSeconds") == JLong(60L))
+      assert(!one.contains("featureCompatibilityVersion"))
+      val all = cmd(srv, "getParameter" -> JString("*"))
+      assert(all("featureCompatibilityVersion") == JObject(List(
+        "version" -> JString("7.0"))))
+      intercept[IllegalArgumentException](
+        cmd(srv, "getParameter" -> JInt(1), "noSuchParam" -> JInt(1)))
+      assert(cmd(srv, "getLog" -> JString("global"))("log") == JArray(Nil))
+    } finally srv.stop()
+  }
+
   test("count: query + skip subtracts + limit caps (0 = unlimited)") {
     val (_, srv) = fixture()
     try {

@@ -219,6 +219,33 @@ class OpMsgTxnSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("transaction lifetime limit: an active transaction left open " +
+       "past transactionLifetimeLimitSeconds aborts server-side — the " +
+       "next touch and the commit answer NoSuchTransaction, staged " +
+       "writes never land") {
+    val store = new graft.sinks.DocStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_txn_ttl").toString,
+      "graftdocs")
+    store.write(spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(1, "a", 10L)),
+      schema), "items")
+    val srv = new OpMsg.Server(spark, store, txnLifetimeSeconds = 0L)
+    try {
+      val sid = "ttl-sess"
+      txnCmd(srv, sid, 1L, start = true,
+        "delete" -> JString("items"),
+        "deletes" -> JArray(List(JObject(List(
+          "q" -> JObject(Nil), "limit" -> JInt(0))))))
+      // lifetime 0: the sweeper (every request) has already reaped it
+      val e1 = intercept[IllegalArgumentException](
+        txnCmd(srv, sid, 1L, start = false, "find" -> JString("items")))
+      assert(e1.getMessage.contains("NoSuchTransaction"))
+      val e2 = intercept[IllegalArgumentException](commit(srv, sid, 1L))
+      assert(e2.getMessage.contains("NoSuchTransaction"))
+      assert(ns(srv, "items") == List((BigInt(1), BigInt(10))))
+    } finally srv.stop()
+  }
+
   test("protocol refusals: unknown txnNumber, restart of an active " +
        "transaction, startTransaction without autocommit:false, DDL / " +
        "$out / bulkWrite / implicit-create inside a transaction, and " +
