@@ -1990,6 +1990,55 @@ object OpMsg {
               "renameCollection", "dropDatabase",
               "convertToCapped")(cmdName))
         tickClusterTime()
+      // ---- read/write concern validation: accepted (a single-member
+      // primary satisfies every level and every afterClusterTime it
+      // ever handed out), but VALIDATED — an unknown level or a
+      // readConcern on a non-first transaction op is a driver bug
+      // mongod names, and so do we
+      fields.get("readConcern") match {
+        case Some(JObject(rc)) =>
+          rc.foreach {
+            case ("level", JString(l)) =>
+              if (!Set("local", "majority", "snapshot", "available",
+                       "linearizable")(l))
+                throw new IllegalArgumentException(
+                  s"readConcern level '$l' is not recognized")
+            case ("level", other) => throw new IllegalArgumentException(
+              s"readConcern.level must be a string, got $other")
+            case ("afterClusterTime" | "atClusterTime", _) => ()
+            case (k, _) => throw new IllegalArgumentException(
+              s"readConcern: unknown field '$k'")
+          }
+          if (fields.get("autocommit").contains(JBool(false)) &&
+              !fields.get("startTransaction").contains(JBool(true)))
+            throw new CommandError(
+              "readConcern is only valid on the FIRST operation of a " +
+                "multi-document transaction (mongod InvalidOptions)",
+              72, "InvalidOptions")
+        case Some(other) => throw new IllegalArgumentException(
+          s"readConcern must be a document, got $other")
+        case None => ()
+      }
+      fields.get("writeConcern") match {
+        case Some(JObject(wc)) =>
+          wc.foreach {
+            case ("w", JInt(_) | JLong(_) | JString(_)) => ()
+            case ("j", JBool(_)) => ()
+            case ("wtimeout" | "wtimeoutMS", JInt(_) | JLong(_)) => ()
+            case (k, v) => throw new IllegalArgumentException(
+              s"writeConcern: unsupported field '$k' = $v")
+          }
+          if (fields.get("autocommit").contains(JBool(false)) &&
+              cmdName != "commitTransaction" &&
+              cmdName != "abortTransaction")
+            throw new CommandError(
+              "writeConcern is only valid on commitTransaction/" +
+                "abortTransaction inside a multi-document transaction " +
+                "(mongod InvalidOptions)", 72, "InvalidOptions")
+        case Some(other) => throw new IllegalArgumentException(
+          s"writeConcern must be a document, got $other")
+        case None => ()
+      }
       // ---- hello: the handshake (pre-auth, never compressed); its
       // compression array negotiates OP_COMPRESSED for this connection
       if (fields.contains("hello") || fields.contains("isMaster") ||

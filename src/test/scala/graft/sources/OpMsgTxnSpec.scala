@@ -219,6 +219,48 @@ class OpMsgTxnSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("read/write concern validation: levels accepted incl. snapshot " +
+       "on the first txn op, unknown level refuses, readConcern on a " +
+       "NON-first txn op and writeConcern on a non-commit txn op " +
+       "answer InvalidOptions (mongod contract)") {
+    val (_, srv) = fixture()
+    try {
+      val sid = "rc-sess"
+      // snapshot readConcern on the FIRST op: the driver's txn shape
+      txnCmd(srv, sid, 1L, start = true, "find" -> JString("items"),
+        "readConcern" -> JObject(List("level" -> JString("snapshot"))))
+      val e1 = intercept[IllegalArgumentException](
+        txnCmd(srv, sid, 1L, start = false, "find" -> JString("items"),
+          "readConcern" -> JObject(List("level" -> JString("snapshot")))))
+      assert(e1.getMessage.contains("InvalidOptions"))
+      val e2 = intercept[IllegalArgumentException](
+        txnCmd(srv, sid, 1L, start = false,
+          "delete" -> JString("items"),
+          "deletes" -> JArray(List(JObject(List(
+            "q" -> JObject(Nil), "limit" -> JInt(0))))),
+          "writeConcern" -> JObject(List("w" -> JString("majority")))))
+      assert(e2.getMessage.contains("InvalidOptions"))
+      // writeConcern on the commit itself is the correct driver shape
+      txnCmd(srv, sid, 1L, start = false,
+        "commitTransaction" -> JInt(1),
+        "writeConcern" -> JObject(List("w" -> JString("majority"),
+          "j" -> JBool(true))))
+      // plain ops: every known level accepted, unknown refused
+      cmd(srv, "find" -> JString("items"),
+        "readConcern" -> JObject(List("level" -> JString("majority"))))
+      val e3 = intercept[IllegalArgumentException](cmd(srv,
+        "find" -> JString("items"),
+        "readConcern" -> JObject(List("level" -> JString("quorum")))))
+      assert(e3.getMessage.contains("not recognized"))
+      val e4 = intercept[IllegalArgumentException](cmd(srv,
+        "insert" -> JString("items"),
+        "documents" -> JArray(List(JObject(List("_id" -> JInt(50),
+          "kind" -> JString("x"), "n" -> JLong(0L))))),
+        "writeConcern" -> JObject(List("fsync" -> JBool(true)))))
+      assert(e4.getMessage.contains("unsupported field 'fsync'"))
+    } finally srv.stop()
+  }
+
   test("transaction lifetime limit: an active transaction left open " +
        "past transactionLifetimeLimitSeconds aborts server-side — the " +
        "next touch and the commit answer NoSuchTransaction, staged " +
