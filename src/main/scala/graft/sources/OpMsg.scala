@@ -2404,6 +2404,42 @@ object OpMsg {
             "ok" -> JDouble(1.0))))
         case _ => ()
       }
+      // ---- currentOp: live operations from REAL server state — the
+      // open cursors and active transactions, with ages. mongosh's
+      // db.currentOp() and the admin $currentOp stage both land here.
+      def currentOpDocs(): List[Array[Byte]] = {
+        val now = System.nanoTime()
+        val cursorDocs = cursors.entrySet().toArray(
+          Array.empty[java.util.Map.Entry[java.lang.Long, Cursor]])
+          .sortBy(_.getKey: Long).toList.map { e =>
+            val c = e.getValue
+            encodeDoc(JObject(List(
+              "type" -> JString("idleCursor"),
+              "cursorId" -> JLong(e.getKey),
+              "ns" -> JString(c.ns),
+              "tailable" -> JBool(c.tail.isDefined || c.capTail.isDefined),
+              "ageSeconds" -> JLong((now - c.lastUsed) / 1000000000L))))
+          }
+        val txnDocs = activeTxns.values().toArray(Array.empty[TxnState])
+          .filter(_.status == "active").sortBy(_.lsid).toList.map { t =>
+            encodeDoc(JObject(List(
+              "type" -> JString("transaction"),
+              "lsid" -> JObject(List("id" -> JString(t.lsid))),
+              "txnNumber" -> JLong(t.txnNumber),
+              "collections" -> JArray(
+                t.stamps.keys.toList.sorted.map(JString(_))),
+              "ageSeconds" -> JLong((now - t.startNanos) / 1000000000L))))
+          }
+        cursorDocs ++ txnDocs
+      }
+      fields.get("currentOp") match {
+        case Some(_) =>
+          return encodeDoc(JObject(List(
+            "inprog" -> JArray(currentOpDocs().map(d =>
+              decodeDoc(d): JValue)),
+            "ok" -> JDouble(1.0))))
+        case None => ()
+      }
       fields.get("serverStatus") match {
         case Some(_) =>
           def opc(k: String): JValue = JLong(
@@ -3097,6 +3133,13 @@ object OpMsg {
             case Some(JObject(List(("$changeStream", csOpts)))) =>
               return openChangeCursor(DbWatch, csOpts, JArray(stages.tail),
                 cursorBatchSize(fields))
+            case Some(JObject(List(("$currentOp", _)))) =>
+              // admin-level $currentOp (mongosh's currentOp shape):
+              // only-stage form, served from real server state
+              if (stages.length > 1) throw new IllegalArgumentException(
+                "$currentOp supports only the single-stage form here")
+              return buildCursorReply(0L, s"$db.$$cmd.aggregate",
+                "firstBatch", currentOpDocs())
             case Some(JObject(List(("$documents", _)))) =>
               // db-level literal-documents aggregate (mongosh's
               // db.aggregate([{$documents: [...]}, ...])): $documents

@@ -535,6 +535,49 @@ class OpMsgCommandSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("currentOp (command and $currentOp stage) lists live state: an " +
+       "open cursor with its ns and a running transaction with its " +
+       "touched collections") {
+    val (_, srv) = fixture()
+    try {
+      val open = cmd(srv, "find" -> JString("items"),
+        "batchSize" -> JInt(2))
+      val cursorId = open("cursor").asInstanceOf[JObject].obj.toMap
+        .apply("id").asInstanceOf[JLong].num.toLong
+      assert(cursorId != 0L)
+      OpMsg.command("127.0.0.1", srv.port, "graft", JObject(List(
+        "find" -> JString("items"),
+        "startTransaction" -> JBool(true),
+        "autocommit" -> JBool(false))),
+        session = Some(("op-sess", 5L)))
+      val inprog = cmd(srv, "currentOp" -> JInt(1))("inprog") match {
+        case JArray(ds) => ds.map(_.asInstanceOf[JObject].obj.toMap)
+        case other => fail(s"bad inprog $other")
+      }
+      val cur = inprog.find(_.get("type").contains(JString("idleCursor")))
+        .getOrElse(fail("no cursor op"))
+      assert(cur("cursorId") == JLong(cursorId) &&
+        cur("ns") == JString("graft.items"))
+      val txn = inprog.find(_.get("type").contains(JString("transaction")))
+        .getOrElse(fail("no transaction op"))
+      assert(txn("txnNumber") == JLong(5L) &&
+        txn("collections") == JArray(List(JString("items"))))
+      // the $currentOp stage serves the same documents
+      val staged = cmd(srv, "aggregate" -> JInt(1),
+        "pipeline" -> JArray(List(JObject(List(
+          "$currentOp" -> JObject(Nil))))),
+        "cursor" -> JObject(Nil))
+      val types = staged("cursor").asInstanceOf[JObject].obj.toMap
+        .apply("firstBatch") match {
+        case JArray(ds) => ds.map(_.asInstanceOf[JObject].obj.toMap
+          .apply("type"))
+        case other => fail(s"bad firstBatch $other")
+      }
+      assert(types.contains(JString("idleCursor")) &&
+        types.contains(JString("transaction")))
+    } finally srv.stop()
+  }
+
   test("count: query + skip subtracts + limit caps (0 = unlimited)") {
     val (_, srv) = fixture()
     try {
