@@ -185,6 +185,44 @@ class OpMsgCappedSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("oplog-style streaming: the graftwire offsetKey source tails a " +
+       "CAPPED collection — forward micro-batches survive head " +
+       "eviction (the Kafka-retention contract: only lagging replays " +
+       "into evicted ranges can lose data, reading the tail never " +
+       "does)") {
+    val (store, srv) = fixture()
+    try {
+      cmd(srv, "create" -> JString("oplog"), "capped" -> JBool(true),
+        "max" -> JInt(15))
+      insertRange(srv, "oplog", 1, 10)
+      val schema = store.read("oplog").schema
+      val sink = s"cap_tail_${System.nanoTime()}"
+      val q = spark.readStream.format("graftwire")
+        .option("host", "127.0.0.1").option("port", srv.port)
+        .option("collection", "oplog")
+        .option("offsetKey", "_id")
+        .schema(schema).load()
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table(sink).count() == 10)
+        // two more batches; the second evicts the oldest docs UNDER the
+        // running stream — the tail reads forward ranges only, so every
+        // appended doc still arrives exactly once
+        insertRange(srv, "oplog", 11, 18)
+        q.processAllAvailable()
+        insertRange(srv, "oplog", 19, 25) // evicts _ids 1..10
+        q.processAllAvailable()
+        assert(spark.table(sink).count() == 25)
+        assert(spark.table(sink).select("_id").distinct().count() == 25)
+        // the collection itself holds only the budget...
+        assert(store.read("oplog").count() == 15)
+        // ...while the stream delivered the full history it tailed
+      } finally q.stop()
+    } finally srv.stop()
+  }
+
   test("convertToCapped rebuilds an ordinary collection in place " +
        "keeping the newest budget-ful (natural order and tailing work " +
        "after); validate reports real structural checks incl. a " +
