@@ -981,6 +981,46 @@ object OpMsg {
         store.read(coll)
       })
 
+    /** Driver-side snapshot of a capped collection in insertion order:
+      * the batch files decoded directly (budget-bounded by
+      * construction — a capped collection can never exceed its cap),
+      * with ONE retry when eviction deletes a file between the listing
+      * and the read (the same race a Spark range-scan would DIE on:
+      * retention racing readers, Kafka's deleted-segment problem —
+      * a snapshot re-list simply starts after the eviction). */
+    private def cappedSnapshot(coll: String)
+        : (Seq[org.apache.spark.sql.Row],
+           org.apache.spark.sql.types.StructType) = {
+      val schema = store.read(coll).schema
+      def attempt(): Seq[org.apache.spark.sql.Row] =
+        store.cappedFiles(coll).flatMap { case (name, _, _, _) =>
+          val p = new org.apache.hadoop.fs.Path(store.path(coll), name)
+          val in = p.getFileSystem(
+            spark.sparkContext.hadoopConfiguration).open(p)
+          try graft.bson.BsonBinary.documents(in)
+            .map(n => graft.bson.DocDecoder
+              .decodeStruct(n, schema, strict = false)
+              : org.apache.spark.sql.Row).toVector
+          finally in.close()
+        }
+      val rows =
+        try attempt()
+        catch { case _: java.io.FileNotFoundException => attempt() }
+      (rows, schema)
+    }
+
+    /** Read base for the query commands: capped collections serve a
+      * driver-side snapshot (a Spark scan over their files would race
+      * head eviction — a file deleted between listing and read kills
+      * the task; the snapshot re-lists instead, and its size is
+      * bounded by the cap budget by construction); everything else is
+      * the normal view-resolving scan. */
+    private def readBase(coll: String): DataFrame =
+      if (store.cappedSpec(coll).isDefined && store.exists(coll)) {
+        val (rows, schema) = cappedSnapshot(coll)
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      } else store.readOrView(coll)
+
     /** An op failing inside a transaction aborts it (mongod contract:
       * the driver must not try to commit a broken transaction). */
     private def inTxn[T](txn: Option[TxnState])(f: => T): T =
@@ -2526,7 +2566,7 @@ object OpMsg {
               s"distinct needs a string 'key', got $other")
           }
           val base = txnCtx.map(txnRead(_, coll))
-            .getOrElse(store.readOrView(coll))
+            .getOrElse(readBase(coll))
           val q = fields.getOrElse("query", JObject(Nil))
           val dColl8n = fields.get("collation").map { c =>
             FilterCompiler.Collation.parse(
@@ -2567,7 +2607,7 @@ object OpMsg {
             return encodeDoc(JObject(List(
               "n" -> JLong(0L), "ok" -> JDouble(1.0))))
           val base = txnCtx.map(txnRead(_, coll))
-            .getOrElse(store.readOrView(coll))
+            .getOrElse(readBase(coll))
           val q = fields.getOrElse("query", JObject(Nil))
           val cColl8n = fields.get("collation").map { c =>
             FilterCompiler.Collation.parse(
@@ -3224,7 +3264,7 @@ object OpMsg {
           // transaction's own overlays too (read-your-writes)
           val resolve: graft.mql.PipelineCompiler.TableResolver =
             name => txnCtx.map(txnRead(_, name))
-              .getOrElse(store.readOrView(name))
+              .getOrElse(readBase(name))
           // mongod executes $out/$merge SERVER-SIDE and answers an
           // EMPTY cursor — here that is the engine role (runWithWrites),
           // not the reference client's refusal (PipelineCompiler.run)
@@ -3258,7 +3298,7 @@ object OpMsg {
           // reference forwards it verbatim in kwargs, api.py:252)
           def runPipeline() = graft.mql.PipelineCompiler.run(
             inTxn(txnCtx)(txnCtx.map(txnRead(_, coll))
-              .getOrElse(store.readOrView(coll))), pipelineJson, resolve)
+              .getOrElse(readBase(coll))), pipelineJson, resolve)
           // aggregate-level collation (the reference forwards it
           // verbatim in kwargs, api.py:252) — same fold/refuse rules
           // as the API-level Db.aggregate
@@ -3389,27 +3429,12 @@ object OpMsg {
           }
           naturalSort.foreach { asc =>
             if (store.cappedSpec(coll).isDefined && txnCtx.isEmpty) {
-              // exact natural order: decode the append-only batch
-              // files in insertion sequence driver-side (capped
-              // collections are budget-bounded by construction)
-              val schema =
-                if (store.exists(coll)) store.read(coll).schema else null
-              if (schema == null)
+              // exact natural order from the driver-side snapshot
+              if (!store.exists(coll))
                 return buildCursorReply(0L, s"$db.$coll", "firstBatch",
                   Nil)
-              var rows: Seq[org.apache.spark.sql.Row] =
-                store.cappedFiles(coll).flatMap { case (name, _, _, _) =>
-                  val p = new org.apache.hadoop.fs.Path(
-                    store.path(coll), name)
-                  val in = p.getFileSystem(
-                    spark.sparkContext.hadoopConfiguration).open(p)
-                  try graft.bson.BsonBinary.documents(in)
-                    .map(n => graft.bson.DocDecoder
-                      .decodeStruct(n, schema, strict = false)
-                      : org.apache.spark.sql.Row).toVector
-                  finally in.close()
-                }
-              if (!asc) rows = rows.reverse
+              val (rows0, schema) = cappedSnapshot(coll)
+              val rows = if (asc) rows0 else rows0.reverse
               // filter + projection over a LocalRelation preserve row
               // order (no shuffle); skip/limit slice the ordered tail
               var ndf: org.apache.spark.sql.DataFrame =
@@ -3436,9 +3461,15 @@ object OpMsg {
           // a transactional find bypasses the preload (the overlay is
           // the truth inside the transaction, the preload is not)
           val preloaded = if (txnCtx.isDefined) null else localRel.get(coll)
+          // capped collections serve from the driver-side snapshot: a
+          // Spark scan over their files would race head eviction (a
+          // file deleted between listing and read kills the task —
+          // retention racing readers); the snapshot re-lists instead,
+          // and its size is bounded by the cap budget by construction
           val base = txnCtx.map(t => inTxn(txnCtx)(txnRead(t, coll)))
             .getOrElse(
-              if (preloaded != null) preloaded else store.readOrView(coll))
+              if (preloaded != null) preloaded
+              else readBase(coll))
           val df0 = base.where(FilterCompiler.withCollation(coll8n)(
             FilterCompiler.withSchema(Some(base.schema))(
               FilterCompiler.compile(filterJson))))
