@@ -473,6 +473,23 @@ final class DocStore(val spark: SparkSession, val dir: String,
     if (out.size > 0) appendRaw(name, out.toByteArray)
   }
 
+  /** mongod 6.0's collMod cappedSize/cappedMax: change a capped
+    * collection's budget in place — a SHRINK evicts immediately (the
+    * next reader already sees the new budget), a grow just raises the
+    * ceiling. */
+  def resizeCapped(name: String, max: Long, size: Long): Unit = {
+    if (cappedSpec(name).isEmpty) throw new MqlException(
+      s"resizeCapped: '$name' is not capped")
+    if (max <= 0 && size <= 0) throw new MqlException(
+      "resizeCapped needs max docs > 0 or size bytes > 0")
+    val f = fs
+    val out = f.create(cappedPath(name), true)
+    try out.write(s"""{"max": $max, "size": $size}""".getBytes("UTF-8"))
+    finally out.close()
+    if (exists(name))
+      capMonitor(name).synchronized { enforceCap(name, max, size) }
+  }
+
   /** Every declared capped collection (inserted into yet or not). */
   def cappedNames(): Seq[String] = {
     val f = fs

@@ -2500,6 +2500,50 @@ object OpMsg {
             "ok" -> JDouble(1.0))))
         case _ => ()
       }
+      // ---- collMod: mongod's in-place options modifier — the two
+      // forms this engine has options FOR: resize a capped budget
+      // (cappedSize/cappedMax, mongod 6.0 — a shrink evicts
+      // immediately) and redefine a view (viewOn/pipeline)
+      fields.get("collMod") match {
+        case Some(JString(coll)) =>
+          val isView = store.isView(coll)
+          val cappedMax = fields.get("cappedMax")
+          val cappedSize = fields.get("cappedSize")
+          val viewOn = fields.get("viewOn")
+          val pipe = fields.get("pipeline")
+          def num(v: Option[JValue], k: String): Long = v match {
+            case Some(JInt(n)) => n.toLong
+            case Some(JLong(n)) => n
+            case Some(JDouble(n)) => n.toLong
+            case None => 0L
+            case Some(other) => throw new IllegalArgumentException(
+              s"collMod: $k must be a number, got $other")
+          }
+          if (isView) {
+            val on = viewOn match {
+              case Some(JString(o)) => o
+              case _ => throw new IllegalArgumentException(
+                "collMod on a view needs viewOn (and optionally " +
+                  "pipeline)")
+            }
+            val pjson = pipe.map(v =>
+              org.json4s.jackson.JsonMethods.compact(
+                org.json4s.jackson.JsonMethods.render(v))).getOrElse("[]")
+            store.dropView(coll): Unit
+            store.createView(coll, on, pjson)
+            return encodeDoc(JObject(List("ok" -> JDouble(1.0))))
+          }
+          if (cappedMax.isDefined || cappedSize.isDefined) {
+            store.resizeCapped(coll, num(cappedMax, "cappedMax"),
+              num(cappedSize, "cappedSize"))
+            localRel.remove(coll): Unit
+            return encodeDoc(JObject(List("ok" -> JDouble(1.0))))
+          }
+          throw new IllegalArgumentException(
+            "collMod: supported forms are cappedSize/cappedMax (capped " +
+              "collections) and viewOn/pipeline (views)")
+        case _ => ()
+      }
       // ---- convertToCapped: rebuild an ordinary collection as capped
       // in place (newest budget-ful survives; DocStore streams the
       // scan through a cap-bounded deque — O(budget) memory)

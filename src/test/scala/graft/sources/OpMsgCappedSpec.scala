@@ -185,6 +185,44 @@ class OpMsgCappedSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("collMod resizes a capped budget in place: a shrink evicts " +
+       "immediately, a grow raises the ceiling; the view form " +
+       "redefines viewOn/pipeline; refusals name the supported forms") {
+    val (store, srv) = fixture()
+    try {
+      cmd(srv, "create" -> JString("rsz"), "capped" -> JBool(true),
+        "max" -> JInt(50))
+      insertRange(srv, "rsz", 1, 30)
+      // shrink 50 -> 12: evicts 18 oldest NOW
+      cmd(srv, "collMod" -> JString("rsz"), "cappedMax" -> JInt(12))
+      assert(ids(batch(cmd(srv, "find" -> JString("rsz"),
+        "sort" -> JObject(List("_id" -> JInt(1))),
+        "batchSize" -> JInt(1000))))
+        == (19 to 30).map(BigInt(_)).toList)
+      assert(store.cappedSpec("rsz") == Some((12L, 0L)))
+      // grow: the next inserts fill to the new ceiling
+      cmd(srv, "collMod" -> JString("rsz"), "cappedMax" -> JInt(20))
+      insertRange(srv, "rsz", 31, 38)
+      assert(store.read("rsz").count() == 20)
+      // view redefinition
+      insertRange(srv, "base1", 1, 5)
+      insertRange(srv, "base2", 6, 9)
+      cmd(srv, "create" -> JString("v"), "viewOn" -> JString("base1"),
+        "pipeline" -> JArray(Nil))
+      assert(batch(cmd(srv, "find" -> JString("v"),
+        "batchSize" -> JInt(100))).size == 5)
+      cmd(srv, "collMod" -> JString("v"), "viewOn" -> JString("base2"),
+        "pipeline" -> JArray(List(JObject(List("$match" -> JObject(List(
+          "_id" -> JObject(List("$gte" -> JInt(8))))))))))
+      assert(ids(batch(cmd(srv, "find" -> JString("v"),
+        "sort" -> JObject(List("_id" -> JInt(1))),
+        "batchSize" -> JInt(100)))) == List(BigInt(8), BigInt(9)))
+      val e = intercept[IllegalArgumentException](cmd(srv,
+        "collMod" -> JString("base1"), "validator" -> JObject(Nil)))
+      assert(e.getMessage.contains("supported forms"))
+    } finally srv.stop()
+  }
+
   test("oplog-style streaming: the graftwire offsetKey source tails a " +
        "CAPPED collection — forward micro-batches survive head " +
        "eviction (the Kafka-retention contract: only lagging replays " +
