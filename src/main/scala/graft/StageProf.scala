@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Dev tool (optimization rounds): per-stage breakdown of named queries.
+  * Usage: runMain graft.StageProf <sfDir> <reps> <query> [query...]
+  *
+  * For each run it prints every completed stage's wall time, task time,
+  * input/shuffle bytes and record counts, so the expensive stage of a
+  * slow query is visible without the UI (guide §1/§7: decide whether
+  * time goes to scan, shuffle read/write, or compute before touching
+  * anything). */
+object StageProf {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val reps = args(1).toInt
+    val names = args.drop(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    case class St(id: Int, name: String, ms: Long, taskMs: Long,
+                  inB: Long, inRec: Long, srB: Long, swB: Long,
+                  swRec: Long, spill: Long, nTasks: Int)
+    val stages = ArrayBuffer.empty[St]
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        val si = e.stageInfo
+        val m = si.taskMetrics
+        val wall = (for {a <- si.completionTime; b <- si.submissionTime}
+          yield a - b).getOrElse(0L)
+        stages.synchronized {
+          stages += St(si.stageId, si.name.takeWhile(_ != '\n').take(90),
+            wall, m.executorRunTime, m.inputMetrics.bytesRead,
+            m.inputMetrics.recordsRead, m.shuffleReadMetrics.totalBytesRead,
+            m.shuffleWriteMetrics.bytesWritten,
+            m.shuffleWriteMetrics.recordsWritten, m.diskBytesSpilled,
+            si.numTasks)
+        }
+      }
+    })
+
+    // warmup like Bench
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+
+    for (name <- names; r <- 1 to reps) {
+      stages.synchronized(stages.clear())
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
+      val total = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // give listener events a beat to drain
+      Thread.sleep(300)
+      println(f"\n===== $name #$r total=$total%.2f s rows=$n =====")
+      val snap = stages.synchronized(stages.toVector)
+      println(f"${"stage"}%-6s${"tasks"}%6s${"wall_ms"}%8s${"task_ms"}%9s${"in_MB"}%8s" +
+        f"${"in_rec"}%10s${"shRd_MB"}%9s${"shWr_MB"}%9s${"shWr_rec"}%10s" +
+        f"${"spill_MB"}%9s  name")
+      snap.sortBy(-_.taskMs).take(18).foreach { s =>
+        println(f"${s.id}%-6d${s.nTasks}%6d${s.ms}%8d${s.taskMs}%9d${s.inB / 1e6}%8.1f" +
+          f"${s.inRec}%10d${s.srB / 1e6}%9.2f${s.swB / 1e6}%9.2f" +
+          f"${s.swRec}%10d${s.spill / 1e6}%9.1f  ${s.name}")
+      }
+      println(f"stages=${snap.size} sum_task_ms=${snap.map(_.taskMs).sum}")
+    }
+    spark.stop()
+  }
+}

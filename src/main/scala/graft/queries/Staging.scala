@@ -24,9 +24,28 @@ import org.apache.spark.sql.SparkSession
   * gate built before; CORRECTNESS hashes are identical by construction.
   */
 object Staging {
+  /** Per-PROCESS staging root (optimization-round contract): every
+    * bench/verify INVOCATION rebuilds its index artifacts from the
+    * parquet inputs — nothing persists across JVM runs, and nothing on
+    * disk is keyed to the testdata path beyond this process's lifetime.
+    * Within one invocation the memo still collapses repeated calls
+    * (bench min-of-N runs, verify + bench sharing a JVM) onto a single
+    * build, which is the round-10 "bench measures the QUERY" hygiene.
+    * The root is removed on JVM exit. */
+  private lazy val processRoot: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_stage_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(p.toFile)))
+    p.toString
+  }
+
+  private def deleteTree(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteTree)
+    f.delete(): Unit
+  }
+
   def dir(gate: String, sfDir: String): String =
-    System.getProperty("java.io.tmpdir") +
-      s"/graft_stage_${gate}_${math.abs(sfDir.hashCode)}"
+    processRoot + s"/${gate}_${math.abs(sfDir.hashCode)}"
 
   def store(s: SparkSession, gate: String, sfDir: String,
             format: String = "parquet"): graft.sinks.DocStore =
