@@ -24,11 +24,22 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // AQE partition coalescing sizes partitions by BYTES; CPU-dense
+    // kernels over small text shuffles (1-2 MB at bench scale) were
+    // coalesced to ONE partition, serializing multi-second window /
+    // tokenization stages on one core of local[cpus]. Lowering the
+    // coalescing floor keeps parallelismFirst effective for small
+    // shuffles; at production shuffle sizes the target is
+    // totalBytes/parallelism >> this floor, so behavior is unchanged
+    // at scale (guide §2.2: scale-adaptive partitioning, not a
+    // local-only constant — and parameterized here).
+    val minCoalesce = sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE", "64k")
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", minCoalesce)
       // storage-partitioned joins for co-partitioned graftdocs layouts
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")

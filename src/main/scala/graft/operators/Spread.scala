@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Scale-adaptive input spreading for CPU-DENSE kernels (optimization
+  * guide §2.5, "input skew: one huge unsplittable file → repartition
+  * immediately after the read", applied to the inverse case: one SMALL
+  * unsplittable file).
+  *
+  * A single-row-group parquet file plans as ONE scan task no matter how
+  * many cores the session has, so a tokenization / shingling / hashing
+  * kernel sitting in the scan stage serializes on one core. When the
+  * input is small (plan stats below `spark.graft.spread.maxInputBytes`,
+  * default 64 MB ≈ a handful of scan splits), one round-robin exchange
+  * spreads it across the session's cores — the shuffled bytes are
+  * bounded by the same threshold, so the exchange is trivially cheap
+  * exactly when it fires. Large inputs (a real multi-file corpus at
+  * scale) keep their natural file parallelism and never pay a payload
+  * shuffle; the threshold makes the behavior scale-adaptive rather than
+  * tuned to the bench.
+  *
+  * Apply ONLY where heavy per-row compute follows the read: spreading
+  * every table read regressed latency-style paths (wire/protocol gates
+  * replaying many micro-actions, TPC-H multi-join plans) by duplicating
+  * the exchange into every re-planned subtree — measured in round 11,
+  * see OPTIMIZATION_r11.md. */
+object Spread {
+  /** Spread iff `minBytes <= plan stats < maxBytes`: below the floor
+    * (a streaming micro-batch, a verify run at a toy scale factor) the
+    * exchange costs more than the kernel, above the ceiling the input
+    * already parallelizes by file splits. */
+  def cpuDense(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    if (par <= 1) df
+    else {
+      val maxBytes = spark.conf.getOption("spark.graft.spread.maxInputBytes")
+        .map(_.toLong).getOrElse(64L << 20)
+      val minBytes = spark.conf.getOption("spark.graft.spread.minInputBytes")
+        .map(_.toLong).getOrElse(256L << 10)
+      val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (bytes >= minBytes && bytes < maxBytes) df.repartition(par) else df
+    }
+  }
+}

@@ -16,6 +16,15 @@ import graft.llmops.{Bpe, Decontaminate, Dedup, Dsir, LineFreqIndex, Multimodal,
   * exact-verified pairs, so the exact-jaccard oracle covers it.
   */
 object LlmOps {
+  // CPU-dense gates read the text/vector fixtures through Spread
+  // (operators/Spread.scala): a small single-row-group parquet file
+  // otherwise scans as ONE task and serializes the tokenization /
+  // hashing kernels on one core of the session.
+  private def docsT(s: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.operators.Spread.cpuDense(Graft.table(s, dir, "documents"))
+  private def embT(s: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.operators.Spread.cpuDense(Graft.table(s, dir, "embeddings"))
+
   // DuckDB-side token list, mirrored from TextAnalysis.tokens
   private val duckToks =
     """list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"""
@@ -94,7 +103,7 @@ object LlmOps {
     // BPE-ish pre-tokenization budget count vs the whitespace count;
     // the pattern is RE2-safe so DuckDB re-tokenizes identically
     QueryDef("q_bpe_tokens",
-      (s, dir) => Graft.table(s, dir, "documents").select(col("doc_id"),
+      (s, dir) => docsT(s, dir).select(col("doc_id"),
         graft.llmops.TextAnalysis.tokenCount(col("text")).as("ws_tokens"),
         graft.llmops.TextAnalysis.bpeTokenCount(col("text")).as("bpe_tokens"))
         .orderBy("doc_id"),
@@ -111,7 +120,7 @@ object LlmOps {
     QueryDef("q_to_uuid",
       (s, dir) => {
         val h = md5(concat(lit("uuid:"), col("doc_id").cast("string")))
-        val docs = Graft.table(s, dir, "documents")
+        val docs = docsT(s, dir)
           .withColumn("u_str", concat_ws("-",
             substring(h, 1, 8), substring(h, 9, 4), substring(h, 13, 4),
             substring(h, 17, 4), substring(h, 21, 12)))
@@ -134,7 +143,7 @@ object LlmOps {
     QueryDef("q_text_stats",
       (s, dir) => {
         // one native text_stats pass; each metric a cheap field derive
-        val d = Graft.table(s, dir, "documents")
+        val d = docsT(s, dir)
           .withColumn("__s", TextAnalysis.textStats(col("text")))
         val nTok = col("__s.n_tok")
         d.select(
@@ -159,7 +168,7 @@ object LlmOps {
 
     QueryDef("q_text_quality",
       (s, dir) => {
-        val d = Graft.table(s, dir, "documents")
+        val d = docsT(s, dir)
         d.select(
           col("doc_id"),
           TextAnalysis.langId(col("text")).as("lang_guess"),
@@ -191,7 +200,7 @@ object LlmOps {
     // pair expansion directly in DuckDB; full ordering makes the top-25
     // deterministic.
     QueryDef("q_bpe_pairs",
-      (s, dir) => Bpe.pairCounts(Graft.table(s, dir, "documents"), "text")
+      (s, dir) => Bpe.pairCounts(docsT(s, dir), "text")
         .orderBy(desc("freq"), col("p1"), col("p2")).limit(25),
       Some(s"""WITH w AS (SELECT unnest(regexp_extract_all(text,
                  '$duckBpeSplit')) AS word FROM documents),
@@ -214,7 +223,7 @@ object LlmOps {
     // them against hand-worked merges and the trained-table invariant.
     QueryDef("q_bpe_encode",
       (s, dir) => {
-        val docs = Graft.table(s, dir, "documents")
+        val docs = docsT(s, dir)
         val m = Bpe.train(docs, "text", nMerges = 1, minFreq = 1)
           .map(x => (x._1, x._2))
         docs.select(col("doc_id"),
@@ -244,7 +253,7 @@ object LlmOps {
     // q_bpe_encode's replace identity into q_packing's cumsum replay.
     QueryDef("q_bpe_pack",
       (s, dir) => {
-        val docs = Graft.table(s, dir, "documents")
+        val docs = docsT(s, dir)
         val m = Bpe.train(docs, "text", nMerges = 1, minFreq = 1)
           .map(x => (x._1, x._2))
         Sampling.packSequences(docs, "doc_id", "source",
@@ -290,7 +299,7 @@ object LlmOps {
     // pinned by LineDedupSpec; this row pins the cleanup pipeline
     // + oracle agreement (DuckDB's independent nfc_normalize + RE2).
     QueryDef("q_text_normalize",
-      (s, dir) => Graft.table(s, dir, "documents")
+      (s, dir) => docsT(s, dir)
         .select(col("doc_id"),
           TextAnalysis.cleanText(col("text")).as("clean"),
           (TextAnalysis.cleanText(col("text")) =!= col("text")).as("changed"))
@@ -323,7 +332,7 @@ object LlmOps {
               GROUP BY e.doc_id ORDER BY e.doc_id""")),
 
     QueryDef("q_boilerplate",
-      (s, dir) => Dedup.boilerplateLines(Graft.table(s, dir, "documents"),
+      (s, dir) => Dedup.boilerplateLines(docsT(s, dir),
         "doc_id", "text", sep = " ", minDocFrac = 0.78).orderBy("line"),
       Some("""WITH expl AS (SELECT doc_id, unnest(string_split(text, ' ')) AS line
                             FROM documents),
@@ -362,21 +371,21 @@ object LlmOps {
               ORDER BY line""")),
 
     QueryDef("q_dedup_exact",
-      (s, dir) => Dedup.exact(Graft.table(s, dir, "documents"), "doc_id", "text")
+      (s, dir) => Dedup.exact(docsT(s, dir), "doc_id", "text")
         .orderBy("digest"),
       Some("""SELECT md5(text) AS digest, min(doc_id) AS keep_id,
                      CAST(COUNT(*) AS BIGINT) AS n_copies
               FROM documents GROUP BY md5(text) ORDER BY digest""")),
 
     QueryDef("q_dedup_norm",
-      (s, dir) => Dedup.exact(Graft.table(s, dir, "documents"), "doc_id", "text",
+      (s, dir) => Dedup.exact(docsT(s, dir), "doc_id", "text",
         normalize = true).orderBy("digest"),
       Some("""SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS digest,
                      min(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies
               FROM documents GROUP BY 1 ORDER BY digest""")),
 
     QueryDef("q_fingerprint_groups",
-      (s, dir) => Graft.table(s, dir, "documents")
+      (s, dir) => docsT(s, dir)
         .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
         .orderBy("fp"),
@@ -394,7 +403,7 @@ object LlmOps {
     // pairs is 1 − (1−j⁴)¹⁶ ≥ 1 − 2e-18 at the fixtures' j≈0.99, so the
     // exact-jaccard ground truth doubles as its oracle.
     QueryDef("q_minhash_pairs",
-      (s, dir) => Dedup.minhashPairs(Graft.table(s, dir, "documents"),
+      (s, dir) => Dedup.minhashPairs(docsT(s, dir),
         "doc_id", "text", shingleN = 3, numHashes = 64, bands = 16, threshold = 0.8)
         .orderBy("id_a", "id_b"),
       Some(nearDupOracle)),
@@ -404,7 +413,7 @@ object LlmOps {
     // compares all pairs (complete for hamming ≤ 3 by pigeonhole, so the
     // outputs agree).
     QueryDef("q_simhash_pairs",
-      (s, dir) => Dedup.simhashPairs(Graft.table(s, dir, "documents"),
+      (s, dir) => Dedup.simhashPairs(docsT(s, dir),
         "doc_id", "text", maxDist = 3).orderBy("id_a", "id_b"),
       Some(s"""WITH tok AS (SELECT doc_id, unnest($duckToks) AS t FROM documents),
              h AS (SELECT doc_id, ('0x' || substr(md5(t),1,15))::BIGINT AS h FROM tok),
@@ -425,7 +434,7 @@ object LlmOps {
     // — a language whose fertility balloons is being under-served by
     // the vocab. Two map-side counters + one hash agg.
     QueryDef("q_tokenizer_fertility",
-      (s, dir) => Graft.table(s, dir, "documents")
+      (s, dir) => docsT(s, dir)
         .select(col("lang"),
           TextAnalysis.tokenCount(col("text")).as("__w"),
           TextAnalysis.bpeTokenCount(col("text")).as("__b"))
@@ -453,7 +462,7 @@ object LlmOps {
     // themselves come from the existing blocked generators.
     QueryDef("q_dedup_eval",
       (s, dir) => {
-        val docs = Graft.table(s, dir, "documents")
+        val docs = docsT(s, dir)
         val exact = Dedup.jaccardPairs(docs, "doc_id", "text",
           shingleN = 3, threshold = 0.8, blockKeys = 4)
           .select(col("id_a"), col("id_b"))
@@ -502,7 +511,7 @@ object LlmOps {
     // byte == char for the ASCII fixture)
     QueryDef("q_media_near_dup",
       (s, dir) => Multimodal.mediaNearDupPairs(
-        Multimodal.asMediaTable(Graft.table(s, dir, "documents"),
+        Multimodal.asMediaTable(docsT(s, dir),
           "doc_id", "text"),
         "media_id", "payload", chunkBytes = 8, maxDist = 3)
         .orderBy("id_a", "id_b"),
@@ -537,7 +546,7 @@ object LlmOps {
     // shuffles are the dedup digest agg and the budget window.
     QueryDef("q_curation_pipeline",
       (s, dir) => {
-        val d = Graft.table(s, dir, "documents")
+        val d = docsT(s, dir)
         val reps = Dedup.exact(d, "doc_id", "text", normalize = true)
           .select(col("keep_id").as("doc_id"))
         val deduped = d.join(reps, Seq("doc_id"), "left_semi")
@@ -593,7 +602,7 @@ object LlmOps {
     // explode → two-level hash agg (map-side partial) → global top-k
     QueryDef("q_tokens_topk",
       (s, dir) => {
-        val d = Graft.table(s, dir, "documents")
+        val d = docsT(s, dir)
         d.select(explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
           .groupBy("token").agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("token").asc)
@@ -605,7 +614,7 @@ object LlmOps {
 
     QueryDef("q_knn_topk",
       (s, dir) => {
-        val e = Graft.table(s, dir, "embeddings")
+        val e = embT(s, dir)
         Similarity.bruteForceTopK(e.where(col("vec_id") < 5), e, k = 10)
           .orderBy("query_id", "rnk")
       },
@@ -619,7 +628,7 @@ object LlmOps {
     // exclusion, the cos ceiling, and the ranking.
     QueryDef("q_hard_negatives",
       (s, dir) => {
-        val e = Graft.table(s, dir, "embeddings")
+        val e = embT(s, dir)
         val q = e.where(col("vec_id") < 5)
         val positives = q.select(col("vec_id").as("query_id"), col("label"))
           .join(e.select(col("vec_id").as("match_id"), col("label").as("cl")),
@@ -659,7 +668,7 @@ object LlmOps {
     // (portable seed hash), probe selection, candidate cut, and filters.
     QueryDef("q_hard_negatives_ann",
       (s, dir) => {
-        val e = Graft.table(s, dir, "embeddings")
+        val e = embT(s, dir)
         val q = e.where(col("vec_id") < 5)
         val positives = q.select(col("vec_id").as("query_id"), col("label"))
           .join(e.select(col("vec_id").as("match_id"), col("label").as("cl")),
@@ -725,7 +734,7 @@ object LlmOps {
     // summation-order drift between engines.
     QueryDef("q_mean_pool",
       (s, dir) => {
-        val e = Graft.table(s, dir, "embeddings")
+        val e = embT(s, dir)
         e.groupBy(col("label"))
           .agg(Similarity.meanPool(col("embedding")).as("pooled"),
             count(lit(1)).as("n"))
@@ -787,7 +796,7 @@ object LlmOps {
 
     QueryDef("q_cos_pairs",
       (s, dir) => {
-        val e = Graft.table(s, dir, "embeddings")
+        val e = embT(s, dir)
         Similarity.cosinePairs(e.where(col("vec_id") < 200), e, threshold = 0.4)
           .orderBy("id_a", "id_b")
       },
@@ -806,7 +815,7 @@ object LlmOps {
     // the approximate path (nProbe < nCells) is pinned in LlmOpsSpec
     QueryDef("q_ivf_topk",
       (s, dir) => {
-        val e = Graft.table(s, dir, "embeddings")
+        val e = embT(s, dir)
         Similarity.ivfTopK(e.where(col("vec_id") < 5), e, k = 10,
           nCells = 8, nProbe = 8).orderBy("query_id", "rnk")
       },
@@ -822,7 +831,7 @@ object LlmOps {
     // identical deterministic algorithm, so recall matches bit-for-bit.
     QueryDef("q_ann_recall",
       (s, dir) => {
-        val e = Graft.table(s, dir, "embeddings")
+        val e = embT(s, dir)
         val qs = e.where(col("vec_id") < 5)
         val exact = Similarity.bruteForceTopK(qs, e, k = 10)
           .select(col("query_id"), col("match_id"))
@@ -900,7 +909,7 @@ object LlmOps {
     // so DuckDB recomputes the same sign buckets and verifies the same
     // candidate pairs.
     QueryDef("q_lsh_cos_pairs",
-      (s, dir) => Similarity.lshCosinePairs(Graft.table(s, dir, "embeddings"),
+      (s, dir) => Similarity.lshCosinePairs(embT(s, dir),
         "vec_id", "embedding", planes = 8, threshold = 0.4, dim = 64)
         .orderBy("id_a", "id_b"),
       Some("""WITH pl AS (SELECT p, i,
@@ -931,7 +940,7 @@ object LlmOps {
     // variant is the corpus-scale path, spec-pinned for precision)
     QueryDef("q_emb_dedup",
       (s, dir) => {
-        val e = Graft.table(s, dir, "embeddings").where(col("vec_id") < 300)
+        val e = embT(s, dir).where(col("vec_id") < 300)
         // exact = true: this entry IS the oracle-checked ground truth
         // over a bounded 300-row slice (the scale default is LSH)
         Dedup.embeddingDedup(e, "vec_id", "embedding", threshold = 0.4,
@@ -1190,7 +1199,7 @@ object LlmOps {
               GROUP BY 1 ORDER BY 1""")),
 
     QueryDef("q_media_meta",
-      (s, dir) => Multimodal.asMediaTable(Graft.table(s, dir, "documents"),
+      (s, dir) => Multimodal.asMediaTable(docsT(s, dir),
         "doc_id", "text")
         .select(col("media_id"), col("meta.mime").as("mime"),
           col("meta.width").as("width"), col("meta.height").as("height"),
@@ -1212,7 +1221,7 @@ object LlmOps {
     // so every output column stays non-null (checker dtype stability).
     QueryDef("q_media_decode",
       (s, dir) => {
-        val docs = Graft.table(s, dir, "documents")
+        val docs = docsT(s, dir)
         val w = (col("doc_id") % 640 + 1).cast("int")
         val h = (col("n_chars") % 480 + 1).cast("int")
         def hx(c: org.apache.spark.sql.Column, n: Int) =
@@ -1277,7 +1286,7 @@ object LlmOps {
     // the norm is order-insensitive and engine-exact before rounding.
     QueryDef("q_media_features",
       (s, dir) => Multimodal.extractFeatures(
-        Multimodal.asMediaTable(Graft.table(s, dir, "documents"), "doc_id", "text"),
+        Multimodal.asMediaTable(docsT(s, dir), "doc_id", "text"),
         dim = 8)
         .select(col("media_id"),
           round(Similarity.norm(col("features")), 6).as("feat_norm"))
@@ -1296,7 +1305,7 @@ object LlmOps {
     // synthesized media table, so DuckDB rebuilds the frame grid
     QueryDef("q_frame_sample",
       (s, dir) => Multimodal.sampleFrames(
-        Multimodal.asMediaTable(Graft.table(s, dir, "documents"),
+        Multimodal.asMediaTable(docsT(s, dir),
           "doc_id", "text"), intervalMs = 250L)
         .orderBy("media_id", "frame_idx"),
       Some("""WITH m AS (SELECT doc_id AS media_id,
@@ -1313,7 +1322,7 @@ object LlmOps {
     // (oracle: recursive-CTE label propagation over the same pair set)
     QueryDef("q_dup_clusters",
       (s, dir) => {
-        val pairs = Dedup.jaccardPairs(Graft.table(s, dir, "documents"),
+        val pairs = Dedup.jaccardPairs(docsT(s, dir),
           "doc_id", "text", shingleN = 3, threshold = 0.8, blockKeys = 4)
         graft.operators.Components.fromPairs(pairs, "id_a", "id_b")
           .select(col("id").as("doc_id"), col("cluster_id"),
@@ -1338,7 +1347,7 @@ object LlmOps {
     // end-to-end near-dedup: transitive closure of the pair set, keep
     // the min-id representative per cluster, anti-join the rest away
     QueryDef("q_near_dedup",
-      (s, dir) => Dedup.dropNearDuplicates(Graft.table(s, dir, "documents"),
+      (s, dir) => Dedup.dropNearDuplicates(docsT(s, dir),
         "doc_id", "text", shingleN = 3, threshold = 0.8)
         .select("doc_id").orderBy("doc_id"),
       Some(s"""WITH RECURSIVE pairs AS ($nearDupOracle),
@@ -1359,7 +1368,7 @@ object LlmOps {
     // deterministic per-stratum sampling: seeded md5 bucket < per-lang
     // rate — pure map work (no shuffle), reproducible by any engine
     QueryDef("q_stratified_sample",
-      (s, dir) => Sampling.stratifiedSample(Graft.table(s, dir, "documents"),
+      (s, dir) => Sampling.stratifiedSample(docsT(s, dir),
         "doc_id", "lang",
         rates = Map("en" -> 0.1, "es" -> 0.5, "de" -> 1.0),
         defaultRate = 0.25)
@@ -1374,7 +1383,7 @@ object LlmOps {
     // deterministic train/val/test split: map-only seeded-hash label,
     // reproducible across engines (oracle rebuilds identical buckets)
     QueryDef("q_hash_split",
-      (s, dir) => Sampling.hashSplit(Graft.table(s, dir, "documents"),
+      (s, dir) => Sampling.hashSplit(docsT(s, dir),
         "doc_id", Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
         .select("doc_id", "split").orderBy("doc_id"),
       Some("""SELECT doc_id,
@@ -1391,7 +1400,7 @@ object LlmOps {
     // character cuts; the oracle recomputes every cut and slice
     QueryDef("q_fim_split",
       (s, dir) => Sampling.fimTransform(
-        Graft.table(s, dir, "documents"), "doc_id", "text", rate = 0.5)
+        docsT(s, dir), "doc_id", "text", rate = 0.5)
         .select("doc_id", "fim_applied", "fim_text").orderBy("doc_id"),
       Some("""WITH t AS (SELECT doc_id, text, length(text) AS n,
                 ('0x' || substr(md5('fim:' || doc_id), 1, 8))::BIGINT
@@ -1420,7 +1429,7 @@ object LlmOps {
     // target. The twin re-derives all four sorted cut points.
     QueryDef("q_span_corrupt",
       (s, dir) => Sampling.spanCorrupt(
-        Graft.table(s, dir, "documents"), "doc_id", "text", rate = 0.5)
+        docsT(s, dir), "doc_id", "text", rate = 0.5)
         .select("doc_id", "corrupt_applied", "corrupt_input", "corrupt_target")
         .orderBy("doc_id"),
       Some("""WITH t AS (SELECT doc_id, text, length(text) AS n,
@@ -1453,7 +1462,7 @@ object LlmOps {
     // deterministic corpus shuffle layout: chunked positions, no global
     // single-partition sort (keyed window + nChunks-row prefix sum)
     QueryDef("q_corpus_shuffle",
-      (s, dir) => Sampling.shuffleChunks(Graft.table(s, dir, "documents"),
+      (s, dir) => Sampling.shuffleChunks(docsT(s, dir),
         "doc_id", nChunks = 64)
         .select("doc_id", "chunk", "pos", "global_pos").orderBy("doc_id"),
       Some("""WITH h AS (SELECT doc_id,
@@ -1472,7 +1481,7 @@ object LlmOps {
     // Lee-et-al exact-substring duplication signal: cross-doc repeated
     // 8-token spans + per-doc covered-token fraction
     QueryDef("q_repeated_spans",
-      (s, dir) => Dedup.repeatedSpans(Graft.table(s, dir, "documents"),
+      (s, dir) => Dedup.repeatedSpans(docsT(s, dir),
         "doc_id", "text", n = 8, minDocs = 2)
         .orderBy("doc_id"),
       Some(s"""WITH t AS (SELECT doc_id, $duckToks AS w FROM documents),
@@ -1498,7 +1507,7 @@ object LlmOps {
     // covered by a cross-doc repeated 8-gram, return the rewritten text
     // — DuckDB rebuilds the surviving token list per doc
     QueryDef("q_drop_spans",
-      (s, dir) => Dedup.dropRepeatedSpans(Graft.table(s, dir, "documents"),
+      (s, dir) => Dedup.dropRepeatedSpans(docsT(s, dir),
         "doc_id", "text", n = 8, minDocs = 2).orderBy("doc_id"),
       Some(s"""WITH t AS (SELECT doc_id, $duckToks AS w FROM documents),
               win AS (SELECT doc_id, nt, unnest(generate_series(1, nt - 7)) AS i, w
@@ -1527,7 +1536,7 @@ object LlmOps {
     // stand-in weights — see TextAnalysis.classifierScore); DuckDB
     // re-derives weight, mean, and sigmoid token for token
     QueryDef("q_classifier_score",
-      (s, dir) => Graft.table(s, dir, "documents")
+      (s, dir) => docsT(s, dir)
         .select(col("doc_id"),
           TextAnalysis.classifierScore(col("text")).as("cls_score"))
         .orderBy("doc_id"),
@@ -1544,7 +1553,7 @@ object LlmOps {
     // re-derives seeds, centroids, and nearest-cell assignment
     QueryDef("q_cluster_sizes",
       (s, dir) => Similarity.clusterAssignments(
-          Graft.table(s, dir, "embeddings"), nCells = 8, portableSeed = true)
+          embT(s, dir), nCells = 8, portableSeed = true)
         .groupBy("cell_id")
         .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_vec"))
         .orderBy("cell_id"),
@@ -1577,7 +1586,7 @@ object LlmOps {
     // the paraphrased leakage n-gram decontamination misses
     QueryDef("q_semantic_decon",
       (s, dir) => {
-        val e = Graft.table(s, dir, "embeddings")
+        val e = embT(s, dir)
         Decontaminate.semanticContaminationHits(
           e.where(col("vec_id") >= 5), "vec_id", "embedding",
           e.where(col("vec_id") < 5), "embedding", threshold = 0.25)
@@ -1603,7 +1612,7 @@ object LlmOps {
         // materialized, every rule a cheap field comparison (getField
         // on a raw ruleFilter expression re-inlines the whole metric
         // tree per output column — ~8 tokenizations per row)
-        Graft.table(s, dir, "documents")
+        docsT(s, dir)
           .withColumn("__s", TextAnalysis.textStats(col("text")))
           .withColumn("__f", TextAnalysis.ruleFilterFromStats(col("__s")))
           .select(col("doc_id"), col("__f.len_ok").as("len_ok"),
@@ -1636,7 +1645,7 @@ object LlmOps {
     // per-source token budget: deterministic hash order + running token
     // total, cut at the budget — one keyed window pass
     QueryDef("q_token_budget",
-      (s, dir) => Sampling.tokenBudget(Graft.table(s, dir, "documents"),
+      (s, dir) => Sampling.tokenBudget(docsT(s, dir),
         "doc_id", "source", TextAnalysis.tokenCount(col("text")), budget = 700L)
         .select(col("source"), col("doc_id"), col("cum_tokens"))
         .orderBy("source", "cum_tokens", "doc_id"),
@@ -1658,7 +1667,7 @@ object LlmOps {
     // the (broadcast) benchmark slice; hits = distinct shared shingles
     QueryDef("q_decontaminate",
       (s, dir) => {
-        val d = Graft.table(s, dir, "documents")
+        val d = docsT(s, dir)
         Decontaminate.contaminationHits(
           d.where(col("doc_id") % 20 =!= 0), "doc_id", "text",
           d.where(col("doc_id") % 20 === 0), "text", shingleN = 3)
@@ -1678,7 +1687,7 @@ object LlmOps {
     // the exact path is spec-pinned in CurationSpec
     QueryDef("q_decontaminate_bloom",
       (s, dir) => {
-        val d = Graft.table(s, dir, "documents")
+        val d = docsT(s, dir)
         Decontaminate.contaminationHitsBloom(
           d.where(col("doc_id") % 20 =!= 0), "doc_id", "text",
           d.where(col("doc_id") % 20 === 0), "text", shingleN = 3,
@@ -1689,7 +1698,7 @@ object LlmOps {
 
     // tf-idf top terms per doc (smoothed idf, deterministic tie-break)
     QueryDef("q_tfidf_top",
-      (s, dir) => TfIdf.topTerms(Graft.table(s, dir, "documents"),
+      (s, dir) => TfIdf.topTerms(docsT(s, dir),
         "doc_id", "text", k = 3)
         .withColumn("rnk", col("rnk").cast("long"))
         .orderBy("doc_id", "rnk"),
@@ -1709,7 +1718,7 @@ object LlmOps {
     // Gopher-style repetition metric: duplicate 2-/3-gram fraction per
     // doc, map-only (docs shorter than n tokens score 0)
     QueryDef("q_repetition",
-      (s, dir) => Graft.table(s, dir, "documents")
+      (s, dir) => docsT(s, dir)
         .select(col("doc_id"),
           TextAnalysis.dupNgramFrac(col("text"), 2).as("dup2"),
           TextAnalysis.dupNgramFrac(col("text"), 3).as("dup3"))
@@ -1729,7 +1738,7 @@ object LlmOps {
     // per-domain cap: keep the 5 largest docs per source (rank by
     // n_chars desc, id tie-break) — the per-domain cap of a web pipeline
     QueryDef("q_domain_cap",
-      (s, dir) => Sampling.capPerGroup(Graft.table(s, dir, "documents"),
+      (s, dir) => Sampling.capPerGroup(docsT(s, dir),
         "source", "doc_id", col("n_chars"), k = 5)
         .select(col("source"), col("doc_id"), col("n_chars"),
           col("rnk").cast("long").as("rnk"))
@@ -1744,7 +1753,7 @@ object LlmOps {
     // deterministic mixture resampling: en upsampled 2.5x, es kept,
     // de halved, other langs dropped; copy = 1-based repeat index
     QueryDef("q_mixture",
-      (s, dir) => Sampling.resampleMixture(Graft.table(s, dir, "documents"),
+      (s, dir) => Sampling.resampleMixture(docsT(s, dir),
         "doc_id", "lang",
         weights = Map("en" -> 2.5, "es" -> 1.0, "de" -> 0.5),
         defaultWeight = 0.0)
@@ -1769,7 +1778,7 @@ object LlmOps {
     // twin re-derives counts, shares, the 6-decimal rate rounding, and
     // the seeded fractional-copy rule.
     QueryDef("q_temp_mixture",
-      (s, dir) => Sampling.temperatureResample(Graft.table(s, dir, "documents"),
+      (s, dir) => Sampling.temperatureResample(docsT(s, dir),
         "doc_id", "lang", alpha = 0.5)
         .select("doc_id", "lang", "copy").orderBy("doc_id", "copy"),
       Some("""WITH g AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS cnt
@@ -1801,7 +1810,7 @@ object LlmOps {
           lit("@mail.example.com tel 555-"),
           lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
           lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7"))
-        Graft.table(s, dir, "documents")
+        docsT(s, dir)
           .select(col("doc_id"),
             TextAnalysis.redactPii(doctored).as("clean"))
           .orderBy("doc_id")
@@ -1823,7 +1832,7 @@ object LlmOps {
     // unigram surprisal: mean -ln p(token) under the corpus's own
     // unigram distribution — model-free quality/outlier score
     QueryDef("q_surprisal",
-      (s, dir) => TfIdf.unigramSurprisal(Graft.table(s, dir, "documents"),
+      (s, dir) => TfIdf.unigramSurprisal(docsT(s, dir),
         "doc_id", "text").orderBy("doc_id"),
       Some(s"""WITH toks AS (SELECT doc_id, unnest($duckToksLower) AS term
                  FROM documents),
@@ -1839,7 +1848,7 @@ object LlmOps {
     // smoothed — the importance-resampling selection signal; src0 docs
     // stand in as the target domain sample
     QueryDef("q_dsir_weights",
-      (s, dir) => TfIdf.importanceWeights(Graft.table(s, dir, "documents"),
+      (s, dir) => TfIdf.importanceWeights(docsT(s, dir),
         "doc_id", "text", col("source") === "src0").orderBy("doc_id"),
       Some(s"""WITH toks AS (SELECT doc_id, (source = 'src0') AS t,
                         unnest($duckToksLower) AS term FROM documents),
@@ -1859,7 +1868,7 @@ object LlmOps {
     // sliding-window chunking (RAG/long-doc prep): 40-token windows,
     // 10-token overlap; the twin re-derives the identical slice layout
     QueryDef("q_chunk_docs",
-      (s, dir) => Sampling.chunkDocuments(Graft.table(s, dir, "documents"),
+      (s, dir) => Sampling.chunkDocuments(docsT(s, dir),
         "doc_id", "text", chunkSize = 40, overlap = 10)
         .orderBy("doc_id", "chunk_id"),
       Some(s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
@@ -1879,7 +1888,7 @@ object LlmOps {
     // lines deterministically in BOTH engines)
     QueryDef("q_gopher_rep",
       (s, dir) => {
-        val d = Graft.table(s, dir, "documents")
+        val d = docsT(s, dir)
           .withColumn("mtext", concat_ws("\n", col("text"),
             substring(col("text"), 1, 40), substring(col("text"), 1, 40),
             substring(col("text"), 41, 25)))
@@ -1932,7 +1941,7 @@ object LlmOps {
     // n_chars, key = u^(1/w) from the seeded md5 uniform; the twin
     // re-derives u and the keys and repeats the (wkey, id) ordering
     QueryDef("q_weighted_sample",
-      (s, dir) => Sampling.weightedSample(Graft.table(s, dir, "documents"),
+      (s, dir) => Sampling.weightedSample(docsT(s, dir),
         "doc_id", col("n_chars"), k = 50)
         .select("doc_id", "n_chars", "wkey"),
       Some("""SELECT doc_id, n_chars,
@@ -1948,7 +1957,7 @@ object LlmOps {
     // λ=0.9): the twin re-trains the same counts and repeats the
     // interpolation formula term for term
     QueryDef("q_bigram_ppl",
-      (s, dir) => TfIdf.bigramLogPerplexity(Graft.table(s, dir, "documents"),
+      (s, dir) => TfIdf.bigramLogPerplexity(docsT(s, dir),
         "doc_id", "text").orderBy("doc_id"),
       Some(s"""WITH toks AS (SELECT doc_id, $duckToksLower AS t FROM documents),
                big AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS w1,
@@ -1977,7 +1986,7 @@ object LlmOps {
     // — the old snapshot ships fingerprints, never text
     QueryDef("q_dedup_incremental",
       (s, dir) => {
-        val docs = Graft.table(s, dir, "documents")
+        val docs = docsT(s, dir)
         Dedup.dedupAgainst(
           docs.where(col("doc_id") >= 100),
           docs.where(col("doc_id") < 100),
@@ -2006,7 +2015,7 @@ object LlmOps {
     // threshold), so LSH recall itself is under test.
     QueryDef("q_neardup_index",
       (s, dir) => {
-        val docs = Graft.table(s, dir, "documents")
+        val docs = docsT(s, dir)
         // no index-level persist: queryBatch's two index consumers hit
         // DIFFERENT union branches (kind='band' / kind='doc'), which
         // Catalyst prunes — the only shared subplan is the hashed corpus,
@@ -2044,7 +2053,7 @@ object LlmOps {
     // crawl shard actually does before folding into history
     QueryDef("q_neardup_ingest",
       (s, dir) => {
-        val docs = Graft.table(s, dir, "documents")
+        val docs = docsT(s, dir)
         val batch = docs.where(col("doc_id") % 5 === 0)
         val idx = NearDupIndex.build(docs.where(col("doc_id") % 5 =!= 0),
           "doc_id", "text")
@@ -2184,7 +2193,7 @@ object LlmOps {
     // 1-row percentile aggregate + map-only assignment (no global
     // sort/window); short unscored docs land in bucket 0
     QueryDef("q_ppl_buckets",
-      (s, dir) => TfIdf.perplexityBuckets(Graft.table(s, dir, "documents"),
+      (s, dir) => TfIdf.perplexityBuckets(docsT(s, dir),
         "doc_id", "text", buckets = 3)
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"), round(avg("logppl"), 6).as("avg_ppl"))
@@ -2222,7 +2231,7 @@ object LlmOps {
     // concat-then-chunk sequence packing: deterministic per-source token
     // stream cut into 512-token packs; docs may straddle pack bounds
     QueryDef("q_packing",
-      (s, dir) => Sampling.packSequences(Graft.table(s, dir, "documents"),
+      (s, dir) => Sampling.packSequences(docsT(s, dir),
         "doc_id", "source", TextAnalysis.tokenCount(col("text")), 512L)
         .select(col("source"), col("doc_id"), col("start_offset"),
           col("pack_first"), col("pack_last"))
@@ -2248,7 +2257,7 @@ object LlmOps {
     // no DuckDB oracle (driver records the rows-only check); ordering
     // properties are spec-pinned in CurationSpec
     QueryDef("q_compress_ratio",
-      (s, dir) => Graft.table(s, dir, "documents")
+      (s, dir) => docsT(s, dir)
         .select(col("doc_id"),
           TextAnalysis.compressionRatio(col("text")).as("ratio"))
         .orderBy("doc_id"),
@@ -2260,7 +2269,7 @@ object LlmOps {
       (s, dir) => {
         // materialize the one-pass quantizer struct ONCE, then getField
         // — inline references would re-run the pass per field
-        Graft.table(s, dir, "embeddings")
+        embT(s, dir)
           .select(col("vec_id"),
             Similarity.quantizeInt8Full(col("embedding")).as("__q"))
           .select(col("vec_id"),
@@ -2291,7 +2300,7 @@ object LlmOps {
     // SemDeDup: cluster around 8 md5-hash-sampled centroids (DuckDB
     // rebuilds the identical assignment), prune within clusters only
     QueryDef("q_semdedup",
-      (s, dir) => Dedup.semanticDedup(Graft.table(s, dir, "embeddings"),
+      (s, dir) => Dedup.semanticDedup(embT(s, dir),
         "vec_id", "embedding", threshold = 0.4, nCells = 8)
         .select("vec_id").orderBy("vec_id"),
       Some("""WITH u AS (SELECT vec_id, unnest(embedding)::DOUBLE AS e,
@@ -2394,7 +2403,7 @@ object LlmOps {
     // identical index
     QueryDef("q_pq_topk",
       (s, dir) => {
-        val e = Graft.table(s, dir, "embeddings")
+        val e = embT(s, dir)
         Similarity.pqTopK(e.where(col("vec_id") < 5), e, k = 10)
           .orderBy("query_id", "rnk")
       },
@@ -2878,7 +2887,7 @@ object LlmOps {
     // systems and the fusion)
     QueryDef("q_rrf_fusion",
       (s, dir) => {
-        val e = Graft.table(s, dir, "embeddings")
+        val e = embT(s, dir)
         val q = e.where(col("vec_id") < 5)
         val exact = Similarity.bruteForceTopK(q, e, 10)
           .select("query_id", "match_id", "rnk")
@@ -3378,7 +3387,7 @@ object LlmOps {
     // token stream as one spaced string, matched with a plain LIKE.
     QueryDef("q_autocomplete",
       (s, dir) => graft.mql.PipelineCompiler.run(
-        Graft.table(s, dir, "documents"),
+        docsT(s, dir),
         """[
           {"$search": {"autocomplete": {"query": "the qu", "path": "text"}}},
           {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}},
@@ -3473,7 +3482,7 @@ object LlmOps {
     // equals the full-corpus index the oracle computes directly
     QueryDef("q_index_merge",
       (s, dir) => {
-        val d = Graft.table(s, dir, "documents")
+        val d = docsT(s, dir)
         val idx = graft.llmops.TextIndex.build(
           d.where(col("doc_id") % 2 === 0), Seq("text"))
         graft.llmops.TextIndex.update(idx,
@@ -3569,7 +3578,7 @@ object LlmOps {
     // doc — the inverse of repeated-span detection, word-count shape
     QueryDef("q_novelty",
       (s, dir) => graft.llmops.TfIdf.ngramNovelty(
-        Graft.table(s, dir, "documents"), "doc_id", "text")
+        docsT(s, dir), "doc_id", "text")
         .orderBy("doc_id"),
       Some(s"""WITH t AS (SELECT doc_id, $duckShingles AS sh
                  FROM (SELECT doc_id, $duckToks AS w FROM documents)),
@@ -3586,7 +3595,7 @@ object LlmOps {
     // source's unigram distribution from the corpus blend
     QueryDef("q_source_drift",
       (s, dir) => graft.llmops.TfIdf.distributionDrift(
-        Graft.table(s, dir, "documents"), "source", "text")
+        docsT(s, dir), "source", "text")
         .orderBy("source"),
       Some(s"""WITH toks AS (SELECT source AS g, unnest($duckToksLower) AS term
                  FROM documents),
@@ -3606,7 +3615,7 @@ object LlmOps {
     // pair work by (sources per fingerprint)², never corpus²
     QueryDef("q_source_overlap",
       (s, dir) => Dedup.sourceOverlap(
-        Graft.table(s, dir, "documents"), "text", "source")
+        docsT(s, dir), "text", "source")
         .orderBy("src_a", "src_b"),
       Some(s"""WITH d AS (SELECT DISTINCT
                  md5(array_to_string(list_sort(list_distinct($duckToksLower)), ' ')) AS fp,
@@ -3621,7 +3630,7 @@ object LlmOps {
     // per-doc repetition score can't see (one explode + one distinct agg)
     QueryDef("q_ngram_diversity",
       (s, dir) => TextAnalysis.ngramDiversity(
-        Graft.table(s, dir, "documents"), "text", "source", n = 2)
+        docsT(s, dir), "text", "source", n = 2)
         .orderBy("source"),
       Some(s"""WITH g AS (SELECT source,
                  unnest(list_transform(range(len(w) - 1),
@@ -3636,7 +3645,7 @@ object LlmOps {
     // doc id; per shard the loader-plan stats (docs, tokens, id range)
     QueryDef("q_shard_manifest",
       (s, dir) => Sampling.shardManifest(
-        Graft.table(s, dir, "documents"), "doc_id",
+        docsT(s, dir), "doc_id",
         TextAnalysis.tokenCount(col("text")), nShards = 16)
         .orderBy("shard"),
       Some(s"""SELECT ('0x' || substr(md5('shard:' || doc_id), 1, 8))::BIGINT
@@ -3650,7 +3659,7 @@ object LlmOps {
     // resampling table — alpha .5 rides sqrt, the correctly-rounded op
     QueryDef("q_lang_mixture",
       (s, dir) => Sampling.temperatureMixture(
-        Graft.table(s, dir, "documents"), "lang", alpha = 0.5)
+        docsT(s, dir), "lang", alpha = 0.5)
         .orderBy("lang"),
       Some("""WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
                          FROM documents GROUP BY 1),
@@ -4410,7 +4419,7 @@ object LlmOps {
     // shape. Target = every 10th doc, raw = the rest.
     QueryDef("q_dsir_hashed",
       (s, dir) => {
-        val d = Graft.table(s, dir, "documents")
+        val d = docsT(s, dir)
         Dsir.importanceWeights(
           d.where(col("doc_id") % 10 =!= 0),
           d.where(col("doc_id") % 10 === 0),
@@ -4449,7 +4458,7 @@ object LlmOps {
     // Gumbel noise — plans as TakeOrdered, never a full sort
     QueryDef("q_dsir_sample",
       (s, dir) => {
-        val d = Graft.table(s, dir, "documents")
+        val d = docsT(s, dir)
         Dsir.resample(
           Dsir.importanceWeights(
             d.where(col("doc_id") % 10 =!= 0),
@@ -4493,7 +4502,7 @@ object LlmOps {
     // paragraph dedup; fixed 10-token chunks stand in for paragraphs):
     // keep the globally-first occurrence of every chunk, rebuild docs
     QueryDef("q_chunk_dedup",
-      (s, dir) => Dedup.dedupChunks(Graft.table(s, dir, "documents"),
+      (s, dir) => Dedup.dedupChunks(docsT(s, dir),
         "doc_id", "text", chunkSize = 10)
         .orderBy("doc_id"),
       Some(s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
@@ -4524,7 +4533,7 @@ object LlmOps {
     // doc — distinguishes verbatim quotes from scattered hits
     QueryDef("q_overlap_decon",
       (s, dir) => {
-        val d = Graft.table(s, dir, "documents")
+        val d = docsT(s, dir)
         Decontaminate.overlapSpans(
           d.where(col("doc_id") % 20 =!= 0), "doc_id", "text",
           d.where(col("doc_id") % 20 === 0), "text", shingleN = 3)
@@ -4552,7 +4561,7 @@ object LlmOps {
     // quality-canonical near-dup resolution: per cluster keep the
     // HIGHEST-QUALITY doc (production policy), not the min id
     QueryDef("q_canonical_pick",
-      (s, dir) => Dedup.canonicalPick(Graft.table(s, dir, "documents"),
+      (s, dir) => Dedup.canonicalPick(docsT(s, dir),
         "doc_id", "text", TextAnalysis.qualityScore(col("text")))
         .orderBy("doc_id"),
       Some(s"""WITH RECURSIVE pairs AS ($nearDupOracle),
@@ -4587,7 +4596,7 @@ object LlmOps {
     // hash array cells — gate outputs must be scalar (GateSchemaLint
     // pins this for every query).
     QueryDef("q_emb_truncate",
-      (s, dir) => Graft.table(s, dir, "embeddings")
+      (s, dir) => embT(s, dir)
         .select(col("vec_id"),
           graft.llmops.Similarity.truncStats(col("embedding"), 16).as("__s"),
           col("embedding"))
@@ -4620,7 +4629,7 @@ object LlmOps {
     // quality, global byte-dup incidence — the mixing-decision summary
     QueryDef("q_curation_report",
       (s, dir) => TextAnalysis.curationReport(
-        Graft.table(s, dir, "documents"), "text", Seq("source", "lang"))
+        docsT(s, dir), "text", Seq("source", "lang"))
         .orderBy("source", "lang"),
       Some(s"""WITH d AS (SELECT source, lang, text, $duckNormDigest AS dg,
                  $duckQuality AS q, len($duckToks) AS t FROM documents),
