@@ -37,7 +37,8 @@ object StageProf {
 
     case class St(id: Int, name: String, ms: Long, taskMs: Long,
                   inB: Long, inRec: Long, srB: Long, swB: Long,
-                  swRec: Long, spill: Long, nTasks: Int)
+                  swRec: Long, spill: Long, nTasks: Int,
+                  cpuMs: Long, gcMs: Long)
     val stages = ArrayBuffer.empty[St]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
@@ -51,7 +52,7 @@ object StageProf {
             m.inputMetrics.recordsRead, m.shuffleReadMetrics.totalBytesRead,
             m.shuffleWriteMetrics.bytesWritten,
             m.shuffleWriteMetrics.recordsWritten, m.diskBytesSpilled,
-            si.numTasks)
+            si.numTasks, m.executorCpuTime / 1000000, m.jvmGCTime)
         }
       }
     })
@@ -70,15 +71,16 @@ object StageProf {
       Thread.sleep(300)
       println(f"\n===== $name #$r total=$total%.2f s rows=$n =====")
       val snap = stages.synchronized(stages.toVector)
-      println(f"${"stage"}%-6s${"tasks"}%6s${"wall_ms"}%8s${"task_ms"}%9s${"in_MB"}%8s" +
-        f"${"in_rec"}%10s${"shRd_MB"}%9s${"shWr_MB"}%9s${"shWr_rec"}%10s" +
-        f"${"spill_MB"}%9s  name")
+      println(f"${"stage"}%-6s${"tasks"}%6s${"wall_ms"}%8s${"task_ms"}%9s${"cpu_ms"}%8s" +
+        f"${"gc_ms"}%7s${"in_MB"}%8s${"in_rec"}%10s${"shRd_MB"}%9s${"shWr_MB"}%9s" +
+        f"${"shWr_rec"}%10s  name")
       snap.sortBy(-_.taskMs).take(18).foreach { s =>
-        println(f"${s.id}%-6d${s.nTasks}%6d${s.ms}%8d${s.taskMs}%9d${s.inB / 1e6}%8.1f" +
-          f"${s.inRec}%10d${s.srB / 1e6}%9.2f${s.swB / 1e6}%9.2f" +
-          f"${s.swRec}%10d${s.spill / 1e6}%9.1f  ${s.name}")
+        println(f"${s.id}%-6d${s.nTasks}%6d${s.ms}%8d${s.taskMs}%9d${s.cpuMs}%8d" +
+          f"${s.gcMs}%7d${s.inB / 1e6}%8.1f${s.inRec}%10d${s.srB / 1e6}%9.2f" +
+          f"${s.swB / 1e6}%9.2f${s.swRec}%10d  ${s.name}")
       }
-      println(f"stages=${snap.size} sum_task_ms=${snap.map(_.taskMs).sum}")
+      println(f"stages=${snap.size} sum_task_ms=${snap.map(_.taskMs).sum} " +
+        f"sum_cpu_ms=${snap.map(_.cpuMs).sum} sum_gc_ms=${snap.map(_.gcMs).sum}")
     }
     spark.stop()
   }

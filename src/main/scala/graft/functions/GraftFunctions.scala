@@ -246,6 +246,67 @@ case class JaccardSimLong(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** MinHash-LSH band bucket keys of one doc's hashed shingle set, in ONE
+  * array pass: for i < numHashes, mᵢ = min over h of
+  * xxhash64(i, h) (exactly Spark's `xxhash64(lit(i), col)` — seed 42,
+  * int then long lanes, via the same catalyst XXH64 kernel), then band
+  * b's key = xxhash64(b, m_{b·r}, …, m_{(b+1)·r−1}), r = numHashes /
+  * bands. Byte-identical to the explode → 64-column min-aggregation →
+  * band-hash formulation it replaces, but with no explode, no shuffle
+  * and no 64-slot aggregation buffer: per shingle occurrence the
+  * numHashes inner hashes run as a JIT'd loop over a primitive array
+  * (measured round 11: the aggregation formulation was the most
+  * expensive stage of every minhash gate, and ran twice per self-join).
+  * An empty shingle set yields an empty array — `explode` then emits no
+  * band rows, matching the old no-signature-row behavior. */
+case class MinhashBands(child: Expression, numHashes: Int, bands: Int)
+  extends UnaryExpression with CodegenFallback {
+  require(numHashes % bands == 0, "bands must divide numHashes")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  // per-member seeds: state of xxhash64 after the int lane `i`
+  private lazy val seeds: Array[Long] =
+    Array.tabulate(numHashes)(i => XXH64.hashInt(i, 42L))
+  private lazy val bandSeeds: Array[Long] =
+    Array.tabulate(bands)(b => XXH64.hashInt(b, 42L))
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n == 0) return new GenericArrayData(Array.emptyLongArray)
+    val k = numHashes
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = a.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = XXH64.hashLong(h, seeds(j))
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    val r = k / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var s = bandSeeds(b)
+      var j = b * r
+      val end = j + r
+      while (j < end) { s = XXH64.hashLong(mins(j), s); j += 1 }
+      out(b) = s
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinhashBands =
+    copy(child = c)
+}
+
 /** Sign-LSH bucket id of a double vector against a CONSTANT hyperplane
   * matrix (array<array<double>>, foldable): bit p set iff plane p's
   * projection is > 0. One fused pass per row with full codegen —
@@ -1670,6 +1731,8 @@ object GraftFunctions {
     "dot_d" -> ((e: Seq[Expression]) => DotDouble(e.head, e(1))),
     "jaccard_sim" -> ((e: Seq[Expression]) => JaccardSim(e.head, e(1))),
     "jaccard_sim_long" -> ((e: Seq[Expression]) => JaccardSimLong(e.head, e(1))),
+    "minhash_bands" -> ((e: Seq[Expression]) => MinhashBands(e.head,
+      e(1).eval().asInstanceOf[Int], e(2).eval().asInstanceOf[Int])),
     "deflate_ratio" -> ((e: Seq[Expression]) => DeflateRatio(e.head)),
     "graft_top_k" -> ((e: Seq[Expression]) => BoundedTopK(e(0), e(1), e(2), e(3))),
     "graft_object_to_array" -> ((e: Seq[Expression]) => ObjectToArray(e.head)),

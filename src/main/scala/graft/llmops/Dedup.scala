@@ -103,7 +103,6 @@ object Dedup {
                    shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
                    threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
     graft.functions.GraftFunctions.register(
       org.apache.spark.sql.SparkSession.active)
     // hashed shingle sets feed signature building + both verification
@@ -112,21 +111,16 @@ object Dedup {
     val base = df.select(col(idCol).as("__id"),
         array_sort(transform(shingles(col(textCol), shingleN),
           s => xxhash64(s))).as("__hs"))
-    // signature via explode → hash-partitioned min-aggregation: the same
-    // numHashes×shingles xxhash64 evaluations as an array fold, but
-    // vectorized in codegen'd partial aggregates (map-side combine ships
-    // one row per doc) instead of numHashes interpreted re-traversals of
-    // each hash array
-    val minCols = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("__h"))).as(s"__m$i"))
-    val sig = base
-      .select(col("__id"), explode(col("__hs")).as("__h"))
-      .groupBy("__id").agg(minCols.head, minCols.tail: _*)
-    // band hash folds the band index in, so one equality key suffices
-    val bandCols = (0 until bands).map { b =>
-      xxhash64(lit(b) +: (b * r until (b + 1) * r).map(j => col(s"__m$j")): _*)
-    }
-    val buckets = sig.select(col("__id"), explode(array(bandCols: _*)).as("__bucket"))
+    // signature + band keys in ONE map-only pass per doc
+    // (functions.MinhashBands, byte-identical buckets to the previous
+    // explode → numHashes-column min-aggregation → band-hash plan): no
+    // per-shingle explode shuffle, no 64-slot aggregation buffer, and
+    // the per-member hashing runs as a JIT'd primitive loop. Measured
+    // round 11: the aggregation formulation was the top stage of every
+    // minhash gate and executed once per self-join side.
+    val buckets = base.select(col("__id"),
+      explode(call_function("minhash_bands", col("__hs"),
+        lit(numHashes), lit(bands))).as("__bucket"))
     val pruned = buckets // drop degenerate buckets (skew guard at scale)
       .withColumn("__bn", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("__bucket")))
@@ -142,12 +136,17 @@ object Dedup {
         round(call_function("jaccard_sim_long", col("__ha"), col("__hb")), 6))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-    // the hashed-shingle corpus is cached lazily and released right
-    // after the caller's FIRST action (CacheScope) — no dedicated
-    // materialization pass, no leaked blocks. Consumers that iterate
+    // the hashed-shingle corpus AND the band rows are cached lazily and
+    // released right after the caller's FIRST action (CacheScope).
+    // `pruned` matters as much as `base`: the bucket self-join consumes
+    // it on BOTH sides, and without the cache each side re-ran the
+    // explode → 64-min signature aggregation and the skew-guard window
+    // (the two most expensive stages of this operator, duplicated —
+    // measured round 11). The band rows are (id, bucket) pairs,
+    // n_docs × bands rows — tiny at any scale. Consumers that iterate
     // over the pairs persist the small result themselves
     // (Components.fromPairs does).
-    graft.operators.CacheScope.persistUntil(out, base)
+    graft.operators.CacheScope.persistUntil(out, base, pruned)
     out
   }
 
@@ -189,10 +188,14 @@ object Dedup {
       .withColumn("jaccard", round(jaccard(col("__sha"), col("__shb")), 6))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-    // shingled corpus cached lazily, released after the caller's first
-    // action (CacheScope) — iterating consumers (Components' labeling in
-    // canonicalPick) persist the small pair set themselves
-    graft.operators.CacheScope.persistUntil(out, base)
+    // shingled corpus + blocking keys cached lazily, released after the
+    // caller's first action (CacheScope). `keyed` feeds the candidate
+    // self-join on both sides — uncached, each side re-ran the
+    // frequency join and rarest-k aggregation (measured round 11; the
+    // keys are blockKeys rows per doc, tiny). Iterating consumers
+    // (Components' labeling in canonicalPick) persist the small pair
+    // set themselves
+    graft.operators.CacheScope.persistUntil(out, base, keyed)
     out
   }
 

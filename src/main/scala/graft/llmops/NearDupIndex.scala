@@ -80,15 +80,14 @@ object NearDupIndex {
     * signature-by-aggregation build as minhashPairs (codegen'd partial
     * min-aggregates, one output row per doc). */
   private def bandRows(docs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
-    val r = numHashes / bands
-    val minCols = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("__h"))).as(s"__m$i"))
-    val sig = docs.select(col("doc_id"), explode(col("hs")).as("__h"))
-      .groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-    val bandCols = (0 until bands).map { b =>
-      xxhash64(lit(b) +: (b * r until (b + 1) * r).map(j => col(s"__m$j")): _*)
-    }
-    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bucket"))
+    // one map-only pass per doc (functions.MinhashBands, byte-identical
+    // buckets to the explode → min-aggregation → band-hash plan it
+    // replaces — same kernel and rationale as Dedup.minhashPairs)
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    docs.select(col("doc_id"),
+      explode(call_function("minhash_bands", col("hs"),
+        lit(numHashes), lit(bands))).as("bucket"))
   }
 
   def build(df: DataFrame, idCol: String, textCol: String,
