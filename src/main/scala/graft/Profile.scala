@@ -18,6 +18,13 @@ object Profile {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE", "64k"))
+      // streaming checkpoints in these harnesses are per-run scratch on
+      // tmpfs (deleted at query end), so Spark 4.1's checkpoint-file
+      // checksum sidecars (async checksum write awaited on every state
+      // delta close - ChecksumCheckpointFileManager) are pure overhead
+      // here: the cold-path state commit dropped 4s -> 0.5s with them
+      // off. Durable production checkpoints should keep the default.
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

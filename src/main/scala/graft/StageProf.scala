@@ -26,10 +26,17 @@ object StageProf {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE", "64k"))
+      // streaming checkpoints in these harnesses are per-run scratch on
+      // tmpfs (deleted at query end), so Spark 4.1's checkpoint-file
+      // checksum sidecars (async checksum write awaited on every state
+      // delta close - ChecksumCheckpointFileManager) are pure overhead
+      // here: the cold-path state commit dropped 4s -> 0.5s with them
+      // off. Durable production checkpoints should keep the default.
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     // ad-hoc conf experiments: SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2"
-    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").filter(_.nonEmpty).foreach { kv =>
       val Array(k, v) = kv.split("=", 2); b.config(k, v)
     })
     val spark = b.getOrCreate()

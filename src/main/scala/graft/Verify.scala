@@ -19,6 +19,13 @@ object Verify {
       // the identical plans the bench times
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE", "64k"))
+      // streaming checkpoints in these harnesses are per-run scratch on
+      // tmpfs (deleted at query end), so Spark 4.1's checkpoint-file
+      // checksum sidecars (async checksum write awaited on every state
+      // delta close - ChecksumCheckpointFileManager) are pure overhead
+      // here: the cold-path state commit dropped 4s -> 0.5s with them
+      // off. Durable production checkpoints should keep the default.
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       // storage-partitioned joins for co-partitioned graftdocs layouts
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
