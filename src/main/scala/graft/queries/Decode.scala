@@ -1484,8 +1484,12 @@ object Decode {
     // runs — find+aggregate against the connector frame, not parquet
     QueryDef("q_mql_on_docs",
       (s, dir) => {
-        val df = Graft.table(s, dir, "lineitem")
-          .select("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
+        // spread the single-row-group lineitem scan before the document
+        // write: the JSON-encoding sink otherwise runs as ONE task
+        // (operators/Spread rationale; the gate's aggregate output is
+        // row-order independent)
+        val df = graft.operators.Spread.cpuDense(Graft.table(s, dir, "lineitem")
+          .select("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"))
         val path = java.nio.file.Files.createTempDirectory("graft_mqldoc").toString
         df.write.format("graftdocs").mode("overwrite").save(path)
         val docs = s.read.format("graftdocs").schema(df.schema).load(path)

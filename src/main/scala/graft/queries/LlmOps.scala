@@ -2692,7 +2692,7 @@ object LlmOps {
     // (DuckDB rebuilds both scored top-20 sets, normalizes each to
     // [0,1], and fuses with the same weights)
     QueryDef("q_score_fusion",
-      (s, dir) => Graft.aggregate(s, dir, "documents",
+      (s, dir) => Graft.aggregate(docsT(s, dir),
         """[
           {"$scoreFusion": {"idField": "doc_id",
             "input": {"pipelines": {
@@ -3138,7 +3138,7 @@ object LlmOps {
     // BM25 over the gram stream (every length statistic shifts with
     // the expansion — a one-gram divergence breaks the hash)
     QueryDef("q_search_edgegram",
-      (s, dir) => Graft.aggregate(s, dir, "documents",
+      (s, dir) => Graft.aggregate(docsT(s, dir),
         """[
           {"$search": {
             "analyzer": {"tokenizer": "standard", "tokenFilters": [
@@ -3183,7 +3183,7 @@ object LlmOps {
     // "spark window" scores as ONE term with its own df/tf alongside
     // the unigrams; the oracle rebuilds the windows with list slicing
     QueryDef("q_search_shingle",
-      (s, dir) => Graft.aggregate(s, dir, "documents",
+      (s, dir) => Graft.aggregate(docsT(s, dir),
         """[
           {"$search": {
             "analyzer": {"tokenizer": "standard", "tokenFilters": [
@@ -3283,7 +3283,7 @@ object LlmOps {
     // algorithm itself is pinned against the Porter paper's example
     // tables in PorterSpec, and the doc/query agreement in AnalyzerSpec.
     QueryDef("q_search_english",
-      (s, dir) => Graft.aggregate(s, dir, "documents",
+      (s, dir) => Graft.aggregate(docsT(s, dir),
         """[
           {"$search": {"analyzer": "lucene.english",
             "text": {"query": "merging windows", "path": "text"},
