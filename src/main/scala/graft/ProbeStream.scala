@@ -52,8 +52,13 @@ object ProbeStream {
         while (true) {
           Thread.sleep(sys.env.getOrElse("SPARK_GRAFT_DUMP_MS", "2000").toLong)
           val traces = Thread.getAllStackTraces
+          val all = sys.env.contains("SPARK_GRAFT_DUMP_ALL")
           traces.forEach { (t, st) =>
-            if (t.getName.startsWith("Executor task launch") && st.nonEmpty) {
+            val interesting =
+              if (all) t.getState == Thread.State.RUNNABLE && st.nonEmpty &&
+                !t.getName.contains("dispatcher") && !t.getName.startsWith("RemoteBlock")
+              else t.getName.startsWith("Executor task launch") && st.nonEmpty
+            if (interesting) {
               println(s"[dump] ${t.getName} ${t.getState}")
               st.take(14).foreach(f => println(s"[dump]    $f"))
             }

@@ -991,9 +991,24 @@ object OpMsg {
     private def cappedSnapshot(coll: String)
         : (Seq[org.apache.spark.sql.Row],
            org.apache.spark.sql.types.StructType) = {
-      val schema = store.read(coll).schema
-      def attempt(): Seq[org.apache.spark.sql.Row] =
-        store.cappedFiles(coll).flatMap { case (name, _, _, _) =>
+      // the SCHEMA probe races eviction too: an undeclared capped
+      // collection infers its schema with a distributed job over the
+      // batch files, and a file evicted between listing and task open
+      // surfaces as a SparkException CAUSED BY FileNotFoundException
+      // (not a raw FNF) — so the whole (schema, rows) pair retries
+      // together, and the match walks the cause chain
+      def isEvictionRace(t: Throwable): Boolean = {
+        var c = t
+        while (c != null) {
+          if (c.isInstanceOf[java.io.FileNotFoundException]) return true
+          c = c.getCause
+        }
+        false
+      }
+      def attempt(): (Seq[org.apache.spark.sql.Row],
+                      org.apache.spark.sql.types.StructType) = {
+        val schema = store.read(coll).schema
+        val rows = store.cappedFiles(coll).flatMap { case (name, _, _, _) =>
           val p = new org.apache.hadoop.fs.Path(store.path(coll), name)
           val in = p.getFileSystem(
             spark.sparkContext.hadoopConfiguration).open(p)
@@ -1003,10 +1018,15 @@ object OpMsg {
               : org.apache.spark.sql.Row).toVector
           finally in.close()
         }
-      val rows =
-        try attempt()
-        catch { case _: java.io.FileNotFoundException => attempt() }
-      (rows, schema)
+        (rows, schema)
+      }
+      var tries = 3
+      while (true) {
+        tries -= 1
+        try return attempt()
+        catch { case e: Throwable if isEvictionRace(e) && tries > 0 => () }
+      }
+      sys.error("unreachable")
     }
 
     /** Read base for the query commands: capped collections serve a
