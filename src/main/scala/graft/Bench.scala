@@ -4,17 +4,12 @@ import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: one JSON line with per-query seconds.
   *
-  * The driver captures only the LAST ~2000 characters of this process's
-  * output and parses the JSON line out of that tail. With 75+ queries at
-  * full double precision the line outgrew the tail and every round's
-  * BENCH_r{N}.json came back `parsed: null`. So:
-  *   - the printed line is kept compact: seconds rounded to 3 decimals and
-  *     the per-query dict capped to the slowest queries that fit a fixed
-  *     character budget (they dominate the total anyway);
-  *   - the COMPLETE per-query timing dict is written to BENCH_DETAIL.json
-  *     in the working directory for the judge / later rounds;
-  *   - the line is printed AFTER spark.stop() so no straggler executor log
-  *     lines land behind it in the tail.
+  * The stdout line carries the COMPLETE per-query dict (seconds rounded
+  * to 3 decimals) — the driver parses it into its PERF per_query and
+  * scaling comparisons. The same dict (plus per-query errors) is also
+  * written to BENCH_DETAIL.json in the working directory for redundancy.
+  * The line is printed AFTER spark.stop() so no straggler executor log
+  * lines land behind it in the output tail.
   * A warmup action absorbs session/codegen startup so per-query numbers
   * measure the queries, not JVM warmup.
   */
@@ -123,17 +118,13 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$detail,"errors":$errJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (detailLine + "\n").getBytes("UTF-8"))
-    val budget = 1300 // chars for the printed per-query dict
-    val slowestFirst = results.sortBy(-_._2)
-    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
-    var used = 0
-    slowestFirst.foreach { case (k, v) =>
-      val entry = "\"" + k + "\":" + fmt(v)
-      if (used + entry.length + 1 <= budget) { kept += entry; used += entry.length + 1 }
-    }
-    val qs = kept.mkString("{", ",", "}")
     spark.stop()
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"n_errors":${errors.size},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    // the COMPLETE per-query dict on stdout (one ~8 KB line): the
+    // driver parses this line into PERF per_query/scaling — a previous
+    // 1300-char "slowest subset" budget (from a stale assumption about
+    // the driver's tail capture) left `parsed: null` in every round's
+    // BENCH file. BENCH_DETAIL.json stays for redundancy.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$detail,"n_queries":${results.size},"n_errors":${errors.size},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     if (errors.nonEmpty) {
       System.err.println(s"BENCH FAILURES (${errors.size}): " +
         errors.map { case (k, m) => s"$k -> $m" }.mkString("; "))

@@ -10,7 +10,7 @@ object QueryProf {
     val reps = args(1).toInt
     val names = args.drop(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val b0 = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -26,7 +26,13 @@ object QueryProf {
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // dev-only conf overrides for A/B runs, e.g.
+    // SPARK_GRAFT_EXTRA_CONF="spark.graft.spread.minInputBytes=999999999999"
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(
+      _.split(";").filter(_.nonEmpty).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); b0.config(k, v)
+      })
+    val spark = b0.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     for (r <- 1 to reps; name <- names) {
       val t0 = System.nanoTime()

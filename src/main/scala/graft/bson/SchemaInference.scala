@@ -112,23 +112,34 @@ object SchemaInference {
       it.map(mapper.readTree(_): JsonNode)
     })
 
-  /** Inference over already-parsed document trees — the shared core for
-    * the text (.jsonl) and binary (.bson) input paths. */
-  def inferNodes(docs: org.apache.spark.rdd.RDD[JsonNode]): StructType = {
-    val partTrees: Array[(Int, DataType)] = docs.mapPartitionsWithIndex { (pi, it) =>
-      // NullType seed: the first non-null-typed document wins (an empty
-      // StructType seed would swallow scalar top-level values)
-      val acc = it.foldLeft(NullType: DataType) { (tree, node) =>
-        merge(tree, typeOf(node))
-      }
-      Iterator.single(pi -> acc)
-    }.collect()
-    val merged = partTrees.sortBy(_._1).map(_._2)
-      .foldLeft(NullType: DataType)(merge)
-    merged match {
+  /** Fold one ordered document stream into a type tree — the exact
+    * per-partition fold [[inferNodes]] runs. Exposed so an appender can
+    * maintain a per-file inference sidecar incrementally (each appended
+    * batch file's tree computed once, driver-side, from the bytes
+    * already in hand) instead of re-running a distributed inference job
+    * over every file on read-back.
+    * NullType seed: the first non-null-typed document wins (an empty
+    * StructType seed would swallow scalar top-level values). */
+  def typeTree(docs: Iterator[JsonNode]): DataType =
+    docs.foldLeft(NullType: DataType)((tree, node) => merge(tree, typeOf(node)))
+
+  /** Merge per-file trees IN FILE ORDER and wrap — identical to
+    * [[inferNodes]]' driver-side merge when each partition holds one
+    * file, which is exactly how the graftdocs inference job partitions
+    * (one task per file, partition index = file order). */
+  def mergeTrees(trees: Seq[DataType]): StructType =
+    trees.foldLeft(NullType: DataType)(merge) match {
       case st: StructType => st
       case NullType => StructType(Nil)
       case other => StructType(Seq(StructField("value", other)))
     }
+
+  /** Inference over already-parsed document trees — the shared core for
+    * the text (.jsonl) and binary (.bson) input paths. */
+  def inferNodes(docs: org.apache.spark.rdd.RDD[JsonNode]): StructType = {
+    val partTrees: Array[(Int, DataType)] = docs.mapPartitionsWithIndex { (pi, it) =>
+      Iterator.single(pi -> typeTree(it))
+    }.collect()
+    mergeTrees(partTrees.sortBy(_._1).map(_._2).toSeq)
   }
 }

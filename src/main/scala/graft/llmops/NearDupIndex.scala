@@ -23,8 +23,9 @@ import org.apache.spark.sql.functions._
   *     geometry; a query/update with different parameters would
   *     silently lose recall, so it REFUSES loudly instead.
   *
-  * Scale shape: build is the per-doc signature job (explode + map-side
-  * combined min-agg — a word-count); `queryBatch` touches index rows
+  * Scale shape: build is one map-only pass per doc (the
+  * `minhash_bands` kernel — no explode, no aggregation, no shuffle);
+  * `queryBatch` touches index rows
   * matching the BATCH's buckets only (hash equi-join, never a corpus
   * scan), so per-ingest cost is O(|batch|·bands + matched candidates);
   * update is a pure union (per-doc rows of disjoint ids) — the index
@@ -76,9 +77,9 @@ object NearDupIndex {
         s => xxhash64(s))).as("hs"))
   }
 
-  /** (doc_id, bucket) band rows from hashed docs; the same
-    * signature-by-aggregation build as minhashPairs (codegen'd partial
-    * min-aggregates, one output row per doc). */
+  /** (doc_id, bucket) band rows from hashed docs: one map-only
+    * `minhash_bands` pass per doc (band keys computed in a single
+    * array traversal), exploded to one row per band. */
   private def bandRows(docs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     // one map-only pass per doc (functions.MinhashBands, byte-identical
     // buckets to the explode → min-aggregation → band-hash plan it

@@ -95,8 +95,14 @@ final class DocStore(val spark: SparkSession, val dir: String,
 
   /** Read a collection; graftdocs layouts use the `_graft_schema.json`
     * sidecar written at commit time, so the read is schema-exact (no
-    * inference drift on empty/partial collections). */
-  def read(name: String): DataFrame = readAt(path(name))
+    * inference drift on empty/partial collections). Append-created
+    * collections flush their pending inference sidecar first, so the
+    * scan's schema resolution is a driver-side merge instead of a
+    * distributed inference job. */
+  def read(name: String): DataFrame = {
+    flushInferSidecar(name)
+    readAt(path(name))
+  }
 
   /** The collection's declared unique-key column (`uniquekey` in the
     * `_graft_schema.json` sidecar), if any — the catalog-persisted form
@@ -316,6 +322,8 @@ final class DocStore(val spark: SparkSession, val dir: String,
   def drop(name: String): Boolean = {
     val p = new Path(path(name))
     val f = fs
+    inferState.remove(name): Unit // cached sidecar dies with the dir
+    inferDirty.remove(name): Unit
     val dropped = f.exists(p) && f.delete(p, true)
     // DDL is part of the change history (mongod emits drop +
     // invalidate on the collection's change streams): journal the
@@ -514,6 +522,101 @@ final class DocStore(val spark: SparkSession, val dir: String,
   }
   private val CappedFileName = """insert_(\d+)_(\d+)\.bson""".r
 
+  // ---- incremental inference sidecar (append paths) -------------------
+  // Append-created collections have no declared `_graft_schema.json`, so
+  // every read-back ran a distributed inference job over ALL batch files
+  // (one task per file + a full decode pass — the dominant cost of the
+  // wire-insert read-back at ~200 small files, guide §6). The appender
+  // already holds each batch's bytes in memory, so it folds the batch
+  // into a per-FILE type tree driver-side (microseconds for a wire
+  // batch) and keeps `_graft_infer.json` = {file → tree}. The reader
+  // merges the trees in file order — byte-identical to the job's
+  // one-file-per-partition fold+merge (SchemaInference.typeTree/
+  // mergeTrees are the same functions the job runs). Purely an
+  // optimization: any failure or mismatch deletes/ignores the sidecar
+  // and the reader falls back to the distributed inference.
+
+  private def inferSidecarPath(name: String): Path =
+    new Path(path(name), DocStore.InferSidecarName)
+
+  private def readInferSidecar(name: String): Map[String, String] = {
+    val p = inferSidecarPath(name)
+    val f = fs
+    if (!f.exists(p)) return Map.empty
+    val in = f.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+               finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+    val files = node.get("files")
+    if (files == null) Map.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      files.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }
+  }
+
+  // in-memory twin of each collection's sidecar, seeded from disk on
+  // first touch: the store is its directory's single writer (the wire
+  // server contract), so the cached map is authoritative. Appends only
+  // mutate the map (a Hadoop-LocalFS create costs ~10 ms — paying it
+  // per append made a 182-batch wire insert 60% slower); the file is
+  // written ONCE, lazily, when a read needs it. A stale or torn on-disk
+  // sidecar is harmless: the reader's exact key-set check rejects it
+  // and falls back to the inference job.
+  private val inferState =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]()
+  private val inferDirty =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Update the in-memory inference state: add `put` entries, remove
+    * `drop` entries. Serialized per collection by the caller
+    * (capMonitor); no file I/O — see [[flushInferSidecar]]. */
+  private def updateInferSidecar(name: String, put: Map[String, String],
+                                 drop: Seq[String] = Seq.empty): Unit =
+    try {
+      val prev = inferState.get(name) match {
+        case null => readInferSidecar(name)
+        case m => m
+      }
+      inferState.put(name, prev -- drop ++ put): Unit
+      inferDirty.add(name): Unit
+    } catch { case scala.util.control.NonFatal(_) =>
+      inferState.remove(name): Unit
+    }
+
+  /** Write the pending inference state beside the batch files — called
+    * on the read path so a whole append burst pays one file create. */
+  private def flushInferSidecar(name: String): Unit =
+    if (inferDirty.contains(name)) capMonitor(name).synchronized {
+      if (inferDirty.remove(name)) try {
+        val entries = inferState.get(name)
+        if (entries != null && exists(name)) {
+          val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+          val root = mapper.createObjectNode()
+          val files = root.putObject("files")
+          entries.toSeq.sortBy(_._1)
+            .foreach { case (k, v) => files.put(k, v): Unit }
+          val out = fs.create(inferSidecarPath(name), true)
+          try out.write(mapper.writeValueAsString(root).getBytes("UTF-8"))
+          finally out.close()
+        }
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          // a broken sidecar must never break reads — drop it
+          inferState.remove(name): Unit
+          try fs.delete(inferSidecarPath(name), false): Unit
+          catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
+
+  /** The appended batch's type tree, as DataType json (driver-side fold
+    * over the bytes already in hand). */
+  private def batchTree(docs: Array[Byte], from: Int = 0): String =
+    graft.bson.SchemaInference.typeTree(
+      graft.bson.BsonBinary.documents(
+        new java.io.ByteArrayInputStream(docs, from, docs.length - from))
+        .map(identity[com.fasterxml.jackson.databind.JsonNode])).json
+
   /** Enforce the cap after an append: drop whole head files while they
     * are fully past-budget, then rewrite at most one straddling file
     * without its evicted head docs. Exact for the doc cap; the byte
@@ -536,6 +639,7 @@ final class DocStore(val spark: SparkSession, val dir: String,
       val dropForBytes = size > 0 && totalBytes > size
       if (dropForDocs || dropForBytes) {
         f.delete(new Path(target, head), false): Unit
+        updateInferSidecar(name, Map.empty, drop = Seq(head))
         files = files.tail
       } else dropping = false
     }
@@ -572,6 +676,11 @@ final class DocStore(val spark: SparkSession, val dir: String,
       if (!f.rename(tmp, new Path(target, s"insert_${nanos}_$keep.bson")))
         throw new MqlException(s"cap rewrite commit failed for '$name'")
       f.delete(new Path(target, head), false): Unit
+      // the rewritten head's tree re-folds from the surviving slice (in
+      // hand) so the sidecar stays exact through eviction
+      updateInferSidecar(name,
+        Map(s"insert_${nanos}_$keep.bson" -> batchTree(bytes, off)),
+        drop = Seq(head))
     }
   }
 
@@ -1097,6 +1206,26 @@ final class DocStore(val spark: SparkSession, val dir: String,
     steps.reduce(_ unionByName _)
   }
 
+  /** Fingerprint of everything a change stream on `name` can observe:
+    * the live [[contentStamp]], the retired version ids, and the DDL
+    * journal's file listing. Equal signatures ⇒ [[changeEvents]] +
+    * [[ddlEvents]] would return identical results — retired snapshots
+    * are immutable, every live mutation moves the contentStamp (all
+    * commits land via rename), and every DDL event is one new journal
+    * file. O(files) driver-side metadata, no data read: what lets the
+    * wire server reuse a change-stream frame between awaitData polls
+    * and rebuild it the instant any write, append, or DDL lands. */
+  def changeSignature(name: String): String =
+    contentStamp(name) + "|" + versions(name).mkString(",") + "|" +
+      ddlJournalStamp
+
+  /** The DDL journal's file-name listing (one unique file per event). */
+  def ddlJournalStamp: String = {
+    val f = fs
+    if (!f.exists(ddlDir)) ""
+    else f.listStatus(ddlDir).map(_.getPath.getName).sorted.mkString(",")
+  }
+
   /** Delete retired versions beyond the newest `keepLast` (the storage
     * bound every snapshot scheme needs). Returns how many were
     * deleted. */
@@ -1165,12 +1294,20 @@ final class DocStore(val spark: SparkSession, val dir: String,
             s"appendRaw: corrupt BSON batch at offset $off")
           off += len; count += 1
         }
-        if (!f.rename(tmp, new Path(target, s"insert_${nanos}_$count.bson")))
+        val fname = s"insert_${nanos}_$count.bson"
+        if (!f.rename(tmp, new Path(target, fname)))
           throw new IllegalStateException(s"append commit failed for '$name'")
-        capMonitor(name).synchronized { enforceCap(name, max, size) }
+        capMonitor(name).synchronized {
+          updateInferSidecar(name, Map(fname -> batchTree(docs)))
+          enforceCap(name, max, size)
+        }
       case None =>
-        if (!f.rename(tmp, new Path(target, s"insert_$nanos.bson")))
+        val fname = s"insert_$nanos.bson"
+        if (!f.rename(tmp, new Path(target, fname)))
           throw new IllegalStateException(s"append commit failed for '$name'")
+        capMonitor(name).synchronized {
+          updateInferSidecar(name, Map(fname -> batchTree(docs)))
+        }
     }
   }
 
@@ -1244,6 +1381,8 @@ final class DocStore(val spark: SparkSession, val dir: String,
 
   private def swapIn(stage: Path, name: String): Unit = {
     val target = new Path(path(name))
+    inferState.remove(name): Unit // cached sidecar dies with the old dir
+    inferDirty.remove(name): Unit
     // crash-safe swap: the old dataset moves ASIDE (pointer rename),
     // the stage moves live, only then does the old copy die. A
     // delete-then-rename would leave a window where the stage dir is
@@ -1275,4 +1414,9 @@ object DocStore {
     * served at journal time. */
   final case class DdlEvent(op: String, coll: String, to: Option[String],
                             txnVersion: Long, at: Long)
+
+  /** Per-file inference sidecar maintained by [[DocStore.appendRaw]] and
+    * consumed by the graftdocs reader's schema inference (the name is
+    * shared, not the code — the reader works on any directory). */
+  val InferSidecarName = "_graft_infer.json"
 }

@@ -180,6 +180,40 @@ object GraftDocSource {
     }
   }
 
+  /** Some(schema) when ALL resolved files are .bson siblings in one
+    * flat directory covered exactly by that directory's
+    * `_graft_infer.json` (maintained by DocStore.appendRaw: one type
+    * tree per batch file, folded driver-side from the bytes at append
+    * time). Merging the stored trees in file order is the same fold the
+    * distributed inference performs with one file per partition, so the
+    * result is byte-identical — this only short-circuits the job. Any
+    * structural mismatch returns None and the caller runs the job. */
+  private[sources] def sidecarSchema(files: Seq[FileRef]): Option[StructType] =
+    try {
+      if (files.isEmpty || !files.forall(_.isBson)) return None
+      val paths = files.map(f => new Path(f.path))
+      val parent = paths.head.getParent
+      if (parent == null || !paths.forall(p => parent == p.getParent))
+        return None
+      if (DocPartitions.partitionCols(files).nonEmpty) return None
+      val fs = parent.getFileSystem(activeHadoopConf())
+      val side = new Path(parent, graft.sinks.DocStore.InferSidecarName)
+      if (!fs.exists(side)) return None
+      val in = fs.open(side)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                 finally in.close()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+      val fNode = node.get("files")
+      if (fNode == null) return None
+      val entries = fNode.properties().asScala
+        .map(e => e.getKey -> e.getValue.asText()).toMap
+      val names = paths.map(_.getName)
+      if (entries.keySet != names.toSet) return None
+      val trees = names.map(n =>
+        org.apache.spark.sql.types.DataType.fromJson(entries(n)))
+      Some(graft.bson.SchemaInference.mergeTrees(trees))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   private def isHidden(name: String): Boolean =
     name.startsWith(".") || name.startsWith("_") // Hadoop convention (.crc, staged)
 
@@ -213,6 +247,19 @@ class GraftDocSource extends TableProvider with DataSourceRegister {
     val maxDocs = options.getLong("infermaxdocs", Long.MaxValue)
     if (maxDocs <= 0) throw new IllegalArgumentException(
       s"graftdocs: inferMaxDocs must be positive, got $maxDocs")
+    // append-maintained inference sidecar (DocStore.appendRaw keeps a
+    // per-FILE type tree beside the batch files): when every resolved
+    // file is covered, merging the stored trees in file order is
+    // byte-identical to the distributed fold below (same per-file
+    // trees, same merge, same order — one task per file means partition
+    // index = file order), so the read-back of an append-built
+    // collection skips the inference job entirely (guide §6). Any
+    // mismatch (extra/missing entries, hive layouts, jsonl, an
+    // inferMaxDocs sample bound, parse failure) falls through.
+    if (maxDocs == Long.MaxValue) GraftDocSource.sidecarSchema(files) match {
+      case Some(st) => return st
+      case None => ()
+    }
     // one task per file; partition order = file order, so the
     // "first observed value wins" rule stays well-defined globally
     val nodes = spark.sparkContext

@@ -779,6 +779,16 @@ object OpMsg {
       // an invalidate event is terminal: the serving batch is the
       // cursor's last (mongod closes the cursor with it)
       @volatile var invalidated: Boolean = false
+      // per-cursor pinned event frame: the change-event delta past the
+      // token at build time, materialized ONCE (localCheckpoint) and
+      // reused across awaitData polls while `frameSig` matches the
+      // store's changeSignature. Any write/append/DDL moves the
+      // signature and the next poll rebuilds — mid-watch mutations
+      // surface exactly as before, but an idle or paging cursor stops
+      // re-executing the whole version-diff subtree on every getMore.
+      // Freed by reference drop (cursor removal → ContextCleaner).
+      @volatile var frame: DataFrame = null
+      @volatile var frameSig: String = null
     }
 
     private final class Cursor(val ns: String,
@@ -997,11 +1007,15 @@ object OpMsg {
       // surfaces as a SparkException CAUSED BY FileNotFoundException
       // (not a raw FNF) — so the whole (schema, rows) pair retries
       // together, and the match walks the cause chain
+      // bounded cause walk (16 links guards against cyclic chains);
+      // fatal VM errors are never retried (NonFatal at the catch site)
       def isEvictionRace(t: Throwable): Boolean = {
         var c = t
-        while (c != null) {
+        var depth = 0
+        while (c != null && depth < 16) {
           if (c.isInstanceOf[java.io.FileNotFoundException]) return true
           c = c.getCause
+          depth += 1
         }
         false
       }
@@ -1024,7 +1038,13 @@ object OpMsg {
       while (true) {
         tries -= 1
         try return attempt()
-        catch { case e: Throwable if isEvictionRace(e) && tries > 0 => () }
+        catch {
+          case scala.util.control.NonFatal(e)
+              if isEvictionRace(e) && tries > 0 =>
+            org.slf4j.LoggerFactory.getLogger(getClass)
+              .info(s"capped snapshot of '$coll' raced eviction " +
+                s"(${e.getClass.getSimpleName}); retrying ($tries left)")
+        }
       }
       sys.error("unreachable")
     }
@@ -1487,8 +1507,8 @@ object OpMsg {
       * mongod's `db.watch()`). */
     private val DbWatch = "\u0000db-watch"
 
-    private def changeStreamDf(coll: String, keyField: String,
-                               restJson: String, after: String): DataFrame = {
+    private def changeStreamBase(coll: String, keyField: String,
+                                 after: String): DataFrame = {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.types.{StructType, StructField,
         StringType, ArrayType, LongType}
@@ -1613,14 +1633,24 @@ object OpMsg {
               java.util.Arrays.asList(rows: _*), nullableSchema))
           }
         }
-      val shaped = ev
-        .where(col("_id._data") > lit(after))
+      ev.where(col("_id._data") > lit(after))
         .select(Seq("_id", "operationType", "ns", "documentKey",
           "fullDocument", "fullDocumentBeforeChange", "updatedFields",
           "txnVersion", "to").map(col): _*)
+    }
+
+    /** The serving half of the change stream: the rest of the caller's
+      * pipeline plus the token order, applied to a (possibly pinned)
+      * base frame, past `after`. Base frames are built with the token
+      * current at BUILD time and tokens only advance, so the stronger
+      * filter here keeps pagination exact. */
+    private def changeStreamServe(base: DataFrame, restJson: String,
+                                  after: String): DataFrame = {
+      import org.apache.spark.sql.functions._
+      val filtered = base.where(col("_id._data") > lit(after))
       val resolve: graft.mql.PipelineCompiler.TableResolver =
         n => store.read(n)
-      val out = graft.mql.PipelineCompiler.run(shaped, restJson, resolve)
+      val out = graft.mql.PipelineCompiler.run(filtered, restJson, resolve)
       val hasToken = out.schema.fields.find(_.name == "_id").exists(
         _.dataType match {
           case st: org.apache.spark.sql.types.StructType =>
@@ -1634,13 +1664,45 @@ object OpMsg {
       out.orderBy(col("_id._data"))
     }
 
+    /** Everything a change stream on `coll` can observe, fingerprinted
+      * (db-level watches combine every journaled/live collection). */
+    private def changeSig(coll: String): String =
+      if (coll != DbWatch) store.changeSignature(coll)
+      else (store.collections() ++ store.ddlAll().map(_.coll))
+        .distinct.sorted
+        .map(c => c + "=" + store.changeSignature(c)).mkString(";")
+
+    /** The cursor's pinned event frame, rebuilt iff the store's change
+      * signature moved since the last build (guide §6, incremental
+      * reads). Retired snapshots are immutable and every live
+      * write/append/DDL moves [[graft.sinks.DocStore.changeSignature]],
+      * so between mutations the delta past the cursor's token is a
+      * fixed row set — re-diffing the whole retained history (k
+      * full-outer joins) on EVERY awaitData getMore was the watch
+      * family's dominant cost. localCheckpoint materializes the delta
+      * once per mutation epoch as distributed blocks (spills to disk,
+      * never the driver heap — the bounded-collect contract is
+      * untouched), truncates the per-poll plan to a small scan, and
+      * stays out of the CacheManager, so a stale frame can never be
+      * substituted into another cursor's fresh build. Freed when the
+      * cursor dies (reference drop → ContextCleaner). */
+    private def tailFrame(t: ChangeTail): DataFrame = {
+      val sig = changeSig(t.coll)
+      if (t.frame == null || t.frameSig != sig) {
+        t.frame = changeStreamBase(t.coll, t.keyField, t.lastToken)
+          .localCheckpoint(true)
+        t.frameSig = sig
+      }
+      t.frame
+    }
+
     /** Refresh a drained tailable cursor with events past its last
       * token — the awaitData poll. Returns true when new events
       * arrived. The store read schedules Spark jobs; a change-stream
       * consumer drives from the driver (never from inside blocked scan
       * tasks), same contract as the aggregate handler. */
     private def repoll(c: Cursor): Boolean = c.tail.exists { t =>
-      val df = changeStreamDf(t.coll, t.keyField, t.restJson, t.lastToken)
+      val df = changeStreamServe(tailFrame(t), t.restJson, t.lastToken)
       // BOUNDED: materialize at most one reply batch (token-ordered
       // limit → TakeOrderedAndProject), never the whole pending delta —
       // a watch resumed against a huge retained backlog pages through
@@ -1877,13 +1939,13 @@ object OpMsg {
       }
       val restJson = org.json4s.jackson.JsonMethods.compact(
         org.json4s.jackson.JsonMethods.render(rest))
-      val df = changeStreamDf(coll, keyField, restJson, after)
+      val t = new ChangeTail(coll, keyField, restJson, mongodTokens)
+      t.lastToken = after
+      val df = changeStreamServe(tailFrame(t), restJson, after)
       // same bound as repoll: ONE reply batch; the rest pages through
       // getMores from the tail's advancing lastToken
       val rowsArr = df.limit(batchSize).collect()
       maxCollectedOnce.accumulateAndGet(rowsArr.length, math.max): Unit
-      val t = new ChangeTail(coll, keyField, restJson, mongodTokens)
-      t.lastToken = after
       val ns = if (coll == DbWatch) s"$db.$$cmd.aggregate" else s"$db.$coll"
       val c = new Cursor(ns, rowsArr.iterator, df.schema,
         batchSize, Some(t))
