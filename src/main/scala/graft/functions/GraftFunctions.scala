@@ -48,11 +48,16 @@ case class ObjectIdToTimestamp(child: Expression) extends UnaryExpression {
   * function chain interprets four lambda expressions and allocates a
   * slice array per shingle, which dominated the near-dup pipeline's
   * runtime (the shingle stage is the whole-corpus scan; everything
-  * after it works on blocked candidates). Eval-based (CodegenFallback):
-  * one invocation per document is already off the per-element hot path.
+  * after it works on blocked candidates). Codegen is a REFERENCE CALL
+  * into the same JIT'd one-pass kernel (per-document granularity keeps
+  * the call off the per-element hot path) — a CodegenFallback here
+  * would evict the WHOLE projection operator from WholeStageCodegen
+  * (CollapseCodegenStages rejects operators containing fallback
+  * expressions), interpreting every other expression in the
+  * corpus-scan stage with it.
   */
 case class WordShingles(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = false
 
@@ -65,11 +70,14 @@ case class WordShingles(left: Expression, right: Expression)
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val toks = left.eval(input)
     if (toks == null) new GenericArrayData(Array[Any](UTF8String.EMPTY_UTF8))
-    else nullSafeEval(toks, null)
+    else shingle(toks.asInstanceOf[ArrayData])
   }
 
-  override def nullSafeEval(toks: Any, nIgnored: Any): Any = {
-    val arr = toks.asInstanceOf[ArrayData]
+  override def nullSafeEval(toks: Any, nIgnored: Any): Any =
+    shingle(toks.asInstanceOf[ArrayData])
+
+  /** The one-pass kernel — public so generated code can call it. */
+  def shingle(arr: ArrayData): ArrayData = {
     val m = arr.numElements()
     if (m < n) {
       val parts = new Array[UTF8String](m)
@@ -90,7 +98,97 @@ case class WordShingles(left: Expression, right: Expression)
     }
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val leftGen = left.genCode(ctx)
+    val ref = ctx.addReferenceObj("wordShingles", this)
+    val ad = classOf[ArrayData].getName
+    val gad = classOf[GenericArrayData].getName
+    val u8 = classOf[UTF8String].getName
+    ev.copy(code = code"""
+      |${leftGen.code}
+      |$ad ${ev.value} = ${leftGen.isNull}
+      |  ? new $gad(new Object[] { $u8.EMPTY_UTF8 })
+      |  : $ref.shingle(${leftGen.value});
+      |""".stripMargin, isNull = FalseLiteral)
+  }
+
   override protected def withNewChildrenInternal(l: Expression, r: Expression): WordShingles =
+    copy(left = l, right = r)
+}
+
+/** Sorted xxhash64 hashes of a document's distinct word n-gram shingles
+  * in ONE pass over the raw text — fuses the near-dup signature prelude
+  * `array_sort(transform(word_shingles(filter(split(trim(text), "\s+"),
+  * len>0), n), s => xxhash64(s)))`. The HOF lambdas in that chain
+  * (filter/transform/array_sort-comparator) are CodegenFallback in
+  * Spark, so the whole corpus-scan projection ran interpreted and
+  * outside WholeStageCodegen; this expression reproduces the chain
+  * byte-for-byte (same UTF8String trim/split/shingle semantics, same
+  * XXH64 string kernel with seed 42, same sort — spec-pinned against
+  * the composed plan) with a codegen'd reference call.
+  * Null text hashes the single "" join-all shingle: split(trim(null))
+  * is null and WordShingles maps a null token array to [""]. */
+case class HashedShingles(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  private lazy val n: Int = right.eval().asInstanceOf[Int]
+  private val space = UTF8String.fromString(" ")
+  private val ws = UTF8String.fromString("\\s+")
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    hashed(left.eval(input).asInstanceOf[UTF8String])
+
+  /** The fused kernel — public so generated code can call it. */
+  def hashed(text: UTF8String): ArrayData = {
+    // tokens: split(trim(text), "\s+") minus empties (TextAnalysis.tokens)
+    val toks: Array[UTF8String] =
+      if (text == null) null
+      else text.trim().split(ws, -1).filter(_.numBytes > 0)
+    // shingles: WordShingles semantics (distinct, insertion order,
+    // <n fallback joins all tokens; null token array → [""])
+    val shingles: Array[UTF8String] =
+      if (toks == null) Array(UTF8String.EMPTY_UTF8)
+      else if (toks.length < n) Array(UTF8String.concatWs(space, toks.toIndexedSeq: _*))
+      else {
+        val seen = new java.util.LinkedHashSet[UTF8String]()
+        val window = new Array[UTF8String](n)
+        var i = 0
+        while (i + n <= toks.length) {
+          var j = 0
+          while (j < n) { window(j) = toks(i + j); j += 1 }
+          seen.add(UTF8String.concatWs(space, window.toIndexedSeq: _*))
+          i += 1
+        }
+        seen.toArray(new Array[UTF8String](seen.size))
+      }
+    // xxhash64(shingle) with Spark's default seed, then ascending sort
+    // (duplicates from 64-bit collisions survive, as in the HOF chain)
+    val out = new Array[Long](shingles.length)
+    var i = 0
+    while (i < shingles.length) {
+      out(i) = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(shingles(i), StringType, 42L)
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val leftGen = left.genCode(ctx)
+    val ref = ctx.addReferenceObj("hashedShingles", this)
+    val ad = classOf[ArrayData].getName
+    val u8 = classOf[UTF8String].getName
+    ev.copy(code = code"""
+      |${leftGen.code}
+      |$ad ${ev.value} = $ref.hashed(
+      |  ${leftGen.isNull} ? null : ($u8) ${leftGen.value});
+      |""".stripMargin, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HashedShingles =
     copy(left = l, right = r)
 }
 
@@ -147,12 +245,18 @@ case class DotDouble(left: Expression, right: Expression)
   * including null-element identity and 0/0 → NaN, without materializing
   * the two intermediate arrays per candidate pair. */
 case class JaccardSim(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+  override def nullSafeEval(l: Any, r: Any): Any =
+    sim(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  /** The hash-set pass — public so generated code can call it (a
+    * CodegenFallback would evict the enclosing operator from the
+    * WholeStageCodegen span; the candidate-verify projection stays
+    * compiled this way). */
+  def sim(a: ArrayData, b: ArrayData): Double = {
     val setA = new java.util.HashSet[UTF8String]()
     var nullA = false
     var i = 0
@@ -175,6 +279,11 @@ case class JaccardSim(left: Expression, right: Expression)
     val nB = setB.size + (if (nullB) 1 else 0)
     val union = nA + nB - inter
     inter.toDouble / union.toDouble // 0/0 → NaN, as the builtin form
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("jaccardSim", this)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.sim($a, $b);")
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSim =
@@ -224,7 +333,7 @@ case class DeflateRatio(child: Expression)
   * be sorted ascending and duplicate-free (array_sort over the distinct
   * shingle hashes) — the merge walk silently undercounts otherwise. */
 case class JaccardSimLong(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
@@ -241,6 +350,27 @@ case class JaccardSimLong(left: Expression, right: Expression)
     val union = nA + nB - inter
     inter.toDouble / union.toDouble // 0/0 → NaN, as the builtin form
   }
+
+  // generated twin of the merge walk — pure primitive loop, keeps the
+  // verify projection inside the WholeStageCodegen span
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nA = ctx.freshName("nA"); val nB = ctx.freshName("nB")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val inter = ctx.freshName("inter")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+        |int $nA = $a.numElements(); int $nB = $b.numElements();
+        |int $i = 0; int $j = 0; int $inter = 0;
+        |while ($i < $nA && $j < $nB) {
+        |  long $x = $a.getLong($i); long $y = $b.getLong($j);
+        |  if ($x == $y) { $inter++; $i++; $j++; }
+        |  else if ($x < $y) $i++;
+        |  else $j++;
+        |}
+        |${ev.value} = (double) $inter / (double) ($nA + $nB - $inter);
+      """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSimLong =
     copy(left = l, right = r)
@@ -1778,6 +1908,7 @@ object GraftFunctions {
     "exp_moving_avg" -> ((e: Seq[Expression]) => ExpMovingAvgWin(e(0), e(1))),
     "objectid_to_timestamp" -> ((e: Seq[Expression]) => ObjectIdToTimestamp(e.head)),
     "word_shingles" -> ((e: Seq[Expression]) => WordShingles(e.head, e(1))),
+    "hashed_shingles" -> ((e: Seq[Expression]) => HashedShingles(e.head, e(1))),
     "dot_d" -> ((e: Seq[Expression]) => DotDouble(e.head, e(1))),
     "jaccard_sim" -> ((e: Seq[Expression]) => JaccardSim(e.head, e(1))),
     "jaccard_sim_long" -> ((e: Seq[Expression]) => JaccardSimLong(e.head, e(1))),

@@ -107,10 +107,14 @@ object Dedup {
       org.apache.spark.sql.SparkSession.active)
     // hashed shingle sets feed signature building + both verification
     // joins (shingles are distinct per doc, so sort alone gives the
-    // sorted-set contract JaccardSimLong requires)
+    // sorted-set contract JaccardSimLong requires). One fused native
+    // pass (functions.HashedShingles — spec-pinned byte-identical to
+    // the tokenize → shingle → xxhash64 → array_sort chain, whose HOF
+    // lambdas ran interpreted and evicted the scan projection from
+    // WholeStageCodegen).
     val base = df.select(col(idCol).as("__id"),
-        array_sort(transform(shingles(col(textCol), shingleN),
-          s => xxhash64(s))).as("__hs"))
+        call_function("hashed_shingles", col(textCol), lit(shingleN))
+          .as("__hs"))
     // signature + band keys in ONE map-only pass per doc
     // (functions.MinhashBands, byte-identical buckets to the previous
     // explode → numHashes-column min-aggregation → band-hash plan): no

@@ -72,9 +72,13 @@ object NearDupIndex {
         col(idCol).cast("string"),
         lit("' does not cast losslessly to long"))).cast("long"))
       .otherwise(castId)
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    // fused tokenize → shingle → xxhash64 → sort pass (HashedShingles;
+    // byte-identical to the HOF chain it replaces, spec-pinned)
     df.select(guarded.as("doc_id"),
-      array_sort(transform(Dedup.shingles(col(textCol), shingleN),
-        s => xxhash64(s))).as("hs"))
+      call_function("hashed_shingles", col(textCol), lit(shingleN))
+        .as("hs"))
   }
 
   /** (doc_id, bucket) band rows from hashed docs: one map-only

@@ -28,7 +28,17 @@ object Spread {
   /** Spread iff `minBytes <= plan stats < maxBytes`: below the floor
     * (a streaming micro-batch, a verify run at a toy scale factor) the
     * exchange costs more than the kernel, above the ceiling the input
-    * already parallelizes by file splits. */
+    * already parallelizes by file splits.
+    *
+    * Width is DATA-derived, `clamp(bytes / bytesPerTask, 2, cores)`
+    * (`spark.graft.spread.bytesPerTask`, default 64 KB — the same
+    * granularity as the session's AQE coalescing floor): a session-core
+    * width made the exchange's fixed per-partition cost grow with the
+    * core count, so at local[32] the spread cost more than the kernel
+    * on mid-weight gates while the same gates wanted it at local[8]
+    * (measured round 12, ~0.1–0.5 s per gate each way). Big inputs
+    * still reach full core width; tiny ones stop at the task count the
+    * bytes justify. */
   def cpuDense(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val par = spark.sparkContext.defaultParallelism
@@ -38,8 +48,13 @@ object Spread {
         .map(_.toLong).getOrElse(64L << 20)
       val minBytes = spark.conf.getOption("spark.graft.spread.minInputBytes")
         .map(_.toLong).getOrElse(256L << 10)
+      val perTask = spark.conf.getOption("spark.graft.spread.bytesPerTask")
+        .map(_.toLong).getOrElse(64L << 10)
       val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-      if (bytes >= minBytes && bytes < maxBytes) df.repartition(par) else df
+      if (bytes >= minBytes && bytes < maxBytes) {
+        val width = (bytes / perTask).toLong.max(2L).min(par.toLong).toInt
+        df.repartition(width)
+      } else df
     }
   }
 }

@@ -19,11 +19,23 @@ object LlmOps {
   // CPU-dense gates read the text/vector fixtures through Spread
   // (operators/Spread.scala): a small single-row-group parquet file
   // otherwise scans as ONE task and serializes the tokenization /
-  // hashing kernels on one core of the session.
+  // hashing kernels on one core of the session. Applied PER GATE, not
+  // blanket: a round-12 A/B over all 88 documents/embeddings gates at
+  // 32 AND 8 cores showed the exchange is a net loss for gates that
+  // consume the read on several plan branches or feed an aggregation
+  // shuffle right away (dedup family, top-k, index builds, sampling —
+  // each 0.1–1.0 s faster on the plain read at BOTH core counts), and
+  // a clear win only where a heavy per-row kernel dominates the scan
+  // stage (tokenization / shingling / scoring / media decode). docsT /
+  // embT = spread (kernel gates); docsP / embP = plain read.
   private def docsT(s: org.apache.spark.sql.SparkSession, dir: String) =
     graft.operators.Spread.cpuDense(Graft.table(s, dir, "documents"))
   private def embT(s: org.apache.spark.sql.SparkSession, dir: String) =
     graft.operators.Spread.cpuDense(Graft.table(s, dir, "embeddings"))
+  private def docsP(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Graft.table(s, dir, "documents")
+  private def embP(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Graft.table(s, dir, "embeddings")
 
   // DuckDB-side token list, mirrored from TextAnalysis.tokens
   private val duckToks =
@@ -103,7 +115,7 @@ object LlmOps {
     // BPE-ish pre-tokenization budget count vs the whitespace count;
     // the pattern is RE2-safe so DuckDB re-tokenizes identically
     QueryDef("q_bpe_tokens",
-      (s, dir) => docsT(s, dir).select(col("doc_id"),
+      (s, dir) => docsP(s, dir).select(col("doc_id"),
         graft.llmops.TextAnalysis.tokenCount(col("text")).as("ws_tokens"),
         graft.llmops.TextAnalysis.bpeTokenCount(col("text")).as("bpe_tokens"))
         .orderBy("doc_id"),
@@ -200,7 +212,7 @@ object LlmOps {
     // pair expansion directly in DuckDB; full ordering makes the top-25
     // deterministic.
     QueryDef("q_bpe_pairs",
-      (s, dir) => Bpe.pairCounts(docsT(s, dir), "text")
+      (s, dir) => Bpe.pairCounts(docsP(s, dir), "text")
         .orderBy(desc("freq"), col("p1"), col("p2")).limit(25),
       Some(s"""WITH w AS (SELECT unnest(regexp_extract_all(text,
                  '$duckBpeSplit')) AS word FROM documents),
@@ -253,7 +265,7 @@ object LlmOps {
     // q_bpe_encode's replace identity into q_packing's cumsum replay.
     QueryDef("q_bpe_pack",
       (s, dir) => {
-        val docs = docsT(s, dir)
+        val docs = docsP(s, dir)
         val m = Bpe.train(docs, "text", nMerges = 1, minFreq = 1)
           .map(x => (x._1, x._2))
         Sampling.packSequences(docs, "doc_id", "source",
@@ -332,7 +344,7 @@ object LlmOps {
               GROUP BY e.doc_id ORDER BY e.doc_id""")),
 
     QueryDef("q_boilerplate",
-      (s, dir) => Dedup.boilerplateLines(docsT(s, dir),
+      (s, dir) => Dedup.boilerplateLines(docsP(s, dir),
         "doc_id", "text", sep = " ", minDocFrac = 0.78).orderBy("line"),
       Some("""WITH expl AS (SELECT doc_id, unnest(string_split(text, ' ')) AS line
                             FROM documents),
@@ -371,21 +383,21 @@ object LlmOps {
               ORDER BY line""")),
 
     QueryDef("q_dedup_exact",
-      (s, dir) => Dedup.exact(docsT(s, dir), "doc_id", "text")
+      (s, dir) => Dedup.exact(docsP(s, dir), "doc_id", "text")
         .orderBy("digest"),
       Some("""SELECT md5(text) AS digest, min(doc_id) AS keep_id,
                      CAST(COUNT(*) AS BIGINT) AS n_copies
               FROM documents GROUP BY md5(text) ORDER BY digest""")),
 
     QueryDef("q_dedup_norm",
-      (s, dir) => Dedup.exact(docsT(s, dir), "doc_id", "text",
+      (s, dir) => Dedup.exact(docsP(s, dir), "doc_id", "text",
         normalize = true).orderBy("digest"),
       Some("""SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS digest,
                      min(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies
               FROM documents GROUP BY 1 ORDER BY digest""")),
 
     QueryDef("q_fingerprint_groups",
-      (s, dir) => docsT(s, dir)
+      (s, dir) => docsP(s, dir)
         .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
         .orderBy("fp"),
@@ -403,7 +415,7 @@ object LlmOps {
     // pairs is 1 − (1−j⁴)¹⁶ ≥ 1 − 2e-18 at the fixtures' j≈0.99, so the
     // exact-jaccard ground truth doubles as its oracle.
     QueryDef("q_minhash_pairs",
-      (s, dir) => Dedup.minhashPairs(docsT(s, dir),
+      (s, dir) => Dedup.minhashPairs(docsP(s, dir),
         "doc_id", "text", shingleN = 3, numHashes = 64, bands = 16, threshold = 0.8)
         .orderBy("id_a", "id_b"),
       Some(nearDupOracle)),
@@ -462,7 +474,7 @@ object LlmOps {
     // themselves come from the existing blocked generators.
     QueryDef("q_dedup_eval",
       (s, dir) => {
-        val docs = docsT(s, dir)
+        val docs = docsP(s, dir)
         val exact = Dedup.jaccardPairs(docs, "doc_id", "text",
           shingleN = 3, threshold = 0.8, blockKeys = 4)
           .select(col("id_a"), col("id_b"))
@@ -546,7 +558,7 @@ object LlmOps {
     // shuffles are the dedup digest agg and the budget window.
     QueryDef("q_curation_pipeline",
       (s, dir) => {
-        val d = docsT(s, dir)
+        val d = docsP(s, dir)
         val reps = Dedup.exact(d, "doc_id", "text", normalize = true)
           .select(col("keep_id").as("doc_id"))
         val deduped = d.join(reps, Seq("doc_id"), "left_semi")
@@ -614,7 +626,7 @@ object LlmOps {
 
     QueryDef("q_knn_topk",
       (s, dir) => {
-        val e = embT(s, dir)
+        val e = embP(s, dir)
         Similarity.bruteForceTopK(e.where(col("vec_id") < 5), e, k = 10)
           .orderBy("query_id", "rnk")
       },
@@ -628,7 +640,7 @@ object LlmOps {
     // exclusion, the cos ceiling, and the ranking.
     QueryDef("q_hard_negatives",
       (s, dir) => {
-        val e = embT(s, dir)
+        val e = embP(s, dir)
         val q = e.where(col("vec_id") < 5)
         val positives = q.select(col("vec_id").as("query_id"), col("label"))
           .join(e.select(col("vec_id").as("match_id"), col("label").as("cl")),
@@ -668,7 +680,7 @@ object LlmOps {
     // (portable seed hash), probe selection, candidate cut, and filters.
     QueryDef("q_hard_negatives_ann",
       (s, dir) => {
-        val e = embT(s, dir)
+        val e = embP(s, dir)
         val q = e.where(col("vec_id") < 5)
         val positives = q.select(col("vec_id").as("query_id"), col("label"))
           .join(e.select(col("vec_id").as("match_id"), col("label").as("cl")),
@@ -734,7 +746,7 @@ object LlmOps {
     // summation-order drift between engines.
     QueryDef("q_mean_pool",
       (s, dir) => {
-        val e = embT(s, dir)
+        val e = embP(s, dir)
         e.groupBy(col("label"))
           .agg(Similarity.meanPool(col("embedding")).as("pooled"),
             count(lit(1)).as("n"))
@@ -815,7 +827,7 @@ object LlmOps {
     // the approximate path (nProbe < nCells) is pinned in LlmOpsSpec
     QueryDef("q_ivf_topk",
       (s, dir) => {
-        val e = embT(s, dir)
+        val e = embP(s, dir)
         Similarity.ivfTopK(e.where(col("vec_id") < 5), e, k = 10,
           nCells = 8, nProbe = 8).orderBy("query_id", "rnk")
       },
@@ -831,7 +843,7 @@ object LlmOps {
     // identical deterministic algorithm, so recall matches bit-for-bit.
     QueryDef("q_ann_recall",
       (s, dir) => {
-        val e = embT(s, dir)
+        val e = embP(s, dir)
         val qs = e.where(col("vec_id") < 5)
         val exact = Similarity.bruteForceTopK(qs, e, k = 10)
           .select(col("query_id"), col("match_id"))
@@ -909,7 +921,7 @@ object LlmOps {
     // so DuckDB recomputes the same sign buckets and verifies the same
     // candidate pairs.
     QueryDef("q_lsh_cos_pairs",
-      (s, dir) => Similarity.lshCosinePairs(embT(s, dir),
+      (s, dir) => Similarity.lshCosinePairs(embP(s, dir),
         "vec_id", "embedding", planes = 8, threshold = 0.4, dim = 64)
         .orderBy("id_a", "id_b"),
       Some("""WITH pl AS (SELECT p, i,
@@ -940,7 +952,7 @@ object LlmOps {
     // variant is the corpus-scale path, spec-pinned for precision)
     QueryDef("q_emb_dedup",
       (s, dir) => {
-        val e = embT(s, dir).where(col("vec_id") < 300)
+        val e = embP(s, dir).where(col("vec_id") < 300)
         // exact = true: this entry IS the oracle-checked ground truth
         // over a bounded 300-row slice (the scale default is LSH)
         Dedup.embeddingDedup(e, "vec_id", "embedding", threshold = 0.4,
@@ -1199,7 +1211,7 @@ object LlmOps {
               GROUP BY 1 ORDER BY 1""")),
 
     QueryDef("q_media_meta",
-      (s, dir) => Multimodal.asMediaTable(docsT(s, dir),
+      (s, dir) => Multimodal.asMediaTable(docsP(s, dir),
         "doc_id", "text")
         .select(col("media_id"), col("meta.mime").as("mime"),
           col("meta.width").as("width"), col("meta.height").as("height"),
@@ -1305,7 +1317,7 @@ object LlmOps {
     // synthesized media table, so DuckDB rebuilds the frame grid
     QueryDef("q_frame_sample",
       (s, dir) => Multimodal.sampleFrames(
-        Multimodal.asMediaTable(docsT(s, dir),
+        Multimodal.asMediaTable(docsP(s, dir),
           "doc_id", "text"), intervalMs = 250L)
         .orderBy("media_id", "frame_idx"),
       Some("""WITH m AS (SELECT doc_id AS media_id,
@@ -1322,7 +1334,7 @@ object LlmOps {
     // (oracle: recursive-CTE label propagation over the same pair set)
     QueryDef("q_dup_clusters",
       (s, dir) => {
-        val pairs = Dedup.jaccardPairs(docsT(s, dir),
+        val pairs = Dedup.jaccardPairs(docsP(s, dir),
           "doc_id", "text", shingleN = 3, threshold = 0.8, blockKeys = 4)
         graft.operators.Components.fromPairs(pairs, "id_a", "id_b")
           .select(col("id").as("doc_id"), col("cluster_id"),
@@ -1347,7 +1359,7 @@ object LlmOps {
     // end-to-end near-dedup: transitive closure of the pair set, keep
     // the min-id representative per cluster, anti-join the rest away
     QueryDef("q_near_dedup",
-      (s, dir) => Dedup.dropNearDuplicates(docsT(s, dir),
+      (s, dir) => Dedup.dropNearDuplicates(docsP(s, dir),
         "doc_id", "text", shingleN = 3, threshold = 0.8)
         .select("doc_id").orderBy("doc_id"),
       Some(s"""WITH RECURSIVE pairs AS ($nearDupOracle),
@@ -1368,7 +1380,7 @@ object LlmOps {
     // deterministic per-stratum sampling: seeded md5 bucket < per-lang
     // rate — pure map work (no shuffle), reproducible by any engine
     QueryDef("q_stratified_sample",
-      (s, dir) => Sampling.stratifiedSample(docsT(s, dir),
+      (s, dir) => Sampling.stratifiedSample(docsP(s, dir),
         "doc_id", "lang",
         rates = Map("en" -> 0.1, "es" -> 0.5, "de" -> 1.0),
         defaultRate = 0.25)
@@ -1536,7 +1548,7 @@ object LlmOps {
     // stand-in weights — see TextAnalysis.classifierScore); DuckDB
     // re-derives weight, mean, and sigmoid token for token
     QueryDef("q_classifier_score",
-      (s, dir) => docsT(s, dir)
+      (s, dir) => docsP(s, dir)
         .select(col("doc_id"),
           TextAnalysis.classifierScore(col("text")).as("cls_score"))
         .orderBy("doc_id"),
@@ -1553,7 +1565,7 @@ object LlmOps {
     // re-derives seeds, centroids, and nearest-cell assignment
     QueryDef("q_cluster_sizes",
       (s, dir) => Similarity.clusterAssignments(
-          embT(s, dir), nCells = 8, portableSeed = true)
+          embP(s, dir), nCells = 8, portableSeed = true)
         .groupBy("cell_id")
         .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_vec"))
         .orderBy("cell_id"),
@@ -1586,7 +1598,7 @@ object LlmOps {
     // the paraphrased leakage n-gram decontamination misses
     QueryDef("q_semantic_decon",
       (s, dir) => {
-        val e = embT(s, dir)
+        val e = embP(s, dir)
         Decontaminate.semanticContaminationHits(
           e.where(col("vec_id") >= 5), "vec_id", "embedding",
           e.where(col("vec_id") < 5), "embedding", threshold = 0.25)
@@ -1612,7 +1624,7 @@ object LlmOps {
         // materialized, every rule a cheap field comparison (getField
         // on a raw ruleFilter expression re-inlines the whole metric
         // tree per output column — ~8 tokenizations per row)
-        docsT(s, dir)
+        docsP(s, dir)
           .withColumn("__s", TextAnalysis.textStats(col("text")))
           .withColumn("__f", TextAnalysis.ruleFilterFromStats(col("__s")))
           .select(col("doc_id"), col("__f.len_ok").as("len_ok"),
@@ -1667,7 +1679,7 @@ object LlmOps {
     // the (broadcast) benchmark slice; hits = distinct shared shingles
     QueryDef("q_decontaminate",
       (s, dir) => {
-        val d = docsT(s, dir)
+        val d = docsP(s, dir)
         Decontaminate.contaminationHits(
           d.where(col("doc_id") % 20 =!= 0), "doc_id", "text",
           d.where(col("doc_id") % 20 === 0), "text", shingleN = 3)
@@ -1687,7 +1699,7 @@ object LlmOps {
     // the exact path is spec-pinned in CurationSpec
     QueryDef("q_decontaminate_bloom",
       (s, dir) => {
-        val d = docsT(s, dir)
+        val d = docsP(s, dir)
         Decontaminate.contaminationHitsBloom(
           d.where(col("doc_id") % 20 =!= 0), "doc_id", "text",
           d.where(col("doc_id") % 20 === 0), "text", shingleN = 3,
@@ -1738,7 +1750,7 @@ object LlmOps {
     // per-domain cap: keep the 5 largest docs per source (rank by
     // n_chars desc, id tie-break) — the per-domain cap of a web pipeline
     QueryDef("q_domain_cap",
-      (s, dir) => Sampling.capPerGroup(docsT(s, dir),
+      (s, dir) => Sampling.capPerGroup(docsP(s, dir),
         "source", "doc_id", col("n_chars"), k = 5)
         .select(col("source"), col("doc_id"), col("n_chars"),
           col("rnk").cast("long").as("rnk"))
@@ -1753,7 +1765,7 @@ object LlmOps {
     // deterministic mixture resampling: en upsampled 2.5x, es kept,
     // de halved, other langs dropped; copy = 1-based repeat index
     QueryDef("q_mixture",
-      (s, dir) => Sampling.resampleMixture(docsT(s, dir),
+      (s, dir) => Sampling.resampleMixture(docsP(s, dir),
         "doc_id", "lang",
         weights = Map("en" -> 2.5, "es" -> 1.0, "de" -> 0.5),
         defaultWeight = 0.0)
@@ -1778,7 +1790,7 @@ object LlmOps {
     // twin re-derives counts, shares, the 6-decimal rate rounding, and
     // the seeded fractional-copy rule.
     QueryDef("q_temp_mixture",
-      (s, dir) => Sampling.temperatureResample(docsT(s, dir),
+      (s, dir) => Sampling.temperatureResample(docsP(s, dir),
         "doc_id", "lang", alpha = 0.5)
         .select("doc_id", "lang", "copy").orderBy("doc_id", "copy"),
       Some("""WITH g AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS cnt
@@ -1941,7 +1953,7 @@ object LlmOps {
     // n_chars, key = u^(1/w) from the seeded md5 uniform; the twin
     // re-derives u and the keys and repeats the (wkey, id) ordering
     QueryDef("q_weighted_sample",
-      (s, dir) => Sampling.weightedSample(docsT(s, dir),
+      (s, dir) => Sampling.weightedSample(docsP(s, dir),
         "doc_id", col("n_chars"), k = 50)
         .select("doc_id", "n_chars", "wkey"),
       Some("""SELECT doc_id, n_chars,
@@ -1986,7 +1998,7 @@ object LlmOps {
     // — the old snapshot ships fingerprints, never text
     QueryDef("q_dedup_incremental",
       (s, dir) => {
-        val docs = docsT(s, dir)
+        val docs = docsP(s, dir)
         Dedup.dedupAgainst(
           docs.where(col("doc_id") >= 100),
           docs.where(col("doc_id") < 100),
@@ -2015,7 +2027,7 @@ object LlmOps {
     // threshold), so LSH recall itself is under test.
     QueryDef("q_neardup_index",
       (s, dir) => {
-        val docs = docsT(s, dir)
+        val docs = docsP(s, dir)
         // no index-level persist: queryBatch's two index consumers hit
         // DIFFERENT union branches (kind='band' / kind='doc'), which
         // Catalyst prunes — the only shared subplan is the hashed corpus,
@@ -2053,7 +2065,7 @@ object LlmOps {
     // crawl shard actually does before folding into history
     QueryDef("q_neardup_ingest",
       (s, dir) => {
-        val docs = docsT(s, dir)
+        val docs = docsP(s, dir)
         val batch = docs.where(col("doc_id") % 5 === 0)
         val idx = NearDupIndex.build(docs.where(col("doc_id") % 5 =!= 0),
           "doc_id", "text")
@@ -2193,7 +2205,7 @@ object LlmOps {
     // 1-row percentile aggregate + map-only assignment (no global
     // sort/window); short unscored docs land in bucket 0
     QueryDef("q_ppl_buckets",
-      (s, dir) => TfIdf.perplexityBuckets(docsT(s, dir),
+      (s, dir) => TfIdf.perplexityBuckets(docsP(s, dir),
         "doc_id", "text", buckets = 3)
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"), round(avg("logppl"), 6).as("avg_ppl"))
@@ -2231,7 +2243,7 @@ object LlmOps {
     // concat-then-chunk sequence packing: deterministic per-source token
     // stream cut into 512-token packs; docs may straddle pack bounds
     QueryDef("q_packing",
-      (s, dir) => Sampling.packSequences(docsT(s, dir),
+      (s, dir) => Sampling.packSequences(docsP(s, dir),
         "doc_id", "source", TextAnalysis.tokenCount(col("text")), 512L)
         .select(col("source"), col("doc_id"), col("start_offset"),
           col("pack_first"), col("pack_last"))
@@ -2269,7 +2281,7 @@ object LlmOps {
       (s, dir) => {
         // materialize the one-pass quantizer struct ONCE, then getField
         // — inline references would re-run the pass per field
-        embT(s, dir)
+        embP(s, dir)
           .select(col("vec_id"),
             Similarity.quantizeInt8Full(col("embedding")).as("__q"))
           .select(col("vec_id"),
@@ -2300,7 +2312,7 @@ object LlmOps {
     // SemDeDup: cluster around 8 md5-hash-sampled centroids (DuckDB
     // rebuilds the identical assignment), prune within clusters only
     QueryDef("q_semdedup",
-      (s, dir) => Dedup.semanticDedup(embT(s, dir),
+      (s, dir) => Dedup.semanticDedup(embP(s, dir),
         "vec_id", "embedding", threshold = 0.4, nCells = 8)
         .select("vec_id").orderBy("vec_id"),
       Some("""WITH u AS (SELECT vec_id, unnest(embedding)::DOUBLE AS e,
@@ -2403,7 +2415,7 @@ object LlmOps {
     // identical index
     QueryDef("q_pq_topk",
       (s, dir) => {
-        val e = embT(s, dir)
+        val e = embP(s, dir)
         Similarity.pqTopK(e.where(col("vec_id") < 5), e, k = 10)
           .orderBy("query_id", "rnk")
       },
@@ -3482,7 +3494,7 @@ object LlmOps {
     // equals the full-corpus index the oracle computes directly
     QueryDef("q_index_merge",
       (s, dir) => {
-        val d = docsT(s, dir)
+        val d = docsP(s, dir)
         val idx = graft.llmops.TextIndex.build(
           d.where(col("doc_id") % 2 === 0), Seq("text"))
         graft.llmops.TextIndex.update(idx,
@@ -3595,7 +3607,7 @@ object LlmOps {
     // source's unigram distribution from the corpus blend
     QueryDef("q_source_drift",
       (s, dir) => graft.llmops.TfIdf.distributionDrift(
-        docsT(s, dir), "source", "text")
+        docsP(s, dir), "source", "text")
         .orderBy("source"),
       Some(s"""WITH toks AS (SELECT source AS g, unnest($duckToksLower) AS term
                  FROM documents),
@@ -3615,7 +3627,7 @@ object LlmOps {
     // pair work by (sources per fingerprint)², never corpus²
     QueryDef("q_source_overlap",
       (s, dir) => Dedup.sourceOverlap(
-        docsT(s, dir), "text", "source")
+        docsP(s, dir), "text", "source")
         .orderBy("src_a", "src_b"),
       Some(s"""WITH d AS (SELECT DISTINCT
                  md5(array_to_string(list_sort(list_distinct($duckToksLower)), ' ')) AS fp,
@@ -3630,7 +3642,7 @@ object LlmOps {
     // per-doc repetition score can't see (one explode + one distinct agg)
     QueryDef("q_ngram_diversity",
       (s, dir) => TextAnalysis.ngramDiversity(
-        docsT(s, dir), "text", "source", n = 2)
+        docsP(s, dir), "text", "source", n = 2)
         .orderBy("source"),
       Some(s"""WITH g AS (SELECT source,
                  unnest(list_transform(range(len(w) - 1),
@@ -3645,7 +3657,7 @@ object LlmOps {
     // doc id; per shard the loader-plan stats (docs, tokens, id range)
     QueryDef("q_shard_manifest",
       (s, dir) => Sampling.shardManifest(
-        docsT(s, dir), "doc_id",
+        docsP(s, dir), "doc_id",
         TextAnalysis.tokenCount(col("text")), nShards = 16)
         .orderBy("shard"),
       Some(s"""SELECT ('0x' || substr(md5('shard:' || doc_id), 1, 8))::BIGINT
@@ -3659,7 +3671,7 @@ object LlmOps {
     // resampling table — alpha .5 rides sqrt, the correctly-rounded op
     QueryDef("q_lang_mixture",
       (s, dir) => Sampling.temperatureMixture(
-        docsT(s, dir), "lang", alpha = 0.5)
+        docsP(s, dir), "lang", alpha = 0.5)
         .orderBy("lang"),
       Some("""WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
                          FROM documents GROUP BY 1),
@@ -4561,7 +4573,7 @@ object LlmOps {
     // quality-canonical near-dup resolution: per cluster keep the
     // HIGHEST-QUALITY doc (production policy), not the min id
     QueryDef("q_canonical_pick",
-      (s, dir) => Dedup.canonicalPick(docsT(s, dir),
+      (s, dir) => Dedup.canonicalPick(docsP(s, dir),
         "doc_id", "text", TextAnalysis.qualityScore(col("text")))
         .orderBy("doc_id"),
       Some(s"""WITH RECURSIVE pairs AS ($nearDupOracle),
@@ -4629,7 +4641,7 @@ object LlmOps {
     // quality, global byte-dup incidence — the mixing-decision summary
     QueryDef("q_curation_report",
       (s, dir) => TextAnalysis.curationReport(
-        docsT(s, dir), "text", Seq("source", "lang"))
+        docsP(s, dir), "text", Seq("source", "lang"))
         .orderBy("source", "lang"),
       Some(s"""WITH d AS (SELECT source, lang, text, $duckNormDigest AS dg,
                  $duckQuality AS q, len($duckToks) AS t FROM documents),
