@@ -173,12 +173,14 @@ object DocWriter {
     val hconf = new org.apache.spark.util.SerializableConfiguration(
       spark.sessionState.newHadoopConf())
     val targetDir = new org.apache.hadoop.fs.Path(path)
-    targetDir.getFileSystem(hconf.value).mkdirs(targetDir)
+    DocStore.storeFs(targetDir, hconf.value).mkdirs(targetDir)
     val inserted: LongAccumulator = spark.sparkContext.longAccumulator("graft.inserted")
     val batches: LongAccumulator = spark.sparkContext.longAccumulator("graft.batches")
     df.foreachPartition { (it: Iterator[Row]) =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
-      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hconf.value)
+      // raw local fs for file: sinks — no .crc sidecar per batch file
+      val fs = DocStore.storeFs(
+        new org.apache.hadoop.fs.Path(path), hconf.value)
       var batchIdx = 0
       var written = 0L
       var buf = new java.lang.StringBuilder()

@@ -2394,7 +2394,9 @@ private[sources] class GraftBatchWrite(schema: StructType, path: String,
     // driver-side, before any task launches: prepare the target dir and
     // record what truncate must remove at commit time
     val dir = new Path(path)
-    val fs = dir.getFileSystem(conf.value)
+    // raw local fs for file: targets (no client-side .crc sidecars on
+    // the staged-rename commit protocol) — see DocStore.storeFs
+    val fs = graft.sinks.DocStore.storeFs(dir, conf.value)
     if (truncate && fs.exists(dir)) {
       // recursive: a partitioned layout keeps its batch files in k=v subdirs
       val it = fs.listFiles(dir, true)
@@ -2416,7 +2418,7 @@ private[sources] class GraftBatchWrite(schema: StructType, path: String,
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = new Path(path).getFileSystem(conf.value)
+    val fs = graft.sinks.DocStore.storeFs(new Path(path), conf.value)
     // winning attempts only (the commit coordinator arbitrates): unhide.
     // Hadoop rename signals most failures by returning FALSE — treat
     // that as an error, and roll already-renamed files back to staged on
@@ -2441,7 +2443,7 @@ private[sources] class GraftBatchWrite(schema: StructType, path: String,
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = new Path(path).getFileSystem(conf.value)
+    val fs = graft.sinks.DocStore.storeFs(new Path(path), conf.value)
     messages.collect { case c: GraftCommit => c }.flatMap(_.stagedFiles)
       .foreach(s => fs.delete(new Path(s), false))
   }
@@ -2475,7 +2477,7 @@ private[sources] class GraftDataWriter(schema: StructType, path: String,
                                        bloomColumns: Set[String] = Set.empty)
   extends DataWriter[InternalRow] {
   private val toScala = CatalystTypeConverters.createToScalaConverter(schema)
-  private val fs = new Path(path).getFileSystem(conf)
+  private val fs = graft.sinks.DocStore.storeFs(new Path(path), conf)
   private val isBson = format == "bson"
 
   // partition routing: documents carry only the data columns; the

@@ -216,7 +216,7 @@ object EventStream {
                                    path: String, format: String): Unit = {
     val token = f"sb$batchId%08d"
     val dir = new org.apache.hadoop.fs.Path(path)
-    val fs = dir.getFileSystem(
+    val fs = graft.sinks.DocStore.storeFs(dir,
       batch.sparkSession.sessionState.newHadoopConf())
     val marker = new org.apache.hadoop.fs.Path(dir, s"._graft_sink_$token")
     if (!fs.exists(marker)) {
