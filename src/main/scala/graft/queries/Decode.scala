@@ -1400,7 +1400,11 @@ object Decode {
       (s, dir) => {
         val df = Graft.table(s, dir, "orders")
         val path = java.nio.file.Files.createTempDirectory("graft_bson_q").toString
-        df.write.format("graftdocs").option("format", "bson")
+        // spread the encode input: the single-file fixture otherwise
+        // plans the per-row BSON encode as ONE write task (StageProf
+        // round 12: 0.8 s of the gate on one core)
+        graft.operators.Spread.cpuDense(df)
+          .write.format("graftdocs").option("format", "bson")
           .mode("overwrite").save(path)
         s.read.format("graftdocs").schema(df.schema).load(path)
           .groupBy(col("o_orderstatus"))
