@@ -8,13 +8,18 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.tail.toSeq else SparkEntry.queries.keys.toSeq
-    val spark = SparkSession.builder()
+    val b = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // dev-only conf overrides, same contract as QueryProf/ProbeStream
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(
+      _.split(";").filter(_.nonEmpty).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); b.config(k, v)
+      })
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n===== $n =====")
